@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.model.TrendConfig
+
+/** Pure-`Column` classifiers and projections — the filter/classify layer of
+  * the engine (reference: F1-F3, C1-C5, P1 in SURVEY §2.1). Zero UDFs: every
+  * predicate is a built-in expression so it stays inside whole-stage codegen
+  * and pushes down to the scan where possible.
+  *
+  * Semantics are pinned to the reference, including its documented oddities
+  * (SURVEY §7.4): the loose IP regex, revert-keyword subsumption, and the
+  * dead capital-D `'→Death'` notability branch.
+  */
+object Classifiers {
+
+  /** C1 — anonymous-editor classifier (reference `isIP`, index.js:11-14).
+    * Matches an IPv4 dotted quad or a 5-group uppercase-hex IPv6 fragment
+    * anywhere in the string — deliberately the reference's exact loose
+    * regex, kept for parity.
+    */
+  def isIP(user: Column): Column =
+    user.rlike("([0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+|[0-9A-F]+:[0-9A-F]+:[0-9A-F]+:[0-9A-F]+:[0-9A-F]+)")
+
+  /** C2 — revert classifier (reference `isRevert`, index.js:179-187).
+    * Lower-cases the comment then substring-matches. `"revert"` subsumes
+    * `"reverting"`/`"reverted"`; all three kept for fidelity.
+    */
+  val revertKeywords: Seq[String] =
+    Seq("tag:", "undid", "revert", "reverting", "reverted", "wp:")
+
+  def isRevert(comment: Column): Column =
+    containsAny(lower(coalesce(comment, lit(""))), revertKeywords)
+
+  /** C3 — bot classifier (reference `isBotEdit`, index.js:280-284):
+    * the event's `bot` flag OR a hard-coded username allowlist.
+    */
+  def isBotEdit(bot: Column, user: Column,
+      knownBots: Seq[String] = TrendConfig().knownBots): Column =
+    coalesce(bot, lit(false)) || user.isin(knownBots: _*)
+
+  /** C4 — notability flag per comment: 0/1, incremented ONCE per event when
+    * ANY keyword matches (the reference ORs the keywords then does a single
+    * `notabilityFlags++`, index.js:218-227). The comment is lower-cased
+    * first (index.js:219), so the capital-D `'→Death'` branch
+    * (index.js:223) can never match — replicated as-is
+    * (known-faithful-bug, SURVEY §2.1 C4).
+    */
+  val notabilityKeywords: Seq[String] =
+    Seq("eventtag", "current event", "→Death", "ongoing event")
+
+  def notabilityHit(comment: Column): Column =
+    anyHit(comment, notabilityKeywords)
+
+  /** C5 — volatility/vandalism flag per comment: 0/1 when any keyword
+    * matches (single `volatileFlags++` behind an OR, index.js:229-238).
+    */
+  val volatilityKeywords: Seq[String] = Seq(
+    "speedy deletion", "nominated for deletion",
+    "nominated page for deletion", "restore afd template",
+    "{{pp-vandalism", "proposing article for deletion")
+
+  def volatilityHit(comment: Column): Column =
+    anyHit(comment, volatilityKeywords)
+
+  /** F3 — fixup filter (reference `isFixup`, index.js:291-293):
+    * comment contains `'Fixed error'`, case-SENSITIVE (no lower-casing in
+    * the reference here).
+    */
+  def isFixup(comment: Column): Column =
+    coalesce(comment, lit("")).contains("Fixed error")
+
+  /** F1 — namespace filter: keep article-namespace events (index.js:316). */
+  def isArticle(namespace: Column): Column = namespace === 0
+
+  /** F2 — project filter (index.js:317): wildcard or exact server match. */
+  def projectMatch(serverName: Column, project: String): Column =
+    if (project == "*") lit(true) else serverName === project
+
+  /** P1 — bytes-delta projection (index.js:244). */
+  def bytesDelta(lengthNew: Column, lengthOld: Column): Column =
+    coalesce(lengthNew, lit(0L)) - coalesce(lengthOld, lit(0L))
+
+  /** Page id (reference getPage, index.js:436-449): `wiki + '/' + title`,
+    * bare title for `'enwiki'` (index.js:438-441).
+    */
+  def pageId(wiki: Column, title: Column): Column =
+    when(wiki === "enwiki", title).otherwise(concat(wiki, lit("/"), title))
+
+  /** Normalized wiki column: `''` for enwiki (index.js:445 sets wiki only
+    * on the non-enwiki path).
+    */
+  def wikiOf(wiki: Column): Column =
+    when(wiki === "enwiki", lit("")).otherwise(wiki)
+
+  // ---- helpers ----------------------------------------------------------
+
+  /** OR-chain of case-insensitive-on-caller substring tests (codegen'd). */
+  private def containsAny(lowered: Column, keywords: Seq[String]): Column =
+    keywords.map(k => lowered.contains(k)).reduce(_ || _)
+
+  /** 1 when any keyword is present in the lower-cased comment, else 0 —
+    * the reference increments the flag counter once per qualifying EVENT
+    * (one `++` behind an OR-chain, index.js:221-227,230-237).
+    */
+  private def anyHit(comment: Column, keywords: Seq[String]): Column =
+    when(containsAny(lower(coalesce(comment, lit(""))), keywords), lit(1L))
+      .otherwise(lit(0L))
+}

@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Classifiers._
+import graft.model.TrendConfig
+
+/** Batch form of the engine core: the reference's keyed stateful upsert
+  * aggregation (A1-A3, index.js:174-273) re-expressed as declarative
+  * `groupBy(id).agg(...)` column algebra (SURVEY §2.3).
+  *
+  * The stateful update is order-insensitive for every counter (conditional
+  * sums, distinct sets, per-editor map, min(start), max(updated), any(new)),
+  * so this batch aggregation is semantically identical to replaying the
+  * stream through the stateful operator — that identity is the engine's
+  * central correctness property and is what the DuckDB oracle verifies.
+  *
+  * Scale notes (100 TB): a single hash aggregation with map-side partial
+  * combine; the only shuffle is the exchange on `id`. `collect_set` of
+  * editors is the one per-key unbounded structure — at the 100 TB tier use
+  * `contributorCardinalities` (HLL `approx_count_distinct`) instead of the
+  * exact sets, and the two-level `distribution` pre-aggregation already
+  * bounds the map fan-in by (id,user) before the per-id merge.
+  */
+object PageAggregates {
+
+  /** Filter + classify layer (F1-F3 filters, C1-C5/P1 projections).
+    * Input: a DataFrame with the RecentChange schema (graft.model).
+    * All predicates are scan-pushable `Column` exprs; no UDFs.
+    * Reference flow: index.js:316-318 (filters), 241-244 (classify).
+    */
+  def classified(events: DataFrame, cfg: TrendConfig = TrendConfig()): DataFrame =
+    events
+      .filter(isArticle(col("namespace")))                   // F1 index.js:316
+      .filter(projectMatch(col("serverName"), cfg.project))  // F2 index.js:317
+      .filter(!isFixup(col("comment")))                      // F3 index.js:318
+      .withColumn("isBot", isBotEdit(col("bot"), col("user"), cfg.knownBots))
+      .withColumn("isRevert", isRevert(col("comment")))
+      .withColumn("isAnon", isIP(col("user")))
+      .withColumn("delta", bytesDelta(col("lengthNew"), col("lengthOld")))
+      .withColumn("notab", notabilityHit(col("comment")))
+      .withColumn("volat", volatilityHit(col("comment")))
+      .withColumn("id", pageId(col("wiki"), col("title")))
+      .withColumn("wikiNorm", wikiOf(col("wiki")))
+
+  /** A1+A2 — the per-page aggregate over classified edit events.
+    * Update-rule fidelity (index.js:246-270):
+    *   - type='new'  → isNew                     (247-249)
+    *   - revert      → reverts++, delta applies EVEN for bots (251-255)
+    *   - !revert & !bot → edits++, delta applies (256-262); anon also
+    *     increments anonEdits (198)
+    *   - comment keyword counters always accumulate (264)
+    *   - editor stats (contributors/anons) only when !bot & !revert (266-268)
+    * Log events (logType non-null) are routed elsewhere (index.js:320-337)
+    * and must be excluded before aggregation.
+    */
+  def pageAggregates(events: DataFrame, cfg: TrendConfig = TrendConfig()): DataFrame = {
+    val e = classified(events, cfg).filter(col("logType").isNull)
+    val counts = col("isRevert") || !col("isBot") // delta policy index.js:251-261
+    val isEdit = !col("isRevert") && !col("isBot")
+    e.groupBy(col("id"))
+      .agg(
+        // max() not last(): per-id title/wiki are functions of the id (the
+        // rename flow canonicalizes ids BEFORE this agg), and max is
+        // deterministic under shuffles where last/first are not.
+        max(col("title")).as("title"),
+        max(col("wikiNorm")).as("wiki"),
+        sum(when(isEdit, 1L).otherwise(0L)).as("edits"),
+        sum(when(isEdit && col("isAnon"), 1L).otherwise(0L)).as("anonEdits"),
+        max(coalesce(col("rcType") === "new", lit(false))).as("isNew"),
+        sum(col("notab")).as("notabilityFlags"),
+        sum(col("volat")).as("volatileFlags"),
+        sum(when(col("isRevert"), 1L).otherwise(0L)).as("reverts"),
+        min(col("ts")).as("start"),
+        max(col("ts")).as("updated"),
+        array_sort(collect_set(when(isEdit && !col("isAnon"), col("user"))))
+          .as("contributors"),
+        array_sort(collect_set(when(isEdit && col("isAnon"), col("user"))))
+          .as("anons"),
+        sum(when(counts, col("delta")).otherwise(0L)).as("bytesChanged"))
+  }
+
+  /** A3 — the per-editor `distribution` map (index.js:201-210), as a
+    * two-level aggregation: pre-aggregate by (id, user) first so the
+    * per-id merge sees one entry per editor, not one per event — this is
+    * the shuffle-lean form at scale (SURVEY §7.3).
+    */
+  def distribution(events: DataFrame, cfg: TrendConfig = TrendConfig()): DataFrame = {
+    val e = classified(events, cfg).filter(col("logType").isNull)
+    e.filter(!col("isBot") && !col("isRevert"))
+      .groupBy(col("id"), col("user")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("id"))
+      .agg(map_from_entries(array_sort(collect_list(struct(col("user"), col("cnt")))))
+        .as("distribution"))
+  }
+
+  /** Scalable stand-in for exact contributor sets at the 100 TB tier:
+    * HLL cardinalities instead of materialized arrays (SURVEY §2.2 aggs).
+    */
+  def contributorCardinalities(events: DataFrame,
+      cfg: TrendConfig = TrendConfig()): DataFrame = {
+    val e = classified(events, cfg).filter(col("logType").isNull)
+    val isEdit = !col("isRevert") && !col("isBot")
+    e.groupBy(col("id")).agg(
+      approx_count_distinct(when(isEdit && !col("isAnon"), col("user")))
+        .as("approxContributors"),
+      approx_count_distinct(when(isEdit && col("isAnon"), col("user")))
+        .as("approxAnons"))
+  }
+
+  // ---- derived metrics (M1-M4) -----------------------------------------
+  // The reference computes these with wall-clock `new Date()`
+  // (index.js:65,73); for batch determinism every metric takes an explicit
+  // `asOf` column (SURVEY §7.4 item 3).
+
+  /** M1 — minutes since first event (reference `age()`, index.js:64-67). */
+  def age(start: Column, asOf: Column): Column =
+    (asOf.cast("double") - start.cast("double")) / 60.0
+
+  /** M2 — minutes since last event (reference `lastUpdated()`, index.js:72-75). */
+  def lastUpdated(updated: Column, asOf: Column): Column =
+    (asOf.cast("double") - updated.cast("double")) / 60.0
+
+  /** M3 — edits per minute (index.js:80-88). Returns the raw count when
+    * age < 1 minute or count = 0, else count/age. With includeAnons the
+    * anon edits are counted AGAIN on top of `edits` (they are already in
+    * it) — faithful double-weighting (SURVEY §7.4 item 4).
+    */
+  def editsPerMinute(edits: Column, reverts: Column, anonEdits: Column,
+      ageMins: Column, includeReverts: Boolean = false,
+      includeAnons: Boolean = false): Column = {
+    var cnt = edits
+    if (includeReverts) cnt = cnt + reverts
+    if (includeAnons) cnt = cnt + anonEdits
+    when(ageMins < 1.0 || cnt === 0L, cnt.cast("double"))
+      .otherwise(cnt.cast("double") / ageMins)
+  }
+
+  /** M4 — author-concentration bias in [0,1]; 1.0 = single-author page.
+    * The reference delegates to the unvendored `wikipedia-edits-scorer`
+    * package (index.js:57-59); our pinned spec (SURVEY §7.4 item 5) is
+    * max-share of the per-editor distribution map. Pure expression — no UDF.
+    */
+  def bias(distribution: Column): Column = {
+    val vals = map_values(distribution)
+    val total = aggregate(vals, lit(0L), (acc, x) => acc + x)
+    when(size(vals) === 0, lit(0.0))
+      .otherwise(array_max(vals).cast("double") / total.cast("double"))
+  }
+
+  /** Project the full metric set onto an aggregated page DataFrame. */
+  def withMetrics(pages: DataFrame, asOf: Column): DataFrame = {
+    val a = age(col("start"), asOf)
+    pages
+      .withColumn("age", a)
+      .withColumn("lastUpdated", lastUpdated(col("updated"), asOf))
+      .withColumn("editsPerMinute",
+        editsPerMinute(col("edits"), col("reverts"), col("anonEdits"), a))
+  }
+
+  /** A7 batch analog — the cleaner's eviction policy as a filter
+    * (index.js:362-392): keep a page when
+    *   age <= minPurgeTime, OR (safe AND age <= maxLifespan), OR
+    *   (speed >= minSpeed AND idle <= maxInactivity AND age <= maxLifespan).
+    * `safe` pages are still dropped past maxLifespan (index.js:379-389).
+    */
+  def survivors(pages: DataFrame, asOf: Column,
+      cfg: TrendConfig = TrendConfig()): DataFrame = {
+    val ageC = age(col("start"), asOf)
+    val idle = lastUpdated(col("updated"), asOf)
+    val speed = editsPerMinute(col("edits"), col("reverts"), col("anonEdits"),
+      ageC, includeReverts = true, includeAnons = true)
+    val safeC = if (pages.columns.contains("safe")) col("safe") else lit(false)
+    pages.filter(
+      ageC <= cfg.minPurgeTimeMins ||
+      (ageC <= cfg.maxLifespanMins &&
+        (safeC || (speed >= cfg.minSpeed && idle <= cfg.maxInactivityMins))))
+  }
+
+  /** Q3 — top-k board by a metric column. Plans as TakeOrderedAndProject
+    * (no full sort, no full shuffle — each partition keeps k, driver merges).
+    */
+  def topK(pages: DataFrame, metric: String, k: Int): DataFrame =
+    pages.orderBy(desc(metric), asc("id")).limit(k)
+
+  /** A4 batch analog — resolve rename (move-log) chains so events
+    * aggregate under the page's FINAL title. Builds the per-wiki
+    * (fromTitle → toTitle) map from move events (index.js:324-325:
+    * log_params.target is the new title), collapses chains a→b→c to a→c on
+    * the driver, then rewrites `title` via a broadcast join; `pageId`
+    * downstream then yields the canonical id.
+    *
+    * Scale: the rename log is O(pages-renamed) — administrative events,
+    * orders of magnitude smaller than the edit stream — so driver-side
+    * chain collapse + broadcast holds at any contemplated scale; the big
+    * side is never shuffled.
+    *
+    * Note (SURVEY §7.4 item 1): the streaming path replicates the
+    * reference's overwrite-not-merge rename exactly; this batch form merges
+    * all history under the final title, the documented order-insensitive
+    * analog.
+    */
+  def canonicalizeRenames(events: DataFrame): DataFrame = {
+    val moves = events
+      .filter(col("logType").isNotNull && col("logAction") === "move")
+      .select(col("wiki"), col("title").as("fromTitle"),
+        element_at(col("logParams"), "target").as("toTitle"), col("ts"))
+    val edges = moves.orderBy(col("ts"))
+      .select("wiki", "fromTitle", "toTitle").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2))
+    // Collapse chains in stream order: a→b then b→c ⇒ a→c.
+    val resolved = scala.collection.mutable.LinkedHashMap[(String, String), String]()
+    edges.foreach { case ((wiki, from), to) =>
+      resolved.keys.toList.foreach { k =>
+        if (k._1 == wiki && resolved(k) == from) resolved(k) = to
+      }
+      resolved((wiki, from)) = resolved.getOrElse((wiki, to), to)
+    }
+    val spark = events.sparkSession
+    import spark.implicits._
+    val renameMap = resolved.toSeq.map { case ((w, f), t) => (w, f, t) }
+      .toDF("r_wiki", "r_from", "r_to")
+    events
+      .join(broadcast(renameMap),
+        col("wiki") === col("r_wiki") && col("title") === col("r_from"), "left")
+      .withColumn("title", coalesce(col("r_to"), col("title")))
+      .drop("r_wiki", "r_from", "r_to")
+  }
+
+  /** Full trend pipeline: canonicalize renames, then aggregate per page. */
+  def trendAggregates(events: DataFrame, cfg: TrendConfig = TrendConfig()): DataFrame =
+    pageAggregates(canonicalizeRenames(events), cfg)
+}

@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Adapts the driver's generic `events` table (event_id, ts, user_id,
+  * event_type, value, props) onto the engine's RecentChange input schema so
+  * the full trend pipeline — filters, classifiers, keyed aggregation,
+  * metrics, eviction — runs end-to-end on driver data and stays
+  * DuckDB-oracle-expressible.
+  *
+  * The mapping is deterministic and documented here because every oracle
+  * SQL for a trend query re-states it in ANSI SQL:
+  *   - page     := the user_id (each user's activity stream is "a page")
+  *   - wiki     := 'enwiki' (so id = title, the reference's special case)
+  *   - user     := 'u<user_id>', except every 5th user is an IPv4 literal
+  *                 ('<user_id>.0.0.1') so the isIP classifier fires
+  *   - bot      := user_id % 11 = 0
+  *   - comment  := a per-event_type phrase chosen to exercise the
+  *                 reference's keyword classifiers:
+  *                   error    → 'Reverted edit'       (revert keyword)
+  *                   view     → 'copyedit current event' (notability)
+  *                   signup   → 'new page created'
+  *                   purchase → 'added new content'
+  *                   click    → 'nominated for deletion' (volatility)
+  *   - rcType   := 'new' for signup else 'edit'
+  *   - delta    := floor(value * 100) (bytes changed)
+  */
+object EventAdapter {
+
+  /** The driver's events.parquet stores `ts` as TIMESTAMP(NANOS), which
+    * Spark 4 rejects by default. Read nanos as Long and truncate to
+    * microseconds with integer division — the same truncation DuckDB
+    * applies when it reads the file as µs TIMESTAMP, so oracle timestamps
+    * agree exactly. (A double-precision path would lose ~256 ns at 2024
+    * epoch magnitudes; DIV stays exact.)
+    */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  def asRecentChanges(events: DataFrame): DataFrame =
+    events.select(
+      col("user_id").cast("string").as("title"),
+      when(col("event_type") === "error", "Reverted edit")
+        .when(col("event_type") === "view", "copyedit current event")
+        .when(col("event_type") === "signup", "new page created")
+        .when(col("event_type") === "purchase", "added new content")
+        .otherwise("nominated for deletion").as("comment"), // click → volatility
+      lit(0).as("namespace"),
+      when(col("user_id") % 5 === 0,
+          concat(col("user_id").cast("string"), lit(".0.0.1")))
+        .otherwise(concat(lit("u"), col("user_id").cast("string"))).as("user"),
+      (col("user_id") % 11 === 0).as("bot"),
+      when(col("event_type") === "signup", "new").otherwise("edit").as("rcType"),
+      lit(0L).as("lengthOld"),
+      floor(col("value") * 100).cast("long").as("lengthNew"),
+      lit("enwiki").as("wiki"),
+      lit("en.wikipedia.org").as("serverName"),
+      lit(null).cast("string").as("logType"),
+      lit(null).cast("string").as("logAction"),
+      lit(null).cast("map<string,string>").as("logParams"),
+      lit(null).cast("string").as("logActionComment"),
+      col("ts").as("ts"))
+
+  def recentChanges(spark: SparkSession, sfDir: String): DataFrame =
+    asRecentChanges(readEvents(spark, sfDir))
+}
