@@ -107,8 +107,13 @@ object TrendStream {
         (s.safe || (speed >= cfg.minSpeed && idleMins <= cfg.maxInactivityMins)))
   }
 
-  /** The stateful update function for `flatMapGroupsWithState`. */
-  def updateFn(cfg: TrendConfig)(
+  /** The stateful update function for `flatMapGroupsWithState`.
+    * `armTimers=false` runs without the cleaner (used by finite replays —
+    * with processing-time timers armed the micro-batch engine keeps
+    * scheduling batches to service them and a drain-and-stop trigger never
+    * terminates).
+    */
+  def updateFn(cfg: TrendConfig, armTimers: Boolean)(
       id: String, events: Iterator[ClassifiedEvent],
       state: GroupState[PageState]): Iterator[PageState] = {
     val nowMs = state.getCurrentProcessingTimeMs()
@@ -130,7 +135,7 @@ object TrendStream {
       applyEvents(init, evs) match {
         case Some(next) =>
           state.update(next)
-          state.setTimeoutDuration(cfg.cleanerIntervalSec * 1000)
+          if (armTimers) state.setTimeoutDuration(cfg.cleanerIntervalSec * 1000)
           Iterator.single(next)
         case None =>
           if (state.exists) state.remove()
@@ -174,13 +179,17 @@ object TrendStream {
     * the streaming twin of the reference's `emit('edit', page)` (S4).
     */
   def pageStates(events: Dataset[RecentChange],
-      cfg: TrendConfig = TrendConfig()): Dataset[PageState] = {
+      cfg: TrendConfig = TrendConfig(),
+      evict: Boolean = true): Dataset[PageState] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val timeout =
+      if (evict) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     classify(events, cfg)
       .groupByKey(_.id)
       .flatMapGroupsWithState[PageState, PageState](
-        OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout)(updateFn(cfg))
+        OutputMode.Update, timeout)(updateFn(cfg, armTimers = evict))
   }
 
   /** Convenience: run a finite replay of events through the streaming
@@ -192,9 +201,14 @@ object TrendStream {
     import spark.implicits._
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[RecentChange](spark)
     ms.addData(events)
-    val q = pageStates(ms.toDS(), cfg).writeStream
-      .format("memory").queryName(queryName).outputMode("update").start()
-    try q.processAllAvailable() finally q.stop()
+    // evict=false (NoTimeout) + AvailableNow: drain what's queued then
+    // terminate. With processing-time timers armed the engine would keep
+    // scheduling micro-batches to service them and never settle; the
+    // eviction policy is exercised directly via survives().
+    val q = pageStates(ms.toDS(), cfg, evict = false).writeStream
+      .format("memory").queryName(queryName).outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000) finally q.stop()
     // Update-mode memory sink appends each update; keep the LAST row per id.
     spark.table(queryName).as[PageState].collect()
       .groupBy(_.id).map { case (_, rows) => rows.last }.toSeq

@@ -1,0 +1,174 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.model.{PageState, RecentChange, TrendConfig}
+import graft.operators.PageAggregates
+import graft.streaming.TrendStream
+import graft.streaming.TrendStream.ClassifiedEvent
+
+/** Streaming core spec: fixture parity for the pure update function,
+  * eviction-policy boundaries, and the stream ≡ batch identity (SURVEY
+  * §5.2 items 1-2, 5).
+  */
+class TrendStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def ce(
+      id: String = "Foo", user: String = "Jon", isBot: Boolean = false,
+      isRevert: Boolean = false, isAnon: Boolean = false, isNew: Boolean = false,
+      notab: Long = 0, volat: Long = 0, delta: Long = 1,
+      logAction: String = null, at: Timestamp = t0): ClassifiedEvent =
+    ClassifiedEvent(id, id, "", user, isBot, isRevert, isAnon, isNew,
+      notab, volat, delta, logAction, at)
+
+  private def empty(at: Timestamp = t0) = PageState.empty("Foo", "Foo", "", at)
+
+  // --- applyEvents fixture parity (reference test/tests.js) --------------
+
+  test("stream update: edit accounting (tests.js:38-51)") {
+    val s = TrendStream.applyEvents(empty(), Seq(ce())).get
+    assert(s.edits == 1 && s.bytesChanged == 1)
+    assert(s.contributors == Seq("Jon") && s.distribution == Map("Jon" -> 1L))
+  }
+
+  test("stream update: bot edits count nowhere (tests.js:80-95)") {
+    val s = TrendStream.applyEvents(empty(), Seq(ce(isBot = true))).get
+    assert(s.edits == 0 && s.bytesChanged == 0 && s.contributors.isEmpty)
+  }
+
+  test("stream update: revert counted, not an edit (tests.js:97-109)") {
+    val s = TrendStream.applyEvents(empty(), Seq(ce(isRevert = true, user = "Reverter"))).get
+    assert(s.reverts == 1 && s.edits == 0 && s.contributors.isEmpty)
+    assert(s.bytesChanged == 1) // reverts apply delta
+  }
+
+  test("stream update: bot revert still changes bytes (tests.js:111-122)") {
+    val s = TrendStream.applyEvents(empty(),
+      Seq(ce(isBot = true, isRevert = true, user = "Reverter"))).get
+    assert(s.reverts == 1 && s.bytesChanged == 1 && s.edits == 0)
+  }
+
+  test("stream update: anon edit increments both counters and anons set") {
+    val s = TrendStream.applyEvents(empty(),
+      Seq(ce(user = "192.168.0.1", isAnon = true), ce())).get
+    assert(s.edits == 2 && s.anonEdits == 1)
+    assert(s.anons == Seq("192.168.0.1") && s.contributors == Seq("Jon"))
+    assert(s.distribution == Map("192.168.0.1" -> 1L, "Jon" -> 1L))
+  }
+
+  test("stream update: delete drops state; later edit recreates fresh (A6)") {
+    val gone = TrendStream.applyEvents(empty(), Seq(ce(), ce(logAction = "delete", at = ts("2024-01-01 00:01:00"))))
+    assert(gone.isEmpty)
+    val recreated = TrendStream.applyEvents(empty(), Seq(
+      ce(),
+      ce(logAction = "delete", at = ts("2024-01-01 00:01:00")),
+      ce(user = "Ann", at = ts("2024-01-01 00:02:00")))).get
+    assert(recreated.edits == 1 && recreated.contributors == Seq("Ann"))
+  }
+
+  test("stream update: protect sets flag (A5)") {
+    val s = TrendStream.applyEvents(empty(),
+      Seq(ce(), ce(logAction = "protect", at = ts("2024-01-01 00:01:00")))).get
+    assert(s.isProtected && s.edits == 1)
+  }
+
+  test("stream update: events apply in ts order (updated = last ts)") {
+    val s = TrendStream.applyEvents(empty(), Seq(
+      ce(at = ts("2024-01-01 00:05:00")), ce(at = t0))).get
+    assert(s.updated == ts("2024-01-01 00:05:00"))
+  }
+
+  // --- eviction policy (A7, index.js:370-392) ----------------------------
+
+  private val cfg = TrendConfig()
+  private def stateAt(start: String, updated: String, edits: Long = 1,
+      safe: Boolean = false): PageState =
+    empty(ts(start)).copy(edits = edits, updated = ts(updated), safe = safe)
+
+  test("eviction: grace period — young pages always survive") {
+    val s = stateAt("2024-01-01 00:00:00", "2024-01-01 00:00:00")
+    assert(TrendStream.survives(s, ts("2024-01-01 00:04:00").getTime, cfg))
+  }
+
+  test("eviction: slow page dropped after grace") {
+    val s = stateAt("2024-01-01 00:00:00", "2024-01-01 00:05:30", edits = 1)
+    // age 6 min, speed = 1/6 < 3 → drop
+    assert(!TrendStream.survives(s, ts("2024-01-01 00:06:00").getTime, cfg))
+  }
+
+  test("eviction: fast page survives until idle > maxInactivity") {
+    // 1000 edits in 100 min → speed 10 > 3; idle 30 min < 60 → keep
+    val s = stateAt("2024-01-01 00:00:00", "2024-01-01 01:10:00", edits = 1000)
+    assert(TrendStream.survives(s, ts("2024-01-01 01:40:00").getTime, cfg))
+    // idle 70 min > 60 → drop
+    assert(!TrendStream.survives(s, ts("2024-01-01 02:20:00").getTime, cfg))
+  }
+
+  test("eviction: safe exempts policy but not maxLifespan (index.js:379-389)") {
+    val s = stateAt("2024-01-01 00:00:00", "2024-01-01 00:00:30", safe = true)
+    // slow + idle but safe → keep (age 2 h < 24 h)
+    assert(TrendStream.survives(s, ts("2024-01-01 02:00:00").getTime, cfg))
+    // age 25 h > 24 h lifespan → drop even though safe
+    assert(!TrendStream.survives(s, ts("2024-01-02 01:00:00").getTime, cfg))
+  }
+
+  // --- stream ≡ batch ----------------------------------------------------
+
+  private def rc(
+      title: String = "Foo", comment: String = "yo", user: String = "Jon",
+      bot: Boolean = false, rcType: String = "edit",
+      lengthOld: Long = 1L, lengthNew: Long = 2L, wiki: String = "enwiki",
+      at: Timestamp = t0): RecentChange =
+    RecentChange(title, comment, 0, user, bot, rcType, lengthOld, lengthNew,
+      wiki, "en.wikipedia.org", null, null, null, null, at)
+
+  test("MemoryStream replay equals batch aggregation (SURVEY §2.3 identity)") {
+    // A deterministic pseudo-random mix over 3 pages / 6 editors incl.
+    // anons, bots, reverts, AfD comments, multiple wikis.
+    val rnd = new scala.util.Random(42)
+    val pages = Seq(("Foo", "enwiki"), ("Bar", "enwiki"), ("Baz", "dewiki"))
+    val users = Seq("Jon", "Ann", "ClueBot NG", "192.168.0.1", "Bot9", "Eve")
+    val comments = Seq("yo", "reverted vandalism", "Nominated page for deletion",
+      "current event update", "copyedit")
+    val events = (0 until 200).map { i =>
+      val (t, w) = pages(rnd.nextInt(pages.size))
+      rc(title = t, wiki = w,
+        comment = comments(rnd.nextInt(comments.size)),
+        user = users(rnd.nextInt(users.size)),
+        bot = rnd.nextInt(10) == 0,
+        rcType = if (rnd.nextInt(20) == 0) "new" else "edit",
+        lengthOld = rnd.nextInt(1000).toLong,
+        lengthNew = rnd.nextInt(1000).toLong,
+        at = new Timestamp(t0.getTime + i * 1000L))
+    }
+
+    val streamed = TrendStream.replayToSnapshot(spark, events)
+      .map(s => s.id -> s).toMap
+    val batch = PageAggregates.pageAggregates(events.toDS.toDF).collect()
+      .map(r => r.getAs[String]("id") -> r).toMap
+
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (id, s) =>
+      val b = batch(id)
+      assert(s.edits == b.getAs[Long]("edits"), s"edits@$id")
+      assert(s.anonEdits == b.getAs[Long]("anonEdits"), s"anonEdits@$id")
+      assert(s.reverts == b.getAs[Long]("reverts"), s"reverts@$id")
+      assert(s.bytesChanged == b.getAs[Long]("bytesChanged"), s"bytes@$id")
+      assert(s.isNew == b.getAs[Boolean]("isNew"), s"isNew@$id")
+      assert(s.notabilityFlags == b.getAs[Long]("notabilityFlags"), s"notab@$id")
+      assert(s.volatileFlags == b.getAs[Long]("volatileFlags"), s"volat@$id")
+      assert(s.start == b.getAs[Timestamp]("start"), s"start@$id")
+      assert(s.updated == b.getAs[Timestamp]("updated"), s"updated@$id")
+      assert(s.contributors.toSet ==
+        b.getSeq[String](b.fieldIndex("contributors")).toSet, s"contributors@$id")
+      assert(s.anons.toSet ==
+        b.getSeq[String](b.fieldIndex("anons")).toSet, s"anons@$id")
+    }
+  }
+}
