@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.TrendConfig
-import graft.operators.PageAggregates
+import graft.operators.{Dedup, Multimodal, PageAggregates, Similarity, TextAnalysis}
 import graft.sources.EventAdapter
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -111,7 +111,80 @@ object SparkEntry {
 
     // Trend board: top-k by edits-per-minute (M3 + Q3 of the reference);
     // plans as TakeOrderedAndProject.
-    "trend_topk" -> ((s, dir) => trendTopk(s, dir))
+    "trend_topk" -> ((s, dir) => trendTopk(s, dir)),
+
+    // ---- training-data pipeline: documents ----------------------------
+
+    // Exact dedup: group on md5(text) — the shuffle carries a 32-char
+    // hash, never the document body.
+    "doc_exact_dedup" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"))),
+
+    // md5 fingerprint of normalized text (portable across engines).
+    "doc_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(t(s, dir, "documents"))),
+
+    // Whitespace + BPE-ish token counts; pure map work, no shuffle.
+    "doc_token_stats" -> ((s, dir) =>
+      TextAnalysis.tokenStats(t(s, dir, "documents"))
+        .select(col("doc_id"), col("ws_tokens").cast("long").as("ws_tokens"),
+          col("bpe_tokens").cast("long").as("bpe_tokens"),
+          col("chars").cast("long").as("chars"))),
+
+    // Heuristic quality metrics (length / punctuation / stopword mix).
+    "doc_quality" -> ((s, dir) =>
+      TextAnalysis.quality(t(s, dir, "documents"))),
+
+    // Stopword-evidence language ID with per-language hit counts.
+    "doc_langid" -> ((s, dir) => {
+      val base = TextAnalysis.languages(t(s, dir, "documents"))
+      base.select(col("doc_id") +: col("pred_lang") +:
+        TextAnalysis.langStopwords.map { case (l, _) =>
+          col(s"hits_$l").cast("long").as(s"hits_$l") }: _*)
+    }),
+
+    // MinHash(k=8) + LSH(4 bands × 2 rows) near-dups, verified by exact
+    // shingle-set Jaccard >= 0.5. md5-based hash family makes the whole
+    // pipeline (signatures included) oracle-checkable.
+    "doc_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashNearDups(t(s, dir, "documents"))),
+
+    // Exact trigram-Jaccard pairs (join bounded by shared shingles).
+    "doc_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.3)),
+
+    // SimHash fingerprints + near-dups: md5-derived bits, 32-bit votes.
+    // Hex→int conversion is engine-specific → rows-only check (no oracle).
+    "doc_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDups(t(s, dir, "documents"), maxDist = 6)),
+
+    // Multimodal plumbing: binary payload → mapPartitions batch "decode"
+    // (deterministic stub) → typed metadata.
+    "doc_media_meta" -> ((s, dir) =>
+      Multimodal.mediaMeta(s, t(s, dir, "documents"))
+        .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
+          col("channels"), col("checksum"))),
+
+    // ---- training-data pipeline: embeddings ---------------------------
+
+    // Brute-force cosine top-5 for the first 10 query vectors: broadcast
+    // the query set, stream the corpus, per-query window top-k.
+    "emb_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"), k = 5, numQueries = 10)),
+
+    // Deterministic sign-LSH bucket per vector (IVF-style coarse cells).
+    "emb_lsh_buckets" -> ((s, dir) =>
+      Similarity.lshBuckets(t(s, dir, "embeddings"))
+        .select(col("vec_id"), col("bucket").cast("long").as("bucket"))),
+
+    // Embedding near-dups through LSH buckets, cosine >= 0.35 (the data's
+    // planted-pair band), verified exactly within buckets.
+    "emb_lsh_near_dup" -> ((s, dir) =>
+      Similarity.lshNearDups(t(s, dir, "embeddings"), threshold = 0.35)),
+
+    // Exact all-pairs near-dup baseline the LSH path approximates.
+    "emb_near_dup_exact" -> ((s, dir) =>
+      Similarity.bruteForceNearDups(t(s, dir, "embeddings"), threshold = 0.35))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -171,6 +244,210 @@ object SparkEntry {
          SELECT id, edits,
            CASE WHEN age < 1 OR edits = 0 THEN CAST(edits AS DOUBLE)
                 ELSE CAST(edits AS DOUBLE) / age END AS epm
-         FROM m ORDER BY epm DESC, id LIMIT 10"""
+         FROM m ORDER BY epm DESC, id LIMIT 10""",
+
+    "doc_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
+         CAST(COUNT(*) AS BIGINT) AS dup_count
+         FROM documents GROUP BY 1""",
+
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+         FROM documents""",
+
+    "doc_token_stats" ->
+      """SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+         CAST(length(text) AS BIGINT) AS chars
+         FROM documents""",
+
+    "doc_quality" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\s+') END AS toks,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                       / length(text) END AS praw
+           FROM documents),
+         m AS (
+           SELECT doc_id, praw,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE)
+                       / len(toks) END AS sraw,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END AS mraw,
+             len(toks) AS ntoks
+           FROM t)
+         SELECT doc_id,
+           round(praw, 6) AS punct_ratio,
+           round(sraw, 6) AS stopword_ratio,
+           round(mraw, 6) AS mean_token_len,
+           round(least(CAST(ntoks AS DOUBLE) / 100.0, 1.0) * 0.4
+                 + (1.0 - least(praw * 5.0, 1.0)) * 0.3
+                 + least(sraw * 5.0, 1.0) * 0.3, 6) AS quality
+         FROM m""",
+
+    "doc_langid" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\s+') END AS toks
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+             len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is'))) AS hits_en,
+             len(list_filter(toks, x -> x IN ('el','la','de','que','y','los','en'))) AS hits_es,
+             len(list_filter(toks, x -> x IN ('le','la','de','et','un','les','des'))) AS hits_fr,
+             len(list_filter(toks, x -> x IN ('der','die','und','das','ein','nicht','ist'))) AS hits_de
+           FROM t),
+         b AS (SELECT *, greatest(hits_en, hits_es, hits_fr, hits_de) AS best FROM h)
+         SELECT doc_id,
+           CASE WHEN best > 0 AND hits_en = best THEN 'en'
+                WHEN best > 0 AND hits_es = best THEN 'es'
+                WHEN best > 0 AND hits_fr = best THEN 'fr'
+                WHEN best > 0 AND hits_de = best THEN 'de'
+                ELSE 'und' END AS pred_lang,
+           CAST(hits_en AS BIGINT) AS hits_en, CAST(hits_es AS BIGINT) AS hits_es,
+           CAST(hits_fr AS BIGINT) AS hits_fr, CAST(hits_de AS BIGINT) AS hits_de
+         FROM b""",
+
+    "doc_minhash_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\s+') END AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(generate_series(1, len(t) - 2),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE [array_to_string(t, ' ')] END) AS ss
+           FROM toks),
+         ex AS (SELECT doc_id, unnest(ss) AS shingle FROM sh),
+         sig AS (
+           SELECT doc_id,
+             min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+             min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+             min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
+             min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
+           FROM ex GROUP BY doc_id),
+         bk AS (
+           SELECT doc_id, b.band,
+             CASE b.band WHEN 0 THEN md5(h0 || h1) WHEN 1 THEN md5(h2 || h3)
+                         WHEN 2 THEN md5(h4 || h5) ELSE md5(h6 || h7) END AS key
+           FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b),
+         cand AS (
+           SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+           FROM bk l JOIN bk r ON l.band = r.band AND l.key = r.key
+                AND l.doc_id < r.doc_id),
+         j AS (
+           SELECT c.doc_a, c.doc_b,
+             len(list_intersect(sa.ss, sb.ss)) AS inter,
+             len(sa.ss) AS la, len(sb.ss) AS lb
+           FROM cand c
+           JOIN sh sa ON c.doc_a = sa.doc_id
+           JOIN sh sb ON c.doc_b = sb.doc_id)
+         SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
+         FROM j
+         WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) >= 0.5""",
+
+    "doc_ngram_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\s+') END AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(generate_series(1, len(t) - 2),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE [array_to_string(t, ' ')] END) AS ss
+           FROM toks),
+         ex AS (SELECT doc_id, unnest(ss) AS shingle FROM sh),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS inter
+           FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         j AS (
+           SELECT i.doc_a, i.doc_b,
+             round(CAST(i.inter AS DOUBLE)
+                   / (len(sa.ss) + len(sb.ss) - i.inter), 6) AS jaccard
+           FROM inter i
+           JOIN sh sa ON i.doc_a = sa.doc_id
+           JOIN sh sb ON i.doc_b = sb.doc_id)
+         SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3""",
+
+    "doc_media_meta" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         CAST(64 + (octet_length(encode(text)) % 64) * 16 AS INTEGER) AS width,
+         CAST(64 + ((octet_length(encode(text)) // 64) % 64) * 16 AS INTEGER) AS height,
+         CAST(3 AS INTEGER) AS channels,
+         md5(text) AS checksum
+         FROM documents""",
+
+    "emb_topk" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         s AS (
+           SELECT query_id, neighbor_id,
+             round(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
+           FROM q, c WHERE query_id <> neighbor_id),
+         r AS (
+           SELECT *, CAST(row_number() OVER
+             (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+           FROM s)
+         SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5""",
+
+    "emb_lsh_buckets" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         e AS (
+           SELECT vec_id, u.i AS i, ev[u.i] AS x
+           FROM v, unnest(generate_series(1, len(ev))) AS u(i)),
+         ps AS (SELECT vec_id, (i - 1) % 8 AS plane, SUM(x) AS s FROM e GROUP BY 1, 2)
+         SELECT vec_id,
+           CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, plane) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+         FROM ps GROUP BY 1""",
+
+    "emb_lsh_near_dup" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         e AS (
+           SELECT vec_id, u.i AS i, ev[u.i] AS x
+           FROM v, unnest(generate_series(1, len(ev))) AS u(i)),
+         ps AS (SELECT vec_id, (i - 1) % 8 AS plane, SUM(x) AS s FROM e GROUP BY 1, 2),
+         b AS (
+           SELECT vec_id,
+             SUM(CASE WHEN s > 0 THEN CAST(pow(2, plane) AS BIGINT) ELSE 0 END) AS bucket
+           FROM ps GROUP BY 1),
+         vb AS (SELECT v.vec_id, v.ev, b.bucket FROM v JOIN b ON v.vec_id = b.vec_id),
+         pairs AS (
+           SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+             round(list_dot_product(l.ev, r.ev)
+                   / (sqrt(list_dot_product(l.ev, l.ev)) * sqrt(list_dot_product(r.ev, r.ev))), 6) AS cos
+           FROM vb l JOIN vb r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+         SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.35""",
+
+    "emb_near_dup_exact" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         pairs AS (
+           SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+             round(list_dot_product(l.ev, r.ev)
+                   / (sqrt(list_dot_product(l.ev, l.ev)) * sqrt(list_dot_product(r.ev, r.ev))), 6) AS cos
+           FROM v l JOIN v r ON l.vec_id < r.vec_id)
+         SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.35"""
+
+    // doc_simhash_pairs: intentionally no oracle — the hex→int conversion
+    // in the hash family is engine-specific; driver records rows-only.
   )
 }

@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` table: exact (hash group),
+  * MinHash + LSH (shingle → signature → band → bucket join → verify),
+  * SimHash, and n-gram Jaccard verification — the standard near-dup
+  * pipeline for training-data curation (BASELINE.json north star).
+  *
+  * Scale design:
+  *  - Exact dedup groups on md5(text) — the shuffle carries a 32-char hash,
+  *    never the document body.
+  *  - MinHash signatures come from ONE pass over exploded shingles with k
+  *    conditional `min` aggregates (no seed-multiplication of rows); the
+  *    shuffle key is doc_id.
+  *  - Candidate generation self-joins the *band bucket* table (rows = docs
+  *    × bands, tiny), never the corpus; verification joins shingle sets
+  *    only for candidate pairs.
+  *  - All hashes are md5 (bit-identical in any engine) so every stage of
+  *    the pipeline — including the hash-seeded MinHash itself — is
+  *    oracle-verifiable in ANSI SQL.
+  */
+object Dedup {
+
+  // ---- exact dedup ------------------------------------------------------
+
+  /** Exact-duplicate groups: one row per distinct text with the canonical
+    * (minimum) doc_id and the duplicate count.
+    */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** The deduplicated corpus: keep the min doc_id per distinct text. */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val keep = exactGroups(docs).select(col("keep_id"))
+    docs.join(keep, docs("doc_id") === keep("keep_id"), "left_semi")
+  }
+
+  // ---- shingling --------------------------------------------------------
+
+  /** Distinct word-`n`-gram shingles per document; documents shorter than
+    * `n` tokens contribute their whole text as one shingle.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.wsTokens(text)
+    val grams = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
+    array_distinct(
+      when(size(toks) >= n, grams).otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** (doc_id, shingle) exploded pairs — the unit of MinHash work. */
+  def explodedShingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
+
+  // ---- MinHash + LSH ----------------------------------------------------
+
+  /** Number of hash functions and LSH band width: k = bands * rows. */
+  val MinhashK = 8
+  val BandRows = 2
+  val Bands: Int = MinhashK / BandRows
+
+  /** Hash function family: h_s(x) = md5("s:" + x), compared
+    * lexicographically (any total order works for MinHash; hex strings give
+    * one that every engine agrees on).
+    */
+  def seedHash(seed: Int, shingle: Column): Column =
+    md5(concat(lit(s"$seed:"), shingle))
+
+  /** MinHash signatures: one row per doc, columns h0..h{k-1} — a single
+    * aggregation over exploded shingles with k conditional mins.
+    */
+  def signatures(docs: DataFrame, n: Int = 3): DataFrame =
+    explodedShingles(docs, n)
+      .groupBy(col("doc_id"))
+      .agg(
+        min(seedHash(0, col("shingle"))).as("h0"),
+        (1 until MinhashK).map(s =>
+          min(seedHash(s, col("shingle"))).as(s"h$s")): _*)
+
+  /** LSH band buckets: (doc_id, band, key) where key = md5 of the band's
+    * signature slice. Docs sharing any (band, key) are candidates.
+    */
+  def bandBuckets(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sig = signatures(docs, n)
+    val bands = (0 until Bands).map { b =>
+      val cols = (b * BandRows until (b + 1) * BandRows).map(i => col(s"h$i"))
+      struct(lit(b).as("band"), md5(concat(cols: _*)).as("key"))
+    }
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Candidate pairs (a < b) from shared LSH buckets. */
+  def candidatePairs(docs: DataFrame, n: Int = 3): DataFrame = {
+    val bk = bandBuckets(docs, n)
+    val l = bk.as("l"); val r = bk.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-duplicates: candidates verified by exact shingle-set
+    * Jaccard >= `threshold`. Output: (doc_a, doc_b, jaccard).
+    */
+  def minhashNearDups(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sets = docs.select(col("doc_id"), shingles(col("text"), n).as("sset"))
+    val pairs = candidatePairs(docs, n)
+    val j = pairs
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("inter", size(array_intersect(col("sa.sset"), col("sb.sset"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("sa.sset")) + size(col("sb.sset")) - col("inter")).cast("double"), 6))
+    j.filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard for ALL pairs sharing at least one shingle —
+    * the non-approximate (quadratic-in-collisions) baseline that MinHash
+    * approximates. Joining on the shingle itself bounds the blow-up to
+    * genuinely-overlapping pairs.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.3): DataFrame = {
+    val ex = explodedShingles(docs, n)
+    val counts = docs.select(col("doc_id"), size(shingles(col("text"), n)).as("cnt"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("ca.cnt") + col("cb.cnt") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  // ---- SimHash ----------------------------------------------------------
+
+  /** 32-bit SimHash over whitespace tokens: per-token md5-derived bits
+    * voted bit-wise, sign of the vote becomes the fingerprint bit. Not
+    * ANSI-SQL-expressible (hex→int conversion differs per engine), so the
+    * driver records a rows-only check; near-dup = small Hamming distance.
+    */
+  def simhash(text: Column, bits: Int = 32): Column = {
+    val toks = TextAnalysis.wsTokens(text)
+    // Per token, a 32-bit value from the first 8 hex chars of its md5.
+    val tokHash = (t: Column) => conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+    val bitCols = (0 until bits).map { b =>
+      val votes = aggregate(toks, lit(0L),
+        (acc, t) => acc + when(shiftright(tokHash(t), b).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L))
+      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_.bitwiseOR(_))
+  }
+
+  def simhashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), simhash(col("text")).as("simhash"))
+
+  /** SimHash near-dup pairs: Hamming distance <= maxDist, candidate-limited
+    * by exact match on one of `blocks` fingerprint blocks (the standard
+    * pigeonhole trick: distance <= maxDist ⇒ some block of
+    * bits/(maxDist+1) is identical).
+    */
+  def simhashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val blocks = maxDist + 1
+    val width = 32 / blocks
+    val sh = simhashes(docs)
+    val blocked = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until blocks).map(b =>
+        struct(lit(b).as("blk"),
+          shiftright(col("simhash"), b * width)
+            .bitwiseAND((1L << width) - 1).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.blk").as("blk"), col("bk.key").as("key"))
+    val pairs = blocked.as("l").join(blocked.as("r"),
+        col("l.blk") === col("r.blk") && col("l.key") === col("r.key") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.simhash").as("sh_a"), col("r.simhash").as("sh_b"))
+      .distinct()
+    pairs
+      .withColumn("dist", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque `binary` payloads with typed
+  * metadata, decoded batch-wise via `mapPartitions` (the Scala analog of a
+  * pandas-batch UDF: one iterator per partition, amortized per-batch
+  * setup). The decode itself is a clearly-marked DETERMINISTIC STUB — the
+  * image/audio codecs aren't in this environment — but the Spark-side
+  * contract (schema, partitioning, batch iteration, null-safety) is real
+  * and oracle-tested.
+  *
+  * Scale: decode is per-partition map work with no shuffle; payload bytes
+  * never leave the executor that scanned them. On a real pipeline the stub
+  * body is replaced by the codec call; nothing else changes.
+  */
+object Multimodal {
+
+  final case class Payload(doc_id: Long, payload: Array[Byte])
+  final case class MediaMeta(
+      doc_id: Long, byte_len: Long, width: Int, height: Int, channels: Int,
+      checksum: String)
+
+  /** Attach a binary payload column (here: the utf-8 bytes of `text` —
+    * the driver tables carry no real media; the column TYPE is the point).
+    */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+
+  /** STUB decode: derive fake-but-deterministic media dimensions from the
+    * payload length. A real implementation calls the codec here; the
+    * (byte_len, width, height, channels, checksum) contract is unchanged.
+    */
+  def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
+    val n = bytes.length
+    (64 + (n % 64) * 16, 64 + ((n / 64) % 64) * 16, 3)
+  }
+
+  /** Batch decode via mapPartitions: the iterator-in/iterator-out shape
+    * that lets a real decoder reuse per-partition codec state.
+    */
+  def decodeMeta(spark: SparkSession, payloads: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[Payload]
+      .mapPartitions { it =>
+        // Per-partition setup happens once here (codec init in real life).
+        it.map { p =>
+          val bytes = Option(p.payload).getOrElse(Array.emptyByteArray)
+          val (w, h, c) = decodeStub(bytes)
+          MediaMeta(p.doc_id, bytes.length.toLong, w, h, c,
+            java.security.MessageDigest.getInstance("MD5").digest(bytes)
+              .map("%02x".format(_)).mkString)
+        }
+      }
+  }
+
+  /** Assembled query: payload metadata for every document. */
+  def mediaMeta(spark: SparkSession, docs: DataFrame): DataFrame =
+    decodeMeta(spark, withPayload(docs)).toDF()
+}

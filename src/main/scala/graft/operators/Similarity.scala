@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * array<float>, label): brute-force cosine top-k as the exact baseline and
+  * a deterministic sign-LSH bucketing as the scale path — plus
+  * embedding-cosine near-dup pairs for the dedup suite.
+  *
+  * Scale design:
+  *  - Top-k broadcasts the (small) query set against the corpus: a
+  *    BroadcastNestedLoopJoin where the corpus side streams — never an
+  *    all-pairs shuffle. Per-query top-k folds through a window (rank <=
+  *    k); on a cluster the partial top-k runs map-side.
+  *  - Near-dup pairs go through LSH buckets (sign of per-plane sums), so
+  *    the quadratic verify only runs within buckets.
+  *  - Cosine is computed on doubles with a single sequential fold
+  *    (`aggregate` over `zip_with`) and rounded to 6 dp so any engine
+  *    reproduces the value bit-for-bit.
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns (sequential fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, rounded to 6 dp (cross-engine reproducible). */
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k neighbors for each query vector (default: the vectors
+    * with vec_id < numQueries). Output: (query_id, neighbor_id, cos, rank).
+    */
+  def bruteForceTopK(emb: DataFrame, k: Int = 5, numQueries: Int = 10): DataFrame = {
+    val queries = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"),
+      asDouble(col("embedding")).as("cv"))
+    val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** Deterministic sign-LSH: plane j's projection is the sum of embedding
+    * dims with index ≡ j (mod planes); the bucket id packs the projection
+    * signs into an integer. Data-independent, engine-independent, and
+    * SQL-re-expressible — the IVF-style coarse quantizer stand-in.
+    */
+  val Planes = 8
+
+  def lshBucket(embDouble: Column, planes: Int = Planes): Column = {
+    val sums = (0 until planes).map { j =>
+      aggregate(
+        zip_with(embDouble, sequence(lit(0), size(embDouble) - 1),
+          (x, i) => when(i % planes === j, x).otherwise(lit(0.0))),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    sums.zipWithIndex.map { case (s, j) =>
+      when(s > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** Bucket histogram — shows the LSH space partitioning. */
+  def lshBuckets(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), lshBucket(asDouble(col("embedding"))).as("bucket"))
+
+  /** Near-duplicate vector pairs: cosine >= threshold, candidate-limited to
+    * same-LSH-bucket pairs (the scale path; exact within a bucket).
+    */
+  def lshNearDups(emb: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val b = lshBuckets(emb)
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+      .join(b, "vec_id")
+    val pairs = v.as("l").join(v.as("r"),
+        col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
+        col("l.ev").as("ea"), col("r.ev").as("eb"))
+    pairs.withColumn("cos", cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  /** Exact near-dup pairs over all pairs (the correctness baseline the LSH
+    * path approximates; quadratic — use only at verification scales).
+    */
+  def bruteForceNearDups(emb: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+    v.as("l").join(v.as("r"), col("l.vec_id") < col("r.vec_id"))
+      .withColumn("cos", cosine(col("l.ev"), col("r.ev")))
+      .filter(col("cos") >= threshold)
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"), col("cos"))
+  }
+}

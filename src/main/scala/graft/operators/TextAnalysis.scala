@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the `documents` table — the training-data-
+  * pipeline surface (BASELINE.json north star): tokenization, quality
+  * scoring, language-ID, document fingerprinting. Everything is a pure
+  * `Column` expression (whole-stage-codegen'd, no UDFs) and every derived
+  * value is re-computable in ANSI SQL so the DuckDB oracle can verify it.
+  *
+  * Scale: all per-row map-side work — no shuffle at all; the parquet scan
+  * prunes to (doc_id, text).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (empty array for blank text). */
+  def wsTokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(wsTokens(text))
+
+  /** BPE-ish sub-token count: alpha runs, digit runs, and single other
+    * non-space chars — the standard pre-tokenizer shape.
+    */
+  val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def tokenCountBpe(text: Column): Column =
+    regexp_count(text, lit(bpePattern))
+
+  /** Punctuation ratio: punctuation chars / total chars (0 for empty). */
+  val punctClass = "[.,!?;:]"
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      (length(text) - length(regexp_replace(text, punctClass, ""))).cast("double") /
+        length(text).cast("double"))
+
+  /** English stopword ratio among whitespace tokens (quality signal). */
+  val enStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = wsTokens(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => t.isin(enStopwords: _*))).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Mean whitespace-token length. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = wsTokens(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: rewards reasonable length, penalizes
+    * punctuation soup and stopword-free keyword mash. Deliberately simple
+    * and SQL-re-expressible; the shape (length/punct/stopword mix) is the
+    * standard heuristic-filter recipe.
+    */
+  def qualityScore(text: Column): Column = {
+    val lengthTerm = least(tokenCountWs(text).cast("double") / 100.0, lit(1.0))
+    val punctTerm = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stopTerm = least(stopwordRatio(text) * 5.0, lit(1.0))
+    round((lengthTerm * 0.4 + punctTerm * 0.3 + stopTerm * 0.3), 6)
+  }
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Order fixes the argmax tie-break (first wins).
+    */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "les", "des"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "nicht", "ist"))
+
+  /** Per-language stopword hit count over the token set. */
+  def langHits(text: Column, lang: String): Column = {
+    val words = langStopwords.toMap.apply(lang)
+    size(filter(wsTokens(text), t => t.isin(words: _*)))
+  }
+
+  /** Predicted language: argmax of hit counts, `und` (undetermined) when no
+    * list hits; ties resolve in `langStopwords` order.
+    */
+  def langId(text: Column): Column = {
+    val hits = langStopwords.map { case (l, _) => l -> langHits(text, l) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("und")) { case ((l, h), acc) =>
+      when(h === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprint: md5 of the normalized text (lower-cased,
+    * whitespace-collapsed, trimmed). md5 is bit-identical across engines,
+    * which keeps the fingerprint portable (and oracle-checkable).
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  // ---- assembled queries ------------------------------------------------
+
+  /** Per-document token statistics. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      tokenCountWs(col("text")).as("ws_tokens"),
+      tokenCountBpe(col("text")).as("bpe_tokens"),
+      length(col("text")).as("chars"))
+
+  /** Per-document quality metrics. */
+  def quality(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      round(punctRatio(col("text")), 6).as("punct_ratio"),
+      round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
+      round(meanTokenLen(col("text")), 6).as("mean_token_len"),
+      qualityScore(col("text")).as("quality"))
+
+  /** Language-ID with per-language evidence counts. */
+  def languages(docs: DataFrame): DataFrame =
+    docs.select(
+      Seq(col("doc_id"), langId(col("text")).as("pred_lang")) ++
+        langStopwords.map { case (l, _) => langHits(col("text"), l).as(s"hits_$l") }: _*)
+
+  /** Fingerprints. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
+}
