@@ -113,6 +113,103 @@ object SparkEntry {
     // plans as TakeOrderedAndProject.
     "trend_topk" -> ((s, dir) => trendTopk(s, dir)),
 
+    // Window functions: per-event_type top-3 users by activity
+    // (row_number over partitioned count — the per-group leaderboard shape
+    // of the reference's trend boards, SURVEY §2.2 windows).
+    "q4_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = EventAdapter.readEvents(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("cnt").desc, col("user_id").asc)
+      counts.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("event_type"), col("user_id"), col("cnt"), col("rank"))
+    }),
+
+    // Set operations: union / intersect / except over customer segments.
+    "q5_setops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      val done = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val pend = o.filter(col("o_orderstatus") === "P").select(col("o_custkey"))
+      open.intersect(done).except(pend).union(
+          pend.intersect(done).except(open))
+        .distinct().select(col("o_custkey").as("custkey"))
+    }),
+
+    // Rollup (grouping sets) with coalesced subtotal labels.
+    "q6_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))),
+
+    // Left-semi join: customers with at least one open order.
+    "q7_semijoin" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    }),
+
+    // Left-anti join: customers with no open order.
+    "q8_antijoin" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    }),
+
+    // Scalar string/date function sampler (SURVEY §2.2 scalar funcs).
+    "q9_scalar_funcs" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        upper(substring(col("o_orderpriority"), 1, 3)).as("prio3"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"),
+        concat(col("o_orderstatus"), lit("-"),
+          col("o_orderpriority")).as("status_prio"),
+        round(col("o_totalprice") * 1.1, 2).as("uplift"))),
+
+    // JSON extraction from the events `props` column (S1's from_json
+    // analog on a stored column).
+    "q10_json" -> ((s, dir) =>
+      EventAdapter.readEvents(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))),
+
+    // A3's distribution map, exploded back to rows (proves the
+    // two-level map aggregation end-to-end, oracle-checkable).
+    "trend_distribution" -> ((s, dir) => {
+      PageAggregates.distribution(EventAdapter.recentChanges(s, dir))
+        .select(col("id"), explode(col("distribution")).as(Seq("user", "cnt")))
+    }),
+
+    // M4 bias metric: author max-share per page (SURVEY §7.4 item 5).
+    "trend_bias" -> ((s, dir) => {
+      PageAggregates.distribution(EventAdapter.recentChanges(s, dir))
+        .select(col("id"),
+          round(PageAggregates.bias(col("distribution")), 6).as("bias"))
+    }),
+
+    // A7 eviction policy as a batch filter, with thresholds scaled to the
+    // events table's 30-day span (default wiki thresholds would evict all).
+    "trend_survivors" -> ((s, dir) => {
+      val cfg = TrendConfig(maxLifespanMins = 100000,
+        maxInactivityMins = 2880, minSpeed = 0.01, minPurgeTimeMins = 5)
+      val ev = EventAdapter.readEvents(s, dir)
+      val pages = PageAggregates.pageAggregates(
+        EventAdapter.asRecentChanges(ev), cfg)
+      withAsOf(ev, pages)
+        .transform(p => PageAggregates.survivors(p, col("as_of"), cfg))
+        .select(col("id"), col("edits"), col("reverts"),
+          col("anonEdits").as("anon_edits"))
+    }),
+
     // ---- training-data pipeline: documents ----------------------------
 
     // Exact dedup: group on md5(text) — the shuffle carries a 32-char
@@ -245,6 +342,100 @@ object SparkEntry {
            CASE WHEN age < 1 OR edits = 0 THEN CAST(edits AS DOUBLE)
                 ELSE CAST(edits AS DOUBLE) / age END AS epm
          FROM m ORDER BY epm DESC, id LIMIT 10""",
+
+    "q4_window" ->
+      """WITH c AS (
+           SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT *, CAST(row_number() OVER
+             (PARTITION BY event_type ORDER BY cnt DESC, user_id) AS INTEGER) AS rank
+           FROM c)
+         SELECT event_type, user_id, cnt, rank FROM r WHERE rank <= 3""",
+
+    "q5_setops" ->
+      """SELECT DISTINCT custkey FROM (
+           (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+           EXCEPT
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+           UNION
+           ((SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+             INTERSECT
+             SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'))""",
+
+    "q6_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+         coalesce(l_linestatus, 'ALL') AS linestatus,
+         sum(l_quantity) AS sum_qty, CAST(count(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q7_semijoin" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')""",
+
+    "q8_antijoin" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')""",
+
+    "q9_scalar_funcs" ->
+      """SELECT o_orderkey,
+         upper(substr(o_orderpriority, 1, 3)) AS prio3,
+         CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(month(o_orderdate) AS BIGINT) AS o_month,
+         o_orderstatus || '-' || o_orderpriority AS status_prio,
+         round(o_totalprice * 1.1, 2) AS uplift
+         FROM orders""",
+
+    "q10_json" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events""",
+
+    "trend_distribution" ->
+      """SELECT CAST(user_id AS VARCHAR) AS id,
+         CASE WHEN user_id % 5 = 0 THEN user_id || '.0.0.1'
+              ELSE 'u' || user_id END AS "user",
+         CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM events
+         WHERE event_type <> 'error' AND user_id % 11 <> 0
+         GROUP BY 1, 2""",
+
+    "trend_bias" ->
+      """WITH d AS (
+           SELECT CAST(user_id AS VARCHAR) AS id, user_id AS u,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM events
+           WHERE event_type <> 'error' AND user_id % 11 <> 0
+           GROUP BY 1, 2)
+         SELECT id,
+           round(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS bias
+         FROM d GROUP BY 1""",
+
+    "trend_survivors" ->
+      """WITH p AS (
+           SELECT CAST(user_id AS VARCHAR) AS id,
+             CAST(SUM(CASE WHEN event_type <> 'error' AND user_id % 11 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS edits,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS reverts,
+             CAST(SUM(CASE WHEN event_type <> 'error' AND user_id % 11 <> 0 AND user_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS anon_edits,
+             MIN(ts) AS start, MAX(ts) AS updated
+           FROM events GROUP BY 1),
+         m AS (
+           SELECT id, edits, reverts, anon_edits,
+             (epoch((SELECT MAX(ts) FROM events)) - epoch(start)) / 60.0 AS age,
+             (epoch((SELECT MAX(ts) FROM events)) - epoch(updated)) / 60.0 AS idle,
+             edits + reverts + anon_edits AS cnt
+           FROM p),
+         s AS (
+           SELECT *,
+             CASE WHEN age < 1 OR cnt = 0 THEN CAST(cnt AS DOUBLE)
+                  ELSE CAST(cnt AS DOUBLE) / age END AS speed
+           FROM m)
+         SELECT id, edits, reverts, anon_edits FROM s
+         WHERE age <= 5 OR (age <= 100000 AND speed >= 0.01 AND idle <= 2880)""",
 
     "doc_exact_dedup" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
