@@ -67,8 +67,11 @@ object SparkEntry {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
-          sum(col("l_extendedprice")).as("sum_base_price"),
-          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          // Price sums carry exactly 2 (resp. 4) decimal digits, so
+          // grid-rounding absorbs fold-order double noise (see q3_join).
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("sum_disc_price"),
           avg(col("l_quantity")).as("avg_qty"),
           count(lit(1)).as("count_order"))
     }),
@@ -89,7 +92,12 @@ object SparkEntry {
       c.join(o, c("c_custkey") === o("o_custkey"))
         .join(l, o("o_orderkey") === l("l_orderkey"))
         .groupBy(c("c_custkey").as("custkey"), c("c_mktsegment").as("mktsegment"))
-        .agg(sum(l("l_extendedprice") * (lit(1) - l("l_discount"))).as("revenue"),
+        // round(.,4): each product has exactly 4 decimal digits (2-dec
+        // price × 2-dec discount), so the sum's true value sits ON the
+        // 4-dp grid — rounding both engines' fold-order-dependent doubles
+        // lands on the same grid point, never at a midpoint.
+        .agg(round(sum(l("l_extendedprice") * (lit(1) - l("l_discount"))), 4)
+               .as("revenue"),
              count(lit(1)).as("n_items"))
     }),
 
@@ -173,7 +181,10 @@ object SparkEntry {
         month(col("o_orderdate")).cast("long").as("o_month"),
         concat(col("o_orderstatus"), lit("-"),
           col("o_orderpriority")).as("status_prio"),
-        round(col("o_totalprice") * 1.1, 2).as("uplift"))),
+        // No round(): the bare IEEE multiply is bit-identical across
+        // engines, while round() at an exact .5 boundary is not (Spark
+        // rounds the shortest decimal repr, DuckDB the binary value).
+        (col("o_totalprice") * 1.1).as("uplift"))),
 
     // JSON extraction from the events `props` column (S1's from_json
     // analog on a stored column).
@@ -199,8 +210,10 @@ object SparkEntry {
     // A7 eviction policy as a batch filter, with thresholds scaled to the
     // events table's 30-day span (default wiki thresholds would evict all).
     "trend_survivors" -> ((s, dir) => {
+      // minSpeed sits at the median per-user rate (~0.0015 epm over the
+      // 30-day span) so the filter genuinely splits the population.
       val cfg = TrendConfig(maxLifespanMins = 100000,
-        maxInactivityMins = 2880, minSpeed = 0.01, minPurgeTimeMins = 5)
+        maxInactivityMins = 2880, minSpeed = 0.0015, minPurgeTimeMins = 5)
       val ev = EventAdapter.readEvents(s, dir)
       val pages = PageAggregates.pageAggregates(
         EventAdapter.asRecentChanges(ev), cfg)
@@ -289,8 +302,8 @@ object SparkEntry {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,
-         sum(l_extendedprice) AS sum_base_price,
-         sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
          avg(l_quantity) AS avg_qty,
          CAST(count(*) AS BIGINT) AS count_order
          FROM lineitem
@@ -304,7 +317,7 @@ object SparkEntry {
 
     "q3_join" ->
       """SELECT c.c_custkey AS custkey, c.c_mktsegment AS mktsegment,
-         sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
          CAST(count(*) AS BIGINT) AS n_items
          FROM customer c
          JOIN orders o ON c.c_custkey = o.o_custkey
@@ -387,7 +400,7 @@ object SparkEntry {
          CAST(year(o_orderdate) AS BIGINT) AS o_year,
          CAST(month(o_orderdate) AS BIGINT) AS o_month,
          o_orderstatus || '-' || o_orderpriority AS status_prio,
-         round(o_totalprice * 1.1, 2) AS uplift
+         o_totalprice * 1.1 AS uplift
          FROM orders""",
 
     "q10_json" ->
@@ -435,7 +448,7 @@ object SparkEntry {
                   ELSE CAST(cnt AS DOUBLE) / age END AS speed
            FROM m)
          SELECT id, edits, reverts, anon_edits FROM s
-         WHERE age <= 5 OR (age <= 100000 AND speed >= 0.01 AND idle <= 2880)""",
+         WHERE age <= 5 OR (age <= 100000 AND speed >= 0.0015 AND idle <= 2880)""",
 
     "doc_exact_dedup" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
