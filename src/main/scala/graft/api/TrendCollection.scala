@@ -1,0 +1,123 @@
+package graft.api
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.model.{PageState, RecentChange, TrendConfig}
+import graft.operators.PageAggregates
+import graft.streaming.TrendStream
+
+/** The reference's public surface re-expressed Spark-first
+  * (`WikiSocketCollection`, index.js:102-456 and the demo boards at
+  * examples/index.js:20-48): snapshot scans, point lookups, control ops
+  * (drop / markSafe / protect), top-k trend boards, and an `onEdit`
+  * subscription for streams.
+  *
+  * Design: the batch collection is a *view* over an events DataFrame —
+  * aggregates are recomputed by Catalyst per query (cheap: one hash-agg)
+  * while the reference's imperative mutators (`drop`, `markSafe`,
+  * `protectPage`) become driver-side control metadata applied as filters /
+  * projections. That keeps every read declarative and distributed: control
+  * sets are tiny (human-issued commands) and broadcast naturally via
+  * `isin`.
+  */
+final class TrendCollection(
+    val spark: SparkSession,
+    events: DataFrame,
+    cfg: TrendConfig = TrendConfig()) {
+
+  import graft.functions.Classifiers.pageId
+
+  // Control metadata (reference: mutable flags on WikiPage / key deletes).
+  private var droppedIds = Set.empty[String]
+  private var safeIds = Set.empty[String]
+
+  /** As-of instant for the time-derived metrics: max event ts unless set. */
+  @volatile private var asOfOverride: Option[Timestamp] = None
+
+  def withAsOf(ts: Timestamp): this.type = { asOfOverride = Some(ts); this }
+
+  private def asOfCol = asOfOverride match {
+    case Some(ts) => lit(ts)
+    case None => lit(events.agg(max(col("ts"))).collect()(0).getTimestamp(0))
+  }
+
+  private def idOf(title: String, wiki: String): String =
+    if (wiki == "enwiki") title else s"$wiki/$title"
+
+  /** All live pages with metrics (reference `getPages`, index.js:453-456).
+    * "Live" = survives the eviction policy (A7) and isn't dropped.
+    */
+  def getPages(): DataFrame = {
+    val aggregated = PageAggregates.trendAggregates(events, cfg)
+    val notDropped =
+      if (droppedIds.isEmpty) aggregated
+      else aggregated.filter(!col("id").isin(droppedIds.toSeq: _*))
+    val withSafe = notDropped.withColumn("safe",
+      if (safeIds.isEmpty) lit(false) else col("id").isin(safeIds.toSeq: _*))
+    val alive = PageAggregates.survivors(withSafe, asOfCol, cfg)
+    PageAggregates.withMetrics(alive, asOfCol)
+  }
+
+  /** Point lookup (reference `getPage`, index.js:436-449). Unlike the
+    * reference this does NOT create empty state — a batch view has nothing
+    * to create; absent page → None.
+    */
+  def getPage(title: String, wiki: String): Option[org.apache.spark.sql.Row] =
+    getPages().filter(col("id") === idOf(title, wiki)).collect().headOption
+
+  /** Drop a page (reference `drop`, index.js:427-430). */
+  def drop(title: String, wiki: String): Unit =
+    droppedIds += idOf(title, wiki)
+
+  /** Eviction exemption toggle (reference `markSafe`, index.js:409-411). */
+  def markSafe(id: String, unsafe: Boolean = false): Unit =
+    if (unsafe) safeIds -= id else safeIds += id
+
+  /** Top-k boards (examples/index.js:20-48) — planned as
+    * TakeOrderedAndProject, never a full sort.
+    */
+  def topByEditsPerMinute(k: Int = 5): DataFrame =
+    PageAggregates.topK(getPages(), "editsPerMinute", k)
+
+  def topByBytesChanged(k: Int = 5): DataFrame =
+    PageAggregates.topK(getPages(), "bytesChanged", k)
+
+  /** Author-bias board: needs the per-editor distribution (M4). */
+  def topByBias(k: Int = 5): DataFrame = {
+    val dist = PageAggregates.distribution(events, cfg)
+      .select(col("id"),
+        round(PageAggregates.bias(col("distribution")), 6).as("bias"))
+    getPages().join(dist, Seq("id"), "left")
+      .withColumn("bias", coalesce(col("bias"), lit(0.0)))
+      .orderBy(desc("bias"), asc("id")).limit(k)
+  }
+}
+
+object TrendCollection {
+
+  /** Batch collection over an events DataFrame with RecentChange schema. */
+  def apply(spark: SparkSession, events: DataFrame,
+      cfg: TrendConfig = TrendConfig()): TrendCollection =
+    new TrendCollection(spark, events, cfg)
+
+  /** Streaming subscription (reference `on('edit')`, index.js:146-148 +
+    * emit at index.js:341): runs the stateful trend pipeline and invokes
+    * `onEdit` with each micro-batch of refreshed PageStates. The
+    * checkpoint dir is the reference's LevelDB cache (S2/S3) —
+    * exactly-once instead of a 20-second lossy snapshot.
+    */
+  def streaming(
+      events: Dataset[RecentChange],
+      checkpointDir: String,
+      cfg: TrendConfig = TrendConfig())(
+      onEdit: (Dataset[PageState], Long) => Unit): StreamingQuery =
+    TrendStream.pageStates(events, cfg).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[PageState], id: Long) => onEdit(batch, id) }
+      .start()
+}

@@ -129,10 +129,14 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.3): DataFrame = {
+    // Join on the shingle's 64-bit hash: 8-byte shuffle keys instead of
+    // full n-gram strings (identical counts — a 64-bit collision among
+    // a corpus's distinct shingles is negligible).
     val ex = explodedShingles(docs, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
     val counts = docs.select(col("doc_id"), size(shingles(col("text"), n)).as("cnt"))
     val inter = ex.as("a").join(ex.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -151,22 +155,32 @@ object Dedup {
     * voted bit-wise, sign of the vote becomes the fingerprint bit. Not
     * ANSI-SQL-expressible (hex→int conversion differs per engine), so the
     * driver records a rows-only check; near-dup = small Hamming distance.
+    *
+    * Shape: explode tokens → hash each token ONCE → one hash aggregation
+    * with 32 conditional sums (codegen'd, map-side combined). The naive
+    * form — 32 separate array folds each re-hashing every token — costs
+    * 32× the md5 work and runs in the interpreted HOF path.
     */
-  def simhash(text: Column, bits: Int = 32): Column = {
-    val toks = TextAnalysis.wsTokens(text)
-    // Per token, a 32-bit value from the first 8 hex chars of its md5.
-    val tokHash = (t: Column) => conv(substring(md5(t), 1, 8), 16, 10).cast("long")
-    val bitCols = (0 until bits).map { b =>
-      val votes = aggregate(toks, lit(0L),
-        (acc, t) => acc + when(shiftright(tokHash(t), b).bitwiseAND(1L) === 1L, 1L)
-          .otherwise(-1L))
-      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+  def simhashes(docs: DataFrame): DataFrame = {
+    val bits = 32
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
+    // 32-bit value from the first 8 hex chars of the token's md5.
+    val withH = toks.select(col("doc_id"),
+      conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
+    val voteCols = (0 until bits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$b")
     }
-    bitCols.reduce(_.bitwiseOR(_))
+    val votes = withH.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+    val sig = (0 until bits).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    // Left join keeps token-less documents (simhash 0).
+    docs.select(col("doc_id"))
+      .join(votes, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(sig, lit(0L)).as("simhash"))
   }
-
-  def simhashes(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), simhash(col("text")).as("simhash"))
 
   /** SimHash near-dup pairs: Hamming distance <= maxDist, candidate-limited
     * by exact match on one of `blocks` fingerprint blocks (the standard

@@ -22,15 +22,26 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<double> columns (sequential fold). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  import graft.functions.VectorFunctions.vecDot
+
+  /** Dot product of two array<double> columns: native codegen'd expression
+    * (same sequential fold any engine produces — bit-identical to DuckDB's
+    * list_dot_product).
+    */
+  def dot(a: Column, b: Column): Column = vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity, rounded to 6 dp (cross-engine reproducible). */
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /** Cosine from a precomputed dot and per-vector norms — pair scans
+    * compute each norm once per VECTOR, not once per pair (the norms are
+    * the same doubles either way, so results are unchanged).
+    */
+  private def cosineWithNorms(dotAB: Column, normA: Column, normB: Column): Column =
+    round(dotAB / (normA * normB), 6)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -40,10 +51,13 @@ object Similarity {
   def bruteForceTopK(emb: DataFrame, k: Int = 5, numQueries: Int = 10): DataFrame = {
     val queries = emb.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val corpus = emb.select(col("vec_id").as("neighbor_id"),
       asDouble(col("embedding")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos",
+        cosineWithNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -80,12 +94,15 @@ object Similarity {
   def lshNearDups(emb: DataFrame, threshold: Double = 0.9): DataFrame = {
     val b = lshBuckets(emb)
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+      .withColumn("nrm", norm(col("ev")))
       .join(b, "vec_id")
     val pairs = v.as("l").join(v.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
-        col("l.ev").as("ea"), col("r.ev").as("eb"))
-    pairs.withColumn("cos", cosine(col("ea"), col("eb")))
+        col("l.ev").as("ea"), col("r.ev").as("eb"),
+        col("l.nrm").as("na"), col("r.nrm").as("nb"))
+    pairs.withColumn("cos",
+        cosineWithNorms(dot(col("ea"), col("eb")), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
@@ -95,8 +112,10 @@ object Similarity {
     */
   def bruteForceNearDups(emb: DataFrame, threshold: Double = 0.9): DataFrame = {
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+      .withColumn("nrm", norm(col("ev")))
     v.as("l").join(v.as("r"), col("l.vec_id") < col("r.vec_id"))
-      .withColumn("cos", cosine(col("l.ev"), col("r.ev")))
+      .withColumn("cos",
+        cosineWithNorms(dot(col("l.ev"), col("r.ev")), col("l.nrm"), col("r.nrm")))
       .filter(col("cos") >= threshold)
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"), col("cos"))
   }

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Behavioral specs for the training-data-pipeline operators (dedup,
+  * similarity, text analysis, multimodal plumbing) on tiny fixtures with
+  * hand-computable answers — the DuckDB oracle covers scale; these pin
+  * semantics.
+  */
+class PipelineOperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: (Long, String)*): DataFrame =
+    texts.toDF("doc_id", "text")
+
+  // ---- exact dedup ------------------------------------------------------
+
+  test("exactDedup keeps the min doc_id per distinct text") {
+    val d = docs(1L -> "aaa", 2L -> "bbb", 3L -> "aaa", 4L -> "aaa")
+    val kept = Dedup.exactDedup(d).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L))
+    val groups = Dedup.exactGroups(d).collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("dup_count")).toMap
+    assert(groups == Map(1L -> 3L, 2L -> 1L))
+  }
+
+  // ---- shingles / MinHash ----------------------------------------------
+
+  test("shingles: word trigrams, whole text when short, distinct") {
+    val s = docs(1L -> "a b c d", 2L -> "x y")
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("s"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[String](r.fieldIndex("s")).toSet).toMap
+    assert(s(1L) == Set("a b c", "b c d"))
+    assert(s(2L) == Set("x y"))
+  }
+
+  test("minhash: identical docs pair with jaccard 1.0; disjoint docs don't pair") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "completely different words entirely here now today")
+    val pairs = Dedup.minhashNearDups(d).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard")))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("ngramJaccard: partial overlap computes exact set jaccard") {
+    // doc1 shingles: {a b c, b c d}; doc2: {a b c, b c x}; inter=1, union=3.
+    val d = docs(1L -> "a b c d", 2L -> "a b c x")
+    val pairs = Dedup.ngramJaccardPairs(d, threshold = 0.3).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Double]("jaccard") == math.round(1.0 / 3.0 * 1e6) / 1e6)
+  }
+
+  test("simhash: identical docs at distance 0, near docs at small distance") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "zz yy xx ww vv uu tt ss rr")
+    val pairs = Dedup.simhashNearDups(d, maxDist = 3).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("dist")))
+    assert(pairs.contains((1L, 2L, 0)))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  // ---- similarity -------------------------------------------------------
+
+  private def vecs(vs: (Long, Seq[Float])*): DataFrame =
+    vs.toDF("vec_id", "embedding")
+
+  test("vecDot expression: correct dot product") {
+    val got = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+      .select(graft.functions.VectorFunctions.vecDot(col("a"), col("b")))
+      .collect()(0).getDouble(0)
+    assert(got == 32.0)
+  }
+
+  test("bruteForceTopK: nearest neighbor of a vector is its duplicate") {
+    val d = vecs(
+      0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(1f, 0f, 0f, 0f),
+      2L -> Seq(0f, 1f, 0f, 0f), 3L -> Seq(0.9f, 0.1f, 0f, 0f))
+    val top = Similarity.bruteForceTopK(d, k = 1, numQueries = 1).collect()(0)
+    assert(top.getAs[Long]("query_id") == 0L)
+    assert(top.getAs[Long]("neighbor_id") == 1L)
+    assert(top.getAs[Double]("cos") == 1.0)
+  }
+
+  test("lshNearDups finds identical vectors (same bucket, cos 1.0)") {
+    val d = vecs(
+      0L -> Seq(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f),
+      1L -> Seq(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f),
+      2L -> Seq(-1f, -2f, -3f, -4f, -5f, -6f, -7f, -8f))
+    val pairs = Similarity.lshNearDups(d, threshold = 0.9).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    assert(pairs.toSeq == Seq((0L, 1L)))
+  }
+
+  // ---- text analysis ----------------------------------------------------
+
+  test("token counts: whitespace vs BPE-ish") {
+    val r = TextAnalysis.tokenStats(docs(1L -> "hello world, 42 times!"))
+      .collect()(0)
+    assert(r.getAs[Int]("ws_tokens") == 4)
+    // hello | world | , | 42 | times | !  → 6 BPE-ish tokens
+    assert(r.getAs[Int]("bpe_tokens") == 6)
+  }
+
+  test("langId: picks the language with most stopword evidence") {
+    val r = TextAnalysis.languages(docs(
+        1L -> "the cat and the dog of the house",
+        2L -> "el gato y la casa de los perros",
+        3L -> "zzz qqq www"))
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("pred_lang"))
+      .toMap
+    assert(r == Map(1L -> "en", 2L -> "es", 3L -> "und"))
+  }
+
+  test("fingerprint: normalization collapses case and whitespace") {
+    val f = TextAnalysis.fingerprints(docs(
+        1L -> "Hello   World", 2L -> "hello world", 3L -> "different"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fingerprint"))
+      .toMap
+    assert(f(1L) == f(2L))
+    assert(f(1L) != f(3L))
+  }
+
+  test("quality: punctuation soup scores below clean prose") {
+    val q = TextAnalysis.quality(docs(
+        1L -> "the cat sat on the mat and it is a fine day in the sun",
+        2L -> "!!!,,,;;;:::...???"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality"))
+      .toMap
+    assert(q(1L) > q(2L))
+  }
+
+  // ---- multimodal -------------------------------------------------------
+
+  test("multimodal: mapPartitions decode emits deterministic stub metadata") {
+    val meta = Multimodal.mediaMeta(spark, docs(1L -> "abcd")).collect()(0)
+    assert(meta.getAs[Long]("byte_len") == 4L)
+    assert(meta.getAs[Int]("width") == 64 + 4 * 16)
+    assert(meta.getAs[Int]("height") == 64)
+    assert(meta.getAs[Int]("channels") == 3)
+    assert(meta.getAs[String]("checksum") ==
+      "e2fc714c4727ee9395f324cd2e7f331f") // md5("abcd")
+  }
+}
