@@ -67,4 +67,31 @@ object EventAdapter {
 
   def recentChanges(spark: SparkSession, sfDir: String): DataFrame =
     asRecentChanges(readEvents(spark, sfDir))
+
+  /** Decode raw SSE messages (the `graft-sse` source's `value` column) into
+    * the RecentChange column layout: `from_json` with the Wikimedia wire
+    * schema (snake_case, nested length struct) then flatten — the
+    * reference's `JSON.parse` (index.js:313) as a Catalyst expression.
+    */
+  def decodeWire(raw: DataFrame): DataFrame = {
+    import graft.model.RecentChange
+    raw
+      .select(from_json(col("value"), RecentChange.wireSchema).as("e"))
+      .select(
+        col("e.title").as("title"),
+        col("e.comment").as("comment"),
+        col("e.namespace").as("namespace"),
+        col("e.user").as("user"),
+        coalesce(col("e.bot"), lit(false)).as("bot"),
+        col("e.type").as("rcType"),
+        coalesce(col("e.length.old"), lit(0L)).as("lengthOld"),
+        coalesce(col("e.length.new"), lit(0L)).as("lengthNew"),
+        col("e.wiki").as("wiki"),
+        col("e.server_name").as("serverName"),
+        col("e.log_type").as("logType"),
+        col("e.log_action").as("logAction"),
+        col("e.log_params").as("logParams"),
+        col("e.log_action_comment").as("logActionComment"),
+        to_timestamp(col("e.meta.dt")).as("ts"))
+  }
 }

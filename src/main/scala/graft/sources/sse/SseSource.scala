@@ -1,0 +1,148 @@
+package graft.sources.sse
+
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DSv2 micro-batch source for a server-sent-events feed of recentchange
+  * JSON messages (reference S1: `newSocket` at index.js:295-305, message
+  * dispatch at index.js:311-343, reconnect watchdog at index.js:348-356).
+  *
+  * Spark-first shape: the source emits raw `(offset, value)` rows — one
+  * JSON message per row — and the QUERY decodes with
+  * `from_json(value, RecentChange.wireSchema)`, mirroring the reference's
+  * `JSON.parse` step but leaving filtering/classification to Catalyst.
+  *
+  * Transports:
+  *  - `file://path` (option `path`): replay a JSONL capture. Offsets are
+  *    line numbers; partitions re-read their [start, end) slice on the
+  *    executor — nothing is buffered on the driver, so a huge capture
+  *    streams at scan speed.
+  *  - A live SSE client implements the same contract by appending lines
+  *    to a growing file (or any append-only log): `latestOffset` then
+  *    advances as data lands. The reference's 5-minute reconnect watchdog
+  *    belongs to that writer process; Spark's restart-from-checkpoint
+  *    supplies the recovery half.
+  *
+  * Registered as format `"graft-sse"` via DataSourceRegister.
+  */
+class SseSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-sse"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SseSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SseTable(properties.get("path"))
+}
+
+object SseSource {
+  val schema: StructType = StructType(Seq(
+    StructField("offset", LongType, nullable = false),
+    StructField("value", StringType, nullable = true)))
+
+  /** Count lines quickly (offset = message count so far). */
+  private[sse] def lineCount(path: String): Long = {
+    val src = scala.io.Source.fromFile(path)
+    try src.getLines().size.toLong finally src.close()
+  }
+}
+
+class SseTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-sse($path)"
+  override def schema(): StructType = SseSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = SseSource.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new SseMicroBatchStream(path)
+        override def toBatch: Batch = new Batch {
+          override def planInputPartitions(): Array[InputPartition] =
+            Array(SseRange(path, 0L, SseSource.lineCount(path)))
+          override def createReaderFactory(): PartitionReaderFactory =
+            new SseReaderFactory
+        }
+      }
+    }
+}
+
+/** Offset = number of messages consumed from the head of the log. */
+case class SseOffset(count: Long) extends Offset {
+  override def json(): String = count.toString
+}
+
+case class SseRange(path: String, start: Long, end: Long) extends InputPartition
+
+class SseMicroBatchStream(path: String)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  // AvailableNow pins the end of the log at trigger time so the query
+  // drains exactly what existed then terminates.
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(SseSource.lineCount(path))
+
+  override def initialOffset(): Offset = SseOffset(0L)
+
+  override def latestOffset(): Offset =
+    SseOffset(availableNowEnd.getOrElse(SseSource.lineCount(path)))
+
+  // SupportsAdmissionControl variant (via SupportsTriggerAvailableNow):
+  // no rate limiting — always advance to the pinned/current end.
+  override def latestOffset(startOffset: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def deserializeOffset(json: String): Offset = SseOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SseOffset].count
+    val e = end.asInstanceOf[SseOffset].count
+    if (e <= s) Array.empty
+    else Array(SseRange(path, s, e))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new SseReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+class SseReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val range = partition.asInstanceOf[SseRange]
+    new PartitionReader[InternalRow] {
+      private val src = scala.io.Source.fromFile(range.path)
+      private val it = src.getLines().zipWithIndex
+        .dropWhile(_._2 < range.start)
+        .takeWhile(_._2 < range.end)
+      private var current: (String, Int) = _
+
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+
+      override def get(): InternalRow =
+        InternalRow(current._2.toLong, UTF8String.fromString(current._1))
+
+      override def close(): Unit = src.close()
+    }
+  }
+}
