@@ -223,6 +223,27 @@ object SparkEntry {
           col("anonEdits").as("anon_edits"))
     }),
 
+    // Tumbling-window rates (SURVEY §2.2 streaming: the idiomatic-Spark
+    // edits-per-window over event time; batch-computable + oracle-exact).
+    "trend_window_rates" -> ((s, dir) => {
+      val ev = EventAdapter.readEvents(s, dir)
+      ev.groupBy(col("user_id"), window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("events"))
+        .select(col("user_id"), col("window.start").as("window_start"),
+          col("events"))
+    }),
+
+    // Session windows: activity sessions per user with a 30-minute gap —
+    // the gaps-and-islands computation both engines can express.
+    "trend_sessions" -> ((s, dir) => {
+      val ev = EventAdapter.readEvents(s, dir)
+      ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("events"))
+    }),
+
     // ---- training-data pipeline: documents ----------------------------
 
     // Exact dedup: group on md5(text) — the shuffle carries a 32-char
@@ -449,6 +470,29 @@ object SparkEntry {
            FROM m)
          SELECT id, edits, reverts, anon_edits FROM s
          WHERE age <= 5 OR (age <= 100000 AND speed >= 0.0015 AND idle <= 2880)""",
+
+    "trend_window_rates" ->
+      """SELECT user_id, date_trunc('hour', ts) AS window_start,
+         CAST(COUNT(*) AS BIGINT) AS events
+         FROM events GROUP BY 1, 2""",
+
+    // Session windows as gaps-and-islands: a session breaks when the gap
+    // to the previous event reaches the 30-minute threshold (strictly-less
+    // merge, matching Spark's half-open [start, last+gap) semantics).
+    "trend_sessions" ->
+      """WITH o AS (
+           SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+           FROM events),
+         g AS (
+           SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS grp
+           FROM o)
+         SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS events
+         FROM g GROUP BY user_id, grp""",
 
     "doc_exact_dedup" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,

@@ -70,22 +70,24 @@ object Dedup {
   def seedHash(seed: Int, shingle: Column): Column =
     md5(concat(lit(s"$seed:"), shingle))
 
-  /** MinHash signatures: one row per doc, columns h0..h{k-1} — a single
-    * aggregation over exploded shingles with k conditional mins.
+  /** MinHash signatures from exploded (doc_id, shingle) pairs: one row per
+    * doc, columns h0..h{k-1} — a single aggregation with k conditional
+    * mins.
     */
-  def signatures(docs: DataFrame, n: Int = 3): DataFrame =
-    explodedShingles(docs, n)
-      .groupBy(col("doc_id"))
+  private def signaturesFromExploded(ex: DataFrame): DataFrame =
+    ex.groupBy(col("doc_id"))
       .agg(
         min(seedHash(0, col("shingle"))).as("h0"),
         (1 until MinhashK).map(s =>
           min(seedHash(s, col("shingle"))).as(s"h$s")): _*)
 
+  def signatures(docs: DataFrame, n: Int = 3): DataFrame =
+    signaturesFromExploded(explodedShingles(docs, n))
+
   /** LSH band buckets: (doc_id, band, key) where key = md5 of the band's
     * signature slice. Docs sharing any (band, key) are candidates.
     */
-  def bandBuckets(docs: DataFrame, n: Int = 3): DataFrame = {
-    val sig = signatures(docs, n)
+  private def bandBucketsFromSignatures(sig: DataFrame): DataFrame = {
     val bands = (0 until Bands).map { b =>
       val cols = (b * BandRows until (b + 1) * BandRows).map(i => col(s"h$i"))
       struct(lit(b).as("band"), md5(concat(cols: _*)).as("key"))
@@ -94,9 +96,10 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  /** Candidate pairs (a < b) from shared LSH buckets. */
-  def candidatePairs(docs: DataFrame, n: Int = 3): DataFrame = {
-    val bk = bandBuckets(docs, n)
+  def bandBuckets(docs: DataFrame, n: Int = 3): DataFrame =
+    bandBucketsFromSignatures(signatures(docs, n))
+
+  private def candidatePairsFromBuckets(bk: DataFrame): DataFrame = {
     val l = bk.as("l"); val r = bk.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.doc_id") < col("r.doc_id"))
@@ -104,13 +107,24 @@ object Dedup {
       .distinct()
   }
 
+  /** Candidate pairs (a < b) from shared LSH buckets. */
+  def candidatePairs(docs: DataFrame, n: Int = 3): DataFrame =
+    candidatePairsFromBuckets(bandBuckets(docs, n))
+
   /** MinHash-LSH near-duplicates: candidates verified by exact shingle-set
     * Jaccard >= `threshold`. Output: (doc_a, doc_b, jaccard).
+    *
+    * The shingle-set subtree feeds three plan branches (signatures, and
+    * both sides of the verify join); persisting it computes the text →
+    * shingles parse once instead of per branch.
     */
   def minhashNearDups(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     val sets = docs.select(col("doc_id"), shingles(col("text"), n).as("sset"))
-    val pairs = candidatePairs(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = sets.select(col("doc_id"), explode(col("sset")).as("shingle"))
+    val pairs = candidatePairsFromBuckets(
+      bandBucketsFromSignatures(signaturesFromExploded(ex)))
     val j = pairs
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -131,10 +145,13 @@ object Dedup {
       threshold: Double = 0.3): DataFrame = {
     // Join on the shingle's 64-bit hash: 8-byte shuffle keys instead of
     // full n-gram strings (identical counts — a 64-bit collision among
-    // a corpus's distinct shingles is negligible).
-    val ex = explodedShingles(docs, n)
+    // a corpus's distinct shingles is negligible). The persisted set
+    // subtree feeds the exploded join input and both count branches.
+    val sets = docs.select(col("doc_id"), shingles(col("text"), n).as("sset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = sets.select(col("doc_id"), explode(col("sset")).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-    val counts = docs.select(col("doc_id"), size(shingles(col("text"), n)).as("cnt"))
+    val counts = sets.select(col("doc_id"), size(col("sset")).as("cnt"))
     val inter = ex.as("a").join(ex.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
