@@ -1,0 +1,197 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.model.{PageState, RecentChange, TrendConfig}
+import graft.operators.PageAggregates
+
+/** Incremental-view-maintenance form of the trend engine: a `foreachBatch`
+  * loop that folds each micro-batch into an explicit state table. This is
+  * the path that reproduces the reference's CROSS-KEY rename semantics
+  * exactly (index.js:154-167) — `flatMapGroupsWithState` cannot move state
+  * between keys (SURVEY §7.4 item 1), but a state-table merge can:
+  *
+  *  per micro-batch:
+  *   1. resolve the batch's move log (chain-collapsed, broadcast)
+  *   2. re-key EXISTING state through it — overwrite-not-merge: the moved
+  *      page replaces any state already at the target id, reproducing
+  *      `titles[page.id] = page` (index.js:162-166)
+  *   3. canonicalize the batch's edit events and aggregate deltas
+  *   4. full-outer merge deltas into state (sums, set unions,
+  *      map_zip_with for the per-editor histogram, min/max timestamps)
+  *   5. apply deletes (A6) and protects (A5)
+  *   6. apply the eviction policy (A7) at the batch's processing time
+  *
+  * Scale: state and deltas join on `id` (hash exchange); the rename map is
+  * broadcast; all merges are column expressions. State stays bounded by
+  * eviction, so the per-batch rewrite is proportional to live trending
+  * pages — the same working set the reference holds in memory.
+  */
+object IncrementalTrend {
+
+  import graft.functions.Classifiers.pageId
+
+  /** One micro-batch fold: (previous state, batch events, asOf) → state.
+    * `state` and the result use the pageAggregates column layout plus
+    * `safe` / `isProtected` flags.
+    */
+  def processBatch(state: DataFrame, batch: DataFrame,
+      asOfMs: Long, cfg: TrendConfig = TrendConfig()): DataFrame = {
+    val spark = state.sparkSession
+    import spark.implicits._
+
+    // 1. Batch rename map (fromId → toId, chains collapsed in ts order).
+    val moves = batch
+      .filter(col("logType").isNotNull && col("logAction") === "move")
+      .select(col("wiki"), col("title"),
+        element_at(col("logParams"), "target").as("target"), col("ts"))
+      .orderBy(col("ts"))
+      .collect()
+      .map(r => (pageIdStr(r.getString(0), r.getString(1)),
+        pageIdStr(r.getString(0), r.getString(2)), r.getString(2)))
+    val resolved = scala.collection.mutable.LinkedHashMap[String, (String, String)]()
+    moves.foreach { case (from, to, toTitle) =>
+      resolved.keys.toList.foreach { k =>
+        if (resolved(k)._1 == from) resolved(k) = (to, toTitle)
+      }
+      resolved(from) = resolved.get(to).map(t => (t._1, t._2)).getOrElse((to, toTitle))
+    }
+    val renameMap = resolved.toSeq.map { case (f, (t, tt)) => (f, t, tt) }
+      .toDF("r_from", "r_to", "r_to_title")
+
+    // 2. Re-key existing state; moved page overwrites the target's state.
+    val rekeyed = state
+      .join(broadcast(renameMap), col("id") === col("r_from"), "left")
+      .withColumn("moved", col("r_to").isNotNull)
+      .withColumn("id", coalesce(col("r_to"), col("id")))
+      .withColumn("title", coalesce(col("r_to_title"), col("title")))
+      .drop("r_from", "r_to", "r_to_title")
+    // Overwrite-not-merge: if a moved row and a resident row share an id,
+    // the moved row wins (reference assigns the moved page over the key).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      .orderBy(col("moved").desc)
+    val afterRename = rekeyed
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn", "moved")
+
+    // 3. Canonicalize batch edits and aggregate deltas.
+    val withCanonTitle = batch
+      .filter(col("logType").isNull)
+      .withColumn("rawId", pageId(col("wiki"), col("title")))
+      .join(broadcast(renameMap), col("rawId") === col("r_from"), "left")
+      .withColumn("title", coalesce(col("r_to_title"), col("title")))
+      .drop("rawId", "r_from", "r_to", "r_to_title")
+    val deltas = PageAggregates.pageAggregates(withCanonTitle, cfg)
+
+    // 4. Merge deltas into state (full outer on id).
+    val s = afterRename.as("s"); val d = deltas.as("d")
+    val merged = s.join(d, col("s.id") === col("d.id"), "full_outer")
+      .select(
+        coalesce(col("s.id"), col("d.id")).as("id"),
+        coalesce(col("d.title"), col("s.title")).as("title"),
+        coalesce(col("s.wiki"), col("d.wiki")).as("wiki"),
+        (zeroL(col("s.edits")) + zeroL(col("d.edits"))).as("edits"),
+        (zeroL(col("s.anonEdits")) + zeroL(col("d.anonEdits"))).as("anonEdits"),
+        (coalesce(col("s.isNew"), lit(false)) ||
+          coalesce(col("d.isNew"), lit(false))).as("isNew"),
+        (zeroL(col("s.notabilityFlags")) + zeroL(col("d.notabilityFlags")))
+          .as("notabilityFlags"),
+        (zeroL(col("s.volatileFlags")) + zeroL(col("d.volatileFlags")))
+          .as("volatileFlags"),
+        (zeroL(col("s.reverts")) + zeroL(col("d.reverts"))).as("reverts"),
+        least(col("s.start"), col("d.start")).as("start"),
+        greatest(col("s.updated"), col("d.updated")).as("updated"),
+        array_sort(array_union(emptyArr(col("s.contributors")),
+          emptyArr(col("d.contributors")))).as("contributors"),
+        array_sort(array_union(emptyArr(col("s.anons")),
+          emptyArr(col("d.anons")))).as("anons"),
+        (zeroL(col("s.bytesChanged")) + zeroL(col("d.bytesChanged")))
+          .as("bytesChanged"),
+        coalesce(col("s.safe"), lit(false)).as("safe"),
+        coalesce(col("s.isProtected"), lit(false)).as("isProtected"))
+
+    // 5. Deletes (A6: drop key) and protects (A5: set flag).
+    val logEvents = batch.filter(col("logType").isNotNull)
+    // Reference takes match group 1 or 2 of the HTML-entity pattern
+    // (index.js:330-336) and only drops when log_params is empty.
+    val delPattern = "&quot;\\[\\[(.*)\\]\\]&quot;|&quot;(.*)&quot;"
+    val g1 = regexp_extract(col("logActionComment"), delPattern, 1)
+    val g2 = regexp_extract(col("logActionComment"), delPattern, 2)
+    val deletes = logEvents.filter(col("logAction") === "delete")
+      // "log_params empty" (ANSI size(null) is null, so test explicitly).
+      .filter(col("logParams").isNull || size(col("logParams")) === 0)
+      .select(col("wiki"), when(length(g1) > 0, g1).otherwise(g2).as("del_title"))
+      .filter(length(col("del_title")) > 0)
+      .select(pageId(col("wiki"), col("del_title")).as("del_id"))
+    val protects = logEvents.filter(col("logAction") === "protect")
+      .select(pageId(col("wiki"), col("title")).as("prot_id")).distinct()
+
+    val afterDelete = merged.join(broadcast(deletes),
+      col("id") === col("del_id"), "left_anti")
+    val afterProtect = afterDelete.join(broadcast(protects),
+        col("id") === col("prot_id"), "left")
+      .withColumn("isProtected", col("isProtected") || col("prot_id").isNotNull)
+      .drop("prot_id")
+
+    // 6. Eviction at this batch's processing time.
+    PageAggregates.survivors(afterProtect,
+      lit(new java.sql.Timestamp(asOfMs)), cfg)
+  }
+
+  private def zeroL(c: org.apache.spark.sql.Column) = coalesce(c, lit(0L))
+  private def emptyArr(c: org.apache.spark.sql.Column) =
+    coalesce(c, array().cast("array<string>"))
+
+  private def pageIdStr(wiki: String, title: String): String =
+    if (wiki == "enwiki") title else s"$wiki/$title"
+
+  /** Empty state table with the merged-state schema. */
+  def emptyState(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[PageState].toDS.toDF
+      .select(col("id"), col("title"), col("wiki"), col("edits"),
+        col("anonEdits"), col("isNew"), col("notabilityFlags"),
+        col("volatileFlags"), col("reverts"), col("start"), col("updated"),
+        col("contributors"), col("anons"), col("bytesChanged"),
+        col("safe"), col("isProtected"))
+  }
+
+  /** Fold a finite sequence of micro-batches (testing / replay). */
+  def replay(spark: SparkSession, batches: Seq[Seq[RecentChange]],
+      asOfMs: Long, cfg: TrendConfig = TrendConfig()): DataFrame = {
+    import spark.implicits._
+    batches.zipWithIndex.foldLeft(emptyState(spark)) { case (st, (b, i)) =>
+      // Materialize each fold so state lineage doesn't grow unboundedly
+      // (the streaming run writes state to parquet per batch instead).
+      val next = processBatch(st, b.toDF(), asOfMs, cfg)
+      next.localCheckpoint(eager = true)
+    }
+  }
+
+  /** Streaming run: fold micro-batches into a parquet-backed state table —
+    * the reference's LevelDB persistence (S2/S3) as an exactly-once
+    * checkpoint + state-dir pair.
+    */
+  def run(events: Dataset[RecentChange], stateDir: String,
+      checkpointDir: String, cfg: TrendConfig = TrendConfig()): StreamingQuery = {
+    val spark = events.sparkSession
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[RecentChange], batchId: Long) =>
+        val prev =
+          try spark.read.parquet(stateDir)
+          catch { case _: Throwable => emptyState(spark) }
+        val next = processBatch(prev, batch.toDF(),
+          System.currentTimeMillis(), cfg)
+        // Write-new-then-swap keeps the state dir readable on failure.
+        next.write.mode("overwrite").parquet(stateDir + s"_b$batchId")
+        spark.read.parquet(stateDir + s"_b$batchId")
+          .write.mode("overwrite").parquet(stateDir)
+        ()
+      }
+      .start()
+  }
+}

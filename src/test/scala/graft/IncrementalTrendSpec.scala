@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.model.{RecentChange, TrendConfig}
+import graft.streaming.IncrementalTrend
+
+/** Incremental state-table spec: cross-key rename carried ACROSS
+  * micro-batches (the semantics flatMapGroupsWithState can't express),
+  * overwrite-not-merge at the rename target, log-comment deletes, protect,
+  * eviction — the reference behaviors at index.js:154-167, 324-337.
+  */
+class IncrementalTrendSpec extends SparkSpec {
+
+  private val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+  private def at(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+  private val asOf = at(10).getTime
+
+  // Relaxed eviction so fixtures survive.
+  private val cfg = TrendConfig(minSpeed = 0.0, maxInactivityMins = 1000000,
+    maxLifespanMins = 1000000)
+
+  private def edit(title: String, user: String = "Jon", min: Int = 0,
+      comment: String = "yo", wiki: String = "enwiki"): RecentChange =
+    RecentChange(title, comment, 0, user, bot = false, "edit", 1L, 2L, wiki,
+      "en.wikipedia.org", null, null, null, null, at(min))
+
+  private def move(from: String, to: String, min: Int,
+      wiki: String = "enwiki"): RecentChange =
+    RecentChange(from, "moved", 0, "Admin", bot = false, "log", 0L, 0L, wiki,
+      "en.wikipedia.org", "log", "move", Map("target" -> to), null, at(min))
+
+  private def del(comment: String, min: Int): RecentChange =
+    RecentChange("x", "deleted", 0, "Admin", bot = false, "log", 0L, 0L,
+      "enwiki", "en.wikipedia.org", "log", "delete", null, comment, at(min))
+
+  private def protect(title: String, min: Int): RecentChange =
+    RecentChange(title, "protected", 0, "Admin", bot = false, "log", 0L, 0L,
+      "enwiki", "en.wikipedia.org", "log", "protect", null, null, at(min))
+
+  private def replay(batches: Seq[RecentChange]*) =
+    IncrementalTrend.replay(spark, batches, asOf, cfg)
+      .collect().map(r => r.getAs[String]("id") -> r).toMap
+
+  test("reference move fixture: rename leaves exactly one page (tests.js:63-78)") {
+    val st = replay(Seq(edit("Foo", min = 0), move("Foo", "FoO", 1)))
+    assert(st.keySet == Set("FoO"))
+    assert(st("FoO").getAs[Long]("edits") == 1L)
+    assert(st("FoO").getAs[String]("title") == "FoO")
+  }
+
+  test("cross-batch rename migrates accumulated state to the new key") {
+    val st = replay(
+      Seq(edit("Foo", min = 0), edit("Foo", user = "Ann", min = 1)),
+      Seq(move("Foo", "Bar", 2)),
+      Seq(edit("Bar", user = "Eve", min = 3)))
+    assert(st.keySet == Set("Bar"))
+    val p = st("Bar")
+    assert(p.getAs[Long]("edits") == 3L) // 2 carried + 1 post-rename
+    assert(p.getSeq[String](p.fieldIndex("contributors")).toSet ==
+      Set("Jon", "Ann", "Eve"))
+  }
+
+  test("rename overwrites existing state at the target (index.js:162-166)") {
+    val st = replay(
+      Seq(edit("Old", min = 0), edit("Old", min = 1),
+        edit("Target", user = "T", min = 0)),
+      Seq(move("Old", "Target", 2)))
+    assert(st.keySet == Set("Target"))
+    // Old's 2 edits replace Target's 1 (overwrite, not merge).
+    assert(st("Target").getAs[Long]("edits") == 2L)
+  }
+
+  test("delete via log_action_comment drops state across batches (A6)") {
+    val st = replay(
+      Seq(edit("Doomed", min = 0), edit("Kept", min = 0)),
+      Seq(del("deleted &quot;[[Doomed]]&quot; for reasons", 1)))
+    assert(st.keySet == Set("Kept"))
+  }
+
+  test("protect sets the flag on existing state (A5)") {
+    val st = replay(
+      Seq(edit("Page", min = 0)),
+      Seq(protect("Page", 1)))
+    assert(st("Page").getAs[Boolean]("isProtected"))
+  }
+
+  test("eviction applies per batch at processing time (A7)") {
+    val strict = TrendConfig(minSpeed = 1000.0, minPurgeTimeMins = 1)
+    val st = IncrementalTrend.replay(spark,
+      Seq(Seq(edit("Slow", min = 0))), asOf, strict).collect()
+    assert(st.isEmpty) // too slow, past grace period
+  }
+
+  test("incremental fold equals one-shot batch aggregation (no log events)") {
+    val events = (0 until 30).map(i =>
+      edit(s"P${i % 3}", user = s"u${i % 5}", min = i))
+    val incremental = replay(events.grouped(7).toSeq: _*)
+    val oneShot = {
+      import spark.implicits._
+      graft.operators.PageAggregates.pageAggregates(events.toDF(), cfg)
+        .collect().map(r => r.getAs[String]("id") -> r).toMap
+    }
+    assert(incremental.keySet == oneShot.keySet)
+    incremental.foreach { case (id, r) =>
+      val o = oneShot(id)
+      assert(r.getAs[Long]("edits") == o.getAs[Long]("edits"), s"edits@$id")
+      assert(r.getAs[Long]("bytesChanged") == o.getAs[Long]("bytesChanged"))
+      assert(r.getAs[Timestamp]("start") == o.getAs[Timestamp]("start"))
+      assert(r.getAs[Timestamp]("updated") == o.getAs[Timestamp]("updated"))
+      assert(r.getSeq[String](r.fieldIndex("contributors")).toSet ==
+        o.getSeq[String](o.fieldIndex("contributors")).toSet)
+    }
+  }
+}
