@@ -223,6 +223,19 @@ object SparkEntry {
           col("anonEdits").as("anon_edits"))
     }),
 
+    // Four-way star join: region -> nation -> customer -> orders, revenue
+    // by region; dims broadcast, the fact table streams.
+    "q11_star_join" -> ((s, dir) => {
+      val r = t(s, dir, "region"); val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      r.join(n, r("r_regionkey") === n("n_regionkey"))
+        .join(c, n("n_nationkey") === c("c_nationkey"))
+        .join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy(r("r_name").as("region"))
+        .agg(round(sum(o("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+    }),
+
     // Tumbling-window rates (SURVEY §2.2 streaming: the idiomatic-Spark
     // edits-per-window over event time; batch-computable + oracle-exact).
     "trend_window_rates" -> ((s, dir) => {
@@ -470,6 +483,16 @@ object SparkEntry {
            FROM m)
          SELECT id, edits, reverts, anon_edits FROM s
          WHERE age <= 5 OR (age <= 100000 AND speed >= 0.0015 AND idle <= 2880)""",
+
+    "q11_star_join" ->
+      """SELECT r.r_name AS region,
+         round(sum(o.o_totalprice), 2) AS revenue,
+         CAST(count(*) AS BIGINT) AS n_orders
+         FROM region r
+         JOIN nation n ON r.r_regionkey = n.n_regionkey
+         JOIN customer c ON n.n_nationkey = c.c_nationkey
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         GROUP BY 1""",
 
     "trend_window_rates" ->
       """SELECT user_id, date_trunc('hour', ts) AS window_start,

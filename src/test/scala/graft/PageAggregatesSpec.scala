@@ -163,6 +163,17 @@ class PageAggregatesSpec extends SparkSpec {
     assert(p.getAs[Long]("edits") == 2L) // both Foo-era and Bar-era edits
   }
 
+  test("contributorCardinalities: HLL approximation tracks exact set sizes") {
+    val events = (0 until 50).map(i =>
+      ev(user = s"user$i", ts = new Timestamp(t0.getTime + i * 1000L))) ++
+      (0 until 10).map(i =>
+        ev(user = s"$i.0.0.1", ts = new Timestamp(t0.getTime + (100 + i) * 1000L)))
+    val r = PageAggregates.contributorCardinalities(events.toDS.toDF).collect()(0)
+    // approx_count_distinct default rsd 5% — exact at these cardinalities.
+    assert(math.abs(r.getAs[Long]("approxContributors") - 50L) <= 3)
+    assert(math.abs(r.getAs[Long]("approxAnons") - 10L) <= 1)
+  }
+
   test("rename chain a→b→c collapses to final title (A4)") {
     def move(from: String, to: String, ts: String) =
       ev(title = from).copy(logType = "log", logAction = "move",
