@@ -35,15 +35,18 @@ final class TrendCollection(
   private var droppedIds = Set.empty[String]
   private var safeIds = Set.empty[String]
 
-  /** As-of instant for the time-derived metrics: max event ts unless set. */
+  /** As-of instant for the time-derived metrics: max event ts unless set.
+    * The max-ts aggregate is memoized — without it every snapshot/board
+    * call would launch the full-scan job twice (survivors + metrics).
+    */
   @volatile private var asOfOverride: Option[Timestamp] = None
 
   def withAsOf(ts: Timestamp): this.type = { asOfOverride = Some(ts); this }
 
-  private def asOfCol = asOfOverride match {
-    case Some(ts) => lit(ts)
-    case None => lit(events.agg(max(col("ts"))).collect()(0).getTimestamp(0))
-  }
+  private lazy val maxEventTs: Timestamp =
+    events.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+
+  private def asOfCol = lit(asOfOverride.getOrElse(maxEventTs))
 
   private def idOf(title: String, wiki: String): String =
     if (wiki == "enwiki") title else s"$wiki/$title"
@@ -86,9 +89,13 @@ final class TrendCollection(
   def topByBytesChanged(k: Int = 5): DataFrame =
     PageAggregates.topK(getPages(), "bytesChanged", k)
 
-  /** Author-bias board: needs the per-editor distribution (M4). */
+  /** Author-bias board: needs the per-editor distribution (M4). The
+    * distribution is computed over rename-CANONICALIZED events so its ids
+    * line up with getPages() (which aggregates under final titles).
+    */
   def topByBias(k: Int = 5): DataFrame = {
-    val dist = PageAggregates.distribution(events, cfg)
+    val dist = PageAggregates
+      .distribution(PageAggregates.canonicalizeRenames(events), cfg)
       .select(col("id"),
         round(PageAggregates.bias(col("distribution")), 6).as("bias"))
     getPages().join(dist, Seq("id"), "left")

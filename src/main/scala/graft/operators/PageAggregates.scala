@@ -209,13 +209,16 @@ object PageAggregates {
     val edges = moves.orderBy(col("ts"))
       .select("wiki", "fromTitle", "toTitle").collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getString(2))
-    // Collapse chains in stream order: a→b then b→c ⇒ a→c.
+    // Collapse chains in stream order: a→b then b→c ⇒ a→c. The new edge
+    // maps `from` to `to` DIRECTLY (never through to's earlier mapping):
+    // after A→B, a later C→A targets the now-vacant A, not B — sequential
+    // replay semantics.
     val resolved = scala.collection.mutable.LinkedHashMap[(String, String), String]()
     edges.foreach { case ((wiki, from), to) =>
       resolved.keys.toList.foreach { k =>
         if (k._1 == wiki && resolved(k) == from) resolved(k) = to
       }
-      resolved((wiki, from)) = resolved.getOrElse((wiki, to), to)
+      resolved((wiki, from)) = to
     }
     val spark = events.sparkSession
     import spark.implicits._

@@ -41,8 +41,12 @@ class SseSourceProvider extends TableProvider with DataSourceRegister {
     SseSource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new SseTable(properties.get("path"))
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty,
+      "graft-sse requires .option(\"path\", <jsonl log>)")
+    new SseTable(path)
+  }
 }
 
 object SseSource {
@@ -131,16 +135,19 @@ class SseReaderFactory extends PartitionReaderFactory {
     val range = partition.asInstanceOf[SseRange]
     new PartitionReader[InternalRow] {
       private val src = scala.io.Source.fromFile(range.path)
-      private val it = src.getLines().zipWithIndex
+      // Long line counter — Iterator.zipWithIndex's Int would overflow on
+      // multi-billion-message logs, which the offsets deliberately allow.
+      private val it = src.getLines()
+        .zip(Iterator.iterate(0L)(_ + 1L))
         .dropWhile(_._2 < range.start)
         .takeWhile(_._2 < range.end)
-      private var current: (String, Int) = _
+      private var current: (String, Long) = _
 
       override def next(): Boolean =
         if (it.hasNext) { current = it.next(); true } else false
 
       override def get(): InternalRow =
-        InternalRow(current._2.toLong, UTF8String.fromString(current._1))
+        InternalRow(current._2, UTF8String.fromString(current._1))
 
       override def close(): Unit = src.close()
     }

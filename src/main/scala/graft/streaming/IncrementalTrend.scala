@@ -50,43 +50,77 @@ object IncrementalTrend {
       .orderBy(col("ts"))
       .collect()
       .map(r => (pageIdStr(r.getString(0), r.getString(1)),
-        pageIdStr(r.getString(0), r.getString(2)), r.getString(2)))
-    val resolved = scala.collection.mutable.LinkedHashMap[String, (String, String)]()
-    moves.foreach { case (from, to, toTitle) =>
+        pageIdStr(r.getString(0), r.getString(2)), r.getString(2),
+        r.getTimestamp(3).getTime))
+    // Direct mapping per edge (a later C→A targets the vacated A, never
+    // A's earlier destination); keep the move time so simultaneous moves
+    // onto one target resolve deterministically (latest wins, as in
+    // sequential replay).
+    val resolved = scala.collection.mutable.LinkedHashMap[String, (String, String, Long)]()
+    moves.foreach { case (from, to, toTitle, tsMs) =>
       resolved.keys.toList.foreach { k =>
-        if (resolved(k)._1 == from) resolved(k) = (to, toTitle)
+        if (resolved(k)._1 == from) resolved(k) = (to, toTitle, tsMs)
       }
-      resolved(from) = resolved.get(to).map(t => (t._1, t._2)).getOrElse((to, toTitle))
+      resolved(from) = (to, toTitle, tsMs)
     }
-    val renameMap = resolved.toSeq.map { case (f, (t, tt)) => (f, t, tt) }
-      .toDF("r_from", "r_to", "r_to_title")
+    val renameMap = resolved.toSeq.map { case (f, (t, tt, ts)) => (f, t, tt, ts) }
+      .toDF("r_from", "r_to", "r_to_title", "r_ts")
 
     // 2. Re-key existing state; moved page overwrites the target's state.
     val rekeyed = state
       .join(broadcast(renameMap), col("id") === col("r_from"), "left")
       .withColumn("moved", col("r_to").isNotNull)
+      .withColumn("moveTs", col("r_ts"))
       .withColumn("id", coalesce(col("r_to"), col("id")))
       .withColumn("title", coalesce(col("r_to_title"), col("title")))
-      .drop("r_from", "r_to", "r_to_title")
+      .drop("r_from", "r_to", "r_to_title", "r_ts")
     // Overwrite-not-merge: if a moved row and a resident row share an id,
-    // the moved row wins (reference assigns the moved page over the key).
+    // the moved row wins; among multiple moves onto one target, the
+    // LATEST move wins (sequential-replay order; reference assigns the
+    // moved page over the key, index.js:162-166).
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-      .orderBy(col("moved").desc)
+      .orderBy(col("moved").desc, col("moveTs").desc_nulls_last)
     val afterRename = rekeyed
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn", "moved")
+      .filter(col("rn") === 1).drop("rn", "moved", "moveTs")
 
-    // 3. Canonicalize batch edits and aggregate deltas.
+    // 3. Deletes (A6) — resolved BEFORE the merge so a delete wipes prior
+    // state and prior same-batch edits, while later same-batch edits
+    // recreate the page (reference drop-then-recreate, index.js:427-430).
+    val logEvents = batch.filter(col("logType").isNotNull)
+    // Reference takes match group 1 or 2 of the HTML-entity pattern
+    // (index.js:330-336) and only drops when log_params is empty.
+    val delPattern = "&quot;\\[\\[(.*)\\]\\]&quot;|&quot;(.*)&quot;"
+    val g1 = regexp_extract(col("logActionComment"), delPattern, 1)
+    val g2 = regexp_extract(col("logActionComment"), delPattern, 2)
+    val deletes = logEvents.filter(col("logAction") === "delete")
+      // "log_params empty" (ANSI size(null) is null, so test explicitly).
+      .filter(col("logParams").isNull || size(col("logParams")) === 0)
+      .select(col("wiki"), when(length(g1) > 0, g1).otherwise(g2).as("del_title"),
+        col("ts"))
+      .filter(length(col("del_title")) > 0)
+      .groupBy(pageId(col("wiki"), col("del_title")).as("del_id"))
+      .agg(max(col("ts")).as("del_ts"))
+
+    val stateAfterDelete = afterRename.join(broadcast(deletes),
+      col("id") === col("del_id"), "left_anti")
+
+    // 4. Canonicalize batch edits, drop those the delete supersedes,
+    // aggregate deltas, merge into state (full outer on id).
     val withCanonTitle = batch
       .filter(col("logType").isNull)
       .withColumn("rawId", pageId(col("wiki"), col("title")))
       .join(broadcast(renameMap), col("rawId") === col("r_from"), "left")
       .withColumn("title", coalesce(col("r_to_title"), col("title")))
-      .drop("rawId", "r_from", "r_to", "r_to_title")
-    val deltas = PageAggregates.pageAggregates(withCanonTitle, cfg)
+      .drop("rawId", "r_from", "r_to", "r_to_title", "r_ts")
+    val editsSurviving = withCanonTitle
+      .withColumn("evId", pageId(col("wiki"), col("title")))
+      .join(broadcast(deletes), col("evId") === col("del_id"), "left")
+      .filter(col("del_id").isNull || col("ts") > col("del_ts"))
+      .drop("evId", "del_id", "del_ts")
+    val deltas = PageAggregates.pageAggregates(editsSurviving, cfg)
 
-    // 4. Merge deltas into state (full outer on id).
-    val s = afterRename.as("s"); val d = deltas.as("d")
+    val s = stateAfterDelete.as("s"); val d = deltas.as("d")
     val merged = s.join(d, col("s.id") === col("d.id"), "full_outer")
       .select(
         coalesce(col("s.id"), col("d.id")).as("id"),
@@ -112,25 +146,10 @@ object IncrementalTrend {
         coalesce(col("s.safe"), lit(false)).as("safe"),
         coalesce(col("s.isProtected"), lit(false)).as("isProtected"))
 
-    // 5. Deletes (A6: drop key) and protects (A5: set flag).
-    val logEvents = batch.filter(col("logType").isNotNull)
-    // Reference takes match group 1 or 2 of the HTML-entity pattern
-    // (index.js:330-336) and only drops when log_params is empty.
-    val delPattern = "&quot;\\[\\[(.*)\\]\\]&quot;|&quot;(.*)&quot;"
-    val g1 = regexp_extract(col("logActionComment"), delPattern, 1)
-    val g2 = regexp_extract(col("logActionComment"), delPattern, 2)
-    val deletes = logEvents.filter(col("logAction") === "delete")
-      // "log_params empty" (ANSI size(null) is null, so test explicitly).
-      .filter(col("logParams").isNull || size(col("logParams")) === 0)
-      .select(col("wiki"), when(length(g1) > 0, g1).otherwise(g2).as("del_title"))
-      .filter(length(col("del_title")) > 0)
-      .select(pageId(col("wiki"), col("del_title")).as("del_id"))
+    // 5. Protects (A5: set flag on whatever state exists post-merge).
     val protects = logEvents.filter(col("logAction") === "protect")
       .select(pageId(col("wiki"), col("title")).as("prot_id")).distinct()
-
-    val afterDelete = merged.join(broadcast(deletes),
-      col("id") === col("del_id"), "left_anti")
-    val afterProtect = afterDelete.join(broadcast(protects),
+    val afterProtect = merged.join(broadcast(protects),
         col("id") === col("prot_id"), "left")
       .withColumn("isProtected", col("isProtected") || col("prot_id").isNotNull)
       .drop("prot_id")
@@ -171,8 +190,15 @@ object IncrementalTrend {
   }
 
   /** Streaming run: fold micro-batches into a parquet-backed state table —
-    * the reference's LevelDB persistence (S2/S3) as an exactly-once
-    * checkpoint + state-dir pair.
+    * the reference's LevelDB persistence (S2/S3), upgraded from its lossy
+    * 20-second snapshot to checkpointed micro-batches.
+    *
+    * Durability notes: the new state is fully written to a temp dir, then
+    * swapped in with a filesystem rename (delete-old + rename-new). The
+    * swap window is small but not atomic, and a crash between the swap and
+    * the checkpoint commit replays the batch against post-batch state —
+    * production deployments should point stateDir at a transactional
+    * table format; the batch fold itself is unchanged.
     */
   def run(events: Dataset[RecentChange], stateDir: String,
       checkpointDir: String, cfg: TrendConfig = TrendConfig()): StreamingQuery = {
@@ -181,15 +207,18 @@ object IncrementalTrend {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[RecentChange], batchId: Long) =>
+        import org.apache.hadoop.fs.Path
+        val live = new Path(stateDir)
+        val tmp = new Path(stateDir + s"_tmp$batchId")
+        val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val prev =
-          try spark.read.parquet(stateDir)
-          catch { case _: Throwable => emptyState(spark) }
+          if (fs.exists(live)) spark.read.parquet(stateDir)
+          else emptyState(spark)
         val next = processBatch(prev, batch.toDF(),
           System.currentTimeMillis(), cfg)
-        // Write-new-then-swap keeps the state dir readable on failure.
-        next.write.mode("overwrite").parquet(stateDir + s"_b$batchId")
-        spark.read.parquet(stateDir + s"_b$batchId")
-          .write.mode("overwrite").parquet(stateDir)
+        next.write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(live)) fs.delete(live, true)
+        fs.rename(tmp, live)
         ()
       }
       .start()

@@ -92,6 +92,44 @@ class IncrementalTrendSpec extends SparkSpec {
     assert(st.isEmpty) // too slow, past grace period
   }
 
+  test("vacated-title reuse: C moved onto A's old title stays at A, not A's destination") {
+    // A→B at t2, then C→A at t4: C's history must land on A (the vacated
+    // title), NOT follow A's earlier mapping to B.
+    val st = replay(Seq(
+      edit("A", user = "ua", min = 0),
+      edit("C", user = "uc", min = 1),
+      move("A", "B", 2),
+      edit("B", user = "ub", min = 3),
+      move("C", "A", 4)))
+    assert(st.keySet == Set("A", "B"))
+    assert(st("A").getAs[Long]("edits") == 1L)  // C's history now at A
+    val a = st("A")
+    assert(a.getSeq[String](a.fieldIndex("contributors")) == Seq("uc"))
+    assert(st("B").getAs[Long]("edits") == 2L)  // A's + post-move edits
+  }
+
+  test("delete then same-batch recreate keeps only post-delete edits (A6)") {
+    val st = replay(Seq(
+      edit("Phoenix", user = "Old", min = 0),
+      del("deleted &quot;[[Phoenix]]&quot; spam", 1),
+      edit("Phoenix", user = "New", min = 2)))
+    val p = st("Phoenix")
+    assert(p.getAs[Long]("edits") == 1L)
+    assert(p.getSeq[String](p.fieldIndex("contributors")) == Seq("New"))
+  }
+
+  test("two same-batch moves onto one target: the later move wins deterministically") {
+    val st = replay(
+      Seq(edit("A", user = "ua", min = 0), edit("A", user = "ua2", min = 1),
+        edit("B", user = "ub", min = 0)),
+      Seq(move("A", "C", 2), move("B", "C", 3)))
+    assert(st.keySet == Set("C"))
+    // B's move is later; B's state overwrites A's at C.
+    val c = st("C")
+    assert(c.getAs[Long]("edits") == 1L)
+    assert(c.getSeq[String](c.fieldIndex("contributors")) == Seq("ub"))
+  }
+
   test("incremental fold equals one-shot batch aggregation (no log events)") {
     val events = (0 until 30).map(i =>
       edit(s"P${i % 3}", user = s"u${i % 5}", min = i))

@@ -174,6 +174,23 @@ class PageAggregatesSpec extends SparkSpec {
     assert(math.abs(r.getAs[Long]("approxAnons") - 10L) <= 1)
   }
 
+  test("vacated-title reuse: later move onto a vacated title maps directly (A4)") {
+    def move(from: String, to: String, ts: String) =
+      ev(title = from).copy(logType = "log", logAction = "move",
+        logParams = Map("target" -> to), ts = Timestamp.valueOf(ts))
+    // A→B, then C→A: C's events must aggregate under A, not follow A→B.
+    val events = Seq(
+      ev(title = "A", user = "ua", ts = t0),
+      ev(title = "C", user = "uc", ts = Timestamp.valueOf("2024-01-01 00:05:00")),
+      move("A", "B", "2024-01-01 00:10:00"),
+      move("C", "A", "2024-01-01 00:20:00")).toDS.toDF
+    val agged = PageAggregates.trendAggregates(events)
+    val byId = agged.collect().map(r => r.getAs[String]("id") -> r).toMap
+    assert(byId.keySet == Set("A", "B"))
+    assert(seqOf(byId("A"), "contributors") == Seq("uc"))
+    assert(seqOf(byId("B"), "contributors") == Seq("ua"))
+  }
+
   test("rename chain a→b→c collapses to final title (A4)") {
     def move(from: String, to: String, ts: String) =
       ev(title = from).copy(logType = "log", logAction = "move",
