@@ -297,6 +297,12 @@ object SparkEntry {
     "doc_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.3)),
 
+    // Near-dup CLUSTERS: connected components over the MinHash pair graph
+    // via iterative min-label propagation; every doc -> min doc_id of its
+    // component (oracle: recursive-CTE transitive closure).
+    "doc_dup_clusters" -> ((s, dir) =>
+      Dedup.minhashClusters(t(s, dir, "documents"))),
+
     // SimHash fingerprints + near-dups: md5-derived bits, 32-bit votes.
     // Hex→int conversion is engine-specific → rows-only check (no oracle).
     "doc_simhash_pairs" -> ((s, dir) =>
@@ -315,6 +321,11 @@ object SparkEntry {
     // the query set, stream the corpus, per-query window top-k.
     "emb_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), k = 5, numQueries = 10)),
+
+    // IVF-style top-k: each query probes only its own LSH cell (the
+    // coarse-quantizer search pattern; brute force is the exact baseline).
+    "emb_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), k = 5, numQueries = 10)),
 
     // Deterministic sign-LSH bucket per vector (IVF-style coarse cells).
     "emb_lsh_buckets" -> ((s, dir) =>
@@ -655,6 +666,81 @@ object SparkEntry {
            JOIN sh sa ON i.doc_a = sa.doc_id
            JOIN sh sb ON i.doc_b = sb.doc_id)
          SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3""",
+
+    "doc_dup_clusters" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\s+') END AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(generate_series(1, len(t) - 2),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE [array_to_string(t, ' ')] END) AS ss
+           FROM toks),
+         ex AS (SELECT doc_id, unnest(ss) AS shingle FROM sh),
+         sig AS (
+           SELECT doc_id,
+             min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+             min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+             min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
+             min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
+           FROM ex GROUP BY doc_id),
+         bk AS (
+           SELECT doc_id, b.band,
+             CASE b.band WHEN 0 THEN md5(h0 || h1) WHEN 1 THEN md5(h2 || h3)
+                         WHEN 2 THEN md5(h4 || h5) ELSE md5(h6 || h7) END AS key
+           FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b),
+         cand AS (
+           SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+           FROM bk l JOIN bk r ON l.band = r.band AND l.key = r.key
+                AND l.doc_id < r.doc_id),
+         pj AS (
+           SELECT c.doc_a, c.doc_b,
+             len(list_intersect(sa.ss, sb.ss)) AS inter,
+             len(sa.ss) AS la, len(sb.ss) AS lb
+           FROM cand c
+           JOIN sh sa ON c.doc_a = sa.doc_id
+           JOIN sh sb ON c.doc_b = sb.doc_id),
+         dup AS (
+           SELECT doc_a, doc_b FROM pj
+           WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) >= 0.5),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM dup
+               UNION SELECT doc_b, doc_a FROM dup),
+         reach AS (
+           SELECT src AS a, dst AS b FROM e
+           UNION
+           SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+         comp AS (SELECT a AS doc_id, MIN(b) AS minb FROM reach GROUP BY a)
+         SELECT d.doc_id,
+           CAST(coalesce(least(c.doc_id, c.minb), d.doc_id) AS BIGINT) AS cluster
+         FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""",
+
+    "emb_ivf_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         e AS (
+           SELECT vec_id, u.i AS i, ev[u.i] AS x
+           FROM v, unnest(generate_series(1, len(ev))) AS u(i)),
+         ps AS (SELECT vec_id, (i - 1) % 8 AS plane, SUM(x) AS s FROM e GROUP BY 1, 2),
+         b AS (
+           SELECT vec_id,
+             SUM(CASE WHEN s > 0 THEN CAST(pow(2, plane) AS BIGINT) ELSE 0 END) AS bucket
+           FROM ps GROUP BY 1),
+         vb AS (SELECT v.vec_id, v.ev, b.bucket FROM v JOIN b ON v.vec_id = b.vec_id),
+         q AS (SELECT vec_id AS query_id, ev AS qv, bucket AS qb
+               FROM vb WHERE vec_id < 10),
+         s AS (
+           SELECT query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(qv, c.ev)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.ev, c.ev))), 6) AS cos
+           FROM q JOIN vb c ON q.qb = c.bucket AND q.query_id <> c.vec_id),
+         r AS (
+           SELECT *, CAST(row_number() OVER
+             (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+           FROM s)
+         SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5""",
 
     "doc_media_meta" ->
       """SELECT doc_id,

@@ -166,6 +166,54 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Duplicate clusters: connected components over the near-dup pair graph
+    * via iterative min-label propagation (the standard distributed CC
+    * recipe — each round every node adopts the smallest label among itself
+    * and its neighbors; rounds ≈ component diameter, here tiny). Every
+    * document gets a cluster id = the min doc_id of its component;
+    * singletons are their own cluster.
+    *
+    * Scale: each round is one join + one aggregation on the edge list —
+    * no driver-side graph; convergence checked with a count per round.
+    */
+  def dupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select(col("doc_id"),
+        col("doc_id").as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val viaNeighbors = edges
+        .join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("cluster"))
+      val next = labels.select(col("doc_id"), col("cluster"))
+        .union(viaNeighbors)
+        .groupBy(col("doc_id"))
+        .agg(min(col("cluster")).as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.as("n")
+        .join(labels.as("p"), col("n.doc_id") === col("p.doc_id"))
+        .filter(col("n.cluster") =!= col("p.cluster"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** MinHash near-dup clusters for the documents table. */
+  def minhashClusters(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.5): DataFrame =
+    dupClusters(docs, minhashNearDups(docs, n, threshold))
+
   // ---- SimHash ----------------------------------------------------------
 
   /** 32-bit SimHash over whitespace tokens: per-token md5-derived bits

@@ -107,6 +107,32 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
+  /** IVF-style top-k: the query probes only its own LSH cell instead of
+    * the full corpus — the coarse-quantizer search pattern. Recall is
+    * partial by construction (cell-boundary neighbors are missed); the
+    * brute-force path is the exact baseline. Output: per query, the top-k
+    * same-cell neighbors.
+    */
+  def ivfTopK(emb: DataFrame, k: Int = 5, numQueries: Int = 10): DataFrame = {
+    val withBucket = emb
+      .select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+      .withColumn("bucket", lshBucket(col("ev")))
+      .withColumn("nrm", norm(col("ev")))
+    val queries = withBucket.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("ev").as("qv"),
+        col("bucket").as("qb"), col("nrm").as("qn"))
+    val scored = withBucket.join(broadcast(queries),
+        col("qb") === col("bucket") && col("query_id") =!= col("vec_id"))
+      .withColumn("cos", cosineWithNorms(dot(col("qv"), col("ev")),
+        col("qn"), col("nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cos"), col("rank"))
+  }
+
   /** Exact near-dup pairs over all pairs (the correctness baseline the LSH
     * path approximates; quadratic — use only at verification scales).
     */

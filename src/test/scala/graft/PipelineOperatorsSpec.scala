@@ -69,6 +69,18 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
   }
 
+  test("dupClusters: transitive near-dups collapse to one component, min id wins") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "the quick brown fox jumps over the lazy dog",
+      4L -> "completely different words entirely here now today")
+    // Edges chain 1-2 and 2-3 (and 1-3): all collapse to cluster 1.
+    val clusters = Dedup.minhashClusters(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+  }
+
   // ---- similarity -------------------------------------------------------
 
   private def vecs(vs: (Long, Seq[Float])*): DataFrame =
@@ -99,6 +111,16 @@ class PipelineOperatorsSpec extends SparkSpec {
     val pairs = Similarity.lshNearDups(d, threshold = 0.9).collect()
       .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
     assert(pairs.toSeq == Seq((0L, 1L)))
+  }
+
+  test("ivfTopK: finds the in-cell duplicate; skips cross-cell vectors") {
+    val d = vecs(
+      0L -> Seq(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f),
+      1L -> Seq(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f),       // same cell, cos 1
+      2L -> Seq(-1f, -2f, -3f, -4f, -5f, -6f, -7f, -8f)) // opposite cell
+    val rows = Similarity.ivfTopK(d, k = 5, numQueries = 1).collect()
+    assert(rows.map(_.getAs[Long]("neighbor_id")).toSet == Set(1L))
+    assert(rows(0).getAs[Double]("cos") == 1.0)
   }
 
   // ---- text analysis ----------------------------------------------------
