@@ -177,13 +177,14 @@ object Dedup {
     * no driver-side graph; convergence checked with a count per round.
     */
   def dupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = docs.select(col("doc_id"),
-        col("doc_id").as("cluster"))
+    // Iterate only over nodes that have at least one edge — the vast
+    // majority of a corpus is singleton and joins back at the end.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var rounds = 0
@@ -206,7 +207,11 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist()
-    labels
+    val out = docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("doc_id", "l_id"),
+        col("doc_id") === col("l_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+    out
   }
 
   /** MinHash near-dup clusters for the documents table. */
