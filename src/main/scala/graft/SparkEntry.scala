@@ -193,11 +193,25 @@ object SparkEntry {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))),
 
-    // A3's distribution map, exploded back to rows (proves the
-    // two-level map aggregation end-to-end, oracle-checkable).
+    // A3's distribution, served from the FIRST aggregation level — the
+    // query's output is (id, user, cnt) rows, which groupBy(id, user)
+    // already produces; the map_from_entries + explode round-trip is the
+    // API path's concern (trend_bias exercises it), not this query's.
     "trend_distribution" -> ((s, dir) => {
-      PageAggregates.distribution(EventAdapter.recentChanges(s, dir))
-        .select(col("id"), explode(col("distribution")).as(Seq("user", "cnt")))
+      PageAggregates.distributionPairs(EventAdapter.recentChanges(s, dir))
+        .select(col("id"), col("user"), col("cnt"))
+    }),
+
+    // A2's distinct editor sets (contributors/anons) — the reference's
+    // most-tested behavior (test/tests.js:38-51,80-95 asserts contributor
+    // membership). Arrays are joined to strings so DuckDB can hash-compare.
+    "trend_contributors" -> ((s, dir) => {
+      trendPages(s, dir).select(
+        col("id"),
+        array_join(col("contributors"), "|").as("contributors_s"),
+        array_join(col("anons"), "|").as("anons_s"),
+        size(col("contributors")).cast("long").as("n_contributors"),
+        size(col("anons")).cast("long").as("n_anons"))
     }),
 
     // M4 bias metric: author max-share per page (SURVEY §7.4 item 5).
@@ -461,6 +475,23 @@ object SparkEntry {
          FROM events
          WHERE event_type <> 'error' AND user_id % 11 <> 0
          GROUP BY 1, 2""",
+
+    // A2 distinct editor sets, restated over the adapter mapping: a
+    // contributor is a non-anon non-bot non-revert editor; list() +
+    // list_distinct (which also drops the CASE's NULLs) + list_sort mirrors
+    // Spark's collect_set + array_sort.
+    "trend_contributors" ->
+      """WITH c AS (
+           SELECT CAST(user_id AS VARCHAR) AS id,
+             list_sort(list_distinct(list(CASE WHEN event_type <> 'error' AND user_id % 11 <> 0 AND user_id % 5 <> 0 THEN 'u' || user_id END))) AS contribs,
+             list_sort(list_distinct(list(CASE WHEN event_type <> 'error' AND user_id % 11 <> 0 AND user_id % 5 = 0 THEN user_id || '.0.0.1' END))) AS anons
+           FROM events GROUP BY 1)
+         SELECT id,
+           coalesce(array_to_string(contribs, '|'), '') AS contributors_s,
+           coalesce(array_to_string(anons, '|'), '') AS anons_s,
+           CAST(len(contribs) AS BIGINT) AS n_contributors,
+           CAST(len(anons) AS BIGINT) AS n_anons
+         FROM c""",
 
     "trend_bias" ->
       """WITH d AS (
@@ -802,9 +833,46 @@ object SparkEntry {
              round(list_dot_product(l.ev, r.ev)
                    / (sqrt(list_dot_product(l.ev, l.ev)) * sqrt(list_dot_product(r.ev, r.ev))), 6) AS cos
            FROM v l JOIN v r ON l.vec_id < r.vec_id)
-         SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.35"""
+         SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.35""",
 
-    // doc_simhash_pairs: intentionally no oracle — the hex→int conversion
-    // in the hash family is engine-specific; driver records rows-only.
+    // SimHash, fully replicated: Spark's conv(substr(md5(tok),1,8),16,10)
+    // becomes per-character positional arithmetic (exact in doubles up to
+    // 16^8 < 2^53); votes, fingerprint bits, the 7×4-bit pigeonhole
+    // blocking and the Hamming filter mirror Dedup.simhashNearDups
+    // (maxDist=6 → blocks=7, width=32/7=4).
+    "doc_simhash_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(text), '\s+') END) AS tok
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+             CAST(list_sum(list_transform(generate_series(1, 8),
+               i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT)
+                    * CAST(pow(16, 8 - i) AS BIGINT))) AS BIGINT) AS h
+           FROM toks),
+         bits AS (SELECT unnest(generate_series(0, 31)) AS b),
+         votes AS (
+           SELECT doc_id, b,
+             SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           FROM h CROSS JOIN bits GROUP BY 1, 2),
+         sig AS (
+           SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+           FROM votes GROUP BY 1),
+         s0 AS (
+           SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+           FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id),
+         blk AS (
+           SELECT doc_id, simhash, bb.blk AS blk,
+             (simhash >> (bb.blk * 4)) & 15 AS key
+           FROM s0, (SELECT unnest(generate_series(0, 6)) AS blk) bb),
+         pairs AS (
+           SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+             l.simhash AS sa, r.simhash AS sb
+           FROM blk l JOIN blk r
+             ON l.blk = r.blk AND l.key = r.key AND l.doc_id < r.doc_id)
+         SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS dist
+         FROM pairs WHERE bit_count(xor(sa, sb)) <= 6"""
   )
 }

@@ -132,8 +132,14 @@ object Dedup {
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (size(col("sa.sset")) + size(col("sb.sset")) - col("inter")).cast("double"), 6))
-    j.filter(col("jaccard") >= threshold)
+    // Materialize eagerly (the pair set is tiny relative to the corpus) so
+    // the shingle cache can be released — persist() without unpersist()
+    // would accumulate cached copies across a query suite.
+    val out = j.filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .localCheckpoint(eager = true)
+    sets.unpersist()
+    out
   }
 
   /** Exact n-gram Jaccard for ALL pairs sharing at least one shingle —
@@ -156,7 +162,7 @@ object Dedup {
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val out = inter
       .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
       .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
       .withColumn("jaccard",
@@ -164,6 +170,9 @@ object Dedup {
           (col("ca.cnt") + col("cb.cnt") - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .localCheckpoint(eager = true) // release the shingle cache below
+    sets.unpersist()
+    out
   }
 
   /** Duplicate clusters: connected components over the near-dup pair graph
@@ -173,45 +182,52 @@ object Dedup {
     * document gets a cluster id = the min doc_id of its component;
     * singletons are their own cluster.
     *
-    * Scale: each round is one join + one aggregation on the edge list —
-    * no driver-side graph; convergence checked with a count per round.
+    * Scale + iteration hygiene: each round is ONE join + ONE aggregation on
+    * the edge list, materialized with `localCheckpoint(eager = true)` so the
+    * logical plan stays O(1) across rounds (persist alone caches data but
+    * round N's plan would still nest all N−1 prior plans, and Catalyst
+    * re-analysis cost grows superlinearly). The convergence signal rides the
+    * same aggregation: every node's previous label is carried through the
+    * groupBy (tagged `self` rows), so "did anything change" is a cheap scan
+    * of the just-materialized round output — no extra join.
     */
   def dupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     // Iterate only over nodes that have at least one edge — the vast
     // majority of a corpus is singleton and joins back at the end.
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
       val viaNeighbors = edges
         .join(labels, edges("src") === labels("doc_id"))
-        .select(col("dst").as("doc_id"), col("cluster"))
-      val next = labels.select(col("doc_id"), col("cluster"))
+        .select(col("dst").as("doc_id"), col("cluster"), lit(false).as("self"))
+      // Edges are symmetric, so every label-carrying node appears exactly
+      // once as a `self` row — min(when(self)) recovers its previous label
+      // in the SAME aggregation that computes the new one.
+      val next = labels
+        .select(col("doc_id"), col("cluster"), lit(true).as("self"))
         .union(viaNeighbors)
         .groupBy(col("doc_id"))
-        .agg(min(col("cluster")).as("cluster"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.as("n")
-        .join(labels.as("p"), col("n.doc_id") === col("p.doc_id"))
-        .filter(col("n.cluster") =!= col("p.cluster"))
-        .limit(1).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+        .agg(min(col("cluster")).as("cluster"),
+          min(when(col("self"), col("cluster"))).as("prev"))
+        .localCheckpoint(eager = true)
+      val changed = next
+        .agg(count(when(col("cluster") =!= col("prev"), lit(1))).as("n"))
+        .head().getLong(0)
+      labels = next.select(col("doc_id"), col("cluster"))
+      converged = changed == 0L
       rounds += 1
     }
-    edges.unpersist()
-    val out = docs.select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("doc_id", "l_id"),
         col("doc_id") === col("l_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
-    out
   }
 
   /** MinHash near-dup clusters for the documents table. */
@@ -222,9 +238,11 @@ object Dedup {
   // ---- SimHash ----------------------------------------------------------
 
   /** 32-bit SimHash over whitespace tokens: per-token md5-derived bits
-    * voted bit-wise, sign of the vote becomes the fingerprint bit. Not
-    * ANSI-SQL-expressible (hex→int conversion differs per engine), so the
-    * driver records a rows-only check; near-dup = small Hamming distance.
+    * voted bit-wise, sign of the vote becomes the fingerprint bit; near-dup
+    * = small Hamming distance. The hex→int step (`conv(substr(md5, 1, 8))`)
+    * is reproduced in the DuckDB oracle with per-character positional
+    * arithmetic (strpos over '0123456789abcdef'), so the whole pipeline is
+    * hash-checkable despite the engine-specific conv() builtin.
     *
     * Shape: explode tokens → hash each token ONCE → one hash aggregation
     * with 32 conditional sums (codegen'd, map-side combined). The naive
@@ -275,7 +293,8 @@ object Dedup {
         col("l.simhash").as("sh_a"), col("r.simhash").as("sh_b"))
       .distinct()
     pairs
-      .withColumn("dist", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .withColumn("dist",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("dist") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("dist"))
   }

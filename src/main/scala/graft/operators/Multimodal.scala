@@ -44,13 +44,15 @@ object Multimodal {
     import spark.implicits._
     payloads.select(col("doc_id"), col("payload")).as[Payload]
       .mapPartitions { it =>
-        // Per-partition setup happens once here (codec init in real life).
+        // Per-partition setup happens once here (codec init in real life);
+        // MessageDigest is stateful-but-resettable, so ONE instance serves
+        // the whole partition (digest() auto-resets after each call).
+        val md = java.security.MessageDigest.getInstance("MD5")
         it.map { p =>
           val bytes = Option(p.payload).getOrElse(Array.emptyByteArray)
           val (w, h, c) = decodeStub(bytes)
           MediaMeta(p.doc_id, bytes.length.toLong, w, h, c,
-            java.security.MessageDigest.getInstance("MD5").digest(bytes)
-              .map("%02x".format(_)).mkString)
+            md.digest(bytes).map("%02x".format(_)).mkString)
         }
       }
   }

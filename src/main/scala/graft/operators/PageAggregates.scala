@@ -86,13 +86,23 @@ object PageAggregates {
     * per-id merge sees one entry per editor, not one per event — this is
     * the shuffle-lean form at scale (SURVEY §7.3).
     */
-  def distribution(events: DataFrame, cfg: TrendConfig = TrendConfig()): DataFrame = {
-    val e = classified(events, cfg).filter(col("logType").isNull)
-    e.filter(!col("isBot") && !col("isRevert"))
-      .groupBy(col("id"), col("user")).agg(count(lit(1)).as("cnt"))
+  def distribution(events: DataFrame, cfg: TrendConfig = TrendConfig()): DataFrame =
+    distributionPairs(events, cfg)
       .groupBy(col("id"))
       .agg(map_from_entries(array_sort(collect_list(struct(col("user"), col("cnt")))))
         .as("distribution"))
+
+  /** The first level of the distribution aggregation — one row per
+    * (page, editor) with the edit count. Queries that want rows (not the
+    * map) should read THIS level directly: building the map and exploding
+    * it back pays a collect_list + map_from_entries + explode round-trip
+    * for output the level-1 agg already has.
+    */
+  def distributionPairs(events: DataFrame,
+      cfg: TrendConfig = TrendConfig()): DataFrame = {
+    val e = classified(events, cfg).filter(col("logType").isNull)
+    e.filter(!col("isBot") && !col("isRevert"))
+      .groupBy(col("id"), col("user")).agg(count(lit(1)).as("cnt"))
   }
 
   /** Scalable stand-in for exact contributor sets at the 100 TB tier:
@@ -208,21 +218,25 @@ object PageAggregates {
         element_at(col("logParams"), "target").as("toTitle"), col("ts"))
     val edges = moves.orderBy(col("ts"))
       .select("wiki", "fromTitle", "toTitle").collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2))
-    // Collapse chains in stream order: a→b then b→c ⇒ a→c. The new edge
-    // maps `from` to `to` DIRECTLY (never through to's earlier mapping):
-    // after A→B, a later C→A targets the now-vacant A, not B — sequential
-    // replay semantics.
-    val resolved = scala.collection.mutable.LinkedHashMap[(String, String), String]()
-    edges.foreach { case ((wiki, from), to) =>
-      resolved.keys.toList.foreach { k =>
-        if (k._1 == wiki && resolved(k) == from) resolved(k) = to
-      }
-      resolved((wiki, from)) = to
+      .map(r => ((r.getString(0), r.getString(1)), r.getString(2)))
+    warnIfMoveFlood(edges.length)
+    // Sequential-replay semantics (a later C→A targets the now-vacant A,
+    // never A's earlier destination): each from-key's final mapping follows
+    // its LAST outgoing move, then each arrival node's next-in-time move.
+    // One reverse-chronological sweep computes that in O(m): fdArrive(n) =
+    // where mass arriving at n (before the edges still to be scanned) ends.
+    // Replaces the per-edge rescan of all resolved keys — O(m²) on the
+    // driver, a real stall under a move-flood (vandalism spree).
+    val fdArrive = scala.collection.mutable.HashMap[(String, String), String]()
+    val resolvedFinal = scala.collection.mutable.HashMap[(String, String), String]()
+    edges.reverseIterator.foreach { case ((wiki, from), to) =>
+      val dest = fdArrive.getOrElse((wiki, to), to)
+      if (!resolvedFinal.contains((wiki, from))) resolvedFinal((wiki, from)) = dest
+      fdArrive((wiki, from)) = dest
     }
     val spark = events.sparkSession
     import spark.implicits._
-    val renameMap = resolved.toSeq.map { case ((w, f), t) => (w, f, t) }
+    val renameMap = resolvedFinal.toSeq.map { case ((w, f), t) => (w, f, t) }
       .toDF("r_wiki", "r_from", "r_to")
     events
       .join(broadcast(renameMap),
@@ -230,6 +244,18 @@ object PageAggregates {
       .withColumn("title", coalesce(col("r_to"), col("title")))
       .drop("r_wiki", "r_from", "r_to")
   }
+
+  /** Move logs are administrative-event volumes (orders of magnitude below
+    * the edit stream), so a driver-side collect + broadcast is the right
+    * plan — but guard it: past this cap the log is likely a move-flood and
+    * the broadcast itself becomes the hazard.
+    */
+  val MoveLogWarnThreshold: Int = 1 << 20
+  private[graft] def warnIfMoveFlood(n: Int): Unit =
+    if (n > MoveLogWarnThreshold)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"rename log has $n moves (> $MoveLogWarnThreshold): " +
+          "likely a move-flood; driver collect + broadcast may stall")
 
   /** Full trend pipeline: canonicalize renames, then aggregate per page. */
   def trendAggregates(events: DataFrame, cfg: TrendConfig = TrendConfig()): DataFrame =

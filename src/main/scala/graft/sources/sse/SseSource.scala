@@ -45,7 +45,9 @@ class SseSourceProvider extends TableProvider with DataSourceRegister {
     val path = properties.get("path")
     require(path != null && path.nonEmpty,
       "graft-sse requires .option(\"path\", <jsonl log>)")
-    new SseTable(path)
+    val staleMs = Option(properties.get("stalenessWarnMs")).map(_.toLong)
+      .getOrElse(SseMicroBatchStream.DefaultStalenessWarnMs)
+    new SseTable(path, staleMs)
   }
 }
 
@@ -54,14 +56,73 @@ object SseSource {
     StructField("offset", LongType, nullable = false),
     StructField("value", StringType, nullable = true)))
 
-  /** Count lines quickly (offset = message count so far). */
+  /** One-shot line count (batch reads only — the micro-batch stream keeps
+    * an incremental counter instead, see [[LogTailCounter]]). Explicit
+    * UTF-8: the platform default charset would mis-decode non-ASCII
+    * titles/comments on a non-UTF-8 JVM.
+    */
   private[sse] def lineCount(path: String): Long = {
-    val src = scala.io.Source.fromFile(path)
+    val src = scala.io.Source.fromFile(path)(scala.io.Codec.UTF8)
     try src.getLines().size.toLong finally src.close()
   }
 }
 
-class SseTable(path: String) extends Table with SupportsRead {
+/** Incremental newline counter over an append-only log: each call scans
+  * ONLY the bytes appended since the last call (byte-position tracking), so
+  * `latestOffset` is O(new data) per trigger instead of O(file) — the
+  * whole-log rescan was a driver-side scan per trigger that grows without
+  * bound on a long-lived stream.
+  *
+  * Line semantics match `Source.getLines`: a trailing chunk without a final
+  * newline counts as a line (so a capture that doesn't end in '\n' loses
+  * nothing). Consequence: a writer mid-append can expose a torn final line
+  * for one trigger — the reference has the same read-your-writer race; an
+  * appender that writes whole lines (write + fsync per message) never
+  * exposes one. A shrunken file (rotation/truncation) resets the counter
+  * and rescans from the start.
+  */
+private[sse] final class LogTailCounter(path: String) {
+  private var scannedBytes = 0L
+  private var newlines = 0L
+  private var lastByteWasNewline = true
+
+  def count(): Long = synchronized {
+    val f = new java.io.File(path)
+    val len = f.length()
+    if (len < scannedBytes) { scannedBytes = 0L; newlines = 0L; lastByteWasNewline = true }
+    if (len > scannedBytes) {
+      val in = new java.io.FileInputStream(f)
+      try {
+        var toSkip = scannedBytes
+        while (toSkip > 0) {
+          val skipped = in.skip(toSkip)
+          if (skipped <= 0) toSkip = 0 else toSkip -= skipped
+        }
+        val buf = new Array[Byte](1 << 16)
+        var remaining = len - scannedBytes
+        while (remaining > 0) {
+          val n = in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+          if (n <= 0) remaining = 0
+          else {
+            var i = 0
+            while (i < n) {
+              if (buf(i) == '\n') newlines += 1
+              lastByteWasNewline = buf(i) == '\n'
+              i += 1
+            }
+            scannedBytes += n
+            remaining -= n
+          }
+        }
+      } finally in.close()
+    }
+    newlines + (if (lastByteWasNewline) 0L else 1L)
+  }
+}
+
+class SseTable(path: String,
+    stalenessWarnMs: Long = SseMicroBatchStream.DefaultStalenessWarnMs)
+    extends Table with SupportsRead {
   override def name(): String = s"graft-sse($path)"
   override def schema(): StructType = SseSource.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -72,7 +133,7 @@ class SseTable(path: String) extends Table with SupportsRead {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = SseSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new SseMicroBatchStream(path)
+          new SseMicroBatchStream(path, stalenessWarnMs)
         override def toBatch: Batch = new Batch {
           override def planInputPartitions(): Array[InputPartition] =
             Array(SseRange(path, 0L, SseSource.lineCount(path)))
@@ -83,6 +144,11 @@ class SseTable(path: String) extends Table with SupportsRead {
     }
 }
 
+object SseMicroBatchStream {
+  /** Reference watchdog interval: 5 minutes (index.js:348-356). */
+  val DefaultStalenessWarnMs: Long = 5 * 60 * 1000L
+}
+
 /** Offset = number of messages consumed from the head of the log. */
 case class SseOffset(count: Long) extends Offset {
   override def json(): String = count.toString
@@ -90,20 +156,46 @@ case class SseOffset(count: Long) extends Offset {
 
 case class SseRange(path: String, start: Long, end: Long) extends InputPartition
 
-class SseMicroBatchStream(path: String)
+class SseMicroBatchStream(path: String,
+    stalenessWarnMs: Long = SseMicroBatchStream.DefaultStalenessWarnMs)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // AvailableNow pins the end of the log at trigger time so the query
   // drains exactly what existed then terminates.
   @volatile private var availableNowEnd: Option[Long] = None
 
+  private val tail = new LogTailCounter(path)
+
+  // Liveness watchdog state (reference index.js:348-356: if no message for
+  // 5 minutes, reboot the socket). Here the socket lives in the writer
+  // process, so the source's half is a staleness SIGNAL: warn when the log
+  // stops growing — the cue for the writer's supervisor to reconnect.
+  @volatile private var lastCount = -1L
+  @volatile private var lastGrowthMs = System.currentTimeMillis()
+  @volatile private var warnedStale = false
+
+  private def observedCount(): Long = {
+    val c = tail.count()
+    val now = System.currentTimeMillis()
+    if (c != lastCount) {
+      lastCount = c; lastGrowthMs = now; warnedStale = false
+    } else if (!warnedStale && now - lastGrowthMs > stalenessWarnMs) {
+      warnedStale = true
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"graft-sse($path): no new messages for ${now - lastGrowthMs} ms " +
+          s"(> $stalenessWarnMs ms) — feed looks stale; the writer process " +
+          "should reconnect its SSE socket (reference watchdog semantics)")
+    }
+    c
+  }
+
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowEnd = Some(SseSource.lineCount(path))
+    availableNowEnd = Some(observedCount())
 
   override def initialOffset(): Offset = SseOffset(0L)
 
   override def latestOffset(): Offset =
-    SseOffset(availableNowEnd.getOrElse(SseSource.lineCount(path)))
+    SseOffset(availableNowEnd.getOrElse(observedCount()))
 
   // SupportsAdmissionControl variant (via SupportsTriggerAvailableNow):
   // no rate limiting — always advance to the pinned/current end.
@@ -134,7 +226,8 @@ class SseReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val range = partition.asInstanceOf[SseRange]
     new PartitionReader[InternalRow] {
-      private val src = scala.io.Source.fromFile(range.path)
+      // Explicit UTF-8 (SSE wire encoding) — never the JVM default charset.
+      private val src = scala.io.Source.fromFile(range.path)(scala.io.Codec.UTF8)
       // Long line counter — Iterator.zipWithIndex's Int would overflow on
       // multi-billion-message logs, which the offsets deliberately allow.
       private val it = src.getLines()

@@ -52,16 +52,20 @@ object IncrementalTrend {
       .map(r => (pageIdStr(r.getString(0), r.getString(1)),
         pageIdStr(r.getString(0), r.getString(2)), r.getString(2),
         r.getTimestamp(3).getTime))
-    // Direct mapping per edge (a later C→A targets the vacated A, never
-    // A's earlier destination); keep the move time so simultaneous moves
-    // onto one target resolve deterministically (latest wins, as in
-    // sequential replay).
-    val resolved = scala.collection.mutable.LinkedHashMap[String, (String, String, Long)]()
-    moves.foreach { case (from, to, toTitle, tsMs) =>
-      resolved.keys.toList.foreach { k =>
-        if (resolved(k)._1 == from) resolved(k) = (to, toTitle, tsMs)
-      }
-      resolved(from) = (to, toTitle, tsMs)
+    PageAggregates.warnIfMoveFlood(moves.length)
+    // Sequential-replay chain collapse in O(m) — one reverse-chronological
+    // sweep (see PageAggregates.canonicalizeRenames): a from-key's mapping
+    // follows its LAST outgoing move, then each arrival node's next move in
+    // time; the stored (title, ts) are the FINAL hop's, so simultaneous
+    // moves onto one target still resolve latest-wins downstream.
+    val fdArrive =
+      scala.collection.mutable.HashMap[String, (String, String, Long)]()
+    val resolved =
+      scala.collection.mutable.HashMap[String, (String, String, Long)]()
+    moves.reverseIterator.foreach { case (from, to, toTitle, tsMs) =>
+      val dest = fdArrive.getOrElse(to, (to, toTitle, tsMs))
+      if (!resolved.contains(from)) resolved(from) = dest
+      fdArrive(from) = dest
     }
     val renameMap = resolved.toSeq.map { case (f, (t, tt, ts)) => (f, t, tt, ts) }
       .toDF("r_from", "r_to", "r_to_title", "r_ts")

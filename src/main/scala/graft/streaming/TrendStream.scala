@@ -38,40 +38,53 @@ object TrendStream {
       id: String, title: String, wiki: String, user: String,
       isBot: Boolean, isRevert: Boolean, isAnon: Boolean,
       isNew: Boolean, notab: Long, volat: Long, delta: Long,
-      logAction: String, // null | 'protect' | 'delete' (move pre-resolved)
+      logAction: String, // null | 'protect' | 'delete' | 'cmd:…' (move pre-resolved)
       ts: Timestamp)
 
-  /** Pure per-key update logic — the reference's `updateFromRCStream`
-    * (index.js:174-273) plus protect/delete dispatch (index.js:320-337).
-    * Order-sensitivity: events are applied in `ts` order within the batch
-    * (the reference applies them in arrival order).
+  /** Q4 control command — the reference's external API calls (`markSafe`
+    * index.js:409-411, `drop` index.js:427-430) as a typed stream. Unioned
+    * with the edit stream, a command reaches the SAME keyed state the edits
+    * live in — the streaming equivalent of the batch driver-side sets.
+    * `action`: "drop" | "markSafe".
     */
-  def applyEvents(state: PageState, events: Seq[ClassifiedEvent]): Option[PageState] = {
-    var s = state
-    var dropped = false
+  final case class TrendCommand(
+      action: String, wiki: String, title: String, ts: Timestamp)
+
+  /** Pure per-key update logic — the reference's `updateFromRCStream`
+    * (index.js:174-273) plus protect/delete dispatch (index.js:320-337) and
+    * the external control commands (drop index.js:427-430, markSafe
+    * index.js:409-411). Order-sensitivity: events are applied in `ts` order
+    * within the batch (the reference applies them in arrival order).
+    *
+    * Only `logAction == null` events are edits: the reference never routes
+    * log events into updateFromRCStream (moves go to renamePage, the rest
+    * are ignored — index.js:320-337), so an unhandled log action
+    * ('move', 'block', 'patrol', ...) must not inflate edit counters.
+    * Protect/markSafe flag EXISTING pages only (reference protectPage
+    * operates on a page already in the collection); a log-only group never
+    * creates state.
+    */
+  def applyEvents(initial: Option[PageState],
+      events: Seq[ClassifiedEvent]): Option[PageState] = {
+    var s: Option[PageState] = initial
     events.sortBy(_.ts.getTime).foreach { e =>
       e.logAction match {
-        case "delete" =>
-          // A6: drop state for the page (index.js:427-430).
-          dropped = true
-        case "protect" =>
-          // A5 (index.js:417-422). NOTE known-faithful-bug: the reference
-          // builds the id as wiki+'/'+title unconditionally there, so the
-          // flag never lands for enwiki (bare-title keys). We replicate
-          // the *intended* same-key semantics; the quirk is documented.
-          if (!dropped) s = s.copy(isProtected = true, updated = e.ts)
-        case _ =>
-          if (dropped) { s = PageState.empty(e.id, e.title, e.wiki, e.ts); dropped = false }
+        case null =>
+          // A1-A3: a real edit; creates the page if absent (also the
+          // recreate half of A6's drop-then-recreate).
+          val base = s.getOrElse(PageState.empty(e.id, e.title, e.wiki, e.ts))
           val afterCounts =
             if (e.isRevert)
-              s.copy(reverts = s.reverts + 1, bytesChanged = s.bytesChanged + e.delta)
+              base.copy(reverts = base.reverts + 1,
+                bytesChanged = base.bytesChanged + e.delta)
             else if (!e.isBot)
-              s.copy(edits = s.edits + 1, bytesChanged = s.bytesChanged + e.delta)
-            else s
+              base.copy(edits = base.edits + 1,
+                bytesChanged = base.bytesChanged + e.delta)
+            else base
           var n = afterCounts.copy(
-            isNew = s.isNew || e.isNew,
-            notabilityFlags = s.notabilityFlags + e.notab,
-            volatileFlags = s.volatileFlags + e.volat,
+            isNew = base.isNew || e.isNew,
+            notabilityFlags = base.notabilityFlags + e.notab,
+            volatileFlags = base.volatileFlags + e.volat,
             updated = e.ts)
           if (!e.isBot && !e.isRevert) {
             val dist = n.distribution.updated(e.user, n.distribution.getOrElse(e.user, 0L) + 1L)
@@ -87,10 +100,26 @@ object TrendStream {
                     else n.contributors :+ e.user,
                   distribution = dist)
           }
-          s = n
+          s = Some(n)
+        case "delete" | "cmd:drop" =>
+          // A6 / Q4 drop: remove state; a later edit recreates fresh.
+          s = None
+        case "protect" =>
+          // A5 (index.js:417-422). NOTE known-faithful-bug: the reference
+          // builds the id as wiki+'/'+title unconditionally there, so the
+          // flag never lands for enwiki (bare-title keys). We replicate
+          // the *intended* same-key semantics; the quirk is documented.
+          s = s.map(_.copy(isProtected = true, updated = e.ts))
+        case "cmd:markSafe" =>
+          // Q4 markSafe (index.js:409-411): exempt from speed/idle eviction.
+          s = s.map(_.copy(safe = true))
+        case _ =>
+          // Unhandled log action (move/block/patrol/...) — ignored; moves
+          // are resolved upstream of the keyed operator.
+          ()
       }
     }
-    if (dropped) None else Some(s)
+    s
   }
 
   /** A7 — the cleaner's keep/drop decision (index.js:370-392), identical
@@ -129,15 +158,14 @@ object TrendStream {
       }
     } else {
       val evs = events.toSeq
-      val first = evs.minBy(_.ts.getTime)
-      val init = state.getOption.getOrElse(
-        PageState.empty(first.id, first.title, first.wiki, first.ts))
-      applyEvents(init, evs) match {
+      applyEvents(state.getOption, evs) match {
         case Some(next) =>
           state.update(next)
           if (armTimers) state.setTimeoutDuration(cfg.cleanerIntervalSec * 1000)
           Iterator.single(next)
         case None =>
+          // Dropped/deleted — or a log-only group on an absent page, which
+          // must NOT materialize a zero-edit PageState.
           if (state.exists) state.remove()
           Iterator.empty
       }
@@ -174,19 +202,45 @@ object TrendStream {
       .as[ClassifiedEvent]
   }
 
+  /** Encode control commands as ClassifiedEvents (logAction = "cmd:<action>")
+    * so they flow through the same keyed exchange as edits.
+    */
+  def commandEvents(cmds: Dataset[TrendCommand]): Dataset[ClassifiedEvent] = {
+    import graft.functions.Classifiers._
+    val spark = cmds.sparkSession
+    import spark.implicits._
+    cmds.toDF().select(
+      pageId(col("wiki"), col("title")).as("id"),
+      col("title"),
+      wikiOf(col("wiki")).as("wiki"),
+      lit("").as("user"),
+      lit(false).as("isBot"), lit(false).as("isRevert"),
+      lit(false).as("isAnon"), lit(false).as("isNew"),
+      lit(0L).as("notab"), lit(0L).as("volat"), lit(0L).as("delta"),
+      concat(lit("cmd:"), col("action")).as("logAction"),
+      col("ts")).as[ClassifiedEvent]
+  }
+
   /** Build the full streaming pipeline: classify → keyed stateful update.
     * Output (Update mode): the refreshed PageState rows per micro-batch —
     * the streaming twin of the reference's `emit('edit', page)` (S4).
+    *
+    * `commands` (Q4): an optional control stream (drop / markSafe) unioned
+    * with the edits — commands shuffle to the page's state partition and
+    * apply in ts order interleaved with that batch's edits.
     */
   def pageStates(events: Dataset[RecentChange],
       cfg: TrendConfig = TrendConfig(),
-      evict: Boolean = true): Dataset[PageState] = {
+      evict: Boolean = true,
+      commands: Option[Dataset[TrendCommand]] = None): Dataset[PageState] = {
     val spark = events.sparkSession
     import spark.implicits._
     val timeout =
       if (evict) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
-    classify(events, cfg)
+    val classifiedAll = commands.foldLeft(classify(events, cfg))(
+      (evs, cmds) => evs.unionByName(commandEvents(cmds)))
+    classifiedAll
       .groupByKey(_.id)
       .flatMapGroupsWithState[PageState, PageState](
         OutputMode.Update, timeout)(updateFn(cfg, armTimers = evict))
@@ -197,19 +251,31 @@ object TrendStream {
     * used by tests to prove stream ≡ batch (SURVEY §5.2 item 2).
     */
   def replayToSnapshot(spark: SparkSession, events: Seq[RecentChange],
-      cfg: TrendConfig = TrendConfig(), queryName: String = "trend_replay"): Seq[PageState] = {
+      cfg: TrendConfig = TrendConfig(), queryName: String = "trend_replay",
+      commands: Seq[TrendCommand] = Nil): Seq[PageState] = {
     import spark.implicits._
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[RecentChange](spark)
     ms.addData(events)
+    val cmdOpt =
+      if (commands.isEmpty) None
+      else {
+        val cs = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[TrendCommand](spark)
+        cs.addData(commands)
+        Some(cs.toDS())
+      }
     // evict=false (NoTimeout) + AvailableNow: drain what's queued then
     // terminate. With processing-time timers armed the engine would keep
     // scheduling micro-batches to service them and never settle; the
     // eviction policy is exercised directly via survives().
-    val q = pageStates(ms.toDS(), cfg, evict = false).writeStream
+    val q = pageStates(ms.toDS(), cfg, evict = false, commands = cmdOpt)
+      .writeStream
       .format("memory").queryName(queryName).outputMode("update")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     try q.awaitTermination(120000) finally q.stop()
-    // Update-mode memory sink appends each update; keep the LAST row per id.
+    // Update-mode memory sink appends each update; keep the LAST row per
+    // id. A key whose final action dropped it emits nothing in that batch —
+    // rows from EARLIER batches can linger (sink workaround limitation);
+    // single-batch replays are exact.
     spark.table(queryName).as[PageState].collect()
       .groupBy(_.id).map { case (_, rows) => rows.last }.toSeq
   }

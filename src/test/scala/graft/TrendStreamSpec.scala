@@ -32,30 +32,30 @@ class TrendStreamSpec extends SparkSpec {
   // --- applyEvents fixture parity (reference test/tests.js) --------------
 
   test("stream update: edit accounting (tests.js:38-51)") {
-    val s = TrendStream.applyEvents(empty(), Seq(ce())).get
+    val s = TrendStream.applyEvents(Some(empty()), Seq(ce())).get
     assert(s.edits == 1 && s.bytesChanged == 1)
     assert(s.contributors == Seq("Jon") && s.distribution == Map("Jon" -> 1L))
   }
 
   test("stream update: bot edits count nowhere (tests.js:80-95)") {
-    val s = TrendStream.applyEvents(empty(), Seq(ce(isBot = true))).get
+    val s = TrendStream.applyEvents(Some(empty()), Seq(ce(isBot = true))).get
     assert(s.edits == 0 && s.bytesChanged == 0 && s.contributors.isEmpty)
   }
 
   test("stream update: revert counted, not an edit (tests.js:97-109)") {
-    val s = TrendStream.applyEvents(empty(), Seq(ce(isRevert = true, user = "Reverter"))).get
+    val s = TrendStream.applyEvents(Some(empty()), Seq(ce(isRevert = true, user = "Reverter"))).get
     assert(s.reverts == 1 && s.edits == 0 && s.contributors.isEmpty)
     assert(s.bytesChanged == 1) // reverts apply delta
   }
 
   test("stream update: bot revert still changes bytes (tests.js:111-122)") {
-    val s = TrendStream.applyEvents(empty(),
+    val s = TrendStream.applyEvents(Some(empty()),
       Seq(ce(isBot = true, isRevert = true, user = "Reverter"))).get
     assert(s.reverts == 1 && s.bytesChanged == 1 && s.edits == 0)
   }
 
   test("stream update: anon edit increments both counters and anons set") {
-    val s = TrendStream.applyEvents(empty(),
+    val s = TrendStream.applyEvents(Some(empty()),
       Seq(ce(user = "192.168.0.1", isAnon = true), ce())).get
     assert(s.edits == 2 && s.anonEdits == 1)
     assert(s.anons == Seq("192.168.0.1") && s.contributors == Seq("Jon"))
@@ -63,9 +63,9 @@ class TrendStreamSpec extends SparkSpec {
   }
 
   test("stream update: delete drops state; later edit recreates fresh (A6)") {
-    val gone = TrendStream.applyEvents(empty(), Seq(ce(), ce(logAction = "delete", at = ts("2024-01-01 00:01:00"))))
+    val gone = TrendStream.applyEvents(Some(empty()), Seq(ce(), ce(logAction = "delete", at = ts("2024-01-01 00:01:00"))))
     assert(gone.isEmpty)
-    val recreated = TrendStream.applyEvents(empty(), Seq(
+    val recreated = TrendStream.applyEvents(Some(empty()), Seq(
       ce(),
       ce(logAction = "delete", at = ts("2024-01-01 00:01:00")),
       ce(user = "Ann", at = ts("2024-01-01 00:02:00")))).get
@@ -73,15 +73,43 @@ class TrendStreamSpec extends SparkSpec {
   }
 
   test("stream update: protect sets flag (A5)") {
-    val s = TrendStream.applyEvents(empty(),
+    val s = TrendStream.applyEvents(Some(empty()),
       Seq(ce(), ce(logAction = "protect", at = ts("2024-01-01 00:01:00")))).get
     assert(s.isProtected && s.edits == 1)
   }
 
   test("stream update: events apply in ts order (updated = last ts)") {
-    val s = TrendStream.applyEvents(empty(), Seq(
+    val s = TrendStream.applyEvents(Some(empty()), Seq(
       ce(at = ts("2024-01-01 00:05:00")), ce(at = t0))).get
     assert(s.updated == ts("2024-01-01 00:05:00"))
+  }
+
+  test("stream update: unhandled log actions are NOT edits (move/block/patrol)") {
+    // The reference routes moves to renamePage and ignores other log
+    // actions (index.js:320-337); none may inflate edit counters.
+    val s = TrendStream.applyEvents(Some(empty()), Seq(
+      ce(), ce(logAction = "move", at = ts("2024-01-01 00:01:00")),
+      ce(logAction = "block", at = ts("2024-01-01 00:02:00")),
+      ce(logAction = "patrol", at = ts("2024-01-01 00:03:00")))).get
+    assert(s.edits == 1 && s.contributors == Seq("Jon"))
+    assert(s.updated == t0) // log noise doesn't touch the page
+  }
+
+  test("stream update: log-only group on absent page creates no state (A5)") {
+    assert(TrendStream.applyEvents(None, Seq(ce(logAction = "protect"))).isEmpty)
+    assert(TrendStream.applyEvents(None, Seq(ce(logAction = "move"))).isEmpty)
+    assert(TrendStream.applyEvents(None, Seq(ce(logAction = "cmd:markSafe"))).isEmpty)
+  }
+
+  test("stream update: cmd:drop removes state; cmd:markSafe sets safe (Q4)") {
+    val dropped = TrendStream.applyEvents(Some(empty()),
+      Seq(ce(), ce(logAction = "cmd:drop", at = ts("2024-01-01 00:01:00"))))
+    assert(dropped.isEmpty)
+    val safe = TrendStream.applyEvents(Some(empty()),
+      Seq(ce(), ce(logAction = "cmd:markSafe", at = ts("2024-01-01 00:01:00")))).get
+    assert(safe.safe && safe.edits == 1)
+    // markSafe exempts the page from the speed/idle policy (index.js:379).
+    assert(TrendStream.survives(safe, ts("2024-01-01 03:00:00").getTime, TrendConfig()))
   }
 
   // --- eviction policy (A7, index.js:370-392) ----------------------------
@@ -154,6 +182,11 @@ class TrendStreamSpec extends SparkSpec {
       .map(r => r.getAs[String]("id") -> r).toMap
 
     assert(streamed.keySet == batch.keySet)
+    checkStreamEqualsBatch(streamed, batch)
+  }
+
+  private def checkStreamEqualsBatch(streamed: Map[String, PageState],
+      batch: Map[String, org.apache.spark.sql.Row]): Unit = {
     streamed.foreach { case (id, s) =>
       val b = batch(id)
       assert(s.edits == b.getAs[Long]("edits"), s"edits@$id")
@@ -170,5 +203,44 @@ class TrendStreamSpec extends SparkSpec {
       assert(s.anons.toSet ==
         b.getSeq[String](b.fieldIndex("anons")).toSet, s"anons@$id")
     }
+  }
+
+  // --- Q4 streaming control channel --------------------------------------
+
+  test("streaming drop command removes a page mid-stream (tests.js:53-61)") {
+    val events = Seq(
+      rc(title = "Foo", at = t0),
+      rc(title = "Bar", user = "Ann", at = ts("2024-01-01 00:00:30")),
+      // Post-drop edit: the page must come back FRESH, not accumulated.
+      rc(title = "Foo", user = "Eve", at = ts("2024-01-01 00:02:00")))
+    val cmds = Seq(
+      TrendStream.TrendCommand("drop", "enwiki", "Foo", ts("2024-01-01 00:01:00")))
+    val snap = TrendStream.replayToSnapshot(spark, events,
+      queryName = "trend_cmd_drop", commands = cmds).map(s => s.id -> s).toMap
+    assert(snap("Foo").edits == 1 && snap("Foo").contributors == Seq("Eve"))
+    assert(snap("Bar").edits == 1) // untargeted page unaffected
+  }
+
+  test("streaming markSafe command flags the page (index.js:409-411)") {
+    val events = Seq(rc(title = "Foo", at = t0))
+    val cmds = Seq(
+      TrendStream.TrendCommand("markSafe", "enwiki", "Foo", ts("2024-01-01 00:01:00")))
+    val snap = TrendStream.replayToSnapshot(spark, events,
+      queryName = "trend_cmd_safe", commands = cmds).map(s => s.id -> s).toMap
+    assert(snap("Foo").safe && snap("Foo").edits == 1)
+  }
+
+  test("streaming: move log event through pageStates does not inflate counts") {
+    val events = Seq(
+      rc(title = "Foo", at = t0),
+      RecentChange("Foo", "moved", 0, "Admin", false, "log", 0L, 0L,
+        "enwiki", "en.wikipedia.org", "move", "move",
+        Map("target" -> "Bar"), null, ts("2024-01-01 00:01:00")))
+    val snap = TrendStream.replayToSnapshot(spark, events,
+      queryName = "trend_log_noise").map(s => s.id -> s).toMap
+    // The raw streaming operator ignores the move (rename resolution is
+    // upstream); the edit count must stay 1 and no zero-edit page appears.
+    assert(snap("Foo").edits == 1 && snap("Foo").updated == t0)
+    assert(snap.size == 1)
   }
 }
