@@ -642,13 +642,15 @@ object SparkEntry {
                   ELSE [array_to_string(t, ' ')] END) AS ss
            FROM toks),
          ex AS (SELECT doc_id, unnest(ss) AS shingle FROM sh),
+         hx AS (SELECT doc_id, md5('a:' || shingle) AS ma,
+                       md5('b:' || shingle) AS mb FROM ex),
          sig AS (
            SELECT doc_id,
-             min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
-             min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
-             min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
-             min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
-           FROM ex GROUP BY doc_id),
+             min(substr(ma, 1, 8)) AS h0, min(substr(ma, 9, 8)) AS h1,
+             min(substr(ma, 17, 8)) AS h2, min(substr(ma, 25, 8)) AS h3,
+             min(substr(mb, 1, 8)) AS h4, min(substr(mb, 9, 8)) AS h5,
+             min(substr(mb, 17, 8)) AS h6, min(substr(mb, 25, 8)) AS h7
+           FROM hx GROUP BY doc_id),
          bk AS (
            SELECT doc_id, b.band,
              CASE b.band WHEN 0 THEN md5(h0 || h1) WHEN 1 THEN md5(h2 || h3)
@@ -712,13 +714,15 @@ object SparkEntry {
                   ELSE [array_to_string(t, ' ')] END) AS ss
            FROM toks),
          ex AS (SELECT doc_id, unnest(ss) AS shingle FROM sh),
+         hx AS (SELECT doc_id, md5('a:' || shingle) AS ma,
+                       md5('b:' || shingle) AS mb FROM ex),
          sig AS (
            SELECT doc_id,
-             min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
-             min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
-             min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
-             min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
-           FROM ex GROUP BY doc_id),
+             min(substr(ma, 1, 8)) AS h0, min(substr(ma, 9, 8)) AS h1,
+             min(substr(ma, 17, 8)) AS h2, min(substr(ma, 25, 8)) AS h3,
+             min(substr(mb, 1, 8)) AS h4, min(substr(mb, 9, 8)) AS h5,
+             min(substr(mb, 17, 8)) AS h6, min(substr(mb, 25, 8)) AS h7
+           FROM hx GROUP BY doc_id),
          bk AS (
            SELECT doc_id, b.band,
              CASE b.band WHEN 0 THEN md5(h0 || h1) WHEN 1 THEN md5(h2 || h3)

@@ -63,23 +63,30 @@ object Dedup {
   val BandRows = 2
   val Bands: Int = MinhashK / BandRows
 
-  /** Hash function family: h_s(x) = md5("s:" + x), compared
+  /** Hash function family: TWO md5s per shingle (seeds 'a:'/'b:'), each
+    * sliced into four 8-hex-char (32-bit) values → 8 functions, compared
     * lexicographically (any total order works for MinHash; hex strings give
-    * one that every engine agrees on).
+    * one that every engine agrees on). One md5 per seed per shingle was the
+    * dominant cost of the whole near-dup pipeline — slicing a strong hash
+    * buys k functions for the price of two, and 32-bit values collide with
+    * negligible probability across a document's shingle set.
     */
-  def seedHash(seed: Int, shingle: Column): Column =
-    md5(concat(lit(s"$seed:"), shingle))
+  private def slice(m: Column, i: Int): Column = substring(m, i * 8 + 1, 8)
 
   /** MinHash signatures from exploded (doc_id, shingle) pairs: one row per
-    * doc, columns h0..h{k-1} — a single aggregation with k conditional
-    * mins.
+    * doc, columns h0..h{k-1} — hash per ROW first (so each md5 is computed
+    * once, not once per aggregate), then a single aggregation with k mins.
     */
-  private def signaturesFromExploded(ex: DataFrame): DataFrame =
-    ex.groupBy(col("doc_id"))
+  private def signaturesFromExploded(ex: DataFrame): DataFrame = {
+    val hashed = ex.select(col("doc_id"),
+      md5(concat(lit("a:"), col("shingle"))).as("ma"),
+      md5(concat(lit("b:"), col("shingle"))).as("mb"))
+    hashed.groupBy(col("doc_id"))
       .agg(
-        min(seedHash(0, col("shingle"))).as("h0"),
-        (1 until MinhashK).map(s =>
-          min(seedHash(s, col("shingle"))).as(s"h$s")): _*)
+        min(slice(col("ma"), 0)).as("h0"),
+        ((1 until 4).map(i => min(slice(col("ma"), i)).as(s"h$i")) ++
+          (0 until 4).map(i => min(slice(col("mb"), i)).as(s"h${i + 4}"))): _*)
+  }
 
   def signatures(docs: DataFrame, n: Int = 3): DataFrame =
     signaturesFromExploded(explodedShingles(docs, n))

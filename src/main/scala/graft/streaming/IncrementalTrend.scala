@@ -92,19 +92,7 @@ object IncrementalTrend {
     // state and prior same-batch edits, while later same-batch edits
     // recreate the page (reference drop-then-recreate, index.js:427-430).
     val logEvents = batch.filter(col("logType").isNotNull)
-    // Reference takes match group 1 or 2 of the HTML-entity pattern
-    // (index.js:330-336) and only drops when log_params is empty.
-    val delPattern = "&quot;\\[\\[(.*)\\]\\]&quot;|&quot;(.*)&quot;"
-    val g1 = regexp_extract(col("logActionComment"), delPattern, 1)
-    val g2 = regexp_extract(col("logActionComment"), delPattern, 2)
-    val deletes = logEvents.filter(col("logAction") === "delete")
-      // "log_params empty" (ANSI size(null) is null, so test explicitly).
-      .filter(col("logParams").isNull || size(col("logParams")) === 0)
-      .select(col("wiki"), when(length(g1) > 0, g1).otherwise(g2).as("del_title"),
-        col("ts"))
-      .filter(length(col("del_title")) > 0)
-      .groupBy(pageId(col("wiki"), col("del_title")).as("del_id"))
-      .agg(max(col("ts")).as("del_ts"))
+    val deletes = deleteTargets(batch)
 
     val stateAfterDelete = afterRename.join(broadcast(deletes),
       col("id") === col("del_id"), "left_anti")
@@ -163,6 +151,24 @@ object IncrementalTrend {
       lit(new java.sql.Timestamp(asOfMs)), cfg)
   }
 
+  /** (del_id, del_ts) per deleted page in the batch. Reference takes match
+    * group 1 or 2 of the HTML-entity pattern (index.js:330-336) and only
+    * drops when log_params is empty.
+    */
+  private[streaming] def deleteTargets(batch: DataFrame): DataFrame = {
+    val delPattern = "&quot;\\[\\[(.*)\\]\\]&quot;|&quot;(.*)&quot;"
+    val g1 = regexp_extract(col("logActionComment"), delPattern, 1)
+    val g2 = regexp_extract(col("logActionComment"), delPattern, 2)
+    batch.filter(col("logType").isNotNull && col("logAction") === "delete")
+      // "log_params empty" (ANSI size(null) is null, so test explicitly).
+      .filter(col("logParams").isNull || size(col("logParams")) === 0)
+      .select(col("wiki"), when(length(g1) > 0, g1).otherwise(g2).as("del_title"),
+        col("ts"))
+      .filter(length(col("del_title")) > 0)
+      .groupBy(pageId(col("wiki"), col("del_title")).as("del_id"))
+      .agg(max(col("ts")).as("del_ts"))
+  }
+
   private def zeroL(c: org.apache.spark.sql.Column) = coalesce(c, lit(0L))
   private def emptyArr(c: org.apache.spark.sql.Column) =
     coalesce(c, array().cast("array<string>"))
@@ -193,38 +199,116 @@ object IncrementalTrend {
     }
   }
 
-  /** Streaming run: fold micro-batches into a parquet-backed state table —
+  /** Streaming run: fold micro-batches into a BUCKETED parquet state table —
     * the reference's LevelDB persistence (S2/S3), upgraded from its lossy
     * 20-second snapshot to checkpointed micro-batches.
     *
-    * Durability notes: the new state is fully written to a temp dir, then
-    * swapped in with a filesystem rename (delete-old + rename-new). The
-    * swap window is small but not atomic, and a crash between the swap and
-    * the checkpoint commit replays the batch against post-batch state —
-    * production deployments should point stateDir at a transactional
-    * table format; the batch fold itself is unchanged.
+    * Incremental maintenance: state is partitioned by
+    * `bucket = pmod(xxhash64(id), numBuckets)`. Each batch computes the set
+    * of buckets its events touch (edit ids, move targets, parsed delete
+    * targets), reads ONLY those partitions (partition pruning on the scan),
+    * folds the batch into that slice, and rewrites only those bucket dirs
+    * via dynamic partition overwrite — per-batch I/O is proportional to
+    * touched keys, not total state. The old implementation rewrote the
+    * whole table every batch AND swapped it in with a non-atomic
+    * delete+rename (a crash window that lost the entire table).
+    *
+    * Eviction (A7) runs on the touched slice each batch, plus a FULL sweep
+    * every `fullSweepEveryNBatches` so idle pages in untouched buckets
+    * still age out (the reference cleaner's interval tick).
+    *
+    * Crash semantics: dynamic partition overwrite stages each bucket dir
+    * and commits per partition; a crash mid-write can leave a subset of
+    * touched buckets updated, and checkpoint replay then re-applies the
+    * batch — the merge is additive, so that replay double-counts the
+    * touched slice. Bounded to touched buckets (the old swap could lose
+    * everything); deployments needing exactly-once should point stateDir at
+    * a transactional table format, the fold itself is unchanged.
     */
   def run(events: Dataset[RecentChange], stateDir: String,
-      checkpointDir: String, cfg: TrendConfig = TrendConfig()): StreamingQuery = {
-    val spark = events.sparkSession
+      checkpointDir: String, cfg: TrendConfig = TrendConfig(),
+      numBuckets: Int = 64, fullSweepEveryNBatches: Int = 10): StreamingQuery = {
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[RecentChange], batchId: Long) =>
-        import org.apache.hadoop.fs.Path
-        val live = new Path(stateDir)
-        val tmp = new Path(stateDir + s"_tmp$batchId")
-        val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val prev =
-          if (fs.exists(live)) spark.read.parquet(stateDir)
-          else emptyState(spark)
-        val next = processBatch(prev, batch.toDF(),
-          System.currentTimeMillis(), cfg)
-        next.write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(live)) fs.delete(live, true)
-        fs.rename(tmp, live)
-        ()
+        foldBatch(batch.toDF(), stateDir, batchId,
+          System.currentTimeMillis(), cfg, numBuckets, fullSweepEveryNBatches)
       }
       .start()
+  }
+
+  private def bucketOf(id: org.apache.spark.sql.Column, n: Int) =
+    pmod(xxhash64(id), lit(n.toLong)).cast("int")
+
+  /** Read the live bucketed state table (all buckets, no pruning). */
+  def readState(spark: SparkSession, stateDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(stateDir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(live) &&
+        fs.listStatus(live).exists(_.getPath.getName.startsWith("bucket=")))
+      spark.read.parquet(stateDir).drop("bucket")
+    else emptyState(spark)
+  }
+
+  /** One micro-batch fold against the bucketed state table (see `run`). */
+  private[graft] def foldBatch(batch0: DataFrame, stateDir: String,
+      batchId: Long, asOfMs: Long, cfg: TrendConfig,
+      numBuckets: Int, fullSweepEveryNBatches: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch0.sparkSession
+    import graft.functions.Classifiers.pageId
+    val live = new Path(stateDir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stateExists = fs.exists(live) &&
+      fs.listStatus(live).exists(_.getPath.getName.startsWith("bucket="))
+    val sweep = fullSweepEveryNBatches > 0 && batchId % fullSweepEveryNBatches == 0
+    // The batch feeds several jobs (touched-bucket scan, the fold's own
+    // collects, the merge) — materialize once.
+    val batch = batch0.localCheckpoint(eager = true)
+
+    // Buckets this batch can affect: every event's own page id (covers
+    // edits, protects, and each move's SOURCE), move targets, parsed
+    // delete targets.
+    val evIds = batch.select(pageId(col("wiki"), col("title")).as("id"))
+    val moveIds = batch
+      .filter(col("logType").isNotNull && col("logAction") === "move")
+      .select(pageId(col("wiki"),
+        element_at(col("logParams"), "target")).as("id"))
+    val delIds = deleteTargets(batch).select(col("del_id").as("id"))
+    val touched = evIds.union(moveIds).union(delIds)
+      .select(bucketOf(col("id"), numBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+
+    val prev =
+      if (!stateExists) emptyState(spark)
+      else {
+        val full = spark.read.parquet(stateDir)
+        val pruned =
+          if (sweep) full
+          else full.filter(col("bucket")
+            .isin(touched.toSeq.map(Integer.valueOf): _*))
+        pruned.drop("bucket")
+      }
+    // Materialize the fold BEFORE overwriting the dirs it was read from.
+    val next = processBatch(prev, batch, asOfMs, cfg)
+      .withColumn("bucket", bucketOf(col("id"), numBuckets))
+      .localCheckpoint(eager = true)
+
+    if (!next.isEmpty) {
+      next.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(stateDir)
+    }
+    // A touched bucket whose pages ALL evicted/deleted writes no rows, so
+    // dynamic overwrite leaves its old files — drop those dirs explicitly.
+    val written = next.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val targets = if (sweep && stateExists) (0 until numBuckets).toSet else touched
+    (targets -- written).foreach { b =>
+      val dir = new Path(live, s"bucket=$b")
+      if (fs.exists(dir)) fs.delete(dir, true)
+    }
   }
 }

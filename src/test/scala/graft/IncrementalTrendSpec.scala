@@ -150,4 +150,76 @@ class IncrementalTrendSpec extends SparkSpec {
         o.getSeq[String](o.fieldIndex("contributors")).toSet)
     }
   }
+
+  // --- bucketed incremental state table (S2/S3) ---------------------------
+
+  private def foldToDir(dir: String, batchId: Long, events: Seq[RecentChange],
+      buckets: Int = 8, sweepEvery: Int = 0): Unit = {
+    import spark.implicits._
+    IncrementalTrend.foldBatch(events.toDF(), dir, batchId, asOf, cfg,
+      buckets, sweepEvery)
+  }
+
+  test("bucketed state: multi-batch fold equals one-shot aggregation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_state").toString + "/st"
+    val b1 = Seq(edit("Foo", min = 0), edit("Bar", user = "Ann", min = 0))
+    val b2 = Seq(edit("Foo", user = "Eve", min = 1), edit("Baz", min = 1))
+    foldToDir(dir, 0, b1); foldToDir(dir, 1, b2)
+    val st = IncrementalTrend.readState(spark, dir).collect()
+      .map(r => r.getAs[String]("id") -> r).toMap
+    assert(st.keySet == Set("Foo", "Bar", "Baz"))
+    assert(st("Foo").getAs[Long]("edits") == 2L)
+    val foo = st("Foo")
+    assert(foo.getSeq[String](foo.fieldIndex("contributors")).toSet ==
+      Set("Jon", "Eve"))
+  }
+
+  test("bucketed state: per-batch write touches only the batch's buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_state").toString + "/st"
+    foldToDir(dir, 0, Seq(edit("Foo", min = 0), edit("Bar", min = 0),
+      edit("Baz", min = 0), edit("Qux", min = 0)))
+    val root = new java.io.File(dir)
+    val before = root.listFiles().filter(_.getName.startsWith("bucket="))
+      .map(d => d.getName -> d.listFiles().map(f =>
+        f.getName -> f.lastModified()).toMap).toMap
+    Thread.sleep(1100) // mtime granularity
+    // Second batch touches ONLY Foo's bucket.
+    foldToDir(dir, 1, Seq(edit("Foo", user = "Eve", min = 1)))
+    val after = root.listFiles().filter(_.getName.startsWith("bucket="))
+      .map(d => d.getName -> d.listFiles().map(f =>
+        f.getName -> f.lastModified()).toMap).toMap
+    // Every bucket dir present before and not containing Foo must be
+    // byte-identical (same files, same mtimes) — proportional-write proof.
+    val changed = before.keys.filter(k =>
+      after.get(k).forall(_ != before(k))).toSet
+    assert(changed.size <= 1, s"expected at most Foo's bucket to change, got $changed")
+    // And the fold itself stayed correct.
+    val st = IncrementalTrend.readState(spark, dir).collect()
+      .map(r => r.getAs[String]("id") -> r).toMap
+    assert(st("Foo").getAs[Long]("edits") == 2L && st.size == 4)
+  }
+
+  test("bucketed state: delete empties its bucket dir when last page goes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_state").toString + "/st"
+    foldToDir(dir, 0, Seq(edit("Doomed", min = 0)), buckets = 1)
+    assert(IncrementalTrend.readState(spark, dir).count() == 1)
+    foldToDir(dir, 1, Seq(del("deleted &quot;[[Doomed]]&quot; gone", 1)), buckets = 1)
+    assert(IncrementalTrend.readState(spark, dir).count() == 0)
+  }
+
+  test("bucketed state: full sweep evicts idle pages in untouched buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_state").toString + "/st"
+    // Tight eviction: everything idles out immediately past the grace period.
+    val evict = TrendConfig(minSpeed = 1000.0, maxInactivityMins = 1,
+      maxLifespanMins = 1, minPurgeTimeMins = 1)
+    import spark.implicits._
+    IncrementalTrend.foldBatch(Seq(edit("Old", min = 0)).toDF(), dir, 1,
+      at(0).getTime + 30000, evict, 4, 10) // batchId 1: no sweep, within grace
+    assert(IncrementalTrend.readState(spark, dir).count() == 1)
+    // Batch 10 (sweep) carries NO events for Old's bucket, but the sweep
+    // applies the eviction policy to the whole table at asOf = +10 min.
+    IncrementalTrend.foldBatch(Seq.empty[RecentChange].toDF(), dir, 10,
+      asOf, evict, 4, 10)
+    assert(IncrementalTrend.readState(spark, dir).count() == 0)
+  }
 }
