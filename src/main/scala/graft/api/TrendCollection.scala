@@ -116,15 +116,48 @@ object TrendCollection {
     * `onEdit` with each micro-batch of refreshed PageStates. The
     * checkpoint dir is the reference's LevelDB cache (S2/S3) —
     * exactly-once instead of a 20-second lossy snapshot.
+    *
+    * `commands` (Q4): an optional drop/markSafe control stream applied
+    * inside the keyed state, mirroring `markSafe` index.js:409-411 and
+    * `drop` index.js:427-430 on the live collection.
     */
   def streaming(
       events: Dataset[RecentChange],
       checkpointDir: String,
-      cfg: TrendConfig = TrendConfig())(
+      cfg: TrendConfig = TrendConfig(),
+      commands: Option[Dataset[TrendStream.TrendCommand]] = None)(
       onEdit: (Dataset[PageState], Long) => Unit): StreamingQuery =
-    TrendStream.pageStates(events, cfg).writeStream
+    TrendStream.pageStates(events, cfg, commands = commands).writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[PageState], id: Long) => onEdit(batch, id) }
       .start()
+
+  /** Q1 over the LIVE streaming query: read the flatMapGroupsWithState
+    * state store straight out of the checkpoint (Spark's state data
+    * source) — the streaming analog of the reference's `getPages` over the
+    * in-memory `titles` map (index.js:453-456). Readable while the query
+    * runs (it reads the last COMMITTED batch's store) or after it stops.
+    */
+  def stateSnapshot(spark: SparkSession, checkpointDir: String): DataFrame = {
+    val raw = spark.read.format("statestore")
+      .option("path", checkpointDir)
+      .load()
+    // Layout for fgws: key = groupByKey key struct, value = the state
+    // object's fields. Flatten to the PageState column set.
+    raw.select(col("value.*"))
+  }
+
+  /** The reference's `clearCache` (index.js:131-139): wipe the persisted
+    * state so the next run starts cold. Deletes the checkpoint and/or
+    * state-table dirs.
+    */
+  def clearCache(spark: SparkSession, dirs: String*): Unit = {
+    import org.apache.hadoop.fs.Path
+    dirs.foreach { d =>
+      val p = new Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    }
+  }
 }

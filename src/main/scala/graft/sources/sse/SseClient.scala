@@ -1,0 +1,154 @@
+package graft.sources.sse
+
+import java.io.{BufferedReader, InputStream, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** SSE wire-protocol client — the reference's front door (`newSocket`,
+  * index.js:295-305) split into its two halves:
+  *
+  *  - THIS class: the EventSource protocol machinery. Parses the
+  *    `text/event-stream` framing (`data:`/`event:`/`id:` fields,
+  *    multi-line data, `:` comments, blank-line dispatch), appends each
+  *    complete message as ONE JSONL line to the log that the `graft-sse`
+  *    DSv2 source tails, reconnects on EOF/error with backoff carrying the
+  *    `Last-Event-ID` contract (index.js:299: `headers: {'Last-Event-ID':
+  *    ...}`), and reboots a stalled connection after `watchdogMs` with no
+  *    traffic (the reference's 5-minute watchdog, index.js:348-356).
+  *
+  *  - The TRANSPORT: an injected `open: lastEventId => InputStream`. In
+  *    production that is an HTTP GET of
+  *    stream.wikimedia.org/v2/stream/recentchange with the Last-Event-ID
+  *    header; this environment has zero egress, so tests inject file / pipe
+  *    / byte streams. Every protocol behavior is real and spec-tested.
+  *
+  * Threading: `run()` blocks the calling thread (the writer process's main
+  * loop); the watchdog is a daemon thread that closes the current stream,
+  * which surfaces in `run()` as an IOException → reconnect.
+  *
+  * Framing note: each dispatched message is written as one `\n`-terminated
+  * line (multi-line `data:` fields are joined with a space, not `\n` — the
+  * recentchange payload is single-line JSON, and the log's offset unit is
+  * the line).
+  */
+final class SseClient(
+    open: Option[String] => InputStream,
+    logPath: String,
+    watchdogMs: Long = 5 * 60 * 1000L,
+    reconnectBackoffMs: Long = 100L) {
+
+  @volatile private var lastEventId: Option[String] = None
+  @volatile private var lastTrafficMs: Long = System.currentTimeMillis()
+  @volatile private var current: InputStream = _
+  @volatile private var stopped = false
+
+  def currentLastEventId: Option[String] = lastEventId
+
+  /** Consume the feed until `maxMessages` have been appended or the
+    * transport has been (re)opened `maxConnects` times. Returns the number
+    * of messages appended.
+    */
+  def run(maxMessages: Long = Long.MaxValue, maxConnects: Int = Int.MaxValue): Long = {
+    var written = 0L
+    var connects = 0
+    val watchdog = startWatchdog()
+    try {
+      while (!stopped && written < maxMessages && connects < maxConnects) {
+        connects += 1
+        try {
+          val in = open(lastEventId)
+          current = in
+          lastTrafficMs = System.currentTimeMillis()
+          written += consume(in, maxMessages - written)
+        } catch {
+          case _: java.io.IOException => // severed (EOF-mid-event, watchdog kill)
+        } finally {
+          closeQuietly()
+        }
+        if (!stopped && written < maxMessages && connects < maxConnects)
+          Thread.sleep(reconnectBackoffMs)
+      }
+      written
+    } finally {
+      stopped = true
+      watchdog.interrupt()
+    }
+  }
+
+  def stop(): Unit = { stopped = true; closeQuietly() }
+
+  /** One connection's lifetime: parse events until EOF or the message
+    * budget is exhausted.
+    */
+  private def consume(in: InputStream, budget: Long): Long = {
+    val reader = new BufferedReader(
+      new InputStreamReader(in, StandardCharsets.UTF_8))
+    var written = 0L
+    val dataLines = scala.collection.mutable.ArrayBuffer.empty[String]
+    var eventType = "message"
+    var line = reader.readLine()
+    while (line != null && written < budget) {
+      lastTrafficMs = System.currentTimeMillis()
+      line match {
+        case "" => // blank line: dispatch the accumulated event
+          if (dataLines.nonEmpty && eventType == "message") {
+            append(dataLines.mkString(" "))
+            written += 1
+          }
+          dataLines.clear()
+          eventType = "message"
+        case l if l.startsWith(":") => // comment / keep-alive ping
+        case l =>
+          val (field, value) = l.indexOf(':') match {
+            case -1 => (l, "")
+            case i =>
+              val v = l.substring(i + 1)
+              (l.substring(0, i), if (v.startsWith(" ")) v.substring(1) else v)
+          }
+          field match {
+            case "data"  => dataLines += value
+            case "event" => eventType = value
+            case "id"    => lastEventId = Some(value)
+            case _       => // unknown field: ignored per the SSE spec
+          }
+      }
+      line = if (written < budget) reader.readLine() else null
+    }
+    // EOF without a trailing blank line: per spec the incomplete event is
+    // NOT dispatched (it will be re-sent after reconnect via Last-Event-ID).
+    written
+  }
+
+  private def append(payload: String): Unit = {
+    // Whole-line append + flush per message: the tail counter and the
+    // partition reader both treat the line as the atomic unit.
+    Files.write(Paths.get(logPath),
+      (payload + "\n").getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  /** Reference watchdog (index.js:348-356): "if no message received for
+    * 5 minutes, assume the socket died and reboot it". Closing the stream
+    * forces the blocking read to fail, and `run()` reconnects.
+    */
+  private def startWatchdog(): Thread = {
+    val t = new Thread(() => {
+      try {
+        while (!stopped) {
+          Thread.sleep(math.max(watchdogMs / 4, 1L))
+          if (!stopped &&
+              System.currentTimeMillis() - lastTrafficMs > watchdogMs)
+            closeQuietly()
+        }
+      } catch { case _: InterruptedException => () }
+    }, "graft-sse-watchdog")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
+  private def closeQuietly(): Unit = {
+    val in = current
+    if (in != null) try in.close() catch { case _: Throwable => () }
+  }
+}

@@ -58,4 +58,98 @@ class SseSourceSpec extends SparkSpec {
     try q.awaitTermination(60000) finally q.stop()
     assert(spark.table("sse_raw").count() == 4)
   }
+
+  // --- SSE wire-protocol client (the reference's newSocket half) ---------
+
+  import graft.sources.sse.SseClient
+
+  private def tmpLog(): String = {
+    val f = Files.createTempFile("sse-client", ".jsonl")
+    Files.delete(f)
+    f.toString
+  }
+
+  test("SSE client: field parsing — comments, event types, multi-line data, id") {
+    val log = tmpLog()
+    val wire =
+      ": keep-alive ping\n" +
+      "event: message\n" +
+      "id: 42\n" +
+      "data: {\"a\":1,\n" +
+      "data: \"b\":2}\n" +
+      "\n" +
+      "event: canary\n" +      // non-message event type: not dispatched
+      "data: nope\n" +
+      "\n" +
+      "data: {\"c\":3}\n" +
+      "\n" +
+      "data: torn-no-blank-line" // incomplete at EOF: not dispatched
+    val client = new SseClient(
+      _ => new java.io.ByteArrayInputStream(wire.getBytes("UTF-8")),
+      log, watchdogMs = 60000)
+    assert(client.run(maxConnects = 1) == 2)
+    val lines = Files.readAllLines(java.nio.file.Paths.get(log))
+    assert(lines.get(0) == "{\"a\":1, \"b\":2}")
+    assert(lines.get(1) == "{\"c\":3}")
+    assert(client.currentLastEventId.contains("42"))
+  }
+
+  test("SSE client: reconnect carries Last-Event-ID (index.js:299)") {
+    val log = tmpLog()
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Option[String]]
+    val streams = Iterator(
+      "id: 7\ndata: one\n\n",
+      "data: two\n\n")
+    val client = new SseClient(last => {
+      seen += last
+      new java.io.ByteArrayInputStream(streams.next().getBytes("UTF-8"))
+    }, log, watchdogMs = 60000, reconnectBackoffMs = 1)
+    assert(client.run(maxConnects = 2) == 2)
+    assert(seen.toSeq == Seq(None, Some("7")))
+    assert(Files.readAllLines(java.nio.file.Paths.get(log)).size() == 2)
+  }
+
+  test("SSE client: watchdog reboots a stalled connection (index.js:348-356)") {
+    val log = tmpLog()
+    // Emits one complete event, then stalls forever; only close() frees it.
+    class StallingStream(head: Array[Byte]) extends java.io.InputStream {
+      private var i = 0
+      private val lock = new Object
+      @volatile var closed = false
+      override def read(): Int =
+        if (i < head.length) { val b = head(i); i += 1; b & 0xff }
+        else { awaitClose(); -1 }
+      override def read(b: Array[Byte], off: Int, len: Int): Int =
+        if (i < head.length) {
+          val n = math.min(len, head.length - i)
+          System.arraycopy(head, i, b, off, n); i += n; n
+        } else { awaitClose(); -1 }
+      private def awaitClose(): Unit =
+        lock.synchronized { while (!closed) lock.wait(50) }
+      override def close(): Unit = {
+        closed = true; lock.synchronized(lock.notifyAll())
+      }
+    }
+    val stalled = new StallingStream("data: before-stall\n\n".getBytes("UTF-8"))
+    val streams = Iterator[java.io.InputStream](
+      stalled,
+      new java.io.ByteArrayInputStream("data: after-reboot\n\n".getBytes("UTF-8")))
+    val client = new SseClient(_ => streams.next(), log,
+      watchdogMs = 300, reconnectBackoffMs = 1)
+    assert(client.run(maxConnects = 2) == 2)
+    assert(stalled.closed) // the watchdog, not EOF, severed the connection
+    val lines = Files.readAllLines(java.nio.file.Paths.get(log))
+    assert(lines.get(0) == "before-stall" && lines.get(1) == "after-reboot")
+  }
+
+  test("SSE client output feeds the graft-sse source end-to-end") {
+    val log = tmpLog()
+    val wire = wireEvents.map(e => s"data: $e\n").mkString("\n") + "\n"
+    new SseClient(_ => new java.io.ByteArrayInputStream(wire.getBytes("UTF-8")),
+      log, watchdogMs = 60000).run(maxConnects = 1)
+    val raw = spark.read.format("graft-sse").option("path", log).load()
+    assert(raw.count() == 4)
+    val decoded = EventAdapter.decodeWire(raw)
+    assert(decoded.filter(col("title") === "Foo").count() == 2)
+  }
 }

@@ -71,4 +71,26 @@ class TrendCollectionSpec extends SparkSpec {
     assert(top(0).getAs[Double]("bias") == 1.0)
     assert(top(1).getAs[Double]("bias") == 0.5)
   }
+
+  test("stateSnapshot: Q1 over the streaming query's state store") {
+    import java.nio.file.Files
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[RecentChange](spark)
+    ms.addData(ev("Foo", n = 2) ++ ev("Bar"))
+    // onEdit must CONSUME the batch — an unconsumed foreachBatch dataset
+    // never runs the stateful tasks, so the state stores never commit
+    // (Spark validates this per batch).
+    val q = TrendCollection.streaming(ms.toDS(), ckpt, cfg) { (b, _) => b.count(); () }
+    try q.processAllAvailable() finally q.stop()
+    // The state data source reads the last committed batch's store — the
+    // streaming getPages (reference index.js:453-456 over `titles`).
+    val snap = TrendCollection.stateSnapshot(spark, ckpt)
+      .collect().map(r => r.getAs[String]("id") -> r).toMap
+    assert(snap.keySet == Set("Foo", "Bar"))
+    assert(snap("Foo").getAs[Long]("edits") == 2L)
+    assert(snap("Bar").getAs[Long]("edits") == 1L)
+    // clearCache (index.js:131-139): next run starts cold.
+    TrendCollection.clearCache(spark, ckpt)
+    assert(!new java.io.File(ckpt).exists())
+  }
 }
