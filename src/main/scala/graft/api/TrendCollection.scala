@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.model.{PageState, RecentChange, TrendConfig}
 import graft.operators.PageAggregates
@@ -120,16 +120,27 @@ object TrendCollection {
     * `commands` (Q4): an optional drop/markSafe control stream applied
     * inside the keyed state, mirroring `markSafe` index.js:409-411 and
     * `drop` index.js:427-430 on the live collection.
+    *
+    * `evict`/`trigger`: a LIVE subscription keeps the cleaner timers armed
+    * (the reference's 20 s `setInterval`, index.js:344-346) and runs
+    * micro-batches as data arrives. A FINITE replay (tests, backfills) must
+    * pass `evict = false` + `Trigger.AvailableNow()` — with
+    * processing-time timers armed the engine schedules batches to service
+    * them forever and a drain-and-stop trigger never terminates.
     */
   def streaming(
       events: Dataset[RecentChange],
       checkpointDir: String,
       cfg: TrendConfig = TrendConfig(),
-      commands: Option[Dataset[TrendStream.TrendCommand]] = None)(
+      commands: Option[Dataset[TrendStream.TrendCommand]] = None,
+      evict: Boolean = true,
+      trigger: Trigger = Trigger.ProcessingTime(0L))(
       onEdit: (Dataset[PageState], Long) => Unit): StreamingQuery =
-    TrendStream.pageStates(events, cfg, commands = commands).writeStream
+    TrendStream.pageStates(events, cfg, evict = evict, commands = commands)
+      .writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
       .foreachBatch { (batch: Dataset[PageState], id: Long) => onEdit(batch, id) }
       .start()
 
@@ -143,9 +154,20 @@ object TrendCollection {
     val raw = spark.read.format("statestore")
       .option("path", checkpointDir)
       .load()
-    // Layout for fgws: key = groupByKey key struct, value = the state
-    // object's fields. Flatten to the PageState column set.
-    raw.select(col("value.*"))
+    // Layout for fgws: key = groupByKey key struct; value nests the state
+    // object under `groupState` (plus the engine's timeoutTimestamp field
+    // when the query ran with ProcessingTimeTimeout). Project the explicit
+    // PageState column set so the engine bookkeeping never leaks.
+    val fields = Seq("id", "title", "wiki", "edits", "anonEdits", "isNew",
+      "notabilityFlags", "volatileFlags", "reverts", "start", "updated",
+      "contributors", "anons", "distribution", "bytesChanged", "safe",
+      "isProtected")
+    val valueType = raw.schema("value").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val base =
+      if (valueType.fieldNames.contains("groupState")) "value.groupState"
+      else "value"
+    raw.select(fields.map(f => col(s"$base.$f").as(f)): _*)
   }
 
   /** The reference's `clearCache` (index.js:131-139): wipe the persisted

@@ -40,11 +40,14 @@ object Dedup {
 
   // ---- shingling --------------------------------------------------------
 
-  /** Distinct word-`n`-gram shingles per document; documents shorter than
-    * `n` tokens contribute their whole text as one shingle.
+  /** Shingle array from a PRE-MATERIALIZED token-array column. The token
+    * column must be a plain attribute (see [[shingleSets]]): `element_at`
+    * references it 3× per gram inside the `transform` lambda, and the
+    * interpreted HOF path re-evaluates the lambda's free subexpressions per
+    * element — inlining the regex tokenization here cost ~160 tokenizations
+    * per document (9.4 s of the 11.5 s sf0.1 minhash bench entry).
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.wsTokens(text)
+  def shinglesFromTokens(toks: Column, n: Int = 3): Column = {
     val grams = transform(
       sequence(lit(1), size(toks) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
@@ -52,9 +55,27 @@ object Dedup {
       when(size(toks) >= n, grams).otherwise(array(concat_ws(" ", toks))))
   }
 
+  /** Distinct word-`n`-gram shingles per document; documents shorter than
+    * `n` tokens contribute their whole text as one shingle. Convenience
+    * single-Column form — prefer [[shingleSets]] in query plans (it keeps
+    * the tokenization out of the gram lambda).
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(TextAnalysis.wsTokens(text), n)
+
+  /** (doc_id, sset) shingle sets with the tokenization materialized in its
+    * own projection. CollapseProject leaves the barrier in place because
+    * `toks` is non-cheap and referenced from multiple sites, so the regex
+    * split runs exactly once per document.
+    */
+  def shingleSets(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("toks"), n).as("sset"))
+
   /** (doc_id, shingle) exploded pairs — the unit of MinHash work. */
   def explodedShingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
+    shingleSets(docs, n)
+      .select(col("doc_id"), explode(col("sset")).as("shingle"))
 
   // ---- MinHash + LSH ----------------------------------------------------
 
@@ -127,7 +148,7 @@ object Dedup {
     */
   def minhashNearDups(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val sets = docs.select(col("doc_id"), shingles(col("text"), n).as("sset"))
+    val sets = shingleSets(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = sets.select(col("doc_id"), explode(col("sset")).as("shingle"))
     val pairs = candidatePairsFromBuckets(
@@ -160,13 +181,21 @@ object Dedup {
     // full n-gram strings (identical counts — a 64-bit collision among
     // a corpus's distinct shingles is negligible). The persisted set
     // subtree feeds the exploded join input and both count branches.
-    val sets = docs.select(col("doc_id"), shingles(col("text"), n).as("sset"))
+    // Each exploded row carries its doc's shingle count so the join can
+    // prune size-incompatible pairs in place: J(A,B) <= min/max, so
+    // min(|A|,|B|) < threshold * max(|A|,|B|) can never pass the final
+    // filter — at corpus scale this drops most boilerplate collisions
+    // before they reach the pair aggregation.
+    val sets = shingleSets(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ex = sets.select(col("doc_id"), explode(col("sset")).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+    val ex = sets.select(col("doc_id"), explode(col("sset")).as("shingle"),
+        size(col("sset")).as("cnt"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"), col("cnt"))
     val counts = sets.select(col("doc_id"), size(col("sset")).as("cnt"))
     val inter = ex.as("a").join(ex.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.cnt"), col("b.cnt")).cast("double") >=
+            lit(threshold) * greatest(col("a.cnt"), col("b.cnt")))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     val out = inter
@@ -193,10 +222,17 @@ object Dedup {
     * the edge list, materialized with `localCheckpoint(eager = true)` so the
     * logical plan stays O(1) across rounds (persist alone caches data but
     * round N's plan would still nest all N−1 prior plans, and Catalyst
-    * re-analysis cost grows superlinearly). The convergence signal rides the
-    * same aggregation: every node's previous label is carried through the
-    * groupBy (tagged `self` rows), so "did anything change" is a cheap scan
-    * of the just-materialized round output — no extra join.
+    * re-analysis cost grows superlinearly).
+    *
+    * Round complexity: plain min-label propagation needs O(diameter) rounds
+    * — a chain of 100 near-identical documents (common in scraped corpora:
+    * boilerplate drift) costs 100 blocking jobs. Each round here therefore
+    * also POINTER-JUMPS the label table (`l(x) ← l(l(x))`, one self-join),
+    * which halves every label-chain and brings the round count to
+    * O(log diameter) — the standard distributed-CC shortcutting trick.
+    * The convergence signal rides the same pass: each node's previous label
+    * is carried through the groupBy (tagged `self` rows), so "did anything
+    * change" is a cheap scan of the just-materialized round output.
     */
   def dupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -217,12 +253,25 @@ object Dedup {
       // Edges are symmetric, so every label-carrying node appears exactly
       // once as a `self` row — min(when(self)) recovers its previous label
       // in the SAME aggregation that computes the new one.
-      val next = labels
+      val prop = labels
         .select(col("doc_id"), col("cluster"), lit(true).as("self"))
         .union(viaNeighbors)
         .groupBy(col("doc_id"))
         .agg(min(col("cluster")).as("cluster"),
           min(when(col("self"), col("cluster"))).as("prev"))
+        .localCheckpoint(eager = true)
+      // Pointer jump: follow the label one hop (cluster ← label(cluster)).
+      // Labels always point at edge-participating nodes (they start as node
+      // ids and min() only ever picks existing labels), so the lookup side
+      // is the same table; left join + coalesce is belt-and-braces. Labels
+      // are monotone non-increasing, so jumping never overshoots the
+      // component minimum.
+      val next = prop.as("x")
+        .join(prop.select(col("doc_id").as("p_id"), col("cluster").as("p_cl"))
+          .as("p"), col("x.cluster") === col("p.p_id"), "left")
+        .select(col("x.doc_id").as("doc_id"),
+          coalesce(col("p.p_cl"), col("x.cluster")).as("cluster"),
+          col("x.prev").as("prev"))
         .localCheckpoint(eager = true)
       val changed = next
         .agg(count(when(col("cluster") =!= col("prev"), lit(1))).as("n"))
@@ -231,6 +280,8 @@ object Dedup {
       converged = changed == 0L
       rounds += 1
     }
+    if (sys.props.contains("graft.debug"))
+      System.err.println(s"[dupClusters] rounds=$rounds converged=$converged")
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("doc_id", "l_id"),
         col("doc_id") === col("l_id"), "left")

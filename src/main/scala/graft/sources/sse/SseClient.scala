@@ -49,6 +49,7 @@ final class SseClient(
     * of messages appended.
     */
   def run(maxMessages: Long = Long.MaxValue, maxConnects: Int = Int.MaxValue): Long = {
+    stopped = false // run() is restartable: a supervisor may retry after maxConnects
     var written = 0L
     var connects = 0
     val watchdog = startWatchdog()
@@ -86,14 +87,24 @@ final class SseClient(
     var written = 0L
     val dataLines = scala.collection.mutable.ArrayBuffer.empty[String]
     var eventType = "message"
+    // Per the SSE spec the `id:` field sets a BUFFER that is committed to
+    // the reconnect Last-Event-ID only when its event is dispatched (for
+    // ANY event type). Committing at parse time would, on a connection
+    // severed between the id line and the blank-line dispatch, resume
+    // AFTER the never-appended event and silently drop it.
+    var pendingId: Option[String] = None
     var line = reader.readLine()
     while (line != null && written < budget) {
       lastTrafficMs = System.currentTimeMillis()
       line match {
         case "" => // blank line: dispatch the accumulated event
-          if (dataLines.nonEmpty && eventType == "message") {
-            append(dataLines.mkString(" "))
-            written += 1
+          if (dataLines.nonEmpty) {
+            pendingId.foreach(id => lastEventId = Some(id))
+            pendingId = None
+            if (eventType == "message") {
+              append(dataLines.mkString(" "))
+              written += 1
+            }
           }
           dataLines.clear()
           eventType = "message"
@@ -108,7 +119,7 @@ final class SseClient(
           field match {
             case "data"  => dataLines += value
             case "event" => eventType = value
-            case "id"    => lastEventId = Some(value)
+            case "id"    => pendingId = Some(value)
             case _       => // unknown field: ignored per the SSE spec
           }
       }

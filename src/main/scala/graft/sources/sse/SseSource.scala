@@ -73,23 +73,25 @@ object SseSource {
   * whole-log rescan was a driver-side scan per trigger that grows without
   * bound on a long-lived stream.
   *
-  * Line semantics match `Source.getLines`: a trailing chunk without a final
-  * newline counts as a line (so a capture that doesn't end in '\n' loses
-  * nothing). Consequence: a writer mid-append can expose a torn final line
-  * for one trigger — the reference has the same read-your-writer race; an
-  * appender that writes whole lines (write + fsync per message) never
-  * exposes one. A shrunken file (rotation/truncation) resets the counter
-  * and rescans from the start.
+  * Line semantics differ from the one-shot batch `lineCount` on purpose:
+  * only '\n'-TERMINATED lines are counted. Offsets are line counts and a
+  * consumed offset is never re-read, so admitting a torn final line (a
+  * writer mid-append) would hand the partition reader a truncated message
+  * and then permanently skip the completed one at the next trigger. The
+  * paired [[SseClient]] always appends whole '\n'-terminated lines, so a
+  * complete capture loses nothing; the final un-terminated chunk of a
+  * foreign capture is simply picked up once its newline lands. A shrunken
+  * file (rotation/truncation) resets the counter and rescans from the
+  * start.
   */
 private[sse] final class LogTailCounter(path: String) {
   private var scannedBytes = 0L
   private var newlines = 0L
-  private var lastByteWasNewline = true
 
   def count(): Long = synchronized {
     val f = new java.io.File(path)
     val len = f.length()
-    if (len < scannedBytes) { scannedBytes = 0L; newlines = 0L; lastByteWasNewline = true }
+    if (len < scannedBytes) { scannedBytes = 0L; newlines = 0L }
     if (len > scannedBytes) {
       val in = new java.io.FileInputStream(f)
       try {
@@ -107,7 +109,6 @@ private[sse] final class LogTailCounter(path: String) {
             var i = 0
             while (i < n) {
               if (buf(i) == '\n') newlines += 1
-              lastByteWasNewline = buf(i) == '\n'
               i += 1
             }
             scannedBytes += n
@@ -116,7 +117,7 @@ private[sse] final class LogTailCounter(path: String) {
         }
       } finally in.close()
     }
-    newlines + (if (lastByteWasNewline) 0L else 1L)
+    newlines
   }
 }
 

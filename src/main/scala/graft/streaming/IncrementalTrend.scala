@@ -219,11 +219,15 @@ object IncrementalTrend {
     *
     * Crash semantics: dynamic partition overwrite stages each bucket dir
     * and commits per partition; a crash mid-write can leave a subset of
-    * touched buckets updated, and checkpoint replay then re-applies the
-    * batch — the merge is additive, so that replay double-counts the
-    * touched slice. Bounded to touched buckets (the old swap could lose
-    * everything); deployments needing exactly-once should point stateDir at
-    * a transactional table format, the fold itself is unchanged.
+    * touched buckets updated. Every bucket write is therefore stamped with
+    * its `lastBatchId`, and checkpoint replay skips buckets whose stamp
+    * already equals the replayed batch id — re-applying the additive merge
+    * to an already-folded bucket (a silent double-count) becomes a no-op
+    * without needing a transactional table format. Residual edge: a bucket
+    * whose pages ALL evicted leaves no stamp (its dir is deleted), so a
+    * crash in that narrow window replays the batch against an empty bucket;
+    * eviction is policy-driven and re-evaluated, not additive, so counts
+    * stay correct.
     */
   def run(events: Dataset[RecentChange], stateDir: String,
       checkpointDir: String, cfg: TrendConfig = TrendConfig(),
@@ -248,7 +252,7 @@ object IncrementalTrend {
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(live) &&
         fs.listStatus(live).exists(_.getPath.getName.startsWith("bucket=")))
-      spark.read.parquet(stateDir).drop("bucket")
+      spark.read.parquet(stateDir).drop("bucket", "lastBatchId")
     else emptyState(spark)
   }
 
@@ -281,19 +285,38 @@ object IncrementalTrend {
       .select(bucketOf(col("id"), numBuckets).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
 
-    val prev =
-      if (!stateExists) emptyState(spark)
+    val targets = if (sweep && stateExists) (0 until numBuckets).toSet else touched
+    // Replay idempotency: buckets whose stamp already carries this batchId
+    // were committed by a crashed attempt of the SAME batch — folding the
+    // additive merge into them again would double-count. Skip them; fold
+    // only the pending slice.
+    val (applied, prev) =
+      if (!stateExists) (Set.empty[Int], emptyState(spark))
       else {
-        val full = spark.read.parquet(stateDir)
-        val pruned =
-          if (sweep) full
-          else full.filter(col("bucket")
+        val scoped0 = spark.read.parquet(stateDir)
+        val scoped =
+          if (sweep) scoped0
+          else scoped0.filter(col("bucket")
             .isin(touched.toSeq.map(Integer.valueOf): _*))
-        pruned.drop("bucket")
+        val done = scoped.groupBy(col("bucket"))
+          .agg(max(col("lastBatchId")).as("lb"))
+          .filter(col("lb") === batchId)
+          .collect().map(_.getInt(0)).toSet
+        val pendingPrev = scoped
+          .filter(!col("bucket").isin(done.toSeq.map(Integer.valueOf): _*))
+          .drop("bucket", "lastBatchId")
+        (done, pendingPrev)
       }
+    val pending = targets -- applied
+    if (pending.isEmpty) return
+
     // Materialize the fold BEFORE overwriting the dirs it was read from.
+    // Rows landing in an already-applied bucket (a move whose target bucket
+    // committed before the crash) are filtered out — their state is there.
     val next = processBatch(prev, batch, asOfMs, cfg)
       .withColumn("bucket", bucketOf(col("id"), numBuckets))
+      .filter(col("bucket").isin(pending.toSeq.map(Integer.valueOf): _*))
+      .withColumn("lastBatchId", lit(batchId))
       .localCheckpoint(eager = true)
 
     if (!next.isEmpty) {
@@ -305,8 +328,7 @@ object IncrementalTrend {
     // dynamic overwrite leaves its old files — drop those dirs explicitly.
     val written = next.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSet
-    val targets = if (sweep && stateExists) (0 until numBuckets).toSet else touched
-    (targets -- written).foreach { b =>
+    (pending -- written).foreach { b =>
       val dir = new Path(live, s"bucket=$b")
       if (fs.exists(dir)) fs.delete(dir, true)
     }

@@ -199,6 +199,21 @@ class IncrementalTrendSpec extends SparkSpec {
     assert(st("Foo").getAs[Long]("edits") == 2L && st.size == 4)
   }
 
+  test("bucketed state: replaying a committed batch is a no-op (idempotent)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_state").toString + "/st"
+    foldToDir(dir, 0, Seq(edit("Foo", min = 0)))
+    foldToDir(dir, 1, Seq(edit("Foo", user = "Eve", min = 1)))
+    // Checkpoint replay after a crash re-invokes foldBatch with the same
+    // batchId; the bucket's lastBatchId stamp must make it a no-op instead
+    // of double-counting the additive merge.
+    foldToDir(dir, 1, Seq(edit("Foo", user = "Eve", min = 1)))
+    val st = IncrementalTrend.readState(spark, dir).collect()
+      .map(r => r.getAs[String]("id") -> r).toMap
+    assert(st("Foo").getAs[Long]("edits") == 2L)
+    assert(st("Foo").getSeq[String](st("Foo").fieldIndex("contributors")).toSet ==
+      Set("Jon", "Eve"))
+  }
+
   test("bucketed state: delete empties its bucket dir when last page goes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_state").toString + "/st"
     foldToDir(dir, 0, Seq(edit("Doomed", min = 0)), buckets = 1)

@@ -80,8 +80,13 @@ class TrendCollectionSpec extends SparkSpec {
     // onEdit must CONSUME the batch — an unconsumed foreachBatch dataset
     // never runs the stateful tasks, so the state stores never commit
     // (Spark validates this per batch).
-    val q = TrendCollection.streaming(ms.toDS(), ckpt, cfg) { (b, _) => b.count(); () }
-    try q.processAllAvailable() finally q.stop()
+    // Finite replay: evict=false + AvailableNow — with cleaner timers
+    // armed the engine would service them forever and never drain.
+    val q = TrendCollection.streaming(ms.toDS(), ckpt, cfg, evict = false,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()) {
+      (b, _) => b.count(); ()
+    }
+    try assert(q.awaitTermination(120000)) finally q.stop()
     // The state data source reads the last committed batch's store — the
     // streaming getPages (reference index.js:453-456 over `titles`).
     val snap = TrendCollection.stateSnapshot(spark, ckpt)
