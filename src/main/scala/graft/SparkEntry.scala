@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.TrendConfig
-import graft.operators.{Dedup, Multimodal, PageAggregates, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, PageAggregates, Similarity, TextAnalysis}
 import graft.sources.EventAdapter
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -329,6 +329,18 @@ object SparkEntry {
         .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
           col("channels"), col("checksum"))),
 
+    // Gopher-style rule filter: per-doc quality flags + keep verdict.
+    "doc_gopher_quality" -> ((s, dir) =>
+      Curation.gopherQuality(t(s, dir, "documents"))),
+
+    // Deterministic md5-coin stratified sampling (per-language rates).
+    "doc_stratified_sample" -> ((s, dir) =>
+      Curation.stratifiedSample(t(s, dir, "documents"))),
+
+    // Training-mix report: per (source, lang) docs/tokens/token share.
+    "doc_source_mix" -> ((s, dir) =>
+      Curation.sourceMix(t(s, dir, "documents"))),
+
     // ---- training-data pipeline: embeddings ---------------------------
 
     // Brute-force cosine top-5 for the first 10 query vectors: broadcast
@@ -353,7 +365,12 @@ object SparkEntry {
 
     // Exact all-pairs near-dup baseline the LSH path approximates.
     "emb_near_dup_exact" -> ((s, dir) =>
-      Similarity.bruteForceNearDups(t(s, dir, "embeddings"), threshold = 0.35))
+      Similarity.bruteForceNearDups(t(s, dir, "embeddings"), threshold = 0.35)),
+
+    // One k-means assignment step (seed centroids = vec_id < 8): the
+    // embedding-clustering primitive for semantic bucketing.
+    "emb_kmeans_assign" -> ((s, dir) =>
+      Similarity.kmeansAssign(t(s, dir, "embeddings"), k = 8))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -576,6 +593,74 @@ object SparkEntry {
          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
          CAST(length(text) AS BIGINT) AS chars
          FROM documents""",
+
+    "doc_gopher_quality" ->
+      """WITH w AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\s+') END AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS word_count,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE) END AS mwl,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(len(list_distinct(toks)) AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE) END AS dr,
+             CAST(CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END
+               AS BIGINT) AS stop_hits
+           FROM w)
+         SELECT doc_id, word_count,
+           round(mwl, 6) AS mean_word_len,
+           round(dr, 6) AS distinct_ratio,
+           stop_hits,
+           (word_count BETWEEN 40 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+            AND dr >= 0.4 AND stop_hits >= 2) AS keep
+         FROM m""",
+
+    "doc_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2)
+               < CASE lang WHEN 'en' THEN '80' WHEN 'zh' THEN '20' ELSE '40' END""",
+
+    "doc_source_mix" ->
+      """WITH perdoc AS (
+           SELECT source, lang,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks
+           FROM documents),
+         cells AS (
+           SELECT source, lang, CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(toks) AS BIGINT) AS tokens
+           FROM perdoc GROUP BY 1, 2)
+         SELECT source, lang, docs, tokens,
+           round(CAST(tokens AS DOUBLE)
+                 / CAST((SELECT sum(tokens) FROM cells) AS DOUBLE), 6) AS token_share
+         FROM cells""",
+
+    "emb_kmeans_assign" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, ev AS cv FROM v WHERE vec_id < 8),
+         s AS (
+           SELECT v.vec_id, centroid_id,
+             (list_dot_product(ev, ev) + list_dot_product(cv, cv))
+               - 2.0 * list_dot_product(ev, cv) AS d2
+           FROM v, c),
+         r AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+           FROM s)
+         SELECT vec_id, centroid_id AS cluster, round(d2, 6) AS dist2
+         FROM r WHERE rn = 1""",
 
     "doc_quality" ->
       """WITH t AS (

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for the `documents` table — the
+  * filter/sample/mix stages of a training-data pipeline (BASELINE.json
+  * north star), downstream of the dedup suite in [[Dedup]] and the scoring
+  * suite in [[TextAnalysis]].
+  *
+  * Everything is a pure `Column` expression (whole-stage codegen, no UDFs)
+  * and re-computable in ANSI SQL, so the DuckDB oracle verifies each stage
+  * exactly — including the hash-based sampler, which draws its randomness
+  * from md5 (bit-identical in any engine) rather than an RNG.
+  *
+  * Scale design: the rule filter and the sampler are map-only (no shuffle;
+  * the parquet scan prunes to the referenced columns). The mix report is
+  * one partial-aggregated groupBy over (source, lang) — thousands of
+  * groups at most — plus a broadcast of the single corpus-total row.
+  */
+object Curation {
+
+  /** Gopher-style heuristic quality rules (Rae et al. 2021, "Scaling
+    * Language Models" appendix A1.1): per-document flags plus the composite
+    * `keep` verdict. The rule *shape* follows the paper — word-count
+    * bounds, mean-word-length bounds, a repetition test, a stopword test —
+    * with thresholds parameterized (defaults tuned so the synthetic corpus
+    * splits rather than collapsing to all-pass/all-fail).
+    *
+    * `keep` is computed on the UNROUNDED ratios in both engines; the
+    * emitted ratio columns are rounded to 6 dp for cross-engine hashing.
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherQuality(docs: DataFrame,
+      minWords: Int = 40, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minDistinctRatio: Double = 0.4, minStopHits: Int = 2): DataFrame = {
+    // Materialize the token array once (attribute, not inline expression):
+    // the interpreted HOF path re-evaluates a lambda's free subexpressions
+    // per element (see Dedup.shinglesFromTokens).
+    val toks = docs.select(col("doc_id"),
+      TextAnalysis.wsTokens(col("text")).as("toks"))
+    val stopHits = gopherStopwords
+      .map(s => when(array_contains(col("toks"), s), 1).otherwise(0))
+      .reduce(_ + _)
+    val m = toks.select(
+      col("doc_id"),
+      size(col("toks")).cast("long").as("word_count"),
+      when(size(col("toks")) === 0, 0.0).otherwise(
+        aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).cast("double") /
+          size(col("toks")).cast("double")).as("mwl"),
+      when(size(col("toks")) === 0, 0.0).otherwise(
+        size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")).cast("double")).as("dr"),
+      stopHits.cast("long").as("stop_hits"))
+    m.select(
+      col("doc_id"),
+      col("word_count"),
+      round(col("mwl"), 6).as("mean_word_len"),
+      round(col("dr"), 6).as("distinct_ratio"),
+      col("stop_hits"),
+      (col("word_count").between(minWords, maxWords) &&
+        col("mwl").between(minMeanLen, maxMeanLen) &&
+        col("dr") >= minDistinctRatio &&
+        col("stop_hits") >= minStopHits).as("keep"))
+  }
+
+  /** Deterministic stratified sampling: keep a document iff the first two
+    * hex chars of md5("sample:" + doc_id) sort below the stratum's
+    * threshold — a seeded per-row coin with 1/256 rate resolution that any
+    * engine reproduces exactly (no RNG, no state). The per-language rates
+    * are the training-mix knob (e.g. downsample the over-represented
+    * head language); `defaultRate` covers unlisted strata.
+    *
+    * At 100 TB this is THE sampling shape that works: embarrassingly
+    * parallel, no global count pass, no sort, stable under re-runs and
+    * late-arriving partitions.
+    */
+  def stratifiedSample(docs: DataFrame,
+      rates: Map[String, Double] = Map("en" -> 0.5, "zh" -> 0.125),
+      defaultRate: Double = 0.25): DataFrame = {
+    def hexThreshold(rate: Double): String =
+      f"${math.min(255, math.max(0, math.round(rate * 256)))}%02x"
+    val threshold = rates.foldLeft(lit(hexThreshold(defaultRate))) {
+      case (acc, (lang, rate)) =>
+        when(col("lang") === lang, lit(hexThreshold(rate))).otherwise(acc)
+    }
+    docs
+      .withColumn("coin",
+        substring(md5(concat(lit("sample:"), col("doc_id").cast("string"))), 1, 2))
+      .filter(col("coin") < threshold)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  /** Training-mix report: per (source, lang) document and whitespace-token
+    * counts plus each cell's share of total corpus tokens — the table a
+    * data-mixing stage reads to set sampling weights. The share divides two
+    * exact integers, so the double is bit-identical cross-engine.
+    */
+  def sourceMix(docs: DataFrame): DataFrame = {
+    val perDoc = docs.select(col("source"), col("lang"),
+      TextAnalysis.tokenCountWs(col("text")).cast("long").as("toks"))
+    val cells = perDoc.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("docs"), sum(col("toks")).as("tokens"))
+    val total = cells.agg(sum(col("tokens")).as("total_tokens"))
+    cells.crossJoin(broadcast(total))
+      .select(col("source"), col("lang"), col("docs"), col("tokens"),
+        round(col("tokens").cast("double") /
+          col("total_tokens").cast("double"), 6).as("token_share"))
+  }
+}

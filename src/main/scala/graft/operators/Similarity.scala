@@ -133,6 +133,40 @@ object Similarity {
         col("cos"), col("rank"))
   }
 
+  /** One k-means assignment step: every vector joins the k broadcast
+    * centroids (deterministic seed: the vectors with vec_id < k) and takes
+    * the argmin squared-L2 centroid — the embedding-clustering primitive
+    * (semantic dedup / topic bucketing in a curation pipeline).
+    *
+    * Squared distance expands to `(a·a + c·c) − 2(a·c)` so the whole scan
+    * reuses the codegen'd dot product; the expansion's operation order is
+    * fixed (left-assoc add, then subtract) so any engine reproduces the
+    * double bit-for-bit. A vector that IS a centroid gets distance exactly
+    * 0 (x + x − 2x is exact in IEEE arithmetic). Ties break on centroid id.
+    *
+    * Scale: broadcast(k centroids) × corpus scan — map-side only, no
+    * shuffle except the per-vector argmin window, which AQE plans as a
+    * partial top-1. The update half of Lloyd's step (re-averaging
+    * centroids) is deliberately not fused here: float sums across an
+    * unordered shuffle are not reproducible, so the assignment (stable,
+    * verifiable) and the update (order-sensitive) are separate stages.
+    */
+  def kmeansAssign(emb: DataFrame, k: Int = 8): DataFrame = {
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+    val cents = v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("ev").as("cv"))
+    val scored = v.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        (dot(col("ev"), col("ev")) + dot(col("cv"), col("cv"))) -
+          lit(2.0) * dot(col("ev"), col("cv")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("centroid_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id").as("cluster"),
+        round(col("d2"), 6).as("dist2"))
+  }
+
   /** Exact near-dup pairs over all pairs (the correctness baseline the LSH
     * path approximates; quadratic — use only at verification scales).
     */

@@ -172,4 +172,62 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(meta.getAs[String]("checksum") ==
       "e2fc714c4727ee9395f324cd2e7f331f") // md5("abcd")
   }
+
+  // ---- curation ---------------------------------------------------------
+
+  test("gopherQuality: each rule flips keep independently") {
+    // 50 words, all distinct, two stopwords, mean length ~6.6.
+    val good = "the of " + (1 to 48).map(i => s"alpha$i").mkString(" ")
+    val tooShort = "the of and that have short"
+    val repetitive = ("the of " * 50).trim // 100 words but 2 distinct
+    val noStops = (1 to 60).map(i => s"word$i").mkString(" ")
+    val q = graft.operators.Curation.gopherQuality(
+        docs(1L -> good, 2L -> tooShort, 3L -> repetitive, 4L -> noStops))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep"))
+      .toMap
+    assert(q == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+  }
+
+  test("stratifiedSample: deterministic, rate-ordered strata") {
+    import spark.implicits._
+    val d = (0L until 512L).map(i =>
+        (i, "txt", if (i % 2 == 0) "en" else "zh", "src"))
+      .toDF("doc_id", "text", "lang", "source")
+    val s1 = graft.operators.Curation.stratifiedSample(d)
+    val s2 = graft.operators.Curation.stratifiedSample(d)
+    val ids1 = s1.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == s2.select("doc_id").as[Long].collect().sorted.toSeq)
+    val byLang = s1.groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    // en keeps ~50% of 256, zh ~12.5% of 256 — order must hold decisively.
+    assert(byLang.getOrElse("en", 0L) > 2 * byLang.getOrElse("zh", 0L))
+  }
+
+  test("sourceMix: token shares sum to 1 over cells") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c", "en", "s1"), (2L, "d e", "en", "s2"),
+        (3L, "f g h i j", "fr", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val m = graft.operators.Curation.sourceMix(d).collect()
+    assert(m.length == 3)
+    val shares = m.map(_.getAs[Double]("token_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-9)
+    val tok = m.map(r => (r.getAs[String]("source"), r.getAs[String]("lang")) ->
+      r.getAs[Long]("tokens")).toMap
+    assert(tok(("s1", "en")) == 3L && tok(("s2", "en")) == 2L &&
+      tok(("s1", "fr")) == 5L)
+  }
+
+  test("kmeansAssign: centroid vectors assign to themselves at distance 0") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.0f, 1.0f), 0),
+      (2L, Array(0.9f, 0.1f), 0), (3L, Array(0.1f, 0.95f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val a = Similarity.kmeansAssign(emb, k = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Double]("dist2"))).toMap
+    assert(a(0L) == (0L, 0.0) && a(1L) == (1L, 0.0))
+    assert(a(2L)._1 == 0L && a(3L)._1 == 1L)
+  }
 }
