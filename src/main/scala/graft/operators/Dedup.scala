@@ -127,7 +127,11 @@ object Dedup {
   def bandBuckets(docs: DataFrame, n: Int = 3): DataFrame =
     bandBucketsFromSignatures(signatures(docs, n))
 
-  private def candidatePairsFromBuckets(bk: DataFrame): DataFrame = {
+  private def candidatePairsFromBuckets(bk0: DataFrame): DataFrame = {
+    // Materialize the bucket table (docs × bands rows — tiny) before the
+    // self-join: both join sides otherwise re-plan the whole signature
+    // subtree (shingle explode + 2 md5s/shingle + k-min aggregation).
+    val bk = bk0.localCheckpoint(eager = true)
     val l = bk.as("l"); val r = bk.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.doc_id") < col("r.doc_id"))
@@ -336,7 +340,10 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val blocks = maxDist + 1
     val width = 32 / blocks
-    val sh = simhashes(docs)
+    // One row per doc — materialize before the self-join below so the
+    // token-explode + md5 + 32-sum vote aggregation runs once, not once
+    // per join side.
+    val sh = simhashes(docs).localCheckpoint(eager = true)
     val blocked = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until blocks).map(b =>
         struct(lit(b).as("blk"),

@@ -93,9 +93,12 @@ object Similarity {
     */
   def lshNearDups(emb: DataFrame, threshold: Double = 0.9): DataFrame = {
     val b = lshBuckets(emb)
+    // One row per vector; materialized so the norm + LSH projection run
+    // once instead of once per self-join side.
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
       .withColumn("nrm", norm(col("ev")))
       .join(b, "vec_id")
+      .localCheckpoint(eager = true)
     val pairs = v.as("l").join(v.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
@@ -173,6 +176,7 @@ object Similarity {
   def bruteForceNearDups(emb: DataFrame, threshold: Double = 0.9): DataFrame = {
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
       .withColumn("nrm", norm(col("ev")))
+      .localCheckpoint(eager = true) // norms once, not once per join side
     v.as("l").join(v.as("r"), col("l.vec_id") < col("r.vec_id"))
       .withColumn("cos",
         cosineWithNorms(dot(col("l.ev"), col("r.ev")), col("l.nrm"), col("r.nrm")))
