@@ -104,10 +104,32 @@ object Curation {
       TextAnalysis.tokenCountWs(col("text")).cast("long").as("toks"))
     val cells = perDoc.groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("docs"), sum(col("toks")).as("tokens"))
-    val total = cells.agg(sum(col("tokens")).as("total_tokens"))
-    cells.crossJoin(broadcast(total))
-      .select(col("source"), col("lang"), col("docs"), col("tokens"),
-        round(col("tokens").cast("double") /
-          col("total_tokens").cast("double"), 6).as("token_share"))
+    // Corpus total as an unpartitioned window over the aggregated CELLS
+    // (sources × langs — tiny), not a second aggregation of the raw docs:
+    // a separate total branch would re-plan the corpus scan, doubling the
+    // 100 TB read; the window only gathers the cell rows.
+    val total = sum(col("tokens"))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy())
+    cells.select(col("source"), col("lang"), col("docs"), col("tokens"),
+      round(col("tokens").cast("double") / total.cast("double"), 6)
+        .as("token_share"))
   }
+
+  /** Streaming exact dedup over a document stream: emit each text's
+    * first-seen row, suppress replays that arrive within the watermark
+    * delay of the original. State carries only the 32-char md5 (never the
+    * body) and — the part that matters at stream scale —
+    * `dropDuplicatesWithinWatermark` EXPIRES each hash once the watermark
+    * passes it, so state is bounded by the dedup horizon instead of
+    * growing with the corpus (a plain `dropDuplicates` keyed on the hash
+    * retains every hash ever seen). Crawl pipelines pair this horizon
+    * dedup with the batch [[Dedup.exactDedup]] sweep over the landed data.
+    *
+    * `tsCol` is the event-time column the watermark tracks.
+    */
+  def streamingExactDedup(docs: DataFrame, tsCol: String = "ts",
+      delay: String = "10 minutes"): DataFrame =
+    docs.withColumn("text_hash", md5(col("text")))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("text_hash")
 }

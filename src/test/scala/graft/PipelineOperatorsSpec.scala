@@ -218,6 +218,26 @@ class PipelineOperatorsSpec extends SparkSpec {
       tok(("s1", "fr")) == 5L)
   }
 
+  test("streamingExactDedup: first occurrence emits, replay suppressed") {
+    import java.sql.Timestamp
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Timestamp)](spark)
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    ms.addData(Seq(
+      (1L, "alpha text", t0),
+      (2L, "beta text", new Timestamp(t0.getTime + 1000L)),
+      (3L, "alpha text", new Timestamp(t0.getTime + 2000L))))
+    val dedup = graft.operators.Curation.streamingExactDedup(
+      ms.toDF().toDF("doc_id", "text", "ts"))
+    val q = dedup.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+    val kept = spark.table("sdedup").select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L))
+  }
+
   test("kmeansAssign: centroid vectors assign to themselves at distance 0") {
     import spark.implicits._
     val emb = Seq(
