@@ -64,6 +64,14 @@ object Probe {
     tm("simhashNearDups-total") {
       val p = Dedup.simhashNearDups(docs); println("spairs=" + p.count())
     }
+    // Bench parity: noop write computes every output column.
+    tm("simhash-signatures-noop") {
+      Dedup.simhashes(docs).write.format("noop").mode("overwrite").save()
+    }
+    tm("simhashNearDups-noop") {
+      Dedup.simhashNearDups(docs, maxDist = 6)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
