@@ -142,6 +142,23 @@ class SseSourceSpec extends SparkSpec {
     assert(lines.get(0) == "before-stall" && lines.get(1) == "after-reboot")
   }
 
+  test("SseWriter: file transport replays a capture into the source log") {
+    import graft.sources.sse.SseWriter
+    val cap = Files.createTempFile("graft_cap", ".sse")
+    Files.writeString(cap,
+      "id: 1\ndata: {\"a\":1}\n\ndata: {\"b\":2}\n\n")
+    val log = tmpLog()
+    SseWriter.main(Array(s"file:$cap", log, "2", "1"))
+    val lines = Files.readAllLines(java.nio.file.Paths.get(log))
+    assert(lines.size() == 2)
+    assert(lines.get(0) == "{\"a\":1}" && lines.get(1) == "{\"b\":2}")
+    intercept[IllegalArgumentException] {
+      SseWriter.transportFor("ftp://nope")
+    }
+    // The production transport constructs (no egress here to exercise it).
+    assert(SseWriter.transportFor("https://example.org/stream") != null)
+  }
+
   test("SSE client output feeds the graft-sse source end-to-end") {
     val log = tmpLog()
     val wire = wireEvents.map(e => s"data: $e\n").mkString("\n") + "\n"
