@@ -218,6 +218,35 @@ class PipelineOperatorsSpec extends SparkSpec {
       tok(("s1", "fr")) == 5L)
   }
 
+  test("dupClusters: pointer-jumped labels equal union-find on random graphs") {
+    // Deterministically seeded random graphs, including long chains — the
+    // adversarial case for label propagation (chains exercise the pointer
+    // jumping; the old O(diameter) loop hit its round cap on them).
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 40 + trial * 30
+      val chain = (0L until 20L).sliding(2).map(s => (s(0), s(1))).toSeq
+      val randomEdges = Seq.fill(n / 2)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      val edges = (chain ++ randomEdges).distinct
+      // Reference: driver-side union-find.
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val docsDf = (0L until n.toLong).toSeq.toDF("doc_id")
+      val pairsDf = edges.toDF("doc_a", "doc_b")
+      val got = Dedup.dupClusters(docsDf, pairsDf).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+      assert(got == expected, s"trial $trial: CC mismatch")
+    }
+  }
+
   test("streamingExactDedup: first occurrence emits, replay suppressed") {
     import java.sql.Timestamp
     val ms = org.apache.spark.sql.execution.streaming.runtime
