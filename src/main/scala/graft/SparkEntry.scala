@@ -341,6 +341,10 @@ object SparkEntry {
     "doc_source_mix" -> ((s, dir) =>
       Curation.sourceMix(t(s, dir, "documents"))),
 
+    // Per-language length distribution (exact interpolated percentiles).
+    "doc_lang_stats" -> ((s, dir) =>
+      Curation.langStats(t(s, dir, "documents"))),
+
     // ---- training-data pipeline: embeddings ---------------------------
 
     // Brute-force cosine top-5 for the first 10 query vectors: broadcast
@@ -646,6 +650,18 @@ object SparkEntry {
            round(CAST(tokens AS DOUBLE)
                  / CAST((SELECT sum(tokens) FROM cells) AS DOUBLE), 6) AS token_share
          FROM cells""",
+
+    "doc_lang_stats" ->
+      """WITH perdoc AS (
+           SELECT lang,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks
+           FROM documents)
+         SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(toks) AS BIGINT) AS tokens,
+           quantile_cont(toks, 0.5) AS median_tokens,
+           quantile_cont(toks, 0.9) AS p90_tokens
+         FROM perdoc GROUP BY lang""",
 
     "emb_kmeans_assign" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),

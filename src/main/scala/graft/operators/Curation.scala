@@ -115,6 +115,25 @@ object Curation {
         .as("token_share"))
   }
 
+  /** Per-language corpus statistics: document count, total tokens, and
+    * EXACT interpolated token-count percentiles (median + p90) — the
+    * length-distribution report a curation pipeline reads before choosing
+    * truncation/packing parameters. `percentile` (not `approx_percentile`)
+    * keeps the value engine-reproducible: both Spark and DuckDB interpolate
+    * `a[k] + g·(a[k+1] − a[k])` at rank `p·(n−1)`, so the doubles match
+    * bit-for-bit. At 100 TB exact percentiles shuffle each group's values;
+    * swap in `approx_percentile` when the report tolerates error bounds.
+    */
+  def langStats(docs: DataFrame): DataFrame = {
+    val perDoc = docs.select(col("lang"),
+      TextAnalysis.tokenCountWs(col("text")).cast("long").as("toks"))
+    perDoc.groupBy(col("lang")).agg(
+      count(lit(1)).as("docs"),
+      sum(col("toks")).as("tokens"),
+      expr("percentile(toks, 0.5)").as("median_tokens"),
+      expr("percentile(toks, 0.9)").as("p90_tokens"))
+  }
+
   /** Streaming exact dedup over a document stream: emit each text's
     * first-seen row, suppress replays that arrive within the watermark
     * delay of the original. State carries only the 32-char md5 (never the
