@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.TrendConfig
-import graft.operators.{Curation, Dedup, Multimodal, PageAggregates, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, PageAggregates, Similarity, Skew, TextAnalysis}
 import graft.sources.EventAdapter
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -135,6 +135,13 @@ object SparkEntry {
         .filter(col("rank") <= 3)
         .select(col("event_type"), col("user_id"), col("cnt"), col("rank"))
     }),
+
+    // Salted two-phase aggregation (hot-key mitigation): identical result
+    // to the plain GROUP BY — the salt only spreads each key's rows over
+    // 16 reducers before the narrow combine.
+    "q12_salted_agg" -> ((s, dir) =>
+      Skew.saltedCounts(EventAdapter.readEvents(s, dir),
+        col("event_type"), length(col("props")).cast("long"))),
 
     // Set operations: union / intersect / except over customer segments.
     "q5_setops" -> ((s, dir) => {
@@ -445,6 +452,11 @@ object SparkEntry {
              (PARTITION BY event_type ORDER BY cnt DESC, user_id) AS INTEGER) AS rank
            FROM c)
          SELECT event_type, user_id, cnt, rank FROM r WHERE rank <= 3""",
+
+    "q12_salted_agg" ->
+      """SELECT event_type AS key, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(length(props)) AS BIGINT) AS total
+         FROM events GROUP BY 1""",
 
     "q5_setops" ->
       """SELECT DISTINCT custkey FROM (

@@ -218,6 +218,25 @@ class PipelineOperatorsSpec extends SparkSpec {
       tok(("s1", "fr")) == 5L)
   }
 
+  test("salted join and salted aggregation equal their unsalted forms") {
+    import graft.operators.Skew
+    val big = (0L until 200L).map(i => (s"k${i % 3}", i))
+      .toDF("key", "v") // key k0 is hot by construction
+    val dim = Seq(("k0", "zero"), ("k1", "one"), ("k2", "two"), ("k9", "none"))
+      .toDF("key", "label")
+    val plain = big.join(dim, Seq("key")).select("key", "v", "label")
+      .collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(big, dim, "key", salt = 4)
+      .select("key", "v", "label").collect().map(_.toSeq).toSet
+    assert(salted == plain && salted.size == 200)
+    val aggPlain = big.groupBy(col("key"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("total"))
+      .collect().map(_.toSeq).toSet
+    val aggSalted = Skew.saltedCounts(big, col("key"), col("v"), salt = 4)
+      .collect().map(_.toSeq).toSet
+    assert(aggSalted == aggPlain)
+  }
+
   test("dupClusters: pointer-jumped labels equal union-find on random graphs") {
     // Deterministically seeded random graphs, including long chains — the
     // adversarial case for label propagation (chains exercise the pointer
