@@ -352,6 +352,10 @@ object SparkEntry {
     "doc_lang_stats" -> ((s, dir) =>
       Curation.langStats(t(s, dir, "documents"))),
 
+    // Vocabulary head: top-100 tokens by occurrence (+ doc frequency).
+    "doc_vocab_topk" -> ((s, dir) =>
+      Curation.vocabTopK(t(s, dir, "documents"), k = 100)),
+
     // ---- training-data pipeline: embeddings ---------------------------
 
     // Brute-force cosine top-5 for the first 10 query vectors: broadcast
@@ -674,6 +678,15 @@ object SparkEntry {
            quantile_cont(toks, 0.5) AS median_tokens,
            quantile_cont(toks, 0.9) AS p90_tokens
          FROM perdoc GROUP BY lang""",
+
+    "doc_vocab_topk" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+           FROM documents WHERE length(trim(text)) > 0)
+         SELECT token, CAST(count(*) AS BIGINT) AS occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+         FROM toks GROUP BY token
+         ORDER BY occurrences DESC, token ASC LIMIT 100""",
 
     "emb_kmeans_assign" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),

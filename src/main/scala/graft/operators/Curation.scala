@@ -115,6 +115,24 @@ object Curation {
         .as("token_share"))
   }
 
+  /** Corpus vocabulary head: the `k` most frequent whitespace tokens with
+    * occurrence and document frequencies — the input to vocabulary /
+    * stopword construction. Scale shape: explode → ONE hash aggregation
+    * keyed on the token (map-side partial combine collapses each
+    * partition's repeats before the shuffle) → global top-k, which Spark
+    * plans as `TakeOrderedAndProject` (per-partition heaps, no full sort).
+    * Ties break lexicographically so the cut is deterministic.
+    */
+  def vocabTopK(docs: DataFrame, k: Int = 100): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.wsTokens(col("text"))).as("token"))
+    toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("occurrences"),
+        count_distinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("occurrences").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** Per-language corpus statistics: document count, total tokens, and
     * EXACT interpolated token-count percentiles (median + p90) — the
     * length-distribution report a curation pipeline reads before choosing
