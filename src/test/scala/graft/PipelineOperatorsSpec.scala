@@ -188,6 +188,24 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(q == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
   }
 
+  test("gopherQuality: empty text yields zero ratios and keep=false") {
+    val r = graft.operators.Curation.gopherQuality(docs(1L -> "")).collect()(0)
+    assert(r.getAs[Long]("word_count") == 0L)
+    assert(r.getAs[Double]("mean_word_len") == 0.0)
+    assert(r.getAs[Double]("distinct_ratio") == 0.0)
+    assert(!r.getAs[Boolean]("keep"))
+  }
+
+  test("vocabTopK: ordered by count desc then token asc, doc_freq distinct") {
+    val v = graft.operators.Curation.vocabTopK(
+        docs(1L -> "b a a", 2L -> "a b c"), k = 2).collect()
+    assert(v.map(_.getAs[String]("token")).toSeq == Seq("a", "b"))
+    assert(v(0).getAs[Long]("occurrences") == 3L) // a: twice in doc1, once in doc2
+    assert(v(0).getAs[Long]("doc_freq") == 2L)
+    assert(v(1).getAs[Long]("occurrences") == 2L &&
+      v(1).getAs[Long]("doc_freq") == 2L)
+  }
+
   test("stratifiedSample: deterministic, rate-ordered strata") {
     import spark.implicits._
     val d = (0L until 512L).map(i =>
