@@ -325,9 +325,14 @@ object SparkEntry {
       Dedup.minhashClusters(t(s, dir, "documents"))),
 
     // SimHash fingerprints + near-dups: md5-derived bits, 32-bit votes.
-    // Hex→int conversion is engine-specific → rows-only check (no oracle).
+    // Hex→int is reproduced in the oracle via positional arithmetic.
     "doc_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashNearDups(t(s, dir, "documents"), maxDist = 6)),
+
+    // 60-bit SimHash (the scale variant): 15-bit pigeonhole block keys
+    // instead of 32-bit's 4-5 bits — ~1000× fewer collision candidates.
+    "doc_simhash64_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDups64(t(s, dir, "documents"), maxDist = 3)),
 
     // Multimodal plumbing: binary payload → mapPartitions batch "decode"
     // (deterministic stub) → typed metadata.
@@ -1003,6 +1008,41 @@ object SparkEntry {
            FROM blk l JOIN blk r
              ON l.blk = r.blk AND l.key = r.key AND l.doc_id < r.doc_id)
          SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS dist
-         FROM pairs WHERE bit_count(xor(sa, sb)) <= 6"""
+         FROM pairs WHERE bit_count(xor(sa, sb)) <= 6""",
+
+    "doc_simhash64_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(text), '\s+') END) AS tok
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+             CAST(list_sum(list_transform(generate_series(1, 15),
+               i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT)
+                    * CAST(pow(16, 15 - i) AS BIGINT))) AS BIGINT) AS h
+           FROM toks),
+         bits AS (SELECT unnest(generate_series(0, 59)) AS b),
+         votes AS (
+           SELECT doc_id, b,
+             SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           FROM h CROSS JOIN bits GROUP BY 1, 2),
+         sig AS (
+           SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+           FROM votes GROUP BY 1),
+         s0 AS (
+           SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+           FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id),
+         blk AS (
+           SELECT doc_id, simhash, bb.blk AS blk,
+             (simhash >> (bb.blk * 15)) & 32767 AS key
+           FROM s0, (SELECT unnest(generate_series(0, 3)) AS blk) bb),
+         pairs AS (
+           SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+             l.simhash AS sa, r.simhash AS sb
+           FROM blk l JOIN blk r
+             ON l.blk = r.blk AND l.key = r.key AND l.doc_id < r.doc_id)
+         SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS dist
+         FROM pairs WHERE bit_count(xor(sa, sb)) <= 3"""
   )
 }

@@ -311,13 +311,26 @@ object Dedup {
     * form — 32 separate array folds each re-hashing every token — costs
     * 32× the md5 work and runs in the interpreted HOF path.
     */
-  def simhashes(docs: DataFrame): DataFrame = {
-    val bits = 32
+  def simhashes(docs: DataFrame): DataFrame = simhashesImpl(docs, 32, 8)
+
+  /** 60-bit SimHash — the SCALE variant: same vote pipeline, fingerprint
+    * from the first 15 hex chars of each token's md5 (60 bits keeps the
+    * value signed-LONG-safe and the oracle's positional hex arithmetic
+    * inside exact-double powers of 16). The payoff is in blocking: at
+    * maxDist=3 the pigeonhole blocks are 15 bits wide (32768 keys) versus
+    * the 32-bit variant's 4-5 bits, so candidate collisions drop by ~3
+    * orders of magnitude — this is the variant to run on a large corpus.
+    */
+  def simhashes64(docs: DataFrame): DataFrame = simhashesImpl(docs, 60, 15)
+
+  private def simhashesImpl(docs: DataFrame, bits: Int,
+      hexChars: Int): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
-    // 32-bit value from the first 8 hex chars of the token's md5.
+    // `bits`-bit value from the leading hex chars of the token's md5.
     val withH = toks.select(col("doc_id"),
-      conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
+      conv(substring(md5(col("tok")), 1, hexChars), 16, 10)
+        .cast("long").as("h"))
     val voteCols = (0 until bits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L)
         .otherwise(-1L)).as(s"v$b")
@@ -337,13 +350,24 @@ object Dedup {
     * pigeonhole trick: distance <= maxDist ⇒ some block of
     * bits/(maxDist+1) is identical).
     */
-  def simhashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simhashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame =
+    simhashNearDupsImpl(simhashes(docs), 32, maxDist)
+
+  /** Near-dups over the 60-bit fingerprints — same pigeonhole recipe with
+    * 15-bit block keys (see [[simhashes64]] for why this is the variant
+    * that survives corpus scale).
+    */
+  def simhashNearDups64(docs: DataFrame, maxDist: Int = 3): DataFrame =
+    simhashNearDupsImpl(simhashes64(docs), 60, maxDist)
+
+  private def simhashNearDupsImpl(sh0: DataFrame, bits: Int,
+      maxDist: Int): DataFrame = {
     val blocks = maxDist + 1
-    val width = 32 / blocks
+    val width = bits / blocks
     // One row per doc — materialize before the self-join below so the
-    // token-explode + md5 + 32-sum vote aggregation runs once, not once
+    // token-explode + md5 + vote aggregation runs once, not once
     // per join side.
-    val sh = simhashes(docs).localCheckpoint(eager = true)
+    val sh = sh0.localCheckpoint(eager = true)
     val blocked = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until blocks).map(b =>
         struct(lit(b).as("blk"),
