@@ -81,8 +81,11 @@ object Curation {
   def stratifiedSample(docs: DataFrame,
       rates: Map[String, Double] = Map("en" -> 0.5, "zh" -> 0.125),
       defaultRate: Double = 0.25): DataFrame = {
+    // "zz" sorts above every hex coin, so rate >= 1 keeps ALL rows (a
+    // 255-capped threshold would wrongly drop coin == "ff").
     def hexThreshold(rate: Double): String =
-      f"${math.min(255, math.max(0, math.round(rate * 256)))}%02x"
+      if (rate >= 1.0) "zz"
+      else f"${math.min(255L, math.max(0L, math.round(rate * 256)))}%02x"
     val threshold = rates.foldLeft(lit(hexThreshold(defaultRate))) {
       case (acc, (lang, rate)) =>
         when(col("lang") === lang, lit(hexThreshold(rate))).otherwise(acc)

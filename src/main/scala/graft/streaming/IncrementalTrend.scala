@@ -223,11 +223,14 @@ object IncrementalTrend {
     * its `lastBatchId`, and checkpoint replay skips buckets whose stamp
     * already equals the replayed batch id — re-applying the additive merge
     * to an already-folded bucket (a silent double-count) becomes a no-op
-    * without needing a transactional table format. Residual edge: a bucket
-    * whose pages ALL evicted leaves no stamp (its dir is deleted), so a
-    * crash in that narrow window replays the batch against an empty bucket;
-    * eviction is policy-driven and re-evaluated, not additive, so counts
-    * stay correct.
+    * without needing a transactional table format. Residual edges, both
+    * confined to a crash INSIDE the partition-commit loop: (a) a bucket
+    * whose pages ALL evicted leaves no stamp (its dir is deleted) and is
+    * simply re-folded — eviction is policy-driven, not additive, so counts
+    * stay correct; (b) a rename whose SOURCE bucket committed (row
+    * removed) while its TARGET bucket did not loses the migrated row on
+    * replay — closing that window needs an atomically-committed table
+    * format, which `stateDir` can point at without changing the fold.
     */
   def run(events: Dataset[RecentChange], stateDir: String,
       checkpointDir: String, cfg: TrendConfig = TrendConfig(),

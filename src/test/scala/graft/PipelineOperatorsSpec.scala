@@ -211,6 +211,9 @@ class PipelineOperatorsSpec extends SparkSpec {
     val d = (0L until 512L).map(i =>
         (i, "txt", if (i % 2 == 0) "en" else "zh", "src"))
       .toDF("doc_id", "text", "lang", "source")
+    // rate >= 1 keeps everything (incl. coins that hash to "ff").
+    assert(graft.operators.Curation.stratifiedSample(d,
+      rates = Map.empty, defaultRate = 1.0).count() == 512L)
     val s1 = graft.operators.Curation.stratifiedSample(d)
     val s2 = graft.operators.Curation.stratifiedSample(d)
     val ids1 = s1.select("doc_id").as[Long].collect().sorted.toSeq
