@@ -361,6 +361,10 @@ object SparkEntry {
     "doc_vocab_topk" -> ((s, dir) =>
       Curation.vocabTopK(t(s, dir, "documents"), k = 100)),
 
+    // Sequence-packing assignment: 2048-token packs per language.
+    "doc_packing" -> ((s, dir) =>
+      Curation.packAssignments(t(s, dir, "documents"), budgetTokens = 2048L)),
+
     // ---- training-data pipeline: embeddings ---------------------------
 
     // Brute-force cosine top-5 for the first 10 query vectors: broadcast
@@ -683,6 +687,21 @@ object SparkEntry {
            quantile_cont(toks, 0.5) AS median_tokens,
            quantile_cont(toks, 0.9) AS p90_tokens
          FROM perdoc GROUP BY lang""",
+
+    "doc_packing" ->
+      """WITH perdoc AS (
+           SELECT doc_id, lang,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks
+           FROM documents),
+         cum AS (
+           SELECT doc_id, lang, toks,
+             coalesce(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+           FROM perdoc)
+         SELECT doc_id, lang, toks,
+           CAST(floor(before / 2048) AS BIGINT) AS pack_id
+         FROM cum""",
 
     "doc_vocab_topk" ->
       """WITH toks AS (

@@ -118,6 +118,30 @@ object Curation {
         .as("token_share"))
   }
 
+  /** Deterministic sequence-packing assignment: within each language,
+    * documents are laid out in doc_id order and cut into packs of
+    * `budgetTokens` whitespace tokens — `pack_id = floor(tokens-before /
+    * budget)`, so a document lands in the pack where its first token
+    * falls (packs may overflow by one document; none underflow). The
+    * running sum is a window per language ordered by doc_id — exact,
+    * re-runnable, engine-independent.
+    *
+    * Scale note: a single window per language serializes that language's
+    * layout; at 100 TB, range-partition by doc_id first and run the same
+    * window per range with per-range token offsets (same arithmetic, one
+    * extra 1-row-per-range broadcast).
+    */
+  def packAssignments(docs: DataFrame, budgetTokens: Long = 2048L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("toks"))
+      .withColumn("before", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("toks"),
+        floor(col("before") / budgetTokens).cast("long").as("pack_id"))
+  }
+
   /** Corpus vocabulary head: the `k` most frequent whitespace tokens with
     * occurrence and document frequencies — the input to vocabulary /
     * stopword construction. Scale shape: explode → ONE hash aggregation

@@ -206,6 +206,20 @@ class PipelineOperatorsSpec extends SparkSpec {
       v(1).getAs[Long]("doc_freq") == 2L)
   }
 
+  test("packAssignments: doc lands in the pack holding its first token") {
+    import spark.implicits._
+    // budget 5: doc1 (3 toks, before=0) → pack 0; doc2 (3, before=3) →
+    // pack 0 (overflows it); doc3 (2, before=6) → pack 1; other language
+    // restarts at pack 0.
+    val d = Seq((1L, "a b c", "en", "s"), (2L, "d e f", "en", "s"),
+        (3L, "g h", "en", "s"), (4L, "x y z w v u", "fr", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val p = graft.operators.Curation.packAssignments(d, budgetTokens = 5L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pack_id"))
+      .toMap
+    assert(p == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+  }
+
   test("stratifiedSample: deterministic, rate-ordered strata") {
     import spark.implicits._
     val d = (0L until 512L).map(i =>
