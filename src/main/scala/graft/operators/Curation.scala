@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * Scale design: the rule filter and the sampler are map-only (no shuffle;
   * the parquet scan prunes to the referenced columns). The mix report is
   * one partial-aggregated groupBy over (source, lang) — thousands of
-  * groups at most — plus a broadcast of the single corpus-total row.
+  * groups at most — with the corpus total window-summed over those cells.
   */
 object Curation {
 
