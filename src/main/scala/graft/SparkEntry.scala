@@ -341,6 +341,22 @@ object SparkEntry {
         .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
           col("channels"), col("checksum"))),
 
+    // Multimodal resize stage: stride-"resampled" thumbs (stub kernel),
+    // aspect-fit dimensions; oracle checks the size contract.
+    "doc_media_thumbs" -> ((s, dir) =>
+      Multimodal.resizeThumbs(s,
+          Multimodal.withPayload(t(s, dir, "documents")))
+        .toDF().select(col("doc_id"), col("width"), col("height"),
+          length(col("thumb")).cast("long").as("thumb_len"))),
+
+    // Multimodal frame sampling: every-4th 16-byte frame slice per
+    // payload (flatMap row multiplication); md5 proves content parity.
+    "doc_media_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(s,
+          Multimodal.withPayload(t(s, dir, "documents")))
+        .toDF().select(col("doc_id"), col("frame_idx"),
+          col("offset").as("frame_off"), md5(col("frame")).as("frame_md5"))),
+
     // Gopher-style rule filter: per-doc quality flags + keep verdict.
     "doc_gopher_quality" -> ((s, dir) =>
       Curation.gopherQuality(t(s, dir, "documents"))),
@@ -935,6 +951,40 @@ object SparkEntry {
          CAST(3 AS INTEGER) AS channels,
          md5(text) AS checksum
          FROM documents""",
+
+    // decodeStub arithmetic mirrored in SQL; text is ASCII so char and
+    // byte offsets coincide (md5(text-slice) == md5(byte-slice)).
+    "doc_media_thumbs" ->
+      """WITH d AS (
+           SELECT doc_id, octet_length(encode(text)) AS n,
+             64 + (octet_length(encode(text)) % 64) * 16 AS w,
+             64 + ((octet_length(encode(text)) // 64) % 64) * 16 AS h
+           FROM documents),
+         t AS (
+           SELECT doc_id, n,
+             CASE WHEN w >= h THEN 32 ELSE greatest(1, 32 * w // h) END AS tw,
+             CASE WHEN w >= h THEN greatest(1, 32 * h // w) ELSE 32 END AS th
+           FROM d),
+         s AS (
+           SELECT doc_id, n, tw, th,
+             greatest(1, n // greatest(1, tw * th)) AS step
+           FROM t)
+         SELECT doc_id, CAST(tw AS INTEGER) AS width,
+           CAST(th AS INTEGER) AS height,
+           CAST(CASE WHEN n = 0 THEN 0 ELSE (n + step - 1) // step END AS BIGINT) AS thumb_len
+         FROM s""",
+
+    "doc_media_frames" ->
+      """WITH d AS (
+           SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+         f AS (
+           SELECT doc_id, text,
+             unnest(generate_series(0, n // 16 - 1)) AS i
+           FROM d WHERE n >= 16)
+         SELECT doc_id, CAST(i // 4 AS BIGINT) AS frame_idx,
+           CAST(i * 16 AS BIGINT) AS frame_off,
+           md5(substr(text, CAST(i * 16 + 1 AS INTEGER), 16)) AS frame_md5
+         FROM f WHERE i % 4 = 0""",
 
     "emb_topk" ->
       """WITH q AS (

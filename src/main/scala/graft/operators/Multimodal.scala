@@ -60,4 +60,57 @@ object Multimodal {
   /** Assembled query: payload metadata for every document. */
   def mediaMeta(spark: SparkSession, docs: DataFrame): DataFrame =
     decodeMeta(spark, withPayload(docs)).toDF()
+
+  final case class ResizedMedia(
+      doc_id: Long, width: Int, height: Int, thumb: Array[Byte])
+  final case class Frame(
+      doc_id: Long, frame_idx: Long, offset: Long, frame: Array[Byte])
+
+  /** Resize stage: same mapPartitions batch contract as [[decodeMeta]].
+    * The STUB "resample" keeps every k-th byte where a real kernel would
+    * interpolate pixels — deterministic, size-contracted output (a thumb
+    * is never larger than `maxDim²` bytes), null-safe.
+    */
+  def resizeThumbs(spark: SparkSession, payloads: DataFrame,
+      maxDim: Int = 32): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[Payload]
+      .mapPartitions { it =>
+        it.map { p =>
+          val bytes = Option(p.payload).getOrElse(Array.emptyByteArray)
+          val (w, h, _) = decodeStub(bytes)
+          val (tw, th) = // fit into maxDim × maxDim, aspect preserved
+            if (w >= h) (maxDim, math.max(1, maxDim * h / math.max(1, w)))
+            else (math.max(1, maxDim * w / math.max(1, h)), maxDim)
+          val budget = tw * th
+          val step = math.max(1, bytes.length / math.max(1, budget))
+          val thumb = bytes.indices.by(step).map(bytes).toArray
+          ResizedMedia(p.doc_id, tw, th, thumb)
+        }
+      }
+  }
+
+  /** Frame sampling for a video-like payload: emit every `everyNth`
+    * fixed-size frame slice as its own row (flatMap — the row-multiplying
+    * half of the multimodal contract). Frames stay on the executor that
+    * scanned the payload; downstream per-frame feature extraction is then
+    * ordinary map work over the exploded rows.
+    */
+  def sampleFrames(spark: SparkSession, payloads: DataFrame,
+      frameBytes: Int = 16, everyNth: Int = 4): Dataset[Frame] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[Payload]
+      .mapPartitions { it =>
+        it.flatMap { p =>
+          val bytes = Option(p.payload).getOrElse(Array.emptyByteArray)
+          val frames = bytes.length / frameBytes // trailing partial dropped
+          (0L until frames.toLong).filter(_ % everyNth == 0).map { i =>
+            val off = i * frameBytes
+            Frame(p.doc_id, i / everyNth, off,
+              java.util.Arrays.copyOfRange(bytes, off.toInt,
+                off.toInt + frameBytes))
+          }
+        }
+      }
+  }
 }
