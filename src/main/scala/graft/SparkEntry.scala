@@ -357,6 +357,12 @@ object SparkEntry {
         .toDF().select(col("doc_id"), col("frame_idx"),
           col("offset").as("frame_off"), md5(col("frame")).as("frame_md5"))),
 
+    // Multimodal feature extraction: 4-bin byte histogram per sampled
+    // frame (embedding-model stand-in; batch iterator contract).
+    "doc_media_features" -> ((s, dir) =>
+      Multimodal.frameFeatures(s,
+          Multimodal.withPayload(t(s, dir, "documents"))).toDF()),
+
     // Gopher-style rule filter: per-doc quality flags + keep verdict.
     "doc_gopher_quality" -> ((s, dir) =>
       Curation.gopherQuality(t(s, dir, "documents"))),
@@ -973,6 +979,27 @@ object SparkEntry {
            CAST(th AS INTEGER) AS height,
            CAST(CASE WHEN n = 0 THEN 0 ELSE (n + step - 1) // step END AS BIGINT) AS thumb_len
          FROM s""",
+
+    "doc_media_features" ->
+      """WITH d AS (
+           SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+         f AS (
+           SELECT doc_id, text,
+             unnest(generate_series(0, n // 16 - 1)) AS i
+           FROM d WHERE n >= 16),
+         s AS (SELECT doc_id, text, i FROM f WHERE i % 4 = 0),
+         p AS (
+           SELECT doc_id, i, unnest(generate_series(1, 16)) AS pos FROM s),
+         c AS (
+           SELECT p.doc_id, p.i,
+             ord(substr(s.text, CAST(p.i * 16 + p.pos AS INTEGER), 1)) AS code
+           FROM p JOIN s ON p.doc_id = s.doc_id AND p.i = s.i)
+         SELECT doc_id, CAST(i // 4 AS BIGINT) AS frame_idx,
+           CAST(SUM(CASE WHEN code < 64 THEN 1 ELSE 0 END) AS BIGINT) AS f0,
+           CAST(SUM(CASE WHEN code >= 64 AND code < 96 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(SUM(CASE WHEN code >= 96 AND code < 128 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+           CAST(SUM(CASE WHEN code >= 128 THEN 1 ELSE 0 END) AS BIGINT) AS f3
+         FROM c GROUP BY doc_id, i""",
 
     "doc_media_frames" ->
       """WITH d AS (

@@ -90,6 +90,33 @@ object Multimodal {
       }
   }
 
+  final case class FrameFeatures(
+      doc_id: Long, frame_idx: Long, f0: Long, f1: Long, f2: Long, f3: Long)
+
+  /** Feature extraction over sampled frames: a fixed-width vector per
+    * frame (here a 4-bin byte-value histogram standing in for an
+    * embedding-model forward pass) via the same batch iterator contract —
+    * per-partition model setup would live where the comment marks it.
+    * Downstream this column feeds the [[Similarity]] ANN suite.
+    */
+  def frameFeatures(spark: SparkSession, payloads: DataFrame,
+      frameBytes: Int = 16, everyNth: Int = 4): Dataset[FrameFeatures] = {
+    import spark.implicits._
+    sampleFrames(spark, payloads, frameBytes, everyNth)
+      .mapPartitions { it =>
+        // Per-partition setup (model/codec load in real life) goes here.
+        it.map { fr =>
+          val bins = new Array[Long](4)
+          fr.frame.foreach { b =>
+            val v = b & 0xff
+            val bin = if (v < 64) 0 else if (v < 96) 1 else if (v < 128) 2 else 3
+            bins(bin) += 1
+          }
+          FrameFeatures(fr.doc_id, fr.frame_idx, bins(0), bins(1), bins(2), bins(3))
+        }
+      }
+  }
+
   /** Frame sampling for a video-like payload: emit every `everyNth`
     * fixed-size frame slice as its own row (flatMap — the row-multiplying
     * half of the multimodal contract). Frames stay on the executor that
