@@ -98,9 +98,14 @@ final class SseClient(
       lastTrafficMs = System.currentTimeMillis()
       line match {
         case "" => // blank line: dispatch the accumulated event
+          // Per WHATWG the last-event-ID commits at EVERY dispatch, even
+          // when the data buffer is empty (the empty-data early return in
+          // the spec's dispatch steps comes AFTER the id commit) — servers
+          // send id-only keepalives (`id: 42\n\n`) precisely to advance the
+          // reconnect cursor.
+          pendingId.foreach(id => lastEventId = Some(id))
+          pendingId = None
           if (dataLines.nonEmpty) {
-            pendingId.foreach(id => lastEventId = Some(id))
-            pendingId = None
             if (eventType == "message") {
               append(dataLines.mkString(" "))
               written += 1

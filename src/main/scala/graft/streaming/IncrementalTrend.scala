@@ -296,7 +296,15 @@ object IncrementalTrend {
     val (applied, prev) =
       if (!stateExists) (Set.empty[Int], emptyState(spark))
       else {
-        val scoped0 = spark.read.parquet(stateDir)
+        val raw = spark.read.parquet(stateDir)
+        // Schema migration: a state dir written before the lastBatchId
+        // stamp existed has no such column. Streaming batchIds are >= 0,
+        // so -1 reads as "no bucket has applied any batch yet" — the whole
+        // table is a pending fold target, which is the correct (at-least-
+        // once, additive-merge-safe) resume for pre-stamp state.
+        val scoped0 =
+          if (raw.columns.contains("lastBatchId")) raw
+          else raw.withColumn("lastBatchId", lit(-1L))
         val scoped =
           if (sweep) scoped0
           else scoped0.filter(col("bucket")

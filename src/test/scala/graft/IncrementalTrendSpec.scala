@@ -214,6 +214,23 @@ class IncrementalTrendSpec extends SparkSpec {
       Set("Jon", "Eve"))
   }
 
+  test("bucketed state: pre-stamp state dir (no lastBatchId column) still folds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_state").toString + "/st"
+    foldToDir(dir, 0, Seq(edit("Foo", min = 0)), buckets = 1)
+    // Simulate a state dir written before the lastBatchId stamp existed:
+    // rewrite the table without the column (schema migration path).
+    val stripped = spark.read.parquet(dir).drop("lastBatchId")
+      .localCheckpoint(eager = true)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    stripped.write.partitionBy("bucket").parquet(dir)
+    foldToDir(dir, 5, Seq(edit("Foo", user = "Eve", min = 1)), buckets = 1)
+    val st = IncrementalTrend.readState(spark, dir).collect()
+      .map(r => r.getAs[String]("id") -> r).toMap
+    assert(st("Foo").getAs[Long]("edits") == 2L)
+  }
+
   test("bucketed state: delete empties its bucket dir when last page goes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_state").toString + "/st"
     foldToDir(dir, 0, Seq(edit("Doomed", min = 0)), buckets = 1)

@@ -94,6 +94,18 @@ class SseSourceSpec extends SparkSpec {
     assert(client.currentLastEventId.contains("42"))
   }
 
+  test("SSE client: id-only keepalive advances the reconnect cursor") {
+    val log = tmpLog()
+    // WHATWG dispatch commits the last-event-ID even when the data buffer
+    // is empty — `id: 9\n\n` is a server's cursor-advance keepalive.
+    val wire = "data: one\n\n" + "id: 9\n\n"
+    val client = new SseClient(
+      _ => new java.io.ByteArrayInputStream(wire.getBytes("UTF-8")),
+      log, watchdogMs = 60000)
+    assert(client.run(maxConnects = 1) == 1)
+    assert(client.currentLastEventId.contains("9"))
+  }
+
   test("SSE client: reconnect carries Last-Event-ID (index.js:299)") {
     val log = tmpLog()
     val seen = scala.collection.mutable.ArrayBuffer.empty[Option[String]]
