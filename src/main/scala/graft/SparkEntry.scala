@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.TrendConfig
-import graft.operators.{Curation, Dedup, Multimodal, PageAggregates, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsOf, Curation, Dedup, Multimodal, PageAggregates, Similarity, Skew, TextAnalysis}
 import graft.sources.EventAdapter
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -387,6 +387,38 @@ object SparkEntry {
     "doc_packing" -> ((s, dir) =>
       Curation.packAssignments(t(s, dir, "documents"), budgetTokens = 2048L)),
 
+    // Benchmark decontamination: md5-coin eval split (~6% of docs), train
+    // docs flagged when any word-8-gram also occurs in the eval set (the
+    // eval gram table broadcasts; the corpus is never shuffled).
+    "doc_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val coin = substring(
+        md5(concat(lit("eval:"), col("doc_id").cast("string"))), 1, 2)
+      Curation.decontaminate(
+        docs.filter(coin >= "10"), docs.filter(coin < "10"), n = 8)
+    }),
+
+    // Rarity-weighted top-3 characteristic terms per document (tf·N/df —
+    // linear idf keeps the score an exact IEEE division, oracle-safe).
+    "doc_tfidf_topk" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopTerms(t(s, dir, "documents"), k = 3)),
+
+    // As-of join: attribute each purchase to the user's most recent
+    // preceding view (inclusive <=). Union + one window pass per user —
+    // never the O(|L|·|R|) theta-join Spark would otherwise plan.
+    "events_asof_attrib" -> ((s, dir) => {
+      val ev = EventAdapter.readEvents(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("ts").as("view_ts")).distinct()
+      AsOf.asOfJoin(purchases, views, "user_id", "ts", "ts", Seq("view_ts"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          coalesce(unix_micros(col("ts")) - unix_micros(col("view_ts")),
+            lit(-1L)).as("gap_us"),
+          col("view_ts").isNotNull.as("has_view"))
+    }),
+
     // ---- training-data pipeline: embeddings ---------------------------
 
     // Brute-force cosine top-5 for the first 10 query vectors: broadcast
@@ -724,6 +756,72 @@ object SparkEntry {
          SELECT doc_id, lang, toks,
            CAST(floor(before / 2048) AS BIGINT) AS pack_id
          FROM cum""",
+
+    "doc_decontam" ->
+      """WITH coin AS (
+           SELECT doc_id, text,
+             substr(md5('eval:' || CAST(doc_id AS VARCHAR)), 1, 2) AS c
+           FROM documents),
+         toks AS (
+           SELECT doc_id, c,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\s+') END AS t
+           FROM coin),
+         sh AS (
+           SELECT doc_id, c, list_distinct(
+             CASE WHEN len(t) >= 8
+                  THEN list_transform(generate_series(1, len(t) - 7),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                            t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                            t[i+6] || ' ' || t[i+7])
+                  ELSE [array_to_string(t, ' ')] END) AS ss
+           FROM toks),
+         tg AS (SELECT doc_id, unnest(ss) AS g FROM sh WHERE c >= '10'),
+         eg AS (SELECT DISTINCT g
+                FROM (SELECT unnest(ss) AS g FROM sh WHERE c < '10')),
+         hits AS (
+           SELECT doc_id, count(*) AS gram_hits
+           FROM tg JOIN eg USING (g) GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(h.gram_hits, 0) AS gram_hits,
+           COALESCE(h.gram_hits, 0) > 0 AS contaminated
+         FROM (SELECT doc_id FROM coin WHERE c >= '10') d
+         LEFT JOIN hits h USING (doc_id)""",
+
+    "doc_tfidf_topk" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\s+') END AS t
+           FROM documents),
+         tf AS (
+           SELECT doc_id, token, count(*) AS tf
+           FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+           GROUP BY doc_id, token),
+         df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             CAST(tf.tf * n.n AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+           FROM tf JOIN df USING (token) CROSS JOIN n),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, token ASC) AS rank
+           FROM scored)
+         SELECT doc_id, token, tf, df, score, CAST(rank AS BIGINT) AS rank
+         FROM ranked WHERE rank <= 3""",
+
+    "events_asof_attrib" ->
+      """WITH p AS (
+           SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+         v AS (
+           SELECT DISTINCT user_id, ts AS view_ts FROM events
+           WHERE event_type = 'view')
+         SELECT p.event_id, p.user_id, p.ts,
+           COALESCE(epoch_us(p.ts) - epoch_us(v.view_ts), -1) AS gap_us,
+           v.view_ts IS NOT NULL AS has_view
+         FROM p ASOF LEFT JOIN v
+           ON p.user_id = v.user_id AND p.ts >= v.view_ts""",
 
     "doc_vocab_topk" ->
       """WITH toks AS (

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** As-of (temporal) join: for each left row, attach the payload of the
+  * LATEST right row with the same key and `rightTs <= leftTs` — the
+  * event-attribution / point-in-time-lookup operator (classic uses: trade
+  * vs latest quote, purchase vs latest ad view, edit vs current protection
+  * level). Spark has no built-in as-of join; the naive encoding is a
+  * non-equi theta join (`l.key = r.key AND r.ts <= l.ts` + a max per left
+  * row), which Spark can only execute as a broadcast nested loop — O(|L|
+  * × |R|) per key and a scale killer.
+  *
+  * This implementation is the scalable shape: UNION the two sides tagged
+  * left/right, then ONE window pass per key ordered by (ts, side) carrying
+  * the last non-null payload forward (`last(payload, ignoreNulls) over
+  * rowsBetween(unboundedPreceding, currentRow)`). Cost is one shuffle on
+  * the key + one sort — the same plan Flink/kdb-style as-of engines
+  * lower to, and it never materializes a pair table. Right rows sort
+  * BEFORE left rows at equal timestamps, giving the standard inclusive
+  * (`<=`) as-of semantics.
+  *
+  * Determinism: if the right side can hold several rows per (key, ts),
+  * pre-aggregate it (the window's tie order would otherwise be partition-
+  * layout-dependent). The payload columns must not collide with left
+  * column names.
+  */
+object AsOf {
+
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    val leftRowType = StructType(left.schema.fields)
+    val l = left.select(
+      Seq(col(key).as("__k"), col(leftTs).as("__ts"), lit(1).as("__side"),
+        struct(left.columns.map(col): _*).as("__row")) ++
+        payload.map(p =>
+          lit(null).cast(right.schema(p).dataType).as(p)): _*)
+    val r = right.select(
+      Seq(col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
+        lit(null).cast(leftRowType).as("__row")) ++ payload.map(col): _*)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .select(
+        Seq(col("__side"), col("__row")) ++
+          payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p)): _*)
+      .filter(col("__side") === 1)
+      .select(col("__row.*") +: payload.map(col): _*)
+  }
+}

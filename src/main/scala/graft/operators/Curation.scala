@@ -81,11 +81,14 @@ object Curation {
   def stratifiedSample(docs: DataFrame,
       rates: Map[String, Double] = Map("en" -> 0.5, "zh" -> 0.125),
       defaultRate: Double = 0.25): DataFrame = {
-    // "zz" sorts above every hex coin, so rate >= 1 keeps ALL rows (a
-    // 255-capped threshold would wrongly drop coin == "ff").
-    def hexThreshold(rate: Double): String =
-      if (rate >= 1.0) "zz"
-      else f"${math.min(255L, math.max(0L, math.round(rate * 256)))}%02x"
+    // "zz" sorts above every hex coin, so any rate that ROUNDS to 256/256
+    // keeps ALL rows — capping at 255 would quantize rates in [0.998, 1)
+    // down to 255/256 and wrongly drop coin == "ff", a larger error than
+    // the advertised 1/256 resolution.
+    def hexThreshold(rate: Double): String = {
+      val steps = math.max(0L, math.round(rate * 256))
+      if (steps >= 256) "zz" else f"$steps%02x"
+    }
     val threshold = rates.foldLeft(lit(hexThreshold(defaultRate))) {
       case (acc, (lang, rate)) =>
         when(col("lang") === lang, lit(hexThreshold(rate))).otherwise(acc)
@@ -177,6 +180,39 @@ object Curation {
       sum(col("toks")).as("tokens"),
       expr("percentile(toks, 0.5)").as("median_tokens"),
       expr("percentile(toks, 0.9)").as("p90_tokens"))
+  }
+
+  /** Benchmark decontamination: flag every training document sharing at
+    * least one word-`n`-gram with the evaluation corpus — the standard
+    * train/test-contamination sweep (GPT-3 §4 / PaLM-style 8-13-gram
+    * overlap) every serious training-data pipeline runs before a corpus
+    * ships. Output: one row per training doc with the count of its
+    * distinct grams that appear anywhere in the eval set and the
+    * `contaminated` verdict.
+    *
+    * Scale shape: the eval side (benchmarks — millions of grams at most)
+    * is collapsed to DISTINCT gram hashes and BROADCAST; the train side
+    * streams through a map-side hash-join probe, so the 100 TB corpus is
+    * never shuffled — the only exchange is the per-doc hit aggregation,
+    * keyed on doc_id. Joining on `xxhash64(gram)` keeps the probe keys at
+    * 8 bytes (a 64-bit collision within an eval gram set is negligible;
+    * the oracle joins the gram strings themselves and counts agree).
+    */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame,
+      n: Int = 8): DataFrame = {
+    val trainGrams = Dedup.shingleSets(train, n)
+      .select(col("doc_id"), explode(col("sset")).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+    val evalGrams = Dedup.shingleSets(evalDocs, n)
+      .select(explode(col("sset")).as("g"))
+      .select(xxhash64(col("g")).as("gh")).distinct()
+    val hits = trainGrams.join(broadcast(evalGrams), Seq("gh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("gram_hits"))
+    train.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("gram_hits"), lit(0L)).as("gram_hits"),
+        (coalesce(col("gram_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
   /** Streaming exact dedup over a document stream: emit each text's

@@ -128,4 +128,37 @@ object TextAnalysis {
   /** Fingerprints. */
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
+
+  /** Per-document top-`k` characteristic terms by rarity-weighted term
+    * frequency — `score = tf · N / df` (N = corpus docs, df = docs
+    * containing the term). This is tf-idf with a LINEAR 1/df rarity weight
+    * instead of the usual log(N/df): every factor is integer-derived, so
+    * the score is one exact IEEE division and bit-identical in any engine
+    * (log() is only correct-to-1-ulp and would poison the hash compare);
+    * the induced per-document ranking is what keyword extraction consumes.
+    *
+    * Scale shape: tf is one hash aggregation on (doc_id, token); df
+    * re-aggregates THAT table (never the corpus) keyed on token; N arrives
+    * as a broadcast 1-row join (no driver collect); the per-doc top-k is a
+    * window row_number that Spark executes with WindowGroupLimit (per-
+    * partition heaps, no full sort). Ties break lexicographically.
+    */
+  def tfIdfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count_distinct(col("doc_id")).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token").asc)
+    tf.join(df, Seq("token"))
+      .join(broadcast(n))
+      .withColumn("score",
+        (col("tf") * col("n")).cast("double") / col("df").cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("score"), col("rank").cast("long").as("rank"))
+  }
 }

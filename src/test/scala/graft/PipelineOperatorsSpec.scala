@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Behavioral specs for the training-data-pipeline operators (dedup,
   * similarity, text analysis, multimodal plumbing) on tiny fixtures with
@@ -225,9 +225,13 @@ class PipelineOperatorsSpec extends SparkSpec {
     val d = (0L until 512L).map(i =>
         (i, "txt", if (i % 2 == 0) "en" else "zh", "src"))
       .toDF("doc_id", "text", "lang", "source")
-    // rate >= 1 keeps everything (incl. coins that hash to "ff").
+    // rate >= 1 keeps everything (incl. coins that hash to "ff"), and so
+    // does any rate that ROUNDS to 256/256 — 0.999 must not quantize DOWN
+    // to 255/256 and drop the "ff" coins.
     assert(graft.operators.Curation.stratifiedSample(d,
       rates = Map.empty, defaultRate = 1.0).count() == 512L)
+    assert(graft.operators.Curation.stratifiedSample(d,
+      rates = Map.empty, defaultRate = 0.999).count() == 512L)
     val s1 = graft.operators.Curation.stratifiedSample(d)
     val s2 = graft.operators.Curation.stratifiedSample(d)
     val ids1 = s1.select("doc_id").as[Long].collect().sorted.toSeq
@@ -236,6 +240,44 @@ class PipelineOperatorsSpec extends SparkSpec {
       .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
     // en keeps ~50% of 256, zh ~12.5% of 256 — order must hold decisively.
     assert(byLang.getOrElse("en", 0L) > 2 * byLang.getOrElse("zh", 0L))
+  }
+
+  test("asOfJoin: latest right row at or before each left ts, null when none") {
+    val left = Seq((1L, "u1", 10L), (2L, "u1", 20L), (3L, "u2", 5L))
+      .toDF("event_id", "k", "ts")
+    val right = Seq(("u1", 10L, "a"), ("u1", 15L, "b"), ("u2", 9L, "c"))
+      .toDF("k", "ts", "tag")
+    val out = AsOf.asOfJoin(left, right, "k", "ts", "ts", Seq("tag"))
+      .collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("tag")).toMap
+    assert(out(1L) == "a")  // inclusive <=: right at the same ts attaches
+    assert(out(2L) == "b")  // latest of {10, 15} at or before 20
+    assert(out(3L) == null) // no right row at or before ts=5
+  }
+
+  test("decontaminate: train doc sharing an 8-gram with eval is flagged") {
+    val train = docs(
+      1L -> (1 to 10).map(i => s"w$i").mkString(" "), // contains w3..w10
+      2L -> "alpha beta gamma")
+    val eval = docs(100L -> (3 to 10).map(i => s"w$i").mkString(" "))
+    val out = Curation.decontaminate(train, eval, n = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("gram_hits"), r.getAs[Boolean]("contaminated")))).toMap
+    assert(out(1L) == ((1L, true)))
+    assert(out(2L) == ((0L, false)))
+  }
+
+  test("tfIdfTopTerms: rare terms outrank common ones, score exact") {
+    val d = docs(1L -> "x x common", 2L -> "y common", 3L -> "common common")
+    val byDoc = TextAnalysis.tfIdfTopTerms(d, k = 2).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    // N=3: doc1 'x' tf=2 df=1 -> score 6.0 beats 'common' tf=1 df=3 -> 1.0.
+    val d1 = byDoc(1L).sortBy(_.getAs[Long]("rank"))
+    assert(d1.map(_.getAs[String]("token")).toSeq == Seq("x", "common"))
+    assert(d1.head.getAs[Double]("score") == 6.0)
+    assert(d1(1).getAs[Double]("score") == 1.0)
+    // doc3 has a single distinct token: exactly one ranked row.
+    assert(byDoc(3L).map(_.getAs[String]("token")).toSeq == Seq("common"))
   }
 
   test("sourceMix: token shares sum to 1 over cells") {
