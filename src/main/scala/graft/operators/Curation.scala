@@ -200,11 +200,15 @@ object Curation {
     */
   def decontaminate(train: DataFrame, evalDocs: DataFrame,
       n: Int = 8): DataFrame = {
+    // explode_outer, not explode: the inner variant's inferred
+    // size(sset) > 0 filter inlines the gram transform below the token
+    // projection and re-tokenizes per element (see Dedup.explodedShingles);
+    // sset is never empty, so the outer form is identical and skips it.
     val trainGrams = Dedup.shingleSets(train, n)
-      .select(col("doc_id"), explode(col("sset")).as("g"))
+      .select(col("doc_id"), explode_outer(col("sset")).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("gh"))
     val evalGrams = Dedup.shingleSets(evalDocs, n)
-      .select(explode(col("sset")).as("g"))
+      .select(explode_outer(col("sset")).as("g"))
       .select(xxhash64(col("g")).as("gh")).distinct()
     val hits = trainGrams.join(broadcast(evalGrams), Seq("gh"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("gram_hits"))
