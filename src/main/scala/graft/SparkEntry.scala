@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.TrendConfig
-import graft.operators.{AsOf, Curation, Dedup, Multimodal, PageAggregates, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsOf, Curation, Dedup, Multimodal, PageAggregates, RangeJoin, Similarity, Skew, TextAnalysis}
 import graft.sources.EventAdapter
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -419,6 +419,22 @@ object SparkEntry {
           col("view_ts").isNotNull.as("has_view"))
     }),
 
+    // Range (interval) join: views in the hour before each purchase, via
+    // window-wide time buckets + right-side 2x replication — a hash
+    // equi-join on (user, bucket) instead of the per-key nested loop a
+    // BETWEEN theta-join plans.
+    "events_range_views_1h" -> ((s, dir) => {
+      val ev = EventAdapter.readEvents(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"))
+      RangeJoin.slidingCount(purchases, views, "user_id", "ts", "ts",
+          windowMicros = 3600L * 1000000L)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("hits").as("views_1h"))
+    }),
+
     // ---- training-data pipeline: embeddings ---------------------------
 
     // Brute-force cosine top-5 for the first 10 query vectors: broadcast
@@ -809,6 +825,18 @@ object SparkEntry {
            FROM scored)
          SELECT doc_id, token, tf, df, score, CAST(rank AS BIGINT) AS rank
          FROM ranked WHERE rank <= 3""",
+
+    "events_range_views_1h" ->
+      """WITH p AS (
+           SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+         SELECT p.event_id, p.user_id, p.ts,
+           CAST(count(v.ts) AS BIGINT) AS views_1h
+         FROM p LEFT JOIN v
+           ON v.user_id = p.user_id
+           AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+         GROUP BY p.event_id, p.user_id, p.ts""",
 
     "events_asof_attrib" ->
       """WITH p AS (

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Curation, Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis}
 
 /** Behavioral specs for the training-data-pipeline operators (dedup,
   * similarity, text analysis, multimodal plumbing) on tiny fixtures with
@@ -253,6 +253,24 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(out(1L) == "a")  // inclusive <=: right at the same ts attaches
     assert(out(2L) == "b")  // latest of {10, 15} at or before 20
     assert(out(3L) == null) // no right row at or before ts=5
+  }
+
+  test("slidingCount: half-open window, bucket-boundary crossing, zero-hit rows") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val w = 60L * 1000000L // 60 s window
+    // Left at t=100 has window [40, 100): right at 40 is IN (closed lower
+    // edge, reached through the PREVIOUS time bucket), 99 IN, 39 OUT
+    // (below the window), 100 OUT (half-open upper edge).
+    val left = Seq((1L, "u", ts(100)), (2L, "u", ts(10)), (3L, "z", ts(50)))
+      .toDF("event_id", "k", "ts")
+    val right = Seq(("u", ts(40)), ("u", ts(99)), ("u", ts(100)), ("u", ts(39)))
+      .toDF("k", "ts")
+    val out = RangeJoin.slidingCount(left, right, "k", "ts", "ts", w)
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("hits")).toMap
+    assert(out(1L) == 2L) // 40 (>= 100-60, prior bucket) and 99; not 39, not 100
+    assert(out(2L) == 0L) // nothing before t=10
+    assert(out(3L) == 0L) // no rows for key z at all
   }
 
   test("decontaminate: train doc sharing an 8-gram with eval is flagged") {
