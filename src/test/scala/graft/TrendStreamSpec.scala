@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.model.{PageState, RecentChange, TrendConfig}
 import graft.operators.PageAggregates
-import graft.streaming.TrendStream
+import graft.streaming.{TrendStream, TrendStreamTws}
 import graft.streaming.TrendStream.ClassifiedEvent
 
 /** Streaming core spec: fixture parity for the pure update function,
@@ -228,6 +228,49 @@ class TrendStreamSpec extends SparkSpec {
     val snap = TrendStream.replayToSnapshot(spark, events,
       queryName = "trend_cmd_safe", commands = cmds).map(s => s.id -> s).toMap
     assert(snap("Foo").safe && snap("Foo").edits == 1)
+  }
+
+  // --- transformWithState twin (Spark 4 arbitrary-state v2) ---------------
+
+  test("transformWithState replay equals fgws replay and batch aggregation") {
+    val rnd = new scala.util.Random(7)
+    val pages = Seq(("Foo", "enwiki"), ("Bar", "enwiki"), ("Baz", "dewiki"))
+    val users = Seq("Jon", "Ann", "ClueBot NG", "192.168.0.1", "Bot9", "Eve")
+    val comments = Seq("yo", "reverted vandalism", "Nominated page for deletion",
+      "current event update", "copyedit")
+    val events = (0 until 150).map { i =>
+      val (t, w) = pages(rnd.nextInt(pages.size))
+      rc(title = t, wiki = w,
+        comment = comments(rnd.nextInt(comments.size)),
+        user = users(rnd.nextInt(users.size)),
+        bot = rnd.nextInt(10) == 0,
+        rcType = if (rnd.nextInt(20) == 0) "new" else "edit",
+        lengthOld = rnd.nextInt(1000).toLong,
+        lengthNew = rnd.nextInt(1000).toLong,
+        at = new Timestamp(t0.getTime + i * 1000L))
+    }
+    val tws = TrendStreamTws.replayToSnapshot(spark, events)
+      .map(s => s.id -> s).toMap
+    val batch = PageAggregates.pageAggregates(events.toDS.toDF).collect()
+      .map(r => r.getAs[String]("id") -> r).toMap
+    assert(tws.keySet == batch.keySet)
+    checkStreamEqualsBatch(tws, batch)
+    val fgws = TrendStream.replayToSnapshot(spark, events,
+      queryName = "trend_fgws_vs_tws").map(s => s.id -> s).toMap
+    assert(tws.keySet == fgws.keySet)
+    tws.foreach { case (id, s) => assert(s == fgws(id), s"tws!=fgws@$id") }
+  }
+
+  test("transformWithState: drop command and delete semantics (A6/Q4)") {
+    val events = Seq(
+      rc(title = "Foo", at = t0),
+      rc(title = "Foo", user = "Eve", at = ts("2024-01-01 00:02:00")))
+    val cmds = Seq(
+      TrendStream.TrendCommand("drop", "enwiki", "Foo", ts("2024-01-01 00:01:00")))
+    val snap = TrendStreamTws.replayToSnapshot(spark, events,
+      queryName = "tws_cmd_drop", commands = cmds).map(s => s.id -> s).toMap
+    // Drop lands between the edits (ts order): Foo comes back fresh.
+    assert(snap("Foo").edits == 1 && snap("Foo").contributors == Seq("Eve"))
   }
 
   test("streaming: move log event through pageStates does not inflate counts") {
