@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression net: the scale properties the engine is designed
+  * around, asserted against the actual physical/optimized plans so a
+  * refactor can't silently regress them (the round-4 decontam fix was
+  * exactly such a regression — an optimizer rule quietly re-tokenizing
+  * every document inside an inferred filter).
+  */
+class PlanShapeSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def physical(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q2_filter: predicate pushed to the parquet scan, columns pruned") {
+    val p = physical("q2_filter")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(!p.contains("PushedFilters: []"), p.take(2000))
+  }
+
+  test("q1_agg: aggregation runs inside whole-stage codegen") {
+    // AQE defers codegen-stage insertion until runtime re-planning, so
+    // assert on the non-adaptive plan where the `*(n)` markers are static.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = physical("q1_agg")
+      assert("\\*\\(\\d+\\) HashAggregate".r.findFirstIn(p).isDefined, p.take(2000))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q3_join: dimension sides broadcast (no shuffle join for dims)") {
+    assert(physical("q3_join").contains("BroadcastHashJoin"))
+  }
+
+  test("trend_topk: top-k plans as TakeOrderedAndProject, not a full sort") {
+    assert(physical("trend_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("emb_topk: per-query rank prunes with WindowGroupLimit") {
+    assert(physical("emb_topk").contains("WindowGroupLimit"))
+  }
+
+  test("events_asof_attrib: as-of join lowers to a window pass, no join of any kind") {
+    val p = physical("events_asof_attrib")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("Window"))
+  }
+
+  test("events_range_views_1h: interval join is hash-based, never a nested loop") {
+    val p = physical("events_range_views_1h")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("explodedShingles: no inferred filter re-running the tokenization") {
+    // Inner explode triggers InferFiltersFromGenerate, whose alias
+    // substitution inlines the gram transform (tokenization inside every
+    // element_at) into a Filter below the projection — 25 s of a 48 s
+    // query before the explode_outer fix. Lock the optimized plan shape.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val opt = graft.operators.Dedup.explodedShingles(docs, 8)
+      .queryExecution.optimizedPlan.toString
+    assert(!"(?s)Filter[^\\n]*split\\(".r.findFirstIn(opt).isDefined, opt.take(2000))
+  }
+
+  test("doc_decontam: eval gram side broadcasts; train corpus not re-shuffled") {
+    val p = physical("doc_decontam")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+}
