@@ -35,7 +35,7 @@ object AsOf {
     val leftRowType = StructType(left.schema.fields)
     val l = left.select(
       Seq(col(key).as("__k"), col(leftTs).as("__ts"), lit(1).as("__side"),
-        struct(left.columns.map(col): _*).as("__row")) ++
+        struct(left.columns.toIndexedSeq.map(col): _*).as("__row")) ++
         payload.map(p =>
           lit(null).cast(right.schema(p).dataType).as(p)): _*)
     val r = right.select(

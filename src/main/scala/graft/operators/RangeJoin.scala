@@ -45,7 +45,7 @@ object RangeJoin {
         l(key) === r("__rk") && l("__bkt") === r("__bkt") &&
           r("__rtsu") >= l("__ltsu") - windowMicros &&
           r("__rtsu") < l("__ltsu"))
-      .groupBy(left.columns.map(l(_)): _*)
+      .groupBy(left.columns.toIndexedSeq.map(l(_)): _*)
       .agg(count(lit(1)).as("hits"))
     // Left rows with an empty window drop out of the inner join — union
     // them back with hits = 0 via an anti-join-free left join on the

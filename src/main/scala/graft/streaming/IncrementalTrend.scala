@@ -179,7 +179,7 @@ object IncrementalTrend {
   /** Empty state table with the merged-state schema. */
   def emptyState(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq.empty[PageState].toDS.toDF
+    Seq.empty[PageState].toDS().toDF()
       .select(col("id"), col("title"), col("wiki"), col("edits"),
         col("anonEdits"), col("isNew"), col("notabilityFlags"),
         col("volatileFlags"), col("reverts"), col("start"), col("updated"),

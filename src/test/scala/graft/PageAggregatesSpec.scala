@@ -27,7 +27,7 @@ class PageAggregatesSpec extends SparkSpec {
       wiki, "en.wikipedia.org", null, null, null, null, ts)
 
   private def agg(events: RecentChange*): DataFrame =
-    PageAggregates.pageAggregates(events.toDS.toDF)
+    PageAggregates.pageAggregates(events.toDS().toDF())
 
   private def one(events: RecentChange*): Row = {
     val rows = agg(events: _*).collect()
@@ -55,7 +55,7 @@ class PageAggregatesSpec extends SparkSpec {
   }
 
   test("distribution map: Jon -> 1 (tests.js:50)") {
-    val d = mapOf(PageAggregates.distribution(Seq(ev()).toDS.toDF).collect()(0),
+    val d = mapOf(PageAggregates.distribution(Seq(ev()).toDS().toDF()).collect()(0),
       "distribution")
     assert(d == Map("Jon" -> 1L))
   }
@@ -98,7 +98,7 @@ class PageAggregatesSpec extends SparkSpec {
   test("anon + named distribution counts both editor kinds (index.js:192-213)") {
     val d = mapOf(PageAggregates.distribution(
         Seq(ev(user = "192.168.0.1"), ev(user = "192.168.0.1"), ev(user = "Jon"))
-          .toDS.toDF)
+          .toDS().toDF())
       .collect()(0), "distribution")
     assert(d == Map("192.168.0.1" -> 2L, "Jon" -> 1L))
   }
@@ -155,7 +155,7 @@ class PageAggregatesSpec extends SparkSpec {
       logType = "log", logAction = "move",
       logParams = Map("target" -> "Bar"), ts = Timestamp.valueOf("2024-01-01 00:30:00"))
     val events = Seq(ev(ts = t0), move,
-      ev(title = "Bar", ts = Timestamp.valueOf("2024-01-01 01:00:00"))).toDS.toDF
+      ev(title = "Bar", ts = Timestamp.valueOf("2024-01-01 01:00:00"))).toDS().toDF()
     val agged = PageAggregates.trendAggregates(events)
     val ids = agged.select("id").as[String].collect().sorted
     assert(ids.toSeq == Seq("Bar"))
@@ -168,7 +168,7 @@ class PageAggregatesSpec extends SparkSpec {
       ev(user = s"user$i", ts = new Timestamp(t0.getTime + i * 1000L))) ++
       (0 until 10).map(i =>
         ev(user = s"$i.0.0.1", ts = new Timestamp(t0.getTime + (100 + i) * 1000L)))
-    val r = PageAggregates.contributorCardinalities(events.toDS.toDF).collect()(0)
+    val r = PageAggregates.contributorCardinalities(events.toDS().toDF()).collect()(0)
     // approx_count_distinct default rsd 5% — exact at these cardinalities.
     assert(math.abs(r.getAs[Long]("approxContributors") - 50L) <= 3)
     assert(math.abs(r.getAs[Long]("approxAnons") - 10L) <= 1)
@@ -183,7 +183,7 @@ class PageAggregatesSpec extends SparkSpec {
       ev(title = "A", user = "ua", ts = t0),
       ev(title = "C", user = "uc", ts = Timestamp.valueOf("2024-01-01 00:05:00")),
       move("A", "B", "2024-01-01 00:10:00"),
-      move("C", "A", "2024-01-01 00:20:00")).toDS.toDF
+      move("C", "A", "2024-01-01 00:20:00")).toDS().toDF()
     val agged = PageAggregates.trendAggregates(events)
     val byId = agged.collect().map(r => r.getAs[String]("id") -> r).toMap
     assert(byId.keySet == Set("A", "B"))
@@ -199,7 +199,7 @@ class PageAggregatesSpec extends SparkSpec {
       ev(title = "A", ts = t0),
       move("A", "B", "2024-01-01 00:10:00"),
       ev(title = "B", ts = Timestamp.valueOf("2024-01-01 00:20:00")),
-      move("B", "C", "2024-01-01 00:30:00")).toDS.toDF
+      move("B", "C", "2024-01-01 00:30:00")).toDS().toDF()
     val agged = PageAggregates.trendAggregates(events)
     assert(agged.select("id").as[String].collect().toSeq == Seq("C"))
     assert(agged.collect()(0).getAs[Long]("edits") == 2L)

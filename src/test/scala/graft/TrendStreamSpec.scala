@@ -178,7 +178,7 @@ class TrendStreamSpec extends SparkSpec {
 
     val streamed = TrendStream.replayToSnapshot(spark, events)
       .map(s => s.id -> s).toMap
-    val batch = PageAggregates.pageAggregates(events.toDS.toDF).collect()
+    val batch = PageAggregates.pageAggregates(events.toDS().toDF()).collect()
       .map(r => r.getAs[String]("id") -> r).toMap
 
     assert(streamed.keySet == batch.keySet)
@@ -251,7 +251,7 @@ class TrendStreamSpec extends SparkSpec {
     }
     val tws = TrendStreamTws.replayToSnapshot(spark, events)
       .map(s => s.id -> s).toMap
-    val batch = PageAggregates.pageAggregates(events.toDS.toDF).collect()
+    val batch = PageAggregates.pageAggregates(events.toDS().toDF()).collect()
       .map(r => r.getAs[String]("id") -> r).toMap
     assert(tws.keySet == batch.keySet)
     checkStreamEqualsBatch(tws, batch)
