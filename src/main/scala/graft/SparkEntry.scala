@@ -398,6 +398,11 @@ object SparkEntry {
         docs.filter(coin >= "10"), docs.filter(coin < "10"), n = 8)
     }),
 
+    // MOSS-style winnowing fingerprints (rolling k-gram hash, per-window
+    // min selection) — any >=6-token shared substring shares a value.
+    "doc_winnow" -> ((s, dir) =>
+      TextAnalysis.winnowingFingerprints(t(s, dir, "documents"), k = 3, w = 4)),
+
     // Rarity-weighted top-3 characteristic terms per document (tf·N/df —
     // linear idf keeps the score an exact IEEE division, oracle-safe).
     "doc_tfidf_topk" -> ((s, dir) =>
@@ -802,6 +807,31 @@ object SparkEntry {
            COALESCE(h.gram_hits, 0) > 0 AS contaminated
          FROM (SELECT doc_id FROM coin WHERE c >= '10') d
          LEFT JOIN hits h USING (doc_id)""",
+
+    "doc_winnow" ->
+      """WITH toks AS (
+           SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(text), '\s+') END AS t
+           FROM documents),
+         grams AS (
+           SELECT doc_id, CASE WHEN len(t) >= 3
+             THEN list_transform(generate_series(1, len(t) - 2),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             ELSE [array_to_string(t, ' ')] END AS g
+           FROM toks),
+         gh AS (
+           SELECT doc_id, list_transform(g, x ->
+             CAST(list_sum(list_transform(generate_series(1, 15),
+               i -> CAST(strpos('0123456789abcdef', substr(md5(x), i, 1)) - 1 AS BIGINT)
+                    * CAST(pow(16, 15 - i) AS BIGINT))) AS BIGINT)) AS gh
+           FROM grams),
+         fps AS (
+           SELECT doc_id, CASE WHEN len(gh) >= 4
+             THEN list_distinct(list_transform(generate_series(1, len(gh) - 3),
+                  i -> list_min(gh[i:i+3])))
+             ELSE [list_min(gh)] END AS fps
+           FROM gh)
+         SELECT doc_id, unnest(fps) AS fingerprint FROM fps""",
 
     "doc_tfidf_topk" ->
       """WITH toks AS (

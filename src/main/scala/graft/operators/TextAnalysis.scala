@@ -129,6 +129,46 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
 
+  /** MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD 2003): hash every ORDERED word-`k`-gram, slide a `w`-wide
+    * window over the hash sequence, keep each window's minimum — the
+    * distinct selected values are the document's fingerprints. The
+    * guarantee that makes this THE copy-detection sketch: any shared
+    * substring of at least `w + k − 1` tokens yields at least one shared
+    * fingerprint, and the selected density is ~2/(w+1) of all grams, so
+    * the index stays small.
+    *
+    * Determinism/scale: the gram hash is the leading 15 hex chars of md5
+    * (a 60-bit value both engines compute identically — same recipe as
+    * the 60-bit SimHash); all three stages are HOF transforms over
+    * MATERIALIZED array attributes (separate projections, one md5 per
+    * gram — see Dedup.shinglesFromTokens for the re-evaluation trap), and
+    * the final explode is `explode_outer` so InferFiltersFromGenerate
+    * can't inline the pipeline into a filter. Map-only: no shuffle at all.
+    *
+    * Documents shorter than `k` tokens hash their whole text as one gram;
+    * shorter than `w` grams contribute their single minimum.
+    */
+  def winnowingFingerprints(docs: DataFrame, k: Int = 3,
+      w: Int = 4): DataFrame = {
+    val toks = docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
+    val grams = toks.select(col("doc_id"),
+      when(size(col("toks")) >= k,
+        transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+          i => concat_ws(" ",
+            (0 until k).map(o => element_at(col("toks"), i + o)): _*)))
+        .otherwise(array(concat_ws(" ", col("toks")))).as("grams"))
+    val hashes = grams.select(col("doc_id"),
+      transform(col("grams"),
+        g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")).as("gh"))
+    val fps = hashes.select(col("doc_id"),
+      when(size(col("gh")) >= w,
+        array_distinct(transform(sequence(lit(1), size(col("gh")) - (w - 1)),
+          i => array_min(slice(col("gh"), i, lit(w))))))
+        .otherwise(array(array_min(col("gh")))).as("fps"))
+    fps.select(col("doc_id"), explode_outer(col("fps")).as("fingerprint"))
+  }
+
   /** Per-document top-`k` characteristic terms by rarity-weighted term
     * frequency — `score = tf · N / df` (N = corpus docs, df = docs
     * containing the term). This is tf-idf with a LINEAR 1/df rarity weight

@@ -285,6 +285,25 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(out(2L) == ((0L, false)))
   }
 
+  test("winnowingFingerprints: window guarantee and identity") {
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      1L -> base,
+      2L -> base,                                  // identical
+      3L -> ((1 to 6).map(i => s"w$i").mkString(" ") + " zz yy xx"),
+      4L -> "a b")                                 // shorter than k
+    val fp = TextAnalysis.winnowingFingerprints(d, k = 3, w = 4).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Long]("fingerprint")).toSet).toMap
+    assert(fp(1L) == fp(2L))          // identical docs: identical sets
+    // Docs 1 and 3 share the >= w+k-1 = 6-token prefix w1..w6 → the
+    // winnowing guarantee promises at least one shared fingerprint.
+    assert((fp(1L) & fp(3L)).nonEmpty)
+    assert(fp(4L).size == 1)          // sub-k doc: one whole-text gram
+    // Density: selected fingerprints are a strict subset of the grams.
+    assert(fp(1L).size < 10)          // 10 grams from 12 tokens
+  }
+
   test("tfIdfTopTerms: rare terms outrank common ones, score exact") {
     val d = docs(1L -> "x x common", 2L -> "y common", 3L -> "common common")
     val byDoc = TextAnalysis.tfIdfTopTerms(d, k = 2).collect()
