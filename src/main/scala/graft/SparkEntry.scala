@@ -403,6 +403,12 @@ object SparkEntry {
     "doc_winnow" -> ((s, dir) =>
       TextAnalysis.winnowingFingerprints(t(s, dir, "documents"), k = 3, w = 4)),
 
+    // Winnowing match step: pairs sharing >= 3 fingerprints, hot
+    // (boilerplate) fingerprints capped at df <= 50 before the pair join.
+    "doc_winnow_pairs" -> ((s, dir) =>
+      TextAnalysis.winnowNearDupCandidates(t(s, dir, "documents"),
+        k = 3, w = 4, minShared = 3, maxDf = 50)),
+
     // Rarity-weighted top-3 characteristic terms per document (tf·N/df —
     // linear idf keeps the score an exact IEEE division, oracle-safe).
     "doc_tfidf_topk" -> ((s, dir) =>
@@ -832,6 +838,41 @@ object SparkEntry {
              ELSE [list_min(gh)] END AS fps
            FROM gh)
          SELECT doc_id, unnest(fps) AS fingerprint FROM fps""",
+
+    "doc_winnow_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(text), '\s+') END AS t
+           FROM documents),
+         grams AS (
+           SELECT doc_id, CASE WHEN len(t) >= 3
+             THEN list_transform(generate_series(1, len(t) - 2),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             ELSE [array_to_string(t, ' ')] END AS g
+           FROM toks),
+         gh AS (
+           SELECT doc_id, list_transform(g, x ->
+             CAST(list_sum(list_transform(generate_series(1, 15),
+               i -> CAST(strpos('0123456789abcdef', substr(md5(x), i, 1)) - 1 AS BIGINT)
+                    * CAST(pow(16, 15 - i) AS BIGINT))) AS BIGINT)) AS gh
+           FROM grams),
+         fps AS (
+           SELECT doc_id, CASE WHEN len(gh) >= 4
+             THEN list_distinct(list_transform(generate_series(1, len(gh) - 3),
+                  i -> list_min(gh[i:i+3])))
+             ELSE [list_min(gh)] END AS fps
+           FROM gh),
+         fpx AS (SELECT doc_id, unnest(fps) AS fingerprint FROM fps),
+         rare AS (
+           SELECT fingerprint FROM fpx
+           GROUP BY fingerprint HAVING count(*) <= 50),
+         pruned AS (
+           SELECT doc_id, fingerprint FROM fpx JOIN rare USING (fingerprint))
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS shared
+         FROM pruned a JOIN pruned b
+           ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 3""",
 
     "doc_tfidf_topk" ->
       """WITH toks AS (

@@ -169,6 +169,34 @@ object TextAnalysis {
     fps.select(col("doc_id"), explode_outer(col("fps")).as("fingerprint"))
   }
 
+  /** Winnowing near-duplicate candidates: pairs of documents sharing at
+    * least `minShared` winnowing fingerprints — the MOSS match step. The
+    * pair join runs on the fingerprint table (≈ 2/(w+1) the gram count),
+    * and fingerprints appearing in more than `maxDf` documents are
+    * dropped FIRST: a boilerplate fingerprint shared by f docs would
+    * contribute f² join rows, and it carries no dedup signal anyway —
+    * the same hot-key cap every inverted-index matcher applies. The
+    * shared count is computed map-side per (a, b) bucket before the
+    * aggregation exchange.
+    */
+  def winnowNearDupCandidates(docs: DataFrame, k: Int = 3, w: Int = 4,
+      minShared: Int = 2, maxDf: Int = 50): DataFrame = {
+    // One row per doc per fingerprint; materialized once — the self-join
+    // would otherwise re-run the whole winnowing pipeline per side.
+    val fp = winnowingFingerprints(docs, k, w).localCheckpoint(eager = true)
+    val rare = fp.groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("fingerprint"))
+    val pruned = fp.join(rare, Seq("fingerprint"))
+    pruned.as("a").join(pruned.as("b"),
+        col("a.fingerprint") === col("b.fingerprint") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Per-document top-`k` characteristic terms by rarity-weighted term
     * frequency — `score = tf · N / df` (N = corpus docs, df = docs
     * containing the term). This is tf-idf with a LINEAR 1/df rarity weight

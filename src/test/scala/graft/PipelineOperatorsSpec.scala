@@ -304,6 +304,20 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(fp(1L).size < 10)          // 10 grams from 12 tokens
   }
 
+  test("winnowNearDupCandidates: shared-substring pairs found, hot fps capped") {
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      1L -> base,
+      2L -> (base + " tail xx"), // shares the 20-token prefix with 1
+      3L -> (100 to 115).map(i => s"v$i").mkString(" ")) // disjoint
+    val pairs = TextAnalysis.winnowNearDupCandidates(d, minShared = 2, maxDf = 50)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs == Set((1L, 2L)))
+    // maxDf = 1 kills every fingerprint shared by 2+ docs → no pairs.
+    assert(TextAnalysis.winnowNearDupCandidates(d, minShared = 1, maxDf = 1)
+      .count() == 0L)
+  }
+
   test("tfIdfTopTerms: rare terms outrank common ones, score exact") {
     val d = docs(1L -> "x x common", 2L -> "y common", 3L -> "common common")
     val byDoc = TextAnalysis.tfIdfTopTerms(d, k = 2).collect()
