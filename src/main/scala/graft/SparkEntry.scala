@@ -414,6 +414,19 @@ object SparkEntry {
     "doc_tfidf_topk" -> ((s, dir) =>
       TextAnalysis.tfIdfTopTerms(t(s, dir, "documents"), k = 3)),
 
+    // Paragraph/chunk-level dedup: 10-token chunk hashes, cross-doc
+    // occurrence counts, per-doc duplicated-chunk fraction + the tokens a
+    // cleaning pass would keep. The below-document dedup stage.
+    "doc_paragraph_dedup" -> ((s, dir) =>
+      TextAnalysis.paragraphDedup(t(s, dir, "documents"), chunkTokens = 10)),
+
+    // ExactSubstr-style shared-span report per candidate pair: shared
+    // winnowing fingerprints, certified shared-token lower bound, and a
+    // containment score against the smaller doc's fingerprint set.
+    "doc_dup_spans" -> ((s, dir) =>
+      TextAnalysis.dupSpans(t(s, dir, "documents"),
+        k = 3, w = 4, minShared = 3, maxDf = 50)),
+
     // As-of join: attribute each purchase to the user's most recent
     // preceding view (inclusive <=). Union + one window pass per user —
     // never the O(|L|·|R|) theta-join Spark would otherwise plan.
@@ -873,6 +886,84 @@ object SparkEntry {
          FROM pruned a JOIN pruned b
            ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 3""",
+
+    "doc_paragraph_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(text), '\s+') END AS t
+           FROM documents),
+         chunks AS (
+           SELECT doc_id, len(t) AS n_toks, t,
+             unnest(generate_series(0, greatest((len(t) - 1) // 10, 0))) AS i
+           FROM toks),
+         ex AS (
+           SELECT doc_id, n_toks,
+             md5(array_to_string(t[i*10+1 : i*10+10], ' ')) AS ch,
+             least(len(t) - i*10, 10) AS clen
+           FROM chunks),
+         df AS (
+           SELECT ch, count(DISTINCT doc_id) AS cdf
+           FROM ex WHERE clen > 0 GROUP BY ch)
+         SELECT ex.doc_id,
+           CAST(max(n_toks) AS BIGINT) AS n_tokens,
+           CAST(count(CASE WHEN clen > 0 THEN 1 END) AS BIGINT) AS n_chunks,
+           CAST(coalesce(sum(CASE WHEN clen > 0 AND cdf > 1 THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS dup_chunks,
+           CASE WHEN count(CASE WHEN clen > 0 THEN 1 END) > 0
+             THEN round(CAST(sum(CASE WHEN clen > 0 AND cdf > 1 THEN 1 ELSE 0 END)
+                             AS DOUBLE)
+                  / CAST(count(CASE WHEN clen > 0 THEN 1 END) AS DOUBLE), 6)
+             ELSE 0.0 END AS dup_chunk_fraction,
+           CAST(coalesce(sum(CASE WHEN clen > 0 AND (cdf IS NULL OR cdf <= 1)
+                             THEN clen ELSE 0 END), 0) AS BIGINT) AS kept_tokens
+         FROM ex LEFT JOIN df USING (ch)
+         GROUP BY ex.doc_id""",
+
+    "doc_dup_spans" ->
+      """WITH toks AS (
+           SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(text), '\s+') END AS t
+           FROM documents),
+         grams AS (
+           SELECT doc_id, CASE WHEN len(t) >= 3
+             THEN list_transform(generate_series(1, len(t) - 2),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             ELSE [array_to_string(t, ' ')] END AS g
+           FROM toks),
+         gh AS (
+           SELECT doc_id, list_transform(g, x ->
+             CAST(list_sum(list_transform(generate_series(1, 15),
+               i -> CAST(strpos('0123456789abcdef', substr(md5(x), i, 1)) - 1 AS BIGINT)
+                    * CAST(pow(16, 15 - i) AS BIGINT))) AS BIGINT)) AS gh
+           FROM grams),
+         fps AS (
+           SELECT doc_id, CASE WHEN len(gh) >= 4
+             THEN list_distinct(list_transform(generate_series(1, len(gh) - 3),
+                  i -> list_min(gh[i:i+3])))
+             ELSE [list_min(gh)] END AS fps
+           FROM gh),
+         fpx AS (SELECT doc_id, unnest(fps) AS fingerprint FROM fps),
+         counts AS (
+           SELECT doc_id, count(DISTINCT fingerprint) AS nfp
+           FROM fpx GROUP BY doc_id),
+         rare AS (
+           SELECT fingerprint FROM fpx
+           GROUP BY fingerprint HAVING count(*) <= 50),
+         pruned AS (
+           SELECT doc_id, fingerprint FROM fpx JOIN rare USING (fingerprint)),
+         shared AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS shared
+           FROM pruned a JOIN pruned b
+             ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 3)
+         SELECT s.doc_a, s.doc_b, s.shared,
+           CAST(s.shared * 3 AS BIGINT) AS min_shared_tokens,
+           round(CAST(s.shared AS DOUBLE)
+                 / CAST(least(ca.nfp, cb.nfp) AS DOUBLE), 6) AS containment
+         FROM shared s
+         JOIN counts ca ON s.doc_a = ca.doc_id
+         JOIN counts cb ON s.doc_b = cb.doc_id""",
 
     "doc_tfidf_topk" ->
       """WITH toks AS (

@@ -108,17 +108,21 @@ object Curation {
   def sourceMix(docs: DataFrame): DataFrame = {
     val perDoc = docs.select(col("source"), col("lang"),
       TextAnalysis.tokenCountWs(col("text")).cast("long").as("toks"))
+    // Materialized once: the total branch below re-aggregates the CELLS
+    // (sources × langs — tiny), never the raw corpus; without the
+    // checkpoint both plan branches would re-scan the 100 TB input.
     val cells = perDoc.groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("docs"), sum(col("toks")).as("tokens"))
-    // Corpus total as an unpartitioned window over the aggregated CELLS
-    // (sources × langs — tiny), not a second aggregation of the raw docs:
-    // a separate total branch would re-plan the corpus scan, doubling the
-    // 100 TB read; the window only gathers the cell rows.
-    val total = sum(col("tokens"))
-      .over(org.apache.spark.sql.expressions.Window.partitionBy())
-    cells.select(col("source"), col("lang"), col("docs"), col("tokens"),
-      round(col("tokens").cast("double") / total.cast("double"), 6)
-        .as("token_share"))
+      .localCheckpoint(eager = true)
+    // Corpus total as a broadcast 1-row cross join over the aggregated
+    // cells — same arithmetic as an unpartitioned window but without
+    // WindowExec's single-partition pass (and its "No Partition Defined"
+    // warning on every run).
+    val total = cells.agg(sum(col("tokens")).as("__total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("source"), col("lang"), col("docs"), col("tokens"),
+        round(col("tokens").cast("double") / col("__total").cast("double"), 6)
+          .as("token_share"))
   }
 
   /** Deterministic sequence-packing assignment: within each language,

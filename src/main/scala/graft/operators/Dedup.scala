@@ -249,7 +249,8 @@ object Dedup {
     * is carried through the groupBy (tagged `self` rows), so "did anything
     * change" is a cheap scan of the just-materialized round output.
     */
-  def dupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  def dupClusters(docs: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
@@ -261,7 +262,7 @@ object Dedup {
       .localCheckpoint(eager = true)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 50) {
+    while (!converged && rounds < maxRounds) {
       val viaNeighbors = edges
         .join(labels, edges("src") === labels("doc_id"))
         .select(col("dst").as("doc_id"), col("cluster"), lit(false).as("self"))
@@ -300,6 +301,15 @@ object Dedup {
     }
     if (sys.props.contains("graft.debug"))
       System.err.println(s"[dupClusters] rounds=$rounds converged=$converged")
+    // Non-convergence MUST be loud: silently returning at the cap would
+    // emit wrong labels with no production-scale signal (the oracle only
+    // catches it at test scale). With pointer jumping the round count is
+    // O(log diameter), so hitting a 50-round cap means a 2^50-diameter
+    // chain — i.e. a bug, not a big graph.
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters did not converge after $rounds rounds " +
+          "(labels would be incomplete); raise maxRounds")
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("doc_id", "l_id"),
         col("doc_id") === col("l_id"), "left")

@@ -28,7 +28,11 @@ object RangeJoin {
     * microseconds (`unix_micros`), so the window edges are engine-exact.
     *
     * Precondition: `left` rows are distinct (e.g. carry an event id) —
-    * the hit counts re-attach by joining on the full left row.
+    * the hit counts re-attach by joining on the full left row. The
+    * re-attach join is NULL-SAFE (`<=>`): SQL GROUP BY already treats
+    * nulls as equal, so a left row carrying a null in any column still
+    * matches its own aggregated hit row instead of silently reporting 0
+    * (a plain equality join would never match it).
     */
   def slidingCount(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, windowMicros: Long): DataFrame = {
@@ -40,18 +44,25 @@ object RangeJoin {
       .withColumn("__rbkt0", floor(col("__rtsu") / windowMicros))
       .select(col("__rk"), col("__rtsu"),
         explode(array(col("__rbkt0"), col("__rbkt0") + 1)).as("__bkt"))
+    // Group keys re-aliased (fresh attributes): the hit table derives from
+    // `left`, so joining back on the raw columns would be self-join
+    // ambiguous ("trivially true" condition).
     val hits = l
       .join(r,
         l(key) === r("__rk") && l("__bkt") === r("__bkt") &&
           r("__rtsu") >= l("__ltsu") - windowMicros &&
           r("__rtsu") < l("__ltsu"))
-      .groupBy(left.columns.toIndexedSeq.map(l(_)): _*)
+      .groupBy(left.columns.toIndexedSeq.map(c => l(c).as(s"__g_$c")): _*)
       .agg(count(lit(1)).as("hits"))
     // Left rows with an empty window drop out of the inner join — union
     // them back with hits = 0 via an anti-join-free left join on the
     // original columns (cheap: the hit table is one row per matched left
-    // row, already aggregated).
-    left.join(hits, left.columns.toSeq, "left")
-      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+    // row, already aggregated). Null-safe equality per column so nulls
+    // re-attach; grouping already merged them, matching <=> semantics.
+    val cond = left.columns.toIndexedSeq
+      .map(c => left(c) <=> hits(s"__g_$c")).reduce(_ && _)
+    left.join(hits, cond, "left")
+      .select(left.columns.toIndexedSeq.map(left(_)) :+
+        coalesce(hits("hits"), lit(0L)).as("hits"): _*)
   }
 }

@@ -197,6 +197,116 @@ object TextAnalysis {
       .filter(col("shared") >= minShared)
   }
 
+  /** Paragraph/chunk-level duplicate analysis — the WITHIN-corpus,
+    * BELOW-document dedup stage modern pipelines run after doc-level
+    * near-dup removal (duplicate-line removal in RefinedWeb/Dolma terms):
+    * a document that survives doc-level dedup can still be 40% boilerplate
+    * shared with other pages.
+    *
+    * The corpus here is single-line, so the "line/paragraph" unit is a
+    * fixed `chunkTokens`-token non-overlapping window — same algebra as
+    * newline splitting, deterministic on any text shape. Each chunk is
+    * keyed by the md5 of its normalized text; a chunk is a duplicate when
+    * its hash occurs in MORE THAN ONE document. Output per document:
+    * chunk/token totals, duplicated-chunk count, `dup_chunk_fraction`,
+    * and `kept_tokens` = tokens in chunks unique to this document (what a
+    * cleaning pass would retain).
+    *
+    * Scale shape: chunking is map-only (HOF transforms over materialized
+    * attributes); the duplicate test is ONE hash aggregation keyed on the
+    * 32-char chunk hash (map-side combined — the shuffle never carries
+    * text), re-joined to the exploded chunk table and re-aggregated per
+    * doc. The corpus body is read once; everything after the explode
+    * carries (doc_id, hash, n_tokens) triples only.
+    */
+  def paragraphDedup(docs: DataFrame, chunkTokens: Int = 10): DataFrame = {
+    val toks = docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
+    // Chunk i covers tokens [i*chunkTokens, (i+1)*chunkTokens); the last
+    // chunk may be short. floor() because Column `/` is double division;
+    // empty docs produce one zero-length pseudo-chunk, filtered below and
+    // re-attached with zero counts at the end.
+    val chunks = toks.select(col("doc_id"), size(col("toks")).as("n_toks"),
+      transform(
+        sequence(lit(0),
+          greatest(floor((size(col("toks")) - 1).cast("double") / chunkTokens)
+            .cast("int"), lit(0))),
+        i => struct(
+          concat_ws(" ", slice(col("toks"), i * chunkTokens + 1, lit(chunkTokens)))
+            .as("chunk"),
+          least(size(col("toks")) - i * chunkTokens, lit(chunkTokens))
+            .as("clen"))).as("cs"))
+    // A token-less doc's single zero-length pseudo-chunk rides THROUGH the
+    // aggregation (guarded by clen > 0 everywhere) instead of being
+    // filtered and left-joined back — the re-attach base would re-scan and
+    // re-tokenize the whole corpus as a second plan branch.
+    val ex = chunks
+      .select(col("doc_id"), col("n_toks"), explode_outer(col("cs")).as("c"))
+      .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
+        md5(col("c.chunk")).as("ch"), col("c.clen").cast("long").as("clen"))
+    // Cross-doc document frequency per chunk hash. count_distinct handles
+    // a chunk repeated WITHIN one doc: that alone is not cross-doc dup.
+    val df = ex.filter(col("clen") > 0).groupBy(col("ch"))
+      .agg(count_distinct(col("doc_id")).as("cdf"))
+    ex.join(df, Seq("ch"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("n_toks")).as("n_tokens"),
+        count(when(col("clen") > 0, lit(1))).as("n_chunks"),
+        sum(when(col("clen") > 0 && col("cdf") > 1, 1L).otherwise(0L))
+          .as("dup_chunks"),
+        sum(when(col("clen") > 0 && col("cdf") <= 1, col("clen"))
+          .otherwise(0L)).as("kept_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
+        col("dup_chunks"),
+        when(col("n_chunks") > 0,
+          round(col("dup_chunks").cast("double") /
+            col("n_chunks").cast("double"), 6)).otherwise(0.0)
+          .as("dup_chunk_fraction"),
+        col("kept_tokens"))
+  }
+
+  /** ExactSubstr-style shared-span report over the winnowing fingerprint
+    * table: for each candidate pair, the number of shared fingerprints and
+    * the GUARANTEED minimum length of shared text they certify. The
+    * winnowing guarantee runs both directions — every shared substring of
+    * >= w+k-1 tokens shares a fingerprint, and each shared fingerprint
+    * certifies a shared k-token gram — so `min_shared_tokens = shared * k`
+    * is a certified lower bound when selected grams don't overlap, and the
+    * pair's smaller fingerprint count normalizes it into a containment
+    * score (1.0 = every fingerprint of the smaller doc also in the larger:
+    * likely full containment, the ExactSubstr removal trigger).
+    *
+    * Scale: reuses [[winnowNearDupCandidates]]'s join discipline — pair
+    * work happens on the ~2/(w+1)-density fingerprint table with the
+    * hot-fingerprint cap applied first, never on documents.
+    */
+  def dupSpans(docs: DataFrame, k: Int = 3, w: Int = 4,
+      minShared: Int = 2, maxDf: Int = 50): DataFrame = {
+    val fp = winnowingFingerprints(docs, k, w).localCheckpoint(eager = true)
+    val counts = fp.groupBy(col("doc_id"))
+      .agg(count_distinct(col("fingerprint")).as("nfp"))
+    val rare = fp.groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("fingerprint"))
+    val pruned = fp.join(rare, Seq("fingerprint"))
+    pruned.as("a").join(pruned.as("b"),
+        col("a.fingerprint") === col("b.fingerprint") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(counts.select(col("doc_id").as("doc_a"), col("nfp").as("nfp_a")),
+        Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("nfp").as("nfp_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        (col("shared") * k).as("min_shared_tokens"),
+        round(col("shared").cast("double") /
+          least(col("nfp_a"), col("nfp_b")).cast("double"), 6)
+          .as("containment"))
+  }
+
   /** Per-document top-`k` characteristic terms by rarity-weighted term
     * frequency — `score = tf · N / df` (N = corpus docs, df = docs
     * containing the term). This is tf-idf with a LINEAR 1/df rarity weight

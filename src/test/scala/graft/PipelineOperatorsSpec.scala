@@ -81,6 +81,24 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
   }
 
+  test("dupClusters: hitting the round cap without convergence throws") {
+    // Adversarial chain 1-2-3-...-12: converging needs several rounds even
+    // with pointer jumping; a cap of 1 must surface loudly, not silently
+    // return wrong labels.
+    val n = 12
+    val ds = docs((1 to n).map(i => i.toLong -> s"doc $i"): _*)
+    val chain = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.dupClusters(ds, chain, maxRounds = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // Sanity: the default cap converges on the same graph.
+    val ok = Dedup.dupClusters(ds, chain).collect()
+      .map(r => r.getAs[Long]("cluster")).toSet
+    assert(ok == Set(1L))
+  }
+
   // ---- similarity -------------------------------------------------------
 
   private def vecs(vs: (Long, Seq[Float])*): DataFrame =
@@ -273,6 +291,22 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(out(3L) == 0L) // no rows for key z at all
   }
 
+  test("slidingCount: a null-bearing left row re-attaches its true count") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val w = 60L * 1000000L
+    // Row 1 carries a null payload column — the null-safe re-attach join
+    // must still find its aggregated hit row (plain equality never matches
+    // null = null and would silently report 0).
+    val left = Seq((1L, "u", ts(100), null: String), (2L, "u", ts(100), "x"))
+      .toDF("event_id", "k", "ts", "payload")
+    val right = Seq(("u", ts(80)), ("u", ts(90))).toDF("k", "ts")
+    val out = RangeJoin.slidingCount(left, right, "k", "ts", "ts", w)
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("hits")).toMap
+    assert(out(1L) == 2L)
+    assert(out(2L) == 2L)
+  }
+
   test("decontaminate: train doc sharing an 8-gram with eval is flagged") {
     val train = docs(
       1L -> (1 to 10).map(i => s"w$i").mkString(" "), // contains w3..w10
@@ -302,6 +336,42 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(fp(4L).size == 1)          // sub-k doc: one whole-text gram
     // Density: selected fingerprints are a strict subset of the grams.
     assert(fp(1L).size < 10)          // 10 grams from 12 tokens
+  }
+
+  test("paragraphDedup: cross-doc duplicated chunks counted, kept tokens exclude them") {
+    // Chunk size 3: doc 1 = [a b c][d e f][g h]; doc 2 shares chunk "a b c"
+    // exactly at a chunk boundary; doc 3 is disjoint; doc 4 is empty.
+    val d = docs(
+      1L -> "a b c d e f g h",
+      2L -> "a b c x y z",
+      3L -> "p q r s",
+      4L -> "")
+    val out = TextAnalysis.paragraphDedup(d, chunkTokens = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_tokens") == 8L)
+    assert(out(1L).getAs[Long]("n_chunks") == 3L)
+    assert(out(1L).getAs[Long]("dup_chunks") == 1L)   // "a b c" also in doc 2
+    assert(out(1L).getAs[Long]("kept_tokens") == 5L)  // d e f + g h
+    assert(out(2L).getAs[Long]("dup_chunks") == 1L)
+    assert(out(2L).getAs[Long]("kept_tokens") == 3L)  // x y z
+    assert(out(3L).getAs[Long]("dup_chunks") == 0L)
+    assert(out(3L).getAs[Long]("kept_tokens") == 4L)
+    assert(out(4L).getAs[Long]("n_chunks") == 0L)     // empty doc: all zeros
+    assert(out(4L).getAs[Double]("dup_chunk_fraction") == 0.0)
+  }
+
+  test("dupSpans: shared fingerprints certify span bound; identical docs contain") {
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      1L -> base,
+      2L -> base,                 // identical -> containment 1.0
+      3L -> "zz yy xx ww vv uu tt ss")
+    val out = TextAnalysis.dupSpans(d, k = 3, w = 4, minShared = 2).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) == ((1L, 2L)))
+    assert(r.getAs[Long]("min_shared_tokens") == r.getAs[Long]("shared") * 3)
+    assert(r.getAs[Double]("containment") == 1.0)
   }
 
   test("winnowNearDupCandidates: shared-substring pairs found, hot fps capped") {
