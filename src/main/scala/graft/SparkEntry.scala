@@ -427,6 +427,11 @@ object SparkEntry {
       TextAnalysis.dupSpans(t(s, dir, "documents"),
         k = 3, w = 4, minShared = 3, maxDf = 50)),
 
+    // PII redaction: email/phone/IPv4 scrub with stage-wise counts and the
+    // cleaned text's hash (RE2 ∩ Java regex subset — oracle-replayable).
+    "doc_pii_scrub" -> ((s, dir) =>
+      Curation.piiScrub(t(s, dir, "documents"))),
+
     // As-of join: attribute each purchase to the user's most recent
     // preceding view (inclusive <=). Union + one window pass per user —
     // never the O(|L|·|R|) theta-join Spark would otherwise plan.
@@ -471,6 +476,16 @@ object SparkEntry {
     "emb_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), k = 5, numQueries = 10)),
 
+    // Multi-probe IVF: own cell + 8 Hamming-1 neighbor cells per query —
+    // bounded probe cost, recovers most cell-boundary misses.
+    "emb_ivf_multi_topk" -> ((s, dir) =>
+      Similarity.ivfTopKMulti(t(s, dir, "embeddings"), k = 5, numQueries = 10)),
+
+    // Recall@5 vs the exact brute-force baseline for both IVF variants —
+    // the accuracy evidence an ANN index ships with (multi >= single).
+    "emb_ivf_recall" -> ((s, dir) =>
+      Similarity.ivfRecall(t(s, dir, "embeddings"), k = 5, numQueries = 10)),
+
     // Deterministic sign-LSH bucket per vector (IVF-style coarse cells).
     "emb_lsh_buckets" -> ((s, dir) =>
       Similarity.lshBuckets(t(s, dir, "embeddings"))
@@ -488,7 +503,13 @@ object SparkEntry {
     // One k-means assignment step (seed centroids = vec_id < 8): the
     // embedding-clustering primitive for semantic bucketing.
     "emb_kmeans_assign" -> ((s, dir) =>
-      Similarity.kmeansAssign(t(s, dir, "embeddings"), k = 8))
+      Similarity.kmeansAssign(t(s, dir, "embeddings"), k = 8)),
+
+    // Two full Lloyd's iterations with the DETERMINISTIC fixed-point
+    // centroid update (floor-quantized integer sums — shuffle-order-free),
+    // then the final assignment against the updated centroids.
+    "emb_kmeans_iter" -> ((s, dir) =>
+      Similarity.kmeansIterate(t(s, dir, "embeddings"), k = 8, iters = 2))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -719,12 +740,12 @@ object SparkEntry {
 
     "doc_gopher_quality" ->
       """WITH w AS (
-           SELECT doc_id,
+           SELECT doc_id, length(text) AS chars,
              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
                   ELSE string_split_regex(trim(text), '\s+') END AS toks
            FROM documents),
          m AS (
-           SELECT doc_id,
+           SELECT doc_id, chars,
              CAST(len(toks) AS BIGINT) AS word_count,
              CASE WHEN len(toks) = 0 THEN 0.0
                   ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
@@ -740,15 +761,41 @@ object SparkEntry {
                 + CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END
                 + CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END
                 + CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END
-               AS BIGINT) AS stop_hits
-           FROM w)
-         SELECT doc_id, word_count,
+               AS BIGINT) AS stop_hits,
+             CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(len(ch) - len(list_distinct(ch)) AS DOUBLE)
+                    / CAST(len(ch) AS DOUBLE) END AS dlf
+           FROM (SELECT *, list_transform(
+               generate_series(0, greatest((len(toks) - 1) // 10, 0)),
+               i -> array_to_string(toks[i*10+1 : i*10+10], ' ')) AS ch
+             FROM w)),
+         g2 AS (
+           SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1])) AS g
+           FROM w WHERE len(toks) >= 2),
+         cnt AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+         top AS (
+           SELECT doc_id, g, c FROM (
+             SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY c DESC, g ASC) AS rn FROM cnt)
+           WHERE rn = 1)
+         SELECT m.doc_id, word_count,
            round(mwl, 6) AS mean_word_len,
            round(dr, 6) AS distinct_ratio,
            stop_hits,
+           round(dlf, 6) AS dup_line_fraction,
+           coalesce(top.g, '') AS top_2gram,
+           round(CASE WHEN m.chars = 0 OR top.c IS NULL THEN 0.0
+             ELSE CAST(top.c AS DOUBLE) * CAST(length(top.g) AS DOUBLE)
+                  / CAST(m.chars AS DOUBLE) END, 6) AS top_2gram_share,
            (word_count BETWEEN 40 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
-            AND dr >= 0.4 AND stop_hits >= 2) AS keep
-         FROM m""",
+            AND dr >= 0.4 AND stop_hits >= 2
+            AND dlf <= 0.3
+            AND CASE WHEN m.chars = 0 OR top.c IS NULL THEN 0.0
+                  ELSE CAST(top.c AS DOUBLE) * CAST(length(top.g) AS DOUBLE)
+                       / CAST(m.chars AS DOUBLE) END <= 0.2) AS keep
+         FROM m LEFT JOIN top ON m.doc_id = top.doc_id""",
 
     "doc_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents
@@ -988,6 +1035,32 @@ object SparkEntry {
          SELECT doc_id, token, tf, df, score, CAST(rank AS BIGINT) AS rank
          FROM ranked WHERE rank <= 3""",
 
+    "doc_pii_scrub" ->
+      """WITH s1 AS (
+           SELECT doc_id, text,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+               AS n_emails,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t1
+           FROM documents),
+         s2 AS (
+           SELECT doc_id, text, n_emails,
+             CAST(len(regexp_extract_all(t1,
+               '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+             regexp_replace(t1, '\b\d{3}[-.]\d{3}[-.]\d{4}\b',
+               '<PHONE>', 'g') AS t2
+           FROM s1)
+         SELECT doc_id, n_emails, n_phones,
+           CAST(len(regexp_extract_all(t2,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+           md5(regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+             '<IP>', 'g')) AS clean_hash,
+           regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+             '<IP>', 'g') <> text AS changed
+         FROM s2""",
+
     "events_range_views_1h" ->
       """WITH p AS (
            SELECT event_id, user_id, ts FROM events
@@ -1036,6 +1109,71 @@ object SparkEntry {
            FROM s)
          SELECT vec_id, centroid_id AS cluster, round(d2, 6) AS dist2
          FROM r WHERE rn = 1""",
+
+    // Two deterministic Lloyd's rounds, mirrored CTE-by-CTE: assignment is
+    // the argmin window; the update quantizes components with floor(x·1e6)
+    // (unambiguous on IEEE doubles, unlike round at .5), sums as BIGINT
+    // (order-free), and divides in the same fixed order as the Spark side.
+    "emb_kmeans_iter" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         c0 AS (SELECT vec_id AS centroid_id, ev AS cv FROM v WHERE vec_id < 8),
+         a1 AS (
+           SELECT vec_id, cluster FROM (
+             SELECT v.vec_id, c.centroid_id AS cluster,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 (list_dot_product(v.ev, v.ev) + list_dot_product(c.cv, c.cv))
+                   - 2.0 * list_dot_product(v.ev, c.cv) ASC,
+                 c.centroid_id ASC) AS rn
+             FROM v, c0 c) WHERE rn = 1),
+         u1 AS (
+           SELECT a.cluster, u.i AS pos,
+             SUM(CAST(floor(v.ev[u.i] * 1000000.0) AS BIGINT)) AS s,
+             count(*) AS n
+           FROM a1 a JOIN v USING (vec_id),
+                unnest(generate_series(1, len(v.ev))) AS u(i)
+           GROUP BY 1, 2),
+         c1n AS (
+           SELECT cluster AS centroid_id,
+             list((CAST(s AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)
+               ORDER BY pos) AS cv
+           FROM u1 GROUP BY 1),
+         c1 AS (
+           SELECT p.centroid_id, coalesce(nn.cv, p.cv) AS cv
+           FROM c0 p LEFT JOIN c1n nn USING (centroid_id)),
+         a2 AS (
+           SELECT vec_id, cluster FROM (
+             SELECT v.vec_id, c.centroid_id AS cluster,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 (list_dot_product(v.ev, v.ev) + list_dot_product(c.cv, c.cv))
+                   - 2.0 * list_dot_product(v.ev, c.cv) ASC,
+                 c.centroid_id ASC) AS rn
+             FROM v, c1 c) WHERE rn = 1),
+         u2 AS (
+           SELECT a.cluster, u.i AS pos,
+             SUM(CAST(floor(v.ev[u.i] * 1000000.0) AS BIGINT)) AS s,
+             count(*) AS n
+           FROM a2 a JOIN v USING (vec_id),
+                unnest(generate_series(1, len(v.ev))) AS u(i)
+           GROUP BY 1, 2),
+         c2n AS (
+           SELECT cluster AS centroid_id,
+             list((CAST(s AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)
+               ORDER BY pos) AS cv
+           FROM u2 GROUP BY 1),
+         c2 AS (
+           SELECT p.centroid_id, coalesce(nn.cv, p.cv) AS cv
+           FROM c1 p LEFT JOIN c2n nn USING (centroid_id)),
+         fin AS (
+           SELECT vec_id, cluster, d2 FROM (
+             SELECT v.vec_id, c.centroid_id AS cluster,
+               (list_dot_product(v.ev, v.ev) + list_dot_product(c.cv, c.cv))
+                 - 2.0 * list_dot_product(v.ev, c.cv) AS d2,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 (list_dot_product(v.ev, v.ev) + list_dot_product(c.cv, c.cv))
+                   - 2.0 * list_dot_product(v.ev, c.cv) ASC,
+                 c.centroid_id ASC) AS rn
+             FROM v, c2 c) WHERE rn = 1)
+         SELECT vec_id, cluster, round(d2, 6) AS dist2 FROM fin""",
 
     "doc_quality" ->
       """WITH t AS (
@@ -1236,6 +1374,98 @@ object SparkEntry {
              (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
            FROM s)
          SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5""",
+
+    "emb_ivf_multi_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         e AS (
+           SELECT vec_id, u.i AS i, ev[u.i] AS x
+           FROM v, unnest(generate_series(1, len(ev))) AS u(i)),
+         ps AS (SELECT vec_id, (i - 1) % 8 AS plane, SUM(x) AS s FROM e GROUP BY 1, 2),
+         b AS (
+           SELECT vec_id,
+             CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, plane) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+           FROM ps GROUP BY 1),
+         vb AS (SELECT v.vec_id, v.ev, b.bucket FROM v JOIN b ON v.vec_id = b.vec_id),
+         q AS (SELECT vec_id AS query_id, ev AS qv, bucket AS qb
+               FROM vb WHERE vec_id < 10),
+         probes AS (
+           SELECT query_id, qv, unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4),
+             xor(qb, 8), xor(qb, 16), xor(qb, 32), xor(qb, 64),
+             xor(qb, 128)]) AS pb
+           FROM q),
+         s AS (
+           SELECT query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(qv, c.ev)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.ev, c.ev))), 6) AS cos
+           FROM probes p JOIN vb c ON p.pb = c.bucket AND p.query_id <> c.vec_id),
+         r AS (
+           SELECT *, CAST(row_number() OVER
+             (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+           FROM s)
+         SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5""",
+
+    "emb_ivf_recall" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         e AS (
+           SELECT vec_id, u.i AS i, ev[u.i] AS x
+           FROM v, unnest(generate_series(1, len(ev))) AS u(i)),
+         ps AS (SELECT vec_id, (i - 1) % 8 AS plane, SUM(x) AS s FROM e GROUP BY 1, 2),
+         b AS (
+           SELECT vec_id,
+             CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, plane) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+           FROM ps GROUP BY 1),
+         vb AS (SELECT v.vec_id, v.ev, b.bucket FROM v JOIN b ON v.vec_id = b.vec_id),
+         q AS (SELECT vec_id AS query_id, ev AS qv, bucket AS qb
+               FROM vb WHERE vec_id < 10),
+         bfs AS (
+           SELECT query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(qv, c.ev)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.ev, c.ev))), 6) AS cos
+           FROM q JOIN v c ON q.query_id <> c.vec_id),
+         bf AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT *, row_number() OVER
+               (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             FROM bfs) WHERE rank <= 5),
+         sis AS (
+           SELECT query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(qv, c.ev)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.ev, c.ev))), 6) AS cos
+           FROM q JOIN vb c ON q.qb = c.bucket AND q.query_id <> c.vec_id),
+         si AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT *, row_number() OVER
+               (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             FROM sis) WHERE rank <= 5),
+         probes AS (
+           SELECT query_id, qv, unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4),
+             xor(qb, 8), xor(qb, 16), xor(qb, 32), xor(qb, 64),
+             xor(qb, 128)]) AS pb
+           FROM q),
+         mus AS (
+           SELECT query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(qv, c.ev)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.ev, c.ev))), 6) AS cos
+           FROM probes p JOIN vb c ON p.pb = c.bucket AND p.query_id <> c.vec_id),
+         mu AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT *, row_number() OVER
+               (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             FROM mus) WHERE rank <= 5),
+         sh AS (
+           SELECT bf.query_id, count(*) AS hits_single
+           FROM bf JOIN si USING (query_id, neighbor_id) GROUP BY 1),
+         mh AS (
+           SELECT bf.query_id, count(*) AS hits_multi
+           FROM bf JOIN mu USING (query_id, neighbor_id) GROUP BY 1)
+         SELECT q.query_id,
+           CAST(coalesce(sh.hits_single, 0) AS BIGINT) AS hits_single,
+           CAST(coalesce(mh.hits_multi, 0) AS BIGINT) AS hits_multi,
+           round(CAST(coalesce(sh.hits_single, 0) AS DOUBLE) / 5, 6) AS recall_single,
+           round(CAST(coalesce(mh.hits_multi, 0) AS DOUBLE) / 5, 6) AS recall_multi
+         FROM (SELECT DISTINCT query_id FROM bf) q
+         LEFT JOIN sh USING (query_id)
+         LEFT JOIN mh USING (query_id)""",
 
     "doc_media_meta" ->
       """SELECT doc_id,

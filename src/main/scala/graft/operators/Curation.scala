@@ -23,11 +23,24 @@ object Curation {
   /** Gopher-style heuristic quality rules (Rae et al. 2021, "Scaling
     * Language Models" appendix A1.1): per-document flags plus the composite
     * `keep` verdict. The rule *shape* follows the paper — word-count
-    * bounds, mean-word-length bounds, a repetition test, a stopword test —
-    * with thresholds parameterized (defaults tuned so the synthetic corpus
-    * splits rather than collapsing to all-pass/all-fail).
+    * bounds, mean-word-length bounds, a distinct-word test, a stopword
+    * test, and the REPETITION section (duplicate-line fraction + most-
+    * frequent-2-gram character share — the rules that actually catch
+    * boilerplate) — with thresholds parameterized (defaults tuned so the
+    * synthetic corpus splits rather than collapsing to all-pass/all-fail).
     *
-    * `keep` is computed on the UNROUNDED ratios in both engines; the
+    * Repetition details (single-line corpus adaptations, both documented
+    * deviations from newline splitting):
+    *  - "lines" are fixed 10-token chunks (same unit as
+    *    [[TextAnalysis.paragraphDedup]]); `dup_line_fraction` = chunks
+    *    minus distinct chunks over chunks.
+    *  - `top_2gram_share` = occurrences(top 2-gram) × chars(top 2-gram) /
+    *    chars(text); the top 2-gram is found by a sorted-array run-length
+    *    fold (strict `>` ⇒ ties resolve to the lexicographically smallest
+    *    gram), entirely map-side — no per-doc explode+shuffle.
+    *
+    * Everything stays one map-only projection chain over a single corpus
+    * scan; `keep` is computed on the UNROUNDED ratios in both engines; the
     * emitted ratio columns are rounded to 6 dp for cross-engine hashing.
     */
   val gopherStopwords: Seq[String] =
@@ -36,16 +49,46 @@ object Curation {
   def gopherQuality(docs: DataFrame,
       minWords: Int = 40, maxWords: Int = 100000,
       minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
-      minDistinctRatio: Double = 0.4, minStopHits: Int = 2): DataFrame = {
+      minDistinctRatio: Double = 0.4, minStopHits: Int = 2,
+      maxDupLineFraction: Double = 0.3, maxTop2GramShare: Double = 0.2,
+      chunkTokens: Int = 10): DataFrame = {
     // Materialize the token array once (attribute, not inline expression):
     // the interpreted HOF path re-evaluates a lambda's free subexpressions
     // per element (see Dedup.shinglesFromTokens).
-    val toks = docs.select(col("doc_id"),
+    val toks = docs.select(col("doc_id"), length(col("text")).as("chars"),
       TextAnalysis.wsTokens(col("text")).as("toks"))
+    // Second projection barrier: the 2-gram array and the chunk array are
+    // themselves HOF inputs below, so they must be attributes too.
+    val derived = toks.select(col("doc_id"), col("chars"), col("toks"),
+      when(size(col("toks")) >= 2,
+        sort_array(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat(element_at(col("toks"), i), lit(" "),
+            element_at(col("toks"), i + 1)))))
+        .otherwise(array().cast("array<string>")).as("grams2"),
+      when(size(col("toks")) === 0, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0),
+            greatest(floor((size(col("toks")) - 1).cast("double") / chunkTokens)
+              .cast("int"), lit(0))),
+          i => concat_ws(" ", slice(col("toks"), i * chunkTokens + 1,
+            lit(chunkTokens))))).as("chunks"))
     val stopHits = gopherStopwords
       .map(s => when(array_contains(col("toks"), s), 1).otherwise(0))
       .reduce(_ + _)
-    val m = toks.select(
+    // Run-length fold over the SORTED 2-gram array: equal grams are
+    // adjacent, so the longest run is the max occurrence count; strict >
+    // keeps the FIRST (= smallest) max gram, matching the oracle's
+    // `ORDER BY count DESC, gram ASC` tie-break.
+    val zeroState = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("best"), lit("").as("bestg"))
+    val topFold = aggregate(col("grams2"), zeroState,
+      (st, g) => {
+        val nrun = when(g === st("prev"), st("run") + 1).otherwise(lit(1L))
+        struct(g.as("prev"), nrun.as("run"),
+          when(nrun > st("best"), nrun).otherwise(st("best")).as("best"),
+          when(nrun > st("best"), g).otherwise(st("bestg")).as("bestg"))
+      })
+    val m = derived.select(
       col("doc_id"),
       size(col("toks")).cast("long").as("word_count"),
       when(size(col("toks")) === 0, 0.0).otherwise(
@@ -54,17 +97,30 @@ object Curation {
       when(size(col("toks")) === 0, 0.0).otherwise(
         size(array_distinct(col("toks"))).cast("double") /
           size(col("toks")).cast("double")).as("dr"),
-      stopHits.cast("long").as("stop_hits"))
+      stopHits.cast("long").as("stop_hits"),
+      when(size(col("chunks")) === 0, 0.0).otherwise(
+        (size(col("chunks")) - size(array_distinct(col("chunks")))).cast("double") /
+          size(col("chunks")).cast("double")).as("dlf"),
+      topFold.as("top2"),
+      col("chars"))
+    val t2share = when(col("chars") === 0 || col("top2")("best") === 0L, 0.0)
+      .otherwise(col("top2")("best").cast("double") *
+        length(col("top2")("bestg")).cast("double") / col("chars").cast("double"))
     m.select(
       col("doc_id"),
       col("word_count"),
       round(col("mwl"), 6).as("mean_word_len"),
       round(col("dr"), 6).as("distinct_ratio"),
       col("stop_hits"),
+      round(col("dlf"), 6).as("dup_line_fraction"),
+      col("top2")("bestg").as("top_2gram"),
+      round(t2share, 6).as("top_2gram_share"),
       (col("word_count").between(minWords, maxWords) &&
         col("mwl").between(minMeanLen, maxMeanLen) &&
         col("dr") >= minDistinctRatio &&
-        col("stop_hits") >= minStopHits).as("keep"))
+        col("stop_hits") >= minStopHits &&
+        col("dlf") <= maxDupLineFraction &&
+        t2share <= maxTop2GramShare).as("keep"))
   }
 
   /** Deterministic stratified sampling: keep a document iff the first two
@@ -129,24 +185,46 @@ object Curation {
     * documents are laid out in doc_id order and cut into packs of
     * `budgetTokens` whitespace tokens — `pack_id = floor(tokens-before /
     * budget)`, so a document lands in the pack where its first token
-    * falls (packs may overflow by one document; none underflow). The
-    * running sum is a window per language ordered by doc_id — exact,
-    * re-runnable, engine-independent.
+    * falls (packs may overflow by one document; none underflow).
     *
-    * Scale note: a single window per language serializes that language's
-    * layout; at 100 TB, range-partition by doc_id first and run the same
-    * window per range with per-range token offsets (same arithmetic, one
-    * extra 1-row-per-range broadcast).
+    * Scale shape — range-partitioned two-pass (NOT one window per
+    * language, which would sort the head language's whole corpus on a
+    * single task):
+    *  1. per-(lang, doc_id-range) token totals — an ordinary map-side-
+    *     combined aggregation, one row per range;
+    *  2. cumulative range offsets via a window over that TINY totals
+    *     table (rows = langs × ranges), broadcast back;
+    *  3. the running sum inside each range — a window partitioned by
+    *     (lang, range), so parallelism = number of ranges, and each sort
+    *     is bounded by `rangeSize` rows.
+    * `before = range_offset + within_range_before` reproduces the global
+    * per-language running sum exactly (doc_id ranges are contiguous), so
+    * the output is bit-identical to the single-window form the oracle
+    * computes. The corpus is scanned twice (totals + windows) — the
+    * standard trade for unbounded window parallelism.
     */
-  def packAssignments(docs: DataFrame, budgetTokens: Long = 2048L): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    docs.select(col("doc_id"), col("lang"),
+  def packAssignments(docs: DataFrame, budgetTokens: Long = 2048L,
+      rangeSize: Long = 100L): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), col("lang"),
         TextAnalysis.tokenCountWs(col("text")).cast("long").as("toks"))
-      .withColumn("before", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .withColumn("__rng",
+        floor(col("doc_id").cast("double") / rangeSize).cast("long"))
+    val totals = base.groupBy(col("lang"), col("__rng"))
+      .agg(sum(col("toks")).as("__rtot"))
+    val wOff = W.partitionBy(col("lang")).orderBy(col("__rng"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__roff", coalesce(sum(col("__rtot")).over(wOff), lit(0L)))
+      .select(col("lang"), col("__rng"), col("__roff"))
+    val wIn = W.partitionBy(col("lang"), col("__rng")).orderBy(col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    base
+      .withColumn("__wb", coalesce(sum(col("toks")).over(wIn), lit(0L)))
+      .join(broadcast(offsets), Seq("lang", "__rng"))
       .select(col("doc_id"), col("lang"), col("toks"),
-        floor(col("before") / budgetTokens).cast("long").as("pack_id"))
+        floor((col("__wb") + col("__roff")) / budgetTokens).cast("long")
+          .as("pack_id"))
   }
 
   /** Corpus vocabulary head: the `k` most frequent whitespace tokens with
@@ -221,6 +299,38 @@ object Curation {
       .select(col("doc_id"),
         coalesce(col("gram_hits"), lit(0L)).as("gram_hits"),
         (coalesce(col("gram_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** PII redaction: scrub emails, NANP-style phone numbers, and IPv4
+    * addresses with typed placeholder tokens, counting each category per
+    * document — the standard pre-release curation stage. Patterns stick to
+    * the RE2 ∩ java.util.regex common subset (character classes, bounded
+    * quantifiers, `\b` — no lookaround, no backreferences), so the DuckDB
+    * oracle replays them byte-identically; counts are taken STAGE-WISE on
+    * the progressively-scrubbed text (an IP-looking string inside an
+    * already-redacted email is not double-counted), and both engines'
+    * `regexp_replace` scan left-to-right non-overlapping, so the outputs
+    * agree exactly.
+    *
+    * Map-only — no shuffle, no UDFs; at 100 TB this is a pure scan stage
+    * that pipelines into whatever ships the cleaned corpus.
+    */
+  val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val phoneRe = """\b\d{3}[-.]\d{3}[-.]\d{4}\b"""
+  val ipv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val t1 = regexp_replace(col("text"), emailRe, "<EMAIL>")
+    val s1 = docs.select(col("doc_id"), col("text"),
+      regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+      t1.as("t1"))
+    val s2 = s1.select(col("doc_id"), col("text"), col("n_emails"),
+      regexp_count(col("t1"), lit(phoneRe)).cast("long").as("n_phones"),
+      regexp_replace(col("t1"), phoneRe, "<PHONE>").as("t2"))
+    s2.select(col("doc_id"), col("n_emails"), col("n_phones"),
+      regexp_count(col("t2"), lit(ipv4Re)).cast("long").as("n_ips"),
+      md5(regexp_replace(col("t2"), ipv4Re, "<IP>")).as("clean_hash"),
+      (regexp_replace(col("t2"), ipv4Re, "<IP>") =!= col("text")).as("changed"))
   }
 
   /** Streaming exact dedup over a document stream: emit each text's

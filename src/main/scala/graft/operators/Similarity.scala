@@ -136,6 +136,65 @@ object Similarity {
         col("cos"), col("rank"))
   }
 
+  /** Multi-probe IVF top-k: each query probes its own LSH cell AND the
+    * `planes` Hamming-1 neighbor cells (one sign bit flipped) — the
+    * standard multi-probe trick that recovers most cell-boundary misses
+    * for a bounded (planes+1)× probe cost, still independent of corpus
+    * size. Cells are disjoint, so the probe union needs no dedup; the
+    * probe table stays tiny (queries × (planes+1)) and broadcasts.
+    */
+  def ivfTopKMulti(emb: DataFrame, k: Int = 5, numQueries: Int = 10,
+      planes: Int = Planes): DataFrame = {
+    val withBucket = emb
+      .select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+      .withColumn("bucket", lshBucket(col("ev"), planes))
+      .withColumn("nrm", norm(col("ev")))
+    val probes = withBucket.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("ev").as("qv"),
+        col("nrm").as("qn"),
+        explode(array(col("bucket") +:
+          (0 until planes).map(j => col("bucket").bitwiseXOR(lit(1 << j))): _*))
+          .as("probe"))
+    val scored = withBucket.join(broadcast(probes),
+        col("probe") === col("bucket") && col("query_id") =!= col("vec_id"))
+      .withColumn("cos", cosineWithNorms(dot(col("qv"), col("ev")),
+        col("qn"), col("nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cos"), col("rank"))
+  }
+
+  /** Recall@k report: single-probe and multi-probe IVF results measured
+    * against the exact brute-force top-k, per query — the accuracy
+    * evidence an ANN index ships with. `recall_multi >= recall_single` by
+    * construction (the multi-probe candidate set is a superset).
+    */
+  def ivfRecall(emb: DataFrame, k: Int = 5, numQueries: Int = 10): DataFrame = {
+    val bf = bruteForceTopK(emb, k, numQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    val single = ivfTopK(emb, k, numQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    val multi = ivfTopKMulti(emb, k, numQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    val sh = bf.join(single, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits_single"))
+    val mh = bf.join(multi, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits_multi"))
+    bf.select(col("query_id")).distinct()
+      .join(sh, Seq("query_id"), "left")
+      .join(mh, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits_single"), lit(0L)).as("hits_single"),
+        coalesce(col("hits_multi"), lit(0L)).as("hits_multi"),
+        round(coalesce(col("hits_single"), lit(0L)).cast("double") / k, 6)
+          .as("recall_single"),
+        round(coalesce(col("hits_multi"), lit(0L)).cast("double") / k, 6)
+          .as("recall_multi"))
+  }
+
   /** One k-means assignment step: every vector joins the k broadcast
     * centroids (deterministic seed: the vectors with vec_id < k) and takes
     * the argmin squared-L2 centroid — the embedding-clustering primitive
@@ -154,10 +213,15 @@ object Similarity {
     * unordered shuffle are not reproducible, so the assignment (stable,
     * verifiable) and the update (order-sensitive) are separate stages.
     */
-  def kmeansAssign(emb: DataFrame, k: Int = 8): DataFrame = {
-    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
-    val cents = v.filter(col("vec_id") < k)
+  private def seedCentroids(v: DataFrame, k: Int): DataFrame =
+    v.filter(col("vec_id") < k)
       .select(col("vec_id").as("centroid_id"), col("ev").as("cv"))
+
+  /** Scored (vector × centroid) assignment against an ARBITRARY broadcast
+    * centroid table — the shared core of the seed assignment and the
+    * Lloyd's loop. Returns (vec_id, cluster, d2-unrounded).
+    */
+  private def assignTo(v: DataFrame, cents: DataFrame): DataFrame = {
     val scored = v.crossJoin(broadcast(cents))
       .withColumn("d2",
         (dot(col("ev"), col("ev")) + dot(col("cv"), col("cv"))) -
@@ -166,8 +230,74 @@ object Similarity {
       .orderBy(col("d2").asc, col("centroid_id").asc)
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id").as("cluster"),
-        round(col("d2"), 6).as("dist2"))
+      .select(col("vec_id"), col("centroid_id").as("cluster"), col("d2"))
+  }
+
+  def kmeansAssign(emb: DataFrame, k: Int = 8): DataFrame = {
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+    assignTo(v, seedCentroids(v, k))
+      .select(col("vec_id"), col("cluster"), round(col("d2"), 6).as("dist2"))
+  }
+
+  /** Quantization grid for the deterministic centroid update: components
+    * are floor-quantized to 1e-6 before summing. floor (not round) because
+    * floor of an IEEE double is unambiguous in every engine, while round()
+    * at a .5 boundary depends on the engine's decimal-repr strategy.
+    */
+  val KmeansScale = 1000000.0
+
+  /** Deterministic centroid update: each cluster's new centroid is the
+    * per-dimension mean of its members computed over FIXED-POINT sums —
+    * `sum(floor(x·1e6))` as 64-bit integers, then `(sum / 1e6) / n` in two
+    * fixed-order IEEE divisions. Integer addition commutes, so the result
+    * is independent of partitioning / shuffle order — the float-order
+    * nondeterminism that keeps naive Lloyd's out of hash-checked pipelines
+    * disappears, at the price of 1e-6 quantization (irrelevant to cluster
+    * geometry). Empty clusters keep their previous centroid.
+    *
+    * Scale shape: posexplode → ONE hash aggregation keyed (cluster, dim)
+    * with map-side combine (k × dims cells), array re-assembled from the
+    * tiny cell table — the corpus is touched once per iteration and never
+    * collected to the driver.
+    */
+  private def centroidUpdate(v: DataFrame, assign: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val byDim = assign.join(v, Seq("vec_id"))
+      .select(col("cluster"), posexplode(col("ev")).as(Seq("pos", "x")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(floor(col("x") * KmeansScale)).as("s"), count(lit(1)).as("n"))
+    val rebuilt = byDim
+      .withColumn("cval",
+        (col("s").cast("double") / KmeansScale) / col("n").cast("double"))
+      .groupBy(col("cluster"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cval")))),
+        s => s("cval")).as("cv2"))
+    cents.join(rebuilt, cents("centroid_id") === rebuilt("cluster"), "left")
+      .select(cents("centroid_id"),
+        coalesce(col("cv2"), cents("cv")).as("cv"))
+  }
+
+  /** `iters` full Lloyd's iterations (assign → deterministic update) from
+    * the seed centroids, then the final assignment against the converged
+    * centroids — the iterable clustering loop the single assignment step
+    * was missing. Every stage is oracle-reproducible: assignment is the
+    * argmin window, the update is integer arithmetic + fixed-order
+    * divisions (see [[centroidUpdate]]).
+    */
+  def kmeansIterate(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = seedCentroids(v, k)
+    for (_ <- 0 until iters)
+      // k rows — checkpoint keeps the loop's plan O(1) (see dupClusters).
+      cents = centroidUpdate(v, assignTo(v, cents), cents)
+        .localCheckpoint(eager = true)
+    val out = assignTo(v, cents)
+      .select(col("vec_id"), col("cluster"), round(col("d2"), 6).as("dist2"))
+      .localCheckpoint(eager = true) // release the vector cache below
+    v.unpersist()
+    out
   }
 
   /** Exact near-dup pairs over all pairs (the correctness baseline the LSH

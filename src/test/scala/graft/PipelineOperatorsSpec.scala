@@ -121,6 +121,45 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(top.getAs[Double]("cos") == 1.0)
   }
 
+  test("ivfTopKMulti: Hamming-1 probe recovers a cell-boundary neighbor") {
+    // Query 0 sits in the all-positive cell; vec 2 differs only in the
+    // last dim's sign (Hamming-1 cell) with high cosine — single-probe
+    // misses it, multi-probe finds it. vec 3 is far away in cell 0.
+    val d = vecs(
+      0L -> Seq(1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f),
+      1L -> Seq(1f, 1f, 1f, 1f, 1f, 1f, 1f, 0.9f),
+      2L -> Seq(1f, 1f, 1f, 1f, 1f, 1f, 1f, -0.01f),
+      3L -> Seq(-1f, -1f, -1f, -1f, -1f, -1f, -1f, -1f))
+    val single = Similarity.ivfTopK(d, k = 2, numQueries = 1)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    val multi = Similarity.ivfTopKMulti(d, k = 2, numQueries = 1)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(single == Set(1L))
+    assert(multi == Set(1L, 2L))
+    val rec = Similarity.ivfRecall(d, k = 2, numQueries = 1).collect()(0)
+    assert(rec.getAs[Long]("hits_single") == 1L)
+    assert(rec.getAs[Long]("hits_multi") == 2L)
+    assert(rec.getAs[Double]("recall_multi") >= rec.getAs[Double]("recall_single"))
+  }
+
+  test("kmeansIterate: deterministic update pulls centroids to the clusters") {
+    // Two obvious groups; seeds are vecs 0 and 1 (one per group).
+    val d = vecs(
+      0L -> Seq(0f, 0f), 1L -> Seq(10f, 10f),
+      2L -> Seq(0.6f, 0f), 3L -> Seq(9f, 10f), 4L -> Seq(0.2f, 0.4f))
+    val out = Similarity.kmeansIterate(d, k = 2, iters = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    assert(out == Map(0L -> 0L, 2L -> 0L, 4L -> 0L, 1L -> 1L, 3L -> 1L))
+    // Zero iterations degenerate to the plain seed assignment.
+    val it0 = Similarity.kmeansIterate(d, k = 2, iters = 0).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"),
+        r.getAs[Double]("dist2"))).toSet
+    val assign = Similarity.kmeansAssign(d, k = 2).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"),
+        r.getAs[Double]("dist2"))).toSet
+    assert(it0 == assign)
+  }
+
   test("lshNearDups finds identical vectors (same bucket, cos 1.0)") {
     val d = vecs(
       0L -> Seq(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f),
@@ -199,11 +238,27 @@ class PipelineOperatorsSpec extends SparkSpec {
     val tooShort = "the of and that have short"
     val repetitive = ("the of " * 50).trim // 100 words but 2 distinct
     val noStops = (1 to 60).map(i => s"word$i").mkString(" ")
+    // Passes every length/distinct/stopword rule but one 2-gram ("the of"
+    // 15×) dominates the character mass -> top_2gram_share kills it.
+    val gram2Heavy = ("the of " * 15).trim + " " +
+      (1 to 30).map(i => s"beta$i").mkString(" ")
+    // Three identical 10-token chunks out of five -> dup_line_fraction
+    // 0.4 > 0.3; distinct ratio stays 0.6 and grams stay diverse.
+    val chunkA = (1 to 10).map(i => s"ca$i").mkString(" ")
+    val dupLines = Seq(chunkA, chunkA, chunkA,
+      "the of and " + (1 to 7).map(i => s"cb$i").mkString(" "),
+      (1 to 10).map(i => s"cc$i").mkString(" ")).mkString(" ")
     val q = graft.operators.Curation.gopherQuality(
-        docs(1L -> good, 2L -> tooShort, 3L -> repetitive, 4L -> noStops))
-      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep"))
-      .toMap
-    assert(q == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+        docs(1L -> good, 2L -> tooShort, 3L -> repetitive, 4L -> noStops,
+          5L -> gram2Heavy, 6L -> dupLines))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(q.view.mapValues(_.getAs[Boolean]("keep")).toMap ==
+      Map(1L -> true, 2L -> false, 3L -> false, 4L -> false,
+        5L -> false, 6L -> false))
+    assert(q(5L).getAs[String]("top_2gram") == "the of")
+    assert(q(5L).getAs[Double]("top_2gram_share") > 0.2)
+    assert(q(6L).getAs[Double]("dup_line_fraction") == 0.4)
+    assert(q(1L).getAs[Double]("dup_line_fraction") == 0.0)
   }
 
   test("gopherQuality: empty text yields zero ratios and keep=false") {
@@ -212,6 +267,29 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(r.getAs[Double]("mean_word_len") == 0.0)
     assert(r.getAs[Double]("distinct_ratio") == 0.0)
     assert(!r.getAs[Boolean]("keep"))
+  }
+
+  test("piiScrub: emails, phones, IPs redacted and counted stage-wise") {
+    val d = docs(
+      1L -> "contact bob.smith+x@example.org or call 555-123-4567 now",
+      2L -> "server at 10.0.255.7 and 192.168.1.1 responded",
+      3L -> "no pii here at all",
+      4L -> "mail me@host.io from 1.2.3.4 at 999.888.7777") // all three
+    val out = Curation.piiScrub(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") == 1L)
+    assert(out(1L).getAs[Long]("n_phones") == 1L)
+    assert(out(1L).getAs[Boolean]("changed"))
+    assert(out(2L).getAs[Long]("n_ips") == 2L)
+    assert(out(3L).getAs[Long]("n_emails") == 0L &&
+      out(3L).getAs[Long]("n_phones") == 0L &&
+      out(3L).getAs[Long]("n_ips") == 0L && !out(3L).getAs[Boolean]("changed"))
+    assert(out(4L).getAs[Long]("n_emails") == 1L &&
+      out(4L).getAs[Long]("n_phones") == 1L && out(4L).getAs[Long]("n_ips") == 1L)
+    // The unchanged doc's clean hash equals its original text hash.
+    val origMd5 = d.filter(col("doc_id") === 3L)
+      .select(md5(col("text"))).collect()(0).getString(0)
+    assert(out(3L).getAs[String]("clean_hash") == origMd5)
   }
 
   test("vocabTopK: ordered by count desc then token asc, doc_freq distinct") {

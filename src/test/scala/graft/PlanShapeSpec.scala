@@ -70,4 +70,14 @@ class PlanShapeSpec extends SparkSpec {
     val p = physical("doc_decontam")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
+
+  test("doc_packing: running-sum window partitions by (lang, range), offsets broadcast") {
+    // One-window-per-language would sort the head language's whole corpus
+    // on a single task at scale; the two-pass form keys the big window by
+    // (lang, __rng) and broadcasts the tiny per-range offset table.
+    val p = physical("doc_packing")
+    assert("windowspecdefinition\\(lang#\\d+L?, __rng#\\d+L?, doc_id#\\d+L?"
+      .r.findFirstIn(p).isDefined, p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
 }
