@@ -84,8 +84,36 @@ object Bench {
     val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (best.nonEmpty) best.values.sum else 0.0
+    // Scale-trend evidence: one extra pass at a smaller reference SF and
+    // the per-query time ratio primary/reference. With a 10× data ratio
+    // (sf0.1 vs sf0.01), a factor ≲ 10 is at-worst-linear scaling; the
+    // factors are what "survives 100×" claims extrapolate from. Opt out
+    // with SPARK_GRAFT_SCALE_REF=none.
+    val refDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_REF",
+      "/root/testdata/sf0.01")
+    val scaling =
+      if (refDir == "none" || refDir == sfDir ||
+          !new java.io.File(refDir).isDirectory) ""
+      else {
+        val ref = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+        for ((name, fn) <- ordered) {
+          val t0 = System.nanoTime()
+          try fn(spark, refDir).write.format("noop").mode("overwrite").save()
+          catch { case NonFatal(e) =>
+            System.err.println(s"[bench] ref $name failed: ${e.getMessage}")
+          }
+          ref.update(name, (System.nanoTime() - t0) / 1e9)
+        }
+        val refQs = ref.map { case (k, v) => s"\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+        val factors = ref.collect { case (k, rv) if best.contains(k) && rv > 0 =>
+          s"\"" + k + "\":" + (math.round(best(k) / rv * 100) / 100.0)
+        }.mkString("{", ",", "}")
+        s""","scaling":{"ref_sf":"$refDir","ref_queries":$refQs,""" +
+          s""""factor_primary_over_ref":$factors}"""
+      }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""passes":$passes,"agg":"min_per_query","sf":"$sfDir"}""")
+      s""""passes":$passes,"agg":"min_per_query","sf":"$sfDir"$scaling}""")
     spark.stop()
   }
 }
