@@ -71,6 +71,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("doc_pii_scrub and doc_gopher_quality: map-only, zero exchanges") {
+    // Both are pure projection chains — a shuffle appearing here means a
+    // refactor broke the single-scan design.
+    assert(!physical("doc_pii_scrub").contains("Exchange"))
+    assert(!physical("doc_gopher_quality").contains("Exchange"))
+  }
+
+  test("emb_ivf_multi_topk: probe table broadcasts, rank prunes with WindowGroupLimit") {
+    val p = physical("emb_ivf_multi_topk")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
   test("doc_packing: running-sum window partitions by (lang, range), offsets broadcast") {
     // One-window-per-language would sort the head language's whole corpus
     // on a single task at scale; the two-pass form keys the big window by
