@@ -239,15 +239,21 @@ object TextAnalysis {
     // aggregation (guarded by clen > 0 everywhere) instead of being
     // filtered and left-joined back — the re-attach base would re-scan and
     // re-tokenize the whole corpus as a second plan branch.
+    // Persisted: the chunk-hash table feeds BOTH the document-frequency
+    // aggregation and the re-join — unpersisted, each branch re-scans and
+    // re-chunks the whole corpus (verified: two parquet Scans + two
+    // Generates in the plan). The persisted rows carry (id, 32-char hash,
+    // two longs) — a small fraction of the text they summarize.
     val ex = chunks
       .select(col("doc_id"), col("n_toks"), explode_outer(col("cs")).as("c"))
       .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
         md5(col("c.chunk")).as("ch"), col("c.clen").cast("long").as("clen"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Cross-doc document frequency per chunk hash. count_distinct handles
     // a chunk repeated WITHIN one doc: that alone is not cross-doc dup.
     val df = ex.filter(col("clen") > 0).groupBy(col("ch"))
       .agg(count_distinct(col("doc_id")).as("cdf"))
-    ex.join(df, Seq("ch"), "left")
+    val out = ex.join(df, Seq("ch"), "left")
       .groupBy(col("doc_id"))
       .agg(
         max(col("n_toks")).as("n_tokens"),
@@ -263,6 +269,9 @@ object TextAnalysis {
             col("n_chunks").cast("double"), 6)).otherwise(0.0)
           .as("dup_chunk_fraction"),
         col("kept_tokens"))
+      .localCheckpoint(eager = true) // release the chunk cache below
+    ex.unpersist()
+    out
   }
 
   /** ExactSubstr-style shared-span report over the winnowing fingerprint
@@ -322,15 +331,21 @@ object TextAnalysis {
     * partition heaps, no full sort). Ties break lexicographically.
     */
   def tfIdfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    // Persisted: tf feeds the df aggregation AND the scoring join — the
+    // two branches otherwise each re-explode and re-shuffle the corpus
+    // (two Generate+Scan subtrees in the static plan; exchange reuse is a
+    // runtime maybe, not a guarantee). The persisted rows are (id, token,
+    // count) — far smaller than the text they summarize.
     val tf = docs
       .select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count_distinct(col("doc_id")).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("token").asc)
-    tf.join(df, Seq("token"))
+    val out = tf.join(df, Seq("token"))
       .join(broadcast(n))
       .withColumn("score",
         (col("tf") * col("n")).cast("double") / col("df").cast("double"))
@@ -338,5 +353,8 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         col("score"), col("rank").cast("long").as("rank"))
+      .localCheckpoint(eager = true) // release the tf cache below
+    tf.unpersist()
+    out
   }
 }
