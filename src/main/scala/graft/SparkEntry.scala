@@ -420,6 +420,13 @@ object SparkEntry {
     "doc_paragraph_dedup" -> ((s, dir) =>
       TextAnalysis.paragraphDedup(t(s, dir, "documents"), chunkTokens = 10)),
 
+    // Emission half of chunk dedup: rewrite each doc without cross-doc
+    // duplicated chunks — dup-hash set broadcasts (map-side anti join);
+    // the only exchange is the per-doc re-assembly. Fully-duplicated docs
+    // drop out (removed from the corpus), hash verifies the rebuilt text.
+    "doc_paragraph_clean" -> ((s, dir) =>
+      TextAnalysis.paragraphDedupClean(t(s, dir, "documents"), chunkTokens = 10)),
+
     // ExactSubstr-style shared-span report per candidate pair: shared
     // winnowing fingerprints, certified shared-token lower bound, and a
     // containment score against the smaller doc's fingerprint set.
@@ -965,6 +972,31 @@ object SparkEntry {
                              THEN clen ELSE 0 END), 0) AS BIGINT) AS kept_tokens
          FROM ex LEFT JOIN df USING (ch)
          GROUP BY ex.doc_id""",
+
+    "doc_paragraph_clean" ->
+      """WITH toks AS (
+           SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(text), '\s+') END AS t
+           FROM documents),
+         chunks AS (
+           SELECT doc_id, t,
+             unnest(generate_series(0, greatest((len(t) - 1) // 10, 0))) AS i
+           FROM toks),
+         ex AS (
+           SELECT doc_id, i AS pos,
+             array_to_string(t[i*10+1 : i*10+10], ' ') AS chunk,
+             least(len(t) - i*10, 10) AS clen
+           FROM chunks),
+         exf AS (SELECT * FROM ex WHERE clen > 0),
+         dups AS (
+           SELECT md5(chunk) AS ch FROM exf
+           GROUP BY 1 HAVING count(DISTINCT doc_id) > 1),
+         kept AS (
+           SELECT * FROM exf WHERE md5(chunk) NOT IN (SELECT ch FROM dups))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_chunks,
+           CAST(sum(clen) AS BIGINT) AS clean_tokens,
+           md5(string_agg(chunk, ' ' ORDER BY pos)) AS clean_hash
+         FROM kept GROUP BY doc_id""",
 
     "doc_dup_spans" ->
       """WITH toks AS (

@@ -350,4 +350,36 @@ object Curation {
     docs.withColumn("text_hash", md5(col("text")))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("text_hash")
+
+  /** Streaming twin of the chunk-level dedup
+    * ([[TextAnalysis.paragraphDedup]]): explode each arriving document
+    * into 10-token chunks and emit only chunks whose hash was NOT seen
+    * within the watermark horizon — first-seen chunks survive, later
+    * repeats (boilerplate replays) are suppressed. State carries only the
+    * 32-char chunk hash and expires with the watermark, so it is bounded
+    * by the dedup horizon, not the corpus — the same state discipline as
+    * [[streamingExactDedup]], one level below the document.
+    */
+  def streamingChunkDedup(docs: DataFrame, tsCol: String = "ts",
+      delay: String = "10 minutes", chunkTokens: Int = 10): DataFrame = {
+    val toks = docs.select(col("doc_id"), col(tsCol),
+      TextAnalysis.wsTokens(col("text")).as("toks"))
+    val chunks = toks.select(col("doc_id"), col(tsCol),
+      transform(
+        sequence(lit(0),
+          greatest(floor((size(col("toks")) - 1).cast("double") / chunkTokens)
+            .cast("int"), lit(0))),
+        i => struct(
+          concat_ws(" ", slice(col("toks"), i * chunkTokens + 1, lit(chunkTokens)))
+            .as("chunk"),
+          least(size(col("toks")) - i * chunkTokens, lit(chunkTokens))
+            .as("clen"))).as("cs"))
+    chunks
+      .select(col("doc_id"), col(tsCol), posexplode_outer(col("cs")).as(Seq("pos", "c")))
+      .filter(col("c.clen") > 0)
+      .select(col("doc_id"), col(tsCol), col("pos"),
+        col("c.chunk").as("chunk"), md5(col("c.chunk")).as("chunk_hash"))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("chunk_hash")
+  }
 }

@@ -274,6 +274,56 @@ object TextAnalysis {
     out
   }
 
+  /** The EMISSION half of chunk-level dedup: rebuild each document's text
+    * with cross-doc duplicated chunks removed (what [[paragraphDedup]]
+    * only counts). Output: (doc_id, kept_chunks, clean_tokens,
+    * clean_hash) where clean_hash is the md5 of the kept chunks joined in
+    * original order — small enough to hash-verify without shipping the
+    * rewritten corpus through the driver.
+    *
+    * Scale shape: the duplicate-hash SET (boilerplate — orders of
+    * magnitude smaller than the corpus) broadcasts into a map-side
+    * LEFT ANTI join against the exploded chunks, so filtering shuffles
+    * nothing; the one real exchange is the per-doc re-assembly groupBy —
+    * the unavoidable cost of any corpus rewrite. Chunk order is restored
+    * by position through `array_sort` on (pos, chunk) structs (collect_list
+    * order is not deterministic; the sort is).
+    */
+  def paragraphDedupClean(docs: DataFrame, chunkTokens: Int = 10): DataFrame = {
+    val toks = docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
+    val chunks = toks.select(col("doc_id"),
+      transform(
+        sequence(lit(0),
+          greatest(floor((size(col("toks")) - 1).cast("double") / chunkTokens)
+            .cast("int"), lit(0))),
+        i => struct(
+          concat_ws(" ", slice(col("toks"), i * chunkTokens + 1, lit(chunkTokens)))
+            .as("chunk"),
+          least(size(col("toks")) - i * chunkTokens, lit(chunkTokens))
+            .as("clen"))).as("cs"))
+    val ex = chunks
+      .select(col("doc_id"), posexplode_outer(col("cs")).as(Seq("pos", "c")))
+      .filter(col("c.clen") > 0)
+      .select(col("doc_id"), col("pos"), col("c.chunk").as("chunk"),
+        col("c.clen").cast("long").as("clen"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dups = ex.groupBy(md5(col("chunk")).as("ch"))
+      .agg(count_distinct(col("doc_id")).as("cdf"))
+      .filter(col("cdf") > 1)
+      .select(col("ch"))
+    val kept = ex.join(broadcast(dups), md5(col("chunk")) === col("ch"),
+      "left_anti")
+    val out = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_chunks"),
+        sum(col("clen")).as("clean_tokens"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          s => s("chunk")))).as("clean_hash"))
+      .localCheckpoint(eager = true) // release the chunk cache below
+    ex.unpersist()
+    out
+  }
+
   /** ExactSubstr-style shared-span report over the winnowing fingerprint
     * table: for each candidate pair, the number of shared fingerprints and
     * the GUARANTEED minimum length of shared text they certify. The

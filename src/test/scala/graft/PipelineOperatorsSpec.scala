@@ -438,6 +438,24 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(out(4L).getAs[Double]("dup_chunk_fraction") == 0.0)
   }
 
+  test("paragraphDedupClean: rebuilt text drops shared chunks, keeps order") {
+    // Chunk size 3: docs 1/2 share "a b c"; doc 1 keeps [d e f][g h] in
+    // order; doc 3 is entirely the shared chunk -> drops out of the
+    // rewritten corpus.
+    val d = docs(
+      1L -> "a b c d e f g h",
+      2L -> "a b c x y z",
+      3L -> "a b c")
+    val out = TextAnalysis.paragraphDedupClean(d, chunkTokens = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L).getAs[Long]("kept_chunks") == 2L)
+    assert(out(1L).getAs[Long]("clean_tokens") == 5L)
+    val expected = d.sparkSession.sql("SELECT md5('d e f g h')")
+      .collect()(0).getString(0)
+    assert(out(1L).getAs[String]("clean_hash") == expected)
+  }
+
   test("dupSpans: shared fingerprints certify span bound; identical docs contain") {
     val base = (1 to 20).map(i => s"w$i").mkString(" ")
     val d = docs(
@@ -560,6 +578,32 @@ class PipelineOperatorsSpec extends SparkSpec {
     try assert(q.awaitTermination(120000)) finally q.stop()
     val kept = spark.table("sdedup").select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(1L, 2L))
+  }
+
+  test("streamingChunkDedup: repeated chunk suppressed, fresh chunk of same doc kept") {
+    import java.sql.Timestamp
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Timestamp)](spark)
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    // chunkTokens=3: doc 2 repeats doc 1's chunk "a b c" (suppressed) but
+    // contributes fresh "x y z" (kept) — sub-document granularity.
+    ms.addData(Seq(
+      (1L, "a b c d e f", t0),
+      (2L, "a b c x y z", new Timestamp(t0.getTime + 1000L))))
+    val dedup = graft.operators.Curation.streamingChunkDedup(
+      ms.toDF().toDF("doc_id", "text", "ts"), chunkTokens = 3)
+    val q = dedup.writeStream.format("memory").queryName("schunks")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+    val kept = spark.table("schunks")
+      .select("doc_id", "chunk").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("chunk")).toSet
+    assert(kept.contains(2L -> "x y z"))
+    assert(!kept.contains(2L -> "a b c")) // replayed boilerplate suppressed
+    assert(kept.count(_._2 == "a b c") == 1) // doc 1's original survives
+    assert(kept.contains(1L -> "d e f"))
   }
 
   test("kmeansAssign: centroid vectors assign to themselves at distance 0") {
