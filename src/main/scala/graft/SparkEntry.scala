@@ -439,6 +439,17 @@ object SparkEntry {
     "doc_pii_scrub" -> ((s, dir) =>
       Curation.piiScrub(t(s, dir, "documents"))),
 
+    // End-to-end curation audit: every gate (quality, exact-dup canonical,
+    // near-dup cluster rep, decontamination, sampling coin) evaluated per
+    // train doc + the conjunction verdict — the whole pipeline composed
+    // and oracle-checked in one row per document.
+    "doc_curation_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val coin = substring(
+        md5(concat(lit("eval:"), col("doc_id").cast("string"))), 1, 2)
+      Curation.curationReport(docs.filter(coin >= "10"), docs.filter(coin < "10"))
+    }),
+
     // As-of join: attribute each purchase to the user's most recent
     // preceding view (inclusive <=). Union + one window pass per user —
     // never the O(|L|·|R|) theta-join Spark would otherwise plan.
@@ -761,6 +772,7 @@ object SparkEntry {
                   ELSE CAST(len(list_distinct(toks)) AS DOUBLE)
                        / CAST(len(toks) AS DOUBLE) END AS dr,
              CAST(CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END
                 + CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END
                 + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
                 + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
@@ -1066,6 +1078,152 @@ object SparkEntry {
            FROM scored)
          SELECT doc_id, token, tf, df, score, CAST(rank AS BIGINT) AS rank
          FROM ranked WHERE rank <= 3""",
+
+    // The composed pipeline, stitched from the per-stage oracles above:
+    // each stage's CTE block is the validated fragment with `documents`
+    // swapped for the coin-split train base and CTE names prefixed.
+    "doc_curation_report" ->
+      """WITH RECURSIVE coin AS (
+           SELECT doc_id, text, lang,
+             substr(md5('eval:' || CAST(doc_id AS VARCHAR)), 1, 2) AS c
+           FROM documents),
+         base AS (SELECT doc_id, text, lang FROM coin WHERE c >= '10'),
+         gw AS (
+           SELECT doc_id, length(text) AS chars,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\s+') END AS toks
+           FROM base),
+         gch AS (
+           SELECT *, list_transform(
+             generate_series(0, greatest((len(toks) - 1) // 10, 0)),
+             i -> array_to_string(toks[i*10+1 : i*10+10], ' ')) AS ch
+           FROM gw),
+         gm AS (
+           SELECT doc_id, chars,
+             CAST(len(toks) AS BIGINT) AS word_count,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE) END AS mwl,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(len(list_distinct(toks)) AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE) END AS dr,
+             CAST(CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END
+               AS BIGINT) AS stop_hits,
+             CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(len(ch) - len(list_distinct(ch)) AS DOUBLE)
+                    / CAST(len(ch) AS DOUBLE) END AS dlf
+           FROM gch),
+         gg2 AS (
+           SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1])) AS g
+           FROM gw WHERE len(toks) >= 2),
+         gcnt AS (SELECT doc_id, g, count(*) AS cnt FROM gg2 GROUP BY 1, 2),
+         gtop AS (
+           SELECT doc_id, g, cnt FROM (
+             SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY cnt DESC, g ASC) AS rn FROM gcnt)
+           WHERE rn = 1),
+         gq AS (
+           SELECT gm.doc_id,
+             (word_count BETWEEN 40 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+              AND dr >= 0.4 AND stop_hits >= 2 AND dlf <= 0.3
+              AND CASE WHEN gm.chars = 0 OR gtop.cnt IS NULL THEN 0.0
+                    ELSE CAST(gtop.cnt AS DOUBLE) * CAST(length(gtop.g) AS DOUBLE)
+                         / CAST(gm.chars AS DOUBLE) END <= 0.2) AS q_keep
+           FROM gm LEFT JOIN gtop ON gm.doc_id = gtop.doc_id),
+         ee AS (
+           SELECT doc_id,
+             doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS e_keep
+           FROM base),
+         msh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(generate_series(1, len(toks) - 2),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [array_to_string(toks, ' ')] END) AS ss
+           FROM gw),
+         mex AS (SELECT doc_id, unnest(ss) AS shingle FROM msh),
+         mhx AS (SELECT doc_id, md5('a:' || shingle) AS ma,
+                        md5('b:' || shingle) AS mb FROM mex),
+         msig AS (
+           SELECT doc_id,
+             min(substr(ma, 1, 8)) AS h0, min(substr(ma, 9, 8)) AS h1,
+             min(substr(ma, 17, 8)) AS h2, min(substr(ma, 25, 8)) AS h3,
+             min(substr(mb, 1, 8)) AS h4, min(substr(mb, 9, 8)) AS h5,
+             min(substr(mb, 17, 8)) AS h6, min(substr(mb, 25, 8)) AS h7
+           FROM mhx GROUP BY doc_id),
+         mbk AS (
+           SELECT doc_id, b.band,
+             CASE b.band WHEN 0 THEN md5(h0 || h1) WHEN 1 THEN md5(h2 || h3)
+                         WHEN 2 THEN md5(h4 || h5) ELSE md5(h6 || h7) END AS key
+           FROM msig, (SELECT unnest(generate_series(0, 3)) AS band) b),
+         mcand AS (
+           SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+           FROM mbk l JOIN mbk r ON l.band = r.band AND l.key = r.key
+                AND l.doc_id < r.doc_id),
+         mpj AS (
+           SELECT cd.doc_a, cd.doc_b,
+             len(list_intersect(sa.ss, sb.ss)) AS inter,
+             len(sa.ss) AS la, len(sb.ss) AS lb
+           FROM mcand cd
+           JOIN msh sa ON cd.doc_a = sa.doc_id
+           JOIN msh sb ON cd.doc_b = sb.doc_id),
+         mdup AS (
+           SELECT doc_a, doc_b FROM mpj
+           WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) >= 0.5),
+         medge AS (SELECT doc_a AS src, doc_b AS dst FROM mdup
+               UNION SELECT doc_b, doc_a FROM mdup),
+         reach AS (
+           SELECT src AS a, dst AS b FROM medge
+           UNION
+           SELECT r.a, medge.dst FROM reach r JOIN medge ON r.b = medge.src),
+         mcomp AS (SELECT a AS doc_id, MIN(b) AS minb FROM reach GROUP BY a),
+         cc AS (
+           SELECT b.doc_id,
+             coalesce(least(mc.doc_id, mc.minb), b.doc_id) = b.doc_id AS c_keep
+           FROM base b LEFT JOIN mcomp mc ON b.doc_id = mc.doc_id),
+         dtoks AS (
+           SELECT doc_id, c,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\s+') END AS t
+           FROM coin),
+         dsh AS (
+           SELECT doc_id, c, list_distinct(
+             CASE WHEN len(t) >= 8
+                  THEN list_transform(generate_series(1, len(t) - 7),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                            t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                            t[i+6] || ' ' || t[i+7])
+                  ELSE [array_to_string(t, ' ')] END) AS ss
+           FROM dtoks),
+         dtg AS (SELECT doc_id, unnest(ss) AS g FROM dsh WHERE c >= '10'),
+         deg AS (SELECT DISTINCT g
+                FROM (SELECT unnest(ss) AS g FROM dsh WHERE c < '10')),
+         dhits AS (
+           SELECT doc_id, count(*) AS gram_hits
+           FROM dtg JOIN deg USING (g) GROUP BY doc_id),
+         dd AS (
+           SELECT b.doc_id, COALESCE(h.gram_hits, 0) = 0 AS d_keep
+           FROM base b LEFT JOIN dhits h USING (doc_id)),
+         ssmp AS (
+           SELECT doc_id,
+             substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2)
+               < CASE lang WHEN 'en' THEN '80' WHEN 'zh' THEN '20'
+                           ELSE '40' END AS s_keep
+           FROM base)
+         SELECT gq.doc_id, q_keep, e_keep, c_keep, d_keep, s_keep,
+           (q_keep AND e_keep AND c_keep AND d_keep AND s_keep) AS kept
+         FROM gq JOIN ee USING (doc_id) JOIN cc USING (doc_id)
+         JOIN dd USING (doc_id) JOIN ssmp USING (doc_id)""",
 
     "doc_pii_scrub" ->
       """WITH s1 AS (

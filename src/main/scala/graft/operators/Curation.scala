@@ -43,8 +43,13 @@ object Curation {
     * scan; `keep` is computed on the UNROUNDED ratios in both engines; the
     * emitted ratio columns are rounded to 6 dp for cross-engine hashing.
     */
+  // "a" included deliberately: a stopword list must reflect the corpus's
+  // actual function words, and without it the synthetic corpus (articles
+  // "the"/"a" only) can never reach minStopHits — the rule silently
+  // all-fails instead of discriminating (caught by the curationReport
+  // pass-rate audit).
   val gopherStopwords: Seq[String] =
-    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    Seq("the", "a", "be", "to", "of", "and", "that", "have", "with")
 
   def gopherQuality(docs: DataFrame,
       minWords: Int = 40, maxWords: Int = 100000,
@@ -350,6 +355,44 @@ object Curation {
     docs.withColumn("text_hash", md5(col("text")))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("text_hash")
+
+  /** End-to-end curation report: every shipped gate evaluated per
+    * document — Gopher quality, exact-dup canonical copy, near-dup
+    * cluster representative (MinHash+LSH connected components),
+    * benchmark decontamination, stratified-sampling coin — with the final
+    * `kept` verdict as their conjunction. This is the audit table a
+    * pipeline operator reads to see what each stage removes and what
+    * survives end-to-end; stage verdicts are computed INDEPENDENTLY
+    * (not sequentially re-filtered), so a flipped flag always attributes
+    * the removal to one named stage.
+    *
+    * Scale shape is inherited stage-by-stage from the underlying
+    * operators (each documented at its definition); the report itself is
+    * five doc_id-keyed joins of one-row-per-doc stage outputs.
+    */
+  def curationReport(train: DataFrame, evalDocs: DataFrame,
+      rates: Map[String, Double] = Map("en" -> 0.5, "zh" -> 0.125),
+      defaultRate: Double = 0.25): DataFrame = {
+    val q = gopherQuality(train).select(col("doc_id"), col("keep").as("q_keep"))
+    val eg = Dedup.exactGroups(train)
+    val e = train.select(col("doc_id"), md5(col("text")).as("th"))
+      .join(eg, col("th") === col("text_hash"))
+      .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("e_keep"))
+    val c = Dedup.minhashClusters(train)
+      .select(col("doc_id"), (col("cluster") === col("doc_id")).as("c_keep"))
+    val d = decontaminate(train, evalDocs)
+      .select(col("doc_id"), (!col("contaminated")).as("d_keep"))
+    val s = train.select(col("doc_id"))
+      .join(stratifiedSample(train, rates, defaultRate)
+        .select(col("doc_id"), lit(true).as("s_in")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("s_in"), lit(false)).as("s_keep"))
+    q.join(e, Seq("doc_id")).join(c, Seq("doc_id"))
+      .join(d, Seq("doc_id")).join(s, Seq("doc_id"))
+      .select(col("doc_id"), col("q_keep"), col("e_keep"), col("c_keep"),
+        col("d_keep"), col("s_keep"),
+        (col("q_keep") && col("e_keep") && col("c_keep") &&
+          col("d_keep") && col("s_keep")).as("kept"))
+  }
 
   /** Streaming twin of the chunk-level dedup
     * ([[TextAnalysis.paragraphDedup]]): explode each arriving document

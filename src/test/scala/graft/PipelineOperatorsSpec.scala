@@ -580,6 +580,33 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 2L))
   }
 
+  test("curationReport: stage flags attribute removals; kept is the conjunction") {
+    val good = "the of " + (1 to 48).map(i => s"alpha$i").mkString(" ")
+    val other = "the of " + (1 to 48).map(i => s"beta$i").mkString(" ")
+    val train = Seq(
+      (1L, good, "en", "s0"), (2L, good, "en", "s0"), // exact+near dup pair
+      (3L, other, "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val eval = Seq((100L, good, "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Curation.curationReport(train, eval).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L).getAs[Boolean]("q_keep"))
+    assert(out(1L).getAs[Boolean]("e_keep"))        // canonical copy
+    assert(!out(2L).getAs[Boolean]("e_keep"))       // exact dup of 1
+    assert(out(1L).getAs[Boolean]("c_keep"))        // cluster rep = min id
+    assert(!out(2L).getAs[Boolean]("c_keep"))
+    assert(!out(1L).getAs[Boolean]("d_keep"))       // eval doc contains it
+    assert(out(3L).getAs[Boolean]("d_keep"))
+    out.values.foreach { r =>
+      assert(r.getAs[Boolean]("kept") ==
+        (r.getAs[Boolean]("q_keep") && r.getAs[Boolean]("e_keep") &&
+          r.getAs[Boolean]("c_keep") && r.getAs[Boolean]("d_keep") &&
+          r.getAs[Boolean]("s_keep")))
+    }
+  }
+
   test("streamingChunkDedup: repeated chunk suppressed, fresh chunk of same doc kept") {
     import java.sql.Timestamp
     val ms = org.apache.spark.sql.execution.streaming.runtime
