@@ -482,6 +482,86 @@ object SparkEntry {
           col("hits").as("views_1h"))
     }),
 
+    // Aggregating interval join: views counted AND their value summed in
+    // the hour before each purchase — same bucketed hash shape.
+    "events_range_spend_1h" -> ((s, dir) => {
+      val ev = EventAdapter.readEvents(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      RangeJoin.slidingSum(purchases, views, "user_id", "ts", "ts",
+          windowMicros = 3600L * 1000000L, valueCol = "value")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("hits").as("views_1h"),
+          // 2-dp inputs put the true sum on the 2-dp grid (q1 discipline).
+          round(col("win_sum"), 2).as("view_value_1h"))
+    }),
+
+    // As-of with a freshness tolerance: the attribution only counts when
+    // the latest preceding view is at most 30 minutes old — the standard
+    // bounded-staleness point-in-time lookup.
+    "events_asof_tolerance" -> ((s, dir) => {
+      val ev = EventAdapter.readEvents(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("ts").as("view_ts")).distinct()
+      val tolUs = 1800L * 1000000L
+      AsOf.asOfJoin(purchases, views, "user_id", "ts", "ts", Seq("view_ts"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(unix_micros(col("ts")) - unix_micros(col("view_ts")) <= tolUs,
+            unix_micros(col("ts")) - unix_micros(col("view_ts")))
+            .otherwise(lit(-1L)).as("gap_us"),
+          coalesce(unix_micros(col("ts")) - unix_micros(col("view_ts")) <= tolUs,
+            lit(false)).as("fresh_view"))
+    }),
+
+    // TPC-H Q13 shape: order-count distribution over a LEFT outer join —
+    // customers with zero orders land in the c_count = 0 bucket.
+    "q13_cust_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(c("c_custkey"))
+        .agg(count(o("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // TPC-H Q14 shape: conditional revenue share. Both sums grid-round to
+    // 4 dp FIRST; the share divides the exact rounded values, so the
+    // double is engine-identical.
+    "q14_promo_share" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem"); val p = t(s, dir, "part")
+      val rev = l("l_extendedprice") * (lit(1) - l("l_discount"))
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .agg(
+          round(sum(when(p("p_type") === "PROMO", rev).otherwise(0.0)), 4)
+            .as("promo_revenue"),
+          round(sum(rev), 4).as("total_revenue"))
+        .select(col("promo_revenue"), col("total_revenue"),
+          round(col("promo_revenue") / col("total_revenue"), 6)
+            .as("promo_share"))
+    }),
+
+    // TPC-H Q17 shape: correlated per-part average via an aggregate-then-
+    // broadcast-join (never a correlated subquery rescan): lineitems
+    // below 20% of their part's average quantity, for one brand.
+    "q17_small_qty" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem"); val p = t(s, dir, "part")
+      // Integral quantities sum exactly in doubles, so the avg (and the
+      // 0.2x threshold) is bit-identical cross-engine.
+      val avgQ = l.groupBy(col("l_partkey").as("a_pk"))
+        .agg(avg(col("l_quantity")).as("avg_qty"))
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .filter(p("p_brand") === "Brand#23")
+        .join(broadcast(avgQ), col("l_partkey") === col("a_pk"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(count(lit(1)).as("n_items"),
+          round(coalesce(sum(col("l_extendedprice")), lit(0.0)), 2)
+            .as("small_qty_revenue"))
+    }),
+
     // ---- training-data pipeline: embeddings ---------------------------
 
     // Brute-force cosine top-5 for the first 10 query vectors: broadcast
@@ -1250,6 +1330,66 @@ object SparkEntry {
            regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
              '<IP>', 'g') <> text AS changed
          FROM s2""",
+
+    "events_range_spend_1h" ->
+      """WITH p AS (
+           SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+         SELECT p.event_id, p.user_id, p.ts,
+           CAST(count(v.ts) AS BIGINT) AS views_1h,
+           round(coalesce(sum(v.value), 0), 2) AS view_value_1h
+         FROM p LEFT JOIN v
+           ON v.user_id = p.user_id
+           AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+         GROUP BY p.event_id, p.user_id, p.ts""",
+
+    "events_asof_tolerance" ->
+      """WITH p AS (
+           SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+         v AS (
+           SELECT DISTINCT user_id, ts AS view_ts FROM events
+           WHERE event_type = 'view')
+         SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN epoch_us(p.ts) - epoch_us(v.view_ts) <= 1800000000
+                THEN epoch_us(p.ts) - epoch_us(v.view_ts) ELSE -1 END AS gap_us,
+           COALESCE(epoch_us(p.ts) - epoch_us(v.view_ts) <= 1800000000,
+             FALSE) AS fresh_view
+         FROM p ASOF LEFT JOIN v
+           ON p.user_id = v.user_id AND p.ts >= v.view_ts""",
+
+    "q13_cust_orders" ->
+      """WITH cc AS (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey)
+         SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+         FROM cc GROUP BY c_count""",
+
+    "q14_promo_share" ->
+      """WITH s AS (
+           SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                    THEN l_extendedprice * (1 - l_discount)
+                    ELSE 0.0 END), 4) AS promo_revenue,
+                  round(sum(l_extendedprice * (1 - l_discount)), 4)
+                    AS total_revenue
+           FROM lineitem JOIN part ON l_partkey = p_partkey)
+         SELECT promo_revenue, total_revenue,
+           round(promo_revenue / total_revenue, 6) AS promo_share
+         FROM s""",
+
+    "q17_small_qty" ->
+      """WITH a AS (
+           SELECT l_partkey AS a_pk, avg(l_quantity) AS avg_qty
+           FROM lineitem GROUP BY 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_items,
+           round(coalesce(sum(l_extendedprice), 0), 2) AS small_qty_revenue
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN a ON l_partkey = a_pk
+         WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avg_qty""",
 
     "events_range_views_1h" ->
       """WITH p AS (

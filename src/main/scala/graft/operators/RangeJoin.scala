@@ -65,4 +65,38 @@ object RangeJoin {
       .select(left.columns.toIndexedSeq.map(left(_)) :+
         coalesce(hits("hits"), lit(0L)).as("hits"): _*)
   }
+
+  /** [[slidingCount]] plus a summed measure: `hits` and `win_sum` =
+    * sum of the right side's `valueCol` over the same half-open window.
+    * Same bucketed hash-equi-join shape; rows with an empty window get
+    * hits = 0, win_sum = 0.0. Callers should grid-round `win_sum` when
+    * hash-comparing across engines (double sums are fold-order-dependent;
+    * fixed-decimal inputs make the rounded sum exact — see q1_agg).
+    */
+  def slidingSum(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, windowMicros: Long,
+      valueCol: String): DataFrame = {
+    require(windowMicros > 0, "windowMicros must be positive")
+    val l = left.withColumn("__ltsu", unix_micros(col(leftTs)))
+      .withColumn("__bkt", floor(col("__ltsu") / windowMicros))
+    val r = right
+      .select(col(key).as("__rk"), unix_micros(col(rightTs)).as("__rtsu"),
+        col(valueCol).as("__rv"))
+      .withColumn("__rbkt0", floor(col("__rtsu") / windowMicros))
+      .select(col("__rk"), col("__rtsu"), col("__rv"),
+        explode(array(col("__rbkt0"), col("__rbkt0") + 1)).as("__bkt"))
+    val hits = l
+      .join(r,
+        l(key) === r("__rk") && l("__bkt") === r("__bkt") &&
+          r("__rtsu") >= l("__ltsu") - windowMicros &&
+          r("__rtsu") < l("__ltsu"))
+      .groupBy(left.columns.toIndexedSeq.map(c => l(c).as(s"__g_$c")): _*)
+      .agg(count(lit(1)).as("hits"), sum(col("__rv")).as("win_sum"))
+    val cond = left.columns.toIndexedSeq
+      .map(c => left(c) <=> hits(s"__g_$c")).reduce(_ && _)
+    left.join(hits, cond, "left")
+      .select(left.columns.toIndexedSeq.map(left(_)) ++ Seq(
+        coalesce(hits("hits"), lit(0L)).as("hits"),
+        coalesce(hits("win_sum"), lit(0.0)).as("win_sum")): _*)
+  }
 }

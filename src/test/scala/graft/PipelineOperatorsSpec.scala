@@ -385,6 +385,23 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(out(2L) == 2L)
   }
 
+  test("slidingSum: windowed value sum matches the window membership") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val w = 60L * 1000000L
+    val left = Seq((1L, "u", ts(100)), (2L, "u", ts(10)))
+      .toDF("event_id", "k", "ts")
+    // In window [40, 100): 40 (1.5) and 99 (2.25); out: 100 (edge), 39.
+    val right = Seq(("u", ts(40), 1.5), ("u", ts(99), 2.25),
+      ("u", ts(100), 100.0), ("u", ts(39), 100.0))
+      .toDF("k", "ts", "v")
+    val out = RangeJoin.slidingSum(left, right, "k", "ts", "ts", w, "v")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("hits"), r.getAs[Double]("win_sum")))).toMap
+    assert(out(1L) == ((2L, 3.75)))
+    assert(out(2L) == ((0L, 0.0)))
+  }
+
   test("decontaminate: train doc sharing an 8-gram with eval is flagged") {
     val train = docs(
       1L -> (1 to 10).map(i => s"w$i").mkString(" "), // contains w3..w10

@@ -84,6 +84,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
 
+  test("events_range_spend_1h: aggregating interval join stays hash-based") {
+    val p = physical("events_range_spend_1h")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q17_small_qty: per-part average joins broadcast, no correlated rescan") {
+    assert(physical("q17_small_qty").contains("BroadcastHashJoin"))
+  }
+
   test("doc_packing: running-sum window partitions by (lang, range), offsets broadcast") {
     // One-window-per-language would sort the head language's whole corpus
     // on a single task at scale; the two-pass form keys the big window by
