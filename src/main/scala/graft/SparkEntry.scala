@@ -414,6 +414,11 @@ object SparkEntry {
     "doc_tfidf_topk" -> ((s, dir) =>
       TextAnalysis.tfIdfTopTerms(t(s, dir, "documents"), k = 3)),
 
+    // Corpus-frequency rarity profile (unigram-LM signal, log-free so the
+    // oracle hash-matches): mean/min token frequency + hapax share.
+    "doc_token_rarity" -> ((s, dir) =>
+      TextAnalysis.tokenRarity(t(s, dir, "documents"))),
+
     // Paragraph/chunk-level dedup: 10-token chunk hashes, cross-doc
     // occurrence counts, per-doc duplicated-chunk fraction + the tokens a
     // cleaning pass would keep. The below-document dedup stage.
@@ -1032,6 +1037,28 @@ object SparkEntry {
          FROM pruned a JOIN pruned b
            ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 3""",
+
+    "doc_token_rarity" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+           FROM documents WHERE length(trim(text)) > 0),
+         freq AS (SELECT token, count(*) AS freq FROM toks GROUP BY token),
+         per AS (
+           SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(freq) AS BIGINT) AS freq_sum,
+             CAST(min(freq) AS BIGINT) AS min_freq,
+             CAST(count(CASE WHEN freq = 1 THEN 1 END) AS BIGINT) AS hapax
+           FROM toks JOIN freq USING (token)
+           GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(per.n_tokens, 0) AS n_tokens,
+           coalesce(round(CAST(per.freq_sum AS DOUBLE)
+             / CAST(per.n_tokens AS DOUBLE), 6), 0.0) AS mean_freq,
+           coalesce(per.min_freq, 0) AS min_freq,
+           coalesce(round(CAST(per.hapax AS DOUBLE)
+             / CAST(per.n_tokens AS DOUBLE), 6), 0.0) AS hapax_share
+         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""",
 
     "doc_paragraph_dedup" ->
       """WITH toks AS (

@@ -197,6 +197,47 @@ object TextAnalysis {
       .filter(col("shared") >= minShared)
   }
 
+  /** Corpus-frequency token-rarity profile per document — the unigram-LM
+    * quality signal without the logarithm: `mean_freq` (average corpus
+    * occurrence count of the document's tokens), `min_freq` (its rarest
+    * token), and `hapax_share` (fraction of tokens occurring exactly once
+    * in the corpus — high = noise/garble, near-zero = pure boilerplate).
+    * A true log-prob score would hash-poison the oracle (`ln` is only
+    * correct-to-1-ulp and engine-dependent); integer frequency sums and
+    * one exact division carry the same ranking signal bit-identically.
+    *
+    * Scale shape: one hash aggregation keyed on the token builds the
+    * frequency table; the exploded corpus joins it keyed on the token and
+    * re-aggregates per doc — two shuffles, both on small keyed rows. The
+    * (doc_id, token) explode is persisted: it feeds both the frequency
+    * aggregation and the join (see tfIdfTopTerms). The zero-token
+    * re-attach scans only the pruned doc_id column.
+    */
+  def tokenRarity(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val perDoc = toks.join(freq, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("freq")).as("freq_sum"),
+        min(col("freq")).as("min_freq"),
+        count(when(col("freq") === 1L, lit(1))).as("hapax"))
+    val out = docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(round(col("freq_sum").cast("double") /
+          col("n_tokens").cast("double"), 6), lit(0.0)).as("mean_freq"),
+        coalesce(col("min_freq"), lit(0L)).as("min_freq"),
+        coalesce(round(col("hapax").cast("double") /
+          col("n_tokens").cast("double"), 6), lit(0.0)).as("hapax_share"))
+      .localCheckpoint(eager = true) // release the token cache below
+    toks.unpersist()
+    out
+  }
+
   /** Paragraph/chunk-level duplicate analysis — the WITHIN-corpus,
     * BELOW-document dedup stage modern pipelines run after doc-level
     * near-dup removal (duplicate-line removal in RefinedWeb/Dolma terms):

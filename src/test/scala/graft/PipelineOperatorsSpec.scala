@@ -433,6 +433,21 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(fp(1L).size < 10)          // 10 grams from 12 tokens
   }
 
+  test("tokenRarity: frequencies count corpus-wide, hapax share per doc") {
+    // Corpus: "a" x3, "b" x2, "z" x1 -> doc 1 tokens freq (3,3,2), doc 2
+    // (3,2,1); hapax only in doc 2.
+    val d = docs(1L -> "a a b", 2L -> "a b z", 3L -> "")
+    val out = TextAnalysis.tokenRarity(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_tokens") == 3L)
+    assert(out(1L).getAs[Double]("mean_freq") == math.round(8.0 / 3.0 * 1e6) / 1e6)
+    assert(out(1L).getAs[Long]("min_freq") == 2L)
+    assert(out(1L).getAs[Double]("hapax_share") == 0.0)
+    assert(out(2L).getAs[Long]("min_freq") == 1L)
+    assert(out(2L).getAs[Double]("hapax_share") == math.round(1.0 / 3.0 * 1e6) / 1e6)
+    assert(out(3L).getAs[Long]("n_tokens") == 0L) // empty doc rides through
+  }
+
   test("paragraphDedup: cross-doc duplicated chunks counted, kept tokens exclude them") {
     // Chunk size 3: doc 1 = [a b c][d e f][g h]; doc 2 shares chunk "a b c"
     // exactly at a chunk boundary; doc 3 is disjoint; doc 4 is empty.
