@@ -883,6 +883,29 @@ object SparkEntry {
            SELECT doc_id, g, c FROM (
              SELECT *, row_number() OVER (PARTITION BY doc_id
                ORDER BY c DESC, g ASC) AS rn FROM cnt)
+           WHERE rn = 1),
+         g3 AS (
+           SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(toks) - 2),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+           FROM w WHERE len(toks) >= 3),
+         cnt3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+         top3 AS (
+           SELECT doc_id, g, c FROM (
+             SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY c DESC, g ASC) AS rn FROM cnt3)
+           WHERE rn = 1),
+         g4 AS (
+           SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(toks) - 3),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                  toks[i+3])) AS g
+           FROM w WHERE len(toks) >= 4),
+         cnt4 AS (SELECT doc_id, g, count(*) AS c FROM g4 GROUP BY 1, 2),
+         top4 AS (
+           SELECT doc_id, g, c FROM (
+             SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY c DESC, g ASC) AS rn FROM cnt4)
            WHERE rn = 1)
          SELECT m.doc_id, word_count,
            round(mwl, 6) AS mean_word_len,
@@ -893,13 +916,27 @@ object SparkEntry {
            round(CASE WHEN m.chars = 0 OR top.c IS NULL THEN 0.0
              ELSE CAST(top.c AS DOUBLE) * CAST(length(top.g) AS DOUBLE)
                   / CAST(m.chars AS DOUBLE) END, 6) AS top_2gram_share,
+           round(CASE WHEN m.chars = 0 OR top3.c IS NULL THEN 0.0
+             ELSE CAST(top3.c AS DOUBLE) * CAST(length(top3.g) AS DOUBLE)
+                  / CAST(m.chars AS DOUBLE) END, 6) AS top_3gram_share,
+           round(CASE WHEN m.chars = 0 OR top4.c IS NULL THEN 0.0
+             ELSE CAST(top4.c AS DOUBLE) * CAST(length(top4.g) AS DOUBLE)
+                  / CAST(m.chars AS DOUBLE) END, 6) AS top_4gram_share,
            (word_count BETWEEN 40 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
             AND dr >= 0.4 AND stop_hits >= 2
             AND dlf <= 0.3
             AND CASE WHEN m.chars = 0 OR top.c IS NULL THEN 0.0
                   ELSE CAST(top.c AS DOUBLE) * CAST(length(top.g) AS DOUBLE)
-                       / CAST(m.chars AS DOUBLE) END <= 0.2) AS keep
-         FROM m LEFT JOIN top ON m.doc_id = top.doc_id""",
+                       / CAST(m.chars AS DOUBLE) END <= 0.2
+            AND CASE WHEN m.chars = 0 OR top3.c IS NULL THEN 0.0
+                  ELSE CAST(top3.c AS DOUBLE) * CAST(length(top3.g) AS DOUBLE)
+                       / CAST(m.chars AS DOUBLE) END <= 0.18
+            AND CASE WHEN m.chars = 0 OR top4.c IS NULL THEN 0.0
+                  ELSE CAST(top4.c AS DOUBLE) * CAST(length(top4.g) AS DOUBLE)
+                       / CAST(m.chars AS DOUBLE) END <= 0.16) AS keep
+         FROM m LEFT JOIN top ON m.doc_id = top.doc_id
+         LEFT JOIN top3 ON m.doc_id = top3.doc_id
+         LEFT JOIN top4 ON m.doc_id = top4.doc_id""",
 
     "doc_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents
@@ -1239,14 +1276,45 @@ object SparkEntry {
              SELECT *, row_number() OVER (PARTITION BY doc_id
                ORDER BY cnt DESC, g ASC) AS rn FROM gcnt)
            WHERE rn = 1),
+         gg3 AS (
+           SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(toks) - 2),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+           FROM gw WHERE len(toks) >= 3),
+         gcnt3 AS (SELECT doc_id, g, count(*) AS cnt FROM gg3 GROUP BY 1, 2),
+         gtop3 AS (
+           SELECT doc_id, g, cnt FROM (
+             SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY cnt DESC, g ASC) AS rn FROM gcnt3)
+           WHERE rn = 1),
+         gg4 AS (
+           SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(toks) - 3),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                  toks[i+3])) AS g
+           FROM gw WHERE len(toks) >= 4),
+         gcnt4 AS (SELECT doc_id, g, count(*) AS cnt FROM gg4 GROUP BY 1, 2),
+         gtop4 AS (
+           SELECT doc_id, g, cnt FROM (
+             SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY cnt DESC, g ASC) AS rn FROM gcnt4)
+           WHERE rn = 1),
          gq AS (
            SELECT gm.doc_id,
              (word_count BETWEEN 40 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
               AND dr >= 0.4 AND stop_hits >= 2 AND dlf <= 0.3
               AND CASE WHEN gm.chars = 0 OR gtop.cnt IS NULL THEN 0.0
                     ELSE CAST(gtop.cnt AS DOUBLE) * CAST(length(gtop.g) AS DOUBLE)
-                         / CAST(gm.chars AS DOUBLE) END <= 0.2) AS q_keep
-           FROM gm LEFT JOIN gtop ON gm.doc_id = gtop.doc_id),
+                         / CAST(gm.chars AS DOUBLE) END <= 0.2
+              AND CASE WHEN gm.chars = 0 OR gtop3.cnt IS NULL THEN 0.0
+                    ELSE CAST(gtop3.cnt AS DOUBLE) * CAST(length(gtop3.g) AS DOUBLE)
+                         / CAST(gm.chars AS DOUBLE) END <= 0.18
+              AND CASE WHEN gm.chars = 0 OR gtop4.cnt IS NULL THEN 0.0
+                    ELSE CAST(gtop4.cnt AS DOUBLE) * CAST(length(gtop4.g) AS DOUBLE)
+                         / CAST(gm.chars AS DOUBLE) END <= 0.16) AS q_keep
+           FROM gm LEFT JOIN gtop ON gm.doc_id = gtop.doc_id
+           LEFT JOIN gtop3 ON gm.doc_id = gtop3.doc_id
+           LEFT JOIN gtop4 ON gm.doc_id = gtop4.doc_id),
          ee AS (
            SELECT doc_id,
              doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS e_keep

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators for the `documents` table — the
@@ -56,20 +56,26 @@ object Curation {
       minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
       minDistinctRatio: Double = 0.4, minStopHits: Int = 2,
       maxDupLineFraction: Double = 0.3, maxTop2GramShare: Double = 0.2,
+      maxTop3GramShare: Double = 0.18, maxTop4GramShare: Double = 0.16,
       chunkTokens: Int = 10): DataFrame = {
     // Materialize the token array once (attribute, not inline expression):
     // the interpreted HOF path re-evaluates a lambda's free subexpressions
     // per element (see Dedup.shinglesFromTokens).
     val toks = docs.select(col("doc_id"), length(col("text")).as("chars"),
       TextAnalysis.wsTokens(col("text")).as("toks"))
-    // Second projection barrier: the 2-gram array and the chunk array are
+    // Sorted word-n-gram array (empty below n tokens) — an attribute in
+    // the projection below because it is itself a HOF input.
+    def sortedGrams(n: Int): Column =
+      when(size(col("toks")) >= n,
+        sort_array(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(o => element_at(col("toks"), i + o)): _*))))
+        .otherwise(array().cast("array<string>"))
+    // Second projection barrier: the n-gram arrays and the chunk array are
     // themselves HOF inputs below, so they must be attributes too.
     val derived = toks.select(col("doc_id"), col("chars"), col("toks"),
-      when(size(col("toks")) >= 2,
-        sort_array(transform(sequence(lit(1), size(col("toks")) - 1),
-          i => concat(element_at(col("toks"), i), lit(" "),
-            element_at(col("toks"), i + 1)))))
-        .otherwise(array().cast("array<string>")).as("grams2"),
+      sortedGrams(2).as("grams2"), sortedGrams(3).as("grams3"),
+      sortedGrams(4).as("grams4"),
       when(size(col("toks")) === 0, array().cast("array<string>"))
         .otherwise(transform(
           sequence(lit(0),
@@ -80,19 +86,21 @@ object Curation {
     val stopHits = gopherStopwords
       .map(s => when(array_contains(col("toks"), s), 1).otherwise(0))
       .reduce(_ + _)
-    // Run-length fold over the SORTED 2-gram array: equal grams are
-    // adjacent, so the longest run is the max occurrence count; strict >
-    // keeps the FIRST (= smallest) max gram, matching the oracle's
+    // Run-length fold over a SORTED gram array: equal grams are adjacent,
+    // so the longest run is the max occurrence count; strict > keeps the
+    // FIRST (= smallest) max gram, matching the oracle's
     // `ORDER BY count DESC, gram ASC` tie-break.
-    val zeroState = struct(lit("").as("prev"), lit(0L).as("run"),
-      lit(0L).as("best"), lit("").as("bestg"))
-    val topFold = aggregate(col("grams2"), zeroState,
-      (st, g) => {
-        val nrun = when(g === st("prev"), st("run") + 1).otherwise(lit(1L))
-        struct(g.as("prev"), nrun.as("run"),
-          when(nrun > st("best"), nrun).otherwise(st("best")).as("best"),
-          when(nrun > st("best"), g).otherwise(st("bestg")).as("bestg"))
-      })
+    def topFold(grams: Column): Column = {
+      val zeroState = struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best"), lit("").as("bestg"))
+      aggregate(grams, zeroState,
+        (st, g) => {
+          val nrun = when(g === st("prev"), st("run") + 1).otherwise(lit(1L))
+          struct(g.as("prev"), nrun.as("run"),
+            when(nrun > st("best"), nrun).otherwise(st("best")).as("best"),
+            when(nrun > st("best"), g).otherwise(st("bestg")).as("bestg"))
+        })
+    }
     val m = derived.select(
       col("doc_id"),
       size(col("toks")).cast("long").as("word_count"),
@@ -106,11 +114,14 @@ object Curation {
       when(size(col("chunks")) === 0, 0.0).otherwise(
         (size(col("chunks")) - size(array_distinct(col("chunks")))).cast("double") /
           size(col("chunks")).cast("double")).as("dlf"),
-      topFold.as("top2"),
+      topFold(col("grams2")).as("top2"),
+      topFold(col("grams3")).as("top3"),
+      topFold(col("grams4")).as("top4"),
       col("chars"))
-    val t2share = when(col("chars") === 0 || col("top2")("best") === 0L, 0.0)
-      .otherwise(col("top2")("best").cast("double") *
-        length(col("top2")("bestg")).cast("double") / col("chars").cast("double"))
+    def share(top: String): Column =
+      when(col("chars") === 0 || col(top)("best") === 0L, 0.0)
+        .otherwise(col(top)("best").cast("double") *
+          length(col(top)("bestg")).cast("double") / col("chars").cast("double"))
     m.select(
       col("doc_id"),
       col("word_count"),
@@ -119,13 +130,17 @@ object Curation {
       col("stop_hits"),
       round(col("dlf"), 6).as("dup_line_fraction"),
       col("top2")("bestg").as("top_2gram"),
-      round(t2share, 6).as("top_2gram_share"),
+      round(share("top2"), 6).as("top_2gram_share"),
+      round(share("top3"), 6).as("top_3gram_share"),
+      round(share("top4"), 6).as("top_4gram_share"),
       (col("word_count").between(minWords, maxWords) &&
         col("mwl").between(minMeanLen, maxMeanLen) &&
         col("dr") >= minDistinctRatio &&
         col("stop_hits") >= minStopHits &&
         col("dlf") <= maxDupLineFraction &&
-        t2share <= maxTop2GramShare).as("keep"))
+        share("top2") <= maxTop2GramShare &&
+        share("top3") <= maxTop3GramShare &&
+        share("top4") <= maxTop4GramShare).as("keep"))
   }
 
   /** Deterministic stratified sampling: keep a document iff the first two

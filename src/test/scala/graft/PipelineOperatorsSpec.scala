@@ -257,6 +257,9 @@ class PipelineOperatorsSpec extends SparkSpec {
         5L -> false, 6L -> false))
     assert(q(5L).getAs[String]("top_2gram") == "the of")
     assert(q(5L).getAs[Double]("top_2gram_share") > 0.2)
+    assert(q(5L).getAs[Double]("top_3gram_share") > 0.18) // "the of the" x14
+    assert(q(5L).getAs[Double]("top_4gram_share") > 0.16)
+    assert(q(1L).getAs[Double]("top_3gram_share") < 0.18)  // all distinct
     assert(q(6L).getAs[Double]("dup_line_fraction") == 0.4)
     assert(q(1L).getAs[Double]("dup_line_fraction") == 0.0)
   }
