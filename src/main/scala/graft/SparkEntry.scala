@@ -567,6 +567,48 @@ object SparkEntry {
             .as("small_qty_revenue"))
     }),
 
+    // TPC-H Q15 shape: per-supplier revenue, keep the max-revenue
+    // supplier(s) via an unpartitioned window max over the AGGREGATED
+    // table (tiny — never the fact table). Grid-rounded revenue makes the
+    // max comparison an exact-double equality in both engines.
+    "q15_top_supplier" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem"); val sup = t(s, dir, "supplier")
+      val rev = l.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+        .join(sup, col("l_suppkey") === sup("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    }),
+
+    // TPC-H Q16 shape: distinct-supplier counts per part attribute group
+    // with a brand exclusion — distinct aggregation after a join.
+    "q16_part_suppliers" -> ((s, dir) => {
+      val ps = t(s, dir, "part"); val l = t(s, dir, "lineitem")
+      l.join(ps, l("l_partkey") === ps("p_partkey"))
+        .filter(ps("p_brand") =!= "Brand#1")
+        .groupBy(ps("p_brand").as("p_brand"), ps("p_size").as("p_size"))
+        .agg(count_distinct(l("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // TPC-H Q19 shape: disjunctive AND-OR predicate block over a join —
+    // the predicate-pushdown/CNF stress shape; single grid-rounded row.
+    "q19_disjunctive_rev" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem"); val p = t(s, dir, "part")
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .filter(
+          (p("p_brand") === "Brand#1" && p("p_size").between(1, 15) &&
+            l("l_quantity") >= 1 && l("l_quantity") <= 30) ||
+          (p("p_brand") === "Brand#2" && p("p_size").between(1, 25) &&
+            l("l_quantity") >= 10 && l("l_quantity") <= 40))
+        .agg(count(lit(1)).as("n_items"),
+          round(coalesce(sum(l("l_extendedprice") * (lit(1) - l("l_discount"))),
+            lit(0.0)), 4).as("revenue"))
+    }),
+
     // ---- training-data pipeline: embeddings ---------------------------
 
     // Brute-force cosine top-5 for the first 10 query vectors: broadcast
@@ -1453,6 +1495,35 @@ object SparkEntry {
              FALSE) AS fresh_view
          FROM p ASOF LEFT JOIN v
            ON p.user_id = v.user_id AND p.ts >= v.view_ts""",
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""",
+
+    "q16_part_suppliers" ->
+      """SELECT p_brand, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#1'
+         GROUP BY p_brand, p_size""",
+
+    "q19_disjunctive_rev" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_items,
+           round(coalesce(sum(l_extendedprice * (1 - l_discount)), 0), 4)
+             AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                AND l_quantity >= 1 AND l_quantity <= 30)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                AND l_quantity >= 10 AND l_quantity <= 40)""",
 
     "q13_cust_orders" ->
       """WITH cc AS (
