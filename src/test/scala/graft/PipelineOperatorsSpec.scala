@@ -566,6 +566,69 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(aggSalted == aggPlain)
   }
 
+  test("paragraphDedup: matches a brute-force reference on random corpora") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    for (trial <- 0 until 3) {
+      val nDocs = 12 + trial * 6
+      val texts = (0L until nDocs.toLong).map { i =>
+        // Short random docs over a tiny vocab so chunk collisions happen.
+        i -> Seq.fill(rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      }
+      val chunkN = 3
+      // Reference: brute-force chunking + cross-doc dup detection.
+      def chunksOf(t: String): Seq[String] = {
+        val toks = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+        if (toks.isEmpty) Seq.empty
+        else toks.grouped(chunkN).map(_.mkString(" ")).toSeq
+      }
+      val byDoc = texts.map { case (id, t) => id -> chunksOf(t) }.toMap
+      val docsPerChunk = byDoc.toSeq
+        .flatMap { case (id, cs) => cs.distinct.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      val expected = byDoc.map { case (id, cs) =>
+        val dup = cs.count(c => docsPerChunk(c) > 1)
+        val kept = cs.filter(c => docsPerChunk(c) <= 1)
+          .map(_.split(" ").length).sum
+        id -> ((cs.size.toLong, dup.toLong, kept.toLong))
+      }
+      val out = TextAnalysis.paragraphDedup(texts.toDF("doc_id", "text"),
+          chunkTokens = chunkN).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_chunks"), r.getAs[Long]("dup_chunks"),
+            r.getAs[Long]("kept_tokens")))).toMap
+      assert(out == expected, s"trial $trial")
+    }
+  }
+
+  test("slidingCount/slidingSum: match a brute-force nested loop on random events") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(11)
+    val w = 50L * 1000000L // 50 s window
+    val keys = Vector("u", "v", "w")
+    val left = (1L to 25L).map(i =>
+      (i, keys(rnd.nextInt(3)), new Timestamp(rnd.nextInt(300) * 1000L)))
+    val right = Seq.fill(60)(
+      (keys(rnd.nextInt(3)), new Timestamp(rnd.nextInt(300) * 1000L),
+        (rnd.nextInt(400) + 1) / 4.0)) // exact quarters: sums exact
+    val expected = left.map { case (id, k, ts) =>
+      val inWin = right.filter { case (rk, rts, _) =>
+        rk == k && rts.getTime * 1000L >= ts.getTime * 1000L - w &&
+          rts.getTime * 1000L < ts.getTime * 1000L }
+      id -> ((inWin.size.toLong, inWin.map(_._3).sum))
+    }.toMap
+    val l = left.toDF("event_id", "k", "ts")
+    val r = right.toDF("k", "ts", "v")
+    val got = RangeJoin.slidingSum(l, r, "k", "ts", "ts", w, "v")
+      .collect().map(x => x.getAs[Long]("event_id") ->
+        ((x.getAs[Long]("hits"), x.getAs[Double]("win_sum")))).toMap
+    assert(got == expected)
+    val gotCount = RangeJoin.slidingCount(l, r, "k", "ts", "ts", w)
+      .collect().map(x => x.getAs[Long]("event_id") -> x.getAs[Long]("hits")).toMap
+    assert(gotCount == expected.view.mapValues(_._1).toMap)
+  }
+
   test("dupClusters: pointer-jumped labels equal union-find on random graphs") {
     // Deterministically seeded random graphs, including long chains — the
     // adversarial case for label propagation (chains exercise the pointer
