@@ -573,11 +573,15 @@ object SparkEntry {
     // max comparison an exact-double equality in both engines.
     "q15_top_supplier" -> ((s, dir) => {
       val l = t(s, dir, "lineitem"); val sup = t(s, dir, "supplier")
+      // Materialized: the aggregate (one row per supplier — tiny) feeds
+      // both the max branch and the final join; unchecked, each branch
+      // re-scans the fact table.
       val rev = l.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
         .groupBy(col("l_suppkey"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
           .as("total_revenue"))
+        .localCheckpoint(eager = true)
       val mx = rev.agg(max(col("total_revenue")).as("mx"))
       rev.join(broadcast(mx), col("total_revenue") === col("mx"))
         .join(sup, col("l_suppkey") === sup("s_suppkey"))
