@@ -160,6 +160,31 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(it0 == assign)
   }
 
+  test("kmeansIterate: an emptied cluster keeps its centroid (no crash, stable ids)") {
+    // Seeds 0 and 1; every point (incl. seed 1's own vector, which ties
+    // toward the lower centroid id only when equidistant — here it's
+    // strictly closer to 0's updated centroid region) clusters around the
+    // origin, so cluster 1 can empty out after the first update; the
+    // carry keeps centroid 1 alive and the loop total.
+    val d = vecs(
+      0L -> Seq(0f, 0f), 1L -> Seq(0.3f, 0f),
+      2L -> Seq(0.1f, 0f), 3L -> Seq(0f, 0.1f), 4L -> Seq(0.05f, 0.05f))
+    val out = Similarity.kmeansIterate(d, k = 2, iters = 3).collect()
+    assert(out.length == 5)                       // every vector assigned
+    assert(out.map(_.getAs[Long]("cluster")).forall(c => c == 0L || c == 1L))
+  }
+
+  test("piiScrub: an email swallowing digits is not double-counted as phone/IP") {
+    // The digits inside the email match the phone pattern textually, but
+    // the email stage scrubs first, so stage-wise counts see them gone.
+    val d = docs(1L -> "reach 555-123-4567x@mail.com today")
+    val r = Curation.piiScrub(d).collect()(0)
+    assert(r.getAs[Long]("n_emails") == 1L)
+    assert(r.getAs[Long]("n_phones") == 0L)
+    assert(r.getAs[Long]("n_ips") == 0L)
+    assert(r.getAs[Boolean]("changed"))
+  }
+
   test("lshNearDups finds identical vectors (same bucket, cos 1.0)") {
     val d = vecs(
       0L -> Seq(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f),
