@@ -613,6 +613,44 @@ object SparkEntry {
             lit(0.0)), 4).as("revenue"))
     }),
 
+    // TPC-H Q18 shape: group + HAVING over the fact table, then join the
+    // qualifying keys back to the dimensions. Integral quantities sum
+    // exactly, so the threshold and the emitted sum are engine-exact.
+    "q18_big_orders" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val big = l.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 250)
+      big.join(o, col("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(c("c_name"), o("o_orderkey").as("o_orderkey"),
+          o("o_totalprice"), col("total_qty"))
+    }),
+
+    // TPC-H Q21 shape (EXISTS / NOT EXISTS), rewritten as aggregations —
+    // the scalable form: per (order, supplier) max ship date, per order
+    // the distinct-supplier count + the global max + how many suppliers
+    // attain it; "last shipper of a multi-supplier order" = exists another
+    // supplier AND not exists a later-or-tied one.
+    "q21_last_shipper" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val perSupp = l.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("l_shipdate")).as("smax"))
+        .localCheckpoint(eager = true) // feeds the per-order rollup + the filter join
+      val perOrder = perSupp.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("nsupp"), max(col("smax")).as("omax"))
+      val attain = perSupp.as("a")
+        .join(perOrder.as("o"), Seq("l_orderkey"))
+        .withColumn("is_last", col("smax") === col("omax"))
+      val lastCounts = attain.groupBy(col("l_orderkey"))
+        .agg(sum(when(col("is_last"), 1L).otherwise(0L)).as("n_last"))
+      attain.join(lastCounts, Seq("l_orderkey"))
+        .filter(col("nsupp") >= 2 && col("is_last") && col("n_last") === 1)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("waiting_orders"))
+    }),
+
     // ---- training-data pipeline: embeddings ---------------------------
 
     // Brute-force cosine top-5 for the first 10 query vectors: broadcast
@@ -1499,6 +1537,35 @@ object SparkEntry {
              FALSE) AS fresh_view
          FROM p ASOF LEFT JOIN v
            ON p.user_id = v.user_id AND p.ts >= v.view_ts""",
+
+    "q18_big_orders" ->
+      """WITH big AS (
+           SELECT l_orderkey, sum(l_quantity) AS total_qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING sum(l_quantity) > 250)
+         SELECT c_name, o_orderkey, o_totalprice, total_qty
+         FROM big JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey""",
+
+    "q21_last_shipper" ->
+      """WITH ps AS (
+           SELECT l_orderkey, l_suppkey, max(l_shipdate) AS smax
+           FROM lineitem GROUP BY 1, 2),
+         po AS (
+           SELECT l_orderkey, count(*) AS nsupp, max(smax) AS omax
+           FROM ps GROUP BY 1),
+         att AS (
+           SELECT ps.l_orderkey, ps.l_suppkey, po.nsupp,
+             ps.smax = po.omax AS is_last
+           FROM ps JOIN po USING (l_orderkey)),
+         lc AS (
+           SELECT l_orderkey,
+             sum(CASE WHEN is_last THEN 1 ELSE 0 END) AS n_last
+           FROM att GROUP BY 1)
+         SELECT l_suppkey, CAST(count(*) AS BIGINT) AS waiting_orders
+         FROM att JOIN lc USING (l_orderkey)
+         WHERE nsupp >= 2 AND is_last AND n_last = 1
+         GROUP BY l_suppkey""",
 
     "q15_top_supplier" ->
       """WITH rev AS (
