@@ -318,6 +318,11 @@ object SparkEntry {
     "doc_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.3)),
 
+    // One-sided containment (inter / min): catches a small doc embedded
+    // in a large one, which symmetric Jaccard dilutes toward zero.
+    "doc_ngram_containment" -> ((s, dir) =>
+      Dedup.ngramContainmentPairs(t(s, dir, "documents"), threshold = 0.6)),
+
     // Near-dup CLUSTERS: connected components over the MinHash pair graph
     // via iterative min-label propagation; every doc -> min doc_id of its
     // component (oracle: recursive-CTE transitive closure).
@@ -1864,6 +1869,36 @@ object SparkEntry {
            JOIN sh sa ON i.doc_a = sa.doc_id
            JOIN sh sb ON i.doc_b = sb.doc_id)
          SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3""",
+
+    "doc_ngram_containment" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\s+') END AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(generate_series(1, len(t) - 2),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE [array_to_string(t, ' ')] END) AS ss
+           FROM toks),
+         ex AS (SELECT doc_id, unnest(ss) AS shingle FROM sh),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS inter
+           FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         j AS (
+           SELECT i.doc_a, i.doc_b, i.inter,
+             round(CAST(i.inter AS DOUBLE)
+                   / CAST(least(len(sa.ss), len(sb.ss)) AS DOUBLE), 6)
+               AS containment
+           FROM inter i
+           JOIN sh sa ON i.doc_a = sa.doc_id
+           JOIN sh sb ON i.doc_b = sb.doc_id)
+         SELECT doc_a, doc_b, inter, containment
+         FROM j WHERE containment >= 0.6""",
 
     "doc_dup_clusters" ->
       """WITH RECURSIVE toks AS (

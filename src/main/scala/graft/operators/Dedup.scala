@@ -226,6 +226,39 @@ object Dedup {
     out
   }
 
+  /** One-sided n-gram CONTAINMENT pairs: `inter / min(|A|,|B|)` — the
+    * asymmetric overlap measure that catches a small document embedded
+    * verbatim in a larger one, which symmetric Jaccard dilutes toward 0
+    * (inter/union shrinks as the big doc grows; inter/min stays 1.0).
+    * Same bounded join shape as [[ngramJaccardPairs]]: 8-byte hash keys,
+    * pairs limited to genuinely-overlapping docs; no size-ratio pruning
+    * because containment is exactly the signal size-skewed pairs carry.
+    */
+  def ngramContainmentPairs(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    val sets = shingleSets(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = sets.select(col("doc_id"), explode(col("sset")).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+    val counts = sets.select(col("doc_id"), size(col("sset")).as("cnt"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val out = inter
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .withColumn("containment",
+        round(col("inter").cast("double") /
+          least(col("ca.cnt"), col("cb.cnt")).cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter").cast("long").as("inter"),
+        col("containment"))
+      .localCheckpoint(eager = true) // release the shingle cache below
+    sets.unpersist()
+    out
+  }
+
   /** Duplicate clusters: connected components over the near-dup pair graph
     * via iterative min-label propagation (the standard distributed CC
     * recipe — each round every node adopts the smallest label among itself

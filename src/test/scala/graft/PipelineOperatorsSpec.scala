@@ -57,6 +57,20 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(pairs(0).getAs[Double]("jaccard") == math.round(1.0 / 3.0 * 1e6) / 1e6)
   }
 
+  test("ngramContainment: embedded doc scores 1.0 where jaccard dilutes") {
+    // doc 2 (4 tokens) is verbatim inside doc 1 (12 tokens): containment
+    // = 1.0, but jaccard = 2/10 = 0.2 would miss it at any sane cutoff.
+    val big = (1 to 12).map(i => s"w$i").mkString(" ")
+    val d = docs(1L -> big, 2L -> "w1 w2 w3 w4",
+      3L -> "zz yy xx ww vv uu")
+    val pairs = Dedup.ngramContainmentPairs(d, threshold = 0.6).collect()
+    assert(pairs.length == 1)
+    val r = pairs(0)
+    assert((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) == ((1L, 2L)))
+    assert(r.getAs[Double]("containment") == 1.0)
+    assert(r.getAs[Long]("inter") == 2L) // w1w2w3, w2w3w4
+  }
+
   test("simhash: identical docs at distance 0, near docs at small distance") {
     val d = docs(
       1L -> "the quick brown fox jumps over the lazy dog",
