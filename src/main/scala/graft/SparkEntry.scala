@@ -618,6 +618,31 @@ object SparkEntry {
             lit(0.0)), 4).as("revenue"))
     }),
 
+    // Ordered funnel (CEP-lite): view -> click -> purchase per user, via
+    // TWO CHAINED as-of joins — each purchase attributes to its latest
+    // preceding click, carrying THAT click's latest preceding view. Each
+    // stage is one shuffle+window (see AsOf.asOfJoin); no sequence
+    // blow-up, no per-user nested loop.
+    "events_funnel" -> ((s, dir) => {
+      val ev = EventAdapter.readEvents(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("ts").as("view_ts")).distinct()
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts")).distinct()
+      val clicksAttr = AsOf.asOfJoin(clicks, views, "user_id", "ts", "ts",
+          Seq("view_ts"))
+        .select(col("user_id"), col("ts").as("click_ts"), col("view_ts"))
+      AsOf.asOfJoin(purchases, clicksAttr, "user_id", "ts", "click_ts",
+          Seq("click_ts", "view_ts"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("click_ts").isNotNull.as("has_click"),
+          col("view_ts").isNotNull.as("full_funnel"),
+          coalesce(unix_micros(col("ts")) - unix_micros(col("view_ts")),
+            lit(-1L)).as("funnel_us"))
+    }),
+
     // TPC-H Q18 shape: group + HAVING over the fact table, then join the
     // qualifying keys back to the dimensions. Integral quantities sum
     // exactly, so the threshold and the emitted sum are engine-exact.
@@ -1542,6 +1567,31 @@ object SparkEntry {
              FALSE) AS fresh_view
          FROM p ASOF LEFT JOIN v
            ON p.user_id = v.user_id AND p.ts >= v.view_ts""",
+
+    "events_funnel" ->
+      """WITH p AS (
+           SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+         c AS (
+           SELECT DISTINCT user_id, ts AS click_ts FROM events
+           WHERE event_type = 'click'),
+         v AS (
+           SELECT DISTINCT user_id, ts AS view_ts FROM events
+           WHERE event_type = 'view'),
+         ca AS (
+           SELECT c.user_id, c.click_ts, v.view_ts
+           FROM c ASOF LEFT JOIN v
+             ON c.user_id = v.user_id AND c.click_ts >= v.view_ts),
+         pa AS (
+           SELECT p.event_id, p.user_id, p.ts, ca.click_ts, ca.view_ts
+           FROM p ASOF LEFT JOIN ca
+             ON p.user_id = ca.user_id AND p.ts >= ca.click_ts)
+         SELECT event_id, user_id, ts,
+           click_ts IS NOT NULL AS has_click,
+           view_ts IS NOT NULL AS full_funnel,
+           CASE WHEN view_ts IS NOT NULL
+                THEN epoch_us(ts) - epoch_us(view_ts) ELSE -1 END AS funnel_us
+         FROM pa""",
 
     "q18_big_orders" ->
       """WITH big AS (
