@@ -284,6 +284,23 @@ object Curation {
       expr("percentile(toks, 0.9)").as("p90_tokens"))
   }
 
+  /** The 100 TB twin of [[langStats]]: `approx_percentile` (t-digest-
+    * style mergeable sketch, map-side combined) instead of exact
+    * `percentile`, so no group ever gathers its full value list. Not
+    * oracle-hashable (sketch results are engine-specific) — accuracy is
+    * pinned by a spec against the exact form instead; `accuracy` is
+    * Spark's 1/epsilon knob (10000 ≈ 0.01% rank error).
+    */
+  def langStatsApprox(docs: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val perDoc = docs.select(col("lang"),
+      TextAnalysis.tokenCountWs(col("text")).cast("long").as("toks"))
+    perDoc.groupBy(col("lang")).agg(
+      count(lit(1)).as("docs"),
+      sum(col("toks")).as("tokens"),
+      expr(s"approx_percentile(toks, 0.5, $accuracy)").as("median_tokens"),
+      expr(s"approx_percentile(toks, 0.9, $accuracy)").as("p90_tokens"))
+  }
+
   /** Benchmark decontamination: flag every training document sharing at
     * least one word-`n`-gram with the evaluation corpus — the standard
     * train/test-contamination sweep (GPT-3 §4 / PaLM-style 8-13-gram

@@ -233,6 +233,13 @@ object Dedup {
     * Same bounded join shape as [[ngramJaccardPairs]]: 8-byte hash keys,
     * pairs limited to genuinely-overlapping docs; no size-ratio pruning
     * because containment is exactly the signal size-skewed pairs carry.
+    *
+    * Scale note: without a hot-shingle cap a boilerplate shingle shared
+    * by f docs contributes f² join rows — and capping would break
+    * containment's semantics (a fully-contained doc IS made of common
+    * shingles). This is therefore the EXACT baseline; the scale path is
+    * [[TextAnalysis.dupSpans]]'s containment column, which bounds the
+    * pair join through the winnowing fingerprint table with its df cap.
     */
   def ngramContainmentPairs(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.6): DataFrame = {

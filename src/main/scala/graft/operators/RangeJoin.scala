@@ -72,6 +72,8 @@ object RangeJoin {
     * hits = 0, win_sum = 0.0. Callers should grid-round `win_sum` when
     * hash-comparing across engines (double sums are fold-order-dependent;
     * fixed-decimal inputs make the rounded sum exact — see q1_agg).
+    * A null `valueCol` on a matched right row is skipped by the sum but
+    * still counted in `hits` (standard SQL aggregate semantics).
     */
   def slidingSum(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, windowMicros: Long,

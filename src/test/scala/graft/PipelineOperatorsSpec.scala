@@ -334,6 +334,23 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(out(3L).getAs[String]("clean_hash") == origMd5)
   }
 
+  test("langStatsApprox: sketch percentiles track the exact form on real data") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Curation.langStats(docs).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Double]("median_tokens"), r.getAs[Double]("p90_tokens")))).toMap
+    val approx = Curation.langStatsApprox(docs).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("median_tokens"), r.getAs[Long]("p90_tokens")))).toMap
+    assert(approx.keySet == exact.keySet)
+    // approx_percentile returns an actual sample value; at accuracy 10000
+    // on hundreds of rows it lands within one interpolation step.
+    exact.foreach { case (lang, (m, p90)) =>
+      assert(math.abs(approx(lang)._1 - m) <= 2.0, s"$lang median")
+      assert(math.abs(approx(lang)._2 - p90) <= 3.0, s"$lang p90")
+    }
+  }
+
   test("vocabTopK: ordered by count desc then token asc, doc_freq distinct") {
     val v = graft.operators.Curation.vocabTopK(
         docs(1L -> "b a a", 2L -> "a b c"), k = 2).collect()
