@@ -685,6 +685,50 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(gotCount == expected.view.mapValues(_._1).toMap)
   }
 
+  test("winnowing guarantee holds on random doc pairs with planted shared spans") {
+    // Property (Schleimer et al.): any shared substring of >= w+k-1
+    // tokens yields at least one shared fingerprint. Plant spans of
+    // exactly that threshold length inside otherwise-random docs.
+    val rnd = new scala.util.Random(23)
+    val (k, w) = (3, 4)
+    val span = (1 to (w + k - 1)).map(i => s"s$i").mkString(" ") // 6 tokens
+    def noise(n: Int, tag: String) =
+      (1 to n).map(_ => s"$tag${rnd.nextInt(5000)}").mkString(" ")
+    for (trial <- 0 until 4) {
+      val a = noise(rnd.nextInt(12), s"a$trial") + s" $span " +
+        noise(rnd.nextInt(12), s"b$trial")
+      val b = noise(rnd.nextInt(12), s"c$trial") + s" $span " +
+        noise(rnd.nextInt(12), s"d$trial")
+      val fp = TextAnalysis.winnowingFingerprints(
+          docs(1L -> a.trim, 2L -> b.trim), k, w).collect()
+        .groupBy(_.getAs[Long]("doc_id"))
+        .view.mapValues(_.map(_.getAs[Long]("fingerprint")).toSet).toMap
+      assert((fp(1L) & fp(2L)).nonEmpty, s"trial $trial: guarantee violated")
+    }
+  }
+
+  test("asOfJoin: equals the brute-force latest-preceding lookup on random data") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(31)
+    val keys = Vector("u", "v", "w")
+    val left = (1L to 30L).map(i =>
+      (i, keys(rnd.nextInt(3)), new Timestamp(rnd.nextInt(500) * 1000L)))
+    val right = Seq.fill(40)(
+      (keys(rnd.nextInt(3)), new Timestamp(rnd.nextInt(500) * 1000L)))
+      .distinct.map { case (k, ts) => (k, ts, ts) }
+    val expected = left.map { case (id, k, ts) =>
+      val best = right.filter(r => r._1 == k && !r._2.after(ts))
+        .map(_._2).sortBy(_.getTime).lastOption.orNull
+      id -> best
+    }.toMap
+    val out = AsOf.asOfJoin(
+        left.toDF("event_id", "k", "ts"),
+        right.toDF("k", "ts", "view_ts"), "k", "ts", "ts", Seq("view_ts"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        r.getAs[Timestamp]("view_ts")).toMap
+    assert(out == expected)
+  }
+
   test("dupClusters: pointer-jumped labels equal union-find on random graphs") {
     // Deterministically seeded random graphs, including long chains — the
     // adversarial case for label propagation (chains exercise the pointer
