@@ -634,11 +634,17 @@ object SparkEntry {
       val clicksAttr = AsOf.asOfJoin(clicks, views, "user_id", "ts", "ts",
           Seq("view_ts"))
         .select(col("user_id"), col("ts").as("click_ts"), col("view_ts"))
+      val tolUs = 48L * 3600L * 1000000L
       AsOf.asOfJoin(purchases, clicksAttr, "user_id", "ts", "click_ts",
           Seq("click_ts", "view_ts"))
         .select(col("event_id"), col("user_id"), col("ts"),
           col("click_ts").isNotNull.as("has_click"),
           col("view_ts").isNotNull.as("full_funnel"),
+          // Windowed variant: the whole view->...->purchase span fits in
+          // 48 hours (stale attributions don't count as conversions; the
+          // bound sits at this corpus's ~25th percentile span).
+          coalesce(unix_micros(col("ts")) - unix_micros(col("view_ts")) <= tolUs,
+            lit(false)).as("fresh_funnel"),
           coalesce(unix_micros(col("ts")) - unix_micros(col("view_ts")),
             lit(-1L)).as("funnel_us"))
     }),
@@ -1589,6 +1595,8 @@ object SparkEntry {
          SELECT event_id, user_id, ts,
            click_ts IS NOT NULL AS has_click,
            view_ts IS NOT NULL AS full_funnel,
+           COALESCE(epoch_us(ts) - epoch_us(view_ts) <= 172800000000,
+             FALSE) AS fresh_funnel,
            CASE WHEN view_ts IS NOT NULL
                 THEN epoch_us(ts) - epoch_us(view_ts) ELSE -1 END AS funnel_us
          FROM pa""",
