@@ -735,6 +735,15 @@ object SparkEntry {
       Similarity.kmeansIterate(t(s, dir, "embeddings"), k = 8, iters = 2))
   )
 
+  // Probe-cell lists for the multi-probe IVF oracles (ring 1 = one bit
+  // flipped, ring 2 = two bits), generated so the SQL stays in lockstep
+  // with Similarity.ivfTopKMulti's construction.
+  private val ivfRing1: String =
+    (0 until 8).map(j => s"xor(qb, ${1 << j})").mkString(", ")
+  private val ivfRing2: String =
+    (for { j <- 0 until 8; k <- j + 1 until 8 }
+      yield s"xor(qb, ${(1 << j) | (1 << k)})").mkString(", ")
+
   def oracleSql: Map[String, String] = Map(
 
     "q1_agg" ->
@@ -2065,7 +2074,7 @@ object SparkEntry {
          SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5""",
 
     "emb_ivf_recall" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
          e AS (
            SELECT vec_id, u.i AS i, ev[u.i] AS x
            FROM v, unnest(generate_series(1, len(ev))) AS u(i)),
@@ -2098,10 +2107,7 @@ object SparkEntry {
                (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
              FROM sis) WHERE rank <= 5),
          probes AS (
-           SELECT query_id, qv, unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4),
-             xor(qb, 8), xor(qb, 16), xor(qb, 32), xor(qb, 64),
-             xor(qb, 128)]) AS pb
-           FROM q),
+           SELECT query_id, qv, unnest([qb, $ivfRing1]) AS pb FROM q),
          mus AS (
            SELECT query_id, c.vec_id AS neighbor_id,
              round(list_dot_product(qv, c.ev)
@@ -2112,20 +2118,38 @@ object SparkEntry {
              SELECT *, row_number() OVER
                (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
              FROM mus) WHERE rank <= 5),
+         probes2 AS (
+           SELECT query_id, qv, unnest([qb, $ivfRing1, $ivfRing2]) AS pb FROM q),
+         mu2s AS (
+           SELECT query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(qv, c.ev)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.ev, c.ev))), 6) AS cos
+           FROM probes2 p JOIN vb c ON p.pb = c.bucket AND p.query_id <> c.vec_id),
+         mu2 AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT *, row_number() OVER
+               (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             FROM mu2s) WHERE rank <= 5),
          sh AS (
            SELECT bf.query_id, count(*) AS hits_single
            FROM bf JOIN si USING (query_id, neighbor_id) GROUP BY 1),
          mh AS (
            SELECT bf.query_id, count(*) AS hits_multi
-           FROM bf JOIN mu USING (query_id, neighbor_id) GROUP BY 1)
+           FROM bf JOIN mu USING (query_id, neighbor_id) GROUP BY 1),
+         m2h AS (
+           SELECT bf.query_id, count(*) AS hits_multi2
+           FROM bf JOIN mu2 USING (query_id, neighbor_id) GROUP BY 1)
          SELECT q.query_id,
            CAST(coalesce(sh.hits_single, 0) AS BIGINT) AS hits_single,
            CAST(coalesce(mh.hits_multi, 0) AS BIGINT) AS hits_multi,
+           CAST(coalesce(m2h.hits_multi2, 0) AS BIGINT) AS hits_multi2,
            round(CAST(coalesce(sh.hits_single, 0) AS DOUBLE) / 5, 6) AS recall_single,
-           round(CAST(coalesce(mh.hits_multi, 0) AS DOUBLE) / 5, 6) AS recall_multi
+           round(CAST(coalesce(mh.hits_multi, 0) AS DOUBLE) / 5, 6) AS recall_multi,
+           round(CAST(coalesce(m2h.hits_multi2, 0) AS DOUBLE) / 5, 6) AS recall_multi2
          FROM (SELECT DISTINCT query_id FROM bf) q
          LEFT JOIN sh USING (query_id)
-         LEFT JOIN mh USING (query_id)""",
+         LEFT JOIN mh USING (query_id)
+         LEFT JOIN m2h USING (query_id)""",
 
     "doc_media_meta" ->
       """SELECT doc_id,

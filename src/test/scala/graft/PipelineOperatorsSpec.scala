@@ -154,6 +154,8 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(rec.getAs[Long]("hits_single") == 1L)
     assert(rec.getAs[Long]("hits_multi") == 2L)
     assert(rec.getAs[Double]("recall_multi") >= rec.getAs[Double]("recall_single"))
+    // Ring-2 candidates are a superset of ring-1's.
+    assert(rec.getAs[Double]("recall_multi2") >= rec.getAs[Double]("recall_multi"))
   }
 
   test("kmeansIterate: deterministic update pulls centroids to the clusters") {
