@@ -424,6 +424,12 @@ object SparkEntry {
     "doc_token_rarity" -> ((s, dir) =>
       TextAnalysis.tokenRarity(t(s, dir, "documents"))),
 
+    // Within-doc duplicate-3-gram character coverage (Gopher's dup-n-gram
+    // family; n=3 — the width at which this corpus's within-doc repeats
+    // actually occur): union of all repeated spans, map-only, zero shuffle.
+    "doc_dup_ngram_coverage" -> ((s, dir) =>
+      TextAnalysis.dupNgramCoverage(t(s, dir, "documents"), n = 3)),
+
     // Paragraph/chunk-level dedup: 10-token chunk hashes, cross-doc
     // occurrence counts, per-doc duplicated-chunk fraction + the tokens a
     // cleaning pass would keep. The below-document dedup stage.
@@ -1203,6 +1209,42 @@ object SparkEntry {
          FROM pruned a JOIN pruned b
            ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 3""",
+
+    "doc_dup_ngram_coverage" ->
+      """WITH toks AS (
+           SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(text), '\s+') END AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id, t, CASE WHEN len(t) >= 3
+             THEN list_transform(generate_series(1, len(t) - 2),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             ELSE []::VARCHAR[] END AS grams
+           FROM toks),
+         r AS (
+           SELECT doc_id, t, grams, list_distinct(list_filter(grams,
+             x -> len(list_filter(grams, y -> y = x)) >= 2)) AS rep
+           FROM g),
+         f AS (
+           SELECT doc_id, t,
+             list_transform(grams, x -> list_contains(rep, x)) AS flags
+           FROM r)
+         SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(coalesce(list_sum(list_transform(generate_series(1, len(t)),
+             j -> CASE WHEN len(list_filter(
+                    generate_series(greatest(j-2, 1), least(j, len(flags))),
+                    i -> flags[i])) > 0 THEN 1 ELSE 0 END)), 0) AS BIGINT)
+             AS covered_tokens,
+           CASE WHEN len(t) = 0 THEN 0.0 ELSE round(
+             CAST(coalesce(list_sum(list_transform(generate_series(1, len(t)),
+               j -> CASE WHEN len(list_filter(
+                      generate_series(greatest(j-2, 1), least(j, len(flags))),
+                      i -> flags[i])) > 0 THEN length(t[j]) ELSE 0 END)), 0)
+               AS DOUBLE)
+             / CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE),
+             6) END AS dup_char_fraction
+         FROM f""",
 
     "doc_token_rarity" ->
       """WITH toks AS (

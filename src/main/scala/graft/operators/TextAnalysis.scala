@@ -197,6 +197,67 @@ object TextAnalysis {
       .filter(col("shared") >= minShared)
   }
 
+  /** WITHIN-document duplicate-n-gram character coverage (the remaining
+    * Gopher repetition family, Rae et al. A1.1: "fraction of characters
+    * contained in duplicate n-grams"): the share of a document's token
+    * characters covered by ANY occurrence of an n-gram that repeats
+    * inside the document. Unlike the top-n-gram share this measures the
+    * UNION of all repeated spans, so interleaved boilerplate that no
+    * single gram dominates still scores high.
+    *
+    * Entirely map-side — no shuffle, no explode: repeated grams come
+    * from a run-length fold over the sorted gram array (run ≥ 2 appends
+    * the gram once); coverage is a per-position `exists` over the n
+    * gram-starts that could span the position. O(T·n) per document, all
+    * attributes materialized before their HOF consumers (re-evaluation
+    * trap, see Dedup.shinglesFromTokens).
+    */
+  def dupNgramCoverage(docs: DataFrame, n: Int = 5): DataFrame = {
+    val toks = docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
+    val grams = toks.select(col("doc_id"), col("toks"),
+      when(size(col("toks")) >= n,
+        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(o => element_at(col("toks"), i + o)): _*)))
+        .otherwise(array().cast("array<string>")).as("grams"))
+    // Repeated-gram SET via sorted run-length fold: append on the run's
+    // SECOND element only, so each repeated gram lands exactly once.
+    val repState = struct(lit("").as("prev"), lit(0L).as("run"),
+      array().cast("array<string>").as("rep"))
+    val withRep = grams.select(col("doc_id"), col("toks"), col("grams"),
+      aggregate(sort_array(col("grams")), repState,
+        (st, g) => {
+          val nrun = when(g === st("prev"), st("run") + 1).otherwise(lit(1L))
+          struct(g.as("prev"), nrun.as("run"),
+            when(nrun === 2L, concat(st("rep"), array(g)))
+              .otherwise(st("rep")).as("rep"))
+        },
+        st => st("rep")).as("rep"))
+    val withFlags = withRep.select(col("doc_id"), col("toks"),
+      transform(col("grams"), g => array_contains(col("rep"), g)).as("flags"))
+    // Token position j (1-based) is covered iff any gram starting in
+    // [j-n+1, j] is a repeated gram.
+    def covered(j: Column): Column = {
+      val a = greatest(j - (n - 1), lit(1))
+      val len = least(j, size(col("flags"))) - a + 1
+      when(len > 0, exists(slice(col("flags"), a, len), x => x))
+        .otherwise(lit(false))
+    }
+    withFlags.select(
+      col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      aggregate(sequence(lit(1), size(col("toks"))), lit(0L),
+        (acc, j) => acc + when(covered(j), 1L).otherwise(0L))
+        .as("covered_tokens"),
+      when(size(col("toks")) === 0, 0.0).otherwise(round(
+        aggregate(sequence(lit(1), size(col("toks"))), lit(0L),
+          (acc, j) => acc +
+            when(covered(j), length(element_at(col("toks"), j)).cast("long"))
+              .otherwise(0L)).cast("double") /
+        aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).cast("double"),
+        6)).as("dup_char_fraction"))
+  }
+
   /** Corpus-frequency token-rarity profile per document — the unigram-LM
     * quality signal without the logarithm: `mean_freq` (average corpus
     * occurrence count of the document's tokens), `min_freq` (its rarest

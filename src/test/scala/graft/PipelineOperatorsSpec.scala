@@ -494,6 +494,23 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(fp(1L).size < 10)          // 10 grams from 12 tokens
   }
 
+  test("dupNgramCoverage: union of repeated 5-gram spans, interleaved spans merge") {
+    // "a b c d e" repeats at positions 1 and 7: covered tokens are
+    // [1..5] and [7..11] -> 10 of 11; token 6 ("x") stays uncovered.
+    val d = docs(
+      1L -> "a b c d e x a b c d e",
+      2L -> (1 to 12).map(i => s"u$i").mkString(" "), // no repeats
+      3L -> "p q")                                    // shorter than n
+    val out = TextAnalysis.dupNgramCoverage(d, n = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("covered_tokens") == 10L)
+    assert(out(1L).getAs[Double]("dup_char_fraction") ==
+      math.round(10.0 / 11.0 * 1e6) / 1e6)
+    assert(out(2L).getAs[Long]("covered_tokens") == 0L)
+    assert(out(2L).getAs[Double]("dup_char_fraction") == 0.0)
+    assert(out(3L).getAs[Long]("covered_tokens") == 0L)
+  }
+
   test("tokenRarity: frequencies count corpus-wide, hapax share per doc") {
     // Corpus: "a" x3, "b" x2, "z" x1 -> doc 1 tokens freq (3,3,2), doc 2
     // (3,2,1); hapax only in doc 2.
