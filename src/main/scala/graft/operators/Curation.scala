@@ -57,12 +57,29 @@ object Curation {
       minDistinctRatio: Double = 0.4, minStopHits: Int = 2,
       maxDupLineFraction: Double = 0.3, maxTop2GramShare: Double = 0.2,
       maxTop3GramShare: Double = 0.18, maxTop4GramShare: Double = 0.16,
-      chunkTokens: Int = 10): DataFrame = {
+      chunkTokens: Int = 10): DataFrame =
     // Materialize the token array once (attribute, not inline expression):
     // the interpreted HOF path re-evaluates a lambda's free subexpressions
     // per element (see Dedup.shinglesFromTokens).
-    val toks = docs.select(col("doc_id"), length(col("text")).as("chars"),
-      TextAnalysis.wsTokens(col("text")).as("toks"))
+    gopherQualityFromTokens(
+      docs.select(col("doc_id"), length(col("text")).as("chars"),
+        TextAnalysis.wsTokens(col("text")).as("toks")),
+      minWords, maxWords, minMeanLen, maxMeanLen, minDistinctRatio,
+      minStopHits, maxDupLineFraction, maxTop2GramShare, maxTop3GramShare,
+      maxTop4GramShare, chunkTokens)
+
+  /** [[gopherQuality]] over a PRE-TOKENIZED table (`doc_id`, `chars`,
+    * `toks` attributes; extra columns ignored) — the entry point
+    * [[curationReport]] uses so all its stages share one tokenization of
+    * the corpus instead of re-running the regex split per stage.
+    */
+  private[graft] def gopherQualityFromTokens(toks: DataFrame,
+      minWords: Int = 40, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minDistinctRatio: Double = 0.4, minStopHits: Int = 2,
+      maxDupLineFraction: Double = 0.3, maxTop2GramShare: Double = 0.2,
+      maxTop3GramShare: Double = 0.18, maxTop4GramShare: Double = 0.16,
+      chunkTokens: Int = 10): DataFrame = {
     // Sorted word-n-gram array (empty below n tokens) — an attribute in
     // the projection below because it is itself a HOF input.
     def sortedGrams(n: Int): Column =
@@ -156,7 +173,17 @@ object Curation {
     */
   def stratifiedSample(docs: DataFrame,
       rates: Map[String, Double] = Map("en" -> 0.5, "zh" -> 0.125),
-      defaultRate: Double = 0.25): DataFrame = {
+      defaultRate: Double = 0.25): DataFrame =
+    docs.filter(sampleKeep(rates, defaultRate))
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  /** The sampling coin as a reusable boolean Column over (`doc_id`,
+    * `lang`) attributes — [[stratifiedSample]] filters on it;
+    * [[curationReport]] emits it as the `s_keep` audit flag without a
+    * join against the filtered output.
+    */
+  private[graft] def sampleKeep(rates: Map[String, Double],
+      defaultRate: Double): Column = {
     // "zz" sorts above every hex coin, so any rate that ROUNDS to 256/256
     // keeps ALL rows — capping at 255 would quantize rates in [0.998, 1)
     // down to 255/256 and wrongly drop coin == "ff", a larger error than
@@ -169,11 +196,8 @@ object Curation {
       case (acc, (lang, rate)) =>
         when(col("lang") === lang, lit(hexThreshold(rate))).otherwise(acc)
     }
-    docs
-      .withColumn("coin",
-        substring(md5(concat(lit("sample:"), col("doc_id").cast("string"))), 1, 2))
-      .filter(col("coin") < threshold)
-      .select(col("doc_id"), col("lang"), col("source"))
+    substring(md5(concat(lit("sample:"), col("doc_id").cast("string"))), 1, 2) <
+      threshold
   }
 
   /** Training-mix report: per (source, lang) document and whitespace-token
@@ -318,12 +342,20 @@ object Curation {
     * the oracle joins the gram strings themselves and counts agree).
     */
   def decontaminate(train: DataFrame, evalDocs: DataFrame,
-      n: Int = 8): DataFrame = {
+      n: Int = 8): DataFrame =
+    decontaminateFromSets(Dedup.shingleSets(train, n), evalDocs, n)
+
+  /** [[decontaminate]] from a pre-built train-side (`doc_id`, `sset`)
+    * shingle-set table — lets [[curationReport]] derive the grams from its
+    * shared tokenization instead of re-scanning the corpus text.
+    */
+  private[graft] def decontaminateFromSets(trainSets: DataFrame,
+      evalDocs: DataFrame, n: Int = 8): DataFrame = {
     // explode_outer, not explode: the inner variant's inferred
     // size(sset) > 0 filter inlines the gram transform below the token
     // projection and re-tokenizes per element (see Dedup.explodedShingles);
     // sset is never empty, so the outer form is identical and skips it.
-    val trainGrams = Dedup.shingleSets(train, n)
+    val trainGrams = trainSets
       .select(col("doc_id"), explode_outer(col("sset")).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("gh"))
     val evalGrams = Dedup.shingleSets(evalDocs, n)
@@ -331,7 +363,7 @@ object Curation {
       .select(xxhash64(col("g")).as("gh")).distinct()
     val hits = trainGrams.join(broadcast(evalGrams), Seq("gh"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("gram_hits"))
-    train.select(col("doc_id"))
+    trainSets.select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("gram_hits"), lit(0L)).as("gram_hits"),
@@ -401,29 +433,52 @@ object Curation {
     * Scale shape is inherited stage-by-stage from the underlying
     * operators (each documented at its definition); the report itself is
     * five doc_id-keyed joins of one-row-per-doc stage outputs.
+    *
+    * The corpus is tokenized ONCE: a persisted base table carries
+    * (doc_id, lang, chars, md5, toks), and every stage consumes it through
+    * its `FromTokens`/`FromSets` entry point — the naive composition ran
+    * the regex split and full-text md5 in four independent plan branches,
+    * each a separate 100 TB scan. The report rows (doc_id + six booleans)
+    * are materialized eagerly so the cache can be released before return.
     */
   def curationReport(train: DataFrame, evalDocs: DataFrame,
       rates: Map[String, Double] = Map("en" -> 0.5, "zh" -> 0.125),
       defaultRate: Double = 0.25): DataFrame = {
-    val q = gopherQuality(train).select(col("doc_id"), col("keep").as("q_keep"))
-    val eg = Dedup.exactGroups(train)
-    val e = train.select(col("doc_id"), md5(col("text")).as("th"))
-      .join(eg, col("th") === col("text_hash"))
+    val base = train.select(col("doc_id"), col("lang"),
+        length(col("text")).as("chars"), md5(col("text")).as("th"),
+        TextAnalysis.wsTokens(col("text")).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = gopherQualityFromTokens(base)
+      .select(col("doc_id"), col("keep").as("q_keep"))
+    val eg = base.groupBy(col("th"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    val e = base.select(col("doc_id"), col("th"))
+      .join(eg, Seq("th"))
       .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("e_keep"))
-    val c = Dedup.minhashClusters(train)
+    // Near-dup clustering: shingle sets derive from the cached tokens; the
+    // set table itself feeds three branches (signatures + both verify join
+    // sides), so it gets its own persist, released once the pair table —
+    // tiny — is materialized inside minhashNearDupsFromSets.
+    val sets3 = Dedup.shingleSetsFromTokens(base, 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.minhashNearDupsFromSets(sets3)
+    sets3.unpersist()
+    val c = Dedup.dupClusters(base.select(col("doc_id")), pairs)
       .select(col("doc_id"), (col("cluster") === col("doc_id")).as("c_keep"))
-    val d = decontaminate(train, evalDocs)
+    val d = decontaminateFromSets(Dedup.shingleSetsFromTokens(base, 8),
+        evalDocs)
       .select(col("doc_id"), (!col("contaminated")).as("d_keep"))
-    val s = train.select(col("doc_id"))
-      .join(stratifiedSample(train, rates, defaultRate)
-        .select(col("doc_id"), lit(true).as("s_in")), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("s_in"), lit(false)).as("s_keep"))
-    q.join(e, Seq("doc_id")).join(c, Seq("doc_id"))
+    val s = base.select(col("doc_id"),
+      sampleKeep(rates, defaultRate).as("s_keep"))
+    val out = q.join(e, Seq("doc_id")).join(c, Seq("doc_id"))
       .join(d, Seq("doc_id")).join(s, Seq("doc_id"))
       .select(col("doc_id"), col("q_keep"), col("e_keep"), col("c_keep"),
         col("d_keep"), col("s_keep"),
         (col("q_keep") && col("e_keep") && col("c_keep") &&
           col("d_keep") && col("s_keep")).as("kept"))
+      .localCheckpoint(eager = true)
+    base.unpersist()
+    out
   }
 
   /** Streaming twin of the chunk-level dedup

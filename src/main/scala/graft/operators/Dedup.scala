@@ -69,8 +69,17 @@ object Dedup {
     * split runs exactly once per document.
     */
   def shingleSets(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("toks"))
-      .select(col("doc_id"), shinglesFromTokens(col("toks"), n).as("sset"))
+    shingleSetsFromTokens(
+      docs.select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("toks")),
+      n)
+
+  /** (doc_id, sset) from an already-tokenized (`doc_id`, `toks`) table —
+    * the entry point for pipelines that tokenize the corpus once and fan
+    * out (see [[Curation.curationReport]]). `toks` must be an attribute,
+    * which a pre-materialized table guarantees.
+    */
+  def shingleSetsFromTokens(toksDf: DataFrame, n: Int = 3): DataFrame =
+    toksDf.select(col("doc_id"), shinglesFromTokens(col("toks"), n).as("sset"))
 
   /** (doc_id, shingle) exploded pairs — the unit of MinHash work.
     *
@@ -165,6 +174,18 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val sets = shingleSets(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = minhashNearDupsFromSets(sets, threshold)
+    sets.unpersist()
+    out
+  }
+
+  /** [[minhashNearDups]] from a pre-built (doc_id, sset) table. The caller
+    * owns `sets`' lifecycle — it should be persisted (three plan branches
+    * read it) and unpersisted after this returns; the pair table comes
+    * back eagerly materialized, so releasing the input is safe.
+    */
+  private[graft] def minhashNearDupsFromSets(sets: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
     val ex = sets.select(col("doc_id"), explode(col("sset")).as("shingle"))
     val pairs = candidatePairsFromBuckets(
       bandBucketsFromSignatures(signaturesFromExploded(ex)))
@@ -176,13 +197,11 @@ object Dedup {
         round(col("inter").cast("double") /
           (size(col("sa.sset")) + size(col("sb.sset")) - col("inter")).cast("double"), 6))
     // Materialize eagerly (the pair set is tiny relative to the corpus) so
-    // the shingle cache can be released — persist() without unpersist()
-    // would accumulate cached copies across a query suite.
-    val out = j.filter(col("jaccard") >= threshold)
+    // the caller can release its shingle cache — persist() without
+    // unpersist() would accumulate cached copies across a query suite.
+    j.filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .localCheckpoint(eager = true)
-    sets.unpersist()
-    out
   }
 
   /** Exact n-gram Jaccard for ALL pairs sharing at least one shingle —
