@@ -199,38 +199,47 @@ object IncrementalTrend {
     }
   }
 
-  /** Streaming run: fold micro-batches into a BUCKETED parquet state table —
-    * the reference's LevelDB persistence (S2/S3), upgraded from its lossy
-    * 20-second snapshot to checkpointed micro-batches.
+  /** Streaming run: fold micro-batches into a MANIFEST-COMMITTED bucketed
+    * parquet state table — the reference's LevelDB persistence (S2/S3),
+    * upgraded from its lossy 20-second snapshot to atomically-committed
+    * checkpointed micro-batches.
     *
-    * Incremental maintenance: state is partitioned by
-    * `bucket = pmod(xxhash64(id), numBuckets)`. Each batch computes the set
-    * of buckets its events touch (edit ids, move targets, parsed delete
-    * targets), reads ONLY those partitions (partition pruning on the scan),
-    * folds the batch into that slice, and rewrites only those bucket dirs
-    * via dynamic partition overwrite — per-batch I/O is proportional to
-    * touched keys, not total state. The old implementation rewrote the
-    * whole table every batch AND swapped it in with a non-atomic
-    * delete+rename (a crash window that lost the entire table).
+    * Incremental maintenance: state is split by
+    * `bucket = pmod(xxhash64(id), numBuckets)`. Each batch computes the
+    * set of buckets its events touch (edit ids, move targets, parsed
+    * delete targets), reads ONLY those buckets' files, folds the batch
+    * into that slice, and writes the result to a FRESH data directory —
+    * per-batch I/O stays proportional to touched keys, not total state.
+    *
+    * Atomic commit: a numbered manifest file maps each bucket to the data
+    * path holding its current rows plus the last batch id folded into it.
+    * A batch commits by writing its new bucket files under a unique path
+    * nothing references yet, then RENAMING one manifest file into place —
+    * the single atomic operation both HDFS and POSIX rename provide.
+    * Readers resolve the highest-numbered manifest, so they observe the
+    * whole batch or none of it. The pre-manifest layout's crash edge — a
+    * rename whose SOURCE bucket committed (row removed) while its TARGET
+    * bucket did not, silently losing the migrated row on replay — is
+    * structurally gone: both bucket versions flip in the same rename.
+    * Replay of a committed batch is a no-op (every touched bucket's stamp
+    * already carries the batch id); replay of an uncommitted batch
+    * re-folds from the still-live previous manifest, and the crashed
+    * attempt's unreferenced files are swept at the next commit.
     *
     * Eviction (A7) runs on the touched slice each batch, plus a FULL sweep
     * every `fullSweepEveryNBatches` so idle pages in untouched buckets
     * still age out (the reference cleaner's interval tick).
     *
-    * Crash semantics: dynamic partition overwrite stages each bucket dir
-    * and commits per partition; a crash mid-write can leave a subset of
-    * touched buckets updated. Every bucket write is therefore stamped with
-    * its `lastBatchId`, and checkpoint replay skips buckets whose stamp
-    * already equals the replayed batch id — re-applying the additive merge
-    * to an already-folded bucket (a silent double-count) becomes a no-op
-    * without needing a transactional table format. Residual edges, both
-    * confined to a crash INSIDE the partition-commit loop: (a) a bucket
-    * whose pages ALL evicted leaves no stamp (its dir is deleted) and is
-    * simply re-folded — eviction is policy-driven, not additive, so counts
-    * stay correct; (b) a rename whose SOURCE bucket committed (row
-    * removed) while its TARGET bucket did not loses the migrated row on
-    * replay — closing that window needs an atomically-committed table
-    * format, which `stateDir` can point at without changing the fold.
+    * A state directory written by the pre-manifest layout (root `bucket=N`
+    * partition dirs, per-row `lastBatchId` stamps) is adopted in place:
+    * the first fold synthesizes manifest entries pointing at the legacy
+    * dirs — per-bucket stamp = that dir's max stamp, −1 when the column
+    * predates stamps entirely — and legacy dirs migrate to manifest data
+    * dirs as their buckets are touched. Keeping the stamp PER BUCKET in
+    * the manifest (not one id per manifest) is what makes this adoption
+    * exact: a crash inside the legacy layout's partition-commit loop left
+    * buckets at different stamps, and the entry-wise replay check resumes
+    * each at its own position.
     */
   def run(events: Dataset[RecentChange], stateDir: String,
       checkpointDir: String, cfg: TrendConfig = TrendConfig(),
@@ -248,18 +257,157 @@ object IncrementalTrend {
   private def bucketOf(id: org.apache.spark.sql.Column, n: Int) =
     pmod(xxhash64(id), lit(n.toLong)).cast("int")
 
-  /** Read the live bucketed state table (all buckets, no pruning). */
-  def readState(spark: SparkSession, stateDir: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
-    val live = new Path(stateDir)
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(live) &&
-        fs.listStatus(live).exists(_.getPath.getName.startsWith("bucket=")))
-      spark.read.parquet(stateDir).drop("bucket", "lastBatchId")
-    else emptyState(spark)
+  // ---- manifest-committed persistence ------------------------------------
+
+  /** One bucket's current storage: `path` relative to the state dir,
+    * `lastBatchId` = the last batch folded into those rows.
+    */
+  private[graft] case class BucketEntry(path: String, lastBatchId: Long)
+
+  private[graft] case class StateManifest(
+      seq: Long, entries: Map[Int, BucketEntry])
+
+  private val ManifestRe = """manifest-(\d{20})\.json""".r
+
+  private def manifestFileName(seq: Long): String = f"manifest-$seq%020d.json"
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path): Option[StateManifest] = {
+    import scala.jdk.CollectionConverters._
+    if (!fs.exists(live)) return None
+    val seqs = fs.listStatus(live).toSeq.map(_.getPath.getName).collect {
+      case ManifestRe(d) => d.toLong
+    }
+    if (seqs.isEmpty) return None
+    val seq = seqs.max
+    val in = fs.open(new org.apache.hadoop.fs.Path(live, manifestFileName(seq)))
+    val root =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    val bk = root.get("buckets")
+    val entries = bk.properties().asScala.map { e =>
+      e.getKey.toInt -> BucketEntry(e.getValue.get("path").asText(),
+        e.getValue.get("lastBatchId").asLong())
+    }.toMap
+    Some(StateManifest(seq, entries))
   }
 
-  /** One micro-batch fold against the bucketed state table (see `run`). */
+  /** Stage the manifest to a dot-temp file, then rename into place — the
+    * atomic commit point. A failed rename aborts the batch loudly; the
+    * checkpoint replays it against the previous manifest.
+    */
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path, m: StateManifest): Unit = {
+    import org.apache.hadoop.fs.Path
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    val bk = root.putObject("buckets")
+    m.entries.toSeq.sortBy(_._1).foreach { case (b, e) =>
+      val n = bk.putObject(b.toString)
+      n.put("path", e.path)
+      n.put("lastBatchId", e.lastBatchId)
+    }
+    val tmp = new Path(live,
+      s".manifest-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(mapper.writeValueAsBytes(root)) finally out.close()
+    val dst = new Path(live, manifestFileName(m.seq))
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(
+        s"state manifest commit failed: rename $tmp -> $dst")
+  }
+
+  /** Adopt a pre-manifest state dir: entries point at the legacy root
+    * `bucket=N` dirs with each dir's own max stamp (−1 when the stamp
+    * column predates the dir).
+    */
+  private def legacyEntries(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path): Map[Int, BucketEntry] = {
+    if (!fs.exists(live) ||
+        !fs.listStatus(live).exists(_.getPath.getName.startsWith("bucket=")))
+      return Map.empty
+    val raw = spark.read.parquet(live.toString)
+    val withLb =
+      if (raw.columns.contains("lastBatchId")) raw
+      else raw.withColumn("lastBatchId", lit(-1L))
+    withLb.groupBy(col("bucket")).agg(max(col("lastBatchId")).as("lb"))
+      .collect()
+      .map(r => r.getInt(0) -> BucketEntry(s"bucket=${r.getInt(0)}", r.getLong(1)))
+      .toMap
+  }
+
+  /** The live manifest: the highest-numbered committed file, or a
+    * synthesized adoption view of a legacy layout, or None for an empty /
+    * absent state dir.
+    */
+  private[graft] def currentManifest(spark: SparkSession,
+      stateDir: String): Option[StateManifest] = {
+    val live = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readManifest(fs, live).orElse {
+      val le = legacyEntries(spark, fs, live)
+      if (le.isEmpty) None else Some(StateManifest(0L, le))
+    }
+  }
+
+  /** Drop everything the just-committed manifest does not reference:
+    * older manifests, crashed staging files, replaced or emptied bucket
+    * data (legacy root dirs and per-bucket dirs inside data parents), and
+    * data parents from crashed write attempts. Single-writer (the
+    * streaming query serializes batches), so unreferenced = garbage; the
+    * sweep is idempotent and re-runs harmlessly after its own crash.
+    */
+  private def sweepUnreferenced(fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path, seq: Long,
+      entries: Map[Int, BucketEntry]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val referenced = entries.values.map(_.path).toSet
+    fs.listStatus(live).foreach { st =>
+      st.getPath.getName match {
+        case ManifestRe(d) if d.toLong < seq => fs.delete(st.getPath, false)
+        case n if n.startsWith(".manifest-") => fs.delete(st.getPath, false)
+        case n if n.startsWith("bucket=") && !referenced.contains(n) =>
+          fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+    val dataRoot = new Path(live, "data")
+    if (fs.exists(dataRoot)) {
+      val parents = referenced.filter(_.startsWith("data/")).map(_.split("/")(1))
+      fs.listStatus(dataRoot).foreach { st =>
+        val parent = st.getPath.getName
+        if (!parents.contains(parent)) fs.delete(st.getPath, true)
+        else fs.listStatus(st.getPath).foreach { bst =>
+          val rel = s"data/$parent/${bst.getPath.getName}"
+          if (bst.getPath.getName.startsWith("bucket=") &&
+              !referenced.contains(rel)) fs.delete(bst.getPath, true)
+        }
+      }
+    }
+  }
+
+  private def stateSchema(spark: SparkSession) = emptyState(spark).schema
+
+  /** Read the live state table (every bucket the manifest references).
+    * The pinned schema drops legacy dirs' extra stamp column, so adopted
+    * and manifest-written buckets read uniformly.
+    */
+  def readState(spark: SparkSession, stateDir: String): DataFrame = {
+    val live = new org.apache.hadoop.fs.Path(stateDir)
+    currentManifest(spark, stateDir) match {
+      case Some(m) if m.entries.nonEmpty =>
+        val paths = m.entries.values.toSeq.map(_.path).sorted
+          .map(p => new org.apache.hadoop.fs.Path(live, p).toString)
+        spark.read.schema(stateSchema(spark)).parquet(paths: _*)
+      case _ => emptyState(spark)
+    }
+  }
+
+  /** One micro-batch fold against the manifest-committed state (see
+    * `run`). New bucket files land under `data/b<batchId>-<nonce>/`; the
+    * manifest rename at the end is the only visible state change.
+    */
   private[graft] def foldBatch(batch0: DataFrame, stateDir: String,
       batchId: Long, asOfMs: Long, cfg: TrendConfig,
       numBuckets: Int, fullSweepEveryNBatches: Int): Unit = {
@@ -268,8 +416,8 @@ object IncrementalTrend {
     import graft.functions.Classifiers.pageId
     val live = new Path(stateDir)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stateExists = fs.exists(live) &&
-      fs.listStatus(live).exists(_.getPath.getName.startsWith("bucket="))
+    val manifest = currentManifest(spark, stateDir)
+    val entries = manifest.map(_.entries).getOrElse(Map.empty[Int, BucketEntry])
     val sweep = fullSweepEveryNBatches > 0 && batchId % fullSweepEveryNBatches == 0
     // The batch feeds several jobs (touched-bucket scan, the fold's own
     // collects, the merge) — materialize once.
@@ -288,60 +436,45 @@ object IncrementalTrend {
       .select(bucketOf(col("id"), numBuckets).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
 
-    val targets = if (sweep && stateExists) (0 until numBuckets).toSet else touched
-    // Replay idempotency: buckets whose stamp already carries this batchId
-    // were committed by a crashed attempt of the SAME batch — folding the
-    // additive merge into them again would double-count. Skip them; fold
-    // only the pending slice.
-    val (applied, prev) =
-      if (!stateExists) (Set.empty[Int], emptyState(spark))
-      else {
-        val raw = spark.read.parquet(stateDir)
-        // Schema migration: a state dir written before the lastBatchId
-        // stamp existed has no such column. Streaming batchIds are >= 0,
-        // so -1 reads as "no bucket has applied any batch yet" — the whole
-        // table is a pending fold target, which is the correct (at-least-
-        // once, additive-merge-safe) resume for pre-stamp state.
-        val scoped0 =
-          if (raw.columns.contains("lastBatchId")) raw
-          else raw.withColumn("lastBatchId", lit(-1L))
-        val scoped =
-          if (sweep) scoped0
-          else scoped0.filter(col("bucket")
-            .isin(touched.toSeq.map(Integer.valueOf): _*))
-        val done = scoped.groupBy(col("bucket"))
-          .agg(max(col("lastBatchId")).as("lb"))
-          .filter(col("lb") === batchId)
-          .collect().map(_.getInt(0)).toSet
-        val pendingPrev = scoped
-          .filter(!col("bucket").isin(done.toSeq.map(Integer.valueOf): _*))
-          .drop("bucket", "lastBatchId")
-        (done, pendingPrev)
-      }
+    val targets = if (sweep) entries.keySet ++ touched else touched
+    // Replay idempotency: a bucket whose stamp already carries this
+    // batchId was committed by an earlier attempt of the SAME batch —
+    // possible only through legacy adoption (a manifest commit is
+    // all-or-nothing, but the pre-manifest layout committed per bucket).
+    // Folding the additive merge into it again would double-count.
+    val applied = targets.filter(b =>
+      entries.get(b).exists(_.lastBatchId == batchId))
     val pending = targets -- applied
     if (pending.isEmpty) return
 
-    // Materialize the fold BEFORE overwriting the dirs it was read from.
-    // Rows landing in an already-applied bucket (a move whose target bucket
-    // committed before the crash) are filtered out — their state is there.
+    val prevPaths = pending.toSeq.sorted.flatMap(entries.get)
+      .map(e => new Path(live, e.path).toString)
+    val prev =
+      if (prevPaths.isEmpty) emptyState(spark)
+      else spark.read.schema(stateSchema(spark)).parquet(prevPaths: _*)
+    // Rows landing in an already-applied bucket (legacy adoption of a
+    // partially-committed move) are filtered out — their state is there.
     val next = processBatch(prev, batch, asOfMs, cfg)
       .withColumn("bucket", bucketOf(col("id"), numBuckets))
       .filter(col("bucket").isin(pending.toSeq.map(Integer.valueOf): _*))
-      .withColumn("lastBatchId", lit(batchId))
-      .localCheckpoint(eager = true)
 
-    if (!next.isEmpty) {
-      next.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket").parquet(stateDir)
-    }
-    // A touched bucket whose pages ALL evicted/deleted writes no rows, so
-    // dynamic overwrite leaves its old files — drop those dirs explicitly.
-    val written = next.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    (pending -- written).foreach { b =>
-      val dir = new Path(live, s"bucket=$b")
-      if (fs.exists(dir)) fs.delete(dir, true)
-    }
+    // Write to a path nothing references — no read-overwrite hazard, no
+    // pre-write materialization needed. A crashed attempt's dir is
+    // unreferenced garbage, swept on the next successful commit.
+    val dataRel =
+      s"data/b$batchId-${java.util.UUID.randomUUID().toString.take(8)}"
+    val dataDir = new Path(live, dataRel)
+    next.write.partitionBy("bucket").parquet(dataDir.toString)
+    // A pending bucket with no output rows (all pages evicted/deleted)
+    // writes no dir and simply loses its entry.
+    val written = fs.listStatus(dataDir).toSeq.map(_.getPath.getName).collect {
+      case n if n.startsWith("bucket=") => n.stripPrefix("bucket=").toInt
+    }.toSet
+    val newEntries = (entries -- pending) ++
+      written.map(b => b -> BucketEntry(s"$dataRel/bucket=$b", batchId)).toMap
+    val newSeq = manifest.map(_.seq).getOrElse(0L) + 1
+
+    writeManifest(fs, live, StateManifest(newSeq, newEntries)) // COMMIT
+    sweepUnreferenced(fs, live, newSeq, newEntries)
   }
 }

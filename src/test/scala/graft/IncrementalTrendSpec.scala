@@ -178,25 +178,47 @@ class IncrementalTrendSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_state").toString + "/st"
     foldToDir(dir, 0, Seq(edit("Foo", min = 0), edit("Bar", min = 0),
       edit("Baz", min = 0), edit("Qux", min = 0)))
-    val root = new java.io.File(dir)
-    val before = root.listFiles().filter(_.getName.startsWith("bucket="))
-      .map(d => d.getName -> d.listFiles().map(f =>
-        f.getName -> f.lastModified()).toMap).toMap
-    Thread.sleep(1100) // mtime granularity
+    val before = IncrementalTrend.currentManifest(spark, dir).get.entries
     // Second batch touches ONLY Foo's bucket.
     foldToDir(dir, 1, Seq(edit("Foo", user = "Eve", min = 1)))
-    val after = root.listFiles().filter(_.getName.startsWith("bucket="))
-      .map(d => d.getName -> d.listFiles().map(f =>
-        f.getName -> f.lastModified()).toMap).toMap
-    // Every bucket dir present before and not containing Foo must be
-    // byte-identical (same files, same mtimes) — proportional-write proof.
-    val changed = before.keys.filter(k =>
-      after.get(k).forall(_ != before(k))).toSet
+    val after = IncrementalTrend.currentManifest(spark, dir).get.entries
+    // Every bucket not holding Foo must keep its EXACT data path (the
+    // manifest carries untouched entries forward; their files are never
+    // rewritten) — proportional-write proof.
+    val changed = before.keys.filter(b =>
+      after.get(b).map(_.path) != before.get(b).map(_.path)).toSet
     assert(changed.size <= 1, s"expected at most Foo's bucket to change, got $changed")
     // And the fold itself stayed correct.
     val st = IncrementalTrend.readState(spark, dir).collect()
       .map(r => r.getAs[String]("id") -> r).toMap
     assert(st("Foo").getAs[Long]("edits") == 2L && st.size == 4)
+  }
+
+  test("bucketed state: commit is the manifest rename — orphan data and stale temp files are ignored and swept") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_state").toString + "/st"
+    foldToDir(dir, 0, Seq(edit("Foo", min = 0)))
+    // Simulate a crashed attempt of batch 1: bucket files written (under a
+    // path nothing references) and a staged-but-never-renamed manifest.
+    val root = new java.io.File(dir)
+    val orphan = new java.io.File(root, "data/b1-deadbeef")
+    assert(orphan.mkdirs())
+    java.nio.file.Files.writeString(orphan.toPath.resolve("junk"), "not parquet")
+    java.nio.file.Files.writeString(
+      root.toPath.resolve(".manifest-cafe0123.tmp"), "{half-written")
+    // Readers see only the committed manifest — batch 0's state.
+    val st0 = IncrementalTrend.readState(spark, dir).collect()
+      .map(r => r.getAs[String]("id") -> r).toMap
+    assert(st0("Foo").getAs[Long]("edits") == 1L)
+    // The checkpoint replays batch 1; the fold re-runs cleanly and the
+    // next commit sweeps the crashed attempt's garbage.
+    foldToDir(dir, 1, Seq(edit("Foo", user = "Eve", min = 1)))
+    val st = IncrementalTrend.readState(spark, dir).collect()
+      .map(r => r.getAs[String]("id") -> r).toMap
+    assert(st("Foo").getAs[Long]("edits") == 2L)
+    assert(!orphan.exists())
+    assert(!root.toPath.resolve(".manifest-cafe0123.tmp").toFile.exists())
+    // Exactly one manifest file remains (older seqs swept too).
+    assert(root.listFiles().count(_.getName.startsWith("manifest-")) == 1)
   }
 
   test("bucketed state: replaying a committed batch is a no-op (idempotent)") {
@@ -214,21 +236,56 @@ class IncrementalTrendSpec extends SparkSpec {
       Set("Jon", "Eve"))
   }
 
-  test("bucketed state: pre-stamp state dir (no lastBatchId column) still folds") {
+  test("bucketed state: legacy pre-manifest dir (no stamp column) is adopted in place") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     val dir = java.nio.file.Files.createTempDirectory("graft_state").toString + "/st"
-    foldToDir(dir, 0, Seq(edit("Foo", min = 0)), buckets = 1)
-    // Simulate a state dir written before the lastBatchId stamp existed:
-    // rewrite the table without the column (schema migration path).
-    val stripped = spark.read.parquet(dir).drop("lastBatchId")
-      .localCheckpoint(eager = true)
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-    stripped.write.partitionBy("bucket").parquet(dir)
+    // Build the legacy layout directly: root bucket=N partition dirs,
+    // no manifest, no lastBatchId column (the oldest on-disk format).
+    IncrementalTrend.replay(spark, Seq(Seq(edit("Foo", min = 0))), asOf, cfg)
+      .withColumn("bucket", pmod(xxhash64(col("id")), lit(1L)).cast("int"))
+      .write.partitionBy("bucket").parquet(dir)
     foldToDir(dir, 5, Seq(edit("Foo", user = "Eve", min = 1)), buckets = 1)
     val st = IncrementalTrend.readState(spark, dir).collect()
       .map(r => r.getAs[String]("id") -> r).toMap
     assert(st("Foo").getAs[Long]("edits") == 2L)
+    // The adopted dir is now manifest-committed; the touched legacy
+    // bucket dir migrated into a manifest data dir and was swept.
+    val m = IncrementalTrend.currentManifest(spark, dir).get
+    assert(m.entries.values.forall(_.path.startsWith("data/")))
+    assert(!new java.io.File(dir, "bucket=0").exists())
+  }
+
+  test("bucketed state: legacy per-bucket stamps resume each bucket at its own position") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64, when}
+    // Two titles landing in DIFFERENT buckets of a 2-bucket table.
+    val bucketOf = (id: String) => spark.range(1)
+      .select(pmod(xxhash64(lit(id)), lit(2L)).cast("int")).head().getInt(0)
+    val candidates = Seq("Foo", "Bar", "Baz", "Qux", "Quux", "Corge")
+    val a = candidates.head
+    val b = candidates.find(t => bucketOf(t) != bucketOf(a)).get
+    val dir = java.nio.file.Files.createTempDirectory("graft_state").toString + "/st"
+    // Legacy layout stamped as the pre-manifest writer would after a crash
+    // INSIDE batch 1's per-partition commit loop: page `a`'s bucket
+    // already carries batch 1 (applied), page `b`'s bucket still shows
+    // batch 0 (pending).
+    IncrementalTrend.replay(spark,
+        Seq(Seq(edit(a, min = 0), edit(b, min = 0), edit(a, user = "Eve", min = 1))),
+        asOf, cfg)
+      .withColumn("bucket", pmod(xxhash64(col("id")), lit(2L)).cast("int"))
+      .withColumn("lastBatchId",
+        when(col("id") === a, lit(1L)).otherwise(lit(0L)))
+      .write.partitionBy("bucket").parquet(dir)
+    // The checkpoint replays batch 1, which touched BOTH pages: `a`'s
+    // bucket must be skipped (its edit is already folded), `b`'s folded.
+    foldToDir(dir, 1,
+      Seq(edit(a, user = "Eve", min = 1), edit(b, user = "Eve", min = 1)),
+      buckets = 2)
+    val st = IncrementalTrend.readState(spark, dir).collect()
+      .map(r => r.getAs[String]("id") -> r).toMap
+    assert(st(a).getAs[Long]("edits") == 2L, s"bucket of $a must not double-count")
+    assert(st(b).getAs[Long]("edits") == 2L, s"bucket of $b must catch up")
   }
 
   test("bucketed state: delete empties its bucket dir when last page goes") {
