@@ -729,6 +729,12 @@ object SparkEntry {
     "emb_near_dup_exact" -> ((s, dir) =>
       Similarity.bruteForceNearDups(t(s, dir, "embeddings"), threshold = 0.35)),
 
+    // Int8 scalar-quantized top-k (SQ8): per-vector scales cancel in the
+    // cosine, so the whole search runs on exact integer dots — the 4×
+    // memory-cut scale path, hash-verified end to end.
+    "emb_sq_topk" -> ((s, dir) =>
+      Similarity.sqTopK(t(s, dir, "embeddings"), k = 5, numQueries = 10)),
+
     // One k-means assignment step (seed centroids = vec_id < 8): the
     // embedding-clustering primitive for semantic bucketing.
     "emb_kmeans_assign" -> ((s, dir) =>
@@ -2256,6 +2262,32 @@ object SparkEntry {
            CAST(i * 16 AS BIGINT) AS frame_off,
            md5(substr(text, CAST(i * 16 + 1 AS INTEGER), 16)) AS frame_md5
          FROM f WHERE i % 4 = 0""",
+
+    "emb_sq_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         m AS (SELECT vec_id, ev,
+                 list_aggregate(list_transform(ev, x -> abs(x)), 'max') AS mx
+               FROM v),
+         q8 AS (SELECT vec_id,
+                  CASE WHEN mx = 0 THEN list_transform(ev, x -> 0.0)
+                       ELSE list_transform(ev,
+                         x -> CAST(CAST(floor(x * 127.0 / mx) AS INTEGER) AS DOUBLE))
+                  END AS qd
+                FROM m),
+         n8 AS (SELECT vec_id, qd, list_dot_product(qd, qd) AS qaa FROM q8),
+         q AS (SELECT vec_id AS query_id, qd AS qa, qaa AS naa
+               FROM n8 WHERE vec_id < 10),
+         s AS (SELECT query_id, vec_id AS neighbor_id,
+                 list_dot_product(qa, qd) AS qdot,
+                 CASE WHEN naa = 0 OR qaa = 0 THEN 0.0
+                      ELSE round(list_dot_product(qa, qd) / (sqrt(naa) * sqrt(qaa)), 6)
+                 END AS acos
+               FROM q, n8 WHERE query_id <> vec_id),
+         r AS (SELECT *, CAST(row_number() OVER
+                 (PARTITION BY query_id ORDER BY acos DESC, neighbor_id) AS INTEGER) AS rank
+               FROM s)
+         SELECT query_id, neighbor_id, CAST(qdot AS BIGINT) AS qdot, acos, rank
+         FROM r WHERE rank <= 5""",
 
     "emb_topk" ->
       """WITH q AS (

@@ -309,6 +309,59 @@ object Similarity {
     out
   }
 
+  /** Int8-range scalar quantization: each vector maps to
+    * `floor(x · 127 / max|x|)` per component — the symmetric per-vector
+    * SQ8 scheme every large ANN index ships (a 4× memory / scan-bandwidth
+    * cut; at 100 TB the quantized corpus is what stays hot). floor, not
+    * round: floor of an IEEE double is unambiguous in every engine, so
+    * the codes are hash-checkable. An all-zero vector (max = 0) quantizes
+    * to zeros.
+    */
+  def sqQuantize(emb: DataFrame): DataFrame = {
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+    // mx as an attribute before the quantize transform: the interpreted
+    // HOF path re-evaluates a lambda's free subexpressions per element
+    // (see Dedup.shinglesFromTokens), and mx is itself an array fold.
+    val m = v.select(col("vec_id"), col("ev"),
+      aggregate(col("ev"), lit(0.0), (a, x) => greatest(a, abs(x))).as("mx"))
+    m.select(col("vec_id"),
+      when(col("mx") === 0.0, transform(col("ev"), _ => lit(0)))
+        .otherwise(transform(col("ev"),
+          x => floor(x * lit(127.0) / col("mx")).cast("int"))).as("qv"))
+  }
+
+  /** Top-k search over the QUANTIZED corpus. The per-vector scales cancel
+    * in the cosine — `x_i ≈ q_i · mx/127`, so
+    * `cos ≈ (qa·qb) / (√(qa·qa) · √(qb·qb))` with every dot an INTEGER sum
+    * (exact in doubles up to 2^53, hence bit-identical cross-engine) —
+    * which is what makes a quantized ANN stage hash-verifiable at all.
+    * Same search shape as [[bruteForceTopK]]: broadcast query set, corpus
+    * streams map-side, per-query window top-k. Emits the raw integer dot
+    * alongside the approximate cosine; the exact path re-ranks survivors
+    * when recall demands it.
+    */
+  def sqTopK(emb: DataFrame, k: Int = 5, numQueries: Int = 10): DataFrame = {
+    val withN = sqQuantize(emb)
+      .select(col("vec_id"), col("qv").cast("array<double>").as("qd"))
+      .select(col("vec_id"), col("qd"), dot(col("qd"), col("qd")).as("qaa"))
+    val queries = withN.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("qd").as("qa"),
+        col("qaa").as("naa"))
+    val scored = withN.join(broadcast(queries),
+        col("query_id") =!= col("vec_id"))
+      .withColumn("qdot", dot(col("qa"), col("qd")))
+      .withColumn("acos",
+        when(col("naa") === 0.0 || col("qaa") === 0.0, lit(0.0))
+          .otherwise(round(
+            col("qdot") / (sqrt(col("naa")) * sqrt(col("qaa"))), 6)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("qdot").cast("long").as("qdot"), col("acos"), col("rank"))
+  }
+
   /** Exact near-dup pairs over all pairs (the correctness baseline the LSH
     * path approximates; quadratic — use only at verification scales).
     */

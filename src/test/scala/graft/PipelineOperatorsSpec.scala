@@ -850,6 +850,41 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(kept.contains(1L -> "d e f"))
   }
 
+  test("sqTopK: quantized codes stay in int8 range; acos tracks the exact cosine") {
+    val d = vecs(
+      0L -> Seq(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f),
+      1L -> Seq(2f, 4f, 6f, 8f, 10f, 12f, 14f, 16f), // colinear → cos 1
+      2L -> Seq(8f, 7f, 6f, 5f, 4f, 3f, 2f, 1f),     // reversed
+      3L -> Seq(0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))     // degenerate
+    val codes = Similarity.sqQuantize(d).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Int](r.fieldIndex("qv"))).toMap
+    assert(codes.values.forall(_.forall(q => q >= -127 && q <= 127)))
+    // The max component quantizes to 127 (or 126 on an unlucky ulp), the
+    // colinear vector to the SAME codes as its half-scale twin (scales
+    // cancel), and the zero vector to all zeros.
+    assert(codes(0L) == codes(1L))
+    assert(codes(0L).max >= 126)
+    assert(codes(3L).forall(_ == 0))
+    val rows = Similarity.sqTopK(d, k = 3, numQueries = 1).collect()
+      .map(r => r.getAs[Long]("neighbor_id") ->
+        (r.getAs[Double]("acos"), r.getAs[Int]("rank"))).toMap
+    // Colinear neighbor ranks first with quantized cosine exactly 1.
+    assert(rows(1L) == (1.0, 1))
+    // The reversed vector's quantized cosine approximates the exact one
+    // (exact baseline computed without the zero vector: cosine is
+    // undefined there, and bruteForceTopK's contract assumes nonzero
+    // norms — ANSI division would reject the 0/0).
+    val exact = Similarity.bruteForceTopK(vecs(
+        0L -> Seq(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f),
+        1L -> Seq(2f, 4f, 6f, 8f, 10f, 12f, 14f, 16f),
+        2L -> Seq(8f, 7f, 6f, 5f, 4f, 3f, 2f, 1f)), k = 3, numQueries = 1)
+      .collect()
+      .map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Double]("cos")).toMap
+    assert(math.abs(rows(2L)._1 - exact(2L)) < 0.01)
+    // Degenerate (all-zero) neighbor scores 0, not NaN.
+    assert(rows(3L)._1 == 0.0)
+  }
+
   test("kmeansAssign: centroid vectors assign to themselves at distance 0") {
     import spark.implicits._
     val emb = Seq(
