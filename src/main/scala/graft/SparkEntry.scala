@@ -735,6 +735,12 @@ object SparkEntry {
     "emb_sq_topk" -> ((s, dir) =>
       Similarity.sqTopK(t(s, dir, "embeddings"), k = 5, numQueries = 10)),
 
+    // SemDeDup: k-means clusters bound the quadratic pair scan; within a
+    // cluster, a vector with a lower-id cosine>=0.35 neighbor is dropped.
+    "emb_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(t(s, dir, "embeddings"), k = 16,
+        threshold = 0.35)),
+
     // One k-means assignment step (seed centroids = vec_id < 8): the
     // embedding-clustering primitive for semantic bucketing.
     "emb_kmeans_assign" -> ((s, dir) =>
@@ -2262,6 +2268,34 @@ object SparkEntry {
            CAST(i * 16 AS BIGINT) AS frame_off,
            md5(substr(text, CAST(i * 16 + 1 AS INTEGER), 16)) AS frame_md5
          FROM f WHERE i % 4 = 0""",
+
+    // Assignment CTEs mirror emb_kmeans_assign (k=16); the dedup rule is
+    // a same-cluster lower-id pair scan with the standard rounded cosine.
+    "emb_semantic_dedup" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, ev AS cv FROM v WHERE vec_id < 16),
+         s AS (
+           SELECT v.vec_id, centroid_id,
+             (list_dot_product(ev, ev) + list_dot_product(cv, cv))
+               - 2.0 * list_dot_product(ev, cv) AS d2
+           FROM v, c),
+         r AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+           FROM s),
+         a AS (SELECT vec_id, centroid_id AS cluster FROM r WHERE rn = 1),
+         n AS (
+           SELECT a.vec_id, a.cluster, v.ev,
+             sqrt(list_dot_product(v.ev, v.ev)) AS nrm
+           FROM a JOIN v USING (vec_id)),
+         p AS (
+           SELECT r.vec_id, min(l.vec_id) AS dup_of
+           FROM n l JOIN n r
+             ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+           WHERE round(list_dot_product(l.ev, r.ev) / (l.nrm * r.nrm), 6) >= 0.35
+           GROUP BY r.vec_id)
+         SELECT n.vec_id, n.cluster, p.dup_of, (p.dup_of IS NULL) AS kept
+         FROM n LEFT JOIN p ON n.vec_id = p.vec_id""",
 
     "emb_sq_topk" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),

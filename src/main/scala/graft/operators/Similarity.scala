@@ -309,6 +309,49 @@ object Similarity {
     out
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    * embeddings (k-means assignment against the deterministic seed
+    * centroids), then WITHIN each cluster drop every vector that has a
+    * lower-id neighbor with cosine ≥ `threshold`; the surviving rows are
+    * the semantic representatives. Output: (vec_id, cluster, dup_of,
+    * kept) with `dup_of` = the smallest such neighbor (null when kept).
+    *
+    * The "lower-id neighbor exists" rule (rather than connected
+    * components) is the paper's greedy keep-one-per-duplicate-group
+    * shape, deterministic and join-expressible; [[Dedup.dupClusters]] is
+    * the transitive alternative when chains matter.
+    *
+    * Scale design — this is exactly why SemDeDup clusters first: the
+    * quadratic pair scan runs per CLUSTER, so cost is Σ|cluster|², not
+    * n². `k` is the knob: pick k ≈ n / target-cluster-size (the paper
+    * uses tens of thousands of clusters for web-scale corpora). The
+    * cluster table is one map-side assignment pass; the pair join
+    * shuffles on the cluster id.
+    */
+  def semanticDedup(emb: DataFrame, k: Int = 16,
+      threshold: Double = 0.35): DataFrame = {
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+    val assign = assignTo(v, seedCentroids(v, k))
+      .select(col("vec_id"), col("cluster"))
+    // One row per vector (vector, cluster, norm), materialized once for
+    // both self-join sides.
+    val n = v.join(assign, Seq("vec_id"))
+      .withColumn("nrm", norm(col("ev")))
+      .localCheckpoint(eager = true)
+    val dups = n.as("l").join(n.as("r"),
+        col("l.cluster") === col("r.cluster") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .withColumn("cos", cosineWithNorms(dot(col("l.ev"), col("r.ev")),
+        col("l.nrm"), col("r.nrm")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("r.vec_id").as("vec_id"))
+      .agg(min(col("l.vec_id")).as("dup_of"))
+    n.select(col("vec_id"), col("cluster"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dup_of"),
+        col("dup_of").isNull.as("kept"))
+  }
+
   /** Int8-range scalar quantization: each vector maps to
     * `floor(x · 127 / max|x|)` per component — the symmetric per-vector
     * SQ8 scheme every large ANN index ships (a 4× memory / scan-bandwidth

@@ -850,6 +850,21 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(kept.contains(1L -> "d e f"))
   }
 
+  test("semanticDedup: within-cluster near-dup dropped; dissimilar and cross-cluster kept") {
+    val d = vecs(
+      0L -> Seq(1f, 0f),      // seed centroid / cluster 0 representative
+      1L -> Seq(0f, 1f),      // seed centroid / cluster 1 representative
+      2L -> Seq(0.99f, 0.05f), // cluster 0, cos≈0.998 with 0 → dropped
+      3L -> Seq(0.2f, -0.98f)) // cluster 0, cos≈0.2 with both → kept
+    val rows = Similarity.semanticDedup(d, k = 2, threshold = 0.35).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Boolean]("kept"),
+          Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong))).toMap
+    assert(rows(0L) == (true, None) && rows(1L) == (true, None))
+    assert(rows(2L) == (false, Some(0L)))
+    assert(rows(3L) == (true, None))
+  }
+
   test("sqTopK: quantized codes stay in int8 range; acos tracks the exact cosine") {
     val d = vecs(
       0L -> Seq(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f),

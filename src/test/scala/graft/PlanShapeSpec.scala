@@ -42,6 +42,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(physical("emb_topk").contains("WindowGroupLimit"))
   }
 
+  test("emb_sq_topk: quantized search keeps the broadcast + WindowGroupLimit shape") {
+    val p = physical("emb_sq_topk")
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("BroadcastExchange"))
+  }
+
+  test("emb_semantic_dedup: within-cluster pair scan is a hash join on the cluster id") {
+    val p = physical("emb_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+  }
+
   test("events_asof_attrib: as-of join lowers to a window pass, no join of any kind") {
     val p = physical("events_asof_attrib")
     assert(!p.contains("Join"), p.take(2000))
