@@ -243,17 +243,21 @@ object TextAnalysis {
       when(len > 0, exists(slice(col("flags"), a, len), x => x))
         .otherwise(lit(false))
     }
-    withFlags.select(
+    // Evaluate covered(j) ONCE per position into an attribute, then derive
+    // both sums from it — the previous form ran the slice+exists window
+    // twice per token (separate count and char folds), which doubled the
+    // dominant allocation cost of this map-only query.
+    val withCov = withFlags.select(col("doc_id"), col("toks"),
+      transform(sequence(lit(1), size(col("toks"))), j => covered(j)).as("cov"))
+    withCov.select(
       col("doc_id"),
       size(col("toks")).cast("long").as("n_tokens"),
-      aggregate(sequence(lit(1), size(col("toks"))), lit(0L),
-        (acc, j) => acc + when(covered(j), 1L).otherwise(0L))
-        .as("covered_tokens"),
+      size(filter(col("cov"), x => x)).cast("long").as("covered_tokens"),
       when(size(col("toks")) === 0, 0.0).otherwise(round(
-        aggregate(sequence(lit(1), size(col("toks"))), lit(0L),
-          (acc, j) => acc +
-            when(covered(j), length(element_at(col("toks"), j)).cast("long"))
-              .otherwise(0L)).cast("double") /
+        aggregate(
+          zip_with(col("cov"), col("toks"),
+            (c, t) => when(c, length(t).cast("long")).otherwise(0L)),
+          lit(0L), (a, x) => a + x).cast("double") /
         aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).cast("double"),
         6)).as("dup_char_fraction"))
   }
