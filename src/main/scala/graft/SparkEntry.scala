@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.TrendConfig
-import graft.operators.{AsOf, Curation, Dedup, Multimodal, PageAggregates, RangeJoin, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsOf, Curation, Dedup, EventAnalytics, Multimodal, PageAggregates, RangeJoin, Similarity, Skew, TextAnalysis}
 import graft.sources.EventAdapter
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -629,6 +629,16 @@ object SparkEntry {
     // preceding click, carrying THAT click's latest preceding view. Each
     // stage is one shuffle+window (see AsOf.asOfJoin); no sequence
     // blow-up, no per-user nested loop.
+    // Gap-based sessionization (6 h inactivity): boundary flag + running
+    // sum + session aggregation, all on one user_id hash partitioning.
+    "events_sessions_batch" -> ((s, dir) =>
+      EventAnalytics.sessionize(EventAdapter.readEvents(s, dir))),
+
+    // Cohort retention: first-active-day cohorts x day offsets with the
+    // per-cohort active-user share.
+    "events_retention" -> ((s, dir) =>
+      EventAnalytics.cohortRetention(EventAdapter.readEvents(s, dir))),
+
     "events_funnel" -> ((s, dir) => {
       val ev = EventAdapter.readEvents(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -1636,6 +1646,51 @@ object SparkEntry {
              FALSE) AS fresh_view
          FROM p ASOF LEFT JOIN v
            ON p.user_id = v.user_id AND p.ts >= v.view_ts""",
+
+    "events_sessions_batch" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, event_type, value FROM events),
+         g AS (
+           SELECT *,
+             CASE WHEN lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id))
+                    > CAST(360 AS BIGINT) * 60 * 1000000
+             THEN 1 ELSE 0 END AS is_new
+           FROM e),
+         s AS (
+           SELECT *, SUM(is_new) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           FROM g)
+         SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS purchases,
+           round(sum(value), 2) AS total_value
+         FROM s GROUP BY user_id, session_seq""",
+
+    "events_retention" ->
+      """WITH e AS (
+           SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+           FROM events),
+         f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+         cells AS (
+           SELECT f.cohort_day,
+             CAST(date_diff('day', f.cohort_day, e.day) AS BIGINT) AS offset_days,
+             CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+           FROM e JOIN f ON e.user_id = f.user_id
+           GROUP BY 1, 2),
+         cs AS (
+           SELECT cohort_day, CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_users
+           FROM f GROUP BY cohort_day)
+         SELECT strftime(cells.cohort_day, '%Y-%m-%d') AS cohort_day,
+           cells.offset_days, cells.active_users, cs.cohort_users,
+           round(CAST(cells.active_users AS DOUBLE)
+                 / CAST(cs.cohort_users AS DOUBLE), 6) AS retention
+         FROM cells JOIN cs ON cells.cohort_day = cs.cohort_day""",
 
     "events_funnel" ->
       """WITH p AS (

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch event-analytics operators over the `events` table: gap-based
+  * sessionization and cohort retention — the two standard product-analytics
+  * shapes (the batch complements of the streaming session windows in
+  * `TrendStream`).
+  *
+  * Scale design: both are single-shuffle-per-stage plans keyed on
+  * `user_id` — sessionization is two window passes plus one aggregation
+  * over the SAME hash partitioning (Catalyst reuses the exchange), and
+  * retention collapses to per-user rows before anything joins. Nothing
+  * ever materializes an unpartitioned window, and the cohort-size table
+  * (days × 1 row) broadcasts.
+  */
+object EventAnalytics {
+
+  /** Gap-based sessionization: a user's events, ordered by (ts, event_id),
+    * start a new session whenever the gap from the previous event exceeds
+    * `gapMinutes`. Output: one row per session with start/end, event and
+    * purchase counts, and the 2-dp value total (2-dp inputs put the true
+    * sum on the 2-dp grid, so the rounded double is engine-identical —
+    * the q1 discipline).
+    *
+    * The boundary flag + running sum is the textbook distributed form:
+    * both windows and the final aggregation share the `user_id` hash
+    * partitioning, so the whole operator is ONE shuffle; per-user sort is
+    * bounded by that user's event count.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Long = 360L): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prevTs = lag(col("ts"), 1).over(w)
+    val marked = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value"))
+      .withColumn("is_new",
+        when(prevTs.isNull ||
+          unix_micros(col("ts")) - unix_micros(prevTs) >
+            lit(gapMinutes * 60L * 1000000L), 1L).otherwise(0L))
+    val sess = marked.withColumn("session_seq",
+      sum(col("is_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("purchases"),
+        round(sum(col("value")), 2).as("total_value"))
+  }
+
+  /** Cohort retention: users are cohorted by their first active day; each
+    * (cohort_day, offset_days) cell counts the cohort's users active that
+    * many days later, with the retention share as an exact integer
+    * division (engine-identical double).
+    *
+    * Scale shape: the corpus collapses to DISTINCT (user, day) rows first
+    * (one aggregation), first-day derives from those per-user rows (same
+    * key — exchange reused), and the per-cohort sizes are a days-sized
+    * table that BROADCASTS back onto the cell aggregation. The raw event
+    * log is scanned once.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val activeDays = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val firstDay = activeDays.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    val cells = activeDays.join(firstDay, Seq("user_id"))
+      .select(col("user_id"), col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("offset_days"))
+      .groupBy(col("cohort_day"), col("offset_days"))
+      .agg(count_distinct(col("user_id")).as("active_users"))
+    val sizes = firstDay.groupBy(col("cohort_day"))
+      .agg(count_distinct(col("user_id")).as("cohort_users"))
+    cells.join(broadcast(sizes), Seq("cohort_day"))
+      // ISO string, not DATE: every other emitted column type has a
+      // proven cross-engine hash representation; dates do not (Spark
+      // parquet DATE vs DuckDB DATE round-trip differently through the
+      // comparer), and the string is unambiguous.
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("offset_days"), col("active_users"), col("cohort_users"),
+        round(col("active_users").cast("double") /
+          col("cohort_users").cast("double"), 6).as("retention"))
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Curation, Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Curation, Dedup, EventAnalytics, Multimodal, RangeJoin, Similarity, TextAnalysis}
 
 /** Behavioral specs for the training-data-pipeline operators (dedup,
   * similarity, text analysis, multimodal plumbing) on tiny fixtures with
@@ -848,6 +848,47 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(!kept.contains(2L -> "a b c")) // replayed boilerplate suppressed
     assert(kept.count(_._2 == "a b c") == 1) // doc 1's original survives
     assert(kept.contains(1L -> "d e f"))
+  }
+
+  test("sessionize: gap starts a new session; per-session counts and 2-dp totals") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val ev = Seq(
+      (1L, 1L, at(0), "view", 1.0),
+      (1L, 2L, at(10), "purchase", 5.5),
+      (1L, 3L, at(500), "view", 2.0), // 490-min gap > 360 → new session
+      (2L, 4L, at(0), "view", 3.25))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val s = EventAnalytics.sessionize(ev).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_seq")) -> r)
+      .toMap
+    assert(s.keySet == Set((1L, 1L), (1L, 2L), (2L, 1L)))
+    val s11 = s((1L, 1L))
+    assert(s11.getAs[Long]("n_events") == 2L)
+    assert(s11.getAs[Long]("purchases") == 1L)
+    assert(s11.getAs[Double]("total_value") == 6.5)
+    assert(s11.getAs[java.sql.Timestamp]("session_end") == at(10))
+    assert(s((1L, 2L)).getAs[Long]("n_events") == 1L)
+  }
+
+  test("cohortRetention: cells count distinct users against the cohort size") {
+    import spark.implicits._
+    def at(day: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00")
+    val ev = Seq(
+      (1L, 1L, at(0), "view", 0.0), (1L, 2L, at(1), "view", 0.0),
+      (2L, 3L, at(0), "view", 0.0), // cohort day 0, never returns
+      (3L, 4L, at(1), "view", 0.0)) // cohort day 1
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val r = EventAnalytics.cohortRetention(ev).collect()
+      .map(row => (row.getAs[String]("cohort_day"),
+        row.getAs[Long]("offset_days")) ->
+        (row.getAs[Long]("active_users"), row.getAs[Long]("cohort_users"),
+          row.getAs[Double]("retention"))).toMap
+    assert(r(("2024-01-01", 0L)) == (2L, 2L, 1.0)) // both day-0 users active
+    assert(r(("2024-01-01", 1L)) == (1L, 2L, 0.5)) // only user 1 returns
+    assert(r(("2024-01-02", 0L)) == (1L, 1L, 1.0))
   }
 
   test("semanticDedup: within-cluster near-dup dropped; dissimilar and cross-cluster kept") {

@@ -54,6 +54,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
   }
 
+  test("events_sessions_batch: both windows and the session agg share ONE user_id exchange") {
+    val p = physical("events_sessions_batch")
+    val shuffles = "ShuffleExchange|Exchange hashpartitioning".r
+      .findAllIn(p).length
+    assert(shuffles == 1, s"expected exactly one shuffle, plan:\n${p.take(2000)}")
+  }
+
+  test("events_retention: cohort sizes broadcast back onto the cell aggregation") {
+    assert(physical("events_retention").contains("BroadcastExchange"))
+  }
+
   test("events_asof_attrib: as-of join lowers to a window pass, no join of any kind") {
     val p = physical("events_asof_attrib")
     assert(!p.contains("Join"), p.take(2000))
