@@ -751,6 +751,11 @@ object SparkEntry {
       Similarity.semanticDedup(t(s, dir, "embeddings"), k = 16,
         threshold = 0.35)),
 
+    // Clustering quality: per-cluster majority ground-truth label + purity
+    // (external evaluation of the k-means assignment; ties → min label).
+    "emb_cluster_purity" -> ((s, dir) =>
+      Similarity.clusterPurity(t(s, dir, "embeddings"), k = 8)),
+
     // One k-means assignment step (seed centroids = vec_id < 8): the
     // embedding-clustering primitive for semantic bucketing.
     "emb_kmeans_assign" -> ((s, dir) =>
@@ -2323,6 +2328,41 @@ object SparkEntry {
            CAST(i * 16 AS BIGINT) AS frame_off,
            md5(substr(text, CAST(i * 16 + 1 AS INTEGER), 16)) AS frame_md5
          FROM f WHERE i % 4 = 0""",
+
+    // Assignment CTEs mirror emb_kmeans_assign (k=8); majority label per
+    // cluster with the deterministic (cnt DESC, label ASC) tie-break.
+    "emb_cluster_purity" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, ev AS cv FROM v WHERE vec_id < 8),
+         s AS (
+           SELECT v.vec_id, centroid_id,
+             (list_dot_product(ev, ev) + list_dot_product(cv, cv))
+               - 2.0 * list_dot_product(ev, cv) AS d2
+           FROM v, c),
+         r AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+           FROM s),
+         a AS (SELECT vec_id, centroid_id AS cluster FROM r WHERE rn = 1),
+         counts AS (
+           SELECT a.cluster, CAST(e.label AS BIGINT) AS label,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM a JOIN embeddings e ON a.vec_id = e.vec_id
+           GROUP BY 1, 2),
+         top AS (
+           SELECT cluster, label AS majority_label, cnt AS majority_cnt
+           FROM (SELECT *, row_number() OVER
+                   (PARTITION BY cluster ORDER BY cnt DESC, label) AS rn
+                 FROM counts)
+           WHERE rn = 1),
+         tot AS (
+           SELECT cluster, CAST(sum(cnt) AS BIGINT) AS cluster_size
+           FROM counts GROUP BY cluster)
+         SELECT top.cluster, top.majority_label, top.majority_cnt,
+           tot.cluster_size,
+           round(CAST(top.majority_cnt AS DOUBLE)
+                 / CAST(tot.cluster_size AS DOUBLE), 6) AS purity
+         FROM top JOIN tot ON top.cluster = tot.cluster""",
 
     // Assignment CTEs mirror emb_kmeans_assign (k=16); the dedup rule is
     // a same-cluster lower-id pair scan with the standard rounded cosine.

@@ -405,6 +405,37 @@ object Similarity {
         col("qdot").cast("long").as("qdot"), col("acos"), col("rank"))
   }
 
+  /** Clustering-quality report: per k-means cluster, the majority ground-
+    * truth `label`, its count, the cluster size, and the purity share —
+    * the standard external evaluation a clustering stage ships with (and
+    * the feedback loop for choosing `k` in [[semanticDedup]]). Majority
+    * ties break on the smallest label, so the report is deterministic.
+    *
+    * Scale shape: the only corpus-sized work is the assignment scan; the
+    * (cluster, label) count table is k × labels rows, and everything
+    * downstream (majority window, totals, purity) runs on that tiny
+    * table.
+    */
+  def clusterPurity(emb: DataFrame, k: Int = 8): DataFrame = {
+    val a = kmeansAssign(emb, k).select(col("vec_id"), col("cluster"))
+    val counts = emb.select(col("vec_id"), col("label").cast("long").as("label"))
+      .join(a, Seq("vec_id"))
+      .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("cnt").desc, col("label").asc)
+    val top = counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("label").as("majority_label"),
+        col("cnt").as("majority_cnt"))
+    val totals = counts.groupBy(col("cluster"))
+      .agg(sum(col("cnt")).as("cluster_size"))
+    top.join(totals, Seq("cluster"))
+      .select(col("cluster"), col("majority_label"), col("majority_cnt"),
+        col("cluster_size"),
+        round(col("majority_cnt").cast("double") /
+          col("cluster_size").cast("double"), 6).as("purity"))
+  }
+
   /** Exact near-dup pairs over all pairs (the correctness baseline the LSH
     * path approximates; quadratic — use only at verification scales).
     */

@@ -941,6 +941,25 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(rows(3L)._1 == 0.0)
   }
 
+  test("clusterPurity: majority label and share per cluster") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 7), (1L, Array(0.0f, 1.0f), 3),
+      (2L, Array(0.95f, 0.05f), 7), (3L, Array(0.9f, 0.1f), 5),
+      (4L, Array(0.05f, 0.9f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.clusterPurity(emb, k = 2).collect()
+      .map(x => x.getAs[Long]("cluster") -> x).toMap
+    val c0 = r(0L) // members 0(l=7), 2(l=7), 3(l=5)
+    assert(c0.getAs[Long]("majority_label") == 7L)
+    assert(c0.getAs[Long]("majority_cnt") == 2L)
+    assert(c0.getAs[Long]("cluster_size") == 3L)
+    assert(c0.getAs[Double]("purity") == 0.666667)
+    val c1 = r(1L) // members 1(l=3), 4(l=3)
+    assert(c1.getAs[Long]("majority_label") == 3L)
+    assert(c1.getAs[Double]("purity") == 1.0)
+  }
+
   test("kmeansAssign: centroid vectors assign to themselves at distance 0") {
     import spark.implicits._
     val emb = Seq(
