@@ -703,6 +703,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("waiting_orders"))
     }),
 
+    // q22 shape: scalar-subquery average (exact via integer cents — a raw
+    // avg()'s double sum is shuffle-order-dependent) broadcast back, then
+    // an anti join against high-value orders.
+    "q22_idle_rich_custs" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY"))
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg(((sum(floor(col("c_acctbal") * 100 + 0.5)).cast("double") /
+          lit(100.0)) / count(lit(1)).cast("double")).as("__avg"))
+      val rich = cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("__avg"))
+      val bigOrders = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000.0)
+        .select(col("o_custkey"))
+      rich.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal")), 2).as("totacctbal"))
+    }),
+
     // ---- training-data pipeline: embeddings ---------------------------
 
     // Brute-force cosine top-5 for the first 10 query vectors: broadcast
@@ -1732,6 +1753,24 @@ object SparkEntry {
          SELECT c_name, o_orderkey, o_totalprice, total_qty
          FROM big JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey""",
+
+    "q22_idle_rich_custs" ->
+      """WITH cust AS (
+           SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+           WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')),
+         a AS (
+           SELECT (CAST(sum(floor(c_acctbal * 100 + 0.5)) AS DOUBLE) / 100.0)
+                  / CAST(count(*) AS DOUBLE) AS avgbal
+           FROM cust WHERE c_acctbal > 0.0),
+         r AS (SELECT c.* FROM cust c, a WHERE c.c_acctbal > a.avgbal),
+         n AS (
+           SELECT r.* FROM r
+           WHERE NOT EXISTS (
+             SELECT 1 FROM orders o
+             WHERE o.o_custkey = r.c_custkey AND o.o_totalprice > 300000.0))
+         SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+         FROM n GROUP BY c_mktsegment""",
 
     "q21_last_shipper" ->
       """WITH ps AS (
