@@ -54,6 +54,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
   }
 
+  test("q22_idle_rich_custs: scalar average broadcasts; anti join stays hash-based") {
+    val p = physical("q22_idle_rich_custs")
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("LeftAnti"), p.take(2000))
+  }
+
+  test("runtime filtering: a selective dim predicate injects a bloom probe into the fact side") {
+    // The 100 TB story for shuffle joins Spark can't broadcast: the
+    // selective side builds a bloom filter at runtime and the fact scan
+    // probes it BEFORE the exchange (InjectRuntimeFilter). Thresholds are
+    // sized for real clusters, so pin them down to demonstrate on test
+    // data; broadcast is disabled to force the shuffle-join path the
+    // feature exists for.
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val l = spark.read.parquet(s"$sf/lineitem.parquet")
+      val pt = spark.read.parquet(s"$sf/part.parquet")
+        .filter(col("p_size") === 1)
+      val q = l.join(pt, l("l_partkey") === pt("p_partkey"))
+        .groupBy(col("p_type")).agg(sum(col("l_quantity")).as("qty"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.toLowerCase.contains("bloom"), plan.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("events_sessions_batch: both windows and the session agg share ONE user_id exchange") {
     val p = physical("events_sessions_batch")
     val shuffles = "ShuffleExchange|Exchange hashpartitioning".r
