@@ -205,12 +205,18 @@ object TextAnalysis {
     * UNION of all repeated spans, so interleaved boilerplate that no
     * single gram dominates still scores high.
     *
-    * Entirely map-side — no shuffle, no explode: repeated grams come
-    * from a run-length fold over the sorted gram array (run ≥ 2 appends
-    * the gram once); coverage is a per-position `exists` over the n
-    * gram-starts that could span the position. O(T·n) per document, all
-    * attributes materialized before their HOF consumers (re-evaluation
-    * trap, see Dedup.shinglesFromTokens).
+    * Entirely map-side — no shuffle, no explode. Shape: (gram, start)
+    * pairs sorted BY GRAM so equal grams are adjacent; one run-length
+    * fold collects the start position of every occurrence of a repeated
+    * gram; a second fold walks those starts as a sorted interval union
+    * (start p covers tokens [p, p+n−1]), counting each covered token and
+    * its characters exactly once. O(G log G) sort + two linear folds per
+    * document. The naive formulation — a per-gram `array_contains`
+    * membership probe against the repeated-gram set — was O(G·R) string
+    * compares and measured 6.6 s of this query's 7.5 s at sf0.1; the
+    * sorted-pair form removes the membership test entirely. All
+    * attributes are materialized before their HOF consumers
+    * (re-evaluation trap, see Dedup.shinglesFromTokens).
     */
   def dupNgramCoverage(docs: DataFrame, n: Int = 5): DataFrame = {
     val toks = docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
@@ -220,46 +226,59 @@ object TextAnalysis {
           i => concat_ws(" ",
             (0 until n).map(o => element_at(col("toks"), i + o)): _*)))
         .otherwise(array().cast("array<string>")).as("grams"))
-    // Repeated-gram SET via sorted run-length fold: append on the run's
-    // SECOND element only, so each repeated gram lands exactly once.
-    val repState = struct(lit("").as("prev"), lit(0L).as("run"),
-      array().cast("array<string>").as("rep"))
-    val withRep = grams.select(col("doc_id"), col("toks"), col("grams"),
-      aggregate(sort_array(col("grams")), repState,
-        (st, g) => {
-          val nrun = when(g === st("prev"), st("run") + 1).otherwise(lit(1L))
-          struct(g.as("prev"), nrun.as("run"),
-            when(nrun === 2L, concat(st("rep"), array(g)))
-              .otherwise(st("rep")).as("rep"))
+    // (gram, 1-based start) sorted by gram (struct order: field 1, then 2).
+    val pairs = grams.select(col("doc_id"), col("toks"),
+      when(size(col("grams")) === 0,
+        array().cast("array<struct<g:string,i:int>>"))
+        .otherwise(sort_array(zip_with(col("grams"),
+          sequence(lit(1), size(col("grams"))),
+          (g, i) => struct(g.as("g"), i.as("i"))))).as("pairs"))
+    // Run-length fold: on a run's second element append BOTH the run's
+    // first start (carried as previ) and the current one; on later run
+    // elements append the current start — every occurrence of a repeated
+    // gram lands exactly once.
+    val posState = struct(lit("").as("prev"), lit(0).as("previ"),
+      lit(0L).as("run"), array().cast("array<int>").as("acc"))
+    val withStarts = pairs.select(col("doc_id"), col("toks"),
+      array_sort(aggregate(col("pairs"), posState,
+        (st, p) => {
+          val same = p("g") === st("prev")
+          val nrun = when(same, st("run") + 1).otherwise(lit(1L))
+          val acc = when(same && st("run") === 1L,
+              concat(st("acc"), array(st("previ"), p("i"))))
+            .when(same, concat(st("acc"), array(p("i"))))
+            .otherwise(st("acc"))
+          struct(p("g").as("prev"), p("i").as("previ"), nrun.as("run"),
+            acc.as("acc"))
         },
-        st => st("rep")).as("rep"))
-    val withFlags = withRep.select(col("doc_id"), col("toks"),
-      transform(col("grams"), g => array_contains(col("rep"), g)).as("flags"))
-    // Token position j (1-based) is covered iff any gram starting in
-    // [j-n+1, j] is a repeated gram.
-    def covered(j: Column): Column = {
-      val a = greatest(j - (n - 1), lit(1))
-      val len = least(j, size(col("flags"))) - a + 1
-      when(len > 0, exists(slice(col("flags"), a, len), x => x))
-        .otherwise(lit(false))
-    }
-    // Evaluate covered(j) ONCE per position into an attribute, then derive
-    // both sums from it — the previous form ran the slice+exists window
-    // twice per token (separate count and char folds), which doubled the
-    // dominant allocation cost of this map-only query.
-    val withCov = withFlags.select(col("doc_id"), col("toks"),
-      transform(sequence(lit(1), size(col("toks"))), j => covered(j)).as("cov"))
-    withCov.select(
-      col("doc_id"),
-      size(col("toks")).cast("long").as("n_tokens"),
-      size(filter(col("cov"), x => x)).cast("long").as("covered_tokens"),
-      when(size(col("toks")) === 0, 0.0).otherwise(round(
-        aggregate(
-          zip_with(col("cov"), col("toks"),
-            (c, t) => when(c, length(t).cast("long")).otherwise(0L)),
-          lit(0L), (a, x) => a + x).cast("double") /
-        aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).cast("double"),
-        6)).as("dup_char_fraction"))
+        st => st("acc"))).as("starts"))
+    // Interval-union walk over the sorted repeated starts: the carried
+    // `end` clips overlapping spans, so each covered token is counted
+    // (and its chars summed) exactly once. A start p's span end p+n−1 is
+    // ≤ T by construction (the gram exists).
+    val covState = struct(lit(0).as("end"), lit(0L).as("cnt"),
+      lit(0L).as("chars"))
+    val cov = aggregate(col("starts"), covState,
+      (st, p) => {
+        val s0 = greatest(p, st("end") + 1)
+        val e0 = p + (n - 1)
+        val len = e0 - s0 + 1
+        val chars = when(len > 0,
+          aggregate(slice(col("toks"), s0, len), lit(0L),
+            (a, t) => a + length(t))).otherwise(lit(0L))
+        struct(greatest(st("end"), e0).as("end"),
+          (st("cnt") + when(len > 0, len).otherwise(0).cast("long")).as("cnt"),
+          (st("chars") + chars).as("chars"))
+      })
+    withStarts.select(col("doc_id"), col("toks"), cov.as("cov"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        col("cov")("cnt").as("covered_tokens"),
+        when(size(col("toks")) === 0, 0.0).otherwise(round(
+          col("cov")("chars").cast("double") /
+          aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).cast("double"),
+          6)).as("dup_char_fraction"))
   }
 
   /** Corpus-frequency token-rarity profile per document — the unigram-LM
