@@ -53,6 +53,30 @@ object EventAnalytics {
         round(sum(col("value")), 2).as("total_value"))
   }
 
+  /** Streaming twin of [[sessionize]]: Spark's `session_window` merges
+    * events into gap-bounded sessions as they arrive, emitting each
+    * session once the watermark passes its close — state per (user,
+    * open session), bounded by the watermark horizon. On a complete
+    * stream it produces the SAME sessions as the batch operator (the
+    * identity a spec pins): `session_window.start` = the batch
+    * `session_start`; the window's `end` is last-event + gap by
+    * definition, so the batch `session_end` (last event ts) is `end`
+    * minus the gap.
+    */
+  def sessionizeStream(events: DataFrame, gapMinutes: Long = 360L,
+      delay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("purchases"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("window_end"),
+        col("n_events"), col("purchases"), col("total_value"))
+
   /** Cohort retention: users are cohorted by their first active day; each
     * (cohort_day, offset_days) cell counts the cohort's users active that
     * many days later, with the retention share as an exact integer

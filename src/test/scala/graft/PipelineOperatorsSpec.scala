@@ -872,6 +872,43 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(s((1L, 2L)).getAs[Long]("n_events") == 1L)
   }
 
+  test("sessionizeStream: session_window sessions equal the batch gap sessions") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val events = Seq(
+      (1L, 1L, at(0), "view", 1.0),
+      (1L, 2L, at(10), "purchase", 5.5),
+      (1L, 3L, at(500), "view", 2.0), // gap > 360 min → second session
+      (2L, 4L, at(0), "view", 3.25))
+    val ms = MemoryStream[(Long, Long, java.sql.Timestamp, String, Double)](spark)
+    // Stream-only sentinel: advances the watermark past every real
+    // session's close (append mode emits a session only once the
+    // watermark passes start+gap); its OWN session stays open, so it
+    // self-excludes from the emitted set.
+    ms.addData(events :+ (99L, 9L, at(2000), "view", 0.0))
+    val stream = EventAnalytics.sessionizeStream(
+      ms.toDF().toDF("user_id", "event_id", "ts", "event_type", "value"))
+    val q = stream.writeStream.format("memory").queryName("sessions_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000) finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("session_start"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("purchases"),
+        r.getAs[Double]("total_value"))
+    val streamed = spark.table("sessions_stream").collect().map(key).toSet
+    val batch = EventAnalytics.sessionize(
+        events.toDF("user_id", "event_id", "ts", "event_type", "value"))
+      .collect().map(r =>
+        (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("session_start"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("purchases"),
+          r.getAs[Double]("total_value"))).toSet
+    assert(streamed == batch)
+    assert(streamed.size == 3)
+  }
+
   test("cohortRetention: cells count distinct users against the cohort size") {
     import spark.implicits._
     def at(day: Int) =
