@@ -2439,7 +2439,8 @@ object SparkEntry {
          q8 AS (SELECT vec_id,
                   CASE WHEN mx = 0 THEN list_transform(ev, x -> 0.0)
                        ELSE list_transform(ev,
-                         x -> CAST(CAST(floor(x * 127.0 / mx) AS INTEGER) AS DOUBLE))
+                         x -> CAST(CAST(greatest(floor(x * 127.0 / mx), -127.0)
+                                        AS INTEGER) AS DOUBLE))
                   END AS qd
                 FROM m),
          n8 AS (SELECT vec_id, qd, list_dot_product(qd, qd) AS qaa FROM q8),

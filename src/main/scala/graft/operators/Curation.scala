@@ -72,6 +72,11 @@ object Curation {
     * `toks` attributes; extra columns ignored) — the entry point
     * [[curationReport]] uses so all its stages share one tokenization of
     * the corpus instead of re-running the regex split per stage.
+    *
+    * The default list MUST stay identical to [[gopherQuality]]'s:
+    * curationReport relies on these defaults matching the thresholds the
+    * `doc_gopher_quality` / `doc_curation_report` oracles encode — the
+    * oracle hash turns red on drift, but keep them in sync at the source.
     */
   private[graft] def gopherQualityFromTokens(toks: DataFrame,
       minWords: Int = 40, maxWords: Int = 100000,
@@ -450,10 +455,10 @@ object Curation {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = gopherQualityFromTokens(base)
       .select(col("doc_id"), col("keep").as("q_keep"))
-    val eg = base.groupBy(col("th"))
-      .agg(min(col("doc_id")).as("keep_id"))
+    val eg = Dedup.exactGroupsFromHashes(
+      base.select(col("doc_id"), col("th").as("text_hash")))
     val e = base.select(col("doc_id"), col("th"))
-      .join(eg, Seq("th"))
+      .join(eg, col("th") === col("text_hash"))
       .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("e_keep"))
     // Near-dup clustering: shingle sets derive from the cached tokens; the
     // set table itself feeds three branches (signatures + both verify join

@@ -29,7 +29,16 @@ object Dedup {
     * (minimum) doc_id and the duplicate count.
     */
   def exactGroups(docs: DataFrame): DataFrame =
-    docs.groupBy(md5(col("text")).as("text_hash"))
+    exactGroupsFromHashes(
+      docs.select(col("doc_id"), md5(col("text")).as("text_hash")))
+
+  /** [[exactGroups]] from pre-computed (`doc_id`, `text_hash`) rows — the
+    * canonical-keeper rule (min doc_id per hash) lives HERE only, so
+    * pipelines that hash once up front (see [[Curation.curationReport]])
+    * share it instead of re-stating it.
+    */
+  def exactGroupsFromHashes(hashes: DataFrame): DataFrame =
+    hashes.groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
 
   /** The deduplicated corpus: keep the min doc_id per distinct text. */

@@ -367,10 +367,16 @@ object Similarity {
     // (see Dedup.shinglesFromTokens), and mx is itself an array fold.
     val m = v.select(col("vec_id"), col("ev"),
       aggregate(col("ev"), lit(0.0), (a, x) => greatest(a, abs(x))).as("mx"))
+    // greatest(·, −127): for a NEGATIVE max-magnitude component,
+    // (x·127)/mx can round to just below −127 (the product's rounding
+    // error at magnitude 127·mx), and floor would emit −128 — outside the
+    // symmetric int8 range the scheme promises. The positive side can
+    // only round DOWN to 126, so no upper clamp is needed.
     m.select(col("vec_id"),
       when(col("mx") === 0.0, transform(col("ev"), _ => lit(0)))
         .otherwise(transform(col("ev"),
-          x => floor(x * lit(127.0) / col("mx")).cast("int"))).as("qv"))
+          x => greatest(floor(x * lit(127.0) / col("mx")), lit(-127L))
+            .cast("int"))).as("qv"))
   }
 
   /** Top-k search over the QUANTIZED corpus. The per-vector scales cancel

@@ -324,10 +324,19 @@ object IncrementalTrend {
   private def legacyEntries(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
       live: org.apache.hadoop.fs.Path): Map[Int, BucketEntry] = {
-    if (!fs.exists(live) ||
-        !fs.listStatus(live).exists(_.getPath.getName.startsWith("bucket=")))
-      return Map.empty
-    val raw = spark.read.parquet(live.toString)
+    if (!fs.exists(live)) return Map.empty
+    val bucketDirs = fs.listStatus(live).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("bucket="))
+    if (bucketDirs.isEmpty) return Map.empty
+    // Read ONLY the root bucket dirs, never the whole root: a crash
+    // between an adoption fold's data-dir write and its first manifest
+    // commit leaves orphan parquet under data/ at a different directory
+    // depth, and a recursive root read would fail partition discovery
+    // ("conflicting directory structures") on every subsequent replay —
+    // the exact permanent-wedge the manifest design exists to prevent.
+    // basePath recovers the bucket partition column from the dir names.
+    val raw = spark.read.option("basePath", live.toString)
+      .parquet(bucketDirs.map(_.toString): _*)
     val withLb =
       if (raw.columns.contains("lastBatchId")) raw
       else raw.withColumn("lastBatchId", lit(-1L))

@@ -256,6 +256,28 @@ class IncrementalTrendSpec extends SparkSpec {
     assert(!new java.io.File(dir, "bucket=0").exists())
   }
 
+  test("bucketed state: crash between adoption data write and first manifest commit recovers") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val dir = java.nio.file.Files.createTempDirectory("graft_state").toString + "/st"
+    // Legacy layout on disk...
+    IncrementalTrend.replay(spark, Seq(Seq(edit("Foo", min = 0))), asOf, cfg)
+      .withColumn("bucket", pmod(xxhash64(col("id")), lit(1L)).cast("int"))
+      .write.partitionBy("bucket").parquet(dir)
+    // ...plus the debris of an adoption fold that crashed AFTER writing
+    // its data dir but BEFORE the manifest rename: orphan parquet at a
+    // DIFFERENT directory depth than the legacy bucket dirs. Recovery
+    // must not trip partition discovery over the mixed layout.
+    IncrementalTrend.replay(spark, Seq(Seq(edit("Foo", min = 0))), asOf, cfg)
+      .withColumn("bucket", lit(0))
+      .write.partitionBy("bucket").parquet(dir + "/data/b5-deadbeef")
+    assert(IncrementalTrend.readState(spark, dir).count() == 1) // not wedged
+    foldToDir(dir, 5, Seq(edit("Foo", user = "Eve", min = 1)), buckets = 1)
+    val st = IncrementalTrend.readState(spark, dir).collect()
+      .map(r => r.getAs[String]("id") -> r).toMap
+    assert(st("Foo").getAs[Long]("edits") == 2L) // replay folded once
+    assert(!new java.io.File(dir, "data/b5-deadbeef").exists()) // swept
+  }
+
   test("bucketed state: legacy per-bucket stamps resume each bucket at its own position") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64, when}

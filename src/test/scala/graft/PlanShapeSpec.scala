@@ -54,6 +54,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
   }
 
+  test("emb_cluster_purity: centroids broadcast; argmin prunes with WindowGroupLimit") {
+    val p = physical("emb_cluster_purity")
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
   test("q22_idle_rich_custs: scalar average broadcasts; anti join stays hash-based") {
     val p = physical("q22_idle_rich_custs")
     assert(p.contains("BroadcastExchange"), p.take(2000))
