@@ -395,6 +395,11 @@ object SparkEntry {
     // Benchmark decontamination: md5-coin eval split (~6% of docs), train
     // docs flagged when any word-8-gram also occurs in the eval set (the
     // eval gram table broadcasts; the corpus is never shuffled).
+    // Shard manifest: 4 consecutive packs per shard within each language;
+    // the table a training data loader reads to schedule shard reads.
+    "doc_shards" -> ((s, dir) =>
+      Curation.shardManifest(t(s, dir, "documents"))),
+
     "doc_decontam" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val coin = substring(
@@ -1167,6 +1172,28 @@ object SparkEntry {
          SELECT doc_id, lang, toks,
            CAST(floor(before / 2048) AS BIGINT) AS pack_id
          FROM cum""",
+
+    // Packing CTEs mirror doc_packing; shards are 4 consecutive packs.
+    "doc_shards" ->
+      """WITH perdoc AS (
+           SELECT doc_id, lang,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks
+           FROM documents),
+         cum AS (
+           SELECT doc_id, lang, toks,
+             coalesce(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+           FROM perdoc),
+         packs AS (
+           SELECT doc_id, lang, toks,
+             CAST(floor(before / 2048) AS BIGINT) AS pack_id
+           FROM cum)
+         SELECT lang, CAST(floor(pack_id / 4) AS BIGINT) AS shard_id,
+           CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS tokens
+         FROM packs GROUP BY 1, 2""",
 
     "doc_decontam" ->
       """WITH coin AS (

@@ -276,6 +276,28 @@ object Curation {
           .as("pack_id"))
   }
 
+  /** Shard manifest — the step after [[packAssignments]] that lays packs
+    * out into output shards: within each language, `packsPerShard`
+    * consecutive packs form one shard (`shard_id = floor(pack_id /
+    * packsPerShard)` — contiguous doc_id ranges, so a shard is one
+    * sequential read of the packed corpus), and the manifest reports each
+    * shard's pack/document/token totals. This is the table a training
+    * job's data loader consumes to size and schedule shard reads.
+    *
+    * Scale shape: inherits the range-partitioned packing pass; the
+    * manifest aggregation is one groupBy over (lang, shard) — thousands
+    * of cells — with map-side combine.
+    */
+  def shardManifest(docs: DataFrame, budgetTokens: Long = 2048L,
+      packsPerShard: Long = 4L, rangeSize: Long = 100L): DataFrame =
+    packAssignments(docs, budgetTokens, rangeSize)
+      .withColumn("shard_id",
+        floor(col("pack_id").cast("double") / packsPerShard).cast("long"))
+      .groupBy(col("lang"), col("shard_id"))
+      .agg(count_distinct(col("pack_id")).as("n_packs"),
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("tokens"))
+
   /** Corpus vocabulary head: the `k` most frequent whitespace tokens with
     * occurrence and document frequencies — the input to vocabulary /
     * stopword construction. Scale shape: explode → ONE hash aggregation

@@ -363,6 +363,21 @@ class PipelineOperatorsSpec extends SparkSpec {
       v(1).getAs[Long]("doc_freq") == 2L)
   }
 
+  test("shardManifest: consecutive packs per shard; per-shard totals add up") {
+    import spark.implicits._
+    // budget 2, 2 packs/shard: en docs of 2 tokens each land one per
+    // pack; packs {0,1} → shard 0, packs {2,3} → shard 1.
+    val d = (1L to 8L).map(i => (i, "a b", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val m = graft.operators.Curation
+      .shardManifest(d, budgetTokens = 2L, packsPerShard = 2L)
+      .collect().map(r => r.getAs[Long]("shard_id") ->
+        (r.getAs[Long]("n_packs"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("tokens"))).toMap
+    assert(m.keySet == Set(0L, 1L, 2L, 3L))
+    assert(m.values.forall(_ == (2L, 2L, 4L)))
+  }
+
   test("packAssignments: doc lands in the pack holding its first token") {
     import spark.implicits._
     // budget 5: doc1 (3 toks, before=0) → pack 0; doc2 (3, before=3) →
