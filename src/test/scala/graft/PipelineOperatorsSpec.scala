@@ -719,6 +719,70 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(gotCount == expected.view.mapValues(_._1).toMap)
   }
 
+  test("sessionize: matches a brute-force gap walk on random events") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(23)
+    val gapMin = 7L
+    val events = (1L to 120L).map { i =>
+      (rnd.nextInt(5).toLong, i,
+        new Timestamp(rnd.nextInt(6000) * 1000L), // 0-100 min, sec grain
+        if (rnd.nextBoolean()) "purchase" else "view",
+        (rnd.nextInt(400) + 1) / 4.0) // exact quarters: sums exact
+    }
+    // Reference: per user, sort by (ts, event_id), walk gaps.
+    val expected = events.groupBy(_._1).flatMap { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e._3.getTime, e._2))
+      val sessions = sorted.foldLeft(Vector.empty[Vector[(Long, Long, Timestamp, String, Double)]]) {
+        case (acc, e) =>
+          if (acc.nonEmpty &&
+              e._3.getTime - acc.last.last._3.getTime <= gapMin * 60000L)
+            acc.init :+ (acc.last :+ e)
+          else acc :+ Vector(e)
+      }
+      sessions.zipWithIndex.map { case (s, i) =>
+        (u, i + 1L) -> ((s.head._3, s.last._3, s.size.toLong,
+          s.count(_._4 == "purchase").toLong,
+          BigDecimal(s.map(_._5).sum).setScale(2,
+            BigDecimal.RoundingMode.HALF_EVEN).toDouble))
+      }
+    }
+    val got = EventAnalytics.sessionize(
+        events.toDF("user_id", "event_id", "ts", "event_type", "value"),
+        gapMinutes = gapMin)
+      .collect().map(r =>
+        (r.getAs[Long]("user_id"), r.getAs[Long]("session_seq")) ->
+          ((r.getAs[Timestamp]("session_start"), r.getAs[Timestamp]("session_end"),
+            r.getAs[Long]("n_events"), r.getAs[Long]("purchases"),
+            r.getAs[Double]("total_value")))).toMap
+    assert(got == expected)
+  }
+
+  test("cohortRetention: matches a brute-force cohort walk on random events") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(29)
+    val dayMs = 86400000L
+    val events = (1L to 150L).map { i =>
+      (rnd.nextInt(12).toLong, i,
+        new Timestamp(1704067200000L + rnd.nextInt(14) * dayMs +
+          rnd.nextInt(86400) * 1000L), "view", 0.0)
+    }
+    val userDays = events.map(e => (e._1, e._3.getTime / dayMs)).distinct
+    val first = userDays.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val cells = userDays.groupBy { case (u, d) => (first(u), d - first(u)) }
+      .view.mapValues(_.map(_._1).distinct.size.toLong).toMap
+    val sizes = first.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = cells.map { case ((cd, off), active) =>
+      val iso = java.time.LocalDate.ofEpochDay(cd).toString
+      (iso, off) -> ((active, sizes(cd)))
+    }
+    val got = EventAnalytics.cohortRetention(
+        events.toDF("user_id", "event_id", "ts", "event_type", "value"))
+      .collect().map(r =>
+        (r.getAs[String]("cohort_day"), r.getAs[Long]("offset_days")) ->
+          ((r.getAs[Long]("active_users"), r.getAs[Long]("cohort_users")))).toMap
+    assert(got == expected.toMap)
+  }
+
   test("winnowing guarantee holds on random doc pairs with planted shared spans") {
     // Property (Schleimer et al.): any shared substring of >= w+k-1
     // tokens yields at least one shared fingerprint. Plant spans of
