@@ -1394,11 +1394,17 @@ object SparkEntry {
            SELECT md5(chunk) AS ch FROM exf
            GROUP BY 1 HAVING count(DISTINCT doc_id) > 1),
          kept AS (
-           SELECT * FROM exf WHERE md5(chunk) NOT IN (SELECT ch FROM dups))
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_chunks,
-           CAST(sum(clen) AS BIGINT) AS clean_tokens,
-           md5(string_agg(chunk, ' ' ORDER BY pos)) AS clean_hash
-         FROM kept GROUP BY doc_id""",
+           SELECT * FROM exf WHERE md5(chunk) NOT IN (SELECT ch FROM dups)),
+         agg AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_chunks,
+             CAST(sum(clen) AS BIGINT) AS clean_tokens,
+             md5(string_agg(chunk, ' ' ORDER BY pos)) AS clean_hash
+           FROM kept GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(agg.kept_chunks, 0) AS kept_chunks,
+           coalesce(agg.clean_tokens, 0) AS clean_tokens,
+           coalesce(agg.clean_hash, md5('')) AS clean_hash
+         FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""",
 
     "doc_dup_spans" ->
       """WITH toks AS (

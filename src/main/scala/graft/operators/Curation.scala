@@ -307,8 +307,7 @@ object Curation {
     * Ties break lexicographically so the cut is deterministic.
     */
   def vocabTopK(docs: DataFrame, k: Int = 100): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(TextAnalysis.wsTokens(col("text"))).as("token"))
+    val toks = TextAnalysis.explodedTokens(docs)
     toks.groupBy(col("token"))
       .agg(count(lit(1)).as("occurrences"),
         count_distinct(col("doc_id")).as("doc_freq"))
@@ -522,15 +521,7 @@ object Curation {
     val toks = docs.select(col("doc_id"), col(tsCol),
       TextAnalysis.wsTokens(col("text")).as("toks"))
     val chunks = toks.select(col("doc_id"), col(tsCol),
-      transform(
-        sequence(lit(0),
-          greatest(floor((size(col("toks")) - 1).cast("double") / chunkTokens)
-            .cast("int"), lit(0))),
-        i => struct(
-          concat_ws(" ", slice(col("toks"), i * chunkTokens + 1, lit(chunkTokens)))
-            .as("chunk"),
-          least(size(col("toks")) - i * chunkTokens, lit(chunkTokens))
-            .as("clen"))).as("cs"))
+      TextAnalysis.chunkStructs(col("toks"), chunkTokens).as("cs"))
     chunks
       .select(col("doc_id"), col(tsCol), posexplode_outer(col("cs")).as(Seq("pos", "c")))
       .filter(col("c.clen") > 0)

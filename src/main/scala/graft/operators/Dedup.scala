@@ -225,10 +225,14 @@ object Dedup {
     // a corpus's distinct shingles is negligible). The persisted set
     // subtree feeds the exploded join input and both count branches.
     // Each exploded row carries its doc's shingle count so the join can
-    // prune size-incompatible pairs in place: J(A,B) <= min/max, so
-    // min(|A|,|B|) < threshold * max(|A|,|B|) can never pass the final
-    // filter — at corpus scale this drops most boilerplate collisions
-    // before they reach the pair aggregation.
+    // prune size-incompatible pairs in place: J(A,B) <= min/max, so a
+    // pair whose size ratio sits below the threshold can never pass the
+    // final filter — at corpus scale this drops most boilerplate
+    // collisions before they reach the pair aggregation. The prune runs
+    // against threshold − 1e-6, NOT the threshold itself: the final
+    // filter compares round(J, 6), which admits true J down to half a
+    // 1e-6 grid step below the threshold, and an exact-bound prune would
+    // drop such a pair before the filter ever saw it.
     val sets = shingleSets(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = sets.select(col("doc_id"), explode(col("sset")).as("shingle"),
@@ -238,7 +242,7 @@ object Dedup {
     val inter = ex.as("a").join(ex.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.cnt"), col("b.cnt")).cast("double") >=
-            lit(threshold) * greatest(col("a.cnt"), col("b.cnt")))
+            lit(threshold - 1e-6) * greatest(col("a.cnt"), col("b.cnt")))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     val out = inter
@@ -417,8 +421,7 @@ object Dedup {
 
   private def simhashesImpl(docs: DataFrame, bits: Int,
       hexChars: Int): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
+    val toks = TextAnalysis.explodedTokens(docs, as = "tok")
     // `bits`-bit value from the leading hex chars of the token's md5.
     val withH = toks.select(col("doc_id"),
       conv(substring(md5(col("tok")), 1, hexChars), 16, 10)

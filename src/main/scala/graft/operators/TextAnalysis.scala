@@ -184,6 +184,16 @@ object TextAnalysis {
     // One row per doc per fingerprint; materialized once — the self-join
     // would otherwise re-run the whole winnowing pipeline per side.
     val fp = winnowingFingerprints(docs, k, w).localCheckpoint(eager = true)
+    sharedFingerprintPairs(fp, minShared, maxDf)
+  }
+
+  /** The candidate-pair discipline over a MATERIALIZED fingerprint table —
+    * hot-fingerprint df cap first, a<b self-join, shared-count threshold.
+    * One definition shared by [[winnowNearDupCandidates]] and
+    * [[dupSpans]], so the cap/join rules cannot diverge between them.
+    */
+  private def sharedFingerprintPairs(fp: DataFrame, minShared: Int,
+      maxDf: Int): DataFrame = {
     val rare = fp.groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
@@ -297,9 +307,21 @@ object TextAnalysis {
     * aggregation and the join (see tfIdfTopTerms). The zero-token
     * re-attach scans only the pruned doc_id column.
     */
+  /** (doc_id, token) exploded pairs with the tokenization materialized in
+    * its own projection FIRST: inner `explode` of the raw wsTokens
+    * expression lets InferFiltersFromGenerate slip a
+    * `size(wsTokens(text)) > 0` filter below the Generate, re-running the
+    * regex split once more per document on the full scan; exploding the
+    * attribute makes the inferred filter a cheap size check on the
+    * already-built array (the shingleSets discipline, one level down).
+    */
+  private[graft] def explodedTokens(docs: DataFrame,
+      as: String = "token"): DataFrame =
+    docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as(as))
+
   def tokenRarity(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
+    val toks = explodedTokens(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
     val perDoc = toks.join(freq, Seq("token"))
@@ -344,22 +366,30 @@ object TextAnalysis {
     * doc. The corpus body is read once; everything after the explode
     * carries (doc_id, hash, n_tokens) triples only.
     */
+  /** (chunk text, token length) structs over a PRE-MATERIALIZED token
+    * attribute — chunk i covers tokens [i·chunkTokens, (i+1)·chunkTokens);
+    * the last chunk may be short; an empty doc yields one zero-length
+    * pseudo-chunk (`clen = 0`). floor() because Column `/` is double
+    * division. The single definition the chunk-dedup family shares
+    * ([[paragraphDedup]], [[paragraphDedupClean]],
+    * [[Curation.streamingChunkDedup]]) — a chunking change must not be
+    * able to diverge between the counting, emission, and streaming paths.
+    */
+  private[graft] def chunkStructs(toks: Column, chunkTokens: Int): Column =
+    transform(
+      sequence(lit(0),
+        greatest(floor((size(toks) - 1).cast("double") / chunkTokens)
+          .cast("int"), lit(0))),
+      i => struct(
+        concat_ws(" ", slice(toks, i * chunkTokens + 1, lit(chunkTokens)))
+          .as("chunk"),
+        least(size(toks) - i * chunkTokens, lit(chunkTokens))
+          .as("clen")))
+
   def paragraphDedup(docs: DataFrame, chunkTokens: Int = 10): DataFrame = {
     val toks = docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
-    // Chunk i covers tokens [i*chunkTokens, (i+1)*chunkTokens); the last
-    // chunk may be short. floor() because Column `/` is double division;
-    // empty docs produce one zero-length pseudo-chunk, filtered below and
-    // re-attached with zero counts at the end.
     val chunks = toks.select(col("doc_id"), size(col("toks")).as("n_toks"),
-      transform(
-        sequence(lit(0),
-          greatest(floor((size(col("toks")) - 1).cast("double") / chunkTokens)
-            .cast("int"), lit(0))),
-        i => struct(
-          concat_ws(" ", slice(col("toks"), i * chunkTokens + 1, lit(chunkTokens)))
-            .as("chunk"),
-          least(size(col("toks")) - i * chunkTokens, lit(chunkTokens))
-            .as("clen"))).as("cs"))
+      chunkStructs(col("toks"), chunkTokens).as("cs"))
     // A token-less doc's single zero-length pseudo-chunk rides THROUGH the
     // aggregation (guarded by clen > 0 everywhere) instead of being
     // filtered and left-joined back — the re-attach base would re-scan and
@@ -417,33 +447,40 @@ object TextAnalysis {
   def paragraphDedupClean(docs: DataFrame, chunkTokens: Int = 10): DataFrame = {
     val toks = docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
     val chunks = toks.select(col("doc_id"),
-      transform(
-        sequence(lit(0),
-          greatest(floor((size(col("toks")) - 1).cast("double") / chunkTokens)
-            .cast("int"), lit(0))),
-        i => struct(
-          concat_ws(" ", slice(col("toks"), i * chunkTokens + 1, lit(chunkTokens)))
-            .as("chunk"),
-          least(size(col("toks")) - i * chunkTokens, lit(chunkTokens))
-            .as("clen"))).as("cs"))
+      chunkStructs(col("toks"), chunkTokens).as("cs"))
+    // The persisted rows carry the hash ALONGSIDE the chunk text: the dup
+    // aggregation and the anti-join probe both consume it, and computing
+    // md5 inside the join condition would re-hash every chunk of the
+    // corpus a second time.
     val ex = chunks
       .select(col("doc_id"), posexplode_outer(col("cs")).as(Seq("pos", "c")))
       .filter(col("c.clen") > 0)
       .select(col("doc_id"), col("pos"), col("c.chunk").as("chunk"),
-        col("c.clen").cast("long").as("clen"))
+        md5(col("c.chunk")).as("ch"), col("c.clen").cast("long").as("clen"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dups = ex.groupBy(md5(col("chunk")).as("ch"))
+    val dups = ex.groupBy(col("ch"))
       .agg(count_distinct(col("doc_id")).as("cdf"))
       .filter(col("cdf") > 1)
       .select(col("ch"))
-    val kept = ex.join(broadcast(dups), md5(col("chunk")) === col("ch"),
-      "left_anti")
-    val out = kept.groupBy(col("doc_id"))
+    val kept = ex.join(broadcast(dups), Seq("ch"), "left_anti")
+    val agg = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("kept_chunks"),
         sum(col("clen")).as("clean_tokens"),
         md5(concat_ws(" ", transform(
           array_sort(collect_list(struct(col("pos"), col("chunk")))),
           s => s("chunk")))).as("clean_hash"))
+    // Re-attach documents that vanished from the rewrite — empty docs and
+    // docs whose EVERY chunk is cross-doc boilerplate: "cleaned to empty"
+    // must stay distinguishable from "never existed", and it is what
+    // paragraphDedup's counting half reports for the same input. The
+    // re-attach base is a doc_id-only column-pruned scan (no second
+    // tokenization).
+    val out = docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
+        coalesce(col("clean_tokens"), lit(0L)).as("clean_tokens"),
+        coalesce(col("clean_hash"), md5(lit(""))).as("clean_hash"))
       .localCheckpoint(eager = true) // release the chunk cache below
     ex.unpersist()
     out
@@ -469,17 +506,7 @@ object TextAnalysis {
     val fp = winnowingFingerprints(docs, k, w).localCheckpoint(eager = true)
     val counts = fp.groupBy(col("doc_id"))
       .agg(count_distinct(col("fingerprint")).as("nfp"))
-    val rare = fp.groupBy(col("fingerprint"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select(col("fingerprint"))
-    val pruned = fp.join(rare, Seq("fingerprint"))
-    pruned.as("a").join(pruned.as("b"),
-        col("a.fingerprint") === col("b.fingerprint") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= minShared)
+    sharedFingerprintPairs(fp, minShared, maxDf)
       .join(counts.select(col("doc_id").as("doc_a"), col("nfp").as("nfp_a")),
         Seq("doc_a"))
       .join(counts.select(col("doc_id").as("doc_b"), col("nfp").as("nfp_b")),
@@ -511,8 +538,7 @@ object TextAnalysis {
     // (two Generate+Scan subtrees in the static plan; exchange reuse is a
     // runtime maybe, not a guarantee). The persisted rows are (id, token,
     // count) — far smaller than the text they summarize.
-    val tf = docs
-      .select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
+    val tf = explodedTokens(docs)
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))

@@ -159,10 +159,23 @@ object TrendStream {
     } else {
       val evs = events.toSeq
       applyEvents(state.getOption, evs) match {
-        case Some(next) =>
+        // The data path ALSO applies the cleaner policy when the cleaner
+        // is on: a page edited at least once per cleaner interval never
+        // goes idle long enough for its timeout to fire, and without this
+        // check a continuously-active page would outlive maxLifespan
+        // indefinitely — the reference cleaner (index.js:362-392) and the
+        // batch `survivors` twin both drop on age regardless of activity.
+        // Gated on armTimers because the check compares event-derived
+        // state times against PROCESSING time, which only means something
+        // when the stream is live (finite replays of historical fixtures
+        // run with armTimers=false and exercise `survives` directly).
+        case Some(next) if !armTimers || survives(next, nowMs, cfg) =>
           state.update(next)
           if (armTimers) state.setTimeoutDuration(cfg.cleanerIntervalSec * 1000)
           Iterator.single(next)
+        case Some(_) =>
+          if (state.exists) state.remove()
+          Iterator.empty
         case None =>
           // Dropped/deleted — or a log-only group on an absent page, which
           // must NOT materialize a zero-edit PageState.
@@ -179,21 +192,30 @@ object TrendStream {
     import graft.functions.Classifiers._
     val spark = events.sparkSession
     import spark.implicits._
+    // Null-safe classifier inputs: a rev-deleted/suppressed editor arrives
+    // with user = null (EventAdapter passes it through), and a null user
+    // makes isIP/isBotEdit evaluate to NULL — which the non-nullable
+    // Boolean fields of ClassifiedEvent's encoder reject, killing the
+    // whole query on one event. Same for a null comment through
+    // isRevert/notability/volatility (and the isFixup FILTER, where a
+    // null would silently drop the row instead of keeping it).
+    val userSafe = coalesce(col("user"), lit(""))
+    val commentSafe = coalesce(col("comment"), lit(""))
     events.toDF()
       .filter(isArticle(col("namespace")))
       .filter(projectMatch(col("serverName"), cfg.project))
-      .filter(!isFixup(col("comment")))
+      .filter(!isFixup(commentSafe))
       .select(
         pageId(col("wiki"), col("title")).as("id"),
         col("title"),
         wikiOf(col("wiki")).as("wiki"),
-        coalesce(col("user"), lit("")).as("user"),
-        isBotEdit(col("bot"), col("user"), cfg.knownBots).as("isBot"),
-        isRevert(col("comment")).as("isRevert"),
-        isIP(col("user")).as("isAnon"),
+        userSafe.as("user"),
+        isBotEdit(col("bot"), userSafe, cfg.knownBots).as("isBot"),
+        isRevert(commentSafe).as("isRevert"),
+        isIP(userSafe).as("isAnon"),
         coalesce(col("rcType") === "new", lit(false)).as("isNew"),
-        notabilityHit(col("comment")).as("notab"),
-        volatilityHit(col("comment")).as("volat"),
+        notabilityHit(commentSafe).as("notab"),
+        volatilityHit(commentSafe).as("volat"),
         when(col("logType").isNotNull, lit(0L))
           .otherwise(bytesDelta(col("lengthNew"), col("lengthOld"))).as("delta"),
         when(col("logType").isNotNull, col("logAction"))
@@ -271,7 +293,13 @@ object TrendStream {
       .writeStream
       .format("memory").queryName(queryName).outputMode("update")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    try q.awaitTermination(120000) finally q.stop()
+    // A false return means the drain STALLED — surfacing it beats
+    // comparing against a silently-partial snapshot downstream.
+    try {
+      if (!q.awaitTermination(120000))
+        throw new IllegalStateException(
+          "replayToSnapshot: stream drain did not terminate within 120 s")
+    } finally q.stop()
     // Update-mode memory sink appends each update; keep the LAST row per
     // id. A key whose final action dropped it emits nothing in that batch —
     // rows from EARLIER batches can linger (sink workaround limitation);

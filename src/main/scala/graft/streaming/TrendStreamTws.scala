@@ -61,10 +61,20 @@ object TrendStreamTws {
         tv: TimerValues): Iterator[PageState] = {
       val prev = if (state.exists()) Some(state.get()) else None
       TrendStream.applyEvents(prev, rows.toSeq) match {
-        case Some(next) =>
+        // Data path applies the cleaner policy too when the cleaner is on
+        // (same rationale as TrendStream.updateFn): a continuously-active
+        // page never leaves its timer idle, and must still age out at
+        // maxLifespan. Gated on armTimers — processing-time checks only
+        // mean something on a live stream.
+        case Some(next) if !armTimers ||
+            TrendStream.survives(next, tv.getCurrentProcessingTimeInMs(), cfg) =>
           state.update(next)
           if (armTimers) rearm(tv)
           Iterator.single(next)
+        case Some(_) =>
+          if (state.exists()) state.clear()
+          getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+          Iterator.empty
         case None =>
           // Dropped/deleted — or a log-only group on an absent page, which
           // must NOT materialize a zero-edit PageState.

@@ -565,20 +565,25 @@ class PipelineOperatorsSpec extends SparkSpec {
 
   test("paragraphDedupClean: rebuilt text drops shared chunks, keeps order") {
     // Chunk size 3: docs 1/2 share "a b c"; doc 1 keeps [d e f][g h] in
-    // order; doc 3 is entirely the shared chunk -> drops out of the
-    // rewritten corpus.
+    // order; doc 3 is ENTIRELY the shared chunk — cleaned to empty, and
+    // reported as such (kept_chunks 0, hash of ""), not silently omitted.
     val d = docs(
       1L -> "a b c d e f g h",
       2L -> "a b c x y z",
       3L -> "a b c")
     val out = TextAnalysis.paragraphDedupClean(d, chunkTokens = 3).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
-    assert(out.keySet == Set(1L, 2L))
+    assert(out.keySet == Set(1L, 2L, 3L))
     assert(out(1L).getAs[Long]("kept_chunks") == 2L)
     assert(out(1L).getAs[Long]("clean_tokens") == 5L)
     val expected = d.sparkSession.sql("SELECT md5('d e f g h')")
       .collect()(0).getString(0)
     assert(out(1L).getAs[String]("clean_hash") == expected)
+    assert(out(3L).getAs[Long]("kept_chunks") == 0L)
+    assert(out(3L).getAs[Long]("clean_tokens") == 0L)
+    val emptyHash = d.sparkSession.sql("SELECT md5('')")
+      .collect()(0).getString(0)
+    assert(out(3L).getAs[String]("clean_hash") == emptyHash)
   }
 
   test("dupSpans: shared fingerprints certify span bound; identical docs contain") {

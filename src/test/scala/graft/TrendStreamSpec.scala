@@ -146,6 +146,33 @@ class TrendStreamSpec extends SparkSpec {
     assert(!TrendStream.survives(s, ts("2024-01-02 01:00:00").getTime, cfg))
   }
 
+  test("eviction: data path drops an ACTIVE page past maxLifespan when the cleaner is on") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    // A page edited every few seconds never goes idle long enough for its
+    // processing-time timeout to fire — the data path itself must apply
+    // the cleaner policy (reference cleaner + batch survivors drop on age
+    // regardless of activity).
+    val old = stateAt("2024-01-01 00:00:00", "2024-01-02 00:59:00",
+      edits = 100000) // fast page, age 25 h > 24 h lifespan
+    val nowMs = ts("2024-01-02 01:00:00").getTime
+    def run(armTimers: Boolean) = {
+      val st = TestGroupState.create[PageState](
+        org.apache.spark.api.java.Optional.of(old),
+        GroupStateTimeout.ProcessingTimeTimeout(), nowMs,
+        org.apache.spark.api.java.Optional.empty[Long](),
+        hasTimedOut = false)
+      val out = TrendStream.updateFn(cfg, armTimers)(
+        "Foo", Iterator(ce(at = ts("2024-01-02 00:59:30"))), st).toSeq
+      (out, st.isRemoved)
+    }
+    val (outLive, removedLive) = run(armTimers = true)
+    assert(outLive.isEmpty && removedLive, "live cleaner must age the page out")
+    // Finite replays (cleaner off) keep the historical semantics: state
+    // times vs wall-clock are meaningless there.
+    val (outReplay, removedReplay) = run(armTimers = false)
+    assert(outReplay.nonEmpty && !removedReplay)
+  }
+
   // --- stream ≡ batch ----------------------------------------------------
 
   private def rc(
