@@ -2329,10 +2329,14 @@ object SparkEntry {
            CAST(coalesce(sh.hits_single, 0) AS BIGINT) AS hits_single,
            CAST(coalesce(mh.hits_multi, 0) AS BIGINT) AS hits_multi,
            CAST(coalesce(m2h.hits_multi2, 0) AS BIGINT) AS hits_multi2,
-           round(CAST(coalesce(sh.hits_single, 0) AS DOUBLE) / 5, 6) AS recall_single,
-           round(CAST(coalesce(mh.hits_multi, 0) AS DOUBLE) / 5, 6) AS recall_multi,
-           round(CAST(coalesce(m2h.hits_multi2, 0) AS DOUBLE) / 5, 6) AS recall_multi2
-         FROM (SELECT DISTINCT query_id FROM bf) q
+           round(CAST(coalesce(sh.hits_single, 0) AS DOUBLE)
+                 / CAST(q.bf_n AS DOUBLE), 6) AS recall_single,
+           round(CAST(coalesce(mh.hits_multi, 0) AS DOUBLE)
+                 / CAST(q.bf_n AS DOUBLE), 6) AS recall_multi,
+           round(CAST(coalesce(m2h.hits_multi2, 0) AS DOUBLE)
+                 / CAST(q.bf_n AS DOUBLE), 6) AS recall_multi2
+         FROM (SELECT query_id, CAST(count(*) AS BIGINT) AS bf_n
+               FROM bf GROUP BY 1) q
          LEFT JOIN sh USING (query_id)
          LEFT JOIN mh USING (query_id)
          LEFT JOIN m2h USING (query_id)""",

@@ -32,8 +32,12 @@ final class TrendCollection(
   import graft.functions.Classifiers.pageId
 
   // Control metadata (reference: mutable flags on WikiPage / key deletes).
-  private var droppedIds = Set.empty[String]
-  private var safeIds = Set.empty[String]
+  // @volatile: control ops arrive from a UI/admin thread while a query
+  // thread serves boards — without the barrier a drop() may never become
+  // visible to the reader (immutable Set replacement makes volatile
+  // sufficient).
+  @volatile private var droppedIds = Set.empty[String]
+  @volatile private var safeIds = Set.empty[String]
 
   /** As-of instant for the time-derived metrics: max event ts unless set.
     * The max-ts aggregate is memoized — without it every snapshot/board
@@ -49,13 +53,21 @@ final class TrendCollection(
   private def asOfCol = lit(asOfOverride.getOrElse(maxEventTs))
 
   private def idOf(title: String, wiki: String): String =
-    if (wiki == "enwiki") title else s"$wiki/$title"
+    graft.functions.Classifiers.pageIdStr(wiki, title)
 
   /** All live pages with metrics (reference `getPages`, index.js:453-456).
     * "Live" = survives the eviction policy (A7) and isn't dropped.
     */
-  def getPages(): DataFrame = {
-    val aggregated = PageAggregates.trendAggregates(events, cfg)
+  def getPages(): DataFrame =
+    pagesOver(PageAggregates.canonicalizeRenames(events))
+
+  /** getPages over an ALREADY-CANONICALIZED event view — boards that also
+    * need a second aggregate of the same events (topByBias) canonicalize
+    * once and feed both from it, instead of re-running the driver-side
+    * move-log collect + broadcast per aggregate.
+    */
+  private def pagesOver(canonical: DataFrame): DataFrame = {
+    val aggregated = PageAggregates.pageAggregates(canonical, cfg)
     val notDropped =
       if (droppedIds.isEmpty) aggregated
       else aggregated.filter(!col("id").isin(droppedIds.toSeq: _*))
@@ -94,11 +106,11 @@ final class TrendCollection(
     * line up with getPages() (which aggregates under final titles).
     */
   def topByBias(k: Int = 5): DataFrame = {
-    val dist = PageAggregates
-      .distribution(PageAggregates.canonicalizeRenames(events), cfg)
+    val canonical = PageAggregates.canonicalizeRenames(events)
+    val dist = PageAggregates.distribution(canonical, cfg)
       .select(col("id"),
         round(PageAggregates.bias(col("distribution")), 6).as("bias"))
-    getPages().join(dist, Seq("id"), "left")
+    pagesOver(canonical).join(dist, Seq("id"), "left")
       .withColumn("bias", coalesce(col("bias"), lit(0.0)))
       .orderBy(desc("bias"), asc("id")).limit(k)
   }

@@ -89,6 +89,14 @@ object Classifiers {
   def pageId(wiki: Column, title: Column): Column =
     when(wiki === "enwiki", title).otherwise(concat(wiki, lit("/"), title))
 
+  /** Driver-side twin of [[pageId]] — THE id scheme's single definition
+    * for Scala call sites (point lookups, control ops, state bucketing);
+    * a scheme change must not be able to diverge between the column and
+    * driver paths.
+    */
+  def pageIdStr(wiki: String, title: String): String =
+    if (wiki == "enwiki") title else s"$wiki/$title"
+
   /** Normalized wiki column: `''` for enwiki (index.js:445 sets wiki only
     * on the non-enwiki path).
     */

@@ -98,13 +98,15 @@ object Curation {
     val derived = toks.select(col("doc_id"), col("chars"), col("toks"),
       sortedGrams(2).as("grams2"), sortedGrams(3).as("grams3"),
       sortedGrams(4).as("grams4"),
+      // Chunk strings from the SHARED chunk builder (TextAnalysis.
+      // chunkStructs) — dup_line_fraction's "lines" must be the same unit
+      // paragraphDedup dedups on, and two hand-synced copies could drift.
+      // The empty-doc guard is unchanged (chunkStructs' zero-length
+      // pseudo-chunk would make dlf 0/1 = the same 0.0 the guard yields).
       when(size(col("toks")) === 0, array().cast("array<string>"))
         .otherwise(transform(
-          sequence(lit(0),
-            greatest(floor((size(col("toks")) - 1).cast("double") / chunkTokens)
-              .cast("int"), lit(0))),
-          i => concat_ws(" ", slice(col("toks"), i * chunkTokens + 1,
-            lit(chunkTokens))))).as("chunks"))
+          TextAnalysis.chunkStructs(col("toks"), chunkTokens),
+          s => s("chunk"))).as("chunks"))
     val stopHits = gopherStopwords
       .map(s => when(array_contains(col("toks"), s), 1).otherwise(0))
       .reduce(_ + _)

@@ -216,7 +216,15 @@ object PageAggregates {
       .filter(col("logType").isNotNull && col("logAction") === "move")
       .select(col("wiki"), col("title").as("fromTitle"),
         element_at(col("logParams"), "target").as("toTitle"), col("ts"))
-    val edges = moves.orderBy(col("ts"))
+      // A malformed move with no target would resolve its upstream movers
+      // to null (the sweep follows edges through it) — one bad admin
+      // event must not split a page's history across two ids.
+      .filter(col("toTitle").isNotNull)
+    // Tie-break beyond ts: equal-timestamp moves (second-granularity
+    // feed, move sprees) otherwise collect in ARBITRARY order and the
+    // chain resolution — order-sensitive by design — flips between runs.
+    val edges = moves
+      .orderBy(col("ts"), col("wiki"), col("fromTitle"), col("toTitle"))
       .select("wiki", "fromTitle", "toTitle").collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getString(2)))
     warnIfMoveFlood(edges.length)

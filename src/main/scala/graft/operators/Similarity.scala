@@ -180,18 +180,48 @@ object Similarity {
     * (each candidate set is a superset of the previous).
     */
   def ivfRecall(emb: DataFrame, k: Int = 5, numQueries: Int = 10): DataFrame = {
-    val bf = bruteForceTopK(emb, k, numQueries)
-      .select(col("query_id"), col("neighbor_id"))
-    def hitsOf(res: DataFrame, name: String): DataFrame =
-      bf.join(res.select(col("query_id"), col("neighbor_id")),
-          Seq("query_id", "neighbor_id"))
+    val withBucket = emb
+      .select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+      .withColumn("bucket", lshBucket(col("ev")))
+      .withColumn("nrm", norm(col("ev")))
+    val queries = withBucket.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("ev").as("qv"),
+        col("bucket").as("qb"), col("nrm").as("qn"))
+    // ONE scored pass over (corpus × broadcast queries) feeds the exact
+    // baseline AND every probe tier: a candidate's probe ring is the
+    // Hamming distance between its cell and the query's (bit_count of
+    // the XOR), and tier r's candidate set is exactly `ring <= r` — the
+    // same sets the per-tier probe joins produced, without re-running
+    // the LSH projection and cosine three more times over the corpus.
+    // Checkpointed: numQueries × corpus small rows feed four branches.
+    val scored = withBucket.join(broadcast(queries),
+        col("query_id") =!= col("vec_id"))
+      .withColumn("cos", cosineWithNorms(dot(col("qv"), col("ev")),
+        col("qn"), col("nrm")))
+      .withColumn("ring", expr("bit_count(bucket ^ qb)"))
+      .select(col("query_id"), col("vec_id"), col("cos"), col("ring"))
+      .localCheckpoint(eager = true)
+    def topk(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        .select(col("query_id"), col("vec_id"))
+    }
+    val bf = topk(scored)
+    // Recall denominates on what brute force ACTUALLY returned — a corpus
+    // (or filtered slice) smaller than k must not understate a perfect
+    // match as hits/k.
+    val bfn = bf.groupBy(col("query_id")).agg(count(lit(1)).as("bf_n"))
+    def hitsOf(r: Int, name: String): DataFrame =
+      bf.join(topk(scored.filter(col("ring") <= r)), Seq("query_id", "vec_id"))
         .groupBy(col("query_id")).agg(count(lit(1)).as(name))
-    val sh = hitsOf(ivfTopK(emb, k, numQueries), "hits_single")
-    val mh = hitsOf(ivfTopKMulti(emb, k, numQueries), "hits_multi")
-    val m2 = hitsOf(ivfTopKMulti(emb, k, numQueries, rings = 2), "hits_multi2")
+    val sh = hitsOf(0, "hits_single")
+    val mh = hitsOf(1, "hits_multi")
+    val m2 = hitsOf(2, "hits_multi2")
     def rec(c: String): Column =
-      round(coalesce(col(c), lit(0L)).cast("double") / k, 6)
-    bf.select(col("query_id")).distinct()
+      round(coalesce(col(c), lit(0L)).cast("double") /
+        col("bf_n").cast("double"), 6)
+    bfn
       .join(sh, Seq("query_id"), "left")
       .join(mh, Seq("query_id"), "left")
       .join(m2, Seq("query_id"), "left")

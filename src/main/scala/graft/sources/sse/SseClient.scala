@@ -57,7 +57,7 @@ final class SseClient(
       while (!stopped && written < maxMessages && connects < maxConnects) {
         connects += 1
         try {
-          val in = open(lastEventId)
+          val in = openWithDeadline(lastEventId)
           current = in
           lastTrafficMs = System.currentTimeMillis()
           written += consume(in, maxMessages - written)
@@ -98,19 +98,20 @@ final class SseClient(
       lastTrafficMs = System.currentTimeMillis()
       line match {
         case "" => // blank line: dispatch the accumulated event
+          if (dataLines.nonEmpty && eventType == "message") {
+            append(dataLines.mkString(" "))
+            written += 1
+          }
           // Per WHATWG the last-event-ID commits at EVERY dispatch, even
           // when the data buffer is empty (the empty-data early return in
           // the spec's dispatch steps comes AFTER the id commit) — servers
-          // send id-only keepalives (`id: 42\n\n`) precisely to advance the
-          // reconnect cursor.
+          // send id-only keepalives (`id: 42\n\n`) precisely to advance
+          // the reconnect cursor. It commits AFTER the append, though: a
+          // failed log write (disk full) must leave the cursor on the
+          // previous event so the reconnect replays this one instead of
+          // silently resuming past the never-appended message.
           pendingId.foreach(id => lastEventId = Some(id))
           pendingId = None
-          if (dataLines.nonEmpty) {
-            if (eventType == "message") {
-              append(dataLines.mkString(" "))
-              written += 1
-            }
-          }
           dataLines.clear()
           eventType = "message"
         case l if l.startsWith(":") => // comment / keep-alive ping
@@ -133,6 +134,44 @@ final class SseClient(
     // EOF without a trailing blank line: per spec the incomplete event is
     // NOT dispatched (it will be re-sent after reconnect via Last-Event-ID).
     written
+  }
+
+  /** Connect with the watchdog budget enforced on the connect phase
+    * itself: the watchdog thread can only close an EXISTING stream, so a
+    * transport whose open() blackholes (hung TCP/TLS handshake with no
+    * connect timeout) would otherwise stall `run()` forever with nothing
+    * to kill — violating the "reboot after watchdogMs" contract. The
+    * connect runs on a disposable daemon thread; on timeout the attempt
+    * is abandoned (a late-arriving stream closes itself via the abandoned
+    * flag — a benign race can leak one stream per hung connect, bounded
+    * by the reconnect cadence) and run() retries with backoff.
+    */
+  private def openWithDeadline(id: Option[String]): InputStream = {
+    val abandoned = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val task = new java.util.concurrent.FutureTask[InputStream](() => {
+      val s = open(id)
+      if (abandoned.get()) {
+        try s.close() catch { case _: Throwable => () }
+        throw new java.io.IOException("connect abandoned after deadline")
+      }
+      s
+    })
+    val t = new Thread(task, "graft-sse-connect")
+    t.setDaemon(true)
+    t.start()
+    try task.get(watchdogMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        abandoned.set(true)
+        task.cancel(true)
+        throw new java.io.IOException(
+          s"connect stalled past watchdog ($watchdogMs ms)")
+      case e: java.util.concurrent.ExecutionException =>
+        e.getCause match {
+          case io: java.io.IOException => throw io
+          case other                   => throw other
+        }
+    }
   }
 
   private def append(payload: String): Unit = {

@@ -42,12 +42,15 @@ object IncrementalTrend {
     val spark = state.sparkSession
     import spark.implicits._
 
-    // 1. Batch rename map (fromId → toId, chains collapsed in ts order).
+    // 1. Batch rename map (fromId → toId, chains collapsed in ts order;
+    // ties broken deterministically and null targets dropped — see
+    // PageAggregates.canonicalizeRenames for both rationales).
     val moves = batch
       .filter(col("logType").isNotNull && col("logAction") === "move")
       .select(col("wiki"), col("title"),
         element_at(col("logParams"), "target").as("target"), col("ts"))
-      .orderBy(col("ts"))
+      .filter(col("target").isNotNull)
+      .orderBy(col("ts"), col("wiki"), col("title"), col("target"))
       .collect()
       .map(r => (pageIdStr(r.getString(0), r.getString(1)),
         pageIdStr(r.getString(0), r.getString(2)), r.getString(2),
@@ -174,7 +177,7 @@ object IncrementalTrend {
     coalesce(c, array().cast("array<string>"))
 
   private def pageIdStr(wiki: String, title: String): String =
-    if (wiki == "enwiki") title else s"$wiki/$title"
+    graft.functions.Classifiers.pageIdStr(wiki, title)
 
   /** Empty state table with the merged-state schema. */
   def emptyState(spark: SparkSession): DataFrame = {
