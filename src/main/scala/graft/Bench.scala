@@ -67,22 +67,34 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val passes = 2
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     for (_ <- 1 to passes; (name, fn) <- ordered) {
       val t0 = System.nanoTime()
       // noop sink: forces full computation of every output column (a bare
       // count() would let Catalyst prune the projected expressions away).
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case NonFatal(e) =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      val sec = (System.nanoTime() - t0) / 1e9
-      best.updateWith(name) {
-        case Some(prev) => Some(math.min(prev, sec))
-        case None       => Some(sec)
+      // A failed pass records NOTHING: its (fast) failure wall-time would
+      // otherwise enter the min and silently under-report the query — the
+      // JSON's `failed` list is the loud marker instead of stderr alone.
+      val ok =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+        } catch { case NonFatal(e) =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failed += name; false
+        }
+      if (ok) {
+        val sec = (System.nanoTime() - t0) / 1e9
+        best.updateWith(name) {
+          case Some(prev) => Some(math.min(prev, sec))
+          case None       => Some(sec)
+        }
       }
     }
     val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     val total = if (best.nonEmpty) best.values.sum else 0.0
     // Scale-trend evidence: one extra pass at a smaller reference SF and
     // the per-query time ratio primary/reference. With a 10× data ratio
@@ -95,14 +107,25 @@ object Bench {
       if (refDir == "none" || refDir == sfDir ||
           !new java.io.File(refDir).isDirectory) ""
       else {
+        // Warm the ref-SF tables too (cheap at sf0.01) — without it the
+        // first ref query absorbs the cold file-listing/footer cost the
+        // main pass explicitly warms away, inflating its ref time and
+        // understating its scale factor.
+        Option(new java.io.File(refDir).listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach(f => spark.read.parquet(f.getPath).count())
         val ref = scala.collection.mutable.LinkedHashMap.empty[String, Double]
         for ((name, fn) <- ordered) {
           val t0 = System.nanoTime()
-          try fn(spark, refDir).write.format("noop").mode("overwrite").save()
-          catch { case NonFatal(e) =>
-            System.err.println(s"[bench] ref $name failed: ${e.getMessage}")
-          }
-          ref.update(name, (System.nanoTime() - t0) / 1e9)
+          val ok =
+            try {
+              fn(spark, refDir).write.format("noop").mode("overwrite").save()
+              true
+            } catch { case NonFatal(e) =>
+              System.err.println(s"[bench] ref $name failed: ${e.getMessage}")
+              false
+            }
+          if (ok) ref.update(name, (System.nanoTime() - t0) / 1e9)
         }
         val refQs = ref.map { case (k, v) => s"\"" + k + "\":" + v }
           .mkString("{", ",", "}")
@@ -113,7 +136,8 @@ object Bench {
           s""""factor_primary_over_ref":$factors}"""
       }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""passes":$passes,"agg":"min_per_query","sf":"$sfDir"$scaling}""")
+      s""""passes":$passes,"agg":"min_per_query","sf":"$sfDir"""" +
+      s"""$failedJson$scaling}""")
     spark.stop()
   }
 }

@@ -16,12 +16,15 @@ import org.apache.spark.sql.types.StructType
   *
   * This implementation is the scalable shape: UNION the two sides tagged
   * left/right, then ONE window pass per key ordered by (ts, side) carrying
-  * the last non-null payload forward (`last(payload, ignoreNulls) over
-  * rowsBetween(unboundedPreceding, currentRow)`). Cost is one shuffle on
-  * the key + one sort — the same plan Flink/kdb-style as-of engines
-  * lower to, and it never materializes a pair table. Right rows sort
-  * BEFORE left rows at equal timestamps, giving the standard inclusive
-  * (`<=`) as-of semantics.
+  * the latest right row's payload STRUCT forward (`last(struct, ignoreNulls)
+  * over rowsBetween(unboundedPreceding, currentRow)` — the struct is
+  * non-null for every right row even when its fields are null, so the
+  * carry picks whole rows; per-column ignoreNulls carries would stitch
+  * values from DIFFERENT right rows whenever the latest row holds a null
+  * payload field). Cost is one shuffle on the key + one sort — the same
+  * plan Flink/kdb-style as-of engines lower to, and it never materializes
+  * a pair table. Right rows sort BEFORE left rows at equal timestamps,
+  * giving the standard inclusive (`<=`) as-of semantics.
   *
   * Determinism: if the right side can hold several rows per (key, ts),
   * pre-aggregate it (the window's tie order would otherwise be partition-
@@ -33,22 +36,22 @@ object AsOf {
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
     val leftRowType = StructType(left.schema.fields)
+    val payloadType = StructType(payload.map(p => right.schema(p)).toArray)
     val l = left.select(
-      Seq(col(key).as("__k"), col(leftTs).as("__ts"), lit(1).as("__side"),
-        struct(left.columns.toIndexedSeq.map(col): _*).as("__row")) ++
-        payload.map(p =>
-          lit(null).cast(right.schema(p).dataType).as(p)): _*)
+      col(key).as("__k"), col(leftTs).as("__ts"), lit(1).as("__side"),
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__row"),
+      lit(null).cast(payloadType).as("__p"))
     val r = right.select(
-      Seq(col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
-        lit(null).cast(leftRowType).as("__row")) ++ payload.map(col): _*)
+      col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
+      lit(null).cast(leftRowType).as("__row"),
+      struct(payload.map(col): _*).as("__p"))
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .select(
-        Seq(col("__side"), col("__row")) ++
-          payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p)): _*)
+      .select(col("__side"), col("__row"),
+        last(col("__p"), ignoreNulls = true).over(w).as("__p"))
       .filter(col("__side") === 1)
-      .select(col("__row.*") +: payload.map(col): _*)
+      .select(col("__row.*") +: payload.map(p => col("__p")(p).as(p)): _*)
   }
 }

@@ -34,6 +34,12 @@ object EventAdapter {
     * applies when it reads the file as µs TIMESTAMP, so oracle timestamps
     * agree exactly. (A double-precision path would lose ~256 ns at 2024
     * epoch magnitudes; DIV stays exact.)
+    *
+    * NOTE: `nanosAsLong` is a SESSION conf, not a per-read option (the
+    * parquet datasource exposes no such option), so this set is sticky —
+    * any later TIMESTAMP(NANOS) parquet read in the session also gets
+    * longs. Acceptable here: every nanos file in this project wants that
+    * treatment, and the flag is a no-op for µs/ms timestamp files.
     */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

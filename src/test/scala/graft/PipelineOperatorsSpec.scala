@@ -724,6 +724,20 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(gotCount == expected.view.mapValues(_._1).toMap)
   }
 
+  test("asOfJoin: the LATEST right row wins even when its payload value is null") {
+    import spark.implicits._
+    // Per-column last(ignoreNulls) carries would stitch tag='A' from the
+    // STALE row past the latest row's null — the whole-row struct carry
+    // must return the latest row's payload as-is.
+    def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val left = Seq(("k", ts(3), 1L)).toDF("k", "lts", "lid")
+    val right = Seq(("k", ts(1), "A"), ("k", ts(2), null.asInstanceOf[String]))
+      .toDF("k", "rts", "tag")
+    val out = AsOf.asOfJoin(left, right, "k", "lts", "rts", Seq("tag")).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("tag") == null)
+  }
+
   test("sessionize: matches a brute-force gap walk on random events") {
     import java.sql.Timestamp
     val rnd = new scala.util.Random(23)
