@@ -746,8 +746,17 @@ object SparkEntry {
     "emb_ivf_multi_topk" -> ((s, dir) =>
       Similarity.ivfTopKMulti(t(s, dir, "embeddings"), k = 5, numQueries = 10)),
 
-    // Recall@5 vs the exact brute-force baseline for both IVF variants —
-    // the accuracy evidence an ANN index ships with (multi >= single).
+    // LEARNED-centroid IVF: cells from the deterministic k-means loop
+    // (16 clusters, 2 Lloyd's rounds); each query probes its 2 nearest
+    // centroids — a probe budget comparable to ring-2 sign-LSH at a
+    // multiple of its recall (evidence: emb_ivf_recall).
+    "emb_ivf_kmeans_topk" -> ((s, dir) =>
+      Similarity.ivfKmeansTopK(t(s, dir, "embeddings"), k = 5,
+        numQueries = 10, clusters = 16, iters = 2, probes = 2)),
+
+    // Recall@5 vs the exact brute-force baseline for every IVF tier —
+    // sign-LSH single/ring-1/ring-2 probes plus the learned-centroid
+    // cells — the accuracy evidence an ANN index ships with.
     "emb_ivf_recall" -> ((s, dir) =>
       Similarity.ivfRecall(t(s, dir, "embeddings"), k = 5, numQueries = 10)),
 
@@ -802,6 +811,74 @@ object SparkEntry {
   private val ivfRing2: String =
     (for { j <- 0 until 8; k <- j + 1 until 8 }
       yield s"xor(qb, ${(1 << j) | (1 << k)})").mkString(", ")
+
+  // Two deterministic Lloyd's rounds as reusable CTE text (assumes a CTE
+  // `v(vec_id, ev)` is in scope; emits centroid tables c0 → c2) — ONE
+  // definition shared by the emb_kmeans_iter oracle and both
+  // learned-centroid IVF oracles, so the fixed-point centroid arithmetic
+  // cannot drift between them. Mirrors Similarity.iterateCentroids with
+  // iters = 2: assignment is the d2-argmin window, the update quantizes
+  // components with floor(x·1e6) (unambiguous on IEEE doubles), sums as
+  // BIGINT (order-free), and divides in the same fixed order as Spark.
+  private def kmeansChainSql(k: Int): String = {
+    def assign(name: String, cents: String) =
+      s"""$name AS (
+           SELECT vec_id, cluster FROM (
+             SELECT v.vec_id, c.centroid_id AS cluster,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 (list_dot_product(v.ev, v.ev) + list_dot_product(c.cv, c.cv))
+                   - 2.0 * list_dot_product(v.ev, c.cv) ASC,
+                 c.centroid_id ASC) AS rn
+             FROM v, $cents c) WHERE rn = 1)"""
+    def upd(uname: String, aname: String) =
+      s"""$uname AS (
+           SELECT a.cluster, u.i AS pos,
+             SUM(CAST(floor(v.ev[u.i] * 1000000.0) AS BIGINT)) AS s,
+             count(*) AS n
+           FROM $aname a JOIN v USING (vec_id),
+                unnest(generate_series(1, len(v.ev))) AS u(i)
+           GROUP BY 1, 2)"""
+    def rebuild(nname: String, uname: String, prev: String, out: String) =
+      s"""$nname AS (
+           SELECT cluster AS centroid_id,
+             list((CAST(s AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)
+               ORDER BY pos) AS cv
+           FROM $uname GROUP BY 1),
+         $out AS (
+           SELECT p.centroid_id, coalesce(nn.cv, p.cv) AS cv
+           FROM $prev p LEFT JOIN $nname nn USING (centroid_id))"""
+    s"""c0 AS (SELECT vec_id AS centroid_id, ev AS cv FROM v WHERE vec_id < $k),
+         ${assign("a1", "c0")},
+         ${upd("u1", "a1")},
+         ${rebuild("c1n", "u1", "c0", "c1")},
+         ${assign("a2", "c1")},
+         ${upd("u2", "a2")},
+         ${rebuild("c2n", "u2", "c1", "c2")}"""
+  }
+
+  // Final k-means assignment against the converged c2 centroids — the CTE
+  // the learned-centroid IVF oracles append after kmeansChainSql.
+  private val kmeansFinalAssignSql: String =
+    """ka AS (
+         SELECT vec_id, cluster FROM (
+           SELECT v.vec_id, c.centroid_id AS cluster,
+             row_number() OVER (PARTITION BY v.vec_id ORDER BY
+               (list_dot_product(v.ev, v.ev) + list_dot_product(c.cv, c.cv))
+                 - 2.0 * list_dot_product(v.ev, c.cv) ASC,
+               c.centroid_id ASC) AS rn
+           FROM v, c2 c) WHERE rn = 1)"""
+
+  // Each query's 2 nearest converged centroids (probe cells) — assumes
+  // CTEs `q(query_id, qv, ...)` and `c2` are in scope.
+  private val kmeansProbesSql: String =
+    """kqp AS (
+         SELECT query_id, probe FROM (
+           SELECT q.query_id, c.centroid_id AS probe,
+             row_number() OVER (PARTITION BY q.query_id ORDER BY
+               (list_dot_product(q.qv, q.qv) + list_dot_product(c.cv, c.cv))
+                 - 2.0 * list_dot_product(q.qv, c.cv) ASC,
+               c.centroid_id ASC) AS rn
+           FROM q, c2 c) WHERE rn <= 2)"""
 
   def oracleSql: Map[String, String] = Map(
 
@@ -1940,54 +2017,8 @@ object SparkEntry {
     // (unambiguous on IEEE doubles, unlike round at .5), sums as BIGINT
     // (order-free), and divides in the same fixed order as the Spark side.
     "emb_kmeans_iter" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-         c0 AS (SELECT vec_id AS centroid_id, ev AS cv FROM v WHERE vec_id < 8),
-         a1 AS (
-           SELECT vec_id, cluster FROM (
-             SELECT v.vec_id, c.centroid_id AS cluster,
-               row_number() OVER (PARTITION BY v.vec_id ORDER BY
-                 (list_dot_product(v.ev, v.ev) + list_dot_product(c.cv, c.cv))
-                   - 2.0 * list_dot_product(v.ev, c.cv) ASC,
-                 c.centroid_id ASC) AS rn
-             FROM v, c0 c) WHERE rn = 1),
-         u1 AS (
-           SELECT a.cluster, u.i AS pos,
-             SUM(CAST(floor(v.ev[u.i] * 1000000.0) AS BIGINT)) AS s,
-             count(*) AS n
-           FROM a1 a JOIN v USING (vec_id),
-                unnest(generate_series(1, len(v.ev))) AS u(i)
-           GROUP BY 1, 2),
-         c1n AS (
-           SELECT cluster AS centroid_id,
-             list((CAST(s AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)
-               ORDER BY pos) AS cv
-           FROM u1 GROUP BY 1),
-         c1 AS (
-           SELECT p.centroid_id, coalesce(nn.cv, p.cv) AS cv
-           FROM c0 p LEFT JOIN c1n nn USING (centroid_id)),
-         a2 AS (
-           SELECT vec_id, cluster FROM (
-             SELECT v.vec_id, c.centroid_id AS cluster,
-               row_number() OVER (PARTITION BY v.vec_id ORDER BY
-                 (list_dot_product(v.ev, v.ev) + list_dot_product(c.cv, c.cv))
-                   - 2.0 * list_dot_product(v.ev, c.cv) ASC,
-                 c.centroid_id ASC) AS rn
-             FROM v, c1 c) WHERE rn = 1),
-         u2 AS (
-           SELECT a.cluster, u.i AS pos,
-             SUM(CAST(floor(v.ev[u.i] * 1000000.0) AS BIGINT)) AS s,
-             count(*) AS n
-           FROM a2 a JOIN v USING (vec_id),
-                unnest(generate_series(1, len(v.ev))) AS u(i)
-           GROUP BY 1, 2),
-         c2n AS (
-           SELECT cluster AS centroid_id,
-             list((CAST(s AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)
-               ORDER BY pos) AS cv
-           FROM u2 GROUP BY 1),
-         c2 AS (
-           SELECT p.centroid_id, coalesce(nn.cv, p.cv) AS cv
-           FROM c1 p LEFT JOIN c2n nn USING (centroid_id)),
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         ${kmeansChainSql(8)},
          fin AS (
            SELECT vec_id, cluster, d2 FROM (
              SELECT v.vec_id, c.centroid_id AS cluster,
@@ -2259,6 +2290,29 @@ object SparkEntry {
            FROM s)
          SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5""",
 
+    // Learned-centroid IVF: the kmeans CTE chain (16 seeds, 2 rounds)
+    // builds the cells; each query probes its 2 nearest converged
+    // centroids; candidates = vectors assigned to a probed cell.
+    "emb_ivf_kmeans_topk" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         ${kmeansChainSql(16)},
+         $kmeansFinalAssignSql,
+         q AS (SELECT vec_id AS query_id, ev AS qv FROM v WHERE vec_id < 10),
+         $kmeansProbesSql,
+         s AS (
+           SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.qv, c.ev)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.ev, c.ev))), 6) AS cos
+           FROM q
+           JOIN kqp ON kqp.query_id = q.query_id
+           JOIN ka ON ka.cluster = kqp.probe
+           JOIN v c ON c.vec_id = ka.vec_id AND q.query_id <> c.vec_id),
+         r AS (
+           SELECT *, CAST(row_number() OVER
+             (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+           FROM s)
+         SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5""",
+
     "emb_ivf_recall" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
          e AS (
@@ -2316,6 +2370,25 @@ object SparkEntry {
              SELECT *, row_number() OVER
                (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
              FROM mu2s) WHERE rank <= 5),
+         ${kmeansChainSql(16)},
+         $kmeansFinalAssignSql,
+         $kmeansProbesSql,
+         kms AS (
+           SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.qv, c.ev)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.ev, c.ev))), 6) AS cos
+           FROM q
+           JOIN kqp ON kqp.query_id = q.query_id
+           JOIN ka ON ka.cluster = kqp.probe
+           JOIN v c ON c.vec_id = ka.vec_id AND q.query_id <> c.vec_id),
+         km AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT *, row_number() OVER
+               (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             FROM kms) WHERE rank <= 5),
+         kh AS (
+           SELECT bf.query_id, count(*) AS hits_kmeans
+           FROM bf JOIN km USING (query_id, neighbor_id) GROUP BY 1),
          sh AS (
            SELECT bf.query_id, count(*) AS hits_single
            FROM bf JOIN si USING (query_id, neighbor_id) GROUP BY 1),
@@ -2329,17 +2402,21 @@ object SparkEntry {
            CAST(coalesce(sh.hits_single, 0) AS BIGINT) AS hits_single,
            CAST(coalesce(mh.hits_multi, 0) AS BIGINT) AS hits_multi,
            CAST(coalesce(m2h.hits_multi2, 0) AS BIGINT) AS hits_multi2,
+           CAST(coalesce(kh.hits_kmeans, 0) AS BIGINT) AS hits_kmeans,
            round(CAST(coalesce(sh.hits_single, 0) AS DOUBLE)
                  / CAST(q.bf_n AS DOUBLE), 6) AS recall_single,
            round(CAST(coalesce(mh.hits_multi, 0) AS DOUBLE)
                  / CAST(q.bf_n AS DOUBLE), 6) AS recall_multi,
            round(CAST(coalesce(m2h.hits_multi2, 0) AS DOUBLE)
-                 / CAST(q.bf_n AS DOUBLE), 6) AS recall_multi2
+                 / CAST(q.bf_n AS DOUBLE), 6) AS recall_multi2,
+           round(CAST(coalesce(kh.hits_kmeans, 0) AS DOUBLE)
+                 / CAST(q.bf_n AS DOUBLE), 6) AS recall_kmeans
          FROM (SELECT query_id, CAST(count(*) AS BIGINT) AS bf_n
                FROM bf GROUP BY 1) q
          LEFT JOIN sh USING (query_id)
          LEFT JOIN mh USING (query_id)
-         LEFT JOIN m2h USING (query_id)""",
+         LEFT JOIN m2h USING (query_id)
+         LEFT JOIN kh USING (query_id)""",
 
     "doc_media_meta" ->
       """SELECT doc_id,

@@ -173,34 +173,119 @@ object Similarity {
         col("cos"), col("rank"))
   }
 
-  /** Recall@k report: single-probe, ring-1 and ring-2 multi-probe IVF
-    * results measured against the exact brute-force top-k, per query —
-    * the accuracy evidence an ANN index ships with.
-    * `recall_single <= recall_multi <= recall_multi2` by construction
-    * (each candidate set is a superset of the previous).
+  /** LEARNED-centroid IVF top-k: cells come from the deterministic k-means
+    * loop ([[iterateCentroids]]) instead of data-independent sign-LSH, and
+    * each query probes its `probes` NEAREST centroids — the composition the
+    * recall report motivates (sign-LSH cells ignore the data distribution;
+    * learned cells put a query's true neighbors in its nearest cells, so
+    * the same probe budget buys a multiple of the recall). This is the
+    * standard IVF construction every large ANN index uses (train a coarse
+    * quantizer, assign, probe nearest cells).
+    *
+    * Scale shape: the centroid table is k rows (broadcast everywhere); the
+    * corpus is touched by the assignment scan and the probe join — both
+    * map-side against broadcasts — and the only exchange is the per-query
+    * top-k window, planned as WindowGroupLimit. Probe cost is bounded by
+    * the `probes / clusters` fraction of the corpus (balanced cells),
+    * independent of query count.
     */
-  def ivfRecall(emb: DataFrame, k: Int = 5, numQueries: Int = 10): DataFrame = {
-    val withBucket = emb
-      .select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+  def ivfKmeansTopK(emb: DataFrame, k: Int = 5, numQueries: Int = 10,
+      clusters: Int = 16, iters: Int = 2, probes: Int = 2): DataFrame = {
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = iterateCentroids(v, clusters, iters)
+    val corpus = v
+      .join(assignTo(v, cents).select(col("vec_id"), col("cluster")),
+        Seq("vec_id"))
+      .withColumn("nrm", norm(col("ev")))
+    // Probe table: each query's `probes` nearest centroids by the same d2
+    // argmin ordering the assignment uses (ties → centroid id).
+    val qScored = v.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("ev").as("qv"),
+        norm(col("ev")).as("qn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2",
+        (dot(col("qv"), col("qv")) + dot(col("cv"), col("cv"))) -
+          lit(2.0) * dot(col("qv"), col("cv")))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("centroid_id").asc)
+    val probeTbl = qScored.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= probes)
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("centroid_id").as("probe"))
+    val scored = corpus.join(broadcast(probeTbl),
+        col("probe") === col("cluster") && col("query_id") =!= col("vec_id"))
+      .withColumn("cos", cosineWithNorms(dot(col("qv"), col("ev")),
+        col("qn"), col("nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val out = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cos"), col("rank"))
+      .localCheckpoint(eager = true) // release the vector cache below
+    v.unpersist()
+    out
+  }
+
+  /** Recall@k report: single-probe, ring-1 and ring-2 multi-probe sign-LSH
+    * IVF plus the LEARNED-centroid IVF ([[ivfKmeansTopK]], `probes` nearest
+    * of `clusters` k-means cells), all measured against the exact
+    * brute-force top-k, per query — the accuracy evidence an ANN index
+    * ships with. `recall_single <= recall_multi <= recall_multi2` by
+    * construction (each candidate set is a superset of the previous);
+    * `recall_kmeans` is the learned-cells tier at a probe budget
+    * (`probes/clusters` of the corpus) comparable to ring-2's 37/256 cells.
+    *
+    * AUDIT-scale operator: it deliberately scores numQueries × corpus rows
+    * (one pass feeds the exact baseline and every tier), so `numQueries`
+    * must stay a fixed audit sample — guarded below — never the corpus.
+    */
+  def ivfRecall(emb: DataFrame, k: Int = 5, numQueries: Int = 10,
+      clusters: Int = 16, iters: Int = 2, probes: Int = 2): DataFrame = {
+    require(numQueries <= 1000,
+      s"ivfRecall scores numQueries x corpus rows; numQueries=$numQueries " +
+        "exceeds the 1000-query audit bound (sample queries instead)")
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withBucket = v
       .withColumn("bucket", lshBucket(col("ev")))
       .withColumn("nrm", norm(col("ev")))
     val queries = withBucket.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("ev").as("qv"),
         col("bucket").as("qb"), col("nrm").as("qn"))
+    // Learned-centroid side: converged k-means cells (tiny table), each
+    // vector's cell, and each query's `probes` nearest cells.
+    val cents = iterateCentroids(v, clusters, iters)
+    val ka = assignTo(v, cents).select(col("vec_id"), col("cluster").as("kcell"))
+    val qp = queries.select(col("query_id"), col("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2",
+        (dot(col("qv"), col("qv")) + dot(col("cv"), col("cv"))) -
+          lit(2.0) * dot(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("d2").asc, col("centroid_id").asc)))
+      .filter(col("rn") <= probes)
+      .select(col("query_id").as("p_qid"), col("centroid_id").as("probe"))
+      .localCheckpoint(eager = true) // numQueries × probes rows
     // ONE scored pass over (corpus × broadcast queries) feeds the exact
     // baseline AND every probe tier: a candidate's probe ring is the
     // Hamming distance between its cell and the query's (bit_count of
-    // the XOR), and tier r's candidate set is exactly `ring <= r` — the
-    // same sets the per-tier probe joins produced, without re-running
-    // the LSH projection and cosine three more times over the corpus.
-    // Checkpointed: numQueries × corpus small rows feed four branches.
+    // the XOR), tier r's candidate set is exactly `ring <= r`, and the
+    // learned tier is `(query, kcell) ∈ probe set` — the same sets the
+    // per-tier probe joins produce, without re-running the projections
+    // and cosine once more per tier over the corpus.
+    // Checkpointed: numQueries × corpus small rows feed five branches.
     val scored = withBucket.join(broadcast(queries),
         col("query_id") =!= col("vec_id"))
       .withColumn("cos", cosineWithNorms(dot(col("qv"), col("ev")),
         col("qn"), col("nrm")))
       .withColumn("ring", expr("bit_count(bucket ^ qb)"))
-      .select(col("query_id"), col("vec_id"), col("cos"), col("ring"))
+      .join(ka, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("cos"), col("ring"),
+        col("kcell"))
       .localCheckpoint(eager = true)
+    v.unpersist()
     def topk(df: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("vec_id").asc)
@@ -218,6 +303,10 @@ object Similarity {
     val sh = hitsOf(0, "hits_single")
     val mh = hitsOf(1, "hits_multi")
     val m2 = hitsOf(2, "hits_multi2")
+    val kmCand = scored.join(qp,
+      col("query_id") === col("p_qid") && col("kcell") === col("probe"))
+    val kh = bf.join(topk(kmCand), Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits_kmeans"))
     def rec(c: String): Column =
       round(coalesce(col(c), lit(0L)).cast("double") /
         col("bf_n").cast("double"), 6)
@@ -225,13 +314,16 @@ object Similarity {
       .join(sh, Seq("query_id"), "left")
       .join(mh, Seq("query_id"), "left")
       .join(m2, Seq("query_id"), "left")
+      .join(kh, Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("hits_single"), lit(0L)).as("hits_single"),
         coalesce(col("hits_multi"), lit(0L)).as("hits_multi"),
         coalesce(col("hits_multi2"), lit(0L)).as("hits_multi2"),
+        coalesce(col("hits_kmeans"), lit(0L)).as("hits_kmeans"),
         rec("hits_single").as("recall_single"),
         rec("hits_multi").as("recall_multi"),
-        rec("hits_multi2").as("recall_multi2"))
+        rec("hits_multi2").as("recall_multi2"),
+        rec("hits_kmeans").as("recall_kmeans"))
   }
 
   /** One k-means assignment step: every vector joins the k broadcast
@@ -317,6 +409,22 @@ object Similarity {
         coalesce(col("cv2"), cents("cv")).as("cv"))
   }
 
+  /** The Lloyd's centroid loop shared by [[kmeansIterate]] and the
+    * learned-centroid IVF ([[ivfKmeansTopK]]): `iters` rounds of
+    * assign → deterministic fixed-point update from the seed centroids.
+    * Returns the (centroid_id, cv) table, materialized (k rows). The
+    * caller owns `v`'s persistence — the loop scans it 2× per round.
+    */
+  private[graft] def iterateCentroids(v: DataFrame, k: Int,
+      iters: Int): DataFrame = {
+    var cents = seedCentroids(v, k)
+    for (_ <- 0 until iters)
+      // k rows — checkpoint keeps the loop's plan O(1) (see dupClusters).
+      cents = centroidUpdate(v, assignTo(v, cents), cents)
+        .localCheckpoint(eager = true)
+    if (iters == 0) cents.localCheckpoint(eager = true) else cents
+  }
+
   /** `iters` full Lloyd's iterations (assign → deterministic update) from
     * the seed centroids, then the final assignment against the converged
     * centroids — the iterable clustering loop the single assignment step
@@ -327,11 +435,7 @@ object Similarity {
   def kmeansIterate(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var cents = seedCentroids(v, k)
-    for (_ <- 0 until iters)
-      // k rows — checkpoint keeps the loop's plan O(1) (see dupClusters).
-      cents = centroidUpdate(v, assignTo(v, cents), cents)
-        .localCheckpoint(eager = true)
+    val cents = iterateCentroids(v, k, iters)
     val out = assignTo(v, cents)
       .select(col("vec_id"), col("cluster"), round(col("d2"), 6).as("dist2"))
       .localCheckpoint(eager = true) // release the vector cache below

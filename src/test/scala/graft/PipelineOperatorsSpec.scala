@@ -158,6 +158,54 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(rec.getAs[Double]("recall_multi2") >= rec.getAs[Double]("recall_multi"))
   }
 
+  // Four tight clusters along orthogonal axis pairs in 8 dims; ids
+  // interleave (vec_id = j*4 + c) so the first `numQueries` ids cover all
+  // clusters and the seed centroids (vec_id < clusters) get one per group.
+  private def clusteredVecs: DataFrame = {
+    val rows = for (c <- 0 until 4; j <- 0 until 10) yield {
+      val v = Array.fill(8)(0f)
+      v(2 * c) = 1f
+      v(2 * c + 1) = 0.05f * j
+      (j * 4 + c).toLong -> v.toSeq
+    }
+    vecs(rows: _*)
+  }
+
+  test("ivfKmeansTopK: learned cells retrieve the query's true cluster-mates") {
+    val d = clusteredVecs
+    // With 4 learned cells and probes=1 every query searches exactly its
+    // own cluster, whose members ARE the brute-force nearest neighbors
+    // (clusters sit on orthogonal axes).
+    val bf = Similarity.bruteForceTopK(d, k = 3, numQueries = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val km = Similarity.ivfKmeansTopK(d, k = 3, numQueries = 4,
+      clusters = 4, iters = 2, probes = 1).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(km == bf)
+  }
+
+  test("ivfRecall: learned-centroid tier dominates ring-2 sign-LSH on clustered data") {
+    // All cluster axes project positively → sign-LSH collapses the corpus
+    // into few cells that mix clusters; learned cells separate them. The
+    // registered query's evidence (recall_kmeans > recall_multi2) pinned
+    // at test scale, per query.
+    val rows = Similarity.ivfRecall(clusteredVecs, k = 3, numQueries = 4,
+      clusters = 4, iters = 2, probes = 1).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("recall_kmeans") == 1.0, r.toString)
+      assert(r.getAs[Double]("recall_kmeans") >=
+        r.getAs[Double]("recall_multi2"), r.toString)
+    }
+  }
+
+  test("ivfRecall: audit-scale numQueries bound is enforced") {
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfRecall(clusteredVecs, k = 3, numQueries = 1001)
+    }
+    assert(ex.getMessage.contains("audit"))
+  }
+
   test("kmeansIterate: deterministic update pulls centroids to the clusters") {
     // Two obvious groups; seeds are vecs 0 and 1 (one per group).
     val d = vecs(

@@ -142,6 +142,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!physical("doc_gopher_quality").contains("Exchange"))
   }
 
+  test("emb_ivf_kmeans_topk: probes broadcast, top-k prunes with WindowGroupLimit") {
+    val p = physical("emb_ivf_kmeans_topk")
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("emb_ivf_multi_topk: probe table broadcasts, rank prunes with WindowGroupLimit") {
     val p = physical("emb_ivf_multi_topk")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
