@@ -400,6 +400,17 @@ object SparkEntry {
     "doc_shards" -> ((s, dir) =>
       Curation.shardManifest(t(s, dir, "documents"))),
 
+    // Shard WRITER end-to-end: pack + shard the corpus, write it as
+    // (lang, shard_id)-partitioned parquet (one file per shard, doc_id
+    // order inside), then audit the layout by re-reading from disk —
+    // n_files must equal the oracle's literal 1 for every shard.
+    "doc_shard_files" -> ((s, dir) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_shards_" +
+        new java.io.File(dir).getName
+      Curation.writeShards(t(s, dir, "documents"), out)
+      Curation.shardFilesReport(s, out)
+    }),
+
     "doc_decontam" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val coin = substring(
@@ -1267,6 +1278,31 @@ object SparkEntry {
              CAST(floor(before / 2048) AS BIGINT) AS pack_id
            FROM cum)
          SELECT lang, CAST(floor(pack_id / 4) AS BIGINT) AS shard_id,
+           CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS tokens
+         FROM packs GROUP BY 1, 2""",
+
+    // Same packing CTEs; n_files is the LITERAL 1 — the one-file-per-shard
+    // layout invariant the Spark side measures off the written directory
+    // (count_distinct(input_file_name)), so a split shard hash-mismatches.
+    "doc_shard_files" ->
+      """WITH perdoc AS (
+           SELECT doc_id, lang,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks
+           FROM documents),
+         cum AS (
+           SELECT doc_id, lang, toks,
+             coalesce(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+           FROM perdoc),
+         packs AS (
+           SELECT doc_id, lang, toks,
+             CAST(floor(before / 2048) AS BIGINT) AS pack_id
+           FROM cum)
+         SELECT lang, CAST(floor(pack_id / 4) AS BIGINT) AS shard_id,
+           CAST(1 AS BIGINT) AS n_files,
            CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(toks) AS BIGINT) AS tokens

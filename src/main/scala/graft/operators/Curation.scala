@@ -300,6 +300,55 @@ object Curation {
         count(lit(1)).as("n_docs"),
         sum(col("toks")).as("tokens"))
 
+  /** Shard WRITER — [[shardManifest]] materialized: the packed corpus
+    * written as parquet partitioned by `(lang, shard_id)`, ONE file per
+    * shard with rows in doc_id (= pack) order, so a training job's shard
+    * read is a single sequential scan of a single directory — the final
+    * step that turns the manifest into something a data loader consumes.
+    *
+    * Scale shape: `repartition(lang, shard_id)` gives every shard exactly
+    * one write task (parallelism = number of shards, each bounded by
+    * `budgetTokens × packsPerShard` worth of text), and
+    * `sortWithinPartitions(doc_id)` fixes the in-file row order without a
+    * global sort. `partitionBy` on the same keys means each task writes
+    * exactly one file into its own directory — the one-file-per-shard
+    * invariant [[shardFilesReport]] audits.
+    */
+  def writeShards(docs: DataFrame, outDir: String, budgetTokens: Long = 2048L,
+      packsPerShard: Long = 4L, rangeSize: Long = 100L): Unit = {
+    val assign = packAssignments(docs, budgetTokens, rangeSize)
+      .withColumn("shard_id",
+        floor(col("pack_id").cast("double") / packsPerShard).cast("long"))
+    docs.select(col("doc_id"), col("text"))
+      .join(assign, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("shard_id"), col("pack_id"),
+        col("toks"), col("text"))
+      .repartition(col("lang"), col("shard_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").partitionBy("lang", "shard_id")
+      .parquet(outDir)
+  }
+
+  /** Audit over the WRITTEN shard layout: re-read the parquet from disk
+    * and report, per (lang, shard_id), the file count — which MUST be 1,
+    * the sequential-read guarantee — plus pack/doc/token totals. The
+    * oracle recomputes the same totals from the SOURCE table with
+    * `n_files` pinned to the literal 1, so a drifting writer (row loss,
+    * split files, misassigned docs) turns the hash red, not just a spec.
+    */
+  def shardFilesReport(spark: org.apache.spark.sql.SparkSession,
+      outDir: String): DataFrame =
+    spark.read.parquet(outDir)
+      // input_file_name is non-deterministic — projected to an attribute
+      // first (it cannot appear inside an aggregate expression).
+      .select(col("lang"), col("shard_id").cast("long").as("shard_id"),
+        col("pack_id"), col("toks"), input_file_name().as("fname"))
+      .groupBy(col("lang"), col("shard_id"))
+      .agg(count_distinct(col("fname")).as("n_files"),
+        count_distinct(col("pack_id")).as("n_packs"),
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("tokens"))
+
   /** Corpus vocabulary head: the `k` most frequent whitespace tokens with
     * occurrence and document frequencies — the input to vocabulary /
     * stopword construction. Scale shape: explode → ONE hash aggregation

@@ -426,6 +426,50 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(m.values.forall(_ == (2L, 2L, 4L)))
   }
 
+  test("writeShards: one sequential file per shard dir, doc_id order inside") {
+    import spark.implicits._
+    // budget 2, 2 packs/shard: one en pack per doc → en shards {0..3};
+    // fr lands in shard 0.
+    val d = ((1L to 8L).map(i => (i, "a b", "en", "s")) :+
+        ((9L, "x y", "fr", "s")))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_shards_spec").toString
+    graft.operators.Curation.writeShards(d, out,
+      budgetTokens = 2L, packsPerShard = 2L)
+    // Layout: exactly ONE parquet file per (lang, shard) directory — the
+    // sequential-read guarantee a data loader relies on.
+    val shardDirs = for {
+      langDir <- new java.io.File(out).listFiles.toSeq
+        if langDir.isDirectory && langDir.getName.startsWith("lang=")
+      sd <- langDir.listFiles.toSeq if sd.isDirectory
+    } yield sd
+    assert(shardDirs.map(d => s"${d.getParentFile.getName}/${d.getName}")
+      .toSet == Set("lang=en/shard_id=0", "lang=en/shard_id=1",
+        "lang=en/shard_id=2", "lang=en/shard_id=3", "lang=fr/shard_id=0"))
+    shardDirs.foreach { sd =>
+      val files = sd.listFiles.filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${sd} has ${files.length} data files")
+      // In-file row order is ascending doc_id (pack order).
+      val ids = spark.read.parquet(files(0).toString)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      assert(ids == ids.sorted, s"$sd rows out of order: $ids")
+    }
+    // The disk audit agrees with the source-side manifest.
+    val rep = graft.operators.Curation.shardFilesReport(spark, out)
+      .collect().map(r => (r.getAs[String]("lang"),
+        r.getAs[Long]("shard_id")) ->
+        (r.getAs[Long]("n_files"), r.getAs[Long]("n_packs"),
+          r.getAs[Long]("n_docs"), r.getAs[Long]("tokens"))).toMap
+    val man = graft.operators.Curation
+      .shardManifest(d, budgetTokens = 2L, packsPerShard = 2L)
+      .collect().map(r => (r.getAs[String]("lang"),
+        r.getAs[Long]("shard_id")) ->
+        (1L, r.getAs[Long]("n_packs"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("tokens"))).toMap
+    assert(rep == man)
+  }
+
   test("packAssignments: doc lands in the pack holding its first token") {
     import spark.implicits._
     // budget 5: doc1 (3 toks, before=0) → pack 0; doc2 (3, before=3) →
