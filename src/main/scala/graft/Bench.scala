@@ -92,10 +92,30 @@ object Bench {
     }
     val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failedJson =
-      if (failed.isEmpty) ""
-      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    // `failed` alone is ambiguous for a flaky query (one pass fails, the
+    // other succeeds and contributes a timing): split into failed_all
+    // (no timing exists) vs failed_some (timing present but flaky) so
+    // JSON consumers never have to cross-reference. `failed` stays for
+    // backward compatibility (union of both).
+    def nameList(key: String, names: Iterable[String]): String =
+      if (names.isEmpty) ""
+      else names.map("\"" + _ + "\"").mkString(s""","$key":[""", ",", "]")
+    val failedAll = failed.filterNot(best.contains)
+    val failedSome = failed.filter(best.contains)
+    val failedJson = nameList("failed", failed) +
+      nameList("failed_all", failedAll) + nameList("failed_some", failedSome)
     val total = if (best.nonEmpty) best.values.sum else 0.0
+    // The four deliberately-quadratic exact baselines stay in the run
+    // (their correctness is part of the contract) but are labeled here
+    // and EXCLUDED from total_scale_path — the headline number for "the
+    // plan you'd run at 100×". See SparkEntry.verificationScaleOnly.
+    val vscale = SparkEntry.verificationScaleOnly.toSeq.sorted
+    val totalScalePath = best.collect {
+      case (k, v) if !SparkEntry.verificationScaleOnly(k) => v
+    }.sum
+    val vscaleJson =
+      vscale.map("\"" + _ + "\"").mkString(""","verification_scale":[""", ",", "]") +
+        s""","total_scale_path":$totalScalePath"""
     // Scale-trend evidence: one extra pass at a smaller reference SF and
     // the per-query time ratio primary/reference. With a 10× data ratio
     // (sf0.1 vs sf0.01), a factor ≲ 10 is at-worst-linear scaling; the
@@ -137,7 +157,7 @@ object Bench {
       }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""passes":$passes,"agg":"min_per_query","sf":"$sfDir"""" +
-      s"""$failedJson$scaling}""")
+      s"""$vscaleJson$failedJson$scaling}""")
     spark.stop()
   }
 }

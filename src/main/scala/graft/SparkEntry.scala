@@ -58,6 +58,23 @@ object SparkEntry {
   // Query registry (driver runs each at sf0.01 and hash-compares to the
   // DuckDB oracle below).
   // ---------------------------------------------------------------------
+
+  /** VERIFICATION-SCALE-ONLY queries — deliberately quadratic exact
+    * baselines kept green so the bucketed scale paths have something to
+    * be validated against. Each one's cost term explodes at corpus scale
+    * by construction; NEVER promote one to a default pipeline path. The
+    * scale twin to use instead:
+    *  - `emb_near_dup_exact`   (all-pairs cross join)        → `emb_lsh_near_dup`
+    *  - `doc_simhash_pairs`    (32-bit blocks: 4-5-bit keys) → `doc_simhash64_pairs`
+    *  - `doc_ngram_containment`(uncapped f² collisions)      → `doc_dup_spans`
+    *  - `doc_ngram_jaccard`    (same bomb; cap available)    → `doc_minhash_pairs`
+    * Bench carries this list in its JSON (`verification_scale`) and
+    * reports `total_scale_path` (the headline total without them).
+    */
+  val verificationScaleOnly: Set[String] = Set(
+    "emb_near_dup_exact", "doc_simhash_pairs",
+    "doc_ngram_containment", "doc_ngram_jaccard")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Q1-style scan+agg: conditional sums, avg, count (SURVEY §2.2 aggs).
@@ -314,12 +331,17 @@ object SparkEntry {
     "doc_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashNearDups(t(s, dir, "documents"))),
 
-    // Exact trigram-Jaccard pairs (join bounded by shared shingles).
+    // VERIFICATION-SCALE ONLY (see verificationScaleOnly; twin:
+    // doc_minhash_pairs). Exact trigram-Jaccard pairs (join bounded by
+    // shared shingles; optional hot-shingle df cap for scale runs).
     "doc_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.3)),
 
-    // One-sided containment (inter / min): catches a small doc embedded
-    // in a large one, which symmetric Jaccard dilutes toward zero.
+    // VERIFICATION-SCALE ONLY (see verificationScaleOnly; twin:
+    // doc_dup_spans). One-sided containment (inter / min): catches a
+    // small doc embedded in a large one, which symmetric Jaccard
+    // dilutes toward zero — a df cap would break exactly that signal,
+    // so this baseline stays uncapped by design.
     "doc_ngram_containment" -> ((s, dir) =>
       Dedup.ngramContainmentPairs(t(s, dir, "documents"), threshold = 0.6)),
 
@@ -329,8 +351,10 @@ object SparkEntry {
     "doc_dup_clusters" -> ((s, dir) =>
       Dedup.minhashClusters(t(s, dir, "documents"))),
 
-    // SimHash fingerprints + near-dups: md5-derived bits, 32-bit votes.
-    // Hex→int is reproduced in the oracle via positional arithmetic.
+    // VERIFICATION-SCALE ONLY (see verificationScaleOnly; twin:
+    // doc_simhash64_pairs). SimHash fingerprints + near-dups:
+    // md5-derived bits, 32-bit votes → 4-5-bit pigeonhole keys, hence
+    // collision-heavy. Hex→int mirrored in the oracle positionally.
     "doc_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashNearDups(t(s, dir, "documents"), maxDist = 6)),
 
@@ -781,7 +805,9 @@ object SparkEntry {
     "emb_lsh_near_dup" -> ((s, dir) =>
       Similarity.lshNearDups(t(s, dir, "embeddings"), threshold = 0.35)),
 
-    // Exact all-pairs near-dup baseline the LSH path approximates.
+    // VERIFICATION-SCALE ONLY (see verificationScaleOnly; twin:
+    // emb_lsh_near_dup). Exact all-pairs baseline the LSH path
+    // approximates.
     "emb_near_dup_exact" -> ((s, dir) =>
       Similarity.bruteForceNearDups(t(s, dir, "embeddings"), threshold = 0.35)),
 

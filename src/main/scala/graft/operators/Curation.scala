@@ -517,14 +517,29 @@ object Curation {
     * the regex split and full-text md5 in four independent plan branches,
     * each a separate 100 TB scan. The report rows (doc_id + six booleans)
     * are materialized eagerly so the cache can be released before return.
+    *
+    * `baseTablePath` is the 100 TB knob: the default executor persist
+    * (`MEMORY_AND_DISK`) caches a corpus-sized table, so local disks must
+    * absorb ~1× the input or the job thrashes; passing a path instead
+    * materializes the tokenized base table to parquet ONCE and every
+    * stage re-reads it from shared storage — bounded by the filesystem,
+    * not executor disks, at the price of per-stage re-reads of a columnar
+    * (and column-pruned) table. Same rows either way (spec-pinned).
     */
   def curationReport(train: DataFrame, evalDocs: DataFrame,
       rates: Map[String, Double] = Map("en" -> 0.5, "zh" -> 0.125),
-      defaultRate: Double = 0.25): DataFrame = {
-    val base = train.select(col("doc_id"), col("lang"),
+      defaultRate: Double = 0.25,
+      baseTablePath: Option[String] = None): DataFrame = {
+    val baseRaw = train.select(col("doc_id"), col("lang"),
         length(col("text")).as("chars"), md5(col("text")).as("th"),
         TextAnalysis.wsTokens(col("text")).as("toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = baseTablePath match {
+      case Some(path) =>
+        baseRaw.write.mode("overwrite").parquet(path)
+        train.sparkSession.read.parquet(path)
+      case None =>
+        baseRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val q = gopherQualityFromTokens(base)
       .select(col("doc_id"), col("keep").as("q_keep"))
     val eg = Dedup.exactGroupsFromHashes(
@@ -554,7 +569,7 @@ object Curation {
         (col("q_keep") && col("e_keep") && col("c_keep") &&
           col("d_keep") && col("s_keep")).as("kept"))
       .localCheckpoint(eager = true)
-    base.unpersist()
+    if (baseTablePath.isEmpty) base.unpersist()
     out
   }
 

@@ -217,9 +217,22 @@ object Dedup {
     * the non-approximate (quadratic-in-collisions) baseline that MinHash
     * approximates. Joining on the shingle itself bounds the blow-up to
     * genuinely-overlapping pairs.
+    *
+    * VERIFICATION-SCALE ONLY at the default settings (see
+    * SparkEntry.verificationScaleOnly; the production near-dup path is
+    * MinHash+LSH): a boilerplate shingle shared by f documents still
+    * contributes f² join rows. `maxDf > 0` enables the hot-shingle cap
+    * a scale run needs — shingles appearing in more than `maxDf`
+    * documents are dropped BEFORE the pair join, which retires the f²
+    * term. The error is one-sided and bounded: set sizes stay the
+    * originals, so dropping a shared shingle lowers `inter` by one and
+    * raises the union term by one — a pair's Jaccard can only DECREASE
+    * (by at most its count of capped shared shingles over the union);
+    * pairs are under-reported near the threshold, never over-reported,
+    * and a ubiquitous shingle carries no dedup signal anyway.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
-      threshold: Double = 0.3): DataFrame = {
+      threshold: Double = 0.3, maxDf: Int = 0): DataFrame = {
     // Join on the shingle's 64-bit hash: 8-byte shuffle keys instead of
     // full n-gram strings (identical counts — a 64-bit collision among
     // a corpus's distinct shingles is negligible). The persisted set
@@ -235,9 +248,19 @@ object Dedup {
     // drop such a pair before the filter ever saw it.
     val sets = shingleSets(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ex = sets.select(col("doc_id"), explode(col("sset")).as("shingle"),
+    val ex0 = sets.select(col("doc_id"), explode(col("sset")).as("shingle"),
         size(col("sset")).as("cnt"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"), col("cnt"))
+    // Hot-shingle cap: the capped set (boilerplate — small by definition)
+    // broadcasts into a map-side anti join; shingle sets are per-doc
+    // distinct, so count(*) per hash IS the document frequency.
+    val ex =
+      if (maxDf <= 0) ex0
+      else {
+        val hot = ex0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select(col("sh"))
+        ex0.join(broadcast(hot), Seq("sh"), "left_anti")
+      }
     val counts = sets.select(col("doc_id"), size(col("sset")).as("cnt"))
     val inter = ex.as("a").join(ex.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
@@ -444,6 +467,11 @@ object Dedup {
     * by exact match on one of `blocks` fingerprint blocks (the standard
     * pigeonhole trick: distance <= maxDist ⇒ some block of
     * bits/(maxDist+1) is identical).
+    *
+    * VERIFICATION-SCALE ONLY (SparkEntry.verificationScaleOnly): 32 bits
+    * over 4+ blocks means 4-5-bit block keys, which collide massively at
+    * corpus scale — [[simhashNearDups64]] (15-bit keys) is the variant a
+    * scale run uses.
     */
   def simhashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame =
     simhashNearDupsImpl(simhashes(docs), 32, maxDist)

@@ -577,7 +577,8 @@ object Similarity {
   }
 
   /** Exact near-dup pairs over all pairs (the correctness baseline the LSH
-    * path approximates; quadratic — use only at verification scales).
+    * path approximates; quadratic — VERIFICATION-SCALE ONLY, see
+    * SparkEntry.verificationScaleOnly; the scale path is [[lshNearDups]]).
     */
   def bruteForceNearDups(emb: DataFrame, threshold: Double = 0.9): DataFrame = {
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))

@@ -57,6 +57,34 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(pairs(0).getAs[Double]("jaccard") == math.round(1.0 / 3.0 * 1e6) / 1e6)
   }
 
+  test("ngramJaccard df cap: bounded one-sided undercount; default uncapped") {
+    // n=1 shingles = token sets. "common" appears in all four docs
+    // (df=4); docs 1-2 additionally share "a".
+    val d = docs(1L -> "common a b", 2L -> "common a c",
+      3L -> "common x", 4L -> "common y")
+    def collectPairs(maxDf: Int) =
+      Dedup.ngramJaccardPairs(d, n = 1, threshold = 0.2, maxDf = maxDf)
+        .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+          r.getAs[Double]("jaccard")).toMap
+    val uncapped = collectPairs(0)
+    // Uncapped: (1,2) J=2/4; every "common"-only pair J=1/4 (docs 3,4 are
+    // 2-token sets → unions of 4) except (1,3) etc with union 4 → 0.25.
+    assert(uncapped((1L, 2L)) == 0.5)
+    assert(uncapped.size > 1) // the boilerplate collisions are real
+    // maxDf=3 drops "common" (df=4): intersections shrink by exactly the
+    // capped shingle, set sizes stay original → (1,2) J=(2-1)/(4+1)=0.2;
+    // the boilerplate-only pairs disappear. One-sided: capped ⊆ uncapped
+    // and every surviving pair's jaccard only went down.
+    val capped = collectPairs(3)
+    assert(capped.keySet == Set((1L, 2L)))
+    assert(capped((1L, 2L)) == 0.2)
+    assert(capped.keySet.subsetOf(uncapped.keySet))
+    capped.foreach { case (k, j) => assert(j <= uncapped(k)) }
+    // A cap that drops nothing (df threshold above every shingle's df)
+    // reproduces the uncapped rows exactly.
+    assert(collectPairs(10) == uncapped)
+  }
+
   test("ngramContainment: embedded doc scores 1.0 where jaccard dilutes") {
     // doc 2 (4 tokens) is verbatim inside doc 1 (12 tokens): containment
     // = 1.0, but jaccard = 2/10 = 0.2 would miss it at any sane cutoff.
@@ -1012,6 +1040,20 @@ class PipelineOperatorsSpec extends SparkSpec {
           r.getAs[Boolean]("c_keep") && r.getAs[Boolean]("d_keep") &&
           r.getAs[Boolean]("s_keep")))
     }
+    // The 100 TB knob — parquet-materialized base table instead of the
+    // executor-disk persist — produces the identical report.
+    val viaParquet = Curation.curationReport(train, eval,
+        baseTablePath = Some(java.nio.file.Files
+          .createTempDirectory("graft_curation_base").toString + "/base"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("q_keep"), r.getAs[Boolean]("e_keep"),
+          r.getAs[Boolean]("c_keep"), r.getAs[Boolean]("d_keep"),
+          r.getAs[Boolean]("s_keep"), r.getAs[Boolean]("kept"))).toMap
+    val viaPersist = out.map { case (id, r) => id ->
+      (r.getAs[Boolean]("q_keep"), r.getAs[Boolean]("e_keep"),
+        r.getAs[Boolean]("c_keep"), r.getAs[Boolean]("d_keep"),
+        r.getAs[Boolean]("s_keep"), r.getAs[Boolean]("kept")) }
+    assert(viaParquet == viaPersist)
   }
 
   test("streamingChunkDedup: repeated chunk suppressed, fresh chunk of same doc kept") {
