@@ -486,6 +486,13 @@ object SparkEntry {
     // ExactSubstr-style shared-span report per candidate pair: shared
     // winnowing fingerprints, certified shared-token lower bound, and a
     // containment score against the smaller doc's fingerprint set.
+    // TRUE ExactSubstr (Lee et al. 2022): exact maximal shared spans
+    // >= 20 tokens per doc pair, via minLen-gram anchors + per-diagonal
+    // gaps-and-islands (suffix-array-equivalent for cross-doc repeats;
+    // dupSpans is the winnowing-certified lower bound it validates).
+    "doc_exact_substr" -> ((s, dir) =>
+      TextAnalysis.exactSubstrSpans(t(s, dir, "documents"), minLen = 20)),
+
     "doc_dup_spans" -> ((s, dir) =>
       TextAnalysis.dupSpans(t(s, dir, "documents"),
         k = 3, w = 4, minShared = 3, maxDf = 50)),
@@ -1544,6 +1551,36 @@ object SparkEntry {
            coalesce(agg.clean_tokens, 0) AS clean_tokens,
            coalesce(agg.clean_hash, md5('')) AS clean_hash
          FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""",
+
+    // Anchor identity: the oracle joins md5(gram) strings where Spark
+    // joins xxhash64 longs — identical pairs modulo negligible collisions
+    // (the ngram-jaccard precedent). Islands: pa − row_number() is
+    // constant exactly on consecutive-anchor runs per (pair, diagonal).
+    "doc_exact_substr" ->
+      """WITH toks AS (
+           SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(text), '\s+') END AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id, u.i AS pos,
+             md5(array_to_string(t[u.i:u.i+19], ' ')) AS gh
+           FROM toks, unnest(generate_series(1, len(t) - 19)) AS u(i)
+           WHERE len(t) >= 20),
+         anchors AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.pos AS pa, a.pos - b.pos AS diag
+           FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+         isl AS (
+           SELECT doc_a, doc_b, diag, pa,
+             pa - row_number() OVER
+               (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl
+           FROM anchors),
+         spans AS (
+           SELECT doc_a, doc_b, diag, isl, count(*) + 19 AS span_len
+           FROM isl GROUP BY 1, 2, 3, 4)
+         SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(max(span_len) AS BIGINT) AS max_span
+         FROM spans GROUP BY 1, 2""",
 
     "doc_dup_spans" ->
       """WITH toks AS (

@@ -518,6 +518,79 @@ object TextAnalysis {
           .as("containment"))
   }
 
+  /** TRUE ExactSubstr dedup analysis (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): for every document
+    * pair, the EXACT maximal shared token spans of at least `minLen`
+    * tokens — the stronger stage [[dupSpans]]'s winnowing bound
+    * approximates. Output per pair: `n_spans` (maximal shared runs) and
+    * `max_span` (tokens in the longest exact shared span).
+    *
+    * Construction (suffix-array equivalence, join-expressible): a shared
+    * span of S >= minLen tokens is exactly a maximal run of S−minLen+1
+    * consecutive shared minLen-gram anchors at a constant position offset
+    * (the diagonal, pa − pb). So: hash every minLen-gram with its
+    * position, join equal hashes across doc pairs, and run
+    * gaps-and-islands per (pair, diagonal) — `pa − row_number()` is
+    * constant within a consecutive run — to recover each maximal span
+    * and its exact length. This reproduces what a suffix array reports
+    * for cross-doc repeats >= minLen, in three relational steps any
+    * engine (and the DuckDB oracle) executes identically; anchor
+    * identity rides a 64-bit gram hash (collisions negligible; the
+    * oracle joins md5 strings and agrees).
+    *
+    * Scale shape: the gram table is map-only off the token attribute; the
+    * anchor join keys are 8-byte hashes, and a minLen-token exact match
+    * is already near-dup-grade signal, so collisions are TRUE shared
+    * spans, not trigram-style boilerplate noise — pair fan-out is
+    * bounded by the corpus's real duplication (an f-sized exact-dup
+    * cluster yields its true f² pairs). For corpora where even true
+    * duplication explodes (mirror-heavy crawls), `maxGramDf` drops
+    * anchors shared by more than maxGramDf docs first — the same
+    * hot-key cap as [[winnowNearDupCandidates]], trading away only
+    * spans duplicated across more than maxGramDf documents. The island
+    * window and both aggregations share one (doc_a, doc_b, diag)-prefixed
+    * key, so the whole tail is a single exchange.
+    */
+  def exactSubstrSpans(docs: DataFrame, minLen: Int = 20,
+      maxGramDf: Int = 0): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
+    // (pos, gram-hash) structs; docs shorter than minLen contribute none.
+    val grams = toks.select(col("doc_id"),
+      when(size(col("toks")) >= minLen,
+        transform(sequence(lit(1), size(col("toks")) - (minLen - 1)),
+          i => struct(i.as("pos"),
+            xxhash64(concat_ws(" ", slice(col("toks"), i, lit(minLen))))
+              .as("gh"))))
+        .otherwise(array().cast("array<struct<pos:int,gh:bigint>>"))
+        .as("gs"))
+    val g0 = grams.select(col("doc_id"), explode_outer(col("gs")).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+      .filter(col("gh").isNotNull)
+    val g =
+      if (maxGramDf <= 0) g0
+      else {
+        val hot = g0.select(col("gh"), col("doc_id")).distinct()
+          .groupBy(col("gh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxGramDf).select(col("gh"))
+        g0.join(broadcast(hot), Seq("gh"), "left_anti")
+      }
+    val anchors = g.as("a").join(g.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"),
+        (col("a.pos") - col("b.pos")).as("diag"))
+    val w = W.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    val spans = anchors
+      .withColumn("isl", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("isl"))
+      .agg((count(lit(1)) + (minLen - 1)).as("span_len"))
+    spans.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_spans"),
+        max(col("span_len")).as("max_span"))
+  }
+
   /** Per-document top-`k` characteristic terms by rarity-weighted term
     * frequency — `score = tf · N / df` (N = corpus docs, df = docs
     * containing the term). This is tf-idf with a LINEAR 1/df rarity weight

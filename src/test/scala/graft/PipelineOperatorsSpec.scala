@@ -720,6 +720,52 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(r.getAs[Double]("containment") == 1.0)
   }
 
+  test("exactSubstrSpans: planted 50-token span found with its exact length") {
+    // Docs 1 and 2 share a planted 50-token span at DIFFERENT offsets
+    // (prefix lengths 7 vs 3), embedded in otherwise-disjoint text; doc 3
+    // is unrelated. minLen=50 = the Lee et al. threshold.
+    val span = (1 to 50).map(i => s"s$i").mkString(" ")
+    val d = docs(
+      1L -> ((1 to 7).map(i => s"a$i").mkString(" ") + " " + span + " " +
+        (1 to 5).map(i => s"z$i").mkString(" ")),
+      2L -> ((1 to 3).map(i => s"b$i").mkString(" ") + " " + span + " " +
+        (1 to 9).map(i => s"y$i").mkString(" ")),
+      3L -> (1 to 60).map(i => s"q$i").mkString(" "))
+    val out = TextAnalysis.exactSubstrSpans(d, minLen = 50).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) == ((1L, 2L)))
+    assert(r.getAs[Long]("n_spans") == 1L)
+    assert(r.getAs[Long]("max_span") == 50L) // exact, not a bound
+    // Two disjoint planted spans in one pair are reported separately.
+    val span2 = (1 to 50).map(i => s"u$i").mkString(" ")
+    val d2 = docs(
+      1L -> (span + " mid1 mid2 mid3 " + span2),
+      2L -> (span2 + " other1 other2 " + span))
+    val two = TextAnalysis.exactSubstrSpans(d2, minLen = 50).collect()(0)
+    assert(two.getAs[Long]("n_spans") == 2L)
+    assert(two.getAs[Long]("max_span") == 50L)
+  }
+
+  test("exactSubstrSpans validates dupSpans: winnowing finds every exact pair") {
+    // The winnowing guarantee, validated against ground truth ON REAL
+    // DATA: any pair with an exact shared span of >= w+k−1 tokens shares
+    // at least one winnowing fingerprint, so exactSubstrSpans' pairs
+    // (spans >= 20 >> 6) must be a subset of the uncapped
+    // minShared=1 candidate set. Overlap lengths must agree too: the
+    // exact span and identical docs' token counts line up.
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = TextAnalysis.exactSubstrSpans(d, minLen = 20).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("max_span")).toMap
+    assert(exact.nonEmpty) // the corpus really has planted exact spans
+    val winnow = TextAnalysis
+      .dupSpans(d, k = 3, w = 4, minShared = 1, maxDf = 1000000).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(exact.keySet.subsetOf(winnow),
+      s"missed: ${exact.keySet.diff(winnow)}")
+  }
+
   test("winnowNearDupCandidates: shared-substring pairs found, hot fps capped") {
     val base = (1 to 20).map(i => s"w$i").mkString(" ")
     val d = docs(

@@ -142,6 +142,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!physical("doc_gopher_quality").contains("Exchange"))
   }
 
+  test("doc_exact_substr: anchor join is hash-based; no nested loop or cartesian") {
+    val p = physical("doc_exact_substr")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("emb_ivf_kmeans_topk: probes broadcast, top-k prunes with WindowGroupLimit") {
     val p = physical("emb_ivf_kmeans_topk")
     assert(p.contains("BroadcastExchange"), p.take(2000))
