@@ -1061,6 +1061,57 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 2L))
   }
 
+  test("streamingMinhashNearDups: stream ≡ batch pairs; horizon bounds state") {
+    import java.sql.Timestamp
+    import graft.streaming.StreamingNearDup
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    // Two near-dup pairs (1,2) and (4,5 — exact dups, colliding in EVERY
+    // band, exercising the first-band-only emission) plus unrelated docs.
+    val corpus = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy dog tonight",
+      3L -> "completely different words entirely here now friends",
+      4L -> "alpha beta gamma delta epsilon zeta eta theta",
+      5L -> "alpha beta gamma delta epsilon zeta eta theta",
+      6L -> "unrelated filler text stream with its own content")
+    val batchDf = corpus.toDF("doc_id", "text")
+    val batch = Dedup.minhashNearDups(batchDf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(batch.nonEmpty)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Timestamp)](spark)
+    // Replay across two micro-batches within the horizon (cross-batch
+    // pairing via state), then a far-future replay beyond it.
+    ms.addData(corpus.take(3).map { case (id, tx) =>
+      (id, tx, new Timestamp(t0.getTime + id * 1000L)) })
+    val pairs = StreamingNearDup.streamingMinhashNearDups(
+      ms.toDF().toDF("doc_id", "text", "ts"), delay = "10 minutes")
+    val q = pairs.writeStream.format("memory").queryName("snear")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      ms.addData(corpus.drop(3).map { case (id, tx) =>
+        (id, tx, new Timestamp(t0.getTime + id * 1000L)) })
+      q.processAllAvailable()
+      // Advance the watermark far past every horizon, then replay doc 1's
+      // text under a fresh id: its original partner is expired — no pair.
+      val far = new Timestamp(t0.getTime + 3600 * 1000L)
+      ms.addData(Seq((7L, "watermark advancer nothing shared here at all", far)))
+      q.processAllAvailable()
+      ms.addData(Seq((8L, corpus.head._2,
+        new Timestamp(far.getTime + 1000L))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("snear").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    // Within the horizon the stream reproduces the batch pairs EXACTLY
+    // (values included); the expired-horizon replay added nothing, even
+    // though doc 8 is an exact copy of doc 1.
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
   test("curationReport: stage flags attribute removals; kept is the conjunction") {
     val good = "the of " + (1 to 48).map(i => s"alpha$i").mkString(" ")
     val other = "the of " + (1 to 48).map(i => s"beta$i").mkString(" ")
