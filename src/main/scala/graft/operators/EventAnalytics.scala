@@ -62,6 +62,16 @@ object EventAnalytics {
     * `session_start`; the window's `end` is last-event + gap by
     * definition, so the batch `session_end` (last event ts) is `end`
     * minus the gap.
+    *
+    * KNOWN BOUNDARY ASYMMETRY at an exact-gap timestamp: batch starts a
+    * new session only when the gap is STRICTLY greater than `gapMinutes`
+    * (equality merges), while `session_window`'s half-open
+    * `[ts, last+gap)` window does NOT merge an event arriving exactly at
+    * `last+gap` (equality splits). The twins agree on every gap except
+    * `== gapMinutes` exactly; the stream≡batch spec keeps its fixtures
+    * off that boundary, and callers who need equality semantics at the
+    * boundary should sessionize with `gapMinutes+1` minus one microsecond
+    * of tolerance on one side.
     */
   def sessionizeStream(events: DataFrame, gapMinutes: Long = 360L,
       delay: String = "1 hour"): DataFrame =

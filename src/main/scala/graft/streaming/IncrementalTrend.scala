@@ -274,16 +274,13 @@ object IncrementalTrend {
 
   private def manifestFileName(seq: Long): String = f"manifest-$seq%020d.json"
 
-  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
-      live: org.apache.hadoop.fs.Path): Option[StateManifest] = {
+  /** Parse one manifest file by sequence number (None when absent). */
+  private def readManifestFile(fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path, seq: Long): Option[StateManifest] = {
     import scala.jdk.CollectionConverters._
-    if (!fs.exists(live)) return None
-    val seqs = fs.listStatus(live).toSeq.map(_.getPath.getName).collect {
-      case ManifestRe(d) => d.toLong
-    }
-    if (seqs.isEmpty) return None
-    val seq = seqs.max
-    val in = fs.open(new org.apache.hadoop.fs.Path(live, manifestFileName(seq)))
+    val p = new org.apache.hadoop.fs.Path(live, manifestFileName(seq))
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
     val root =
       try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
       finally in.close()
@@ -293,6 +290,16 @@ object IncrementalTrend {
         e.getValue.get("lastBatchId").asLong())
     }.toMap
     Some(StateManifest(seq, entries))
+  }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path): Option[StateManifest] = {
+    if (!fs.exists(live)) return None
+    val seqs = fs.listStatus(live).toSeq.map(_.getPath.getName).collect {
+      case ManifestRe(d) => d.toLong
+    }
+    if (seqs.isEmpty) return None
+    readManifestFile(fs, live, seqs.max)
   }
 
   /** Stage the manifest to a dot-temp file, then rename into place — the
@@ -370,14 +377,33 @@ object IncrementalTrend {
     * streaming query serializes batches), so unreferenced = garbage; the
     * sweep is idempotent and re-runs harmlessly after its own crash.
     */
+  /** Manifest generations the sweep retains: the just-committed one plus
+    * `RetainedGenerations − 1` predecessors, and every bucket file ANY of
+    * them references. This closes the reader/commit overlap the
+    * single-writer model otherwise leaves open: a concurrent `readState`
+    * whose lazy plan resolved the previous manifest can still finish its
+    * scan after the next commit lands (it has RetainedGenerations − 1
+    * further commits of grace before its files are swept), instead of
+    * dying on FileNotFoundException mid-scan. A reader that holds a plan
+    * across MORE commits than that must materialize (collect/checkpoint)
+    * first — documented at [[readState]].
+    */
+  private[graft] val RetainedGenerations = 2
+
   private def sweepUnreferenced(fs: org.apache.hadoop.fs.FileSystem,
       live: org.apache.hadoop.fs.Path, seq: Long,
       entries: Map[Int, BucketEntry]): Unit = {
     import org.apache.hadoop.fs.Path
-    val referenced = entries.values.map(_.path).toSet
+    val oldest = seq - (RetainedGenerations - 1)
+    // Union of bucket paths referenced by ANY retained generation — the
+    // previous manifest's files must outlive this commit.
+    val referenced = ((oldest until seq)
+      .flatMap(s => readManifestFile(fs, live, s))
+      .flatMap(_.entries.values.map(_.path)) ++
+      entries.values.map(_.path)).toSet
     fs.listStatus(live).foreach { st =>
       st.getPath.getName match {
-        case ManifestRe(d) if d.toLong < seq => fs.delete(st.getPath, false)
+        case ManifestRe(d) if d.toLong < oldest => fs.delete(st.getPath, false)
         case n if n.startsWith(".manifest-") => fs.delete(st.getPath, false)
         case n if n.startsWith("bucket=") && !referenced.contains(n) =>
           fs.delete(st.getPath, true)
@@ -404,6 +430,13 @@ object IncrementalTrend {
   /** Read the live state table (every bucket the manifest references).
     * The pinned schema drops legacy dirs' extra stamp column, so adopted
     * and manifest-written buckets read uniformly.
+    *
+    * Reader/commit overlap: the returned DataFrame pins the manifest
+    * generation current at CALL time, and the sweep retains each
+    * generation's files for RetainedGenerations−1 further commits — so a
+    * lazy plan survives one concurrent micro-batch. A caller holding the
+    * plan across more commits than that must materialize it
+    * (collect/localCheckpoint) before continuing.
     */
   def readState(spark: SparkSession, stateDir: String): DataFrame = {
     val live = new org.apache.hadoop.fs.Path(stateDir)

@@ -217,8 +217,31 @@ class IncrementalTrendSpec extends SparkSpec {
     assert(st("Foo").getAs[Long]("edits") == 2L)
     assert(!orphan.exists())
     assert(!root.toPath.resolve(".manifest-cafe0123.tmp").toFile.exists())
-    // Exactly one manifest file remains (older seqs swept too).
-    assert(root.listFiles().count(_.getName.startsWith("manifest-")) == 1)
+    // RetainedGenerations manifests remain (current + grace predecessors).
+    assert(root.listFiles().count(_.getName.startsWith("manifest-")) ==
+      IncrementalTrend.RetainedGenerations)
+  }
+
+  test("bucketed state: sweep retains the previous generation for in-flight readers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_state").toString + "/st"
+    val root = new java.io.File(dir)
+    def manifests = root.listFiles().map(_.getName)
+      .filter(_.startsWith("manifest-")).sorted.toSeq
+    foldToDir(dir, 0, Seq(edit("Foo", min = 0)))
+    val gen1 = manifests
+    // A reader resolves the CURRENT manifest lazily (no action yet)…
+    val inFlight = IncrementalTrend.readState(spark, dir)
+    // …then one more commit lands, rewriting Foo's bucket.
+    foldToDir(dir, 1, Seq(edit("Foo", user = "Eve", min = 1)))
+    // The previous generation (manifest + its bucket files) survives one
+    // commit, so the in-flight plan still scans cleanly…
+    assert(manifests.size == 2 && manifests.containsSlice(gen1))
+    val rows = inFlight.collect().map(r => r.getAs[String]("id") -> r).toMap
+    assert(rows("Foo").getAs[Long]("edits") == 1L) // its snapshot, intact
+    // …and dies only after a SECOND commit (grace = RetainedGenerations−1).
+    foldToDir(dir, 2, Seq(edit("Foo", user = "Zed", min = 2)))
+    assert(!manifests.containsSlice(gen1))
+    assert(manifests.size == IncrementalTrend.RetainedGenerations)
   }
 
   test("bucketed state: replaying a committed batch is a no-op (idempotent)") {

@@ -1207,6 +1207,10 @@ class PipelineOperatorsSpec extends SparkSpec {
     import org.apache.spark.sql.streaming.Trigger
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // Fixture gaps deliberately avoid EXACTLY 360 min: at the precise
+    // gap boundary the twins diverge by design (batch merges on
+    // equality, session_window's half-open window splits — documented at
+    // sessionizeStream), and an exact-gap fixture would flake.
     val events = Seq(
       (1L, 1L, at(0), "view", 1.0),
       (1L, 2L, at(10), "purchase", 5.5),
