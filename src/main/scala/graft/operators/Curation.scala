@@ -573,6 +573,41 @@ object Curation {
     out
   }
 
+  /** Streaming twin of [[sourceMix]]: the per-(source, lang) doc/token
+    * cells maintained incrementally over the document stream — the live
+    * table a data-mixing controller watches to adjust sampling weights as
+    * a crawl progresses. `token_share` is deliberately NOT computed here:
+    * a second global aggregation over an aggregated stream is not
+    * expressible in Structured Streaming, and the share is one broadcast
+    * division over the (sources × langs)-sized cell table at read time.
+    * State = the cell table itself — thousands of rows, not the corpus.
+    * Run in update mode (per-batch deltas) or complete mode (full table);
+    * the stream-final ≡ batch identity is spec-pinned.
+    */
+  def streamingSourceMixCells(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("lang"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("toks"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("docs"), sum(col("toks")).as("tokens"))
+
+  /** Streaming twin of [[vocabTopK]] (complete mode): the running top-`k`
+    * vocabulary head over the document stream. `doc_freq` uses
+    * `approx_count_distinct` — exact distinct counting is unsupported in
+    * streaming aggregations; HLL++ is exact while a token's doc set stays
+    * in the sparse range and within its rsd beyond, which is the standard
+    * trade for a live vocabulary board. Occurrences are exact. State is
+    * vocabulary-sized (every distinct token), the inherent floor for any
+    * exact-occurrence vocabulary stream; complete mode re-emits the
+    * sorted head each trigger, which is what a monitoring sink wants.
+    */
+  def streamingVocabTopK(docs: DataFrame, k: Int = 100): DataFrame =
+    TextAnalysis.explodedTokens(docs)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("occurrences"),
+        approx_count_distinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("occurrences").desc, col("token").asc)
+      .limit(k)
+
   /** Streaming twin of the chunk-level dedup
     * ([[TextAnalysis.paragraphDedup]]): explode each arriving document
     * into 10-token chunks and emit only chunks whose hash was NOT seen

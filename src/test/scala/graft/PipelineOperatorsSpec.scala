@@ -1061,6 +1061,48 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 2L))
   }
 
+  test("streamingSourceMixCells + streamingVocabTopK: stream-final ≡ batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = Seq(
+      (1L, "a b c a", "en", "web"), (2L, "a b x", "en", "web"),
+      (3L, "m n o p q", "zh", "books"), (4L, "a m", "en", "books"),
+      (5L, "x y z x y", "zh", "web"))
+    val batchDf = corpus.toDF("doc_id", "text", "lang", "source")
+    val ms = MemoryStream[(Long, String, String, String)](spark)
+    // Replayed across two micro-batches — the aggregates must fold.
+    ms.addData(corpus.take(2))
+    val sdf = ms.toDF().toDF("doc_id", "text", "lang", "source")
+    val qMix = Curation.streamingSourceMixCells(sdf)
+      .writeStream.format("memory").queryName("smix")
+      .outputMode("complete").start()
+    val qVocab = Curation.streamingVocabTopK(sdf, k = 4)
+      .writeStream.format("memory").queryName("svocab")
+      .outputMode("complete").start()
+    try {
+      qMix.processAllAvailable(); qVocab.processAllAvailable()
+      ms.addData(corpus.drop(2))
+      qMix.processAllAvailable(); qVocab.processAllAvailable()
+    } finally { qMix.stop(); qVocab.stop() }
+    // Mix cells: identical to the batch operator's docs/tokens columns
+    // (token_share is the consumer's broadcast division, by design).
+    def mixKey(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("source"), r.getAs[String]("lang")) ->
+        (r.getAs[Long]("docs"), r.getAs[Long]("tokens"))
+    val streamedMix = spark.table("smix").collect().map(mixKey).toMap
+    val batchMix = Curation.sourceMix(batchDf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang")) ->
+        (r.getAs[Long]("docs"), r.getAs[Long]("tokens"))).toMap
+    assert(streamedMix == batchMix)
+    // Vocab head: same ranked rows (HLL++ is exact at this cardinality).
+    def vKey(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("token"), r.getAs[Long]("occurrences"),
+        r.getAs[Long]("doc_freq"))
+    val streamedVocab = spark.table("svocab").collect().map(vKey).toSeq
+    val batchVocab = Curation.vocabTopK(batchDf, k = 4).collect()
+      .map(vKey).toSeq
+    assert(streamedVocab == batchVocab)
+  }
+
   test("streamingMinhashNearDups: stream ≡ batch pairs; horizon bounds state") {
     import java.sql.Timestamp
     import graft.streaming.StreamingNearDup
