@@ -194,6 +194,20 @@ object Similarity {
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = iterateCentroids(v, clusters, iters)
+    val out = kmeansSearchPlan(v, cents, k, numQueries, probes)
+      .localCheckpoint(eager = true) // release the vector cache below
+    v.unpersist()
+    out
+  }
+
+  /** The SEARCH half of [[ivfKmeansTopK]] as an un-materialized plan
+    * (`v`: (vec_id, ev), `cents`: converged centroids) — factored out so
+    * the plan-shape spec can assert on the broadcast + WindowGroupLimit
+    * structure, which the public method's eager checkpoint hides behind
+    * an ExistingRDD scan.
+    */
+  private[graft] def kmeansSearchPlan(v: DataFrame, cents: DataFrame,
+      k: Int, numQueries: Int, probes: Int): DataFrame = {
     val corpus = v
       .join(assignTo(v, cents).select(col("vec_id"), col("cluster")),
         Seq("vec_id"))
@@ -219,13 +233,10 @@ object Similarity {
         col("qn"), col("nrm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    val out = scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("cos"), col("rank"))
-      .localCheckpoint(eager = true) // release the vector cache below
-    v.unpersist()
-    out
   }
 
   /** Recall@k report: single-probe, ring-1 and ring-2 multi-probe sign-LSH

@@ -150,7 +150,15 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("emb_ivf_kmeans_topk: probes broadcast, top-k prunes with WindowGroupLimit") {
-    val p = physical("emb_ivf_kmeans_topk")
+    // The public method eagerly checkpoints (its plan is an ExistingRDD
+    // scan); assert on the factored-out search plan instead.
+    import org.apache.spark.sql.functions.col
+    val v = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ev"))
+    val cents = graft.operators.Similarity.iterateCentroids(v, 16, 0)
+    val p = graft.operators.Similarity
+      .kmeansSearchPlan(v, cents, k = 5, numQueries = 10, probes = 2)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastExchange"), p.take(2000))
     assert(p.contains("WindowGroupLimit"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
