@@ -493,6 +493,12 @@ object SparkEntry {
     "doc_exact_substr" -> ((s, dir) =>
       TextAnalysis.exactSubstrSpans(t(s, dir, "documents"), minLen = 20)),
 
+    // The REMOVAL half (keep-one-occurrence): each doc loses the spans it
+    // shares with a lower-id doc; cleaned corpus reported as counts +
+    // md5(kept tokens) — hash-verified without shipping rewritten text.
+    "doc_exact_substr_clean" -> ((s, dir) =>
+      TextAnalysis.exactSubstrClean(t(s, dir, "documents"), minLen = 20)),
+
     "doc_dup_spans" -> ((s, dir) =>
       TextAnalysis.dupSpans(t(s, dir, "documents"),
         k = 3, w = 4, minShared = 3, maxDf = 50)),
@@ -1581,6 +1587,50 @@ object SparkEntry {
          SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_spans,
            CAST(max(span_len) AS BIGINT) AS max_span
          FROM spans GROUP BY 1, 2""",
+
+    // Removal half: islands become per-doc_b [s, e] intervals; a token at
+    // a covered position is removed; kept text hashes in original order
+    // (string_agg ORDER BY position). Docs with no lower-id partner (or
+    // no tokens) keep everything / hash md5('').
+    "doc_exact_substr_clean" ->
+      """WITH toks AS (
+           SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(text), '\s+') END AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id, u.i AS pos,
+             md5(array_to_string(t[u.i:u.i+19], ' ')) AS gh
+           FROM toks, unnest(generate_series(1, len(t) - 19)) AS u(i)
+           WHERE len(t) >= 20),
+         anchors AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+           FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+         isl AS (
+           SELECT doc_a, doc_b, diag, pa, pb,
+             pa - row_number() OVER
+               (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl
+           FROM anchors),
+         ivs AS (
+           SELECT doc_b AS doc_id, min(pb) AS s, max(pb) + 19 AS e
+           FROM isl GROUP BY doc_b, doc_a, diag, isl),
+         tokpos AS (
+           SELECT doc_id, u.i AS i, t[u.i] AS tok
+           FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+         kept AS (
+           SELECT tp.doc_id, tp.i, tp.tok FROM tokpos tp
+           WHERE NOT EXISTS (SELECT 1 FROM ivs
+             WHERE ivs.doc_id = tp.doc_id AND tp.i BETWEEN ivs.s AND ivs.e)),
+         kagg AS (
+           SELECT doc_id, count(*) AS kept_tokens,
+             md5(string_agg(tok, ' ' ORDER BY i)) AS clean_hash
+           FROM kept GROUP BY 1)
+         SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(len(t.t) - coalesce(kagg.kept_tokens, 0) AS BIGINT)
+             AS removed_tokens,
+           CAST(coalesce(kagg.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           coalesce(kagg.clean_hash, md5('')) AS clean_hash
+         FROM toks t LEFT JOIN kagg USING (doc_id)""",
 
     "doc_dup_spans" ->
       """WITH toks AS (

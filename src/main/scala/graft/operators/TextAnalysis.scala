@@ -552,7 +552,19 @@ object TextAnalysis {
     * key, so the whole tail is a single exchange.
     */
   def exactSubstrSpans(docs: DataFrame, minLen: Int = 20,
-      maxGramDf: Int = 0): DataFrame = {
+      maxGramDf: Int = 0): DataFrame =
+    substrIslands(docs, minLen, maxGramDf)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_spans"),
+        max(col("span_len")).as("max_span"))
+
+  /** Shared islands core of [[exactSubstrSpans]] / [[exactSubstrClean]]:
+    * one row per maximal shared run — (doc_a, doc_b, diag, s_b = span
+    * start in doc_b, span_len). See [[exactSubstrSpans]] for the
+    * construction.
+    */
+  private def substrIslands(docs: DataFrame, minLen: Int,
+      maxGramDf: Int): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
     // (pos, gram-hash) structs; docs shorter than minLen contribute none.
@@ -582,13 +594,70 @@ object TextAnalysis {
         (col("a.pos") - col("b.pos")).as("diag"))
     val w = W.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("pa"))
-    val spans = anchors
+    anchors
       .withColumn("isl", col("pa") - row_number().over(w))
       .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("isl"))
-      .agg((count(lit(1)) + (minLen - 1)).as("span_len"))
-    spans.groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_spans"),
-        max(col("span_len")).as("max_span"))
+      .agg(min(col("pb")).as("s_b"),
+        (count(lit(1)) + (minLen - 1)).as("span_len"))
+      .select(col("doc_a"), col("doc_b"), col("diag"),
+        col("s_b"), col("span_len"))
+  }
+
+  /** The REMOVAL half of ExactSubstr (Lee et al. keep-one-occurrence):
+    * every document's tokens covered by a span it shares with a
+    * LOWER-id document are removed — the canonical (minimum-id) copy
+    * keeps its text, later copies lose the duplicated spans — and the
+    * cleaned corpus is reported as (n_tokens, removed_tokens,
+    * kept_tokens, clean_hash), with clean_hash = md5 of the kept tokens
+    * in original order (the paragraphDedupClean reporting convention:
+    * hash-verifiable without shipping the rewritten text).
+    *
+    * Scale shape: the islands core is [[exactSubstrSpans]]'s; per-doc
+    * removal intervals are a tiny aggregated table (bounded by real
+    * duplication) hash-joined back to the corpus on doc_id; the clip /
+    * filter runs as HOF folds over materialized attributes, map-side.
+    * Overlapping intervals from different partners union correctly (the
+    * fold clips; the exists-filter is a union membership test).
+    */
+  def exactSubstrClean(docs: DataFrame, minLen: Int = 20,
+      maxGramDf: Int = 0): DataFrame = {
+    val ivs = substrIslands(docs, minLen, maxGramDf)
+      .select(col("doc_b").as("doc_id"), col("s_b").as("s"),
+        (col("s_b") + col("span_len") - 1).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"))
+    val toks = docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
+    val joined = toks.join(ivs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("ivs"),
+          array().cast("array<struct<s:int,e:long>>")).as("ivs"))
+    // Removed-token count: sorted-interval union walk (the
+    // dupNgramCoverage clip fold — each covered token counted once).
+    val covState = struct(lit(0L).as("end"), lit(0L).as("cnt"))
+    val removed = aggregate(col("ivs"), covState,
+      (st, iv) => {
+        val s0 = greatest(iv("s").cast("long"), st("end") + 1L)
+        val len = iv("e") - s0 + 1L
+        struct(greatest(st("end"), iv("e")).as("end"),
+          (st("cnt") + when(len > 0L, len).otherwise(0L)).as("cnt"))
+      },
+      st => st("cnt"))
+    // Kept text: positions outside every interval, original order.
+    val keptToks =
+      when(size(col("toks")) === 0, array().cast("array<string>"))
+        .otherwise(transform(
+          filter(
+            zip_with(col("toks"), sequence(lit(1), size(col("toks"))),
+              (t, i) => struct(t.as("t"), i.as("i"))),
+            p => !exists(col("ivs"),
+              iv => p("i") >= iv("s") && p("i") <= iv("e"))),
+          p => p("t")))
+    joined
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        removed.as("removed_tokens"),
+        (size(col("toks")).cast("long") - removed).as("kept_tokens"),
+        md5(concat_ws(" ", keptToks)).as("clean_hash"))
   }
 
   /** Per-document top-`k` characteristic terms by rarity-weighted term

@@ -747,6 +747,30 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(two.getAs[Long]("max_span") == 50L)
   }
 
+  test("exactSubstrClean: higher-id copy loses the planted span; canonical keeps it") {
+    val span = (1 to 50).map(i => s"s$i").mkString(" ")
+    val pre = "p1 p2 p3"; val post = "q1 q2 q3"
+    val d = docs(
+      1L -> (pre + " " + span),          // canonical — keeps everything
+      2L -> (span + " " + post),         // loses the 50-token span
+      3L -> "totally unrelated words here") // untouched
+    val out = TextAnalysis.exactSubstrClean(d, minLen = 50).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("removed_tokens") == 0L)
+    assert(out(1L).getAs[Long]("kept_tokens") == 53L)
+    assert(out(2L).getAs[Long]("removed_tokens") == 50L)
+    assert(out(2L).getAs[Long]("kept_tokens") == 3L)
+    assert(out(3L).getAs[Long]("removed_tokens") == 0L)
+    // Kept text hashes in original order: doc 2 keeps exactly `post`.
+    val expected = spark.sql(s"SELECT md5('$post')").collect()(0).getString(0)
+    assert(out(2L).getAs[String]("clean_hash") == expected)
+    // Identical triple: doc 1 keeps all, 2 and 3 clean to empty.
+    val t3 = docs(1L -> span, 2L -> span, 3L -> span)
+    val o3 = TextAnalysis.exactSubstrClean(t3, minLen = 50).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("kept_tokens")).toMap
+    assert(o3 == Map(1L -> 50L, 2L -> 0L, 3L -> 0L))
+  }
+
   test("exactSubstrSpans validates dupSpans: winnowing finds every exact pair") {
     // The winnowing guarantee, validated against ground truth ON REAL
     // DATA: any pair with an exact shared span of >= w+k−1 tokens shares
