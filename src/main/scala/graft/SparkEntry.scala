@@ -802,6 +802,19 @@ object SparkEntry {
       Similarity.ivfKmeansTopK(t(s, dir, "embeddings"), k = 5,
         numQueries = 10, clusters = 16, iters = 2, probes = 2)),
 
+    // PERSISTED learned-centroid IVF: build the index (centroid table +
+    // cell-partitioned corpus with precomputed norms) into a temp dir,
+    // then search it — the probed-cells scan partition-prunes, so the
+    // read is bounded by probes/clusters of the corpus. Results are
+    // bit-identical to emb_ivf_kmeans_topk (shared oracle).
+    "emb_ivf_index_topk" -> ((s, dir) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_ivf_" +
+        new java.io.File(dir).getName
+      Similarity.buildIvfIndex(t(s, dir, "embeddings"), out,
+        clusters = 16, iters = 2)
+      Similarity.ivfIndexTopK(s, out, k = 5, numQueries = 10, probes = 2)
+    }),
+
     // Recall@5 vs the exact brute-force baseline for every IVF tier —
     // sign-LSH single/ring-1/ring-2 probes plus the learned-centroid
     // cells — the accuracy evidence an ANN index ships with.
@@ -929,6 +942,26 @@ object SparkEntry {
                  - 2.0 * list_dot_product(q.qv, c.cv) ASC,
                c.centroid_id ASC) AS rn
            FROM q, c2 c) WHERE rn <= 2)"""
+
+  private lazy val ivfKmeansTopKSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         ${kmeansChainSql(16)},
+         $kmeansFinalAssignSql,
+         q AS (SELECT vec_id AS query_id, ev AS qv FROM v WHERE vec_id < 10),
+         $kmeansProbesSql,
+         s AS (
+           SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.qv, c.ev)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.ev, c.ev))), 6) AS cos
+           FROM q
+           JOIN kqp ON kqp.query_id = q.query_id
+           JOIN ka ON ka.cluster = kqp.probe
+           JOIN v c ON c.vec_id = ka.vec_id AND q.query_id <> c.vec_id),
+         r AS (
+           SELECT *, CAST(row_number() OVER
+             (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+           FROM s)
+         SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5"""
 
   def oracleSql: Map[String, String] = Map(
 
@@ -2441,26 +2474,11 @@ object SparkEntry {
 
     // Learned-centroid IVF: the kmeans CTE chain (16 seeds, 2 rounds)
     // builds the cells; each query probes its 2 nearest converged
-    // centroids; candidates = vectors assigned to a probed cell.
-    "emb_ivf_kmeans_topk" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-         ${kmeansChainSql(16)},
-         $kmeansFinalAssignSql,
-         q AS (SELECT vec_id AS query_id, ev AS qv FROM v WHERE vec_id < 10),
-         $kmeansProbesSql,
-         s AS (
-           SELECT q.query_id, c.vec_id AS neighbor_id,
-             round(list_dot_product(q.qv, c.ev)
-                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.ev, c.ev))), 6) AS cos
-           FROM q
-           JOIN kqp ON kqp.query_id = q.query_id
-           JOIN ka ON ka.cluster = kqp.probe
-           JOIN v c ON c.vec_id = ka.vec_id AND q.query_id <> c.vec_id),
-         r AS (
-           SELECT *, CAST(row_number() OVER
-             (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
-           FROM s)
-         SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5""",
+    // centroids; candidates = vectors assigned to a probed cell. The
+    // persisted-index query (emb_ivf_index_topk) is bit-identical by
+    // construction, so it shares this oracle verbatim.
+    "emb_ivf_kmeans_topk" -> ivfKmeansTopKSql,
+    "emb_ivf_index_topk" -> ivfKmeansTopKSql,
 
     "emb_ivf_recall" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),

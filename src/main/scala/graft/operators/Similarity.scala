@@ -239,6 +239,78 @@ object Similarity {
         col("cos"), col("rank"))
   }
 
+  /** Persist the learned-centroid IVF index: the converged centroid table
+    * (k rows) plus the corpus written as CELL-PARTITIONED parquet
+    * (vec_id, ev, nrm under `cell=<id>/`). This is the at-rest layout
+    * that makes corpus-scale ANN serving a bounded-read operation: a
+    * search probing p cells reads ONLY those p directories (partition
+    * pruning at the scan), ~p/k of the corpus, with norms precomputed at
+    * build time. Build once, search many — the index lifecycle
+    * [[ivfKmeansTopK]] (which recomputes everything per query batch)
+    * deliberately does not have.
+    */
+  def buildIvfIndex(emb: DataFrame, dir: String, clusters: Int = 16,
+      iters: Int = 2): Unit = {
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = iterateCentroids(v, clusters, iters)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    v.join(assignTo(v, cents).select(col("vec_id"), col("cluster").as("cell")),
+        Seq("vec_id"))
+      .withColumn("nrm", norm(col("ev")))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    v.unpersist()
+  }
+
+  /** Top-k search against a PERSISTED index ([[buildIvfIndex]]): probe
+    * cells resolve against the tiny centroid table, then the corpus scan
+    * carries a literal `cell IN (...)` predicate — Spark prunes the
+    * unprobed partition directories at planning time, so the read is
+    * bounded by the probed cells, not the corpus (plan-locked). The
+    * probe-cell list is collected to the driver first: it is at most
+    * numQueries × probes integers (the audit-scale query set), and a
+    * literal IN is what static partition pruning needs. Results are
+    * bit-identical to [[ivfKmeansTopK]] at the same parameters (same
+    * deterministic centroids, probes, cosine) — the registered query
+    * shares its oracle.
+    */
+  def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int = 5, numQueries: Int = 10, probes: Int = 2): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val cells = spark.read.parquet(s"$dir/cells")
+    val queries = cells.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("ev").as("qv"),
+        col("nrm").as("qn"))
+      .localCheckpoint(eager = true) // numQueries rows
+    val qScored = queries.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        (dot(col("qv"), col("qv")) + dot(col("cv"), col("cv"))) -
+          lit(2.0) * dot(col("qv"), col("cv")))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("centroid_id").asc)
+    val probeTbl = qScored.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= probes)
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("centroid_id").as("probe"))
+      .localCheckpoint(eager = true) // numQueries × probes rows
+    // The partition column reads back as the inferred INT type; literal
+    // ints keep the IN predicate cast-free so static pruning applies.
+    val probedCells = probeTbl.select(col("probe")).distinct()
+      .collect().map(_.getLong(0).toInt)
+    val scoped = cells.filter(col("cell").isin(probedCells: _*))
+    val scored = scoped.join(broadcast(probeTbl),
+        col("probe") === col("cell") && col("query_id") =!= col("vec_id"))
+      .withColumn("cos", cosineWithNorms(dot(col("qv"), col("ev")),
+        col("qn"), col("nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cos"), col("rank"))
+  }
+
   /** Recall@k report: single-probe, ring-1 and ring-2 multi-probe sign-LSH
     * IVF plus the LEARNED-centroid IVF ([[ivfKmeansTopK]], `probes` nearest
     * of `clusters` k-means cells), all measured against the exact

@@ -212,6 +212,25 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(km == bf)
   }
 
+  test("ivfIndexTopK: persisted index reproduces the in-memory search exactly") {
+    val d = clusteredVecs
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_spec").toString
+    Similarity.buildIvfIndex(d, dir, clusters = 4, iters = 2)
+    // Index layout: one directory per cell.
+    val cellDirs = new java.io.File(s"$dir/cells").listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).map(_.getName)
+    assert(cellDirs.nonEmpty && cellDirs.length <= 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cos"), r.getAs[Int]("rank"))).toSet
+    val mem = rows(Similarity.ivfKmeansTopK(d, k = 3, numQueries = 4,
+      clusters = 4, iters = 2, probes = 1))
+    val idx = rows(Similarity.ivfIndexTopK(spark, dir, k = 3,
+      numQueries = 4, probes = 1))
+    assert(idx == mem)
+  }
+
   test("ivfRecall: learned-centroid tier dominates ring-2 sign-LSH on clustered data") {
     // All cluster axes project positively → sign-LSH collapses the corpus
     // into few cells that mix clusters; learned cells separate them. The

@@ -164,6 +164,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("emb_ivf_index_topk: probed-cells scan partition-prunes the index read") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_plan").toString
+    graft.operators.Similarity.buildIvfIndex(
+      spark.read.parquet(s"$sf/embeddings.parquet"), dir,
+      clusters = 16, iters = 0)
+    val p = graft.operators.Similarity
+      .ivfIndexTopK(spark, dir, k = 5, numQueries = 10, probes = 2)
+      .queryExecution.executedPlan.toString
+    // The cells scan carries a non-empty partition filter (cell IN …) —
+    // unprobed directories are never read.
+    assert(p.contains("PartitionFilters: [") &&
+      "PartitionFilters: \\[cell".r.findFirstIn(p).isDefined, p.take(3000))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
   test("emb_ivf_multi_topk: probe table broadcasts, rank prunes with WindowGroupLimit") {
     val p = physical("emb_ivf_multi_topk")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
