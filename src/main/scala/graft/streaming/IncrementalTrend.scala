@@ -425,6 +425,62 @@ object IncrementalTrend {
     }
   }
 
+  /** Compact the bucketed state into ONE fresh generation: every live
+    * bucket is re-read and rewritten under a single `data/compact-…` dir,
+    * and one manifest rename commits the whole move. Per-bucket
+    * `lastBatchId` stamps are carried through unchanged, so replay
+    * idempotency is untouched.
+    *
+    * Why: each micro-batch writes its touched buckets under its own
+    * per-batch dir, so after N batches the manifest references files
+    * scattered over up-to-min(N, numBuckets) directories (plus adopted
+    * legacy dirs) — correct, but every `readState` lists them all, and
+    * long-idle buckets pin ancient generations alive. Run this on the
+    * maintenance cadence (like the reference's cleaner interval); it
+    * composes with the retention sweep — the pre-compaction generation
+    * survives `RetainedGenerations − 1` further commits like any other.
+    * Single-writer discipline applies (don't race the streaming fold).
+    * No-op on an empty/absent state dir.
+    */
+  def compact(spark: SparkSession, stateDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(stateDir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    currentManifest(spark, stateDir) match {
+      case Some(m) if m.entries.nonEmpty =>
+        val dataRel =
+          s"data/compact-${java.util.UUID.randomUUID().toString.take(8)}"
+        val dataDir = new Path(live, dataRel)
+        // Rows keep their EXISTING bucket id — tagged from the entry each
+        // is read under, never re-hashed: the fold's numBuckets is not
+        // recorded here, and re-bucketing with a guessed count would
+        // strand rows where future folds (hashing with the original
+        // count) never look.
+        val schema = stateSchema(spark)
+        m.entries.toSeq.sortBy(_._1).map { case (b, e) =>
+            spark.read.schema(schema)
+              .parquet(new Path(live, e.path).toString)
+              .withColumn("bucket", lit(b))
+          }
+          .reduce(_ unionAll _)
+          .repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(dataDir.toString)
+        val written = fs.listStatus(dataDir).toSeq.map(_.getPath.getName)
+          .collect { case n if n.startsWith("bucket=") =>
+            n.stripPrefix("bucket=").toInt }.toSet
+        // Stamps carried through; a bucket whose every row vanished
+        // between manifests cannot occur here (compaction rewrites rows
+        // verbatim), but guard anyway: only written buckets get entries.
+        val newEntries = m.entries.collect {
+          case (b, e) if written(b) =>
+            b -> BucketEntry(s"$dataRel/bucket=$b", e.lastBatchId)
+        }
+        writeManifest(fs, live, StateManifest(m.seq + 1, newEntries))
+        sweepUnreferenced(fs, live, m.seq + 1, newEntries)
+      case _ => ()
+    }
+  }
+
   private def stateSchema(spark: SparkSession) = emptyState(spark).schema
 
   /** Read the live state table (every bucket the manifest references).

@@ -222,6 +222,46 @@ class IncrementalTrendSpec extends SparkSpec {
       IncrementalTrend.RetainedGenerations)
   }
 
+  test("bucketed state: compaction collapses generations, preserves rows and stamps") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_state").toString + "/st"
+    val root = new java.io.File(dir)
+    // Three batches touching different pages → bucket files scattered
+    // over three generations' data dirs.
+    foldToDir(dir, 0, Seq(edit("Foo", min = 0), edit("Bar", min = 0)))
+    foldToDir(dir, 1, Seq(edit("Foo", user = "Eve", min = 1)))
+    foldToDir(dir, 2, Seq(edit("Baz", min = 2)))
+    val before = IncrementalTrend.readState(spark, dir).collect()
+      .map(r => r.getAs[String]("id") ->
+        (r.getAs[Long]("edits"), r.getAs[Long]("bytesChanged"))).toMap
+    val entriesBefore = IncrementalTrend.currentManifest(spark, dir).get.entries
+    assert(entriesBefore.values.map(_.path.split("/")(1)).toSet.size >= 2,
+      "fixture should span multiple generation dirs")
+    IncrementalTrend.compact(spark, dir)
+    // Rows and per-bucket stamps unchanged; all entries in ONE dir.
+    val after = IncrementalTrend.currentManifest(spark, dir).get.entries
+    assert(after.keySet == entriesBefore.keySet)
+    after.foreach { case (b, e) =>
+      assert(e.lastBatchId == entriesBefore(b).lastBatchId, s"stamp@$b")
+      assert(e.path.startsWith("data/compact-"), e.path)
+    }
+    assert(after.values.map(_.path.split("/")(1)).toSet.size == 1)
+    val rows = IncrementalTrend.readState(spark, dir).collect()
+      .map(r => r.getAs[String]("id") ->
+        (r.getAs[Long]("edits"), r.getAs[Long]("bytesChanged"))).toMap
+    assert(rows == before)
+    // Replay idempotency survives compaction: re-folding batch 2 is a
+    // no-op because the carried stamps still say it was applied.
+    foldToDir(dir, 2, Seq(edit("Baz", min = 2)))
+    val replayed = IncrementalTrend.readState(spark, dir).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[Long]("edits")).toMap
+    assert(replayed("Baz") == before("Baz")._1)
+    // And the fold keeps working on the compacted layout.
+    foldToDir(dir, 3, Seq(edit("Foo", user = "Zed", min = 3)))
+    val finalEdits = IncrementalTrend.readState(spark, dir).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[Long]("edits")).toMap
+    assert(finalEdits("Foo") == 3L)
+  }
+
   test("bucketed state: sweep retains the previous generation for in-flight readers") {
     val dir = java.nio.file.Files.createTempDirectory("graft_state").toString + "/st"
     val root = new java.io.File(dir)
