@@ -141,6 +141,111 @@ object StreamingNearDup {
     out.iterator
   }
 
+  // ---- SimHash twin ------------------------------------------------------
+
+  /** One (block, key) pigeonhole hit for an arriving document. */
+  case class BlockHit(blk: Int, key: Long, docId: Long, tsMs: Long,
+      ts: Timestamp, simhash: Long)
+
+  case class BlockEntry(docId: Long, tsMs: Long, simhash: Long)
+
+  case class SimhashPair(doc_a: Long, doc_b: Long, dist: Long)
+
+  /** Scala twin of the 60-bit SimHash column algebra
+    * (Dedup.simhashes64): per-token 60-bit md5-derived value, bit-wise
+    * ±1 votes over ALL tokens (repeats included, as the batch explode
+    * counts them), sign → fingerprint bit. Pinned to the Column
+    * implementation by the stream≡batch spec.
+    */
+  private[graft] def simhash64Of(text: String): Long = {
+    val trimmed = text.trim
+    val toks = if (trimmed.isEmpty) Array.empty[String]
+      else trimmed.split("\\s+")
+    if (toks.isEmpty) return 0L
+    val votes = new Array[Long](60)
+    toks.foreach { t =>
+      val h = java.lang.Long.parseLong(md5Hex(t).substring(0, 15), 16)
+      var b = 0
+      while (b < 60) {
+        votes(b) += (if (((h >> b) & 1L) == 1L) 1L else -1L); b += 1
+      }
+    }
+    (0 until 60).foldLeft(0L) { (sig, b) =>
+      if (votes(b) > 0) sig | (1L << b) else sig
+    }
+  }
+
+  private def blockKeysOf(simhash: Long, blocks: Int, width: Int): IndexedSeq[Long] =
+    (0 until blocks).map(b => (simhash >> (b * width)) & ((1L << width) - 1))
+
+  private def pairsFromBlockBucket(blkIdx: Int, blocks: Int, width: Int,
+      rows: Iterator[BlockHit], state: GroupState[Seq[BlockEntry]],
+      delayMs: Long, maxDist: Int): Iterator[SimhashPair] = {
+    val wm = state.getCurrentWatermarkMs()
+    var entries = state.getOption.getOrElse(Seq.empty)
+      .filter(e => e.tsMs + delayMs > wm)
+    val out = scala.collection.mutable.ArrayBuffer.empty[SimhashPair]
+    if (!state.hasTimedOut) {
+      for (r <- rows.toSeq.sortBy(h => (h.tsMs, h.docId))) {
+        for (e <- entries if e.docId != r.docId) {
+          // Pigeonhole dedup: only the smallest colliding block emits.
+          val ka = blockKeysOf(e.simhash, blocks, width)
+          val kb = blockKeysOf(r.simhash, blocks, width)
+          if ((0 until blocks).find(b => ka(b) == kb(b)).contains(blkIdx)) {
+            val dist = java.lang.Long.bitCount(e.simhash ^ r.simhash).toLong
+            if (dist <= maxDist)
+              out += SimhashPair(math.min(e.docId, r.docId),
+                math.max(e.docId, r.docId), dist)
+          }
+        }
+        entries = entries :+ BlockEntry(r.docId, r.tsMs, r.simhash)
+      }
+    }
+    if (entries.isEmpty) state.remove()
+    else {
+      state.update(entries)
+      state.setTimeoutTimestamp(
+        math.max(entries.map(_.tsMs + delayMs).min, wm + 1))
+    }
+    out.iterator
+  }
+
+  /** Streaming twin of the 60-bit SimHash near-dup pipeline
+    * ([[graft.operators.Dedup.simhashNearDups64]]): fingerprints computed
+    * per row in the typed map stage (a stream admits no explode+groupBy
+    * vote aggregation before another stateful op), pigeonhole block keys
+    * exploded, ONE fgws per (block, key) bucket with horizon-expired
+    * state — the same discipline as [[streamingMinhashNearDups]], with
+    * far lighter state (one 60-bit fingerprint per doc instead of a
+    * shingle set). Emits (doc_a, doc_b, dist) exactly once per pair
+    * (smallest colliding block wins).
+    */
+  def streamingSimhashNearDups(docs: DataFrame, tsCol: String = "ts",
+      delay: String = "10 minutes", maxDist: Int = 3): Dataset[SimhashPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val delayMs = delayToMs(delay)
+    val blocks = maxDist + 1
+    val width = 60 / blocks
+    val hits = docs.select(col("doc_id"), col(tsCol).as("ts"), col("text"))
+      .as[(Long, Timestamp, String)]
+      .flatMap { case (docId, ts, text) =>
+        val sig = simhash64Of(text)
+        blockKeysOf(sig, blocks, width).zipWithIndex.map { case (k, b) =>
+          BlockHit(b, k, docId, ts.getTime, ts, sig)
+        }
+      }
+      .withWatermark("ts", delay)
+    hits.groupByKey(h => (h.blk, h.key))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Int, Long), rows: Iterator[BlockHit],
+            state: GroupState[Seq[BlockEntry]]) =>
+          pairsFromBlockBucket(key._1, blocks, width, rows, state,
+            delayMs, maxDist)
+      }
+  }
+
   /** The streaming near-dup query: docs (doc_id, text, `tsCol`) →
     * append-mode pairs (doc_a, doc_b, jaccard) for near-dups arriving
     * within `delay` of each other. Thresholds/shingling match the batch

@@ -1197,6 +1197,41 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
 
+  test("streamingSimhashNearDups: stream ≡ batch 60-bit pairs across batches") {
+    import java.sql.Timestamp
+    import graft.streaming.StreamingNearDup
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val corpus = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy dog tonight",
+      3L -> "completely different words entirely here now friends",
+      4L -> "alpha beta gamma delta epsilon zeta eta theta",
+      5L -> "alpha beta gamma delta epsilon zeta eta theta")
+    val batch = Dedup.simhashNearDups64(corpus.toDF("doc_id", "text"),
+        maxDist = 6).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("dist"))).toSet
+    assert(batch.nonEmpty)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Timestamp)](spark)
+    ms.addData(corpus.take(2).map { case (id, tx) =>
+      (id, tx, new Timestamp(t0.getTime + id * 1000L)) })
+    val pairs = StreamingNearDup.streamingSimhashNearDups(
+      ms.toDF().toDF("doc_id", "text", "ts"), maxDist = 6)
+    val q = pairs.writeStream.format("memory").queryName("ssim")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      ms.addData(corpus.drop(2).map { case (id, tx) =>
+        (id, tx, new Timestamp(t0.getTime + id * 1000L)) })
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ssim").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("dist"))).toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
   test("curationReport: stage flags attribute removals; kept is the conjunction") {
     val good = "the of " + (1 to 48).map(i => s"alpha$i").mkString(" ")
     val other = "the of " + (1 to 48).map(i => s"beta$i").mkString(" ")
