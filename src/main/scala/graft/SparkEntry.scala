@@ -412,6 +412,13 @@ object SparkEntry {
     "doc_vocab_topk" -> ((s, dir) =>
       Curation.vocabTopK(t(s, dir, "documents"), k = 100)),
 
+    // Mix-rate planner: target token shares → per-language downsampling
+    // rates (binding language keeps rate 1.0; unlisted langs drop).
+    "doc_mix_plan" -> ((s, dir) =>
+      Curation.mixRatePlan(t(s, dir, "documents"),
+        targets = Map("en" -> 0.3, "zh" -> 0.3, "de" -> 0.2),
+        defaultTarget = 0.05)),
+
     // Sequence-packing assignment: 2048-token packs per language.
     "doc_packing" -> ((s, dir) =>
       Curation.packAssignments(t(s, dir, "documents"), budgetTokens = 2048L)),
@@ -1317,6 +1324,37 @@ object SparkEntry {
            quantile_cont(toks, 0.5) AS median_tokens,
            quantile_cont(toks, 0.9) AS p90_tokens
          FROM perdoc GROUP BY lang""",
+
+    // Mirrors mixRatePlan: integer-ratio shares, ratio = target/share,
+    // normalize by the max ratio, floor-quantize at 1e-6.
+    "doc_mix_plan" ->
+      """WITH perdoc AS (
+           SELECT lang,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks
+           FROM documents),
+         cells AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(toks) AS BIGINT) AS tokens
+           FROM perdoc GROUP BY 1),
+         tot AS (SELECT sum(tokens) AS total FROM cells),
+         w AS (
+           SELECT lang, docs, tokens,
+             CAST(tokens AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+             CASE lang WHEN 'en' THEN 0.3 WHEN 'zh' THEN 0.3
+                       WHEN 'de' THEN 0.2 ELSE 0.05 END AS target_share
+           FROM cells, tot),
+         w2 AS (
+           SELECT *, CASE WHEN tokens = 0 THEN 0.0
+                          ELSE target_share / share END AS ratio
+           FROM w),
+         mx AS (SELECT max(ratio) AS m FROM w2)
+         SELECT lang, docs, tokens,
+           floor(share * 1000000.0) / 1000000.0 AS token_share,
+           target_share,
+           CASE WHEN m = 0.0 THEN 0.0
+                ELSE floor(ratio / m * 1000000.0) / 1000000.0 END AS sample_rate
+         FROM w2, mx""",
 
     "doc_packing" ->
       """WITH perdoc AS (

@@ -232,6 +232,55 @@ object Curation {
           .as("token_share"))
   }
 
+  /** Mix-rate PLANNER — the step between [[sourceMix]]'s report and
+    * [[stratifiedSample]]'s knob: given target token shares per language,
+    * compute the per-language downsampling rates that achieve them.
+    * `rate_l ∝ target_l / current_share_l`, normalized so the binding
+    * (most under-represented relative to its target) language keeps
+    * everything (rate 1.0) and every other language downsamples to match
+    * — the downsample-only mixing recipe (no upsampling/duplication).
+    * Expected post-sample shares then equal the targets exactly (up to
+    * the coin's 1/256 resolution when fed to [[stratifiedSample]]).
+    *
+    * Determinism: shares are integer-ratio doubles; the emitted
+    * `token_share`/`sample_rate` are floor-quantized at 1e-6 (floor of
+    * an IEEE double is unambiguous cross-engine; round at .5 is not).
+    * A zero-token language gets rate 0 (nothing to keep), as does any
+    * language not in `targets` when `defaultTarget` = 0 — dropping
+    * unlisted languages is the usual cleanup semantic.
+    *
+    * Scale shape: one map-side-combined aggregation to language cells
+    * (dozens of rows); total and the normalizing max ride broadcast
+    * 1-row cross joins — the corpus is scanned once.
+    */
+  def mixRatePlan(docs: DataFrame, targets: Map[String, Double],
+      defaultTarget: Double = 0.0): DataFrame = {
+    val perDoc = docs.select(col("lang"),
+      TextAnalysis.tokenCountWs(col("text")).cast("long").as("toks"))
+    val cells = perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"), sum(col("toks")).as("tokens"))
+      .localCheckpoint(eager = true) // feeds total + max + output branches
+    val total = cells.agg(sum(col("tokens")).as("__total"))
+    val tgt = targets.foldLeft(lit(defaultTarget)) { case (acc, (l, t)) =>
+      when(col("lang") === l, lit(t)).otherwise(acc)
+    }
+    val withT = cells.crossJoin(broadcast(total))
+      .withColumn("__share",
+        col("tokens").cast("double") / col("__total").cast("double"))
+      .withColumn("target_share", tgt)
+      .withColumn("__ratio",
+        when(col("tokens") === 0L, lit(0.0))
+          .otherwise(col("target_share") / col("__share")))
+    val mx = withT.agg(max(col("__ratio")).as("__mx"))
+    def q6(c: Column): Column = floor(c * 1e6) / 1e6
+    withT.crossJoin(broadcast(mx))
+      .select(col("lang"), col("docs"), col("tokens"),
+        q6(col("__share")).as("token_share"),
+        col("target_share"),
+        when(col("__mx") === 0.0, lit(0.0))
+          .otherwise(q6(col("__ratio") / col("__mx"))).as("sample_rate"))
+  }
+
   /** Deterministic sequence-packing assignment: within each language,
     * documents are laid out in doc_id order and cut into packs of
     * `budgetTokens` whitespace tokens — `pack_id = floor(tokens-before /

@@ -531,6 +531,39 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(p == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
   }
 
+  test("mixRatePlan: binding language keeps rate 1; achieved shares hit targets") {
+    import spark.implicits._
+    // en: 60 tokens (share .6), zh: 30 (.3), de: 10 (.1); targets
+    // en .25 / zh .5 / de .25 → de is binding (ratio .25/.1 = 2.5, the
+    // largest target/current), so de keeps rate 1.0.
+    val d = Seq(
+      (1L, (1 to 60).map(i => s"e$i").mkString(" "), "en", "s"),
+      (2L, (1 to 30).map(i => s"z$i").mkString(" "), "zh", "s"),
+      (3L, (1 to 10).map(i => s"d$i").mkString(" "), "de", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val plan = Curation.mixRatePlan(d,
+        targets = Map("en" -> 0.25, "zh" -> 0.5, "de" -> 0.25)).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Double]("token_share"), r.getAs[Double]("sample_rate"))).toMap
+    assert(plan("de")._2 == 1.0) // binding language keeps everything
+    assert(plan("en")._2 < 1.0 && plan("zh")._2 < 1.0)
+    // Expected post-sample token shares equal the targets: tokens×rate
+    // renormalized. (floor-quantization at 1e-6 → tolerance.)
+    val kept = Map("en" -> 60.0 * plan("en")._2, "zh" -> 30.0 * plan("zh")._2,
+      "de" -> 10.0 * plan("de")._2)
+    val tot = kept.values.sum
+    assert(math.abs(kept("en") / tot - 0.25) < 1e-4)
+    assert(math.abs(kept("zh") / tot - 0.5) < 1e-4)
+    assert(math.abs(kept("de") / tot - 0.25) < 1e-4)
+    // Unlisted language with defaultTarget 0 drops entirely.
+    val d2 = d.union(Seq((4L, "x y z", "fr", "s"))
+      .toDF("doc_id", "text", "lang", "source"))
+    val p2 = Curation.mixRatePlan(d2,
+        targets = Map("en" -> 0.5, "zh" -> 0.5)).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Double]("sample_rate")).toMap
+    assert(p2("fr") == 0.0 && p2("de") == 0.0)
+  }
+
   test("stratifiedSample: deterministic, rate-ordered strata") {
     import spark.implicits._
     val d = (0L until 512L).map(i =>
