@@ -297,7 +297,7 @@ object Similarity {
     // The partition column reads back as the inferred INT type; literal
     // ints keep the IN predicate cast-free so static pruning applies.
     val probedCells = probeTbl.select(col("probe")).distinct()
-      .collect().map(_.getLong(0).toInt)
+      .collect().map(_.getLong(0).toInt).toIndexedSeq
     val scoped = cells.filter(col("cell").isin(probedCells: _*))
     val scored = scoped.join(broadcast(probeTbl),
         col("probe") === col("cell") && col("query_id") =!= col("vec_id"))
