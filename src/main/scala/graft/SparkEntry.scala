@@ -423,6 +423,12 @@ object SparkEntry {
     "doc_packing" -> ((s, dir) =>
       Curation.packAssignments(t(s, dir, "documents"), budgetTokens = 2048L)),
 
+    // Packing budgeted in BPE-ish subword counts — the unit a trainer
+    // actually consumes; same range-partitioned two-pass plan.
+    "doc_packing_bpe" -> ((s, dir) =>
+      Curation.packAssignments(t(s, dir, "documents"), budgetTokens = 2048L,
+        tokenCount = TextAnalysis.tokenCountBpe)),
+
     // Benchmark decontamination: md5-coin eval split (~6% of docs), train
     // docs flagged when any word-8-gram also occurs in the eval set (the
     // eval gram table broadcasts; the corpus is never shuffled).
@@ -1361,6 +1367,23 @@ object SparkEntry {
            SELECT doc_id, lang,
              CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                   ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks
+           FROM documents),
+         cum AS (
+           SELECT doc_id, lang, toks,
+             coalesce(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+           FROM perdoc)
+         SELECT doc_id, lang, toks,
+           CAST(floor(before / 2048) AS BIGINT) AS pack_id
+         FROM cum""",
+
+    // doc_packing with BPE-ish token counts (regexp_extract_all of the
+    // same alternation Spark's regexp_count uses).
+    "doc_packing_bpe" ->
+      """WITH perdoc AS (
+           SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS toks
            FROM documents),
          cum AS (
            SELECT doc_id, lang, toks,

@@ -304,10 +304,14 @@ object Curation {
     * standard trade for unbounded window parallelism.
     */
   def packAssignments(docs: DataFrame, budgetTokens: Long = 2048L,
-      rangeSize: Long = 100L): DataFrame = {
+      rangeSize: Long = 100L,
+      // The budget's unit: whitespace tokens by default; pass
+      // TextAnalysis.tokenCountBpe to budget in the subword-ish units a
+      // trainer actually consumes (same plan shape either way).
+      tokenCount: Column => Column = TextAnalysis.tokenCountWs): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val base = docs.select(col("doc_id"), col("lang"),
-        TextAnalysis.tokenCountWs(col("text")).cast("long").as("toks"))
+        tokenCount(col("text")).cast("long").as("toks"))
       .withColumn("__rng",
         floor(col("doc_id").cast("double") / rangeSize).cast("long"))
     val totals = base.groupBy(col("lang"), col("__rng"))
