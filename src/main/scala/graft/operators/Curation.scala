@@ -626,6 +626,46 @@ object Curation {
     out
   }
 
+  /** Streaming twin of [[decontaminate]] — the contamination MONITOR a
+    * crawl pipeline runs at ingest: eval-benchmark grams are STATIC
+    * (distinct-hashed once, broadcast into a stream-static semi join, so
+    * the probe itself is stateless); per-doc hit counts aggregate under
+    * a 1-minute event-time window + watermark, emitting each
+    * contaminated doc's row once the watermark passes (append mode).
+    * Emits ONLY contaminated docs (a hit-less doc contributes no rows
+    * past the semi join — the alert-stream semantic; the batch sweep is
+    * the exhaustive per-doc report). State = in-flight (doc, window)
+    * counts, bounded by the watermark horizon.
+    */
+  def streamingDecontaminate(docs: DataFrame, evalDocs: DataFrame,
+      n: Int = 8, tsCol: String = "ts",
+      delay: String = "10 minutes"): DataFrame = {
+    val evalGrams = Dedup.shingleSets(evalDocs, n)
+      .select(explode_outer(col("sset")).as("g"))
+      .select(xxhash64(col("g")).as("gh")).distinct()
+    val toks = docs.select(col("doc_id"), col(tsCol).as("ts"),
+      TextAnalysis.wsTokens(col("text")).as("toks"))
+    // ts carried alongside the shingle build (re-joining it from a
+    // second derivation of the same stream would be a stream-stream
+    // self join); toks stays a projection barrier for the gram lambda.
+    val trainGrams = toks
+      .select(col("doc_id"), col("ts"),
+        Dedup.shinglesFromTokens(col("toks"), n).as("sset"))
+      .select(col("doc_id"), col("ts"), explode_outer(col("sset")).as("g"))
+      .select(col("doc_id"), col("ts"), xxhash64(col("g")).as("gh"))
+    // Watermark BEFORE the semi join: the watermark tracks max event
+    // time over rows flowing through its node, and a clean document's
+    // grams are all filtered by the join — annotated after it, a stream
+    // of clean docs would never advance the watermark and nothing would
+    // ever emit in append mode.
+    trainGrams.withWatermark("ts", delay)
+      .join(broadcast(evalGrams), Seq("gh"), "left_semi")
+      .groupBy(col("doc_id"), window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("gram_hits"))
+      .select(col("doc_id"), col("gram_hits"),
+        lit(true).as("contaminated"))
+  }
+
   /** Streaming twin of [[sourceMix]]: the per-(source, lang) doc/token
     * cells maintained incrementally over the document stream — the live
     * table a data-mixing controller watches to adjust sampling weights as

@@ -1137,6 +1137,36 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 2L))
   }
 
+  test("streamingDecontaminate: alert stream matches the batch sweep's hits") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val evalText = (1 to 12).map(i => s"e$i").mkString(" ")
+    val train = Seq(
+      1L -> (evalText + " trailing extra words"), // shares 8-grams → hit
+      2L -> (1 to 20).map(i => s"c$i").mkString(" "), // clean
+      3L -> ("lead in " + evalText))                  // hit
+    val evalDf = Seq(100L -> evalText).toDF("doc_id", "text")
+    val batch = Curation.decontaminate(train.toDF("doc_id", "text"), evalDf)
+      .filter(col("contaminated")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("gram_hits")).toMap
+    assert(batch.keySet == Set(1L, 3L))
+    val ms = MemoryStream[(Long, String, Timestamp)](spark)
+    ms.addData(train.map { case (id, tx) => (id, tx, t0) })
+    // Watermark advancer: a clean far-future doc closes every window.
+    ms.addData(Seq((9L, "nothing shared here at all right now",
+      new Timestamp(t0.getTime + 3600 * 1000L))))
+    val q = Curation.streamingDecontaminate(
+        ms.toDF().toDF("doc_id", "text", "ts"), evalDocs = evalDf)
+      .writeStream.format("memory").queryName("sdecontam")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+    val streamed = spark.table("sdecontam").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("gram_hits")).toMap
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
   test("streamingSourceMixCells + streamingVocabTopK: stream-final ≡ batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val corpus = Seq(
