@@ -823,6 +823,55 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(o3 == Map(1L -> 50L, 2L -> 0L, 3L -> 0L))
   }
 
+  test("exactSubstrSpans property: equals the brute-force diagonal-walk reference") {
+    // Ground truth by definition: for every doc pair and every diagonal
+    // offset, walk token-by-token and collect maximal equal runs >= L.
+    def refSpans(a: IndexedSeq[String], b: IndexedSeq[String],
+        L: Int): Seq[Int] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      for (d <- -(b.length - 1) to (a.length - 1)) {
+        val iMin = math.max(0, d)
+        val iMax = math.min(a.length - 1, b.length - 1 + d)
+        var run = 0
+        var i = iMin
+        while (i <= iMax + 1) {
+          if (i <= iMax && a(i) == b(i - d)) run += 1
+          else { if (run >= L) out += run; run = 0 }
+          i += 1
+        }
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(20260813L)
+    val L = 4
+    for (trial <- 1 to 3) {
+      // Docs assembled from a shared motif pool → organic shared runs of
+      // assorted lengths (including across-motif runs when two docs pick
+      // the same motif sequence), plus unique noise tokens.
+      val motifs = (0 until 6).map(k =>
+        (0 until (3 + rnd.nextInt(4))).map(j => s"m${k}_$j"))
+      val docsToks = (0 until 8).map { i =>
+        (0 until 7).flatMap { _ =>
+          if (rnd.nextInt(4) == 0) Seq(s"n${i}_${rnd.nextInt(1000)}")
+          else motifs(rnd.nextInt(motifs.length))
+        }.toIndexedSeq
+      }
+      val expected = (for {
+        x <- docsToks.indices; y <- x + 1 until docsToks.length
+        spans = refSpans(docsToks(x), docsToks(y), L) if spans.nonEmpty
+      } yield (x.toLong, y.toLong) -> (spans.length.toLong, spans.max.toLong))
+        .toMap
+      val got = TextAnalysis.exactSubstrSpans(
+          docsToks.zipWithIndex
+            .map { case (t, i) => i.toLong -> t.mkString(" ") }
+            .toDF("doc_id", "text"),
+          minLen = L).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+          (r.getAs[Long]("n_spans"), r.getAs[Long]("max_span"))).toMap
+      assert(got == expected, s"trial $trial: got=$got expected=$expected")
+    }
+  }
+
   test("exactSubstrSpans validates dupSpans: winnowing finds every exact pair") {
     // The winnowing guarantee, validated against ground truth ON REAL
     // DATA: any pair with an exact shared span of >= w+k−1 tokens shares
