@@ -825,7 +825,12 @@ object SparkEntry {
         new java.io.File(dir).getName
       Similarity.buildIvfIndex(t(s, dir, "embeddings"), out,
         clusters = 16, iters = 2)
-      Similarity.ivfIndexTopK(s, out, k = 5, numQueries = 10, probes = 2)
+      // Query vectors come from the SOURCE table (external to the
+      // index): a vec_id<10 pushed-down scan, so the index itself is
+      // read only through the pruned probe-cell partitions.
+      Similarity.ivfIndexTopK(s, out,
+        t(s, dir, "embeddings").filter(col("vec_id") < 10),
+        k = 5, probes = 2)
     }),
 
     // Recall@5 vs the exact brute-force baseline for every IVF tier —
@@ -1347,8 +1352,12 @@ object SparkEntry {
          w AS (
            SELECT lang, docs, tokens,
              CAST(tokens AS DOUBLE) / CAST(total AS DOUBLE) AS share,
-             CASE lang WHEN 'en' THEN 0.3 WHEN 'zh' THEN 0.3
-                       WHEN 'de' THEN 0.2 ELSE 0.05 END AS target_share
+             -- CAST: a bare decimal-literal CASE is DECIMAL(3,2) in
+             -- DuckDB; Spark's lit(0.3) is DOUBLE, and the driver's
+             -- compare is type-sensitive.
+             CAST(CASE lang WHEN 'en' THEN 0.3 WHEN 'zh' THEN 0.3
+                       WHEN 'de' THEN 0.2 ELSE 0.05 END AS DOUBLE)
+               AS target_share
            FROM cells, tot),
          w2 AS (
            SELECT *, CASE WHEN tokens = 0 THEN 0.0

@@ -269,20 +269,26 @@ object Similarity {
     * unprobed partition directories at planning time, so the read is
     * bounded by the probed cells, not the corpus (plan-locked). The
     * probe-cell list is collected to the driver first: it is at most
-    * numQueries × probes integers (the audit-scale query set), and a
-    * literal IN is what static partition pruning needs. Results are
-    * bit-identical to [[ivfKmeansTopK]] at the same parameters (same
-    * deterministic centroids, probes, cosine) — the registered query
-    * shares its oracle.
+    * |queries| × probes integers, and a literal IN is what static
+    * partition pruning needs.
+    *
+    * `queryVecs` is an EXTERNAL (vec_id, embedding) table — query
+    * vectors come from outside a served index, and resolving them from
+    * the index itself would full-scan every cell directory before the
+    * pruned probe scan ran, silently voiding the bounded-read guarantee.
+    * With queries = the corpus head, results are bit-identical to
+    * [[ivfKmeansTopK]] at the same parameters (same deterministic
+    * centroids, probes, cosine) — the registered query shares its oracle.
     */
   def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
-      k: Int = 5, numQueries: Int = 10, probes: Int = 2): DataFrame = {
+      queryVecs: DataFrame, k: Int = 5, probes: Int = 2): DataFrame = {
     val cents = spark.read.parquet(s"$dir/centroids")
     val cells = spark.read.parquet(s"$dir/cells")
-    val queries = cells.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("ev").as("qv"),
-        col("nrm").as("qn"))
-      .localCheckpoint(eager = true) // numQueries rows
+    val queries = queryVecs
+      .select(col("vec_id").as("query_id"),
+        asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .localCheckpoint(eager = true) // query-set-sized
     val qScored = queries.crossJoin(broadcast(cents))
       .withColumn("d2",
         (dot(col("qv"), col("qv")) + dot(col("cv"), col("cv"))) -

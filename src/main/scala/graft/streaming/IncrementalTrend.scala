@@ -425,6 +425,27 @@ object IncrementalTrend {
     }
   }
 
+  /** Writer-side manifest resolution: a manifest SYNTHESIZED from a
+    * legacy layout exists nowhere on disk, so the generation-retention
+    * sweep of the first commit (which re-reads prior manifests by file)
+    * would find no previous generation and delete replaced legacy
+    * `bucket=` dirs immediately — exactly the reader-grace hole the
+    * retention sweep closes for normal generations. Writers therefore
+    * MATERIALIZE the adoption manifest before their first commit;
+    * readers (currentManifest / readState) never write.
+    */
+  private def writerManifest(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path,
+      stateDir: String): Option[StateManifest] = {
+    val m = currentManifest(spark, stateDir)
+    m.foreach { mm =>
+      if (mm.entries.nonEmpty && readManifest(fs, live).isEmpty)
+        writeManifest(fs, live, mm)
+    }
+    m
+  }
+
   /** Compact the bucketed state into ONE fresh generation: every live
     * bucket is re-read and rewritten under a single `data/compact-…` dir,
     * and one manifest rename commits the whole move. Per-bucket
@@ -446,7 +467,7 @@ object IncrementalTrend {
     import org.apache.hadoop.fs.Path
     val live = new Path(stateDir)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    currentManifest(spark, stateDir) match {
+    writerManifest(spark, fs, live, stateDir) match {
       case Some(m) if m.entries.nonEmpty =>
         val dataRel =
           s"data/compact-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -517,7 +538,7 @@ object IncrementalTrend {
     import graft.functions.Classifiers.pageId
     val live = new Path(stateDir)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val manifest = currentManifest(spark, stateDir)
+    val manifest = writerManifest(spark, fs, live, stateDir)
     val entries = manifest.map(_.entries).getOrElse(Map.empty[Int, BucketEntry])
     val sweep = fullSweepEveryNBatches > 0 && batchId % fullSweepEveryNBatches == 0
     // The batch feeds several jobs (touched-bucket scan, the fold's own

@@ -43,8 +43,14 @@ object StreamingNearDup {
   case class BandHit(band: Int, key: String, docId: Long, tsMs: Long,
       ts: Timestamp, sset: Seq[String])
 
-  /** A doc retained in bucket state until the watermark passes ts+delay. */
-  case class BandEntry(docId: Long, tsMs: Long, sset: Seq[String])
+  /** A doc retained in bucket state until the watermark passes ts+delay.
+    * `keys` carries the doc's 4 band keys, computed once on arrival —
+    * recomputing the full MinHash signature (2 md5s per shingle) per
+    * stored entry per arriving row would make the verify step quadratic
+    * in bucket occupancy × shingle count.
+    */
+  case class BandEntry(docId: Long, tsMs: Long, sset: Seq[String],
+      keys: Seq[String])
 
   case class NearDupPair(doc_a: Long, doc_b: Long, jaccard: Double)
 
@@ -115,12 +121,11 @@ object StreamingNearDup {
       // Deterministic intra-batch order; later rows pair with earlier
       // ones appended below, so same-batch pairs are found too.
       for (r <- rows.toSeq.sortBy(h => (h.tsMs, h.docId))) {
+        val rKeys = bandKeysOf(r.sset) // once per row, not per pair
         for (e <- entries if e.docId != r.docId) {
           // Multi-band dedup: only the smallest colliding band emits.
-          val first = {
-            val ka = bandKeysOf(e.sset); val kb = bandKeysOf(r.sset)
-            (0 until Dedup.Bands).find(b => ka(b) == kb(b))
-          }
+          val first =
+            (0 until Dedup.Bands).find(b => e.keys(b) == rKeys(b))
           if (first.contains(bandIdx)) {
             val j = jaccardOf(e.sset, r.sset)
             if (j >= threshold)
@@ -128,7 +133,7 @@ object StreamingNearDup {
                 math.max(e.docId, r.docId), j)
           }
         }
-        entries = entries :+ BandEntry(r.docId, r.tsMs, r.sset)
+        entries = entries :+ BandEntry(r.docId, r.tsMs, r.sset, rKeys)
       }
     }
     if (entries.isEmpty) state.remove()
@@ -151,16 +156,32 @@ object StreamingNearDup {
 
   case class SimhashPair(doc_a: Long, doc_b: Long, dist: Long)
 
+  /** Scala twin of TextAnalysis.wsTokens' COLUMN semantics — which are
+    * NOT Java's: Spark's `trim` strips only ASCII spaces (0x20), so a
+    * trailing tab/newline survives it, and Spark's `split` keeps
+    * trailing empty tokens (limit −1) where Java's default drops them.
+    * A doc ending in "\n" therefore tokenizes to [..., ""] in the batch
+    * algebra, and that empty token's md5 votes DO enter the batch
+    * fingerprint — the twin must reproduce this exactly or newline-
+    * terminated text (most of the web) breaks the stream≡batch contract.
+    */
+  private[graft] def wsTokensScala(text: String): Array[String] = {
+    var s = 0; var e = text.length
+    while (s < e && text.charAt(s) == ' ') s += 1
+    while (e > s && text.charAt(e - 1) == ' ') e -= 1
+    val t = text.substring(s, e)
+    if (t.isEmpty) Array.empty else t.split("\\s+", -1)
+  }
+
   /** Scala twin of the 60-bit SimHash column algebra
     * (Dedup.simhashes64): per-token 60-bit md5-derived value, bit-wise
     * ±1 votes over ALL tokens (repeats included, as the batch explode
     * counts them), sign → fingerprint bit. Pinned to the Column
-    * implementation by the stream≡batch spec.
+    * implementation by the stream≡batch spec (incl. the whitespace
+    * quirk fixture — see [[wsTokensScala]]).
     */
   private[graft] def simhash64Of(text: String): Long = {
-    val trimmed = text.trim
-    val toks = if (trimmed.isEmpty) Array.empty[String]
-      else trimmed.split("\\s+")
+    val toks = wsTokensScala(text)
     if (toks.isEmpty) return 0L
     val votes = new Array[Long](60)
     toks.foreach { t =>
@@ -187,10 +208,10 @@ object StreamingNearDup {
     val out = scala.collection.mutable.ArrayBuffer.empty[SimhashPair]
     if (!state.hasTimedOut) {
       for (r <- rows.toSeq.sortBy(h => (h.tsMs, h.docId))) {
+        val kb = blockKeysOf(r.simhash, blocks, width) // once per row
         for (e <- entries if e.docId != r.docId) {
           // Pigeonhole dedup: only the smallest colliding block emits.
           val ka = blockKeysOf(e.simhash, blocks, width)
-          val kb = blockKeysOf(r.simhash, blocks, width)
           if ((0 until blocks).find(b => ka(b) == kb(b)).contains(blkIdx)) {
             val dist = java.lang.Long.bitCount(e.simhash ^ r.simhash).toLong
             if (dist <= maxDist)

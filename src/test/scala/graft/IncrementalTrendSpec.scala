@@ -312,11 +312,21 @@ class IncrementalTrendSpec extends SparkSpec {
     val st = IncrementalTrend.readState(spark, dir).collect()
       .map(r => r.getAs[String]("id") -> r).toMap
     assert(st("Foo").getAs[Long]("edits") == 2L)
-    // The adopted dir is now manifest-committed; the touched legacy
-    // bucket dir migrated into a manifest data dir and was swept.
+    // The adopted dir is now manifest-committed and the touched legacy
+    // bucket migrated into a manifest data dir — but the adoption
+    // manifest was MATERIALIZED before the commit, so the legacy dir
+    // gets the same one-generation reader grace as any predecessor
+    // (pre-fix, the synthesized generation existed nowhere on disk and
+    // the first commit swept legacy dirs out from under lazy readers).
     val m = IncrementalTrend.currentManifest(spark, dir).get
     assert(m.entries.values.forall(_.path.startsWith("data/")))
+    assert(new java.io.File(dir, "bucket=0").exists())
+    // The second commit retires the adoption generation for real.
+    foldToDir(dir, 6, Seq(edit("Foo", user = "Zed", min = 2)), buckets = 1)
     assert(!new java.io.File(dir, "bucket=0").exists())
+    val st2 = IncrementalTrend.readState(spark, dir).collect()
+      .map(r => r.getAs[String]("id") -> r).toMap
+    assert(st2("Foo").getAs[Long]("edits") == 3L)
   }
 
   test("bucketed state: crash between adoption data write and first manifest commit recovers") {

@@ -226,8 +226,8 @@ class PipelineOperatorsSpec extends SparkSpec {
         r.getAs[Double]("cos"), r.getAs[Int]("rank"))).toSet
     val mem = rows(Similarity.ivfKmeansTopK(d, k = 3, numQueries = 4,
       clusters = 4, iters = 2, probes = 1))
-    val idx = rows(Similarity.ivfIndexTopK(spark, dir, k = 3,
-      numQueries = 4, probes = 1))
+    val idx = rows(Similarity.ivfIndexTopK(spark, dir,
+      d.filter(col("vec_id") < 4), k = 3, probes = 1))
     assert(idx == mem)
   }
 
@@ -1313,12 +1313,16 @@ class PipelineOperatorsSpec extends SparkSpec {
     import java.sql.Timestamp
     import graft.streaming.StreamingNearDup
     val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    // Docs 4/5: identical up to a trailing newline/tab — the fixture that
+    // pins the Scala tokenizer to Spark's wsTokens quirks (Spark's trim
+    // strips only spaces and its split KEEPS trailing empty tokens, so
+    // "\n"-terminated text tokenizes to [..., ""] in BOTH paths).
     val corpus = Seq(
       1L -> "the quick brown fox jumps over the lazy dog today",
       2L -> "the quick brown fox jumps over the lazy dog tonight",
       3L -> "completely different words entirely here now friends",
-      4L -> "alpha beta gamma delta epsilon zeta eta theta",
-      5L -> "alpha beta gamma delta epsilon zeta eta theta")
+      4L -> "alpha beta gamma delta epsilon zeta eta theta\n",
+      5L -> "alpha beta gamma delta epsilon zeta eta theta\t")
     val batch = Dedup.simhashNearDups64(corpus.toDF("doc_id", "text"),
         maxDist = 6).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),

@@ -172,7 +172,9 @@ class PlanShapeSpec extends SparkSpec {
       spark.read.parquet(s"$sf/embeddings.parquet"), dir,
       clusters = 16, iters = 0)
     val p = graft.operators.Similarity
-      .ivfIndexTopK(spark, dir, k = 5, numQueries = 10, probes = 2)
+      .ivfIndexTopK(spark, dir,
+        spark.read.parquet(s"$sf/embeddings.parquet")
+          .filter(col("vec_id") < 10), k = 5, probes = 2)
       .queryExecution.executedPlan.toString
     // The cells scan carries a non-empty partition filter (cell IN …) —
     // unprobed directories are never read.
