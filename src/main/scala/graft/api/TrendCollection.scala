@@ -32,12 +32,16 @@ final class TrendCollection(
   import graft.functions.Classifiers.pageId
 
   // Control metadata (reference: mutable flags on WikiPage / key deletes).
-  // @volatile: control ops arrive from a UI/admin thread while a query
-  // thread serves boards — without the barrier a drop() may never become
-  // visible to the reader (immutable Set replacement makes volatile
-  // sufficient).
-  @volatile private var droppedIds = Set.empty[String]
-  @volatile private var safeIds = Set.empty[String]
+  // AtomicReference, not @volatile var: control ops arrive from UI/admin
+  // threads while a query thread serves boards. Volatile gives readers
+  // visibility, but `set += id` is a read-modify-write — two concurrent
+  // drops would each extend the SAME snapshot and the second write would
+  // silently erase the first. updateAndGet makes the mutation atomic;
+  // readers still see an immutable Set snapshot.
+  private val droppedIds =
+    new java.util.concurrent.atomic.AtomicReference(Set.empty[String])
+  private val safeIds =
+    new java.util.concurrent.atomic.AtomicReference(Set.empty[String])
 
   /** As-of instant for the time-derived metrics: max event ts unless set.
     * The max-ts aggregate is memoized — without it every snapshot/board
@@ -68,11 +72,12 @@ final class TrendCollection(
     */
   private def pagesOver(canonical: DataFrame): DataFrame = {
     val aggregated = PageAggregates.pageAggregates(canonical, cfg)
+    val dropped = droppedIds.get(); val safe = safeIds.get()
     val notDropped =
-      if (droppedIds.isEmpty) aggregated
-      else aggregated.filter(!col("id").isin(droppedIds.toSeq: _*))
+      if (dropped.isEmpty) aggregated
+      else aggregated.filter(!col("id").isin(dropped.toSeq: _*))
     val withSafe = notDropped.withColumn("safe",
-      if (safeIds.isEmpty) lit(false) else col("id").isin(safeIds.toSeq: _*))
+      if (safe.isEmpty) lit(false) else col("id").isin(safe.toSeq: _*))
     val alive = PageAggregates.survivors(withSafe, asOfCol, cfg)
     PageAggregates.withMetrics(alive, asOfCol)
   }
@@ -86,11 +91,11 @@ final class TrendCollection(
 
   /** Drop a page (reference `drop`, index.js:427-430). */
   def drop(title: String, wiki: String): Unit =
-    droppedIds += idOf(title, wiki)
+    droppedIds.updateAndGet(_ + idOf(title, wiki))
 
   /** Eviction exemption toggle (reference `markSafe`, index.js:409-411). */
   def markSafe(id: String, unsafe: Boolean = false): Unit =
-    if (unsafe) safeIds -= id else safeIds += id
+    safeIds.updateAndGet(s => if (unsafe) s - id else s + id)
 
   /** Top-k boards (examples/index.js:20-48) — planned as
     * TakeOrderedAndProject, never a full sort.

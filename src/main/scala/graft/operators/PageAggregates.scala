@@ -32,6 +32,14 @@ object PageAggregates {
     */
   def classified(events: DataFrame, cfg: TrendConfig = TrendConfig()): DataFrame =
     events
+      // Null-safe classifier inputs, SAME normalization as
+      // TrendStream.classify: a rev-deleted/suppressed editor arrives
+      // with user = null and a null comment flows through isRevert /
+      // isFixup — un-guarded, the batch boards would silently drop (or
+      // zero-route) events the streaming subscription counts, breaking
+      // the stream ≡ batch identity on real feeds.
+      .withColumn("user", coalesce(col("user"), lit("")))
+      .withColumn("comment", coalesce(col("comment"), lit("")))
       .filter(isArticle(col("namespace")))                   // F1 index.js:316
       .filter(projectMatch(col("serverName"), cfg.project))  // F2 index.js:317
       .filter(!isFixup(col("comment")))                      // F3 index.js:318

@@ -59,6 +59,12 @@ final class SseClient(
         try {
           val in = openWithDeadline(lastEventId)
           current = in
+          // stop() racing the connect: it closed the PREVIOUS stream (or
+          // none) before `current` was assigned, and the watchdog exits
+          // on stopped=true without closing anything — on a quiet feed
+          // nothing would ever sever this fresh stream and run() would
+          // block in readLine forever. Re-check under the new stream.
+          if (stopped) { closeQuietly(); throw new java.io.IOException("stopped") }
           lastTrafficMs = System.currentTimeMillis()
           written += consume(in, maxMessages - written)
         } catch {
@@ -195,6 +201,10 @@ final class SseClient(
               System.currentTimeMillis() - lastTrafficMs > watchdogMs)
             closeQuietly()
         }
+        // Exiting on stopped: sever whatever stream is current so a
+        // connect that raced stop() can't leave run() blocked in
+        // readLine (second line of defense behind run()'s own re-check).
+        closeQuietly()
       } catch { case _: InterruptedException => () }
     }, "graft-sse-watchdog")
     t.setDaemon(true)

@@ -87,11 +87,20 @@ object SseSource {
 private[sse] final class LogTailCounter(path: String) {
   private var scannedBytes = 0L
   private var newlines = 0L
+  // Byte position just after the most recent '\n' — the file position
+  // where line number `newlines` begins.
+  private var lastLineEnd = 0L
+  // count -> byte position of that line boundary, for every count this
+  // counter has RETURNED (the offsets Spark can hand back as a batch
+  // start). Pruned at commit; cleared on truncation.
+  private val posByCount = scala.collection.mutable.LongMap.empty[Long]
 
   def count(): Long = synchronized {
     val f = new java.io.File(path)
     val len = f.length()
-    if (len < scannedBytes) { scannedBytes = 0L; newlines = 0L }
+    if (len < scannedBytes) {
+      scannedBytes = 0L; newlines = 0L; lastLineEnd = 0L; posByCount.clear()
+    }
     if (len > scannedBytes) {
       val in = new java.io.FileInputStream(f)
       try {
@@ -108,7 +117,10 @@ private[sse] final class LogTailCounter(path: String) {
           else {
             var i = 0
             while (i < n) {
-              if (buf(i) == '\n') newlines += 1
+              if (buf(i) == '\n') {
+                newlines += 1
+                lastLineEnd = scannedBytes + i + 1
+              }
               i += 1
             }
             scannedBytes += n
@@ -117,8 +129,19 @@ private[sse] final class LogTailCounter(path: String) {
         }
       } finally in.close()
     }
+    posByCount.update(newlines, lastLineEnd)
     newlines
   }
+
+  /** Byte position where line `cnt` starts, if this counter returned
+    * `cnt` as an offset (None after a restart — the reader falls back to
+    * a skip-scan from byte 0 for that one batch).
+    */
+  def bytePosOf(cnt: Long): Option[Long] = synchronized(posByCount.get(cnt))
+
+  /** Drop boundary records below the committed offset (bounded memory). */
+  def prune(upTo: Long): Unit =
+    synchronized(posByCount.filterInPlace((k, _) => k >= upTo))
 }
 
 class SseTable(path: String,
@@ -137,7 +160,7 @@ class SseTable(path: String,
           new SseMicroBatchStream(path, stalenessWarnMs)
         override def toBatch: Batch = new Batch {
           override def planInputPartitions(): Array[InputPartition] =
-            Array(SseRange(path, 0L, SseSource.lineCount(path)))
+            Array(SseRange(path, 0L, SseSource.lineCount(path), 0L))
           override def createReaderFactory(): PartitionReaderFactory =
             new SseReaderFactory
         }
@@ -155,7 +178,11 @@ case class SseOffset(count: Long) extends Offset {
   override def json(): String = count.toString
 }
 
-case class SseRange(path: String, start: Long, end: Long) extends InputPartition
+/** `startByte` = file position where line `start` begins; −1 = unknown
+  * (post-restart) → the reader skip-scans from byte 0 for that batch.
+  */
+case class SseRange(path: String, start: Long, end: Long,
+    startByte: Long = -1L) extends InputPartition
 
 class SseMicroBatchStream(path: String,
     stalenessWarnMs: Long = SseMicroBatchStream.DefaultStalenessWarnMs)
@@ -214,12 +241,16 @@ class SseMicroBatchStream(path: String,
     val s = start.asInstanceOf[SseOffset].count
     val e = end.asInstanceOf[SseOffset].count
     if (e <= s) Array.empty
-    else Array(SseRange(path, s, e))
+    // Byte position of the start line: known for every offset THIS
+    // driver's counter returned; unknown (-1) right after a checkpoint
+    // restart, where one skip-scan from byte 0 re-establishes it.
+    else Array(SseRange(path, s, e, tail.bytePosOf(s).getOrElse(-1L)))
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new SseReaderFactory
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit =
+    tail.prune(end.asInstanceOf[SseOffset].count)
   override def stop(): Unit = ()
 }
 
@@ -228,11 +259,26 @@ class SseReaderFactory extends PartitionReaderFactory {
     val range = partition.asInstanceOf[SseRange]
     new PartitionReader[InternalRow] {
       // Explicit UTF-8 (SSE wire encoding) — never the JVM default charset.
-      private val src = scala.io.Source.fromFile(range.path)(scala.io.Codec.UTF8)
-      // Long line counter — Iterator.zipWithIndex's Int would overflow on
-      // multi-billion-message logs, which the offsets deliberately allow.
-      private val it = src.getLines()
-        .zip(Iterator.iterate(0L)(_ + 1L))
+      // When the planner supplied the start line's byte position, SEEK to
+      // it — the per-trigger cost is O(batch), not O(log prefix); the
+      // whole-history skip-scan remains only as the post-restart fallback
+      // (startByte < 0) for a single batch.
+      private val in = new java.io.FileInputStream(range.path)
+      private val seek = range.startByte > 0
+      locally {
+        var toSkip = if (seek) range.startByte else 0L
+        while (toSkip > 0) {
+          val skipped = in.skip(toSkip)
+          if (skipped <= 0) toSkip = 0 else toSkip -= skipped
+        }
+      }
+      private val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+      // Long line counter — an Int index would overflow on multi-billion-
+      // message logs, which the offsets deliberately allow.
+      private val it = Iterator.continually(reader.readLine())
+        .takeWhile(_ != null)
+        .zip(Iterator.iterate(if (seek) range.start else 0L)(_ + 1L))
         .dropWhile(_._2 < range.start)
         .takeWhile(_._2 < range.end)
       private var current: (String, Long) = _
@@ -243,7 +289,7 @@ class SseReaderFactory extends PartitionReaderFactory {
       override def get(): InternalRow =
         InternalRow(current._2, UTF8String.fromString(current._1))
 
-      override def close(): Unit = src.close()
+      override def close(): Unit = reader.close()
     }
   }
 }

@@ -73,13 +73,18 @@ object TrendStreamTws {
           Iterator.single(next)
         case Some(_) =>
           if (state.exists()) state.clear()
-          getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+          // Timer ops THROW under TimeMode.None (evict=false replays) —
+          // Spark's verifyTimerOperations rejects them — so cleanup is
+          // gated exactly like arming.
+          if (armTimers)
+            getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
           Iterator.empty
         case None =>
           // Dropped/deleted — or a log-only group on an absent page, which
           // must NOT materialize a zero-edit PageState.
           if (state.exists()) state.clear()
-          getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+          if (armTimers)
+            getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
           Iterator.empty
       }
     }
@@ -137,7 +142,14 @@ object TrendStreamTws {
       .writeStream
       .format("memory").queryName(queryName).outputMode("update")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    try q.awaitTermination(120000) finally q.stop()
+    // A stalled drain must FAIL, not silently return a partial snapshot
+    // (same contract as TrendStream.replayToSnapshot — the fix must not
+    // exist on only one twin).
+    try {
+      if (!q.awaitTermination(120000))
+        throw new IllegalStateException(
+          s"tws replay drain did not finish within 120s ($queryName)")
+    } finally q.stop()
     spark.table(queryName).as[PageState].collect()
       .groupBy(_.id).map { case (_, rows) => rows.last }.toSeq
   }

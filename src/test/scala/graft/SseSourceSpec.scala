@@ -69,6 +69,39 @@ class SseSourceSpec extends SparkSpec {
     f.toString
   }
 
+  test("micro-batch reader seeks to the planned byte position (no prefix re-scan)") {
+    import graft.sources.sse.{SseMicroBatchStream, SseOffset, SseRange, SseReaderFactory}
+    val path = writeFeed()
+    val stream = new SseMicroBatchStream(path)
+    // Trigger the counter so line-boundary byte positions are recorded.
+    val end = stream.latestOffset().asInstanceOf[SseOffset].count
+    assert(end == 4L)
+    def readRange(r: SseRange): Seq[(Long, String)] = {
+      val reader = new SseReaderFactory().createReader(r)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      try while (reader.next()) {
+        val row = reader.get()
+        out += ((row.getLong(0), row.getUTF8String(1).toString))
+      } finally reader.close()
+      out.toSeq
+    }
+    // The planner knows line 4's byte pos (it returned offset 4); a later
+    // batch [4, 6) would seek. For [start=returned offset] we can assert
+    // through planInputPartitions once more data lands.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      "tail-a\ntail-b\n", java.nio.file.StandardOpenOption.APPEND)
+    val end2 = stream.latestOffset().asInstanceOf[SseOffset].count
+    assert(end2 == 6L)
+    val parts = stream.planInputPartitions(SseOffset(end), SseOffset(end2))
+    assert(parts.length == 1)
+    val seekRange = parts(0).asInstanceOf[SseRange]
+    assert(seekRange.startByte > 0L, "planner should supply the byte pos")
+    assert(readRange(seekRange) == Seq(4L -> "tail-a", 5L -> "tail-b"))
+    // Fallback (post-restart: unknown byte pos) reads the same rows.
+    assert(readRange(SseRange(path, end, end2, -1L)) ==
+      Seq(4L -> "tail-a", 5L -> "tail-b"))
+  }
+
   test("SSE client: field parsing — comments, event types, multi-line data, id") {
     val log = tmpLog()
     val wire =

@@ -300,6 +300,28 @@ class TrendStreamSpec extends SparkSpec {
     assert(snap("Foo").edits == 1 && snap("Foo").contributors == Seq("Eve"))
   }
 
+  test("transformWithState: terminal drop (no later edit) survives a TimeMode.None replay") {
+    // Regression: the None/cleared branches called listTimers/deleteTimer
+    // unconditionally, and timer ops THROW under TimeMode.None (the
+    // evict=false replay mode) — a drop that is NOT followed by a
+    // same-batch edit, or a log-only event on an absent page, killed the
+    // whole replay query. Timer cleanup is now gated like arming.
+    val events = Seq(
+      rc(title = "Foo", at = t0),
+      rc(title = "Keep", at = t0),
+      // Log-only event on an ABSENT page: applyEvents -> None.
+      RecentChange("Ghost", "deleted", 0, "Admin", false, "log", 0L, 0L,
+        "enwiki", "en.wikipedia.org", "delete", "delete",
+        Map.empty, "deleted page [[Ghost]]", ts("2024-01-01 00:01:00")))
+    val cmds = Seq( // terminal drop: nothing recreates Foo afterwards
+      TrendStream.TrendCommand("drop", "enwiki", "Foo",
+        ts("2024-01-01 00:02:00")))
+    val snap = TrendStreamTws.replayToSnapshot(spark, events,
+        queryName = "tws_terminal_drop", commands = cmds)
+      .map(s => s.id -> s).toMap
+    assert(snap.keySet == Set("Keep"))
+  }
+
   test("streaming: move log event through pageStates does not inflate counts") {
     val events = Seq(
       rc(title = "Foo", at = t0),
