@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.TrendConfig
-import graft.operators.{AsOf, Curation, Dedup, EventAnalytics, Multimodal, PageAggregates, RangeJoin, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsOf, Curation, Dedup, EventAnalytics, Multimodal, PageAggregates, RangeJoin, Selection, Similarity, Skew, TextAnalysis}
 import graft.sources.EventAdapter
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -418,6 +418,23 @@ object SparkEntry {
       Curation.mixRatePlan(t(s, dir, "documents"),
         targets = Map("en" -> 0.3, "zh" -> 0.3, "de" -> 0.2),
         defaultTarget = 0.05)),
+
+    // DSIR-style importance scoring (Xie et al. 2023): hashed-unigram
+    // likelihood-ratio surrogate, integer-exact; target = quality-bar
+    // docs; keep = raw docs above the raw-pool mean (cross-multiplied).
+    "doc_dsir_select" -> ((s, dir) =>
+      Selection.dsirScores(t(s, dir, "documents"))),
+
+    // Per-source quality cap (the no-domain-dominates rule): top-10 docs
+    // per source by quality score; WindowGroupLimit bounds the shuffle.
+    "doc_source_caps" -> ((s, dir) =>
+      Selection.sourceCaps(t(s, dir, "documents"), cap = 10)),
+
+    // Deterministic sharded epoch shuffle: md5(seed, doc_id) order within
+    // hash shards — reproducible training order, no global sort.
+    "doc_epoch_shuffle" -> ((s, dir) =>
+      Selection.epochShuffle(t(s, dir, "documents"), seed = 0,
+        numShards = 4)),
 
     // Sequence-packing assignment: 2048-token packs per language.
     "doc_packing" -> ((s, dir) =>
@@ -1370,6 +1387,113 @@ object SparkEntry {
            CASE WHEN m = 0.0 THEN 0.0
                 ELSE floor(ratio / m * 1000000.0) / 1000000.0 END AS sample_rate
          FROM w2, mx""",
+
+    // Mirrors dsirScores exactly: quality-bar target, md5-bucketed
+    // unigram counts, cross-multiplied integer weights, above-raw-mean
+    // keep (score * n_raw > sum_raw, all BIGINT).
+    "doc_dsir_select" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\s+') END AS toks,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                       / length(text) END AS praw
+           FROM documents),
+         qual AS (
+           SELECT doc_id,
+             round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+               + (1.0 - least(praw * 5.0, 1.0)) * 0.3
+               + least(CASE WHEN len(toks) = 0 THEN 0.0
+                   ELSE CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE)
+                        / len(toks) END * 5.0, 1.0) * 0.3, 6) >= 0.65
+               AS in_target
+           FROM t),
+         base AS (
+           SELECT d.doc_id, q.in_target,
+             CASE WHEN length(trim(d.text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(lower(trim(d.text)), '\s+') END AS toks
+           FROM documents d JOIN qual q ON d.doc_id = q.doc_id),
+         tokraw AS (SELECT doc_id, in_target, unnest(toks) AS tok FROM base),
+         tok AS (
+           SELECT doc_id, in_target,
+             CAST((strpos('0123456789abcdef', substr(md5(tok),1,1))-1)*256
+               + (strpos('0123456789abcdef', substr(md5(tok),2,1))-1)*16
+               + (strpos('0123456789abcdef', substr(md5(tok),3,1))-1) AS BIGINT) AS bkt
+           FROM tokraw),
+         cnt AS (SELECT in_target, bkt, CAST(count(*) AS BIGINT) AS c
+                 FROM tok GROUP BY 1, 2),
+         tot AS (SELECT
+             CAST(coalesce(sum(CASE WHEN in_target THEN c END), 0) AS BIGINT) AS tt,
+             CAST(coalesce(sum(CASE WHEN NOT in_target THEN c END), 0) AS BIGINT) AS rr
+           FROM cnt),
+         w AS (SELECT gs.i AS bkt,
+             (coalesce(tcc.c, 0) + 1) * (tot.rr + 4096)
+               - (coalesce(rcc.c, 0) + 1) * (tot.tt + 4096) AS w
+           FROM generate_series(0, 4095) AS gs(i) CROSS JOIN tot
+           LEFT JOIN (SELECT bkt, c FROM cnt WHERE in_target) tcc
+             ON gs.i = tcc.bkt
+           LEFT JOIN (SELECT bkt, c FROM cnt WHERE NOT in_target) rcc
+             ON gs.i = rcc.bkt),
+         scores AS (SELECT tok.doc_id, CAST(sum(w.w) AS BIGINT) AS s
+           FROM tok JOIN w ON tok.bkt = w.bkt GROUP BY 1),
+         pool AS (SELECT
+             CAST(coalesce(sum(CASE WHEN NOT q.in_target
+               THEN coalesce(s.s, 0) END), 0) AS BIGINT) AS sum_raw,
+             CAST(coalesce(sum(CASE WHEN NOT q.in_target THEN 1 END), 0)
+               AS BIGINT) AS n_raw
+           FROM qual q LEFT JOIN scores s ON q.doc_id = s.doc_id)
+         SELECT d.doc_id, CAST(coalesce(s.s, 0) AS BIGINT) AS dsir_score,
+           q.in_target,
+           (NOT q.in_target AND coalesce(s.s, 0) * pool.n_raw > pool.sum_raw)
+             AS keep
+         FROM documents d
+         JOIN qual q ON d.doc_id = q.doc_id
+         LEFT JOIN scores s ON d.doc_id = s.doc_id
+         CROSS JOIN pool""",
+
+    // Mirrors sourceCaps: quality-ordered row_number per source, cap 10.
+    "doc_source_caps" ->
+      """WITH t AS (
+           SELECT doc_id, source, text,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\s+') END AS toks,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                       / length(text) END AS praw
+           FROM documents),
+         q AS (
+           SELECT doc_id, source,
+             round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+               + (1.0 - least(praw * 5.0, 1.0)) * 0.3
+               + least(CASE WHEN len(toks) = 0 THEN 0.0
+                   ELSE CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE)
+                        / len(toks) END * 5.0, 1.0) * 0.3, 6) AS quality
+           FROM t)
+         SELECT doc_id, source, src_rank FROM (
+           SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY quality DESC, doc_id) AS BIGINT) AS src_rank
+           FROM q)
+         WHERE src_rank <= 10""",
+
+    // Mirrors epochShuffle: md5('epoch:0:'||doc_id) key, first-byte hash
+    // shard mod 4, per-shard rank by (key, doc_id).
+    "doc_epoch_shuffle" ->
+      """WITH k AS (
+           SELECT doc_id,
+             md5('epoch:0:' || CAST(doc_id AS VARCHAR)) AS skey
+           FROM documents),
+         s AS (
+           SELECT doc_id, skey,
+             CAST(((strpos('0123456789abcdef', substr(skey,1,1))-1)*16
+               + (strpos('0123456789abcdef', substr(skey,2,1))-1)) % 4
+               AS BIGINT) AS shard
+           FROM k)
+         SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard
+             ORDER BY skey, doc_id) AS BIGINT) AS pos
+         FROM s""",
 
     "doc_packing" ->
       """WITH perdoc AS (

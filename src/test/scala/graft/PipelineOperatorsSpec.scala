@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Curation, Dedup, EventAnalytics, Multimodal, RangeJoin, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Curation, Dedup, EventAnalytics, Multimodal, RangeJoin, Selection, Similarity, TextAnalysis}
 
 /** Behavioral specs for the training-data-pipeline operators (dedup,
   * similarity, text analysis, multimodal plumbing) on tiny fixtures with
@@ -1577,5 +1577,78 @@ class PipelineOperatorsSpec extends SparkSpec {
         (r.getAs[Long]("cluster"), r.getAs[Double]("dist2"))).toMap
     assert(a(0L) == (0L, 0.0) && a(1L) == (1L, 0.0))
     assert(a(2L)._1 == 0L && a(3L)._1 == 1L)
+  }
+
+  // ---- selection (DSIR / caps / epoch shuffle) -------------------------
+
+  test("dsirScores: target-like raw docs score above raw docs that aren't") {
+    import spark.implicits._
+    // Target vocabulary is dominated by "zebra"; raw doc 3 shares it,
+    // raw docs 4-5 don't — so 3 must outscore both and be kept (it sits
+    // above the raw mean by construction).
+    val d = Seq(
+      (1L, "zebra zebra zebra"), (2L, "zebra zebra stripe"),
+      (3L, "zebra zebra zebra"), (4L, "apple banana cherry"),
+      (5L, "dog cat bird")).toDF("doc_id", "text")
+    val r = Selection.dsirScores(d, targetFilter = col("doc_id") <= 2L)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("dsir_score"), x.getAs[Boolean]("in_target"),
+          x.getAs[Boolean]("keep"))).toMap
+    assert(r(1L)._2 && r(2L)._2 && !r(3L)._2 && !r(4L)._2)
+    assert(!r(1L)._3 && !r(2L)._3, "target docs are never kept")
+    assert(r(3L)._1 > r(4L)._1 && r(3L)._1 > r(5L)._1)
+    assert(r(3L)._3, "the target-like raw doc is above the raw mean")
+    assert(!r(4L)._3 && !r(5L)._3)
+  }
+
+  test("dsirScores: empty-text doc scores 0 and still widens the raw pool") {
+    import spark.implicits._
+    // Two target copies vs one raw copy of the same text leaves a
+    // positive weight on "zebra" (smoothing is asymmetric in the totals),
+    // so raw doc 3 scores > 0.
+    val d = Seq((1L, "zebra zebra zebra"), (2L, "zebra zebra zebra"),
+      (3L, "zebra zebra zebra"), (4L, "   ")).toDF("doc_id", "text")
+    val r = Selection.dsirScores(d, targetFilter = col("doc_id") <= 2L)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("dsir_score"), x.getAs[Boolean]("keep"))).toMap
+    assert(r(4L)._1 == 0L && !r(4L)._2)
+    assert(r(3L)._1 > 0L)
+    // With the empty doc in the pool, doc 3's score sits above the mean
+    // of {score3, 0} — kept; drop the empty doc and 3 alone IS the mean
+    // (strict >) — not kept. That only works if the pool counted doc 4.
+    assert(r(3L)._2)
+    val r2 = Selection.dsirScores(d.where(col("doc_id") =!= 4L),
+        targetFilter = col("doc_id") <= 2L)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        x.getAs[Boolean]("keep")).toMap
+    assert(!r2(3L))
+  }
+
+  test("sourceCaps: keeps top-cap per source by the quality ordering, doc_id ties") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "s1", "aaaa"), (2L, "s1", "aaaa"), (3L, "s1", "aa"),
+      (4L, "s2", "a")).toDF("doc_id", "source", "text")
+    val r = Selection.sourceCaps(d, cap = 2, quality = t => length(t))
+      .collect().map(x => (x.getAs[Long]("doc_id"),
+        x.getAs[String]("source"), x.getAs[Long]("src_rank"))).toSet
+    assert(r == Set((1L, "s1", 1L), (2L, "s1", 2L), (4L, "s2", 1L)))
+  }
+
+  test("epochShuffle: contiguous per-shard positions, deterministic, seed-sensitive") {
+    import spark.implicits._
+    val d = (0L until 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def run(seed: Int) = Selection.epochShuffle(d, seed = seed, numShards = 4)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("shard"), x.getAs[Long]("pos"))).toMap
+    val a = run(0)
+    assert(a.size == 40)
+    // Positions within each shard are exactly 1..n.
+    a.values.groupBy(_._1).foreach { case (_, members) =>
+      val ps = members.map(_._2).toSeq.sorted
+      assert(ps == (1L to ps.size))
+    }
+    assert(run(0) == a, "same seed replays the same order")
+    assert(run(1) != a, "a new seed reshuffles")
   }
 }

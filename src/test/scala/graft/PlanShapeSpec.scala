@@ -208,4 +208,24 @@ class PlanShapeSpec extends SparkSpec {
       .r.findFirstIn(p).isDefined, p.take(3000))
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
+
+  test("doc_dsir_select: scoring pass is map-only — model folded into literals") {
+    // The model tables collapse to one literal weight array and literal
+    // thresholds at build time, so the scoring plan itself must carry no
+    // exchange and no join of any kind.
+    val p = physical("doc_dsir_select")
+    assert(!p.contains("Exchange"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("doc_source_caps: rank filter prunes map-side with WindowGroupLimit") {
+    val p = physical("doc_source_caps")
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+  }
+
+  test("doc_epoch_shuffle: sharded sort — one hash exchange, never a global range sort") {
+    val p = physical("doc_epoch_shuffle")
+    assert(p.contains("hashpartitioning"), p.take(3000))
+    assert(!p.contains("rangepartitioning"), p.take(3000))
+  }
 }
