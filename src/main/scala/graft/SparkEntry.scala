@@ -878,6 +878,12 @@ object SparkEntry {
     "emb_sq_topk" -> ((s, dir) =>
       Similarity.sqTopK(t(s, dir, "embeddings"), k = 5, numQueries = 10)),
 
+    // Product-quantization ADC search (Jégou et al. 2011): 4 per-subspace
+    // learned codebooks, map-only encoding, integer-microunit LUT sums.
+    "emb_pq_topk" -> ((s, dir) =>
+      Similarity.pqTopK(t(s, dir, "embeddings"), m = 4, codes = 8,
+        iters = 2, k = 5, numQueries = 10)),
+
     // SemDeDup: k-means clusters bound the quadratic pair scan; within a
     // cluster, a vector with a lower-id cosine>=0.35 neighbor is dropped.
     "emb_semantic_dedup" -> ((s, dir) =>
@@ -918,7 +924,7 @@ object SparkEntry {
   // iters = 2: assignment is the d2-argmin window, the update quantizes
   // components with floor(x·1e6) (unambiguous on IEEE doubles), sums as
   // BIGINT (order-free), and divides in the same fixed order as Spark.
-  private def kmeansChainSql(k: Int): String = {
+  private def kmeansChainSql(k: Int, p: String = "", v: String = "v"): String = {
     def assign(name: String, cents: String) =
       s"""$name AS (
            SELECT vec_id, cluster FROM (
@@ -927,13 +933,13 @@ object SparkEntry {
                  (list_dot_product(v.ev, v.ev) + list_dot_product(c.cv, c.cv))
                    - 2.0 * list_dot_product(v.ev, c.cv) ASC,
                  c.centroid_id ASC) AS rn
-             FROM v, $cents c) WHERE rn = 1)"""
+             FROM $v v, $cents c) WHERE rn = 1)"""
     def upd(uname: String, aname: String) =
       s"""$uname AS (
            SELECT a.cluster, u.i AS pos,
              SUM(CAST(floor(v.ev[u.i] * 1000000.0) AS BIGINT)) AS s,
              count(*) AS n
-           FROM $aname a JOIN v USING (vec_id),
+           FROM $aname a JOIN $v v USING (vec_id),
                 unnest(generate_series(1, len(v.ev))) AS u(i)
            GROUP BY 1, 2)"""
     def rebuild(nname: String, uname: String, prev: String, out: String) =
@@ -945,13 +951,66 @@ object SparkEntry {
          $out AS (
            SELECT p.centroid_id, coalesce(nn.cv, p.cv) AS cv
            FROM $prev p LEFT JOIN $nname nn USING (centroid_id))"""
-    s"""c0 AS (SELECT vec_id AS centroid_id, ev AS cv FROM v WHERE vec_id < $k),
-         ${assign("a1", "c0")},
-         ${upd("u1", "a1")},
-         ${rebuild("c1n", "u1", "c0", "c1")},
-         ${assign("a2", "c1")},
-         ${upd("u2", "a2")},
-         ${rebuild("c2n", "u2", "c1", "c2")}"""
+    s"""${p}c0 AS (SELECT vec_id AS centroid_id, ev AS cv FROM $v WHERE vec_id < $k),
+         ${assign(s"${p}a1", s"${p}c0")},
+         ${upd(s"${p}u1", s"${p}a1")},
+         ${rebuild(s"${p}c1n", s"${p}u1", s"${p}c0", s"${p}c1")},
+         ${assign(s"${p}a2", s"${p}c1")},
+         ${upd(s"${p}u2", s"${p}a2")},
+         ${rebuild(s"${p}c2n", s"${p}u2", s"${p}c1", s"${p}c2")}"""
+  }
+
+  // PQ-ANN oracle: m per-subspace kmeans chains on vector slices, argmin
+  // encoding per subspace, per-query integer-microunit LUTs, ADC sum,
+  // per-query top-k. Mirrors Similarity.pqTopK stage by stage.
+  private def pqTopKSql(m: Int, sub: Int, codes: Int, k: Int,
+      nq: Int): String = {
+    val slices = (0 until m).map { j =>
+      s"v$j AS (SELECT vec_id, fullv[${j * sub + 1}:${(j + 1) * sub}] AS ev FROM vf)"
+    }.mkString(",\n         ")
+    val chains = (0 until m)
+      .map(j => kmeansChainSql(codes, s"s${j}_", s"v$j"))
+      .mkString(",\n         ")
+    // Final per-subspace encoding vs the converged s{j}_c2 codebooks.
+    val encs = (0 until m).map { j =>
+      s"""enc$j AS (
+           SELECT vec_id, code FROM (
+             SELECT v.vec_id, c.centroid_id AS code,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 (list_dot_product(v.ev, v.ev) + list_dot_product(c.cv, c.cv))
+                   - 2.0 * list_dot_product(v.ev, c.cv) ASC,
+                 c.centroid_id ASC) AS rn
+             FROM v$j v, s${j}_c2 c) WHERE rn = 1)"""
+    }.mkString(",\n         ")
+    val luts = (0 until m).map { j =>
+      s"""lut$j AS (
+           SELECT q.vec_id AS query_id, c.centroid_id AS code,
+             CAST(floor(((list_dot_product(q.ev, q.ev) + list_dot_product(c.cv, c.cv))
+               - 2.0 * list_dot_product(q.ev, c.cv)) * 1000000.0) AS BIGINT) AS ld
+           FROM v$j q, s${j}_c2 c WHERE q.vec_id < $nq)"""
+    }.mkString(",\n         ")
+    val encJoins = (1 until m)
+      .map(j => s"JOIN enc$j e$j USING (vec_id)").mkString(" ")
+    val lutJoins = (0 until m).map { j =>
+      val qEq = if (j == 0) "" else s" AND l$j.query_id = l0.query_id"
+      s"JOIN lut$j l$j ON l$j.code = e$j.code$qEq"
+    }.mkString(" ")
+    val ldSum = (0 until m).map(j => s"l$j.ld").mkString(" + ")
+    s"""WITH vf AS (SELECT vec_id, embedding::DOUBLE[] AS fullv FROM embeddings),
+         $slices,
+         $chains,
+         $encs,
+         $luts,
+         s AS (
+           SELECT l0.query_id, e0.vec_id, $ldSum AS adist_us
+           FROM enc0 e0 $encJoins $lutJoins
+           WHERE l0.query_id <> e0.vec_id),
+         r AS (
+           SELECT query_id, vec_id AS neighbor_id, adist_us,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY adist_us ASC, vec_id ASC) AS INTEGER) AS rank
+           FROM s)
+         SELECT query_id, neighbor_id, adist_us, rank FROM r WHERE rank <= $k"""
   }
 
   // Final k-means assignment against the converged c2 centroids — the CTE
@@ -2673,6 +2732,7 @@ object SparkEntry {
     // construction, so it shares this oracle verbatim.
     "emb_ivf_kmeans_topk" -> ivfKmeansTopKSql,
     "emb_ivf_index_topk" -> ivfKmeansTopKSql,
+    "emb_pq_topk" -> pqTopKSql(m = 4, sub = 16, codes = 8, k = 5, nq = 10),
 
     "emb_ivf_recall" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),

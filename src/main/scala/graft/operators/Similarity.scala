@@ -665,6 +665,102 @@ object Similarity {
           col("cluster_size").cast("double"), 6).as("purity"))
   }
 
+  /** Product-quantization (PQ) top-k — the FAISS-style ADC search (Jégou
+    * et al. 2011, "Product Quantization for Nearest Neighbor Search"):
+    * split each vector into `m` subvectors, learn a `codes`-entry k-means
+    * codebook PER SUBSPACE (the same deterministic fixed-point Lloyd's
+    * loop as [[kmeansIterate]]), encode every vector as m small codes,
+    * and approximate `d²(q, x) ≈ Σ_j d²(q_j, codebook_j[code_j(x)])` —
+    * the asymmetric-distance LUT sum.
+    *
+    * Determinism: each LUT entry is floor-quantized to integer
+    * microunits (`floor(d²·1e6)` — unambiguous on IEEE doubles), so the
+    * per-candidate sum over m entries is exact 64-bit integer addition,
+    * shuffle-order-free and engine-identical; `adist_us` is that integer.
+    *
+    * Scale shape (the reason PQ exists): the m codebooks collapse to
+    * LITERAL arrays after the (sample-sized in practice) training loop,
+    * so ENCODING is one map-only corpus pass — m·codes small dot
+    * products per vector, zero shuffles — and the encoded corpus is
+    * m·log2(codes) bits per vector (here 4 ints vs 64 floats, a 16×
+    * memory cut, the at-rest format a 100 TB ANN tier actually stores).
+    * SEARCH precomputes each query's m×codes LUT once (on the query ROW,
+    * no join), broadcasts the query set, and scores candidates with m
+    * integer array lookups each — no per-pair full-dimension dot. The
+    * only exchange in the whole search is the per-query top-k window
+    * (WindowGroupLimit, plan-locked). Composes with the IVF cell layout
+    * ([[buildIvfIndex]]) for the standard IVF-PQ index.
+    */
+  def pqTopK(emb: DataFrame, m: Int = 4, codes: Int = 8, iters: Int = 2,
+      k: Int = 5, numQueries: Int = 10): DataFrame = {
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dims = v.select(size(col("ev"))).head().getInt(0)
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    val sub = dims / m
+
+    // Per-subspace codebooks via the shared deterministic Lloyd's loop,
+    // collected into literals (m × codes × sub doubles — index-sized).
+    val books: IndexedSeq[IndexedSeq[Seq[Double]]] = (0 until m).map { j =>
+      val vj = v.select(col("vec_id"),
+        slice(col("ev"), j * sub + 1, sub).as("ev"))
+      iterateCentroids(vj, codes, iters).collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Double](1).toSeq).toIndexedSeq
+    }
+    v.unpersist()
+    def bookLit(j: Int, c: Int): Column = typedlit(books(j)(c))
+
+    // Map-side encoder: argmin full d² per subspace, ties to the lower
+    // code (array_min over (d², code) structs — same (d2, centroid_id)
+    // order assignTo's window uses). Slices materialized as attributes
+    // first (HOF/codegen discipline).
+    val sliced = emb.select(
+      col("vec_id") +: asDouble(col("embedding")).as("ev") +:
+        (0 until m).map(j =>
+          slice(asDouble(col("embedding")), j * sub + 1, sub).as(s"s$j")): _*)
+    def code(j: Int): Column = {
+      val xs = col(s"s$j")
+      val xx = dot(xs, xs)
+      array_min(array((0 until codes).map { c =>
+        val cl = bookLit(j, c)
+        struct(((xx + dot(cl, cl)) - lit(2.0) * dot(xs, cl)).as("d2"),
+          lit(c).as("code"))
+      }: _*))("code")
+    }
+    val encoded = sliced.select(col("vec_id"),
+      array((0 until m).map(code): _*).as("codes"))
+
+    // Query-side LUT, built on the query row itself: luts[j][c] =
+    // floor(d²(q_j, book_j[c])·1e6) as BIGINT — m·codes entries per
+    // query, no join, no shuffle.
+    def lutRow(j: Int): Column = {
+      val qs = col(s"s$j")
+      val qq = dot(qs, qs)
+      array((0 until codes).map { c =>
+        val cl = bookLit(j, c)
+        floor(((qq + dot(cl, cl)) - lit(2.0) * dot(qs, cl)) * lit(1e6))
+          .cast("long")
+      }: _*)
+    }
+    val queries = sliced.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"),
+        array((0 until m).map(lutRow): _*).as("luts"))
+
+    // ADC: m integer lookups per candidate, summed exactly.
+    val scored = encoded.join(broadcast(queries),
+        col("query_id") =!= col("vec_id"))
+      .withColumn("adist_us",
+        aggregate(zip_with(col("codes"), col("luts"),
+          (c, l) => element_at(l, c + 1)), lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_us").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adist_us"), col("rank"))
+  }
+
   /** Exact near-dup pairs over all pairs (the correctness baseline the LSH
     * path approximates; quadratic — VERIFICATION-SCALE ONLY, see
     * SparkEntry.verificationScaleOnly; the scale path is [[lshNearDups]]).

@@ -1579,6 +1579,28 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(a(2L)._1 == 0L && a(3L)._1 == 1L)
   }
 
+  test("pqTopK: exact duplicate of a centroid-aligned query has adist 0 and ranks first") {
+    import spark.implicits._
+    // Seeds (vec_id < codes=2) are the two distinct vectors, so after one
+    // Lloyd's round each cluster's centroid IS its member value; a
+    // duplicate vector then reconstructs exactly (adist_us = 0) while the
+    // opposite-cluster vectors land at a positive LUT distance.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f), 0),
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f, 0.0f, 1.0f), 0),
+      (3L, Array(0.0f, 1.0f, 1.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.pqTopK(emb, m = 2, codes = 2, iters = 1, k = 3,
+        numQueries = 2)
+      .collect().map(x => (x.getAs[Long]("query_id"), x.getAs[Int]("rank")) ->
+        (x.getAs[Long]("neighbor_id"), x.getAs[Long]("adist_us"))).toMap
+    assert(r((0L, 1)) == (2L, 0L), "the exact twin reconstructs at distance 0")
+    assert(r((1L, 1)) == (3L, 0L))
+    assert(r((0L, 2))._2 > 0L && r((0L, 3))._2 > 0L,
+      "cross-cluster neighbors carry positive ADC distance")
+  }
+
   // ---- selection (DSIR / caps / epoch shuffle) -------------------------
 
   test("dsirScores: target-like raw docs score above raw docs that aren't") {

@@ -223,6 +223,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(3000))
   }
 
+  test("emb_pq_topk: LUT search broadcasts queries, top-k prunes with WindowGroupLimit") {
+    // Codebooks are literals after training, so the search side must be
+    // a broadcast of the query rows against the encoded corpus — never a
+    // shuffled join — with the per-query rank pruned map-side.
+    val p = physical("emb_pq_topk")
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("doc_epoch_shuffle: sharded sort — one hash exchange, never a global range sort") {
     val p = physical("doc_epoch_shuffle")
     assert(p.contains("hashpartitioning"), p.take(3000))
