@@ -884,6 +884,11 @@ object SparkEntry {
       Similarity.pqTopK(t(s, dir, "embeddings"), m = 4, codes = 8,
         iters = 2, k = 5, numQueries = 10)),
 
+    // PQ accuracy evidence: recall@5 vs the exact brute-force top-k.
+    "emb_pq_recall" -> ((s, dir) =>
+      Similarity.pqRecall(t(s, dir, "embeddings"), m = 4, codes = 8,
+        iters = 2, k = 5, numQueries = 10)),
+
     // SemDeDup: k-means clusters bound the quadratic pair scan; within a
     // cluster, a vector with a lower-id cosine>=0.35 neighbor is dropped.
     "emb_semantic_dedup" -> ((s, dir) =>
@@ -960,11 +965,11 @@ object SparkEntry {
          ${rebuild(s"${p}c2n", s"${p}u2", s"${p}c1", s"${p}c2")}"""
   }
 
-  // PQ-ANN oracle: m per-subspace kmeans chains on vector slices, argmin
-  // encoding per subspace, per-query integer-microunit LUTs, ADC sum,
-  // per-query top-k. Mirrors Similarity.pqTopK stage by stage.
-  private def pqTopKSql(m: Int, sub: Int, codes: Int, k: Int,
-      nq: Int): String = {
+  // PQ-ANN oracle CTEs: m per-subspace kmeans chains on vector slices,
+  // argmin encoding per subspace, per-query integer-microunit LUTs, ADC
+  // sum into `s(query_id, vec_id, adist_us)`. Mirrors Similarity.pqTopK
+  // stage by stage; shared by the top-k and recall oracles.
+  private def pqCtesSql(m: Int, sub: Int, codes: Int, nq: Int): String = {
     val slices = (0 until m).map { j =>
       s"v$j AS (SELECT vec_id, fullv[${j * sub + 1}:${(j + 1) * sub}] AS ev FROM vf)"
     }.mkString(",\n         ")
@@ -996,7 +1001,7 @@ object SparkEntry {
       s"JOIN lut$j l$j ON l$j.code = e$j.code$qEq"
     }.mkString(" ")
     val ldSum = (0 until m).map(j => s"l$j.ld").mkString(" + ")
-    s"""WITH vf AS (SELECT vec_id, embedding::DOUBLE[] AS fullv FROM embeddings),
+    s"""vf AS (SELECT vec_id, embedding::DOUBLE[] AS fullv FROM embeddings),
          $slices,
          $chains,
          $encs,
@@ -1004,14 +1009,78 @@ object SparkEntry {
          s AS (
            SELECT l0.query_id, e0.vec_id, $ldSum AS adist_us
            FROM enc0 e0 $encJoins $lutJoins
-           WHERE l0.query_id <> e0.vec_id),
+           WHERE l0.query_id <> e0.vec_id)"""
+  }
+
+  private def pqTopKSql(m: Int, sub: Int, codes: Int, k: Int,
+      nq: Int): String =
+    s"""WITH ${pqCtesSql(m, sub, codes, nq)},
          r AS (
            SELECT query_id, vec_id AS neighbor_id, adist_us,
              CAST(row_number() OVER (PARTITION BY query_id
                ORDER BY adist_us ASC, vec_id ASC) AS INTEGER) AS rank
            FROM s)
          SELECT query_id, neighbor_id, adist_us, rank FROM r WHERE rank <= $k"""
-  }
+
+  // PQ recall vs exact: pure-ADC top-k and the exact-rerank-of-ADC-
+  // candidates tier, hits joined per query, recall denominated on the
+  // brute-force count (mirrors Similarity.pqRecall).
+  private def pqRecallSql(m: Int, sub: Int, codes: Int, k: Int,
+      nq: Int, cand: Int): String =
+    s"""WITH ${pqCtesSql(m, sub, codes, nq)},
+         adcr AS (
+           SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY adist_us ASC, vec_id ASC) AS rk
+           FROM s),
+         pqr AS (
+           SELECT query_id, vec_id AS neighbor_id FROM adcr
+           WHERE rk <= $k),
+         rr AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT a.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.query_id ORDER BY
+                 round(list_dot_product(q.fullv, c.fullv)
+                   / (sqrt(list_dot_product(q.fullv, q.fullv))
+                      * sqrt(list_dot_product(c.fullv, c.fullv))), 6) DESC,
+                 c.vec_id ASC) AS rk2
+             FROM adcr a
+             JOIN vf c ON c.vec_id = a.vec_id
+             JOIN vf q ON q.vec_id = a.query_id
+             WHERE a.rk <= $cand) WHERE rk2 <= $k),
+         bs AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.fullv, c.fullv)
+               / (sqrt(list_dot_product(q.fullv, q.fullv))
+                  * sqrt(list_dot_product(c.fullv, c.fullv))), 6) AS cos
+           FROM vf q, vf c
+           WHERE q.vec_id < $nq AND q.vec_id <> c.vec_id),
+         bfr AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS rk
+             FROM bs) WHERE rk <= $k),
+         bfn AS (SELECT query_id, CAST(count(*) AS BIGINT) AS bf_n
+                 FROM bfr GROUP BY 1),
+         h AS (
+           SELECT b.query_id, CAST(count(*) AS BIGINT) AS hits_pq
+           FROM bfr b JOIN pqr p
+             ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+           GROUP BY 1),
+         h2 AS (
+           SELECT b.query_id, CAST(count(*) AS BIGINT) AS hits_rerank
+           FROM bfr b JOIN rr r
+             ON b.query_id = r.query_id AND b.neighbor_id = r.neighbor_id
+           GROUP BY 1)
+         SELECT bfn.query_id,
+           coalesce(h.hits_pq, CAST(0 AS BIGINT)) AS hits_pq,
+           coalesce(h2.hits_rerank, CAST(0 AS BIGINT)) AS hits_rerank,
+           round(CAST(coalesce(h.hits_pq, CAST(0 AS BIGINT)) AS DOUBLE)
+             / CAST(bfn.bf_n AS DOUBLE), 6) AS recall_pq,
+           round(CAST(coalesce(h2.hits_rerank, CAST(0 AS BIGINT)) AS DOUBLE)
+             / CAST(bfn.bf_n AS DOUBLE), 6) AS recall_rerank
+         FROM bfn LEFT JOIN h ON bfn.query_id = h.query_id
+         LEFT JOIN h2 ON bfn.query_id = h2.query_id"""
 
   // Final k-means assignment against the converged c2 centroids — the CTE
   // the learned-centroid IVF oracles append after kmeansChainSql.
@@ -2733,6 +2802,8 @@ object SparkEntry {
     "emb_ivf_kmeans_topk" -> ivfKmeansTopKSql,
     "emb_ivf_index_topk" -> ivfKmeansTopKSql,
     "emb_pq_topk" -> pqTopKSql(m = 4, sub = 16, codes = 8, k = 5, nq = 10),
+    "emb_pq_recall" ->
+      pqRecallSql(m = 4, sub = 16, codes = 8, k = 5, nq = 10, cand = 50),
 
     "emb_ivf_recall" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),

@@ -665,7 +665,7 @@ object Similarity {
           col("cluster_size").cast("double"), 6).as("purity"))
   }
 
-  /** Product-quantization (PQ) top-k — the FAISS-style ADC search (Jégou
+  /** Product-quantization (PQ) ADC scoring — the FAISS-style search (Jégou
     * et al. 2011, "Product Quantization for Nearest Neighbor Search"):
     * split each vector into `m` subvectors, learn a `codes`-entry k-means
     * codebook PER SUBSPACE (the same deterministic fixed-point Lloyd's
@@ -691,8 +691,8 @@ object Similarity {
     * (WindowGroupLimit, plan-locked). Composes with the IVF cell layout
     * ([[buildIvfIndex]]) for the standard IVF-PQ index.
     */
-  def pqTopK(emb: DataFrame, m: Int = 4, codes: Int = 8, iters: Int = 2,
-      k: Int = 5, numQueries: Int = 10): DataFrame = {
+  private def pqScored(emb: DataFrame, m: Int, codes: Int, iters: Int,
+      numQueries: Int): DataFrame = {
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dims = v.select(size(col("ev"))).head().getInt(0)
@@ -748,17 +748,89 @@ object Similarity {
         array((0 until m).map(lutRow): _*).as("luts"))
 
     // ADC: m integer lookups per candidate, summed exactly.
-    val scored = encoded.join(broadcast(queries),
-        col("query_id") =!= col("vec_id"))
+    encoded.join(broadcast(queries), col("query_id") =!= col("vec_id"))
       .withColumn("adist_us",
         aggregate(zip_with(col("codes"), col("luts"),
           (c, l) => element_at(l, c + 1)), lit(0L), (acc, x) => acc + x))
+      .select(col("query_id"), col("vec_id"), col("adist_us"))
+  }
+
+  /** Per-query PQ top-k over the ADC-scored table (see [[pqScored]] —
+    * that is where the codebook training / encoding / LUT design lives).
+    */
+  def pqTopK(emb: DataFrame, m: Int = 4, codes: Int = 8, iters: Int = 2,
+      k: Int = 5, numQueries: Int = 10): DataFrame = {
+    val scored = pqScored(emb, m, codes, iters, numQueries)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist_us").asc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("adist_us"), col("rank"))
+  }
+
+  /** PQ recall@k vs the exact brute-force top-k — the accuracy evidence
+    * the quantized tier ships with (the same pattern as [[ivfRecall]]:
+    * never deploy an approximation without its measured recall). Two
+    * tiers, both denominated on what brute force actually returned:
+    *  - `recall_pq`: rank purely by the ADC sum (what a code-only scan
+    *    achieves);
+    *  - `recall_rerank`: the standard PQ deployment — take the top
+    *    `candidates` ADC candidates, re-rank THOSE by exact cosine, keep
+    *    k. The exact pass touches `candidates` vectors per query instead
+    *    of the corpus, which is the whole point: compression prunes, a
+    *    bounded exact pass restores accuracy.
+    *
+    * Audit-scale by the same argument as [[ivfRecall]]: both sides score
+    * numQueries × corpus, so numQueries stays a fixed audit sample.
+    */
+  def pqRecall(emb: DataFrame, m: Int = 4, codes: Int = 8, iters: Int = 2,
+      k: Int = 5, numQueries: Int = 10, candidates: Int = 50): DataFrame = {
+    require(numQueries <= 1000,
+      s"pqRecall scores numQueries x corpus rows twice; numQueries=" +
+        s"$numQueries exceeds the 1000-query audit bound")
+    val bf = bruteForceTopK(emb, k, numQueries)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(eager = true) // numQueries × k rows, feeds 3 branches
+    // numQueries × corpus ADC rows feed the pure tier AND the rerank
+    // candidate cut — score once.
+    val scored = pqScored(emb, m, codes, iters, numQueries)
+      .localCheckpoint(eager = true)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_us").asc, col("vec_id").asc)
+    val ranked = scored.withColumn("rk", row_number().over(wAdc))
+    val pq = ranked.filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    // Exact re-rank of the bounded candidate set (candidates × nq rows).
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+      .withColumn("nrm", norm(col("ev")))
+    val qv = v.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("ev").as("qev"),
+        col("nrm").as("qn"))
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val rerank = ranked.filter(col("rk") <= candidates)
+      .select(col("query_id"), col("vec_id"))
+      .join(v, Seq("vec_id")).join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos", cosineWithNorms(dot(col("qev"), col("ev")),
+        col("qn"), col("nrm")))
+      .withColumn("rk2", row_number().over(wCos))
+      .filter(col("rk2") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val bfn = bf.groupBy(col("query_id")).agg(count(lit(1)).as("bf_n"))
+    def hitsOf(df: DataFrame, name: String): DataFrame =
+      bf.join(df, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as(name))
+    def rec(c: String): Column =
+      round(coalesce(col(c), lit(0L)).cast("double") /
+        col("bf_n").cast("double"), 6)
+    bfn.join(hitsOf(pq, "hits_pq"), Seq("query_id"), "left")
+      .join(hitsOf(rerank, "hits_rerank"), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits_pq"), lit(0L)).as("hits_pq"),
+        coalesce(col("hits_rerank"), lit(0L)).as("hits_rerank"),
+        rec("hits_pq").as("recall_pq"),
+        rec("hits_rerank").as("recall_rerank"))
   }
 
   /** Exact near-dup pairs over all pairs (the correctness baseline the LSH

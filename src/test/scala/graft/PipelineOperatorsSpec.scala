@@ -1601,6 +1601,21 @@ class PipelineOperatorsSpec extends SparkSpec {
       "cross-cluster neighbors carry positive ADC distance")
   }
 
+  test("pqRecall: exact rerank of ADC candidates never loses a pure-ADC hit") {
+    // Any brute-force hit inside the ADC top-k is also inside the top-
+    // `candidates` superset, and the rerank orders that superset by the
+    // same exact cosine brute force uses — so hits_rerank >= hits_pq is
+    // a construction invariant, checked on real (sf0.001) embeddings.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val r = Similarity.pqRecall(emb, m = 4, codes = 8, iters = 1, k = 5,
+      numQueries = 5, candidates = 25).collect()
+    assert(r.length == 5)
+    r.foreach { x =>
+      assert(x.getAs[Long]("hits_rerank") >= x.getAs[Long]("hits_pq"),
+        s"query ${x.getAs[Long]("query_id")}")
+    }
+  }
+
   // ---- selection (DSIR / caps / epoch shuffle) -------------------------
 
   test("dsirScores: target-like raw docs score above raw docs that aren't") {
