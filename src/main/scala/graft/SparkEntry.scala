@@ -1605,8 +1605,8 @@ object SparkEntry {
            FROM q)
          WHERE src_rank <= 10""",
 
-    // Mirrors epochShuffle: md5('epoch:0:'||doc_id) key, first-byte hash
-    // shard mod 4, per-shard rank by (key, doc_id).
+    // Mirrors epochShuffle: md5('epoch:0:'||doc_id) key, first-32-bits
+    // hash shard mod 4, per-shard rank by (key, doc_id).
     "doc_epoch_shuffle" ->
       """WITH k AS (
            SELECT doc_id,
@@ -1614,8 +1614,9 @@ object SparkEntry {
            FROM documents),
          s AS (
            SELECT doc_id, skey,
-             CAST(((strpos('0123456789abcdef', substr(skey,1,1))-1)*16
-               + (strpos('0123456789abcdef', substr(skey,2,1))-1)) % 4
+             CAST(list_sum(list_transform(generate_series(1, 8),
+               i -> CAST(strpos('0123456789abcdef', substr(skey, i, 1)) - 1
+                    AS BIGINT) * CAST(pow(16, 8 - i) AS BIGINT))) % 4
                AS BIGINT) AS shard
            FROM k)
          SELECT doc_id, shard,

@@ -20,9 +20,12 @@ object Selection {
     */
   val dsirBuckets = 4096
 
+  /** Lower-cased whitespace tokens — the canonical tokenizer, case-folded
+    * (one definition lives in TextAnalysis; trim∘lower ≡ lower∘trim for
+    * whitespace, and the oracle splits lower(trim(text)) likewise).
+    */
   private def lowerToks(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(lower(trim(text)), "\\s+"))
+    TextAnalysis.wsTokens(lower(text))
 
   /** Hash a token into [0, 4096): leading 3 hex chars of md5 — the same
     * engine-portable md5 family every other graft hash uses.
@@ -56,38 +59,62 @@ object Selection {
     *    per-token sign agrees with the paper's log ratio; the document
     *    score is the exact integer sum.
     *  - the paper samples top-k by importance weight (a global order);
-    *    `keep` here selects raw docs scoring ABOVE THE RAW-POOL MEAN,
-    *    compared integer-exactly by cross-multiplication
-    *    (`score * n_raw > sum_raw`) — rank-free, so no global sort.
+    *    `keep` here selects raw docs scoring ABOVE THE RAW-POOL MEAN —
+    *    rank-free, so no global sort. The mean comparison is exact:
+    *    `score > floorDiv(sum_raw, n_raw)` ⟺ `score·n_raw > sum_raw`
+    *    for positive n_raw (floor division toward −∞), without ever
+    *    forming the overflow-prone product.
     *
     * Output: (doc_id, dsir_score, in_target, keep) for every document.
     *
-    * Scale (100 TB): the model tables are bucket-bounded (2×4096 rows —
-    * collected to the driver and folded into ONE literal weight array),
-    * and the raw-pool score SUM is derived on the driver from those same
-    * counts (`sum_raw = Σ_b rc[b]·w[b]` — every raw token contributes its
-    * bucket weight exactly once), so the scoring pass is map-only with
-    * literal thresholds: zero joins, zero shuffles. In the paper the
-    * models are estimated on a fixed-size held-out sample, which is also
-    * the int64-overflow guard at petabyte scale: bounded sample =>
-    * bounded counts.
+    * Scale (100 TB): ONE model pass — a single bucket-bounded aggregation
+    * (≤ 2×4097 rows) carries both the per-bucket token counts and, via a
+    * doc-head marker (pos 0 / empty-doc row from posexplode_outer), the
+    * per-pool document counts; everything else is driver arithmetic. The
+    * weights fold into ONE literal array and the raw-pool score SUM is
+    * derived from the same counts (`sum_raw = Σ_b rc[b]·w[b]` — every raw
+    * token contributes its bucket weight exactly once, BigInt on the
+    * driver), so the scoring pass is map-only with literal thresholds:
+    * zero joins, zero shuffles. `modelSampleHex` implements the paper's
+    * sample-based model estimation (a deterministic md5 coin on doc_id),
+    * which is also the int64-overflow guard at petabyte scale: bounded
+    * sample => bounded counts => bounded per-doc scores ("ff" = train on
+    * everything, right for test scales; at corpus scales pick a coin that
+    * caps the model sample, e.g. "01" ≈ 1/256 of docs).
     */
   def dsirScores(docs: DataFrame,
-      targetFilter: Column = qualityTarget()): DataFrame = {
+      targetFilter: Column = qualityTarget(),
+      modelSampleHex: String = "ff"): DataFrame = {
     val toks = docs
       .select(col("doc_id"), targetFilter.as("in_target"),
         lowerToks(col("text")).as("toks"))
-    val buckets = toks
-      .select(col("in_target"), explode(col("toks")).as("tok"))
-      .select(col("in_target"), bucket(col("tok")).as("bkt"))
-      .groupBy(col("in_target"), col("bkt")).agg(count(lit(1)).as("c"))
+    val modelCoin = substring(
+      md5(concat(lit("dsir:"), col("doc_id").cast("string"))), 1, 2)
+    // One aggregation yields bucket token counts AND pool doc counts:
+    // posexplode_outer emits every token with its position plus one
+    // null-token row per empty doc, so `docheads` (pos-0 or empty-doc
+    // rows) sums to exactly one per document; empty docs group under the
+    // null bucket and contribute no token count.
+    val buckets = toks.where(modelCoin <= modelSampleHex)
+      .select(col("in_target"),
+        posexplode_outer(col("toks")).as(Seq("pos", "tok")))
+      .select(col("in_target"), bucket(col("tok")).as("bkt"),
+        when(col("pos").isNull || col("pos") === 0, 1L).otherwise(0L)
+          .as("dochead"))
+      .groupBy(col("in_target"), col("bkt"))
+      .agg(count(col("bkt")).as("c"), sum(col("dochead")).as("docheads"))
       .collect()
 
     val tc = new Array[Long](dsirBuckets)
     val rc = new Array[Long](dsirBuckets)
+    var nRaw = 0L
     buckets.foreach { r =>
-      val arr = if (r.getBoolean(0)) tc else rc
-      arr(r.getLong(1).toInt) += r.getLong(2)
+      val target = r.getBoolean(0)
+      if (!r.isNullAt(1)) {
+        val arr = if (target) tc else rc
+        arr(r.getLong(1).toInt) += r.getLong(2)
+      }
+      if (!target) nRaw += r.getLong(3)
     }
     val bigT = tc.sum
     val bigR = rc.sum
@@ -96,12 +123,22 @@ object Selection {
       (tc(i) + 1L) * (bigR + b) - (rc(i) + 1L) * (bigT + b)
     }
     val warr = typedlit(w.toSeq)
-    // Raw-pool mean threshold, exact from the model counts: every raw
-    // token lands in exactly one bucket, so the raw score total is
-    // Σ_b rc[b]·w[b]; the denominator counts ALL raw docs (token-less
-    // docs score 0 but still widen the pool).
-    val sumRaw = (0 until dsirBuckets).map(i => rc(i) * w(i)).sum
-    val nRaw = docs.where(!targetFilter).count()
+    // Raw-pool mean threshold, exact from the model counts (BigInt: the
+    // per-bucket products can exceed Long at large model samples even
+    // when the final threshold fits comfortably).
+    val sumRaw = (0 until dsirBuckets)
+      .map(i => BigInt(rc(i)) * BigInt(w(i))).sum
+    val threshold: Long =
+      if (nRaw == 0) Long.MaxValue // no raw pool -> nothing kept
+      else {
+        // BigInt / truncates toward zero; the equivalence with the
+        // cross-multiplied comparison needs floor (toward −∞).
+        val fl = if (sumRaw >= 0 || sumRaw % nRaw == 0) sumRaw / nRaw
+                 else sumRaw / nRaw - 1
+        require(fl.isValidLong, s"DSIR threshold $fl exceeds int64 — " +
+          "shrink modelSampleHex")
+        fl.toLong
+      }
 
     toks.select(col("doc_id"),
         aggregate(col("toks"), lit(0L),
@@ -109,7 +146,7 @@ object Selection {
           .as("dsir_score"),
         col("in_target"))
       .withColumn("keep",
-        !col("in_target") && col("dsir_score") * nRaw > sumRaw)
+        !col("in_target") && col("dsir_score") > threshold)
   }
 
   /** Per-source cap: keep at most `cap` documents per source, best-first
@@ -142,8 +179,11 @@ object Selection {
     * both pure functions of (seed, doc_id), so every epoch's order is
     * reproducible and a data loader can stream shard files sequentially.
     *
-    * key = md5("epoch:<seed>:<doc_id>"); shard = first-byte(key) mod
-    * numShards; pos = rank of key within the shard.
+    * key = md5("epoch:<seed>:<doc_id>"); shard = first-32-bits(key) mod
+    * numShards (32 bits so shard counts in the tens of thousands — the
+    * realistic setting for a 100 TB corpus — stay uniform: the modulo
+    * bias of a non-power-of-two count is ≤ numShards/2³²); pos = rank of
+    * key within the shard.
     *
     * Output: (doc_id, shard, pos).
     *
@@ -157,8 +197,11 @@ object Selection {
   def epochShuffle(docs: DataFrame, seed: Int = 0,
       numShards: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(numShards > 0 && numShards <= (1 << 20),
+      s"numShards=$numShards outside (0, 2^20] — the 32-bit key prefix " +
+        "keeps modulo bias negligible only well below 2^32 shards")
     val key = md5(concat(lit(s"epoch:$seed:"), col("doc_id").cast("string")))
-    val shard = conv(substring(key, 1, 2), 16, 10).cast("long") % numShards
+    val shard = conv(substring(key, 1, 8), 16, 10).cast("long") % numShards
     val win = Window.partitionBy(col("shard"))
       .orderBy(col("skey"), col("doc_id"))
     docs.select(col("doc_id"), shard.as("shard"), key.as("skey"))

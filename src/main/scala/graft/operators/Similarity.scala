@@ -792,31 +792,17 @@ object Similarity {
     val bf = bruteForceTopK(emb, k, numQueries)
       .select(col("query_id"), col("neighbor_id"))
       .localCheckpoint(eager = true) // numQueries × k rows, feeds 3 branches
-    // numQueries × corpus ADC rows feed the pure tier AND the rerank
-    // candidate cut — score once.
-    val scored = pqScored(emb, m, codes, iters, numQueries)
-      .localCheckpoint(eager = true)
+    // numQueries × corpus ADC rows, RANKED ONCE, feed the pure tier AND
+    // the rerank candidate cut — the checkpoint sits above the window so
+    // neither branch re-sorts the scored table.
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adist_us").asc, col("vec_id").asc)
-    val ranked = scored.withColumn("rk", row_number().over(wAdc))
+    val ranked = pqScored(emb, m, codes, iters, numQueries)
+      .withColumn("rk", row_number().over(wAdc))
+      .localCheckpoint(eager = true)
     val pq = ranked.filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
-    // Exact re-rank of the bounded candidate set (candidates × nq rows).
-    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
-      .withColumn("nrm", norm(col("ev")))
-    val qv = v.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("ev").as("qev"),
-        col("nrm").as("qn"))
-    val wCos = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    val rerank = ranked.filter(col("rk") <= candidates)
-      .select(col("query_id"), col("vec_id"))
-      .join(v, Seq("vec_id")).join(broadcast(qv), Seq("query_id"))
-      .withColumn("cos", cosineWithNorms(dot(col("qev"), col("ev")),
-        col("qn"), col("nrm")))
-      .withColumn("rk2", row_number().over(wCos))
-      .filter(col("rk2") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val rerank = pqRerankTail(ranked, emb, numQueries, k, candidates)
     val bfn = bf.groupBy(col("query_id")).agg(count(lit(1)).as("bf_n"))
     def hitsOf(df: DataFrame, name: String): DataFrame =
       bf.join(df, Seq("query_id", "neighbor_id"))
@@ -831,6 +817,33 @@ object Similarity {
         coalesce(col("hits_rerank"), lit(0L)).as("hits_rerank"),
         rec("hits_pq").as("recall_pq"),
         rec("hits_rerank").as("recall_rerank"))
+  }
+
+  /** The exact-rerank stage of [[pqRecall]] as a plan builder: the
+    * bounded candidate set (candidates × numQueries rows) BROADCASTS into
+    * the corpus vector scan, queries broadcast on top, and the per-query
+    * cosine top-k prunes with WindowGroupLimit — the candidate join must
+    * never become a shuffled join (plan-locked; factored out because the
+    * eager checkpoint in pqRecall hides this tail from plan inspection).
+    */
+  private[graft] def pqRerankTail(ranked: DataFrame, emb: DataFrame,
+      numQueries: Int, k: Int, candidates: Int): DataFrame = {
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+      .withColumn("nrm", norm(col("ev")))
+    val qv = v.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("ev").as("qev"),
+        col("nrm").as("qn"))
+    val cand = ranked.filter(col("rk") <= candidates)
+      .select(col("query_id"), col("vec_id"))
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    v.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos", cosineWithNorms(dot(col("qev"), col("ev")),
+        col("qn"), col("nrm")))
+      .withColumn("rk2", row_number().over(wCos))
+      .filter(col("rk2") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
   }
 
   /** Exact near-dup pairs over all pairs (the correctness baseline the LSH

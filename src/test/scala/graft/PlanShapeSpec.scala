@@ -233,6 +233,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("pqRerankTail: candidate set broadcasts into the corpus scan, no shuffled join") {
+    // The rerank stage is hidden behind pqRecall's eager checkpoint, so
+    // the factored builder is what the lock inspects (CLAUDE.md
+    // localCheckpoint discipline).
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val ranked = emb.select((col("vec_id") % 5).as("query_id"),
+      col("vec_id"), (col("vec_id") % 37).cast("int").as("rk"))
+    val p = graft.operators.Similarity
+      .pqRerankTail(ranked, emb, numQueries = 5, k = 5, candidates = 25)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+  }
+
   test("doc_epoch_shuffle: sharded sort — one hash exchange, never a global range sort") {
     val p = physical("doc_epoch_shuffle")
     assert(p.contains("hashpartitioning"), p.take(3000))
