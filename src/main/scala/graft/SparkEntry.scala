@@ -1347,7 +1347,7 @@ object SparkEntry {
     "doc_token_stats" ->
       """SELECT doc_id,
          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS ws_tokens,
+              ELSE len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) END AS BIGINT) AS ws_tokens,
          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
          CAST(length(text) AS BIGINT) AS chars
          FROM documents""",
@@ -1356,7 +1356,7 @@ object SparkEntry {
       """WITH w AS (
            SELECT doc_id, length(text) AS chars,
              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE string_split_regex(trim(text), '\s+') END AS toks
+                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS toks
            FROM documents),
          m AS (
            SELECT doc_id, chars,
@@ -1458,22 +1458,23 @@ object SparkEntry {
       """WITH perdoc AS (
            SELECT source, lang,
              CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks
+                  ELSE len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) END AS BIGINT) AS toks
            FROM documents),
          cells AS (
            SELECT source, lang, CAST(count(*) AS BIGINT) AS docs,
              CAST(sum(toks) AS BIGINT) AS tokens
            FROM perdoc GROUP BY 1, 2)
          SELECT source, lang, docs, tokens,
-           round(CAST(tokens AS DOUBLE)
-                 / CAST((SELECT sum(tokens) FROM cells) AS DOUBLE), 6) AS token_share
+           floor(CAST(tokens AS DOUBLE)
+                 / CAST((SELECT sum(tokens) FROM cells) AS DOUBLE)
+                 * 1000000.0) / 1000000.0 AS token_share
          FROM cells""",
 
     "doc_lang_stats" ->
       """WITH perdoc AS (
            SELECT lang,
              CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks
+                  ELSE len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) END AS BIGINT) AS toks
            FROM documents)
          SELECT lang, CAST(count(*) AS BIGINT) AS docs,
            CAST(sum(toks) AS BIGINT) AS tokens,
@@ -1487,7 +1488,7 @@ object SparkEntry {
       """WITH perdoc AS (
            SELECT lang,
              CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks
+                  ELSE len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) END AS BIGINT) AS toks
            FROM documents),
          cells AS (
            SELECT lang, CAST(count(*) AS BIGINT) AS docs,
@@ -1523,7 +1524,7 @@ object SparkEntry {
       """WITH t AS (
            SELECT doc_id, text,
              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE string_split_regex(trim(text), '\s+') END AS toks,
+                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS toks,
              CASE WHEN length(text) = 0 THEN 0.0
                   ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
                        / length(text) END AS praw
@@ -1540,7 +1541,7 @@ object SparkEntry {
          base AS (
            SELECT d.doc_id, q.in_target,
              CASE WHEN length(trim(d.text)) = 0 THEN []::VARCHAR[]
-                  ELSE string_split_regex(lower(trim(d.text)), '\s+') END AS toks
+                  ELSE list_filter(string_split_regex(lower(trim(d.text)), '\s+'), tk -> tk <> '') END AS toks
            FROM documents d JOIN qual q ON d.doc_id = q.doc_id),
          tokraw AS (SELECT doc_id, in_target, unnest(toks) AS tok FROM base),
          tok AS (
@@ -1585,7 +1586,7 @@ object SparkEntry {
       """WITH t AS (
            SELECT doc_id, source, text,
              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE string_split_regex(trim(text), '\s+') END AS toks,
+                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS toks,
              CASE WHEN length(text) = 0 THEN 0.0
                   ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
                        / length(text) END AS praw
@@ -1628,7 +1629,7 @@ object SparkEntry {
       """WITH perdoc AS (
            SELECT doc_id, lang,
              CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks
+                  ELSE len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) END AS BIGINT) AS toks
            FROM documents),
          cum AS (
            SELECT doc_id, lang, toks,
@@ -1661,7 +1662,7 @@ object SparkEntry {
       """WITH perdoc AS (
            SELECT doc_id, lang,
              CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks
+                  ELSE len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) END AS BIGINT) AS toks
            FROM documents),
          cum AS (
            SELECT doc_id, lang, toks,
@@ -1685,7 +1686,7 @@ object SparkEntry {
       """WITH perdoc AS (
            SELECT doc_id, lang,
              CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks
+                  ELSE len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) END AS BIGINT) AS toks
            FROM documents),
          cum AS (
            SELECT doc_id, lang, toks,
@@ -1711,7 +1712,7 @@ object SparkEntry {
          toks AS (
            SELECT doc_id, c,
              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE string_split_regex(trim(text), '\s+') END AS t
+                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
            FROM coin),
          sh AS (
            SELECT doc_id, c, list_distinct(
@@ -1736,7 +1737,7 @@ object SparkEntry {
     "doc_winnow" ->
       """WITH toks AS (
            SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                ELSE string_split_regex(trim(text), '\s+') END AS t
+                ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
            FROM documents),
          grams AS (
            SELECT doc_id, CASE WHEN len(t) >= 3
@@ -1761,7 +1762,7 @@ object SparkEntry {
     "doc_winnow_pairs" ->
       """WITH toks AS (
            SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                ELSE string_split_regex(trim(text), '\s+') END AS t
+                ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
            FROM documents),
          grams AS (
            SELECT doc_id, CASE WHEN len(t) >= 3
@@ -1796,7 +1797,7 @@ object SparkEntry {
     "doc_dup_ngram_coverage" ->
       """WITH toks AS (
            SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                ELSE string_split_regex(trim(text), '\s+') END AS t
+                ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
            FROM documents),
          g AS (
            SELECT doc_id, t, CASE WHEN len(t) >= 3
@@ -1831,7 +1832,7 @@ object SparkEntry {
 
     "doc_token_rarity" ->
       """WITH toks AS (
-           SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+           SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) AS token
            FROM documents WHERE length(trim(text)) > 0),
          freq AS (SELECT token, count(*) AS freq FROM toks GROUP BY token),
          per AS (
@@ -1854,7 +1855,7 @@ object SparkEntry {
     "doc_paragraph_dedup" ->
       """WITH toks AS (
            SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                ELSE string_split_regex(trim(text), '\s+') END AS t
+                ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
            FROM documents),
          chunks AS (
            SELECT doc_id, len(t) AS n_toks, t,
@@ -1886,7 +1887,7 @@ object SparkEntry {
     "doc_paragraph_clean" ->
       """WITH toks AS (
            SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                ELSE string_split_regex(trim(text), '\s+') END AS t
+                ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
            FROM documents),
          chunks AS (
            SELECT doc_id, t,
@@ -1921,7 +1922,7 @@ object SparkEntry {
     "doc_exact_substr" ->
       """WITH toks AS (
            SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                ELSE string_split_regex(trim(text), '\s+') END AS t
+                ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
            FROM documents),
          g AS (
            SELECT doc_id, u.i AS pos,
@@ -1951,7 +1952,7 @@ object SparkEntry {
     "doc_exact_substr_clean" ->
       """WITH toks AS (
            SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                ELSE string_split_regex(trim(text), '\s+') END AS t
+                ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
            FROM documents),
          g AS (
            SELECT doc_id, u.i AS pos,
@@ -1991,7 +1992,7 @@ object SparkEntry {
     "doc_dup_spans" ->
       """WITH toks AS (
            SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                ELSE string_split_regex(trim(text), '\s+') END AS t
+                ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
            FROM documents),
          grams AS (
            SELECT doc_id, CASE WHEN len(t) >= 3
@@ -2038,7 +2039,7 @@ object SparkEntry {
       """WITH toks AS (
            SELECT doc_id,
              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE string_split_regex(trim(text), '\s+') END AS t
+                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
            FROM documents),
          tf AS (
            SELECT doc_id, token, count(*) AS tf
@@ -2069,7 +2070,7 @@ object SparkEntry {
          gw AS (
            SELECT doc_id, length(text) AS chars,
              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE string_split_regex(trim(text), '\s+') END AS toks
+                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS toks
            FROM base),
          gch AS (
            SELECT *, list_transform(
@@ -2203,7 +2204,7 @@ object SparkEntry {
          dtoks AS (
            SELECT doc_id, c,
              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE string_split_regex(trim(text), '\s+') END AS t
+                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
            FROM coin),
          dsh AS (
            SELECT doc_id, c, list_distinct(
@@ -2495,7 +2496,7 @@ object SparkEntry {
 
     "doc_vocab_topk" ->
       """WITH toks AS (
-           SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+           SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) AS token
            FROM documents WHERE length(trim(text)) > 0)
          SELECT token, CAST(count(*) AS BIGINT) AS occurrences,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
@@ -2540,7 +2541,7 @@ object SparkEntry {
       """WITH t AS (
            SELECT doc_id, text,
              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE string_split_regex(trim(text), '\s+') END AS toks,
+                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS toks,
              CASE WHEN length(text) = 0 THEN 0.0
                   ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
                        / length(text) END AS praw
@@ -2567,7 +2568,7 @@ object SparkEntry {
       """WITH t AS (
            SELECT doc_id,
              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE string_split_regex(trim(text), '\s+') END AS toks
+                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS toks
            FROM documents),
          h AS (
            SELECT doc_id,
@@ -2591,7 +2592,7 @@ object SparkEntry {
       """WITH toks AS (
            SELECT doc_id,
              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE string_split_regex(trim(text), '\s+') END AS t
+                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
            FROM documents),
          sh AS (
            SELECT doc_id, list_distinct(
@@ -2635,7 +2636,7 @@ object SparkEntry {
       """WITH toks AS (
            SELECT doc_id,
              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE string_split_regex(trim(text), '\s+') END AS t
+                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
            FROM documents),
          sh AS (
            SELECT doc_id, list_distinct(
@@ -2663,7 +2664,7 @@ object SparkEntry {
       """WITH toks AS (
            SELECT doc_id,
              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE string_split_regex(trim(text), '\s+') END AS t
+                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
            FROM documents),
          sh AS (
            SELECT doc_id, list_distinct(
@@ -2693,7 +2694,7 @@ object SparkEntry {
       """WITH RECURSIVE toks AS (
            SELECT doc_id,
              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE string_split_regex(trim(text), '\s+') END AS t
+                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
            FROM documents),
          sh AS (
            SELECT doc_id, list_distinct(
@@ -3126,7 +3127,7 @@ object SparkEntry {
     "doc_simhash_pairs" ->
       """WITH toks AS (
            SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                ELSE string_split_regex(trim(text), '\s+') END) AS tok
+                ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END) AS tok
            FROM documents),
          h AS (
            SELECT doc_id,
@@ -3161,7 +3162,7 @@ object SparkEntry {
     "doc_simhash64_pairs" ->
       """WITH toks AS (
            SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                ELSE string_split_regex(trim(text), '\s+') END) AS tok
+                ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END) AS tok
            FROM documents),
          h AS (
            SELECT doc_id,

@@ -89,9 +89,7 @@ object Curation {
     // the projection below because it is itself a HOF input.
     def sortedGrams(n: Int): Column =
       when(size(col("toks")) >= n,
-        sort_array(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
-          i => concat_ws(" ",
-            (0 until n).map(o => element_at(col("toks"), i + o)): _*))))
+        sort_array(TextAnalysis.ngramArray(col("toks"), n)))
         .otherwise(array().cast("array<string>"))
     // Second projection barrier: the n-gram arrays and the chunk array are
     // themselves HOF inputs below, so they must be attributes too.
@@ -226,10 +224,14 @@ object Curation {
     // WindowExec's single-partition pass (and its "No Partition Defined"
     // warning on every run).
     val total = cells.agg(sum(col("tokens")).as("__total"))
+    // floor-quantized, not round: integer-ratio shares CAN land exactly
+    // on the .5 rounding grid (tokens=1, total=2e6 → 5e-7), where
+    // round()'s decimal-vs-binary tie handling is engine-dependent;
+    // floor of an IEEE double is unambiguous (same rule as mixRatePlan).
     cells.crossJoin(broadcast(total))
       .select(col("source"), col("lang"), col("docs"), col("tokens"),
-        round(col("tokens").cast("double") / col("__total").cast("double"), 6)
-          .as("token_share"))
+        (floor(col("tokens").cast("double") / col("__total").cast("double")
+          * 1e6) / 1e6).as("token_share"))
   }
 
   /** Mix-rate PLANNER — the step between [[sourceMix]]'s report and
@@ -304,7 +306,11 @@ object Curation {
     * standard trade for unbounded window parallelism.
     */
   def packAssignments(docs: DataFrame, budgetTokens: Long = 2048L,
-      rangeSize: Long = 100L,
+      // Output is INVARIANT in rangeSize (ranges only bound per-window
+      // task size); the default keeps the offsets table driver/broadcast-
+      // tiny at corpus scale: 1e9 docs → 1e4 offset rows. Smaller values
+      // buy nothing but a bigger broadcast.
+      rangeSize: Long = 100000L,
       // The budget's unit: whitespace tokens by default; pass
       // TextAnalysis.tokenCountBpe to budget in the subword-ish units a
       // trainer actually consumes (same plan shape either way).
@@ -368,7 +374,7 @@ object Curation {
     * invariant [[shardFilesReport]] audits.
     */
   def writeShards(docs: DataFrame, outDir: String, budgetTokens: Long = 2048L,
-      packsPerShard: Long = 4L, rangeSize: Long = 100L): Unit = {
+      packsPerShard: Long = 4L, rangeSize: Long = 100000L): Unit = {
     val assign = packAssignments(docs, budgetTokens, rangeSize)
       .withColumn("shard_id",
         floor(col("pack_id").cast("double") / packsPerShard).cast("long"))
@@ -377,7 +383,13 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("shard_id"), col("pack_id"),
         col("toks"), col("text"))
       .repartition(col("lang"), col("shard_id"))
-      .sortWithinPartitions(col("doc_id"))
+      // Leading partition columns matter: the file writer REQUIRES child
+      // ordering by its partition columns and inserts its own sort if the
+      // given ordering doesn't satisfy them — and that inserted sort by
+      // (lang, shard_id) alone is only incidentally stable (spill-merge
+      // interleaves equal keys), which would silently break the in-file
+      // doc_id order. Prefix-matching the requirement keeps OUR sort.
+      .sortWithinPartitions(col("lang"), col("shard_id"), col("doc_id"))
       .write.mode("overwrite").partitionBy("lang", "shard_id")
       .parquet(outDir)
   }
@@ -479,6 +491,16 @@ object Curation {
     * shingle-set table — lets [[curationReport]] derive the grams from its
     * shared tokenization instead of re-scanning the corpus text.
     */
+  /** The eval side of decontamination — distinct hashed word-n-grams of
+    * the eval corpus — as ONE definition shared by the batch sweep and
+    * the streaming monitor, so a future cap/hash change cannot make the
+    * spec-pinned stream≡batch identity drift.
+    */
+  private[graft] def evalGramHashes(evalDocs: DataFrame, n: Int): DataFrame =
+    Dedup.shingleSets(evalDocs, n)
+      .select(explode_outer(col("sset")).as("g"))
+      .select(xxhash64(col("g")).as("gh")).distinct()
+
   private[graft] def decontaminateFromSets(trainSets: DataFrame,
       evalDocs: DataFrame, n: Int = 8): DataFrame = {
     // explode_outer, not explode: the inner variant's inferred
@@ -488,9 +510,7 @@ object Curation {
     val trainGrams = trainSets
       .select(col("doc_id"), explode_outer(col("sset")).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("gh"))
-    val evalGrams = Dedup.shingleSets(evalDocs, n)
-      .select(explode_outer(col("sset")).as("g"))
-      .select(xxhash64(col("g")).as("gh")).distinct()
+    val evalGrams = evalGramHashes(evalDocs, n)
     val hits = trainGrams.join(broadcast(evalGrams), Seq("gh"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("gram_hits"))
     trainSets.select(col("doc_id"))
@@ -640,9 +660,7 @@ object Curation {
   def streamingDecontaminate(docs: DataFrame, evalDocs: DataFrame,
       n: Int = 8, tsCol: String = "ts",
       delay: String = "10 minutes"): DataFrame = {
-    val evalGrams = Dedup.shingleSets(evalDocs, n)
-      .select(explode_outer(col("sset")).as("g"))
-      .select(xxhash64(col("g")).as("gh")).distinct()
+    val evalGrams = evalGramHashes(evalDocs, n)
     val toks = docs.select(col("doc_id"), col(tsCol).as("ts"),
       TextAnalysis.wsTokens(col("text")).as("toks"))
     // ts carried alongside the shingle build (re-joining it from a

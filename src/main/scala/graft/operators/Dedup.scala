@@ -56,13 +56,10 @@ object Dedup {
     * element — inlining the regex tokenization here cost ~160 tokenizations
     * per document (9.4 s of the 11.5 s sf0.1 minhash bench entry).
     */
-  def shinglesFromTokens(toks: Column, n: Int = 3): Column = {
-    val grams = transform(
-      sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
+  def shinglesFromTokens(toks: Column, n: Int = 3): Column =
     array_distinct(
-      when(size(toks) >= n, grams).otherwise(array(concat_ws(" ", toks))))
-  }
+      when(size(toks) >= n, TextAnalysis.ngramArray(toks, n))
+        .otherwise(array(concat_ws(" ", toks))))
 
   /** Distinct word-`n`-gram shingles per document; documents shorter than
     * `n` tokens contribute their whole text as one shingle. Convenience

@@ -14,13 +14,32 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens (empty array for blank text). */
+  /** Whitespace tokens (empty array for blank text). Boundary empties are
+    * filtered: Spark's `trim` strips only ASCII spaces and `split` keeps
+    * boundary empty strings, so text with a leading/trailing tab or
+    * newline would otherwise grow phantom "" tokens that inflate counts
+    * and poison grams (every consumer — quality, packing, shingles —
+    * inherits this one definition; the oracle SQL and the streaming Scala
+    * twin apply the identical filter).
+    */
   def wsTokens(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+    filter(split(trim(text), "\\s+"), t => t =!= "")
 
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column = size(wsTokens(text))
+
+  /** The raw word-n-gram transform over a PRE-MATERIALIZED token-array
+    * attribute — the one kernel behind shingling, winnowing, repetition
+    * grams, and coverage (see Dedup.shinglesFromTokens for why `toks`
+    * must be an attribute: the interpreted HOF path re-evaluates a
+    * lambda's free subexpressions per element). Callers wrap their own
+    * short-document fallback (whole-text gram vs empty array) and
+    * post-ops (distinct, sort) — only the gram construction is shared,
+    * so the four call sites cannot drift apart.
+    */
+  private[graft] def ngramArray(toks: Column, n: Int): Column =
+    transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
 
   /** BPE-ish sub-token count: alpha runs, digit runs, and single other
     * non-space chars — the standard pre-tokenizer shape.
@@ -153,10 +172,7 @@ object TextAnalysis {
       w: Int = 4): DataFrame = {
     val toks = docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
     val grams = toks.select(col("doc_id"),
-      when(size(col("toks")) >= k,
-        transform(sequence(lit(1), size(col("toks")) - (k - 1)),
-          i => concat_ws(" ",
-            (0 until k).map(o => element_at(col("toks"), i + o)): _*)))
+      when(size(col("toks")) >= k, ngramArray(col("toks"), k))
         .otherwise(array(concat_ws(" ", col("toks")))).as("grams"))
     val hashes = grams.select(col("doc_id"),
       transform(col("grams"),
@@ -231,10 +247,7 @@ object TextAnalysis {
   def dupNgramCoverage(docs: DataFrame, n: Int = 5): DataFrame = {
     val toks = docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
     val grams = toks.select(col("doc_id"), col("toks"),
-      when(size(col("toks")) >= n,
-        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
-          i => concat_ws(" ",
-            (0 until n).map(o => element_at(col("toks"), i + o)): _*)))
+      when(size(col("toks")) >= n, ngramArray(col("toks"), n))
         .otherwise(array().cast("array<string>")).as("grams"))
     // (gram, 1-based start) sorted by gram (struct order: field 1, then 2).
     val pairs = grams.select(col("doc_id"), col("toks"),

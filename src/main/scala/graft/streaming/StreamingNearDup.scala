@@ -156,22 +156,17 @@ object StreamingNearDup {
 
   case class SimhashPair(doc_a: Long, doc_b: Long, dist: Long)
 
-  /** Scala twin of TextAnalysis.wsTokens' COLUMN semantics — which are
-    * NOT Java's: Spark's `trim` strips only ASCII spaces (0x20), so a
-    * trailing tab/newline survives it, and Spark's `split` keeps
-    * trailing empty tokens (limit −1) where Java's default drops them.
-    * A doc ending in "\n" therefore tokenizes to [..., ""] in the batch
-    * algebra, and that empty token's md5 votes DO enter the batch
-    * fingerprint — the twin must reproduce this exactly or newline-
-    * terminated text (most of the web) breaks the stream≡batch contract.
+  /** Scala twin of TextAnalysis.wsTokens' COLUMN semantics. With boundary
+    * empties filtered on the batch side (wsTokens drops the "" tokens
+    * Spark's space-only `trim` + empty-keeping `split` would otherwise
+    * leave around tabs/newlines), the space-only-vs-all-whitespace trim
+    * distinction disappears — the surviving tokens are identical — so the
+    * twin is plain Java trim + split + non-empty filter. Pinned to the
+    * Column implementation by the stream≡batch spec (incl. the
+    * newline/tab-terminated fixture).
     */
-  private[graft] def wsTokensScala(text: String): Array[String] = {
-    var s = 0; var e = text.length
-    while (s < e && text.charAt(s) == ' ') s += 1
-    while (e > s && text.charAt(e - 1) == ' ') e -= 1
-    val t = text.substring(s, e)
-    if (t.isEmpty) Array.empty else t.split("\\s+", -1)
-  }
+  private[graft] def wsTokensScala(text: String): Array[String] =
+    text.trim.split("\\s+").filter(_.nonEmpty)
 
   /** Scala twin of the 60-bit SimHash column algebra
     * (Dedup.simhashes64): per-token 60-bit md5-derived value, bit-wise
