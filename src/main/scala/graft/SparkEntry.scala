@@ -889,6 +889,19 @@ object SparkEntry {
       Similarity.pqRecall(t(s, dir, "embeddings"), m = 4, codes = 8,
         iters = 2, k = 5, numQueries = 10)),
 
+    // The full persisted IVF-PQ index (FAISS IVFPQ shape,
+    // by_residual=false): build coarse cells + codebooks + coded cells
+    // on disk, then serve partition-pruned ADC search + exact rerank.
+    "emb_ivfpq_topk" -> ((s, dir) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_" +
+        new java.io.File(dir).getName
+      val emb = t(s, dir, "embeddings")
+      Similarity.buildIvfPqIndex(emb, out, clusters = 8, iters = 2,
+        m = 4, codes = 8)
+      Similarity.ivfPqTopK(s, out, emb.filter(col("vec_id") < 10),
+        k = 5, probes = 2, candidates = 50)
+    }),
+
     // SemDeDup: k-means clusters bound the quadratic pair scan; within a
     // cluster, a vector with a lower-id cosine>=0.35 neighbor is dropped.
     "emb_semantic_dedup" -> ((s, dir) =>
@@ -1021,6 +1034,56 @@ object SparkEntry {
                ORDER BY adist_us ASC, vec_id ASC) AS INTEGER) AS rank
            FROM s)
          SELECT query_id, neighbor_id, adist_us, rank FROM r WHERE rank <= $k"""
+
+  // IVF-PQ search oracle: the PQ CTEs (chains, encodings, LUTs, ADC `s`)
+  // plus a coarse kmeans chain on the FULL vectors; candidates are the
+  // ADC-ranked rows whose coarse cell is among the query's probes; the
+  // top `cand` rerank by exact cosine. Mirrors Similarity.ivfPqTopK.
+  private def ivfPqTopKSql(clusters: Int, m: Int, sub: Int, codes: Int,
+      k: Int, probes: Int, cand: Int, nq: Int): String =
+    s"""WITH ${pqCtesSql(m, sub, codes, nq)},
+         vv AS (SELECT vec_id, fullv AS ev FROM vf),
+         ${kmeansChainSql(clusters, "g_", "vv")},
+         ka AS (
+           SELECT vec_id, cluster FROM (
+             SELECT v.vec_id, c.centroid_id AS cluster,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 (list_dot_product(v.ev, v.ev) + list_dot_product(c.cv, c.cv))
+                   - 2.0 * list_dot_product(v.ev, c.cv) ASC,
+                 c.centroid_id ASC) AS rn
+             FROM vv v, g_c2 c) WHERE rn = 1),
+         kqp AS (
+           SELECT query_id, probe FROM (
+             SELECT q.vec_id AS query_id, c.centroid_id AS probe,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 (list_dot_product(q.ev, q.ev) + list_dot_product(c.cv, c.cv))
+                   - 2.0 * list_dot_product(q.ev, c.cv) ASC,
+                 c.centroid_id ASC) AS rn
+             FROM vv q, g_c2 c WHERE q.vec_id < $nq) WHERE rn <= $probes),
+         icand AS (
+           SELECT s.query_id, s.vec_id, s.adist_us FROM s
+           JOIN ka ON ka.vec_id = s.vec_id
+           JOIN kqp ON kqp.query_id = s.query_id
+                   AND kqp.probe = ka.cluster),
+         icandr AS (
+           SELECT query_id, vec_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY adist_us ASC, vec_id ASC) AS rk
+             FROM icand) WHERE rk <= $cand),
+         irr AS (
+           SELECT a.query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.fullv, c.fullv)
+               / (sqrt(list_dot_product(q.fullv, q.fullv))
+                  * sqrt(list_dot_product(c.fullv, c.fullv))), 6) AS cos
+           FROM icandr a
+           JOIN vf c ON c.vec_id = a.vec_id
+           JOIN vf q ON q.vec_id = a.query_id),
+         irrr AS (
+           SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+           FROM irr)
+         SELECT query_id, neighbor_id, cos, rank FROM irrr
+         WHERE rank <= $k"""
 
   // PQ recall vs exact: pure-ADC top-k and the exact-rerank-of-ADC-
   // candidates tier, hits joined per query, recall denominated on the
@@ -2806,6 +2869,8 @@ object SparkEntry {
     "emb_pq_topk" -> pqTopKSql(m = 4, sub = 16, codes = 8, k = 5, nq = 10),
     "emb_pq_recall" ->
       pqRecallSql(m = 4, sub = 16, codes = 8, k = 5, nq = 10, cand = 50),
+    "emb_ivfpq_topk" -> ivfPqTopKSql(clusters = 8, m = 4, sub = 16,
+      codes = 8, k = 5, probes = 2, cand = 50, nq = 10),
 
     "emb_ivf_recall" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),

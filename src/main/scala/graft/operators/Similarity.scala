@@ -317,6 +317,127 @@ object Similarity {
         col("cos"), col("rank"))
   }
 
+  /** Persist the full IVF-PQ index — the composition the two halves were
+    * built for (FAISS's IVFPQ, Jégou et al. 2011): the learned coarse
+    * cells of [[buildIvfIndex]] bound WHICH rows a search reads
+    * (partition pruning), and the PQ codes of [[pqTopK]] bound HOW MUCH
+    * each read row costs (m integer lookups instead of a full-dimension
+    * dot). Layout: `centroids` (coarse, k rows), `codebooks`
+    * ((subspace, code, cv) — m·codes rows), and the corpus under
+    * `cells/cell=<id>/` as (vec_id, ev, nrm, codes).
+    *
+    * Documented deviation: codes quantize the RAW vectors, not the
+    * per-cell residuals (FAISS `by_residual=false`) — one global
+    * codebook set keeps the search LUT per QUERY instead of per
+    * (query, cell), and the exact-rerank stage (which this index always
+    * runs, over the stored `ev`) recovers what residual coding would
+    * have bought. The stored full vectors serve that rerank; a
+    * memory-tier deployment would hold only the codes hot and leave
+    * `ev` on disk — exactly how this layout reads.
+    */
+  def buildIvfPqIndex(emb: DataFrame, dir: String, clusters: Int = 8,
+      iters: Int = 2, m: Int = 4, codes: Int = 8): Unit = {
+    val spark = emb.sparkSession
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dims = v.select(size(col("ev"))).head().getInt(0)
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    val sub = dims / m
+    val cents = iterateCentroids(v, clusters, iters)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    val books = trainCodebooks(v, m, codes, iters, sub)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+        (for (j <- 0 until m; c <- 0 until codes)
+          yield org.apache.spark.sql.Row(j, c, books(j)(c))).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("subspace",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("code",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("cv",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType)))))
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    val encoded = slicedVectors(emb, m, sub)
+      .select(col("vec_id"), col("ev"),
+        array((0 until m).map(j => pqCodeExpr(books, j)): _*).as("codes"))
+    encoded
+      .join(assignTo(v, cents).select(col("vec_id"),
+        col("cluster").as("cell")), Seq("vec_id"))
+      .withColumn("nrm", norm(col("ev")))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    v.unpersist()
+  }
+
+  /** Search the persisted IVF-PQ index: probe cells resolve against the
+    * tiny centroid table (literal `cell IN` ⇒ static partition pruning,
+    * same contract as [[ivfIndexTopK]]); inside the probed cells the scan
+    * ranks by the integer ADC sum (codes × the query-row LUT — no
+    * full-dimension work); the top `candidates` per query then re-rank by
+    * exact cosine over the stored vectors. Output: (query_id,
+    * neighbor_id, cos, rank).
+    *
+    * `queryVecs` is external, as a served index requires (see
+    * [[ivfIndexTopK]] for why resolving queries from the index itself
+    * would void the bounded-read guarantee).
+    */
+  def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queryVecs: DataFrame, k: Int = 5, probes: Int = 2,
+      candidates: Int = 50): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val cells = spark.read.parquet(s"$dir/cells")
+    val bookRows = spark.read.parquet(s"$dir/codebooks").collect()
+    val m = bookRows.map(_.getInt(0)).max + 1
+    val codes = bookRows.map(_.getInt(1)).max + 1
+    val books: IndexedSeq[IndexedSeq[Seq[Double]]] =
+      (0 until m).map { j =>
+        val byCode = bookRows.filter(_.getInt(0) == j)
+          .map(r => r.getInt(1) -> r.getSeq[Double](2).toSeq).toMap
+        (0 until codes).map(byCode)
+      }
+    val sub = books.head.head.length
+
+    // Query rows carry everything the search needs: LUT arrays for the
+    // ADC stage, the full vector + norm for the rerank stage.
+    val queries = slicedVectors(queryVecs, m, sub)
+      .select(col("vec_id").as("query_id"),
+        array((0 until m).map(j => pqLutExpr(books, j)): _*).as("luts"),
+        col("ev").as("qv"), norm(col("ev")).as("qn"))
+      .localCheckpoint(eager = true) // query-set-sized
+    val qScored = queries.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        (dot(col("qv"), col("qv")) + dot(col("cv"), col("cv"))) -
+          lit(2.0) * dot(col("qv"), col("cv")))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("centroid_id").asc)
+    val probeTbl = qScored.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= probes)
+      .select(col("query_id"), col("luts"), col("qv"), col("qn"),
+        col("centroid_id").as("probe"))
+      .localCheckpoint(eager = true) // numQueries × probes rows
+    val probedCells = probeTbl.select(col("probe")).distinct()
+      .collect().map(_.getLong(0).toInt).toIndexedSeq
+    val scoped = cells.filter(col("cell").isin(probedCells: _*))
+    val scored = scoped.join(broadcast(probeTbl),
+        col("probe") === col("cell") && col("query_id") =!= col("vec_id"))
+      .withColumn("adist_us", adcSum(col("codes"), col("luts")))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_us").asc, col("vec_id").asc)
+    val cand = scored.withColumn("rk", row_number().over(wAdc))
+      .filter(col("rk") <= candidates)
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cand
+      .withColumn("cos", cosineWithNorms(dot(col("qv"), col("ev")),
+        col("qn"), col("nrm")))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cos"), col("rank"))
+  }
+
   /** Recall@k report: single-probe, ring-1 and ring-2 multi-probe sign-LSH
     * IVF plus the LEARNED-centroid IVF ([[ivfKmeansTopK]], `probes` nearest
     * of `clusters` k-means cells), all measured against the exact
@@ -691,6 +812,67 @@ object Similarity {
     * (WindowGroupLimit, plan-locked). Composes with the IVF cell layout
     * ([[buildIvfIndex]]) for the standard IVF-PQ index.
     */
+  /** Per-subspace PQ codebooks via the shared deterministic Lloyd's loop,
+    * collected into driver values (m × codes × sub doubles —
+    * index-sized). `v` must be a (vec_id, ev) frame the caller persists.
+    */
+  private def trainCodebooks(v: DataFrame, m: Int, codes: Int, iters: Int,
+      sub: Int): IndexedSeq[IndexedSeq[Seq[Double]]] =
+    (0 until m).map { j =>
+      val vj = v.select(col("vec_id"),
+        slice(col("ev"), j * sub + 1, sub).as("ev"))
+      iterateCentroids(vj, codes, iters).collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Double](1).toSeq).toIndexedSeq
+    }
+
+  /** (vec_id, ev, s0..s{m-1}) projection — subvector slices materialized
+    * as attributes before any HOF consumes them (codegen discipline).
+    */
+  private def slicedVectors(emb: DataFrame, m: Int, sub: Int): DataFrame =
+    emb.select(
+      col("vec_id") +: asDouble(col("embedding")).as("ev") +:
+        (0 until m).map(j =>
+          slice(asDouble(col("embedding")), j * sub + 1, sub).as(s"s$j")): _*)
+
+  /** Map-side PQ encoder for subspace j over a [[slicedVectors]] frame:
+    * argmin full d² against the literal codebook, ties to the lower code
+    * (array_min over (d², code) structs — the same (d2, centroid_id)
+    * order assignTo's window uses).
+    */
+  private def pqCodeExpr(books: IndexedSeq[IndexedSeq[Seq[Double]]],
+      j: Int): Column = {
+    val xs = col(s"s$j")
+    val xx = dot(xs, xs)
+    array_min(array(books(j).indices.map { c =>
+      val cl = typedlit(books(j)(c))
+      struct(((xx + dot(cl, cl)) - lit(2.0) * dot(xs, cl)).as("d2"),
+        lit(c).as("code"))
+    }: _*))("code")
+  }
+
+  /** Query-side LUT row for subspace j: luts[j][c] =
+    * floor(d²(q_j, book_j[c])·1e6) as BIGINT — m·codes entries built on
+    * the query ROW itself, no join, no shuffle.
+    */
+  private def pqLutExpr(books: IndexedSeq[IndexedSeq[Seq[Double]]],
+      j: Int): Column = {
+    val qs = col(s"s$j")
+    val qq = dot(qs, qs)
+    array(books(j).indices.map { c =>
+      val cl = typedlit(books(j)(c))
+      floor(((qq + dot(cl, cl)) - lit(2.0) * dot(qs, cl)) * lit(1e6))
+        .cast("long")
+    }: _*)
+  }
+
+  /** Exact integer ADC sum: m lookups of the candidate's codes in the
+    * query's LUT arrays.
+    */
+  private def adcSum(codes: Column, luts: Column): Column =
+    aggregate(zip_with(codes, luts, (c, l) => element_at(l, c + 1)),
+      lit(0L), (acc, x) => acc + x)
+
   private def pqScored(emb: DataFrame, m: Int, codes: Int, iters: Int,
       numQueries: Int): DataFrame = {
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
@@ -698,60 +880,17 @@ object Similarity {
     val dims = v.select(size(col("ev"))).head().getInt(0)
     require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
     val sub = dims / m
-
-    // Per-subspace codebooks via the shared deterministic Lloyd's loop,
-    // collected into literals (m × codes × sub doubles — index-sized).
-    val books: IndexedSeq[IndexedSeq[Seq[Double]]] = (0 until m).map { j =>
-      val vj = v.select(col("vec_id"),
-        slice(col("ev"), j * sub + 1, sub).as("ev"))
-      iterateCentroids(vj, codes, iters).collect()
-        .sortBy(_.getLong(0))
-        .map(_.getSeq[Double](1).toSeq).toIndexedSeq
-    }
+    val books = trainCodebooks(v, m, codes, iters, sub)
     v.unpersist()
-    def bookLit(j: Int, c: Int): Column = typedlit(books(j)(c))
 
-    // Map-side encoder: argmin full d² per subspace, ties to the lower
-    // code (array_min over (d², code) structs — same (d2, centroid_id)
-    // order assignTo's window uses). Slices materialized as attributes
-    // first (HOF/codegen discipline).
-    val sliced = emb.select(
-      col("vec_id") +: asDouble(col("embedding")).as("ev") +:
-        (0 until m).map(j =>
-          slice(asDouble(col("embedding")), j * sub + 1, sub).as(s"s$j")): _*)
-    def code(j: Int): Column = {
-      val xs = col(s"s$j")
-      val xx = dot(xs, xs)
-      array_min(array((0 until codes).map { c =>
-        val cl = bookLit(j, c)
-        struct(((xx + dot(cl, cl)) - lit(2.0) * dot(xs, cl)).as("d2"),
-          lit(c).as("code"))
-      }: _*))("code")
-    }
+    val sliced = slicedVectors(emb, m, sub)
     val encoded = sliced.select(col("vec_id"),
-      array((0 until m).map(code): _*).as("codes"))
-
-    // Query-side LUT, built on the query row itself: luts[j][c] =
-    // floor(d²(q_j, book_j[c])·1e6) as BIGINT — m·codes entries per
-    // query, no join, no shuffle.
-    def lutRow(j: Int): Column = {
-      val qs = col(s"s$j")
-      val qq = dot(qs, qs)
-      array((0 until codes).map { c =>
-        val cl = bookLit(j, c)
-        floor(((qq + dot(cl, cl)) - lit(2.0) * dot(qs, cl)) * lit(1e6))
-          .cast("long")
-      }: _*)
-    }
+      array((0 until m).map(j => pqCodeExpr(books, j)): _*).as("codes"))
     val queries = sliced.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"),
-        array((0 until m).map(lutRow): _*).as("luts"))
-
-    // ADC: m integer lookups per candidate, summed exactly.
+        array((0 until m).map(j => pqLutExpr(books, j)): _*).as("luts"))
     encoded.join(broadcast(queries), col("query_id") =!= col("vec_id"))
-      .withColumn("adist_us",
-        aggregate(zip_with(col("codes"), col("luts"),
-          (c, l) => element_at(l, c + 1)), lit(0L), (acc, x) => acc + x))
+      .withColumn("adist_us", adcSum(col("codes"), col("luts")))
       .select(col("query_id"), col("vec_id"), col("adist_us"))
   }
 

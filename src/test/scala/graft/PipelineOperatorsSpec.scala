@@ -1617,6 +1617,27 @@ class PipelineOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK: exhaustive probes + unbounded candidates equal brute force") {
+    // With every cell probed and the candidate cut wider than the
+    // corpus, the ADC stage filters nothing and the exact rerank IS the
+    // brute-force ranking — the index may only ever lose recall through
+    // the probe/candidate bounds, never through the scoring path.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_eq").toString
+    Similarity.buildIvfPqIndex(emb, dir, clusters = 4, iters = 1,
+      m = 4, codes = 4)
+    val got = Similarity.ivfPqTopK(spark, dir,
+        emb.filter(col("vec_id") < 5), k = 5, probes = 4,
+        candidates = 100000)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toMap
+    val want = Similarity.bruteForceTopK(emb, k = 5, numQueries = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toMap
+    assert(got == want)
+  }
+
   // ---- selection (DSIR / caps / epoch shuffle) -------------------------
 
   test("dsirScores: target-like raw docs score above raw docs that aren't") {

@@ -183,6 +183,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
 
+  test("emb_ivfpq_topk: IVF-PQ search partition-prunes cells and prunes both rank stages") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_plan").toString
+    graft.operators.Similarity.buildIvfPqIndex(
+      spark.read.parquet(s"$sf/embeddings.parquet"), dir,
+      clusters = 8, iters = 0, m = 4, codes = 4)
+    val p = graft.operators.Similarity
+      .ivfPqTopK(spark, dir,
+        spark.read.parquet(s"$sf/embeddings.parquet")
+          .filter(col("vec_id") < 5), k = 3, probes = 2, candidates = 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") &&
+      "PartitionFilters: \\[cell".r.findFirstIn(p).isDefined, p.take(3000))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("emb_ivf_multi_topk: probe table broadcasts, rank prunes with WindowGroupLimit") {
     val p = physical("emb_ivf_multi_topk")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
