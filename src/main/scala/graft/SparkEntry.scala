@@ -1085,6 +1085,28 @@ object SparkEntry {
          SELECT query_id, neighbor_id, cos, rank FROM irrr
          WHERE rank <= $k"""
 
+  // Quality-bar target CTEs for the DSIR oracle: t(doc_id, text, toks,
+  // praw) + qual(doc_id, in_target) — mirrors Selection.qualityTarget
+  // (TextAnalysis.qualityScore >= 0.65).
+  private val qualTargetCtesSql: String =
+    """t AS (
+           SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS toks,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                       / length(text) END AS praw
+           FROM documents),
+         qual AS (
+           SELECT doc_id,
+             round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+               + (1.0 - least(praw * 5.0, 1.0)) * 0.3
+               + least(CASE WHEN len(toks) = 0 THEN 0.0
+                   ELSE CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE)
+                        / len(toks) END * 5.0, 1.0) * 0.3, 6) >= 0.65
+               AS in_target
+           FROM t)"""
+
   // PQ recall vs exact: pure-ADC top-k and the exact-rerank-of-ADC-
   // candidates tier, hits joined per query, recall denominated on the
   // brute-force count (mirrors Similarity.pqRecall).
@@ -1584,27 +1606,11 @@ object SparkEntry {
     // unigram counts, cross-multiplied integer weights, above-raw-mean
     // keep (score * n_raw > sum_raw, all BIGINT).
     "doc_dsir_select" ->
-      """WITH t AS (
-           SELECT doc_id, text,
-             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS toks,
-             CASE WHEN length(text) = 0 THEN 0.0
-                  ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-                       / length(text) END AS praw
-           FROM documents),
-         qual AS (
-           SELECT doc_id,
-             round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
-               + (1.0 - least(praw * 5.0, 1.0)) * 0.3
-               + least(CASE WHEN len(toks) = 0 THEN 0.0
-                   ELSE CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE)
-                        / len(toks) END * 5.0, 1.0) * 0.3, 6) >= 0.65
-               AS in_target
-           FROM t),
+      s"""WITH $qualTargetCtesSql,
          base AS (
            SELECT d.doc_id, q.in_target,
              CASE WHEN length(trim(d.text)) = 0 THEN []::VARCHAR[]
-                  ELSE list_filter(string_split_regex(lower(trim(d.text)), '\s+'), tk -> tk <> '') END AS toks
+                  ELSE list_filter(string_split_regex(lower(trim(d.text)), '\\s+'), tk -> tk <> '') END AS toks
            FROM documents d JOIN qual q ON d.doc_id = q.doc_id),
          tokraw AS (SELECT doc_id, in_target, unnest(toks) AS tok FROM base),
          tok AS (

@@ -43,7 +43,13 @@ object Selection {
   def qualityTarget(threshold: Double = 0.65): Column =
     TextAnalysis.qualityScore(col("text")) >= threshold
 
-  /** DSIR-style importance scoring: score every document by how much more
+  /** The trained DSIR model: the literal per-bucket weight array plus the
+    * above-raw-mean keep threshold — everything scoring needs, batch or
+    * streaming, with no further corpus passes.
+    */
+  case class DsirModel(weights: IndexedSeq[Long], threshold: Long)
+
+  /** DSIR-style importance model: rates every document by how much more
     * likely its hashed-unigram bag is under a TARGET distribution (docs
     * matching `targetFilter`) than under the RAW distribution (the rest).
     *
@@ -82,9 +88,9 @@ object Selection {
     * everything, right for test scales; at corpus scales pick a coin that
     * caps the model sample, e.g. "01" ≈ 1/256 of docs).
     */
-  def dsirScores(docs: DataFrame,
+  def dsirModel(docs: DataFrame,
       targetFilter: Column = qualityTarget(),
-      modelSampleHex: String = "ff"): DataFrame = {
+      modelSampleHex: String = "ff"): DsirModel = {
     val toks = docs
       .select(col("doc_id"), targetFilter.as("in_target"),
         lowerToks(col("text")).as("toks"))
@@ -122,7 +128,6 @@ object Selection {
     val w: Array[Long] = Array.tabulate(dsirBuckets) { i =>
       (tc(i) + 1L) * (bigR + b) - (rc(i) + 1L) * (bigT + b)
     }
-    val warr = typedlit(w.toSeq)
     // Raw-pool mean threshold, exact from the model counts (BigInt: the
     // per-bucket products can exceed Long at large model samples even
     // when the final threshold fits comfortably).
@@ -139,15 +144,47 @@ object Selection {
           "shrink modelSampleHex")
         fl.toLong
       }
+    DsirModel(w.toIndexedSeq, threshold)
+  }
 
-    toks.select(col("doc_id"),
-        aggregate(col("toks"), lit(0L),
-          (acc, t) => acc + element_at(warr, (bucket(t) + 1L).cast("int")))
-          .as("dsir_score"),
+  /** Map-only scoring expression: the exact integer weight sum of a
+    * token array under a trained model's literal weight array.
+    */
+  private def dsirScoreCol(model: DsirModel, toks: Column): Column = {
+    val warr = typedlit(model.weights)
+    aggregate(toks, lit(0L),
+      (acc, t) => acc + element_at(warr, (bucket(t) + 1L).cast("int")))
+  }
+
+  def dsirScores(docs: DataFrame,
+      targetFilter: Column = qualityTarget(),
+      modelSampleHex: String = "ff"): DataFrame = {
+    val model = dsirModel(docs, targetFilter, modelSampleHex)
+    docs.select(col("doc_id"), targetFilter.as("in_target"),
+        lowerToks(col("text")).as("toks"))
+      .select(col("doc_id"),
+        dsirScoreCol(model, col("toks")).as("dsir_score"),
         col("in_target"))
       .withColumn("keep",
-        !col("in_target") && col("dsir_score") > threshold)
+        !col("in_target") && col("dsir_score") > model.threshold)
   }
+
+  /** Streaming twin of [[dsirScores]]' SCORING half: a crawl pipeline
+    * trains the model offline (bounded sample) and scores documents at
+    * ingest — which is a pure map over the stream once the model is
+    * literals: no state, no watermark, no shuffle. Emits the same
+    * (dsir_score, in_target, keep) verdict columns as the batch pass
+    * (spec-pinned stream ≡ batch on a replayed corpus).
+    */
+  def streamingDsirScores(docs: DataFrame, model: DsirModel,
+      targetFilter: Column = qualityTarget()): DataFrame =
+    docs.select(col("doc_id"), targetFilter.as("in_target"),
+        lowerToks(col("text")).as("toks"))
+      .select(col("doc_id"),
+        dsirScoreCol(model, col("toks")).as("dsir_score"),
+        col("in_target"))
+      .withColumn("keep",
+        !col("in_target") && col("dsir_score") > model.threshold)
 
   /** Per-source cap: keep at most `cap` documents per source, best-first
     * by `quality` (ties broken by doc_id). The Common-Crawl-pipeline

@@ -1683,6 +1683,32 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(!r2(3L))
   }
 
+  test("streamingDsirScores: stateless ingest scoring equals the batch pass") {
+    import spark.implicits._
+    // Train offline on the batch corpus, score the same docs as a
+    // stream: stateless map, so stream rows must equal the batch rows
+    // exactly (scores, flags and keep verdicts included).
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val model = Selection.dsirModel(docs)
+    def key(r: org.apache.spark.sql.Row) = r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("dsir_score"), r.getAs[Boolean]("in_target"),
+        r.getAs[Boolean]("keep"))
+    val batch = Selection.dsirScores(docs).collect().map(key).toMap
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    ms.addData(docs.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toIndexedSeq)
+    val q = Selection.streamingDsirScores(
+        ms.toDF().toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName("sdsir")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sdsir").collect().map(key).toMap
+    assert(streamed == batch)
+  }
+
   test("sourceCaps: keeps top-cap per source by the quality ordering, doc_id ties") {
     import spark.implicits._
     val d = Seq(
