@@ -350,7 +350,9 @@ object Curation {
     * of cells — with map-side combine.
     */
   def shardManifest(docs: DataFrame, budgetTokens: Long = 2048L,
-      packsPerShard: Long = 4L, rangeSize: Long = 100L): DataFrame =
+      // Same output-invariant default as packAssignments/writeShards —
+      // the three siblings must agree (broadcast-size rationale there).
+      packsPerShard: Long = 4L, rangeSize: Long = 100000L): DataFrame =
     packAssignments(docs, budgetTokens, rangeSize)
       .withColumn("shard_id",
         floor(col("pack_id").cast("double") / packsPerShard).cast("long"))

@@ -85,14 +85,23 @@ object Selection {
     * sample-based model estimation (a deterministic md5 coin on doc_id),
     * which is also the int64-overflow guard at petabyte scale: bounded
     * sample => bounded counts => bounded per-doc scores ("ff" = train on
-    * everything, right for test scales; at corpus scales pick a coin that
-    * caps the model sample, e.g. "01" ≈ 1/256 of docs).
+    * everything, right for test scales; at corpus scales pick a coin cap
+    * that bounds the model sample — coins run "00".."ff", so a cap of
+    * "0f" keeps 16/256 = 1/16 of docs, "00" keeps 1/256).
     */
   def dsirModel(docs: DataFrame,
       targetFilter: Column = qualityTarget(),
       modelSampleHex: String = "ff"): DsirModel = {
+    require(modelSampleHex.length == 2 && modelSampleHex.forall(c =>
+        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
+      s"modelSampleHex='$modelSampleHex' must be two LOWERCASE hex chars " +
+        "(the md5 coin is lowercase; an uppercase cap silently " +
+        "mis-samples under lexicographic compare)")
+    // coalesce: a null targetFilter verdict (e.g. null text) must count
+    // as raw, not crash the driver-side Row.getBoolean on collect.
     val toks = docs
-      .select(col("doc_id"), targetFilter.as("in_target"),
+      .select(col("doc_id"),
+        coalesce(targetFilter, lit(false)).as("in_target"),
         lowerToks(col("text")).as("toks"))
     val modelCoin = substring(
       md5(concat(lit("dsir:"), col("doc_id").cast("string"))), 1, 2)
@@ -158,30 +167,31 @@ object Selection {
 
   def dsirScores(docs: DataFrame,
       targetFilter: Column = qualityTarget(),
-      modelSampleHex: String = "ff"): DataFrame = {
-    val model = dsirModel(docs, targetFilter, modelSampleHex)
-    docs.select(col("doc_id"), targetFilter.as("in_target"),
-        lowerToks(col("text")).as("toks"))
-      .select(col("doc_id"),
-        dsirScoreCol(model, col("toks")).as("dsir_score"),
-        col("in_target"))
-      .withColumn("keep",
-        !col("in_target") && col("dsir_score") > model.threshold)
-  }
+      modelSampleHex: String = "ff"): DataFrame =
+    // The batch pass IS the streaming scoring map under a just-trained
+    // model — one definition, so the spec-pinned stream ≡ batch identity
+    // cannot drift.
+    streamingDsirScores(docs,
+      dsirModel(docs, targetFilter, modelSampleHex), targetFilter)
 
   /** Streaming twin of [[dsirScores]]' SCORING half: a crawl pipeline
     * trains the model offline (bounded sample) and scores documents at
     * ingest — which is a pure map over the stream once the model is
     * literals: no state, no watermark, no shuffle. Emits the same
     * (dsir_score, in_target, keep) verdict columns as the batch pass
-    * (spec-pinned stream ≡ batch on a replayed corpus).
+    * (spec-pinned stream ≡ batch on a replayed corpus; [[dsirScores]]
+    * delegates here, so the two paths share one scoring definition).
     */
   def streamingDsirScores(docs: DataFrame, model: DsirModel,
       targetFilter: Column = qualityTarget()): DataFrame =
-    docs.select(col("doc_id"), targetFilter.as("in_target"),
+    docs.select(col("doc_id"),
+        coalesce(targetFilter, lit(false)).as("in_target"),
         lowerToks(col("text")).as("toks"))
       .select(col("doc_id"),
-        dsirScoreCol(model, col("toks")).as("dsir_score"),
+        // coalesce: null text -> null token array -> null fold; a
+        // score-less doc scores 0 like an empty one.
+        coalesce(dsirScoreCol(model, col("toks")), lit(0L))
+          .as("dsir_score"),
         col("in_target"))
       .withColumn("keep",
         !col("in_target") && col("dsir_score") > model.threshold)
