@@ -3007,7 +3007,9 @@ object SparkEntry {
            FROM d),
          s AS (
            SELECT doc_id, n, tw, th,
-             greatest(1, n // greatest(1, tw * th)) AS step
+             -- ceiling division (mirrors resizeThumbs): floor would let
+             -- a thumb reach 2x the maxDim^2 budget.
+             greatest(1, (n + tw * th - 1) // (tw * th)) AS step
            FROM t)
          SELECT doc_id, CAST(tw AS INTEGER) AS width,
            CAST(th AS INTEGER) AS height,

@@ -30,6 +30,14 @@ import org.apache.spark.sql.types.StructType
   * pre-aggregate it (the window's tie order would otherwise be partition-
   * layout-dependent). The payload columns must not collide with left
   * column names.
+  *
+  * Null semantics match the documented predicate, not the window's
+  * accidents: a right row with a NULL timestamp can never satisfy
+  * `rightTs <= leftTs` (under nulls-first ordering it would otherwise
+  * sort ahead of everything and donate its payload to every left row),
+  * and a NULL key never equi-matches (the partition would otherwise
+  * group null-key rows together) — both are filtered off the right side.
+  * Null-key/null-ts LEFT rows still emit, with a null payload.
   */
 object AsOf {
 
@@ -41,10 +49,12 @@ object AsOf {
       col(key).as("__k"), col(leftTs).as("__ts"), lit(1).as("__side"),
       struct(left.columns.toIndexedSeq.map(col): _*).as("__row"),
       lit(null).cast(payloadType).as("__p"))
-    val r = right.select(
-      col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
-      lit(null).cast(leftRowType).as("__row"),
-      struct(payload.map(col): _*).as("__p"))
+    val r = right
+      .where(col(rightTs).isNotNull && col(key).isNotNull)
+      .select(
+        col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
+        lit(null).cast(leftRowType).as("__row"),
+        struct(payload.map(col): _*).as("__p"))
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

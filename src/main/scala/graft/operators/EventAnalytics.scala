@@ -107,10 +107,16 @@ object EventAnalytics {
     val cells = activeDays.join(firstDay, Seq("user_id"))
       .select(col("user_id"), col("cohort_day"),
         datediff(col("day"), col("cohort_day")).cast("long").as("offset_days"))
+      // Plain count, not count_distinct: the input is distinct (user,
+      // day) and day<->offset is a bijection per user, so each user
+      // contributes at most one row per cell — count_distinct would pay
+      // Spark's two-phase distinct expansion on the corpus-sized path
+      // for a value that equals count(1) by construction.
       .groupBy(col("cohort_day"), col("offset_days"))
-      .agg(count_distinct(col("user_id")).as("active_users"))
+      .agg(count(lit(1)).as("active_users"))
+    // firstDay has exactly one row per user — same argument.
     val sizes = firstDay.groupBy(col("cohort_day"))
-      .agg(count_distinct(col("user_id")).as("cohort_users"))
+      .agg(count(lit(1)).as("cohort_users"))
     cells.join(broadcast(sizes), Seq("cohort_day"))
       // ISO string, not DATE: every other emitted column type has a
       // proven cross-engine hash representation; dates do not (Spark

@@ -74,6 +74,7 @@ object Multimodal {
   def resizeThumbs(spark: SparkSession, payloads: DataFrame,
       maxDim: Int = 32): Dataset[ResizedMedia] = {
     import spark.implicits._
+    require(maxDim > 0, s"maxDim=$maxDim must be positive")
     payloads.select(col("doc_id"), col("payload")).as[Payload]
       .mapPartitions { it =>
         it.map { p =>
@@ -83,8 +84,12 @@ object Multimodal {
             if (w >= h) (maxDim, math.max(1, maxDim * h / math.max(1, w)))
             else (math.max(1, maxDim * w / math.max(1, h)), maxDim)
           val budget = tw * th
-          val step = math.max(1, bytes.length / math.max(1, budget))
-          val thumb = bytes.indices.by(step).map(bytes).toArray
+          // CEILING division: floor would give step=1 for any length in
+          // (budget, 2·budget) and emit a thumb up to 2× the documented
+          // maxDim² bound (the oracle mirrors this formula).
+          val step = math.max(1L,
+            (bytes.length.toLong + budget - 1) / budget)
+          val thumb = bytes.indices.by(step.toInt).map(bytes).toArray
           ResizedMedia(p.doc_id, tw, th, thumb)
         }
       }
@@ -102,7 +107,7 @@ object Multimodal {
   def frameFeatures(spark: SparkSession, payloads: DataFrame,
       frameBytes: Int = 16, everyNth: Int = 4): Dataset[FrameFeatures] = {
     import spark.implicits._
-    sampleFrames(spark, payloads, frameBytes, everyNth)
+    sampleFrames(spark, payloads, frameBytes, everyNth) // guards there
       .mapPartitions { it =>
         // Per-partition setup (model/codec load in real life) goes here.
         it.map { fr =>
@@ -126,6 +131,10 @@ object Multimodal {
   def sampleFrames(spark: SparkSession, payloads: DataFrame,
       frameBytes: Int = 16, everyNth: Int = 4): Dataset[Frame] = {
     import spark.implicits._
+    // Driver-side requires: a zero here would otherwise surface as an
+    // opaque executor-side ArithmeticException after task retries.
+    require(frameBytes > 0, s"frameBytes=$frameBytes must be positive")
+    require(everyNth > 0, s"everyNth=$everyNth must be positive")
     payloads.select(col("doc_id"), col("payload")).as[Payload]
       .mapPartitions { it =>
         it.flatMap { p =>

@@ -35,36 +35,9 @@ object RangeJoin {
     * (a plain equality join would never match it).
     */
   def slidingCount(left: DataFrame, right: DataFrame, key: String,
-      leftTs: String, rightTs: String, windowMicros: Long): DataFrame = {
-    require(windowMicros > 0, "windowMicros must be positive")
-    val l = left.withColumn("__ltsu", unix_micros(col(leftTs)))
-      .withColumn("__bkt", floor(col("__ltsu") / windowMicros))
-    val r = right
-      .select(col(key).as("__rk"), unix_micros(col(rightTs)).as("__rtsu"))
-      .withColumn("__rbkt0", floor(col("__rtsu") / windowMicros))
-      .select(col("__rk"), col("__rtsu"),
-        explode(array(col("__rbkt0"), col("__rbkt0") + 1)).as("__bkt"))
-    // Group keys re-aliased (fresh attributes): the hit table derives from
-    // `left`, so joining back on the raw columns would be self-join
-    // ambiguous ("trivially true" condition).
-    val hits = l
-      .join(r,
-        l(key) === r("__rk") && l("__bkt") === r("__bkt") &&
-          r("__rtsu") >= l("__ltsu") - windowMicros &&
-          r("__rtsu") < l("__ltsu"))
-      .groupBy(left.columns.toIndexedSeq.map(c => l(c).as(s"__g_$c")): _*)
-      .agg(count(lit(1)).as("hits"))
-    // Left rows with an empty window drop out of the inner join — union
-    // them back with hits = 0 via an anti-join-free left join on the
-    // original columns (cheap: the hit table is one row per matched left
-    // row, already aggregated). Null-safe equality per column so nulls
-    // re-attach; grouping already merged them, matching <=> semantics.
-    val cond = left.columns.toIndexedSeq
-      .map(c => left(c) <=> hits(s"__g_$c")).reduce(_ && _)
-    left.join(hits, cond, "left")
-      .select(left.columns.toIndexedSeq.map(left(_)) :+
-        coalesce(hits("hits"), lit(0L)).as("hits"): _*)
-  }
+      leftTs: String, rightTs: String, windowMicros: Long): DataFrame =
+    slidingAgg(left, right, key, leftTs, rightTs, windowMicros,
+      valueCol = None)
 
   /** [[slidingCount]] plus a summed measure: `hits` and `win_sum` =
     * sum of the right side's `valueCol` over the same half-open window.
@@ -77,28 +50,52 @@ object RangeJoin {
     */
   def slidingSum(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, windowMicros: Long,
-      valueCol: String): DataFrame = {
+      valueCol: String): DataFrame =
+    slidingAgg(left, right, key, leftTs, rightTs, windowMicros,
+      Some(valueCol))
+
+  /** The shared bucket/replicate/join/re-attach core — the self-join
+    * disambiguation (fresh `__g_` attributes) and null-safe (`<=>`)
+    * re-attach invariants live in exactly one place; the sum variant
+    * only adds the value column and its aggregate.
+    */
+  private def slidingAgg(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, windowMicros: Long,
+      valueCol: Option[String]): DataFrame = {
     require(windowMicros > 0, "windowMicros must be positive")
     val l = left.withColumn("__ltsu", unix_micros(col(leftTs)))
       .withColumn("__bkt", floor(col("__ltsu") / windowMicros))
-    val r = right
-      .select(col(key).as("__rk"), unix_micros(col(rightTs)).as("__rtsu"),
-        col(valueCol).as("__rv"))
+    val rBase = right.select(
+      col(key).as("__rk") +: unix_micros(col(rightTs)).as("__rtsu") +:
+        valueCol.map(v => col(v).as("__rv")).toSeq: _*)
       .withColumn("__rbkt0", floor(col("__rtsu") / windowMicros))
-      .select(col("__rk"), col("__rtsu"), col("__rv"),
-        explode(array(col("__rbkt0"), col("__rbkt0") + 1)).as("__bkt"))
+    val r = rBase.select(
+      col("__rk") +: col("__rtsu") +:
+        (valueCol.map(_ => col("__rv")).toSeq :+
+          explode(array(col("__rbkt0"), col("__rbkt0") + 1)).as("__bkt")): _*)
+    // Group keys re-aliased (fresh attributes): the hit table derives from
+    // `left`, so joining back on the raw columns would be self-join
+    // ambiguous ("trivially true" condition).
+    val aggs = count(lit(1)).as("hits") +:
+      valueCol.map(_ => sum(col("__rv")).as("win_sum")).toSeq
     val hits = l
       .join(r,
         l(key) === r("__rk") && l("__bkt") === r("__bkt") &&
           r("__rtsu") >= l("__ltsu") - windowMicros &&
           r("__rtsu") < l("__ltsu"))
       .groupBy(left.columns.toIndexedSeq.map(c => l(c).as(s"__g_$c")): _*)
-      .agg(count(lit(1)).as("hits"), sum(col("__rv")).as("win_sum"))
+      .agg(aggs.head, aggs.tail: _*)
+    // Left rows with an empty window drop out of the inner join — union
+    // them back with hits = 0 via an anti-join-free left join on the
+    // original columns (cheap: the hit table is one row per matched left
+    // row, already aggregated). Null-safe equality per column so nulls
+    // re-attach; grouping already merged them, matching <=> semantics.
     val cond = left.columns.toIndexedSeq
       .map(c => left(c) <=> hits(s"__g_$c")).reduce(_ && _)
+    val out = coalesce(hits("hits"), lit(0L)).as("hits") +:
+      valueCol.map(_ =>
+        coalesce(hits("win_sum"), lit(0.0)).as("win_sum")).toSeq
     left.join(hits, cond, "left")
-      .select(left.columns.toIndexedSeq.map(left(_)) ++ Seq(
-        coalesce(hits("hits"), lit(0L)).as("hits"),
-        coalesce(hits("win_sum"), lit(0.0)).as("win_sum")): _*)
+      .select(left.columns.toIndexedSeq.map(left(_)) ++ out: _*)
   }
 }

@@ -45,6 +45,41 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Each query's `probes` nearest centroids under the SAME d2 argmin
+    * ordering the assignment uses (fixed-order expansion, ties → lower
+    * centroid id — determinism-load-bearing for every oracle that
+    * replays it, so this lives in exactly one place). `queries` must
+    * carry (query_id, qv) plus any columns the caller wants to ride
+    * along (norms, LUTs); `cents` is the tiny broadcast centroid table.
+    * Output: the query columns plus `probe`.
+    */
+  private def probeTable(queries: DataFrame, cents: DataFrame,
+      probes: Int): DataFrame = {
+    val scored = queries.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        (dot(col("qv"), col("qv")) + dot(col("cv"), col("cv"))) -
+          lit(2.0) * dot(col("qv"), col("cv")))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("centroid_id").asc)
+    scored.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= probes)
+      .withColumn("probe", col("centroid_id"))
+      .drop("d2", "rn", "cv", "centroid_id")
+  }
+
+  /** The per-query cosine top-k tail shared by every search variant:
+    * rank by (cos desc, vec_id asc) — one tie-break definition, pruned
+    * map-side as WindowGroupLimit. Input needs (query_id, vec_id, cos).
+    */
+  private def topkByCos(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cos"), col("rank"))
+  }
+
   /** Exact top-k neighbors for each query vector (default: the vectors
     * with vec_id < numQueries). Output: (query_id, neighbor_id, cos, rank).
     */
@@ -73,14 +108,19 @@ object Similarity {
   val Planes = 8
 
   def lshBucket(embDouble: Column, planes: Int = Planes): Column = {
-    val sums = (0 until planes).map { j =>
-      aggregate(
-        zip_with(embDouble, sequence(lit(0), size(embDouble) - 1),
-          (x, i) => when(i % planes === j, x).otherwise(lit(0.0))),
-        lit(0.0), (acc, x) => acc + x)
-    }
-    sums.zipWithIndex.map { case (s, j) =>
-      when(s > 0, lit(1 << j)).otherwise(lit(0))
+    // ONE fold carrying all `planes` partial sums (vs the previous
+    // `planes` independent zip_with+aggregate passes — 8× the array
+    // traffic on corpus-sized scans). Bit-identical: each plane still
+    // accumulates its own elements in index order, and the dropped
+    // `+ 0.0` contributions are exact no-ops in IEEE arithmetic.
+    val sums = aggregate(
+      zip_with(embDouble, sequence(lit(0), size(embDouble) - 1),
+        (x, i) => struct(x.as("x"), i.as("i"))),
+      array_repeat(lit(0.0), planes),
+      (acc, e) => transform(acc,
+        (s, j) => when(e("i") % planes === j, s + e("x")).otherwise(s)))
+    (0 until planes).map { j =>
+      when(element_at(sums, j + 1) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
   }
 
@@ -128,12 +168,7 @@ object Similarity {
         col("qb") === col("bucket") && col("query_id") =!= col("vec_id"))
       .withColumn("cos", cosineWithNorms(dot(col("qv"), col("ev")),
         col("qn"), col("nrm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("cos"), col("rank"))
+    topkByCos(scored, k)
   }
 
   /** Multi-probe IVF top-k: each query probes its own LSH cell plus the
@@ -165,12 +200,7 @@ object Similarity {
         col("probe") === col("bucket") && col("query_id") =!= col("vec_id"))
       .withColumn("cos", cosineWithNorms(dot(col("qv"), col("ev")),
         col("qn"), col("nrm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("cos"), col("rank"))
+    topkByCos(scored, k)
   }
 
   /** LEARNED-centroid IVF top-k: cells come from the deterministic k-means
@@ -212,31 +242,16 @@ object Similarity {
       .join(assignTo(v, cents).select(col("vec_id"), col("cluster")),
         Seq("vec_id"))
       .withColumn("nrm", norm(col("ev")))
-    // Probe table: each query's `probes` nearest centroids by the same d2
-    // argmin ordering the assignment uses (ties → centroid id).
-    val qScored = v.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("ev").as("qv"),
-        norm(col("ev")).as("qn"))
-      .crossJoin(broadcast(cents))
-      .withColumn("d2",
-        (dot(col("qv"), col("qv")) + dot(col("cv"), col("cv"))) -
-          lit(2.0) * dot(col("qv"), col("cv")))
-    val wp = Window.partitionBy(col("query_id"))
-      .orderBy(col("d2").asc, col("centroid_id").asc)
-    val probeTbl = qScored.withColumn("rn", row_number().over(wp))
-      .filter(col("rn") <= probes)
-      .select(col("query_id"), col("qv"), col("qn"),
-        col("centroid_id").as("probe"))
+    val probeTbl = probeTable(
+      v.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("ev").as("qv"),
+          norm(col("ev")).as("qn")),
+      cents, probes)
     val scored = corpus.join(broadcast(probeTbl),
         col("probe") === col("cluster") && col("query_id") =!= col("vec_id"))
       .withColumn("cos", cosineWithNorms(dot(col("qv"), col("ev")),
         col("qn"), col("nrm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("cos"), col("rank"))
+    topkByCos(scored, k)
   }
 
   /** Persist the learned-centroid IVF index: the converged centroid table
@@ -280,25 +295,31 @@ object Similarity {
     * [[ivfKmeansTopK]] at the same parameters (same deterministic
     * centroids, probes, cosine) — the registered query shares its oracle.
     */
+  /** Fail fast on external query vectors whose width differs from the
+    * index's: the codegen'd dot product truncates to the SHORTER operand,
+    * so a mismatch would otherwise produce confidently wrong probes,
+    * LUTs and cosines with zero diagnostics.
+    */
+  private def requireQueryDims(queryVecs: DataFrame, expected: Int,
+      what: String): Unit = {
+    val got = queryVecs.select(size(col("embedding"))).head().getInt(0)
+    require(got == expected,
+      s"query vectors are $got-dimensional but the $what expects " +
+        s"$expected dims")
+  }
+
   def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
       queryVecs: DataFrame, k: Int = 5, probes: Int = 2): DataFrame = {
     val cents = spark.read.parquet(s"$dir/centroids")
     val cells = spark.read.parquet(s"$dir/cells")
+    requireQueryDims(queryVecs,
+      cents.select(size(col("cv"))).head().getInt(0), "IVF index")
     val queries = queryVecs
       .select(col("vec_id").as("query_id"),
         asDouble(col("embedding")).as("qv"))
       .withColumn("qn", norm(col("qv")))
       .localCheckpoint(eager = true) // query-set-sized
-    val qScored = queries.crossJoin(broadcast(cents))
-      .withColumn("d2",
-        (dot(col("qv"), col("qv")) + dot(col("cv"), col("cv"))) -
-          lit(2.0) * dot(col("qv"), col("cv")))
-    val wp = Window.partitionBy(col("query_id"))
-      .orderBy(col("d2").asc, col("centroid_id").asc)
-    val probeTbl = qScored.withColumn("rn", row_number().over(wp))
-      .filter(col("rn") <= probes)
-      .select(col("query_id"), col("qv"), col("qn"),
-        col("centroid_id").as("probe"))
+    val probeTbl = probeTable(queries, cents, probes)
       .localCheckpoint(eager = true) // numQueries × probes rows
     // The partition column reads back as the inferred INT type; literal
     // ints keep the IN predicate cast-free so static pruning applies.
@@ -309,12 +330,7 @@ object Similarity {
         col("probe") === col("cell") && col("query_id") =!= col("vec_id"))
       .withColumn("cos", cosineWithNorms(dot(col("qv"), col("ev")),
         col("qn"), col("nrm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("cos"), col("rank"))
+    topkByCos(scored, k)
   }
 
   /** Persist the full IVF-PQ index — the composition the two halves were
@@ -398,6 +414,7 @@ object Similarity {
         (0 until codes).map(byCode)
       }
     val sub = books.head.head.length
+    requireQueryDims(queryVecs, sub * m, "IVF-PQ index")
 
     // Query rows carry everything the search needs: LUT arrays for the
     // ADC stage, the full vector + norm for the rerank stage.
@@ -406,16 +423,7 @@ object Similarity {
         array((0 until m).map(j => pqLutExpr(books, j)): _*).as("luts"),
         col("ev").as("qv"), norm(col("ev")).as("qn"))
       .localCheckpoint(eager = true) // query-set-sized
-    val qScored = queries.crossJoin(broadcast(cents))
-      .withColumn("d2",
-        (dot(col("qv"), col("qv")) + dot(col("cv"), col("cv"))) -
-          lit(2.0) * dot(col("qv"), col("cv")))
-    val wp = Window.partitionBy(col("query_id"))
-      .orderBy(col("d2").asc, col("centroid_id").asc)
-    val probeTbl = qScored.withColumn("rn", row_number().over(wp))
-      .filter(col("rn") <= probes)
-      .select(col("query_id"), col("luts"), col("qv"), col("qn"),
-        col("centroid_id").as("probe"))
+    val probeTbl = probeTable(queries, cents, probes)
       .localCheckpoint(eager = true) // numQueries × probes rows
     val probedCells = probeTbl.select(col("probe")).distinct()
       .collect().map(_.getLong(0).toInt).toIndexedSeq
@@ -427,15 +435,9 @@ object Similarity {
       .orderBy(col("adist_us").asc, col("vec_id").asc)
     val cand = scored.withColumn("rk", row_number().over(wAdc))
       .filter(col("rk") <= candidates)
-    val wCos = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    cand
-      .withColumn("cos", cosineWithNorms(dot(col("qv"), col("ev")),
-        col("qn"), col("nrm")))
-      .withColumn("rank", row_number().over(wCos))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("cos"), col("rank"))
+    topkByCos(
+      cand.withColumn("cos", cosineWithNorms(dot(col("qv"), col("ev")),
+        col("qn"), col("nrm"))), k)
   }
 
   /** Recall@k report: single-probe, ring-1 and ring-2 multi-probe sign-LSH
@@ -468,15 +470,9 @@ object Similarity {
     // vector's cell, and each query's `probes` nearest cells.
     val cents = iterateCentroids(v, clusters, iters)
     val ka = assignTo(v, cents).select(col("vec_id"), col("cluster").as("kcell"))
-    val qp = queries.select(col("query_id"), col("qv"))
-      .crossJoin(broadcast(cents))
-      .withColumn("d2",
-        (dot(col("qv"), col("qv")) + dot(col("cv"), col("cv"))) -
-          lit(2.0) * dot(col("qv"), col("cv")))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
-        .orderBy(col("d2").asc, col("centroid_id").asc)))
-      .filter(col("rn") <= probes)
-      .select(col("query_id").as("p_qid"), col("centroid_id").as("probe"))
+    val qp = probeTable(queries.select(col("query_id"), col("qv")),
+        cents, probes)
+      .select(col("query_id").as("p_qid"), col("probe"))
       .localCheckpoint(eager = true) // numQueries × probes rows
     // ONE scored pass over (corpus × broadcast queries) feeds the exact
     // baseline AND every probe tier: a candidate's probe ring is the
@@ -974,15 +970,12 @@ object Similarity {
         col("nrm").as("qn"))
     val cand = ranked.filter(col("rk") <= candidates)
       .select(col("query_id"), col("vec_id"))
-    val wCos = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    v.join(broadcast(cand), Seq("vec_id"))
-      .join(broadcast(qv), Seq("query_id"))
-      .withColumn("cos", cosineWithNorms(dot(col("qev"), col("ev")),
-        col("qn"), col("nrm")))
-      .withColumn("rk2", row_number().over(wCos))
-      .filter(col("rk2") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    topkByCos(
+      v.join(broadcast(cand), Seq("vec_id"))
+        .join(broadcast(qv), Seq("query_id"))
+        .withColumn("cos", cosineWithNorms(dot(col("qev"), col("ev")),
+          col("qn"), col("nrm"))), k)
+      .select(col("query_id"), col("neighbor_id"))
   }
 
   /** Exact near-dup pairs over all pairs (the correctness baseline the LSH

@@ -6,8 +6,12 @@ import org.apache.spark.sql.functions._
 /** Skew-mitigation operators: the two standard salting recipes for keys
   * whose row counts are orders of magnitude above the median (the "hot
   * key" problem that stalls one reducer while 999 idle on a large
-  * cluster). Both are pure plan rewrites — results are identical to the
-  * unsalted operator, which is what makes them oracle-checkable.
+  * cluster). Both are pure plan rewrites — ROW SETS are identical to the
+  * unsalted operator, which is what makes them oracle-checkable. For
+  * floating-point SUMS that identity is set-wise, not bit-wise: the
+  * two-phase fold adds partials in a different order, so hash-exact
+  * pipelines should feed integer/decimal weights (the registered
+  * `q12_salted_agg` uses BIGINT) or grid-round per the driver contract.
   *
   * AQE's skew-join handling covers sort-merge joins at runtime; these
   * cover the cases it doesn't: single hot GROUP BY keys, and broadcast-
@@ -40,16 +44,28 @@ object Skew {
 
   /** Salted broadcast-free equi-join for a skewed probe side: the small
     * (dimension) side is replicated `salt`× with an explicit salt column,
-    * the big side tags each row with a deterministic salt, and the join
-    * key becomes `(key, salt)` — a hot key's rows now land on `salt`
-    * different reducers instead of one. Use when the dimension is too big
-    * to broadcast but small enough to replicate `salt`×.
+    * the big side tags each row with a salt, and the join key becomes
+    * `(key, salt)` — a hot key's rows now land on `salt` different
+    * reducers instead of one. Use when the dimension is too big to
+    * broadcast but small enough to replicate `salt`×.
+    *
+    * The salt mixes a partition-local row index into the content hash:
+    * a hot key made of IDENTICAL rows (common after a projection) would
+    * hash to ONE salt and defeat the spreading entirely. The join RESULT
+    * is salt-independent (the dim side carries every salt value), so the
+    * partition-layout-dependence of the index costs nothing — unlike
+    * rand() it is still idempotent under task retry, because a retried
+    * task re-derives the same indexes for its partition.
     */
   def saltedJoin(big: DataFrame, dim: DataFrame, key: String,
       salt: Int = 16): DataFrame = {
-    val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.toIndexedSeq.map(col): _*)),
-        lit(salt.toLong)))
+    val saltedBig = big
+      .withColumn("__rid", monotonically_increasing_id())
+      .withColumn("__salt",
+        pmod(xxhash64(struct(
+          big.columns.toIndexedSeq.map(col) :+ col("__rid"): _*)),
+          lit(salt.toLong)))
+      .drop("__rid")
     val replicatedDim = dim.withColumn("__salt",
       explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
     saltedBig.join(replicatedDim, Seq(key, "__salt")).drop("__salt")

@@ -1636,6 +1636,14 @@ class PipelineOperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
         (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toMap
     assert(got == want)
+    // Width-mismatched external queries must fail fast, not silently
+    // truncate inside the dot products.
+    val narrow = emb.select(col("vec_id"),
+      expr("slice(embedding, 1, 32)").as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(spark, dir, narrow.filter(col("vec_id") < 2))
+    }
+    assert(e.getMessage.contains("dims"))
   }
 
   // ---- selection (DSIR / caps / epoch shuffle) -------------------------
@@ -1681,6 +1689,34 @@ class PipelineOperatorsSpec extends SparkSpec {
       .collect().map(x => x.getAs[Long]("doc_id") ->
         x.getAs[Boolean]("keep")).toMap
     assert(!r2(3L))
+  }
+
+  test("resizeThumbs: thumb never exceeds the maxDim^2 byte budget") {
+    import spark.implicits._
+    // 2015 bytes sits in (budget, 2*budget) for a 32x32 thumb: floor
+    // stride would give step 1 and emit the whole payload (2x budget);
+    // the ceiling stride keeps the contract.
+    val d = Seq((1L, "x" * 2015)).toDF("doc_id", "text")
+    val t = graft.operators.Multimodal
+      .resizeThumbs(spark, graft.operators.Multimodal.withPayload(d))
+      .collect()(0)
+    assert(t.thumb.length <= t.width * t.height,
+      s"${t.thumb.length} > ${t.width * t.height}")
+  }
+
+  test("asOfJoin: right rows with a null ts or null key never donate a payload") {
+    import spark.implicits._
+    val left = Seq((1L, 100L), (2L, 100L)).toDF("k", "ts")
+    // Under nulls-first window ordering an unfiltered null-ts right row
+    // would sort ahead of everything and win; a null-key right row would
+    // group with null-key left rows.
+    val right = Seq(
+      (Some(1L), Option.empty[Long], "never-matches"),
+      (Option.empty[Long], Some(50L), "never-matches-either"))
+      .toDF("k", "ts", "tag")
+    val out = AsOf.asOfJoin(left, right, "k", "ts", "ts", Seq("tag"))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("tag")).toMap
+    assert(out == Map(1L -> null, 2L -> null))
   }
 
   test("streamingDsirScores: stateless ingest scoring equals the batch pass") {
