@@ -938,7 +938,7 @@ object SparkEntry {
   // `v(vec_id, ev)` is in scope; emits centroid tables c0 → c2) — ONE
   // definition shared by the emb_kmeans_iter oracle and both
   // learned-centroid IVF oracles, so the fixed-point centroid arithmetic
-  // cannot drift between them. Mirrors Similarity.iterateCentroids with
+  // cannot drift between them. Mirrors Similarity.trainKeyedBooks with
   // iters = 2: assignment is the d2-argmin window, the update quantizes
   // components with floor(x·1e6) (unambiguous on IEEE doubles), sums as
   // BIGINT (order-free), and divides in the same fixed order as Spark.

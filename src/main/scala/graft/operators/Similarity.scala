@@ -204,7 +204,7 @@ object Similarity {
   }
 
   /** LEARNED-centroid IVF top-k: cells come from the deterministic k-means
-    * loop ([[iterateCentroids]]) instead of data-independent sign-LSH, and
+    * loop ([[trainKeyedBooks]]) instead of data-independent sign-LSH, and
     * each query probes its `probes` NEAREST centroids — the composition the
     * recall report motivates (sign-LSH cells ignore the data distribution;
     * learned cells put a query's true neighbors in its nearest cells, so
@@ -223,30 +223,30 @@ object Similarity {
       clusters: Int = 16, iters: Int = 2, probes: Int = 2): DataFrame = {
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = iterateCentroids(v, clusters, iters)
-    val out = kmeansSearchPlan(v, cents, k, numQueries, probes)
+    val book = iterateBooks(v, clusters, iters)
+    val out = kmeansSearchPlan(v, book, k, numQueries, probes)
       .localCheckpoint(eager = true) // release the vector cache below
     v.unpersist()
     out
   }
 
   /** The SEARCH half of [[ivfKmeansTopK]] as an un-materialized plan
-    * (`v`: (vec_id, ev), `cents`: converged centroids) — factored out so
-    * the plan-shape spec can assert on the broadcast + WindowGroupLimit
-    * structure, which the public method's eager checkpoint hides behind
-    * an ExistingRDD scan.
+    * (`v`: (vec_id, ev), `book`: converged centroid literals) — factored
+    * out so the plan-shape spec can assert on the broadcast +
+    * WindowGroupLimit structure, which the public method's eager
+    * checkpoint hides behind an ExistingRDD scan. Cell assignment is the
+    * literal argmin — a map-side projection on the corpus scan itself, no
+    * assignment join and no per-vector window.
     */
-  private[graft] def kmeansSearchPlan(v: DataFrame, cents: DataFrame,
+  private[graft] def kmeansSearchPlan(v: DataFrame, book: Book,
       k: Int, numQueries: Int, probes: Int): DataFrame = {
-    val corpus = v
-      .join(assignTo(v, cents).select(col("vec_id"), col("cluster")),
-        Seq("vec_id"))
-      .withColumn("nrm", norm(col("ev")))
+    val corpus = v.select(col("vec_id"), col("ev"),
+      nearestId(col("ev"), book).as("cluster"), norm(col("ev")).as("nrm"))
     val probeTbl = probeTable(
       v.filter(col("vec_id") < numQueries)
         .select(col("vec_id").as("query_id"), col("ev").as("qv"),
           norm(col("ev")).as("qn")),
-      cents, probes)
+      centsDf(v.sparkSession, book), probes)
     val scored = corpus.join(broadcast(probeTbl),
         col("probe") === col("cluster") && col("query_id") =!= col("vec_id"))
       .withColumn("cos", cosineWithNorms(dot(col("qv"), col("ev")),
@@ -268,11 +268,13 @@ object Similarity {
       iters: Int = 2): Unit = {
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = iterateCentroids(v, clusters, iters)
-    cents.write.mode("overwrite").parquet(s"$dir/centroids")
-    v.join(assignTo(v, cents).select(col("vec_id"), col("cluster").as("cell")),
-        Seq("vec_id"))
-      .withColumn("nrm", norm(col("ev")))
+    val book = iterateBooks(v, clusters, iters)
+    centsDf(emb.sparkSession, book).write.mode("overwrite")
+      .parquet(s"$dir/centroids")
+    // Cell assignment is a map-side literal argmin on the write scan
+    // itself — no assignment join.
+    v.select(col("vec_id"), col("ev"), norm(col("ev")).as("nrm"),
+        nearestId(col("ev"), book).as("cell"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
     v.unpersist()
@@ -359,9 +361,19 @@ object Similarity {
     val dims = v.select(size(col("ev"))).head().getInt(0)
     require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
     val sub = dims / m
-    val cents = iterateCentroids(v, clusters, iters)
-    cents.write.mode("overwrite").parquet(s"$dir/centroids")
-    val books = trainCodebooks(v, m, codes, iters, sub)
+    // ONE fused Lloyd's chain trains the m PQ subspace books AND the
+    // coarse quantizer (registered as pseudo-subspace m over the full
+    // vector): the m+1 clusterings never interact, so fusing them runs
+    // one corpus scan per iteration instead of m+1 chains — identical
+    // books ([[trainKeyedBooks]]).
+    val sliced = v.select(col("vec_id") +:
+      ((0 until m).map(j => slice(col("ev"), j * sub + 1, sub).as(s"s$j")) :+
+        col("ev").as(s"s$m")): _*)
+    val trained = trainKeyedBooks(sliced,
+      IndexedSeq.fill(m)(codes) :+ clusters, iters)
+    val books = trained.take(m).map(_.map(_._2))
+    val coarse = trained(m)
+    centsDf(spark, coarse).write.mode("overwrite").parquet(s"$dir/centroids")
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(
         (for (j <- 0 until m; c <- 0 until codes)
@@ -375,13 +387,14 @@ object Similarity {
             org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.DoubleType)))))
       .write.mode("overwrite").parquet(s"$dir/codebooks")
-    val encoded = slicedVectors(emb, m, sub)
+    // Encode + assign + norm in ONE map-only projection on the write
+    // scan — the literal books make both the PQ codes and the coarse cell
+    // pure expressions, so there is no assignment join at all.
+    slicedVectors(emb, m, sub)
       .select(col("vec_id"), col("ev"),
-        array((0 until m).map(j => pqCodeExpr(books, j)): _*).as("codes"))
-    encoded
-      .join(assignTo(v, cents).select(col("vec_id"),
-        col("cluster").as("cell")), Seq("vec_id"))
-      .withColumn("nrm", norm(col("ev")))
+        array((0 until m).map(j => pqCodeExpr(books, j)): _*).as("codes"),
+        norm(col("ev")).as("nrm"),
+        nearestId(col("ev"), coarse).as("cell"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
     v.unpersist()
@@ -460,18 +473,19 @@ object Similarity {
         "exceeds the 1000-query audit bound (sample queries instead)")
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Learned-centroid side: the converged book (driver literals), each
+    // vector's cell as a map-side argmin on the same scan that computes
+    // the LSH bucket, and each query's `probes` nearest cells.
+    val book = iterateBooks(v, clusters, iters)
     val withBucket = v
       .withColumn("bucket", lshBucket(col("ev")))
       .withColumn("nrm", norm(col("ev")))
+      .withColumn("kcell", nearestId(col("ev"), book))
     val queries = withBucket.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("ev").as("qv"),
         col("bucket").as("qb"), col("nrm").as("qn"))
-    // Learned-centroid side: converged k-means cells (tiny table), each
-    // vector's cell, and each query's `probes` nearest cells.
-    val cents = iterateCentroids(v, clusters, iters)
-    val ka = assignTo(v, cents).select(col("vec_id"), col("cluster").as("kcell"))
     val qp = probeTable(queries.select(col("query_id"), col("qv")),
-        cents, probes)
+        centsDf(v.sparkSession, book), probes)
       .select(col("query_id").as("p_qid"), col("probe"))
       .localCheckpoint(eager = true) // numQueries × probes rows
     // ONE scored pass over (corpus × broadcast queries) feeds the exact
@@ -487,7 +501,6 @@ object Similarity {
       .withColumn("cos", cosineWithNorms(dot(col("qv"), col("ev")),
         col("qn"), col("nrm")))
       .withColumn("ring", expr("bit_count(bucket ^ qb)"))
-      .join(ka, Seq("vec_id"))
       .select(col("query_id"), col("vec_id"), col("cos"), col("ring"),
         col("kcell"))
       .localCheckpoint(eager = true)
@@ -532,47 +545,69 @@ object Similarity {
         rec("hits_kmeans").as("recall_kmeans"))
   }
 
-  /** One k-means assignment step: every vector joins the k broadcast
-    * centroids (deterministic seed: the vectors with vec_id < k) and takes
-    * the argmin squared-L2 centroid — the embedding-clustering primitive
-    * (semantic dedup / topic bucketing in a curation pipeline).
+  /** One k-means assignment step: every vector takes the argmin squared-L2
+    * centroid (deterministic seed: the vectors with vec_id < k, centroid
+    * id = that vec_id) — the embedding-clustering primitive (semantic
+    * dedup / topic bucketing in a curation pipeline).
+    *
+    * Centroids are DRIVER-RESIDENT LITERALS — k × dims doubles, the same
+    * size class as a broadcast dim table — so assignment is a pure
+    * map-side projection: `array_min` over per-centroid (d², id) structs.
+    * No crossJoin ×k row blowup, and no per-vector argmin window (which
+    * would shuffle the corpus); `array_min`'s lexicographic (d², id)
+    * ordering is exactly the (d² asc, centroid_id asc) tie-break a
+    * windowed argmin produces.
     *
     * Squared distance expands to `(a·a + c·c) − 2(a·c)` so the whole scan
     * reuses the codegen'd dot product; the expansion's operation order is
     * fixed (left-assoc add, then subtract) so any engine reproduces the
     * double bit-for-bit. A vector that IS a centroid gets distance exactly
-    * 0 (x + x − 2x is exact in IEEE arithmetic). Ties break on centroid id.
-    *
-    * Scale: broadcast(k centroids) × corpus scan — map-side only, no
-    * shuffle except the per-vector argmin window, which AQE plans as a
-    * partial top-1. The update half of Lloyd's step (re-averaging
-    * centroids) is deliberately not fused here: float sums across an
-    * unordered shuffle are not reproducible, so the assignment (stable,
-    * verifiable) and the update (order-sensitive) are separate stages.
+    * 0 (x + x − 2x is exact in IEEE arithmetic).
     */
-  private def seedCentroids(v: DataFrame, k: Int): DataFrame =
-    v.filter(col("vec_id") < k)
-      .select(col("vec_id").as("centroid_id"), col("ev").as("cv"))
+  private[graft] type Book = IndexedSeq[(Long, Seq[Double])]
 
-  /** Scored (vector × centroid) assignment against an ARBITRARY broadcast
-    * centroid table — the shared core of the seed assignment and the
-    * Lloyd's loop. Returns (vec_id, cluster, d2-unrounded).
+  private def nearestStruct(xs: Column, book: Book): Column = {
+    val xx = dot(xs, xs)
+    array_min(array(book.map { case (id, cv) =>
+      // Array, not Seq: Literal.apply's no-TypeTag fallback (hit in REPL
+      // classloaders where ScalaReflection fails) supports arrays but not
+      // Vector — same literal either way.
+      val cl = typedlit(cv.toArray)
+      struct(((xx + dot(cl, cl)) - lit(2.0) * dot(xs, cl)).as("d2"),
+        lit(id).as("id"))
+    }: _*))
+  }
+
+  private def nearestId(xs: Column, book: Book): Column =
+    nearestStruct(xs, book)("id")
+
+  /** Map-only corpus assignment against a literal centroid book:
+    * (vec_id, cluster, d2-unrounded).
     */
-  private def assignTo(v: DataFrame, cents: DataFrame): DataFrame = {
-    val scored = v.crossJoin(broadcast(cents))
-      .withColumn("d2",
-        (dot(col("ev"), col("ev")) + dot(col("cv"), col("cv"))) -
-          lit(2.0) * dot(col("ev"), col("cv")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d2").asc, col("centroid_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id").as("cluster"), col("d2"))
+  private def assignLiteral(v: DataFrame, book: Book): DataFrame =
+    v.select(col("vec_id"), nearestStruct(col("ev"), book).as("a"))
+      .select(col("vec_id"), col("a.id").as("cluster"), col("a.d2").as("d2"))
+
+  /** The (centroid_id, cv) book as a tiny LocalRelation DataFrame — the
+    * shape [[probeTable]] consumes and the persisted-index `centroids`
+    * file stores.
+    */
+  private def centsDf(spark: org.apache.spark.sql.SparkSession,
+      book: Book): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      book.map { case (id, cv) => org.apache.spark.sql.Row(id, cv) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("centroid_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
   }
 
   def kmeansAssign(emb: DataFrame, k: Int = 8): DataFrame = {
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
-    assignTo(v, seedCentroids(v, k))
+    assignLiteral(v, iterateBooks(v, k, 0))
       .select(col("vec_id"), col("cluster"), round(col("d2"), 6).as("dist2"))
   }
 
@@ -583,66 +618,91 @@ object Similarity {
     */
   val KmeansScale = 1000000.0
 
-  /** Deterministic centroid update: each cluster's new centroid is the
-    * per-dimension mean of its members computed over FIXED-POINT sums —
-    * `sum(floor(x·1e6))` as 64-bit integers, then `(sum / 1e6) / n` in two
-    * fixed-order IEEE divisions. Integer addition commutes, so the result
-    * is independent of partitioning / shuffle order — the float-order
-    * nondeterminism that keeps naive Lloyd's out of hash-checked pipelines
-    * disappears, at the price of 1e-6 quantization (irrelevant to cluster
-    * geometry). Empty clusters keep their previous centroid.
+  /** The deterministic Lloyd's loop, fused across any number of
+    * INDEPENDENT subspace clusterings and driven from the driver:
+    * `sliced` carries `vec_id` first and one slice column `s{j}` per
+    * subspace; `ks(j)` is subspace j's seed bound (seed centroids = the
+    * vectors with vec_id < ks(j), centroid id = that vec_id). Each
+    * iteration runs ONE corpus scan — per row, the literal-argmin cluster
+    * of every subspace (map-only), exploded to (subspace, cluster, pos, x)
+    * and fixed-point-summed into Σk·dims aggregation cells — followed by a
+    * driver-side rebuild of the tiny centroid books.
     *
-    * Scale shape: posexplode → ONE hash aggregation keyed (cluster, dim)
-    * with map-side combine (k × dims cells), array re-assembled from the
-    * tiny cell table — the corpus is touched once per iteration and never
-    * collected to the driver.
+    * Update determinism: each new centroid component is
+    * `(sum(floor(x·1e6)) / 1e6) / n` — integer addition commutes, so the
+    * result is independent of partitioning / shuffle order (the
+    * float-order nondeterminism that keeps naive Lloyd's out of
+    * hash-checked pipelines), at the price of 1e-6 quantization
+    * (irrelevant to cluster geometry); floor (not round) because floor of
+    * an IEEE double is unambiguous in every engine. Empty clusters keep
+    * their previous centroid.
+    *
+    * Scale shape: the corpus is touched once per iteration (plus the seed
+    * lookup, a pushed-down vec_id range scan); only Σk·dims aggregation
+    * cells and the k-row books ever reach the driver — index-sized, the
+    * same class FAISS trains on (it samples the corpus for exactly this
+    * reason). Fusing the subspaces (m PQ books + the coarse quantizer in
+    * one chain) divides the per-iteration job count by the subspace count
+    * at bit-identical results, since the clusterings never interact.
     */
-  private def centroidUpdate(v: DataFrame, assign: DataFrame,
-      cents: DataFrame): DataFrame = {
-    val byDim = assign.join(v, Seq("vec_id"))
-      .select(col("cluster"), posexplode(col("ev")).as(Seq("pos", "x")))
-      .groupBy(col("cluster"), col("pos"))
-      .agg(sum(floor(col("x") * KmeansScale)).as("s"), count(lit(1)).as("n"))
-    val rebuilt = byDim
-      .withColumn("cval",
-        (col("s").cast("double") / KmeansScale) / col("n").cast("double"))
-      .groupBy(col("cluster"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("cval")))),
-        s => s("cval")).as("cv2"))
-    cents.join(rebuilt, cents("centroid_id") === rebuilt("cluster"), "left")
-      .select(cents("centroid_id"),
-        coalesce(col("cv2"), cents("cv")).as("cv"))
+  private def trainKeyedBooks(sliced: DataFrame, ks: IndexedSeq[Int],
+      iters: Int): IndexedSeq[Book] = {
+    val nSub = ks.length
+    val seedRows = sliced.filter(col("vec_id") < ks.max)
+      .collect().sortBy(_.getLong(0))
+    var books: IndexedSeq[Book] = (0 until nSub).map { j =>
+      seedRows.filter(_.getLong(0) < ks(j))
+        .map(r => r.getLong(0) -> r.getSeq[Double](j + 1).toSeq).toIndexedSeq
+    }
+    for (_ <- 0 until iters) {
+      val perSub = (0 until nSub).map { j =>
+        struct(nearestId(col(s"s$j"), books(j)).as("cluster"),
+          col(s"s$j").as("sv"))
+      }
+      val cells = sliced
+        .select(posexplode(array(perSub: _*)).as(Seq("subspace", "sc")))
+        .select(col("subspace"), col("sc.cluster").as("cluster"),
+          posexplode(col("sc.sv")).as(Seq("pos", "x")))
+        .groupBy(col("subspace"), col("cluster"), col("pos"))
+        .agg(sum(floor(col("x") * KmeansScale)).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byKey = cells.map(r =>
+        (r.getInt(0), r.getLong(1), r.getInt(2)) ->
+          (r.getLong(3), r.getLong(4))).toMap
+      books = (0 until nSub).map { j =>
+        books(j).map { case (id, cv) =>
+          if (!byKey.contains((j, id, 0))) id -> cv
+          else id -> cv.indices.map { p =>
+            val (s, n) = byKey((j, id, p))
+            (s.toDouble / KmeansScale) / n.toDouble
+          }
+        }
+      }
+    }
+    books
   }
 
-  /** The Lloyd's centroid loop shared by [[kmeansIterate]] and the
-    * learned-centroid IVF ([[ivfKmeansTopK]]): `iters` rounds of
-    * assign → deterministic fixed-point update from the seed centroids.
-    * Returns the (centroid_id, cv) table, materialized (k rows). The
-    * caller owns `v`'s persistence — the loop scans it 2× per round.
+  /** Single-subspace Lloyd's loop over a (vec_id, ev) frame — the
+    * vector-level centroid book [[kmeansIterate]], the learned-centroid
+    * IVF and the index builders share. The caller owns `v`'s persistence.
     */
-  private[graft] def iterateCentroids(v: DataFrame, k: Int,
-      iters: Int): DataFrame = {
-    var cents = seedCentroids(v, k)
-    for (_ <- 0 until iters)
-      // k rows — checkpoint keeps the loop's plan O(1) (see dupClusters).
-      cents = centroidUpdate(v, assignTo(v, cents), cents)
-        .localCheckpoint(eager = true)
-    if (iters == 0) cents.localCheckpoint(eager = true) else cents
-  }
+  private[graft] def iterateBooks(v: DataFrame, k: Int, iters: Int): Book =
+    trainKeyedBooks(v.select(col("vec_id"), col("ev").as("s0")),
+      IndexedSeq(k), iters).head
 
   /** `iters` full Lloyd's iterations (assign → deterministic update) from
     * the seed centroids, then the final assignment against the converged
     * centroids — the iterable clustering loop the single assignment step
     * was missing. Every stage is oracle-reproducible: assignment is the
-    * argmin window, the update is integer arithmetic + fixed-order
-    * divisions (see [[centroidUpdate]]).
+    * literal argmin, the update is integer arithmetic + fixed-order
+    * divisions (see [[trainKeyedBooks]]).
     */
   def kmeansIterate(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = iterateCentroids(v, k, iters)
-    val out = assignTo(v, cents)
+    val book = iterateBooks(v, k, iters)
+    val out = assignLiteral(v, book)
       .select(col("vec_id"), col("cluster"), round(col("d2"), 6).as("dist2"))
       .localCheckpoint(eager = true) // release the vector cache below
     v.unpersist()
@@ -671,7 +731,7 @@ object Similarity {
   def semanticDedup(emb: DataFrame, k: Int = 16,
       threshold: Double = 0.35): DataFrame = {
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
-    val assign = assignTo(v, seedCentroids(v, k))
+    val assign = assignLiteral(v, iterateBooks(v, k, 0))
       .select(col("vec_id"), col("cluster"))
     // One row per vector (vector, cluster, norm), materialized once for
     // both self-join sides.
@@ -808,19 +868,18 @@ object Similarity {
     * (WindowGroupLimit, plan-locked). Composes with the IVF cell layout
     * ([[buildIvfIndex]]) for the standard IVF-PQ index.
     */
-  /** Per-subspace PQ codebooks via the shared deterministic Lloyd's loop,
-    * collected into driver values (m × codes × sub doubles —
-    * index-sized). `v` must be a (vec_id, ev) frame the caller persists.
+  /** Per-subspace PQ codebooks via ONE fused deterministic Lloyd's loop
+    * ([[trainKeyedBooks]] — all m subspaces per corpus scan), as driver
+    * values (m × codes × sub doubles — index-sized), code = position in
+    * centroid-id order. `v` must be a (vec_id, ev) frame the caller
+    * persists.
     */
   private def trainCodebooks(v: DataFrame, m: Int, codes: Int, iters: Int,
-      sub: Int): IndexedSeq[IndexedSeq[Seq[Double]]] =
-    (0 until m).map { j =>
-      val vj = v.select(col("vec_id"),
-        slice(col("ev"), j * sub + 1, sub).as("ev"))
-      iterateCentroids(vj, codes, iters).collect()
-        .sortBy(_.getLong(0))
-        .map(_.getSeq[Double](1).toSeq).toIndexedSeq
-    }
+      sub: Int): IndexedSeq[IndexedSeq[Seq[Double]]] = {
+    val sliced = v.select(col("vec_id") +:
+      (0 until m).map(j => slice(col("ev"), j * sub + 1, sub).as(s"s$j")): _*)
+    trainKeyedBooks(sliced, IndexedSeq.fill(m)(codes), iters).map(_.map(_._2))
+  }
 
   /** (vec_id, ev, s0..s{m-1}) projection — subvector slices materialized
     * as attributes before any HOF consumes them (codegen discipline).
@@ -834,14 +893,14 @@ object Similarity {
   /** Map-side PQ encoder for subspace j over a [[slicedVectors]] frame:
     * argmin full d² against the literal codebook, ties to the lower code
     * (array_min over (d², code) structs — the same (d2, centroid_id)
-    * order assignTo's window uses).
+    * order [[nearestStruct]] uses).
     */
   private def pqCodeExpr(books: IndexedSeq[IndexedSeq[Seq[Double]]],
       j: Int): Column = {
     val xs = col(s"s$j")
     val xx = dot(xs, xs)
     array_min(array(books(j).indices.map { c =>
-      val cl = typedlit(books(j)(c))
+      val cl = typedlit(books(j)(c).toArray)
       struct(((xx + dot(cl, cl)) - lit(2.0) * dot(xs, cl)).as("d2"),
         lit(c).as("code"))
     }: _*))("code")
@@ -856,7 +915,7 @@ object Similarity {
     val qs = col(s"s$j")
     val qq = dot(qs, qs)
     array(books(j).indices.map { c =>
-      val cl = typedlit(books(j)(c))
+      val cl = typedlit(books(j)(c).toArray)
       floor(((qq + dot(cl, cl)) - lit(2.0) * dot(qs, cl)) * lit(1e6))
         .cast("long")
     }: _*)

@@ -155,13 +155,16 @@ class PlanShapeSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     val v = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("ev"))
-    val cents = graft.operators.Similarity.iterateCentroids(v, 16, 0)
+    val book = graft.operators.Similarity.iterateBooks(v, 16, 0)
     val p = graft.operators.Similarity
-      .kmeansSearchPlan(v, cents, k = 5, numQueries = 10, probes = 2)
+      .kmeansSearchPlan(v, book, k = 5, numQueries = 10, probes = 2)
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastExchange"), p.take(2000))
     assert(p.contains("WindowGroupLimit"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
+    // Literal-centroid assignment: the corpus side must carry NO
+    // assignment join and no shuffled join at all.
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
   test("emb_ivf_index_topk: probed-cells scan partition-prunes the index read") {
