@@ -367,10 +367,12 @@ object Similarity {
     // one corpus scan per iteration instead of m+1 chains — identical
     // books ([[trainKeyedBooks]]).
     val sliced = v.select(col("vec_id") +:
-      ((0 until m).map(j => slice(col("ev"), j * sub + 1, sub).as(s"s$j")) :+
-        col("ev").as(s"s$m")): _*)
+      (subspaceSliceCols(m, sub) :+ col("ev").as(s"s$m")): _*)
     val trained = trainKeyedBooks(sliced,
       IndexedSeq.fill(m)(codes) :+ clusters, iters)
+    // The writes below scan `emb` directly (slicedVectors), not v — the
+    // corpus cache is only for the training loop.
+    v.unpersist()
     val books = trained.take(m).map(_.map(_._2))
     val coarse = trained(m)
     centsDf(spark, coarse).write.mode("overwrite").parquet(s"$dir/centroids")
@@ -397,7 +399,6 @@ object Similarity {
         nearestId(col("ev"), coarse).as("cell"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
-    v.unpersist()
   }
 
   /** Search the persisted IVF-PQ index: probe cells resolve against the
@@ -545,15 +546,15 @@ object Similarity {
         rec("hits_kmeans").as("recall_kmeans"))
   }
 
-  /** One k-means assignment step: every vector takes the argmin squared-L2
-    * centroid (deterministic seed: the vectors with vec_id < k, centroid
-    * id = that vec_id) — the embedding-clustering primitive (semantic
-    * dedup / topic bucketing in a curation pipeline).
-    *
-    * Centroids are DRIVER-RESIDENT LITERALS — k × dims doubles, the same
-    * size class as a broadcast dim table — so assignment is a pure
-    * map-side projection: `array_min` over per-centroid (d², id) structs.
-    * No crossJoin ×k row blowup, and no per-vector argmin window (which
+  /** A centroid book: (centroid id, centroid vector) pairs, id-ascending —
+    * DRIVER-RESIDENT LITERALS (k × dims doubles, the same size class as a
+    * broadcast dim table), which is what makes every assignment a pure
+    * map-side projection.
+    */
+  private[graft] type Book = IndexedSeq[(Long, Seq[Double])]
+
+  /** The literal argmin: `array_min` over per-centroid (d², id) structs —
+    * no crossJoin ×k row blowup, and no per-vector argmin window (which
     * would shuffle the corpus); `array_min`'s lexicographic (d², id)
     * ordering is exactly the (d² asc, centroid_id asc) tie-break a
     * windowed argmin produces.
@@ -564,9 +565,9 @@ object Similarity {
     * double bit-for-bit. A vector that IS a centroid gets distance exactly
     * 0 (x + x − 2x is exact in IEEE arithmetic).
     */
-  private[graft] type Book = IndexedSeq[(Long, Seq[Double])]
-
   private def nearestStruct(xs: Column, book: Book): Column = {
+    require(book.nonEmpty,
+      "empty centroid book — no vectors with vec_id below the seed bound")
     val xx = dot(xs, xs)
     array_min(array(book.map { case (id, cv) =>
       // Array, not Seq: Literal.apply's no-TypeTag fallback (hit in REPL
@@ -605,6 +606,13 @@ object Similarity {
             org.apache.spark.sql.types.DoubleType)))))
   }
 
+  /** One k-means assignment step: every vector takes the argmin squared-L2
+    * centroid (deterministic seed: the vectors with vec_id < k, centroid
+    * id = that vec_id) — the embedding-clustering primitive (semantic
+    * dedup / topic bucketing in a curation pipeline). Map-only: see
+    * [[nearestStruct]] for the literal-centroid design and the IEEE
+    * determinism argument.
+    */
   def kmeansAssign(emb: DataFrame, k: Int = 8): DataFrame = {
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
     assignLiteral(v, iterateBooks(v, k, 0))
@@ -652,7 +660,12 @@ object Similarity {
       .collect().sortBy(_.getLong(0))
     var books: IndexedSeq[Book] = (0 until nSub).map { j =>
       seedRows.filter(_.getLong(0) < ks(j))
-        .map(r => r.getLong(0) -> r.getSeq[Double](j + 1).toSeq).toIndexedSeq
+        .map { r =>
+          require(!r.isNullAt(j + 1),
+            s"null seed vector: vec_id=${r.getLong(0)} subspace=$j — " +
+              "seed rows (vec_id < k) must carry non-null embeddings")
+          r.getLong(0) -> r.getSeq[Double](j + 1).toSeq
+        }.toIndexedSeq
     }
     for (_ <- 0 until iters) {
       val perSub = (0 until nSub).map { j =>
@@ -673,9 +686,13 @@ object Similarity {
       books = (0 until nSub).map { j =>
         books(j).map { case (id, cv) =>
           if (!byKey.contains((j, id, 0))) id -> cv
+          // Per-position getOrElse: a ragged corpus row (shorter than the
+          // centroid) leaves tail positions memberless — keep the previous
+          // component there instead of crashing the driver rebuild.
           else id -> cv.indices.map { p =>
-            val (s, n) = byKey((j, id, p))
-            (s.toDouble / KmeansScale) / n.toDouble
+            byKey.get((j, id, p)).fold(cv(p)) { case (s, n) =>
+              (s.toDouble / KmeansScale) / n.toDouble
+            }
           }
         }
       }
@@ -876,10 +893,16 @@ object Similarity {
     */
   private def trainCodebooks(v: DataFrame, m: Int, codes: Int, iters: Int,
       sub: Int): IndexedSeq[IndexedSeq[Seq[Double]]] = {
-    val sliced = v.select(col("vec_id") +:
-      (0 until m).map(j => slice(col("ev"), j * sub + 1, sub).as(s"s$j")): _*)
+    val sliced = v.select(col("vec_id") +: subspaceSliceCols(m, sub): _*)
     trainKeyedBooks(sliced, IndexedSeq.fill(m)(codes), iters).map(_.map(_._2))
   }
+
+  /** The per-subspace slice columns (`s0..s{m-1}` of `ev`) — one
+    * definition shared by codebook training and the fused IVF-PQ build so
+    * the slicing convention cannot drift between them.
+    */
+  private def subspaceSliceCols(m: Int, sub: Int): Seq[Column] =
+    (0 until m).map(j => slice(col("ev"), j * sub + 1, sub).as(s"s$j"))
 
   /** (vec_id, ev, s0..s{m-1}) projection — subvector slices materialized
     * as attributes before any HOF consumes them (codegen discipline).
