@@ -192,7 +192,12 @@ object Dedup {
     */
   private[graft] def minhashNearDupsFromSets(sets: DataFrame,
       threshold: Double = 0.5): DataFrame = {
-    val ex = sets.select(col("doc_id"), explode(col("sset")).as("shingle"))
+    // explode_outer for the same reason as explodedShingles: sset is
+    // never empty (short docs shingle to their whole text), and the
+    // outer variant keeps InferFiltersFromGenerate from inlining the
+    // shingle pipeline into an inferred filter if a caller ever passes
+    // an unpersisted sets table.
+    val ex = sets.select(col("doc_id"), explode_outer(col("sset")).as("shingle"))
     val pairs = candidatePairsFromBuckets(
       bandBucketsFromSignatures(signaturesFromExploded(ex)))
     val j = pairs

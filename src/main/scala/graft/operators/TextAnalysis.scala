@@ -559,8 +559,14 @@ object TextAnalysis {
     * cluster yields its true f² pairs). For corpora where even true
     * duplication explodes (mirror-heavy crawls), `maxGramDf` drops
     * anchors shared by more than maxGramDf docs first — the same
-    * hot-key cap as [[winnowNearDupCandidates]], trading away only
-    * spans duplicated across more than maxGramDf documents. The island
+    * hot-key cap as [[winnowNearDupCandidates]]. Capped error model: a
+    * span every one of whose anchors is hot disappears entirely; a RARE
+    * span that merely CONTAINS a hot anchor fragments at it — n_spans
+    * counts each fragment and the fragments overlap by up to minLen−1
+    * tokens, so capped n_spans/span sums OVER-state fragmentation while
+    * max_span under-states length (the removal half is immune:
+    * [[exactSubstrClean]]'s interval-union fold clips overlaps before
+    * counting). The island
     * window and both aggregations share one (doc_a, doc_b, diag)-prefixed
     * key, so the whole tail is a single exchange.
     */
@@ -589,9 +595,15 @@ object TextAnalysis {
               .as("gh"))))
         .otherwise(array().cast("array<struct<pos:int,gh:bigint>>"))
         .as("gs"))
+    // Materialized before the self-join: the tokenize + minLen-gram
+    // xxhash projection is the family's dominant map stage, and without
+    // the checkpoint BOTH anchor-join sides (plus the df aggregation when
+    // maxGramDf > 0) re-plan it — exchange reuse is a runtime maybe, not
+    // a guarantee (see tfIdfTopTerms).
     val g0 = grams.select(col("doc_id"), explode_outer(col("gs")).as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
       .filter(col("gh").isNotNull)
+      .localCheckpoint(eager = true)
     val g =
       if (maxGramDf <= 0) g0
       else {
