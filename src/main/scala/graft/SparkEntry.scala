@@ -249,19 +249,25 @@ object SparkEntry {
     }),
 
     // M4 bias metric: author max-share per page (SURVEY §7.4 item 5).
+    // Non-degenerate since the DIV-4 page mapping (multiple editors per
+    // page); floor-quantized to integer micro-units — floor of an IEEE
+    // double is unambiguous cross-engine where round() at .5 is not.
     "trend_bias" -> ((s, dir) => {
       PageAggregates.distribution(EventAdapter.recentChanges(s, dir))
         .select(col("id"),
-          round(PageAggregates.bias(col("distribution")), 6).as("bias"))
+          floor(PageAggregates.bias(col("distribution")) * lit(1e6))
+            .cast("long").as("bias_u"))
     }),
 
     // A7 eviction policy as a batch filter, with thresholds scaled to the
     // events table's 30-day span (default wiki thresholds would evict all).
     "trend_survivors" -> ((s, dir) => {
-      // minSpeed sits at the median per-user rate (~0.0015 epm over the
-      // 30-day span) so the filter genuinely splits the population.
+      // minSpeed sits near the median per-page EDITS-ONLY rate (~0.0047
+      // epm over the 30-day span; the cleaner's no-arg editsPerMinute()
+      // counts edits only) so the filter genuinely splits the population
+      // (20/38 pages at sf0.01, 218/375 at sf0.1).
       val cfg = TrendConfig(maxLifespanMins = 100000,
-        maxInactivityMins = 2880, minSpeed = 0.0015, minPurgeTimeMins = 5)
+        maxInactivityMins = 2880, minSpeed = 0.0045, minPurgeTimeMins = 5)
       val ev = EventAdapter.readEvents(s, dir)
       val pages = PageAggregates.pageAggregates(
         EventAdapter.asRecentChanges(ev), cfg)
@@ -1257,11 +1263,13 @@ object SparkEntry {
          GROUP BY 1, 2""",
 
     // Restates the EventAdapter mapping (graft.sources.EventAdapter) in
-    // ANSI SQL: revert ⟺ event_type='error'; bot ⟺ user_id%11=0;
+    // ANSI SQL: page ⟺ user_id//4 (four editors per page — keeps the
+    // distribution/bias/contributor oracles discriminative);
+    // revert ⟺ event_type='error'; bot ⟺ user_id%11=0;
     // anon ⟺ user_id%5=0; notability ⟺ 'view'; volatility ⟺ 'click';
     // delta = floor(value*100); isNew ⟺ any 'signup'.
     "trend_page_stats" ->
-      """SELECT CAST(user_id AS VARCHAR) AS id,
+      """SELECT CAST(user_id // 4 AS VARCHAR) AS id,
          CAST(SUM(CASE WHEN event_type <> 'error' AND user_id % 11 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS edits,
          CAST(SUM(CASE WHEN event_type <> 'error' AND user_id % 11 <> 0 AND user_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS anon_edits,
          BOOL_OR(event_type = 'signup') AS is_new,
@@ -1275,7 +1283,7 @@ object SparkEntry {
 
     "trend_topk" ->
       """WITH p AS (
-           SELECT CAST(user_id AS VARCHAR) AS id,
+           SELECT CAST(user_id // 4 AS VARCHAR) AS id,
              CAST(SUM(CASE WHEN event_type <> 'error' AND user_id % 11 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS edits,
              MIN(ts) AS start
            FROM events GROUP BY 1),
@@ -1346,7 +1354,7 @@ object SparkEntry {
          FROM events""",
 
     "trend_distribution" ->
-      """SELECT CAST(user_id AS VARCHAR) AS id,
+      """SELECT CAST(user_id // 4 AS VARCHAR) AS id,
          CASE WHEN user_id % 5 = 0 THEN user_id || '.0.0.1'
               ELSE 'u' || user_id END AS "user",
          CAST(COUNT(*) AS BIGINT) AS cnt
@@ -1360,7 +1368,7 @@ object SparkEntry {
     // Spark's collect_set + array_sort.
     "trend_contributors" ->
       """WITH c AS (
-           SELECT CAST(user_id AS VARCHAR) AS id,
+           SELECT CAST(user_id // 4 AS VARCHAR) AS id,
              list_sort(list_distinct(list(CASE WHEN event_type <> 'error' AND user_id % 11 <> 0 AND user_id % 5 <> 0 THEN 'u' || user_id END))) AS contribs,
              list_sort(list_distinct(list(CASE WHEN event_type <> 'error' AND user_id % 11 <> 0 AND user_id % 5 = 0 THEN user_id || '.0.0.1' END))) AS anons
            FROM events GROUP BY 1)
@@ -1373,18 +1381,19 @@ object SparkEntry {
 
     "trend_bias" ->
       """WITH d AS (
-           SELECT CAST(user_id AS VARCHAR) AS id, user_id AS u,
+           SELECT CAST(user_id // 4 AS VARCHAR) AS id, user_id AS u,
              CAST(COUNT(*) AS BIGINT) AS cnt
            FROM events
            WHERE event_type <> 'error' AND user_id % 11 <> 0
            GROUP BY 1, 2)
          SELECT id,
-           round(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS bias
+           CAST(FLOOR(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+             * 1000000) AS BIGINT) AS bias_u
          FROM d GROUP BY 1""",
 
     "trend_survivors" ->
       """WITH p AS (
-           SELECT CAST(user_id AS VARCHAR) AS id,
+           SELECT CAST(user_id // 4 AS VARCHAR) AS id,
              CAST(SUM(CASE WHEN event_type <> 'error' AND user_id % 11 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS edits,
              CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS reverts,
              CAST(SUM(CASE WHEN event_type <> 'error' AND user_id % 11 <> 0 AND user_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS anon_edits,
@@ -1394,7 +1403,9 @@ object SparkEntry {
            SELECT id, edits, reverts, anon_edits,
              (epoch((SELECT MAX(ts) FROM events)) - epoch(start)) / 60.0 AS age,
              (epoch((SELECT MAX(ts) FROM events)) - epoch(updated)) / 60.0 AS idle,
-             edits + reverts + anon_edits AS cnt
+             -- no-arg editsPerMinute() (reference cleaner, index.js:374):
+             -- edits only, no reverts, no anon double-count
+             edits AS cnt
            FROM p),
          s AS (
            SELECT *,
@@ -1402,7 +1413,7 @@ object SparkEntry {
                   ELSE CAST(cnt AS DOUBLE) / age END AS speed
            FROM m)
          SELECT id, edits, reverts, anon_edits FROM s
-         WHERE age <= 5 OR (age <= 100000 AND speed >= 0.0015 AND idle <= 2880)""",
+         WHERE age <= 5 OR (age <= 100000 AND speed >= 0.0045 AND idle <= 2880)""",
 
     "q11_star_join" ->
       """SELECT r.r_name AS region,

@@ -42,6 +42,8 @@ final class TrendCollection(
     new java.util.concurrent.atomic.AtomicReference(Set.empty[String])
   private val safeIds =
     new java.util.concurrent.atomic.AtomicReference(Set.empty[String])
+  private val protectedIds =
+    new java.util.concurrent.atomic.AtomicReference(Set.empty[String])
 
   /** As-of instant for the time-derived metrics: max event ts unless set.
     * The max-ts aggregate is memoized — without it every snapshot/board
@@ -63,7 +65,7 @@ final class TrendCollection(
     * "Live" = survives the eviction policy (A7) and isn't dropped.
     */
   def getPages(): DataFrame =
-    pagesOver(PageAggregates.canonicalizeRenames(events))
+    pagesOver(PageAggregates.canonicalizeRenames(events, cfg))
 
   /** getPages over an ALREADY-CANONICALIZED event view — boards that also
     * need a second aggregate of the same events (topByBias) canonicalize
@@ -78,7 +80,12 @@ final class TrendCollection(
       else aggregated.filter(!col("id").isin(dropped.toSeq: _*))
     val withSafe = notDropped.withColumn("safe",
       if (safe.isEmpty) lit(false) else col("id").isin(safe.toSeq: _*))
-    val alive = PageAggregates.survivors(withSafe, asOfCol, cfg)
+    // isProtected in the batch view too, so the batch and streaming Q1
+    // surfaces expose the same schema (stateSnapshot carries the flag).
+    val prot = protectedIds.get()
+    val withProt = withSafe.withColumn("isProtected",
+      if (prot.isEmpty) lit(false) else col("id").isin(prot.toSeq: _*))
+    val alive = PageAggregates.survivors(withProt, asOfCol, cfg)
     PageAggregates.withMetrics(alive, asOfCol)
   }
 
@@ -97,6 +104,15 @@ final class TrendCollection(
   def markSafe(id: String, unsafe: Boolean = false): Unit =
     safeIds.updateAndGet(s => if (unsafe) s - id else s + id)
 
+  /** Mark a page protected (reference `protectPage`, index.js:417-422).
+    * Like the stream twin (TrendStream A5) this applies the INTENDED
+    * same-key semantics — the reference builds the id as wiki+'/'+title
+    * unconditionally there, so its flag never lands for enwiki bare-title
+    * keys; that quirk is documented, not replicated.
+    */
+  def protectPage(title: String, wiki: String): Unit =
+    protectedIds.updateAndGet(_ + idOf(title, wiki))
+
   /** Top-k boards (examples/index.js:20-48) — planned as
     * TakeOrderedAndProject, never a full sort.
     */
@@ -111,10 +127,14 @@ final class TrendCollection(
     * line up with getPages() (which aggregates under final titles).
     */
   def topByBias(k: Int = 5): DataFrame = {
-    val canonical = PageAggregates.canonicalizeRenames(events)
+    val canonical = PageAggregates.canonicalizeRenames(events, cfg)
+    // floor-quantized to the 1e-6 grid: floor of an IEEE double is
+    // unambiguous cross-engine where round() at a .5 boundary is not
+    // (same discipline as the trend_bias oracle query).
     val dist = PageAggregates.distribution(canonical, cfg)
       .select(col("id"),
-        round(PageAggregates.bias(col("distribution")), 6).as("bias"))
+        (floor(PageAggregates.bias(col("distribution")) * lit(1e6)) /
+          lit(1e6)).as("bias"))
     pagesOver(canonical).join(dist, Seq("id"), "left")
       .withColumn("bias", coalesce(col("bias"), lit(0.0)))
       .orderBy(desc("bias"), asc("id")).limit(k)

@@ -107,7 +107,8 @@ object PageState {
   * cleanerIntervalSec (the 20 s sweep cadence, index.js:400).
   */
 final case class TrendConfig(
-    project: String = "*",           // server_name filter; '*' = all (index.js:143)
+    project: String = "en.wikipedia.org", // server_name filter; '*' = all
+                                     // (reference default, index.js:143)
     maxLifespanMins: Long = 1440,    // drop unconditionally past this age (index.js:110)
     maxInactivityMins: Long = 60,    // drop when idle this long (index.js:111)
     minSpeed: Double = 3.0,          // edits/minute floor (index.js:112)

@@ -25,13 +25,29 @@ import graft.model.TrendConfig
   */
 object PageAggregates {
 
+  /** The reference's PRE-DISPATCH gate (index.js:316-318): main
+    * namespace, project match, not a fixup — applied to EVERY message,
+    * edit AND log event (move/protect/delete), before any routing. A
+    * gated-out move must not rewrite page history and a gated-out delete
+    * must not drop state, exactly as the reference's onmessage returns
+    * before reaching the log dispatch. Comment is null-coalesced inside
+    * the predicate (a null comment flows through isFixup as NULL and
+    * would silently drop the row).
+    */
+  def referenceGate(events: DataFrame,
+      cfg: TrendConfig = TrendConfig()): DataFrame =
+    events
+      .filter(isArticle(col("namespace")))                   // F1 index.js:316
+      .filter(projectMatch(col("serverName"), cfg.project))  // F2 index.js:317
+      .filter(!isFixup(coalesce(col("comment"), lit(""))))   // F3 index.js:318
+
   /** Filter + classify layer (F1-F3 filters, C1-C5/P1 projections).
     * Input: a DataFrame with the RecentChange schema (graft.model).
     * All predicates are scan-pushable `Column` exprs; no UDFs.
     * Reference flow: index.js:316-318 (filters), 241-244 (classify).
     */
   def classified(events: DataFrame, cfg: TrendConfig = TrendConfig()): DataFrame =
-    events
+    referenceGate(events, cfg)
       // Null-safe classifier inputs, SAME normalization as
       // TrendStream.classify: a rev-deleted/suppressed editor arrives
       // with user = null and a null comment flows through isRevert /
@@ -40,9 +56,6 @@ object PageAggregates {
       // the stream ≡ batch identity on real feeds.
       .withColumn("user", coalesce(col("user"), lit("")))
       .withColumn("comment", coalesce(col("comment"), lit("")))
-      .filter(isArticle(col("namespace")))                   // F1 index.js:316
-      .filter(projectMatch(col("serverName"), cfg.project))  // F2 index.js:317
-      .filter(!isFixup(col("comment")))                      // F3 index.js:318
       .withColumn("isBot", isBotEdit(col("bot"), col("user"), cfg.knownBots))
       .withColumn("isRevert", isRevert(col("comment")))
       .withColumn("isAnon", isIP(col("user")))
@@ -187,8 +200,10 @@ object PageAggregates {
       cfg: TrendConfig = TrendConfig()): DataFrame = {
     val ageC = age(col("start"), asOf)
     val idle = lastUpdated(col("updated"), asOf)
+    // No-arg editsPerMinute(), as the reference cleaner calls it
+    // (index.js:374): edits only — no reverts, no anon double-count.
     val speed = editsPerMinute(col("edits"), col("reverts"), col("anonEdits"),
-      ageC, includeReverts = true, includeAnons = true)
+      ageC)
     val safeC = if (pages.columns.contains("safe")) col("safe") else lit(false)
     pages.filter(
       ageC <= cfg.minPurgeTimeMins ||
@@ -219,8 +234,12 @@ object PageAggregates {
     * all history under the final title, the documented order-insensitive
     * analog.
     */
-  def canonicalizeRenames(events: DataFrame): DataFrame = {
-    val moves = events
+  def canonicalizeRenames(events: DataFrame,
+      cfg: TrendConfig = TrendConfig()): DataFrame = {
+    // Moves pass the reference's pre-dispatch gate first (index.js:316-318
+    // precedes the move dispatch at 324): a fixup-comment, wrong-project
+    // or non-main-namespace move never rewrites history.
+    val moves = referenceGate(events, cfg)
       .filter(col("logType").isNotNull && col("logAction") === "move")
       .select(col("wiki"), col("title").as("fromTitle"),
         element_at(col("logParams"), "target").as("toTitle"), col("ts"))
@@ -275,5 +294,5 @@ object PageAggregates {
 
   /** Full trend pipeline: canonicalize renames, then aggregate per page. */
   def trendAggregates(events: DataFrame, cfg: TrendConfig = TrendConfig()): DataFrame =
-    pageAggregates(canonicalizeRenames(events), cfg)
+    pageAggregates(canonicalizeRenames(events, cfg), cfg)
 }

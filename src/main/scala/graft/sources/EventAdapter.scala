@@ -11,7 +11,11 @@ import org.apache.spark.sql.functions._
   *
   * The mapping is deterministic and documented here because every oracle
   * SQL for a trend query re-states it in ANSI SQL:
-  *   - page     := the user_id (each user's activity stream is "a page")
+  *   - page     := user_id DIV 4 (users 4k..4k+3 share one page, so every
+  *                 page has up to four distinct editors — a degenerate
+  *                 one-editor-per-page mapping would make the
+  *                 distribution/bias/contributor oracles vacuous: bias
+  *                 identically 1.0 verifies nothing about the ratio path)
   *   - wiki     := 'enwiki' (so id = title, the reference's special case)
   *   - user     := 'u<user_id>', except every 5th user is an IPv4 literal
   *                 ('<user_id>.0.0.1') so the isIP classifier fires
@@ -49,7 +53,7 @@ object EventAdapter {
 
   def asRecentChanges(events: DataFrame): DataFrame =
     events.select(
-      col("user_id").cast("string").as("title"),
+      expr("CAST(user_id DIV 4 AS STRING)").as("title"),
       when(col("event_type") === "error", "Reverted edit")
         .when(col("event_type") === "view", "copyedit current event")
         .when(col("event_type") === "signup", "new page created")

@@ -42,11 +42,19 @@ object IncrementalTrend {
     val spark = state.sparkSession
     import spark.implicits._
 
+    // Log events (moves/protects/deletes) pass the reference's
+    // pre-dispatch gate (index.js:316-318 precedes every log dispatch):
+    // a fixup-comment, wrong-project or non-main-namespace log event
+    // must not rewrite history, set flags, or drop state. Edits get the
+    // same gate inside pageAggregates.
+    val gatedLog = PageAggregates.referenceGate(batch, cfg)
+      .filter(col("logType").isNotNull)
+
     // 1. Batch rename map (fromId → toId, chains collapsed in ts order;
     // ties broken deterministically and null targets dropped — see
     // PageAggregates.canonicalizeRenames for both rationales).
-    val moves = batch
-      .filter(col("logType").isNotNull && col("logAction") === "move")
+    val moves = gatedLog
+      .filter(col("logAction") === "move")
       .select(col("wiki"), col("title"),
         element_at(col("logParams"), "target").as("target"), col("ts"))
       .filter(col("target").isNotNull)
@@ -94,8 +102,7 @@ object IncrementalTrend {
     // 3. Deletes (A6) — resolved BEFORE the merge so a delete wipes prior
     // state and prior same-batch edits, while later same-batch edits
     // recreate the page (reference drop-then-recreate, index.js:427-430).
-    val logEvents = batch.filter(col("logType").isNotNull)
-    val deletes = deleteTargets(batch)
+    val deletes = deleteTargets(gatedLog)
 
     val stateAfterDelete = afterRename.join(broadcast(deletes),
       col("id") === col("del_id"), "left_anti")
@@ -142,7 +149,7 @@ object IncrementalTrend {
         coalesce(col("s.isProtected"), lit(false)).as("isProtected"))
 
     // 5. Protects (A5: set flag on whatever state exists post-merge).
-    val protects = logEvents.filter(col("logAction") === "protect")
+    val protects = gatedLog.filter(col("logAction") === "protect")
       .select(pageId(col("wiki"), col("title")).as("prot_id")).distinct()
     val afterProtect = merged.join(broadcast(protects),
         col("id") === col("prot_id"), "left")

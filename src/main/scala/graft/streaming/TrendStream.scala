@@ -129,7 +129,9 @@ object TrendStream {
   def survives(s: PageState, asOfMs: Long, cfg: TrendConfig): Boolean = {
     val ageMins = (asOfMs - s.start.getTime) / 60000.0
     val idleMins = (asOfMs - s.updated.getTime) / 60000.0
-    val cnt = s.edits + s.reverts + s.anonEdits // epm(includeReverts, includeAnons)
+    // No-arg editsPerMinute(), as the reference cleaner calls it
+    // (index.js:374): edits only — no reverts, no anon double-count.
+    val cnt = s.edits
     val speed = if (ageMins < 1.0 || cnt == 0L) cnt.toDouble else cnt / ageMins
     ageMins <= cfg.minPurgeTimeMins ||
       (ageMins <= cfg.maxLifespanMins &&

@@ -204,4 +204,40 @@ class PageAggregatesSpec extends SparkSpec {
     assert(agged.select("id").as[String].collect().toSeq == Seq("C"))
     assert(agged.collect()(0).getAs[Long]("edits") == 2L)
   }
+
+  test("gated move: a fixup-comment or non-main-namespace move never rewrites history (index.js:316-318)") {
+    // The reference's onmessage returns BEFORE the move dispatch when the
+    // ns/project/fixup gate fires — the page keeps its old id.
+    def gatedMove(comment: String, ns: Int) =
+      ev(title = "Foo", comment = comment).copy(namespace = ns,
+        logType = "log", logAction = "move",
+        logParams = Map("target" -> "Bar"),
+        ts = Timestamp.valueOf("2024-01-01 00:30:00"))
+    for (m <- Seq(gatedMove("Fixed error in move", 0), gatedMove("moved", 118))) {
+      val agged = PageAggregates.trendAggregates(
+        Seq(ev(ts = t0), m).toDS().toDF())
+      assert(agged.select("id").as[String].collect().toSeq == Seq("Foo"),
+        s"move $m must be gated out")
+    }
+    // Control: the same move with a clean main-namespace gate rewrites.
+    val clean = ev(title = "Foo", comment = "moved").copy(
+      logType = "log", logAction = "move", logParams = Map("target" -> "Bar"),
+      ts = Timestamp.valueOf("2024-01-01 00:30:00"))
+    val agged = PageAggregates.trendAggregates(Seq(ev(ts = t0), clean).toDS().toDF())
+    assert(agged.select("id").as[String].collect().toSeq == Seq("Bar"))
+  }
+
+  test("eviction speed is no-arg editsPerMinute: reverts do not keep a page alive (index.js:374)") {
+    val asOf = Timestamp.valueOf("2024-01-01 02:00:00")
+    // Page Rev: 1 edit + 200 reverts over 2h — flags-on speed would be
+    // ~1.7 epm, but the cleaner's no-arg call sees 1/120 ≈ 0.008 < 3 and
+    // idle 2h > 60 → drop (the reference purges it; so must we).
+    val events = ev(title = "Rev", ts = t0) +:
+      (0 until 200).map(i => ev(title = "Rev", comment = "reverted",
+        user = s"r$i", ts = new Timestamp(t0.getTime + i * 1000L)))
+    val pages = agg(events: _*)
+    val kept = PageAggregates.survivors(pages, lit(asOf))
+      .select("id").as[String].collect()
+    assert(kept.isEmpty)
+  }
 }

@@ -72,6 +72,17 @@ class TrendCollectionSpec extends SparkSpec {
     assert(top(1).getAs[Double]("bias") == 0.5)
   }
 
+  test("protectPage sets isProtected in the batch view (index.js:417-422)") {
+    val c = collection(ev("Foo") ++ ev("Bar"))
+    assert(c.getPages().filter(col("isProtected")).count() == 0)
+    c.protectPage("Foo", "enwiki")
+    val prot = c.getPages().filter(col("isProtected"))
+      .select("id").as[String].collect()
+    assert(prot.toSeq == Seq("Foo"))
+    // The flag marks, never filters: both pages stay live.
+    assert(c.getPages().count() == 2)
+  }
+
   test("stateSnapshot: Q1 over the streaming query's state store") {
     import java.nio.file.Files
     val ckpt = Files.createTempDirectory("graft_ckpt").toString
