@@ -1533,20 +1533,20 @@ object SparkEntry {
                ORDER BY c DESC, g ASC) AS rn FROM cnt4)
            WHERE rn = 1)
          SELECT m.doc_id, word_count,
-           round(mwl, 6) AS mean_word_len,
-           round(dr, 6) AS distinct_ratio,
+           floor(mwl * 1000000.0) / 1000000.0 AS mean_word_len,
+           floor(dr * 1000000.0) / 1000000.0 AS distinct_ratio,
            stop_hits,
-           round(dlf, 6) AS dup_line_fraction,
+           floor(dlf * 1000000.0) / 1000000.0 AS dup_line_fraction,
            coalesce(top.g, '') AS top_2gram,
-           round(CASE WHEN m.chars = 0 OR top.c IS NULL THEN 0.0
+           floor(CASE WHEN m.chars = 0 OR top.c IS NULL THEN 0.0
              ELSE CAST(top.c AS DOUBLE) * CAST(length(top.g) AS DOUBLE)
-                  / CAST(m.chars AS DOUBLE) END, 6) AS top_2gram_share,
-           round(CASE WHEN m.chars = 0 OR top3.c IS NULL THEN 0.0
+                  / CAST(m.chars AS DOUBLE) END * 1000000.0) / 1000000.0 AS top_2gram_share,
+           floor(CASE WHEN m.chars = 0 OR top3.c IS NULL THEN 0.0
              ELSE CAST(top3.c AS DOUBLE) * CAST(length(top3.g) AS DOUBLE)
-                  / CAST(m.chars AS DOUBLE) END, 6) AS top_3gram_share,
-           round(CASE WHEN m.chars = 0 OR top4.c IS NULL THEN 0.0
+                  / CAST(m.chars AS DOUBLE) END * 1000000.0) / 1000000.0 AS top_3gram_share,
+           floor(CASE WHEN m.chars = 0 OR top4.c IS NULL THEN 0.0
              ELSE CAST(top4.c AS DOUBLE) * CAST(length(top4.g) AS DOUBLE)
-                  / CAST(m.chars AS DOUBLE) END, 6) AS top_4gram_share,
+                  / CAST(m.chars AS DOUBLE) END * 1000000.0) / 1000000.0 AS top_4gram_share,
            (word_count BETWEEN 40 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
             AND dr >= 0.4 AND stop_hits >= 2
             AND dlf <= 0.3

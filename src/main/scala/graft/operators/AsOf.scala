@@ -37,7 +37,11 @@ import org.apache.spark.sql.types.StructType
   * sort ahead of everything and donate its payload to every left row),
   * and a NULL key never equi-matches (the partition would otherwise
   * group null-key rows together) — both are filtered off the right side.
-  * Null-key/null-ts LEFT rows still emit, with a null payload.
+  * Null-key/null-ts LEFT rows still emit, with a null payload — but they
+  * BYPASS the window entirely: they can only ever produce a null payload,
+  * and routing them through `partitionBy(__k)` would pile every null-key
+  * row of the corpus onto the single NULL partition's task (a hot-task
+  * skew hazard at crawl scale, where missing keys are common).
   */
 object AsOf {
 
@@ -45,7 +49,8 @@ object AsOf {
       leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
     val leftRowType = StructType(left.schema.fields)
     val payloadType = StructType(payload.map(p => right.schema(p)).toArray)
-    val l = left.select(
+    val joinable = col(key).isNotNull && col(leftTs).isNotNull
+    val l = left.where(joinable).select(
       col(key).as("__k"), col(leftTs).as("__ts"), lit(1).as("__side"),
       struct(left.columns.toIndexedSeq.map(col): _*).as("__row"),
       lit(null).cast(payloadType).as("__p"))
@@ -58,10 +63,14 @@ object AsOf {
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
+    val matched = l.unionByName(r)
       .select(col("__side"), col("__row"),
         last(col("__p"), ignoreNulls = true).over(w).as("__p"))
       .filter(col("__side") === 1)
       .select(col("__row.*") +: payload.map(p => col("__p")(p).as(p)): _*)
+    val bypassed = left.where(!joinable)
+      .select(left.columns.toIndexedSeq.map(col) ++
+        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*)
+    matched.unionByName(bypassed)
   }
 }

@@ -144,17 +144,22 @@ object Curation {
       when(col("chars") === 0 || col(top)("best") === 0L, 0.0)
         .otherwise(col(top)("best").cast("double") *
           length(col(top)("bestg")).cast("double") / col("chars").cast("double"))
+    // floor-quantized to the 1e-6 grid, NOT round(): these are integer
+    // ratios, and round() at a .5-grid value depends on the engine's
+    // decimal-repr strategy where floor of an IEEE double is unambiguous
+    // (same discipline as sourceMix/mixRatePlan below).
+    def q6(c: Column): Column = floor(c * lit(1e6)) / lit(1e6)
     m.select(
       col("doc_id"),
       col("word_count"),
-      round(col("mwl"), 6).as("mean_word_len"),
-      round(col("dr"), 6).as("distinct_ratio"),
+      q6(col("mwl")).as("mean_word_len"),
+      q6(col("dr")).as("distinct_ratio"),
       col("stop_hits"),
-      round(col("dlf"), 6).as("dup_line_fraction"),
+      q6(col("dlf")).as("dup_line_fraction"),
       col("top2")("bestg").as("top_2gram"),
-      round(share("top2"), 6).as("top_2gram_share"),
-      round(share("top3"), 6).as("top_3gram_share"),
-      round(share("top4"), 6).as("top_4gram_share"),
+      q6(share("top2")).as("top_2gram_share"),
+      q6(share("top3")).as("top_3gram_share"),
+      q6(share("top4")).as("top_4gram_share"),
       (col("word_count").between(minWords, maxWords) &&
         col("mwl").between(minMeanLen, maxMeanLen) &&
         col("dr") >= minDistinctRatio &&
@@ -329,9 +334,17 @@ object Curation {
       .select(col("lang"), col("__rng"), col("__roff"))
     val wIn = W.partitionBy(col("lang"), col("__rng")).orderBy(col("doc_id"))
       .rowsBetween(W.unboundedPreceding, -1)
+    // Null-safe on lang: a NULL-lang doc forms its own group in totals
+    // and the windows (both treat NULL as a key), but a plain equi-join
+    // would never match it back to its offset row and the doc would
+    // silently vanish from the packing — and thus from the written
+    // shards. <=> keeps the row-loss impossible.
+    val off = offsets
+      .withColumnRenamed("lang", "__olang").withColumnRenamed("__rng", "__orng")
     base
       .withColumn("__wb", coalesce(sum(col("toks")).over(wIn), lit(0L)))
-      .join(broadcast(offsets), Seq("lang", "__rng"))
+      .join(broadcast(off),
+        col("lang") <=> col("__olang") && col("__rng") === col("__orng"))
       .select(col("doc_id"), col("lang"), col("toks"),
         floor((col("__wb") + col("__roff")) / budgetTokens).cast("long")
           .as("pack_id"))

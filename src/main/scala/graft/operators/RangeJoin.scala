@@ -28,11 +28,9 @@ object RangeJoin {
     * microseconds (`unix_micros`), so the window edges are engine-exact.
     *
     * Precondition: `left` rows are distinct (e.g. carry an event id) —
-    * the hit counts re-attach by joining on the full left row. The
-    * re-attach join is NULL-SAFE (`<=>`): SQL GROUP BY already treats
-    * nulls as equal, so a left row carrying a null in any column still
-    * matches its own aggregated hit row instead of silently reporting 0
-    * (a plain equality join would never match it).
+    * hit counts aggregate per left-row GROUP BY, which treats nulls as
+    * equal, so a left row carrying a null in any column still reports its
+    * own count (and duplicate left rows would merge into one output row).
     */
   def slidingCount(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, windowMicros: Long): DataFrame =
@@ -54,10 +52,16 @@ object RangeJoin {
     slidingAgg(left, right, key, leftTs, rightTs, windowMicros,
       Some(valueCol))
 
-  /** The shared bucket/replicate/join/re-attach core — the self-join
-    * disambiguation (fresh `__g_` attributes) and null-safe (`<=>`)
-    * re-attach invariants live in exactly one place; the sum variant
-    * only adds the value column and its aggregate.
+  /** The shared bucket/replicate/join core. ONE bucketed LEFT join, then
+    * a groupBy over the left columns with null-skipping aggregates:
+    * `count(r.col)` counts only matched right rows, so an empty-window
+    * left row survives the outer join as a single null-extended row and
+    * aggregates to hits = 0 — no second shuffle of `left` and no
+    * null-safe re-attach join (the previous shape inner-joined, grouped,
+    * and LEFT-joined the hit table back on every left column — a whole
+    * extra exchange of the left table, material when left carries wide
+    * payload columns). Null-key / null-ts left rows match nothing and
+    * report 0, identical to the re-attach semantics.
     */
   private def slidingAgg(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, windowMicros: Long,
@@ -73,29 +77,14 @@ object RangeJoin {
       col("__rk") +: col("__rtsu") +:
         (valueCol.map(_ => col("__rv")).toSeq :+
           explode(array(col("__rbkt0"), col("__rbkt0") + 1)).as("__bkt")): _*)
-    // Group keys re-aliased (fresh attributes): the hit table derives from
-    // `left`, so joining back on the raw columns would be self-join
-    // ambiguous ("trivially true" condition).
-    val aggs = count(lit(1)).as("hits") +:
-      valueCol.map(_ => sum(col("__rv")).as("win_sum")).toSeq
-    val hits = l
-      .join(r,
+    val aggs = count(r("__rk")).as("hits") +:
+      valueCol.map(_ => coalesce(sum(r("__rv")), lit(0.0)).as("win_sum")).toSeq
+    l.join(r,
         l(key) === r("__rk") && l("__bkt") === r("__bkt") &&
           r("__rtsu") >= l("__ltsu") - windowMicros &&
-          r("__rtsu") < l("__ltsu"))
-      .groupBy(left.columns.toIndexedSeq.map(c => l(c).as(s"__g_$c")): _*)
+          r("__rtsu") < l("__ltsu"),
+        "left")
+      .groupBy(left.columns.toIndexedSeq.map(c => l(c).as(c)): _*)
       .agg(aggs.head, aggs.tail: _*)
-    // Left rows with an empty window drop out of the inner join — union
-    // them back with hits = 0 via an anti-join-free left join on the
-    // original columns (cheap: the hit table is one row per matched left
-    // row, already aggregated). Null-safe equality per column so nulls
-    // re-attach; grouping already merged them, matching <=> semantics.
-    val cond = left.columns.toIndexedSeq
-      .map(c => left(c) <=> hits(s"__g_$c")).reduce(_ && _)
-    val out = coalesce(hits("hits"), lit(0L)).as("hits") +:
-      valueCol.map(_ =>
-        coalesce(hits("win_sum"), lit(0.0)).as("win_sum")).toSeq
-    left.join(hits, cond, "left")
-      .select(left.columns.toIndexedSeq.map(left(_)) ++ out: _*)
   }
 }

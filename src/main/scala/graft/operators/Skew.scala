@@ -33,9 +33,18 @@ object Skew {
     */
   def saltedCounts(df: DataFrame, key: Column, weight: Column,
       salt: Int = 16): DataFrame = {
-    val salted = df.select(key.as("key"), weight.as("w"),
-      pmod(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)),
-        lit(salt.toLong)).as("salt"))
+    // The salt mixes a partition-local row index into the content hash,
+    // same as saltedJoin: a hot key made of IDENTICAL rows (common after
+    // a projection) would content-hash to ONE salt and re-create the
+    // single stalled reducer this operator exists to prevent. The final
+    // per-key totals are salt-independent, and the index is idempotent
+    // under task retry (a retried task re-derives its partition's ids).
+    val salted = df
+      .withColumn("__rid", monotonically_increasing_id())
+      .select(key.as("key"), weight.as("w"),
+        pmod(xxhash64(struct(
+          df.columns.toIndexedSeq.map(col) :+ col("__rid"): _*)),
+          lit(salt.toLong)).as("salt"))
     salted.groupBy(col("key"), col("salt"))
       .agg(count(lit(1)).as("pc"), sum(col("w")).as("ps"))
       .groupBy(col("key"))
