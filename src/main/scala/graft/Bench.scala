@@ -44,6 +44,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Same timezone Verify pins: to_date/window/date_format queries on
+      // a non-UTC machine would otherwise bench a DIFFERENT computation
+      // than the one the oracle hash-checked.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); without this the plain
       // warm-up scan below throws PARQUET_TYPE_ILLEGAL (EventAdapter sets
@@ -134,8 +138,13 @@ object Bench {
         Option(new java.io.File(refDir).listFiles()).getOrElse(Array.empty)
           .filter(_.getName.endsWith(".parquet"))
           .foreach(f => spark.read.parquet(f.getPath).count())
+        // SAME pass structure as the primary (2 passes, min): the
+        // build-once-serve-many index queries pay their build only in
+        // pass 1, so a single ref pass would include the build the
+        // primary min excludes and the scale factor would compare
+        // serve-time to build+serve-time — systematically flattering.
         val ref = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-        for ((name, fn) <- ordered) {
+        for (_ <- 1 to passes; (name, fn) <- ordered) {
           val t0 = System.nanoTime()
           val ok =
             try {
@@ -145,7 +154,13 @@ object Bench {
               System.err.println(s"[bench] ref $name failed: ${e.getMessage}")
               false
             }
-          if (ok) ref.update(name, (System.nanoTime() - t0) / 1e9)
+          if (ok) {
+            val sec = (System.nanoTime() - t0) / 1e9
+            ref.updateWith(name) {
+              case Some(prev) => Some(math.min(prev, sec))
+              case None       => Some(sec)
+            }
+          }
         }
         val refQs = ref.map { case (k, v) => s"\"" + k + "\":" + v }
           .mkString("{", ",", "}")

@@ -45,7 +45,11 @@ object Probe {
         md5(concat(lit("a:"), col("shingle"))).as("ma"),
         md5(concat(lit("b:"), col("shingle"))).as("mb"))
         .groupBy(col("doc_id"))
-        .agg(min(substring(col("ma"), 1, 8)).as("h0"))
+        // Aggregate BOTH hash families — with only ma consumed, column
+        // pruning would eliminate the mb md5 and this stage would time
+        // half the hashing stage 2 does.
+        .agg(min(substring(col("ma"), 1, 8)).as("h0"),
+          min(substring(col("mb"), 1, 8)).as("h4"))
         .write.format("noop").mode("overwrite").save()
     }
     // stage 3: full pairs

@@ -45,11 +45,9 @@ object TrendingBoard {
     // (the reference demo uses minSpeed 5 against the live firehose).
     val cfg = TrendConfig(minSpeed = 0.0, maxInactivityMins = 1000000,
       maxLifespanMins = 1000000)
+    // as-of defaults to the collection's memoized max event ts — an
+    // explicit max(ts) scan here would run the identical job twice.
     val coll = TrendCollection(spark, events, cfg)
-    events.agg(max(col("ts"))).head().getTimestamp(0) match {
-      case null => ()
-      case ts   => coll.withAsOf(ts)
-    }
 
     val line = "###########################"
     def render(title: String, board: org.apache.spark.sql.DataFrame): Unit = {

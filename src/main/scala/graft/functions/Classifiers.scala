@@ -84,10 +84,16 @@ object Classifiers {
     coalesce(lengthNew, lit(0L)) - coalesce(lengthOld, lit(0L))
 
   /** Page id (reference getPage, index.js:436-449): `wiki + '/' + title`,
-    * bare title for `'enwiki'` (index.js:438-441).
+    * bare title for `'enwiki'` (index.js:438-441). The reference's
+    * `wiki ? wiki+'/'+title : title` is FALSY-based, so a null or empty
+    * wiki also falls back to the bare title — without that, a wire event
+    * missing the field would null-propagate through concat and every
+    * such event would merge into one id=NULL state bucket (and the
+    * wikiOf-normalized `''` would not round-trip through the id scheme).
     */
   def pageId(wiki: Column, title: Column): Column =
-    when(wiki === "enwiki", title).otherwise(concat(wiki, lit("/"), title))
+    when(wiki.isNull || wiki === "" || wiki === "enwiki", title)
+      .otherwise(concat(wiki, lit("/"), title))
 
   /** Driver-side twin of [[pageId]] — THE id scheme's single definition
     * for Scala call sites (point lookups, control ops, state bucketing);
@@ -95,7 +101,8 @@ object Classifiers {
     * driver paths.
     */
   def pageIdStr(wiki: String, title: String): String =
-    if (wiki == "enwiki") title else s"$wiki/$title"
+    if (wiki == null || wiki.isEmpty || wiki == "enwiki") title
+    else s"$wiki/$title"
 
   /** Normalized wiki column: `''` for enwiki (index.js:445 sets wiki only
     * on the non-enwiki path).

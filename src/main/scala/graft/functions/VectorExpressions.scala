@@ -37,13 +37,31 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def prettyName: String = "vec_dot"
 
+  /** NULL — never a partial sum — for malformed inputs: mismatched
+    * lengths or a null element. This is the `aggregate(zip_with(...))`
+    * route's semantics (zip_with pads the shorter side with null, the
+    * fold then nulls out), and it keeps corrupt/truncated embedding rows
+    * VISIBLE as null cosines instead of finite, plausible ones (DuckDB's
+    * list_dot_product errors on a length mismatch — a silent min-length
+    * truncation here would mask exactly the rows the oracle trips on).
+    */
+  override def nullable: Boolean = true
+
+  @transient private lazy val mayHaveNullElems: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, n) => n
+      case _ => true
+    })
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (mayHaveNullElems && (x.isNullAt(i) || y.isNullAt(i))) return null
       acc += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -55,13 +73,27 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      // The per-element null branch is emitted only when an input's type
+      // admits null elements — the fixed-width embedding hot path keeps
+      // the bare fused multiply-add loop.
+      val nullElemCheck =
+        if (mayHaveNullElems)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
+             |    ${ev.isNull} = true; break;
+             |  }""".stripMargin
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullElemCheck
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

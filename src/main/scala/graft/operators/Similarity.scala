@@ -298,9 +298,10 @@ object Similarity {
     * centroids, probes, cosine) — the registered query shares its oracle.
     */
   /** Fail fast on external query vectors whose width differs from the
-    * index's: the codegen'd dot product truncates to the SHORTER operand,
-    * so a mismatch would otherwise produce confidently wrong probes,
-    * LUTs and cosines with zero diagnostics.
+    * index's: the codegen'd dot product returns NULL on a length
+    * mismatch, so without this check every probe/LUT/cosine would
+    * silently null out and the search would return empty results with
+    * zero diagnostics.
     */
   private def requireQueryDims(queryVecs: DataFrame, expected: Int,
       what: String): Unit = {
