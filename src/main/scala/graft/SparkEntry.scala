@@ -926,6 +926,22 @@ object SparkEntry {
         k = 5, probes = 2, candidates = 50)
     }),
 
+    // Third tier of the PQ accuracy evidence: recall of the FULL IVF-PQ
+    // search (coarse pruning + ADC + rerank) vs brute force — compare
+    // with emb_pq_recall's recall_rerank at the same candidate budget to
+    // read off what cell pruning costs. Shares the memoized index build
+    // with emb_ivfpq_topk (same dir, same params).
+    "emb_ivfpq_recall" -> ((s, dir) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_" +
+        new java.io.File(dir).getName
+      val emb = t(s, dir, "embeddings")
+      if (builtIndexes.add(s"ivfpq:$out"))
+        Similarity.buildIvfPqIndex(emb, out, clusters = 8, iters = 2,
+          m = 4, codes = 8)
+      Similarity.ivfPqRecall(s, out, emb, k = 5, numQueries = 10,
+        probes = 2, candidates = 50)
+    }),
+
     // SemDeDup: k-means clusters bound the quadratic pair scan; within a
     // cluster, a vector with a lower-id cosine>=0.35 neighbor is dropped.
     "emb_semantic_dedup" -> ((s, dir) =>
@@ -1059,14 +1075,14 @@ object SparkEntry {
            FROM s)
          SELECT query_id, neighbor_id, adist_us, rank FROM r WHERE rank <= $k"""
 
-  // IVF-PQ search oracle: the PQ CTEs (chains, encodings, LUTs, ADC `s`)
-  // plus a coarse kmeans chain on the FULL vectors; candidates are the
-  // ADC-ranked rows whose coarse cell is among the query's probes; the
-  // top `cand` rerank by exact cosine. Mirrors Similarity.ivfPqTopK.
-  private def ivfPqTopKSql(clusters: Int, m: Int, sub: Int, codes: Int,
-      k: Int, probes: Int, cand: Int, nq: Int): String =
-    s"""WITH ${pqCtesSql(m, sub, codes, nq)},
-         vv AS (SELECT vec_id, fullv AS ev FROM vf),
+  // IVF-PQ CTE chain (assumes the PQ CTEs are in scope): a coarse kmeans
+  // chain on the FULL vectors; candidates are the ADC-ranked rows whose
+  // coarse cell is among the query's probes; the top `cand` rerank by
+  // exact cosine into `irrr(query_id, neighbor_id, cos, rank)`. Shared by
+  // the top-k and recall oracles so the search definition cannot drift.
+  private def ivfPqCtesSql(clusters: Int, probes: Int, cand: Int,
+      nq: Int): String =
+    s"""vv AS (SELECT vec_id, fullv AS ev FROM vf),
          ${kmeansChainSql(clusters, "g_", "vv")},
          ka AS (
            SELECT vec_id, cluster FROM (
@@ -1105,9 +1121,50 @@ object SparkEntry {
          irrr AS (
            SELECT *, CAST(row_number() OVER (PARTITION BY query_id
              ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
-           FROM irr)
+           FROM irr)"""
+
+  // Mirrors Similarity.ivfPqTopK.
+  private def ivfPqTopKSql(clusters: Int, m: Int, sub: Int, codes: Int,
+      k: Int, probes: Int, cand: Int, nq: Int): String =
+    s"""WITH ${pqCtesSql(m, sub, codes, nq)},
+         ${ivfPqCtesSql(clusters, probes, cand, nq)}
          SELECT query_id, neighbor_id, cos, rank FROM irrr
          WHERE rank <= $k"""
+
+  // Recall of the full IVF-PQ search vs the exact brute-force top-k —
+  // what coarse-cell pruning costs on top of the PQ tiers (compare with
+  // pqRecallSql's recall_rerank at the same candidate budget). Mirrors
+  // Similarity.ivfPqRecall.
+  private def ivfPqRecallSql(clusters: Int, m: Int, sub: Int, codes: Int,
+      k: Int, probes: Int, cand: Int, nq: Int): String =
+    s"""WITH ${pqCtesSql(m, sub, codes, nq)},
+         ${ivfPqCtesSql(clusters, probes, cand, nq)},
+         ivfr AS (
+           SELECT query_id, neighbor_id FROM irrr WHERE rank <= $k),
+         bs AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.fullv, c.fullv)
+               / (sqrt(list_dot_product(q.fullv, q.fullv))
+                  * sqrt(list_dot_product(c.fullv, c.fullv))), 6) AS cos
+           FROM vf q, vf c
+           WHERE q.vec_id < $nq AND q.vec_id <> c.vec_id),
+         bfr AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS rk
+             FROM bs) WHERE rk <= $k),
+         bfn AS (SELECT query_id, CAST(count(*) AS BIGINT) AS bf_n
+                 FROM bfr GROUP BY 1),
+         h AS (
+           SELECT b.query_id, CAST(count(*) AS BIGINT) AS hits_ivfpq
+           FROM bfr b JOIN ivfr p
+             ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+           GROUP BY 1)
+         SELECT bfn.query_id,
+           coalesce(h.hits_ivfpq, CAST(0 AS BIGINT)) AS hits_ivfpq,
+           round(CAST(coalesce(h.hits_ivfpq, CAST(0 AS BIGINT)) AS DOUBLE)
+             / CAST(bfn.bf_n AS DOUBLE), 6) AS recall_ivfpq
+         FROM bfn LEFT JOIN h ON bfn.query_id = h.query_id"""
 
   // Quality-bar target CTEs for the DSIR oracle: t(doc_id, text, toks,
   // praw) + qual(doc_id, in_target) — mirrors Selection.qualityTarget
@@ -2904,6 +2961,8 @@ object SparkEntry {
     "emb_pq_topk" -> pqTopKSql(m = 4, sub = 16, codes = 8, k = 5, nq = 10),
     "emb_pq_recall" ->
       pqRecallSql(m = 4, sub = 16, codes = 8, k = 5, nq = 10, cand = 50),
+    "emb_ivfpq_recall" -> ivfPqRecallSql(clusters = 8, m = 4, sub = 16,
+      codes = 8, k = 5, probes = 2, cand = 50, nq = 10),
     "emb_ivfpq_topk" -> ivfPqTopKSql(clusters = 8, m = 4, sub = 16,
       codes = 8, k = 5, probes = 2, cand = 50, nq = 10),
 

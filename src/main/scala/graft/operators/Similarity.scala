@@ -455,6 +455,40 @@ object Similarity {
         col("qn"), col("nrm"))), k)
   }
 
+  /** Recall of the full persisted IVF-PQ search ([[ivfPqTopK]]) vs the
+    * exact brute-force top-k — the third tier of the PQ accuracy
+    * evidence: [[pqRecall]] measures what ADC coding and the bounded
+    * exact rerank cost; this measures what COARSE-CELL PRUNING costs on
+    * top (the probed cells bound which rows the search can see at all).
+    * Output: (query_id, hits_ivfpq, recall_ivfpq), denominated on what
+    * brute force actually returned, like every recall report here.
+    *
+    * Audit-scale: the brute-force side scores numQueries × corpus
+    * (guarded like [[pqRecall]]); the IVF-PQ side reads only the probed
+    * cells of the prebuilt index at `dir`.
+    */
+  def ivfPqRecall(spark: org.apache.spark.sql.SparkSession, dir: String,
+      emb: DataFrame, k: Int = 5, numQueries: Int = 10, probes: Int = 2,
+      candidates: Int = 50): DataFrame = {
+    require(numQueries <= 1000,
+      s"ivfPqRecall scores numQueries x corpus rows; numQueries=" +
+        s"$numQueries exceeds the 1000-query audit bound")
+    val got = ivfPqTopK(spark, dir, emb.filter(col("vec_id") < numQueries),
+        k, probes, candidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val bf = bruteForceTopK(emb, k, numQueries)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(eager = true) // numQueries × k rows, feeds 2 branches
+    val bfn = bf.groupBy(col("query_id")).agg(count(lit(1)).as("bf_n"))
+    val h = bf.join(got, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits_ivfpq"))
+    bfn.join(h, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits_ivfpq"), lit(0L)).as("hits_ivfpq"),
+        round(coalesce(col("hits_ivfpq"), lit(0L)).cast("double") /
+          col("bf_n").cast("double"), 6).as("recall_ivfpq"))
+  }
+
   /** Recall@k report: single-probe, ring-1 and ring-2 multi-probe sign-LSH
     * IVF plus the LEARNED-centroid IVF ([[ivfKmeansTopK]], `probes` nearest
     * of `clusters` k-means cells), all measured against the exact

@@ -1644,6 +1644,16 @@ class PipelineOperatorsSpec extends SparkSpec {
       Similarity.ivfPqTopK(spark, dir, narrow.filter(col("vec_id") < 2))
     }
     assert(e.getMessage.contains("dims"))
+    // Recall tier on the same index: with exhaustive probes + unbounded
+    // candidates the search IS brute force, so recall_ivfpq must be
+    // exactly 1.0 for every query (full-denominator hits).
+    val rec = Similarity.ivfPqRecall(spark, dir, emb, k = 5,
+      numQueries = 5, probes = 4, candidates = 100000).collect()
+    assert(rec.length == 5)
+    rec.foreach { r =>
+      assert(r.getAs[Double]("recall_ivfpq") == 1.0, r.toString)
+      assert(r.getAs[Long]("hits_ivfpq") == 5L, r.toString)
+    }
   }
 
   // ---- selection (DSIR / caps / epoch shuffle) -------------------------
