@@ -33,6 +33,20 @@ object SparkEntry {
   private val builtIndexes =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Temp dir for a persisted index built from `dir`'s data: the CANONICAL
+    * source path is hashed into the name — a basename-only key would let
+    * two different source dirs named alike (…/a/sf0.01 and …/b/sf0.01)
+    * collide in one JVM and silently serve the first corpus's index.
+    */
+  private def indexDir(prefix: String, dir: String): String = {
+    val canon = new java.io.File(dir).getCanonicalPath
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    s"${sys.props("java.io.tmpdir")}/${prefix}_" +
+      s"${new java.io.File(dir).getName}_$h"
+  }
+
   /** Global as-of instant for trend metrics: max event ts (deterministic —
     * the reference uses wall clock, SURVEY §7.4 item 3 pins it to a param).
     */
@@ -262,12 +276,15 @@ object SparkEntry {
     // A7 eviction policy as a batch filter, with thresholds scaled to the
     // events table's 30-day span (default wiki thresholds would evict all).
     "trend_survivors" -> ((s, dir) => {
-      // minSpeed sits near the median per-page EDITS-ONLY rate (~0.0047
-      // epm over the 30-day span; the cleaner's no-arg editsPerMinute()
-      // counts edits only) so the filter genuinely splits the population
-      // (20/38 pages at sf0.01, 218/375 at sf0.1).
-      val cfg = TrendConfig(maxLifespanMins = 100000,
-        maxInactivityMins = 2880, minSpeed = 0.0045, minPurgeTimeMins = 5)
+      // EVERY policy arm fires at the verification scale — a threshold no
+      // page crosses verifies nothing about its comparison. At sf0.01
+      // (38 pages): grace age<=42950 keeps 7, lifespan age>43170 drops
+      // 11, idle>250 drops 7, speed<0.0045 (the median edits-only rate;
+      // no-arg editsPerMinute()) drops 18 → 15 survivors; all arms also
+      // fire at sf0.1 (179/375 survive).
+      val cfg = TrendConfig(maxLifespanMins = 43170,
+        maxInactivityMins = 250, minSpeed = 0.0045,
+        minPurgeTimeMins = 42950)
       val ev = EventAdapter.readEvents(s, dir)
       val pages = PageAggregates.pageAggregates(
         EventAdapter.asRecentChanges(ev), cfg)
@@ -858,8 +875,7 @@ object SparkEntry {
     // invocation pays it); repeated invocations — bench passes — measure
     // the SERVING path, which is the number that matters for an index.
     "emb_ivf_index_topk" -> ((s, dir) => {
-      val out = s"${sys.props("java.io.tmpdir")}/graft_ivf_" +
-        new java.io.File(dir).getName
+      val out = indexDir("graft_ivf", dir)
       if (builtIndexes.add(s"ivf:$out"))
         Similarity.buildIvfIndex(t(s, dir, "embeddings"), out,
           clusters = 16, iters = 2)
@@ -916,8 +932,7 @@ object SparkEntry {
     // Build-once-serve-many (see emb_ivf_index_topk): first invocation
     // per JVM per source dir builds, repeats measure serving.
     "emb_ivfpq_topk" -> ((s, dir) => {
-      val out = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_" +
-        new java.io.File(dir).getName
+      val out = indexDir("graft_ivfpq", dir)
       val emb = t(s, dir, "embeddings")
       if (builtIndexes.add(s"ivfpq:$out"))
         Similarity.buildIvfPqIndex(emb, out, clusters = 8, iters = 2,
@@ -932,8 +947,7 @@ object SparkEntry {
     // read off what cell pruning costs. Shares the memoized index build
     // with emb_ivfpq_topk (same dir, same params).
     "emb_ivfpq_recall" -> ((s, dir) => {
-      val out = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_" +
-        new java.io.File(dir).getName
+      val out = indexDir("graft_ivfpq", dir)
       val emb = t(s, dir, "embeddings")
       if (builtIndexes.add(s"ivfpq:$out"))
         Similarity.buildIvfPqIndex(emb, out, clusters = 8, iters = 2,
@@ -964,6 +978,22 @@ object SparkEntry {
     "emb_kmeans_iter" -> ((s, dir) =>
       Similarity.kmeansIterate(t(s, dir, "embeddings"), k = 8, iters = 2))
   )
+
+  // Sign-LSH bucket CTEs (v -> e -> ps), ONE definition for every
+  // sign-LSH oracle: plane projections are ORDER-FREE integer sums of
+  // floor(x*1e6) addends -- a raw SUM(x) over doubles hangs the bucket's
+  // sign bit on the engine's aggregation order whenever a projection
+  // lands within ULPs of 0 (Similarity.lshBucket folds the SAME
+  // quantized addends in index order; integer addition commutes, so both
+  // engines agree regardless of order).
+  private val lshCtesSql: String =
+    """v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         e AS (
+           SELECT vec_id, u.i AS i, ev[u.i] AS x
+           FROM v, unnest(generate_series(1, len(ev))) AS u(i)),
+         ps AS (SELECT vec_id, (i - 1) % 8 AS plane,
+           SUM(CAST(floor(x * 1000000.0) AS BIGINT)) AS s
+           FROM e GROUP BY 1, 2)"""
 
   // Probe-cell lists for the multi-probe IVF oracles (ring 1 = one bit
   // flipped, ring 2 = two bits), generated so the SQL stays in lockstep
@@ -1324,12 +1354,14 @@ object SparkEntry {
     // distribution/bias/contributor oracles discriminative);
     // revert ⟺ event_type='error'; bot ⟺ user_id%11=0;
     // anon ⟺ user_id%5=0; notability ⟺ 'view'; volatility ⟺ 'click';
-    // delta = floor(value*100); isNew ⟺ any 'signup'.
+    // delta = floor(value*100); isNew ⟺ any 'signup' by a user_id%13=0
+    // user (the mod keeps the per-page flag genuinely split — plain
+    // signup fires on every page and the column would verify a constant).
     "trend_page_stats" ->
       """SELECT CAST(user_id // 4 AS VARCHAR) AS id,
          CAST(SUM(CASE WHEN event_type <> 'error' AND user_id % 11 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS edits,
          CAST(SUM(CASE WHEN event_type <> 'error' AND user_id % 11 <> 0 AND user_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS anon_edits,
-         BOOL_OR(event_type = 'signup') AS is_new,
+         BOOL_OR(event_type = 'signup' AND user_id % 13 = 0) AS is_new,
          CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS notability_flags,
          CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS volatile_flags,
          CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS reverts,
@@ -1392,9 +1424,13 @@ object SparkEntry {
       """SELECT c_custkey, c_mktsegment FROM customer
          WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')""",
 
+    // NOT EXISTS, not NOT IN: a NULL o_custkey would make NOT IN return
+    // UNKNOWN for every customer (0 rows) while Spark's left_anti keeps
+    // them — the classic null-semantics drift, pre-empted.
     "q8_antijoin" ->
-      """SELECT c_custkey, c_mktsegment FROM customer
-         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')""",
+      """SELECT c_custkey, c_mktsegment FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')""",
 
     "q9_scalar_funcs" ->
       """SELECT o_orderkey,
@@ -1470,7 +1506,8 @@ object SparkEntry {
                   ELSE CAST(cnt AS DOUBLE) / age END AS speed
            FROM m)
          SELECT id, edits, reverts, anon_edits FROM s
-         WHERE age <= 5 OR (age <= 100000 AND speed >= 0.0045 AND idle <= 2880)""",
+         WHERE age <= 42950
+            OR (age <= 43170 AND speed >= 0.0045 AND idle <= 250)""",
 
     "q11_star_join" ->
       """SELECT r.r_name AS region,
@@ -2485,8 +2522,9 @@ object SparkEntry {
            FROM f GROUP BY cohort_day)
          SELECT strftime(cells.cohort_day, '%Y-%m-%d') AS cohort_day,
            cells.offset_days, cells.active_users, cs.cohort_users,
-           round(CAST(cells.active_users AS DOUBLE)
-                 / CAST(cs.cohort_users AS DOUBLE), 6) AS retention
+           floor(CAST(cells.active_users AS DOUBLE)
+                 / CAST(cs.cohort_users AS DOUBLE) * 1000000.0)
+             / 1000000.0 AS retention
          FROM cells JOIN cs ON cells.cohort_day = cs.cohort_day""",
 
     "events_funnel" ->
@@ -2899,11 +2937,7 @@ object SparkEntry {
          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""",
 
     "emb_ivf_topk" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-         e AS (
-           SELECT vec_id, u.i AS i, ev[u.i] AS x
-           FROM v, unnest(generate_series(1, len(ev))) AS u(i)),
-         ps AS (SELECT vec_id, (i - 1) % 8 AS plane, SUM(x) AS s FROM e GROUP BY 1, 2),
+      s"""WITH $lshCtesSql,
          b AS (
            SELECT vec_id,
              SUM(CASE WHEN s > 0 THEN CAST(pow(2, plane) AS BIGINT) ELSE 0 END) AS bucket
@@ -2923,11 +2957,7 @@ object SparkEntry {
          SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5""",
 
     "emb_ivf_multi_topk" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-         e AS (
-           SELECT vec_id, u.i AS i, ev[u.i] AS x
-           FROM v, unnest(generate_series(1, len(ev))) AS u(i)),
-         ps AS (SELECT vec_id, (i - 1) % 8 AS plane, SUM(x) AS s FROM e GROUP BY 1, 2),
+      s"""WITH $lshCtesSql,
          b AS (
            SELECT vec_id,
              CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, plane) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
@@ -2967,11 +2997,7 @@ object SparkEntry {
       codes = 8, k = 5, probes = 2, cand = 50, nq = 10),
 
     "emb_ivf_recall" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-         e AS (
-           SELECT vec_id, u.i AS i, ev[u.i] AS x
-           FROM v, unnest(generate_series(1, len(ev))) AS u(i)),
-         ps AS (SELECT vec_id, (i - 1) % 8 AS plane, SUM(x) AS s FROM e GROUP BY 1, 2),
+      s"""WITH $lshCtesSql,
          b AS (
            SELECT vec_id,
              CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, plane) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
@@ -3168,8 +3194,9 @@ object SparkEntry {
            FROM counts GROUP BY cluster)
          SELECT top.cluster, top.majority_label, top.majority_cnt,
            tot.cluster_size,
-           round(CAST(top.majority_cnt AS DOUBLE)
-                 / CAST(tot.cluster_size AS DOUBLE), 6) AS purity
+           floor(CAST(top.majority_cnt AS DOUBLE)
+                 / CAST(tot.cluster_size AS DOUBLE) * 1000000.0)
+             / 1000000.0 AS purity
          FROM top JOIN tot ON top.cluster = tot.cluster""",
 
     // Assignment CTEs mirror emb_kmeans_assign (k=16); the dedup rule is
@@ -3244,21 +3271,13 @@ object SparkEntry {
          SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5""",
 
     "emb_lsh_buckets" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-         e AS (
-           SELECT vec_id, u.i AS i, ev[u.i] AS x
-           FROM v, unnest(generate_series(1, len(ev))) AS u(i)),
-         ps AS (SELECT vec_id, (i - 1) % 8 AS plane, SUM(x) AS s FROM e GROUP BY 1, 2)
+      s"""WITH $lshCtesSql
          SELECT vec_id,
            CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, plane) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
          FROM ps GROUP BY 1""",
 
     "emb_lsh_near_dup" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-         e AS (
-           SELECT vec_id, u.i AS i, ev[u.i] AS x
-           FROM v, unnest(generate_series(1, len(ev))) AS u(i)),
-         ps AS (SELECT vec_id, (i - 1) % 8 AS plane, SUM(x) AS s FROM e GROUP BY 1, 2),
+      s"""WITH $lshCtesSql,
          b AS (
            SELECT vec_id,
              SUM(CASE WHEN s > 0 THEN CAST(pow(2, plane) AS BIGINT) ELSE 0 END) AS bucket

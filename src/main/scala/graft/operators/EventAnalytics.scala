@@ -124,7 +124,11 @@ object EventAnalytics {
       // comparer), and the string is unambiguous.
       .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
         col("offset_days"), col("active_users"), col("cohort_users"),
-        round(col("active_users").cast("double") /
-          col("cohort_users").cast("double"), 6).as("retention"))
+        // floor-quantized, NOT round(): integer-ratio doubles can sit a
+        // ULP below a decimal .5 midpoint, where Spark's shortest-repr
+        // HALF_UP and DuckDB's float round diverge (measured: 41/640).
+        (floor(col("active_users").cast("double") /
+          col("cohort_users").cast("double") * lit(1e6)) / lit(1e6))
+          .as("retention"))
   }
 }

@@ -108,17 +108,22 @@ object Similarity {
   val Planes = 8
 
   def lshBucket(embDouble: Column, planes: Int = Planes): Column = {
-    // ONE fold carrying all `planes` partial sums (vs the previous
-    // `planes` independent zip_with+aggregate passes — 8× the array
-    // traffic on corpus-sized scans). Bit-identical: each plane still
-    // accumulates its own elements in index order, and the dropped
-    // `+ 0.0` contributions are exact no-ops in IEEE arithmetic.
+    // ONE fold carrying all `planes` partial sums (vs `planes`
+    // independent zip_with+aggregate passes — 8× the array traffic on
+    // corpus-sized scans). The addends are FIXED-POINT quantized
+    // (floor(x·1e6) as 64-bit integers): integer addition commutes, so
+    // the plane projection — and therefore the sign bit feeding the
+    // bucket id — is identical under ANY summation order; a raw double
+    // sum would hang the sign on the engine's aggregation order whenever
+    // a projection lands within ULPs of 0 (the oracle's SQL aggregates
+    // in whatever order DuckDB's parallel hash-agg produces).
     val sums = aggregate(
       zip_with(embDouble, sequence(lit(0), size(embDouble) - 1),
         (x, i) => struct(x.as("x"), i.as("i"))),
-      array_repeat(lit(0.0), planes),
+      array_repeat(lit(0L), planes),
       (acc, e) => transform(acc,
-        (s, j) => when(e("i") % planes === j, s + e("x")).otherwise(s)))
+        (s, j) => when(e("i") % planes === j,
+          s + floor(e("x") * lit(1e6)).cast("long")).otherwise(s)))
     (0 until planes).map { j =>
       when(element_at(sums, j + 1) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
@@ -890,8 +895,12 @@ object Similarity {
     top.join(totals, Seq("cluster"))
       .select(col("cluster"), col("majority_label"), col("majority_cnt"),
         col("cluster_size"),
-        round(col("majority_cnt").cast("double") /
-          col("cluster_size").cast("double"), 6).as("purity"))
+        // floor-quantized, NOT round(): cluster_size is data-dependent,
+        // so the ratio can land a ULP below a decimal .5 midpoint where
+        // the engines' round() strategies diverge.
+        (floor(col("majority_cnt").cast("double") /
+          col("cluster_size").cast("double") * lit(1e6)) / lit(1e6))
+          .as("purity"))
   }
 
   /** Product-quantization (PQ) ADC scoring — the FAISS-style search (Jégou

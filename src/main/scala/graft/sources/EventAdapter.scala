@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
   *                   signup   → 'new page created'
   *                   purchase → 'added new content'
   *                   click    → 'nominated for deletion' (volatility)
-  *   - rcType   := 'new' for signup else 'edit'
+  *   - rcType   := 'new' for signup events of users with user_id % 13 = 0,
+  *                 else 'edit' — the mod keeps per-page BOOL_OR(isNew)
+  *                 genuinely split (12/38 pages at sf0.01); signup alone
+  *                 fires on every page, which would verify a constant
   *   - delta    := floor(value * 100) (bytes changed)
   */
 object EventAdapter {
@@ -64,7 +67,8 @@ object EventAdapter {
           concat(col("user_id").cast("string"), lit(".0.0.1")))
         .otherwise(concat(lit("u"), col("user_id").cast("string"))).as("user"),
       (col("user_id") % 11 === 0).as("bot"),
-      when(col("event_type") === "signup", "new").otherwise("edit").as("rcType"),
+      when(col("event_type") === "signup" && col("user_id") % 13 === 0, "new")
+        .otherwise("edit").as("rcType"),
       lit(0L).as("lengthOld"),
       floor(col("value") * 100).cast("long").as("lengthNew"),
       lit("enwiki").as("wiki"),

@@ -1561,7 +1561,7 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(c0.getAs[Long]("majority_label") == 7L)
     assert(c0.getAs[Long]("majority_cnt") == 2L)
     assert(c0.getAs[Long]("cluster_size") == 3L)
-    assert(c0.getAs[Double]("purity") == 0.666667)
+    assert(c0.getAs[Double]("purity") == 0.666666) // floor(2/3 * 1e6)/1e6
     val c1 = r(1L) // members 1(l=3), 4(l=3)
     assert(c1.getAs[Long]("majority_label") == 3L)
     assert(c1.getAs[Double]("purity") == 1.0)
