@@ -568,8 +568,23 @@ object SparkEntry {
 
     // PII redaction: email/phone/IPv4 scrub with stage-wise counts and the
     // cleaned text's hash (RE2 ∩ Java regex subset — oracle-replayable).
-    "doc_pii_scrub" -> ((s, dir) =>
-      Curation.piiScrub(t(s, dir, "documents"))),
+    // The raw corpus contains no PII-shaped strings, which made every
+    // count column a verified constant 0 — deterministic PII is PLANTED
+    // on every 7th doc (varying with doc_id) so the oracle genuinely
+    // exercises all three regex stages cross-engine; the operator itself
+    // is untouched.
+    "doc_pii_scrub" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"),
+            lit(" reach u"), col("doc_id").cast("string"),
+            lit("@mail.example.com call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-0199 from 10.0."),
+            (col("doc_id") % 256).cast("string"), lit(".7")))
+          .otherwise(col("text")))
+      Curation.piiScrub(planted)
+    }),
 
     // End-to-end curation audit: every gate (quality, exact-dup canonical,
     // near-dup cluster rep, decontamination, sampling coin) evaluated per
@@ -2428,7 +2443,15 @@ object SparkEntry {
          JOIN dd USING (doc_id) JOIN ssmp USING (doc_id)""",
 
     "doc_pii_scrub" ->
-      """WITH s1 AS (
+      """WITH pd AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+               THEN text || ' reach u' || doc_id || '@mail.example.com call 555-'
+                 || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199 from 10.0.'
+                 || CAST(doc_id % 256 AS VARCHAR) || '.7'
+               ELSE text END AS text
+           FROM documents),
+         s1 AS (
            SELECT doc_id, text,
              CAST(len(regexp_extract_all(text,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
@@ -2436,7 +2459,7 @@ object SparkEntry {
              regexp_replace(text,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
                '<EMAIL>', 'g') AS t1
-           FROM documents),
+           FROM pd),
          s2 AS (
            SELECT doc_id, text, n_emails,
              CAST(len(regexp_extract_all(t1,
