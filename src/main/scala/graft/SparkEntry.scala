@@ -331,9 +331,19 @@ object SparkEntry {
     // ---- training-data pipeline: documents ----------------------------
 
     // Exact dedup: group on md5(text) — the shuffle carries a 32-char
-    // hash, never the document body.
-    "doc_exact_dedup" -> ((s, dir) =>
-      Dedup.exactGroups(t(s, dir, "documents"))),
+    // hash, never the document body. The raw sf0.01 corpus has ZERO
+    // exact-duplicate texts, which made dup_count a verified constant 1 —
+    // deterministic duplicates are PLANTED (every 11th doc collapses onto
+    // one of 4 canonical texts) so keep_id/dup_count genuinely
+    // discriminate; the operator itself is untouched (same pattern as
+    // doc_pii_scrub).
+    "doc_exact_dedup" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 11 === 0,
+          concat(lit("planted dup block "), (col("doc_id") % 4).cast("string")))
+          .otherwise(col("text")))
+      Dedup.exactGroups(planted)
+    }),
 
     // md5 fingerprint of normalized text (portable across engines).
     "doc_fingerprint" -> ((s, dir) =>
@@ -350,9 +360,25 @@ object SparkEntry {
     "doc_quality" -> ((s, dir) =>
       TextAnalysis.quality(t(s, dir, "documents"))),
 
-    // Stopword-evidence language ID with per-language hit counts.
+    // Stopword-evidence language ID with per-language hit counts. The raw
+    // corpus is English-only, so the es/fr/de branches never fired at
+    // sf0.01 (pred_lang verified only en/und) — stopword-laden texts are
+    // PLANTED on doc_id % 13 ∈ {1,2,3} (length varying with parity) so
+    // every language branch and the cross-language tie-break genuinely
+    // discriminate; the operator itself is untouched.
     "doc_langid" -> ((s, dir) => {
-      val base = TextAnalysis.languages(t(s, dir, "documents"))
+      val docs = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 13 === 1,
+          concat(lit("el la de que y los en"),
+            when(col("doc_id") % 2 === 0, lit(" que y")).otherwise(lit(""))))
+        .when(col("doc_id") % 13 === 2,
+          concat(lit("le la de et un les des"),
+            when(col("doc_id") % 2 === 0, lit(" et un")).otherwise(lit(""))))
+        .when(col("doc_id") % 13 === 3,
+          concat(lit("der die und das ein nicht ist"),
+            when(col("doc_id") % 2 === 0, lit(" und das")).otherwise(lit(""))))
+        .otherwise(col("text")))
+      val base = TextAnalysis.languages(docs)
       base.select(col("doc_id") +: col("pred_lang") +:
         TextAnalysis.langStopwords.map { case (l, _) =>
           col(s"hits_$l").cast("long").as(s"hits_$l") }: _*)
@@ -1558,9 +1584,15 @@ object SparkEntry {
          FROM g GROUP BY user_id, grp""",
 
     "doc_exact_dedup" ->
-      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
+      """WITH pd AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0
+               THEN 'planted dup block ' || CAST(doc_id % 4 AS VARCHAR)
+               ELSE text END AS text
+           FROM documents)
+         SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
          CAST(COUNT(*) AS BIGINT) AS dup_count
-         FROM documents GROUP BY 1""",
+         FROM pd GROUP BY 1""",
 
     "doc_fingerprint" ->
       """SELECT doc_id,
@@ -2781,11 +2813,21 @@ object SparkEntry {
          FROM m""",
 
     "doc_langid" ->
-      """WITH t AS (
+      """WITH pd AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 13 = 1 THEN 'el la de que y los en'
+                    || CASE WHEN doc_id % 2 = 0 THEN ' que y' ELSE '' END
+                  WHEN doc_id % 13 = 2 THEN 'le la de et un les des'
+                    || CASE WHEN doc_id % 2 = 0 THEN ' et un' ELSE '' END
+                  WHEN doc_id % 13 = 3 THEN 'der die und das ein nicht ist'
+                    || CASE WHEN doc_id % 2 = 0 THEN ' und das' ELSE '' END
+                  ELSE text END AS text
+           FROM documents),
+         t AS (
            SELECT doc_id,
              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
                   ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS toks
-           FROM documents),
+           FROM pd),
          h AS (
            SELECT doc_id,
              len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is'))) AS hits_en,
