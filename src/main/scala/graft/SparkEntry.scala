@@ -99,6 +99,41 @@ object SparkEntry {
     "emb_near_dup_exact", "doc_simhash_pairs",
     "doc_ngram_containment", "doc_ngram_jaccard")
 
+  // ---------------------------------------------------------------------
+  // Planted inputs for data-driven weakly-discriminative oracles (the
+  // doc_pii_scrub pattern): the synthetic corpus makes some metrics
+  // constant at the verification scale (no duplicate texts, no
+  // punctuation, no corpus-hapax tokens, ...), which turns a green hash
+  // into a tautology. Each constant below is interpolated into BOTH the
+  // Spark query and its oracle SQL, so the planting can never drift
+  // between the two sides. Operators themselves are untouched.
+  // ---------------------------------------------------------------------
+
+  /** 10-token chunk repeated in the gopher dup-chunk planting. */
+  private val gopherPlantChunk = (1 to 10).map(i => s"r$i").mkString(" ")
+  /** 5-token tail: one final partial (hence distinct) chunk. */
+  private val gopherPlantTail = "t1 t2 t3 t4 t5"
+
+  /** Containment plant: 12 tokens → 10 trigrams (the min set). */
+  private val containPlantShort =
+    "ca cb cc cd ce cf cg ch ci cj ck cl"
+  /** 20 tokens sharing the short doc's first 7 trigrams → inter/min = 0.7,
+    * above the 0.6 threshold but away from the previously-constant 1.0. */
+  private val containPlantLong =
+    "ca cb cc cd ce cf cg ch ci za zb zc zd ze zf zg zh zi zj zk"
+
+  /** Two disjoint 25-token runs (all tokens unique to the pair) split by a
+    * differing middle token: the planted pair shares exactly TWO maximal
+    * >= 20-token spans on one diagonal, exercising the gaps-and-islands
+    * segmentation that every natural sf0.01 pair leaves untested. */
+  private val substrPlantRunA = (1 to 25).map(i => s"sa$i").mkString(" ")
+  private val substrPlantRunB = (1 to 25).map(i => s"sb$i").mkString(" ")
+  private def plantSubstrDocs(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(col("doc_id") === 46, lit(s"$substrPlantRunA mida $substrPlantRunB"))
+        .when(col("doc_id") === 47, lit(s"$substrPlantRunA midb $substrPlantRunB"))
+        .otherwise(col("text")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Q1-style scan+agg: conditional sums, avg, count (SURVEY §2.2 aggs).
@@ -357,8 +392,18 @@ object SparkEntry {
           col("chars").cast("long").as("chars"))),
 
     // Heuristic quality metrics (length / punctuation / stopword mix).
-    "doc_quality" -> ((s, dir) =>
-      TextAnalysis.quality(t(s, dir, "documents"))),
+    // The synthetic corpus is punctuation-free, so punct_ratio verified a
+    // constant 0.0 — punctuated suffixes are PLANTED on every 9th doc
+    // (parity-varying) so the ratio genuinely discriminates (vacuity-sweep
+    // finding; operator untouched).
+    "doc_quality" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 9 === 2,
+          concat(col("text"), lit(" well, done! ok?"),
+            when(col("doc_id") % 2 === 0, lit(" more; still.")).otherwise(lit(""))))
+          .otherwise(col("text")))
+      TextAnalysis.quality(planted)
+    }),
 
     // Stopword-evidence language ID with per-language hit counts. The raw
     // corpus is English-only, so the es/fr/de branches never fired at
@@ -401,8 +446,17 @@ object SparkEntry {
     // small doc embedded in a large one, which symmetric Jaccard
     // dilutes toward zero — a df cap would break exactly that signal,
     // so this baseline stays uncapped by design.
-    "doc_ngram_containment" -> ((s, dir) =>
-      Dedup.ngramContainmentPairs(t(s, dir, "documents"), threshold = 0.6)),
+    // Every naturally-qualifying pair at sf0.01 is a FULL embedding, so
+    // containment verified a constant 1.0 — a partial-overlap pair
+    // (7 shared trigrams / min-set 10 = 0.7) is PLANTED on docs 48/49 so
+    // the ratio genuinely discriminates (vacuity-sweep finding).
+    "doc_ngram_containment" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") === 48, lit(containPlantShort))
+          .when(col("doc_id") === 49, lit(containPlantLong))
+          .otherwise(col("text")))
+      Dedup.ngramContainmentPairs(planted, threshold = 0.6)
+    }),
 
     // Near-dup CLUSTERS: connected components over the MinHash pair graph
     // via iterative min-label propagation; every doc -> min doc_id of its
@@ -447,13 +501,36 @@ object SparkEntry {
 
     // Multimodal feature extraction: 4-bin byte histogram per sampled
     // frame (embedding-model stand-in; batch iterator contract).
-    "doc_media_features" -> ((s, dir) =>
-      Multimodal.frameFeatures(s,
-          Multimodal.withPayload(t(s, dir, "documents"))).toDF()),
+    // The lowercase+space corpus never hits bin 1 (0x40-0x5f), so f1
+    // verified a constant 0 — uppercase prefixes (parity-varying length)
+    // are PLANTED on every 10th doc so bin 1 genuinely discriminates.
+    // Bin 3 (bytes >= 0x80) stays allowlisted: unreachable from an ASCII
+    // payload by construction; covered by the binary-payload spec.
+    "doc_media_features" -> ((s, dir) => {
+      // doc_id % 10 == 6 is always even, so the length split keys on % 20
+      // (6 vs 16 mod 20) — a plain parity branch would be dead code.
+      val planted = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 10 === 6,
+          concat(when(col("doc_id") % 20 === 6, lit("THE QUICK BROWN "))
+            .otherwise(lit("WXYZ ")), col("text")))
+          .otherwise(col("text")))
+      Multimodal.frameFeatures(s, Multimodal.withPayload(planted)).toDF()
+    }),
 
     // Gopher-style rule filter: per-doc quality flags + keep verdict.
-    "doc_gopher_quality" -> ((s, dir) =>
-      Curation.gopherQuality(t(s, dir, "documents"))),
+    // No synthetic doc repeats a 10-token chunk, so dup_line_fraction
+    // verified a constant 0.0 — chunk-repeating texts are PLANTED on every
+    // 19th doc (2 or 3 repeats by parity → fractions 1/3 and 1/2) so the
+    // dup-chunk rule genuinely discriminates (vacuity-sweep finding).
+    "doc_gopher_quality" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 19 === 4,
+          when(col("doc_id") % 2 === 0,
+            lit(s"$gopherPlantChunk $gopherPlantChunk $gopherPlantChunk $gopherPlantTail"))
+          .otherwise(lit(s"$gopherPlantChunk $gopherPlantChunk $gopherPlantTail")))
+          .otherwise(col("text")))
+      Curation.gopherQuality(planted)
+    }),
 
     // Deterministic md5-coin stratified sampling (per-language rates).
     "doc_stratified_sample" -> ((s, dir) =>
@@ -550,8 +627,17 @@ object SparkEntry {
 
     // Corpus-frequency rarity profile (unigram-LM signal, log-free so the
     // oracle hash-matches): mean/min token frequency + hapax share.
-    "doc_token_rarity" -> ((s, dir) =>
-      TextAnalysis.tokenRarity(t(s, dir, "documents"))),
+    // The small synthetic vocabulary has no corpus-hapax tokens, so
+    // hapax_share verified a constant 0.0 — a doc_id-unique token is
+    // PLANTED on every 23rd doc so the hapax path genuinely discriminates
+    // (vacuity-sweep finding; operator untouched).
+    "doc_token_rarity" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 23 === 7,
+          concat(col("text"), lit(" zq"), col("doc_id").cast("string"), lit("x")))
+          .otherwise(col("text")))
+      TextAnalysis.tokenRarity(planted)
+    }),
 
     // Within-doc duplicate-3-gram character coverage (Gopher's dup-n-gram
     // family; n=3 — the width at which this corpus's within-doc repeats
@@ -579,8 +665,14 @@ object SparkEntry {
     // >= 20 tokens per doc pair, via minLen-gram anchors + per-diagonal
     // gaps-and-islands (suffix-array-equivalent for cross-doc repeats;
     // dupSpans is the winnowing-certified lower bound it validates).
+    // Every natural pair at sf0.01 shares exactly one maximal span, so
+    // n_spans verified a constant 1 — a two-island pair (two 25-token
+    // shared runs split by a differing middle token) is PLANTED on docs
+    // 46/47 so the island segmentation genuinely discriminates
+    // (vacuity-sweep finding; operator untouched).
     "doc_exact_substr" -> ((s, dir) =>
-      TextAnalysis.exactSubstrSpans(t(s, dir, "documents"), minLen = 20)),
+      TextAnalysis.exactSubstrSpans(plantSubstrDocs(t(s, dir, "documents")),
+        minLen = 20)),
 
     // The REMOVAL half (keep-one-occurrence): each doc loses the spans it
     // shares with a lower-id doc; cleaned corpus reported as counts +
@@ -617,7 +709,13 @@ object SparkEntry {
     // train doc + the conjunction verdict — the whole pipeline composed
     // and oracle-checked in one row per document.
     "doc_curation_report" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      // Exact-dup planting (the doc_exact_dedup pattern, same %11 mapping):
+      // without it the corpus has zero duplicate texts and the report's
+      // e_keep gate hash-verifies a constant true (vacuity-sweep finding).
+      val docs = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 11 === 0,
+          concat(lit("planted dup block "), (col("doc_id") % 4).cast("string")))
+          .otherwise(col("text")))
       val coin = substring(
         md5(concat(lit("eval:"), col("doc_id").cast("string"))), 1, 2)
       Curation.curationReport(docs.filter(coin >= "10"), docs.filter(coin < "10"))
@@ -1608,11 +1706,19 @@ object SparkEntry {
          FROM documents""",
 
     "doc_gopher_quality" ->
-      """WITH w AS (
+      raw"""WITH pd AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 19 = 4 THEN
+               CASE WHEN doc_id % 2 = 0
+                 THEN '$gopherPlantChunk $gopherPlantChunk $gopherPlantChunk $gopherPlantTail'
+                 ELSE '$gopherPlantChunk $gopherPlantChunk $gopherPlantTail' END
+               ELSE text END AS text
+           FROM documents),
+         w AS (
            SELECT doc_id, length(text) AS chars,
              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
                   ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS toks
-           FROM documents),
+           FROM pd),
          m AS (
            SELECT doc_id, chars,
              CAST(len(toks) AS BIGINT) AS word_count,
@@ -2070,9 +2176,15 @@ object SparkEntry {
          FROM f""",
 
     "doc_token_rarity" ->
-      """WITH toks AS (
+      """WITH pd AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 23 = 7
+               THEN text || ' zq' || CAST(doc_id AS VARCHAR) || 'x'
+               ELSE text END AS text
+           FROM documents),
+         toks AS (
            SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) AS token
-           FROM documents WHERE length(trim(text)) > 0),
+           FROM pd WHERE length(trim(text)) > 0),
          freq AS (SELECT token, count(*) AS freq FROM toks GROUP BY token),
          per AS (
            SELECT doc_id,
@@ -2159,10 +2271,16 @@ object SparkEntry {
     // (the ngram-jaccard precedent). Islands: pa − row_number() is
     // constant exactly on consecutive-anchor runs per (pair, diagonal).
     "doc_exact_substr" ->
-      """WITH toks AS (
+      raw"""WITH pd AS (
+           SELECT doc_id,
+             CASE WHEN doc_id = 46 THEN '$substrPlantRunA mida $substrPlantRunB'
+                  WHEN doc_id = 47 THEN '$substrPlantRunA midb $substrPlantRunB'
+                  ELSE text END AS text
+           FROM documents),
+         toks AS (
            SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
                 ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
-           FROM documents),
+           FROM pd),
          g AS (
            SELECT doc_id, u.i AS pos,
              md5(array_to_string(t[u.i:u.i+19], ' ')) AS gh
@@ -2302,7 +2420,11 @@ object SparkEntry {
     // swapped for the coin-split train base and CTE names prefixed.
     "doc_curation_report" ->
       """WITH RECURSIVE coin AS (
-           SELECT doc_id, text, lang,
+           SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0
+               THEN 'planted dup block ' || CAST(doc_id % 4 AS VARCHAR)
+               ELSE text END AS text,
+             lang,
              substr(md5('eval:' || CAST(doc_id AS VARCHAR)), 1, 2) AS c
            FROM documents),
          base AS (SELECT doc_id, text, lang FROM coin WHERE c >= '10'),
@@ -2786,14 +2908,21 @@ object SparkEntry {
          SELECT vec_id, cluster, round(d2, 6) AS dist2 FROM fin""",
 
     "doc_quality" ->
-      """WITH t AS (
+      """WITH pd AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 9 = 2
+               THEN text || ' well, done! ok?' ||
+                 CASE WHEN doc_id % 2 = 0 THEN ' more; still.' ELSE '' END
+               ELSE text END AS text
+           FROM documents),
+         t AS (
            SELECT doc_id, text,
              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
                   ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS toks,
              CASE WHEN length(text) = 0 THEN 0.0
                   ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
                        / length(text) END AS praw
-           FROM documents),
+           FROM pd),
          m AS (
            SELECT doc_id, praw,
              CASE WHEN len(toks) = 0 THEN 0.0
@@ -2919,11 +3048,17 @@ object SparkEntry {
          SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3""",
 
     "doc_ngram_containment" ->
-      """WITH toks AS (
+      raw"""WITH pd AS (
+           SELECT doc_id,
+             CASE WHEN doc_id = 48 THEN '$containPlantShort'
+                  WHEN doc_id = 49 THEN '$containPlantLong'
+                  ELSE text END AS text
+           FROM documents),
+         toks AS (
            SELECT doc_id,
              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
                   ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
-           FROM documents),
+           FROM pd),
          sh AS (
            SELECT doc_id, list_distinct(
              CASE WHEN len(t) >= 3
@@ -3167,7 +3302,8 @@ object SparkEntry {
          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
          CAST(64 + (octet_length(encode(text)) % 64) * 16 AS INTEGER) AS width,
          CAST(64 + ((octet_length(encode(text)) // 64) % 64) * 16 AS INTEGER) AS height,
-         CAST(3 AS INTEGER) AS channels,
+         CAST(CASE octet_length(encode(text)) % 3
+              WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INTEGER) AS channels,
          md5(text) AS checksum
          FROM documents""",
 
@@ -3196,8 +3332,15 @@ object SparkEntry {
          FROM s""",
 
     "doc_media_features" ->
-      """WITH d AS (
-           SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+      """WITH pd AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 10 = 6 THEN
+               CASE WHEN doc_id % 20 = 6 THEN 'THE QUICK BROWN ' || text
+                    ELSE 'WXYZ ' || text END
+               ELSE text END AS text
+           FROM documents),
+         d AS (
+           SELECT doc_id, text, octet_length(encode(text)) AS n FROM pd),
          f AS (
            SELECT doc_id, text,
              unnest(generate_series(0, n // 16 - 1)) AS i

@@ -1,0 +1,146 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import scala.util.control.NonFatal
+
+/** Oracle-discrimination audit over a [[Verify]] dump: flags every result
+  * column whose value never varies at the verification scale.
+  *
+  * Why this exists: a green hash proves nothing when the synthetic mapping
+  * makes the metric constant — `trend_bias` verified the literal 1.0 for
+  * five rounds because every page had one editor, and `doc_exact_dedup`
+  * verified `dup_count = 1` because sf0.01 has no duplicate texts. This
+  * sweep turns the manual column-cardinality audit that caught those into
+  * a repeatable gate: run `graft.Verify <sf> <dump>` then
+  * `runMain graft.VacuitySweep <dump>`; it fails loudly on any
+  * single-valued column not on the checked-in allowlist
+  * (`src/main/resources/vacuity-allowlist.txt`, one `query.column: reason`
+  * per line — every entry is a reviewed by-construction constant).
+  *
+  * Scope rules:
+  *   - rows == 0 → violation (an empty result verifies nothing) unless
+  *     `query.*` is allowlisted.
+  *   - rows == 1 → reported as info only: a single-row aggregate report is
+  *     not vacuous — its one value is still exact-compared; vacuity is a
+  *     COLUMN that cannot vary across a population.
+  *   - rows >= 2 with a column at <= 1 distinct non-null value → violation
+  *     unless `query.column` (or `query.*`) is allowlisted.
+  *
+  * Cardinality is computed as `count_distinct(to_json(struct(col)))` so
+  * arrays/maps/structs and all-NULL columns are handled uniformly (an
+  * all-NULL column folds to one distinct `{}` and is flagged).
+  */
+object VacuitySweep {
+  final case class ColCard(query: String, column: String, rows: Long,
+                           distinct: Long)
+
+  /** Parse allowlist lines of the form `query.column: reason` (the column
+    * part may be `*`); `#` starts a comment. The reason is mandatory —
+    * an allowlist entry without a written justification is how vacuous
+    * checks survive review.
+    */
+  private[graft] def parseAllowlist(lines: Seq[String]): Map[String, String] =
+    lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val i = l.indexOf(':')
+        require(i > 0, s"allowlist line missing ': reason' — $l")
+        val key = l.substring(0, i).trim
+        val reason = l.substring(i + 1).trim
+        require(key.contains('.'), s"allowlist key must be query.column — $l")
+        require(reason.nonEmpty, s"allowlist reason is empty — $l")
+        key -> reason
+      }.toMap
+
+  private[graft] def loadAllowlist(): Map[String, String] = {
+    val in = getClass.getResourceAsStream("/vacuity-allowlist.txt")
+    require(in != null, "vacuity-allowlist.txt missing from resources")
+    try parseAllowlist(
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq)
+    finally in.close()
+  }
+
+  /** One pass per query: rows + per-column distinct counts in a single
+    * aggregation (no per-column jobs). */
+  private[graft] def sweepQuery(spark: SparkSession, dir: java.io.File)
+      : Seq[ColCard] = {
+    val df = spark.read.parquet(dir.getAbsolutePath)
+    val cols = df.columns.toSeq
+    val aggs = count(lit(1)).as("__rows") +:
+      cols.map(c => count_distinct(to_json(struct(col(c)))).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val rows = row.getLong(0)
+    cols.zipWithIndex.map { case (c, i) =>
+      ColCard(dir.getName, c, rows, row.getLong(i + 1))
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: VacuitySweep <verifyDumpDir>")
+    val dumpDir = new java.io.File(args(0))
+    val queryDirs = Option(dumpDir.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && SparkEntry.queries.contains(d.getName))
+      .sortBy(_.getName).toSeq
+    require(queryDirs.nonEmpty, s"no query dumps under $dumpDir")
+    val allow = loadAllowlist()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val cards = queryDirs.flatMap { d =>
+      try sweepQuery(spark, d)
+      catch { case NonFatal(e) =>
+        // An unreadable dump is itself a violation-shaped event: surface
+        // it as a zero-row card so the gate below fails loudly.
+        System.err.println(s"[vacuity] ${d.getName} unreadable: ${e.getMessage}")
+        Seq(ColCard(d.getName, "*", 0L, 0L))
+      }
+    }
+    spark.stop()
+
+    def allowed(q: String, c: String): Option[String] =
+      allow.get(s"$q.$c").orElse(allow.get(s"$q.*"))
+
+    val byQuery = cards.groupBy(_.query)
+    val empty = byQuery.filter(_._2.head.rows == 0).keys.toSeq.sorted
+    val single = byQuery.filter(_._2.head.rows == 1).keys.toSeq.sorted
+    val constant = cards.filter(c => c.rows >= 2 && c.distinct <= 1)
+
+    single.foreach(q => println(s"[vacuity] info: $q is a 1-row report " +
+      "(values exact-compared; column variance not applicable)"))
+    val waived = (constant.map(c => (s"${c.query}.${c.column}",
+        allowed(c.query, c.column))) ++
+      empty.map(q => (s"$q (empty result)", allowed(q, "*"))))
+      .collect { case (k, Some(reason)) => s"$k — $reason" }
+    waived.sorted.foreach(w => println(s"[vacuity] allowlisted: $w"))
+
+    val violations =
+      empty.filter(q => allowed(q, "*").isEmpty)
+        .map(q => s"$q: EMPTY result — verifies nothing") ++
+      constant.filter(c => allowed(c.query, c.column).isEmpty)
+        .map(c => s"${c.query}.${c.column}: constant over ${c.rows} rows")
+    // Stale allowlist entries are violations too: an entry whose column now
+    // varies (or whose query vanished) hides future regressions behind a
+    // stale waiver.
+    val live = cards.map(c => s"${c.query}.${c.column}").toSet ++
+      byQuery.keys.flatMap(q => Seq(s"$q.*"))
+    val activeKeys =
+      constant.map(c => s"${c.query}.${c.column}").toSet ++
+      constant.map(c => s"${c.query}.*").toSet ++
+      empty.flatMap(q => Seq(s"$q.*")).toSet
+    val stale = allow.keys.filterNot(k => live.contains(k) ||
+        k.endsWith(".*") && byQuery.contains(k.stripSuffix(".*")))
+      .toSeq.sorted.map(k => s"$k: allowlist entry matches no dumped column") ++
+      allow.keys.filter(k => live.contains(k) && !activeKeys.contains(k))
+        .toSeq.sorted.map(k => s"$k: allowlist entry no longer constant — remove it")
+
+    val all = violations ++ stale
+    all.foreach(v => println(s"[vacuity] VIOLATION: $v"))
+    println(s"[vacuity] swept ${byQuery.size} queries / ${cards.size} columns; " +
+      s"${waived.size} allowlisted, ${all.size} violations")
+    require(all.isEmpty, s"${all.size} vacuity violation(s) — see above")
+  }
+}

@@ -31,10 +31,14 @@ object Multimodal {
   /** STUB decode: derive fake-but-deterministic media dimensions from the
     * payload length. A real implementation calls the codec here; the
     * (byte_len, width, height, channels, checksum) contract is unchanged.
+    * Channels cycle through realistic counts (1 grayscale / 3 RGB /
+    * 4 RGBA) by length rather than pinning 3 — a constant channel column
+    * would make its oracle check vacuous (verified-constant class).
     */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
     val n = bytes.length
-    (64 + (n % 64) * 16, 64 + ((n / 64) % 64) * 16, 3)
+    val channels = (n % 3) match { case 0 => 1; case 1 => 3; case _ => 4 }
+    (64 + (n % 64) * 16, 64 + ((n / 64) % 64) * 16, channels)
   }
 
   /** Batch decode via mapPartitions: the iterator-in/iterator-out shape

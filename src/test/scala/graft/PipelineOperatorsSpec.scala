@@ -361,9 +361,33 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(meta.getAs[Long]("byte_len") == 4L)
     assert(meta.getAs[Int]("width") == 64 + 4 * 16)
     assert(meta.getAs[Int]("height") == 64)
-    assert(meta.getAs[Int]("channels") == 3)
+    assert(meta.getAs[Int]("channels") == 3) // 4 % 3 == 1 -> RGB
     assert(meta.getAs[String]("checksum") ==
       "e2fc714c4727ee9395f324cd2e7f331f") // md5("abcd")
+    // The channel stub must VARY with length (1/3/4 by n % 3) — a pinned
+    // constant made the oracle's channels column a vacuous check.
+    val byLen = Multimodal.mediaMeta(spark,
+        docs(1L -> "abc", 2L -> "abcd", 3L -> "abcde")).collect()
+      .map(r => r.getAs[Long]("byte_len") -> r.getAs[Int]("channels")).toMap
+    assert(byLen == Map(3L -> 1, 4L -> 3, 5L -> 4))
+  }
+
+  test("multimodal: frameFeatures bins cover the full byte range") {
+    // Binary payload with bytes in all four bins — the documents corpus is
+    // ASCII text, so bin 3 (>= 0x80) is only reachable here; this spec is
+    // the coverage behind the vacuity-allowlist entry for
+    // doc_media_features.f3.
+    import spark.implicits._
+    val payload = Array.tabulate[Byte](16)(i => (i * 16).toByte) // 0,16,...,240
+    val df = Seq((1L, payload)).toDF("doc_id", "payload")
+    val feats = Multimodal.frameFeatures(spark, df).collect()
+    assert(feats.length == 1)
+    val r = feats(0)
+    // bins: 0x00-0x3f -> 4 bytes, 0x40-0x5f -> 2, 0x60-0x7f -> 2, >= 0x80 -> 8
+    assert(r.f0 == 4L)
+    assert(r.f1 == 2L)
+    assert(r.f2 == 2L)
+    assert(r.f3 == 8L)
   }
 
   // ---- curation ---------------------------------------------------------
