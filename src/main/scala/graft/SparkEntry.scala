@@ -1026,6 +1026,46 @@ object SparkEntry {
         k = 5, probes = 2)
     }),
 
+    // The APPEND lifecycle of the persisted IVF index: build on the base
+    // corpus (vec_id % 10 <> 7), then append the delta (vec_id % 10 = 7,
+    // the ~10% daily-ingest slice) encoded with the FROZEN centroid book
+    // and committed by the atomic manifest rename — then search the
+    // appended index. Cell assignment is deterministic, so the result is
+    // exactly a search over an index rebuilt from base∪delta with the
+    // base-trained book (spec-pinned); the oracle replays the Lloyd's
+    // chain on the BASE rows only and assigns/searches the full corpus.
+    // Build+append run once per JVM per source dir (see
+    // emb_ivf_index_topk); repeats measure serving.
+    "emb_ivf_append_topk" -> ((s, dir) => {
+      val out = indexDir("graft_ivf_app", dir)
+      if (builtIndexes.add(s"ivfapp:$out")) {
+        val emb = t(s, dir, "embeddings")
+        Similarity.buildIvfIndex(emb.filter(col("vec_id") % 10 =!= 7), out,
+          clusters = 16, iters = 2)
+        Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 10 === 7), out)
+      }
+      Similarity.ivfIndexTopK(s, out,
+        t(s, dir, "embeddings").filter(col("vec_id") < 10),
+        k = 5, probes = 2)
+    }),
+
+    // Index-quality drift report over the APPENDED index (the operator's
+    // target lifecycle: frozen-book appends are what make cells drift):
+    // per cell — member count, fill share in ppm, mean/max member-to-
+    // centroid residual in micro-units. The retrain signal an index
+    // operator watches. Shares the memoized build+append with
+    // emb_ivf_append_topk.
+    "emb_index_health" -> ((s, dir) => {
+      val out = indexDir("graft_ivf_app", dir)
+      if (builtIndexes.add(s"ivfapp:$out")) {
+        val emb = t(s, dir, "embeddings")
+        Similarity.buildIvfIndex(emb.filter(col("vec_id") % 10 =!= 7), out,
+          clusters = 16, iters = 2)
+        Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 10 === 7), out)
+      }
+      Similarity.indexHealth(s, out)
+    }),
+
     // Recall@5 vs the exact brute-force baseline for every IVF tier —
     // sign-LSH single/ring-1/ring-2 probes plus the learned-centroid
     // cells — the accuracy evidence an ANN index ships with.
@@ -1460,6 +1500,59 @@ object SparkEntry {
              (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
            FROM s)
          SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5"""
+
+  // Append-lifecycle oracle: the Lloyd's chain trains on the BASE rows
+  // only (vec_id % 10 <> 7 — the frozen book the append reuses); the
+  // final assignment and the search run over the FULL corpus (base ∪
+  // appended delta) — exactly what the appended index stores, since the
+  // literal-book cell assignment is deterministic.
+  private lazy val ivfAppendTopKSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         vb AS (SELECT * FROM v WHERE vec_id % 10 <> 7),
+         ${kmeansChainSql(16, "", "vb")},
+         $kmeansFinalAssignSql,
+         q AS (SELECT vec_id AS query_id, ev AS qv FROM v WHERE vec_id < 10),
+         $kmeansProbesSql,
+         s AS (
+           SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.qv, c.ev)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.ev, c.ev))), 6) AS cos
+           FROM q
+           JOIN kqp ON kqp.query_id = q.query_id
+           JOIN ka ON ka.cluster = kqp.probe
+           JOIN v c ON c.vec_id = ka.vec_id AND q.query_id <> c.vec_id),
+         r AS (
+           SELECT *, CAST(row_number() OVER
+             (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+           FROM s)
+         SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5"""
+
+  // Index-health oracle: the same base-trained chain + full-corpus
+  // assignment as the append oracle, then per-cell fill and residual
+  // stats — residual = the member's distance to its OWN cell centroid
+  // (fixed-order d² expansion, floor-quantized micro-units; shares and
+  // means by exact integer floor-division).
+  private lazy val ivfIndexHealthSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         vb AS (SELECT * FROM v WHERE vec_id % 10 <> 7),
+         ${kmeansChainSql(16, "", "vb")},
+         $kmeansFinalAssignSql,
+         res AS (
+           SELECT a.cluster AS cell,
+             CAST(floor(sqrt(greatest(
+               (list_dot_product(v.ev, v.ev) + list_dot_product(c.cv, c.cv))
+                 - 2.0 * list_dot_product(v.ev, c.cv), 0.0)) * 1000000.0) AS BIGINT) AS res_us
+           FROM ka a JOIN v USING (vec_id)
+           JOIN c2 c ON c.centroid_id = a.cluster),
+         agg AS (
+           SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+             SUM(res_us) AS sum_us, MAX(res_us) AS max_res_us
+           FROM res GROUP BY 1),
+         tot AS (SELECT SUM(n_vecs) AS total FROM agg)
+         SELECT cell, n_vecs,
+           CAST((n_vecs * 1000000) // total AS BIGINT) AS share_ppm,
+           CAST(sum_us // n_vecs AS BIGINT) AS mean_res_us, max_res_us
+         FROM agg, tot"""
 
   def oracleSql: Map[String, String] = Map(
 
@@ -3188,6 +3281,8 @@ object SparkEntry {
     // construction, so it shares this oracle verbatim.
     "emb_ivf_kmeans_topk" -> ivfKmeansTopKSql,
     "emb_ivf_index_topk" -> ivfKmeansTopKSql,
+    "emb_ivf_append_topk" -> ivfAppendTopKSql,
+    "emb_index_health" -> ivfIndexHealthSql,
     "emb_pq_topk" -> pqTopKSql(m = 4, sub = 16, codes = 8, k = 5, nq = 10),
     "emb_pq_recall" ->
       pqRecallSql(m = 4, sub = 16, codes = 8, k = 5, nq = 10, cand = 50),

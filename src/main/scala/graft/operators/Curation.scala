@@ -606,13 +606,18 @@ object Curation {
     * each a separate 100 TB scan. The report rows (doc_id + six booleans)
     * are materialized eagerly so the cache can be released before return.
     *
-    * `baseTablePath` is the 100 TB knob: the default executor persist
-    * (`MEMORY_AND_DISK`) caches a corpus-sized table, so local disks must
-    * absorb ~1× the input or the job thrashes; passing a path instead
-    * materializes the tokenized base table to parquet ONCE and every
-    * stage re-reads it from shared storage — bounded by the filesystem,
-    * not executor disks, at the price of per-stage re-reads of a columnar
-    * (and column-pruned) table. Same rows either way (spec-pinned).
+    * `baseTablePath` is the 100 TB knob, and parquet materialization is
+    * the DEFAULT: the tokenized base table is written ONCE and every
+    * stage re-reads it from storage — bounded by the filesystem, not
+    * executor disks, at the price of per-stage re-reads of a columnar
+    * (and column-pruned) table. An executor `MEMORY_AND_DISK` persist
+    * would instead cache a corpus-sized table, so local disks must
+    * absorb ~1× the input or the job thrashes — the wrong default at
+    * corpus scale. With `baseTablePath = None` the table goes to an
+    * auto-derived scratch dir under `spark.sql.warehouse.dir` (shared
+    * storage on a real cluster) and is deleted once the report rows are
+    * materialized; passing a path keeps the base table there for reuse.
+    * Same rows either way (spec-pinned).
     */
   def curationReport(train: DataFrame, evalDocs: DataFrame,
       rates: Map[String, Double] = Map("en" -> 0.5, "zh" -> 0.125),
@@ -621,13 +626,16 @@ object Curation {
     val baseRaw = train.select(col("doc_id"), col("lang"),
         length(col("text")).as("chars"), md5(col("text")).as("th"),
         TextAnalysis.wsTokens(col("text")).as("toks"))
-    val base = baseTablePath match {
-      case Some(path) =>
-        baseRaw.write.mode("overwrite").parquet(path)
-        train.sparkSession.read.parquet(path)
+    val spark = train.sparkSession
+    val (basePath, autoScratch) = baseTablePath match {
+      case Some(path) => (path, false)
       case None =>
-        baseRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        (s"${wh.stripSuffix("/")}/graft_curation_base_" +
+          java.util.UUID.randomUUID().toString.take(8), true)
     }
+    baseRaw.write.mode("overwrite").parquet(basePath)
+    val base = spark.read.parquet(basePath)
     val q = gopherQualityFromTokens(base)
       .select(col("doc_id"), col("keep").as("q_keep"))
     val eg = Dedup.exactGroupsFromHashes(
@@ -657,7 +665,14 @@ object Curation {
         (col("q_keep") && col("e_keep") && col("c_keep") &&
           col("d_keep") && col("s_keep")).as("kept"))
       .localCheckpoint(eager = true)
-    if (baseTablePath.isEmpty) base.unpersist()
+    // The report rows are materialized above, so an auto-derived scratch
+    // base table is dead weight now — drop it. A caller-supplied path is
+    // the caller's to keep (reuse across reports / debugging).
+    if (autoScratch) {
+      val p = new org.apache.hadoop.fs.Path(basePath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
     out
   }
 

@@ -274,7 +274,18 @@ object Similarity {
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val book = iterateBooks(v, clusters, iters)
-    centsDf(emb.sparkSession, book).write.mode("overwrite")
+    writeIvfIndex(v, dir, book)
+    v.unpersist()
+  }
+
+  /** Write an IVF index from an ALREADY-TRAINED centroid book over a
+    * (vec_id, ev) frame — the build tail [[buildIvfIndex]] and the
+    * frozen-book rebuild (the append-equivalence spec target) share.
+    */
+  private[graft] def writeIvfIndex(v: DataFrame, dir: String,
+      book: Book): Unit = {
+    resetIndexDir(v.sparkSession, dir)
+    centsDf(v.sparkSession, book).write.mode("overwrite")
       .parquet(s"$dir/centroids")
     // Cell assignment is a map-side literal argmin on the write scan
     // itself — no assignment join.
@@ -282,7 +293,129 @@ object Similarity {
         nearestId(col("ev"), book).as("cell"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
-    v.unpersist()
+  }
+
+  // ---- persisted-index manifest (the append lifecycle) -----------------
+
+  /** A (re)build supersedes EVERY prior generation: drop the whole index
+    * dir first, so stale append manifests/delta dirs from an earlier
+    * lifecycle can't leak into the fresh index (a rebuild after appends
+    * would otherwise double-count the appended rows through the old
+    * manifest). Rebuild-in-place is not reader-concurrent — production
+    * rebuilds write a sibling dir and swap the pointer.
+    */
+  private def resetIndexDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val (fs, root) = idxFs(spark, dir)
+    fs.delete(root, true)
+  }
+
+  private val IdxManifestRe = """manifest-(\d{10})\.json""".r
+  private def idxManifestName(seq: Long): String = f"manifest-$seq%010d.json"
+
+  private def idxFs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    (root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+  }
+
+  /** The live (seq, data-dir names) of a persisted index. A freshly-built
+    * index has no manifest file — it adopts as (0, ["cells"]), so indexes
+    * written before the append lifecycle existed read unchanged.
+    */
+  private[graft] def indexManifest(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Long, Seq[String]) = {
+    val (fs, root) = idxFs(spark, dir)
+    val seqs =
+      if (!fs.exists(root)) Seq.empty[Long]
+      else fs.listStatus(root).toSeq.map(_.getPath.getName).collect {
+        case IdxManifestRe(d) => d.toLong
+      }
+    if (seqs.isEmpty) (0L, Seq("cells"))
+    else {
+      import scala.jdk.CollectionConverters._
+      val p = new org.apache.hadoop.fs.Path(root, idxManifestName(seqs.max))
+      val in = fs.open(p)
+      val node =
+        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+        finally in.close()
+      (seqs.max, node.get("dirs").elements().asScala.map(_.asText()).toSeq)
+    }
+  }
+
+  /** Stage the manifest JSON to a dot-temp file, then rename into place —
+    * the atomic commit point (the [[graft.streaming.IncrementalTrend]]
+    * pattern): the appended cell files exist on disk BEFORE any manifest
+    * references them, so a reader resolves either the old generation or
+    * the new one, never a torn index. A failed rename aborts loudly; the
+    * orphaned data dir is overwritten by the next append at this seq.
+    */
+  private def commitIndexManifest(spark: org.apache.spark.sql.SparkSession,
+      dir: String, seq: Long, dirs: Seq[String]): Unit = {
+    val (fs, root) = idxFs(spark, dir)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    val arr = node.putArray("dirs")
+    dirs.foreach(arr.add)
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s".manifest-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(root, idxManifestName(seq))
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(
+        s"index manifest commit failed: rename $tmp -> $dst")
+  }
+
+  /** The corpus of a persisted index: the union of its manifest's
+    * cell-partitioned data dirs. Each dir is read as its own partitioned
+    * source, so a `cell IN (...)` probe filter partition-prunes EVERY
+    * generation independently — an appended index keeps the bounded-read
+    * guarantee. A never-appended index is a single scan, exactly the
+    * pre-append plan.
+    */
+  private def readCells(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val (_, dirs) = indexManifest(spark, dir)
+    dirs.map(d => spark.read.parquet(s"$dir/$d")).reduce(_.unionByName(_))
+  }
+
+  /** The centroid book of a persisted index, collected to the driver —
+    * k rows; makes every downstream probe table a broadcast-able
+    * LocalRelation and gives readers the index dimensionality without a
+    * Spark job.
+    */
+  private[graft] def readBook(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Book =
+    spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1).toIndexedSeq
+
+  /** APPEND to a persisted IVF index ([[buildIvfIndex]]) — the daily
+    * ingest path a production corpus needs: new vectors are encoded with
+    * the FROZEN centroid book (map-only literal argmin, the same
+    * expression the build used), written as a new cell-partitioned
+    * generation dir nothing references yet, then committed by the atomic
+    * manifest rename. Readers never see a torn index; the cell
+    * assignment is deterministic, so a search over the appended index is
+    * EXACTLY a search over an index rebuilt from base∪delta with the same
+    * book (spec-pinned). Caller owns vec_id uniqueness across appends.
+    *
+    * Scale shape: one map-only pass over the delta (no training, no
+    * shuffle beyond the cell repartition); the manifest is O(generations)
+    * driver-side metadata. Cells drift from their centroids as appends
+    * accumulate — [[indexHealth]] is the retrain signal.
+    */
+  def appendToIvfIndex(delta: DataFrame, dir: String): Unit = {
+    val spark = delta.sparkSession
+    val book = readBook(spark, dir)
+    val (seq, dirs) = indexManifest(spark, dir)
+    val newDir = f"delta-${seq + 1}%010d"
+    delta.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+      .select(col("vec_id"), col("ev"), norm(col("ev")).as("nrm"),
+        nearestId(col("ev"), book).as("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/$newDir")
+    commitIndexManifest(spark, dir, seq + 1, dirs :+ newDir)
   }
 
   /** Top-k search against a PERSISTED index ([[buildIvfIndex]]): probe
@@ -306,25 +439,26 @@ object Similarity {
     * index's: the codegen'd dot product returns NULL on a length
     * mismatch, so without this check every probe/LUT/cosine would
     * silently null out and the search would return empty results with
-    * zero diagnostics.
+    * zero diagnostics. The guard is IN the query projection (a
+    * `raise_error` branch), so it fires during the eager query
+    * checkpoint the search already runs — no extra Spark job per call;
+    * the expected dim comes from the driver-collected book, not an
+    * index scan.
     */
-  private def requireQueryDims(queryVecs: DataFrame, expected: Int,
-      what: String): Unit = {
-    val got = queryVecs.select(size(col("embedding"))).head().getInt(0)
-    require(got == expected,
-      s"query vectors are $got-dimensional but the $what expects " +
-        s"$expected dims")
-  }
+  private def checkedDims(v: Column, expected: Int, what: String): Column =
+    when(size(v) === expected, v).otherwise(raise_error(concat(
+      lit("query vectors are "), size(v).cast("string"),
+      lit(s"-dimensional but the $what expects $expected dims"))))
 
   def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
       queryVecs: DataFrame, k: Int = 5, probes: Int = 2): DataFrame = {
-    val cents = spark.read.parquet(s"$dir/centroids")
-    val cells = spark.read.parquet(s"$dir/cells")
-    requireQueryDims(queryVecs,
-      cents.select(size(col("cv"))).head().getInt(0), "IVF index")
+    val book = readBook(spark, dir)
+    val cents = centsDf(spark, book)
+    val cells = readCells(spark, dir)
     val queries = queryVecs
       .select(col("vec_id").as("query_id"),
-        asDouble(col("embedding")).as("qv"))
+        checkedDims(asDouble(col("embedding")), book.head._2.length,
+          "IVF index").as("qv"))
       .withColumn("qn", norm(col("qv")))
       .localCheckpoint(eager = true) // query-set-sized
     val probeTbl = probeTable(queries, cents, probes)
@@ -381,6 +515,19 @@ object Similarity {
     v.unpersist()
     val books = trained.take(m).map(_.map(_._2))
     val coarse = trained(m)
+    writeIvfPqIndex(emb, dir, books, coarse, m, sub)
+  }
+
+  /** Write an IVF-PQ index from ALREADY-TRAINED books — the build tail
+    * [[buildIvfPqIndex]] and the frozen-book rebuild (append-equivalence
+    * spec target) share.
+    */
+  private[graft] def writeIvfPqIndex(emb: DataFrame, dir: String,
+      books: IndexedSeq[IndexedSeq[Seq[Double]]], coarse: Book,
+      m: Int, sub: Int): Unit = {
+    val spark = emb.sparkSession
+    val codes = books.head.length
+    resetIndexDir(spark, dir)
     centsDf(spark, coarse).write.mode("overwrite").parquet(s"$dir/centroids")
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(
@@ -398,13 +545,101 @@ object Similarity {
     // Encode + assign + norm in ONE map-only projection on the write
     // scan — the literal books make both the PQ codes and the coarse cell
     // pure expressions, so there is no assignment join at all.
+    pqEncodedCells(emb, books, coarse, m, sub)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  /** The (vec_id, ev, codes, nrm, cell) projection an IVF-PQ data file
+    * stores — one map-only pass, shared by build and append so the coded
+    * layout cannot drift between them.
+    */
+  private def pqEncodedCells(emb: DataFrame,
+      books: IndexedSeq[IndexedSeq[Seq[Double]]], coarse: Book,
+      m: Int, sub: Int): DataFrame =
     slicedVectors(emb, m, sub)
       .select(col("vec_id"), col("ev"),
         array((0 until m).map(j => pqCodeExpr(books, j)): _*).as("codes"),
         norm(col("ev")).as("nrm"),
         nearestId(col("ev"), coarse).as("cell"))
+
+  /** The PQ codebooks of a persisted IVF-PQ index, collected to the
+    * driver (m·codes rows): books(j)(c) = subspace j's code-c centroid.
+    */
+  private[graft] def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IndexedSeq[IndexedSeq[Seq[Double]]] = {
+    val bookRows = spark.read.parquet(s"$dir/codebooks").collect()
+    val m = bookRows.map(_.getInt(0)).max + 1
+    val codes = bookRows.map(_.getInt(1)).max + 1
+    (0 until m).map { j =>
+      val byCode = bookRows.filter(_.getInt(0) == j)
+        .map(r => r.getInt(1) -> r.getSeq[Double](2).toSeq).toMap
+      (0 until codes).map(byCode)
+    }
+  }
+
+  /** APPEND to a persisted IVF-PQ index — [[appendToIvfIndex]] with the
+    * delta additionally PQ-coded by the frozen literal codebooks (still
+    * one map-only pass; same atomic manifest commit, same spec-pinned
+    * rebuild equivalence, same [[indexHealth]] retrain signal).
+    */
+  def appendToIvfPqIndex(delta: DataFrame, dir: String): Unit = {
+    val spark = delta.sparkSession
+    val books = readCodebooks(spark, dir)
+    val coarse = readBook(spark, dir)
+    val m = books.length
+    val sub = books.head.head.length
+    val (seq, dirs) = indexManifest(spark, dir)
+    val newDir = f"delta-${seq + 1}%010d"
+    pqEncodedCells(delta, books, coarse, m, sub)
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/$newDir")
+    commitIndexManifest(spark, dir, seq + 1, dirs :+ newDir)
+  }
+
+  /** Index-quality drift report over a persisted IVF / IVF-PQ index: one
+    * scan of the cells table → per cell (cell, n_vecs, share_ppm,
+    * mean_res_us, max_res_us) — fill factor in parts-per-million and the
+    * mean/max distance of member vectors to their OWN centroid in
+    * micro-units. THE RETRAIN SIGNAL: appends encode with frozen books
+    * ([[appendToIvfIndex]]), so as ingest accumulates, cells fill
+    * unevenly and residuals grow — when share skew or mean residual
+    * drifts past the operator's threshold, rebuild ([[buildIvfIndex]])
+    * to re-learn the centroids. A cell no vector maps to is absent (its
+    * share is zero).
+    *
+    * Determinism/scale shape: the residual is a map-only literal-book
+    * CASE over the row's stored cell (no join, no argmin re-search);
+    * per-cell stats aggregate fixed-point longs (floor-quantized — sums
+    * and integer floor-divisions are shuffle-order-free), and only k
+    * result rows leave the aggregation.
+    */
+  def indexHealth(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val book = readBook(spark, dir)
+    val cells = readCells(spark, dir)
+    val ev = col("ev")
+    val xx = dot(ev, ev)
+    val arms = book.map { case (id, cv) =>
+      val cl = typedlit(cv.toArray)
+      (col("cell") === lit(id),
+        (xx + dot(cl, cl)) - lit(2.0) * dot(ev, cl))
+    }
+    val d2 = arms.tail.foldLeft(when(arms.head._1, arms.head._2)) {
+      case (acc, (c, e)) => acc.when(c, e)
+    }
+    // d² can dip epsilon-negative in IEEE arithmetic for a vector that IS
+    // its centroid — clamp before the sqrt.
+    val resUs = floor(sqrt(greatest(d2, lit(0.0))) * lit(1e6)).cast("long")
+    cells
+      .select(col("cell").cast("long").as("cell"), resUs.as("res_us"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("res_us")).as("sum_us"),
+        max(col("res_us")).as("max_res_us"))
+      .withColumn("total", sum(col("n_vecs")).over(Window.partitionBy()))
+      .selectExpr("cell", "n_vecs",
+        "CAST((n_vecs * 1000000) DIV total AS BIGINT) AS share_ppm",
+        "CAST(sum_us DIV n_vecs AS BIGINT) AS mean_res_us", "max_res_us")
   }
 
   /** Search the persisted IVF-PQ index: probe cells resolve against the
@@ -422,26 +657,20 @@ object Similarity {
   def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
       queryVecs: DataFrame, k: Int = 5, probes: Int = 2,
       candidates: Int = 50): DataFrame = {
-    val cents = spark.read.parquet(s"$dir/centroids")
-    val cells = spark.read.parquet(s"$dir/cells")
-    val bookRows = spark.read.parquet(s"$dir/codebooks").collect()
-    val m = bookRows.map(_.getInt(0)).max + 1
-    val codes = bookRows.map(_.getInt(1)).max + 1
-    val books: IndexedSeq[IndexedSeq[Seq[Double]]] =
-      (0 until m).map { j =>
-        val byCode = bookRows.filter(_.getInt(0) == j)
-          .map(r => r.getInt(1) -> r.getSeq[Double](2).toSeq).toMap
-        (0 until codes).map(byCode)
-      }
+    val cents = centsDf(spark, readBook(spark, dir))
+    val cells = readCells(spark, dir)
+    val books = readCodebooks(spark, dir)
+    val m = books.length
     val sub = books.head.head.length
-    requireQueryDims(queryVecs, sub * m, "IVF-PQ index")
 
     // Query rows carry everything the search needs: LUT arrays for the
-    // ADC stage, the full vector + norm for the rerank stage.
+    // ADC stage, the full vector + norm for the rerank stage (the dim
+    // guard rides the projection — see checkedDims).
     val queries = slicedVectors(queryVecs, m, sub)
       .select(col("vec_id").as("query_id"),
         array((0 until m).map(j => pqLutExpr(books, j)): _*).as("luts"),
-        col("ev").as("qv"), norm(col("ev")).as("qn"))
+        checkedDims(col("ev"), sub * m, "IVF-PQ index").as("qv"),
+        norm(col("ev")).as("qn"))
       .localCheckpoint(eager = true) // query-set-sized
     val probeTbl = probeTable(queries, cents, probes)
       .localCheckpoint(eager = true) // numQueries × probes rows

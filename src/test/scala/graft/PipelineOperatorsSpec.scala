@@ -231,6 +231,106 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(idx == mem)
   }
 
+  private def topkRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+      r.getAs[Double]("cos"), r.getAs[Int]("rank"))).toSet
+
+  test("appendToIvfIndex: search-after-append equals frozen-book rebuild over base∪delta") {
+    val d = clusteredVecs
+    val base = d.filter(col("vec_id") % 10 < 7)
+    val delta = d.filter(col("vec_id") % 10 >= 7)
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft_ivf_app_a").toString
+    Similarity.buildIvfIndex(base, dirA, clusters = 4, iters = 2)
+    Similarity.appendToIvfIndex(delta, dirA)
+    // The rebuilt target: the SAME frozen book (read back from the base
+    // index) over the full corpus — cell assignment is deterministic, so
+    // the two layouts must search identically.
+    val book = Similarity.readBook(spark, dirA)
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft_ivf_app_b").toString
+    Similarity.writeIvfIndex(
+      d.select(col("vec_id"), col("embedding").cast("array<double>").as("ev")),
+      dirB, book)
+    val q = d.filter(col("vec_id") < 4)
+    val a = topkRows(Similarity.ivfIndexTopK(spark, dirA, q, k = 3, probes = 1))
+    val b = topkRows(Similarity.ivfIndexTopK(spark, dirB, q, k = 3, probes = 1))
+    assert(a.nonEmpty && a == b)
+    // Appended neighbors are actually retrievable: some delta vec_id
+    // appears among the results (clusters put delta members adjacent to
+    // their queries).
+    assert(a.exists { case (_, n, _, _) => n % 10 >= 7 })
+  }
+
+  test("appendToIvfIndex: an uncommitted delta dir is invisible to readers") {
+    val d = clusteredVecs
+    val base = d.filter(col("vec_id") % 10 < 7)
+    val delta = d.filter(col("vec_id") % 10 >= 7)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_torn").toString
+    Similarity.buildIvfIndex(base, dir, clusters = 4, iters = 2)
+    val q = d.filter(col("vec_id") < 4)
+    val before = topkRows(Similarity.ivfIndexTopK(spark, dir, q, k = 3, probes = 1))
+    // Simulate an append that crashed AFTER writing its data files but
+    // BEFORE the manifest rename: the generation dir exists on disk, but
+    // no manifest references it — readers must not see it.
+    delta.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("ev"))
+      .withColumn("cell", lit(0))
+      .withColumn("nrm", lit(1.0))
+      .write.partitionBy("cell").parquet(s"$dir/delta-0000000001")
+    val after = topkRows(Similarity.ivfIndexTopK(spark, dir, q, k = 3, probes = 1))
+    assert(after == before)
+    // A real append then commits atop, superseding the crashed dir's seq.
+    Similarity.appendToIvfIndex(delta, dir)
+    val appended = topkRows(Similarity.ivfIndexTopK(spark, dir, q, k = 3, probes = 1))
+    assert(appended.exists { case (_, n, _, _) => n % 10 >= 7 })
+  }
+
+  test("appendToIvfPqIndex: search-after-append equals frozen-book rebuild") {
+    val d = clusteredVecs
+    val base = d.filter(col("vec_id") % 10 < 7)
+    val delta = d.filter(col("vec_id") % 10 >= 7)
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_app_a").toString
+    Similarity.buildIvfPqIndex(base, dirA, clusters = 4, iters = 2,
+      m = 4, codes = 4)
+    Similarity.appendToIvfPqIndex(delta, dirA)
+    val books = Similarity.readCodebooks(spark, dirA)
+    val coarse = Similarity.readBook(spark, dirA)
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_app_b").toString
+    Similarity.writeIvfPqIndex(d, dirB, books, coarse, m = 4, sub = 2)
+    val q = d.filter(col("vec_id") < 4)
+    val a = topkRows(Similarity.ivfPqTopK(spark, dirA, q, k = 3,
+      probes = 1, candidates = 10))
+    val b = topkRows(Similarity.ivfPqTopK(spark, dirB, q, k = 3,
+      probes = 1, candidates = 10))
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("indexHealth: appended index reports full membership, exact shares, sane residuals") {
+    val d = clusteredVecs
+    val base = d.filter(col("vec_id") % 10 < 7)
+    val delta = d.filter(col("vec_id") % 10 >= 7)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_health").toString
+    Similarity.buildIvfIndex(base, dir, clusters = 4, iters = 2)
+    Similarity.appendToIvfIndex(delta, dir)
+    val h = Similarity.indexHealth(spark, dir).collect()
+    // Every vector (base AND appended) is a member of exactly one cell.
+    assert(h.map(_.getAs[Long]("n_vecs")).sum == 40L)
+    // Integer floor-division shares: sum over cells lands within k ppm
+    // below exactly 1e6.
+    val shares = h.map(_.getAs[Long]("share_ppm"))
+    assert(shares.sum <= 1000000L && shares.sum > 1000000L - h.length)
+    h.foreach { r =>
+      assert(r.getAs[Long]("mean_res_us") >= 0L)
+      assert(r.getAs[Long]("max_res_us") >= r.getAs[Long]("mean_res_us"),
+        r.toString)
+    }
+  }
+
   test("ivfRecall: learned-centroid tier dominates ring-2 sign-LSH on clustered data") {
     // All cluster axes project positively → sign-LSH collapses the corpus
     // into few cells that mix clusters; learned cells separate them. The

@@ -186,6 +186,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
 
+  test("emb_ivf_append_topk: EVERY generation scan of an appended index partition-prunes") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_app_plan").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    graft.operators.Similarity.buildIvfIndex(
+      emb.filter(col("vec_id") % 10 =!= 7), dir, clusters = 16, iters = 0)
+    graft.operators.Similarity.appendToIvfIndex(
+      emb.filter(col("vec_id") % 10 === 7), dir)
+    val p = graft.operators.Similarity
+      .ivfIndexTopK(spark, dir, emb.filter(col("vec_id") < 10),
+        k = 5, probes = 2)
+      .queryExecution.executedPlan.toString
+    // Two generations (cells + delta-…) ⇒ two scans, EACH with a cell
+    // partition filter — the append lifecycle keeps the bounded-read
+    // guarantee per generation.
+    val pruned = "PartitionFilters: \\[cell".r.findAllIn(p).size
+    assert(pruned == 2, s"expected 2 pruned generation scans, got $pruned\n" +
+      p.take(3000))
+  }
+
   test("emb_ivfpq_topk: IVF-PQ search partition-prunes cells and prunes both rank stages") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files
