@@ -35,12 +35,15 @@ import org.apache.spark.sql.functions._
   */
 object EventAdapter {
 
-  /** The driver's events.parquet stores `ts` as TIMESTAMP(NANOS), which
-    * Spark 4 rejects by default. Read nanos as Long and truncate to
-    * microseconds with integer division — the same truncation DuckDB
-    * applies when it reads the file as µs TIMESTAMP, so oracle timestamps
-    * agree exactly. (A double-precision path would lose ~256 ns at 2024
-    * epoch magnitudes; DIV stays exact.)
+  /** Schema-adaptive `ts` read. Generator vintages differ: some write
+    * `ts` as parquet TIMESTAMP(NANOS) (which Spark 4 rejects by default —
+    * read nanos as Long via `nanosAsLong` and truncate to µs with integer
+    * division, the same truncation DuckDB applies when it reads that file
+    * as µs TIMESTAMP), others write plain µs TIMESTAMP (which both engines
+    * read identically — no conversion). Branching on the READ schema keeps
+    * one code path per vintage and the oracle exact in both. (A
+    * double-precision nanos path would lose ~256 ns at 2024 epoch
+    * magnitudes; DIV stays exact.)
     *
     * NOTE: `nanosAsLong` is a SESSION conf, not a per-read option (the
     * parquet datasource exposes no such option), so this set is sticky —
@@ -50,8 +53,18 @@ object EventAdapter {
     */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Plain µs TIMESTAMP without tz annotation. Normalize to the LTZ
+        // TimestampType every downstream operator expects (NTZ rejects
+        // numeric casts); under the UTC session both Verify and Bench pin,
+        // the epoch values are identical to DuckDB's naive epoch_us read.
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw // already an LTZ timestamp — DuckDB reads it identically
+    }
   }
 
   def asRecentChanges(events: DataFrame): DataFrame =

@@ -1761,13 +1761,18 @@ class PipelineOperatorsSpec extends SparkSpec {
         (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toMap
     assert(got == want)
     // Width-mismatched external queries must fail fast, not silently
-    // truncate inside the dot products.
+    // truncate inside the dot products. The guard is a raise_error branch
+    // in the query projection (zero extra Spark jobs), so it surfaces as
+    // a Spark task failure whose cause chain carries the dim message.
     val narrow = emb.select(col("vec_id"),
       expr("slice(embedding, 1, 32)").as("embedding"))
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[Throwable] {
       Similarity.ivfPqTopK(spark, dir, narrow.filter(col("vec_id") < 2))
     }
-    assert(e.getMessage.contains("dims"))
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(messages.contains("dims"), messages)
     // Recall tier on the same index: with exhaustive probes + unbounded
     // candidates the search IS brute force, so recall_ivfpq must be
     // exactly 1.0 for every query (full-denominator hits).
