@@ -561,6 +561,13 @@ object SparkEntry {
     "doc_dsir_select" -> ((s, dir) =>
       Selection.dsirScores(t(s, dir, "documents"))),
 
+    // Naive-Bayes quality classifier: trained on the md5-coin half of the
+    // corpus (labels = the quality bar), scored map-only over every doc;
+    // held-out accuracy is the spec's evidence, the oracle replays the
+    // whole train+score computation in SQL.
+    "doc_nb_quality" -> ((s, dir) =>
+      Selection.nbQuality(t(s, dir, "documents"))),
+
     // Per-source quality cap (the no-domain-dominates rule): top-10 docs
     // per source by quality score; WindowGroupLimit bounds the shuffle.
     "doc_source_caps" -> ((s, dir) =>
@@ -2018,6 +2025,61 @@ object SparkEntry {
          JOIN qual q ON d.doc_id = q.doc_id
          LEFT JOIN scores s ON d.doc_id = s.doc_id
          CROSS JOIN pool""",
+
+    // Mirrors nbQuality: md5-coin train split, per-class smoothed bucket
+    // counts, cross-multiplied weights, prior-free sign decision.
+    "doc_nb_quality" ->
+      s"""WITH $qualTargetCtesSql,
+         base AS (
+           SELECT d.doc_id, q.in_target AS label,
+             substr(md5('nb:' || CAST(d.doc_id AS VARCHAR)), 1, 2) <= '7f'
+               AS in_train,
+             CASE WHEN length(trim(d.text)) = 0 THEN []::VARCHAR[]
+                  ELSE list_filter(string_split_regex(lower(trim(d.text)), '\\s+'), tk -> tk <> '') END AS toks
+           FROM documents d JOIN qual q ON d.doc_id = q.doc_id),
+         tokraw AS (SELECT doc_id, label, in_train, unnest(toks) AS tok
+           FROM base),
+         tok AS (
+           SELECT doc_id, label, in_train,
+             CAST((strpos('0123456789abcdef', substr(md5(tok),1,1))-1)*256
+               + (strpos('0123456789abcdef', substr(md5(tok),2,1))-1)*16
+               + (strpos('0123456789abcdef', substr(md5(tok),3,1))-1) AS BIGINT) AS bkt
+           FROM tokraw),
+         cnt AS (SELECT label, bkt, CAST(count(*) AS BIGINT) AS c
+                 FROM tok WHERE in_train GROUP BY 1, 2),
+         tot AS (SELECT
+             CAST(coalesce(sum(CASE WHEN label THEN c END), 0) AS BIGINT) AS pp,
+             CAST(coalesce(sum(CASE WHEN NOT label THEN c END), 0) AS BIGINT) AS nn
+           FROM cnt),
+         w AS (SELECT gs.i AS bkt,
+             (coalesce(pcc.c, 0) + 1) * (tot.nn + 4096)
+               - (coalesce(ncc.c, 0) + 1) * (tot.pp + 4096) AS w
+           FROM generate_series(0, 4095) AS gs(i) CROSS JOIN tot
+           LEFT JOIN (SELECT bkt, c FROM cnt WHERE label) pcc
+             ON gs.i = pcc.bkt
+           LEFT JOIN (SELECT bkt, c FROM cnt WHERE NOT label) ncc
+             ON gs.i = ncc.bkt),
+         scores AS (SELECT tok.doc_id, CAST(sum(w.w) AS BIGINT) AS s
+           FROM tok JOIN w ON tok.bkt = w.bkt GROUP BY 1),
+         cal AS (SELECT
+             CAST(coalesce(sum(CASE WHEN b.label THEN 1 END), 0) AS BIGINT)
+               AS np,
+             CAST(coalesce(sum(CASE WHEN NOT b.label THEN 1 END), 0)
+               AS BIGINT) AS nn,
+             CAST(coalesce(sum(CASE WHEN b.label
+               THEN coalesce(s.s, 0) END), 0) AS BIGINT) AS sp,
+             CAST(coalesce(sum(CASE WHEN NOT b.label
+               THEN coalesce(s.s, 0) END), 0) AS BIGINT) AS sn
+           FROM base b LEFT JOIN scores s ON b.doc_id = s.doc_id
+           WHERE b.in_train)
+         SELECT b.doc_id, CAST(coalesce(s.s, 0) AS BIGINT) AS nb_score,
+           b.label,
+           CASE WHEN cal.np = 0 THEN FALSE WHEN cal.nn = 0 THEN TRUE
+                ELSE 2 * coalesce(s.s, 0) * cal.np * cal.nn
+                     > cal.sp * cal.nn + cal.sn * cal.np END AS pred,
+           b.in_train
+         FROM base b LEFT JOIN scores s ON b.doc_id = s.doc_id
+         CROSS JOIN cal""",
 
     // Mirrors sourceCaps: quality-ordered row_number per source, cap 10.
     "doc_source_caps" ->

@@ -260,6 +260,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(3000))
   }
 
+  test("doc_nb_quality: scoring pass is map-only — model folded into literals") {
+    // Training collapses to one literal weight array at build time (the
+    // DSIR pattern), so the scoring plan must carry no exchange and no
+    // join — pure map over the corpus scan.
+    val p = physical("doc_nb_quality")
+    assert(!p.contains("Exchange"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
   test("doc_source_caps: rank filter prunes map-side with WindowGroupLimit") {
     val p = physical("doc_source_caps")
     assert(p.contains("WindowGroupLimit"), p.take(3000))
