@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.TrendConfig
-import graft.operators.{AsOf, Curation, Dedup, EventAnalytics, Multimodal, PageAggregates, RangeJoin, Selection, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsOf, Bpe, Curation, Dedup, EventAnalytics, Multimodal, PageAggregates, RangeJoin, Selection, Similarity, Skew, TextAnalysis}
 import graft.sources.EventAdapter
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -567,6 +567,12 @@ object SparkEntry {
     // whole train+score computation in SQL.
     "doc_nb_quality" -> ((s, dir) =>
       Selection.nbQuality(t(s, dir, "documents"))),
+
+    // BPE merge training (Sennrich et al.): 4 rounds of corpus-weighted
+    // argmax pair + greedy fuse; one corpus pass builds the word table,
+    // every round runs over the vocabulary only.
+    "doc_bpe_merges" -> ((s, dir) =>
+      Bpe.bpeMerges(s, t(s, dir, "documents"), k = 4)),
 
     // Per-source quality cap (the no-domain-dominates rule): top-10 docs
     // per source by quality score; WindowGroupLimit bounds the shuffle.
@@ -1404,6 +1410,70 @@ object SparkEntry {
                AS in_target
            FROM t)"""
 
+  // BPE merge-training oracle: replays Bpe.trainMerges round by round.
+  // Each round = argmax pair CTE (count DESC, lhs, rhs — the trainer's
+  // tie-break) + greedy application via windowed flags: `mt` marks fuse
+  // starts (for self-pairs only at EVEN run offsets — the gaps-and-
+  // islands `grp` reproduces the left-to-right scan), `prevm` drops the
+  // consumed right element. Built programmatically so k stays a knob.
+  private def bpeMergesSql(k: Int): String = {
+    val head =
+      """tokraw AS (
+           SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE list_filter(string_split_regex(lower(trim(text)), '\s+'), tk -> tk <> '') END) AS word
+           FROM documents),
+         w0 AS (
+           SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+             list_transform(generate_series(1, length(word)),
+               x -> substr(word, x, 1)) AS syms
+           FROM tokraw GROUP BY word)"""
+    val rounds = (1 to k).map { i =>
+      val p = i - 1
+      s"""p$i AS (
+           SELECT pr.l AS lhs, pr.r AS rhs, CAST(sum(cnt) AS BIGINT) AS c
+           FROM (SELECT cnt, unnest(list_transform(
+               generate_series(1, len(syms) - 1),
+               x -> struct_pack(l := syms[x], r := syms[x + 1]))) AS pr
+             FROM w$p)
+           GROUP BY 1, 2),
+         m$i AS (SELECT lhs, rhs, lhs || rhs AS merged, c FROM p$i
+                 ORDER BY c DESC, lhs, rhs LIMIT 1),
+         e$i AS (
+           SELECT word, cnt, u.pos AS pos, u.sym AS sym
+           FROM (SELECT word, cnt, unnest(list_transform(
+               generate_series(1, len(syms)),
+               x -> struct_pack(pos := x, sym := syms[x]))) AS u
+             FROM w$p)),
+         f$i AS (
+           SELECT e.word, e.cnt, e.pos, e.sym, m.lhs, m.rhs, m.merged,
+             lead(e.sym) OVER (PARTITION BY e.word ORDER BY e.pos) AS nxt,
+             e.pos - row_number() OVER (PARTITION BY e.word, e.sym
+               ORDER BY e.pos) AS grp
+           FROM e$i e CROSS JOIN m$i m),
+         g$i AS (
+           SELECT f.*, coalesce(f.sym = f.lhs AND f.nxt = f.rhs
+             AND (f.lhs <> f.rhs OR (row_number() OVER (PARTITION BY
+               f.word, f.sym, f.grp ORDER BY f.pos)) % 2 = 1), FALSE)
+             AS mt
+           FROM f$i f),
+         h$i AS (
+           SELECT g.*, lag(g.mt) OVER (PARTITION BY g.word
+             ORDER BY g.pos) AS prevm
+           FROM g$i g),
+         w$i AS (
+           SELECT word, cnt,
+             list(CASE WHEN mt THEN merged ELSE sym END ORDER BY pos)
+               AS syms
+           FROM h$i WHERE NOT coalesce(prevm, FALSE)
+           GROUP BY word, cnt)"""
+    }.mkString(",\n         ")
+    val out = (1 to k)
+      .map(i => s"SELECT $i AS merge_round, lhs, rhs, merged, " +
+        s"c AS pair_count FROM m$i")
+      .mkString("\n         UNION ALL ")
+    s"WITH $head,\n         $rounds\n         $out"
+  }
+
   // PQ recall vs exact: pure-ADC top-k and the exact-rerank-of-ADC-
   // candidates tier, hits joined per query, recall denominated on the
   // brute-force count (mirrors Similarity.pqRecall).
@@ -2025,6 +2095,9 @@ object SparkEntry {
          JOIN qual q ON d.doc_id = q.doc_id
          LEFT JOIN scores s ON d.doc_id = s.doc_id
          CROSS JOIN pool""",
+
+    // Mirrors Bpe.trainMerges round by round (argmax + greedy fuse).
+    "doc_bpe_merges" -> bpeMergesSql(4),
 
     // Mirrors nbQuality: md5-coin train split, per-class smoothed bucket
     // counts, cross-multiplied weights, prior-free sign decision.

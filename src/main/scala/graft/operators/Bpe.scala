@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding MERGE TRAINING (Sennrich et al. 2016, "Neural
+  * Machine Translation of Rare Words with Subword Units") — the learner
+  * behind the `doc_packing_bpe` budget: k bounded rounds, each choosing
+  * the corpus-wide most frequent adjacent symbol pair and fusing it.
+  *
+  * Deviations from the reference algorithm, for cross-engine exactness
+  * and bounded SQL replay:
+  *  - no end-of-word marker (`</w>`): merges never cross word boundaries
+  *    here anyway (training is per word), the marker only disambiguates
+  *    word-final subwords in the emitted vocabulary, which this operator
+  *    does not emit;
+  *  - character = UTF-16 code unit on the Spark side vs code point in
+  *    the SQL oracle — identical on the BMP corpus this project's data
+  *    uses (ASCII by construction; see the vacuity allowlist note).
+  *
+  * Scale (100 TB): ONE corpus pass builds the word-frequency table (the
+  * classic trainer's first step — counts word TYPES weighted by corpus
+  * frequency), after which every round runs over the VOCABULARY table
+  * (bounded by distinct words, not corpus size): one pair-count
+  * aggregation + a driver-side argmax folded into literals — the
+  * trainKeyedBooks pattern. Merge application is a map-only `aggregate`
+  * fold per word (no explode, no shuffle); the vocab table is
+  * localCheckpoint'ed per round so lineage stays flat.
+  */
+object Bpe {
+
+  /** One learned merge: `lhs + rhs -> merged` chosen in `mergeRound`
+    * because the pair occurred `pairCount` times (corpus-weighted).
+    */
+  case class Merge(mergeRound: Int, lhs: String, rhs: String,
+      merged: String, pairCount: Long)
+
+  /** Character-level initial symbols of a word. `split` on the empty
+    * pattern yields one UTF-16 code unit per element (may include a
+    * boundary empty string on some inputs — filtered).
+    */
+  private[graft] def charSyms(word: Column): Column =
+    filter(split(word, ""), c => c =!= "")
+
+  /** Greedy left-to-right application of ONE merge to a symbol array, as
+    * a map-only fold: append each symbol, fusing it into the
+    * accumulator's last element when (last, current) == (lhs, rhs).
+    *
+    * This replicates the scan-pointer algorithm exactly: a freshly fused
+    * element can never START another fuse in the same round because its
+    * value `lhs+rhs` differs from `lhs` (rhs is non-empty) — the same
+    * invariant that makes the scan skip both consumed positions. For
+    * self-pairs (lhs == rhs) the fold fuses at even run offsets only
+    * ("aaa" -> ["aa","a"]), which is what the scan does.
+    */
+  private[graft] def applyMerge(syms: Column, lhs: String, rhs: String)
+      : Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(lhs) &&
+            s === lit(rhs),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(lhs + rhs))))
+        .otherwise(concat(acc, array(s))))
+
+  /** The corpus word-frequency table: lower-cased whitespace tokens,
+    * counted with multiplicity, split to character symbols.
+    */
+  private def vocab(docs: DataFrame): DataFrame =
+    docs.select(explode(TextAnalysis.wsTokens(lower(col("text"))))
+        .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("word"), col("cnt"), charSyms(col("word")).as("syms"))
+
+  /** Adjacent symbol pairs of an array: zip the array against itself
+    * shifted by one.
+    */
+  private def adjacentPairs(syms: Column): Column =
+    zip_with(slice(syms, lit(1), size(syms) - 1), slice(syms, lit(2), size(syms) - 1),
+      (l, r) => struct(l.as("l"), r.as("r")))
+
+  /** Train `k` merges. Each round collects exactly ONE row (the argmax
+    * pair, ties broken by (count DESC, lhs ASC, rhs ASC) so both engines
+    * agree); the max pair count is non-increasing across rounds (any new
+    * pair contains the just-fused symbol, whose count is bounded by the
+    * winning count). Stops early if the vocabulary runs out of pairs.
+    */
+  def trainMerges(docs: DataFrame, k: Int): Seq[Merge] = {
+    require(k >= 1 && k <= 64, s"k=$k merge rounds outside [1, 64]")
+    var words = vocab(docs).localCheckpoint(eager = true) // vocab-sized
+    val merges = Seq.newBuilder[Merge]
+    var round = 1
+    var exhausted = false
+    while (round <= k && !exhausted) {
+      val top = words.where(size(col("syms")) > 1)
+        .select(col("cnt"), explode(adjacentPairs(col("syms"))).as("p"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (lhs, rhs, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += Merge(round, lhs, rhs, lhs + rhs, c)
+        words = words
+          .withColumn("syms", applyMerge(col("syms"), lhs, rhs))
+          .localCheckpoint(eager = true)
+        round += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** The registered-query form: the learned merges as a k-row DataFrame
+    * (merge_round, lhs, rhs, merged, pair_count).
+    */
+  def bpeMerges(spark: SparkSession, docs: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    trainMerges(docs, k)
+      .toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** Subword count of a text under a learned merge table — the packing
+    * budget unit `doc_packing_bpe` consumes: per word, apply the merges
+    * in training order and count the surviving symbols. Map-only (nested
+    * folds over literals); a null text counts 0 like an empty one.
+    */
+  def subwordCount(text: Column, merges: Seq[Merge]): Column = {
+    val perWord = (w: Column) => {
+      val fused = merges.foldLeft(charSyms(w)) { (s, m) =>
+        applyMerge(s, m.lhs, m.rhs)
+      }
+      size(fused).cast("long")
+    }
+    coalesce(
+      aggregate(TextAnalysis.wsTokens(lower(text)), lit(0L),
+        (acc, w) => acc + perWord(w)),
+      lit(0L))
+  }
+}

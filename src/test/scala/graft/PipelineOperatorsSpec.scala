@@ -1951,6 +1951,61 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("bpeMerges: hand-computed banana corpus, chained merges, greedy fuse") {
+    import spark.implicits._
+    // banana ×3, bandana ×2. Pair counts by hand: (a,n)=10 wins round 1;
+    // round 2 ties (an,a)=5 with (b,an)=5 — lex tie-break picks (an,a);
+    // round 3 (b,an)=5; round 4 (ban,ana)=3 — i.e. rounds consume the
+    // symbols earlier rounds created, which is the whole point.
+    val d = Seq((1L, "banana banana banana bandana bandana"))
+      .toDF("doc_id", "text")
+    val m = graft.operators.Bpe.trainMerges(d, k = 4)
+    assert(m.map(x => (x.mergeRound, x.lhs, x.rhs, x.pairCount)) == Seq(
+      (1, "a", "n", 10L), (2, "an", "a", 5L),
+      (3, "b", "an", 5L), (4, "ban", "ana", 3L)), m.toString)
+    // Max pair count never increases (a new pair contains the fused
+    // symbol, bounded by the winning count).
+    assert(m.map(_.pairCount) == m.map(_.pairCount).sorted.reverse)
+  }
+
+  test("bpe applyMerge: greedy left-to-right fuse incl. self-pair runs") {
+    import spark.implicits._
+    val d = Seq((1L, Seq("a", "a", "a")), (2L, Seq("a", "a", "a", "a")),
+      (3L, Seq("b", "a", "a")), (4L, Seq("x"))).toDF("id", "syms")
+    val r = d.select(col("id"),
+        graft.operators.Bpe.applyMerge(col("syms"), "a", "a").as("out"))
+      .collect().map(x => x.getAs[Long]("id") -> x.getSeq[String](1)).toMap
+    assert(r(1L) == Seq("aa", "a"), r(1L).toString)
+    assert(r(2L) == Seq("aa", "aa"), r(2L).toString)
+    assert(r(3L) == Seq("b", "aa"), r(3L).toString)
+    assert(r(4L) == Seq("x"), r(4L).toString)
+  }
+
+  test("bpe subwordCount: packing consumes the learned merge table") {
+    import spark.implicits._
+    val corpus = Seq((1L, "banana banana banana bandana bandana"))
+      .toDF("doc_id", "text")
+    val merges = graft.operators.Bpe.trainMerges(corpus, k = 4)
+    // After the four merges: banana -> [banana] (1), bandana ->
+    // [ban, d, ana] (3), band -> [ban, d] (2).
+    val counts = Seq((1L, "banana"), (2L, "bandana"), (3L, "band"),
+        (4L, "banana bandana"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.operators.Bpe.subwordCount(col("text"), merges).as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n"))
+      .toMap
+    assert(counts == Map(1L -> 1L, 2L -> 3L, 3L -> 2L, 4L -> 4L),
+      counts.toString)
+    // And packAssignments accepts it as the budget unit: the doc's toks
+    // column is the learned-subword count, not chars or ws tokens.
+    val packed = Curation.packAssignments(
+        corpus.withColumn("lang", lit("en")), budgetTokens = 3L,
+        tokenCount = t => graft.operators.Bpe.subwordCount(t, merges))
+      .collect()
+    assert(packed.length == 1)
+  }
+
   test("sourceCaps: keeps top-cap per source by the quality ordering, doc_id ties") {
     import spark.implicits._
     val d = Seq(
