@@ -635,6 +635,7 @@ object Curation {
           java.util.UUID.randomUUID().toString.take(8), true)
     }
     baseRaw.write.mode("overwrite").parquet(basePath)
+    try {
     val base = spark.read.parquet(basePath)
     val q = gopherQualityFromTokens(base)
       .select(col("doc_id"), col("keep").as("q_keep"))
@@ -665,15 +666,19 @@ object Curation {
         (col("q_keep") && col("e_keep") && col("c_keep") &&
           col("d_keep") && col("s_keep")).as("kept"))
       .localCheckpoint(eager = true)
-    // The report rows are materialized above, so an auto-derived scratch
-    // base table is dead weight now — drop it. A caller-supplied path is
-    // the caller's to keep (reuse across reports / debugging).
-    if (autoScratch) {
-      val p = new org.apache.hadoop.fs.Path(basePath)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(p, true)
-    }
     out
+    // Once the report rows are materialized (or the report FAILED — the
+    // finally guarantees a crashed stage doesn't leak a corpus-sized
+    // scratch dir under the warehouse), an auto-derived scratch base
+    // table is dead weight — drop it. A caller-supplied path is the
+    // caller's to keep (reuse across reports / debugging).
+    } finally {
+      if (autoScratch) {
+        val p = new org.apache.hadoop.fs.Path(basePath)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
+    }
   }
 
   /** Streaming twin of [[decontaminate]] — the contamination MONITOR a

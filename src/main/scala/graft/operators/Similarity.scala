@@ -398,7 +398,12 @@ object Similarity {
     * manifest rename. Readers never see a torn index; the cell
     * assignment is deterministic, so a search over the appended index is
     * EXACTLY a search over an index rebuilt from base∪delta with the same
-    * book (spec-pinned). Caller owns vec_id uniqueness across appends.
+    * book (spec-pinned). Caller owns vec_id uniqueness across appends,
+    * and appends are SINGLE-WRITER: two concurrent appenders would race
+    * on the same generation number — the loser's manifest rename fails
+    * loudly, but its half-written delta dir may have been clobbered by
+    * the winner's overwrite; serialize appends (readers need no
+    * coordination — that is what the manifest is for).
     *
     * Scale shape: one map-only pass over the delta (no training, no
     * shuffle beyond the cell repartition); the manifest is O(generations)
