@@ -1062,6 +1062,27 @@ object SparkEntry {
         k = 5, probes = 2)
     }),
 
+    // The COMPACT lifecycle: build base + append delta (as above), then
+    // fold the two generations back into ONE cell-partitioned dir —
+    // compaction rewrites rows verbatim (no book consulted), so the
+    // search is bit-identical to emb_ivf_append_topk and SHARES its
+    // oracle; what changes is the layout (readCells plans one scan, not
+    // one per generation — the linear-growth fix for long append
+    // histories). Build+append+compact run once per JVM per source dir.
+    "emb_ivf_compact_topk" -> ((s, dir) => {
+      val out = indexDir("graft_ivf_cmp", dir)
+      if (builtIndexes.add(s"ivfcmp:$out")) {
+        val emb = t(s, dir, "embeddings")
+        Similarity.buildIvfIndex(emb.filter(col("vec_id") % 10 =!= 7), out,
+          clusters = 16, iters = 2)
+        Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 10 === 7), out)
+        Similarity.compactIndex(s, out)
+      }
+      Similarity.ivfIndexTopK(s, out,
+        t(s, dir, "embeddings").filter(col("vec_id") < 10),
+        k = 5, probes = 2)
+    }),
+
     // Index-quality drift report over the APPENDED index (the operator's
     // target lifecycle: frozen-book appends are what make cells drift):
     // per cell — member count, fill share in ppm, mean/max member-to-
@@ -3417,6 +3438,9 @@ object SparkEntry {
     "emb_ivf_kmeans_topk" -> ivfKmeansTopKSql,
     "emb_ivf_index_topk" -> ivfKmeansTopKSql,
     "emb_ivf_append_topk" -> ivfAppendTopKSql,
+    // Compaction is a pure layout fold — rows rewritten verbatim, search
+    // bit-identical to the appended index (spec-pinned), same oracle.
+    "emb_ivf_compact_topk" -> ivfAppendTopKSql,
     "emb_index_health" -> ivfIndexHealthSql,
     "emb_pq_topk" -> pqTopKSql(m = 4, sub = 16, codes = 8, k = 5, nq = 10),
     "emb_pq_recall" ->

@@ -421,6 +421,7 @@ object Similarity {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/$newDir")
     commitIndexManifest(spark, dir, seq + 1, dirs :+ newDir)
+    sweepIndexGenerations(spark, dir, seq + 1)
   }
 
   /** Top-k search against a PERSISTED index ([[buildIvfIndex]]): probe
@@ -600,6 +601,104 @@ object Similarity {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/$newDir")
     commitIndexManifest(spark, dir, seq + 1, dirs :+ newDir)
+    sweepIndexGenerations(spark, dir, seq + 1)
+  }
+
+  /** Names a manifest may list as data dirs — the ONLY names the
+    * generation sweep is allowed to delete. Positive-match so index
+    * metadata (`centroids`, `codebooks`, manifests) can never be swept
+    * by a bug in the unreferenced-set arithmetic.
+    */
+  private def isIndexDataDir(name: String): Boolean =
+    name.matches("""cells|delta-\d{10}|compact-\d{10}""")
+
+  /** The dirs a SPECIFIC manifest generation references. Generation 0 of
+    * a pre-append-era index is synthesized, not on disk ([[indexManifest]]
+    * adopts it as (0, ["cells"])) — the sweep must treat it as live, or
+    * the first post-adoption commit would delete `cells` out from under a
+    * reader that resolved the adopted generation.
+    */
+  private def manifestDirsAt(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, gen: Long): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root, idxManifestName(gen))
+    if (fs.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val in = fs.open(p)
+      val node =
+        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+        finally in.close()
+      node.get("dirs").elements().asScala.map(_.asText()).toSeq
+    } else if (gen == 0L) Seq("cells")
+    else Seq.empty
+  }
+
+  /** Sweep what the just-committed generation superseded: manifests older
+    * than the predecessor, crashed `.manifest-*.tmp` stages, and any data
+    * dir that neither the committed manifest nor its predecessor
+    * references. Retaining the predecessor gives an in-flight reader of
+    * the previous generation one further commit of grace before its files
+    * go — the [[graft.streaming.IncrementalTrend]] RetainedGenerations=2
+    * policy. Appends are additive (each manifest references every prior
+    * dir), so after an append this only trims stale manifest files; after
+    * a [[compactIndex]] the pre-compaction dirs survive exactly one more
+    * commit. Single-writer like append; idempotent — a crash mid-sweep
+    * re-runs harmlessly on the next commit.
+    */
+  private def sweepIndexGenerations(spark: org.apache.spark.sql.SparkSession,
+      dir: String, seq: Long): Unit = {
+    val (fs, root) = idxFs(spark, dir)
+    val referenced = Seq(seq - 1, seq).filter(_ >= 0)
+      .flatMap(g => manifestDirsAt(fs, root, g)).toSet
+    fs.listStatus(root).foreach { st =>
+      st.getPath.getName match {
+        case IdxManifestRe(d) if d.toLong < seq - 1 =>
+          fs.delete(st.getPath, false)
+        case n if n.startsWith(".manifest-") => fs.delete(st.getPath, false)
+        case n if isIndexDataDir(n) && !referenced.contains(n) =>
+          fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+  }
+
+  /** COMPACT a persisted IVF / IVF-PQ index: fold every live generation
+    * back into ONE cell-partitioned dir and commit the move with the same
+    * atomic manifest rename appends use. The maintenance pass that
+    * restores the single-scan layout appends erode — [[readCells]] plans
+    * one partitioned parquet source per manifest dir, so after N appends
+    * every search carries N scans (each still partition-pruned by the
+    * probe filter — correct, but file listing, plan size, and scan
+    * overhead grow linearly with append count).
+    *
+    * Rows are rewritten VERBATIM: vectors, norms, PQ codes, and cell
+    * assignments are already materialized in the cells table, so no
+    * centroid book or codebook is consulted and search-after-compact is
+    * bit-identical to search-before (spec-pinned) — which is what lets
+    * ONE implementation serve both index layouts.
+    *
+    * Commit protocol: write the folded dir while nothing references it,
+    * atomic manifest rename, then [[sweepIndexGenerations]] — the
+    * pre-compaction generation keeps its files for one further commit so
+    * in-flight readers finish their scans ([[graft.streaming.IncrementalTrend.compact]]
+    * composes with its retention sweep the same way). SINGLE-WRITER, same
+    * contract as append: don't race appends or other compactions. No-op
+    * on a single-generation index (nothing to fold).
+    *
+    * Scale shape: one shuffle of the corpus rows on `cell` (the same
+    * exchange the build paid) and O(1) driver metadata; run it on the
+    * maintenance cadence, e.g. when [[indexHealth]] or the manifest's
+    * generation count crosses the operator's threshold.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val (seq, dirs) = indexManifest(spark, dir)
+    if (dirs.length <= 1) return
+    val newDir = f"compact-${seq + 1}%010d"
+    readCells(spark, dir)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/$newDir")
+    commitIndexManifest(spark, dir, seq + 1, Seq(newDir))
+    sweepIndexGenerations(spark, dir, seq + 1)
   }
 
   /** Index-quality drift report over a persisted IVF / IVF-PQ index: one

@@ -309,6 +309,74 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("compactIndex: search identical across compaction; superseded dirs get one commit of grace") {
+    val d = clusteredVecs
+    val base = d.filter(col("vec_id") % 10 < 7)
+    val delta = d.filter(col("vec_id") % 10 >= 7)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_cmp").toString
+    Similarity.buildIvfIndex(base, dir, clusters = 4, iters = 2)
+    Similarity.appendToIvfIndex(delta, dir)
+    val q = d.filter(col("vec_id") < 4)
+    val before = topkRows(Similarity.ivfIndexTopK(spark, dir, q, k = 3, probes = 1))
+    Similarity.compactIndex(spark, dir)
+    // The manifest now references exactly ONE folded dir …
+    val (seq, dirs) = Similarity.indexManifest(spark, dir)
+    assert(seq == 2L && dirs == Seq("compact-0000000002"))
+    // … and the search is bit-identical (rows rewritten verbatim).
+    val after = topkRows(Similarity.ivfIndexTopK(spark, dir, q, k = 3, probes = 1))
+    assert(after == before && after.nonEmpty)
+    // Grace: the pre-compaction generation's dirs survive the compaction
+    // commit (an in-flight reader of generation 1 may still be scanning).
+    def exists(n: String) = new java.io.File(s"$dir/$n").exists
+    assert(exists("cells") && exists("delta-0000000001"))
+    // The NEXT commit sweeps them: no retained manifest references them.
+    Similarity.appendToIvfIndex(
+      delta.withColumn("vec_id", col("vec_id") + 1000), dir)
+    assert(!exists("cells") && !exists("delta-0000000001"))
+    assert(exists("compact-0000000002") && exists("delta-0000000003"))
+    // Metadata is never swept; old manifests older than the predecessor are.
+    assert(exists("centroids"))
+    assert(!exists("manifest-0000000001.json"))
+    // Post-sweep search still serves both the compacted rows and the new
+    // delta's members.
+    val swept = topkRows(Similarity.ivfIndexTopK(spark, dir, q, k = 3, probes = 1))
+    assert(swept.nonEmpty)
+  }
+
+  test("compactIndex: no-op on a single-generation index") {
+    val d = clusteredVecs
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_cmp_noop").toString
+    Similarity.buildIvfIndex(d, dir, clusters = 4, iters = 2)
+    val q = d.filter(col("vec_id") < 4)
+    val before = topkRows(Similarity.ivfIndexTopK(spark, dir, q, k = 3, probes = 1))
+    Similarity.compactIndex(spark, dir)
+    // Nothing to fold: no manifest written, layout untouched.
+    assert(Similarity.indexManifest(spark, dir) == ((0L, Seq("cells"))))
+    assert(topkRows(Similarity.ivfIndexTopK(spark, dir, q, k = 3, probes = 1)) == before)
+  }
+
+  test("compactIndex: IVF-PQ layout folds identically (codes ride through verbatim)") {
+    val d = clusteredVecs
+    val base = d.filter(col("vec_id") % 10 < 7)
+    val delta = d.filter(col("vec_id") % 10 >= 7)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_cmp").toString
+    Similarity.buildIvfPqIndex(base, dir, clusters = 4, iters = 2,
+      m = 4, codes = 4)
+    Similarity.appendToIvfPqIndex(delta, dir)
+    val q = d.filter(col("vec_id") < 4)
+    val before = topkRows(Similarity.ivfPqTopK(spark, dir, q, k = 3,
+      probes = 1, candidates = 10))
+    Similarity.compactIndex(spark, dir)
+    val (_, dirs) = Similarity.indexManifest(spark, dir)
+    assert(dirs.length == 1)
+    val after = topkRows(Similarity.ivfPqTopK(spark, dir, q, k = 3,
+      probes = 1, candidates = 10))
+    assert(after == before && after.nonEmpty)
+  }
+
   test("indexHealth: appended index reports full membership, exact shares, sane residuals") {
     val d = clusteredVecs
     val base = d.filter(col("vec_id") % 10 < 7)

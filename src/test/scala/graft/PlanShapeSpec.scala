@@ -207,6 +207,28 @@ class PlanShapeSpec extends SparkSpec {
       p.take(3000))
   }
 
+  test("emb_ivf_compact_topk: compaction folds the appended index back to ONE pruned scan") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_cmp_plan").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    graft.operators.Similarity.buildIvfIndex(
+      emb.filter(col("vec_id") % 10 =!= 7), dir, clusters = 16, iters = 0)
+    graft.operators.Similarity.appendToIvfIndex(
+      emb.filter(col("vec_id") % 10 === 7), dir)
+    graft.operators.Similarity.compactIndex(spark, dir)
+    val p = graft.operators.Similarity
+      .ivfIndexTopK(spark, dir, emb.filter(col("vec_id") < 10),
+        k = 5, probes = 2)
+      .queryExecution.executedPlan.toString
+    // The appended index planned one scan PER generation (locked above);
+    // after compaction the search is back to a single partition-pruned
+    // scan — the linear-plan-growth fix the operator exists for.
+    val pruned = "PartitionFilters: \\[cell".r.findAllIn(p).size
+    assert(pruned == 1, s"expected 1 pruned scan post-compaction, got $pruned\n" +
+      p.take(3000))
+  }
+
   test("emb_ivfpq_topk: IVF-PQ search partition-prunes cells and prunes both rank stages") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files
