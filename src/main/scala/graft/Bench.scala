@@ -185,7 +185,14 @@ object Bench {
         // Contract line carries the aggregate trend + only the outliers
         // (factor > 3 on the scale path, i.e. potentially super-linear at
         // 10× data); the full factor map lives in BENCH_DETAIL.json.
-        val sortedF = factors.values.toSeq.sorted
+        // The percentile population EXCLUDES the fenced quadratic
+        // baselines, matching the outlier filter: otherwise factor_max
+        // always reports a deliberately-quadratic fence and a real
+        // scale-path regression hides behind it (fence factors remain
+        // visible in the detail file's full map).
+        val sortedF = factors.collect {
+          case (k, f) if !SparkEntry.verificationScaleOnly(k) => f
+        }.toSeq.sorted
         def pct(p: Double): Double =
           if (sortedF.isEmpty) 0.0
           else sortedF(math.min(sortedF.size - 1, (p * sortedF.size).toInt))
@@ -200,11 +207,11 @@ object Bench {
           detail)
       }
     val (scalingJson, scalingDetail) = scaling
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
-      s""""queries":$qs,"passes":$passes,"agg":"min_per_query",""" +
-      s""""sf":"$sfDir","detail":"BENCH_DETAIL.json"""" +
-      s"""$vscaleJson$failedJson$scalingJson}"""
     // Full-precision sidecar for the judge (cwd = repo root under sbt).
+    // Written BEFORE the contract line via temp-file + atomic rename: a
+    // failed write must not leave the line pointing at a STALE detail
+    // file from a previous round — on failure the pointer becomes null
+    // and the consumer knows there is no current-round detail.
     val fullQs = best.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val detailJson =
@@ -212,11 +219,23 @@ object Bench {
         s""""factor_primary_over_ref":${scalingDetail._2},""" +
         s""""sf":"$sfDir","passes":$passes,"agg":"min_per_query"""" +
         s"""$vscaleJson$failedJson}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      detailJson.getBytes("UTF-8"))
-    catch { case NonFatal(e) =>
-      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
-    }
+    val detailRef =
+      try {
+        val tmp = java.nio.file.Paths.get(".BENCH_DETAIL.json.tmp")
+        java.nio.file.Files.write(tmp, detailJson.getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp,
+          java.nio.file.Paths.get("BENCH_DETAIL.json"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        "\"BENCH_DETAIL.json\""
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+        "null"
+      }
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+      s""""queries":$qs,"passes":$passes,"agg":"min_per_query",""" +
+      s""""sf":"$sfDir","detail":$detailRef""" +
+      s"""$vscaleJson$failedJson$scalingJson}"""
     println(line)
     spark.stop()
   }

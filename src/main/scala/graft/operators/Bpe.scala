@@ -65,7 +65,7 @@ object Bpe {
   /** The corpus word-frequency table: lower-cased whitespace tokens,
     * counted with multiplicity, split to character symbols.
     */
-  private def vocab(docs: DataFrame): DataFrame =
+  private[graft] def vocab(docs: DataFrame): DataFrame =
     docs.select(explode(TextAnalysis.wsTokens(lower(col("text"))))
         .as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
@@ -77,6 +77,22 @@ object Bpe {
   private def adjacentPairs(syms: Column): Column =
     zip_with(slice(syms, lit(1), size(syms) - 1), slice(syms, lit(2), size(syms) - 1),
       (l, r) => struct(l.as("l"), r.as("r")))
+
+  /** One training round's argmax query over the vocab table — factored
+    * out so [[graft.PlanShapeSpec]] can lock its shape (the eager
+    * checkpoint in [[trainMerges]] hides the plan behind a Scan
+    * ExistingRDD otherwise — the kmeansSearchPlan pattern): pair
+    * explosion + count aggregation + a top-1 that must plan as
+    * TakeOrderedAndProject, all over the VOCABULARY table only — no
+    * round ever re-reads the corpus.
+    */
+  private[graft] def topPairPlan(words: DataFrame): DataFrame =
+    words.where(size(col("syms")) > 1)
+      .select(col("cnt"), explode(adjacentPairs(col("syms"))).as("p"))
+      .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+      .agg(sum(col("cnt")).as("c"))
+      .orderBy(col("c").desc, col("lhs").asc, col("rhs").asc)
+      .limit(1)
 
   /** Train `k` merges. Each round collects exactly ONE row (the argmax
     * pair, ties broken by (count DESC, lhs ASC, rhs ASC) so both engines
@@ -91,12 +107,7 @@ object Bpe {
     var round = 1
     var exhausted = false
     while (round <= k && !exhausted) {
-      val top = words.where(size(col("syms")) > 1)
-        .select(col("cnt"), explode(adjacentPairs(col("syms"))).as("p"))
-        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
-        .agg(sum(col("cnt")).as("c"))
-        .orderBy(col("c").desc, col("lhs").asc, col("rhs").asc)
-        .limit(1).collect()
+      val top = topPairPlan(words).collect()
       if (top.isEmpty) exhausted = true
       else {
         val (lhs, rhs, c) = (top(0).getString(0), top(0).getString(1),

@@ -634,8 +634,12 @@ object Curation {
         (s"${wh.stripSuffix("/")}/graft_curation_base_" +
           java.util.UUID.randomUUID().toString.take(8), true)
     }
-    baseRaw.write.mode("overwrite").parquet(basePath)
+    // The write sits INSIDE the try: a failure mid-write (the likeliest
+    // failure in this function — it materializes a corpus-sized table) must
+    // also reach the finally, or the partial scratch dir leaks forever
+    // (its UUID name is never revisited).
     try {
+    baseRaw.write.mode("overwrite").parquet(basePath)
     val base = spark.read.parquet(basePath)
     val q = gopherQualityFromTokens(base)
       .select(col("doc_id"), col("keep").as("q_keep"))

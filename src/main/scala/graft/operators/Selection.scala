@@ -92,45 +92,8 @@ object Selection {
   def dsirModel(docs: DataFrame,
       targetFilter: Column = qualityTarget(),
       modelSampleHex: String = "ff"): DsirModel = {
-    require(modelSampleHex.length == 2 && modelSampleHex.forall(c =>
-        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
-      s"modelSampleHex='$modelSampleHex' must be two LOWERCASE hex chars " +
-        "(the md5 coin is lowercase; an uppercase cap silently " +
-        "mis-samples under lexicographic compare)")
-    // coalesce: a null targetFilter verdict (e.g. null text) must count
-    // as raw, not crash the driver-side Row.getBoolean on collect.
-    val toks = docs
-      .select(col("doc_id"),
-        coalesce(targetFilter, lit(false)).as("in_target"),
-        lowerToks(col("text")).as("toks"))
-    val modelCoin = substring(
-      md5(concat(lit("dsir:"), col("doc_id").cast("string"))), 1, 2)
-    // One aggregation yields bucket token counts AND pool doc counts:
-    // posexplode_outer emits every token with its position plus one
-    // null-token row per empty doc, so `docheads` (pos-0 or empty-doc
-    // rows) sums to exactly one per document; empty docs group under the
-    // null bucket and contribute no token count.
-    val buckets = toks.where(modelCoin <= modelSampleHex)
-      .select(col("in_target"),
-        posexplode_outer(col("toks")).as(Seq("pos", "tok")))
-      .select(col("in_target"), bucket(col("tok")).as("bkt"),
-        when(col("pos").isNull || col("pos") === 0, 1L).otherwise(0L)
-          .as("dochead"))
-      .groupBy(col("in_target"), col("bkt"))
-      .agg(count(col("bkt")).as("c"), sum(col("dochead")).as("docheads"))
-      .collect()
-
-    val tc = new Array[Long](dsirBuckets)
-    val rc = new Array[Long](dsirBuckets)
-    var nRaw = 0L
-    buckets.foreach { r =>
-      val target = r.getBoolean(0)
-      if (!r.isNullAt(1)) {
-        val arr = if (target) tc else rc
-        arr(r.getLong(1).toInt) += r.getLong(2)
-      }
-      if (!target) nRaw += r.getLong(3)
-    }
+    val (tc, rc, _, nRaw) = classBucketCounts(docs, targetFilter,
+      "dsir:", modelSampleHex, "modelSampleHex")
     val bigT = tc.sum
     val bigR = rc.sum
     val b = dsirBuckets.toLong
@@ -154,6 +117,57 @@ object Selection {
         fl.toLong
       }
     DsirModel(w.toIndexedSeq, threshold)
+  }
+
+  /** The shared ONE-PASS training scaffold of the DSIR and Naive-Bayes
+    * linear models: validates the two-lowercase-hex md5 coin cap, runs
+    * the single (class, bucket) count aggregation, and folds the
+    * collected rows into per-class bucket-count arrays plus per-class
+    * doc counts. posexplode_outer emits every token with its position
+    * plus one null-token row per empty doc, so `docheads` (pos-0 or
+    * empty-doc rows) sums to exactly one per document; empty docs group
+    * under the null bucket and contribute no token count. The class
+    * column is coalesced to false so a null filter verdict (e.g. null
+    * text) counts as the negative/raw class instead of crashing the
+    * driver-side Row.getBoolean. `coinPrefix` salts the doc_id coin
+    * ("dsir:" / "nb:") so the two models sample independently.
+    * Returns (trueCounts, falseCounts, nTrueDocs, nFalseDocs).
+    */
+  private def classBucketCounts(docs: DataFrame, classFilter: Column,
+      coinPrefix: String, sampleHex: String, hexParamName: String)
+      : (Array[Long], Array[Long], Long, Long) = {
+    require(sampleHex.length == 2 && sampleHex.forall(c =>
+        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
+      s"$hexParamName='$sampleHex' must be two LOWERCASE hex chars " +
+        "(the md5 coin is lowercase; an uppercase cap silently " +
+        "mis-samples under lexicographic compare)")
+    val coin = substring(
+      md5(concat(lit(coinPrefix), col("doc_id").cast("string"))), 1, 2)
+    val rows = docs
+      .select(col("doc_id"),
+        coalesce(classFilter, lit(false)).as("cls"),
+        lowerToks(col("text")).as("toks"))
+      .where(coin <= sampleHex)
+      .select(col("cls"), posexplode_outer(col("toks")).as(Seq("pos", "tok")))
+      .select(col("cls"), bucket(col("tok")).as("bkt"),
+        when(col("pos").isNull || col("pos") === 0, 1L).otherwise(0L)
+          .as("dochead"))
+      .groupBy(col("cls"), col("bkt"))
+      .agg(count(col("bkt")).as("c"), sum(col("dochead")).as("docheads"))
+      .collect()
+    val tCounts = new Array[Long](dsirBuckets)
+    val fCounts = new Array[Long](dsirBuckets)
+    var nTrue = 0L
+    var nFalse = 0L
+    rows.foreach { r =>
+      val cls = r.getBoolean(0)
+      if (!r.isNullAt(1)) {
+        val arr = if (cls) tCounts else fCounts
+        arr(r.getLong(1).toInt) += r.getLong(2)
+      }
+      if (cls) nTrue += r.getLong(3) else nFalse += r.getLong(3)
+    }
+    (tCounts, fCounts, nTrue, nFalse)
   }
 
   /** Map-only scoring expression: the exact integer weight sum of a
@@ -253,39 +267,8 @@ object Selection {
   def nbModel(docs: DataFrame,
       labelFilter: Column = qualityTarget(),
       trainSampleHex: String = "7f"): NbModel = {
-    require(trainSampleHex.length == 2 && trainSampleHex.forall(c =>
-        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
-      s"trainSampleHex='$trainSampleHex' must be two LOWERCASE hex chars " +
-        "(the md5 coin is lowercase; an uppercase cap silently " +
-        "mis-samples under lexicographic compare)")
-    // One aggregation yields bucket token counts AND class doc counts:
-    // posexplode_outer emits every token with its position plus one
-    // null-token row per empty doc, so `docheads` (pos-0 or empty-doc
-    // rows) sums to exactly one per training document.
-    val counts = docs
-      .select(col("doc_id"),
-        coalesce(labelFilter, lit(false)).as("label"),
-        lowerToks(col("text")).as("toks"))
-      .where(nbTrainCoin <= trainSampleHex)
-      .select(col("label"), posexplode_outer(col("toks")).as(Seq("pos", "tok")))
-      .select(col("label"), bucket(col("tok")).as("bkt"),
-        when(col("pos").isNull || col("pos") === 0, 1L).otherwise(0L)
-          .as("dochead"))
-      .groupBy(col("label"), col("bkt"))
-      .agg(count(col("bkt")).as("c"), sum(col("dochead")).as("docheads"))
-      .collect()
-    val pc = new Array[Long](dsirBuckets)
-    val nc = new Array[Long](dsirBuckets)
-    var nPos = 0L
-    var nNeg = 0L
-    counts.foreach { r =>
-      val label = r.getBoolean(0)
-      if (!r.isNullAt(1)) {
-        val arr = if (label) pc else nc
-        arr(r.getLong(1).toInt) += r.getLong(2)
-      }
-      if (label) nPos += r.getLong(3) else nNeg += r.getLong(3)
-    }
+    val (pc, nc, nPos, nNeg) = classBucketCounts(docs, labelFilter,
+      "nb:", trainSampleHex, "trainSampleHex")
     val bigP = pc.sum
     val bigN = nc.sum
     val b = dsirBuckets.toLong

@@ -331,15 +331,7 @@ object Similarity {
         case IdxManifestRe(d) => d.toLong
       }
     if (seqs.isEmpty) (0L, Seq("cells"))
-    else {
-      import scala.jdk.CollectionConverters._
-      val p = new org.apache.hadoop.fs.Path(root, idxManifestName(seqs.max))
-      val in = fs.open(p)
-      val node =
-        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
-        finally in.close()
-      (seqs.max, node.get("dirs").elements().asScala.map(_.asText()).toSeq)
-    }
+    else (seqs.max, manifestDirsAt(fs, root, seqs.max))
   }
 
   /** Stage the manifest JSON to a dot-temp file, then rename into place —
@@ -643,23 +635,36 @@ object Similarity {
     * a [[compactIndex]] the pre-compaction dirs survive exactly one more
     * commit. Single-writer like append; idempotent — a crash mid-sweep
     * re-runs harmlessly on the next commit.
+    *
+    * BEST-EFFORT: the sweep runs AFTER the manifest rename, i.e. the
+    * append/compact is already committed — a transient filesystem error
+    * here must not surface as an operation failure, because the natural
+    * caller response (retry the append) would encode the SAME delta
+    * under a new generation and duplicate every vector in the index.
+    * Garbage a failed sweep leaves behind is unreferenced and the next
+    * commit's sweep collects it.
     */
   private def sweepIndexGenerations(spark: org.apache.spark.sql.SparkSession,
-      dir: String, seq: Long): Unit = {
-    val (fs, root) = idxFs(spark, dir)
-    val referenced = Seq(seq - 1, seq).filter(_ >= 0)
-      .flatMap(g => manifestDirsAt(fs, root, g)).toSet
-    fs.listStatus(root).foreach { st =>
-      st.getPath.getName match {
-        case IdxManifestRe(d) if d.toLong < seq - 1 =>
-          fs.delete(st.getPath, false)
-        case n if n.startsWith(".manifest-") => fs.delete(st.getPath, false)
-        case n if isIndexDataDir(n) && !referenced.contains(n) =>
-          fs.delete(st.getPath, true)
-        case _ => ()
+      dir: String, seq: Long): Unit =
+    try {
+      val (fs, root) = idxFs(spark, dir)
+      val referenced = Seq(seq - 1, seq).filter(_ >= 0)
+        .flatMap(g => manifestDirsAt(fs, root, g)).toSet
+      fs.listStatus(root).foreach { st =>
+        st.getPath.getName match {
+          case IdxManifestRe(d) if d.toLong < seq - 1 =>
+            fs.delete(st.getPath, false)
+          case n if n.startsWith(".manifest-") => fs.delete(st.getPath, false)
+          case n if isIndexDataDir(n) && !referenced.contains(n) =>
+            fs.delete(st.getPath, true)
+          case _ => ()
+        }
       }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(
+        s"[graft] index generation sweep failed for $dir at gen $seq " +
+          s"(commit already durable; next commit re-collects): ${e.getMessage}")
     }
-  }
 
   /** COMPACT a persisted IVF / IVF-PQ index: fold every live generation
     * back into ONE cell-partitioned dir and commit the move with the same

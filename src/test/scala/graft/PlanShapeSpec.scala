@@ -321,6 +321,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(3000))
   }
 
+  test("doc_bpe_merges: training rounds stay on the vocab table; subword scoring is map-only") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // A training round's argmax runs over the CHECKPOINTED vocabulary
+    // (Scan ExistingRDD), never re-reading the corpus parquet, and the
+    // top-1 plans as TakeOrderedAndProject, not a full sort.
+    val words = graft.operators.Bpe.vocab(docs).localCheckpoint(eager = true)
+    val p = graft.operators.Bpe.topPairPlan(words)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.toLowerCase.contains("scan parquet"), p.take(2000))
+    // Applying a learned merge table to score documents is a pure map —
+    // nested literal folds, zero exchanges (the InferFiltersFromGenerate
+    // class of regression would show up here as an Exchange or a
+    // re-tokenizing filter).
+    val merges = Seq(graft.operators.Bpe.Merge(1, "t", "h", "th", 1L))
+    val sp = docs
+      .select(col("doc_id"),
+        graft.operators.Bpe.subwordCount(col("text"), merges).as("subwords"))
+      .queryExecution.executedPlan.toString
+    assert(!sp.contains("Exchange"), sp.take(2000))
+  }
+
   test("doc_epoch_shuffle: sharded sort — one hash exchange, never a global range sort") {
     val p = physical("doc_epoch_shuffle")
     assert(p.contains("hashpartitioning"), p.take(3000))
