@@ -1423,12 +1423,19 @@ object SparkEntry {
            FROM documents),
          qual AS (
            SELECT doc_id,
-             round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+             -- coalesce mirrors Selection.classBucketCounts/streaming
+             -- scoring: a NULL verdict (null text propagates NULL through
+             -- toks/praw) counts as the raw/negative class, exactly like
+             -- the Spark side's coalesce(filter, false) — without it a
+             -- null-text training doc would vanish from BOTH calibration
+             -- class counts in the oracle while Spark counts it negative.
+             coalesce(
+               floor((least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
                + (1.0 - least(praw * 5.0, 1.0)) * 0.3
                + least(CASE WHEN len(toks) = 0 THEN 0.0
                    ELSE CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE)
-                        / len(toks) END * 5.0, 1.0) * 0.3, 6) >= 0.65
-               AS in_target
+                        / len(toks) END * 5.0, 1.0) * 0.3) * 1e6) / 1e6 >= 0.65,
+               FALSE) AS in_target
            FROM t)"""
 
   // BPE merge-training oracle: replays Bpe.trainMerges round by round.
@@ -2187,11 +2194,11 @@ object SparkEntry {
            FROM documents),
          q AS (
            SELECT doc_id, source,
-             round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+             floor((least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
                + (1.0 - least(praw * 5.0, 1.0)) * 0.3
                + least(CASE WHEN len(toks) = 0 THEN 0.0
                    ELSE CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE)
-                        / len(toks) END * 5.0, 1.0) * 0.3, 6) AS quality
+                        / len(toks) END * 5.0, 1.0) * 0.3) * 1e6) / 1e6 AS quality
            FROM t)
          SELECT doc_id, source, src_rank FROM (
            SELECT doc_id, source,
@@ -2445,11 +2452,11 @@ object SparkEntry {
            GROUP BY doc_id)
          SELECT d.doc_id,
            coalesce(per.n_tokens, 0) AS n_tokens,
-           coalesce(round(CAST(per.freq_sum AS DOUBLE)
-             / CAST(per.n_tokens AS DOUBLE), 6), 0.0) AS mean_freq,
+           coalesce(floor(CAST(per.freq_sum AS DOUBLE)
+             / CAST(per.n_tokens AS DOUBLE) * 1e6) / 1e6, 0.0) AS mean_freq,
            coalesce(per.min_freq, 0) AS min_freq,
-           coalesce(round(CAST(per.hapax AS DOUBLE)
-             / CAST(per.n_tokens AS DOUBLE), 6), 0.0) AS hapax_share
+           coalesce(floor(CAST(per.hapax AS DOUBLE)
+             / CAST(per.n_tokens AS DOUBLE) * 1e6) / 1e6, 0.0) AS hapax_share
          FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""",
 
     "doc_paragraph_dedup" ->
@@ -3182,12 +3189,12 @@ object SparkEntry {
              len(toks) AS ntoks
            FROM t)
          SELECT doc_id,
-           round(praw, 6) AS punct_ratio,
-           round(sraw, 6) AS stopword_ratio,
-           round(mraw, 6) AS mean_token_len,
-           round(least(CAST(ntoks AS DOUBLE) / 100.0, 1.0) * 0.4
+           floor(praw * 1e6) / 1e6 AS punct_ratio,
+           floor(sraw * 1e6) / 1e6 AS stopword_ratio,
+           floor(mraw * 1e6) / 1e6 AS mean_token_len,
+           floor((least(CAST(ntoks AS DOUBLE) / 100.0, 1.0) * 0.4
                  + (1.0 - least(praw * 5.0, 1.0)) * 0.3
-                 + least(sraw * 5.0, 1.0) * 0.3, 6) AS quality
+                 + least(sraw * 5.0, 1.0) * 0.3) * 1e6) / 1e6 AS quality
          FROM m""",
 
     "doc_langid" ->

@@ -90,13 +90,19 @@ object VacuitySweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Unreadable dumps are tracked SEPARATELY from legitimately-empty
+    // results: folding them into the zero-row card would let a
+    // `query.*: empty by construction` allowlist waiver also silently
+    // waive a corrupt/partial dump — exactly the silent-vanish failure
+    // mode (round 7's 18 disappearing queries) this gate exists to catch.
+    // An unreadable dump is ALWAYS a violation, never allowlistable.
+    val unreadable = Seq.newBuilder[String]
     val cards = queryDirs.flatMap { d =>
       try sweepQuery(spark, d)
       catch { case NonFatal(e) =>
-        // An unreadable dump is itself a violation-shaped event: surface
-        // it as a zero-row card so the gate below fails loudly.
         System.err.println(s"[vacuity] ${d.getName} unreadable: ${e.getMessage}")
-        Seq(ColCard(d.getName, "*", 0L, 0L))
+        unreadable += s"${d.getName}: UNREADABLE dump (${e.getClass.getSimpleName})"
+        Seq.empty
       }
     }
     spark.stop()
@@ -118,6 +124,7 @@ object VacuitySweep {
     waived.sorted.foreach(w => println(s"[vacuity] allowlisted: $w"))
 
     val violations =
+      unreadable.result() ++
       empty.filter(q => allowed(q, "*").isEmpty)
         .map(q => s"$q: EMPTY result — verifies nothing") ++
       constant.filter(c => allowed(c.query, c.column).isEmpty)

@@ -79,11 +79,20 @@ object TextAnalysis {
     * and SQL-re-expressible; the shape (length/punct/stopword mix) is the
     * standard heuristic-filter recipe.
     */
+  /** Floor-quantization to 6 dp: floor of an IEEE double is unambiguous
+    * and the division of the resulting integer-valued double by 1e6 is
+    * one IEEE op — identical in every engine. `round(x, 6)` is NOT: at a
+    * .5 boundary of the shortest decimal repr the engines disagree
+    * (measured: round(41/640., 6) = 0.064063 Spark vs 0.064062 DuckDB),
+    * so never round() a raw rational that an oracle hash-compares.
+    */
+  private def q6(c: Column): Column = floor(c * lit(1e6)) / lit(1e6)
+
   def qualityScore(text: Column): Column = {
     val lengthTerm = least(tokenCountWs(text).cast("double") / 100.0, lit(1.0))
     val punctTerm = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
     val stopTerm = least(stopwordRatio(text) * 5.0, lit(1.0))
-    round((lengthTerm * 0.4 + punctTerm * 0.3 + stopTerm * 0.3), 6)
+    q6(lengthTerm * 0.4 + punctTerm * 0.3 + stopTerm * 0.3)
   }
 
   /** Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -133,9 +142,9 @@ object TextAnalysis {
   def quality(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      round(punctRatio(col("text")), 6).as("punct_ratio"),
-      round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
-      round(meanTokenLen(col("text")), 6).as("mean_token_len"),
+      q6(punctRatio(col("text"))).as("punct_ratio"),
+      q6(stopwordRatio(col("text"))).as("stopword_ratio"),
+      q6(meanTokenLen(col("text"))).as("mean_token_len"),
       qualityScore(col("text")).as("quality"))
 
   /** Language-ID with per-language evidence counts. */
@@ -347,11 +356,11 @@ object TextAnalysis {
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(round(col("freq_sum").cast("double") /
-          col("n_tokens").cast("double"), 6), lit(0.0)).as("mean_freq"),
+        coalesce(q6(col("freq_sum").cast("double") /
+          col("n_tokens").cast("double")), lit(0.0)).as("mean_freq"),
         coalesce(col("min_freq"), lit(0L)).as("min_freq"),
-        coalesce(round(col("hapax").cast("double") /
-          col("n_tokens").cast("double"), 6), lit(0.0)).as("hapax_share"))
+        coalesce(q6(col("hapax").cast("double") /
+          col("n_tokens").cast("double")), lit(0.0)).as("hapax_share"))
       .localCheckpoint(eager = true) // release the token cache below
     toks.unpersist()
     out

@@ -56,14 +56,36 @@ object EventAdapter {
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        // Magnitude guard on the nanos assumption: epoch-NANOS exceeds
+        // 1e17 for any date past mid-1973, while epoch-MICROS stays below
+        // 1e17 until year ~5138 — so a future generator vintage writing
+        // unannotated INT64 micros (also read as Long) fails loudly here
+        // instead of being silently divided 1000× toward 1970. That
+        // silent misparse is the round-7 vanish lesson applied to the
+        // read side: the hash compare would catch it at Verify, but a
+        // bench run has no compare and would report wrong-window trend
+        // timings without a whisper.
+        val nanos = col("ts")
+        val guarded = when(nanos.isNull, lit(null).cast("long"))
+          .when(nanos >= 100000000000000000L, expr("ts DIV 1000"))
+          .otherwise(raise_error(concat(
+            lit("events.ts Long value "), nanos.cast("string"),
+            lit(" is too small for epoch-nanos — unrecognized generator" +
+              " vintage (unannotated micros?)"))))
+        raw.withColumn("ts", timestamp_micros(guarded))
       case org.apache.spark.sql.types.TimestampNTZType =>
         // Plain µs TIMESTAMP without tz annotation. Normalize to the LTZ
         // TimestampType every downstream operator expects (NTZ rejects
         // numeric casts); under the UTC session both Verify and Bench pin,
         // the epoch values are identical to DuckDB's naive epoch_us read.
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => raw // already an LTZ timestamp — DuckDB reads it identically
+      case org.apache.spark.sql.types.TimestampType =>
+        raw // already an LTZ timestamp — DuckDB reads it identically
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unrecognized type $other — known vintages: " +
+          "TIMESTAMP(NANOS) (Long under nanosAsLong), µs TIMESTAMP_NTZ, " +
+          "µs TIMESTAMP (LTZ). A new vintage needs an explicit branch " +
+          "here, not a silent pass-through.")
     }
   }
 

@@ -897,11 +897,12 @@ class PipelineOperatorsSpec extends SparkSpec {
     val out = TextAnalysis.tokenRarity(d).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(out(1L).getAs[Long]("n_tokens") == 3L)
-    assert(out(1L).getAs[Double]("mean_freq") == math.round(8.0 / 3.0 * 1e6) / 1e6)
+    // floor-quantized (q6), not rounded: 8/3 -> 2.666666, never .666667.
+    assert(out(1L).getAs[Double]("mean_freq") == math.floor(8.0 / 3.0 * 1e6) / 1e6)
     assert(out(1L).getAs[Long]("min_freq") == 2L)
     assert(out(1L).getAs[Double]("hapax_share") == 0.0)
     assert(out(2L).getAs[Long]("min_freq") == 1L)
-    assert(out(2L).getAs[Double]("hapax_share") == math.round(1.0 / 3.0 * 1e6) / 1e6)
+    assert(out(2L).getAs[Double]("hapax_share") == math.floor(1.0 / 3.0 * 1e6) / 1e6)
     assert(out(3L).getAs[Long]("n_tokens") == 0L) // empty doc rides through
   }
 
