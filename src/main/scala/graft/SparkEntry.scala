@@ -824,7 +824,7 @@ object SparkEntry {
             .as("promo_revenue"),
           round(sum(rev), 4).as("total_revenue"))
         .select(col("promo_revenue"), col("total_revenue"),
-          round(col("promo_revenue") / col("total_revenue"), 6)
+          graft.operators.Quant.r6(col("promo_revenue") / col("total_revenue"))
             .as("promo_share"))
     }),
 
@@ -1355,9 +1355,9 @@ object SparkEntry {
              FROM icand) WHERE rk <= $cand),
          irr AS (
            SELECT a.query_id, c.vec_id AS neighbor_id,
-             round(list_dot_product(q.fullv, c.fullv)
+             floor((list_dot_product(q.fullv, c.fullv)
                / (sqrt(list_dot_product(q.fullv, q.fullv))
-                  * sqrt(list_dot_product(c.fullv, c.fullv))), 6) AS cos
+                  * sqrt(list_dot_product(c.fullv, c.fullv)))) * 1e6 + 0.5) / 1e6 AS cos
            FROM icandr a
            JOIN vf c ON c.vec_id = a.vec_id
            JOIN vf q ON q.vec_id = a.query_id),
@@ -1386,9 +1386,9 @@ object SparkEntry {
            SELECT query_id, neighbor_id FROM irrr WHERE rank <= $k),
          bs AS (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             round(list_dot_product(q.fullv, c.fullv)
+             floor((list_dot_product(q.fullv, c.fullv)
                / (sqrt(list_dot_product(q.fullv, q.fullv))
-                  * sqrt(list_dot_product(c.fullv, c.fullv))), 6) AS cos
+                  * sqrt(list_dot_product(c.fullv, c.fullv)))) * 1e6 + 0.5) / 1e6 AS cos
            FROM vf q, vf c
            WHERE q.vec_id < $nq AND q.vec_id <> c.vec_id),
          bfr AS (
@@ -1405,8 +1405,8 @@ object SparkEntry {
            GROUP BY 1)
          SELECT bfn.query_id,
            coalesce(h.hits_ivfpq, CAST(0 AS BIGINT)) AS hits_ivfpq,
-           round(CAST(coalesce(h.hits_ivfpq, CAST(0 AS BIGINT)) AS DOUBLE)
-             / CAST(bfn.bf_n AS DOUBLE), 6) AS recall_ivfpq
+           floor((CAST(coalesce(h.hits_ivfpq, CAST(0 AS BIGINT)) AS DOUBLE)
+             / CAST(bfn.bf_n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS recall_ivfpq
          FROM bfn LEFT JOIN h ON bfn.query_id = h.query_id"""
 
   // Quality-bar target CTEs for the DSIR oracle: t(doc_id, text, toks,
@@ -1520,9 +1520,9 @@ object SparkEntry {
            SELECT query_id, neighbor_id FROM (
              SELECT a.query_id, c.vec_id AS neighbor_id,
                row_number() OVER (PARTITION BY a.query_id ORDER BY
-                 round(list_dot_product(q.fullv, c.fullv)
+                 floor((list_dot_product(q.fullv, c.fullv)
                    / (sqrt(list_dot_product(q.fullv, q.fullv))
-                      * sqrt(list_dot_product(c.fullv, c.fullv))), 6) DESC,
+                      * sqrt(list_dot_product(c.fullv, c.fullv)))) * 1e6 + 0.5) / 1e6 DESC,
                  c.vec_id ASC) AS rk2
              FROM adcr a
              JOIN vf c ON c.vec_id = a.vec_id
@@ -1530,9 +1530,9 @@ object SparkEntry {
              WHERE a.rk <= $cand) WHERE rk2 <= $k),
          bs AS (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             round(list_dot_product(q.fullv, c.fullv)
+             floor((list_dot_product(q.fullv, c.fullv)
                / (sqrt(list_dot_product(q.fullv, q.fullv))
-                  * sqrt(list_dot_product(c.fullv, c.fullv))), 6) AS cos
+                  * sqrt(list_dot_product(c.fullv, c.fullv)))) * 1e6 + 0.5) / 1e6 AS cos
            FROM vf q, vf c
            WHERE q.vec_id < $nq AND q.vec_id <> c.vec_id),
          bfr AS (
@@ -1555,10 +1555,10 @@ object SparkEntry {
          SELECT bfn.query_id,
            coalesce(h.hits_pq, CAST(0 AS BIGINT)) AS hits_pq,
            coalesce(h2.hits_rerank, CAST(0 AS BIGINT)) AS hits_rerank,
-           round(CAST(coalesce(h.hits_pq, CAST(0 AS BIGINT)) AS DOUBLE)
-             / CAST(bfn.bf_n AS DOUBLE), 6) AS recall_pq,
-           round(CAST(coalesce(h2.hits_rerank, CAST(0 AS BIGINT)) AS DOUBLE)
-             / CAST(bfn.bf_n AS DOUBLE), 6) AS recall_rerank
+           floor((CAST(coalesce(h.hits_pq, CAST(0 AS BIGINT)) AS DOUBLE)
+             / CAST(bfn.bf_n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS recall_pq,
+           floor((CAST(coalesce(h2.hits_rerank, CAST(0 AS BIGINT)) AS DOUBLE)
+             / CAST(bfn.bf_n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS recall_rerank
          FROM bfn LEFT JOIN h ON bfn.query_id = h.query_id
          LEFT JOIN h2 ON bfn.query_id = h2.query_id"""
 
@@ -1594,8 +1594,8 @@ object SparkEntry {
          $kmeansProbesSql,
          s AS (
            SELECT q.query_id, c.vec_id AS neighbor_id,
-             round(list_dot_product(q.qv, c.ev)
-                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.ev, c.ev))), 6) AS cos
+             floor((list_dot_product(q.qv, c.ev)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.ev, c.ev)))) * 1e6 + 0.5) / 1e6 AS cos
            FROM q
            JOIN kqp ON kqp.query_id = q.query_id
            JOIN ka ON ka.cluster = kqp.probe
@@ -1620,8 +1620,8 @@ object SparkEntry {
          $kmeansProbesSql,
          s AS (
            SELECT q.query_id, c.vec_id AS neighbor_id,
-             round(list_dot_product(q.qv, c.ev)
-                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.ev, c.ev))), 6) AS cos
+             floor((list_dot_product(q.qv, c.ev)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.ev, c.ev)))) * 1e6 + 0.5) / 1e6 AS cos
            FROM q
            JOIN kqp ON kqp.query_id = q.query_id
            JOIN ka ON ka.cluster = kqp.probe
@@ -2421,14 +2421,13 @@ object SparkEntry {
                     generate_series(greatest(j-2, 1), least(j, len(flags))),
                     i -> flags[i])) > 0 THEN 1 ELSE 0 END)), 0) AS BIGINT)
              AS covered_tokens,
-           CASE WHEN len(t) = 0 THEN 0.0 ELSE round(
+           CASE WHEN len(t) = 0 THEN 0.0 ELSE floor((
              CAST(coalesce(list_sum(list_transform(generate_series(1, len(t)),
                j -> CASE WHEN len(list_filter(
                       generate_series(greatest(j-2, 1), least(j, len(flags))),
                       i -> flags[i])) > 0 THEN length(t[j]) ELSE 0 END)), 0)
                AS DOUBLE)
-             / CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE),
-             6) END AS dup_char_fraction
+             / CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)) * 1e6 + 0.5) / 1e6 END AS dup_char_fraction
          FROM f""",
 
     "doc_token_rarity" ->
@@ -2482,9 +2481,9 @@ object SparkEntry {
            CAST(coalesce(sum(CASE WHEN clen > 0 AND cdf > 1 THEN 1 ELSE 0 END), 0)
              AS BIGINT) AS dup_chunks,
            CASE WHEN count(CASE WHEN clen > 0 THEN 1 END) > 0
-             THEN round(CAST(sum(CASE WHEN clen > 0 AND cdf > 1 THEN 1 ELSE 0 END)
+             THEN floor((CAST(sum(CASE WHEN clen > 0 AND cdf > 1 THEN 1 ELSE 0 END)
                              AS DOUBLE)
-                  / CAST(count(CASE WHEN clen > 0 THEN 1 END) AS DOUBLE), 6)
+                  / CAST(count(CASE WHEN clen > 0 THEN 1 END) AS DOUBLE)) * 1e6 + 0.5) / 1e6
              ELSE 0.0 END AS dup_chunk_fraction,
            CAST(coalesce(sum(CASE WHEN clen > 0 AND (cdf IS NULL OR cdf <= 1)
                              THEN clen ELSE 0 END), 0) AS BIGINT) AS kept_tokens
@@ -2642,8 +2641,8 @@ object SparkEntry {
            GROUP BY 1, 2 HAVING count(*) >= 3)
          SELECT s.doc_a, s.doc_b, s.shared,
            CAST(s.shared * 3 AS BIGINT) AS min_shared_tokens,
-           round(CAST(s.shared AS DOUBLE)
-                 / CAST(least(ca.nfp, cb.nfp) AS DOUBLE), 6) AS containment
+           floor((CAST(s.shared AS DOUBLE)
+                 / CAST(least(ca.nfp, cb.nfp) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS containment
          FROM shared s
          JOIN counts ca ON s.doc_a = ca.doc_id
          JOIN counts cb ON s.doc_b = cb.doc_id""",
@@ -2806,7 +2805,7 @@ object SparkEntry {
            JOIN msh sb ON cd.doc_b = sb.doc_id),
          mdup AS (
            SELECT doc_a, doc_b FROM mpj
-           WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) >= 0.5),
+           WHERE floor((CAST(inter AS DOUBLE) / (la + lb - inter)) * 1e6 + 0.5) / 1e6 >= 0.5),
          medge AS (SELECT doc_a AS src, doc_b AS dst FROM mdup
                UNION SELECT doc_b, doc_a FROM mdup),
          reach AS (
@@ -3081,7 +3080,7 @@ object SparkEntry {
                     AS total_revenue
            FROM lineitem JOIN part ON l_partkey = p_partkey)
          SELECT promo_revenue, total_revenue,
-           round(promo_revenue / total_revenue, 6) AS promo_share
+           floor((promo_revenue / total_revenue) * 1e6 + 0.5) / 1e6 AS promo_share
          FROM s""",
 
     "q17_small_qty" ->
@@ -3141,7 +3140,7 @@ object SparkEntry {
            SELECT *, row_number() OVER
              (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
            FROM s)
-         SELECT vec_id, centroid_id AS cluster, round(d2, 6) AS dist2
+         SELECT vec_id, centroid_id AS cluster, floor((d2) * 1e6 + 0.5) / 1e6 AS dist2
          FROM r WHERE rn = 1""",
 
     // Two deterministic Lloyd's rounds, mirrored CTE-by-CTE: assignment is
@@ -3161,7 +3160,7 @@ object SparkEntry {
                    - 2.0 * list_dot_product(v.ev, c.cv) ASC,
                  c.centroid_id ASC) AS rn
              FROM v, c2 c) WHERE rn = 1)
-         SELECT vec_id, cluster, round(d2, 6) AS dist2 FROM fin""",
+         SELECT vec_id, cluster, floor((d2) * 1e6 + 0.5) / 1e6 AS dist2 FROM fin""",
 
     "doc_quality" ->
       """WITH pd AS (
@@ -3271,9 +3270,9 @@ object SparkEntry {
            JOIN sh sa ON c.doc_a = sa.doc_id
            JOIN sh sb ON c.doc_b = sb.doc_id)
          SELECT doc_a, doc_b,
-           round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
+           floor((CAST(inter AS DOUBLE) / (la + lb - inter)) * 1e6 + 0.5) / 1e6 AS jaccard
          FROM j
-         WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) >= 0.5""",
+         WHERE floor((CAST(inter AS DOUBLE) / (la + lb - inter)) * 1e6 + 0.5) / 1e6 >= 0.5""",
 
     "doc_ngram_jaccard" ->
       """WITH toks AS (
@@ -3296,8 +3295,8 @@ object SparkEntry {
            GROUP BY 1, 2),
          j AS (
            SELECT i.doc_a, i.doc_b,
-             round(CAST(i.inter AS DOUBLE)
-                   / (len(sa.ss) + len(sb.ss) - i.inter), 6) AS jaccard
+             floor((CAST(i.inter AS DOUBLE)
+                   / (len(sa.ss) + len(sb.ss) - i.inter)) * 1e6 + 0.5) / 1e6 AS jaccard
            FROM inter i
            JOIN sh sa ON i.doc_a = sa.doc_id
            JOIN sh sb ON i.doc_b = sb.doc_id)
@@ -3330,8 +3329,8 @@ object SparkEntry {
            GROUP BY 1, 2),
          j AS (
            SELECT i.doc_a, i.doc_b, i.inter,
-             round(CAST(i.inter AS DOUBLE)
-                   / CAST(least(len(sa.ss), len(sb.ss)) AS DOUBLE), 6)
+             floor((CAST(i.inter AS DOUBLE)
+                   / CAST(least(len(sa.ss), len(sb.ss)) AS DOUBLE)) * 1e6 + 0.5) / 1e6
                AS containment
            FROM inter i
            JOIN sh sa ON i.doc_a = sa.doc_id
@@ -3380,7 +3379,7 @@ object SparkEntry {
            JOIN sh sb ON c.doc_b = sb.doc_id),
          dup AS (
            SELECT doc_a, doc_b FROM pj
-           WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) >= 0.5),
+           WHERE floor((CAST(inter AS DOUBLE) / (la + lb - inter)) * 1e6 + 0.5) / 1e6 >= 0.5),
          e AS (SELECT doc_a AS src, doc_b AS dst FROM dup
                UNION SELECT doc_b, doc_a FROM dup),
          reach AS (
@@ -3403,8 +3402,8 @@ object SparkEntry {
                FROM vb WHERE vec_id < 10),
          s AS (
            SELECT query_id, c.vec_id AS neighbor_id,
-             round(list_dot_product(qv, c.ev)
-                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.ev, c.ev))), 6) AS cos
+             floor((list_dot_product(qv, c.ev)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.ev, c.ev)))) * 1e6 + 0.5) / 1e6 AS cos
            FROM q JOIN vb c ON q.qb = c.bucket AND q.query_id <> c.vec_id),
          r AS (
            SELECT *, CAST(row_number() OVER
@@ -3428,8 +3427,8 @@ object SparkEntry {
            FROM q),
          s AS (
            SELECT query_id, c.vec_id AS neighbor_id,
-             round(list_dot_product(qv, c.ev)
-                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.ev, c.ev))), 6) AS cos
+             floor((list_dot_product(qv, c.ev)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.ev, c.ev)))) * 1e6 + 0.5) / 1e6 AS cos
            FROM probes p JOIN vb c ON p.pb = c.bucket AND p.query_id <> c.vec_id),
          r AS (
            SELECT *, CAST(row_number() OVER
@@ -3468,8 +3467,8 @@ object SparkEntry {
                FROM vb WHERE vec_id < 10),
          bfs AS (
            SELECT query_id, c.vec_id AS neighbor_id,
-             round(list_dot_product(qv, c.ev)
-                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.ev, c.ev))), 6) AS cos
+             floor((list_dot_product(qv, c.ev)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.ev, c.ev)))) * 1e6 + 0.5) / 1e6 AS cos
            FROM q JOIN v c ON q.query_id <> c.vec_id),
          bf AS (
            SELECT query_id, neighbor_id FROM (
@@ -3478,8 +3477,8 @@ object SparkEntry {
              FROM bfs) WHERE rank <= 5),
          sis AS (
            SELECT query_id, c.vec_id AS neighbor_id,
-             round(list_dot_product(qv, c.ev)
-                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.ev, c.ev))), 6) AS cos
+             floor((list_dot_product(qv, c.ev)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.ev, c.ev)))) * 1e6 + 0.5) / 1e6 AS cos
            FROM q JOIN vb c ON q.qb = c.bucket AND q.query_id <> c.vec_id),
          si AS (
            SELECT query_id, neighbor_id FROM (
@@ -3490,8 +3489,8 @@ object SparkEntry {
            SELECT query_id, qv, unnest([qb, $ivfRing1]) AS pb FROM q),
          mus AS (
            SELECT query_id, c.vec_id AS neighbor_id,
-             round(list_dot_product(qv, c.ev)
-                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.ev, c.ev))), 6) AS cos
+             floor((list_dot_product(qv, c.ev)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.ev, c.ev)))) * 1e6 + 0.5) / 1e6 AS cos
            FROM probes p JOIN vb c ON p.pb = c.bucket AND p.query_id <> c.vec_id),
          mu AS (
            SELECT query_id, neighbor_id FROM (
@@ -3502,8 +3501,8 @@ object SparkEntry {
            SELECT query_id, qv, unnest([qb, $ivfRing1, $ivfRing2]) AS pb FROM q),
          mu2s AS (
            SELECT query_id, c.vec_id AS neighbor_id,
-             round(list_dot_product(qv, c.ev)
-                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.ev, c.ev))), 6) AS cos
+             floor((list_dot_product(qv, c.ev)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.ev, c.ev)))) * 1e6 + 0.5) / 1e6 AS cos
            FROM probes2 p JOIN vb c ON p.pb = c.bucket AND p.query_id <> c.vec_id),
          mu2 AS (
            SELECT query_id, neighbor_id FROM (
@@ -3515,8 +3514,8 @@ object SparkEntry {
          $kmeansProbesSql,
          kms AS (
            SELECT q.query_id, c.vec_id AS neighbor_id,
-             round(list_dot_product(q.qv, c.ev)
-                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.ev, c.ev))), 6) AS cos
+             floor((list_dot_product(q.qv, c.ev)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.ev, c.ev)))) * 1e6 + 0.5) / 1e6 AS cos
            FROM q
            JOIN kqp ON kqp.query_id = q.query_id
            JOIN ka ON ka.cluster = kqp.probe
@@ -3543,14 +3542,14 @@ object SparkEntry {
            CAST(coalesce(mh.hits_multi, 0) AS BIGINT) AS hits_multi,
            CAST(coalesce(m2h.hits_multi2, 0) AS BIGINT) AS hits_multi2,
            CAST(coalesce(kh.hits_kmeans, 0) AS BIGINT) AS hits_kmeans,
-           round(CAST(coalesce(sh.hits_single, 0) AS DOUBLE)
-                 / CAST(q.bf_n AS DOUBLE), 6) AS recall_single,
-           round(CAST(coalesce(mh.hits_multi, 0) AS DOUBLE)
-                 / CAST(q.bf_n AS DOUBLE), 6) AS recall_multi,
-           round(CAST(coalesce(m2h.hits_multi2, 0) AS DOUBLE)
-                 / CAST(q.bf_n AS DOUBLE), 6) AS recall_multi2,
-           round(CAST(coalesce(kh.hits_kmeans, 0) AS DOUBLE)
-                 / CAST(q.bf_n AS DOUBLE), 6) AS recall_kmeans
+           floor((CAST(coalesce(sh.hits_single, 0) AS DOUBLE)
+                 / CAST(q.bf_n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS recall_single,
+           floor((CAST(coalesce(mh.hits_multi, 0) AS DOUBLE)
+                 / CAST(q.bf_n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS recall_multi,
+           floor((CAST(coalesce(m2h.hits_multi2, 0) AS DOUBLE)
+                 / CAST(q.bf_n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS recall_multi2,
+           floor((CAST(coalesce(kh.hits_kmeans, 0) AS DOUBLE)
+                 / CAST(q.bf_n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS recall_kmeans
          FROM (SELECT query_id, CAST(count(*) AS BIGINT) AS bf_n
                FROM bf GROUP BY 1) q
          LEFT JOIN sh USING (query_id)
@@ -3691,7 +3690,7 @@ object SparkEntry {
            SELECT r.vec_id, min(l.vec_id) AS dup_of
            FROM n l JOIN n r
              ON l.cluster = r.cluster AND l.vec_id < r.vec_id
-           WHERE round(list_dot_product(l.ev, r.ev) / (l.nrm * r.nrm), 6) >= 0.35
+           WHERE floor((list_dot_product(l.ev, r.ev) / (l.nrm * r.nrm)) * 1e6 + 0.5) / 1e6 >= 0.35
            GROUP BY r.vec_id)
          SELECT n.vec_id, n.cluster, p.dup_of, (p.dup_of IS NULL) AS kept
          FROM n LEFT JOIN p ON n.vec_id = p.vec_id""",
@@ -3714,7 +3713,7 @@ object SparkEntry {
          s AS (SELECT query_id, vec_id AS neighbor_id,
                  list_dot_product(qa, qd) AS qdot,
                  CASE WHEN naa = 0 OR qaa = 0 THEN 0.0
-                      ELSE round(list_dot_product(qa, qd) / (sqrt(naa) * sqrt(qaa)), 6)
+                      ELSE floor((list_dot_product(qa, qd) / (sqrt(naa) * sqrt(qaa))) * 1e6 + 0.5) / 1e6
                  END AS acos
                FROM q, n8 WHERE query_id <> vec_id),
          r AS (SELECT *, CAST(row_number() OVER
@@ -3730,8 +3729,8 @@ object SparkEntry {
          c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
          s AS (
            SELECT query_id, neighbor_id,
-             round(list_dot_product(qv, cv)
-                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
+             floor((list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))) * 1e6 + 0.5) / 1e6 AS cos
            FROM q, c WHERE query_id <> neighbor_id),
          r AS (
            SELECT *, CAST(row_number() OVER
@@ -3754,8 +3753,8 @@ object SparkEntry {
          vb AS (SELECT v.vec_id, v.ev, b.bucket FROM v JOIN b ON v.vec_id = b.vec_id),
          pairs AS (
            SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
-             round(list_dot_product(l.ev, r.ev)
-                   / (sqrt(list_dot_product(l.ev, l.ev)) * sqrt(list_dot_product(r.ev, r.ev))), 6) AS cos
+             floor((list_dot_product(l.ev, r.ev)
+                   / (sqrt(list_dot_product(l.ev, l.ev)) * sqrt(list_dot_product(r.ev, r.ev)))) * 1e6 + 0.5) / 1e6 AS cos
            FROM vb l JOIN vb r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
          SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.35""",
 
@@ -3763,8 +3762,8 @@ object SparkEntry {
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
          pairs AS (
            SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
-             round(list_dot_product(l.ev, r.ev)
-                   / (sqrt(list_dot_product(l.ev, l.ev)) * sqrt(list_dot_product(r.ev, r.ev))), 6) AS cos
+             floor((list_dot_product(l.ev, r.ev)
+                   / (sqrt(list_dot_product(l.ev, l.ev)) * sqrt(list_dot_product(r.ev, r.ev)))) * 1e6 + 0.5) / 1e6 AS cos
            FROM v l JOIN v r ON l.vec_id < r.vec_id)
          SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.35""",
 

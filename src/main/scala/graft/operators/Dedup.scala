@@ -205,8 +205,11 @@ object Dedup {
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("inter", size(array_intersect(col("sa.sset"), col("sb.sset"))))
       .withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (size(col("sa.sset")) + size(col("sb.sset")) - col("inter")).cast("double"), 6))
+        // inter/union is a small-integer rational — the measured round()
+        // cross-engine divergence class, and it feeds the >= threshold
+        // membership filter; Quant.r6 is engine-order-free.
+        Quant.r6(col("inter").cast("double") /
+          (size(col("sa.sset")) + size(col("sb.sset")) - col("inter")).cast("double")))
     // Materialize eagerly (the pair set is tiny relative to the corpus) so
     // the caller can release its shingle cache — persist() without
     // unpersist() would accumulate cached copies across a query suite.
@@ -274,8 +277,8 @@ object Dedup {
       .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
       .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
       .withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (col("ca.cnt") + col("cb.cnt") - col("inter")).cast("double"), 6))
+        Quant.r6(col("inter").cast("double") /
+          (col("ca.cnt") + col("cb.cnt") - col("inter")).cast("double")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .localCheckpoint(eager = true) // release the shingle cache below
@@ -313,8 +316,8 @@ object Dedup {
       .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
       .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
       .withColumn("containment",
-        round(col("inter").cast("double") /
-          least(col("ca.cnt"), col("cb.cnt")).cast("double"), 6))
+        Quant.r6(col("inter").cast("double") /
+          least(col("ca.cnt"), col("cb.cnt")).cast("double")))
       .filter(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter").cast("long").as("inter"),
         col("containment"))

@@ -32,16 +32,20 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity, rounded to 6 dp (cross-engine reproducible). */
+  /** Cosine similarity, quantized to 6 dp with [[Quant.r6]] — the
+    * IEEE-only half-up form, so both engines produce the identical
+    * double from the identical ratio (round() does not guarantee that;
+    * see Quant) and an epsilon-under-1.0 self-cosine still reads 1.0.
+    */
   def cosine(a: Column, b: Column): Column =
-    round(dot(a, b) / (norm(a) * norm(b)), 6)
+    Quant.r6(dot(a, b) / (norm(a) * norm(b)))
 
   /** Cosine from a precomputed dot and per-vector norms — pair scans
     * compute each norm once per VECTOR, not once per pair (the norms are
     * the same doubles either way, so results are unchanged).
     */
   private def cosineWithNorms(dotAB: Column, normA: Column, normB: Column): Column =
-    round(dotAB / (normA * normB), 6)
+    Quant.r6(dotAB / (normA * normB))
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -828,8 +832,10 @@ object Similarity {
     bfn.join(h, Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("hits_ivfpq"), lit(0L)).as("hits_ivfpq"),
-        round(coalesce(col("hits_ivfpq"), lit(0L)).cast("double") /
-          col("bf_n").cast("double"), 6).as("recall_ivfpq"))
+        // hits/n is a small-integer rational — exactly the round()
+        // divergence class; r6 is engine-order-free.
+        Quant.r6(coalesce(col("hits_ivfpq"), lit(0L)).cast("double") /
+          col("bf_n").cast("double")).as("recall_ivfpq"))
   }
 
   /** Recall@k report: single-probe, ring-1 and ring-2 multi-probe sign-LSH
@@ -906,8 +912,8 @@ object Similarity {
     val kh = bf.join(topk(kmCand), Seq("query_id", "vec_id"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("hits_kmeans"))
     def rec(c: String): Column =
-      round(coalesce(col(c), lit(0L)).cast("double") /
-        col("bf_n").cast("double"), 6)
+      Quant.r6(coalesce(col(c), lit(0L)).cast("double") /
+        col("bf_n").cast("double"))
     bfn
       .join(sh, Seq("query_id"), "left")
       .join(mh, Seq("query_id"), "left")
@@ -994,7 +1000,7 @@ object Similarity {
   def kmeansAssign(emb: DataFrame, k: Int = 8): DataFrame = {
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
     assignLiteral(v, iterateBooks(v, k, 0))
-      .select(col("vec_id"), col("cluster"), round(col("d2"), 6).as("dist2"))
+      .select(col("vec_id"), col("cluster"), Quant.r6(col("d2")).as("dist2"))
   }
 
   /** Quantization grid for the deterministic centroid update: components
@@ -1098,7 +1104,7 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val book = iterateBooks(v, k, iters)
     val out = assignLiteral(v, book)
-      .select(col("vec_id"), col("cluster"), round(col("d2"), 6).as("dist2"))
+      .select(col("vec_id"), col("cluster"), Quant.r6(col("d2")).as("dist2"))
       .localCheckpoint(eager = true) // release the vector cache below
     v.unpersist()
     out
@@ -1196,8 +1202,8 @@ object Similarity {
       .withColumn("qdot", dot(col("qa"), col("qd")))
       .withColumn("acos",
         when(col("naa") === 0.0 || col("qaa") === 0.0, lit(0.0))
-          .otherwise(round(
-            col("qdot") / (sqrt(col("naa")) * sqrt(col("qaa"))), 6)))
+          .otherwise(Quant.r6(
+            col("qdot") / (sqrt(col("naa")) * sqrt(col("qaa"))))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("acos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -1407,8 +1413,8 @@ object Similarity {
       bf.join(df, Seq("query_id", "neighbor_id"))
         .groupBy(col("query_id")).agg(count(lit(1)).as(name))
     def rec(c: String): Column =
-      round(coalesce(col(c), lit(0L)).cast("double") /
-        col("bf_n").cast("double"), 6)
+      Quant.r6(coalesce(col(c), lit(0L)).cast("double") /
+        col("bf_n").cast("double"))
     bfn.join(hitsOf(pq, "hits_pq"), Seq("query_id"), "left")
       .join(hitsOf(rerank, "hits_rerank"), Seq("query_id"), "left")
       .select(col("query_id"),

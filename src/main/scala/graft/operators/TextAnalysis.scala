@@ -86,7 +86,7 @@ object TextAnalysis {
     * (measured: round(41/640., 6) = 0.064063 Spark vs 0.064062 DuckDB),
     * so never round() a raw rational that an oracle hash-compares.
     */
-  private def q6(c: Column): Column = floor(c * lit(1e6)) / lit(1e6)
+  private def q6(c: Column): Column = Quant.q6(c)
 
   def qualityScore(text: Column): Column = {
     val lengthTerm = least(tokenCountWs(text).cast("double") / 100.0, lit(1.0))
@@ -307,10 +307,10 @@ object TextAnalysis {
         col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         col("cov")("cnt").as("covered_tokens"),
-        when(size(col("toks")) === 0, 0.0).otherwise(round(
+        when(size(col("toks")) === 0, 0.0).otherwise(Quant.r6(
           col("cov")("chars").cast("double") /
-          aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).cast("double"),
-          6)).as("dup_char_fraction"))
+          aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).cast("double")))
+          .as("dup_char_fraction"))
   }
 
   /** Corpus-frequency token-rarity profile per document — the unigram-LM
@@ -442,8 +442,8 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
         col("dup_chunks"),
         when(col("n_chunks") > 0,
-          round(col("dup_chunks").cast("double") /
-            col("n_chunks").cast("double"), 6)).otherwise(0.0)
+          Quant.r6(col("dup_chunks").cast("double") /
+            col("n_chunks").cast("double"))).otherwise(0.0)
           .as("dup_chunk_fraction"),
         col("kept_tokens"))
       .localCheckpoint(eager = true) // release the chunk cache below
@@ -535,8 +535,8 @@ object TextAnalysis {
         Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("shared"),
         (col("shared") * k).as("min_shared_tokens"),
-        round(col("shared").cast("double") /
-          least(col("nfp_a"), col("nfp_b")).cast("double"), 6)
+        Quant.r6(col("shared").cast("double") /
+          least(col("nfp_a"), col("nfp_b")).cast("double"))
           .as("containment"))
   }
 
