@@ -1415,7 +1415,7 @@ object SparkEntry {
   private val qualTargetCtesSql: String =
     """t AS (
            SELECT doc_id, text,
-             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                   ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS toks,
              CASE WHEN length(text) = 0 THEN 0.0
                   ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
@@ -1447,7 +1447,7 @@ object SparkEntry {
   private def bpeMergesSql(k: Int): String = {
     val head =
       """tokraw AS (
-           SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+           SELECT unnest(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                   ELSE list_filter(string_split_regex(lower(trim(text)), '\s+'), tk -> tk <> '') END) AS word
            FROM documents),
          w0 AS (
@@ -1892,12 +1892,12 @@ object SparkEntry {
 
     "doc_fingerprint" ->
       """SELECT doc_id,
-         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
          FROM documents""",
 
     "doc_token_stats" ->
       """SELECT doc_id,
-         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
               ELSE len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) END AS BIGINT) AS ws_tokens,
          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
          CAST(length(text) AS BIGINT) AS chars
@@ -1914,7 +1914,7 @@ object SparkEntry {
            FROM documents),
          w AS (
            SELECT doc_id, length(text) AS chars,
-             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                   ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS toks
            FROM pd),
          m AS (
@@ -2016,7 +2016,7 @@ object SparkEntry {
     "doc_source_mix" ->
       """WITH perdoc AS (
            SELECT source, lang,
-             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
                   ELSE len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) END AS BIGINT) AS toks
            FROM documents),
          cells AS (
@@ -2032,7 +2032,7 @@ object SparkEntry {
     "doc_lang_stats" ->
       """WITH perdoc AS (
            SELECT lang,
-             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
                   ELSE len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) END AS BIGINT) AS toks
            FROM documents)
          SELECT lang, CAST(count(*) AS BIGINT) AS docs,
@@ -2046,7 +2046,7 @@ object SparkEntry {
     "doc_mix_plan" ->
       """WITH perdoc AS (
            SELECT lang,
-             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
                   ELSE len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) END AS BIGINT) AS toks
            FROM documents),
          cells AS (
@@ -2083,7 +2083,7 @@ object SparkEntry {
       s"""WITH $qualTargetCtesSql,
          base AS (
            SELECT d.doc_id, q.in_target,
-             CASE WHEN length(trim(d.text)) = 0 THEN []::VARCHAR[]
+             CASE WHEN d.text IS NULL OR length(trim(d.text)) = 0 THEN []::VARCHAR[]
                   ELSE list_filter(string_split_regex(lower(trim(d.text)), '\\s+'), tk -> tk <> '') END AS toks
            FROM documents d JOIN qual q ON d.doc_id = q.doc_id),
          tokraw AS (SELECT doc_id, in_target, unnest(toks) AS tok FROM base),
@@ -2135,7 +2135,7 @@ object SparkEntry {
            SELECT d.doc_id, q.in_target AS label,
              substr(md5('nb:' || CAST(d.doc_id AS VARCHAR)), 1, 2) <= '7f'
                AS in_train,
-             CASE WHEN length(trim(d.text)) = 0 THEN []::VARCHAR[]
+             CASE WHEN d.text IS NULL OR length(trim(d.text)) = 0 THEN []::VARCHAR[]
                   ELSE list_filter(string_split_regex(lower(trim(d.text)), '\\s+'), tk -> tk <> '') END AS toks
            FROM documents d JOIN qual q ON d.doc_id = q.doc_id),
          tokraw AS (SELECT doc_id, label, in_train, unnest(toks) AS tok
@@ -2186,7 +2186,7 @@ object SparkEntry {
     "doc_source_caps" ->
       """WITH t AS (
            SELECT doc_id, source, text,
-             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                   ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS toks,
              CASE WHEN length(text) = 0 THEN 0.0
                   ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
@@ -2229,7 +2229,7 @@ object SparkEntry {
     "doc_packing" ->
       """WITH perdoc AS (
            SELECT doc_id, lang,
-             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
                   ELSE len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) END AS BIGINT) AS toks
            FROM documents),
          cum AS (
@@ -2262,7 +2262,7 @@ object SparkEntry {
     "doc_shards" ->
       """WITH perdoc AS (
            SELECT doc_id, lang,
-             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
                   ELSE len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) END AS BIGINT) AS toks
            FROM documents),
          cum AS (
@@ -2286,7 +2286,7 @@ object SparkEntry {
     "doc_shard_files" ->
       """WITH perdoc AS (
            SELECT doc_id, lang,
-             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
                   ELSE len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) END AS BIGINT) AS toks
            FROM documents),
          cum AS (
@@ -2312,7 +2312,7 @@ object SparkEntry {
            FROM documents),
          toks AS (
            SELECT doc_id, c,
-             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                   ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
            FROM coin),
          sh AS (
@@ -2322,6 +2322,7 @@ object SparkEntry {
                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
                             t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
                             t[i+6] || ' ' || t[i+7])
+                  WHEN len(t) = 0 THEN []::VARCHAR[]
                   ELSE [array_to_string(t, ' ')] END) AS ss
            FROM toks),
          tg AS (SELECT doc_id, unnest(ss) AS g FROM sh WHERE c >= '10'),
@@ -2337,14 +2338,15 @@ object SparkEntry {
 
     "doc_winnow" ->
       """WITH toks AS (
-           SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+           SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                 ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
            FROM documents),
          grams AS (
            SELECT doc_id, CASE WHEN len(t) >= 3
              THEN list_transform(generate_series(1, len(t) - 2),
                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-             ELSE [array_to_string(t, ' ')] END AS g
+             WHEN len(t) = 0 THEN []::VARCHAR[]
+                  ELSE [array_to_string(t, ' ')] END AS g
            FROM toks),
          gh AS (
            SELECT doc_id, list_transform(g, x ->
@@ -2356,20 +2358,22 @@ object SparkEntry {
            SELECT doc_id, CASE WHEN len(gh) >= 4
              THEN list_distinct(list_transform(generate_series(1, len(gh) - 3),
                   i -> list_min(gh[i:i+3])))
+             WHEN len(gh) = 0 THEN []::BIGINT[]
              ELSE [list_min(gh)] END AS fps
            FROM gh)
          SELECT doc_id, unnest(fps) AS fingerprint FROM fps""",
 
     "doc_winnow_pairs" ->
       """WITH toks AS (
-           SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+           SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                 ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
            FROM documents),
          grams AS (
            SELECT doc_id, CASE WHEN len(t) >= 3
              THEN list_transform(generate_series(1, len(t) - 2),
                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-             ELSE [array_to_string(t, ' ')] END AS g
+             WHEN len(t) = 0 THEN []::VARCHAR[]
+                  ELSE [array_to_string(t, ' ')] END AS g
            FROM toks),
          gh AS (
            SELECT doc_id, list_transform(g, x ->
@@ -2381,6 +2385,7 @@ object SparkEntry {
            SELECT doc_id, CASE WHEN len(gh) >= 4
              THEN list_distinct(list_transform(generate_series(1, len(gh) - 3),
                   i -> list_min(gh[i:i+3])))
+             WHEN len(gh) = 0 THEN []::BIGINT[]
              ELSE [list_min(gh)] END AS fps
            FROM gh),
          fpx AS (SELECT doc_id, unnest(fps) AS fingerprint FROM fps),
@@ -2397,7 +2402,7 @@ object SparkEntry {
 
     "doc_dup_ngram_coverage" ->
       """WITH toks AS (
-           SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+           SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                 ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
            FROM documents),
          g AS (
@@ -2460,7 +2465,7 @@ object SparkEntry {
 
     "doc_paragraph_dedup" ->
       """WITH toks AS (
-           SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+           SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                 ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
            FROM documents),
          chunks AS (
@@ -2492,7 +2497,7 @@ object SparkEntry {
 
     "doc_paragraph_clean" ->
       """WITH toks AS (
-           SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+           SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                 ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
            FROM documents),
          chunks AS (
@@ -2533,7 +2538,7 @@ object SparkEntry {
                   ELSE text END AS text
            FROM documents),
          toks AS (
-           SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+           SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                 ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
            FROM pd),
          g AS (
@@ -2563,7 +2568,7 @@ object SparkEntry {
     // no tokens) keep everything / hash md5('').
     "doc_exact_substr_clean" ->
       """WITH toks AS (
-           SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+           SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                 ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
            FROM documents),
          g AS (
@@ -2603,14 +2608,15 @@ object SparkEntry {
 
     "doc_dup_spans" ->
       """WITH toks AS (
-           SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+           SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                 ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
            FROM documents),
          grams AS (
            SELECT doc_id, CASE WHEN len(t) >= 3
              THEN list_transform(generate_series(1, len(t) - 2),
                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-             ELSE [array_to_string(t, ' ')] END AS g
+             WHEN len(t) = 0 THEN []::VARCHAR[]
+                  ELSE [array_to_string(t, ' ')] END AS g
            FROM toks),
          gh AS (
            SELECT doc_id, list_transform(g, x ->
@@ -2622,6 +2628,7 @@ object SparkEntry {
            SELECT doc_id, CASE WHEN len(gh) >= 4
              THEN list_distinct(list_transform(generate_series(1, len(gh) - 3),
                   i -> list_min(gh[i:i+3])))
+             WHEN len(gh) = 0 THEN []::BIGINT[]
              ELSE [list_min(gh)] END AS fps
            FROM gh),
          fpx AS (SELECT doc_id, unnest(fps) AS fingerprint FROM fps),
@@ -2650,7 +2657,7 @@ object SparkEntry {
     "doc_tfidf_topk" ->
       """WITH toks AS (
            SELECT doc_id,
-             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                   ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
            FROM documents),
          tf AS (
@@ -2685,7 +2692,7 @@ object SparkEntry {
          base AS (SELECT doc_id, text, lang FROM coin WHERE c >= '10'),
          gw AS (
            SELECT doc_id, length(text) AS chars,
-             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                   ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS toks
            FROM base),
          gch AS (
@@ -2775,6 +2782,7 @@ object SparkEntry {
              CASE WHEN len(toks) >= 3
                   THEN list_transform(generate_series(1, len(toks) - 2),
                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  WHEN len(toks) = 0 THEN []::VARCHAR[]
                   ELSE [array_to_string(toks, ' ')] END) AS ss
            FROM gw),
          mex AS (SELECT doc_id, unnest(ss) AS shingle FROM msh),
@@ -2819,7 +2827,7 @@ object SparkEntry {
            FROM base b LEFT JOIN mcomp mc ON b.doc_id = mc.doc_id),
          dtoks AS (
            SELECT doc_id, c,
-             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                   ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
            FROM coin),
          dsh AS (
@@ -2829,6 +2837,7 @@ object SparkEntry {
                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
                             t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
                             t[i+6] || ' ' || t[i+7])
+                  WHEN len(t) = 0 THEN []::VARCHAR[]
                   ELSE [array_to_string(t, ' ')] END) AS ss
            FROM dtoks),
          dtg AS (SELECT doc_id, unnest(ss) AS g FROM dsh WHERE c >= '10'),
@@ -3172,7 +3181,7 @@ object SparkEntry {
            FROM documents),
          t AS (
            SELECT doc_id, text,
-             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                   ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS toks,
              CASE WHEN length(text) = 0 THEN 0.0
                   ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
@@ -3209,7 +3218,7 @@ object SparkEntry {
            FROM documents),
          t AS (
            SELECT doc_id,
-             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                   ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS toks
            FROM pd),
          h AS (
@@ -3233,7 +3242,7 @@ object SparkEntry {
     "doc_minhash_pairs" ->
       """WITH toks AS (
            SELECT doc_id,
-             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                   ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
            FROM documents),
          sh AS (
@@ -3241,6 +3250,7 @@ object SparkEntry {
              CASE WHEN len(t) >= 3
                   THEN list_transform(generate_series(1, len(t) - 2),
                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  WHEN len(t) = 0 THEN []::VARCHAR[]
                   ELSE [array_to_string(t, ' ')] END) AS ss
            FROM toks),
          ex AS (SELECT doc_id, unnest(ss) AS shingle FROM sh),
@@ -3277,7 +3287,7 @@ object SparkEntry {
     "doc_ngram_jaccard" ->
       """WITH toks AS (
            SELECT doc_id,
-             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                   ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
            FROM documents),
          sh AS (
@@ -3285,6 +3295,7 @@ object SparkEntry {
              CASE WHEN len(t) >= 3
                   THEN list_transform(generate_series(1, len(t) - 2),
                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  WHEN len(t) = 0 THEN []::VARCHAR[]
                   ELSE [array_to_string(t, ' ')] END) AS ss
            FROM toks),
          ex AS (SELECT doc_id, unnest(ss) AS shingle FROM sh),
@@ -3311,7 +3322,7 @@ object SparkEntry {
            FROM documents),
          toks AS (
            SELECT doc_id,
-             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                   ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
            FROM pd),
          sh AS (
@@ -3319,6 +3330,7 @@ object SparkEntry {
              CASE WHEN len(t) >= 3
                   THEN list_transform(generate_series(1, len(t) - 2),
                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  WHEN len(t) = 0 THEN []::VARCHAR[]
                   ELSE [array_to_string(t, ' ')] END) AS ss
            FROM toks),
          ex AS (SELECT doc_id, unnest(ss) AS shingle FROM sh),
@@ -3341,7 +3353,7 @@ object SparkEntry {
     "doc_dup_clusters" ->
       """WITH RECURSIVE toks AS (
            SELECT doc_id,
-             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                   ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
            FROM documents),
          sh AS (
@@ -3349,6 +3361,7 @@ object SparkEntry {
              CASE WHEN len(t) >= 3
                   THEN list_transform(generate_series(1, len(t) - 2),
                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  WHEN len(t) = 0 THEN []::VARCHAR[]
                   ELSE [array_to_string(t, ' ')] END) AS ss
            FROM toks),
          ex AS (SELECT doc_id, unnest(ss) AS shingle FROM sh),
@@ -3774,7 +3787,7 @@ object SparkEntry {
     // (maxDist=6 → blocks=7, width=32/7=4).
     "doc_simhash_pairs" ->
       """WITH toks AS (
-           SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+           SELECT doc_id, unnest(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                 ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END) AS tok
            FROM documents),
          h AS (
@@ -3809,7 +3822,7 @@ object SparkEntry {
 
     "doc_simhash64_pairs" ->
       """WITH toks AS (
-           SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+           SELECT doc_id, unnest(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                 ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END) AS tok
            FROM documents),
          h AS (

@@ -57,9 +57,16 @@ object Dedup {
     * per document (9.4 s of the 11.5 s sf0.1 minhash bench entry).
     */
   def shinglesFromTokens(toks: Column, n: Int = 3): Column =
+    // Token-less documents shingle to the EMPTY set — not to [""]: with
+    // the [""] fallback every blank/null doc was a jaccard-1.0 "near
+    // duplicate" of every other blank doc, a semantically-wrong
+    // quadratic clique on one hot LSH key at crawl scale (f blank docs
+    // → O(bands·f²) bucket join rows). Empty sets simply exit the pair
+    // pipelines (no shingles ⇒ no signature, no candidates, no counts).
     array_distinct(
       when(size(toks) >= n, TextAnalysis.ngramArray(toks, n))
-        .otherwise(array(concat_ws(" ", toks))))
+        .when(size(toks) > 0, array(concat_ws(" ", toks)))
+        .otherwise(array().cast("array<string>")))
 
   /** Distinct word-`n`-gram shingles per document; documents shorter than
     * `n` tokens contribute their whole text as one shingle. Convenience
@@ -95,13 +102,16 @@ object Dedup {
     * `transform` into the filter with the tokenization inside every
     * `element_at`, so each document re-runs the regex split 8× PER GRAM
     * (measured: 25 s of a 48 s query at sf0.1; the projection itself is
-    * ~1 s). The outer variant skips the rule, and `sset` is never empty by
-    * construction (short docs contribute their whole text as one shingle),
-    * so no null row can appear.
+    * ~1 s). The outer variant skips the rule; token-less docs carry an
+    * EMPTY sset (see [[shinglesFromTokens]]), whose outer explode emits
+    * one null-shingle row — filtered on the exploded ATTRIBUTE, which
+    * cannot re-trigger the inference (the filter sits above the
+    * generate, not below it; plan-locked).
     */
   def explodedShingles(docs: DataFrame, n: Int = 3): DataFrame =
     shingleSets(docs, n)
       .select(col("doc_id"), explode_outer(col("sset")).as("shingle"))
+      .where(col("shingle").isNotNull)
 
   // ---- MinHash + LSH ----------------------------------------------------
 
@@ -153,6 +163,30 @@ object Dedup {
   def bandBuckets(docs: DataFrame, n: Int = 3): DataFrame =
     bandBucketsFromSignatures(signatures(docs, n))
 
+  /** Optional hot-key cap for the LSH candidate self-joins: drop every
+    * bucket key shared by more than `cap` documents before the join. An
+    * f-sized EXACT-duplicate cluster (identical signatures ⇒ identical
+    * band/block keys) contributes O(bands·f²) join rows on a handful of
+    * hot keys — the same f² failure [[ngramJaccardPairs]]' `maxDf` cap
+    * fences, now available on the production LSH paths too. One-sided
+    * bounded undercount like every df cap here: pairs inside a dropped
+    * bucket can only be MISSED, never invented (and an exact-dup cluster
+    * is better handled by [[exactDedup]] FIRST — this cap is the seatbelt
+    * for pipelines that skip it). Default 0 = uncapped (oracle parity).
+    */
+  private def capHotKeys(df: DataFrame, keys: Seq[String],
+      cap: Int): DataFrame =
+    if (cap <= 0) df
+    else {
+      val hot = df.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > cap)
+        .select(keys.map(col): _*)
+      // No broadcast hint: the hot set is bounded only by corpus
+      // duplication; AQE broadcasts it when it is actually small.
+      df.join(hot, keys, "left_anti")
+    }
+
   private def candidatePairsFromBuckets(bk0: DataFrame): DataFrame = {
     // Materialize the bucket table (docs × bands rows — tiny) before the
     // self-join: both join sides otherwise re-plan the whole signature
@@ -177,10 +211,10 @@ object Dedup {
     * shingles parse once instead of per branch.
     */
   def minhashNearDups(docs: DataFrame, n: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucketDf: Int = 0): DataFrame = {
     val sets = shingleSets(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = minhashNearDupsFromSets(sets, threshold)
+    val out = minhashNearDupsFromSets(sets, threshold, maxBucketDf)
     sets.unpersist()
     out
   }
@@ -191,15 +225,17 @@ object Dedup {
     * back eagerly materialized, so releasing the input is safe.
     */
   private[graft] def minhashNearDupsFromSets(sets: DataFrame,
-      threshold: Double = 0.5): DataFrame = {
-    // explode_outer for the same reason as explodedShingles: sset is
-    // never empty (short docs shingle to their whole text), and the
-    // outer variant keeps InferFiltersFromGenerate from inlining the
-    // shingle pipeline into an inferred filter if a caller ever passes
-    // an unpersisted sets table.
+      threshold: Double = 0.5, maxBucketDf: Int = 0): DataFrame = {
+    // explode_outer for the same reason as explodedShingles (the outer
+    // variant keeps InferFiltersFromGenerate from inlining the shingle
+    // pipeline into an inferred filter if a caller ever passes an
+    // unpersisted sets table); token-less docs carry an empty sset whose
+    // null row the post-explode attribute filter drops.
     val ex = sets.select(col("doc_id"), explode_outer(col("sset")).as("shingle"))
-    val pairs = candidatePairsFromBuckets(
-      bandBucketsFromSignatures(signaturesFromExploded(ex)))
+      .where(col("shingle").isNotNull)
+    val pairs = candidatePairsFromBuckets(capHotKeys(
+      bandBucketsFromSignatures(signaturesFromExploded(ex)),
+      Seq("band", "key"), maxBucketDf))
     val j = pairs
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -264,7 +300,9 @@ object Dedup {
       else {
         val hot = ex0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDf).select(col("sh"))
-        ex0.join(broadcast(hot), Seq("sh"), "left_anti")
+        // No broadcast hint: `hot` is bounded only by
+        // total-occurrences/maxDf; AQE broadcasts it when small.
+        ex0.join(hot, Seq("sh"), "left_anti")
       }
     val counts = sets.select(col("doc_id"), size(col("sset")).as("cnt"))
     val inter = ex.as("a").join(ex.as("b"),
@@ -485,11 +523,12 @@ object Dedup {
     * 15-bit block keys (see [[simhashes64]] for why this is the variant
     * that survives corpus scale).
     */
-  def simhashNearDups64(docs: DataFrame, maxDist: Int = 3): DataFrame =
-    simhashNearDupsImpl(simhashes64(docs), 60, maxDist)
+  def simhashNearDups64(docs: DataFrame, maxDist: Int = 3,
+      maxBlockDf: Int = 0): DataFrame =
+    simhashNearDupsImpl(simhashes64(docs), 60, maxDist, maxBlockDf)
 
   private def simhashNearDupsImpl(sh0: DataFrame, bits: Int,
-      maxDist: Int): DataFrame = {
+      maxDist: Int, maxBlockDf: Int = 0): DataFrame = {
     val blocks = maxDist + 1
     val width = bits / blocks
     // One row per doc — materialize before the self-join below so the
@@ -509,7 +548,8 @@ object Dedup {
     // candidates than true pairs (5.5M vs 83k at sf0.1) — distinct-ing
     // first would exchange all of them; bit_count is a codegen'd
     // single-instruction check, so verify-then-dedup is strictly cheaper.
-    blocked.as("l").join(blocked.as("r"),
+    val capped = capHotKeys(blocked, Seq("blk", "key"), maxBlockDf)
+    capped.as("l").join(capped.as("r"),
         col("l.blk") === col("r.blk") && col("l.key") === col("r.key") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),

@@ -23,7 +23,13 @@ object TextAnalysis {
     * twin apply the identical filter).
     */
   def wsTokens(text: Column): Column =
-    filter(split(trim(text), "\\s+"), t => t =!= "")
+    // NULL text tokenizes like empty text (null ≡ empty contract): a null
+    // would otherwise null-propagate into size()/least() chains where
+    // Spark's null-SKIPPING least/greatest silently fabricate values
+    // (e.g. a 0.7 quality score for a content-free doc). Every oracle
+    // tokenization CTE mirrors with `text IS NULL OR ...`.
+    coalesce(filter(split(trim(text), "\\s+"), t => t =!= ""),
+      array().cast("array<string>"))
 
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column = size(wsTokens(text))
@@ -51,7 +57,8 @@ object TextAnalysis {
   /** Punctuation ratio: punctuation chars / total chars (0 for empty). */
   val punctClass = "[.,!?;:]"
   def punctRatio(text: Column): Column =
-    when(length(text) === 0, 0.0).otherwise(
+    // coalesce(length(...), 0): null text ratios like empty text.
+    when(coalesce(length(text), lit(0)) === 0, 0.0).otherwise(
       (length(text) - length(regexp_replace(text, punctClass, ""))).cast("double") /
         length(text).cast("double"))
 
@@ -126,7 +133,13 @@ object TextAnalysis {
     * which keeps the fingerprint portable (and oracle-checkable).
     */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+    // Collapse FIRST, trim LAST: Spark trim strips only ASCII spaces, so
+    // trimming the raw text leaves a leading/trailing tab or newline to
+    // be collapsed into a boundary SPACE — '\thello' and 'hello' would
+    // fingerprint differently despite the normalization contract. After
+    // the \s+ collapse every boundary run is a single space, which trim
+    // does remove. Oracle mirrors the same order.
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
   // ---- assembled queries ------------------------------------------------
 
@@ -182,6 +195,7 @@ object TextAnalysis {
     val toks = docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
     val grams = toks.select(col("doc_id"),
       when(size(col("toks")) >= k, ngramArray(col("toks"), k))
+        .when(size(col("toks")) === 0, array().cast("array<string>"))
         .otherwise(array(concat_ws(" ", col("toks")))).as("grams"))
     val hashes = grams.select(col("doc_id"),
       transform(col("grams"),
@@ -190,8 +204,16 @@ object TextAnalysis {
       when(size(col("gh")) >= w,
         array_distinct(transform(sequence(lit(1), size(col("gh")) - (w - 1)),
           i => array_min(slice(col("gh"), i, lit(w))))))
+        .when(size(col("gh")) === 0, array().cast("array<long>"))
         .otherwise(array(array_min(col("gh")))).as("fps"))
+    // Token-less docs now carry an EMPTY fps array (no phantom
+    // fingerprint-of-""), so every blank/null doc would otherwise join
+    // every other through one shared hash — a quadratic clique on a
+    // single hot key at crawl scale. The post-explode null filter keeps
+    // them out while preserving the explode_outer plan shape (inner
+    // explode re-triggers InferFiltersFromGenerate re-tokenization).
     fps.select(col("doc_id"), explode_outer(col("fps")).as("fingerprint"))
+      .where(col("fingerprint").isNotNull)
   }
 
   /** Winnowing near-duplicate candidates: pairs of documents sharing at
@@ -484,7 +506,10 @@ object TextAnalysis {
       .agg(count_distinct(col("doc_id")).as("cdf"))
       .filter(col("cdf") > 1)
       .select(col("ch"))
-    val kept = ex.join(broadcast(dups), Seq("ch"), "left_anti")
+    // No broadcast hint: `dups` grows with corpus-wide boilerplate (a
+    // 100TB crawl can carry billions of distinct duplicated chunks,
+    // past the broadcast hard limit); AQE broadcasts when it fits.
+    val kept = ex.join(dups, Seq("ch"), "left_anti")
     val agg = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("kept_chunks"),
         sum(col("clen")).as("clean_tokens"),
@@ -567,7 +592,9 @@ object TextAnalysis {
     * bounded by the corpus's real duplication (an f-sized exact-dup
     * cluster yields its true f² pairs). For corpora where even true
     * duplication explodes (mirror-heavy crawls), `maxGramDf` drops
-    * anchors shared by more than maxGramDf docs first — the same
+    * grams with more than maxGramDf TOTAL occurrences first (total, not
+    * distinct-doc frequency: the join cost per gram is occurrences², so
+    * within-doc log-spam repetition blows up at df = 2) — the same
     * hot-key cap as [[winnowNearDupCandidates]]. Capped error model: a
     * span every one of whose anchors is hot disappears entirely; a RARE
     * span that merely CONTAINS a hot anchor fragments at it — n_spans
@@ -600,29 +627,51 @@ object TextAnalysis {
       when(size(col("toks")) >= minLen,
         transform(sequence(lit(1), size(col("toks")) - (minLen - 1)),
           i => struct(i.as("pos"),
-            xxhash64(concat_ws(" ", slice(col("toks"), i, lit(minLen))))
-              .as("gh"))))
-        .otherwise(array().cast("array<struct<pos:int,gh:bigint>>"))
+            concat_ws(" ", slice(col("toks"), i, lit(minLen)))
+              .as("gram"))))
+        .otherwise(array().cast("array<struct<pos:int,gram:string>>"))
         .as("gs"))
     // Materialized before the self-join: the tokenize + minLen-gram
     // xxhash projection is the family's dominant map stage, and without
     // the checkpoint BOTH anchor-join sides (plus the df aggregation when
     // maxGramDf > 0) re-plan it — exchange reuse is a runtime maybe, not
     // a guarantee (see tfIdfTopTerms).
+    // Anchor keys are TWO independent 64-bit hashes of the gram, joined
+    // on both: a single xxhash64 is collision-credible at the 100 TB
+    // target (~10^12 distinct minLen-grams -> ~10^4 expected cross-doc
+    // 64-bit collisions, each fabricating a phantom minLen-token "shared
+    // span" that exactSubstrClean would then CUT from a real document).
+    // The gram string is built once in the lambda and hashed twice in
+    // this codegen'd projection (strings never shuffle or checkpoint —
+    // only the two longs do), so the added cost is one cheap hash.
+    // The null guard sits on the exploded STRUCT, before hashing: Spark
+    // hash functions SKIP null inputs and return the seed, so a filter
+    // on the hash would keep every short-doc placeholder row on one
+    // constant key (= an all-short-docs phantom clique in the join).
     val g0 = grams.select(col("doc_id"), explode_outer(col("gs")).as("g"))
-      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
-      .filter(col("gh").isNotNull)
+      .where(col("g").isNotNull)
+      .select(col("doc_id"), col("g.pos").as("pos"),
+        xxhash64(col("g.gram")).as("gh"),
+        xxhash64(lit("substr:b"), col("g.gram")).as("gh2"))
       .localCheckpoint(eager = true)
     val g =
       if (maxGramDf <= 0) g0
       else {
-        val hot = g0.select(col("gh"), col("doc_id")).distinct()
-          .groupBy(col("gh")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxGramDf).select(col("gh"))
-        g0.join(broadcast(hot), Seq("gh"), "left_anti")
+        // The cap bounds TOTAL occurrences, not distinct-doc frequency:
+        // the anchor join's cost per gram is (occurrences)^2, and two
+        // log-spam docs repeating one gram 10^5 times each would join
+        // 10^10 anchor rows while their distinct-doc df stayed 2 — a
+        // df-based cap is blind to exactly the blowup it exists to stop.
+        // One-sided undercount as documented (spans through a dropped
+        // gram fragment); no broadcast hint — the hot set is bounded
+        // only by corpus repetition, AQE broadcasts it when small.
+        val hot = g0.groupBy(col("gh")).agg(count(lit(1)).as("occ"))
+          .filter(col("occ") > maxGramDf).select(col("gh"))
+        g0.join(hot, Seq("gh"), "left_anti")
       }
     val anchors = g.as("a").join(g.as("b"),
-        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+        col("a.gh") === col("b.gh") && col("a.gh2") === col("b.gh2") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.pos").as("pa"), col("b.pos").as("pb"),
         (col("a.pos") - col("b.pos")).as("diag"))

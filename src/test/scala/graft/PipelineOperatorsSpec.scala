@@ -99,6 +99,59 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(r.getAs[Long]("inter") == 2L) // w1w2w3, w2w3w4
   }
 
+  test("maxBucketDf: LSH hot-bucket cap fences an exact-duplicate clique (one-sided undercount)") {
+    // 8 identical docs: identical signatures put all of them in the SAME
+    // 4 band buckets — 28 pairs, O(f²) join rows on 4 hot keys. The cap
+    // drops those buckets (undercount only); distinct near-dup pairs in
+    // small buckets survive.
+    val clique = docs((1L to 8L).map(i =>
+      i -> "the quick brown fox jumps over the lazy dog"): _*)
+    assert(Dedup.minhashNearDups(clique).count() == 28)
+    assert(Dedup.minhashNearDups(clique, maxBucketDf = 4).count() == 0)
+    assert(Dedup.simhashNearDups64(clique).count() == 28)
+    assert(Dedup.simhashNearDups64(clique, maxBlockDf = 4).count() == 0)
+    // A genuine small-bucket pair is untouched by the cap.
+    val pairEd = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "completely different words entirely here now today")
+    assert(Dedup.minhashNearDups(pairEd, maxBucketDf = 4).count() == 1)
+  }
+
+  test("null/blank docs: token-less docs exit the pair pipelines; null text behaves like empty") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType, false),
+      StructField("text", StringType, true)))
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, "the quick brown fox jumps over the lazy dog"),
+        org.apache.spark.sql.Row(2L, "the quick brown fox jumps over the lazy dog"),
+        org.apache.spark.sql.Row(3L, ""),
+        org.apache.spark.sql.Row(4L, " \t\n "),
+        org.apache.spark.sql.Row(5L, null))), schema)
+    // Blank/null docs shingle to the EMPTY set — no [""]-clique: the only
+    // near-dup pair is the genuine duplicate 1-2 (previously 3, 4 and 5
+    // all paired with each other at jaccard 1.0).
+    val pairs = Dedup.minhashNearDups(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    // Winnowing: token-less docs emit NO fingerprints (no phantom
+    // fingerprint-of-"" shared by every blank doc).
+    val fps = TextAnalysis.winnowingFingerprints(d).collect()
+    assert(!fps.exists(r => r.getLong(0) >= 3L))
+    // Quality: null text scores exactly like empty text (the null-skipping
+    // least() chain previously fabricated 0.7 for a content-free doc).
+    val q = TextAnalysis.quality(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("quality"))).toMap
+    assert(q(5L) == q(3L))
+    // Fingerprint normalization: boundary tab/newline-only variants of the
+    // same text collapse to ONE fingerprint.
+    val fp = TextAnalysis.fingerprints(docs(
+        1L -> "hello world", 2L -> "\thello world\n", 3L -> " hello  world "))
+      .collect().map(_.getString(1)).toSet
+    assert(fp.size == 1)
+  }
+
   test("simhash: identical docs at distance 0, near docs at small distance") {
     val d = docs(
       1L -> "the quick brown fox jumps over the lazy dog",
