@@ -1886,7 +1886,7 @@ object SparkEntry {
                THEN 'planted dup block ' || CAST(doc_id % 4 AS VARCHAR)
                ELSE text END AS text
            FROM documents)
-         SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
+         SELECT md5(coalesce(text, '')) AS text_hash, MIN(doc_id) AS keep_id,
          CAST(COUNT(*) AS BIGINT) AS dup_count
          FROM pd GROUP BY 1""",
 
@@ -1926,15 +1926,15 @@ object SparkEntry {
              CASE WHEN len(toks) = 0 THEN 0.0
                   ELSE CAST(len(list_distinct(toks)) AS DOUBLE)
                        / CAST(len(toks) AS DOUBLE) END AS dr,
-             CAST(CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
-                + CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END
-                + CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END
-                + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
-                + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
-                + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
-                + CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END
-                + CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END
-                + CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END
+             CAST(CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'the') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'a') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'be') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'to') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'of') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'and') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'that') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'have') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'with') THEN 1 ELSE 0 END
                AS BIGINT) AS stop_hits,
              CASE WHEN len(toks) = 0 THEN 0.0
                ELSE CAST(len(ch) - len(list_distinct(ch)) AS DOUBLE)
@@ -2709,15 +2709,15 @@ object SparkEntry {
              CASE WHEN len(toks) = 0 THEN 0.0
                   ELSE CAST(len(list_distinct(toks)) AS DOUBLE)
                        / CAST(len(toks) AS DOUBLE) END AS dr,
-             CAST(CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
-                + CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END
-                + CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END
-                + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
-                + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
-                + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
-                + CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END
-                + CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END
-                + CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END
+             CAST(CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'the') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'a') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'be') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'to') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'of') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'and') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'that') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'have') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'with') THEN 1 ELSE 0 END
                AS BIGINT) AS stop_hits,
              CASE WHEN len(toks) = 0 THEN 0.0
                ELSE CAST(len(ch) - len(list_distinct(ch)) AS DOUBLE)
@@ -2775,7 +2775,7 @@ object SparkEntry {
            LEFT JOIN gtop4 ON gm.doc_id = gtop4.doc_id),
          ee AS (
            SELECT doc_id,
-             doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS e_keep
+             doc_id = MIN(doc_id) OVER (PARTITION BY md5(coalesce(text, ''))) AS e_keep
            FROM base),
          msh AS (
            SELECT doc_id, list_distinct(
@@ -2870,11 +2870,12 @@ object SparkEntry {
                ELSE text END AS text
            FROM documents),
          s1 AS (
-           SELECT doc_id, text,
-             CAST(len(regexp_extract_all(text,
+           -- coalesce mirrors piiScrub's null ≡ empty handling.
+           SELECT doc_id, coalesce(text, '') AS text,
+             CAST(len(regexp_extract_all(coalesce(text, ''),
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
                AS n_emails,
-             regexp_replace(text,
+             regexp_replace(coalesce(text, ''),
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
                '<EMAIL>', 'g') AS t1
            FROM pd),

@@ -94,6 +94,11 @@ object Curation {
     // Second projection barrier: the n-gram arrays and the chunk array are
     // themselves HOF inputs below, so they must be attributes too.
     val derived = toks.select(col("doc_id"), col("chars"), col("toks"),
+      // Lower-cased copy as its OWN attribute (HOF input): the stopword
+      // test must be case-insensitive — an all-caps/title-cased document
+      // ("The", headers, OCR) would otherwise score stop_hits = 0 and
+      // fail `keep` regardless of quality. Rae et al. case-fold.
+      transform(col("toks"), t => lower(t)).as("ltoks"),
       sortedGrams(2).as("grams2"), sortedGrams(3).as("grams3"),
       sortedGrams(4).as("grams4"),
       // Chunk strings from the SHARED chunk builder (TextAnalysis.
@@ -106,7 +111,7 @@ object Curation {
           TextAnalysis.chunkStructs(col("toks"), chunkTokens),
           s => s("chunk"))).as("chunks"))
     val stopHits = gopherStopwords
-      .map(s => when(array_contains(col("toks"), s), 1).otherwise(0))
+      .map(s => when(array_contains(col("ltoks"), s), 1).otherwise(0))
       .reduce(_ + _)
     // Run-length fold over a SORTED gram array: equal grams are adjacent,
     // so the longest run is the max occurrence count; strict > keeps the
@@ -514,6 +519,13 @@ object Curation {
   private[graft] def evalGramHashes(evalDocs: DataFrame, n: Int): DataFrame =
     Dedup.shingleSets(evalDocs, n)
       .select(explode_outer(col("sset")).as("g"))
+      // Filter BEFORE hashing: token-less docs carry an empty sset whose
+      // outer explode emits a null gram, and xxhash64(null) returns the
+      // SEED (42), not null — unfiltered, an empty eval doc would plant
+      // gh=42 in the broadcast set and flag every empty train doc as
+      // contaminated (the oracle joins gram STRINGS, where NULL never
+      // matches).
+      .where(col("g").isNotNull)
       .select(xxhash64(col("g")).as("gh")).distinct()
 
   private[graft] def decontaminateFromSets(trainSets: DataFrame,
@@ -524,6 +536,7 @@ object Curation {
     // sset is never empty, so the outer form is identical and skips it.
     val trainGrams = trainSets
       .select(col("doc_id"), explode_outer(col("sset")).as("g"))
+      .where(col("g").isNotNull) // see evalGramHashes: xxhash64(null)=seed
       .select(col("doc_id"), xxhash64(col("g")).as("gh"))
     val evalGrams = evalGramHashes(evalDocs, n)
     val hits = trainGrams.join(broadcast(evalGrams), Seq("gh"))
@@ -554,9 +567,13 @@ object Curation {
   val ipv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
 
   def piiScrub(docs: DataFrame): DataFrame = {
-    val t1 = regexp_replace(col("text"), emailRe, "<EMAIL>")
-    val s1 = docs.select(col("doc_id"), col("text"),
-      regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+    // null ≡ empty (the wsTokens contract): without the coalesce a
+    // null-text doc null-propagates into NULL counts and changed=NULL,
+    // which three-valued-logic filters drop from BOTH branches.
+    val txt = coalesce(col("text"), lit(""))
+    val t1 = regexp_replace(txt, emailRe, "<EMAIL>")
+    val s1 = docs.select(col("doc_id"), txt.as("text"),
+      regexp_count(txt, lit(emailRe)).cast("long").as("n_emails"),
       t1.as("t1"))
     val s2 = s1.select(col("doc_id"), col("text"), col("n_emails"),
       regexp_count(col("t1"), lit(phoneRe)).cast("long").as("n_phones"),
@@ -581,7 +598,10 @@ object Curation {
     */
   def streamingExactDedup(docs: DataFrame, tsCol: String = "ts",
       delay: String = "10 minutes"): DataFrame =
-    docs.withColumn("text_hash", md5(col("text")))
+    // md5(coalesce(..., '')): a null-text doc hashes like an empty one
+    // (null ≡ empty) instead of carrying a NULL hash that every
+    // hash-equality join silently drops.
+    docs.withColumn("text_hash", md5(coalesce(col("text"), lit(""))))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("text_hash")
 
@@ -624,7 +644,10 @@ object Curation {
       defaultRate: Double = 0.25,
       baseTablePath: Option[String] = None): DataFrame = {
     val baseRaw = train.select(col("doc_id"), col("lang"),
-        length(col("text")).as("chars"), md5(col("text")).as("th"),
+        length(col("text")).as("chars"),
+        // coalesce: a NULL th would make the exact-dup equi-join drop
+        // the doc from the report entirely (NULL === NULL is not true).
+        md5(coalesce(col("text"), lit(""))).as("th"),
         TextAnalysis.wsTokens(col("text")).as("toks"))
     val spark = train.sparkSession
     val (basePath, autoScratch) = baseTablePath match {
@@ -638,6 +661,17 @@ object Curation {
     // failure in this function — it materializes a corpus-sized table) must
     // also reach the finally, or the partial scratch dir leaks forever
     // (its UUID name is never revisited).
+    val setsPath = s"$basePath-sets"
+    def deleteQuiet(path: String): Unit =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[graft] curation scratch cleanup failed for $path: " +
+            e.getMessage)
+      }
     try {
     baseRaw.write.mode("overwrite").parquet(basePath)
     val base = spark.read.parquet(basePath)
@@ -648,14 +682,19 @@ object Curation {
     val e = base.select(col("doc_id"), col("th"))
       .join(eg, col("th") === col("text_hash"))
       .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("e_keep"))
-    // Near-dup clustering: shingle sets derive from the cached tokens; the
-    // set table itself feeds three branches (signatures + both verify join
-    // sides), so it gets its own persist, released once the pair table —
-    // tiny — is materialized inside minhashNearDupsFromSets.
-    val sets3 = Dedup.shingleSetsFromTokens(base, 3)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Near-dup clustering: the shingle-set table feeds three branches
+    // (signatures + both verify join sides), so it must materialize. It
+    // is corpus-×-shingle sized — LARGER than the base table whose
+    // executor-disk cache the docstring above rejects at 100 TB — so it
+    // gets the same filesystem-scratch treatment as the base: written
+    // once, re-read per branch from storage (bounded by the filesystem,
+    // not executor disks), deleted in the finally. Unlike the base, the
+    // sets scratch is ALWAYS ours to delete, even when the caller keeps
+    // the base table.
+    Dedup.shingleSetsFromTokens(base, 3)
+      .write.mode("overwrite").parquet(setsPath)
+    val sets3 = spark.read.parquet(setsPath)
     val pairs = Dedup.minhashNearDupsFromSets(sets3)
-    sets3.unpersist()
     val c = Dedup.dupClusters(base.select(col("doc_id")), pairs)
       .select(col("doc_id"), (col("cluster") === col("doc_id")).as("c_keep"))
     val d = decontaminateFromSets(Dedup.shingleSetsFromTokens(base, 8),
@@ -677,11 +716,11 @@ object Curation {
     // table is dead weight — drop it. A caller-supplied path is the
     // caller's to keep (reuse across reports / debugging).
     } finally {
-      if (autoScratch) {
-        val p = new org.apache.hadoop.fs.Path(basePath)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(p, true)
-      }
+      // Best-effort (deleteQuiet): the likeliest failure is mid-write
+      // against a broken filesystem, and a throwing finally would
+      // REPLACE the root-cause exception with a cleanup error.
+      deleteQuiet(setsPath)
+      if (autoScratch) deleteQuiet(basePath)
     }
   }
 
@@ -709,6 +748,7 @@ object Curation {
       .select(col("doc_id"), col("ts"),
         Dedup.shinglesFromTokens(col("toks"), n).as("sset"))
       .select(col("doc_id"), col("ts"), explode_outer(col("sset")).as("g"))
+      .where(col("g").isNotNull) // see evalGramHashes: xxhash64(null)=seed
       .select(col("doc_id"), col("ts"), xxhash64(col("g")).as("gh"))
     // Watermark BEFORE the semi join: the watermark tracks max event
     // time over rows flowing through its node, and a clean document's

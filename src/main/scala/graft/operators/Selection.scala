@@ -97,8 +97,16 @@ object Selection {
     val bigT = tc.sum
     val bigR = rc.sum
     val b = dsirBuckets.toLong
+    // BigInt + guard like nbModel: at modelSampleHex="ff" on a large
+    // corpus (R ~ 5e11 tokens, a hot bucket tc ~ 5e8) the raw Long
+    // product wraps silently and every weight/threshold/verdict becomes
+    // garbage with no error raised. The guard names the fix.
     val w: Array[Long] = Array.tabulate(dsirBuckets) { i =>
-      (tc(i) + 1L) * (bigR + b) - (rc(i) + 1L) * (bigT + b)
+      val wi = BigInt(tc(i) + 1L) * BigInt(bigR + b) -
+        BigInt(rc(i) + 1L) * BigInt(bigT + b)
+      require(wi.isValidLong, s"DSIR weight $wi exceeds int64 — " +
+        "shrink modelSampleHex")
+      wi.toLong
     }
     // Raw-pool mean threshold, exact from the model counts (BigInt: the
     // per-bucket products can exceed Long at large model samples even
@@ -133,14 +141,21 @@ object Selection {
     * ("dsir:" / "nb:") so the two models sample independently.
     * Returns (trueCounts, falseCounts, nTrueDocs, nFalseDocs).
     */
+  /** The md5 coin compares LEXICOGRAPHICALLY, so an uppercase or
+    * malformed cap silently mis-samples ('F' sorts below 'a'); every
+    * entry point that consumes a hex cap validates through here.
+    */
+  private def requireLowerHex(name: String, value: String): Unit =
+    require(value.length == 2 && value.forall(c =>
+        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
+      s"$name='$value' must be two LOWERCASE hex chars " +
+        "(the md5 coin is lowercase; an uppercase cap silently " +
+        "mis-samples under lexicographic compare)")
+
   private def classBucketCounts(docs: DataFrame, classFilter: Column,
       coinPrefix: String, sampleHex: String, hexParamName: String)
       : (Array[Long], Array[Long], Long, Long) = {
-    require(sampleHex.length == 2 && sampleHex.forall(c =>
-        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
-      s"$hexParamName='$sampleHex' must be two LOWERCASE hex chars " +
-        "(the md5 coin is lowercase; an uppercase cap silently " +
-        "mis-samples under lexicographic compare)")
+    requireLowerHex(hexParamName, sampleHex)
     val coin = substring(
       md5(concat(lit(coinPrefix), col("doc_id").cast("string"))), 1, 2)
     val rows = docs
@@ -323,7 +338,12 @@ object Selection {
     */
   def streamingNbScores(docs: DataFrame, model: NbModel,
       labelFilter: Column = qualityTarget(),
-      trainSampleHex: String = "7f"): DataFrame =
+      trainSampleHex: String = "7f"): DataFrame = {
+    // Direct callers get the same cap validation training enforces — an
+    // uppercase cap here would silently drift in_train from the split
+    // the model was trained on and leak training docs into any held-out
+    // accuracy audit.
+    requireLowerHex("trainSampleHex", trainSampleHex)
     docs.select(col("doc_id"),
         coalesce(labelFilter, lit(false)).as("label"),
         lowerToks(col("text")).as("toks"),
@@ -335,6 +355,7 @@ object Selection {
           .as("nb_score"),
         col("label"), col("in_train"))
       .withColumn("pred", col("nb_score") > model.threshold)
+  }
 
   /** Per-source cap: keep at most `cap` documents per source, best-first
     * by `quality` (ties broken by doc_id). The Common-Crawl-pipeline
