@@ -324,10 +324,22 @@ object Curation {
       // The budget's unit: whitespace tokens by default; pass
       // TextAnalysis.tokenCountBpe to budget in the subword-ish units a
       // trainer actually consumes (same plan shape either way).
-      tokenCount: Column => Column = TextAnalysis.tokenCountWs): DataFrame = {
+      tokenCount: Column => Column = TextAnalysis.tokenCountWs,
+      // carryText = true rides the text column THROUGH the running-sum
+      // window exchange, for consumers that need (assignment, text)
+      // together ([[writeShards]]): the window's (lang, __rng) exchange
+      // has to move those rows anyway, so carrying text there replaces a
+      // corpus-sized doc_id sort-merge re-join (one full extra sort of
+      // the text column) with zero additional exchanges. The totals
+      // branch is untouched — column pruning keeps text out of its
+      // aggregation shuffle. Default false: assignment-only output, the
+      // shape every oracle replays.
+      carryText: Boolean = false): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val base = docs.select(col("doc_id"), col("lang"),
-        tokenCount(col("text")).cast("long").as("toks"))
+    val baseCols = Seq(col("doc_id"), col("lang"),
+      tokenCount(col("text")).cast("long").as("toks")) ++
+      (if (carryText) Seq(col("text")) else Nil)
+    val base = docs.select(baseCols: _*)
       .withColumn("__rng",
         floor(col("doc_id").cast("double") / rangeSize).cast("long"))
     val totals = base.groupBy(col("lang"), col("__rng"))
@@ -350,9 +362,10 @@ object Curation {
       .withColumn("__wb", coalesce(sum(col("toks")).over(wIn), lit(0L)))
       .join(broadcast(off),
         col("lang") <=> col("__olang") && col("__rng") === col("__orng"))
-      .select(col("doc_id"), col("lang"), col("toks"),
+      .select(Seq(col("doc_id"), col("lang"), col("toks"),
         floor((col("__wb") + col("__roff")) / budgetTokens).cast("long")
-          .as("pack_id"))
+          .as("pack_id")) ++
+        (if (carryText) Seq(col("text")) else Nil): _*)
   }
 
   /** Shard manifest — the step after [[packAssignments]] that lays packs
@@ -393,15 +406,23 @@ object Curation {
     * exactly one file into its own directory — the one-file-per-shard
     * invariant [[shardFilesReport]] audits.
     */
-  def writeShards(docs: DataFrame, outDir: String, budgetTokens: Long = 2048L,
-      packsPerShard: Long = 4L, rangeSize: Long = 100000L): Unit = {
-    val assign = packAssignments(docs, budgetTokens, rangeSize)
+  /** The shard-row frame [[writeShards]] writes, factored out so the
+    * plan spec can pin its shape: text rides through packAssignments'
+    * window exchange (`carryText`), so the frame contains NO join of the
+    * corpus back to its assignments — the pre-refactor doc_id sort-merge
+    * join re-sorted the entire text column a second time.
+    */
+  private[graft] def shardRows(docs: DataFrame, budgetTokens: Long,
+      packsPerShard: Long, rangeSize: Long): DataFrame =
+    packAssignments(docs, budgetTokens, rangeSize, carryText = true)
       .withColumn("shard_id",
         floor(col("pack_id").cast("double") / packsPerShard).cast("long"))
-    docs.select(col("doc_id"), col("text"))
-      .join(assign, Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("shard_id"), col("pack_id"),
         col("toks"), col("text"))
+
+  def writeShards(docs: DataFrame, outDir: String, budgetTokens: Long = 2048L,
+      packsPerShard: Long = 4L, rangeSize: Long = 100000L): Unit = {
+    shardRows(docs, budgetTokens, packsPerShard, rangeSize)
       .repartition(col("lang"), col("shard_id"))
       // Leading partition columns matter: the file writer REQUIRES child
       // ordering by its partition columns and inserts its own sort if the

@@ -321,6 +321,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(3000))
   }
 
+  test("writeShards: text rides the packing window — no corpus re-join") {
+    // The shard-row frame must contain NO shuffled join: text is carried
+    // through packAssignments' (lang, range) window exchange, so the only
+    // join is the broadcast offset attach. The pre-refactor shape
+    // sort-merge-joined the corpus text back to its assignments on
+    // doc_id — one full extra sort of the text column.
+    val p = graft.operators.Curation
+      .shardRows(spark.read.parquet(s"$sf/documents.parquet"),
+        2048L, 4L, 100000L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("doc_bpe_merges: training rounds stay on the vocab table; subword scoring is map-only") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$sf/documents.parquet")
