@@ -533,6 +533,12 @@ object SparkEntry {
     }),
 
     // Deterministic md5-coin stratified sampling (per-language rates).
+    // Exactly-k uniform sample: smallest-k deterministic md5 coins —
+    // the reservoir-sample equivalent, reproducible cross-engine; plans
+    // as TakeOrderedAndProject (plan-locked), never a global sort.
+    "doc_uniform_sample" -> ((s, dir) =>
+      Curation.uniformSample(t(s, dir, "documents"), k = 100)),
+
     "doc_stratified_sample" -> ((s, dir) =>
       Curation.stratifiedSample(t(s, dir, "documents"))),
 
@@ -2007,6 +2013,12 @@ object SparkEntry {
          FROM m LEFT JOIN top ON m.doc_id = top.doc_id
          LEFT JOIN top3 ON m.doc_id = top3.doc_id
          LEFT JOIN top4 ON m.doc_id = top4.doc_id""",
+
+    "doc_uniform_sample" ->
+      """SELECT doc_id, md5('us:0:' || CAST(doc_id AS VARCHAR)) AS coin
+         FROM documents
+         ORDER BY coin, doc_id
+         LIMIT 100""",
 
     "doc_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents

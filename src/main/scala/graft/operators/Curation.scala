@@ -192,6 +192,30 @@ object Curation {
     docs.filter(sampleKeep(rates, defaultRate))
       .select(col("doc_id"), col("lang"), col("source"))
 
+  /** Fixed-SIZE uniform sample — the exactly-k companion to the
+    * rate-based [[stratifiedSample]] (a rate coin yields a BINOMIAL
+    * sample size; eval-set construction and budget-bounded audits need
+    * exactly k): every document draws a deterministic md5 coin and the k
+    * smallest coins win — the classic distributed reservoir-sample
+    * equivalent (order-statistics of iid uniforms), but reproducible
+    * and engine-portable since the "uniforms" are md5 values both
+    * engines compute bit-identically.
+    *
+    * Scale (100 TB): plans as TakeOrderedAndProject — per-partition
+    * top-k then one k-row merge on the driver side of the exchange,
+    * never a global sort (plan-locked). Changing `seed` redraws the
+    * sample; doc_id tie-break keeps even a coin collision
+    * deterministic.
+    */
+  def uniformSample(docs: DataFrame, k: Int, seed: Long = 0L): DataFrame = {
+    require(k >= 1, s"sample size k=$k must be positive")
+    docs.select(col("doc_id"),
+        md5(concat(lit(s"us:$seed:"), col("doc_id").cast("string")))
+          .as("coin"))
+      .orderBy(col("coin"), col("doc_id"))
+      .limit(k)
+  }
+
   /** The sampling coin as a reusable boolean Column over (`doc_id`,
     * `lang`) attributes — [[stratifiedSample]] filters on it;
     * [[curationReport]] emits it as the `s_keep` audit flag without a

@@ -809,6 +809,23 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(p2("fr") == 0.0 && p2("de") == 0.0)
   }
 
+  test("uniformSample: exactly k, deterministic, seed-sensitive") {
+    val d = docs((1L to 50L).map(i => i -> s"doc number $i words"): _*)
+    val a = Curation.uniformSample(d, 10).collect().map(_.getLong(0)).toSet
+    assert(a.size == 10)
+    // Reproducible: the same seed redraws the same sample.
+    val b = Curation.uniformSample(d, 10).collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // Seed changes the membership (md5 coins are effectively independent).
+    val c = Curation.uniformSample(d, 10, seed = 1L).collect()
+      .map(_.getLong(0)).toSet
+    assert(a != c)
+    // Growing k is monotone: the k-smallest-coins property means the
+    // 10-sample is a subset of the 20-sample under the same seed.
+    val w = Curation.uniformSample(d, 20).collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(w))
+  }
+
   test("stratifiedSample: deterministic, rate-ordered strata") {
     import spark.implicits._
     val d = (0L until 512L).map(i =>

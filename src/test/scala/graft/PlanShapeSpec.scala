@@ -321,6 +321,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(3000))
   }
 
+  test("doc_uniform_sample: smallest-k coins plan as TakeOrderedAndProject, never a global sort") {
+    val p = physical("doc_uniform_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
   test("writeShards: text rides the packing window — no corpus re-join") {
     // The shard-row frame must contain NO shuffled join: text is carried
     // through packAssignments' (lang, range) window exchange, so the only
