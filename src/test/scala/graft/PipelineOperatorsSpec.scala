@@ -1534,7 +1534,12 @@ class PipelineOperatorsSpec extends SparkSpec {
       3L -> "completely different words entirely here now friends",
       4L -> "alpha beta gamma delta epsilon zeta eta theta",
       5L -> "alpha beta gamma delta epsilon zeta eta theta",
-      6L -> "unrelated filler text stream with its own content")
+      6L -> "unrelated filler text stream with its own content",
+      // Blank docs must pair with NOTHING in either engine (the blank-doc
+      // clique fix): batch drops their empty ssets post-explode; the
+      // stream twin drops their NULL band keys the same way.
+      7L -> "",
+      8L -> " \t ")
     val batchDf = corpus.toDF("doc_id", "text")
     val batch = Dedup.minhashNearDups(batchDf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
