@@ -140,14 +140,31 @@ object Similarity {
   /** Near-duplicate vector pairs: cosine >= threshold, candidate-limited to
     * same-LSH-bucket pairs (the scale path; exact within a bucket).
     */
-  def lshNearDups(emb: DataFrame, threshold: Double = 0.9): DataFrame = {
-    val b = lshBuckets(emb)
-    // One row per vector; materialized so the norm + LSH projection run
-    // once instead of once per self-join side.
-    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+  def lshNearDups(emb: DataFrame, threshold: Double = 0.9,
+      maxBucketDf: Int = 0): DataFrame = {
+    // One row per vector, bucket computed ON THE SAME SCAN as the norm
+    // (the ivfTopK pattern) — the previous two-scan form re-read the
+    // corpus and re-shuffled it on vec_id just to attach a derivable
+    // column. Materialized so the projection runs once, not per side.
+    val v0 = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+      .withColumn("bucket", lshBucket(col("ev")))
       .withColumn("nrm", norm(col("ev")))
-      .join(b, "vec_id")
       .localCheckpoint(eager = true)
+    // Optional hot-bucket cap (one-sided undercount, default uncapped):
+    // sign-LSH over raw dimension sums COLLAPSES a non-negative corpus
+    // (ReLU embeddings, count vectors) into ONE bucket — every plane sum
+    // positive ⇒ bucket 255 for every row — and the self-join below then
+    // IS the all-pairs n² scan this operator exists to avoid. The cap is
+    // the seatbelt; mean-centered projections are the structural fix for
+    // such corpora.
+    val v =
+      if (maxBucketDf <= 0) v0
+      else {
+        val hot = v0.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxBucketDf).select(col("bucket"))
+        v0.join(hot, Seq("bucket"), "left_anti")
+      }
     val pairs = v.as("l").join(v.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
@@ -411,13 +428,44 @@ object Similarity {
     val book = readBook(spark, dir)
     val (seq, dirs) = indexManifest(spark, dir)
     val newDir = f"delta-${seq + 1}%010d"
-    delta.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+    delta.select(col("vec_id"),
+        // The same fail-fast the SEARCH side runs (checkedDims): append
+        // is the one entry point that can introduce a width mismatch
+        // (the build defines the dims), and without the guard vecDot's
+        // NULL-on-mismatch would deterministically dump EVERY delta row
+        // into the smallest centroid id with a NULL norm — committed
+        // garbage with zero diagnostics.
+        checkedDims(asDouble(col("embedding")), book.head._2.length,
+          "IVF index (append)").as("ev"))
       .select(col("vec_id"), col("ev"), norm(col("ev")).as("nrm"),
         nearestId(col("ev"), book).as("cell"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/$newDir")
-    commitIndexManifest(spark, dir, seq + 1, dirs :+ newDir)
-    sweepIndexGenerations(spark, dir, seq + 1)
+    commitAppendedDir(spark, dir, newDir, seq, dirs)
+  }
+
+  /** Commit an appended generation dir — unless the delta was EMPTY: a
+    * 0-row partitioned write leaves only _SUCCESS (no cell= dirs), and
+    * committing that dir into the manifest would poison every later
+    * [[readCells]] ("unable to infer schema") with no repair path — the
+    * sweep can never collect a dir the LIVE manifest references, and
+    * even [[compactIndex]] reads through readCells. An empty ingest is
+    * a no-op: the dir is dropped and no manifest is written.
+    */
+  private def commitAppendedDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String, newDir: String, seq: Long, dirs: Seq[String]): Unit = {
+    val (fs, root) = idxFs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(root, newDir)
+    val hasCells = fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("cell="))
+    if (!hasCells) {
+      fs.delete(p, true)
+      System.err.println(
+        s"[graft] append of an EMPTY delta to $dir skipped (no commit)")
+    } else {
+      commitIndexManifest(spark, dir, seq + 1, dirs :+ newDir)
+      sweepIndexGenerations(spark, dir, seq + 1)
+    }
   }
 
   /** Top-k search against a PERSISTED index ([[buildIvfIndex]]): probe
@@ -593,11 +641,20 @@ object Similarity {
     val sub = books.head.head.length
     val (seq, dirs) = indexManifest(spark, dir)
     val newDir = f"delta-${seq + 1}%010d"
-    pqEncodedCells(delta, books, coarse, m, sub)
+    // Same width guard as the IVF append (see there): a mismatched delta
+    // would otherwise PQ-code every row to code 0 per subspace and
+    // commit the garbage silently.
+    val dims = m * sub
+    val guarded = delta.withColumn("embedding",
+      when(size(col("embedding")) === dims, col("embedding"))
+        .otherwise(raise_error(concat(
+          lit("delta vectors are "), size(col("embedding")).cast("string"),
+          lit(s"-dimensional but the IVF-PQ index (append) expects" +
+            s" $dims dims")))))
+    pqEncodedCells(guarded, books, coarse, m, sub)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/$newDir")
-    commitIndexManifest(spark, dir, seq + 1, dirs :+ newDir)
-    sweepIndexGenerations(spark, dir, seq + 1)
+    commitAppendedDir(spark, dir, newDir, seq, dirs)
   }
 
   /** Names a manifest may list as data dirs — the ONLY names the
@@ -747,12 +804,17 @@ object Similarity {
     cells
       .select(col("cell").cast("long").as("cell"), resUs.as("res_us"))
       .groupBy(col("cell"))
-      .agg(count(lit(1)).as("n_vecs"), sum(col("res_us")).as("sum_us"),
+      // DECIMAL(38,0) residual sum: cells holding 1e10 vectors of ~1e9
+      // microunit residuals (the skewed-fill case this report exists to
+      // expose) would wrap a plain long sum and report negative drift.
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("res_us").cast("decimal(38,0)")).as("sum_us"),
         max(col("res_us")).as("max_res_us"))
       .withColumn("total", sum(col("n_vecs")).over(Window.partitionBy()))
       .selectExpr("cell", "n_vecs",
         "CAST((n_vecs * 1000000) DIV total AS BIGINT) AS share_ppm",
-        "CAST(sum_us DIV n_vecs AS BIGINT) AS mean_res_us", "max_res_us")
+        "CAST(FLOOR(sum_us / n_vecs) AS BIGINT) AS mean_res_us",
+        "max_res_us")
   }
 
   /** Search the persisted IVF-PQ index: probe cells resolve against the
@@ -880,14 +942,38 @@ object Similarity {
     // learned tier is `(query, kcell) ∈ probe set` — the same sets the
     // per-tier probe joins produce, without re-running the projections
     // and cosine once more per tier over the corpus.
-    // Checkpointed: numQueries × corpus small rows feed five branches.
-    val scored = withBucket.join(broadcast(queries),
+    // Checkpointed to feed five branches — but PRUNED first, so what
+    // materializes is bounded by numQueries × k × (rings + 1), not
+    // numQueries × corpus (the 1000-query guard bounds one factor of the
+    // cross product; this bounds the other). The prune is EXACT for
+    // every tier: tier r's candidate set is ∪ ring ≤ r, whose top-k is
+    // contained in the union of per-(query, ring) top-ks (brute force =
+    // rings unrestricted, same argument), and the learned tier's
+    // candidates are exactly the kcell-probe members, covered by the
+    // per-(query, in_kp) top-k of the member partition.
+    val flagged = withBucket.join(broadcast(queries),
         col("query_id") =!= col("vec_id"))
       .withColumn("cos", cosineWithNorms(dot(col("qv"), col("ev")),
         col("qn"), col("nrm")))
       .withColumn("ring", expr("bit_count(bucket ^ qb)"))
       .select(col("query_id"), col("vec_id"), col("cos"), col("ring"),
         col("kcell"))
+      // qp rows are (query, probe-cell) DISTINCT, so this left join can
+      // only flag, never duplicate.
+      .join(broadcast(qp),
+        col("query_id") === col("p_qid") && col("kcell") === col("probe"),
+        "left_outer")
+      .withColumn("in_kp", col("probe").isNotNull)
+      .drop("p_qid", "probe")
+    val wRing = Window.partitionBy(col("query_id"), col("ring"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val wKp = Window.partitionBy(col("query_id"), col("in_kp"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val scored = flagged
+      .withColumn("__rr", row_number().over(wRing))
+      .withColumn("__rk", row_number().over(wKp))
+      .filter(col("__rr") <= k || (col("in_kp") && col("__rk") <= k))
+      .drop("__rr", "__rk")
       .localCheckpoint(eager = true)
     v.unpersist()
     def topk(df: DataFrame): DataFrame = {
@@ -907,8 +993,7 @@ object Similarity {
     val sh = hitsOf(0, "hits_single")
     val mh = hitsOf(1, "hits_multi")
     val m2 = hitsOf(2, "hits_multi2")
-    val kmCand = scored.join(qp,
-      col("query_id") === col("p_qid") && col("kcell") === col("probe"))
+    val kmCand = scored.filter(col("in_kp"))
     val kh = bf.join(topk(kmCand), Seq("query_id", "vec_id"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("hits_kmeans"))
     def rec(c: String): Column =
@@ -1061,12 +1146,19 @@ object Similarity {
         .select(col("subspace"), col("sc.cluster").as("cluster"),
           posexplode(col("sc.sv")).as(Seq("pos", "x")))
         .groupBy(col("subspace"), col("cluster"), col("pos"))
-        .agg(sum(floor(col("x") * KmeansScale)).as("s"),
+        // DECIMAL(38,0) accumulator: a plain long sum wraps SILENTLY on
+        // overflow, and at corpus scale (1e10+ rows per cluster of 1e9-
+        // magnitude fixed-point addends) the per-cell sum passes
+        // Long.MaxValue — every trained centroid would be garbage with
+        // no error. Decimal sums are exact to 38 digits and identical to
+        // the long sum wherever the long sum was valid, so the oracles'
+        // replayed arithmetic is unchanged.
+        .agg(sum(floor(col("x") * KmeansScale).cast("decimal(38,0)")).as("s"),
           count(lit(1)).as("n"))
         .collect()
       val byKey = cells.map(r =>
         (r.getInt(0), r.getLong(1), r.getInt(2)) ->
-          (r.getLong(3), r.getLong(4))).toMap
+          (BigDecimal(r.getDecimal(3)), r.getLong(4))).toMap
       books = (0 until nSub).map { j =>
         books(j).map { case (id, cv) =>
           if (!byKey.contains((j, id, 0))) id -> cv
@@ -1076,7 +1168,7 @@ object Similarity {
           else id -> cv.indices.map { p =>
             byKey.get((j, id, p)).fold(cv(p)) { case (s, n) =>
               (s.toDouble / KmeansScale) / n.toDouble
-            }
+            } // BigDecimal.toDouble: deterministic round-to-nearest
           }
         }
       }
@@ -1229,7 +1321,10 @@ object Similarity {
       .join(a, Seq("vec_id"))
       .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("cluster"))
-      .orderBy(col("cnt").desc, col("label").asc)
+      // asc_nulls_last pins the tie-break cross-engine: Spark ASC puts
+      // NULL labels FIRST while DuckDB puts them LAST, so a null-label
+      // group tying for majority would pick different winners per engine.
+      .orderBy(col("cnt").desc, col("label").asc_nulls_last)
     val top = counts.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("cluster"), col("label").as("majority_label"),
@@ -1402,8 +1497,14 @@ object Similarity {
     // neither branch re-sorts the scored table.
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adist_us").asc, col("vec_id").asc)
+    // Bounded materialization: only rows with rk <= candidates feed any
+    // branch (pure tier uses rk <= k, rerank uses rk <= candidates), so
+    // the filter sits BELOW the checkpoint — the window still ranks the
+    // full scored stream, but what materializes is numQueries ×
+    // candidates rows, not numQueries × corpus.
     val ranked = pqScored(emb, m, codes, iters, numQueries)
       .withColumn("rk", row_number().over(wAdc))
+      .filter(col("rk") <= candidates)
       .localCheckpoint(eager = true)
     val pq = ranked.filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))

@@ -340,6 +340,36 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(appended.exists { case (_, n, _, _) => n % 10 >= 7 })
   }
 
+  test("appendToIvfIndex: empty delta is a no-op — no poisoned generation committed") {
+    val d = clusteredVecs
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_empty").toString
+    Similarity.buildIvfIndex(d, dir, clusters = 4, iters = 2)
+    val q = d.filter(col("vec_id") < 4)
+    val before = topkRows(Similarity.ivfIndexTopK(spark, dir, q, k = 3, probes = 1))
+    // A 0-row delta writes a dir with no cell= children; committing it
+    // would make every later readCells throw with no repair path.
+    Similarity.appendToIvfIndex(d.filter(col("vec_id") < 0), dir)
+    assert(Similarity.indexManifest(spark, dir) == ((0L, Seq("cells"))))
+    assert(topkRows(Similarity.ivfIndexTopK(spark, dir, q, k = 3, probes = 1))
+      == before)
+  }
+
+  test("appendToIvfIndex: wrong-width delta fails loudly, nothing committed") {
+    val d = clusteredVecs
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_dims").toString
+    Similarity.buildIvfIndex(d, dir, clusters = 4, iters = 2)
+    val bad = d.select(col("vec_id"),
+      slice(col("embedding"), 1, 3).as("embedding"))
+    val e = intercept[Exception] { Similarity.appendToIvfIndex(bad, dir) }
+    // raise_error surfaces as a task failure — walk the cause chain.
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("dims")))
+    assert(Similarity.indexManifest(spark, dir) == ((0L, Seq("cells"))))
+  }
+
   test("appendToIvfPqIndex: search-after-append equals frozen-book rebuild") {
     val d = clusteredVecs
     val base = d.filter(col("vec_id") % 10 < 7)
