@@ -496,6 +496,91 @@ object Curation {
       .limit(k)
   }
 
+  /** The 100 TB twin of [[vocabTopK]]: Misra–Gries heavy-hitter sketch
+    * (Misra & Gries 1982; mergeability per Agarwal et al. 2012, "Mergeable
+    * Summaries"). [[vocabTopK]]'s exact aggregation shuffles one partial
+    * count per (partition, distinct token) — fine for word-ish vocabularies,
+    * quadratic pain when the token space explodes (URLs, hashes, code
+    * identifiers). The sketch bounds BOTH memory and shuffle by `capacity`:
+    *
+    *  1. map side: each partition keeps at most `capacity` counters
+    *     (classic decrement-all-on-overflow; amortized O(1) per token) —
+    *     this is the rare genuinely-imperative per-partition case, so
+    *     `mapPartitions` is the right tool, not a UDF workaround;
+    *  2. merge: candidate partials (≤ capacity rows per partition, NOT the
+    *     corpus) are hash-aggregated, then reduced back to ≤ `capacity`
+    *     counters by subtracting the (capacity+1)-th largest combined count
+    *     — the mergeable-summaries reduction, which keeps the total
+    *     undercount ≤ n/(capacity+1) for n total tokens.
+    *
+    * Output: `token`, `est_occurrences` (a LOWER bound on the true count;
+    * never an overcount), `err_bound` = ⌊n/(capacity+1)⌋ (the worst-case
+    * undercount — every token with true count above it is guaranteed
+    * present). `doc_freq` is not tracked (a per-doc distinct inside the
+    * sketch would reintroduce the memory blowup). Results depend on the
+    * physical partition layout, so this is spec-pinned against the exact
+    * form (like [[langStatsApprox]]) rather than oracle-hashed.
+    */
+  def vocabTopKSketch(docs: DataFrame, k: Int = 100,
+      capacity: Int = 4096): DataFrame =
+    vocabSketchCandidates(docs, capacity)
+      .orderBy(col("est_occurrences").desc, col("token").asc)
+      .limit(k)
+
+  /** The full merged Misra–Gries summary behind [[vocabTopKSketch]] —
+    * ≤ `capacity` candidate rows; exposed so specs can assert the
+    * every-heavy-hitter-survives guarantee on the whole candidate set,
+    * not just the top-k cut.
+    */
+  private[graft] def vocabSketchCandidates(docs: DataFrame,
+      capacity: Int): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = TextAnalysis.explodedTokens(docs).select(col("token")).as[String]
+    // Per-partition summary. Each partition also emits one null-token
+    // sentinel carrying its item count, so the global error bound needs no
+    // second corpus scan.
+    val partials = toks.mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      var n = 0L
+      while (it.hasNext) {
+        val t = it.next(); n += 1
+        counts.get(t) match {
+          case Some(c) => counts.update(t, c + 1)
+          case None if counts.size < capacity => counts.update(t, 1L)
+          case None =>
+            // decrement-all: retires >= capacity+1 count units (the new
+            // token's implicit 1 included), so total rounds <= n/(cap+1).
+            counts.keys.toArray.foreach { key =>
+              val c = counts(key) - 1
+              if (c == 0L) counts.remove(key) else counts.update(key, c)
+            }
+        }
+      }
+      counts.iterator.map { case (t, c) => (t, c) } ++
+        Iterator((null: String, n))
+    }.toDF("token", "cnt")
+    // Candidate set is tiny (<= capacity per partition) — checkpoint so the
+    // offset probe and the final projection don't each rescan the corpus.
+    val merged = partials.groupBy(col("token"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .localCheckpoint()
+    val cands = merged.where(col("token").isNotNull)
+    val nDf = merged.agg(sum(when(col("token").isNull, col("cnt"))
+      .otherwise(lit(0L))).as("n_tokens"))
+    // Mergeable-summaries reduction: the (capacity+1)-th largest combined
+    // count (0 when fewer candidates survive) comes off every counter.
+    val offDf = cands.orderBy(col("cnt").desc).limit(capacity + 1)
+      .agg(when(count(lit(1)) === capacity + 1, min(col("cnt")))
+        .otherwise(lit(0L)).as("off"))
+    cands.crossJoin(broadcast(offDf)).crossJoin(broadcast(nDf))
+      .select(col("token"),
+        (col("cnt") - col("off")).as("est_occurrences"),
+        expr(s"n_tokens DIV ${capacity + 1}").as("err_bound"))
+      .where(col("est_occurrences") > 0)
+  }
+
   /** Per-language corpus statistics: document count, total tokens, and
     * EXACT interpolated token-count percentiles (median + p90) — the
     * length-distribution report a curation pipeline reads before choosing

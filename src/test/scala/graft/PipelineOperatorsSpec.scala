@@ -733,6 +733,50 @@ class PipelineOperatorsSpec extends SparkSpec {
       v(1).getAs[Long]("doc_freq") == 2L)
   }
 
+  test("vocabTopKSketch: generous capacity reproduces exact vocabTopK counts") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val distinctToks = graft.operators.TextAnalysis.explodedTokens(d)
+      .select("token").distinct().count().toInt
+    // capacity >= |vocab|: no per-partition decrement ever fires and the
+    // merge offset is 0, so the sketch degenerates to the exact counts.
+    val sk = Curation.vocabTopKSketch(d, k = 50, capacity = distinctToks)
+      .collect().map(r => r.getAs[String]("token") ->
+        r.getAs[Long]("est_occurrences")).toMap
+    val exact = Curation.vocabTopK(d, k = 50).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("occurrences")).toMap
+    assert(sk == exact)
+  }
+
+  test("vocabTopKSketch: Misra-Gries guarantee under tight capacity on skew") {
+    import spark.implicits._
+    // 3 heavy tokens x 200 + 500 singletons; n = 1100 tokens. With
+    // capacity 8, err_bound = 1100 DIV 9 = 122 < 200, so every heavy
+    // token MUST survive with est within 122 of truth — across 7
+    // partitions to force the merge path.
+    val heavy = Seq("alpha", "beta", "gamma")
+    val rows =
+      heavy.zipWithIndex.flatMap { case (t, i) =>
+        (0 until 20).map(j => (1000L + i * 20 + j, Seq.fill(10)(t).mkString(" ")))
+      } ++ (0 until 500).map(i => (i.toLong, s"tail$i"))
+    val d = rows.toDF("doc_id", "text").repartition(7)
+    val cands = Curation.vocabSketchCandidates(d, capacity = 8).collect()
+      .map(r => r.getAs[String]("token") ->
+        ((r.getAs[Long]("est_occurrences"), r.getAs[Long]("err_bound")))).toMap
+    assert(cands.nonEmpty && cands.head._2._2 == 1100L / 9)
+    val truth = (heavy.map(_ -> 200L) ++
+      (0 until 500).map(i => s"tail$i" -> 1L)).toMap
+    // Lower-bound property: never an overcount; undercount <= err_bound.
+    cands.foreach { case (t, (est, err)) =>
+      assert(est <= truth(t), s"$t overcounted")
+      assert(est >= truth(t) - err, s"$t undercounted past the bound")
+    }
+    heavy.foreach(t => assert(cands.contains(t), s"heavy hitter $t dropped"))
+    // The top-k cut surfaces exactly the heavy hitters first.
+    val top = Curation.vocabTopKSketch(d, k = 3, capacity = 8).collect()
+      .map(_.getAs[String]("token")).toSet
+    assert(top == heavy.toSet)
+  }
+
   test("shardManifest: consecutive packs per shard; per-shard totals add up") {
     import spark.implicits._
     // budget 2, 2 packs/shard: en docs of 2 tokens each land one per

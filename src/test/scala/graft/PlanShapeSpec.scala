@@ -368,4 +368,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("hashpartitioning"), p.take(3000))
     assert(!p.contains("rangepartitioning"), p.take(3000))
   }
+
+  test("vocabTopKSketch: tail runs on checkpointed candidates — heap top-k, broadcast scalars, no re-scan") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.operators.Curation.vocabTopKSketch(docs, k = 10, capacity = 64)
+      .queryExecution.executedPlan.toString
+    // Everything after the sketch merge reads the <= capacity-row
+    // checkpointed candidate set: the top-k cut is a heap
+    // (TakeOrderedAndProject), the offset/total scalars arrive by
+    // broadcast, and the corpus parquet is never re-scanned.
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.toLowerCase.contains("scan parquet"), p.take(3000))
+  }
 }
