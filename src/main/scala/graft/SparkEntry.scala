@@ -122,6 +122,16 @@ object SparkEntry {
   private val containPlantLong =
     "ca cb cc cd ce cf cg ch ci za zb zc zd ze zf zg zh zi zj zk"
 
+  /** Decontam-fraction plant: a 15-token snippet (→ 8 interior 8-grams)
+    * appended to every eval-coin doc AND to every 17th-mod-5 doc, so
+    * planted train docs share exactly the snippet's interior grams with
+    * the eval set and `hit_frac` takes a different value per doc
+    * (8 / that doc's gram total) instead of the natural all-or-nothing
+    * 0/1.0 (the only organic hits at sf0.01 are FULL embeddings). */
+  private val decontamPlantSnippet =
+    "orbital lattice chorus ember quartz delta vapor ingot sable " +
+      "zephyr copper lumen argent fathom tide"
+
   /** Two disjoint 25-token runs (all tokens unique to the pair) split by a
     * differing middle token: the planted pair shares exactly TWO maximal
     * >= 20-token spans on one diagonal, exercising the gaps-and-islands
@@ -464,6 +474,14 @@ object SparkEntry {
     "doc_dup_clusters" -> ((s, dir) =>
       Dedup.minhashClusters(t(s, dir, "documents"))),
 
+    // Keep-BEST canonical selection: each near-dup cluster keeps its
+    // highest-quality member (ties -> smallest doc_id) instead of the
+    // min-id convention — at sf0.01 the quality argmax disagrees with
+    // min-id in 10 of 23 multi-doc clusters, so the verdict genuinely
+    // discriminates without planting.
+    "doc_dedup_keep_best" -> ((s, dir) =>
+      Dedup.minhashKeepBest(t(s, dir, "documents"))),
+
     // VERIFICATION-SCALE ONLY (see verificationScaleOnly; twin:
     // doc_simhash64_pairs). SimHash fingerprints + near-dups:
     // md5-derived bits, 32-bit votes → 4-5-bit pigeonhole keys, hence
@@ -561,6 +579,12 @@ object SparkEntry {
         targets = Map("en" -> 0.3, "zh" -> 0.3, "de" -> 0.2),
         defaultTarget = 0.05)),
 
+    // Temperature-flattened mix planner (UniMax-style): tau=2 flattening,
+    // rate_l = sqrt(tokens_min / tokens_l) — closed form, no
+    // cross-language sum (sqrt + integer-ratio division are IEEE-exact).
+    "doc_mix_temperature" -> ((s, dir) =>
+      Curation.temperatureMixPlan(t(s, dir, "documents"), tau = 2.0)),
+
     // DSIR-style importance scoring (Xie et al. 2023): hashed-unigram
     // likelihood-ratio surrogate, integer-exact; target = quality-bar
     // docs; keep = raw docs above the raw-pool mean (cross-multiplied).
@@ -626,6 +650,23 @@ object SparkEntry {
         md5(concat(lit("eval:"), col("doc_id").cast("string"))), 1, 2)
       Curation.decontaminate(
         docs.filter(coin >= "10"), docs.filter(coin < "10"), n = 8)
+    }),
+
+    // Overlap-FRACTION decontamination (the graded PaLM-style rule):
+    // contaminated only when >= 8% of a doc's distinct 8-grams occur in
+    // the eval set. The snippet plant (every eval doc + every 17th-mod-5
+    // doc) creates PARTIAL overlaps — 28+ distinct fractions at sf0.01
+    // where the organic hits are all full embeddings (frac 1.0).
+    "doc_decontam_frac" -> ((s, dir) => {
+      val coin = substring(
+        md5(concat(lit("eval:"), col("doc_id").cast("string"))), 1, 2)
+      val planted = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 17 === 5 || coin < "10",
+          concat(col("text"), lit(" " + decontamPlantSnippet)))
+          .otherwise(col("text")))
+      Curation.decontaminateFrac(
+        planted.filter(coin >= "10"), planted.filter(coin < "10"),
+        n = 8, fracThreshold = 0.08)
     }),
 
     // MOSS-style winnowing fingerprints (rolling k-gram hash, per-window
@@ -2088,6 +2129,31 @@ object SparkEntry {
                 ELSE floor(ratio / m * 1000000.0) / 1000000.0 END AS sample_rate
          FROM w2, mx""",
 
+    // Temperature mix planner (tau = 2): rate = sqrt(tokens_min/tokens_l)
+    // — integer-ratio division + IEEE-correctly-rounded sqrt, no
+    // cross-language sum anywhere, so both engines agree exactly.
+    "doc_mix_temperature" ->
+      """WITH perdoc AS (
+           SELECT lang,
+             CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                  ELSE len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) END AS BIGINT) AS toks
+           FROM documents),
+         cells AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(toks) AS BIGINT) AS tokens
+           FROM perdoc GROUP BY 1),
+         mn AS (SELECT min(tokens) FILTER (tokens > 0) AS m FROM cells),
+         r AS (
+           SELECT lang, docs, tokens,
+             CASE WHEN tokens = 0 OR m IS NULL THEN 0.0
+                  ELSE floor(sqrt(CAST(m AS DOUBLE) / CAST(tokens AS DOUBLE))
+                       * 1000000.0) / 1000000.0 END AS sample_rate
+           FROM cells, mn)
+         SELECT lang, docs, tokens, sample_rate,
+           CAST(floor(CAST(tokens AS DOUBLE) * sample_rate) AS BIGINT)
+             AS sampled_tokens
+         FROM r""",
+
     // Mirrors dsirScores exactly: quality-bar target, md5-bucketed
     // unigram counts, cross-multiplied integer weights, above-raw-mean
     // keep (score * n_raw > sum_raw, all BIGINT).
@@ -2347,6 +2413,53 @@ object SparkEntry {
            COALESCE(h.gram_hits, 0) > 0 AS contaminated
          FROM (SELECT doc_id FROM coin WHERE c >= '10') d
          LEFT JOIN hits h USING (doc_id)""",
+
+    "doc_decontam_frac" ->
+      s"""WITH pd AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 17 = 5
+                    OR substr(md5('eval:' || CAST(doc_id AS VARCHAR)), 1, 2) < '10'
+                  THEN text || ' $decontamPlantSnippet' ELSE text END AS text
+           FROM documents),
+         coin AS (
+           SELECT doc_id, text,
+             substr(md5('eval:' || CAST(doc_id AS VARCHAR)), 1, 2) AS c
+           FROM pd),
+         toks AS (
+           SELECT doc_id, c,
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE list_filter(string_split_regex(trim(text), '\\s+'), tk -> tk <> '') END AS t
+           FROM coin),
+         sh AS (
+           SELECT doc_id, c, list_distinct(
+             CASE WHEN len(t) >= 8
+                  THEN list_transform(generate_series(1, len(t) - 7),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                            t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                            t[i+6] || ' ' || t[i+7])
+                  WHEN len(t) = 0 THEN []::VARCHAR[]
+                  ELSE [array_to_string(t, ' ')] END) AS ss
+           FROM toks),
+         tg AS (SELECT doc_id, unnest(ss) AS g FROM sh WHERE c >= '10'),
+         eg AS (SELECT DISTINCT g
+                FROM (SELECT unnest(ss) AS g FROM sh WHERE c < '10')),
+         hits AS (
+           SELECT doc_id, count(*) AS gram_hits
+           FROM tg JOIN eg USING (g) GROUP BY doc_id),
+         base AS (
+           SELECT doc_id, CAST(len(ss) AS BIGINT) AS total_grams
+           FROM sh WHERE c >= '10'),
+         f AS (
+           SELECT b.doc_id, COALESCE(h.gram_hits, 0) AS gram_hits,
+             b.total_grams,
+             CASE WHEN b.total_grams = 0 THEN 0.0
+                  ELSE floor(CAST(COALESCE(h.gram_hits, 0) AS DOUBLE)
+                       / CAST(b.total_grams AS DOUBLE) * 1000000.0)
+                       / 1000000.0 END AS hit_frac
+           FROM base b LEFT JOIN hits h USING (doc_id))
+         SELECT doc_id, gram_hits, total_grams, hit_frac,
+           hit_frac >= CAST(0.08 AS DOUBLE) AS contaminated
+         FROM f""",
 
     "doc_winnow" ->
       """WITH toks AS (
@@ -3416,6 +3529,91 @@ object SparkEntry {
          SELECT d.doc_id,
            CAST(coalesce(least(c.doc_id, c.minb), d.doc_id) AS BIGINT) AS cluster
          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""",
+
+    // Keep-best canonical selection: the doc_dup_clusters chain verbatim,
+    // then per-cluster argmax on the (unplanted) doc_quality score —
+    // window ORDER BY quality DESC, doc_id ASC mirrors the Spark side's
+    // min(struct(-quality, doc_id)) exactly (same quantized doubles).
+    "doc_dedup_keep_best" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(generate_series(1, len(t) - 2),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  WHEN len(t) = 0 THEN []::VARCHAR[]
+                  ELSE [array_to_string(t, ' ')] END) AS ss
+           FROM toks),
+         ex AS (SELECT doc_id, unnest(ss) AS shingle FROM sh),
+         hx AS (SELECT doc_id, md5('a:' || shingle) AS ma,
+                       md5('b:' || shingle) AS mb FROM ex),
+         sig AS (
+           SELECT doc_id,
+             min(substr(ma, 1, 8)) AS h0, min(substr(ma, 9, 8)) AS h1,
+             min(substr(ma, 17, 8)) AS h2, min(substr(ma, 25, 8)) AS h3,
+             min(substr(mb, 1, 8)) AS h4, min(substr(mb, 9, 8)) AS h5,
+             min(substr(mb, 17, 8)) AS h6, min(substr(mb, 25, 8)) AS h7
+           FROM hx GROUP BY doc_id),
+         bk AS (
+           SELECT doc_id, b.band,
+             CASE b.band WHEN 0 THEN md5(h0 || h1) WHEN 1 THEN md5(h2 || h3)
+                         WHEN 2 THEN md5(h4 || h5) ELSE md5(h6 || h7) END AS key
+           FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b),
+         cand AS (
+           SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+           FROM bk l JOIN bk r ON l.band = r.band AND l.key = r.key
+                AND l.doc_id < r.doc_id),
+         pj AS (
+           SELECT c.doc_a, c.doc_b,
+             len(list_intersect(sa.ss, sb.ss)) AS inter,
+             len(sa.ss) AS la, len(sb.ss) AS lb
+           FROM cand c
+           JOIN sh sa ON c.doc_a = sa.doc_id
+           JOIN sh sb ON c.doc_b = sb.doc_id),
+         dup AS (
+           SELECT doc_a, doc_b FROM pj
+           WHERE floor((CAST(inter AS DOUBLE) / (la + lb - inter)) * 1e6 + 0.5) / 1e6 >= 0.5),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM dup
+               UNION SELECT doc_b, doc_a FROM dup),
+         reach AS (
+           SELECT src AS a, dst AS b FROM e
+           UNION
+           SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+         comp AS (SELECT a AS doc_id, MIN(b) AS minb FROM reach GROUP BY a),
+         cl AS (
+           SELECT d.doc_id,
+             CAST(coalesce(least(c.doc_id, c.minb), d.doc_id) AS BIGINT) AS cluster
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+         qt AS (
+           SELECT doc_id, text,
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS qtoks,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                       / length(text) END AS praw
+           FROM documents),
+         q AS (
+           SELECT doc_id,
+             floor((least(CAST(len(qtoks) AS DOUBLE) / 100.0, 1.0) * 0.4
+                   + (1.0 - least(praw * 5.0, 1.0)) * 0.3
+                   + least(CASE WHEN len(qtoks) = 0 THEN 0.0
+                       ELSE CAST(len(list_filter(qtoks, x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE)
+                            / len(qtoks) END * 5.0, 1.0) * 0.3) * 1e6) / 1e6 AS quality
+           FROM qt),
+         j AS (SELECT cl.doc_id, cl.cluster, q.quality
+               FROM cl JOIN q ON cl.doc_id = q.doc_id),
+         w AS (
+           SELECT doc_id, cluster, quality,
+             first_value(doc_id) OVER
+               (PARTITION BY cluster ORDER BY quality DESC, doc_id ASC) AS canonical_id
+           FROM j)
+         SELECT doc_id, cluster, quality, canonical_id,
+           doc_id = canonical_id AS keep
+         FROM w""",
 
     "emb_ivf_topk" ->
       s"""WITH $lshCtesSql,

@@ -317,6 +317,55 @@ object Curation {
           .otherwise(q6(col("__ratio") / col("__mx"))).as("sample_rate"))
   }
 
+  /** Temperature-flattened mix planner — the UniMax-style alternative to
+    * [[mixRatePlan]]'s explicit targets: flatten the natural language
+    * distribution toward uniform with temperature `tau` (target share
+    * ∝ share^(1/tau)) and emit the downsample-only rates that achieve it.
+    *
+    * The head-language rate falls out in closed form with NO cross-language
+    * sum: target'_l ∝ p_l^(1/tau) ⇒ unnormalized rate ∝ p_l^(1/tau−1),
+    * which is maximal at the SMALLEST language, so after normalizing the
+    * binding (smallest) language to rate 1.0 the global normalizer cancels:
+    * `rate_l = (tokens_min / tokens_l)^(1 − 1/tau)`. That matters for
+    * determinism: a sum of per-language doubles is aggregation-order-
+    * dependent; a two-integer ratio under one root is not.
+    *
+    * Determinism contract: exact for `tau = 2` (the ratio is an exact
+    * integer rational → one IEEE division, and `sqrt` is correctly rounded
+    * by IEEE 754 in every engine) and for `tau = ∞` (pure ratio — full
+    * UniMax uniform). Other `tau` route through `pow`, which libm does NOT
+    * guarantee bit-identical cross-engine — fine for production use, not
+    * for hash-compared oracles; the registered query pins tau = 2.
+    * `sampled_tokens` multiplies the integer token count by the ALREADY
+    * QUANTIZED rate (one IEEE multiply) before flooring, so it inherits
+    * the determinism.
+    *
+    * Scale shape: one map-side-combined aggregation to language cells
+    * (dozens of rows); the min rides a broadcast 1-row cross join — the
+    * corpus is scanned once, same as [[mixRatePlan]].
+    */
+  def temperatureMixPlan(docs: DataFrame, tau: Double = 2.0): DataFrame = {
+    require(tau > 1.0 || tau.isInfinity,
+      s"tau must exceed 1 (got $tau): tau<=1 would UPsample the head")
+    val perDoc = docs.select(col("lang"),
+      TextAnalysis.tokenCountWs(col("text")).cast("long").as("toks"))
+    val cells = perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"), sum(col("toks")).as("tokens"))
+    val mn = cells.agg(min(when(col("tokens") > 0L, col("tokens"))).as("__mn"))
+    val ratio = col("__mn").cast("double") / col("tokens").cast("double")
+    val rate =
+      if (tau == 2.0) sqrt(ratio)
+      else if (tau.isInfinity) ratio
+      else pow(ratio, lit(1.0 - 1.0 / tau))
+    val qRate = when(col("tokens") === 0L || col("__mn").isNull, lit(0.0))
+      .otherwise(Quant.q6(rate))
+    cells.crossJoin(broadcast(mn))
+      .select(col("lang"), col("docs"), col("tokens"),
+        qRate.as("sample_rate"),
+        floor(col("tokens").cast("double") * qRate).cast("long")
+          .as("sampled_tokens"))
+  }
+
   /** Deterministic sequence-packing assignment: within each language,
     * documents are laid out in doc_id order and cut into packs of
     * `budgetTokens` whitespace tokens — `pack_id = floor(tokens-before /
@@ -659,7 +708,18 @@ object Curation {
       .select(xxhash64(col("g")).as("gh")).distinct()
 
   private[graft] def decontaminateFromSets(trainSets: DataFrame,
-      evalDocs: DataFrame, n: Int = 8): DataFrame = {
+      evalDocs: DataFrame, n: Int = 8): DataFrame =
+    decontamHits(trainSets, evalDocs, n)
+      .select(col("doc_id"), col("gram_hits"),
+        (col("gram_hits") > 0).as("contaminated"))
+
+  /** Shared decontamination core: per-train-doc eval-gram hit count plus
+    * the doc's distinct-gram total — the inputs both the any-hit sweep
+    * ([[decontaminate]]) and the overlap-fraction sweep
+    * ([[decontaminateFrac]]) project from.
+    */
+  private def decontamHits(trainSets: DataFrame, evalDocs: DataFrame,
+      n: Int): DataFrame = {
     // explode_outer, not explode: the inner variant's inferred
     // size(sset) > 0 filter inlines the gram transform below the token
     // projection and re-tokenizes per element (see Dedup.explodedShingles);
@@ -671,11 +731,39 @@ object Curation {
     val evalGrams = evalGramHashes(evalDocs, n)
     val hits = trainGrams.join(broadcast(evalGrams), Seq("gh"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("gram_hits"))
-    trainSets.select(col("doc_id"))
+    trainSets.select(col("doc_id"), size(col("sset")).cast("long").as("total_grams"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("gram_hits"), lit(0L)).as("gram_hits"),
-        (coalesce(col("gram_hits"), lit(0L)) > 0).as("contaminated"))
+        col("total_grams"))
+  }
+
+  /** Overlap-FRACTION decontamination — the graded form of
+    * [[decontaminate]]: instead of flagging on any shared gram, report the
+    * fraction of a training document's distinct word-`n`-grams that occur
+    * in the evaluation corpus and flag only documents whose fraction
+    * reaches `fracThreshold` (the GPT-3/PaLM-style "substantially
+    * overlapping" rule — a single boilerplate gram should not disqualify a
+    * long document, while a short doc embedded in an eval answer should).
+    *
+    * Determinism: `hit_frac` is an exact integer rational
+    * (gram_hits / total_grams) floor-quantized at 1e-6 ([[Quant.q6]]), and
+    * the threshold compares the QUANTIZED value, so both engines agree by
+    * construction. Token-less docs (total_grams = 0) report fraction 0.
+    *
+    * Scale shape: identical to [[decontaminate]] — the eval gram set
+    * broadcasts, the corpus is never shuffled; the only exchange is the
+    * per-doc hit aggregation.
+    */
+  def decontaminateFrac(train: DataFrame, evalDocs: DataFrame,
+      n: Int = 8, fracThreshold: Double = 0.08): DataFrame = {
+    val base = decontamHits(Dedup.shingleSets(train, n), evalDocs, n)
+    val frac = when(col("total_grams") === 0L, lit(0.0))
+      .otherwise(Quant.q6(col("gram_hits").cast("double") /
+        col("total_grams").cast("double")))
+    base.select(col("doc_id"), col("gram_hits"), col("total_grams"),
+      frac.as("hit_frac"),
+      (frac >= lit(fracThreshold)).as("contaminated"))
   }
 
   /** PII redaction: scrub emails, NANP-style phone numbers, and IPv4

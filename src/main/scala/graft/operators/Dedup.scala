@@ -459,6 +459,44 @@ object Dedup {
       threshold: Double = 0.5): DataFrame =
     dupClusters(docs, minhashNearDups(docs, n, threshold))
 
+  /** Keep-BEST canonical selection over near-dup clusters: instead of
+    * [[dupClusters]]' min-doc_id convention, each cluster keeps its
+    * highest-[[TextAnalysis.qualityScore]] member (ties → smallest
+    * doc_id) — the selection rule a production dedup actually wants,
+    * since the min-id member of a boilerplate cluster is often the worst
+    * scrape of the group. Emits every document with its cluster, quality,
+    * the cluster's canonical id, and the keep verdict.
+    *
+    * Determinism: quality is the q6-quantized score (an exact double both
+    * engines share); the argmax is `min(struct(-quality, doc_id))`, i.e.
+    * pure double/long struct ordering — no float summation anywhere.
+    *
+    * Scale shape: canonical selection is ONE map-side-combined aggregation
+    * keyed on cluster (output rows = clusters), joined back on the same
+    * cluster key — both exchanges hash on `cluster`, nothing sorts
+    * globally, and the quality score itself is map-only. At 100 TB the
+    * dominant cost stays in the cluster construction ([[minhashClusters]]),
+    * not this selection pass.
+    */
+  def keepBestByQuality(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val withQ = clusters
+      .join(docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality")), Seq("doc_id"))
+    val canon = withQ.groupBy(col("cluster"))
+      .agg(min(struct((-col("quality")).as("nq"), col("doc_id").as("id")))
+        .as("best"))
+      .select(col("cluster"), col("best.id").as("canonical_id"))
+    withQ.join(canon, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("quality"),
+        col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("keep"))
+  }
+
+  /** [[keepBestByQuality]] over the MinHash near-dup clusters. */
+  def minhashKeepBest(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.5): DataFrame =
+    keepBestByQuality(docs, minhashClusters(docs, n, threshold))
+
   // ---- SimHash ----------------------------------------------------------
 
   /** 32-bit SimHash over whitespace tokens: per-token md5-derived bits

@@ -998,6 +998,70 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(out(2L) == ((0L, false)))
   }
 
+  test("decontaminateFrac: threshold splits partial overlap; token-less docs score 0") {
+    val train = docs(
+      1L -> (1 to 10).map(i => s"w$i").mkString(" "), // 3 grams, 1 shared → 1/3
+      2L -> "alpha beta gamma",                       // 1 gram (short doc), no hits
+      3L -> "")                                       // token-less → total 0
+    val eval = docs(100L -> (3 to 10).map(i => s"w$i").mkString(" "))
+    val out = Curation.decontaminateFrac(train, eval, n = 8, fracThreshold = 0.3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("gram_hits"), r.getAs[Long]("total_grams"),
+          r.getAs[Double]("hit_frac"), r.getAs[Boolean]("contaminated")))).toMap
+    assert(out(1L) == ((1L, 3L, math.floor(1.0 / 3.0 * 1e6) / 1e6, true)))
+    assert(out(2L) == ((0L, 1L, 0.0, false)))
+    assert(out(3L) == ((0L, 0L, 0.0, false)))
+    // The same inputs stay below a higher threshold.
+    val strict = Curation.decontaminateFrac(train, eval, n = 8, fracThreshold = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("contaminated")).toMap
+    assert(strict == Map(1L -> false, 2L -> false, 3L -> false))
+  }
+
+  test("keepBestByQuality: highest-quality member wins; ties fall to min id; singletons keep") {
+    // Cluster 1: doc 2 has more tokens (higher length term) → beats the
+    // min-id member. Cluster 4: identical texts → equal quality → min id.
+    val d = docs(
+      1L -> (1 to 20).map(i => s"t$i").mkString(" "),
+      2L -> (1 to 30).map(i => s"t$i").mkString(" "),
+      3L -> "solo doc here",
+      4L -> "same text twice over",
+      5L -> "same text twice over")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster")
+    val out = Dedup.keepBestByQuality(d, clusters).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("canonical_id"), r.getAs[Boolean]("keep")))).toMap
+    assert(out(1L) == ((2L, false)))
+    assert(out(2L) == ((2L, true)))
+    assert(out(3L) == ((3L, true)))
+    assert(out(4L) == ((4L, true)))
+    assert(out(5L) == ((4L, false)))
+  }
+
+  test("temperatureMixPlan: min language keeps 1.0; tau=2 is sqrt, tau=inf is the ratio") {
+    val d = Seq(
+      (1L, "en", (1 to 16).map(_ => "tok").mkString(" ")),
+      (2L, "de", (1 to 4).map(_ => "tok").mkString(" ")),
+      (3L, "zz", ""))
+      .toDF("doc_id", "lang", "text")
+    def rates(tau: Double): Map[String, (Double, Long)] =
+      Curation.temperatureMixPlan(d, tau).collect()
+        .map(r => r.getAs[String]("lang") ->
+          ((r.getAs[Double]("sample_rate"), r.getAs[Long]("sampled_tokens"))))
+        .toMap
+    val t2 = rates(2.0)
+    assert(t2("de") == ((1.0, 4L)))
+    assert(t2("en") == ((0.5, 8L)))   // sqrt(4/16)
+    assert(t2("zz") == ((0.0, 0L)))   // zero-token language: nothing to keep
+    val tInf = rates(Double.PositiveInfinity)
+    assert(tInf("en") == ((0.25, 4L))) // full UniMax: pure token ratio
+    assert(tInf("de") == ((1.0, 4L)))
+    intercept[IllegalArgumentException] {
+      Curation.temperatureMixPlan(d, tau = 1.0)
+    }
+  }
+
   test("winnowingFingerprints: window guarantee and identity") {
     val base = (1 to 12).map(i => s"w$i").mkString(" ")
     val d = docs(

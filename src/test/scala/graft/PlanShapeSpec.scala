@@ -382,4 +382,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
     assert(!p.toLowerCase.contains("scan parquet"), p.take(3000))
   }
+
+  test("doc_decontam_frac: inherits the decontam shape — eval grams broadcast") {
+    val p = physical("doc_decontam_frac")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("doc_mix_temperature: one lang aggregation, scalar min broadcasts, no window pass") {
+    val p = physical("doc_mix_temperature")
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("rangepartitioning"), p.take(2000))
+  }
+
+  test("keepBestByQuality tail: canonical selection is hash-keyed — no nested loop, no cartesian") {
+    // The full doc_dedup_keep_best plan hides behind the cluster loop's
+    // localCheckpoints; assert on the selection tail directly (the
+    // kmeansSearchPlan pattern).
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val clusters = docs.select(col("doc_id"), (col("doc_id") % 7).as("cluster"))
+    val p = graft.operators.Dedup.keepBestByQuality(docs, clusters)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("rangepartitioning"), p.take(3000))
+  }
 }
