@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.model.TrendConfig
 import graft.operators.{AsOf, Bpe, Curation, Dedup, EventAnalytics, Multimodal, PageAggregates, RangeJoin, Selection, Similarity, Skew, TextAnalysis}
 import graft.sources.EventAdapter
+import graft.operators.Barrier.BarrierOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -907,7 +908,7 @@ object SparkEntry {
         .groupBy(col("l_suppkey"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
           .as("total_revenue"))
-        .localCheckpoint(eager = true)
+        .barrier()
       val mx = rev.agg(max(col("total_revenue")).as("mx"))
       rev.join(broadcast(mx), col("total_revenue") === col("mx"))
         .join(sup, col("l_suppkey") === sup("s_suppkey"))
@@ -1004,7 +1005,7 @@ object SparkEntry {
       val l = t(s, dir, "lineitem")
       val perSupp = l.groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(max(col("l_shipdate")).as("smax"))
-        .localCheckpoint(eager = true) // feeds the per-order rollup + the filter join
+        .barrier() // feeds the per-order rollup + the filter join
       val perOrder = perSupp.groupBy(col("l_orderkey"))
         .agg(count(lit(1)).as("nsupp"), max(col("smax")).as("omax"))
       val attain = perSupp.as("a")

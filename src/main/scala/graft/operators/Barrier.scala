@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Materialization barrier for iterative and multi-read plans — the single
+  * switch point for the fault-tolerance trade documented in SURVEY.md §8
+  * ("checkpoint fault-tolerance fence").
+  *
+  * Default (`spark.graft.reliableCheckpoints` unset/false):
+  * `localCheckpoint(eager = true)` — blocks live unreplicated on executors.
+  * Fastest, and correct on the driver's single-JVM verification environment
+  * and on-demand clusters, but a lost executor aborts the job with no
+  * recompute path (Spark documents this tradeoff).
+  *
+  * `spark.graft.reliableCheckpoints=true`: reliable `checkpoint(eager =
+  * true)` against `sparkContext.setCheckpointDir` on shared storage — the
+  * right setting for preemptible/spot capacity, at the cost of a write+read
+  * of each barrier through the checkpoint filesystem. Fails fast with
+  * guidance if the directory was never set (Spark's own error only appears
+  * deep in a job).
+  *
+  * Every iterative operator (Lloyd's loops, pointer-jumping CC, BPE rounds,
+  * fingerprint/gram tables read by self-joins, multi-branch audit heads)
+  * routes its barrier through here, so the swap is one config key — no call
+  * site changes.
+  */
+private[graft] object Barrier {
+
+  /** Config key: route barriers through reliable `checkpoint()`. */
+  val ReliableKey = "spark.graft.reliableCheckpoints"
+
+  def apply(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val reliable = spark.conf.get(ReliableKey, "false").toBoolean
+    if (reliable) {
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        throw new IllegalStateException(
+          s"$ReliableKey=true but no checkpoint directory is set; call " +
+            "sparkContext.setCheckpointDir(<shared storage path>) first")
+      df.checkpoint(eager = true)
+    } else df.localCheckpoint(eager = true)
+  }
+
+  /** `df.barrier()` — chain-friendly form of [[Barrier.apply]]. */
+  implicit class BarrierOps(private val df: DataFrame) extends AnyVal {
+    def barrier(): DataFrame = Barrier(df)
+  }
+}

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Barrier.BarrierOps
 
 /** Byte-pair-encoding MERGE TRAINING (Sennrich et al. 2016, "Neural
   * Machine Translation of Rare Words with Subword Units") — the learner
@@ -102,7 +103,7 @@ object Bpe {
     */
   def trainMerges(docs: DataFrame, k: Int): Seq[Merge] = {
     require(k >= 1 && k <= 64, s"k=$k merge rounds outside [1, 64]")
-    var words = vocab(docs).localCheckpoint(eager = true) // vocab-sized
+    var words = vocab(docs).barrier() // vocab-sized
     val merges = Seq.newBuilder[Merge]
     var round = 1
     var exhausted = false
@@ -115,7 +116,7 @@ object Bpe {
         merges += Merge(round, lhs, rhs, lhs + rhs, c)
         words = words
           .withColumn("syms", applyMerge(col("syms"), lhs, rhs))
-          .localCheckpoint(eager = true)
+          .barrier()
         round += 1
       }
     }

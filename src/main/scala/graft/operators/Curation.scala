@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Barrier.BarrierOps
 
 /** Corpus-curation operators for the `documents` table — the
   * filter/sample/mix stages of a training-data pipeline (BASELINE.json
@@ -252,7 +253,7 @@ object Curation {
     // checkpoint both plan branches would re-scan the 100 TB input.
     val cells = perDoc.groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("docs"), sum(col("toks")).as("tokens"))
-      .localCheckpoint(eager = true)
+      .barrier()
     // Corpus total as a broadcast 1-row cross join over the aggregated
     // cells — same arithmetic as an unpartitioned window but without
     // WindowExec's single-partition pass (and its "No Partition Defined"
@@ -295,7 +296,7 @@ object Curation {
       TextAnalysis.tokenCountWs(col("text")).cast("long").as("toks"))
     val cells = perDoc.groupBy(col("lang"))
       .agg(count(lit(1)).as("docs"), sum(col("toks")).as("tokens"))
-      .localCheckpoint(eager = true) // feeds total + max + output branches
+      .barrier() // feeds total + max + output branches
     val total = cells.agg(sum(col("tokens")).as("__total"))
     val tgt = targets.foldLeft(lit(defaultTarget)) { case (acc, (l, t)) =>
       when(col("lang") === l, lit(t)).otherwise(acc)
@@ -614,7 +615,7 @@ object Curation {
     // offset probe and the final projection don't each rescan the corpus.
     val merged = partials.groupBy(col("token"))
       .agg(sum(col("cnt")).as("cnt"))
-      .localCheckpoint()
+      .barrier()
     val cands = merged.where(col("token").isNotNull)
     val nDf = merged.agg(sum(when(col("token").isNull, col("cnt"))
       .otherwise(lit(0L))).as("n_tokens"))
@@ -926,7 +927,7 @@ object Curation {
         col("d_keep"), col("s_keep"),
         (col("q_keep") && col("e_keep") && col("c_keep") &&
           col("d_keep") && col("s_keep")).as("kept"))
-      .localCheckpoint(eager = true)
+      .barrier()
     out
     // Once the report rows are materialized (or the report FAILED — the
     // finally guarantees a crashed stage doesn't leak a corpus-sized

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Barrier.BarrierOps
 
 /** Deduplication operators over the `documents` table: exact (hash group),
   * MinHash + LSH (shingle → signature → band → bucket join → verify),
@@ -191,7 +192,7 @@ object Dedup {
     // Materialize the bucket table (docs × bands rows — tiny) before the
     // self-join: both join sides otherwise re-plan the whole signature
     // subtree (shingle explode + 2 md5s/shingle + k-min aggregation).
-    val bk = bk0.localCheckpoint(eager = true)
+    val bk = bk0.barrier()
     val l = bk.as("l"); val r = bk.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.doc_id") < col("r.doc_id"))
@@ -251,7 +252,7 @@ object Dedup {
     // unpersist() would accumulate cached copies across a query suite.
     j.filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .localCheckpoint(eager = true)
+      .barrier()
   }
 
   /** Exact n-gram Jaccard for ALL pairs sharing at least one shingle —
@@ -319,7 +320,7 @@ object Dedup {
           (col("ca.cnt") + col("cb.cnt") - col("inter")).cast("double")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .localCheckpoint(eager = true) // release the shingle cache below
+      .barrier() // release the shingle cache below
     sets.unpersist()
     out
   }
@@ -359,7 +360,7 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter").cast("long").as("inter"),
         col("containment"))
-      .localCheckpoint(eager = true) // release the shingle cache below
+      .barrier() // release the shingle cache below
     sets.unpersist()
     out
   }
@@ -392,12 +393,12 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
-      .localCheckpoint(eager = true)
+      .barrier()
     // Iterate only over nodes that have at least one edge — the vast
     // majority of a corpus is singleton and joins back at the end.
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
-      .localCheckpoint(eager = true)
+      .barrier()
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
@@ -416,7 +417,7 @@ object Dedup {
         .groupBy(col("doc_id"))
         .agg(min(col("cluster")).as("cluster"),
           min(when(col("self"), col("cluster"))).as("prev"))
-        .localCheckpoint(eager = true)
+        .barrier()
       // Pointer jump: follow the label one hop (cluster ← label(cluster)).
       // Labels always point at edge-participating nodes (they start as node
       // ids and min() only ever picks existing labels), so the lookup side
@@ -429,7 +430,7 @@ object Dedup {
         .select(col("x.doc_id").as("doc_id"),
           coalesce(col("p.p_cl"), col("x.cluster")).as("cluster"),
           col("x.prev").as("prev"))
-        .localCheckpoint(eager = true)
+        .barrier()
       val changed = next
         .agg(count(when(col("cluster") =!= col("prev"), lit(1))).as("n"))
         .head().getLong(0)
@@ -572,7 +573,7 @@ object Dedup {
     // One row per doc — materialize before the self-join below so the
     // token-explode + md5 + vote aggregation runs once, not once
     // per join side.
-    val sh = sh0.localCheckpoint(eager = true)
+    val sh = sh0.barrier()
     val blocked = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until blocks).map(b =>
         struct(lit(b).as("blk"),

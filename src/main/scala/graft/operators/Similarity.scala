@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Barrier.BarrierOps
 
 /** Similarity search over the `embeddings` table (vec_id, embedding:
   * array<float>, label): brute-force cosine top-k as the exact baseline and
@@ -149,7 +150,7 @@ object Similarity {
     val v0 = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
       .withColumn("bucket", lshBucket(col("ev")))
       .withColumn("nrm", norm(col("ev")))
-      .localCheckpoint(eager = true)
+      .barrier()
     // Optional hot-bucket cap (one-sided undercount, default uncapped):
     // sign-LSH over raw dimension sums COLLAPSES a non-negative corpus
     // (ReLU embeddings, count vectors) into ONE bucket — every plane sum
@@ -251,7 +252,7 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val book = iterateBooks(v, clusters, iters)
     val out = kmeansSearchPlan(v, book, k, numQueries, probes)
-      .localCheckpoint(eager = true) // release the vector cache below
+      .barrier() // release the vector cache below
     v.unpersist()
     out
   }
@@ -510,9 +511,9 @@ object Similarity {
         checkedDims(asDouble(col("embedding")), book.head._2.length,
           "IVF index").as("qv"))
       .withColumn("qn", norm(col("qv")))
-      .localCheckpoint(eager = true) // query-set-sized
+      .barrier() // query-set-sized
     val probeTbl = probeTable(queries, cents, probes)
-      .localCheckpoint(eager = true) // numQueries × probes rows
+      .barrier() // numQueries × probes rows
     // The partition column reads back as the inferred INT type; literal
     // ints keep the IN predicate cast-free so static pruning applies.
     val probedCells = probeTbl.select(col("probe")).distinct()
@@ -846,9 +847,9 @@ object Similarity {
         array((0 until m).map(j => pqLutExpr(books, j)): _*).as("luts"),
         checkedDims(col("ev"), sub * m, "IVF-PQ index").as("qv"),
         norm(col("ev")).as("qn"))
-      .localCheckpoint(eager = true) // query-set-sized
+      .barrier() // query-set-sized
     val probeTbl = probeTable(queries, cents, probes)
-      .localCheckpoint(eager = true) // numQueries × probes rows
+      .barrier() // numQueries × probes rows
     val probedCells = probeTbl.select(col("probe")).distinct()
       .collect().map(_.getLong(0).toInt).toIndexedSeq
     val scoped = cells.filter(col("cell").isin(probedCells: _*))
@@ -887,7 +888,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
     val bf = bruteForceTopK(emb, k, numQueries)
       .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint(eager = true) // numQueries × k rows, feeds 2 branches
+      .barrier() // numQueries × k rows, feeds 2 branches
     val bfn = bf.groupBy(col("query_id")).agg(count(lit(1)).as("bf_n"))
     val h = bf.join(got, Seq("query_id", "neighbor_id"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("hits_ivfpq"))
@@ -934,7 +935,7 @@ object Similarity {
     val qp = probeTable(queries.select(col("query_id"), col("qv")),
         centsDf(v.sparkSession, book), probes)
       .select(col("query_id").as("p_qid"), col("probe"))
-      .localCheckpoint(eager = true) // numQueries × probes rows
+      .barrier() // numQueries × probes rows
     // ONE scored pass over (corpus × broadcast queries) feeds the exact
     // baseline AND every probe tier: a candidate's probe ring is the
     // Hamming distance between its cell and the query's (bit_count of
@@ -974,7 +975,7 @@ object Similarity {
       .withColumn("__rk", row_number().over(wKp))
       .filter(col("__rr") <= k || (col("in_kp") && col("__rk") <= k))
       .drop("__rr", "__rk")
-      .localCheckpoint(eager = true)
+      .barrier()
     v.unpersist()
     def topk(df: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("query_id"))
@@ -1197,7 +1198,7 @@ object Similarity {
     val book = iterateBooks(v, k, iters)
     val out = assignLiteral(v, book)
       .select(col("vec_id"), col("cluster"), Quant.r6(col("d2")).as("dist2"))
-      .localCheckpoint(eager = true) // release the vector cache below
+      .barrier() // release the vector cache below
     v.unpersist()
     out
   }
@@ -1230,7 +1231,7 @@ object Similarity {
     // both self-join sides.
     val n = v.join(assign, Seq("vec_id"))
       .withColumn("nrm", norm(col("ev")))
-      .localCheckpoint(eager = true)
+      .barrier()
     val dups = n.as("l").join(n.as("r"),
         col("l.cluster") === col("r.cluster") &&
           col("l.vec_id") < col("r.vec_id"))
@@ -1491,7 +1492,7 @@ object Similarity {
         s"$numQueries exceeds the 1000-query audit bound")
     val bf = bruteForceTopK(emb, k, numQueries)
       .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint(eager = true) // numQueries × k rows, feeds 3 branches
+      .barrier() // numQueries × k rows, feeds 3 branches
     // numQueries × corpus ADC rows, RANKED ONCE, feed the pure tier AND
     // the rerank candidate cut — the checkpoint sits above the window so
     // neither branch re-sorts the scored table.
@@ -1505,7 +1506,7 @@ object Similarity {
     val ranked = pqScored(emb, m, codes, iters, numQueries)
       .withColumn("rk", row_number().over(wAdc))
       .filter(col("rk") <= candidates)
-      .localCheckpoint(eager = true)
+      .barrier()
     val pq = ranked.filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
     val rerank = pqRerankTail(ranked, emb, numQueries, k, candidates)
@@ -1556,7 +1557,7 @@ object Similarity {
   def bruteForceNearDups(emb: DataFrame, threshold: Double = 0.9): DataFrame = {
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
       .withColumn("nrm", norm(col("ev")))
-      .localCheckpoint(eager = true) // norms once, not once per join side
+      .barrier() // norms once, not once per join side
     v.as("l").join(v.as("r"), col("l.vec_id") < col("r.vec_id"))
       .withColumn("cos",
         cosineWithNorms(dot(col("l.ev"), col("r.ev")), col("l.nrm"), col("r.nrm")))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Barrier.BarrierOps
 
 /** Text-analysis operators for the `documents` table — the training-data-
   * pipeline surface (BASELINE.json north star): tokenization, quality
@@ -230,7 +231,7 @@ object TextAnalysis {
       minShared: Int = 2, maxDf: Int = 50): DataFrame = {
     // One row per doc per fingerprint; materialized once — the self-join
     // would otherwise re-run the whole winnowing pipeline per side.
-    val fp = winnowingFingerprints(docs, k, w).localCheckpoint(eager = true)
+    val fp = winnowingFingerprints(docs, k, w).barrier()
     sharedFingerprintPairs(fp, minShared, maxDf)
   }
 
@@ -383,7 +384,7 @@ object TextAnalysis {
         coalesce(col("min_freq"), lit(0L)).as("min_freq"),
         coalesce(q6(col("hapax").cast("double") /
           col("n_tokens").cast("double")), lit(0.0)).as("hapax_share"))
-      .localCheckpoint(eager = true) // release the token cache below
+      .barrier() // release the token cache below
     toks.unpersist()
     out
   }
@@ -468,7 +469,7 @@ object TextAnalysis {
             col("n_chunks").cast("double"))).otherwise(0.0)
           .as("dup_chunk_fraction"),
         col("kept_tokens"))
-      .localCheckpoint(eager = true) // release the chunk cache below
+      .barrier() // release the chunk cache below
     ex.unpersist()
     out
   }
@@ -528,7 +529,7 @@ object TextAnalysis {
         coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
         coalesce(col("clean_tokens"), lit(0L)).as("clean_tokens"),
         coalesce(col("clean_hash"), md5(lit(""))).as("clean_hash"))
-      .localCheckpoint(eager = true) // release the chunk cache below
+      .barrier() // release the chunk cache below
     ex.unpersist()
     out
   }
@@ -550,7 +551,7 @@ object TextAnalysis {
     */
   def dupSpans(docs: DataFrame, k: Int = 3, w: Int = 4,
       minShared: Int = 2, maxDf: Int = 50): DataFrame = {
-    val fp = winnowingFingerprints(docs, k, w).localCheckpoint(eager = true)
+    val fp = winnowingFingerprints(docs, k, w).barrier()
     val counts = fp.groupBy(col("doc_id"))
       .agg(count_distinct(col("fingerprint")).as("nfp"))
     sharedFingerprintPairs(fp, minShared, maxDf)
@@ -653,7 +654,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("g.pos").as("pos"),
         xxhash64(col("g.gram")).as("gh"),
         xxhash64(lit("substr:b"), col("g.gram")).as("gh2"))
-      .localCheckpoint(eager = true)
+      .barrier()
     val g =
       if (maxGramDf <= 0) g0
       else {
@@ -779,7 +780,7 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         col("score"), col("rank").cast("long").as("rank"))
-      .localCheckpoint(eager = true) // release the tf cache below
+      .barrier() // release the tf cache below
     tf.unpersist()
     out
   }

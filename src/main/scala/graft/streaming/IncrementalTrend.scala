@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.model.{PageState, RecentChange, TrendConfig}
 import graft.operators.PageAggregates
+import graft.operators.Barrier.BarrierOps
 
 /** Incremental-view-maintenance form of the trend engine: a `foreachBatch`
   * loop that folds each micro-batch into an explicit state table. This is
@@ -205,7 +206,7 @@ object IncrementalTrend {
       // Materialize each fold so state lineage doesn't grow unboundedly
       // (the streaming run writes state to parquet per batch instead).
       val next = processBatch(st, b.toDF(), asOfMs, cfg)
-      next.localCheckpoint(eager = true)
+      next.barrier()
     }
   }
 
@@ -550,7 +551,7 @@ object IncrementalTrend {
     val sweep = fullSweepEveryNBatches > 0 && batchId % fullSweepEveryNBatches == 0
     // The batch feeds several jobs (touched-bucket scan, the fold's own
     // collects, the merge) — materialize once.
-    val batch = batch0.localCheckpoint(eager = true)
+    val batch = batch0.barrier()
 
     // Buckets this batch can affect: every event's own page id (covers
     // edits, protects, and each move's SOURCE), move targets, parsed

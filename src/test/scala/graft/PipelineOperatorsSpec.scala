@@ -1018,6 +1018,26 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(strict == Map(1L -> false, 2L -> false, 3L -> false))
   }
 
+  test("Barrier: reliable-checkpoint mode reproduces dupClusters exactly; missing dir fails fast") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog today",
+      3L -> "completely different words entirely here now friend")
+    val local = Dedup.minhashClusters(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    spark.conf.set(graft.operators.Barrier.ReliableKey, "true")
+    try {
+      // No checkpoint dir yet: the barrier must fail with guidance, not
+      // deep inside a Spark job.
+      intercept[IllegalStateException] { Dedup.minhashClusters(d).collect() }
+      val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      spark.sparkContext.setCheckpointDir(dir)
+      val reliable = Dedup.minhashClusters(d).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+      assert(reliable == local)
+    } finally spark.conf.set(graft.operators.Barrier.ReliableKey, "false")
+  }
+
   test("keepBestByQuality: highest-quality member wins; ties fall to min id; singletons keep") {
     // Cluster 1: doc 2 has more tokens (higher length term) → beats the
     // min-id member. Cluster 4: identical texts → equal quality → min id.
