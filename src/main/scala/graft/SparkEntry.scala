@@ -1256,6 +1256,73 @@ object SparkEntry {
            SUM(CAST(floor(x * 1000000.0) AS BIGINT)) AS s
            FROM e GROUP BY 1, 2)"""
 
+  // MinHash near-dup cluster CTE chain (tokens -> shingles -> signatures
+  // -> bands -> verified pairs -> symmetric edges -> recursive reachability
+  // -> per-node min label), ONE definition for every oracle that consumes
+  // the cluster graph (doc_dup_clusters, doc_dedup_keep_best) — a one-sided
+  // edit to MinhashK/bands/shingle width can no longer desynchronize them.
+  // Callers must open with WITH RECURSIVE (the `reach` CTE).
+  private val minhashClusterCtesSql: String =
+    """toks AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(generate_series(1, len(t) - 2),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  WHEN len(t) = 0 THEN []::VARCHAR[]
+                  ELSE [array_to_string(t, ' ')] END) AS ss
+           FROM toks),
+         ex AS (SELECT doc_id, unnest(ss) AS shingle FROM sh),
+         hx AS (SELECT doc_id, md5('a:' || shingle) AS ma,
+                       md5('b:' || shingle) AS mb FROM ex),
+         sig AS (
+           SELECT doc_id,
+             min(substr(ma, 1, 8)) AS h0, min(substr(ma, 9, 8)) AS h1,
+             min(substr(ma, 17, 8)) AS h2, min(substr(ma, 25, 8)) AS h3,
+             min(substr(mb, 1, 8)) AS h4, min(substr(mb, 9, 8)) AS h5,
+             min(substr(mb, 17, 8)) AS h6, min(substr(mb, 25, 8)) AS h7
+           FROM hx GROUP BY doc_id),
+         bk AS (
+           SELECT doc_id, b.band,
+             CASE b.band WHEN 0 THEN md5(h0 || h1) WHEN 1 THEN md5(h2 || h3)
+                         WHEN 2 THEN md5(h4 || h5) ELSE md5(h6 || h7) END AS key
+           FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b),
+         cand AS (
+           SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+           FROM bk l JOIN bk r ON l.band = r.band AND l.key = r.key
+                AND l.doc_id < r.doc_id),
+         pj AS (
+           SELECT c.doc_a, c.doc_b,
+             len(list_intersect(sa.ss, sb.ss)) AS inter,
+             len(sa.ss) AS la, len(sb.ss) AS lb
+           FROM cand c
+           JOIN sh sa ON c.doc_a = sa.doc_id
+           JOIN sh sb ON c.doc_b = sb.doc_id),
+         dup AS (
+           SELECT doc_a, doc_b FROM pj
+           WHERE floor((CAST(inter AS DOUBLE) / (la + lb - inter)) * 1e6 + 0.5) / 1e6 >= 0.5),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM dup
+               UNION SELECT doc_b, doc_a FROM dup),
+         reach AS (
+           SELECT src AS a, dst AS b FROM e
+           UNION
+           SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+         comp AS (SELECT a AS doc_id, MIN(b) AS minb FROM reach GROUP BY a)"""
+
+  // TextAnalysis.qualityScore as SQL over a token-array column and a raw
+  // punctuation-ratio column — ONE definition shared by doc_quality's
+  // score column and doc_dedup_keep_best, so the formula cannot drift.
+  private def qualityScoreSqlExpr(toks: String, praw: String): String =
+    s"""floor((least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+                 + (1.0 - least($praw * 5.0, 1.0)) * 0.3
+                 + least(CASE WHEN len($toks) = 0 THEN 0.0
+                     ELSE CAST(len(list_filter($toks, x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE)
+                          / len($toks) END * 5.0, 1.0) * 0.3) * 1e6) / 1e6"""
+
   // Probe-cell lists for the multi-probe IVF oracles (ring 1 = one bit
   // flipped, ring 2 = two bits), generated so the SQL stays in lockstep
   // with Similarity.ivfTopKMulti's construction.
@@ -3299,7 +3366,7 @@ object SparkEntry {
          SELECT vec_id, cluster, floor((d2) * 1e6 + 0.5) / 1e6 AS dist2 FROM fin""",
 
     "doc_quality" ->
-      """WITH pd AS (
+      s"""WITH pd AS (
            SELECT doc_id,
              CASE WHEN doc_id % 9 = 2
                THEN text || ' well, done! ok?' ||
@@ -3309,7 +3376,7 @@ object SparkEntry {
          t AS (
            SELECT doc_id, text,
              CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS toks,
+                  ELSE list_filter(string_split_regex(trim(text), '\\s+'), tk -> tk <> '') END AS toks,
              CASE WHEN length(text) = 0 THEN 0.0
                   ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
                        / length(text) END AS praw
@@ -3321,15 +3388,13 @@ object SparkEntry {
                        / len(toks) END AS sraw,
              CASE WHEN len(toks) = 0 THEN 0.0
                   ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END AS mraw,
-             len(toks) AS ntoks
+             ${qualityScoreSqlExpr("toks", "praw")} AS q
            FROM t)
          SELECT doc_id,
            floor(praw * 1e6) / 1e6 AS punct_ratio,
            floor(sraw * 1e6) / 1e6 AS stopword_ratio,
            floor(mraw * 1e6) / 1e6 AS mean_token_len,
-           floor((least(CAST(ntoks AS DOUBLE) / 100.0, 1.0) * 0.4
-                 + (1.0 - least(praw * 5.0, 1.0)) * 0.3
-                 + least(sraw * 5.0, 1.0) * 0.3) * 1e6) / 1e6 AS quality
+           q AS quality
          FROM m""",
 
     "doc_langid" ->
@@ -3478,55 +3543,7 @@ object SparkEntry {
          FROM j WHERE containment >= 0.6""",
 
     "doc_dup_clusters" ->
-      """WITH RECURSIVE toks AS (
-           SELECT doc_id,
-             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
-           FROM documents),
-         sh AS (
-           SELECT doc_id, list_distinct(
-             CASE WHEN len(t) >= 3
-                  THEN list_transform(generate_series(1, len(t) - 2),
-                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                  WHEN len(t) = 0 THEN []::VARCHAR[]
-                  ELSE [array_to_string(t, ' ')] END) AS ss
-           FROM toks),
-         ex AS (SELECT doc_id, unnest(ss) AS shingle FROM sh),
-         hx AS (SELECT doc_id, md5('a:' || shingle) AS ma,
-                       md5('b:' || shingle) AS mb FROM ex),
-         sig AS (
-           SELECT doc_id,
-             min(substr(ma, 1, 8)) AS h0, min(substr(ma, 9, 8)) AS h1,
-             min(substr(ma, 17, 8)) AS h2, min(substr(ma, 25, 8)) AS h3,
-             min(substr(mb, 1, 8)) AS h4, min(substr(mb, 9, 8)) AS h5,
-             min(substr(mb, 17, 8)) AS h6, min(substr(mb, 25, 8)) AS h7
-           FROM hx GROUP BY doc_id),
-         bk AS (
-           SELECT doc_id, b.band,
-             CASE b.band WHEN 0 THEN md5(h0 || h1) WHEN 1 THEN md5(h2 || h3)
-                         WHEN 2 THEN md5(h4 || h5) ELSE md5(h6 || h7) END AS key
-           FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b),
-         cand AS (
-           SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-           FROM bk l JOIN bk r ON l.band = r.band AND l.key = r.key
-                AND l.doc_id < r.doc_id),
-         pj AS (
-           SELECT c.doc_a, c.doc_b,
-             len(list_intersect(sa.ss, sb.ss)) AS inter,
-             len(sa.ss) AS la, len(sb.ss) AS lb
-           FROM cand c
-           JOIN sh sa ON c.doc_a = sa.doc_id
-           JOIN sh sb ON c.doc_b = sb.doc_id),
-         dup AS (
-           SELECT doc_a, doc_b FROM pj
-           WHERE floor((CAST(inter AS DOUBLE) / (la + lb - inter)) * 1e6 + 0.5) / 1e6 >= 0.5),
-         e AS (SELECT doc_a AS src, doc_b AS dst FROM dup
-               UNION SELECT doc_b, doc_a FROM dup),
-         reach AS (
-           SELECT src AS a, dst AS b FROM e
-           UNION
-           SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
-         comp AS (SELECT a AS doc_id, MIN(b) AS minb FROM reach GROUP BY a)
+      s"""WITH RECURSIVE $minhashClusterCtesSql
          SELECT d.doc_id,
            CAST(coalesce(least(c.doc_id, c.minb), d.doc_id) AS BIGINT) AS cluster
          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""",
@@ -3536,74 +3553,21 @@ object SparkEntry {
     // window ORDER BY quality DESC, doc_id ASC mirrors the Spark side's
     // min(struct(-quality, doc_id)) exactly (same quantized doubles).
     "doc_dedup_keep_best" ->
-      """WITH RECURSIVE toks AS (
-           SELECT doc_id,
-             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
-           FROM documents),
-         sh AS (
-           SELECT doc_id, list_distinct(
-             CASE WHEN len(t) >= 3
-                  THEN list_transform(generate_series(1, len(t) - 2),
-                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                  WHEN len(t) = 0 THEN []::VARCHAR[]
-                  ELSE [array_to_string(t, ' ')] END) AS ss
-           FROM toks),
-         ex AS (SELECT doc_id, unnest(ss) AS shingle FROM sh),
-         hx AS (SELECT doc_id, md5('a:' || shingle) AS ma,
-                       md5('b:' || shingle) AS mb FROM ex),
-         sig AS (
-           SELECT doc_id,
-             min(substr(ma, 1, 8)) AS h0, min(substr(ma, 9, 8)) AS h1,
-             min(substr(ma, 17, 8)) AS h2, min(substr(ma, 25, 8)) AS h3,
-             min(substr(mb, 1, 8)) AS h4, min(substr(mb, 9, 8)) AS h5,
-             min(substr(mb, 17, 8)) AS h6, min(substr(mb, 25, 8)) AS h7
-           FROM hx GROUP BY doc_id),
-         bk AS (
-           SELECT doc_id, b.band,
-             CASE b.band WHEN 0 THEN md5(h0 || h1) WHEN 1 THEN md5(h2 || h3)
-                         WHEN 2 THEN md5(h4 || h5) ELSE md5(h6 || h7) END AS key
-           FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b),
-         cand AS (
-           SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-           FROM bk l JOIN bk r ON l.band = r.band AND l.key = r.key
-                AND l.doc_id < r.doc_id),
-         pj AS (
-           SELECT c.doc_a, c.doc_b,
-             len(list_intersect(sa.ss, sb.ss)) AS inter,
-             len(sa.ss) AS la, len(sb.ss) AS lb
-           FROM cand c
-           JOIN sh sa ON c.doc_a = sa.doc_id
-           JOIN sh sb ON c.doc_b = sb.doc_id),
-         dup AS (
-           SELECT doc_a, doc_b FROM pj
-           WHERE floor((CAST(inter AS DOUBLE) / (la + lb - inter)) * 1e6 + 0.5) / 1e6 >= 0.5),
-         e AS (SELECT doc_a AS src, doc_b AS dst FROM dup
-               UNION SELECT doc_b, doc_a FROM dup),
-         reach AS (
-           SELECT src AS a, dst AS b FROM e
-           UNION
-           SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
-         comp AS (SELECT a AS doc_id, MIN(b) AS minb FROM reach GROUP BY a),
+      s"""WITH RECURSIVE $minhashClusterCtesSql,
          cl AS (
            SELECT d.doc_id,
              CAST(coalesce(least(c.doc_id, c.minb), d.doc_id) AS BIGINT) AS cluster
            FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
          qt AS (
-           SELECT doc_id, text,
+           SELECT doc_id,
              CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS qtoks,
+                  ELSE list_filter(string_split_regex(trim(text), '\\s+'), tk -> tk <> '') END AS qtoks,
              CASE WHEN length(text) = 0 THEN 0.0
                   ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
                        / length(text) END AS praw
            FROM documents),
          q AS (
-           SELECT doc_id,
-             floor((least(CAST(len(qtoks) AS DOUBLE) / 100.0, 1.0) * 0.4
-                   + (1.0 - least(praw * 5.0, 1.0)) * 0.3
-                   + least(CASE WHEN len(qtoks) = 0 THEN 0.0
-                       ELSE CAST(len(list_filter(qtoks, x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS DOUBLE)
-                            / len(qtoks) END * 5.0, 1.0) * 0.3) * 1e6) / 1e6 AS quality
+           SELECT doc_id, ${qualityScoreSqlExpr("qtoks", "praw")} AS quality
            FROM qt),
          j AS (SELECT cl.doc_id, cl.cluster, q.quality
                FROM cl JOIN q ON cl.doc_id = q.doc_id),

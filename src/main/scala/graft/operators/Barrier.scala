@@ -37,8 +37,28 @@ private[graft] object Barrier {
         throw new IllegalStateException(
           s"$ReliableKey=true but no checkpoint directory is set; call " +
             "sparkContext.setCheckpointDir(<shared storage path>) first")
-      df.checkpoint(eager = true)
+      // Persist first: an unpersisted reliable checkpoint computes its
+      // subtree TWICE (once for the eager materialization, once for the
+      // ReliableCheckpointRDD write job) — localCheckpoint avoids that by
+      // caching blocks on the first pass, so reliable mode must too.
+      // Checkpoint-file cleanup across loop rounds: enable
+      // spark.cleaner.referenceTracking.cleanCheckpoints=true in the
+      // deployment, or sweep the checkpoint dir between jobs.
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try df.checkpoint(eager = true)
+      finally cached.unpersist(blocking = false)
     } else df.localCheckpoint(eager = true)
+  }
+
+  /** Persist `df` for the duration of `body`, unpersisting on every exit
+    * path. The bare persist→work→unpersist span leaks the cache when the
+    * body throws — and the Verify driver catches per-query failures and
+    * CONTINUES, so a long session accumulates corpus-sized orphan caches.
+    */
+  def withCached[T](df: DataFrame)(body: DataFrame => T): T = {
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try body(cached)
+    finally cached.unpersist(blocking = false)
   }
 
   /** `df.barrier()` — chain-friendly form of [[Barrier.apply]]. */

@@ -352,6 +352,7 @@ object Curation {
       TextAnalysis.tokenCountWs(col("text")).cast("long").as("toks"))
     val cells = perDoc.groupBy(col("lang"))
       .agg(count(lit(1)).as("docs"), sum(col("toks")).as("tokens"))
+      .barrier() // feeds the min branch AND the output select (mixRatePlan rule)
     val mn = cells.agg(min(when(col("tokens") > 0L, col("tokens"))).as("__mn"))
     val ratio = col("__mn").cast("double") / col("tokens").cast("double")
     val rate =
@@ -721,22 +722,30 @@ object Curation {
     */
   private def decontamHits(trainSets: DataFrame, evalDocs: DataFrame,
       n: Int): DataFrame = {
+    // ONE pass over the exploded grams: a broadcast LEFT join against the
+    // eval set keeps every gram row, so the same doc_id aggregation counts
+    // both the total (count(g) — skips the null row an empty sset's outer
+    // explode emits) and the hits (count of matched eval rows). The
+    // alternative — a second branch reading size(sset) off trainSets —
+    // re-runs the whole-corpus tokenization+shingle transform (the
+    // dominant decontam cost), because unlike the any-hit sweep's
+    // doc_id-only base branch it defeats column pruning.
     // explode_outer, not explode: the inner variant's inferred
     // size(sset) > 0 filter inlines the gram transform below the token
-    // projection and re-tokenizes per element (see Dedup.explodedShingles);
-    // sset is never empty, so the outer form is identical and skips it.
+    // projection and re-tokenizes per element (see Dedup.explodedShingles).
+    // The hash is guarded rather than the row filtered: xxhash64(null)
+    // returns the SEED (42), but a null join KEY simply never matches.
     val trainGrams = trainSets
       .select(col("doc_id"), explode_outer(col("sset")).as("g"))
-      .where(col("g").isNotNull) // see evalGramHashes: xxhash64(null)=seed
-      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      .select(col("doc_id"), col("g"),
+        when(col("g").isNotNull, xxhash64(col("g"))).as("gh"))
     val evalGrams = evalGramHashes(evalDocs, n)
-    val hits = trainGrams.join(broadcast(evalGrams), Seq("gh"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("gram_hits"))
-    trainSets.select(col("doc_id"), size(col("sset")).cast("long").as("total_grams"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("gram_hits"), lit(0L)).as("gram_hits"),
-        col("total_grams"))
+      .withColumn("__hit", lit(1))
+    trainGrams.join(broadcast(evalGrams), Seq("gh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("__hit")).as("gram_hits"),
+        count(col("g")).as("total_grams"))
+      .select(col("doc_id"), col("gram_hits"), col("total_grams"))
   }
 
   /** Overlap-FRACTION decontamination — the graded form of

@@ -212,13 +212,10 @@ object Dedup {
     * shingles parse once instead of per branch.
     */
   def minhashNearDups(docs: DataFrame, n: Int = 3,
-      threshold: Double = 0.5, maxBucketDf: Int = 0): DataFrame = {
-    val sets = shingleSets(docs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = minhashNearDupsFromSets(sets, threshold, maxBucketDf)
-    sets.unpersist()
-    out
-  }
+      threshold: Double = 0.5, maxBucketDf: Int = 0): DataFrame =
+    Barrier.withCached(shingleSets(docs, n)) { sets =>
+      minhashNearDupsFromSets(sets, threshold, maxBucketDf)
+    }
 
   /** [[minhashNearDups]] from a pre-built (doc_id, sset) table. The caller
     * owns `sets`' lifecycle — it should be persisted (three plan branches
@@ -288,41 +285,39 @@ object Dedup {
     // filter compares round(J, 6), which admits true J down to half a
     // 1e-6 grid step below the threshold, and an exact-bound prune would
     // drop such a pair before the filter ever saw it.
-    val sets = shingleSets(docs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ex0 = sets.select(col("doc_id"), explode(col("sset")).as("shingle"),
-        size(col("sset")).as("cnt"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"), col("cnt"))
-    // Hot-shingle cap: the capped set (boilerplate — small by definition)
-    // broadcasts into a map-side anti join; shingle sets are per-doc
-    // distinct, so count(*) per hash IS the document frequency.
-    val ex =
-      if (maxDf <= 0) ex0
-      else {
-        val hot = ex0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf).select(col("sh"))
-        // No broadcast hint: `hot` is bounded only by
-        // total-occurrences/maxDf; AQE broadcasts it when small.
-        ex0.join(hot, Seq("sh"), "left_anti")
-      }
-    val counts = sets.select(col("doc_id"), size(col("sset")).as("cnt"))
-    val inter = ex.as("a").join(ex.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
-          least(col("a.cnt"), col("b.cnt")).cast("double") >=
-            lit(threshold - 1e-6) * greatest(col("a.cnt"), col("b.cnt")))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    val out = inter
-      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
-      .withColumn("jaccard",
-        Quant.r6(col("inter").cast("double") /
-          (col("ca.cnt") + col("cb.cnt") - col("inter")).cast("double")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .barrier() // release the shingle cache below
-    sets.unpersist()
-    out
+    Barrier.withCached(shingleSets(docs, n)) { sets =>
+      val ex0 = sets.select(col("doc_id"), explode(col("sset")).as("shingle"),
+          size(col("sset")).as("cnt"))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("sh"), col("cnt"))
+      // Hot-shingle cap: the capped set (boilerplate — small by definition)
+      // broadcasts into a map-side anti join; shingle sets are per-doc
+      // distinct, so count(*) per hash IS the document frequency.
+      val ex =
+        if (maxDf <= 0) ex0
+        else {
+          val hot = ex0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+            .filter(col("df") > maxDf).select(col("sh"))
+          // No broadcast hint: `hot` is bounded only by
+          // total-occurrences/maxDf; AQE broadcasts it when small.
+          ex0.join(hot, Seq("sh"), "left_anti")
+        }
+      val counts = sets.select(col("doc_id"), size(col("sset")).as("cnt"))
+      val inter = ex.as("a").join(ex.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+            least(col("a.cnt"), col("b.cnt")).cast("double") >=
+              lit(threshold - 1e-6) * greatest(col("a.cnt"), col("b.cnt")))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+        .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+        .withColumn("jaccard",
+          Quant.r6(col("inter").cast("double") /
+            (col("ca.cnt") + col("cb.cnt") - col("inter")).cast("double")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .barrier() // release the shingle cache on exit
+    }
   }
 
   /** One-sided n-gram CONTAINMENT pairs: `inter / min(|A|,|B|)` — the
@@ -341,29 +336,26 @@ object Dedup {
     * pair join through the winnowing fingerprint table with its df cap.
     */
   def ngramContainmentPairs(docs: DataFrame, n: Int = 3,
-      threshold: Double = 0.6): DataFrame = {
-    val sets = shingleSets(docs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ex = sets.select(col("doc_id"), explode(col("sset")).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-    val counts = sets.select(col("doc_id"), size(col("sset")).as("cnt"))
-    val inter = ex.as("a").join(ex.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    val out = inter
-      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
-      .withColumn("containment",
-        Quant.r6(col("inter").cast("double") /
-          least(col("ca.cnt"), col("cb.cnt")).cast("double")))
-      .filter(col("containment") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("inter").cast("long").as("inter"),
-        col("containment"))
-      .barrier() // release the shingle cache below
-    sets.unpersist()
-    out
-  }
+      threshold: Double = 0.6): DataFrame =
+    Barrier.withCached(shingleSets(docs, n)) { sets =>
+      val ex = sets.select(col("doc_id"), explode(col("sset")).as("shingle"))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      val counts = sets.select(col("doc_id"), size(col("sset")).as("cnt"))
+      val inter = ex.as("a").join(ex.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+        .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+        .withColumn("containment",
+          Quant.r6(col("inter").cast("double") /
+            least(col("ca.cnt"), col("cb.cnt")).cast("double")))
+        .filter(col("containment") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("inter").cast("long").as("inter"),
+          col("containment"))
+        .barrier() // release the shingle cache on exit
+    }
 
   /** Duplicate clusters: connected components over the near-dup pair graph
     * via iterative min-label propagation (the standard distributed CC
@@ -483,6 +475,12 @@ object Dedup {
     val withQ = clusters
       .join(docs.select(col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality")), Seq("doc_id"))
+      // Barriered: both the canon aggregation and the final join read this
+      // table, and its upstream (the cluster chain's join-back tail + the
+      // quality projection) is NOT itself materialized — the two cluster-
+      // keyed exchanges differ (partial-agg child vs project child), so
+      // ReuseExchange cannot collapse the re-execution.
+      .barrier()
     val canon = withQ.groupBy(col("cluster"))
       .agg(min(struct((-col("quality")).as("nq"), col("doc_id").as("id")))
         .as("best"))

@@ -248,13 +248,12 @@ object Similarity {
     */
   def ivfKmeansTopK(emb: DataFrame, k: Int = 5, numQueries: Int = 10,
       clusters: Int = 16, iters: Int = 2, probes: Int = 2): DataFrame = {
-    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val book = iterateBooks(v, clusters, iters)
-    val out = kmeansSearchPlan(v, book, k, numQueries, probes)
-      .barrier() // release the vector cache below
-    v.unpersist()
-    out
+    Barrier.withCached(
+        emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))) { v =>
+      val book = iterateBooks(v, clusters, iters)
+      kmeansSearchPlan(v, book, k, numQueries, probes)
+        .barrier() // release the vector cache on exit
+    }
   }
 
   /** The SEARCH half of [[ivfKmeansTopK]] as an un-materialized plan
@@ -293,11 +292,11 @@ object Similarity {
     */
   def buildIvfIndex(emb: DataFrame, dir: String, clusters: Int = 16,
       iters: Int = 2): Unit = {
-    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val book = iterateBooks(v, clusters, iters)
-    writeIvfIndex(v, dir, book)
-    v.unpersist()
+    Barrier.withCached(
+        emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))) { v =>
+      val book = iterateBooks(v, clusters, iters)
+      writeIvfIndex(v, dir, book)
+    }
   }
 
   /** Write an IVF index from an ALREADY-TRAINED centroid book over a
@@ -547,25 +546,25 @@ object Similarity {
   def buildIvfPqIndex(emb: DataFrame, dir: String, clusters: Int = 8,
       iters: Int = 2, m: Int = 4, codes: Int = 8): Unit = {
     val spark = emb.sparkSession
-    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dims = v.select(size(col("ev"))).head().getInt(0)
-    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
-    val sub = dims / m
-    // ONE fused Lloyd's chain trains the m PQ subspace books AND the
-    // coarse quantizer (registered as pseudo-subspace m over the full
-    // vector): the m+1 clusterings never interact, so fusing them runs
-    // one corpus scan per iteration instead of m+1 chains — identical
-    // books ([[trainKeyedBooks]]).
-    val sliced = v.select(col("vec_id") +:
-      (subspaceSliceCols(m, sub) :+ col("ev").as(s"s$m")): _*)
-    val trained = trainKeyedBooks(sliced,
-      IndexedSeq.fill(m)(codes) :+ clusters, iters)
     // The writes below scan `emb` directly (slicedVectors), not v — the
-    // corpus cache is only for the training loop.
-    v.unpersist()
-    val books = trained.take(m).map(_.map(_._2))
-    val coarse = trained(m)
+    // corpus cache only spans the training loop.
+    val trained = Barrier.withCached(
+        emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))) { v =>
+      val dims = v.select(size(col("ev"))).head().getInt(0)
+      require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+      // ONE fused Lloyd's chain trains the m PQ subspace books AND the
+      // coarse quantizer (registered as pseudo-subspace m over the full
+      // vector): the m+1 clusterings never interact, so fusing them runs
+      // one corpus scan per iteration instead of m+1 chains — identical
+      // books ([[trainKeyedBooks]]).
+      val sliced = v.select(col("vec_id") +:
+        (subspaceSliceCols(m, dims / m) :+ col("ev").as(s"s$m")): _*)
+      (trainKeyedBooks(sliced,
+        IndexedSeq.fill(m)(codes) :+ clusters, iters), dims / m)
+    }
+    val sub = trained._2
+    val books = trained._1.take(m).map(_.map(_._2))
+    val coarse = trained._1(m)
     writeIvfPqIndex(emb, dir, books, coarse, m, sub)
   }
 
@@ -919,8 +918,8 @@ object Similarity {
     require(numQueries <= 1000,
       s"ivfRecall scores numQueries x corpus rows; numQueries=$numQueries " +
         "exceeds the 1000-query audit bound (sample queries instead)")
-    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scored = Barrier.withCached(
+        emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))) { v =>
     // Learned-centroid side: the converged book (driver literals), each
     // vector's cell as a map-side argmin on the same scan that computes
     // the LSH bucket, and each query's `probes` nearest cells.
@@ -970,13 +969,13 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id").asc)
     val wKp = Window.partitionBy(col("query_id"), col("in_kp"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    val scored = flagged
+    flagged
       .withColumn("__rr", row_number().over(wRing))
       .withColumn("__rk", row_number().over(wKp))
       .filter(col("__rr") <= k || (col("in_kp") && col("__rk") <= k))
       .drop("__rr", "__rk")
-      .barrier()
-    v.unpersist()
+      .barrier() // releases the vector cache on exit
+    }
     def topk(df: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("vec_id").asc)
@@ -1193,14 +1192,13 @@ object Similarity {
     * divisions (see [[trainKeyedBooks]]).
     */
   def kmeansIterate(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
-    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val book = iterateBooks(v, k, iters)
-    val out = assignLiteral(v, book)
-      .select(col("vec_id"), col("cluster"), Quant.r6(col("d2")).as("dist2"))
-      .barrier() // release the vector cache below
-    v.unpersist()
-    out
+    Barrier.withCached(
+        emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))) { v =>
+      val book = iterateBooks(v, k, iters)
+      assignLiteral(v, book)
+        .select(col("vec_id"), col("cluster"), Quant.r6(col("d2")).as("dist2"))
+        .barrier() // release the vector cache on exit
+    }
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
@@ -1437,13 +1435,12 @@ object Similarity {
 
   private def pqScored(emb: DataFrame, m: Int, codes: Int, iters: Int,
       numQueries: Int): DataFrame = {
-    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dims = v.select(size(col("ev"))).head().getInt(0)
-    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
-    val sub = dims / m
-    val books = trainCodebooks(v, m, codes, iters, sub)
-    v.unpersist()
+    val (books, sub) = Barrier.withCached(
+        emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))) { v =>
+      val dims = v.select(size(col("ev"))).head().getInt(0)
+      require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+      (trainCodebooks(v, m, codes, iters, dims / m), dims / m)
+    }
 
     val sliced = slicedVectors(emb, m, sub)
     val encoded = sliced.select(col("vec_id"),

@@ -365,29 +365,26 @@ object TextAnalysis {
     docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(col("toks")).as(as))
 
-  def tokenRarity(docs: DataFrame): DataFrame = {
-    val toks = explodedTokens(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
-    val perDoc = toks.join(freq, Seq("token"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("freq")).as("freq_sum"),
-        min(col("freq")).as("min_freq"),
-        count(when(col("freq") === 1L, lit(1))).as("hapax"))
-    val out = docs.select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(q6(col("freq_sum").cast("double") /
-          col("n_tokens").cast("double")), lit(0.0)).as("mean_freq"),
-        coalesce(col("min_freq"), lit(0L)).as("min_freq"),
-        coalesce(q6(col("hapax").cast("double") /
-          col("n_tokens").cast("double")), lit(0.0)).as("hapax_share"))
-      .barrier() // release the token cache below
-    toks.unpersist()
-    out
-  }
+  def tokenRarity(docs: DataFrame): DataFrame =
+    Barrier.withCached(explodedTokens(docs)) { toks =>
+      val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      val perDoc = toks.join(freq, Seq("token"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("freq")).as("freq_sum"),
+          min(col("freq")).as("min_freq"),
+          count(when(col("freq") === 1L, lit(1))).as("hapax"))
+      docs.select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(q6(col("freq_sum").cast("double") /
+            col("n_tokens").cast("double")), lit(0.0)).as("mean_freq"),
+          coalesce(col("min_freq"), lit(0L)).as("min_freq"),
+          coalesce(q6(col("hapax").cast("double") /
+            col("n_tokens").cast("double")), lit(0.0)).as("hapax_share"))
+        .barrier() // release the token cache on exit
+    }
 
   /** Paragraph/chunk-level duplicate analysis — the WITHIN-corpus,
     * BELOW-document dedup stage modern pipelines run after doc-level
@@ -444,34 +441,32 @@ object TextAnalysis {
     // re-chunks the whole corpus (verified: two parquet Scans + two
     // Generates in the plan). The persisted rows carry (id, 32-char hash,
     // two longs) — a small fraction of the text they summarize.
-    val ex = chunks
-      .select(col("doc_id"), col("n_toks"), explode_outer(col("cs")).as("c"))
-      .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
-        md5(col("c.chunk")).as("ch"), col("c.clen").cast("long").as("clen"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Cross-doc document frequency per chunk hash. count_distinct handles
-    // a chunk repeated WITHIN one doc: that alone is not cross-doc dup.
-    val df = ex.filter(col("clen") > 0).groupBy(col("ch"))
-      .agg(count_distinct(col("doc_id")).as("cdf"))
-    val out = ex.join(df, Seq("ch"), "left")
-      .groupBy(col("doc_id"))
-      .agg(
-        max(col("n_toks")).as("n_tokens"),
-        count(when(col("clen") > 0, lit(1))).as("n_chunks"),
-        sum(when(col("clen") > 0 && col("cdf") > 1, 1L).otherwise(0L))
-          .as("dup_chunks"),
-        sum(when(col("clen") > 0 && col("cdf") <= 1, col("clen"))
-          .otherwise(0L)).as("kept_tokens"))
-      .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
-        col("dup_chunks"),
-        when(col("n_chunks") > 0,
-          Quant.r6(col("dup_chunks").cast("double") /
-            col("n_chunks").cast("double"))).otherwise(0.0)
-          .as("dup_chunk_fraction"),
-        col("kept_tokens"))
-      .barrier() // release the chunk cache below
-    ex.unpersist()
-    out
+    Barrier.withCached(chunks
+        .select(col("doc_id"), col("n_toks"), explode_outer(col("cs")).as("c"))
+        .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
+          md5(col("c.chunk")).as("ch"), col("c.clen").cast("long").as("clen"))) { ex =>
+      // Cross-doc document frequency per chunk hash. count_distinct handles
+      // a chunk repeated WITHIN one doc: that alone is not cross-doc dup.
+      val df = ex.filter(col("clen") > 0).groupBy(col("ch"))
+        .agg(count_distinct(col("doc_id")).as("cdf"))
+      ex.join(df, Seq("ch"), "left")
+        .groupBy(col("doc_id"))
+        .agg(
+          max(col("n_toks")).as("n_tokens"),
+          count(when(col("clen") > 0, lit(1))).as("n_chunks"),
+          sum(when(col("clen") > 0 && col("cdf") > 1, 1L).otherwise(0L))
+            .as("dup_chunks"),
+          sum(when(col("clen") > 0 && col("cdf") <= 1, col("clen"))
+            .otherwise(0L)).as("kept_tokens"))
+        .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
+          col("dup_chunks"),
+          when(col("n_chunks") > 0,
+            Quant.r6(col("dup_chunks").cast("double") /
+              col("n_chunks").cast("double"))).otherwise(0.0)
+            .as("dup_chunk_fraction"),
+          col("kept_tokens"))
+        .barrier() // release the chunk cache on exit
+    }
   }
 
   /** The EMISSION half of chunk-level dedup: rebuild each document's text
@@ -497,12 +492,11 @@ object TextAnalysis {
     // aggregation and the anti-join probe both consume it, and computing
     // md5 inside the join condition would re-hash every chunk of the
     // corpus a second time.
-    val ex = chunks
-      .select(col("doc_id"), posexplode_outer(col("cs")).as(Seq("pos", "c")))
-      .filter(col("c.clen") > 0)
-      .select(col("doc_id"), col("pos"), col("c.chunk").as("chunk"),
-        md5(col("c.chunk")).as("ch"), col("c.clen").cast("long").as("clen"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Barrier.withCached(chunks
+        .select(col("doc_id"), posexplode_outer(col("cs")).as(Seq("pos", "c")))
+        .filter(col("c.clen") > 0)
+        .select(col("doc_id"), col("pos"), col("c.chunk").as("chunk"),
+          md5(col("c.chunk")).as("ch"), col("c.clen").cast("long").as("clen"))) { ex =>
     val dups = ex.groupBy(col("ch"))
       .agg(count_distinct(col("doc_id")).as("cdf"))
       .filter(col("cdf") > 1)
@@ -523,15 +517,14 @@ object TextAnalysis {
     // paragraphDedup's counting half reports for the same input. The
     // re-attach base is a doc_id-only column-pruned scan (no second
     // tokenization).
-    val out = docs.select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
         coalesce(col("clean_tokens"), lit(0L)).as("clean_tokens"),
         coalesce(col("clean_hash"), md5(lit(""))).as("clean_hash"))
-      .barrier() // release the chunk cache below
-    ex.unpersist()
-    out
+      .barrier() // release the chunk cache on exit
+    }
   }
 
   /** ExactSubstr-style shared-span report over the winnowing fingerprint
@@ -764,24 +757,22 @@ object TextAnalysis {
     // (two Generate+Scan subtrees in the static plan; exchange reuse is a
     // runtime maybe, not a guarantee). The persisted rows are (id, token,
     // count) — far smaller than the text they summarize.
-    val tf = explodedTokens(docs)
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val n = docs.agg(count_distinct(col("doc_id")).as("n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("token").asc)
-    val out = tf.join(df, Seq("token"))
-      .join(broadcast(n))
-      .withColumn("score",
-        (col("tf") * col("n")).cast("double") / col("df").cast("double"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("doc_id"), col("token"), col("tf"), col("df"),
-        col("score"), col("rank").cast("long").as("rank"))
-      .barrier() // release the tf cache below
-    tf.unpersist()
-    out
+    Barrier.withCached(explodedTokens(docs)
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))) { tf =>
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count_distinct(col("doc_id")).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token").asc)
+      tf.join(df, Seq("token"))
+        .join(broadcast(n))
+        .withColumn("score",
+          (col("tf") * col("n")).cast("double") / col("df").cast("double"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          col("score"), col("rank").cast("long").as("rank"))
+        .barrier() // release the tf cache on exit
+    }
   }
 }

@@ -1025,17 +1025,28 @@ class PipelineOperatorsSpec extends SparkSpec {
       3L -> "completely different words entirely here now friend")
     val local = Dedup.minhashClusters(d).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    // Precondition, not an assumption: the missing-dir intercept below is
+    // meaningless if an earlier test ever set a JVM-global checkpoint dir.
+    assert(spark.sparkContext.getCheckpointDir.isEmpty,
+      "another test set a checkpoint dir; the missing-dir check needs a clean slate")
     spark.conf.set(graft.operators.Barrier.ReliableKey, "true")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
     try {
-      // No checkpoint dir yet: the barrier must fail with guidance, not
-      // deep inside a Spark job.
-      intercept[IllegalStateException] { Dedup.minhashClusters(d).collect() }
-      val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-      spark.sparkContext.setCheckpointDir(dir)
+      // No checkpoint dir yet: the barrier must fail with guidance BEFORE
+      // any job runs (a bare tiny DF — no operator pipeline, so nothing
+      // mid-flight leaks when it throws).
+      intercept[IllegalStateException] { graft.operators.Barrier(d) }
+      spark.sparkContext.setCheckpointDir(dir.toString)
       val reliable = Dedup.minhashClusters(d).collect()
         .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
       assert(reliable == local)
-    } finally spark.conf.set(graft.operators.Barrier.ReliableKey, "false")
+    } finally {
+      spark.conf.set(graft.operators.Barrier.ReliableKey, "false")
+      // setCheckpointDir has no unset API; the knob stays false for every
+      // later test, so the stray dir is inert — but its files are not
+      // needed past this test.
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
   }
 
   test("keepBestByQuality: highest-quality member wins; ties fall to min id; singletons keep") {
