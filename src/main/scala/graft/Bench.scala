@@ -155,6 +155,11 @@ object Bench {
         // primary min excludes and the scale factor would compare
         // serve-time to build+serve-time — systematically flattering.
         val ref = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+        // Ref-pass failures get the same loud treatment as primary ones:
+        // without the marker, a query that throws only at the ref SF just
+        // vanishes from ref_queries/factors and the percentile population
+        // silently shrinks — the round-7 "absent, not err" pattern.
+        val refFailed = scala.collection.mutable.LinkedHashSet.empty[String]
         for (_ <- 1 to passes; (name, fn) <- ordered) {
           val t0 = System.nanoTime()
           val ok =
@@ -163,6 +168,7 @@ object Bench {
               true
             } catch { case NonFatal(e) =>
               System.err.println(s"[bench] ref $name failed: ${e.getMessage}")
+              refFailed += name
               false
             }
           if (ok) {
@@ -177,7 +183,8 @@ object Bench {
           k -> best(k) / rv
         }.toMap
         val refQsJson = ref.map { case (k, v) => s"\"" + k + "\":" + v }
-          .mkString("{", ",", "}")
+          .mkString("{", ",", "}") +
+          nameList("ref_failed", refFailed.filterNot(ref.contains))
         val factorsJson = factors.toSeq.sortBy(_._1)
           .map { case (k, f) => s"\"" + k + "\":" + f2(f) }
           .mkString("{", ",", "}")
@@ -193,17 +200,24 @@ object Bench {
         val sortedF = factors.collect {
           case (k, f) if !SparkEntry.verificationScaleOnly(k) => f
         }.toSeq.sorted
+        // Nearest-rank percentile: ceil(p·n)−1. The truncation form
+        // (p·n).toInt over-selects by one rank whenever p·n is integral —
+        // with 10 factors it made factor_p90 report the population MAX.
         def pct(p: Double): Double =
           if (sortedF.isEmpty) 0.0
-          else sortedF(math.min(sortedF.size - 1, (p * sortedF.size).toInt))
+          else sortedF(math.max(0, math.min(sortedF.size - 1,
+            math.ceil(p * sortedF.size).toInt - 1)))
         val outliers = factors.toSeq
           .filter { case (k, f) => f > 3.0 && !SparkEntry.verificationScaleOnly(k) }
           .sortBy(-_._2)
           .map { case (k, f) => s"\"" + k + "\":" + f2(f) }
           .mkString("{", ",", "}")
+        val refFailedN = refFailed.count(!ref.contains(_))
+        val refFailedJson =
+          if (refFailedN == 0) "" else s""","ref_failed_n":$refFailedN"""
         (s""","scaling":{"ref_sf":"$refDir","factor_median":${f2(pct(0.5))},""" +
           s""""factor_p90":${f2(pct(0.9))},"factor_max":${f2(pct(1.0))},""" +
-          s""""scale_path_factors_gt3":$outliers}""",
+          s""""scale_path_factors_gt3":$outliers$refFailedJson}""",
           detail)
       }
     val (scalingJson, scalingDetail) = scaling

@@ -3746,24 +3746,32 @@ object SparkEntry {
          LEFT JOIN m2h USING (query_id)
          LEFT JOIN kh USING (query_id)""",
 
+    // coalesce(text, ''): the Spark side maps a NULL payload to empty
+    // bytes (Multimodal.withPayload / decodeStub), so the oracle must not
+    // propagate NULL through the derived columns — the null ≡ empty
+    // contract the rest of the document oracles follow. Latent at sf0.01
+    // (no NULL texts today); the guard keeps a future regen honest.
     "doc_media_meta" ->
-      """SELECT doc_id,
+      """WITH pd AS (SELECT doc_id, coalesce(text, '') AS text FROM documents)
+         SELECT doc_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
          CAST(64 + (octet_length(encode(text)) % 64) * 16 AS INTEGER) AS width,
          CAST(64 + ((octet_length(encode(text)) // 64) % 64) * 16 AS INTEGER) AS height,
          CAST(CASE octet_length(encode(text)) % 3
               WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INTEGER) AS channels,
          md5(text) AS checksum
-         FROM documents""",
+         FROM pd""",
 
     // decodeStub arithmetic mirrored in SQL; text is ASCII so char and
     // byte offsets coincide (md5(text-slice) == md5(byte-slice)).
+    // coalesce(text, ''): see doc_media_meta.
     "doc_media_thumbs" ->
-      """WITH d AS (
+      """WITH pd AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+         d AS (
            SELECT doc_id, octet_length(encode(text)) AS n,
              64 + (octet_length(encode(text)) % 64) * 16 AS w,
              64 + ((octet_length(encode(text)) // 64) % 64) * 16 AS h
-           FROM documents),
+           FROM pd),
          t AS (
            SELECT doc_id, n,
              CASE WHEN w >= h THEN 32 ELSE greatest(1, 32 * w // h) END AS tw,

@@ -75,11 +75,30 @@ object VacuitySweep {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: VacuitySweep <verifyDumpDir>")
+    require(args.nonEmpty, "usage: VacuitySweep <verifyDumpDir> [query...]")
     val dumpDir = new java.io.File(args(0))
-    val queryDirs = Option(dumpDir.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && SparkEntry.queries.contains(d.getName))
-      .sortBy(_.getName).toSeq
+    // Optional query-name filters mirror Verify's: a partial sweep over a
+    // partial dump. With NO filter the sweep expects EVERY registered
+    // query to be present — a query whose dump directory is wholly absent
+    // is a violation, not a skip: Verify catches per-query failures,
+    // deletes the failed dump, and exits 0, so "absent" is exactly how 18
+    // queries silently vanished from round 7's gate.
+    val expected: Set[String] =
+      if (args.length > 1) {
+        val filters = args.drop(1).toSet
+        val unknown = filters -- SparkEntry.queries.keySet
+        require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+        filters
+      } else SparkEntry.queries.keySet
+    val allDirs = Option(dumpDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).sortBy(_.getName).toSeq
+    val queryDirs = allDirs.filter(d => expected.contains(d.getName))
+    // A dump dir matching NO registered query is a stale artifact of a
+    // renamed/removed query (Verify sweeps these on its own runs) — the
+    // sweep must not silently audit around it.
+    val staleDirs = allDirs.map(_.getName)
+      .filterNot(n => SparkEntry.queries.contains(n))
+    val missing = (expected -- queryDirs.map(_.getName).toSet).toSeq.sorted
     require(queryDirs.nonEmpty, s"no query dumps under $dumpDir")
     val allow = loadAllowlist()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -124,6 +143,12 @@ object VacuitySweep {
     waived.sorted.foreach(w => println(s"[vacuity] allowlisted: $w"))
 
     val violations =
+      // Missing and stale dumps are never allowlistable (same rationale
+      // as unreadable ones: a waiver for "legitimately empty" must not
+      // double as a waiver for "never ran").
+      missing.map(q => s"$q: dump directory ABSENT — query never dumped " +
+        "(failed or skipped in Verify)") ++
+      staleDirs.map(n => s"$n: stale dump dir matches no registered query") ++
       unreadable.result() ++
       empty.filter(q => allowed(q, "*").isEmpty)
         .map(q => s"$q: EMPTY result — verifies nothing") ++
@@ -138,8 +163,12 @@ object VacuitySweep {
       constant.map(c => s"${c.query}.${c.column}").toSet ++
       constant.map(c => s"${c.query}.*").toSet ++
       empty.flatMap(q => Seq(s"$q.*")).toSet
-    val stale = allow.keys.filterNot(k => live.contains(k) ||
-        k.endsWith(".*") && byQuery.contains(k.stripSuffix(".*")))
+    // (live already holds `q.*` for every swept query, so no extra
+    // wildcard clause is needed here.) Under a partial sweep an entry for
+    // an un-swept query is NOT stale — it was simply out of scope.
+    val outOfScope = (k: String) =>
+      !expected.contains(k.substring(0, k.lastIndexOf('.')))
+    val stale = allow.keys.filterNot(k => live.contains(k) || outOfScope(k))
       .toSeq.sorted.map(k => s"$k: allowlist entry matches no dumped column") ++
       allow.keys.filter(k => live.contains(k) && !activeKeys.contains(k))
         .toSeq.sorted.map(k => s"$k: allowlist entry no longer constant — remove it")

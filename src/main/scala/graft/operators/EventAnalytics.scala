@@ -127,8 +127,7 @@ object EventAnalytics {
         // floor-quantized, NOT round(): integer-ratio doubles can sit a
         // ULP below a decimal .5 midpoint, where Spark's shortest-repr
         // HALF_UP and DuckDB's float round diverge (measured: 41/640).
-        (floor(col("active_users").cast("double") /
-          col("cohort_users").cast("double") * lit(1e6)) / lit(1e6))
-          .as("retention"))
+        Quant.q6(col("active_users").cast("double") /
+          col("cohort_users").cast("double")).as("retention"))
   }
 }
