@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.TrendConfig
-import graft.operators.{AsOf, Bpe, Curation, Dedup, EventAnalytics, Multimodal, PageAggregates, RangeJoin, Selection, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsOf, Bpe, Curation, Dedup, EventAnalytics, Multimodal, PageAggregates, RangeJoin, Search, Selection, Similarity, Skew, TextAnalysis}
 import graft.sources.EventAdapter
 import graft.operators.Barrier.BarrierOps
 
@@ -560,6 +560,14 @@ object SparkEntry {
 
     "doc_stratified_sample" -> ((s, dir) =>
       Curation.stratifiedSample(t(s, dir, "documents"))),
+
+    // Lexical BM25 top-10 (rational-idf variant, integer micro-unit
+    // scores — see Search.scala): query-by-example over five probe docs,
+    // six first-position terms each. The inverted-index counterpart of
+    // the emb_* ANN family.
+    "doc_bm25_topk" -> ((s, dir) =>
+      Search.bm25TopK(t(s, dir, "documents"),
+        queryIds = Seq(1L, 101L, 201L, 301L, 401L))),
 
     // Training-mix report: per (source, lang) docs/tokens/token share.
     "doc_source_mix" -> ((s, dir) =>
@@ -1215,6 +1223,18 @@ object SparkEntry {
           m = 4, codes = 8)
       Similarity.ivfPqRecall(s, out, emb, k = 5, numQueries = 10,
         probes = 2, candidates = 50)
+    }),
+
+    // Embedding-space decontamination against a held-out eval set (the
+    // vec_id < 10 rows), LEAKED-BENCHMARK scenario: the eval rows are in
+    // the corpus, so their self-matches score 1.0 and trip the 0.9
+    // threshold — both branches of `contaminated` fire at sf0.01 while
+    // max_eval_cos varies continuously. Eval set folds to literals;
+    // scoring is map-only (plan-locked: zero exchanges).
+    "emb_decontam" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.embDecontam(emb, emb.filter(col("vec_id") < 10),
+        threshold = 0.9)
     }),
 
     // SemDeDup: k-means clusters bound the quadratic pair scan; within a
@@ -2133,6 +2153,59 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
          WHERE substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2)
                < CASE lang WHEN 'en' THEN '80' WHEN 'zh' THEN '20' ELSE '40' END""",
+
+    // Rational-idf BM25 (see Search.scala for the determinism rationale):
+    // per-term scores floor-quantized to BIGINT micro-units BEFORE the
+    // per-doc sum, so the aggregate is integer-exact under any engine's
+    // aggregation order. The constants are spelled as the SAME folded
+    // expressions the Spark side computes in driver doubles: (1.2 + 1.0)
+    // and (1 - 0.75).
+    "doc_bm25_topk" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
+           FROM documents),
+         et AS (
+           SELECT doc_id, e.pos AS pos, e.term AS term FROM (
+             SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+               i -> struct_pack(pos := i, term := t[i]))) AS e
+             FROM toks)),
+         postings AS (
+           SELECT doc_id, term, COUNT(*) AS tf, MIN(pos) AS first_pos
+           FROM et GROUP BY 1, 2),
+         dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+         df AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY 1),
+         tot AS (
+           SELECT COUNT(*)::DOUBLE AS n_docs,
+             SUM(dl)::DOUBLE / COUNT(*)::DOUBLE AS avgdl
+           FROM dl),
+         qt AS (
+           SELECT doc_id AS query_id, term FROM postings
+           WHERE doc_id IN (1, 101, 201, 301, 401)
+           QUALIFY row_number() OVER
+             (PARTITION BY doc_id ORDER BY first_pos, term) <= 6),
+         scored AS (
+           SELECT qt.query_id, p.doc_id,
+             CAST(floor(
+               ((tot.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (p.tf * (1.2 + 1.0)
+                  / (p.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / tot.avgdl)))
+               * 1e6) AS BIGINT) AS micro
+           FROM qt JOIN postings p USING (term)
+           JOIN df USING (term)
+           JOIN dl ON p.doc_id = dl.doc_id
+           CROSS JOIN tot
+           WHERE p.doc_id <> qt.query_id),
+         agg AS (
+           SELECT query_id, doc_id, CAST(SUM(micro) AS BIGINT) AS score_micro
+           FROM scored GROUP BY 1, 2),
+         r AS (
+           SELECT *, CAST(row_number() OVER
+             (PARTITION BY query_id ORDER BY score_micro DESC, doc_id)
+             AS INTEGER) AS rank
+           FROM agg)
+         SELECT query_id, doc_id, score_micro, rank FROM r WHERE rank <= 10""",
 
     "doc_source_mix" ->
       """WITH perdoc AS (
@@ -3866,6 +3939,28 @@ object SparkEntry {
 
     // Assignment CTEs mirror emb_kmeans_assign (k=16); the dedup rule is
     // a same-cluster lower-id pair scan with the standard rounded cosine.
+    // Leaked-benchmark decontamination: eval rows ARE corpus rows, so
+    // their self-cosine is exactly 1.0 (Quant.r6 preserves it) and the
+    // contaminated branch fires on precisely the planted leaks.
+    "emb_decontam" ->
+      """WITH q AS (
+           SELECT vec_id AS eval_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         s AS (
+           SELECT c.vec_id, q.eval_id,
+             floor((list_dot_product(cv, qv)
+                   / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))))
+                   * 1e6 + 0.5) / 1e6 AS cos
+           FROM c, q),
+         r AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY vec_id ORDER BY cos DESC, eval_id) AS rn
+           FROM s)
+         SELECT vec_id, cos AS max_eval_cos, eval_id AS nearest_eval_id,
+           cos >= 0.9 AS contaminated
+         FROM r WHERE rn = 1""",
+
     "emb_semantic_dedup" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
          c AS (SELECT vec_id AS centroid_id, ev AS cv FROM v WHERE vec_id < 16),

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical relevance search over the `documents` table — the keyword
+  * (inverted-index) counterpart of the embedding ANN family in
+  * [[Similarity]]. Training-data pipelines use lexical retrieval where
+  * embeddings are unavailable or too coarse: benchmark decontamination by
+  * keyword probe, near-duplicate triage, and corpus exploration.
+  *
+  * Scoring is a **rational-idf BM25 variant** (Robertson/Spärck Jones
+  * BM25 with `idf(t) = (N - df + 0.5) / (df + 0.5)` — the log of the
+  * classical form is dropped). Rationale: the score stays a rational
+  * function of the integers (tf, df, dl, N), so a fixed evaluation order
+  * produces the identical IEEE double on every engine — `ln` is the one
+  * sub-expression whose cross-engine agreement we could not certify (the
+  * round-6 determinism notes). The variant is order-equivalent to
+  * classical BM25 per term (same monotone df ordering), it just weights
+  * rare terms more aggressively; documented here as a deviation.
+  *
+  * Determinism: each per-term score is floor-quantized to integer
+  * micro-units BEFORE the per-document sum, so the aggregate is a sum of
+  * longs — invariant under Spark's shuffle order and DuckDB's parallel
+  * hash aggregation (the fixed-point-sum discipline).
+  *
+  * 100 TB shape: the postings table (doc_id, term, tf, dl, first_pos) is
+  * ONE corpus tokenization + one (doc_id, term) hash aggregation — at
+  * deployment scale it IS the inverted index and should be written out
+  * bucketed by term (the build-once/serve-many lifecycle the persisted
+  * ANN indexes follow); here it is cached for the three passes the query
+  * makes. Everything downstream of the postings is bounded by the query
+  * set: the query-term table (≤ queries × queryTerms rows) broadcasts,
+  * per-term document frequencies are computed over a broadcast-semi-
+  * filtered sliver of the postings, and the score aggregation shuffles
+  * only matched postings. The corpus is never shuffled a second time.
+  */
+object Search {
+
+  /** Query-by-example BM25 top-k: each query is a document's first
+    * `queryTerms` distinct tokens (document order, ties on first position
+    * to the lexicographically smaller term). Output: (query_id, doc_id,
+    * score_micro, rank) — `score_micro` in exact integer micro-units,
+    * rank by (score_micro desc, doc_id asc), self-match excluded.
+    *
+    * Token-less documents are invisible to the index (no postings, and
+    * excluded from N/avgdl) — the null ≡ empty contract.
+    */
+  def bm25TopK(docs: DataFrame, queryIds: Seq[Long], queryTerms: Int = 6,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryIds.nonEmpty, "bm25TopK needs at least one query doc")
+    require(queryIds.size <= 1000,
+      s"bm25TopK broadcasts the query-term table; ${queryIds.size} query " +
+        "docs exceeds the 1000-query bound")
+    Barrier.withCached(postings(docs)) { p =>
+      import Barrier.BarrierOps
+      // queries × k rows — barrier releases the postings cache on exit
+      bm25Tail(p, queryIds, queryTerms, k, k1, b).barrier()
+    }
+  }
+
+  /** The inverted index: one row per (doc, term) with the term count, the
+    * document's token length riding along (constant per doc, so it ships
+    * inside the same map-side partial aggregation instead of a second
+    * doc-keyed exchange), and the term's first position (feeds the
+    * query-by-example term selection). ONE corpus exchange.
+    */
+  private[graft] def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        TextAnalysis.wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        posexplode(col("toks")))
+      .withColumnRenamed("col", "term")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"),
+        min(col("pos")).as("first_pos"))
+
+  /** The search tail over a materialized postings table — factored out so
+    * the plan lock asserts on the REAL plan (a barrier upstream would
+    * hide it behind Scan ExistingRDD).
+    */
+  private[graft] def bm25Tail(p: DataFrame, queryIds: Seq[Long],
+      queryTerms: Int, k: Int, k1: Double, b: Double): DataFrame = {
+    val qw = Window.partitionBy(col("query_id"))
+      .orderBy(col("first_pos").asc, col("term").asc)
+    val qterms = p.filter(col("doc_id").isin(queryIds: _*))
+      .select(col("doc_id").as("query_id"), col("term"), col("first_pos"))
+      .withColumn("rn", row_number().over(qw))
+      .filter(col("rn") <= queryTerms)
+      .select(col("query_id"), col("term"))
+    // df only for the query terms: a broadcast semi-filter keeps the
+    // term-keyed aggregation to the matched sliver — never a
+    // vocabulary-sized df table.
+    val qtermSet = qterms.select(col("term")).distinct()
+    val dfTab = p.join(broadcast(qtermSet), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // Corpus totals derived FROM the postings (docs with >= 1 token):
+    // sum(tf) per doc is exactly dl, so no second tokenization pass.
+    val tot = p.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        (sum(col("dl")).cast("double") /
+          count(lit(1)).cast("double")).as("avgdl"))
+    val qjoin = qterms.join(dfTab, Seq("term"))
+    val matched = p.join(broadcast(qjoin), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .crossJoin(broadcast(tot))
+    // Literals k1+1 and 1-b are folded in DRIVER doubles; the oracle
+    // spells them as the same constant expressions ((1.2 + 1.0), (1 -
+    // 0.75)) so both engines fold the identical IEEE value.
+    val micro = floor(
+      ((col("n_docs") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))) *
+        (col("tf").cast("double") * lit(k1 + 1.0) /
+          (col("tf").cast("double") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))) *
+        lit(1e6)).cast("long")
+    val agg = matched.withColumn("micro", micro)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("micro")).as("score_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    agg.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score_micro"),
+        col("rank"))
+  }
+}

@@ -105,6 +105,60 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
+  /** Embedding-space decontamination: flag every corpus vector whose
+    * cosine against ANY held-out eval vector reaches `threshold` — the
+    * semantic counterpart of the n-gram [[Curation]] decontamination, and
+    * the check that catches paraphrased benchmark leakage n-gram overlap
+    * misses. The leaked-benchmark scenario is the point: when eval rows
+    * were ingested into the corpus, their self-match scores 1.0 and the
+    * report names the leaked eval id.
+    *
+    * Output: (vec_id, max_eval_cos, nearest_eval_id, contaminated) — one
+    * row per corpus vector; ties on the max cosine resolve to the
+    * smallest eval id.
+    *
+    * 100 TB shape: the eval set is collected once (bounded by
+    * `maxEvalVectors`) and folded into LITERAL arrays — vectors, ids, and
+    * driver-precomputed norms (summed in index order, exactly the doubles
+    * the executor-side norm would produce) — so scoring is one MAP-ONLY
+    * corpus pass: zero joins, zero shuffles (the DSIR/literal-book
+    * discipline). The per-row best is an `array_min` over (-cos, eval_id)
+    * structs; negation is IEEE-exact, so recovering `max_eval_cos` loses
+    * nothing.
+    */
+  def embDecontam(emb: DataFrame, evalEmb: DataFrame,
+      threshold: Double = 0.9, maxEvalVectors: Int = 4096): DataFrame = {
+    val evs = evalEmb
+      .select(col("vec_id").cast("long").as("vec_id"),
+        asDouble(col("embedding")).as("ev"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(evs.nonEmpty, "embDecontam needs a non-empty eval set")
+    require(evs.length <= maxEvalVectors,
+      s"embDecontam folds the eval set into literals; ${evs.length} " +
+        s"vectors exceeds maxEvalVectors=$maxEvalVectors")
+    val evIds = typedlit(evs.map(_._1))
+    val evNorms = typedlit(evs.map { case (_, v) =>
+      math.sqrt(v.foldLeft(0.0)((s, x) => s + x * x))
+    })
+    val evVecs = array(evs.toIndexedSeq.map { case (_, v) => typedlit(v) }: _*)
+    // cn is materialized as its own attribute so the per-row norm is
+    // computed once, not once per eval index inside the transform.
+    val scored = transform(sequence(lit(0), lit(evs.length - 1)), i =>
+      struct(
+        (-cosineWithNorms(dot(col("cv"), element_at(evVecs, i + 1)),
+          col("cn"), element_at(evNorms, i + 1))).as("neg"),
+        element_at(evIds, i + 1).as("eval_id")))
+    val best = array_min(scored)
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .select(col("vec_id"),
+        (-best.getField("neg")).as("max_eval_cos"),
+        best.getField("eval_id").as("nearest_eval_id"))
+      .withColumn("contaminated", col("max_eval_cos") >= lit(threshold))
+  }
+
   /** Deterministic sign-LSH: plane j's projection is the sum of embedding
     * dims with index ≡ j (mod planes); the bucket id packs the projection
     * signs into an integer. Data-independent, engine-independent, and

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Curation, Dedup, EventAnalytics, Multimodal, RangeJoin, Selection, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Curation, Dedup, EventAnalytics, Multimodal, RangeJoin, Search, Selection, Similarity, TextAnalysis}
 
 /** Behavioral specs for the training-data-pipeline operators (dedup,
   * similarity, text analysis, multimodal plumbing) on tiny fixtures with
@@ -214,6 +214,105 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(top.getAs[Long]("query_id") == 0L)
     assert(top.getAs[Long]("neighbor_id") == 1L)
     assert(top.getAs[Double]("cos") == 1.0)
+  }
+
+  test("embDecontam: leaked eval row flags at 1.0; ties fall to the smallest eval id") {
+    // Eval set = vecs 0,1 (orthogonal units) and the eval rows ARE in the
+    // corpus — the leaked-benchmark scenario the operator exists for.
+    // vec 10 leans toward eval 1 but stays under the 0.9 threshold;
+    // vec 11 is equidistant (cos 1/sqrt(2) to both — tie → eval 0);
+    // vec 12 is orthogonal to both.
+    val corpus = vecs(
+      0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(0f, 1f, 0f, 0f),
+      10L -> Seq(0.5f, 0.8f, 0f, 0f),
+      11L -> Seq(1f, 1f, 0f, 0f),
+      12L -> Seq(0f, 0f, 1f, 0f))
+    val out = Similarity
+      .embDecontam(corpus, corpus.filter(col("vec_id") < 2), threshold = 0.9)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Double]("max_eval_cos"), r.getAs[Long]("nearest_eval_id"),
+          r.getAs[Boolean]("contaminated")))).toMap
+    assert(out(0L) == ((1.0, 0L, true)))
+    assert(out(1L) == ((1.0, 1L, true)))
+    assert(out(10L)._2 == 1L && !out(10L)._3)
+    assert(out(11L) == ((0.707107, 0L, false)))
+    assert(out(12L) == ((0.0, 0L, false)))
+  }
+
+  test("embDecontam: empty eval set and oversized eval set fail loudly") {
+    val corpus = vecs(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f))
+    intercept[IllegalArgumentException] {
+      Similarity.embDecontam(corpus, corpus.filter(col("vec_id") < 0))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.embDecontam(corpus, corpus, maxEvalVectors = 1)
+    }
+  }
+
+  // ---- lexical BM25 ----------------------------------------------------
+
+  test("bm25TopK: rational idf ranks rare-term match above common-term match") {
+    // Query doc 0 = "rare common". df(rare)=2, df(common)=3, N=4,
+    // avgdl=3.0 → idf(rare)=1.0, idf(common)=3/7. Hand-computed
+    // micro-units (IEEE, verified against the closed form):
+    // doc 1 scores 1_000_000 (rare, dl=3 → length factor exactly 1),
+    // doc 2 scores 428_571, doc 3 scores 377_142 (longer doc penalized).
+    val d = docs(
+      0L -> "rare common",
+      1L -> "rare pad pad",
+      2L -> "common pad pad",
+      3L -> "common pad pad pad")
+    val got = Search.bm25TopK(d, queryIds = Seq(0L), queryTerms = 6, k = 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("score_micro"), r.getAs[Int]("rank"))).sortBy(_._4)
+    assert(got.toSeq == Seq(
+      (0L, 1L, 1000000L, 1), (0L, 2L, 428571L, 2), (0L, 3L, 377142L, 3)))
+  }
+
+  test("bm25TopK: equals a brute-force reference on random corpora") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val corpus = (0L until 30L).map { id =>
+      val n = 1 + rnd.nextInt(12)
+      id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val queryIds = Seq(0L, 5L, 9L)
+    val got = Search.bm25TopK(docs(corpus: _*), queryIds, queryTerms = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    // Reference: same formula in driver doubles over the Scala tokenizer
+    // twin (pinned to the Column tokenizer by the stream≡batch specs).
+    val toks = corpus.map { case (id, t) =>
+      id -> graft.streaming.StreamingNearDup.wsTokensScala(t).toSeq }.toMap
+    val withTok = toks.filter(_._2.nonEmpty)
+    val nDocs = withTok.size.toDouble
+    val avgdl = withTok.values.map(_.size).sum.toDouble / nDocs
+    val dfm = withTok.values.toSeq.flatMap(_.distinct)
+      .groupBy(identity).map { case (t, xs) => t -> xs.size }
+    val expect = queryIds.flatMap { q =>
+      val firstPos = toks(q).zipWithIndex.groupBy(_._1)
+        .map { case (t, xs) => t -> xs.map(_._2).min }
+      val qterms = firstPos.toSeq.sortBy { case (t, p) => (p, t) }
+        .take(3).map(_._1)
+      val scores = withTok.toSeq.filter(_._1 != q).flatMap { case (d, dt) =>
+        val dl = dt.size.toDouble
+        val micros = qterms.flatMap { t =>
+          val tf = dt.count(_ == t).toDouble
+          if (tf == 0) None
+          else {
+            val df = dfm(t).toDouble
+            Some(math.floor(((nDocs - df + 0.5) / (df + 0.5)) *
+              (tf * (1.2 + 1.0) /
+                (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))) *
+              1e6).toLong)
+          }
+        }
+        if (micros.isEmpty) None else Some(d -> micros.sum)
+      }
+      scores.sortBy { case (d, s) => (-s, d) }.take(5).zipWithIndex
+        .map { case ((d, s), i) => (q, d, s, i + 1) }
+    }.toSet
+    assert(got == expect)
   }
 
   test("ivfTopKMulti: Hamming-1 probe recovers a cell-boundary neighbor") {

@@ -407,4 +407,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
     assert(!p.contains("rangepartitioning"), p.take(3000))
   }
+
+  test("emb_decontam: eval book folds to literals — scoring is map-only") {
+    // The eval set collapses to literal vector/norm/id arrays at build
+    // time, so the corpus pass must carry no exchange and no join of any
+    // kind (the DSIR/literal-book discipline).
+    val p = physical("emb_decontam")
+    assert(!p.contains("Exchange"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("doc_bm25_topk tail: query terms broadcast, no sort-merge join, top-k prunes") {
+    // bm25TopK barriers its (small) result, which hides the plan; assert
+    // on the tail builder over a materialized postings table (the
+    // kmeansSearchPlan pattern). The corpus-sized postings must only ever
+    // meet BROADCAST sides — the one non-broadcast exchange is the
+    // (query_id, doc_id) score aggregation over matched rows.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.operators.Search.bm25Tail(
+      graft.operators.Search.postings(docs),
+      queryIds = Seq(1L, 101L), queryTerms = 6, k = 10,
+      k1 = 1.2, b = 0.75).queryExecution.executedPlan.toString
+    // (The one BroadcastNestedLoopJoin is the 1-row corpus-totals attach —
+    // the standard broadcast scalar pattern, not a pair scan.)
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+  }
 }
