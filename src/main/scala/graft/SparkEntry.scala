@@ -569,6 +569,35 @@ object SparkEntry {
       Search.bm25TopK(t(s, dir, "documents"),
         queryIds = Seq(1L, 101L, 201L, 301L, 401L))),
 
+    // PERSISTED inverted index: build once per JVM per source dir (the
+    // emb_ivf_index_topk lifecycle), then serve keyword queries — the
+    // probe docs' first-position terms, tokenized DRIVER-side with the
+    // Scala tokenizer twin (the realistic serving shape: terms arrive as
+    // literals, not as a corpus join). Scoring is bit-identical to
+    // doc_bm25_topk (shared oracle); the postings read partition-prunes
+    // to the query terms' hash buckets (plan-locked).
+    "doc_bm25_index_topk" -> ((s, dir) => {
+      val out = indexDir("graft_lex", dir)
+      if (builtIndexes.add(s"lex:$out"))
+        Search.buildLexIndex(t(s, dir, "documents"), out, buckets = 64)
+      val qids = Seq(1L, 101L, 201L, 301L, 401L)
+      val texts = t(s, dir, "documents")
+        .filter(col("doc_id").isin(qids: _*))
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
+        .toMap
+      val queries = qids.map { q =>
+        val toks = graft.streaming.StreamingNearDup
+          .wsTokensScala(texts.getOrElse(q, ""))
+        // First occurrence per term; positions are unique, so the order
+        // is total without a term tie-break.
+        val firstPos = toks.zipWithIndex.groupBy(_._1)
+          .map { case (tk, xs) => tk -> xs.map(_._2).min }
+        q -> firstPos.toSeq.sortBy(_._2).take(6).map(_._1)
+      }
+      Search.lexIndexTopK(s, out, queries, k = 10, excludeSelf = true)
+    }),
+
     // Training-mix report: per (source, lang) docs/tokens/token share.
     "doc_source_mix" -> ((s, dir) =>
       Curation.sourceMix(t(s, dir, "documents"))),
@@ -1547,6 +1576,58 @@ object SparkEntry {
   // Quality-bar target CTEs for the DSIR oracle: t(doc_id, text, toks,
   // praw) + qual(doc_id, in_target) — mirrors Selection.qualityTarget
   // (TextAnalysis.qualityScore >= 0.65).
+  /** Rational-idf BM25 oracle — ONE definition for the batch query and
+    * the persisted-index serving query (they score bit-identically by
+    * construction, so a one-sided edit here can no longer desynchronize
+    * them).
+    */
+  private val bm25TopKSql: String =
+    """WITH toks AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
+           FROM documents),
+         et AS (
+           SELECT doc_id, e.pos AS pos, e.term AS term FROM (
+             SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+               i -> struct_pack(pos := i, term := t[i]))) AS e
+             FROM toks)),
+         postings AS (
+           SELECT doc_id, term, COUNT(*) AS tf, MIN(pos) AS first_pos
+           FROM et GROUP BY 1, 2),
+         dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+         df AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY 1),
+         tot AS (
+           SELECT COUNT(*)::DOUBLE AS n_docs,
+             SUM(dl)::DOUBLE / COUNT(*)::DOUBLE AS avgdl
+           FROM dl),
+         qt AS (
+           SELECT doc_id AS query_id, term FROM postings
+           WHERE doc_id IN (1, 101, 201, 301, 401)
+           QUALIFY row_number() OVER
+             (PARTITION BY doc_id ORDER BY first_pos, term) <= 6),
+         scored AS (
+           SELECT qt.query_id, p.doc_id,
+             CAST(floor(
+               ((tot.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (p.tf * (1.2 + 1.0)
+                  / (p.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / tot.avgdl)))
+               * 1e6) AS BIGINT) AS micro
+           FROM qt JOIN postings p USING (term)
+           JOIN df USING (term)
+           JOIN dl ON p.doc_id = dl.doc_id
+           CROSS JOIN tot
+           WHERE p.doc_id <> qt.query_id),
+         agg AS (
+           SELECT query_id, doc_id, CAST(SUM(micro) AS BIGINT) AS score_micro
+           FROM scored GROUP BY 1, 2),
+         r AS (
+           SELECT *, CAST(row_number() OVER
+             (PARTITION BY query_id ORDER BY score_micro DESC, doc_id)
+             AS INTEGER) AS rank
+           FROM agg)
+         SELECT query_id, doc_id, score_micro, rank FROM r WHERE rank <= 10"""
+
   private val qualTargetCtesSql: String =
     """t AS (
            SELECT doc_id, text,
@@ -2160,52 +2241,12 @@ object SparkEntry {
     // aggregation order. The constants are spelled as the SAME folded
     // expressions the Spark side computes in driver doubles: (1.2 + 1.0)
     // and (1 - 0.75).
-    "doc_bm25_topk" ->
-      """WITH toks AS (
-           SELECT doc_id,
-             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
-           FROM documents),
-         et AS (
-           SELECT doc_id, e.pos AS pos, e.term AS term FROM (
-             SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
-               i -> struct_pack(pos := i, term := t[i]))) AS e
-             FROM toks)),
-         postings AS (
-           SELECT doc_id, term, COUNT(*) AS tf, MIN(pos) AS first_pos
-           FROM et GROUP BY 1, 2),
-         dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
-         df AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY 1),
-         tot AS (
-           SELECT COUNT(*)::DOUBLE AS n_docs,
-             SUM(dl)::DOUBLE / COUNT(*)::DOUBLE AS avgdl
-           FROM dl),
-         qt AS (
-           SELECT doc_id AS query_id, term FROM postings
-           WHERE doc_id IN (1, 101, 201, 301, 401)
-           QUALIFY row_number() OVER
-             (PARTITION BY doc_id ORDER BY first_pos, term) <= 6),
-         scored AS (
-           SELECT qt.query_id, p.doc_id,
-             CAST(floor(
-               ((tot.n_docs - df.df + 0.5) / (df.df + 0.5))
-               * (p.tf * (1.2 + 1.0)
-                  / (p.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / tot.avgdl)))
-               * 1e6) AS BIGINT) AS micro
-           FROM qt JOIN postings p USING (term)
-           JOIN df USING (term)
-           JOIN dl ON p.doc_id = dl.doc_id
-           CROSS JOIN tot
-           WHERE p.doc_id <> qt.query_id),
-         agg AS (
-           SELECT query_id, doc_id, CAST(SUM(micro) AS BIGINT) AS score_micro
-           FROM scored GROUP BY 1, 2),
-         r AS (
-           SELECT *, CAST(row_number() OVER
-             (PARTITION BY query_id ORDER BY score_micro DESC, doc_id)
-             AS INTEGER) AS rank
-           FROM agg)
-         SELECT query_id, doc_id, score_micro, rank FROM r WHERE rank <= 10""",
+    "doc_bm25_topk" -> bm25TopKSql,
+
+    // The persisted-index serving path scores bit-identically to the
+    // batch query (driver-literal stats, pruned-read df — both provably
+    // equal to the batch values), so it shares the oracle.
+    "doc_bm25_index_topk" -> bm25TopKSql,
 
     "doc_source_mix" ->
       """WITH perdoc AS (

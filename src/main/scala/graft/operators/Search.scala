@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -105,15 +105,27 @@ object Search {
     val matched = p.join(broadcast(qjoin), Seq("term"))
       .filter(col("doc_id") =!= col("query_id"))
       .crossJoin(broadcast(tot))
-    // Literals k1+1 and 1-b are folded in DRIVER doubles; the oracle
-    // spells them as the same constant expressions ((1.2 + 1.0), (1 -
-    // 0.75)) so both engines fold the identical IEEE value.
+    scoreAndRank(matched, k, k1, b, col("n_docs"), col("avgdl"))
+  }
+
+  /** The shared scoring + ranking tail: per-term micro-unit scores,
+    * per-doc long sum, per-query top-k. `matched` carries (query_id,
+    * doc_id, tf, dl, df); `nDocs`/`avgdl` are either attached columns
+    * (batch tail) or driver-computed literals (index serving — the same
+    * IEEE doubles either way, so the two paths score identically).
+    *
+    * Literals k1+1 and 1-b are folded in DRIVER doubles; the oracle
+    * spells them as the same constant expressions ((1.2 + 1.0), (1 -
+    * 0.75)) so both engines fold the identical IEEE value.
+    */
+  private def scoreAndRank(matched: DataFrame, k: Int, k1: Double,
+      b: Double, nDocs: Column, avgdl: Column): DataFrame = {
     val micro = floor(
-      ((col("n_docs") - col("df").cast("double") + lit(0.5)) /
+      ((nDocs - col("df").cast("double") + lit(0.5)) /
         (col("df").cast("double") + lit(0.5))) *
         (col("tf").cast("double") * lit(k1 + 1.0) /
           (col("tf").cast("double") + lit(k1) *
-            (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))) *
+            (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))) *
         lit(1e6)).cast("long")
     val agg = matched.withColumn("micro", micro)
       .groupBy(col("query_id"), col("doc_id"))
@@ -124,5 +136,87 @@ object Search {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("score_micro"),
         col("rank"))
+  }
+
+  // ---- persisted inverted index (build once, serve many) ---------------
+
+  /** Persist the inverted index: the postings table partitioned by a
+    * term-hash bucket, plus a 1-row stats table (doc count, total token
+    * count, bucket count). A keyword search touches only the buckets its
+    * query terms hash to — static partition pruning bounds the read to
+    * terms/buckets of the corpus, the lexical mirror of the IVF index's
+    * probed-cells guarantee.
+    *
+    * Build is rebuild-in-place (NOT reader-concurrent — the manifest
+    * lifecycle of the ANN indexes is the pattern to graft on if
+    * concurrent readers ever matter here; lexical postings change by
+    * full rebuild in this engine). Single writer.
+    */
+  def buildLexIndex(docs: DataFrame, dir: String, buckets: Int = 64): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = docs.sparkSession
+    resetDir(spark, dir)
+    Barrier.withCached(postings(docs)) { p =>
+      p.withColumn("bkt", pmod(hash(col("term")), lit(buckets)))
+        .repartition(col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt")
+        .parquet(s"$dir/postings")
+      // Stats LAST: a readable stats table marks the build complete.
+      p.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+        .withColumn("buckets", lit(buckets))
+        .write.mode("overwrite").parquet(s"$dir/stats")
+    }
+  }
+
+  /** Keyword search against a persisted index: `queries` are literal
+    * (query_id, terms) pairs — the realistic serving shape (for
+    * query-by-example, tokenize the probe doc client-side and pass
+    * `excludeSelf = true` with the probe's doc_id as the query_id).
+    * Exactly [[bm25TopK]]'s scoring: corpus stats come from the stats
+    * table as driver literals (no scalar attach in the plan), df from
+    * the PRUNED postings read (every posting of a term lives in its
+    * bucket, so the pruned df equals the global df).
+    */
+  def lexIndexTopK(spark: SparkSession, dir: String,
+      queries: Seq[(Long, Seq[String])], k: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75, excludeSelf: Boolean = false): DataFrame = {
+    require(queries.nonEmpty, "lexIndexTopK needs at least one query")
+    require(queries.size <= 1000,
+      s"lexIndexTopK broadcasts the query-term table; ${queries.size} " +
+        "queries exceeds the 1000-query bound")
+    val st = spark.read.parquet(s"$dir/stats").head()
+    val nDocs = st.getAs[Long]("n_docs")
+    val totalTokens = st.getAs[Long]("total_tokens")
+    val buckets = st.getAs[Int]("buckets")
+    require(nDocs > 0, s"index at $dir is empty")
+    val qt = {
+      import spark.implicits._
+      queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
+        .toDF("query_id", "term")
+    }
+    // Same hash expression the build used — engine-internal only (the
+    // oracle never sees buckets, it recomputes full BM25).
+    val bkts = qt
+      .select(pmod(hash(col("term")), lit(buckets)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toIndexedSeq
+    val scoped = spark.read.parquet(s"$dir/postings")
+      .filter(col("bkt").isin(bkts: _*))
+    val qtermSet = qt.select(col("term")).distinct()
+    val dfTab = scoped.join(broadcast(qtermSet), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val matched0 = scoped.join(broadcast(qt.join(dfTab, Seq("term"))),
+      Seq("term"))
+    val matched =
+      if (excludeSelf) matched0.filter(col("doc_id") =!= col("query_id"))
+      else matched0
+    scoreAndRank(matched, k, k1, b,
+      lit(nDocs.toDouble), lit(totalTokens.toDouble / nDocs.toDouble))
+  }
+
+  private def resetDir(spark: SparkSession, dir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
   }
 }

@@ -315,6 +315,40 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("lexIndexTopK: persisted index reproduces the in-memory search exactly") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val corpus = (0L until 25L).map { id =>
+      id -> Seq.fill(2 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    val d = docs(corpus: _*)
+    val queryIds = Seq(0L, 7L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lex_spec").toString
+    Search.buildLexIndex(d, dir, buckets = 8)
+    // Query-by-example serving: tokenize the probe docs driver-side with
+    // the Scala twin, first-position-distinct terms, excludeSelf.
+    val queries = queryIds.map { q =>
+      val toks = graft.streaming.StreamingNearDup.wsTokensScala(
+        corpus.toMap.apply(q))
+      val firstPos = toks.zipWithIndex.groupBy(_._1)
+        .map { case (t, xs) => t -> xs.map(_._2).min }
+      q -> firstPos.toSeq.sortBy(_._2).take(3).map(_._1)
+    }
+    val served = Search
+      .lexIndexTopK(spark, dir, queries, k = 5, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    val batch = Search.bm25TopK(d, queryIds, queryTerms = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(served == batch)
+    // Unknown terms prune to nothing instead of failing.
+    val none = Search.lexIndexTopK(spark, dir,
+      Seq(99L -> Seq("zz", "qq")), k = 5)
+    assert(none.count() == 0)
+  }
+
   test("ivfTopKMulti: Hamming-1 probe recovers a cell-boundary neighbor") {
     // Query 0 sits in the all-positive cell; vec 2 differs only in the
     // last dim's sign (Hamming-1 cell) with high cosine — single-probe

@@ -435,4 +435,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(p.contains("WindowGroupLimit"), p.take(3000))
   }
+
+  test("doc_bm25_index_topk: postings scan partition-prunes to the query-term buckets") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lex_plan").toString
+    graft.operators.Search.buildLexIndex(
+      spark.read.parquet(s"$sf/documents.parquet"), dir, buckets = 64)
+    val p = graft.operators.Search
+      .lexIndexTopK(spark, dir, Seq(1L -> Seq("the", "of")), k = 5)
+      .queryExecution.executedPlan.toString
+    // Both pruned reads (df pass + match pass) carry a bkt IN filter —
+    // buckets outside the query terms' hashes are never read. Stats are
+    // driver literals, so no 1-row scalar attach exists in this plan.
+    assert(p.contains("PartitionFilters: [") &&
+      "PartitionFilters: \\[bkt".r.findFirstIn(p).isDefined, p.take(3000))
+    assert(!p.contains("PartitionFilters: []"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+  }
 }
