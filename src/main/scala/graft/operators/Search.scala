@@ -185,6 +185,10 @@ object Search {
     require(queries.size <= 1000,
       s"lexIndexTopK broadcasts the query-term table; ${queries.size} " +
         "queries exceeds the 1000-query bound")
+    // A repeated query_id would contribute its term rows twice and
+    // silently double the affected per-term scores — fail instead.
+    require(queries.map(_._1).distinct.size == queries.size,
+      "lexIndexTopK query ids must be distinct")
     val st = spark.read.parquet(s"$dir/stats").head()
     val nDocs = st.getAs[Long]("n_docs")
     val totalTokens = st.getAs[Long]("total_tokens")
