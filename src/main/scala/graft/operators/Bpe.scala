@@ -64,11 +64,16 @@ object Bpe {
         .otherwise(concat(acc, array(s))))
 
   /** The corpus word-frequency table: lower-cased whitespace tokens,
-    * counted with multiplicity, split to character symbols.
+    * counted with multiplicity, split to character symbols. The token
+    * array is materialized as its own attribute BEFORE the explode —
+    * exploding the raw expression lets InferFiltersFromGenerate slip a
+    * `size(wsTokens(...)) > 0` filter under the Generate that re-runs
+    * the regex tokenization once more per document (the explodedTokens
+    * discipline).
     */
   private[graft] def vocab(docs: DataFrame): DataFrame =
-    docs.select(explode(TextAnalysis.wsTokens(lower(col("text"))))
-        .as("word"))
+    docs.select(TextAnalysis.wsTokens(lower(col("text"))).as("toks"))
+      .select(explode(col("toks")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .select(col("word"), col("cnt"), charSyms(col("word")).as("syms"))
 
