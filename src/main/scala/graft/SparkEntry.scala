@@ -598,6 +598,22 @@ object SparkEntry {
       Search.lexIndexTopK(s, out, queries, k = 10, excludeSelf = true)
     }),
 
+    // Corpus snapshot diff with PLANTED version deltas (the pii-scrub
+    // de-vacuation pattern): v2 drops doc_id%31==5 (removed), rewrites
+    // doc_id%17==3 (changed), and ingests doc_id%41==7 under shifted ids
+    // (added) — all four statuses fire at sf0.01 (16/29/13/442).
+    "doc_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rewritten = docs.filter(col("doc_id") % 31 =!= 5)
+        .withColumn("text",
+          when(col("doc_id") % 17 === 3,
+            concat(coalesce(col("text"), lit("")), lit(" v2")))
+            .otherwise(col("text")))
+      val added = docs.filter(col("doc_id") % 41 === 7)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      Curation.corpusDiff(docs, rewritten.unionByName(added))
+    }),
+
     // Training-mix report: per (source, lang) docs/tokens/token share.
     "doc_source_mix" -> ((s, dir) =>
       Curation.sourceMix(t(s, dir, "documents"))),
@@ -2247,6 +2263,30 @@ object SparkEntry {
     // batch query (driver-literal stats, pruned-read df — both provably
     // equal to the batch values), so it shares the oracle.
     "doc_bm25_index_topk" -> bm25TopKSql,
+
+    // The planted v2 derivation is replayed verbatim; hashes compare the
+    // same strings both engines built (null text hashes like empty — the
+    // null ≡ empty contract).
+    "doc_corpus_diff" ->
+      """WITH oldv AS (
+           SELECT doc_id, md5(coalesce(text, '')) AS old_hash FROM documents),
+         newv AS (
+           SELECT doc_id,
+             md5(CASE WHEN doc_id % 17 = 3 THEN coalesce(text, '') || ' v2'
+                      ELSE coalesce(text, '') END) AS new_hash
+           FROM documents WHERE doc_id % 31 <> 5
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, md5(coalesce(text, '')) AS new_hash
+           FROM documents WHERE doc_id % 41 = 7),
+         j AS (
+           SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.old_hash, n.new_hash
+           FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id)
+         SELECT doc_id, old_hash, new_hash,
+           CASE WHEN old_hash IS NULL THEN 'added'
+                WHEN new_hash IS NULL THEN 'removed'
+                WHEN old_hash <> new_hash THEN 'changed'
+                ELSE 'unchanged' END AS status
+         FROM j""",
 
     "doc_source_mix" ->
       """WITH perdoc AS (

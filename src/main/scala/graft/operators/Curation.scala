@@ -1049,4 +1049,34 @@ object Curation {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("chunk_hash")
   }
+
+  /** Corpus snapshot diff: classify every doc_id across two corpus
+    * versions as added / removed / changed / unchanged by CONTENT hash —
+    * the audit an incremental-ingestion pipeline runs between snapshots
+    * (what did yesterday's crawl actually change?), and the input to
+    * retrain-or-not decisions (a persisted-index rebuild is only due
+    * when `changed + added` is material).
+    *
+    * Null text hashes like empty text (the null ≡ empty contract), so a
+    * null→'' rewrite between versions reads as `unchanged` — the
+    * pipeline treats them identically everywhere else too.
+    *
+    * 100 TB shape: each side collapses to (doc_id, md5) IN ITS SCAN —
+    * the join ships 2×16-byte hashes per doc, never text; the full-outer
+    * join is ONE co-partitioned hash/merge join on doc_id (both sides
+    * corpus-sized, so no broadcast exists — this is the minimal shape).
+    * If both snapshots are stored bucketed by doc_id the exchange
+    * disappears entirely.
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def hashed(d: DataFrame, as: String) = d.select(col("doc_id"),
+      md5(coalesce(col("text"), lit(""))).as(as))
+    hashed(oldDocs, "old_hash")
+      .join(hashed(newDocs, "new_hash"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("old_hash"), col("new_hash"),
+        when(col("old_hash").isNull, lit("added"))
+          .when(col("new_hash").isNull, lit("removed"))
+          .when(col("old_hash") =!= col("new_hash"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
 }

@@ -27,6 +27,17 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(groups == Map(1L -> 3L, 2L -> 1L))
   }
 
+  test("corpusDiff: four statuses by content hash; null text diffs as empty") {
+    val oldV = Seq((1L, "same"), (2L, "gone"), (3L, "before"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val newV = Seq((1L, "same"), (3L, "after"), (4L, ""), (5L, "fresh"))
+      .toDF("doc_id", "text")
+    val got = Curation.corpusDiff(oldV, newV).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "removed", 3L -> "changed",
+      4L -> "unchanged", 5L -> "added"))
+  }
+
   // ---- shingles / MinHash ----------------------------------------------
 
   test("shingles: word trigrams, whole text when short, distinct") {

@@ -436,6 +436,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(3000))
   }
 
+  test("doc_corpus_diff: hash-only co-partitioned join, no nested loop") {
+    // Each side collapses to (doc_id, md5) in its scan; the full-outer
+    // join must be hash/merge on doc_id — never a pair scan.
+    val p = physical("doc_corpus_diff")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      p.take(3000))
+  }
+
   test("doc_bm25_index_topk: postings scan partition-prunes to the query-term buckets") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_lex_plan").toString
