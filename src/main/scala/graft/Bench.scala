@@ -182,9 +182,13 @@ object Bench {
         val factors = ref.collect { case (k, rv) if best.contains(k) && rv > 0 =>
           k -> best(k) / rv
         }.toMap
+        // Failed in EVERY ref pass (a one-pass flake that recovered has a
+        // ref time and a factor) — bound once so the detail name list and
+        // the contract-line count can never disagree.
+        val refFailedOnly = refFailed.filterNot(ref.contains)
         val refQsJson = ref.map { case (k, v) => s"\"" + k + "\":" + v }
           .mkString("{", ",", "}") +
-          nameList("ref_failed", refFailed.filterNot(ref.contains))
+          nameList("ref_failed", refFailedOnly)
         val factorsJson = factors.toSeq.sortBy(_._1)
           .map { case (k, f) => s"\"" + k + "\":" + f2(f) }
           .mkString("{", ",", "}")
@@ -212,9 +216,9 @@ object Bench {
           .sortBy(-_._2)
           .map { case (k, f) => s"\"" + k + "\":" + f2(f) }
           .mkString("{", ",", "}")
-        val refFailedN = refFailed.count(!ref.contains(_))
         val refFailedJson =
-          if (refFailedN == 0) "" else s""","ref_failed_n":$refFailedN"""
+          if (refFailedOnly.isEmpty) ""
+          else s""","ref_failed_n":${refFailedOnly.size}"""
         (s""","scaling":{"ref_sf":"$refDir","factor_median":${f2(pct(0.5))},""" +
           s""""factor_p90":${f2(pct(0.9))},"factor_max":${f2(pct(1.0))},""" +
           s""""scale_path_factors_gt3":$outliers$refFailedJson}""",

@@ -586,15 +586,8 @@ object SparkEntry {
         .select(col("doc_id"), col("text")).collect()
         .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
         .toMap
-      val queries = qids.map { q =>
-        val toks = graft.streaming.StreamingNearDup
-          .wsTokensScala(texts.getOrElse(q, ""))
-        // First occurrence per term; positions are unique, so the order
-        // is total without a term tie-break.
-        val firstPos = toks.zipWithIndex.groupBy(_._1)
-          .map { case (tk, xs) => tk -> xs.map(_._2).min }
-        q -> firstPos.toSeq.sortBy(_._2).take(6).map(_._1)
-      }
+      val queries = qids.map(q =>
+        q -> Search.queryByExampleTerms(texts.getOrElse(q, ""), 6))
       Search.lexIndexTopK(s, out, queries, k = 10, excludeSelf = true)
     }),
 

@@ -165,9 +165,15 @@ object VacuitySweep {
       empty.flatMap(q => Seq(s"$q.*")).toSet
     // (live already holds `q.*` for every swept query, so no extra
     // wildcard clause is needed here.) Under a partial sweep an entry for
-    // an un-swept query is NOT stale — it was simply out of scope.
-    val outOfScope = (k: String) =>
-      !expected.contains(k.substring(0, k.lastIndexOf('.')))
+    // a REGISTERED-but-unswept query is NOT stale — it was simply out of
+    // scope. An entry whose query is not registered at all (renamed or
+    // removed) is stale on EVERY sweep: exempting it too would let a
+    // dead waiver linger and silently suppress a real violation if the
+    // name is ever re-added.
+    val outOfScope = (k: String) => {
+      val q = k.substring(0, k.lastIndexOf('.'))
+      SparkEntry.queries.contains(q) && !expected.contains(q)
+    }
     val stale = allow.keys.filterNot(k => live.contains(k) || outOfScope(k))
       .toSeq.sorted.map(k => s"$k: allowlist entry matches no dumped column") ++
       allow.keys.filter(k => live.contains(k) && !activeKeys.contains(k))

@@ -218,6 +218,23 @@ object Search {
       lit(nDocs.toDouble), lit(totalTokens.toDouble / nDocs.toDouble))
   }
 
+  /** Driver-side query-by-example term extraction — the client half of
+    * [[lexIndexTopK]]'s contract: tokenize a probe text with the Scala
+    * tokenizer twin and keep the first `n` distinct terms in
+    * first-occurrence order. ONE definition shared by the registered
+    * query and the serve≡batch spec, because it must stay exactly
+    * equivalent to [[bm25Tail]]'s (first_pos, term) window and the
+    * oracle's QUALIFY ordering (positions are unique per term, so the
+    * order is total without a term tie-break).
+    */
+  def queryByExampleTerms(text: String, n: Int): Seq[String] = {
+    val toks = graft.streaming.StreamingNearDup
+      .wsTokensScala(Option(text).getOrElse(""))
+    toks.zipWithIndex.groupBy(_._1)
+      .map { case (t, xs) => t -> xs.map(_._2).min }
+      .toSeq.sortBy(_._2).take(n).map(_._1)
+  }
+
   private def resetDir(spark: SparkSession, dir: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -128,16 +128,24 @@ object Similarity {
     */
   def embDecontam(emb: DataFrame, evalEmb: DataFrame,
       threshold: Double = 0.9, maxEvalVectors: Int = 4096): DataFrame = {
+    // limit BEFORE collect: the cap exists to bound driver memory, so it
+    // must bind before the unbounded materialization, not after (a
+    // corpus-sized frame passed by mistake would otherwise OOM the
+    // driver ahead of the require).
     val evs = evalEmb
       .select(col("vec_id").cast("long").as("vec_id"),
         asDouble(col("embedding")).as("ev"))
+      .limit(maxEvalVectors + 1)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     require(evs.nonEmpty, "embDecontam needs a non-empty eval set")
     require(evs.length <= maxEvalVectors,
-      s"embDecontam folds the eval set into literals; ${evs.length} " +
-        s"vectors exceeds maxEvalVectors=$maxEvalVectors")
+      s"embDecontam folds the eval set into literals; the eval set " +
+        s"exceeds maxEvalVectors=$maxEvalVectors")
+    val dims = evs.head._2.length
+    require(evs.forall(_._2.length == dims),
+      "embDecontam eval vectors have mixed dimensionality")
     val evIds = typedlit(evs.map(_._1))
     val evNorms = typedlit(evs.map { case (_, v) =>
       math.sqrt(v.foldLeft(0.0)((s, x) => s + x * x))
@@ -151,7 +159,13 @@ object Similarity {
           col("cn"), element_at(evNorms, i + 1))).as("neg"),
         element_at(evIds, i + 1).as("eval_id")))
     val best = array_min(scored)
-    emb.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
+    // Dim guard (the ivfPqTopK precedent): a corpus embedded with a
+    // different model would otherwise score NULL against every eval
+    // vector (vecDot returns NULL on mismatched lengths) and the
+    // contamination gate would silently report a clean corpus.
+    emb.select(col("vec_id"),
+        checkedDims(asDouble(col("embedding")), dims,
+          "embDecontam eval book").as("cv"))
       .withColumn("cn", norm(col("cv")))
       .select(col("vec_id"),
         (-best.getField("neg")).as("max_eval_cos"),

@@ -260,6 +260,21 @@ class PipelineOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("embDecontam: corpus/eval dim mismatch fails loudly, never scores NULL") {
+    // A corpus embedded with a different model must throw — vecDot would
+    // otherwise return NULL per pair and the gate would silently report
+    // a clean corpus.
+    val corpus = vecs(0L -> Seq(1f, 0f, 0f), 1L -> Seq(0f, 1f, 0f))
+    val evalWide = vecs(0L -> Seq(1f, 0f, 0f, 0f))
+    val e = intercept[Exception] {
+      Similarity.embDecontam(corpus, evalWide).collect()
+    }
+    // raise_error surfaces as a task failure — walk the cause chain.
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("dims")))
+  }
+
   // ---- lexical BM25 ----------------------------------------------------
 
   test("bm25TopK: rational idf ranks rare-term match above common-term match") {
@@ -337,15 +352,10 @@ class PipelineOperatorsSpec extends SparkSpec {
     val queryIds = Seq(0L, 7L)
     val dir = java.nio.file.Files.createTempDirectory("graft_lex_spec").toString
     Search.buildLexIndex(d, dir, buckets = 8)
-    // Query-by-example serving: tokenize the probe docs driver-side with
-    // the Scala twin, first-position-distinct terms, excludeSelf.
-    val queries = queryIds.map { q =>
-      val toks = graft.streaming.StreamingNearDup.wsTokensScala(
-        corpus.toMap.apply(q))
-      val firstPos = toks.zipWithIndex.groupBy(_._1)
-        .map { case (t, xs) => t -> xs.map(_._2).min }
-      q -> firstPos.toSeq.sortBy(_._2).take(3).map(_._1)
-    }
+    // Query-by-example serving: the shared driver-side term extraction,
+    // excludeSelf — must land on exactly the batch tail's term set.
+    val queries = queryIds.map(q =>
+      q -> Search.queryByExampleTerms(corpus.toMap.apply(q), 3))
     val served = Search
       .lexIndexTopK(spark, dir, queries, k = 5, excludeSelf = true)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
