@@ -189,7 +189,8 @@ object Search {
     // silently double the affected per-term scores — fail instead.
     require(queries.map(_._1).distinct.size == queries.size,
       "lexIndexTopK query ids must be distinct")
-    val st = spark.read.parquet(s"$dir/stats").head()
+    val (_, pDirs, statsDir) = lexManifest(spark, dir)
+    val st = spark.read.parquet(s"$dir/$statsDir").head()
     val nDocs = st.getAs[Long]("n_docs")
     val totalTokens = st.getAs[Long]("total_tokens")
     val buckets = st.getAs[Int]("buckets")
@@ -204,7 +205,12 @@ object Search {
     val bkts = qt
       .select(pmod(hash(col("term")), lit(buckets)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toIndexedSeq
-    val scoped = spark.read.parquet(s"$dir/postings")
+    // Each generation dir is its own partitioned source; the bkt filter
+    // pushes through the union, so EVERY generation scan prunes
+    // independently (the readCells discipline). A never-appended index
+    // is one scan — exactly the pre-append plan.
+    val scoped = pDirs.map(d => spark.read.parquet(s"$dir/$d"))
+      .reduce(_.unionByName(_))
       .filter(col("bkt").isin(bkts: _*))
     val qtermSet = qt.select(col("term")).distinct()
     val dfTab = scoped.join(broadcast(qtermSet), Seq("term"))
@@ -217,6 +223,144 @@ object Search {
     scoreAndRank(matched, k, k1, b,
       lit(nDocs.toDouble), lit(totalTokens.toDouble / nDocs.toDouble))
   }
+
+  // ---- append lifecycle (daily ingest without a rebuild) ---------------
+  //
+  // Unlike the ANN indexes (whose append freezes a trained book and is
+  // equivalent-by-determinism), the lexical append is equivalent to a
+  // rebuild EXACTLY and unconditionally: postings rows are disjoint by
+  // doc_id, df is recomputed from the union at serve time, and the
+  // corpus stats are purely additive. The manifest machinery mirrors
+  // Similarity's: delta dirs exist on disk before any manifest
+  // references them; the dot-temp -> rename of the manifest is the
+  // atomic commit point; a reader resolves either generation, never a
+  // torn index. Appends are SINGLE-WRITER (concurrent appenders race on
+  // the generation number; the loser's rename fails loudly), and the
+  // caller owns doc_id uniqueness across generations — a re-ingested
+  // doc_id would double-count in df and N.
+
+  private val LexManifestRe = """manifest-(\d{10})\.json""".r
+  private def lexManifestName(seq: Long): String = f"manifest-$seq%010d.json"
+
+  private def lexFs(spark: SparkSession, dir: String) = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    (root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+  }
+
+  /** The live (seq, postings dirs, stats dir). A freshly-built index has
+    * no manifest — it adopts as (0, ["postings"], "stats"), so indexes
+    * written before the append lifecycle existed read unchanged.
+    */
+  private[graft] def lexManifest(spark: SparkSession, dir: String)
+      : (Long, Seq[String], String) = {
+    val (fs, root) = lexFs(spark, dir)
+    val seqs =
+      if (!fs.exists(root)) Seq.empty[Long]
+      else fs.listStatus(root).toSeq.map(_.getPath.getName).collect {
+        case LexManifestRe(d) => d.toLong
+      }
+    if (seqs.isEmpty) (0L, Seq("postings"), "stats")
+    else {
+      val seq = seqs.max
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val in = fs.open(new org.apache.hadoop.fs.Path(root, lexManifestName(seq)))
+      val node = try mapper.readTree(in) finally in.close()
+      import scala.jdk.CollectionConverters._
+      (seq, node.get("dirs").elements().asScala.map(_.asText()).toSeq,
+        node.get("stats").asText())
+    }
+  }
+
+  private def commitLexManifest(spark: SparkSession, dir: String, seq: Long,
+      dirs: Seq[String], statsDir: String): Unit = {
+    val (fs, root) = lexFs(spark, dir)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    val arr = node.putArray("dirs")
+    dirs.foreach(arr.add)
+    node.put("stats", statsDir)
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s".manifest-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(root, lexManifestName(seq))
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(
+        s"lex index manifest commit failed: rename $tmp -> $dst")
+  }
+
+  /** APPEND new documents to a persisted inverted index: the delta's
+    * postings are written as a new bucket-partitioned generation dir
+    * (same term-hash expression, so pruning spans generations), the
+    * corpus stats roll forward ADDITIVELY into a new stats dir, and the
+    * manifest rename commits both at once. Search-after-append equals a
+    * full rebuild over base∪delta EXACTLY (spec-pinned) — df and scores
+    * are recomputed from the union at serve time, nothing is frozen.
+    *
+    * An empty delta (token-less docs only) is a NO-OP: a 0-row
+    * partitioned write leaves no bkt= dirs and committing it would
+    * poison every later read — the ANN append lesson.
+    */
+  def appendToLexIndex(newDocs: DataFrame, dir: String): Unit = {
+    val spark = newDocs.sparkSession
+    val (seq, pDirs, statsDir) = lexManifest(spark, dir)
+    val st = spark.read.parquet(s"$dir/$statsDir").head()
+    val nDocs = st.getAs[Long]("n_docs")
+    val totalTokens = st.getAs[Long]("total_tokens")
+    val buckets = st.getAs[Int]("buckets")
+    val newPDir = s"postings-${seq + 1}"
+    val newSDir = s"stats-${seq + 1}"
+    val (deltaDocs, deltaTokens) = Barrier.withCached(postings(newDocs)) { p =>
+      p.withColumn("bkt", pmod(hash(col("term")), lit(buckets)))
+        .repartition(col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt")
+        .parquet(s"$dir/$newPDir")
+      val t = p.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("dl")), lit(0L)).as("tok")).head()
+      (t.getLong(0), t.getLong(1))
+    }
+    val (fs, root) = lexFs(spark, dir)
+    if (deltaDocs == 0L) {
+      fs.delete(new org.apache.hadoop.fs.Path(root, newPDir), true)
+      System.err.println(
+        s"[graft] lex append of an EMPTY delta to $dir skipped (no commit)")
+    } else {
+      spark.range(1).select(
+          lit(nDocs + deltaDocs).as("n_docs"),
+          lit(totalTokens + deltaTokens).as("total_tokens"),
+          lit(buckets).as("buckets"))
+        .write.mode("overwrite").parquet(s"$dir/$newSDir")
+      commitLexManifest(spark, dir, seq + 1, pDirs :+ newPDir, newSDir)
+      sweepLexGenerations(spark, dir, seq + 1)
+    }
+  }
+
+  /** Sweep superseded manifests and their stats dirs with a ONE-COMMIT
+    * reader grace (generation current-1 survives; older go) — postings
+    * delta dirs are cumulative and always live. Best-effort: a sweep
+    * failure after a durable commit must not fail the append (the ANN
+    * sweep lesson — a retried append would duplicate the delta).
+    */
+  private def sweepLexGenerations(spark: SparkSession, dir: String,
+      current: Long): Unit =
+    try {
+      val (fs, root) = lexFs(spark, dir)
+      fs.listStatus(root).toSeq.map(_.getPath.getName).foreach {
+        case LexManifestRe(d) if d.toLong < current - 1 =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, lexManifestName(d.toLong)), false)
+          fs.delete(new org.apache.hadoop.fs.Path(root, s"stats-${d.toLong}"), true)
+        case _ => ()
+      }
+      // Generation 0 has no manifest file (adoption); its stats dir is
+      // unreferenced once the grace floor reaches generation 1.
+      if (current >= 2)
+        fs.delete(new org.apache.hadoop.fs.Path(root, "stats"), true)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] lex generation sweep at $dir failed " +
+          s"(index remains correct): ${e.getMessage}")
+    }
 
   /** Driver-side query-by-example term extraction — the client half of
     * [[lexIndexTopK]]'s contract: tokenize a probe text with the Scala

@@ -370,6 +370,46 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("appendToLexIndex: search-after-append equals a rebuild over base∪delta") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val corpus = (0L until 40L).map { id =>
+      id -> Seq.fill(2 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    val d = docs(corpus: _*)
+    val base = d.filter(col("doc_id") % 5 =!= 2)
+    val delta = d.filter(col("doc_id") % 5 === 2)
+    val appended = java.nio.file.Files
+      .createTempDirectory("graft_lex_app").toString
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft_lex_reb").toString
+    Search.buildLexIndex(base, appended, buckets = 8)
+    Search.appendToLexIndex(delta, appended)
+    Search.buildLexIndex(d, rebuilt, buckets = 8)
+    val queries = Seq(0L, 7L).map(q =>
+      q -> Search.queryByExampleTerms(corpus.toMap.apply(q), 3))
+    def run(dir: String) = Search
+      .lexIndexTopK(spark, dir, queries, k = 5, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(run(appended) == run(rebuilt))
+    // Second append: generation sweep keeps a one-commit grace — the
+    // previous manifest+stats survive, older generations go.
+    Search.appendToLexIndex(
+      docs(1000L -> "aa zz").select(col("doc_id"), col("text")), appended)
+    val names = new java.io.File(appended).listFiles().map(_.getName).toSet
+    assert(names.contains("manifest-0000000002.json"))
+    assert(names.contains("manifest-0000000001.json")) // grace
+    assert(names.contains("stats-1") && names.contains("stats-2"))
+    assert(!names.contains("stats")) // gen-0 adoption stats swept
+    // Empty delta (token-less docs) is a no-op: no new generation.
+    Search.appendToLexIndex(
+      docs(2000L -> "   ").select(col("doc_id"), col("text")), appended)
+    val (seq, _, _) = Search.lexManifest(spark, appended)
+    assert(seq == 2L)
+  }
+
   test("ivfTopKMulti: Hamming-1 probe recovers a cell-boundary neighbor") {
     // Query 0 sits in the all-positive cell; vec 2 differs only in the
     // last dim's sign (Hamming-1 cell) with high cosine — single-probe

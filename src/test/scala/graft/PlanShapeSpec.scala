@@ -446,6 +446,25 @@ class PlanShapeSpec extends SparkSpec {
       p.take(3000))
   }
 
+  test("doc_bm25_append_topk: EVERY generation scan of an appended lex index prunes") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lex_app_plan").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    graft.operators.Search.buildLexIndex(
+      docs.filter(col("doc_id") % 10 =!= 7), dir, buckets = 64)
+    graft.operators.Search.appendToLexIndex(
+      docs.filter(col("doc_id") % 10 === 7), dir)
+    val p = graft.operators.Search
+      .lexIndexTopK(spark, dir, Seq(1L -> Seq("the", "of")), k = 5)
+      .queryExecution.executedPlan.toString
+    // The bkt IN filter pushes through the generation union: both the
+    // base and the delta dir scans prune (2 dirs × 2 passes = 4 pruned
+    // scans), and none scans unfiltered.
+    assert("PartitionFilters: \\[bkt".r.findAllIn(p).size >= 4, p.take(4000))
+    assert(!p.contains("PartitionFilters: []"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+  }
+
   test("doc_bm25_index_topk: postings scan partition-prunes to the query-term buckets") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_lex_plan").toString
