@@ -616,6 +616,30 @@ object SparkEntry {
         k = 10, excludeSelf = true)
     }),
 
+    // COMPACT lifecycle: build base → append delta → fold the
+    // generations back to one dir. Rows rewrite verbatim and stats carry
+    // over, so the compacted search is bit-identical to the appended one
+    // — and both equal the batch query (shared oracle). Plan-locked to
+    // exactly one pruned postings source per serve pass.
+    "doc_bm25_compact_topk" -> ((s, dir) => {
+      val out = indexDir("graft_lex_cpt", dir)
+      val docs = t(s, dir, "documents")
+      if (builtIndexes.add(s"lexcpt:$out")) {
+        Search.buildLexIndex(docs.filter(col("doc_id") % 10 =!= 7), out,
+          buckets = 64)
+        Search.appendToLexIndex(docs.filter(col("doc_id") % 10 === 7), out)
+        Search.compactLexIndex(s, out)
+      }
+      val qids = Seq(1L, 101L, 201L, 301L, 401L)
+      val texts = docs.filter(col("doc_id").isin(qids: _*))
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
+        .toMap
+      Search.lexIndexTopK(s, out,
+        qids.map(q => q -> Search.queryByExampleTerms(texts.getOrElse(q, ""), 6)),
+        k = 10, excludeSelf = true)
+    }),
+
     // Corpus snapshot diff with PLANTED version deltas (the pii-scrub
     // de-vacuation pattern): v2 drops doc_id%31==5 (removed), rewrites
     // doc_id%17==3 (changed), and ingests doc_id%41==7 under shifted ids
@@ -2286,6 +2310,10 @@ object SparkEntry {
     // recomputed from the union, stats additive), and base∪delta is the
     // full corpus — the appended-index search shares the batch oracle.
     "doc_bm25_append_topk" -> bm25TopKSql,
+
+    // Compaction rewrites rows verbatim (search bit-identical across the
+    // fold) — same oracle again.
+    "doc_bm25_compact_topk" -> bm25TopKSql,
 
     // The planted v2 derivation is replayed verbatim; hashes compare the
     // same strings both engines built (null text hashes like empty — the

@@ -262,14 +262,32 @@ object Search {
     if (seqs.isEmpty) (0L, Seq("postings"), "stats")
     else {
       val seq = seqs.max
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val in = fs.open(new org.apache.hadoop.fs.Path(root, lexManifestName(seq)))
-      val node = try mapper.readTree(in) finally in.close()
-      import scala.jdk.CollectionConverters._
-      (seq, node.get("dirs").elements().asScala.map(_.asText()).toSeq,
-        node.get("stats").asText())
+      val (dirs, stats) = lexManifestAt(fs, root, seq)
+      (seq, dirs, stats)
     }
   }
+
+  /** The (postings dirs, stats dir) a SPECIFIC generation references.
+    * Generation 0 is the adoption layout.
+    */
+  private def lexManifestAt(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, g: Long): (Seq[String], String) =
+    if (g == 0L) (Seq("postings"), "stats")
+    else {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val in = fs.open(new org.apache.hadoop.fs.Path(root, lexManifestName(g)))
+      val node = try mapper.readTree(in) finally in.close()
+      import scala.jdk.CollectionConverters._
+      (node.get("dirs").elements().asScala.map(_.asText()).toSeq,
+        node.get("stats").asText())
+    }
+
+  /** Names a manifest may reference — the only names the sweep may
+    * delete, so foreign files in the index dir are never collected.
+    */
+  private def isLexDataDir(n: String): Boolean =
+    n == "postings" || n.startsWith("postings-") ||
+      n == "stats" || n.startsWith("stats-")
 
   private def commitLexManifest(spark: SparkSession, dir: String, seq: Long,
       dirs: Seq[String], statsDir: String): Unit = {
@@ -336,31 +354,66 @@ object Search {
     }
   }
 
-  /** Sweep superseded manifests and their stats dirs with a ONE-COMMIT
-    * reader grace (generation current-1 survives; older go) — postings
-    * delta dirs are cumulative and always live. Best-effort: a sweep
-    * failure after a durable commit must not fail the append (the ANN
-    * sweep lesson — a retried append would duplicate the delta).
+  /** Sweep everything the retained generations (current and current-1 —
+    * one-commit reader grace, the IncrementalTrend RetainedGenerations=2
+    * policy) do not reference: older manifests, orphaned dot-temps, and
+    * unreferenced postings/stats dirs (appends only orphan stats dirs;
+    * a [[compactLexIndex]] also orphans the folded-away postings dirs).
+    * Best-effort: a sweep failure after a durable commit must not fail
+    * the operation (the ANN sweep lesson — a retried append would
+    * duplicate the delta); leftovers are unreferenced and the next
+    * commit's sweep collects them.
     */
   private def sweepLexGenerations(spark: SparkSession, dir: String,
       current: Long): Unit =
     try {
       val (fs, root) = lexFs(spark, dir)
-      fs.listStatus(root).toSeq.map(_.getPath.getName).foreach {
-        case LexManifestRe(d) if d.toLong < current - 1 =>
-          fs.delete(new org.apache.hadoop.fs.Path(root, lexManifestName(d.toLong)), false)
-          fs.delete(new org.apache.hadoop.fs.Path(root, s"stats-${d.toLong}"), true)
-        case _ => ()
+      val referenced = Seq(current - 1, current).filter(_ >= 0)
+        .flatMap { g =>
+          val (ds, sd) = lexManifestAt(fs, root, g)
+          ds :+ sd
+        }.toSet
+      fs.listStatus(root).foreach { st =>
+        st.getPath.getName match {
+          case LexManifestRe(d) if d.toLong < current - 1 =>
+            fs.delete(st.getPath, false)
+          case n if n.startsWith(".manifest-") => fs.delete(st.getPath, false)
+          case n if isLexDataDir(n) && !referenced.contains(n) =>
+            fs.delete(st.getPath, true)
+          case _ => ()
+        }
       }
-      // Generation 0 has no manifest file (adoption); its stats dir is
-      // unreferenced once the grace floor reaches generation 1.
-      if (current >= 2)
-        fs.delete(new org.apache.hadoop.fs.Path(root, "stats"), true)
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[graft] lex generation sweep at $dir failed " +
           s"(index remains correct): ${e.getMessage}")
     }
+
+  /** COMPACT a persisted inverted index: fold every live postings
+    * generation back into ONE bucket-partitioned dir and commit with the
+    * same atomic manifest rename appends use — the maintenance pass that
+    * restores the single-scan-per-pass plan an append history erodes
+    * (each generation is its own parquet source in the serve plan).
+    * Rows are rewritten VERBATIM (bkt rides the read — no re-hash) and
+    * the stats carry over unchanged into a generation-owned copy, so
+    * search-after-compact is bit-identical to search-before
+    * (spec-pinned). No-op on a single-generation index. Single-writer,
+    * like append.
+    */
+  def compactLexIndex(spark: SparkSession, dir: String): Unit = {
+    val (seq, pDirs, statsDir) = lexManifest(spark, dir)
+    if (pDirs.length <= 1) return
+    val newP = s"postings-${seq + 1}"
+    val newS = s"stats-${seq + 1}"
+    pDirs.map(d => spark.read.parquet(s"$dir/$d"))
+      .reduce(_.unionByName(_))
+      .repartition(col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/$newP")
+    spark.read.parquet(s"$dir/$statsDir")
+      .write.mode("overwrite").parquet(s"$dir/$newS")
+    commitLexManifest(spark, dir, seq + 1, Seq(newP), newS)
+    sweepLexGenerations(spark, dir, seq + 1)
+  }
 
   /** Driver-side query-by-example term extraction — the client half of
     * [[lexIndexTopK]]'s contract: tokenize a probe text with the Scala

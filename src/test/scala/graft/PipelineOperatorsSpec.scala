@@ -408,6 +408,27 @@ class PipelineOperatorsSpec extends SparkSpec {
       docs(2000L -> "   ").select(col("doc_id"), col("text")), appended)
     val (seq, _, _) = Search.lexManifest(spark, appended)
     assert(seq == 2L)
+    // COMPACT folds the generations to one dir; search is bit-identical
+    // across the fold, and the folded-away dirs get one commit of grace.
+    val before = run(appended)
+    Search.compactLexIndex(spark, appended)
+    val (seqC, dirsC, _) = Search.lexManifest(spark, appended)
+    assert(seqC == 3L && dirsC == Seq("postings-3"))
+    assert(run(appended) == before)
+    val postC = new java.io.File(appended).listFiles().map(_.getName).toSet
+    assert(postC.contains("postings") && postC.contains("postings-2")) // grace
+    // One more append: the grace floor moves past the pre-compact
+    // generations and the sweep collects them.
+    Search.appendToLexIndex(
+      docs(3000L -> "bb cc dd").select(col("doc_id"), col("text")), appended)
+    val postA = new java.io.File(appended).listFiles().map(_.getName).toSet
+    assert(!postA.contains("postings") && !postA.contains("postings-1") &&
+      !postA.contains("postings-2"))
+    assert(postA.contains("postings-3") && postA.contains("postings-4"))
+    // No-op on a single-generation index.
+    val (seqB, dirsB, _) = Search.lexManifest(spark, rebuilt)
+    Search.compactLexIndex(spark, rebuilt)
+    assert(Search.lexManifest(spark, rebuilt) == ((seqB, dirsB, "stats")))
   }
 
   test("ivfTopKMulti: Hamming-1 probe recovers a cell-boundary neighbor") {

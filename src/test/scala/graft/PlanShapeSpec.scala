@@ -465,6 +465,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(4000))
   }
 
+  test("doc_bm25_compact_topk: compaction folds serving back to one pruned source per pass") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lex_cpt_plan").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    graft.operators.Search.buildLexIndex(
+      docs.filter(col("doc_id") % 10 =!= 7), dir, buckets = 64)
+    graft.operators.Search.appendToLexIndex(
+      docs.filter(col("doc_id") % 10 === 7), dir)
+    graft.operators.Search.compactLexIndex(spark, dir)
+    val p = graft.operators.Search
+      .lexIndexTopK(spark, dir, Seq(1L -> Seq("the", "of")), k = 5)
+      .queryExecution.executedPlan.toString
+    // One postings dir again: exactly the pre-append plan — one pruned
+    // scan per pass (df + match), not one per generation.
+    assert("PartitionFilters: \\[bkt".r.findAllIn(p).size == 2, p.take(4000))
+    assert(!p.contains("PartitionFilters: []"), p.take(4000))
+  }
+
   test("doc_bm25_index_topk: postings scan partition-prunes to the query-term buckets") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_lex_plan").toString
