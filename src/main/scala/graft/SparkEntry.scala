@@ -54,6 +54,35 @@ object SparkEntry {
   private def withAsOf(events: DataFrame, df: DataFrame): DataFrame =
     df.crossJoin(broadcast(events.agg(max(col("ts")).as("as_of"))))
 
+  /** The shared probe set of the three persisted-inverted-index queries:
+    * five probe docs, six first-position terms each, tokenized DRIVER-side
+    * with the Scala tokenizer twin (the realistic serving shape — terms
+    * arrive as literals, not as a corpus join). One definition, so the
+    * probe set / term count / null handling can't drift between the
+    * build, append, and compact variants.
+    */
+  private def lexProbeQueries(s: SparkSession, dir: String)
+      : Seq[(Long, Seq[String])] = {
+    val qids = Seq(1L, 101L, 201L, 301L, 401L)
+    val texts = t(s, dir, "documents")
+      .filter(col("doc_id").isin(qids: _*))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
+      .toMap
+    qids.map(q => q -> Search.queryByExampleTerms(texts.getOrElse(q, ""), 6))
+  }
+
+  /** Build-then-append preamble shared by the append and compact index
+    * queries: base = doc_id % 10 <> 7, delta = the ~10% ingest slice.
+    */
+  private def buildAppendedLexIndex(s: SparkSession, dir: String,
+      out: String): Unit = {
+    val docs = t(s, dir, "documents")
+    Search.buildLexIndex(docs.filter(col("doc_id") % 10 =!= 7), out,
+      buckets = 64)
+    Search.appendToLexIndex(docs.filter(col("doc_id") % 10 === 7), out)
+  }
+
   // ---------------------------------------------------------------------
   // Flagship: the reference's core use-case — "what's trending right now"
   // (read events → filter/classify → keyed agg → rate metric → top-k).
@@ -580,15 +609,8 @@ object SparkEntry {
       val out = indexDir("graft_lex", dir)
       if (builtIndexes.add(s"lex:$out"))
         Search.buildLexIndex(t(s, dir, "documents"), out, buckets = 64)
-      val qids = Seq(1L, 101L, 201L, 301L, 401L)
-      val texts = t(s, dir, "documents")
-        .filter(col("doc_id").isin(qids: _*))
-        .select(col("doc_id"), col("text")).collect()
-        .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
-        .toMap
-      val queries = qids.map(q =>
-        q -> Search.queryByExampleTerms(texts.getOrElse(q, ""), 6))
-      Search.lexIndexTopK(s, out, queries, k = 10, excludeSelf = true)
+      Search.lexIndexTopK(s, out, lexProbeQueries(s, dir), k = 10,
+        excludeSelf = true)
     }),
 
     // APPEND lifecycle of the inverted index: build on the base corpus
@@ -600,20 +622,10 @@ object SparkEntry {
     // source dir; repeats measure serving across two pruned generations.
     "doc_bm25_append_topk" -> ((s, dir) => {
       val out = indexDir("graft_lex_app", dir)
-      val docs = t(s, dir, "documents")
-      if (builtIndexes.add(s"lexapp:$out")) {
-        Search.buildLexIndex(docs.filter(col("doc_id") % 10 =!= 7), out,
-          buckets = 64)
-        Search.appendToLexIndex(docs.filter(col("doc_id") % 10 === 7), out)
-      }
-      val qids = Seq(1L, 101L, 201L, 301L, 401L)
-      val texts = docs.filter(col("doc_id").isin(qids: _*))
-        .select(col("doc_id"), col("text")).collect()
-        .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
-        .toMap
-      Search.lexIndexTopK(s, out,
-        qids.map(q => q -> Search.queryByExampleTerms(texts.getOrElse(q, ""), 6)),
-        k = 10, excludeSelf = true)
+      if (builtIndexes.add(s"lexapp:$out"))
+        buildAppendedLexIndex(s, dir, out)
+      Search.lexIndexTopK(s, out, lexProbeQueries(s, dir), k = 10,
+        excludeSelf = true)
     }),
 
     // COMPACT lifecycle: build base → append delta → fold the
@@ -623,21 +635,12 @@ object SparkEntry {
     // exactly one pruned postings source per serve pass.
     "doc_bm25_compact_topk" -> ((s, dir) => {
       val out = indexDir("graft_lex_cpt", dir)
-      val docs = t(s, dir, "documents")
       if (builtIndexes.add(s"lexcpt:$out")) {
-        Search.buildLexIndex(docs.filter(col("doc_id") % 10 =!= 7), out,
-          buckets = 64)
-        Search.appendToLexIndex(docs.filter(col("doc_id") % 10 === 7), out)
+        buildAppendedLexIndex(s, dir, out)
         Search.compactLexIndex(s, out)
       }
-      val qids = Seq(1L, 101L, 201L, 301L, 401L)
-      val texts = docs.filter(col("doc_id").isin(qids: _*))
-        .select(col("doc_id"), col("text")).collect()
-        .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
-        .toMap
-      Search.lexIndexTopK(s, out,
-        qids.map(q => q -> Search.queryByExampleTerms(texts.getOrElse(q, ""), 6)),
-        k = 10, excludeSelf = true)
+      Search.lexIndexTopK(s, out, lexProbeQueries(s, dir), k = 10,
+        excludeSelf = true)
     }),
 
     // Corpus snapshot diff with PLANTED version deltas (the pii-scrub

@@ -1,0 +1,126 @@
+package graft.operators
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Generation-manifest lifecycle shared by every persisted index format
+  * ([[Similarity]]'s ANN cell dirs, [[Search]]'s lexical postings):
+  * numbered JSON manifests, dot-temp staged commits, and the
+  * grace-window generation sweep. Format semantics — the adoption layout
+  * of pre-manifest indexes, the manifest's fields, which names count as
+  * data dirs, and the referenced set a sweep must retain — stay with
+  * each owner; this object owns only the crash-safety-critical
+  * mechanics, so a commit- or sweep-protocol fix lands exactly once.
+  *
+  * Commit protocol (the [[graft.streaming.IncrementalTrend]] pattern):
+  * data dirs exist on disk BEFORE any manifest references them, and the
+  * rename of the staged dot-temp onto `manifest-<seq>.json` is the
+  * atomic commit point — a reader resolves either the old generation or
+  * the new one, never a torn index. Writers are SINGLE-WRITER by
+  * contract; [[commit]] refuses an already-existing destination so a
+  * same-generation race fails loudly even on posix-like filesystems
+  * (where a bare rename silently REPLACES the winner's manifest — HDFS
+  * rename fails instead). The check-then-rename is not atomic, so this
+  * is a backstop, not a license to run concurrent writers.
+  */
+private[graft] object GenManifest {
+
+  val ManifestRe = """manifest-(\d{10})\.json""".r
+  def manifestName(seq: Long): String = f"manifest-$seq%010d.json"
+
+  def fsRoot(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val root = new Path(dir)
+    (root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+  }
+
+  /** Highest committed generation, None when no manifest file exists
+    * (callers adopt pre-manifest indexes as generation 0). */
+  def latestSeq(fs: FileSystem, root: Path): Option[Long] = {
+    val seqs =
+      if (!fs.exists(root)) Seq.empty[Long]
+      else fs.listStatus(root).toSeq.map(_.getPath.getName).collect {
+        case ManifestRe(d) => d.toLong
+      }
+    if (seqs.isEmpty) None else Some(seqs.max)
+  }
+
+  /** The parsed manifest of a SPECIFIC generation, None when its file is
+    * absent — gen 0 of an adopted index is synthesized by the caller,
+    * never on disk. */
+  def readNode(fs: FileSystem, root: Path, seq: Long): Option[JsonNode] = {
+    val p = new Path(root, manifestName(seq))
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new ObjectMapper().readTree(in)) finally in.close()
+    }
+  }
+
+  def newNode(): ObjectNode = new ObjectMapper().createObjectNode()
+
+  /** Stage `node` to a dot-temp, then rename onto the numbered manifest —
+    * the atomic commit point. Fails loudly if the destination already
+    * exists (single-writer contract violated) or the rename is refused;
+    * the orphaned data dir of an aborted commit is overwritten by the
+    * next attempt at this generation. */
+  def commit(spark: SparkSession, dir: String, seq: Long,
+      node: ObjectNode): Unit = {
+    val (fs, root) = fsRoot(spark, dir)
+    val tmp = new Path(root,
+      s".manifest-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(new ObjectMapper().writeValueAsBytes(node))
+    finally out.close()
+    val dst = new Path(root, manifestName(seq))
+    if (fs.exists(dst))
+      throw new IllegalStateException(
+        s"manifest commit failed: $dst already exists — concurrent " +
+          "writer? (appends/compactions are single-writer)")
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(
+        s"manifest commit failed: rename $tmp -> $dst")
+  }
+
+  /** Grace-window sweep after a durable commit at `current`: deletes
+    * manifests older than `current - 1`, crashed dot-temp stages, and
+    * every name `isDataDir` admits that `referenced` — the union of the
+    * current and predecessor generations' dirs, computed by the owner —
+    * does not contain. Retaining the predecessor gives an in-flight
+    * reader of the previous generation one further commit of grace
+    * (the IncrementalTrend RetainedGenerations=2 policy). `isDataDir`
+    * must positive-match ONLY sweepable data-dir names, so index
+    * metadata can never be deleted by a bug in the referenced-set
+    * arithmetic.
+    *
+    * BEST-EFFORT: runs after the commit is durable — a failure here must
+    * never surface as an operation failure, because the natural caller
+    * response (retry the append) would encode the SAME delta under a new
+    * generation and duplicate every row. Leftovers are unreferenced and
+    * the next commit's sweep collects them. Idempotent; safe to run
+    * standalone (e.g. a no-op compaction still sweeping old garbage).
+    */
+  def sweep(spark: SparkSession, dir: String, current: Long,
+      referenced: Set[String], isDataDir: String => Boolean): Unit =
+    try {
+      val (fs, root) = fsRoot(spark, dir)
+      fs.listStatus(root).foreach { st =>
+        st.getPath.getName match {
+          case ManifestRe(d) if d.toLong < current - 1 =>
+            fs.delete(st.getPath, false)
+          case n if n.startsWith(".manifest-") =>
+            fs.delete(st.getPath, false)
+          case n if isDataDir(n) && !referenced.contains(n) =>
+            fs.delete(st.getPath, true)
+          case _ => ()
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[graft] generation sweep at $dir (gen $current) failed " +
+            s"(commit already durable; next commit re-collects): " +
+            e.getMessage)
+    }
+}

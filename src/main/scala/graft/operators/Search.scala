@@ -230,22 +230,12 @@ object Search {
   // equivalent-by-determinism), the lexical append is equivalent to a
   // rebuild EXACTLY and unconditionally: postings rows are disjoint by
   // doc_id, df is recomputed from the union at serve time, and the
-  // corpus stats are purely additive. The manifest machinery mirrors
-  // Similarity's: delta dirs exist on disk before any manifest
-  // references them; the dot-temp -> rename of the manifest is the
-  // atomic commit point; a reader resolves either generation, never a
-  // torn index. Appends are SINGLE-WRITER (concurrent appenders race on
-  // the generation number; the loser's rename fails loudly), and the
-  // caller owns doc_id uniqueness across generations — a re-ingested
-  // doc_id would double-count in df and N.
-
-  private val LexManifestRe = """manifest-(\d{10})\.json""".r
-  private def lexManifestName(seq: Long): String = f"manifest-$seq%010d.json"
-
-  private def lexFs(spark: SparkSession, dir: String) = {
-    val root = new org.apache.hadoop.fs.Path(dir)
-    (root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
-  }
+  // corpus stats are purely additive. Commit/sweep mechanics are the
+  // shared [[GenManifest]] protocol (delta dirs on disk before any
+  // manifest references them; dot-temp -> rename as the atomic commit;
+  // single-writer, fail-loud on a same-generation race). The caller owns
+  // doc_id uniqueness across generations — a re-ingested doc_id would
+  // double-count in df and N.
 
   /** The live (seq, postings dirs, stats dir). A freshly-built index has
     * no manifest — it adopts as (0, ["postings"], "stats"), so indexes
@@ -253,17 +243,12 @@ object Search {
     */
   private[graft] def lexManifest(spark: SparkSession, dir: String)
       : (Long, Seq[String], String) = {
-    val (fs, root) = lexFs(spark, dir)
-    val seqs =
-      if (!fs.exists(root)) Seq.empty[Long]
-      else fs.listStatus(root).toSeq.map(_.getPath.getName).collect {
-        case LexManifestRe(d) => d.toLong
-      }
-    if (seqs.isEmpty) (0L, Seq("postings"), "stats")
-    else {
-      val seq = seqs.max
-      val (dirs, stats) = lexManifestAt(fs, root, seq)
-      (seq, dirs, stats)
+    val (fs, root) = GenManifest.fsRoot(spark, dir)
+    GenManifest.latestSeq(fs, root) match {
+      case None => (0L, Seq("postings"), "stats")
+      case Some(seq) =>
+        val (dirs, stats) = lexManifestAt(fs, root, seq)
+        (seq, dirs, stats)
     }
   }
 
@@ -272,14 +257,13 @@ object Search {
     */
   private def lexManifestAt(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, g: Long): (Seq[String], String) =
-    if (g == 0L) (Seq("postings"), "stats")
-    else {
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val in = fs.open(new org.apache.hadoop.fs.Path(root, lexManifestName(g)))
-      val node = try mapper.readTree(in) finally in.close()
-      import scala.jdk.CollectionConverters._
-      (node.get("dirs").elements().asScala.map(_.asText()).toSeq,
-        node.get("stats").asText())
+    GenManifest.readNode(fs, root, g) match {
+      case Some(node) =>
+        import scala.jdk.CollectionConverters._
+        (node.get("dirs").elements().asScala.map(_.asText()).toSeq,
+          node.get("stats").asText())
+      case None if g == 0L => (Seq("postings"), "stats")
+      case None => (Seq.empty, "")
     }
 
   /** Names a manifest may reference — the only names the sweep may
@@ -291,20 +275,11 @@ object Search {
 
   private def commitLexManifest(spark: SparkSession, dir: String, seq: Long,
       dirs: Seq[String], statsDir: String): Unit = {
-    val (fs, root) = lexFs(spark, dir)
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = mapper.createObjectNode()
+    val node = GenManifest.newNode()
     val arr = node.putArray("dirs")
     dirs.foreach(arr.add)
     node.put("stats", statsDir)
-    val tmp = new org.apache.hadoop.fs.Path(root,
-      s".manifest-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val out = fs.create(tmp, false)
-    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
-    val dst = new org.apache.hadoop.fs.Path(root, lexManifestName(seq))
-    if (!fs.rename(tmp, dst))
-      throw new IllegalStateException(
-        s"lex index manifest commit failed: rename $tmp -> $dst")
+    GenManifest.commit(spark, dir, seq, node)
   }
 
   /** APPEND new documents to a persisted inverted index: the delta's
@@ -324,6 +299,15 @@ object Search {
     val (seq, pDirs, statsDir) = lexManifest(spark, dir)
     val st = spark.read.parquet(s"$dir/$statsDir").head()
     val nDocs = st.getAs[Long]("n_docs")
+    // Fail-fast on an empty BASE (a build over a token-less corpus):
+    // its postings dir holds no parquet files, and committing a manifest
+    // that references it would poison every later read with "unable to
+    // infer schema" — the sweep can never collect a live-referenced dir.
+    // (Also guards the NULL total_tokens such a build writes, which
+    // getAs[Long] would silently unbox to 0.)
+    require(nDocs > 0,
+      s"index at $dir has an empty base (token-less build) — rebuild " +
+        "with buildLexIndex instead of appending")
     val totalTokens = st.getAs[Long]("total_tokens")
     val buckets = st.getAs[Int]("buckets")
     val newPDir = s"postings-${seq + 1}"
@@ -338,7 +322,7 @@ object Search {
           coalesce(sum(col("dl")), lit(0L)).as("tok")).head()
       (t.getLong(0), t.getLong(1))
     }
-    val (fs, root) = lexFs(spark, dir)
+    val (fs, root) = GenManifest.fsRoot(spark, dir)
     if (deltaDocs == 0L) {
       fs.delete(new org.apache.hadoop.fs.Path(root, newPDir), true)
       System.err.println(
@@ -355,39 +339,33 @@ object Search {
   }
 
   /** Sweep everything the retained generations (current and current-1 —
-    * one-commit reader grace, the IncrementalTrend RetainedGenerations=2
-    * policy) do not reference: older manifests, orphaned dot-temps, and
-    * unreferenced postings/stats dirs (appends only orphan stats dirs;
-    * a [[compactLexIndex]] also orphans the folded-away postings dirs).
-    * Best-effort: a sweep failure after a durable commit must not fail
-    * the operation (the ANN sweep lesson — a retried append would
-    * duplicate the delta); leftovers are unreferenced and the next
-    * commit's sweep collects them.
+    * one-commit reader grace) do not reference: older manifests,
+    * orphaned dot-temps, and unreferenced postings/stats dirs (appends
+    * only orphan stats dirs; a [[compactLexIndex]] also orphans the
+    * folded-away postings dirs). Mechanics and the best-effort contract
+    * live in [[GenManifest.sweep]]; this computes the lexical
+    * referenced set (postings dirs AND the stats dir of each retained
+    * generation).
     */
   private def sweepLexGenerations(spark: SparkSession, dir: String,
-      current: Long): Unit =
-    try {
-      val (fs, root) = lexFs(spark, dir)
-      val referenced = Seq(current - 1, current).filter(_ >= 0)
-        .flatMap { g =>
-          val (ds, sd) = lexManifestAt(fs, root, g)
-          ds :+ sd
-        }.toSet
-      fs.listStatus(root).foreach { st =>
-        st.getPath.getName match {
-          case LexManifestRe(d) if d.toLong < current - 1 =>
-            fs.delete(st.getPath, false)
-          case n if n.startsWith(".manifest-") => fs.delete(st.getPath, false)
-          case n if isLexDataDir(n) && !referenced.contains(n) =>
-            fs.delete(st.getPath, true)
-          case _ => ()
-        }
+      current: Long): Unit = {
+    val referenced =
+      try {
+        val (fs, root) = GenManifest.fsRoot(spark, dir)
+        Seq(current - 1, current).filter(_ >= 0)
+          .flatMap { g =>
+            val (ds, sd) = lexManifestAt(fs, root, g)
+            ds :+ sd
+          }.filter(_.nonEmpty).toSet
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] lex generation sweep at $dir " +
+            s"skipped (referenced-set read failed; index remains " +
+            s"correct): ${e.getMessage}")
+          return
       }
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[graft] lex generation sweep at $dir failed " +
-          s"(index remains correct): ${e.getMessage}")
-    }
+    GenManifest.sweep(spark, dir, current, referenced, isLexDataDir)
+  }
 
   /** COMPACT a persisted inverted index: fold every live postings
     * generation back into ONE bucket-partitioned dir and commit with the
@@ -402,7 +380,13 @@ object Search {
     */
   def compactLexIndex(spark: SparkSession, dir: String): Unit = {
     val (seq, pDirs, statsDir) = lexManifest(spark, dir)
-    if (pDirs.length <= 1) return
+    if (pDirs.length <= 1) {
+      // Nothing to fold, but compaction is the maintenance pass: still
+      // collect garbage a previously-failed best-effort sweep left
+      // behind (an otherwise idle index would keep it forever).
+      sweepLexGenerations(spark, dir, seq)
+      return
+    }
     val newP = s"postings-${seq + 1}"
     val newS = s"stats-${seq + 1}"
     pDirs.map(d => spark.read.parquet(s"$dir/$d"))

@@ -395,16 +395,8 @@ object Similarity {
     */
   private def resetIndexDir(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
-    val (fs, root) = idxFs(spark, dir)
+    val (fs, root) = GenManifest.fsRoot(spark, dir)
     fs.delete(root, true)
-  }
-
-  private val IdxManifestRe = """manifest-(\d{10})\.json""".r
-  private def idxManifestName(seq: Long): String = f"manifest-$seq%010d.json"
-
-  private def idxFs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
-    val root = new org.apache.hadoop.fs.Path(dir)
-    (root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
   }
 
   /** The live (seq, data-dir names) of a persisted index. A freshly-built
@@ -413,38 +405,25 @@ object Similarity {
     */
   private[graft] def indexManifest(spark: org.apache.spark.sql.SparkSession,
       dir: String): (Long, Seq[String]) = {
-    val (fs, root) = idxFs(spark, dir)
-    val seqs =
-      if (!fs.exists(root)) Seq.empty[Long]
-      else fs.listStatus(root).toSeq.map(_.getPath.getName).collect {
-        case IdxManifestRe(d) => d.toLong
-      }
-    if (seqs.isEmpty) (0L, Seq("cells"))
-    else (seqs.max, manifestDirsAt(fs, root, seqs.max))
+    val (fs, root) = GenManifest.fsRoot(spark, dir)
+    GenManifest.latestSeq(fs, root) match {
+      case None => (0L, Seq("cells"))
+      case Some(seq) => (seq, manifestDirsAt(fs, root, seq))
+    }
   }
 
-  /** Stage the manifest JSON to a dot-temp file, then rename into place —
-    * the atomic commit point (the [[graft.streaming.IncrementalTrend]]
-    * pattern): the appended cell files exist on disk BEFORE any manifest
-    * references them, so a reader resolves either the old generation or
-    * the new one, never a torn index. A failed rename aborts loudly; the
-    * orphaned data dir is overwritten by the next append at this seq.
+  /** Commit the dirs list via the shared [[GenManifest]] protocol: cell
+    * files exist on disk BEFORE any manifest references them; the staged
+    * dot-temp rename is the atomic commit point; a same-generation race
+    * fails loudly. The orphaned data dir of an aborted commit is
+    * overwritten by the next append at this seq.
     */
   private def commitIndexManifest(spark: org.apache.spark.sql.SparkSession,
       dir: String, seq: Long, dirs: Seq[String]): Unit = {
-    val (fs, root) = idxFs(spark, dir)
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = mapper.createObjectNode()
+    val node = GenManifest.newNode()
     val arr = node.putArray("dirs")
     dirs.foreach(arr.add)
-    val tmp = new org.apache.hadoop.fs.Path(root,
-      s".manifest-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val out = fs.create(tmp, false)
-    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
-    val dst = new org.apache.hadoop.fs.Path(root, idxManifestName(seq))
-    if (!fs.rename(tmp, dst))
-      throw new IllegalStateException(
-        s"index manifest commit failed: rename $tmp -> $dst")
+    GenManifest.commit(spark, dir, seq, node)
   }
 
   /** The corpus of a persisted index: the union of its manifest's
@@ -522,7 +501,7 @@ object Similarity {
     */
   private def commitAppendedDir(spark: org.apache.spark.sql.SparkSession,
       dir: String, newDir: String, seq: Long, dirs: Seq[String]): Unit = {
-    val (fs, root) = idxFs(spark, dir)
+    val (fs, root) = GenManifest.fsRoot(spark, dir)
     val p = new org.apache.hadoop.fs.Path(root, newDir)
     val hasCells = fs.exists(p) &&
       fs.listStatus(p).exists(_.getPath.getName.startsWith("cell="))
@@ -740,60 +719,41 @@ object Similarity {
     * reader that resolved the adopted generation.
     */
   private def manifestDirsAt(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, gen: Long): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(root, idxManifestName(gen))
-    if (fs.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      val in = fs.open(p)
-      val node =
-        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
-        finally in.close()
-      node.get("dirs").elements().asScala.map(_.asText()).toSeq
-    } else if (gen == 0L) Seq("cells")
-    else Seq.empty
-  }
+      root: org.apache.hadoop.fs.Path, gen: Long): Seq[String] =
+    GenManifest.readNode(fs, root, gen) match {
+      case Some(node) =>
+        import scala.jdk.CollectionConverters._
+        node.get("dirs").elements().asScala.map(_.asText()).toSeq
+      case None if gen == 0L => Seq("cells")
+      case None => Seq.empty
+    }
 
-  /** Sweep what the just-committed generation superseded: manifests older
-    * than the predecessor, crashed `.manifest-*.tmp` stages, and any data
-    * dir that neither the committed manifest nor its predecessor
-    * references. Retaining the predecessor gives an in-flight reader of
-    * the previous generation one further commit of grace before its files
-    * go — the [[graft.streaming.IncrementalTrend]] RetainedGenerations=2
-    * policy. Appends are additive (each manifest references every prior
-    * dir), so after an append this only trims stale manifest files; after
-    * a [[compactIndex]] the pre-compaction dirs survive exactly one more
-    * commit. Single-writer like append; idempotent — a crash mid-sweep
-    * re-runs harmlessly on the next commit.
-    *
-    * BEST-EFFORT: the sweep runs AFTER the manifest rename, i.e. the
-    * append/compact is already committed — a transient filesystem error
-    * here must not surface as an operation failure, because the natural
-    * caller response (retry the append) would encode the SAME delta
-    * under a new generation and duplicate every vector in the index.
-    * Garbage a failed sweep leaves behind is unreferenced and the next
-    * commit's sweep collects it.
+  /** Sweep what the just-committed generation superseded: the shared
+    * [[GenManifest.sweep]] grace-window protocol (retain the committed
+    * manifest AND its predecessor — one further commit of reader grace)
+    * with the ANN referenced set (the retained generations' cell dirs).
+    * Appends are additive (each manifest references every prior dir), so
+    * after an append this only trims stale manifest files; after a
+    * [[compactIndex]] the pre-compaction dirs survive exactly one more
+    * commit. Best-effort — see [[GenManifest.sweep]] for why a failure
+    * here must never fail the already-durable commit.
     */
   private def sweepIndexGenerations(spark: org.apache.spark.sql.SparkSession,
-      dir: String, seq: Long): Unit =
-    try {
-      val (fs, root) = idxFs(spark, dir)
-      val referenced = Seq(seq - 1, seq).filter(_ >= 0)
-        .flatMap(g => manifestDirsAt(fs, root, g)).toSet
-      fs.listStatus(root).foreach { st =>
-        st.getPath.getName match {
-          case IdxManifestRe(d) if d.toLong < seq - 1 =>
-            fs.delete(st.getPath, false)
-          case n if n.startsWith(".manifest-") => fs.delete(st.getPath, false)
-          case n if isIndexDataDir(n) && !referenced.contains(n) =>
-            fs.delete(st.getPath, true)
-          case _ => ()
-        }
+      dir: String, seq: Long): Unit = {
+    val referenced =
+      try {
+        val (fs, root) = GenManifest.fsRoot(spark, dir)
+        Seq(seq - 1, seq).filter(_ >= 0)
+          .flatMap(g => manifestDirsAt(fs, root, g)).toSet
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[graft] index generation sweep skipped for $dir at gen $seq " +
+            s"(referenced-set read failed; commit already durable): " +
+            e.getMessage)
+        return
       }
-    } catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(
-        s"[graft] index generation sweep failed for $dir at gen $seq " +
-          s"(commit already durable; next commit re-collects): ${e.getMessage}")
-    }
+    GenManifest.sweep(spark, dir, seq, referenced, isIndexDataDir)
+  }
 
   /** COMPACT a persisted IVF / IVF-PQ index: fold every live generation
     * back into ONE cell-partitioned dir and commit the move with the same
@@ -826,7 +786,13 @@ object Similarity {
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
     val (seq, dirs) = indexManifest(spark, dir)
-    if (dirs.length <= 1) return
+    if (dirs.length <= 1) {
+      // Nothing to fold, but compaction is the maintenance pass: still
+      // collect garbage a previously-failed best-effort sweep left
+      // behind (an otherwise idle index would keep it forever).
+      sweepIndexGenerations(spark, dir, seq)
+      return
+    }
     val newDir = f"compact-${seq + 1}%010d"
     readCells(spark, dir)
       .repartition(col("cell"))
