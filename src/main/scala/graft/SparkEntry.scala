@@ -798,6 +798,14 @@ object SparkEntry {
       TextAnalysis.tokenRarity(planted)
     }),
 
+    // Bigram-LM quality scores (the KenLM-perplexity-filter stage,
+    // CCNet/Gopher): add-one-smoothed mean next-bigram probability in
+    // integer micro-units — fully integer end to end (no doubles), see
+    // TextAnalysis.bigramLmScores for the arithmetic-mean deviation.
+    // 467 distinct scores over 500 docs at sf0.01.
+    "doc_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLmScores(t(s, dir, "documents"))),
+
     // Within-doc duplicate-3-gram character coverage (Gopher's dup-n-gram
     // family; n=3 — the width at which this corpus's within-doc repeats
     // actually occur): union of all repeated spans, map-only, zero shuffle.
@@ -1342,6 +1350,14 @@ object SparkEntry {
     // embedding-clustering primitive for semantic bucketing.
     "emb_kmeans_assign" -> ((s, dir) =>
       Similarity.kmeansAssign(t(s, dir, "embeddings"), k = 8)),
+
+    // Cluster-balanced diversity sample: <= 60 vectors per seeded k-means
+    // cluster by md5 coin — cap 60 sits inside the sf0.01 cluster-size
+    // range (48..70), so BOTH branches fire: two clusters keep everything,
+    // six get capped (the de-vacuation discipline).
+    "emb_cluster_sample" -> ((s, dir) =>
+      Similarity.clusterBalancedSample(t(s, dir, "embeddings"), k = 8,
+        cap = 60)),
 
     // Two full Lloyd's iterations with the DETERMINISTIC fixed-point
     // centroid update (floor-quantized integer sums — shuffle-order-free),
@@ -2836,6 +2852,42 @@ object SparkEntry {
              / CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)) * 1e6 + 0.5) / 1e6 END AS dup_char_fraction
          FROM f""",
 
+    // Bigram-LM scores: the model CTEs (dbg -> c2 -> c1 -> V) and the
+    // scoring join replay the operator; every step is INTEGER arithmetic
+    // ((c2+1)*1e6 // (c1+V), then the per-doc integer mean), so the
+    // engines agree with no quantization discipline at all. Bigrams via
+    // the scalar-list generate_series form (the DuckDB lateral-arg
+    // limitation, round-8 notes).
+    "doc_bigram_lm" ->
+      """WITH tks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents WHERE length(trim(text)) > 0),
+         bg AS (
+           SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+             i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS b
+           FROM tks WHERE len(tk) >= 2),
+         dbg AS (
+           SELECT doc_id, b.w1 AS w1, b.w2 AS w2,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM bg GROUP BY doc_id, b.w1, b.w2),
+         c2 AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS c2
+           FROM dbg GROUP BY w1, w2),
+         c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+         vsz AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1),
+         agg AS (
+           SELECT d.doc_id, CAST(sum(d.cnt) AS BIGINT) AS n_bigrams,
+             CAST(sum((((c2.c2 + 1) * 1000000) // (c1.c1 + vsz.v)) * d.cnt)
+               // sum(d.cnt) AS BIGINT) AS lm_micro
+           FROM dbg d
+           JOIN c2 ON d.w1 = c2.w1 AND d.w2 = c2.w2
+           JOIN c1 ON d.w1 = c1.w1
+           CROSS JOIN vsz
+           GROUP BY d.doc_id)
+         SELECT d.doc_id,
+           coalesce(a.n_bigrams, 0) AS n_bigrams,
+           coalesce(a.lm_micro, 0) AS lm_micro
+         FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+
     "doc_token_rarity" ->
       """WITH pd AS (
            SELECT doc_id,
@@ -3538,6 +3590,32 @@ object SparkEntry {
            CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
          FROM toks GROUP BY token
          ORDER BY occurrences DESC, token ASC LIMIT 100""",
+
+    // Assignment CTEs mirror emb_kmeans_assign (k=8, seeded book); the
+    // coin and the per-cluster rank replay the operator verbatim.
+    "emb_cluster_sample" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, ev AS cv FROM v WHERE vec_id < 8),
+         s AS (
+           SELECT v.vec_id, centroid_id,
+             (list_dot_product(ev, ev) + list_dot_product(cv, cv))
+               - 2.0 * list_dot_product(ev, cv) AS d2
+           FROM v, c),
+         r AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+           FROM s),
+         a AS (
+           SELECT vec_id, centroid_id AS cluster,
+             md5('cbs:0:' || CAST(vec_id AS VARCHAR)) AS coin
+           FROM r WHERE rn = 1),
+         rk AS (
+           SELECT vec_id, cluster,
+             CAST(row_number() OVER
+               (PARTITION BY cluster ORDER BY coin, vec_id) AS INT)
+               AS smp_rank
+           FROM a)
+         SELECT vec_id, cluster, smp_rank FROM rk WHERE smp_rank <= 60""",
 
     "emb_kmeans_assign" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),

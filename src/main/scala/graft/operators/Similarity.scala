@@ -1122,6 +1122,42 @@ object Similarity {
       .select(col("vec_id"), col("cluster"), Quant.r6(col("d2")).as("dist2"))
   }
 
+  /** Cluster-balanced diversity sample: up to `cap` vectors per k-means
+    * cluster, members chosen by a deterministic md5 coin — the
+    * topic-balanced subset selection of embedding-aware curation
+    * pipelines (a uniform sample over a skewed corpus reproduces the
+    * skew; capping per semantic cluster flattens it, the same
+    * rebalancing argument as per-source caps in [[Selection]] but on
+    * LEARNED structure instead of metadata). `iters` Lloyd's rounds
+    * refine the seed centroids (0 = the seeded assignment
+    * [[kmeansAssign]] uses, which keeps the oracle to one argmin CTE).
+    *
+    * Determinism: assignment is the literal-book argmin (map-only, IEEE
+    * tie-break on centroid id — see [[nearestStruct]]); the coin is
+    * md5("cbs:<seed>:" + vec_id), unique per vector for any practical
+    * corpus, with vec_id as the total-order tie-break.
+    *
+    * 100 TB shape: assignment adds NO exchange (driver-resident literal
+    * centroids); the per-cluster rank is the one shuffle, and the
+    * rank <= cap filter prunes map-side with WindowGroupLimit, so each
+    * map partition ships at most k·cap rows — the [[Selection]]
+    * per-source-caps plan shape (plan-locked).
+    */
+  def clusterBalancedSample(emb: DataFrame, k: Int = 8, cap: Int = 25,
+      seed: Long = 0L, iters: Int = 0): DataFrame = {
+    require(cap >= 1, s"per-cluster cap=$cap must be positive")
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("coin").asc, col("vec_id").asc)
+    assignLiteral(v, iterateBooks(v, k, iters))
+      .select(col("vec_id"), col("cluster"),
+        md5(concat(lit(s"cbs:$seed:"), col("vec_id").cast("string")))
+          .as("coin"))
+      .withColumn("smp_rank", row_number().over(w).cast("int"))
+      .filter(col("smp_rank") <= cap)
+      .select(col("vec_id"), col("cluster"), col("smp_rank"))
+  }
+
   /** Quantization grid for the deterministic centroid update: components
     * are floor-quantized to 1e-6 before summing. floor (not round) because
     * floor of an IEEE double is unambiguous in every engine, while round()

@@ -386,6 +386,101 @@ object TextAnalysis {
         .barrier() // release the token cache on exit
     }
 
+  /** Adjacent-bigram structs of a token array: the array zipped against
+    * itself shifted by one (the Bpe.adjacentPairs shape). NULL (not an
+    * error) below 2 tokens — slice throws on a negative length, and the
+    * guard must live INSIDE the expression: a separate size filter gets
+    * pushed below the token projection and re-inlines the tokenization
+    * into the Filter several times over (caught by the plan lock).
+    */
+  private def bigramArray(tk: Column): Column =
+    when(size(tk) >= 2,
+      zip_with(slice(tk, lit(1), size(tk) - 1),
+        slice(tk, lit(2), size(tk) - 1),
+        (l, r) => struct(l.as("w1"), r.as("w2"))))
+
+  /** Bigram language-model quality scoring — the KenLM-perplexity-filter
+    * stage of a web-corpus pipeline (CCNet / Gopher both gate on an
+    * n-gram LM): train an add-one-smoothed bigram model on the corpus in
+    * one aggregation chain, then score every document by its mean
+    * next-token probability. Natural text scores high (its bigrams are
+    * corpus-frequent); gibberish, boilerplate soup, and wrong-language
+    * text score low.
+    *
+    * DOCUMENTED DEVIATION from log-space perplexity: the score is the
+    * arithmetic mean of the smoothed bigram probabilities, not the
+    * geometric mean (perplexity), because `ln` is the one sub-expression
+    * whose cross-engine IEEE agreement we could not certify (the BM25
+    * rational-idf rationale, Search.scala). The mean probability ranks
+    * the same "predictable vs surprising" axis and keeps the whole
+    * computation in INTEGER arithmetic end to end:
+    *
+    *   p_micro(w1,w2) = (c2(w1,w2) + 1) * 1e6  div  (c1(w1) + V)
+    *   lm_micro(doc)  = sum over positions of p_micro  div  n_bigrams
+    *
+    * with c2 = corpus bigram count, c1 = corpus prefix count (bigrams
+    * starting with w1), and V = |distinct prefixes| as the smoothing
+    * denominator (the conditioning vocabulary: a token that never starts
+    * a bigram conditions nothing). Integer div is exact on every engine —
+    * no doubles anywhere. Long headroom: (c2+1)·1e6 wraps past ~9.2e12
+    * bigram occurrences of ONE pair; at that corpus scale widen the
+    * micro expression to decimal(38,0) (the trainKeyedBooks lesson).
+    *
+    * Scale shape: bigrams materialize map-side from the token array
+    * (explode of a projected attribute — the explodedTokens discipline),
+    * pre-reduced per (doc, w1, w2) so the corpus exchanges ONCE on the
+    * bigram key at its reduced size; the model tables (c2, c1, V) are
+    * vocabulary-sized aggregations of that same reduced table; scoring
+    * re-joins the reduced table against the model and folds per doc.
+    * Token-less and single-token docs exit the pipeline and re-enter
+    * via the left join with (0, 0) — the null ≡ empty contract.
+    */
+  def bigramLmScores(docs: DataFrame): DataFrame =
+    Barrier.withCached(docBigrams(docs)) { d =>
+      bigramLmTail(docs, d).barrier() // release the bigram cache on exit
+    }
+
+  /** The per-(doc, w1, w2) reduced bigram table — the one corpus-sized
+    * input both the model aggregation and the scoring join read.
+    */
+  private[graft] def docBigrams(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), wsTokens(col("text")).as("tk"))
+      .select(col("doc_id"), bigramArray(col("tk")).as("bg"))
+      // explode_outer + attribute null-filter, NOT explode after a size
+      // filter: InferFiltersFromGenerate / filter pushdown would inline
+      // the whole tokenization into a Filter below the projections (the
+      // InferFiltersFromGenerate-safe shape, round-8 notes).
+      .select(col("doc_id"), explode_outer(col("bg")).as("b"))
+      .filter(col("b").isNotNull)
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Model training + scoring over a (cached) [[docBigrams]] table —
+    * factored out so the plan lock asserts on the REAL plan (the eager
+    * barrier in [[bigramLmScores]] hides it behind Scan ExistingRDD —
+    * the kmeansSearchPlan pattern).
+    */
+  private[graft] def bigramLmTail(docs: DataFrame, d: DataFrame)
+      : DataFrame = {
+    val c2 = d.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val v = c1.agg(count(lit(1)).as("v"))
+    val model = c2.join(c1, Seq("w1")).crossJoin(broadcast(v))
+    val perDoc = d.join(model, Seq("w1", "w2"))
+      .withColumn("micro",
+        expr("((c2 + 1L) * 1000000L) div (c1 + v)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        expr("sum(micro * cnt) div sum(cnt)").as("lm_micro"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_micro"), lit(0L)).as("lm_micro"))
+  }
+
   /** Paragraph/chunk-level duplicate analysis — the WITHIN-corpus,
     * BELOW-document dedup stage modern pipelines run after doc-level
     * near-dup removal (duplicate-line removal in RefinedWeb/Dolma terms):

@@ -1360,6 +1360,69 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(out(3L).getAs[Long]("n_tokens") == 0L) // empty doc rides through
   }
 
+  test("bigramLmScores: equals a brute-force reference; degenerate docs score (0,0)") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val corpus: Seq[(Long, String)] = (0L until 30L).map { id =>
+      id -> (
+        if (id == 28L) ""          // token-less: (0, 0)
+        else if (id == 29L) "solo" // single token, no bigram: (0, 0)
+        else Seq.fill(2 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+    }
+    val out = TextAnalysis.bigramLmScores(docs(corpus: _*)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // Brute force: integer add-one-smoothed mean bigram probability with
+    // V = distinct prefixes, exactly the operator's documented arithmetic.
+    val tk = corpus.map { case (id, t) =>
+      id -> t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    }.toMap
+    val allBigrams = tk.values.toSeq.flatMap(ts => ts.zip(ts.drop(1)))
+    val c2 = allBigrams.groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val c1 = c2.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val v = c1.size.toLong
+    val expect = corpus.map { case (id, _) =>
+      val bs = tk(id).zip(tk(id).drop(1))
+      if (bs.isEmpty) id -> ((0L, 0L))
+      else {
+        val micros = bs.map(b => ((c2(b) + 1L) * 1000000L) / (c1(b._1) + v))
+        id -> ((bs.size.toLong, micros.sum / bs.size))
+      }
+    }.toMap
+    assert(out == expect)
+    // Sanity: the degenerate rows really took the coalesce path.
+    assert(out(28L) == ((0L, 0L)) && out(29L) == ((0L, 0L)))
+  }
+
+  test("clusterBalancedSample: per-cluster cap binds only where the cluster is big; monotone in cap") {
+    // k=2 seeded clusters (seeds vec_id 0, 1): five vectors near (1,0),
+    // two near (0,1).
+    val vs = vecs(
+      0L -> Seq(1f, 0f), 2L -> Seq(0.9f, 0.1f), 3L -> Seq(0.8f, 0f),
+      4L -> Seq(1f, 0.2f), 5L -> Seq(0.7f, 0.1f),
+      1L -> Seq(0f, 1f), 6L -> Seq(0.1f, 0.9f))
+    def run(cap: Int) = Similarity
+      .clusterBalancedSample(vs, k = 2, cap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val capped = run(3)
+    val byCluster = capped.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byCluster(0L) == 3) // big cluster capped
+    assert(byCluster(1L) == 2) // small cluster keeps everything
+    assert(capped.forall(_._3 <= 3))
+    // Monotone: the capped sample is exactly the rank<=3 prefix of the
+    // uncapped ordering (same coins, same tie-breaks).
+    val full = run(100)
+    assert(full.length == 7)
+    assert(capped.toSet == full.filter(_._3 <= 3).toSet)
+    // Deterministic: same seed, same rows; a different seed reorders
+    // membership but never the per-cluster sizes.
+    assert(run(3).toSet == capped.toSet)
+    val reseeded = Similarity.clusterBalancedSample(vs, k = 2, cap = 3,
+      seed = 99L).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(reseeded.groupBy(_._2).view.mapValues(_.length).toMap
+      == Map(0L -> 3, 1L -> 2))
+  }
+
   test("paragraphDedup: cross-doc duplicated chunks counted, kept tokens exclude them") {
     // Chunk size 3: doc 1 = [a b c][d e f][g h]; doc 2 shares chunk "a b c"
     // exactly at a chunk boundary; doc 3 is disjoint; doc 4 is empty.

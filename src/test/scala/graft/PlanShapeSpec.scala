@@ -483,6 +483,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("PartitionFilters: []"), p.take(4000))
   }
 
+  test("emb_cluster_sample: assignment is join-free map work; cap prunes with WindowGroupLimit") {
+    // Literal centroid book => the argmin is a projection, so the whole
+    // query carries exactly one exchange (the per-cluster rank) and no
+    // join of any kind; the rank<=cap filter must prune map-side.
+    val p = physical("emb_cluster_sample")
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("doc_bigram_lm: tokenization never re-runs in a filter; no cartesian scoring join") {
+    // Assert on the tail BUILDER — the registered query's eager barrier
+    // hides everything behind Scan ExistingRDD (the kmeansSearchPlan
+    // pattern). The bigram array explodes as a projected attribute, so
+    // InferFiltersFromGenerate's inferred filter is a cheap size check —
+    // never the regex split itself (the explodedShingles discipline).
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = graft.operators.TextAnalysis.bigramLmTail(docs,
+      graft.operators.TextAnalysis.docBigrams(docs))
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(!"(?s)Filter[^\\n]*split\\(".r.findFirstIn(opt).isDefined,
+      opt.take(2000))
+    // Scoring joins the reduced bigram table against the model on its
+    // keys — hash-based; the only nested-loop is the 1-row V broadcast.
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000)) // the V attach exists
+  }
+
   test("doc_bm25_index_topk: postings scan partition-prunes to the query-term buckets") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_lex_plan").toString
