@@ -116,11 +116,13 @@ object VacuitySweep {
     // mode (round 7's 18 disappearing queries) this gate exists to catch.
     // An unreadable dump is ALWAYS a violation, never allowlistable.
     val unreadable = Seq.newBuilder[String]
+    val unreadableQueries = Set.newBuilder[String]
     val cards = queryDirs.flatMap { d =>
       try sweepQuery(spark, d)
       catch { case NonFatal(e) =>
         System.err.println(s"[vacuity] ${d.getName} unreadable: ${e.getMessage}")
         unreadable += s"${d.getName}: UNREADABLE dump (${e.getClass.getSimpleName})"
+        unreadableQueries += d.getName
         Seq.empty
       }
     }
@@ -170,9 +172,16 @@ object VacuitySweep {
     // removed) is stale on EVERY sweep: exempting it too would let a
     // dead waiver linger and silently suppress a real violation if the
     // name is ever re-added.
+    // A query whose dump is ABSENT or UNREADABLE already fails the sweep
+    // with its own violation — its allowlist keys produce no cards this
+    // run, but flagging them "matches no dumped column" would instruct
+    // the operator to delete a valid, reviewed entry (and a later
+    // healthy sweep would then fail on the legitimate constant).
+    val unauditable = missing.toSet ++ unreadableQueries.result()
     val outOfScope = (k: String) => {
       val q = k.substring(0, k.lastIndexOf('.'))
-      SparkEntry.queries.contains(q) && !expected.contains(q)
+      (SparkEntry.queries.contains(q) && !expected.contains(q)) ||
+        unauditable.contains(q)
     }
     val stale = allow.keys.filterNot(k => live.contains(k) || outOfScope(k))
       .toSeq.sorted.map(k => s"$k: allowlist entry matches no dumped column") ++

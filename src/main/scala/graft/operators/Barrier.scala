@@ -61,6 +61,22 @@ private[graft] object Barrier {
     finally cached.unpersist(blocking = false)
   }
 
+  /** Best-effort release of a SUPERSEDED barrier's materialized blocks.
+    * Iterative loops re-barrier every round (Lloyd's, BPE merges) and the
+    * previous generation's checkpoint blocks otherwise live until a
+    * nondeterministic driver GC lets ContextCleaner reclaim them — up to
+    * k× the table size in executor storage across a k-round loop.
+    *
+    * ONLY call this on a DataFrame that will never be read again: a
+    * local checkpoint's blocks ARE its data (there is no recompute
+    * path), so releasing a barrier that is still referenced fails the
+    * next job over it.
+    */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** `df.barrier()` — chain-friendly form of [[Barrier.apply]]. */
   implicit class BarrierOps(private val df: DataFrame) extends AnyVal {
     def barrier(): DataFrame = Barrier(df)

@@ -119,9 +119,14 @@ object Bpe {
         val (lhs, rhs, c) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
         merges += Merge(round, lhs, rhs, lhs + rhs, c)
-        words = words
+        val next = words
           .withColumn("syms", applyMerge(col("syms"), lhs, rhs))
           .barrier()
+        // The new barrier is materialized (eager), so the superseded
+        // generation's blocks can go now — otherwise a k-round loop
+        // holds up to k vocab-sized checkpoints until driver GC.
+        Barrier.release(words)
+        words = next
         round += 1
       }
     }

@@ -84,10 +84,19 @@ object Multimodal {
         it.map { p =>
           val bytes = Option(p.payload).getOrElse(Array.emptyByteArray)
           val (w, h, _) = decodeStub(bytes)
+          // Long arithmetic throughout: maxDim * h and tw * th overflow
+          // Int past maxDim ~46k — a negative/zero budget would either
+          // divide-by-zero in an executor or silently emit the WHOLE
+          // payload as the "thumb" (breaking the maxDim² contract). The
+          // short side is <= maxDim so the .toInt is exact.
           val (tw, th) = // fit into maxDim × maxDim, aspect preserved
-            if (w >= h) (maxDim, math.max(1, maxDim * h / math.max(1, w)))
-            else (math.max(1, maxDim * w / math.max(1, h)), maxDim)
-          val budget = tw * th
+            if (w >= h)
+              (maxDim,
+                math.max(1L, maxDim.toLong * h / math.max(1, w)).toInt)
+            else
+              (math.max(1L, maxDim.toLong * w / math.max(1, h)).toInt,
+                maxDim)
+          val budget = tw.toLong * th
           // CEILING division: floor would give step=1 for any length in
           // (budget, 2·budget) and emit a thumb up to 2× the documented
           // maxDim² bound (the oracle mirrors this formula).
