@@ -410,6 +410,10 @@ object Dedup {
         .agg(min(col("cluster")).as("cluster"),
           min(when(col("self"), col("cluster"))).as("prev"))
         .barrier()
+      // prop is materialized (eager barrier), so the previous label
+      // generation's blocks can go — otherwise a d-round loop holds
+      // O(d) node-table checkpoints until driver GC (the Bpe lesson).
+      Barrier.release(labels)
       // Pointer jump: follow the label one hop (cluster ← label(cluster)).
       // Labels always point at edge-participating nodes (they start as node
       // ids and min() only ever picks existing labels), so the lookup side
@@ -423,6 +427,7 @@ object Dedup {
           coalesce(col("p.p_cl"), col("x.cluster")).as("cluster"),
           col("x.prev").as("prev"))
         .barrier()
+      Barrier.release(prop) // superseded by the materialized jump
       val changed = next
         .agg(count(when(col("cluster") =!= col("prev"), lit(1))).as("n"))
         .head().getLong(0)
@@ -441,6 +446,9 @@ object Dedup {
       throw new IllegalStateException(
         s"dupClusters did not converge after $rounds rounds " +
           "(labels would be incomplete); raise maxRounds")
+    // The edge table is dead once the loop converges — the result joins
+    // only `docs` against the final labels (which must stay resident).
+    Barrier.release(edges)
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("doc_id", "l_id"),
         col("doc_id") === col("l_id"), "left")
