@@ -481,6 +481,70 @@ object TextAnalysis {
         coalesce(col("lm_micro"), lit(0L)).as("lm_micro"))
   }
 
+  /** Driver-resident bigram-LM model — the offline-trained artifact the
+    * streaming scoring twin consumes: corpus bigram counts, prefix
+    * counts, and the conditioning-vocabulary size, with the SAME
+    * semantics as [[bigramLmTail]]'s c2/c1/V aggregations (c1 and V are
+    * derived from c2 here exactly as the relational tail derives them).
+    */
+  final case class BigramLmModel(c2: Map[(String, String), Long],
+      c1: Map[String, Long], v: Long)
+
+  /** Collect the bigram model to the driver. Vocabulary-sized — bounded
+    * by `maxVocab` distinct bigrams (limit-before-collect, so a hostile
+    * corpus throws instead of OOMing the driver). At web scale keep the
+    * model as the relational tables and score with [[bigramLmScores]];
+    * the collected form exists for ingest-time scoring of a stream
+    * against a frozen model (the DSIR/NB twin lifecycle).
+    */
+  def bigramLmModel(docs: DataFrame,
+      maxVocab: Int = 2000000): BigramLmModel = {
+    val rows = docBigrams(docs)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("c2"))
+      .limit(maxVocab + 1).collect()
+    require(rows.length <= maxVocab,
+      s"bigram vocabulary exceeds maxVocab=$maxVocab — train relationally" +
+        " (bigramLmScores) or raise the bound")
+    val c2 = rows.map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val c1 = c2.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    BigramLmModel(c2, c1, c1.size.toLong)
+  }
+
+  /** Streaming twin of [[bigramLmScores]]' SCORING half: the crawl
+    * pipeline trains the model offline and scores documents at ingest —
+    * a pure stateless map once the model is driver-resident (no state,
+    * no watermark, no shuffle; the model rides the task closure — at
+    * production vocabulary sizes hand it to executors as a broadcast).
+    * Tokenization is the Scala tokenizer twin (wsTokensScala — the
+    * proven-parity replica of the Column-side wsTokens), so on a
+    * replayed corpus the stream rows equal the batch rows EXACTLY
+    * (spec-pinned). Unseen bigrams take the add-one smoothing fallback
+    * (c2=0, and an unseen prefix contributes c1=0) — exactly what the
+    * smoothing exists for at ingest time.
+    */
+  def streamingBigramLmScores(docs: DataFrame,
+      model: BigramLmModel): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (c2, c1, v) = (model.c2, model.c1, model.v)
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val tk = graft.streaming.StreamingNearDup
+          .wsTokensScala(Option(text).getOrElse(""))
+        val bs = tk.zip(tk.drop(1))
+        if (bs.isEmpty) (id, 0L, 0L)
+        else {
+          val micros = bs.map { case (w1, w2) =>
+            ((c2.getOrElse((w1, w2), 0L) + 1L) * 1000000L) /
+              (c1.getOrElse(w1, 0L) + v)
+          }
+          (id, bs.size.toLong, micros.sum / bs.size)
+        }
+      }.toDF("doc_id", "n_bigrams", "lm_micro")
+  }
+
   /** Paragraph/chunk-level duplicate analysis — the WITHIN-corpus,
     * BELOW-document dedup stage modern pipelines run after doc-level
     * near-dup removal (duplicate-line removal in RefinedWeb/Dolma terms):

@@ -2475,6 +2475,33 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streamingBigramLmScores: ingest scoring under a frozen model equals the batch pass; unseen bigrams take the smoothed fallback") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val model = TextAnalysis.bigramLmModel(docs)
+    def key(r: org.apache.spark.sql.Row) = r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("lm_micro")))
+    val batch = TextAnalysis.bigramLmScores(docs).collect().map(key).toMap
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    // The replayed corpus, plus one ingest doc whose tokens the model
+    // never saw: every position scores the full smoothing fallback
+    // (c2=0, c1=0) = 1e6 / V.
+    ms.addData(docs.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toIndexedSeq
+      :+ (999999L -> "zzqx1 zzqx2 zzqx3"))
+    val q = TextAnalysis.streamingBigramLmScores(
+        ms.toDF().toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName("sblm")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sblm").collect().map(key).toMap
+    assert(streamed - 999999L == batch)
+    assert(streamed(999999L) == ((2L, 1000000L / model.v)))
+  }
+
   test("nbQuality: learns a separated vocabulary and classifies it") {
     import spark.implicits._
     // Two disjoint vocabularies, labels by doc_id; train on everything
