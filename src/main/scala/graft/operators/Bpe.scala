@@ -130,6 +130,9 @@ object Bpe {
         round += 1
       }
     }
+    // The merges are driver data — the final vocab generation is dead
+    // too (same leak as the per-round generations, just once).
+    Barrier.release(words)
     merges.result()
   }
 

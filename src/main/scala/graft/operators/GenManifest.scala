@@ -68,19 +68,25 @@ private[graft] object GenManifest {
   def commit(spark: SparkSession, dir: String, seq: Long,
       node: ObjectNode): Unit = {
     val (fs, root) = fsRoot(spark, dir)
-    val tmp = new Path(root,
-      s".manifest-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val out = fs.create(tmp, false)
-    try out.write(new ObjectMapper().writeValueAsBytes(node))
-    finally out.close()
+    // Destination check BEFORE staging: strictly cheaper, shrinks the
+    // race window, and the abort path leaves no orphan dot-temp behind
+    // (the aborted pipeline won't run the sweep that would collect it).
     val dst = new Path(root, manifestName(seq))
     if (fs.exists(dst))
       throw new IllegalStateException(
         s"manifest commit failed: $dst already exists — concurrent " +
           "writer? (appends/compactions are single-writer)")
-    if (!fs.rename(tmp, dst))
+    val tmp = new Path(root,
+      s".manifest-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(new ObjectMapper().writeValueAsBytes(node))
+    finally out.close()
+    if (!fs.rename(tmp, dst)) {
+      try fs.delete(tmp, false)
+      catch { case scala.util.control.NonFatal(_) => () }
       throw new IllegalStateException(
         s"manifest commit failed: rename $tmp -> $dst")
+    }
   }
 
   /** Grace-window sweep after a durable commit at `current`: deletes

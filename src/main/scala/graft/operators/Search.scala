@@ -157,14 +157,25 @@ object Search {
     val spark = docs.sparkSession
     resetDir(spark, dir)
     Barrier.withCached(postings(docs)) { p =>
+      // Stats computed FIRST so an empty corpus fails before anything is
+      // written: a token-less build would otherwise commit a parquet-less
+      // postings dir and NULL total_tokens — an index every later reader
+      // (serve, append, report) must individually guard against. Making
+      // the invalid state unrepresentable beats N downstream guards.
+      val t = p.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+        .head()
+      val nDocs = t.getLong(0)
+      require(nDocs > 0,
+        s"buildLexIndex at $dir: corpus has no tokenized documents — " +
+          "nothing to index")
       p.withColumn("bkt", pmod(hash(col("term")), lit(buckets)))
         .repartition(col("bkt"))
         .write.mode("overwrite").partitionBy("bkt")
         .parquet(s"$dir/postings")
       // Stats LAST: a readable stats table marks the build complete.
-      p.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
-        .withColumn("buckets", lit(buckets))
+      spark.range(1).select(lit(nDocs).as("n_docs"),
+          lit(t.getLong(1)).as("total_tokens"), lit(buckets).as("buckets"))
         .write.mode("overwrite").parquet(s"$dir/stats")
     }
   }
@@ -263,7 +274,15 @@ object Search {
         (node.get("dirs").elements().asScala.map(_.asText()).toSeq,
           node.get("stats").asText())
       case None if g == 0L => (Seq("postings"), "stats")
-      case None => (Seq.empty, "")
+      case None =>
+        // Fail-loud on the READ path: a listed-then-vanished manifest is
+        // a damaged index (or a single-writer violation) — returning an
+        // empty layout here would send lexIndexTopK into an unrelated
+        // empty-reduce crash. The sweep tolerates this via its own
+        // try/catch (it skips collection and the index stays correct).
+        throw new IllegalStateException(
+          s"index manifest generation $g is missing under $root — " +
+            "damaged index or concurrent writer")
     }
 
   /** Names a manifest may reference — the only names the sweep may
