@@ -806,6 +806,23 @@ object SparkEntry {
     "doc_bigram_lm" -> ((s, dir) =>
       TextAnalysis.bigramLmScores(t(s, dir, "documents"))),
 
+    // Filter-agreement audit: Spearman rank correlation (deterministic
+    // doc_id tie-break) between the bigram-LM score, the heuristic
+    // quality score, and raw length. Measured at sf0.01: quality~n_chars
+    // 0.884 (the heuristic is largely a length proxy here) while the LM
+    // score is independent of both (~0.003/0.025) — the audit a curation
+    // operator reads before stacking redundant gates.
+    "doc_score_agreement" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = TextAnalysis.bigramLmScores(docs)
+        .select(col("doc_id"), col("lm_micro"))
+      val qs = docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        col("n_chars"))
+      TextAnalysis.scoreAgreement(qs.join(lm, Seq("doc_id")),
+        Seq("lm_micro", "quality", "n_chars"))
+    }),
+
     // Within-doc duplicate-3-gram character coverage (Gopher's dup-n-gram
     // family; n=3 — the width at which this corpus's within-doc repeats
     // actually occur): union of all repeated spans, map-only, zero shuffle.
@@ -1438,6 +1455,43 @@ object SparkEntry {
            UNION
            SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
          comp AS (SELECT a AS doc_id, MIN(b) AS minb FROM reach GROUP BY a)"""
+
+  // Bigram-LM CTE chain (tks -> bg -> dbg -> c2 -> c1 -> vsz -> lmdoc:
+  // every doc with its n_bigrams and integer-mean lm_micro) — ONE
+  // definition shared by the doc_bigram_lm oracle and the agreement
+  // audit, so the model arithmetic cannot drift. Bigrams via the
+  // scalar-list generate_series form (the DuckDB lateral-arg limitation,
+  // round-8 notes).
+  private val bigramLmCtesSql: String =
+    """tks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents WHERE length(trim(text)) > 0),
+         bg AS (
+           SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+             i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS b
+           FROM tks WHERE len(tk) >= 2),
+         dbg AS (
+           SELECT doc_id, b.w1 AS w1, b.w2 AS w2,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM bg GROUP BY doc_id, b.w1, b.w2),
+         c2 AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS c2
+           FROM dbg GROUP BY w1, w2),
+         c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+         vsz AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1),
+         lmagg AS (
+           SELECT d.doc_id, CAST(sum(d.cnt) AS BIGINT) AS n_bigrams,
+             CAST(sum((((c2.c2 + 1) * 1000000) // (c1.c1 + vsz.v)) * d.cnt)
+               // sum(d.cnt) AS BIGINT) AS lm_micro
+           FROM dbg d
+           JOIN c2 ON d.w1 = c2.w1 AND d.w2 = c2.w2
+           JOIN c1 ON d.w1 = c1.w1
+           CROSS JOIN vsz
+           GROUP BY d.doc_id),
+         lmdoc AS (
+           SELECT d.doc_id,
+             coalesce(a.n_bigrams, 0) AS n_bigrams,
+             coalesce(a.lm_micro, 0) AS lm_micro
+           FROM documents d LEFT JOIN lmagg a ON d.doc_id = a.doc_id)"""
 
   // TextAnalysis.qualityScore as SQL over a token-array column and a raw
   // punctuation-ratio column — ONE definition shared by doc_quality's
@@ -2855,38 +2909,51 @@ object SparkEntry {
     // Bigram-LM scores: the model CTEs (dbg -> c2 -> c1 -> V) and the
     // scoring join replay the operator; every step is INTEGER arithmetic
     // ((c2+1)*1e6 // (c1+V), then the per-doc integer mean), so the
-    // engines agree with no quantization discipline at all. Bigrams via
-    // the scalar-list generate_series form (the DuckDB lateral-arg
-    // limitation, round-8 notes).
+    // engines agree with no quantization discipline at all.
     "doc_bigram_lm" ->
-      """WITH tks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents WHERE length(trim(text)) > 0),
-         bg AS (
-           SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
-             i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS b
-           FROM tks WHERE len(tk) >= 2),
-         dbg AS (
-           SELECT doc_id, b.w1 AS w1, b.w2 AS w2,
-             CAST(count(*) AS BIGINT) AS cnt
-           FROM bg GROUP BY doc_id, b.w1, b.w2),
-         c2 AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS c2
-           FROM dbg GROUP BY w1, w2),
-         c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
-         vsz AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1),
-         agg AS (
-           SELECT d.doc_id, CAST(sum(d.cnt) AS BIGINT) AS n_bigrams,
-             CAST(sum((((c2.c2 + 1) * 1000000) // (c1.c1 + vsz.v)) * d.cnt)
-               // sum(d.cnt) AS BIGINT) AS lm_micro
-           FROM dbg d
-           JOIN c2 ON d.w1 = c2.w1 AND d.w2 = c2.w2
-           JOIN c1 ON d.w1 = c1.w1
-           CROSS JOIN vsz
-           GROUP BY d.doc_id)
-         SELECT d.doc_id,
-           coalesce(a.n_bigrams, 0) AS n_bigrams,
-           coalesce(a.lm_micro, 0) AS lm_micro
-         FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+      s"""WITH $bigramLmCtesSql
+         SELECT doc_id, n_bigrams, lm_micro FROM lmdoc""",
+
+    // Spearman agreement with the doc_id tie-break: ranks are row_number
+    // permutations, Σd² stays integer, the single IEEE division is
+    // floor-quantized. Shares the bigram-LM CTEs and the quality-score
+    // SQL expression with their own oracles, so no formula can drift.
+    "doc_score_agreement" ->
+      s"""WITH $bigramLmCtesSql,
+         qt AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE list_filter(string_split_regex(trim(text), '\\s+'), tk -> tk <> '') END AS toks,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                       / length(text) END AS praw,
+             n_chars
+           FROM documents),
+         qs AS (SELECT doc_id, ${qualityScoreSqlExpr("toks", "praw")} AS quality,
+           n_chars FROM qt),
+         sc AS (SELECT l.doc_id, l.lm_micro, q.quality, q.n_chars
+           FROM lmdoc l JOIN qs q USING (doc_id)),
+         rk AS (
+           SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY lm_micro ASC NULLS LAST, doc_id ASC) AS BIGINT) AS r_lm,
+             CAST(row_number() OVER (ORDER BY quality ASC NULLS LAST, doc_id ASC) AS BIGINT) AS r_q,
+             CAST(row_number() OVER (ORDER BY n_chars ASC NULLS LAST, doc_id ASC) AS BIGINT) AS r_c
+           FROM sc),
+         ag AS (
+           SELECT 'lm_micro~quality' AS pair, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum((r_lm - r_q) * (r_lm - r_q)) AS BIGINT) AS sum_d2 FROM rk
+           UNION ALL
+           SELECT 'lm_micro~n_chars', CAST(count(*) AS BIGINT),
+             CAST(sum((r_lm - r_c) * (r_lm - r_c)) AS BIGINT) FROM rk
+           UNION ALL
+           SELECT 'quality~n_chars', CAST(count(*) AS BIGINT),
+             CAST(sum((r_q - r_c) * (r_q - r_c)) AS BIGINT) FROM rk)
+         SELECT pair, n, sum_d2,
+           CASE WHEN n >= 2 THEN
+             floor((1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0))) * 1e6) / 1e6
+           END AS rho
+         FROM ag""",
 
     "doc_token_rarity" ->
       """WITH pd AS (

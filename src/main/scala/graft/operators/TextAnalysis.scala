@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Barrier.BarrierOps
 
@@ -479,6 +480,51 @@ object TextAnalysis {
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("lm_micro"), lit(0L)).as("lm_micro"))
+  }
+
+  /** Spearman rank agreement between quality signals — the filter-audit
+    * report a curation operator reads before stacking gates: two filters
+    * with ρ near 1 are redundant (one is a proxy for the other — on this
+    * synthetic corpus the heuristic quality score correlates 0.88 with
+    * raw length), while near-0 pairs measure genuinely different axes
+    * (the bigram-LM score is independent of both). One row per column
+    * pair: (pair, n, sum_d2, rho).
+    *
+    * DOCUMENTED DEVIATION from textbook Spearman: ties break
+    * deterministically on doc_id (ranks are a permutation, so
+    * ρ = 1 − 6·Σd² / (n(n²−1)) holds exactly) instead of averaged
+    * fractional ranks — the tie-broken ranks keep every intermediate an
+    * integer; the single IEEE division is floor-quantized (q6).
+    *
+    * Scale note: this is an AUDIT operator — each rank is a global
+    * row_number (one ordering pass per column). At corpus scales where a
+    * global sort is unacceptable, compute ranks by quantile binning or a
+    * two-pass sort + per-partition offset; the formula is unchanged.
+    */
+  def scoreAgreement(scores: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "scoreAgreement needs at least two score columns")
+    val ranked = cols.foldLeft(scores) { (df, c) =>
+      df.withColumn(s"__r_$c", row_number().over(
+        Window.orderBy(col(c).asc_nulls_last, col("doc_id").asc))
+        .cast("long"))
+    }
+    Barrier.withCached(ranked.select(
+        col("doc_id") +: cols.map(c => col(s"__r_$c")): _*)) { r =>
+      val pairs =
+        for { i <- cols.indices; j <- i + 1 until cols.size }
+          yield (cols(i), cols(j))
+      pairs.map { case (a, b) =>
+        val d = col(s"__r_$a") - col(s"__r_$b")
+        val nD = col("n").cast("double")
+        r.agg(count(lit(1)).as("n"), sum(d * d).as("sum_d2"))
+          .select(lit(s"$a~$b").as("pair"), col("n"), col("sum_d2"),
+            // rho undefined below 2 rows (n(n²-1)=0) — emit NULL, not a
+            // division artifact.
+            when(col("n") >= 2L,
+              q6(lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
+                (nD * (nD * nD - lit(1.0))))).as("rho"))
+      }.reduce(_.unionByName(_)).barrier()
+    }
   }
 
   /** Driver-resident bigram-LM model — the offline-trained artifact the

@@ -2502,6 +2502,34 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(streamed(999999L) == ((2L, 1000000L / model.v)))
   }
 
+  test("scoreAgreement: -1 on reversed signals; equals brute-force Spearman with the doc_id tie-break") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 40L).map(id =>
+      (id, rnd.nextInt(10).toLong, rnd.nextInt(10).toLong,
+        id.toDouble, -id.toDouble))
+    val df = rows.toDF("doc_id", "s1", "s2", "up", "down")
+    val out = TextAnalysis.scoreAgreement(df, Seq("s1", "s2", "up", "down"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(out.size == 6) // all unordered pairs
+    // Reversed permutations: Σd² = n(n²−1)/3, so ρ = −1 exactly (and q6
+    // of −1.0 is −1.0 — the quantizer preserves the endpoint).
+    assert(out("up~down")._3.contains(-1.0))
+    // Brute-force Spearman with the same deterministic tie-break.
+    def rank(vals: Seq[(Long, Double)]): Map[Long, Long] =
+      vals.sortBy { case (id, v) => (v, id) }.zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    val r1 = rank(rows.map(r => r._1 -> r._2.toDouble))
+    val r2 = rank(rows.map(r => r._1 -> r._3.toDouble))
+    val s = rows.map { r => val d = r1(r._1) - r2(r._1); d * d }.sum
+    val n = rows.size.toDouble
+    val expect = math.floor((1.0 - 6.0 * s / (n * (n * n - 1.0))) * 1e6) / 1e6
+    assert(out("s1~s2") == ((40L, s, Some(expect))))
+  }
+
   test("nbQuality: learns a separated vocabulary and classifies it") {
     import spark.implicits._
     // Two disjoint vocabularies, labels by doc_id; train on everything
