@@ -47,6 +47,13 @@ object AsOf {
 
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    // Fail fast on the documented precondition: a payload name colliding
+    // with a left column would emit two same-named output columns that
+    // only error (or silently misread) downstream.
+    val collisions = payload.filter(left.columns.contains)
+    require(collisions.isEmpty,
+      s"asOfJoin payload column(s) ${collisions.mkString(", ")} collide " +
+        "with left columns — alias them on the right side first")
     val leftRowType = StructType(left.schema.fields)
     val payloadType = StructType(payload.map(p => right.schema(p)).toArray)
     val joinable = col(key).isNotNull && col(leftTs).isNotNull

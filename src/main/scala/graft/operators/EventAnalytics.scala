@@ -100,6 +100,11 @@ object EventAnalytics {
     */
   def cohortRetention(events: DataFrame): DataFrame = {
     val activeDays = events
+      // NULL user_id rows are droppable up front: a null key can never
+      // equi-join into any retention cell, but groupBy would still keep
+      // it as a phantom cohort member — inflating cohort_users relative
+      // to the oracle's count(DISTINCT user_id), which drops NULL.
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), to_date(col("ts")).as("day"))
       .distinct()
     val firstDay = activeDays.groupBy(col("user_id"))

@@ -56,8 +56,20 @@ final class SseClient(
     try {
       while (!stopped && written < maxMessages && connects < maxConnects) {
         connects += 1
+        // Per-connection progress lives in an accumulator consume()
+        // updates AS it appends, not in its return value: a connection
+        // severed mid-read (watchdog kill, transport IOException) throws
+        // out of consume(), and a return-value count would lose every
+        // message that connection already appended — run() would then
+        // over-append past maxMessages on the resumed connection and
+        // under-report the total.
+        val counted = new java.util.concurrent.atomic.AtomicLong(0L)
         try {
           val in = openWithDeadline(lastEventId)
+          // Traffic freshness BEFORE current: the watchdog must never
+          // see the new stream paired with the previous connection's
+          // stale timestamp.
+          lastTrafficMs = System.currentTimeMillis()
           current = in
           // stop() racing the connect: it closed the PREVIOUS stream (or
           // none) before `current` was assigned, and the watchdog exits
@@ -65,11 +77,11 @@ final class SseClient(
           // nothing would ever sever this fresh stream and run() would
           // block in readLine forever. Re-check under the new stream.
           if (stopped) { closeQuietly(); throw new java.io.IOException("stopped") }
-          lastTrafficMs = System.currentTimeMillis()
-          written += consume(in, maxMessages - written)
+          consume(in, maxMessages - written, counted)
         } catch {
           case _: java.io.IOException => // severed (EOF-mid-event, watchdog kill)
         } finally {
+          written += counted.get()
           closeQuietly()
         }
         if (!stopped && written < maxMessages && connects < maxConnects)
@@ -79,18 +91,21 @@ final class SseClient(
     } finally {
       stopped = true
       watchdog.interrupt()
+      closeLog()
     }
   }
 
   def stop(): Unit = { stopped = true; closeQuietly() }
 
   /** One connection's lifetime: parse events until EOF or the message
-    * budget is exhausted.
+    * budget is exhausted; every append is counted through `counted`
+    * immediately (see run() for why the count must survive a severed
+    * connection).
     */
-  private def consume(in: InputStream, budget: Long): Long = {
+  private def consume(in: InputStream, budget: Long,
+      counted: java.util.concurrent.atomic.AtomicLong): Unit = {
     val reader = new BufferedReader(
       new InputStreamReader(in, StandardCharsets.UTF_8))
-    var written = 0L
     val dataLines = scala.collection.mutable.ArrayBuffer.empty[String]
     var eventType = "message"
     // Per the SSE spec the `id:` field sets a BUFFER that is committed to
@@ -100,13 +115,22 @@ final class SseClient(
     // AFTER the never-appended event and silently drop it.
     var pendingId: Option[String] = None
     var line = reader.readLine()
-    while (line != null && written < budget) {
+    // WHATWG: one leading U+FEFF on the stream is ignored — a replayed
+    // capture saved by a BOM-writing editor must not misparse its first
+    // field name (and thereby drop the first event on every reconnect).
+    if (line != null && line.nonEmpty && line.charAt(0) == '\uFEFF')
+      line = line.substring(1)
+    while (line != null && counted.get() < budget) {
       lastTrafficMs = System.currentTimeMillis()
       line match {
         case "" => // blank line: dispatch the accumulated event
-          if (dataLines.nonEmpty && eventType == "message") {
+          // An EMPTY event-type buffer dispatches as 'message' per WHATWG
+          // (`event:` with no value resets to the default, it does not
+          // name an unknown type that would suppress the append).
+          if (dataLines.nonEmpty &&
+              (eventType.isEmpty || eventType == "message")) {
             append(dataLines.mkString(" "))
-            written += 1
+            counted.incrementAndGet()
           }
           // Per WHATWG the last-event-ID commits at EVERY dispatch, even
           // when the data buffer is empty (the empty-data early return in
@@ -135,11 +159,10 @@ final class SseClient(
             case _       => // unknown field: ignored per the SSE spec
           }
       }
-      line = if (written < budget) reader.readLine() else null
+      line = if (counted.get() < budget) reader.readLine() else null
     }
     // EOF without a trailing blank line: per spec the incomplete event is
     // NOT dispatched (it will be re-sent after reconnect via Last-Event-ID).
-    written
   }
 
   /** Connect with the watchdog budget enforced on the connect phase
@@ -180,26 +203,48 @@ final class SseClient(
     }
   }
 
+  // The log stream opens ONCE (lazily) and lives for run()'s lifetime:
+  // an open/append/close per message triples the hot-path syscalls on a
+  // live feed. Only run()'s thread touches it; run()'s finally closes it
+  // (not stop(), which runs on another thread mid-write).
+  private var log: java.io.OutputStream = _
+
   private def append(payload: String): Unit = {
     // Whole-line append + flush per message: the tail counter and the
-    // partition reader both treat the line as the atomic unit.
-    Files.write(Paths.get(logPath),
-      (payload + "\n").getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    // partition reader both treat the line as the atomic unit (one
+    // write syscall per line, same atomicity as the old per-message
+    // open/append/close).
+    if (log == null)
+      log = Files.newOutputStream(Paths.get(logPath),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    log.write((payload + "\n").getBytes(StandardCharsets.UTF_8))
+    log.flush()
+  }
+
+  private def closeLog(): Unit = {
+    val l = log
+    log = null
+    if (l != null) try l.close() catch { case _: Throwable => () }
   }
 
   /** Reference watchdog (index.js:348-356): "if no message received for
     * 5 minutes, assume the socket died and reboot it". Closing the stream
     * forces the blocking read to fail, and `run()` reconnects.
+    *
+    * The victim is SNAPSHOTTED before the staleness check: deciding on a
+    * stale `lastTrafficMs` and then closing whatever `current` points at
+    * would kill a connection run() established in between (re-closing the
+    * snapshotted previous stream is harmless — it is already closed).
     */
   private def startWatchdog(): Thread = {
     val t = new Thread(() => {
       try {
         while (!stopped) {
           Thread.sleep(math.max(watchdogMs / 4, 1L))
-          if (!stopped &&
+          val victim = current
+          if (!stopped && victim != null &&
               System.currentTimeMillis() - lastTrafficMs > watchdogMs)
-            closeQuietly()
+            closeStream(victim)
         }
         // Exiting on stopped: sever whatever stream is current so a
         // connect that raced stop() can't leave run() blocked in
@@ -212,8 +257,8 @@ final class SseClient(
     t
   }
 
-  private def closeQuietly(): Unit = {
-    val in = current
+  private def closeQuietly(): Unit = closeStream(current)
+
+  private def closeStream(in: InputStream): Unit =
     if (in != null) try in.close() catch { case _: Throwable => () }
-  }
 }
