@@ -105,10 +105,15 @@ object Classifiers {
     else s"$wiki/$title"
 
   /** Normalized wiki column: `''` for enwiki (index.js:445 sets wiki only
-    * on the non-enwiki path).
+    * on the non-enwiki path). Null/'' normalize to `''` too — the SAME
+    * falsy contract as [[pageId]]: a wire event missing the field gets
+    * the bare-title (enwiki) page id, so its wiki attribute must be the
+    * enwiki `''`, not a NULL that would make first(wikiNorm) per page
+    * nondeterministic between the two arrival orders.
     */
   def wikiOf(wiki: Column): Column =
-    when(wiki === "enwiki", lit("")).otherwise(wiki)
+    when(wiki.isNull || wiki === "" || wiki === "enwiki", lit(""))
+      .otherwise(wiki)
 
   // ---- helpers ----------------------------------------------------------
 

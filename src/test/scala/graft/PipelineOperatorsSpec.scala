@@ -2007,6 +2007,14 @@ class PipelineOperatorsSpec extends SparkSpec {
       ms.addData(corpus.drop(3).map { case (id, tx) =>
         (id, tx, new Timestamp(t0.getTime + id * 1000L)) })
       q.processAllAvailable()
+      // At-least-once duplicate: doc 1 re-delivered WITHIN the horizon
+      // must be a no-op (first delivery wins) — a second state entry
+      // would pair against doc 2 again and emit a duplicate append-mode
+      // row (asserted below via the no-duplicate-rows check; the set
+      // equality alone would hide it).
+      ms.addData(Seq((1L, corpus.head._2,
+        new Timestamp(t0.getTime + 1500L))))
+      q.processAllAvailable()
       // Advance the watermark far past every horizon, then replay doc 1's
       // text under a fresh id: its original partner is expired — no pair.
       val far = new Timestamp(t0.getTime + 3600 * 1000L)
@@ -2016,13 +2024,17 @@ class PipelineOperatorsSpec extends SparkSpec {
         new Timestamp(far.getTime + 1000L))))
       q.processAllAvailable()
     } finally q.stop()
-    val streamed = spark.table("snear").collect()
+    val rows = spark.table("snear").collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
-        r.getAs[Double]("jaccard"))).toSet
+        r.getAs[Double]("jaccard"))).toSeq
+    // No duplicate append-mode rows: the in-horizon re-delivery of doc 1
+    // must not have re-paired it.
+    assert(rows.distinct.length == rows.length,
+      s"duplicate pair rows emitted: $rows")
     // Within the horizon the stream reproduces the batch pairs EXACTLY
     // (values included); the expired-horizon replay added nothing, even
     // though doc 8 is an exact copy of doc 1.
-    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(rows.toSet == batch, s"stream=${rows.toSet} batch=$batch")
   }
 
   test("streamingSimhashNearDups: stream ≡ batch 60-bit pairs across batches") {
