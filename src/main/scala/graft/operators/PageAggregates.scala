@@ -239,9 +239,16 @@ object PageAggregates {
     // Moves pass the reference's pre-dispatch gate first (index.js:316-318
     // precedes the move dispatch at 324): a fixup-comment, wrong-project
     // or non-main-namespace move never rewrites history.
+    // The wiki key is NORMALIZED (wikiOf: null/''/'enwiki' all → '') on
+    // both the move side and the event join below — the falsy contract
+    // pageId enforces. A raw-equality join would let a move recorded
+    // under wiki='enwiki' miss an edit arriving with wiki=null for the
+    // SAME page (null-false join), splitting one page's history across
+    // two ids — and diverging from IncrementalTrend's id-keyed rename
+    // join, which goes through pageId.
     val moves = referenceGate(events, cfg)
       .filter(col("logType").isNotNull && col("logAction") === "move")
-      .select(col("wiki"), col("title").as("fromTitle"),
+      .select(wikiOf(col("wiki")).as("wiki"), col("title").as("fromTitle"),
         element_at(col("logParams"), "target").as("toTitle"), col("ts"))
       // A malformed move with no target would resolve its upstream movers
       // to null (the sweep follows edges through it) — one bad admin
@@ -275,7 +282,8 @@ object PageAggregates {
       .toDF("r_wiki", "r_from", "r_to")
     events
       .join(broadcast(renameMap),
-        col("wiki") === col("r_wiki") && col("title") === col("r_from"), "left")
+        wikiOf(col("wiki")) === col("r_wiki") &&
+          col("title") === col("r_from"), "left")
       .withColumn("title", coalesce(col("r_to"), col("title")))
       .drop("r_wiki", "r_from", "r_to")
   }

@@ -20,8 +20,10 @@ import graft.operators.Barrier.BarrierOps
   *      page replaces any state already at the target id, reproducing
   *      `titles[page.id] = page` (index.js:162-166)
   *   3. canonicalize the batch's edit events and aggregate deltas
-  *   4. full-outer merge deltas into state (sums, set unions,
-  *      map_zip_with for the per-editor histogram, min/max timestamps)
+  *   4. full-outer merge deltas into state (sums, set unions, min/max
+  *      timestamps — the merged state carries the pageAggregates column
+  *      layout WITHOUT the A3 per-editor histogram: distribution/bias is
+  *      served by the fgws snapshot and the batch view, not this table)
   *   5. apply deletes (A6) and protects (A5)
   *   6. apply the eviction policy (A7) at the batch's processing time
   *
@@ -149,10 +151,30 @@ object IncrementalTrend {
         coalesce(col("s.safe"), lit(false)).as("safe"),
         coalesce(col("s.isProtected"), lit(false)).as("isProtected"))
 
+    // 4b. Rename stamps `updated` (index.js:164: renamePage sets
+    // page.updated at the move — the rename RESETS the idle clock, so a
+    // quiet page renamed near its maxInactivity horizon survives the
+    // next eviction pass). Stamped POST-merge on the move-TARGET id so
+    // both the cross-batch case (migrated state row) and the same-batch
+    // case (deltas aggregated under the new id) get it; greatest() keeps
+    // `updated` monotone under out-of-order input, matching the
+    // reference's wall-clock monotonicity. r_ts is the chain's final
+    // hop — the last rename is the one whose stamp survives a
+    // sequential replay.
+    val moveStamps = renameMap.groupBy(col("r_to").as("mt_id"))
+      .agg(max(col("r_ts")).as("mt_ts"))
+    val stamped = merged.join(broadcast(moveStamps),
+        col("id") === col("mt_id"), "left")
+      .withColumn("updated",
+        when(col("mt_id").isNotNull,
+          greatest(col("updated"), timestamp_millis(col("mt_ts"))))
+          .otherwise(col("updated")))
+      .drop("mt_id", "mt_ts")
+
     // 5. Protects (A5: set flag on whatever state exists post-merge).
     val protects = gatedLog.filter(col("logAction") === "protect")
       .select(pageId(col("wiki"), col("title")).as("prot_id")).distinct()
-    val afterProtect = merged.join(broadcast(protects),
+    val afterProtect = stamped.join(broadcast(protects),
         col("id") === col("prot_id"), "left")
       .withColumn("isProtected", col("isProtected") || col("prot_id").isNotNull)
       .drop("prot_id")
@@ -555,13 +577,18 @@ object IncrementalTrend {
 
     // Buckets this batch can affect: every event's own page id (covers
     // edits, protects, and each move's SOURCE), move targets, parsed
-    // delete targets.
+    // delete targets. Moves/deletes go through the SAME reference gate
+    // processBatch applies — gated targets are exactly the pages the
+    // fold can modify, so an ungated fixup/wrong-project log event no
+    // longer marks (and rewrites) buckets the fold never touches.
+    val gatedLogIds = PageAggregates.referenceGate(batch, cfg)
+      .filter(col("logType").isNotNull)
     val evIds = batch.select(pageId(col("wiki"), col("title")).as("id"))
-    val moveIds = batch
-      .filter(col("logType").isNotNull && col("logAction") === "move")
+    val moveIds = gatedLogIds
+      .filter(col("logAction") === "move")
       .select(pageId(col("wiki"),
         element_at(col("logParams"), "target")).as("id"))
-    val delIds = deleteTargets(batch).select(col("del_id").as("id"))
+    val delIds = deleteTargets(gatedLogIds).select(col("del_id").as("id"))
     val touched = evIds.union(moveIds).union(delIds)
       .select(bucketOf(col("id"), numBuckets).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet

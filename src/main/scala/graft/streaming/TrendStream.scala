@@ -22,12 +22,15 @@ import graft.model.{PageState, RecentChange, TrendConfig}
   * horizontally sharded. Checkpointing replaces the LevelDB write-behind
   * cache (S2/S3): exactly-once instead of 20-second lossy snapshots.
   *
-  * Rename (A4, cross-key state migration) is handled UPSTREAM of the keyed
-  * operator by canonicalizing ids per micro-batch (PageAggregates
-  * .canonicalizeRenames) — `flatMapGroupsWithState` cannot move state
-  * between keys (SURVEY §7.4 item 1). Cross-batch renames of *existing*
-  * state are the streaming limitation; the batch pipeline resolves full
-  * rename chains exactly.
+  * Rename (A4, cross-key state migration) is NOT handled by this keyed
+  * operator — `flatMapGroupsWithState` cannot move state between keys
+  * (SURVEY §7.4 item 1), so move log events fall into the ignored branch
+  * and a renamed page's accumulated state stays under its old id until
+  * eviction while post-move edits open a fresh state at the new id. A
+  * deployment that needs exact A4 semantics uses [[IncrementalTrend]]
+  * (cross-key migration via its per-batch rename join) or the batch
+  * pipeline (full chain resolution in PageAggregates.canonicalizeRenames);
+  * this operator trades rename fidelity for the pure keyed-state shape.
   */
 object TrendStream {
 
@@ -105,11 +108,15 @@ object TrendStream {
           // A6 / Q4 drop: remove state; a later edit recreates fresh.
           s = None
         case "protect" =>
-          // A5 (index.js:417-422). NOTE known-faithful-bug: the reference
-          // builds the id as wiki+'/'+title unconditionally there, so the
-          // flag never lands for enwiki (bare-title keys). We replicate
-          // the *intended* same-key semantics; the quirk is documented.
-          s = s.map(_.copy(isProtected = true, updated = e.ts))
+          // A5 (index.js:417-422): the reference sets ONLY isProtected —
+          // no `updated` stamp, so a protect must NOT reset the idle
+          // clock (stamping it deferred eviction the reference and the
+          // IncrementalTrend twin would perform on schedule). NOTE
+          // known-faithful-bug: the reference builds the id as
+          // wiki+'/'+title unconditionally there, so the flag never
+          // lands for enwiki (bare-title keys). We replicate the
+          // *intended* same-key semantics; the quirk is documented.
+          s = s.map(_.copy(isProtected = true))
         case "cmd:markSafe" =>
           // Q4 markSafe (index.js:409-411): exempt from speed/idle eviction.
           s = s.map(_.copy(safe = true))
@@ -203,13 +210,31 @@ object TrendStream {
     // null would silently drop the row instead of keeping it).
     val userSafe = coalesce(col("user"), lit(""))
     val commentSafe = coalesce(col("comment"), lit(""))
+    // A6 delete gate, SAME semantics as IncrementalTrend.deleteTargets
+    // (index.js:329-336): a delete log event acts only when log_params is
+    // EMPTY, and the dropped page is the one named in the HTML-entity
+    // comment pattern — NOT the event's own title. A qualifying delete is
+    // re-keyed onto its TARGET id so the keyed operator drops the right
+    // state; a non-qualifying one becomes 'log:gated' (ignored), instead
+    // of wiping whatever page the event itself was keyed to.
+    val delPattern = "&quot;\\[\\[(.*)\\]\\]&quot;|&quot;(.*)&quot;"
+    val delG1 = regexp_extract(coalesce(col("logActionComment"), lit("")),
+      delPattern, 1)
+    val delG2 = regexp_extract(coalesce(col("logActionComment"), lit("")),
+      delPattern, 2)
+    val delTitle = when(length(delG1) > 0, delG1).otherwise(delG2)
+    val isDelete = col("logType").isNotNull && col("logAction") === "delete"
+    val delQualifies = isDelete &&
+      (col("logParams").isNull || size(col("logParams")) === 0) &&
+      length(delTitle) > 0
     events.toDF()
       .filter(isArticle(col("namespace")))
       .filter(projectMatch(col("serverName"), cfg.project))
       .filter(!isFixup(commentSafe))
       .select(
-        pageId(col("wiki"), col("title")).as("id"),
-        col("title"),
+        when(delQualifies, pageId(col("wiki"), delTitle))
+          .otherwise(pageId(col("wiki"), col("title"))).as("id"),
+        when(delQualifies, delTitle).otherwise(col("title")).as("title"),
         wikiOf(col("wiki")).as("wiki"),
         userSafe.as("user"),
         isBotEdit(col("bot"), userSafe, cfg.knownBots).as("isBot"),
@@ -220,7 +245,14 @@ object TrendStream {
         volatilityHit(commentSafe).as("volat"),
         when(col("logType").isNotNull, lit(0L))
           .otherwise(bytesDelta(col("lengthNew"), col("lengthOld"))).as("delta"),
-        when(col("logType").isNotNull, col("logAction"))
+        when(col("logType").isNotNull,
+          when(isDelete,
+            when(delQualifies, lit("delete")).otherwise(lit("log:gated")))
+            // A log event with a NULL action must stay a LOG event: null
+            // logAction is applyEvents' EDIT branch, and one malformed
+            // log row would otherwise mint edits/contributors the batch
+            // path (logType.isNull filter) never counts.
+            .otherwise(coalesce(col("logAction"), lit("log:unknown"))))
           .otherwise(lit(null).cast("string")).as("logAction"),
         col("ts"))
       .as[ClassifiedEvent]

@@ -47,6 +47,10 @@ class IncrementalTrendSpec extends SparkSpec {
     assert(st.keySet == Set("FoO"))
     assert(st("FoO").getAs[Long]("edits") == 1L)
     assert(st("FoO").getAs[String]("title") == "FoO")
+    // renamePage stamps `updated` at the move (index.js:164) — the rename
+    // RESETS the idle clock, so the migrated row carries the move's ts,
+    // not the last pre-move edit's.
+    assert(st("FoO").getAs[Timestamp]("updated") == at(1))
   }
 
   test("cross-batch rename migrates accumulated state to the new key") {
