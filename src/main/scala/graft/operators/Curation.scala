@@ -150,11 +150,9 @@ object Curation {
       when(col("chars") === 0 || col(top)("best") === 0L, 0.0)
         .otherwise(col(top)("best").cast("double") *
           length(col(top)("bestg")).cast("double") / col("chars").cast("double"))
-    // floor-quantized to the 1e-6 grid, NOT round(): these are integer
-    // ratios, and round() at a .5-grid value depends on the engine's
-    // decimal-repr strategy where floor of an IEEE double is unambiguous
-    // (same discipline as sourceMix/mixRatePlan below).
-    def q6(c: Column): Column = floor(c * lit(1e6)) / lit(1e6)
+    // floor-quantized to the 1e-6 grid, NOT round() — the shared
+    // Quant.q6 discipline (one definition, no per-operator copies).
+    def q6(c: Column): Column = Quant.q6(c)
     m.select(
       col("doc_id"),
       col("word_count"),
@@ -265,9 +263,23 @@ object Curation {
     // floor of an IEEE double is unambiguous (same rule as mixRatePlan).
     cells.crossJoin(broadcast(total))
       .select(col("source"), col("lang"), col("docs"), col("tokens"),
-        (floor(col("tokens").cast("double") / col("__total").cast("double")
-          * 1e6) / 1e6).as("token_share"))
+        Quant.q6(col("tokens").cast("double") / col("__total").cast("double"))
+          .as("token_share"))
   }
+
+  /** The per-language (docs, tokens) cells BOTH planners aggregate —
+    * one corpus scan collapsed to dozens of rows and BARRIERED, because
+    * every consumer feeds several plan branches from it (without the
+    * materialization each branch would re-scan the 100 TB input). ONE
+    * definition so the planners' token arithmetic cannot drift from
+    * each other.
+    */
+  private def langTokenCells(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("toks"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"), sum(col("toks")).as("tokens"))
+      .barrier()
 
   /** Mix-rate PLANNER — the step between [[sourceMix]]'s report and
     * [[stratifiedSample]]'s knob: given target token shares per language,
@@ -292,11 +304,8 @@ object Curation {
     */
   def mixRatePlan(docs: DataFrame, targets: Map[String, Double],
       defaultTarget: Double = 0.0): DataFrame = {
-    val perDoc = docs.select(col("lang"),
-      TextAnalysis.tokenCountWs(col("text")).cast("long").as("toks"))
-    val cells = perDoc.groupBy(col("lang"))
-      .agg(count(lit(1)).as("docs"), sum(col("toks")).as("tokens"))
-      .barrier() // feeds total + max + output branches
+    // Shared cells kernel — feeds the total + max + output branches.
+    val cells = langTokenCells(docs)
     val total = cells.agg(sum(col("tokens")).as("__total"))
     val tgt = targets.foldLeft(lit(defaultTarget)) { case (acc, (l, t)) =>
       when(col("lang") === l, lit(t)).otherwise(acc)
@@ -309,7 +318,7 @@ object Curation {
         when(col("tokens") === 0L, lit(0.0))
           .otherwise(col("target_share") / col("__share")))
     val mx = withT.agg(max(col("__ratio")).as("__mx"))
-    def q6(c: Column): Column = floor(c * 1e6) / 1e6
+    def q6(c: Column): Column = Quant.q6(c)
     withT.crossJoin(broadcast(mx))
       .select(col("lang"), col("docs"), col("tokens"),
         q6(col("__share")).as("token_share"),
@@ -346,13 +355,12 @@ object Curation {
     * corpus is scanned once, same as [[mixRatePlan]].
     */
   def temperatureMixPlan(docs: DataFrame, tau: Double = 2.0): DataFrame = {
-    require(tau > 1.0 || tau.isInfinity,
+    // tau > 1.0 already admits +Inf; an explicit isInfinity clause would
+    // also admit -Inf, which the message forbids.
+    require(tau > 1.0,
       s"tau must exceed 1 (got $tau): tau<=1 would UPsample the head")
-    val perDoc = docs.select(col("lang"),
-      TextAnalysis.tokenCountWs(col("text")).cast("long").as("toks"))
-    val cells = perDoc.groupBy(col("lang"))
-      .agg(count(lit(1)).as("docs"), sum(col("toks")).as("tokens"))
-      .barrier() // feeds the min branch AND the output select (mixRatePlan rule)
+    // Shared cells kernel — feeds the min branch AND the output select.
+    val cells = langTokenCells(docs)
     val mn = cells.agg(min(when(col("tokens") > 0L, col("tokens"))).as("__mn"))
     val ratio = col("__mn").cast("double") / col("tokens").cast("double")
     val rate =
@@ -436,7 +444,12 @@ object Curation {
     base
       .withColumn("__wb", coalesce(sum(col("toks")).over(wIn), lit(0L)))
       .join(broadcast(off),
-        col("lang") <=> col("__olang") && col("__rng") === col("__orng"))
+        // <=> on BOTH keys: __rng derives from doc_id, so a dirty-ingest
+        // NULL doc_id groups its totals/offsets under the NULL range key
+        // — a plain === would never match it back and the row would
+        // silently vanish from packing (the exact row-loss the lang <=>
+        // fixed, one key over).
+        col("lang") <=> col("__olang") && col("__rng") <=> col("__orng"))
       .select(Seq(col("doc_id"), col("lang"), col("toks"),
         floor((col("__wb") + col("__roff")) / budgetTokens).cast("long")
           .as("pack_id")) ++
@@ -684,8 +697,16 @@ object Curation {
     * 8 bytes (a 64-bit collision within an eval gram set is negligible;
     * the oracle joins the gram strings themselves and counts agree).
     */
+  /** The decontamination gram width — ONE constant, because the train
+    * side (pre-built shingle sets) and the eval side (evalGramHashes)
+    * are built in separate calls: if the two widths ever drifted, train
+    * k-grams would never match eval n-grams and contamination detection
+    * would silently go all-clean.
+    */
+  private[graft] val DecontamGramSize = 8
+
   def decontaminate(train: DataFrame, evalDocs: DataFrame,
-      n: Int = 8): DataFrame =
+      n: Int = DecontamGramSize): DataFrame =
     decontaminateFromSets(Dedup.shingleSets(train, n), evalDocs, n)
 
   /** [[decontaminate]] from a pre-built train-side (`doc_id`, `sset`)
@@ -710,7 +731,7 @@ object Curation {
       .select(xxhash64(col("g")).as("gh")).distinct()
 
   private[graft] def decontaminateFromSets(trainSets: DataFrame,
-      evalDocs: DataFrame, n: Int = 8): DataFrame =
+      evalDocs: DataFrame, n: Int = DecontamGramSize): DataFrame =
     decontamHits(trainSets, evalDocs, n)
       .select(col("doc_id"), col("gram_hits"),
         (col("gram_hits") > 0).as("contaminated"))
@@ -925,8 +946,9 @@ object Curation {
     val pairs = Dedup.minhashNearDupsFromSets(sets3)
     val c = Dedup.dupClusters(base.select(col("doc_id")), pairs)
       .select(col("doc_id"), (col("cluster") === col("doc_id")).as("c_keep"))
-    val d = decontaminateFromSets(Dedup.shingleSetsFromTokens(base, 8),
-        evalDocs)
+    val d = decontaminateFromSets(
+        Dedup.shingleSetsFromTokens(base, DecontamGramSize),
+        evalDocs, DecontamGramSize)
       .select(col("doc_id"), (!col("contaminated")).as("d_keep"))
     val s = base.select(col("doc_id"),
       sampleKeep(rates, defaultRate).as("s_keep"))

@@ -104,8 +104,9 @@ object Selection {
     val w: Array[Long] = Array.tabulate(dsirBuckets) { i =>
       val wi = BigInt(tc(i) + 1L) * BigInt(bigR + b) -
         BigInt(rc(i) + 1L) * BigInt(bigT + b)
-      require(wi.isValidLong, s"DSIR weight $wi exceeds int64 — " +
-        "shrink modelSampleHex")
+      require(wi.abs <= MaxSafeWeight,
+        s"DSIR weight $wi exceeds the per-doc-sum-safe bound " +
+          "(Long.MaxValue/2^20) — shrink modelSampleHex")
       wi.toLong
     }
     // Raw-pool mean threshold, exact from the model counts (BigInt: the
@@ -152,12 +153,28 @@ object Selection {
         "(the md5 coin is lowercase; an uppercase cap silently " +
         "mis-samples under lexicographic compare)")
 
+  /** The deterministic md5 sampling coin over doc_id — ONE definition for
+    * the model-training splits and their in_train audit columns, so the
+    * prefix or substring range can never drift between the rows a model
+    * trained on and the rows an accuracy audit excludes.
+    */
+  private def sampleCoin(prefix: String): Column =
+    substring(md5(concat(lit(prefix), col("doc_id").cast("string"))), 1, 2)
+
+  /** Per-bucket weight magnitude cap: a per-DOCUMENT score is the Long
+    * sum of one weight per token ([[bucketWeightSum]]), so weights are
+    * bounded to Long.MaxValue >> 20 — the sum stays exact int64 for any
+    * document up to 2^20 (~1M) tokens. `isValidLong` alone bounded the
+    * WEIGHT but not the doc sum, which could wrap silently on long docs
+    * at extreme model samples.
+    */
+  private val MaxSafeWeight = Long.MaxValue >> 20
+
   private def classBucketCounts(docs: DataFrame, classFilter: Column,
       coinPrefix: String, sampleHex: String, hexParamName: String)
       : (Array[Long], Array[Long], Long, Long) = {
     requireLowerHex(hexParamName, sampleHex)
-    val coin = substring(
-      md5(concat(lit(coinPrefix), col("doc_id").cast("string"))), 1, 2)
+    val coin = sampleCoin(coinPrefix)
     val rows = docs
       .select(col("doc_id"),
         coalesce(classFilter, lit(false)).as("cls"),
@@ -221,8 +238,9 @@ object Selection {
         coalesce(targetFilter, lit(false)).as("in_target"),
         lowerToks(col("text")).as("toks"))
       .select(col("doc_id"),
-        // coalesce: null text -> null token array -> null fold; a
-        // score-less doc scores 0 like an empty one.
+        // Belt-and-braces coalesce: wsTokens' null ≡ empty contract
+        // already makes the fold total (null text tokenizes to [] and
+        // folds to 0) — this only guards a future tokenizer regression.
         coalesce(dsirScoreCol(model, col("toks")), lit(0L))
           .as("dsir_score"),
         col("in_target"))
@@ -283,15 +301,16 @@ object Selection {
       labelFilter: Column = qualityTarget(),
       trainSampleHex: String = "7f"): NbModel = {
     val (pc, nc, nPos, nNeg) = classBucketCounts(docs, labelFilter,
-      "nb:", trainSampleHex, "trainSampleHex")
+      NbCoinPrefix, trainSampleHex, "trainSampleHex")
     val bigP = pc.sum
     val bigN = nc.sum
     val b = dsirBuckets.toLong
     val w: IndexedSeq[Long] = IndexedSeq.tabulate(dsirBuckets) { i =>
       val wi = BigInt(pc(i) + 1L) * BigInt(bigN + b) -
         BigInt(nc(i) + 1L) * BigInt(bigP + b)
-      require(wi.isValidLong, s"NB weight $wi exceeds int64 — " +
-        "shrink trainSampleHex")
+      require(wi.abs <= MaxSafeWeight,
+        s"NB weight $wi exceeds the per-doc-sum-safe bound " +
+          "(Long.MaxValue/2^20) — shrink trainSampleHex")
       wi.toLong
     }
     // Class score sums from the model counts (every token of a class's
@@ -315,9 +334,14 @@ object Selection {
   /** The deterministic train-split coin: docs whose md5("nb:<doc_id>")
     * prefix is ≤ the sample cap train the model; the rest are held out —
     * the spec's accuracy evidence is measured on exactly that complement.
+    * Same [[sampleCoin]] expression classBucketCounts trains with.
     */
-  private def nbTrainCoin: Column =
-    substring(md5(concat(lit("nb:"), col("doc_id").cast("string"))), 1, 2)
+  private def nbTrainCoin: Column = sampleCoin(NbCoinPrefix)
+
+  /** The NB split's coin prefix — shared by training and the in_train
+    * audit column (a one-sided edit would silently include training docs
+    * in held-out accuracy). */
+  private val NbCoinPrefix = "nb:"
 
   /** Train-and-score in one call: trains on the coin-selected split, then
     * scores EVERY document map-only. Output: (doc_id, nb_score, label,
@@ -349,8 +373,9 @@ object Selection {
         lowerToks(col("text")).as("toks"),
         (nbTrainCoin <= trainSampleHex).as("in_train"))
       .select(col("doc_id"),
-        // coalesce: null text -> null token array -> null fold; a
-        // score-less doc scores 0 like an empty one.
+        // Belt-and-braces coalesce: wsTokens' null ≡ empty contract
+        // already makes the fold total (null text tokenizes to [] and
+        // folds to 0) — this only guards a future tokenizer regression.
         coalesce(bucketWeightSum(model.weights, col("toks")), lit(0L))
           .as("nb_score"),
         col("label"), col("in_train"))
