@@ -39,14 +39,25 @@ object Similarity {
     * see Quant) and an epsilon-under-1.0 self-cosine still reads 1.0.
     */
   def cosine(a: Column, b: Column): Column =
-    Quant.r6(dot(a, b) / (norm(a) * norm(b)))
+    cosineWithNorms(dot(a, b), norm(a), norm(b))
 
   /** Cosine from a precomputed dot and per-vector norms — pair scans
     * compute each norm once per VECTOR, not once per pair (the norms are
     * the same doubles either way, so results are unchanged).
+    *
+    * ZERO-NORM CONVENTION: a zero vector has no direction, so its cosine
+    * against anything is 0 — without the guard, 0/0 = NaN, and Spark's
+    * NaN-greater-than-everything comparison would make a single failed
+    * (all-zero) embedding pass every >= threshold near-dup/decontam
+    * filter AND top every desc-sorted top-k, poisoning the exact
+    * baselines the recall reports denominate on. The oracles do not
+    * spell the branch because the corpus has no zero vectors (spec
+    * covers it); a NULL vector yields a NULL cosine, which every filter
+    * drops.
     */
   private def cosineWithNorms(dotAB: Column, normA: Column, normB: Column): Column =
-    Quant.r6(dotAB / (normA * normB))
+    when(normA === 0.0 || normB === 0.0, lit(0.0))
+      .otherwise(Quant.r6(dotAB / (normA * normB)))
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -92,17 +103,15 @@ object Similarity {
     val queries = emb.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
       .withColumn("qn", norm(col("qv")))
-    val corpus = emb.select(col("vec_id").as("neighbor_id"),
+    val corpus = emb.select(col("vec_id"),
       asDouble(col("embedding")).as("cv"))
       .withColumn("cn", norm(col("cv")))
-    val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+    val scored = corpus.join(broadcast(queries), col("query_id") =!= col("vec_id"))
       .withColumn("cos",
         cosineWithNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+    // One tie-break definition: the shared window tail.
+    topkByCos(scored, k)
   }
 
   /** Embedding-space decontamination: flag every corpus vector whose
@@ -137,7 +146,12 @@ object Similarity {
         asDouble(col("embedding")).as("ev"))
       .limit(maxEvalVectors + 1)
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .map { r =>
+        // Named failure instead of a bare driver NPE from .toArray.
+        require(!r.isNullAt(1),
+          s"embDecontam eval vec_id=${r.getLong(0)} has a NULL embedding")
+        (r.getLong(0), r.getSeq[Double](1).toArray)
+      }
       .sortBy(_._1)
     require(evs.nonEmpty, "embDecontam needs a non-empty eval set")
     require(evs.length <= maxEvalVectors,
@@ -377,8 +391,16 @@ object Similarity {
     centsDf(v.sparkSession, book).write.mode("overwrite")
       .parquet(s"$dir/centroids")
     // Cell assignment is a map-side literal argmin on the write scan
-    // itself — no assignment join.
-    v.select(col("vec_id"), col("ev"), norm(col("ev")).as("nrm"),
+    // itself — no assignment join. checkedDims on the BUILD too: a
+    // null/wrong-width row would otherwise land in the smallest cell
+    // with NULL ev/nrm (nulls-first struct argmin) and commit garbage
+    // with zero diagnostics — while the SAME row appended via
+    // appendToIvfIndex throws, breaking the spec-pinned append ≡
+    // rebuild equivalence (one path crashes, the other serves).
+    v.select(col("vec_id"),
+        checkedDims(col("ev"), book.head._2.length, "IVF index (build)")
+          .as("ev"))
+      .select(col("vec_id"), col("ev"), norm(col("ev")).as("nrm"),
         nearestId(col("ev"), book).as("cell"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
@@ -543,8 +565,12 @@ object Similarity {
     * index scan.
     */
   private def checkedDims(v: Column, expected: Int, what: String): Column =
+    // coalesce in the MESSAGE: size(NULL) is NULL and concat with a NULL
+    // piece is NULL — raise_error(NULL) fires with no diagnostic at all
+    // and a misleading dims framing for what is actually a null vector.
     when(size(v) === expected, v).otherwise(raise_error(concat(
-      lit("query vectors are "), size(v).cast("string"),
+      lit("query vectors are "),
+      coalesce(size(v).cast("string"), lit("NULL (null vector)")),
       lit(s"-dimensional but the $what expects $expected dims"))))
 
   def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -641,8 +667,14 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/codebooks")
     // Encode + assign + norm in ONE map-only projection on the write
     // scan — the literal books make both the PQ codes and the coarse cell
-    // pure expressions, so there is no assignment join at all.
-    pqEncodedCells(emb, books, coarse, m, sub)
+    // pure expressions, so there is no assignment join at all. Build
+    // guards dims like the append does (see writeIvfIndex for why the
+    // asymmetry would break append ≡ rebuild).
+    pqEncodedCells(
+      emb.select(col("vec_id"),
+        checkedDims(asDouble(col("embedding")), m * sub,
+          "IVF-PQ index (build)").as("embedding")),
+      books, coarse, m, sub)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
   }
@@ -833,10 +865,22 @@ object Similarity {
       case (acc, (c, e)) => acc.when(c, e)
     }
     // d² can dip epsilon-negative in IEEE arithmetic for a vector that IS
-    // its centroid — clamp before the sqrt.
-    val resUs = floor(sqrt(greatest(d2, lit(0.0))) * lit(1e6)).cast("long")
+    // its centroid — clamp before the sqrt. But a NULL d² means the row
+    // resolved to NO centroid arm (corrupt/truncated centroids file) or
+    // carries a NULL vector: greatest() skips NULLs, so the old clamp
+    // reported such rows as perfectly centered (residual 0), silently
+    // dragging the drift signal DOWN — the exact corruption this report
+    // exists to expose. A drift report on a corrupt index fails loudly
+    // instead.
+    val resUs = when(col("__d2").isNotNull,
+      floor(sqrt(greatest(col("__d2"), lit(0.0))) * lit(1e6)).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("indexHealth: a row in cell "), col("cell").cast("string"),
+        lit(" resolves to no centroid arm or has a NULL vector — " +
+          "corrupt index; rebuild"))))
     cells
-      .select(col("cell").cast("long").as("cell"), resUs.as("res_us"))
+      .select(col("cell").cast("long").as("cell"), d2.as("__d2"))
+      .select(col("cell"), resUs.as("res_us"))
       .groupBy(col("cell"))
       // DECIMAL(38,0) residual sum: cells holding 1e10 vectors of ~1e9
       // microunit residuals (the skewed-fill case this report exists to
@@ -1293,12 +1337,15 @@ object Similarity {
   def semanticDedup(emb: DataFrame, k: Int = 16,
       threshold: Double = 0.35): DataFrame = {
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
-    val assign = assignLiteral(v, iterateBooks(v, k, 0))
-      .select(col("vec_id"), col("cluster"))
-    // One row per vector (vector, cluster, norm), materialized once for
-    // both self-join sides.
-    val n = v.join(assign, Seq("vec_id"))
-      .withColumn("nrm", norm(col("ev")))
+    val book = iterateBooks(v, k, 0)
+    // One row per vector (vector, cluster, norm) in a SINGLE scan — the
+    // cluster is a literal-book argmin projection, so joining it back on
+    // vec_id would shuffle the whole corpus just to attach a derivable
+    // column (the lshNearDups lesson). Materialized once for both
+    // self-join sides.
+    val n = v.select(col("vec_id"), col("ev"),
+        nearestId(col("ev"), book).as("cluster"),
+        norm(col("ev")).as("nrm"))
       .barrier()
     val dups = n.as("l").join(n.as("r"),
         col("l.cluster") === col("r.cluster") &&
@@ -1385,9 +1432,15 @@ object Similarity {
     * table.
     */
   def clusterPurity(emb: DataFrame, k: Int = 8): DataFrame = {
-    val a = kmeansAssign(emb, k).select(col("vec_id"), col("cluster"))
-    val counts = emb.select(col("vec_id"), col("label").cast("long").as("label"))
-      .join(a, Seq("vec_id"))
+    val book = iterateBooks(
+      emb.select(col("vec_id"), asDouble(col("embedding")).as("ev")), k, 0)
+    // Label and cluster ride ONE corpus scan: the assignment is a
+    // literal-book argmin projection (exactly kmeansAssign's), so a
+    // vec_id join to attach it would shuffle the corpus for a derivable
+    // column — contradicting this report's own scale-shape claim.
+    val counts = emb
+      .select(col("label").cast("long").as("label"),
+        nearestId(asDouble(col("embedding")), book).as("cluster"))
       .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("cluster"))
       // asc_nulls_last pins the tie-break cross-engine: Spark ASC puts
@@ -1403,12 +1456,9 @@ object Similarity {
     top.join(totals, Seq("cluster"))
       .select(col("cluster"), col("majority_label"), col("majority_cnt"),
         col("cluster_size"),
-        // floor-quantized, NOT round(): cluster_size is data-dependent,
-        // so the ratio can land a ULP below a decimal .5 midpoint where
-        // the engines' round() strategies diverge.
-        (floor(col("majority_cnt").cast("double") /
-          col("cluster_size").cast("double") * lit(1e6)) / lit(1e6))
-          .as("purity"))
+        // floor-quantized, NOT round() — the shared Quant.q6 discipline.
+        Quant.q6(col("majority_cnt").cast("double") /
+          col("cluster_size").cast("double")).as("purity"))
   }
 
   /** Product-quantization (PQ) ADC scoring — the FAISS-style search (Jégou

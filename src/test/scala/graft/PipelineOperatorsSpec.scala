@@ -217,6 +217,21 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(got == 32.0)
   }
 
+  test("zero-norm embeddings: cosine is 0, never NaN — no top-k or near-dup poisoning") {
+    // An all-zero embedding (failed embed / zero padding) used to yield
+    // 0/0 = NaN cosines, which Spark's NaN-greater-than-everything
+    // ordering put FIRST under desc and passed every >= threshold
+    // filter. The zero-norm convention pins cosine = 0.
+    val vs = vecs(0L -> Seq(1f, 0f), 1L -> Seq(0f, 0f), 2L -> Seq(1f, 0.01f))
+    val bf = Similarity.bruteForceTopK(vs, k = 2, numQueries = 1).collect()
+    assert(bf.forall(r => !r.getDouble(2).isNaN))
+    // Rank 1 is the true nearest (vec 2), not the NaN-poisoned zero vec.
+    assert(bf.minBy(_.getInt(3)).getLong(1) == 2L)
+    val nd = Similarity.bruteForceNearDups(vs, threshold = 0.9).collect()
+    assert(nd.forall(r =>
+      r.getLong(0) != 1L && r.getLong(1) != 1L && !r.getDouble(2).isNaN))
+  }
+
   test("bruteForceTopK: nearest neighbor of a vector is its duplicate") {
     val d = vecs(
       0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(1f, 0f, 0f, 0f),
