@@ -2246,8 +2246,8 @@ object SparkEntry {
       """SELECT doc_id,
          CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
               ELSE len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) END AS BIGINT) AS ws_tokens,
-         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
-         CAST(length(text) AS BIGINT) AS chars
+         CAST(coalesce(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 0) AS BIGINT) AS bpe_tokens,
+         CAST(coalesce(length(text), 0) AS BIGINT) AS chars
          FROM documents""",
 
     "doc_gopher_quality" ->

@@ -31,7 +31,12 @@ object Dedup {
     */
   def exactGroups(docs: DataFrame): DataFrame =
     exactGroupsFromHashes(
-      docs.select(col("doc_id"), md5(col("text")).as("text_hash")))
+      // md5(coalesce): the null ≡ empty contract — md5(NULL) is NULL and
+      // would keep null-text docs in their own group, diverging from
+      // both the oracle (md5(coalesce(text, ''))) and Curation's
+      // exact-dup family.
+      docs.select(col("doc_id"),
+        md5(coalesce(col("text"), lit(""))).as("text_hash")))
 
   /** [[exactGroups]] from pre-computed (`doc_id`, `text_hash`) rows — the
     * canonical-keeper rule (min doc_id per hash) lives HERE only, so
@@ -231,9 +236,15 @@ object Dedup {
     // null row the post-explode attribute filter drops.
     val ex = sets.select(col("doc_id"), explode_outer(col("sset")).as("shingle"))
       .where(col("shingle").isNotNull)
-    val pairs = candidatePairsFromBuckets(capHotKeys(
-      bandBucketsFromSignatures(signaturesFromExploded(ex)),
-      Seq("band", "key"), maxBucketDf))
+    // With a cap, the bucket table feeds BOTH capHotKeys' hot-key
+    // aggregation and the anti-join probe side — unbarriered, the whole
+    // shingle-explode + 2-md5 + k-min signature pipeline would run
+    // twice (the simhashNearDupsImpl discipline). Released below once
+    // the pair table is materialized.
+    val buckets0 = bandBucketsFromSignatures(signaturesFromExploded(ex))
+    val buckets = if (maxBucketDf > 0) buckets0.barrier() else buckets0
+    val pairs = candidatePairsFromBuckets(
+      capHotKeys(buckets, Seq("band", "key"), maxBucketDf))
     val j = pairs
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -247,9 +258,11 @@ object Dedup {
     // Materialize eagerly (the pair set is tiny relative to the corpus) so
     // the caller can release its shingle cache — persist() without
     // unpersist() would accumulate cached copies across a query suite.
-    j.filter(col("jaccard") >= threshold)
+    val out = j.filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .barrier()
+    if (maxBucketDf > 0) Barrier.release(buckets)
+    out
   }
 
   /** Exact n-gram Jaccard for ALL pairs sharing at least one shingle —
@@ -393,6 +406,8 @@ object Dedup {
       .barrier()
     var converged = false
     var rounds = 0
+    var failed = true
+    try {
     while (!converged && rounds < maxRounds) {
       val viaNeighbors = edges
         .join(labels, edges("src") === labels("doc_id"))
@@ -446,9 +461,18 @@ object Dedup {
       throw new IllegalStateException(
         s"dupClusters did not converge after $rounds rounds " +
           "(labels would be incomplete); raise maxRounds")
-    // The edge table is dead once the loop converges — the result joins
-    // only `docs` against the final labels (which must stay resident).
-    Barrier.release(edges)
+    failed = false
+    } finally {
+      // Edges are dead once the loop exits on ANY path; on a failure
+      // (mid-round job error, the non-convergence throw) the label
+      // generation is dead too — without these releases the Verify
+      // driver, which catches per-query failures and continues, would
+      // strand the checkpoint blocks for the rest of the session. (At
+      // most one in-flight prop table can remain on a mid-round failure
+      // — bounded, and collected by driver GC like any orphan.)
+      Barrier.release(edges)
+      if (failed) Barrier.release(labels)
+    }
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("doc_id", "l_id"),
         col("doc_id") === col("l_id"), "left")
@@ -518,7 +542,8 @@ object Dedup {
     * form — 32 separate array folds each re-hashing every token — costs
     * 32× the md5 work and runs in the interpreted HOF path.
     */
-  def simhashes(docs: DataFrame): DataFrame = simhashesImpl(docs, 32, 8)
+  def simhashes(docs: DataFrame): DataFrame =
+    withTokenlessZero(docs, simhashesImpl(docs, 32, 8))
 
   /** 60-bit SimHash — the SCALE variant: same vote pipeline, fingerprint
     * from the first 15 hex chars of each token's md5 (60 bits keeps the
@@ -528,7 +553,20 @@ object Dedup {
     * the 32-bit variant's 4-5 bits, so candidate collisions drop by ~3
     * orders of magnitude — this is the variant to run on a large corpus.
     */
-  def simhashes64(docs: DataFrame): DataFrame = simhashesImpl(docs, 60, 15)
+  def simhashes64(docs: DataFrame): DataFrame =
+    withTokenlessZero(docs, simhashesImpl(docs, 60, 15))
+
+  /** Doc-level signature contract: token-less/null docs carry simhash 0
+    * (a row per DOCUMENT). The PAIR paths consume the votes-only table
+    * instead — signature 0 is not similarity evidence, and re-adding
+    * blank docs would make every pair of them a distance-0 "near-dup"
+    * clique on one hot all-zero block key (the exact quadratic blow-up
+    * the minhash and winnowing paths already exclude).
+    */
+  private def withTokenlessZero(docs: DataFrame, sigs: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(sigs, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("simhash"), lit(0L)).as("simhash"))
 
   private def simhashesImpl(docs: DataFrame, bits: Int,
       hexChars: Int): DataFrame = {
@@ -545,10 +583,9 @@ object Dedup {
     val sig = (0 until bits).map { b =>
       when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
-    // Left join keeps token-less documents (simhash 0).
-    docs.select(col("doc_id"))
-      .join(votes, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(sig, lit(0L)).as("simhash"))
+    // Votes-only: one row per doc WITH tokens; [[withTokenlessZero]]
+    // re-adds blank docs for the doc-level signature contract.
+    votes.select(col("doc_id"), sig.as("simhash"))
   }
 
   /** SimHash near-dup pairs: Hamming distance <= maxDist, candidate-limited
@@ -562,7 +599,7 @@ object Dedup {
     * scale run uses.
     */
   def simhashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame =
-    simhashNearDupsImpl(simhashes(docs), 32, maxDist)
+    simhashNearDupsImpl(simhashesImpl(docs, 32, 8), 32, maxDist)
 
   /** Near-dups over the 60-bit fingerprints — same pigeonhole recipe with
     * 15-bit block keys (see [[simhashes64]] for why this is the variant
@@ -570,7 +607,7 @@ object Dedup {
     */
   def simhashNearDups64(docs: DataFrame, maxDist: Int = 3,
       maxBlockDf: Int = 0): DataFrame =
-    simhashNearDupsImpl(simhashes64(docs), 60, maxDist, maxBlockDf)
+    simhashNearDupsImpl(simhashesImpl(docs, 60, 15), 60, maxDist, maxBlockDf)
 
   private def simhashNearDupsImpl(sh0: DataFrame, bits: Int,
       maxDist: Int, maxBlockDf: Int = 0): DataFrame = {

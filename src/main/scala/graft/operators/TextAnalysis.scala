@@ -64,7 +64,13 @@ object TextAnalysis {
       (length(text) - length(regexp_replace(text, punctClass, ""))).cast("double") /
         length(text).cast("double"))
 
-  /** English stopword ratio among whitespace tokens (quality signal). */
+  /** English stopword ratio among whitespace tokens (quality signal).
+    * DELIBERATELY case-sensitive (unlike gopherQuality, which case-folds
+    * its stopword scan): the quality/langid oracles, the DSIR target and
+    * every downstream threshold were calibrated against this definition
+    * — case-folding here is a candidate coordinated change (operator +
+    * qualityScoreSqlExpr + langid SQL + threshold retune), not a drive-by
+    * fix. */
   val enStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
 
@@ -145,13 +151,18 @@ object TextAnalysis {
 
   // ---- assembled queries ------------------------------------------------
 
-  /** Per-document token statistics. */
+  /** Per-document token statistics. Null text counts as empty in EVERY
+    * column (the null ≡ empty contract): without the coalesces,
+    * ws_tokens was 0 while bpe_tokens/chars null-propagated — a
+    * downstream sum/ratio would silently drop the rows one column
+    * counts.
+    */
   def tokenStats(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       tokenCountWs(col("text")).as("ws_tokens"),
-      tokenCountBpe(col("text")).as("bpe_tokens"),
-      length(col("text")).as("chars"))
+      coalesce(tokenCountBpe(col("text")), lit(0)).as("bpe_tokens"),
+      coalesce(length(col("text")), lit(0)).as("chars"))
 
   /** Per-document quality metrics. */
   def quality(docs: DataFrame): DataFrame =
@@ -231,9 +242,13 @@ object TextAnalysis {
   def winnowNearDupCandidates(docs: DataFrame, k: Int = 3, w: Int = 4,
       minShared: Int = 2, maxDf: Int = 50): DataFrame = {
     // One row per doc per fingerprint; materialized once — the self-join
-    // would otherwise re-run the whole winnowing pipeline per side.
+    // would otherwise re-run the whole winnowing pipeline per side. The
+    // pair result comes back eagerly materialized, so the fingerprint
+    // blocks release immediately instead of living until driver GC.
     val fp = winnowingFingerprints(docs, k, w).barrier()
-    sharedFingerprintPairs(fp, minShared, maxDf)
+    val out = sharedFingerprintPairs(fp, minShared, maxDf)
+    Barrier.release(fp)
+    out
   }
 
   /** The candidate-pair discipline over a MATERIALIZED fingerprint table —
@@ -247,13 +262,20 @@ object TextAnalysis {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select(col("fingerprint"))
-    val pruned = fp.join(rare, Seq("fingerprint"))
-    pruned.as("a").join(pruned.as("b"),
+    // Materialized: BOTH self-join sides read the pruned table, and
+    // exchange reuse is a runtime maybe — unbarriered, the df
+    // aggregation + rare join re-plan per side. The pair result (tiny)
+    // materializes eagerly so the pruned blocks release on exit.
+    val pruned = fp.join(rare, Seq("fingerprint")).barrier()
+    val out = pruned.as("a").join(pruned.as("b"),
         col("a.fingerprint") === col("b.fingerprint") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
+      .barrier()
+    Barrier.release(pruned)
+    out
   }
 
   /** WITHIN-document duplicate-n-gram character coverage (the remaining
@@ -516,12 +538,20 @@ object TextAnalysis {
       pairs.map { case (a, b) =>
         val d = col(s"__r_$a") - col(s"__r_$b")
         val nD = col("n").cast("double")
-        r.agg(count(lit(1)).as("n"), sum(d * d).as("sum_d2"))
-          .select(lit(s"$a~$b").as("pair"), col("n"), col("sum_d2"),
+        // DECIMAL(38,0) accumulator: Σd² is ~n³/6 (n³/3 anti-correlated)
+        // and wraps a long past ~3-4M docs — the silent-wrap class
+        // trainKeyedBooks/indexHealth already widened for. The display
+        // column casts back to long (exact at any audit scale; a sum
+        // past 9.2e18 reads NULL rather than garbage), and rho is
+        // computed from the unwrapped decimal.
+        r.agg(count(lit(1)).as("n"),
+            sum((d * d).cast("decimal(38,0)")).as("__s"))
+          .select(lit(s"$a~$b").as("pair"), col("n"),
+            col("__s").cast("long").as("sum_d2"),
             // rho undefined below 2 rows (n(n²-1)=0) — emit NULL, not a
             // division artifact.
             when(col("n") >= 2L,
-              q6(lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
+              q6(lit(1.0) - lit(6.0) * col("__s").cast("double") /
                 (nD * (nD * nD - lit(1.0))))).as("rho"))
       }.reduce(_.unionByName(_)).barrier()
     }

@@ -189,8 +189,10 @@ object StreamingNearDup {
     * implementation by the stream≡batch spec (incl. the whitespace
     * quirk fixture — see [[wsTokensScala]]).
     */
-  private[graft] def simhash64Of(text: String): Long = {
-    val toks = wsTokensScala(text)
+  private[graft] def simhash64Of(text: String): Long =
+    simhash64OfTokens(wsTokensScala(text))
+
+  private def simhash64OfTokens(toks: Array[String]): Long = {
     if (toks.isEmpty) return 0L
     val votes = new Array[Long](60)
     toks.foreach { t =>
@@ -270,9 +272,17 @@ object StreamingNearDup {
       .where(col("ts").isNotNull)
       .as[(Long, Timestamp, String)]
       .flatMap { case (docId, ts, text) =>
-        val sig = simhash64Of(text)
-        blockKeysOf(sig, blocks, width).zipWithIndex.map { case (k, b) =>
-          BlockHit(b, k, docId, ts.getTime, ts, sig)
+        val toks = wsTokensScala(text)
+        // Token-less/blank docs pair with NOTHING — mirrors the batch
+        // side's votes-only signature table (signature 0 is not
+        // similarity evidence; f blank docs would otherwise form a
+        // distance-0 clique on the all-zero block keys).
+        if (toks.isEmpty) Seq.empty[BlockHit]
+        else {
+          val sig = simhash64OfTokens(toks)
+          blockKeysOf(sig, blocks, width).zipWithIndex.map { case (k, b) =>
+            BlockHit(b, k, docId, ts.getTime, ts, sig)
+          }
         }
       }
       .withWatermark("ts", delay)

@@ -163,16 +163,26 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(fp.size == 1)
   }
 
-  test("simhash: identical docs at distance 0, near docs at small distance") {
+  test("simhash: identical docs at distance 0, near docs at small distance; blank docs never pair") {
     val d = docs(
       1L -> "the quick brown fox jumps over the lazy dog",
       2L -> "the quick brown fox jumps over the lazy dog",
-      3L -> "zz yy xx ww vv uu tt ss rr")
+      3L -> "zz yy xx ww vv uu tt ss rr",
+      // Blank/whitespace docs share simhash 0 but carry NO similarity
+      // evidence — re-adding them to the pair path made every pair of
+      // them a distance-0 "near-dup" clique on the all-zero block keys.
+      4L -> "",
+      5L -> " \t ")
     val pairs = Dedup.simhashNearDups(d, maxDist = 3).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
         r.getAs[Int]("dist")))
     assert(pairs.contains((1L, 2L, 0)))
-    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+    assert(!pairs.exists(p => p._1 >= 3L || p._2 >= 3L))
+    // The doc-level signature table still carries one row per DOCUMENT
+    // (blank docs at simhash 0) — only the pair paths exclude them.
+    val sigs = Dedup.simhashes(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sigs.size == 5 && sigs(4L) == 0L && sigs(5L) == 0L)
   }
 
   test("dupClusters: transitive near-dups collapse to one component, min id wins") {
@@ -2065,7 +2075,12 @@ class PipelineOperatorsSpec extends SparkSpec {
       2L -> "the quick brown fox jumps over the lazy dog tonight",
       3L -> "completely different words entirely here now friends",
       4L -> "alpha beta gamma delta epsilon zeta eta theta\n",
-      5L -> "alpha beta gamma delta epsilon zeta eta theta\t")
+      5L -> "alpha beta gamma delta epsilon zeta eta theta\t",
+      // Blank docs pair with NOTHING in either engine: the batch pair
+      // path consumes the votes-only signature table and the stream
+      // twin drops token-less docs before the block explode.
+      6L -> "",
+      7L -> " \t ")
     val batch = Dedup.simhashNearDups64(corpus.toDF("doc_id", "text"),
         maxDist = 6).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
