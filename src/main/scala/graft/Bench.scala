@@ -70,30 +70,40 @@ object Bench {
     settle(target = cpus.toDouble * 0.75, maxWaitMs = 90000L)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val passes = 2
-    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    for (_ <- 1 to passes; (name, fn) <- ordered) {
-      val t0 = System.nanoTime()
-      // noop sink: forces full computation of every output column (a bare
-      // count() would let Catalyst prune the projected expressions away).
-      // A failed pass records NOTHING: its (fast) failure wall-time would
-      // otherwise enter the min and silently under-report the query — the
-      // JSON's `failed` list is the loud marker instead of stderr alone.
-      val ok =
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
-        } catch { case NonFatal(e) =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          failed += name; false
-        }
-      if (ok) {
-        val sec = (System.nanoTime() - t0) / 1e9
-        best.updateWith(name) {
-          case Some(prev) => Some(math.min(prev, sec))
-          case None       => Some(sec)
+    // ONE timed-pass runner for the primary and the ref-scaling suites —
+    // the two loops drifted once already (the round-8 "ref pass symmetric
+    // with the primary" fix) and a one-sided change to pass count, sink,
+    // or failure handling would silently break the symmetry again.
+    // noop sink: forces full computation of every output column (a bare
+    // count() would let Catalyst prune the projected expressions away).
+    // A failed pass records NOTHING: its (fast) failure wall-time would
+    // otherwise enter the min and silently under-report the query — the
+    // JSON's failed lists are the loud marker instead of stderr alone.
+    def runPasses(dir: String, tag: String)
+        : (scala.collection.mutable.LinkedHashMap[String, Double],
+           scala.collection.mutable.LinkedHashSet[String]) = {
+      val mins = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val bad = scala.collection.mutable.LinkedHashSet.empty[String]
+      for (_ <- 1 to passes; (name, fn) <- ordered) {
+        val t0 = System.nanoTime()
+        val ok =
+          try {
+            fn(spark, dir).write.format("noop").mode("overwrite").save(); true
+          } catch { case NonFatal(e) =>
+            System.err.println(s"[bench] $tag$name failed: ${e.getMessage}")
+            bad += name; false
+          }
+        if (ok) {
+          val sec = (System.nanoTime() - t0) / 1e9
+          mins.updateWith(name) {
+            case Some(prev) => Some(math.min(prev, sec))
+            case None       => Some(sec)
+          }
         }
       }
+      (mins, bad)
     }
+    val (best, failed) = runPasses(sfDir, "")
     // The driver captures only a bounded stdout TAIL (~4 KB): rounds 6 and
     // 7 both lost the head of this JSON line to that window and recorded
     // parsed:null. So the contract line is kept deliberately SMALL
@@ -101,6 +111,16 @@ object Bench {
     // aggregate scaling stats instead of three full per-query maps); the
     // full-precision per-query detail goes to BENCH_DETAIL.json next to
     // the repo for the judge to read.
+    // JSON string escaper for the dir paths (a quote/backslash in an env
+    // var would otherwise behead the contract line into parsed:null —
+    // the exact failure mode this file fights).
+    def jq(v: String): String =
+      "\"" + v.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c    => c.toString
+      } + "\""
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def f2(v: Double): String =
@@ -138,8 +158,14 @@ object Bench {
     // with SPARK_GRAFT_SCALE_REF=none.
     val refDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_REF",
       "/root/testdata/sf0.01")
+    // CANONICAL path equality, not string equality: a trailing slash or
+    // symlink spelling of the same dir would otherwise run a meaningless
+    // self-referential scaling pass (double wall time, factor_median
+    // ~1.00 masquerading as perfect-scaling evidence).
+    def canon(d: String): String =
+      try new java.io.File(d).getCanonicalPath catch { case NonFatal(_) => d }
     val scaling: (String, (String, String)) =
-      if (refDir == "none" || refDir == sfDir ||
+      if (refDir == "none" || canon(refDir) == canon(sfDir) ||
           !new java.io.File(refDir).isDirectory) ("", ("{}", "{}"))
       else {
         // Warm the ref-SF tables too (cheap at sf0.01) — without it the
@@ -149,36 +175,21 @@ object Bench {
         Option(new java.io.File(refDir).listFiles()).getOrElse(Array.empty)
           .filter(_.getName.endsWith(".parquet"))
           .foreach(f => spark.read.parquet(f.getPath).count())
-        // SAME pass structure as the primary (2 passes, min): the
-        // build-once-serve-many index queries pay their build only in
-        // pass 1, so a single ref pass would include the build the
+        // Symmetric measurement hygiene: the primary pass ran behind a
+        // loadavg settle; a co-tenant spinning up between the suites
+        // would otherwise inflate ONLY the ref times and systematically
+        // understate every factor.
+        settle(target = cpus.toDouble * 0.75, maxWaitMs = 90000L)
+        // SAME pass structure as the primary (runPasses: 2 passes, min):
+        // the build-once-serve-many index queries pay their build only
+        // in pass 1, so a single ref pass would include the build the
         // primary min excludes and the scale factor would compare
         // serve-time to build+serve-time — systematically flattering.
-        val ref = scala.collection.mutable.LinkedHashMap.empty[String, Double]
         // Ref-pass failures get the same loud treatment as primary ones:
         // without the marker, a query that throws only at the ref SF just
         // vanishes from ref_queries/factors and the percentile population
         // silently shrinks — the round-7 "absent, not err" pattern.
-        val refFailed = scala.collection.mutable.LinkedHashSet.empty[String]
-        for (_ <- 1 to passes; (name, fn) <- ordered) {
-          val t0 = System.nanoTime()
-          val ok =
-            try {
-              fn(spark, refDir).write.format("noop").mode("overwrite").save()
-              true
-            } catch { case NonFatal(e) =>
-              System.err.println(s"[bench] ref $name failed: ${e.getMessage}")
-              refFailed += name
-              false
-            }
-          if (ok) {
-            val sec = (System.nanoTime() - t0) / 1e9
-            ref.updateWith(name) {
-              case Some(prev) => Some(math.min(prev, sec))
-              case None       => Some(sec)
-            }
-          }
-        }
+        val (ref, refFailed) = runPasses(refDir, "ref ")
         val factors = ref.collect { case (k, rv) if best.contains(k) && rv > 0 =>
           k -> best(k) / rv
         }.toMap
@@ -207,10 +218,14 @@ object Bench {
         // Nearest-rank percentile: ceil(p·n)−1. The truncation form
         // (p·n).toInt over-selects by one rank whenever p·n is integral —
         // with 10 factors it made factor_p90 report the population MAX.
-        def pct(p: Double): Double =
-          if (sortedF.isEmpty) 0.0
-          else sortedF(math.max(0, math.min(sortedF.size - 1,
-            math.ceil(p * sortedF.size).toInt - 1)))
+        // JSON null, not 0.00, for an empty factor population: an
+        // all-ref-failed run would otherwise report factor_median 0.00 —
+        // reading as better-than-perfect scaling next to the
+        // ref_failed_n marker.
+        def pct(p: Double): String =
+          if (sortedF.isEmpty) "null"
+          else f2(sortedF(math.max(0, math.min(sortedF.size - 1,
+            math.ceil(p * sortedF.size).toInt - 1))))
         val outliers = factors.toSeq
           .filter { case (k, f) => f > 3.0 && !SparkEntry.verificationScaleOnly(k) }
           .sortBy(-_._2)
@@ -219,8 +234,8 @@ object Bench {
         val refFailedJson =
           if (refFailedOnly.isEmpty) ""
           else s""","ref_failed_n":${refFailedOnly.size}"""
-        (s""","scaling":{"ref_sf":"$refDir","factor_median":${f2(pct(0.5))},""" +
-          s""""factor_p90":${f2(pct(0.9))},"factor_max":${f2(pct(1.0))},""" +
+        (s""","scaling":{"ref_sf":${jq(refDir)},"factor_median":${pct(0.5)},""" +
+          s""""factor_p90":${pct(0.9)},"factor_max":${pct(1.0)},""" +
           s""""scale_path_factors_gt3":$outliers$refFailedJson}""",
           detail)
       }
@@ -235,7 +250,7 @@ object Bench {
     val detailJson =
       s"""{"queries":$fullQs,"ref_queries":${scalingDetail._1},""" +
         s""""factor_primary_over_ref":${scalingDetail._2},""" +
-        s""""sf":"$sfDir","passes":$passes,"agg":"min_per_query"""" +
+        s""""sf":${jq(sfDir)},"passes":$passes,"agg":"min_per_query"""" +
         s"""$vscaleJson$failedJson}"""
     val detailRef =
       try {
@@ -252,7 +267,7 @@ object Bench {
       }
     val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""queries":$qs,"passes":$passes,"agg":"min_per_query",""" +
-      s""""sf":"$sfDir","detail":$detailRef""" +
+      s""""sf":${jq(sfDir)},"detail":$detailRef""" +
       s"""$vscaleJson$failedJson$scalingJson}"""
     println(line)
     spark.stop()

@@ -24,9 +24,13 @@ object Plans {
       .toSeq.sortBy(_._1)
       .foreach { case (name, fn) =>
         println(s"\n========== $name ==========")
+        // NonFatal ONLY (the Verify/Bench rule): swallowing an OOM or
+        // LinkageError and iterating a corrupted JVM prints plans that
+        // may be silently wrong.
         try println(fn(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
-        catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
+        catch { case scala.util.control.NonFatal(e) =>
+          println(s"explain failed: ${e.getMessage}") }
       }
     spark.stop()
   }

@@ -56,10 +56,12 @@ object Probe {
     tm("minhashNearDups-total") {
       val p = Dedup.minhashNearDups(docs); println("pairs=" + p.count())
     }
+    // Scoped: the property would otherwise leak into every later stage
+    // AND across runMain invocations in a warm sbt shell.
     sys.props("graft.debug") = "1"
-    tm("dupClusters-total") {
+    try tm("dupClusters-total") {
       val c = Dedup.minhashClusters(docs); println("clusters=" + c.count())
-    }
+    } finally sys.props.remove("graft.debug")
     sets.unpersist()
     // ngram stages
     tm("ngramJaccardPairs-total") {

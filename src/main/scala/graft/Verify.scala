@@ -7,7 +7,12 @@ import scala.util.control.NonFatal
 object Verify {
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(); ()
+    // A surviving stale dump defeats the cleanup's whole purpose: the
+    // driver's DuckDB compare would validate LAST run's data for a
+    // now-broken query — warn loudly instead of ignoring the result.
+    if (!f.delete() && f.exists())
+      System.err.println(s"[verify] WARNING: could not delete stale $f " +
+        "— a previous run's dump may survive under it")
   }
 
   def main(args: Array[String]): Unit = {
