@@ -125,8 +125,6 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def f2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = best.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
     // `failed` alone is ambiguous for a flaky query (one pass fails, the
     // other succeeds and contributes a timing): split into failed_all
     // (no timing exists) vs failed_some (timing present but flaky) so
@@ -164,9 +162,9 @@ object Bench {
     // ~1.00 masquerading as perfect-scaling evidence).
     def canon(d: String): String =
       try new java.io.File(d).getCanonicalPath catch { case NonFatal(_) => d }
-    val scaling: (String, (String, String)) =
+    val scaling: (String, (String, String, String)) =
       if (refDir == "none" || canon(refDir) == canon(sfDir) ||
-          !new java.io.File(refDir).isDirectory) ("", ("{}", "{}"))
+          !new java.io.File(refDir).isDirectory) ("", ("{}", "{}", "{}"))
       else {
         // Warm the ref-SF tables too (cheap at sf0.01) — without it the
         // first ref query absorbs the cold file-listing/footer cost the
@@ -234,10 +232,18 @@ object Bench {
         val refFailedJson =
           if (refFailedOnly.isEmpty) ""
           else s""","ref_failed_n":${refFailedOnly.size}"""
+        // Contract line carries ONLY the aggregate trend + the outlier
+        // COUNT; the outlier map and full factor map go to the detail
+        // file. Round 8 proved the driver's stdout tail is exactly 2000
+        // chars — every per-query map on the line is length we cannot
+        // afford (see the budget-capped `queries` construction below).
+        val nGt3 = factors.count { case (k, f) =>
+          f > 3.0 && !SparkEntry.verificationScaleOnly(k)
+        }
         (s""","scaling":{"ref_sf":${jq(refDir)},"factor_median":${pct(0.5)},""" +
           s""""factor_p90":${pct(0.9)},"factor_max":${pct(1.0)},""" +
-          s""""scale_path_factors_gt3":$outliers$refFailedJson}""",
-          detail)
+          s""""gt3_n":$nGt3$refFailedJson}""",
+          (detail._1, detail._2, outliers))
       }
     val (scalingJson, scalingDetail) = scaling
     // Full-precision sidecar for the judge (cwd = repo root under sbt).
@@ -250,6 +256,7 @@ object Bench {
     val detailJson =
       s"""{"queries":$fullQs,"ref_queries":${scalingDetail._1},""" +
         s""""factor_primary_over_ref":${scalingDetail._2},""" +
+        s""""scale_path_factors_gt3":${scalingDetail._3},""" +
         s""""sf":${jq(sfDir)},"passes":$passes,"agg":"min_per_query"""" +
         s"""$vscaleJson$failedJson}"""
     val detailRef =
@@ -265,10 +272,40 @@ object Bench {
         System.err.println(s"[bench] detail write failed: ${e.getMessage}")
         "null"
       }
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
-      s""""queries":$qs,"passes":$passes,"agg":"min_per_query",""" +
-      s""""sf":${jq(sfDir)},"detail":$detailRef""" +
-      s"""$vscaleJson$failedJson$scalingJson}"""
+    // Budget-capped contract line. BENCH_r08.json proved the driver
+    // records only the LAST 2000 chars of stdout (len(tail) == 2000) and
+    // sbt prints a ~76-char "[success] Total time ..." trailer AFTER this
+    // line — so any line over ~1900 chars gets its head cut off and the
+    // driver records parsed:null (this happened in rounds 6, 7 AND 8
+    // despite two rounds of shrinking the per-query precision; with 113
+    // full-name query entries the map alone exceeds the window, so no
+    // precision trick can ever fit it). The line now carries the TOP-COST
+    // queries — the ones a plan audit reads first — greedily added until
+    // the line would exceed `lineBudget`; `queries_n`/`queries_top` mark
+    // the truncation explicitly and BENCH_DETAIL.json (committed next to
+    // this file each round) carries every query at full precision.
+    val lineBudget = 1750
+    val failedCountsJson =
+      if (failed.isEmpty) ""
+      else s""","failed_n":${failed.size},"failed_all_n":${failedAll.size}"""
+    def mkLine(qsJson: String, top: Int): String =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+        s""""queries":$qsJson,"queries_n":${best.size},"queries_top":$top,""" +
+        s""""passes":$passes,"agg":"min_per_query",""" +
+        s""""sf":${jq(sfDir)},"detail":$detailRef,""" +
+        s""""total_scale_path":${f3(totalScalePath)},""" +
+        s""""verification_scale_n":${vscale.size}""" +
+        failedCountsJson + scalingJson + "}"
+    val fixedLen = mkLine("{}", best.size).length
+    val entries = best.toSeq.sortBy { case (k, v) => (-v, k) }
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    for (e <- entries) {
+      val add = e.length + (if (chosen.isEmpty) 0 else 1)
+      if (fixedLen + used + add <= lineBudget) { chosen += e; used += add }
+    }
+    val line = mkLine(chosen.mkString("{", ",", "}"), chosen.size)
     println(line)
     spark.stop()
   }

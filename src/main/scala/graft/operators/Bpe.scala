@@ -110,29 +110,33 @@ object Bpe {
     require(k >= 1 && k <= 64, s"k=$k merge rounds outside [1, 64]")
     var words = vocab(docs).barrier() // vocab-sized
     val merges = Seq.newBuilder[Merge]
-    var round = 1
-    var exhausted = false
-    while (round <= k && !exhausted) {
-      val top = topPairPlan(words).collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val (lhs, rhs, c) = (top(0).getString(0), top(0).getString(1),
-          top(0).getLong(2))
-        merges += Merge(round, lhs, rhs, lhs + rhs, c)
-        val next = words
-          .withColumn("syms", applyMerge(col("syms"), lhs, rhs))
-          .barrier()
-        // The new barrier is materialized (eager), so the superseded
-        // generation's blocks can go now — otherwise a k-round loop
-        // holds up to k vocab-sized checkpoints until driver GC.
-        Barrier.release(words)
-        words = next
-        round += 1
+    // try/finally over the whole loop: the merges are driver data, so the
+    // CURRENT vocab generation is dead on every exit — normal completion
+    // AND a mid-round failure (Verify catches per-query exceptions and
+    // keeps running; a success-only release would strand a vocab-sized
+    // checkpoint for the rest of the session).
+    try {
+      var round = 1
+      var exhausted = false
+      while (round <= k && !exhausted) {
+        val top = topPairPlan(words).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (lhs, rhs, c) = (top(0).getString(0), top(0).getString(1),
+            top(0).getLong(2))
+          merges += Merge(round, lhs, rhs, lhs + rhs, c)
+          val next = words
+            .withColumn("syms", applyMerge(col("syms"), lhs, rhs))
+            .barrier()
+          // The new barrier is materialized (eager), so the superseded
+          // generation's blocks can go now — otherwise a k-round loop
+          // holds up to k vocab-sized checkpoints until driver GC.
+          Barrier.release(words)
+          words = next
+          round += 1
+        }
       }
-    }
-    // The merges are driver data — the final vocab generation is dead
-    // too (same leak as the per-round generations, just once).
-    Barrier.release(words)
+    } finally Barrier.release(words)
     merges.result()
   }
 

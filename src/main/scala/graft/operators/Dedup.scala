@@ -258,11 +258,15 @@ object Dedup {
     // Materialize eagerly (the pair set is tiny relative to the corpus) so
     // the caller can release its shingle cache — persist() without
     // unpersist() would accumulate cached copies across a query suite.
-    val out = j.filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .barrier()
-    if (maxBucketDf > 0) Barrier.release(buckets)
-    out
+    // The bucket barrier is released in finally: Verify/Bench catch a
+    // per-query failure and continue the suite, so a release only on the
+    // success path would strand the bucket table's checkpoint blocks for
+    // the rest of the session (the dupClusters failure-path pattern).
+    try {
+      j.filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .barrier()
+    } finally if (maxBucketDf > 0) Barrier.release(buckets)
   }
 
   /** Exact n-gram Jaccard for ALL pairs sharing at least one shingle —

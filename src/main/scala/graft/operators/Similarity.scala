@@ -757,7 +757,16 @@ object Similarity {
         import scala.jdk.CollectionConverters._
         node.get("dirs").elements().asScala.map(_.asText()).toSeq
       case None if gen == 0L => Seq("cells")
-      case None => Seq.empty
+      case None =>
+        // Fail-loud on the READ path (mirrors Search.lexManifestAt): a
+        // listed-then-vanished manifest is a damaged index or a
+        // single-writer violation — Seq.empty here would surface as an
+        // unrelated empty-reduce UnsupportedOperationException inside
+        // readCells. The generation sweep tolerates this via its own
+        // NonFatal catch (it skips collection; the index stays correct).
+        throw new IllegalStateException(
+          s"index manifest generation $gen is missing under $root — " +
+            "damaged index or concurrent writer")
     }
 
   /** Sweep what the just-committed generation superseded: the shared

@@ -245,10 +245,12 @@ object TextAnalysis {
     // would otherwise re-run the whole winnowing pipeline per side. The
     // pair result comes back eagerly materialized, so the fingerprint
     // blocks release immediately instead of living until driver GC.
+    // release in finally: Verify/Bench catch per-query failures and keep
+    // running, so a success-only release would strand the fingerprint
+    // checkpoint blocks for the rest of the session.
     val fp = winnowingFingerprints(docs, k, w).barrier()
-    val out = sharedFingerprintPairs(fp, minShared, maxDf)
-    Barrier.release(fp)
-    out
+    try sharedFingerprintPairs(fp, minShared, maxDf)
+    finally Barrier.release(fp)
   }
 
   /** The candidate-pair discipline over a MATERIALIZED fingerprint table —
@@ -267,15 +269,15 @@ object TextAnalysis {
     // aggregation + rare join re-plan per side. The pair result (tiny)
     // materializes eagerly so the pruned blocks release on exit.
     val pruned = fp.join(rare, Seq("fingerprint")).barrier()
-    val out = pruned.as("a").join(pruned.as("b"),
-        col("a.fingerprint") === col("b.fingerprint") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= minShared)
-      .barrier()
-    Barrier.release(pruned)
-    out
+    try {
+      pruned.as("a").join(pruned.as("b"),
+          col("a.fingerprint") === col("b.fingerprint") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= minShared)
+        .barrier()
+    } finally Barrier.release(pruned)
   }
 
   /** WITHIN-document duplicate-n-gram character coverage (the remaining
