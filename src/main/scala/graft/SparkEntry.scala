@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.TrendConfig
-import graft.operators.{AsOf, Bpe, Curation, Dedup, EventAnalytics, Multimodal, PageAggregates, RangeJoin, Search, Selection, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsOf, Bpe, Curation, Dedup, EventAnalytics, Multimodal, PageAggregates, RangeJoin, Search, Selection, Similarity, Skew, Sketches, TextAnalysis}
 import graft.sources.EventAdapter
 import graft.operators.Barrier.BarrierOps
 
@@ -143,6 +143,18 @@ object SparkEntry {
   private val gopherPlantChunk = (1 to 10).map(i => s"r$i").mkString(" ")
   /** 5-token tail: one final partial (hence distinct) chunk. */
   private val gopherPlantTail = "t1 t2 t3 t4 t5"
+
+  /** Media chunk-dedup plant: a fixed 256-byte ASCII pattern whose four
+    * 64-byte blocks are pairwise distinct. Planted docs carry 2-4
+    * leading blocks (by doc_id % 3), so a planted pair shares
+    * min(blocks_a, blocks_b) sampled frames and the pair table's
+    * `shared` column genuinely varies — the organic corpus has few
+    * frame-ALIGNED byte-identical slices. ASCII only (no quotes), so
+    * the SQL literal and byte/char offsets stay trivially portable.
+    */
+  private val mediaPlantPattern: String =
+    (0 until 256).map(i =>
+      if (i % 13 == 0) ' ' else ('A' + (i * 7) % 26).toChar).mkString
 
   /** Containment plant: 12 tokens → 10 trigrams (the min set). */
   private val containPlantShort =
@@ -512,6 +524,15 @@ object SparkEntry {
     "doc_dedup_keep_best" -> ((s, dir) =>
       Dedup.minhashKeepBest(t(s, dir, "documents"))),
 
+    // LEAKAGE-SAFE train/val/test split: the md5 coin is drawn on the
+    // near-dup CLUSTER id, so a paraphrase pair can never straddle the
+    // train/test boundary (the eval-contamination mode doc-level dedup
+    // leaves open). 10% test / 10% val by the 1/256-resolution hex
+    // thresholds the stratified sampler uses; split attach is a pure
+    // projection over the cluster table (plan-locked).
+    "doc_leakage_split" -> ((s, dir) =>
+      Dedup.minhashSplit(t(s, dir, "documents"))),
+
     // VERIFICATION-SCALE ONLY (see verificationScaleOnly; twin:
     // doc_simhash64_pairs). SimHash fingerprints + near-dups:
     // md5-derived bits, 32-bit votes → 4-5-bit pigeonhole keys, hence
@@ -563,6 +584,26 @@ object SparkEntry {
             .otherwise(lit("WXYZ ")), col("text")))
           .otherwise(col("text")))
       Multimodal.frameFeatures(s, Multimodal.withPayload(planted)).toDF()
+    }),
+
+    // Media near-dup by CHUNK-HASH overlap: docs sharing >= 2 distinct
+    // sampled frames byte-for-byte (md5 fingerprints, df-capped
+    // self-join — the winnowing discipline over a media modality). The
+    // organic corpus rarely aligns identical 16-byte slices on frame
+    // boundaries, so 20 docs (doc_id % 25 == 7 AND doc_id < 500 —
+    // scale-stable plant size) carry 2-4 leading 64-byte blocks of a
+    // fixed pattern: planted pairs share min(blocks) frames and
+    // `shared` genuinely varies (2..4 planted, higher organically).
+    "doc_media_dups" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 25 === 7 && col("doc_id") < 500,
+          concat(
+            when(col("doc_id") % 3 === 0, lit(mediaPlantPattern.take(128)))
+              .when(col("doc_id") % 3 === 1, lit(mediaPlantPattern.take(192)))
+              .otherwise(lit(mediaPlantPattern)),
+            coalesce(col("text"), lit(""))))
+          .otherwise(col("text")))
+      Multimodal.frameDups(s, Multimodal.withPayload(planted))
     }),
 
     // Gopher-style rule filter: per-doc quality flags + keep verdict.
@@ -670,6 +711,14 @@ object SparkEntry {
     // Vocabulary head: top-100 tokens by occurrence (+ doc frequency).
     "doc_vocab_topk" -> ((s, dir) =>
       Curation.vocabTopK(t(s, dir, "documents"), k = 100)),
+
+    // EXACT heavy hitters (freq > total/50) via the two-pass Misra-Gries
+    // recipe: pass 1 is a bounded-memory per-partition sketch (raw
+    // tokens never shuffle — the 100 TB-vocabulary answer to
+    // doc_vocab_topk's full aggregation), pass 2 recounts the candidate
+    // superset exactly, so the oracle is the plain HAVING definition.
+    "doc_heavy_tokens" -> ((s, dir) =>
+      Sketches.heavyTokens(s, t(s, dir, "documents"), k = 50)),
 
     // Mix-rate planner: target token shares → per-language downsampling
     // rates (binding language keeps rate 1.0; unlisted langs drop).
@@ -3658,6 +3707,22 @@ object SparkEntry {
          FROM toks GROUP BY token
          ORDER BY occurrences DESC, token ASC LIMIT 100""",
 
+    // The exact definition the two-pass Misra-Gries recipe provably
+    // computes (candidate superset + exact recount): strict integer
+    // threshold, q6-floored share of the corpus token total.
+    "doc_heavy_tokens" ->
+      raw"""WITH toks AS (
+           SELECT unnest(
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END) AS token
+           FROM documents),
+         tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM toks GROUP BY 1),
+         tot AS (SELECT COUNT(*) AS n FROM toks)
+         SELECT token, cnt,
+           floor((CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6) / 1e6 AS share
+         FROM tc, tot WHERE cnt * 50 > n""",
+
     // Assignment CTEs mirror emb_kmeans_assign (k=8, seeded book); the
     // coin and the per-cluster rank replay the operator verbatim.
     "emb_cluster_sample" ->
@@ -3933,6 +3998,24 @@ object SparkEntry {
            doc_id = canonical_id AS keep
          FROM w""",
 
+    // Cluster-atomic split: the doc_dup_clusters chain verbatim, then
+    // the SAME hex-byte coin compare Dedup.splitAssign runs (thresholds
+    // injected from Curation.hexThreshold so the boundary arithmetic is
+    // one definition across engine, operator, and oracle).
+    "doc_leakage_split" ->
+      s"""WITH RECURSIVE $minhashClusterCtesSql,
+         cl AS (
+           SELECT d.doc_id,
+             CAST(coalesce(least(c.doc_id, c.minb), d.doc_id) AS BIGINT) AS cluster
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+         SELECT doc_id, cluster,
+           CASE WHEN substr(md5('split:0:' || CAST(cluster AS VARCHAR)), 1, 2)
+                     < '${graft.operators.Curation.hexThreshold(0.1)}' THEN 'test'
+                WHEN substr(md5('split:0:' || CAST(cluster AS VARCHAR)), 1, 2)
+                     < '${graft.operators.Curation.hexThreshold(0.2)}' THEN 'val'
+                ELSE 'train' END AS split
+         FROM cl""",
+
     "emb_ivf_topk" ->
       s"""WITH $lshCtesSql,
          b AS (
@@ -4180,6 +4263,42 @@ object SparkEntry {
            CAST(i * 16 AS BIGINT) AS frame_off,
            md5(substr(text, CAST(i * 16 + 1 AS INTEGER), 16)) AS frame_md5
          FROM f WHERE i % 4 = 0""",
+
+    // doc_media_frames' sampling chain + DISTINCT per-doc fingerprints,
+    // then the shared-fingerprint discipline (df cap <= 50, a<b
+    // self-join, shared >= 2). Plant mirrors the Spark side: 2-4
+    // leading 64-byte blocks of the fixed pattern by doc_id % 3.
+    "doc_media_dups" ->
+      s"""WITH pd AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 25 = 7 AND doc_id < 500
+                  THEN substr('$mediaPlantPattern', 1,
+                         CAST(64 * (2 + doc_id % 3) AS INTEGER))
+                       || coalesce(text, '')
+                  ELSE text END AS text
+           FROM documents),
+         d AS (
+           SELECT doc_id, coalesce(text, '') AS text,
+             octet_length(encode(coalesce(text, ''))) AS n
+           FROM pd),
+         f AS (
+           SELECT doc_id, text,
+             unnest(generate_series(0, n // 16 - 1)) AS i
+           FROM d WHERE n >= 16),
+         fp AS (
+           SELECT DISTINCT doc_id,
+             md5(substr(text, CAST(i * 16 + 1 AS INTEGER), 16)) AS fingerprint
+           FROM f WHERE i % 4 = 0),
+         keep AS (
+           SELECT fingerprint FROM fp GROUP BY 1 HAVING COUNT(*) <= 50),
+         pr AS (
+           SELECT fp.doc_id, fp.fingerprint
+           FROM fp JOIN keep USING (fingerprint))
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared
+         FROM pr a JOIN pr b
+           ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING COUNT(*) >= 2""",
 
     // Assignment CTEs mirror emb_kmeans_assign (k=8); majority label per
     // cluster with the deterministic (cnt DESC, label ASC) tie-break.

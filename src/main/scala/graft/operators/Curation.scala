@@ -220,16 +220,19 @@ object Curation {
     * [[curationReport]] emits it as the `s_keep` audit flag without a
     * join against the filtered output.
     */
+  // "zz" sorts above every hex coin, so any rate that ROUNDS to 256/256
+  // keeps ALL rows — capping at 255 would quantize rates in [0.998, 1)
+  // down to 255/256 and wrongly drop coin == "ff", a larger error than
+  // the advertised 1/256 resolution. Shared with Dedup.splitAssign so
+  // the split-boundary arithmetic can never drift from the sampling
+  // coin's.
+  private[graft] def hexThreshold(rate: Double): String = {
+    val steps = math.max(0L, math.round(rate * 256))
+    if (steps >= 256) "zz" else f"$steps%02x"
+  }
+
   private[graft] def sampleKeep(rates: Map[String, Double],
       defaultRate: Double): Column = {
-    // "zz" sorts above every hex coin, so any rate that ROUNDS to 256/256
-    // keeps ALL rows — capping at 255 would quantize rates in [0.998, 1)
-    // down to 255/256 and wrongly drop coin == "ff", a larger error than
-    // the advertised 1/256 resolution.
-    def hexThreshold(rate: Double): String = {
-      val steps = math.max(0L, math.round(rate * 256))
-      if (steps >= 256) "zz" else f"$steps%02x"
-    }
     val threshold = rates.foldLeft(lit(hexThreshold(defaultRate))) {
       case (acc, (lang, rate)) =>
         when(col("lang") === lang, lit(hexThreshold(rate))).otherwise(acc)
@@ -602,26 +605,13 @@ object Curation {
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = TextAnalysis.explodedTokens(docs).select(col("token")).as[String]
-    // Per-partition summary. Each partition also emits one null-token
-    // sentinel carrying its item count, so the global error bound needs no
-    // second corpus scan.
+    // Per-partition summary (the shared Misra-Gries kernel —
+    // Sketches.misraGries — one overflow discipline for this estimate
+    // path AND Sketches.heavyTokens' exact-recount candidate pass).
+    // Each partition also emits one null-token sentinel carrying its
+    // item count, so the global error bound needs no second corpus scan.
     val partials = toks.mapPartitions { it =>
-      val counts = scala.collection.mutable.HashMap.empty[String, Long]
-      var n = 0L
-      while (it.hasNext) {
-        val t = it.next(); n += 1
-        counts.get(t) match {
-          case Some(c) => counts.update(t, c + 1)
-          case None if counts.size < capacity => counts.update(t, 1L)
-          case None =>
-            // decrement-all: retires >= capacity+1 count units (the new
-            // token's implicit 1 included), so total rounds <= n/(cap+1).
-            counts.keys.toArray.foreach { key =>
-              val c = counts(key) - 1
-              if (c == 0L) counts.remove(key) else counts.update(key, c)
-            }
-        }
-      }
+      val (counts, n) = Sketches.misraGries(it, capacity)
       counts.iterator.map { case (t, c) => (t, c) } ++
         Iterator((null: String, n))
     }.toDF("token", "cnt")

@@ -532,6 +532,48 @@ object Dedup {
       threshold: Double = 0.5): DataFrame =
     keepBestByQuality(docs, minhashClusters(docs, n, threshold))
 
+  /** LEAKAGE-SAFE train/val/test assignment over a cluster table: the
+    * split coin is drawn on the CLUSTER id, not the document, so every
+    * member of a near-dup cluster lands in the same split by
+    * construction. Splitting documents independently leaks eval answers
+    * into training whenever a near-duplicate of a test document survives
+    * in train — the contamination mode document-level dedup alone does
+    * not close (a 0.51-jaccard paraphrase passes the dedup filter and
+    * still gives the benchmark away). Cluster-atomic assignment is the
+    * standard fix (the eval-split discipline behind deduplicated LM
+    * corpora, cf. Lee et al. 2022 §6's train/test leakage measurements).
+    *
+    * Coin/threshold arithmetic is [[Curation.hexThreshold]]'s — a
+    * deterministic md5 byte with 1/256 resolution that any engine
+    * reproduces exactly; `seed` redraws the whole assignment. Fractions
+    * are of CLUSTERS, not documents (a giant boilerplate cluster moves
+    * its whole mass into one split — the price of zero leakage, and why
+    * the fractions are only expectations).
+    *
+    * Scale shape: the split column is a PROJECTION over the cluster
+    * table — no exchange, no join, no state beyond what the cluster
+    * computation itself needed (plan-locked). At 100 TB the cost is the
+    * near-dup clustering you were running anyway.
+    */
+  def splitAssign(clusters: DataFrame, testFrac: Double = 0.1,
+      valFrac: Double = 0.1, seed: Long = 0L): DataFrame = {
+    require(testFrac >= 0 && valFrac >= 0 && testFrac + valFrac <= 1.0,
+      s"testFrac=$testFrac valFrac=$valFrac must be non-negative and sum <= 1")
+    val coin = substring(
+      md5(concat(lit(s"split:$seed:"), col("cluster").cast("string"))), 1, 2)
+    clusters.select(col("doc_id"), col("cluster"),
+      when(coin < lit(Curation.hexThreshold(testFrac)), lit("test"))
+        .when(coin < lit(Curation.hexThreshold(testFrac + valFrac)),
+          lit("val"))
+        .otherwise(lit("train")).as("split"))
+  }
+
+  /** [[splitAssign]] over the MinHash near-dup clusters. */
+  def minhashSplit(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      testFrac: Double = 0.1, valFrac: Double = 0.1,
+      seed: Long = 0L): DataFrame =
+    splitAssign(minhashClusters(docs, n, threshold), testFrac, valFrac, seed)
+
   // ---- SimHash ----------------------------------------------------------
 
   /** 32-bit SimHash over whitespace tokens: per-token md5-derived bits

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Barrier.BarrierOps
 
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, decoded batch-wise via `mapPartitions` (the Scala analog of a
@@ -134,6 +135,52 @@ object Multimodal {
         }
       }
   }
+
+  /** Media near-duplicates by CHUNK-HASH overlap: two payloads are
+    * near-dups when they share at least `minShared` distinct sampled
+    * frames byte-for-byte (frame identity = md5 of the frame bytes) —
+    * the content-defined-chunk dedup recipe storage systems and video
+    * near-dup pipelines run when no decoder is available or affordable,
+    * and the natural FIRST dedup pass over a 100 TB media crawl (a
+    * re-encoded copy needs the perceptual pass; a byte-identical rip,
+    * the overwhelmingly common case, is caught here for hash-join
+    * money). Perceptual hashing over decoded pixels would slot into the
+    * same fingerprint contract once a real codec replaces the stub.
+    *
+    * Shape: [[sampleFrames]] (map-only, frames never leave their
+    * scanning executor) → md5 fingerprints, DISTINCT per doc (a payload
+    * that internally repeats a chunk must not multiply its pair
+    * counts) → [[TextAnalysis.sharedFingerprintPairs]], the SAME
+    * df-capped self-join discipline the winnowing family uses: a
+    * boilerplate chunk (codec headers, silence, black frames) shared by
+    * f payloads would contribute f² join rows, so fingerprints in more
+    * than `maxDf` docs are dropped first.
+    */
+  def frameDups(spark: SparkSession, payloads: DataFrame,
+      frameBytes: Int = 16, everyNth: Int = 4, minShared: Int = 2,
+      maxDf: Int = 50): DataFrame = {
+    // Barriered like the winnowing caller: sharedFingerprintPairs reads
+    // its input from TWO plan branches (the df aggregation and the join
+    // probe) — unmaterialized, the whole sample+md5+distinct pipeline
+    // would run per branch. Released in finally (the session's
+    // leak-on-failure discipline); the pair result returns eagerly
+    // materialized from the callee.
+    val fp = frameFingerprints(spark, payloads, frameBytes, everyNth)
+      .barrier()
+    try TextAnalysis.sharedFingerprintPairs(fp, minShared, maxDf)
+    finally Barrier.release(fp)
+  }
+
+  /** [[frameDups]]' fingerprint table, factored for the plan lock (the
+    * barrier above hides it from the pair query's visible plan): frame
+    * sampling and hashing are narrow map work; the per-doc DISTINCT is
+    * the stage's only exchange, and it moves 16-byte hashes, not frames.
+    */
+  private[graft] def frameFingerprints(spark: SparkSession,
+      payloads: DataFrame, frameBytes: Int, everyNth: Int): DataFrame =
+    sampleFrames(spark, payloads, frameBytes, everyNth).toDF()
+      .select(col("doc_id"), md5(col("frame")).as("fingerprint"))
+      .distinct()
 
   /** Frame sampling for a video-like payload: emit every `everyNth`
     * fixed-size frame slice as its own row (flatMap — the row-multiplying

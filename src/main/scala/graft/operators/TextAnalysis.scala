@@ -255,10 +255,12 @@ object TextAnalysis {
 
   /** The candidate-pair discipline over a MATERIALIZED fingerprint table —
     * hot-fingerprint df cap first, a<b self-join, shared-count threshold.
-    * One definition shared by [[winnowNearDupCandidates]] and
-    * [[dupSpans]], so the cap/join rules cannot diverge between them.
+    * One definition shared by [[winnowNearDupCandidates]], [[dupSpans]]
+    * and [[Multimodal.frameDups]] (media chunk hashes are just another
+    * fingerprint modality), so the cap/join rules cannot diverge between
+    * them.
     */
-  private def sharedFingerprintPairs(fp: DataFrame, minShared: Int,
+  private[graft] def sharedFingerprintPairs(fp: DataFrame, minShared: Int,
       maxDf: Int): DataFrame = {
     val rare = fp.groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("df"))

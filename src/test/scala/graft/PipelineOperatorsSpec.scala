@@ -2721,4 +2721,142 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(run(0) == a, "same seed replays the same order")
     assert(run(1) != a, "a new seed reshuffles")
   }
+
+  // ---- leakage-safe split ----------------------------------------------
+
+  test("splitAssign: cluster-atomic, deterministic, seed-sensitive") {
+    import spark.implicits._
+    val clusters = (0L until 300L).map(i => (i, i / 3)).toDF("doc_id", "cluster")
+    def run(seed: Long) = graft.operators.Dedup
+      .splitAssign(clusters, seed = seed).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster"),
+        r.getAs[String]("split")))
+    val a = run(0L)
+    assert(a.length == 300)
+    // Every cluster maps to exactly ONE split — the leakage guarantee.
+    a.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.map(_._3).distinct.length == 1)
+    }
+    // All three splits occur over 100 clusters and the fractions are in
+    // a sane band around 10/10/80 (coin resolution is 1/256).
+    val bySplit = a.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") &&
+      bySplit("train") > bySplit("test"))
+    assert(run(0L).toSeq == a.toSeq, "same seed replays")
+    assert(run(7L).toSeq != a.toSeq, "a new seed redraws")
+  }
+
+  test("minhashSplit: near-dup pairs never straddle a split boundary") {
+    // Two identical-text groups plus singletons: the pair graph links
+    // each group into one cluster, which must land whole.
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "pack my box with five dozen liquor jugs today",
+      4L -> "pack my box with five dozen liquor jugs today",
+      5L -> "completely unrelated text standing alone here now")
+    val split = Dedup.minhashSplit(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(split.size == 5)
+    assert(split(1L) == split(2L))
+    assert(split(3L) == split(4L))
+  }
+
+  // ---- media chunk-hash near-dups --------------------------------------
+
+  test("frameDups: shared sampled frames pair; within-doc repeats don't inflate") {
+    // frameBytes=4, everyNth=1: every 4-byte slice is a sampled frame.
+    // a/b share frames "AAAA" and "BBBB"; c repeats "AAAA" three times
+    // (distinct-per-doc ⇒ counts once); d shares nothing.
+    val d = docs(
+      1L -> "AAAABBBBxxyy",
+      2L -> "AAAABBBBzzww",
+      3L -> "AAAAAAAAAAAA",
+      4L -> "qqqqrrrrssss")
+    val pairs = Multimodal.frameDups(spark, Multimodal.withPayload(d),
+        frameBytes = 4, everyNth = 1, minShared = 2).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("shared")))
+    assert(pairs.toSeq == Seq((1L, 2L, 2L)))
+    // minShared=1 additionally links 3 to both A-carriers, ONCE each.
+    val loose = Multimodal.frameDups(spark, Multimodal.withPayload(d),
+        frameBytes = 4, everyNth = 1, minShared = 1).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("shared"))).toSet
+    assert(loose == Set((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
+  test("frameDups: df cap drops a boilerplate chunk's clique") {
+    // "HEAD" opens every payload (df=5 > maxDf=4); only the genuine
+    // pairwise tail chunk survives the cap.
+    val d = docs(
+      1L -> "HEADTAIL",
+      2L -> "HEADTAIL",
+      3L -> "HEADaaaa",
+      4L -> "HEADbbbb",
+      5L -> "HEADcccc")
+    val pairs = Multimodal.frameDups(spark, Multimodal.withPayload(d),
+        frameBytes = 4, everyNth = 1, minShared = 1, maxDf = 4).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("shared")))
+    assert(pairs.toSeq == Seq((1L, 2L, 1L)))
+  }
+
+  // ---- Misra-Gries heavy hitters ---------------------------------------
+
+  test("misraGriesKeys: retains every token above n/(k+1) within a stream") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 20) {
+      // Skewed stream: token i has weight ~ 1/(i+1).
+      val stream = new scala.util.Random(trial).shuffle(
+        (0 until 30).flatMap(i => Seq.fill(600 / (i + 1))(s"t$i")).toList)
+      val n = stream.length
+      val k = 5 + rnd.nextInt(10)
+      val keys = graft.operators.Sketches
+        .misraGriesKeys(stream.iterator, k).toSet
+      assert(keys.size <= k, s"trial $trial: ${keys.size} counters > k=$k")
+      val counts = stream.groupBy(identity).view.mapValues(_.size).toMap
+      counts.foreach { case (t, c) =>
+        if (c.toLong * (k + 1) > n)
+          assert(keys.contains(t),
+            s"trial $trial: heavy token $t (count $c, n=$n, k=$k) lost")
+      }
+    }
+  }
+
+  test("heavyTokens: equals brute force, partition-layout independent") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // Zipf-ish corpus over 200 token types, 400 docs.
+    val corpus = (0 until 400).map { i =>
+      val len = 5 + rnd.nextInt(40)
+      (i.toLong, Seq.fill(len)(
+        s"w${(math.pow(rnd.nextDouble(), 3) * 200).toInt}").mkString(" "))
+    }
+    def brute(k: Int): Map[String, Long] = {
+      val toks = corpus.flatMap(_._2.split("\\s+"))
+      val n = toks.length
+      toks.groupBy(identity).view.mapValues(_.size).toMap
+        .collect { case (t, c) if c.toLong * k > n => t -> c.toLong }
+        .toMap
+    }
+    for (k <- Seq(10, 25, 60); parts <- Seq(1, 7)) {
+      val df = corpus.toDF("doc_id", "text").repartition(parts)
+      val got = graft.operators.Sketches.heavyTokens(spark, df, k).collect()
+        .map(r => r.getAs[String]("token") -> r.getAs[Long]("cnt")).toMap
+      assert(got == brute(k), s"k=$k parts=$parts")
+    }
+  }
+
+  test("heavyTokens: empty and null-text corpora yield the empty frame") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.Sketches.heavyTokens(spark, empty)
+      .collect().isEmpty)
+    val nulls = Seq((1L, null.asInstanceOf[String]), (2L, "   "))
+      .toDF("doc_id", "text")
+    assert(graft.operators.Sketches.heavyTokens(spark, nulls)
+      .collect().isEmpty)
+  }
 }

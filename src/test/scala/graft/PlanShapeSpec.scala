@@ -530,4 +530,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
     assert(p.contains("WindowGroupLimit"), p.take(3000))
   }
+
+  test("splitAssign: split attach is a pure projection over the cluster table") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("doc_id", "cluster")
+    val p = graft.operators.Dedup.splitAssign(clusters)
+      .queryExecution.executedPlan.toString
+    // The leakage-safe split must cost NOTHING beyond the clustering the
+    // pipeline already ran: no exchange, no join, no sort of any kind.
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("Sort"), p.take(2000))
+  }
+
+  test("frameFingerprints: narrow sampling; the only exchange moves hashes for the distinct") {
+    val payloads = graft.operators.Multimodal.withPayload(
+      spark.read.parquet(s"$sf/documents.parquet"))
+    val p = graft.operators.Multimodal
+      .frameFingerprints(spark, payloads, frameBytes = 16, everyNth = 4)
+      .queryExecution.executedPlan.toString
+    // Frame bytes never shuffle — sampling + md5 are map work on the
+    // scanning executor; the distinct's hash exchange carries only
+    // (doc_id, 32-char fingerprint) rows.
+    assert("Exchange".r.findAllIn(p).length == 1, p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("Sort"), p.take(3000))
+  }
+
+  test("heavyTokens pass 2: candidate recount is ONE aggregation, no join, folded-group exchange only") {
+    import spark.implicits._
+    val toks = Seq("a", "b", "a", "c").toDF("tok")
+    val p = graft.operators.Sketches.candidateCounts(toks, Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    // The 100 TB contract: raw tokens never shuffle. The candidate probe
+    // is an In-set predicate inside the projection; the single exchange
+    // carries the <= |candidates|+1 partially-aggregated groups.
+    assert(!p.contains("Join"), p.take(2000))
+    assert("Exchange".r.findAllIn(p).length == 1, p.take(2000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
 }
