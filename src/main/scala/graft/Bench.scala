@@ -299,11 +299,18 @@ object Bench {
     val fixedLen = mkLine("{}", best.size).length
     val entries = best.toSeq.sortBy { case (k, v) => (-v, k) }
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    // STRICT top-cost prefix — stop at the first entry that doesn't fit.
+    // Greedy skip-and-continue would pack a few more cheap short-named
+    // entries, but then "queries_top: N" would lie: a long-named
+    // expensive query could be absent while cheaper ones show, and a
+    // consumer would read its absence as cheapness.
     val chosen = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
-    for (e <- entries) {
+    var fits = true
+    for (e <- entries if fits) {
       val add = e.length + (if (chosen.isEmpty) 0 else 1)
       if (fixedLen + used + add <= lineBudget) { chosen += e; used += add }
+      else fits = false
     }
     val line = mkLine(chosen.mkString("{", ",", "}"), chosen.size)
     println(line)

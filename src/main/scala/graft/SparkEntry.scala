@@ -3492,9 +3492,13 @@ object SparkEntry {
          FROM p ASOF LEFT JOIN v
            ON p.user_id = v.user_id AND p.ts >= v.view_ts""",
 
+    // Null-event guard mirrors the operator (Spark nulls-FIRST vs
+    // DuckDB nulls-LAST ordering would otherwise shift every
+    // session_seq the moment a regen introduces a null ts/user).
     "events_sessions_batch" ->
       """WITH e AS (
-           SELECT user_id, event_id, ts, event_type, value FROM events),
+           SELECT user_id, event_id, ts, event_type, value FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
          g AS (
            SELECT *,
              CASE WHEN lag(ts) OVER

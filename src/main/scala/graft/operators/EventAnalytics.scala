@@ -34,6 +34,14 @@ object EventAnalytics {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val prevTs = lag(col("ts"), 1).over(w)
     val marked = events
+      // NULL guards mirrored in the oracle SQL (cohortRetention's rule):
+      // a NULL ts is unorderable and the engines disagree on where it
+      // sorts (Spark ASC = nulls FIRST, DuckDB = nulls LAST), which
+      // would shift is_new and every session_seq in the partition; NULL
+      // user_id rows would additionally pile onto one hot window
+      // partition. Sessions of an unattributable or untimed event are
+      // meaningless — drop them up front, identically on both sides.
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
         col("value"))
       .withColumn("is_new",
@@ -75,7 +83,13 @@ object EventAnalytics {
     */
   def sessionizeStream(events: DataFrame, gapMinutes: Long = 360L,
       delay: String = "1 hour"): DataFrame =
-    events.withWatermark("ts", delay)
+    // Null event-time filter BEFORE the stateful stage (the streaming
+    // twins' convention): a null ts reaching session_window inside a
+    // watermarked aggregation is undefined-to-throwing territory, and
+    // the batch twin drops the same rows — the stream ≡ batch identity
+    // requires both sides to drop them.
+    events.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withWatermark("ts", delay)
       .groupBy(col("user_id"),
         session_window(col("ts"), s"$gapMinutes minutes"))
       .agg(count(lit(1)).as("n_events"),

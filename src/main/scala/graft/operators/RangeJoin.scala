@@ -67,6 +67,14 @@ object RangeJoin {
       leftTs: String, rightTs: String, windowMicros: Long,
       valueCol: Option[String]): DataFrame = {
     require(windowMicros > 0, "windowMicros must be positive")
+    // Scratch-name guard (the AsOf payload-collision rule): withColumn
+    // would silently OVERWRITE a caller's same-named column, and the
+    // groupBy over left.columns would then emit the derived bucket
+    // number under the user's column name.
+    Seq("__ltsu", "__bkt").foreach(c =>
+      require(!left.columns.contains(c),
+        s"left side already carries a '$c' column — rename it; the " +
+          "bucketed range join uses that name as scratch"))
     val l = left.withColumn("__ltsu", unix_micros(col(leftTs)))
       .withColumn("__bkt", floor(col("__ltsu") / windowMicros))
     val rBase = right.select(

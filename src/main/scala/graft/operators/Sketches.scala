@@ -118,15 +118,30 @@ object Sketches {
     toks.select(when(col("tok").isin(candidates: _*), col("tok")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
 
+  /** Hard driver-side bound on the collected candidate set: k counters
+    * PER PARTITION union up, so k alone does not bound the collect — a
+    * large k over many partitions must fail loudly, not OOM the driver
+    * or plan a multi-million-literal In set (the limit-before-collect
+    * discipline of embDecontam/bigramLmModel).
+    */
+  private val MaxCandidates = 1 << 20
+
   def heavyTokens(spark: SparkSession, docs: DataFrame, k: Int = 50)
       : DataFrame = {
     import spark.implicits._
     require(k >= 1 && k <= 100000, s"k=$k outside [1, 100000]")
-    val toks = docs.select(
-      explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
+    // explodedTokens, not explode(wsTokens(...)): the inner explode of
+    // the raw expression lets InferFiltersFromGenerate re-run the regex
+    // tokenization inside an inferred filter — and this operator scans
+    // the corpus twice, so the tax would be paid on both passes.
+    val toks = TextAnalysis.explodedTokens(docs, as = "tok")
+      .select(col("tok"))
     val candidates = toks.as[String]
       .mapPartitions(it => misraGriesKeys(it, k))
-      .distinct().collect().toSeq
+      .distinct().limit(MaxCandidates + 1).collect().toSeq
+    require(candidates.size <= MaxCandidates,
+      s"heavy-hitter candidate set exceeds $MaxCandidates (k=$k over " +
+        "too many partitions) — lower k or coalesce the input")
     if (candidates.isEmpty) {
       // empty corpus (or k larger than any partition's token count with
       // no tokens at all): nothing can be heavy. isin() over an empty
@@ -144,12 +159,19 @@ object Sketches {
     }
     val grouped = candidateCounts(toks, candidates)
       .barrier() // tiny (≤ candidates+1 rows); two branches below read it
-    val total = grouped.agg(sum(col("cnt")).as("__total"))
-    grouped.where(col("g").isNotNull)
-      .crossJoin(broadcast(total))
-      .where(col("cnt") * lit(k.toLong) > col("__total"))
-      .select(col("g").as("token"), col("cnt"),
-        Quant.q6(col("cnt").cast("double") / col("__total").cast("double"))
-          .as("share"))
+    // The (even tinier) final result materializes eagerly so grouped's
+    // checkpoint blocks release NOW, in finally — a lazily-read barrier
+    // could never be released and would strand blocks per invocation
+    // across a Verify/bench suite (this session's leak discipline).
+    try {
+      val total = grouped.agg(sum(col("cnt")).as("__total"))
+      grouped.where(col("g").isNotNull)
+        .crossJoin(broadcast(total))
+        .where(col("cnt") * lit(k.toLong) > col("__total"))
+        .select(col("g").as("token"), col("cnt"),
+          Quant.q6(col("cnt").cast("double") / col("__total").cast("double"))
+            .as("share"))
+        .barrier()
+    } finally Barrier.release(grouped)
   }
 }

@@ -31,20 +31,35 @@ object Skew {
     * Phase 1 runs map-side combine exactly like a plain groupBy, so the
     * extra cost is ONE narrow second aggregation over `keys × salt` rows.
     */
+  /** The shared salt column over a row-id-extended frame: hash of the
+    * UNIQUE partition-local row id alone. Hashing the row's content too
+    * (the previous form) bought nothing — `__rid` already distinguishes
+    * the identical-rows hot key the content hash collapses onto one
+    * salt — and cost an xxhash64 over every column (wide text payloads
+    * included) per big-side row. Deterministic and idempotent under
+    * task retry (a retried task re-derives its partition's ids); any
+    * final result is salt-independent, so the layout dependence of the
+    * id costs nothing.
+    */
+  private def withSalt(df: DataFrame, salt: Int): DataFrame = {
+    require(salt > 0, s"salt=$salt must be positive — salt <= 0 would " +
+      "silently degenerate (empty replication / NULL salt), not error")
+    // Guard the scratch names like AsOf's payload require: withColumn
+    // would silently OVERWRITE a caller's same-named column and the
+    // salted result would carry derived values under the user's name.
+    Seq("__rid", "__salt").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already carries a '$c' column — rename it; the salting " +
+          "rewrite uses that name as scratch"))
+    df.withColumn("__rid", monotonically_increasing_id())
+      .withColumn("__salt", pmod(xxhash64(col("__rid")), lit(salt.toLong)))
+      .drop("__rid")
+  }
+
   def saltedCounts(df: DataFrame, key: Column, weight: Column,
       salt: Int = 16): DataFrame = {
-    // The salt mixes a partition-local row index into the content hash,
-    // same as saltedJoin: a hot key made of IDENTICAL rows (common after
-    // a projection) would content-hash to ONE salt and re-create the
-    // single stalled reducer this operator exists to prevent. The final
-    // per-key totals are salt-independent, and the index is idempotent
-    // under task retry (a retried task re-derives its partition's ids).
-    val salted = df
-      .withColumn("__rid", monotonically_increasing_id())
-      .select(key.as("key"), weight.as("w"),
-        pmod(xxhash64(struct(
-          df.columns.toIndexedSeq.map(col) :+ col("__rid"): _*)),
-          lit(salt.toLong)).as("salt"))
+    val salted = withSalt(df, salt)
+      .select(key.as("key"), weight.as("w"), col("__salt").as("salt"))
     salted.groupBy(col("key"), col("salt"))
       .agg(count(lit(1)).as("pc"), sum(col("w")).as("ps"))
       .groupBy(col("key"))
@@ -58,23 +73,20 @@ object Skew {
     * reducers instead of one. Use when the dimension is too big to
     * broadcast but small enough to replicate `salt`×.
     *
-    * The salt mixes a partition-local row index into the content hash:
-    * a hot key made of IDENTICAL rows (common after a projection) would
-    * hash to ONE salt and defeat the spreading entirely. The join RESULT
-    * is salt-independent (the dim side carries every salt value), so the
-    * partition-layout-dependence of the index costs nothing — unlike
-    * rand() it is still idempotent under task retry, because a retried
-    * task re-derives the same indexes for its partition.
+    * The salt hashes a per-row id ([[withSalt]] — a content hash would
+    * collapse a hot key of IDENTICAL rows onto ONE salt and defeat the
+    * spreading). The join RESULT is salt-independent (the dim side
+    * carries every salt value), so the partition-layout-dependence of
+    * the id costs nothing — unlike rand() it is still idempotent under
+    * task retry, because a retried task re-derives the same indexes for
+    * its partition.
     */
   def saltedJoin(big: DataFrame, dim: DataFrame, key: String,
       salt: Int = 16): DataFrame = {
-    val saltedBig = big
-      .withColumn("__rid", monotonically_increasing_id())
-      .withColumn("__salt",
-        pmod(xxhash64(struct(
-          big.columns.toIndexedSeq.map(col) :+ col("__rid"): _*)),
-          lit(salt.toLong)))
-      .drop("__rid")
+    require(!dim.columns.contains("__salt"),
+      "dim side already carries a '__salt' column — rename it; the " +
+        "salting rewrite uses that name as scratch")
+    val saltedBig = withSalt(big, salt)
     val replicatedDim = dim.withColumn("__salt",
       explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
     saltedBig.join(replicatedDim, Seq(key, "__salt")).drop("__salt")

@@ -2722,6 +2722,44 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(run(1) != a, "a new seed reshuffles")
   }
 
+  test("sessionize: null user_id / null ts events are dropped (cross-engine ordering hazard)") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:30:00")
+    val ev = Seq(
+      (Option(1L), 1L, Option(t0), "view", 1.0),
+      (Option(1L), 2L, Option(t1), "purchase", 2.0),
+      (Option(1L), 3L, Option.empty[java.sql.Timestamp], "view", 9.0),
+      (Option.empty[Long], 4L, Option(t0), "view", 9.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val out = EventAnalytics.sessionize(ev).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("n_events") == 2)
+    assert(out(0).getAs[Double]("total_value") == 3.0)
+  }
+
+  test("salting and range-join guards: non-positive salt and scratch-name collisions fail fast") {
+    import graft.operators.Skew
+    val big = Seq(("k", 1L)).toDF("key", "v")
+    val dim = Seq(("k", "label0")).toDF("key", "label")
+    intercept[IllegalArgumentException](
+      Skew.saltedJoin(big, dim, "key", salt = 0))
+    intercept[IllegalArgumentException](
+      Skew.saltedCounts(big, col("key"), col("v"), salt = -1))
+    intercept[IllegalArgumentException](
+      Skew.saltedJoin(big.withColumn("__salt", lit(1L)), dim, "key"))
+    intercept[IllegalArgumentException](
+      Skew.saltedCounts(big.withColumn("__rid", lit(1L)), col("key"), col("v")))
+    intercept[IllegalArgumentException](
+      Skew.saltedJoin(big, dim.withColumn("__salt", lit(1L)), "key"))
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val left = Seq((1L, "k", t0)).toDF("event_id", "key", "ts")
+    val right = Seq(("k", t0)).toDF("key", "ts")
+    intercept[IllegalArgumentException](
+      RangeJoin.slidingCount(left.withColumn("__bkt", lit(1L)), right,
+        "key", "ts", "ts", 1000000L))
+  }
+
   // ---- leakage-safe split ----------------------------------------------
 
   test("splitAssign: cluster-atomic, deterministic, seed-sensitive") {
