@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.TrendConfig
-import graft.operators.{AsOf, Bpe, Curation, Dedup, EventAnalytics, Multimodal, PageAggregates, RangeJoin, Search, Selection, Similarity, Skew, Sketches, TextAnalysis}
+import graft.operators.{AsOf, Bpe, Curation, Dedup, DedupIndex, EventAnalytics, Multimodal, PageAggregates, RangeJoin, Search, Selection, Similarity, Skew, Sketches, TextAnalysis}
 import graft.sources.EventAdapter
 import graft.operators.Barrier.BarrierOps
 
@@ -682,6 +682,42 @@ object SparkEntry {
       }
       Search.lexIndexTopK(s, out, lexProbeQueries(s, dir), k = 10,
         excludeSelf = true)
+    }),
+
+    // PERSISTED DEDUP INDEX (the dedup member of the index family):
+    // signature buckets + shingle sets of the base corpus (doc_id % 10
+    // <> 7) at rest; serve asks the production ingest question — which
+    // delta docs (doc_id % 10 == 7) near-dup anything in the base, or
+    // each other. Both index reads partition-prune to the delta's
+    // literal bucket keys (plan-locked); result ≡ minhashNearDups over
+    // base∪delta restricted to delta-touching pairs, so the oracle is
+    // the batch pair chain + that restriction.
+    "doc_dedup_index_pairs" -> ((s, dir) => {
+      val out = indexDir("graft_ddx", dir)
+      if (builtIndexes.add(s"ddx:$out"))
+        DedupIndex.buildDedupIndex(
+          t(s, dir, "documents").filter(col("doc_id") % 10 =!= 7), out)
+      DedupIndex.dedupIndexPairs(s, out,
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 7))
+    }),
+
+    // APPEND lifecycle: build on doc_id % 10 NOT IN (3, 7), append the
+    // % 10 == 3 ingest slice (a second generation), serve the % 10 == 7
+    // batch across both generations. The hash family is stateless, so
+    // append ≡ rebuild EXACTLY and the indexed corpus equals the
+    // non-append query's — shared oracle.
+    "doc_dedup_index_append_pairs" -> ((s, dir) => {
+      val out = indexDir("graft_ddx_app", dir)
+      if (builtIndexes.add(s"ddxapp:$out")) {
+        val docs = t(s, dir, "documents")
+        DedupIndex.buildDedupIndex(
+          docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 3),
+          out)
+        DedupIndex.appendToDedupIndex(
+          docs.filter(col("doc_id") % 10 === 3), out)
+      }
+      DedupIndex.dedupIndexPairs(s, out,
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 7))
     }),
 
     // Corpus snapshot diff with PLANTED version deltas (the pii-scrub
@@ -1448,13 +1484,12 @@ object SparkEntry {
            SUM(CAST(floor(x * 1000000.0) AS BIGINT)) AS s
            FROM e GROUP BY 1, 2)"""
 
-  // MinHash near-dup cluster CTE chain (tokens -> shingles -> signatures
-  // -> bands -> verified pairs -> symmetric edges -> recursive reachability
-  // -> per-node min label), ONE definition for every oracle that consumes
-  // the cluster graph (doc_dup_clusters, doc_dedup_keep_best) — a one-sided
-  // edit to MinhashK/bands/shingle width can no longer desynchronize them.
-  // Callers must open with WITH RECURSIVE (the `reach` CTE).
-  private val minhashClusterCtesSql: String =
+  // MinHash verified-pair CTE chain (tokens -> shingles -> signatures ->
+  // bands -> candidate pairs -> jaccard-verified `pairs` at the 0.5
+  // threshold) — ONE definition for every oracle that consumes the pair
+  // graph: doc_minhash_pairs, the dedup-index serves, and (via
+  // minhashClusterCtesSql below) the cluster family.
+  private val minhashPairCtesSql: String =
     """toks AS (
            SELECT doc_id,
              CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
@@ -1494,11 +1529,20 @@ object SparkEntry {
            FROM cand c
            JOIN sh sa ON c.doc_a = sa.doc_id
            JOIN sh sb ON c.doc_b = sb.doc_id),
-         dup AS (
-           SELECT doc_a, doc_b FROM pj
-           WHERE floor((CAST(inter AS DOUBLE) / (la + lb - inter)) * 1e6 + 0.5) / 1e6 >= 0.5),
-         e AS (SELECT doc_a AS src, doc_b AS dst FROM dup
-               UNION SELECT doc_b, doc_a FROM dup),
+         pairs AS (
+           SELECT doc_a, doc_b,
+             floor((CAST(inter AS DOUBLE) / (la + lb - inter)) * 1e6 + 0.5) / 1e6 AS jaccard
+           FROM pj
+           WHERE floor((CAST(inter AS DOUBLE) / (la + lb - inter)) * 1e6 + 0.5) / 1e6 >= 0.5)"""
+
+  // The pair chain extended to connected components (symmetric edges ->
+  // recursive reachability -> per-node min label) for the cluster
+  // family (doc_dup_clusters, doc_dedup_keep_best, doc_leakage_split).
+  // Callers must open with WITH RECURSIVE (the `reach` CTE).
+  private val minhashClusterCtesSql: String =
+    s"""$minhashPairCtesSql,
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+               UNION SELECT doc_b, doc_a FROM pairs),
          reach AS (
            SELECT src AS a, dst AS b FROM e
            UNION
@@ -3854,49 +3898,24 @@ object SparkEntry {
          FROM b""",
 
     "doc_minhash_pairs" ->
-      """WITH toks AS (
-           SELECT doc_id,
-             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
-           FROM documents),
-         sh AS (
-           SELECT doc_id, list_distinct(
-             CASE WHEN len(t) >= 3
-                  THEN list_transform(generate_series(1, len(t) - 2),
-                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                  WHEN len(t) = 0 THEN []::VARCHAR[]
-                  ELSE [array_to_string(t, ' ')] END) AS ss
-           FROM toks),
-         ex AS (SELECT doc_id, unnest(ss) AS shingle FROM sh),
-         hx AS (SELECT doc_id, md5('a:' || shingle) AS ma,
-                       md5('b:' || shingle) AS mb FROM ex),
-         sig AS (
-           SELECT doc_id,
-             min(substr(ma, 1, 8)) AS h0, min(substr(ma, 9, 8)) AS h1,
-             min(substr(ma, 17, 8)) AS h2, min(substr(ma, 25, 8)) AS h3,
-             min(substr(mb, 1, 8)) AS h4, min(substr(mb, 9, 8)) AS h5,
-             min(substr(mb, 17, 8)) AS h6, min(substr(mb, 25, 8)) AS h7
-           FROM hx GROUP BY doc_id),
-         bk AS (
-           SELECT doc_id, b.band,
-             CASE b.band WHEN 0 THEN md5(h0 || h1) WHEN 1 THEN md5(h2 || h3)
-                         WHEN 2 THEN md5(h4 || h5) ELSE md5(h6 || h7) END AS key
-           FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b),
-         cand AS (
-           SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-           FROM bk l JOIN bk r ON l.band = r.band AND l.key = r.key
-                AND l.doc_id < r.doc_id),
-         j AS (
-           SELECT c.doc_a, c.doc_b,
-             len(list_intersect(sa.ss, sb.ss)) AS inter,
-             len(sa.ss) AS la, len(sb.ss) AS lb
-           FROM cand c
-           JOIN sh sa ON c.doc_a = sa.doc_id
-           JOIN sh sb ON c.doc_b = sb.doc_id)
-         SELECT doc_a, doc_b,
-           floor((CAST(inter AS DOUBLE) / (la + lb - inter)) * 1e6 + 0.5) / 1e6 AS jaccard
-         FROM j
-         WHERE floor((CAST(inter AS DOUBLE) / (la + lb - inter)) * 1e6 + 0.5) / 1e6 >= 0.5""",
+      s"""WITH $minhashPairCtesSql
+         SELECT doc_a, doc_b, jaccard FROM pairs""",
+
+    // The dedup-index serves ≡ minhashNearDups over base∪delta (the
+    // indexed corpus IS base∪delta = all documents here) restricted to
+    // pairs touching the % 10 == 7 serving batch — one shared pair
+    // chain, one restriction predicate.
+    "doc_dedup_index_pairs" ->
+      s"""WITH $minhashPairCtesSql
+         SELECT doc_a, doc_b, jaccard FROM pairs
+         WHERE doc_a % 10 = 7 OR doc_b % 10 = 7""",
+
+    // Append ≡ rebuild exactly (stateless hash family) and the appended
+    // index covers the same base∪delta corpus — identical oracle.
+    "doc_dedup_index_append_pairs" ->
+      s"""WITH $minhashPairCtesSql
+         SELECT doc_a, doc_b, jaccard FROM pairs
+         WHERE doc_a % 10 = 7 OR doc_b % 10 = 7""",
 
     "doc_ngram_jaccard" ->
       """WITH toks AS (

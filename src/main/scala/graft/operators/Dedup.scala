@@ -140,7 +140,7 @@ object Dedup {
     * doc, columns h0..h{k-1} — hash per ROW first (so each md5 is computed
     * once, not once per aggregate), then a single aggregation with k mins.
     */
-  private def signaturesFromExploded(ex: DataFrame): DataFrame = {
+  private[graft] def signaturesFromExploded(ex: DataFrame): DataFrame = {
     val hashed = ex.select(col("doc_id"),
       md5(concat(lit("a:"), col("shingle"))).as("ma"),
       md5(concat(lit("b:"), col("shingle"))).as("mb"))
@@ -157,7 +157,7 @@ object Dedup {
   /** LSH band buckets: (doc_id, band, key) where key = md5 of the band's
     * signature slice. Docs sharing any (band, key) are candidates.
     */
-  private def bandBucketsFromSignatures(sig: DataFrame): DataFrame = {
+  private[graft] def bandBucketsFromSignatures(sig: DataFrame): DataFrame = {
     val bands = (0 until Bands).map { b =>
       val cols = (b * BandRows until (b + 1) * BandRows).map(i => col(s"h$i"))
       struct(lit(b).as("band"), md5(concat(cols: _*)).as("key"))

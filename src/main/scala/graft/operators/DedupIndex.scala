@@ -1,0 +1,293 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Barrier.BarrierOps
+
+/** Persisted MinHash-LSH dedup index — the DEDUP member of the persisted
+  * index family (IVF/IVF-PQ for embeddings, the bucket-partitioned
+  * postings for BM25): signature buckets and shingle sets computed ONCE
+  * over the base corpus and written at rest, so deduplicating a daily
+  * ingest batch never re-tokenizes, re-hashes, or re-shuffles the
+  * 100 TB base. The serve-side question is the production one: "which
+  * documents of this delta are near-dups of anything already ingested
+  * (or of each other)?"
+  *
+  * Layout under `dir/` (one generation each at build; appends add
+  * `-delta-<seq>` dirs):
+  *  - `buckets/`: (band, key, doc_id) LSH membership rows, parquet-
+  *    partitioned by `bkt = pmod(xxhash64(band, key), nBuckets)`.
+  *  - `sets/`: (doc_id, sset) shingle sets for the Jaccard verify,
+  *    partitioned by `sbkt = pmod(xxhash64(doc_id), nBuckets)`.
+  *  - `meta/`: 1-row (n, buckets) — written LAST as the completion
+  *    marker (the lex stats discipline), and the source of truth the
+  *    serve/append paths read so the shingle width and bucket count
+  *    can never drift from the build's.
+  *
+  * Serve reads are BOUNDED: the delta's bucket keys fold to ≤ nBuckets
+  * literal `bkt IN (…)` values (static partition pruning — the
+  * lexIndexTopK discipline), and the Jaccard verify reads only the
+  * `sbkt` partitions its candidate base ids hash to. The base corpus
+  * is never scanned in full on any serve path; both pruned reads move
+  * hashes and candidate sets, not text.
+  *
+  * Append/commit/sweep are the shared [[GenManifest]] protocol (dirs on
+  * disk before a manifest references them, dot-temp rename as the
+  * atomic commit, one-commit reader grace on the sweep). Like the
+  * lexical index — and unlike the frozen-book ANN appends — an append
+  * here is equivalent to a rebuild EXACTLY and unconditionally: the
+  * hash family is stateless (no trained book), so generation dirs are
+  * just more rows of the same deterministic tables (spec-pinned).
+  * SINGLE-WRITER; the caller owns doc_id disjointness across base and
+  * every delta (a re-ingested id would pair with itself).
+  */
+object DedupIndex {
+
+  private def bktCol(nBuckets: Int): Column =
+    pmod(xxhash64(col("band"), col("key")), lit(nBuckets.toLong))
+  private def sbktOf(id: Column, nBuckets: Int): Column =
+    pmod(xxhash64(id), lit(nBuckets.toLong))
+
+  /** Names a manifest may reference — the only names the sweep may
+    * delete (foreign files in the dir are never collected).
+    */
+  private def isDedupDataDir(name: String): Boolean =
+    name.matches("""buckets|sets|meta|(buckets|sets)-delta-\d{10}""")
+
+  /** The live (seq, bucket dirs, set dirs, meta dir). A freshly-built
+    * index has no manifest — it adopts as generation 0.
+    */
+  private[graft] def dedupManifest(spark: SparkSession, dir: String)
+      : (Long, Seq[String], Seq[String], String) = {
+    val (fs, root) = GenManifest.fsRoot(spark, dir)
+    GenManifest.latestSeq(fs, root) match {
+      case None => (0L, Seq("buckets"), Seq("sets"), "meta")
+      case Some(seq) =>
+        val (b, s, m) = dedupManifestAt(fs, root, seq)
+        (seq, b, s, m)
+    }
+  }
+
+  private def dedupManifestAt(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, g: Long)
+      : (Seq[String], Seq[String], String) =
+    GenManifest.readNode(fs, root, g) match {
+      case Some(node) =>
+        import scala.jdk.CollectionConverters._
+        (node.get("bdirs").elements().asScala.map(_.asText()).toSeq,
+          node.get("sdirs").elements().asScala.map(_.asText()).toSeq,
+          node.get("meta").asText())
+      case None if g == 0L => (Seq("buckets"), Seq("sets"), "meta")
+      case None =>
+        // Fail-loud on the READ path (the lexManifestAt contract): a
+        // listed-then-vanished manifest is a damaged index or a
+        // single-writer violation. The sweep tolerates this via its own
+        // NonFatal catch.
+        throw new IllegalStateException(
+          s"index manifest generation $g is missing under $root — " +
+            "damaged index or concurrent writer")
+    }
+
+  private def commitDedupManifest(spark: SparkSession, dir: String,
+      seq: Long, bDirs: Seq[String], sDirs: Seq[String],
+      metaDir: String): Unit = {
+    val node = GenManifest.newNode()
+    val ba = node.putArray("bdirs"); bDirs.foreach(ba.add)
+    val sa = node.putArray("sdirs"); sDirs.foreach(sa.add)
+    node.put("meta", metaDir)
+    GenManifest.commit(spark, dir, seq, node)
+  }
+
+  private def sweepDedupGenerations(spark: SparkSession, dir: String,
+      current: Long): Unit = {
+    val referenced =
+      try {
+        val (fs, root) = GenManifest.fsRoot(spark, dir)
+        Seq(current - 1, current).filter(_ >= 0)
+          .flatMap { g =>
+            val (b, s, m) = dedupManifestAt(fs, root, g)
+            b ++ s :+ m
+          }.filter(_.nonEmpty).toSet
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] dedup-index generation sweep at " +
+            s"$dir skipped (referenced-set read failed; index remains " +
+            s"correct): ${e.getMessage}")
+          return
+      }
+    GenManifest.sweep(spark, dir, current, referenced, isDedupDataDir)
+  }
+
+  /** Write the bucket + set tables of `docs` under `dir/<bName>` and
+    * `dir/<sName>`; returns the bucket row count (0 = nothing written
+    * worth referencing — a token-less corpus emits no LSH rows). ONE
+    * cached tokenization feeds both writes.
+    */
+  private def writeTables(docs: DataFrame, dir: String, n: Int,
+      nBuckets: Int, bName: String, sName: String): Long =
+    Barrier.withCached(Dedup.shingleSets(docs, n)) { sets =>
+      val ex = sets.select(col("doc_id"),
+          explode_outer(col("sset")).as("shingle"))
+        .where(col("shingle").isNotNull)
+      val buckets = Dedup.bandBucketsFromSignatures(
+          Dedup.signaturesFromExploded(ex))
+        .withColumn("bkt", bktCol(nBuckets))
+        .barrier()
+      try {
+        val rows = buckets.count()
+        if (rows > 0L) {
+          buckets.repartition(col("bkt"))
+            .write.mode("overwrite").partitionBy("bkt")
+            .parquet(s"$dir/$bName")
+          // Sets for every doc WITH buckets (a shingle-less doc can
+          // never be a candidate, and an empty partitioned write of a
+          // degenerate delta must not leave a schema-less dir).
+          sets.join(buckets.select(col("doc_id")).distinct(), Seq("doc_id"))
+            .withColumn("sbkt", sbktOf(col("doc_id"), nBuckets))
+            .repartition(col("sbkt"))
+            .write.mode("overwrite").partitionBy("sbkt")
+            .parquet(s"$dir/$sName")
+        }
+        rows
+      } finally Barrier.release(buckets)
+    }
+
+  /** BUILD the index over the base corpus. Rebuild-in-place (not
+    * reader-concurrent — appends are the concurrent-reader path).
+    * Fails loudly on a token-less corpus BEFORE writing the completion
+    * marker: the invalid (schema-less buckets dir) state is
+    * unrepresentable, the lex-build discipline.
+    */
+  def buildDedupIndex(docs: DataFrame, dir: String, n: Int = 3,
+      nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val spark = docs.sparkSession
+    val (fs, root) = GenManifest.fsRoot(spark, dir)
+    fs.delete(root, true)
+    val rows = writeTables(docs, dir, n, nBuckets, "buckets", "sets")
+    require(rows > 0L,
+      s"buildDedupIndex at $dir: corpus has no shingled documents — " +
+        "nothing to index")
+    // Meta LAST: a readable meta table marks the build complete.
+    spark.range(1).select(lit(n).as("n"), lit(nBuckets).as("buckets"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** APPEND an ingest batch: its bucket/set rows become a new
+    * generation dir pair, committed by one atomic manifest rename. The
+    * hash family is stateless, so append ≡ rebuild over base∪delta
+    * EXACTLY (spec-pinned). An empty delta (no shingled docs) is a
+    * NO-OP — committing a schema-less generation would poison every
+    * later read (the ANN empty-delta lesson).
+    */
+  def appendToDedupIndex(newDocs: DataFrame, dir: String): Unit = {
+    val spark = newDocs.sparkSession
+    val (seq, bDirs, sDirs, metaDir) = dedupManifest(spark, dir)
+    val meta = spark.read.parquet(s"$dir/$metaDir").head()
+    val n = meta.getAs[Int]("n")
+    val nBuckets = meta.getAs[Int]("buckets")
+    val newB = f"buckets-delta-${seq + 1}%010d"
+    val newS = f"sets-delta-${seq + 1}%010d"
+    val rows = writeTables(newDocs, dir, n, nBuckets, newB, newS)
+    if (rows == 0L) {
+      // writeTables wrote nothing for a 0-row delta; nothing to delete,
+      // nothing to commit.
+      System.err.println(
+        s"[graft] dedup-index append of an EMPTY delta to $dir skipped " +
+          "(no commit)")
+    } else {
+      commitDedupManifest(spark, dir, seq + 1, bDirs :+ newB,
+        sDirs :+ newS, metaDir)
+      sweepDedupGenerations(spark, dir, seq + 1)
+    }
+  }
+
+  /** The pruned union read both serve passes run, factored for the plan
+    * lock: each generation dir is its own partitioned source and the
+    * literal `IN` filter pushes through the union, so EVERY generation
+    * scan partition-prunes independently (the readCells/lexIndexTopK
+    * discipline).
+    */
+  private[graft] def readPruned(spark: SparkSession, dir: String,
+      dirs: Seq[String], partCol: String, keys: Seq[Long]): DataFrame =
+    dirs.map(d => spark.read.parquet(s"$dir/$d"))
+      .reduce(_.unionByName(_))
+      .filter(col(partCol).isin(keys: _*))
+
+  /** Near-duplicate pairs of an ingest batch against a persisted index
+    * AND within the batch itself: every (doc_a, doc_b, jaccard) with
+    * jaccard ≥ `threshold` where at least one side is a delta document.
+    * Exactly [[Dedup.minhashNearDups]]' semantics over base∪delta,
+    * restricted to delta-touching pairs (spec-pinned) — the production
+    * ingest-dedup question, answered without touching the base corpus
+    * beyond two pruned index reads.
+    *
+    * Read bounds: the delta's bucket keys fold to ≤ nBuckets literals
+    * (`bkt IN` static pruning on the bucket read, across EVERY
+    * generation independently); candidate base ids fold to ≤ nBuckets
+    * `sbkt` literals for the set read. Both serve joins are hash joins
+    * on hashes/ids; shingle text never shuffles.
+    */
+  def dedupIndexPairs(spark: SparkSession, dir: String, delta: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val (_, bDirs, sDirs, metaDir) = dedupManifest(spark, dir)
+    val meta = spark.read.parquet(s"$dir/$metaDir").head()
+    val n = meta.getAs[Int]("n")
+    val nBuckets = meta.getAs[Int]("buckets")
+    val deltaSets = Dedup.shingleSets(delta, n).barrier()
+    try {
+      // Within-batch pairs: the in-memory verified-LSH path over the
+      // SAME cached shingle sets (materialized result).
+      val internal = Dedup.minhashNearDupsFromSets(deltaSets, threshold)
+      val ex = deltaSets.select(col("doc_id"),
+          explode_outer(col("sset")).as("shingle"))
+        .where(col("shingle").isNotNull)
+      val dBuckets = Dedup.bandBucketsFromSignatures(
+          Dedup.signaturesFromExploded(ex))
+        .withColumn("bkt", bktCol(nBuckets))
+        .barrier()
+      try {
+        val bkts = dBuckets.select(col("bkt")).distinct()
+          .collect().map(_.getLong(0)).toIndexedSeq
+        if (bkts.isEmpty) internal // token-less delta: no candidates
+        else {
+          val baseBuckets = readPruned(spark, dir, bDirs, "bkt", bkts)
+            .select(col("band"), col("key"), col("doc_id").as("base_id"))
+          val cand = dBuckets.as("d")
+            .join(baseBuckets, Seq("band", "key"))
+            .select(col("d.doc_id").as("delta_id"), col("base_id"))
+            .distinct()
+            .barrier()
+          try {
+            val sbkts = cand
+              .select(sbktOf(col("base_id"), nBuckets).as("s"))
+              .distinct().collect().map(_.getLong(0)).toIndexedSeq
+            if (sbkts.isEmpty) internal
+            else {
+              val baseSets = readPruned(spark, dir, sDirs, "sbkt", sbkts)
+                .select(col("doc_id").as("base_id"),
+                  col("sset").as("bset"))
+              val cross = cand
+                .join(deltaSets.as("sa"),
+                  col("delta_id") === col("sa.doc_id"))
+                .join(baseSets, Seq("base_id"))
+                .withColumn("inter",
+                  size(array_intersect(col("sa.sset"), col("bset"))))
+                .withColumn("jaccard",
+                  Quant.r6(col("inter").cast("double") /
+                    (size(col("sa.sset")) + size(col("bset")) -
+                      col("inter")).cast("double")))
+                .filter(col("jaccard") >= threshold)
+                .select(
+                  least(col("delta_id"), col("base_id")).as("doc_a"),
+                  greatest(col("delta_id"), col("base_id")).as("doc_b"),
+                  col("jaccard"))
+                .barrier() // materialize before cand's finally-release
+              internal.unionByName(cross)
+            }
+          } finally Barrier.release(cand)
+        }
+      } finally Barrier.release(dBuckets)
+    } finally Barrier.release(deltaSets)
+  }
+}

@@ -2801,6 +2801,75 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(split(3L) == split(4L))
   }
 
+  // ---- persisted dedup index -------------------------------------------
+
+  private def ddxTmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_ddx_spec").toString
+
+  private def deltaTouching(pairs: Array[org.apache.spark.sql.Row],
+      deltaIds: Set[Long]): Set[(Long, Long, Double)] =
+    pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard")))
+      .filter(p => deltaIds.contains(p._1) || deltaIds.contains(p._2))
+      .toSet
+
+  test("dedupIndexPairs: serve equals batch minhashNearDups over base∪delta, restricted to delta-touching pairs") {
+    import graft.operators.DedupIndex
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    for (trial <- 0 until 3) {
+      // Base docs plus a delta that contains near-copies of some base
+      // docs (drop/append one token) and fresh docs.
+      val base = (0L until 12L).map(i =>
+        i -> Seq.fill(6 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      val delta = (100L until 106L).map { i =>
+        val src = base((i % base.size).toInt)._2
+        i -> (if (i % 2 == 0) src + " " + vocab(rnd.nextInt(vocab.size))
+              else Seq.fill(5)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val baseDf = docs(base: _*)
+      val deltaDf = docs(delta: _*)
+      val dir = ddxTmp()
+      DedupIndex.buildDedupIndex(baseDf, dir, nBuckets = 8)
+      val served = DedupIndex.dedupIndexPairs(spark, dir, deltaDf)
+        .collect()
+      val batch = Dedup.minhashNearDups(baseDf.unionByName(deltaDf))
+        .collect()
+      val deltaIds = delta.map(_._1).toSet
+      val servedSet = served.map(r => (r.getAs[Long]("doc_a"),
+        r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard"))).toSet
+      assert(servedSet == deltaTouching(batch, deltaIds), s"trial $trial")
+    }
+  }
+
+  test("appendToDedupIndex: search-after-append equals a rebuild over base∪delta; empty delta is a no-op") {
+    import graft.operators.DedupIndex
+    val b1 = docs(
+      1L -> "w1 w2 w3 w4 w5 w6 w7 w8",
+      2L -> "x1 x2 x3 x4 x5 x6 x7 x8")
+    val b2 = docs(
+      10L -> "w1 w2 w3 w4 w5 w6 w7 w8 w9",
+      11L -> "y1 y2 y3 y4 y5")
+    val probe = docs(
+      100L -> "w1 w2 w3 w4 w5 w6 w7 w8",
+      101L -> "zz zy zx zw zv")
+    val appended = ddxTmp(); val rebuilt = ddxTmp()
+    DedupIndex.buildDedupIndex(b1, appended, nBuckets = 8)
+    DedupIndex.appendToDedupIndex(b2, appended)
+    DedupIndex.buildDedupIndex(b1.unionByName(b2), rebuilt, nBuckets = 8)
+    def pairs(dir: String) = DedupIndex.dedupIndexPairs(spark, dir, probe)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val a = pairs(appended)
+    assert(a == pairs(rebuilt))
+    assert(a.exists(p => p._1 == 1L && p._2 == 100L), "base1 near-dup found")
+    assert(a.exists(p => p._1 == 10L && p._2 == 100L), "appended-gen near-dup found")
+    // Empty delta (blank docs only): no commit, serve unchanged.
+    DedupIndex.appendToDedupIndex(docs(500L -> "", 501L -> "   "), appended)
+    assert(pairs(appended) == a)
+  }
+
   // ---- media chunk-hash near-dups --------------------------------------
 
   test("frameDups: shared sampled frames pair; within-doc repeats don't inflate") {

@@ -557,6 +557,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Sort"), p.take(3000))
   }
 
+  test("dedup-index serve: EVERY generation scan of both tables partition-prunes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ddx_plan").toString
+    val base = Seq((1L, "a b c d e f"), (2L, "g h i j k l"))
+      .toDF("doc_id", "text")
+    val delta = Seq((10L, "a b c d e f g")).toDF("doc_id", "text")
+    graft.operators.DedupIndex.buildDedupIndex(base, dir, nBuckets = 8)
+    graft.operators.DedupIndex.appendToDedupIndex(delta, dir)
+    // Two generations: both bucket scans and both set scans must carry a
+    // pushed partition filter — an unpruned generation would re-scan the
+    // whole base per serve.
+    for ((partCol, dirs) <- Seq(
+        "bkt" -> Seq("buckets", f"buckets-delta-${1L}%010d"),
+        "sbkt" -> Seq("sets", f"sets-delta-${1L}%010d"))) {
+      val p = graft.operators.DedupIndex
+        .readPruned(spark, dir, dirs, partCol, Seq(0L, 3L))
+        .queryExecution.executedPlan.toString
+      val pruned = s"PartitionFilters: \\[$partCol".r.findAllIn(p).length
+      assert(pruned == 2, s"$partCol: expected 2 pruned scans\n" + p.take(3000))
+      assert(!p.contains("PartitionFilters: []"), p.take(3000))
+    }
+  }
+
   test("heavyTokens pass 2: candidate recount is ONE aggregation, no join, folded-group exchange only") {
     import spark.implicits._
     val toks = Seq("a", "b", "a", "c").toDF("tok")
