@@ -720,6 +720,26 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") % 10 === 7))
     }),
 
+    // COMPACT lifecycle: build base → append delta → fold both table
+    // families back to one generation dir pair. Rows rewrite verbatim,
+    // so the compacted serve is bit-identical to the appended one — and
+    // both equal the batch restriction (shared oracle). Plan-locked to
+    // exactly one pruned scan per table after the fold.
+    "doc_dedup_index_compact_pairs" -> ((s, dir) => {
+      val out = indexDir("graft_ddx_cpt", dir)
+      if (builtIndexes.add(s"ddxcpt:$out")) {
+        val docs = t(s, dir, "documents")
+        DedupIndex.buildDedupIndex(
+          docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 3),
+          out)
+        DedupIndex.appendToDedupIndex(
+          docs.filter(col("doc_id") % 10 === 3), out)
+        DedupIndex.compactDedupIndex(s, out)
+      }
+      DedupIndex.dedupIndexPairs(s, out,
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 7))
+    }),
+
     // Corpus snapshot diff with PLANTED version deltas (the pii-scrub
     // de-vacuation pattern): v2 drops doc_id%31==5 (removed), rewrites
     // doc_id%17==3 (changed), and ingests doc_id%41==7 under shifted ids
@@ -3913,6 +3933,12 @@ object SparkEntry {
     // Append ≡ rebuild exactly (stateless hash family) and the appended
     // index covers the same base∪delta corpus — identical oracle.
     "doc_dedup_index_append_pairs" ->
+      s"""WITH $minhashPairCtesSql
+         SELECT doc_a, doc_b, jaccard FROM pairs
+         WHERE doc_a % 10 = 7 OR doc_b % 10 = 7""",
+
+    // Compaction rewrites rows verbatim — same corpus, same oracle.
+    "doc_dedup_index_compact_pairs" ->
       s"""WITH $minhashPairCtesSql
          SELECT doc_a, doc_b, jaccard FROM pairs
          WHERE doc_a % 10 = 7 OR doc_b % 10 = 7""",

@@ -52,7 +52,8 @@ object DedupIndex {
     * delete (foreign files in the dir are never collected).
     */
   private def isDedupDataDir(name: String): Boolean =
-    name.matches("""buckets|sets|meta|(buckets|sets)-delta-\d{10}""")
+    name.matches(
+      """buckets|sets|meta|(buckets|sets)-(delta|compact)-\d{10}""")
 
   /** The live (seq, bucket dirs, set dirs, meta dir). A freshly-built
     * index has no manifest — it adopts as generation 0.
@@ -200,6 +201,37 @@ object DedupIndex {
         sDirs :+ newS, metaDir)
       sweepDedupGenerations(spark, dir, seq + 1)
     }
+  }
+
+  /** COMPACT: fold every live generation of both tables back into ONE
+    * dir pair and commit with the same atomic manifest rename appends
+    * use — the maintenance pass that restores the
+    * single-pruned-scan-per-table plan an append history erodes (each
+    * generation is its own parquet source in the serve plan). Rows are
+    * rewritten VERBATIM — the partition columns ride the read, no hash
+    * is recomputed — so serve-after-compact is bit-identical to
+    * serve-before (spec-pinned). No-op on a single-generation index
+    * (but still sweeps garbage a previously-failed best-effort sweep
+    * left). Single-writer, like append.
+    */
+  def compactDedupIndex(spark: SparkSession, dir: String): Unit = {
+    val (seq, bDirs, sDirs, metaDir) = dedupManifest(spark, dir)
+    if (bDirs.length <= 1 && sDirs.length <= 1) {
+      sweepDedupGenerations(spark, dir, seq)
+      return
+    }
+    val newB = f"buckets-compact-${seq + 1}%010d"
+    val newS = f"sets-compact-${seq + 1}%010d"
+    bDirs.map(d => spark.read.parquet(s"$dir/$d"))
+      .reduce(_.unionByName(_))
+      .repartition(col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/$newB")
+    sDirs.map(d => spark.read.parquet(s"$dir/$d"))
+      .reduce(_.unionByName(_))
+      .repartition(col("sbkt"))
+      .write.mode("overwrite").partitionBy("sbkt").parquet(s"$dir/$newS")
+    commitDedupManifest(spark, dir, seq + 1, Seq(newB), Seq(newS), metaDir)
+    sweepDedupGenerations(spark, dir, seq + 1)
   }
 
   /** The pruned union read both serve passes run, factored for the plan

@@ -2868,6 +2868,17 @@ class PipelineOperatorsSpec extends SparkSpec {
     // Empty delta (blank docs only): no commit, serve unchanged.
     DedupIndex.appendToDedupIndex(docs(500L -> "", 501L -> "   "), appended)
     assert(pairs(appended) == a)
+    // COMPACT: serve bit-identical across the fold; the manifest now
+    // lists exactly one generation dir per table.
+    DedupIndex.compactDedupIndex(spark, appended)
+    assert(pairs(appended) == a)
+    val (seqC, bDirsC, sDirsC, _) = DedupIndex.dedupManifest(spark, appended)
+    assert(bDirsC.length == 1 && sDirsC.length == 1, s"$bDirsC / $sDirsC")
+    assert(bDirsC.head.startsWith("buckets-compact-"))
+    // No-op compaction on the already-single-generation index.
+    DedupIndex.compactDedupIndex(spark, appended)
+    assert(DedupIndex.dedupManifest(spark, appended)._1 == seqC)
+    assert(pairs(appended) == a)
   }
 
   // ---- media chunk-hash near-dups --------------------------------------
