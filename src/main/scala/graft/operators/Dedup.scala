@@ -243,8 +243,28 @@ object Dedup {
     // the pair table is materialized.
     val buckets0 = bandBucketsFromSignatures(signaturesFromExploded(ex))
     val buckets = if (maxBucketDf > 0) buckets0.barrier() else buckets0
-    val pairs = candidatePairsFromBuckets(
-      capHotKeys(buckets, Seq("band", "key"), maxBucketDf))
+    // The bucket barrier is released in finally: Verify/Bench catch a
+    // per-query failure and continue the suite, so a release only on the
+    // success path would strand the bucket table's checkpoint blocks for
+    // the rest of the session (the dupClusters failure-path pattern).
+    try {
+      verifiedLshPairs(sets,
+        capHotKeys(buckets, Seq("band", "key"), maxBucketDf), threshold)
+    } finally if (maxBucketDf > 0) Barrier.release(buckets)
+  }
+
+  /** The candidate-join + Jaccard-verify tail over a PRE-BUILT bucket
+    * table — shared by [[minhashNearDupsFromSets]] and
+    * [[DedupIndex.dedupIndexPairs]]' within-batch pass, which already
+    * built (and materialized) the delta's buckets for its index probe
+    * and must not run the whole signature pipeline a second time (the
+    * capHotKeys double-pipeline lesson). Returns eagerly materialized
+    * pairs; `bk0` is barriered inside `candidatePairsFromBuckets` (both
+    * self-join sides read it).
+    */
+  private[graft] def verifiedLshPairs(sets: DataFrame, bk0: DataFrame,
+      threshold: Double): DataFrame = {
+    val pairs = candidatePairsFromBuckets(bk0)
     val j = pairs
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -258,15 +278,9 @@ object Dedup {
     // Materialize eagerly (the pair set is tiny relative to the corpus) so
     // the caller can release its shingle cache — persist() without
     // unpersist() would accumulate cached copies across a query suite.
-    // The bucket barrier is released in finally: Verify/Bench catch a
-    // per-query failure and continue the suite, so a release only on the
-    // success path would strand the bucket table's checkpoint blocks for
-    // the rest of the session (the dupClusters failure-path pattern).
-    try {
-      j.filter(col("jaccard") >= threshold)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
-        .barrier()
-    } finally if (maxBucketDf > 0) Barrier.release(buckets)
+    j.filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .barrier()
   }
 
   /** Exact n-gram Jaccard for ALL pairs sharing at least one shingle —

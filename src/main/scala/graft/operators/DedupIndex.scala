@@ -75,6 +75,17 @@ object DedupIndex {
     GenManifest.readNode(fs, root, g) match {
       case Some(node) =>
         import scala.jdk.CollectionConverters._
+        // Key presence checked explicitly: a manifest from ANOTHER index
+        // family (lex manifests carry "dirs"/"stats") or a truncated one
+        // must surface the curated diagnostic below, not a bare NPE from
+        // inside Jackson traversal (which the sweep's NonFatal catch
+        // would then log as a contentless "null").
+        if (node.get("bdirs") == null || node.get("sdirs") == null ||
+            node.get("meta") == null)
+          throw new IllegalStateException(
+            s"manifest generation $g under $root is not a dedup-index " +
+              "manifest (missing bdirs/sdirs/meta) — wrong directory or " +
+              "damaged index")
         (node.get("bdirs").elements().asScala.map(_.asText()).toSeq,
           node.get("sdirs").elements().asScala.map(_.asText()).toSeq,
           node.get("meta").asText())
@@ -100,24 +111,12 @@ object DedupIndex {
   }
 
   private def sweepDedupGenerations(spark: SparkSession, dir: String,
-      current: Long): Unit = {
-    val referenced =
-      try {
-        val (fs, root) = GenManifest.fsRoot(spark, dir)
-        Seq(current - 1, current).filter(_ >= 0)
-          .flatMap { g =>
-            val (b, s, m) = dedupManifestAt(fs, root, g)
-            b ++ s :+ m
-          }.filter(_.nonEmpty).toSet
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[graft] dedup-index generation sweep at " +
-            s"$dir skipped (referenced-set read failed; index remains " +
-            s"correct): ${e.getMessage}")
-          return
-      }
-    GenManifest.sweep(spark, dir, current, referenced, isDedupDataDir)
-  }
+      current: Long): Unit =
+    GenManifest.sweepOwned(spark, dir, current, isDedupDataDir) {
+      (fs, root, g) =>
+        val (b, s, m) = dedupManifestAt(fs, root, g)
+        b ++ s :+ m
+    }
 
   /** Write the bucket + set tables of `docs` under `dir/<bName>` and
     * `dir/<sName>`; returns the bucket row count (0 = nothing written
@@ -142,8 +141,12 @@ object DedupIndex {
             .parquet(s"$dir/$bName")
           // Sets for every doc WITH buckets (a shingle-less doc can
           // never be a candidate, and an empty partitioned write of a
-          // degenerate delta must not leave a schema-less dir).
-          sets.join(buckets.select(col("doc_id")).distinct(), Seq("doc_id"))
+          // degenerate delta must not leave a schema-less dir). The
+          // size() filter is exactly that predicate — every non-empty
+          // sset produces its Bands bucket rows by construction — and
+          // costs ZERO exchanges, where a semi-join against the bucket
+          // doc_ids would shuffle the corpus's shingle-set arrays.
+          sets.filter(size(col("sset")) > 0)
             .withColumn("sbkt", sbktOf(col("doc_id"), nBuckets))
             .repartition(col("sbkt"))
             .write.mode("overwrite").partitionBy("sbkt")
@@ -268,17 +271,22 @@ object DedupIndex {
     val nBuckets = meta.getAs[Int]("buckets")
     val deltaSets = Dedup.shingleSets(delta, n).barrier()
     try {
-      // Within-batch pairs: the in-memory verified-LSH path over the
-      // SAME cached shingle sets (materialized result).
-      val internal = Dedup.minhashNearDupsFromSets(deltaSets, threshold)
       val ex = deltaSets.select(col("doc_id"),
           explode_outer(col("sset")).as("shingle"))
         .where(col("shingle").isNotNull)
+      // ONE signature+banding pass over the delta serves BOTH the index
+      // probe and the within-batch pair verify (the capHotKeys
+      // double-pipeline lesson — the first cut ran the explode + 2
+      // md5s/shingle + 8-min aggregation twice per serve).
       val dBuckets = Dedup.bandBucketsFromSignatures(
           Dedup.signaturesFromExploded(ex))
         .withColumn("bkt", bktCol(nBuckets))
         .barrier()
       try {
+        // Within-batch pairs: the shared verify tail over the already
+        // materialized buckets (eagerly materialized result).
+        val internal = Dedup.verifiedLshPairs(deltaSets,
+          dBuckets.drop("bkt"), threshold)
         val bkts = dBuckets.select(col("bkt")).distinct()
           .collect().map(_.getLong(0)).toIndexedSeq
         if (bkts.isEmpty) internal // token-less delta: no candidates

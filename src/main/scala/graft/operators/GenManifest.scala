@@ -129,4 +129,32 @@ private[graft] object GenManifest {
             s"(commit already durable; next commit re-collects): " +
             e.getMessage)
     }
+
+  /** The owner-side sweep scaffold every index family was copy-pasting
+    * (ANN, lexical, dedup): compute the referenced set over the retained
+    * generations (current and current−1 — the reader-grace window) via
+    * the family's manifest decoder, skipping the sweep LOUDLY-BUT-SAFELY
+    * if that read fails (the commit is already durable; a failed
+    * best-effort sweep must never fail the operation or trigger a
+    * retry-append that would duplicate the delta). Only the per-format
+    * decoding stays with each owner.
+    */
+  def sweepOwned(spark: SparkSession, dir: String, current: Long,
+      isDataDir: String => Boolean)(
+      referencedOf: (FileSystem, Path, Long) => Seq[String]): Unit = {
+    val referenced =
+      try {
+        val (fs, root) = fsRoot(spark, dir)
+        Seq(current - 1, current).filter(_ >= 0)
+          .flatMap(g => referencedOf(fs, root, g))
+          .filter(_.nonEmpty).toSet
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] generation sweep at $dir " +
+            s"skipped (referenced-set read failed; index remains " +
+            s"correct): ${e.getMessage}")
+          return
+      }
+    sweep(spark, dir, current, referenced, isDataDir)
+  }
 }

@@ -367,24 +367,12 @@ object Search {
     * generation).
     */
   private def sweepLexGenerations(spark: SparkSession, dir: String,
-      current: Long): Unit = {
-    val referenced =
-      try {
-        val (fs, root) = GenManifest.fsRoot(spark, dir)
-        Seq(current - 1, current).filter(_ >= 0)
-          .flatMap { g =>
-            val (ds, sd) = lexManifestAt(fs, root, g)
-            ds :+ sd
-          }.filter(_.nonEmpty).toSet
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[graft] lex generation sweep at $dir " +
-            s"skipped (referenced-set read failed; index remains " +
-            s"correct): ${e.getMessage}")
-          return
-      }
-    GenManifest.sweep(spark, dir, current, referenced, isLexDataDir)
-  }
+      current: Long): Unit =
+    GenManifest.sweepOwned(spark, dir, current, isLexDataDir) {
+      (fs, root, g) =>
+        val (ds, sd) = lexManifestAt(fs, root, g)
+        ds :+ sd
+    }
 
   /** COMPACT a persisted inverted index: fold every live postings
     * generation back into ONE bucket-partitioned dir and commit with the

@@ -780,21 +780,8 @@ object Similarity {
     * here must never fail the already-durable commit.
     */
   private def sweepIndexGenerations(spark: org.apache.spark.sql.SparkSession,
-      dir: String, seq: Long): Unit = {
-    val referenced =
-      try {
-        val (fs, root) = GenManifest.fsRoot(spark, dir)
-        Seq(seq - 1, seq).filter(_ >= 0)
-          .flatMap(g => manifestDirsAt(fs, root, g)).toSet
-      } catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(
-          s"[graft] index generation sweep skipped for $dir at gen $seq " +
-            s"(referenced-set read failed; commit already durable): " +
-            e.getMessage)
-        return
-      }
-    GenManifest.sweep(spark, dir, seq, referenced, isIndexDataDir)
-  }
+      dir: String, seq: Long): Unit =
+    GenManifest.sweepOwned(spark, dir, seq, isIndexDataDir)(manifestDirsAt)
 
   /** COMPACT a persisted IVF / IVF-PQ index: fold every live generation
     * back into ONE cell-partitioned dir and commit the move with the same

@@ -579,6 +579,22 @@ class PlanShapeSpec extends SparkSpec {
       assert(pruned == 2, s"$partCol: expected 2 pruned scans\n" + p.take(3000))
       assert(!p.contains("PartitionFilters: []"), p.take(3000))
     }
+    // COMPACTION restores exactly ONE pruned scan per table (the
+    // emb_ivf_compact_topk lock, dedup edition): the manifest's folded
+    // dir list drives the serve read, so the lock reads it back rather
+    // than hard-coding names.
+    graft.operators.DedupIndex.compactDedupIndex(spark, dir)
+    val (_, bDirs, sDirs, _) =
+      graft.operators.DedupIndex.dedupManifest(spark, dir)
+    for ((partCol, dirs) <- Seq("bkt" -> bDirs, "sbkt" -> sDirs)) {
+      val p = graft.operators.DedupIndex
+        .readPruned(spark, dir, dirs, partCol, Seq(0L, 3L))
+        .queryExecution.executedPlan.toString
+      val pruned = s"PartitionFilters: \\[$partCol".r.findAllIn(p).length
+      assert(pruned == 1,
+        s"$partCol post-compact: expected ONE pruned scan\n" + p.take(3000))
+      assert(!p.contains("PartitionFilters: []"), p.take(3000))
+    }
   }
 
   test("heavyTokens pass 2: candidate recount is ONE aggregation, no join, folded-group exchange only") {
