@@ -720,6 +720,19 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") % 10 === 7))
     }),
 
+    // Bucket-health report over the SAME persisted index the pairs
+    // query serves (shared build key): per band, key count, membership
+    // rows, hottest key, and keys shared by more than one doc — the
+    // hot-bucket drift signal (emb_index_health's dedup analog) an
+    // operator reads before choosing maxBucketDf / exact-dedup-first.
+    "doc_dedup_index_health" -> ((s, dir) => {
+      val out = indexDir("graft_ddx", dir)
+      if (builtIndexes.add(s"ddx:$out"))
+        DedupIndex.buildDedupIndex(
+          t(s, dir, "documents").filter(col("doc_id") % 10 =!= 7), out)
+      DedupIndex.indexHealth(s, out)
+    }),
+
     // COMPACT lifecycle: build base → append delta → fold both table
     // families back to one generation dir pair. Rows rewrite verbatim,
     // so the compacted serve is bit-identical to the appended one — and
@@ -1507,14 +1520,15 @@ object SparkEntry {
   // MinHash verified-pair CTE chain (tokens -> shingles -> signatures ->
   // bands -> candidate pairs -> jaccard-verified `pairs` at the 0.5
   // threshold) — ONE definition for every oracle that consumes the pair
-  // graph: doc_minhash_pairs, the dedup-index serves, and (via
+  // graph: doc_minhash_pairs, the dedup-index serves, the index-health
+  // report (which parametrizes the source predicate), and (via
   // minhashClusterCtesSql below) the cluster family.
-  private val minhashPairCtesSql: String =
-    """toks AS (
+  private def minhashPairCtes(srcWhere: String): String =
+    raw"""toks AS (
            SELECT doc_id,
              CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                   ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
-           FROM documents),
+           FROM documents $srcWhere),
          sh AS (
            SELECT doc_id, list_distinct(
              CASE WHEN len(t) >= 3
@@ -1554,6 +1568,8 @@ object SparkEntry {
              floor((CAST(inter AS DOUBLE) / (la + lb - inter)) * 1e6 + 0.5) / 1e6 AS jaccard
            FROM pj
            WHERE floor((CAST(inter AS DOUBLE) / (la + lb - inter)) * 1e6 + 0.5) / 1e6 >= 0.5)"""
+
+  private val minhashPairCtesSql: String = minhashPairCtes("")
 
   // The pair chain extended to connected components (symmetric edges ->
   // recursive reachability -> per-node min label) for the cluster
@@ -3942,6 +3958,20 @@ object SparkEntry {
       s"""WITH $minhashPairCtesSql
          SELECT doc_a, doc_b, jaccard FROM pairs
          WHERE doc_a % 10 = 7 OR doc_b % 10 = 7""",
+
+    // Health over the persisted bucket table ≡ the bk CTE over the
+    // indexed (base-filtered) corpus — same parametrized chain.
+    "doc_dedup_index_health" ->
+      s"""WITH ${minhashPairCtes("WHERE doc_id % 10 <> 7")},
+         kdf AS (
+           SELECT band, key, CAST(COUNT(*) AS BIGINT) AS df
+           FROM bk GROUP BY 1, 2)
+         SELECT CAST(band AS INTEGER) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(df) AS BIGINT) AS member_rows,
+           CAST(MAX(df) AS BIGINT) AS max_df,
+           CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS hot_keys
+         FROM kdf GROUP BY band""",
 
     "doc_ngram_jaccard" ->
       """WITH toks AS (

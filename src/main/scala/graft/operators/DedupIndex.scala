@@ -237,6 +237,30 @@ object DedupIndex {
     sweepDedupGenerations(spark, dir, seq + 1)
   }
 
+  /** Bucket-health report over the persisted layout — the dedup analog
+    * of [[Similarity.indexHealth]]'s retrain signal: per LSH band, the
+    * key count, total membership rows, the hottest key's document
+    * frequency, and how many keys exceed `hotDf` docs. A hot key is the
+    * f² cost center of every candidate self-join ([[Dedup.capHotKeys]]'
+    * fence) — an operator reads this table to decide when to run
+    * exact-dedup first, raise `maxBucketDf`, or re-shard. Maintenance
+    * scan like compaction: reads every generation unpruned (the bucket
+    * table is hashes, not text — ~4 rows × 50 bytes per doc).
+    */
+  def indexHealth(spark: SparkSession, dir: String,
+      hotDf: Int = 1): DataFrame = {
+    val (_, bDirs, _, _) = dedupManifest(spark, dir)
+    val bk = bDirs.map(d => spark.read.parquet(s"$dir/$d"))
+      .reduce(_.unionByName(_))
+    val perKey = bk.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("df"))
+    perKey.groupBy(col("band"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("df")).as("member_rows"),
+        max(col("df")).as("max_df"),
+        sum(when(col("df") > hotDf, 1L).otherwise(0L)).as("hot_keys"))
+  }
+
   /** The pruned union read both serve passes run, factored for the plan
     * lock: each generation dir is its own partitioned source and the
     * literal `IN` filter pushes through the union, so EVERY generation

@@ -2881,6 +2881,25 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(pairs(appended) == a)
   }
 
+  test("dedup indexHealth: per-band stats over a known dup/distinct corpus") {
+    import graft.operators.DedupIndex
+    // Docs 1,2 identical (identical signatures -> shared key in EVERY
+    // band, df 2); doc 3 distinct. Per band: 2 keys, 3 rows, max 2,
+    // one hot key (> 1 doc).
+    val base = docs(
+      1L -> "a b c d e f",
+      2L -> "a b c d e f",
+      3L -> "x y z w v u")
+    val dir = ddxTmp()
+    DedupIndex.buildDedupIndex(base, dir, nBuckets = 8)
+    val h = DedupIndex.indexHealth(spark, dir).collect()
+      .map(r => r.getAs[Int]("band") ->
+        (r.getAs[Long]("n_keys"), r.getAs[Long]("member_rows"),
+          r.getAs[Long]("max_df"), r.getAs[Long]("hot_keys"))).toMap
+    assert(h.keySet == Set(0, 1, 2, 3))
+    h.values.foreach(v => assert(v == ((2L, 3L, 2L, 1L)), h.toString))
+  }
+
   // ---- media chunk-hash near-dups --------------------------------------
 
   test("frameDups: shared sampled frames pair; within-doc repeats don't inflate") {
