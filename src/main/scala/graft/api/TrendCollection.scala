@@ -29,8 +29,6 @@ final class TrendCollection(
     events: DataFrame,
     cfg: TrendConfig = TrendConfig()) {
 
-  import graft.functions.Classifiers.pageId
-
   // Control metadata (reference: mutable flags on WikiPage / key deletes).
   // AtomicReference, not @volatile var: control ops arrive from UI/admin
   // threads while a query thread serves boards. Volatile gives readers
@@ -75,16 +73,23 @@ final class TrendCollection(
   private def pagesOver(canonical: DataFrame): DataFrame = {
     val aggregated = PageAggregates.pageAggregates(canonical, cfg)
     val dropped = droppedIds.get(); val safe = safeIds.get()
+    // coalesce over the isin: a NULL id (malformed wire message -> null
+    // title -> null pageId group) makes `id.isin(...)` NULL, so the
+    // bare negation would silently DROP the null-id page the moment any
+    // unrelated drop() runs — and the flag columns would read NULL
+    // instead of false. Null ids were never dropped/flagged: false.
+    def inSet(ids: Set[String]): org.apache.spark.sql.Column =
+      coalesce(col("id").isin(ids.toSeq: _*), lit(false))
     val notDropped =
       if (dropped.isEmpty) aggregated
-      else aggregated.filter(!col("id").isin(dropped.toSeq: _*))
+      else aggregated.filter(!inSet(dropped))
     val withSafe = notDropped.withColumn("safe",
-      if (safe.isEmpty) lit(false) else col("id").isin(safe.toSeq: _*))
+      if (safe.isEmpty) lit(false) else inSet(safe))
     // isProtected in the batch view too, so the batch and streaming Q1
     // surfaces expose the same schema (stateSnapshot carries the flag).
     val prot = protectedIds.get()
     val withProt = withSafe.withColumn("isProtected",
-      if (prot.isEmpty) lit(false) else col("id").isin(prot.toSeq: _*))
+      if (prot.isEmpty) lit(false) else inSet(prot))
     val alive = PageAggregates.survivors(withProt, asOfCol, cfg)
     PageAggregates.withMetrics(alive, asOfCol)
   }

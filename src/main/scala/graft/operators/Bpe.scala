@@ -64,16 +64,18 @@ object Bpe {
         .otherwise(concat(acc, array(s))))
 
   /** The corpus word-frequency table: lower-cased whitespace tokens,
-    * counted with multiplicity, split to character symbols. The token
-    * array is materialized as its own attribute BEFORE the explode —
-    * exploding the raw expression lets InferFiltersFromGenerate slip a
-    * `size(wsTokens(...)) > 0` filter under the Generate that re-runs
-    * the regex tokenization once more per document (the explodedTokens
-    * discipline).
+    * counted with multiplicity, split to character symbols.
+    * `explode_outer` + null filter on the exploded attribute (the
+    * explodedTokens/explodedShingles discipline): an inner explode —
+    * even of the pre-materialized alias — lets InferFiltersFromGenerate
+    * push a size filter below the projection with the alias substituted,
+    * re-running the regex tokenization per document (empirically
+    * confirmed on Spark 4.1.2; plan-locked).
     */
   private[graft] def vocab(docs: DataFrame): DataFrame =
     docs.select(TextAnalysis.wsTokens(lower(col("text"))).as("toks"))
-      .select(explode(col("toks")).as("word"))
+      .select(explode_outer(col("toks")).as("word"))
+      .where(col("word").isNotNull)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .select(col("word"), col("cnt"), charSyms(col("word")).as("syms"))
 

@@ -84,25 +84,6 @@ object Sketches {
       : Iterator[String] =
     misraGries(it, k)._1.keysIterator
 
-  /** Tokens with whitespace-token frequency STRICTLY greater than
-    * total/k, with exact counts and the floor-quantized corpus share.
-    *
-    * Pass 1 (one corpus scan): per-partition [[misraGriesKeys]] via
-    * `mapPartitions`, candidates collected to the driver — bounded by
-    * k × partitions rows by construction, the same driver-literal
-    * discipline as the centroid books (Similarity.trainKeyedBooks).
-    * Pass 2 (one corpus scan): every token folds to itself if it is a
-    * candidate and to NULL otherwise, then ONE hash aggregation counts
-    * the ≤ |candidates|+1 groups; the corpus total rides the same
-    * aggregation as the sum over all groups (including the NULL "other"
-    * bucket), so no third scan computes it. The threshold compare is
-    * integer (`cnt * k > total`) — no division, no float.
-    *
-    * Output is independent of partitioning: the summary only decides
-    * which tokens get RECOUNTED, and the recount is exact (scaladoc'd
-    * determinism contract — MG state itself is partition-order
-    * dependent and must never be emitted).
-    */
   /** Pass 2's aggregation, factored for the plan lock (the barrier that
     * follows it hides the subtree from the final query's plan): every
     * token folds to itself if it is a candidate and to NULL otherwise —
@@ -126,6 +107,24 @@ object Sketches {
     */
   private val MaxCandidates = 1 << 20
 
+  /** Tokens with whitespace-token frequency STRICTLY greater than
+    * total/k, with exact counts and the floor-quantized corpus share.
+    *
+    * Pass 1 (one corpus scan): per-partition [[misraGriesKeys]] via
+    * `mapPartitions`, candidates collected to the driver — bounded by
+    * k × partitions rows and the hard [[MaxCandidates]] cap, the same
+    * driver-literal discipline as the centroid books
+    * (Similarity.trainKeyedBooks).
+    * Pass 2 (one corpus scan): [[candidateCounts]]' single folded-group
+    * aggregation; the corpus total rides the same aggregation as the
+    * sum over all groups (including the NULL "other" bucket), so no
+    * third scan computes it. The threshold compare is integer
+    * (`cnt * k > total`) — no division, no float.
+    *
+    * Output is independent of partitioning: the summary only decides
+    * which tokens get RECOUNTED, and the recount is exact — MG state
+    * itself is partition-order dependent and must never be emitted.
+    */
   def heavyTokens(spark: SparkSession, docs: DataFrame, k: Int = 50)
       : DataFrame = {
     import spark.implicits._
@@ -142,21 +141,11 @@ object Sketches {
     require(candidates.size <= MaxCandidates,
       s"heavy-hitter candidate set exceeds $MaxCandidates (k=$k over " +
         "too many partitions) — lower k or coalesce the input")
-    if (candidates.isEmpty) {
-      // empty corpus (or k larger than any partition's token count with
-      // no tokens at all): nothing can be heavy. isin() over an empty
-      // list is not a valid predicate, so return the empty frame
-      // directly with the contract schema.
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("token",
-            org.apache.spark.sql.types.StringType, nullable = true),
-          org.apache.spark.sql.types.StructField("cnt",
-            org.apache.spark.sql.types.LongType, nullable = true),
-          org.apache.spark.sql.types.StructField("share",
-            org.apache.spark.sql.types.DoubleType, nullable = true))))
-    }
+    // Empty corpus: nothing can be heavy, and isin() over an empty list
+    // is not a valid predicate — return the empty contract frame.
+    if (candidates.isEmpty)
+      return Seq.empty[(String, Long, Double)]
+        .toDF("token", "cnt", "share")
     val grouped = candidateCounts(toks, candidates)
       .barrier() // tiny (≤ candidates+1 rows); two branches below read it
     // The (even tinier) final result materializes eagerly so grouped's

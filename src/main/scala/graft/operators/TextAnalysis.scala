@@ -379,18 +379,24 @@ object TextAnalysis {
     * aggregation and the join (see tfIdfTopTerms). The zero-token
     * re-attach scans only the pruned doc_id column.
     */
-  /** (doc_id, token) exploded pairs with the tokenization materialized in
-    * its own projection FIRST: inner `explode` of the raw wsTokens
-    * expression lets InferFiltersFromGenerate slip a
-    * `size(wsTokens(text)) > 0` filter below the Generate, re-running the
-    * regex split once more per document on the full scan; exploding the
-    * attribute makes the inferred filter a cheap size check on the
-    * already-built array (the shingleSets discipline, one level down).
+  /** (doc_id, token) exploded pairs. `explode_outer` + a null filter on
+    * the exploded ATTRIBUTE, the [[Dedup.explodedShingles]] discipline:
+    * an INNER explode — even of a pre-materialized alias — lets
+    * InferFiltersFromGenerate push a `size(toks) > 0` filter below the
+    * projection with the alias SUBSTITUTED, re-running the regex
+    * tokenization once more per document (empirically confirmed on
+    * Spark 4.1.2: the materialize-first form this function previously
+    * used still re-inlined the split; plan-locked now). The outer
+    * variant skips the rule; the empty-array null row is filtered above
+    * the Generate, where nothing can be pushed. wsTokens elements are
+    * never null, so the filter drops ONLY the synthetic row — output
+    * identical to the inner explode.
     */
   private[graft] def explodedTokens(docs: DataFrame,
       as: String = "token"): DataFrame =
     docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(col("toks")).as(as))
+      .select(col("doc_id"), explode_outer(col("toks")).as(as))
+      .where(col(as).isNotNull)
 
   def tokenRarity(docs: DataFrame): DataFrame =
     Barrier.withCached(explodedTokens(docs)) { toks =>

@@ -130,6 +130,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!"(?s)Filter[^\\n]*split\\(".r.findFirstIn(opt).isDefined, opt.take(2000))
   }
 
+  test("explodedTokens and Bpe.vocab: no inferred filter re-running the tokenization") {
+    // The materialize-the-alias-first form does NOT stop the rule on
+    // Spark 4.1.2 — alias substitution re-inlines wsTokens into the
+    // pushed filter (empirically confirmed this round); only the
+    // explode_outer + isNotNull shape skips it. Lock both token
+    // exploders so a refactor back to inner explode trips here.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val optTok = graft.operators.TextAnalysis.explodedTokens(docs)
+      .queryExecution.optimizedPlan.toString
+    assert(!"(?s)Filter[^\\n]*split\\(".r.findFirstIn(optTok).isDefined,
+      optTok.take(2000))
+    val optVocab = graft.operators.Bpe.vocab(docs)
+      .queryExecution.optimizedPlan.toString
+    assert(!"(?s)Filter[^\\n]*split\\(".r.findFirstIn(optVocab).isDefined,
+      optVocab.take(2000))
+  }
+
   test("doc_decontam: eval gram side broadcasts; train corpus not re-shuffled") {
     val p = physical("doc_decontam")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
