@@ -720,6 +720,19 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") % 10 === 7))
     }),
 
+    // The ingest ACTION over the same persisted index: keep/drop
+    // verdict per delta doc — base wins unconditionally, keep-lowest
+    // within the batch. One row per delta doc, keep varies at sf0.01
+    // (near-dups of base docs exist among the % 10 == 7 slice).
+    "doc_dedup_index_clean" -> ((s, dir) => {
+      val out = indexDir("graft_ddx", dir)
+      if (builtIndexes.add(s"ddx:$out"))
+        DedupIndex.buildDedupIndex(
+          t(s, dir, "documents").filter(col("doc_id") % 10 =!= 7), out)
+      DedupIndex.dedupDeltaClean(s, out,
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 7))
+    }),
+
     // Bucket-health report over the SAME persisted index the pairs
     // query serves (shared build key): per band, key count, membership
     // rows, hottest key, and keys shared by more than one doc — the
@@ -3958,6 +3971,24 @@ object SparkEntry {
       s"""WITH $minhashPairCtesSql
          SELECT doc_a, doc_b, jaccard FROM pairs
          WHERE doc_a % 10 = 7 OR doc_b % 10 = 7""",
+
+    // Keep verdicts from the pair chain: a % 10 == 7 doc is dropped iff
+    // it pairs with a non-delta doc (either side) or is the HIGHER side
+    // of a delta-delta pair (keep-lowest).
+    "doc_dedup_index_clean" ->
+      s"""WITH $minhashPairCtesSql,
+         dd AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
+         dp AS (
+           SELECT p.doc_a, p.doc_b,
+             p.doc_a IN (SELECT doc_id FROM dd) AS a_delta,
+             p.doc_b IN (SELECT doc_id FROM dd) AS b_delta
+           FROM pairs p),
+         dr AS (
+           SELECT doc_a AS doc_id FROM dp WHERE a_delta AND NOT b_delta
+           UNION
+           SELECT doc_b FROM dp WHERE b_delta)
+         SELECT d.doc_id, dr.doc_id IS NULL AS keep
+         FROM dd d LEFT JOIN dr ON d.doc_id = dr.doc_id""",
 
     // Health over the persisted bucket table ≡ the bk CTE over the
     // indexed (base-filtered) corpus — same parametrized chain.

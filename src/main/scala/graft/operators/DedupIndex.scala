@@ -237,6 +237,37 @@ object DedupIndex {
     sweepDedupGenerations(spark, dir, seq + 1)
   }
 
+  /** The ingest ACTION over [[dedupIndexPairs]]: every delta document
+    * with its keep verdict. BASE WINS unconditionally — a delta doc
+    * that near-dups anything already ingested is dropped regardless of
+    * id order (the ingested copy cannot be un-ingested); within the
+    * batch the keep-lowest convention applies (the exactDedup /
+    * dupClusters rule). Output: (doc_id, keep) for every delta doc.
+    *
+    * Cost: the pairs serve (two pruned index reads) plus joins against
+    * the TINY materialized pair table — the delta is never re-hashed.
+    */
+  def dedupDeltaClean(spark: SparkSession, dir: String, delta: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = dedupIndexPairs(spark, dir, delta, threshold)
+    val dset = delta.select(col("doc_id")).distinct()
+    val marked = pairs
+      .join(dset.select(col("doc_id").as("doc_a"), lit(true).as("a_delta")),
+        Seq("doc_a"), "left")
+      .join(dset.select(col("doc_id").as("doc_b"), lit(true).as("b_delta")),
+        Seq("doc_b"), "left")
+    // Pair (a, b) with a < b: both delta -> drop b (keep-lowest);
+    // delta vs base -> drop the DELTA side whichever side it is.
+    val dropIds = marked.select(
+        when(col("a_delta").isNotNull && col("b_delta").isNull,
+          col("doc_a"))
+          .when(col("b_delta").isNotNull, col("doc_b"))
+          .as("doc_id"))
+      .where(col("doc_id").isNotNull).distinct()
+    dset.join(dropIds.withColumn("__dup", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__dup").isNull.as("keep"))
+  }
+
   /** Bucket-health report over the persisted layout — the dedup analog
     * of [[Similarity.indexHealth]]'s retrain signal: per LSH band, the
     * key count, total membership rows, the hottest key's document

@@ -2881,6 +2881,23 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(pairs(appended) == a)
   }
 
+  test("dedupDeltaClean: base wins regardless of id order; keep-lowest within the batch") {
+    import graft.operators.DedupIndex
+    val base = docs(
+      1000L -> "p q r s t u v w",
+      2000L -> "k1 l1 m1 n1 o1 p1 q1 r1")
+    val delta = docs(
+      5L -> "p q r s t u v w", // dups base 1000 — HIGHER id, still dropped
+      6L -> "fresh unique text one two three",
+      7L -> "fresh unique text one two three", // delta-delta: 6 keeps
+      8L -> "totally different words here now")
+    val dir = ddxTmp()
+    DedupIndex.buildDedupIndex(base, dir, nBuckets = 8)
+    val keep = DedupIndex.dedupDeltaClean(spark, dir, delta).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(keep == Map(5L -> false, 6L -> true, 7L -> false, 8L -> true))
+  }
+
   test("dedup indexHealth: per-band stats over a known dup/distinct corpus") {
     import graft.operators.DedupIndex
     // Docs 1,2 identical (identical signatures -> shared key in EVERY
