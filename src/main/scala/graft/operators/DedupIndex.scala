@@ -225,12 +225,10 @@ object DedupIndex {
     }
     val newB = f"buckets-compact-${seq + 1}%010d"
     val newS = f"sets-compact-${seq + 1}%010d"
-    bDirs.map(d => spark.read.parquet(s"$dir/$d"))
-      .reduce(_.unionByName(_))
+    readGenerations(spark, dir, bDirs)
       .repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/$newB")
-    sDirs.map(d => spark.read.parquet(s"$dir/$d"))
-      .reduce(_.unionByName(_))
+    readGenerations(spark, dir, sDirs)
       .repartition(col("sbkt"))
       .write.mode("overwrite").partitionBy("sbkt").parquet(s"$dir/$newS")
     commitDedupManifest(spark, dir, seq + 1, Seq(newB), Seq(newS), metaDir)
@@ -249,21 +247,31 @@ object DedupIndex {
     */
   def dedupDeltaClean(spark: SparkSession, dir: String, delta: DataFrame,
       threshold: Double = 0.5): DataFrame = {
-    val pairs = dedupIndexPairs(spark, dir, delta, threshold)
-    val dset = delta.select(col("doc_id")).distinct()
-    val marked = pairs
-      .join(dset.select(col("doc_id").as("doc_a"), lit(true).as("a_delta")),
-        Seq("doc_a"), "left")
-      .join(dset.select(col("doc_id").as("doc_b"), lit(true).as("b_delta")),
-        Seq("doc_b"), "left")
-    // Pair (a, b) with a < b: both delta -> drop b (keep-lowest);
-    // delta vs base -> drop the DELTA side whichever side it is.
-    val dropIds = marked.select(
-        when(col("a_delta").isNotNull && col("b_delta").isNull,
-          col("doc_a"))
-          .when(col("b_delta").isNotNull, col("doc_b"))
-          .as("doc_id"))
-      .where(col("doc_id").isNotNull).distinct()
+    // The legs keep their sidedness (internal = delta×delta with
+    // doc_a < doc_b; cross = (delta_id, base_id)), so the drop set
+    // needs NO membership joins: any cross pair drops its delta side
+    // (base wins, either id order), an internal pair drops its higher
+    // side (keep-lowest).
+    val (internal, cross) = servePairLegs(spark, dir, delta, threshold)
+    // Eagerly materialized verdict + finally-release: the legs are
+    // barriered LogicalRDDs, and a lazily-read result would strand
+    // their checkpoint blocks per invocation across a Verify/bench
+    // suite (the heavyTokens discipline).
+    try {
+      cleanVerdicts(delta.select(col("doc_id")).distinct(),
+          internal, cross)
+        .barrier()
+    } finally { Barrier.release(internal); Barrier.release(cross) }
+  }
+
+  /** The verdict tail over materialized pair legs, factored for the
+    * plan lock (the barrier above hides it): tiny-table joins only.
+    */
+  private[graft] def cleanVerdicts(dset: DataFrame, internal: DataFrame,
+      cross: DataFrame): DataFrame = {
+    val dropIds = cross.select(col("delta_id").as("doc_id"))
+      .unionByName(internal.select(col("doc_b").as("doc_id")))
+      .distinct()
     dset.join(dropIds.withColumn("__dup", lit(true)), Seq("doc_id"), "left")
       .select(col("doc_id"), col("__dup").isNull.as("keep"))
   }
@@ -281,8 +289,7 @@ object DedupIndex {
   def indexHealth(spark: SparkSession, dir: String,
       hotDf: Int = 1): DataFrame = {
     val (_, bDirs, _, _) = dedupManifest(spark, dir)
-    val bk = bDirs.map(d => spark.read.parquet(s"$dir/$d"))
-      .reduce(_.unionByName(_))
+    val bk = readGenerations(spark, dir, bDirs)
     val perKey = bk.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("df"))
     perKey.groupBy(col("band"))
@@ -300,9 +307,18 @@ object DedupIndex {
     */
   private[graft] def readPruned(spark: SparkSession, dir: String,
       dirs: Seq[String], partCol: String, keys: Seq[Long]): DataFrame =
+    readGenerations(spark, dir, dirs)
+      .filter(col(partCol).isin(keys: _*))
+
+  /** The generation union-read every consumer shares (serve, health,
+    * compaction) — one place for any future cross-generation schema
+    * handling, so the three paths can never read generations
+    * differently.
+    */
+  private def readGenerations(spark: SparkSession, dir: String,
+      dirs: Seq[String]): DataFrame =
     dirs.map(d => spark.read.parquet(s"$dir/$d"))
       .reduce(_.unionByName(_))
-      .filter(col(partCol).isin(keys: _*))
 
   /** Near-duplicate pairs of an ingest batch against a persisted index
     * AND within the batch itself: every (doc_a, doc_b, jaccard) with
@@ -320,6 +336,28 @@ object DedupIndex {
     */
   def dedupIndexPairs(spark: SparkSession, dir: String, delta: DataFrame,
       threshold: Double = 0.5): DataFrame = {
+    val (internal, cross) = servePairLegs(spark, dir, delta, threshold)
+    // A projection over the two materialized legs — this IS the
+    // product; callers own its lifecycle (Barrier.release on the result
+    // frees both legs' blocks).
+    internal.unionByName(cross.select(
+      least(col("delta_id"), col("base_id")).as("doc_a"),
+      greatest(col("delta_id"), col("base_id")).as("doc_b"),
+      col("jaccard")))
+  }
+
+  /** The serve, with its two legs kept apart and MATERIALIZED: the
+    * within-batch pairs (doc_a < doc_b, both delta) and the delta×base
+    * pairs with their sidedness intact — [[dedupDeltaClean]] needs the
+    * labels the pair product's least/greatest ordering erases, and
+    * re-deriving them with membership joins would scan the delta ids
+    * three more times. Callers release both legs when done.
+    */
+  private[graft] def servePairLegs(spark: SparkSession, dir: String,
+      delta: DataFrame, threshold: Double): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    def emptyCross =
+      Seq.empty[(Long, Long, Double)].toDF("delta_id", "base_id", "jaccard")
     val (_, bDirs, sDirs, metaDir) = dedupManifest(spark, dir)
     val meta = spark.read.parquet(s"$dir/$metaDir").head()
     val n = meta.getAs[Int]("n")
@@ -344,7 +382,7 @@ object DedupIndex {
           dBuckets.drop("bkt"), threshold)
         val bkts = dBuckets.select(col("bkt")).distinct()
           .collect().map(_.getLong(0)).toIndexedSeq
-        if (bkts.isEmpty) internal // token-less delta: no candidates
+        if (bkts.isEmpty) (internal, emptyCross) // token-less delta
         else {
           val baseBuckets = readPruned(spark, dir, bDirs, "bkt", bkts)
             .select(col("band"), col("key"), col("doc_id").as("base_id"))
@@ -357,7 +395,7 @@ object DedupIndex {
             val sbkts = cand
               .select(sbktOf(col("base_id"), nBuckets).as("s"))
               .distinct().collect().map(_.getLong(0)).toIndexedSeq
-            if (sbkts.isEmpty) internal
+            if (sbkts.isEmpty) (internal, emptyCross)
             else {
               val baseSets = readPruned(spark, dir, sDirs, "sbkt", sbkts)
                 .select(col("doc_id").as("base_id"),
@@ -373,12 +411,9 @@ object DedupIndex {
                     (size(col("sa.sset")) + size(col("bset")) -
                       col("inter")).cast("double")))
                 .filter(col("jaccard") >= threshold)
-                .select(
-                  least(col("delta_id"), col("base_id")).as("doc_a"),
-                  greatest(col("delta_id"), col("base_id")).as("doc_b"),
-                  col("jaccard"))
+                .select(col("delta_id"), col("base_id"), col("jaccard"))
                 .barrier() // materialize before cand's finally-release
-              internal.unionByName(cross)
+              (internal, cross)
             }
           } finally Barrier.release(cand)
         }

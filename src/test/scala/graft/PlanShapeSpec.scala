@@ -596,6 +596,24 @@ class PlanShapeSpec extends SparkSpec {
       assert(pruned == 2, s"$partCol: expected 2 pruned scans\n" + p.take(3000))
       assert(!p.contains("PartitionFilters: []"), p.take(3000))
     }
+    // Health report: two aggregations over the bucket scan, no join,
+    // no sort — a maintenance scan that must stay shuffle-minimal.
+    val hp = graft.operators.DedupIndex.indexHealth(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!hp.contains("Join"), hp.take(2000))
+    assert(!hp.contains("Sort"), hp.take(2000))
+    assert("Exchange".r.findAllIn(hp).length <= 2, hp.take(2000))
+    // Clean-verdict tail over materialized legs: tiny-table hash joins
+    // only — never a nested loop or a sort-merge of the delta.
+    import spark.implicits._
+    val internal = Seq((1L, 2L, 1.0)).toDF("doc_a", "doc_b", "jaccard")
+    val cross = Seq((3L, 100L, 0.9)).toDF("delta_id", "base_id", "jaccard")
+    val dset = Seq(1L, 2L, 3L).toDF("doc_id")
+    val cp = graft.operators.DedupIndex.cleanVerdicts(dset, internal, cross)
+      .queryExecution.executedPlan.toString
+    assert(!cp.contains("CartesianProduct"), cp.take(2000))
+    assert(!cp.contains("BroadcastNestedLoopJoin"), cp.take(2000))
+
     // COMPACTION restores exactly ONE pruned scan per table (the
     // emb_ivf_compact_topk lock, dedup edition): the manifest's folded
     // dir list drives the serve read, so the lock reads it back rather
