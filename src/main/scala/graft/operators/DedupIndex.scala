@@ -276,6 +276,97 @@ object DedupIndex {
       .select(col("doc_id"), col("__dup").isNull.as("keep"))
   }
 
+  /** STREAMING twin of the cross leg: ingest-time dedup ALERTS against
+    * a FROZEN persisted index — every streamed doc that near-dups a
+    * base doc emits (doc_id, base_id, jaccard), exactly the batch
+    * serve's delta×base pairs on a replayed corpus (spec). The
+    * [[Curation.streamingDecontaminate]] contract: an alert stream
+    * (stateless, at-least-once re-delivery re-alerts; the sink dedupes
+    * by pair key), not the exhaustive sweep — within-batch pairs stay
+    * with [[graft.streaming.StreamingNearDup]]'s stateful twins, and
+    * the bulk path stays the batch serve.
+    *
+    * Shape: the doc's 8-hash signature is computed PER ROW with
+    * array-HOF mins over a materialized per-shingle md5 attribute
+    * (value-identical to the batch groupBy-of-mins — same set, same
+    * min), band keys explode through the outer+isNotNull discipline,
+    * and TWO stream-static inner joins (buckets on (band, key), sets
+    * on base_id) do the candidate + verify work with ZERO streaming
+    * state — no watermark, nothing to expire. Exactly-once per pair
+    * WITHIN a delivery via the smallest-colliding-band rule: the base
+    * side's per-doc key array is a static table built once at stream
+    * construction, so the emission test is a map-side array compare,
+    * not a second stateful op.
+    *
+    * Cost honesty: the static sides are re-scanned per micro-batch
+    * (streaming keys cannot fold to pruning literals); both tables are
+    * hash/set columns, not text, and a production deployment buckets
+    * them by join key ([[graft.sources.Bucketing]]) — the 100 TB bulk
+    * dedup remains the batch serve with its literal-pruned reads. The
+    * index must stay FROZEN for the stream's lifetime (single-writer
+    * contract; manifest resolved once here).
+    */
+  def streamingIndexDups(spark: SparkSession, dir: String,
+      stream: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val (_, bDirs, sDirs, metaDir) = dedupManifest(spark, dir)
+    val meta = spark.read.parquet(s"$dir/$metaDir").head()
+    val n = meta.getAs[Int]("n")
+    val bands = Dedup.Bands
+    val baseBuckets = readGenerations(spark, dir, bDirs)
+      .select(col("band"), col("key"), col("doc_id").as("base_id"))
+    // Per-base-doc key array (band-indexed) for the smallest-colliding-
+    // band emission test — static, built once per stream.
+    val keyAggs = (0 until bands).map(i =>
+      max(when(col("band") === i, col("key"))).as(s"bk$i"))
+    val baseKeyArr = baseBuckets.groupBy(col("base_id"))
+      .agg(keyAggs.head, keyAggs.tail: _*)
+      .select(col("base_id"),
+        array((0 until bands).map(i => col(s"bk$i")): _*).as("base_keys"))
+    val baseSets = readGenerations(spark, dir, sDirs)
+      .select(col("doc_id").as("base_id"), col("sset").as("bset"))
+    // Per-row signature: one md5-per-seed materialized per shingle,
+    // then HOF mins over slices (same value set as the batch groupBy).
+    val sigged = stream
+      .withColumn("sset", Dedup.shingles(col("text"), n))
+      .withColumn("ma",
+        transform(col("sset"), s => md5(concat(lit("a:"), s))))
+      .withColumn("mb",
+        transform(col("sset"), s => md5(concat(lit("b:"), s))))
+    val withKeys = sigged.withColumn("skeys",
+      array((0 until bands).map { b =>
+        def h(src: String, slice: Int) =
+          array_min(transform(col(src),
+            m => substring(m, slice * 8 + 1, 8)))
+        val (h0, h1) =
+          if (b < 2) (h("ma", b * 2), h("ma", b * 2 + 1))
+          else (h("mb", (b - 2) * 2), h("mb", (b - 2) * 2 + 1))
+        md5(concat(h0, h1))
+      }: _*))
+    val exploded = withKeys
+      .select(col("doc_id"), col("sset"), col("skeys"),
+        posexplode_outer(col("skeys")).as(Seq("band", "key")))
+      .where(col("key").isNotNull)
+    val cand = exploded.join(baseBuckets, Seq("band", "key"))
+    val once = cand.join(baseKeyArr, Seq("base_id"))
+      // smallest colliding band: first index whose keys match on both
+      // sides; only that band's row emits, so a pair colliding in two
+      // bands never duplicates within a delivery.
+      .withColumn("mincol", array_min(transform(
+        sequence(lit(0), lit(bands - 1)),
+        i => when(element_at(col("skeys"), i + 1) ===
+          element_at(col("base_keys"), i + 1), i))))
+      .where(col("band") === col("mincol"))
+    once.join(baseSets, Seq("base_id"))
+      .withColumn("inter",
+        size(array_intersect(col("sset"), col("bset"))))
+      .withColumn("jaccard",
+        Quant.r6(col("inter").cast("double") /
+          (size(col("sset")) + size(col("bset")) -
+            col("inter")).cast("double")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("base_id"), col("jaccard"))
+  }
+
   /** Bucket-health report over the persisted layout — the dedup analog
     * of [[Similarity.indexHealth]]'s retrain signal: per LSH band, the
     * key count, total membership rows, the hottest key's document

@@ -2881,6 +2881,47 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(pairs(appended) == a)
   }
 
+  test("streamingIndexDups: alert stream equals the batch serve's cross leg exactly") {
+    import graft.operators.DedupIndex
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val base = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "pack my box with five dozen liquor jugs",
+      3L -> "unrelated base content entirely different here")
+    val delta = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // dups 1
+      (101L, "pack my box with five dozen liquor jugs today"), // near 2
+      (102L, "nothing like anything in that base corpus now"),
+      (103L, null.asInstanceOf[String]))
+    val dir = ddxTmp()
+    DedupIndex.buildDedupIndex(base, dir, nBuckets = 8)
+    val (internal, cross) = DedupIndex.servePairLegs(spark, dir,
+      delta.toDF("doc_id", "text"), 0.5)
+    val expected =
+      try cross.collect().map(r => (r.getAs[Long]("delta_id"),
+          r.getAs[Long]("base_id"), r.getAs[Double]("jaccard"))).toSet
+      finally {
+        graft.operators.Barrier.release(internal)
+        graft.operators.Barrier.release(cross)
+      }
+    assert(expected.nonEmpty, "fixture must produce cross pairs")
+    val ms = MemoryStream[(Long, String)](spark)
+    ms.addData(delta)
+    val out = DedupIndex.streamingIndexDups(spark, dir,
+      ms.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("ddx_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+    val got = spark.table("ddx_stream").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("base_id"),
+        r.getAs[Double]("jaccard")))
+    assert(got.toSet == expected)
+    // SET-compare hides duplicate rows (round-8 rule): the smallest-
+    // colliding-band rule must emit each pair exactly once per delivery.
+    assert(got.distinct.length == got.length, got.mkString(","))
+  }
+
   test("dedupDeltaClean: base wins regardless of id order; keep-lowest within the batch") {
     import graft.operators.DedupIndex
     val base = docs(
