@@ -169,6 +169,25 @@ object Dedup {
   def bandBuckets(docs: DataFrame, n: Int = 3): DataFrame =
     bandBucketsFromSignatures(signatures(docs, n))
 
+  /** The PER-ROW (Column) form of the signature + banding algebra, for
+    * consumers that cannot shuffle — the streaming index twin computes
+    * a doc's band keys in a stateless map. `ma`/`mb` must be
+    * MATERIALIZED attributes holding the per-shingle md5 arrays
+    * (seeds 'a:'/'b:'): min over an array equals the batch
+    * groupBy-of-mins over the same exploded values, and the slice/band
+    * layout is THIS one definition — a second hand-written copy of the
+    * `b*2`/`b*2+1` arithmetic desynchronized the twins the moment
+    * MinhashK/BandRows changed (the deleted-Scala-signature-twin
+    * lesson).
+    */
+  private[graft] def bandKeyArray(ma: Column, mb: Column): Column = {
+    def h(src: Column, i: Int): Column =
+      array_min(transform(src, m => slice(m, i)))
+    val hs = (0 until 4).map(i => h(ma, i)) ++ (0 until 4).map(i => h(mb, i))
+    array((0 until Bands).map(b =>
+      md5(concat(hs(b * BandRows), hs(b * BandRows + 1)))): _*)
+  }
+
   /** Optional hot-key cap for the LSH candidate self-joins: drop every
     * bucket key shared by more than `cap` documents before the join. An
     * f-sized EXACT-duplicate cluster (identical signatures ⇒ identical
@@ -193,11 +212,15 @@ object Dedup {
       df.join(hot, keys, "left_anti")
     }
 
-  private def candidatePairsFromBuckets(bk0: DataFrame): DataFrame = {
-    // Materialize the bucket table (docs × bands rows — tiny) before the
-    // self-join: both join sides otherwise re-plan the whole signature
-    // subtree (shingle explode + 2 md5s/shingle + k-min aggregation).
-    val bk = bk0.barrier()
+  /** The candidate self-join over a bucket table the CALLER has already
+    * materialized — both join sides read `bk`, so an unmaterialized
+    * input would re-plan the whole signature subtree (shingle explode +
+    * 2 md5s/shingle + k-min aggregation) per side. No barrier here: an
+    * unconditional one re-checkpointed callers' already-materialized
+    * tables into unreleasable copies (the DedupIndex serve leaked one
+    * per invocation until this was hoisted to the callers).
+    */
+  private def candidatePairsFromBuckets(bk: DataFrame): DataFrame = {
     val l = bk.as("l"); val r = bk.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.doc_id") < col("r.doc_id"))
@@ -205,9 +228,14 @@ object Dedup {
       .distinct()
   }
 
-  /** Candidate pairs (a < b) from shared LSH buckets. */
-  def candidatePairs(docs: DataFrame, n: Int = 3): DataFrame =
-    candidatePairsFromBuckets(bandBuckets(docs, n))
+  /** Candidate pairs (a < b) from shared LSH buckets — eagerly
+    * materialized so the bucket barrier can release on exit.
+    */
+  def candidatePairs(docs: DataFrame, n: Int = 3): DataFrame = {
+    val bk = bandBuckets(docs, n).barrier()
+    try candidatePairsFromBuckets(bk).barrier()
+    finally Barrier.release(bk)
+  }
 
   /** MinHash-LSH near-duplicates: candidates verified by exact shingle-set
     * Jaccard >= `threshold`. Output: (doc_a, doc_b, jaccard).
@@ -259,12 +287,21 @@ object Dedup {
     * built (and materialized) the delta's buckets for its index probe
     * and must not run the whole signature pipeline a second time (the
     * capHotKeys double-pipeline lesson). Returns eagerly materialized
-    * pairs; `bk0` is barriered inside `candidatePairsFromBuckets` (both
-    * self-join sides read it).
+    * pairs. `bucketsMaterialized = true` when `bk0` is (a projection
+    * of) an existing barrier — re-barriering would checkpoint an
+    * unreleasable second copy per call; otherwise this materializes
+    * the buckets itself and releases them in finally.
     */
   private[graft] def verifiedLshPairs(sets: DataFrame, bk0: DataFrame,
+      threshold: Double, bucketsMaterialized: Boolean = false): DataFrame = {
+    val bk = if (bucketsMaterialized) bk0 else bk0.barrier()
+    try verifiedLshPairsOver(sets, bk, threshold)
+    finally if (!bucketsMaterialized) Barrier.release(bk)
+  }
+
+  private def verifiedLshPairsOver(sets: DataFrame, bk: DataFrame,
       threshold: Double): DataFrame = {
-    val pairs = candidatePairsFromBuckets(bk0)
+    val pairs = candidatePairsFromBuckets(bk)
     val j = pairs
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))

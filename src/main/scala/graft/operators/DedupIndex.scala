@@ -166,6 +166,16 @@ object DedupIndex {
       nBuckets: Int = 64): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val spark = docs.sparkSession
+    // Validate BEFORE destroying the previous index: rebuild-in-place
+    // with an accidentally-empty corpus (upstream filter bug) would
+    // otherwise delete the good index FIRST and only then hit the
+    // rows > 0 guard — old index gone, nothing to serve. The isEmpty
+    // probe is a limit-1 early-exit scan, cheap against any real
+    // corpus.
+    require(!Dedup.shingleSets(docs, n)
+        .where(size(col("sset")) > 0).isEmpty,
+      s"buildDedupIndex at $dir: corpus has no shingled documents — " +
+        "nothing to index (previous index left intact)")
     val (fs, root) = GenManifest.fsRoot(spark, dir)
     fs.delete(root, true)
     val rows = writeTables(docs, dir, n, nBuckets, "buckets", "sets")
@@ -298,13 +308,15 @@ object DedupIndex {
     * construction, so the emission test is a map-side array compare,
     * not a second stateful op.
     *
-    * Cost honesty: the static sides are re-scanned per micro-batch
-    * (streaming keys cannot fold to pruning literals); both tables are
-    * hash/set columns, not text, and a production deployment buckets
-    * them by join key ([[graft.sources.Bucketing]]) — the 100 TB bulk
-    * dedup remains the batch serve with its literal-pruned reads. The
-    * index must stay FROZEN for the stream's lifetime (single-writer
-    * contract; manifest resolved once here).
+    * Cost honesty: the bucket and set tables are re-SCANNED per
+    * micro-batch (streaming keys cannot fold to pruning literals) —
+    * both are hash/set columns, not text, and a production deployment
+    * buckets them by join key ([[graft.sources.Bucketing]]); the
+    * per-base key ARRAY (an aggregation, not just a scan) is
+    * materialized once at construction so no shuffle repeats per
+    * batch. The 100 TB bulk dedup remains the batch serve with its
+    * literal-pruned reads. The index must stay FROZEN for the stream's
+    * lifetime (single-writer contract; manifest resolved once here).
     */
   def streamingIndexDups(spark: SparkSession, dir: String,
       stream: DataFrame, threshold: Double = 0.5): DataFrame = {
@@ -318,30 +330,37 @@ object DedupIndex {
     // band emission test — static, built once per stream.
     val keyAggs = (0 until bands).map(i =>
       max(when(col("band") === i, col("key"))).as(s"bk$i"))
+    // MATERIALIZED at stream construction: a stream-static join
+    // re-evaluates its static side per micro-batch, so an unmaterialized
+    // baseKeyArr would re-run the full bucket-table aggregation SHUFFLE
+    // every batch; the barrier pins the (base_id, 4 keys) result — a
+    // narrow table — for the stream's lifetime (the index is frozen by
+    // contract, so the snapshot can never go stale; blocks release when
+    // the driver drops the stream's references). baseSets stays a plain
+    // per-batch parquet scan — checkpointing the corpus-sized set table
+    // would be the curation-report cache mistake.
     val baseKeyArr = baseBuckets.groupBy(col("base_id"))
       .agg(keyAggs.head, keyAggs.tail: _*)
       .select(col("base_id"),
         array((0 until bands).map(i => col(s"bk$i")): _*).as("base_keys"))
+      .barrier()
     val baseSets = readGenerations(spark, dir, sDirs)
       .select(col("doc_id").as("base_id"), col("sset").as("bset"))
-    // Per-row signature: one md5-per-seed materialized per shingle,
-    // then HOF mins over slices (same value set as the batch groupBy).
+    // Per-row signature: tokens and shingles materialized as their own
+    // attributes FIRST (the interpreted-HOF trap: the convenience
+    // shingles(text) form inlines the tokenization into the gram lambda
+    // and re-splits the text per gram), then one md5-per-seed attribute
+    // per shingle, then the SHARED band-key kernel — the slice/band
+    // layout lives once in Dedup.bandKeyArray.
     val sigged = stream
-      .withColumn("sset", Dedup.shingles(col("text"), n))
+      .withColumn("toks", TextAnalysis.wsTokens(col("text")))
+      .withColumn("sset", Dedup.shinglesFromTokens(col("toks"), n))
       .withColumn("ma",
         transform(col("sset"), s => md5(concat(lit("a:"), s))))
       .withColumn("mb",
         transform(col("sset"), s => md5(concat(lit("b:"), s))))
     val withKeys = sigged.withColumn("skeys",
-      array((0 until bands).map { b =>
-        def h(src: String, slice: Int) =
-          array_min(transform(col(src),
-            m => substring(m, slice * 8 + 1, 8)))
-        val (h0, h1) =
-          if (b < 2) (h("ma", b * 2), h("ma", b * 2 + 1))
-          else (h("mb", (b - 2) * 2), h("mb", (b - 2) * 2 + 1))
-        md5(concat(h0, h1))
-      }: _*))
+      Dedup.bandKeyArray(col("ma"), col("mb")))
     val exploded = withKeys
       .select(col("doc_id"), col("sset"), col("skeys"),
         posexplode_outer(col("skeys")).as(Seq("band", "key")))
@@ -468,11 +487,19 @@ object DedupIndex {
         .barrier()
       try {
         // Within-batch pairs: the shared verify tail over the already
-        // materialized buckets (eagerly materialized result).
+        // materialized buckets (bucketsMaterialized — re-barriering a
+        // projection of the dBuckets barrier would checkpoint an
+        // unreleasable second copy per serve). Eagerly materialized;
+        // released on any FAILURE below (Verify catches per-query
+        // failures and continues — the dupClusters failed-flag rule),
+        // while success hands ownership to the caller.
         val internal = Dedup.verifiedLshPairs(deltaSets,
-          dBuckets.drop("bkt"), threshold)
+          dBuckets.drop("bkt"), threshold, bucketsMaterialized = true)
+        var handedOver = false
+        try {
         val bkts = dBuckets.select(col("bkt")).distinct()
           .collect().map(_.getLong(0)).toIndexedSeq
+        val legs: (DataFrame, DataFrame) =
         if (bkts.isEmpty) (internal, emptyCross) // token-less delta
         else {
           val baseBuckets = readPruned(spark, dir, bDirs, "bkt", bkts)
@@ -508,6 +535,9 @@ object DedupIndex {
             }
           } finally Barrier.release(cand)
         }
+        handedOver = true
+        legs
+        } finally if (!handedOver) Barrier.release(internal)
       } finally Barrier.release(dBuckets)
     } finally Barrier.release(deltaSets)
   }

@@ -155,6 +155,14 @@ object Search {
   def buildLexIndex(docs: DataFrame, dir: String, buckets: Int = 64): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val spark = docs.sparkSession
+    // Validate BEFORE destroying the previous index (the dedup-index
+    // rule): a rebuild with an accidentally token-less corpus would
+    // otherwise delete the good index and only then hit the n_docs
+    // guard below. limit-1 early-exit probe.
+    require(!docs.where(
+        TextAnalysis.tokenCountWs(col("text")) > 0).isEmpty,
+      s"buildLexIndex at $dir: corpus has no tokenized documents — " +
+        "nothing to index (previous index left intact)")
     resetDir(spark, dir)
     Barrier.withCached(postings(docs)) { p =>
       // Stats computed FIRST so an empty corpus fails before anything is

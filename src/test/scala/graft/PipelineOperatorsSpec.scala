@@ -2939,6 +2939,21 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(keep == Map(5L -> false, 6L -> true, 7L -> false, 8L -> true))
   }
 
+  test("buildDedupIndex: a token-less rebuild fails BEFORE destroying the previous index") {
+    import graft.operators.DedupIndex
+    val dir = ddxTmp()
+    DedupIndex.buildDedupIndex(
+      docs(1L -> "a b c d e f", 2L -> "g h i j k l"), dir, nBuckets = 8)
+    intercept[IllegalArgumentException](
+      DedupIndex.buildDedupIndex(
+        docs(9L -> "", 10L -> null.asInstanceOf[String]), dir, nBuckets = 8))
+    // The previous index survived the failed rebuild and still serves.
+    val pairs = DedupIndex.dedupIndexPairs(spark, dir,
+      docs(100L -> "a b c d e f")).collect()
+    assert(pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .toSeq == Seq((1L, 100L)))
+  }
+
   test("dedup indexHealth: per-band stats over a known dup/distinct corpus") {
     import graft.operators.DedupIndex
     // Docs 1,2 identical (identical signatures -> shared key in EVERY
