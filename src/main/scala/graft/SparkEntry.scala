@@ -2497,9 +2497,12 @@ object SparkEntry {
          LEFT JOIN top3 ON m.doc_id = top3.doc_id
          LEFT JOIN top4 ON m.doc_id = top4.doc_id""",
 
+    // doc_id IS NOT NULL mirrors the operator's null-id guard (a NULL
+    // coin would sort first and occupy sample slots on a dirty regen).
     "doc_uniform_sample" ->
       """SELECT doc_id, md5('us:0:' || CAST(doc_id AS VARCHAR)) AS coin
          FROM documents
+         WHERE doc_id IS NOT NULL
          ORDER BY coin, doc_id
          LIMIT 100""",
 

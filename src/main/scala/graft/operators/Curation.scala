@@ -208,7 +208,12 @@ object Curation {
     */
   def uniformSample(docs: DataFrame, k: Int, seed: Long = 0L): DataFrame = {
     require(k >= 1, s"sample size k=$k must be positive")
-    docs.select(col("doc_id"),
+    // NULL doc_id rows draw a NULL coin, which sorts FIRST under asc
+    // nulls-first — they would deterministically occupy sample slots
+    // (k=5 with 3 null-id rows = 2 real documents). An unidentifiable
+    // row is not sampleable; drop up front (oracle mirrors).
+    docs.where(col("doc_id").isNotNull)
+      .select(col("doc_id"),
         md5(concat(lit(s"us:$seed:"), col("doc_id").cast("string")))
           .as("coin"))
       .orderBy(col("coin"), col("doc_id"))
@@ -777,7 +782,7 @@ object Curation {
     * per-doc hit aggregation.
     */
   def decontaminateFrac(train: DataFrame, evalDocs: DataFrame,
-      n: Int = 8, fracThreshold: Double = 0.08): DataFrame = {
+      n: Int = DecontamGramSize, fracThreshold: Double = 0.08): DataFrame = {
     val base = decontamHits(Dedup.shingleSets(train, n), evalDocs, n)
     val frac = when(col("total_grams") === 0L, lit(0.0))
       .otherwise(Quant.q6(col("gram_hits").cast("double") /
@@ -839,8 +844,12 @@ object Curation {
       delay: String = "10 minutes"): DataFrame =
     // md5(coalesce(..., '')): a null-text doc hashes like an empty one
     // (null ≡ empty) instead of carrying a NULL hash that every
-    // hash-equality join silently drops.
-    docs.withColumn("text_hash", md5(coalesce(col("text"), lit(""))))
+    // hash-equality join silently drops. Null event-time filter before
+    // the stateful stage (the streaming twins' convention): a null ts
+    // has no watermark semantics and its dedup behavior would differ
+    // between the four streaming twins for the same malformed input.
+    docs.where(col(tsCol).isNotNull)
+      .withColumn("text_hash", md5(coalesce(col("text"), lit(""))))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("text_hash")
 
@@ -976,7 +985,7 @@ object Curation {
     * counts, bounded by the watermark horizon.
     */
   def streamingDecontaminate(docs: DataFrame, evalDocs: DataFrame,
-      n: Int = 8, tsCol: String = "ts",
+      n: Int = DecontamGramSize, tsCol: String = "ts",
       delay: String = "10 minutes"): DataFrame = {
     val evalGrams = evalGramHashes(evalDocs, n)
     val toks = docs.select(col("doc_id"), col(tsCol).as("ts"),
@@ -1049,8 +1058,11 @@ object Curation {
     */
   def streamingChunkDedup(docs: DataFrame, tsCol: String = "ts",
       delay: String = "10 minutes", chunkTokens: Int = 10): DataFrame = {
-    val toks = docs.select(col("doc_id"), col(tsCol),
-      TextAnalysis.wsTokens(col("text")).as("toks"))
+    // Null event-time filter before the stateful stage (the streaming
+    // twins' convention — see streamingExactDedup).
+    val toks = docs.where(col(tsCol).isNotNull)
+      .select(col("doc_id"), col(tsCol),
+        TextAnalysis.wsTokens(col("text")).as("toks"))
     val chunks = toks.select(col("doc_id"), col(tsCol),
       TextAnalysis.chunkStructs(col("toks"), chunkTokens).as("cs"))
     chunks

@@ -89,18 +89,25 @@ object IncrementalTrend {
       .join(broadcast(renameMap), col("id") === col("r_from"), "left")
       .withColumn("moved", col("r_to").isNotNull)
       .withColumn("moveTs", col("r_ts"))
+      .withColumn("srcId", col("id")) // pre-rekey id, for the tie-break
       .withColumn("id", coalesce(col("r_to"), col("id")))
       .withColumn("title", coalesce(col("r_to_title"), col("title")))
       .drop("r_from", "r_to", "r_to_title", "r_ts")
     // Overwrite-not-merge: if a moved row and a resident row share an id,
     // the moved row wins; among multiple moves onto one target, the
     // LATEST move wins (sequential-replay order; reference assigns the
-    // moved page over the key, index.js:162-166).
+    // moved page over the key, index.js:162-166). Same-TIMESTAMP moves
+    // onto one target (second-granularity move sprees) tie-break on the
+    // PRE-rekey source id — post-rekey both rows carry the target's
+    // id/title, and without a distinguishing column the winner would be
+    // shuffle order: which page's history lands at the target would
+    // flip between runs.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-      .orderBy(col("moved").desc, col("moveTs").desc_nulls_last)
+      .orderBy(col("moved").desc, col("moveTs").desc_nulls_last,
+        col("srcId").asc_nulls_last)
     val afterRename = rekeyed
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn", "moved", "moveTs")
+      .filter(col("rn") === 1).drop("rn", "moved", "moveTs", "srcId")
 
     // 3. Deletes (A6) — resolved BEFORE the merge so a delete wipes prior
     // state and prior same-batch edits, while later same-batch edits
@@ -226,9 +233,14 @@ object IncrementalTrend {
     import spark.implicits._
     batches.zipWithIndex.foldLeft(emptyState(spark)) { case (st, (b, i)) =>
       // Materialize each fold so state lineage doesn't grow unboundedly
-      // (the streaming run writes state to parquet per batch instead).
-      val next = processBatch(st, b.toDF(), asOfMs, cfg)
-      next.barrier()
+      // (the streaming run writes state to parquet per batch instead);
+      // release the SUPERSEDED generation's checkpoint blocks right
+      // away — a long replay otherwise holds O(batches) × state-size
+      // executor storage until driver GC (the BPE-loop lesson). The
+      // initial emptyState is not a barrier; release is a safe no-op.
+      val next = processBatch(st, b.toDF(), asOfMs, cfg).barrier()
+      graft.operators.Barrier.release(st)
+      next
     }
   }
 
@@ -498,7 +510,7 @@ object IncrementalTrend {
     val live = new Path(stateDir)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     writerManifest(spark, fs, live, stateDir) match {
-      case Some(m) if m.entries.nonEmpty =>
+      case Some(m) if m.entries.values.exists(_.path.nonEmpty) =>
         val dataRel =
           s"data/compact-${java.util.UUID.randomUUID().toString.take(8)}"
         val dataDir = new Path(live, dataRel)
@@ -506,9 +518,12 @@ object IncrementalTrend {
         // is read under, never re-hashed: the fold's numBuckets is not
         // recorded here, and re-bucketing with a guessed count would
         // strand rows where future folds (hashing with the original
-        // count) never look.
+        // count) never look. Tombstone entries (empty path) carry no
+        // data — they pass through untouched below, keeping their
+        // replay stamps.
         val schema = stateSchema(spark)
-        m.entries.toSeq.sortBy(_._1).map { case (b, e) =>
+        m.entries.toSeq.filter(_._2.path.nonEmpty).sortBy(_._1)
+          .map { case (b, e) =>
             spark.read.schema(schema)
               .parquet(new Path(live, e.path).toString)
               .withColumn("bucket", lit(b))
@@ -519,12 +534,15 @@ object IncrementalTrend {
         val written = fs.listStatus(dataDir).toSeq.map(_.getPath.getName)
           .collect { case n if n.startsWith("bucket=") =>
             n.stripPrefix("bucket=").toInt }.toSet
-        // Stamps carried through; a bucket whose every row vanished
+        // Stamps carried through; a DATA bucket whose every row vanished
         // between manifests cannot occur here (compaction rewrites rows
-        // verbatim), but guard anyway: only written buckets get entries.
-        val newEntries = m.entries.collect {
+        // verbatim), but guard anyway: an unwritten data bucket folds to
+        // a tombstone rather than losing its stamp.
+        val newEntries = m.entries.map {
+          case (b, e) if e.path.isEmpty => b -> e
           case (b, e) if written(b) =>
             b -> BucketEntry(s"$dataRel/bucket=$b", e.lastBatchId)
+          case (b, e) => b -> BucketEntry("", e.lastBatchId)
         }
         writeManifest(fs, live, StateManifest(m.seq + 1, newEntries))
         sweepUnreferenced(fs, live, m.seq + 1, newEntries)
@@ -548,8 +566,9 @@ object IncrementalTrend {
   def readState(spark: SparkSession, stateDir: String): DataFrame = {
     val live = new org.apache.hadoop.fs.Path(stateDir)
     currentManifest(spark, stateDir) match {
-      case Some(m) if m.entries.nonEmpty =>
-        val paths = m.entries.values.toSeq.map(_.path).sorted
+      case Some(m) if m.entries.values.exists(_.path.nonEmpty) =>
+        val paths = m.entries.values.toSeq.map(_.path)
+          .filter(_.nonEmpty).sorted // tombstones carry no data
           .map(p => new org.apache.hadoop.fs.Path(live, p).toString)
         spark.read.schema(stateSchema(spark)).parquet(paths: _*)
       case _ => emptyState(spark)
@@ -605,6 +624,7 @@ object IncrementalTrend {
     if (pending.isEmpty) return
 
     val prevPaths = pending.toSeq.sorted.flatMap(entries.get)
+      .filter(_.path.nonEmpty) // tombstone entries carry no data dir
       .map(e => new Path(live, e.path).toString)
     val prev =
       if (prevPaths.isEmpty) emptyState(spark)
@@ -623,12 +643,20 @@ object IncrementalTrend {
     val dataDir = new Path(live, dataRel)
     next.write.partitionBy("bucket").parquet(dataDir.toString)
     // A pending bucket with no output rows (all pages evicted/deleted)
-    // writes no dir and simply loses its entry.
+    // writes no dir — it gets a TOMBSTONE entry (empty path) carrying
+    // the batchId stamp. Dropping the entry entirely broke replay
+    // idempotency: a crash between this commit and the checkpoint ack
+    // replays the batch, the entry-less bucket reads as pending with
+    // EMPTY prior state, and a page the first fold evicted re-commits
+    // with history truncated to one batch (resurrection; spec-pinned).
+    // Tombstones are one tiny map entry per bucket, bounded by
+    // numBuckets, and every reader skips empty paths.
     val written = fs.listStatus(dataDir).toSeq.map(_.getPath.getName).collect {
       case n if n.startsWith("bucket=") => n.stripPrefix("bucket=").toInt
     }.toSet
     val newEntries = (entries -- pending) ++
-      written.map(b => b -> BucketEntry(s"$dataRel/bucket=$b", batchId)).toMap
+      pending.map(b => b -> BucketEntry(
+        if (written(b)) s"$dataRel/bucket=$b" else "", batchId)).toMap
     val newSeq = manifest.map(_.seq).getOrElse(0L) + 1
 
     writeManifest(fs, live, StateManifest(newSeq, newEntries)) // COMMIT

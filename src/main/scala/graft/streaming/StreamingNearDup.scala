@@ -268,8 +268,9 @@ object StreamingNearDup {
     val hits = docs.select(col("doc_id"), col(tsCol).as("ts"), col("text"))
       // A null event time has no place on a watermarked stream: it would
       // NPE in the typed flatMap below (before the watermark could drop
-      // anything) and kill the whole query on one malformed event.
-      .where(col("ts").isNotNull)
+      // anything) and kill the whole query on one malformed event. Null
+      // doc_id is the same non-nullable-encoder kill one field over.
+      .where(col("ts").isNotNull && col("doc_id").isNotNull)
       .as[(Long, Timestamp, String)]
       .flatMap { case (docId, ts, text) =>
         val toks = wsTokensScala(text)
@@ -312,29 +313,26 @@ object StreamingNearDup {
         TextAnalysis.wsTokens(col("text")).as("toks"))
       // Null event times have no watermark semantics — they would decode
       // as a null tsMs the non-nullable BandHit encoder rejects,
-      // terminating the query on one malformed event.
-      .where(col("ts").isNotNull)
+      // terminating the query on one malformed event. Null doc_id is
+      // the same encoder kill one field over (BandHit.docId: Long) —
+      // one dirty-ingest row must not terminate the monitor.
+      .where(col("ts").isNotNull && col("doc_id").isNotNull)
     val sets = toks.select(col("doc_id"), col("ts"),
       Dedup.shinglesFromTokens(col("toks"), n).as("sset"))
     // Per-row signature: md5 arrays materialized first (one md5 per seed
-    // per shingle — the HOF re-evaluation discipline), then 8 sliced
-    // minima and the 4 band keys, all map-side. The keys MATERIALIZE as
-    // one array column that rides into the bucket handler (posexplode
-    // pairs each with its band index), so the smallest-colliding-band
-    // check never re-derives a signature in Scala.
-    val withM = sets
+    // per shingle — the HOF re-evaluation discipline), then the SHARED
+    // band-key kernel (Dedup.bandKeyArray — the slice/band layout lives
+    // once; a hand-written copy here desynchronized from a MinhashK /
+    // BandRows change silently). The keys MATERIALIZE as one array
+    // column that rides into the bucket handler (posexplode pairs each
+    // with its band index), so the smallest-colliding-band check never
+    // re-derives a signature in Scala.
+    val hits = sets
       .withColumn("ma", transform(col("sset"),
         s => md5(concat(lit("a:"), s))))
       .withColumn("mb", transform(col("sset"),
         s => md5(concat(lit("b:"), s))))
-    def minSlice(arr: String, i: Int) =
-      array_min(transform(col(arr), m => substring(m, i * 8 + 1, 8)))
-    val hs = (0 until 4).map(i => minSlice("ma", i)) ++
-      (0 until 4).map(i => minSlice("mb", i))
-    val keyExprs = (0 until Dedup.Bands).map(b =>
-      md5(concat(hs(2 * b), hs(2 * b + 1))))
-    val hits = withM
-      .withColumn("keys", array(keyExprs: _*))
+      .withColumn("keys", Dedup.bandKeyArray(col("ma"), col("mb")))
       .select(col("doc_id"), col("ts"), col("sset"), col("keys"),
         posexplode(col("keys")).as(Seq("band", "key")))
       .select(col("band").cast("int").as("band"), col("key"),

@@ -303,6 +303,31 @@ class IncrementalTrendSpec extends SparkSpec {
       Set("Jon", "Eve"))
   }
 
+  test("bucketed state: replaying the batch that EMPTIED a bucket cannot resurrect the evicted page") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_state").toString + "/st"
+    // Lifespan-driven eviction: nothing else evicts (speed 0, huge
+    // inactivity), so the page dies only because its merged history is
+    // old — which is exactly the state a replay against an EMPTY prior
+    // bucket would lose.
+    val evict = TrendConfig(minSpeed = 0.0, maxInactivityMins = 1000000,
+      maxLifespanMins = 5, minPurgeTimeMins = 1)
+    IncrementalTrend.foldBatch(Seq(edit("Old", min = 0)).toDF(), dir, 1,
+      at(1).getTime, evict, 4, 0)
+    assert(IncrementalTrend.readState(spark, dir).count() == 1)
+    // Batch 2 touches Old's bucket and the merged page (start = min 0,
+    // age 10 > 5) evicts — the only page, so the bucket EMPTIES.
+    val b2 = Seq(edit("Old", user = "Eve", min = 9))
+    IncrementalTrend.foldBatch(b2.toDF(), dir, 2, asOf, evict, 4, 0)
+    assert(IncrementalTrend.readState(spark, dir).count() == 0)
+    // Crash-replay of batch 2: without the tombstone stamp the bucket
+    // reads as pending with EMPTY prior state, the delta alone looks
+    // 1 minute old, and the evicted page resurrects with truncated
+    // history. The tombstone's lastBatchId makes it a no-op.
+    IncrementalTrend.foldBatch(b2.toDF(), dir, 2, asOf, evict, 4, 0)
+    assert(IncrementalTrend.readState(spark, dir).count() == 0)
+  }
+
   test("bucketed state: legacy pre-manifest dir (no stamp column) is adopted in place") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
