@@ -591,8 +591,23 @@ object IncrementalTrend {
     val entries = manifest.map(_.entries).getOrElse(Map.empty[Int, BucketEntry])
     val sweep = fullSweepEveryNBatches > 0 && batchId % fullSweepEveryNBatches == 0
     // The batch feeds several jobs (touched-bucket scan, the fold's own
-    // collects, the merge) — materialize once.
+    // collects, the merge) — materialize once; released in finally (a
+    // long-running stream otherwise leaves every micro-batch's
+    // checkpoint blocks to driver GC).
     val batch = batch0.barrier()
+    try foldBatchOver(batch, spark, fs, live, stateDir, batchId, asOfMs,
+      cfg, numBuckets, sweep, entries, manifest)
+    finally graft.operators.Barrier.release(batch)
+  }
+
+  private def foldBatchOver(batch: DataFrame, spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path, stateDir: String, batchId: Long,
+      asOfMs: Long, cfg: TrendConfig, numBuckets: Int, sweep: Boolean,
+      entries: Map[Int, BucketEntry],
+      manifest: Option[StateManifest]): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.functions.Classifiers.pageId
 
     // Buckets this batch can affect: every event's own page id (covers
     // edits, protects, and each move's SOURCE), move targets, parsed
