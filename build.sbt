@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses ONE bare JSON line from `runMain graft.Bench`
+// stdout. sbt's default LoggedOutput prefixes every forked-process line
+// with "[info] ", which broke the driver's parse in rounds 1-9
+// (BENCH_r0*.json parsed:null). StdoutOutput pipes the child's stdout
+// straight through, unprefixed.
+Compile / run / outputStrategy := Some(StdoutOutput) // runMain shares it
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
