@@ -115,6 +115,14 @@ object Classifiers {
     when(wiki.isNull || wiki === "" || wiki === "enwiki", lit(""))
       .otherwise(wiki)
 
+  /** Driver-side twin of [[wikiOf]] — the [[pageIdStr]] discipline: one
+    * definition of the falsy normalization for Scala call sites
+    * (synthesized state rows), so the column and driver paths cannot
+    * diverge.
+    */
+  def wikiOfStr(wiki: String): String =
+    if (wiki == null || wiki.isEmpty || wiki == "enwiki") "" else wiki
+
   // ---- helpers ----------------------------------------------------------
 
   /** OR-chain of case-insensitive-on-caller substring tests (codegen'd). */

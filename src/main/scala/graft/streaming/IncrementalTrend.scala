@@ -15,22 +15,47 @@ import graft.operators.Barrier.BarrierOps
   * between keys (SURVEY §7.4 item 1), but a state-table merge can:
   *
   *  per micro-batch:
-  *   1. resolve the batch's move log (chain-collapsed, broadcast)
-  *   2. re-key EXISTING state through it — overwrite-not-merge: the moved
-  *      page replaces any state already at the target id, reproducing
-  *      `titles[page.id] = page` (index.js:162-166)
-  *   3. canonicalize the batch's edit events and aggregate deltas
-  *   4. full-outer merge deltas into state (sums, set unions, min/max
-  *      timestamps — the merged state carries the pageAggregates column
-  *      layout WITHOUT the A3 per-editor histogram: distribution/bias is
-  *      served by the fgws snapshot and the batch view, not this table)
-  *   5. apply deletes (A6) and protects (A5)
+  *   1. collect the batch's gated log ops (moves/deletes/protects — rare
+  *      by contract) and SEQUENTIALLY REPLAY them in event-time order on
+  *      a driver-side object model ([[replayLogOps]]): each page object's
+  *      key trajectory, overwrite-kill, fresh-page registration and
+  *      protect flag come out exactly as the reference's
+  *      one-event-at-a-time handler produces them
+  *      (index.js:154-167, 316-337, 441-447)
+  *   2. apply the compiled [[LogPlan]] relationally: broadcast anti-join
+  *      kills, broadcast rekey of placements (injective by construction —
+  *      the replay already resolved every same-batch race, so no
+  *      overwrite window / extra sort is needed), synthesized fresh
+  *      pages (`getPage` REGISTERS a page even when a move's source key
+  *      holds no state, index.js:441-447 — so a move of an absent or
+  *      just-deleted page plants an empty page at the target)
+  *   3. route batch edits through the plan's TIMELINE: an edit lands on
+  *      the object owning its (key, event-ts) segment — edits before a
+  *      move ride the moved page, edits after a delete recreate the page,
+  *      edits on an overwritten-or-deleted object die with it
+  *   4. aggregate deltas, full-outer merge into state (sums, set unions,
+  *      min/max timestamps — the merged state carries the pageAggregates
+  *      column layout WITHOUT the A3 per-editor histogram:
+  *      distribution/bias is served by the fgws snapshot and the batch
+  *      view, not this table)
+  *   5. stamp move targets' `updated` (index.js:164), apply protect flags
+  *      (unconditional where a move materialized the page;
+  *      existence-conditional otherwise — index.js:417-422 sets the flag
+  *      only `if (this.titles[id])`)
   *   6. apply the eviction policy (A7) at the batch's processing time
   *
-  * Scale: state and deltas join on `id` (hash exchange); the rename map is
-  * broadcast; all merges are column expressions. State stays bounded by
-  * eviction, so the per-batch rewrite is proportional to live trending
-  * pages — the same working set the reference holds in memory.
+  * Known divergences from a strict sequential replay, both confined to
+  * sub-timestamp interleavings a batch cannot observe: within one event
+  * timestamp the replay orders moves before deletes before protects
+  * (arrival order inside a same-ms tick is not recoverable from the
+  * wire), and fresh pages take the triggering op's EVENT time as
+  * start/updated where the reference stamps wall-clock at `getPage`.
+  *
+  * Scale: state and deltas join on `id` (hash exchange); the log-op plan
+  * is driver-resident and broadcast; all merges are column expressions.
+  * State stays bounded by eviction, so the per-batch rewrite is
+  * proportional to live trending pages — the same working set the
+  * reference holds in memory.
   */
 object IncrementalTrend {
 
@@ -49,90 +74,106 @@ object IncrementalTrend {
     // pre-dispatch gate (index.js:316-318 precedes every log dispatch):
     // a fixup-comment, wrong-project or non-main-namespace log event
     // must not rewrite history, set flags, or drop state. Edits get the
-    // same gate inside pageAggregates.
+    // same gate inside pageAggregates. Null-ts log ops are dropped —
+    // they cannot be sequenced (the reference's wire events always carry
+    // a timestamp).
     val gatedLog = PageAggregates.referenceGate(batch, cfg)
-      .filter(col("logType").isNotNull)
+      .filter(col("logType").isNotNull && col("ts").isNotNull)
 
-    // 1. Batch rename map (fromId → toId, chains collapsed in ts order;
-    // ties broken deterministically and null targets dropped — see
-    // PageAggregates.canonicalizeRenames for both rationales).
-    val moves = gatedLog
-      .filter(col("logAction") === "move")
+    // 1. Collect the batch's log ops (driver-resident by contract: log
+    // events are rare; the flood guard warns loudly if that breaks) and
+    // replay them sequentially.
+    val moveOps = gatedLog.filter(col("logAction") === "move")
       .select(col("wiki"), col("title"),
         element_at(col("logParams"), "target").as("target"), col("ts"))
       .filter(col("target").isNotNull)
-      .orderBy(col("ts"), col("wiki"), col("title"), col("target"))
       .collect()
-      .map(r => (pageIdStr(r.getString(0), r.getString(1)),
-        pageIdStr(r.getString(0), r.getString(2)), r.getString(2),
+      .map(r => MoveOp(r.getString(0), r.getString(1), r.getString(2),
         r.getTimestamp(3).getTime))
-    PageAggregates.warnIfMoveFlood(moves.length)
-    // Sequential-replay chain collapse in O(m) — one reverse-chronological
-    // sweep (see PageAggregates.canonicalizeRenames): a from-key's mapping
-    // follows its LAST outgoing move, then each arrival node's next move in
-    // time; the stored (title, ts) are the FINAL hop's, so simultaneous
-    // moves onto one target still resolve latest-wins downstream.
-    val fdArrive =
-      scala.collection.mutable.HashMap[String, (String, String, Long)]()
-    val resolved =
-      scala.collection.mutable.HashMap[String, (String, String, Long)]()
-    moves.reverseIterator.foreach { case (from, to, toTitle, tsMs) =>
-      val dest = fdArrive.getOrElse(to, (to, toTitle, tsMs))
-      if (!resolved.contains(from)) resolved(from) = dest
-      fdArrive(from) = dest
-    }
-    val renameMap = resolved.toSeq.map { case (f, (t, tt, ts)) => (f, t, tt, ts) }
+    val delOps = deleteEvents(gatedLog).collect()
+      .map(r => DeleteOp(r.getString(0), r.getString(1),
+        r.getTimestamp(2).getTime))
+    val protOps = gatedLog.filter(col("logAction") === "protect")
+      .select(col("wiki"), col("title"), col("ts")).collect()
+      .map(r => ProtectOp(r.getString(0), r.getString(1),
+        r.getTimestamp(2).getTime))
+    PageAggregates.warnIfMoveFlood(
+      moveOps.length + delOps.length + protOps.length)
+    val plan = replayLogOps(
+      (moveOps: Seq[LogOp]) ++ delOps ++ protOps)
+
+    // 2. State side: kills (deleted or overwritten pre-batch rows), then
+    // the injective placement rekey — no overwrite window needed, the
+    // replay already picked every race's winner.
+    val afterKills =
+      if (plan.kills.isEmpty) state
+      else state.join(broadcast(plan.kills.toDF("__kill")),
+        col("id") === col("__kill"), "left_anti")
+    val pm = plan.placements
+      .map(p => (p.fromKey, p.toKey, p.toTitle, p.moveTs))
       .toDF("r_from", "r_to", "r_to_title", "r_ts")
+    val placed =
+      if (plan.placements.isEmpty) afterKills
+      else afterKills
+        .join(broadcast(pm), col("id") === col("r_from"), "left")
+        .withColumn("id", coalesce(col("r_to"), col("id")))
+        .withColumn("title", coalesce(col("r_to_title"), col("title")))
+        .drop("r_from", "r_to", "r_to_title", "r_ts")
+    // getPage REGISTERS (index.js:441-447): a move plants a page at its
+    // target even when the source key held no state — synthesize the
+    // empty page for placements whose source row is absent (one tiny
+    // broadcast-semi probe decides which) and for every fresh page the
+    // replay says a move materialized. (Legacy-adoption corner: a
+    // partially-committed bucket excluded from `state` reads as absent
+    // here — same blind spot the pre-plan rekey had; adoption-only.)
+    val synthRows: Seq[PageState] =
+      if (plan.placements.isEmpty && plan.fresh.isEmpty) Nil
+      else {
+        val present =
+          if (plan.placements.isEmpty) Set.empty[String]
+          else state.join(broadcast(pm), col("id") === col("r_from"),
+              "left_semi")
+            .select(col("id")).collect().map(_.getString(0)).toSet
+        val fallbacks = plan.placements.filterNot(p => present(p.fromKey))
+          .map(p => PageState.empty(p.toKey, p.toTitle,
+            graft.functions.Classifiers.wikiOfStr(p.wiki),
+            new java.sql.Timestamp(p.moveTs)))
+        val created = plan.fresh.map(f => PageState.empty(f.key, f.title,
+          graft.functions.Classifiers.wikiOfStr(f.wiki),
+          new java.sql.Timestamp(f.ts)))
+        fallbacks ++ created
+      }
+    val stateSide =
+      if (synthRows.isEmpty) placed
+      else placed.unionByName(stateRows(spark, synthRows))
 
-    // 2. Re-key existing state; moved page overwrites the target's state.
-    val rekeyed = state
-      .join(broadcast(renameMap), col("id") === col("r_from"), "left")
-      .withColumn("moved", col("r_to").isNotNull)
-      .withColumn("moveTs", col("r_ts"))
-      .withColumn("srcId", col("id")) // pre-rekey id, for the tie-break
-      .withColumn("id", coalesce(col("r_to"), col("id")))
-      .withColumn("title", coalesce(col("r_to_title"), col("title")))
-      .drop("r_from", "r_to", "r_to_title", "r_ts")
-    // Overwrite-not-merge: if a moved row and a resident row share an id,
-    // the moved row wins; among multiple moves onto one target, the
-    // LATEST move wins (sequential-replay order; reference assigns the
-    // moved page over the key, index.js:162-166). Same-TIMESTAMP moves
-    // onto one target (second-granularity move sprees) tie-break on the
-    // PRE-rekey source id — post-rekey both rows carry the target's
-    // id/title, and without a distinguishing column the winner would be
-    // shuffle order: which page's history lands at the target would
-    // flip between runs.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-      .orderBy(col("moved").desc, col("moveTs").desc_nulls_last,
-        col("srcId").asc_nulls_last)
-    val afterRename = rekeyed
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn", "moved", "moveTs", "srcId")
+    // 3. Route edits through the timeline: the object owning the edit's
+    // (key, ts) segment decides where it lands (its FINAL title) or that
+    // it dies (dead object: deleted, or overwritten by a move). Edits at
+    // exactly an op's timestamp ride the OLD segment. Untouched keys and
+    // null-ts edits match no segment and keep their own title.
+    val evs = batch.filter(col("logType").isNull)
+    val editsMapped =
+      if (plan.timeline.isEmpty) evs
+      else {
+        val tl = plan.timeline
+          .map(s => (s.key, s.fromTs, s.toTs, s.dead, s.finalTitle))
+          .toDF("t_key", "t_from", "t_to", "t_dead", "t_title")
+        evs.withColumn("__k", pageId(col("wiki"), col("title")))
+          .withColumn("__ms", unix_millis(col("ts")))
+          .join(broadcast(tl),
+            col("__k") === col("t_key") &&
+              col("t_from") < col("__ms") && col("__ms") <= col("t_to"),
+            "left")
+          .filter(col("t_key").isNull || !col("t_dead"))
+          .withColumn("title", coalesce(col("t_title"), col("title")))
+          .drop("__k", "__ms", "t_key", "t_from", "t_to", "t_dead",
+            "t_title")
+      }
+    val deltas = PageAggregates.pageAggregates(editsMapped, cfg)
 
-    // 3. Deletes (A6) — resolved BEFORE the merge so a delete wipes prior
-    // state and prior same-batch edits, while later same-batch edits
-    // recreate the page (reference drop-then-recreate, index.js:427-430).
-    val deletes = deleteTargets(gatedLog)
-
-    val stateAfterDelete = afterRename.join(broadcast(deletes),
-      col("id") === col("del_id"), "left_anti")
-
-    // 4. Canonicalize batch edits, drop those the delete supersedes,
-    // aggregate deltas, merge into state (full outer on id).
-    val withCanonTitle = batch
-      .filter(col("logType").isNull)
-      .withColumn("rawId", pageId(col("wiki"), col("title")))
-      .join(broadcast(renameMap), col("rawId") === col("r_from"), "left")
-      .withColumn("title", coalesce(col("r_to_title"), col("title")))
-      .drop("rawId", "r_from", "r_to", "r_to_title", "r_ts")
-    val editsSurviving = withCanonTitle
-      .withColumn("evId", pageId(col("wiki"), col("title")))
-      .join(broadcast(deletes), col("evId") === col("del_id"), "left")
-      .filter(col("del_id").isNull || col("ts") > col("del_ts"))
-      .drop("evId", "del_id", "del_ts")
-    val deltas = PageAggregates.pageAggregates(editsSurviving, cfg)
-
-    val s = stateAfterDelete.as("s"); val d = deltas.as("d")
+    // 4. Full-outer merge into state.
+    val s = stateSide.as("s"); val d = deltas.as("d")
     val merged = s.join(d, col("s.id") === col("d.id"), "full_outer")
       .select(
         coalesce(col("s.id"), col("d.id")).as("id"),
@@ -156,76 +197,291 @@ object IncrementalTrend {
         (zeroL(col("s.bytesChanged")) + zeroL(col("d.bytesChanged")))
           .as("bytesChanged"),
         coalesce(col("s.safe"), lit(false)).as("safe"),
-        coalesce(col("s.isProtected"), lit(false)).as("isProtected"))
+        coalesce(col("s.isProtected"), lit(false)).as("isProtected"),
+        // Carried only to the protect step below, then dropped: whether a
+        // state-side row existed, and the deltas' first edit time — the
+        // existence-conditional protect needs both.
+        col("s.id").isNotNull.as("__sEx"),
+        col("d.start").as("__dStart"))
 
-    // 4b. Rename stamps `updated` (index.js:164: renamePage sets
+    // 5a. Rename stamps `updated` (index.js:164: renamePage sets
     // page.updated at the move — the rename RESETS the idle clock, so a
     // quiet page renamed near its maxInactivity horizon survives the
     // next eviction pass). Stamped POST-merge on the move-TARGET id so
     // both the cross-batch case (migrated state row) and the same-batch
     // case (deltas aggregated under the new id) get it; greatest() keeps
     // `updated` monotone under out-of-order input, matching the
-    // reference's wall-clock monotonicity. r_ts is the chain's final
-    // hop — the last rename is the one whose stamp survives a
-    // sequential replay.
-    val moveStamps = renameMap.groupBy(col("r_to").as("mt_id"))
-      .agg(max(col("r_ts")).as("mt_ts"))
-    val stamped = merged.join(broadcast(moveStamps),
-        col("id") === col("mt_id"), "left")
-      .withColumn("updated",
-        when(col("mt_id").isNotNull,
-          greatest(col("updated"), timestamp_millis(col("mt_ts"))))
-          .otherwise(col("updated")))
-      .drop("mt_id", "mt_ts")
+    // reference's wall-clock monotonicity. The placement's moveTs is the
+    // chain's final hop — the last rename is the one whose stamp
+    // survives a sequential replay.
+    val stamped =
+      if (plan.placements.isEmpty) merged
+      else {
+        val moveStamps = plan.placements.map(p => (p.toKey, p.moveTs))
+          .toDF("mt_id", "mt_ts")
+        merged.join(broadcast(moveStamps), col("id") === col("mt_id"),
+            "left")
+          .withColumn("updated",
+            when(col("mt_id").isNotNull,
+              greatest(col("updated"), timestamp_millis(col("mt_ts"))))
+              .otherwise(col("updated")))
+          .drop("mt_id", "mt_ts")
+      }
 
-    // 5. Protects (A5: set flag on whatever state exists post-merge).
-    val protects = gatedLog.filter(col("logAction") === "protect")
-      .select(pageId(col("wiki"), col("title")).as("prot_id")).distinct()
-    val afterProtect = stamped.join(broadcast(protects),
-        col("id") === col("prot_id"), "left")
-      .withColumn("isProtected", col("isProtected") || col("prot_id").isNotNull)
-      .drop("prot_id")
+    // 5b. Protects (A5, index.js:417-422: flag set only on an EXISTING
+    // page). Unconditional for pages a move materialized (getPage made
+    // them exist before the protect ran); conditional otherwise — the
+    // page existed at protect time iff it had pre-batch state or an edit
+    // at or before the protect's timestamp (`start` is the object's
+    // first same-batch edit: all of an object's edits land on its final
+    // key, so the deltas' start IS that first edit).
+    val withUncond =
+      if (plan.protUncond.isEmpty) stamped
+      else stamped.join(broadcast(plan.protUncond.toDF("pu_id")),
+          col("id") === col("pu_id"), "left")
+        .withColumn("isProtected",
+          col("isProtected") || col("pu_id").isNotNull)
+        .drop("pu_id")
+    val afterProtect =
+      if (plan.protCond.isEmpty) withUncond.drop("__sEx", "__dStart")
+      else withUncond.join(broadcast(plan.protCond.toDF("pc_id", "pc_ts")),
+          col("id") === col("pc_id"), "left")
+        .withColumn("isProtected",
+          col("isProtected") || (col("pc_id").isNotNull &&
+            (col("__sEx") || coalesce(
+              unix_millis(col("__dStart")) <= col("pc_ts"), lit(false)))))
+        .drop("pc_id", "pc_ts", "__sEx", "__dStart")
 
     // 6. Eviction at this batch's processing time.
     PageAggregates.survivors(afterProtect,
       lit(new java.sql.Timestamp(asOfMs)), cfg)
   }
 
-  /** (del_id, del_ts) per deleted page in the batch. Reference takes match
-    * group 1 or 2 of the HTML-entity pattern (index.js:330-336) and only
-    * drops when log_params is empty.
+  /** One parsed (wiki, del_title, ts) row per delete log event. Reference
+    * takes match group 1 or 2 of the HTML-entity pattern
+    * (index.js:330-336) and only drops when log_params is empty.
     */
-  private[streaming] def deleteTargets(batch: DataFrame): DataFrame = {
+  private[streaming] def deleteEvents(batch: DataFrame): DataFrame = {
     val delPattern = "&quot;\\[\\[(.*)\\]\\]&quot;|&quot;(.*)&quot;"
     val g1 = regexp_extract(col("logActionComment"), delPattern, 1)
     val g2 = regexp_extract(col("logActionComment"), delPattern, 2)
     batch.filter(col("logType").isNotNull && col("logAction") === "delete")
       // "log_params empty" (ANSI size(null) is null, so test explicitly).
       .filter(col("logParams").isNull || size(col("logParams")) === 0)
-      .select(col("wiki"), when(length(g1) > 0, g1).otherwise(g2).as("del_title"),
-        col("ts"))
+      .select(col("wiki"),
+        when(length(g1) > 0, g1).otherwise(g2).as("del_title"), col("ts"))
       .filter(length(col("del_title")) > 0)
+  }
+
+  /** (del_id, del_ts) per deleted page — the touched-bucket probe's form
+    * of [[deleteEvents]].
+    */
+  private[streaming] def deleteTargets(batch: DataFrame): DataFrame =
+    deleteEvents(batch)
       .groupBy(pageId(col("wiki"), col("del_title")).as("del_id"))
       .agg(max(col("ts")).as("del_ts"))
+
+  // ---- sequential log-op replay (driver-side) -----------------------------
+
+  private[streaming] sealed trait LogOp { def ts: Long }
+  private[streaming] final case class MoveOp(wiki: String, fromTitle: String,
+      toTitle: String, ts: Long) extends LogOp
+  private[streaming] final case class DeleteOp(wiki: String, title: String,
+      ts: Long) extends LogOp
+  private[streaming] final case class ProtectOp(wiki: String, title: String,
+      ts: Long) extends LogOp
+
+  /** Pre-batch state at `fromKey` (if any) ends the batch at `toKey`,
+    * retitled, `updated` stamped at `moveTs` (the object's LAST hop).
+    */
+  private[streaming] final case class Placement(fromKey: String,
+      toKey: String, wiki: String, toTitle: String, moveTs: Long)
+
+  /** A page a move REGISTERED out of nothing (getPage on an absent or
+    * just-deleted source) that is still alive at batch end.
+    */
+  private[streaming] final case class FreshPage(key: String, wiki: String,
+      title: String, ts: Long)
+
+  /** Timeline segment: edits to `key` with `fromTs < ts ≤ toTs` belong to
+    * the object that owned the key over that interval — they land at the
+    * object's final key via its FINAL title, or die with a dead object
+    * (finalTitle null).
+    */
+  private[streaming] final case class TlSeg(key: String, fromTs: Long,
+      toTs: Long, dead: Boolean, finalTitle: String)
+
+  /** The compiled effect of a batch's log ops. `kills` lists keys whose
+    * pre-batch state drops (deleted, or overwritten by a move-in).
+    * `protUncond` / `protCond` are final keys: unconditional flags for
+    * pages a move materialized, existence-conditional (with the protect's
+    * ts) for everything else.
+    */
+  private[streaming] final case class LogPlan(placements: Seq[Placement],
+      fresh: Seq[FreshPage], kills: Seq[String], protUncond: Seq[String],
+      protCond: Seq[(String, Long)], timeline: Seq[TlSeg])
+
+  /** One page object's walk state (driver-side, mutable). `origin` is the
+    * pre-batch key whose resident state this object denotes (None for a
+    * fresh/gap object). Segments record which key the object owned over
+    * which time interval — the edit-landing map.
+    */
+  private final class Obj(val origin: Option[String], var wiki: String,
+      var title: String, var curKey: String, var segFrom: Long) {
+    var lastMoveTs: Option[Long] = None
+    var prot = false
+    var protCondTs: Option[Long] = None
+    var alive = true
+    var mustMaterialize = false
+    val segs = scala.collection.mutable.Buffer.empty[(String, Long, Long)]
+    def closeSeg(at: Long): Unit = { segs += ((curKey, segFrom, at)) }
+  }
+
+  /** Total order = the reference's arrival order as far as a batch can
+    * reconstruct it: event time first; within one timestamp (arrival
+    * order is not recoverable from the wire) the legacy phase order —
+    * moves, then deletes, then protects — with same-ts moves by
+    * DESCENDING source key so the smallest source is applied last and
+    * wins a same-ts race onto one target (the round-9 deterministic
+    * tie-break, formerly a window sort).
+    */
+  private val LogOpOrder: Ordering[LogOp] = new Ordering[LogOp] {
+    import graft.functions.Classifiers.pageIdStr
+    private def rank(o: LogOp) = o match {
+      case _: MoveOp => 0
+      case _: DeleteOp => 1
+      case _: ProtectOp => 2
+    }
+    private def keyOf(o: LogOp) = o match {
+      case m: MoveOp => pageIdStr(m.wiki, m.fromTitle)
+      case x: DeleteOp => pageIdStr(x.wiki, x.title)
+      case p: ProtectOp => pageIdStr(p.wiki, p.title)
+    }
+    def compare(a: LogOp, b: LogOp): Int = {
+      val c1 = java.lang.Long.compare(a.ts, b.ts)
+      if (c1 != 0) return c1
+      val c2 = Integer.compare(rank(a), rank(b))
+      if (c2 != 0) return c2
+      (a, b) match {
+        case (x: MoveOp, y: MoveOp) =>
+          val c = keyOf(y).compareTo(keyOf(x)) // DESC source
+          if (c != 0) c
+          else pageIdStr(x.wiki, x.toTitle)
+            .compareTo(pageIdStr(y.wiki, y.toTitle))
+        case _ => keyOf(a).compareTo(keyOf(b))
+      }
+    }
+  }
+
+  /** Sequentially replay the batch's log ops over an object-identity
+    * model of `titles` (index.js) and compile the net effect. Every op
+    * runs exactly the reference handler's steps: a move takes the object
+    * at the source (getPage CREATES one if the key is absent or was
+    * deleted — index.js:441-447), kills whatever object sits at the
+    * target (`titles[page.id] = page` overwrites, index.js:162-166),
+    * re-keys and re-titles it, and stamps its move time; a delete kills
+    * the object at the key (index.js:427-430); a protect flags the
+    * object at the key — unconditionally when a move already
+    * materialized it, existence-conditionally otherwise
+    * (index.js:417-422). Each vacated or deleted key gets a latent GAP
+    * object: later edits recreate the page there (and a later move drags
+    * the recreated page along), exactly getPage's behavior.
+    */
+  private[streaming] def replayLogOps(ops: Seq[LogOp]): LogPlan = {
+    import graft.functions.Classifiers.pageIdStr
+    val keyObj = scala.collection.mutable.HashMap.empty[String, Obj]
+    val all = scala.collection.mutable.Buffer.empty[Obj]
+    def newObj(origin: Option[String], wiki: String, title: String,
+        key: String, from: Long): Obj = {
+      val o = new Obj(origin, wiki, title, key, from); all += o; o
+    }
+    // First touch of a key binds its pre-batch resident (existence is
+    // data-dependent; the relational side resolves it).
+    def objAt(key: String, wiki: String, title: String): Obj =
+      keyObj.getOrElseUpdate(key,
+        newObj(Some(key), wiki, title, key, Long.MinValue))
+    def kill(o: Obj, ts: Long): Unit = { o.closeSeg(ts); o.alive = false }
+    def vacate(key: String, wiki: String, title: String, ts: Long): Unit =
+      keyObj(key) = newObj(None, wiki, title, key, ts)
+
+    ops.sorted(LogOpOrder).foreach {
+      case MoveOp(wiki, fromT, toT, ts) =>
+        val fromK = pageIdStr(wiki, fromT)
+        val toK = pageIdStr(wiki, toT)
+        val src = objAt(fromK, wiki, fromT)
+        if (toK != fromK) {
+          kill(objAt(toK, wiki, toT), ts) // overwrite whatever is there
+          src.closeSeg(ts)
+          src.curKey = toK
+          src.segFrom = ts
+          keyObj(toK) = src
+          vacate(fromK, wiki, fromT, ts)
+        }
+        src.wiki = wiki
+        src.title = toT
+        src.lastMoveTs = Some(ts)
+        // getPage registered this object in `titles` — it now exists
+        // even if nothing ever edits it.
+        if (src.origin.isEmpty) src.mustMaterialize = true
+      case DeleteOp(wiki, t, ts) =>
+        val k = pageIdStr(wiki, t)
+        kill(objAt(k, wiki, t), ts)
+        vacate(k, wiki, t, ts)
+      case ProtectOp(wiki, t, ts) =>
+        val k = pageIdStr(wiki, t)
+        val o = objAt(k, wiki, t)
+        if (o.alive) {
+          if (o.mustMaterialize ||
+              (o.origin.isDefined && o.lastMoveTs.isDefined)) o.prot = true
+          else o.protCondTs = Some(o.protCondTs.fold(ts)(math.max(_, ts)))
+        }
+    }
+    all.foreach(o => if (o.alive) o.closeSeg(Long.MaxValue))
+    LogPlan(
+      placements = all.iterator
+        .filter(o => o.alive && o.origin.isDefined && o.lastMoveTs.isDefined)
+        .map(o => Placement(o.origin.get, o.curKey, o.wiki, o.title,
+          o.lastMoveTs.get))
+        .toSeq,
+      fresh = all.iterator
+        .filter(o => o.alive && o.origin.isEmpty && o.mustMaterialize)
+        .map(o => FreshPage(o.curKey, o.wiki, o.title, o.lastMoveTs.get))
+        .toSeq,
+      kills = all.iterator.filter(o => !o.alive && o.origin.isDefined)
+        .map(_.origin.get).toSeq,
+      protUncond = all.iterator.filter(o => o.alive && o.prot)
+        .map(_.curKey).toSeq,
+      protCond = all.iterator
+        .filter(o => o.alive && !o.prot && o.protCondTs.isDefined)
+        .map(o => o.curKey -> o.protCondTs.get).toSeq,
+      timeline = all.iterator.flatMap(o => o.segs.iterator
+          .filter { case (_, f, t) => f < t } // same-ms ops leave empties
+          .map { case (k, f, t) =>
+            TlSeg(k, f, t, !o.alive, if (o.alive) o.title else null) })
+        .toSeq)
   }
 
   private def zeroL(c: org.apache.spark.sql.Column) = coalesce(c, lit(0L))
   private def emptyArr(c: org.apache.spark.sql.Column) =
     coalesce(c, array().cast("array<string>"))
 
-  private def pageIdStr(wiki: String, title: String): String =
-    graft.functions.Classifiers.pageIdStr(wiki, title)
+  /** The merged-state column layout (PageState WITHOUT the A3 per-editor
+    * histogram).
+    */
+  private val StateCols = Seq("id", "title", "wiki", "edits", "anonEdits",
+    "isNew", "notabilityFlags", "volatileFlags", "reverts", "start",
+    "updated", "contributors", "anons", "bytesChanged", "safe",
+    "isProtected")
+
+  /** Driver-synthesized rows in the merged-state layout. */
+  private def stateRows(spark: SparkSession, ps: Seq[PageState]): DataFrame = {
+    import spark.implicits._
+    ps.toDS().toDF().select(StateCols.map(col): _*)
+  }
 
   /** Empty state table with the merged-state schema. */
-  def emptyState(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    Seq.empty[PageState].toDS().toDF()
-      .select(col("id"), col("title"), col("wiki"), col("edits"),
-        col("anonEdits"), col("isNew"), col("notabilityFlags"),
-        col("volatileFlags"), col("reverts"), col("start"), col("updated"),
-        col("contributors"), col("anons"), col("bytesChanged"),
-        col("safe"), col("isProtected"))
-  }
+  def emptyState(spark: SparkSession): DataFrame =
+    stateRows(spark, Seq.empty)
 
   /** Fold a finite sequence of micro-batches (testing / replay). */
   def replay(spark: SparkSession, batches: Seq[Seq[RecentChange]],

@@ -134,6 +134,94 @@ class IncrementalTrendSpec extends SparkSpec {
     assert(c.getSeq[String](c.fieldIndex("contributors")) == Seq("ub"))
   }
 
+  // --- sequential log-op replay (event-time ordering, getPage-creates) ----
+
+  test("delete-then-move in one batch: the move plants a FRESH page at the target (getPage creates)") {
+    // Reference sequential replay: delete P kills its state; the move's
+    // getPage(P) then REGISTERS a fresh page and renames it onto Q —
+    // P's pre-delete history must NOT survive under Q (the pre-round-10
+    // phase-ordered fold applied renames before deletes and leaked it).
+    val st = replay(
+      Seq(edit("P", user = "Old", min = 0), edit("Q", user = "QOld", min = 0)),
+      Seq(del("deleted &quot;[[P]]&quot; spam", 1), move("P", "Q", 2)))
+    assert(st.keySet == Set("Q"))
+    assert(st("Q").getAs[Long]("edits") == 0L) // fresh page, Q's state overwritten
+    assert(st("Q").getAs[Timestamp]("updated") == at(2))
+  }
+
+  test("delete of the TARGET before a move: the moved state survives (delete preceded)") {
+    val st = replay(
+      Seq(edit("P", user = "up", min = 0), edit("Q", user = "uq", min = 0)),
+      Seq(del("deleted &quot;[[Q]]&quot; gone", 1), move("P", "Q", 2)))
+    assert(st.keySet == Set("Q"))
+    val q = st("Q")
+    assert(q.getAs[Long]("edits") == 1L)
+    assert(q.getSeq[String](q.fieldIndex("contributors")) == Seq("up"))
+  }
+
+  test("protect-then-move: the flag rides the moved page to its new key") {
+    val st = replay(
+      Seq(edit("P", min = 0)),
+      Seq(protect("P", 1), move("P", "Q", 2)))
+    assert(st.keySet == Set("Q"))
+    assert(st("Q").getAs[Boolean]("isProtected"))
+  }
+
+  test("move-then-protect of the vacated source: no flag anywhere (page absent at protect time)") {
+    val st = replay(
+      Seq(edit("P", min = 0)),
+      Seq(move("P", "Q", 1), protect("P", 2)))
+    assert(st.keySet == Set("Q"))
+    assert(!st("Q").getAs[Boolean]("isProtected"))
+  }
+
+  test("edit to a vacated title AFTER its move recreates a fresh page at the old key") {
+    // index.js: updateFromRCStream's getPage(P) creates a new page once
+    // P's object moved to Q — the edit must not follow the rename map.
+    val st = replay(Seq(
+      edit("P", user = "before", min = 0),
+      move("P", "Q", 1),
+      edit("P", user = "after", min = 2)))
+    assert(st.keySet == Set("P", "Q"))
+    val p = st("P"); val q = st("Q")
+    assert(q.getSeq[String](q.fieldIndex("contributors")) == Seq("before"))
+    assert(p.getSeq[String](p.fieldIndex("contributors")) == Seq("after"))
+  }
+
+  test("move of an ABSENT source registers an empty page over the target's state") {
+    val st = replay(
+      Seq(edit("Q", user = "uq", min = 0)),
+      Seq(move("Ghost", "Q", 1)))
+    assert(st.keySet == Set("Q"))
+    assert(st("Q").getAs[Long]("edits") == 0L)
+    assert(st("Q").getAs[String]("title") == "Q")
+  }
+
+  test("protect applies only to a page existing at the protect's event time") {
+    // Same-batch: edits strictly after the protect must not inherit the
+    // flag (the page did not exist when protectPage ran); edits at or
+    // before it must.
+    val flagged = replay(Seq(edit("A", min = 0), protect("A", 1)))
+    assert(flagged("A").getAs[Boolean]("isProtected"))
+    val unflagged = replay(Seq(protect("B", 1), edit("B", min = 2)))
+    assert(!unflagged("B").getAs[Boolean]("isProtected"))
+  }
+
+  test("edits between a delete and a later move ride the recreated page to the move target") {
+    // delete K @1 (kills Old's history), edit K @2 (recreates), move
+    // K→L @3 (drags the recreated page along): L ends with ONLY the
+    // post-delete edit.
+    val st = replay(Seq(
+      edit("K", user = "Old", min = 0),
+      del("deleted &quot;[[K]]&quot; x", 1),
+      edit("K", user = "New", min = 2),
+      move("K", "L", 3)))
+    assert(st.keySet == Set("L"))
+    val l = st("L")
+    assert(l.getAs[Long]("edits") == 1L)
+    assert(l.getSeq[String](l.fieldIndex("contributors")) == Seq("New"))
+  }
+
   test("incremental fold equals one-shot batch aggregation (no log events)") {
     val events = (0 until 30).map(i =>
       edit(s"P${i % 3}", user = s"u${i % 5}", min = i))
