@@ -353,6 +353,11 @@ object DedupIndex {
     // per shingle, then the SHARED band-key kernel — the slice/band
     // layout lives once in Dedup.bandKeyArray.
     val sigged = stream
+      // Null-id guard, mirroring the other streaming twins: a null-id
+      // ingest row that collides with a base doc would emit alerts with
+      // NULL doc_id, and a sink deduping by (doc_id, base_id) would
+      // collapse every null-id row onto one key.
+      .where(col("doc_id").isNotNull)
       .withColumn("toks", TextAnalysis.wsTokens(col("text")))
       .withColumn("sset", Dedup.shinglesFromTokens(col("toks"), n))
       .withColumn("ma",
@@ -447,13 +452,19 @@ object DedupIndex {
   def dedupIndexPairs(spark: SparkSession, dir: String, delta: DataFrame,
       threshold: Double = 0.5): DataFrame = {
     val (internal, cross) = servePairLegs(spark, dir, delta, threshold)
-    // A projection over the two materialized legs — this IS the
-    // product; callers own its lifecycle (Barrier.release on the result
-    // frees both legs' blocks).
-    internal.unionByName(cross.select(
-      least(col("delta_id"), col("base_id")).as("doc_a"),
-      greatest(col("delta_id"), col("base_id")).as("doc_b"),
-      col("jaccard")))
+    // Eagerly materialized + finally-release, like [[dedupDeltaClean]]:
+    // the registered Verify/Bench callers never Barrier.release, so a
+    // lazy union over the two barriered legs would strand BOTH legs'
+    // checkpoint block sets per serve for the session. One result-sized
+    // barrier survives instead (its blocks ARE the product; the
+    // ContextCleaner frees them when the caller drops the reference).
+    try {
+      internal.unionByName(cross.select(
+          least(col("delta_id"), col("base_id")).as("doc_a"),
+          greatest(col("delta_id"), col("base_id")).as("doc_b"),
+          col("jaccard")))
+        .barrier()
+    } finally { Barrier.release(internal); Barrier.release(cross) }
   }
 
   /** The serve, with its two legs kept apart and MATERIALIZED: the

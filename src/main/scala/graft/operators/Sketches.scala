@@ -84,20 +84,47 @@ object Sketches {
       : Iterator[String] =
     misraGries(it, k)._1.keysIterator
 
+  /** Above this many candidates, pass 2 switches from an In-set literal
+    * predicate to a broadcast hash join: OptimizeIn turns the isin into
+    * an InSet so it PLANS at any size, but the full literal set rides
+    * inside the serialized plan of every task — megabytes of predicate
+    * per task once k × partitions reaches the hundreds of thousands. A
+    * broadcast table ships ONCE per executor instead and the probe
+    * stays a map-side hash lookup, so the corpus still never shuffles
+    * on raw tokens.
+    */
+  private[graft] val InSetLiteralMax = 1 << 15
+
   /** Pass 2's aggregation, factored for the plan lock (the barrier that
     * follows it hides the subtree from the final query's plan): every
     * token folds to itself if it is a candidate and to NULL otherwise —
     * NULL is the "not a candidate" bucket, which no sentinel string can
     * collide with and groupBy folds together — then ONE hash
-    * aggregation counts the ≤ |candidates|+1 groups. No join: the
-    * candidate probe is a codegen'd In-set predicate riding the scan's
-    * projection, so the corpus never shuffles on raw tokens and the
-    * exchange moves only the folded groups.
+    * aggregation counts the ≤ |candidates|+1 groups. Small candidate
+    * sets probe via a codegen'd In-set predicate riding the scan's
+    * projection; sets past [[InSetLiteralMax]] probe via a broadcast
+    * LEFT join (same fold, same groups — spec-pinned equal). Either
+    * way the exchange moves only the folded groups.
     */
   private[graft] def candidateCounts(toks: DataFrame,
-      candidates: Seq[String]): DataFrame =
-    toks.select(when(col("tok").isin(candidates: _*), col("tok")).as("g"))
-      .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      candidates: Seq[String],
+      inSetMax: Int = InSetLiteralMax): DataFrame = {
+    val folded =
+      if (candidates.size <= inSetMax)
+        toks.select(
+          when(col("tok").isin(candidates: _*), col("tok")).as("g"))
+      else {
+        val spark = toks.sparkSession
+        import spark.implicits._
+        // Defensive distinct (driver-side, tiny): a duplicate candidate
+        // would be harmless in the In-set form but would DUPLICATE rows
+        // through the join form.
+        val cand = broadcast(candidates.distinct.toDF("__cand"))
+        toks.join(cand, col("tok") === col("__cand"), "left")
+          .select(when(col("__cand").isNotNull, col("tok")).as("g"))
+      }
+    folded.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+  }
 
   /** Hard driver-side bound on the collected candidate set: k counters
     * PER PARTITION union up, so k alone does not bound the collect — a
