@@ -487,6 +487,27 @@ object SparkEntry {
     "doc_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashNearDups(t(s, dir, "documents"))),
 
+    // Bounded-edit-distance fuzzy match: LSH candidates + length prune +
+    // banded Levenshtein DP. Near-identical variants are PLANTED (the
+    // doc_pii_scrub pattern — the raw corpus has no low-edit-distance
+    // pairs, which would make the verdict vacuous): every 23rd doc gets a
+    // +1e6-id twin with 1-3 'z's appended, so dist varies 2-4 and natural
+    // candidates exercise the reject path.
+    "doc_fuzzy_pairs" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val twins = base.filter(col("doc_id") % 23 === 4)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" "),
+            expr("repeat('z', CAST(doc_id % 3 + 1 AS INT))")).as("text"))
+      Dedup.fuzzyPairs(base.unionByName(twins), maxDist = 8)
+    }),
+
+    // Exact per-language token-length quantiles over the count histogram
+    // (percentile_disc semantics, integer rank test — no sort of the
+    // corpus, no float).
+    "doc_length_quantiles" -> ((s, dir) =>
+      TextAnalysis.lengthQuantiles(t(s, dir, "documents"))),
+
     // VERIFICATION-SCALE ONLY (see verificationScaleOnly; twin:
     // doc_minhash_pairs). Exact trigram-Jaccard pairs (join bounded by
     // shared shingles; optional hot-shingle df cap for scale runs).
@@ -1536,12 +1557,13 @@ object SparkEntry {
   // graph: doc_minhash_pairs, the dedup-index serves, the index-health
   // report (which parametrizes the source predicate), and (via
   // minhashClusterCtesSql below) the cluster family.
-  private def minhashPairCtes(srcWhere: String): String =
+  private def minhashPairCtes(srcWhere: String,
+      src: String = "documents"): String =
     raw"""toks AS (
            SELECT doc_id,
              CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                   ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
-           FROM documents $srcWhere),
+           FROM $src $srcWhere),
          sh AS (
            SELECT doc_id, list_distinct(
              CASE WHEN len(t) >= 3
@@ -3952,6 +3974,51 @@ object SparkEntry {
     "doc_minhash_pairs" ->
       s"""WITH $minhashPairCtesSql
          SELECT doc_a, doc_b, jaccard FROM pairs""",
+
+    // Fuzzy pairs: the SAME candidate chain (over the planted-twin
+    // corpus), then length prune + plain Levenshtein — the threshold-DP
+    // short-circuit is a pure optimization, values below the bound are
+    // the full distance in both engines.
+    "doc_fuzzy_pairs" ->
+      s"""WITH fsrc AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000,
+             text || ' ' || repeat('z', CAST(doc_id % 3 + 1 AS INT))
+           FROM documents WHERE doc_id % 23 = 4),
+         ${minhashPairCtes("", src = "fsrc")},
+         fz AS (
+           SELECT c.doc_a, c.doc_b,
+             CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist
+           FROM cand c
+           JOIN fsrc da ON c.doc_a = da.doc_id
+           JOIN fsrc db ON c.doc_b = db.doc_id
+           WHERE abs(length(da.text) - length(db.text)) <= 8)
+         SELECT doc_a, doc_b, dist FROM fz WHERE dist <= 8""",
+
+    "doc_length_quantiles" ->
+      raw"""WITH lens AS (
+           SELECT lang,
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                  ELSE len(list_filter(string_split_regex(trim(text), '\s+'),
+                       tk -> tk <> '')) END AS len
+           FROM documents),
+         hist AS (
+           SELECT lang, CAST(len AS BIGINT) AS len,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM lens GROUP BY 1, 2),
+         cum AS (
+           SELECT lang, len, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY len)
+               AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS total
+           FROM hist),
+         qs AS (SELECT CAST(unnest([250000, 500000, 750000, 900000])
+           AS BIGINT) AS q)
+         SELECT c.lang, q.q, min(c.len) AS len
+         FROM cum c, qs q
+         WHERE c.cum * 1000000 >= q.q * c.total
+         GROUP BY 1, 2""",
 
     // The dedup-index serves ≡ minhashNearDups over base∪delta (the
     // indexed corpus IS base∪delta = all documents here) restricted to

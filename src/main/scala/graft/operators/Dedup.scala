@@ -237,6 +237,48 @@ object Dedup {
     finally Barrier.release(bk)
   }
 
+  /** Bounded-edit-distance near-duplicate pairs: every LSH-candidate pair
+    * whose full-text Levenshtein distance is ≤ `maxDist`. Output:
+    * (doc_a, doc_b, dist) with doc_a < doc_b.
+    *
+    * The fuzzy-match / record-linkage primitive: MinHash banding proposes
+    * candidates (recall bounded by the LSH family — a pair must collide
+    * in at least one band; NO all-pairs product ever forms), a length
+    * prune discards candidates whose size difference alone proves
+    * dist > maxDist (|len(a)−len(b)| lower-bounds edit distance), and
+    * only the survivors pay the O(len·maxDist) banded DP —
+    * `levenshtein(a, b, threshold)` short-circuits to −1 past the bound
+    * rather than filling the full O(len²) matrix.
+    *
+    * 100 TB shape: two hash joins of the (small, materialized) candidate
+    * table against the corpus on doc_id; text moves only for candidate
+    * rows, never through the bucket explode.
+    */
+  def fuzzyPairs(docs: DataFrame, n: Int = 3, maxDist: Int = 8): DataFrame = {
+    require(maxDist >= 0, s"maxDist=$maxDist must be >= 0")
+    val cand = candidatePairs(docs, n)
+    try fuzzyVerify(cand, docs.select(col("doc_id"), col("text")), maxDist)
+      .barrier() // eager result; the candidate barrier releases below
+    finally Barrier.release(cand)
+  }
+
+  /** [[fuzzyPairs]]' verify tail, factored for the plan lock (the result
+    * barrier hides it): two id hash joins, the length prune, the banded
+    * DP.
+    */
+  private[graft] def fuzzyVerify(cand: DataFrame, txt: DataFrame,
+      maxDist: Int): DataFrame =
+    cand
+      .join(txt.select(col("doc_id").as("doc_a"), col("text").as("ta")),
+        Seq("doc_a"))
+      .join(txt.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+        Seq("doc_b"))
+      .filter(abs(length(col("ta")) - length(col("tb"))) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("ta"), col("tb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0) // threshold form returns −1 past bound
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+
   /** MinHash-LSH near-duplicates: candidates verified by exact shingle-set
     * Jaccard >= `threshold`. Output: (doc_a, doc_b, jaccard).
     *

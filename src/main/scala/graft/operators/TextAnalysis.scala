@@ -164,6 +164,41 @@ object TextAnalysis {
       coalesce(tokenCountBpe(col("text")), lit(0)).as("bpe_tokens"),
       coalesce(length(col("text")), lit(0)).as("chars"))
 
+  /** Exact per-language token-count quantiles (percentile_disc
+    * semantics: the smallest length whose cumulative count reaches
+    * ceil(q·total)), computed over the LENGTH HISTOGRAM rather than a
+    * sort of the corpus.
+    *
+    * 100 TB shape: the corpus is touched by exactly ONE map-side-combined
+    * aggregation (group by (lang, len) — a map-only tokenless count per
+    * doc feeds it); every later step (running sum, quantile pick) runs
+    * over histogram rows, bounded by distinct lengths × languages, not by
+    * corpus size. A `percentile`/global-sort formulation would instead
+    * range-shuffle every row. Quantiles are requested in ppm (integer),
+    * and the rank test `cum·1e6 ≥ q·total` is pure integer arithmetic —
+    * ceil() never materializes and no float crosses an engine boundary.
+    * (Guard: cum·1e6 wraps past ~9.2e12 rows per language — raise to
+    * decimal if a corpus ever exceeds that.)
+    */
+  def lengthQuantiles(docs: DataFrame,
+      qsPpm: Seq[Long] = Seq(250000L, 500000L, 750000L, 900000L)): DataFrame = {
+    require(qsPpm.nonEmpty && qsPpm.forall(q => q > 0 && q <= 1000000L),
+      s"quantiles must be ppm in (0, 1e6]: $qsPpm")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hist = docs
+      .select(col("lang"), tokenCountWs(col("text")).cast("long").as("len"))
+      .groupBy(col("lang"), col("len")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("len"))
+    val wTot = Window.partitionBy(col("lang"))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("total", sum(col("cnt")).over(wTot))
+      .crossJoin(broadcast(qsPpm.toDF("q")))
+      .filter(col("cum") * lit(1000000L) >= col("q") * col("total"))
+      .groupBy(col("lang"), col("q")).agg(min(col("len")).as("len"))
+  }
+
   /** Per-document quality metrics. */
   def quality(docs: DataFrame): DataFrame =
     docs.select(

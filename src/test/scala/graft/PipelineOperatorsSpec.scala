@@ -3059,6 +3059,90 @@ class PipelineOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("fuzzyPairs: equals LSH candidates filtered by exact Levenshtein; twins found, far pairs rejected") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(11)
+    val words = (0 until 40).map(i => s"w$i")
+    val base = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(8 + rnd.nextInt(10))(
+        words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    // Planted twins: tiny tail edits (dist 2-4) and one far twin whose
+    // 30-char tail must fall to the length prune / DP bound.
+    val twins = base.take(6).map { case (id, t) =>
+      (id + 1000L, t + " " + ("z" * (1 + (id % 3)).toInt)) } ++
+      Seq((2000L, base.head._2 + " " + ("y " * 15).trim))
+    val docs = (base ++ twins).toDF("doc_id", "text")
+    val byId = (base ++ twins).toMap
+    val maxDist = 8
+    val cands = graft.operators.Dedup.candidatePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = cands.flatMap { case (a, b) =>
+      val d = lev(byId(a), byId(b))
+      if (d <= maxDist) Some((a, b) -> d.toLong) else None
+    }.toMap
+    val got = graft.operators.Dedup.fuzzyPairs(docs, maxDist = maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expect)
+    // Vacuity guards: the planted twins fire, with varying distances...
+    assert((0 until 6).forall(i => got.contains((i.toLong, i + 1000L))))
+    assert(got.values.toSet.size > 1)
+    // ...and the far twin was a candidate but exceeded the bound.
+    assert(cands.contains((0L, 2000L)) && !got.contains((0L, 2000L)))
+  }
+
+  test("lengthQuantiles: equals sorted-corpus percentile_disc per language") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val docs = (0 until 300).map { i =>
+      val lang = if (i % 3 == 0) "en" else "zh"
+      val text =
+        if (i % 91 == 17) null
+        else if (i % 97 == 13) "   "
+        else Seq.fill(1 + rnd.nextInt(50))("tok").mkString(" ")
+      (i.toLong, lang, text)
+    }
+    val qs = Seq(250000L, 500000L, 750000L, 900000L)
+    val got = graft.operators.TextAnalysis.lengthQuantiles(
+        docs.toDF("doc_id", "lang", "text"), qs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expect = docs.groupBy(_._2).flatMap { case (lang, rows) =>
+      val lens = rows.map(r => Option(r._3).map(_.trim) match {
+        case None | Some("") => 0L
+        case Some(t) => t.split("\\s+").count(_.nonEmpty).toLong
+      }).sorted
+      qs.map { q =>
+        val rank = ((q * lens.length + 999999L) / 1000000L).toInt // ceil
+        (lang, q) -> lens(rank - 1)
+      }
+    }.toMap
+    assert(got == expect)
+  }
+
+  test("candidateCounts: broadcast-join path equals the In-set path (incl. duplicate candidates)") {
+    import spark.implicits._
+    val toks = Seq("a", "b", "a", "c", "d", "a").toDF("tok")
+    // Duplicate candidate: harmless as a literal set, must stay harmless
+    // through the join form (the defensive distinct).
+    val cands = Seq("a", "c", "a")
+    def rows(inSetMax: Int) = graft.operators.Sketches
+      .candidateCounts(toks, cands, inSetMax).collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val viaInSet = rows(inSetMax = 100)
+    val viaJoin = rows(inSetMax = 1)
+    assert(viaInSet == viaJoin)
+    assert(viaInSet == Map(Some("a") -> 3L, Some("c") -> 1L, None -> 2L))
+  }
+
   test("heavyTokens: empty and null-text corpora yield the empty frame") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")

@@ -643,5 +643,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(2000))
     assert("Exchange".r.findAllIn(p).length == 1, p.take(2000))
     assert(p.contains("HashAggregate"), p.take(2000))
+    // Past InSetLiteralMax candidates the probe switches to a broadcast
+    // hash join (the full literal set would otherwise ride inside every
+    // task's serialized plan): still no shuffle of raw tokens — the only
+    // exchange remains the folded-group one, plus the broadcast.
+    val pj = graft.operators.Sketches.candidateCounts(
+        toks, Seq("a", "b"), inSetMax = 1)
+      .queryExecution.executedPlan.toString
+    assert(pj.contains("BroadcastHashJoin"), pj.take(2000))
+    assert(!pj.contains("SortMergeJoin"), pj.take(2000))
+    assert("ShuffleExchange|Exchange hashpartitioning".r
+      .findAllIn(pj).length == 1, pj.take(2000))
+  }
+
+  test("fuzzyPairs verify tail: id hash joins only — no nested loop over candidates") {
+    import spark.implicits._
+    val cand = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val txt = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val p = graft.operators.Dedup.fuzzyVerify(cand, txt, 8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("lengthQuantiles: corpus folds in ONE map-side aggregation; later stages are histogram-sized") {
+    import spark.implicits._
+    val docs = Seq((1L, "en", "a b"), (2L, "zh", "c"))
+      .toDF("doc_id", "lang", "text")
+    val p = graft.operators.TextAnalysis.lengthQuantiles(docs)
+      .queryExecution.executedPlan.toString
+    // No explode (len is size() per doc) and no sort of the corpus: the
+    // only Sort is the histogram window's, AFTER the (lang, len) fold.
+    assert(!p.contains("Generate"), p.take(3000))
+    assert(p.contains("partial_count"), p.take(3000))
+    // Exchanges: (lang, len) fold, window on lang, final (lang, q) fold,
+    // plus the broadcast of the 4 quantile points.
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 3,
+      p.take(3000))
   }
 }
