@@ -491,12 +491,14 @@ object SparkEntry {
     // banded Levenshtein DP. Near-identical variants are PLANTED (the
     // doc_pii_scrub pattern — the raw corpus has no low-edit-distance
     // pairs, which would make the verdict vacuous): every 23rd doc gets a
-    // +1e6-id twin with 1-3 'z's appended, so dist varies 2-4 and natural
-    // candidates exercise the reject path.
+    // +2^40-id twin (an offset no real corpus id reaches — a 1e6 offset
+    // would collide with genuine ids past a 1M-doc corpus and fan out
+    // the verify joins) with 1-3 'z's appended, so dist varies 2-4 and
+    // natural candidates exercise the reject path.
     "doc_fuzzy_pairs" -> ((s, dir) => {
       val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val twins = base.filter(col("doc_id") % 23 === 4)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .select((col("doc_id") + (1L << 40)).as("doc_id"),
           concat(col("text"), lit(" "),
             expr("repeat('z', CAST(doc_id % 3 + 1 AS INT))")).as("text"))
       Dedup.fuzzyPairs(base.unionByName(twins), maxDist = 8)
@@ -3983,7 +3985,7 @@ object SparkEntry {
       s"""WITH fsrc AS (
            SELECT doc_id, text FROM documents
            UNION ALL
-           SELECT doc_id + 1000000,
+           SELECT doc_id + 1099511627776,
              text || ' ' || repeat('z', CAST(doc_id % 3 + 1 AS INT))
            FROM documents WHERE doc_id % 23 = 4),
          ${minhashPairCtes("", src = "fsrc")},

@@ -83,22 +83,34 @@ object IncrementalTrend {
     // 1. Collect the batch's log ops (driver-resident by contract: log
     // events are rare; the flood guard warns loudly if that breaks) and
     // replay them sequentially.
+    // Null-title log ops are dropped alongside null-ts ones (a null key
+    // cannot be replayed; the wire contract always carries a title), and
+    // every collect is bounded by the limit-before-collect discipline —
+    // a delete/protect flood past MaxLogOps must fail loudly, not OOM
+    // the driver behind a warning.
     val moveOps = gatedLog.filter(col("logAction") === "move")
+      .filter(col("title").isNotNull)
       .select(col("wiki"), col("title"),
         element_at(col("logParams"), "target").as("target"), col("ts"))
       .filter(col("target").isNotNull)
-      .collect()
+      .limit(MaxLogOps + 1).collect()
       .map(r => MoveOp(r.getString(0), r.getString(1), r.getString(2),
         r.getTimestamp(3).getTime))
-    val delOps = deleteEvents(gatedLog).collect()
+    val delOps = deleteEvents(gatedLog).limit(MaxLogOps + 1).collect()
       .map(r => DeleteOp(r.getString(0), r.getString(1),
         r.getTimestamp(2).getTime))
     val protOps = gatedLog.filter(col("logAction") === "protect")
-      .select(col("wiki"), col("title"), col("ts")).collect()
+      .filter(col("title").isNotNull)
+      .select(col("wiki"), col("title"), col("ts"))
+      .limit(MaxLogOps + 1).collect()
       .map(r => ProtectOp(r.getString(0), r.getString(1),
         r.getTimestamp(2).getTime))
-    PageAggregates.warnIfMoveFlood(
-      moveOps.length + delOps.length + protOps.length)
+    val nOps = moveOps.length + delOps.length + protOps.length
+    require(nOps <= MaxLogOps,
+      s"batch carries > $MaxLogOps move/delete/protect log events — " +
+        "the driver-side replay cannot hold them; shrink the trigger " +
+        "interval or split the batch")
+    PageAggregates.warnIfMoveFlood(nOps)
     val plan = replayLogOps(
       (moveOps: Seq[LogOp]) ++ delOps ++ protOps)
 
@@ -123,9 +135,18 @@ object IncrementalTrend {
     // target even when the source key held no state — synthesize the
     // empty page for placements whose source row is absent (one tiny
     // broadcast-semi probe decides which) and for every fresh page the
-    // replay says a move materialized. (Legacy-adoption corner: a
-    // partially-committed bucket excluded from `state` reads as absent
-    // here — same blind spot the pre-plan rekey had; adoption-only.)
+    // replay says a move materialized. `start` is the REGISTERING hop
+    // (the object's first move — where getPage created it); the
+    // post-merge stamp raises `updated` to the final hop. Synthesized
+    // rows carry a marker so the protect step can tell them from
+    // genuine pre-batch state — the page they denote did NOT exist
+    // before its registering move, so an earlier existence-conditional
+    // protect must not see them as "existed". (Legacy-adoption corner:
+    // a placement whose source bucket was already committed by the
+    // crashed pre-manifest attempt reads as absent here and synthesizes
+    // an empty page at the target — the legacy layout LOST that
+    // migrated row outright, so the empty page is the closer-to-
+    // reference recovery; adoption-replay-only.)
     val synthRows: Seq[PageState] =
       if (plan.placements.isEmpty && plan.fresh.isEmpty) Nil
       else {
@@ -137,15 +158,17 @@ object IncrementalTrend {
         val fallbacks = plan.placements.filterNot(p => present(p.fromKey))
           .map(p => PageState.empty(p.toKey, p.toTitle,
             graft.functions.Classifiers.wikiOfStr(p.wiki),
-            new java.sql.Timestamp(p.moveTs)))
+            new java.sql.Timestamp(p.firstMoveTs)))
         val created = plan.fresh.map(f => PageState.empty(f.key, f.title,
           graft.functions.Classifiers.wikiOfStr(f.wiki),
-          new java.sql.Timestamp(f.ts)))
+          new java.sql.Timestamp(f.firstTs)))
         fallbacks ++ created
       }
+    val genuine = placed.withColumn("__synth", lit(false))
     val stateSide =
-      if (synthRows.isEmpty) placed
-      else placed.unionByName(stateRows(spark, synthRows))
+      if (synthRows.isEmpty) genuine
+      else genuine.unionByName(
+        stateRows(spark, synthRows).withColumn("__synth", lit(true)))
 
     // 3. Route edits through the timeline: the object owning the edit's
     // (key, ts) segment decides where it lands (its FINAL title) or that
@@ -201,7 +224,11 @@ object IncrementalTrend {
         // Carried only to the protect step below, then dropped: whether a
         // state-side row existed, and the deltas' first edit time — the
         // existence-conditional protect needs both.
-        col("s.id").isNotNull.as("__sEx"),
+        // GENUINE pre-batch state only: a synthesized fresh/fallback row
+        // is state-side but denotes a page that did not exist before its
+        // registering move — an earlier existence-conditional protect
+        // must not count it.
+        (col("s.id").isNotNull && !col("s.__synth")).as("__sEx"),
         col("d.start").as("__dStart"))
 
     // 5a. Rename stamps `updated` (index.js:164: renamePage sets
@@ -215,10 +242,12 @@ object IncrementalTrend {
     // chain's final hop — the last rename is the one whose stamp
     // survives a sequential replay.
     val stamped =
-      if (plan.placements.isEmpty) merged
+      if (plan.placements.isEmpty && plan.fresh.isEmpty) merged
       else {
-        val moveStamps = plan.placements.map(p => (p.toKey, p.moveTs))
-          .toDF("mt_id", "mt_ts")
+        val moveStamps =
+          (plan.placements.map(p => (p.toKey, p.moveTs)) ++
+            plan.fresh.map(f => (f.key, f.lastTs)))
+            .toDF("mt_id", "mt_ts")
         merged.join(broadcast(moveStamps), col("id") === col("mt_id"),
             "left")
           .withColumn("updated",
@@ -291,17 +320,29 @@ object IncrementalTrend {
   private[streaming] final case class ProtectOp(wiki: String, title: String,
       ts: Long) extends LogOp
 
+  /** The most log ops one batch may carry to the driver-side replay —
+    * limit-before-collect bound (the heavyTokens MaxCandidates
+    * discipline): a delete/protect/move flood past this fails loudly
+    * instead of OOMing the driver.
+    */
+  private[streaming] val MaxLogOps = 1 << 19
+
   /** Pre-batch state at `fromKey` (if any) ends the batch at `toKey`,
-    * retitled, `updated` stamped at `moveTs` (the object's LAST hop).
+    * retitled; `updated` stamps at `moveTs` (the object's LAST hop),
+    * while an absent-source fallback page is REGISTERED at
+    * `firstMoveTs` (the hop whose getPage created it) — that is its
+    * `start`.
     */
   private[streaming] final case class Placement(fromKey: String,
-      toKey: String, wiki: String, toTitle: String, moveTs: Long)
+      toKey: String, wiki: String, toTitle: String, moveTs: Long,
+      firstMoveTs: Long)
 
   /** A page a move REGISTERED out of nothing (getPage on an absent or
-    * just-deleted source) that is still alive at batch end.
+    * just-deleted source) that is still alive at batch end: created
+    * (`start`) at its first move, `updated` stamped at its last.
     */
   private[streaming] final case class FreshPage(key: String, wiki: String,
-      title: String, ts: Long)
+      title: String, firstTs: Long, lastTs: Long)
 
   /** Timeline segment: edits to `key` with `fromTs < ts ≤ toTs` belong to
     * the object that owned the key over that interval — they land at the
@@ -328,6 +369,7 @@ object IncrementalTrend {
     */
   private final class Obj(val origin: Option[String], var wiki: String,
       var title: String, var curKey: String, var segFrom: Long) {
+    var firstMoveTs: Option[Long] = None
     var lastMoveTs: Option[Long] = None
     var prot = false
     var protCondTs: Option[Long] = None
@@ -419,6 +461,7 @@ object IncrementalTrend {
         }
         src.wiki = wiki
         src.title = toT
+        if (src.firstMoveTs.isEmpty) src.firstMoveTs = Some(ts)
         src.lastMoveTs = Some(ts)
         // getPage registered this object in `titles` — it now exists
         // even if nothing ever edits it.
@@ -441,11 +484,12 @@ object IncrementalTrend {
       placements = all.iterator
         .filter(o => o.alive && o.origin.isDefined && o.lastMoveTs.isDefined)
         .map(o => Placement(o.origin.get, o.curKey, o.wiki, o.title,
-          o.lastMoveTs.get))
+          o.lastMoveTs.get, o.firstMoveTs.get))
         .toSeq,
       fresh = all.iterator
         .filter(o => o.alive && o.origin.isEmpty && o.mustMaterialize)
-        .map(o => FreshPage(o.curKey, o.wiki, o.title, o.lastMoveTs.get))
+        .map(o => FreshPage(o.curKey, o.wiki, o.title, o.firstMoveTs.get,
+          o.lastMoveTs.get))
         .toSeq,
       kills = all.iterator.filter(o => !o.alive && o.origin.isDefined)
         .map(_.origin.get).toSeq,

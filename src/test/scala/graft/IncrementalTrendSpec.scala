@@ -207,6 +207,41 @@ class IncrementalTrendSpec extends SparkSpec {
     assert(!unflagged("B").getAs[Boolean]("isProtected"))
   }
 
+  test("protect of an ABSENT page before its move leaves the registered target page unflagged") {
+    // protectPage no-ops when titles[id] is unset; the later move's
+    // getPage then registers a fresh page — a synthesized state-side row
+    // must not satisfy the existence condition retroactively.
+    val st = replay(Seq(protect("P", 1), move("P", "Q", 2)))
+    assert(st.keySet == Set("Q"))
+    assert(!st("Q").getAs[Boolean]("isProtected"))
+    // Same through the deleted-gap path: the protect runs while the key
+    // is empty, the move registers fresh — unflagged; but an edit landing
+    // in the gap BEFORE the protect makes the page exist, so it flags.
+    val viaGap = replay(
+      Seq(edit("A", min = 0)),
+      Seq(del("deleted &quot;[[A]]&quot; x", 1), protect("A", 2),
+        move("A", "B", 3)))
+    assert(!viaGap("B").getAs[Boolean]("isProtected"))
+    val gapEdit = replay(
+      Seq(edit("C", min = 0)),
+      Seq(del("deleted &quot;[[C]]&quot; x", 1), edit("C", min = 2),
+        protect("C", 3), move("C", "D", 4)))
+    assert(gapEdit("D").getAs[Boolean]("isProtected"))
+  }
+
+  test("multi-hop chain of a registered fresh page: start = registering hop, updated = final hop") {
+    // delete P, then P→Q→R: getPage creates the page at the FIRST move
+    // (start = t2); only `updated` advances to the last hop (t3).
+    val st = replay(
+      Seq(edit("P", min = 0)),
+      Seq(del("deleted &quot;[[P]]&quot; x", 1), move("P", "Q", 2),
+        move("Q", "R", 3)))
+    assert(st.keySet == Set("R"))
+    assert(st("R").getAs[Long]("edits") == 0L)
+    assert(st("R").getAs[Timestamp]("start") == at(2))
+    assert(st("R").getAs[Timestamp]("updated") == at(3))
+  }
+
   test("edits between a delete and a later move ride the recreated page to the move target") {
     // delete K @1 (kills Old's history), edit K @2 (recreates), move
     // K→L @3 (drags the recreated page along): L ends with ONLY the
