@@ -77,9 +77,15 @@ object RangeJoin {
           "bucketed range join uses that name as scratch"))
     val l = left.withColumn("__ltsu", unix_micros(col(leftTs)))
       .withColumn("__bkt", floor(col("__ltsu") / windowMicros))
-    val rBase = right.select(
-      col(key).as("__rk") +: unix_micros(col(rightTs)).as("__rtsu") +:
-        valueCol.map(v => col(v).as("__rv")).toSeq: _*)
+    // Null-key / null-ts right rows can never satisfy the equi-join but
+    // would still be DOUBLED by the two-bucket replication and shipped
+    // through the exchange — drop them before replicating (the AsOf
+    // right-side discipline; results identical).
+    val rBase = right
+      .where(col(key).isNotNull && col(rightTs).isNotNull)
+      .select(
+        col(key).as("__rk") +: unix_micros(col(rightTs)).as("__rtsu") +:
+          valueCol.map(v => col(v).as("__rv")).toSeq: _*)
       .withColumn("__rbkt0", floor(col("__rtsu") / windowMicros))
     val r = rBase.select(
       col("__rk") +: col("__rtsu") +:

@@ -70,8 +70,16 @@ object Search {
     docs.select(col("doc_id"),
         TextAnalysis.wsTokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("dl"),
-        posexplode(col("toks")))
+        // outer + isNotNull-on-the-exploded-attribute, NEVER the inner
+        // form: an inner explode of a derived array lets
+        // InferFiltersFromGenerate re-inline the whole tokenization into
+        // a pushed-down Filter — every scan tokenized twice (empirically
+        // confirmed on this exact shape; the explodedTokens/Bpe.vocab
+        // round-9 lesson). Token-less docs explode to one null row the
+        // filter drops.
+        posexplode_outer(col("toks")))
       .withColumnRenamed("col", "term")
+      .where(col("term").isNotNull)
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"),
         min(col("pos")).as("first_pos"))
@@ -127,15 +135,21 @@ object Search {
           (col("tf").cast("double") + lit(k1) *
             (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))) *
         lit(1e6)).cast("long")
+    // The per-doc sum ranks in decimal(38,0): a long fixed-point sum
+    // wraps silently at ~9.2e18 µ-units — inside the advertised scale
+    // (~1e11 docs × a 30-term probe; the trainKeyedBooks lesson). The
+    // EMITTED score keeps the oracle's BIGINT type; under ANSI the
+    // narrowing cast fails loudly if a corpus ever reaches the wrap
+    // point, instead of mis-ranking silently.
     val agg = matched.withColumn("micro", micro)
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("micro")).as("score_micro"))
+      .agg(sum(col("micro").cast("decimal(38,0)")).as("score_dec"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .orderBy(col("score_dec").desc, col("doc_id").asc)
     agg.withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("doc_id"), col("score_micro"),
-        col("rank"))
+      .select(col("query_id"), col("doc_id"),
+        col("score_dec").cast("long").as("score_micro"), col("rank"))
   }
 
   // ---- persisted inverted index (build once, serve many) ---------------

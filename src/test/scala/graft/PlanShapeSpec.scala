@@ -451,6 +451,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(p.contains("WindowGroupLimit"), p.take(3000))
+    // And the postings exploder itself must not re-tokenize via an
+    // inferred filter (the explodedTokens lock, postings edition — this
+    // exact shape shipped with the inner explode and paid double
+    // tokenization on every bm25/lex-index corpus scan until caught).
+    val opt = graft.operators.Search.postings(docs)
+      .queryExecution.optimizedPlan.toString
+    assert(!"(?s)Filter[^\\n]*split\\(".r.findFirstIn(opt).isDefined,
+      opt.take(2000))
   }
 
   test("doc_corpus_diff: hash-only co-partitioned join, no nested loop") {
