@@ -96,7 +96,13 @@ object Bpe {
     */
   private[graft] def topPairPlan(words: DataFrame): DataFrame =
     words.where(size(col("syms")) > 1)
-      .select(col("cnt"), explode(adjacentPairs(col("syms"))).as("p"))
+      // explode_outer + isNotNull, never the inner form: the inner
+      // explode of the derived pair array lets InferFiltersFromGenerate
+      // re-run the zip_with+slice pair build in a pushed filter — paid
+      // once per training round (vocab-sized waste; the explodedTokens
+      // discipline).
+      .select(col("cnt"), explode_outer(adjacentPairs(col("syms"))).as("p"))
+      .where(col("p").isNotNull)
       .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
       .agg(sum(col("cnt")).as("c"))
       .orderBy(col("c").desc, col("lhs").asc, col("rhs").asc)

@@ -52,13 +52,32 @@ object Curation {
   val gopherStopwords: Seq[String] =
     Seq("the", "a", "be", "to", "of", "and", "that", "have", "with")
 
+  /** Gopher rule defaults — the ONE source both entry points read, so a
+    * threshold retune cannot drift between the public operator and the
+    * pre-tokenized path curationReport shares (the oracle hash turns red
+    * on an asymmetric retune, but the constants remove the drift channel
+    * entirely).
+    */
+  private[graft] object GopherDefaults {
+    val MinWords = 40; val MaxWords = 100000
+    val MinMeanLen = 3.0; val MaxMeanLen = 10.0
+    val MinDistinctRatio = 0.4; val MinStopHits = 2
+    val MaxDupLineFraction = 0.3; val MaxTop2GramShare = 0.2
+    val MaxTop3GramShare = 0.18; val MaxTop4GramShare = 0.16
+    val ChunkTokens = 10
+  }
+  import GopherDefaults._
+
   def gopherQuality(docs: DataFrame,
-      minWords: Int = 40, maxWords: Int = 100000,
-      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
-      minDistinctRatio: Double = 0.4, minStopHits: Int = 2,
-      maxDupLineFraction: Double = 0.3, maxTop2GramShare: Double = 0.2,
-      maxTop3GramShare: Double = 0.18, maxTop4GramShare: Double = 0.16,
-      chunkTokens: Int = 10): DataFrame =
+      minWords: Int = MinWords, maxWords: Int = MaxWords,
+      minMeanLen: Double = MinMeanLen, maxMeanLen: Double = MaxMeanLen,
+      minDistinctRatio: Double = MinDistinctRatio,
+      minStopHits: Int = MinStopHits,
+      maxDupLineFraction: Double = MaxDupLineFraction,
+      maxTop2GramShare: Double = MaxTop2GramShare,
+      maxTop3GramShare: Double = MaxTop3GramShare,
+      maxTop4GramShare: Double = MaxTop4GramShare,
+      chunkTokens: Int = ChunkTokens): DataFrame =
     // Materialize the token array once (attribute, not inline expression):
     // the interpreted HOF path re-evaluates a lambda's free subexpressions
     // per element (see Dedup.shinglesFromTokens).
@@ -72,20 +91,19 @@ object Curation {
   /** [[gopherQuality]] over a PRE-TOKENIZED table (`doc_id`, `chars`,
     * `toks` attributes; extra columns ignored) — the entry point
     * [[curationReport]] uses so all its stages share one tokenization of
-    * the corpus instead of re-running the regex split per stage.
-    *
-    * The default list MUST stay identical to [[gopherQuality]]'s:
-    * curationReport relies on these defaults matching the thresholds the
-    * `doc_gopher_quality` / `doc_curation_report` oracles encode — the
-    * oracle hash turns red on drift, but keep them in sync at the source.
+    * the corpus instead of re-running the regex split per stage. Both
+    * signatures default from [[GopherDefaults]] — one retune point.
     */
   private[graft] def gopherQualityFromTokens(toks: DataFrame,
-      minWords: Int = 40, maxWords: Int = 100000,
-      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
-      minDistinctRatio: Double = 0.4, minStopHits: Int = 2,
-      maxDupLineFraction: Double = 0.3, maxTop2GramShare: Double = 0.2,
-      maxTop3GramShare: Double = 0.18, maxTop4GramShare: Double = 0.16,
-      chunkTokens: Int = 10): DataFrame = {
+      minWords: Int = MinWords, maxWords: Int = MaxWords,
+      minMeanLen: Double = MinMeanLen, maxMeanLen: Double = MaxMeanLen,
+      minDistinctRatio: Double = MinDistinctRatio,
+      minStopHits: Int = MinStopHits,
+      maxDupLineFraction: Double = MaxDupLineFraction,
+      maxTop2GramShare: Double = MaxTop2GramShare,
+      maxTop3GramShare: Double = MaxTop3GramShare,
+      maxTop4GramShare: Double = MaxTop4GramShare,
+      chunkTokens: Int = ChunkTokens): DataFrame = {
     // Sorted word-n-gram array (empty below n tokens) — an attribute in
     // the projection below because it is itself a HOF input.
     def sortedGrams(n: Int): Column =
@@ -426,6 +444,12 @@ object Curation {
       // aggregation shuffle. Default false: assignment-only output, the
       // shape every oracle replays.
       carryText: Boolean = false): DataFrame = {
+    // Driver-side requires (the sampleFrames rule): a zero budget or
+    // range would otherwise surface executor-side — ANSI CAST_OVERFLOW
+    // on floor(x/0.0)=Inf after task retries, or silent garbage pack
+    // ids without ANSI.
+    require(budgetTokens > 0, s"budgetTokens=$budgetTokens must be positive")
+    require(rangeSize > 0, s"rangeSize=$rangeSize must be positive")
     val W = org.apache.spark.sql.expressions.Window
     val baseCols = Seq(col("doc_id"), col("lang"),
       tokenCount(col("text")).cast("long").as("toks")) ++
@@ -891,7 +915,13 @@ object Curation {
       rates: Map[String, Double] = Map("en" -> 0.5, "zh" -> 0.125),
       defaultRate: Double = 0.25,
       baseTablePath: Option[String] = None): DataFrame = {
-    val baseRaw = train.select(col("doc_id"), col("lang"),
+    // Null-id docs are EXCLUDED up front, documented (the uniformSample
+    // pattern): every stage verdict re-attaches by inner doc_id equi-join,
+    // where a NULL key never matches — such a doc would flow through all
+    // five gates and then silently vanish from the audit table, breaking
+    // the every-removal-is-attributed promise.
+    val baseRaw = train.where(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("lang"),
         length(col("text")).as("chars"),
         // coalesce: a NULL th would make the exact-dup equi-join drop
         // the doc from the report entirely (NULL === NULL is not true).
@@ -1093,8 +1123,14 @@ object Curation {
     * disappears entirely.
     */
   def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
-    def hashed(d: DataFrame, as: String) = d.select(col("doc_id"),
-      md5(coalesce(col("text"), lit(""))).as(as))
+    // Null-id rows are EXCLUDED, documented (the uniformSample pattern):
+    // a full-outer equi-join never matches NULL keys, so a null-id doc
+    // present unchanged in both snapshots would read as one `removed`
+    // plus one `added` — phantom churn feeding the rebuild decision (and
+    // <=> would instead cross-match every null-id row pair).
+    def hashed(d: DataFrame, as: String) = d
+      .where(col("doc_id").isNotNull)
+      .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as(as))
     hashed(oldDocs, "old_hash")
       .join(hashed(newDocs, "new_hash"), Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("old_hash"), col("new_hash"),

@@ -200,12 +200,18 @@ object Multimodal {
         it.flatMap { p =>
           val bytes = Option(p.payload).getOrElse(Array.emptyByteArray)
           val frames = bytes.length / frameBytes // trailing partial dropped
-          (0L until frames.toLong).filter(_ % everyNth == 0).map { i =>
-            val off = i * frameBytes
-            Frame(p.doc_id, i / everyNth, off,
-              java.util.Arrays.copyOfRange(bytes, off.toInt,
-                off.toInt + frameBytes))
-          }
+          // Strided ITERATOR, never a strict collection: a strict
+          // filter+map materializes every sampled Frame (plus boxed
+          // indices) of a payload before the first one streams —
+          // gigabytes of heap for one large media row, defeating the
+          // one-frame-at-a-time contract the flatMap exists for.
+          (0L until frames.toLong by everyNth.toLong).iterator
+            .zipWithIndex.map { case (i, n) =>
+              val off = i * frameBytes
+              Frame(p.doc_id, n.toLong, off,
+                java.util.Arrays.copyOfRange(bytes, off.toInt,
+                  off.toInt + frameBytes))
+            }
         }
       }
   }
