@@ -3850,7 +3850,8 @@ object SparkEntry {
     // Assignment CTEs mirror emb_kmeans_assign (k=8, seeded book); the
     // coin and the per-cluster rank replay the operator verbatim.
     "emb_cluster_sample" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+               WHERE vec_id IS NOT NULL),
          c AS (SELECT vec_id AS centroid_id, ev AS cv FROM v WHERE vec_id < 8),
          s AS (
            SELECT v.vec_id, centroid_id,

@@ -147,7 +147,10 @@ object Similarity {
       .limit(maxEvalVectors + 1)
       .collect()
       .map { r =>
-        // Named failure instead of a bare driver NPE from .toArray.
+        // Named failures instead of bare driver NPEs — BOTH columns: a
+        // null vec_id would NPE getLong before the embedding require
+        // could even format its message.
+        require(!r.isNullAt(0), "embDecontam eval row has a NULL vec_id")
         require(!r.isNullAt(1),
           s"embDecontam eval vec_id=${r.getLong(0)} has a NULL embedding")
         (r.getLong(0), r.getSeq[Double](1).toArray)
@@ -179,7 +182,7 @@ object Similarity {
     // contamination gate would silently report a clean corpus.
     emb.select(col("vec_id"),
         checkedDims(asDouble(col("embedding")), dims,
-          "embDecontam eval book").as("cv"))
+          "embDecontam eval book", noun = "corpus vectors").as("cv"))
       .withColumn("cn", norm(col("cv")))
       .select(col("vec_id"),
         (-best.getField("neg")).as("max_eval_cos"),
@@ -387,6 +390,21 @@ object Similarity {
     */
   private[graft] def writeIvfIndex(v: DataFrame, dir: String,
       book: Book): Unit = {
+    // Validate BEFORE destroying the previous index (the buildDedupIndex /
+    // buildLexIndex rule): an empty training book (empty corpus, or no
+    // vec_id below the cluster count to seed from) or a corpus whose
+    // first row already fails the width guard must fail loudly with the
+    // old index intact, not after resetIndexDir has deleted it. The
+    // probe is a limit-1 scan; per-row width failures later in the write
+    // still fail the build, but the cheap schema-level cases can no
+    // longer destroy-and-abort.
+    require(book.nonEmpty,
+      s"buildIvfIndex at $dir: training produced no centroids (empty " +
+        "corpus or no seed vectors) — previous index left intact")
+    require(v.select(checkedDims(col("ev"), book.head._2.length,
+        "IVF index (build probe)", noun = "corpus vectors").as("ev"))
+        .limit(1).collect().nonEmpty,
+      s"buildIvfIndex at $dir: corpus is empty — previous index left intact")
     resetIndexDir(v.sparkSession, dir)
     centsDf(v.sparkSession, book).write.mode("overwrite")
       .parquet(s"$dir/centroids")
@@ -398,7 +416,8 @@ object Similarity {
     // appendToIvfIndex throws, breaking the spec-pinned append ≡
     // rebuild equivalence (one path crashes, the other serves).
     v.select(col("vec_id"),
-        checkedDims(col("ev"), book.head._2.length, "IVF index (build)")
+        checkedDims(col("ev"), book.head._2.length, "IVF index (build)",
+          noun = "corpus vectors")
           .as("ev"))
       .select(col("vec_id"), col("ev"), norm(col("ev")).as("nrm"),
         nearestId(col("ev"), book).as("cell"))
@@ -505,7 +524,7 @@ object Similarity {
         // into the smallest centroid id with a NULL norm — committed
         // garbage with zero diagnostics.
         checkedDims(asDouble(col("embedding")), book.head._2.length,
-          "IVF index (append)").as("ev"))
+          "IVF index (append)", noun = "delta vectors").as("ev"))
       .select(col("vec_id"), col("ev"), norm(col("ev")).as("nrm"),
         nearestId(col("ev"), book).as("cell"))
       .repartition(col("cell"))
@@ -564,12 +583,16 @@ object Similarity {
     * the expected dim comes from the driver-collected book, not an
     * index scan.
     */
-  private def checkedDims(v: Column, expected: Int, what: String): Column =
+  private def checkedDims(v: Column, expected: Int, what: String,
+      noun: String = "query vectors"): Column =
     // coalesce in the MESSAGE: size(NULL) is NULL and concat with a NULL
     // piece is NULL — raise_error(NULL) fires with no diagnostic at all
     // and a misleading dims framing for what is actually a null vector.
+    // `noun` names WHICH rows failed (query vs corpus vs delta) — a
+    // build-time corpus failure blaming "query vectors" sends the
+    // operator debugging the wrong table.
     when(size(v) === expected, v).otherwise(raise_error(concat(
-      lit("query vectors are "),
+      lit(s"$noun are "),
       coalesce(size(v).cast("string"), lit("NULL (null vector)")),
       lit(s"-dimensional but the $what expects $expected dims"))))
 
@@ -586,6 +609,10 @@ object Similarity {
       .barrier() // query-set-sized
     val probeTbl = probeTable(queries, cents, probes)
       .barrier() // numQueries × probes rows
+    // probeTbl carries the query columns through — the queries barrier
+    // is superseded the moment probeTbl materializes; release it now
+    // instead of stranding one dead checkpoint per serve call.
+    Barrier.release(queries)
     // The partition column reads back as the inferred INT type; literal
     // ints keep the IN predicate cast-free so static pruning applies.
     val probedCells = probeTbl.select(col("probe")).distinct()
@@ -649,6 +676,14 @@ object Similarity {
       books: IndexedSeq[IndexedSeq[Seq[Double]]], coarse: Book,
       m: Int, sub: Int): Unit = {
     val spark = emb.sparkSession
+    // Validate BEFORE destroying the previous index (see writeIvfIndex).
+    require(books.nonEmpty && books.forall(_.nonEmpty) && coarse.nonEmpty,
+      s"buildIvfPqIndex at $dir: training produced empty codebooks " +
+        "(empty corpus or no seed vectors) — previous index left intact")
+    require(emb.select(checkedDims(asDouble(col("embedding")), m * sub,
+        "IVF-PQ index (build probe)", noun = "corpus vectors").as("e"))
+        .limit(1).collect().nonEmpty,
+      s"buildIvfPqIndex at $dir: corpus is empty — previous index left intact")
     val codes = books.head.length
     resetIndexDir(spark, dir)
     centsDf(spark, coarse).write.mode("overwrite").parquet(s"$dir/centroids")
@@ -673,7 +708,7 @@ object Similarity {
     pqEncodedCells(
       emb.select(col("vec_id"),
         checkedDims(asDouble(col("embedding")), m * sub,
-          "IVF-PQ index (build)").as("embedding")),
+          "IVF-PQ index (build)", noun = "corpus vectors").as("embedding")),
       books, coarse, m, sub)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
@@ -724,12 +759,12 @@ object Similarity {
     // would otherwise PQ-code every row to code 0 per subspace and
     // commit the garbage silently.
     val dims = m * sub
+    // The SHARED guard, not a hand-rolled copy: the copy was missing
+    // checkedDims' message coalesce, so a null delta embedding raised
+    // with a NULL (empty) diagnostic.
     val guarded = delta.withColumn("embedding",
-      when(size(col("embedding")) === dims, col("embedding"))
-        .otherwise(raise_error(concat(
-          lit("delta vectors are "), size(col("embedding")).cast("string"),
-          lit(s"-dimensional but the IVF-PQ index (append) expects" +
-            s" $dims dims")))))
+      checkedDims(col("embedding"), dims, "IVF-PQ index (append)",
+        noun = "delta vectors"))
     pqEncodedCells(guarded, books, coarse, m, sub)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/$newDir")
@@ -923,6 +958,7 @@ object Similarity {
       .barrier() // query-set-sized
     val probeTbl = probeTable(queries, cents, probes)
       .barrier() // numQueries × probes rows
+    Barrier.release(queries) // superseded by probeTbl (see ivfIndexTopK)
     val probedCells = probeTbl.select(col("probe")).distinct()
       .collect().map(_.getLong(0).toInt).toIndexedSeq
     val scoped = cells.filter(col("cell").isin(probedCells: _*))
@@ -1050,12 +1086,12 @@ object Similarity {
       .drop("__rr", "__rk")
       .barrier() // releases the vector cache on exit
     }
-    def topk(df: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("vec_id").asc)
-      df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-        .select(col("query_id"), col("vec_id"))
-    }
+    // The SHARED ranking tail, not a third copy of the (cos desc, vec_id
+    // asc) definition: a tie-break change in topkByCos must change what
+    // this recall report denominates on, not silently diverge from it.
+    def topk(df: DataFrame): DataFrame =
+      topkByCos(df, k)
+        .select(col("query_id"), col("neighbor_id").as("vec_id"))
     val bf = topk(scored)
     // Recall denominates on what brute force ACTUALLY returned — a corpus
     // (or filtered slice) smaller than k must not understate a perfect
@@ -1186,16 +1222,27 @@ object Similarity {
   def clusterBalancedSample(emb: DataFrame, k: Int = 8, cap: Int = 25,
       seed: Long = 0L, iters: Int = 0): DataFrame = {
     require(cap >= 1, s"per-cluster cap=$cap must be positive")
-    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+    // Null-id rows drop up front, documented (the uniformSample rule,
+    // mirrored in the oracle): a null vec_id draws a NULL md5 coin that
+    // sorts FIRST under Spark's nulls-first asc — occupying cap slots
+    // with unidentifiable rows while DuckDB sorts the same coin last.
+    val v = emb.where(col("vec_id").isNotNull)
+      .select(col("vec_id"), asDouble(col("embedding")).as("ev"))
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col("coin").asc, col("vec_id").asc)
-    assignLiteral(v, iterateBooks(v, k, iters))
-      .select(col("vec_id"), col("cluster"),
-        md5(concat(lit(s"cbs:$seed:"), col("vec_id").cast("string")))
-          .as("coin"))
-      .withColumn("smp_rank", row_number().over(w).cast("int"))
-      .filter(col("smp_rank") <= cap)
-      .select(col("vec_id"), col("cluster"), col("smp_rank"))
+    def sampled(vv: DataFrame) =
+      assignLiteral(vv, iterateBooks(vv, k, iters))
+        .select(col("vec_id"), col("cluster"),
+          md5(concat(lit(s"cbs:$seed:"), col("vec_id").cast("string")))
+            .as("coin"))
+        .withColumn("smp_rank", row_number().over(w).cast("int"))
+        .filter(col("smp_rank") <= cap)
+        .select(col("vec_id"), col("cluster"), col("smp_rank"))
+    // Lloyd's iterations re-scan the training frame once per round plus
+    // the seed collect and the final assignment — cache it like every
+    // other iterating caller (trainKeyedBooks' documented contract). At
+    // the iters=0 default there is exactly one pass, so skip the cache.
+    if (iters > 0) Barrier.withCached(v)(sampled) else sampled(v)
   }
 
   /** Quantization grid for the deterministic centroid update: components
