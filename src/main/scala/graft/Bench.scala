@@ -114,13 +114,7 @@ object Bench {
     // JSON string escaper for the dir paths (a quote/backslash in an env
     // var would otherwise behead the contract line into parsed:null —
     // the exact failure mode this file fights).
-    def jq(v: String): String =
-      "\"" + v.flatMap {
-        case '"'  => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c    => c.toString
-      } + "\""
+    def jq(v: String): String = Json.quote(v) // shared escaper (graft.Json)
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def f2(v: Double): String =
@@ -162,9 +156,20 @@ object Bench {
     // ~1.00 masquerading as perfect-scaling evidence).
     def canon(d: String): String =
       try new java.io.File(d).getCanonicalPath catch { case NonFatal(_) => d }
+    // A typo'd ref dir must FAIL, not silently drop the scaling section:
+    // an absent "scaling" key is indistinguishable from the intentional
+    // =none opt-out, and the round's scale-trend evidence would vanish
+    // the way round 7's events queries did (absent, not err). Only the
+    // explicit "none" and the self-referential-dir case (already a
+    // meaningless pass) skip quietly — the latter with a loud line.
+    require(refDir == "none" || new java.io.File(refDir).isDirectory,
+      s"SPARK_GRAFT_SCALE_REF=$refDir is not a directory (use 'none' to " +
+        "skip the scaling pass)")
+    if (refDir != "none" && canon(refDir) == canon(sfDir))
+      System.err.println(s"[bench] scaling skipped: ref dir $refDir is " +
+        "the primary SF dir")
     val scaling: (String, (String, String, String)) =
-      if (refDir == "none" || canon(refDir) == canon(sfDir) ||
-          !new java.io.File(refDir).isDirectory) ("", ("{}", "{}", "{}"))
+      if (refDir == "none" || canon(refDir) == canon(sfDir)) ("", ("{}", "{}", "{}"))
       else {
         // Warm the ref-SF tables too (cheap at sf0.01) — without it the
         // first ref query absorbs the cold file-listing/footer cost the

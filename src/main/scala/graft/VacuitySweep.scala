@@ -26,9 +26,13 @@ import scala.util.control.NonFatal
   *   - rows >= 2 with a column at <= 1 distinct non-null value → violation
   *     unless `query.column` (or `query.*`) is allowlisted.
   *
-  * Cardinality is computed as `count_distinct(to_json(struct(col)))` so
-  * arrays/maps/structs and all-NULL columns are handled uniformly (an
-  * all-NULL column folds to one distinct `{}` and is flagged).
+  * Cardinality counts DISTINCT NON-NULL values, as
+  * `count_distinct(when(isNotNull, to_json(struct(col))))` — to_json
+  * makes arrays/maps/structs comparable, and the isNotNull guard keeps a
+  * NULL from minting its own `{}` token: a column that degrades to NULL
+  * on most rows with one constant elsewhere has exactly 1 distinct
+  * non-null value and MUST flag (to_json alone counted 2 and passed it).
+  * An all-NULL column counts 0 and is flagged.
   */
 object VacuitySweep {
   final case class ColCard(query: String, column: String, rows: Long,
@@ -49,7 +53,14 @@ object VacuitySweep {
         require(key.contains('.'), s"allowlist key must be query.column — $l")
         require(reason.nonEmpty, s"allowlist reason is empty — $l")
         key -> reason
-      }.toMap
+      } match { case pairs =>
+        val dups = pairs.groupBy(_._1).collect {
+          case (k, vs) if vs.size > 1 => k }
+        require(dups.isEmpty,
+          s"duplicate allowlist keys (last-one-wins would silently pick " +
+            s"a justification): ${dups.mkString(", ")}")
+        pairs.toMap
+      }
 
   private[graft] def loadAllowlist(): Map[String, String] = {
     val in = getClass.getResourceAsStream("/vacuity-allowlist.txt")
@@ -66,7 +77,8 @@ object VacuitySweep {
     val df = spark.read.parquet(dir.getAbsolutePath)
     val cols = df.columns.toSeq
     val aggs = count(lit(1)).as("__rows") +:
-      cols.map(c => count_distinct(to_json(struct(col(c)))).as(c))
+      cols.map(c => count_distinct(
+        when(col(c).isNotNull, to_json(struct(col(c))))).as(c))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val rows = row.getLong(0)
     cols.zipWithIndex.map { case (c, i) =>
@@ -94,8 +106,10 @@ object VacuitySweep {
       .filter(_.isDirectory).sortBy(_.getName).toSeq
     val queryDirs = allDirs.filter(d => expected.contains(d.getName))
     // A dump dir matching NO registered query is a stale artifact of a
-    // renamed/removed query (Verify sweeps these on its own runs) — the
-    // sweep must not silently audit around it.
+    // renamed/removed query — the sweep must not silently audit around
+    // it. (Nothing deletes these automatically: Verify only removes a
+    // FAILED query's own dump; the operator deletes stale dirs by hand
+    // after checking the rename was intentional.)
     val staleDirs = allDirs.map(_.getName)
       .filterNot(n => SparkEntry.queries.contains(n))
     val missing = (expected -- queryDirs.map(_.getName).toSet).toSeq.sorted

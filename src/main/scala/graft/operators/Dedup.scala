@@ -115,8 +115,16 @@ object Dedup {
     * generate, not below it; plan-locked).
     */
   def explodedShingles(docs: DataFrame, n: Int = 3): DataFrame =
-    shingleSets(docs, n)
-      .select(col("doc_id"), explode_outer(col("sset")).as("shingle"))
+    explodedFromSets(shingleSets(docs, n))
+
+  /** The InferFiltersFromGenerate-safe shingle explode from a PRE-BUILT
+    * (doc_id, sset) table — the outer + isNotNull rule lives ONCE here,
+    * so set-table consumers (the persisted dedup index's build and both
+    * serve legs) cannot drift back to the inner form a future "cleanup"
+    * would reach for (the measured cost is documented above).
+    */
+  private[graft] def explodedFromSets(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"), explode_outer(col("sset")).as("shingle"))
       .where(col("shingle").isNotNull)
 
   // ---- MinHash + LSH ----------------------------------------------------
@@ -199,6 +207,19 @@ object Dedup {
     * is better handled by [[exactDedup]] FIRST — this cap is the seatbelt
     * for pipelines that skip it). Default 0 = uncapped (oracle parity).
     */
+  /** The r6-quantized Jaccard from an intersection count and the two set
+    * sizes — ONE Column definition for every pair verifier (batch LSH
+    * verify, exact-pairs baseline, both dedup-index serve legs, the
+    * streaming index twin). The round-8 lesson: a quantization change
+    * applied to one hand-copied site silently split stream ≡ batch at
+    * .5-grid rationals. (The typed-state streaming path keeps its
+    * documented SCALA twin, StreamingNearDup.jaccardOf — it cannot call
+    * a Column.)
+    */
+  private[graft] def jaccardCol(inter: Column, na: Column,
+      nb: Column): Column =
+    Quant.r6(inter.cast("double") / (na + nb - inter).cast("double"))
+
   private def capHotKeys(df: DataFrame, keys: Seq[String],
       cap: Int): DataFrame =
     if (cap <= 0) df
@@ -351,9 +372,8 @@ object Dedup {
       .withColumn("jaccard",
         // inter/union is a small-integer rational — the measured round()
         // cross-engine divergence class, and it feeds the >= threshold
-        // membership filter; Quant.r6 is engine-order-free.
-        Quant.r6(col("inter").cast("double") /
-          (size(col("sa.sset")) + size(col("sb.sset")) - col("inter")).cast("double")))
+        // membership filter; jaccardCol's Quant.r6 is engine-order-free.
+        jaccardCol(col("inter"), size(col("sa.sset")), size(col("sb.sset"))))
     // Materialize eagerly (the pair set is tiny relative to the corpus) so
     // the caller can release its shingle cache — persist() without
     // unpersist() would accumulate cached copies across a query suite.
@@ -422,8 +442,7 @@ object Dedup {
         .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
         .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
         .withColumn("jaccard",
-          Quant.r6(col("inter").cast("double") /
-            (col("ca.cnt") + col("cb.cnt") - col("inter")).cast("double")))
+          jaccardCol(col("inter"), col("ca.cnt"), col("cb.cnt")))
         .filter(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .barrier() // release the shingle cache on exit

@@ -126,9 +126,7 @@ object DedupIndex {
   private def writeTables(docs: DataFrame, dir: String, n: Int,
       nBuckets: Int, bName: String, sName: String): Long =
     Barrier.withCached(Dedup.shingleSets(docs, n)) { sets =>
-      val ex = sets.select(col("doc_id"),
-          explode_outer(col("sset")).as("shingle"))
-        .where(col("shingle").isNotNull)
+      val ex = Dedup.explodedFromSets(sets)
       val buckets = Dedup.bandBucketsFromSignatures(
           Dedup.signaturesFromExploded(ex))
         .withColumn("bkt", bktCol(nBuckets))
@@ -268,7 +266,13 @@ object DedupIndex {
     // their checkpoint blocks per invocation across a Verify/bench
     // suite (the heavyTokens discipline).
     try {
-      cleanVerdicts(delta.select(col("doc_id")).distinct(),
+      // Null-id rows excluded from the verdict table too (servePairLegs
+      // already drops them from the pair legs): a NULL doc_id row would
+      // otherwise emit keep=true unconditionally — every verdict join is
+      // null-rejecting, so it can never be marked a duplicate.
+      cleanVerdicts(
+          delta.where(col("doc_id").isNotNull)
+            .select(col("doc_id")).distinct(),
           internal, cross)
         .barrier()
     } finally { Barrier.release(internal); Barrier.release(cross) }
@@ -384,9 +388,7 @@ object DedupIndex {
       .withColumn("inter",
         size(array_intersect(col("sset"), col("bset"))))
       .withColumn("jaccard",
-        Quant.r6(col("inter").cast("double") /
-          (size(col("sset")) + size(col("bset")) -
-            col("inter")).cast("double")))
+        Dedup.jaccardCol(col("inter"), size(col("sset")), size(col("bset"))))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_id"), col("base_id"), col("jaccard"))
   }
@@ -483,11 +485,14 @@ object DedupIndex {
     val meta = spark.read.parquet(s"$dir/$metaDir").head()
     val n = meta.getAs[Int]("n")
     val nBuckets = meta.getAs[Int]("buckets")
-    val deltaSets = Dedup.shingleSets(delta, n).barrier()
+    // Null-id delta rows drop up front (the streamingIndexDups rule,
+    // batch edition): every pair/verdict join is null-rejecting, so a
+    // null-id ingest doc would form no pairs and silently surface as
+    // keep=true from the clean verdicts.
+    val deltaSets = Dedup.shingleSets(
+      delta.where(col("doc_id").isNotNull), n).barrier()
     try {
-      val ex = deltaSets.select(col("doc_id"),
-          explode_outer(col("sset")).as("shingle"))
-        .where(col("shingle").isNotNull)
+      val ex = Dedup.explodedFromSets(deltaSets)
       // ONE signature+banding pass over the delta serves BOTH the index
       // probe and the within-batch pair verify (the capHotKeys
       // double-pipeline lesson — the first cut ran the explode + 2
@@ -535,10 +540,8 @@ object DedupIndex {
                 .join(baseSets, Seq("base_id"))
                 .withColumn("inter",
                   size(array_intersect(col("sa.sset"), col("bset"))))
-                .withColumn("jaccard",
-                  Quant.r6(col("inter").cast("double") /
-                    (size(col("sa.sset")) + size(col("bset")) -
-                      col("inter")).cast("double")))
+                .withColumn("jaccard", Dedup.jaccardCol(col("inter"),
+                  size(col("sa.sset")), size(col("bset"))))
                 .filter(col("jaccard") >= threshold)
                 .select(col("delta_id"), col("base_id"), col("jaccard"))
                 .barrier() // materialize before cand's finally-release
