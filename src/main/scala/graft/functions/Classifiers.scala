@@ -123,6 +123,29 @@ object Classifiers {
   def wikiOfStr(wiki: String): String =
     if (wiki == null || wiki.isEmpty || wiki == "enwiki") "" else wiki
 
+  /** The A6 delete-gate kernel, single-sourced for BOTH consumers (the
+    * fgws stream's classify and the incremental fold's deleteEvents —
+    * two hand-synced copies were the bandKeyArray drift class): the
+    * reference takes match group 1 or 2 of the HTML-entity comment
+    * pattern (index.js:330-336) as the page to drop, and acts only when
+    * log_params is empty.
+    */
+  val DeleteCommentPattern: String =
+    "&quot;\\[\\[(.*)\\]\\]&quot;|&quot;(.*)&quot;"
+
+  /** The parsed delete-target title (empty string on no match; NULL
+    * propagates a NULL comment).
+    */
+  def deleteTargetTitle(logActionComment: Column): Column = {
+    val g1 = regexp_extract(logActionComment, DeleteCommentPattern, 1)
+    val g2 = regexp_extract(logActionComment, DeleteCommentPattern, 2)
+    when(length(g1) > 0, g1).otherwise(g2)
+  }
+
+  /** "log_params empty" (ANSI size(null) is null, so test explicitly). */
+  def emptyLogParams(logParams: Column): Column =
+    logParams.isNull || size(logParams) === 0
+
   // ---- helpers ----------------------------------------------------------
 
   /** OR-chain of case-insensitive-on-caller substring tests (codegen'd). */

@@ -257,10 +257,19 @@ object PageAggregates {
     // Tie-break beyond ts: equal-timestamp moves (second-granularity
     // feed, move sprees) otherwise collect in ARBITRARY order and the
     // chain resolution — order-sensitive by design — flips between runs.
+    // limit-before-collect (the heavyTokens/IncrementalTrend discipline):
+    // the warn used to run only AFTER the unbounded collect had already
+    // materialized a move-flood on the driver — the guard must precede
+    // the hazard it guards, so the collect is bounded and a flood past
+    // MaxLogOps fails loudly instead of OOMing.
     val edges = moves
       .orderBy(col("ts"), col("wiki"), col("fromTitle"), col("toTitle"))
-      .select("wiki", "fromTitle", "toTitle").collect()
+      .select("wiki", "fromTitle", "toTitle")
+      .limit(MaxLogOps + 1).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getString(2)))
+    require(edges.length <= MaxLogOps,
+      s"move log exceeds $MaxLogOps events — the driver-side chain " +
+        "collapse cannot hold it; pre-filter the event range")
     warnIfMoveFlood(edges.length)
     // Sequential-replay semantics (a later C→A targets the now-vacant A,
     // never A's earlier destination): each from-key's final mapping follows
@@ -294,6 +303,14 @@ object PageAggregates {
     * the broadcast itself becomes the hazard.
     */
   val MoveLogWarnThreshold: Int = 1 << 20
+
+  /** Hard limit-before-collect bound on driver-side log-op collects —
+    * shared by the batch chain collapse here and the incremental fold's
+    * sequential replay (IncrementalTrend), so the two paths fail at the
+    * same scale instead of one warning and one OOMing.
+    */
+  val MaxLogOps: Int = 1 << 19
+
   private[graft] def warnIfMoveFlood(n: Int): Unit =
     if (n > MoveLogWarnThreshold)
       org.slf4j.LoggerFactory.getLogger(getClass)

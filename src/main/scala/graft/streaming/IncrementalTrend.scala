@@ -286,19 +286,17 @@ object IncrementalTrend {
       lit(new java.sql.Timestamp(asOfMs)), cfg)
   }
 
-  /** One parsed (wiki, del_title, ts) row per delete log event. Reference
-    * takes match group 1 or 2 of the HTML-entity pattern
-    * (index.js:330-336) and only drops when log_params is empty.
+  /** One parsed (wiki, del_title, ts) row per delete log event — the
+    * shared A6 kernel ([[graft.functions.Classifiers.deleteTargetTitle]];
+    * the fgws classify consumes the same one).
     */
   private[streaming] def deleteEvents(batch: DataFrame): DataFrame = {
-    val delPattern = "&quot;\\[\\[(.*)\\]\\]&quot;|&quot;(.*)&quot;"
-    val g1 = regexp_extract(col("logActionComment"), delPattern, 1)
-    val g2 = regexp_extract(col("logActionComment"), delPattern, 2)
+    import graft.functions.Classifiers.{deleteTargetTitle, emptyLogParams}
     batch.filter(col("logType").isNotNull && col("logAction") === "delete")
-      // "log_params empty" (ANSI size(null) is null, so test explicitly).
-      .filter(col("logParams").isNull || size(col("logParams")) === 0)
+      .filter(emptyLogParams(col("logParams")))
       .select(col("wiki"),
-        when(length(g1) > 0, g1).otherwise(g2).as("del_title"), col("ts"))
+        deleteTargetTitle(col("logActionComment")).as("del_title"),
+        col("ts"))
       .filter(length(col("del_title")) > 0)
   }
 
@@ -323,9 +321,10 @@ object IncrementalTrend {
   /** The most log ops one batch may carry to the driver-side replay —
     * limit-before-collect bound (the heavyTokens MaxCandidates
     * discipline): a delete/protect/move flood past this fails loudly
-    * instead of OOMing the driver.
+    * instead of OOMing the driver. Shared with the batch chain collapse
+    * (PageAggregates) so both paths fail at the same scale.
     */
-  private[streaming] val MaxLogOps = 1 << 19
+  private[streaming] val MaxLogOps = PageAggregates.MaxLogOps
 
   /** Pre-batch state at `fromKey` (if any) ends the batch at `toKey`,
     * retitled; `updated` stamps at `moveTs` (the object's LAST hop),

@@ -48,7 +48,7 @@ object TrendStream {
     * index.js:409-411, `drop` index.js:427-430) as a typed stream. Unioned
     * with the edit stream, a command reaches the SAME keyed state the edits
     * live in — the streaming equivalent of the batch driver-side sets.
-    * `action`: "drop" | "markSafe".
+    * `action`: "drop" | "markSafe" | "unmarkSafe".
     */
   final case class TrendCommand(
       action: String, wiki: String, title: String, ts: Timestamp)
@@ -70,7 +70,21 @@ object TrendStream {
   def applyEvents(initial: Option[PageState],
       events: Seq[ClassifiedEvent]): Option[PageState] = {
     var s: Option[PageState] = initial
-    events.sortBy(_.ts.getTime).foreach { e =>
+    // Deterministic TOTAL order, not just ts: the group iterator arrives
+    // in shuffle order and a stable sort preserves it, so a same-second
+    // edit/delete interleaving (or the contributors list's append order)
+    // would differ between runs and checkpoint replays. Within a tick:
+    // edits first (they ride pre-op state — the IncrementalTrend phase
+    // convention), then delete, protect, commands; then the event's own
+    // fields break remaining ties.
+    def phase(a: String): Int = a match {
+      case null => 0
+      case "delete" => 1
+      case "protect" => 2
+      case _ => 3 // cmd:* and unknown log actions (no-ops)
+    }
+    events.sortBy(e => (e.ts.getTime, phase(e.logAction),
+      e.user, e.delta, e.title)).foreach { e =>
       e.logAction match {
         case null =>
           // A1-A3: a real edit; creates the page if absent (also the
@@ -120,6 +134,12 @@ object TrendStream {
         case "cmd:markSafe" =>
           // Q4 markSafe (index.js:409-411): exempt from speed/idle eviction.
           s = s.map(_.copy(safe = true))
+        case "cmd:unmarkSafe" =>
+          // The reference API's revoke half (markSafe(id, unsafe=true),
+          // index.js:407-411) — without it the streaming control surface
+          // could set the exemption but never lift it, diverging from
+          // the batch TrendCollection.markSafe(id, unsafe = true).
+          s = s.map(_.copy(safe = false))
         case _ =>
           // Unhandled log action (move/block/patrol/...) — ignored; moves
           // are resolved upstream of the keyed operator.
@@ -167,6 +187,16 @@ object TrendStream {
       }
     } else {
       val evs = events.toSeq
+      // Data-path eviction clock: the policy compares EVENT-time state
+      // stamps, so it must not run ahead of the data — catching up a
+      // backlog after downtime with wall-clock nowMs would read every
+      // replayed page as idle/ancient and mass-evict live pages
+      // mid-catch-up. min(wall, newest event) ≈ wall on a live stream
+      // (the reference's cleaner clock) and tracks stream time during
+      // replay (the batch twin's event-time asOf). The TIMER path keeps
+      // pure processing time: an idle page with no events IS the case
+      // the wall-clock cleaner exists for.
+      val dataAsOfMs = math.min(nowMs, evs.map(_.ts.getTime).max)
       applyEvents(state.getOption, evs) match {
         // The data path ALSO applies the cleaner policy when the cleaner
         // is on: a page edited at least once per cleaner interval never
@@ -174,11 +204,11 @@ object TrendStream {
         // check a continuously-active page would outlive maxLifespan
         // indefinitely — the reference cleaner (index.js:362-392) and the
         // batch `survivors` twin both drop on age regardless of activity.
-        // Gated on armTimers because the check compares event-derived
-        // state times against PROCESSING time, which only means something
-        // when the stream is live (finite replays of historical fixtures
-        // run with armTimers=false and exercise `survives` directly).
-        case Some(next) if !armTimers || survives(next, nowMs, cfg) =>
+        // Gated on armTimers: the check is the live cleaner's policy
+        // (at dataAsOfMs — see above), and finite replays of historical
+        // fixtures run with armTimers=false and exercise `survives`
+        // directly.
+        case Some(next) if !armTimers || survives(next, dataAsOfMs, cfg) =>
           state.update(next)
           if (armTimers) state.setTimeoutDuration(cfg.cleanerIntervalSec * 1000)
           Iterator.single(next)
@@ -210,27 +240,26 @@ object TrendStream {
     // null would silently drop the row instead of keeping it).
     val userSafe = coalesce(col("user"), lit(""))
     val commentSafe = coalesce(col("comment"), lit(""))
-    // A6 delete gate, SAME semantics as IncrementalTrend.deleteTargets
-    // (index.js:329-336): a delete log event acts only when log_params is
-    // EMPTY, and the dropped page is the one named in the HTML-entity
+    // A6 delete gate via the SHARED kernel (Classifiers.deleteTargetTitle
+    // — IncrementalTrend.deleteEvents consumes the same one, so the two
+    // paths cannot drift): a delete log event acts only when log_params
+    // is EMPTY, and the dropped page is the one named in the HTML-entity
     // comment pattern — NOT the event's own title. A qualifying delete is
     // re-keyed onto its TARGET id so the keyed operator drops the right
     // state; a non-qualifying one becomes 'log:gated' (ignored), instead
     // of wiping whatever page the event itself was keyed to.
-    val delPattern = "&quot;\\[\\[(.*)\\]\\]&quot;|&quot;(.*)&quot;"
-    val delG1 = regexp_extract(coalesce(col("logActionComment"), lit("")),
-      delPattern, 1)
-    val delG2 = regexp_extract(coalesce(col("logActionComment"), lit("")),
-      delPattern, 2)
-    val delTitle = when(length(delG1) > 0, delG1).otherwise(delG2)
+    val delTitle = deleteTargetTitle(coalesce(col("logActionComment"), lit("")))
     val isDelete = col("logType").isNotNull && col("logAction") === "delete"
-    val delQualifies = isDelete &&
-      (col("logParams").isNull || size(col("logParams")) === 0) &&
+    val delQualifies = isDelete && emptyLogParams(col("logParams")) &&
       length(delTitle) > 0
-    events.toDF()
-      .filter(isArticle(col("namespace")))
-      .filter(projectMatch(col("serverName"), cfg.project))
-      .filter(!isFixup(commentSafe))
+    // The reference pre-dispatch gate via the ONE shared helper (the
+    // IncrementalTrend discipline — an inline restatement here would let
+    // the stream's F1-F3 gate drift from the batch one). Null-ts events
+    // are dropped like every other streaming operator's (round-9 rule):
+    // applyEvents orders by ts, and one malformed wire message would
+    // otherwise NPE the whole query.
+    graft.operators.PageAggregates.referenceGate(events.toDF(), cfg)
+      .filter(col("ts").isNotNull)
       .select(
         when(delQualifies, pageId(col("wiki"), delTitle))
           .otherwise(pageId(col("wiki"), col("title"))).as("id"),

@@ -37,6 +37,34 @@ class TrendStreamSpec extends SparkSpec {
     assert(s.contributors == Seq("Jon") && s.distribution == Map("Jon" -> 1L))
   }
 
+  test("stream update: same-timestamp interleavings apply in a deterministic order (input order irrelevant)") {
+    // The group iterator arrives in shuffle order; a ts-only stable sort
+    // preserved it, so a same-second edit/delete pair (or the
+    // contributors append order) flipped between runs and checkpoint
+    // replays. Phase order within a tick: edits first, then delete,
+    // protect, commands.
+    val edit = ce(user = "A", at = t0)
+    val edit2 = ce(user = "B", at = t0)
+    val del = ce(logAction = "delete", at = t0)
+    for (perm <- Seq(edit, edit2, del).permutations.toSeq) {
+      assert(TrendStream.applyEvents(Some(empty()), perm).isEmpty,
+        s"edits ride pre-delete state; delete wins the tick: $perm")
+    }
+    val c1 = TrendStream.applyEvents(None, Seq(edit, edit2)).get
+    val c2 = TrendStream.applyEvents(None, Seq(edit2, edit)).get
+    assert(c1.contributors == c2.contributors, "append order must not " +
+      "depend on arrival order")
+  }
+
+  test("stream update: cmd:unmarkSafe revokes the eviction exemption (reference markSafe unsafe=true)") {
+    val marked = TrendStream.applyEvents(Some(empty()),
+      Seq(ce(logAction = "cmd:markSafe", at = t0))).get
+    assert(marked.safe)
+    val revoked = TrendStream.applyEvents(Some(marked),
+      Seq(ce(logAction = "cmd:unmarkSafe", at = ts("2024-01-01 00:01:00")))).get
+    assert(!revoked.safe)
+  }
+
   test("stream update: bot edits count nowhere (tests.js:80-95)") {
     val s = TrendStream.applyEvents(Some(empty()), Seq(ce(isBot = true))).get
     assert(s.edits == 0 && s.bytesChanged == 0 && s.contributors.isEmpty)
@@ -146,6 +174,29 @@ class TrendStreamSpec extends SparkSpec {
     assert(!TrendStream.survives(s, ts("2024-01-02 01:00:00").getTime, cfg))
   }
 
+  test("eviction: backlog catch-up does not mass-evict — the data-path clock tracks event time") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    // Recovery after an outage: wall-clock nowMs is 3 days past the
+    // event stream, but the page is ACTIVE in stream time (edited one
+    // minute after its last state stamp). With the old wall-clock
+    // data-path policy the replayed state read as >maxInactivity idle
+    // and was evicted mid-catch-up; the clock is min(wall, newest
+    // event), so live streams keep the reference cleaner's semantics.
+    val live = stateAt("2024-01-01 00:00:00", "2024-01-01 01:00:00",
+      edits = 1000) // fast page, 1 h old in EVENT time
+    val wallMs = ts("2024-01-04 00:00:00").getTime // 3-day outage
+    val st = TestGroupState.create[PageState](
+      org.apache.spark.api.java.Optional.of(live),
+      GroupStateTimeout.ProcessingTimeTimeout(), wallMs,
+      org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    val out = TrendStream.updateFn(cfg, armTimers = true)(
+      "Foo", Iterator(ce(at = ts("2024-01-01 01:01:00"))), st).toSeq
+    assert(out.nonEmpty && !st.isRemoved,
+      "an actively-edited page must survive backlog replay")
+    assert(out.head.edits == 1001L)
+  }
+
   test("eviction: data path drops an ACTIVE page past maxLifespan when the cleaner is on") {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     // A page edited every few seconds never goes idle long enough for its
@@ -182,6 +233,19 @@ class TrendStreamSpec extends SparkSpec {
       at: Timestamp = t0): RecentChange =
     RecentChange(title, comment, 0, user, bot, rcType, lengthOld, lengthNew,
       wiki, "en.wikipedia.org", null, null, null, null, at)
+
+  test("classify drops a null-ts wire event instead of NPE-killing the query") {
+    // A recentchange message missing meta.dt decodes to ts = null;
+    // applyEvents orders by ts, so without the classify guard one
+    // malformed message crashed the whole stream (round-9 null-ts rule).
+    val events = Seq(
+      rc(title = "Foo", at = t0),
+      rc(title = "Foo", user = "Eve", at = null))
+    val snap = TrendStream.replayToSnapshot(spark, events,
+      queryName = "trend_null_ts")
+    assert(snap.map(_.id) == Seq("Foo"))
+    assert(snap.head.edits == 1L && snap.head.contributors == Seq("Jon"))
+  }
 
   test("MemoryStream replay equals batch aggregation (SURVEY §2.3 identity)") {
     // A deterministic pseudo-random mix over 3 pages / 6 editors incl.
