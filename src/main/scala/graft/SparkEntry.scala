@@ -539,6 +539,13 @@ object SparkEntry {
     "doc_dup_clusters" -> ((s, dir) =>
       Dedup.minhashClusters(t(s, dir, "documents"))),
 
+    // SoftDeDup: duplication DOWNWEIGHT instead of removal — every doc
+    // kept with weight_ppm = 1e6 DIV cluster size, so a boilerplate
+    // family carries one document's worth of sampling mass (integer
+    // floor division, exact cross-engine).
+    "doc_soft_dedup" -> ((s, dir) =>
+      Dedup.minhashSoftDedup(t(s, dir, "documents"))),
+
     // Keep-BEST canonical selection: each near-dup cluster keeps its
     // highest-quality member (ties -> smallest doc_id) instead of the
     // min-id convention — at sf0.01 the quality argmax disagrees with
@@ -644,12 +651,50 @@ object SparkEntry {
       Curation.gopherQuality(planted)
     }),
 
+    // C4 line-level cleanup (Raffel et al. 2020 §2.2) with PLANTED
+    // multi-line pages (the doc_pii_scrub pattern): the synthetic corpus
+    // is single-line with no terminal punctuation, so unplanted every
+    // column would hash-verify a constant. Every 9th doc becomes a page
+    // mixing good sentences, a short line, and a javascript line; the
+    // coprime sub-cycles (%5 lorem, %4 brace, %2 a third good sentence)
+    // make every output column — including the composite page_keep —
+    // genuinely vary at sf0.01.
+    "doc_c4_rules" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 9 === 0,
+          concat(
+            lit("A good first sentence with doc "),
+            col("doc_id").cast("string"), lit(" inside."),
+            lit("\nshort line"),
+            lit("\nPlease enable javascript to view this content today."),
+            when(col("doc_id") % 5 === 0,
+              lit("\nLorem Ipsum dolor sit amet sample filler."))
+              .otherwise(lit("")),
+            when(col("doc_id") % 4 === 0,
+              lit("\nvar config = { mode: 1 };")).otherwise(lit("")),
+            lit("\nAnother good sentence number "),
+            (col("doc_id") % 100).cast("string"), lit(" ends here!"),
+            when(col("doc_id") % 2 === 0,
+              lit("\nA third quality sentence rounds out the page?"))
+              .otherwise(lit(""))))
+          .otherwise(col("text")))
+      Curation.c4Rules(planted)
+    }),
+
     // Deterministic md5-coin stratified sampling (per-language rates).
     // Exactly-k uniform sample: smallest-k deterministic md5 coins —
     // the reservoir-sample equivalent, reproducible cross-engine; plans
     // as TakeOrderedAndProject (plan-locked), never a global sort.
     "doc_uniform_sample" -> ((s, dir) =>
       Curation.uniformSample(t(s, dir, "documents"), k = 100)),
+
+    // WEIGHTED priority sample: integer 60-bit coin DIV weight, k
+    // smallest — inclusion odds scale with the weight (n_chars here:
+    // a length-proportional draw); same TakeOrderedAndProject shape as
+    // the uniform sampler, exact integer arithmetic end to end.
+    "doc_weighted_sample" -> ((s, dir) =>
+      Curation.weightedSample(t(s, dir, "documents"), k = 100,
+        weight = col("n_chars"))),
 
     "doc_stratified_sample" -> ((s, dir) =>
       Curation.stratifiedSample(t(s, dir, "documents"))),
@@ -2521,6 +2566,52 @@ object SparkEntry {
          LEFT JOIN top3 ON m.doc_id = top3.doc_id
          LEFT JOIN top4 ON m.doc_id = top4.doc_id""",
 
+    // C4 line rules: the planting CASE is the Spark plant verbatim
+    // (chr(10) = the lit("\n") separators); line filter = terminal
+    // punctuation + >= 5 words + no "javascript" on the TRIMMED line,
+    // page flags on the raw text.
+    "doc_c4_rules" ->
+      """WITH pd AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 9 = 0 THEN
+               'A good first sentence with doc ' || CAST(doc_id AS VARCHAR)
+               || ' inside.'
+               || chr(10) || 'short line'
+               || chr(10) || 'Please enable javascript to view this content today.'
+               || CASE WHEN doc_id % 5 = 0
+                    THEN chr(10) || 'Lorem Ipsum dolor sit amet sample filler.'
+                    ELSE '' END
+               || CASE WHEN doc_id % 4 = 0
+                    THEN chr(10) || 'var config = { mode: 1 };' ELSE '' END
+               || chr(10) || 'Another good sentence number '
+               || CAST(doc_id % 100 AS VARCHAR) || ' ends here!'
+               || CASE WHEN doc_id % 2 = 0
+                    THEN chr(10) || 'A third quality sentence rounds out the page?'
+                    ELSE '' END
+             ELSE text END AS text
+           FROM documents),
+         b AS (SELECT doc_id, coalesce(text, '') AS t FROM pd),
+         l AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM b),
+         k AS (
+           SELECT doc_id, t, lines,
+             list_filter(lines, x ->
+               regexp_matches(trim(x), '[.!?"]$')
+               AND len(list_filter(string_split_regex(trim(x), '\s+'),
+                     w -> w <> '')) >= 5
+               AND NOT contains(lower(trim(x)), 'javascript')) AS kept
+           FROM l)
+         SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           contains(lower(t), 'lorem ipsum') AS has_lorem,
+           contains(t, '{') AS has_brace,
+           len(kept) >= 3 AND NOT contains(lower(t), 'lorem ipsum')
+             AND NOT contains(t, '{') AS page_keep,
+           -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+           -- array_join([]) is '' — the empty page must hash as ''.
+           md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+         FROM k""",
+
     // doc_id IS NOT NULL mirrors the operator's null-id guard (a NULL
     // coin would sort first and occupy sample slots on a dirty regen).
     "doc_uniform_sample" ->
@@ -2528,6 +2619,25 @@ object SparkEntry {
          FROM documents
          WHERE doc_id IS NOT NULL
          ORDER BY coin, doc_id
+         LIMIT 100""",
+
+    // Weighted priority sample: integer 60-bit coin (15 md5 hex chars via
+    // the positional-arithmetic fold the fingerprint oracles use) DIV
+    // weight, k smallest; the operator's null-id and non-positive-weight
+    // guards mirrored.
+    "doc_weighted_sample" ->
+      """WITH w AS (
+           SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+             CAST(list_sum(list_transform(generate_series(1, 15),
+               i -> CAST(strpos('0123456789abcdef',
+                      substr(md5('ws:0:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1
+                    AS BIGINT) * CAST(pow(16, 15 - i) AS BIGINT))) AS BIGINT)
+               AS coin
+           FROM documents
+           WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0)
+         SELECT doc_id, weight, coin // weight AS priority
+         FROM w
+         ORDER BY priority, doc_id
          LIMIT 100""",
 
     "doc_stratified_sample" ->
@@ -4148,6 +4258,22 @@ object SparkEntry {
          SELECT d.doc_id,
            CAST(coalesce(least(c.doc_id, c.minb), d.doc_id) AS BIGINT) AS cluster
          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""",
+
+    // SoftDeDup: the cluster chain verbatim, then weight_ppm = 1e6 DIV
+    // cluster size (integer floor division — exact on any engine). The
+    // IS NOT DISTINCT FROM join mirrors the operator's null-safe key (a
+    // NULL-id doc carries cluster NULL through the family).
+    "doc_soft_dedup" ->
+      s"""WITH RECURSIVE $minhashClusterCtesSql,
+         cl AS (
+           SELECT d.doc_id,
+             CAST(coalesce(least(c.doc_id, c.minb), d.doc_id) AS BIGINT) AS cluster
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+         sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csize
+                FROM cl GROUP BY cluster)
+         SELECT cl.doc_id, cl.cluster AS cluster, sz.csize,
+           CAST(1000000 // sz.csize AS BIGINT) AS weight_ppm
+         FROM cl JOIN sz ON cl.cluster IS NOT DISTINCT FROM sz.cluster""",
 
     // Keep-best canonical selection: the doc_dup_clusters chain verbatim,
     // then per-cluster argmax on the (unplanted) doc_quality score —

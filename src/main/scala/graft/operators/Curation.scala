@@ -192,6 +192,63 @@ object Curation {
         share("top4") <= maxTop4GramShare).as("keep"))
   }
 
+  /** A line must carry at least this many whitespace words to survive the
+    * C4 line filter (Raffel et al. 2020 §2.2: "only retained lines that
+    * ... contained at least 5 words").
+    */
+  val C4MinLineWords: Int = 5
+
+  /** A page must keep at least this many lines to survive the C4 page
+    * filter (the paper discards pages with fewer than 3 sentences; this
+    * adaptation counts SURVIVING lines, the unit the line filter already
+    * established).
+    */
+  val C4MinKeptLines: Int = 3
+
+  /** C4-style line-level cleanup (Raffel et al. 2020 §2.2 — the public
+    * C4 heuristics, the complement to [[gopherQuality]]'s page-level
+    * statistics): a LINE survives iff, after trimming, it ends in
+    * terminal punctuation (`.`/`!`/`?`/`"`), carries at least
+    * [[C4MinLineWords]] whitespace words, and does not mention
+    * "javascript" (case-folded); a PAGE survives iff at least
+    * [[C4MinKeptLines]] lines survive and the raw text contains neither
+    * "lorem ipsum" (case-folded) nor a curly brace. Output per document:
+    * the line counts, the page flags, the composite verdict, and the md5
+    * of the cleaned text (surviving lines re-joined with newlines) so
+    * the reconstruction itself is hash-verified.
+    *
+    * Omitted C4 stages, deliberately: the bad-words list (a specific
+    * blocklist artifact, not an algorithm) and the three-sentence-span
+    * dedup (subsumed by [[TextAnalysis.exactSubstrSpans]], the stronger
+    * suffix-style form).
+    *
+    * Scale shape: map-only — the line split and every rule are per-row
+    * array folds (HOF `filter` over the split, no explode, no exchange
+    * anywhere; plan-locked). At 100 TB this runs at scan speed alongside
+    * the other page gates (gopher/quality/pii), exactly how C4 ran it.
+    */
+  def c4Rules(docs: DataFrame): DataFrame = {
+    val text = coalesce(col("text"), lit(""))
+    val lines = split(text, "\n")
+    val keptLines = filter(lines, l => {
+      val t = trim(l)
+      t.rlike("[.!?\"]$") &&
+        size(filter(split(t, "\\s+"), w => w =!= lit(""))) >= C4MinLineWords &&
+        !lower(t).contains("javascript")
+    })
+    val nKept = size(keptLines).cast("long")
+    val hasLorem = lower(text).contains("lorem ipsum")
+    val hasBrace = text.contains("{")
+    docs.select(
+      col("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      nKept.as("n_kept"),
+      hasLorem.as("has_lorem"),
+      hasBrace.as("has_brace"),
+      (nKept >= C4MinKeptLines && !hasLorem && !hasBrace).as("page_keep"),
+      md5(array_join(keptLines, "\n")).as("clean_md5"))
+  }
+
   /** Deterministic stratified sampling: keep a document iff the first two
     * hex chars of md5("sample:" + doc_id) sort below the stratum's
     * threshold — a seeded per-row coin with 1/256 rate resolution that any
@@ -235,6 +292,41 @@ object Curation {
         md5(concat(lit(s"us:$seed:"), col("doc_id").cast("string")))
           .as("coin"))
       .orderBy(col("coin"), col("doc_id"))
+      .limit(k)
+  }
+
+  /** WEIGHTED priority sample — the importance-weighted companion to
+    * [[uniformSample]] (exactly-k where a document's inclusion odds scale
+    * with a per-document weight: length-proportional eval draws,
+    * quality-tilted audit sets). Each document draws a uniform 60-bit
+    * integer coin (15 md5 hex chars — the [[TextAnalysis]] gram-hash
+    * width) and a PRIORITY = `coin DIV weight`; the k smallest
+    * priorities win. Doubling a weight halves the expected priority and
+    * — for weights far below the 2^60 coin range — doubles the inclusion
+    * odds: the classic priority-sampling scheme (Duffield et al.), made
+    * hash-reproducible. Integer coin, integer floor division, no floats:
+    * same seed + corpus ⇒ the same sample on any engine, exactly.
+    *
+    * Rows with NULL doc_id (no identity — [[uniformSample]]'s rule) or
+    * NULL/non-positive weight (no mass; would also divide by zero) are
+    * not sampleable and are dropped up front; the oracle mirrors both.
+    *
+    * Scale (100 TB): TakeOrderedAndProject — per-partition top-k, k-row
+    * driver-side merge, never a global sort (plan-locked with
+    * [[uniformSample]]).
+    */
+  def weightedSample(docs: DataFrame, k: Int, weight: Column,
+      seed: Long = 0L): DataFrame = {
+    require(k >= 1, s"sample size k=$k must be positive")
+    docs.where(col("doc_id").isNotNull)
+      .select(col("doc_id"), weight.cast("long").as("weight"),
+        conv(substring(md5(concat(lit(s"ws:$seed:"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long").as("__coin"))
+      .where(col("weight").isNotNull && col("weight") > 0)
+      .select(col("doc_id"), col("weight"),
+        expr("__coin DIV weight").as("priority"))
+      .orderBy(col("priority"), col("doc_id"))
       .limit(k)
   }
 

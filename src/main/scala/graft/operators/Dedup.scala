@@ -644,6 +644,47 @@ object Dedup {
       threshold: Double = 0.5): DataFrame =
     keepBestByQuality(docs, minhashClusters(docs, n, threshold))
 
+  /** SoftDeDup: per-document duplication DOWNWEIGHT instead of removal —
+    * every document stays in the corpus but carries a training weight of
+    * `1 / |cluster|`, so a boilerplate family of 40 near-identical pages
+    * contributes one document's worth of sampling mass rather than 40.
+    * The soft alternative to the hard keep-one policies ([[dupClusters]]
+    * min-id, [[keepBestByQuality]] argmax): down-weighting preserves
+    * coverage of a template's content variants while removing its
+    * frequency bias, which is what a training-mix builder usually wants
+    * for NEAR duplicates (exact duplicates still warrant removal).
+    *
+    * Output: (doc_id, cluster, csize, weight_ppm) for EVERY document;
+    * singletons carry weight_ppm = 1e6, a cluster of 3 carries 333333.
+    * `weight_ppm = 1e6 DIV csize` — integer floor division, exact on any
+    * engine, no float ratio anywhere.
+    *
+    * Scale shape: ONE aggregation keyed on cluster (output rows =
+    * clusters) and one join back on the same cluster key — identical to
+    * [[keepBestByQuality]]'s selection pass, so the dominant cost stays
+    * in the cluster construction the pipeline already ran. The cluster
+    * table is barriered because both the size aggregation and the final
+    * join read it and its upstream is the CC chain (the two cluster-keyed
+    * exchanges differ, so ReuseExchange cannot collapse a re-execution).
+    */
+  def softDedupWeights(clusters: DataFrame): DataFrame = {
+    val cl = clusters.barrier()
+    val sizes = cl.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("csize"))
+    // Null-safe join key (the packAssignments lesson): a NULL-id document
+    // carries cluster NULL through the cluster family, and a plain
+    // equi-join would silently drop every such row from the weight table.
+    cl.join(sizes.withColumnRenamed("cluster", "__scl"),
+        col("cluster") <=> col("__scl"))
+      .select(col("doc_id"), col("cluster"), col("csize"),
+        expr("1000000 DIV csize").cast("long").as("weight_ppm"))
+  }
+
+  /** [[softDedupWeights]] over the MinHash near-dup clusters. */
+  def minhashSoftDedup(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.5): DataFrame =
+    softDedupWeights(minhashClusters(docs, n, threshold))
+
   /** LEAKAGE-SAFE train/val/test assignment over a cluster table: the
     * split coin is drawn on the CLUSTER id, not the document, so every
     * member of a near-dup cluster lands in the same split by

@@ -1310,6 +1310,103 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(out(5L) == ((4L, false)))
   }
 
+  test("softDedupWeights: weight_ppm = 1e6 DIV cluster size; null-id row survives the null-safe join") {
+    val clusters = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (null, null))
+      .toDF("doc_id", "cluster")
+    val out = Dedup.softDedupWeights(clusters).collect()
+      .map(r => Option(r.getAs[java.lang.Long]("doc_id")).map(_.toLong) ->
+        ((r.getAs[Long]("csize"), r.getAs[Long]("weight_ppm")))).toMap
+    assert(out.size == 5)
+    assert(out(Some(1L)) == ((3L, 333333L)))
+    assert(out(Some(2L)) == ((3L, 333333L)))
+    assert(out(Some(3L)) == ((3L, 333333L)))
+    assert(out(Some(4L)) == ((1L, 1000000L)))
+    // The NULL-id doc carries cluster NULL; a plain equi-join would have
+    // dropped it — the null-safe key keeps it (weight of a 1-row group).
+    assert(out(None) == ((1L, 1000000L)))
+  }
+
+  test("minhashSoftDedup: near-dup family shares one doc's worth of mass; singleton keeps 1e6") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "the quick brown fox jumps over the lazy dog",
+      4L -> "completely different words entirely here now today")
+    val w = Dedup.minhashSoftDedup(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("weight_ppm")).toMap
+    assert(w == Map(1L -> 333333L, 2L -> 333333L, 3L -> 333333L,
+      4L -> 1000000L))
+  }
+
+  test("c4Rules: line filter (terminal punct, >=5 words, javascript) and page flags (lorem, brace, >=3 kept)") {
+    val good1 = "This line is long enough to survive."
+    val good2 = "A second good line ends with a bang!"
+    val good3 = "A third good line closes out the page?"
+    val d = Seq[(java.lang.Long, String)](
+      // 3 good lines + a short line + an unpunctuated line + a js line.
+      (1L, s"$good1\nshort one.\nNo terminal punct here at all\n" +
+        s"Please enable javascript to continue reading now.\n$good2\n$good3"),
+      // Good lines but the page mentions Lorem IPSUM (case-folded flag).
+      (2L, s"$good1\n$good2\n$good3\nLorem IPSUM dolor sit amet today."),
+      // Good lines but a brace anywhere kills the page.
+      (3L, s"$good1\n$good2\n$good3\nvar x = { a: 1 };"),
+      // Only two survivors: below the 3-kept page threshold.
+      (4L, s"$good1\n$good2"),
+      (5L, null)).toDF("doc_id", "text")
+    val out = Curation.c4Rules(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(out(1L).getAs[Long]("n_lines") == 6L)
+    assert(out(1L).getAs[Long]("n_kept") == 3L)
+    assert(out(1L).getAs[Boolean]("page_keep"))
+    assert(out(1L).getAs[String]("clean_md5") ==
+      md5hex(s"$good1\n$good2\n$good3"))
+    // The lorem line itself passes the LINE filter (punct + words) — page
+    // flag and line filter are decoupled — but the PAGE is rejected.
+    assert(out(2L).getAs[Long]("n_kept") == 4L)
+    assert(out(2L).getAs[Boolean]("has_lorem") && !out(2L).getAs[Boolean]("page_keep"))
+    assert(out(3L).getAs[Boolean]("has_brace") && !out(3L).getAs[Boolean]("page_keep"))
+    assert(out(4L).getAs[Long]("n_kept") == 2L && !out(4L).getAs[Boolean]("page_keep"))
+    // Null text ≡ empty page: one (empty) line, zero kept, md5("").
+    assert(out(5L).getAs[Long]("n_lines") == 1L)
+    assert(out(5L).getAs[Long]("n_kept") == 0L)
+    assert(out(5L).getAs[String]("clean_md5") == md5hex(""))
+  }
+
+  test("weightedSample: matches the integer brute force; weight-monotone; guards nulls and zero weights") {
+    import org.apache.spark.sql.functions.col
+    val rows = (1L to 60L).map(i => (i, s"doc $i", i % 7 + 1L)) ++
+      Seq((61L, "zero weight", 0L))
+    val d = rows.toDF("doc_id", "text", "w")
+    val got = Curation.weightedSample(d, 10, col("w")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("weight"),
+        r.getAs[Long]("priority")))
+    assert(got.length == 10)
+    // Brute force: 60-bit integer coin from the first 15 md5 hex chars,
+    // floor-divided by the weight; k smallest (priority, doc_id).
+    def coin(id: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"ws:0:$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15), 16)
+    val expect = (1L to 60L).map { i =>
+      val w = i % 7 + 1L; (i, w, coin(i) / w)
+    }.sortBy(t => (t._3, t._1)).take(10)
+    assert(got.sortBy(t => (t._3, t._1)).toSeq == expect)
+    // Zero-weight (and null-id) rows are not sampleable even at full k.
+    assert(!Curation.weightedSample(d, 61, col("w")).collect()
+      .exists(_.getAs[Long]("doc_id") == 61L))
+    // A dominant weight forces inclusion: priority ~ coin/1e12 beats any
+    // unit-weight coin by ~12 orders of magnitude.
+    val heavy = d.union(Seq((99L, "heavy", 1000000000000L))
+      .toDF("doc_id", "text", "w"))
+    val top1 = Curation.weightedSample(heavy, 1, col("w")).collect()
+    assert(top1.head.getAs[Long]("doc_id") == 99L)
+  }
+
   test("temperatureMixPlan: min language keeps 1.0; tau=2 is sqrt, tau=inf is the ratio") {
     val d = Seq(
       (1L, "en", (1 to 16).map(_ => "tok").mkString(" ")),

@@ -159,6 +159,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!physical("doc_gopher_quality").contains("Exchange"))
   }
 
+  test("doc_c4_rules: map-only, zero exchanges — every rule is a per-row array fold") {
+    // The C4 line filter must stay a HOF filter over the line split (no
+    // explode, no shuffle); an Exchange here means a refactor turned a
+    // per-row fold into a distributed pass.
+    assert(!physical("doc_c4_rules").contains("Exchange"))
+  }
+
+  test("doc_weighted_sample: priority top-k plans as TakeOrderedAndProject, never a global sort") {
+    val p = physical("doc_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
   test("doc_exact_substr: anchor join is hash-based; no nested loop or cartesian") {
     val p = physical("doc_exact_substr")
     assert(!p.contains("CartesianProduct"), p.take(2000))
