@@ -2591,11 +2591,14 @@ object SparkEntry {
              ELSE text END AS text
            FROM documents),
          b AS (SELECT doc_id, coalesce(text, '') AS t FROM pd),
-         l AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM b),
+         -- \r?\n like the operator: CRLF corpora split to \r-free lines
+         l AS (SELECT doc_id, t, string_split_regex(t, '\r?\n') AS lines FROM b),
          k AS (
            SELECT doc_id, t, lines,
+             -- last-char set test, not a $-anchored regex (Java vs RE2
+             -- disagree on $ before a trailing \r — the operator comment)
              list_filter(lines, x ->
-               regexp_matches(trim(x), '[.!?"]$')
+               right(trim(x), 1) IN ('.', '!', '?', '"')
                AND len(list_filter(string_split_regex(trim(x), '\s+'),
                      w -> w <> '')) >= 5
                AND NOT contains(lower(trim(x)), 'javascript')) AS kept

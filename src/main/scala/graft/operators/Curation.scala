@@ -229,10 +229,18 @@ object Curation {
     */
   def c4Rules(docs: DataFrame): DataFrame = {
     val text = coalesce(col("text"), lit(""))
-    val lines = split(text, "\n")
+    // \r?\n: a CRLF corpus must split to \r-free lines, or every rule
+    // downstream (the last-char test, the word count, the rebuilt clean
+    // text) silently treats the \r as content.
+    val lines = split(text, "\r?\n")
     val keptLines = filter(lines, l => {
       val t = trim(l)
-      t.rlike("[.!?\"]$") &&
+      // Last-char set test, NOT a `$`-anchored regex: Java's `$` matches
+      // BEFORE a final line terminator while RE2's is end-of-text, so a
+      // CRLF corpus (lines ending "\r" after the \n split) would keep
+      // the line here and drop it in the oracle. substring(-1) has one
+      // cross-engine meaning.
+      substring(t, -1, 1).isin(".", "!", "?", "\"") &&
         size(filter(split(t, "\\s+"), w => w =!= lit(""))) >= C4MinLineWords &&
         !lower(t).contains("javascript")
     })
@@ -318,8 +326,20 @@ object Curation {
   def weightedSample(docs: DataFrame, k: Int, weight: Column,
       seed: Long = 0L): DataFrame = {
     require(k >= 1, s"sample size k=$k must be positive")
+    // A fractional weight column (quality scores live in [0, 1] here)
+    // would TRUNCATE to 0 under a bare long cast, and the non-positive-
+    // weight guard below would then return an EMPTY sample with no error.
+    // Scale fractional weights to integer micro-units first (IEEE
+    // multiply + floor — deterministic, so the draw stays reproducible).
+    // (FractionalType itself is private[sql] in Spark 4 — enumerate.)
+    import org.apache.spark.sql.types.{DoubleType, FloatType, DecimalType}
+    val w = docs.select(weight.as("__w")).schema.head.dataType match {
+      case DoubleType | FloatType | _: DecimalType =>
+        floor(weight * lit(1e6)).cast("long")
+      case _ => weight.cast("long")
+    }
     docs.where(col("doc_id").isNotNull)
-      .select(col("doc_id"), weight.cast("long").as("weight"),
+      .select(col("doc_id"), w.as("weight"),
         conv(substring(md5(concat(lit(s"ws:$seed:"),
           col("doc_id").cast("string"))), 1, 15), 16, 10)
           .cast("long").as("__coin"))

@@ -302,7 +302,11 @@ object PageAggregates {
     * plan — but guard it: past this cap the log is likely a move-flood and
     * the broadcast itself becomes the hazard.
     */
-  val MoveLogWarnThreshold: Int = 1 << 20
+  // Must sit BELOW MaxLogOps: the warn is the early tier of a two-tier
+  // guard (warn at 64k that the driver-side structures are growing, hard
+  // require at 512k). The original 1<<20 value was unreachable once the
+  // hard cap landed at 1<<19 — a warn that can never fire is dead code.
+  val MoveLogWarnThreshold: Int = 1 << 16
 
   /** Hard limit-before-collect bound on driver-side log-op collects —
     * shared by the batch chain collapse here and the incremental fold's

@@ -83,8 +83,16 @@ object TrendStream {
       case "protect" => 2
       case _ => 3 // cmd:* and unknown log actions (no-ops)
     }
-    events.sortBy(e => (e.ts.getTime, phase(e.logAction),
-      e.user, e.delta, e.title)).foreach { e =>
+    // Null-coalesced strings: the tuple Ordering compares with
+    // String.compareTo, and a null title/user (a rev-deleted field the
+    // wire can carry) would NPE the whole query the moment earlier
+    // fields tie. logAction itself is IN the key — two same-tick phase-3
+    // commands (markSafe vs unmarkSafe, drop vs markSafe) share every
+    // other field, and omitting it would leave exactly the shuffle-order
+    // coin this sort exists to remove.
+    def ns(x: String): String = if (x == null) "" else x
+    events.sortBy(e => (e.ts.getTime, phase(e.logAction), ns(e.logAction),
+      ns(e.user), e.delta, ns(e.title))).foreach { e =>
       e.logAction match {
         case null =>
           // A1-A3: a real edit; creates the page if absent (also the
@@ -193,9 +201,16 @@ object TrendStream {
       // replayed page as idle/ancient and mass-evict live pages
       // mid-catch-up. min(wall, newest event) ≈ wall on a live stream
       // (the reference's cleaner clock) and tracks stream time during
-      // replay (the batch twin's event-time asOf). The TIMER path keeps
-      // pure processing time: an idle page with no events IS the case
-      // the wall-clock cleaner exists for.
+      // replay (the batch twin's event-time asOf). The TIMER path stays
+      // pure processing time BY DESIGN: a key with no events for a full
+      // cleaner interval of wall time is the case the wall-clock cleaner
+      // exists for, and the reference itself is a wall-clock setInterval
+      // cleaner — under a slow catch-up it would evict the same pages.
+      // (A stream-time timer clock would need a cross-key high-watermark,
+      // which fgws has no channel for without arming a query watermark;
+      // the bounded residual risk is a replay whose inter-batch wall gap
+      // exceeds cleanerIntervalSec — pages evicted there are recreated by
+      // their next replayed edit with reset counters.)
       val dataAsOfMs = math.min(nowMs, evs.map(_.ts.getTime).max)
       applyEvents(state.getOption, evs) match {
         // The data path ALSO applies the cleaner policy when the cleaner
@@ -294,16 +309,21 @@ object TrendStream {
     import graft.functions.Classifiers._
     val spark = cmds.sparkSession
     import spark.implicits._
-    cmds.toDF().select(
-      pageId(col("wiki"), col("title")).as("id"),
-      col("title"),
-      wikiOf(col("wiki")).as("wiki"),
-      lit("").as("user"),
-      lit(false).as("isBot"), lit(false).as("isRevert"),
-      lit(false).as("isAnon"), lit(false).as("isNew"),
-      lit(0L).as("notab"), lit(0L).as("volat"), lit(0L).as("delta"),
-      concat(lit("cmd:"), col("action")).as("logAction"),
-      col("ts")).as[ClassifiedEvent]
+    cmds.toDF()
+      // Same null-ts rule as classify: applyEvents orders by ts, and one
+      // malformed command row would otherwise NPE the whole query — the
+      // guard must cover BOTH legs of the union.
+      .filter(col("ts").isNotNull)
+      .select(
+        pageId(col("wiki"), col("title")).as("id"),
+        col("title"),
+        wikiOf(col("wiki")).as("wiki"),
+        lit("").as("user"),
+        lit(false).as("isBot"), lit(false).as("isRevert"),
+        lit(false).as("isAnon"), lit(false).as("isNew"),
+        lit(0L).as("notab"), lit(0L).as("volat"), lit(0L).as("delta"),
+        concat(lit("cmd:"), col("action")).as("logAction"),
+        col("ts")).as[ClassifiedEvent]
   }
 
   /** Build the full streaming pipeline: classify → keyed stateful update.

@@ -1407,6 +1407,39 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(top1.head.getAs[Long]("doc_id") == 99L)
   }
 
+  test("weightedSample: fractional weights scale to micro-units instead of truncating to an empty sample") {
+    import org.apache.spark.sql.functions.col
+    // quality-score-shaped weights in [0, 1]: a bare long cast truncates
+    // every one to 0 and the w>0 guard would return an EMPTY sample with
+    // no error — the fractional path must scale to micro-units first.
+    val d = (1L to 20L).map(i => (i, s"doc $i", i / 100.0))
+      .toDF("doc_id", "text", "q")
+    val got = Curation.weightedSample(d, 5, col("q")).collect()
+    assert(got.length == 5)
+    // The emitted weight IS the micro-unit scaling: floor(q * 1e6).
+    val ws = got.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("weight")).toMap
+    ws.foreach { case (id, w) => assert(w == math.floor(id / 100.0 * 1e6).toLong) }
+  }
+
+  test("c4Rules: CRLF text splits to \\r-free lines — identical verdicts to the LF form") {
+    val lf = Seq[(java.lang.Long, String)](
+      (1L, "This line is long enough to survive.\nshort one.\n" +
+        "A second good line ends with a bang!\nA third good line closes here."))
+      .toDF("doc_id", "text")
+    val crlf = Seq[(java.lang.Long, String)](
+      (1L, "This line is long enough to survive.\r\nshort one.\r\n" +
+        "A second good line ends with a bang!\r\nA third good line closes here."))
+      .toDF("doc_id", "text")
+    val a = Curation.c4Rules(lf).collect().head
+    val b = Curation.c4Rules(crlf).collect().head
+    assert(a.getAs[Long]("n_lines") == 4L && a.getAs[Long]("n_kept") == 3L)
+    assert(b.getAs[Long]("n_lines") == a.getAs[Long]("n_lines"))
+    assert(b.getAs[Long]("n_kept") == a.getAs[Long]("n_kept"))
+    assert(b.getAs[Boolean]("page_keep") && a.getAs[Boolean]("page_keep"))
+    // The rebuilt clean text is \n-joined on both, so the hashes agree.
+    assert(b.getAs[String]("clean_md5") == a.getAs[String]("clean_md5"))
+  }
+
   test("temperatureMixPlan: min language keeps 1.0; tau=2 is sqrt, tau=inf is the ratio") {
     val d = Seq(
       (1L, "en", (1 to 16).map(_ => "tok").mkString(" ")),

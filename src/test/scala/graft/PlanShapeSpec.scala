@@ -437,6 +437,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"), p.take(3000))
   }
 
+  test("softDedupWeights tail: size attach is hash-keyed — no nested loop, no window, no range sort") {
+    // Same kmeansSearchPlan pattern as the keepBest lock: the cluster
+    // loop's localCheckpoints hide the full query, so assert on the
+    // selection tail. The null-safe (<=>) join must still plan hash-based.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val clusters = docs.select(col("doc_id"), (col("doc_id") % 7).as("cluster"))
+    val p = graft.operators.Dedup.softDedupWeights(clusters)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("rangepartitioning"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
   test("emb_decontam: eval book folds to literals — scoring is map-only") {
     // The eval set collapses to literal vector/norm/id arrays at build
     // time, so the corpus pass must carry no exchange and no join of any

@@ -56,6 +56,26 @@ class TrendStreamSpec extends SparkSpec {
       "depend on arrival order")
   }
 
+  test("stream update: same-tick COMMANDS order deterministically (logAction in the key); null fields never NPE the sort") {
+    // markSafe and unmarkSafe at the same ts share every other tie-break
+    // field (phase 3, user "", delta 0) — only logAction separates them,
+    // so omitting it from the sort key left a shuffle-order coin on the
+    // final safe flag. Lexicographic: cmd:markSafe < cmd:unmarkSafe, so
+    // unmark applies second and wins the tick from either arrival order.
+    val mark = ce(logAction = "cmd:markSafe", delta = 0)
+    val unmark = ce(logAction = "cmd:unmarkSafe", delta = 0)
+    for (perm <- Seq(mark, unmark).permutations.toSeq) {
+      val s = TrendStream.applyEvents(Some(empty()), perm).get
+      assert(!s.safe, s"unmark wins the tick under any arrival order: $perm")
+    }
+    // Null user (rev-deleted wire field) on two tied edits: the sort key
+    // must coalesce, not NPE in String.compareTo.
+    val n1 = ce(user = null)
+    val n2 = ce(user = null, delta = 2)
+    val s2 = TrendStream.applyEvents(Some(empty()), Seq(n1, n2)).get
+    assert(s2.bytesChanged == 3L)
+  }
+
   test("stream update: cmd:unmarkSafe revokes the eviction exemption (reference markSafe unsafe=true)") {
     val marked = TrendStream.applyEvents(Some(empty()),
       Seq(ce(logAction = "cmd:markSafe", at = t0))).get
