@@ -1277,6 +1277,24 @@ object SparkEntry {
     "events_retention" -> ((s, dir) =>
       EventAnalytics.cohortRetention(EventAdapter.readEvents(s, dir))),
 
+    // Step-conversion funnel summary: signup -> view -> click -> purchase
+    // within 3 days of the anchor. One shuffle (per-user fold), array-HOF
+    // step chaining, literal-struct unpivot — no per-step log re-scan.
+    // 3 days because the synthetic log is sparse (~1 event / 10 h / user):
+    // 150/105/57/21 users at sf0.01 — all four steps discriminate.
+    "events_funnel_steps" -> ((s, dir) =>
+      EventAnalytics.funnelSteps(EventAdapter.readEvents(s, dir),
+        Seq("signup", "view", "click", "purchase"), windowMinutes = 4320L)),
+
+    // Daily rate-spike report: per (type, UTC day) counts vs the trailing
+    // 7-day mean, integer cross-multiplied compare. 105% fires both
+    // verdict branches at sf0.01 (39/150) AND sf0.1 (19/150) — the
+    // uniform synthetic log has no real spikes, so a production-style
+    // 2x threshold would verify a constant false.
+    "events_rate_anomaly" -> ((s, dir) =>
+      EventAnalytics.rateAnomaly(EventAdapter.readEvents(s, dir),
+        baselineDays = 7, factorPct = 105)),
+
     "events_funnel" -> ((s, dir) => {
       val ev = EventAdapter.readEvents(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -3801,6 +3819,62 @@ object SparkEntry {
            CASE WHEN view_ts IS NOT NULL
                 THEN epoch_us(ts) - epoch_us(view_ts) ELSE -1 END AS funnel_us
          FROM pa""",
+
+    "events_funnel_steps" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         s1 AS (
+           SELECT user_id, min(tsu) AS t1 FROM ev
+           WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (
+           SELECT e.user_id, min(s1.t1) AS t1, min(e.tsu) AS t2
+           FROM ev e JOIN s1 USING(user_id)
+           WHERE e.event_type = 'view' AND e.tsu > s1.t1
+             AND e.tsu <= s1.t1 + 259200000000 GROUP BY 1),
+         s3 AS (
+           SELECT e.user_id, min(s2.t1) AS t1, min(e.tsu) AS t3
+           FROM ev e JOIN s2 USING(user_id)
+           WHERE e.event_type = 'click' AND e.tsu > s2.t2
+             AND e.tsu <= s2.t1 + 259200000000 GROUP BY 1),
+         s4 AS (
+           SELECT e.user_id, min(e.tsu) AS t4
+           FROM ev e JOIN s3 USING(user_id)
+           WHERE e.event_type = 'purchase' AND e.tsu > s3.t3
+             AND e.tsu <= s3.t1 + 259200000000 GROUP BY 1),
+         u AS (
+           SELECT (SELECT count(*) FROM s1) AS u1,
+                  (SELECT count(*) FROM s2) AS u2,
+                  (SELECT count(*) FROM s3) AS u3,
+                  (SELECT count(*) FROM s4) AS u4)
+         SELECT step_idx, step, users,
+           CASE WHEN u1 > 0 THEN users * 1000000 // u1 END AS conv_ppm
+         FROM u, (
+           SELECT CAST(1 AS BIGINT) AS step_idx, 'signup' AS step, u1 AS users FROM u
+           UNION ALL SELECT 2, 'view', u2 FROM u
+           UNION ALL SELECT 3, 'click', u3 FROM u
+           UNION ALL SELECT 4, 'purchase', u4 FROM u)""",
+
+    "events_rate_anomaly" ->
+      """WITH d AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1, 2)
+         SELECT event_type, day, cnt,
+           COALESCE(sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+             RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS base_cnt,
+           CAST(count(cnt) OVER (PARTITION BY event_type ORDER BY day
+             RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS base_days,
+           (count(cnt) OVER (PARTITION BY event_type ORDER BY day
+              RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) > 0
+            AND cnt * count(cnt) OVER (PARTITION BY event_type ORDER BY day
+              RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) * 100
+              > 105 * COALESCE(sum(cnt) OVER (PARTITION BY event_type
+                ORDER BY day RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0))
+             AS is_spike
+         FROM d""",
 
     "q18_big_orders" ->
       """WITH big AS (

@@ -112,6 +112,108 @@ object EventAnalytics {
     * table that BROADCASTS back onto the cell aggregation. The raw event
     * log is scanned once.
     */
+  /** Ordered step-conversion funnel: for each user, the first occurrence
+    * of `steps(0)` anchors the funnel; each later step counts only if it
+    * happens STRICTLY after the previous completed step and within
+    * `windowMinutes` of the anchor (inclusive at the window edge).
+    * Output: one row per step with the users reaching it and the ppm
+    * conversion from step 1 (integer floor division — engine-identical).
+    *
+    * Scale shape: ONE shuffle. Events filter to the step types (pushed
+    * to the scan), fold to one row per user in a single aggregation —
+    * per-step timestamp arrays, bounded by that user's activity on the
+    * funnel's types, the same per-entity-state bound sessionization
+    * carries — and the sequential step mins are higher-order array
+    * expressions inside one projection. The summary is a single-row
+    * aggregate unpivoted through a literal struct array; no joins, no
+    * windows, no per-step re-scan of the log (the k-join formulation
+    * would shuffle the log k−1 times).
+    */
+  def funnelSteps(events: DataFrame, steps: Seq[String],
+      windowMinutes: Long): DataFrame = {
+    require(steps.size >= 2 && steps.size <= 8,
+      s"funnel needs 2..8 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got $steps")
+    require(windowMinutes >= 1, s"windowMinutes=$windowMinutes must be >= 1")
+    val winUs = math.multiplyExact(windowMinutes, 60L * 1000000L)
+    val k = steps.size
+    val ev = events
+      // Same null rule as sessionize, mirrored in the oracle: untimed or
+      // unattributable events can anchor nothing.
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isin(steps: _*))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"))
+    val arrays = steps.zipWithIndex.map { case (st, i) =>
+      // when() without otherwise yields NULL for other types and
+      // collect_list drops NULLs — each array holds exactly step i's
+      // timestamps for the user.
+      collect_list(when(col("event_type") === st, col("tsu"))).as(s"a$i")
+    }
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(arrays.head, arrays.tail: _*)
+    // t0 = anchor; t_i = min step-i ts strictly after t_{i-1} and within
+    // the anchored window. array_min over a filtered array is null on
+    // empty, and a NULL t_{i-1} nulls the lambda predicate, so "missed a
+    // step" propagates forward without branches.
+    val chained = (1 until k).foldLeft(
+      perUser.withColumn("t0", array_min(col("a0")))) { (df, i) =>
+      df.withColumn(s"t$i",
+        array_min(filter(col(s"a$i"), x =>
+          x > col(s"t${i - 1}") && x <= col("t0") + lit(winUs))))
+    }
+    val counts = chained.agg(
+      count(col("t0")).as("u0"),
+      (1 until k).map(i => count(col(s"t$i")).as(s"u$i")): _*)
+    counts.select(col("u0").as("__base"), explode(array(
+        steps.zipWithIndex.map { case (st, i) =>
+          struct(lit((i + 1).toLong).as("step_idx"), lit(st).as("step"),
+            col(s"u$i").as("users"))
+        }: _*)).as("s"))
+      .select(col("s.step_idx"), col("s.step"), col("s.users"),
+        when(col("__base") > 0L,
+          expr("s.users * 1000000 DIV __base")).as("conv_ppm"))
+  }
+
+  /** Daily event-rate spike detection: per (event_type, UTC day) counts
+    * compared against the trailing `baselineDays`-day mean, flagged when
+    * `cnt` exceeds `factorPct`% of that mean. The compare is the integer
+    * cross-multiplication `cnt · base_days · 100 > factorPct · base_cnt`
+    * — no division, no floats, engine-identical by construction. Days
+    * with an empty trailing window (the series head) report
+    * `is_spike = false` with `base_days = 0`, never a null verdict.
+    *
+    * Scale shape: the log folds map-side to (type, day) rows — the only
+    * corpus-sized exchange moves those folded groups — and the trailing
+    * window is a RANGE frame over the tiny daily table, partitioned by
+    * type. Nothing re-scans raw events.
+    */
+  def rateAnomaly(events: DataFrame, baselineDays: Int = 7,
+      factorPct: Int = 200): DataFrame = {
+    require(baselineDays >= 1 && baselineDays <= 365,
+      s"baselineDays=$baselineDays outside [1, 365]")
+    require(factorPct >= 1, s"factorPct=$factorPct must be >= 1")
+    val daily = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      // Integer UTC day — unix_micros DIV 86400e6 floors identically in
+      // both engines (timestamps are non-negative here; to_date would
+      // re-open the DATE hash-representation gap cohortRetention dodged).
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rangeBetween(-baselineDays.toLong, -1L)
+    daily
+      .withColumn("base_cnt", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("base_days", count(col("cnt")).over(w))
+      .withColumn("is_spike",
+        col("base_days") > 0L &&
+          col("cnt") * col("base_days") * lit(100L) >
+            lit(factorPct.toLong) * col("base_cnt"))
+  }
+
   def cohortRetention(events: DataFrame): DataFrame = {
     val activeDays = events
       // NULL user_id rows are droppable up front: a null key can never

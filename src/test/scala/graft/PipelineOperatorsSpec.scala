@@ -1959,6 +1959,96 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(got == expected.toMap)
   }
 
+  test("funnelSteps: matches a brute-force sequential walk on random events") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(31)
+    val steps = Seq("a", "b", "c")
+    val winMin = 30L
+    val events = (1L to 400L).map { i =>
+      (rnd.nextInt(20).toLong, i,
+        new Timestamp(1704067200000L + rnd.nextInt(7200) * 1000L), // 2 h span
+        Seq("a", "b", "c", "x")(rnd.nextInt(4)), 0.0)
+    }
+    // Reference: per user, t1 = min a-ts; t_i = min step-i ts with
+    // t > t_{i-1} and t <= t1 + win (ms grain — fixture has none finer).
+    val winMs = winMin * 60000L
+    val perUser = events.groupBy(_._1).values.map { evs =>
+      def times(st: String) = evs.filter(_._4 == st).map(_._3.getTime)
+      val t1 = times("a").sorted.headOption
+      val t2 = t1.flatMap(a => times("b").filter(t => t > a && t <= a + winMs)
+        .sorted.headOption.map(t => (a, t)))
+      val t3 = t2.flatMap { case (a, b) =>
+        times("c").filter(t => t > b && t <= a + winMs).sorted.headOption }
+      (t1.isDefined, t2.isDefined, t3.isDefined)
+    }.toSeq
+    val u = Seq(perUser.count(_._1).toLong, perUser.count(_._2).toLong,
+      perUser.count(_._3).toLong)
+    val expected = steps.zipWithIndex.map { case (st, i) =>
+      (i + 1L, st) -> ((u(i), if (u(0) > 0) Some(u(i) * 1000000L / u(0)) else None))
+    }.toMap
+    val got = EventAnalytics.funnelSteps(
+        events.toDF("user_id", "event_id", "ts", "event_type", "value"),
+        steps, winMin)
+      .collect().map(r =>
+        (r.getAs[Long]("step_idx"), r.getAs[String]("step")) ->
+          ((r.getAs[Long]("users"),
+            Option(r.getAs[java.lang.Long]("conv_ppm")).map(_.longValue))))
+      .toMap
+    assert(got == expected)
+  }
+
+  test("funnelSteps: window edge inclusive, strict step order, null rows drop") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(1704067200000L + sec * 1000L)
+    val win = 10L // minutes
+    val events = Seq(
+      // user 1: full funnel, step 3 lands EXACTLY at anchor + window.
+      (1L, 1L, ts(0), "s1", 0.0), (1L, 2L, ts(60), "s2", 0.0),
+      (1L, 3L, ts(600), "s3", 0.0),
+      // user 2: s2 arrives BEFORE its s1 anchor — never counts; the later
+      // s3 can't fire without a completed s2.
+      (2L, 4L, ts(100), "s2", 0.0), (2L, 5L, ts(200), "s1", 0.0),
+      (2L, 6L, ts(300), "s3", 0.0),
+      // user 3: s2 shares the anchor's exact timestamp — strict > excludes.
+      (3L, 7L, ts(0), "s1", 0.0), (3L, 8L, ts(0), "s2", 0.0),
+      // user 4: s2 one second past the window — excluded.
+      (4L, 9L, ts(0), "s1", 0.0), (4L, 10L, ts(601), "s2", 0.0),
+      // null user / null ts rows must not anchor or count anything.
+      (0L, 11L, null.asInstanceOf[Timestamp], "s1", 0.0)
+    ).toDF("user_id", "event_id", "ts", "event_type", "value")
+      .union(Seq((null.asInstanceOf[java.lang.Long], 12L, ts(0), "s1", 0.0))
+        .toDF("user_id", "event_id", "ts", "event_type", "value"))
+    val got = EventAnalytics.funnelSteps(events, Seq("s1", "s2", "s3"), win)
+      .collect().map(r => r.getAs[String]("step") ->
+        ((r.getAs[Long]("users"), r.getAs[Long]("conv_ppm")))).toMap
+    // Anchors: users 1,2,3,4 (user 0's s1 has null ts — but user 0 has no
+    // other events, so no anchor at all; the null-user row drops).
+    assert(got("s1") == ((4L, 1000000L)))
+    assert(got("s2") == ((1L, 250000L))) // only user 1
+    assert(got("s3") == ((1L, 250000L))) // edge-inclusive at anchor+win
+  }
+
+  test("rateAnomaly: trailing RANGE window skips missing days; head never flags") {
+    import java.sql.Timestamp
+    def day(d: Int, n: Int) = (1 to n).map { i =>
+      (1L, (d * 100 + i).toLong,
+        new Timestamp(86400000L * (19700 + d) + i * 1000L), "e", 0.0)
+    }
+    // Days 0,1,2 then a gap to day 9: day 9's 3-day baseline window
+    // [6,8] is EMPTY -> base_days 0, is_spike false even at cnt 50.
+    val events = (day(0, 10) ++ day(1, 10) ++ day(2, 30) ++ day(9, 50))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = EventAnalytics.rateAnomaly(events, baselineDays = 3,
+        factorPct = 150)
+      .collect().map(r => r.getAs[Long]("day") - 19700L ->
+        ((r.getAs[Long]("cnt"), r.getAs[Long]("base_cnt"),
+          r.getAs[Long]("base_days"), r.getAs[Boolean]("is_spike")))).toMap
+    assert(got(0L) == ((10L, 0L, 0L, false))) // series head: no baseline
+    assert(got(1L) == ((10L, 10L, 1L, false))) // 10*1*100 <= 150*10
+    assert(got(2L) == ((30L, 20L, 2L, true))) // 30*2*100 > 150*20
+    assert(got(9L) == ((50L, 0L, 0L, false))) // gap emptied the window
+  }
+
   test("winnowing guarantee holds on random doc pairs with planted shared spans") {
     // Property (Schleimer et al.): any shared substring of >= w+k-1
     // tokens yields at least one shared fingerprint. Plant spans of

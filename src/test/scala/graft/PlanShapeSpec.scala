@@ -424,6 +424,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"), p.take(2000))
   }
 
+  test("events_funnel_steps: one per-user fold — no joins, no windows, step filter pushed") {
+    val p = physical("events_funnel_steps")
+    // The k-join formulation would re-shuffle the log per step; the
+    // per-user array fold has NO join node of any kind.
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    // The step-type filter reaches the parquet scan.
+    assert(p.contains("PushedFilters: ["), p.take(3000))
+    assert(!p.contains("PushedFilters: []"), p.take(3000))
+  }
+
+  test("events_rate_anomaly: corpus folds map-side; only daily-table exchanges remain") {
+    val p = physical("events_rate_anomaly")
+    assert(!p.contains("Join"), p.take(3000))
+    // Partial aggregation: raw events never cross an exchange unfolded.
+    assert(p.contains("partial_count"), p.take(3000))
+    assert(!p.contains("rangepartitioning"), p.take(3000))
+  }
+
   test("keepBestByQuality tail: canonical selection is hash-keyed — no nested loop, no cartesian") {
     // The full doc_dedup_keep_best plan hides behind the cluster loop's
     // localCheckpoints; assert on the selection tail directly (the
