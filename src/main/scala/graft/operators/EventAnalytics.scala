@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Batch event-analytics operators over the `events` table: gap-based
   * sessionization and cohort retention — the two standard product-analytics
@@ -174,6 +175,131 @@ object EventAnalytics {
       .select(col("s.step_idx"), col("s.step"), col("s.users"),
         when(col("__base") > 0L,
           expr("s.users * 1000000 DIV __base")).as("conv_ppm"))
+  }
+
+  /** One ingested funnel-step event in the streaming twin. */
+  case class FunnelHit(user_id: Long, step: Int, ts: java.sql.Timestamp,
+      tsu: Long)
+
+  /** One closed funnel: the user's anchor (first step-1 event, µs) and
+    * how many steps completed inside the anchored window.
+    */
+  case class FunnelProgress(user_id: Long, anchor_us: Long,
+      steps_completed: Long)
+
+  /** The batch chain on ONE user's buffered (step, µs) events — the
+    * Scala twin of [[funnelSteps]]' array-HOF fold, shared by the
+    * streaming timeout handler and its spec.
+    */
+  private[graft] def funnelWalk(buf: Seq[(Int, Long)], k: Int,
+      winUs: Long): Option[(Long, Long)] = {
+    def stepTimes(i: Int) = buf.collect { case (`i`, t) => t }
+    val anchor = stepTimes(0).minOption
+    anchor.map { a =>
+      var prev = a
+      var completed = 1L
+      var i = 1
+      var alive = true
+      while (i < k && alive) {
+        stepTimes(i).filter(t => t > prev && t <= a + winUs)
+          .minOption match {
+          case Some(t) => prev = t; completed += 1
+          case None => alive = false
+        }
+        i += 1
+      }
+      (a, completed)
+    }
+  }
+
+  /** Streaming twin of [[funnelSteps]], per-user detail grain: buffers a
+    * user's step events and emits ONE (anchor, steps_completed) row when
+    * the event-time watermark passes the anchored window's close — at
+    * that point every in-window event has arrived (or is contractually
+    * late), so the emitted chain equals the batch fold over the same
+    * events exactly (spec-pinned). Append-mode, exactly-once per user:
+    * after emission the state collapses to an empty-buffer tombstone so
+    * post-window stragglers can never re-anchor a second funnel (the
+    * batch side has one global anchor per user — a re-anchored emission
+    * would diverge from it).
+    *
+    * State bound: per OPEN user, the funnel-type events buffered until
+    * the window closes (out-of-window events are dropped on sight once
+    * an anchor is known); per closed user, an O(1) tombstone.
+    */
+  def funnelStepsStream(events: DataFrame, steps: Seq[String],
+      windowMinutes: Long, delay: String = "1 hour")
+      : Dataset[FunnelProgress] = {
+    require(steps.size >= 2 && steps.size <= 8,
+      s"funnel needs 2..8 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got $steps")
+    require(windowMinutes >= 1, s"windowMinutes=$windowMinutes must be >= 1")
+    val winUs = math.multiplyExact(windowMinutes, 60L * 1000000L)
+    val k = steps.size
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (st, i)) =>
+        when(col("event_type") === st, lit(i)).otherwise(acc)
+      }
+    val hits = events
+      // The streaming twins' null rule: a null ts has no watermark
+      // semantics and a null user_id would kill the non-nullable
+      // FunnelHit encoder — one malformed event must not stop the query.
+      .where(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isin(steps: _*))
+      .select(col("user_id"), stepIdx.as("step"), col("ts"),
+        unix_micros(col("ts")).as("tsu"))
+      .withWatermark("ts", delay)
+      .as[FunnelHit]
+    hits.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[FunnelHit],
+            state: GroupState[Seq[(Int, Long)]]) =>
+          if (state.hasTimedOut) {
+            val buf = state.getOption.getOrElse(Seq.empty)
+            // Tombstone, not remove(): a removed user would re-anchor on
+            // any later step-1 event and emit a second funnel the batch
+            // twin does not have.
+            state.update(Seq.empty)
+            // Timers only arm with an anchor present, so the walk always
+            // emits here; the guard keeps a torn-state replay harmless.
+            funnelWalk(buf, k, winUs).iterator
+              .map { case (a, c) => FunnelProgress(user, a, c) }
+          } else {
+            val prev = state.getOption
+            if (prev.contains(Seq.empty[(Int, Long)])) {
+              // Closed user: drain and ignore — exactly-once emission.
+              rows.foreach(_ => ())
+              Iterator.empty
+            } else {
+              val merged = prev.getOrElse(Seq.empty) ++
+                rows.map(h => (h.step, h.tsu))
+              val anchor = merged.collect { case (0, t) => t }.minOption
+              // With an anchor known, out-of-window events can never
+              // join the chain — drop them NOW so the buffer is bounded
+              // by the window, not by the user's lifetime.
+              val buf = anchor match {
+                case Some(a) => merged.filter(_._2 <= a + winUs)
+                case None => merged
+              }
+              state.update(buf)
+              anchor.foreach { a =>
+                // Fire once the watermark proves the window complete:
+                // close is ms-ceiling of anchor+window so an edge-exact
+                // (µs) event still precedes the timer. A window already
+                // behind the watermark fires at the next tick (wm + 1);
+                // the walk ignores stragglers past the window either way.
+                val closeMs = math.addExact(a, winUs) / 1000L + 1L
+                state.setTimeoutTimestamp(
+                  math.max(closeMs, state.getCurrentWatermarkMs() + 1L))
+              }
+              Iterator.empty
+            }
+          }
+      }
   }
 
   /** Daily event-rate spike detection: per (event_type, UTC day) counts

@@ -2028,6 +2028,62 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(got("s3") == ((1L, 250000L))) // edge-inclusive at anchor+win
   }
 
+  test("funnelStepsStream: emits the batch chain ONCE per user at window close") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    def us(min: Long) = (t0.getTime + min * 60000L) * 1000L
+    val steps = Seq("s1", "s2", "s3")
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val stream = EventAnalytics.funnelStepsStream(
+      ms.toDF().toDF("user_id", "ts", "event_type"), steps,
+      windowMinutes = 10L, delay = "0 seconds")
+    val q = stream.writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(
+        (1L, at(0), "s1"), (1L, at(1), "s2"), (1L, at(5), "s3"), // full chain
+        (2L, at(0), "s1"), (2L, at(15), "s2"), // s2 out of window
+        (3L, at(0), "s2"), // no anchor -> never emits
+        (4L, at(0), "s1"), (4L, at(1), "s3"), (4L, at(2), "s2"))) // s3 precedes s2: chain stops at 2
+      q.processAllAvailable()
+      ms.addData(Seq((99L, at(100), "s1"))) // watermark past every close
+      q.processAllAvailable()
+      // Straggler s1 for the CLOSED user 1 — the tombstone must swallow
+      // it; 98 advances the watermark so u1's timers (if any) would fire.
+      ms.addData(Seq((1L, at(40), "s1"), (98L, at(200), "s1")))
+      q.processAllAvailable()
+      ms.addData(Seq((97L, at(400), "s1"))) // fires 98; 97 stays open
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("funnel_stream").collect().map(r =>
+      (r.getAs[Long]("user_id"), r.getAs[Long]("anchor_us"),
+        r.getAs[Long]("steps_completed"))).toSeq
+    assert(rows.length == rows.distinct.length, rows) // no re-delivery dups
+    assert(rows.count(_._1 == 1L) == 1, rows) // tombstone held off the re-anchor
+    val m = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(1L) == ((us(0), 3L)))
+    assert(m(2L) == ((us(0), 1L)))
+    assert(m(4L) == ((us(0), 2L)))
+    assert(!m.contains(3L)) // anchor-less user never emits
+    assert(m(99L) == ((us(100), 1L)) && m(98L) == ((us(200), 1L)))
+    assert(!m.contains(97L)) // window still open at stream end
+    // Stream-final ≡ batch: the emitted detail aggregates to funnelSteps'
+    // summary over the same (closed-window) users.
+    val batchEvents = Seq(
+      (1L, at(0), "s1"), (1L, at(1), "s2"), (1L, at(5), "s3"),
+      (2L, at(0), "s1"), (2L, at(15), "s2"), (3L, at(0), "s2"),
+      (4L, at(0), "s1"), (4L, at(1), "s3"), (4L, at(2), "s2"))
+      .toDF("user_id", "ts", "event_type")
+    val batch = EventAnalytics.funnelSteps(batchEvents, steps, 10L)
+      .collect().map(r =>
+        r.getAs[Long]("step_idx") -> r.getAs[Long]("users")).toMap
+    val fromStream = (1 to 3).map(i =>
+      i.toLong -> rows.filter(r => r._1 <= 4L && r._3 >= i).size.toLong).toMap
+    assert(fromStream == batch)
+  }
+
   test("rateAnomaly: trailing RANGE window skips missing days; head never flags") {
     import java.sql.Timestamp
     def day(d: Int, n: Int) = (1 to n).map { i =>
