@@ -902,6 +902,22 @@ object SparkEntry {
     "doc_bpe_merges" -> ((s, dir) =>
       Bpe.bpeMerges(s, t(s, dir, "documents"), k = 4)),
 
+    // Tokenizer throughput audit: per-doc subword counts under the
+    // learned 4-round merge table — the budget unit doc_packing_bpe
+    // consumes, surfaced per document with the integer subwords-per-word
+    // ratio. Training folds to literals; the scoring pass is a pure
+    // projection (plan-locked: zero exchanges).
+    "doc_subword_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.trainMerges(docs, 4)
+      docs.select(col("doc_id"),
+          coalesce(size(TextAnalysis.wsTokens(col("text"))).cast("long"),
+            lit(0L)).as("n_words"),
+          Bpe.subwordCount(col("text"), merges).as("n_subwords"))
+        .withColumn("spw_ppm", when(col("n_words") > 0L,
+          expr("n_subwords * 1000000 DIV n_words")).otherwise(lit(0L)))
+    }),
+
     // Per-source quality cap (the no-domain-dominates rule): top-10 docs
     // per source by quality score; WindowGroupLimit bounds the shuffle.
     "doc_source_caps" -> ((s, dir) =>
@@ -2020,7 +2036,12 @@ object SparkEntry {
   // starts (for self-pairs only at EVEN run offsets — the gaps-and-
   // islands `grp` reproduces the left-to-right scan), `prevm` drops the
   // consumed right element. Built programmatically so k stays a knob.
-  private def bpeMergesSql(k: Int): String = {
+  /** The BPE training replay as a WITH-body fragment: the word table
+    * (w0) plus k merge rounds (m$i = the chosen pair, w$i = the word
+    * table with it applied). Shared by the merges oracle and the
+    * subword-stats oracle, which reads the FINAL word table w$k.
+    */
+  private def bpeRoundsCtes(k: Int): String = {
     val head =
       """tokraw AS (
            SELECT unnest(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
@@ -2071,12 +2092,38 @@ object SparkEntry {
            FROM h$i WHERE NOT coalesce(prevm, FALSE)
            GROUP BY word, cnt)"""
     }.mkString(",\n         ")
+    s"$head,\n         $rounds"
+  }
+
+  private def bpeMergesSql(k: Int): String = {
     val out = (1 to k)
       .map(i => s"SELECT $i AS merge_round, lhs, rhs, merged, " +
         s"c AS pair_count FROM m$i")
       .mkString("\n         UNION ALL ")
-    s"WITH $head,\n         $rounds\n         $out"
+    s"WITH ${bpeRoundsCtes(k)}\n         $out"
   }
+
+  /** Per-document subword stats under the learned merge table: re-runs
+    * the k training rounds, reads the final word table's symbol counts,
+    * and sums them over each document's word multiset. spw_ppm is the
+    * integer subwords-per-word ratio; empty docs report 0/0/0.
+    */
+  private def subwordStatsSql(k: Int): String =
+    s"""WITH ${bpeRoundsCtes(k)},
+         doctok AS (
+           SELECT doc_id, unnest(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE list_filter(string_split_regex(lower(trim(text)), '\\s+'), tk -> tk <> '') END) AS word
+           FROM documents),
+         fin AS (SELECT word, CAST(len(syms) AS BIGINT) AS nsw FROM w$k),
+         agg AS (
+           SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(f.nsw) AS BIGINT) AS n_subwords
+           FROM doctok dt JOIN fin f USING(word) GROUP BY 1)
+         SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words,
+           coalesce(a.n_subwords, 0) AS n_subwords,
+           CASE WHEN coalesce(a.n_words, 0) > 0
+                THEN a.n_subwords * 1000000 // a.n_words ELSE 0 END AS spw_ppm
+         FROM documents d LEFT JOIN agg a USING(doc_id)"""
 
   // PQ recall vs exact: pure-ADC top-k and the exact-rerank-of-ADC-
   // candidates tier, hits joined per query, recall denominated on the
@@ -2850,6 +2897,7 @@ object SparkEntry {
 
     // Mirrors Bpe.trainMerges round by round (argmax + greedy fuse).
     "doc_bpe_merges" -> bpeMergesSql(4),
+    "doc_subword_stats" -> subwordStatsSql(4),
 
     // Mirrors nbQuality: md5-coin train split, per-class smoothed bucket
     // counts, cross-multiplied weights, prior-free sign decision.

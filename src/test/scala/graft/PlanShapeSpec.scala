@@ -435,6 +435,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("PushedFilters: []"), p.take(3000))
   }
 
+  test("doc_subword_stats: merges fold to literals — scoring is a zero-exchange projection") {
+    val p = physical("doc_subword_stats")
+    assert(!p.contains("Exchange"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
   test("events_rate_anomaly: corpus folds map-side; only daily-table exchanges remain") {
     val p = physical("events_rate_anomaly")
     assert(!p.contains("Join"), p.take(3000))
