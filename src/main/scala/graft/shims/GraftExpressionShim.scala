@@ -11,4 +11,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftExpressionShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Apply a populated [[SparkSessionExtensions]]' injected functions to
+    * an ALREADY-BUILT session's registry — the late-binding complement of
+    * `spark.sql.extensions` (which only applies at session construction).
+    * `registerFunctions` and `sessionState` are `private[sql]`, hence
+    * shim-resident; the exact same injection list feeds both paths, so a
+    * REPL/test registration can never drift from the config-driven one.
+    */
+  def applyFunctions(spark: SparkSession, ext: SparkSessionExtensions): Unit =
+    ext.registerFunctions(
+      spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry)
 }

@@ -2028,6 +2028,27 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(got("s3") == ((1L, 250000L))) // edge-inclusive at anchor+win
   }
 
+  test("GraftExtensions: graft_vec_dot and graft_q6 register and evaluate in SQL") {
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "graft_vec_dot(array(1.0d), array(1.0d, 2.0d)) AS bad, " +
+        "graft_q6(CAST(1 AS DOUBLE) / 3) AS q").head()
+    assert(r.getAs[Double]("d") == 11.0)
+    // Mismatched lengths: null, never a partial sum (the DotProduct rule).
+    assert(r.isNullAt(r.fieldIndex("bad")))
+    assert(r.getAs[Double]("q") == 0.333333)
+    // The SQL function is a raw-Catalyst mirror of Quant.q6 (a Column
+    // built inside a function builder never resolves) — pin them equal
+    // so the two forms cannot drift.
+    import spark.implicits._
+    val xs = Seq(0.0, 1.0, 1.0 / 3, 41.0 / 640, 0.9999995, -2.5e-7)
+    val both = xs.toDF("x").select(
+      graft.operators.Quant.q6(col("x")).as("k"),
+      expr("graft_q6(x)").as("s")).collect()
+    assert(both.forall(r2 => r2.getDouble(0) == r2.getDouble(1)), both.toSeq)
+  }
+
   test("funnelStepsStream: emits the batch chain ONCE per user at window close") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
