@@ -516,6 +516,14 @@ object SparkEntry {
     "doc_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.3)),
 
+    // The EXACT scale twin of the baseline above: prefix filtering
+    // (AllPairs/PPJoin) joins only each doc's rarest (1−t)·|s|+1
+    // shingles — provably complete for J >= t, so the output is
+    // IDENTICAL to doc_ngram_jaccard's (shared oracle), without the
+    // quadratic hot-shingle join and without minhash's missed pairs.
+    "doc_prefix_jaccard" -> ((s, dir) =>
+      Dedup.prefixJaccardPairs(t(s, dir, "documents"), threshold = 0.3)),
+
     // VERIFICATION-SCALE ONLY (see verificationScaleOnly; twin:
     // doc_dup_spans). One-sided containment (inter / min): catches a
     // small doc embedded in a large one, which symmetric Jaccard
@@ -2036,6 +2044,40 @@ object SparkEntry {
   // starts (for self-pairs only at EVEN run offsets — the gaps-and-
   // islands `grp` reproduces the left-to-right scan), `prevm` drops the
   // consumed right element. Built programmatically so k stays a knob.
+  /** Exact trigram-Jaccard pairs at threshold 0.3 — shared verbatim by
+    * the quadratic baseline `doc_ngram_jaccard` and its provably-complete
+    * prefix-filter scale twin `doc_prefix_jaccard` (identical output is
+    * the twin's correctness CLAIM, so sharing the oracle is the check).
+    */
+  private val ngramJaccardOracleSql: String =
+    """WITH toks AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(generate_series(1, len(t) - 2),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  WHEN len(t) = 0 THEN []::VARCHAR[]
+                  ELSE [array_to_string(t, ' ')] END) AS ss
+           FROM toks),
+         ex AS (SELECT doc_id, unnest(ss) AS shingle FROM sh),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS inter
+           FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         j AS (
+           SELECT i.doc_a, i.doc_b,
+             floor((CAST(i.inter AS DOUBLE)
+                   / (len(sa.ss) + len(sb.ss) - i.inter)) * 1e6 + 0.5) / 1e6 AS jaccard
+           FROM inter i
+           JOIN sh sa ON i.doc_a = sa.doc_id
+           JOIN sh sb ON i.doc_b = sb.doc_id)
+         SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3"""
+
   /** The BPE training replay as a WITH-body fragment: the word table
     * (w0) plus k merge rounds (m$i = the chosen pair, w$i = the word
     * table with it applied). Shared by the merges oracle and the
@@ -4312,34 +4354,10 @@ object SparkEntry {
            CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS hot_keys
          FROM kdf GROUP BY band""",
 
-    "doc_ngram_jaccard" ->
-      """WITH toks AS (
-           SELECT doc_id,
-             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
-           FROM documents),
-         sh AS (
-           SELECT doc_id, list_distinct(
-             CASE WHEN len(t) >= 3
-                  THEN list_transform(generate_series(1, len(t) - 2),
-                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                  WHEN len(t) = 0 THEN []::VARCHAR[]
-                  ELSE [array_to_string(t, ' ')] END) AS ss
-           FROM toks),
-         ex AS (SELECT doc_id, unnest(ss) AS shingle FROM sh),
-         inter AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(COUNT(*) AS BIGINT) AS inter
-           FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         j AS (
-           SELECT i.doc_a, i.doc_b,
-             floor((CAST(i.inter AS DOUBLE)
-                   / (len(sa.ss) + len(sb.ss) - i.inter)) * 1e6 + 0.5) / 1e6 AS jaccard
-           FROM inter i
-           JOIN sh sa ON i.doc_a = sa.doc_id
-           JOIN sh sb ON i.doc_b = sb.doc_id)
-         SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3""",
+    "doc_ngram_jaccard" -> ngramJaccardOracleSql,
+    // Prefix filtering is complete for J >= t: the scale twin's output
+    // is defined to equal the exact baseline's, so it SHARES the oracle.
+    "doc_prefix_jaccard" -> ngramJaccardOracleSql,
 
     "doc_ngram_containment" ->
       raw"""WITH pd AS (

@@ -449,6 +449,80 @@ object Dedup {
     }
   }
 
+  /** The prefix-filter chain over a materialized shingle-set table,
+    * factored for the plan lock ([[prefixJaccardPairs]] barriers its
+    * result, which would hide the join shape). See the public operator
+    * for semantics and the completeness argument.
+    */
+  private[graft] def prefixJaccardOver(sets: DataFrame,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Grid slack mirrors ngramJaccardPairs: the final filter compares
+    // r6(J) >= threshold, which admits true J down to half a 1e-6 step
+    // below it — candidate pruning must use the relaxed bound or it
+    // would drop exactly those pairs before the filter saw them.
+    val tEff = threshold - 1e-6
+    val ex = sets.select(col("doc_id"), explode(col("sset")).as("shingle"),
+        size(col("sset")).cast("long").as("cnt"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"), col("cnt"))
+    // Per-doc distinct shingles make count(*) the document frequency.
+    val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    // Rarest-first prefix: p = |s| − ceil(t'·|s|) + 1 tokens. Only
+    // prefix rows enter the pair join — the boilerplate shingles that
+    // make the full self-join quadratic are, by construction of the
+    // df-ascending order, the LAST to qualify.
+    val prefix = ex.join(dfreq, Seq("sh"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= col("cnt") - ceil(lit(tEff) * col("cnt")) + lit(1))
+      .select(col("doc_id"), col("sh"), col("cnt"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.cnt"), col("b.cnt")).cast("double") >=
+            lit(tEff) * greatest(col("a.cnt"), col("b.cnt")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("sa.sset"), col("sb.sset"))).cast("long"))
+      .withColumn("jaccard", jaccardCol(col("inter"),
+        size(col("sa.sset")).cast("long"), size(col("sb.sset")).cast("long")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** EXACT Jaccard pairs WITHOUT the all-pairs join: prefix filtering
+    * (AllPairs / PPJoin — Bayardo et al. 2007, Xiao et al. 2008). Every
+    * pair with J ≥ threshold shares a shingle among each side's
+    * `|s| − ceil(t·|s|) + 1` globally-RAREST shingles (df-ascending
+    * order; proof: the first shared element in that order has at least
+    * overlap−1 shared elements after it on both sides, and J ≥ t forces
+    * overlap ≥ ceil(t·|s|) on each side) — so joining prefix tokens only
+    * is provably COMPLETE, unlike minhash LSH's probabilistic recall,
+    * while the hot boilerplate shingles that make [[ngramJaccardPairs]]
+    * quadratic are exactly the ones the df-ascending prefix excludes.
+    * Candidates then verify by exact set intersection; output ≡ the
+    * thresholded exact baseline (property-spec-pinned on random corpora,
+    * shared oracle).
+    *
+    * Scale shape: one df aggregation + one per-doc window rank both
+    * keyed on hash/id (8-byte shuffle keys), a hash self-join bounded to
+    * prefix rows with the size-ratio prune in the join condition, and a
+    * per-candidate array intersection. Worst case (a corpus of one
+    * near-identical family) is the output size itself — candidate count
+    * degenerates only when the answer does.
+    */
+  def prefixJaccardPairs(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold=$threshold outside (0, 1]")
+    Barrier.withCached(shingleSets(docs, n)) { sets =>
+      prefixJaccardOver(sets, threshold).barrier()
+    }
+  }
+
   /** One-sided n-gram CONTAINMENT pairs: `inter / min(|A|,|B|)` — the
     * asymmetric overlap measure that catches a small document embedded
     * verbatim in a larger one, which symmetric Jaccard dilutes toward 0

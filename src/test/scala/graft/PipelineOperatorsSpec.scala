@@ -68,6 +68,29 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(pairs(0).getAs[Double]("jaccard") == math.round(1.0 / 3.0 * 1e6) / 1e6)
   }
 
+  test("prefixJaccardPairs: completeness — equals the exact baseline on random corpora") {
+    // The prefix-filter candidate set is PROVABLY complete for J >= t,
+    // so the operator must equal the thresholded exact all-pairs join
+    // EXACTLY — every pair, every jaccard value, at several thresholds.
+    val rnd = new scala.util.Random(37)
+    val words = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val d = docs(((1L to 60L).map { i =>
+      i -> Seq.fill(3 + rnd.nextInt(10))(words(rnd.nextInt(words.size)))
+        .mkString(" ")
+    } ++ Seq(61L -> "a b c d e f g h", 62L -> "a b c d e f g h")): _*)
+    for (t <- Seq(0.25, 0.5, 0.8)) {
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Double]("jaccard"))
+      val exact = Dedup.ngramJaccardPairs(d, threshold = t)
+        .collect().map(key).toSet
+      val prefix = Dedup.prefixJaccardPairs(d, threshold = t)
+        .collect().map(key).toSet
+      assert(prefix == exact, s"threshold $t: ${prefix.size} vs ${exact.size}")
+      assert(exact.nonEmpty, s"vacuous fixture at $t") // the check checks
+    }
+  }
+
   test("ngramJaccard df cap: bounded one-sided undercount; default uncapped") {
     // n=1 shingles = token sets. "common" appears in all four docs
     // (df=4); docs 1-2 additionally share "a".

@@ -441,6 +441,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(3000))
   }
 
+  test("prefixJaccard chain: hash joins only — no nested loop, no cartesian") {
+    // The public operator barriers its result (and its input sets), so
+    // assert on the factored chain directly (the kmeansSearchPlan rule).
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.operators.Dedup.prefixJaccardOver(
+      graft.operators.Dedup.shingleSets(d), 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("rangepartitioning"), p.take(3000))
+  }
+
   test("events_rate_anomaly: corpus folds map-side; only daily-table exchanges remain") {
     val p = physical("events_rate_anomaly")
     assert(!p.contains("Join"), p.take(3000))
