@@ -524,6 +524,38 @@ object SparkEntry {
     "doc_prefix_jaccard" -> ((s, dir) =>
       Dedup.prefixJaccardPairs(t(s, dir, "documents"), threshold = 0.3)),
 
+    // Measured LSH recall for the dedup path — the ANN family's recall
+    // tiers, ported: minhash-caught pairs over ALL jaccard>=0.5 pairs
+    // (exact denominator = the provably-complete prefix join). Natural
+    // sf0.01 pairs all sit at J>=0.9 where 4 2-row bands essentially
+    // never miss, so the query PLANTS 46 mid-range pairs (J 0.565-0.727
+    // via a shared-prefix token construction, group-salted so families
+    // never cross-match) squarely in the band-miss zone — the pii-scrub
+    // de-vacuation pattern. Every minhash pair passes the same exact-J
+    // filter, so caught ⊆ exact by construction and recall = |caught|/|exact|.
+    "doc_minhash_recall" -> ((s, dir) => {
+      val gCol = expr("doc_id DIV 11")
+      val kCol = lit(15) + pmod(gCol, lit(4)) // shared prefix 15..18 of 20
+      val wtok = (j: Int) =>
+        concat(lit("mh"), gCol.cast("string"), lit("w" + j))
+      val vtoks = (0 until 20).map(j =>
+        when(lit(j) < kCol, wtok(j))
+          .otherwise(concat(lit("mh"), gCol.cast("string"), lit("x" + j))))
+      val planted = t(s, dir, "documents").withColumn("text",
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat_ws(" ", (0 until 20).map(wtok): _*))
+          .when(pmod(col("doc_id"), lit(11)) === 1, concat_ws(" ", vtoks: _*))
+          .otherwise(col("text")))
+      val exact = Dedup.prefixJaccardPairs(planted, threshold = 0.5)
+      val caught = Dedup.minhashNearDups(planted, threshold = 0.5)
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(caught.agg(count(lit(1)).as("n_caught"))))
+        .select(col("n_exact"), col("n_caught"),
+          when(col("n_exact") > 0L,
+            graft.operators.Quant.q6(col("n_caught").cast("double") /
+              col("n_exact").cast("double"))).as("recall"))
+    }),
+
     // VERIFICATION-SCALE ONLY (see verificationScaleOnly; twin:
     // doc_dup_spans). One-sided containment (inter / min): catches a
     // small doc embedded in a large one, which symmetric Jaccard
@@ -918,10 +950,14 @@ object SparkEntry {
     "doc_subword_stats" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val merges = Bpe.trainMerges(docs, 4)
+      // Driver-resident word book: the merge fold runs once per DISTINCT
+      // word (one vocab aggregation) instead of once per token instance;
+      // scoring stays a zero-exchange projection with map-probe lookups.
+      val book = Bpe.subwordBook(docs, merges)
       docs.select(col("doc_id"),
           coalesce(size(TextAnalysis.wsTokens(col("text"))).cast("long"),
             lit(0L)).as("n_words"),
-          Bpe.subwordCount(col("text"), merges).as("n_subwords"))
+          Bpe.subwordCount(col("text"), merges, book).as("n_subwords"))
         .withColumn("spw_ppm", when(col("n_words") > 0L,
           expr("n_subwords * 1000000 DIV n_words")).otherwise(lit(0L)))
     }),
@@ -4358,6 +4394,47 @@ object SparkEntry {
     // Prefix filtering is complete for J >= t: the scale twin's output
     // is defined to equal the exact baseline's, so it SHARES the oracle.
     "doc_prefix_jaccard" -> ngramJaccardOracleSql,
+
+    // LSH recall audit: the shared minhash chain over the PLANTED source
+    // (its toks/sh/ex CTEs double as the exact leg's input), exact
+    // denominator = the thresholded all-pairs join.
+    "doc_minhash_recall" ->
+      raw"""WITH src AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN array_to_string(
+                    list_transform(generate_series(0, 19), j ->
+                      'mh' || CAST(doc_id // 11 AS VARCHAR) || 'w'
+                           || CAST(j AS VARCHAR)), ' ')
+                  WHEN doc_id % 11 = 1 THEN array_to_string(
+                    list_transform(generate_series(0, 19), j ->
+                      CASE WHEN j < 15 + (doc_id // 11) % 4
+                           THEN 'mh' || CAST(doc_id // 11 AS VARCHAR) || 'w'
+                                     || CAST(j AS VARCHAR)
+                           ELSE 'mh' || CAST(doc_id // 11 AS VARCHAR) || 'x'
+                                     || CAST(j AS VARCHAR) END), ' ')
+                  ELSE text END AS text
+           FROM documents),
+         ${minhashPairCtes("", "src")},
+         jint AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS inter
+           FROM ex a JOIN ex b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         jex AS (
+           SELECT i.doc_a, i.doc_b
+           FROM jint i JOIN sh sa ON i.doc_a = sa.doc_id
+                       JOIN sh sb ON i.doc_b = sb.doc_id
+           WHERE floor((CAST(i.inter AS DOUBLE)
+                 / (len(sa.ss) + len(sb.ss) - i.inter)) * 1e6 + 0.5) / 1e6
+                 >= 0.5),
+         c AS (SELECT CAST((SELECT count(*) FROM jex) AS BIGINT) AS n_exact,
+                      CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_caught)
+         SELECT n_exact, n_caught,
+           CASE WHEN n_exact > 0
+                THEN floor(CAST(n_caught AS DOUBLE) / CAST(n_exact AS DOUBLE)
+                     * 1000000.0) / 1000000.0 END AS recall
+         FROM c""",
 
     "doc_ngram_containment" ->
       raw"""WITH pd AS (

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native vector expressions for the similarity-search path.
   *
@@ -102,9 +102,111 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Distinct-intersection COUNT of two SORTED long arrays — the verify
+  * kernel of the exact set-similarity join. `array_intersect` hashes one
+  * side per row (per-pair set build + probe, allocation-heavy at 600k
+  * candidate pairs); for pre-sorted hash arrays the count is one fused
+  * two-pointer merge walk, no allocation, whole-stage-codegen'd.
+  * Duplicate values (intra-array hash collisions) count ONCE — exactly
+  * `size(array_intersect(a, b))` on the same inputs (spec-pinned).
+  *
+  * PRECONDITION: both arrays ascending-sorted (the operator builds them
+  * with `array_sort`); an unsorted input silently undercounts, so this
+  * stays an internal kernel rather than a user-facing function.
+  */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_count requires two array<bigint> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "sorted_intersect_count"
+
+  /** NULL on a null element (never a partial count) — the DotProduct
+    * rule: corrupt rows stay visible instead of plausibly counted. The
+    * hot path (non-null-element arrays) never emits the branch.
+    */
+  @transient private lazy val mayHaveNullElems: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, n) => n
+      case _ => true
+    })
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    var i = 0; var j = 0; var cnt = 0L
+    while (i < n && j < m) {
+      if (mayHaveNullElems && (x.isNullAt(i) || y.isNullAt(j))) return null
+      val ai = x.getLong(i); val bj = y.getLong(j)
+      if (ai < bj) i += 1
+      else if (ai > bj) j += 1
+      else {
+        cnt += 1
+        while (i < n && !x.isNullAt(i) && x.getLong(i) == ai) i += 1
+        while (j < m && !y.isNullAt(j) && y.getLong(j) == bj) j += 1
+      }
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val cnt = ctx.freshName("cnt")
+      val ai = ctx.freshName("ai"); val bj = ctx.freshName("bj")
+      val nullElemCheck =
+        if (mayHaveNullElems)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($j)) {
+             |    ${ev.isNull} = true; break;
+             |  }""".stripMargin
+        else ""
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |int $i = 0; int $j = 0;
+         |long $cnt = 0L;
+         |while ($i < $n && $j < $m) {
+         |  $nullElemCheck
+         |  long $ai = $a.getLong($i);
+         |  long $bj = $b.getLong($j);
+         |  if ($ai < $bj) { $i++; }
+         |  else if ($ai > $bj) { $j++; }
+         |  else {
+         |    $cnt++;
+         |    while ($i < $n && !$a.isNullAt($i) && $a.getLong($i) == $ai) $i++;
+         |    while ($j < $m && !$b.isNullAt($j) && $b.getLong($j) == $bj) $j++;
+         |  }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Codegen'd dot product of two array<double> columns. */
   def vecDot(a: Column, b: Column): Column =
     GraftExpressionShim.column(DotProduct(
+      GraftExpressionShim.expression(a), GraftExpressionShim.expression(b)))
+
+  /** Codegen'd distinct-intersection count of two SORTED long arrays. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftExpressionShim.column(SortedLongIntersectCount(
       GraftExpressionShim.expression(a), GraftExpressionShim.expression(b)))
 }

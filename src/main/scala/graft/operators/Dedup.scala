@@ -482,13 +482,23 @@ object Dedup {
             lit(tEff) * greatest(col("a.cnt"), col("b.cnt")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // Verify on SORTED HASH arrays with the codegen'd two-pointer merge
+    // (`SortedLongIntersectCount`): per-pair `array_intersect` over the
+    // string sets builds and probes a hash set per candidate — measured
+    // 7.6 s for 600k candidates at sf0.1 vs 3.2 s on hashed arrays and
+    // under 1 s with the fused merge walk. Distinct-count semantics
+    // equal `size(array_intersect)` exactly (spec-pinned); 64-bit
+    // collisions are the baseline join's own negligible caveat.
+    val hsets = sets.select(col("doc_id"),
+      array_sort(transform(col("sset"), s => xxhash64(s))).as("hs"),
+      size(col("sset")).cast("long").as("n"))
     cand
-      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("inter",
-        size(array_intersect(col("sa.sset"), col("sb.sset"))).cast("long"))
-      .withColumn("jaccard", jaccardCol(col("inter"),
-        size(col("sa.sset")).cast("long"), size(col("sb.sset")).cast("long")))
+      .join(hsets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(hsets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("inter", graft.functions.VectorFunctions
+        .sortedIntersectCount(col("sa.hs"), col("sb.hs")))
+      .withColumn("jaccard",
+        jaccardCol(col("inter"), col("sa.n"), col("sb.n")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }

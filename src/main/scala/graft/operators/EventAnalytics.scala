@@ -223,9 +223,13 @@ object EventAnalytics {
     * batch side has one global anchor per user — a re-anchored emission
     * would diverge from it).
     *
-    * State bound: per OPEN user, the funnel-type events buffered until
-    * the window closes (out-of-window events are dropped on sight once
-    * an anchor is known); per closed user, an O(1) tombstone.
+    * State bound: per ANCHORED user, the in-window funnel-type events
+    * (out-of-window events are dropped on sight); per anchor-less user,
+    * only events above the watermark (anything older provably cannot
+    * chain a future anchor, which must arrive at event-time >= the
+    * watermark), expired outright once the watermark passes the newest
+    * survivor; per closed user, an O(1) tombstone — the price of the
+    * exactly-once-per-user emission guarantee.
     */
   def funnelStepsStream(events: DataFrame, steps: Seq[String],
       windowMinutes: Long, delay: String = "1 hour")
@@ -260,14 +264,22 @@ object EventAnalytics {
             state: GroupState[Seq[(Int, Long)]]) =>
           if (state.hasTimedOut) {
             val buf = state.getOption.getOrElse(Seq.empty)
-            // Tombstone, not remove(): a removed user would re-anchor on
-            // any later step-1 event and emit a second funnel the batch
-            // twin does not have.
-            state.update(Seq.empty)
-            // Timers only arm with an anchor present, so the walk always
-            // emits here; the guard keeps a torn-state replay harmless.
-            funnelWalk(buf, k, winUs).iterator
-              .map { case (a, c) => FunnelProgress(user, a, c) }
+            funnelWalk(buf, k, winUs) match {
+              case Some((a, c)) =>
+                // Tombstone, not remove(): a removed user would re-anchor
+                // on any later step-1 event and emit a second funnel the
+                // batch twin does not have.
+                state.update(Seq.empty)
+                Iterator.single(FunnelProgress(user, a, c))
+              case None =>
+                // Anchor-less horizon expiry: the watermark has passed
+                // every buffered event, and a future anchor arrives at
+                // event-time >= the watermark, so nothing here can ever
+                // chain — drop the state entirely (a fresh funnel from
+                // future events is exactly what batch would compute).
+                state.remove()
+                Iterator.empty
+            }
           } else {
             val prev = state.getOption
             if (prev.contains(Seq.empty[(Int, Long)])) {
@@ -275,26 +287,39 @@ object EventAnalytics {
               rows.foreach(_ => ())
               Iterator.empty
             } else {
+              val wmMs = state.getCurrentWatermarkMs()
               val merged = prev.getOrElse(Seq.empty) ++
                 rows.map(h => (h.step, h.tsu))
               val anchor = merged.collect { case (0, t) => t }.minOption
-              // With an anchor known, out-of-window events can never
-              // join the chain — drop them NOW so the buffer is bounded
-              // by the window, not by the user's lifetime.
-              val buf = anchor match {
-                case Some(a) => merged.filter(_._2 <= a + winUs)
-                case None => merged
-              }
-              state.update(buf)
-              anchor.foreach { a =>
-                // Fire once the watermark proves the window complete:
-                // close is ms-ceiling of anchor+window so an edge-exact
-                // (µs) event still precedes the timer. A window already
-                // behind the watermark fires at the next tick (wm + 1);
-                // the walk ignores stragglers past the window either way.
-                val closeMs = math.addExact(a, winUs) / 1000L + 1L
-                state.setTimeoutTimestamp(
-                  math.max(closeMs, state.getCurrentWatermarkMs() + 1L))
+              anchor match {
+                case Some(a) =>
+                  // With an anchor known, out-of-window events can never
+                  // join the chain — drop them NOW so the buffer is
+                  // bounded by the window, not by the user's lifetime.
+                  state.update(merged.filter(_._2 <= a + winUs))
+                  // Fire once the watermark proves the window complete:
+                  // close is ms-ceiling of anchor+window so an edge-exact
+                  // (µs) event still precedes the timer. A window already
+                  // behind the watermark fires at the next tick (wm + 1);
+                  // the walk ignores stragglers past the window either way.
+                  val closeMs = math.addExact(a, winUs) / 1000L + 1L
+                  state.setTimeoutTimestamp(math.max(closeMs, wmMs + 1L))
+                case None =>
+                  // No anchor yet. A future anchor arrives at event-time
+                  // >= the watermark and later steps must be STRICTLY
+                  // after it, so buffered events at or below the
+                  // watermark are provably dead — prune them, and expire
+                  // the state once the watermark passes the newest
+                  // survivor (+2 ms for the µs→ms grain). Without this,
+                  // a user that never signs up buffers its step events
+                  // forever.
+                  val live = merged.filter(_._2 >= wmMs * 1000L)
+                  if (live.isEmpty) state.remove()
+                  else {
+                    state.update(live)
+                    state.setTimeoutTimestamp(math.max(
+                      live.map(_._2).max / 1000L + 2L, wmMs + 1L))
+                  }
               }
               Iterator.empty
             }

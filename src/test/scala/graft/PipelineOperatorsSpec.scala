@@ -68,6 +68,45 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(pairs(0).getAs[Double]("jaccard") == math.round(1.0 / 3.0 * 1e6) / 1e6)
   }
 
+  test("sortedIntersectCount: equals size(array_intersect) on random sorted arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // Duplicates ON PURPOSE: intra-array duplicates must count once,
+    // like array_intersect's set semantics.
+    val rows = (1 to 200).map { i =>
+      def arr = Seq.fill(rnd.nextInt(30))(rnd.nextInt(15).toLong).sorted
+      (i, arr, arr)
+    }
+    val got = rows.toDF("i", "a", "b")
+      .select(
+        graft.functions.VectorFunctions
+          .sortedIntersectCount(col("a"), col("b")).as("k"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .collect()
+    assert(got.forall(r => r.getLong(0) == r.getLong(1)),
+      got.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // Null element: NULL, never a partial count (the DotProduct rule).
+    val withNull = Seq((Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](1L, 3L)))
+      .toDF("a", "b")
+      .select(graft.functions.VectorFunctions
+        .sortedIntersectCount(col("a"), col("b")).as("k")).head()
+    assert(withNull.isNullAt(0))
+  }
+
+  test("subwordCount book: identical with full, partial, and empty coverage") {
+    val d = docs(1L -> "aa bb aa cc", 2L -> "bb bb zz", 3L -> "")
+    val merges = graft.operators.Bpe.trainMerges(d, 2)
+    def counts(book: Map[String, Long]) =
+      d.select(col("doc_id"),
+          graft.operators.Bpe.subwordCount(col("text"), merges, book).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = counts(graft.operators.Bpe.subwordBook(d, merges))
+    val tiny = counts(graft.operators.Bpe.subwordBook(d, merges, maxVocab = 1))
+    val none = counts(Map.empty)
+    assert(full == none, s"$full vs $none") // book is an optimization only
+    assert(tiny == none, s"$tiny vs $none") // misses fall back to the fold
+  }
+
   test("prefixJaccardPairs: completeness — equals the exact baseline on random corpora") {
     // The prefix-filter candidate set is PROVABLY complete for J >= t,
     // so the operator must equal the thresholded exact all-pairs join
