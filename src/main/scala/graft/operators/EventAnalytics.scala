@@ -365,6 +365,94 @@ object EventAnalytics {
             lit(factorPct.toLong) * col("base_cnt"))
   }
 
+  /** One closed day's verdict in the streaming twin of [[rateAnomaly]]. */
+  case class DayRate(event_type: String, day: Long, cnt: Long,
+      base_cnt: Long, base_days: Long, is_spike: Boolean)
+
+  /** The per-day verdict arithmetic — shared by the streaming twin and
+    * its spec; mirrors [[rateAnomaly]]'s integer cross-multiplication
+    * exactly.
+    */
+  private[graft] def dayVerdict(tpe: String, day: Long, cnt: Long,
+      counts: Map[Long, Long], baselineDays: Int, factorPct: Int): DayRate = {
+    val base = counts.view
+      .filterKeys(d => d >= day - baselineDays && d <= day - 1).toMap
+    val baseCnt = base.values.sum
+    val baseDays = base.size.toLong
+    DayRate(tpe, day, cnt, baseCnt, baseDays,
+      baseDays > 0L && cnt * baseDays * 100L > factorPct.toLong * baseCnt)
+  }
+
+  /** Streaming twin of [[rateAnomaly]]: one fgws group per event_type
+    * holds the rolling (day → count) map; a day's verdict emits ONCE,
+    * when the event-time watermark passes the day's end (all of its
+    * events have arrived or are contractually late), computed against
+    * the trailing counts exactly as the batch window does — stream-final
+    * ≡ batch on a complete stream (spec-pinned).
+    *
+    * State bound: per event_type, the open day plus the trailing
+    * `baselineDays` closed days (older days evict at emission time);
+    * emitted verdicts are final — a straggler for a closed day is
+    * watermark-late by definition and never mutates history.
+    */
+  def rateAnomalyStream(events: DataFrame, baselineDays: Int = 7,
+      factorPct: Int = 200, delay: String = "1 hour"): Dataset[DayRate] = {
+    require(baselineDays >= 1 && baselineDays <= 365,
+      s"baselineDays=$baselineDays outside [1, 365]")
+    require(factorPct >= 1, s"factorPct=$factorPct must be >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_type"), col("ts"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .withWatermark("ts", delay)
+      .as[(String, java.sql.Timestamp, Long)]
+    // State: (day -> count so far, days already emitted as a max-emitted
+    // watermark — emittedThrough — so replay after restart stays
+    // idempotent and a late row can never re-open a closed day).
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (tpe: String, it: Iterator[(String, java.sql.Timestamp, Long)],
+            state: GroupState[(Map[Long, Long], Long)]) =>
+          val (counts0, emitted0) =
+            state.getOption.getOrElse((Map.empty[Long, Long], Long.MinValue))
+          val counts = it.foldLeft(counts0) { case (m, (_, _, d)) =>
+            // Closed days are immutable: a row below emittedThrough is
+            // watermark-late that slipped the pre-filter — dropping it
+            // mirrors the batch twin's view of the on-time stream.
+            if (d <= emitted0) m else m.updated(d, m.getOrElse(d, 0L) + 1L)
+          }
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmDay = // last FULLY-closed day: day end (exclusive) <= wm
+            math.floorDiv(wmMs, 86400000L) - 1L
+          val ready = counts.keys.filter(d => d > emitted0 && d <= wmDay)
+            .toSeq.sorted
+          val out = ready.map { d =>
+            dayVerdict(tpe, d, counts(d), counts, baselineDays, factorPct)
+          }
+          val emitted = if (ready.nonEmpty) ready.max else emitted0
+          // Evict counts no future verdict can read: anything older than
+          // baselineDays behind the newest still-unemitted day. The
+          // nothing-emitted sentinel keeps everything (MinValue − k
+          // would wrap positive and evict the whole map).
+          val kept =
+            if (emitted == Long.MinValue) counts
+            else counts.view
+              .filterKeys(_ >= emitted - baselineDays + 1).toMap
+          state.update((kept, emitted))
+          // Wake when the watermark passes the next open day's END
+          // (+1 ms — the timer fires strictly after its timestamp).
+          val openDays = kept.keys.filter(_ > emitted)
+          if (openDays.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              math.multiplyExact(openDays.min + 1L, 86400000L) + 1L,
+              wmMs + 1L))
+          out.iterator
+      }
+  }
+
   def cohortRetention(events: DataFrame): DataFrame = {
     val activeDays = events
       // NULL user_id rows are droppable up front: a null key can never

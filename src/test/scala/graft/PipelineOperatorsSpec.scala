@@ -2167,6 +2167,56 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(fromStream == batch)
   }
 
+  test("rateAnomalyStream: closed-day verdicts equal the batch window exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def at(d: Int, i: Int) =
+      new java.sql.Timestamp(86400000L * (19800 + d) + i * 1000L)
+    def day(d: Int, n: Int) = (1 to n).map(i => (1L, at(d, i), "e", 0.0))
+    // Days 0,1,2, a calendar gap, then a spike on day 9 — split across
+    // two batches ARRIVING OUT OF ORDER within the watermark.
+    val b1 = day(0, 10) ++ day(2, 20) ++ day(1, 10)
+    val b2 = day(2, 10) ++ day(9, 50) // day 2 tops up before its close
+    val all = b1 ++ b2
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String, Double)](spark)
+    val stream = EventAnalytics.rateAnomalyStream(
+      ms.toDF().toDF("user_id", "ts", "event_type", "value"),
+      baselineDays = 3, factorPct = 150, delay = "1 day")
+    val q = stream.writeStream.format("memory").queryName("rate_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      // Sentinel far ahead: closes every real day (delay=1 day, so the
+      // watermark lands past day 9's end); its own day stays open.
+      ms.addData(Seq((1L, at(30, 1), "e", 0.0))); q.processAllAvailable()
+      ms.addData(Seq((1L, at(60, 1), "e", 0.0))); q.processAllAvailable()
+    } finally q.stop()
+    def key(tpe: String, d: Long, c: Long, bc: Long, bd: Long, s: Boolean) =
+      (tpe, d, c, bc, bd, s)
+    val streamed = spark.table("rate_stream").collect().map(r =>
+      key(r.getAs[String]("event_type"), r.getAs[Long]("day"),
+        r.getAs[Long]("cnt"), r.getAs[Long]("base_cnt"),
+        r.getAs[Long]("base_days"), r.getAs[Boolean]("is_spike"))).toSeq
+    assert(streamed.length == streamed.distinct.length, streamed) // once per day
+    // The day-30 sentinel CLOSES in-stream (day 60 pushes the watermark
+    // past it), so the batch reference must see it too; day 60 stays
+    // open on both sides of the comparison.
+    val batch = EventAnalytics.rateAnomaly(
+        (all :+ (1L, at(30, 1), "e", 0.0))
+          .toDF("user_id", "ts", "event_type", "value"),
+        baselineDays = 3, factorPct = 150)
+      .collect().map(r =>
+        key(r.getAs[String]("event_type"), r.getAs[Long]("day"),
+          r.getAs[Long]("cnt"), r.getAs[Long]("base_cnt"),
+          r.getAs[Long]("base_days"), r.getAs[Boolean]("is_spike"))).toSet
+    assert(streamed.toSet == batch, s"\nstream: $streamed\nbatch: $batch")
+    // The fixture discriminates: day 2 tops up to a spike (30*2*100 >
+    // 150*20), day 9's gap empties its baseline.
+    assert(streamed.exists(r => r._2 % 100 == 2 && r._6))
+    assert(streamed.exists(r => r._2 % 100 == 9 && r._5 == 0L && !r._6))
+  }
+
   test("rateAnomaly: trailing RANGE window skips missing days; head never flags") {
     import java.sql.Timestamp
     def day(d: Int, n: Int) = (1 to n).map { i =>
