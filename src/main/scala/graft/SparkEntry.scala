@@ -546,14 +546,24 @@ object SparkEntry {
           concat_ws(" ", (0 until 20).map(wtok): _*))
           .when(pmod(col("doc_id"), lit(11)) === 1, concat_ws(" ", vtoks: _*))
           .otherwise(col("text")))
-      val exact = Dedup.prefixJaccardPairs(planted, threshold = 0.5)
-      val caught = Dedup.minhashNearDups(planted, threshold = 0.5)
-      exact.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(broadcast(caught.agg(count(lit(1)).as("n_caught"))))
-        .select(col("n_exact"), col("n_caught"),
-          when(col("n_exact") > 0L,
-            graft.operators.Quant.q6(col("n_caught").cast("double") /
-              col("n_exact").cast("double"))).as("recall"))
+      // ONE shared shingle-set table feeds both chains — each public
+      // operator would otherwise re-tokenize + re-shingle the planted
+      // corpus (the capHotKeys double-pipeline lesson).
+      graft.operators.Barrier.withCached(Dedup.shingleSets(planted, 3)) {
+        sets =>
+          val caught = Dedup.minhashNearDupsFromSets(sets, threshold = 0.5)
+          try {
+            Dedup.prefixJaccardOver(sets, threshold = 0.5)
+              .agg(count(lit(1)).as("n_exact"))
+              .crossJoin(broadcast(
+                caught.agg(count(lit(1)).as("n_caught"))))
+              .select(col("n_exact"), col("n_caught"),
+                when(col("n_exact") > 0L,
+                  graft.operators.Quant.q6(col("n_caught").cast("double") /
+                    col("n_exact").cast("double"))).as("recall"))
+              .barrier()
+          } finally graft.operators.Barrier.release(caught)
+      }
     }),
 
     // VERIFICATION-SCALE ONLY (see verificationScaleOnly; twin:
