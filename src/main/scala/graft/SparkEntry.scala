@@ -972,6 +972,12 @@ object SparkEntry {
           expr("n_subwords * 1000000 DIV n_words")).otherwise(lit(0L)))
     }),
 
+    // Top-20 bigram collocations by integer PMI ratio (margins of the
+    // bigram table itself — no logs, no extra corpus pass; ranking ==
+    // textbook PMI since log is monotone). minCount 5 drops hapax noise.
+    "doc_pmi_topk" -> ((s, dir) =>
+      TextAnalysis.pmiTopK(t(s, dir, "documents"), k = 20, minCount = 5L)),
+
     // Per-source quality cap (the no-domain-dominates rule): top-10 docs
     // per source by quality score; WindowGroupLimit bounds the shuffle.
     "doc_source_caps" -> ((s, dir) =>
@@ -1346,6 +1352,13 @@ object SparkEntry {
     // per-cohort active-user share.
     "events_retention" -> ((s, dir) =>
       EventAnalytics.cohortRetention(EventAdapter.readEvents(s, dir))),
+
+    // First-order Markov transition matrix over consecutive events per
+    // user ((ts, event_id) order): counts + integer ppm probability out
+    // of each from-state. One user_id window pass; the probability
+    // window runs over the |types|^2 table.
+    "events_transitions" -> ((s, dir) =>
+      EventAnalytics.typeTransitions(EventAdapter.readEvents(s, dir))),
 
     // Step-conversion funnel summary: signup -> view -> click -> purchase
     // within 3 days of the anchor. One shuffle (per-user fold), array-HOF
@@ -2987,6 +3000,22 @@ object SparkEntry {
     "doc_bpe_merges" -> bpeMergesSql(4),
     "doc_subword_stats" -> subwordStatsSql(4),
 
+    // PMI collocations over the shared bigram-LM chain's c2/c1 tables;
+    // the suffix margin and total are two more folds of c2.
+    "doc_pmi_topk" ->
+      s"""WITH $bigramLmCtesSql,
+         cy AS (SELECT w2, CAST(sum(c2) AS BIGINT) AS c_y
+                FROM c2 GROUP BY w2),
+         mm AS (SELECT CAST(sum(c2) AS BIGINT) AS m FROM c2),
+         s AS (
+           SELECT c2.w1, c2.w2, c2.c2 AS c_xy, c1.c1 AS c_x, cy.c_y,
+             c2.c2 * mm.m * 1000000 // (c1.c1 * cy.c_y) AS score_ppm
+           FROM c2 JOIN c1 ON c2.w1 = c1.w1 JOIN cy ON c2.w2 = cy.w2
+           CROSS JOIN mm
+           WHERE c2.c2 >= 5)
+         SELECT w1, w2, c_xy, c_x, c_y, CAST(score_ppm AS BIGINT) AS score_ppm
+         FROM s ORDER BY score_ppm DESC, w1, w2 LIMIT 20""",
+
     // Mirrors nbQuality: md5-coin train split, per-class smoothed bucket
     // counts, cross-multiplied weights, prior-free sign decision.
     "doc_nb_quality" ->
@@ -3955,6 +3984,25 @@ object SparkEntry {
            CASE WHEN view_ts IS NOT NULL
                 THEN epoch_us(ts) - epoch_us(view_ts) ELSE -1 END AS funnel_us
          FROM pa""",
+
+    "events_transitions" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, event_type FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         p AS (
+           SELECT event_type AS from_type,
+             lead(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+           FROM e),
+         c AS (
+           SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
+           FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, cnt,
+           CAST(sum(cnt) OVER (PARTITION BY from_type) AS BIGINT)
+             AS from_total,
+           cnt * 1000000 // sum(cnt) OVER (PARTITION BY from_type)
+             AS prob_ppm
+         FROM c""",
 
     "events_funnel_steps" ->
       """WITH ev AS (

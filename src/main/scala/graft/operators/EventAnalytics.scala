@@ -177,6 +177,37 @@ object EventAnalytics {
           expr("s.users * 1000000 DIV __base")).as("conv_ppm"))
   }
 
+  /** Event-type transition matrix: for each ordered (from, to) pair of
+    * CONSECUTIVE events of one user ((ts, event_id) order — the
+    * sessionize tie-break), the transition count and the integer ppm
+    * probability out of the `from` state — the first-order Markov view
+    * of user behavior.
+    *
+    * Scale shape: one `user_id` exchange for the lead window (per-user
+    * sort bounded by that user's events), then the corpus folds to the
+    * |types|² transition table; the per-from totals window runs over
+    * that tiny table only.
+    */
+  def typeTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      // The sessionize null rule, mirrored in the oracle: null ts is
+      // unorderable (engines disagree on null placement) and null users
+      // would pile onto one window partition.
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"))
+    val counts = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val perFrom = Window.partitionBy(col("from_type"))
+    counts
+      .withColumn("from_total", sum(col("cnt")).over(perFrom))
+      .withColumn("prob_ppm", expr("cnt * 1000000L div from_total"))
+  }
+
   /** One ingested funnel-step event in the streaming twin. */
   case class FunnelHit(user_id: Long, step: Int, ts: java.sql.Timestamp,
       tsu: Long)

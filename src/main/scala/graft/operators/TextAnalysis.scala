@@ -525,6 +525,56 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Top-k bigram COLLOCATIONS by pointwise mutual information — the
+    * lexical-statistics pass that surfaces multiword units ("new york")
+    * a tokenizer or stopword list should know about. PMI here is defined
+    * over the bigram table's own margins (p(x,·), p(·,y)), so the whole
+    * score stays a rational of counts the model tables already hold — no
+    * extra corpus pass, no logs (the bigram-LM / BM25 no-`ln` rationale;
+    * `log` is monotone, so the RANKING is the textbook PMI ranking):
+    *
+    *   score_ppm = c_xy · M · 1e6  div  (c_x· · c_·y)
+    *
+    * with M = total bigram occurrences, c_x· / c_·y the prefix/suffix
+    * margins. `minCount` drops hapax pairs whose PMI is pure noise (the
+    * standard collocation guard). Long headroom: c_xy·M·1e6 wraps past
+    * ~9.2e18 — at that corpus scale widen to decimal(38,0) and ANSI mode
+    * fails loudly at the wrap point, never silently (the BM25 rule).
+    *
+    * Scale shape: ONE corpus-sized exchange (the reduced (doc, w1, w2)
+    * bigram table), vocabulary-sized margins joined back hash-to-hash,
+    * and the top-k plans as TakeOrderedAndProject (plan-locked) — never
+    * a full sort of the pair table.
+    */
+  def pmiTopK(docs: DataFrame, k: Int = 20, minCount: Long = 5L)
+      : DataFrame = {
+    require(k >= 1 && k <= 10000, s"k=$k outside [1, 10000]")
+    require(minCount >= 1L, s"minCount=$minCount must be >= 1")
+    Barrier.withCached(docBigrams(docs)) { d =>
+      pmiTail(d, k, minCount).barrier()
+    }
+  }
+
+  /** [[pmiTopK]] over a cached bigram table — factored for the plan lock
+    * (the eager barrier hides the tail behind Scan ExistingRDD).
+    */
+  private[graft] def pmiTail(d: DataFrame, k: Int, minCount: Long)
+      : DataFrame = {
+    val c2 = d.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("c_xy"))
+    val cx = c2.groupBy(col("w1")).agg(sum(col("c_xy")).as("c_x"))
+    val cy = c2.groupBy(col("w2")).agg(sum(col("c_xy")).as("c_y"))
+    val m = c2.agg(sum(col("c_xy")).as("m"))
+    c2.where(col("c_xy") >= minCount)
+      .join(cx, Seq("w1")).join(cy, Seq("w2"))
+      .crossJoin(broadcast(m))
+      .withColumn("score_ppm",
+        expr("c_xy * m * 1000000L div (c_x * c_y)"))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        col("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   /** Model training + scoring over a (cached) [[docBigrams]] table —
     * factored out so the plan lock asserts on the REAL plan (the eager
     * barrier in [[bigramLmScores]] hides it behind Scan ExistingRDD —

@@ -2167,6 +2167,60 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(fromStream == batch)
   }
 
+  test("pmiTopK: matches a brute-force PMI ranking; minCount gates hapax pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val words = Vector("a", "b", "c", "d", "e")
+    val d = docs(((1L to 40L).map { i =>
+      i -> Seq.fill(4 + rnd.nextInt(8))(words(rnd.nextInt(words.size)))
+        .mkString(" ")
+    } :+ (41L -> "x y x y x y x y x y")): _*) // a planted collocation
+    // Brute force: bigram counts with multiplicity, margins, ratio.
+    val bgs = d.collect().flatMap { r =>
+      val tk = Option(r.getAs[String]("text")).getOrElse("")
+        .trim.split("\\s+").filter(_.nonEmpty)
+      tk.sliding(2).filter(_.length == 2).map(p => (p(0), p(1)))
+    }
+    val c2 = bgs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cx = bgs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cy = bgs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val m = bgs.length.toLong
+    val expected = c2.filter(_._2 >= 3L).map { case ((x, y), n) =>
+      (x, y, n, cx(x), cy(y), n * m * 1000000L / (cx(x) * cy(y)))
+    }.toSeq.sortBy(t => (-t._6, t._1, t._2)).take(10)
+    val got = TextAnalysis.pmiTopK(d, k = 10, minCount = 3L)
+      .collect().map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("c_xy"), r.getAs[Long]("c_x"), r.getAs[Long]("c_y"),
+        r.getAs[Long]("score_ppm"))).toSeq
+    assert(got == expected, s"\ngot: $got\nexp: $expected")
+    // The planted collocation dominates: x/y only ever pair together.
+    assert(got.head._1 == "x" || got.head._1 == "y")
+  }
+
+  test("typeTransitions: counts consecutive per-user pairs with exact ppm shares") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    val ev = Seq(
+      (1L, 1L, ts(0), "a", 0.0), (1L, 2L, ts(1), "b", 0.0),
+      (1L, 3L, ts(2), "a", 0.0), (1L, 4L, ts(3), "c", 0.0),
+      (2L, 5L, ts(0), "a", 0.0), (2L, 6L, ts(1), "b", 0.0),
+      // Same-ts tie: event_id order decides (7 then 8).
+      (3L, 7L, ts(5), "b", 0.0), (3L, 8L, ts(5), "c", 0.0),
+      // Null user / ts rows contribute nothing.
+      (0L, 9L, null.asInstanceOf[java.sql.Timestamp], "a", 0.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = EventAnalytics.typeTransitions(ev).collect().map(r =>
+      (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        ((r.getAs[Long]("cnt"), r.getAs[Long]("from_total"),
+          r.getAs[Long]("prob_ppm")))).toMap
+    // From 'a': a->b twice, a->c once (user1's second a chains to c).
+    assert(got(("a", "b")) == ((2L, 3L, 666666L)))
+    assert(got(("a", "c")) == ((1L, 3L, 333333L)))
+    assert(got(("b", "a")) == ((1L, 2L, 500000L)))
+    assert(got(("b", "c")) == ((1L, 2L, 500000L)))
+    assert(got.size == 4)
+  }
+
   test("rateAnomalyStream: closed-day verdicts equal the batch window exactly once") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -441,6 +441,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(3000))
   }
 
+  test("pmiTopK tail: TakeOrderedAndProject over the pair table — no full sort") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.operators.TextAnalysis.pmiTail(
+      graft.operators.TextAnalysis.docBigrams(d), 20, 5L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("rangepartitioning"), p.take(3000))
+  }
+
+  test("events_transitions: one user window, probability window on the tiny table") {
+    val p = physical("events_transitions")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    // The corpus folds before the per-from probability window.
+    assert(p.contains("partial_count"), p.take(3000))
+  }
+
   test("prefixJaccard chain: hash joins only — no nested loop, no cartesian") {
     // The public operator barriers its result (and its input sets), so
     // assert on the factored chain directly (the kmeansSearchPlan rule).
