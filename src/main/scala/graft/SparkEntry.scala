@@ -464,21 +464,30 @@ object SparkEntry {
     // every language branch and the cross-language tie-break genuinely
     // discriminate; the operator itself is untouched.
     "doc_langid" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").withColumn("text",
-        when(col("doc_id") % 13 === 1,
-          concat(lit("el la de que y los en"),
-            when(col("doc_id") % 2 === 0, lit(" que y")).otherwise(lit(""))))
-        .when(col("doc_id") % 13 === 2,
-          concat(lit("le la de et un les des"),
-            when(col("doc_id") % 2 === 0, lit(" et un")).otherwise(lit(""))))
-        .when(col("doc_id") % 13 === 3,
-          concat(lit("der die und das ein nicht ist"),
-            when(col("doc_id") % 2 === 0, lit(" und das")).otherwise(lit(""))))
-        .otherwise(col("text")))
-      val base = TextAnalysis.languages(docs)
+      val base = TextAnalysis.languages(plantLangText(t(s, dir, "documents")))
       base.select(col("doc_id") +: col("pred_lang") +:
         TextAnalysis.langStopwords.map { case (l, _) =>
           col(s"hits_$l").cast("long").as(s"hits_$l") }: _*)
+    }),
+
+    // Classifier evaluation: the langid heuristic against the corpus's
+    // GROUND-TRUTH lang column — confusion cells with per-true-language
+    // integer ppm shares. Same planting as doc_langid (shared helper) so
+    // the es/fr/de prediction branches occur; zh has no stopword list by
+    // design, so its row shows exactly where the heuristic is blind.
+    "doc_lang_confusion" -> ((s, dir) => {
+      val docs = plantLangText(t(s, dir, "documents"))
+      val pred = TextAnalysis.languages(docs)
+        .select(col("doc_id"), col("pred_lang"))
+      val cells = docs.select(col("doc_id"), col("lang"))
+        .join(pred, Seq("doc_id"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("cnt"))
+      val perLang = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+      cells
+        .withColumn("lang_total", sum(col("cnt")).over(perLang))
+        .withColumn("share_ppm", expr("cnt * 1000000L div lang_total"))
     }),
 
     // MinHash(k=8) + LSH(4 bands × 2 rows) near-dups, verified by exact
@@ -2103,6 +2112,63 @@ object SparkEntry {
   // starts (for self-pairs only at EVEN run offsets — the gaps-and-
   // islands `grp` reproduces the left-to-right scan), `prevm` drops the
   // consumed right element. Built programmatically so k stays a knob.
+  /** The langid chain (planting -> tokens -> stopword hits -> argmax
+    * prediction `pr`) — ONE definition shared by doc_langid and
+    * doc_lang_confusion. Scala mirror: [[plantLangText]] +
+    * TextAnalysis.languages.
+    */
+  private val langIdCtes: String =
+    """pd AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 13 = 1 THEN 'el la de que y los en'
+                    || CASE WHEN doc_id % 2 = 0 THEN ' que y' ELSE '' END
+                  WHEN doc_id % 13 = 2 THEN 'le la de et un les des'
+                    || CASE WHEN doc_id % 2 = 0 THEN ' et un' ELSE '' END
+                  WHEN doc_id % 13 = 3 THEN 'der die und das ein nicht ist'
+                    || CASE WHEN doc_id % 2 = 0 THEN ' und das' ELSE '' END
+                  ELSE text END AS text
+           FROM documents),
+         t AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS toks
+           FROM pd),
+         h AS (
+           SELECT doc_id,
+             len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is'))) AS hits_en,
+             len(list_filter(toks, x -> x IN ('el','la','de','que','y','los','en'))) AS hits_es,
+             len(list_filter(toks, x -> x IN ('le','la','de','et','un','les','des'))) AS hits_fr,
+             len(list_filter(toks, x -> x IN ('der','die','und','das','ein','nicht','ist'))) AS hits_de
+           FROM t),
+         b AS (SELECT *, greatest(hits_en, hits_es, hits_fr, hits_de) AS best FROM h),
+         pr AS (
+           SELECT doc_id,
+             CASE WHEN best > 0 AND hits_en = best THEN 'en'
+                  WHEN best > 0 AND hits_es = best THEN 'es'
+                  WHEN best > 0 AND hits_fr = best THEN 'fr'
+                  WHEN best > 0 AND hits_de = best THEN 'de'
+                  ELSE 'und' END AS pred_lang,
+             hits_en, hits_es, hits_fr, hits_de
+           FROM b)"""
+
+  /** The langid de-vacuation planting (stopword-laden texts on doc_id %
+    * 13 ∈ {1,2,3}, length varying with parity) — ONE definition shared
+    * by doc_langid and doc_lang_confusion; the SQL mirror is
+    * [[langIdCtes]]' pd CTE.
+    */
+  private def plantLangText(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(col("doc_id") % 13 === 1,
+        concat(lit("el la de que y los en"),
+          when(col("doc_id") % 2 === 0, lit(" que y")).otherwise(lit(""))))
+      .when(col("doc_id") % 13 === 2,
+        concat(lit("le la de et un les des"),
+          when(col("doc_id") % 2 === 0, lit(" et un")).otherwise(lit(""))))
+      .when(col("doc_id") % 13 === 3,
+        concat(lit("der die und das ein nicht ist"),
+          when(col("doc_id") % 2 === 0, lit(" und das")).otherwise(lit(""))))
+      .otherwise(col("text")))
+
   /** Exact trigram-Jaccard pairs at threshold 0.3 — shared verbatim by
     * the quadratic baseline `doc_ngram_jaccard` and its provably-complete
     * prefix-filter scale twin `doc_prefix_jaccard` (identical output is
@@ -4312,38 +4378,24 @@ object SparkEntry {
          FROM m""",
 
     "doc_langid" ->
-      """WITH pd AS (
-           SELECT doc_id,
-             CASE WHEN doc_id % 13 = 1 THEN 'el la de que y los en'
-                    || CASE WHEN doc_id % 2 = 0 THEN ' que y' ELSE '' END
-                  WHEN doc_id % 13 = 2 THEN 'le la de et un les des'
-                    || CASE WHEN doc_id % 2 = 0 THEN ' et un' ELSE '' END
-                  WHEN doc_id % 13 = 3 THEN 'der die und das ein nicht ist'
-                    || CASE WHEN doc_id % 2 = 0 THEN ' und das' ELSE '' END
-                  ELSE text END AS text
-           FROM documents),
-         t AS (
-           SELECT doc_id,
-             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS toks
-           FROM pd),
-         h AS (
-           SELECT doc_id,
-             len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is'))) AS hits_en,
-             len(list_filter(toks, x -> x IN ('el','la','de','que','y','los','en'))) AS hits_es,
-             len(list_filter(toks, x -> x IN ('le','la','de','et','un','les','des'))) AS hits_fr,
-             len(list_filter(toks, x -> x IN ('der','die','und','das','ein','nicht','ist'))) AS hits_de
-           FROM t),
-         b AS (SELECT *, greatest(hits_en, hits_es, hits_fr, hits_de) AS best FROM h)
-         SELECT doc_id,
-           CASE WHEN best > 0 AND hits_en = best THEN 'en'
-                WHEN best > 0 AND hits_es = best THEN 'es'
-                WHEN best > 0 AND hits_fr = best THEN 'fr'
-                WHEN best > 0 AND hits_de = best THEN 'de'
-                ELSE 'und' END AS pred_lang,
+      s"""WITH $langIdCtes
+         SELECT doc_id, pred_lang,
            CAST(hits_en AS BIGINT) AS hits_en, CAST(hits_es AS BIGINT) AS hits_es,
            CAST(hits_fr AS BIGINT) AS hits_fr, CAST(hits_de AS BIGINT) AS hits_de
-         FROM b""",
+         FROM pr""",
+
+    // Confusion matrix of the langid heuristic against the ground-truth
+    // lang column — shares the full langid chain (planting included).
+    "doc_lang_confusion" ->
+      s"""WITH $langIdCtes,
+         j AS (SELECT d.lang, pr.pred_lang FROM documents d
+               JOIN pr ON d.doc_id = pr.doc_id),
+         c AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS cnt
+               FROM j GROUP BY 1, 2)
+         SELECT lang, pred_lang, cnt,
+           CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+           cnt * 1000000 // sum(cnt) OVER (PARTITION BY lang) AS share_ppm
+         FROM c""",
 
     "doc_minhash_pairs" ->
       s"""WITH $minhashPairCtesSql
