@@ -2662,8 +2662,8 @@ object SparkEntry {
            FROM events),
          g AS (
            SELECT user_id, ts,
-             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
-                            ROWS UNBOUNDED PRECEDING) AS grp
+             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
            FROM o)
          SELECT user_id, MIN(ts) AS session_start,
            CAST(COUNT(*) AS BIGINT) AS events
@@ -3189,8 +3189,9 @@ object SparkEntry {
            FROM documents),
          cum AS (
            SELECT doc_id, lang, toks,
-             coalesce(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+             CAST(coalesce(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS before
            FROM perdoc)
          SELECT doc_id, lang, toks,
            CAST(floor(before / 2048) AS BIGINT) AS pack_id
@@ -3206,8 +3207,9 @@ object SparkEntry {
            FROM documents),
          cum AS (
            SELECT doc_id, lang, toks,
-             coalesce(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+             CAST(coalesce(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS before
            FROM perdoc)
          SELECT doc_id, lang, toks,
            CAST(floor(before / 2048) AS BIGINT) AS pack_id
@@ -3222,8 +3224,9 @@ object SparkEntry {
            FROM documents),
          cum AS (
            SELECT doc_id, lang, toks,
-             coalesce(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+             CAST(coalesce(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS before
            FROM perdoc),
          packs AS (
            SELECT doc_id, lang, toks,
@@ -3246,8 +3249,9 @@ object SparkEntry {
            FROM documents),
          cum AS (
            SELECT doc_id, lang, toks,
-             coalesce(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+             CAST(coalesce(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS before
            FROM perdoc),
          packs AS (
            SELECT doc_id, lang, toks,
@@ -3991,9 +3995,10 @@ object SparkEntry {
              THEN 1 ELSE 0 END AS is_new
            FROM e),
          s AS (
-           SELECT *, SUM(is_new) OVER
+           SELECT *, CAST(SUM(is_new) OVER
              (PARTITION BY user_id ORDER BY ts, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS session_seq
            FROM g)
          SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
            min(ts) AS session_start, max(ts) AS session_end,
@@ -4066,8 +4071,8 @@ object SparkEntry {
          SELECT from_type, to_type, cnt,
            CAST(sum(cnt) OVER (PARTITION BY from_type) AS BIGINT)
              AS from_total,
-           cnt * 1000000 // sum(cnt) OVER (PARTITION BY from_type)
-             AS prob_ppm
+           CAST(cnt * 1000000 // sum(cnt) OVER (PARTITION BY from_type)
+             AS BIGINT) AS prob_ppm
          FROM c""",
 
     "events_funnel_steps" ->
@@ -4113,16 +4118,18 @@ object SparkEntry {
            WHERE user_id IS NOT NULL AND ts IS NOT NULL
            GROUP BY 1, 2)
          SELECT event_type, day, cnt,
-           COALESCE(sum(cnt) OVER (PARTITION BY event_type ORDER BY day
-             RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS base_cnt,
+           CAST(COALESCE(sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+             RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS base_cnt,
            CAST(count(cnt) OVER (PARTITION BY event_type ORDER BY day
              RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS base_days,
            (count(cnt) OVER (PARTITION BY event_type ORDER BY day
               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) > 0
             AND cnt * count(cnt) OVER (PARTITION BY event_type ORDER BY day
               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) * 100
-              > 105 * COALESCE(sum(cnt) OVER (PARTITION BY event_type
-                ORDER BY day RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0))
+              > 105 * CAST(COALESCE(sum(cnt) OVER (PARTITION BY event_type
+                ORDER BY day RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT))
              AS is_spike
          FROM d""",
 
@@ -4394,7 +4401,8 @@ object SparkEntry {
                FROM j GROUP BY 1, 2)
          SELECT lang, pred_lang, cnt,
            CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
-           cnt * 1000000 // sum(cnt) OVER (PARTITION BY lang) AS share_ppm
+           CAST(cnt * 1000000 // sum(cnt) OVER (PARTITION BY lang)
+             AS BIGINT) AS share_ppm
          FROM c""",
 
     "doc_minhash_pairs" ->

@@ -15,8 +15,75 @@ object Verify {
         "— a previous run's dump may survive under it")
   }
 
+  /** Top-level key names of a CORRECTNESS_r{N}.json dump: the strings at
+    * brace depth 1 followed by ':'. A real JSON parse is overkill for a
+    * warn-only diff, but nested keys ("rows_match", …) must not leak in,
+    * so this is a depth-aware scan, not a regex.
+    */
+  private[graft] def correctnessKeys(json: String): Set[String] = {
+    val out = scala.collection.mutable.Set[String]()
+    var depth = 0; var i = 0
+    while (i < json.length) {
+      val c = json(i)
+      if (c == '{' || c == '[') { depth += 1; i += 1 }
+      else if (c == '}' || c == ']') { depth -= 1; i += 1 }
+      else if (c == '"') {
+        val start = i + 1
+        var j = start
+        while (j < json.length && json(j) != '"') {
+          if (json(j) == '\\') j += 1
+          j += 1
+        }
+        val key = json.substring(start, math.min(j, json.length))
+        var k = j + 1
+        while (k < json.length && json(k).isWhitespace) k += 1
+        if (depth == 1 && k < json.length && json(k) == ':') out += key
+        i = j + 1
+      } else i += 1
+    }
+    out.toSet
+  }
+
+  /** Round-7 lesson, automated: queries present in the PREVIOUS round's
+    * driver correctness file but absent from the current registry. A
+    * rename or a data-vintage regression makes queries VANISH silently
+    * (absent ≠ failed in the driver's report) — this is the warning that
+    * round 7 lacked.
+    */
+  private[graft] def vanishedQueries(prev: Set[String],
+                                     current: Set[String]): Set[String] =
+    prev -- current
+
+  /** Newest CORRECTNESS_r{N}.json under `dir` (by round number), if any. */
+  private[graft] def latestCorrectnessFile(dir: java.io.File): Option[java.io.File] = {
+    val re = raw"CORRECTNESS_r(\d+)\.json".r
+    Option(dir.listFiles()).getOrElse(Array.empty).flatMap { f =>
+      f.getName match {
+        case re(n) => Some((n.toInt, f))
+        case _     => None
+      }
+    }.sortBy(-_._1).headOption.map(_._2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1)
+    // Oracle type-discipline gate (the round-10 HUGEINT lesson): an
+    // uncast windowed sum must never reach the driver's type-sensitive
+    // hash — fail the whole dump loudly before writing anything.
+    val lintHits = OracleLint.violations(SparkEntry.oracleSql)
+    require(lintHits.isEmpty,
+      s"oracle type lint: ${lintHits.size} uncast windowed sum(s):\n" +
+        lintHits.mkString("\n"))
+    // Query-set regression watch: warn when a query registered in the
+    // previous round's driver run is gone from the current registry.
+    latestCorrectnessFile(new java.io.File(".")).foreach { f =>
+      val prev = correctnessKeys(Files.readString(f.toPath))
+      val gone = vanishedQueries(prev, SparkEntry.queries.keySet)
+      if (gone.nonEmpty)
+        System.err.println(s"[verify] WARNING: ${gone.size} quer(ies) in " +
+          s"${f.getName} are no longer registered: " +
+          gone.toSeq.sorted.mkString(", "))
+    }
     // Optional extra args: run only the named queries (local iteration;
     // the driver's two-arg invocation is unchanged and runs everything).
     // A misspelled name must fail loudly — a silently-empty filter would

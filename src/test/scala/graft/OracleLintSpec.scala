@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The oracle type-discipline gate (round-10 HUGEINT lesson) plus the
+  * query-set regression watch (round-7 vanishing-queries lesson) — both
+  * pure functions, no Spark session needed.
+  */
+class OracleLintSpec extends AnyFunSuite {
+
+  test("every registered oracle passes the windowed-sum cast lint") {
+    val hits = OracleLint.violations(SparkEntry.oracleSql)
+    assert(hits.isEmpty, hits.mkString("\n"))
+  }
+
+  test("an injected uncast windowed sum is caught") {
+    // The exact round-10 failure shape: integer division by an uncast
+    // windowed sum — DuckDB types the result HUGEINT, the driver's
+    // type-sensitive hash diverges from Spark's BIGINT.
+    val bad = "SELECT cnt * 1000000 // sum(cnt) OVER (PARTITION BY k) " +
+      "AS ppm FROM t"
+    assert(OracleLint.uncastWindowedSums(bad).nonEmpty)
+    assert(OracleLint.violations(Map("q" -> bad)).exists(_.startsWith("q:")))
+  }
+
+  test("a CAST-wrapped windowed sum is clean, nested or not") {
+    val ok1 = "SELECT CAST(sum(cnt) OVER (PARTITION BY k) AS BIGINT) FROM t"
+    val ok2 = "SELECT CAST(coalesce(sum(cnt) OVER (ORDER BY d " +
+      "RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) FROM t"
+    val ok3 = "SELECT CAST(a * 100 // sum(cnt) OVER (PARTITION BY k) " +
+      "AS BIGINT) FROM t"
+    assert(OracleLint.uncastWindowedSums(ok1).isEmpty)
+    assert(OracleLint.uncastWindowedSums(ok2).isEmpty)
+    assert(OracleLint.uncastWindowedSums(ok3).isEmpty)
+  }
+
+  test("plain aggregate sums are out of scope; only the OVER form flags") {
+    val plain = "SELECT l_orderkey FROM lineitem GROUP BY 1 " +
+      "HAVING sum(l_quantity) > 250"
+    assert(OracleLint.uncastWindowedSums(plain).isEmpty)
+  }
+
+  test("quoted string literals cannot desync the paren balance") {
+    // A regex literal with an unbalanced paren before an uncast windowed
+    // sum: the scan must still flag it (and not crash or mis-nest).
+    val s = "SELECT regexp_extract(t, '([a-z]') AS x, " +
+      "sum(c) OVER (PARTITION BY k) AS w FROM t"
+    assert(OracleLint.uncastWindowedSums(s).nonEmpty)
+    // …and a cast one inside the same statement stays clean.
+    val s2 = "SELECT regexp_extract(t, '([a-z]') AS x, " +
+      "CAST(sum(c) OVER (PARTITION BY k) AS BIGINT) AS w FROM t"
+    assert(OracleLint.uncastWindowedSums(s2).isEmpty)
+  }
+
+  test("identifiers merely ending in 'sum' do not trigger the scan") {
+    val s = "SELECT checksum(c) OVER (PARTITION BY k) AS w FROM t"
+    assert(OracleLint.uncastWindowedSums(s).isEmpty)
+  }
+
+  test("correctnessKeys extracts only depth-1 keys") {
+    val json = """{"q1": {"rows_match": true, "err": null},
+                   "q2_agg": {"hash_match": false}}"""
+    assert(Verify.correctnessKeys(json) === Set("q1", "q2_agg"))
+  }
+
+  test("vanishedQueries reports prior-round queries missing now") {
+    val prev = Set("a", "b", "c")
+    assert(Verify.vanishedQueries(prev, Set("a", "c", "d")) === Set("b"))
+    assert(Verify.vanishedQueries(prev, prev) === Set.empty[String])
+  }
+
+  test("latestCorrectnessFile picks the highest round number") {
+    val dir = java.nio.file.Files.createTempDirectory("lintspec").toFile
+    try {
+      java.nio.file.Files.writeString(
+        new java.io.File(dir, "CORRECTNESS_r09.json").toPath, "{}")
+      java.nio.file.Files.writeString(
+        new java.io.File(dir, "CORRECTNESS_r10.json").toPath, "{}")
+      java.nio.file.Files.writeString(
+        new java.io.File(dir, "BENCH_r11.json").toPath, "{}")
+      assert(Verify.latestCorrectnessFile(dir).map(_.getName)
+        === Some("CORRECTNESS_r10.json"))
+    } finally {
+      Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      dir.delete()
+    }
+  }
+
+  test("the current registry loses nothing vs the last driver round") {
+    // The automated round-7 check, asserted hard in CI: if a query from
+    // the checked-in latest CORRECTNESS file is no longer registered,
+    // this spec fails (rename it only with a deliberate edit here).
+    Verify.latestCorrectnessFile(new java.io.File(".")).foreach { f =>
+      val prev = Verify.correctnessKeys(
+        java.nio.file.Files.readString(f.toPath))
+      val gone = Verify.vanishedQueries(prev, SparkEntry.queries.keySet)
+      assert(gone.isEmpty,
+        s"queries in ${f.getName} no longer registered: " +
+          gone.toSeq.sorted.mkString(", "))
+    }
+  }
+}
