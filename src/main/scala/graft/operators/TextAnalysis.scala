@@ -613,43 +613,117 @@ object TextAnalysis {
     * fractional ranks — the tie-broken ranks keep every intermediate an
     * integer; the single IEEE division is floor-quantized (q6).
     *
-    * Scale note: this is an AUDIT operator — each rank is a global
-    * row_number (one ordering pass per column). At corpus scales where a
-    * global sort is unacceptable, compute ranks by quantile binning or a
-    * two-pass sort + per-partition offset; the formula is unchanged.
+    * Scale shape: ranks are EXACT but computed by quantile BINNING, not a
+    * single global window — approximate quantile boundaries (a bounded
+    * driver collect of `rankBuckets−1` doubles per column) split each
+    * column into buckets that are monotone in the score order, so
+    *
+    *   global_rank = row_number OVER (PARTITION BY bucket) + Σ counts of
+    *                 lower buckets  (a ≤ rankBuckets+2-row literal)
+    *
+    * holds exactly whatever the boundaries are (boundary quality affects
+    * only balance, never correctness — ties share a bucket and resolve on
+    * the within-bucket (score, doc_id) order). Every window is
+    * partitioned; nothing corpus-sized funnels through one task.
+    * `rankBuckets = 1` keeps the single-window form (the spec reference —
+    * the two paths are pinned equal).
     */
-  def scoreAgreement(scores: DataFrame, cols: Seq[String]): DataFrame = {
+  def scoreAgreement(scores: DataFrame, cols: Seq[String],
+      rankBuckets: Int = 64): DataFrame = {
     require(cols.size >= 2, "scoreAgreement needs at least two score columns")
-    val ranked = cols.foldLeft(scores) { (df, c) =>
-      df.withColumn(s"__r_$c", row_number().over(
-        Window.orderBy(col(c).asc_nulls_last, col("doc_id").asc))
-        .cast("long"))
+    require(rankBuckets >= 1 && rankBuckets <= 4096,
+      s"rankBuckets=$rankBuckets outside [1, 4096]")
+    if (rankBuckets == 1) {
+      val ranked = cols.foldLeft(scores) { (df, c) =>
+        df.withColumn(s"__r_$c", row_number().over(
+          Window.orderBy(col(c).asc_nulls_last, col("doc_id").asc))
+          .cast("long"))
+      }
+      Barrier.withCached(ranked.select(
+          col("doc_id") +: cols.map(c => col(s"__r_$c")): _*)) { r =>
+        agreementTail(r, cols)
+      }
+    } else
+      // The input is read by the boundary estimation, one count pass per
+      // column, and the rank pass — cache it for the span (the registered
+      // query's input embeds the full bigram-LM chain).
+      Barrier.withCached(scores) { s =>
+        val ranked = binnedRanks(s, cols, rankBuckets)
+        Barrier.withCached(ranked.select(
+            col("doc_id") +: cols.map(c => col(s"__r_$c")): _*)) { r =>
+          agreementTail(r, cols)
+        }
+      }
+  }
+
+  /** Exact global ranks (`__r_<col>`) via quantile binning — every window
+    * PARTITIONED by the bucket column (plan-locked: no unpartitioned
+    * corpus-sized window anywhere in the registry). Bucket assignment
+    * `#{boundary < value}` is monotone in the score, null scores take a
+    * dedicated final bucket (matching asc_nulls_last), and the per-bucket
+    * offsets are a bounded literal when-chain. Heavy ties concentrate in
+    * one bucket — the partition is then bounded by the tie count, the
+    * standard quantile-binning caveat.
+    */
+  private[graft] def binnedRanks(s: DataFrame, cols: Seq[String],
+      nb: Int): DataFrame = {
+    val probs = (1 until nb).map(_.toDouble / nb).toArray
+    // One pass estimates every column's boundaries (null-ignoring).
+    val allBounds = s.stat.approxQuantile(cols.toArray, probs, 0.001)
+    val withBuckets = cols.zip(allBounds).foldLeft(s) { case (df, (c, bs)) =>
+      // Long→double in the boundary compare is monotone (ties collapse
+      // into one bucket; within-bucket order uses the ORIGINAL column),
+      // so exactness survives values past 2^53.
+      val sorted = bs.distinct.sorted
+      val nonNull = sorted.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col(c) > lit(b), 1).otherwise(0)
+      }
+      df.withColumn(s"__b_$c",
+        when(col(c).isNull, lit(sorted.length + 1)).otherwise(nonNull))
     }
-    Barrier.withCached(ranked.select(
-        col("doc_id") +: cols.map(c => col(s"__r_$c")): _*)) { r =>
-      val pairs =
-        for { i <- cols.indices; j <- i + 1 until cols.size }
-          yield (cols(i), cols(j))
-      pairs.map { case (a, b) =>
-        val d = col(s"__r_$a") - col(s"__r_$b")
-        val nD = col("n").cast("double")
-        // DECIMAL(38,0) accumulator: Σd² is ~n³/6 (n³/3 anti-correlated)
-        // and wraps a long past ~3-4M docs — the silent-wrap class
-        // trainKeyedBooks/indexHealth already widened for. The display
-        // column casts back to long (exact at any audit scale; a sum
-        // past 9.2e18 reads NULL rather than garbage), and rho is
-        // computed from the unwrapped decimal.
-        r.agg(count(lit(1)).as("n"),
-            sum((d * d).cast("decimal(38,0)")).as("__s"))
-          .select(lit(s"$a~$b").as("pair"), col("n"),
-            col("__s").cast("long").as("sum_d2"),
-            // rho undefined below 2 rows (n(n²-1)=0) — emit NULL, not a
-            // division artifact.
-            when(col("n") >= 2L,
-              q6(lit(1.0) - lit(6.0) * col("__s").cast("double") /
-                (nD * (nD * nD - lit(1.0))))).as("rho"))
-      }.reduce(_.unionByName(_)).barrier()
+    cols.foldLeft(withBuckets) { (df, c) =>
+      // Bounded collect: ≤ nb+2 (bucket, count) rows per column.
+      val cnts = withBuckets.groupBy(col(s"__b_$c"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val offs = cnts.scanLeft(0L)(_ + _._2).zip(cnts)
+        .map { case (off, (b, _)) => (b, off) }
+      val offCol = offs.foldLeft(lit(0L): Column) { case (acc, (b, off)) =>
+        when(col(s"__b_$c") === lit(b), lit(off)).otherwise(acc)
+      }
+      df.withColumn(s"__r_$c",
+        row_number().over(Window.partitionBy(col(s"__b_$c"))
+          .orderBy(col(c).asc_nulls_last, col("doc_id").asc))
+          .cast("long") + offCol)
     }
+  }
+
+  /** The pair-correlation tail over a cached `(doc_id, __r_*)` table —
+    * shared by both rank paths.
+    */
+  private def agreementTail(r: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs =
+      for { i <- cols.indices; j <- i + 1 until cols.size }
+        yield (cols(i), cols(j))
+    pairs.map { case (a, b) =>
+      val d = col(s"__r_$a") - col(s"__r_$b")
+      val nD = col("n").cast("double")
+      // DECIMAL(38,0) accumulator: Σd² is ~n³/6 (n³/3 anti-correlated)
+      // and wraps a long past ~3-4M docs — the silent-wrap class
+      // trainKeyedBooks/indexHealth already widened for. The display
+      // column casts back to long (exact at any audit scale; a sum
+      // past 9.2e18 reads NULL rather than garbage), and rho is
+      // computed from the unwrapped decimal.
+      r.agg(count(lit(1)).as("n"),
+          sum((d * d).cast("decimal(38,0)")).as("__s"))
+        .select(lit(s"$a~$b").as("pair"), col("n"),
+          col("__s").cast("long").as("sum_d2"),
+          // rho undefined below 2 rows (n(n²-1)=0) — emit NULL, not a
+          // division artifact.
+          when(col("n") >= 2L,
+            q6(lit(1.0) - lit(6.0) * col("__s").cast("double") /
+              (nD * (nD * nD - lit(1.0))))).as("rho"))
+    }.reduce(_.unionByName(_)).barrier()
   }
 
   /** Driver-resident bigram-LM model — the offline-trained artifact the

@@ -3007,6 +3007,29 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(streamed(999999L) == ((2L, 1000000L / model.v)))
   }
 
+  test("scoreAgreement: binned ranks equal the single-window exact form, nulls and ties included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // Heavy ties (mod 5), a null-bearing column, and a constant column —
+    // the three shapes that could break bucket monotonicity or the
+    // null-bucket routing.
+    val rows = (0L until 300L).map { id =>
+      (id, (id % 5).toLong,
+        if (id % 7 == 0) None else Some(rnd.nextInt(1000).toLong),
+        42L)
+    }
+    val df = rows.toDF("doc_id", "ties", "sparse", "flat")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)))).sortBy(_._1)
+    val exact = canon(TextAnalysis.scoreAgreement(
+      df, Seq("ties", "sparse", "flat"), rankBuckets = 1))
+    for (nb <- Seq(4, 64, 512))
+      assert(canon(TextAnalysis.scoreAgreement(
+        df, Seq("ties", "sparse", "flat"), rankBuckets = nb)) === exact,
+        s"rankBuckets=$nb diverged from the single-window form")
+  }
+
   test("scoreAgreement: -1 on reversed signals; equals brute-force Spearman with the doc_id tie-break") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

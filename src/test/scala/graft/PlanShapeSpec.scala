@@ -618,6 +618,29 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p.take(3000)) // the V attach exists
   }
 
+  test("scoreAgreement binned ranks: every window is partitioned (no global single-task sort)") {
+    // The one operator that ever carried an unpartitioned corpus-sized
+    // window. Assert on the rank BUILDER (the registered query's barriers
+    // hide it behind Scan ExistingRDD): every Window node in the physical
+    // plan must carry a partition spec — in the plan string a partitioned
+    // window prints THREE bracket groups (functions, partition, order),
+    // an unpartitioned one only two.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars"),
+        length(col("text")).cast("long").as("alt"))
+    val p = graft.operators.TextAnalysis
+      .binnedRanks(docs, Seq("n_chars", "alt"), 64)
+      .queryExecution.executedPlan.toString
+    val windowLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty, p.take(3000))
+    windowLines.foreach { l =>
+      assert("\\], \\[".r.findAllIn(l).length == 2,
+        s"unpartitioned window: $l")
+    }
+    // The offsets are literal when-chains: no join anywhere in the ranks.
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
   test("doc_bm25_index_topk: postings scan partition-prunes to the query-term buckets") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_lex_plan").toString
