@@ -335,7 +335,17 @@ object Curation {
     import org.apache.spark.sql.types.{DoubleType, FloatType, DecimalType}
     val w = docs.select(weight.as("__w")).schema.head.dataType match {
       case DoubleType | FloatType | _: DecimalType =>
-        floor(weight * lit(1e6)).cast("long")
+        // A positive weight below 1e-6 still floors to 0 after scaling —
+        // and the weight > 0 guard below would then silently exclude a
+        // row the caller gave positive mass. Fail loudly instead: the
+        // caller either rescales their weights or pre-filters the
+        // sub-micro tail deliberately.
+        val scaled = floor(weight * lit(1e6)).cast("long")
+        when(weight > lit(0) && scaled <= lit(0L),
+          raise_error(lit("weightedSample: positive weight below 1e-6 " +
+            "floors to zero mass after micro-unit scaling — rescale the " +
+            "weight column or filter sub-micro weights explicitly")))
+          .otherwise(scaled)
       case _ => weight.cast("long")
     }
     docs.where(col("doc_id").isNotNull)

@@ -254,17 +254,32 @@ object EventAnalytics {
     * batch side has one global anchor per user — a re-anchored emission
     * would diverge from it).
     *
-    * State bound: per ANCHORED user, the in-window funnel-type events
-    * (out-of-window events are dropped on sight); per anchor-less user,
-    * only events above the watermark (anything older provably cannot
-    * chain a future anchor, which must arrive at event-time >= the
-    * watermark), expired outright once the watermark passes the newest
-    * survivor; per closed user, an O(1) tombstone — the price of the
-    * exactly-once-per-user emission guarantee.
+    * State bound: per ANCHORED user, the single anchor row plus the LIVE
+    * later-step events — a step>0 row is retained only while it could
+    * still chain (after the current anchor, or above the watermark where
+    * an even-earlier late anchor could still land in front of it; a
+    * future anchor arrives at event-time >= the watermark, so rows at or
+    * below BOTH the anchor and the watermark are provably dead, as are
+    * all step-0 rows other than the min). Per anchor-less user, only
+    * events above the watermark, expired outright once the watermark
+    * passes the newest survivor. Per closed user, an O(1) tombstone —
+    * the price of the exactly-once-per-user emission guarantee.
+    *
+    * `tombstoneTtlMinutes = 0` (default) keeps tombstones forever: the
+    * exact batch twin, at one state row per ever-emitted user. A
+    * positive TTL expires each tombstone `ttl` minutes of EVENT TIME
+    * past its emission watermark, bounding total state for long-running
+    * streams — the DOCUMENTED divergence being that a step-0 event
+    * arriving later than the TTL after the user's funnel closed
+    * re-anchors a second funnel the one-global-anchor batch fold does
+    * not have.
     */
   def funnelStepsStream(events: DataFrame, steps: Seq[String],
-      windowMinutes: Long, delay: String = "1 hour")
+      windowMinutes: Long, delay: String = "1 hour",
+      tombstoneTtlMinutes: Long = 0L)
       : Dataset[FunnelProgress] = {
+    require(tombstoneTtlMinutes >= 0L,
+      s"tombstoneTtlMinutes=$tombstoneTtlMinutes must be >= 0")
     require(steps.size >= 2 && steps.size <= 8,
       s"funnel needs 2..8 steps, got ${steps.size}")
     require(steps.distinct.size == steps.size,
@@ -299,8 +314,22 @@ object EventAnalytics {
               case Some((a, c)) =>
                 // Tombstone, not remove(): a removed user would re-anchor
                 // on any later step-1 event and emit a second funnel the
-                // batch twin does not have.
-                state.update(Seq.empty)
+                // batch twin does not have. With a TTL, the tombstone
+                // carries its own expiry stamp (a step=-1 marker row — a
+                // value the isin gate upstream can never produce) so the
+                // DATA path can honor an elapsed TTL deterministically:
+                // a key with new data is invoked in data mode, never
+                // timed-out mode, in the same trigger — expiry must not
+                // depend on that interleaving. The timer is the cleanup
+                // path for keys that never see data again.
+                if (tombstoneTtlMinutes > 0L) {
+                  val expiryMs = math.addExact(
+                    state.getCurrentWatermarkMs(),
+                    math.multiplyExact(tombstoneTtlMinutes, 60000L))
+                  state.update(
+                    Seq((-1, math.multiplyExact(expiryMs, 1000L))))
+                  state.setTimeoutTimestamp(expiryMs)
+                } else state.update(Seq.empty)
                 Iterator.single(FunnelProgress(user, a, c))
               case None =>
                 // Anchor-less horizon expiry: the watermark has passed
@@ -312,22 +341,45 @@ object EventAnalytics {
                 Iterator.empty
             }
           } else {
-            val prev = state.getOption
-            if (prev.contains(Seq.empty[(Int, Long)])) {
+            val wmMs = state.getCurrentWatermarkMs()
+            // A TTL'd tombstone whose expiry the watermark has passed is
+            // treated as already removed, even though its cleanup timer
+            // hasn't fired (this key has data this trigger, so the call
+            // is in data mode): the re-anchor semantics must not depend
+            // on timer/data interleaving within one trigger.
+            val prev = state.getOption match {
+              case Some(p) if p.nonEmpty && p.head._1 == -1 &&
+                  math.multiplyExact(wmMs, 1000L) > p.head._2 => None
+              case other => other
+            }
+            val isTombstone =
+              prev.exists(p => p.isEmpty || p.head._1 == -1)
+            if (isTombstone) {
               // Closed user: drain and ignore — exactly-once emission.
               rows.foreach(_ => ())
               Iterator.empty
             } else {
-              val wmMs = state.getCurrentWatermarkMs()
               val merged = prev.getOrElse(Seq.empty) ++
                 rows.map(h => (h.step, h.tsu))
               val anchor = merged.collect { case (0, t) => t }.minOption
               anchor match {
                 case Some(a) =>
-                  // With an anchor known, out-of-window events can never
-                  // join the chain — drop them NOW so the buffer is
-                  // bounded by the window, not by the user's lifetime.
-                  state.update(merged.filter(_._2 <= a + winUs))
+                  // With an anchor known, prune everything provably dead:
+                  // out-of-window rows; step-0 rows other than the min
+                  // (the anchor only ever moves EARLIER, via new events);
+                  // and step>0 rows at or below both the anchor and the
+                  // watermark — chaining needs t > anchor, and any
+                  // future replacement anchor arrives at event-time >=
+                  // the watermark, so t <= min(a, wm) can never chain.
+                  // (Rows in (wm, a] must stay: a late earlier anchor
+                  // a' < t could still make them chain — the reason the
+                  // naive "drop everything <= a" prune would diverge
+                  // from the batch fold.)
+                  val wmUs = math.multiplyExact(wmMs, 1000L)
+                  state.update(merged.filter { case (s, t) =>
+                    t <= a + winUs &&
+                      (if (s == 0) t == a else t > a || t > wmUs)
+                  })
                   // Fire once the watermark proves the window complete:
                   // close is ms-ceiling of anchor+window so an edge-exact
                   // (µs) event still precedes the timer. A window already

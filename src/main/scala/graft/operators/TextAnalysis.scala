@@ -567,8 +567,13 @@ object TextAnalysis {
     c2.where(col("c_xy") >= minCount)
       .join(cx, Seq("w1")).join(cy, Seq("w2"))
       .crossJoin(broadcast(m))
+      // DECIMAL(38,0) numerator (the BM25 rank-sum discipline): c_xy·M·1e6
+      // wraps a long near 9.2e18 — at ~3e6 total bigram occurrences of one
+      // pair — while the decimal form carries to 1e38 and ANSI still fails
+      // loudly past that. IntegralDivide emits BIGINT either way, so the
+      // output column type (and the oracle's // arithmetic) is unchanged.
       .withColumn("score_ppm",
-        expr("c_xy * m * 1000000L div (c_x * c_y)"))
+        expr("CAST(c_xy AS DECIMAL(38,0)) * m * 1000000 div (c_x * c_y)"))
       .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
         col("score_ppm"))
       .orderBy(col("score_ppm").desc, col("w1").asc, col("w2").asc)

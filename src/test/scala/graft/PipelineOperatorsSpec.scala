@@ -2167,6 +2167,59 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(fromStream == batch)
   }
 
+  test("funnelStepsStream: tombstone TTL bounds closed-user state; far-later anchor re-opens (documented divergence)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    def us(min: Long) = (t0.getTime + min * 60000L) * 1000L
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val stream = EventAnalytics.funnelStepsStream(
+      ms.toDF().toDF("user_id", "ts", "event_type"), Seq("s1", "s2"),
+      windowMinutes = 10L, delay = "0 seconds", tombstoneTtlMinutes = 10L)
+    val q = stream.writeStream.format("memory").queryName("funnel_ttl")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq((1L, at(0), "s1"), (1L, at(1), "s2")))
+      q.processAllAvailable()
+      ms.addData(Seq((99L, at(100), "s1"))) // wm 100 closes u1 → emit; ttl arms at 110
+      q.processAllAvailable()
+      ms.addData(Seq((1L, at(105), "s1"))) // within TTL: tombstone swallows
+      q.processAllAvailable()
+      ms.addData(Seq((98L, at(300), "s1"))) // wm 300 > 110: tombstone expires
+      q.processAllAvailable()
+      ms.addData(Seq((1L, at(400), "s1"))) // re-anchors on the expired user
+      q.processAllAvailable()
+      ms.addData(Seq((97L, at(900), "s1"))) // wm past 410: second funnel closes
+      q.processAllAvailable()
+    } finally q.stop()
+    val u1 = spark.table("funnel_ttl").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("anchor_us"),
+        r.getAs[Long]("steps_completed")))
+      .filter(_._1 == 1L).sortBy(_._2).toSeq
+    // Exactly TWO emissions: the original chain, and the post-TTL
+    // re-anchor — with the in-TTL straggler (105) swallowed, never a
+    // third row and never an anchor at us(105).
+    assert(u1 == Seq((1L, us(0), 2L), (1L, us(400), 1L)), u1)
+  }
+
+  test("weightedSample: a positive sub-micro weight fails loudly instead of silently losing mass") {
+    import spark.implicits._
+    val d = Seq((1L, 0.5), (2L, 1e-9)).toDF("doc_id", "q")
+    val e = intercept[Throwable] {
+      Curation.weightedSample(d, 2, col("q")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("below 1e-6")), msgs(e).mkString("\n"))
+    // Zero and negative weights keep the documented silent-drop contract.
+    val ok = Curation.weightedSample(
+      Seq((1L, 0.5), (2L, 0.0), (3L, -1.0)).toDF("doc_id", "q"),
+      3, col("q")).collect()
+    assert(ok.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+  }
+
   test("pmiTopK: matches a brute-force PMI ranking; minCount gates hapax pairs") {
     import spark.implicits._
     val rnd = new scala.util.Random(43)
