@@ -156,6 +156,37 @@ object SparkEntry {
     (0 until 256).map(i =>
       if (i % 13 == 0) ' ' else ('A' + (i * 7) % 26).toChar).mkString
 
+  /** Perceptual-dup plant: four 64-byte blocks whose SAMPLED frames (the
+    * first 16 bytes of each block — sampling takes every 4th 16-byte
+    * frame, one per block) carry DISTINCT intensity histograms by
+    * construction: (4+b 'A's, 12−b 'P's) splits bins 4/5 differently per
+    * block. The letter-walk mediaPlantPattern is useless here — its
+    * mod-7 alphabet walk gives every block the SAME (2, 8, 6) bin split,
+    * which would collapse all planted fingerprints to one and leave
+    * `shared` below minShared (a vacuous plant). Uppercase bins (4/5)
+    * also can't collide with the lowercase organic corpus (bins 6/7).
+    */
+  private val pMediaPlantPattern: String =
+    (0 until 4).map(b => "A" * (4 + b) + "P" * (12 - b) + "Q" * 48).mkString
+
+  /** [[pMediaPlantPattern]] with each sampled frame byte-REVERSED: a
+    * per-frame 180° rotation under the stub's bytes-are-pixels decode.
+    * Every rotated frame's md5 differs from the original's (the A-run
+    * and P-run swap ends); every intensity histogram matches — the pair
+    * the perceptual pass must catch and the byte pass must not.
+    */
+  private val pMediaPlantPatternRot: String =
+    pMediaPlantPattern.grouped(64)
+      .map(b => b.take(16).reverse + b.drop(16)).mkString
+
+  /** The 16-bin histogram fingerprint as oracle SQL: per-bin CASE sums
+    * joined with ':' — byte-identical to the Scala side's
+    * `bins.mkString(":")` (plain integer-to-string on both engines).
+    */
+  private val histogramFingerprintSql: String = (0 until 16)
+    .map(b => s"CAST(SUM(CASE WHEN bin = $b THEN 1 ELSE 0 END) AS VARCHAR)")
+    .mkString(" || ':' || ")
+
   /** Containment plant: 12 tokens → 10 trigrams (the min set). */
   private val containPlantShort =
     "ca cb cc cd ce cf cg ch ci cj ck cl"
@@ -693,6 +724,30 @@ object SparkEntry {
             coalesce(col("text"), lit(""))))
           .otherwise(col("text")))
       Multimodal.frameDups(s, Multimodal.withPayload(planted))
+    }),
+
+    // PERCEPTUAL media near-dup: frames pair on their intensity-histogram
+    // fingerprint, catching the pixel-permuted (rotated) copies md5
+    // misses. The plant makes that falsifiable: one doc group carries
+    // 2-4 blocks of the fixed pattern, a second group the SAME blocks
+    // with each sampled frame byte-REVERSED (a 180° rotation under the
+    // stub's bytes-are-pixels decode) — every cross-group md5 differs,
+    // every histogram matches, so exactly the rotated pairs appear here
+    // and not in doc_media_dups (spec-pinned).
+    "doc_media_pdups" -> ((s, dir) => {
+      def blocksOf(p: String) =
+        when(col("doc_id") % 3 === 0, lit(p.take(128)))
+          .when(col("doc_id") % 3 === 1, lit(p.take(192)))
+          .otherwise(lit(p))
+      val planted = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 29 === 11 && col("doc_id") < 500,
+          concat(blocksOf(pMediaPlantPattern),
+            coalesce(col("text"), lit(""))))
+        .when(col("doc_id") % 29 === 23 && col("doc_id") < 500,
+          concat(blocksOf(pMediaPlantPatternRot),
+            coalesce(col("text"), lit(""))))
+        .otherwise(col("text")))
+      Multimodal.perceptualDups(s, Multimodal.withPayload(planted))
     }),
 
     // Gopher-style rule filter: per-doc quality flags + keep verdict.
@@ -1368,6 +1423,15 @@ object SparkEntry {
     // window runs over the |types|^2 table.
     "events_transitions" -> ((s, dir) =>
       EventAnalytics.typeTransitions(EventAdapter.readEvents(s, dir))),
+
+    // Second-order Markov transitions: the from-state is the last TWO
+    // event types ('>'-joined), to_type the next — the sequence model a
+    // recommender or anomaly stack fits when first-order mixing is too
+    // coarse. Chains shorter than the context contribute nothing (no
+    // backoff; oracle filters identically). 125 context rows at sf0.01.
+    "events_transitions2" -> ((s, dir) =>
+      EventAnalytics.typeTransitions(EventAdapter.readEvents(s, dir),
+        order = 2)),
 
     // Step-conversion funnel summary: signup -> view -> click -> purchase
     // within 3 days of the anchor. One shuffle (per-user fold), array-HOF
@@ -4075,6 +4139,33 @@ object SparkEntry {
              AS BIGINT) AS prob_ppm
          FROM c""",
 
+    // Second-order chain: the from-state is (lag 1, current) '>'-joined;
+    // heads without the full context (null lag) drop, no backoff —
+    // exactly the Spark-side null gate.
+    "events_transitions2" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, event_type FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         p AS (
+           SELECT
+             lag(event_type, 1) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS l1,
+             event_type,
+             lead(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+           FROM e),
+         c AS (
+           SELECT l1 || '>' || event_type AS from_type, to_type,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM p WHERE to_type IS NOT NULL AND l1 IS NOT NULL
+           GROUP BY 1, 2)
+         SELECT from_type, to_type, cnt,
+           CAST(sum(cnt) OVER (PARTITION BY from_type) AS BIGINT)
+             AS from_total,
+           CAST(cnt * 1000000 // sum(cnt) OVER (PARTITION BY from_type)
+             AS BIGINT) AS prob_ppm
+         FROM c""",
+
     "events_funnel_steps" ->
       """WITH ev AS (
            SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events
@@ -4936,6 +5027,59 @@ object SparkEntry {
            SELECT DISTINCT doc_id,
              md5(substr(text, CAST(i * 16 + 1 AS INTEGER), 16)) AS fingerprint
            FROM f WHERE i % 4 = 0),
+         keep AS (
+           SELECT fingerprint FROM fp GROUP BY 1 HAVING COUNT(*) <= 50),
+         pr AS (
+           SELECT fp.doc_id, fp.fingerprint
+           FROM fp JOIN keep USING (fingerprint))
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared
+         FROM pr a JOIN pr b
+           ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING COUNT(*) >= 2""",
+
+    // Same frame-sampling chain, PERCEPTUAL fingerprints: the per-frame
+    // 16-bin high-nibble intensity histogram serialized c0:c1:…:c15
+    // (ord(char)//16 over ASCII text equals (byte & 0xff) >> 4 over its
+    // utf-8 encoding — the media family's byte≡char contract). Plant
+    // mirrors the Spark side: original blocks on one doc group, sampled-
+    // frame-reversed blocks on the other.
+    "doc_media_pdups" ->
+      s"""WITH pd AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 29 = 11 AND doc_id < 500
+                  THEN substr('$pMediaPlantPattern', 1,
+                         CAST(64 * (2 + doc_id % 3) AS INTEGER))
+                       || coalesce(text, '')
+                  WHEN doc_id % 29 = 23 AND doc_id < 500
+                  THEN substr('$pMediaPlantPatternRot', 1,
+                         CAST(64 * (2 + doc_id % 3) AS INTEGER))
+                       || coalesce(text, '')
+                  ELSE text END AS text
+           FROM documents),
+         d AS (
+           SELECT doc_id, coalesce(text, '') AS text,
+             octet_length(encode(coalesce(text, ''))) AS n
+           FROM pd),
+         f AS (
+           SELECT doc_id, text,
+             unnest(generate_series(0, n // 16 - 1)) AS i
+           FROM d WHERE n >= 16),
+         sf AS (
+           SELECT doc_id, i, substr(text, CAST(i * 16 + 1 AS INTEGER), 16)
+             AS fr
+           FROM f WHERE i % 4 = 0),
+         cj AS (
+           SELECT doc_id, i, fr, unnest(generate_series(1, 16)) AS j
+           FROM sf),
+         codes AS (
+           SELECT doc_id, i,
+             ord(substr(fr, CAST(j AS INTEGER), 1)) // 16 AS bin
+           FROM cj),
+         hist AS (
+           SELECT doc_id, i, $histogramFingerprintSql AS fingerprint
+           FROM codes GROUP BY 1, 2),
+         fp AS (SELECT DISTINCT doc_id, fingerprint FROM hist),
          keep AS (
            SELECT fingerprint FROM fp GROUP BY 1 HAVING COUNT(*) <= 50),
          pr AS (

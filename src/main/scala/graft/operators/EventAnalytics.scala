@@ -188,18 +188,39 @@ object EventAnalytics {
     * |types|² transition table; the per-from totals window runs over
     * that tiny table only.
     */
-  def typeTransitions(events: DataFrame): DataFrame = {
+  def typeTransitions(events: DataFrame, order: Int = 1): DataFrame = {
+    require(order >= 1 && order <= 3, s"order=$order outside [1, 3]")
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val pairs = events
+    val base = events
       // The sessionize null rule, mirrored in the oracle: null ts is
       // unorderable (engines disagree on null placement) and null users
       // would pile onto one window partition.
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
       .withColumn("to_type", lead(col("event_type"), 1).over(w))
-      .where(col("to_type").isNotNull)
-      .select(col("event_type").as("from_type"), col("to_type"))
+    // Higher orders condition on the last `order` events: the from-state
+    // is their '>'-joined types (e.g. "view>click" at order 2). Chains
+    // shorter than the context (lag null at a user's head) contribute
+    // nothing — an order-k model has no k-1-gram backoff here, matching
+    // the textbook Markov-chain estimate; the oracle filters identically.
+    // The lag columns materialize FIRST (one shared window pass), then
+    // the null gate — concat_ws would silently SKIP a null lag and emit
+    // a shorter context string instead of dropping the row.
+    val lagCols = (order - 1 to 1 by -1)
+      .map(j => lag(col("event_type"), j).over(w))
+    val withCtx = lagCols.zipWithIndex.foldLeft(base) { case (df, (c, i)) =>
+      df.withColumn(s"__l_$i", c)
+    }
+    val ctxNonNull = (0 until order - 1)
+      .foldLeft(lit(true))((acc, i) => acc && col(s"__l_$i").isNotNull)
+    val fromCol =
+      if (order == 1) col("event_type")
+      else concat_ws(">",
+        (0 until order - 1).map(i => col(s"__l_$i")) :+ col("event_type"): _*)
+    val pairs = withCtx
+      .where(col("to_type").isNotNull && ctxNonNull)
+      .select(fromCol.as("from_type"), col("to_type"))
     val counts = pairs.groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("cnt"))
     val perFrom = Window.partitionBy(col("from_type"))

@@ -182,6 +182,54 @@ object Multimodal {
       .select(col("doc_id"), md5(col("frame")).as("fingerprint"))
       .distinct()
 
+  /** PERCEPTUAL frame fingerprint: the 16-bin intensity histogram of the
+    * frame's bytes (bin = high nibble), serialized `c0:c1:…:c15`. With
+    * the stub codec the "pixels" ARE the payload bytes, so the kernel is
+    * the cheapest genuinely-perceptual descriptor available: invariant
+    * to every within-frame pixel PERMUTATION (rotation, mirroring,
+    * scan-order changes — the transforms a byte hash is blind to) while
+    * content changes that alter the intensity distribution re-key it. A
+    * real codec upgrades this one function to a DCT pHash over decoded
+    * pixels; the fingerprint contract (string key per frame, distinct
+    * per doc, df-capped self-join) is unchanged.
+    */
+  private[graft] def perceptualFingerprints(spark: SparkSession,
+      payloads: DataFrame, frameBytes: Int, everyNth: Int): DataFrame = {
+    import spark.implicits._
+    sampleFrames(spark, payloads, frameBytes, everyNth)
+      .mapPartitions { it =>
+        it.map { fr =>
+          val bins = new Array[Int](16)
+          fr.frame.foreach(b => bins((b & 0xff) >> 4) += 1)
+          (fr.doc_id, bins.mkString(":"))
+        }
+      }
+      .toDF("doc_id", "fingerprint")
+      .distinct()
+  }
+
+  /** Media near-duplicates by PERCEPTUAL frame overlap — the second dedup
+    * pass over a media crawl, behind the byte-identical [[frameDups]]
+    * pass: two payloads pair when `minShared` sampled frames share an
+    * intensity histogram, which catches rotated / re-scanned / pixel-
+    * permuted copies whose md5 fingerprints all differ. Same shape as
+    * [[frameDups]] end to end: map-only sampling + hashing, one DISTINCT
+    * exchange of small string keys, and the df-capped
+    * [[TextAnalysis.sharedFingerprintPairs]] self-join (a histogram
+    * shared by half the corpus — flat color, silence — is boilerplate
+    * and must not quadratically join; the cap drops it first). Coarser
+    * keys than md5 ⇒ organically hotter buckets; the cap is doing real
+    * work here, not just guarding a pathology.
+    */
+  def perceptualDups(spark: SparkSession, payloads: DataFrame,
+      frameBytes: Int = 16, everyNth: Int = 4, minShared: Int = 2,
+      maxDf: Int = 50): DataFrame = {
+    val fp = perceptualFingerprints(spark, payloads, frameBytes, everyNth)
+      .barrier()
+    try TextAnalysis.sharedFingerprintPairs(fp, minShared, maxDf)
+    finally Barrier.release(fp)
+  }
+
   /** Frame sampling for a video-like payload: emit every `everyNth`
     * fixed-size frame slice as its own row (flatMap — the row-multiplying
     * half of the multimodal contract). Frames stay on the executor that

@@ -2250,6 +2250,62 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(got.head._1 == "x" || got.head._1 == "y")
   }
 
+  test("perceptualDups: catches the frame-rotated copy the byte hash misses") {
+    import spark.implicits._
+    // Doc 2 is doc 1 with every sampled frame (each 64-byte block's first
+    // 16 bytes) REVERSED — a 180° rotation under bytes-are-pixels. Doc 3
+    // shares no content. Frames must differ byte-wise but match
+    // histogram-wise.
+    // Per block, a distinct (bin6, bin7) histogram: 4+b 'a's (bin 6) then
+    // 12−b 'p's (bin 7) — asymmetric, so the reversed frame differs
+    // byte-wise while its histogram is identical by construction.
+    val blocks = (0 until 3).map(b => "a" * (4 + b) + "p" * (12 - b) + "q" * 48)
+    val orig = blocks.mkString
+    val rot = blocks.map(b => b.take(16).reverse + b.drop(16)).mkString
+    val other = (0 until 192).map(i => ('A' + (i * 11) % 26).toChar).mkString
+    val d = Seq((1L, orig), (2L, rot), (3L, other)).toDF("doc_id", "text")
+    val pd = Multimodal.perceptualDups(spark, Multimodal.withPayload(d))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pd == Seq((1L, 2L, 3L)), pd) // all 3 sampled frames match
+    // The byte-hash pass must NOT pair them (every reversed frame differs).
+    val bd = Multimodal.frameDups(spark, Multimodal.withPayload(d))
+      .collect()
+    assert(bd.isEmpty, bd.toSeq)
+    // Kernel sanity: the fingerprint is permutation-invariant and
+    // content-sensitive.
+    val fps = Multimodal.perceptualFingerprints(
+        spark, Multimodal.withPayload(d), 16, 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDoc(1L) == byDoc(2L))
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+  }
+
+  test("typeTransitions order=2: trigram contexts, head rows without full context drop") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    val ev = Seq(
+      (1L, 1L, ts(0), "a", 0.0), (1L, 2L, ts(1), "b", 0.0),
+      (1L, 3L, ts(2), "a", 0.0), (1L, 4L, ts(3), "c", 0.0),
+      (2L, 5L, ts(0), "a", 0.0), (2L, 6L, ts(1), "b", 0.0),
+      (2L, 7L, ts(2), "a", 0.0), (2L, 8L, ts(3), "b", 0.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = EventAnalytics.typeTransitions(ev, order = 2).collect().map(r =>
+      (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        ((r.getAs[Long]("cnt"), r.getAs[Long]("from_total"),
+          r.getAs[Long]("prob_ppm")))).toMap
+    // Trigrams: u1 a,b,a,c -> (a>b, a), (b>a, c); u2 a,b,a,b -> (a>b, a),
+    // (b>a, b). The first pair of each user (no lag-1 context) is gone.
+    assert(got(("a>b", "a")) == ((2L, 2L, 1000000L)))
+    assert(got(("b>a", "c")) == ((1L, 2L, 500000L)))
+    assert(got(("b>a", "b")) == ((1L, 2L, 500000L)))
+    assert(got.size == 3, got)
+    // order=1 default is unchanged by the refactor.
+    val o1 = EventAnalytics.typeTransitions(ev).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")))
+    assert(o1.forall(p => !p._1.contains(">")) && o1.length == 3, o1.toSeq)
+  }
+
   test("typeTransitions: counts consecutive per-user pairs with exact ppm shares") {
     import spark.implicits._
     def ts(sec: Long) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
