@@ -686,11 +686,23 @@ object TextAnalysis {
       df.withColumn(s"__b_$c",
         when(col(c).isNull, lit(sorted.length + 1)).otherwise(nonNull))
     }
+    // ALL columns' bucket counts in ONE aggregation job (the bucket
+    // domain is known: 0..|bounds| plus the null bucket), instead of one
+    // groupBy-collect per column — the binned path's extra driver
+    // actions are its whole cost at small corpora, so they are kept to
+    // two (this + the boundary pass).
+    val domains = cols.zip(allBounds)
+      .map { case (c, bs) => c -> (bs.distinct.length + 2) }.toMap
+    val cntExprs = cols.flatMap { c =>
+      (0 until domains(c)).map(b =>
+        sum(when(col(s"__b_$c") === lit(b), 1L).otherwise(0L))
+          .as(s"__n_${c}_$b"))
+    }
+    val cntRow = withBuckets.agg(cntExprs.head, cntExprs.tail: _*).head()
     cols.foldLeft(withBuckets) { (df, c) =>
-      // Bounded collect: ≤ nb+2 (bucket, count) rows per column.
-      val cnts = withBuckets.groupBy(col(s"__b_$c"))
-        .agg(count(lit(1)).as("cnt"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val cnts = (0 until domains(c)).map(b =>
+        b -> Option(cntRow.getAs[java.lang.Long](s"__n_${c}_$b"))
+          .map(_.longValue).getOrElse(0L))
       val offs = cnts.scanLeft(0L)(_ + _._2).zip(cnts)
         .map { case (off, (b, _)) => (b, off) }
       val offCol = offs.foldLeft(lit(0L): Column) { case (acc, (b, off)) =>
