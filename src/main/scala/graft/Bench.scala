@@ -85,6 +85,12 @@ object Bench {
     if (new java.io.File(warmDir).isDirectory) {
       val battery = Seq("doc_bigram_lm", "doc_minhash_pairs",
         "emb_ivf_topk", "events_funnel_steps", "q1_agg", "q4_window")
+      // A renamed query must not silently disable its family's warm-up
+      // (the Verify misspelled-filter rule): warn loudly so the
+      // regressed first-query number has an explanation in stderr.
+      battery.filterNot(SparkEntry.queries.contains).foreach(n =>
+        System.err.println(s"[bench] warm-up $n is not a registered " +
+          "query — its codegen family runs cold"))
       for (name <- battery; fn <- SparkEntry.queries.get(name))
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case NonFatal(e) =>

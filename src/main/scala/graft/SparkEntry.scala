@@ -4158,6 +4158,7 @@ object SparkEntry {
            SELECT l1 || '>' || event_type AS from_type, to_type,
              CAST(count(*) AS BIGINT) AS cnt
            FROM p WHERE to_type IS NOT NULL AND l1 IS NOT NULL
+             AND event_type IS NOT NULL
            GROUP BY 1, 2)
          SELECT from_type, to_type, cnt,
            CAST(sum(cnt) OVER (PARTITION BY from_type) AS BIGINT)

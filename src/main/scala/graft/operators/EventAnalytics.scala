@@ -212,8 +212,15 @@ object EventAnalytics {
     val withCtx = lagCols.zipWithIndex.foldLeft(base) { case (df, (c, i)) =>
       df.withColumn(s"__l_$i", c)
     }
+    // Order >= 2 must also gate the CURRENT event_type: the oracle's
+    // `l1 || '>' || event_type` is NULL when either side is, while
+    // concat_ws would silently skip it and emit a shorter context —
+    // the column is nullable even though the current data carries no
+    // nulls (the sessionize latent-null rule). Order 1 keeps the
+    // original semantics (from_type = event_type, null and all).
     val ctxNonNull = (0 until order - 1)
-      .foldLeft(lit(true))((acc, i) => acc && col(s"__l_$i").isNotNull)
+      .foldLeft(if (order == 1) lit(true) else col("event_type").isNotNull)(
+        (acc, i) => acc && col(s"__l_$i").isNotNull)
     val fromCol =
       if (order == 1) col("event_type")
       else concat_ws(">",
@@ -378,6 +385,15 @@ object EventAnalytics {
             if (isTombstone) {
               // Closed user: drain and ignore — exactly-once emission.
               rows.foreach(_ => ())
+              // Spark clears a key's timeout on EVERY function invocation
+              // (the function must re-set it each call) — without this
+              // re-arm, one in-TTL straggler would strand the tombstone
+              // in state forever, defeating the bound the TTL provides.
+              prev.foreach { p =>
+                if (p.nonEmpty && p.head._1 == -1)
+                  state.setTimeoutTimestamp(
+                    math.max(p.head._2 / 1000L, wmMs + 1L))
+              }
               Iterator.empty
             } else {
               val merged = prev.getOrElse(Seq.empty) ++

@@ -572,8 +572,12 @@ object TextAnalysis {
       // pair — while the decimal form carries to 1e38 and ANSI still fails
       // loudly past that. IntegralDivide emits BIGINT either way, so the
       // output column type (and the oracle's // arithmetic) is unchanged.
+      // …and the DENOMINATOR: two stopword margins near 3e9 each would
+      // overflow a long product at the very corpus scale the numerator
+      // widening targets (ANSI throws; non-ANSI would silently wrap).
       .withColumn("score_ppm",
-        expr("CAST(c_xy AS DECIMAL(38,0)) * m * 1000000 div (c_x * c_y)"))
+        expr("CAST(c_xy AS DECIMAL(38,0)) * m * 1000000 div " +
+          "(CAST(c_x AS DECIMAL(38,0)) * c_y)"))
       .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
         col("score_ppm"))
       .orderBy(col("score_ppm").desc, col("w1").asc, col("w2").asc)

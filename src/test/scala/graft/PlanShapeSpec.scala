@@ -686,6 +686,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Sort"), p.take(3000))
   }
 
+  test("perceptualFingerprints: narrow sampling; the only exchange moves histogram keys") {
+    // Same contract as the md5 sibling above — frame bytes never
+    // shuffle; the typed mapPartitions kernel stays on the scanning
+    // executor and only (doc_id, histogram string) rows reach the
+    // distinct's exchange.
+    val payloads = graft.operators.Multimodal.withPayload(
+      spark.read.parquet(s"$sf/documents.parquet"))
+    val p = graft.operators.Multimodal
+      .perceptualFingerprints(spark, payloads, frameBytes = 16, everyNth = 4)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).length == 1, p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("Sort"), p.take(3000))
+  }
+
   test("dedup-index serve: EVERY generation scan of both tables partition-prunes") {
     import spark.implicits._
     val dir = java.nio.file.Files
