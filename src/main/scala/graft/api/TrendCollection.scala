@@ -133,13 +133,14 @@ final class TrendCollection(
     */
   def topByBias(k: Int = 5): DataFrame = {
     val canonical = PageAggregates.canonicalizeRenames(events, cfg)
-    // floor-quantized to the 1e-6 grid: floor of an IEEE double is
-    // unambiguous cross-engine where round() at a .5 boundary is not
-    // (same discipline as the trend_bias oracle query).
+    // Quant.q6: the ONE floor-to-1e-6-grid definition (floor of an IEEE
+    // double is unambiguous cross-engine where round() at a .5 boundary
+    // is not) — a hand-rolled copy here could drift from the trend_bias
+    // oracle it claims to match.
     val dist = PageAggregates.distribution(canonical, cfg)
       .select(col("id"),
-        (floor(PageAggregates.bias(col("distribution")) * lit(1e6)) /
-          lit(1e6)).as("bias"))
+        graft.operators.Quant.q6(
+          PageAggregates.bias(col("distribution"))).as("bias"))
     pagesOver(canonical).join(dist, Seq("id"), "left")
       .withColumn("bias", coalesce(col("bias"), lit(0.0)))
       .orderBy(desc("bias"), asc("id")).limit(k)
@@ -198,12 +199,14 @@ object TrendCollection {
       .load()
     // Layout for fgws: key = groupByKey key struct; value nests the state
     // object under `groupState` (plus the engine's timeoutTimestamp field
-    // when the query ran with ProcessingTimeTimeout). Project the explicit
-    // PageState column set so the engine bookkeeping never leaks.
-    val fields = Seq("id", "title", "wiki", "edits", "anonEdits", "isNew",
-      "notabilityFlags", "volatileFlags", "reverts", "start", "updated",
-      "contributors", "anons", "distribution", "bytesChanged", "safe",
-      "isProtected")
+    // when the query ran with ProcessingTimeTimeout). Project the
+    // PageState column set — derived from the encoder schema, not a
+    // hand-synced name list (a field added to PageState would otherwise
+    // silently vanish from every Q1 snapshot while the batch view
+    // carries it; Encoders.product preserves declaration order) — so
+    // the engine bookkeeping never leaks.
+    val fields = org.apache.spark.sql.Encoders.product[PageState]
+      .schema.fieldNames.toSeq
     val valueType = raw.schema("value").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val base =

@@ -134,8 +134,15 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
 
   /** NULL on a null element (never a partial count) — the DotProduct
     * rule: corrupt rows stay visible instead of plausibly counted. The
-    * hot path (non-null-element arrays) never emits the branch.
+    * hot path (non-null-element arrays) never emits the branch. The
+    * override matters exactly as it does on DotProduct: without it,
+    * non-nullable inputs whose ELEMENT type admits nulls would hand
+    * nullSafeCodeGen a FalseLiteral isNull and the emitted
+    * `false = true;` fails Janino compilation (interpreted fallback
+    * then unboxes the null to a plausible 0).
     */
+  override def nullable: Boolean = true
+
   @transient private lazy val mayHaveNullElems: Boolean =
     Seq(left, right).exists(_.dataType match {
       case ArrayType(_, n) => n
@@ -146,6 +153,13 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements(); val m = y.numElements()
+    // Null elements sort LAST under the array_sort precondition, so a
+    // last-element check sees EVERY null — the merge walk alone would
+    // exit at the shorter side and return a definite count with nulls
+    // still unvisited in the tail (the documented contract violation).
+    if (mayHaveNullElems &&
+        ((n > 0 && x.isNullAt(n - 1)) || (m > 0 && y.isNullAt(m - 1))))
+      return null
     var i = 0; var j = 0; var cnt = 0L
     while (i < n && j < m) {
       if (mayHaveNullElems && (x.isNullAt(i) || y.isNullAt(j))) return null
@@ -173,24 +187,35 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
              |    ${ev.isNull} = true; break;
              |  }""".stripMargin
         else ""
+      // Tail nulls: see nullSafeEval — nulls sort last, so the
+      // last-element guard catches what the merge walk never visits.
+      val tailNullGuard =
+        if (mayHaveNullElems)
+          s"""($n > 0 && $a.isNullAt($n - 1)) ||
+             |    ($m > 0 && $b.isNullAt($m - 1))""".stripMargin
+        else "false"
       s"""
          |int $n = $a.numElements();
          |int $m = $b.numElements();
-         |int $i = 0; int $j = 0;
-         |long $cnt = 0L;
-         |while ($i < $n && $j < $m) {
-         |  $nullElemCheck
-         |  long $ai = $a.getLong($i);
-         |  long $bj = $b.getLong($j);
-         |  if ($ai < $bj) { $i++; }
-         |  else if ($ai > $bj) { $j++; }
-         |  else {
-         |    $cnt++;
-         |    while ($i < $n && !$a.isNullAt($i) && $a.getLong($i) == $ai) $i++;
-         |    while ($j < $m && !$b.isNullAt($j) && $b.getLong($j) == $bj) $j++;
+         |if ($tailNullGuard) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $i = 0; int $j = 0;
+         |  long $cnt = 0L;
+         |  while ($i < $n && $j < $m) {
+         |    $nullElemCheck
+         |    long $ai = $a.getLong($i);
+         |    long $bj = $b.getLong($j);
+         |    if ($ai < $bj) { $i++; }
+         |    else if ($ai > $bj) { $j++; }
+         |    else {
+         |      $cnt++;
+         |      while ($i < $n && !$a.isNullAt($i) && $a.getLong($i) == $ai) $i++;
+         |      while ($j < $m && !$b.isNullAt($j) && $b.getLong($j) == $bj) $j++;
+         |    }
          |  }
+         |  ${ev.value} = $cnt;
          |}
-         |${ev.value} = $cnt;
        """.stripMargin
     })
 

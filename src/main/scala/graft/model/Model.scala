@@ -30,23 +30,12 @@ final case class RecentChange(
     ts: Timestamp)              // event/processing time
 
 object RecentChange {
-  /** Schema for `from_json` decoding of raw SSE payloads (S1). */
-  val schema: StructType = StructType(Seq(
-    StructField("title", StringType),
-    StructField("comment", StringType),
-    StructField("namespace", IntegerType),
-    StructField("user", StringType),
-    StructField("bot", BooleanType),
-    StructField("rcType", StringType),
-    StructField("lengthOld", LongType),
-    StructField("lengthNew", LongType),
-    StructField("wiki", StringType),
-    StructField("serverName", StringType),
-    StructField("logType", StringType),
-    StructField("logAction", StringType),
-    StructField("logParams", MapType(StringType, StringType)),
-    StructField("logActionComment", StringType),
-    StructField("ts", TimestampType)))
+  // (No companion flat "schema" here on purpose: the only schema raw SSE
+  // payloads decode with is wireSchema below — a flat camelCase schema
+  // would from_json a real wire message to all-null rows, and as a
+  // hand-synced copy of the case-class field list it verified nothing.
+  // Derive Encoders.product[RecentChange].schema if a flat form is ever
+  // needed.)
 
   /** Schema matching the wire shape of a Wikimedia recentchange JSON
     * message (`length.old`/`length.new` nested struct, snake_case names) —

@@ -18,10 +18,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a catalog table bucketed (and sorted) by `key`. */
+  /** Write `df` as a catalog table bucketed (and sorted) by `key`.
+    *
+    * The repartition on the bucket key matters twice: without it each of
+    * the writer's input partitions emits its own file into every bucket
+    * (up to tasks×buckets files), and Spark only claims a bucketed
+    * scan's output ORDERING when each bucket holds at most ONE file — so
+    * the sortBy elision this module promises silently stops applying.
+    * `repartition(buckets, col(key))` uses the same murmur3-pmod layout
+    * as the bucket assignment, so every task holds exactly one bucket's
+    * rows: one file per bucket, sort claim intact.
+    */
   def saveBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit =
-    df.write.mode("overwrite").format("parquet")
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
 

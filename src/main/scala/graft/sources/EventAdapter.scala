@@ -78,6 +78,16 @@ object EventAdapter {
         // TimestampType every downstream operator expects (NTZ rejects
         // numeric casts); under the UTC session both Verify and Bench pin,
         // the epoch values are identical to DuckDB's naive epoch_us read.
+        // The cast consults the SESSION timezone, so a non-UTC session
+        // (a consumer's REPL on a local-zone machine) would silently
+        // shift every instant by the zone offset relative to both the
+        // nanos vintage (timestamp_micros is tz-independent) and the
+        // oracle — fail loudly instead; only THIS branch reinterprets
+        // wall-clock values.
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "reading a TIMESTAMP_NTZ events vintage requires " +
+            "spark.sql.session.timeZone=UTC (the NTZ->LTZ cast " +
+            "reinterprets wall-clock values in the session zone)")
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case org.apache.spark.sql.types.TimestampType =>
         raw // already an LTZ timestamp — DuckDB reads it identically

@@ -112,7 +112,7 @@ object IncrementalTrend {
         "interval or split the batch")
     PageAggregates.warnIfMoveFlood(nOps)
     val plan = replayLogOps(
-      (moveOps: Seq[LogOp]) ++ delOps ++ protOps)
+      (moveOps.toSeq: Seq[LogOp]) ++ delOps ++ protOps)
 
     // 2. State side: kills (deleted or overwritten pre-batch rows), then
     // the injective placement rekey — no overwrite window needed, the

@@ -91,6 +91,14 @@ class PipelineOperatorsSpec extends SparkSpec {
       .select(graft.functions.VectorFunctions
         .sortedIntersectCount(col("a"), col("b")).as("k")).head()
     assert(withNull.isNullAt(0))
+    // Tail null past the exhausted side (nulls sort LAST under the
+    // array_sort precondition): still NULL, never a definite count —
+    // the merge walk alone exits at b's end without ever visiting it.
+    val tailNull = Seq((Seq[java.lang.Long](5L, null), Seq[java.lang.Long](1L)))
+      .toDF("a", "b")
+      .select(graft.functions.VectorFunctions
+        .sortedIntersectCount(col("a"), col("b")).as("k")).head()
+    assert(tailNull.isNullAt(0))
   }
 
   test("subwordCount book: identical with full, partial, and empty coverage") {
