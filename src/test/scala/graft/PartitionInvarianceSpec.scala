@@ -13,8 +13,12 @@ package graft
   * per-partition Misra-Gries candidates whose exact recount must erase
   * the layout (heavy_tokens — the one operator whose INTERMEDIATE state
   * is layout-dependent by design), rational top-k ranking (pmi), the
-  * per-user array fold (funnel), Spearman rank agreement, the
-  * driver-book subword scorer, and the prefix-filter join.
+  * per-user array fold (funnel), Spearman rank agreement — whose binned
+  * ranks are the sharpest case here: approxQuantile BOUNDARIES vary with
+  * the layout while the exact ranks they produce must not — the
+  * driver-book subword scorer, the prefix-filter join, the perceptual
+  * frame histograms (typed mapPartitions kernel), and the order-2
+  * transition contexts.
   */
 class PartitionInvarianceSpec extends SparkSpec {
 
@@ -23,7 +27,8 @@ class PartitionInvarianceSpec extends SparkSpec {
   private val queries = Seq(
     "q1_agg", "doc_bigram_lm", "doc_pmi_topk", "doc_heavy_tokens",
     "emb_kmeans_iter", "doc_minhash_pairs", "events_funnel_steps",
-    "doc_score_agreement", "doc_subword_stats", "doc_prefix_jaccard")
+    "doc_score_agreement", "doc_subword_stats", "doc_prefix_jaccard",
+    "doc_media_pdups", "events_transitions2")
 
   private def runAll(parts: String, maxBytes: String)
       : Map[String, Seq[String]] = {
