@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.util.control.NonFatal
 
@@ -76,9 +76,20 @@ object VacuitySweep {
       : Seq[ColCard] = {
     val df = spark.read.parquet(dir.getAbsolutePath)
     val cols = df.columns.toSeq
+    // MapType canonicalization: to_json serializes map entries in their
+    // PHYSICAL order, so two equal maps with different entry order count
+    // as distinct — a semantically constant map column would then pass
+    // the gate (a false negative in the exact audit this tool performs).
+    // Sort the entries first; non-map types (and maps nested deeper than
+    // the top level, which no dump emits) pass through unchanged.
+    def canon(c: String): Column = df.schema(c).dataType match {
+      case _: org.apache.spark.sql.types.MapType =>
+        map_from_entries(array_sort(map_entries(col(c))))
+      case _ => col(c)
+    }
     val aggs = count(lit(1)).as("__rows") +:
       cols.map(c => count_distinct(
-        when(col(c).isNotNull, to_json(struct(col(c))))).as(c))
+        when(col(c).isNotNull, to_json(struct(canon(c))))).as(c))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val rows = row.getLong(0)
     cols.zipWithIndex.map { case (c, i) =>

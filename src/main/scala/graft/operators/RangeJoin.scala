@@ -67,14 +67,15 @@ object RangeJoin {
       leftTs: String, rightTs: String, windowMicros: Long,
       valueCol: Option[String]): DataFrame = {
     require(windowMicros > 0, "windowMicros must be positive")
-    // Scratch-name guard (the AsOf payload-collision rule): withColumn
-    // would silently OVERWRITE a caller's same-named column, and the
-    // groupBy over left.columns would then emit the derived bucket
-    // number under the user's column name.
-    Seq("__ltsu", "__bkt").foreach(c =>
-      require(!left.columns.contains(c),
-        s"left side already carries a '$c' column — rename it; the " +
-          "bucketed range join uses that name as scratch"))
+    // Scratch AND output-name guard (the AsOf payload-collision rule,
+    // via the shared Skew helper): withColumn would silently OVERWRITE
+    // a caller's same-named scratch column, and a left frame already
+    // carrying `hits`/`win_sum` would emit TWO same-named output
+    // columns (the groupBy key plus the aggregate) — every downstream
+    // select then throws AMBIGUOUS_REFERENCE.
+    Skew.requireScratchFree(left,
+      Seq("__ltsu", "__bkt", "hits") ++ valueCol.map(_ => "win_sum"),
+      "bucketed range join")
     val l = left.withColumn("__ltsu", unix_micros(col(leftTs)))
       .withColumn("__bkt", floor(col("__ltsu") / windowMicros))
     // Null-key / null-ts right rows can never satisfy the equi-join but

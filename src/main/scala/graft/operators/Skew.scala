@@ -31,26 +31,43 @@ object Skew {
     * Phase 1 runs map-side combine exactly like a plain groupBy, so the
     * extra cost is ONE narrow second aggregation over `keys × salt` rows.
     */
+  /** The ONE scratch/output-name collision guard (the AsOf
+    * payload-collision rule): withColumn would silently OVERWRITE a
+    * caller's same-named column and the rewrite would emit derived
+    * values under the user's name. Shared by the salting rewrites and
+    * the bucketed range join — three hand-copied requires had already
+    * drifted (the range join's copy missed its OUTPUT names).
+    */
+  private[graft] def requireScratchFree(df: DataFrame, names: Seq[String],
+      rewrite: String): Unit =
+    names.foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already carries a '$c' column — rename it; the " +
+          s"$rewrite uses that name"))
+
   /** The shared salt column over a row-id-extended frame: hash of the
     * UNIQUE partition-local row id alone. Hashing the row's content too
     * (the previous form) bought nothing — `__rid` already distinguishes
     * the identical-rows hot key the content hash collapses onto one
     * salt — and cost an xxhash64 over every column (wide text payloads
-    * included) per big-side row. Deterministic and idempotent under
-    * task retry (a retried task re-derives its partition's ids); any
-    * final result is salt-independent, so the layout dependence of the
-    * id costs nothing.
+    * included) per big-side row. Any final result is salt-independent,
+    * so the layout dependence of the id costs nothing.
+    *
+    * RETRY CONTRACT: a retried task re-derives its partition's ids only
+    * when the input's per-partition row ORDER is deterministic — true
+    * for file scans and barriered/checkpointed frames, NOT for the
+    * direct output of a shuffle (fetch order varies across attempts, so
+    * a recomputed map task could re-salt rows differently while some
+    * reducers already consumed the first attempt). Salt a scan or a
+    * barrier, not a bare exchange output; a localCheckpoint upstream
+    * also suffices (lost blocks abort the job — no silent recompute
+    * path exists to diverge).
     */
   private def withSalt(df: DataFrame, salt: Int): DataFrame = {
     require(salt > 0, s"salt=$salt must be positive — salt <= 0 would " +
       "silently degenerate (empty replication / NULL salt), not error")
-    // Guard the scratch names like AsOf's payload require: withColumn
-    // would silently OVERWRITE a caller's same-named column and the
-    // salted result would carry derived values under the user's name.
-    Seq("__rid", "__salt").foreach(c =>
-      require(!df.columns.contains(c),
-        s"input already carries a '$c' column — rename it; the salting " +
-          "rewrite uses that name as scratch"))
+    requireScratchFree(df, Seq("__rid", "__salt"),
+      "salting rewrite (scratch)")
     df.withColumn("__rid", monotonically_increasing_id())
       .withColumn("__salt", pmod(xxhash64(col("__rid")), lit(salt.toLong)))
       .drop("__rid")
@@ -77,15 +94,13 @@ object Skew {
     * collapse a hot key of IDENTICAL rows onto ONE salt and defeat the
     * spreading). The join RESULT is salt-independent (the dim side
     * carries every salt value), so the partition-layout-dependence of
-    * the id costs nothing — unlike rand() it is still idempotent under
-    * task retry, because a retried task re-derives the same indexes for
-    * its partition.
+    * the id costs nothing. Retry idempotency follows withSalt's
+    * contract: salt a scan or a barriered frame, not a bare shuffle
+    * output (see [[withSalt]]).
     */
   def saltedJoin(big: DataFrame, dim: DataFrame, key: String,
       salt: Int = 16): DataFrame = {
-    require(!dim.columns.contains("__salt"),
-      "dim side already carries a '__salt' column — rename it; the " +
-        "salting rewrite uses that name as scratch")
+    requireScratchFree(dim, Seq("__salt"), "salting rewrite (scratch)")
     val saltedBig = withSalt(big, salt)
     val replicatedDim = dim.withColumn("__salt",
       explode(array((0 until salt).map(i => lit(i.toLong)): _*)))

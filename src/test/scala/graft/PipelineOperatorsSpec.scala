@@ -3361,6 +3361,19 @@ class PipelineOperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       RangeJoin.slidingCount(left.withColumn("__bkt", lit(1L)), right,
         "key", "ts", "ts", 1000000L))
+    // OUTPUT-name collisions fail fast too: a left 'hits' column would
+    // otherwise emit TWO same-named columns (group key + aggregate) and
+    // every downstream select throws AMBIGUOUS_REFERENCE. 'win_sum' is
+    // guarded only when the sum variant emits it.
+    intercept[IllegalArgumentException](
+      RangeJoin.slidingCount(left.withColumn("hits", lit(1L)), right,
+        "key", "ts", "ts", 1000000L))
+    intercept[IllegalArgumentException](
+      RangeJoin.slidingSum(left.withColumn("win_sum", lit(1.0)),
+        right.withColumn("v", lit(1.0)), "key", "ts", "ts", 1000000L, "v"))
+    // …and the count variant does NOT reserve win_sum.
+    RangeJoin.slidingCount(left.withColumn("win_sum", lit(1.0)), right,
+      "key", "ts", "ts", 1000000L).collect()
   }
 
   // ---- leakage-safe split ----------------------------------------------
