@@ -182,6 +182,34 @@ object Multimodal {
       .select(col("doc_id"), md5(col("frame")).as("fingerprint"))
       .distinct()
 
+  /** The perceptual kernel shared by the batch fingerprints and the
+    * streaming twin — ONE implementation so stream ≡ batch holds by
+    * construction, not by a hand-synced replica (the wsTokensScala
+    * lesson): per sampled frame (every `everyNth`-th `frameBytes` slice,
+    * trailing partial dropped — [[sampleFrames]]' walk), the 16-bin
+    * high-nibble intensity histogram serialized `c0:…:c15`, DISTINCT per
+    * payload in first-seen order.
+    */
+  private[graft] def perceptualFrameHistograms(bytes: Array[Byte],
+      frameBytes: Int, everyNth: Int): Array[String] = {
+    val n = if (bytes == null) 0 else bytes.length
+    val frames = n / frameBytes
+    val out = scala.collection.mutable.LinkedHashSet[String]()
+    var i = 0
+    while (i < frames) {
+      val off = i * frameBytes
+      val bins = new Array[Int](16)
+      var j = 0
+      while (j < frameBytes) {
+        bins((bytes(off + j) & 0xff) >> 4) += 1
+        j += 1
+      }
+      out += bins.mkString(":")
+      i += everyNth
+    }
+    out.toArray
+  }
+
   /** PERCEPTUAL frame fingerprint: the 16-bin intensity histogram of the
     * frame's bytes (bin = high nibble), serialized `c0:c1:…:c15`. With
     * the stub codec the "pixels" ARE the payload bytes, so the kernel is
@@ -196,12 +224,11 @@ object Multimodal {
   private[graft] def perceptualFingerprints(spark: SparkSession,
       payloads: DataFrame, frameBytes: Int, everyNth: Int): DataFrame = {
     import spark.implicits._
-    sampleFrames(spark, payloads, frameBytes, everyNth)
+    payloads.select(col("doc_id"), col("payload")).as[Payload]
       .mapPartitions { it =>
-        it.map { fr =>
-          val bins = new Array[Int](16)
-          fr.frame.foreach(b => bins((b & 0xff) >> 4) += 1)
-          (fr.doc_id, bins.mkString(":"))
+        it.flatMap { p =>
+          perceptualFrameHistograms(p.payload, frameBytes, everyNth)
+            .iterator.map(fp => (p.doc_id, fp))
         }
       }
       .toDF("doc_id", "fingerprint")
@@ -228,6 +255,77 @@ object Multimodal {
       .barrier()
     try TextAnalysis.sharedFingerprintPairs(fp, minShared, maxDf)
     finally Barrier.release(fp)
+  }
+
+  /** Streaming twin of [[perceptualDups]]' cross leg: an INGEST-TIME
+    * alert stream of (doc_id, base_id, shared) pairs between arriving
+    * payloads and a FROZEN base corpus — the media analog of
+    * [[DedupIndex.streamingIndexDups]], and the same contract: a
+    * stateless alert stream (at-least-once re-delivery re-alerts; the
+    * sink dedupes by pair key), not the exhaustive sweep. Within-stream
+    * pairs and the bulk pass stay with the batch operator.
+    *
+    * Semantics: `shared` counts the arriving payload's sampled-frame
+    * histograms also present among the base doc's CAPPED fingerprints —
+    * the df cap (boilerplate histograms: flat color, silence) is
+    * computed over the BASE corpus, the only side whose df is knowable
+    * at ingest time. Exactly-once per pair within a delivery via the
+    * smallest-shared-fingerprint rule: of a pair's colliding candidate
+    * rows, only the one carrying the lexicographically smallest common
+    * fingerprint emits (the streamingIndexDups band rule, keyed on the
+    * histogram string).
+    *
+    * Shape: per-row fingerprints through the SHARED
+    * [[perceptualFrameHistograms]] kernel (stream ≡ batch by
+    * construction), then one stream-static candidate join on the capped
+    * fingerprint table and one on the per-base fingerprint ARRAY — both
+    * static sides materialized ONCE at stream construction (a
+    * stream-static join re-evaluates its static plan per micro-batch;
+    * unmaterialized, the df aggregation would re-shuffle every batch).
+    * ZERO streaming state: no watermark, nothing to expire. The base
+    * must stay frozen for the stream's lifetime; the barrier blocks
+    * release when the driver drops the stream's references.
+    */
+  def streamingPerceptualDups(spark: SparkSession, basePayloads: DataFrame,
+      stream: DataFrame, frameBytes: Int = 16, everyNth: Int = 4,
+      minShared: Int = 2, maxDf: Int = 50): DataFrame = {
+    import spark.implicits._
+    require(minShared >= 1, s"minShared=$minShared must be >= 1")
+    require(maxDf >= 1, s"maxDf=$maxDf must be >= 1")
+    // Both sides are (doc_id, payload) frames — [[withPayload]] adapts a
+    // documents table on the batch side; the stream carries real binary.
+    val baseFp = perceptualFingerprints(spark,
+      basePayloads, frameBytes, everyNth)
+    val rare = baseFp.groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("fingerprint"))
+    val capped = baseFp.join(rare, Seq("fingerprint"))
+      .select(col("fingerprint"), col("doc_id").as("base_id"))
+      .barrier()
+    val baseArr = capped.groupBy(col("base_id"))
+      .agg(sort_array(collect_set(col("fingerprint"))).as("base_fps"))
+      .barrier()
+    val sigged = stream
+      // The streaming twins' null rule: a null-id row's alerts would
+      // collapse onto one sink key.
+      .where(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("payload")).as[Payload]
+      .map(p => (p.doc_id,
+        perceptualFrameHistograms(p.payload, frameBytes, everyNth)))
+      .toDF("doc_id", "fps")
+    val common = array_intersect(col("fps"), col("base_fps"))
+    sigged
+      .select(col("doc_id"), col("fps"),
+        explode_outer(col("fps")).as("fingerprint"))
+      .where(col("fingerprint").isNotNull)
+      .join(capped, Seq("fingerprint"))
+      .where(col("doc_id") =!= col("base_id")) // replayed base rows
+      .join(baseArr, Seq("base_id"))
+      .withColumn("shared", size(common).cast("long"))
+      .where(col("shared") >= minShared &&
+        col("fingerprint") === array_min(common))
+      .select(col("doc_id"), col("base_id"), col("shared"))
   }
 
   /** Frame sampling for a video-like payload: emit every `everyNth`

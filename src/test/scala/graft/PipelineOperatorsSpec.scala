@@ -2289,6 +2289,36 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
   }
 
+  test("streamingPerceptualDups: ingest alerts equal the rotated cross pair, exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val blocks = (0 until 3).map(b => "a" * (4 + b) + "p" * (12 - b) + "q" * 48)
+    val orig = blocks.mkString
+    val rot = blocks.map(b => b.take(16).reverse + b.drop(16)).mkString
+    val other = (0 until 192).map(i => ('A' + (i * 11) % 26).toChar).mkString
+    val base = Multimodal.withPayload(
+      Seq((1L, orig), (3L, other)).toDF("doc_id", "text"))
+    val ms = MemoryStream[(Long, Array[Byte])](spark)
+    val alerts = Multimodal.streamingPerceptualDups(
+      spark, base, ms.toDF().toDF("doc_id", "payload"))
+    val q = alerts.writeStream.format("memory").queryName("pdup_alerts")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(
+        (2L, rot.getBytes("UTF-8")), // rotated copy of base 1: 3 shared
+        (4L, ("z" * 192).getBytes("UTF-8")), // unrelated histogram
+        (1L, orig.getBytes("UTF-8")))) // replayed base row: self-filtered
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("pdup_alerts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // Exactly ONE alert despite three colliding fingerprints (the
+    // smallest-shared-fingerprint rule), no self pair, no false alert
+    // for the unrelated payload.
+    assert(rows.length == rows.distinct.length, rows)
+    assert(rows.toSet == Set((2L, 1L, 3L)), rows)
+  }
+
   test("typeTransitions order=2: trigram contexts, head rows without full context drop") {
     import spark.implicits._
     def ts(sec: Long) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
