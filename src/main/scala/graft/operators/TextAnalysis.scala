@@ -677,8 +677,10 @@ object TextAnalysis {
   private[graft] def binnedRanks(s: DataFrame, cols: Seq[String],
       nb: Int): DataFrame = {
     val probs = (1 until nb).map(_.toDouble / nb).toArray
-    // One pass estimates every column's boundaries (null-ignoring).
-    val allBounds = s.stat.approxQuantile(cols.toArray, probs, 0.001)
+    // One pass estimates every column's boundaries (null-ignoring). The
+    // relative error is a BALANCE knob only — exactness never depends on
+    // where a boundary lands — so the sketch stays coarse and cheap.
+    val allBounds = s.stat.approxQuantile(cols.toArray, probs, 0.01)
     val withBuckets = cols.zip(allBounds).foldLeft(s) { case (df, (c, bs)) =>
       // Long→double in the boundary compare is monotone (ties collapse
       // into one bucket; within-bucket order uses the ORIGINAL column),
