@@ -3210,7 +3210,7 @@ object SparkEntry {
              CASE WHEN length(text) = 0 THEN 0.0
                   ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
                        / length(text) END AS praw
-           FROM documents),
+           FROM documents WHERE doc_id IS NOT NULL),
          q AS (
            SELECT doc_id, source,
              floor((least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
@@ -3232,7 +3232,7 @@ object SparkEntry {
       """WITH k AS (
            SELECT doc_id,
              md5('epoch:0:' || CAST(doc_id AS VARCHAR)) AS skey
-           FROM documents),
+           FROM documents WHERE doc_id IS NOT NULL),
          s AS (
            SELECT doc_id, skey,
              CAST(list_sum(list_transform(generate_series(1, 8),
@@ -3266,8 +3266,9 @@ object SparkEntry {
     "doc_packing_bpe" ->
       """WITH perdoc AS (
            SELECT doc_id, lang,
-             CAST(len(regexp_extract_all(text,
-               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS toks
+             CAST(CASE WHEN text IS NULL THEN 0
+               ELSE len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) END AS BIGINT) AS toks
            FROM documents),
          cum AS (
            SELECT doc_id, lang, toks,

@@ -334,6 +334,12 @@ object Curation {
     // (FractionalType itself is private[sql] in Spark 4 — enumerate.)
     import org.apache.spark.sql.types.{DoubleType, FloatType, DecimalType}
     val w = docs.select(weight.as("__w")).schema.head.dataType match {
+      // Scale-0 decimals are exact integers (the decimal(38,0) wide-sum
+      // type this codebase produces): keep them on the exact long path —
+      // the 1e6 scaling would overflow the long cast past ~9.2e12 and
+      // lose precision through the double multiply past 2^53, for a
+      // column that never needed fractional handling.
+      case d: DecimalType if d.scale == 0 => weight.cast("long")
       case DoubleType | FloatType | _: DecimalType =>
         // A positive weight below 1e-6 still floors to 0 after scaling —
         // and the weight > 0 guard below would then silently exclude a
@@ -411,7 +417,15 @@ object Curation {
     // floor of an IEEE double is unambiguous (same rule as mixRatePlan).
     cells.crossJoin(broadcast(total))
       .select(col("source"), col("lang"), col("docs"), col("tokens"),
-        Quant.q6(col("tokens").cast("double") / col("__total").cast("double"))
+        // Zero-total guard: on an all-tokenless corpus 0/0 is NaN (IEEE
+        // double division, not an ANSI error) and a NaN share would
+        // propagate into every consumer's arithmetic — report 0 like
+        // temperatureMixPlan does on the same degenerate input. Real
+        // corpora always have total > 0, so the oracle's plain divide
+        // stays value-identical.
+        when(col("__total") > 0L,
+          Quant.q6(col("tokens").cast("double") /
+            col("__total").cast("double"))).otherwise(lit(0.0))
           .as("token_share"))
   }
 
@@ -459,8 +473,13 @@ object Curation {
       when(col("lang") === l, lit(t)).otherwise(acc)
     }
     val withT = cells.crossJoin(broadcast(total))
+      // Zero-total guard — the sourceMix rule: 0/0 is NaN, not an error,
+      // and every share being NaN would make __ratio/__mx NaN too; a
+      // zero-token corpus plans rate 0 everywhere instead.
       .withColumn("__share",
-        col("tokens").cast("double") / col("__total").cast("double"))
+        when(col("__total") > 0L,
+          col("tokens").cast("double") / col("__total").cast("double"))
+          .otherwise(lit(0.0)))
       .withColumn("target_share", tgt)
       .withColumn("__ratio",
         when(col("tokens") === 0L, lit(0.0))

@@ -94,21 +94,7 @@ object Selection {
       modelSampleHex: String = "ff"): DsirModel = {
     val (tc, rc, _, nRaw) = classBucketCounts(docs, targetFilter,
       "dsir:", modelSampleHex, "modelSampleHex")
-    val bigT = tc.sum
-    val bigR = rc.sum
-    val b = dsirBuckets.toLong
-    // BigInt + guard like nbModel: at modelSampleHex="ff" on a large
-    // corpus (R ~ 5e11 tokens, a hot bucket tc ~ 5e8) the raw Long
-    // product wraps silently and every weight/threshold/verdict becomes
-    // garbage with no error raised. The guard names the fix.
-    val w: Array[Long] = Array.tabulate(dsirBuckets) { i =>
-      val wi = BigInt(tc(i) + 1L) * BigInt(bigR + b) -
-        BigInt(rc(i) + 1L) * BigInt(bigT + b)
-      require(wi.abs <= MaxSafeWeight,
-        s"DSIR weight $wi exceeds the per-doc-sum-safe bound " +
-          "(Long.MaxValue/2^20) — shrink modelSampleHex")
-      wi.toLong
-    }
+    val w = crossMultipliedWeights(tc, rc, "DSIR", "modelSampleHex")
     // Raw-pool mean threshold, exact from the model counts (BigInt: the
     // per-bucket products can exceed Long at large model samples even
     // when the final threshold fits comfortably).
@@ -116,16 +102,45 @@ object Selection {
       .map(i => BigInt(rc(i)) * BigInt(w(i))).sum
     val threshold: Long =
       if (nRaw == 0) Long.MaxValue // no raw pool -> nothing kept
-      else {
-        // BigInt / truncates toward zero; the equivalence with the
-        // cross-multiplied comparison needs floor (toward −∞).
-        val fl = if (sumRaw >= 0 || sumRaw % nRaw == 0) sumRaw / nRaw
-                 else sumRaw / nRaw - 1
-        require(fl.isValidLong, s"DSIR threshold $fl exceeds int64 — " +
-          "shrink modelSampleHex")
-        fl.toLong
-      }
+      else floorDivChecked(sumRaw, BigInt(nRaw), "DSIR", "modelSampleHex")
     DsirModel(w.toIndexedSeq, threshold)
+  }
+
+  /** Smoothed cross-multiplied per-bucket weights shared by the DSIR and
+    * Naive-Bayes linear models: `w_i = (a_i+1)(B+b) − (b_i+1)(A+b)`, with
+    * the per-doc-sum overflow guard (at a "ff" coin cap on a large corpus
+    * the raw Long product wraps silently and every weight/threshold/
+    * verdict becomes garbage with no error raised — the guard names the
+    * knob). ONE definition (the classBucketCounts rule): a retune or
+    * guard fix lands in both models at once — the two verbatim copies
+    * this replaces had already been patched in lockstep twice.
+    */
+  private def crossMultipliedWeights(aCounts: Array[Long],
+      bCounts: Array[Long], what: String, knob: String): Array[Long] = {
+    val bigA = aCounts.sum
+    val bigB = bCounts.sum
+    val b = dsirBuckets.toLong
+    Array.tabulate(dsirBuckets) { i =>
+      val wi = BigInt(aCounts(i) + 1L) * BigInt(bigB + b) -
+        BigInt(bCounts(i) + 1L) * BigInt(bigA + b)
+      require(wi.abs <= MaxSafeWeight,
+        s"$what weight $wi exceeds the per-doc-sum-safe bound " +
+          s"(Long.MaxValue/2^20) — shrink $knob")
+      wi.toLong
+    }
+  }
+
+  /** Floor division toward −∞ (BigInt `/` truncates toward zero; the
+    * equivalence with the cross-multiplied scoring comparison needs
+    * floor) with the int64 bound check — shared by both models'
+    * threshold calibrations.
+    */
+  private def floorDivChecked(num: BigInt, den: BigInt, what: String,
+      knob: String): Long = {
+    val fl = if (num >= 0 || num % den == 0) num / den else num / den - 1
+    require(fl.isValidLong,
+      s"$what threshold $fl exceeds int64 — shrink $knob")
+    fl.toLong
   }
 
   /** The shared ONE-PASS training scaffold of the DSIR and Naive-Bayes
@@ -302,17 +317,8 @@ object Selection {
       trainSampleHex: String = "7f"): NbModel = {
     val (pc, nc, nPos, nNeg) = classBucketCounts(docs, labelFilter,
       NbCoinPrefix, trainSampleHex, "trainSampleHex")
-    val bigP = pc.sum
-    val bigN = nc.sum
-    val b = dsirBuckets.toLong
-    val w: IndexedSeq[Long] = IndexedSeq.tabulate(dsirBuckets) { i =>
-      val wi = BigInt(pc(i) + 1L) * BigInt(bigN + b) -
-        BigInt(nc(i) + 1L) * BigInt(bigP + b)
-      require(wi.abs <= MaxSafeWeight,
-        s"NB weight $wi exceeds the per-doc-sum-safe bound " +
-          "(Long.MaxValue/2^20) — shrink trainSampleHex")
-      wi.toLong
-    }
+    val w = crossMultipliedWeights(pc, nc, "NB", "trainSampleHex")
+      .toIndexedSeq
     // Class score sums from the model counts (every token of a class's
     // training docs contributes its bucket weight exactly once).
     val sp = (0 until dsirBuckets).map(i => BigInt(pc(i)) * BigInt(w(i))).sum
@@ -320,14 +326,8 @@ object Selection {
     val threshold: Long =
       if (nPos == 0) Long.MaxValue
       else if (nNeg == 0) Long.MinValue
-      else {
-        val num = sp * nNeg + sn * nPos
-        val den = BigInt(2) * nPos * nNeg
-        val fl = if (num >= 0 || num % den == 0) num / den else num / den - 1
-        require(fl.isValidLong, s"NB threshold $fl exceeds int64 — " +
-          "shrink trainSampleHex")
-        fl.toLong
-      }
+      else floorDivChecked(sp * nNeg + sn * nPos,
+        BigInt(2) * nPos * nNeg, "NB", "trainSampleHex")
     NbModel(w, threshold)
   }
 
@@ -402,7 +402,12 @@ object Selection {
     import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy(col("source"))
       .orderBy(quality(col("text")).desc, col("doc_id"))
-    docs.select(col("doc_id"), col("source"),
+    // The samplers' identity rule (uniformSample): a NULL doc_id defeats
+    // the deterministic tie-break — two null-id docs with equal quality
+    // would make WHICH one survives the cap boundary shuffle-order
+    // dependent. The oracle mirrors the filter.
+    docs.where(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("source"),
         row_number().over(win).cast("long").as("src_rank"))
       .where(col("src_rank") <= cap)
   }
@@ -437,7 +442,12 @@ object Selection {
     val shard = conv(substring(key, 1, 8), 16, 10).cast("long") % numShards
     val win = Window.partitionBy(col("shard"))
       .orderBy(col("skey"), col("doc_id"))
-    docs.select(col("doc_id"), shard.as("shard"), key.as("skey"))
+    // The samplers' identity rule: null-id rows have a NULL key and
+    // shard — they'd pile into one NULL-shard partition with arrival-
+    // order-dependent positions, breaking the reproducible-epoch
+    // contract. The oracle mirrors the filter.
+    docs.where(col("doc_id").isNotNull)
+      .select(col("doc_id"), shard.as("shard"), key.as("skey"))
       .select(col("doc_id"), col("shard"),
         row_number().over(win).cast("long").as("pos"))
   }

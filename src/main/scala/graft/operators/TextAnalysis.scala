@@ -53,8 +53,11 @@ object TextAnalysis {
     * non-space chars — the standard pre-tokenizer shape.
     */
   val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  // coalesce: the null ≡ empty contract — regexp_count(NULL) is NULL,
+  // which made this the ONE tokenizer entry point emitting three-valued
+  // counts (callers' budget compares silently dropped null-text rows).
   def tokenCountBpe(text: Column): Column =
-    regexp_count(text, lit(bpePattern))
+    coalesce(regexp_count(text, lit(bpePattern)), lit(0))
 
   /** Punctuation ratio: punctuation chars / total chars (0 for empty). */
   val punctClass = "[.,!?;:]"
