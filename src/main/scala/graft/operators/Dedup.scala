@@ -42,6 +42,16 @@ object Dedup {
     * canonical-keeper rule (min doc_id per hash) lives HERE only, so
     * pipelines that hash once up front (see [[Curation.curationReport]])
     * share it instead of re-stating it.
+    *
+    * NULL doc_id contract (documented, not fixed in place): min(doc_id)
+    * skips NULLs, so a group whose members ALL lack identity emits
+    * keep_id NULL and [[exactDedup]]'s keep join drops those rows — a
+    * no-identity doc cannot be "kept by id". The oracle's MIN/COUNT and
+    * join behave identically, so the engines agree on any regen; making
+    * the family filter null ids UP FRONT (the samplers' rule) is a
+    * coordinated-change candidate — operator + doc_exact_dedup oracle +
+    * curationReport's shared hash stage + the streaming exact twin must
+    * move together.
     */
   def exactGroupsFromHashes(hashes: DataFrame): DataFrame =
     hashes.groupBy(col("text_hash"))
@@ -192,21 +202,15 @@ object Dedup {
     def h(src: Column, i: Int): Column =
       array_min(transform(src, m => slice(m, i)))
     val hs = (0 until 4).map(i => h(ma, i)) ++ (0 until 4).map(i => h(mb, i))
+    // Concat the FULL BandRows slice range (identical expression at the
+    // current BandRows = 2): the previous hardcoded two-element concat
+    // compiled fine under any BandRows while the batch banding used the
+    // full slice — exactly the silent stream≡batch desync this helper's
+    // single-definition contract exists to prevent.
     array((0 until Bands).map(b =>
-      md5(concat(hs(b * BandRows), hs(b * BandRows + 1)))): _*)
+      md5(concat((b * BandRows until (b + 1) * BandRows).map(hs): _*))): _*)
   }
 
-  /** Optional hot-key cap for the LSH candidate self-joins: drop every
-    * bucket key shared by more than `cap` documents before the join. An
-    * f-sized EXACT-duplicate cluster (identical signatures ⇒ identical
-    * band/block keys) contributes O(bands·f²) join rows on a handful of
-    * hot keys — the same f² failure [[ngramJaccardPairs]]' `maxDf` cap
-    * fences, now available on the production LSH paths too. One-sided
-    * bounded undercount like every df cap here: pairs inside a dropped
-    * bucket can only be MISSED, never invented (and an exact-dup cluster
-    * is better handled by [[exactDedup]] FIRST — this cap is the seatbelt
-    * for pipelines that skip it). Default 0 = uncapped (oracle parity).
-    */
   /** The r6-quantized Jaccard from an intersection count and the two set
     * sizes — ONE Column definition for every pair verifier (batch LSH
     * verify, exact-pairs baseline, both dedup-index serve legs, the
@@ -220,6 +224,16 @@ object Dedup {
       nb: Column): Column =
     Quant.r6(inter.cast("double") / (na + nb - inter).cast("double"))
 
+  /** Optional hot-key cap for the pair-generating self-joins (LSH bands,
+    * SimHash blocks, shingle df): drop every key shared by more than
+    * `cap` documents before the join. An f-sized EXACT-duplicate cluster
+    * (identical signatures ⇒ identical band/block keys) contributes
+    * O(bands·f²) join rows on a handful of hot keys. One-sided bounded
+    * undercount like every df cap here: pairs inside a dropped bucket
+    * can only be MISSED, never invented (and an exact-dup cluster is
+    * better handled by [[exactDedup]] FIRST — this cap is the seatbelt
+    * for pipelines that skip it). Default 0 = uncapped (oracle parity).
+    */
   private def capHotKeys(df: DataFrame, keys: Seq[String],
       cap: Int): DataFrame =
     if (cap <= 0) df
@@ -419,18 +433,10 @@ object Dedup {
       val ex0 = sets.select(col("doc_id"), explode(col("sset")).as("shingle"),
           size(col("sset")).as("cnt"))
         .select(col("doc_id"), xxhash64(col("shingle")).as("sh"), col("cnt"))
-      // Hot-shingle cap: the capped set (boilerplate — small by definition)
-      // broadcasts into a map-side anti join; shingle sets are per-doc
-      // distinct, so count(*) per hash IS the document frequency.
-      val ex =
-        if (maxDf <= 0) ex0
-        else {
-          val hot = ex0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-            .filter(col("df") > maxDf).select(col("sh"))
-          // No broadcast hint: `hot` is bounded only by
-          // total-occurrences/maxDf; AQE broadcasts it when small.
-          ex0.join(hot, Seq("sh"), "left_anti")
-        }
+      // Hot-shingle cap via the ONE capHotKeys helper (shingle sets are
+      // per-doc distinct, so count(*) per hash IS the document
+      // frequency) — this block was a verbatim inline copy of it.
+      val ex = capHotKeys(ex0, Seq("sh"), maxDf)
       val counts = sets.select(col("doc_id"), size(col("sset")).as("cnt"))
       val inter = ex.as("a").join(ex.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
@@ -718,6 +724,11 @@ object Dedup {
     */
   def keepBestByQuality(docs: DataFrame, clusters: DataFrame): DataFrame = {
     val withQ = clusters
+      // Plain (null-rejecting) equi-join on purpose: a no-identity row
+      // cannot be a canonical candidate, and the oracle's SQL JOIN drops
+      // null ids identically, so the engines agree on any regen. (The
+      // null-SAFE <=> lives in softDedupWeights, whose weights are
+      // per-row attributes rather than an identity-keyed verdict.)
       .join(docs.select(col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality")), Seq("doc_id"))
       // Barriered: both the canon aggregation and the final join read this
@@ -811,6 +822,12 @@ object Dedup {
       s"testFrac=$testFrac valFrac=$valFrac must be non-negative and sum <= 1")
     val coin = substring(
       md5(concat(lit(s"split:$seed:"), col("cluster").cast("string"))), 1, 2)
+    // A NULL cluster id (the null-id documents' cluster) makes the coin
+    // NULL: both when-branches evaluate NULL and the row falls to
+    // 'train' deterministically — on EVERY seed and on both engines
+    // (the oracle's CASE nulls out the same way). Documented rather
+    // than guarded: train is the leakage-safe default (such docs can
+    // never contaminate val/test).
     clusters.select(col("doc_id"), col("cluster"),
       when(coin < lit(Curation.hexThreshold(testFrac)), lit("test"))
         .when(coin < lit(Curation.hexThreshold(testFrac + valFrac)),
@@ -907,6 +924,15 @@ object Dedup {
 
   private def simhashNearDupsImpl(sh0: DataFrame, bits: Int,
       maxDist: Int, maxBlockDf: Int = 0): DataFrame = {
+    // Guard the pigeonhole arithmetic (the fuzzyPairs rule): a negative
+    // maxDist divides by zero with no operator context, and maxDist+1 >
+    // bits makes width 0 — every block key collapses to `x & 0 = 0` and
+    // the self-join silently degenerates to the full cross product per
+    // block, the exact f² blowup the caps exist to fence.
+    require(maxDist >= 0, s"maxDist=$maxDist must be >= 0")
+    require(maxDist + 1 <= bits,
+      s"maxDist=$maxDist needs ${maxDist + 1} blocks over $bits bits — " +
+        "block width would be 0 (all keys collide)")
     val blocks = maxDist + 1
     val width = bits / blocks
     // One row per doc — materialize before the self-join below so the

@@ -242,8 +242,7 @@ object Search {
     // pushes through the union, so EVERY generation scan prunes
     // independently (the readCells discipline). A never-appended index
     // is one scan — exactly the pre-append plan.
-    val scoped = pDirs.map(d => spark.read.parquet(s"$dir/$d"))
-      .reduce(_.unionByName(_))
+    val scoped = readLexGenerations(spark, dir, pDirs)
       .filter(col("bkt").isin(bkts: _*))
     val qtermSet = qt.select(col("term")).distinct()
     val dfTab = scoped.join(broadcast(qtermSet), Seq("term"))
@@ -285,6 +284,16 @@ object Search {
     }
   }
 
+  /** Cross-generation postings read — ONE definition for the serve and
+    * compaction paths (the DedupIndex.readGenerations rule: two
+    * hand-synced union reads could apply future schema handling to one
+    * path and silently diverge the other).
+    */
+  private def readLexGenerations(spark: SparkSession, dir: String,
+      pDirs: Seq[String]): DataFrame =
+    pDirs.map(d => spark.read.parquet(s"$dir/$d"))
+      .reduce(_.unionByName(_))
+
   /** The (postings dirs, stats dir) a SPECIFIC generation references.
     * Generation 0 is the adoption layout.
     */
@@ -293,6 +302,16 @@ object Search {
     GenManifest.readNode(fs, root, g) match {
       case Some(node) =>
         import scala.jdk.CollectionConverters._
+        // Key presence checked explicitly (the dedupManifestAt rule): a
+        // manifest from ANOTHER index family (dedup manifests carry
+        // bdirs/sdirs/meta) or a truncated one must surface the curated
+        // diagnostic, not a bare NPE from inside Jackson traversal that
+        // the sweep's NonFatal catch logs as a contentless "null".
+        if (node.get("dirs") == null || node.get("stats") == null)
+          throw new IllegalStateException(
+            s"manifest generation $g under $root is not a lex-index " +
+              "manifest (missing dirs/stats) — wrong directory or " +
+              "damaged index")
         (node.get("dirs").elements().asScala.map(_.asText()).toSeq,
           node.get("stats").asText())
       case None if g == 0L => (Seq("postings"), "stats")
@@ -418,8 +437,7 @@ object Search {
     }
     val newP = s"postings-${seq + 1}"
     val newS = s"stats-${seq + 1}"
-    pDirs.map(d => spark.read.parquet(s"$dir/$d"))
-      .reduce(_.unionByName(_))
+    readLexGenerations(spark, dir, pDirs)
       .repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/$newP")
     spark.read.parquet(s"$dir/$statsDir")
