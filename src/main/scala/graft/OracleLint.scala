@@ -10,59 +10,190 @@ package graft
   * hash fails. The fix is always the same one-liner: wrap the sum in
   * `CAST(... AS BIGINT)` (or consume it through a later cast).
   *
-  * Rather than trace column lineage through CTEs to prove a given
-  * windowed sum never reaches an output column untyped, the registry
-  * adopts the stricter-but-trivially-checkable convention: EVERY
-  * windowed `sum(...) OVER` in oracle SQL must sit inside an enclosing
-  * `CAST(...)` at its use site, even when a downstream cast would have
-  * saved it. The lint enforces exactly that convention; `Verify.main`
-  * runs it before dumping so an uncast windowed sum can never ship to
-  * the driver again (it also costs nothing: string scan, no DuckDB).
+  * Rather than trace column lineage through CTEs to prove a given sum
+  * never reaches an output column untyped, the registry adopts
+  * stricter-but-trivially-checkable conventions, enforced here (string
+  * scan, no DuckDB, runs in `Verify.main` before every dump):
   *
-  * Scope note: plain (non-windowed) integer sums are ALSO HUGEINT in
-  * DuckDB, but they appear in boolean HAVING contexts and decimal
-  * money sums throughout the registry where the convention would
-  * false-positive; the driver-proven bite class is the windowed form,
-  * and the exact 1:1 dtype gate for everything else lives in the
-  * verify-skill DuckDB compare (which fetches real result types).
+  *  1. EVERY windowed `sum(...) OVER` must sit inside an enclosing
+  *     `CAST(...)` at its use site, even when a downstream cast would
+  *     have saved it ([[uncastWindowedSums]] — the round-10 class).
+  *  2. Every plain `sum(...)` in the FINAL top-level SELECT's
+  *     projection — the columns the driver actually hashes — must be
+  *     cast at site: an enclosing `CAST(...)`, a postfix `::type`, or
+  *     an enclosing `round(...)` (principled exemption: DuckDB's
+  *     `round` returns DOUBLE for any integer input and DECIMAL for
+  *     DECIMAL — it can never emit HUGEINT, measured). Intermediate
+  *     CTE sums are out of scope — they only bite if they REACH the
+  *     output untyped, which this rule then catches at the output site
+  *     ([[uncastFinalSelectSums]]).
+  *  3. No `round(...)` whose FIRST argument contains a division — the
+  *     cross-engine float-determinism rule (CLAUDE.md): `round` of a
+  *     raw rational at a .5-grid boundary depends on the engine's
+  *     decimal-repr strategy (measured: `round(41/640., 6)` differs
+  *     DuckDB vs Spark); rationals must go through the floor-based
+  *     `Quant.q6`/`Quant.r6` grids instead. Decimal-grid money sums
+  *     (`round(sum(price), 2)`) carry no division and stay legal
+  *     ([[roundOnRational]]).
+  *
+  * On a UNION of top-level selects, rule 2 checks the LAST branch only
+  * (partial coverage, still insurance — the registry has none today).
   */
 object OracleLint {
 
   /** All violations across a map of oracle SQL (query name → SQL). */
   def violations(oracles: Map[String, String]): Seq[String] =
     oracles.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
-      uncastWindowedSums(sql).map { pos =>
-        val ctx = sql.slice(math.max(0, pos - 20), math.min(sql.length, pos + 60))
-          .replaceAll("\\s+", " ")
-        s"$name: uncast windowed sum at offset $pos: …$ctx…"
-      }
+      def ctx(pos: Int) = sql
+        .slice(math.max(0, pos - 20), math.min(sql.length, pos + 60))
+        .replaceAll("\\s+", " ")
+      uncastWindowedSums(sql).map(p =>
+        s"$name: uncast windowed sum at offset $p: …${ctx(p)}…") ++
+      uncastFinalSelectSums(sql).map(p =>
+        s"$name: uncast plain sum in the final SELECT at offset $p: …${ctx(p)}…") ++
+      roundOnRational(sql).map(p =>
+        s"$name: round() over a division (use Quant.q6/r6) at offset $p: …${ctx(p)}…")
     }
 
-  /** Offsets of windowed `sum(...) OVER` occurrences in `sql` that have
-    * no enclosing `CAST(` anywhere on their open-paren stack. Quoted
-    * string literals are opaque to the scan (a regex literal with a
-    * paren must not desync the balance).
+  /** Per-character mask: inside a single-quoted SQL string literal.
+    * DuckDB escapes a quote by doubling it, which this flip-flop scan
+    * handles naturally: the closing quote of '' flips back in
+    * immediately. Quote characters themselves are masked too (a paren
+    * inside a regex literal must not desync any balance scan).
     */
-  def uncastWindowedSums(sql: String): Seq[Int] = {
-    val s = sql
-    val n = s.length
-    // Pre-compute, per character, whether it is inside a single-quoted
-    // SQL string (DuckDB escapes a quote by doubling it, which this
-    // flip-flop scan handles naturally: the closing quote of '' flips
-    // back in immediately).
-    val inStr = new Array[Boolean](n)
+  private def stringMask(s: String): Array[Boolean] = {
+    val inStr = new Array[Boolean](s.length)
     var quoted = false
     var i = 0
-    while (i < n) {
+    while (i < s.length) {
       if (s(i) == '\'') quoted = !quoted
       inStr(i) = quoted || s(i) == '\''
       i += 1
     }
-    def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
-    // Stack of open-paren positions with the identifier preceding each.
-    val openers = scala.collection.mutable.Stack[String]()
+    inStr
+  }
+
+  private def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
+
+  /** Offsets of windowed `sum(...) OVER` occurrences in `sql` that have
+    * no enclosing `CAST(` anywhere on their open-paren stack.
+    */
+  def uncastWindowedSums(sql: String): Seq[Int] =
+    scanSums(sql, 0, sql.length).collect {
+      case h if h.windowed && !h.openers.contains("cast") => h.pos
+    }
+
+  /** Offsets of PLAIN (non-windowed) `sum(` occurrences inside the final
+    * top-level SELECT's projection list that are not cast at site: no
+    * enclosing `CAST(` or `round(` on the paren stack and no postfix
+    * `::` cast after the closing paren.
+    */
+  def uncastFinalSelectSums(sql: String): Seq[Int] = {
+    val (lo, hi) = finalSelectSpan(sql)
+    scanSums(sql, lo, hi).collect {
+      case h if !h.windowed && !h.postfixCast &&
+        !h.openers.contains("cast") && !h.openers.contains("round") => h.pos
+    }
+  }
+
+  /** Offsets of `round(` occurrences whose first argument contains a
+    * division operator outside string literals.
+    */
+  def roundOnRational(sql: String): Seq[Int] = {
+    val s = sql
+    val n = s.length
+    val inStr = stringMask(s)
     val out = scala.collection.mutable.Buffer[Int]()
-    i = 0
+    var i = 0
+    while (i < n) {
+      if (!inStr(i) && s.regionMatches(true, i, "round", 0, 5) &&
+          (i == 0 || !isWordChar(s(i - 1))) &&
+          (i + 5 >= n || !isWordChar(s(i + 5)))) {
+        var j = i + 5
+        while (j < n && s(j).isWhitespace) j += 1
+        if (j < n && s(j) == '(') {
+          // Walk the balanced call; note the first depth-1 comma (end of
+          // the first argument) and any division before it.
+          var depth = 0
+          var k = j
+          var firstComma = -1
+          var done = false
+          while (k < n && !done) {
+            if (!inStr(k)) {
+              if (s(k) == '(') depth += 1
+              else if (s(k) == ')') { depth -= 1; if (depth == 0) done = true }
+              else if (s(k) == ',' && depth == 1 && firstComma < 0) firstComma = k
+            }
+            k += 1
+          }
+          val argEnd = if (firstComma >= 0) firstComma else k - 1
+          var d = j + 1
+          var hasDiv = false
+          while (d < argEnd && !hasDiv) {
+            if (!inStr(d) && s(d) == '/') hasDiv = true
+            d += 1
+          }
+          if (hasDiv) out += i
+          // Resume INSIDE the args: a nested round inside this round's
+          // arguments must still be visited.
+          i = j + 1
+        } else i += 5
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  /** `(start, end)` of the last top-level (paren-depth-0) SELECT's
+    * projection list — from just past its `SELECT` keyword to its
+    * depth-0 `FROM` (or end of string for a FROM-less select).
+    * `(0, 0)` when the SQL has no top-level SELECT at all.
+    */
+  private[graft] def finalSelectSpan(sql: String): (Int, Int) = {
+    val s = sql
+    val n = s.length
+    val inStr = stringMask(s)
+    var depth = 0
+    var i = 0
+    var cur = -1
+    var last = (0, 0)
+    def kw(at: Int, w: String) =
+      s.regionMatches(true, at, w, 0, w.length) &&
+        (at == 0 || !isWordChar(s(at - 1))) &&
+        (at + w.length >= n || !isWordChar(s(at + w.length)))
+    while (i < n) {
+      if (inStr(i)) i += 1
+      else s(i) match {
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ if depth == 0 && kw(i, "select") =>
+          cur = i + 6; i += 6
+        case _ if depth == 0 && cur >= 0 && kw(i, "from") =>
+          last = (cur, i); cur = -1; i += 4
+        case _ => i += 1
+      }
+    }
+    if (cur >= 0) last = (cur, n)
+    last
+  }
+
+  private case class SumHit(pos: Int, openers: List[String],
+      windowed: Boolean, postfixCast: Boolean)
+
+  /** Every `sum( … )` call whose `sum` token lies in `[lo, hi)`, with
+    * the identifiers owning each enclosing open paren (lowercased; the
+    * stack is built from the start of the string so an enclosing
+    * `CAST(` opened before `lo` still counts), whether the balanced
+    * call is followed by `OVER`, and whether by a postfix `::` cast.
+    * The scan resumes INSIDE each sum's arguments so nested sums are
+    * visited too.
+    */
+  private def scanSums(sql: String, lo: Int, hi: Int): Seq[SumHit] = {
+    val s = sql
+    val n = s.length
+    val inStr = stringMask(s)
+    val openers = scala.collection.mutable.Stack[String]()
+    val out = scala.collection.mutable.Buffer[SumHit]()
+    var i = 0
     while (i < n) {
       if (inStr(i)) i += 1
       else if (s(i) == '(') {
@@ -78,7 +209,7 @@ object OracleLint {
       } else if ((s(i) == 's' || s(i) == 'S') &&
                  s.regionMatches(true, i, "sum", 0, 3) &&
                  (i == 0 || !isWordChar(s(i - 1)))) {
-        // Candidate `sum` token: require `( args )` then `over`.
+        // Candidate `sum` token: require `( args )` then classify.
         var j = i + 3
         while (j < n && s(j).isWhitespace) j += 1
         if (j < n && s(j) == '(') {
@@ -96,9 +227,11 @@ object OracleLint {
           while (m < n && s(m).isWhitespace) m += 1
           val windowed = ok && s.regionMatches(true, m, "over", 0, 4) &&
             (m + 4 >= n || !isWordChar(s(m + 4)))
-          if (windowed && !openers.contains("cast")) out += i
-          // Resume INSIDE the sum args: a nested windowed sum inside
-          // another sum's arguments would otherwise be skipped.
+          val postfix = ok && m + 1 < n && s(m) == ':' && s(m + 1) == ':'
+          if (i >= lo && i < hi)
+            out += SumHit(i, openers.toList, windowed, postfix)
+          // Resume INSIDE the sum args: a nested sum inside another
+          // sum's arguments would otherwise be skipped.
           i = j
         } else i += 3
       } else i += 1

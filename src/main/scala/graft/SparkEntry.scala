@@ -2517,7 +2517,7 @@ object SparkEntry {
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-         sum(l_quantity) AS sum_qty,
+         CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
          round(sum(l_extendedprice), 2) AS sum_base_price,
          round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
          avg(l_quantity) AS avg_qty,
@@ -2608,7 +2608,7 @@ object SparkEntry {
     "q6_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
          coalesce(l_linestatus, 'ALL') AS linestatus,
-         sum(l_quantity) AS sum_qty, CAST(count(*) AS BIGINT) AS n
+         CAST(sum(l_quantity) AS DOUBLE) AS sum_qty, CAST(count(*) AS BIGINT) AS n
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
 
     "q7_semijoin" ->

@@ -293,18 +293,22 @@ object EventAnalytics {
     * passes the newest survivor. Per closed user, an O(1) tombstone —
     * the price of the exactly-once-per-user emission guarantee.
     *
-    * `tombstoneTtlMinutes = 0` (default) keeps tombstones forever: the
-    * exact batch twin, at one state row per ever-emitted user. A
-    * positive TTL expires each tombstone `ttl` minutes of EVENT TIME
-    * past its emission watermark, bounding total state for long-running
-    * streams — the DOCUMENTED divergence being that a step-0 event
-    * arriving later than the TTL after the user's funnel closed
-    * re-anchors a second funnel the one-global-anchor batch fold does
-    * not have.
+    * `tombstoneTtlMinutes` bounds closed-user state: a positive TTL
+    * expires each tombstone `ttl` minutes of EVENT TIME past its
+    * emission watermark, so total state for a long-running stream is
+    * O(open users + recently-closed users) instead of one row per
+    * ever-seen user. The DEFAULT is 7 days (10080) — bounded state is
+    * the right default for an unbounded stream; the DOCUMENTED
+    * divergence from the batch fold is that a step-0 event arriving
+    * more than the TTL after the user's funnel closed re-anchors a
+    * second funnel the one-global-anchor batch fold does not have
+    * (spec-pinned at the default). Pass `0` to opt into permanent
+    * tombstones: the exact batch twin, at the price of one state row
+    * per ever-emitted user, forever.
     */
   def funnelStepsStream(events: DataFrame, steps: Seq[String],
       windowMinutes: Long, delay: String = "1 hour",
-      tombstoneTtlMinutes: Long = 0L)
+      tombstoneTtlMinutes: Long = 7L * 24L * 60L)
       : Dataset[FunnelProgress] = {
     require(tombstoneTtlMinutes >= 0L,
       s"tombstoneTtlMinutes=$tombstoneTtlMinutes must be >= 0")

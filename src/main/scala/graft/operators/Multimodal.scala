@@ -224,6 +224,13 @@ object Multimodal {
   private[graft] def perceptualFingerprints(spark: SparkSession,
       payloads: DataFrame, frameBytes: Int, everyNth: Int): DataFrame = {
     import spark.implicits._
+    // Driver-side requires, matching [[sampleFrames]]: everyNth = 0 would
+    // spin the kernel's `i += everyNth` walk forever ON AN EXECUTOR (a
+    // hang, not an error), and frameBytes = 0 a bare ArithmeticException
+    // after task retries — both must fail at construction with the knob's
+    // name instead.
+    require(frameBytes > 0, s"frameBytes=$frameBytes must be positive")
+    require(everyNth > 0, s"everyNth=$everyNth must be positive")
     payloads.select(col("doc_id"), col("payload")).as[Payload]
       .mapPartitions { it =>
         it.flatMap { p =>
@@ -292,6 +299,11 @@ object Multimodal {
     import spark.implicits._
     require(minShared >= 1, s"minShared=$minShared must be >= 1")
     require(maxDf >= 1, s"maxDf=$maxDf must be >= 1")
+    // The stream-side kernel calls bypass [[perceptualFingerprints]]'
+    // construction-time guards — validate here too (same failure modes:
+    // executor hang / bare ArithmeticException).
+    require(frameBytes > 0, s"frameBytes=$frameBytes must be positive")
+    require(everyNth > 0, s"everyNth=$everyNth must be positive")
     // Both sides are (doc_id, payload) frames — [[withPayload]] adapts a
     // documents table on the batch side; the stream carries real binary.
     val baseFp = perceptualFingerprints(spark,

@@ -57,6 +57,57 @@ class OracleLintSpec extends AnyFunSuite {
     assert(OracleLint.uncastWindowedSums(s).isEmpty)
   }
 
+  test("an injected uncast plain sum in the final SELECT is caught") {
+    // The widened round-11 class: a plain sum(BIGINT) emitted directly
+    // as an output column — DuckDB widens to HUGEINT, the driver's
+    // type-sensitive hash diverges.
+    val bad = "WITH t AS (SELECT 1 AS c) SELECT k, sum(c) AS n FROM t GROUP BY k"
+    assert(OracleLint.uncastFinalSelectSums(bad).nonEmpty)
+    assert(OracleLint.violations(Map("q" -> bad))
+      .exists(v => v.startsWith("q:") && v.contains("final SELECT")))
+  }
+
+  test("final-select sums cast at site are clean: CAST, postfix ::, round") {
+    val ok1 = "SELECT CAST(sum(c) AS BIGINT) AS n FROM t GROUP BY k"
+    val ok2 = "SELECT sum(c)::DOUBLE / count(*)::DOUBLE AS m FROM t"
+    val ok3 = "SELECT round(sum(price), 2) AS total FROM t" // round never emits HUGEINT (measured: DOUBLE/DECIMAL)
+    val ok4 = "SELECT CAST(x * 100 // sum(c) AS BIGINT) AS ppm FROM t"
+    for (s <- Seq(ok1, ok2, ok3, ok4))
+      assert(OracleLint.uncastFinalSelectSums(s).isEmpty, s)
+  }
+
+  test("intermediate CTE sums are out of rule-2 scope; only the final SELECT's projection flags") {
+    // The uncast sum lives in a CTE (consumed through a cast downstream
+    // in registry practice) — rule 2 checks the output site only.
+    val s = "WITH agg AS (SELECT k, sum(c) AS s FROM t GROUP BY k) " +
+      "SELECT k, CAST(s AS BIGINT) AS n FROM agg"
+    assert(OracleLint.uncastFinalSelectSums(s).isEmpty)
+    // HAVING is not in the projection either.
+    val h = "SELECT l_orderkey FROM lineitem GROUP BY 1 " +
+      "HAVING sum(l_quantity) > 250"
+    assert(OracleLint.uncastFinalSelectSums(h).isEmpty)
+  }
+
+  test("an injected round() over a division is caught; grid-legal rounds stay clean") {
+    // The cross-engine .5-boundary hazard: round of a raw rational
+    // (measured divergent: round(41/640., 6) DuckDB vs Spark).
+    val bad = "SELECT round(a / b, 6) AS frac FROM t"
+    assert(OracleLint.roundOnRational(bad).nonEmpty)
+    assert(OracleLint.violations(Map("q" -> bad))
+      .exists(v => v.startsWith("q:") && v.contains("Quant.q6")))
+    val bad2 = "SELECT round(100 * hits // total) AS pct FROM t" // integer div too
+    assert(OracleLint.roundOnRational(bad2).nonEmpty)
+    // Decimal-grid money sums carry no division and stay legal…
+    val ok1 = "SELECT round(sum(l_extendedprice), 2) AS total FROM t"
+    assert(OracleLint.roundOnRational(ok1).isEmpty)
+    // …a division in the SECOND argument (grid width) is not a rational…
+    val ok2 = "SELECT round(x, 8 / 2) AS r FROM t"
+    assert(OracleLint.roundOnRational(ok2).isEmpty)
+    // …and a slash inside a string literal is opaque.
+    val ok3 = "SELECT round(len('a/b'), 2) AS r FROM t"
+    assert(OracleLint.roundOnRational(ok3).isEmpty)
+  }
+
   test("correctnessKeys extracts only depth-1 keys") {
     val json = """{"q1": {"rows_match": true, "err": null},
                    "q2_agg": {"hash_match": false}}"""

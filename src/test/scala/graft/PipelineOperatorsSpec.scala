@@ -2211,6 +2211,42 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(u1 == Seq((1L, us(0), 2L), (1L, us(400), 1L)), u1)
   }
 
+  test("funnelStepsStream: the DEFAULT tombstone TTL is bounded (7 days) — the exactness caveat at the default") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    def us(min: Long) = (t0.getTime + min * 60000L) * 1000L
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    // tombstoneTtlMinutes NOT passed — this spec pins the default.
+    val stream = EventAnalytics.funnelStepsStream(
+      ms.toDF().toDF("user_id", "ts", "event_type"), Seq("s1", "s2"),
+      windowMinutes = 10L, delay = "0 seconds")
+    val q = stream.writeStream.format("memory").queryName("funnel_ttl_def")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq((1L, at(0), "s1"), (1L, at(1), "s2")))
+      q.processAllAvailable()
+      ms.addData(Seq((99L, at(100), "s1"))) // closes u1; default TTL arms at 100 + 10080
+      q.processAllAvailable()
+      ms.addData(Seq((1L, at(5000), "s1"))) // within the 7-day TTL: swallowed
+      q.processAllAvailable()
+      ms.addData(Seq((98L, at(20000), "s1"))) // wm past 10180: tombstone expires
+      q.processAllAvailable()
+      ms.addData(Seq((1L, at(21000), "s1"))) // >7 days after close: re-anchors (the documented divergence)
+      q.processAllAvailable()
+      ms.addData(Seq((97L, at(40000), "s1"))) // closes the second funnel
+      q.processAllAvailable()
+    } finally q.stop()
+    val u1 = spark.table("funnel_ttl_def").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("anchor_us"),
+        r.getAs[Long]("steps_completed")))
+      .filter(_._1 == 1L).sortBy(_._2).toSeq
+    // Two emissions at the DEFAULT: the original chain, and the
+    // past-7-days re-anchor; the in-TTL straggler (5000) never anchors.
+    assert(u1 == Seq((1L, us(0), 2L), (1L, us(21000), 1L)), u1)
+  }
+
   test("weightedSample: a positive sub-micro weight fails loudly instead of silently losing mass") {
     import spark.implicits._
     val d = Seq((1L, 0.5), (2L, 1e-9)).toDF("doc_id", "q")
@@ -2287,6 +2323,19 @@ class PipelineOperatorsSpec extends SparkSpec {
     val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert(byDoc(1L) == byDoc(2L))
     assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+    // Knob guards fail at CONSTRUCTION with the knob's name — everyNth = 0
+    // would otherwise spin the kernel's stride walk forever on an executor
+    // (a hang, not an error) and frameBytes = 0 divide by zero mid-task.
+    val pay = Multimodal.withPayload(d)
+    for ((fb, nth) <- Seq((0, 4), (16, 0))) {
+      val e = intercept[IllegalArgumentException](
+        Multimodal.perceptualDups(spark, pay, frameBytes = fb, everyNth = nth))
+      assert(e.getMessage.contains("must be positive"), e.getMessage)
+      val e2 = intercept[IllegalArgumentException](
+        Multimodal.streamingPerceptualDups(spark, pay, pay,
+          frameBytes = fb, everyNth = nth))
+      assert(e2.getMessage.contains("must be positive"), e2.getMessage)
+    }
   }
 
   test("streamingPerceptualDups: ingest alerts equal the rotated cross pair, exactly once") {
