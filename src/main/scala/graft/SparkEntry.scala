@@ -2742,7 +2742,7 @@ object SparkEntry {
            FROM documents)
          SELECT md5(coalesce(text, '')) AS text_hash, MIN(doc_id) AS keep_id,
          CAST(COUNT(*) AS BIGINT) AS dup_count
-         FROM pd GROUP BY 1""",
+         FROM pd WHERE doc_id IS NOT NULL GROUP BY 1""",
 
     "doc_fingerprint" ->
       """SELECT doc_id,

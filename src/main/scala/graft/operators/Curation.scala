@@ -1013,7 +1013,11 @@ object Curation {
     // the stateful stage (the streaming twins' convention): a null ts
     // has no watermark semantics and its dedup behavior would differ
     // between the four streaming twins for the same malformed input.
-    docs.where(col(tsCol).isNotNull)
+    // doc_id filter: the exact-dedup family's null-id rule
+    // ([[Dedup.exactGroupsFromHashes]]) — a no-identity doc is excluded
+    // up front, so the stream can never emit (or, worse, OCCUPY the
+    // first-seen slot of) a row the batch sweep would have dropped.
+    docs.where(col(tsCol).isNotNull && col("doc_id").isNotNull)
       .withColumn("text_hash", md5(coalesce(col("text"), lit(""))))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("text_hash")
@@ -1060,7 +1064,9 @@ object Curation {
     // pattern): every stage verdict re-attaches by inner doc_id equi-join,
     // where a NULL key never matches — such a doc would flow through all
     // five gates and then silently vanish from the audit table, breaking
-    // the every-removal-is-attributed promise.
+    // the every-removal-is-attributed promise. (It is ALSO the exact-dedup
+    // family's null-id rule — [[Dedup.exactGroupsFromHashes]] — so the
+    // e_keep stage sees the same population the standalone sweep would.)
     val baseRaw = train.where(col("doc_id").isNotNull)
       .select(col("doc_id"), col("lang"),
         length(col("text")).as("chars"),

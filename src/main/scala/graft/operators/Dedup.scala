@@ -43,18 +43,21 @@ object Dedup {
     * pipelines that hash once up front (see [[Curation.curationReport]])
     * share it instead of re-stating it.
     *
-    * NULL doc_id contract (documented, not fixed in place): min(doc_id)
-    * skips NULLs, so a group whose members ALL lack identity emits
-    * keep_id NULL and [[exactDedup]]'s keep join drops those rows — a
-    * no-identity doc cannot be "kept by id". The oracle's MIN/COUNT and
-    * join behave identically, so the engines agree on any regen; making
-    * the family filter null ids UP FRONT (the samplers' rule) is a
-    * coordinated-change candidate — operator + doc_exact_dedup oracle +
-    * curationReport's shared hash stage + the streaming exact twin must
-    * move together.
+    * NULL doc_id contract (the samplers' rule, applied family-wide): a
+    * no-identity doc is EXCLUDED up front — it cannot be "kept by id",
+    * must not occupy the canonical slot, and must not inflate a group's
+    * `dup_count` (under the old skip-at-MIN behavior a group whose
+    * members ALL lacked identity emitted keep_id NULL, and engines only
+    * agreed on that shape by the accident of matching MIN/COUNT null
+    * skipping). The filter is mirrored in the `doc_exact_dedup` oracle,
+    * [[Curation.curationReport]]'s shared hash stage (which already
+    * filtered for join-attribution reasons), and
+    * [[Curation.streamingExactDedup]] — the four pieces move together
+    * (spec-pinned).
     */
   def exactGroupsFromHashes(hashes: DataFrame): DataFrame =
-    hashes.groupBy(col("text_hash"))
+    hashes.where(col("doc_id").isNotNull)
+      .groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
 
   /** The deduplicated corpus: keep the min doc_id per distinct text. */

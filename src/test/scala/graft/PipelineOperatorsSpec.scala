@@ -27,6 +27,49 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(groups == Map(1L -> 3L, 2L -> 1L))
   }
 
+  test("exact-dedup null-id contract: no-identity docs are excluded up front, family-wide") {
+    // The four-piece coordinated rule (Dedup.exactGroupsFromHashes doc):
+    // operator + doc_exact_dedup oracle (WHERE doc_id IS NOT NULL) +
+    // curationReport's hash stage + the streaming twin all exclude
+    // null-id docs BEFORE grouping — a no-identity doc cannot be kept by
+    // id, must not occupy the canonical slot, and must not inflate
+    // dup_count.
+    val d = Seq[(java.lang.Long, String)](
+      (1L: java.lang.Long) -> "aaa", (null: java.lang.Long) -> "aaa",
+      (3L: java.lang.Long) -> "aaa",
+      // a text whose ONLY members lack identity: the group must vanish,
+      // not emit keep_id NULL.
+      (null: java.lang.Long) -> "ghost",
+      (4L: java.lang.Long) -> "bbb").toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(d).collect()
+      .map(r => Option(r.getAs[java.lang.Long]("keep_id")).map(_.toLong) ->
+        r.getAs[Long]("dup_count")).toMap
+    assert(groups == Map(Some(1L) -> 2L, Some(4L) -> 1L), groups)
+    val kept = Dedup.exactDedup(d).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L))
+    // Streaming twin: a null-id row must not CONSUME the first-seen slot
+    // for its hash — the later identified copy still emits (the batch
+    // sweep would have kept it).
+    import java.sql.Timestamp
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.lang.Long, String, Timestamp)](spark)
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    ms.addData(Seq(
+      (null: java.lang.Long, "alpha text", t0),
+      (5L: java.lang.Long, "alpha text", new Timestamp(t0.getTime + 1000L)),
+      (6L: java.lang.Long, "alpha text", new Timestamp(t0.getTime + 2000L))))
+    val q = graft.operators.Curation.streamingExactDedup(
+        ms.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("sdedup_nullid")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+    val streamed = spark.table("sdedup_nullid")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(streamed == Seq(5L), streamed)
+  }
+
   test("corpusDiff: four statuses by content hash; null text diffs as empty") {
     val oldV = Seq((1L, "same"), (2L, "gone"), (3L, "before"),
       (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
