@@ -97,8 +97,23 @@ object Bench {
           System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
         }
     }
-    settle(target = cpus.toDouble * 0.75, maxWaitMs = 90000L)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // PREPARE pass for the index-backed queries: run each once UNTIMED so
+    // the per-JVM index builds (and the first-serve codegen of shapes the
+    // sf0.001 battery can't express — e.g. the two-generation lex union)
+    // happen before any timed pass. Without this, the build landed inside
+    // timed pass 1 and min-of-2 rode on a single pass-2 sample — the
+    // round-11 doc_bm25_append_topk driver outlier (6.69 s vs 1.66 s at
+    // the same commit). Failures are non-fatal here: the timed pass
+    // reports the same failure loudly via the failed lists.
+    def prepareIndexes(dir: String, tag: String): Unit =
+      for ((name, fn) <- ordered if SparkEntry.indexBacked(name))
+        try fn(spark, dir).write.format("noop").mode("overwrite").save()
+        catch { case NonFatal(e) =>
+          System.err.println(s"[bench] ${tag}prepare $name failed: ${e.getMessage}")
+        }
+    prepareIndexes(sfDir, "")
+    settle(target = cpus.toDouble * 0.75, maxWaitMs = 90000L)
     val passes = 2
     // ONE timed-pass runner for the primary and the ref-scaling suites —
     // the two loops drifted once already (the round-8 "ref pass symmetric
@@ -208,16 +223,16 @@ object Bench {
         Option(new java.io.File(refDir).listFiles()).getOrElse(Array.empty)
           .filter(_.getName.endsWith(".parquet"))
           .foreach(f => spark.read.parquet(f.getPath).count())
-        // Symmetric measurement hygiene: the primary pass ran behind a
-        // loadavg settle; a co-tenant spinning up between the suites
-        // would otherwise inflate ONLY the ref times and systematically
-        // understate every factor.
+        // Symmetric with the primary suite: builds out of the timed
+        // region, then the loadavg settle (a co-tenant spinning up
+        // between the suites would otherwise inflate ONLY the ref times
+        // and systematically understate every factor).
+        prepareIndexes(refDir, "ref ")
         settle(target = cpus.toDouble * 0.75, maxWaitMs = 90000L)
-        // SAME pass structure as the primary (runPasses: 2 passes, min):
-        // the build-once-serve-many index queries pay their build only
-        // in pass 1, so a single ref pass would include the build the
-        // primary min excludes and the scale factor would compare
-        // serve-time to build+serve-time — systematically flattering.
+        // SAME pass structure as the primary (runPasses: 2 passes, min;
+        // index builds already moved to the prepare pass on both sides) —
+        // an asymmetric pass count would compare a best-of-2 to a
+        // single sample and systematically skew every factor.
         // Ref-pass failures get the same loud treatment as primary ones:
         // without the marker, a query that throws only at the ref SF just
         // vanishes from ref_queries/factors and the percentile population

@@ -129,6 +129,27 @@ object SparkEntry {
     "emb_near_dup_exact", "doc_simhash_pairs",
     "doc_ngram_containment", "doc_ngram_jaccard")
 
+  /** INDEX-BACKED queries — every registry entry whose first invocation
+    * per (JVM, source dir) BUILDS a persisted index (the `builtIndexes`
+    * guard) and whose repeats measure the serving path. Bench runs each
+    * of these once UNTIMED (a prepare pass) before its timed passes, so
+    * both timed passes measure warm serves: with the build inside timed
+    * pass 1, min-of-2 rode on a single pass-2 sample — one unlucky
+    * scheduling window on a loaded machine and the round's headline
+    * serve number was wrong by 4-5× (the round-11 doc_bm25_append_topk
+    * driver-bench outlier: 6.69 s driver vs 1.66 s at the same commit on
+    * a quiet machine). The set is asserted against the registry in
+    * OracleLintSpec so a renamed query cannot silently fall out of the
+    * prepare pass.
+    */
+  val indexBacked: Set[String] = Set(
+    "doc_bm25_index_topk", "doc_bm25_append_topk", "doc_bm25_compact_topk",
+    "doc_dedup_index_pairs", "doc_dedup_index_append_pairs",
+    "doc_dedup_index_clean", "doc_dedup_index_health",
+    "doc_dedup_index_compact_pairs",
+    "emb_ivf_index_topk", "emb_ivf_append_topk", "emb_ivf_compact_topk",
+    "emb_index_health", "emb_ivfpq_topk", "emb_ivfpq_recall")
+
   // ---------------------------------------------------------------------
   // Planted inputs for data-driven weakly-discriminative oracles (the
   // doc_pii_scrub pattern): the synthetic corpus makes some metrics

@@ -108,6 +108,15 @@ class OracleLintSpec extends AnyFunSuite {
     assert(OracleLint.roundOnRational(ok3).isEmpty)
   }
 
+  test("every index-backed query names a registered query") {
+    // Bench's untimed prepare pass iterates this set; a renamed query
+    // that silently fell out would put its index build back inside timed
+    // pass 1 (the round-11 append-bench outlier mechanism).
+    val unknown = SparkEntry.indexBacked -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty,
+      s"indexBacked entries not in the registry: ${unknown.toSeq.sorted}")
+  }
+
   test("correctnessKeys extracts only depth-1 keys") {
     val json = """{"q1": {"rows_match": true, "err": null},
                    "q2_agg": {"hash_match": false}}"""
