@@ -684,43 +684,53 @@ object TextAnalysis {
     // relative error is a BALANCE knob only — exactness never depends on
     // where a boundary lands — so the sketch stays coarse and cheap.
     val allBounds = s.stat.approxQuantile(cols.toArray, probs, 0.01)
-    val withBuckets = cols.zip(allBounds).foldLeft(s) { case (df, (c, bs)) =>
-      // Long→double in the boundary compare is monotone (ties collapse
-      // into one bucket; within-bucket order uses the ORIGINAL column),
-      // so exactness survives values past 2^53.
-      val sorted = bs.distinct.sorted
-      val nonNull = sorted.foldLeft(lit(0)) { (acc, b) =>
-        acc + when(col(c) > lit(b), 1).otherwise(0)
-      }
+    val sortedBounds = cols.zip(allBounds)
+      .map { case (c, bs) => c -> bs.distinct.sorted }.toMap
+    // Bucket assignment `#{boundary < value}` as ONE fold over a literal
+    // boundary ARRAY — profiled: the previous per-boundary when-chain
+    // (63 nested whens × 3 columns, re-inlined into every downstream
+    // window/aggregate tree and again into each union leg of the pair
+    // tail) made Catalyst analysis+codegen the dominant cost of the
+    // whole query at verification SF (~2.7 s of a 5 s query on a CACHED
+    // 5k-row input). A literal array is one plan node whatever nb is.
+    // Long→double in the compare is monotone (ties collapse into one
+    // bucket; within-bucket order uses the ORIGINAL column), so
+    // exactness survives values past 2^53.
+    val withBuckets = cols.foldLeft(s) { (df, c) =>
+      val bs = sortedBounds(c)
+      val nonNull =
+        if (bs.isEmpty) lit(0)
+        else aggregate(lit(bs), lit(0),
+          (acc, b) => acc + when(col(c).cast("double") > b, 1).otherwise(0))
       df.withColumn(s"__b_$c",
-        when(col(c).isNull, lit(sorted.length + 1)).otherwise(nonNull))
+        when(col(c).isNull, lit(bs.length + 1)).otherwise(nonNull))
     }
-    // ALL columns' bucket counts in ONE aggregation job (the bucket
-    // domain is known: 0..|bounds| plus the null bucket), instead of one
-    // groupBy-collect per column — the binned path's extra driver
-    // actions are its whole cost at small corpora, so they are kept to
-    // two (this + the boundary pass).
-    val domains = cols.zip(allBounds)
-      .map { case (c, bs) => c -> (bs.distinct.length + 2) }.toMap
-    val cntExprs = cols.flatMap { c =>
-      (0 until domains(c)).map(b =>
-        sum(when(col(s"__b_$c") === lit(b), 1L).otherwise(0L))
-          .as(s"__n_${c}_$b"))
-    }
-    val cntRow = withBuckets.agg(cntExprs.head, cntExprs.tail: _*).head()
+    // ALL columns' bucket counts in ONE aggregation job, shaped as an
+    // explode → groupBy over (column, bucket) pairs rather than one
+    // sum(when) aggregate per (column, bucket): the flat-aggregate form
+    // was ~|cols|·domain ≈ 200 aggregate expressions whose codegen alone
+    // cost ~1 s per invocation at verification SF (profiled) — the
+    // explode form is a constant-size plan whatever nb is, and the
+    // exploded row count is only |cols|·n.
+    val domains = cols.map(c => c -> (sortedBounds(c).length + 2)).toMap
+    val cntMap: Map[(String, Int), Long] = withBuckets
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("c"), col(s"__b_$c").as("b"))): _*)).as("x"))
+      .groupBy(col("x.c").as("c"), col("x.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
     cols.foldLeft(withBuckets) { (df, c) =>
-      val cnts = (0 until domains(c)).map(b =>
-        b -> Option(cntRow.getAs[java.lang.Long](s"__n_${c}_$b"))
-          .map(_.longValue).getOrElse(0L))
-      val offs = cnts.scanLeft(0L)(_ + _._2).zip(cnts)
-        .map { case (off, (b, _)) => (b, off) }
-      val offCol = offs.foldLeft(lit(0L): Column) { case (acc, (b, off)) =>
-        when(col(s"__b_$c") === lit(b), lit(off)).otherwise(acc)
-      }
+      // Empty buckets (no rows landed between two boundaries) count 0.
+      val cnts = (0 until domains(c)).map(b => cntMap.getOrElse((c, b), 0L))
+      // Offset per bucket = rows in all LOWER buckets; a literal array
+      // indexed by the bucket (element_at is 1-based) for the same
+      // tree-size reason as the boundary fold above.
+      val offs: Array[Long] = cnts.scanLeft(0L)(_ + _).init.toArray
       df.withColumn(s"__r_$c",
         row_number().over(Window.partitionBy(col(s"__b_$c"))
           .orderBy(col(c).asc_nulls_last, col("doc_id").asc))
-          .cast("long") + offCol)
+          .cast("long") + element_at(lit(offs), col(s"__b_$c") + lit(1)))
     }
   }
 
@@ -731,25 +741,36 @@ object TextAnalysis {
     val pairs =
       for { i <- cols.indices; j <- i + 1 until cols.size }
         yield (cols(i), cols(j))
-    pairs.map { case (a, b) =>
+    // ONE aggregation computes n and EVERY pair's Σd² in a single pass,
+    // then a literal struct-array explode lays the per-pair rows out —
+    // profiled: the previous per-pair agg legs (unioned) each carried
+    // and re-analyzed the full ranked subtree, and at verification SF
+    // that plan work, not data, dominated the query.
+    // DECIMAL(38,0) accumulators: Σd² is ~n³/6 (n³/3 anti-correlated)
+    // and wraps a long past ~3-4M docs — the silent-wrap class
+    // trainKeyedBooks/indexHealth already widened for. The display
+    // column casts back to long (exact at any audit scale; a sum past
+    // 9.2e18 reads NULL rather than garbage), and rho is computed from
+    // the unwrapped decimal.
+    val sums = pairs.map { case (a, b) =>
       val d = col(s"__r_$a") - col(s"__r_$b")
-      val nD = col("n").cast("double")
-      // DECIMAL(38,0) accumulator: Σd² is ~n³/6 (n³/3 anti-correlated)
-      // and wraps a long past ~3-4M docs — the silent-wrap class
-      // trainKeyedBooks/indexHealth already widened for. The display
-      // column casts back to long (exact at any audit scale; a sum
-      // past 9.2e18 reads NULL rather than garbage), and rho is
-      // computed from the unwrapped decimal.
-      r.agg(count(lit(1)).as("n"),
-          sum((d * d).cast("decimal(38,0)")).as("__s"))
-        .select(lit(s"$a~$b").as("pair"), col("n"),
-          col("__s").cast("long").as("sum_d2"),
-          // rho undefined below 2 rows (n(n²-1)=0) — emit NULL, not a
-          // division artifact.
-          when(col("n") >= 2L,
-            q6(lit(1.0) - lit(6.0) * col("__s").cast("double") /
-              (nD * (nD * nD - lit(1.0))))).as("rho"))
-    }.reduce(_.unionByName(_)).barrier()
+      sum((d * d).cast("decimal(38,0)")).as(s"__s_${a}_$b")
+    }
+    val nD = col("n").cast("double")
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(s"$a~$b").as("pair"), col("n").as("n"),
+        col(s"__s_${a}_$b").cast("long").as("sum_d2"),
+        // rho undefined below 2 rows (n(n²-1)=0) — emit NULL, not a
+        // division artifact.
+        when(col("n") >= 2L,
+          q6(lit(1.0) - lit(6.0) * col(s"__s_${a}_$b").cast("double") /
+            (nD * (nD * nD - lit(1.0))))).as("rho"))
+    }
+    r.agg(count(lit(1)).as("n"), sums: _*)
+      .select(explode(array(rows: _*)).as("__x"))
+      .select(col("__x.pair").as("pair"), col("__x.n").as("n"),
+        col("__x.sum_d2").as("sum_d2"), col("__x.rho").as("rho"))
+      .barrier()
   }
 
   /** Driver-resident bigram-LM model — the offline-trained artifact the
