@@ -208,6 +208,38 @@ object SparkEntry {
     .map(b => s"CAST(SUM(CASE WHEN bin = $b THEN 1 ELSE 0 END) AS VARCHAR)")
     .mkString(" || ':' || ")
 
+  /** pHash plant: four 64-byte blocks whose sampled frames are RAMPS
+    * with per-block-distinct step (odd steps 1/3/5/7 mod 26 — checked:
+    * the four frames' pHashes are pairwise distinct). Uppercase letter
+    * heads (0x41..0x5A) leave +32 of brightness headroom inside ASCII.
+    */
+  private val pMediaPhashPattern: String =
+    (0 until 4).map(b =>
+      (0 until 16).map(n => ('A' + ((n * (2 * b + 1)) % 26)).toChar).mkString
+        + "q" * 48).mkString
+
+  /** [[pMediaPhashPattern]] with every sampled frame BRIGHTNESS-SHIFTED
+    * by +32 (uppercase head → lowercase): each shifted frame's md5 AND
+    * 16-bin intensity histogram differ from the original's (every byte
+    * moved one nibble bin up) while its DCT pHash is EXACTLY equal —
+    * the zero-row-sum table moves only the absent DC coefficient. The
+    * pair the pHash pass must catch and both the byte pass and the
+    * histogram pass must miss (the complement of the rotation plant,
+    * which only the histogram catches).
+    */
+  private val pMediaPhashPatternShift: String =
+    pMediaPhashPattern.grouped(64)
+      .map(b => b.take(16).map(c => (c + 32).toChar) + b.drop(16)).mkString
+
+  /** The integer DCT-II AC-coefficient table as a DuckDB BIGINT[][]
+    * literal — interpolated from the SAME Scala table the kernel uses
+    * ([[Multimodal.dctCosTable]]), so the two engines share one
+    * artifact; coefficients stay ≤ 16·255·2^14 ≈ 6.7e7, integer-exact
+    * in every numeric representation either engine picks.
+    */
+  private val dctTableSql: String = operators.Multimodal.dctCosTable(16)
+    .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
   /** Containment plant: 12 tokens → 10 trigrams (the min set). */
   private val containPlantShort =
     "ca cb cc cd ce cf cg ch ci cj ck cl"
@@ -769,6 +801,30 @@ object SparkEntry {
             coalesce(col("text"), lit(""))))
         .otherwise(col("text")))
       Multimodal.perceptualDups(s, Multimodal.withPayload(planted))
+    }),
+
+    // Media near-dup by DCT pHash — the third descriptor tier (md5 →
+    // histogram → pHash), each catching what the previous is blind to:
+    // planted brightness-shifted copies (+32 on every sampled frame
+    // byte) match NOTHING in doc_media_dups (md5s differ) or
+    // doc_media_pdups (every histogram moved a nibble bin) but share
+    // their exact integer-DCT pHash — zero AC row sums make the shift
+    // land entirely on the absent DC term (spec-pinned).
+    "doc_media_phash_dups" -> ((s, dir) => {
+      def blocksOf(p: String) =
+        when(col("doc_id") % 3 === 0, lit(p.take(128)))
+          .when(col("doc_id") % 3 === 1, lit(p.take(192)))
+          .otherwise(lit(p))
+      val planted = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 29 === 11 && col("doc_id") < 500,
+          concat(blocksOf(pMediaPhashPattern),
+            coalesce(col("text"), lit(""))))
+        .when(col("doc_id") % 29 === 23 && col("doc_id") < 500,
+          concat(blocksOf(pMediaPhashPatternShift),
+            coalesce(col("text"), lit(""))))
+        .otherwise(col("text")))
+      Multimodal.perceptualDups(s, Multimodal.withPayload(planted),
+        pHash = true)
     }),
 
     // Gopher-style rule filter: per-doc quality flags + keep verdict.
@@ -5103,6 +5159,66 @@ object SparkEntry {
            SELECT doc_id, i, $histogramFingerprintSql AS fingerprint
            FROM codes GROUP BY 1, 2),
          fp AS (SELECT DISTINCT doc_id, fingerprint FROM hist),
+         keep AS (
+           SELECT fingerprint FROM fp GROUP BY 1 HAVING COUNT(*) <= 50),
+         pr AS (
+           SELECT fp.doc_id, fp.fingerprint
+           FROM fp JOIN keep USING (fingerprint))
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared
+         FROM pr a JOIN pr b
+           ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING COUNT(*) >= 2""",
+
+    // DCT pHash replay: same frame CTEs as doc_media_pdups; per frame,
+    // 15 AC coefficients = byte vector × the SHARED integer cosine table
+    // (list_dot_product of BIGINT lists — values ≤ 6.7e7, exact in any
+    // representation), bits thresholded at the exact median (the 8th of
+    // the 15 sorted values, strict >). Byte ≡ char via ord() on the
+    // ASCII media contract, as in the histogram oracle.
+    "doc_media_phash_dups" ->
+      s"""WITH pd AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 29 = 11 AND doc_id < 500
+                  THEN substr('$pMediaPhashPattern', 1,
+                         CAST(64 * (2 + doc_id % 3) AS INTEGER))
+                       || coalesce(text, '')
+                  WHEN doc_id % 29 = 23 AND doc_id < 500
+                  THEN substr('$pMediaPhashPatternShift', 1,
+                         CAST(64 * (2 + doc_id % 3) AS INTEGER))
+                       || coalesce(text, '')
+                  ELSE text END AS text
+           FROM documents),
+         d AS (
+           SELECT doc_id, coalesce(text, '') AS text,
+             octet_length(encode(coalesce(text, ''))) AS n
+           FROM pd),
+         f AS (
+           SELECT doc_id, text,
+             unnest(generate_series(0, n // 16 - 1)) AS i
+           FROM d WHERE n >= 16),
+         sf AS (
+           SELECT doc_id, i, substr(text, CAST(i * 16 + 1 AS INTEGER), 16)
+             AS fr
+           FROM f WHERE i % 4 = 0),
+         xs AS (
+           SELECT doc_id, i,
+             list_transform(range(1, 17),
+               j -> ord(substr(fr, CAST(j AS INTEGER), 1))) AS v
+           FROM sf),
+         co AS (
+           SELECT doc_id, i,
+             list_transform($dctTableSql::BIGINT[][],
+               t -> list_dot_product(v::BIGINT[], t)) AS coefs
+           FROM xs),
+         ph AS (
+           SELECT doc_id, i,
+             list_aggregate(list_transform(coefs,
+               c -> CASE WHEN c > list_sort(coefs)[8]
+                    THEN '1' ELSE '0' END), 'string_agg', '')
+               AS fingerprint
+           FROM co),
+         fp AS (SELECT DISTINCT doc_id, fingerprint FROM ph),
          keep AS (
            SELECT fingerprint FROM fp GROUP BY 1 HAVING COUNT(*) <= 50),
          pr AS (

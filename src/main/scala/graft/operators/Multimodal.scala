@@ -210,19 +210,85 @@ object Multimodal {
     out.toArray
   }
 
+  /** Integer DCT-II cosine table for `n`-byte frames:
+    * `T(k)(j) = rint(cos(π(j+0.5)(k+1)/n) · 2^14)` — the AC rows only
+    * (k+1 = 1..n−1; the DC row is deliberately absent). `rint`
+    * (half-even) is SYMMETRIC (`rint(-x) = -rint(x)`), and the analytic
+    * `Σ_j cos(π(j+0.5)k/n) = 0` cancellation pairs each sample with its
+    * exact negative, so every AC row sums to EXACTLY zero after
+    * rounding — which makes [[perceptualFramePHashes]] invariant to a
+    * constant brightness shift BY CONSTRUCTION, not by float accident
+    * (spec-pinned). The same table is interpolated into the oracle SQL,
+    * so both engines share one integer artifact.
+    */
+  private[graft] def dctCosTable(n: Int): Array[Array[Long]] =
+    Array.tabulate(n - 1, n)((k, j) =>
+      math.rint(math.cos(math.Pi * (j + 0.5) * (k + 1) / n) * 16384.0).toLong)
+
+  /** DCT pHash per sampled frame — the "real codec" upgrade slot of
+    * [[perceptualFrameHistograms]], selected by the `pHash` flag on the
+    * public entry points: per frame, the n−1 integer AC coefficients
+    * (byte values × the fixed-point [[dctCosTable]] — exact long
+    * arithmetic end to end), thresholded at their exact median (strict
+    * `>`; the middle element of the sorted odd-length AC vector),
+    * serialized as a bit string. Complementary robustness to the
+    * histogram: EXACTLY invariant under a constant brightness shift
+    * (zero row sums move only the absent DC term) while a pixel
+    * permutation — which the histogram is blind to — re-keys it. Same
+    * output contract: string key per frame, distinct per payload in
+    * first-seen order.
+    */
+  private[graft] def perceptualFramePHashes(bytes: Array[Byte],
+      frameBytes: Int, everyNth: Int): Array[String] = {
+    val t = dctCosTable(frameBytes)
+    val n = if (bytes == null) 0 else bytes.length
+    val frames = n / frameBytes
+    val out = scala.collection.mutable.LinkedHashSet[String]()
+    var i = 0
+    while (i < frames) {
+      val off = i * frameBytes
+      val coefs = new Array[Long](frameBytes - 1)
+      var k = 0
+      while (k < frameBytes - 1) {
+        var s = 0L
+        var j = 0
+        while (j < frameBytes) {
+          s += (bytes(off + j) & 0xff).toLong * t(k)(j)
+          j += 1
+        }
+        coefs(k) = s
+        k += 1
+      }
+      val med = coefs.sorted.apply(coefs.length / 2)
+      val sb = new java.lang.StringBuilder(coefs.length)
+      k = 0
+      while (k < coefs.length) {
+        sb.append(if (coefs(k) > med) '1' else '0')
+        k += 1
+      }
+      out += sb.toString
+      i += everyNth
+    }
+    out.toArray
+  }
+
   /** PERCEPTUAL frame fingerprint: the 16-bin intensity histogram of the
     * frame's bytes (bin = high nibble), serialized `c0:c1:…:c15`. With
     * the stub codec the "pixels" ARE the payload bytes, so the kernel is
     * the cheapest genuinely-perceptual descriptor available: invariant
     * to every within-frame pixel PERMUTATION (rotation, mirroring,
     * scan-order changes — the transforms a byte hash is blind to) while
-    * content changes that alter the intensity distribution re-key it. A
-    * real codec upgrades this one function to a DCT pHash over decoded
-    * pixels; the fingerprint contract (string key per frame, distinct
-    * per doc, df-capped self-join) is unchanged.
+    * content changes that alter the intensity distribution re-key it.
+    * `pHash = true` selects the [[perceptualFramePHashes]] DCT
+    * descriptor instead — the decodable-codec gate: with a real codec
+    * the decode step feeds pixels to the same one function; under the
+    * stub the bytes are the pixels either way. The fingerprint contract
+    * (string key per frame, distinct per doc, df-capped self-join) is
+    * identical on both branches.
     */
   private[graft] def perceptualFingerprints(spark: SparkSession,
-      payloads: DataFrame, frameBytes: Int, everyNth: Int): DataFrame = {
+      payloads: DataFrame, frameBytes: Int, everyNth: Int,
+      pHash: Boolean = false): DataFrame = {
     import spark.implicits._
     // Driver-side requires, matching [[sampleFrames]]: everyNth = 0 would
     // spin the kernel's `i += everyNth` walk forever ON AN EXECUTOR (a
@@ -231,10 +297,16 @@ object Multimodal {
     // name instead.
     require(frameBytes > 0, s"frameBytes=$frameBytes must be positive")
     require(everyNth > 0, s"everyNth=$everyNth must be positive")
+    // A 1-byte frame has NO AC coefficients — the pHash would be the
+    // empty string for every frame (one global hot key).
+    require(!pHash || frameBytes >= 2,
+      s"frameBytes=$frameBytes must be >= 2 for the DCT pHash descriptor")
+    val kernel: (Array[Byte], Int, Int) => Array[String] =
+      if (pHash) perceptualFramePHashes else perceptualFrameHistograms
     payloads.select(col("doc_id"), col("payload")).as[Payload]
       .mapPartitions { it =>
         it.flatMap { p =>
-          perceptualFrameHistograms(p.payload, frameBytes, everyNth)
+          kernel(p.payload, frameBytes, everyNth)
             .iterator.map(fp => (p.doc_id, fp))
         }
       }
@@ -257,9 +329,9 @@ object Multimodal {
     */
   def perceptualDups(spark: SparkSession, payloads: DataFrame,
       frameBytes: Int = 16, everyNth: Int = 4, minShared: Int = 2,
-      maxDf: Int = 50): DataFrame = {
-    val fp = perceptualFingerprints(spark, payloads, frameBytes, everyNth)
-      .barrier()
+      maxDf: Int = 50, pHash: Boolean = false): DataFrame = {
+    val fp = perceptualFingerprints(spark, payloads, frameBytes, everyNth,
+      pHash).barrier()
     try TextAnalysis.sharedFingerprintPairs(fp, minShared, maxDf)
     finally Barrier.release(fp)
   }
@@ -295,7 +367,8 @@ object Multimodal {
     */
   def streamingPerceptualDups(spark: SparkSession, basePayloads: DataFrame,
       stream: DataFrame, frameBytes: Int = 16, everyNth: Int = 4,
-      minShared: Int = 2, maxDf: Int = 50): DataFrame = {
+      minShared: Int = 2, maxDf: Int = 50, pHash: Boolean = false)
+      : DataFrame = {
     import spark.implicits._
     require(minShared >= 1, s"minShared=$minShared must be >= 1")
     require(maxDf >= 1, s"maxDf=$maxDf must be >= 1")
@@ -304,10 +377,17 @@ object Multimodal {
     // executor hang / bare ArithmeticException).
     require(frameBytes > 0, s"frameBytes=$frameBytes must be positive")
     require(everyNth > 0, s"everyNth=$everyNth must be positive")
+    require(!pHash || frameBytes >= 2,
+      s"frameBytes=$frameBytes must be >= 2 for the DCT pHash descriptor")
+    // ONE kernel value for both the static side (via
+    // perceptualFingerprints) and the per-row stream stage below —
+    // stream ≡ batch stays by construction on either descriptor.
+    val kernel: (Array[Byte], Int, Int) => Array[String] =
+      if (pHash) perceptualFramePHashes else perceptualFrameHistograms
     // Both sides are (doc_id, payload) frames — [[withPayload]] adapts a
     // documents table on the batch side; the stream carries real binary.
     val baseFp = perceptualFingerprints(spark,
-      basePayloads, frameBytes, everyNth)
+      basePayloads, frameBytes, everyNth, pHash)
     val rare = baseFp.groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
@@ -323,8 +403,7 @@ object Multimodal {
       // collapse onto one sink key.
       .where(col("doc_id").isNotNull)
       .select(col("doc_id"), col("payload")).as[Payload]
-      .map(p => (p.doc_id,
-        perceptualFrameHistograms(p.payload, frameBytes, everyNth)))
+      .map(p => (p.doc_id, kernel(p.payload, frameBytes, everyNth)))
       .toDF("doc_id", "fps")
     val common = array_intersect(col("fps"), col("base_fps"))
     sigged

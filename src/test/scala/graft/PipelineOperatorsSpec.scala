@@ -2381,6 +2381,53 @@ class PipelineOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("perceptualDups pHash: catches the brightness-shifted copy that BOTH the histogram and the byte hash miss") {
+    import spark.implicits._
+    // Doc 2 is doc 1 with every sampled frame brightness-shifted by +32
+    // (uppercase ramp head → lowercase): md5s differ, every 16-bin
+    // histogram moved a nibble bin — only the DCT pHash matches.
+    def block(b: Int) =
+      (0 until 16).map(n => ('A' + ((n * (2 * b + 1)) % 26)).toChar).mkString +
+        "q" * 48
+    val pat = (0 until 3).map(block).mkString
+    val shifted = pat.grouped(64)
+      .map(x => x.take(16).map(c => (c + 32).toChar) + x.drop(16)).mkString
+    val other = (0 until 192).map(i => ('A' + (i * 11) % 26).toChar).mkString
+    val d = Seq((1L, pat), (2L, shifted), (3L, other)).toDF("doc_id", "text")
+    val pay = Multimodal.withPayload(d)
+    val ph = Multimodal.perceptualDups(spark, pay, pHash = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(ph == Seq((1L, 2L, 3L)), ph) // all 3 sampled frames match
+    // The histogram pass must NOT pair them (+32 moves every bin)…
+    assert(Multimodal.perceptualDups(spark, pay).collect().isEmpty)
+    // …and neither must the byte-identical pass.
+    assert(Multimodal.frameDups(spark, pay).collect().isEmpty)
+    // The complement: a frame REVERSAL (which the histogram pass catches)
+    // re-keys the pHash — the two descriptors cover different axes.
+    for (b <- 0 until 3) {
+      val h = block(b).take(16).getBytes("UTF-8")
+      assert(!Multimodal.perceptualFramePHashes(h, 16, 1)
+        .sameElements(Multimodal.perceptualFramePHashes(h.reverse, 16, 1)))
+    }
+    // Brightness invariance is EXACT for any shift with byte headroom —
+    // the zero-AC-row-sum construction, not a float accident…
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 50) {
+      val f = Array.fill(16)((32 + rnd.nextInt(64)).toByte)
+      val c = 1 + rnd.nextInt(60)
+      val g = f.map(b => (b + c).toByte)
+      assert(Multimodal.perceptualFramePHashes(f, 16, 1)
+        .sameElements(Multimodal.perceptualFramePHashes(g, 16, 1)))
+    }
+    // …witnessed directly: every AC row of the shared table sums to 0.
+    assert(Multimodal.dctCosTable(16).forall(_.sum == 0L))
+    assert(Multimodal.dctCosTable(8).forall(_.sum == 0L))
+    // frameBytes = 1 has no AC coefficients: the pHash branch refuses.
+    val e = intercept[IllegalArgumentException](
+      Multimodal.perceptualDups(spark, pay, frameBytes = 1, pHash = true))
+    assert(e.getMessage.contains(">= 2"), e.getMessage)
+  }
+
   test("streamingPerceptualDups: ingest alerts equal the rotated cross pair, exactly once") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
