@@ -23,10 +23,16 @@ package graft
   *     cast at site: an enclosing `CAST(...)`, a postfix `::type`, or
   *     an enclosing `round(...)` (principled exemption: DuckDB's
   *     `round` returns DOUBLE for any integer input and DECIMAL for
-  *     DECIMAL — it can never emit HUGEINT, measured). Intermediate
-  *     CTE sums are out of scope — they only bite if they REACH the
-  *     output untyped, which this rule then catches at the output site
-  *     ([[uncastFinalSelectSums]]).
+  *     DECIMAL — it can never emit HUGEINT, measured)
+  *     ([[uncastFinalSelectSums]]). An uncast CTE sum can ALSO reach
+  *     the output as a bare alias reference the sum rule never sees
+  *     (`WITH a AS (SELECT sum(c) AS s …) SELECT s FROM a`) —
+  *     [[uncastSumAliasPassthrough]] closes that hole: the alias of
+  *     any directly-aliased uncast plain sum must itself be cast at
+  *     site wherever it appears in the final projection. One level of
+  *     aliasing only (an alias-of-an-alias is not traced) — the
+  *     registry convention is to cast at the sum, which every rule
+  *     here accepts.
   *  3. No `round(...)` whose FIRST argument contains a division — the
   *     cross-engine float-determinism rule (CLAUDE.md): `round` of a
   *     raw rational at a .5-grid boundary depends on the engine's
@@ -51,6 +57,8 @@ object OracleLint {
         s"$name: uncast windowed sum at offset $p: …${ctx(p)}…") ++
       uncastFinalSelectSums(sql).map(p =>
         s"$name: uncast plain sum in the final SELECT at offset $p: …${ctx(p)}…") ++
+      uncastSumAliasPassthrough(sql).map(p =>
+        s"$name: uncast-sum alias passed bare through the final SELECT at offset $p: …${ctx(p)}…") ++
       roundOnRational(sql).map(p =>
         s"$name: round() over a division (use Quant.q6/r6) at offset $p: …${ctx(p)}…")
     }
@@ -94,6 +102,51 @@ object OracleLint {
       case h if !h.windowed && !h.postfixCast &&
         !h.openers.contains("cast") && !h.openers.contains("round") => h.pos
     }
+  }
+
+  /** Offsets of bare FINAL-projection references to an alias that names
+    * an uncast plain sum somewhere in the statement — the passthrough
+    * form rule 2's sum scan cannot see. A reference is "cast at site"
+    * under the same convention as the sums themselves: enclosing
+    * `CAST`/`round` or a postfix `::`.
+    */
+  def uncastSumAliasPassthrough(sql: String): Seq[Int] = {
+    val hazards = scanSums(sql, 0, sql.length).collect {
+      case h if !h.windowed && !h.postfixCast &&
+        !h.openers.contains("cast") && !h.openers.contains("round") =>
+        h.alias
+    }.flatten.map(_.toLowerCase).toSet
+    if (hazards.isEmpty) return Seq.empty
+    val (lo, hi) = finalSelectSpan(sql)
+    val s = sql
+    val n = s.length
+    val inStr = stringMask(s)
+    val openers = scala.collection.mutable.Stack[String]()
+    val out = scala.collection.mutable.Buffer[Int]()
+    var i = 0
+    while (i < n) {
+      if (inStr(i)) i += 1
+      else if (s(i) == '(') {
+        var e = i - 1
+        while (e >= 0 && s(e).isWhitespace) e -= 1
+        var b = e
+        while (b >= 0 && isWordChar(s(b))) b -= 1
+        openers.push(s.substring(b + 1, e + 1).toLowerCase)
+        i += 1
+      } else if (s(i) == ')') {
+        if (openers.nonEmpty) openers.pop()
+        i += 1
+      } else if (isWordChar(s(i))) {
+        val b = i
+        while (i < n && isWordChar(s(i))) i += 1
+        val word = s.substring(b, i).toLowerCase
+        val postfix = i + 1 < n && s(i) == ':' && s(i + 1) == ':'
+        if (b >= lo && b < hi && hazards(word) && !postfix &&
+            !openers.contains("cast") && !openers.contains("round"))
+          out += b
+      } else i += 1
+    }
+    out.toSeq
   }
 
   /** Offsets of `round(` occurrences whose first argument contains a
@@ -177,7 +230,8 @@ object OracleLint {
   }
 
   private case class SumHit(pos: Int, openers: List[String],
-      windowed: Boolean, postfixCast: Boolean)
+      windowed: Boolean, postfixCast: Boolean,
+      alias: Option[String] = None)
 
   /** Every `sum( … )` call whose `sum` token lies in `[lo, hi)`, with
     * the identifiers owning each enclosing open paren (lowercased; the
@@ -228,8 +282,19 @@ object OracleLint {
           val windowed = ok && s.regionMatches(true, m, "over", 0, 4) &&
             (m + 4 >= n || !isWordChar(s(m + 4)))
           val postfix = ok && m + 1 < n && s(m) == ':' && s(m + 1) == ':'
+          // Direct `AS word` after the balanced call (the only aliasing
+          // form the registry uses for sums).
+          val alias =
+            if (ok && s.regionMatches(true, m, "as", 0, 2) &&
+                m + 2 < n && s(m + 2).isWhitespace) {
+              var a = m + 2
+              while (a < n && s(a).isWhitespace) a += 1
+              var b2 = a
+              while (b2 < n && isWordChar(s(b2))) b2 += 1
+              if (b2 > a) Some(s.substring(a, b2)) else None
+            } else None
           if (i >= lo && i < hi)
-            out += SumHit(i, openers.toList, windowed, postfix)
+            out += SumHit(i, openers.toList, windowed, postfix, alias)
           // Resume INSIDE the sum args: a nested sum inside another
           // sum's arguments would otherwise be skipped.
           i = j

@@ -47,7 +47,9 @@ object ProbeReport {
         .write.format("noop").mode("overwrite").save()
     }
 
-    // Stage mirror (the function body, instrumented).
+    // Stage mirror (the function body, instrumented). try/finally like
+    // curationReport itself: a failed stage must not leak the
+    // corpus-sized scratch dirs into the warehouse.
     val baseRaw = train.where(col("doc_id").isNotNull)
       .select(col("doc_id"), col("lang"),
         length(col("text")).as("chars"),
@@ -56,6 +58,7 @@ object ProbeReport {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val basePath = s"${wh.stripSuffix("/")}/graft_probe_report_base"
     val setsPath = s"$basePath-sets"
+    try {
     tm("base-write") {
       baseRaw.write.mode("overwrite").parquet(basePath)
     }
@@ -100,11 +103,13 @@ object ProbeReport {
             .as("s_keep"))
         .write.format("noop").mode("overwrite").save()
     }
-    // Cleanup the probe scratch.
-    for (p <- Seq(setsPath, basePath)) {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(hp, true)
+    } finally {
+      // Cleanup the probe scratch on every exit path.
+      for (p <- Seq(setsPath, basePath)) {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(hp, true)
+      }
     }
     spark.stop()
   }

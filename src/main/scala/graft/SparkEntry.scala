@@ -4305,7 +4305,7 @@ object SparkEntry {
 
     "q18_big_orders" ->
       """WITH big AS (
-           SELECT l_orderkey, sum(l_quantity) AS total_qty
+           SELECT l_orderkey, CAST(sum(l_quantity) AS DOUBLE) AS total_qty
            FROM lineitem GROUP BY l_orderkey
            HAVING sum(l_quantity) > 250)
          SELECT c_name, o_orderkey, o_totalprice, total_qty

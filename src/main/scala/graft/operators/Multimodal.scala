@@ -221,9 +221,18 @@ object Multimodal {
     * (spec-pinned). The same table is interpolated into the oracle SQL,
     * so both engines share one integer artifact.
     */
+  private val dctTableCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Long]]]()
+
   private[graft] def dctCosTable(n: Int): Array[Array[Long]] =
-    Array.tabulate(n - 1, n)((k, j) =>
-      math.rint(math.cos(math.Pi * (j + 0.5) * (k + 1) / n) * 16384.0).toLong)
+    // Memoized per JVM (driver AND each executor): the kernel calls this
+    // once per PAYLOAD ROW — unmemoized, every row re-paid ~n² cos+rint
+    // calls and n array allocations for a table that depends only on
+    // frameBytes. Callers treat the shared arrays as read-only.
+    dctTableCache.computeIfAbsent(n, k =>
+      Array.tabulate(k - 1, k)((ki, j) =>
+        math.rint(math.cos(math.Pi * (j + 0.5) * (ki + 1) / k) * 16384.0)
+          .toLong))
 
   /** DCT pHash per sampled frame — the "real codec" upgrade slot of
     * [[perceptualFrameHistograms]], selected by the `pHash` flag on the
@@ -297,10 +306,15 @@ object Multimodal {
     // name instead.
     require(frameBytes > 0, s"frameBytes=$frameBytes must be positive")
     require(everyNth > 0, s"everyNth=$everyNth must be positive")
-    // A 1-byte frame has NO AC coefficients — the pHash would be the
-    // empty string for every frame (one global hot key).
-    require(!pHash || frameBytes >= 2,
-      s"frameBytes=$frameBytes must be >= 2 for the DCT pHash descriptor")
+    // Below 4 bytes the pHash is DEGENERATE, not just weak: 1 byte has
+    // no AC coefficients (empty string), and with 1 or 2 coefficients
+    // the strict > median test is constant-false for EVERY input ("0" /
+    // "00" — verified), so every payload would collapse onto one global
+    // hot key and the pair query silently returns empty for any corpus.
+    require(!pHash || frameBytes >= 4,
+      s"frameBytes=$frameBytes must be >= 4 for the DCT pHash descriptor" +
+        " (fewer than 3 AC coefficients makes the median bit test" +
+        " constant)")
     val kernel: (Array[Byte], Int, Int) => Array[String] =
       if (pHash) perceptualFramePHashes else perceptualFrameHistograms
     payloads.select(col("doc_id"), col("payload")).as[Payload]
@@ -377,8 +391,10 @@ object Multimodal {
     // executor hang / bare ArithmeticException).
     require(frameBytes > 0, s"frameBytes=$frameBytes must be positive")
     require(everyNth > 0, s"everyNth=$everyNth must be positive")
-    require(!pHash || frameBytes >= 2,
-      s"frameBytes=$frameBytes must be >= 2 for the DCT pHash descriptor")
+    require(!pHash || frameBytes >= 4,
+      s"frameBytes=$frameBytes must be >= 4 for the DCT pHash descriptor" +
+        " (fewer than 3 AC coefficients makes the median bit test" +
+        " constant)")
     // ONE kernel value for both the static side (via
     // perceptualFingerprints) and the per-row stream stage below —
     // stream ≡ batch stays by construction on either descriptor.

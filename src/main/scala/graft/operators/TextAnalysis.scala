@@ -740,30 +740,35 @@ object TextAnalysis {
   private def agreementTail(r: DataFrame, cols: Seq[String]): DataFrame = {
     val pairs =
       for { i <- cols.indices; j <- i + 1 until cols.size }
-        yield (cols(i), cols(j))
+        yield (i, j)
     // ONE aggregation computes n and EVERY pair's Σd² in a single pass,
     // then a literal struct-array explode lays the per-pair rows out —
     // profiled: the previous per-pair agg legs (unioned) each carried
     // and re-analyzed the full ranked subtree, and at verification SF
     // that plan work, not data, dominated the query.
+    // Scratch aliases are INDEX-keyed (__s_0_2), never name-keyed: with
+    // underscore-bearing column names, name concatenation can collide
+    // across pairs — ("x","y_z") and ("x_y","z") both spell __s_x_y_z —
+    // and the single agg would then throw AMBIGUOUS_REFERENCE on inputs
+    // the old per-pair form accepted.
     // DECIMAL(38,0) accumulators: Σd² is ~n³/6 (n³/3 anti-correlated)
     // and wraps a long past ~3-4M docs — the silent-wrap class
     // trainKeyedBooks/indexHealth already widened for. The display
     // column casts back to long (exact at any audit scale; a sum past
     // 9.2e18 reads NULL rather than garbage), and rho is computed from
     // the unwrapped decimal.
-    val sums = pairs.map { case (a, b) =>
-      val d = col(s"__r_$a") - col(s"__r_$b")
-      sum((d * d).cast("decimal(38,0)")).as(s"__s_${a}_$b")
+    val sums = pairs.map { case (i, j) =>
+      val d = col(s"__r_${cols(i)}") - col(s"__r_${cols(j)}")
+      sum((d * d).cast("decimal(38,0)")).as(s"__s_${i}_$j")
     }
     val nD = col("n").cast("double")
-    val rows = pairs.map { case (a, b) =>
-      struct(lit(s"$a~$b").as("pair"), col("n").as("n"),
-        col(s"__s_${a}_$b").cast("long").as("sum_d2"),
+    val rows = pairs.map { case (i, j) =>
+      struct(lit(s"${cols(i)}~${cols(j)}").as("pair"), col("n").as("n"),
+        col(s"__s_${i}_$j").cast("long").as("sum_d2"),
         // rho undefined below 2 rows (n(n²-1)=0) — emit NULL, not a
         // division artifact.
         when(col("n") >= 2L,
-          q6(lit(1.0) - lit(6.0) * col(s"__s_${a}_$b").cast("double") /
+          q6(lit(1.0) - lit(6.0) * col(s"__s_${i}_$j").cast("double") /
             (nD * (nD * nD - lit(1.0))))).as("rho"))
     }
     r.agg(count(lit(1)).as("n"), sums: _*)

@@ -88,6 +88,32 @@ class OracleLintSpec extends AnyFunSuite {
     assert(OracleLint.uncastFinalSelectSums(h).isEmpty)
   }
 
+  test("an uncast-sum alias passed BARE through the final SELECT is caught (the passthrough hole)") {
+    // Rule 2's sum scan can't see this shape — the final SELECT has no
+    // sum( token, yet the output column is the CTE's HUGEINT.
+    val bad = "WITH agg AS (SELECT k, sum(c) AS s FROM t GROUP BY k) " +
+      "SELECT k, s FROM agg"
+    assert(OracleLint.uncastSumAliasPassthrough(bad).nonEmpty)
+    assert(OracleLint.violations(Map("q" -> bad))
+      .exists(v => v.startsWith("q:") && v.contains("passed bare")))
+    // Cast at the reference site is clean…
+    val ok1 = "WITH agg AS (SELECT k, sum(c) AS s FROM t GROUP BY k) " +
+      "SELECT k, CAST(s AS BIGINT) AS n FROM agg"
+    assert(OracleLint.uncastSumAliasPassthrough(ok1).isEmpty)
+    // …as is a postfix cast, or casting the SUM itself in the CTE…
+    val ok2 = "WITH agg AS (SELECT k, sum(c) AS s FROM t GROUP BY k) " +
+      "SELECT k, s::BIGINT AS n FROM agg"
+    val ok3 = "WITH agg AS (SELECT k, CAST(sum(c) AS BIGINT) AS s " +
+      "FROM t GROUP BY k) SELECT k, s FROM agg"
+    assert(OracleLint.uncastSumAliasPassthrough(ok2).isEmpty)
+    assert(OracleLint.uncastSumAliasPassthrough(ok3).isEmpty)
+    // …and an alias used only OUTSIDE the final projection (join/where)
+    // does not flag.
+    val ok4 = "WITH agg AS (SELECT k, sum(c) AS s FROM t GROUP BY k) " +
+      "SELECT CAST(count(*) AS BIGINT) AS n FROM agg WHERE s > 5"
+    assert(OracleLint.uncastSumAliasPassthrough(ok4).isEmpty)
+  }
+
   test("an injected round() over a division is caught; grid-legal rounds stay clean") {
     // The cross-engine .5-boundary hazard: round of a raw rational
     // (measured divergent: round(41/640., 6) DuckDB vs Spark).
@@ -115,6 +141,21 @@ class OracleLintSpec extends AnyFunSuite {
     val unknown = SparkEntry.indexBacked -- SparkEntry.queries.keySet
     assert(unknown.isEmpty,
       s"indexBacked entries not in the registry: ${unknown.toSeq.sorted}")
+  }
+
+  test("every builtIndexes guard site is covered by indexBacked (reverse direction)") {
+    // The subset check above catches a RENAME; this catches an ADDED
+    // builtIndexes-guarded query missing from the set — whose build
+    // would land back inside timed pass 1 with no test failing. Every
+    // `builtIndexes.add(` call site in the registry source belongs to
+    // exactly one registered query, so site count == set size.
+    val src = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala"))
+    val sites = "builtIndexes\\.add\\(".r.findAllIn(src).length
+    assert(sites == SparkEntry.indexBacked.size,
+      s"$sites builtIndexes.add sites vs ${SparkEntry.indexBacked.size} " +
+        "indexBacked entries — a new index-backed query must be added " +
+        "to SparkEntry.indexBacked (Bench prepare pass)")
   }
 
   test("correctnessKeys extracts only depth-1 keys") {

@@ -2422,10 +2422,18 @@ class PipelineOperatorsSpec extends SparkSpec {
     // …witnessed directly: every AC row of the shared table sums to 0.
     assert(Multimodal.dctCosTable(16).forall(_.sum == 0L))
     assert(Multimodal.dctCosTable(8).forall(_.sum == 0L))
-    // frameBytes = 1 has no AC coefficients: the pHash branch refuses.
-    val e = intercept[IllegalArgumentException](
-      Multimodal.perceptualDups(spark, pay, frameBytes = 1, pHash = true))
-    assert(e.getMessage.contains(">= 2"), e.getMessage)
+    // frameBytes < 4 makes the median bit test CONSTANT (1 byte: no AC
+    // coefficients; 2-3 bytes: strict > against a 1-2 element median is
+    // false for every input) — the pHash branch refuses all of them.
+    for (fb <- Seq(1, 2, 3)) {
+      val e = intercept[IllegalArgumentException](
+        Multimodal.perceptualDups(spark, pay, frameBytes = fb, pHash = true))
+      assert(e.getMessage.contains(">= 4"), e.getMessage)
+      val e2 = intercept[IllegalArgumentException](
+        Multimodal.streamingPerceptualDups(spark, pay, pay,
+          frameBytes = fb, pHash = true))
+      assert(e2.getMessage.contains(">= 4"), e2.getMessage)
+    }
   }
 
   test("streamingPerceptualDups: ingest alerts equal the rotated cross pair, exactly once") {
