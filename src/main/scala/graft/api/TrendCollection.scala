@@ -141,9 +141,13 @@ final class TrendCollection(
       .select(col("id"),
         graft.operators.Quant.q6(
           PageAggregates.bias(col("distribution"))).as("bias"))
-    pagesOver(canonical).join(dist, Seq("id"), "left")
-      .withColumn("bias", coalesce(col("bias"), lit(0.0)))
-      .orderBy(desc("bias"), asc("id")).limit(k)
+    // The shared topK, like the sibling boards — a hand-rolled
+    // orderBy/limit copy here could drift from its tie-break and the
+    // TakeOrderedAndProject plan claim.
+    PageAggregates.topK(
+      pagesOver(canonical).join(dist, Seq("id"), "left")
+        .withColumn("bias", coalesce(col("bias"), lit(0.0))),
+      "bias", k)
   }
 }
 

@@ -5,17 +5,20 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** Batch event-analytics operators over the `events` table: gap-based
-  * sessionization and cohort retention — the two standard product-analytics
-  * shapes (the batch complements of the streaming session windows in
-  * `TrendStream`).
+/** Product-analytics operators over the `events` table: gap-based
+  * sessionization, cohort retention, ordered step-conversion funnels,
+  * first-order-to-third-order event-type transitions, and daily
+  * rate-anomaly verdicts — each with a streaming twin where the shape
+  * has one (sessionizeStream, funnelStepsStream, rateAnomalyStream).
   *
-  * Scale design: both are single-shuffle-per-stage plans keyed on
-  * `user_id` — sessionization is two window passes plus one aggregation
-  * over the SAME hash partitioning (Catalyst reuses the exchange), and
-  * retention collapses to per-user rows before anything joins. Nothing
-  * ever materializes an unpartitioned window, and the cohort-size table
-  * (days × 1 row) broadcasts.
+  * Scale design, shared across the family: every batch operator is a
+  * single-shuffle-per-stage plan keyed on `user_id` (windows and final
+  * aggregations reuse the same hash partitioning; funnels fold to ONE
+  * row per user), per-cohort/per-day summary tables are tiny and
+  * broadcast, and nothing ever materializes an unpartitioned
+  * corpus-sized window. Streaming state is bounded per entity and
+  * expired at the watermark horizon (each twin documents its own bound
+  * and exactness caveats at its definition).
   */
 object EventAnalytics {
 
@@ -32,6 +35,14 @@ object EventAnalytics {
     * bounded by that user's event count.
     */
   def sessionize(events: DataFrame, gapMinutes: Long = 360L): DataFrame = {
+    // Same param discipline as every sibling (funnelSteps, rateAnomaly):
+    // gapMinutes <= 0 makes every event its own session silently (while
+    // the STREAM twin throws at analysis for the same input — a twin
+    // divergence), and an absurd gap would WRAP the micros conversion
+    // negative with the same every-event-is-a-session outcome —
+    // multiplyExact turns that into a loud ArithmeticException.
+    require(gapMinutes >= 1L, s"gapMinutes=$gapMinutes must be >= 1")
+    val gapUs = math.multiplyExact(gapMinutes, 60L * 1000000L)
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val prevTs = lag(col("ts"), 1).over(w)
     val marked = events
@@ -48,7 +59,7 @@ object EventAnalytics {
       .withColumn("is_new",
         when(prevTs.isNull ||
           unix_micros(col("ts")) - unix_micros(prevTs) >
-            lit(gapMinutes * 60L * 1000000L), 1L).otherwise(0L))
+            lit(gapUs), 1L).otherwise(0L))
     val sess = marked.withColumn("session_seq",
       sum(col("is_new")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -102,17 +113,6 @@ object EventAnalytics {
         col("session_window.end").as("window_end"),
         col("n_events"), col("purchases"), col("total_value"))
 
-  /** Cohort retention: users are cohorted by their first active day; each
-    * (cohort_day, offset_days) cell counts the cohort's users active that
-    * many days later, with the retention share as an exact integer
-    * division (engine-identical double).
-    *
-    * Scale shape: the corpus collapses to DISTINCT (user, day) rows first
-    * (one aggregation), first-day derives from those per-user rows (same
-    * key — exchange reused), and the per-cohort sizes are a days-sized
-    * table that BROADCASTS back onto the cell aggregation. The raw event
-    * log is scanned once.
-    */
   /** Ordered step-conversion funnel: for each user, the first occurrence
     * of `steps(0)` anchors the funnel; each later step counts only if it
     * happens STRICTLY after the previous completed step and within
@@ -577,6 +577,17 @@ object EventAnalytics {
       }
   }
 
+  /** Cohort retention: users are cohorted by their first active day; each
+    * (cohort_day, offset_days) cell counts the cohort's users active that
+    * many days later, with the retention share as an exact integer
+    * division (engine-identical double).
+    *
+    * Scale shape: the corpus collapses to DISTINCT (user, day) rows first
+    * (one aggregation), first-day derives from those per-user rows (same
+    * key — exchange reused), and the per-cohort sizes are a days-sized
+    * table that BROADCASTS back onto the cell aggregation. The raw event
+    * log is scanned once.
+    */
   def cohortRetention(events: DataFrame): DataFrame = {
     val activeDays = events
       // NULL user_id rows are droppable up front: a null key can never

@@ -76,8 +76,21 @@ object RangeJoin {
     Skew.requireScratchFree(left,
       Seq("__ltsu", "__bkt", "hits") ++ valueCol.map(_ => "win_sum"),
       "bucketed range join")
+    // FLOOR-division bucket in EXACT integer arithmetic. The previous
+    // floor(tsu / w) went through Spark's Divide — DOUBLE division,
+    // exact only while |tsu| < 2^53 — and bucket equality is a hard
+    // join conjunct: one mis-scaled (nanos-in-a-µs-column, the round-7
+    // readEvents class) or far-future timestamp rounding across an
+    // integer boundary on ONE side silently drops a right row the
+    // exact interval predicate would have matched. Subtracting pmod
+    // (always >= 0) makes the dividend exactly divisible, so DIV —
+    // which truncates toward zero and would mis-bucket bare negative
+    // timestamps — is the true floor quotient at every magnitude.
+    def floorBkt(tsuName: String): org.apache.spark.sql.Column =
+      expr(s"($tsuName - pmod($tsuName, ${windowMicros}L))" +
+        s" DIV ${windowMicros}L")
     val l = left.withColumn("__ltsu", unix_micros(col(leftTs)))
-      .withColumn("__bkt", floor(col("__ltsu") / windowMicros))
+      .withColumn("__bkt", floorBkt("__ltsu"))
     // Null-key / null-ts right rows can never satisfy the equi-join but
     // would still be DOUBLED by the two-bucket replication and shipped
     // through the exchange — drop them before replicating (the AsOf
@@ -87,11 +100,18 @@ object RangeJoin {
       .select(
         col(key).as("__rk") +: unix_micros(col(rightTs)).as("__rtsu") +:
           valueCol.map(v => col(v).as("__rv")).toSeq: _*)
-      .withColumn("__rbkt0", floor(col("__rtsu") / windowMicros))
+      .withColumn("__rbkt0", floorBkt("__rtsu"))
     val r = rBase.select(
       col("__rk") +: col("__rtsu") +:
         (valueCol.map(_ => col("__rv")).toSeq :+
-          explode(array(col("__rbkt0"), col("__rbkt0") + 1)).as("__bkt")): _*)
+          // outer + isNotNull, the repo-wide exploder convention: the
+          // two-element bucket array is provably non-empty/non-null, but
+          // the inner form is exactly the shape InferFiltersFromGenerate
+          // regressions ship through when a later edit makes the array
+          // derived-and-expensive (the bm25 postings lesson).
+          explode_outer(array(col("__rbkt0"), col("__rbkt0") + 1))
+            .as("__bkt")): _*)
+      .where(col("__bkt").isNotNull)
     val aggs = count(r("__rk")).as("hits") +:
       valueCol.map(_ => coalesce(sum(r("__rv")), lit(0.0)).as("win_sum")).toSeq
     l.join(r,
