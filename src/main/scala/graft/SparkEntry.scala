@@ -1100,11 +1100,11 @@ object SparkEntry {
     // projection (plan-locked: zero exchanges).
     "doc_subword_stats" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val merges = Bpe.trainMerges(docs, 4)
-      // Driver-resident word book: the merge fold runs once per DISTINCT
-      // word (one vocab aggregation) instead of once per token instance;
-      // scoring stays a zero-exchange projection with map-probe lookups.
-      val book = Bpe.subwordBook(docs, merges)
+      // ONE corpus scan feeds both the merge training and the
+      // driver-resident word book (the merge fold runs once per DISTINCT
+      // word instead of once per token instance); scoring stays a
+      // zero-exchange projection with map-probe lookups.
+      val (merges, book) = Bpe.trainMergesAndBook(docs, 4)
       docs.select(col("doc_id"),
           coalesce(size(TextAnalysis.wsTokens(col("text"))).cast("long"),
             lit(0L)).as("n_words"),
@@ -2226,7 +2226,7 @@ object SparkEntry {
            SELECT doc_id, text,
              CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                   ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS toks,
-             CASE WHEN length(text) = 0 THEN 0.0
+             CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
                   ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
                        / length(text) END AS praw
            FROM documents),
@@ -2398,7 +2398,16 @@ object SparkEntry {
              list(CASE WHEN mt THEN merged ELSE sym END ORDER BY pos)
                AS syms
            FROM h$i WHERE NOT coalesce(prevm, FALSE)
-           GROUP BY word, cnt)"""
+           GROUP BY word, cnt
+           -- Exhausted-round fallback: with no pair left to merge, m$i is
+           -- empty and the CROSS JOIN would otherwise empty EVERY later
+           -- w-stage (subword stats then report 0 for all docs while the
+           -- Spark side keeps counting under the shorter merge list). An
+           -- empty round must carry the word table through unchanged;
+           -- when m$i has its row this branch contributes nothing.
+           UNION ALL
+           SELECT word, cnt, syms FROM w$p
+           WHERE NOT EXISTS (SELECT 1 FROM m$i))"""
     }.mkString(",\n         ")
     s"$head,\n         $rounds"
   }
@@ -3284,7 +3293,7 @@ object SparkEntry {
            SELECT doc_id, source, text,
              CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                   ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS toks,
-             CASE WHEN length(text) = 0 THEN 0.0
+             CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
                   ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
                        / length(text) END AS praw
            FROM documents WHERE doc_id IS NOT NULL),
@@ -3601,7 +3610,7 @@ object SparkEntry {
            SELECT doc_id,
              CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                   ELSE list_filter(string_split_regex(trim(text), '\\s+'), tk -> tk <> '') END AS toks,
-             CASE WHEN length(text) = 0 THEN 0.0
+             CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
                   ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
                        / length(text) END AS praw,
              n_chars
@@ -4534,7 +4543,7 @@ object SparkEntry {
            SELECT doc_id, text,
              CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                   ELSE list_filter(string_split_regex(trim(text), '\\s+'), tk -> tk <> '') END AS toks,
-             CASE WHEN length(text) = 0 THEN 0.0
+             CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
                   ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
                        / length(text) END AS praw
            FROM pd),
@@ -4797,7 +4806,7 @@ object SparkEntry {
            SELECT doc_id,
              CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                   ELSE list_filter(string_split_regex(trim(text), '\\s+'), tk -> tk <> '') END AS qtoks,
-             CASE WHEN length(text) = 0 THEN 0.0
+             CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
                   ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
                        / length(text) END AS praw
            FROM documents),

@@ -115,8 +115,34 @@ object Bpe {
     * winning count). Stops early if the vocabulary runs out of pairs.
     */
   def trainMerges(docs: DataFrame, k: Int): Seq[Merge] = {
+    val words0 = vocab(docs).barrier() // vocab-sized
+    try trainMergesFrom(words0, k)
+    finally Barrier.release(words0)
+  }
+
+  /** [[trainMerges]] + [[subwordBook]] over ONE corpus scan: the word
+    * table is aggregated once and feeds both the merge rounds and the
+    * book. Composed separately (the previous doc_subword_stats shape),
+    * subwordBook(docs, …) re-tokenized and re-aggregated the whole
+    * corpus a second time just to recover the identical vocab table
+    * training had already built and released.
+    */
+  def trainMergesAndBook(docs: DataFrame, k: Int, maxVocab: Int = 4096)
+      : (Seq[Merge], Map[String, Long]) = {
+    val words0 = vocab(docs).barrier()
+    try {
+      val merges = trainMergesFrom(words0, k)
+      (merges, bookFrom(words0, merges, maxVocab))
+    } finally Barrier.release(words0)
+  }
+
+  /** The k merge rounds over a CALLER-OWNED barriered word table — never
+    * releases `words0` itself (both exit paths guard `ne words0`), so
+    * the caller can keep reading it after training.
+    */
+  private def trainMergesFrom(words0: DataFrame, k: Int): Seq[Merge] = {
     require(k >= 1 && k <= 64, s"k=$k merge rounds outside [1, 64]")
-    var words = vocab(docs).barrier() // vocab-sized
+    var words = words0
     val merges = Seq.newBuilder[Merge]
     // try/finally over the whole loop: the merges are driver data, so the
     // CURRENT vocab generation is dead on every exit — normal completion
@@ -139,12 +165,12 @@ object Bpe {
           // The new barrier is materialized (eager), so the superseded
           // generation's blocks can go now — otherwise a k-round loop
           // holds up to k vocab-sized checkpoints until driver GC.
-          Barrier.release(words)
+          if (words ne words0) Barrier.release(words)
           words = next
           round += 1
         }
       }
-    } finally Barrier.release(words)
+    } finally if (words ne words0) Barrier.release(words)
     merges.result()
   }
 
@@ -212,9 +238,17 @@ object Bpe {
     * fold in [[subwordCount]].
     */
   def subwordBook(docs: DataFrame, merges: Seq[Merge],
-      maxVocab: Int = 4096): Map[String, Long] = {
+      maxVocab: Int = 4096): Map[String, Long] =
+    bookFrom(vocab(docs), merges, maxVocab)
+
+  /** [[subwordBook]]'s tail over an existing word table — shared with
+    * [[trainMergesAndBook]] so the single-scan path and the standalone
+    * path cannot drift.
+    */
+  private def bookFrom(words: DataFrame, merges: Seq[Merge],
+      maxVocab: Int): Map[String, Long] = {
     require(maxVocab >= 1, s"maxVocab=$maxVocab must be >= 1")
-    vocab(docs)
+    words
       .orderBy(col("cnt").desc, col("word").asc)
       .limit(maxVocab)
       .select(col("word"), perWordCount(col("word"), merges).as("n"))

@@ -249,7 +249,13 @@ object Selection {
     */
   def streamingDsirScores(docs: DataFrame, model: DsirModel,
       targetFilter: Column = qualityTarget()): DataFrame =
-    docs.select(col("doc_id"),
+    // The samplers' null-id rule (sourceCaps/epochShuffle in this file,
+    // oracle-mirrored): a no-identity doc would emit a row the oracle's
+    // doc_id equi-join structurally drops — a row-count hash mismatch on
+    // any regen that grows a NULL id (the coin/verdict columns would
+    // also be three-valued NULLs).
+    docs.where(col("doc_id").isNotNull)
+      .select(col("doc_id"),
         coalesce(targetFilter, lit(false)).as("in_target"),
         lowerToks(col("text")).as("toks"))
       .select(col("doc_id"),
@@ -368,7 +374,11 @@ object Selection {
     // the model was trained on and leak training docs into any held-out
     // accuracy audit.
     requireLowerHex("trainSampleHex", trainSampleHex)
-    docs.select(col("doc_id"),
+    // The samplers' null-id rule (streamingDsirScores): the oracle's
+    // doc_id equi-join structurally drops a NULL-id row this side would
+    // otherwise emit — and its md5 train coin would be NULL anyway.
+    docs.where(col("doc_id").isNotNull)
+      .select(col("doc_id"),
         coalesce(labelFilter, lit(false)).as("label"),
         lowerToks(col("text")).as("toks"),
         (nbTrainCoin <= trainSampleHex).as("in_train"))

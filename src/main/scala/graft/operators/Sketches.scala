@@ -109,6 +109,13 @@ object Sketches {
   private[graft] def candidateCounts(toks: DataFrame,
       candidates: Seq[String],
       inSetMax: Int = InSetLiteralMax): DataFrame = {
+    // Scratch-name guard (the Skew/RangeJoin convention): the join
+    // branch introduces __cand onto the caller's frame, and a frame
+    // already carrying __cand (or the output name g) would fail with
+    // AMBIGUOUS_REFERENCE — or silently fold wrong — instead of this
+    // loud precondition.
+    Skew.requireScratchFree(toks, Seq("__cand", "g"),
+      "Misra-Gries candidate recount")
     val folded =
       if (candidates.size <= inSetMax)
         toks.select(
