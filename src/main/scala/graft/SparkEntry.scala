@@ -240,6 +240,37 @@ object SparkEntry {
   private val dctTableSql: String = operators.Multimodal.dctCosTable(16)
     .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
 
+  /** Near-pHash plant: four 64-byte blocks whose heads are letter ramps
+    * with pairwise-coprime steps (2, 3, 5, 7) — their 30-bit two-level
+    * pHashes sit ≥ 12 bits apart, so cross-block frames can never pair
+    * at maxDist 2.
+    */
+  private val pMediaNearSteps = Seq(2, 3, 5, 7)
+  private def pMediaNearHead(step: Int): Array[Char] =
+    (0 until 16).map(n => ('A' + ((n * step) % 26)).toChar).toArray
+  private val pMediaNearPattern: String =
+    pMediaNearSteps.map(st => new String(pMediaNearHead(st)) + "q" * 48)
+      .mkString
+
+  /** [[pMediaNearPattern]] with ONE byte of each sampled frame nudged by
+    * a per-block (position, delta) chosen so the two-level pHash moves
+    * by EXACTLY 2 bits (checked arithmetically — the one-level median
+    * hash is a constant-weight code, so distance 1 is unreachable and 2
+    * is the minimum) AND the byte crosses a high-nibble bin (without
+    * that, the 16-bin HISTOGRAM tier still pairs the copy and the
+    * "every exact descriptor misses" claim is false — caught live by
+    * the first version of this plant): every md5, histogram AND exact
+    * pHash differs, while the Hamming-2 tier must pair each frame with
+    * its original.
+    */
+  private val pMediaNearPerturb = Seq((3, 9), (0, -16), (0, -16), (0, -16))
+  private val pMediaNearPatternNoisy: String =
+    pMediaNearSteps.zip(pMediaNearPerturb).map { case (st, (pos, delta)) =>
+      val head = pMediaNearHead(st)
+      head(pos) = (head(pos) + delta).toChar
+      new String(head) + "q" * 48
+    }.mkString
+
   /** Containment plant: 12 tokens → 10 trigrams (the min set). */
   private val containPlantShort =
     "ca cb cc cd ce cf cg ch ci cj ck cl"
@@ -825,6 +856,30 @@ object SparkEntry {
         .otherwise(col("text")))
       Multimodal.perceptualDups(s, Multimodal.withPayload(planted),
         pHash = true)
+    }),
+
+    // Media near-dup by HAMMING-TOLERANT pHash — the fourth descriptor
+    // tier: planted single-byte-perturbed copies sit at pHash distance
+    // EXACTLY 2 (checked arithmetic), so every exact descriptor (md5,
+    // histogram, exact pHash) re-keys while the maxDist-2 pigeonhole
+    // join pairs them. The 30-bit two-level hash splits into three
+    // 10-bit blocks; maxBlockDf 100 clears the planted keys' measured
+    // 17-71 dfs while fencing the hot flat-spectrum keys (max 112 at
+    // sf0.01).
+    "doc_media_phash_near" -> ((s, dir) => {
+      def blocksOf(p: String) =
+        when(col("doc_id") % 3 === 0, lit(p.take(128)))
+          .when(col("doc_id") % 3 === 1, lit(p.take(192)))
+          .otherwise(lit(p))
+      val planted = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 29 === 11 && col("doc_id") < 500,
+          concat(blocksOf(pMediaNearPattern),
+            coalesce(col("text"), lit(""))))
+        .when(col("doc_id") % 29 === 23 && col("doc_id") < 500,
+          concat(blocksOf(pMediaNearPatternNoisy),
+            coalesce(col("text"), lit(""))))
+        .otherwise(col("text")))
+      Multimodal.perceptualNearDups(s, Multimodal.withPayload(planted))
     }),
 
     // Gopher-style rule filter: per-doc quality flags + keep verdict.
@@ -5238,6 +5293,76 @@ object SparkEntry {
          FROM pr a JOIN pr b
            ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING COUNT(*) >= 2""",
+
+    // Hamming-tolerant pHash replay: same frame/coefficient CTEs, the
+    // 30-bit two-level hash built bit-by-bit (median bits high, upper-
+    // quartile bits low — the kernel's exact layout), three 10-bit
+    // pigeonhole blocks with the df cap, and the exact bit_count(xor)
+    // verification. shared counts distinct verified hash pairs.
+    "doc_media_phash_near" ->
+      s"""WITH pd AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 29 = 11 AND doc_id < 500
+                  THEN substr('$pMediaNearPattern', 1,
+                         CAST(64 * (2 + doc_id % 3) AS INTEGER))
+                       || coalesce(text, '')
+                  WHEN doc_id % 29 = 23 AND doc_id < 500
+                  THEN substr('$pMediaNearPatternNoisy', 1,
+                         CAST(64 * (2 + doc_id % 3) AS INTEGER))
+                       || coalesce(text, '')
+                  ELSE text END AS text
+           FROM documents),
+         d AS (
+           SELECT doc_id, coalesce(text, '') AS text,
+             octet_length(encode(coalesce(text, ''))) AS n
+           FROM pd),
+         f AS (
+           SELECT doc_id, text,
+             unnest(generate_series(0, n // 16 - 1)) AS i
+           FROM d WHERE n >= 16),
+         sf AS (
+           SELECT doc_id, i, substr(text, CAST(i * 16 + 1 AS INTEGER), 16)
+             AS fr
+           FROM f WHERE i % 4 = 0),
+         xs AS (
+           SELECT doc_id, i,
+             list_transform(range(1, 17),
+               j -> ord(substr(fr, CAST(j AS INTEGER), 1))) AS v
+           FROM sf),
+         co AS (
+           SELECT doc_id, i,
+             list_transform($dctTableSql::BIGINT[][],
+               t -> list_dot_product(v::BIGINT[], t)) AS coefs
+           FROM xs),
+         hp AS (
+           SELECT doc_id, i,
+             list_sum(list_transform(range(1, 16), k ->
+               CASE WHEN coefs[CAST(k AS INTEGER)]
+                      > list_sort(coefs)[8]
+                    THEN 1 << (30 - CAST(k AS INTEGER)) ELSE 0 END))
+             + list_sum(list_transform(range(1, 16), k ->
+               CASE WHEN coefs[CAST(k AS INTEGER)]
+                      > list_sort(coefs)[12]
+                    THEN 1 << (15 - CAST(k AS INTEGER)) ELSE 0 END)) AS hv
+           FROM co),
+         fp AS (SELECT DISTINCT doc_id, CAST(hv AS BIGINT) AS hv FROM hp),
+         bl AS (
+           SELECT doc_id, hv, b, (hv >> (b * 10)) & 1023 AS bk
+           FROM fp, unnest(generate_series(0, 2)) AS t(b)),
+         keep AS (
+           SELECT b, bk FROM bl GROUP BY 1, 2 HAVING COUNT(*) <= 100),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+             a.hv AS va, b2.hv AS vb
+           FROM bl a
+           JOIN keep k ON a.b = k.b AND a.bk = k.bk
+           JOIN bl b2 ON b2.b = a.b AND b2.bk = a.bk
+             AND a.doc_id < b2.doc_id),
+         ver AS (
+           SELECT doc_a, doc_b FROM cand
+           WHERE bit_count(xor(va, vb)) <= 2)
+         SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+         FROM ver GROUP BY 1, 2 HAVING COUNT(*) >= 2""",
 
     // Assignment CTEs mirror emb_kmeans_assign (k=8); majority label per
     // cluster with the deterministic (cnt DESC, label ASC) tie-break.

@@ -247,6 +247,26 @@ object Multimodal {
     * output contract: string key per frame, distinct per payload in
     * first-seen order.
     */
+  /** The AC coefficient vector of one frame — the shared integer-DCT
+    * core of [[perceptualFramePHashes]] and [[perceptualFrameHash30s]].
+    */
+  private def frameAcCoefs(bytes: Array[Byte], off: Int,
+      t: Array[Array[Long]], frameBytes: Int): Array[Long] = {
+    val coefs = new Array[Long](frameBytes - 1)
+    var k = 0
+    while (k < frameBytes - 1) {
+      var s = 0L
+      var j = 0
+      while (j < frameBytes) {
+        s += (bytes(off + j) & 0xff).toLong * t(k)(j)
+        j += 1
+      }
+      coefs(k) = s
+      k += 1
+    }
+    coefs
+  }
+
   private[graft] def perceptualFramePHashes(bytes: Array[Byte],
       frameBytes: Int, everyNth: Int): Array[String] = {
     val t = dctCosTable(frameBytes)
@@ -255,27 +275,55 @@ object Multimodal {
     val out = scala.collection.mutable.LinkedHashSet[String]()
     var i = 0
     while (i < frames) {
-      val off = i * frameBytes
-      val coefs = new Array[Long](frameBytes - 1)
-      var k = 0
-      while (k < frameBytes - 1) {
-        var s = 0L
-        var j = 0
-        while (j < frameBytes) {
-          s += (bytes(off + j) & 0xff).toLong * t(k)(j)
-          j += 1
-        }
-        coefs(k) = s
-        k += 1
-      }
+      val coefs = frameAcCoefs(bytes, i * frameBytes, t, frameBytes)
       val med = coefs.sorted.apply(coefs.length / 2)
       val sb = new java.lang.StringBuilder(coefs.length)
-      k = 0
+      var k = 0
       while (k < coefs.length) {
         sb.append(if (coefs(k) > med) '1' else '0')
         k += 1
       }
       out += sb.toString
+      i += everyNth
+    }
+    out.toArray
+  }
+
+  /** TWO-LEVEL quantized DCT pHash per sampled frame, as a 2(n−1)-bit
+    * integer: per AC coefficient, one bit for `coef > median` (the
+    * [[perceptualFramePHashes]] rule — high bit half) and one for
+    * `coef > upper quartile` (the sorted vector's index 3(n−1)/4 — low
+    * bit half). Both thresholds are order statistics of the coefficient
+    * vector, so the hash inherits the EXACT brightness-shift invariance
+    * of the one-level form (zero AC row sums shift no coefficient at
+    * all). The second level exists for the HAMMING-tolerant tier: the
+    * one-level hash is a constant-weight code (exactly (n−1)/2 ones
+    * modulo ties), so every nonzero distance is EVEN and 15 bits give a
+    * 3-way pigeonhole only 5 bits of key — two levels double the key
+    * space (10-bit blocks at frameBytes = 16) without touching the
+    * exact tier's contract.
+    */
+  private[graft] def perceptualFrameHash30s(bytes: Array[Byte],
+      frameBytes: Int, everyNth: Int): Array[Long] = {
+    val t = dctCosTable(frameBytes)
+    val n = if (bytes == null) 0 else bytes.length
+    val frames = n / frameBytes
+    val l = frameBytes - 1
+    val out = scala.collection.mutable.LinkedHashSet[Long]()
+    var i = 0
+    while (i < frames) {
+      val coefs = frameAcCoefs(bytes, i * frameBytes, t, frameBytes)
+      val sorted = coefs.sorted
+      val med = sorted(l / 2)
+      val q3 = sorted((3 * l) / 4)
+      var v = 0L
+      var k = 0
+      while (k < l) {
+        if (coefs(k) > med) v |= 1L << (2 * l - 1 - k)
+        if (coefs(k) > q3) v |= 1L << (l - 1 - k)
+        k += 1
+      }
+      out += v
       i += everyNth
     }
     out.toArray
@@ -348,6 +396,99 @@ object Multimodal {
       pHash).barrier()
     try TextAnalysis.sharedFingerprintPairs(fp, minShared, maxDf)
     finally Barrier.release(fp)
+  }
+
+  /** HAMMING-TOLERANT perceptual near-dup — the fourth media descriptor
+    * tier (md5 → histogram → exact pHash → near pHash): two payloads
+    * pair when at least `minShared` sampled-frame pairs have two-level
+    * DCT pHashes ([[perceptualFrameHash30s]]) within Hamming distance
+    * `maxDist` — catching SMALL CONTENT PERTURBATION (sensor noise, a
+    * changed pixel run) that re-keys every exact descriptor. Exact
+    * matches (distance 0) count too, so the tier subsumes the exact
+    * pHash pass.
+    *
+    * Candidate generation is the SimHash pigeonhole: the 2(frameBytes−1)
+    * hash bits split into `maxDist + 1` contiguous blocks, so two hashes
+    * within `maxDist` share at least one block VERBATIM — an equi-join
+    * per block index, never a Hamming theta-join. `maxBlockDf` fences
+    * hot block keys exactly like every LSH family here (flat-spectrum
+    * boilerplate frames land on a handful of keys; the cap is the
+    * documented one-sided undercount). Output: (doc_a, doc_b, shared),
+    * shared = the count of distinct verified (hash_a, hash_b) pairs.
+    *
+    * Scale shape: map-only hashing, one DISTINCT exchange of (doc, v)
+    * longs, block rows barriered (3 small rows per distinct hash), a
+    * df-capped equi-join, and the exact `bit_count(xor)` verification
+    * map-side on candidates.
+    */
+  def perceptualNearDups(spark: SparkSession, payloads: DataFrame,
+      frameBytes: Int = 16, everyNth: Int = 4, maxDist: Int = 2,
+      minShared: Int = 2, maxBlockDf: Int = 100): DataFrame = {
+    import spark.implicits._
+    require(everyNth > 0, s"everyNth=$everyNth must be positive")
+    require(frameBytes >= 8,
+      s"frameBytes=$frameBytes must be >= 8 for the two-level pHash" +
+        " (narrower frames leave too few AC coefficients between the" +
+        " median and quartile thresholds)")
+    require(minShared >= 1, s"minShared=$minShared must be >= 1")
+    require(maxBlockDf >= 1, s"maxBlockDf=$maxBlockDf must be >= 1")
+    val totalBits = 2 * (frameBytes - 1)
+    val blocks = maxDist + 1
+    val cuts = (0 to blocks).map(j => j * totalBits / blocks)
+    // The pigeonhole needs maxDist+1 blocks; a block narrower than 4
+    // bits is a <=15-value key space whose every key is hot at any
+    // scale — the cap would then fence EVERYTHING (silently empty
+    // output), so refuse the degenerate geometry at construction.
+    require(maxDist >= 1 && cuts.sliding(2).forall(p => p(1) - p(0) >= 4),
+      s"maxDist=$maxDist needs ${blocks} blocks over $totalBits hash " +
+        "bits — block keys would be under 4 bits (every key hot)")
+    val fp = payloads.select(col("doc_id"), col("payload")).as[Payload]
+      .mapPartitions { it =>
+        it.flatMap { p =>
+          perceptualFrameHash30s(p.payload, frameBytes, everyNth)
+            .iterator.map(v => (p.doc_id, v))
+        }
+      }
+      .toDF("doc_id", "v")
+      .distinct()
+    val blockStructs = (0 until blocks).map { b =>
+      val lo = cuts(b)
+      val w = cuts(b + 1) - lo
+      struct(lit(b).as("b"),
+        shiftright(col("v"), lo).bitwiseAND(lit((1L << w) - 1)).as("bk"))
+    }
+    // outer + isNotNull: the exploder convention (the array is a non-
+    // empty literal-of-derived structs, but the inner form is the
+    // InferFiltersFromGenerate regression shape).
+    val bl = fp
+      .select(col("doc_id"), col("v"),
+        explode_outer(array(blockStructs: _*)).as("blk"))
+      .where(col("blk").isNotNull)
+      .select(col("doc_id"), col("v"),
+        col("blk.b").as("b"), col("blk.bk").as("bk"))
+      .barrier() // read three times: df cap + both join legs
+    try {
+      val keep = bl.groupBy(col("b"), col("bk"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxBlockDf)
+        .select(col("b"), col("bk"))
+      val left = bl.select(col("b"), col("bk"),
+        col("doc_id").as("doc_a"), col("v").as("va"))
+      val right = bl.select(col("b"), col("bk"),
+        col("doc_id").as("doc_b"), col("v").as("vb"))
+      val cand = left.join(keep, Seq("b", "bk"))
+        .join(right, Seq("b", "bk"))
+        .where(col("doc_a") < col("doc_b"))
+        // A pair found through several blocks must verify and count ONCE.
+        .select(col("doc_a"), col("doc_b"), col("va"), col("vb"))
+        .distinct()
+      cand
+        .where(expr(s"bit_count(va ^ vb) <= $maxDist"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= minShared)
+        .barrier() // tiny; materialized so the finally can release bl
+    } finally Barrier.release(bl)
   }
 
   /** Streaming twin of [[perceptualDups]]' cross leg: an INGEST-TIME

@@ -2436,6 +2436,98 @@ class PipelineOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("perceptualNearDups: pairs the 2-bit-perturbed copy every exact descriptor misses") {
+    import spark.implicits._
+    // The registered plant's geometry: ramp heads with coprime steps,
+    // one byte nudged so the two-level pHash moves by EXACTLY 2 bits.
+    def head(st: Int) =
+      (0 until 16).map(n => ('A' + ((n * st) % 26)).toChar).mkString
+    val steps = Seq(2, 3, 5, 7)
+    // Nibble-CROSSING nudges (the registered plant's table): a same-
+    // nibble nudge leaves the histogram tier pairing the copy.
+    val pert = Seq((3, 9), (0, -16), (0, -16), (0, -16))
+    val pat = steps.map(st => head(st) + "q" * 48).take(3).mkString
+    val noisy = steps.zip(pert).map { case (st, (i, dl)) =>
+      val h = head(st).toArray; h(i) = (h(i) + dl).toChar
+      new String(h) + "q" * 48
+    }.take(3).mkString
+    val other = (0 until 192).map(i => ('A' + (i * 11) % 26).toChar).mkString
+    val d = Seq((1L, pat), (2L, noisy), (3L, other)).toDF("doc_id", "text")
+    val pay = Multimodal.withPayload(d)
+    val near = Multimodal.perceptualNearDups(spark, pay)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(near == Seq((1L, 2L, 3L)), near) // all 3 frame pairs at dist 2
+    // Every EXACT descriptor misses the pair: md5, histogram, and the
+    // exact pHash all re-key on a single perturbed byte.
+    assert(Multimodal.frameDups(spark, pay).collect().isEmpty)
+    assert(Multimodal.perceptualDups(spark, pay).collect().isEmpty)
+    assert(Multimodal.perceptualDups(spark, pay, pHash = true)
+      .collect().isEmpty)
+    // Kernel pin for the plant arithmetic: each perturbed head sits at
+    // Hamming distance EXACTLY 2 from its original.
+    for ((st, (i, dl)) <- steps.zip(pert)) {
+      val b = head(st).getBytes("UTF-8")
+      val m = b.clone(); m(i) = (m(i) + dl).toByte
+      val va = Multimodal.perceptualFrameHash30s(b, 16, 1)(0)
+      val vb = Multimodal.perceptualFrameHash30s(m, 16, 1)(0)
+      assert(java.lang.Long.bitCount(va ^ vb) == 2,
+        s"step $st: distance ${java.lang.Long.bitCount(va ^ vb)}")
+    }
+    // Both order-statistic thresholds shift with brightness — the
+    // 30-bit hash is shift-invariant exactly like the one-level form.
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 30) {
+      val f = Array.fill(16)((32 + rnd.nextInt(64)).toByte)
+      val c = 1 + rnd.nextInt(60)
+      val g = f.map(b => (b + c).toByte)
+      assert(Multimodal.perceptualFrameHash30s(f, 16, 1)
+        .sameElements(Multimodal.perceptualFrameHash30s(g, 16, 1)))
+    }
+    // Degenerate geometries refuse at construction.
+    val e = intercept[IllegalArgumentException](
+      Multimodal.perceptualNearDups(spark, pay, maxDist = 0))
+    assert(e.getMessage.contains("blocks"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Multimodal.perceptualNearDups(spark, pay, frameBytes = 4))
+    assert(e2.getMessage.contains(">= 8"), e2.getMessage)
+  }
+
+  test("perceptualNearDups: pigeonhole candidates are COMPLETE — equals brute-force Hamming pairs on random payloads") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // Random 64-192 byte payloads with a few planted near-copies.
+    val base = (1 to 30).map { id =>
+      id.toLong -> new String(Array.fill(64 + 16 * rnd.nextInt(9))(
+        (33 + rnd.nextInt(90)).toChar))
+    }
+    val noisy = base.take(8).map { case (id, s) =>
+      val a = s.toCharArray
+      a(rnd.nextInt(16)) = (33 + rnd.nextInt(90)).toChar
+      (id + 100L) -> new String(a)
+    }
+    val corpus = base ++ noisy
+    val d = corpus.toDF("doc_id", "text")
+    // Uncapped run (maxBlockDf huge): the pigeonhole must find EVERY
+    // Hamming-<=2 pair the brute force finds (completeness theorem:
+    // 2 flipped bits touch at most 2 of the 3 blocks).
+    val got = Multimodal
+      .perceptualNearDups(spark, Multimodal.withPayload(d),
+        minShared = 1, maxBlockDf = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hashes = corpus.map { case (id, s) =>
+      id -> Multimodal.perceptualFrameHash30s(
+        s.getBytes("UTF-8"), 16, 4).toSet
+    }
+    val expected = (for {
+      (ia, va) <- hashes; (ib, vb) <- hashes if ia < ib
+      n = (for (a <- va; b <- vb
+             if java.lang.Long.bitCount(a ^ b) <= 2) yield (a, b)).size
+      if n >= 1
+    } yield (ia, ib, n.toLong)).toSet
+    assert(got == expected,
+      s"missing: ${expected -- got}\nextra: ${got -- expected}")
+  }
+
   test("streamingPerceptualDups: ingest alerts equal the rotated cross pair, exactly once") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
