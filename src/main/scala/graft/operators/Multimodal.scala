@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Barrier.BarrierOps
 
@@ -573,6 +573,139 @@ object Multimodal {
       .withColumn("shared", size(common).cast("long"))
       .where(col("shared") >= minShared &&
         col("fingerprint") === array_min(common))
+      .select(col("doc_id"), col("base_id"), col("shared"))
+  }
+
+  /** Streaming twin of [[perceptualNearDups]]' cross leg: an INGEST-TIME
+    * alert stream of (doc_id, base_id, shared) pairs whose sampled-frame
+    * pHashes sit within Hamming `maxDist` of a FROZEN base corpus's —
+    * the [[streamingPerceptualDups]] contract (stateless alert stream,
+    * at-least-once re-delivery re-alerts, base-side-only df caps, both
+    * static sides construction-barriered, zero streaming state) over
+    * the pigeonhole block machinery.
+    *
+    * `shared` counts the arriving payload's (hash, base hash) combos
+    * with distance ≤ maxDist that share a SURVIVING block key — the
+    * batch operator's exact survival rule, so the cross leg equals the
+    * batch sweep wherever the base-vs-union df difference doesn't bite
+    * (spec-pinned on fixtures below the cap). Each surviving base hash
+    * carries its surviving packed (block, key) set, so survival,
+    * `shared`, and the exactly-once pick are all per-row expressions:
+    * of a pair's candidate rows, only the one carrying the smallest
+    * matched stream hash, its smallest matched base hash, and their
+    * smallest surviving shared block emits.
+    */
+  def streamingPerceptualNearDups(spark: SparkSession,
+      basePayloads: DataFrame, stream: DataFrame, frameBytes: Int = 16,
+      everyNth: Int = 4, maxDist: Int = 2, minShared: Int = 2,
+      maxBlockDf: Int = 100): DataFrame = {
+    import spark.implicits._
+    require(everyNth > 0, s"everyNth=$everyNth must be positive")
+    require(frameBytes >= 8,
+      s"frameBytes=$frameBytes must be >= 8 for the two-level pHash" +
+        " (narrower frames leave too few AC coefficients between the" +
+        " median and quartile thresholds)")
+    require(minShared >= 1, s"minShared=$minShared must be >= 1")
+    require(maxBlockDf >= 1, s"maxBlockDf=$maxBlockDf must be >= 1")
+    val totalBits = 2 * (frameBytes - 1)
+    val blocks = maxDist + 1
+    val cuts = (0 to blocks).map(j => j * totalBits / blocks)
+    require(maxDist >= 1 && cuts.sliding(2).forall(p => p(1) - p(0) >= 4),
+      s"maxDist=$maxDist needs ${blocks} blocks over $totalBits hash " +
+        "bits — block keys would be under 4 bits (every key hot)")
+    def blockKey(v: Column, b: Int): Column =
+      shiftright(v, cuts(b)).bitwiseAND(lit((1L << (cuts(b + 1) - cuts(b))) - 1))
+    // (block, key) packed into one long for array membership tests —
+    // block index in the high bits, so the array MIN is also the
+    // smallest block (the exactly-once tie-break below).
+    def packedRow(b: Column, bk: Column): Column =
+      shiftleft(b.cast("long"), 32).bitwiseOR(bk)
+    def fKeys(f: Column): Column =
+      array((0 until blocks).map(b =>
+        lit(b.toLong << 32).bitwiseOR(blockKey(f, b))): _*)
+    // A (stream hash f, base hash g) combo MATCHES when it verifies AND
+    // some shared block key survived the cap — membership of one of f's
+    // packed keys in g's surviving-key set is exactly that condition
+    // (equal packed values ⇒ same block index and same key bits).
+    def matched(f: Column, gv: Column, gkk: Column): Column =
+      (bit_count(f.bitwiseXOR(gv)) <= maxDist) &&
+        arrays_overlap(fKeys(f), gkk)
+    // ---- static side, materialized ONCE at construction --------------
+    val baseFp = basePayloads.select(col("doc_id"), col("payload"))
+      .as[Payload]
+      .mapPartitions { it =>
+        it.flatMap { p =>
+          perceptualFrameHash30s(p.payload, frameBytes, everyNth)
+            .iterator.map(v => (p.doc_id, v))
+        }
+      }
+      .toDF("base_id", "v")
+      .distinct()
+    val blockStructs = (0 until blocks).map(b =>
+      struct(lit(b).as("b"), blockKey(col("v"), b).as("bk")))
+    val bbl = baseFp
+      .select(col("base_id"), col("v"),
+        explode_outer(array(blockStructs: _*)).as("blk"))
+      .where(col("blk").isNotNull)
+      .select(col("base_id"), col("v"),
+        col("blk.b").as("b"), col("blk.bk").as("bk"))
+    val keep = bbl.groupBy(col("b"), col("bk"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxBlockDf)
+      .select(col("b"), col("bk"))
+    val kept = bbl.join(keep, Seq("b", "bk")).barrier()
+    // Per surviving base hash: its surviving packed keys (a hash whose
+    // every block was capped drops out here — it can never form a
+    // surviving combo, matching the batch candidate rule).
+    val baseBook = kept
+      .groupBy(col("base_id"), col("v"))
+      .agg(sort_array(collect_list(packedRow(col("b"), col("bk"))))
+        .as("kk"))
+      .groupBy(col("base_id"))
+      .agg(sort_array(collect_list(struct(col("v"), col("kk"))))
+        .as("bvs"))
+      .barrier()
+    // ---- stream side --------------------------------------------------
+    val sigged = stream
+      // The streaming twins' null rule.
+      .where(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("payload")).as[Payload]
+      .map(p => (p.doc_id,
+        perceptualFrameHash30s(p.payload, frameBytes, everyNth)))
+      .toDF("doc_id", "fps")
+    val fBlocks = sigged
+      .select(col("doc_id"), col("fps"), explode_outer(col("fps")).as("f"))
+      .where(col("f").isNotNull)
+      .select(col("doc_id"), col("fps"), col("f"),
+        explode_outer(array((0 until blocks).map(b =>
+          struct(lit(b).as("b"), blockKey(col("f"), b).as("bk"))): _*))
+          .as("blk"))
+      .where(col("blk").isNotNull)
+      .select(col("doc_id"), col("fps"), col("f"),
+        col("blk.b").as("b"), col("blk.bk").as("bk"))
+    val joined = fBlocks
+      .join(kept.select(col("b"), col("bk"), col("base_id"),
+        col("v").as("vb")), Seq("b", "bk"))
+      .where(col("doc_id") =!= col("base_id")) // replayed base rows
+      .join(baseBook, Seq("base_id"))
+    val sharedCol = aggregate(col("fps"), lit(0L), (acc, f) =>
+      acc + size(filter(col("bvs"),
+        g => matched(f, g("v"), g("kk")))).cast("long"))
+    val fminCol = array_min(filter(col("fps"), f =>
+      exists(col("bvs"), g => matched(f, g("v"), g("kk")))))
+    joined
+      .withColumn("shared", sharedCol)
+      .withColumn("fmin", fminCol)
+      // Lexicographic struct min = smallest matched base hash (v is the
+      // leading field; v is distinct per base doc).
+      .withColumn("gm", array_min(filter(col("bvs"),
+        g => matched(col("fmin"), g("v"), g("kk")))))
+      .withColumn("minpk", array_min(filter(fKeys(col("fmin")),
+        p => array_contains(col("gm.kk"), p))))
+      .where(col("shared") >= minShared &&
+        col("f") === col("fmin") &&
+        col("vb") === col("gm.v") &&
+        packedRow(col("b"), col("bk")) === col("minpk"))
       .select(col("doc_id"), col("base_id"), col("shared"))
   }
 

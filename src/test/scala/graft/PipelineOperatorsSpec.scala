@@ -2558,6 +2558,54 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(rows.toSet == Set((2L, 1L, 3L)), rows)
   }
 
+  test("streamingPerceptualNearDups: ingest alerts equal the batch cross leg, exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // The near plant's geometry: ramp heads, nibble-crossing 2-bit nudges.
+    def head(st: Int) =
+      (0 until 16).map(n => ('A' + ((n * st) % 26)).toChar).mkString
+    val steps = Seq(2, 3, 5, 7)
+    val pert = Seq((3, 9), (0, -16), (0, -16), (0, -16))
+    val pat = steps.map(st => head(st) + "q" * 48).take(3).mkString
+    val noisy = steps.zip(pert).map { case (st, (i, dl)) =>
+      val h = head(st).toArray; h(i) = (h(i) + dl).toChar
+      new String(h) + "q" * 48
+    }.take(3).mkString
+    val other = (0 until 192).map(i => ('A' + (i * 11) % 26).toChar).mkString
+    val base = Multimodal.withPayload(
+      Seq((1L, pat), (3L, other)).toDF("doc_id", "text"))
+    val ms = MemoryStream[(Long, Array[Byte])](spark)
+    val alerts = Multimodal.streamingPerceptualNearDups(
+      spark, base, ms.toDF().toDF("doc_id", "payload"))
+    val q = alerts.writeStream.format("memory").queryName("pnear_alerts")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(
+        (2L, noisy.getBytes("UTF-8")), // 2-bit-perturbed copy of base 1
+        (4L, ("z" * 192).getBytes("UTF-8")), // unrelated spectrum
+        (1L, pat.getBytes("UTF-8")))) // replayed base row: self-filtered
+      q.processAllAvailable()
+      // At-least-once re-delivery: the alert re-emits (the documented
+      // contract — the sink dedupes by pair key), never diverges.
+      ms.addData(Seq((2L, noisy.getBytes("UTF-8"))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("pnear_alerts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // Per DELIVERY exactly one alert row (three blocks collide per
+    // matched hash — the smallest-hash/smallest-block rule collapses
+    // them); the second delivery re-alerts identically.
+    assert(rows.size == 2 && rows.distinct == Seq((2L, 1L, 3L)), rows)
+    // Cross leg ≡ batch: the batch operator over base ∪ stream, with no
+    // key near the df cap, reports the same pair with the same shared.
+    val union = Multimodal.withPayload(Seq(
+      (1L, pat), (2L, noisy), (3L, other),
+      (4L, "z" * 192)).toDF("doc_id", "text"))
+    val batch = Multimodal.perceptualNearDups(spark, union)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch == Set((1L, 2L, 3L)), batch)
+  }
+
   test("typeTransitions order=2: trigram contexts, head rows without full context drop") {
     import spark.implicits._
     def ts(sec: Long) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
