@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.TrendConfig
-import graft.operators.{AsOf, Bpe, Curation, Dedup, DedupIndex, EventAnalytics, Multimodal, PageAggregates, RangeJoin, Search, Selection, Similarity, Skew, Sketches, TextAnalysis}
+import graft.operators.{AsOf, Bpe, Curation, Dedup, DedupIndex, EventAnalytics, ExactDedupIndex, Multimodal, PageAggregates, RangeJoin, Search, Selection, Similarity, Skew, Sketches, TextAnalysis}
 import graft.sources.EventAdapter
 import graft.operators.Barrier.BarrierOps
 
@@ -148,7 +148,8 @@ object SparkEntry {
     "doc_dedup_index_clean", "doc_dedup_index_health",
     "doc_dedup_index_compact_pairs",
     "emb_ivf_index_topk", "emb_ivf_append_topk", "emb_ivf_compact_topk",
-    "emb_index_health", "emb_ivfpq_topk", "emb_ivfpq_recall")
+    "emb_index_health", "emb_ivfpq_topk", "emb_ivfpq_recall",
+    "doc_exact_index_clean", "doc_exact_index_append_clean")
 
   // ---------------------------------------------------------------------
   // Planted inputs for data-driven weakly-discriminative oracles (the
@@ -159,6 +160,36 @@ object SparkEntry {
   // Spark query and its oracle SQL, so the planting can never drift
   // between the two sides. Operators themselves are untouched.
   // ---------------------------------------------------------------------
+
+  /** Exact-dedup plant for the bloom-clean family: the corpus has no
+    * duplicate texts at verification scale (round-7 census), so both
+    * verdict columns of a plain base-vs-delta clean would be constant.
+    * The delta therefore carries, beside the organic % 10 == 7 batch,
+    * re-identified COPIES: +2^40 twins of base docs (doc_id % 13 == 2 —
+    * `in_base` fires) and +2^41 twins of delta docs (doc_id % 20 == 7 —
+    * the within-batch keep-lowest rule fires; % 20 == 7 ⊂ % 10 == 7, so
+    * the copied text is in the batch but NOT in the base). The same
+    * unions are replayed in the oracle's `xdelta` CTE. Offsets match
+    * the fuzzy-pairs plant: beyond any real corpus id, so the planted
+    * ids can never collide with organic ones.
+    */
+  private def bloomCleanDelta(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs
+        .filter(col("doc_id") % 13 === 2 && col("doc_id") % 10 =!= 7)
+        .select((col("doc_id") + (1L << 40)).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 20 === 7)
+        .select((col("doc_id") + (1L << 41)).as("doc_id"), col("text")))
+
+  /** Registry sizing for the bloom family: ~27 bits/hash at sf0.1 (a
+    * 200 KB filter literal — the operator default's 1 MB literal only
+    * buys headroom these SFs never use; a larger corpus passes its own
+    * sizing, and an undersized filter costs verify work, never
+    * correctness).
+    */
+  private val BloomPlantItems = 200000L
+  private val BloomPlantBits = 1600000L
 
   /** 10-token chunk repeated in the gopher dup-chunk planting. */
   private val gopherPlantChunk = (1 to 10).map(i => s"r$i").mkString(" ")
@@ -1078,6 +1109,58 @@ object SparkEntry {
       }
       DedupIndex.dedupIndexPairs(s, out,
         t(s, dir, "documents").filter(col("doc_id") % 10 === 7))
+    }),
+
+    // EXACT delta-vs-base dedup behind a broadcast Bloom prefilter (the
+    // one-shot, two-live-frames form): the base never shuffles — its
+    // scan feeds a map-side distributed filter build, the delta is
+    // tested map-side against the broadcast bytes, and only bloom-
+    // positive hashes reach the exact verify (a broadcast semi against
+    // the base scan). False positives are verified away, so the result
+    // is EXACTLY the plain join semantics and the oracle is bloom-free.
+    // Inputs use the planted delta (see bloomCleanDelta) — all four
+    // (in_base × keep) verdict combinations fire at sf0.01.
+    "doc_bloom_clean" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      ExactDedupIndex.bloomClean(docs.filter(col("doc_id") % 10 =!= 7),
+        bloomCleanDelta(docs), BloomPlantItems, BloomPlantBits)
+    }),
+
+    // The PERSISTED form — the exact-dedup member of the index family:
+    // distinct base hashes bucket-partitioned at rest + the bloom in
+    // one meta row. Serve answers the same question with ZERO base
+    // scans: the bloom (read from one meta row) kills provably-absent
+    // delta rows map-side, and the verify reads only the hash
+    // partitions the positives bucket to (literal hbkt IN pruning —
+    // plan-locked). Same planted delta, same oracle (serve ≡ the
+    // one-shot form by construction).
+    "doc_exact_index_clean" -> ((s, dir) => {
+      val out = indexDir("graft_xdx", dir)
+      if (builtIndexes.add(s"xdx:$out"))
+        ExactDedupIndex.buildIndex(
+          t(s, dir, "documents").filter(col("doc_id") % 10 =!= 7), out,
+          expectedItems = BloomPlantItems, numBits = BloomPlantBits)
+      ExactDedupIndex.indexClean(s, out,
+        bloomCleanDelta(t(s, dir, "documents")))
+    }),
+
+    // APPEND lifecycle: build on doc_id % 10 NOT IN (3, 7), append the
+    // % 10 == 3 ingest slice (second generation + OR-merged bloom —
+    // bit-identical to a rebuild's filter, see Bloom.merge), serve the
+    // planted delta across both generations. Indexed corpus equals the
+    // non-append query's (% 10 <> 7 either way) — shared oracle.
+    "doc_exact_index_append_clean" -> ((s, dir) => {
+      val out = indexDir("graft_xdx_app", dir)
+      if (builtIndexes.add(s"xdxapp:$out")) {
+        val docs = t(s, dir, "documents")
+        ExactDedupIndex.buildIndex(
+          docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 3),
+          out, expectedItems = BloomPlantItems, numBits = BloomPlantBits)
+        ExactDedupIndex.appendToIndex(
+          docs.filter(col("doc_id") % 10 === 3), out)
+      }
+      ExactDedupIndex.indexClean(s, out,
+        bloomCleanDelta(t(s, dir, "documents")))
     }),
 
     // Corpus snapshot diff with PLANTED version deltas (the pii-scrub
@@ -2364,6 +2447,40 @@ object SparkEntry {
         concat(lit("der die und das ein nicht ist"),
           when(col("doc_id") % 2 === 0, lit(" und das")).otherwise(lit(""))))
       .otherwise(col("text")))
+
+  /** Exact clean verdicts of the planted delta against the % 10 <> 7
+    * base — shared verbatim by `doc_bloom_clean` (one-shot), `doc_exact_
+    * index_clean` (persisted serve), and `doc_exact_index_append_clean`
+    * (two-generation serve): all three CLAIM the identical plain-join
+    * semantics (the bloom is a prefilter whose false positives are
+    * exact-verified away), so sharing the bloom-free oracle IS the
+    * check. Identity is md5(coalesce(text, '')) — null ≡ empty; the
+    * dh CTE's doc_id filter mirrors the operator's exact-dedup-family
+    * null-id rule.
+    */
+  private val bloomCleanOracleSql: String =
+    """WITH xdelta AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7
+           UNION ALL
+           SELECT doc_id + 1099511627776, text FROM documents
+           WHERE doc_id % 13 = 2 AND doc_id % 10 <> 7
+           UNION ALL
+           SELECT doc_id + 2199023255552, text FROM documents
+           WHERE doc_id % 20 = 7),
+         dh AS (
+           SELECT doc_id, md5(coalesce(text, '')) AS h FROM xdelta
+           WHERE doc_id IS NOT NULL),
+         bh AS (
+           SELECT DISTINCT md5(coalesce(text, '')) AS h FROM documents
+           WHERE doc_id % 10 <> 7),
+         v AS (
+           SELECT d.doc_id, d.h,
+             EXISTS (SELECT 1 FROM bh b WHERE b.h = d.h) AS in_base,
+             min(d.doc_id) OVER (PARTITION BY d.h) AS min_id
+           FROM dh d)
+         SELECT doc_id, in_base,
+           ((NOT in_base) AND doc_id = min_id) AS keep
+         FROM v"""
 
   /** Exact trigram-Jaccard pairs at threshold 0.3 — shared verbatim by
     * the quadratic baseline `doc_ngram_jaccard` and its provably-complete
@@ -4741,6 +4858,13 @@ object SparkEntry {
            CAST(MAX(df) AS BIGINT) AS max_df,
            CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS hot_keys
          FROM kdf GROUP BY band""",
+
+    // One oracle, three execution strategies (one-shot bloom, persisted
+    // serve, two-generation appended serve) — the bloom prefilter and
+    // the index layout are invisible in the exact semantics.
+    "doc_bloom_clean" -> bloomCleanOracleSql,
+    "doc_exact_index_clean" -> bloomCleanOracleSql,
+    "doc_exact_index_append_clean" -> bloomCleanOracleSql,
 
     "doc_ngram_jaccard" -> ngramJaccardOracleSql,
     // Prefix filtering is complete for J >= t: the scale twin's output

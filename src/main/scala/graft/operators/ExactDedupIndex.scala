@@ -1,0 +1,422 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.GraftExpressionShim.{column, expression}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Broadcast Bloom-filter kernel over Spark's built-in sketch — the
+  * missing-scale primitive for "is this key already in the 100 TB side?"
+  * questions (Bloom, CACM 1970; the same machinery Catalyst's
+  * InjectRuntimeFilter uses for runtime join pruning, here exposed as an
+  * explicit operator building block).
+  *
+  * Mechanics: the filter is built DISTRIBUTIVELY by
+  * `BloomFilterAggregate` (each partition fills a local bitmap over
+  * `xxhash64(key)`, merge is bitwise OR — the build never shuffles the
+  * input, only ~numBits/8-byte buffers), and tested by the codegen'd
+  * `BloomFilterMightContain` predicate against the serialized bytes as a
+  * BINARY literal — a map-side filter that rides whole-stage codegen.
+  *
+  * Determinism contract: a Bloom filter has false POSITIVES only, never
+  * false negatives, so any operator that exact-verifies the positives
+  * computes a result INDEPENDENT of the filter's sizing — the filter is
+  * invisible in the semantics and only shapes how much data reaches the
+  * verify join. That is what makes the operators below oracle-checkable:
+  * the DuckDB oracle replays the plain exact join, no bloom anywhere.
+  *
+  * Sizing: `numBits` per `expectedItems` sets the false-positive rate
+  * (~8 bits/item ≈ 2%); both are capped by Spark's
+  * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
+  * `.maxNumBits` session confs (defaults 4e6 / 6.7e7) — raise them for
+  * a genuinely 100 TB-scale membership set (1e10 items at 8 bits/item
+  * is a 10 GB filter; at that point shard the filter by key range).
+  */
+private[graft] object Bloom {
+
+  /** Serialized Bloom filter over `xxhash64(key)` of every row of
+    * `rows`. Distributed build (map-side partial bitmaps, OR-merge);
+    * the driver holds only the final ~numBits/8 bytes. An EMPTY input
+    * yields the all-zeros filter (every probe negative) rather than the
+    * NULL the aggregate returns, so callers never branch on null bytes.
+    */
+  def bloomBytes(rows: DataFrame, key: Column, expectedItems: Long,
+      numBits: Long): Array[Byte] = {
+    require(expectedItems > 0,
+      s"expectedItems=$expectedItems must be positive")
+    require(numBits > 0, s"numBits=$numBits must be positive")
+    val agg = column(new BloomFilterAggregate(
+      expression(xxhash64(key)),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    val row = rows.agg(agg.as("bf")).head()
+    if (row.isNullAt(0)) serialize(BloomFilter.create(expectedItems, numBits))
+    else row.getAs[Array[Byte]](0)
+  }
+
+  /** Map-side membership test of `xxhash64(key)` against a serialized
+    * filter — `BloomFilterMightContain` over a BINARY literal, fully
+    * codegen'd. True = maybe present (verify exactly); false = provably
+    * absent. NULL keys probe as the hash of the seed like any other
+    * value — callers own their null-key contract BEFORE this test.
+    */
+  def mightContain(bloom: Array[Byte], key: Column): Column =
+    column(new BloomFilterMightContain(
+      Literal(bloom), expression(xxhash64(key))))
+
+  /** Bitwise-OR union of two filters built with the SAME
+    * (expectedItems, numBits) — identical bit width and hash count, so
+    * the merge equals the filter a single build over the union would
+    * produce BIT-IDENTICALLY (each inserted key sets the same bit
+    * positions regardless of which side it arrived on). That exactness
+    * is what makes the index append below ≡ a rebuild.
+    */
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val fa = BloomFilter.readFrom(a)
+    fa.mergeInPlace(BloomFilter.readFrom(b))
+    serialize(fa)
+  }
+
+  private def serialize(bf: BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+}
+
+/** EXACT delta-vs-base dedup behind a Bloom prefilter, in two forms:
+  * the one-shot [[bloomClean]] over two live frames, and a PERSISTED
+  * index (bloom bytes + a bucket-partitioned distinct-hash table at
+  * rest) whose serve path answers the production ingest question —
+  * "which documents of this batch are byte-identical to anything
+  * already ingested?" — with O(delta) work and NO base scan at all.
+  *
+  * Semantics (shared with the [[Dedup.exactGroups]] family and replayed
+  * verbatim by the oracle, bloom-free):
+  *  - identity is `md5(coalesce(text, ''))` — null ≡ empty text;
+  *  - base membership is about TEXT, so every base row contributes its
+  *    hash (identity-less base rows still make their text "ingested");
+  *  - delta verdicts are per document identity, so null-`doc_id` delta
+  *    rows are excluded up front (the samplers' rule: a no-identity doc
+  *    cannot be "kept by id");
+  *  - `in_base` = the text exists in the base; `keep` = not in base AND
+  *    lowest `doc_id` among the batch's copies of that text (base wins
+  *    unconditionally; keep-lowest within the batch — the
+  *    [[DedupIndex.dedupDeltaClean]] verdict contract at the exact
+  *    tier).
+  *
+  * Why a bloom at 100 TB: the plain form of this question is an anti-
+  * join that SHUFFLES both sides on the hash. Here the base never
+  * shuffles anywhere — the filter build is a map-side aggregate over
+  * the base scan, the delta is tested map-side against the broadcast
+  * bytes, and only the (rare) bloom-positive delta hashes reach an
+  * exact verify, as a BROADCAST semi-join against the base scan. With
+  * the persisted index even those two base scans disappear: the verify
+  * reads only the hash-table partitions the positives' buckets name
+  * (literal `hbkt IN` static pruning, the lexIndexTopK discipline).
+  */
+object ExactDedupIndex {
+
+  /** Default bloom sizing: 1M expected hashes at 8 bits each (~2% false
+    * positives — each costing one broadcast-verified row, not a wrong
+    * answer). Well inside Spark's 4e6/6.7e7 aggregate caps.
+    */
+  val DefaultExpectedItems = 1000000L
+  val DefaultNumBits = 8000000L
+
+  private def hbktOf(h: Column, buckets: Int): Column =
+    pmod(xxhash64(h), lit(buckets.toLong))
+
+  /** (doc_id, text_hash) of the id-bearing rows — the delta-side view. */
+  private def deltaHashes(delta: DataFrame): DataFrame =
+    delta.where(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        md5(coalesce(col("text"), lit(""))).as("text_hash"))
+
+  /** Shared verdict tail: delta rows × (confirmed base-hash sliver) →
+    * (doc_id, in_base, keep). `confirmed` must hold a `text_hash`
+    * column whose rows are exactly the delta-probed hashes present in
+    * the base — both callers broadcast it (it is bounded by the
+    * bloom-positive count), so the only exchange here is the delta's
+    * own per-hash window.
+    */
+  private def verdicts(deltaH: DataFrame, confirmed: DataFrame): DataFrame = {
+    val hit = confirmed.select(col("text_hash")).distinct()
+      .withColumn("__hit", lit(1))
+    deltaH.join(broadcast(hit), Seq("text_hash"), "left")
+      .withColumn("in_base", col("__hit").isNotNull)
+      .withColumn("__min_id",
+        min(col("doc_id")).over(Window.partitionBy(col("text_hash"))))
+      .select(col("doc_id"), col("in_base"),
+        (!col("in_base") && col("doc_id") === col("__min_id")).as("keep"))
+  }
+
+  // ---- one-shot form (two live frames) ----------------------------------
+
+  /** Bloom-prefiltered exact clean of `delta` against a live `base`
+    * frame. The base is scanned twice (filter build + verify) but never
+    * shuffled; the verify semi-join sees only bloom-positive hashes as
+    * a broadcast. Output is EXACTLY the plain anti-join verdicts — the
+    * filter sizing changes cost, never content (spec-pinned under a
+    * 64-bit saturated filter where every probe is a false positive).
+    */
+  def bloomClean(base: DataFrame, delta: DataFrame,
+      expectedItems: Long = DefaultExpectedItems,
+      numBits: Long = DefaultNumBits): DataFrame = {
+    val baseH = base.select(md5(coalesce(col("text"), lit(""))).as("text_hash"))
+    val bloom = Bloom.bloomBytes(baseH, col("text_hash"),
+      expectedItems, numBits)
+    val deltaH = deltaHashes(delta)
+    val cand = deltaH.filter(Bloom.mightContain(bloom, col("text_hash")))
+      .select(col("text_hash")).distinct()
+    // Exact verify of the positives: base scan, map-side broadcast semi —
+    // the distinct that follows shuffles only matched hashes (≤ |cand|).
+    val confirmed = baseH.join(broadcast(cand), Seq("text_hash"), "left_semi")
+    verdicts(deltaH, confirmed)
+  }
+
+  // ---- persisted index ---------------------------------------------------
+  //
+  // Layout under dir/ (generation g appends `hashes-g`/`meta-g`):
+  //  - hashes/: DISTINCT (text_hash) rows, parquet-partitioned by
+  //    hbkt = pmod(xxhash64(text_hash), buckets).
+  //  - meta/:   1 row (n_hashes, buckets, expected_items, num_bits,
+  //    bloom BINARY) — written LAST as the completion marker (the lex
+  //    stats discipline). Appends commit the MERGED bloom, so a serve
+  //    reads exactly one meta row no matter how long the append history.
+  //  - manifest-*.json: the shared GenManifest protocol (atomic dot-temp
+  //    rename, single-writer, one-commit reader grace on the sweep).
+  //
+  // Append ≡ rebuild EXACTLY: the hash family is stateless, per-
+  // generation hash rows union to the same membership set, and the
+  // OR-merged bloom is bit-identical to a union build (same bit width
+  // and hash count — see Bloom.merge). Spec-pinned.
+
+  private def isDataDir(n: String): Boolean =
+    n == "hashes" || n.startsWith("hashes-") ||
+      n == "meta" || n.startsWith("meta-")
+
+  private[graft] def indexManifest(spark: SparkSession, dir: String)
+      : (Long, Seq[String], String) = {
+    val (fs, root) = GenManifest.fsRoot(spark, dir)
+    GenManifest.latestSeq(fs, root) match {
+      case None => (0L, Seq("hashes"), "meta")
+      case Some(seq) =>
+        val (h, m) = manifestAt(fs, root, seq)
+        (seq, h, m)
+    }
+  }
+
+  private def manifestAt(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, g: Long): (Seq[String], String) =
+    GenManifest.readNode(fs, root, g) match {
+      case Some(node) =>
+        import scala.jdk.CollectionConverters._
+        // Key presence checked explicitly (the dedupManifestAt rule): a
+        // manifest from another index family must surface this curated
+        // diagnostic, not a bare NPE the sweep's NonFatal catch would
+        // log as a contentless "null".
+        if (node.get("hdirs") == null || node.get("meta") == null)
+          throw new IllegalStateException(
+            s"manifest generation $g under $root is not an exact-dedup-" +
+              "index manifest (missing hdirs/meta) — wrong directory or " +
+              "damaged index")
+        (node.get("hdirs").elements().asScala.map(_.asText()).toSeq,
+          node.get("meta").asText())
+      case None if g == 0L => (Seq("hashes"), "meta")
+      case None =>
+        // Fail-loud on the READ path (the lexManifestAt contract); the
+        // sweep tolerates this via its own NonFatal catch.
+        throw new IllegalStateException(
+          s"index manifest generation $g is missing under $root — " +
+            "damaged index or concurrent writer")
+    }
+
+  private def commitManifest(spark: SparkSession, dir: String, seq: Long,
+      hDirs: Seq[String], metaDir: String): Unit = {
+    val node = GenManifest.newNode()
+    val arr = node.putArray("hdirs")
+    hDirs.foreach(arr.add)
+    node.put("meta", metaDir)
+    GenManifest.commit(spark, dir, seq, node)
+  }
+
+  private def sweepGenerations(spark: SparkSession, dir: String,
+      current: Long): Unit =
+    GenManifest.sweepOwned(spark, dir, current, isDataDir) {
+      (fs, root, g) =>
+        val (h, m) = manifestAt(fs, root, g)
+        h :+ m
+    }
+
+  private def readHashGenerations(spark: SparkSession, dir: String,
+      hDirs: Seq[String]): DataFrame =
+    hDirs.map(d => spark.read.parquet(s"$dir/$d"))
+      .reduce(_.unionByName(_))
+
+  private def writeMeta(spark: SparkSession, dir: String, metaDir: String,
+      nHashes: Long, buckets: Int, expectedItems: Long, numBits: Long,
+      bloom: Array[Byte]): Unit =
+    spark.range(1).select(
+        lit(nHashes).as("n_hashes"), lit(buckets).as("buckets"),
+        lit(expectedItems).as("expected_items"),
+        lit(numBits).as("num_bits"), lit(bloom).as("bloom"))
+      .write.mode("overwrite").parquet(s"$dir/$metaDir")
+
+  /** Build the index over a base corpus: distinct content hashes at
+    * rest (bucket-partitioned) + the bloom over them in the meta row.
+    * ONE pass computes the hash table, its count, and the filter (the
+    * distinct frame is barriered across the write and the aggregate).
+    * An empty base is rejected BEFORE the previous index is destroyed
+    * (validate-before-destroy, the lex rule) — an all-negative index
+    * is representable but a parquet-less `hashes/` dir poisons every
+    * later read with schema-inference failures.
+    */
+  def buildIndex(docs: DataFrame, dir: String, buckets: Int = 64,
+      expectedItems: Long = DefaultExpectedItems,
+      numBits: Long = DefaultNumBits): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = docs.sparkSession
+    require(!docs.isEmpty,
+      s"buildIndex at $dir: empty base corpus — nothing to index " +
+        "(previous index left intact)")
+    resetDir(spark, dir)
+    val hs = docs
+      .select(md5(coalesce(col("text"), lit(""))).as("text_hash"))
+      .distinct()
+    Barrier.withCached(hs) { h =>
+      h.withColumn("hbkt", hbktOf(col("text_hash"), buckets))
+        .repartition(col("hbkt"))
+        .write.mode("overwrite").partitionBy("hbkt")
+        .parquet(s"$dir/hashes")
+      val n = h.count()
+      val bloom = Bloom.bloomBytes(h, col("text_hash"),
+        expectedItems, numBits)
+      // Meta LAST: a readable meta row marks the build complete.
+      writeMeta(spark, dir, "meta", n, buckets, expectedItems, numBits,
+        bloom)
+    }
+  }
+
+  /** Ingest verdicts for a delta batch against the index — the
+    * [[bloomClean]] question with ZERO base scans: the bloom kills
+    * provably-absent rows map-side from one broadcast meta row, and the
+    * exact verify reads ONLY the hash-table partitions the surviving
+    * hashes bucket to (literal `hbkt IN` pruning over every
+    * generation). Output columns and semantics are [[bloomClean]]'s;
+    * serve ≡ the one-shot form over (indexed corpus, delta) exactly.
+    */
+  def indexClean(spark: SparkSession, dir: String,
+      delta: DataFrame): DataFrame = {
+    val (_, hDirs, metaDir) = indexManifest(spark, dir)
+    val meta = spark.read.parquet(s"$dir/$metaDir").head()
+    val buckets = meta.getAs[Int]("buckets")
+    val bloom = meta.getAs[Array[Byte]]("bloom")
+    require(meta.getAs[Long]("n_hashes") > 0, s"index at $dir is empty")
+    val deltaH = deltaHashes(delta)
+    val cand = deltaH.filter(Bloom.mightContain(bloom, col("text_hash")))
+      .select(col("text_hash")).distinct()
+    // The positives' buckets fold to ≤ `buckets` literals — static
+    // partition pruning on every generation scan (the readCells
+    // discipline). An all-negative delta reads nothing at all.
+    val bkts = cand.select(hbktOf(col("text_hash"), buckets)
+        .cast("long").as("b"))
+      .distinct().collect().map(_.getLong(0)).toIndexedSeq
+    val scoped = readHashGenerations(spark, dir, hDirs)
+      .filter(col("hbkt").isin(bkts: _*))
+    val confirmed = scoped.join(broadcast(cand), Seq("text_hash"),
+      "left_semi")
+    verdicts(deltaH, confirmed)
+  }
+
+  /** Append an ingested batch's hashes as a new generation: per-
+    * generation-distinct hash rows (bucketed with the build's bucket
+    * count) + the OR-merged bloom in a generation-owned meta. The
+    * merged filter is bit-identical to a rebuild's (see [[Bloom.merge]])
+    * and membership is a union, so serve-after-append ≡ serve over a
+    * rebuilt base∪delta index EXACTLY (spec-pinned). `n_hashes` sums
+    * per-generation distinct counts — an UPPER bound on the union's
+    * distinct hashes (cross-generation repeats count twice) that
+    * [[compactIndex]] restores to exact. An empty delta is a no-op (no
+    * generation, no commit — the lex empty-delta discipline).
+    * SINGLE-WRITER, like every GenManifest family.
+    */
+  def appendToIndex(newDocs: DataFrame, dir: String): Unit = {
+    val spark = newDocs.sparkSession
+    val (seq, hDirs, metaDir) = indexManifest(spark, dir)
+    val meta = spark.read.parquet(s"$dir/$metaDir").head()
+    val nHashes = meta.getAs[Long]("n_hashes")
+    require(nHashes > 0,
+      s"index at $dir has an empty base — rebuild with buildIndex " +
+        "instead of appending")
+    val buckets = meta.getAs[Int]("buckets")
+    val expectedItems = meta.getAs[Long]("expected_items")
+    val numBits = meta.getAs[Long]("num_bits")
+    val newH = s"hashes-${seq + 1}"
+    val newM = s"meta-${seq + 1}"
+    val hs = newDocs
+      .select(md5(coalesce(col("text"), lit(""))).as("text_hash"))
+      .distinct()
+    val (nNew, deltaBloom) = Barrier.withCached(hs) { h =>
+      h.withColumn("hbkt", hbktOf(col("text_hash"), buckets))
+        .repartition(col("hbkt"))
+        .write.mode("overwrite").partitionBy("hbkt")
+        .parquet(s"$dir/$newH")
+      (h.count(),
+        Bloom.bloomBytes(h, col("text_hash"), expectedItems, numBits))
+    }
+    val (fs, root) = GenManifest.fsRoot(spark, dir)
+    if (nNew == 0L) {
+      fs.delete(new org.apache.hadoop.fs.Path(root, newH), true)
+      System.err.println(
+        s"[graft] exact-index append of an EMPTY delta to $dir skipped " +
+          "(no commit)")
+    } else {
+      writeMeta(spark, dir, newM, nHashes + nNew, buckets, expectedItems,
+        numBits, Bloom.merge(meta.getAs[Array[Byte]]("bloom"), deltaBloom))
+      commitManifest(spark, dir, seq + 1, hDirs :+ newH, newM)
+      sweepGenerations(spark, dir, seq + 1)
+    }
+  }
+
+  /** Fold every live hash generation back into ONE bucketed dir —
+    * DISTINCT across generations, so the folded table drops cross-
+    * generation repeats and `n_hashes` returns to the exact distinct
+    * count. The bloom carries over verbatim (it already covers the
+    * union). Serve-after-compact ≡ serve-before bit-identically
+    * (membership is unchanged); plan-wise the serve returns to exactly
+    * one pruned scan. No-op fold on a single-generation index, but the
+    * sweep still runs (garbage from a previously-failed best-effort
+    * sweep would otherwise live forever). Single-writer, like append.
+    */
+  def compactIndex(spark: SparkSession, dir: String): Unit = {
+    val (seq, hDirs, metaDir) = indexManifest(spark, dir)
+    if (hDirs.length <= 1) {
+      sweepGenerations(spark, dir, seq)
+      return
+    }
+    val meta = spark.read.parquet(s"$dir/$metaDir").head()
+    val newH = s"hashes-${seq + 1}"
+    val newM = s"meta-${seq + 1}"
+    val folded = readHashGenerations(spark, dir, hDirs)
+      .select(col("text_hash"), col("hbkt")).distinct()
+    val n = Barrier.withCached(folded) { f =>
+      f.repartition(col("hbkt"))
+        .write.mode("overwrite").partitionBy("hbkt").parquet(s"$dir/$newH")
+      f.count()
+    }
+    writeMeta(spark, dir, newM, n, meta.getAs[Int]("buckets"),
+      meta.getAs[Long]("expected_items"), meta.getAs[Long]("num_bits"),
+      meta.getAs[Array[Byte]]("bloom"))
+    commitManifest(spark, dir, seq + 1, Seq(newH), newM)
+    sweepGenerations(spark, dir, seq + 1)
+  }
+
+  private def resetDir(spark: SparkSession, dir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+}

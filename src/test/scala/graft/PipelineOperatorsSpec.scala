@@ -4086,4 +4086,162 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(graft.operators.Sketches.heavyTokens(spark, nulls)
       .collect().isEmpty)
   }
+
+  // ---- bloom-prefiltered exact dedup (ExactDedupIndex) -------------------
+
+  import graft.operators.ExactDedupIndex
+
+  /** Ground-truth verdicts computed directly in Scala: identity is the
+    * text with null ≡ empty; in_base = text ∈ base texts; keep = not in
+    * base AND lowest doc_id among the delta's copies of that text.
+    */
+  private def exactCleanTruth(base: Seq[String],
+      delta: Seq[(Long, String)]): Set[(Long, Boolean, Boolean)] = {
+    def t(s: String) = if (s == null) "" else s
+    val baseTexts = base.map(t).toSet
+    val minId = delta.groupBy(d => t(d._2)).map { case (k, v) =>
+      k -> v.map(_._1).min
+    }
+    delta.map { case (id, tx) =>
+      val inBase = baseTexts.contains(t(tx))
+      (id, inBase, !inBase && id == minId(t(tx)))
+    }.toSet
+  }
+
+  private def cleanRows(df: DataFrame): Set[(Long, Boolean, Boolean)] =
+    df.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Boolean]("in_base"), r.getAs[Boolean]("keep"))).toSet
+
+  private val bloomBase = Seq("alpha text", "beta text", "gamma text",
+    null.asInstanceOf[String])
+  private val bloomDelta = Seq(
+    100L -> "alpha text", // in base
+    101L -> "fresh one", // not in base, unique -> keep
+    102L -> "fresh two", // within-delta dup, min -> keep
+    103L -> "fresh two", // within-delta dup, not min -> drop
+    104L -> "beta text", // in base AND delta-dup of 105
+    105L -> "beta text", // in base (keep=false for both)
+    106L -> null.asInstanceOf[String], // null ≡ empty, in base via base null
+    107L -> "")
+
+  test("bloomClean: verdicts equal the plain exact semantics; filter sizing is invisible (saturated 64-bit bloom included)") {
+    val baseDf = docs(bloomBase.zipWithIndex.map {
+      case (t, i) => (i.toLong, t)
+    }: _*)
+    val deltaDf = docs(bloomDelta: _*)
+    val truth = exactCleanTruth(bloomBase, bloomDelta)
+    val sized = cleanRows(ExactDedupIndex.bloomClean(baseDf, deltaDf))
+    assert(sized == truth)
+    // A 64-bit filter over 4 hashes is saturated — every delta row is a
+    // false positive and takes the verify path. Same output exactly.
+    val saturated = cleanRows(ExactDedupIndex.bloomClean(baseDf, deltaDf,
+      expectedItems = 4L, numBits = 64L))
+    assert(saturated == truth)
+    // Disjoint corpora at proper sizing: all keep except delta-internal
+    // duplicate losers.
+    val disjoint = docs(200L -> "zz1", 201L -> "zz2", 202L -> "zz2")
+    assert(cleanRows(ExactDedupIndex.bloomClean(baseDf, disjoint)) ==
+      Set((200L, false, true), (201L, false, true), (202L, false, false)))
+  }
+
+  test("bloomClean: null doc_id delta rows are excluded (the exact-dedup family rule); empty delta yields the empty frame") {
+    import spark.implicits._
+    val baseDf = docs(1L -> "base text")
+    val deltaDf = Seq(
+      (Some(10L), "base text"),
+      (None: Option[Long], "base text"),
+      (None: Option[Long], "only the null-id row has this"))
+      .toDF("doc_id", "text")
+    assert(cleanRows(ExactDedupIndex.bloomClean(baseDf, deltaDf)) ==
+      Set((10L, true, false)))
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(ExactDedupIndex.bloomClean(baseDf, empty).collect().isEmpty)
+  }
+
+  test("bloomClean: randomized trials against the Scala ground truth") {
+    val rnd = new scala.util.Random(29)
+    for (trial <- 0 until 4) {
+      val vocab = Vector("t0", "t1", "t2", "t3", "t4", "t5")
+      def text() = Seq.fill(1 + rnd.nextInt(3))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val base = Seq.fill(20)(text())
+      val delta = (0L until 25L).map(i => i -> text())
+      val got = cleanRows(ExactDedupIndex.bloomClean(
+        docs(base.zipWithIndex.map { case (t, i) =>
+          (1000L + i, t)
+        }: _*), docs(delta: _*)))
+      assert(got == exactCleanTruth(base, delta), s"trial $trial")
+    }
+  }
+
+  private def xdxTmp(): String = java.nio.file.Files
+    .createTempDirectory("graft_xdx_spec").toString
+
+  test("exactDedupIndex: serve equals the one-shot bloomClean; empty-base build rejected before destroying the previous index") {
+    val baseDf = docs(bloomBase.zipWithIndex.map {
+      case (t, i) => (i.toLong, t)
+    }: _*)
+    val deltaDf = docs(bloomDelta: _*)
+    val dir = xdxTmp()
+    ExactDedupIndex.buildIndex(baseDf, dir, buckets = 8)
+    val served = cleanRows(ExactDedupIndex.indexClean(spark, dir, deltaDf))
+    assert(served == cleanRows(ExactDedupIndex.bloomClean(baseDf, deltaDf)))
+    assert(served == exactCleanTruth(bloomBase, bloomDelta))
+    // Rebuild over an empty base must fail BEFORE the reset — the good
+    // index keeps serving.
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      ExactDedupIndex.buildIndex(empty, dir, buckets = 8)
+    }
+    assert(cleanRows(ExactDedupIndex.indexClean(spark, dir, deltaDf))
+      == served)
+    // Empty delta serves the empty frame (no partitions read at all).
+    assert(ExactDedupIndex.indexClean(spark, dir, empty)
+      .collect().isEmpty)
+  }
+
+  test("exactDedupIndex: append ≡ rebuild exactly; empty delta append is a no-op; compact is serve-identical and restores the exact distinct count") {
+    val b1 = docs(1L -> "w one", 2L -> "w two", 3L -> "w shared")
+    // b2 repeats "w shared" — a cross-generation duplicate hash, so the
+    // appended n_hashes over-counts until compact restores exactness.
+    val b2 = docs(10L -> "w three", 11L -> "w shared")
+    val probe = docs(
+      100L -> "w one", // gen-0 hit
+      101L -> "w three", // appended-gen hit
+      102L -> "w shared", // hit in BOTH generations (one verdict row)
+      103L -> "w fresh", 104L -> "w fresh")
+    val appended = xdxTmp(); val rebuilt = xdxTmp()
+    ExactDedupIndex.buildIndex(b1, appended, buckets = 8)
+    ExactDedupIndex.appendToIndex(b2, appended)
+    ExactDedupIndex.buildIndex(b1.unionByName(b2), rebuilt, buckets = 8)
+    def serve(dir: String) =
+      cleanRows(ExactDedupIndex.indexClean(spark, dir, probe))
+    val a = serve(appended)
+    assert(a == serve(rebuilt))
+    assert(a == Set((100L, true, false), (101L, true, false),
+      (102L, true, false), (103L, false, true), (104L, false, false)))
+    // Empty delta: no commit, serve unchanged.
+    ExactDedupIndex.appendToIndex(
+      docs(Seq.empty[(Long, String)]: _*), appended)
+    assert(serve(appended) == a)
+    val (seqBefore, hDirsBefore, _) =
+      ExactDedupIndex.indexManifest(spark, appended)
+    assert(hDirsBefore.length == 2)
+    // n_hashes before compact: 3 + 2 = 5 (upper bound; true distinct 4).
+    def nHashes(dir: String) = {
+      val (_, _, m) = ExactDedupIndex.indexManifest(spark, dir)
+      spark.read.parquet(s"$dir/$m").head().getAs[Long]("n_hashes")
+    }
+    assert(nHashes(appended) == 5L)
+    ExactDedupIndex.compactIndex(spark, appended)
+    assert(serve(appended) == a)
+    assert(nHashes(appended) == 4L)
+    val (seqC, hDirsC, _) = ExactDedupIndex.indexManifest(spark, appended)
+    assert(seqC == seqBefore + 1 && hDirsC.length == 1, s"$hDirsC")
+    // No-op compaction on the single-generation index.
+    ExactDedupIndex.compactIndex(spark, appended)
+    assert(ExactDedupIndex.indexManifest(spark, appended)._1 == seqC)
+    assert(serve(appended) == a)
+  }
 }

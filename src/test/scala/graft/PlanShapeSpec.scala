@@ -793,6 +793,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("doc_bloom_clean: bloom prefilter is a map-side might_contain; verify joins broadcast (base never shuffle-joins)") {
+    val p = physical("doc_bloom_clean")
+    assert(p.contains("might_contain"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("doc_exact_index_clean: serve prunes the hash table to the positives' buckets (no base scan, no shuffle join)") {
+    val p = physical("doc_exact_index_clean")
+    assert(p.contains("might_contain"), p.take(3000))
+    assert("PartitionFilters: \\[hbkt".r.findFirstIn(p).isDefined,
+      p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("doc_exact_index_append_clean: the hbkt IN filter pushes through the generation union — every generation prunes") {
+    val p = physical("doc_exact_index_append_clean")
+    assert("PartitionFilters: \\[hbkt".r.findAllIn(p).size >= 2,
+      p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("lengthQuantiles: corpus folds in ONE map-side aggregation; later stages are histogram-sized") {
     import spark.implicits._
     val docs = Seq((1L, "en", "a b"), (2L, "zh", "c"))
