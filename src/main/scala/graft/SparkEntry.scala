@@ -1352,6 +1352,23 @@ object SparkEntry {
       TextAnalysis.tokenRarity(planted)
     }),
 
+    // Token-frequency SPECTRUM (the Zipf diagnostic): distinct tokens
+    // and total occurrences per frequency octave, with the engine-exact
+    // length(bin(c))-1 octave (IEEE log2 is unreliable at power-of-two
+    // boundaries). The 31-word synthetic vocabulary fills only octaves
+    // 4 and 9 at sf0.01, so ten docs are PLANTED, each carrying a fresh
+    // token repeated 2^g times (g = 0..9) — every octave 0..9 fires and
+    // both columns genuinely vary (the token-rarity planting pattern).
+    "doc_freq_spectrum" -> ((s, dir) => {
+      val plants = s.range(10).select(
+        (lit(3L * (1L << 40)) + col("id")).as("doc_id"),
+        expr("repeat(concat('fs', CAST(id AS STRING), ' '), " +
+          "CAST(pow(2, id) AS INT))").as("text"))
+      TextAnalysis.freqSpectrum(
+        t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .unionByName(plants))
+    }),
+
     // Bigram-LM quality scores (the KenLM-perplexity-filter stage,
     // CCNet/Gopher): add-one-smoothed mean next-bigram probability in
     // integer micro-units — fully integer end to end (no doubles), see
@@ -3812,6 +3829,28 @@ object SparkEntry {
                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0))) * 1e6) / 1e6
            END AS rho
          FROM ag""",
+
+    // Frequency octaves over the planted corpus; CAST-at-site sums (a
+    // bare sum(BIGINT) in a GROUP BY types HUGEINT in DuckDB).
+    "doc_freq_spectrum" ->
+      raw"""WITH psrc AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT 3298534883328 + g,
+             repeat('fs' || CAST(g AS VARCHAR) || ' ',
+               CAST(pow(2, g) AS INT))
+           FROM generate_series(0, 9) AS t(g)),
+         toks AS (
+           SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+             tk -> tk <> '')) AS token
+           FROM psrc WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         cnt AS (
+           SELECT token, CAST(count(*) AS BIGINT) AS c
+           FROM toks GROUP BY 1)
+         SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(c) AS BIGINT) AS occurrences
+         FROM cnt GROUP BY 1""",
 
     "doc_token_rarity" ->
       """WITH pd AS (

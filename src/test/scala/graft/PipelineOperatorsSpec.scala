@@ -4087,6 +4087,29 @@ class PipelineOperatorsSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  // ---- token-frequency spectrum ------------------------------------------
+
+  test("freqSpectrum: octave boundaries are exact; null/empty texts contribute nothing") {
+    import graft.operators.TextAnalysis
+    // Counts 1,2,3,4,7,8 -> octaves 0,1,1,2,2,3 (the power-of-two
+    // boundaries land in the HIGHER octave — the IEEE-log2 hazard spot).
+    val d = docs(
+      1L -> "a b b c c c d d d d",
+      2L -> "e e e e e e e f f f f f f f f",
+      3L -> "d d d e", // d: 4+3=7 -> k2 ; e: 7+1=8 -> k3
+      4L -> null.asInstanceOf[String],
+      5L -> "   ")
+    val got = TextAnalysis.freqSpectrum(d).collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("occurrences"))).toMap
+    // a=1(k0), b=2(k1), c=3(k1), d=7(k2), e=8(k3), f=8(k3)
+    assert(got == Map(0L -> (1L, 1L), 1L -> (2L, 5L), 2L -> (1L, 7L),
+      3L -> (2L, 16L)))
+    import spark.implicits._
+    assert(TextAnalysis.freqSpectrum(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).collect().isEmpty)
+  }
+
   // ---- bloom-prefiltered exact dedup (ExactDedupIndex) -------------------
 
   import graft.operators.ExactDedupIndex
