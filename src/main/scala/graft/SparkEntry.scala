@@ -1118,8 +1118,9 @@ object SparkEntry {
     // positive hashes reach the exact verify (a broadcast semi against
     // the base scan). False positives are verified away, so the result
     // is EXACTLY the plain join semantics and the oracle is bloom-free.
-    // Inputs use the planted delta (see bloomCleanDelta) — all four
-    // (in_base × keep) verdict combinations fire at sf0.01.
+    // Inputs use the planted delta (see bloomCleanDelta) — both verdict
+    // columns take both values at sf0.01 (the (true, true) cell is
+    // definitionally empty: keep requires NOT in_base).
     "doc_bloom_clean" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       ExactDedupIndex.bloomClean(docs.filter(col("doc_id") % 10 =!= 7),

@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Liter
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.GraftExpressionShim.{column, expression}
 import org.apache.spark.util.sketch.BloomFilter
+import graft.operators.Barrier.BarrierOps
 
 /** Broadcast Bloom-filter kernel over Spark's built-in sketch — the
   * missing-scale primitive for "is this key already in the 100 TB side?"
@@ -48,6 +49,25 @@ private[graft] object Bloom {
     require(expectedItems > 0,
       s"expectedItems=$expectedItems must be positive")
     require(numBits > 0, s"numBits=$numBits must be positive")
+    // Above-cap sizing must fail LOUDLY here: BloomFilterAggregate
+    // silently clamps both params to the session confs (quietly raising
+    // the FPR), while the empty-input branch below builds an UNCLAMPED
+    // filter — the same arguments would yield two incompatible filter
+    // geometries and the append path's merge ≡ rebuild guarantee would
+    // silently depend on the confs matching at build and append time.
+    val conf = rows.sparkSession.conf
+    val maxItems = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+    val maxBits = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+    require(expectedItems <= maxItems,
+      s"expectedItems=$expectedItems exceeds " +
+        s"spark.sql.optimizer.runtime.bloomFilter.maxNumItems=$maxItems " +
+        "— raise the session conf for a larger membership set")
+    require(numBits <= maxBits,
+      s"numBits=$numBits exceeds " +
+        s"spark.sql.optimizer.runtime.bloomFilter.maxNumBits=$maxBits " +
+        "— raise the session conf for a larger filter")
     val agg = column(new BloomFilterAggregate(
       expression(xxhash64(key)),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression())
@@ -162,19 +182,36 @@ object ExactDedupIndex {
     * filter sizing changes cost, never content (spec-pinned under a
     * 64-bit saturated filter where every probe is a false positive).
     */
+  /** Determinism contract (both forms): `base` is scanned twice (filter
+    * build + verify) and must re-evaluate to the same rows — true for
+    * any source scan, the Skew.withSalt rule for anything else (a bloom
+    * MISS at build time for a hash present at verify time would be a
+    * false NEGATIVE, which the verify cannot repair). The DELTA is
+    * barriered internally, so a nondeterministic delta frame cannot
+    * split the collected bucket literals from the joined rows.
+    */
   def bloomClean(base: DataFrame, delta: DataFrame,
       expectedItems: Long = DefaultExpectedItems,
       numBits: Long = DefaultNumBits): DataFrame = {
     val baseH = base.select(md5(coalesce(col("text"), lit(""))).as("text_hash"))
     val bloom = Bloom.bloomBytes(baseH, col("text_hash"),
       expectedItems, numBits)
-    val deltaH = deltaHashes(delta)
-    val cand = deltaH.filter(Bloom.mightContain(bloom, col("text_hash")))
-      .select(col("text_hash")).distinct()
-    // Exact verify of the positives: base scan, map-side broadcast semi —
-    // the distinct that follows shuffles only matched hashes (≤ |cand|).
-    val confirmed = baseH.join(broadcast(cand), Seq("text_hash"), "left_semi")
-    verdicts(deltaH, confirmed)
+    // ONE materialization feeds the bloom probe, the verify join, and
+    // the verdict window (the servePairLegs discipline) — released on
+    // failure, handed to the returned frame on success.
+    val deltaH = deltaHashes(delta).barrier()
+    try {
+      val cand = deltaH.filter(Bloom.mightContain(bloom, col("text_hash")))
+        .select(col("text_hash")).distinct()
+      // Exact verify of the positives: base scan, map-side broadcast
+      // semi — the distinct that follows shuffles only matched hashes
+      // (≤ |cand|).
+      val confirmed = baseH.join(broadcast(cand), Seq("text_hash"),
+        "left_semi")
+      verdicts(deltaH, confirmed)
+    } catch {
+      case t: Throwable => Barrier.release(deltaH); throw t
+    }
   }
 
   // ---- persisted index ---------------------------------------------------
@@ -282,7 +319,7 @@ object ExactDedupIndex {
     require(!docs.isEmpty,
       s"buildIndex at $dir: empty base corpus — nothing to index " +
         "(previous index left intact)")
-    resetDir(spark, dir)
+    GenManifest.resetDir(spark, dir)
     val hs = docs
       .select(md5(coalesce(col("text"), lit(""))).as("text_hash"))
       .distinct()
@@ -315,20 +352,30 @@ object ExactDedupIndex {
     val buckets = meta.getAs[Int]("buckets")
     val bloom = meta.getAs[Array[Byte]]("bloom")
     require(meta.getAs[Long]("n_hashes") > 0, s"index at $dir is empty")
-    val deltaH = deltaHashes(delta)
-    val cand = deltaH.filter(Bloom.mightContain(bloom, col("text_hash")))
-      .select(col("text_hash")).distinct()
-    // The positives' buckets fold to ≤ `buckets` literals — static
-    // partition pruning on every generation scan (the readCells
-    // discipline). An all-negative delta reads nothing at all.
-    val bkts = cand.select(hbktOf(col("text_hash"), buckets)
-        .cast("long").as("b"))
-      .distinct().collect().map(_.getLong(0)).toIndexedSeq
-    val scoped = readHashGenerations(spark, dir, hDirs)
-      .filter(col("hbkt").isin(bkts: _*))
-    val confirmed = scoped.join(broadcast(cand), Seq("text_hash"),
-      "left_semi")
-    verdicts(deltaH, confirmed)
+    // Barrier BEFORE collecting the bucket literals (the servePairLegs
+    // discipline): the literal `hbkt IN` list, the broadcast candidate
+    // join, and the verdict legs must all derive from the SAME
+    // materialized delta rows — with a nondeterministic delta frame a
+    // re-evaluation could probe a hash whose bucket the collected list
+    // omits, silently reporting an ingested doc as keep=true.
+    val deltaH = deltaHashes(delta).barrier()
+    try {
+      val cand = deltaH.filter(Bloom.mightContain(bloom, col("text_hash")))
+        .select(col("text_hash")).distinct()
+      // The positives' buckets fold to ≤ `buckets` literals — static
+      // partition pruning on every generation scan (the readCells
+      // discipline). An all-negative delta reads nothing at all.
+      val bkts = cand.select(hbktOf(col("text_hash"), buckets)
+          .cast("long").as("b"))
+        .distinct().collect().map(_.getLong(0)).toIndexedSeq
+      val scoped = readHashGenerations(spark, dir, hDirs)
+        .filter(col("hbkt").isin(bkts: _*))
+      val confirmed = scoped.join(broadcast(cand), Seq("text_hash"),
+        "left_semi")
+      verdicts(deltaH, confirmed)
+    } catch {
+      case t: Throwable => Barrier.release(deltaH); throw t
+    }
   }
 
   /** Append an ingested batch's hashes as a new generation: per-
@@ -414,9 +461,4 @@ object ExactDedupIndex {
     sweepGenerations(spark, dir, seq + 1)
   }
 
-  private def resetDir(spark: SparkSession, dir: String): Unit = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) fs.delete(path, true)
-  }
 }

@@ -35,6 +35,18 @@ private[graft] object GenManifest {
     (root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
   }
 
+  /** Recursively delete an index root before a full rebuild — ONE
+    * implementation for every index family (lex, ANN, exact-dedup), so
+    * a future reset-protocol change (trash-instead-of-delete, extra
+    * validation) lands exactly once — the same single-definition rule
+    * this object exists for. Callers own validate-BEFORE-destroy: every
+    * build must run its input guards before calling this.
+    */
+  def resetDir(spark: SparkSession, dir: String): Unit = {
+    val (fs, root) = fsRoot(spark, dir)
+    if (fs.exists(root)) fs.delete(root, true)
+  }
+
   /** Highest committed generation, None when no manifest file exists
     * (callers adopt pre-manifest indexes as generation 0). */
   def latestSeq(fs: FileSystem, root: Path): Option[Long] = {

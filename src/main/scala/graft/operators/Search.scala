@@ -177,7 +177,7 @@ object Search {
         TextAnalysis.tokenCountWs(col("text")) > 0).isEmpty,
       s"buildLexIndex at $dir: corpus has no tokenized documents — " +
         "nothing to index (previous index left intact)")
-    resetDir(spark, dir)
+    GenManifest.resetDir(spark, dir)
     Barrier.withCached(postings(docs)) { p =>
       // Stats computed FIRST so an empty corpus fails before anything is
       // written: a token-less build would otherwise commit a parquet-less
@@ -463,9 +463,4 @@ object Search {
       .toSeq.sortBy(_._2).take(n).map(_._1)
   }
 
-  private def resetDir(spark: SparkSession, dir: String): Unit = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) fs.delete(path, true)
-  }
 }

@@ -405,7 +405,7 @@ object Similarity {
         "IVF index (build probe)", noun = "corpus vectors").as("ev"))
         .limit(1).collect().nonEmpty,
       s"buildIvfIndex at $dir: corpus is empty — previous index left intact")
-    resetIndexDir(v.sparkSession, dir)
+    GenManifest.resetDir(v.sparkSession, dir)
     centsDf(v.sparkSession, book).write.mode("overwrite")
       .parquet(s"$dir/centroids")
     // Cell assignment is a map-side literal argmin on the write scan
@@ -434,11 +434,6 @@ object Similarity {
     * manifest). Rebuild-in-place is not reader-concurrent — production
     * rebuilds write a sibling dir and swap the pointer.
     */
-  private def resetIndexDir(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = {
-    val (fs, root) = GenManifest.fsRoot(spark, dir)
-    fs.delete(root, true)
-  }
 
   /** The live (seq, data-dir names) of a persisted index. A freshly-built
     * index has no manifest file — it adopts as (0, ["cells"]), so indexes
@@ -685,7 +680,7 @@ object Similarity {
         .limit(1).collect().nonEmpty,
       s"buildIvfPqIndex at $dir: corpus is empty — previous index left intact")
     val codes = books.head.length
-    resetIndexDir(spark, dir)
+    GenManifest.resetDir(spark, dir)
     centsDf(spark, coarse).write.mode("overwrite").parquet(s"$dir/centroids")
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(

@@ -815,6 +815,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("doc_freq_spectrum: word-count exchange with map-side partials; tokenization never re-runs in a filter") {
+    val p = physical("doc_freq_spectrum")
+    // The InferFiltersFromGenerate hazard (round-9 lesson): a pushed
+    // Filter containing split( means the whole tokenization re-runs per
+    // row under the explode.
+    assert(!"Filter[^\\n]*split\\(".r.findFirstIn(p).isDefined, p.take(3000))
+    assert(p.contains("partial_count"), p.take(3000))
+    // Exchanges: the token fold and the ≤64-row octave fold — nothing
+    // else touches the corpus.
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      p.take(3000))
+  }
+
   test("lengthQuantiles: corpus folds in ONE map-side aggregation; later stages are histogram-sized") {
     import spark.implicits._
     val docs = Seq((1L, "en", "a b"), (2L, "zh", "c"))
