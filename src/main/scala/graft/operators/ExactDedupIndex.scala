@@ -428,6 +428,45 @@ object ExactDedupIndex {
     }
   }
 
+  /** Streaming ingest-time EXACT-dup alerts against the frozen index —
+    * the exact-tier sibling of [[DedupIndex.streamingIndexDups]]: one
+    * alert row (doc_id, text_hash) per id-bearing stream doc whose text
+    * is already ingested. Fully STATELESS — the verdict is per row (no
+    * pairs, no watermark, no state store): the broadcast bloom literal
+    * kills provably-fresh rows MAP-SIDE (the common case at ingest),
+    * and only the rare positives probe the at-rest hash table via a
+    * stream-static LEFT SEMI join (no distinct on the static side —
+    * semi-join semantics absorb cross-generation repeats for free).
+    * Stream ≡ batch by construction: alerts are exactly the
+    * [[indexClean]] rows with in_base = true (spec-pinned). Exactly-
+    * once per delivery is structural (at most one alert per input row);
+    * an at-least-once source re-delivers whole rows, which a sink
+    * dedupes by doc_id. The index is FROZEN for the stream's lifetime
+    * (the single-writer contract); the static side re-scans per
+    * micro-batch as every stream-static join does, but only
+    * bloom-positive rows ever probe it.
+    */
+  def streamingExactDups(spark: SparkSession, dir: String,
+      stream: DataFrame): DataFrame = {
+    val (_, hDirs, metaDir) = indexManifest(spark, dir)
+    val meta = spark.read.parquet(s"$dir/$metaDir").head()
+    require(meta.getAs[Long]("n_hashes") > 0, s"index at $dir is empty")
+    val bloom = meta.getAs[Array[Byte]]("bloom")
+    val hashes = readHashGenerations(spark, dir, hDirs)
+      .select(col("text_hash"))
+    stream
+      // Null-id guard, mirroring the other streaming twins: a null-id
+      // ingest row colliding with the base would alert with NULL doc_id,
+      // and a sink deduping by doc_id would collapse every such row
+      // onto one key.
+      .where(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        md5(coalesce(col("text"), lit(""))).as("text_hash"))
+      .filter(Bloom.mightContain(bloom, col("text_hash")))
+      .join(hashes, Seq("text_hash"), "left_semi")
+      .select(col("doc_id"), col("text_hash"))
+  }
+
   /** Fold every live hash generation back into ONE bucketed dir —
     * DISTINCT across generations, so the folded table drops cross-
     * generation repeats and `n_hashes` returns to the exact distinct

@@ -4224,6 +4224,33 @@ class PipelineOperatorsSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("streamingExactDups: alert stream equals the batch serve's in_base leg exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val baseDf = docs(bloomBase.zipWithIndex.map {
+      case (t, i) => (i.toLong, t)
+    }: _*)
+    val dir = xdxTmp()
+    ExactDedupIndex.buildIndex(baseDf, dir, buckets = 8)
+    val deltaDf = docs(bloomDelta: _*)
+    val expected = ExactDedupIndex.indexClean(spark, dir, deltaDf)
+      .where(col("in_base")).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty, "fixture must produce in-base alerts")
+    val ms = MemoryStream[(Long, String)](spark)
+    ms.addData(bloomDelta)
+    val out = ExactDedupIndex.streamingExactDups(spark, dir,
+      ms.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("xdx_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+    val got = spark.table("xdx_stream").collect()
+      .map(_.getAs[Long]("doc_id"))
+    assert(got.toSet == expected)
+    // One alert per input row, structurally (round-8 set-compare rule).
+    assert(got.distinct.length == got.length, got.mkString(","))
+  }
+
   test("exactDedupIndex: append ≡ rebuild exactly; empty delta append is a no-op; compact is serve-identical and restores the exact distinct count") {
     val b1 = docs(1L -> "w one", 2L -> "w two", 3L -> "w shared")
     // b2 repeats "w shared" — a cross-generation duplicate hash, so the
