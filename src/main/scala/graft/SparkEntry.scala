@@ -1306,6 +1306,19 @@ object SparkEntry {
         docs.filter(coin >= "10"), docs.filter(coin < "10"), n = 8)
     }),
 
+    // The eval-side PIVOT of the same split: per benchmark doc, how
+    // many training docs it leaked into and how many of its own grams
+    // are compromised — the report a benchmark owner reads where
+    // doc_decontam is the trainer's drop list. Same md5 coin, so the
+    // two reports describe one decontamination run.
+    "doc_leak_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val coin = substring(
+        md5(concat(lit("eval:"), col("doc_id").cast("string"))), 1, 2)
+      Curation.leakReport(
+        docs.filter(coin >= "10"), docs.filter(coin < "10"), n = 8)
+    }),
+
     // Overlap-FRACTION decontamination (the graded PaLM-style rule):
     // contaminated only when >= 8% of a doc's distinct 8-grams occur in
     // the eval set. The snippet plant (every eval doc + every 17th-mod-5
@@ -3635,6 +3648,46 @@ object SparkEntry {
            COALESCE(h.gram_hits, 0) > 0 AS contaminated
          FROM (SELECT doc_id FROM coin WHERE c >= '10') d
          LEFT JOIN hits h USING (doc_id)""",
+
+    // The eval-side pivot over the SAME coin split and gram chain:
+    // count(DISTINCT ...) skips null train ids in both engines, and
+    // total_grams comes from len(ss), never the exploded table (an
+    // empty list unnests to NOTHING in SQL — the 0-gram eval doc would
+    // vanish where Spark's size() keeps it).
+    "doc_leak_report" ->
+      """WITH coin AS (
+           SELECT doc_id, text,
+             substr(md5('eval:' || CAST(doc_id AS VARCHAR)), 1, 2) AS c
+           FROM documents),
+         toks AS (
+           SELECT doc_id, c,
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
+           FROM coin),
+         sh AS (
+           SELECT doc_id, c, list_distinct(
+             CASE WHEN len(t) >= 8
+                  THEN list_transform(generate_series(1, len(t) - 7),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                            t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                            t[i+6] || ' ' || t[i+7])
+                  WHEN len(t) = 0 THEN []::VARCHAR[]
+                  ELSE [array_to_string(t, ' ')] END) AS ss
+           FROM toks),
+         ev AS (SELECT doc_id AS eval_id, ss FROM sh WHERE c < '10'),
+         eg AS (SELECT eval_id, unnest(ss) AS g FROM ev),
+         tg AS (SELECT doc_id AS train_id, unnest(ss) AS g
+                FROM sh WHERE c >= '10'),
+         lk AS (
+           SELECT eg.eval_id,
+             CAST(count(DISTINCT tg.train_id) AS BIGINT) AS n_train_docs,
+             CAST(count(DISTINCT eg.g) AS BIGINT) AS leaked_grams
+           FROM tg JOIN eg ON tg.g = eg.g GROUP BY 1)
+         SELECT e.eval_id,
+           COALESCE(lk.n_train_docs, 0) AS n_train_docs,
+           COALESCE(lk.leaked_grams, 0) AS leaked_grams,
+           CAST(len(e.ss) AS BIGINT) AS total_grams
+         FROM ev e LEFT JOIN lk ON e.eval_id = lk.eval_id""",
 
     "doc_decontam_frac" ->
       s"""WITH pd AS (

@@ -957,6 +957,54 @@ object Curation {
       (frac >= lit(fracThreshold)).as("contaminated"))
   }
 
+  /** Benchmark-side leak ATTRIBUTION — the eval pivot of
+    * [[decontaminate]]: per evaluation document, how many TRAINING
+    * documents share at least one word-`n`-gram with it
+    * (`n_train_docs`), how many of its own distinct grams appear
+    * anywhere in the training corpus (`leaked_grams`), and its distinct
+    * gram total. The question a benchmark owner asks ("which of MY
+    * items are compromised, and how badly") where `decontaminate`
+    * answers the trainer's ("which of my docs must go").
+    *
+    * Scale shape: the eval gram table broadcasts (eval corpora are
+    * small by definition); the training corpus tokenizes once map-side
+    * and only MATCHED (train_id, eval_id, gram) rows — the contamination
+    * volume, not the corpus — reach the per-eval aggregation. The two
+    * distinct-counts ride one aggregation (Expand ×2 on the matched
+    * sliver). Grams join as STRINGS, exactly like the oracle — no hash
+    * collision tolerance anywhere.
+    *
+    * Null-id eval docs are excluded (verdicts are per identity — the
+    * family rule); a null-id TRAIN doc still leaks grams
+    * (`leaked_grams` counts gram matches) but cannot be counted as a
+    * document (count(DISTINCT train_id) skips nulls in both engines).
+    */
+  def leakReport(train: DataFrame, evalDocs: DataFrame,
+      n: Int = DecontamGramSize): DataFrame = {
+    val evSets = Dedup.shingleSets(
+      evalDocs.where(col("doc_id").isNotNull), n)
+    // Totals straight off the set size — NOT via the exploded table: an
+    // empty sset explodes to nothing in SQL (the doc would vanish from
+    // the report) while size() keeps the 0-gram row on both engines.
+    val evalTotals = evSets.select(col("doc_id").as("eval_id"),
+      size(col("sset")).cast("long").as("total_grams"))
+    val evGrams = evSets
+      .select(col("doc_id").as("eval_id"), explode_outer(col("sset")).as("g"))
+      .where(col("g").isNotNull)
+    val tg = Dedup.shingleSets(train, n)
+      .select(col("doc_id").as("train_id"), explode_outer(col("sset")).as("g"))
+      .where(col("g").isNotNull)
+    val leaks = tg.join(broadcast(evGrams), Seq("g"))
+      .groupBy(col("eval_id"))
+      .agg(countDistinct(col("train_id")).as("n_train_docs"),
+        countDistinct(col("g")).as("leaked_grams"))
+    evalTotals.join(leaks, Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        coalesce(col("leaked_grams"), lit(0L)).as("leaked_grams"),
+        col("total_grams"))
+  }
+
   /** PII redaction: scrub emails, NANP-style phone numbers, and IPv4
     * addresses with typed placeholder tokens, counting each category per
     * document — the standard pre-release curation stage. Patterns stick to

@@ -4087,6 +4087,34 @@ class PipelineOperatorsSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  // ---- benchmark leak attribution ----------------------------------------
+
+  test("leakReport: per-eval attribution; null-id train docs leak grams but count as zero docs; empty eval docs report zeros") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val train = Seq(
+      (Some(1L), "a b c"), (Some(2L), "a b d"),
+      (None: Option[Long], "e f g"), // null-id: leaks grams, not a doc
+      (Some(3L), null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (Some(10L), "a b"), // shared with train 1 and 2
+      (Some(11L), "e f"), // shared ONLY with the null-id train row
+      (Some(12L), ""), // no grams at all
+      (Some(13L), "zz yy"), // fresh — zero leaks
+      (None: Option[Long], "a b")) // null-id eval: excluded
+      .toDF("doc_id", "text")
+    val got = Curation.leakReport(train, eval, n = 2).collect()
+      .map(r => r.getAs[Long]("eval_id") ->
+        (r.getAs[Long]("n_train_docs"), r.getAs[Long]("leaked_grams"),
+          r.getAs[Long]("total_grams"))).toMap
+    assert(got == Map(
+      10L -> (2L, 1L, 1L),
+      11L -> (0L, 1L, 1L),
+      12L -> (0L, 0L, 0L),
+      13L -> (0L, 0L, 1L)))
+  }
+
   // ---- token-frequency spectrum ------------------------------------------
 
   test("freqSpectrum: octave boundaries are exact; null/empty texts contribute nothing") {
