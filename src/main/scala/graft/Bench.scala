@@ -41,6 +41,20 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Scale-ref env validated UP FRONT, with the other env reads: this
+    // is a pure environment check, and failing only after the primary
+    // timed suite (where the scaling pass runs) would discard the whole
+    // run — no contract line, no detail file, parsed:null at the driver.
+    // A typo'd ref dir must FAIL rather than silently drop the scaling
+    // section: an absent "scaling" key is indistinguishable from the
+    // intentional =none opt-out, and the round's scale-trend evidence
+    // would vanish the way round 7's events queries did (absent, not
+    // err).
+    val refDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_REF",
+      "/root/testdata/sf0.01")
+    require(refDir == "none" || new java.io.File(refDir).isDirectory,
+      s"SPARK_GRAFT_SCALE_REF=$refDir is not a directory (use 'none' to " +
+        "skip the scaling pass)")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -192,24 +206,15 @@ object Bench {
     // the per-query time ratio primary/reference. With a 10× data ratio
     // (sf0.1 vs sf0.01), a factor ≲ 10 is at-worst-linear scaling; the
     // factors are what "survives 100×" claims extrapolate from. Opt out
-    // with SPARK_GRAFT_SCALE_REF=none.
-    val refDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_REF",
-      "/root/testdata/sf0.01")
+    // with SPARK_GRAFT_SCALE_REF=none (refDir validated at main entry,
+    // BEFORE the primary suite spends its minutes).
     // CANONICAL path equality, not string equality: a trailing slash or
     // symlink spelling of the same dir would otherwise run a meaningless
     // self-referential scaling pass (double wall time, factor_median
-    // ~1.00 masquerading as perfect-scaling evidence).
+    // ~1.00 masquerading as perfect-scaling evidence). The
+    // self-referential case skips with a loud line.
     def canon(d: String): String =
       try new java.io.File(d).getCanonicalPath catch { case NonFatal(_) => d }
-    // A typo'd ref dir must FAIL, not silently drop the scaling section:
-    // an absent "scaling" key is indistinguishable from the intentional
-    // =none opt-out, and the round's scale-trend evidence would vanish
-    // the way round 7's events queries did (absent, not err). Only the
-    // explicit "none" and the self-referential-dir case (already a
-    // meaningless pass) skip quietly — the latter with a loud line.
-    require(refDir == "none" || new java.io.File(refDir).isDirectory,
-      s"SPARK_GRAFT_SCALE_REF=$refDir is not a directory (use 'none' to " +
-        "skip the scaling pass)")
     if (refDir != "none" && canon(refDir) == canon(sfDir))
       System.err.println(s"[bench] scaling skipped: ref dir $refDir is " +
         "the primary SF dir")

@@ -63,22 +63,34 @@ object OracleLint {
         s"$name: round() over a division (use Quant.q6/r6) at offset $p: …${ctx(p)}…")
     }
 
-  /** Per-character mask: inside a single-quoted SQL string literal.
-    * DuckDB escapes a quote by doubling it, which this flip-flop scan
-    * handles naturally: the closing quote of '' flips back in
-    * immediately. Quote characters themselves are masked too (a paren
-    * inside a regex literal must not desync any balance scan).
+  /** Per-character mask: inside a single-quoted SQL string literal OR a
+    * `--` line comment. DuckDB escapes a quote by doubling it, which
+    * the string branch handles naturally (the closing quote of ''
+    * immediately re-opens). Quote characters themselves are masked too
+    * (a paren inside a regex literal must not desync any balance scan).
+    *
+    * Comments MUST be masked alongside strings: a lone apostrophe in an
+    * English comment ("piiScrub's") would otherwise invert the string
+    * mask for the rest of the statement — blinding every rule after it
+    * and desyncing the paren walks (found live in the registry; the
+    * scanners all consume this one mask, so the fix lives here once).
+    * A `--` inside a string literal is string content, and an
+    * apostrophe inside a comment never opens a string.
     */
   private def stringMask(s: String): Array[Boolean] = {
-    val inStr = new Array[Boolean](s.length)
-    var quoted = false
+    val masked = new Array[Boolean](s.length)
     var i = 0
     while (i < s.length) {
-      if (s(i) == '\'') quoted = !quoted
-      inStr(i) = quoted || s(i) == '\''
-      i += 1
+      if (s(i) == '\'') {
+        masked(i) = true
+        i += 1
+        while (i < s.length && s(i) != '\'') { masked(i) = true; i += 1 }
+        if (i < s.length) { masked(i) = true; i += 1 }
+      } else if (s(i) == '-' && i + 1 < s.length && s(i + 1) == '-') {
+        while (i < s.length && s(i) != '\n') { masked(i) = true; i += 1 }
+      } else i += 1
     }
-    inStr
+    masked
   }
 
   private def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
@@ -140,7 +152,13 @@ object OracleLint {
         val b = i
         while (i < n && isWordChar(s(i))) i += 1
         val word = s.substring(b, i).toLowerCase
-        val postfix = i + 1 < n && s(i) == ':' && s(i + 1) == ':'
+        // Whitespace allowed before the postfix cast, exactly like
+        // scanSums' check — the two scans must accept the same forms
+        // (`s ::BIGINT` once passed the sum rule but false-positived
+        // here).
+        var w = i
+        while (w < n && s(w).isWhitespace) w += 1
+        val postfix = w + 1 < n && s(w) == ':' && s(w + 1) == ':'
         if (b >= lo && b < hi && hazards(word) && !postfix &&
             !openers.contains("cast") && !openers.contains("round"))
           out += b
@@ -279,6 +297,31 @@ object OracleLint {
           }
           var m = k
           while (m < n && s(m).isWhitespace) m += 1
+          // Optional aggregate FILTER clause between the call and OVER:
+          // `sum(x) FILTER (WHERE ...) OVER (...)` is still a windowed
+          // sum (and DuckDB still types it HUGEINT) — skip the balanced
+          // FILTER group so the OVER/alias/postfix checks see past it.
+          if (ok && s.regionMatches(true, m, "filter", 0, 6) &&
+              (m + 6 >= n || !isWordChar(s(m + 6)))) {
+            var f = m + 6
+            while (f < n && s(f).isWhitespace) f += 1
+            if (f < n && s(f) == '(') {
+              var fd = 0
+              var k2 = f
+              var fok = false
+              while (k2 < n && !fok) {
+                if (!inStr(k2)) {
+                  if (s(k2) == '(') fd += 1
+                  else if (s(k2) == ')') { fd -= 1; if (fd == 0) fok = true }
+                }
+                k2 += 1
+              }
+              if (fok) {
+                m = k2
+                while (m < n && s(m).isWhitespace) m += 1
+              }
+            }
+          }
           val windowed = ok && s.regionMatches(true, m, "over", 0, 4) &&
             (m + 4 >= n || !isWordChar(s(m + 4)))
           val postfix = ok && m + 1 < n && s(m) == ':' && s(m + 1) == ':'

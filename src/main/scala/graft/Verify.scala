@@ -66,6 +66,8 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: Verify <sfDir> <outDir> [query...]")
     val sfDir = args(0); val outDir = args(1)
     // Oracle type-discipline gate (the round-10 HUGEINT lesson): an
     // uncast windowed sum must never reach the driver's type-sensitive

@@ -134,6 +134,44 @@ class OracleLintSpec extends AnyFunSuite {
     assert(OracleLint.roundOnRational(ok3).isEmpty)
   }
 
+  test("an apostrophe in a -- comment cannot blind the scan (comments are masked like strings)") {
+    // Live failure shape: a lone apostrophe in an English SQL comment
+    // used to invert the string mask for the REST of the statement —
+    // every rule after the comment went blind and the paren walks
+    // desynced. The violation after the comment must still be caught.
+    val bad = "SELECT v FROM (\n" +
+      "  -- mirrors piiScrub's null handling.\n" +
+      "  SELECT cnt * 100 // sum(cnt) OVER (PARTITION BY k) AS v FROM t)"
+    assert(OracleLint.uncastWindowedSums(bad).nonEmpty)
+    // And a '--' INSIDE a string literal is string content, not a
+    // comment opener: the violation on the same line must still flag.
+    val bad2 = "SELECT regexp_replace(x, '--', '') AS r, " +
+      "sum(c) OVER (PARTITION BY k) AS w FROM t"
+    assert(OracleLint.uncastWindowedSums(bad2).nonEmpty)
+    // A fully-commented-out violation is no violation.
+    val ok = "SELECT CAST(sum(c) OVER () AS BIGINT) AS w\n" +
+      "-- sum(c) OVER (PARTITION BY k)\n FROM t"
+    assert(OracleLint.uncastWindowedSums(ok).isEmpty)
+  }
+
+  test("a FILTER clause between the sum call and OVER is still a windowed sum") {
+    val bad = "SELECT sum(v) FILTER (WHERE v > 0) OVER (PARTITION BY k) " +
+      "AS w FROM t"
+    assert(OracleLint.uncastWindowedSums(bad).nonEmpty)
+    val ok = "SELECT CAST(sum(v) FILTER (WHERE v > 0) " +
+      "OVER (PARTITION BY k) AS BIGINT) AS w FROM t"
+    assert(OracleLint.uncastWindowedSums(ok).isEmpty)
+  }
+
+  test("whitespace before a postfix :: cast is accepted by BOTH the sum rule and the alias-passthrough rule") {
+    val sql = "WITH a AS (SELECT sum(c) AS s FROM t) " +
+      "SELECT s ::BIGINT AS total FROM a"
+    // The sum rule already accepted `sum(c) ::BIGINT`-style whitespace;
+    // the alias rule must accept the same form (they once diverged and
+    // this shape false-positived).
+    assert(OracleLint.uncastSumAliasPassthrough(sql).isEmpty)
+  }
+
   test("every index-backed query names a registered query") {
     // Bench's untimed prepare pass iterates this set; a renamed query
     // that silently fell out would put its index build back inside timed
