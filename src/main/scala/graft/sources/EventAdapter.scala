@@ -84,6 +84,12 @@ object EventAdapter {
         // nanos vintage (timestamp_micros is tz-independent) and the
         // oracle — fail loudly instead; only THIS branch reinterprets
         // wall-clock values.
+        // Check-then-act is atomic here, measured on 4.1.2: the cast's
+        // zoneId resolves at ANALYSIS time (DataFrame construction —
+        // exactly when this require runs), so flipping the session zone
+        // after readEvents() does NOT shift an already-built frame's
+        // values; only a frame REBUILT under the new zone would, and
+        // that rebuild re-enters this require.
         require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
           "reading a TIMESTAMP_NTZ events vintage requires " +
             "spark.sql.session.timeZone=UTC (the NTZ->LTZ cast " +

@@ -67,6 +67,52 @@ object SseSource {
   }
 }
 
+/** Byte/line primitives shared by the offset counter and the partition
+  * reader — ONE definition, so the two sides can never disagree on seek
+  * or line-splitting semantics (their agreement is what makes a byte
+  * position a valid line boundary).
+  */
+private[sse] object SseIo {
+
+  /** Skip exactly `bytes` from the stream head, failing LOUDLY on a
+    * short skip: the old treat-`<=0`-as-done loop silently continued
+    * reading from the wrong position — every subsequent line count and
+    * byte boundary would be corrupt with no error anywhere.
+    */
+  def skipFully(in: java.io.FileInputStream, bytes: Long,
+      path: String): Unit = {
+    var toSkip = bytes
+    while (toSkip > 0) {
+      val skipped = in.skip(toSkip)
+      if (skipped <= 0)
+        throw new IllegalStateException(
+          s"seek in $path failed: skip returned $skipped with $toSkip " +
+            s"of $bytes bytes left — truncated or rotated log")
+      toSkip -= skipped
+    }
+  }
+
+  /** Read one '\n'-terminated line ('\n' consumed, not returned), with
+    * one trailing '\r' stripped so CRLF captures read like readLine()'s.
+    * Returns the final un-terminated chunk as a line at EOF and null at
+    * EOF-with-no-content. Unlike BufferedReader.readLine this NEVER
+    * splits on a bare '\r' — the offset counter counts '\n' bytes only,
+    * and the two sides must split identically.
+    */
+  def readLineLf(r: java.io.BufferedReader): String = {
+    var c = r.read()
+    if (c < 0) return null
+    val sb = new java.lang.StringBuilder()
+    while (c >= 0 && c != '\n') {
+      sb.append(c.toChar)
+      c = r.read()
+    }
+    if (sb.length > 0 && sb.charAt(sb.length - 1) == '\r')
+      sb.setLength(sb.length - 1)
+    sb.toString
+  }
+}
+
 /** Incremental newline counter over an append-only log: each call scans
   * ONLY the bytes appended since the last call (byte-position tracking), so
   * `latestOffset` is O(new data) per trigger instead of O(file) — the
@@ -80,13 +126,23 @@ object SseSource {
   * and then permanently skip the completed one at the next trigger. The
   * paired [[SseClient]] always appends whole '\n'-terminated lines, so a
   * complete capture loses nothing; the final un-terminated chunk of a
-  * foreign capture is simply picked up once its newline lands. A shrunken
-  * file (rotation/truncation) resets the counter and rescans from the
-  * start.
+  * foreign capture is simply picked up once its newline lands.
+  *
+  * Rotation/truncation is NOT supported and fails LOUDLY: a shrunken
+  * file rescans from the start, but Spark's committed offsets cannot
+  * rewind — silently returning a smaller count would stall the stream
+  * on empty batches and then, once the replacement file regrew past the
+  * old count, permanently skip its first `committed` lines as
+  * already-consumed. A rescan that lands below any count this counter
+  * has already RETURNED therefore throws (the residual blind spot — a
+  * same-size-or-larger replacement between two triggers — is
+  * undetectable from length alone and stays the operator's contract:
+  * the capture log is append-only).
   */
 private[sse] final class LogTailCounter(path: String) {
   private var scannedBytes = 0L
   private var newlines = 0L
+  private var maxReturned = 0L
   // Byte position just after the most recent '\n' — the file position
   // where line number `newlines` begins.
   private var lastLineEnd = 0L
@@ -104,11 +160,7 @@ private[sse] final class LogTailCounter(path: String) {
     if (len > scannedBytes) {
       val in = new java.io.FileInputStream(f)
       try {
-        var toSkip = scannedBytes
-        while (toSkip > 0) {
-          val skipped = in.skip(toSkip)
-          if (skipped <= 0) toSkip = 0 else toSkip -= skipped
-        }
+        SseIo.skipFully(in, scannedBytes, path)
         val buf = new Array[Byte](1 << 16)
         var remaining = len - scannedBytes
         while (remaining > 0) {
@@ -129,6 +181,12 @@ private[sse] final class LogTailCounter(path: String) {
         }
       } finally in.close()
     }
+    if (newlines < maxReturned)
+      throw new IllegalStateException(
+        s"capture log $path shrank below an already-returned offset " +
+          s"($newlines lines after rescan, $maxReturned returned) — " +
+          "rotation/truncation is not supported on a live stream")
+    maxReturned = newlines
     posByCount.update(newlines, lastLineEnd)
     newlines
   }
@@ -266,17 +324,18 @@ class SseReaderFactory extends PartitionReaderFactory {
       private val in = new java.io.FileInputStream(range.path)
       private val seek = range.startByte > 0
       locally {
-        var toSkip = if (seek) range.startByte else 0L
-        while (toSkip > 0) {
-          val skipped = in.skip(toSkip)
-          if (skipped <= 0) toSkip = 0 else toSkip -= skipped
-        }
+        if (seek) SseIo.skipFully(in, range.startByte, range.path)
       }
       private val reader = new java.io.BufferedReader(
         new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
       // Long line counter — an Int index would overflow on multi-billion-
       // message logs, which the offsets deliberately allow.
-      private val it = Iterator.continually(reader.readLine())
+      // '\n'-ONLY line splitting (SseIo.readLineLf, never readLine):
+      // BufferedReader.readLine also terminates on a bare '\r', but the
+      // offset counter counts '\n' bytes — one lone CR inside a foreign
+      // capture line would desync every (offset, value) pairing after it
+      // and permanently drop the line at the next batch boundary.
+      private val it = Iterator.continually(SseIo.readLineLf(reader))
         .takeWhile(_ != null)
         .zip(Iterator.iterate(if (seek) range.start else 0L)(_ + 1L))
         .dropWhile(_._2 < range.start)
