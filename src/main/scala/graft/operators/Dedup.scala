@@ -337,13 +337,10 @@ object Dedup {
     */
   private[graft] def minhashNearDupsFromSets(sets: DataFrame,
       threshold: Double = 0.5, maxBucketDf: Int = 0): DataFrame = {
-    // explode_outer for the same reason as explodedShingles (the outer
-    // variant keeps InferFiltersFromGenerate from inlining the shingle
-    // pipeline into an inferred filter if a caller ever passes an
-    // unpersisted sets table); token-less docs carry an empty sset whose
-    // null row the post-explode attribute filter drops.
-    val ex = sets.select(col("doc_id"), explode_outer(col("sset")).as("shingle"))
-      .where(col("shingle").isNotNull)
+    // The InferFiltersFromGenerate-safe explode lives ONCE in
+    // explodedFromSets — this used to be a verbatim inline copy, the
+    // exact drift class the helper exists to prevent.
+    val ex = explodedFromSets(sets)
     // With a cap, the bucket table feeds BOTH capHotKeys' hot-key
     // aggregation and the anti-join probe side — unbarriered, the whole
     // shingle-explode + 2-md5 + k-min signature pipeline would run
@@ -955,7 +952,12 @@ object Dedup {
     // candidates than true pairs (5.5M vs 83k at sf0.1) — distinct-ing
     // first would exchange all of them; bit_count is a codegen'd
     // single-instruction check, so verify-then-dedup is strictly cheaper.
-    val capped = capHotKeys(blocked, Seq("blk", "key"), maxBlockDf)
+    // With a cap, the capped table feeds BOTH self-join sides — the
+    // hot-key aggregation and its anti-join would run twice unbarriered
+    // (the minhashNearDupsFromSets discipline). The barrier's ownership
+    // passes to the returned frame, like the signature barrier above.
+    val capped0 = capHotKeys(blocked, Seq("blk", "key"), maxBlockDf)
+    val capped = if (maxBlockDf > 0) capped0.barrier() else capped0
     capped.as("l").join(capped.as("r"),
         col("l.blk") === col("r.blk") && col("l.key") === col("r.key") &&
           col("l.doc_id") < col("r.doc_id"))

@@ -164,7 +164,8 @@ object TextAnalysis {
     docs.select(
       col("doc_id"),
       tokenCountWs(col("text")).as("ws_tokens"),
-      coalesce(tokenCountBpe(col("text")), lit(0)).as("bpe_tokens"),
+      // tokenCountBpe coalesces internally (null ≡ empty) — no outer wrap.
+      tokenCountBpe(col("text")).as("bpe_tokens"),
       coalesce(length(col("text")), lit(0)).as("chars"))
 
   /** Exact per-language token-count quantiles (percentile_disc
@@ -243,6 +244,13 @@ object TextAnalysis {
     */
   def winnowingFingerprints(docs: DataFrame, k: Int = 3,
       w: Int = 4): DataFrame = {
+    // Loud parameter guards (the fuzzyPairs rule): w = 0 silently emits
+    // ZERO fingerprints for every document (empty slice, null min,
+    // filtered) — a near-dup query would return no pairs with no error;
+    // k = 0 collapses every gram to md5("") and every doc into one
+    // quadratic clique.
+    require(k >= 1, s"gram width k=$k must be >= 1")
+    require(w >= 1, s"window w=$w must be >= 1")
     val toks = docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
     val grams = toks.select(col("doc_id"),
       when(size(col("toks")) >= k, ngramArray(col("toks"), k))
@@ -828,6 +836,12 @@ object TextAnalysis {
     val c2 = rows.map(r =>
       (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val c1 = c2.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    // Fail at TRAIN time on a bigram-free corpus (v = 0): scoring any
+    // incoming doc against such a model would divide by zero mid-stream,
+    // where the relational batch path computes its own v and never does.
+    require(c1.nonEmpty,
+      "bigram-free training corpus (no doc has >= 2 tokens) — nothing " +
+        "to model")
     BigramLmModel(c2, c1, c1.size.toLong)
   }
 
@@ -848,7 +862,12 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val (c2, c1, v) = (model.c2, model.c1, model.v)
-    docs.select(col("doc_id").cast("long"), col("text"))
+    docs
+      // Null-id guard BEFORE the typed stage (the streamingDsirScores
+      // rule): the non-nullable tuple encoder would otherwise kill the
+      // stream on the first null-id row, where the batch twin emits it.
+      .where(col("doc_id").isNotNull)
+      .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
         val tk = graft.streaming.StreamingNearDup
@@ -896,7 +915,11 @@ object TextAnalysis {
     * [[Curation.streamingChunkDedup]]) — a chunking change must not be
     * able to diverge between the counting, emission, and streaming paths.
     */
-  private[graft] def chunkStructs(toks: Column, chunkTokens: Int): Column =
+  private[graft] def chunkStructs(toks: Column, chunkTokens: Int): Column = {
+    // One loud guard covers the whole chunk family: 0 divides by zero
+    // inside the chunk-count expression (NaN -> ANSI cast failure deep in
+    // a task), negatives crash slice() with no operator context.
+    require(chunkTokens >= 1, s"chunkTokens=$chunkTokens must be >= 1")
     transform(
       sequence(lit(0),
         greatest(floor((size(toks) - 1).cast("double") / chunkTokens)
@@ -906,6 +929,7 @@ object TextAnalysis {
           .as("chunk"),
         least(size(toks) - i * chunkTokens, lit(chunkTokens))
           .as("clen")))
+  }
 
   def paragraphDedup(docs: DataFrame, chunkTokens: Int = 10): DataFrame = {
     val toks = docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
@@ -1023,10 +1047,26 @@ object TextAnalysis {
     */
   def dupSpans(docs: DataFrame, k: Int = 3, w: Int = 4,
       minShared: Int = 2, maxDf: Int = 50): DataFrame = {
+    // Barrier discipline (the winnowNearDupCandidates pattern, plus the
+    // per-doc counts this variant needs): the pair table comes back
+    // eagerly materialized and the counts table is barriered too, so the
+    // big fingerprint barrier releases HERE — on failure as well (the
+    // Verify driver catches per-query failures and continues; a
+    // success-only release would strand the checkpoint blocks). The
+    // small counts barrier passes to the returned frame.
     val fp = winnowingFingerprints(docs, k, w).barrier()
-    val counts = fp.groupBy(col("doc_id"))
-      .agg(count_distinct(col("fingerprint")).as("nfp"))
-    sharedFingerprintPairs(fp, minShared, maxDf)
+    var counts: DataFrame = null
+    val pairs =
+      try {
+        counts = fp.groupBy(col("doc_id"))
+          .agg(count_distinct(col("fingerprint")).as("nfp")).barrier()
+        sharedFingerprintPairs(fp, minShared, maxDf)
+      } catch {
+        case t: Throwable =>
+          if (counts != null) Barrier.release(counts)
+          throw t
+      } finally Barrier.release(fp)
+    pairs
       .join(counts.select(col("doc_id").as("doc_a"), col("nfp").as("nfp_a")),
         Seq("doc_a"))
       .join(counts.select(col("doc_id").as("doc_b"), col("nfp").as("nfp_b")),
