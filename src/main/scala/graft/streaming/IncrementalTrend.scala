@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.model.{PageState, RecentChange, TrendConfig}
 import graft.operators.PageAggregates
@@ -121,16 +121,20 @@ object IncrementalTrend {
       if (plan.kills.isEmpty) state
       else state.join(broadcast(plan.kills.toDF("__kill")),
         col("id") === col("__kill"), "left_anti")
-    val pm = plan.placements
-      .map(p => (p.fromKey, p.toKey, p.toTitle, p.moveTs))
-      .toDF("r_from", "r_to", "r_to_title", "r_ts")
     val placed =
       if (plan.placements.isEmpty) afterKills
-      else afterKills
-        .join(broadcast(pm), col("id") === col("r_from"), "left")
-        .withColumn("id", coalesce(col("r_to"), col("id")))
-        .withColumn("title", coalesce(col("r_to_title"), col("title")))
-        .drop("r_from", "r_to", "r_to_title", "r_ts")
+      else {
+        // Built only when moves exist; the move stamp is applied by
+        // moveStamps below, so only the three rekey columns ride here.
+        val pm = plan.placements
+          .map(p => (p.fromKey, p.toKey, p.toTitle))
+          .toDF("r_from", "r_to", "r_to_title")
+        afterKills
+          .join(broadcast(pm), col("id") === col("r_from"), "left")
+          .withColumn("id", coalesce(col("r_to"), col("id")))
+          .withColumn("title", coalesce(col("r_to_title"), col("title")))
+          .drop("r_from", "r_to", "r_to_title")
+      }
     // getPage REGISTERS (index.js:441-447): a move plants a page at its
     // target even when the source key held no state — synthesize the
     // empty page for placements whose source row is absent (one tiny
@@ -152,8 +156,9 @@ object IncrementalTrend {
       else {
         val present =
           if (plan.placements.isEmpty) Set.empty[String]
-          else state.join(broadcast(pm), col("id") === col("r_from"),
-              "left_semi")
+          else state.join(
+              broadcast(plan.placements.map(_.fromKey).toDF("r_from")),
+              col("id") === col("r_from"), "left_semi")
             .select(col("id")).collect().map(_.getString(0)).toSet
         val fallbacks = plan.placements.filterNot(p => present(p.fromKey))
           .map(p => PageState.empty(p.toKey, p.toTitle,
@@ -608,8 +613,17 @@ object IncrementalTrend {
     */
   private[graft] case class BucketEntry(path: String, lastBatchId: Long)
 
+  /** `numBuckets` records the bucketing the entries were WRITTEN under:
+    * a fold with a different count would route a page to a bucket whose
+    * entry has no history of it — a fresh (history-reset) copy commits
+    * under the new bucket while the stale full row stays referenced
+    * under the old one, and readState silently returns two rows per id.
+    * None only for manifests from before this field (and synthesized
+    * legacy adoptions) — the first post-upgrade fold stamps it.
+    */
   private[graft] case class StateManifest(
-      seq: Long, entries: Map[Int, BucketEntry])
+      seq: Long, entries: Map[Int, BucketEntry],
+      numBuckets: Option[Int] = None)
 
   private val ManifestRe = """manifest-(\d{20})\.json""".r
 
@@ -630,7 +644,8 @@ object IncrementalTrend {
       e.getKey.toInt -> BucketEntry(e.getValue.get("path").asText(),
         e.getValue.get("lastBatchId").asLong())
     }.toMap
-    Some(StateManifest(seq, entries))
+    val nb = Option(root.get("numBuckets")).map(_.asInt())
+    Some(StateManifest(seq, entries, nb))
   }
 
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
@@ -652,6 +667,7 @@ object IncrementalTrend {
     import org.apache.hadoop.fs.Path
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
+    m.numBuckets.foreach(root.put("numBuckets", _))
     val bk = root.putObject("buckets")
     m.entries.toSeq.sortBy(_._1).foreach { case (b, e) =>
       val n = bk.putObject(b.toString)
@@ -843,7 +859,8 @@ object IncrementalTrend {
             b -> BucketEntry(s"$dataRel/bucket=$b", e.lastBatchId)
           case (b, e) => b -> BucketEntry("", e.lastBatchId)
         }
-        writeManifest(fs, live, StateManifest(m.seq + 1, newEntries))
+        writeManifest(fs, live,
+          StateManifest(m.seq + 1, newEntries, m.numBuckets))
         sweepUnreferenced(fs, live, m.seq + 1, newEntries)
       case _ => ()
     }
@@ -907,6 +924,16 @@ object IncrementalTrend {
       manifest: Option[StateManifest]): Unit = {
     import org.apache.hadoop.fs.Path
     import graft.functions.Classifiers.pageId
+
+    // A fold under a DIFFERENT bucket count than the state was written
+    // with silently duplicates pages (see StateManifest.numBuckets) —
+    // nothing else would fail loudly, so this must.
+    manifest.flatMap(_.numBuckets).foreach(nb =>
+      require(nb == numBuckets,
+        s"state at $stateDir was written with numBuckets=$nb; folding " +
+          s"with numBuckets=$numBuckets would silently duplicate pages " +
+          "across buckets — restart with the original count (or compact " +
+          "and migrate explicitly)"))
 
     // Buckets this batch can affect: every event's own page id (covers
     // edits, protects, and each move's SOURCE), move targets, parsed
@@ -973,7 +1000,8 @@ object IncrementalTrend {
         if (written(b)) s"$dataRel/bucket=$b" else "", batchId)).toMap
     val newSeq = manifest.map(_.seq).getOrElse(0L) + 1
 
-    writeManifest(fs, live, StateManifest(newSeq, newEntries)) // COMMIT
+    writeManifest(fs, live,
+      StateManifest(newSeq, newEntries, Some(numBuckets))) // COMMIT
     sweepUnreferenced(fs, live, newSeq, newEntries)
   }
 }

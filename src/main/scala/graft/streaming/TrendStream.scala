@@ -312,8 +312,14 @@ object TrendStream {
     cmds.toDF()
       // Same null-ts rule as classify: applyEvents orders by ts, and one
       // malformed command row would otherwise NPE the whole query — the
-      // guard must cover BOTH legs of the union.
-      .filter(col("ts").isNotNull)
+      // guard must cover BOTH legs of the union. The ACTION must be
+      // non-null too: concat null-propagates, and a NULL logAction is
+      // applyEvents' EDIT branch — a malformed command row would mint a
+      // phantom edit (create-or-bump a page, contributor "") instead of
+      // being ignored. classify guards the same hole for log events
+      // (coalesce to 'log:unknown'); a command with no action carries no
+      // intent at all, so dropping beats aliasing it to an unknown verb.
+      .filter(col("ts").isNotNull && col("action").isNotNull)
       .select(
         pageId(col("wiki"), col("title")).as("id"),
         col("title"),

@@ -287,6 +287,22 @@ class IncrementalTrendSpec extends SparkSpec {
       buckets, sweepEvery)
   }
 
+  test("bucketed state: a fold under a different numBuckets fails loudly; the recorded count folds on") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_state").toString + "/st"
+    foldToDir(dir, 0, Seq(edit("Foo", min = 0)), buckets = 8)
+    // A different count would silently duplicate pages across buckets —
+    // the manifest records the write-time count and the fold requires it.
+    val e = intercept[IllegalArgumentException] {
+      foldToDir(dir, 1, Seq(edit("Foo", min = 1)), buckets = 16)
+    }
+    assert(e.getMessage.contains("numBuckets=8"), e.getMessage)
+    // The original count still folds, and the failed attempt left no
+    // committed state behind.
+    foldToDir(dir, 1, Seq(edit("Foo", min = 1)), buckets = 8)
+    val st = IncrementalTrend.readState(spark, dir).collect()
+    assert(st.length == 1 && st.head.getAs[Long]("edits") == 2L)
+  }
+
   test("bucketed state: multi-batch fold equals one-shot aggregation") {
     val dir = java.nio.file.Files.createTempDirectory("graft_state").toString + "/st"
     val b1 = Seq(edit("Foo", min = 0), edit("Bar", user = "Ann", min = 0))

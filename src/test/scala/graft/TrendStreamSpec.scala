@@ -332,6 +332,21 @@ class TrendStreamSpec extends SparkSpec {
     assert(snap("Bar").edits == 1) // untargeted page unaffected
   }
 
+  test("a null-action command is dropped — it must not mint a phantom edit") {
+    // concat null-propagates: an unguarded null action produced a NULL
+    // logAction, which is applyEvents' EDIT branch — the malformed
+    // command created pages / bumped edit counts with contributor "".
+    val events = Seq(rc(title = "Foo", at = t0))
+    val cmds = Seq(
+      TrendStream.TrendCommand(null, "enwiki", "Foo", ts("2024-01-01 00:01:00")),
+      TrendStream.TrendCommand(null, "enwiki", "Ghost", ts("2024-01-01 00:01:00")))
+    val snap = TrendStream.replayToSnapshot(spark, events,
+      queryName = "trend_cmd_nullact", commands = cmds).map(s => s.id -> s).toMap
+    assert(snap.keySet == Set("Foo"), snap.keySet) // no Ghost page minted
+    assert(snap("Foo").edits == 1 &&
+      snap("Foo").contributors == Seq("Jon"))
+  }
+
   test("streaming markSafe command flags the page (index.js:409-411)") {
     val events = Seq(rc(title = "Foo", at = t0))
     val cmds = Seq(
