@@ -3547,7 +3547,7 @@ object SparkEntry {
                AS BIGINT) AS before
            FROM perdoc)
          SELECT doc_id, lang, toks,
-           CAST(floor(before / 2048) AS BIGINT) AS pack_id
+           before // 2048 AS pack_id
          FROM cum""",
 
     // doc_packing with BPE-ish token counts (regexp_extract_all of the
@@ -3566,7 +3566,7 @@ object SparkEntry {
                AS BIGINT) AS before
            FROM perdoc)
          SELECT doc_id, lang, toks,
-           CAST(floor(before / 2048) AS BIGINT) AS pack_id
+           before // 2048 AS pack_id
          FROM cum""",
 
     // Packing CTEs mirror doc_packing; shards are 4 consecutive packs.
@@ -3584,9 +3584,9 @@ object SparkEntry {
            FROM perdoc),
          packs AS (
            SELECT doc_id, lang, toks,
-             CAST(floor(before / 2048) AS BIGINT) AS pack_id
+             before // 2048 AS pack_id
            FROM cum)
-         SELECT lang, CAST(floor(pack_id / 4) AS BIGINT) AS shard_id,
+         SELECT lang, pack_id // 4 AS shard_id,
            CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(toks) AS BIGINT) AS tokens
@@ -3609,9 +3609,9 @@ object SparkEntry {
            FROM perdoc),
          packs AS (
            SELECT doc_id, lang, toks,
-             CAST(floor(before / 2048) AS BIGINT) AS pack_id
+             before // 2048 AS pack_id
            FROM cum)
-         SELECT lang, CAST(floor(pack_id / 4) AS BIGINT) AS shard_id,
+         SELECT lang, pack_id // 4 AS shard_id,
            CAST(1 AS BIGINT) AS n_files,
            CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
            CAST(count(*) AS BIGINT) AS n_docs,

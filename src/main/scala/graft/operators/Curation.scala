@@ -212,7 +212,7 @@ object Curation {
     * [[C4MinLineWords]] whitespace words, and does not mention
     * "javascript" (case-folded); a PAGE survives iff at least
     * [[C4MinKeptLines]] lines survive and the raw text contains neither
-    * "lorem ipsum" (case-folded) nor a curly brace. Output per document:
+    * "lorem ipsum" (case-folded) nor an OPENING curly brace ('{' only — the code signal; a lone '}' passes, C4-paper fidelity). Output per document:
     * the line counts, the page flags, the composite verdict, and the md5
     * of the cleaned text (surviving lines re-joined with newlines) so
     * the reconstruction itself is hash-verified.
@@ -596,8 +596,12 @@ object Curation {
       tokenCount(col("text")).cast("long").as("toks")) ++
       (if (carryText) Seq(col("text")) else Nil)
     val base = docs.select(baseCols: _*)
+      // Exact integer floor (the RangeJoin rule): floor(long/long) via
+      // DOUBLE division is exact only below 2^53; subtracting the
+      // always->=0 pmod makes the dividend exactly divisible, so DIV —
+      // integral and sign-safe — equals floor at every magnitude.
       .withColumn("__rng",
-        floor(col("doc_id").cast("double") / rangeSize).cast("long"))
+        expr(s"(doc_id - pmod(doc_id, ${rangeSize}L)) DIV ${rangeSize}L"))
     val totals = base.groupBy(col("lang"), col("__rng"))
       .agg(sum(col("toks")).as("__rtot"))
     val wOff = W.partitionBy(col("lang")).orderBy(col("__rng"))
@@ -624,8 +628,10 @@ object Curation {
         // fixed, one key over).
         col("lang") <=> col("__olang") && col("__rng") <=> col("__orng"))
       .select(Seq(col("doc_id"), col("lang"), col("toks"),
-        floor((col("__wb") + col("__roff")) / budgetTokens).cast("long")
-          .as("pack_id")) ++
+        // Non-negative dividend (token sums), so integral DIV == floor —
+        // exact at every magnitude where the old floor(double) was exact
+        // only below 2^53 (the oracle moved to // in the same change).
+        expr(s"(__wb + __roff) DIV ${budgetTokens}L").as("pack_id")) ++
         (if (carryText) Seq(col("text")) else Nil): _*)
   }
 
@@ -647,7 +653,7 @@ object Curation {
       packsPerShard: Long = 4L, rangeSize: Long = 100000L): DataFrame =
     packAssignments(docs, budgetTokens, rangeSize)
       .withColumn("shard_id",
-        floor(col("pack_id").cast("double") / packsPerShard).cast("long"))
+        expr(s"pack_id DIV ${packsPerShard}L")) // pack_id >= 0: DIV == floor
       .groupBy(col("lang"), col("shard_id"))
       .agg(count_distinct(col("pack_id")).as("n_packs"),
         count(lit(1)).as("n_docs"),
@@ -677,7 +683,7 @@ object Curation {
       packsPerShard: Long, rangeSize: Long): DataFrame =
     packAssignments(docs, budgetTokens, rangeSize, carryText = true)
       .withColumn("shard_id",
-        floor(col("pack_id").cast("double") / packsPerShard).cast("long"))
+        expr(s"pack_id DIV ${packsPerShard}L")) // pack_id >= 0: DIV == floor
       .select(col("doc_id"), col("lang"), col("shard_id"), col("pack_id"),
         col("toks"), col("text"))
 
@@ -1213,8 +1219,15 @@ object Curation {
       n: Int = DecontamGramSize, tsCol: String = "ts",
       delay: String = "10 minutes"): DataFrame = {
     val evalGrams = evalGramHashes(evalDocs, n)
-    val toks = docs.select(col("doc_id"), col(tsCol).as("ts"),
-      TextAnalysis.wsTokens(col("text")).as("toks"))
+    // The streaming twins' null guards (streamingExactDedup /
+    // streamingChunkDedup convention): a null event time forms a
+    // (doc, NULL-window) group the append-mode eviction predicate can
+    // never emit OR expire — permanent state growth; a null doc_id
+    // would alert under a key a sink cannot dedupe.
+    val toks = docs
+      .where(col(tsCol).isNotNull && col("doc_id").isNotNull)
+      .select(col("doc_id"), col(tsCol).as("ts"),
+        TextAnalysis.wsTokens(col("text")).as("toks"))
     // ts carried alongside the shingle build (re-joining it from a
     // second derivation of the same stream would be a stream-stream
     // self join); toks stays a projection barrier for the gram lambda.

@@ -27,11 +27,22 @@ object Selection {
   private def lowerToks(text: Column): Column =
     TextAnalysis.wsTokens(lower(text))
 
-  /** Hash a token into [0, 4096): leading 3 hex chars of md5 — the same
-    * engine-portable md5 family every other graft hash uses.
+  /** Hash a token into [0, dsirBuckets): leading hex chars of md5 — the
+    * same engine-portable md5 family every other graft hash uses. The
+    * hex WIDTH is derived from [[dsirBuckets]] (one definition — a
+    * retuned bucket count with a hand-synced width would leave most of
+    * every weight array untrained and unread, silently): the require
+    * pins the count to a power of 16 so the derivation is exact.
     */
+  private val BucketHexWidth: Int = {
+    val w = (math.log(dsirBuckets.toDouble) / math.log(16.0)).round.toInt
+    require(dsirBuckets == math.pow(16.0, w.toDouble).toLong,
+      s"dsirBuckets=$dsirBuckets must be a power of 16 (md5 hex prefix)")
+    w
+  }
+
   private def bucket(tok: Column): Column =
-    conv(substring(md5(tok), 1, 3), 16, 10).cast("long")
+    conv(substring(md5(tok), 1, BucketHexWidth), 16, 10).cast("long")
 
   /** The default DSIR target: documents passing a quality bar — the
     * paper's headline use case ("select raw web documents that look like
