@@ -39,7 +39,9 @@ object PageAggregates {
     events
       .filter(isArticle(col("namespace")))                   // F1 index.js:316
       .filter(projectMatch(col("serverName"), cfg.project))  // F2 index.js:317
-      .filter(!isFixup(coalesce(col("comment"), lit(""))))   // F3 index.js:318
+      // isFixup owns the null guard internally (one kernel, one
+      // contract) — no call-site coalesce.
+      .filter(!isFixup(col("comment")))                      // F3 index.js:318
 
   /** Filter + classify layer (F1-F3 filters, C1-C5/P1 projections).
     * Input: a DataFrame with the RecentChange schema (graft.model).
@@ -248,6 +250,13 @@ object PageAggregates {
     // join, which goes through pageId.
     val moves = referenceGate(events, cfg)
       .filter(col("logType").isNotNull && col("logAction") === "move")
+      // Null-ts moves cannot be SEQUENCED and are dropped — the
+      // IncrementalTrend rule (its gatedLog filters ts.isNotNull for
+      // exactly this reason): sorted NULLS FIRST they would otherwise
+      // count as the EARLIEST move in the chain collapse, and the batch
+      // and incremental rename paths would resolve the same feed to
+      // different page ids.
+      .filter(col("ts").isNotNull)
       .select(wikiOf(col("wiki")).as("wiki"), col("title").as("fromTitle"),
         element_at(col("logParams"), "target").as("toTitle"), col("ts"))
       // A malformed move with no target would resolve its upstream movers
