@@ -2848,14 +2848,14 @@ object SparkEntry {
          CAST(SUM(CASE WHEN event_type = 'error' OR user_id % 11 <> 0 THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS bytes_changed,
          STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
          STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS updated_s
-         FROM events GROUP BY 1""",
+         FROM events WHERE ts IS NOT NULL GROUP BY 1""",
 
     "trend_topk" ->
       """WITH p AS (
            SELECT CAST(user_id // 4 AS VARCHAR) AS id,
              CAST(SUM(CASE WHEN event_type <> 'error' AND user_id % 11 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS edits,
              MIN(ts) AS start
-           FROM events GROUP BY 1),
+           FROM events WHERE ts IS NOT NULL GROUP BY 1),
          m AS (
            SELECT id, edits,
              (epoch((SELECT MAX(ts) FROM events)) - epoch(start)) / 60.0 AS age
@@ -2932,7 +2932,7 @@ object SparkEntry {
               ELSE 'u' || user_id END AS "user",
          CAST(COUNT(*) AS BIGINT) AS cnt
          FROM events
-         WHERE event_type <> 'error' AND user_id % 11 <> 0
+         WHERE event_type <> 'error' AND user_id % 11 <> 0 AND ts IS NOT NULL
          GROUP BY 1, 2""",
 
     // A2 distinct editor sets, restated over the adapter mapping: a
@@ -2944,7 +2944,7 @@ object SparkEntry {
            SELECT CAST(user_id // 4 AS VARCHAR) AS id,
              list_sort(list_distinct(list(CASE WHEN event_type <> 'error' AND user_id % 11 <> 0 AND user_id % 5 <> 0 THEN 'u' || user_id END))) AS contribs,
              list_sort(list_distinct(list(CASE WHEN event_type <> 'error' AND user_id % 11 <> 0 AND user_id % 5 = 0 THEN user_id || '.0.0.1' END))) AS anons
-           FROM events GROUP BY 1)
+           FROM events WHERE ts IS NOT NULL GROUP BY 1)
          SELECT id,
            coalesce(array_to_string(contribs, '|'), '') AS contributors_s,
            coalesce(array_to_string(anons, '|'), '') AS anons_s,
@@ -2957,7 +2957,7 @@ object SparkEntry {
            SELECT CAST(user_id // 4 AS VARCHAR) AS id, user_id AS u,
              CAST(COUNT(*) AS BIGINT) AS cnt
            FROM events
-           WHERE event_type <> 'error' AND user_id % 11 <> 0
+           WHERE event_type <> 'error' AND user_id % 11 <> 0 AND ts IS NOT NULL
            GROUP BY 1, 2)
          SELECT id,
            CAST(FLOOR(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
@@ -2971,7 +2971,7 @@ object SparkEntry {
              CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS reverts,
              CAST(SUM(CASE WHEN event_type <> 'error' AND user_id % 11 <> 0 AND user_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS anon_edits,
              MIN(ts) AS start, MAX(ts) AS updated
-           FROM events GROUP BY 1),
+           FROM events WHERE ts IS NOT NULL GROUP BY 1),
          m AS (
            SELECT id, edits, reverts, anon_edits,
              (epoch((SELECT MAX(ts) FROM events)) - epoch(start)) / 60.0 AS age,

@@ -79,6 +79,18 @@ object Classifiers {
   def projectMatch(serverName: Column, project: String): Column =
     if (project == "*") lit(true) else serverName === project
 
+  /** The reference's log dispatch predicate (`else if (data.log_type)`,
+    * index.js:320) — JS TRUTHY, not null-vs-non-null: a `log_type` of `""`
+    * is falsy there, so the event falls through to the EDIT branch and is
+    * counted as a real edit. isNull/isNotNull routing mis-dispatches that
+    * event to the log branch, where a null/absent `log_action` gates it
+    * out — the edit silently vanishes from every aggregate. One kernel so
+    * the batch aggregation, the fgws classify, and the incremental fold
+    * can never drift on the dispatch rule.
+    */
+  def isLogEvent(logType: Column): Column =
+    logType.isNotNull && length(logType) > 0
+
   /** P1 — bytes-delta projection (index.js:244). */
   def bytesDelta(lengthNew: Column, lengthOld: Column): Column =
     coalesce(lengthNew, lit(0L)) - coalesce(lengthOld, lit(0L))

@@ -75,11 +75,18 @@ object PageAggregates {
     *     increments anonEdits (198)
     *   - comment keyword counters always accumulate (264)
     *   - editor stats (contributors/anons) only when !bot & !revert (266-268)
-    * Log events (logType non-null) are routed elsewhere (index.js:320-337)
-    * and must be excluded before aggregation.
+    * Log events (logType TRUTHY — `isLogEvent`, index.js:320) are routed
+    * elsewhere (index.js:320-337) and must be excluded before aggregation;
+    * a `log_type=""` event is FALSY there and counts as a plain edit.
+    * Null-ts edit rows are dropped to preserve the stream ≡ batch
+    * identity: the fgws classify (and every streaming operator, round-9
+    * rule) drops them because its stateful replay orders by ts, so the
+    * batch aggregation counting them would split the engine's central
+    * identity on one malformed feed row.
     */
   def pageAggregates(events: DataFrame, cfg: TrendConfig = TrendConfig()): DataFrame = {
-    val e = classified(events, cfg).filter(col("logType").isNull)
+    val e = classified(events, cfg)
+      .filter(!isLogEvent(col("logType")) && col("ts").isNotNull)
     val counts = col("isRevert") || !col("isBot") // delta policy index.js:251-261
     val isEdit = !col("isRevert") && !col("isBot")
     e.groupBy(col("id"))
@@ -123,7 +130,10 @@ object PageAggregates {
     */
   def distributionPairs(events: DataFrame,
       cfg: TrendConfig = TrendConfig()): DataFrame = {
-    val e = classified(events, cfg).filter(col("logType").isNull)
+    // Same edit-path gate as pageAggregates: falsy log dispatch
+    // (isLogEvent) + the null-ts drop that keeps stream ≡ batch.
+    val e = classified(events, cfg)
+      .filter(!isLogEvent(col("logType")) && col("ts").isNotNull)
     e.filter(!col("isBot") && !col("isRevert"))
       .groupBy(col("id"), col("user")).agg(count(lit(1)).as("cnt"))
   }
@@ -133,7 +143,8 @@ object PageAggregates {
     */
   def contributorCardinalities(events: DataFrame,
       cfg: TrendConfig = TrendConfig()): DataFrame = {
-    val e = classified(events, cfg).filter(col("logType").isNull)
+    val e = classified(events, cfg)
+      .filter(!isLogEvent(col("logType")) && col("ts").isNotNull)
     val isEdit = !col("isRevert") && !col("isBot")
     e.groupBy(col("id")).agg(
       approx_count_distinct(when(isEdit && !col("isAnon"), col("user")))
@@ -249,13 +260,18 @@ object PageAggregates {
     // two ids — and diverging from IncrementalTrend's id-keyed rename
     // join, which goes through pageId.
     val moves = referenceGate(events, cfg)
-      .filter(col("logType").isNotNull && col("logAction") === "move")
+      .filter(isLogEvent(col("logType")) && col("logAction") === "move")
       // Null-ts moves cannot be SEQUENCED and are dropped — the
       // IncrementalTrend rule (its gatedLog filters ts.isNotNull for
       // exactly this reason): sorted NULLS FIRST they would otherwise
       // count as the EARLIEST move in the chain collapse, and the batch
       // and incremental rename paths would resolve the same feed to
-      // different page ids.
+      // different page ids. No trend oracle carries a move-side
+      // `ts IS NOT NULL` mirror because none CAN: the EventAdapter
+      // mapping emits logType = NULL for every row, so log events are
+      // unexpressible in the oracle restatement — a testdata regen that
+      // introduces real log events must extend the adapter mapping AND
+      // model the move chain in the oracles in the same change.
       .filter(col("ts").isNotNull)
       .select(wikiOf(col("wiki")).as("wiki"), col("title").as("fromTitle"),
         element_at(col("logParams"), "target").as("toTitle"), col("ts"))

@@ -59,7 +59,7 @@ import graft.operators.Barrier.BarrierOps
   */
 object IncrementalTrend {
 
-  import graft.functions.Classifiers.pageId
+  import graft.functions.Classifiers.{isLogEvent, pageId}
 
   /** One micro-batch fold: (previous state, batch events, asOf) → state.
     * `state` and the result use the pageAggregates column layout plus
@@ -78,7 +78,7 @@ object IncrementalTrend {
     // they cannot be sequenced (the reference's wire events always carry
     // a timestamp).
     val gatedLog = PageAggregates.referenceGate(batch, cfg)
-      .filter(col("logType").isNotNull && col("ts").isNotNull)
+      .filter(isLogEvent(col("logType")) && col("ts").isNotNull)
 
     // 1. Collect the batch's log ops (driver-resident by contract: log
     // events are rare; the flood guard warns loudly if that breaks) and
@@ -180,7 +180,10 @@ object IncrementalTrend {
     // it dies (dead object: deleted, or overwritten by a move). Edits at
     // exactly an op's timestamp ride the OLD segment. Untouched keys and
     // null-ts edits match no segment and keep their own title.
-    val evs = batch.filter(col("logType").isNull)
+    // Falsy dispatch: a log_type="" row is an EDIT (shared isLogEvent
+    // kernel, index.js:320) — it must ride the timeline with the other
+    // edits, not fall between the routing branches.
+    val evs = batch.filter(!isLogEvent(col("logType")))
     val editsMapped =
       if (plan.timeline.isEmpty) evs
       else {
@@ -297,7 +300,7 @@ object IncrementalTrend {
     */
   private[streaming] def deleteEvents(batch: DataFrame): DataFrame = {
     import graft.functions.Classifiers.{deleteTargetTitle, emptyLogParams}
-    batch.filter(col("logType").isNotNull && col("logAction") === "delete")
+    batch.filter(isLogEvent(col("logType")) && col("logAction") === "delete")
       .filter(emptyLogParams(col("logParams")))
       .select(col("wiki"),
         deleteTargetTitle(col("logActionComment")).as("del_title"),
@@ -942,7 +945,7 @@ object IncrementalTrend {
     // fold can modify, so an ungated fixup/wrong-project log event no
     // longer marks (and rewrites) buckets the fold never touches.
     val gatedLogIds = PageAggregates.referenceGate(batch, cfg)
-      .filter(col("logType").isNotNull)
+      .filter(isLogEvent(col("logType")))
     val evIds = batch.select(pageId(col("wiki"), col("title")).as("id"))
     val moveIds = gatedLogIds
       .filter(col("logAction") === "move")

@@ -264,7 +264,13 @@ object TrendStream {
     // state; a non-qualifying one becomes 'log:gated' (ignored), instead
     // of wiping whatever page the event itself was keyed to.
     val delTitle = deleteTargetTitle(coalesce(col("logActionComment"), lit("")))
-    val isDelete = col("logType").isNotNull && col("logAction") === "delete"
+    // Falsy log dispatch (the shared isLogEvent kernel, index.js:320):
+    // a log_type="" row is a plain EDIT here exactly as in the batch
+    // aggregation — isNotNull routing would send it down the log branch
+    // where a null logAction aliases it to 'log:gated'/'log:unknown'
+    // and the edit vanishes from the state the batch path counts.
+    val isLog = isLogEvent(col("logType"))
+    val isDelete = isLog && col("logAction") === "delete"
     val delQualifies = isDelete && emptyLogParams(col("logParams")) &&
       length(delTitle) > 0
     // The reference pre-dispatch gate via the ONE shared helper (the
@@ -287,15 +293,15 @@ object TrendStream {
         coalesce(col("rcType") === "new", lit(false)).as("isNew"),
         notabilityHit(commentSafe).as("notab"),
         volatilityHit(commentSafe).as("volat"),
-        when(col("logType").isNotNull, lit(0L))
+        when(isLog, lit(0L))
           .otherwise(bytesDelta(col("lengthNew"), col("lengthOld"))).as("delta"),
-        when(col("logType").isNotNull,
+        when(isLog,
           when(isDelete,
             when(delQualifies, lit("delete")).otherwise(lit("log:gated")))
             // A log event with a NULL action must stay a LOG event: null
             // logAction is applyEvents' EDIT branch, and one malformed
             // log row would otherwise mint edits/contributors the batch
-            // path (logType.isNull filter) never counts.
+            // path (!isLogEvent filter) never counts.
             .otherwise(coalesce(col("logAction"), lit("log:unknown"))))
           .otherwise(lit(null).cast("string")).as("logAction"),
         col("ts"))

@@ -267,6 +267,51 @@ class TrendStreamSpec extends SparkSpec {
     assert(snap.head.edits == 1L && snap.head.contributors == Seq("Jon"))
   }
 
+  test("falsy log_type: a log_type=\"\" event is a plain EDIT in stream AND batch (index.js:320 truthy dispatch)") {
+    // The reference dispatches log events on JS truthiness
+    // (`else if (data.log_type)`) — log_type="" is falsy, so the event is
+    // a REAL EDIT there. isNull/isNotNull routing sent it down the log
+    // branch (where a null logAction gates it out) and the edit vanished
+    // from every path.
+    val events = Seq(
+      rc(title = "Foo", user = "Jon", at = t0),
+      RecentChange("Foo", "yo", 0, "Ann", false, "edit", 1L, 3L,
+        "enwiki", "en.wikipedia.org", "", null, null, null,
+        new Timestamp(t0.getTime + 1000L)))
+    val batch = PageAggregates.pageAggregates(events.toDS().toDF()).collect()
+    assert(batch.length == 1)
+    val row = batch.head
+    assert(row.getAs[Long]("edits") == 2L, "log_type=\"\" counts as an edit")
+    assert(row.getAs[scala.collection.Seq[String]]("contributors").toList == List("Ann", "Jon"))
+    assert(row.getAs[Long]("bytesChanged") == 3L, "its delta applies too")
+    val snap = TrendStream.replayToSnapshot(spark, events,
+      queryName = "trend_falsy_logtype")
+    assert(snap.map(_.id) == Seq("Foo"))
+    assert(snap.head.edits == 2L &&
+      snap.head.contributors == Seq("Jon", "Ann"),
+      "stream routes the falsy log_type event as an edit like batch")
+  }
+
+  test("null-ts edit rows: batch drops them like the stream (stream ≡ batch on a malformed feed row)") {
+    // classify drops null-ts events (applyEvents orders by ts); batch
+    // used to COUNT them (then NULL start/updated) — one malformed wire
+    // row split the engine's central identity.
+    val events = Seq(
+      rc(title = "Foo", user = "Jon", at = t0),
+      rc(title = "Foo", user = "Eve", at = null))
+    val batch = PageAggregates.pageAggregates(events.toDS().toDF()).collect()
+    assert(batch.length == 1)
+    assert(batch.head.getAs[Long]("edits") == 1L &&
+      batch.head.getAs[scala.collection.Seq[String]]("contributors").toList ==
+        List("Jon"),
+      "batch must not count the null-ts edit the stream drops")
+    assert(batch.head.getAs[Timestamp]("start") == t0)
+    val streamed = TrendStream.replayToSnapshot(spark, events,
+      queryName = "trend_null_ts_identity").map(s => s.id -> s).toMap
+    checkStreamEqualsBatch(streamed,
+      batch.map(r => r.getAs[String]("id") -> r).toMap)
+  }
+
   test("MemoryStream replay equals batch aggregation (SURVEY §2.3 identity)") {
     // A deterministic pseudo-random mix over 3 pages / 6 editors incl.
     // anons, bots, reverts, AfD comments, multiple wikis.
