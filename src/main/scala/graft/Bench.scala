@@ -97,8 +97,16 @@ object Bench {
     // (no persisted-index builds, no shard writers).
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
+      // emb_ivf_kmeans_topk: the in-query Lloyd's-training shape measured
+      // ~6 s of cold codegen/JIT on its FIRST invocation in a fresh JVM
+      // (sf0.001, 500 vectors) vs ~2.4 s steady-state at sf0.1 — the r12
+      // driver's 3.16 s (up from r11's 1.91) was pass-1-cold bleeding
+      // into min-of-2, the same first-query tax doc_bigram_lm paid before
+      // this battery existed. Training is in-query (no persisted index),
+      // so the shape is side-effect-free here.
       val battery = Seq("doc_bigram_lm", "doc_minhash_pairs",
-        "emb_ivf_topk", "events_funnel_steps", "q1_agg", "q4_window")
+        "emb_ivf_topk", "emb_ivf_kmeans_topk", "events_funnel_steps",
+        "q1_agg", "q4_window")
       // A renamed query must not silently disable its family's warm-up
       // (the Verify misspelled-filter rule): warn loudly so the
       // regressed first-query number has an explanation in stderr.
@@ -295,9 +303,11 @@ object Bench {
         val nGt3 = factors.count { case (k, f) =>
           f > 3.0 && !SparkEntry.verificationScaleOnly(k)
         }
-        (s""","scaling":{"ref_sf":${jq(refDir)},"factor_median":${pct(0.5)},""" +
-          s""""factor_p90":${pct(0.9)},"factor_max":${pct(1.0)},""" +
-          s""""gt3_n":$nGt3$refFailedJson}""",
+        // Line keys are SHORT (f_med/f_p90/f_max) and ref_sf lives only in
+        // BENCH_DETAIL.json — every fixed char on this line displaces a
+        // top-cost query entry from the budget-capped prefix below.
+        (s""","scaling":{"f_med":${pct(0.5)},"f_p90":${pct(0.9)},""" +
+          s""""f_max":${pct(1.0)},"gt3_n":$nGt3$refFailedJson}""",
           (detail._1, detail._2, outliers))
       }
     val (scalingJson, scalingDetail) = scaling
@@ -312,7 +322,8 @@ object Bench {
       s"""{"queries":$fullQs,"ref_queries":${scalingDetail._1},""" +
         s""""factor_primary_over_ref":${scalingDetail._2},""" +
         s""""scale_path_factors_gt3":${scalingDetail._3},""" +
-        s""""sf":${jq(sfDir)},"passes":$passes,"agg":"min_per_query"""" +
+        s""""sf":${jq(sfDir)},"ref_sf":${jq(refDir)},""" +
+        s""""passes":$passes,"agg":"min_per_query"""" +
         s"""$vscaleJson$failedJson}"""
     val detailRef =
       try {
@@ -343,13 +354,17 @@ object Bench {
     val failedCountsJson =
       if (failed.isEmpty) ""
       else s""","failed_n":${failed.size},"failed_all_n":${failedAll.size}"""
+    // Fixed fields trimmed to what a consumer can't get elsewhere:
+    // passes/agg/ref_sf and the long-name aliases moved to
+    // BENCH_DETAIL.json (queries_n -> q_n, queries_top -> q_top,
+    // total_scale_path -> scale_path, verification_scale_n -> vscale_n).
+    // ~150 chars of reclaimed budget = ~5 more top-cost query entries
+    // on the line at 143+ registered queries.
     def mkLine(qsJson: String, top: Int): String =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
-        s""""queries":$qsJson,"queries_n":${best.size},"queries_top":$top,""" +
-        s""""passes":$passes,"agg":"min_per_query",""" +
+        s""""queries":$qsJson,"q_n":${best.size},"q_top":$top,""" +
         s""""sf":${jq(sfDir)},"detail":$detailRef,""" +
-        s""""total_scale_path":${f3(totalScalePath)},""" +
-        s""""verification_scale_n":${vscale.size}""" +
+        s""""scale_path":${f3(totalScalePath)},"vscale_n":${vscale.size}""" +
         failedCountsJson + scalingJson + "}"
     val fixedLen = mkLine("{}", best.size).length
     val entries = best.toSeq.sortBy { case (k, v) => (-v, k) }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.TrendConfig
-import graft.operators.{AsOf, Bpe, Curation, Dedup, DedupIndex, EventAnalytics, ExactDedupIndex, Multimodal, PageAggregates, RangeJoin, Search, Selection, Similarity, Skew, Sketches, TextAnalysis}
+import graft.operators.{AsOf, Bpe, Curation, Dedup, DedupIndex, EventAnalytics, ExactDedupIndex, MediaIndex, Multimodal, PageAggregates, RangeJoin, Search, Selection, Similarity, Skew, Sketches, TextAnalysis}
 import graft.sources.EventAdapter
 import graft.operators.Barrier.BarrierOps
 
@@ -149,7 +149,8 @@ object SparkEntry {
     "doc_dedup_index_compact_pairs",
     "emb_ivf_index_topk", "emb_ivf_append_topk", "emb_ivf_compact_topk",
     "emb_index_health", "emb_ivfpq_topk", "emb_ivfpq_recall",
-    "doc_exact_index_clean", "doc_exact_index_append_clean")
+    "doc_exact_index_clean", "doc_exact_index_append_clean",
+    "doc_media_index_near")
 
   // ---------------------------------------------------------------------
   // Planted inputs for data-driven weakly-discriminative oracles (the
@@ -301,6 +302,26 @@ object SparkEntry {
       head(pos) = (head(pos) + delta).toChar
       new String(head) + "q" * 48
     }.mkString
+
+  /** The near-tier planted media corpus, shared by the batch pair query
+    * and the persisted-index serve (ONE definition — the index query's
+    * oracle is the batch oracle restricted to delta-touching pairs, so
+    * the two plants must be the same corpus by construction).
+    */
+  private def mediaNearPlanted(s: SparkSession, dir: String): DataFrame = {
+    def blocksOf(p: String) =
+      when(col("doc_id") % 3 === 0, lit(p.take(128)))
+        .when(col("doc_id") % 3 === 1, lit(p.take(192)))
+        .otherwise(lit(p))
+    t(s, dir, "documents").withColumn("text",
+      when(col("doc_id") % 29 === 11 && col("doc_id") < 500,
+        concat(blocksOf(pMediaNearPattern),
+          coalesce(col("text"), lit(""))))
+      .when(col("doc_id") % 29 === 23 && col("doc_id") < 500,
+        concat(blocksOf(pMediaNearPatternNoisy),
+          coalesce(col("text"), lit(""))))
+      .otherwise(col("text")))
+  }
 
   /** Containment plant: 12 tokens → 10 trigrams (the min set). */
   private val containPlantShort =
@@ -897,20 +918,29 @@ object SparkEntry {
     // 10-bit blocks; maxBlockDf 100 clears the planted keys' measured
     // 17-71 dfs while fencing the hot flat-spectrum keys (max 112 at
     // sf0.01).
-    "doc_media_phash_near" -> ((s, dir) => {
-      def blocksOf(p: String) =
-        when(col("doc_id") % 3 === 0, lit(p.take(128)))
-          .when(col("doc_id") % 3 === 1, lit(p.take(192)))
-          .otherwise(lit(p))
-      val planted = t(s, dir, "documents").withColumn("text",
-        when(col("doc_id") % 29 === 11 && col("doc_id") < 500,
-          concat(blocksOf(pMediaNearPattern),
-            coalesce(col("text"), lit(""))))
-        .when(col("doc_id") % 29 === 23 && col("doc_id") < 500,
-          concat(blocksOf(pMediaNearPatternNoisy),
-            coalesce(col("text"), lit(""))))
-        .otherwise(col("text")))
-      Multimodal.perceptualNearDups(s, Multimodal.withPayload(planted))
+    "doc_media_phash_near" -> ((s, dir) =>
+      Multimodal.perceptualNearDups(s,
+        Multimodal.withPayload(mediaNearPlanted(s, dir)))),
+
+    // PERSISTED PERCEPTUAL MEDIA INDEX — the media member of the index
+    // family: the base corpus's (doc_id % 4 <> 1) two-level pHashes and
+    // pigeonhole block keys at rest; serve asks the ingest question —
+    // which batch payloads (doc_id % 4 == 1) are Hamming-tolerant
+    // near-dups of anything indexed, or of each other. The block read
+    // partition-prunes to the batch's literal bbkt keys (plan-locked);
+    // result ≡ perceptualNearDups over base∪delta restricted to
+    // delta-touching pairs, so the oracle is the batch replay + that
+    // restriction. Both planted groups land members in BOTH slices
+    // (pattern 69/185/301/417 and noisy 81/197/313/429 in the delta),
+    // so the cross and within-batch legs both fire at sf0.01.
+    "doc_media_index_near" -> ((s, dir) => {
+      val payloads = Multimodal.withPayload(mediaNearPlanted(s, dir))
+      val out = indexDir("graft_mdx", dir)
+      if (builtIndexes.add(s"mdx:$out"))
+        MediaIndex.buildMediaIndex(
+          payloads.filter(col("doc_id") % 4 =!= 1), out)
+      MediaIndex.mediaIndexPairs(s, out,
+        payloads.filter(col("doc_id") % 4 === 1))
     }),
 
     // Gopher-style rule filter: per-doc quality flags + keep verdict.
@@ -2801,6 +2831,77 @@ object SparkEntry {
            CAST((n_vecs * 1000000) // total AS BIGINT) AS share_ppm,
            CAST(sum_us // n_vecs AS BIGINT) AS mean_res_us, max_res_us
          FROM agg, tot"""
+
+  /** The Hamming-tolerant pHash pair replay, parameterized by a
+    * restriction on the final pair set — `""` is the batch query;
+    * the persisted-index serve restricts to delta-touching pairs
+    * (`doc_id % 4 = 1` is the registered ingest slice), sharing every
+    * CTE so the two oracles cannot drift.
+    */
+  private def mediaNearPairsSql(restrict: String): String =
+    s"""WITH pd AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 29 = 11 AND doc_id < 500
+                  THEN substr('$pMediaNearPattern', 1,
+                         CAST(64 * (2 + doc_id % 3) AS INTEGER))
+                       || coalesce(text, '')
+                  WHEN doc_id % 29 = 23 AND doc_id < 500
+                  THEN substr('$pMediaNearPatternNoisy', 1,
+                         CAST(64 * (2 + doc_id % 3) AS INTEGER))
+                       || coalesce(text, '')
+                  ELSE text END AS text
+           FROM documents),
+         d AS (
+           SELECT doc_id, coalesce(text, '') AS text,
+             octet_length(encode(coalesce(text, ''))) AS n
+           FROM pd),
+         f AS (
+           SELECT doc_id, text,
+             unnest(generate_series(0, n // 16 - 1)) AS i
+           FROM d WHERE n >= 16),
+         sf AS (
+           SELECT doc_id, i, substr(text, CAST(i * 16 + 1 AS INTEGER), 16)
+             AS fr
+           FROM f WHERE i % 4 = 0),
+         xs AS (
+           SELECT doc_id, i,
+             list_transform(range(1, 17),
+               j -> ord(substr(fr, CAST(j AS INTEGER), 1))) AS v
+           FROM sf),
+         co AS (
+           SELECT doc_id, i,
+             list_transform($dctTableSql::BIGINT[][],
+               t -> list_dot_product(v::BIGINT[], t)) AS coefs
+           FROM xs),
+         hp AS (
+           SELECT doc_id, i,
+             list_sum(list_transform(range(1, 16), k ->
+               CASE WHEN coefs[CAST(k AS INTEGER)]
+                      > list_sort(coefs)[8]
+                    THEN 1 << (30 - CAST(k AS INTEGER)) ELSE 0 END))
+             + list_sum(list_transform(range(1, 16), k ->
+               CASE WHEN coefs[CAST(k AS INTEGER)]
+                      > list_sort(coefs)[12]
+                    THEN 1 << (15 - CAST(k AS INTEGER)) ELSE 0 END)) AS hv
+           FROM co),
+         fp AS (SELECT DISTINCT doc_id, CAST(hv AS BIGINT) AS hv FROM hp),
+         bl AS (
+           SELECT doc_id, hv, b, (hv >> (b * 10)) & 1023 AS bk
+           FROM fp, unnest(generate_series(0, 2)) AS t(b)),
+         keep AS (
+           SELECT b, bk FROM bl GROUP BY 1, 2 HAVING COUNT(*) <= 100),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+             a.hv AS va, b2.hv AS vb
+           FROM bl a
+           JOIN keep k ON a.b = k.b AND a.bk = k.bk
+           JOIN bl b2 ON b2.b = a.b AND b2.bk = a.bk
+             AND a.doc_id < b2.doc_id),
+         ver AS (
+           SELECT doc_a, doc_b FROM cand
+           WHERE bit_count(xor(va, vb)) <= 2)
+         SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+         FROM ver ${restrict}GROUP BY 1, 2 HAVING COUNT(*) >= 2"""
 
   def oracleSql: Map[String, String] = Map(
 
@@ -5516,70 +5617,13 @@ object SparkEntry {
     // quartile bits low — the kernel's exact layout), three 10-bit
     // pigeonhole blocks with the df cap, and the exact bit_count(xor)
     // verification. shared counts distinct verified hash pairs.
-    "doc_media_phash_near" ->
-      s"""WITH pd AS (
-           SELECT doc_id,
-             CASE WHEN doc_id % 29 = 11 AND doc_id < 500
-                  THEN substr('$pMediaNearPattern', 1,
-                         CAST(64 * (2 + doc_id % 3) AS INTEGER))
-                       || coalesce(text, '')
-                  WHEN doc_id % 29 = 23 AND doc_id < 500
-                  THEN substr('$pMediaNearPatternNoisy', 1,
-                         CAST(64 * (2 + doc_id % 3) AS INTEGER))
-                       || coalesce(text, '')
-                  ELSE text END AS text
-           FROM documents),
-         d AS (
-           SELECT doc_id, coalesce(text, '') AS text,
-             octet_length(encode(coalesce(text, ''))) AS n
-           FROM pd),
-         f AS (
-           SELECT doc_id, text,
-             unnest(generate_series(0, n // 16 - 1)) AS i
-           FROM d WHERE n >= 16),
-         sf AS (
-           SELECT doc_id, i, substr(text, CAST(i * 16 + 1 AS INTEGER), 16)
-             AS fr
-           FROM f WHERE i % 4 = 0),
-         xs AS (
-           SELECT doc_id, i,
-             list_transform(range(1, 17),
-               j -> ord(substr(fr, CAST(j AS INTEGER), 1))) AS v
-           FROM sf),
-         co AS (
-           SELECT doc_id, i,
-             list_transform($dctTableSql::BIGINT[][],
-               t -> list_dot_product(v::BIGINT[], t)) AS coefs
-           FROM xs),
-         hp AS (
-           SELECT doc_id, i,
-             list_sum(list_transform(range(1, 16), k ->
-               CASE WHEN coefs[CAST(k AS INTEGER)]
-                      > list_sort(coefs)[8]
-                    THEN 1 << (30 - CAST(k AS INTEGER)) ELSE 0 END))
-             + list_sum(list_transform(range(1, 16), k ->
-               CASE WHEN coefs[CAST(k AS INTEGER)]
-                      > list_sort(coefs)[12]
-                    THEN 1 << (15 - CAST(k AS INTEGER)) ELSE 0 END)) AS hv
-           FROM co),
-         fp AS (SELECT DISTINCT doc_id, CAST(hv AS BIGINT) AS hv FROM hp),
-         bl AS (
-           SELECT doc_id, hv, b, (hv >> (b * 10)) & 1023 AS bk
-           FROM fp, unnest(generate_series(0, 2)) AS t(b)),
-         keep AS (
-           SELECT b, bk FROM bl GROUP BY 1, 2 HAVING COUNT(*) <= 100),
-         cand AS (
-           SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
-             a.hv AS va, b2.hv AS vb
-           FROM bl a
-           JOIN keep k ON a.b = k.b AND a.bk = k.bk
-           JOIN bl b2 ON b2.b = a.b AND b2.bk = a.bk
-             AND a.doc_id < b2.doc_id),
-         ver AS (
-           SELECT doc_a, doc_b FROM cand
-           WHERE bit_count(xor(va, vb)) <= 2)
-         SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS shared
-         FROM ver GROUP BY 1, 2 HAVING COUNT(*) >= 2""",
+    "doc_media_phash_near" -> mediaNearPairsSql(""),
+
+    // Persisted media index: the SAME pair replay restricted to pairs
+    // touching the ingest slice — serve ≡ batch-over-union by
+    // construction (spec-pinned), so no index structure appears here.
+    "doc_media_index_near" ->
+      mediaNearPairsSql("WHERE doc_a % 4 = 1 OR doc_b % 4 = 1 "),
 
     // Assignment CTEs mirror emb_kmeans_assign (k=8); majority label per
     // cluster with the deterministic (cnt DESC, label ASC) tie-break.

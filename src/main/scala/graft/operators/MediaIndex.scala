@@ -1,0 +1,346 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Barrier.BarrierOps
+
+/** Persisted PERCEPTUAL media index — the media member of the persisted
+  * index family (text has DedupIndex + ExactDedupIndex + the lexical
+  * postings; embeddings have IVF/IVF-PQ): the two-level DCT pHashes and
+  * their pigeonhole block keys ([[Multimodal.perceptualFrameHash30s]] /
+  * [[Multimodal.blockGeom]] — the SHARED kernels, so index rows can
+  * never drift from the serve-time split) computed ONCE over the base
+  * media corpus and written at rest. The serve-side question is the
+  * ingest one: "which payloads of this batch are Hamming-tolerant
+  * perceptual near-dups of anything already ingested, or of each
+  * other?" — answered without re-hashing or scanning the base.
+  *
+  * Layout under `dir/` (one generation at build; appends add
+  * `blocks-delta-<seq>` dirs):
+  *  - `blocks/`: (b, bk, doc_id, v) — one row per block per distinct
+  *    per-payload hash — parquet-partitioned by
+  *    `bbkt = pmod(xxhash64(b, bk), nBuckets)`.
+  *  - `meta/`: 1-row (frame_bytes, every_nth, max_dist, buckets) —
+  *    written LAST as the completion marker and the single source of
+  *    truth for the hash/block geometry (a serve with a different
+  *    geometry would silently find nothing).
+  *
+  * Serve reads are BOUNDED: the batch's block keys fold to ≤ nBuckets
+  * literal `bbkt IN (…)` values (static partition pruning, the
+  * DedupIndex discipline), and the df cap is computed over
+  * base ∪ delta rows for exactly the keys the batch touches — so the
+  * serve result equals [[Multimodal.perceptualNearDups]] over
+  * base ∪ delta restricted to delta-touching pairs EXACTLY
+  * (spec-pinned; a pair both of whose sides are base docs is the bulk
+  * pass's job, and no key only base docs touch can form one here).
+  *
+  * Append/commit/sweep are the shared [[GenManifest]] protocol. The
+  * hash family is stateless (no trained book), so an append is
+  * equivalent to a rebuild EXACTLY and unconditionally — generation
+  * dirs are just more rows of the same deterministic table.
+  * SINGLE-WRITER; the caller owns doc_id disjointness across base and
+  * every delta (a re-ingested id would pair with itself).
+  */
+object MediaIndex {
+
+  private def bbktCol(nBuckets: Int): Column =
+    pmod(xxhash64(col("b"), col("bk")), lit(nBuckets.toLong))
+
+  /** Names a manifest may reference — the only names the sweep may
+    * delete (foreign files in the dir are never collected).
+    */
+  private def isMediaDataDir(name: String): Boolean =
+    name.matches("""blocks|meta|blocks-(delta|compact)-\d{10}""")
+
+  /** The live (seq, block dirs, meta dir). A freshly-built index has no
+    * manifest — it adopts as generation 0.
+    */
+  private[graft] def mediaManifest(spark: SparkSession, dir: String)
+      : (Long, Seq[String], String) = {
+    val (fs, root) = GenManifest.fsRoot(spark, dir)
+    GenManifest.latestSeq(fs, root) match {
+      case None => (0L, Seq("blocks"), "meta")
+      case Some(seq) =>
+        val (b, m) = mediaManifestAt(fs, root, seq)
+        (seq, b, m)
+    }
+  }
+
+  private def mediaManifestAt(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, g: Long): (Seq[String], String) =
+    GenManifest.readNode(fs, root, g) match {
+      case Some(node) =>
+        import scala.jdk.CollectionConverters._
+        // Key presence checked explicitly (the dedupManifestAt rule): a
+        // manifest from another index family must surface this curated
+        // diagnostic, not a Jackson NPE the sweep's catch would log as
+        // a contentless "null".
+        if (node.get("bdirs") == null || node.get("meta") == null)
+          throw new IllegalStateException(
+            s"manifest generation $g under $root is not a media-index " +
+              "manifest (missing bdirs/meta) — wrong directory or " +
+              "damaged index")
+        (node.get("bdirs").elements().asScala.map(_.asText()).toSeq,
+          node.get("meta").asText())
+      case None if g == 0L => (Seq("blocks"), "meta")
+      case None =>
+        // Fail-loud on the READ path; the sweep tolerates this via its
+        // own NonFatal catch.
+        throw new IllegalStateException(
+          s"index manifest generation $g is missing under $root — " +
+            "damaged index or concurrent writer")
+    }
+
+  private def commitMediaManifest(spark: SparkSession, dir: String,
+      seq: Long, bDirs: Seq[String], metaDir: String): Unit = {
+    val node = GenManifest.newNode()
+    val ba = node.putArray("bdirs"); bDirs.foreach(ba.add)
+    node.put("meta", metaDir)
+    GenManifest.commit(spark, dir, seq, node)
+  }
+
+  private def sweepMediaGenerations(spark: SparkSession, dir: String,
+      current: Long): Unit =
+    GenManifest.sweepOwned(spark, dir, current, isMediaDataDir) {
+      (fs, root, g) =>
+        val (b, m) = mediaManifestAt(fs, root, g)
+        b :+ m
+    }
+
+  /** Write the exploded block table of `payloads` under `dir/<name>`;
+    * returns the row count (0 = nothing written worth referencing — a
+    * corpus of sub-frame payloads emits no hashes).
+    */
+  private def writeBlocks(payloads: DataFrame, dir: String,
+      frameBytes: Int, everyNth: Int, maxDist: Int, nBuckets: Int,
+      name: String): Long = {
+    val spark = payloads.sparkSession
+    val geom = Multimodal.blockGeom(frameBytes, maxDist)
+    val bl = Multimodal.hash30Rows(spark, payloads, frameBytes, everyNth)
+      .select(col("doc_id"), col("v"),
+        explode_outer(geom.blockStructs(col("v"))).as("blk"))
+      .where(col("blk").isNotNull)
+      .select(col("blk.b").as("b"), col("blk.bk").as("bk"),
+        col("doc_id"), col("v"))
+      .withColumn("bbkt", bbktCol(nBuckets))
+      .barrier()
+    try {
+      val rows = bl.count()
+      if (rows > 0L)
+        bl.repartition(col("bbkt"))
+          .write.mode("overwrite").partitionBy("bbkt").parquet(s"$dir/$name")
+      rows
+    } finally Barrier.release(bl)
+  }
+
+  /** BUILD the index over the base media corpus. Rebuild-in-place (not
+    * reader-concurrent — appends are the concurrent-reader path).
+    * Validates BEFORE destroying the previous index (the
+    * buildDedupIndex rule): an accidentally-empty corpus must not
+    * delete the good index first.
+    */
+  def buildMediaIndex(payloads: DataFrame, dir: String,
+      frameBytes: Int = 16, everyNth: Int = 4, maxDist: Int = 2,
+      nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val spark = payloads.sparkSession
+    Multimodal.blockGeom(frameBytes, maxDist) // geometry guards up front
+    require(
+      !Multimodal.hash30Rows(spark, payloads, frameBytes, everyNth).isEmpty,
+      s"buildMediaIndex at $dir: corpus has no hashable payloads " +
+        s"(every payload under $frameBytes bytes?) — nothing to index " +
+        "(previous index left intact)")
+    GenManifest.resetDir(spark, dir)
+    val rows = writeBlocks(payloads, dir, frameBytes, everyNth, maxDist,
+      nBuckets, "blocks")
+    require(rows > 0L,
+      s"buildMediaIndex at $dir: corpus has no hashable payloads — " +
+        "nothing to index")
+    // Meta LAST: a readable meta table marks the build complete.
+    spark.range(1).select(
+        lit(frameBytes).as("frame_bytes"), lit(everyNth).as("every_nth"),
+        lit(maxDist).as("max_dist"), lit(nBuckets).as("buckets"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** APPEND an ingest batch: its block rows become a new generation dir,
+    * committed by one atomic manifest rename. Stateless hash family ⇒
+    * append ≡ rebuild over base ∪ delta EXACTLY (spec-pinned). An empty
+    * delta is a NO-OP — committing a schema-less generation would
+    * poison every later read (the ANN empty-delta lesson).
+    */
+  def appendToMediaIndex(newPayloads: DataFrame, dir: String): Unit = {
+    val spark = newPayloads.sparkSession
+    val (seq, bDirs, metaDir) = mediaManifest(spark, dir)
+    val meta = spark.read.parquet(s"$dir/$metaDir").head()
+    val newB = f"blocks-delta-${seq + 1}%010d"
+    val rows = writeBlocks(newPayloads, dir,
+      meta.getAs[Int]("frame_bytes"), meta.getAs[Int]("every_nth"),
+      meta.getAs[Int]("max_dist"), meta.getAs[Int]("buckets"), newB)
+    if (rows == 0L) {
+      System.err.println(
+        s"[graft] media-index append of an EMPTY delta to $dir skipped " +
+          "(no commit)")
+    } else {
+      commitMediaManifest(spark, dir, seq + 1, bDirs :+ newB, metaDir)
+      sweepMediaGenerations(spark, dir, seq + 1)
+    }
+  }
+
+  /** COMPACT: fold every live generation back into ONE dir and commit
+    * with the same atomic manifest rename appends use. Rows rewrite
+    * VERBATIM (the partition column rides the read — no hash is
+    * recomputed), so serve-after-compact is bit-identical to
+    * serve-before. No-op on a single-generation index (but still sweeps
+    * garbage a previously-failed best-effort sweep left).
+    */
+  def compactMediaIndex(spark: SparkSession, dir: String): Unit = {
+    val (seq, bDirs, metaDir) = mediaManifest(spark, dir)
+    if (bDirs.length <= 1) {
+      sweepMediaGenerations(spark, dir, seq)
+      return
+    }
+    val newB = f"blocks-compact-${seq + 1}%010d"
+    readGenerations(spark, dir, bDirs)
+      .repartition(col("bbkt"))
+      .write.mode("overwrite").partitionBy("bbkt").parquet(s"$dir/$newB")
+    commitMediaManifest(spark, dir, seq + 1, Seq(newB), metaDir)
+    sweepMediaGenerations(spark, dir, seq + 1)
+  }
+
+  /** Per-block hot-key report over the index at rest (the indexHealth
+    * analog): key count, membership rows, hottest key, and keys more
+    * than `hotDf` payload-hashes deep — what an operator reads before
+    * choosing `maxBlockDf`. Maintenance scan like compaction (hashes,
+    * not payloads — 3 longs per row).
+    */
+  def mediaIndexHealth(spark: SparkSession, dir: String,
+      hotDf: Int = 1): DataFrame = {
+    val (_, bDirs, _) = mediaManifest(spark, dir)
+    val bk = readGenerations(spark, dir, bDirs)
+    bk.groupBy(col("b"), col("bk"))
+      .agg(count(lit(1)).as("df"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("df")).as("member_rows"),
+        max(col("df")).as("max_df"),
+        sum(when(col("df") > hotDf, 1L).otherwise(0L)).as("hot_keys"))
+  }
+
+  /** The pruned union read the serve runs, factored for the plan lock:
+    * each generation dir is its own partitioned source and the literal
+    * `IN` filter pushes through the union, so EVERY generation scan
+    * partition-prunes independently.
+    */
+  private[graft] def readPruned(spark: SparkSession, dir: String,
+      dirs: Seq[String], keys: Seq[Long]): DataFrame =
+    readGenerations(spark, dir, dirs)
+      .filter(col("bbkt").isin(keys: _*))
+
+  private def readGenerations(spark: SparkSession, dir: String,
+      dirs: Seq[String]): DataFrame =
+    dirs.map(d => spark.read.parquet(s"$dir/$d"))
+      .reduce(_.unionByName(_))
+
+  /** Hamming-tolerant perceptual near-dup pairs of an ingest batch
+    * against the persisted index AND within the batch itself: every
+    * (doc_a, doc_b, shared) with `shared` ≥ `minShared` verified hash
+    * pairs where at least one side is a batch payload — EXACTLY
+    * [[Multimodal.perceptualNearDups]] over base ∪ delta restricted to
+    * delta-touching pairs (spec-pinned). The df cap is the union df for
+    * every key the batch touches: the batch's own block rows plus the
+    * base rows read under the pruned `bbkt IN` filter (all base rows of
+    * a touched key live in that key's partition, so the pruned read
+    * sees the full count).
+    *
+    * Cost: hash the batch (map-only), one ≤ nBuckets-literal pruned
+    * block read, hash-joins on longs. Base payloads never load; no
+    * full base scan on any serve path.
+    */
+  def mediaIndexPairs(spark: SparkSession, dir: String, delta: DataFrame,
+      minShared: Int = 2, maxBlockDf: Int = 100): DataFrame = {
+    require(minShared >= 1, s"minShared=$minShared must be >= 1")
+    require(maxBlockDf >= 1, s"maxBlockDf=$maxBlockDf must be >= 1")
+    val (_, bDirs, metaDir) = mediaManifest(spark, dir)
+    val meta = spark.read.parquet(s"$dir/$metaDir").head()
+    val frameBytes = meta.getAs[Int]("frame_bytes")
+    val everyNth = meta.getAs[Int]("every_nth")
+    val maxDist = meta.getAs[Int]("max_dist")
+    val nBuckets = meta.getAs[Int]("buckets")
+    val geom = Multimodal.blockGeom(frameBytes, maxDist)
+    // Null-id batch rows drop up front (the servePairLegs rule): every
+    // join below is null-rejecting and a null-id payload would silently
+    // form no pairs.
+    val dbl = Multimodal.hash30Rows(spark,
+        delta.where(col("doc_id").isNotNull), frameBytes, everyNth)
+      .select(col("doc_id"), col("v"),
+        explode_outer(geom.blockStructs(col("v"))).as("blk"))
+      .where(col("blk").isNotNull)
+      .select(col("blk.b").as("b"), col("blk.bk").as("bk"),
+        col("doc_id"), col("v"))
+      // Barrier BEFORE collecting bucket literals (the servePairLegs
+      // discipline): a nondeterministic delta could otherwise split the
+      // pruned scan from the probed candidates.
+      .barrier()
+    try {
+      val bbkts = dbl.select(bbktCol(nBuckets).as("k")).distinct()
+        .collect().map(_.getLong(0)).toIndexedSeq
+      if (bbkts.isEmpty) {
+        import spark.implicits._
+        return Seq.empty[(Long, Long, Long)].toDF("doc_a", "doc_b", "shared")
+      }
+      // Base rows for exactly the keys the batch touches — the join on
+      // (b, bk) restricts the pruned partitions to touched keys, and
+      // the distinct key list broadcast keeps the base side a hash
+      // probe, never a shuffle of the index.
+      val baseTouch = readPruned(spark, dir, bDirs, bbkts)
+        .join(broadcast(dbl.select(col("b"), col("bk")).distinct()),
+          Seq("b", "bk"))
+        .select(col("b"), col("bk"), col("doc_id"), col("v"))
+        .barrier() // read twice: df count + the cross candidate leg
+      try {
+        // Union df per touched key = batch rows + base rows — equal by
+        // construction to perceptualNearDups' df over base ∪ delta for
+        // every key that can form a delta-touching pair.
+        val keep = dbl.select(col("b"), col("bk"))
+          .unionByName(baseTouch.select(col("b"), col("bk")))
+          .groupBy(col("b"), col("bk"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxBlockDf)
+          .select(col("b"), col("bk"))
+        val dKept = dbl.join(keep, Seq("b", "bk"))
+        val bKept = baseTouch.join(keep, Seq("b", "bk"))
+        // Within-batch leg (both sides delta, a < b) plus the cross leg
+        // (delta × base, normalized so va belongs to doc_a) — disjoint
+        // by the caller's id-disjointness contract; the distinct
+        // dedupes multi-block discoveries exactly like the batch op.
+        val internal = dKept.select(col("b"), col("bk"),
+            col("doc_id").as("doc_a"), col("v").as("va"))
+          .join(dKept.select(col("b"), col("bk"),
+            col("doc_id").as("doc_b"), col("v").as("vb")), Seq("b", "bk"))
+          .where(col("doc_a") < col("doc_b"))
+        val cross = dKept.select(col("b"), col("bk"),
+            col("doc_id").as("d_id"), col("v").as("dv"))
+          .join(bKept.select(col("b"), col("bk"),
+            col("doc_id").as("b_id"), col("v").as("bv")), Seq("b", "bk"))
+          .select(
+            least(col("d_id"), col("b_id")).as("doc_a"),
+            greatest(col("d_id"), col("b_id")).as("doc_b"),
+            when(col("d_id") < col("b_id"), col("dv"))
+              .otherwise(col("bv")).as("va"),
+            when(col("d_id") < col("b_id"), col("bv"))
+              .otherwise(col("dv")).as("vb"))
+        val cand = internal.select(col("doc_a"), col("doc_b"),
+            col("va"), col("vb"))
+          .unionByName(cross)
+          .distinct()
+        cand
+          .where(expr(s"bit_count(va ^ vb) <= $maxDist"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= minShared)
+          .barrier() // materialized so the finallys can release inputs
+      } finally Barrier.release(baseTouch)
+    } finally Barrier.release(dbl)
+  }
+}

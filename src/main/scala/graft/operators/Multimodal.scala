@@ -376,6 +376,63 @@ object Multimodal {
       .distinct()
   }
 
+  /** Pigeonhole block geometry of the two-level pHash — ONE definition of
+    * the bit layout, the block cuts, and the degenerate-geometry guards,
+    * shared by the batch near-dup, its streaming twin, and the persisted
+    * [[MediaIndex]] (whose at-rest block keys must match the serve-time
+    * split BIT FOR BIT across index generations).
+    */
+  private[graft] final case class BlockGeom(totalBits: Int, blocks: Int,
+      cuts: IndexedSeq[Int]) {
+    def blockKey(v: Column, b: Int): Column =
+      shiftright(v, cuts(b))
+        .bitwiseAND(lit((1L << (cuts(b + 1) - cuts(b))) - 1))
+    /** One struct(b, bk) per block, for an `explode_outer` over a hash
+      * column (the exploder convention: outer + isNotNull on the
+      * exploded attribute — the InferFiltersFromGenerate rule).
+      */
+    def blockStructs(v: Column): Column =
+      array((0 until blocks).map(b =>
+        struct(lit(b).as("b"), blockKey(v, b).as("bk"))): _*)
+  }
+
+  private[graft] def blockGeom(frameBytes: Int, maxDist: Int): BlockGeom = {
+    require(frameBytes >= 8,
+      s"frameBytes=$frameBytes must be >= 8 for the two-level pHash" +
+        " (narrower frames leave too few AC coefficients between the" +
+        " median and quartile thresholds)")
+    val totalBits = 2 * (frameBytes - 1)
+    val blocks = maxDist + 1
+    val cuts = (0 to blocks).map(j => j * totalBits / blocks)
+    // The pigeonhole needs maxDist+1 blocks; a block narrower than 4
+    // bits is a <=15-value key space whose every key is hot at any
+    // scale — the cap would then fence EVERYTHING (silently empty
+    // output), so refuse the degenerate geometry at construction.
+    require(maxDist >= 1 && cuts.sliding(2).forall(p => p(1) - p(0) >= 4),
+      s"maxDist=$maxDist needs ${blocks} blocks over $totalBits hash " +
+        "bits — block keys would be under 4 bits (every key hot)")
+    BlockGeom(totalBits, blocks, cuts)
+  }
+
+  /** One DISTINCT (doc_id, v) row per two-level pHash per payload — the
+    * shared hash leg of the Hamming-tolerant family (batch, streaming
+    * twin, persisted index build and serve all feed from this).
+    */
+  private[graft] def hash30Rows(spark: SparkSession, payloads: DataFrame,
+      frameBytes: Int, everyNth: Int): DataFrame = {
+    import spark.implicits._
+    require(everyNth > 0, s"everyNth=$everyNth must be positive")
+    payloads.select(col("doc_id"), col("payload")).as[Payload]
+      .mapPartitions { it =>
+        it.flatMap { p =>
+          perceptualFrameHash30s(p.payload, frameBytes, everyNth)
+            .iterator.map(v => (p.doc_id, v))
+        }
+      }
+      .toDF("doc_id", "v")
+      .distinct()
+  }
+
   /** Media near-duplicates by PERCEPTUAL frame overlap — the second dedup
     * pass over a media crawl, behind the byte-identical [[frameDups]]
     * pass: two payloads pair when `minShared` sampled frames share an
@@ -424,45 +481,16 @@ object Multimodal {
   def perceptualNearDups(spark: SparkSession, payloads: DataFrame,
       frameBytes: Int = 16, everyNth: Int = 4, maxDist: Int = 2,
       minShared: Int = 2, maxBlockDf: Int = 100): DataFrame = {
-    import spark.implicits._
-    require(everyNth > 0, s"everyNth=$everyNth must be positive")
-    require(frameBytes >= 8,
-      s"frameBytes=$frameBytes must be >= 8 for the two-level pHash" +
-        " (narrower frames leave too few AC coefficients between the" +
-        " median and quartile thresholds)")
     require(minShared >= 1, s"minShared=$minShared must be >= 1")
     require(maxBlockDf >= 1, s"maxBlockDf=$maxBlockDf must be >= 1")
-    val totalBits = 2 * (frameBytes - 1)
-    val blocks = maxDist + 1
-    val cuts = (0 to blocks).map(j => j * totalBits / blocks)
-    // The pigeonhole needs maxDist+1 blocks; a block narrower than 4
-    // bits is a <=15-value key space whose every key is hot at any
-    // scale — the cap would then fence EVERYTHING (silently empty
-    // output), so refuse the degenerate geometry at construction.
-    require(maxDist >= 1 && cuts.sliding(2).forall(p => p(1) - p(0) >= 4),
-      s"maxDist=$maxDist needs ${blocks} blocks over $totalBits hash " +
-        "bits — block keys would be under 4 bits (every key hot)")
-    val fp = payloads.select(col("doc_id"), col("payload")).as[Payload]
-      .mapPartitions { it =>
-        it.flatMap { p =>
-          perceptualFrameHash30s(p.payload, frameBytes, everyNth)
-            .iterator.map(v => (p.doc_id, v))
-        }
-      }
-      .toDF("doc_id", "v")
-      .distinct()
-    val blockStructs = (0 until blocks).map { b =>
-      val lo = cuts(b)
-      val w = cuts(b + 1) - lo
-      struct(lit(b).as("b"),
-        shiftright(col("v"), lo).bitwiseAND(lit((1L << w) - 1)).as("bk"))
-    }
+    val geom = blockGeom(frameBytes, maxDist)
+    val fp = hash30Rows(spark, payloads, frameBytes, everyNth)
     // outer + isNotNull: the exploder convention (the array is a non-
     // empty literal-of-derived structs, but the inner form is the
     // InferFiltersFromGenerate regression shape).
     val bl = fp
       .select(col("doc_id"), col("v"),
-        explode_outer(array(blockStructs: _*)).as("blk"))
+        explode_outer(geom.blockStructs(col("v"))).as("blk"))
       .where(col("blk").isNotNull)
       .select(col("doc_id"), col("v"),
         col("blk.b").as("b"), col("blk.bk").as("bk"))
@@ -600,21 +628,11 @@ object Multimodal {
       everyNth: Int = 4, maxDist: Int = 2, minShared: Int = 2,
       maxBlockDf: Int = 100): DataFrame = {
     import spark.implicits._
-    require(everyNth > 0, s"everyNth=$everyNth must be positive")
-    require(frameBytes >= 8,
-      s"frameBytes=$frameBytes must be >= 8 for the two-level pHash" +
-        " (narrower frames leave too few AC coefficients between the" +
-        " median and quartile thresholds)")
     require(minShared >= 1, s"minShared=$minShared must be >= 1")
     require(maxBlockDf >= 1, s"maxBlockDf=$maxBlockDf must be >= 1")
-    val totalBits = 2 * (frameBytes - 1)
-    val blocks = maxDist + 1
-    val cuts = (0 to blocks).map(j => j * totalBits / blocks)
-    require(maxDist >= 1 && cuts.sliding(2).forall(p => p(1) - p(0) >= 4),
-      s"maxDist=$maxDist needs ${blocks} blocks over $totalBits hash " +
-        "bits — block keys would be under 4 bits (every key hot)")
-    def blockKey(v: Column, b: Int): Column =
-      shiftright(v, cuts(b)).bitwiseAND(lit((1L << (cuts(b + 1) - cuts(b))) - 1))
+    val geom = blockGeom(frameBytes, maxDist)
+    val blocks = geom.blocks
+    def blockKey(v: Column, b: Int): Column = geom.blockKey(v, b)
     // (block, key) packed into one long for array membership tests —
     // block index in the high bits, so the array MIN is also the
     // smallest block (the exactly-once tie-break below).
@@ -631,21 +649,11 @@ object Multimodal {
       (bit_count(f.bitwiseXOR(gv)) <= maxDist) &&
         arrays_overlap(fKeys(f), gkk)
     // ---- static side, materialized ONCE at construction --------------
-    val baseFp = basePayloads.select(col("doc_id"), col("payload"))
-      .as[Payload]
-      .mapPartitions { it =>
-        it.flatMap { p =>
-          perceptualFrameHash30s(p.payload, frameBytes, everyNth)
-            .iterator.map(v => (p.doc_id, v))
-        }
-      }
-      .toDF("base_id", "v")
-      .distinct()
-    val blockStructs = (0 until blocks).map(b =>
-      struct(lit(b).as("b"), blockKey(col("v"), b).as("bk")))
+    val baseFp = hash30Rows(spark, basePayloads, frameBytes, everyNth)
+      .withColumnRenamed("doc_id", "base_id")
     val bbl = baseFp
       .select(col("base_id"), col("v"),
-        explode_outer(array(blockStructs: _*)).as("blk"))
+        explode_outer(geom.blockStructs(col("v"))).as("blk"))
       .where(col("blk").isNotNull)
       .select(col("base_id"), col("v"),
         col("blk.b").as("b"), col("blk.bk").as("bk"))
@@ -677,9 +685,7 @@ object Multimodal {
       .select(col("doc_id"), col("fps"), explode_outer(col("fps")).as("f"))
       .where(col("f").isNotNull)
       .select(col("doc_id"), col("fps"), col("f"),
-        explode_outer(array((0 until blocks).map(b =>
-          struct(lit(b).as("b"), blockKey(col("f"), b).as("bk"))): _*))
-          .as("blk"))
+        explode_outer(geom.blockStructs(col("f"))).as("blk"))
       .where(col("blk").isNotNull)
       .select(col("doc_id"), col("fps"), col("f"),
         col("blk.b").as("b"), col("blk.bk").as("bk"))

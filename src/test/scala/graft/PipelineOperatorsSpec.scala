@@ -2606,6 +2606,125 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(batch == Set((1L, 2L, 3L)), batch)
   }
 
+  // ---- persisted perceptual media index ----------------------------------
+
+  private def mdxTmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_mdx_spec").toString
+
+  private def mediaPairs(df: org.apache.spark.sql.DataFrame)
+      : Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+      r.getAs[Long]("shared"))).toSet
+
+  test("mediaIndexPairs: serve equals batch perceptualNearDups over base∪delta restricted to delta-touching pairs — at an open AND a binding df cap") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    def randText(len: Int) =
+      new String(Array.fill(len)((33 + rnd.nextInt(90)).toChar))
+    // Base: random payloads + a hot flat-spectrum clique ("z"*96 — every
+    // hash identical, its block keys go hot). Delta: one-byte nudges of
+    // base docs (cross pairs at small Hamming distance), an exact copy
+    // chain (300 copies base 1, 301 copies 300 — the within-batch leg),
+    // two more hot-clique members (the UNION df must fence the key: the
+    // base-only df is under a cap the union df crosses), and a fresh doc.
+    val base = (1 to 14).map(id => id.toLong -> randText(64 + 16 * rnd.nextInt(6))) ++
+      (20 to 24).map(id => id.toLong -> ("z" * 96))
+    val noisyDelta = base.take(6).map { case (id, s) =>
+      val a = s.toCharArray
+      a(rnd.nextInt(16)) = (33 + rnd.nextInt(90)).toChar
+      (id + 100L) -> new String(a)
+    }
+    val delta = noisyDelta ++ Seq(
+      300L -> base.head._2, 301L -> base.head._2,
+      310L -> ("z" * 96), 311L -> ("z" * 96),
+      320L -> randText(96))
+    val basePay = Multimodal.withPayload(base.toDF("doc_id", "text"))
+    val deltaPay = Multimodal.withPayload(delta.toDF("doc_id", "text"))
+    val unionPay = Multimodal.withPayload((base ++ delta).toDF("doc_id", "text"))
+    val deltaIds = delta.map(_._1).toSet
+    val dir = mdxTmp()
+    graft.operators.MediaIndex.buildMediaIndex(basePay, dir, nBuckets = 8)
+    for (cap <- Seq(1000000, 6)) {
+      val served = mediaPairs(graft.operators.MediaIndex.mediaIndexPairs(
+        spark, dir, deltaPay, minShared = 1, maxBlockDf = cap))
+      val batch = mediaPairs(Multimodal.perceptualNearDups(
+          spark, unionPay, minShared = 1, maxBlockDf = cap))
+        .filter(p => deltaIds.contains(p._1) || deltaIds.contains(p._2))
+      assert(served == batch,
+        s"cap $cap\nmissing: ${batch -- served}\nextra: ${served -- batch}")
+      if (cap > 6) {
+        // Both legs genuinely fire: the copy chain pairs within the
+        // batch AND against base 1.
+        assert(served.exists(p => p._1 == 300L && p._2 == 301L), served)
+        assert(served.exists(p => p._1 == 1L && deltaIds.contains(p._2)),
+          served)
+      } else {
+        // The binding cap fences the hot clique via the UNION df (base
+        // df 5 <= 6 alone would NOT fence it — the serve must count the
+        // delta's 2 rows on the same key).
+        assert(!served.exists(p => p._1 == 310L && p._2 == 311L), served)
+      }
+    }
+    // Null-id delta rows drop (the servePairLegs rule).
+    val withNull = deltaPay.unionByName(
+      Seq((Option.empty[Long], Array[Byte](1, 2, 3, 4)))
+        .toDF("doc_id", "payload"))
+    val servedN = mediaPairs(graft.operators.MediaIndex.mediaIndexPairs(
+      spark, dir, withNull, minShared = 1))
+    assert(servedN == mediaPairs(graft.operators.MediaIndex.mediaIndexPairs(
+      spark, dir, deltaPay, minShared = 1)))
+  }
+
+  test("appendToMediaIndex: serve-after-append equals a rebuild over base∪delta; empty delta no-op; compact verbatim; build guards") {
+    import spark.implicits._
+    def head(st: Int) =
+      (0 until 16).map(n => ('A' + ((n * st) % 26)).toChar).mkString
+    val b1 = Multimodal.withPayload(Seq(
+      1L -> (head(2) + "q" * 48), 2L -> (head(3) + "q" * 48))
+      .toDF("doc_id", "text"))
+    val b2 = Multimodal.withPayload(Seq(
+      10L -> (head(2) + "q" * 48), 11L -> (head(5) + "q" * 48))
+      .toDF("doc_id", "text"))
+    val probe = Multimodal.withPayload(Seq(
+      100L -> (head(2) + "q" * 48), 101L -> (head(7) + "q" * 48))
+      .toDF("doc_id", "text"))
+    val appended = mdxTmp(); val rebuilt = mdxTmp()
+    graft.operators.MediaIndex.buildMediaIndex(b1, appended, nBuckets = 8)
+    graft.operators.MediaIndex.appendToMediaIndex(b2, appended)
+    graft.operators.MediaIndex.buildMediaIndex(
+      b1.unionByName(b2), rebuilt, nBuckets = 8)
+    def serve(dir: String) = mediaPairs(graft.operators.MediaIndex
+      .mediaIndexPairs(spark, dir, probe, minShared = 1))
+    val a = serve(appended)
+    assert(a == serve(rebuilt))
+    assert(a.exists(p => p._1 == 1L && p._2 == 100L), "base-gen hit")
+    assert(a.exists(p => p._1 == 10L && p._2 == 100L), "appended-gen hit")
+    // Empty delta (sub-frame payloads): no commit, serve unchanged.
+    graft.operators.MediaIndex.appendToMediaIndex(
+      Multimodal.withPayload(Seq(500L -> "tiny").toDF("doc_id", "text")),
+      appended)
+    assert(serve(appended) == a)
+    // COMPACT: serve identical across the fold; ONE generation remains.
+    graft.operators.MediaIndex.compactMediaIndex(spark, appended)
+    assert(serve(appended) == a)
+    val (seqC, bDirsC, _) =
+      graft.operators.MediaIndex.mediaManifest(spark, appended)
+    assert(bDirsC.length == 1 && bDirsC.head.startsWith("blocks-compact-"),
+      bDirsC)
+    // No-op compaction on the single-generation index.
+    graft.operators.MediaIndex.compactMediaIndex(spark, appended)
+    assert(graft.operators.MediaIndex.mediaManifest(spark, appended)._1 == seqC)
+    assert(serve(appended) == a)
+    // Build validates BEFORE destroying: a hash-less corpus refuses and
+    // the previous index still serves.
+    val e = intercept[IllegalArgumentException](
+      graft.operators.MediaIndex.buildMediaIndex(
+        Multimodal.withPayload(Seq(900L -> "tiny").toDF("doc_id", "text")),
+        appended))
+    assert(e.getMessage.contains("nothing to index"), e.getMessage)
+    assert(serve(appended) == a, "previous index left intact")
+  }
+
   test("typeTransitions order=2: trigram contexts, head rows without full context drop") {
     import spark.implicits._
     def ts(sec: Long) = new java.sql.Timestamp(1704067200000L + sec * 1000L)

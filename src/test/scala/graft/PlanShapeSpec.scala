@@ -783,6 +783,46 @@ class PlanShapeSpec extends SparkSpec {
       .findAllIn(pj).length == 1, pj.take(2000))
   }
 
+  test("media-index serve: EVERY generation scan partition-prunes; health stays join-free; compact restores ONE pruned scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mdx_plan").toString
+    def head(st: Int) =
+      (0 until 16).map(n => ('A' + ((n * st) % 26)).toChar).mkString
+    val base = graft.operators.Multimodal.withPayload(
+      Seq((1L, head(2) + "q" * 48), (2L, head(3) + "q" * 48))
+        .toDF("doc_id", "text"))
+    val delta = graft.operators.Multimodal.withPayload(
+      Seq((10L, head(5) + "q" * 48)).toDF("doc_id", "text"))
+    graft.operators.MediaIndex.buildMediaIndex(base, dir, nBuckets = 8)
+    graft.operators.MediaIndex.appendToMediaIndex(delta, dir)
+    // Two generations: both block scans must carry a pushed partition
+    // filter — an unpruned generation would re-scan the whole base per
+    // serve.
+    val dirs2 = Seq("blocks", f"blocks-delta-${1L}%010d")
+    val p = graft.operators.MediaIndex
+      .readPruned(spark, dir, dirs2, Seq(0L, 3L))
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[bbkt".r.findAllIn(p).length == 2,
+      p.take(3000))
+    assert(!p.contains("PartitionFilters: []"), p.take(3000))
+    // Health report: aggregations over the block scan only.
+    val hp = graft.operators.MediaIndex.mediaIndexHealth(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!hp.contains("Join"), hp.take(2000))
+    assert(!hp.contains("Sort"), hp.take(2000))
+    assert("Exchange".r.findAllIn(hp).length <= 2, hp.take(2000))
+    // COMPACTION restores exactly ONE pruned scan (manifest-driven).
+    graft.operators.MediaIndex.compactMediaIndex(spark, dir)
+    val (_, bDirs, _) = graft.operators.MediaIndex.mediaManifest(spark, dir)
+    val pc = graft.operators.MediaIndex
+      .readPruned(spark, dir, bDirs, Seq(0L, 3L))
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[bbkt".r.findAllIn(pc).length == 1,
+      pc.take(3000))
+    assert(!pc.contains("PartitionFilters: []"), pc.take(3000))
+  }
+
   test("fuzzyPairs verify tail: id hash joins only — no nested loop over candidates") {
     import spark.implicits._
     val cand = Seq((1L, 2L)).toDF("doc_a", "doc_b")
