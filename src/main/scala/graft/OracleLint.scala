@@ -76,17 +76,29 @@ object OracleLint {
     * scanners all consume this one mask, so the fix lives here once).
     * A `--` inside a string literal is string content, and an
     * apostrophe inside a comment never opens a string.
+    *
+    * Double-quoted IDENTIFIERS get the same treatment (with `""` as the
+    * escaped quote): an apostrophe or `--` inside a "quoted identifier"
+    * (`"user"` is live in the registry) would otherwise open a phantom
+    * string/comment mask — the exact failure class the comment branch
+    * fixed. The identifier TEXT is masked like string content; the
+    * rules only need to know it isn't scannable SQL.
     */
   private def stringMask(s: String): Array[Boolean] = {
     val masked = new Array[Boolean](s.length)
     var i = 0
+    def maskQuoted(q: Char): Unit = {
+      masked(i) = true
+      i += 1
+      while (i < s.length && s(i) != q) { masked(i) = true; i += 1 }
+      if (i < s.length) { masked(i) = true; i += 1 }
+      // A doubled quote is an escape: the closing quote above re-opens
+      // on the next loop iteration, which is exactly the resume point.
+    }
     while (i < s.length) {
-      if (s(i) == '\'') {
-        masked(i) = true
-        i += 1
-        while (i < s.length && s(i) != '\'') { masked(i) = true; i += 1 }
-        if (i < s.length) { masked(i) = true; i += 1 }
-      } else if (s(i) == '-' && i + 1 < s.length && s(i + 1) == '-') {
+      if (s(i) == '\'') maskQuoted('\'')
+      else if (s(i) == '"') maskQuoted('"')
+      else if (s(i) == '-' && i + 1 < s.length && s(i + 1) == '-') {
         while (i < s.length && s(i) != '\n') { masked(i) = true; i += 1 }
       } else i += 1
     }

@@ -100,12 +100,45 @@ private[sse] object SseIo {
     * and the two sides must split identically.
     */
   def readLineLf(r: java.io.BufferedReader): String = {
-    var c = r.read()
-    if (c < 0) return null
+    // Chunked mark/read/reset scan, not per-char read(): BufferedReader
+    // takes its lock per call, so one-char-at-a-time paid a monitor
+    // acquisition PER BYTE of the capture log — a material slowdown on
+    // large logs scanned by the partition reader. The chunk is re-read
+    // after reset via skip(), which drains the reader's own buffer (the
+    // marked chars are guaranteed buffered: readAheadLimit covers the
+    // whole read).
+    val buf = new Array[Char](4096)
     val sb = new java.lang.StringBuilder()
-    while (c >= 0 && c != '\n') {
-      sb.append(c.toChar)
-      c = r.read()
+    var sawAny = false
+    var done = false
+    while (!done) {
+      r.mark(buf.length + 1)
+      val n = r.read(buf, 0, buf.length)
+      if (n < 0) {
+        if (!sawAny) return null // EOF with no content at all
+        done = true
+      } else {
+        sawAny = true
+        var nl = -1
+        var i = 0
+        while (i < n && nl < 0) {
+          if (buf(i) == '\n') nl = i
+          i += 1
+        }
+        if (nl >= 0) {
+          sb.append(buf, 0, nl)
+          r.reset()
+          var toSkip = (nl + 1).toLong
+          while (toSkip > 0) {
+            val sk = r.skip(toSkip)
+            if (sk <= 0)
+              throw new IllegalStateException(
+                s"readLineLf: skip of buffered chars returned $sk")
+            toSkip -= sk
+          }
+          done = true
+        } else sb.append(buf, 0, n) // no newline in this chunk: keep going
+      }
     }
     if (sb.length > 0 && sb.charAt(sb.length - 1) == '\r')
       sb.setLength(sb.length - 1)

@@ -154,6 +154,27 @@ class OracleLintSpec extends AnyFunSuite {
     assert(OracleLint.uncastWindowedSums(ok).isEmpty)
   }
 
+  test("an apostrophe or -- inside a double-quoted identifier cannot blind the scan") {
+    // Same failure class as the comment fix, quoted-identifier edition:
+    // a "user's" or "a--b" identifier must not open a phantom string or
+    // comment mask — the violation after it must still be caught.
+    val bad = "SELECT \"user's\" AS u, " +
+      "sum(c) OVER (PARTITION BY k) AS w FROM t"
+    assert(OracleLint.uncastWindowedSums(bad).nonEmpty)
+    val bad2 = "SELECT \"a--b\" AS u, " +
+      "sum(c) OVER (PARTITION BY k) AS w FROM t"
+    assert(OracleLint.uncastWindowedSums(bad2).nonEmpty)
+    // A "" escape inside the identifier resumes the mask correctly.
+    val bad3 = "SELECT \"we\"\"ird'\" AS u, " +
+      "sum(c) OVER (PARTITION BY k) AS w FROM t"
+    assert(OracleLint.uncastWindowedSums(bad3).nonEmpty)
+    // A sum spelled inside a quoted identifier is identifier text, not
+    // a windowed sum.
+    val ok = "SELECT \"sum(c) OVER (x\" AS u, " +
+      "CAST(sum(c) OVER () AS BIGINT) AS w FROM t"
+    assert(OracleLint.uncastWindowedSums(ok).isEmpty)
+  }
+
   test("a FILTER clause between the sum call and OVER is still a windowed sum") {
     val bad = "SELECT sum(v) FILTER (WHERE v > 0) OVER (PARTITION BY k) " +
       "AS w FROM t"
