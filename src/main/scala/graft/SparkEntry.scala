@@ -150,7 +150,8 @@ object SparkEntry {
     "emb_ivf_index_topk", "emb_ivf_append_topk", "emb_ivf_compact_topk",
     "emb_index_health", "emb_ivfpq_topk", "emb_ivfpq_recall",
     "doc_exact_index_clean", "doc_exact_index_append_clean",
-    "doc_media_index_near")
+    "doc_media_index_near", "doc_media_index_append_near",
+    "doc_media_index_health")
 
   // ---------------------------------------------------------------------
   // Planted inputs for data-driven weakly-discriminative oracles (the
@@ -941,6 +942,38 @@ object SparkEntry {
           payloads.filter(col("doc_id") % 4 =!= 1), out)
       MediaIndex.mediaIndexPairs(s, out,
         payloads.filter(col("doc_id") % 4 === 1))
+    }),
+
+    // APPEND lifecycle: build on doc_id % 4 NOT IN (1, 2), append the
+    // % 4 == 2 ingest slice (a second generation), serve the % 4 == 1
+    // batch across both generations. Stateless hash family ⇒ append ≡
+    // rebuild EXACTLY, the indexed corpus equals the non-append
+    // query's — shared oracle.
+    "doc_media_index_append_near" -> ((s, dir) => {
+      val payloads = Multimodal.withPayload(mediaNearPlanted(s, dir))
+      val out = indexDir("graft_mdx_app", dir)
+      if (builtIndexes.add(s"mdxapp:$out")) {
+        MediaIndex.buildMediaIndex(
+          payloads.filter(col("doc_id") % 4 =!= 1 &&
+            col("doc_id") % 4 =!= 2), out)
+        MediaIndex.appendToMediaIndex(
+          payloads.filter(col("doc_id") % 4 === 2), out)
+      }
+      MediaIndex.mediaIndexPairs(s, out,
+        payloads.filter(col("doc_id") % 4 === 1))
+    }),
+
+    // Per-block key census over the SAME persisted index the pairs
+    // query serves (shared build key) — the hot-key drift signal an
+    // operator reads before choosing maxBlockDf (emb_index_health's
+    // media analog).
+    "doc_media_index_health" -> ((s, dir) => {
+      val payloads = Multimodal.withPayload(mediaNearPlanted(s, dir))
+      val out = indexDir("graft_mdx", dir)
+      if (builtIndexes.add(s"mdx:$out"))
+        MediaIndex.buildMediaIndex(
+          payloads.filter(col("doc_id") % 4 =!= 1), out)
+      MediaIndex.mediaIndexHealth(s, out)
     }),
 
     // Gopher-style rule filter: per-doc quality flags + keep verdict.
@@ -2838,8 +2871,15 @@ object SparkEntry {
     * (`doc_id % 4 = 1` is the registered ingest slice), sharing every
     * CTE so the two oracles cannot drift.
     */
-  private def mediaNearPairsSql(restrict: String): String =
-    s"""WITH pd AS (
+  /** The shared CTE chain of the Hamming-tolerant media family, ending
+    * at `bl` (doc_id, hv, b, bk — one row per pigeonhole block per
+    * distinct per-payload hash): the pair queries, the persisted-index
+    * serves, and the index health report all replay from this ONE
+    * definition, so the planted corpus / hash layout / block split can
+    * never drift between them.
+    */
+  private def mediaNearCtes: String =
+    s"""pd AS (
            SELECT doc_id,
              CASE WHEN doc_id % 29 = 11 AND doc_id < 500
                   THEN substr('$pMediaNearPattern', 1,
@@ -2887,8 +2927,17 @@ object SparkEntry {
          fp AS (SELECT DISTINCT doc_id, CAST(hv AS BIGINT) AS hv FROM hp),
          bl AS (
            SELECT doc_id, hv, b, (hv >> (b * 10)) & 1023 AS bk
-           FROM fp, unnest(generate_series(0, 2)) AS t(b)),
-         keep AS (
+           FROM fp, unnest(generate_series(0, 2)) AS t(b))"""
+
+  /** The Hamming-tolerant pHash pair replay, parameterized by a
+    * restriction on the final pair set — `""` is the batch query;
+    * the persisted-index serves restrict to delta-touching pairs
+    * (`doc_id % 4 = 1` is the registered ingest slice), sharing every
+    * CTE so the oracles cannot drift.
+    */
+  private def mediaNearPairsSql(restrict: String): String =
+    s"""WITH $mediaNearCtes,
+                  keep AS (
            SELECT b, bk FROM bl GROUP BY 1, 2 HAVING COUNT(*) <= 100),
          cand AS (
            SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
@@ -2902,6 +2951,26 @@ object SparkEntry {
            WHERE bit_count(xor(va, vb)) <= 2)
          SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS shared
          FROM ver ${restrict}GROUP BY 1, 2 HAVING COUNT(*) >= 2"""
+
+  /** Health replay over the INDEXED slice (base = doc_id % 4 <> 1): the
+    * per-block key census the Spark report computes from the index at
+    * rest. SUMs cast at site (DuckDB HUGEINT rule); b cast to INTEGER
+    * to match the Spark literal's type.
+    */
+  private def mediaIndexHealthSql: String =
+    s"""WITH $mediaNearCtes,
+         bf AS (SELECT * FROM bl WHERE doc_id % 4 <> 1),
+         k AS (
+           SELECT b, bk, CAST(COUNT(*) AS BIGINT) AS df
+           FROM bf GROUP BY 1, 2)
+         SELECT CAST(b AS INTEGER) AS b,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(df) AS BIGINT) AS member_rows,
+           MAX(df) AS max_df,
+           CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hot_keys
+         FROM k GROUP BY 1"""
+
 
   def oracleSql: Map[String, String] = Map(
 
@@ -5624,6 +5693,13 @@ object SparkEntry {
     // construction (spec-pinned), so no index structure appears here.
     "doc_media_index_near" ->
       mediaNearPairsSql("WHERE doc_a % 4 = 1 OR doc_b % 4 = 1 "),
+
+    // Append lifecycle ≡ rebuild exactly (stateless hash family), and
+    // the indexed corpus equals the non-append query's — same oracle.
+    "doc_media_index_append_near" ->
+      mediaNearPairsSql("WHERE doc_a % 4 = 1 OR doc_b % 4 = 1 "),
+
+    "doc_media_index_health" -> mediaIndexHealthSql,
 
     // Assignment CTEs mirror emb_kmeans_assign (k=8); majority label per
     // cluster with the deterministic (cnt DESC, label ASC) tie-break.

@@ -242,6 +242,34 @@ object MediaIndex {
     dirs.map(d => spark.read.parquet(s"$dir/$d"))
       .reduce(_.unionByName(_))
 
+  /** INGEST-TIME alert stream of (doc_id, base_id, shared) perceptual
+    * near-dup pairs between arriving payloads and the persisted index —
+    * the media analog of [[DedupIndex.streamingIndexDups]], and the same
+    * contract: a stateless alert stream (at-least-once re-delivery
+    * re-alerts; the sink dedupes by pair key), not the exhaustive sweep.
+    * Within-stream pairs and the bulk pass stay with the batch serve.
+    *
+    * The base block rows come from the index AT REST (every live
+    * generation, read and materialized ONCE at stream construction) —
+    * they are the SAME deterministic table
+    * [[Multimodal.streamingPerceptualNearDups]] computes from live
+    * payloads, so alert semantics are identical by construction
+    * (spec-pinned) and ingest never re-hashes the base. The index must
+    * stay frozen for the stream's lifetime (single-writer contract:
+    * run appends between stream restarts).
+    */
+  def streamingMediaIndexDups(spark: SparkSession, dir: String,
+      stream: DataFrame, minShared: Int = 2,
+      maxBlockDf: Int = 100): DataFrame = {
+    val (_, bDirs, metaDir) = mediaManifest(spark, dir)
+    val meta = spark.read.parquet(s"$dir/$metaDir").head()
+    val bbl = readGenerations(spark, dir, bDirs)
+      .select(col("doc_id").as("base_id"), col("v"), col("b"), col("bk"))
+    Multimodal.streamingNearCore(spark, bbl, stream,
+      meta.getAs[Int]("frame_bytes"), meta.getAs[Int]("every_nth"),
+      meta.getAs[Int]("max_dist"), minShared, maxBlockDf)
+  }
+
   /** Hamming-tolerant perceptual near-dup pairs of an ingest batch
     * against the persisted index AND within the batch itself: every
     * (doc_a, doc_b, shared) with `shared` ≥ `minShared` verified hash

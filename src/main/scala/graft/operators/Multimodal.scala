@@ -627,6 +627,31 @@ object Multimodal {
       basePayloads: DataFrame, stream: DataFrame, frameBytes: Int = 16,
       everyNth: Int = 4, maxDist: Int = 2, minShared: Int = 2,
       maxBlockDf: Int = 100): DataFrame = {
+    val geom = blockGeom(frameBytes, maxDist)
+    val baseFp = hash30Rows(spark, basePayloads, frameBytes, everyNth)
+      .withColumnRenamed("doc_id", "base_id")
+    val bbl = baseFp
+      .select(col("base_id"), col("v"),
+        explode_outer(geom.blockStructs(col("v"))).as("blk"))
+      .where(col("blk").isNotNull)
+      .select(col("base_id"), col("v"),
+        col("blk.b").as("b"), col("blk.bk").as("bk"))
+    streamingNearCore(spark, bbl, stream, frameBytes, everyNth, maxDist,
+      minShared, maxBlockDf)
+  }
+
+  /** The alert-stream core over an already-exploded base block table
+    * (base_id, v, b, bk) — shared by the live-payload twin above and
+    * [[MediaIndex.streamingMediaIndexDups]], whose base rows come from
+    * the persisted index instead of a hash pass (the rows are the SAME
+    * deterministic table, so alert semantics are identical by
+    * construction). The base must stay frozen for the stream's
+    * lifetime; the static sides materialize ONCE at construction.
+    */
+  private[graft] def streamingNearCore(spark: SparkSession,
+      bbl: DataFrame, stream: DataFrame, frameBytes: Int,
+      everyNth: Int, maxDist: Int, minShared: Int,
+      maxBlockDf: Int): DataFrame = {
     import spark.implicits._
     require(minShared >= 1, s"minShared=$minShared must be >= 1")
     require(maxBlockDf >= 1, s"maxBlockDf=$maxBlockDf must be >= 1")
@@ -649,14 +674,6 @@ object Multimodal {
       (bit_count(f.bitwiseXOR(gv)) <= maxDist) &&
         arrays_overlap(fKeys(f), gkk)
     // ---- static side, materialized ONCE at construction --------------
-    val baseFp = hash30Rows(spark, basePayloads, frameBytes, everyNth)
-      .withColumnRenamed("doc_id", "base_id")
-    val bbl = baseFp
-      .select(col("base_id"), col("v"),
-        explode_outer(geom.blockStructs(col("v"))).as("blk"))
-      .where(col("blk").isNotNull)
-      .select(col("base_id"), col("v"),
-        col("blk.b").as("b"), col("blk.bk").as("bk"))
     val keep = bbl.groupBy(col("b"), col("bk"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxBlockDf)

@@ -2725,6 +2725,48 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(serve(appended) == a, "previous index left intact")
   }
 
+  test("streamingMediaIndexDups: index-backed alerts equal the live-base twin, exactly once per delivery") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def head(st: Int) =
+      (0 until 16).map(n => ('A' + ((n * st) % 26)).toChar).mkString
+    val steps = Seq(2, 3, 5, 7)
+    val pert = Seq((3, 9), (0, -16), (0, -16), (0, -16))
+    val pat = steps.map(st => head(st) + "q" * 48).take(3).mkString
+    val noisy = steps.zip(pert).map { case (st, (i, dl)) =>
+      val h = head(st).toArray; h(i) = (h(i) + dl).toChar
+      new String(h) + "q" * 48
+    }.take(3).mkString
+    val other = (0 until 192).map(i => ('A' + (i * 11) % 26).toChar).mkString
+    val basePay = Multimodal.withPayload(
+      Seq((1L, pat), (3L, other)).toDF("doc_id", "text"))
+    val dir = mdxTmp()
+    graft.operators.MediaIndex.buildMediaIndex(basePay, dir, nBuckets = 8)
+    def runTwin(mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        name: String): Seq[(Long, Long, Long)] = {
+      val ms = MemoryStream[(Long, Array[Byte])](spark)
+      val q = mk(ms.toDF().toDF("doc_id", "payload"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        ms.addData(Seq(
+          (2L, noisy.getBytes("UTF-8")), // 2-bit-perturbed copy of base 1
+          (4L, ("z" * 192).getBytes("UTF-8")), // unrelated spectrum
+          (1L, pat.getBytes("UTF-8")))) // replayed base row: self-filtered
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+    val fromIndex = runTwin(st => graft.operators.MediaIndex
+      .streamingMediaIndexDups(spark, dir, st), "mdx_alerts")
+    val fromLive = runTwin(st => Multimodal
+      .streamingPerceptualNearDups(spark, basePay, st), "live_alerts")
+    assert(fromIndex.length == fromIndex.distinct.length, fromIndex)
+    assert(fromIndex.toSet == fromLive.toSet, s"$fromIndex vs $fromLive")
+    assert(fromIndex.toSet == Set((2L, 1L, 3L)), fromIndex)
+  }
+
   test("typeTransitions order=2: trigram contexts, head rows without full context drop") {
     import spark.implicits._
     def ts(sec: Long) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
