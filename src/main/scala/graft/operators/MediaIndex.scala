@@ -351,6 +351,11 @@ object MediaIndex {
             col("doc_id").as("d_id"), col("v").as("dv"))
           .join(bKept.select(col("b"), col("bk"),
             col("doc_id").as("b_id"), col("v").as("bv")), Seq("b", "bk"))
+          // Self-pair guard (the streaming twin's replayed-base rule):
+          // the batch op's doc_a < doc_b structurally excludes self
+          // pairs, so a caller violating the id-disjointness contract
+          // must not make the serve emit one either.
+          .where(col("d_id") =!= col("b_id"))
           .select(
             least(col("d_id"), col("b_id")).as("doc_a"),
             greatest(col("d_id"), col("b_id")).as("doc_b"),
