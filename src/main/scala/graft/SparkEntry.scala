@@ -2865,12 +2865,6 @@ object SparkEntry {
            CAST(sum_us // n_vecs AS BIGINT) AS mean_res_us, max_res_us
          FROM agg, tot"""
 
-  /** The Hamming-tolerant pHash pair replay, parameterized by a
-    * restriction on the final pair set — `""` is the batch query;
-    * the persisted-index serve restricts to delta-touching pairs
-    * (`doc_id % 4 = 1` is the registered ingest slice), sharing every
-    * CTE so the two oracles cannot drift.
-    */
   /** The shared CTE chain of the Hamming-tolerant media family, ending
     * at `bl` (doc_id, hv, b, bk — one row per pigeonhole block per
     * distinct per-payload hash): the pair queries, the persisted-index

@@ -74,12 +74,17 @@ object MediaIndex {
         // Key presence checked explicitly (the dedupManifestAt rule): a
         // manifest from another index family must surface this curated
         // diagnostic, not a Jackson NPE the sweep's catch would log as
-        // a contentless "null".
-        if (node.get("bdirs") == null || node.get("meta") == null)
+        // a contentless "null". The sdirs REJECTION matters: a
+        // DedupIndex manifest carries bdirs+sdirs+meta, so a
+        // presence-only check would ACCEPT it here and die later on an
+        // uncurated getAs("frame_bytes") against the dedup meta table —
+        // the exact wrong-directory failure this guard exists to name.
+        if (node.get("bdirs") == null || node.get("meta") == null ||
+            node.get("sdirs") != null)
           throw new IllegalStateException(
             s"manifest generation $g under $root is not a media-index " +
-              "manifest (missing bdirs/meta) — wrong directory or " +
-              "damaged index")
+              "manifest (missing bdirs/meta, or a dedup-index manifest " +
+              "with sdirs) — wrong directory or damaged index")
         (node.get("bdirs").elements().asScala.map(_.asText()).toSeq,
           node.get("meta").asText())
       case None if g == 0L => (Seq("blocks"), "meta")
@@ -107,6 +112,27 @@ object MediaIndex {
         b :+ m
     }
 
+  /** The exploded block table of `payloads` — the one row shape every
+    * write path and the serve's delta side share.
+    */
+  private def blockRows(payloads: DataFrame, frameBytes: Int,
+      everyNth: Int, maxDist: Int, nBuckets: Int): DataFrame = {
+    val spark = payloads.sparkSession
+    val geom = Multimodal.blockGeom(frameBytes, maxDist)
+    Multimodal.hash30Rows(spark, payloads, frameBytes, everyNth)
+      .select(col("doc_id"), col("v"),
+        explode_outer(geom.blockStructs(col("v"))).as("blk"))
+      .where(col("blk").isNotNull)
+      .select(col("blk.b").as("b"), col("blk.bk").as("bk"),
+        col("doc_id"), col("v"))
+      .withColumn("bbkt", bbktCol(nBuckets))
+  }
+
+  private def writeBlockTable(bl: DataFrame, dir: String,
+      name: String): Unit =
+    bl.repartition(col("bbkt"))
+      .write.mode("overwrite").partitionBy("bbkt").parquet(s"$dir/$name")
+
   /** Write the exploded block table of `payloads` under `dir/<name>`;
     * returns the row count (0 = nothing written worth referencing — a
     * corpus of sub-frame payloads emits no hashes).
@@ -114,21 +140,11 @@ object MediaIndex {
   private def writeBlocks(payloads: DataFrame, dir: String,
       frameBytes: Int, everyNth: Int, maxDist: Int, nBuckets: Int,
       name: String): Long = {
-    val spark = payloads.sparkSession
-    val geom = Multimodal.blockGeom(frameBytes, maxDist)
-    val bl = Multimodal.hash30Rows(spark, payloads, frameBytes, everyNth)
-      .select(col("doc_id"), col("v"),
-        explode_outer(geom.blockStructs(col("v"))).as("blk"))
-      .where(col("blk").isNotNull)
-      .select(col("blk.b").as("b"), col("blk.bk").as("bk"),
-        col("doc_id"), col("v"))
-      .withColumn("bbkt", bbktCol(nBuckets))
+    val bl = blockRows(payloads, frameBytes, everyNth, maxDist, nBuckets)
       .barrier()
     try {
       val rows = bl.count()
-      if (rows > 0L)
-        bl.repartition(col("bbkt"))
-          .write.mode("overwrite").partitionBy("bbkt").parquet(s"$dir/$name")
+      if (rows > 0L) writeBlockTable(bl, dir, name)
       rows
     } finally Barrier.release(bl)
   }
@@ -144,23 +160,26 @@ object MediaIndex {
       nBuckets: Int = 64): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val spark = payloads.sparkSession
-    Multimodal.blockGeom(frameBytes, maxDist) // geometry guards up front
-    require(
-      !Multimodal.hash30Rows(spark, payloads, frameBytes, everyNth).isEmpty,
-      s"buildMediaIndex at $dir: corpus has no hashable payloads " +
-        s"(every payload under $frameBytes bytes?) — nothing to index " +
-        "(previous index left intact)")
-    GenManifest.resetDir(spark, dir)
-    val rows = writeBlocks(payloads, dir, frameBytes, everyNth, maxDist,
-      nBuckets, "blocks")
-    require(rows > 0L,
-      s"buildMediaIndex at $dir: corpus has no hashable payloads — " +
-        "nothing to index")
-    // Meta LAST: a readable meta table marks the build complete.
-    spark.range(1).select(
-        lit(frameBytes).as("frame_bytes"), lit(everyNth).as("every_nth"),
-        lit(maxDist).as("max_dist"), lit(nBuckets).as("buckets"))
-      .write.mode("overwrite").parquet(s"$dir/meta")
+    // The emptiness check and the written rows are ONE materialization:
+    // a separate isEmpty probe re-executes the payloads plan, and a
+    // nondeterministic input could pass the probe yet write zero rows —
+    // AFTER resetDir destroyed the good index. The barrier makes
+    // validate-before-destroy hold unconditionally.
+    val bl = blockRows(payloads, frameBytes, everyNth, maxDist, nBuckets)
+      .barrier()
+    try {
+      require(bl.count() > 0L,
+        s"buildMediaIndex at $dir: corpus has no hashable payloads " +
+          s"(every payload under $frameBytes bytes?) — nothing to index " +
+          "(previous index left intact)")
+      GenManifest.resetDir(spark, dir)
+      writeBlockTable(bl, dir, "blocks")
+      // Meta LAST: a readable meta table marks the build complete.
+      spark.range(1).select(
+          lit(frameBytes).as("frame_bytes"), lit(everyNth).as("every_nth"),
+          lit(maxDist).as("max_dist"), lit(nBuckets).as("buckets"))
+        .write.mode("overwrite").parquet(s"$dir/meta")
+    } finally Barrier.release(bl)
   }
 
   /** APPEND an ingest batch: its block rows become a new generation dir,
@@ -295,23 +314,17 @@ object MediaIndex {
     val everyNth = meta.getAs[Int]("every_nth")
     val maxDist = meta.getAs[Int]("max_dist")
     val nBuckets = meta.getAs[Int]("buckets")
-    val geom = Multimodal.blockGeom(frameBytes, maxDist)
     // Null-id batch rows drop up front (the servePairLegs rule): every
     // join below is null-rejecting and a null-id payload would silently
     // form no pairs.
-    val dbl = Multimodal.hash30Rows(spark,
-        delta.where(col("doc_id").isNotNull), frameBytes, everyNth)
-      .select(col("doc_id"), col("v"),
-        explode_outer(geom.blockStructs(col("v"))).as("blk"))
-      .where(col("blk").isNotNull)
-      .select(col("blk.b").as("b"), col("blk.bk").as("bk"),
-        col("doc_id"), col("v"))
+    val dbl = blockRows(delta.where(col("doc_id").isNotNull),
+        frameBytes, everyNth, maxDist, nBuckets)
       // Barrier BEFORE collecting bucket literals (the servePairLegs
       // discipline): a nondeterministic delta could otherwise split the
       // pruned scan from the probed candidates.
       .barrier()
     try {
-      val bbkts = dbl.select(bbktCol(nBuckets).as("k")).distinct()
+      val bbkts = dbl.select(col("bbkt")).distinct()
         .collect().map(_.getLong(0)).toIndexedSeq
       if (bbkts.isEmpty) {
         import spark.implicits._
