@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.TrendConfig
-import graft.operators.{AsOf, Bpe, Curation, Dedup, DedupIndex, EventAnalytics, ExactDedupIndex, MediaIndex, Multimodal, PageAggregates, RangeJoin, Search, Selection, Similarity, Skew, Sketches, TextAnalysis}
+import graft.operators.{AsOf, Bpe, Curation, Dedup, DedupIndex, EventAnalytics, ExactDedupIndex, MediaIndex, Multimodal, PageAggregates, RangeJoin, Search, Selection, Similarity, Skew, Sketches, StatsIndex, TextAnalysis}
 import graft.sources.EventAdapter
 import graft.operators.Barrier.BarrierOps
 
@@ -83,6 +83,18 @@ object SparkEntry {
     Search.appendToLexIndex(docs.filter(col("doc_id") % 10 === 7), out)
   }
 
+  /** Build-then-append preamble shared by the three stats-index serve
+    * queries (cells, quantiles, health): base = doc_id % 10 <> 3, delta
+    * = the ~10% ingest slice — ONE definition so the indexed corpus
+    * can't drift between the serves that share its oracles.
+    */
+  private def buildAppendedStatsIndex(s: SparkSession, dir: String,
+      out: String): Unit = {
+    val docs = t(s, dir, "documents")
+    StatsIndex.buildStatsIndex(docs.filter(col("doc_id") % 10 =!= 3), out)
+    StatsIndex.appendToStatsIndex(docs.filter(col("doc_id") % 10 === 3), out)
+  }
+
   // ---------------------------------------------------------------------
   // Flagship: the reference's core use-case — "what's trending right now"
   // (read events → filter/classify → keyed agg → rate metric → top-k).
@@ -151,7 +163,9 @@ object SparkEntry {
     "emb_index_health", "emb_ivfpq_topk", "emb_ivfpq_recall",
     "doc_exact_index_clean", "doc_exact_index_append_clean",
     "doc_media_index_near", "doc_media_index_append_near",
-    "doc_media_index_health")
+    "doc_media_index_health",
+    "doc_stats_cells", "doc_stats_append_cells", "doc_stats_quantiles",
+    "doc_stats_health")
 
   // ---------------------------------------------------------------------
   // Planted inputs for data-driven weakly-discriminative oracles (the
@@ -1227,6 +1241,50 @@ object SparkEntry {
         bloomCleanDelta(t(s, dir, "documents")))
     }),
 
+    // Persisted CORPUS-STATS index — incremental maintenance of the
+    // aggregate tables a curation stage reads every run: per-(lang,
+    // source) doc/token/char totals + the token-length histogram at
+    // rest (GenManifest lifecycle). Serving re-aggregates the tiny
+    // generation tables with ZERO corpus scans; append ≡ rebuild is
+    // arithmetic identity (commutative integer sums), not a hash-family
+    // argument. Build over the full corpus here; the append lifecycle
+    // below exercises the merge-on-read path.
+    "doc_stats_cells" -> ((s, dir) => {
+      val out = indexDir("graft_stx", dir)
+      if (builtIndexes.add(s"stx:$out"))
+        StatsIndex.buildStatsIndex(t(s, dir, "documents"), out)
+      StatsIndex.statsCells(s, out)
+    }),
+
+    // APPEND lifecycle: build on doc_id % 10 <> 3, append the % 10 == 3
+    // ingest slice — the serve re-sums both generations' partial sums.
+    // Oracle restates the explicit slice union (≡ the full corpus while
+    // every doc_id is non-null — see statsUnionSrcSql).
+    "doc_stats_append_cells" -> ((s, dir) => {
+      val out = indexDir("graft_stx_app", dir)
+      if (builtIndexes.add(s"stxapp:$out")) buildAppendedStatsIndex(s, dir, out)
+      StatsIndex.statsCells(s, out)
+    }),
+
+    // Exact per-language token-length quantiles served from the
+    // histogram AT REST (the lengthQuantiles tail over the merged
+    // generations — bit-identical to the batch operator over the
+    // indexed corpus, which is what the shared oracle checks).
+    "doc_stats_quantiles" -> ((s, dir) => {
+      val out = indexDir("graft_stx_app", dir)
+      if (builtIndexes.add(s"stxapp:$out")) buildAppendedStatsIndex(s, dir, out)
+      StatsIndex.statsQuantiles(s, out)
+    }),
+
+    // Index diagnostics: generation count, stored-table sizes, and the
+    // accumulated row total (n_gens is by-construction 2 for the
+    // registered build+append lifecycle — allowlisted).
+    "doc_stats_health" -> ((s, dir) => {
+      val out = indexDir("graft_stx_app", dir)
+      if (builtIndexes.add(s"stxapp:$out")) buildAppendedStatsIndex(s, dir, out)
+      StatsIndex.indexHealth(s, out)
+    }),
+
     // Corpus snapshot diff with PLANTED version deltas (the pii-scrub
     // de-vacuation pattern): v2 drops doc_id%31==5 (removed), rewrites
     // doc_id%17==3 (changed), and ingests doc_id%41==7 under shifted ids
@@ -2135,6 +2193,66 @@ object SparkEntry {
            WHERE floor((CAST(inter AS DOUBLE) / (la + lb - inter)) * 1e6 + 0.5) / 1e6 >= 0.5)"""
 
   private val minhashPairCtesSql: String = minhashPairCtes("")
+
+  /** The whitespace-token COUNT as a SQL expression (the CASE every
+    * tokenizing oracle inlines), over an arbitrary text expression —
+    * shared by the stats-index oracles so the cell/histogram/quantile
+    * definitions can't drift from each other.
+    */
+  private def wsCountSql(txt: String): String =
+    raw"""CAST(CASE WHEN $txt IS NULL OR length(trim($txt)) = 0 THEN 0
+         ELSE len(list_filter(string_split_regex(trim($txt), '\s+'),
+              tk -> tk <> '')) END AS BIGINT)"""
+
+  /** Exact per-language token-length quantiles over `src` — the
+    * doc_length_quantiles oracle parameterized on its source so the
+    * stats-index serve (same definition over base∪delta) shares it
+    * verbatim. `src` must be a table name or an aliased subquery.
+    */
+  private def lengthQuantilesSql(src: String): String =
+    raw"""WITH lens AS (
+           SELECT lang, ${wsCountSql("text")} AS len
+           FROM $src),
+         hist AS (
+           SELECT lang, CAST(len AS BIGINT) AS len,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM lens GROUP BY 1, 2),
+         cum AS (
+           SELECT lang, len, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY len)
+               AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS total
+           FROM hist),
+         qs AS (SELECT CAST(unnest([250000, 500000, 750000, 900000])
+           AS BIGINT) AS q)
+         SELECT c.lang, q.q, min(c.len) AS len
+         FROM cum c, qs q
+         WHERE c.cum * 1000000 >= q.q * c.total
+         GROUP BY 1, 2"""
+
+  /** Per-(lang, source) corpus totals over `src` — the stats-index cell
+    * oracle (docs / ws-tokens / chars, all integer sums cast at site).
+    */
+  private def statsCellsSql(src: String): String =
+    s"""WITH sperdoc AS (
+           SELECT lang, source, ${wsCountSql("text")} AS toks,
+             CAST(coalesce(length(text), 0) AS BIGINT) AS chars
+           FROM $src)
+         SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS tokens,
+           CAST(sum(chars) AS BIGINT) AS chars
+         FROM sperdoc GROUP BY 1, 2"""
+
+  /** The stats-index append lifecycle's indexed corpus: build slice ∪
+    * ingest slice. Equal to `documents` when every doc_id is non-null;
+    * stated as the explicit union so a null-id testdata regen keeps the
+    * oracle consistent with the Spark-side slice filters (a null-id row
+    * falls out of BOTH `% 10 <> 3` and `% 10 = 3` in both engines).
+    */
+  private val statsUnionSrcSql: String =
+    """(SELECT lang, source, text FROM documents WHERE doc_id % 10 <> 3
+        UNION ALL
+        SELECT lang, source, text FROM documents WHERE doc_id % 10 = 3) u"""
 
   // The pair chain extended to connected components (symmetric edges ->
   // recursive reachability -> per-node min label) for the cluster
@@ -5038,29 +5156,41 @@ object SparkEntry {
            WHERE abs(length(da.text) - length(db.text)) <= 8)
          SELECT doc_a, doc_b, dist FROM fz WHERE dist <= 8""",
 
-    "doc_length_quantiles" ->
-      raw"""WITH lens AS (
-           SELECT lang,
-             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
-                  ELSE len(list_filter(string_split_regex(trim(text), '\s+'),
-                       tk -> tk <> '')) END AS len
-           FROM documents),
-         hist AS (
-           SELECT lang, CAST(len AS BIGINT) AS len,
-             CAST(count(*) AS BIGINT) AS cnt
-           FROM lens GROUP BY 1, 2),
-         cum AS (
-           SELECT lang, len, cnt,
-             CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY len)
-               AS BIGINT) AS cum,
-             CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS total
-           FROM hist),
-         qs AS (SELECT CAST(unnest([250000, 500000, 750000, 900000])
-           AS BIGINT) AS q)
-         SELECT c.lang, q.q, min(c.len) AS len
-         FROM cum c, qs q
-         WHERE c.cum * 1000000 >= q.q * c.total
-         GROUP BY 1, 2""",
+    "doc_length_quantiles" -> lengthQuantilesSql("documents"),
+
+    // Stats-index serves are EXACT restatements of the batch aggregates
+    // over the indexed corpus — the index is invisible in the semantics
+    // (commutative integer sums), so the oracles are plain GROUP BYs.
+    "doc_stats_cells" -> statsCellsSql("documents"),
+
+    "doc_stats_append_cells" -> statsCellsSql(statsUnionSrcSql),
+
+    // Served from the histogram at rest ≡ the doc_length_quantiles
+    // definition over the appended corpus (shared oracle body).
+    "doc_stats_quantiles" -> lengthQuantilesSql(statsUnionSrcSql),
+
+    // Health: cells/hist rows are per-generation distinct group counts
+    // summed across the build and append slices; n_rows is the row
+    // total; n_gens is the lifecycle's generation count (constant 2 by
+    // construction — allowlisted).
+    "doc_stats_health" ->
+      s"""WITH sa AS (SELECT lang, source, text FROM documents
+             WHERE doc_id % 10 <> 3),
+         sb AS (SELECT lang, source, text FROM documents
+             WHERE doc_id % 10 = 3)
+         SELECT CAST(2 AS BIGINT) AS n_gens,
+           CAST((SELECT count(*) FROM
+                   (SELECT DISTINCT lang, source FROM sa) t)
+              + (SELECT count(*) FROM
+                   (SELECT DISTINCT lang, source FROM sb) t)
+             AS BIGINT) AS cells_rows,
+           CAST((SELECT count(*) FROM
+                   (SELECT DISTINCT lang, ${wsCountSql("text")} FROM sa) t)
+              + (SELECT count(*) FROM
+                   (SELECT DISTINCT lang, ${wsCountSql("text")} FROM sb) t)
+             AS BIGINT) AS hist_rows,
+           CAST((SELECT count(*) FROM sa) + (SELECT count(*) FROM sb)
+             AS BIGINT) AS n_rows""",
 
     // The dedup-index serves ≡ minhashNearDups over base∪delta (the
     // indexed corpus IS base∪delta = all documents here) restricted to

@@ -1,0 +1,297 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted CORPUS-STATISTICS index — incremental maintenance of the
+  * algebraic aggregates a curation/mixing stage reads on every run:
+  * per-(lang, source) document/token/char totals (the
+  * [[Curation.sourceMix]] cells) and the per-(lang, len) token-length
+  * histogram (the [[TextAnalysis.lengthQuantiles]] input). Every other
+  * persisted family serves PAIR/SEARCH questions; this one serves the
+  * "what does the corpus look like now?" question — and at 100 TB that
+  * question must not cost a corpus scan per dashboard refresh.
+  *
+  * Why it can be exact-incremental where the pair indexes need care:
+  * every stored value is a COMMUTATIVE INTEGER SUM (counts, token sums,
+  * char sums, histogram counts), so per-generation partial aggregates
+  * re-aggregate to the union's aggregates exactly — append ≡ rebuild is
+  * arithmetic identity, not a hash-family argument. No floats are ever
+  * stored; shares/quantiles are derived at serve time from exact
+  * integers, so serve-from-index is bit-identical to the batch operator
+  * over base∪delta (spec-pinned for both serve surfaces).
+  *
+  * 100 TB shape: a build/append touches the corpus with exactly ONE
+  * map-side-combined aggregation over (lang, source, len) — the "micro"
+  * table, bounded by languages × sources × distinct lengths, never by
+  * corpus size — and derives both stored tables from it. Serves read
+  * only the index dirs (tiny by construction) and re-aggregate across
+  * generations; the corpus is never touched. Sums stay LongType under
+  * ANSI, so a beyond-exabyte overflow fails loudly instead of wrapping
+  * (token totals at 100 TB are ~2.5e13 — four orders of magnitude of
+  * headroom).
+  *
+  * Layout under dir/ (generation g appends `cells-g`/`hist-g`/`meta-g`):
+  *  - cells/: (lang, source, n_docs, tokens, chars) partial sums;
+  *  - hist/:  (lang, len, cnt) token-length histogram partials;
+  *  - meta/:  1 row (n_rows) — written LAST as the completion marker
+  *    (the lex stats discipline); appends commit the accumulated total
+  *    so a serve reads exactly one meta row regardless of history;
+  *  - manifest-*.json: the shared [[GenManifest]] protocol (atomic
+  *    dot-temp rename, single-writer, one-commit reader grace on sweep).
+  *
+  * Row-counting contract: corpus statistics count ROWS, not document
+  * identities — null `doc_id` and null `text` rows are real corpus mass
+  * (toks 0 / chars 0 via the null ≡ empty tokenizer contract) and are
+  * counted; null lang/source are legitimate cells (GROUP BY groups
+  * NULLs identically in Spark and the oracle). An "empty delta" is a
+  * zero-ROW delta, and appending one is a no-op (no generation, no
+  * commit).
+  */
+object StatsIndex {
+
+  private def isDataDir(n: String): Boolean =
+    n == "cells" || n.startsWith("cells-") ||
+      n == "hist" || n.startsWith("hist-") ||
+      n == "meta" || n.startsWith("meta-")
+
+  /** (generation, cellDirs, histDirs, metaDir) of the live index. */
+  private[graft] def statsManifest(spark: SparkSession, dir: String)
+      : (Long, Seq[String], Seq[String], String) = {
+    val (fs, root) = GenManifest.fsRoot(spark, dir)
+    GenManifest.latestSeq(fs, root) match {
+      case None => (0L, Seq("cells"), Seq("hist"), "meta")
+      case Some(seq) =>
+        val (c, h, m) = manifestAt(fs, root, seq)
+        (seq, c, h, m)
+    }
+  }
+
+  private def manifestAt(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, g: Long)
+      : (Seq[String], Seq[String], String) =
+    GenManifest.readNode(fs, root, g) match {
+      case Some(node) =>
+        import scala.jdk.CollectionConverters._
+        // Family guard (the media-index rule): a manifest written by a
+        // DIFFERENT index family must surface this curated diagnostic,
+        // not an NPE the sweep's NonFatal catch would log as "null".
+        if (node.get("cdirs") == null || node.get("hdirs") == null ||
+            node.get("meta") == null)
+          throw new IllegalStateException(
+            s"manifest generation $g under $root is not a stats-index " +
+              "manifest (missing cdirs/hdirs/meta) — wrong directory or " +
+              "damaged index")
+        (node.get("cdirs").elements().asScala.map(_.asText()).toSeq,
+          node.get("hdirs").elements().asScala.map(_.asText()).toSeq,
+          node.get("meta").asText())
+      case None if g == 0L => (Seq("cells"), Seq("hist"), "meta")
+      case None =>
+        // Fail-loud on the READ path (the lexManifestAt contract); the
+        // sweep tolerates this via its own NonFatal catch.
+        throw new IllegalStateException(
+          s"index manifest generation $g is missing under $root — " +
+            "damaged index or concurrent writer")
+    }
+
+  private def commitManifest(spark: SparkSession, dir: String, seq: Long,
+      cDirs: Seq[String], hDirs: Seq[String], metaDir: String): Unit = {
+    val node = GenManifest.newNode()
+    val ca = node.putArray("cdirs")
+    cDirs.foreach(ca.add)
+    val ha = node.putArray("hdirs")
+    hDirs.foreach(ha.add)
+    node.put("meta", metaDir)
+    GenManifest.commit(spark, dir, seq, node)
+  }
+
+  private def sweepGenerations(spark: SparkSession, dir: String,
+      current: Long): Unit =
+    GenManifest.sweepOwned(spark, dir, current, isDataDir) {
+      (fs, root, g) =>
+        val (c, h, m) = manifestAt(fs, root, g)
+        c ++ h :+ m
+    }
+
+  private def readGens(spark: SparkSession, dir: String,
+      dirs: Seq[String]): DataFrame =
+    dirs.map(d => spark.read.parquet(s"$dir/$d"))
+      .reduce(_.unionByName(_))
+
+  private def writeMeta(spark: SparkSession, dir: String, metaDir: String,
+      nRows: Long): Unit =
+    spark.range(1).select(lit(nRows).as("n_rows"))
+      .write.mode("overwrite").parquet(s"$dir/$metaDir")
+
+  /** One corpus scan → the micro-aggregate both stored tables derive
+    * from: (lang, source, len) → (n_docs, chars). Bounded by languages ×
+    * sources × distinct token-lengths, never by corpus size. Tokenizer
+    * and char semantics are EXACTLY the registered batch operators'
+    * ([[TextAnalysis.tokenCountWs]] / `coalesce(length(text), 0)`), so
+    * the serves below replay [[Curation.sourceMix]]'s cells and
+    * [[TextAnalysis.lengthQuantiles]] bit-identically.
+    */
+  private def microCells(docs: DataFrame): DataFrame =
+    docs.select(
+        col("lang"), col("source"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("len"),
+        coalesce(length(col("text")), lit(0)).cast("long").as("chars"))
+      .groupBy(col("lang"), col("source"), col("len"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("chars"))
+
+  private def cellsOf(micro: DataFrame): DataFrame =
+    micro.groupBy(col("lang"), col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        // ANSI long multiply/sum — a pathological corpus overflows
+        // loudly here, never wraps into a silently-wrong stored total.
+        sum(col("len") * col("n_docs")).as("tokens"),
+        sum(col("chars")).as("chars"))
+
+  private def histOf(micro: DataFrame): DataFrame =
+    micro.groupBy(col("lang"), col("len"))
+      .agg(sum(col("n_docs")).as("cnt"))
+
+  /** Aggregate `docs` and write one generation's tables; returns the
+    * generation's row count. The micro table is materialized ONCE
+    * (corpus scanned exactly once) and feeds the row count + both
+    * writes. Caller owns the decision to commit (append skips empty
+    * generations BEFORE anything lands on disk).
+    */
+  private def writeGeneration(spark: SparkSession, dir: String,
+      docs: DataFrame, cDir: String, hDir: String): Long =
+    Barrier.withCached(microCells(docs)) { m =>
+      val n = m.agg(coalesce(sum(col("n_docs")), lit(0L))).head().getLong(0)
+      if (n > 0L) {
+        cellsOf(m).write.mode("overwrite").parquet(s"$dir/$cDir")
+        histOf(m).write.mode("overwrite").parquet(s"$dir/$hDir")
+      }
+      n
+    }
+
+  /** Build the index over a base corpus. The empty-corpus reject runs
+    * BEFORE the previous index is destroyed (validate-before-destroy,
+    * the lex rule); meta is written LAST as the completion marker.
+    */
+  def buildStatsIndex(docs: DataFrame, dir: String): Unit = {
+    val spark = docs.sparkSession
+    require(!docs.isEmpty,
+      s"buildStatsIndex at $dir: empty corpus — nothing to index " +
+        "(previous index left intact)")
+    GenManifest.resetDir(spark, dir)
+    val n = writeGeneration(spark, dir, docs, "cells", "hist")
+    writeMeta(spark, dir, "meta", n)
+  }
+
+  /** Append a delta batch as a new generation of partial sums. Append ≡
+    * rebuild EXACTLY: stored values are commutative integer sums and
+    * the serves re-aggregate across generations (spec-pinned). An empty
+    * (zero-row) delta is a no-op — the row count is taken from the
+    * barriered micro aggregate BEFORE any write, so nothing lands on
+    * disk and no generation commits. SINGLE-WRITER, like every
+    * GenManifest family.
+    */
+  def appendToStatsIndex(newDocs: DataFrame, dir: String): Unit = {
+    val spark = newDocs.sparkSession
+    val (seq, cDirs, hDirs, metaDir) = statsManifest(spark, dir)
+    val nBase = readMetaRows(spark, dir, metaDir)
+    require(nBase > 0L,
+      s"stats index at $dir has an empty base — rebuild with " +
+        "buildStatsIndex instead of appending")
+    val newC = s"cells-${seq + 1}"
+    val newH = s"hist-${seq + 1}"
+    val newM = s"meta-${seq + 1}"
+    val nNew = writeGeneration(spark, dir, newDocs, newC, newH)
+    if (nNew == 0L) {
+      System.err.println(
+        s"[graft] stats-index append of an EMPTY delta to $dir skipped " +
+          "(no commit)")
+    } else {
+      writeMeta(spark, dir, newM, nBase + nNew)
+      commitManifest(spark, dir, seq + 1, cDirs :+ newC, hDirs :+ newH, newM)
+      sweepGenerations(spark, dir, seq + 1)
+    }
+  }
+
+  /** Fold every live generation back into ONE pair of tables (the
+    * partial sums re-aggregate — values identical by commutativity, so
+    * serve-after-compact ≡ serve-before exactly). `n_rows` carries over
+    * verbatim: unlike the dedup families' distinct counts it was exact
+    * all along. No-op fold on a single-generation index, but the sweep
+    * still runs (the exact-index discipline — garbage from a previously
+    * failed best-effort sweep would otherwise live forever).
+    */
+  def compactStatsIndex(spark: SparkSession, dir: String): Unit = {
+    val (seq, cDirs, hDirs, metaDir) = statsManifest(spark, dir)
+    if (cDirs.length <= 1 && hDirs.length <= 1) {
+      sweepGenerations(spark, dir, seq)
+      return
+    }
+    val nRows = readMetaRows(spark, dir, metaDir)
+    val newC = s"cells-${seq + 1}"
+    val newH = s"hist-${seq + 1}"
+    val newM = s"meta-${seq + 1}"
+    // Partial sums fold by the SAME group keys they were stored under —
+    // plain re-aggregation, not the micro derivation (cells rows carry
+    // tokens already; re-deriving len·n_docs would be meaningless here).
+    readGens(spark, dir, cDirs)
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("tokens")).as("tokens"),
+        sum(col("chars")).as("chars"))
+      .write.mode("overwrite").parquet(s"$dir/$newC")
+    readGens(spark, dir, hDirs)
+      .groupBy(col("lang"), col("len")).agg(sum(col("cnt")).as("cnt"))
+      .write.mode("overwrite").parquet(s"$dir/$newH")
+    writeMeta(spark, dir, newM, nRows)
+    commitManifest(spark, dir, seq + 1, Seq(newC), Seq(newH), newM)
+    sweepGenerations(spark, dir, seq + 1)
+  }
+
+  private def readMetaRows(spark: SparkSession, dir: String,
+      metaDir: String): Long =
+    spark.read.parquet(s"$dir/$metaDir").head().getAs[Long]("n_rows")
+
+  /** Serve the per-(lang, source) totals — [[Curation.sourceMix]]'s
+    * exact cells over everything ever ingested, with ZERO corpus scans:
+    * the only inputs are the index's own generation tables, re-summed.
+    */
+  def statsCells(spark: SparkSession, dir: String): DataFrame = {
+    val (_, cDirs, _, metaDir) = statsManifest(spark, dir)
+    require(readMetaRows(spark, dir, metaDir) > 0L,
+      s"stats index at $dir is empty")
+    readGens(spark, dir, cDirs)
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("tokens")).as("tokens"),
+        sum(col("chars")).as("chars"))
+  }
+
+  /** Serve exact per-language token-length quantiles from the histogram
+    * at rest — bit-identical to [[TextAnalysis.lengthQuantiles]] over
+    * the ingested corpus (the quantile tail is literally the same code
+    * over the merged histogram), corpus untouched.
+    */
+  def statsQuantiles(spark: SparkSession, dir: String,
+      qsPpm: Seq[Long] = Seq(250000L, 500000L, 750000L, 900000L))
+      : DataFrame = {
+    val (_, _, hDirs, metaDir) = statsManifest(spark, dir)
+    require(readMetaRows(spark, dir, metaDir) > 0L,
+      s"stats index at $dir is empty")
+    val hist = readGens(spark, dir, hDirs)
+      .groupBy(col("lang"), col("len")).agg(sum(col("cnt")).as("cnt"))
+    TextAnalysis.quantilesFromHist(hist, qsPpm)
+  }
+
+  /** One-row diagnostics: live generation count and stored-table sizes
+    * vs the meta total. `n_gens` reports the CELL generation count (the
+    * two tables always append in lockstep).
+    */
+  def indexHealth(spark: SparkSession, dir: String): DataFrame = {
+    val (_, cDirs, hDirs, metaDir) = statsManifest(spark, dir)
+    val nRows = readMetaRows(spark, dir, metaDir)
+    val c = readGens(spark, dir, cDirs).agg(count(lit(1)).as("cells_rows"))
+    val h = readGens(spark, dir, hDirs).agg(count(lit(1)).as("hist_rows"))
+    c.crossJoin(h).select(
+      lit(cDirs.length.toLong).as("n_gens"),
+      col("cells_rows"), col("hist_rows"),
+      lit(nRows).as("n_rows"))
+  }
+}

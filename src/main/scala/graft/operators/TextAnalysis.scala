@@ -185,14 +185,27 @@ object TextAnalysis {
     * decimal if a corpus ever exceeds that.)
     */
   def lengthQuantiles(docs: DataFrame,
-      qsPpm: Seq[Long] = Seq(250000L, 500000L, 750000L, 900000L)): DataFrame = {
+      qsPpm: Seq[Long] = Seq(250000L, 500000L, 750000L, 900000L)): DataFrame =
+    quantilesFromHist(
+      docs
+        .select(col("lang"), tokenCountWs(col("text")).cast("long").as("len"))
+        .groupBy(col("lang"), col("len")).agg(count(lit(1)).as("cnt")),
+      qsPpm)
+
+  /** The quantile tail of [[lengthQuantiles]] over an ALREADY-BUILT
+    * `(lang, len, cnt)` histogram — factored out so a persisted
+    * histogram at rest ([[StatsIndex]]) serves the identical quantiles
+    * without touching the corpus. `hist` must hold one row per
+    * (lang, len): duplicate keys would still cumulate correctly under
+    * the RANGE window frame, but `cnt` semantics belong to the caller —
+    * merge generations BEFORE calling.
+    */
+  private[graft] def quantilesFromHist(hist: DataFrame,
+      qsPpm: Seq[Long]): DataFrame = {
     require(qsPpm.nonEmpty && qsPpm.forall(q => q > 0 && q <= 1000000L),
       s"quantiles must be ppm in (0, 1e6]: $qsPpm")
-    val spark = docs.sparkSession
+    val spark = hist.sparkSession
     import spark.implicits._
-    val hist = docs
-      .select(col("lang"), tokenCountWs(col("text")).cast("long").as("len"))
-      .groupBy(col("lang"), col("len")).agg(count(lit(1)).as("cnt"))
     val wCum = Window.partitionBy(col("lang")).orderBy(col("len"))
     val wTot = Window.partitionBy(col("lang"))
     hist

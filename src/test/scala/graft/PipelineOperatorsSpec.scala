@@ -4483,4 +4483,127 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(ExactDedupIndex.indexManifest(spark, appended)._1 == seqC)
     assert(serve(appended) == a)
   }
+
+  // ---- persisted corpus-stats index (StatsIndex) --------------------------
+
+  import graft.operators.StatsIndex
+
+  private def stxTmp(): String = java.nio.file.Files
+    .createTempDirectory("graft_stx_spec").toString
+
+  /** (lang, source, text) corpus rows — doc identity is irrelevant to
+    * corpus statistics (rows are counted, not identities).
+    */
+  private def statDocs(rows: (String, String, String)*): DataFrame =
+    rows.toDF("lang", "source", "text")
+
+  private val statBase = Seq(
+    ("en", "web", "one two three"), // 3 toks, 13 chars
+    ("en", "web", "four five"), // 2 toks, 9 chars
+    ("en", "book", "six"), // 1 tok, 3 chars
+    ("zh", "web", "a b c d"), // 4 toks, 7 chars
+    (null.asInstanceOf[String], "web", "x y"), // null lang cell, 2 toks
+    ("en", null.asInstanceOf[String], ""), // empty text: 0 toks, 0 chars
+    ("en", "web", null.asInstanceOf[String])) // null text ≡ empty
+
+  private def cellRows(df: DataFrame): Set[(String, String, Long, Long, Long)] =
+    df.collect().map(r => (r.getAs[String]("lang"), r.getAs[String]("source"),
+      r.getAs[Long]("n_docs"), r.getAs[Long]("tokens"),
+      r.getAs[Long]("chars"))).toSet
+
+  private def quantRows(df: DataFrame): Set[(String, Long, Long)] =
+    df.collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("q"),
+      r.getAs[Long]("len"))).toSet
+
+  test("statsIndex: serves equal the batch aggregates (hand-computed cells; quantiles ≡ lengthQuantiles)") {
+    val d = statDocs(statBase: _*)
+    val dir = stxTmp()
+    StatsIndex.buildStatsIndex(d, dir)
+    // Hand-computed truth pins the tokenizer/char semantics (ws tokens,
+    // null ≡ empty) — not just round-trip consistency.
+    assert(cellRows(StatsIndex.statsCells(spark, dir)) == Set(
+      ("en", "web", 3L, 5L, 22L), // incl. the null-text row (0, 0)
+      ("en", "book", 1L, 1L, 3L),
+      ("zh", "web", 1L, 4L, 7L),
+      (null, "web", 1L, 2L, 3L),
+      ("en", null, 1L, 0L, 0L)))
+    // Quantiles from the histogram at rest ≡ the batch operator.
+    assert(quantRows(StatsIndex.statsQuantiles(spark, dir)) ==
+      quantRows(graft.operators.TextAnalysis.lengthQuantiles(d)))
+    // Health: one generation; cells/hist rows = distinct group counts.
+    val h = StatsIndex.indexHealth(spark, dir).head()
+    assert(h.getAs[Long]("n_gens") == 1L)
+    assert(h.getAs[Long]("cells_rows") == 5L)
+    // distinct (lang, len): en->{3,2,1,0}, zh->{4}, null->{2} = 6
+    assert(h.getAs[Long]("hist_rows") == 6L)
+    assert(h.getAs[Long]("n_rows") == 7L)
+  }
+
+  test("statsIndex: append ≡ rebuild EXACTLY; empty delta no-op; compact folds to one generation serve-identically") {
+    val base = statDocs(statBase: _*)
+    val delta = statDocs(
+      ("en", "web", "seven eight nine ten"), // merges into an existing cell
+      ("fr", "web", "un deux"), // a brand-new cell
+      ("zh", "web", "e f"))
+    val appended = stxTmp()
+    val rebuilt = stxTmp()
+    StatsIndex.buildStatsIndex(base, appended)
+    StatsIndex.appendToStatsIndex(delta, appended)
+    StatsIndex.buildStatsIndex(base.unionByName(delta), rebuilt)
+    def snap(dir: String) =
+      (cellRows(StatsIndex.statsCells(spark, dir)),
+        quantRows(StatsIndex.statsQuantiles(spark, dir)))
+    val a = snap(appended)
+    assert(a == snap(rebuilt))
+    // Row counts also travel the append path exactly.
+    assert(StatsIndex.indexHealth(spark, appended).head()
+      .getAs[Long]("n_rows") == 10L)
+    // Empty (zero-row) delta: nothing lands, no generation commits.
+    val (seqBefore, cDirsBefore, _, _) =
+      StatsIndex.statsManifest(spark, appended)
+    StatsIndex.appendToStatsIndex(
+      statDocs(Seq.empty[(String, String, String)]: _*), appended)
+    assert(StatsIndex.statsManifest(spark, appended)._1 == seqBefore)
+    assert(snap(appended) == a)
+    assert(cDirsBefore.length == 2)
+    // Compact: one generation pair remains; serves identical; n_rows
+    // carries over verbatim (it was exact all along).
+    StatsIndex.compactStatsIndex(spark, appended)
+    val (seqC, cDirsC, hDirsC, _) = StatsIndex.statsManifest(spark, appended)
+    assert(seqC == seqBefore + 1 && cDirsC.length == 1 && hDirsC.length == 1)
+    assert(snap(appended) == a)
+    assert(StatsIndex.indexHealth(spark, appended).head()
+      .getAs[Long]("n_rows") == 10L)
+    // No-op compaction on the single-generation index.
+    StatsIndex.compactStatsIndex(spark, appended)
+    assert(StatsIndex.statsManifest(spark, appended)._1 == seqC)
+    assert(snap(appended) == a)
+  }
+
+  test("statsIndex: empty-corpus build rejected before destroying the previous index; append requires a base; family guard") {
+    val dir = stxTmp()
+    StatsIndex.buildStatsIndex(statDocs(statBase: _*), dir)
+    val before = cellRows(StatsIndex.statsCells(spark, dir))
+    val ex = intercept[IllegalArgumentException] {
+      StatsIndex.buildStatsIndex(
+        statDocs(Seq.empty[(String, String, String)]: _*), dir)
+    }
+    assert(ex.getMessage.contains("empty corpus"))
+    assert(cellRows(StatsIndex.statsCells(spark, dir)) == before)
+    // Append into a dir with no readable base meta fails loudly.
+    intercept[Exception] {
+      StatsIndex.appendToStatsIndex(statDocs(("en", "web", "t")), stxTmp())
+    }
+    // A manifest written by ANOTHER index family surfaces the curated
+    // family-guard diagnostic, not an NPE.
+    val alien = stxTmp()
+    val node = graft.operators.GenManifest.newNode()
+    node.putArray("hdirs").add("hashes")
+    node.put("meta", "meta")
+    graft.operators.GenManifest.commit(spark, alien, 1L, node)
+    val ex2 = intercept[IllegalStateException] {
+      StatsIndex.statsManifest(spark, alien)
+    }
+    assert(ex2.getMessage.contains("not a stats-index manifest"))
+  }
 }

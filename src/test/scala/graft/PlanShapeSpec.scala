@@ -883,4 +883,35 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 3,
       p.take(3000))
   }
+
+  test("stats-index serves: corpus-free re-aggregation — join-free cells with one exchange; histogram-sized quantile tail") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stx_plan").toString
+    val base = Seq(("en", "web", "a b"), ("zh", "web", "c"))
+      .toDF("lang", "source", "text")
+    val delta = Seq(("en", "book", "d e f")).toDF("lang", "source", "text")
+    graft.operators.StatsIndex.buildStatsIndex(base, dir)
+    graft.operators.StatsIndex.appendToStatsIndex(delta, dir)
+    // Serve inputs are the index's own generation tables ONLY (the
+    // signature admits nothing else); the serve plan must stay a plain
+    // re-aggregation: no join of any kind, exactly one shuffle for the
+    // (lang, source) fold over generation-partial rows.
+    val pc = graft.operators.StatsIndex.statsCells(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!pc.contains("Join"), pc.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(pc).length == 1,
+      pc.take(3000))
+    assert(pc.contains("partial_sum") || pc.contains("partial"),
+      pc.take(3000))
+    // Quantile serve: the merged-histogram fold + the batch operator's
+    // own tail — same exchange budget as the lengthQuantiles lock (the
+    // histogram merge replaces the corpus fold one-for-one).
+    val pq = graft.operators.StatsIndex.statsQuantiles(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!pq.contains("SortMergeJoin"), pq.take(3000))
+    assert(!pq.contains("Generate"), pq.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(pq).length <= 3,
+      pq.take(3000))
+  }
 }
