@@ -1277,8 +1277,11 @@ object SparkEntry {
     }),
 
     // Index diagnostics: generation count, stored-table sizes, and the
-    // accumulated row total (n_gens is by-construction 2 for the
-    // registered build+append lifecycle — allowlisted).
+    // accumulated row total. n_gens is by-construction 2 for the
+    // registered build+append lifecycle; no vacuity waiver is needed —
+    // the sweep exact-compares 1-row reports instead of judging column
+    // variance (a multi-row reshape would need a reviewed allowlist
+    // entry, the dedup-index-health member_rows precedent).
     "doc_stats_health" -> ((s, dir) => {
       val out = indexDir("graft_stx_app", dir)
       if (builtIndexes.add(s"stxapp:$out")) buildAppendedStatsIndex(s, dir, out)
@@ -5172,7 +5175,7 @@ object SparkEntry {
     // Health: cells/hist rows are per-generation distinct group counts
     // summed across the build and append slices; n_rows is the row
     // total; n_gens is the lifecycle's generation count (constant 2 by
-    // construction — allowlisted).
+    // construction — exempt as a 1-row report, see the query comment).
     "doc_stats_health" ->
       s"""WITH sa AS (SELECT lang, source, text FROM documents
              WHERE doc_id % 10 <> 3),

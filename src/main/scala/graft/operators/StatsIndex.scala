@@ -151,35 +151,43 @@ object StatsIndex {
     micro.groupBy(col("lang"), col("len"))
       .agg(sum(col("n_docs")).as("cnt"))
 
-  /** Aggregate `docs` and write one generation's tables; returns the
-    * generation's row count. The micro table is materialized ONCE
-    * (corpus scanned exactly once) and feeds the row count + both
-    * writes. Caller owns the decision to commit (append skips empty
-    * generations BEFORE anything lands on disk).
+  /** Row count of a cached micro table (0 for an empty corpus — sum
+    * over no rows is NULL, coalesced here so callers never branch on
+    * null).
     */
-  private def writeGeneration(spark: SparkSession, dir: String,
-      docs: DataFrame, cDir: String, hDir: String): Long =
-    Barrier.withCached(microCells(docs)) { m =>
-      val n = m.agg(coalesce(sum(col("n_docs")), lit(0L))).head().getLong(0)
-      if (n > 0L) {
-        cellsOf(m).write.mode("overwrite").parquet(s"$dir/$cDir")
-        histOf(m).write.mode("overwrite").parquet(s"$dir/$hDir")
-      }
-      n
-    }
+  private def countRows(m: DataFrame): Long =
+    m.agg(coalesce(sum(col("n_docs")), lit(0L))).head().getLong(0)
 
-  /** Build the index over a base corpus. The empty-corpus reject runs
-    * BEFORE the previous index is destroyed (validate-before-destroy,
-    * the lex rule); meta is written LAST as the completion marker.
+  private def writeTables(m: DataFrame, dir: String, cDir: String,
+      hDir: String): Unit = {
+    cellsOf(m).write.mode("overwrite").parquet(s"$dir/$cDir")
+    histOf(m).write.mode("overwrite").parquet(s"$dir/$hDir")
+  }
+
+  /** Build the index over a base corpus. ONE materialization (the
+    * MediaIndex build rule): the micro aggregate is cached and counted
+    * BEFORE the previous index is destroyed, so an empty corpus — or an
+    * aggregation failure — can never leave a dir with the good index
+    * deleted and nothing (or a meta-only torn build) in its place. Meta
+    * is written LAST as the completion marker.
+    *
+    * Determinism contract (the ExactDedupIndex rule): a cache eviction
+    * may re-evaluate the aggregation, so `docs` must re-evaluate to the
+    * same rows — true for any source scan; salt or barrier anything else
+    * (Skew.withSalt), or the count, cells, and hist could derive from
+    * DIFFERENT evaluations of a nondeterministic input.
     */
   def buildStatsIndex(docs: DataFrame, dir: String): Unit = {
     val spark = docs.sparkSession
-    require(!docs.isEmpty,
-      s"buildStatsIndex at $dir: empty corpus — nothing to index " +
-        "(previous index left intact)")
-    GenManifest.resetDir(spark, dir)
-    val n = writeGeneration(spark, dir, docs, "cells", "hist")
-    writeMeta(spark, dir, "meta", n)
+    Barrier.withCached(microCells(docs)) { m =>
+      val n = countRows(m)
+      require(n > 0L,
+        s"buildStatsIndex at $dir: empty corpus — nothing to index " +
+          "(previous index left intact)")
+      GenManifest.resetDir(spark, dir)
+      writeTables(m, dir, "cells", "hist")
+      writeMeta(spark, dir, "meta", n)
+    }
   }
 
   /** Append a delta batch as a new generation of partial sums. Append ≡
@@ -200,15 +208,19 @@ object StatsIndex {
     val newC = s"cells-${seq + 1}"
     val newH = s"hist-${seq + 1}"
     val newM = s"meta-${seq + 1}"
-    val nNew = writeGeneration(spark, dir, newDocs, newC, newH)
-    if (nNew == 0L) {
-      System.err.println(
-        s"[graft] stats-index append of an EMPTY delta to $dir skipped " +
-          "(no commit)")
-    } else {
-      writeMeta(spark, dir, newM, nBase + nNew)
-      commitManifest(spark, dir, seq + 1, cDirs :+ newC, hDirs :+ newH, newM)
-      sweepGenerations(spark, dir, seq + 1)
+    Barrier.withCached(microCells(newDocs)) { m =>
+      val nNew = countRows(m)
+      if (nNew == 0L) {
+        System.err.println(
+          s"[graft] stats-index append of an EMPTY delta to $dir skipped " +
+            "(nothing written, no commit)")
+      } else {
+        writeTables(m, dir, newC, newH)
+        writeMeta(spark, dir, newM, nBase + nNew)
+        commitManifest(spark, dir, seq + 1, cDirs :+ newC, hDirs :+ newH,
+          newM)
+        sweepGenerations(spark, dir, seq + 1)
+      }
     }
   }
 
@@ -270,8 +282,7 @@ object StatsIndex {
     * over the merged histogram), corpus untouched.
     */
   def statsQuantiles(spark: SparkSession, dir: String,
-      qsPpm: Seq[Long] = Seq(250000L, 500000L, 750000L, 900000L))
-      : DataFrame = {
+      qsPpm: Seq[Long] = TextAnalysis.DefaultQuantilesPpm): DataFrame = {
     val (_, _, hDirs, metaDir) = statsManifest(spark, dir)
     require(readMetaRows(spark, dir, metaDir) > 0L,
       s"stats index at $dir is empty")

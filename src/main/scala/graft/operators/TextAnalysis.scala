@@ -168,6 +168,12 @@ object TextAnalysis {
       tokenCountBpe(col("text")).as("bpe_tokens"),
       coalesce(length(col("text")), lit(0)).as("chars"))
 
+  /** The default quantile points (ppm) — shared with the stats-index
+    * serve so the two call sites and the SQL oracle body (which inlines
+    * these values) can only change in lockstep.
+    */
+  val DefaultQuantilesPpm: Seq[Long] = Seq(250000L, 500000L, 750000L, 900000L)
+
   /** Exact per-language token-count quantiles (percentile_disc
     * semantics: the smallest length whose cumulative count reaches
     * ceil(q·total)), computed over the LENGTH HISTOGRAM rather than a
@@ -185,7 +191,7 @@ object TextAnalysis {
     * decimal if a corpus ever exceeds that.)
     */
   def lengthQuantiles(docs: DataFrame,
-      qsPpm: Seq[Long] = Seq(250000L, 500000L, 750000L, 900000L)): DataFrame =
+      qsPpm: Seq[Long] = DefaultQuantilesPpm): DataFrame =
     quantilesFromHist(
       docs
         .select(col("lang"), tokenCountWs(col("text")).cast("long").as("len"))

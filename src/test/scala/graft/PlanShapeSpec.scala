@@ -902,8 +902,7 @@ class PlanShapeSpec extends SparkSpec {
     assert(!pc.contains("Join"), pc.take(3000))
     assert("Exchange hashpartitioning".r.findAllIn(pc).length == 1,
       pc.take(3000))
-    assert(pc.contains("partial_sum") || pc.contains("partial"),
-      pc.take(3000))
+    assert(pc.contains("partial_sum"), pc.take(3000))
     // Quantile serve: the merged-histogram fold + the batch operator's
     // own tail — same exchange budget as the lengthQuantiles lock (the
     // histogram merge replaces the corpus fold one-for-one).
