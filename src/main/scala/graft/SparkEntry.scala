@@ -95,6 +95,18 @@ object SparkEntry {
     StatsIndex.appendToStatsIndex(docs.filter(col("doc_id") % 10 === 3), out)
   }
 
+  /** Build-then-retract preamble shared by the two retraction serves:
+    * full corpus ingested, the % 10 == 6 slice taken down (negated
+    * partial sums) — serve ≡ batch over the remaining rows.
+    */
+  private def buildRetractedStatsIndex(s: SparkSession, dir: String,
+      out: String): Unit = {
+    val docs = t(s, dir, "documents")
+    StatsIndex.buildStatsIndex(docs, out)
+    StatsIndex.retractFromStatsIndex(
+      docs.filter(col("doc_id") % 10 === 6), out)
+  }
+
   // ---------------------------------------------------------------------
   // Flagship: the reference's core use-case — "what's trending right now"
   // (read events → filter/classify → keyed agg → rate metric → top-k).
@@ -165,7 +177,8 @@ object SparkEntry {
     "doc_media_index_near", "doc_media_index_append_near",
     "doc_media_index_health",
     "doc_stats_cells", "doc_stats_append_cells", "doc_stats_quantiles",
-    "doc_stats_health")
+    "doc_stats_health", "doc_stats_retract_cells",
+    "doc_stats_retract_quantiles")
 
   // ---------------------------------------------------------------------
   // Planted inputs for data-driven weakly-discriminative oracles (the
@@ -1288,6 +1301,28 @@ object SparkEntry {
       StatsIndex.indexHealth(s, out)
     }),
 
+    // RETRACTION lifecycle — the takedown / right-to-be-forgotten path:
+    // a removal batch is a generation of NEGATED partial sums the serve
+    // cancels exactly (no rebuild — the capability no pair index has).
+    // Build over the full corpus, retract the % 10 == 6 slice, serve ≡
+    // the batch aggregates over the remaining rows (a null-id row is
+    // never in the slice — the oracle's IS NULL arm mirrors that).
+    "doc_stats_retract_cells" -> ((s, dir) => {
+      val out = indexDir("graft_stx_ret", dir)
+      if (builtIndexes.add(s"stxret:$out"))
+        buildRetractedStatsIndex(s, dir, out)
+      StatsIndex.statsCells(s, out)
+    }),
+
+    // Quantiles after retraction: the histogram at rest nets out the
+    // retracted lengths — same shared oracle body over the retained rows.
+    "doc_stats_retract_quantiles" -> ((s, dir) => {
+      val out = indexDir("graft_stx_ret", dir)
+      if (builtIndexes.add(s"stxret:$out"))
+        buildRetractedStatsIndex(s, dir, out)
+      StatsIndex.statsQuantiles(s, out)
+    }),
+
     // Corpus snapshot diff with PLANTED version deltas (the pii-scrub
     // de-vacuation pattern): v2 drops doc_id%31==5 (removed), rewrites
     // doc_id%17==3 (changed), and ingests doc_id%41==7 under shifted ids
@@ -2256,6 +2291,15 @@ object SparkEntry {
     """(SELECT lang, source, text FROM documents WHERE doc_id % 10 <> 3
         UNION ALL
         SELECT lang, source, text FROM documents WHERE doc_id % 10 = 3) u"""
+
+  /** The retraction lifecycle's surviving corpus: everything except the
+    * retracted % 10 == 6 slice. The IS NULL arm mirrors the Spark-side
+    * slice filter, where a null doc_id can never select into the
+    * retraction batch (NULL % 10 = 6 is NULL → dropped by the filter).
+    */
+  private val statsRetainedSrcSql: String =
+    """(SELECT lang, source, text FROM documents
+        WHERE doc_id IS NULL OR doc_id % 10 <> 6) u"""
 
   // The pair chain extended to connected components (symmetric edges ->
   // recursive reachability -> per-node min label) for the cluster
@@ -5172,6 +5216,13 @@ object SparkEntry {
     // definition over the appended corpus (shared oracle body).
     "doc_stats_quantiles" -> lengthQuantilesSql(statsUnionSrcSql),
 
+    // Retraction serves ≡ the same batch aggregates over the RETAINED
+    // rows — the negated generation is invisible in the semantics, like
+    // every index mechanism in this registry.
+    "doc_stats_retract_cells" -> statsCellsSql(statsRetainedSrcSql),
+
+    "doc_stats_retract_quantiles" -> lengthQuantilesSql(statsRetainedSrcSql),
+
     // Health: cells/hist rows are per-generation distinct group counts
     // summed across the build and append slices; n_rows is the row
     // total; n_gens is the lifecycle's generation count (constant 2 by
@@ -5193,7 +5244,8 @@ object SparkEntry {
                    (SELECT DISTINCT lang, ${wsCountSql("text")} FROM sb) t)
              AS BIGINT) AS hist_rows,
            CAST((SELECT count(*) FROM sa) + (SELECT count(*) FROM sb)
-             AS BIGINT) AS n_rows""",
+             AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS neg_cells""",
 
     // The dedup-index serves ≡ minhashNearDups over base∪delta (the
     // indexed corpus IS base∪delta = all documents here) restricted to

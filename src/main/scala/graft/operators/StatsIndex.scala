@@ -16,10 +16,15 @@ import org.apache.spark.sql.functions._
   * every stored value is a COMMUTATIVE INTEGER SUM (counts, token sums,
   * char sums, histogram counts), so per-generation partial aggregates
   * re-aggregate to the union's aggregates exactly — append ≡ rebuild is
-  * arithmetic identity, not a hash-family argument. No floats are ever
-  * stored; shares/quantiles are derived at serve time from exact
-  * integers, so serve-from-index is bit-identical to the batch operator
-  * over base∪delta (spec-pinned for both serve surfaces).
+  * arithmetic identity, not a hash-family argument. The same argument
+  * gives EXACT RETRACTION (takedowns / right-to-be-forgotten): a
+  * removal batch is a generation of negated partial sums that the serve
+  * cancels against the ingested mass, something no pair index offers
+  * without a rebuild; fully-cancelled groups are dropped at serve time
+  * and physically purged by compaction. No floats are ever stored;
+  * shares/quantiles are derived at serve time from exact integers, so
+  * serve-from-index is bit-identical to the batch operator over the
+  * (ingested − retracted) corpus (spec-pinned for both serve surfaces).
   *
   * 100 TB shape: a build/append touches the corpus with exactly ONE
   * map-side-combined aggregation over (lang, source, len) — the "micro"
@@ -224,6 +229,55 @@ object StatsIndex {
     }
   }
 
+  /** Retract previously-ingested rows — the takedown / right-to-be-
+    * forgotten path no pair index can offer without a rebuild: a
+    * retraction is a generation of NEGATED partial sums, and the serves'
+    * re-aggregation cancels it against the ingested mass exactly (the
+    * classic incremental-view-maintenance retraction; same commutativity
+    * argument as append). Spec-pinned: build(A∪B) then retract(B) serves
+    * ≡ build(A) — including a language or cell that empties completely
+    * (serves drop zero groups, below).
+    *
+    * SUBSET CONTRACT: `removedDocs` must be rows (by VALUE — lang,
+    * source, text) that were actually ingested and not already
+    * retracted. The index stores aggregates, so it cannot verify
+    * membership; retracting never-ingested rows drives cells negative —
+    * visible in [[indexHealth]]'s `neg_cells`, and served as-is rather
+    * than masked. Retracting MORE rows than the index holds fails
+    * loudly here; retracting exactly everything leaves an empty index
+    * that every serve rejects (rebuild instead). Empty retraction is a
+    * no-op. SINGLE-WRITER, like append.
+    */
+  def retractFromStatsIndex(removedDocs: DataFrame, dir: String): Unit = {
+    val spark = removedDocs.sparkSession
+    val (seq, cDirs, hDirs, metaDir) = statsManifest(spark, dir)
+    val nBase = readMetaRows(spark, dir, metaDir)
+    require(nBase > 0L,
+      s"stats index at $dir is empty — nothing to retract from")
+    val newC = s"cells-${seq + 1}"
+    val newH = s"hist-${seq + 1}"
+    val newM = s"meta-${seq + 1}"
+    Barrier.withCached(microCells(removedDocs)) { m =>
+      val nGone = countRows(m)
+      require(nGone <= nBase,
+        s"retracting $nGone rows from a $nBase-row index at $dir — the " +
+          "retraction is not a subset of the ingested corpus")
+      if (nGone == 0L) {
+        System.err.println(
+          s"[graft] stats-index retraction of an EMPTY batch at $dir " +
+            "skipped (nothing written, no commit)")
+      } else {
+        val neg = m.select(col("lang"), col("source"), col("len"),
+          (-col("n_docs")).as("n_docs"), (-col("chars")).as("chars"))
+        writeTables(neg, dir, newC, newH)
+        writeMeta(spark, dir, newM, nBase - nGone)
+        commitManifest(spark, dir, seq + 1, cDirs :+ newC, hDirs :+ newH,
+          newM)
+        sweepGenerations(spark, dir, seq + 1)
+      }
+    }
+  }
+
   /** Fold every live generation back into ONE pair of tables (the
     * partial sums re-aggregate — values identical by commutativity, so
     * serve-after-compact ≡ serve-before exactly). `n_rows` carries over
@@ -245,13 +299,20 @@ object StatsIndex {
     // Partial sums fold by the SAME group keys they were stored under —
     // plain re-aggregation, not the micro derivation (cells rows carry
     // tokens already; re-deriving len·n_docs would be meaningless here).
+    // Fully-cancelled groups (ingest + retraction netting to zero on
+    // EVERY measure) are purged from the folded tables — compaction is
+    // where retracted data physically leaves the disk; a group zero on
+    // some measures but not all is corruption and is kept visible.
     readGens(spark, dir, cDirs)
       .groupBy(col("lang"), col("source"))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("tokens")).as("tokens"),
         sum(col("chars")).as("chars"))
+      .where(col("n_docs") =!= 0L || col("tokens") =!= 0L ||
+        col("chars") =!= 0L)
       .write.mode("overwrite").parquet(s"$dir/$newC")
     readGens(spark, dir, hDirs)
       .groupBy(col("lang"), col("len")).agg(sum(col("cnt")).as("cnt"))
+      .where(col("cnt") =!= 0L)
       .write.mode("overwrite").parquet(s"$dir/$newH")
     writeMeta(spark, dir, newM, nRows)
     commitManifest(spark, dir, seq + 1, Seq(newC), Seq(newH), newM)
@@ -263,8 +324,13 @@ object StatsIndex {
     spark.read.parquet(s"$dir/$metaDir").head().getAs[Long]("n_rows")
 
   /** Serve the per-(lang, source) totals — [[Curation.sourceMix]]'s
-    * exact cells over everything ever ingested, with ZERO corpus scans:
-    * the only inputs are the index's own generation tables, re-summed.
+    * exact cells over everything ingested MINUS everything retracted,
+    * with ZERO corpus scans: the only inputs are the index's own
+    * generation tables, re-summed. Groups a retraction cancelled to zero
+    * on every measure are dropped (a batch aggregate over the remaining
+    * corpus has no such row); a group zero on SOME measures only —
+    * impossible under the retraction subset contract — stays visible,
+    * like the negative cells `indexHealth` counts.
     */
   def statsCells(spark: SparkSession, dir: String): DataFrame = {
     val (_, cDirs, _, metaDir) = statsManifest(spark, dir)
@@ -274,6 +340,8 @@ object StatsIndex {
       .groupBy(col("lang"), col("source"))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("tokens")).as("tokens"),
         sum(col("chars")).as("chars"))
+      .where(col("n_docs") =!= 0L || col("tokens") =!= 0L ||
+        col("chars") =!= 0L)
   }
 
   /** Serve exact per-language token-length quantiles from the histogram
@@ -286,23 +354,36 @@ object StatsIndex {
     val (_, _, hDirs, metaDir) = statsManifest(spark, dir)
     require(readMetaRows(spark, dir, metaDir) > 0L,
       s"stats index at $dir is empty")
+    // Zero-count rows must go BEFORE the quantile tail: a length whose
+    // ingest and retraction cancelled is not merely inert — a language
+    // whose EVERY length cancelled would otherwise survive with
+    // total = 0, where the rank test `cum·1e6 >= q·0` is vacuously true
+    // and the tail would emit quantiles for a corpus-absent language.
     val hist = readGens(spark, dir, hDirs)
       .groupBy(col("lang"), col("len")).agg(sum(col("cnt")).as("cnt"))
+      .where(col("cnt") =!= 0L)
     TextAnalysis.quantilesFromHist(hist, qsPpm)
   }
 
-  /** One-row diagnostics: live generation count and stored-table sizes
-    * vs the meta total. `n_gens` reports the CELL generation count (the
-    * two tables always append in lockstep).
+  /** One-row diagnostics: live generation count, stored-table sizes vs
+    * the meta total, and `neg_cells` — merged (lang, source) groups with
+    * a NEGATIVE document count, the signature of a retraction that was
+    * not a subset of the ingested corpus (0 on a healthy index). `n_gens`
+    * reports the CELL generation count (the two tables always append in
+    * lockstep).
     */
   def indexHealth(spark: SparkSession, dir: String): DataFrame = {
     val (_, cDirs, hDirs, metaDir) = statsManifest(spark, dir)
     val nRows = readMetaRows(spark, dir, metaDir)
-    val c = readGens(spark, dir, cDirs).agg(count(lit(1)).as("cells_rows"))
+    val c = readGens(spark, dir, cDirs)
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("n_docs")).as("nd"))
+      .agg(count(when(col("nd") < 0L, 1)).as("neg_cells"))
+    val cr = readGens(spark, dir, cDirs).agg(count(lit(1)).as("cells_rows"))
     val h = readGens(spark, dir, hDirs).agg(count(lit(1)).as("hist_rows"))
-    c.crossJoin(h).select(
+    cr.crossJoin(h).crossJoin(c).select(
       lit(cDirs.length.toLong).as("n_gens"),
       col("cells_rows"), col("hist_rows"),
-      lit(nRows).as("n_rows"))
+      lit(nRows).as("n_rows"), col("neg_cells"))
   }
 }

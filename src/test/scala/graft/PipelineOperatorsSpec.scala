@@ -4537,6 +4537,53 @@ class PipelineOperatorsSpec extends SparkSpec {
     // distinct (lang, len): en->{3,2,1,0}, zh->{4}, null->{2} = 6
     assert(h.getAs[Long]("hist_rows") == 6L)
     assert(h.getAs[Long]("n_rows") == 7L)
+    assert(h.getAs[Long]("neg_cells") == 0L)
+  }
+
+  test("statsIndex: retraction ≡ rebuild over the remaining rows (fully-emptied language included); compact purges; over-retraction rejected; alien retraction surfaces in neg_cells") {
+    val keep = statDocs(statBase: _*)
+    val gone = statDocs(
+      ("xx", "web", "solo xx doc"), // the whole language empties
+      ("en", "web", "extra en row")) // a partial cell retraction
+    val dir = stxTmp()
+    val rebuilt = stxTmp()
+    StatsIndex.buildStatsIndex(keep.unionByName(gone), dir)
+    StatsIndex.retractFromStatsIndex(gone, dir)
+    StatsIndex.buildStatsIndex(keep, rebuilt)
+    def snap(d: String) =
+      (cellRows(StatsIndex.statsCells(spark, d)),
+        quantRows(StatsIndex.statsQuantiles(spark, d)))
+    // The negated generation cancels exactly: serves ≡ a rebuild over
+    // the surviving rows — in particular NO quantile rows for xx (its
+    // total netted to zero; the vacuous `cum·1e6 >= q·0` hazard).
+    assert(snap(dir) == snap(rebuilt))
+    val h = StatsIndex.indexHealth(spark, dir).head()
+    assert(h.getAs[Long]("n_rows") == 7L)
+    assert(h.getAs[Long]("neg_cells") == 0L)
+    // Compaction physically purges the cancelled groups from disk.
+    StatsIndex.compactStatsIndex(spark, dir)
+    assert(snap(dir) == snap(rebuilt))
+    val (_, cDirsC, _, _) = StatsIndex.statsManifest(spark, dir)
+    assert(spark.read.parquet(s"$dir/${cDirsC.head}")
+      .where("lang = 'xx'").isEmpty)
+    // Retracting more rows than the index holds fails loudly.
+    intercept[IllegalArgumentException] {
+      StatsIndex.retractFromStatsIndex(
+        statDocs((1 to 20).map(i => ("en", "web", s"r$i")): _*), dir)
+    }
+    // A contract-violating retraction (rows never ingested) drives the
+    // alien cell negative — counted by health, served un-masked.
+    StatsIndex.retractFromStatsIndex(
+      statDocs(("zz", "alien", "w1 w2")), dir)
+    assert(StatsIndex.indexHealth(spark, dir).head()
+      .getAs[Long]("neg_cells") == 1L)
+    assert(cellRows(StatsIndex.statsCells(spark, dir))
+      .contains(("zz", "alien", -1L, -2L, -5L)))
+    // Empty retraction: no generation commits.
+    val seqB = StatsIndex.statsManifest(spark, dir)._1
+    StatsIndex.retractFromStatsIndex(
+      statDocs(Seq.empty[(String, String, String)]: _*), dir)
+    assert(StatsIndex.statsManifest(spark, dir)._1 == seqB)
   }
 
   test("statsIndex: append ≡ rebuild EXACTLY; empty delta no-op; compact folds to one generation serve-identically") {
