@@ -2576,7 +2576,8 @@ object SparkEntry {
            SELECT doc_id,
              CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                   ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
-           FROM documents),
+           FROM documents
+           WHERE doc_id IS NOT NULL),
          et AS (
            SELECT doc_id, e.pos AS pos, e.term AS term FROM (
              SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),

@@ -86,9 +86,16 @@ object DedupIndex {
             s"manifest generation $g under $root is not a dedup-index " +
               "manifest (missing bdirs/sdirs/meta) — wrong directory or " +
               "damaged index")
-        (node.get("bdirs").elements().asScala.map(_.asText()).toSeq,
-          node.get("sdirs").elements().asScala.map(_.asText()).toSeq,
-          node.get("meta").asText())
+        val b = node.get("bdirs").elements().asScala.map(_.asText()).toSeq
+        val s = node.get("sdirs").elements().asScala.map(_.asText()).toSeq
+        // Empty (or scalar — elements() is then empty) dir nodes would
+        // send the generation readers into a contentless empty-reduce
+        // crash (the lexManifestAt rule).
+        if (b.isEmpty || s.isEmpty)
+          throw new IllegalStateException(
+            s"manifest generation $g under $root references no " +
+              "buckets/sets dirs — truncated or damaged manifest")
+        (b, s, node.get("meta").asText())
       case None if g == 0L => (Seq("buckets"), Seq("sets"), "meta")
       case None =>
         // Fail-loud on the READ path (the lexManifestAt contract): a

@@ -260,8 +260,15 @@ object ExactDedupIndex {
             s"manifest generation $g under $root is not an exact-dedup-" +
               "index manifest (missing hdirs/meta) — wrong directory or " +
               "damaged index")
-        (node.get("hdirs").elements().asScala.map(_.asText()).toSeq,
-          node.get("meta").asText())
+        val h = node.get("hdirs").elements().asScala.map(_.asText()).toSeq
+        // Empty (or scalar — elements() is then empty) hdirs would send
+        // readHashGenerations into a contentless empty-reduce crash
+        // (the lexManifestAt rule).
+        if (h.isEmpty)
+          throw new IllegalStateException(
+            s"manifest generation $g under $root references no hash " +
+              "dirs — truncated or damaged manifest")
+        (h, node.get("meta").asText())
       case None if g == 0L => (Seq("hashes"), "meta")
       case None =>
         // Fail-loud on the READ path (the lexManifestAt contract); the

@@ -85,8 +85,15 @@ object MediaIndex {
             s"manifest generation $g under $root is not a media-index " +
               "manifest (missing bdirs/meta, or a dedup-index manifest " +
               "with sdirs) — wrong directory or damaged index")
-        (node.get("bdirs").elements().asScala.map(_.asText()).toSeq,
-          node.get("meta").asText())
+        val b = node.get("bdirs").elements().asScala.map(_.asText()).toSeq
+        // Empty (or scalar — elements() is then empty) bdirs would send
+        // the generation readers into a contentless empty-reduce crash
+        // (the lexManifestAt rule).
+        if (b.isEmpty)
+          throw new IllegalStateException(
+            s"manifest generation $g under $root references no block " +
+              "dirs — truncated or damaged manifest")
+        (b, node.get("meta").asText())
       case None if g == 0L => (Seq("blocks"), "meta")
       case None =>
         // Fail-loud on the READ path; the sweep tolerates this via its

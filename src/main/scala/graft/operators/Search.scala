@@ -33,8 +33,10 @@ import org.apache.spark.sql.functions._
   * makes. Everything downstream of the postings is bounded by the query
   * set: the query-term table (≤ queries × queryTerms rows) broadcasts,
   * per-term document frequencies are computed over a broadcast-semi-
-  * filtered sliver of the postings, and the score aggregation shuffles
-  * only matched postings. The corpus is never shuffled a second time.
+  * filtered sliver of the postings, the corpus totals fold MAP-SIDE off
+  * the `first_pos == 0` one-row-per-doc marker (see corpusTotals), and
+  * the score aggregation shuffles only matched postings. The corpus is
+  * never shuffled a second time.
   */
 object Search {
 
@@ -67,7 +69,16 @@ object Search {
     * query-by-example term selection). ONE corpus exchange.
     */
   private[graft] def postings(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    // Null-id docs are EXCLUDED (the exact-dedup family rule, mirrored
+    // in the oracle's toks CTE): a search result row needs an identity,
+    // and the groupBy below would otherwise MERGE every null-id doc into
+    // one postings group (tf summed cross-doc, dl = max) — corrupting
+    // df/N/avgdl for the whole corpus, not just the null rows. The
+    // filter is a scan-pushed id predicate; it cannot re-inline the
+    // tokenization (the InferFiltersFromGenerate hazard below concerns
+    // filters on the DERIVED array only).
+    docs.where(col("doc_id").isNotNull)
+      .select(col("doc_id"),
         TextAnalysis.wsTokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("dl"),
         // outer + isNotNull-on-the-exploded-attribute, NEVER the inner
@@ -97,24 +108,42 @@ object Search {
       .withColumn("rn", row_number().over(qw))
       .filter(col("rn") <= queryTerms)
       .select(col("query_id"), col("term"))
-    // df only for the query terms: a broadcast semi-filter keeps the
-    // term-keyed aggregation to the matched sliver — never a
-    // vocabulary-sized df table.
-    val qtermSet = qterms.select(col("term")).distinct()
-    val dfTab = p.join(broadcast(qtermSet), Seq("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // Corpus totals derived FROM the postings (docs with >= 1 token):
-    // sum(tf) per doc is exactly dl, so no second tokenization pass.
-    val tot = p.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
-      .agg(count(lit(1)).cast("double").as("n_docs"),
-        (sum(col("dl")).cast("double") /
-          count(lit(1)).cast("double")).as("avgdl"))
+    val dfTab = dfOver(p, qterms)
+    val totals = corpusTotals(p)
+    val tot = totals.select(
+      col("n").cast("double").as("n_docs"),
+      (col("tok").cast("double") / col("n").cast("double")).as("avgdl"))
     val qjoin = qterms.join(dfTab, Seq("term"))
     val matched = p.join(broadcast(qjoin), Seq("term"))
       .filter(col("doc_id") =!= col("query_id"))
       .crossJoin(broadcast(tot))
     scoreAndRank(matched, k, k1, b, col("n_docs"), col("avgdl"))
   }
+
+  /** Per-term document frequencies for exactly the query's terms — a
+    * broadcast semi-filter keeps the term-keyed aggregation to the
+    * matched sliver, never a vocabulary-sized df table. ONE definition
+    * for the batch tail and the index serve (the scoring-critical df
+    * semantics cannot drift between them). `qterms` must carry a `term`
+    * column.
+    */
+  private def dfOver(p: DataFrame, qterms: DataFrame): DataFrame =
+    p.join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+  /** Corpus totals (n tokenized docs, total tokens) derived from the
+    * postings WITHOUT a doc-keyed exchange: exactly one term per
+    * tokenized document has `first_pos == 0` (the term occupying token
+    * position 0 — every other term's min position is >= 1), so filtering
+    * on it yields one row per document and the totals fold MAP-SIDE.
+    * The previous `groupBy(doc_id)` formulation re-shuffled the postings
+    * on doc_id — a corpus-proportional exchange the scaladoc's 100 TB
+    * claim said didn't exist. Returns one row: (n BIGINT, tok BIGINT);
+    * `tok` coalesces to 0 on an all-token-less corpus (n = 0).
+    */
+  private def corpusTotals(p: DataFrame): DataFrame =
+    p.filter(col("first_pos") === 0L)
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("tok"))
 
   /** The shared scoring + ranking tail: per-term micro-unit scores,
     * per-doc long sum, per-query top-k. `matched` carries (query_id,
@@ -184,9 +213,7 @@ object Search {
       // postings dir and NULL total_tokens — an index every later reader
       // (serve, append, report) must individually guard against. Making
       // the invalid state unrepresentable beats N downstream guards.
-      val t = p.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
-        .head()
+      val t = corpusTotals(p).head()
       val nDocs = t.getLong(0)
       require(nDocs > 0,
         s"buildLexIndex at $dir: corpus has no tokenized documents — " +
@@ -244,9 +271,7 @@ object Search {
     // is one scan — exactly the pre-append plan.
     val scoped = readLexGenerations(spark, dir, pDirs)
       .filter(col("bkt").isin(bkts: _*))
-    val qtermSet = qt.select(col("term")).distinct()
-    val dfTab = scoped.join(broadcast(qtermSet), Seq("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfTab = dfOver(scoped, qt)
     val matched0 = scoped.join(broadcast(qt.join(dfTab, Seq("term"))),
       Seq("term"))
     val matched =
@@ -276,12 +301,12 @@ object Search {
   private[graft] def lexManifest(spark: SparkSession, dir: String)
       : (Long, Seq[String], String) = {
     val (fs, root) = GenManifest.fsRoot(spark, dir)
-    GenManifest.latestSeq(fs, root) match {
-      case None => (0L, Seq("postings"), "stats")
-      case Some(seq) =>
-        val (dirs, stats) = lexManifestAt(fs, root, seq)
-        (seq, dirs, stats)
-    }
+    // One definition of the adoption layout: the no-manifest case routes
+    // through lexManifestAt's g == 0 branch instead of duplicating the
+    // (Seq("postings"), "stats") constant here.
+    val seq = GenManifest.latestSeq(fs, root).getOrElse(0L)
+    val (dirs, stats) = lexManifestAt(fs, root, seq)
+    (seq, dirs, stats)
   }
 
   /** Cross-generation postings read — ONE definition for the serve and
@@ -312,8 +337,16 @@ object Search {
             s"manifest generation $g under $root is not a lex-index " +
               "manifest (missing dirs/stats) — wrong directory or " +
               "damaged index")
-        (node.get("dirs").elements().asScala.map(_.asText()).toSeq,
-          node.get("stats").asText())
+        val dirs =
+          node.get("dirs").elements().asScala.map(_.asText()).toSeq
+        // An empty (or scalar — its elements() iterator is empty) dirs
+        // node would send readers into the contentless empty-reduce
+        // crash the fail-loud arm below exists to prevent.
+        if (dirs.isEmpty)
+          throw new IllegalStateException(
+            s"manifest generation $g under $root references no postings " +
+              "dirs — truncated or damaged manifest")
+        (dirs, node.get("stats").asText())
       case None if g == 0L => (Seq("postings"), "stats")
       case None =>
         // Fail-loud on the READ path: a listed-then-vanished manifest is
@@ -373,20 +406,21 @@ object Search {
     val newPDir = s"postings-${seq + 1}"
     val newSDir = s"stats-${seq + 1}"
     val (deltaDocs, deltaTokens) = Barrier.withCached(postings(newDocs)) { p =>
-      p.withColumn("bkt", pmod(hash(col("term")), lit(buckets)))
-        .repartition(col("bkt"))
-        .write.mode("overwrite").partitionBy("bkt")
-        .parquet(s"$dir/$newPDir")
-      val t = p.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
-        .agg(count(lit(1)).as("n"),
-          coalesce(sum(col("dl")), lit(0L)).as("tok")).head()
+      // Totals FIRST (fills the cache): an empty delta is discovered
+      // before the partitioned write job runs at all — no scratch dir to
+      // write and then delete on the no-op path.
+      val t = corpusTotals(p).head()
+      if (t.getLong(0) > 0L)
+        p.withColumn("bkt", pmod(hash(col("term")), lit(buckets)))
+          .repartition(col("bkt"))
+          .write.mode("overwrite").partitionBy("bkt")
+          .parquet(s"$dir/$newPDir")
       (t.getLong(0), t.getLong(1))
     }
-    val (fs, root) = GenManifest.fsRoot(spark, dir)
     if (deltaDocs == 0L) {
-      fs.delete(new org.apache.hadoop.fs.Path(root, newPDir), true)
       System.err.println(
-        s"[graft] lex append of an EMPTY delta to $dir skipped (no commit)")
+        s"[graft] lex append of an EMPTY delta to $dir skipped " +
+          "(nothing written, no commit)")
     } else {
       spark.range(1).select(
           lit(nDocs + deltaDocs).as("n_docs"),

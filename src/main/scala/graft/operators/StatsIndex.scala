@@ -64,12 +64,11 @@ object StatsIndex {
   private[graft] def statsManifest(spark: SparkSession, dir: String)
       : (Long, Seq[String], Seq[String], String) = {
     val (fs, root) = GenManifest.fsRoot(spark, dir)
-    GenManifest.latestSeq(fs, root) match {
-      case None => (0L, Seq("cells"), Seq("hist"), "meta")
-      case Some(seq) =>
-        val (c, h, m) = manifestAt(fs, root, seq)
-        (seq, c, h, m)
-    }
+    // One definition of the adoption layout: the no-manifest case routes
+    // through manifestAt's g == 0 branch (the lexManifest rule).
+    val seq = GenManifest.latestSeq(fs, root).getOrElse(0L)
+    val (c, h, m) = manifestAt(fs, root, seq)
+    (seq, c, h, m)
   }
 
   private def manifestAt(fs: org.apache.hadoop.fs.FileSystem,
@@ -87,9 +86,15 @@ object StatsIndex {
             s"manifest generation $g under $root is not a stats-index " +
               "manifest (missing cdirs/hdirs/meta) — wrong directory or " +
               "damaged index")
-        (node.get("cdirs").elements().asScala.map(_.asText()).toSeq,
-          node.get("hdirs").elements().asScala.map(_.asText()).toSeq,
-          node.get("meta").asText())
+        val c = node.get("cdirs").elements().asScala.map(_.asText()).toSeq
+        val h = node.get("hdirs").elements().asScala.map(_.asText()).toSeq
+        // Empty (or scalar — elements() is then empty) dir nodes would
+        // send readGens into a contentless empty-reduce crash.
+        if (c.isEmpty || h.isEmpty)
+          throw new IllegalStateException(
+            s"manifest generation $g under $root references no " +
+              "cells/hist dirs — truncated or damaged manifest")
+        (c, h, node.get("meta").asText())
       case None if g == 0L => (Seq("cells"), Seq("hist"), "meta")
       case None =>
         // Fail-loud on the READ path (the lexManifestAt contract); the

@@ -433,6 +433,22 @@ class PipelineOperatorsSpec extends SparkSpec {
       (0L, 1L, 1000000L, 1), (0L, 2L, 428571L, 2), (0L, 3L, 377142L, 3)))
   }
 
+  test("postings: null doc_id rows are excluded (the exact-dedup family rule)") {
+    import spark.implicits._
+    // Without the filter, the two null-id docs would MERGE into one
+    // postings group (tf summed cross-doc, dl = max) and inflate
+    // df/N/avgdl — corrupting every score, not just the null rows.
+    val d = Seq(
+      (Some(1L), "alpha beta"),
+      (None: Option[Long], "alpha gamma"),
+      (None: Option[Long], "alpha delta"))
+      .toDF("doc_id", "text")
+    val p = Search.postings(d).collect()
+    assert(p.forall(r => !r.isNullAt(r.fieldIndex("doc_id"))))
+    assert(p.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term")))
+      .toSet == Set((1L, "alpha"), (1L, "beta")))
+  }
+
   test("bm25TopK: equals a brute-force reference on random corpora") {
     val rnd = new scala.util.Random(7)
     val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
