@@ -153,7 +153,14 @@ object Similarity {
         require(!r.isNullAt(0), "embDecontam eval row has a NULL vec_id")
         require(!r.isNullAt(1),
           s"embDecontam eval vec_id=${r.getLong(0)} has a NULL embedding")
-        (r.getLong(0), r.getSeq[Double](1).toArray)
+        // Element-level null check BEFORE the unboxing toArray: a null
+        // element inside a non-null array would otherwise surface as a
+        // bare driver NPE that bypasses these named requires.
+        val seq = r.getSeq[Any](1)
+        require(!seq.contains(null),
+          s"embDecontam eval vec_id=${r.getLong(0)} has a NULL " +
+            "embedding element")
+        (r.getLong(0), seq.map(_.asInstanceOf[Double]).toArray)
       }
       .sortBy(_._1)
     require(evs.nonEmpty, "embDecontam needs a non-empty eval set")
@@ -249,7 +256,13 @@ object Similarity {
         val hot = v0.groupBy(col("bucket"))
           .agg(count(lit(1)).as("__df"))
           .filter(col("__df") > maxBucketDf).select(col("bucket"))
-        v0.join(hot, Seq("bucket"), "left_anti")
+        // Barrier the CAPPED table before it feeds both self-join sides
+        // (the round-12 simhash lesson): un-materialized, the hot-bucket
+        // aggregation + anti-join would execute once PER SIDE. v0 is
+        // superseded once the eager checkpoint materializes.
+        val capped = v0.join(hot, Seq("bucket"), "left_anti").barrier()
+        Barrier.release(v0)
+        capped
       }
     val pairs = v.as("l").join(v.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
@@ -401,7 +414,13 @@ object Similarity {
     require(book.nonEmpty,
       s"buildIvfIndex at $dir: training produced no centroids (empty " +
         "corpus or no seed vectors) — previous index left intact")
-    require(v.select(checkedDims(col("ev"), book.head._2.length,
+    // Null vec_id rows are EXCLUDED before the emptiness probe (the lex
+    // postings rule): a committed null-id vector is PERMANENTLY
+    // unreachable — every serve path's `query_id =!= vec_id` self-pair
+    // guard evaluates to NULL and drops it — so it would be ingested,
+    // counted by indexHealth, and never returned, with zero diagnostics.
+    val vv = v.where(col("vec_id").isNotNull)
+    require(vv.select(checkedDims(col("ev"), book.head._2.length,
         "IVF index (build probe)", noun = "corpus vectors").as("ev"))
         .limit(1).collect().nonEmpty,
       s"buildIvfIndex at $dir: corpus is empty — previous index left intact")
@@ -415,7 +434,7 @@ object Similarity {
     // with zero diagnostics — while the SAME row appended via
     // appendToIvfIndex throws, breaking the spec-pinned append ≡
     // rebuild equivalence (one path crashes, the other serves).
-    v.select(col("vec_id"),
+    vv.select(col("vec_id"),
         checkedDims(col("ev"), book.head._2.length, "IVF index (build)",
           noun = "corpus vectors")
           .as("ev"))
@@ -511,7 +530,10 @@ object Similarity {
     val book = readBook(spark, dir)
     val (seq, dirs) = indexManifest(spark, dir)
     val newDir = f"delta-${seq + 1}%010d"
-    delta.select(col("vec_id"),
+    // Null-id delta rows dropped like the build (the lex postings rule —
+    // see writeIvfIndex; also keeps append ≡ rebuild on nullable input).
+    delta.where(col("vec_id").isNotNull)
+      .select(col("vec_id"),
         // The same fail-fast the SEARCH side runs (checkedDims): append
         // is the one entry point that can introduce a width mismatch
         // (the build defines the dims), and without the guard vecDot's
@@ -586,10 +608,20 @@ object Similarity {
     // `noun` names WHICH rows failed (query vs corpus vs delta) — a
     // build-time corpus failure blaming "query vectors" sends the
     // operator debugging the wrong table.
-    when(size(v) === expected, v).otherwise(raise_error(concat(
-      lit(s"$noun are "),
-      coalesce(size(v).cast("string"), lit("NULL (null vector)")),
-      lit(s"-dimensional but the $what expects $expected dims"))))
+    //
+    // The null-ELEMENT arm closes the silent-clean hole the dims guard
+    // alone leaves: a right-width vector with a null element passes the
+    // size check, vecDot then returns NULL, and every downstream cosine
+    // / threshold test evaluates to NULL — embDecontam would read the
+    // row as NOT contaminated, a search would silently drop it. Same
+    // fail-loud convention as indexHealth's no-arm raise.
+    when(size(v) === expected && !exists(v, _.isNull), v)
+      .otherwise(raise_error(concat(
+        lit(s"$noun are "),
+        coalesce(size(v).cast("string"), lit("NULL (null vector)")),
+        lit(s"-dimensional but the $what expects $expected dims"),
+        when(coalesce(exists(v, _.isNull), lit(false)),
+          lit(" — the vector contains a NULL element")).otherwise(lit("")))))
 
   def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
       queryVecs: DataFrame, k: Int = 5, probes: Int = 2): DataFrame = {
@@ -640,7 +672,6 @@ object Similarity {
     */
   def buildIvfPqIndex(emb: DataFrame, dir: String, clusters: Int = 8,
       iters: Int = 2, m: Int = 4, codes: Int = 8): Unit = {
-    val spark = emb.sparkSession
     // The writes below scan `emb` directly (slicedVectors), not v — the
     // corpus cache only spans the training loop.
     val trained = Barrier.withCached(
@@ -675,7 +706,11 @@ object Similarity {
     require(books.nonEmpty && books.forall(_.nonEmpty) && coarse.nonEmpty,
       s"buildIvfPqIndex at $dir: training produced empty codebooks " +
         "(empty corpus or no seed vectors) — previous index left intact")
-    require(emb.select(checkedDims(asDouble(col("embedding")), m * sub,
+    // Null-id rows dropped before the probe (the lex postings rule —
+    // see writeIvfIndex: a committed null-id vector is unreachable by
+    // every serve path's self-pair guard).
+    val embNN = emb.where(col("vec_id").isNotNull)
+    require(embNN.select(checkedDims(asDouble(col("embedding")), m * sub,
         "IVF-PQ index (build probe)", noun = "corpus vectors").as("e"))
         .limit(1).collect().nonEmpty,
       s"buildIvfPqIndex at $dir: corpus is empty — previous index left intact")
@@ -701,7 +736,7 @@ object Similarity {
     // guards dims like the append does (see writeIvfIndex for why the
     // asymmetry would break append ≡ rebuild).
     pqEncodedCells(
-      emb.select(col("vec_id"),
+      embNN.select(col("vec_id"),
         checkedDims(asDouble(col("embedding")), m * sub,
           "IVF-PQ index (build)", noun = "corpus vectors").as("embedding")),
       books, coarse, m, sub)
@@ -757,9 +792,11 @@ object Similarity {
     // The SHARED guard, not a hand-rolled copy: the copy was missing
     // checkedDims' message coalesce, so a null delta embedding raised
     // with a NULL (empty) diagnostic.
-    val guarded = delta.withColumn("embedding",
-      checkedDims(col("embedding"), dims, "IVF-PQ index (append)",
-        noun = "delta vectors"))
+    // Null-id delta rows dropped like the build (the lex postings rule).
+    val guarded = delta.where(col("vec_id").isNotNull)
+      .withColumn("embedding",
+        checkedDims(col("embedding"), dims, "IVF-PQ index (append)",
+          noun = "delta vectors"))
     pqEncodedCells(guarded, books, coarse, m, sub)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/$newDir")
@@ -785,7 +822,25 @@ object Similarity {
     GenManifest.readNode(fs, root, gen) match {
       case Some(node) =>
         import scala.jdk.CollectionConverters._
-        node.get("dirs").elements().asScala.map(_.asText()).toSeq
+        // Family guard (the dedupManifestAt rule, previously MISSING
+        // here — this was the one family that NPE'd on a foreign
+        // manifest): a dedup/stats/media manifest has no "dirs" key; a
+        // LEX manifest also carries "dirs" but is distinguishable by its
+        // "stats" key — accepting it would die later on an uncurated
+        // parquet error against postings files.
+        if (node.get("dirs") == null || node.get("stats") != null)
+          throw new IllegalStateException(
+            s"manifest generation $gen under $root is not an ANN-index " +
+              "manifest (missing dirs, or a lex-index manifest with " +
+              "stats) — wrong directory or damaged index")
+        val ds = node.get("dirs").elements().asScala.map(_.asText()).toSeq
+        // Empty (or scalar) dirs would surface as the contentless
+        // empty-reduce crash inside readCells (the lexManifestAt rule).
+        if (ds.isEmpty)
+          throw new IllegalStateException(
+            s"manifest generation $gen under $root references no cell " +
+              "dirs — truncated or damaged manifest")
+        ds
       case None if gen == 0L => Seq("cells")
       case None =>
         // Fail-loud on the READ path (mirrors Search.lexManifestAt): a
@@ -917,7 +972,13 @@ object Similarity {
       .withColumn("total", sum(col("n_vecs")).over(Window.partitionBy()))
       .selectExpr("cell", "n_vecs",
         "CAST((n_vecs * 1000000) DIV total AS BIGINT) AS share_ppm",
-        "CAST(FLOOR(sum_us / n_vecs) AS BIGINT) AS mean_res_us",
+        // DIV, never FLOOR(a / b): Spark's decimal division rounds the
+        // quotient HALF_UP at its result scale BEFORE the floor, so a
+        // mean within 5e-7 of the next integer floors to the WRONG side
+        // of the oracle's exact integer floor-division (the RangeJoin
+        // floor-div lesson; operands are nonnegative, so truncation ≡
+        // floor).
+        "CAST(sum_us DIV n_vecs AS BIGINT) AS mean_res_us",
         "max_res_us")
   }
 
@@ -936,6 +997,11 @@ object Similarity {
   def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
       queryVecs: DataFrame, k: Int = 5, probes: Int = 2,
       candidates: Int = 50): DataFrame = {
+    // The rerank pool must cover the ask: with candidates < k every
+    // query would silently return at most `candidates` neighbors.
+    require(candidates >= k,
+      s"ivfPqTopK reranks the top $candidates ADC candidates but k=$k " +
+        "was requested — raise candidates (or lower k)")
     val cents = centsDf(spark, readBook(spark, dir))
     val cells = readCells(spark, dir)
     val books = readCodebooks(spark, dir)
@@ -1074,12 +1140,17 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id").asc)
     val wKp = Window.partitionBy(col("query_id"), col("in_kp"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    flagged
+    val pruned = flagged
       .withColumn("__rr", row_number().over(wRing))
       .withColumn("__rk", row_number().over(wKp))
       .filter(col("__rr") <= k || (col("in_kp") && col("__rk") <= k))
       .drop("__rr", "__rk")
       .barrier() // releases the vector cache on exit
+    // qp is superseded once the pruned barrier materializes (the
+    // ivfIndexTopK release discipline) — without this its checkpoint
+    // blocks live until driver GC.
+    Barrier.release(qp)
+    pruned
     }
     // The SHARED ranking tail, not a third copy of the (cos desc, vec_id
     // asc) definition: a tie-break change in topkByCos must change what
@@ -1446,10 +1517,13 @@ object Similarity {
     val scored = withN.join(broadcast(queries),
         col("query_id") =!= col("vec_id"))
       .withColumn("qdot", dot(col("qa"), col("qd")))
+      // The SHARED zero-norm kernel, not an inline copy (the round-8
+      // poisoning happened because this convention lived in two places).
+      // Value-identical: sqrt of a non-negative sum of squares is 0 iff
+      // the sum is 0, and the otherwise-branch division is the same
+      // IEEE expression.
       .withColumn("acos",
-        when(col("naa") === 0.0 || col("qaa") === 0.0, lit(0.0))
-          .otherwise(Quant.r6(
-            col("qdot") / (sqrt(col("naa")) * sqrt(col("qaa"))))))
+        cosineWithNorms(col("qdot"), sqrt(col("naa")), sqrt(col("qaa"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("acos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -1645,6 +1719,11 @@ object Similarity {
     require(numQueries <= 1000,
       s"pqRecall scores numQueries x corpus rows twice; numQueries=" +
         s"$numQueries exceeds the 1000-query audit bound")
+    // The rerank tier cuts at `candidates` and the pure tier at k inside
+    // that cut — candidates < k would silently understate both recalls.
+    require(candidates >= k,
+      s"pqRecall reranks the top $candidates ADC candidates but k=$k " +
+        "was requested — raise candidates (or lower k)")
     val bf = bruteForceTopK(emb, k, numQueries)
       .select(col("query_id"), col("neighbor_id"))
       .barrier() // numQueries × k rows, feeds 3 branches
