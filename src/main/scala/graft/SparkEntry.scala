@@ -4754,10 +4754,17 @@ object SparkEntry {
            round(sum(value), 2) AS total_value
          FROM s GROUP BY user_id, session_seq""",
 
+    // The e CTE mirrors cohortRetention's null guard (the sessionize
+    // rule): a null-ts row for a REAL user would otherwise survive
+    // DISTINCT here, date_diff to a NULL offset, and join back onto the
+    // user's genuine cohort_day — an oracle-only row. (The null-user
+    // half is structural — count(DISTINCT)/equi-joins drop NULL keys —
+    // but the ts half is not.)
     "events_retention" ->
       """WITH e AS (
            SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
-           FROM events),
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
          f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
          cells AS (
            SELECT f.cohort_day,

@@ -94,7 +94,13 @@ object EventAnalytics {
     * of tolerance on one side.
     */
   def sessionizeStream(events: DataFrame, gapMinutes: Long = 360L,
-      delay: String = "1 hour"): DataFrame =
+      delay: String = "1 hour"): DataFrame = {
+    // The batch twin's require, duplicated here like every other twin
+    // pair (funnelSteps/funnelStepsStream, rateAnomaly/rateAnomalyStream):
+    // relying on session_window to reject a non-positive interval is a
+    // version-dependent behavior, and a silently-empty stream where
+    // batch loudly rejects the same input is a twin divergence.
+    require(gapMinutes >= 1L, s"gapMinutes=$gapMinutes must be >= 1")
     // Null event-time filter BEFORE the stateful stage (the streaming
     // twins' convention): a null ts reaching session_window inside a
     // watermarked aggregation is undefined-to-throwing territory, and
@@ -112,6 +118,7 @@ object EventAnalytics {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("window_end"),
         col("n_events"), col("purchases"), col("total_value"))
+  }
 
   /** Ordered step-conversion funnel: for each user, the first occurrence
     * of `steps(0)` anchors the funnel; each later step counts only if it
@@ -130,13 +137,22 @@ object EventAnalytics {
     * windows, no per-step re-scan of the log (the k-join formulation
     * would shuffle the log k−1 times).
     */
-  def funnelSteps(events: DataFrame, steps: Seq[String],
-      windowMinutes: Long): DataFrame = {
+  /** The funnel twins' shared parameter contract — ONE definition so the
+    * batch and stream operators can never accept different inputs (the
+    * dayVerdict/funnelWalk single-sourcing rule, applied to the guards).
+    */
+  private def requireFunnelParams(steps: Seq[String],
+      windowMinutes: Long): Unit = {
     require(steps.size >= 2 && steps.size <= 8,
       s"funnel needs 2..8 steps, got ${steps.size}")
     require(steps.distinct.size == steps.size,
       s"funnel steps must be distinct, got $steps")
     require(windowMinutes >= 1, s"windowMinutes=$windowMinutes must be >= 1")
+  }
+
+  def funnelSteps(events: DataFrame, steps: Seq[String],
+      windowMinutes: Long): DataFrame = {
+    requireFunnelParams(steps, windowMinutes)
     val winUs = math.multiplyExact(windowMinutes, 60L * 1000000L)
     val k = steps.size
     val ev = events
@@ -173,8 +189,10 @@ object EventAnalytics {
             col(s"u$i").as("users"))
         }: _*)).as("s"))
       .select(col("s.step_idx"), col("s.step"), col("s.users"),
+        // decimal(38,0) product — see typeTransitions' prob_ppm.
         when(col("__base") > 0L,
-          expr("s.users * 1000000 DIV __base")).as("conv_ppm"))
+          expr("CAST(s.users AS DECIMAL(38,0)) * 1000000 DIV __base"))
+          .as("conv_ppm"))
   }
 
   /** Event-type transition matrix: for each ordered (from, to) pair of
@@ -233,7 +251,12 @@ object EventAnalytics {
     val perFrom = Window.partitionBy(col("from_type"))
     counts
       .withColumn("from_total", sum(col("cnt")).over(perFrom))
-      .withColumn("prob_ppm", expr("cnt * 1000000L div from_total"))
+      // decimal(38,0) product (the pmiTopK widening rule): a hot pair
+      // past ~9.2e12 occurrences would ANSI-abort the plain long product
+      // where the oracle computes through HUGEINT. IntegralDivide
+      // returns BIGINT, so the emitted type is unchanged.
+      .withColumn("prob_ppm",
+        expr("CAST(cnt AS DECIMAL(38,0)) * 1000000 div from_total"))
   }
 
   /** One ingested funnel-step event in the streaming twin. */
@@ -312,11 +335,7 @@ object EventAnalytics {
       : Dataset[FunnelProgress] = {
     require(tombstoneTtlMinutes >= 0L,
       s"tombstoneTtlMinutes=$tombstoneTtlMinutes must be >= 0")
-    require(steps.size >= 2 && steps.size <= 8,
-      s"funnel needs 2..8 steps, got ${steps.size}")
-    require(steps.distinct.size == steps.size,
-      s"funnel steps must be distinct, got $steps")
-    require(windowMinutes >= 1, s"windowMinutes=$windowMinutes must be >= 1")
+    requireFunnelParams(steps, windowMinutes)
     val winUs = math.multiplyExact(windowMinutes, 60L * 1000000L)
     val k = steps.size
     val spark = events.sparkSession
@@ -484,9 +503,13 @@ object EventAnalytics {
       .withColumn("base_cnt", coalesce(sum(col("cnt")).over(w), lit(0L)))
       .withColumn("base_days", count(col("cnt")).over(w))
       .withColumn("is_spike",
+        // decimal(38,0) cross-multiplication (the pmiTopK widening rule):
+        // a plain long product ANSI-aborts past ~2.5e14 events/day while
+        // the oracle computes through HUGEINT — the verdict must compute,
+        // not cliff. Emitted columns stay BIGINT.
         col("base_days") > 0L &&
-          col("cnt") * col("base_days") * lit(100L) >
-            lit(factorPct.toLong) * col("base_cnt"))
+          col("cnt").cast("decimal(38,0)") * col("base_days") * lit(100L) >
+            lit(factorPct.toLong).cast("decimal(38,0)") * col("base_cnt"))
   }
 
   /** One closed day's verdict in the streaming twin of [[rateAnomaly]]. */
@@ -504,7 +527,12 @@ object EventAnalytics {
     val baseCnt = base.values.sum
     val baseDays = base.size.toLong
     DayRate(tpe, day, cnt, baseCnt, baseDays,
-      baseDays > 0L && cnt * baseDays * 100L > factorPct.toLong * baseCnt)
+      // BigInt, matching the batch twin's decimal(38,0) cross-
+      // multiplication: bare Long products here would WRAP silently
+      // (is_spike = false) at magnitudes where the batch verdict still
+      // computes exactly — the round-8 jaccardOf stream≡batch lesson.
+      baseDays > 0L &&
+        BigInt(cnt) * baseDays * 100 > BigInt(factorPct) * baseCnt)
   }
 
   /** Streaming twin of [[rateAnomaly]]: one fgws group per event_type
