@@ -132,7 +132,15 @@ object DedupIndex {
     */
   private def writeTables(docs: DataFrame, dir: String, n: Int,
       nBuckets: Int, bName: String, sName: String): Long =
-    Barrier.withCached(Dedup.shingleSets(docs, n)) { sets =>
+    // Null-id rows are EXCLUDED from the at-rest tables (the family
+    // rule servePairLegs/streamingIndexDups already apply on the read
+    // side): signaturesFromExploded's groupBy(doc_id) would otherwise
+    // MERGE every null-id doc's shingles into one phantom signature in
+    // the bucket table — counted by indexHealth, producing spurious
+    // (delta, NULL) candidate rows per serve, and appearing as TWO
+    // phantoms after an append where a rebuild holds one.
+    Barrier.withCached(
+        Dedup.shingleSets(docs.where(col("doc_id").isNotNull), n)) { sets =>
       val ex = Dedup.explodedFromSets(sets)
       val buckets = Dedup.bandBucketsFromSignatures(
           Dedup.signaturesFromExploded(ex))
@@ -177,12 +185,15 @@ object DedupIndex {
     // rows > 0 guard — old index gone, nothing to serve. The isEmpty
     // probe is a limit-1 early-exit scan, cheap against any real
     // corpus.
-    require(!Dedup.shingleSets(docs, n)
+    // The probe sees the SAME null-id filter writeTables applies: an
+    // all-null-id corpus must fail here, not after the delete below.
+    require(!Dedup.shingleSets(docs.where(col("doc_id").isNotNull), n)
         .where(size(col("sset")) > 0).isEmpty,
       s"buildDedupIndex at $dir: corpus has no shingled documents — " +
         "nothing to index (previous index left intact)")
-    val (fs, root) = GenManifest.fsRoot(spark, dir)
-    fs.delete(root, true)
+    // The shared reset, not an inline fs.delete (the resetDir rule: a
+    // future reset-protocol change must land in every family at once).
+    GenManifest.resetDir(spark, dir)
     val rows = writeTables(docs, dir, n, nBuckets, "buckets", "sets")
     require(rows > 0L,
       s"buildDedupIndex at $dir: corpus has no shingled documents — " +
@@ -202,9 +213,7 @@ object DedupIndex {
   def appendToDedupIndex(newDocs: DataFrame, dir: String): Unit = {
     val spark = newDocs.sparkSession
     val (seq, bDirs, sDirs, metaDir) = dedupManifest(spark, dir)
-    val meta = spark.read.parquet(s"$dir/$metaDir").head()
-    val n = meta.getAs[Int]("n")
-    val nBuckets = meta.getAs[Int]("buckets")
+    val (n, nBuckets) = readMeta(spark, dir, metaDir)
     val newB = f"buckets-delta-${seq + 1}%010d"
     val newS = f"sets-delta-${seq + 1}%010d"
     val rows = writeTables(newDocs, dir, n, nBuckets, newB, newS)
@@ -254,8 +263,14 @@ object DedupIndex {
     * with its keep verdict. BASE WINS unconditionally — a delta doc
     * that near-dups anything already ingested is dropped regardless of
     * id order (the ingested copy cannot be un-ingested); within the
-    * batch the keep-lowest convention applies (the exactDedup /
-    * dupClusters rule). Output: (doc_id, keep) for every delta doc.
+    * batch the PER-PAIR keep-lowest rule applies: every internal pair
+    * drops its higher side. NOTE this is exactDedup's convention, where
+    * duplicate groups are cliques and per-pair == per-group — it is NOT
+    * dupClusters' connected-component keep-min: on a non-transitive
+    * pair graph {(1,3), (2,3)} this keeps {1, 2} while the component
+    * rule would keep {1} only. The per-pair rule is what the registered
+    * oracle replays; do not "align" it with dupClusters.
+    * Output: (doc_id, keep) for every delta doc.
     *
     * Cost: the pairs serve (two pruned index reads) plus joins against
     * the TINY materialized pair table — the delta is never re-hashed.
@@ -332,8 +347,7 @@ object DedupIndex {
   def streamingIndexDups(spark: SparkSession, dir: String,
       stream: DataFrame, threshold: Double = 0.5): DataFrame = {
     val (_, bDirs, sDirs, metaDir) = dedupManifest(spark, dir)
-    val meta = spark.read.parquet(s"$dir/$metaDir").head()
-    val n = meta.getAs[Int]("n")
+    val (n, _) = readMeta(spark, dir, metaDir)
     val bands = Dedup.Bands
     val baseBuckets = readGenerations(spark, dir, bDirs)
       .select(col("band"), col("key"), col("doc_id").as("base_id"))
@@ -392,6 +406,10 @@ object DedupIndex {
           element_at(col("base_keys"), i + 1), i))))
       .where(col("band") === col("mincol"))
     once.join(baseSets, Seq("base_id"))
+      // Self-pair guard (the MediaIndex streaming rule): a stream row
+      // whose doc_id matches a base id — the id-disjointness contract
+      // violated upstream — must not alert against itself.
+      .where(col("doc_id") =!= col("base_id"))
       .withColumn("inter",
         size(array_intersect(col("sset"), col("bset"))))
       .withColumn("jaccard",
@@ -468,12 +486,31 @@ object DedupIndex {
     // barrier survives instead (its blocks ARE the product; the
     // ContextCleaner frees them when the caller drops the reference).
     try {
-      internal.unionByName(cross.select(
-          least(col("delta_id"), col("base_id")).as("doc_a"),
-          greatest(col("delta_id"), col("base_id")).as("doc_b"),
-          col("jaccard")))
+      // Self-pair guard (the MediaIndex serve rule): a caller violating
+      // the id-disjointness contract (re-ingesting a base doc_id) makes
+      // the cross leg emit (d, d) — which least/greatest would fold to
+      // doc_a == doc_b, a pair minhashNearDups(base∪delta) structurally
+      // never produces. Guarded HERE, not in servePairLegs: the clean
+      // verdict's base-wins drop of a re-ingested doc via its self-pair
+      // is the desired action there.
+      internal.unionByName(cross
+          .where(col("delta_id") =!= col("base_id"))
+          .select(
+            least(col("delta_id"), col("base_id")).as("doc_a"),
+            greatest(col("delta_id"), col("base_id")).as("doc_b"),
+            col("jaccard")))
         .barrier()
     } finally { Barrier.release(internal); Barrier.release(cross) }
+  }
+
+  /** The index's meta row (shingle n, bucket count) — ONE reader for
+    * the append/serve/streaming paths, so a meta schema evolution (or a
+    * curated foreign-meta diagnostic) lands once, not three times.
+    */
+  private def readMeta(spark: SparkSession, dir: String,
+      metaDir: String): (Int, Int) = {
+    val meta = spark.read.parquet(s"$dir/$metaDir").head()
+    (meta.getAs[Int]("n"), meta.getAs[Int]("buckets"))
   }
 
   /** The serve, with its two legs kept apart and MATERIALIZED: the
@@ -489,9 +526,7 @@ object DedupIndex {
     def emptyCross =
       Seq.empty[(Long, Long, Double)].toDF("delta_id", "base_id", "jaccard")
     val (_, bDirs, sDirs, metaDir) = dedupManifest(spark, dir)
-    val meta = spark.read.parquet(s"$dir/$metaDir").head()
-    val n = meta.getAs[Int]("n")
-    val nBuckets = meta.getAs[Int]("buckets")
+    val (n, nBuckets) = readMeta(spark, dir, metaDir)
     // Null-id delta rows drop up front (the streamingIndexDups rule,
     // batch edition): every pair/verdict join is null-rejecting, so a
     // null-id ingest doc would form no pairs and silently surface as
