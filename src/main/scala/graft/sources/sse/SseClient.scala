@@ -41,6 +41,13 @@ final class SseClient(
   @volatile private var lastTrafficMs: Long = System.currentTimeMillis()
   @volatile private var current: InputStream = _
   @volatile private var stopped = false
+  // Server-directed reconnection delay (the WHATWG `retry:` field) —
+  // defaults to the constructor backoff until the server sets one.
+  @volatile private var retryDelayMs: Long = reconnectBackoffMs
+  // Run generation: each run() claims a new generation so an EXITING
+  // watchdog from a previous run can never sever a restarted run's
+  // fresh stream (see startWatchdog's exit path).
+  private val runGen = new java.util.concurrent.atomic.AtomicLong(0L)
 
   def currentLastEventId: Option[String] = lastEventId
 
@@ -52,7 +59,7 @@ final class SseClient(
     stopped = false // run() is restartable: a supervisor may retry after maxConnects
     var written = 0L
     var connects = 0
-    val watchdog = startWatchdog()
+    val watchdog = startWatchdog(runGen.incrementAndGet())
     try {
       while (!stopped && written < maxMessages && connects < maxConnects) {
         connects += 1
@@ -85,7 +92,7 @@ final class SseClient(
           closeQuietly()
         }
         if (!stopped && written < maxMessages && connects < maxConnects)
-          Thread.sleep(reconnectBackoffMs)
+          Thread.sleep(retryDelayMs)
       }
       written
     } finally {
@@ -156,6 +163,14 @@ final class SseClient(
             case "data"  => dataLines += value
             case "event" => eventType = value
             case "id"    => pendingId = Some(value)
+            case "retry" =>
+              // WHATWG-defined field (NOT unknown): an all-ASCII-digit
+              // value sets the reconnection delay; anything else is
+              // ignored. Without this a maintenance drop after
+              // `retry: 30000` would be hammered at the 100 ms default.
+              if (value.nonEmpty && value.length <= 15 &&
+                  value.forall(c => c >= '0' && c <= '9'))
+                retryDelayMs = value.toLong
             case _       => // unknown field: ignored per the SSE spec
           }
       }
@@ -208,17 +223,45 @@ final class SseClient(
   // live feed. Only run()'s thread touches it; run()'s finally closes it
   // (not stop(), which runs on another thread mid-write).
   private var log: java.io.OutputStream = _
+  // Log length known to end on a committed '\n': observed at open, then
+  // advanced by every fully-successful line write. The torn-write
+  // truncation below rewinds to this boundary.
+  private var goodLen: Long = 0L
 
   private def append(payload: String): Unit = {
     // Whole-line append + flush per message: the tail counter and the
     // partition reader both treat the line as the atomic unit (one
     // write syscall per line, same atomicity as the old per-message
     // open/append/close).
-    if (log == null)
+    if (log == null) {
+      val f = new java.io.File(logPath)
+      goodLen = if (f.exists()) f.length() else 0L
       log = Files.newOutputStream(Paths.get(logPath),
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-    log.write((payload + "\n").getBytes(StandardCharsets.UTF_8))
-    log.flush()
+    }
+    val bytes = (payload + "\n").getBytes(StandardCharsets.UTF_8)
+    try {
+      log.write(bytes)
+      log.flush()
+      goodLen += bytes.length
+    } catch {
+      case t: Throwable =>
+        // A failed write (ENOSPC mid-payload) can land a PREFIX of the
+        // line with no '\n': the tail counter rightly ignores the torn
+        // bytes, but the event replays after reconnect (pendingId is
+        // uncommitted) and a bare re-append would CONCATENATE the full
+        // payload onto the torn prefix — one corrupt merged line, the
+        // message silently lost. Truncate back to the last known-good
+        // boundary so the replay lands on a clean line; best-effort
+        // (the original error propagates either way, and an untruncated
+        // log just re-surfaces here on the next append attempt).
+        try {
+          closeLog()
+          val raf = new java.io.RandomAccessFile(logPath, "rw")
+          try raf.setLength(goodLen) finally raf.close()
+        } catch { case _: Throwable => () }
+        throw t
+    }
   }
 
   private def closeLog(): Unit = {
@@ -236,7 +279,7 @@ final class SseClient(
     * would kill a connection run() established in between (re-closing the
     * snapshotted previous stream is harmless — it is already closed).
     */
-  private def startWatchdog(): Thread = {
+  private def startWatchdog(gen: Long): Thread = {
     val t = new Thread(() => {
       try {
         while (!stopped) {
@@ -249,7 +292,12 @@ final class SseClient(
         // Exiting on stopped: sever whatever stream is current so a
         // connect that raced stop() can't leave run() blocked in
         // readLine (second line of defense behind run()'s own re-check).
-        closeQuietly()
+        // GENERATION-guarded: a supervisor may have already restarted
+        // run() (which resets stopped and claims a new generation) — an
+        // exiting watchdog from the PREVIOUS run must not sever the new
+        // run's healthy stream. If the generation moved on, the new
+        // run's own watchdog owns the backstop.
+        if (runGen.get() == gen) closeQuietly()
       } catch { case _: InterruptedException => () }
     }, "graft-sse-watchdog")
     t.setDaemon(true)

@@ -42,10 +42,15 @@ class SseSourceProvider extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val path = properties.get("path")
+    // DSv2 options are case-INSENSITIVE by convention (inferSchema
+    // already receives a CaseInsensitiveStringMap); getTable gets the
+    // raw case-preserving map, so a user's .option("Path", ...) must be
+    // normalized here, not rejected.
+    val opts = new CaseInsensitiveStringMap(properties)
+    val path = opts.get("path")
     require(path != null && path.nonEmpty,
       "graft-sse requires .option(\"path\", <jsonl log>)")
-    val staleMs = Option(properties.get("stalenessWarnMs")).map(_.toLong)
+    val staleMs = Option(opts.get("stalenessWarnMs")).map(_.toLong)
       .getOrElse(SseMicroBatchStream.DefaultStalenessWarnMs)
     new SseTable(path, staleMs)
   }
@@ -57,13 +62,27 @@ object SseSource {
     StructField("value", StringType, nullable = true)))
 
   /** One-shot line count (batch reads only — the micro-batch stream keeps
-    * an incremental counter instead, see [[LogTailCounter]]). Explicit
-    * UTF-8: the platform default charset would mis-decode non-ASCII
-    * titles/comments on a non-UTF-8 JVM.
+    * an incremental counter instead, see [[LogTailCounter]]). Counts
+    * '\n' BYTES, exactly the counter's semantics: the previous
+    * getLines()/readLine form was a THIRD line definition that split on
+    * bare '\r' and admitted a live log's torn final un-terminated line —
+    * a batch read must plan the same lines the reader yields and must
+    * not serve a writer's half-appended message. ('\n' is a single byte
+    * in UTF-8, so the byte scan is charset-exact.)
     */
   private[sse] def lineCount(path: String): Long = {
-    val src = scala.io.Source.fromFile(path)(scala.io.Codec.UTF8)
-    try src.getLines().size.toLong finally src.close()
+    val in = new java.io.FileInputStream(path)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var c = 0L
+      var n = in.read(buf)
+      while (n > 0) {
+        var i = 0
+        while (i < n) { if (buf(i) == '\n') c += 1; i += 1 }
+        n = in.read(buf)
+      }
+      c
+    } finally in.close()
   }
 }
 
@@ -99,7 +118,17 @@ private[sse] object SseIo {
     * splits on a bare '\r' — the offset counter counts '\n' bytes only,
     * and the two sides must split identically.
     */
-  def readLineLf(r: java.io.BufferedReader): String = {
+  /** Chunk buffer size for [[readLineLf]]; callers on a hot loop pass a
+    * reusable buffer of this size instead of paying a fresh 4 KiB char
+    * allocation PER LINE (terabytes of transient garbage over a
+    * multi-billion-line scan).
+    */
+  val LineBufChars: Int = 4096
+
+  def newLineBuf(): Array[Char] = new Array[Char](LineBufChars)
+
+  def readLineLf(r: java.io.BufferedReader,
+      buf: Array[Char] = newLineBuf()): String = {
     // Chunked mark/read/reset scan, not per-char read(): BufferedReader
     // takes its lock per call, so one-char-at-a-time paid a monitor
     // acquisition PER BYTE of the capture log — a material slowdown on
@@ -107,7 +136,6 @@ private[sse] object SseIo {
     // after reset via skip(), which drains the reader's own buffer (the
     // marked chars are guaranteed buffered: readAheadLimit covers the
     // whole read).
-    val buf = new Array[Char](4096)
     val sb = new java.lang.StringBuilder()
     var sawAny = false
     var done = false
@@ -188,6 +216,19 @@ private[sse] final class LogTailCounter(path: String) {
     val f = new java.io.File(path)
     val len = f.length()
     if (len < scannedBytes) {
+      // Byte shrinkage IS rotation/truncation. Once any offset has been
+      // returned this must fail UNCONDITIONALLY: the old silent
+      // reset+rescan only threw when the replacement file's line count
+      // regressed too — a replacement with >= maxReturned newlines was
+      // silently accepted, serving its lines [maxReturned, ...) while
+      // permanently skipping its first maxReturned lines as already-
+      // consumed. Before anything was returned (no offsets exist), a
+      // fresh rescan is safe.
+      if (maxReturned > 0L)
+        throw new IllegalStateException(
+          s"capture log $path shrank ($len bytes after $scannedBytes " +
+            "scanned) with offsets already returned — " +
+            "rotation/truncation is not supported on a live stream")
       scannedBytes = 0L; newlines = 0L; lastLineEnd = 0L; posByCount.clear()
     }
     if (len > scannedBytes) {
@@ -357,10 +398,17 @@ class SseReaderFactory extends PartitionReaderFactory {
       private val in = new java.io.FileInputStream(range.path)
       private val seek = range.startByte > 0
       locally {
-        if (seek) SseIo.skipFully(in, range.startByte, range.path)
+        // Close-on-throw: a failed seek aborts the CONSTRUCTOR, and
+        // Spark never calls close() on a reader it never got — the fd
+        // would leak once per task attempt.
+        if (seek)
+          try SseIo.skipFully(in, range.startByte, range.path)
+          catch { case t: Throwable => in.close(); throw t }
       }
       private val reader = new java.io.BufferedReader(
         new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+      // One reusable chunk buffer for the whole partition scan.
+      private val lineBuf = SseIo.newLineBuf()
       // Long line counter — an Int index would overflow on multi-billion-
       // message logs, which the offsets deliberately allow.
       // '\n'-ONLY line splitting (SseIo.readLineLf, never readLine):
@@ -368,7 +416,7 @@ class SseReaderFactory extends PartitionReaderFactory {
       // offset counter counts '\n' bytes — one lone CR inside a foreign
       // capture line would desync every (offset, value) pairing after it
       // and permanently drop the line at the next batch boundary.
-      private val it = Iterator.continually(SseIo.readLineLf(reader))
+      private val it = Iterator.continually(SseIo.readLineLf(reader, lineBuf))
         .takeWhile(_ != null)
         .zip(Iterator.iterate(if (seek) range.start else 0L)(_ + 1L))
         .dropWhile(_._2 < range.start)

@@ -40,7 +40,22 @@ object SseWriter {
         lastId.foreach(id => conn.setRequestProperty("Last-Event-ID", id))
         conn.setConnectTimeout(30000)
         conn.setReadTimeout(0) // SSE is a long-lived stream; liveness is the watchdog's job
-        conn.getInputStream
+        val raw = conn.getInputStream
+        // close() must actually SEVER the connection: the watchdog's
+        // kill IS a close() from another thread, and a bare
+        // HttpURLConnection stream close() first tries to DRAIN the
+        // remaining body for keep-alive reuse — on a dead socket that
+        // drain blocks on the same stall, and even when it returns it
+        // does not reliably unblock a reader parked in read().
+        // disconnect() is the documented abort and the only handle that
+        // guarantees the reboot-after-watchdogMs contract on this
+        // transport.
+        new java.io.FilterInputStream(raw) {
+          override def close(): Unit = {
+            try conn.disconnect() catch { case _: Throwable => () }
+            try super.close() catch { case _: Throwable => () }
+          }
+        }
       }
     case other =>
       throw new IllegalArgumentException(

@@ -187,6 +187,37 @@ class SseSourceSpec extends SparkSpec {
     assert(lines.get(0) == "before-stall" && lines.get(1) == "after-reboot")
   }
 
+  test("micro-batch counter: byte shrinkage with offsets returned fails loudly even when the replacement has MORE lines") {
+    import graft.sources.sse.{SseMicroBatchStream, SseOffset}
+    val path = writeFeed() // 4 long JSON lines (~hundreds of bytes)
+    val stream = new SseMicroBatchStream(path)
+    assert(stream.latestOffset().asInstanceOf[SseOffset].count == 4L)
+    // Replace with a SHORTER file holding MORE lines: the old guard only
+    // threw when the newline count regressed too — this replacement was
+    // silently accepted, serving lines [4, 6) of the new capture while
+    // permanently skipping its first 4 lines as already-consumed.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      "a\nb\nc\nd\ne\nf\n")
+    val ex = intercept[IllegalStateException](stream.latestOffset())
+    assert(ex.getMessage.contains("shrank"))
+  }
+
+  test("SSE client: server-directed retry delay paces the reconnect (WHATWG retry field)") {
+    val log = tmpLog()
+    val streams = Iterator(
+      "retry: 400\ndata: one\n\n",
+      "data: two\n\n")
+    val connectNs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val client = new SseClient(_ => {
+      connectNs += System.nanoTime()
+      new java.io.ByteArrayInputStream(streams.next().getBytes("UTF-8"))
+    }, log, watchdogMs = 60000, reconnectBackoffMs = 1)
+    assert(client.run(maxConnects = 2) == 2)
+    val gapMs = (connectNs(1) - connectNs(0)) / 1000000L
+    assert(gapMs >= 350L,
+      s"reconnected after $gapMs ms — the retry: 400 directive was ignored")
+  }
+
   test("SseWriter: file transport replays a capture into the source log") {
     import graft.sources.sse.SseWriter
     val cap = Files.createTempFile("graft_cap", ".sse")
