@@ -69,10 +69,19 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up: scan every table once before timing.
+    // Warm-up: scan every table once before timing. Per-file NonFatal
+    // (the battery/prepare discipline): one corrupt or stray *.parquet
+    // entry must degrade that table to a cold first read, never abort
+    // the run before the contract line prints (parsed:null).
     Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet"))
-      .foreach(f => spark.read.parquet(f.getPath).count())
+      .foreach(f =>
+        try spark.read.parquet(f.getPath).count()
+        catch { case NonFatal(e) =>
+          System.err.println(
+            s"[bench] warm-up scan of ${f.getName} failed (table runs " +
+              s"cold): ${e.getMessage}")
+        })
     // The flagship entry query (sf0.001 — tiny) additionally warms the
     // event-decode / aggregation / window codegen paths that a bare scan
     // doesn't touch. NonFatal only: an OOM/interrupt here must surface,
@@ -96,6 +105,13 @@ object Bench {
     // One shape per expensive family; side-effect-free queries only
     // (no persisted-index builds, no shard writers).
     val warmDir = "/root/testdata/sf0.001"
+    if (!new java.io.File(warmDir).isDirectory)
+      // Loud, like a renamed battery query: silently skipping the whole
+      // battery re-introduces the measured first-query JIT tax
+      // (doc_bigram_lm ~4-5 s, emb_ivf_kmeans_topk ~6 s) with nothing
+      // in stderr to explain the regressed numbers.
+      System.err.println(s"[bench] warm-up dir $warmDir is missing — " +
+        "the codegen battery is SKIPPED and first-query numbers run cold")
     if (new java.io.File(warmDir).isDirectory) {
       // emb_ivf_kmeans_topk: the in-query Lloyd's-training shape measured
       // ~6 s of cold codegen/JIT on its FIRST invocation in a fresh JVM
@@ -226,16 +242,26 @@ object Bench {
     if (refDir != "none" && canon(refDir) == canon(sfDir))
       System.err.println(s"[bench] scaling skipped: ref dir $refDir is " +
         "the primary SF dir")
-    val scaling: (String, (String, String, String)) =
-      if (refDir == "none" || canon(refDir) == canon(sfDir)) ("", ("{}", "{}", "{}"))
+    val scaling: (String, (String, String, String, String)) =
+      if (refDir == "none" || canon(refDir) == canon(sfDir))
+        ("", ("{}", "", "{}", "{}"))
       else {
         // Warm the ref-SF tables too (cheap at sf0.01) — without it the
         // first ref query absorbs the cold file-listing/footer cost the
         // main pass explicitly warms away, inflating its ref time and
-        // understating its scale factor.
+        // understating its scale factor. Per-file NonFatal like the
+        // primary warm-up — and doubly load-bearing HERE: this scan
+        // runs AFTER the primary suite spent its minutes, so an abort
+        // would discard the whole run (parsed:null).
         Option(new java.io.File(refDir).listFiles()).getOrElse(Array.empty)
           .filter(_.getName.endsWith(".parquet"))
-          .foreach(f => spark.read.parquet(f.getPath).count())
+          .foreach(f =>
+            try spark.read.parquet(f.getPath).count()
+            catch { case NonFatal(e) =>
+              System.err.println(
+                s"[bench] ref warm-up scan of ${f.getName} failed " +
+                  s"(table runs cold): ${e.getMessage}")
+            })
         // Symmetric with the primary suite: builds out of the timed
         // region, then the loadavg settle (a co-tenant spinning up
         // between the suites would otherwise inflate ONLY the ref times
@@ -258,13 +284,18 @@ object Bench {
         // ref time and a factor) — bound once so the detail name list and
         // the contract-line count can never disagree.
         val refFailedOnly = refFailed.filterNot(ref.contains)
+        // refQs is a PURE JSON object; the ref_failed name list travels
+        // as its own member-list fragment and is spliced by detailJson
+        // itself in a member position — smuggling it past this object's
+        // closing brace produced valid JSON only by accident of the
+        // template it landed in.
         val refQsJson = ref.map { case (k, v) => s"\"" + k + "\":" + v }
-          .mkString("{", ",", "}") +
-          nameList("ref_failed", refFailedOnly)
+          .mkString("{", ",", "}")
+        val refFailedList = nameList("ref_failed", refFailedOnly)
         val factorsJson = factors.toSeq.sortBy(_._1)
           .map { case (k, f) => s"\"" + k + "\":" + f2(f) }
           .mkString("{", ",", "}")
-        val detail = (refQsJson, factorsJson)
+        val detail = (refQsJson, refFailedList, factorsJson)
         // Contract line carries the aggregate trend + only the outliers
         // (factor > 3 on the scale path, i.e. potentially super-linear at
         // 10× data); the full factor map lives in BENCH_DETAIL.json.
@@ -308,7 +339,7 @@ object Bench {
         // top-cost query entry from the budget-capped prefix below.
         (s""","scaling":{"f_med":${pct(0.5)},"f_p90":${pct(0.9)},""" +
           s""""f_max":${pct(1.0)},"gt3_n":$nGt3$refFailedJson}""",
-          (detail._1, detail._2, outliers))
+          (detail._1, detail._2, detail._3, outliers))
       }
     val (scalingJson, scalingDetail) = scaling
     // Full-precision sidecar for the judge (cwd = repo root under sbt).
@@ -318,10 +349,14 @@ object Bench {
     // and the consumer knows there is no current-round detail.
     val fullQs = best.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // scalingDetail._2 is the `,"ref_failed":[...]` member-list fragment
+    // (empty when nothing failed), spliced HERE in a member position —
+    // the owner of the object decides where sibling members go.
     val detailJson =
-      s"""{"queries":$fullQs,"ref_queries":${scalingDetail._1},""" +
-        s""""factor_primary_over_ref":${scalingDetail._2},""" +
-        s""""scale_path_factors_gt3":${scalingDetail._3},""" +
+      s"""{"queries":$fullQs,"ref_queries":${scalingDetail._1}""" +
+        s"""${scalingDetail._2},""" +
+        s""""factor_primary_over_ref":${scalingDetail._3},""" +
+        s""""scale_path_factors_gt3":${scalingDetail._4},""" +
         s""""sf":${jq(sfDir)},"ref_sf":${jq(refDir)},""" +
         s""""passes":$passes,"agg":"min_per_query"""" +
         s"""$vscaleJson$failedJson}"""

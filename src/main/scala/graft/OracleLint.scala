@@ -29,8 +29,13 @@ package graft
   *     (`WITH a AS (SELECT sum(c) AS s …) SELECT s FROM a`) —
   *     [[uncastSumAliasPassthrough]] closes that hole: the alias of
   *     any directly-aliased uncast plain sum must itself be cast at
-  *     site wherever it appears in the final projection. One level of
-  *     aliasing only (an alias-of-an-alias is not traced) — the
+  *     site wherever it appears as a REFERENCE in the final projection
+  *     (a declaration alias — the word after AS — is not a reference:
+  *     `CAST(s AS BIGINT) AS s` is the house fix form), and a
+  *     top-level projection STAR (`SELECT * FROM cte`, `cte.*`) flags
+  *     whenever any hazard alias exists — it passes every CTE column
+  *     through untyped where no word token would ever match. One level
+  *     of aliasing only (an alias-of-an-alias is not traced) — the
   *     registry convention is to cast at the sum, which every rule
   *     here accepts.
   *  3. No `round(...)` whose FIRST argument contains a division — the
@@ -160,6 +165,21 @@ object OracleLint {
       } else if (s(i) == ')') {
         if (openers.nonEmpty) openers.pop()
         i += 1
+      } else if (s(i) == '*') {
+        // A top-level projection STAR in the final span (`SELECT * FROM
+        // cte` / `cte.*`) passes EVERY CTE column through untyped —
+        // including the hazard aliases this rule exists to trace, which
+        // the bare-word scan below can never see (no word token ever
+        // matches). Distinguish from multiplication by the preceding
+        // token: a star right after the span start, a comma, or a dot
+        // is a projection; after an operand it is arithmetic. count(*)
+        // sits inside parens (openers non-empty) and is skipped.
+        if (i >= lo && i < hi && openers.isEmpty) {
+          var p = i - 1
+          while (p >= lo && s(p).isWhitespace) p -= 1
+          if (p < lo || s(p) == ',' || s(p) == '.') out += i
+        }
+        i += 1
       } else if (isWordChar(s(i))) {
         val b = i
         while (i < n && isWordChar(s(i))) i += 1
@@ -171,7 +191,17 @@ object OracleLint {
         var w = i
         while (w < n && s(w).isWhitespace) w += 1
         val postfix = w + 1 < n && s(w) == ':' && s(w + 1) == ':'
-        if (b >= lo && b < hi && hazards(word) && !postfix &&
+        // A DECLARATION alias — the word directly after an `AS` keyword
+        // — is not a reference: `CAST(s AS BIGINT) AS s` re-aliases in
+        // the registry's house style (the value flowing out is the cast
+        // expression), and flagging the declared NAME would brick the
+        // gate on its own documented fix form.
+        var p = b - 1
+        while (p >= 0 && s(p).isWhitespace) p -= 1
+        val isDecl = p >= 1 &&
+          s.regionMatches(true, p - 1, "as", 0, 2) &&
+          (p - 2 < 0 || !isWordChar(s(p - 2)))
+        if (b >= lo && b < hi && hazards(word) && !postfix && !isDecl &&
             !openers.contains("cast") && !openers.contains("round"))
           out += b
       } else i += 1

@@ -208,10 +208,26 @@ object VacuitySweep {
       (SparkEntry.queries.contains(q) && !expected.contains(q)) ||
         unauditable.contains(q)
     }
+    // A query whose dump is EMPTY this run makes its columns'
+    // constancy UNASSESSABLE, not disproven: the empty dump already
+    // fails the sweep with its own violation (unless `q.*`-waived), and
+    // telling the operator to ALSO delete a reviewed column entry would
+    // make the next healthy sweep fail on the legitimate constant — the
+    // same churn the ABSENT/UNREADABLE exemption prevents. A 1-ROW
+    // dump's entry IS flagged, but with the honest reason (variance is
+    // not applicable to the report's shape), not "no longer constant".
+    val emptySet = empty.toSet
+    val singleSet = single.toSet
+    def queryOf(k: String) = k.substring(0, k.lastIndexOf('.'))
     val stale = allow.keys.filterNot(k => live.contains(k) || outOfScope(k))
       .toSeq.sorted.map(k => s"$k: allowlist entry matches no dumped column") ++
-      allow.keys.filter(k => live.contains(k) && !activeKeys.contains(k))
-        .toSeq.sorted.map(k => s"$k: allowlist entry no longer constant — remove it")
+      allow.keys.filter(k => live.contains(k) && !activeKeys.contains(k) &&
+          !emptySet.contains(queryOf(k)))
+        .toSeq.sorted.map(k =>
+          if (singleSet.contains(queryOf(k)))
+            s"$k: allowlist entry covers a 1-row report (column variance " +
+              "not applicable — values are exact-compared) — remove it"
+          else s"$k: allowlist entry no longer constant — remove it")
 
     val all = violations ++ stale
     all.foreach(v => println(s"[vacuity] VIOLATION: $v"))

@@ -114,6 +114,41 @@ class OracleLintSpec extends AnyFunSuite {
     assert(OracleLint.uncastSumAliasPassthrough(ok4).isEmpty)
   }
 
+  test("the house fix form CAST(s AS T) AS s is clean: a declaration alias is not a reference") {
+    // Re-aliasing to the SAME name is the registry's dominant style; the
+    // word after AS declares the output column, it does not read the
+    // hazard value — flagging it would brick the gate on its own
+    // documented fix form.
+    val ok = "WITH agg AS (SELECT k, sum(c) AS s FROM t GROUP BY k) " +
+      "SELECT k, CAST(s AS BIGINT) AS s FROM agg"
+    assert(OracleLint.uncastSumAliasPassthrough(ok).isEmpty)
+    // The declaration exemption must NOT excuse a bare reference that
+    // merely FOLLOWS some other alias declaration.
+    val bad = "WITH agg AS (SELECT k, sum(c) AS s FROM t GROUP BY k) " +
+      "SELECT k AS kk, s FROM agg"
+    assert(OracleLint.uncastSumAliasPassthrough(bad).nonEmpty)
+  }
+
+  test("a star projection over a CTE with an uncast sum is caught; stars are fine without hazards or inside calls") {
+    // SELECT * passes every CTE column through untyped — no word token
+    // ever matches the hazard alias, so the star itself must flag.
+    val bad = "WITH agg AS (SELECT k, sum(c) AS s FROM t GROUP BY k) " +
+      "SELECT * FROM agg"
+    assert(OracleLint.uncastSumAliasPassthrough(bad).nonEmpty)
+    val badDot = "WITH agg AS (SELECT k, sum(c) AS s FROM t GROUP BY k) " +
+      "SELECT agg.* FROM agg"
+    assert(OracleLint.uncastSumAliasPassthrough(badDot).nonEmpty)
+    // No hazard aliases: a star projection is out of scope.
+    val okNoHazard = "WITH agg AS (SELECT k, CAST(sum(c) AS BIGINT) AS s " +
+      "FROM t GROUP BY k) SELECT * FROM agg"
+    assert(OracleLint.uncastSumAliasPassthrough(okNoHazard).isEmpty)
+    // count(*) and multiplication stars never flag.
+    val okCall = "WITH agg AS (SELECT k, sum(c) AS s FROM t GROUP BY k) " +
+      "SELECT CAST(count(*) AS BIGINT) AS n, CAST(s AS BIGINT) * 2 AS d " +
+      "FROM agg"
+    assert(OracleLint.uncastSumAliasPassthrough(okCall).isEmpty)
+  }
+
   test("an injected round() over a division is caught; grid-legal rounds stay clean") {
     // The cross-engine .5-boundary hazard: round of a raw rational
     // (measured divergent: round(41/640., 6) DuckDB vs Spark).
