@@ -2321,10 +2321,14 @@ object SparkEntry {
   // audit, so the model arithmetic cannot drift. Bigrams via the
   // scalar-list generate_series form (the DuckDB lateral-arg limitation,
   // round-8 notes).
+  // Null-id docs dropped at the CHAIN HEAD and the lmdoc re-attach base
+  // (mirrors docBigrams' family-rule filter): their bigrams neither
+  // train the model nor appear as a (NULL, 0, 0) output row.
   private val bigramLmCtesSql: String =
     """tks AS (
            SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents WHERE length(trim(text)) > 0),
+           FROM documents
+           WHERE doc_id IS NOT NULL AND length(trim(text)) > 0),
          bg AS (
            SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
              i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS b
@@ -2350,7 +2354,8 @@ object SparkEntry {
            SELECT d.doc_id,
              coalesce(a.n_bigrams, 0) AS n_bigrams,
              coalesce(a.lm_micro, 0) AS lm_micro
-           FROM documents d LEFT JOIN lmagg a ON d.doc_id = a.doc_id)"""
+           FROM documents d LEFT JOIN lmagg a ON d.doc_id = a.doc_id
+           WHERE d.doc_id IS NOT NULL)"""
 
   // TextAnalysis.qualityScore as SQL over a token-array column and a raw
   // punctuation-ratio column — ONE definition shared by doc_quality's
@@ -3363,9 +3368,12 @@ object SparkEntry {
          CAST(COUNT(*) AS BIGINT) AS dup_count
          FROM pd WHERE doc_id IS NOT NULL GROUP BY 1""",
 
+    // coalesce mirrors the operator's null ≡ empty identity rule (the
+    // exact-dedup contract: a null-text and an empty-text doc share one
+    // content identity on EVERY surface).
     "doc_fingerprint" ->
       """SELECT doc_id,
-         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+         md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))) AS fingerprint
          FROM documents""",
 
     "doc_token_stats" ->
@@ -4236,13 +4244,17 @@ object SparkEntry {
            CAST(sum(c) AS BIGINT) AS occurrences
          FROM cnt GROUP BY 1""",
 
+    // Null-id docs dropped in BOTH the token source and the re-attach
+    // base (mirrors the operator's family-rule filter): unfiltered, the
+    // oracle would emit a (NULL, 0, ...) row Spark no longer produces.
     "doc_token_rarity" ->
       """WITH pd AS (
            SELECT doc_id,
              CASE WHEN doc_id % 23 = 7
                THEN text || ' zq' || CAST(doc_id AS VARCHAR) || 'x'
                ELSE text END AS text
-           FROM documents),
+           FROM documents
+           WHERE doc_id IS NOT NULL),
          toks AS (
            SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) AS token
            FROM pd WHERE length(trim(text)) > 0),
@@ -4262,13 +4274,17 @@ object SparkEntry {
            coalesce(per.min_freq, 0) AS min_freq,
            coalesce(floor(CAST(per.hapax AS DOUBLE)
              / CAST(per.n_tokens AS DOUBLE) * 1e6) / 1e6, 0.0) AS hapax_share
-         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""",
+         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+         WHERE d.doc_id IS NOT NULL""",
 
+    // Null-id docs dropped (the operator's family-rule mirror): the
+    // per-doc groupBy would otherwise merge them into one pseudo-row.
     "doc_paragraph_dedup" ->
       """WITH toks AS (
            SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                 ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
-           FROM documents),
+           FROM documents
+           WHERE doc_id IS NOT NULL),
          chunks AS (
            SELECT doc_id, len(t) AS n_toks, t,
              unnest(generate_series(0, greatest((len(t) - 1) // 10, 0))) AS i
@@ -4296,11 +4312,14 @@ object SparkEntry {
          FROM ex LEFT JOIN df USING (ch)
          GROUP BY ex.doc_id""",
 
+    // Null-id docs dropped in both the chunk source and the re-attach
+    // base (the operator's family-rule mirror).
     "doc_paragraph_clean" ->
       """WITH toks AS (
            SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                 ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
-           FROM documents),
+           FROM documents
+           WHERE doc_id IS NOT NULL),
          chunks AS (
            SELECT doc_id, t,
              unnest(generate_series(0, greatest((len(t) - 1) // 10, 0))) AS i
@@ -4325,7 +4344,8 @@ object SparkEntry {
            coalesce(agg.kept_chunks, 0) AS kept_chunks,
            coalesce(agg.clean_tokens, 0) AS clean_tokens,
            coalesce(agg.clean_hash, md5('')) AS clean_hash
-         FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""",
+         FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+         WHERE d.doc_id IS NOT NULL""",
 
     // Anchor identity: the oracle joins md5(gram) strings where Spark
     // joins xxhash64 longs — identical pairs modulo negligible collisions

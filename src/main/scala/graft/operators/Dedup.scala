@@ -478,10 +478,18 @@ object Dedup {
     // prefix rows enter the pair join — the boilerplate shingles that
     // make the full self-join quadratic are, by construction of the
     // df-ascending order, the LAST to qualify.
+    // BARRIERED before feeding both sides of the candidate self-join
+    // (the candidatePairsFromBuckets rule): the explode + df aggregation
+    // + rank window subtree would otherwise re-plan per side, and
+    // exchange reuse is a runtime maybe, not a guarantee. Ownership
+    // passes to the returned frame (the lshNearDups convention; callers
+    // that materialize the result release nothing extra — the blocks
+    // free with the frame).
     val prefix = ex.join(dfreq, Seq("sh"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= col("cnt") - ceil(lit(tEff) * col("cnt")) + lit(1))
       .select(col("doc_id"), col("sh"), col("cnt"), col("rn"))
+      .barrier()
     // PPJoin positional bound on top of the prefix filter: J >= t forces
     // inter >= α := ceil(t·(|A|+|B|)/(1+t)), and the FIRST shared
     // element in the global order — provably inside BOTH prefixes (the
@@ -883,7 +891,12 @@ object Dedup {
 
   private def simhashesImpl(docs: DataFrame, bits: Int,
       hexChars: Int): DataFrame = {
-    val toks = TextAnalysis.explodedTokens(docs, as = "tok")
+    // Null-id rows dropped up front (the family rule): their tokens
+    // would otherwise vote into ONE NULL-keyed frankendoc signature —
+    // never emitted anywhere (the doc-level left join and the pair
+    // self-join are both null-rejecting), pure wasted vote work.
+    val toks = TextAnalysis.explodedTokens(
+      docs.where(col("doc_id").isNotNull), as = "tok")
     // `bits`-bit value from the leading hex chars of the token's md5.
     val withH = toks.select(col("doc_id"),
       conv(substring(md5(col("tok")), 1, hexChars), 16, 10)
@@ -939,32 +952,40 @@ object Dedup {
     // token-explode + md5 + vote aggregation runs once, not once
     // per join side.
     val sh = sh0.barrier()
-    val blocked = sh.select(col("doc_id"), col("simhash"),
-      explode(array((0 until blocks).map(b =>
-        struct(lit(b).as("blk"),
-          shiftright(col("simhash"), b * width)
-            .bitwiseAND((1L << width) - 1).as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"),
-        col("bk.blk").as("blk"), col("bk.key").as("key"))
-    // Hamming distance is computed MAP-SIDE inside the join and filtered
-    // BEFORE the dedup shuffle: 32-bit fingerprints give each block a
-    // 4-5-bit key, so bucket collisions produce orders of magnitude more
-    // candidates than true pairs (5.5M vs 83k at sf0.1) — distinct-ing
-    // first would exchange all of them; bit_count is a codegen'd
-    // single-instruction check, so verify-then-dedup is strictly cheaper.
-    // With a cap, the capped table feeds BOTH self-join sides — the
-    // hot-key aggregation and its anti-join would run twice unbarriered
-    // (the minhashNearDupsFromSets discipline). The barrier's ownership
-    // passes to the returned frame, like the signature barrier above.
-    val capped0 = capHotKeys(blocked, Seq("blk", "key"), maxBlockDf)
-    val capped = if (maxBlockDf > 0) capped0.barrier() else capped0
-    capped.as("l").join(capped.as("r"),
-        col("l.blk") === col("r.blk") && col("l.key") === col("r.key") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash")))
-          .cast("long").as("dist"))
-      .filter(col("dist") <= maxDist)
-      .distinct()
+    try {
+      val blocked = sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until blocks).map(b =>
+          struct(lit(b).as("blk"),
+            shiftright(col("simhash"), b * width)
+              .bitwiseAND((1L << width) - 1).as("key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("simhash"),
+          col("bk.blk").as("blk"), col("bk.key").as("key"))
+      // Hamming distance is computed MAP-SIDE inside the join and filtered
+      // BEFORE the dedup shuffle: 32-bit fingerprints give each block a
+      // 4-5-bit key, so bucket collisions produce orders of magnitude more
+      // candidates than true pairs (5.5M vs 83k at sf0.1) — distinct-ing
+      // first would exchange all of them; bit_count is a codegen'd
+      // single-instruction check, so verify-then-dedup is strictly cheaper.
+      // With a cap, the capped table feeds BOTH self-join sides — the
+      // hot-key aggregation and its anti-join would run twice unbarriered
+      // (the minhashNearDupsFromSets discipline).
+      val capped0 = capHotKeys(blocked, Seq("blk", "key"), maxBlockDf)
+      val capped = if (maxBlockDf > 0) capped0.barrier() else capped0
+      try {
+        // Eager TINY pair result + finally-release of the working
+        // barriers (the minhashNearDupsFromSets discipline): returned
+        // lazy, the corpus-sized signature and capped-block checkpoints
+        // were stranded for the session per invocation.
+        capped.as("l").join(capped.as("r"),
+            col("l.blk") === col("r.blk") && col("l.key") === col("r.key") &&
+              col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+            bit_count(col("l.simhash").bitwiseXOR(col("r.simhash")))
+              .cast("long").as("dist"))
+          .filter(col("dist") <= maxDist)
+          .distinct()
+          .barrier()
+      } finally if (maxBlockDf > 0) Barrier.release(capped)
+    } finally Barrier.release(sh)
   }
 }

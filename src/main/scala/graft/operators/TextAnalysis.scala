@@ -150,7 +150,14 @@ object TextAnalysis {
     // fingerprint differently despite the normalization contract. After
     // the \s+ collapse every boundary run is a single space, which trim
     // does remove. Oracle mirrors the same order.
-    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+    //
+    // coalesce: null text ≡ empty text (the exact-dedup identity rule —
+    // Dedup.exactGroups puts a null-text and an empty-text doc in ONE
+    // group via md5(coalesce(text, ''))). A null-propagating fingerprint
+    // disagreed with that on the OTHER content-identity surface: NULL
+    // fingerprints never equi-join each other, silently dropping
+    // null-text docs from any fingerprint-keyed matching.
+    md5(trim(regexp_replace(lower(coalesce(text, lit(""))), "\\s+", " ")))
 
   // ---- assembled queries ------------------------------------------------
 
@@ -486,7 +493,13 @@ object TextAnalysis {
       .groupBy((length(bin(col("c"))) - 1).cast("long").as("k"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("c")).as("occurrences"))
 
-  def tokenRarity(docs: DataFrame): DataFrame =
+  def tokenRarity(docs0: DataFrame): DataFrame = {
+    // Null-id docs dropped up front, oracle-mirrored (the family rule):
+    // their tokens otherwise grouped under the NULL key and the
+    // re-attach equi-join below never matched it — a content-bearing
+    // null-id doc reported n_tokens = 0 while its tokens still skewed
+    // corpus frequencies.
+    val docs = docs0.where(col("doc_id").isNotNull)
     Barrier.withCached(explodedTokens(docs)) { toks =>
       val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
       val perDoc = toks.join(freq, Seq("token"))
@@ -506,6 +519,7 @@ object TextAnalysis {
             col("n_tokens").cast("double")), lit(0.0)).as("hapax_share"))
         .barrier() // release the token cache on exit
     }
+  }
 
   /** Adjacent-bigram structs of a token array: the array zipped against
     * itself shifted by one (the Bpe.adjacentPairs shape). NULL (not an
@@ -556,16 +570,27 @@ object TextAnalysis {
     * Token-less and single-token docs exit the pipeline and re-enter
     * via the left join with (0, 0) — the null ≡ empty contract.
     */
-  def bigramLmScores(docs: DataFrame): DataFrame =
+  def bigramLmScores(docs0: DataFrame): DataFrame = {
+    // Null-id docs dropped up front (the family rule, oracle-mirrored
+    // in the shared tks/lmdoc CTEs): docBigrams grouped their bigrams
+    // under the NULL key — training the model on them while the scoring
+    // re-attach reported the doc itself as (0, 0) — and the STREAMING
+    // twin already dropped them, a latent stream ≡ batch split.
+    val docs = docs0.where(col("doc_id").isNotNull)
     Barrier.withCached(docBigrams(docs)) { d =>
       bigramLmTail(docs, d).barrier() // release the bigram cache on exit
     }
+  }
 
   /** The per-(doc, w1, w2) reduced bigram table — the one corpus-sized
     * input both the model aggregation and the scoring join read.
     */
   private[graft] def docBigrams(docs: DataFrame): DataFrame =
-    docs
+    // Null-id rows excluded at the CHAIN HEAD (oracle tks CTE mirrored):
+    // every consumer — LM scoring, PMI margins, the collected model —
+    // shares the rule, so a null-id doc's bigrams can neither train a
+    // model that never scores it nor skew the collocation margins.
+    docs.where(col("doc_id").isNotNull)
       .select(col("doc_id"), wsTokens(col("text")).as("tk"))
       .select(col("doc_id"), bigramArray(col("tk")).as("bg"))
       // explode_outer + attribute null-filter, NOT explode after a size
@@ -690,11 +715,18 @@ object TextAnalysis {
     * `rankBuckets = 1` keeps the single-window form (the spec reference —
     * the two paths are pinned equal).
     */
-  def scoreAgreement(scores: DataFrame, cols: Seq[String],
+  def scoreAgreement(scores0: DataFrame, cols: Seq[String],
       rankBuckets: Int = 64): DataFrame = {
     require(cols.size >= 2, "scoreAgreement needs at least two score columns")
     require(rankBuckets >= 1 && rankBuckets <= 4096,
       s"rankBuckets=$rankBuckets outside [1, 4096]")
+    // doc_id is the TIE-BREAK key, so rho is only deterministic when it
+    // is unique and non-null: null-id rows (all tied on the key) would
+    // rank in shuffle-dependent — and per-column INCONSISTENT — order,
+    // flipping d² run to run. Null ids are dropped here (the family
+    // rule; the registered query's inner joins already did); uniqueness
+    // of the non-null ids stays the caller's contract.
+    val scores = scores0.where(col("doc_id").isNotNull)
     if (rankBuckets == 1) {
       val ranked = cols.foldLeft(scores) { (df, c) =>
         df.withColumn(s"__r_$c", row_number().over(
@@ -950,7 +982,12 @@ object TextAnalysis {
           .as("clen")))
   }
 
-  def paragraphDedup(docs: DataFrame, chunkTokens: Int = 10): DataFrame = {
+  def paragraphDedup(docs0: DataFrame, chunkTokens: Int = 10): DataFrame = {
+    // Null-id docs dropped up front (the family rule, oracle-mirrored):
+    // the per-doc groupBy below would otherwise MERGE every null-id
+    // doc's chunks into ONE pseudo-row (max/sum across different
+    // documents) while their chunks still inflated the cross-doc df.
+    val docs = docs0.where(col("doc_id").isNotNull)
     val toks = docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
     val chunks = toks.select(col("doc_id"), size(col("toks")).as("n_toks"),
       chunkStructs(col("toks"), chunkTokens).as("cs"))
@@ -1006,7 +1043,12 @@ object TextAnalysis {
     * by position through `array_sort` on (pos, chunk) structs (collect_list
     * order is not deterministic; the sort is).
     */
-  def paragraphDedupClean(docs: DataFrame, chunkTokens: Int = 10): DataFrame = {
+  def paragraphDedupClean(docs0: DataFrame, chunkTokens: Int = 10): DataFrame = {
+    // Null-id docs dropped up front (see paragraphDedup): the re-attach
+    // equi-join below never matches a NULL key, so a content-bearing
+    // null-id doc would read as "cleaned to empty" (clean_hash md5(''))
+    // while its chunks still voted hashes into the duplicate set.
+    val docs = docs0.where(col("doc_id").isNotNull)
     val toks = docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
     val chunks = toks.select(col("doc_id"),
       chunkStructs(col("toks"), chunkTokens).as("cs"))
@@ -1199,7 +1241,13 @@ object TextAnalysis {
         // only by corpus repetition, AQE broadcasts it when small.
         val hot = g0.groupBy(col("gh")).agg(count(lit(1)).as("occ"))
           .filter(col("occ") > maxGramDf).select(col("gh"))
-        g0.join(hot, Seq("gh"), "left_anti")
+        // Barrier the CAPPED table before it feeds both self-join sides
+        // (the simhash/lshNearDups capped-table rule): unbarriered, the
+        // occurrence aggregation + anti-join execute once PER SIDE. g0
+        // is superseded once this materializes.
+        val capped = g0.join(hot, Seq("gh"), "left_anti").barrier()
+        Barrier.release(g0)
+        capped
       }
     val anchors = g.as("a").join(g.as("b"),
         col("a.gh") === col("b.gh") && col("a.gh2") === col("b.gh2") &&
