@@ -3877,7 +3877,8 @@ object SparkEntry {
            SELECT doc_id, lang,
              CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
                   ELSE len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) END AS BIGINT) AS toks
-           FROM documents),
+           FROM documents
+           WHERE doc_id IS NOT NULL),
          cum AS (
            SELECT doc_id, lang, toks,
              CAST(coalesce(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
@@ -3896,7 +3897,8 @@ object SparkEntry {
              CAST(CASE WHEN text IS NULL THEN 0
                ELSE len(regexp_extract_all(text,
                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) END AS BIGINT) AS toks
-           FROM documents),
+           FROM documents
+           WHERE doc_id IS NOT NULL),
          cum AS (
            SELECT doc_id, lang, toks,
              CAST(coalesce(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
@@ -3913,7 +3915,8 @@ object SparkEntry {
            SELECT doc_id, lang,
              CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
                   ELSE len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) END AS BIGINT) AS toks
-           FROM documents),
+           FROM documents
+           WHERE doc_id IS NOT NULL),
          cum AS (
            SELECT doc_id, lang, toks,
              CAST(coalesce(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
@@ -3938,7 +3941,8 @@ object SparkEntry {
            SELECT doc_id, lang,
              CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
                   ELSE len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) END AS BIGINT) AS toks
-           FROM documents),
+           FROM documents
+           WHERE doc_id IS NOT NULL),
          cum AS (
            SELECT doc_id, lang, toks,
              CAST(coalesce(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id

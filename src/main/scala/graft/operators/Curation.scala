@@ -150,9 +150,9 @@ object Curation {
     val m = derived.select(
       col("doc_id"),
       size(col("toks")).cast("long").as("word_count"),
-      when(size(col("toks")) === 0, 0.0).otherwise(
-        aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).cast("double") /
-          size(col("toks")).cast("double")).as("mwl"),
+      // The SHARED mean-token-length kernel, not a hand-synced copy of
+      // the fold (TextAnalysis.meanTokenLenFromToks).
+      TextAnalysis.meanTokenLenFromToks(col("toks")).as("mwl"),
       when(size(col("toks")) === 0, 0.0).otherwise(
         size(array_distinct(col("toks"))).cast("double") /
           size(col("toks")).cast("double")).as("dr"),
@@ -229,32 +229,49 @@ object Curation {
     */
   def c4Rules(docs: DataFrame): DataFrame = {
     val text = coalesce(col("text"), lit(""))
-    // \r?\n: a CRLF corpus must split to \r-free lines, or every rule
-    // downstream (the last-char test, the word count, the rebuilt clean
-    // text) silently treats the \r as content.
-    val lines = split(text, "\r?\n")
-    val keptLines = filter(lines, l => {
-      val t = trim(l)
-      // Last-char set test, NOT a `$`-anchored regex: Java's `$` matches
-      // BEFORE a final line terminator while RE2's is end-of-text, so a
-      // CRLF corpus (lines ending "\r" after the \n split) would keep
-      // the line here and drop it in the oracle. substring(-1) has one
-      // cross-engine meaning.
-      substring(t, -1, 1).isin(".", "!", "?", "\"") &&
-        size(filter(split(t, "\\s+"), w => w =!= lit(""))) >= C4MinLineWords &&
-        !lower(t).contains("javascript")
-    })
-    val nKept = size(keptLines).cast("long")
-    val hasLorem = lower(text).contains("lorem ipsum")
-    val hasBrace = text.contains("{")
-    docs.select(
+    // Projection-barrier discipline (the gopherQuality rule): HOF
+    // lambdas run interpreted, and an inline `val t = trim(l)` is a
+    // Column TREE duplicated into all three rule tests — trim executed
+    // 3× per line of the corpus. Each derived array materializes as its
+    // own attribute instead (CollapseProject keeps multi-referenced
+    // non-cheap aliases out of line), with the (line, trimmed) pair
+    // zipped so the tests read the trimmed form while the kept array —
+    // and therefore clean_md5 — keeps the ORIGINAL line verbatim.
+    val staged = docs
+      .select(col("doc_id"), text.as("__t"),
+        // \r?\n: a CRLF corpus must split to \r-free lines, or every
+        // rule downstream (the last-char test, the word count, the
+        // rebuilt clean text) silently treats the \r as content.
+        split(text, "\r?\n").as("__lines"))
+      .select(col("doc_id"), col("__t"), col("__lines"),
+        zip_with(col("__lines"), transform(col("__lines"), l => trim(l)),
+          (l, t) => struct(l.as("l"), t.as("t"))).as("__zl"))
+      .select(col("doc_id"), col("__t"), col("__lines"),
+        transform(
+          filter(col("__zl"), s => {
+            val t = s("t")
+            // Last-char set test, NOT a `$`-anchored regex: Java's `$`
+            // matches BEFORE a final line terminator while RE2's is
+            // end-of-text, so a CRLF corpus (lines ending "\r" after the
+            // \n split) would keep the line here and drop it in the
+            // oracle. substring(-1) has one cross-engine meaning.
+            substring(t, -1, 1).isin(".", "!", "?", "\"") &&
+              size(filter(split(t, "\\s+"), w => w =!= lit(""))) >=
+                C4MinLineWords &&
+              !lower(t).contains("javascript")
+          }),
+          s => s("l")).as("__kept"))
+    val nKept = size(col("__kept")).cast("long")
+    val hasLorem = lower(col("__t")).contains("lorem ipsum")
+    val hasBrace = col("__t").contains("{")
+    staged.select(
       col("doc_id"),
-      size(lines).cast("long").as("n_lines"),
+      size(col("__lines")).cast("long").as("n_lines"),
       nKept.as("n_kept"),
       hasLorem.as("has_lorem"),
       hasBrace.as("has_brace"),
       (nKept >= C4MinKeptLines && !hasLorem && !hasBrace).as("page_keep"),
-      md5(array_join(keptLines, "\n")).as("clean_md5"))
+      md5(array_join(col("__kept"), "\n")).as("clean_md5"))
   }
 
   /** Deterministic stratified sampling: keep a document iff the first two
@@ -347,10 +364,19 @@ object Curation {
         // caller either rescales their weights or pre-filters the
         // sub-micro tail deliberately.
         val scaled = floor(weight * lit(1e6)).cast("long")
-        when(weight > lit(0) && scaled <= lit(0L),
-          raise_error(lit("weightedSample: positive weight below 1e-6 " +
-            "floors to zero mass after micro-unit scaling — rescale the " +
-            "weight column or filter sub-micro weights explicitly")))
+        // Non-finite weights fail HERE with operator context: NaN skips
+        // the sub-micro arm (NaN > 0 is false) and +Infinity skips it
+        // too, and both would otherwise die as a contextless ANSI
+        // CAST_INVALID_INPUT / CAST_OVERFLOW deep in a task — or, on a
+        // non-ANSI session, silently drop the row as NULL. (0/0 on
+        // doubles is IEEE NaN, not an error — the sourceMix hazard.)
+        when(isnan(weight) || weight === lit(Double.PositiveInfinity),
+          raise_error(lit("weightedSample: non-finite weight (NaN or " +
+            "Infinity) — clean the weight column upstream")))
+          .when(weight > lit(0) && scaled <= lit(0L),
+            raise_error(lit("weightedSample: positive weight below 1e-6 " +
+              "floors to zero mass after micro-unit scaling — rescale the " +
+              "weight column or filter sub-micro weights explicitly")))
           .otherwise(scaled)
       case _ => weight.cast("long")
     }
@@ -595,7 +621,17 @@ object Curation {
     val baseCols = Seq(col("doc_id"), col("lang"),
       tokenCount(col("text")).cast("long").as("toks")) ++
       (if (carryText) Seq(col("text")) else Nil)
-    val base = docs.select(baseCols: _*)
+    // Null-id docs dropped up front, oracle-mirrored (the family rule —
+    // supersedes the earlier keep-via-<=> choice): packing order is the
+    // OUTPUT here, and doc_id is its sort key, so null-id rows were
+    // doubly broken — Spark orders NULLS FIRST where the oracle's window
+    // orders them LAST (every real doc's running offset shifts), and two
+    // null-id rows TIE in the within-range window, making their pack ids
+    // (and the written shard contents) shuffle-order nondeterministic.
+    // A doc without identity cannot be placed deterministically in an
+    // identity-ordered layout. The lang <=> below still matters (a NULL
+    // LANG is a legitimate packing group).
+    val base = docs.where(col("doc_id").isNotNull).select(baseCols: _*)
       // Exact integer floor (the RangeJoin rule): floor(long/long) via
       // DOUBLE division is exact only below 2^53; subtracting the
       // always->=0 pmod makes the dividend exactly divisible, so DIV —
@@ -650,7 +686,11 @@ object Curation {
   def shardManifest(docs: DataFrame, budgetTokens: Long = 2048L,
       // Same output-invariant default as packAssignments/writeShards —
       // the three siblings must agree (broadcast-size rationale there).
-      packsPerShard: Long = 4L, rangeSize: Long = 100000L): DataFrame =
+      packsPerShard: Long = 4L, rangeSize: Long = 100000L): DataFrame = {
+    // Driver-side (the packAssignments rule): 0 dies executor-side in
+    // the DIV; a negative value silently emits truncation-not-floor
+    // negative shard ids.
+    require(packsPerShard > 0, s"packsPerShard=$packsPerShard must be positive")
     packAssignments(docs, budgetTokens, rangeSize)
       .withColumn("shard_id",
         expr(s"pack_id DIV ${packsPerShard}L")) // pack_id >= 0: DIV == floor
@@ -658,6 +698,23 @@ object Curation {
       .agg(count_distinct(col("pack_id")).as("n_packs"),
         count(lit(1)).as("n_docs"),
         sum(col("toks")).as("tokens"))
+  }
+
+  /** The shard-row frame [[writeShards]] writes, factored out so the
+    * plan spec can pin its shape: text rides through packAssignments'
+    * window exchange (`carryText`), so the frame contains NO join of the
+    * corpus back to its assignments — the pre-refactor doc_id sort-merge
+    * join re-sorted the entire text column a second time.
+    */
+  private[graft] def shardRows(docs: DataFrame, budgetTokens: Long,
+      packsPerShard: Long, rangeSize: Long): DataFrame = {
+    require(packsPerShard > 0, s"packsPerShard=$packsPerShard must be positive")
+    packAssignments(docs, budgetTokens, rangeSize, carryText = true)
+      .withColumn("shard_id",
+        expr(s"pack_id DIV ${packsPerShard}L")) // pack_id >= 0: DIV == floor
+      .select(col("doc_id"), col("lang"), col("shard_id"), col("pack_id"),
+        col("toks"), col("text"))
+  }
 
   /** Shard WRITER — [[shardManifest]] materialized: the packed corpus
     * written as parquet partitioned by `(lang, shard_id)`, ONE file per
@@ -673,20 +730,6 @@ object Curation {
     * exactly one file into its own directory — the one-file-per-shard
     * invariant [[shardFilesReport]] audits.
     */
-  /** The shard-row frame [[writeShards]] writes, factored out so the
-    * plan spec can pin its shape: text rides through packAssignments'
-    * window exchange (`carryText`), so the frame contains NO join of the
-    * corpus back to its assignments — the pre-refactor doc_id sort-merge
-    * join re-sorted the entire text column a second time.
-    */
-  private[graft] def shardRows(docs: DataFrame, budgetTokens: Long,
-      packsPerShard: Long, rangeSize: Long): DataFrame =
-    packAssignments(docs, budgetTokens, rangeSize, carryText = true)
-      .withColumn("shard_id",
-        expr(s"pack_id DIV ${packsPerShard}L")) // pack_id >= 0: DIV == floor
-      .select(col("doc_id"), col("lang"), col("shard_id"), col("pack_id"),
-        col("toks"), col("text"))
-
   def writeShards(docs: DataFrame, outDir: String, budgetTokens: Long = 2048L,
       packsPerShard: Long = 4L, rangeSize: Long = 100000L): Unit = {
     shardRows(docs, budgetTokens, packsPerShard, rangeSize)
@@ -847,22 +890,6 @@ object Curation {
       expr(s"approx_percentile(toks, 0.9, $accuracy)").as("p90_tokens"))
   }
 
-  /** Benchmark decontamination: flag every training document sharing at
-    * least one word-`n`-gram with the evaluation corpus — the standard
-    * train/test-contamination sweep (GPT-3 §4 / PaLM-style 8-13-gram
-    * overlap) every serious training-data pipeline runs before a corpus
-    * ships. Output: one row per training doc with the count of its
-    * distinct grams that appear anywhere in the eval set and the
-    * `contaminated` verdict.
-    *
-    * Scale shape: the eval side (benchmarks — millions of grams at most)
-    * is collapsed to DISTINCT gram hashes and BROADCAST; the train side
-    * streams through a map-side hash-join probe, so the 100 TB corpus is
-    * never shuffled — the only exchange is the per-doc hit aggregation,
-    * keyed on doc_id. Joining on `xxhash64(gram)` keeps the probe keys at
-    * 8 bytes (a 64-bit collision within an eval gram set is negligible;
-    * the oracle joins the gram strings themselves and counts agree).
-    */
   /** The decontamination gram width — ONE constant, because the train
     * side (pre-built shingle sets) and the eval side (evalGramHashes)
     * are built in separate calls: if the two widths ever drifted, train
@@ -871,14 +898,6 @@ object Curation {
     */
   private[graft] val DecontamGramSize = 8
 
-  def decontaminate(train: DataFrame, evalDocs: DataFrame,
-      n: Int = DecontamGramSize): DataFrame =
-    decontaminateFromSets(Dedup.shingleSets(train, n), evalDocs, n)
-
-  /** [[decontaminate]] from a pre-built train-side (`doc_id`, `sset`)
-    * shingle-set table — lets [[curationReport]] derive the grams from its
-    * shared tokenization instead of re-scanning the corpus text.
-    */
   /** The eval side of decontamination — distinct hashed word-n-grams of
     * the eval corpus — as ONE definition shared by the batch sweep and
     * the streaming monitor, so a future cap/hash change cannot make the
@@ -896,6 +915,30 @@ object Curation {
       .where(col("g").isNotNull)
       .select(xxhash64(col("g")).as("gh")).distinct()
 
+  /** Benchmark decontamination: flag every training document sharing at
+    * least one word-`n`-gram with the evaluation corpus — the standard
+    * train/test-contamination sweep (GPT-3 §4 / PaLM-style 8-13-gram
+    * overlap) every serious training-data pipeline runs before a corpus
+    * ships. Output: one row per training doc with the count of its
+    * distinct grams that appear anywhere in the eval set and the
+    * `contaminated` verdict.
+    *
+    * Scale shape: the eval side (benchmarks — millions of grams at most)
+    * is collapsed to DISTINCT gram hashes and BROADCAST; the train side
+    * streams through a map-side hash-join probe, so the 100 TB corpus is
+    * never shuffled — the only exchange is the per-doc hit aggregation,
+    * keyed on doc_id. Joining on `xxhash64(gram)` keeps the probe keys at
+    * 8 bytes (a 64-bit collision within an eval gram set is negligible;
+    * the oracle joins the gram strings themselves and counts agree).
+    */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame,
+      n: Int = DecontamGramSize): DataFrame =
+    decontaminateFromSets(Dedup.shingleSets(train, n), evalDocs, n)
+
+  /** [[decontaminate]] from a pre-built train-side (`doc_id`, `sset`)
+    * shingle-set table — lets [[curationReport]] derive the grams from its
+    * shared tokenization instead of re-scanning the corpus text.
+    */
   private[graft] def decontaminateFromSets(trainSets: DataFrame,
       evalDocs: DataFrame, n: Int = DecontamGramSize): DataFrame =
     decontamHits(trainSets, evalDocs, n)
@@ -922,7 +965,12 @@ object Curation {
     // projection and re-tokenizes per element (see Dedup.explodedShingles).
     // The hash is guarded rather than the row filtered: xxhash64(null)
     // returns the SEED (42), but a null join KEY simply never matches.
+    // Null-id train docs dropped (the family rule, oracle-mirrored):
+    // the per-doc aggregation below would otherwise MERGE every null-id
+    // doc into ONE verdict row whose hits/totals sum across different
+    // documents — a clean null-id doc swallowed by a contaminated one.
     val trainGrams = trainSets
+      .where(col("doc_id").isNotNull)
       .select(col("doc_id"), explode_outer(col("sset")).as("g"))
       .select(col("doc_id"), col("g"),
         when(col("g").isNotNull, xxhash64(col("g"))).as("gh"))
@@ -1244,6 +1292,16 @@ object Curation {
     // ever emit in append mode.
     trainGrams.withWatermark("ts", delay)
       .join(broadcast(evalGrams), Seq("gh"), "left_semi")
+      // At-least-once redelivery FIRST-WINS (the streamingExactDedup
+      // rule): a redelivered doc's gram rows would otherwise DOUBLE
+      // gram_hits inside the same (doc, window) group — or emit a
+      // second alert row under a retry's shifted ts — where the batch
+      // twin counts each distinct gram once. Grams are per-doc DISTINCT
+      // by construction (shingle SETS), so the dedup is a no-op on
+      // clean delivery. It sits AFTER the stateless semi join so the
+      // dedup state holds only MATCHED (doc_id, gh) keys within the
+      // watermark horizon — contamination-sized, not corpus-sized.
+      .dropDuplicatesWithinWatermark("doc_id", "gh")
       .groupBy(col("doc_id"), window(col("ts"), "1 minute"))
       .agg(count(lit(1)).as("gram_hits"))
       .select(col("doc_id"), col("gram_hits"),

@@ -84,13 +84,20 @@ object TextAnalysis {
         size(toks).cast("double"))
   }
 
-  /** Mean whitespace-token length. */
-  def meanTokenLen(text: Column): Column = {
-    val toks = wsTokens(text)
+  /** Mean token length over an ALREADY-TOKENIZED array — the kernel
+    * shared with [[Curation.gopherQuality]]'s mean-word-length metric
+    * (which verbatim-duplicated this fold because the text form below
+    * tokenizes internally): one definition of the arithmetic, two
+    * consumers.
+    */
+  private[graft] def meanTokenLenFromToks(toks: Column): Column =
     when(size(toks) === 0, 0.0).otherwise(
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
         size(toks).cast("double"))
-  }
+
+  /** Mean whitespace-token length. */
+  def meanTokenLen(text: Column): Column =
+    meanTokenLenFromToks(wsTokens(text))
 
   /** Composite quality score in [0,1]: rewards reasonable length, penalizes
     * punctuation soup and stopword-free keyword mash. Deliberately simple
