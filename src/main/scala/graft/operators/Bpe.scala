@@ -159,14 +159,22 @@ object Bpe {
           val (lhs, rhs, c) = (top(0).getString(0), top(0).getString(1),
             top(0).getLong(2))
           merges += Merge(round, lhs, rhs, lhs + rhs, c)
-          val next = words
-            .withColumn("syms", applyMerge(col("syms"), lhs, rhs))
-            .barrier()
-          // The new barrier is materialized (eager), so the superseded
-          // generation's blocks can go now — otherwise a k-round loop
-          // holds up to k vocab-sized checkpoints until driver GC.
-          if (words ne words0) Barrier.release(words)
-          words = next
+          // No generation after the LAST recorded merge: the loop exits
+          // on `round <= k` and nothing reads the final generation
+          // (bookFrom replays the merges over words0), so building and
+          // eagerly checkpointing it was one full applyMerge fold over
+          // the vocabulary — ~1/k of the whole training cost — released
+          // unread in finally.
+          if (round < k) {
+            val next = words
+              .withColumn("syms", applyMerge(col("syms"), lhs, rhs))
+              .barrier()
+            // The new barrier is materialized (eager), so the superseded
+            // generation's blocks can go now — otherwise a k-round loop
+            // holds up to k vocab-sized checkpoints until driver GC.
+            if (words ne words0) Barrier.release(words)
+            words = next
+          }
           round += 1
         }
       }

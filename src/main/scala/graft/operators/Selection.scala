@@ -241,6 +241,13 @@ object Selection {
   private def dsirScoreCol(model: DsirModel, toks: Column): Column =
     bucketWeightSum(model.weights, toks)
 
+  /** DETERMINISTIC-INPUT precondition (the heavyTokens two-pass rule):
+    * the model trains on one evaluation of `docs` (driver collect) and
+    * scores a second — the input must re-evaluate to the same rows
+    * (any source scan does; salt or barrier anything else), or the
+    * threshold/coin-split contracts silently bind to different rows
+    * than the ones scored.
+    */
   def dsirScores(docs: DataFrame,
       targetFilter: Column = qualityTarget(),
       modelSampleHex: String = "ff"): DataFrame =
@@ -364,6 +371,10 @@ object Selection {
     * scores EVERY document map-only. Output: (doc_id, nb_score, label,
     * pred, in_train) — `in_train` marks the training split so accuracy
     * audits can exclude it without re-deriving the coin.
+    *
+    * DETERMINISTIC-INPUT precondition: training collects from one
+    * evaluation of `docs` and scoring re-evaluates it (the dsirScores
+    * contract — see there).
     */
   def nbQuality(docs: DataFrame,
       labelFilter: Column = qualityTarget(),

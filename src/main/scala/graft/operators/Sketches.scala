@@ -158,6 +158,14 @@ object Sketches {
     * Output is independent of partitioning: the summary only decides
     * which tokens get RECOUNTED, and the recount is exact — MG state
     * itself is partition-order dependent and must never be emitted.
+    *
+    * DETERMINISTIC-INPUT precondition (the ExactDedupIndex scan rule):
+    * the two passes re-evaluate `docs` independently, so the input must
+    * re-evaluate to the same rows — true for any source scan; salt or
+    * barrier anything else (Skew.withSalt). A frame that changes
+    * between the passes can surface a token in pass 2 that pass 1's
+    * candidate sweep never saw — silently folded into the "other"
+    * bucket, breaking the EXACT claim with no error anywhere.
     */
   def heavyTokens(spark: SparkSession, docs: DataFrame, k: Int = 50)
       : DataFrame = {
@@ -190,7 +198,12 @@ object Sketches {
       val total = grouped.agg(sum(col("cnt")).as("__total"))
       grouped.where(col("g").isNotNull)
         .crossJoin(broadcast(total))
-        .where(col("cnt") * lit(k.toLong) > col("__total"))
+        // decimal(38,0) product (the pmiTopK widening rule): cnt can
+        // approach total, so cnt·k in Long overflows at ~9.3e13 tokens
+        // × k=1e5 — ANSI would abort the query, non-ANSI would wrap
+        // negative and silently drop every heavy token.
+        .where(col("cnt").cast("decimal(38,0)") * lit(k.toLong) >
+          col("__total"))
         .select(col("g").as("token"), col("cnt"),
           Quant.q6(col("cnt").cast("double") / col("__total").cast("double"))
             .as("share"))
