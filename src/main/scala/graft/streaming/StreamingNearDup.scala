@@ -61,10 +61,29 @@ object StreamingNearDup {
 
   case class NearDupPair(doc_a: Long, doc_b: Long, jaccard: Double)
 
-  private def md5Hex(s: String): String =
-    MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(StandardCharsets.UTF_8))
-      .map(b => f"$b%02x").mkString
+  // ONE digest per thread + table-based hex, not per-call
+  // getInstance/boxed format: md5Hex runs once per TOKEN on the simhash
+  // ingest path, and the per-call provider lookup + 16 boxed f"%02x"
+  // invocations were pure hot-loop overhead (the Multimodal
+  // reusable-digest convention). MessageDigest.digest() resets the
+  // instance, so the thread-local is always clean on entry.
+  private val md5Tl = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def md5Hex(s: String): String = {
+    val d = md5Tl.get().digest(s.getBytes(StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < d.length) {
+      out(i * 2) = HexChars((d(i) >> 4) & 0xf)
+      out(i * 2 + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
 
   // The former Scala signature/band-key twins are gone: band keys now
   // ride from the COLUMN stage into the bucket handler (BandHit.keys),
@@ -118,6 +137,18 @@ object StreamingNearDup {
         // is a no-op — FIRST delivery wins. Appending a second copy
         // would pair later docs against both and emit duplicate rows
         // (batch ends in distinct(); an append-mode stream cannot).
+        //
+        // KNOWN LIMITATION — CHANGED-content redelivery of a live
+        // doc_id: first-wins is enforced PER BUCKET, so a redelivery
+        // whose new keys hit bands where v1 is absent is admitted as a
+        // fresh entry there while v1 survives in its own buckets. A
+        // later doc colliding with v1 in one band and v2 in another can
+        // then emit the SAME (a, b) pair from two buckets (each bucket's
+        // smallest-colliding-band test runs against ITS stored key set),
+        // with possibly different jaccards. In-place content updates are
+        // NOT supported on this stream — re-ingest under a fresh doc_id
+        // (the id-disjointness rule every index family states); making
+        // updates safe needs doc-keyed state, not bucket-keyed.
         // A saturated bucket (>= maxBucketDf live entries) also stops
         // growing: the streaming analog of the batch hot-bucket cap —
         // it bounds the O(df²) pairing and the per-bucket state, at the
@@ -260,11 +291,25 @@ object StreamingNearDup {
   def streamingSimhashNearDups(docs: DataFrame, tsCol: String = "ts",
       delay: String = "10 minutes", maxDist: Int = 3,
       maxBlockDf: Int = Int.MaxValue): Dataset[SimhashPair] = {
+    // The batch twin's pigeonhole guards (Dedup.simhashNearDupsImpl —
+    // 'the fuzzyPairs rule'): maxDist = -1 divided by zero with no
+    // operator context, and maxDist >= 60 made width 0 — every block
+    // key masked to `x & 0 = 0`, collapsing ALL docs into the same
+    // buckets with no error anywhere.
+    require(maxDist >= 0, s"maxDist=$maxDist must be >= 0")
+    require(maxDist + 1 <= 60,
+      s"maxDist=$maxDist needs ${maxDist + 1} blocks over 60 bits — " +
+        "block width would be 0 (all keys collide)")
     val spark = docs.sparkSession
     import spark.implicits._
     val delayMs = delayToMs(delay)
     val blocks = maxDist + 1
     val width = 60 / blocks
+    // Batch cap convention: <= 0 = UNCAPPED (capHotKeys' sentinel). The
+    // raw value would read as 'admit nothing' in the bucket handler —
+    // a caller porting the batch default 0 would silently get a stream
+    // that runs green and emits no pairs forever.
+    val blockCap = if (maxBlockDf <= 0) Int.MaxValue else maxBlockDf
     val hits = docs.select(col("doc_id"), col(tsCol).as("ts"), col("text"))
       // A null event time has no place on a watermarked stream: it would
       // NPE in the typed flatMap below (before the watermark could drop
@@ -293,7 +338,7 @@ object StreamingNearDup {
         (key: (Int, Long), rows: Iterator[BlockHit],
             state: GroupState[Seq[BlockEntry]]) =>
           pairsFromBlockBucket(key._1, blocks, width, rows, state,
-            delayMs, maxDist, maxBlockDf)
+            delayMs, maxDist, blockCap)
       }
   }
 
@@ -309,6 +354,8 @@ object StreamingNearDup {
     val spark = docs.sparkSession
     import spark.implicits._
     val delayMs = delayToMs(delay)
+    // Batch cap convention: <= 0 = UNCAPPED (see streamingSimhashNearDups).
+    val bucketCap = if (maxBucketDf <= 0) Int.MaxValue else maxBucketDf
     val toks = docs.select(col("doc_id"), col(tsCol).as("ts"),
         TextAnalysis.wsTokens(col("text")).as("toks"))
       // Null event times have no watermark semantics — they would decode
@@ -334,7 +381,15 @@ object StreamingNearDup {
         s => md5(concat(lit("b:"), s))))
       .withColumn("keys", Dedup.bandKeyArray(col("ma"), col("mb")))
       .select(col("doc_id"), col("ts"), col("sset"), col("keys"),
-        posexplode(col("keys")).as(Seq("band", "key")))
+        // OUTER, never inner (the Search.postings round-10 lesson —
+        // posexplode is an exploder too): the inner form lets
+        // InferFiltersFromGenerate push an inferred size(keys) > 0
+        // filter below the generate, re-inlining the whole
+        // 2-md5s-per-shingle signature algebra into it — the
+        // signature sweep paid TWICE per ingested row. The existing
+        // post-explode isNotNull filter below already drops the null
+        // row an empty keys array emits.
+        posexplode_outer(col("keys")).as(Seq("band", "key")))
       .select(col("band").cast("int").as("band"), col("key"),
         col("doc_id").as("docId"), unix_millis(col("ts")).as("tsMs"),
         col("ts"), col("sset"), col("keys"))
@@ -356,7 +411,7 @@ object StreamingNearDup {
         (key: (Int, String), rows: Iterator[BandHit],
             state: GroupState[Seq[BandEntry]]) =>
           pairsFromBucket(key._1, rows, state, delayMs, threshold,
-            maxBucketDf)
+            bucketCap)
       }
   }
 }

@@ -302,7 +302,22 @@ object TrendStream {
             // logAction is applyEvents' EDIT branch, and one malformed
             // log row would otherwise mint edits/contributors the batch
             // path (!isLogEvent filter) never counts.
-            .otherwise(coalesce(col("logAction"), lit("log:unknown"))))
+            //
+            // The cmd: NAMESPACE is reserved for the control channel
+            // (commandEvents): a WIRE log row spelling logAction
+            // 'cmd:drop' would otherwise execute as a command in
+            // applyEvents — wiping page state (or 'cmd:markSafe':
+            // permanently exempting a page from eviction) with none of
+            // the A6 delete gating, from a single odd or adversarial
+            // feed row the batch path ignores entirely. Forged prefixes
+            // demote to an inert 'log:'-namespaced action (phase-3
+            // no-op), exactly how unknown log actions already ride.
+            .otherwise({
+              val wireAction =
+                coalesce(col("logAction"), lit("log:unknown"))
+              when(wireAction.startsWith("cmd:"),
+                concat(lit("log:"), wireAction)).otherwise(wireAction)
+            }))
           .otherwise(lit(null).cast("string")).as("logAction"),
         col("ts"))
       .as[ClassifiedEvent]

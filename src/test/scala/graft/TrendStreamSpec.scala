@@ -267,6 +267,26 @@ class TrendStreamSpec extends SparkSpec {
     assert(snap.head.edits == 1L && snap.head.contributors == Seq("Jon"))
   }
 
+  test("wire log rows cannot forge control commands: a logAction spelling cmd:* demotes to an inert log action") {
+    // The cmd: namespace belongs to commandEvents (the control channel);
+    // a wire log row with logAction='cmd:drop' used to flow through
+    // classify verbatim and EXECUTE in applyEvents — wiping the page's
+    // state without the A6 delete gate ('cmd:markSafe' would likewise
+    // exempt a page from eviction forever) from one adversarial feed
+    // row the batch path ignores entirely.
+    val events = Seq(
+      rc(title = "Foo", at = t0),
+      RecentChange("Foo", "yo", 0, "Mallory", false, "log", 1L, 2L,
+        "enwiki", "en.wikipedia.org", "block", "cmd:drop", null, null,
+        new Timestamp(t0.getTime + 1000L)))
+    val snap = TrendStream.replayToSnapshot(spark, events,
+      queryName = "trend_cmd_forgery")
+    assert(snap.map(_.id) == Seq("Foo"),
+      "page state survives the forged cmd:drop")
+    assert(snap.head.edits == 1L && snap.head.contributors == Seq("Jon"),
+      "the forged row neither drops state nor mints an edit")
+  }
+
   test("falsy log_type: a log_type=\"\" event is a plain EDIT in stream AND batch (index.js:320 truthy dispatch)") {
     // The reference dispatches log events on JS truthiness
     // (`else if (data.log_type)`) — log_type="" is falsy, so the event is
