@@ -21,8 +21,14 @@ object Classifiers {
     * anywhere in the string — deliberately the reference's exact loose
     * regex, kept for parity.
     */
+  // coalesce OWNED BY THE KERNEL (the isRevert/isFixup contract): a null
+  // user otherwise evaluates to NULL, and a direct caller's !isIP filter
+  // would silently drop the row (or a non-nullable Boolean encoder would
+  // kill a streaming query on one rev-deleted editor). The existing call
+  // sites' pre-coalesce stays — double-coalescing is a no-op.
   def isIP(user: Column): Column =
-    user.rlike("([0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+|[0-9A-F]+:[0-9A-F]+:[0-9A-F]+:[0-9A-F]+:[0-9A-F]+)")
+    coalesce(user, lit(""))
+      .rlike("([0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+|[0-9A-F]+:[0-9A-F]+:[0-9A-F]+:[0-9A-F]+:[0-9A-F]+)")
 
   /** C2 — revert classifier (reference `isRevert`, index.js:179-187).
     * Lower-cases the comment then substring-matches. `"revert"` subsumes
@@ -39,7 +45,9 @@ object Classifiers {
     */
   def isBotEdit(bot: Column, user: Column,
       knownBots: Seq[String] = TrendConfig().knownBots): Column =
-    coalesce(bot, lit(false)) || user.isin(knownBots: _*)
+    // user coalesced like isIP (the kernel-owns-the-null-guard rule):
+    // false || NULL is NULL, not false.
+    coalesce(bot, lit(false)) || coalesce(user, lit("")).isin(knownBots: _*)
 
   /** C4 — notability flag per comment: 0/1, incremented ONCE per event when
     * ANY keyword matches (the reference ORs the keywords then does a single
@@ -113,7 +121,13 @@ object Classifiers {
     * driver paths.
     */
   def pageIdStr(wiki: String, title: String): String =
-    if (wiki == null || wiki.isEmpty || wiki == "enwiki") title
+    // A null title is NULL on the column side in BOTH arms (bare title,
+    // and concat's null propagation) — the string interpolation's
+    // "wiki/null" was the one divergence the twin contract forbids: a
+    // driver-side lookup with it could never match the column-side
+    // NULL-id state.
+    if (title == null) null
+    else if (wiki == null || wiki.isEmpty || wiki == "enwiki") title
     else s"$wiki/$title"
 
   /** Normalized wiki column: `''` for enwiki (index.js:445 sets wiki only

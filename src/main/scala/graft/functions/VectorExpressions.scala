@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, GraftExpressionShim}
+import org.apache.spark.sql.{Column, GraftDoubleArrayInputs, GraftExpressionShim}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -20,7 +20,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * scan spent ~70 s in HOF evaluation.)
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    // GraftDoubleArrayInputs = ImplicitCastInputTypes over two
+    // array<double> inputs (shim-resident — AbstractDataType is
+    // private[sql]): the SQL surface (graft_vec_dot) coerces
+    // array<int>/array<float> arguments like the built-in
+    // aggregate(zip_with(...)) route it replaces, instead of raising
+    // DATATYPE_MISMATCH where the documented equivalent quietly coerced.
+    extends BinaryExpression with GraftDoubleArrayInputs {
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {

@@ -23,3 +23,18 @@ object GraftExpressionShim {
     ext.registerFunctions(
       spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry)
 }
+
+/** `ImplicitCastInputTypes` over two `array<double>` inputs, as a
+  * shim-resident trait: `AbstractDataType` (the `inputTypes` element
+  * type) is `private[sql]`, so an expression outside this package cannot
+  * spell the override itself. Mixing this in gives graft's vector
+  * expressions the standard implicit ArrayType coercion — SQL callers
+  * passing `array<int>`/`array<float>` coerce exactly like the built-in
+  * HOF route the expressions replace, instead of DATATYPE_MISMATCH.
+  */
+trait GraftDoubleArrayInputs
+    extends catalyst.expressions.ImplicitCastInputTypes {
+  self: Expression =>
+  override def inputTypes: Seq[types.AbstractDataType] =
+    Seq(types.ArrayType(types.DoubleType), types.ArrayType(types.DoubleType))
+}
