@@ -154,7 +154,7 @@ object Classifiers {
     * two hand-synced copies were the bandKeyArray drift class): the
     * reference takes match group 1 or 2 of the HTML-entity comment
     * pattern (index.js:330-336) as the page to drop, and acts only when
-    * log_params is empty.
+    * the `!params.length` gate is open ([[logParamsGateOpen]]).
     */
   val DeleteCommentPattern: String =
     "&quot;\\[\\[(.*)\\]\\]&quot;|&quot;(.*)&quot;"
@@ -168,9 +168,38 @@ object Classifiers {
     when(length(g1) > 0, g1).otherwise(g2)
   }
 
-  /** "log_params empty" (ANSI size(null) is null, so test explicitly). */
-  def emptyLogParams(logParams: Column): Column =
-    logParams.isNull || size(logParams) === 0
+  /** `params.target` (index.js:324) — the move's new title. Defined only
+    * for the map (object) wire form: the reference's property access on
+    * an array or string is JS `undefined`, so those forms yield NULL
+    * here (and every consumer already drops null-target moves).
+    */
+  def logParamsTarget(logParams: Column): Column =
+    element_at(logParams.getField("map"), "target")
+
+  /** The reference's A6 delete gate `!params.length` (index.js:329)
+    * under exact JS semantics per wire form ([[graft.model.LogParams]]):
+    *   - absent / JSON null → `!undefined` → OPEN
+    *   - object form → a JS object has NO `.length` property, so the
+    *     gate is OPEN for ANY map, empty or not (on the production wire
+    *     this is what the reference does: modern assoc-array params
+    *     serialize as objects and never block the delete; only the
+    *     legacy forms can)
+    *   - array form → open iff length 0
+    *   - string form → open iff empty (`"".length` is falsy)
+    * Not expressible as an "is empty" test — the previous MapType model
+    * read every legacy-array delete as droppable and gated non-empty
+    * maps the reference lets through. (Numeric/boolean wire values
+    * raw-capture as strings, so `5` would gate where JS would not —
+    * no log formatter emits those; documented, not defended.)
+    */
+  def logParamsGateOpen(logParams: Column): Column =
+    when(logParams.isNull, lit(true))
+      .when(logParams.getField("map").isNotNull, lit(true))
+      .when(logParams.getField("arr").isNotNull,
+        size(logParams.getField("arr")) === 0)
+      .when(logParams.getField("str").isNotNull,
+        length(logParams.getField("str")) === 0)
+      .otherwise(lit(true)) // all-null variant = field absent
 
   // ---- helpers ----------------------------------------------------------
 

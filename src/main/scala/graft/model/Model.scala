@@ -25,9 +25,41 @@ final case class RecentChange(
     serverName: String,
     logType: String,            // null for plain edits
     logAction: String,          // 'move' | 'protect' | 'delete' | null
-    logParams: Map[String, String], // reference: log_params.target for moves
+    logParams: LogParams,       // wire-variant value (map | array | string)
     logActionComment: String,   // regex-parsed for deletes (index.js:330)
     ts: Timestamp)              // event/processing time
+
+/** The `log_params` wire value. On the real feed it arrives in THREE
+  * shapes depending on the log action's formatter vintage — a modern
+  * object (`{"target": "New title", ...}`), a legacy positional ARRAY
+  * (`["0", "1"]`), or a bare STRING — and the reference consumes all
+  * three through duck-typed JS (`params.target` at index.js:324,
+  * `!params.length` at index.js:329). A flat `MapType` decode — this
+  * model's previous shape — NULLed the array/string forms, so a
+  * legacy-array delete read as "params empty" and fired the A6 drop the
+  * reference gates out.
+  *
+  * Exactly one field is non-null (all three null = the message carried
+  * no `log_params` / an explicit JSON null). Which field is populated is
+  * decided by the PARSER from the JSON token type
+  * ([[graft.sources.EventAdapter.decodeWire]]), never by sniffing text —
+  * a string value that happens to look like `"[]"` stays a string.
+  * Dispatch semantics over the variant live in
+  * [[graft.functions.Classifiers.logParamsTarget]] and
+  * [[graft.functions.Classifiers.logParamsGateOpen]].
+  */
+final case class LogParams(
+    map: Map[String, String],   // object form
+    arr: Seq[String],           // array form (non-string elements raw-captured)
+    str: String)                // string form
+
+object LogParams {
+  def ofMap(m: Map[String, String]): LogParams = LogParams(m, null, null)
+  def ofArr(a: Seq[String]): LogParams = LogParams(null, a, null)
+  def ofStr(s: String): LogParams = LogParams(null, null, s)
+  /** Spark DDL of the variant struct — for null-literal casts. */
+  val ddl: String = "struct<map:map<string,string>,arr:array<string>,str:string>"
+}
 
 object RecentChange {
   // (No companion flat "schema" here on purpose: the only schema raw SSE
@@ -54,7 +86,12 @@ object RecentChange {
     StructField("server_name", StringType),
     StructField("log_type", StringType),
     StructField("log_action", StringType),
-    StructField("log_params", MapType(StringType, StringType)),
+    // RAW capture: Jackson serializes a non-string value (object/array)
+    // back to its JSON text under a StringType target (measured on
+    // 4.1.2), so no wire form is lost here. decodeWire then builds the
+    // typed LogParams variant from per-form parses of the message —
+    // the token TYPE, not the text, decides the form.
+    StructField("log_params", StringType),
     StructField("log_action_comment", StringType),
     StructField("meta", StructType(Seq(StructField("dt", StringType))))))
 }

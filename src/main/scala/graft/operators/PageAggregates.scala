@@ -274,7 +274,7 @@ object PageAggregates {
       // model the move chain in the oracles in the same change.
       .filter(col("ts").isNotNull)
       .select(wikiOf(col("wiki")).as("wiki"), col("title").as("fromTitle"),
-        element_at(col("logParams"), "target").as("toTitle"), col("ts"))
+        logParamsTarget(col("logParams")).as("toTitle"), col("ts"))
       // A malformed move with no target would resolve its upstream movers
       // to null (the sweep follows edges through it) — one bad admin
       // event must not split a page's history across two ids.

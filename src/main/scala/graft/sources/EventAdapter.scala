@@ -126,7 +126,7 @@ object EventAdapter {
       lit("en.wikipedia.org").as("serverName"),
       lit(null).cast("string").as("logType"),
       lit(null).cast("string").as("logAction"),
-      lit(null).cast("map<string,string>").as("logParams"),
+      lit(null).cast(graft.model.LogParams.ddl).as("logParams"),
       lit(null).cast("string").as("logActionComment"),
       col("ts").as("ts"))
 
@@ -140,8 +140,27 @@ object EventAdapter {
     */
   def decodeWire(raw: DataFrame): DataFrame = {
     import graft.model.RecentChange
+    import org.apache.spark.sql.types.{ArrayType, MapType, StringType,
+      StructField, StructType}
+    // The log_params wire VARIANT (graft.model.LogParams): which form a
+    // message carries is decided by the JSON token type — a per-form
+    // from_json parse is non-null exactly when the token matches its
+    // schema (object → map, array → array; measured on 4.1.2, incl.
+    // `{}` / `[]` staying non-null and mixed-type array elements
+    // raw-capturing as strings). The main parse's StringType field
+    // raw-captures every form, so the string arm is "neither structured
+    // form parsed" — never text sniffing (a STRING value `"[]"` has
+    // lpm = lpa = null and stays a string). Jackson skips unrequested
+    // fields, so the two single-field parses cost token-walks, not
+    // full decodes.
+    val mapOnly = StructType(Seq(
+      StructField("log_params", MapType(StringType, StringType))))
+    val arrOnly = StructType(Seq(
+      StructField("log_params", ArrayType(StringType))))
     raw
-      .select(from_json(col("value"), RecentChange.wireSchema).as("e"))
+      .select(from_json(col("value"), RecentChange.wireSchema).as("e"),
+        from_json(col("value"), mapOnly).getField("log_params").as("lpm"),
+        from_json(col("value"), arrOnly).getField("log_params").as("lpa"))
       .select(
         col("e.title").as("title"),
         col("e.comment").as("comment"),
@@ -155,7 +174,11 @@ object EventAdapter {
         col("e.server_name").as("serverName"),
         col("e.log_type").as("logType"),
         col("e.log_action").as("logAction"),
-        col("e.log_params").as("logParams"),
+        struct(
+          col("lpm").as("map"),
+          col("lpa").as("arr"),
+          when(col("lpm").isNull && col("lpa").isNull, col("e.log_params"))
+            .otherwise(lit(null).cast("string")).as("str")).as("logParams"),
         col("e.log_action_comment").as("logActionComment"),
         to_timestamp(col("e.meta.dt")).as("ts"))
   }

@@ -59,7 +59,7 @@ import graft.operators.Barrier.BarrierOps
   */
 object IncrementalTrend {
 
-  import graft.functions.Classifiers.{isLogEvent, pageId}
+  import graft.functions.Classifiers.{isLogEvent, logParamsTarget, pageId}
 
   /** One micro-batch fold: (previous state, batch events, asOf) → state.
     * `state` and the result use the pageAggregates column layout plus
@@ -91,7 +91,7 @@ object IncrementalTrend {
     val moveOps = gatedLog.filter(col("logAction") === "move")
       .filter(col("title").isNotNull)
       .select(col("wiki"), col("title"),
-        element_at(col("logParams"), "target").as("target"), col("ts"))
+        logParamsTarget(col("logParams")).as("target"), col("ts"))
       .filter(col("target").isNotNull)
       .limit(MaxLogOps + 1).collect()
       .map(r => MoveOp(r.getString(0), r.getString(1), r.getString(2),
@@ -299,9 +299,9 @@ object IncrementalTrend {
     * the fgws classify consumes the same one).
     */
   private[streaming] def deleteEvents(batch: DataFrame): DataFrame = {
-    import graft.functions.Classifiers.{deleteTargetTitle, emptyLogParams}
+    import graft.functions.Classifiers.{deleteTargetTitle, logParamsGateOpen}
     batch.filter(isLogEvent(col("logType")) && col("logAction") === "delete")
-      .filter(emptyLogParams(col("logParams")))
+      .filter(logParamsGateOpen(col("logParams")))
       .select(col("wiki"),
         deleteTargetTitle(col("logActionComment")).as("del_title"),
         col("ts"))
@@ -950,7 +950,7 @@ object IncrementalTrend {
     val moveIds = gatedLogIds
       .filter(col("logAction") === "move")
       .select(pageId(col("wiki"),
-        element_at(col("logParams"), "target")).as("id"))
+        logParamsTarget(col("logParams"))).as("id"))
     val delIds = deleteTargets(gatedLogIds).select(col("del_id").as("id"))
     val touched = evIds.union(moveIds).union(delIds)
       .select(bucketOf(col("id"), numBuckets).as("b"))

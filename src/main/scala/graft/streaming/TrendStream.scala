@@ -255,11 +255,13 @@ object TrendStream {
     // null would silently drop the row instead of keeping it).
     val userSafe = coalesce(col("user"), lit(""))
     val commentSafe = coalesce(col("comment"), lit(""))
-    // A6 delete gate via the SHARED kernel (Classifiers.deleteTargetTitle
-    // — IncrementalTrend.deleteEvents consumes the same one, so the two
-    // paths cannot drift): a delete log event acts only when log_params
-    // is EMPTY, and the dropped page is the one named in the HTML-entity
-    // comment pattern — NOT the event's own title. A qualifying delete is
+    // A6 delete gate via the SHARED kernels (Classifiers.deleteTargetTitle
+    // + logParamsGateOpen — IncrementalTrend.deleteEvents consumes the
+    // same ones, so the two paths cannot drift): a delete log event acts
+    // only when the reference's `!params.length` gate is open over the
+    // wire-variant log_params, and the dropped page is the one named in
+    // the HTML-entity comment pattern — NOT the event's own title. A
+    // qualifying delete is
     // re-keyed onto its TARGET id so the keyed operator drops the right
     // state; a non-qualifying one becomes 'log:gated' (ignored), instead
     // of wiping whatever page the event itself was keyed to.
@@ -271,7 +273,7 @@ object TrendStream {
     // and the edit vanishes from the state the batch path counts.
     val isLog = isLogEvent(col("logType"))
     val isDelete = isLog && col("logAction") === "delete"
-    val delQualifies = isDelete && emptyLogParams(col("logParams")) &&
+    val delQualifies = isDelete && logParamsGateOpen(col("logParams")) &&
       length(delTitle) > 0
     // The reference pre-dispatch gate via the ONE shared helper (the
     // IncrementalTrend discipline — an inline restatement here would let

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.model.{RecentChange, TrendConfig}
+import graft.model.{LogParams, RecentChange, TrendConfig}
 import graft.streaming.IncrementalTrend
 
 /** Incremental state-table spec: cross-key rename carried ACROSS
@@ -28,7 +28,7 @@ class IncrementalTrendSpec extends SparkSpec {
   private def move(from: String, to: String, min: Int,
       wiki: String = "enwiki"): RecentChange =
     RecentChange(from, "moved", 0, "Admin", bot = false, "log", 0L, 0L, wiki,
-      "en.wikipedia.org", "log", "move", Map("target" -> to), null, at(min))
+      "en.wikipedia.org", "log", "move", LogParams.ofMap(Map("target" -> to)), null, at(min))
 
   private def del(comment: String, min: Int): RecentChange =
     RecentChange("x", "deleted", 0, "Admin", bot = false, "log", 0L, 0L,
@@ -41,6 +41,25 @@ class IncrementalTrendSpec extends SparkSpec {
   private def replay(batches: Seq[RecentChange]*) =
     IncrementalTrend.replay(spark, batches, asOf, cfg)
       .collect().map(r => r.getAs[String]("id") -> r).toMap
+
+  test("log_params wire variants gate the fold's deletes like the reference's !params.length (index.js:329)") {
+    def delP(lp: LogParams, min: Int) =
+      del("deleted &quot;[[Doomed]]&quot;", min).copy(logParams = lp)
+    // Non-empty legacy ARRAY and non-empty STRING params: gated OUT (the
+    // MapType-decode model read both as null = empty and dropped state
+    // the reference keeps).
+    for (lp <- Seq(LogParams.ofArr(Seq("0", "1")), LogParams.ofStr("legacy"))) {
+      val st = replay(Seq(edit("Doomed", min = 0), delP(lp, 1)))
+      assert(st.keySet == Set("Doomed"), s"$lp gates the delete out")
+    }
+    // Empty array, empty string, and ANY map (a JS object has no .length,
+    // so `!params.length` is true even for a populated one): gate OPEN.
+    for (lp <- Seq(LogParams.ofArr(Nil), LogParams.ofStr(""),
+        LogParams.ofMap(Map.empty), LogParams.ofMap(Map("suppress" -> "x")))) {
+      val st = replay(Seq(edit("Doomed", min = 0), delP(lp, 1)))
+      assert(st.keySet.isEmpty, s"$lp leaves the gate open: page dropped")
+    }
+  }
 
   test("reference move fixture: rename leaves exactly one page (tests.js:63-78)") {
     val st = replay(Seq(edit("Foo", min = 0), move("Foo", "FoO", 1)))

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
-import graft.model.RecentChange
+import graft.model.{LogParams, RecentChange}
 import graft.operators.PageAggregates
 
 /** Ports every behavioral fixture of the reference's mocha suite
@@ -153,7 +153,7 @@ class PageAggregatesSpec extends SparkSpec {
   test("rename canonicalization migrates events to the new id (A4, index.js:154-167)") {
     val move = ev(title = "Foo").copy(
       logType = "log", logAction = "move",
-      logParams = Map("target" -> "Bar"), ts = Timestamp.valueOf("2024-01-01 00:30:00"))
+      logParams = LogParams.ofMap(Map("target" -> "Bar")), ts = Timestamp.valueOf("2024-01-01 00:30:00"))
     val events = Seq(ev(ts = t0), move,
       ev(title = "Bar", ts = Timestamp.valueOf("2024-01-01 01:00:00"))).toDS().toDF()
     val agged = PageAggregates.trendAggregates(events)
@@ -177,7 +177,7 @@ class PageAggregatesSpec extends SparkSpec {
   test("vacated-title reuse: later move onto a vacated title maps directly (A4)") {
     def move(from: String, to: String, ts: String) =
       ev(title = from).copy(logType = "log", logAction = "move",
-        logParams = Map("target" -> to), ts = Timestamp.valueOf(ts))
+        logParams = LogParams.ofMap(Map("target" -> to)), ts = Timestamp.valueOf(ts))
     // A→B, then C→A: C's events must aggregate under A, not follow A→B.
     val events = Seq(
       ev(title = "A", user = "ua", ts = t0),
@@ -194,7 +194,7 @@ class PageAggregatesSpec extends SparkSpec {
   test("rename chain a→b→c collapses to final title (A4)") {
     def move(from: String, to: String, ts: String) =
       ev(title = from).copy(logType = "log", logAction = "move",
-        logParams = Map("target" -> to), ts = Timestamp.valueOf(ts))
+        logParams = LogParams.ofMap(Map("target" -> to)), ts = Timestamp.valueOf(ts))
     val events = Seq(
       ev(title = "A", ts = t0),
       move("A", "B", "2024-01-01 00:10:00"),
@@ -211,7 +211,7 @@ class PageAggregatesSpec extends SparkSpec {
     def gatedMove(comment: String, ns: Int) =
       ev(title = "Foo", comment = comment).copy(namespace = ns,
         logType = "log", logAction = "move",
-        logParams = Map("target" -> "Bar"),
+        logParams = LogParams.ofMap(Map("target" -> "Bar")),
         ts = Timestamp.valueOf("2024-01-01 00:30:00"))
     for (m <- Seq(gatedMove("Fixed error in move", 0), gatedMove("moved", 118))) {
       val agged = PageAggregates.trendAggregates(
@@ -221,7 +221,7 @@ class PageAggregatesSpec extends SparkSpec {
     }
     // Control: the same move with a clean main-namespace gate rewrites.
     val clean = ev(title = "Foo", comment = "moved").copy(
-      logType = "log", logAction = "move", logParams = Map("target" -> "Bar"),
+      logType = "log", logAction = "move", logParams = LogParams.ofMap(Map("target" -> "Bar")),
       ts = Timestamp.valueOf("2024-01-01 00:30:00"))
     val agged = PageAggregates.trendAggregates(Seq(ev(ts = t0), clean).toDS().toDF())
     assert(agged.select("id").as[String].collect().toSeq == Seq("Bar"))

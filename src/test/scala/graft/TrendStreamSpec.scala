@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.model.{PageState, RecentChange, TrendConfig}
+import graft.model.{LogParams, PageState, RecentChange, TrendConfig}
 import graft.operators.PageAggregates
 import graft.streaming.{TrendStream, TrendStreamTws}
 import graft.streaming.TrendStream.ClassifiedEvent
@@ -476,7 +476,8 @@ class TrendStreamSpec extends SparkSpec {
       // Log-only event on an ABSENT page: applyEvents -> None.
       RecentChange("Ghost", "deleted", 0, "Admin", false, "log", 0L, 0L,
         "enwiki", "en.wikipedia.org", "delete", "delete",
-        Map.empty, "deleted page [[Ghost]]", ts("2024-01-01 00:01:00")))
+        LogParams.ofMap(Map.empty), "deleted page [[Ghost]]",
+        ts("2024-01-01 00:01:00")))
     val cmds = Seq( // terminal drop: nothing recreates Foo afterwards
       TrendStream.TrendCommand("drop", "enwiki", "Foo",
         ts("2024-01-01 00:02:00")))
@@ -486,12 +487,64 @@ class TrendStreamSpec extends SparkSpec {
     assert(snap.keySet == Set("Keep"))
   }
 
+  test("log_params wire variants dispatch like the reference's !params.length on all three forms (index.js:329)") {
+    // The gate is duck-typed JS: `!params.length` — absent params and ANY
+    // object pass (objects have no .length), an array/string passes iff
+    // empty. The wire JSON goes through decodeWire so the variant PARSE
+    // (token-type, not text-sniffing) is in the loop end to end.
+    def wireDelete(lp: Option[String]): String = {
+      val lpField = lp.map(v => s""""log_params":$v,""").getOrElse("")
+      s"""{"title":"Src","comment":"x","namespace":0,"user":"Admin",""" +
+        s""""bot":false,"type":"log","length":{"old":0,"new":0},""" +
+        s""""wiki":"enwiki","server_name":"en.wikipedia.org",""" +
+        s""""log_type":"delete","log_action":"delete",$lpField""" +
+        s""""log_action_comment":"deleted &quot;[[Target]]&quot;",""" +
+        s""""meta":{"dt":"2024-01-01T00:00:00Z"}}"""
+    }
+    val cases = Seq( // (log_params JSON, reference gate open?)
+      (None, true),                                  // absent → !undefined
+      (Some("null"), true),                          // JSON null → !undefined
+      (Some("{}"), true),                            // object: no .length
+      (Some("""{"target":"x","count":"1"}"""), true), // NON-empty object too
+      (Some("[]"), true),                            // [].length = 0
+      (Some("""["0","1"]"""), false),                // legacy array: length 2
+      (Some("\"\""), true),                          // "".length = 0
+      (Some("\"legacy text\""), false))              // string: length 11
+    for (((lp, open), i) <- cases.zipWithIndex) {
+      val decoded = graft.sources.EventAdapter.decodeWire(
+        Seq(wireDelete(lp)).toDF("value")).as[RecentChange]
+      val out = TrendStream.classify(decoded, TrendConfig()).collect()
+      assert(out.length == 1, s"case $i: one classified event")
+      val expected = if (open) "delete" else "log:gated"
+      assert(out.head.logAction == expected,
+        s"case $i (log_params=${lp.getOrElse("<absent>")}): " +
+          s"expected $expected, got ${out.head.logAction}")
+      if (open) assert(out.head.id == "Target",
+        s"case $i: qualifying delete re-keys onto the comment target")
+    }
+    // Move target rides the MAP form only (params.target is JS undefined
+    // on an array/string — the reference's property access on index.js:324).
+    val moveWire = (lp: String) =>
+      s"""{"title":"Foo","comment":"moved","namespace":0,"user":"Admin",""" +
+        s""""bot":false,"type":"log","length":{"old":0,"new":0},""" +
+        s""""wiki":"enwiki","server_name":"en.wikipedia.org",""" +
+        s""""log_type":"move","log_action":"move","log_params":$lp,""" +
+        s""""meta":{"dt":"2024-01-01T00:00:30Z"}}"""
+    val mv = graft.sources.EventAdapter.decodeWire(Seq(
+        moveWire("""{"target":"Bar"}"""),
+        moveWire("""["Bar"]""")).toDF("value"))
+      .select(graft.functions.Classifiers.logParamsTarget(col("logParams")))
+      .as[String].collect()
+    assert(mv.toSet == Set("Bar", null),
+      "map-form move carries its target; array-form yields null (JS undefined)")
+  }
+
   test("streaming: move log event through pageStates does not inflate counts") {
     val events = Seq(
       rc(title = "Foo", at = t0),
       RecentChange("Foo", "moved", 0, "Admin", false, "log", 0L, 0L,
         "enwiki", "en.wikipedia.org", "move", "move",
-        Map("target" -> "Bar"), null, ts("2024-01-01 00:01:00")))
+        LogParams.ofMap(Map("target" -> "Bar")), null, ts("2024-01-01 00:01:00")))
     val snap = TrendStream.replayToSnapshot(spark, events,
       queryName = "trend_log_noise").map(s => s.id -> s).toMap
     // The raw streaming operator ignores the move (rename resolution is
