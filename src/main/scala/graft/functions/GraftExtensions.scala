@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{GraftExpressionShim, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{AnalysisException, GraftExpressionShim, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Floor, Literal, Multiply}
 
@@ -34,8 +34,23 @@ object GraftExtensions {
   private def arity(name: String, n: Int)(
       build: Seq[Expression] => Expression): Seq[Expression] => Expression =
     args => {
-      require(args.size == n,
-        s"$name expects $n argument(s), got ${args.size}")
+      // The error shape SQL tooling catches by: Spark's own builders
+      // raise AnalysisException with the WRONG_NUM_ARGS error class
+      // (sqlState 42605) on a bad call — a bare IllegalArgumentException
+      // here escaped every catch keyed on AnalysisException/SparkThrowable
+      // and carried no error class for structured clients. The 2-arg
+      // (errorClass, messageParameters) constructor is public API;
+      // parameter names come from the WRONG_NUM_ARGS.WITHOUT_SUGGESTION
+      // template in error-conditions.json (functionName is rendered
+      // pre-quoted by convention — toSQLId — hence the backticks).
+      if (args.size != n)
+        throw new AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> s"`$name`",
+            "expectedNum" -> n.toString,
+            "actualNum" -> args.size.toString,
+            "docroot" -> GraftExpressionShim.sparkDocRoot))
       build(args)
     }
 

@@ -174,8 +174,17 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
       else if (ai > bj) j += 1
       else {
         cnt += 1
-        while (i < n && !x.isNullAt(i) && x.getLong(i) == ai) i += 1
-        while (j < m && !y.isNullAt(j) && y.getLong(j) == bj) j += 1
+        // Dup-skip walks probe isNullAt only when the element type admits
+        // nulls — getLong on a null slot would otherwise read garbage 0s
+        // and over-skip; for non-null-element arrays (the prefix-join hot
+        // path at corpus-pair volume) the probes are pure overhead.
+        if (mayHaveNullElems) {
+          while (i < n && !x.isNullAt(i) && x.getLong(i) == ai) i += 1
+          while (j < m && !y.isNullAt(j) && y.getLong(j) == bj) j += 1
+        } else {
+          while (i < n && x.getLong(i) == ai) i += 1
+          while (j < m && y.getLong(j) == bj) j += 1
+        }
       }
     }
     cnt
@@ -200,6 +209,12 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
           s"""($n > 0 && $a.isNullAt($n - 1)) ||
              |    ($m > 0 && $b.isNullAt($m - 1))""".stripMargin
         else "false"
+      // The dup-skip walks' per-element isNullAt probes are gated like
+      // the merge-walk check: containsNull=false inputs (the prefix-join
+      // hot path) emit a bare getLong comparison — spec-pinned by a
+      // generated-code assertion (no isNullAt anywhere in the codegen).
+      val aNotNull = if (mayHaveNullElems) s"!$a.isNullAt($i) && " else ""
+      val bNotNull = if (mayHaveNullElems) s"!$b.isNullAt($j) && " else ""
       s"""
          |int $n = $a.numElements();
          |int $m = $b.numElements();
@@ -216,8 +231,8 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
          |    else if ($ai > $bj) { $j++; }
          |    else {
          |      $cnt++;
-         |      while ($i < $n && !$a.isNullAt($i) && $a.getLong($i) == $ai) $i++;
-         |      while ($j < $m && !$b.isNullAt($j) && $b.getLong($j) == $bj) $j++;
+         |      while ($i < $n && $aNotNull$a.getLong($i) == $ai) $i++;
+         |      while ($j < $m && $bNotNull$b.getLong($j) == $bj) $j++;
          |    }
          |  }
          |  ${ev.value} = $cnt;

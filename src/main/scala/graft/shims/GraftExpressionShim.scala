@@ -22,6 +22,12 @@ object GraftExpressionShim {
   def applyFunctions(spark: SparkSession, ext: SparkSessionExtensions): Unit =
     ext.registerFunctions(
       spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry)
+
+  /** Spark's own documentation root — the `<docroot>` parameter every
+    * WRONG_NUM_ARGS-class error message template interpolates.
+    * `SparkBuildInfo` is `private[spark]`, hence shim-resident.
+    */
+  def sparkDocRoot: String = org.apache.spark.SparkBuildInfo.spark_doc_root
 }
 
 /** `ImplicitCastInputTypes` over two `array<double>` inputs, as a

@@ -92,7 +92,7 @@ final class SseClient(
           closeQuietly()
         }
         if (!stopped && written < maxMessages && connects < maxConnects)
-          Thread.sleep(retryDelayMs)
+          sleepUnlessStopped(retryDelayMs)
       }
       written
     } finally {
@@ -103,6 +103,21 @@ final class SseClient(
   }
 
   def stop(): Unit = { stopped = true; closeQuietly() }
+
+  /** Reconnect-backoff sleep in short slices re-checking `stopped`: a
+    * plain `Thread.sleep(retryDelayMs)` is uninterruptible by stop()
+    * (which only sets the flag and closes streams — there is no stream
+    * to sever between connections), so one server-directed long `retry:`
+    * would park the client for its full duration after stop().
+    */
+  private def sleepUnlessStopped(ms: Long): Unit = {
+    val deadline = System.currentTimeMillis() + ms
+    var remaining = ms
+    while (!stopped && remaining > 0L) {
+      Thread.sleep(math.min(remaining, 100L))
+      remaining = deadline - System.currentTimeMillis()
+    }
+  }
 
   /** One connection's lifetime: parse events until EOF or the message
     * budget is exhausted; every append is counted through `counted`
@@ -168,9 +183,16 @@ final class SseClient(
               // value sets the reconnection delay; anything else is
               // ignored. Without this a maintenance drop after
               // `retry: 30000` would be hammered at the 100 ms default.
+              // CAPPED: the spec puts no bound on the value, but one
+              // adversarial/buggy `retry: 999999999999` feed line is the
+              // same single-row threat model as the cmd-forgery gate —
+              // honoring it verbatim parks the client effectively
+              // forever. 5 minutes matches the watchdog's order of
+              // magnitude; a real maintenance window longer than that
+              // just costs periodic cheap reconnect attempts.
               if (value.nonEmpty && value.length <= 15 &&
                   value.forall(c => c >= '0' && c <= '9'))
-                retryDelayMs = value.toLong
+                retryDelayMs = math.min(value.toLong, SseClient.MaxRetryDelayMs)
             case _       => // unknown field: ignored per the SSE spec
           }
       }
@@ -235,7 +257,18 @@ final class SseClient(
     // open/append/close).
     if (log == null) {
       val f = new java.io.File(logPath)
-      goodLen = if (f.exists()) f.length() else 0L
+      // The pre-existing tail is NOT assumed committed: a previous
+      // process killed mid-write (ENOSPC, SIGKILL) leaves a torn line no
+      // in-run truncation ever covered — the first replayed event would
+      // concatenate onto it, and the '\n'-counting tail counter would
+      // happily serve the merged corrupt line. Scan back to the last
+      // committed '\n' and truncate BEFORE the first append, exactly the
+      // in-run torn-write recovery applied at open.
+      goodLen = if (f.exists()) lastLineBoundary(f) else 0L
+      if (f.exists() && f.length() > goodLen) {
+        val raf = new java.io.RandomAccessFile(logPath, "rw")
+        try raf.setLength(goodLen) finally raf.close()
+      }
       log = Files.newOutputStream(Paths.get(logPath),
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     }
@@ -262,6 +295,31 @@ final class SseClient(
         } catch { case _: Throwable => () }
         throw t
     }
+  }
+
+  /** Length of the longest prefix ending on a committed '\n' (0 when the
+    * file holds none) — backward chunked scan, so a long healthy log
+    * costs one 8 KiB read from the end.
+    */
+  private def lastLineBoundary(f: java.io.File): Long = {
+    val raf = new java.io.RandomAccessFile(f, "r")
+    try {
+      var pos = raf.length()
+      val buf = new Array[Byte](8192)
+      while (pos > 0L) {
+        val start = math.max(0L, pos - buf.length)
+        val len = (pos - start).toInt
+        raf.seek(start)
+        raf.readFully(buf, 0, len)
+        var i = len - 1
+        while (i >= 0) {
+          if (buf(i) == '\n') return start + i + 1
+          i -= 1
+        }
+        pos = start
+      }
+      0L
+    } finally raf.close()
   }
 
   private def closeLog(): Unit = {
@@ -309,4 +367,9 @@ final class SseClient(
 
   private def closeStream(in: InputStream): Unit =
     if (in != null) try in.close() catch { case _: Throwable => () }
+}
+
+object SseClient {
+  /** Ceiling on the server-directed `retry:` reconnection delay. */
+  val MaxRetryDelayMs: Long = 5 * 60 * 1000L
 }

@@ -142,6 +142,25 @@ class PipelineOperatorsSpec extends SparkSpec {
       .select(graft.functions.VectorFunctions
         .sortedIntersectCount(col("a"), col("b")).as("k")).head()
     assert(tailNull.isNullAt(0))
+    // Generated-code assertion: containsNull=false inputs (the
+    // prefix-join hot path — array_sort'ed xxhash64 arrays) must emit NO
+    // isNullAt probe anywhere, including the dup-skip walks that used to
+    // probe per element regardless; nullable-element inputs keep all
+    // three guard sites.
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    def genCode(containsNull: Boolean): String = {
+      val t = ArrayType(LongType, containsNull)
+      val e = graft.functions.SortedLongIntersectCount(
+        BoundReference(0, t, nullable = false),
+        BoundReference(1, t, nullable = false))
+      val ctx = new CodegenContext
+      e.genCode(ctx).code.toString
+    }
+    assert(!genCode(containsNull = false).contains("isNullAt"),
+      "non-null-element arrays must codegen a bare merge walk")
+    assert(genCode(containsNull = true).contains("isNullAt"))
   }
 
   test("subwordCount book: identical with full, partial, and empty coverage") {
@@ -2176,6 +2195,18 @@ class PipelineOperatorsSpec extends SparkSpec {
       graft.operators.Quant.q6(col("x")).as("k"),
       expr("graft_q6(x)").as("s")).collect()
     assert(both.forall(r2 => r2.getDouble(0) == r2.getDouble(1)), both.toSeq)
+    // Wrong arity raises Spark's own error shape — AnalysisException with
+    // the WRONG_NUM_ARGS error class (what SQL tooling catches by), not a
+    // bare IllegalArgumentException that escapes SparkThrowable handlers.
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_vec_dot(array(1.0d))").collect()
+    }
+    assert(ex.getCondition == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION", ex.toString)
+    assert(ex.getMessageParameters.get("actualNum") == "1", ex.toString)
+    val ex2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_q6(1.0d, 2.0d)").collect()
+    }
+    assert(ex2.getCondition == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION", ex2.toString)
   }
 
   test("funnelStepsStream: emits the batch chain ONCE per user at window close") {

@@ -218,6 +218,50 @@ class SseSourceSpec extends SparkSpec {
       s"reconnected after $gapMs ms — the retry: 400 directive was ignored")
   }
 
+  test("SSE client: stop() interrupts a long server-directed retry; the delay is capped") {
+    val log = tmpLog()
+    // The server directs an hour-long retry; stop() must still take
+    // effect promptly (sliced sleep), and the honored delay is capped at
+    // MaxRetryDelayMs (an adversarial `retry:` line must not park the
+    // client for ~10^15 ms — the cmd-forgery threat model).
+    val client = new SseClient(
+      _ => new java.io.ByteArrayInputStream(
+        "retry: 3600000\ndata: one\n\n".getBytes("UTF-8")),
+      log, watchdogMs = 60000)
+    val done = new java.util.concurrent.CountDownLatch(1)
+    @volatile var written = 0L
+    val t = new Thread(() => {
+      written = client.run(maxConnects = 5); done.countDown()
+    })
+    t.start()
+    Thread.sleep(400) // let it append + enter the retry sleep
+    client.stop()
+    assert(done.await(5, java.util.concurrent.TimeUnit.SECONDS),
+      "run() must return promptly after stop() despite retry: 3600000")
+    assert(written == 1L)
+    // Cap: a 16-digit value is ignored (length guard), a huge-but-valid
+    // one clamps to MaxRetryDelayMs — assert the clamp arithmetic.
+    assert(math.min(999999999999L, SseClient.MaxRetryDelayMs) ==
+      SseClient.MaxRetryDelayMs)
+  }
+
+  test("SSE client: a torn tail from a PREVIOUS process is truncated at open, not concatenated onto") {
+    val log = tmpLog()
+    // A prior writer died mid-line: committed line + torn prefix, no '\n'.
+    Files.writeString(java.nio.file.Paths.get(log),
+      "{\"committed\":1}\n{\"torn\":")
+    val client = new SseClient(
+      _ => new java.io.ByteArrayInputStream(
+        "data: {\"replayed\":2}\n\n".getBytes("UTF-8")),
+      log, watchdogMs = 60000)
+    assert(client.run(maxConnects = 1) == 1)
+    val lines = Files.readAllLines(java.nio.file.Paths.get(log))
+    assert(lines.size() == 2, lines.toString)
+    assert(lines.get(0) == "{\"committed\":1}")
+    assert(lines.get(1) == "{\"replayed\":2}",
+      "the replayed event must land on a clean line, not merge with the torn tail")
+  }
+
   test("SseWriter: file transport replays a capture into the source log") {
     import graft.sources.sse.SseWriter
     val cap = Files.createTempFile("graft_cap", ".sse")
