@@ -148,7 +148,10 @@ object StreamingNearDup {
         // with possibly different jaccards. In-place content updates are
         // NOT supported on this stream — re-ingest under a fresh doc_id
         // (the id-disjointness rule every index family states); making
-        // updates safe needs doc-keyed state, not bucket-keyed.
+        // updates safe needs doc-keyed state, not bucket-keyed. The
+        // contract is SPEC-PINNED, not just documented: the redelivery
+        // fixture constructs the straddle and asserts the double
+        // emission, so any semantics change here trips a test.
         // A saturated bucket (>= maxBucketDf live entries) also stops
         // growing: the streaming analog of the batch hot-bucket cap —
         // it bounds the O(df²) pairing and the per-bucket state, at the

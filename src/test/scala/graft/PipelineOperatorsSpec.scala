@@ -3167,6 +3167,76 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(rows.toSet == batch, s"stream=${rows.toSet} batch=$batch")
   }
 
+  test("streamingMinhashNearDups: CHANGED-content redelivery of a live doc_id double-emits (the pinned in-place-update limitation)") {
+    // The documented contract (StreamingNearDup.pairsFromBucket): in-place
+    // content updates are NOT supported — re-ingest under a fresh doc_id.
+    // This fixture ASSERTS the failure mode the contract exists for, so a
+    // future "fix" that silently changes emission semantics (or a
+    // refactor that accidentally widens first-wins to doc-keyed state)
+    // trips a spec either way: v1 and v2 of one doc_id straddle buckets,
+    // a later doc collides with v1 in one band and v2 in another, and the
+    // SAME (a, b) pair emits from both buckets.
+    import java.sql.Timestamp
+    import graft.streaming.StreamingNearDup
+    // Deterministic search for a token-set triple with the straddle
+    // property, verified on the ACTUAL band keys of the shared kernel
+    // (Dedup.bandKeyArray): v1 = A, v2 = B (disjoint), y = A ++ B; y's
+    // per-band key equals v1's when both of that band's hash mins over
+    // y's shingles land in A's subset (then automatically = v1's mins).
+    def text(pfx: String, salt: Int) =
+      (0 until 20).map(i => s"${pfx}${salt}x$i").mkString(" ")
+    def keysOf(texts: Seq[String]): Seq[Seq[String]] = {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), graft.operators.TextAnalysis
+          .wsTokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          graft.operators.Dedup.shinglesFromTokens(col("toks"), 3).as("sset"))
+        .withColumn("ma", transform(col("sset"), s => md5(concat(lit("a:"), s))))
+        .withColumn("mb", transform(col("sset"), s => md5(concat(lit("b:"), s))))
+        .select(col("doc_id"),
+          graft.operators.Dedup.bandKeyArray(col("ma"), col("mb")).as("keys"))
+      df.orderBy("doc_id").collect().map(_.getSeq[String](1).toSeq).toSeq
+    }
+    val found = (0 until 40).view.map { salt =>
+      val a = text("a", salt); val b = text("b", salt)
+      val y = a + " " + b
+      val Seq(k1, k2, ky) = keysOf(Seq(a, b, y))
+      // Same-INDEX key equality (a bucket is the (band, key) pair).
+      val straddles = k1.zip(ky).exists { case (p, q) => p == q } &&
+        k2.zip(ky).exists { case (p, q) => p == q } &&
+        k1.intersect(k2).isEmpty
+      if (straddles) Some((a, b, y)) else None
+    }.collectFirst { case Some(t) => t }
+    assert(found.nonEmpty, "no straddling triple in 40 candidates — " +
+      "band layout changed? re-tune the search")
+    val (v1, v2, y) = found.get
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Timestamp)](spark)
+    val pairs = StreamingNearDup.streamingMinhashNearDups(
+      ms.toDF().toDF("doc_id", "text", "ts"),
+      delay = "10 minutes", threshold = 0.3)
+    val q = pairs.writeStream.format("memory").queryName("snear_redeliver")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq((100L, v1, t0)))
+      q.processAllAvailable()
+      // CHANGED content, SAME live doc_id: admitted wherever v1 is absent.
+      ms.addData(Seq((100L, v2, new Timestamp(t0.getTime + 1000L))))
+      q.processAllAvailable()
+      ms.addData(Seq((200L, y, new Timestamp(t0.getTime + 2000L))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("snear_redeliver").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSeq
+    assert(rows.forall(_ == (100L, 200L)), rows.toString)
+    assert(rows.length == 2,
+      s"the pinned limitation: (100,200) must emit from BOTH straddled " +
+        s"buckets — got $rows. If this now emits once, doc-keyed state " +
+        "landed: update the pairsFromBucket contract doc AND this spec.")
+  }
+
   test("streamingSimhashNearDups: stream ≡ batch 60-bit pairs across batches") {
     import java.sql.Timestamp
     import graft.streaming.StreamingNearDup
