@@ -175,7 +175,7 @@ object SparkEntry {
     "emb_index_health", "emb_ivfpq_topk", "emb_ivfpq_recall",
     "doc_exact_index_clean", "doc_exact_index_append_clean",
     "doc_media_index_near", "doc_media_index_append_near",
-    "doc_media_index_health",
+    "doc_media_index_health", "doc_media_index_clean",
     "doc_stats_cells", "doc_stats_append_cells", "doc_stats_quantiles",
     "doc_stats_health", "doc_stats_retract_cells",
     "doc_stats_retract_quantiles")
@@ -987,6 +987,23 @@ object SparkEntry {
           payloads.filter(col("doc_id") % 4 === 2), out)
       }
       MediaIndex.mediaIndexPairs(s, out,
+        payloads.filter(col("doc_id") % 4 === 1))
+    }),
+
+    // Ingest CLEAN verdicts against the persisted index — the media
+    // member of the doc_dedup_index_clean / doc_exact_index_clean
+    // contract: keep per delta payload, dropped iff it near-dups the
+    // indexed base (base wins unconditionally, either id order) or is
+    // the HIGHER side of a within-batch pair (keep-lowest). Shares the
+    // mdx build key with the pairs/health queries, so the bench prepare
+    // pass builds once for all three.
+    "doc_media_index_clean" -> ((s, dir) => {
+      val payloads = Multimodal.withPayload(mediaNearPlanted(s, dir))
+      val out = indexDir("graft_mdx", dir)
+      if (builtIndexes.add(s"mdx:$out"))
+        MediaIndex.buildMediaIndex(
+          payloads.filter(col("doc_id") % 4 =!= 1), out)
+      MediaIndex.mediaIndexClean(s, out,
         payloads.filter(col("doc_id") % 4 === 1))
     }),
 
@@ -3100,8 +3117,8 @@ object SparkEntry {
     * (`doc_id % 4 = 1` is the registered ingest slice), sharing every
     * CTE so the oracles cannot drift.
     */
-  private def mediaNearPairsSql(restrict: String): String =
-    s"""WITH $mediaNearCtes,
+  private def mediaNearPairChainCtes: String =
+    s"""$mediaNearCtes,
                   keep AS (
            SELECT b, bk FROM bl GROUP BY 1, 2 HAVING COUNT(*) <= 100),
          cand AS (
@@ -3113,7 +3130,10 @@ object SparkEntry {
              AND a.doc_id < b2.doc_id),
          ver AS (
            SELECT doc_a, doc_b FROM cand
-           WHERE bit_count(xor(va, vb)) <= 2)
+           WHERE bit_count(xor(va, vb)) <= 2)"""
+
+  private def mediaNearPairsSql(restrict: String): String =
+    s"""WITH $mediaNearPairChainCtes
          SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS shared
          FROM ver ${restrict}GROUP BY 1, 2 HAVING COUNT(*) >= 2"""
 
@@ -5909,6 +5929,28 @@ object SparkEntry {
     // the indexed corpus equals the non-append query's — same oracle.
     "doc_media_index_append_near" ->
       mediaNearPairsSql("WHERE doc_a % 4 = 1 OR doc_b % 4 = 1 "),
+
+    // Keep verdicts from the SAME pair chain (the doc_dedup_index_clean
+    // fold on the media member): an ingest-slice doc drops iff it pairs
+    // with a non-delta doc (either side — base wins) or is the HIGHER
+    // side of a delta-delta pair (keep-lowest); pair-less delta docs
+    // keep. The pairs CTE is the unrestricted batch replay — base-base
+    // pairs mark neither side and fall out of the drop set structurally.
+    "doc_media_index_clean" ->
+      s"""WITH $mediaNearPairChainCtes,
+         pairs AS (
+           SELECT doc_a, doc_b FROM ver GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         dd AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 1),
+         dp AS (
+           SELECT doc_a, doc_b,
+             doc_a % 4 = 1 AS a_delta, doc_b % 4 = 1 AS b_delta
+           FROM pairs),
+         dr AS (
+           SELECT doc_a AS doc_id FROM dp WHERE a_delta AND NOT b_delta
+           UNION
+           SELECT doc_b FROM dp WHERE b_delta)
+         SELECT d.doc_id, dr.doc_id IS NULL AS keep
+         FROM dd d LEFT JOIN dr ON d.doc_id = dr.doc_id""",
 
     "doc_media_index_health" -> mediaIndexHealthSql,
 

@@ -312,8 +312,104 @@ object MediaIndex {
     * full base scan on any serve path.
     */
   def mediaIndexPairs(spark: SparkSession, dir: String, delta: DataFrame,
+      minShared: Int = 2, maxBlockDf: Int = 100): DataFrame =
+    withCandidateLegs(spark, dir, delta, maxBlockDf) {
+      case None =>
+        import spark.implicits._
+        Seq.empty[(Long, Long, Long)].toDF("doc_a", "doc_b", "shared")
+      case Some(legs) =>
+        // Normalize the cross leg so va belongs to doc_a, union with the
+        // within-batch leg — disjoint by the caller's id-disjointness
+        // contract; the distinct dedupes multi-block discoveries exactly
+        // like the batch op. Self-pair guard HERE, not in the shared
+        // legs (the DedupIndex split): the batch op's doc_a < doc_b
+        // structurally excludes self pairs, so a caller violating the
+        // id-disjointness contract must not make the PAIRS serve emit
+        // one — while the clean verdict deliberately keeps them
+        // (base-wins dropping a re-ingested doc IS the intended
+        // verdict; servePairLegs makes the same choice).
+        val cross = legs.cross
+          .where(col("d_id") =!= col("b_id"))
+          .select(
+          least(col("d_id"), col("b_id")).as("doc_a"),
+          greatest(col("d_id"), col("b_id")).as("doc_b"),
+          when(col("d_id") < col("b_id"), col("dv"))
+            .otherwise(col("bv")).as("va"),
+          when(col("d_id") < col("b_id"), col("bv"))
+            .otherwise(col("dv")).as("vb"))
+        verifiedPairs(
+          legs.internal.select(col("doc_a"), col("doc_b"),
+              col("va"), col("vb"))
+            .unionByName(cross), legs.maxDist, minShared)
+          .barrier() // materialized so the finallys can release inputs
+    }
+
+  /** Ingest CLEAN verdicts against the persisted index — the media
+    * member of the `doc_dedup_index_clean` / `doc_exact_index_clean`
+    * contract: (doc_id, keep) for every delta payload, where a delta doc
+    * DROPS iff it perceptually near-dups anything already indexed (base
+    * wins unconditionally, either id order) or it is the HIGHER side of
+    * a within-batch pair (keep-lowest). Per-PAIR verdicts like the dedup
+    * index (transitive closure is [[Dedup.dupClusters]]' job); the legs
+    * keep their sidedness so the drop set needs no membership joins.
+    */
+  def mediaIndexClean(spark: SparkSession, dir: String, delta: DataFrame,
       minShared: Int = 2, maxBlockDf: Int = 100): DataFrame = {
-    require(minShared >= 1, s"minShared=$minShared must be >= 1")
+    // Null-id rows excluded from the verdict table too (the
+    // dedupDeltaClean rule): every verdict join is null-rejecting, so a
+    // NULL doc_id row could never be marked a duplicate.
+    val dset = delta.where(col("doc_id").isNotNull)
+      .select(col("doc_id")).distinct()
+    withCandidateLegs(spark, dir, delta, maxBlockDf) {
+      case None =>
+        dset.select(col("doc_id"), lit(true).as("keep"))
+      case Some(legs) =>
+        // Per-leg verification (pair-disjoint legs under the
+        // id-disjointness contract, so the per-pair shared counts equal
+        // the joint computation's): internal pairs drop doc_b, cross
+        // pairs drop the delta side — DedupIndex.cleanVerdicts is the
+        // ONE definition of that fold.
+        val internalPairs =
+          verifiedPairs(legs.internal, legs.maxDist, minShared)
+        val crossPairs = verifiedPairs(
+          legs.cross.select(col("d_id").as("delta_id"),
+            col("b_id").as("doc_b2"), col("dv").as("va"),
+            col("bv").as("vb")),
+          legs.maxDist, minShared, keyA = "delta_id", keyB = "doc_b2")
+        DedupIndex.cleanVerdicts(dset, internalPairs, crossPairs)
+          .barrier()
+    }
+  }
+
+  /** Dedupe multi-block discoveries, verify the Hamming distance, and
+    * count distinct verified hash pairs per doc pair — the serve tail
+    * both queries share. `cand` carries (keyA, keyB, va, vb).
+    */
+  private def verifiedPairs(cand: DataFrame, maxDist: Int, minShared: Int,
+      keyA: String = "doc_a", keyB: String = "doc_b"): DataFrame =
+    cand.select(col(keyA), col(keyB), col("va"), col("vb"))
+      .distinct()
+      .where(expr(s"bit_count(va ^ vb) <= $maxDist"))
+      .groupBy(col(keyA), col(keyB))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+
+  /** The sided candidate legs every serve shares. `internal` =
+    * within-batch candidates (both sides delta, doc_a < doc_b); `cross`
+    * = (d_id, b_id, dv, bv) delta × base candidates with the sidedness
+    * INTACT (the clean verdict needs it; the pairs query normalizes).
+    */
+  private final case class ServeLegs(internal: DataFrame, cross: DataFrame,
+      maxDist: Int)
+
+  /** Build the df-capped candidate legs of a serve and hand them to
+    * `body`; None when the delta hashes to nothing. The barriers backing
+    * the legs are released on EVERY exit, so `body` must materialize
+    * (barrier) anything it returns.
+    */
+  private def withCandidateLegs[A](spark: SparkSession, dir: String,
+      delta: DataFrame, maxBlockDf: Int)(
+      body: Option[ServeLegs] => A): A = {
     require(maxBlockDf >= 1, s"maxBlockDf=$maxBlockDf must be >= 1")
     val (_, bDirs, metaDir) = mediaManifest(spark, dir)
     val meta = spark.read.parquet(s"$dir/$metaDir").head()
@@ -333,10 +429,7 @@ object MediaIndex {
     try {
       val bbkts = dbl.select(col("bbkt")).distinct()
         .collect().map(_.getLong(0)).toIndexedSeq
-      if (bbkts.isEmpty) {
-        import spark.implicits._
-        return Seq.empty[(Long, Long, Long)].toDF("doc_a", "doc_b", "shared")
-      }
+      if (bbkts.isEmpty) return body(None)
       // Base rows for exactly the keys the batch touches — the join on
       // (b, bk) restricts the pruned partitions to touched keys, and
       // the distinct key list broadcast keeps the base side a hash
@@ -358,10 +451,6 @@ object MediaIndex {
           .select(col("b"), col("bk"))
         val dKept = dbl.join(keep, Seq("b", "bk"))
         val bKept = baseTouch.join(keep, Seq("b", "bk"))
-        // Within-batch leg (both sides delta, a < b) plus the cross leg
-        // (delta × base, normalized so va belongs to doc_a) — disjoint
-        // by the caller's id-disjointness contract; the distinct
-        // dedupes multi-block discoveries exactly like the batch op.
         val internal = dKept.select(col("b"), col("bk"),
             col("doc_id").as("doc_a"), col("v").as("va"))
           .join(dKept.select(col("b"), col("bk"),
@@ -371,28 +460,11 @@ object MediaIndex {
             col("doc_id").as("d_id"), col("v").as("dv"))
           .join(bKept.select(col("b"), col("bk"),
             col("doc_id").as("b_id"), col("v").as("bv")), Seq("b", "bk"))
-          // Self-pair guard (the streaming twin's replayed-base rule):
-          // the batch op's doc_a < doc_b structurally excludes self
-          // pairs, so a caller violating the id-disjointness contract
-          // must not make the serve emit one either.
-          .where(col("d_id") =!= col("b_id"))
-          .select(
-            least(col("d_id"), col("b_id")).as("doc_a"),
-            greatest(col("d_id"), col("b_id")).as("doc_b"),
-            when(col("d_id") < col("b_id"), col("dv"))
-              .otherwise(col("bv")).as("va"),
-            when(col("d_id") < col("b_id"), col("bv"))
-              .otherwise(col("dv")).as("vb"))
-        val cand = internal.select(col("doc_a"), col("doc_b"),
-            col("va"), col("vb"))
-          .unionByName(cross)
-          .distinct()
-        cand
-          .where(expr(s"bit_count(va ^ vb) <= $maxDist"))
-          .groupBy(col("doc_a"), col("doc_b"))
-          .agg(count(lit(1)).as("shared"))
-          .filter(col("shared") >= minShared)
-          .barrier() // materialized so the finallys can release inputs
+        // NOTE: no self-pair guard here — the PAIRS query applies it at
+        // normalization, the CLEAN verdict deliberately does not (the
+        // DedupIndex.servePairLegs convention: base-wins dropping a
+        // re-ingested doc via its self-pair is the intended verdict).
+        body(Some(ServeLegs(internal, cross, maxDist)))
       } finally Barrier.release(baseTouch)
     } finally Barrier.release(dbl)
   }

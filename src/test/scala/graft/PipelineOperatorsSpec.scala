@@ -2722,6 +2722,60 @@ class PipelineOperatorsSpec extends SparkSpec {
       spark, dir, deltaPay, minShared = 1)))
   }
 
+  test("mediaIndexClean: keep verdicts replay the per-pair rule (base wins, keep-lowest); self-pair drops a re-ingested id") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    def randText(len: Int) =
+      new String(Array.fill(len)((33 + rnd.nextInt(90)).toChar))
+    // Same fixture shape as the pairs spec: cross pairs (noisy nudges of
+    // base docs + exact copies), a within-batch copy chain, one fresh
+    // pair-less doc (keep=true must still appear for it).
+    val base = (1 to 14).map(id => id.toLong -> randText(64 + 16 * rnd.nextInt(6)))
+    val noisyDelta = base.take(6).map { case (id, s) =>
+      val a = s.toCharArray
+      a(rnd.nextInt(16)) = (33 + rnd.nextInt(90)).toChar
+      (id + 100L) -> new String(a)
+    }
+    val delta = noisyDelta ++ Seq(
+      300L -> base.head._2, 301L -> base.head._2,
+      320L -> randText(96))
+    val basePay = Multimodal.withPayload(base.toDF("doc_id", "text"))
+    val deltaPay = Multimodal.withPayload(delta.toDF("doc_id", "text"))
+    val deltaIds = delta.map(_._1).toSet
+    val dir = mdxTmp()
+    graft.operators.MediaIndex.buildMediaIndex(basePay, dir, nBuckets = 8)
+    // Expected verdicts derived from the PAIRS serve by the per-pair
+    // rule (exactly the oracle's fold): a cross pair drops its delta
+    // side whichever the id order; an internal pair drops its higher
+    // side; pair-less delta docs keep.
+    val pairs = mediaPairs(graft.operators.MediaIndex.mediaIndexPairs(
+      spark, dir, deltaPay, minShared = 1))
+    val drops = pairs.collect {
+      case (a, b, _) if deltaIds.contains(a) && !deltaIds.contains(b) => a
+    } ++ pairs.collect { case (a, b, _) if deltaIds.contains(b) => b }
+    val got = graft.operators.MediaIndex.mediaIndexClean(
+        spark, dir, deltaPay, minShared = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(got.keySet == deltaIds, "one verdict per delta doc")
+    assert(got == deltaIds.map(d => d -> !drops.contains(d)).toMap,
+      s"pairs=$pairs drops=$drops got=$got")
+    assert(got(320L), "pair-less delta doc keeps")
+    assert(drops.nonEmpty && !got(301L), "keep-lowest fires in the fixture")
+    // Re-ingested live id (base doc 14 arrives again in a batch): the
+    // PAIRS serve suppresses the self pair, but the CLEAN verdict drops
+    // the re-ingested doc via base-wins — the DedupIndex.servePairLegs
+    // convention, here spec-pinned for the media member.
+    val reing = Multimodal.withPayload(
+      Seq(14L -> base(13)._2, 320L -> delta.last._2).toDF("doc_id", "text"))
+    val rp = mediaPairs(graft.operators.MediaIndex.mediaIndexPairs(
+      spark, dir, reing, minShared = 1))
+    assert(!rp.exists(p => p._1 == 14L && p._2 == 14L), rp)
+    val rv = graft.operators.MediaIndex.mediaIndexClean(
+        spark, dir, reing, minShared = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(rv == Map(14L -> false, 320L -> true), rv.toString)
+  }
+
   test("appendToMediaIndex: serve-after-append equals a rebuild over base∪delta; empty delta no-op; compact verbatim; build guards") {
     import spark.implicits._
     def head(st: Int) =
