@@ -174,6 +174,7 @@ object SparkEntry {
     "emb_ivf_index_topk", "emb_ivf_append_topk", "emb_ivf_compact_topk",
     "emb_index_health", "emb_ivfpq_topk", "emb_ivfpq_recall",
     "doc_exact_index_clean", "doc_exact_index_append_clean",
+    "doc_exact_index_retract_clean",
     "doc_media_index_near", "doc_media_index_append_near",
     "doc_media_index_health", "doc_media_index_clean",
     "doc_stats_cells", "doc_stats_append_cells", "doc_stats_quantiles",
@@ -210,6 +211,19 @@ object SparkEntry {
         .select((col("doc_id") + (1L << 40)).as("doc_id"), col("text")))
       .unionByName(docs.filter(col("doc_id") % 20 === 7)
         .select((col("doc_id") + (1L << 41)).as("doc_id"), col("text")))
+
+  /** The retract query's delta: the shared plant PLUS +2^42-id copies of
+    * the taken-down (% 20 == 9) slice — without them the retraction's
+    * effect on the shared delta is a single CRT-coincidence row
+    * (doc 249: % 13 = 2 ∧ % 20 = 9), and a serve that silently ignored
+    * the tombstones would still hash-match on 109 of 110 rows. With the
+    * copies every retracted text probes the index and must read
+    * NOT-ingested (in_base false, keep for the lowest copy).
+    */
+  private def bloomRetractDelta(docs: DataFrame): DataFrame =
+    bloomCleanDelta(docs)
+      .unionByName(docs.filter(col("doc_id") % 20 === 9)
+        .select((col("doc_id") + (1L << 42)).as("doc_id"), col("text")))
 
   /** Registry sizing for the bloom family: ~27 bits/hash at sf0.1 (a
     * 200 KB filter literal — the operator default's 1 MB literal only
@@ -1269,6 +1283,28 @@ object SparkEntry {
       }
       ExactDedupIndex.indexClean(s, out,
         bloomCleanDelta(t(s, dir, "documents")))
+    }),
+
+    // RETRACTION lifecycle — the stats index's negated-generation
+    // pattern ported to the hash MEMBERSHIP set (the right-to-be-
+    // forgotten shape at the exact tier): build on % 10 <> 7, take down
+    // the % 20 == 9 slice's TEXTS (one tombstone generation; membership
+    // = newest insert outlives newest tombstone), serve the planted
+    // delta. The bloom still probes retracted content positive (bits
+    // cannot un-set) — the serve's membership resolution cancels it
+    // exactly, which is what the oracle's set-minus replay checks.
+    "doc_exact_index_retract_clean" -> ((s, dir) => {
+      val out = indexDir("graft_xdx_rt", dir)
+      if (builtIndexes.add(s"xdxrt:$out")) {
+        val docs = t(s, dir, "documents")
+        ExactDedupIndex.buildIndex(
+          docs.filter(col("doc_id") % 10 =!= 7), out,
+          expectedItems = BloomPlantItems, numBits = BloomPlantBits)
+        ExactDedupIndex.retractFromIndex(
+          docs.filter(col("doc_id") % 20 === 9), out)
+      }
+      ExactDedupIndex.indexClean(s, out,
+        bloomRetractDelta(t(s, dir, "documents")))
     }),
 
     // Persisted CORPUS-STATS index — incremental maintenance of the
@@ -5359,6 +5395,41 @@ object SparkEntry {
     "doc_bloom_clean" -> bloomCleanOracleSql,
     "doc_exact_index_clean" -> bloomCleanOracleSql,
     "doc_exact_index_append_clean" -> bloomCleanOracleSql,
+
+    // Retraction replay: the SAME verdict chain with the base
+    // membership minus the taken-down slice's texts (retraction is by
+    // CONTENT — the index's unit is the hash, so a text a retracted and
+    // a standing doc both carried is gone; NOT EXISTS per the house
+    // q8 rule). in_base flips for exactly the delta copies whose text
+    // survives only through a % 20 == 9 doc.
+    "doc_exact_index_retract_clean" ->
+      """WITH xdelta AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7
+           UNION ALL
+           SELECT doc_id + 1099511627776, text FROM documents
+           WHERE doc_id % 13 = 2 AND doc_id % 10 <> 7
+           UNION ALL
+           SELECT doc_id + 2199023255552, text FROM documents
+           WHERE doc_id % 20 = 7
+           UNION ALL
+           SELECT doc_id + 4398046511104, text FROM documents
+           WHERE doc_id % 20 = 9),
+         dh AS (
+           SELECT doc_id, md5(coalesce(text, '')) AS h FROM xdelta
+           WHERE doc_id IS NOT NULL),
+         bh AS (
+           SELECT DISTINCT md5(coalesce(b.text, '')) AS h FROM documents b
+           WHERE b.doc_id % 10 <> 7 AND NOT EXISTS (
+             SELECT 1 FROM documents r WHERE r.doc_id % 20 = 9
+               AND md5(coalesce(r.text, '')) = md5(coalesce(b.text, '')))),
+         v AS (
+           SELECT d.doc_id, d.h,
+             EXISTS (SELECT 1 FROM bh b WHERE b.h = d.h) AS in_base,
+             min(d.doc_id) OVER (PARTITION BY d.h) AS min_id
+           FROM dh d)
+         SELECT doc_id, in_base,
+           ((NOT in_base) AND doc_id = min_id) AS keep
+         FROM v""",
 
     "doc_ngram_jaccard" -> ngramJaccardOracleSql,
     // Prefix filtering is complete for J >= t: the scale twin's output

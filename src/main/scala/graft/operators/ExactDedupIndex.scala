@@ -233,21 +233,22 @@ object ExactDedupIndex {
 
   private def isDataDir(n: String): Boolean =
     n == "hashes" || n.startsWith("hashes-") ||
-      n == "meta" || n.startsWith("meta-")
+      n == "meta" || n.startsWith("meta-") || n.startsWith("tombs-")
 
   private[graft] def indexManifest(spark: SparkSession, dir: String)
-      : (Long, Seq[String], String) = {
+      : (Long, Seq[String], Seq[String], String) = {
     val (fs, root) = GenManifest.fsRoot(spark, dir)
     GenManifest.latestSeq(fs, root) match {
-      case None => (0L, Seq("hashes"), "meta")
+      case None => (0L, Seq("hashes"), Nil, "meta")
       case Some(seq) =>
-        val (h, m) = manifestAt(fs, root, seq)
-        (seq, h, m)
+        val (h, t, m) = manifestAt(fs, root, seq)
+        (seq, h, t, m)
     }
   }
 
   private def manifestAt(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, g: Long): (Seq[String], String) =
+      root: org.apache.hadoop.fs.Path, g: Long)
+      : (Seq[String], Seq[String], String) =
     GenManifest.readNode(fs, root, g) match {
       case Some(node) =>
         import scala.jdk.CollectionConverters._
@@ -268,8 +269,13 @@ object ExactDedupIndex {
           throw new IllegalStateException(
             s"manifest generation $g under $root references no hash " +
               "dirs — truncated or damaged manifest")
-        (h, node.get("meta").asText())
-      case None if g == 0L => (Seq("hashes"), "meta")
+        // Tombstone dirs are OPTIONAL (absent on every pre-retraction
+        // manifest — old indexes read unchanged).
+        val t = Option(node.get("tdirs"))
+          .map(_.elements().asScala.map(_.asText()).toSeq)
+          .getOrElse(Nil)
+        (h, t, node.get("meta").asText())
+      case None if g == 0L => (Seq("hashes"), Nil, "meta")
       case None =>
         // Fail-loud on the READ path (the lexManifestAt contract); the
         // sweep tolerates this via its own NonFatal catch.
@@ -279,10 +285,14 @@ object ExactDedupIndex {
     }
 
   private def commitManifest(spark: SparkSession, dir: String, seq: Long,
-      hDirs: Seq[String], metaDir: String): Unit = {
+      hDirs: Seq[String], tDirs: Seq[String], metaDir: String): Unit = {
     val node = GenManifest.newNode()
     val arr = node.putArray("hdirs")
     hDirs.foreach(arr.add)
+    if (tDirs.nonEmpty) {
+      val tarr = node.putArray("tdirs")
+      tDirs.foreach(tarr.add)
+    }
     node.put("meta", metaDir)
     GenManifest.commit(spark, dir, seq, node)
   }
@@ -291,14 +301,48 @@ object ExactDedupIndex {
       current: Long): Unit =
     GenManifest.sweepOwned(spark, dir, current, isDataDir) {
       (fs, root, g) =>
-        val (h, m) = manifestAt(fs, root, g)
-        h :+ m
+        val (h, t, m) = manifestAt(fs, root, g)
+        h ++ t :+ m
     }
 
   private def readHashGenerations(spark: SparkSession, dir: String,
       hDirs: Seq[String]): DataFrame =
     hDirs.map(d => spark.read.parquet(s"$dir/$d"))
       .reduce(_.unionByName(_))
+
+  /** The generation number a data dir's rows belong to — encoded in the
+    * dir name ("hashes" is the build generation 0; "hashes-N"/"tombs-N"
+    * are commit N). Manifest seqs are allocated once each, so insert
+    * and tombstone rows of one hash can never tie.
+    */
+  private def genOf(dirName: String): Long =
+    dirName.lastIndexOf('-') match {
+      case -1 => 0L
+      case i  => dirName.substring(i + 1).toLong
+    }
+
+  /** Generation read with the generation number attached — the
+    * resolution input ([[resolveMembers]]).
+    */
+  private def readWithGen(spark: SparkSession, dir: String,
+      dirs: Seq[String]): DataFrame =
+    dirs.map(d => spark.read.parquet(s"$dir/$d")
+        .withColumn("g", lit(genOf(d))))
+      .reduce(_.unionByName(_))
+
+  /** CURRENT members among insert/tombstone rows carrying a generation
+    * column `g`: a hash is live iff its newest INSERT outlives its
+    * newest tombstone — so a takedown removes the content, and a later
+    * re-ingest (append) restores it. Both inputs are pruned slivers
+    * (bounded by the probing hash set), so the two aggregations here
+    * never touch index-sized data.
+    */
+  private def resolveMembers(inserts: DataFrame, tombs: DataFrame): DataFrame =
+    inserts.groupBy(col("text_hash")).agg(max(col("g")).as("ig"))
+      .join(tombs.groupBy(col("text_hash")).agg(max(col("g")).as("tg")),
+        Seq("text_hash"), "left")
+      .filter(col("tg").isNull || col("ig") > col("tg"))
+      .select(col("text_hash"))
 
   private def writeMeta(spark: SparkSession, dir: String, metaDir: String,
       nHashes: Long, buckets: Int, expectedItems: Long, numBits: Long,
@@ -354,7 +398,7 @@ object ExactDedupIndex {
     */
   def indexClean(spark: SparkSession, dir: String,
       delta: DataFrame): DataFrame = {
-    val (_, hDirs, metaDir) = indexManifest(spark, dir)
+    val (_, hDirs, tDirs, metaDir) = indexManifest(spark, dir)
     val meta = spark.read.parquet(s"$dir/$metaDir").head()
     val buckets = meta.getAs[Int]("buckets")
     val bloom = meta.getAs[Array[Byte]]("bloom")
@@ -375,10 +419,26 @@ object ExactDedupIndex {
       val bkts = cand.select(hbktOf(col("text_hash"), buckets)
           .cast("long").as("b"))
         .distinct().collect().map(_.getLong(0)).toIndexedSeq
-      val scoped = readHashGenerations(spark, dir, hDirs)
-        .filter(col("hbkt").isin(bkts: _*))
-      val confirmed = scoped.join(broadcast(cand), Seq("text_hash"),
-        "left_semi")
+      // Tombstone-free index (the common case): membership is plain
+      // presence. With retraction generations live, membership resolves
+      // per hash over the SAME pruned buckets — the retracted content
+      // still bloom-probes positive (bits cannot un-set), and this
+      // resolution is exactly the cancel that makes the filter's
+      // over-approximation invisible again.
+      val confirmed =
+        if (tDirs.isEmpty) {
+          val scoped = readHashGenerations(spark, dir, hDirs)
+            .filter(col("hbkt").isin(bkts: _*))
+          scoped.join(broadcast(cand), Seq("text_hash"), "left_semi")
+        } else {
+          val ins = readWithGen(spark, dir, hDirs)
+            .filter(col("hbkt").isin(bkts: _*))
+            .join(broadcast(cand), Seq("text_hash"), "left_semi")
+          val tmb = readWithGen(spark, dir, tDirs)
+            .filter(col("hbkt").isin(bkts: _*))
+            .join(broadcast(cand), Seq("text_hash"), "left_semi")
+          resolveMembers(ins, tmb)
+        }
       verdicts(deltaH, confirmed)
     } catch {
       case t: Throwable => Barrier.release(deltaH); throw t
@@ -399,7 +459,7 @@ object ExactDedupIndex {
     */
   def appendToIndex(newDocs: DataFrame, dir: String): Unit = {
     val spark = newDocs.sparkSession
-    val (seq, hDirs, metaDir) = indexManifest(spark, dir)
+    val (seq, hDirs, tDirs, metaDir) = indexManifest(spark, dir)
     val meta = spark.read.parquet(s"$dir/$metaDir").head()
     val nHashes = meta.getAs[Long]("n_hashes")
     require(nHashes > 0,
@@ -430,7 +490,10 @@ object ExactDedupIndex {
     } else {
       writeMeta(spark, dir, newM, nHashes + nNew, buckets, expectedItems,
         numBits, Bloom.merge(meta.getAs[Array[Byte]]("bloom"), deltaBloom))
-      commitManifest(spark, dir, seq + 1, hDirs :+ newH, newM)
+      // Tombstones carry over: a re-ingested hash's NEW generation
+      // outlives any older tombstone, so the append alone restores its
+      // membership (resolveMembers' newest-op-wins rule).
+      commitManifest(spark, dir, seq + 1, hDirs :+ newH, tDirs, newM)
       sweepGenerations(spark, dir, seq + 1)
     }
   }
@@ -455,12 +518,19 @@ object ExactDedupIndex {
     */
   def streamingExactDups(spark: SparkSession, dir: String,
       stream: DataFrame): DataFrame = {
-    val (_, hDirs, metaDir) = indexManifest(spark, dir)
+    val (_, hDirs, tDirs, metaDir) = indexManifest(spark, dir)
     val meta = spark.read.parquet(s"$dir/$metaDir").head()
     require(meta.getAs[Long]("n_hashes") > 0, s"index at $dir is empty")
     val bloom = meta.getAs[Array[Byte]]("bloom")
-    val hashes = readHashGenerations(spark, dir, hDirs)
-      .select(col("text_hash"))
+    // With retraction generations live, the static side resolves to the
+    // CURRENT membership (one resolution per micro-batch over the
+    // at-rest tables — compact the index to fold the tombstones away
+    // and return this to a bare scan).
+    val hashes =
+      if (tDirs.isEmpty)
+        readHashGenerations(spark, dir, hDirs).select(col("text_hash"))
+      else resolveMembers(
+        readWithGen(spark, dir, hDirs), readWithGen(spark, dir, tDirs))
     stream
       // Null-id guard, mirroring the other streaming twins: a null-id
       // ingest row colliding with the base would alert with NULL doc_id,
@@ -474,36 +544,128 @@ object ExactDedupIndex {
       .select(col("doc_id"), col("text_hash"))
   }
 
-  /** Fold every live hash generation back into ONE bucketed dir —
-    * DISTINCT across generations, so the folded table drops cross-
-    * generation repeats and `n_hashes` returns to the exact distinct
-    * count. The bloom carries over verbatim (it already covers the
-    * union). Serve-after-compact ≡ serve-before bit-identically
-    * (membership is unchanged); plan-wise the serve returns to exactly
-    * one pruned scan. No-op fold on a single-generation index, but the
-    * sweep still runs (garbage from a previously-failed best-effort
+  /** RETRACT content from the index — the right-to-be-forgotten shape
+    * the stats index proved with negated partial sums, ported to a hash
+    * MEMBERSHIP set: the takedown docs' text hashes become a TOMBSTONE
+    * generation (one atomic manifest commit), and membership resolves
+    * per hash as "newest insert outlives newest tombstone" — so serves
+    * stop reporting the content as ingested immediately, and a LATER
+    * append of the same text restores it (the newest-op-wins rule).
+    *
+    * Retraction is by CONTENT, the index's unit: the at-rest table is a
+    * distinct-hash set with no per-document counts, so taking down a
+    * text removes it regardless of how many base documents carried it —
+    * exactly what a content-takedown order means. Per-DOCUMENT
+    * bookkeeping is the caller's (retract only texts whose last
+    * standing copy is gone).
+    *
+    * OVER-RETRACTION throws before anything is written (the stats-index
+    * rule): every retracted hash must be a current member — retracting
+    * never-ingested or already-retracted content is a caller bug that
+    * must not silently commit a vacuous generation. An empty takedown
+    * set is a no-op. The bloom is untouched (bits cannot un-set;
+    * retracted content probes positive and the membership resolution
+    * cancels it exactly) — [[compactIndex]] rebuilds the filter over
+    * the folded membership to restore the false-positive rate.
+    * SINGLE-WRITER, like every GenManifest family.
+    */
+  def retractFromIndex(docs: DataFrame, dir: String): Unit = {
+    val spark = docs.sparkSession
+    val (seq, hDirs, tDirs, metaDir) = indexManifest(spark, dir)
+    val meta = spark.read.parquet(s"$dir/$metaDir").head()
+    val buckets = meta.getAs[Int]("buckets")
+    val newT = s"tombs-${seq + 1}"
+    val hs = docs
+      .select(md5(coalesce(col("text"), lit(""))).as("text_hash"))
+      .distinct()
+    Barrier.withCached(hs) { h =>
+      if (h.isEmpty) {
+        System.err.println(
+          s"[graft] exact-index retraction of an EMPTY set at $dir " +
+            "skipped (no commit)")
+      } else {
+        // Membership check over the SAME pruned-bucket discipline serves
+        // use — the takedown set is bounded, so this reads slivers.
+        val bkts = h.select(hbktOf(col("text_hash"), buckets)
+            .cast("long").as("b"))
+          .distinct().collect().map(_.getLong(0)).toIndexedSeq
+        val ins = readWithGen(spark, dir, hDirs)
+          .filter(col("hbkt").isin(bkts: _*))
+          .join(broadcast(h), Seq("text_hash"), "left_semi")
+        val tmb =
+          if (tDirs.isEmpty) ins.limit(0)
+          else readWithGen(spark, dir, tDirs)
+            .filter(col("hbkt").isin(bkts: _*))
+            .join(broadcast(h), Seq("text_hash"), "left_semi")
+        val nonMembers = h.join(resolveMembers(ins, tmb),
+          Seq("text_hash"), "left_anti").count()
+        require(nonMembers == 0L,
+          s"retractFromIndex at $dir: $nonMembers of the takedown hashes " +
+            "are not current members (never ingested, or already " +
+            "retracted) — a takedown of absent content is a caller bug, " +
+            "not a no-op")
+        h.withColumn("hbkt", hbktOf(col("text_hash"), buckets))
+          .repartition(col("hbkt"))
+          .write.mode("overwrite").partitionBy("hbkt")
+          .parquet(s"$dir/$newT")
+        commitManifest(spark, dir, seq + 1, hDirs, tDirs :+ newT, metaDir)
+        sweepGenerations(spark, dir, seq + 1)
+      }
+    }
+  }
+
+  /** Fold every live generation back into ONE bucketed dir holding the
+    * RESOLVED membership: cross-generation repeats collapse, retracted
+    * hashes are physically purged (tombstones fold away), and
+    * `n_hashes` returns to the exact distinct member count. With
+    * tombstones folded the bloom is REBUILT over the survivors (the
+    * carried filter stayed correct but over-approximated — every
+    * retracted hash was a guaranteed false positive); a tombstone-free
+    * fold carries it verbatim (it already covers the union).
+    * Serve-after-compact ≡ serve-before bit-identically (membership is
+    * unchanged); plan-wise the serve returns to exactly one pruned
+    * scan. No-op fold on a single-generation tombstone-free index, but
+    * the sweep still runs (garbage from a previously-failed best-effort
     * sweep would otherwise live forever). Single-writer, like append.
     */
   def compactIndex(spark: SparkSession, dir: String): Unit = {
-    val (seq, hDirs, metaDir) = indexManifest(spark, dir)
-    if (hDirs.length <= 1) {
+    val (seq, hDirs, tDirs, metaDir) = indexManifest(spark, dir)
+    if (hDirs.length <= 1 && tDirs.isEmpty) {
       sweepGenerations(spark, dir, seq)
       return
     }
     val meta = spark.read.parquet(s"$dir/$metaDir").head()
+    val buckets = meta.getAs[Int]("buckets")
+    val expectedItems = meta.getAs[Long]("expected_items")
+    val numBits = meta.getAs[Long]("num_bits")
     val newH = s"hashes-${seq + 1}"
     val newM = s"meta-${seq + 1}"
-    val folded = readHashGenerations(spark, dir, hDirs)
-      .select(col("text_hash"), col("hbkt")).distinct()
-    val n = Barrier.withCached(folded) { f =>
+    val folded =
+      if (tDirs.isEmpty)
+        readHashGenerations(spark, dir, hDirs)
+          .select(col("text_hash"), col("hbkt")).distinct()
+      else resolveMembers(
+          readWithGen(spark, dir, hDirs), readWithGen(spark, dir, tDirs))
+        .withColumn("hbkt", hbktOf(col("text_hash"), buckets))
+    val (n, bloom) = Barrier.withCached(folded) { f =>
+      val cnt = f.count()
+      // A fully-retracted index folds to ZERO members: a partitioned
+      // write of an empty frame leaves a parquet-less dir that poisons
+      // every later read (the build guard's reason) — fail loudly with
+      // the recovery path instead.
+      require(cnt > 0L,
+        s"compactIndex at $dir: every hash is retracted — an all-empty " +
+          "index is unrepresentable; rebuild with buildIndex when " +
+          "content returns")
       f.repartition(col("hbkt"))
         .write.mode("overwrite").partitionBy("hbkt").parquet(s"$dir/$newH")
-      f.count()
+      val bf =
+        if (tDirs.isEmpty) meta.getAs[Array[Byte]]("bloom")
+        else Bloom.bloomBytes(f, col("text_hash"), expectedItems, numBits)
+      (cnt, bf)
     }
-    writeMeta(spark, dir, newM, n, meta.getAs[Int]("buckets"),
-      meta.getAs[Long]("expected_items"), meta.getAs[Long]("num_bits"),
-      meta.getAs[Array[Byte]]("bloom"))
-    commitManifest(spark, dir, seq + 1, Seq(newH), newM)
+    writeMeta(spark, dir, newM, n, buckets, expectedItems, numBits, bloom)
+    commitManifest(spark, dir, seq + 1, Seq(newH), Nil, newM)
     sweepGenerations(spark, dir, seq + 1)
   }
 

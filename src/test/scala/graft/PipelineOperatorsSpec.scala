@@ -4635,24 +4635,95 @@ class PipelineOperatorsSpec extends SparkSpec {
     ExactDedupIndex.appendToIndex(
       docs(Seq.empty[(Long, String)]: _*), appended)
     assert(serve(appended) == a)
-    val (seqBefore, hDirsBefore, _) =
+    val (seqBefore, hDirsBefore, _, _) =
       ExactDedupIndex.indexManifest(spark, appended)
     assert(hDirsBefore.length == 2)
     // n_hashes before compact: 3 + 2 = 5 (upper bound; true distinct 4).
     def nHashes(dir: String) = {
-      val (_, _, m) = ExactDedupIndex.indexManifest(spark, dir)
+      val (_, _, _, m) = ExactDedupIndex.indexManifest(spark, dir)
       spark.read.parquet(s"$dir/$m").head().getAs[Long]("n_hashes")
     }
     assert(nHashes(appended) == 5L)
     ExactDedupIndex.compactIndex(spark, appended)
     assert(serve(appended) == a)
     assert(nHashes(appended) == 4L)
-    val (seqC, hDirsC, _) = ExactDedupIndex.indexManifest(spark, appended)
+    val (seqC, hDirsC, _, _) = ExactDedupIndex.indexManifest(spark, appended)
     assert(seqC == seqBefore + 1 && hDirsC.length == 1, s"$hDirsC")
     // No-op compaction on the single-generation index.
     ExactDedupIndex.compactIndex(spark, appended)
     assert(ExactDedupIndex.indexManifest(spark, appended)._1 == seqC)
     assert(serve(appended) == a)
+  }
+
+  test("exactDedupIndex: retraction ≡ rebuild; re-ingest restores; over-retraction throws; compact purges tombstones") {
+    val base = docs(1L -> "r one", 2L -> "r two",
+      3L -> "r gone", 4L -> "r also-gone")
+    val probe = docs(
+      100L -> "r one", // standing member
+      101L -> "r gone", // retracted: must read as NOT ingested
+      102L -> "r also-gone",
+      103L -> "r fresh", 104L -> "r fresh")
+    val retracted = xdxTmp(); val rebuilt = xdxTmp()
+    ExactDedupIndex.buildIndex(base, retracted, buckets = 8)
+    ExactDedupIndex.retractFromIndex(
+      docs(3L -> "r gone", 4L -> "r also-gone"), retracted)
+    ExactDedupIndex.buildIndex(
+      docs(1L -> "r one", 2L -> "r two"), rebuilt, buckets = 8)
+    def serve(dir: String) =
+      cleanRows(ExactDedupIndex.indexClean(spark, dir, probe))
+    val r = serve(retracted)
+    assert(r == serve(rebuilt), "takedown ≡ rebuild over surviving texts")
+    assert(r == Set((100L, true, false), (101L, false, true),
+      (102L, false, true), (103L, false, true), (104L, false, false)))
+    // Over-retraction throws BEFORE committing: never-ingested content
+    // and an already-retracted repeat are both caller bugs.
+    intercept[IllegalArgumentException] {
+      ExactDedupIndex.retractFromIndex(docs(9L -> "r never"), retracted)
+    }
+    intercept[IllegalArgumentException] {
+      ExactDedupIndex.retractFromIndex(docs(9L -> "r gone"), retracted)
+    }
+    assert(serve(retracted) == r, "failed takedowns commit nothing")
+    // Empty takedown set: a no-op, like the empty append.
+    ExactDedupIndex.retractFromIndex(
+      docs(Seq.empty[(Long, String)]: _*), retracted)
+    assert(serve(retracted) == r)
+    // Re-ingest after takedown: the newer insert generation outlives the
+    // tombstone (newest-op-wins), ≡ a rebuild over the restored corpus.
+    ExactDedupIndex.appendToIndex(docs(30L -> "r gone"), retracted)
+    val r2 = serve(retracted)
+    val rebuilt2 = xdxTmp()
+    ExactDedupIndex.buildIndex(
+      docs(1L -> "r one", 2L -> "r two", 30L -> "r gone"),
+      rebuilt2, buckets = 8)
+    assert(r2 == serve(rebuilt2), "re-ingest ≡ rebuild over the union")
+    assert(r2.contains((101L, true, false)), "membership restored")
+    // Compact folds tombstones away: serve identical, exactly one hash
+    // generation, zero tombstone dirs, n_hashes back to the exact
+    // member count (r also-gone physically purged).
+    val (_, _, tDirsB, _) = ExactDedupIndex.indexManifest(spark, retracted)
+    assert(tDirsB.nonEmpty)
+    ExactDedupIndex.compactIndex(spark, retracted)
+    assert(serve(retracted) == r2)
+    val (_, hD, tD, m) = ExactDedupIndex.indexManifest(spark, retracted)
+    assert(hD.length == 1 && tD.isEmpty, s"$hD $tD")
+    assert(spark.read.parquet(s"$retracted/$m").head()
+      .getAs[Long]("n_hashes") == 3L)
+    // The streaming twin resolves membership over live tombstones too:
+    // retracted content must not alert.
+    val rt2 = xdxTmp()
+    ExactDedupIndex.buildIndex(base, rt2, buckets = 8)
+    ExactDedupIndex.retractFromIndex(docs(3L -> "r gone"), rt2)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[(Long, String)](spark)
+    ms.addData(Seq((200L, "r one"), (201L, "r gone"), (202L, "r fresh")))
+    val q = ExactDedupIndex.streamingExactDups(spark, rt2,
+        ms.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("xdx_rt_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+    assert(spark.table("xdx_rt_stream").collect()
+      .map(_.getAs[Long]("doc_id")).toSet == Set(200L))
   }
 
   // ---- persisted corpus-stats index (StatsIndex) --------------------------
