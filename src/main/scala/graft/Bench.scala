@@ -392,18 +392,31 @@ object Bench {
     // Fixed fields trimmed to what a consumer can't get elsewhere:
     // passes/agg/ref_sf and the long-name aliases moved to
     // BENCH_DETAIL.json (queries_n -> q_n, queries_top -> q_top,
-    // total_scale_path -> scale_path, verification_scale_n -> vscale_n).
-    // ~150 chars of reclaimed budget = ~5 more top-cost query entries
-    // on the line at 143+ registered queries.
+    // total_scale_path -> scale_path); round 14 moved vscale_n there
+    // too and SHORTENED the query-map names — at 150+ registered
+    // queries the family prefix is pure repetition (~3-5 chars × ~60
+    // line entries), and the one-time "pfx" legend keeps the line
+    // self-describing while BENCH_DETAIL.json carries full names.
     def mkLine(qsJson: String, top: Int): String =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+        s""""pfx":{"d":"doc","e":"emb","v":"events","t":"trend"},""" +
         s""""queries":$qsJson,"q_n":${best.size},"q_top":$top,""" +
         s""""sf":${jq(sfDir)},"detail":$detailRef,""" +
-        s""""scale_path":${f3(totalScalePath)},"vscale_n":${vscale.size}""" +
+        s""""scale_path":${f3(totalScalePath)}""" +
         failedCountsJson + scalingJson + "}"
+    // Line-only family abbreviation (legend in "pfx" above; collisions
+    // impossible — the prefixes map to distinct single letters and the
+    // stems stay whole, so doc_decontam/emb_decontam read d:decontam /
+    // e:decontam).
+    def shortName(q: String): String =
+      if (q.startsWith("doc_")) "d:" + q.substring(4)
+      else if (q.startsWith("emb_")) "e:" + q.substring(4)
+      else if (q.startsWith("events_")) "v:" + q.substring(7)
+      else if (q.startsWith("trend_")) "t:" + q.substring(6)
+      else q
     val fixedLen = mkLine("{}", best.size).length
     val entries = best.toSeq.sortBy { case (k, v) => (-v, k) }
-      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .map { case (k, v) => "\"" + shortName(k) + "\":" + f3(v) }
     // STRICT top-cost prefix — stop at the first entry that doesn't fit.
     // Greedy skip-and-continue would pack a few more cheap short-named
     // entries, but then "queries_top: N" would lie: a long-named
