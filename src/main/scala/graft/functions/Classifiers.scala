@@ -179,27 +179,35 @@ object Classifiers {
   /** The reference's A6 delete gate `!params.length` (index.js:329)
     * under exact JS semantics per wire form ([[graft.model.LogParams]]):
     *   - absent / JSON null → `!undefined` → OPEN
-    *   - object form → a JS object has NO `.length` property, so the
-    *     gate is OPEN for ANY map, empty or not (on the production wire
-    *     this is what the reference does: modern assoc-array params
-    *     serialize as objects and never block the delete; only the
-    *     legacy forms can)
+    *   - object form → a JS object has no INTRINSIC `.length`, so the
+    *     gate is OPEN for any ordinary map (modern assoc-array params
+    *     serialize as objects and never block the delete) — UNLESS the
+    *     object carries a literal `"length"` entry, which JS property
+    *     access duck-types: `{length: "2"}.length` is `"2"` (truthy →
+    *     gate CLOSED), `{length: ""}` is falsy → open. One adversarial
+    *     feed row must not diverge this gate from index.js (the
+    *     cmd-forgery threat model).
     *   - array form → open iff length 0
     *   - string form → open iff empty (`"".length` is falsy)
     * Not expressible as an "is empty" test — the previous MapType model
     * read every legacy-array delete as droppable and gated non-empty
-    * maps the reference lets through. (Numeric/boolean wire values
-    * raw-capture as strings, so `5` would gate where JS would not —
-    * no log formatter emits those; documented, not defended.)
+    * maps the reference lets through. (Numeric/boolean values —
+    * a scalar `log_params: 5`, or a map `length` entry holding JSON
+    * `0`/`false` — raw-capture as strings, so `"0"` reads truthy where
+    * the JS NUMBER 0 is falsy; no log formatter emits those; documented,
+    * not defended.)
     */
-  def logParamsGateOpen(logParams: Column): Column =
+  def logParamsGateOpen(logParams: Column): Column = {
+    val lenEntry = element_at(logParams.getField("map"), "length")
     when(logParams.isNull, lit(true))
-      .when(logParams.getField("map").isNotNull, lit(true))
+      .when(logParams.getField("map").isNotNull,
+        lenEntry.isNull || length(lenEntry) === 0)
       .when(logParams.getField("arr").isNotNull,
         size(logParams.getField("arr")) === 0)
       .when(logParams.getField("str").isNotNull,
         length(logParams.getField("str")) === 0)
       .otherwise(lit(true)) // all-null variant = field absent
+  }
 
   // ---- helpers ----------------------------------------------------------
 

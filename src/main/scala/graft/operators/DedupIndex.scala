@@ -308,7 +308,13 @@ object DedupIndex {
     val dropIds = cross.select(col("delta_id").as("doc_id"))
       .unionByName(internal.select(col("doc_b").as("doc_id")))
       .distinct()
-    dset.join(dropIds.withColumn("__dup", lit(true)), Seq("doc_id"), "left")
+    // Explicit broadcast: the legs arrive as barriered LogicalRDDs whose
+    // size statistics are UNKNOWN (defaultSizeInBytes = huge), so the
+    // planner would sort-merge the delta against a drop set that is
+    // bounded by the PAIR count — broadcast is right by construction,
+    // and the verdict join never shuffles the delta (plan-locked).
+    dset.join(broadcast(dropIds.withColumn("__dup", lit(true))),
+        Seq("doc_id"), "left")
       .select(col("doc_id"), col("__dup").isNull.as("keep"))
   }
 

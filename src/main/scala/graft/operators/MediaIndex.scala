@@ -312,7 +312,10 @@ object MediaIndex {
     * full base scan on any serve path.
     */
   def mediaIndexPairs(spark: SparkSession, dir: String, delta: DataFrame,
-      minShared: Int = 2, maxBlockDf: Int = 100): DataFrame =
+      minShared: Int = 2, maxBlockDf: Int = 100): DataFrame = {
+    // The batch-family convention (perceptualNearDups): minShared <= 0
+    // must fail loudly, not emit every single-hash candidate pair.
+    require(minShared >= 1, s"minShared=$minShared must be >= 1")
     withCandidateLegs(spark, dir, delta, maxBlockDf) {
       case None =>
         import spark.implicits._
@@ -343,6 +346,7 @@ object MediaIndex {
             .unionByName(cross), legs.maxDist, minShared)
           .barrier() // materialized so the finallys can release inputs
     }
+  }
 
   /** Ingest CLEAN verdicts against the persisted index — the media
     * member of the `doc_dedup_index_clean` / `doc_exact_index_clean`
@@ -355,6 +359,7 @@ object MediaIndex {
     */
   def mediaIndexClean(spark: SparkSession, dir: String, delta: DataFrame,
       minShared: Int = 2, maxBlockDf: Int = 100): DataFrame = {
+    require(minShared >= 1, s"minShared=$minShared must be >= 1")
     // Null-id rows excluded from the verdict table too (the
     // dedupDeltaClean rule): every verdict join is null-rejecting, so a
     // NULL doc_id row could never be marked a duplicate.

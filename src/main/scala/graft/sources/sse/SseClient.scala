@@ -51,6 +51,9 @@ final class SseClient(
 
   def currentLastEventId: Option[String] = lastEventId
 
+  /** Test seam: the effective (capped) reconnection delay. */
+  private[graft] def currentRetryDelayMs: Long = retryDelayMs
+
   /** Consume the feed until `maxMessages` have been appended or the
     * transport has been (re)opened `maxConnects` times. Returns the number
     * of messages appended.
@@ -111,11 +114,14 @@ final class SseClient(
     * would park the client for its full duration after stop().
     */
   private def sleepUnlessStopped(ms: Long): Unit = {
-    val deadline = System.currentTimeMillis() + ms
-    var remaining = ms
-    while (!stopped && remaining > 0L) {
-      Thread.sleep(math.min(remaining, 100L))
-      remaining = deadline - System.currentTimeMillis()
+    // Monotonic clock: an NTP step during a minutes-long backoff would
+    // stretch (backward step) or truncate (forward) a wall-clock
+    // deadline — elapsed-time logic takes nanoTime.
+    val deadline = System.nanoTime() + ms * 1000000L
+    var remainingMs = ms
+    while (!stopped && remainingMs > 0L) {
+      Thread.sleep(math.min(remainingMs, 100L))
+      remainingMs = (deadline - System.nanoTime()) / 1000000L
     }
   }
 

@@ -45,17 +45,21 @@ class IncrementalTrendSpec extends SparkSpec {
   test("log_params wire variants gate the fold's deletes like the reference's !params.length (index.js:329)") {
     def delP(lp: LogParams, min: Int) =
       del("deleted &quot;[[Doomed]]&quot;", min).copy(logParams = lp)
-    // Non-empty legacy ARRAY and non-empty STRING params: gated OUT (the
-    // MapType-decode model read both as null = empty and dropped state
-    // the reference keeps).
-    for (lp <- Seq(LogParams.ofArr(Seq("0", "1")), LogParams.ofStr("legacy"))) {
+    // Non-empty legacy ARRAY, non-empty STRING, and a map whose literal
+    // "length" ENTRY duck-types truthy ({length:"2"}.length is "2" in
+    // JS): gated OUT (the MapType-decode model read the first two as
+    // null = empty and dropped state the reference keeps).
+    for (lp <- Seq(LogParams.ofArr(Seq("0", "1")), LogParams.ofStr("legacy"),
+        LogParams.ofMap(Map("length" -> "2")))) {
       val st = replay(Seq(edit("Doomed", min = 0), delP(lp, 1)))
       assert(st.keySet == Set("Doomed"), s"$lp gates the delete out")
     }
-    // Empty array, empty string, and ANY map (a JS object has no .length,
-    // so `!params.length` is true even for a populated one): gate OPEN.
+    // Empty array, empty string, and any map WITHOUT a truthy "length"
+    // entry (a JS object has no intrinsic .length, so `!params.length`
+    // is true even for a populated one): gate OPEN.
     for (lp <- Seq(LogParams.ofArr(Nil), LogParams.ofStr(""),
-        LogParams.ofMap(Map.empty), LogParams.ofMap(Map("suppress" -> "x")))) {
+        LogParams.ofMap(Map.empty), LogParams.ofMap(Map("suppress" -> "x")),
+        LogParams.ofMap(Map("length" -> "")))) {
       val st = replay(Seq(edit("Doomed", min = 0), delP(lp, 1)))
       assert(st.keySet.isEmpty, s"$lp leaves the gate open: page dropped")
     }

@@ -855,6 +855,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("doc_exact_index_retract_clean: tombstone resolution keeps the pruned, broadcast-only serve shape") {
+    val p = physical("doc_exact_index_retract_clean")
+    assert(p.contains("might_contain"), p.take(3000))
+    // BOTH pruned reads — the insert generations AND the tombstone
+    // generation — carry a pushed hbkt partition filter; an unpruned
+    // tombstone read would re-scan its whole table per serve.
+    assert("PartitionFilters: \\[hbkt".r.findAllIn(p).size >= 2,
+      p.take(3000))
+    assert(!p.contains("PartitionFilters: []"), p.take(3000))
+    // The newest-op-wins resolution joins slivers — never a shuffle of
+    // index-sized data.
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("cleanVerdicts: the shared keep-verdict fold (dedup + media cleans) joins broadcast-only") {
+    // Both index cleans return a BARRIERED verdict frame (the plan is a
+    // LogicalRDD scan), so the fold is locked on the factored builder —
+    // the kmeansSearchPlan discipline. The candidate-leg plans
+    // themselves are locked through the serve specs (shared
+    // withCandidateLegs / servePairLegs paths).
+    import spark.implicits._
+    val dset = Seq(1L, 2L, 3L).toDF("doc_id")
+    val internal = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val cross = Seq((3L, 100L)).toDF("delta_id", "base_id")
+    val p = graft.operators.DedupIndex.cleanVerdicts(dset, internal, cross)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("doc_freq_spectrum: word-count exchange with map-side partials; tokenization never re-runs in a filter") {
     val p = physical("doc_freq_spectrum")
     // The InferFiltersFromGenerate hazard (round-9 lesson): a pushed

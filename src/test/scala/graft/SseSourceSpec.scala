@@ -239,10 +239,12 @@ class SseSourceSpec extends SparkSpec {
     assert(done.await(5, java.util.concurrent.TimeUnit.SECONDS),
       "run() must return promptly after stop() despite retry: 3600000")
     assert(written == 1L)
-    // Cap: a 16-digit value is ignored (length guard), a huge-but-valid
-    // one clamps to MaxRetryDelayMs — assert the clamp arithmetic.
-    assert(math.min(999999999999L, SseClient.MaxRetryDelayMs) ==
-      SseClient.MaxRetryDelayMs)
+    // The clamp observed THROUGH the client (a constant-folded
+    // assertion would keep passing if the math.min regressed): the
+    // hour-long directive above was parsed, and the effective delay
+    // must read as the cap, not the directive.
+    assert(client.currentRetryDelayMs == SseClient.MaxRetryDelayMs,
+      s"retry: 3600000 must clamp to the cap, got ${client.currentRetryDelayMs}")
   }
 
   test("SSE client: a torn tail from a PREVIOUS process is truncated at open, not concatenated onto") {

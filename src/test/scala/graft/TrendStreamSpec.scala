@@ -506,6 +506,10 @@ class TrendStreamSpec extends SparkSpec {
       (Some("null"), true),                          // JSON null → !undefined
       (Some("{}"), true),                            // object: no .length
       (Some("""{"target":"x","count":"1"}"""), true), // NON-empty object too
+      // A literal "length" ENTRY duck-types through JS property access:
+      // {length:"2"}.length is "2" (truthy → gate closed); empty → open.
+      (Some("""{"length":"2"}"""), false),
+      (Some("""{"length":""}"""), true),
       (Some("[]"), true),                            // [].length = 0
       (Some("""["0","1"]"""), false),                // legacy array: length 2
       (Some("\"\""), true),                          // "".length = 0
