@@ -5757,8 +5757,13 @@ object SparkEntry {
     // propagate NULL through the derived columns — the null ≡ empty
     // contract the rest of the document oracles follow. Latent at sf0.01
     // (no NULL texts today); the guard keeps a future regen honest.
+    // doc_id IS NOT NULL: the payloadRows null-id family rule (a null
+    // id drops on the Spark side instead of killing the job through the
+    // primitive-Long encoder). Latent at sf0.01; mirrors apply to every
+    // per-doc media oracle.
     "doc_media_meta" ->
-      """WITH pd AS (SELECT doc_id, coalesce(text, '') AS text FROM documents)
+      """WITH pd AS (SELECT doc_id, coalesce(text, '') AS text FROM documents
+           WHERE doc_id IS NOT NULL)
          SELECT doc_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
          CAST(64 + (octet_length(encode(text)) % 64) * 16 AS INTEGER) AS width,
@@ -5772,7 +5777,8 @@ object SparkEntry {
     // byte offsets coincide (md5(text-slice) == md5(byte-slice)).
     // coalesce(text, ''): see doc_media_meta.
     "doc_media_thumbs" ->
-      """WITH pd AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+      """WITH pd AS (SELECT doc_id, coalesce(text, '') AS text FROM documents
+           WHERE doc_id IS NOT NULL),
          d AS (
            SELECT doc_id, octet_length(encode(text)) AS n,
              64 + (octet_length(encode(text)) % 64) * 16 AS w,
@@ -5801,7 +5807,7 @@ object SparkEntry {
                CASE WHEN doc_id % 20 = 6 THEN 'THE QUICK BROWN ' || text
                     ELSE 'WXYZ ' || text END
                ELSE text END AS text
-           FROM documents),
+           FROM documents WHERE doc_id IS NOT NULL),
          d AS (
            SELECT doc_id, text, octet_length(encode(text)) AS n FROM pd),
          f AS (
@@ -5824,7 +5830,8 @@ object SparkEntry {
 
     "doc_media_frames" ->
       """WITH d AS (
-           SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+           SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+           WHERE doc_id IS NOT NULL),
          f AS (
            SELECT doc_id, text,
              unnest(generate_series(0, n // 16 - 1)) AS i

@@ -126,12 +126,10 @@ object MediaIndex {
       everyNth: Int, maxDist: Int, nBuckets: Int): DataFrame = {
     val spark = payloads.sparkSession
     val geom = Multimodal.blockGeom(frameBytes, maxDist)
-    Multimodal.hash30Rows(spark, payloads, frameBytes, everyNth)
-      .select(col("doc_id"), col("v"),
-        explode_outer(geom.blockStructs(col("v"))).as("blk"))
-      .where(col("blk").isNotNull)
-      .select(col("blk.b").as("b"), col("blk.bk").as("bk"),
-        col("doc_id"), col("v"))
+    Multimodal.explodedBlockRows(
+        Multimodal.hash30Rows(spark, payloads, frameBytes, everyNth),
+        geom, "doc_id")
+      .select(col("b"), col("bk"), col("doc_id"), col("v"))
       .withColumn("bbkt", bbktCol(nBuckets))
   }
 

@@ -29,6 +29,21 @@ object Multimodal {
   def withPayload(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
 
+  /** The typed payload rows every batch kernel consumes — null-id rows
+    * DROP here (the round-13 family rule, in ONE place): `Payload.doc_id`
+    * is a primitive Long, so a null id otherwise kills the whole job
+    * with an uncurated "Null value appeared in non-nullable field"
+    * encoder failure deep inside a task — while the sibling index
+    * builds (dedup, ANN, lex) drop such rows. Per-doc media oracles
+    * mirror the filter (`doc_id IS NOT NULL`).
+    */
+  private def payloadRows(payloads: DataFrame): Dataset[Payload] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.where(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("payload")).as[Payload]
+  }
+
   /** STUB decode: derive fake-but-deterministic media dimensions from the
     * payload length. A real implementation calls the codec here; the
     * (byte_len, width, height, channels, checksum) contract is unchanged.
@@ -47,7 +62,7 @@ object Multimodal {
     */
   def decodeMeta(spark: SparkSession, payloads: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
-    payloads.select(col("doc_id"), col("payload")).as[Payload]
+    payloadRows(payloads)
       .mapPartitions { it =>
         // Per-partition setup happens once here (codec init in real life);
         // MessageDigest is stateful-but-resettable, so ONE instance serves
@@ -80,7 +95,7 @@ object Multimodal {
       maxDim: Int = 32): Dataset[ResizedMedia] = {
     import spark.implicits._
     require(maxDim > 0, s"maxDim=$maxDim must be positive")
-    payloads.select(col("doc_id"), col("payload")).as[Payload]
+    payloadRows(payloads)
       .mapPartitions { it =>
         it.map { p =>
           val bytes = Option(p.payload).getOrElse(Array.emptyByteArray)
@@ -165,6 +180,13 @@ object Multimodal {
     // would run per branch. Released in finally (the session's
     // leak-on-failure discipline); the pair result returns eagerly
     // materialized from the callee.
+    // Batch-family guard parity with the streaming twin: maxDf <= 0 used
+    // to return silently-empty output (sharedFingerprintPairs filters
+    // df <= maxDf) while streamingPerceptualDups threw — the ported
+    // batch-default-0-means-uncapped trap (the StreamingNearDup wave-11
+    // lesson) must fail loudly on BOTH paths.
+    require(minShared >= 1, s"minShared=$minShared must be >= 1")
+    require(maxDf >= 1, s"maxDf=$maxDf must be >= 1")
     val fp = frameFingerprints(spark, payloads, frameBytes, everyNth)
       .barrier()
     try TextAnalysis.sharedFingerprintPairs(fp, minShared, maxDf)
@@ -365,7 +387,7 @@ object Multimodal {
         " constant)")
     val kernel: (Array[Byte], Int, Int) => Array[String] =
       if (pHash) perceptualFramePHashes else perceptualFrameHistograms
-    payloads.select(col("doc_id"), col("payload")).as[Payload]
+    payloadRows(payloads)
       .mapPartitions { it =>
         it.flatMap { p =>
           kernel(p.payload, frameBytes, everyNth)
@@ -401,6 +423,15 @@ object Multimodal {
       s"frameBytes=$frameBytes must be >= 8 for the two-level pHash" +
         " (narrower frames leave too few AC coefficients between the" +
         " median and quartile thresholds)")
+    // Upper bound: the two-level hash packs 2(frameBytes−1) bits into a
+    // Long — the kernel's high-half shift is 2(frameBytes−1)−1, which at
+    // frameBytes >= 34 exceeds 63 and WRAPS mod 64, silently colliding
+    // high-half bits onto low-half quartile bits of other coefficients
+    // (corrupt hashes, wrong Hamming distances, a near-constant hot top
+    // block — and nothing ever throws).
+    require(frameBytes <= 33,
+      s"frameBytes=$frameBytes packs 2*(frameBytes-1) > 64 hash bits " +
+        "into a 64-bit value — the two-level pHash caps at frameBytes=33")
     val totalBits = 2 * (frameBytes - 1)
     val blocks = maxDist + 1
     val cuts = (0 to blocks).map(j => j * totalBits / blocks)
@@ -414,6 +445,21 @@ object Multimodal {
     BlockGeom(totalBits, blocks, cuts)
   }
 
+  /** Exploded (id, v, b, bk) block rows over an (id, v) hash table — THE
+    * outer + isNotNull exploder pattern for pigeonhole block keys, in
+    * ONE definition (three hand-synced copies across the batch op, the
+    * streaming twin, and the persisted index were the bandKeyArray
+    * drift class: a struct-layout or explode-discipline change had to
+    * land in all three).
+    */
+  private[graft] def explodedBlockRows(hashes: DataFrame, geom: BlockGeom,
+      idCol: String): DataFrame =
+    hashes.select(col(idCol), col("v"),
+        explode_outer(geom.blockStructs(col("v"))).as("blk"))
+      .where(col("blk").isNotNull)
+      .select(col(idCol), col("v"),
+        col("blk.b").as("b"), col("blk.bk").as("bk"))
+
   /** One DISTINCT (doc_id, v) row per two-level pHash per payload — the
     * shared hash leg of the Hamming-tolerant family (batch, streaming
     * twin, persisted index build and serve all feed from this).
@@ -422,7 +468,7 @@ object Multimodal {
       frameBytes: Int, everyNth: Int): DataFrame = {
     import spark.implicits._
     require(everyNth > 0, s"everyNth=$everyNth must be positive")
-    payloads.select(col("doc_id"), col("payload")).as[Payload]
+    payloadRows(payloads)
       .mapPartitions { it =>
         it.flatMap { p =>
           perceptualFrameHash30s(p.payload, frameBytes, everyNth)
@@ -449,6 +495,9 @@ object Multimodal {
   def perceptualDups(spark: SparkSession, payloads: DataFrame,
       frameBytes: Int = 16, everyNth: Int = 4, minShared: Int = 2,
       maxDf: Int = 50, pHash: Boolean = false): DataFrame = {
+    // Guard parity with the streaming twin (see frameDups).
+    require(minShared >= 1, s"minShared=$minShared must be >= 1")
+    require(maxDf >= 1, s"maxDf=$maxDf must be >= 1")
     val fp = perceptualFingerprints(spark, payloads, frameBytes, everyNth,
       pHash).barrier()
     try TextAnalysis.sharedFingerprintPairs(fp, minShared, maxDf)
@@ -485,15 +534,7 @@ object Multimodal {
     require(maxBlockDf >= 1, s"maxBlockDf=$maxBlockDf must be >= 1")
     val geom = blockGeom(frameBytes, maxDist)
     val fp = hash30Rows(spark, payloads, frameBytes, everyNth)
-    // outer + isNotNull: the exploder convention (the array is a non-
-    // empty literal-of-derived structs, but the inner form is the
-    // InferFiltersFromGenerate regression shape).
-    val bl = fp
-      .select(col("doc_id"), col("v"),
-        explode_outer(geom.blockStructs(col("v"))).as("blk"))
-      .where(col("blk").isNotNull)
-      .select(col("doc_id"), col("v"),
-        col("blk.b").as("b"), col("blk.bk").as("bk"))
+    val bl = explodedBlockRows(fp, geom, "doc_id")
       .barrier() // read three times: df cap + both join legs
     try {
       val keep = bl.groupBy(col("b"), col("bk"))
@@ -571,23 +612,31 @@ object Multimodal {
       if (pHash) perceptualFramePHashes else perceptualFrameHistograms
     // Both sides are (doc_id, payload) frames — [[withPayload]] adapts a
     // documents table on the batch side; the stream carries real binary.
+    // The base fingerprint pass is BARRIERED before the self-aggregate
+    // join (the perceptualDups discipline): capped = baseFp ⋈ rare(baseFp)
+    // otherwise plans the whole base hashing pipeline under TWO branches
+    // and construction pays it twice (exchange reuse is a runtime maybe).
+    // Released once both derived barriers are eagerly materialized —
+    // they, not baseFp, are what the stream re-reads per micro-batch.
     val baseFp = perceptualFingerprints(spark,
-      basePayloads, frameBytes, everyNth, pHash)
-    val rare = baseFp.groupBy(col("fingerprint"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select(col("fingerprint"))
-    val capped = baseFp.join(rare, Seq("fingerprint"))
-      .select(col("fingerprint"), col("doc_id").as("base_id"))
-      .barrier()
-    val baseArr = capped.groupBy(col("base_id"))
-      .agg(sort_array(collect_set(col("fingerprint"))).as("base_fps"))
-      .barrier()
-    val sigged = stream
-      // The streaming twins' null rule: a null-id row's alerts would
-      // collapse onto one sink key.
-      .where(col("doc_id").isNotNull)
-      .select(col("doc_id"), col("payload")).as[Payload]
+      basePayloads, frameBytes, everyNth, pHash).barrier()
+    val (capped, baseArr) =
+      try {
+        val rare = baseFp.groupBy(col("fingerprint"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf)
+          .select(col("fingerprint"))
+        val c = baseFp.join(rare, Seq("fingerprint"))
+          .select(col("fingerprint"), col("doc_id").as("base_id"))
+          .barrier()
+        val a = c.groupBy(col("base_id"))
+          .agg(sort_array(collect_set(col("fingerprint"))).as("base_fps"))
+          .barrier()
+        (c, a)
+      } finally Barrier.release(baseFp)
+    val sigged = payloadRows(stream)
+      // payloadRows drops null-id rows — the streaming twins' null rule
+      // (a null-id row's alerts would collapse onto one sink key).
       .map(p => (p.doc_id, kernel(p.payload, frameBytes, everyNth)))
       .toDF("doc_id", "fps")
     val common = array_intersect(col("fps"), col("base_fps"))
@@ -630,12 +679,7 @@ object Multimodal {
     val geom = blockGeom(frameBytes, maxDist)
     val baseFp = hash30Rows(spark, basePayloads, frameBytes, everyNth)
       .withColumnRenamed("doc_id", "base_id")
-    val bbl = baseFp
-      .select(col("base_id"), col("v"),
-        explode_outer(geom.blockStructs(col("v"))).as("blk"))
-      .where(col("blk").isNotNull)
-      .select(col("base_id"), col("v"),
-        col("blk.b").as("b"), col("blk.bk").as("bk"))
+    val bbl = explodedBlockRows(baseFp, geom, "base_id")
     streamingNearCore(spark, bbl, stream, frameBytes, everyNth, maxDist,
       minShared, maxBlockDf)
   }
@@ -674,11 +718,21 @@ object Multimodal {
       (bit_count(f.bitwiseXOR(gv)) <= maxDist) &&
         arrays_overlap(fKeys(f), gkk)
     // ---- static side, materialized ONCE at construction --------------
-    val keep = bbl.groupBy(col("b"), col("bk"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxBlockDf)
-      .select(col("b"), col("bk"))
-    val kept = bbl.join(keep, Seq("b", "bk")).barrier()
+    // bbl is BARRIERED before the self-aggregate join (the
+    // perceptualNearDups discipline): kept = bbl ⋈ keep(bbl) otherwise
+    // evaluates the whole base pipeline twice at construction — the full
+    // hash pass for the live twin, a double index scan for the
+    // index-served one. Released once kept (eager) exists; the stream
+    // re-reads kept/baseBook only.
+    val bblB = bbl.barrier()
+    val kept =
+      try {
+        val keep = bblB.groupBy(col("b"), col("bk"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxBlockDf)
+          .select(col("b"), col("bk"))
+        bblB.join(keep, Seq("b", "bk")).barrier()
+      } finally Barrier.release(bblB)
     // Per surviving base hash: its surviving packed keys (a hash whose
     // every block was capped drops out here — it can never form a
     // surviving combo, matching the batch candidate rule).
@@ -691,10 +745,7 @@ object Multimodal {
         .as("bvs"))
       .barrier()
     // ---- stream side --------------------------------------------------
-    val sigged = stream
-      // The streaming twins' null rule.
-      .where(col("doc_id").isNotNull)
-      .select(col("doc_id"), col("payload")).as[Payload]
+    val sigged = payloadRows(stream) // drops null-id rows (twins' null rule)
       .map(p => (p.doc_id,
         perceptualFrameHash30s(p.payload, frameBytes, everyNth)))
       .toDF("doc_id", "fps")
@@ -745,7 +796,7 @@ object Multimodal {
     // opaque executor-side ArithmeticException after task retries.
     require(frameBytes > 0, s"frameBytes=$frameBytes must be positive")
     require(everyNth > 0, s"everyNth=$everyNth must be positive")
-    payloads.select(col("doc_id"), col("payload")).as[Payload]
+    payloadRows(payloads)
       .mapPartitions { it =>
         it.flatMap { p =>
           val bytes = Option(p.payload).getOrElse(Array.emptyByteArray)

@@ -2653,6 +2653,34 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(batch == Set((1L, 2L, 3L)), batch)
   }
 
+  test("media kernels: null-id rows drop (family rule) instead of an encoder kill; frameBytes caps at 33; batch guard parity") {
+    import spark.implicits._
+    val pay = Seq((Option(1L), "abcdefghijklmnop" * 4),
+        (Option.empty[Long], "qrstuvwxyzabcdef" * 4))
+      .toDF("doc_id", "text")
+    val payloads = Multimodal.withPayload(pay)
+    // Payload.doc_id is a primitive Long: before payloadRows' filter a
+    // null id killed the whole job with an encoder NPE; the family rule
+    // (dedup/ANN/lex builds) is DROP.
+    assert(Multimodal.mediaMeta(spark, pay).count() == 1)
+    assert(Multimodal.resizeThumbs(spark, payloads).count() == 1)
+    assert(Multimodal.sampleFrames(spark, payloads).count() > 0)
+    Multimodal.perceptualNearDups(spark, payloads).collect() // no kill
+    // Two-level pHash bit budget: 2*(frameBytes-1) > 64 would WRAP the
+    // kernel's shifts mod 64 and silently corrupt every hash.
+    intercept[IllegalArgumentException] {
+      Multimodal.blockGeom(34, 2)
+    }
+    // Batch-vs-stream guard parity: a ported cap of 0 must throw like
+    // the streaming twins, not return silently-empty output forever.
+    intercept[IllegalArgumentException] {
+      Multimodal.perceptualDups(spark, payloads, maxDf = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.frameDups(spark, payloads, minShared = 0)
+    }
+  }
+
   // ---- persisted perceptual media index ----------------------------------
 
   private def mdxTmp(): String =
