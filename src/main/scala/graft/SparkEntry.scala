@@ -170,7 +170,7 @@ object SparkEntry {
     "doc_bm25_index_topk", "doc_bm25_append_topk", "doc_bm25_compact_topk",
     "doc_dedup_index_pairs", "doc_dedup_index_append_pairs",
     "doc_dedup_index_clean", "doc_dedup_index_health",
-    "doc_dedup_index_compact_pairs",
+    "doc_dedup_index_compact_pairs", "doc_dedup_index_retract_pairs",
     "emb_ivf_index_topk", "emb_ivf_append_topk", "emb_ivf_compact_topk",
     "emb_index_health", "emb_ivfpq_topk", "emb_ivfpq_recall",
     "doc_exact_index_clean", "doc_exact_index_append_clean",
@@ -1210,6 +1210,27 @@ object SparkEntry {
         DedupIndex.buildDedupIndex(
           t(s, dir, "documents").filter(col("doc_id") % 10 =!= 7), out)
       DedupIndex.indexHealth(s, out)
+    }),
+
+    // RETRACTION lifecycle — doc-keyed takedown on the near-dup index
+    // (the stats/exact-index negated-generation pattern at the LSH
+    // tier): build on % 10 <> 7, take down the % 10 == 3 slice (one
+    // tombstone generation of doc ids; liveness = newest insert
+    // generation outlives newest tombstone), serve the % 10 == 7 batch.
+    // Base 413 (% 10 = 3) pairs with delta 267 in the untracted index,
+    // so the takedown genuinely changes the answer (7 → 6 pairs at
+    // sf0.01), and the oracle replays the set-minus corpus directly.
+    "doc_dedup_index_retract_pairs" -> ((s, dir) => {
+      val out = indexDir("graft_ddx_rt", dir)
+      if (builtIndexes.add(s"ddxrt:$out")) {
+        val docs = t(s, dir, "documents")
+        DedupIndex.buildDedupIndex(
+          docs.filter(col("doc_id") % 10 =!= 7), out)
+        DedupIndex.retractFromDedupIndex(
+          docs.filter(col("doc_id") % 10 === 3), out)
+      }
+      DedupIndex.dedupIndexPairs(s, out,
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 7))
     }),
 
     // COMPACT lifecycle: build base → append delta → fold both table
@@ -5348,6 +5369,16 @@ object SparkEntry {
     // index covers the same base∪delta corpus — identical oracle.
     "doc_dedup_index_append_pairs" ->
       s"""WITH $minhashPairCtesSql
+         SELECT doc_a, doc_b, jaccard FROM pairs
+         WHERE doc_a % 10 = 7 OR doc_b % 10 = 7""",
+
+    // Retraction replay: the SAME pair chain over the set-minus corpus
+    // (base minus the taken-down % 10 == 3 slice, plus the % 10 == 7
+    // delta = doc_id % 10 <> 3) restricted to delta-touching pairs —
+    // the tombstone mechanics are invisible in the semantics, which is
+    // the exactness claim.
+    "doc_dedup_index_retract_pairs" ->
+      s"""WITH ${minhashPairCtes("WHERE doc_id % 10 <> 3")}
          SELECT doc_a, doc_b, jaccard FROM pairs
          WHERE doc_a % 10 = 7 OR doc_b % 10 = 7""",
 

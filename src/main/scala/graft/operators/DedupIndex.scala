@@ -53,25 +53,26 @@ object DedupIndex {
     */
   private def isDedupDataDir(name: String): Boolean =
     name.matches(
-      """buckets|sets|meta|(buckets|sets)-(delta|compact)-\d{10}""")
+      """buckets|sets|meta|(buckets|sets)-(delta|compact)-\d{10}""" +
+        """|tombs-\d{10}""")
 
   /** The live (seq, bucket dirs, set dirs, meta dir). A freshly-built
     * index has no manifest — it adopts as generation 0.
     */
   private[graft] def dedupManifest(spark: SparkSession, dir: String)
-      : (Long, Seq[String], Seq[String], String) = {
+      : (Long, Seq[String], Seq[String], Seq[String], String) = {
     val (fs, root) = GenManifest.fsRoot(spark, dir)
     GenManifest.latestSeq(fs, root) match {
-      case None => (0L, Seq("buckets"), Seq("sets"), "meta")
+      case None => (0L, Seq("buckets"), Seq("sets"), Nil, "meta")
       case Some(seq) =>
-        val (b, s, m) = dedupManifestAt(fs, root, seq)
-        (seq, b, s, m)
+        val (b, s, t, m) = dedupManifestAt(fs, root, seq)
+        (seq, b, s, t, m)
     }
   }
 
   private def dedupManifestAt(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, g: Long)
-      : (Seq[String], Seq[String], String) =
+      : (Seq[String], Seq[String], Seq[String], String) =
     GenManifest.readNode(fs, root, g) match {
       case Some(node) =>
         import scala.jdk.CollectionConverters._
@@ -95,8 +96,13 @@ object DedupIndex {
           throw new IllegalStateException(
             s"manifest generation $g under $root references no " +
               "buckets/sets dirs — truncated or damaged manifest")
-        (b, s, node.get("meta").asText())
-      case None if g == 0L => (Seq("buckets"), Seq("sets"), "meta")
+        // Tombstone dirs are OPTIONAL (absent on every pre-retraction
+        // manifest — old indexes read unchanged).
+        val t = Option(node.get("tdirs"))
+          .map(_.elements().asScala.map(_.asText()).toSeq)
+          .getOrElse(Nil)
+        (b, s, t, node.get("meta").asText())
+      case None if g == 0L => (Seq("buckets"), Seq("sets"), Nil, "meta")
       case None =>
         // Fail-loud on the READ path (the lexManifestAt contract): a
         // listed-then-vanished manifest is a damaged index or a
@@ -109,10 +115,13 @@ object DedupIndex {
 
   private def commitDedupManifest(spark: SparkSession, dir: String,
       seq: Long, bDirs: Seq[String], sDirs: Seq[String],
-      metaDir: String): Unit = {
+      tDirs: Seq[String], metaDir: String): Unit = {
     val node = GenManifest.newNode()
     val ba = node.putArray("bdirs"); bDirs.foreach(ba.add)
     val sa = node.putArray("sdirs"); sDirs.foreach(sa.add)
+    if (tDirs.nonEmpty) {
+      val ta = node.putArray("tdirs"); tDirs.foreach(ta.add)
+    }
     node.put("meta", metaDir)
     GenManifest.commit(spark, dir, seq, node)
   }
@@ -121,8 +130,8 @@ object DedupIndex {
       current: Long): Unit =
     GenManifest.sweepOwned(spark, dir, current, isDedupDataDir) {
       (fs, root, g) =>
-        val (b, s, m) = dedupManifestAt(fs, root, g)
-        b ++ s :+ m
+        val (b, s, t, m) = dedupManifestAt(fs, root, g)
+        b ++ s ++ t :+ m
     }
 
   /** Write the bucket + set tables of `docs` under `dir/<bName>` and
@@ -212,7 +221,7 @@ object DedupIndex {
     */
   def appendToDedupIndex(newDocs: DataFrame, dir: String): Unit = {
     val spark = newDocs.sparkSession
-    val (seq, bDirs, sDirs, metaDir) = dedupManifest(spark, dir)
+    val (seq, bDirs, sDirs, tDirs, metaDir) = dedupManifest(spark, dir)
     val (n, nBuckets) = readMeta(spark, dir, metaDir)
     val newB = f"buckets-delta-${seq + 1}%010d"
     val newS = f"sets-delta-${seq + 1}%010d"
@@ -224,8 +233,11 @@ object DedupIndex {
         s"[graft] dedup-index append of an EMPTY delta to $dir skipped " +
           "(no commit)")
     } else {
+      // Tombstones carry over: a re-ingested doc_id's NEW generation
+      // outlives any older tombstone, so the append alone restores its
+      // membership (the newest-op-wins rule).
       commitDedupManifest(spark, dir, seq + 1, bDirs :+ newB,
-        sDirs :+ newS, metaDir)
+        sDirs :+ newS, tDirs, metaDir)
       sweepDedupGenerations(spark, dir, seq + 1)
     }
   }
@@ -242,21 +254,101 @@ object DedupIndex {
     * left). Single-writer, like append.
     */
   def compactDedupIndex(spark: SparkSession, dir: String): Unit = {
-    val (seq, bDirs, sDirs, metaDir) = dedupManifest(spark, dir)
-    if (bDirs.length <= 1 && sDirs.length <= 1) {
+    val (seq, bDirs, sDirs, tDirs, metaDir) = dedupManifest(spark, dir)
+    if (bDirs.length <= 1 && sDirs.length <= 1 && tDirs.isEmpty) {
       sweepDedupGenerations(spark, dir, seq)
       return
     }
     val newB = f"buckets-compact-${seq + 1}%010d"
     val newS = f"sets-compact-${seq + 1}%010d"
-    readGenerations(spark, dir, bDirs)
-      .repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/$newB")
-    readGenerations(spark, dir, sDirs)
+    // Tombstone-free rows rewrite VERBATIM; with retraction generations
+    // live the fold keeps only LIVE rows (physically purging taken-down
+    // docs) and the tombstones fold away. A fully-retracted fold is
+    // unrepresentable (a partitioned write of an empty frame leaves a
+    // schema-less dir) — fail loudly with the recovery path.
+    def folded(dirs: Seq[String]): DataFrame =
+      if (tDirs.isEmpty) readGenerations(spark, dir, dirs)
+      else liveRows(readWithGen(spark, dir, dirs), "doc_id",
+        tombMax(spark, dir, tDirs))
+    val fb = folded(bDirs).barrier()
+    try {
+      require(tDirs.isEmpty || fb.count() > 0L,
+        s"compactDedupIndex at $dir: every document is retracted — an " +
+          "all-empty index is unrepresentable; rebuild with " +
+          "buildDedupIndex when content returns")
+      fb.repartition(col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/$newB")
+    } finally Barrier.release(fb)
+    folded(sDirs)
       .repartition(col("sbkt"))
       .write.mode("overwrite").partitionBy("sbkt").parquet(s"$dir/$newS")
-    commitDedupManifest(spark, dir, seq + 1, Seq(newB), Seq(newS), metaDir)
+    commitDedupManifest(spark, dir, seq + 1, Seq(newB), Seq(newS), Nil,
+      metaDir)
     sweepDedupGenerations(spark, dir, seq + 1)
+  }
+
+  /** RETRACT documents from the index — the takedown shape the stats
+    * index proved with negated sums and the exact-dedup index with hash
+    * tombstones, here keyed by DOCUMENT id (the near-dup index's unit:
+    * its at-rest rows are per-doc LSH memberships and shingle sets, so
+    * a doc-id tombstone removes exactly that document's pairing power).
+    * The takedown ids become a tombstone generation under one atomic
+    * manifest commit; liveness resolves per doc as "newest insert
+    * generation outlives newest tombstone" — serves, the streaming
+    * twin, and the health census stop seeing the doc immediately, and a
+    * LATER append of the same doc_id (legal once the id is vacant)
+    * restores it.
+    *
+    * OVER-RETRACTION throws before anything is written (the family
+    * rule): every takedown id must be currently live — retracting a
+    * never-ingested or already-retracted doc is a caller bug, not a
+    * no-op. An empty takedown set is a no-op. [[compactDedupIndex]]
+    * physically purges tombstoned rows and folds the tombstones away.
+    * SINGLE-WRITER, like every GenManifest family. The tombstone table
+    * is takedown-sized by contract (broadcast at serve time; compact
+    * regularly under sustained takedown volume).
+    */
+  def retractFromDedupIndex(docs: DataFrame, dir: String): Unit = {
+    val spark = docs.sparkSession
+    val (seq, bDirs, sDirs, tDirs, metaDir) = dedupManifest(spark, dir)
+    val (_, nBuckets) = readMeta(spark, dir, metaDir)
+    val newT = f"tombs-${seq + 1}%010d"
+    val ids = docs.where(col("doc_id").isNotNull)
+      .select(col("doc_id")).distinct()
+    Barrier.withCached(ids) { h =>
+      if (h.isEmpty) {
+        System.err.println(
+          s"[graft] dedup-index retraction of an EMPTY set at $dir " +
+            "skipped (no commit)")
+      } else {
+        // Membership check over the sets table's pruned sbkt partitions
+        // (the serve discipline) — the takedown set is bounded, so this
+        // reads slivers.
+        val sbkts = h.select(sbktOf(col("doc_id"), nBuckets)
+            .cast("long").as("s"))
+          .distinct().collect().map(_.getLong(0)).toIndexedSeq
+        val ins = readWithGen(spark, dir, sDirs)
+          .filter(col("sbkt").isin(sbkts: _*))
+          .join(broadcast(h), Seq("doc_id"), "left_semi")
+        val live =
+          (if (tDirs.isEmpty) ins
+           else liveRows(ins, "doc_id", tombMax(spark, dir, tDirs)))
+            .select(col("doc_id")).distinct()
+        val nonMembers = h.join(live, Seq("doc_id"), "left_anti").count()
+        require(nonMembers == 0L,
+          s"retractFromDedupIndex at $dir: $nonMembers of the takedown " +
+            "ids are not currently live (never ingested, or already " +
+            "retracted) — a takedown of absent documents is a caller " +
+            "bug, not a no-op")
+        h.withColumn("sbkt", sbktOf(col("doc_id"), nBuckets))
+          .repartition(col("sbkt"))
+          .write.mode("overwrite").partitionBy("sbkt")
+          .parquet(s"$dir/$newT")
+        commitDedupManifest(spark, dir, seq + 1, bDirs, sDirs,
+          tDirs :+ newT, metaDir)
+        sweepDedupGenerations(spark, dir, seq + 1)
+      }
+    }
   }
 
   /** The ingest ACTION over [[dedupIndexPairs]]: every delta document
@@ -352,10 +444,18 @@ object DedupIndex {
     */
   def streamingIndexDups(spark: SparkSession, dir: String,
       stream: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val (_, bDirs, sDirs, metaDir) = dedupManifest(spark, dir)
+    val (_, bDirs, sDirs, tDirs, metaDir) = dedupManifest(spark, dir)
     val (n, _) = readMeta(spark, dir, metaDir)
     val bands = Dedup.Bands
-    val baseBuckets = readGenerations(spark, dir, bDirs)
+    // Retraction-aware static sides: a taken-down doc must not alert
+    // (the exact-index twin's rule) — with tombstone generations live
+    // the per-batch scans resolve membership; compact the index to
+    // fold them away and return these to bare scans.
+    def live(dirs: Seq[String]): DataFrame =
+      if (tDirs.isEmpty) readGenerations(spark, dir, dirs)
+      else liveRows(readWithGen(spark, dir, dirs), "doc_id",
+        tombMax(spark, dir, tDirs))
+    val baseBuckets = live(bDirs)
       .select(col("band"), col("key"), col("doc_id").as("base_id"))
     // Per-base-doc key array (band-indexed) for the smallest-colliding-
     // band emission test — static, built once per stream.
@@ -375,7 +475,7 @@ object DedupIndex {
       .select(col("base_id"),
         array((0 until bands).map(i => col(s"bk$i")): _*).as("base_keys"))
       .barrier()
-    val baseSets = readGenerations(spark, dir, sDirs)
+    val baseSets = live(sDirs)
       .select(col("doc_id").as("base_id"), col("sset").as("bset"))
     // Per-row signature: tokens and shingles materialized as their own
     // attributes FIRST (the interpreted-HOF trap: the convenience
@@ -436,8 +536,13 @@ object DedupIndex {
     */
   def indexHealth(spark: SparkSession, dir: String,
       hotDf: Int = 1): DataFrame = {
-    val (_, bDirs, _, _) = dedupManifest(spark, dir)
-    val bk = readGenerations(spark, dir, bDirs)
+    val (_, bDirs, _, tDirs, _) = dedupManifest(spark, dir)
+    // Health reflects LIVE membership: a retracted hot doc must not
+    // keep inflating the df census an operator tunes maxBucketDf by.
+    val bk =
+      if (tDirs.isEmpty) readGenerations(spark, dir, bDirs)
+      else liveRows(readWithGen(spark, dir, bDirs), "doc_id",
+        tombMax(spark, dir, tDirs))
     val perKey = bk.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("df"))
     perKey.groupBy(col("band"))
@@ -457,6 +562,58 @@ object DedupIndex {
       dirs: Seq[String], partCol: String, keys: Seq[Long]): DataFrame =
     readGenerations(spark, dir, dirs)
       .filter(col(partCol).isin(keys: _*))
+
+  /** The generation number a data dir's rows belong to — encoded in the
+    * dir name ("buckets"/"sets" are the build generation 0). Manifest
+    * seqs are allocated once each, so a doc's insert rows and a
+    * tombstone for it can never tie; a compact fold re-stamps surviving
+    * rows at its own (higher) seq AFTER purging tombstones, which
+    * preserves the newest-op-wins order.
+    */
+  private def genOf(dirName: String): Long =
+    dirName.lastIndexOf('-') match {
+      case -1 => 0L
+      case i  => dirName.substring(i + 1).toLong
+    }
+
+  private def readWithGen(spark: SparkSession, dir: String,
+      dirs: Seq[String]): DataFrame =
+    dirs.map(d => spark.read.parquet(s"$dir/$d")
+        .withColumn("__g", lit(genOf(d))))
+      .reduce(_.unionByName(_))
+
+  /** Per-doc newest tombstone generation — takedown-sized by contract
+    * (compact folds it away), hence broadcast at every use.
+    */
+  private def tombMax(spark: SparkSession, dir: String,
+      tDirs: Seq[String]): DataFrame =
+    readWithGen(spark, dir, tDirs)
+      .groupBy(col("doc_id")).agg(max(col("__g")).as("__tg"))
+
+  /** Liveness filter over generation rows carrying `__g`: a doc's row
+    * is live iff its insert generation outlives the doc's newest
+    * tombstone (re-ingest after takedown restores membership). `tm` is
+    * the [[tombMax]] table keyed by the SAME doc_id attribute name as
+    * `rows`' `idCol`.
+    */
+  private def liveRows(rows: DataFrame, idCol: String,
+      tm: DataFrame): DataFrame =
+    rows.join(broadcast(tm.withColumnRenamed("doc_id", "__tid")),
+        col(idCol) === col("__tid"), "left")
+      .filter(col("__tg").isNull || col("__g") > col("__tg"))
+      .drop("__tid", "__tg", "__g")
+
+  /** The pruned read with retraction applied — serves route here; the
+    * tombstone-free index (the common case) takes the bare pruned read
+    * and its plan is unchanged.
+    */
+  private def readPrunedLive(spark: SparkSession, dir: String,
+      dirs: Seq[String], partCol: String, keys: Seq[Long],
+      tDirs: Seq[String]): DataFrame =
+    if (tDirs.isEmpty) readPruned(spark, dir, dirs, partCol, keys)
+    else liveRows(
+      readWithGen(spark, dir, dirs).filter(col(partCol).isin(keys: _*)),
+      "doc_id", tombMax(spark, dir, tDirs))
 
   /** The generation union-read every consumer shares (serve, health,
     * compaction) — one place for any future cross-generation schema
@@ -531,7 +688,7 @@ object DedupIndex {
     import spark.implicits._
     def emptyCross =
       Seq.empty[(Long, Long, Double)].toDF("delta_id", "base_id", "jaccard")
-    val (_, bDirs, sDirs, metaDir) = dedupManifest(spark, dir)
+    val (_, bDirs, sDirs, tDirs, metaDir) = dedupManifest(spark, dir)
     val (n, nBuckets) = readMeta(spark, dir, metaDir)
     // Null-id delta rows drop up front (the streamingIndexDups rule,
     // batch edition): every pair/verdict join is null-rejecting, so a
@@ -566,7 +723,8 @@ object DedupIndex {
         val legs: (DataFrame, DataFrame) =
         if (bkts.isEmpty) (internal, emptyCross) // token-less delta
         else {
-          val baseBuckets = readPruned(spark, dir, bDirs, "bkt", bkts)
+          val baseBuckets = readPrunedLive(spark, dir, bDirs, "bkt",
+              bkts, tDirs)
             .select(col("band"), col("key"), col("doc_id").as("base_id"))
           val cand = dBuckets.as("d")
             .join(baseBuckets, Seq("band", "key"))
@@ -579,7 +737,8 @@ object DedupIndex {
               .distinct().collect().map(_.getLong(0)).toIndexedSeq
             if (sbkts.isEmpty) (internal, emptyCross)
             else {
-              val baseSets = readPruned(spark, dir, sDirs, "sbkt", sbkts)
+              val baseSets = readPrunedLive(spark, dir, sDirs, "sbkt",
+                  sbkts, tDirs)
                 .select(col("doc_id").as("base_id"),
                   col("sset").as("bset"))
               val cross = cand

@@ -4165,13 +4165,93 @@ class PipelineOperatorsSpec extends SparkSpec {
     // lists exactly one generation dir per table.
     DedupIndex.compactDedupIndex(spark, appended)
     assert(pairs(appended) == a)
-    val (seqC, bDirsC, sDirsC, _) = DedupIndex.dedupManifest(spark, appended)
+    val (seqC, bDirsC, sDirsC, _, _) = DedupIndex.dedupManifest(spark, appended)
     assert(bDirsC.length == 1 && sDirsC.length == 1, s"$bDirsC / $sDirsC")
     assert(bDirsC.head.startsWith("buckets-compact-"))
     // No-op compaction on the already-single-generation index.
     DedupIndex.compactDedupIndex(spark, appended)
     assert(DedupIndex.dedupManifest(spark, appended)._1 == seqC)
     assert(pairs(appended) == a)
+  }
+
+  test("dedupIndex retraction: takedown ≡ rebuild; re-ingest restores; over-retraction throws; compact purges; health + streaming resolve") {
+    import graft.operators.DedupIndex
+    val base = docs(
+      1L -> "w1 w2 w3 w4 w5 w6 w7 w8",
+      2L -> "x1 x2 x3 x4 x5 x6 x7 x8",
+      3L -> "y1 y2 y3 y4 y5 y6 y7 y8")
+    val probe = docs(
+      100L -> "w1 w2 w3 w4 w5 w6 w7 w8", // near-dups doc 1
+      101L -> "y1 y2 y3 y4 y5 y6 y7 y8", // near-dups RETRACTED doc 3
+      102L -> "zz zy zx zw zv")
+    val retracted = ddxTmp(); val rebuilt = ddxTmp()
+    DedupIndex.buildDedupIndex(base, retracted, nBuckets = 8)
+    DedupIndex.retractFromDedupIndex(docs(3L -> "y..."), retracted)
+    DedupIndex.buildDedupIndex(
+      docs(1L -> "w1 w2 w3 w4 w5 w6 w7 w8", 2L -> "x1 x2 x3 x4 x5 x6 x7 x8"),
+      rebuilt, nBuckets = 8)
+    def pairs(dir: String) = DedupIndex.dedupIndexPairs(spark, dir, probe)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val r = pairs(retracted)
+    assert(r == pairs(rebuilt), "takedown ≡ rebuild over surviving docs")
+    assert(r.exists(p => p._1 == 1L && p._2 == 100L))
+    assert(!r.exists(p => p._1 == 3L), "the retracted doc pairs with nothing")
+    // Over-retraction throws before committing: never-ingested id and
+    // an already-retracted repeat alike.
+    intercept[IllegalArgumentException] {
+      DedupIndex.retractFromDedupIndex(docs(999L -> "x"), retracted)
+    }
+    intercept[IllegalArgumentException] {
+      DedupIndex.retractFromDedupIndex(docs(3L -> "x"), retracted)
+    }
+    assert(pairs(retracted) == r, "failed takedowns commit nothing")
+    // Empty takedown set: a no-op.
+    DedupIndex.retractFromDedupIndex(docs(Seq.empty[(Long, String)]: _*),
+      retracted)
+    assert(pairs(retracted) == r)
+    // Health reflects LIVE membership: doc 3's bucket rows no longer
+    // count toward the df census.
+    val hb = DedupIndex.indexHealth(spark, retracted).collect()
+      .map(r2 => r2.getAs[Long]("member_rows")).sum
+    val hr = DedupIndex.indexHealth(spark, rebuilt).collect()
+      .map(r2 => r2.getAs[Long]("member_rows")).sum
+    assert(hb == hr, s"live census $hb must equal the rebuild's $hr")
+    // Re-ingest doc 3 (legal once the id is vacant): the newer insert
+    // generation outlives the tombstone — pairs with 101 again, ≡ a
+    // rebuild over the restored corpus.
+    DedupIndex.appendToDedupIndex(
+      docs(3L -> "y1 y2 y3 y4 y5 y6 y7 y8"), retracted)
+    val r2 = pairs(retracted)
+    assert(r2.exists(p => p._1 == 3L && p._2 == 101L), r2.toString)
+    val rebuilt2 = ddxTmp()
+    DedupIndex.buildDedupIndex(base, rebuilt2, nBuckets = 8)
+    assert(r2 == pairs(rebuilt2), "re-ingest ≡ rebuild over the union")
+    // Compact purges: one generation dir pair, zero tombstone dirs,
+    // serve identical.
+    DedupIndex.compactDedupIndex(spark, retracted)
+    assert(pairs(retracted) == r2)
+    val (_, bD, sD, tD, _) = DedupIndex.dedupManifest(spark, retracted)
+    assert(bD.length == 1 && sD.length == 1 && tD.isEmpty, s"$bD $sD $tD")
+    // Streaming twin over LIVE tombstones: retracted content must not
+    // alert (fresh index, retract doc 3, stream a near-copy of it).
+    val rt2 = ddxTmp()
+    DedupIndex.buildDedupIndex(base, rt2, nBuckets = 8)
+    DedupIndex.retractFromDedupIndex(docs(3L -> "x"), rt2)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val ms = MemoryStream[(Long, String)](spark)
+    ms.addData(Seq((200L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (201L, "y1 y2 y3 y4 y5 y6 y7 y8")))
+    val q = DedupIndex.streamingIndexDups(spark, rt2,
+        ms.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("ddx_rt_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+    val alerts = spark.table("ddx_rt_stream").collect()
+      .map(a => (a.getAs[Long]("doc_id"), a.getAs[Long]("base_id"))).toSet
+    assert(alerts == Set((200L, 1L)),
+      s"only the live base doc alerts, got $alerts")
   }
 
   test("streamingIndexDups: alert stream equals the batch serve's cross leg exactly") {

@@ -746,7 +746,7 @@ class PlanShapeSpec extends SparkSpec {
     // dir list drives the serve read, so the lock reads it back rather
     // than hard-coding names.
     graft.operators.DedupIndex.compactDedupIndex(spark, dir)
-    val (_, bDirs, sDirs, _) =
+    val (_, bDirs, sDirs, _, _) =
       graft.operators.DedupIndex.dedupManifest(spark, dir)
     for ((partCol, dirs) <- Seq("bkt" -> bDirs, "sbkt" -> sDirs)) {
       val p = graft.operators.DedupIndex
