@@ -177,6 +177,7 @@ object SparkEntry {
     "doc_exact_index_retract_clean",
     "doc_media_index_near", "doc_media_index_append_near",
     "doc_media_index_health", "doc_media_index_clean",
+    "doc_media_index_retract_near",
     "doc_stats_cells", "doc_stats_append_cells", "doc_stats_quantiles",
     "doc_stats_health", "doc_stats_retract_cells",
     "doc_stats_retract_quantiles")
@@ -1018,6 +1019,27 @@ object SparkEntry {
         MediaIndex.buildMediaIndex(
           payloads.filter(col("doc_id") % 4 =!= 1), out)
       MediaIndex.mediaIndexClean(s, out,
+        payloads.filter(col("doc_id") % 4 === 1))
+    }),
+
+    // RETRACTION lifecycle — doc-keyed takedown on the media index
+    // (the GenManifest liveness kernels shared with the dedup index):
+    // build on % 4 <> 1, take down the % 4 == 2 slice (tombstone
+    // generation; liveness = newest insert outlives newest tombstone),
+    // serve the % 4 == 1 batch. Both planted groups land members in the
+    // retracted slice (98/214/330/446 and their noisy counterparts), so
+    // the takedown removes real cross pairs and the set-minus oracle
+    // genuinely discriminates.
+    "doc_media_index_retract_near" -> ((s, dir) => {
+      val payloads = Multimodal.withPayload(mediaNearPlanted(s, dir))
+      val out = indexDir("graft_mdx_rt", dir)
+      if (builtIndexes.add(s"mdxrt:$out")) {
+        MediaIndex.buildMediaIndex(
+          payloads.filter(col("doc_id") % 4 =!= 1), out)
+        MediaIndex.retractFromMediaIndex(
+          payloads.filter(col("doc_id") % 4 === 2), out)
+      }
+      MediaIndex.mediaIndexPairs(s, out,
         payloads.filter(col("doc_id") % 4 === 1))
     }),
 
@@ -3174,23 +3196,29 @@ object SparkEntry {
     * (`doc_id % 4 = 1` is the registered ingest slice), sharing every
     * CTE so the oracles cannot drift.
     */
-  private def mediaNearPairChainCtes: String =
+  /** `blWhere` restricts the hash-block table (the retract oracle's
+    * set-minus corpus); "" is the full batch replay every other media
+    * oracle shares.
+    */
+  private def mediaNearPairChainCtes(blWhere: String = ""): String =
     s"""$mediaNearCtes,
+         blv AS (SELECT * FROM bl $blWhere),
                   keep AS (
-           SELECT b, bk FROM bl GROUP BY 1, 2 HAVING COUNT(*) <= 100),
+           SELECT b, bk FROM blv GROUP BY 1, 2 HAVING COUNT(*) <= 100),
          cand AS (
            SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
              a.hv AS va, b2.hv AS vb
-           FROM bl a
+           FROM blv a
            JOIN keep k ON a.b = k.b AND a.bk = k.bk
-           JOIN bl b2 ON b2.b = a.b AND b2.bk = a.bk
+           JOIN blv b2 ON b2.b = a.b AND b2.bk = a.bk
              AND a.doc_id < b2.doc_id),
          ver AS (
            SELECT doc_a, doc_b FROM cand
            WHERE bit_count(xor(va, vb)) <= 2)"""
 
-  private def mediaNearPairsSql(restrict: String): String =
-    s"""WITH $mediaNearPairChainCtes
+  private def mediaNearPairsSql(restrict: String,
+      blWhere: String = ""): String =
+    s"""WITH ${mediaNearPairChainCtes(blWhere)}
          SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS shared
          FROM ver ${restrict}GROUP BY 1, 2 HAVING COUNT(*) >= 2"""
 
@@ -6046,7 +6074,7 @@ object SparkEntry {
     // keep. The pairs CTE is the unrestricted batch replay — base-base
     // pairs mark neither side and fall out of the drop set structurally.
     "doc_media_index_clean" ->
-      s"""WITH $mediaNearPairChainCtes,
+      s"""WITH ${mediaNearPairChainCtes()},
          pairs AS (
            SELECT doc_a, doc_b FROM ver GROUP BY 1, 2 HAVING COUNT(*) >= 2),
          dd AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 1),
@@ -6060,6 +6088,14 @@ object SparkEntry {
            SELECT doc_b FROM dp WHERE b_delta)
          SELECT d.doc_id, dr.doc_id IS NULL AS keep
          FROM dd d LEFT JOIN dr ON d.doc_id = dr.doc_id""",
+
+    // Retraction replay: the SAME pair chain over the set-minus corpus
+    // ((base minus the taken-down % 4 == 2 slice) plus the % 4 == 1
+    // delta = doc_id % 4 <> 2), restricted to delta-touching pairs —
+    // the tombstone mechanics are invisible in the semantics.
+    "doc_media_index_retract_near" -> mediaNearPairsSql(
+      "WHERE doc_a % 4 = 1 OR doc_b % 4 = 1 ",
+      "WHERE doc_id % 4 <> 2"),
 
     "doc_media_index_health" -> mediaIndexHealthSql,
 

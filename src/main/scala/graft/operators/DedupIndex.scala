@@ -563,45 +563,20 @@ object DedupIndex {
     readGenerations(spark, dir, dirs)
       .filter(col(partCol).isin(keys: _*))
 
-  /** The generation number a data dir's rows belong to — encoded in the
-    * dir name ("buckets"/"sets" are the build generation 0). Manifest
-    * seqs are allocated once each, so a doc's insert rows and a
-    * tombstone for it can never tie; a compact fold re-stamps surviving
-    * rows at its own (higher) seq AFTER purging tombstones, which
-    * preserves the newest-op-wins order.
-    */
-  private def genOf(dirName: String): Long =
-    dirName.lastIndexOf('-') match {
-      case -1 => 0L
-      case i  => dirName.substring(i + 1).toLong
-    }
-
+  // genOf/readWithGen/tombMax/liveRows live in [[GenManifest]] — the
+  // doc-keyed tombstone kernels shared with MediaIndex (one definition,
+  // the bandKeyArray rule).
   private def readWithGen(spark: SparkSession, dir: String,
       dirs: Seq[String]): DataFrame =
-    dirs.map(d => spark.read.parquet(s"$dir/$d")
-        .withColumn("__g", lit(genOf(d))))
-      .reduce(_.unionByName(_))
+    GenManifest.readWithGen(spark, dir, dirs)
 
-  /** Per-doc newest tombstone generation — takedown-sized by contract
-    * (compact folds it away), hence broadcast at every use.
-    */
   private def tombMax(spark: SparkSession, dir: String,
       tDirs: Seq[String]): DataFrame =
-    readWithGen(spark, dir, tDirs)
-      .groupBy(col("doc_id")).agg(max(col("__g")).as("__tg"))
+    GenManifest.tombMax(spark, dir, tDirs, "doc_id")
 
-  /** Liveness filter over generation rows carrying `__g`: a doc's row
-    * is live iff its insert generation outlives the doc's newest
-    * tombstone (re-ingest after takedown restores membership). `tm` is
-    * the [[tombMax]] table keyed by the SAME doc_id attribute name as
-    * `rows`' `idCol`.
-    */
   private def liveRows(rows: DataFrame, idCol: String,
       tm: DataFrame): DataFrame =
-    rows.join(broadcast(tm.withColumnRenamed("doc_id", "__tid")),
-        col(idCol) === col("__tid"), "left")
-      .filter(col("__tg").isNull || col("__g") > col("__tg"))
-      .drop("__tid", "__tg", "__g")
+    GenManifest.liveRows(rows, idCol, tm)
 
   /** The pruned read with retraction applied — serves route here; the
     * tombstone-free index (the common case) takes the bare pruned read

@@ -169,4 +169,54 @@ private[graft] object GenManifest {
       }
     sweep(spark, dir, current, referenced, isDataDir)
   }
+
+  // ---- retraction kernels (shared by the doc-keyed tombstone families:
+  // DedupIndex + MediaIndex; ExactDedupIndex keeps its hash-keyed
+  // resolveMembers, which aggregates per hash rather than per row) ------
+
+  /** The generation number a data dir's rows belong to — encoded in the
+    * dir name (an unsuffixed build dir is generation 0; "-<seq>" names
+    * carry their commit's seq). Manifest seqs are allocated once each,
+    * so insert rows and a tombstone for one key can never tie; a
+    * compact fold re-stamps surviving rows at its own (higher) seq
+    * AFTER purging tombstones, which preserves the newest-op-wins
+    * order.
+    */
+  def genOf(dirName: String): Long =
+    dirName.lastIndexOf('-') match {
+      case -1 => 0L
+      case i  => dirName.substring(i + 1).toLong
+    }
+
+  /** Generation read with the generation number attached as `__g`. */
+  def readWithGen(spark: SparkSession, dir: String,
+      dirs: Seq[String]): org.apache.spark.sql.DataFrame =
+    dirs.map(d => spark.read.parquet(s"$dir/$d")
+        .withColumn("__g", org.apache.spark.sql.functions.lit(genOf(d))))
+      .reduce(_.unionByName(_))
+
+  /** Per-key newest tombstone generation `(keyCol, __tg)` — takedown-
+    * sized by contract (compact folds it away), hence broadcast at
+    * every use.
+    */
+  def tombMax(spark: SparkSession, dir: String, tDirs: Seq[String],
+      keyCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, max}
+    readWithGen(spark, dir, tDirs)
+      .groupBy(col(keyCol)).agg(max(col("__g")).as("__tg"))
+  }
+
+  /** Liveness filter over generation rows carrying `__g`: a key's row
+    * is live iff its insert generation outlives the key's newest
+    * tombstone (re-ingest after takedown restores membership). `tm` is
+    * the [[tombMax]] table for the SAME `keyCol`.
+    */
+  def liveRows(rows: org.apache.spark.sql.DataFrame, keyCol: String,
+      tm: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    rows.join(broadcast(tm.withColumnRenamed(keyCol, "__tid")),
+        col(keyCol) === col("__tid"), "left")
+      .filter(col("__tg").isNull || col("__g") > col("__tg"))
+      .drop("__tid", "__tg", "__g")
+  }
 }

@@ -50,24 +50,26 @@ object MediaIndex {
     * delete (foreign files in the dir are never collected).
     */
   private def isMediaDataDir(name: String): Boolean =
-    name.matches("""blocks|meta|blocks-(delta|compact)-\d{10}""")
+    name.matches("""blocks|meta|blocks-(delta|compact)-\d{10}""" +
+      """|tombs-\d{10}""")
 
   /** The live (seq, block dirs, meta dir). A freshly-built index has no
     * manifest — it adopts as generation 0.
     */
   private[graft] def mediaManifest(spark: SparkSession, dir: String)
-      : (Long, Seq[String], String) = {
+      : (Long, Seq[String], Seq[String], String) = {
     val (fs, root) = GenManifest.fsRoot(spark, dir)
     GenManifest.latestSeq(fs, root) match {
-      case None => (0L, Seq("blocks"), "meta")
+      case None => (0L, Seq("blocks"), Nil, "meta")
       case Some(seq) =>
-        val (b, m) = mediaManifestAt(fs, root, seq)
-        (seq, b, m)
+        val (b, t, m) = mediaManifestAt(fs, root, seq)
+        (seq, b, t, m)
     }
   }
 
   private def mediaManifestAt(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, g: Long): (Seq[String], String) =
+      root: org.apache.hadoop.fs.Path, g: Long)
+      : (Seq[String], Seq[String], String) =
     GenManifest.readNode(fs, root, g) match {
       case Some(node) =>
         import scala.jdk.CollectionConverters._
@@ -93,8 +95,13 @@ object MediaIndex {
           throw new IllegalStateException(
             s"manifest generation $g under $root references no block " +
               "dirs — truncated or damaged manifest")
-        (b, node.get("meta").asText())
-      case None if g == 0L => (Seq("blocks"), "meta")
+        // Tombstone dirs are OPTIONAL (absent on every pre-retraction
+        // manifest — old indexes read unchanged).
+        val t = Option(node.get("tdirs"))
+          .map(_.elements().asScala.map(_.asText()).toSeq)
+          .getOrElse(Nil)
+        (b, t, node.get("meta").asText())
+      case None if g == 0L => (Seq("blocks"), Nil, "meta")
       case None =>
         // Fail-loud on the READ path; the sweep tolerates this via its
         // own NonFatal catch.
@@ -104,9 +111,13 @@ object MediaIndex {
     }
 
   private def commitMediaManifest(spark: SparkSession, dir: String,
-      seq: Long, bDirs: Seq[String], metaDir: String): Unit = {
+      seq: Long, bDirs: Seq[String], tDirs: Seq[String],
+      metaDir: String): Unit = {
     val node = GenManifest.newNode()
     val ba = node.putArray("bdirs"); bDirs.foreach(ba.add)
+    if (tDirs.nonEmpty) {
+      val ta = node.putArray("tdirs"); tDirs.foreach(ta.add)
+    }
     node.put("meta", metaDir)
     GenManifest.commit(spark, dir, seq, node)
   }
@@ -115,8 +126,8 @@ object MediaIndex {
       current: Long): Unit =
     GenManifest.sweepOwned(spark, dir, current, isMediaDataDir) {
       (fs, root, g) =>
-        val (b, m) = mediaManifestAt(fs, root, g)
-        b :+ m
+        val (b, t, m) = mediaManifestAt(fs, root, g)
+        b ++ t :+ m
     }
 
   /** The exploded block table of `payloads` — the one row shape every
@@ -195,7 +206,7 @@ object MediaIndex {
     */
   def appendToMediaIndex(newPayloads: DataFrame, dir: String): Unit = {
     val spark = newPayloads.sparkSession
-    val (seq, bDirs, metaDir) = mediaManifest(spark, dir)
+    val (seq, bDirs, tDirs, metaDir) = mediaManifest(spark, dir)
     val meta = spark.read.parquet(s"$dir/$metaDir").head()
     val newB = f"blocks-delta-${seq + 1}%010d"
     val rows = writeBlocks(newPayloads, dir,
@@ -206,7 +217,10 @@ object MediaIndex {
         s"[graft] media-index append of an EMPTY delta to $dir skipped " +
           "(no commit)")
     } else {
-      commitMediaManifest(spark, dir, seq + 1, bDirs :+ newB, metaDir)
+      // Tombstones carry over: a re-ingested doc_id's NEW generation
+      // outlives any older tombstone (the newest-op-wins rule).
+      commitMediaManifest(spark, dir, seq + 1, bDirs :+ newB, tDirs,
+        metaDir)
       sweepMediaGenerations(spark, dir, seq + 1)
     }
   }
@@ -219,17 +233,79 @@ object MediaIndex {
     * garbage a previously-failed best-effort sweep left).
     */
   def compactMediaIndex(spark: SparkSession, dir: String): Unit = {
-    val (seq, bDirs, metaDir) = mediaManifest(spark, dir)
-    if (bDirs.length <= 1) {
+    val (seq, bDirs, tDirs, metaDir) = mediaManifest(spark, dir)
+    if (bDirs.length <= 1 && tDirs.isEmpty) {
       sweepMediaGenerations(spark, dir, seq)
       return
     }
     val newB = f"blocks-compact-${seq + 1}%010d"
-    readGenerations(spark, dir, bDirs)
-      .repartition(col("bbkt"))
-      .write.mode("overwrite").partitionBy("bbkt").parquet(s"$dir/$newB")
-    commitMediaManifest(spark, dir, seq + 1, Seq(newB), metaDir)
+    // Tombstone-free rows rewrite verbatim; with retraction generations
+    // live the fold keeps only LIVE rows (physically purging taken-down
+    // docs) and the tombstones fold away. A fully-retracted fold is
+    // unrepresentable (schema-less dir) — fail loudly.
+    val fb = foldedLive(spark, dir, bDirs, tDirs).barrier()
+    try {
+      require(tDirs.isEmpty || fb.count() > 0L,
+        s"compactMediaIndex at $dir: every payload is retracted — an " +
+          "all-empty index is unrepresentable; rebuild with " +
+          "buildMediaIndex when content returns")
+      fb.repartition(col("bbkt"))
+        .write.mode("overwrite").partitionBy("bbkt").parquet(s"$dir/$newB")
+    } finally Barrier.release(fb)
+    commitMediaManifest(spark, dir, seq + 1, Seq(newB), Nil, metaDir)
     sweepMediaGenerations(spark, dir, seq + 1)
+  }
+
+  private def foldedLive(spark: SparkSession, dir: String,
+      dirs: Seq[String], tDirs: Seq[String]): DataFrame =
+    if (tDirs.isEmpty) readGenerations(spark, dir, dirs)
+    else GenManifest.liveRows(
+      GenManifest.readWithGen(spark, dir, dirs), "doc_id",
+      GenManifest.tombMax(spark, dir, tDirs, "doc_id"))
+
+  /** RETRACT payloads from the index — the doc-keyed takedown shape
+    * shared with [[DedupIndex.retractFromDedupIndex]] (the GenManifest
+    * liveness kernels are the ONE definition): takedown ids become a
+    * tombstone generation, liveness = newest insert generation outlives
+    * newest tombstone, a later append of the vacant id restores it.
+    * OVER-RETRACTION throws before anything is written; empty takedown
+    * sets are a no-op; [[compactMediaIndex]] physically purges. The
+    * membership check scans the blocks table's (doc_id, gen) columns —
+    * maintenance-grade like compaction (columnar-pruned longs, never
+    * payloads). SINGLE-WRITER, like every GenManifest family.
+    */
+  def retractFromMediaIndex(docs: DataFrame, dir: String): Unit = {
+    val spark = docs.sparkSession
+    val (seq, bDirs, tDirs, metaDir) = mediaManifest(spark, dir)
+    val newT = f"tombs-${seq + 1}%010d"
+    val ids = docs.where(col("doc_id").isNotNull)
+      .select(col("doc_id")).distinct()
+    Barrier.withCached(ids) { h =>
+      if (h.isEmpty) {
+        System.err.println(
+          s"[graft] media-index retraction of an EMPTY set at $dir " +
+            "skipped (no commit)")
+      } else {
+        val ins = GenManifest.readWithGen(spark, dir, bDirs)
+          .select(col("doc_id"), col("__g"))
+          .join(broadcast(h), Seq("doc_id"), "left_semi")
+        val live =
+          (if (tDirs.isEmpty) ins
+           else GenManifest.liveRows(ins, "doc_id",
+             GenManifest.tombMax(spark, dir, tDirs, "doc_id")))
+            .select(col("doc_id")).distinct()
+        val nonMembers = h.join(live, Seq("doc_id"), "left_anti").count()
+        require(nonMembers == 0L,
+          s"retractFromMediaIndex at $dir: $nonMembers of the takedown " +
+            "ids are not currently live (never ingested, or already " +
+            "retracted) — a takedown of absent payloads is a caller " +
+            "bug, not a no-op")
+        h.write.mode("overwrite").parquet(s"$dir/$newT")
+        commitMediaManifest(spark, dir, seq + 1, bDirs, tDirs :+ newT,
+          metaDir)
+        sweepMediaGenerations(spark, dir, seq + 1)
+      }
+    }
   }
 
   /** Per-block hot-key report over the index at rest (the indexHealth
@@ -240,8 +316,9 @@ object MediaIndex {
     */
   def mediaIndexHealth(spark: SparkSession, dir: String,
       hotDf: Int = 1): DataFrame = {
-    val (_, bDirs, _) = mediaManifest(spark, dir)
-    val bk = readGenerations(spark, dir, bDirs)
+    val (_, bDirs, tDirs, _) = mediaManifest(spark, dir)
+    // Health reflects LIVE membership (the DedupIndex rule).
+    val bk = foldedLive(spark, dir, bDirs, tDirs)
     bk.groupBy(col("b"), col("bk"))
       .agg(count(lit(1)).as("df"))
       .groupBy(col("b"))
@@ -285,9 +362,10 @@ object MediaIndex {
   def streamingMediaIndexDups(spark: SparkSession, dir: String,
       stream: DataFrame, minShared: Int = 2,
       maxBlockDf: Int = 100): DataFrame = {
-    val (_, bDirs, metaDir) = mediaManifest(spark, dir)
+    val (_, bDirs, tDirs, metaDir) = mediaManifest(spark, dir)
     val meta = spark.read.parquet(s"$dir/$metaDir").head()
-    val bbl = readGenerations(spark, dir, bDirs)
+    // Retraction-aware: a taken-down payload must not alert.
+    val bbl = foldedLive(spark, dir, bDirs, tDirs)
       .select(col("doc_id").as("base_id"), col("v"), col("b"), col("bk"))
     Multimodal.streamingNearCore(spark, bbl, stream,
       meta.getAs[Int]("frame_bytes"), meta.getAs[Int]("every_nth"),
@@ -414,7 +492,7 @@ object MediaIndex {
       delta: DataFrame, maxBlockDf: Int)(
       body: Option[ServeLegs] => A): A = {
     require(maxBlockDf >= 1, s"maxBlockDf=$maxBlockDf must be >= 1")
-    val (_, bDirs, metaDir) = mediaManifest(spark, dir)
+    val (_, bDirs, tDirs, metaDir) = mediaManifest(spark, dir)
     val meta = spark.read.parquet(s"$dir/$metaDir").head()
     val frameBytes = meta.getAs[Int]("frame_bytes")
     val everyNth = meta.getAs[Int]("every_nth")
@@ -437,7 +515,16 @@ object MediaIndex {
       // (b, bk) restricts the pruned partitions to touched keys, and
       // the distinct key list broadcast keeps the base side a hash
       // probe, never a shuffle of the index.
-      val baseTouch = readPruned(spark, dir, bDirs, bbkts)
+      // Retraction-aware pruned read: with tombstone generations live
+      // the base rows resolve membership (the tombstone-free plan — every
+      // registered query today — is unchanged).
+      val basePruned =
+        if (tDirs.isEmpty) readPruned(spark, dir, bDirs, bbkts)
+        else GenManifest.liveRows(
+          GenManifest.readWithGen(spark, dir, bDirs)
+            .filter(col("bbkt").isin(bbkts: _*)),
+          "doc_id", GenManifest.tombMax(spark, dir, tDirs, "doc_id"))
+      val baseTouch = basePruned
         .join(broadcast(dbl.select(col("b"), col("bk")).distinct()),
           Seq("b", "bk"))
         .select(col("b"), col("bk"), col("doc_id"), col("v"))

@@ -2836,7 +2836,7 @@ class PipelineOperatorsSpec extends SparkSpec {
     // COMPACT: serve identical across the fold; ONE generation remains.
     graft.operators.MediaIndex.compactMediaIndex(spark, appended)
     assert(serve(appended) == a)
-    val (seqC, bDirsC, _) =
+    val (seqC, bDirsC, _, _) =
       graft.operators.MediaIndex.mediaManifest(spark, appended)
     assert(bDirsC.length == 1 && bDirsC.head.startsWith("blocks-compact-"),
       bDirsC)
@@ -2852,6 +2852,74 @@ class PipelineOperatorsSpec extends SparkSpec {
         appended))
     assert(e.getMessage.contains("nothing to index"), e.getMessage)
     assert(serve(appended) == a, "previous index left intact")
+  }
+
+  test("mediaIndex retraction: takedown ≡ rebuild; re-ingest restores; over-retraction throws; compact purges; streaming resolves") {
+    import spark.implicits._
+    def head(st: Int) =
+      (0 until 16).map(n => ('A' + ((n * st) % 26)).toChar).mkString
+    def pay(rows: (Long, String)*) =
+      Multimodal.withPayload(rows.toDF("doc_id", "text"))
+    val base = pay(1L -> (head(2) + "q" * 48), 2L -> (head(3) + "q" * 48),
+      3L -> (head(5) + "q" * 48))
+    val probe = pay(
+      100L -> (head(2) + "q" * 48), // near-dups doc 1
+      101L -> (head(5) + "q" * 48), // near-dups RETRACTED doc 3
+      102L -> (head(11) + "q" * 48))
+    val retracted = mdxTmp(); val rebuilt = mdxTmp()
+    graft.operators.MediaIndex.buildMediaIndex(base, retracted, nBuckets = 8)
+    graft.operators.MediaIndex.retractFromMediaIndex(
+      pay(3L -> "x"), retracted)
+    graft.operators.MediaIndex.buildMediaIndex(
+      pay(1L -> (head(2) + "q" * 48), 2L -> (head(3) + "q" * 48)),
+      rebuilt, nBuckets = 8)
+    def serve(dir: String) = mediaPairs(graft.operators.MediaIndex
+      .mediaIndexPairs(spark, dir, probe, minShared = 1))
+    val r = serve(retracted)
+    assert(r == serve(rebuilt), "takedown ≡ rebuild over surviving docs")
+    assert(r.exists(p => p._1 == 1L && p._2 == 100L))
+    assert(!r.exists(p => p._1 == 3L), "retracted doc pairs with nothing")
+    // Over-retraction throws (never-ingested + already-retracted).
+    intercept[IllegalArgumentException] {
+      graft.operators.MediaIndex.retractFromMediaIndex(
+        pay(999L -> "x"), retracted)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.MediaIndex.retractFromMediaIndex(
+        pay(3L -> "x"), retracted)
+    }
+    assert(serve(retracted) == r, "failed takedowns commit nothing")
+    // Re-ingest of the vacant id restores membership (newest-op-wins).
+    graft.operators.MediaIndex.appendToMediaIndex(
+      pay(3L -> (head(5) + "q" * 48)), retracted)
+    val r2 = serve(retracted)
+    assert(r2.exists(p => p._1 == 3L && p._2 == 101L), r2.toString)
+    // Compact purges tombstones: one generation dir, none left, serve
+    // identical; the clean verdict resolves liveness too.
+    graft.operators.MediaIndex.compactMediaIndex(spark, retracted)
+    assert(serve(retracted) == r2)
+    val (_, bD, tD, _) =
+      graft.operators.MediaIndex.mediaManifest(spark, retracted)
+    assert(bD.length == 1 && tD.isEmpty, s"$bD $tD")
+    // Streaming twin over LIVE tombstones: the retracted payload must
+    // not alert (fresh index, retract doc 3, stream its near-copy).
+    val rt2 = mdxTmp()
+    graft.operators.MediaIndex.buildMediaIndex(base, rt2, nBuckets = 8)
+    graft.operators.MediaIndex.retractFromMediaIndex(pay(3L -> "x"), rt2)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[(Long, Array[Byte])](spark)
+    ms.addData(Seq(
+      (200L, (head(2) + "q" * 48).getBytes("UTF-8")),
+      (201L, (head(5) + "q" * 48).getBytes("UTF-8"))))
+    val q = graft.operators.MediaIndex.streamingMediaIndexDups(spark, rt2,
+        ms.toDF().toDF("doc_id", "payload"), minShared = 1)
+      .writeStream.format("memory").queryName("mdx_rt_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+    val alerts = spark.table("mdx_rt_stream").collect()
+      .map(a => (a.getAs[Long]("doc_id"), a.getAs[Long]("base_id"))).toSet
+    assert(alerts == Set((200L, 1L)),
+      s"only the live base payload alerts, got $alerts")
   }
 
   test("streamingMediaIndexDups: index-backed alerts equal the live-base twin, exactly once per delivery") {

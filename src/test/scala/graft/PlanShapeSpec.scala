@@ -814,7 +814,7 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(hp).length <= 2, hp.take(2000))
     // COMPACTION restores exactly ONE pruned scan (manifest-driven).
     graft.operators.MediaIndex.compactMediaIndex(spark, dir)
-    val (_, bDirs, _) = graft.operators.MediaIndex.mediaManifest(spark, dir)
+    val (_, bDirs, _, _) = graft.operators.MediaIndex.mediaManifest(spark, dir)
     val pc = graft.operators.MediaIndex
       .readPruned(spark, dir, bDirs, Seq(0L, 3L))
       .queryExecution.executedPlan.toString
