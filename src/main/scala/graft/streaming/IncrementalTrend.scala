@@ -203,9 +203,16 @@ object IncrementalTrend {
       }
     val deltas = PageAggregates.pageAggregates(editsMapped, cfg)
 
-    // 4. Full-outer merge into state.
+    // 4. Full-outer merge into state. NULL-SAFE on the id: a null-id
+    // page (null-title edit with a non-falsy wiki — the round-9 rule
+    // preserves it as one group rather than dropping it) never matches
+    // itself under `===` in a full_outer join, so each batch carrying
+    // such edits would emit BOTH sides and state would accumulate one
+    // duplicate null-id row per batch — breaking the fold-invariance
+    // identity (replay([b1, b2]) ≡ replay([b1 ++ b2])) the fgws path
+    // (groupByKey groups null keys) and the one-shot batch keep.
     val s = stateSide.as("s"); val d = deltas.as("d")
-    val merged = s.join(d, col("s.id") === col("d.id"), "full_outer")
+    val merged = s.join(d, col("s.id") <=> col("d.id"), "full_outer")
       .select(
         coalesce(col("s.id"), col("d.id")).as("id"),
         coalesce(col("d.title"), col("s.title")).as("title"),
@@ -545,7 +552,15 @@ object IncrementalTrend {
       // away — a long replay otherwise holds O(batches) × state-size
       // executor storage until driver GC (the BPE-loop lesson). The
       // initial emptyState is not a barrier; release is a safe no-op.
-      val next = processBatch(st, b.toDF(), asOfMs, cfg).barrier()
+      // Release the superseded generation on the FAILURE path too (the
+      // dupClusters rule): an exception mid-fold — a malformed fixture
+      // batch tripping MaxLogOps — otherwise strands the previous
+      // barrier's checkpoint blocks until driver GC.
+      val next =
+        try processBatch(st, b.toDF(), asOfMs, cfg).barrier()
+        catch { case t: Throwable =>
+          graft.operators.Barrier.release(st); throw t
+        }
       graft.operators.Barrier.release(st)
       next
     }
@@ -593,6 +608,21 @@ object IncrementalTrend {
     * buckets at different stamps, and the entry-wise replay check resumes
     * each at its own position.
     */
+  /** The data-path eviction clock — TrendStream.updateFn's clamp,
+    * propagated to the foreachBatch twin: catching up a backlog after
+    * downtime with wall-clock asOf would read every replayed page's
+    * EVENT-time stamps as idle/ancient and mass-evict live pages
+    * mid-catch-up (later edits then recreate them with truncated
+    * history). min(wall, newest event ts) ≈ wall on a live stream (the
+    * reference's wall-clock cleaner) and tracks stream time during a
+    * replay; an EMPTY batch — the engine's no-data tick — has no event
+    * clock and keeps wall time, which is exactly the live-cleaner case
+    * the full sweep exists for.
+    */
+  private[graft] def dataAsOfMs(nowMs: Long,
+      maxEventTs: java.sql.Timestamp): Long =
+    if (maxEventTs == null) nowMs else math.min(nowMs, maxEventTs.getTime)
+
   def run(events: Dataset[RecentChange], stateDir: String,
       checkpointDir: String, cfg: TrendConfig = TrendConfig(),
       numBuckets: Int = 64, fullSweepEveryNBatches: Int = 10): StreamingQuery = {
@@ -600,8 +630,11 @@ object IncrementalTrend {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[RecentChange], batchId: Long) =>
-        foldBatch(batch.toDF(), stateDir, batchId,
-          System.currentTimeMillis(), cfg, numBuckets, fullSweepEveryNBatches)
+        val df = batch.toDF()
+        val maxTs = df.agg(max(col("ts"))).head().getTimestamp(0)
+        foldBatch(df, stateDir, batchId,
+          dataAsOfMs(System.currentTimeMillis(), maxTs),
+          cfg, numBuckets, fullSweepEveryNBatches)
       }
       .start()
   }

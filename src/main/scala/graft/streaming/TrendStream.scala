@@ -162,8 +162,20 @@ object TrendStream {
     * processing time.
     */
   def survives(s: PageState, asOfMs: Long, cfg: TrendConfig): Boolean = {
-    val ageMins = (asOfMs - s.start.getTime) / 60000.0
-    val idleMins = (asOfMs - s.updated.getTime) / 60000.0
+    // µs-EXACT stamp arithmetic, matching the Column twin
+    // (PageAggregates.age/lastUpdated: cast(timestamp AS double) is
+    // epoch-µs / 1e6) — Timestamp.getTime truncates the sub-millisecond
+    // component, which on a µs-precision feed (timestamp_micros) nudged
+    // idle/age UP by fractions of a ms and could flip a page sitting
+    // exactly on a policy boundary between the stream and batch paths
+    // (the jaccardOf-BigDecimal class of stream ≡ batch split: a Scala
+    // twin must compute what the Column computes).
+    def sec(ts: java.sql.Timestamp): Double =
+      (Math.floorDiv(ts.getTime, 1000L) * 1000000L +
+        ts.getNanos / 1000L) / 1e6
+    val asOfSec = (asOfMs * 1000L) / 1e6
+    val ageMins = (asOfSec - sec(s.start)) / 60.0
+    val idleMins = (asOfSec - sec(s.updated)) / 60.0
     // No-arg editsPerMinute(), as the reference cleaner calls it
     // (index.js:374): edits only — no reverts, no anon double-count.
     val cnt = s.edits

@@ -65,6 +65,41 @@ class IncrementalTrendSpec extends SparkSpec {
     }
   }
 
+  test("null-id page: the state merge is null-safe — fold-invariance holds across batches (round-9 rule)") {
+    // A null-title edit with a non-falsy wiki yields pageId = NULL; the
+    // round-9 decision PRESERVES it as one group (the fgws groupByKey
+    // groups null keys; TrendCollection's ops were made null-safe for
+    // it). The state merge's `===` join never matched NULL to NULL, so
+    // every batch carrying such edits duplicated the null-id state row.
+    def nullEdit(min: Int, user: String): RecentChange =
+      RecentChange(null, "yo", 0, user, bot = false, "edit", 1L, 2L,
+        "dewiki", "en.wikipedia.org", null, null, null, null, at(min))
+    val twoBatches = replay(
+      Seq(edit("Foo", min = 0), nullEdit(0, "A")),
+      Seq(nullEdit(1, "B")))
+    val oneBatch = replay(
+      Seq(edit("Foo", min = 0), nullEdit(0, "A"), nullEdit(1, "B")))
+    assert(twoBatches.keySet == Set("Foo", null), twoBatches.keySet.toString)
+    assert(twoBatches.keySet == oneBatch.keySet)
+    assert(twoBatches(null).getAs[Long]("edits") == 2L,
+      "both null-id edits fold into ONE row")
+    assert(twoBatches(null).getAs[Long]("edits") ==
+      oneBatch(null).getAs[Long]("edits"))
+  }
+
+  test("run()'s eviction clock clamps to the newest event ts (the updateFn backlog rule)") {
+    // Pure-function check of the clamp run() feeds foldBatch: replaying
+    // a backlog must not read wall clock ahead of the data; an empty
+    // batch (no event clock) keeps wall time for the live sweep.
+    import graft.streaming.IncrementalTrend.dataAsOfMs
+    val t = Timestamp.valueOf("2024-01-01 00:00:00")
+    assert(dataAsOfMs(t.getTime + 86400000L, t) == t.getTime,
+      "backlog replay: the data clock wins")
+    assert(dataAsOfMs(t.getTime - 5000L, t) == t.getTime - 5000L,
+      "live stream: wall clock wins")
+    assert(dataAsOfMs(12345L, null) == 12345L, "empty batch: wall time")
+  }
+
   test("reference move fixture: rename leaves exactly one page (tests.js:63-78)") {
     val st = replay(Seq(edit("Foo", min = 0), move("Foo", "FoO", 1)))
     assert(st.keySet == Set("FoO"))
