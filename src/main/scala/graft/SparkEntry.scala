@@ -1036,8 +1036,11 @@ object SparkEntry {
       if (builtIndexes.add(s"mdxrt:$out")) {
         MediaIndex.buildMediaIndex(
           payloads.filter(col("doc_id") % 4 =!= 1), out)
+        // Intersect the slice with INGESTED membership (sub-frame
+        // payloads have no at-rest rows — see the dedup retract note).
         MediaIndex.retractFromMediaIndex(
-          payloads.filter(col("doc_id") % 4 === 2), out)
+          payloads.filter(col("doc_id") % 4 === 2 &&
+            length(col("payload")) >= 16), out)
       }
       MediaIndex.mediaIndexPairs(s, out,
         payloads.filter(col("doc_id") % 4 === 1))
@@ -1248,8 +1251,13 @@ object SparkEntry {
         val docs = t(s, dir, "documents")
         DedupIndex.buildDedupIndex(
           docs.filter(col("doc_id") % 10 =!= 7), out)
+        // Intersect the slice with INGESTED membership (token-less docs
+        // have no at-rest rows): the over-retraction guard is a caller
+        // contract, and a regen minting one blank %10==3 doc must not
+        // abort the whole Verify run from inside this builder.
         DedupIndex.retractFromDedupIndex(
-          docs.filter(col("doc_id") % 10 === 3), out)
+          docs.filter(col("doc_id") % 10 === 3 &&
+            size(TextAnalysis.wsTokens(col("text"))) > 0), out)
       }
       DedupIndex.dedupIndexPairs(s, out,
         t(s, dir, "documents").filter(col("doc_id") % 10 === 7))
@@ -3151,7 +3159,7 @@ object SparkEntry {
                          CAST(64 * (2 + doc_id % 3) AS INTEGER))
                        || coalesce(text, '')
                   ELSE text END AS text
-           FROM documents),
+           FROM documents WHERE doc_id IS NOT NULL),
          d AS (
            SELECT doc_id, coalesce(text, '') AS text,
              octet_length(encode(coalesce(text, ''))) AS n
@@ -3942,7 +3950,7 @@ object SparkEntry {
              CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
                   ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
                        / length(text) END AS praw
-           FROM documents WHERE doc_id IS NOT NULL),
+           FROM documents),
          q AS (
            SELECT doc_id, source,
              floor((least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
@@ -3964,7 +3972,7 @@ object SparkEntry {
       """WITH k AS (
            SELECT doc_id,
              md5('epoch:0:' || CAST(doc_id AS VARCHAR)) AS skey
-           FROM documents WHERE doc_id IS NOT NULL),
+           FROM documents),
          s AS (
            SELECT doc_id, skey,
              CAST(list_sum(list_transform(generate_series(1, 8),
@@ -5912,7 +5920,7 @@ object SparkEntry {
                          CAST(64 * (2 + doc_id % 3) AS INTEGER))
                        || coalesce(text, '')
                   ELSE text END AS text
-           FROM documents),
+           FROM documents WHERE doc_id IS NOT NULL),
          d AS (
            SELECT doc_id, coalesce(text, '') AS text,
              octet_length(encode(coalesce(text, ''))) AS n
@@ -5954,7 +5962,7 @@ object SparkEntry {
                          CAST(64 * (2 + doc_id % 3) AS INTEGER))
                        || coalesce(text, '')
                   ELSE text END AS text
-           FROM documents),
+           FROM documents WHERE doc_id IS NOT NULL),
          d AS (
            SELECT doc_id, coalesce(text, '') AS text,
              octet_length(encode(coalesce(text, ''))) AS n
@@ -6007,7 +6015,7 @@ object SparkEntry {
                          CAST(64 * (2 + doc_id % 3) AS INTEGER))
                        || coalesce(text, '')
                   ELSE text END AS text
-           FROM documents),
+           FROM documents WHERE doc_id IS NOT NULL),
          d AS (
            SELECT doc_id, coalesce(text, '') AS text,
              octet_length(encode(coalesce(text, ''))) AS n

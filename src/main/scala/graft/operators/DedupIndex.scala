@@ -266,20 +266,27 @@ object DedupIndex {
     // docs) and the tombstones fold away. A fully-retracted fold is
     // unrepresentable (a partitioned write of an empty frame leaves a
     // schema-less dir) — fail loudly with the recovery path.
-    def folded(dirs: Seq[String]): DataFrame =
-      if (tDirs.isEmpty) readGenerations(spark, dir, dirs)
-      else liveRows(readWithGen(spark, dir, dirs), "doc_id",
-        tombMax(spark, dir, tDirs))
-    val fb = folded(bDirs).barrier()
-    try {
-      require(tDirs.isEmpty || fb.count() > 0L,
-        s"compactDedupIndex at $dir: every document is retracted — an " +
-          "all-empty index is unrepresentable; rebuild with " +
-          "buildDedupIndex when content returns")
-      fb.repartition(col("bkt"))
+    if (tDirs.isEmpty) {
+      // Verbatim fold: a single read-to-write pipeline — barriering the
+      // whole index here would checkpoint the table into executor
+      // storage for nothing (the common routine-append compaction).
+      readGenerations(spark, dir, bDirs)
+        .repartition(col("bkt"))
         .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/$newB")
-    } finally Barrier.release(fb)
-    folded(sDirs)
+    } else {
+      // With tombstones the emptiness probe and the write must see ONE
+      // materialization (validate-before-destroy discipline).
+      val fb = foldedLive(spark, dir, bDirs, tDirs).barrier()
+      try {
+        require(fb.count() > 0L,
+          s"compactDedupIndex at $dir: every document is retracted — an " +
+            "all-empty index is unrepresentable; rebuild with " +
+            "buildDedupIndex when content returns")
+        fb.repartition(col("bkt"))
+          .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/$newB")
+      } finally Barrier.release(fb)
+    }
+    foldedLive(spark, dir, sDirs, tDirs)
       .repartition(col("sbkt"))
       .write.mode("overwrite").partitionBy("sbkt").parquet(s"$dir/$newS")
     commitDedupManifest(spark, dir, seq + 1, Seq(newB), Seq(newS), Nil,
@@ -327,12 +334,13 @@ object DedupIndex {
         val sbkts = h.select(sbktOf(col("doc_id"), nBuckets)
             .cast("long").as("s"))
           .distinct().collect().map(_.getLong(0)).toIndexedSeq
-        val ins = readWithGen(spark, dir, sDirs)
+        val ins = GenManifest.readWithGen(spark, dir, sDirs)
           .filter(col("sbkt").isin(sbkts: _*))
           .join(broadcast(h), Seq("doc_id"), "left_semi")
         val live =
           (if (tDirs.isEmpty) ins
-           else liveRows(ins, "doc_id", tombMax(spark, dir, tDirs)))
+           else GenManifest.liveRows(ins, "doc_id",
+             GenManifest.tombMax(spark, dir, tDirs, "doc_id")))
             .select(col("doc_id")).distinct()
         val nonMembers = h.join(live, Seq("doc_id"), "left_anti").count()
         require(nonMembers == 0L,
@@ -451,11 +459,7 @@ object DedupIndex {
     // (the exact-index twin's rule) — with tombstone generations live
     // the per-batch scans resolve membership; compact the index to
     // fold them away and return these to bare scans.
-    def live(dirs: Seq[String]): DataFrame =
-      if (tDirs.isEmpty) readGenerations(spark, dir, dirs)
-      else liveRows(readWithGen(spark, dir, dirs), "doc_id",
-        tombMax(spark, dir, tDirs))
-    val baseBuckets = live(bDirs)
+    val baseBuckets = foldedLive(spark, dir, bDirs, tDirs)
       .select(col("band"), col("key"), col("doc_id").as("base_id"))
     // Per-base-doc key array (band-indexed) for the smallest-colliding-
     // band emission test — static, built once per stream.
@@ -475,7 +479,7 @@ object DedupIndex {
       .select(col("base_id"),
         array((0 until bands).map(i => col(s"bk$i")): _*).as("base_keys"))
       .barrier()
-    val baseSets = live(sDirs)
+    val baseSets = foldedLive(spark, dir, sDirs, tDirs)
       .select(col("doc_id").as("base_id"), col("sset").as("bset"))
     // Per-row signature: tokens and shingles materialized as their own
     // attributes FIRST (the interpreted-HOF trap: the convenience
@@ -539,10 +543,7 @@ object DedupIndex {
     val (_, bDirs, _, tDirs, _) = dedupManifest(spark, dir)
     // Health reflects LIVE membership: a retracted hot doc must not
     // keep inflating the df census an operator tunes maxBucketDf by.
-    val bk =
-      if (tDirs.isEmpty) readGenerations(spark, dir, bDirs)
-      else liveRows(readWithGen(spark, dir, bDirs), "doc_id",
-        tombMax(spark, dir, tDirs))
+    val bk = foldedLive(spark, dir, bDirs, tDirs)
     val perKey = bk.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("df"))
     perKey.groupBy(col("band"))
@@ -563,32 +564,32 @@ object DedupIndex {
     readGenerations(spark, dir, dirs)
       .filter(col(partCol).isin(keys: _*))
 
-  // genOf/readWithGen/tombMax/liveRows live in [[GenManifest]] — the
-  // doc-keyed tombstone kernels shared with MediaIndex (one definition,
-  // the bandKeyArray rule).
-  private def readWithGen(spark: SparkSession, dir: String,
-      dirs: Seq[String]): DataFrame =
-    GenManifest.readWithGen(spark, dir, dirs)
-
-  private def tombMax(spark: SparkSession, dir: String,
-      tDirs: Seq[String]): DataFrame =
-    GenManifest.tombMax(spark, dir, tDirs, "doc_id")
-
-  private def liveRows(rows: DataFrame, idCol: String,
-      tm: DataFrame): DataFrame =
-    GenManifest.liveRows(rows, idCol, tm)
+  /** The ONE liveness fold (GenManifest's doc-keyed tombstone kernels,
+    * shared with MediaIndex): a bare generation read when tombstone-free
+    * (the common case — plan unchanged), the newest-op-wins resolution
+    * otherwise. Every retraction-aware reader (serve legs, streaming
+    * twin, health, compaction) routes here — four hand-restated copies
+    * of the trigram were the bandKeyArray drift class.
+    */
+  private def foldedLive(spark: SparkSession, dir: String,
+      dirs: Seq[String], tDirs: Seq[String]): DataFrame =
+    if (tDirs.isEmpty) readGenerations(spark, dir, dirs)
+    else GenManifest.liveRows(
+      GenManifest.readWithGen(spark, dir, dirs), "doc_id",
+      GenManifest.tombMax(spark, dir, tDirs, "doc_id"))
 
   /** The pruned read with retraction applied — serves route here; the
     * tombstone-free index (the common case) takes the bare pruned read
     * and its plan is unchanged.
     */
-  private def readPrunedLive(spark: SparkSession, dir: String,
+  private[graft] def readPrunedLive(spark: SparkSession, dir: String,
       dirs: Seq[String], partCol: String, keys: Seq[Long],
       tDirs: Seq[String]): DataFrame =
     if (tDirs.isEmpty) readPruned(spark, dir, dirs, partCol, keys)
-    else liveRows(
-      readWithGen(spark, dir, dirs).filter(col(partCol).isin(keys: _*)),
-      "doc_id", tombMax(spark, dir, tDirs))
+    else GenManifest.liveRows(
+      GenManifest.readWithGen(spark, dir, dirs)
+        .filter(col(partCol).isin(keys: _*)),
+      "doc_id", GenManifest.tombMax(spark, dir, tDirs, "doc_id"))
 
   /** The generation union-read every consumer shares (serve, health,
     * compaction) — one place for any future cross-generation schema

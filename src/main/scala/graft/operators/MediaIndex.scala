@@ -239,19 +239,27 @@ object MediaIndex {
       return
     }
     val newB = f"blocks-compact-${seq + 1}%010d"
-    // Tombstone-free rows rewrite verbatim; with retraction generations
-    // live the fold keeps only LIVE rows (physically purging taken-down
-    // docs) and the tombstones fold away. A fully-retracted fold is
-    // unrepresentable (schema-less dir) — fail loudly.
-    val fb = foldedLive(spark, dir, bDirs, tDirs).barrier()
-    try {
-      require(tDirs.isEmpty || fb.count() > 0L,
-        s"compactMediaIndex at $dir: every payload is retracted — an " +
-          "all-empty index is unrepresentable; rebuild with " +
-          "buildMediaIndex when content returns")
-      fb.repartition(col("bbkt"))
+    // Tombstone-free rows rewrite verbatim as a single read-to-write
+    // pipeline (barriering the whole index would checkpoint it for
+    // nothing); with retraction generations live the fold keeps only
+    // LIVE rows (physically purging taken-down docs), and the emptiness
+    // probe + write share ONE materialization — a fully-retracted fold
+    // is unrepresentable (schema-less dir), so fail loudly.
+    if (tDirs.isEmpty) {
+      readGenerations(spark, dir, bDirs)
+        .repartition(col("bbkt"))
         .write.mode("overwrite").partitionBy("bbkt").parquet(s"$dir/$newB")
-    } finally Barrier.release(fb)
+    } else {
+      val fb = foldedLive(spark, dir, bDirs, tDirs).barrier()
+      try {
+        require(fb.count() > 0L,
+          s"compactMediaIndex at $dir: every payload is retracted — an " +
+            "all-empty index is unrepresentable; rebuild with " +
+            "buildMediaIndex when content returns")
+        fb.repartition(col("bbkt"))
+          .write.mode("overwrite").partitionBy("bbkt").parquet(s"$dir/$newB")
+      } finally Barrier.release(fb)
+    }
     commitMediaManifest(spark, dir, seq + 1, Seq(newB), Nil, metaDir)
     sweepMediaGenerations(spark, dir, seq + 1)
   }

@@ -629,9 +629,13 @@ object Multimodal {
         val c = baseFp.join(rare, Seq("fingerprint"))
           .select(col("fingerprint"), col("doc_id").as("base_id"))
           .barrier()
-        val a = c.groupBy(col("base_id"))
-          .agg(sort_array(collect_set(col("fingerprint"))).as("base_fps"))
-          .barrier()
+        // Release c on a FAILED baseArr materialization (the dupClusters
+        // failure-path rule) — it is already checkpointed by then.
+        val a =
+          try c.groupBy(col("base_id"))
+            .agg(sort_array(collect_set(col("fingerprint"))).as("base_fps"))
+            .barrier()
+          catch { case t: Throwable => Barrier.release(c); throw t }
         (c, a)
       } finally Barrier.release(baseFp)
     val sigged = payloadRows(stream)
@@ -736,14 +740,18 @@ object Multimodal {
     // Per surviving base hash: its surviving packed keys (a hash whose
     // every block was capped drops out here — it can never form a
     // surviving combo, matching the batch candidate rule).
-    val baseBook = kept
-      .groupBy(col("base_id"), col("v"))
-      .agg(sort_array(collect_list(packedRow(col("b"), col("bk"))))
-        .as("kk"))
-      .groupBy(col("base_id"))
-      .agg(sort_array(collect_list(struct(col("v"), col("kk"))))
-        .as("bvs"))
-      .barrier()
+    val baseBook =
+      try kept
+        .groupBy(col("base_id"), col("v"))
+        .agg(sort_array(collect_list(packedRow(col("b"), col("bk"))))
+          .as("kk"))
+        .groupBy(col("base_id"))
+        .agg(sort_array(collect_list(struct(col("v"), col("kk"))))
+          .as("bvs"))
+        .barrier()
+      // kept is already checkpointed — release it on a failed book
+      // materialization (the dupClusters failure-path rule).
+      catch { case t: Throwable => Barrier.release(kept); throw t }
     // ---- stream side --------------------------------------------------
     val sigged = payloadRows(stream) // drops null-id rows (twins' null rule)
       .map(p => (p.doc_id,

@@ -630,11 +630,12 @@ object IncrementalTrend {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[RecentChange], batchId: Long) =>
-        val df = batch.toDF()
-        val maxTs = df.agg(max(col("ts"))).head().getTimestamp(0)
-        foldBatch(df, stateDir, batchId,
-          dataAsOfMs(System.currentTimeMillis(), maxTs),
-          cfg, numBuckets, fullSweepEveryNBatches)
+        // clampToEventTime: the max(ts) probe runs inside foldBatch over
+        // its ALREADY-BARRIERED batch (a separate pre-barrier agg here
+        // re-read the streaming source once per trigger for one scalar).
+        foldBatch(batch.toDF(), stateDir, batchId,
+          System.currentTimeMillis(), cfg, numBuckets,
+          fullSweepEveryNBatches, clampToEventTime = true)
       }
       .start()
   }
@@ -931,9 +932,15 @@ object IncrementalTrend {
     * `run`). New bucket files land under `data/b<batchId>-<nonce>/`; the
     * manifest rename at the end is the only visible state change.
     */
+  /** `clampToEventTime` applies [[dataAsOfMs]]' backlog clamp over the
+    * materialized batch (run()'s live path). Explicit-asOf callers —
+    * replay fixtures that deliberately pass a FUTURE asOf to exercise
+    * eviction — keep the default and their semantics.
+    */
   private[graft] def foldBatch(batch0: DataFrame, stateDir: String,
       batchId: Long, asOfMs: Long, cfg: TrendConfig,
-      numBuckets: Int, fullSweepEveryNBatches: Int): Unit = {
+      numBuckets: Int, fullSweepEveryNBatches: Int,
+      clampToEventTime: Boolean = false): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = batch0.sparkSession
     import graft.functions.Classifiers.pageId
@@ -947,9 +954,14 @@ object IncrementalTrend {
     // long-running stream otherwise leaves every micro-batch's
     // checkpoint blocks to driver GC).
     val batch = batch0.barrier()
-    try foldBatchOver(batch, spark, fs, live, stateDir, batchId, asOfMs,
-      cfg, numBuckets, sweep, entries, manifest)
-    finally graft.operators.Barrier.release(batch)
+    try {
+      val asOf =
+        if (!clampToEventTime) asOfMs
+        else dataAsOfMs(asOfMs,
+          batch.agg(max(col("ts"))).head().getTimestamp(0))
+      foldBatchOver(batch, spark, fs, live, stateDir, batchId, asOf,
+        cfg, numBuckets, sweep, entries, manifest)
+    } finally graft.operators.Barrier.release(batch)
   }
 
   private def foldBatchOver(batch: DataFrame, spark: SparkSession,

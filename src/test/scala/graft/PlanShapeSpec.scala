@@ -869,6 +869,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("dedup-index retract serve: tombstone-live pruned reads keep partition pruning; the liveness join broadcasts") {
+    // The retraction branch reads generations through readWithGen's
+    // lit(__g) projection — partition pruning must survive it, and the
+    // takedown-sized tombMax join must stay a broadcast (an SMJ here
+    // would shuffle the pruned index sliver per serve). A Spark upgrade
+    // breaking pushdown-through-union would otherwise turn every
+    // tombstone-live serve into a full index scan with no failing spec.
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ddx_rt_plan").toString
+    val docs = Seq((1L, "w1 w2 w3 w4"), (2L, "x1 x2 x3 x4"),
+      (3L, "y1 y2 y3 y4")).toDF("doc_id", "text")
+    graft.operators.DedupIndex.buildDedupIndex(docs, dir, nBuckets = 8)
+    graft.operators.DedupIndex.retractFromDedupIndex(
+      Seq((3L, "")).toDF("doc_id", "text"), dir)
+    val (_, bDirs, _, tDirs, _) =
+      graft.operators.DedupIndex.dedupManifest(spark, dir)
+    assert(tDirs.nonEmpty)
+    val p = graft.operators.DedupIndex
+      .readPrunedLive(spark, dir, bDirs, "bkt", Seq(0L, 3L), tDirs)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[bkt".r.findFirstIn(p).isDefined,
+      p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("cleanVerdicts: the shared keep-verdict fold (dedup + media cleans) joins broadcast-only") {
     // Both index cleans return a BARRIERED verdict frame (the plan is a
     // LogicalRDD scan), so the fold is locked on the factored builder —
