@@ -35,6 +35,7 @@ object DedupServing {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
 
     val xdxDir = java.nio.file.Files
       .createTempDirectory("graft_ex_xdx").toString
@@ -79,6 +80,31 @@ object DedupServing {
     ExactDedupIndex.compactIndex(spark, xdxDir)
     DedupIndex.compactDedupIndex(spark, ddxDir)
     println("[dedup] compacted both indexes back to one generation")
+
+    // ---- takedown (round 14): exact retraction without a rebuild ----------
+    // A content-removal order arrives for one ingested document: its
+    // TEXT leaves the exact tier (hash tombstone) and the DOCUMENT
+    // leaves the near-dup tier (doc-id tombstone). Serves stop seeing
+    // it immediately; compaction later purges the rows physically.
+    // MATERIALIZED first: `kept` is a lazy plan over the ORIGINAL
+    // generation's verdicts, and the append+compact above are two
+    // commits past it — re-evaluating it here would read generation
+    // dirs the sweep's one-commit reader grace has already collected.
+    // (A reader frame must not outlive the grace window; collect what
+    // you need and rebuild a literal frame.)
+    val tdRow = kept.select(col("doc_id"), col("text"))
+      .limit(1).collect().head
+    val tdId = tdRow.getLong(0)
+    val takedown = Seq((tdId, tdRow.getString(1))).toDF("doc_id", "text")
+    ExactDedupIndex.retractFromIndex(takedown, xdxDir)
+    DedupIndex.retractFromDedupIndex(takedown, ddxDir)
+    val after = ExactDedupIndex.indexClean(spark, xdxDir, takedown)
+    println(s"[dedup] doc $tdId after takedown: " +
+      s"in_base=${after.select(col("in_base")).head().getBoolean(0)} " +
+      "(content no longer reads as ingested)")
+    ExactDedupIndex.compactIndex(spark, xdxDir)
+    DedupIndex.compactDedupIndex(spark, ddxDir)
+    println("[dedup] takedown compacted: tombstones purged on both tiers")
 
     spark.stop()
   }
