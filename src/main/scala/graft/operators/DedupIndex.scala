@@ -97,11 +97,18 @@ object DedupIndex {
             s"manifest generation $g under $root references no " +
               "buckets/sets dirs — truncated or damaged manifest")
         // Tombstone dirs are OPTIONAL (absent on every pre-retraction
-        // manifest — old indexes read unchanged).
+        // manifest — old indexes read unchanged) — but a PRESENT node
+        // decoding to nothing is DAMAGE (unrepresentable from the
+        // committer), and reading it as tombstone-free would silently
+        // resurrect retracted content; fail like the bdirs cases.
         val t = Option(node.get("tdirs"))
           .map(_.elements().asScala.map(_.asText()).toSeq)
-          .getOrElse(Nil)
-        (b, s, t, node.get("meta").asText())
+        if (t.exists(_.isEmpty))
+          throw new IllegalStateException(
+            s"manifest generation $g under $root carries an empty/scalar" +
+              " tdirs node — damaged manifest; reading it as tombstone-" +
+              "free would resurrect retracted content")
+        (b, s, t.getOrElse(Nil), node.get("meta").asText())
       case None if g == 0L => (Seq("buckets"), Seq("sets"), Nil, "meta")
       case None =>
         // Fail-loud on the READ path (the lexManifestAt contract): a
@@ -320,9 +327,14 @@ object DedupIndex {
     val (seq, bDirs, sDirs, tDirs, metaDir) = dedupManifest(spark, dir)
     val (_, nBuckets) = readMeta(spark, dir, metaDir)
     val newT = f"tombs-${seq + 1}%010d"
-    val ids = docs.where(col("doc_id").isNotNull)
+    // BARRIERED, not cached (the exact-index takedown discipline): the
+    // membership check and the WRITTEN tombstone rows must derive from
+    // one materialized id set — a persist can re-evaluate from lineage
+    // and commit an id that never passed the require.
+    val h = docs.where(col("doc_id").isNotNull)
       .select(col("doc_id")).distinct()
-    Barrier.withCached(ids) { h =>
+      .barrier()
+    try {
       if (h.isEmpty) {
         System.err.println(
           s"[graft] dedup-index retraction of an EMPTY set at $dir " +
@@ -356,7 +368,7 @@ object DedupIndex {
           tDirs :+ newT, metaDir)
         sweepDedupGenerations(spark, dir, seq + 1)
       }
-    }
+    } finally Barrier.release(h)
   }
 
   /** The ingest ACTION over [[dedupIndexPairs]]: every delta document

@@ -270,11 +270,19 @@ object ExactDedupIndex {
             s"manifest generation $g under $root references no hash " +
               "dirs — truncated or damaged manifest")
         // Tombstone dirs are OPTIONAL (absent on every pre-retraction
-        // manifest — old indexes read unchanged).
+        // manifest — old indexes read unchanged) — but a PRESENT node
+        // that decodes to nothing (scalar/empty: unrepresentable from
+        // commitManifest) is DAMAGE, and reading it as "no tombstones"
+        // would silently resurrect retracted content. Strictly worse
+        // than a crash; fail like the hdirs cases.
         val t = Option(node.get("tdirs"))
           .map(_.elements().asScala.map(_.asText()).toSeq)
-          .getOrElse(Nil)
-        (h, t, node.get("meta").asText())
+        if (t.exists(_.isEmpty))
+          throw new IllegalStateException(
+            s"manifest generation $g under $root carries an empty/scalar" +
+              " tdirs node — damaged manifest; reading it as tombstone-" +
+              "free would resurrect retracted content")
+        (h, t.getOrElse(Nil), node.get("meta").asText())
       case None if g == 0L => (Seq("hashes"), Nil, "meta")
       case None =>
         // Fail-loud on the READ path (the lexManifestAt contract); the
@@ -310,36 +318,24 @@ object ExactDedupIndex {
     hDirs.map(d => spark.read.parquet(s"$dir/$d"))
       .reduce(_.unionByName(_))
 
-  /** The generation number a data dir's rows belong to — encoded in the
-    * dir name ("hashes" is the build generation 0; "hashes-N"/"tombs-N"
-    * are commit N). Manifest seqs are allocated once each, so insert
-    * and tombstone rows of one hash can never tie.
-    */
-  private def genOf(dirName: String): Long =
-    dirName.lastIndexOf('-') match {
-      case -1 => 0L
-      case i  => dirName.substring(i + 1).toLong
-    }
-
-  /** Generation read with the generation number attached — the
-    * resolution input ([[resolveMembers]]).
+  /** Generation read — the SHARED GenManifest kernel (a verbatim local
+    * copy was the bandKeyArray drift class); rows carry `__g`.
     */
   private def readWithGen(spark: SparkSession, dir: String,
       dirs: Seq[String]): DataFrame =
-    dirs.map(d => spark.read.parquet(s"$dir/$d")
-        .withColumn("g", lit(genOf(d))))
-      .reduce(_.unionByName(_))
+    GenManifest.readWithGen(spark, dir, dirs)
 
-  /** CURRENT members among insert/tombstone rows carrying a generation
-    * column `g`: a hash is live iff its newest INSERT outlives its
+  /** CURRENT members among insert/tombstone rows carrying the `__g`
+    * generation: a hash is live iff its newest INSERT outlives its
     * newest tombstone — so a takedown removes the content, and a later
-    * re-ingest (append) restores it. Both inputs are pruned slivers
-    * (bounded by the probing hash set), so the two aggregations here
-    * never touch index-sized data.
+    * re-ingest (append) restores it. HASH-keyed per-hash aggregation
+    * (unlike the doc-keyed GenManifest.liveRows row filter): both
+    * inputs are pruned slivers (bounded by the probing hash set), so
+    * the aggregations never touch index-sized data.
     */
   private def resolveMembers(inserts: DataFrame, tombs: DataFrame): DataFrame =
-    inserts.groupBy(col("text_hash")).agg(max(col("g")).as("ig"))
-      .join(tombs.groupBy(col("text_hash")).agg(max(col("g")).as("tg")),
+    inserts.groupBy(col("text_hash")).agg(max(col("__g")).as("ig"))
+      .join(tombs.groupBy(col("text_hash")).agg(max(col("__g")).as("tg")),
         Seq("text_hash"), "left")
       .filter(col("tg").isNull || col("ig") > col("tg"))
       .select(col("text_hash"))
@@ -526,11 +522,20 @@ object ExactDedupIndex {
     // CURRENT membership (one resolution per micro-batch over the
     // at-rest tables — compact the index to fold the tombstones away
     // and return this to a bare scan).
+    // With tombstones, membership resolves per ROW via the broadcast
+    // liveRows kernel, NOT resolveMembers: the static side re-evaluates
+    // per micro-batch, and the per-hash aggregation form would re-run a
+    // full-index groupBy SHUFFLE every trigger — liveRows is one
+    // broadcast of the takedown-sized tombMax table, and the left_semi
+    // below absorbs the duplicate live rows (a hash alerts iff SOME
+    // insert generation outlives its newest tombstone — equivalent).
     val hashes =
       if (tDirs.isEmpty)
         readHashGenerations(spark, dir, hDirs).select(col("text_hash"))
-      else resolveMembers(
-        readWithGen(spark, dir, hDirs), readWithGen(spark, dir, tDirs))
+      else GenManifest.liveRows(
+          readWithGen(spark, dir, hDirs), "text_hash",
+          GenManifest.tombMax(spark, dir, tDirs, "text_hash"))
+        .select(col("text_hash"))
     stream
       // Null-id guard, mirroring the other streaming twins: a null-id
       // ingest row colliding with the base would alert with NULL doc_id,
@@ -575,10 +580,18 @@ object ExactDedupIndex {
     val meta = spark.read.parquet(s"$dir/$metaDir").head()
     val buckets = meta.getAs[Int]("buckets")
     val newT = s"tombs-${seq + 1}"
-    val hs = docs
+    // BARRIERED, not cached (the indexClean discipline): the bucket
+    // literals, the over-retraction membership check, and the WRITTEN
+    // tombstone rows must all derive from the same materialized hash
+    // set — a persist can re-evaluate from lineage after executor loss,
+    // and a nondeterministic takedown frame could then commit a
+    // tombstone that never passed the require (or silently omit a
+    // checked one: a takedown the caller believes happened, un-done).
+    val h = docs
       .select(md5(coalesce(col("text"), lit(""))).as("text_hash"))
       .distinct()
-    Barrier.withCached(hs) { h =>
+      .barrier()
+    try {
       if (h.isEmpty) {
         System.err.println(
           s"[graft] exact-index retraction of an EMPTY set at $dir " +
@@ -611,7 +624,7 @@ object ExactDedupIndex {
         commitManifest(spark, dir, seq + 1, hDirs, tDirs :+ newT, metaDir)
         sweepGenerations(spark, dir, seq + 1)
       }
-    }
+    } finally Barrier.release(h)
   }
 
   /** Fold every live generation back into ONE bucketed dir holding the

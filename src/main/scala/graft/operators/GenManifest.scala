@@ -188,12 +188,20 @@ private[graft] object GenManifest {
       case i  => dirName.substring(i + 1).toLong
     }
 
-  /** Generation read with the generation number attached as `__g`. */
+  /** Generation read with the generation number attached as `__g`.
+    * Scratch-name guard (the Skew.requireScratchFree convention): a
+    * generation table that ever grows a `__g` column would be silently
+    * REPLACED by withColumn and the liveness filter would consume the
+    * wrong values.
+    */
   def readWithGen(spark: SparkSession, dir: String,
       dirs: Seq[String]): org.apache.spark.sql.DataFrame =
-    dirs.map(d => spark.read.parquet(s"$dir/$d")
-        .withColumn("__g", org.apache.spark.sql.functions.lit(genOf(d))))
-      .reduce(_.unionByName(_))
+    dirs.map { d =>
+      val t = spark.read.parquet(s"$dir/$d")
+      Skew.requireScratchFree(t, Seq("__g"),
+        "generation read (retraction scratch)")
+      t.withColumn("__g", org.apache.spark.sql.functions.lit(genOf(d)))
+    }.reduce(_.unionByName(_))
 
   /** Per-key newest tombstone generation `(keyCol, __tg)` — takedown-
     * sized by contract (compact folds it away), hence broadcast at
@@ -214,6 +222,8 @@ private[graft] object GenManifest {
   def liveRows(rows: org.apache.spark.sql.DataFrame, keyCol: String,
       tm: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
+    Skew.requireScratchFree(rows, Seq("__tid", "__tg"),
+      "liveness resolution (retraction scratch)")
     rows.join(broadcast(tm.withColumnRenamed(keyCol, "__tid")),
         col(keyCol) === col("__tid"), "left")
       .filter(col("__tg").isNull || col("__g") > col("__tg"))

@@ -96,11 +96,18 @@ object MediaIndex {
             s"manifest generation $g under $root references no block " +
               "dirs — truncated or damaged manifest")
         // Tombstone dirs are OPTIONAL (absent on every pre-retraction
-        // manifest — old indexes read unchanged).
+        // manifest — old indexes read unchanged) — but a PRESENT node
+        // decoding to nothing is DAMAGE (unrepresentable from the
+        // committer), and reading it as tombstone-free would silently
+        // resurrect retracted content; fail like the bdirs cases.
         val t = Option(node.get("tdirs"))
           .map(_.elements().asScala.map(_.asText()).toSeq)
-          .getOrElse(Nil)
-        (b, t, node.get("meta").asText())
+        if (t.exists(_.isEmpty))
+          throw new IllegalStateException(
+            s"manifest generation $g under $root carries an empty/scalar" +
+              " tdirs node — damaged manifest; reading it as tombstone-" +
+              "free would resurrect retracted content")
+        (b, t.getOrElse(Nil), node.get("meta").asText())
       case None if g == 0L => (Seq("blocks"), Nil, "meta")
       case None =>
         // Fail-loud on the READ path; the sweep tolerates this via its
@@ -286,9 +293,13 @@ object MediaIndex {
     val spark = docs.sparkSession
     val (seq, bDirs, tDirs, metaDir) = mediaManifest(spark, dir)
     val newT = f"tombs-${seq + 1}%010d"
-    val ids = docs.where(col("doc_id").isNotNull)
+    // BARRIERED, not cached (the exact-index takedown discipline): the
+    // membership check and the WRITTEN tombstone rows must derive from
+    // one materialized id set.
+    val h = docs.where(col("doc_id").isNotNull)
       .select(col("doc_id")).distinct()
-    Barrier.withCached(ids) { h =>
+      .barrier()
+    try {
       if (h.isEmpty) {
         System.err.println(
           s"[graft] media-index retraction of an EMPTY set at $dir " +
@@ -313,7 +324,7 @@ object MediaIndex {
           metaDir)
         sweepMediaGenerations(spark, dir, seq + 1)
       }
-    }
+    } finally Barrier.release(h)
   }
 
   /** Per-block hot-key report over the index at rest (the indexHealth
