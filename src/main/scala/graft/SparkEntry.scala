@@ -168,6 +168,7 @@ object SparkEntry {
     */
   val indexBacked: Set[String] = Set(
     "doc_bm25_index_topk", "doc_bm25_append_topk", "doc_bm25_compact_topk",
+    "doc_bm25_retract_topk",
     "doc_dedup_index_pairs", "doc_dedup_index_append_pairs",
     "doc_dedup_index_clean", "doc_dedup_index_health",
     "doc_dedup_index_compact_pairs", "doc_dedup_index_retract_pairs",
@@ -1170,6 +1171,30 @@ object SparkEntry {
       if (builtIndexes.add(s"lexcpt:$out")) {
         buildAppendedLexIndex(s, dir, out)
         Search.compactLexIndex(s, out)
+      }
+      Search.lexIndexTopK(s, out, lexProbeQueries(s, dir), k = 10,
+        excludeSelf = true)
+    }),
+
+    // RETRACTION lifecycle of the inverted index — the takedown path
+    // that completes the lex family's lifecycle: build over the full
+    // corpus, take down the % 10 == 3 slice (one doc-keyed tombstone
+    // generation + a decremented stats row), serve the shared probe
+    // set. df/N/avgdl all recompute from live postings, so retraction
+    // ≡ rebuild over the retained corpus EXACTLY (spec-pinned) and the
+    // oracle is the batch BM25 over doc_id % 10 <> 3. The probe ids
+    // (% 10 == 1) stay live. The slice intersects INGESTED membership
+    // (tokenized docs — token-less docs were never indexed; the
+    // over-retraction guard is a caller contract, and a regen minting
+    // a blank % 10 == 3 doc must not abort Verify from this builder).
+    "doc_bm25_retract_topk" -> ((s, dir) => {
+      val out = indexDir("graft_lex_rt", dir)
+      if (builtIndexes.add(s"lexrt:$out")) {
+        val docs = t(s, dir, "documents")
+        Search.buildLexIndex(docs, out, buckets = 64)
+        Search.retractFromLexIndex(
+          docs.filter(col("doc_id") % 10 === 3 &&
+            size(TextAnalysis.wsTokens(col("text"))) > 0), out)
       }
       Search.lexIndexTopK(s, out, lexProbeQueries(s, dir), k = 10,
         excludeSelf = true)
@@ -2680,13 +2705,20 @@ object SparkEntry {
     * construction, so a one-sided edit here can no longer desynchronize
     * them).
     */
-  private val bm25TopKSql: String =
-    """WITH toks AS (
+  /** The BM25 oracle chain, parameterized by an extra corpus predicate
+    * (the retraction oracle restates the retained corpus — a retracted
+    * doc contributes to NOTHING: postings, df, N, avgdl; a token-less
+    * doc in the retained slice already contributes nothing via the
+    * len(t) > 0 dl CTE, matching the engine's tokenized-membership
+    * retraction contract).
+    */
+  private def bm25TopKSqlOver(srcWhere: String): String =
+    s"""WITH toks AS (
            SELECT doc_id,
              CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
+                  ELSE list_filter(string_split_regex(trim(text), '\\s+'), tk -> tk <> '') END AS t
            FROM documents
-           WHERE doc_id IS NOT NULL),
+           WHERE doc_id IS NOT NULL$srcWhere),
          et AS (
            SELECT doc_id, e.pos AS pos, e.term AS term FROM (
              SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
@@ -2727,6 +2759,13 @@ object SparkEntry {
              AS INTEGER) AS rank
            FROM agg)
          SELECT query_id, doc_id, score_micro, rank FROM r WHERE rank <= 10"""
+
+  private val bm25TopKSql: String = bm25TopKSqlOver("")
+
+  // Retraction-lifecycle oracle: the SAME chain over the retained
+  // corpus (% 10 <> 3 taken down).
+  private val bm25RetractTopKSql: String =
+    bm25TopKSqlOver(" AND doc_id % 10 <> 3")
 
   private val qualTargetCtesSql: String =
     """t AS (
@@ -3705,6 +3744,11 @@ object SparkEntry {
     // Compaction rewrites rows verbatim (search bit-identical across the
     // fold) — same oracle again.
     "doc_bm25_compact_topk" -> bm25TopKSql,
+
+    // Retraction ≡ rebuild exactly (df/N/avgdl recompute from live
+    // postings; stats decremented at takedown) — the shared chain over
+    // the retained corpus.
+    "doc_bm25_retract_topk" -> bm25RetractTopKSql,
 
     // The planted v2 derivation is replayed verbatim; hashes compare the
     // same strings both engines built (null text hashes like empty — the

@@ -249,7 +249,7 @@ object Search {
     // silently double the affected per-term scores — fail instead.
     require(queries.map(_._1).distinct.size == queries.size,
       "lexIndexTopK query ids must be distinct")
-    val (_, pDirs, statsDir) = lexManifest(spark, dir)
+    val (_, pDirs, tDirs, statsDir) = lexManifest(spark, dir)
     val st = spark.read.parquet(s"$dir/$statsDir").head()
     val nDocs = st.getAs[Long]("n_docs")
     val totalTokens = st.getAs[Long]("total_tokens")
@@ -268,9 +268,14 @@ object Search {
     // Each generation dir is its own partitioned source; the bkt filter
     // pushes through the union, so EVERY generation scan prunes
     // independently (the readCells discipline). A never-appended index
-    // is one scan — exactly the pre-append plan.
-    val scoped = readLexGenerations(spark, dir, pDirs)
-      .filter(col("bkt").isin(bkts: _*))
+    // is one scan — exactly the pre-append plan. Liveness (takedowns)
+    // resolves AFTER the prune, over the sliver — df then counts only
+    // live postings, so a retracted doc stops weighting every query's
+    // idf the moment the tombstone commits (retraction ≡ rebuild
+    // exactly: df/scores recompute from live rows, stats were
+    // decremented at takedown).
+    val scoped = foldedLivePostings(spark, dir, pDirs, tDirs,
+      _.filter(col("bkt").isin(bkts: _*)))
     val dfTab = dfOver(scoped, qt)
     val matched0 = scoped.join(broadcast(qt.join(dfTab, Seq("term"))),
       Seq("term"))
@@ -294,19 +299,20 @@ object Search {
   // doc_id uniqueness across generations — a re-ingested doc_id would
   // double-count in df and N.
 
-  /** The live (seq, postings dirs, stats dir). A freshly-built index has
-    * no manifest — it adopts as (0, ["postings"], "stats"), so indexes
-    * written before the append lifecycle existed read unchanged.
+  /** The live (seq, postings dirs, tombstone dirs, stats dir). A
+    * freshly-built index has no manifest — it adopts as
+    * (0, ["postings"], Nil, "stats"), so indexes written before the
+    * append lifecycle existed read unchanged.
     */
   private[graft] def lexManifest(spark: SparkSession, dir: String)
-      : (Long, Seq[String], String) = {
+      : (Long, Seq[String], Seq[String], String) = {
     val (fs, root) = GenManifest.fsRoot(spark, dir)
     // One definition of the adoption layout: the no-manifest case routes
     // through lexManifestAt's g == 0 branch instead of duplicating the
     // (Seq("postings"), "stats") constant here.
     val seq = GenManifest.latestSeq(fs, root).getOrElse(0L)
-    val (dirs, stats) = lexManifestAt(fs, root, seq)
-    (seq, dirs, stats)
+    val (dirs, tdirs, stats) = lexManifestAt(fs, root, seq)
+    (seq, dirs, tdirs, stats)
   }
 
   /** Cross-generation postings read — ONE definition for the serve and
@@ -319,11 +325,30 @@ object Search {
     pDirs.map(d => spark.read.parquet(s"$dir/$d"))
       .reduce(_.unionByName(_))
 
-  /** The (postings dirs, stats dir) a SPECIFIC generation references.
-    * Generation 0 is the adoption layout.
+  /** The ONE liveness fold over the postings generations (GenManifest's
+    * doc-keyed tombstone kernels, shared with DedupIndex/MediaIndex): a
+    * bare generation read when tombstone-free — byte-identical to the
+    * pre-retraction plan — and the newest-insert-outlives-newest-
+    * tombstone resolution otherwise. `prune` applies the serve's bkt
+    * partition filter BEFORE the liveness join so every generation scan
+    * still prunes (the readPrunedLive discipline); the tombstone-max
+    * table is takedown-sized by contract and broadcasts inside
+    * [[GenManifest.liveRows]].
+    */
+  private def foldedLivePostings(spark: SparkSession, dir: String,
+      pDirs: Seq[String], tDirs: Seq[String],
+      prune: DataFrame => DataFrame = identity): DataFrame =
+    if (tDirs.isEmpty) prune(readLexGenerations(spark, dir, pDirs))
+    else GenManifest.liveRows(
+      prune(GenManifest.readWithGen(spark, dir, pDirs)), "doc_id",
+      GenManifest.tombMax(spark, dir, tDirs, "doc_id"))
+
+  /** The (postings dirs, tombstone dirs, stats dir) a SPECIFIC
+    * generation references. Generation 0 is the adoption layout.
     */
   private def lexManifestAt(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, g: Long): (Seq[String], String) =
+      root: org.apache.hadoop.fs.Path, g: Long)
+      : (Seq[String], Seq[String], String) =
     GenManifest.readNode(fs, root, g) match {
       case Some(node) =>
         import scala.jdk.CollectionConverters._
@@ -346,8 +371,20 @@ object Search {
           throw new IllegalStateException(
             s"manifest generation $g under $root references no postings " +
               "dirs — truncated or damaged manifest")
-        (dirs, node.get("stats").asText())
-      case None if g == 0L => (Seq("postings"), "stats")
+        // Tombstone dirs are OPTIONAL (absent on every pre-retraction
+        // manifest — old indexes read unchanged), but a PRESENT node
+        // decoding to nothing is DAMAGE (unrepresentable from the
+        // committer), and reading it as tombstone-free would silently
+        // resurrect retracted content (the dedupManifestAt rule).
+        val t = Option(node.get("tdirs"))
+          .map(_.elements().asScala.map(_.asText()).toSeq)
+        if (t.exists(_.isEmpty))
+          throw new IllegalStateException(
+            s"manifest generation $g under $root carries an empty/scalar" +
+              " tdirs node — damaged manifest; reading it as tombstone-" +
+              "free would resurrect retracted content")
+        (dirs, t.getOrElse(Nil), node.get("stats").asText())
+      case None if g == 0L => (Seq("postings"), Nil, "stats")
       case None =>
         // Fail-loud on the READ path: a listed-then-vanished manifest is
         // a damaged index (or a single-writer violation) — returning an
@@ -364,13 +401,16 @@ object Search {
     */
   private def isLexDataDir(n: String): Boolean =
     n == "postings" || n.startsWith("postings-") ||
-      n == "stats" || n.startsWith("stats-")
+      n == "stats" || n.startsWith("stats-") || n.startsWith("tombs-")
 
   private def commitLexManifest(spark: SparkSession, dir: String, seq: Long,
-      dirs: Seq[String], statsDir: String): Unit = {
+      dirs: Seq[String], tDirs: Seq[String], statsDir: String): Unit = {
     val node = GenManifest.newNode()
     val arr = node.putArray("dirs")
     dirs.foreach(arr.add)
+    if (tDirs.nonEmpty) {
+      val ta = node.putArray("tdirs"); tDirs.foreach(ta.add)
+    }
     node.put("stats", statsDir)
     GenManifest.commit(spark, dir, seq, node)
   }
@@ -389,7 +429,7 @@ object Search {
     */
   def appendToLexIndex(newDocs: DataFrame, dir: String): Unit = {
     val spark = newDocs.sparkSession
-    val (seq, pDirs, statsDir) = lexManifest(spark, dir)
+    val (seq, pDirs, tDirs, statsDir) = lexManifest(spark, dir)
     val st = spark.read.parquet(s"$dir/$statsDir").head()
     val nDocs = st.getAs[Long]("n_docs")
     // Fail-fast on an empty BASE (a build over a token-less corpus):
@@ -427,9 +467,117 @@ object Search {
           lit(totalTokens + deltaTokens).as("total_tokens"),
           lit(buckets).as("buckets"))
         .write.mode("overwrite").parquet(s"$dir/$newSDir")
-      commitLexManifest(spark, dir, seq + 1, pDirs :+ newPDir, newSDir)
+      // Tombstones carry over: a re-ingested doc_id's NEW generation
+      // outlives any older tombstone, so the append alone restores its
+      // membership AND its stats contribution (the stats were
+      // decremented when it was taken down).
+      commitLexManifest(spark, dir, seq + 1, pDirs :+ newPDir, tDirs,
+        newSDir)
       sweepLexGenerations(spark, dir, seq + 1)
     }
+  }
+
+  /** RETRACT documents from a persisted inverted index — the takedown /
+    * right-to-be-forgotten path, completing the lifecycle (build /
+    * append / compact / retract) the stats, exact-dedup, dedup, and
+    * media indexes already have. The takedown ids become ONE tombstone
+    * generation (doc-keyed — postings rows are per-doc, so a doc_id
+    * tombstone removes exactly that document's postings); the corpus
+    * stats roll BACKWARD into a new stats dir (subtracting the live
+    * takedown docs' doc/token counts — the StatsIndex negated-sums
+    * shape, folded into the literal stats row this family serves from);
+    * one atomic manifest rename commits both. Because df and scores are
+    * recomputed from live postings at serve time, retraction ≡ rebuild
+    * over the retained corpus EXACTLY and unconditionally (spec-pinned)
+    * — the same argument as the append equivalence.
+    *
+    * OVER-RETRACTION throws before anything is written (the family
+    * rule): every takedown id must be currently live IN THE INDEX —
+    * token-less docs were never indexed, so retracting one is a caller
+    * bug, not a no-op. An empty takedown set is a no-op. A retraction
+    * that would empty the index throws (an all-retracted index is
+    * unrepresentable — n_docs = 0 fails every serve; rebuild when
+    * content returns). [[compactLexIndex]] physically purges tombstoned
+    * postings and folds the tombstones away. SINGLE-WRITER.
+    *
+    * Cost shape: the membership probe + stats decrement is ONE map-side
+    * pass over the postings' `first_pos == 0` marker rows semi-joined
+    * to the broadcast takedown set — postings partition by TERM hash,
+    * so a doc-keyed probe cannot prune, but it never shuffles the
+    * postings either. The tombstone table is takedown-sized by contract
+    * (broadcast at serve; compact regularly under sustained takedowns).
+    */
+  def retractFromLexIndex(docs: DataFrame, dir: String): Unit = {
+    val spark = docs.sparkSession
+    val (seq, pDirs, tDirs, statsDir) = lexManifest(spark, dir)
+    val st = spark.read.parquet(s"$dir/$statsDir").head()
+    val nDocs = st.getAs[Long]("n_docs")
+    require(nDocs > 0,
+      s"index at $dir has an empty base (token-less build) — nothing " +
+        "to retract")
+    val totalTokens = st.getAs[Long]("total_tokens")
+    val buckets = st.getAs[Int]("buckets")
+    val newT = s"tombs-${seq + 1}"
+    val newS = s"stats-${seq + 1}"
+    import Barrier.BarrierOps
+    // BARRIERED, not cached (the family takedown discipline): the
+    // membership require and the WRITTEN tombstone rows must derive
+    // from one materialized id set — a persist can re-evaluate from
+    // lineage and commit an id that never passed the require.
+    val h = docs.where(col("doc_id").isNotNull)
+      .select(col("doc_id")).distinct()
+      .barrier()
+    try {
+      if (h.isEmpty) {
+        System.err.println(
+          s"[graft] lex-index retraction of an EMPTY set at $dir " +
+            "skipped (no commit)")
+      } else {
+        // LIVE marker rows (first_pos == 0 — exactly one per tokenized
+        // doc per live generation) for the takedown ids: membership
+        // evidence and the stats decrement in ONE map-side pass.
+        val markers = foldedLivePostings(spark, dir, pDirs, tDirs,
+            _.join(broadcast(h), Seq("doc_id"), "left_semi"))
+          .filter(col("first_pos") === 0L)
+          .select(col("doc_id"), col("dl"))
+          .barrier() // takedown-sized
+        try {
+          val agg = markers.agg(
+            count(lit(1)).as("n"),
+            countDistinct(col("doc_id")).as("nd"),
+            coalesce(sum(col("dl")), lit(0L)).as("tok")).head()
+          val (mn, mnd, mtok) =
+            (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+          val hCount = h.count()
+          require(mnd == hCount,
+            s"retractFromLexIndex at $dir: ${hCount - mnd} of the " +
+              "takedown ids are not currently live in the index (never " +
+              "indexed, token-less, or already retracted) — a takedown " +
+              "of absent documents is a caller bug, not a no-op")
+          // One live generation per doc by the append contract (caller
+          // owns doc_id uniqueness); duplicate markers mean the stats
+          // decrement would double-count — surface it.
+          require(mn == mnd,
+            s"retractFromLexIndex at $dir: ${mn - mnd} duplicate live " +
+              "postings generations for takedown ids — doc_id " +
+              "uniqueness across appends was violated; rebuild")
+          require(nDocs - mn > 0,
+            s"retractFromLexIndex at $dir: the takedown would retract " +
+              "every indexed document — an all-empty index is " +
+              "unrepresentable; rebuild with buildLexIndex when " +
+              "content returns")
+          h.write.mode("overwrite").parquet(s"$dir/$newT")
+          spark.range(1).select(
+              lit(nDocs - mn).as("n_docs"),
+              lit(totalTokens - mtok).as("total_tokens"),
+              lit(buckets).as("buckets"))
+            .write.mode("overwrite").parquet(s"$dir/$newS")
+          commitLexManifest(spark, dir, seq + 1, pDirs, tDirs :+ newT,
+            newS)
+          sweepLexGenerations(spark, dir, seq + 1)
+        } finally Barrier.release(markers)
+      }
+    } finally Barrier.release(h)
   }
 
   /** Sweep everything the retained generations (current and current-1 —
@@ -445,8 +593,8 @@ object Search {
       current: Long): Unit =
     GenManifest.sweepOwned(spark, dir, current, isLexDataDir) {
       (fs, root, g) =>
-        val (ds, sd) = lexManifestAt(fs, root, g)
-        ds :+ sd
+        val (ds, ts, sd) = lexManifestAt(fs, root, g)
+        ds ++ ts :+ sd
     }
 
   /** COMPACT a persisted inverted index: fold every live postings
@@ -461,8 +609,8 @@ object Search {
     * like append.
     */
   def compactLexIndex(spark: SparkSession, dir: String): Unit = {
-    val (seq, pDirs, statsDir) = lexManifest(spark, dir)
-    if (pDirs.length <= 1) {
+    val (seq, pDirs, tDirs, statsDir) = lexManifest(spark, dir)
+    if (pDirs.length <= 1 && tDirs.isEmpty) {
       // Nothing to fold, but compaction is the maintenance pass: still
       // collect garbage a previously-failed best-effort sweep left
       // behind (an otherwise idle index would keep it forever).
@@ -471,12 +619,33 @@ object Search {
     }
     val newP = s"postings-${seq + 1}"
     val newS = s"stats-${seq + 1}"
-    readLexGenerations(spark, dir, pDirs)
-      .repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/$newP")
+    // Tombstone-free rows rewrite VERBATIM (one read-to-write pipeline);
+    // with retraction generations live the fold keeps only LIVE postings
+    // (physically purging taken-down docs) and the tombstones fold away.
+    // The retraction guard keeps n_docs > 0, so the fold cannot be
+    // empty on an undamaged index — but a partitioned write of an empty
+    // frame leaves a schema-less dir that would poison every later
+    // read, so the tombstoned arm still probes emptiness on the SAME
+    // materialization it writes (the dedup-compact discipline).
+    if (tDirs.isEmpty) {
+      readLexGenerations(spark, dir, pDirs)
+        .repartition(col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/$newP")
+    } else {
+      import Barrier.BarrierOps
+      val fp = foldedLivePostings(spark, dir, pDirs, tDirs).barrier()
+      try {
+        require(fp.count() > 0L,
+          s"compactLexIndex at $dir: every document is retracted — an " +
+            "all-empty index is unrepresentable; rebuild with " +
+            "buildLexIndex when content returns")
+        fp.repartition(col("bkt"))
+          .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/$newP")
+      } finally Barrier.release(fp)
+    }
     spark.read.parquet(s"$dir/$statsDir")
       .write.mode("overwrite").parquet(s"$dir/$newS")
-    commitLexManifest(spark, dir, seq + 1, Seq(newP), newS)
+    commitLexManifest(spark, dir, seq + 1, Seq(newP), Nil, newS)
     sweepLexGenerations(spark, dir, seq + 1)
   }
 

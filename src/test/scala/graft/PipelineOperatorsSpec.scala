@@ -579,13 +579,13 @@ class PipelineOperatorsSpec extends SparkSpec {
     // Empty delta (token-less docs) is a no-op: no new generation.
     Search.appendToLexIndex(
       docs(2000L -> "   ").select(col("doc_id"), col("text")), appended)
-    val (seq, _, _) = Search.lexManifest(spark, appended)
+    val (seq, _, _, _) = Search.lexManifest(spark, appended)
     assert(seq == 2L)
     // COMPACT folds the generations to one dir; search is bit-identical
     // across the fold, and the folded-away dirs get one commit of grace.
     val before = run(appended)
     Search.compactLexIndex(spark, appended)
-    val (seqC, dirsC, _) = Search.lexManifest(spark, appended)
+    val (seqC, dirsC, _, _) = Search.lexManifest(spark, appended)
     assert(seqC == 3L && dirsC == Seq("postings-3"))
     assert(run(appended) == before)
     val postC = new java.io.File(appended).listFiles().map(_.getName).toSet
@@ -599,9 +599,85 @@ class PipelineOperatorsSpec extends SparkSpec {
       !postA.contains("postings-2"))
     assert(postA.contains("postings-3") && postA.contains("postings-4"))
     // No-op on a single-generation index.
-    val (seqB, dirsB, _) = Search.lexManifest(spark, rebuilt)
+    val (seqB, dirsB, _, _) = Search.lexManifest(spark, rebuilt)
     Search.compactLexIndex(spark, rebuilt)
-    assert(Search.lexManifest(spark, rebuilt) == ((seqB, dirsB, "stats")))
+    assert(Search.lexManifest(spark, rebuilt) ==
+      ((seqB, dirsB, Nil, "stats")))
+  }
+
+  test("retractFromLexIndex: retraction ≡ rebuild exactly; re-ingest restores; compact purges; guards") {
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val corpus = (0L until 40L).map { id =>
+      id -> Seq.fill(2 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    val d = docs(corpus: _*)
+    val retracted = java.nio.file.Files
+      .createTempDirectory("graft_lex_rt").toString
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft_lex_rtreb").toString
+    val takedown = d.filter(col("doc_id") % 5 === 2)
+    Search.buildLexIndex(d, retracted, buckets = 8)
+    val queries = Seq(0L, 7L).map(q =>
+      q -> Search.queryByExampleTerms(corpus.toMap.apply(q), 3))
+    def run(dir: String) = Search
+      .lexIndexTopK(spark, dir, queries, k = 5, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    val before = run(retracted)
+    Search.retractFromLexIndex(takedown, retracted)
+    // Retraction ≡ rebuild over the retained corpus EXACTLY —
+    // unconditionally, like the append equivalence: df/N/avgdl all
+    // recompute from live postings + the decremented stats row.
+    Search.buildLexIndex(d.filter(col("doc_id") % 5 =!= 2), rebuilt,
+      buckets = 8)
+    val after = run(retracted)
+    assert(after == run(rebuilt))
+    // The takedown genuinely changed the answer (retracted docs were
+    // in the top-k), or the fixture is vacuous.
+    assert(after != before)
+    assert(!after.exists(r => r._2 % 5 == 2))
+    // OVER-RETRACTION throws pre-write: already-retracted id.
+    val e1 = intercept[IllegalArgumentException] {
+      Search.retractFromLexIndex(docs(2L -> "aa bb"), retracted)
+    }
+    assert(e1.getMessage.contains("not currently live"))
+    // Never-ingested and token-less docs are equally not-live.
+    val e2 = intercept[IllegalArgumentException] {
+      Search.retractFromLexIndex(docs(9999L -> "aa"), retracted)
+    }
+    assert(e2.getMessage.contains("not currently live"))
+    // Empty takedown set is a no-op (no commit).
+    val (seq0, _, _, _) = Search.lexManifest(spark, retracted)
+    Search.retractFromLexIndex(
+      docs(5000L -> "x").filter(col("doc_id") < 0), retracted)
+    val (seq1, _, _, _) = Search.lexManifest(spark, retracted)
+    assert(seq1 == seq0)
+    // A takedown that would empty the index throws (unrepresentable).
+    val solo = java.nio.file.Files
+      .createTempDirectory("graft_lex_solo").toString
+    Search.buildLexIndex(docs(1L -> "aa bb"), solo, buckets = 4)
+    val eAll = intercept[IllegalArgumentException] {
+      Search.retractFromLexIndex(docs(1L -> "aa bb"), solo)
+    }
+    assert(eAll.getMessage.contains("every indexed document"))
+    // RE-INGEST of a vacant id restores membership and stats: results
+    // equal the original (pre-retraction) index exactly.
+    Search.appendToLexIndex(takedown, retracted)
+    assert(run(retracted) == before)
+    // Retract again, then COMPACT: physically purges the tombstoned
+    // postings, folds the tombstones away, serve unchanged.
+    Search.retractFromLexIndex(takedown, retracted)
+    val preCompact = run(retracted)
+    assert(preCompact == after)
+    Search.compactLexIndex(spark, retracted)
+    assert(run(retracted) == preCompact)
+    val (_, dirsC, tDirsC, _) = Search.lexManifest(spark, retracted)
+    assert(dirsC.length == 1 && tDirsC.isEmpty)
+    // The folded postings hold no retracted rows at all.
+    val folded = spark.read.parquet(s"$retracted/${dirsC.head}")
+    assert(folded.filter(col("doc_id") % 5 === 2).isEmpty)
   }
 
   test("ivfTopKMulti: Hamming-1 probe recovers a cell-boundary neighbor") {

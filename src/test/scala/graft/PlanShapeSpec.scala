@@ -589,6 +589,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("PartitionFilters: []"), p.take(4000))
   }
 
+  test("doc_bm25_retract_topk: tombstone-live postings keep pruning; liveness joins broadcast; tombstone-free plans carry no liveness scratch") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lex_rt_plan").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    graft.operators.Search.buildLexIndex(docs, dir, buckets = 64)
+    // Tombstone-FREE serve: the retraction branch must not touch the
+    // plan at all — no generation stamp, no liveness join columns.
+    val p0 = graft.operators.Search
+      .lexIndexTopK(spark, dir, Seq(1L -> Seq("the", "of")), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!p0.contains("__g") && !p0.contains("__tg"), p0.take(3000))
+    graft.operators.Search.retractFromLexIndex(
+      docs.filter(col("doc_id") % 10 === 3 &&
+        size(graft.operators.TextAnalysis.wsTokens(col("text"))) > 0), dir)
+    val p = graft.operators.Search
+      .lexIndexTopK(spark, dir, Seq(1L -> Seq("the", "of")), k = 5)
+      .queryExecution.executedPlan.toString
+    // Pruning survives readWithGen's lit(__g) projection on both passes
+    // (df + match); the takedown-sized tombMax join must broadcast (an
+    // SMJ would shuffle the pruned sliver per serve). The tombstone
+    // scan itself is an unpartitioned takedown-sized dir, so a blanket
+    // no-empty-PartitionFilters assert does not apply here — assert the
+    // POSTINGS scans all prune instead.
+    assert("PartitionFilters: \\[bkt".r.findAllIn(p).size >= 2, p.take(4000))
+    assert(!"postings[^\\n]*PartitionFilters: \\[\\]".r
+      .findFirstIn(p).isDefined, p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+  }
+
   test("emb_cluster_sample: assignment is join-free map work; cap prunes with WindowGroupLimit") {
     // Literal centroid book => the argmin is a projection, so the whole
     // query carries exactly one exchange (the per-cluster rank) and no
