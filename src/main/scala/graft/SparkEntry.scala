@@ -107,6 +107,24 @@ object SparkEntry {
       docs.filter(col("doc_id") % 10 === 6), out)
   }
 
+  /** Build+append+retract preamble shared by the ANN retraction serves
+    * (top-k + takedown health): base-trained book (vec_id % 10 <> 7),
+    * the % 10 == 7 ingest slice appended with the frozen book, then the
+    * % 20 == 4 slice taken down (a vec_id-keyed tombstone generation).
+    * Every % 20 == 4 id is non-null and in the base slice (4 <> 7), so
+    * the over-retraction guard holds by construction on any regen that
+    * keeps vec_id = row ordinal.
+    */
+  private def buildRetractedIvfIndex(s: SparkSession, dir: String,
+      out: String): Unit = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 10 =!= 7), out,
+      clusters = 16, iters = 2)
+    Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 10 === 7), out)
+    Similarity.retractFromAnnIndex(
+      emb.filter(col("vec_id") % 20 === 4), out)
+  }
+
   // ---------------------------------------------------------------------
   // Flagship: the reference's core use-case — "what's trending right now"
   // (read events → filter/classify → keyed agg → rate metric → top-k).
@@ -173,7 +191,9 @@ object SparkEntry {
     "doc_dedup_index_clean", "doc_dedup_index_health",
     "doc_dedup_index_compact_pairs", "doc_dedup_index_retract_pairs",
     "emb_ivf_index_topk", "emb_ivf_append_topk", "emb_ivf_compact_topk",
+    "emb_ivf_retract_topk", "emb_ivf_retract_health",
     "emb_index_health", "emb_ivfpq_topk", "emb_ivfpq_recall",
+    "emb_ivfpq_retract_topk",
     "doc_exact_index_clean", "doc_exact_index_append_clean",
     "doc_exact_index_retract_clean",
     "doc_media_index_near", "doc_media_index_append_near",
@@ -2161,6 +2181,39 @@ object SparkEntry {
         k = 5, probes = 2)
     }),
 
+    // RETRACTION lifecycle of the persisted IVF index — exact takedown
+    // at the ANN tier: build base (% 10 <> 7), append the % 10 == 7
+    // slice, take down the % 20 == 4 slice (one vec_id-keyed tombstone
+    // generation; liveness = newest insert generation outlives newest
+    // tombstone, resolved inside the pruned cell read). Cell assignment
+    // is per-row deterministic, so the serve ≡ a frozen-book rebuild
+    // over the retained corpus EXACTLY (spec-pinned) — the oracle is
+    // the append chain with the retracted slice excluded from the
+    // search. Query vectors are external (vec_id < 10 from the source
+    // table), so a retracted id still queries — it just can't be a
+    // neighbor.
+    "emb_ivf_retract_topk" -> ((s, dir) => {
+      val out = indexDir("graft_ivf_rt", dir)
+      if (builtIndexes.add(s"ivfrt:$out"))
+        buildRetractedIvfIndex(s, dir, out)
+      Similarity.ivfIndexTopK(s, out,
+        t(s, dir, "embeddings").filter(col("vec_id") < 10),
+        k = 5, probes = 2)
+    }),
+
+    // Takedown-pressure report over the SAME retracted index: per cell,
+    // stored rows split live/dead (dead rows still occupy files until
+    // compaction) + the dead share in exact integer ppm — the
+    // compact-now signal a takedown-heavy history needs (the StatsIndex
+    // neg_cells analog for the ANN family). indexHealth itself stays
+    // live-membership-only.
+    "emb_ivf_retract_health" -> ((s, dir) => {
+      val out = indexDir("graft_ivf_rt", dir)
+      if (builtIndexes.add(s"ivfrt:$out"))
+        buildRetractedIvfIndex(s, dir, out)
+      Similarity.takedownHealth(s, out)
+    }),
+
     // Index-quality drift report over the APPENDED index (the operator's
     // target lifecycle: frozen-book appends are what make cells drift):
     // per cell — member count, fill share in ppm, mean/max member-to-
@@ -2245,6 +2298,25 @@ object SparkEntry {
           m = 4, codes = 8)
       Similarity.ivfPqRecall(s, out, emb, k = 5, numQueries = 10,
         probes = 2, candidates = 50)
+    }),
+
+    // RETRACTION on the IVF-PQ layout — the same vec_id-keyed tombstone
+    // mechanism through the shared liveness read (ONE implementation
+    // serves both ANN layouts): build the full-corpus IVF-PQ index,
+    // take down the % 20 == 4 slice, serve. ≡ a frozen-books rebuild
+    // over the retained corpus (spec-pinned); the oracle is the IVF-PQ
+    // chain with dead rows excluded before the ADC candidate cut.
+    "emb_ivfpq_retract_topk" -> ((s, dir) => {
+      val out = indexDir("graft_ivfpq_rt", dir)
+      val emb = t(s, dir, "embeddings")
+      if (builtIndexes.add(s"ivfpqrt:$out")) {
+        Similarity.buildIvfPqIndex(emb, out, clusters = 8, iters = 2,
+          m = 4, codes = 8)
+        Similarity.retractFromAnnIndex(
+          emb.filter(col("vec_id") % 20 === 4), out)
+      }
+      Similarity.ivfPqTopK(s, out, emb.filter(col("vec_id") < 10),
+        k = 5, probes = 2, candidates = 50)
     }),
 
     // Embedding-space decontamination against a held-out eval set (the
@@ -2612,7 +2684,7 @@ object SparkEntry {
   // exact cosine into `irrr(query_id, neighbor_id, cos, rank)`. Shared by
   // the top-k and recall oracles so the search definition cannot drift.
   private def ivfPqCtesSql(clusters: Int, probes: Int, cand: Int,
-      nq: Int): String =
+      nq: Int, candWhere: String = ""): String =
     s"""vv AS (SELECT vec_id, fullv AS ev FROM vf),
          ${kmeansChainSql(clusters, "g_", "vv")},
          ka AS (
@@ -2635,7 +2707,7 @@ object SparkEntry {
            SELECT s.query_id, s.vec_id, s.adist_us FROM s
            JOIN ka ON ka.vec_id = s.vec_id
            JOIN kqp ON kqp.query_id = s.query_id
-                   AND kqp.probe = ka.cluster),
+                   AND kqp.probe = ka.cluster$candWhere),
          icandr AS (
            SELECT query_id, vec_id FROM (
              SELECT *, row_number() OVER (PARTITION BY query_id
@@ -2654,11 +2726,15 @@ object SparkEntry {
              ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
            FROM irr)"""
 
-  // Mirrors Similarity.ivfPqTopK.
+  // Mirrors Similarity.ivfPqTopK. `candWhere` restricts the ADC
+  // candidate pool — the retraction oracle excludes dead rows BEFORE
+  // the candidate cut, exactly where the engine's liveness read drops
+  // them.
   private def ivfPqTopKSql(clusters: Int, m: Int, sub: Int, codes: Int,
-      k: Int, probes: Int, cand: Int, nq: Int): String =
+      k: Int, probes: Int, cand: Int, nq: Int,
+      candWhere: String = ""): String =
     s"""WITH ${pqCtesSql(m, sub, codes, nq)},
-         ${ivfPqCtesSql(clusters, probes, cand, nq)}
+         ${ivfPqCtesSql(clusters, probes, cand, nq, candWhere)}
          SELECT query_id, neighbor_id, cos, rank FROM irrr
          WHERE rank <= $k"""
 
@@ -3151,6 +3227,52 @@ object SparkEntry {
              (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
            FROM s)
          SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5"""
+
+  // Retraction-lifecycle oracle: the append chain (base-trained book,
+  // full-corpus assignment) with the retracted slice excluded from the
+  // SEARCH side — assignment is per-row independent, so filtering the
+  // searched rows is exactly the engine's liveness resolution.
+  private lazy val ivfRetractTopKSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         vb AS (SELECT * FROM v WHERE vec_id % 10 <> 7),
+         ${kmeansChainSql(16, "", "vb")},
+         $kmeansFinalAssignSql,
+         q AS (SELECT vec_id AS query_id, ev AS qv FROM v WHERE vec_id < 10),
+         $kmeansProbesSql,
+         s AS (
+           SELECT q.query_id, c.vec_id AS neighbor_id,
+             floor((list_dot_product(q.qv, c.ev)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.ev, c.ev)))) * 1e6 + 0.5) / 1e6 AS cos
+           FROM q
+           JOIN kqp ON kqp.query_id = q.query_id
+           JOIN ka ON ka.cluster = kqp.probe
+           JOIN v c ON c.vec_id = ka.vec_id AND q.query_id <> c.vec_id
+                   AND c.vec_id % 20 <> 4),
+         r AS (
+           SELECT *, CAST(row_number() OVER
+             (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+           FROM s)
+         SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5"""
+
+  // Takedown-pressure oracle: same base-trained chain + full-corpus
+  // assignment; per cell the stored rows split live (% 20 <> 4) / dead,
+  // dead share in exact integer ppm of stored rows.
+  private lazy val ivfRetractHealthSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         vb AS (SELECT * FROM v WHERE vec_id % 10 <> 7),
+         ${kmeansChainSql(16, "", "vb")},
+         $kmeansFinalAssignSql,
+         agg AS (
+           SELECT cluster AS cell,
+             CAST(count(*) FILTER (WHERE vec_id % 20 <> 4) AS BIGINT)
+               AS live_vecs,
+             CAST(count(*) FILTER (WHERE vec_id % 20 = 4) AS BIGINT)
+               AS dead_vecs
+           FROM ka GROUP BY 1)
+         SELECT cell, live_vecs, dead_vecs,
+           CAST((dead_vecs * 1000000) // (live_vecs + dead_vecs) AS BIGINT)
+             AS dead_ppm
+         FROM agg"""
 
   // Index-health oracle: the same base-trained chain + full-corpus
   // assignment as the append oracle, then per-cell fill and residual
@@ -5753,7 +5875,18 @@ object SparkEntry {
     // Compaction is a pure layout fold — rows rewritten verbatim, search
     // bit-identical to the appended index (spec-pinned), same oracle.
     "emb_ivf_compact_topk" -> ivfAppendTopKSql,
+    // Retraction ≡ frozen-book rebuild over the retained corpus —
+    // the append chain with the dead slice excluded from the search.
+    "emb_ivf_retract_topk" -> ivfRetractTopKSql,
+    // Takedown pressure per cell: stored rows split live/dead + exact
+    // integer ppm dead share.
+    "emb_ivf_retract_health" -> ivfRetractHealthSql,
     "emb_index_health" -> ivfIndexHealthSql,
+    // IVF-PQ retraction: dead rows excluded before the ADC candidate
+    // cut — exactly the liveness read's effect on the serve.
+    "emb_ivfpq_retract_topk" -> ivfPqTopKSql(clusters = 8, m = 4,
+      sub = 16, codes = 8, k = 5, probes = 2, cand = 50, nq = 10,
+      candWhere = " AND s.vec_id % 20 <> 4"),
     "emb_pq_topk" -> pqTopKSql(m = 4, sub = 16, codes = 8, k = 5, nq = 10),
     "emb_pq_recall" ->
       pqRecallSql(m = 4, sub = 16, codes = 8, k = 5, nq = 10, cand = 50),

@@ -454,16 +454,19 @@ object Similarity {
     * rebuilds write a sibling dir and swap the pointer.
     */
 
-  /** The live (seq, data-dir names) of a persisted index. A freshly-built
-    * index has no manifest file — it adopts as (0, ["cells"]), so indexes
-    * written before the append lifecycle existed read unchanged.
+  /** The live (seq, data-dir names, tombstone-dir names) of a persisted
+    * index. A freshly-built index has no manifest file — it adopts as
+    * (0, ["cells"], Nil), so indexes written before the append lifecycle
+    * existed read unchanged.
     */
   private[graft] def indexManifest(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (Long, Seq[String]) = {
+      dir: String): (Long, Seq[String], Seq[String]) = {
     val (fs, root) = GenManifest.fsRoot(spark, dir)
     GenManifest.latestSeq(fs, root) match {
-      case None => (0L, Seq("cells"))
-      case Some(seq) => (seq, manifestDirsAt(fs, root, seq))
+      case None => (0L, Seq("cells"), Nil)
+      case Some(seq) =>
+        val (ds, ts) = manifestDirsAt(fs, root, seq)
+        (seq, ds, ts)
     }
   }
 
@@ -474,24 +477,37 @@ object Similarity {
     * overwritten by the next append at this seq.
     */
   private def commitIndexManifest(spark: org.apache.spark.sql.SparkSession,
-      dir: String, seq: Long, dirs: Seq[String]): Unit = {
+      dir: String, seq: Long, dirs: Seq[String],
+      tDirs: Seq[String]): Unit = {
     val node = GenManifest.newNode()
     val arr = node.putArray("dirs")
     dirs.foreach(arr.add)
+    if (tDirs.nonEmpty) {
+      val ta = node.putArray("tdirs"); tDirs.foreach(ta.add)
+    }
     GenManifest.commit(spark, dir, seq, node)
   }
 
-  /** The corpus of a persisted index: the union of its manifest's
+  /** The LIVE corpus of a persisted index: the union of its manifest's
     * cell-partitioned data dirs. Each dir is read as its own partitioned
     * source, so a `cell IN (...)` probe filter partition-prunes EVERY
     * generation independently — an appended index keeps the bounded-read
     * guarantee. A never-appended index is a single scan, exactly the
-    * pre-append plan.
+    * pre-append plan; a tombstone-free index plans byte-identically to a
+    * pre-retraction one (the liveness branch engages only when tdirs
+    * exist — GenManifest's newest-insert-outlives-newest-tombstone
+    * kernels, vec_id-keyed; the takedown-sized tombstone-max table
+    * broadcasts, and the probe's cell filter pushes through the
+    * liveness join to every generation scan).
     */
   private def readCells(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
-    val (_, dirs) = indexManifest(spark, dir)
-    dirs.map(d => spark.read.parquet(s"$dir/$d")).reduce(_.unionByName(_))
+    val (_, dirs, tDirs) = indexManifest(spark, dir)
+    if (tDirs.isEmpty)
+      dirs.map(d => spark.read.parquet(s"$dir/$d")).reduce(_.unionByName(_))
+    else
+      GenManifest.liveRows(GenManifest.readWithGen(spark, dir, dirs),
+        "vec_id", GenManifest.tombMax(spark, dir, tDirs, "vec_id"))
   }
 
   /** The centroid book of a persisted index, collected to the driver —
@@ -528,7 +544,7 @@ object Similarity {
   def appendToIvfIndex(delta: DataFrame, dir: String): Unit = {
     val spark = delta.sparkSession
     val book = readBook(spark, dir)
-    val (seq, dirs) = indexManifest(spark, dir)
+    val (seq, dirs, tDirs) = indexManifest(spark, dir)
     val newDir = f"delta-${seq + 1}%010d"
     // Null-id delta rows dropped like the build (the lex postings rule —
     // see writeIvfIndex; also keeps append ≡ rebuild on nullable input).
@@ -546,7 +562,7 @@ object Similarity {
         nearestId(col("ev"), book).as("cell"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/$newDir")
-    commitAppendedDir(spark, dir, newDir, seq, dirs)
+    commitAppendedDir(spark, dir, newDir, seq, dirs, tDirs)
   }
 
   /** Commit an appended generation dir — unless the delta was EMPTY: a
@@ -558,7 +574,8 @@ object Similarity {
     * a no-op: the dir is dropped and no manifest is written.
     */
   private def commitAppendedDir(spark: org.apache.spark.sql.SparkSession,
-      dir: String, newDir: String, seq: Long, dirs: Seq[String]): Unit = {
+      dir: String, newDir: String, seq: Long, dirs: Seq[String],
+      tDirs: Seq[String]): Unit = {
     val (fs, root) = GenManifest.fsRoot(spark, dir)
     val p = new org.apache.hadoop.fs.Path(root, newDir)
     val hasCells = fs.exists(p) &&
@@ -568,7 +585,10 @@ object Similarity {
       System.err.println(
         s"[graft] append of an EMPTY delta to $dir skipped (no commit)")
     } else {
-      commitIndexManifest(spark, dir, seq + 1, dirs :+ newDir)
+      // Tombstones carry over: a re-ingested vec_id's NEW generation
+      // outlives any older tombstone, so the append alone restores its
+      // membership (the newest-op-wins rule).
+      commitIndexManifest(spark, dir, seq + 1, dirs :+ newDir, tDirs)
       sweepIndexGenerations(spark, dir, seq + 1)
     }
   }
@@ -783,7 +803,7 @@ object Similarity {
     val coarse = readBook(spark, dir)
     val m = books.length
     val sub = books.head.head.length
-    val (seq, dirs) = indexManifest(spark, dir)
+    val (seq, dirs, tDirs) = indexManifest(spark, dir)
     val newDir = f"delta-${seq + 1}%010d"
     // Same width guard as the IVF append (see there): a mismatched delta
     // would otherwise PQ-code every row to code 0 per subspace and
@@ -800,7 +820,7 @@ object Similarity {
     pqEncodedCells(guarded, books, coarse, m, sub)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/$newDir")
-    commitAppendedDir(spark, dir, newDir, seq, dirs)
+    commitAppendedDir(spark, dir, newDir, seq, dirs, tDirs)
   }
 
   /** Names a manifest may list as data dirs — the ONLY names the
@@ -809,7 +829,7 @@ object Similarity {
     * by a bug in the unreferenced-set arithmetic.
     */
   private def isIndexDataDir(name: String): Boolean =
-    name.matches("""cells|delta-\d{10}|compact-\d{10}""")
+    name.matches("""cells|delta-\d{10}|compact-\d{10}|tombs-\d{10}""")
 
   /** The dirs a SPECIFIC manifest generation references. Generation 0 of
     * a pre-append-era index is synthesized, not on disk ([[indexManifest]]
@@ -818,7 +838,8 @@ object Similarity {
     * reader that resolved the adopted generation.
     */
   private def manifestDirsAt(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, gen: Long): Seq[String] =
+      root: org.apache.hadoop.fs.Path, gen: Long)
+      : (Seq[String], Seq[String]) =
     GenManifest.readNode(fs, root, gen) match {
       case Some(node) =>
         import scala.jdk.CollectionConverters._
@@ -840,8 +861,19 @@ object Similarity {
           throw new IllegalStateException(
             s"manifest generation $gen under $root references no cell " +
               "dirs — truncated or damaged manifest")
-        ds
-      case None if gen == 0L => Seq("cells")
+        // Tombstone dirs are OPTIONAL (absent pre-retraction), but a
+        // PRESENT node decoding to nothing is DAMAGE — reading it as
+        // tombstone-free would resurrect retracted vectors (the
+        // dedupManifestAt rule).
+        val ts = Option(node.get("tdirs"))
+          .map(_.elements().asScala.map(_.asText()).toSeq)
+        if (ts.exists(_.isEmpty))
+          throw new IllegalStateException(
+            s"manifest generation $gen under $root carries an empty/" +
+              "scalar tdirs node — damaged manifest; reading it as " +
+              "tombstone-free would resurrect retracted vectors")
+        (ds, ts.getOrElse(Nil))
+      case None if gen == 0L => (Seq("cells"), Nil)
       case None =>
         // Fail-loud on the READ path (mirrors Search.lexManifestAt): a
         // listed-then-vanished manifest is a damaged index or a
@@ -866,7 +898,11 @@ object Similarity {
     */
   private def sweepIndexGenerations(spark: org.apache.spark.sql.SparkSession,
       dir: String, seq: Long): Unit =
-    GenManifest.sweepOwned(spark, dir, seq, isIndexDataDir)(manifestDirsAt)
+    GenManifest.sweepOwned(spark, dir, seq, isIndexDataDir) {
+      (fs, root, g) =>
+        val (ds, ts) = manifestDirsAt(fs, root, g)
+        ds ++ ts
+    }
 
   /** COMPACT a persisted IVF / IVF-PQ index: fold every live generation
     * back into ONE cell-partitioned dir and commit the move with the same
@@ -898,8 +934,8 @@ object Similarity {
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
-    val (seq, dirs) = indexManifest(spark, dir)
-    if (dirs.length <= 1) {
+    val (seq, dirs, tDirs) = indexManifest(spark, dir)
+    if (dirs.length <= 1 && tDirs.isEmpty) {
       // Nothing to fold, but compaction is the maintenance pass: still
       // collect garbage a previously-failed best-effort sweep left
       // behind (an otherwise idle index would keep it forever).
@@ -907,11 +943,132 @@ object Similarity {
       return
     }
     val newDir = f"compact-${seq + 1}%010d"
-    readCells(spark, dir)
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/$newDir")
-    commitIndexManifest(spark, dir, seq + 1, Seq(newDir))
+    // readCells already resolves liveness, so with retraction
+    // generations present the fold physically purges tombstoned rows
+    // and the tombstones fold away. A fully-retracted fold is
+    // unrepresentable (a partitioned write of an empty frame leaves a
+    // schema-less dir poisoning every later read) — probe emptiness on
+    // the SAME materialization the write consumes (the dedup-compact
+    // discipline); the common tombstone-free fold stays one
+    // read-to-write pipeline.
+    if (tDirs.isEmpty) {
+      readCells(spark, dir)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/$newDir")
+    } else {
+      val fc = readCells(spark, dir).barrier()
+      try {
+        require(fc.count() > 0L,
+          s"compactIndex at $dir: every vector is retracted — an " +
+            "all-empty index is unrepresentable; rebuild when content " +
+            "returns")
+        fc.repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/$newDir")
+      } finally Barrier.release(fc)
+    }
+    commitIndexManifest(spark, dir, seq + 1, Seq(newDir), Nil)
     sweepIndexGenerations(spark, dir, seq + 1)
+  }
+
+  /** RETRACT vectors from a persisted IVF / IVF-PQ index — the takedown
+    * / right-to-be-forgotten path, completing the lifecycle (build /
+    * append / compact / retract) across the whole index family. ONE
+    * implementation serves both layouts: the at-rest unit is a
+    * vec_id-keyed cell row either way, so the takedown ids become one
+    * tombstone generation under the shared [[GenManifest]] commit and
+    * liveness resolves as "newest insert generation outlives newest
+    * tombstone" inside [[readCells]] — every serve (IVF top-k, IVF-PQ
+    * ADC + rerank), [[indexHealth]], and [[compactIndex]] stop seeing
+    * the vector the moment the manifest renames. Search-after-retract
+    * equals a frozen-book rebuild over the retained corpus EXACTLY
+    * (cell assignment and codes are deterministic per row and already
+    * at rest — dropping a row cannot move any other row; spec-pinned
+    * for both layouts). A LATER append of the same vec_id (legal once
+    * the id is vacant) restores it.
+    *
+    * OVER-RETRACTION throws before anything is written (the family
+    * rule): every takedown id must be currently live. An empty takedown
+    * set is a no-op. [[compactIndex]] physically purges tombstoned rows
+    * and folds the tombstones away; [[takedownHealth]] is the takedown-
+    * pressure signal. SINGLE-WRITER, like append.
+    *
+    * Cost shape: the membership probe is one map-side scan of the cell
+    * generations semi-joined to the broadcast takedown set — cells
+    * partition by CELL, so a vec-keyed probe cannot prune, but it never
+    * shuffles the index either (the lex-retraction trade). The
+    * tombstone table is takedown-sized by contract (broadcast at every
+    * serve; compact regularly under sustained takedowns).
+    */
+  def retractFromAnnIndex(vecs: DataFrame, dir: String): Unit = {
+    val spark = vecs.sparkSession
+    val (seq, dirs, tDirs) = indexManifest(spark, dir)
+    val newT = f"tombs-${seq + 1}%010d"
+    // BARRIERED, not cached (the family takedown discipline): the
+    // membership require and the WRITTEN tombstone rows must derive
+    // from one materialized id set.
+    val h = vecs.where(col("vec_id").isNotNull)
+      .select(col("vec_id")).distinct()
+      .barrier()
+    try {
+      if (h.isEmpty) {
+        System.err.println(
+          s"[graft] ANN-index retraction of an EMPTY set at $dir " +
+            "skipped (no commit)")
+      } else {
+        // Live membership evidence: cell rows for the takedown ids,
+        // liveness-resolved (readCells), id-projected. Map-side scan +
+        // broadcast semi.
+        val live = readCells(spark, dir)
+          .join(broadcast(h), Seq("vec_id"), "left_semi")
+          .select(col("vec_id")).distinct()
+        val nonMembers = h.join(live, Seq("vec_id"), "left_anti").count()
+        require(nonMembers == 0L,
+          s"retractFromAnnIndex at $dir: $nonMembers of the takedown " +
+            "ids are not currently live (never ingested, or already " +
+            "retracted) — a takedown of absent vectors is a caller " +
+            "bug, not a no-op")
+        h.write.mode("overwrite").parquet(s"$dir/$newT")
+        commitIndexManifest(spark, dir, seq + 1, dirs, tDirs :+ newT)
+        sweepIndexGenerations(spark, dir, seq + 1)
+      }
+    } finally Barrier.release(h)
+  }
+
+  /** Takedown-pressure report over a persisted IVF / IVF-PQ index: per
+    * cell, how many stored rows are LIVE vs TOMBSTONED (dead rows still
+    * occupy files and skew the fill picture until [[compactIndex]]
+    * purges them) — the retraction-era companion of [[indexHealth]],
+    * which deliberately reports live membership only. dead_ppm is the
+    * dead share of the cell's stored rows in parts-per-million (exact
+    * integer floor-division). A takedown-heavy history reads as high
+    * dead_ppm concentrated where the retracted content clustered — the
+    * compact-now signal.
+    */
+  def takedownHealth(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val (_, dirs, tDirs) = indexManifest(spark, dir)
+    val rows = GenManifest.readWithGen(spark, dir, dirs)
+    val classified =
+      if (tDirs.isEmpty) rows.withColumn("__live", lit(true))
+      else {
+        Skew.requireScratchFree(rows, Seq("__tid", "__tg"),
+          "takedown health (retraction scratch)")
+        rows.join(broadcast(GenManifest.tombMax(spark, dir, tDirs, "vec_id")
+            .withColumnRenamed("vec_id", "__tid")),
+            col("vec_id") === col("__tid"), "left")
+          .withColumn("__live",
+            col("__tg").isNull || col("__g") > col("__tg"))
+      }
+    classified
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(
+        sum(when(col("__live"), lit(1L)).otherwise(lit(0L)))
+          .as("live_vecs"),
+        sum(when(col("__live"), lit(0L)).otherwise(lit(1L)))
+          .as("dead_vecs"))
+      .selectExpr("cell", "live_vecs", "dead_vecs",
+        "CAST((dead_vecs * 1000000) DIV (live_vecs + dead_vecs) " +
+          "AS BIGINT) AS dead_ppm")
   }
 
   /** Index-quality drift report over a persisted IVF / IVF-PQ index: one

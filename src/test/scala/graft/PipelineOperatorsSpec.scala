@@ -814,7 +814,7 @@ class PipelineOperatorsSpec extends SparkSpec {
     // A 0-row delta writes a dir with no cell= children; committing it
     // would make every later readCells throw with no repair path.
     Similarity.appendToIvfIndex(d.filter(col("vec_id") < 0), dir)
-    assert(Similarity.indexManifest(spark, dir) == ((0L, Seq("cells"))))
+    assert(Similarity.indexManifest(spark, dir) == ((0L, Seq("cells"), Nil)))
     assert(topkRows(Similarity.ivfIndexTopK(spark, dir, q, k = 3, probes = 1))
       == before)
   }
@@ -831,7 +831,7 @@ class PipelineOperatorsSpec extends SparkSpec {
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("dims")))
-    assert(Similarity.indexManifest(spark, dir) == ((0L, Seq("cells"))))
+    assert(Similarity.indexManifest(spark, dir) == ((0L, Seq("cells"), Nil)))
   }
 
   test("appendToIvfPqIndex: search-after-append equals frozen-book rebuild") {
@@ -868,7 +868,7 @@ class PipelineOperatorsSpec extends SparkSpec {
     val before = topkRows(Similarity.ivfIndexTopK(spark, dir, q, k = 3, probes = 1))
     Similarity.compactIndex(spark, dir)
     // The manifest now references exactly ONE folded dir …
-    val (seq, dirs) = Similarity.indexManifest(spark, dir)
+    val (seq, dirs, _) = Similarity.indexManifest(spark, dir)
     assert(seq == 2L && dirs == Seq("compact-0000000002"))
     // … and the search is bit-identical (rows rewritten verbatim).
     val after = topkRows(Similarity.ivfIndexTopK(spark, dir, q, k = 3, probes = 1))
@@ -900,7 +900,7 @@ class PipelineOperatorsSpec extends SparkSpec {
     val before = topkRows(Similarity.ivfIndexTopK(spark, dir, q, k = 3, probes = 1))
     Similarity.compactIndex(spark, dir)
     // Nothing to fold: no manifest written, layout untouched.
-    assert(Similarity.indexManifest(spark, dir) == ((0L, Seq("cells"))))
+    assert(Similarity.indexManifest(spark, dir) == ((0L, Seq("cells"), Nil)))
     assert(topkRows(Similarity.ivfIndexTopK(spark, dir, q, k = 3, probes = 1)) == before)
   }
 
@@ -917,11 +917,107 @@ class PipelineOperatorsSpec extends SparkSpec {
     val before = topkRows(Similarity.ivfPqTopK(spark, dir, q, k = 3,
       probes = 1, candidates = 10))
     Similarity.compactIndex(spark, dir)
-    val (_, dirs) = Similarity.indexManifest(spark, dir)
+    val (_, dirs, _) = Similarity.indexManifest(spark, dir)
     assert(dirs.length == 1)
     val after = topkRows(Similarity.ivfPqTopK(spark, dir, q, k = 3,
       probes = 1, candidates = 10))
     assert(after == before && after.nonEmpty)
+  }
+
+  test("retractFromAnnIndex: retraction ≡ frozen-book rebuild; re-ingest restores; compact purges; guards") {
+    val d = clusteredVecs
+    val base = d.filter(col("vec_id") % 10 < 7)
+    val delta = d.filter(col("vec_id") % 10 >= 7)
+    val takedown = d.filter(col("vec_id") % 5 === 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_rt").toString
+    Similarity.buildIvfIndex(base, dir, clusters = 4, iters = 2)
+    Similarity.appendToIvfIndex(delta, dir)
+    val q = d.filter(col("vec_id") < 4)
+    def run() = topkRows(
+      Similarity.ivfIndexTopK(spark, dir, q, k = 3, probes = 1))
+    val before = run()
+    Similarity.retractFromAnnIndex(takedown, dir)
+    val after = run()
+    // Retraction ≡ a frozen-book rebuild over the retained corpus:
+    // cell assignment is per-row deterministic, so dropping rows moves
+    // nothing else.
+    val book = Similarity.readBook(spark, dir)
+    val reb = java.nio.file.Files
+      .createTempDirectory("graft_ivf_rt_reb").toString
+    Similarity.writeIvfIndex(
+      d.filter(col("vec_id") % 5 =!= 2)
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("ev")), reb, book)
+    assert(after == topkRows(
+      Similarity.ivfIndexTopK(spark, reb, q, k = 3, probes = 1)))
+    // The takedown genuinely changed the answer, and no retracted id
+    // survives as a neighbor.
+    assert(after != before)
+    assert(!after.exists(_._2 % 5 == 2))
+    // Takedown-pressure report: dead rows counted per cell, live+dead
+    // = stored rows; the tombstone-free rebuild reads all-live.
+    val th = Similarity.takedownHealth(spark, dir).collect()
+    assert(th.map(_.getAs[Long]("dead_vecs")).sum ==
+      takedown.count())
+    assert(th.exists(_.getAs[Long]("dead_ppm") > 0L))
+    val th0 = Similarity.takedownHealth(spark, reb).collect()
+    assert(th0.forall(_.getAs[Long]("dead_vecs") == 0L))
+    assert(th0.forall(_.getAs[Long]("dead_ppm") == 0L))
+    // indexHealth reflects LIVE membership only.
+    val n = Similarity.indexHealth(spark, dir).collect()
+      .map(_.getAs[Long]("n_vecs")).sum
+    assert(n == d.count() - takedown.count())
+    // OVER-RETRACTION throws pre-write: already-retracted id.
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.retractFromAnnIndex(
+        d.filter(col("vec_id") === 2), dir)
+    }
+    assert(e1.getMessage.contains("not currently live"))
+    val (seqE, _, _) = Similarity.indexManifest(spark, dir)
+    // Empty takedown set is a no-op (no commit).
+    Similarity.retractFromAnnIndex(d.filter(col("vec_id") < 0), dir)
+    assert(Similarity.indexManifest(spark, dir)._1 == seqE)
+    // RE-INGEST of a vacant id restores membership exactly.
+    Similarity.appendToIvfIndex(takedown, dir)
+    assert(run() == before)
+    // Retract again, then COMPACT: physically purges the dead rows and
+    // folds the tombstones away; serve unchanged.
+    Similarity.retractFromAnnIndex(takedown, dir)
+    val preCompact = run()
+    assert(preCompact == after)
+    Similarity.compactIndex(spark, dir)
+    assert(run() == preCompact)
+    val (_, dirsC, tDirsC) = Similarity.indexManifest(spark, dir)
+    assert(dirsC.length == 1 && tDirsC.isEmpty)
+    val folded = spark.read.parquet(s"$dir/${dirsC.head}")
+    assert(folded.filter(col("vec_id") % 5 === 2).isEmpty)
+    assert(Similarity.takedownHealth(spark, dir).collect()
+      .forall(_.getAs[Long]("dead_vecs") == 0L))
+  }
+
+  test("retractFromAnnIndex: IVF-PQ serve resolves liveness identically (≡ frozen-book rebuild)") {
+    val d = clusteredVecs
+    val takedown = d.filter(col("vec_id") % 5 === 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_rt").toString
+    Similarity.buildIvfPqIndex(d, dir, clusters = 4, iters = 2,
+      m = 4, codes = 4)
+    val q = d.filter(col("vec_id") < 4)
+    val before = topkRows(Similarity.ivfPqTopK(spark, dir, q, k = 3,
+      probes = 1, candidates = 10))
+    Similarity.retractFromAnnIndex(takedown, dir)
+    val after = topkRows(Similarity.ivfPqTopK(spark, dir, q, k = 3,
+      probes = 1, candidates = 10))
+    val books = Similarity.readCodebooks(spark, dir)
+    val coarse = Similarity.readBook(spark, dir)
+    val reb = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_rt_reb").toString
+    Similarity.writeIvfPqIndex(d.filter(col("vec_id") % 5 =!= 2), reb,
+      books, coarse, m = 4, sub = 2)
+    assert(after == topkRows(Similarity.ivfPqTopK(spark, reb, q, k = 3,
+      probes = 1, candidates = 10)))
+    assert(after != before && after.nonEmpty)
   }
 
   test("indexHealth: appended index reports full membership, exact shares, sane residuals") {

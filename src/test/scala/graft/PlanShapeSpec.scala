@@ -236,6 +236,38 @@ class PlanShapeSpec extends SparkSpec {
       p.take(3000))
   }
 
+  test("emb_ivf_retract_topk: tombstone-live cell reads keep pruning; the liveness join broadcasts; tombstone-free plans carry no liveness scratch") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_rt_plan").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    graft.operators.Similarity.buildIvfIndex(
+      emb.filter(col("vec_id") % 10 =!= 7), dir, clusters = 16, iters = 0)
+    graft.operators.Similarity.appendToIvfIndex(
+      emb.filter(col("vec_id") % 10 === 7), dir)
+    // Tombstone-FREE serve: the retraction branch must not touch the
+    // plan — no generation stamp, no liveness scratch columns.
+    val p0 = graft.operators.Similarity
+      .ivfIndexTopK(spark, dir, emb.filter(col("vec_id") < 10),
+        k = 5, probes = 2)
+      .queryExecution.executedPlan.toString
+    assert(!p0.contains("__g") && !p0.contains("__tg"), p0.take(3000))
+    graft.operators.Similarity.retractFromAnnIndex(
+      emb.filter(col("vec_id") % 20 === 4), dir)
+    val p = graft.operators.Similarity
+      .ivfIndexTopK(spark, dir, emb.filter(col("vec_id") < 10),
+        k = 5, probes = 2)
+      .queryExecution.executedPlan.toString
+    // The probe's cell filter pushes through readWithGen's lit(__g)
+    // projection AND the liveness left-join to every generation scan;
+    // the takedown-sized tombstone join broadcasts (an SMJ would
+    // shuffle the pruned sliver per serve).
+    val pruned = "PartitionFilters: \\[cell".r.findAllIn(p).size
+    assert(pruned == 2, s"expected 2 pruned generation scans, got $pruned\n" +
+      p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("emb_ivf_compact_topk: compaction folds the appended index back to ONE pruned scan") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files
