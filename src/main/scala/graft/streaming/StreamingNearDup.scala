@@ -134,24 +134,16 @@ object StreamingNearDup {
       // ones appended below, so same-batch pairs are found too.
       for (r <- rows.toSeq.sortBy(h => (h.tsMs, h.docId))) {
         // Re-arrival of a stored doc_id (at-least-once source, re-crawl)
-        // is a no-op — FIRST delivery wins. Appending a second copy
-        // would pair later docs against both and emit duplicate rows
-        // (batch ends in distinct(); an append-mode stream cannot).
-        //
-        // KNOWN LIMITATION — CHANGED-content redelivery of a live
-        // doc_id: first-wins is enforced PER BUCKET, so a redelivery
-        // whose new keys hit bands where v1 is absent is admitted as a
-        // fresh entry there while v1 survives in its own buckets. A
-        // later doc colliding with v1 in one band and v2 in another can
-        // then emit the SAME (a, b) pair from two buckets (each bucket's
-        // smallest-colliding-band test runs against ITS stored key set),
-        // with possibly different jaccards. In-place content updates are
-        // NOT supported on this stream — re-ingest under a fresh doc_id
-        // (the id-disjointness rule every index family states); making
-        // updates safe needs doc-keyed state, not bucket-keyed. The
-        // contract is SPEC-PINNED, not just documented: the redelivery
-        // fixture constructs the straddle and asserts the double
-        // emission, so any semantics change here trips a test.
+        // is a no-op — FIRST delivery wins. The doc-keyed admission gate
+        // upstream (dropDuplicatesWithinWatermark on doc_id) already
+        // enforces this GLOBALLY — including for CHANGED-content
+        // redeliveries, whose v1/v2 bucket straddle used to double-emit
+        // a pair (the formerly pinned in-place-update limitation, fixed
+        // by the gate; the exactly-once fixture now asserts one
+        // emission). This per-bucket check stays as defense in depth:
+        // appending a second copy would pair later docs against both
+        // and emit duplicate rows (batch ends in distinct(); an
+        // append-mode stream cannot).
         // A saturated bucket (>= maxBucketDf live entries) also stops
         // growing: the streaming analog of the batch hot-bucket cap —
         // it bounds the O(df²) pairing and the per-bucket state, at the
@@ -335,6 +327,19 @@ object StreamingNearDup {
         }
       }
       .withWatermark("ts", delay)
+      // DOC-KEYED admission gate (the round-14 redelivery fix — see
+      // streamingMinhashNearDups for the full rationale; the straddle
+      // there is a pigeonhole-block straddle here, same double-emission
+      // mechanism). Keyed on (docId, blk): every hashed doc emits
+      // EXACTLY one hit per block index 0..blocks-1, so per-(doc,
+      // block) first-wins ≡ globally first-wins — a changed-content
+      // redelivery's hits carry the same (docId, blk) keys as v1's
+      // whatever its new block VALUES are, and all of them drop. The
+      // gate sits after the typed flatMap because fgws's event-time
+      // timeout needs the watermark tag on its input and typed stages
+      // strip column metadata (declaring the watermark twice is an
+      // AnalysisException under allowMultiple).
+      .dropDuplicatesWithinWatermark("docId", "blk")
     hits.groupByKey(h => (h.blk, h.key))
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout()) {
@@ -367,6 +372,24 @@ object StreamingNearDup {
       // the same encoder kill one field over (BandHit.docId: Long) —
       // one dirty-ingest row must not terminate the monitor.
       .where(col("ts").isNotNull && col("doc_id").isNotNull)
+      .withWatermark("ts", delay)
+      // DOC-KEYED admission gate (the round-14 redelivery fix): exactly
+      // one version of a doc_id enters the band stage per horizon —
+      // FIRST delivery wins GLOBALLY, not per bucket. Without it, a
+      // CHANGED-content redelivery of a live doc_id was admitted in
+      // buckets where v1 was absent while v1 survived in its own, and a
+      // later doc colliding with v1 in one band and v2 in another
+      // emitted the SAME (a, b) pair twice (each bucket's smallest-
+      // colliding-band test ran against ITS stored key set) — the
+      // formerly spec-pinned in-place-update limitation. The gate's
+      // state is one doc_id per horizon (the same event-time expiry the
+      // bucket state uses), and the per-bucket first-wins check below
+      // stays as defense in depth. In-place content UPDATES remain
+      // unsupported (v2 is dropped, not swapped in — retracting v1 from
+      // its buckets is not expressible here); re-ingest changed content
+      // under a fresh doc_id, the id-disjointness rule every index
+      // family states.
+      .dropDuplicatesWithinWatermark("doc_id")
     val sets = toks.select(col("doc_id"), col("ts"),
       Dedup.shinglesFromTokens(col("toks"), n).as("sset"))
     // Per-row signature: md5 arrays materialized first (one md5 per seed
@@ -406,7 +429,10 @@ object StreamingNearDup {
       // post-explode attribute keeps the shingle expression out of any
       // pushed-down predicate.
       .where(col("key").isNotNull)
-      .withWatermark("ts", delay)
+      // The watermark is declared ONCE, upstream of the admission gate
+      // (redefining it below a stateful operator is an
+      // AnalysisException under allowMultiple); the event-time tag
+      // rides the untyped column pipeline through to the bucket stage.
       .as[BandHit]
     hits.groupByKey(h => (h.band, h.key))
       .flatMapGroupsWithState(OutputMode.Append(),

@@ -3489,15 +3489,16 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(rows.toSet == batch, s"stream=${rows.toSet} batch=$batch")
   }
 
-  test("streamingMinhashNearDups: CHANGED-content redelivery of a live doc_id double-emits (the pinned in-place-update limitation)") {
-    // The documented contract (StreamingNearDup.pairsFromBucket): in-place
-    // content updates are NOT supported — re-ingest under a fresh doc_id.
-    // This fixture ASSERTS the failure mode the contract exists for, so a
-    // future "fix" that silently changes emission semantics (or a
-    // refactor that accidentally widens first-wins to doc-keyed state)
-    // trips a spec either way: v1 and v2 of one doc_id straddle buckets,
-    // a later doc collides with v1 in one band and v2 in another, and the
-    // SAME (a, b) pair emits from both buckets.
+  test("streamingMinhashNearDups: CHANGED-content redelivery of a live doc_id emits exactly once (doc-keyed admission gate)") {
+    // Round-15 fix of the formerly pinned in-place-update limitation:
+    // the doc-keyed admission gate (dropDuplicatesWithinWatermark on
+    // doc_id, upstream of the band stage) drops a changed-content
+    // redelivery of a live doc_id ENTIRELY — first delivery wins
+    // globally, so the v1/v2 bucket straddle that used to double-emit
+    // the same (a, b) pair can no longer exist. This fixture constructs
+    // that exact straddle and asserts ONE emission carrying v1's
+    // jaccard. In-place content UPDATES remain unsupported (v2 is
+    // dropped, not swapped in) — re-ingest under a fresh doc_id.
     import java.sql.Timestamp
     import graft.streaming.StreamingNearDup
     // Deterministic search for a token-set triple with the straddle
@@ -3551,12 +3552,21 @@ class PipelineOperatorsSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
     val rows = spark.table("snear_redeliver").collect()
-      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSeq
-    assert(rows.forall(_ == (100L, 200L)), rows.toString)
-    assert(rows.length == 2,
-      s"the pinned limitation: (100,200) must emit from BOTH straddled " +
-        s"buckets — got $rows. If this now emits once, doc-keyed state " +
-        "landed: update the pairsFromBucket contract doc AND this spec.")
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSeq
+    assert(rows.forall(r => (r._1, r._2) == ((100L, 200L))), rows.toString)
+    assert(rows.length == 1,
+      s"exactly-once under changed-content redelivery: (100,200) must " +
+        s"emit from ONE bucket only (v2 dropped by the doc-keyed " +
+        s"admission gate) — got $rows")
+    // The surviving emission is v1's pairing (first delivery wins):
+    // jaccard(v1, y) per the batch operator — not jaccard(v2, y).
+    val expect = Dedup.minhashNearDups(
+        Seq((100L, v1), (200L, y)).toDF("doc_id", "text"),
+        threshold = 0.3)
+      .collect().map(_.getAs[Double]("jaccard")).toSeq
+    assert(expect.length == 1 && rows.head._3 == expect.head,
+      s"got ${rows.head._3}, batch(v1, y) = $expect")
   }
 
   test("streamingSimhashNearDups: stream ≡ batch 60-bit pairs across batches") {
@@ -3601,6 +3611,41 @@ class PipelineOperatorsSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
         r.getAs[Long]("dist"))).toSet
     assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
+  test("streamingSimhashNearDups: CHANGED-content redelivery drops at the (docId, blk) admission gate") {
+    // The simhash analog of the minhash exactly-once fixture: v2 (same
+    // live doc_id, different content) must be dropped ENTIRELY — a
+    // later exact copy of v1 pairs once at distance 0, and an exact
+    // copy of v2 pairs with NOTHING (v2 was never admitted).
+    import java.sql.Timestamp
+    import graft.streaming.StreamingNearDup
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val v1 = "the quick brown fox jumps over the lazy dog today"
+    val v2 = "completely different words entirely here now friends"
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Timestamp)](spark)
+    val pairs = StreamingNearDup.streamingSimhashNearDups(
+      ms.toDF().toDF("doc_id", "text", "ts"), maxDist = 3)
+    val q = pairs.writeStream.format("memory").queryName("ssim_redeliver")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq((100L, v1, t0)))
+      q.processAllAvailable()
+      ms.addData(Seq((100L, v2, new Timestamp(t0.getTime + 1000L))))
+      q.processAllAvailable()
+      ms.addData(Seq((300L, v1, new Timestamp(t0.getTime + 2000L))))
+      q.processAllAvailable()
+      ms.addData(Seq((400L, v2, new Timestamp(t0.getTime + 3000L))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ssim_redeliver").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("dist"))).toSeq
+    // Exactly one pair: (100, 300) at distance 0 against v1. Had v2
+    // been admitted under id 100, (100, 400) at distance 0 would also
+    // have emitted.
+    assert(rows == Seq((100L, 300L, 0L)), rows.toString)
   }
 
   test("curationReport: stage flags attribute removals; kept is the conjunction") {
