@@ -415,8 +415,14 @@ object Bench {
       else if (q.startsWith("trend_")) "t:" + q.substring(6)
       else q
     val fixedLen = mkLine("{}", best.size).length
+    // Per-query entries at TWO decimals (round 15): the line is a
+    // which-queries-cost-what signal, not the measurement of record —
+    // BENCH_DETAIL.json carries every query at full precision. One char
+    // per entry buys ~3-4 more top-cost queries into the budget-capped
+    // prefix at 160+ registered queries; the headline total/scale_path
+    // keep 3 decimals.
     val entries = best.toSeq.sortBy { case (k, v) => (-v, k) }
-      .map { case (k, v) => "\"" + shortName(k) + "\":" + f3(v) }
+      .map { case (k, v) => "\"" + shortName(k) + "\":" + f2(v) }
     // STRICT top-cost prefix — stop at the first entry that doesn't fit.
     // Greedy skip-and-continue would pack a few more cheap short-named
     // entries, but then "queries_top: N" would lie: a long-named

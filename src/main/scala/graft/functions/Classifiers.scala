@@ -172,6 +172,14 @@ object Classifiers {
     * for the map (object) wire form: the reference's property access on
     * an array or string is JS `undefined`, so those forms yield NULL
     * here (and every consumer already drops null-target moves).
+    *
+    * DELIBERATE DIVERGENCE, spec-pinned (IncrementalTrendSpec's
+    * non-map-move fixture): the reference passes that `undefined`
+    * straight into `renamePage(title, wiki, params.target)`
+    * (index.js:156,440), which MOVES the page onto a junk title keyed
+    * `"undefined"` and kills the source — an accident of JS property
+    * access, not a semantic. Graft's null-target drop keeps the source
+    * page untouched instead.
     */
   def logParamsTarget(logParams: Column): Column =
     element_at(logParams.getField("map"), "target")

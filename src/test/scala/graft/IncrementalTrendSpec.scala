@@ -65,6 +65,35 @@ class IncrementalTrendSpec extends SparkSpec {
     }
   }
 
+  test("array/string-form MOVE is a tested no-op — the reference's junk 'undefined' page is a deliberate divergence (index.js:156,440)") {
+    // The reference calls renamePage(title, wiki, params.target) with
+    // whatever log_params carried; on the array/string wire forms the
+    // property access is JS `undefined`, so it accidentally MOVES the
+    // page onto a junk title keyed "undefined" (and kills the source).
+    // Graft nulls the target instead (Classifiers.logParamsTarget is
+    // map-form-only) and every consumer drops null-target moves — the
+    // sane choice, PINNED here as a divergence: the source page
+    // survives untouched (no edits change, no `updated` re-stamp — a
+    // real move stamps it, index.js:164) and no junk page exists.
+    def moveNonMap(lp: LogParams, min: Int): RecentChange =
+      RecentChange("Foo", "moved", 0, "Admin", bot = false, "log", 0L, 0L,
+        "enwiki", "en.wikipedia.org", "log", "move", lp, null, at(min))
+    for (lp <- Seq(LogParams.ofArr(Seq("Bar")), LogParams.ofStr("Bar"),
+        LogParams.ofArr(Nil), null)) {
+      val st = replay(Seq(edit("Foo", min = 0), moveNonMap(lp, 1)))
+      assert(st.keySet == Set("Foo"),
+        s"$lp: non-map move must be a no-op — got ${st.keySet}")
+      assert(st("Foo").getAs[Long]("edits") == 1L)
+      assert(st("Foo").getAs[Timestamp]("updated") == at(0),
+        s"$lp: a dropped move must not re-stamp `updated`")
+    }
+    // The classify path agrees end to end: the same wire forms decode
+    // to a null target (TrendStreamSpec pins the decode), and a
+    // MAP-form move still works in this exact fixture shape.
+    val moved = replay(Seq(edit("Foo", min = 0), move("Foo", "Bar", 1)))
+    assert(moved.keySet == Set("Bar"))
+  }
+
   test("null-id page: the state merge is null-safe — fold-invariance holds across batches (round-9 rule)") {
     // A null-title edit with a non-falsy wiki yields pageId = NULL; the
     // round-9 decision PRESERVES it as one group (the fgws groupByKey
