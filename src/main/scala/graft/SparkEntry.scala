@@ -107,6 +107,53 @@ object SparkEntry {
       docs.filter(col("doc_id") % 10 === 6), out)
   }
 
+  /** Build-then-retract preamble shared by the exact-index retraction
+    * serves (clean + takedown census): base = doc_id % 10 <> 7, the
+    * % 20 == 9 slice's TEXTS taken down (hash-keyed tombstones; every
+    * % 20 == 9 doc is in the base, so membership holds by construction).
+    */
+  private def buildRetractedExactIndex(s: SparkSession, dir: String,
+      out: String): Unit = {
+    val docs = t(s, dir, "documents")
+    ExactDedupIndex.buildIndex(
+      docs.filter(col("doc_id") % 10 =!= 7), out,
+      expectedItems = BloomPlantItems, numBits = BloomPlantBits)
+    ExactDedupIndex.retractFromIndex(
+      docs.filter(col("doc_id") % 20 === 9), out)
+  }
+
+  /** Build-then-retract preamble shared by the media-index retraction
+    * serves (pairs + takedown census): base = doc_id % 4 <> 1, the
+    * % 4 == 2 slice taken down. The slice intersects INGESTED
+    * membership (sub-frame payloads have no at-rest rows — the dedup
+    * retract note).
+    */
+  private def buildRetractedMediaIndex(payloads: DataFrame,
+      out: String): Unit = {
+    MediaIndex.buildMediaIndex(
+      payloads.filter(col("doc_id") % 4 =!= 1), out)
+    MediaIndex.retractFromMediaIndex(
+      payloads.filter(col("doc_id") % 4 === 2 &&
+        length(col("payload")) >= 16), out)
+  }
+
+  /** Build-then-retract preamble shared by the dedup-index retraction
+    * serves (pairs + takedown census): base = doc_id % 10 <> 7, the
+    * % 10 == 3 slice taken down. The slice intersects INGESTED
+    * membership (token-less docs have no at-rest rows): the
+    * over-retraction guard is a caller contract, and a regen minting
+    * one blank % 10 == 3 doc must not abort the whole Verify run from
+    * inside this builder.
+    */
+  private def buildRetractedDedupIndex(s: SparkSession, dir: String,
+      out: String): Unit = {
+    val docs = t(s, dir, "documents")
+    DedupIndex.buildDedupIndex(docs.filter(col("doc_id") % 10 =!= 7), out)
+    DedupIndex.retractFromDedupIndex(
+      docs.filter(col("doc_id") % 10 === 3 &&
+        size(TextAnalysis.wsTokens(col("text"))) > 0), out)
+  }
+
   /** Build+append+retract preamble shared by the ANN retraction serves
     * (top-k + takedown health): base-trained book (vec_id % 10 <> 7),
     * the % 10 == 7 ingest slice appended with the frozen book, then the
@@ -190,15 +237,16 @@ object SparkEntry {
     "doc_dedup_index_pairs", "doc_dedup_index_append_pairs",
     "doc_dedup_index_clean", "doc_dedup_index_health",
     "doc_dedup_index_compact_pairs", "doc_dedup_index_retract_pairs",
+    "doc_dedup_index_retract_health",
     "emb_ivf_index_topk", "emb_ivf_append_topk", "emb_ivf_compact_topk",
     "emb_ivf_retract_topk", "emb_ivf_retract_health",
     "emb_index_health", "emb_ivfpq_topk", "emb_ivfpq_recall",
     "emb_ivfpq_retract_topk",
     "doc_exact_index_clean", "doc_exact_index_append_clean",
-    "doc_exact_index_retract_clean",
+    "doc_exact_index_retract_clean", "doc_exact_index_retract_health",
     "doc_media_index_near", "doc_media_index_append_near",
     "doc_media_index_health", "doc_media_index_clean",
-    "doc_media_index_retract_near",
+    "doc_media_index_retract_near", "doc_media_index_retract_health",
     "doc_stats_cells", "doc_stats_append_cells", "doc_stats_quantiles",
     "doc_stats_health", "doc_stats_retract_cells",
     "doc_stats_retract_quantiles")
@@ -1054,17 +1102,22 @@ object SparkEntry {
     "doc_media_index_retract_near" -> ((s, dir) => {
       val payloads = Multimodal.withPayload(mediaNearPlanted(s, dir))
       val out = indexDir("graft_mdx_rt", dir)
-      if (builtIndexes.add(s"mdxrt:$out")) {
-        MediaIndex.buildMediaIndex(
-          payloads.filter(col("doc_id") % 4 =!= 1), out)
-        // Intersect the slice with INGESTED membership (sub-frame
-        // payloads have no at-rest rows — see the dedup retract note).
-        MediaIndex.retractFromMediaIndex(
-          payloads.filter(col("doc_id") % 4 === 2 &&
-            length(col("payload")) >= 16), out)
-      }
+      if (builtIndexes.add(s"mdxrt:$out"))
+        buildRetractedMediaIndex(payloads, out)
       MediaIndex.mediaIndexPairs(s, out,
         payloads.filter(col("doc_id") % 4 === 1))
+    }),
+
+    // Takedown-pressure census over the SAME retracted index: one row —
+    // live vs tombstoned member docs (payloads with at least one frame
+    // hash) + the dead share in exact integer ppm; the media family's
+    // compact-now signal.
+    "doc_media_index_retract_health" -> ((s, dir) => {
+      val payloads = Multimodal.withPayload(mediaNearPlanted(s, dir))
+      val out = indexDir("graft_mdx_rt", dir)
+      if (builtIndexes.add(s"mdxrt:$out"))
+        buildRetractedMediaIndex(payloads, out)
+      MediaIndex.takedownHealth(s, out)
     }),
 
     // Per-block key census over the SAME persisted index the pairs
@@ -1292,20 +1345,22 @@ object SparkEntry {
     // sf0.01), and the oracle replays the set-minus corpus directly.
     "doc_dedup_index_retract_pairs" -> ((s, dir) => {
       val out = indexDir("graft_ddx_rt", dir)
-      if (builtIndexes.add(s"ddxrt:$out")) {
-        val docs = t(s, dir, "documents")
-        DedupIndex.buildDedupIndex(
-          docs.filter(col("doc_id") % 10 =!= 7), out)
-        // Intersect the slice with INGESTED membership (token-less docs
-        // have no at-rest rows): the over-retraction guard is a caller
-        // contract, and a regen minting one blank %10==3 doc must not
-        // abort the whole Verify run from inside this builder.
-        DedupIndex.retractFromDedupIndex(
-          docs.filter(col("doc_id") % 10 === 3 &&
-            size(TextAnalysis.wsTokens(col("text"))) > 0), out)
-      }
+      if (builtIndexes.add(s"ddxrt:$out"))
+        buildRetractedDedupIndex(s, dir, out)
       DedupIndex.dedupIndexPairs(s, out,
         t(s, dir, "documents").filter(col("doc_id") % 10 === 7))
+    }),
+
+    // Takedown-pressure census over the SAME retracted index: one row —
+    // live vs tombstoned member docs + the dead share in exact integer
+    // ppm (the compact-now signal; dead rows still occupy both at-rest
+    // tables until compaction). Membership = shingled docs (>= 3
+    // tokens), which the oracle restates directly.
+    "doc_dedup_index_retract_health" -> ((s, dir) => {
+      val out = indexDir("graft_ddx_rt", dir)
+      if (builtIndexes.add(s"ddxrt:$out"))
+        buildRetractedDedupIndex(s, dir, out)
+      DedupIndex.takedownHealth(s, out)
     }),
 
     // COMPACT lifecycle: build base → append delta → fold both table
@@ -1391,16 +1446,22 @@ object SparkEntry {
     // exactly, which is what the oracle's set-minus replay checks.
     "doc_exact_index_retract_clean" -> ((s, dir) => {
       val out = indexDir("graft_xdx_rt", dir)
-      if (builtIndexes.add(s"xdxrt:$out")) {
-        val docs = t(s, dir, "documents")
-        ExactDedupIndex.buildIndex(
-          docs.filter(col("doc_id") % 10 =!= 7), out,
-          expectedItems = BloomPlantItems, numBits = BloomPlantBits)
-        ExactDedupIndex.retractFromIndex(
-          docs.filter(col("doc_id") % 20 === 9), out)
-      }
+      if (builtIndexes.add(s"xdxrt:$out"))
+        buildRetractedExactIndex(s, dir, out)
       ExactDedupIndex.indexClean(s, out,
         bloomRetractDelta(t(s, dir, "documents")))
+    }),
+
+    // Takedown-pressure census over the SAME retracted index: one row —
+    // live vs tombstoned DISTINCT text hashes + the dead share in exact
+    // integer ppm. Dead hashes keep their unremovable bloom bits until
+    // compaction rebuilds the filter, so dead_ppm doubles as the
+    // bloom-precision signal.
+    "doc_exact_index_retract_health" -> ((s, dir) => {
+      val out = indexDir("graft_xdx_rt", dir)
+      if (builtIndexes.add(s"xdxrt:$out"))
+        buildRetractedExactIndex(s, dir, out)
+      ExactDedupIndex.takedownHealth(s, out)
     }),
 
     // Persisted CORPUS-STATS index — incremental maintenance of the
@@ -5584,6 +5645,30 @@ object SparkEntry {
          SELECT doc_a, doc_b, jaccard FROM pairs
          WHERE doc_a % 10 = 7 OR doc_b % 10 = 7""",
 
+    // Takedown census: members = shingled docs (>= 3 tokens — an empty
+    // shingle set has no at-rest rows) of the % 10 <> 7 base; dead =
+    // the retracted % 10 == 3 slice; dead share in exact integer ppm.
+    "doc_dedup_index_retract_health" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS toks
+           FROM documents WHERE doc_id IS NOT NULL),
+         m AS (
+           SELECT doc_id FROM t WHERE len(toks) >= 3 AND doc_id % 10 <> 7),
+         agg AS (
+           SELECT
+             CAST(count(*) FILTER (WHERE doc_id % 10 <> 3) AS BIGINT)
+               AS live_docs,
+             CAST(count(*) FILTER (WHERE doc_id % 10 = 3) AS BIGINT)
+               AS dead_docs
+           FROM m)
+         SELECT live_docs, dead_docs,
+           CAST(CASE WHEN live_docs + dead_docs = 0 THEN 0
+                ELSE (dead_docs * 1000000) // (live_docs + dead_docs)
+                END AS BIGINT) AS dead_ppm
+         FROM agg""",
+
     // Compaction rewrites rows verbatim — same corpus, same oracle.
     "doc_dedup_index_compact_pairs" ->
       s"""WITH $minhashPairCtesSql
@@ -5663,6 +5748,30 @@ object SparkEntry {
          SELECT doc_id, in_base,
            ((NOT in_base) AND doc_id = min_id) AS keep
          FROM v""",
+
+    // Takedown census at the hash tier: members = distinct text hashes
+    // of the % 10 <> 7 base; dead = hashes whose text the % 20 == 9
+    // takedown covered (h is md5(coalesce(...)) — never NULL, so the
+    // IN / NOT IN pair is null-safe here).
+    "doc_exact_index_retract_health" ->
+      """WITH b AS (
+           SELECT DISTINCT md5(coalesce(text, '')) AS h FROM documents
+           WHERE doc_id % 10 <> 7),
+         d AS (
+           SELECT DISTINCT md5(coalesce(text, '')) AS h FROM documents
+           WHERE doc_id % 20 = 9),
+         agg AS (
+           SELECT
+             CAST(count(*) FILTER (WHERE h NOT IN (SELECT h FROM d))
+               AS BIGINT) AS live_hashes,
+             CAST(count(*) FILTER (WHERE h IN (SELECT h FROM d))
+               AS BIGINT) AS dead_hashes
+           FROM b)
+         SELECT live_hashes, dead_hashes,
+           CAST(CASE WHEN live_hashes + dead_hashes = 0 THEN 0
+                ELSE (dead_hashes * 1000000) // (live_hashes + dead_hashes)
+                END AS BIGINT) AS dead_ppm
+         FROM agg""",
 
     "doc_ngram_jaccard" -> ngramJaccardOracleSql,
     // Prefix filtering is complete for J >= t: the scale twin's output
@@ -6281,6 +6390,26 @@ object SparkEntry {
     "doc_media_index_retract_near" -> mediaNearPairsSql(
       "WHERE doc_a % 4 = 1 OR doc_b % 4 = 1 ",
       "WHERE doc_id % 4 <> 2"),
+
+    // Takedown census at the media tier: members = docs with at least
+    // one frame hash (the fp table) in the % 4 <> 1 base; dead = the
+    // retracted % 4 == 2 slice (sub-frame payloads never had at-rest
+    // rows — the engine slice intersects membership the same way).
+    "doc_media_index_retract_health" ->
+      s"""WITH $mediaNearCtes,
+         m AS (SELECT DISTINCT doc_id FROM fp WHERE doc_id % 4 <> 1),
+         agg AS (
+           SELECT
+             CAST(count(*) FILTER (WHERE doc_id % 4 <> 2) AS BIGINT)
+               AS live_docs,
+             CAST(count(*) FILTER (WHERE doc_id % 4 = 2) AS BIGINT)
+               AS dead_docs
+           FROM m)
+         SELECT live_docs, dead_docs,
+           CAST(CASE WHEN live_docs + dead_docs = 0 THEN 0
+                ELSE (dead_docs * 1000000) // (live_docs + dead_docs)
+                END AS BIGINT) AS dead_ppm
+         FROM agg""",
 
     "doc_media_index_health" -> mediaIndexHealthSql,
 

@@ -550,6 +550,20 @@ object DedupIndex {
     * scan like compaction: reads every generation unpruned (the bucket
     * table is hashes, not text — ~4 rows × 50 bytes per doc).
     */
+  /** Takedown-pressure census (ONE row: live_docs, dead_docs,
+    * dead_ppm) — the shared [[GenManifest.takedownCensus]] over the
+    * shingle-set table's doc keys (one row per doc per generation, so
+    * the per-key fold counts DOCS). [[indexHealth]] deliberately
+    * reports LIVE membership only; this is the compact-now signal a
+    * takedown-heavy history needs (dead rows still occupy both at-rest
+    * tables until [[compactDedupIndex]] purges them).
+    */
+  def takedownHealth(spark: SparkSession, dir: String): DataFrame = {
+    val (_, _, sDirs, tDirs, _) = dedupManifest(spark, dir)
+    GenManifest.takedownCensus(spark, dir, sDirs, tDirs, "doc_id",
+      "live_docs", "dead_docs")
+  }
+
   def indexHealth(spark: SparkSession, dir: String,
       hotDf: Int = 1): DataFrame = {
     val (_, bDirs, _, tDirs, _) = dedupManifest(spark, dir)

@@ -441,6 +441,21 @@ object ExactDedupIndex {
     }
   }
 
+  /** Takedown-pressure census (ONE row: live_hashes, dead_hashes,
+    * dead_ppm) — the shared [[GenManifest.takedownCensus]] over the
+    * at-rest hash keys. The per-key fold counts DISTINCT hashes (a
+    * cross-generation repeat is one key), so unlike the meta row's
+    * additive `n_hashes` upper bound this census is exact; dead hashes
+    * still occupy hash files AND keep their unremovable bloom bits
+    * until [[compactIndex]] purges the rows and rebuilds the filter —
+    * dead_ppm is both the compact-now and the bloom-precision signal.
+    */
+  def takedownHealth(spark: SparkSession, dir: String): DataFrame = {
+    val (_, hDirs, tDirs, _) = indexManifest(spark, dir)
+    GenManifest.takedownCensus(spark, dir, hDirs, tDirs, "text_hash",
+      "live_hashes", "dead_hashes")
+  }
+
   /** Append an ingested batch's hashes as a new generation: per-
     * generation-distinct hash rows (bucketed with the build's bucket
     * count) + the OR-merged bloom in a generation-owned meta. The

@@ -229,4 +229,48 @@ private[graft] object GenManifest {
       .filter(col("__tg").isNull || col("__g") > col("__tg"))
       .drop("__tid", "__tg", "__g")
   }
+
+  /** Takedown-pressure census over a tombstone family's at-rest keys —
+    * ONE row (`liveName`, `deadName`, dead_ppm): how many distinct keys
+    * are live vs tombstoned (dead keys still occupy files and inflate
+    * every scan until the family's compact purges them), with the dead
+    * share in exact integer parts-per-million. The key-level liveness
+    * rule is the same newest-insert-outlives-newest-tombstone
+    * resolution [[liveRows]] applies per row — here folded per KEY
+    * (max insert generation vs the key's newest tombstone), the
+    * StatsIndex `neg_cells` analog for the doc-/hash-keyed families.
+    * Tombstone-free indexes report all-live with zero extra work (no
+    * join is planned at all).
+    */
+  def takedownCensus(spark: SparkSession, dir: String, dirs: Seq[String],
+      tDirs: Seq[String], keyCol: String, liveName: String,
+      deadName: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val perKey = readWithGen(spark, dir, dirs)
+      .groupBy(col(keyCol)).agg(max(col("__g")).as("__mg"))
+    val classified =
+      if (tDirs.isEmpty) perKey.withColumn("__live", lit(true))
+      else {
+        Skew.requireScratchFree(perKey, Seq("__tid", "__tg"),
+          "takedown census (retraction scratch)")
+        perKey.join(
+            broadcast(tombMax(spark, dir, tDirs, keyCol)
+              .withColumnRenamed(keyCol, "__tid")),
+            col(keyCol) === col("__tid"), "left")
+          .withColumn("__live",
+            col("__tg").isNull || col("__mg") > col("__tg"))
+      }
+    classified.agg(
+        coalesce(sum(when(col("__live"), lit(1L)).otherwise(lit(0L))),
+          lit(0L)).as(liveName),
+        coalesce(sum(when(col("__live"), lit(0L)).otherwise(lit(1L))),
+          lit(0L)).as(deadName))
+      .selectExpr(liveName, deadName,
+        // Every family's build refuses an empty index, so the zero-total
+        // arm is defensive (ANSI would otherwise raise DIVIDE_BY_ZERO
+        // on a damaged dir instead of reporting).
+        s"CAST(CASE WHEN $liveName + $deadName = 0 THEN 0 " +
+          s"ELSE ($deadName * 1000000) DIV ($liveName + $deadName) " +
+          "END AS BIGINT) AS dead_ppm")
+  }
 }

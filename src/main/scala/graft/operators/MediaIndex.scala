@@ -333,6 +333,19 @@ object MediaIndex {
     * choosing `maxBlockDf`. Maintenance scan like compaction (hashes,
     * not payloads — 3 longs per row).
     */
+  /** Takedown-pressure census (ONE row: live_docs, dead_docs,
+    * dead_ppm) — the shared [[GenManifest.takedownCensus]] over the
+    * block table's doc keys. [[mediaIndexHealth]] deliberately reports
+    * LIVE membership only; this is the companion an operator reads to
+    * decide when to compact a takedown-heavy index (dead rows still
+    * occupy block files until [[compactMediaIndex]] purges them).
+    */
+  def takedownHealth(spark: SparkSession, dir: String): DataFrame = {
+    val (_, bDirs, tDirs, _) = mediaManifest(spark, dir)
+    GenManifest.takedownCensus(spark, dir, bDirs, tDirs, "doc_id",
+      "live_docs", "dead_docs")
+  }
+
   def mediaIndexHealth(spark: SparkSession, dir: String,
       hotDf: Int = 1): DataFrame = {
     val (_, bDirs, tDirs, _) = mediaManifest(spark, dir)

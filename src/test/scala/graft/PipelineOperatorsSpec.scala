@@ -3061,9 +3061,19 @@ class PipelineOperatorsSpec extends SparkSpec {
         pay(3L -> "x"), retracted)
     }
     assert(serve(retracted) == r, "failed takedowns commit nothing")
+    // Takedown census: 3 member payloads, 1 tombstoned → (2, 1,
+    // 333333 ppm); all-live after the re-ingest below.
+    def census(dir: String) = {
+      val c = graft.operators.MediaIndex.takedownHealth(spark, dir)
+        .collect()(0)
+      (c.getAs[Long]("live_docs"), c.getAs[Long]("dead_docs"),
+        c.getAs[Long]("dead_ppm"))
+    }
+    assert(census(retracted) == ((2L, 1L, 333333L)))
     // Re-ingest of the vacant id restores membership (newest-op-wins).
     graft.operators.MediaIndex.appendToMediaIndex(
       pay(3L -> (head(5) + "q" * 48)), retracted)
+    assert(census(retracted) == ((3L, 0L, 0L)))
     val r2 = serve(retracted)
     assert(r2.exists(p => p._1 == 3L && p._2 == 101L), r2.toString)
     // Compact purges tombstones: one generation dir, none left, serve
@@ -4502,6 +4512,15 @@ class PipelineOperatorsSpec extends SparkSpec {
     val hr = DedupIndex.indexHealth(spark, rebuilt).collect()
       .map(r2 => r2.getAs[Long]("member_rows")).sum
     assert(hb == hr, s"live census $hb must equal the rebuild's $hr")
+    // Takedown census: 3 members, 1 tombstoned → (2, 1, 333333 ppm);
+    // the tombstone-free rebuild reads all-live.
+    def census(dir: String) = {
+      val c = DedupIndex.takedownHealth(spark, dir).collect()(0)
+      (c.getAs[Long]("live_docs"), c.getAs[Long]("dead_docs"),
+        c.getAs[Long]("dead_ppm"))
+    }
+    assert(census(retracted) == ((2L, 1L, 333333L)))
+    assert(census(rebuilt) == ((2L, 0L, 0L)))
     // Re-ingest doc 3 (legal once the id is vacant): the newer insert
     // generation outlives the tombstone — pairs with 101 again, ≡ a
     // rebuild over the restored corpus.
@@ -4509,6 +4528,8 @@ class PipelineOperatorsSpec extends SparkSpec {
       docs(3L -> "y1 y2 y3 y4 y5 y6 y7 y8"), retracted)
     val r2 = pairs(retracted)
     assert(r2.exists(p => p._1 == 3L && p._2 == 101L), r2.toString)
+    // The re-ingested doc reads live again in the census.
+    assert(census(retracted) == ((3L, 0L, 0L)))
     val rebuilt2 = ddxTmp()
     DedupIndex.buildDedupIndex(base, rebuilt2, nBuckets = 8)
     assert(r2 == pairs(rebuilt2), "re-ingest ≡ rebuild over the union")
@@ -5081,9 +5102,19 @@ class PipelineOperatorsSpec extends SparkSpec {
     ExactDedupIndex.retractFromIndex(
       docs(Seq.empty[(Long, String)]: _*), retracted)
     assert(serve(retracted) == r)
+    // Takedown census at the hash tier: 4 distinct hashes, 2 tombstoned
+    // → (2, 2, 500000 ppm).
+    def census(dir: String) = {
+      val c = ExactDedupIndex.takedownHealth(spark, dir).collect()(0)
+      (c.getAs[Long]("live_hashes"), c.getAs[Long]("dead_hashes"),
+        c.getAs[Long]("dead_ppm"))
+    }
+    assert(census(retracted) == ((2L, 2L, 500000L)))
     // Re-ingest after takedown: the newer insert generation outlives the
     // tombstone (newest-op-wins), ≡ a rebuild over the restored corpus.
     ExactDedupIndex.appendToIndex(docs(30L -> "r gone"), retracted)
+    assert(census(retracted) == ((3L, 1L, 250000L)),
+      "re-ingest reads live again; the other takedown stays dead")
     val r2 = serve(retracted)
     val rebuilt2 = xdxTmp()
     ExactDedupIndex.buildIndex(
@@ -5102,6 +5133,7 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(hD.length == 1 && tD.isEmpty, s"$hD $tD")
     assert(spark.read.parquet(s"$retracted/$m").head()
       .getAs[Long]("n_hashes") == 3L)
+    assert(census(retracted) == ((3L, 0L, 0L)), "compact purges the dead")
     // The streaming twin resolves membership over live tombstones too:
     // retracted content must not alert.
     val rt2 = xdxTmp()
