@@ -32,9 +32,15 @@ import graft.operators.Barrier.BarrierOps
   * Sizing: `numBits` per `expectedItems` sets the false-positive rate
   * (~8 bits/item ≈ 2%); both are capped by Spark's
   * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
-  * `.maxNumBits` session confs (defaults 4e6 / 6.7e7) — raise them for
-  * a genuinely 100 TB-scale membership set (1e10 items at 8 bits/item
-  * is a 10 GB filter; at that point shard the filter by key range).
+  * `.maxNumBits` session confs (defaults 4e6 / 6.7e7). Past the caps,
+  * use the SHARDED filter ([[shardedBloomBytes]] /
+  * [[mightContainSharded]]): N per-shard filters each under the caps,
+  * probed through a bounded when-chain of foldable literals —
+  * `BloomFilterMightContain` requires a foldable filter child, which
+  * is exactly why one giant per-row-selected filter is inexpressible
+  * but a shard chain is. (1e10 items at 8 bits/item is a 10 GB filter
+  * either way — shard AND raise the confs only as far as each shard
+  * needs.)
   */
 private[graft] object Bloom {
 
@@ -103,6 +109,100 @@ private[graft] object Bloom {
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     bos.toByteArray
+  }
+
+  // ---- SHARDED filters (membership sets past the per-filter conf cap) ----
+  //
+  // BloomFilterMightContain requires a FOLDABLE filter child, so ONE
+  // per-row-selected filter is inexpressible — but a BOUNDED when-chain
+  // of shard literals is: each arm's filter is its own foldable BINARY
+  // literal and the shard router picks the arm. With N shards each
+  // sized at the session caps, total capacity is N × maxNumItems
+  // without touching the confs (the 4e6-item fence this existed
+  // behind). N is a small build-time constant (4–16 at 100 TB scale),
+  // so the chain stays a handful of codegen'd branches per probe.
+
+  /** Deterministic shard of a key — routed by a SEEDED hash so the
+    * shard choice is uncorrelated with the bit positions the filter's
+    * own `xxhash64(key)` sets. Never null for a non-null key; callers
+    * own their null-key contract BEFORE sharding (the mightContain
+    * rule).
+    */
+  def shardOf(key: Column, shards: Int): Column =
+    pmod(xxhash64(lit("bloom-shard:"), key), lit(shards.toLong))
+
+  /** N per-shard filters in ONE aggregation pass: each shard's
+    * `BloomFilterAggregate` consumes `when(shardOf = i, xxhash64(key))`
+    * — the aggregate ignores NULL inputs (spec-pinned via the
+    * no-false-negatives property: gating OUTSIDE the hash matters,
+    * because `xxhash64(NULL)` is the seed constant, which would insert
+    * a phantom key into every shard). Sizing is PER SHARD (each must
+    * clear the session caps — that is the point of sharding); an empty
+    * input yields all-zeros filters like [[bloomBytes]].
+    */
+  def shardedBloomBytes(rows: DataFrame, key: Column, perShardItems: Long,
+      perShardBits: Long, shards: Int): IndexedSeq[Array[Byte]] = {
+    require(shards >= 1, s"shards=$shards must be >= 1")
+    if (shards == 1)
+      return IndexedSeq(bloomBytes(rows, key, perShardItems, perShardBits))
+    require(perShardItems > 0,
+      s"perShardItems=$perShardItems must be positive")
+    require(perShardBits > 0, s"perShardBits=$perShardBits must be positive")
+    val conf = rows.sparkSession.conf
+    val maxItems = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+    val maxBits = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+    require(perShardItems <= maxItems,
+      s"perShardItems=$perShardItems exceeds " +
+        s"spark.sql.optimizer.runtime.bloomFilter.maxNumItems=$maxItems " +
+        "— raise the conf or the shard count")
+    require(perShardBits <= maxBits,
+      s"perShardBits=$perShardBits exceeds " +
+        s"spark.sql.optimizer.runtime.bloomFilter.maxNumBits=$maxBits " +
+        "— raise the conf or the shard count")
+    val s = shardOf(key, shards)
+    val aggs = (0 until shards).map { i =>
+      column(new BloomFilterAggregate(
+        expression(when(s === i.toLong, xxhash64(key))),
+        Literal(perShardItems), Literal(perShardBits))
+        .toAggregateExpression()).as(s"bf$i")
+    }
+    val row = rows.agg(aggs.head, aggs.tail: _*).head()
+    (0 until shards).map { i =>
+      // A shard every row routed past comes back NULL (the aggregate
+      // saw only null inputs) — same all-zeros fallback as bloomBytes.
+      if (row.isNullAt(i))
+        serialize(BloomFilter.create(perShardItems, perShardBits))
+      else row.getAs[Array[Byte]](i)
+    }
+  }
+
+  /** Membership probe against a sharded filter: a bounded when-chain —
+    * each arm is [[mightContain]] with its shard's foldable BINARY
+    * literal; the router picks exactly one arm per row. Collapses to
+    * the plain probe for a 1-shard filter (byte-identical plan).
+    */
+  def mightContainSharded(blooms: IndexedSeq[Array[Byte]],
+      key: Column): Column = {
+    require(blooms.nonEmpty, "mightContainSharded needs >= 1 shard")
+    if (blooms.length == 1) return mightContain(blooms.head, key)
+    val s = shardOf(key, blooms.length)
+    blooms.zipWithIndex.tail.foldLeft(
+      when(s === 0L, mightContain(blooms(0), key))) {
+      case (acc, (b, i)) => acc.when(s === i.toLong, mightContain(b, key))
+    }
+  }
+
+  /** Per-shard [[merge]] of two sharded filters with the SAME geometry
+    * (shard count and per-shard sizing) — exact for the same reason the
+    * scalar merge is, shard by shard.
+    */
+  def mergeSharded(a: IndexedSeq[Array[Byte]],
+      b: IndexedSeq[Array[Byte]]): IndexedSeq[Array[Byte]] = {
+    require(a.length == b.length,
+      s"cannot merge ${a.length}-shard and ${b.length}-shard filters")
+    a.zip(b).map { case (x, y) => merge(x, y) }
   }
 }
 
@@ -192,16 +292,20 @@ object ExactDedupIndex {
     */
   def bloomClean(base: DataFrame, delta: DataFrame,
       expectedItems: Long = DefaultExpectedItems,
-      numBits: Long = DefaultNumBits): DataFrame = {
+      numBits: Long = DefaultNumBits, shards: Int = 1): DataFrame = {
     val baseH = base.select(md5(coalesce(col("text"), lit(""))).as("text_hash"))
-    val bloom = Bloom.bloomBytes(baseH, col("text_hash"),
-      expectedItems, numBits)
+    // shards > 1 = the past-the-conf-cap geometry (per-shard sizing);
+    // output is identical at ANY shard count — the exact verify of the
+    // positives makes the filter invisible in the semantics.
+    val blooms = Bloom.shardedBloomBytes(baseH, col("text_hash"),
+      expectedItems, numBits, shards)
     // ONE materialization feeds the bloom probe, the verify join, and
     // the verdict window (the servePairLegs discipline) — released on
     // failure, handed to the returned frame on success.
     val deltaH = deltaHashes(delta).barrier()
     try {
-      val cand = deltaH.filter(Bloom.mightContain(bloom, col("text_hash")))
+      val cand = deltaH
+        .filter(Bloom.mightContainSharded(blooms, col("text_hash")))
         .select(col("text_hash")).distinct()
       // Exact verify of the positives: base scan, map-side broadcast
       // semi — the distinct that follows shuffles only matched hashes
@@ -342,12 +446,27 @@ object ExactDedupIndex {
 
   private def writeMeta(spark: SparkSession, dir: String, metaDir: String,
       nHashes: Long, buckets: Int, expectedItems: Long, numBits: Long,
-      bloom: Array[Byte]): Unit =
+      blooms: IndexedSeq[Array[Byte]]): Unit =
     spark.range(1).select(
         lit(nHashes).as("n_hashes"), lit(buckets).as("buckets"),
+        // expected_items / num_bits are PER-SHARD once shards > 1 (each
+        // shard must clear the session caps — the point of sharding).
         lit(expectedItems).as("expected_items"),
-        lit(numBits).as("num_bits"), lit(bloom).as("bloom"))
+        lit(numBits).as("num_bits"),
+        lit(blooms.length).as("shards"),
+        array(blooms.map(b => lit(b)): _*).as("blooms"))
       .write.mode("overwrite").parquet(s"$dir/$metaDir")
+
+  /** The (possibly sharded) filter of a meta row. Pre-sharding metas
+    * (a single `bloom` BINARY column, no `shards` field) adopt as one
+    * shard — old on-disk indexes read unchanged, the family's adoption
+    * contract.
+    */
+  private def readBlooms(meta: org.apache.spark.sql.Row)
+      : IndexedSeq[Array[Byte]] =
+    if (meta.schema.fieldNames.contains("shards"))
+      meta.getSeq[Array[Byte]](meta.fieldIndex("blooms")).toIndexedSeq
+    else IndexedSeq(meta.getAs[Array[Byte]]("bloom"))
 
   /** Build the index over a base corpus: distinct content hashes at
     * rest (bucket-partitioned) + the bloom over them in the meta row.
@@ -360,8 +479,9 @@ object ExactDedupIndex {
     */
   def buildIndex(docs: DataFrame, dir: String, buckets: Int = 64,
       expectedItems: Long = DefaultExpectedItems,
-      numBits: Long = DefaultNumBits): Unit = {
+      numBits: Long = DefaultNumBits, shards: Int = 1): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
     val spark = docs.sparkSession
     require(!docs.isEmpty,
       s"buildIndex at $dir: empty base corpus — nothing to index " +
@@ -376,11 +496,15 @@ object ExactDedupIndex {
         .write.mode("overwrite").partitionBy("hbkt")
         .parquet(s"$dir/hashes")
       val n = h.count()
-      val bloom = Bloom.bloomBytes(h, col("text_hash"),
-        expectedItems, numBits)
+      // shards > 1 is the past-the-conf-cap path: N per-shard filters
+      // (expectedItems/numBits are PER SHARD), probed through the
+      // bounded when-chain — serve output is identical by the exact-
+      // verify argument, spec-pinned at a forced 2-shard geometry.
+      val blooms = Bloom.shardedBloomBytes(h, col("text_hash"),
+        expectedItems, numBits, shards)
       // Meta LAST: a readable meta row marks the build complete.
       writeMeta(spark, dir, "meta", n, buckets, expectedItems, numBits,
-        bloom)
+        blooms)
     }
   }
 
@@ -397,7 +521,7 @@ object ExactDedupIndex {
     val (_, hDirs, tDirs, metaDir) = indexManifest(spark, dir)
     val meta = spark.read.parquet(s"$dir/$metaDir").head()
     val buckets = meta.getAs[Int]("buckets")
-    val bloom = meta.getAs[Array[Byte]]("bloom")
+    val blooms = readBlooms(meta)
     require(meta.getAs[Long]("n_hashes") > 0, s"index at $dir is empty")
     // Barrier BEFORE collecting the bucket literals (the servePairLegs
     // discipline): the literal `hbkt IN` list, the broadcast candidate
@@ -407,7 +531,8 @@ object ExactDedupIndex {
     // omits, silently reporting an ingested doc as keep=true.
     val deltaH = deltaHashes(delta).barrier()
     try {
-      val cand = deltaH.filter(Bloom.mightContain(bloom, col("text_hash")))
+      val cand = deltaH
+        .filter(Bloom.mightContainSharded(blooms, col("text_hash")))
         .select(col("text_hash")).distinct()
       // The positives' buckets fold to ≤ `buckets` literals — static
       // partition pruning on every generation scan (the readCells
@@ -479,18 +604,22 @@ object ExactDedupIndex {
     val buckets = meta.getAs[Int]("buckets")
     val expectedItems = meta.getAs[Long]("expected_items")
     val numBits = meta.getAs[Long]("num_bits")
+    val baseBlooms = readBlooms(meta)
     val newH = s"hashes-${seq + 1}"
     val newM = s"meta-${seq + 1}"
     val hs = newDocs
       .select(md5(coalesce(col("text"), lit(""))).as("text_hash"))
       .distinct()
-    val (nNew, deltaBloom) = Barrier.withCached(hs) { h =>
+    val (nNew, deltaBlooms) = Barrier.withCached(hs) { h =>
       h.withColumn("hbkt", hbktOf(col("text_hash"), buckets))
         .repartition(col("hbkt"))
         .write.mode("overwrite").partitionBy("hbkt")
         .parquet(s"$dir/$newH")
-      (h.count(),
-        Bloom.bloomBytes(h, col("text_hash"), expectedItems, numBits))
+      // The delta's filter MUST use the base's geometry (shard count +
+      // per-shard sizing) — mergeSharded is per-shard OR, exact only at
+      // identical geometry.
+      (h.count(), Bloom.shardedBloomBytes(h, col("text_hash"),
+        expectedItems, numBits, baseBlooms.length))
     }
     val (fs, root) = GenManifest.fsRoot(spark, dir)
     if (nNew == 0L) {
@@ -500,7 +629,7 @@ object ExactDedupIndex {
           "(no commit)")
     } else {
       writeMeta(spark, dir, newM, nHashes + nNew, buckets, expectedItems,
-        numBits, Bloom.merge(meta.getAs[Array[Byte]]("bloom"), deltaBloom))
+        numBits, Bloom.mergeSharded(baseBlooms, deltaBlooms))
       // Tombstones carry over: a re-ingested hash's NEW generation
       // outlives any older tombstone, so the append alone restores its
       // membership (resolveMembers' newest-op-wins rule).
@@ -532,7 +661,7 @@ object ExactDedupIndex {
     val (_, hDirs, tDirs, metaDir) = indexManifest(spark, dir)
     val meta = spark.read.parquet(s"$dir/$metaDir").head()
     require(meta.getAs[Long]("n_hashes") > 0, s"index at $dir is empty")
-    val bloom = meta.getAs[Array[Byte]]("bloom")
+    val blooms = readBlooms(meta)
     // With retraction generations live, the static side resolves to the
     // CURRENT membership (one resolution per micro-batch over the
     // at-rest tables — compact the index to fold the tombstones away
@@ -559,7 +688,7 @@ object ExactDedupIndex {
       .where(col("doc_id").isNotNull)
       .select(col("doc_id"),
         md5(coalesce(col("text"), lit(""))).as("text_hash"))
-      .filter(Bloom.mightContain(bloom, col("text_hash")))
+      .filter(Bloom.mightContainSharded(blooms, col("text_hash")))
       .join(hashes, Seq("text_hash"), "left_semi")
       .select(col("doc_id"), col("text_hash"))
   }
@@ -675,7 +804,7 @@ object ExactDedupIndex {
       else resolveMembers(
           readWithGen(spark, dir, hDirs), readWithGen(spark, dir, tDirs))
         .withColumn("hbkt", hbktOf(col("text_hash"), buckets))
-    val (n, bloom) = Barrier.withCached(folded) { f =>
+    val (n, blooms) = Barrier.withCached(folded) { f =>
       val cnt = f.count()
       // A fully-retracted index folds to ZERO members: a partitioned
       // write of an empty frame leaves a parquet-less dir that poisons
@@ -687,12 +816,16 @@ object ExactDedupIndex {
           "content returns")
       f.repartition(col("hbkt"))
         .write.mode("overwrite").partitionBy("hbkt").parquet(s"$dir/$newH")
+      // Geometry carries over (shard count + per-shard sizing): the
+      // tombstoned rebuild restores the FPR the guaranteed-positive
+      // dead hashes had eroded.
       val bf =
-        if (tDirs.isEmpty) meta.getAs[Array[Byte]]("bloom")
-        else Bloom.bloomBytes(f, col("text_hash"), expectedItems, numBits)
+        if (tDirs.isEmpty) readBlooms(meta)
+        else Bloom.shardedBloomBytes(f, col("text_hash"), expectedItems,
+          numBits, readBlooms(meta).length)
       (cnt, bf)
     }
-    writeMeta(spark, dir, newM, n, buckets, expectedItems, numBits, bloom)
+    writeMeta(spark, dir, newM, n, buckets, expectedItems, numBits, blooms)
     commitManifest(spark, dir, seq + 1, Seq(newH), Nil, newM)
     sweepGenerations(spark, dir, seq + 1)
   }

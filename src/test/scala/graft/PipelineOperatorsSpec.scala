@@ -4941,6 +4941,98 @@ class PipelineOperatorsSpec extends SparkSpec {
       Set((200L, false, true), (201L, false, true), (202L, false, false)))
   }
 
+  test("sharded bloom: no false negatives through the shard router; bloomClean output identical at a forced 2-shard geometry") {
+    import graft.operators.Bloom
+    // THE correctness property sharding must preserve: every inserted
+    // key probes TRUE through the when-chain (a bloom has false
+    // positives only — a routing/null-gating bug would manufacture a
+    // false NEGATIVE the exact verify cannot repair). 200 keys across
+    // 2 and 3 shards, plus keys that hash-route to every shard.
+    val keys = (0 until 200).map(i => s"key-$i")
+    val rows = keys.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+      .toDF("doc_id", "text")
+    for (shards <- Seq(2, 3)) {
+      val blooms = Bloom.shardedBloomBytes(rows, col("text"),
+        perShardItems = 256L, perShardBits = 2048L, shards = shards)
+      assert(blooms.length == shards)
+      val probed = rows
+        .filter(Bloom.mightContainSharded(blooms, col("text")))
+        .count()
+      assert(probed == keys.length.toLong,
+        s"$shards shards: an inserted key probed FALSE — false negative")
+    }
+    // 1 shard collapses to the plain filter (same bytes path).
+    val one = Bloom.shardedBloomBytes(rows, col("text"), 256L, 2048L, 1)
+    assert(one.length == 1)
+    // Output identity at a forced 2-shard geometry — the conf-cap
+    // escape hatch changes cost, never content.
+    val baseDf = docs(bloomBase.zipWithIndex.map {
+      case (t, i) => (i.toLong, t)
+    }: _*)
+    val deltaDf = docs(bloomDelta: _*)
+    val truth = exactCleanTruth(bloomBase, bloomDelta)
+    assert(cleanRows(ExactDedupIndex.bloomClean(baseDf, deltaDf,
+      shards = 2)) == truth)
+    // Saturated 2-shard filters (64 bits per shard): still exact.
+    assert(cleanRows(ExactDedupIndex.bloomClean(baseDf, deltaDf,
+      expectedItems = 4L, numBits = 64L, shards = 2)) == truth)
+  }
+
+  test("sharded bloom: persisted 2-shard index serves, appends, retracts, and compacts identically to the 1-shard index") {
+    val baseDf = docs(bloomBase.zipWithIndex.map {
+      case (t, i) => (i.toLong, t)
+    }: _*)
+    val deltaDf = docs(bloomDelta: _*)
+    val d1 = xdxTmp(); val d2 = xdxTmp()
+    ExactDedupIndex.buildIndex(baseDf, d1, buckets = 8)
+    ExactDedupIndex.buildIndex(baseDf, d2, buckets = 8, shards = 2)
+    def serve(dir: String) =
+      cleanRows(ExactDedupIndex.indexClean(spark, dir, deltaDf))
+    assert(serve(d2) == serve(d1))
+    assert(serve(d2) == exactCleanTruth(bloomBase, bloomDelta))
+    // Append keeps the base geometry (per-shard merge ≡ union build).
+    ExactDedupIndex.appendToIndex(docs(50L -> "appended text"), d1)
+    ExactDedupIndex.appendToIndex(docs(50L -> "appended text"), d2)
+    val probe2 = docs(300L -> "appended text", 301L -> "fresh three")
+    assert(cleanRows(ExactDedupIndex.indexClean(spark, d2, probe2)) ==
+      cleanRows(ExactDedupIndex.indexClean(spark, d1, probe2)))
+    // Retraction + compaction rebuild the filter AT the sharded
+    // geometry; serves stay identical across both.
+    ExactDedupIndex.retractFromIndex(docs(0L -> "alpha text"), d1)
+    ExactDedupIndex.retractFromIndex(docs(0L -> "alpha text"), d2)
+    assert(serve(d2) == serve(d1))
+    ExactDedupIndex.compactIndex(spark, d1)
+    ExactDedupIndex.compactIndex(spark, d2)
+    assert(serve(d2) == serve(d1))
+    // The streaming twin probes through the same sharded chain.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val ms = MemoryStream[(Long, String)](spark)
+    ms.addData(Seq((400L, "beta text"), (401L, "nowhere text")))
+    val q = ExactDedupIndex.streamingExactDups(spark, d2,
+        ms.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("xdx_shard_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+    assert(spark.table("xdx_shard_stream").collect()
+      .map(_.getAs[Long]("doc_id")).toSet == Set(400L))
+    // LEGACY pre-sharding meta (single `bloom` BINARY column, no
+    // `shards` field) adopts as one shard — an old on-disk index reads
+    // unchanged through the new probe path.
+    val d3 = xdxTmp()
+    ExactDedupIndex.buildIndex(baseDf, d3, buckets = 8)
+    val m3 = spark.read.parquet(s"$d3/meta").head()
+    spark.range(1).select(
+        lit(m3.getAs[Long]("n_hashes")).as("n_hashes"),
+        lit(m3.getAs[Int]("buckets")).as("buckets"),
+        lit(m3.getAs[Long]("expected_items")).as("expected_items"),
+        lit(m3.getAs[Long]("num_bits")).as("num_bits"),
+        lit(m3.getSeq[Array[Byte]](m3.fieldIndex("blooms")).head)
+          .as("bloom"))
+      .write.mode("overwrite").parquet(s"$d3/meta")
+    assert(serve(d3) == exactCleanTruth(bloomBase, bloomDelta))
+  }
+
   test("bloomClean: null doc_id delta rows are excluded (the exact-dedup family rule); empty delta yields the empty frame") {
     import spark.implicits._
     val baseDf = docs(1L -> "base text")
