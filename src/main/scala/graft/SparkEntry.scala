@@ -1354,8 +1354,9 @@ object SparkEntry {
     // Takedown-pressure census over the SAME retracted index: one row —
     // live vs tombstoned member docs + the dead share in exact integer
     // ppm (the compact-now signal; dead rows still occupy both at-rest
-    // tables until compaction). Membership = shingled docs (>= 3
-    // tokens), which the oracle restates directly.
+    // tables until compaction). Membership = shingled docs (>= 1 token;
+    // short docs shingle to their whole text), which the oracle
+    // restates directly.
     "doc_dedup_index_retract_health" -> ((s, dir) => {
       val out = indexDir("graft_ddx_rt", dir)
       if (builtIndexes.add(s"ddxrt:$out"))
@@ -5645,9 +5646,11 @@ object SparkEntry {
          SELECT doc_a, doc_b, jaccard FROM pairs
          WHERE doc_a % 10 = 7 OR doc_b % 10 = 7""",
 
-    // Takedown census: members = shingled docs (>= 3 tokens — an empty
-    // shingle set has no at-rest rows) of the % 10 <> 7 base; dead =
-    // the retracted % 10 == 3 slice; dead share in exact integer ppm.
+    // Takedown census: members = shingled docs (>= 1 token — a 1-2
+    // token doc shingles to its WHOLE TEXT, only the token-less shingle
+    // set is empty and has no at-rest rows) of the % 10 <> 7 base;
+    // dead = the retracted % 10 == 3 slice; dead share in exact
+    // integer ppm.
     "doc_dedup_index_retract_health" ->
       """WITH t AS (
            SELECT doc_id,
@@ -5655,7 +5658,7 @@ object SparkEntry {
                   ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS toks
            FROM documents WHERE doc_id IS NOT NULL),
          m AS (
-           SELECT doc_id FROM t WHERE len(toks) >= 3 AND doc_id % 10 <> 7),
+           SELECT doc_id FROM t WHERE len(toks) >= 1 AND doc_id % 10 <> 7),
          agg AS (
            SELECT
              CAST(count(*) FILTER (WHERE doc_id % 10 <> 3) AS BIGINT)

@@ -97,18 +97,11 @@ object DedupIndex {
             s"manifest generation $g under $root references no " +
               "buckets/sets dirs — truncated or damaged manifest")
         // Tombstone dirs are OPTIONAL (absent on every pre-retraction
-        // manifest — old indexes read unchanged) — but a PRESENT node
-        // decoding to nothing is DAMAGE (unrepresentable from the
-        // committer), and reading it as tombstone-free would silently
-        // resurrect retracted content; fail like the bdirs cases.
-        val t = Option(node.get("tdirs"))
-          .map(_.elements().asScala.map(_.asText()).toSeq)
-        if (t.exists(_.isEmpty))
-          throw new IllegalStateException(
-            s"manifest generation $g under $root carries an empty/scalar" +
-              " tdirs node — damaged manifest; reading it as tombstone-" +
-              "free would resurrect retracted content")
-        (b, s, t.getOrElse(Nil), node.get("meta").asText())
+        // manifest — old indexes read unchanged); decode + damage guard
+        // live ONCE in GenManifest.readTDirs.
+        (b, s,
+          GenManifest.readTDirs(node, s"manifest generation $g under $root"),
+          node.get("meta").asText())
       case None if g == 0L => (Seq("buckets"), Seq("sets"), Nil, "meta")
       case None =>
         // Fail-loud on the READ path (the lexManifestAt contract): a
@@ -540,16 +533,6 @@ object DedupIndex {
       .select(col("doc_id"), col("base_id"), col("jaccard"))
   }
 
-  /** Bucket-health report over the persisted layout — the dedup analog
-    * of [[Similarity.indexHealth]]'s retrain signal: per LSH band, the
-    * key count, total membership rows, the hottest key's document
-    * frequency, and how many keys exceed `hotDf` docs. A hot key is the
-    * f² cost center of every candidate self-join ([[Dedup.capHotKeys]]'
-    * fence) — an operator reads this table to decide when to run
-    * exact-dedup first, raise `maxBucketDf`, or re-shard. Maintenance
-    * scan like compaction: reads every generation unpruned (the bucket
-    * table is hashes, not text — ~4 rows × 50 bytes per doc).
-    */
   /** Takedown-pressure census (ONE row: live_docs, dead_docs,
     * dead_ppm) — the shared [[GenManifest.takedownCensus]] over the
     * shingle-set table's doc keys (one row per doc per generation, so
@@ -564,6 +547,16 @@ object DedupIndex {
       "live_docs", "dead_docs")
   }
 
+  /** Bucket-health report over the persisted layout — the dedup analog
+    * of [[Similarity.indexHealth]]'s retrain signal: per LSH band, the
+    * key count, total membership rows, the hottest key's document
+    * frequency, and how many keys exceed `hotDf` docs. A hot key is the
+    * f² cost center of every candidate self-join ([[Dedup.capHotKeys]]'
+    * fence) — an operator reads this table to decide when to run
+    * exact-dedup first, raise `maxBucketDf`, or re-shard. Maintenance
+    * scan like compaction: reads every generation unpruned (the bucket
+    * table is hashes, not text — ~4 rows × 50 bytes per doc).
+    */
   def indexHealth(spark: SparkSession, dir: String,
       hotDf: Int = 1): DataFrame = {
     val (_, bDirs, _, tDirs, _) = dedupManifest(spark, dir)

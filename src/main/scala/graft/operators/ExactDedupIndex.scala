@@ -374,19 +374,11 @@ object ExactDedupIndex {
             s"manifest generation $g under $root references no hash " +
               "dirs — truncated or damaged manifest")
         // Tombstone dirs are OPTIONAL (absent on every pre-retraction
-        // manifest — old indexes read unchanged) — but a PRESENT node
-        // that decodes to nothing (scalar/empty: unrepresentable from
-        // commitManifest) is DAMAGE, and reading it as "no tombstones"
-        // would silently resurrect retracted content. Strictly worse
-        // than a crash; fail like the hdirs cases.
-        val t = Option(node.get("tdirs"))
-          .map(_.elements().asScala.map(_.asText()).toSeq)
-        if (t.exists(_.isEmpty))
-          throw new IllegalStateException(
-            s"manifest generation $g under $root carries an empty/scalar" +
-              " tdirs node — damaged manifest; reading it as tombstone-" +
-              "free would resurrect retracted content")
-        (h, t.getOrElse(Nil), node.get("meta").asText())
+        // manifest — old indexes read unchanged); decode + damage guard
+        // live ONCE in GenManifest.readTDirs.
+        (h,
+          GenManifest.readTDirs(node, s"manifest generation $g under $root"),
+          node.get("meta").asText())
       case None if g == 0L => (Seq("hashes"), Nil, "meta")
       case None =>
         // Fail-loud on the READ path (the lexManifestAt contract); the

@@ -72,6 +72,28 @@ private[graft] object GenManifest {
 
   def newNode(): ObjectNode = new ObjectMapper().createObjectNode()
 
+  /** Decode a manifest's OPTIONAL `tdirs` node — ONE definition for
+    * every tombstone family (this was five near-verbatim copies, the
+    * exact drift class this object exists to prevent). Absent = a
+    * pre-retraction manifest, tombstone-free by construction; a
+    * PRESENT node decoding to nothing (empty array, or a scalar whose
+    * elements() iterator is empty) is DAMAGE — unrepresentable from any
+    * committer — and reading it as tombstone-free would silently
+    * RESURRECT retracted content, strictly worse than a crash. `what`
+    * names the manifest for the diagnostic (e.g. "manifest generation
+    * 3 under /idx").
+    */
+  def readTDirs(node: JsonNode, what: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val t = Option(node.get("tdirs"))
+      .map(_.elements().asScala.map(_.asText()).toSeq)
+    if (t.exists(_.isEmpty))
+      throw new IllegalStateException(
+        s"$what carries an empty/scalar tdirs node — damaged manifest; " +
+          "reading it as tombstone-free would resurrect retracted content")
+    t.getOrElse(Nil)
+  }
+
   /** Stage `node` to a dot-temp, then rename onto the numbered manifest —
     * the atomic commit point. Fails loudly if the destination already
     * exists (single-writer contract violated) or the rename is refused;
@@ -230,6 +252,28 @@ private[graft] object GenManifest {
       .drop("__tid", "__tg", "__g")
   }
 
+  /** Liveness CLASSIFICATION over rows carrying a generation column —
+    * the newest-insert-outlives-newest-tombstone rule as an appended
+    * `__live` flag instead of [[liveRows]]' filter, for the reports
+    * that must SEE dead rows ([[takedownCensus]], the ANN
+    * takedown-health's per-cell split). `genCol` names the insert-
+    * generation column ("__g" for raw [[readWithGen]] rows, a per-key
+    * max for pre-folded frames); `tm` is the [[tombMax]] table for the
+    * SAME `keyCol`, broadcast here like every takedown-sized join.
+    */
+  def classifyLiveness(rows: org.apache.spark.sql.DataFrame,
+      keyCol: String, genCol: String,
+      tm: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    Skew.requireScratchFree(rows, Seq("__tid", "__tg", "__live"),
+      "liveness classification (retraction scratch)")
+    rows.join(broadcast(tm.withColumnRenamed(keyCol, "__tid")),
+        col(keyCol) === col("__tid"), "left")
+      .withColumn("__live",
+        col("__tg").isNull || col(genCol) > col("__tg"))
+      .drop("__tid", "__tg")
+  }
+
   /** Takedown-pressure census over a tombstone family's at-rest keys —
     * ONE row (`liveName`, `deadName`, dead_ppm): how many distinct keys
     * are live vs tombstoned (dead keys still occupy files and inflate
@@ -250,16 +294,8 @@ private[graft] object GenManifest {
       .groupBy(col(keyCol)).agg(max(col("__g")).as("__mg"))
     val classified =
       if (tDirs.isEmpty) perKey.withColumn("__live", lit(true))
-      else {
-        Skew.requireScratchFree(perKey, Seq("__tid", "__tg"),
-          "takedown census (retraction scratch)")
-        perKey.join(
-            broadcast(tombMax(spark, dir, tDirs, keyCol)
-              .withColumnRenamed(keyCol, "__tid")),
-            col(keyCol) === col("__tid"), "left")
-          .withColumn("__live",
-            col("__tg").isNull || col("__mg") > col("__tg"))
-      }
+      else classifyLiveness(perKey, keyCol, "__mg",
+        tombMax(spark, dir, tDirs, keyCol))
     classified.agg(
         coalesce(sum(when(col("__live"), lit(1L)).otherwise(lit(0L))),
           lit(0L)).as(liveName),

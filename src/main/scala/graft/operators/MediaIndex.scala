@@ -96,18 +96,11 @@ object MediaIndex {
             s"manifest generation $g under $root references no block " +
               "dirs — truncated or damaged manifest")
         // Tombstone dirs are OPTIONAL (absent on every pre-retraction
-        // manifest — old indexes read unchanged) — but a PRESENT node
-        // decoding to nothing is DAMAGE (unrepresentable from the
-        // committer), and reading it as tombstone-free would silently
-        // resurrect retracted content; fail like the bdirs cases.
-        val t = Option(node.get("tdirs"))
-          .map(_.elements().asScala.map(_.asText()).toSeq)
-        if (t.exists(_.isEmpty))
-          throw new IllegalStateException(
-            s"manifest generation $g under $root carries an empty/scalar" +
-              " tdirs node — damaged manifest; reading it as tombstone-" +
-              "free would resurrect retracted content")
-        (b, t.getOrElse(Nil), node.get("meta").asText())
+        // manifest — old indexes read unchanged); decode + damage guard
+        // live ONCE in GenManifest.readTDirs.
+        (b,
+          GenManifest.readTDirs(node, s"manifest generation $g under $root"),
+          node.get("meta").asText())
       case None if g == 0L => (Seq("blocks"), Nil, "meta")
       case None =>
         // Fail-loud on the READ path; the sweep tolerates this via its
@@ -327,12 +320,6 @@ object MediaIndex {
     } finally Barrier.release(h)
   }
 
-  /** Per-block hot-key report over the index at rest (the indexHealth
-    * analog): key count, membership rows, hottest key, and keys more
-    * than `hotDf` payload-hashes deep — what an operator reads before
-    * choosing `maxBlockDf`. Maintenance scan like compaction (hashes,
-    * not payloads — 3 longs per row).
-    */
   /** Takedown-pressure census (ONE row: live_docs, dead_docs,
     * dead_ppm) — the shared [[GenManifest.takedownCensus]] over the
     * block table's doc keys. [[mediaIndexHealth]] deliberately reports
@@ -346,6 +333,12 @@ object MediaIndex {
       "live_docs", "dead_docs")
   }
 
+  /** Per-block hot-key report over the index at rest (the indexHealth
+    * analog): key count, membership rows, hottest key, and keys more
+    * than `hotDf` payload-hashes deep — what an operator reads before
+    * choosing `maxBlockDf`. Maintenance scan like compaction (hashes,
+    * not payloads — 3 longs per row).
+    */
   def mediaIndexHealth(spark: SparkSession, dir: String,
       hotDf: Int = 1): DataFrame = {
     val (_, bDirs, tDirs, _) = mediaManifest(spark, dir)

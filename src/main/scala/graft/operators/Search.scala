@@ -372,18 +372,11 @@ object Search {
             s"manifest generation $g under $root references no postings " +
               "dirs — truncated or damaged manifest")
         // Tombstone dirs are OPTIONAL (absent on every pre-retraction
-        // manifest — old indexes read unchanged), but a PRESENT node
-        // decoding to nothing is DAMAGE (unrepresentable from the
-        // committer), and reading it as tombstone-free would silently
-        // resurrect retracted content (the dedupManifestAt rule).
-        val t = Option(node.get("tdirs"))
-          .map(_.elements().asScala.map(_.asText()).toSeq)
-        if (t.exists(_.isEmpty))
-          throw new IllegalStateException(
-            s"manifest generation $g under $root carries an empty/scalar" +
-              " tdirs node — damaged manifest; reading it as tombstone-" +
-              "free would resurrect retracted content")
-        (dirs, t.getOrElse(Nil), node.get("stats").asText())
+        // manifest — old indexes read unchanged); decode + damage guard
+        // live ONCE in GenManifest.readTDirs.
+        (dirs,
+          GenManifest.readTDirs(node, s"manifest generation $g under $root"),
+          node.get("stats").asText())
       case None if g == 0L => (Seq("postings"), Nil, "stats")
       case None =>
         // Fail-loud on the READ path: a listed-then-vanished manifest is

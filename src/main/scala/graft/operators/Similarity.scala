@@ -861,18 +861,11 @@ object Similarity {
           throw new IllegalStateException(
             s"manifest generation $gen under $root references no cell " +
               "dirs — truncated or damaged manifest")
-        // Tombstone dirs are OPTIONAL (absent pre-retraction), but a
-        // PRESENT node decoding to nothing is DAMAGE — reading it as
-        // tombstone-free would resurrect retracted vectors (the
-        // dedupManifestAt rule).
-        val ts = Option(node.get("tdirs"))
-          .map(_.elements().asScala.map(_.asText()).toSeq)
-        if (ts.exists(_.isEmpty))
-          throw new IllegalStateException(
-            s"manifest generation $gen under $root carries an empty/" +
-              "scalar tdirs node — damaged manifest; reading it as " +
-              "tombstone-free would resurrect retracted vectors")
-        (ds, ts.getOrElse(Nil))
+        // Tombstone dirs are OPTIONAL (absent pre-retraction); decode +
+        // damage guard live ONCE in GenManifest.readTDirs.
+        (ds,
+          GenManifest.readTDirs(node,
+            s"manifest generation $gen under $root"))
       case None if gen == 0L => (Seq("cells"), Nil)
       case None =>
         // Fail-loud on the READ path (mirrors Search.lexManifestAt): a
@@ -1050,15 +1043,8 @@ object Similarity {
     val rows = GenManifest.readWithGen(spark, dir, dirs)
     val classified =
       if (tDirs.isEmpty) rows.withColumn("__live", lit(true))
-      else {
-        Skew.requireScratchFree(rows, Seq("__tid", "__tg"),
-          "takedown health (retraction scratch)")
-        rows.join(broadcast(GenManifest.tombMax(spark, dir, tDirs, "vec_id")
-            .withColumnRenamed("vec_id", "__tid")),
-            col("vec_id") === col("__tid"), "left")
-          .withColumn("__live",
-            col("__tg").isNull || col("__g") > col("__tg"))
-      }
+      else GenManifest.classifyLiveness(rows, "vec_id", "__g",
+        GenManifest.tombMax(spark, dir, tDirs, "vec_id"))
     classified
       .groupBy(col("cell").cast("long").as("cell"))
       .agg(

@@ -372,6 +372,16 @@ object StreamingNearDup {
       // the same encoder kill one field over (BandHit.docId: Long) —
       // one dirty-ingest row must not terminate the monitor.
       .where(col("ts").isNotNull && col("doc_id").isNotNull)
+      // Token-less docs drop BEFORE the admission gate (twin
+      // consistency with the simhash gate, which sits after its
+      // token-dropping flatMap): they can never pair (empty sset → all
+      // band keys NULL, dropped post-explode), so admitting one would
+      // only burn the doc_id's first-wins slot — a dirty-ingest blank
+      // first delivery would shadow the producer's real retry for the
+      // whole horizon, and its gate state is pure overhead. Plain
+      // attribute filter (toks is a materialized projection — no
+      // generate, so no InferFiltersFromGenerate hazard).
+      .where(size(col("toks")) > 0)
       .withWatermark("ts", delay)
       // DOC-KEYED admission gate (the round-14 redelivery fix): exactly
       // one version of a doc_id enters the band stage per horizon —
