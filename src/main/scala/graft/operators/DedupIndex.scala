@@ -583,42 +583,31 @@ object DedupIndex {
     readGenerations(spark, dir, dirs)
       .filter(col(partCol).isin(keys: _*))
 
-  /** The ONE liveness fold (GenManifest's doc-keyed tombstone kernels,
-    * shared with MediaIndex): a bare generation read when tombstone-free
-    * (the common case — plan unchanged), the newest-op-wins resolution
-    * otherwise. Every retraction-aware reader (serve legs, streaming
-    * twin, health, compaction) routes here — four hand-restated copies
-    * of the trigram were the bandKeyArray drift class.
+  /** The ONE liveness fold — the shared [[GenManifest.foldedLive]]
+    * kernel at this family's doc key. Every retraction-aware reader
+    * (serve legs, streaming twin, health, compaction) routes here.
     */
   private def foldedLive(spark: SparkSession, dir: String,
       dirs: Seq[String], tDirs: Seq[String]): DataFrame =
-    if (tDirs.isEmpty) readGenerations(spark, dir, dirs)
-    else GenManifest.liveRows(
-      GenManifest.readWithGen(spark, dir, dirs), "doc_id",
-      GenManifest.tombMax(spark, dir, tDirs, "doc_id"))
+    GenManifest.foldedLive(spark, dir, dirs, tDirs, "doc_id")
 
-  /** The pruned read with retraction applied — serves route here; the
+  /** The pruned read with retraction applied — serves route here via
+    * the shared [[GenManifest.readPrunedLive]] kernel; the
     * tombstone-free index (the common case) takes the bare pruned read
     * and its plan is unchanged.
     */
   private[graft] def readPrunedLive(spark: SparkSession, dir: String,
       dirs: Seq[String], partCol: String, keys: Seq[Long],
       tDirs: Seq[String]): DataFrame =
-    if (tDirs.isEmpty) readPruned(spark, dir, dirs, partCol, keys)
-    else GenManifest.liveRows(
-      GenManifest.readWithGen(spark, dir, dirs)
-        .filter(col(partCol).isin(keys: _*)),
-      "doc_id", GenManifest.tombMax(spark, dir, tDirs, "doc_id"))
+    GenManifest.readPrunedLive(spark, dir, dirs, partCol, keys, tDirs,
+      "doc_id")
 
   /** The generation union-read every consumer shares (serve, health,
-    * compaction) — one place for any future cross-generation schema
-    * handling, so the three paths can never read generations
-    * differently.
+    * compaction) — delegates to the ONE cross-family definition.
     */
   private def readGenerations(spark: SparkSession, dir: String,
       dirs: Seq[String]): DataFrame =
-    dirs.map(d => spark.read.parquet(s"$dir/$d"))
-      .reduce(_.unionByName(_))
+    GenManifest.readGenerations(spark, dir, dirs)
 
   /** Near-duplicate pairs of an ingest batch against a persisted index
     * AND within the batch itself: every (doc_a, doc_b, jaccard) with

@@ -411,8 +411,7 @@ object ExactDedupIndex {
 
   private def readHashGenerations(spark: SparkSession, dir: String,
       hDirs: Seq[String]): DataFrame =
-    hDirs.map(d => spark.read.parquet(s"$dir/$d"))
-      .reduce(_.unionByName(_))
+    GenManifest.readGenerations(spark, dir, hDirs)
 
   /** Generation read — the SHARED GenManifest kernel (a verbatim local
     * copy was the bandKeyArray drift class); rows carry `__g`.

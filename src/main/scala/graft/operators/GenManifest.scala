@@ -252,6 +252,44 @@ private[graft] object GenManifest {
       .drop("__tid", "__tg", "__g")
   }
 
+  /** The cross-generation union read every family's consumers share —
+    * ONE place for any future per-generation schema handling, now for
+    * EVERY family at once (each had its own verbatim copy).
+    */
+  def readGenerations(spark: SparkSession, dir: String,
+      dirs: Seq[String]): org.apache.spark.sql.DataFrame =
+    dirs.map(d => spark.read.parquet(s"$dir/$d"))
+      .reduce(_.unionByName(_))
+
+  /** The ONE liveness fold for a doc-/key-keyed tombstone family: a
+    * bare generation read when tombstone-free (the common case — plan
+    * unchanged), the newest-op-wins resolution otherwise. Family
+    * wrappers delegate here so the fold can never drift between the
+    * dedup and media families (it was a hand-synced pair).
+    */
+  def foldedLive(spark: SparkSession, dir: String, dirs: Seq[String],
+      tDirs: Seq[String], keyCol: String): org.apache.spark.sql.DataFrame =
+    if (tDirs.isEmpty) readGenerations(spark, dir, dirs)
+    else liveRows(readWithGen(spark, dir, dirs), keyCol,
+      tombMax(spark, dir, tDirs, keyCol))
+
+  /** The partition-pruned read with retraction applied — the serve-path
+    * kernel: the literal `IN` filter is applied BEFORE the liveness
+    * join so every generation scan still prunes (plan-locked per
+    * family); the tombstone-free index takes the bare pruned read and
+    * its plan is unchanged.
+    */
+  def readPrunedLive(spark: SparkSession, dir: String, dirs: Seq[String],
+      partCol: String, keys: Seq[Long], tDirs: Seq[String],
+      keyCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (tDirs.isEmpty)
+      readGenerations(spark, dir, dirs).filter(col(partCol).isin(keys: _*))
+    else liveRows(
+      readWithGen(spark, dir, dirs).filter(col(partCol).isin(keys: _*)),
+      keyCol, tombMax(spark, dir, tDirs, keyCol))
+  }
+
   /** Liveness CLASSIFICATION over rows carrying a generation column —
     * the newest-insert-outlives-newest-tombstone rule as an appended
     * `__live` flag instead of [[liveRows]]' filter, for the reports

@@ -266,10 +266,7 @@ object MediaIndex {
 
   private def foldedLive(spark: SparkSession, dir: String,
       dirs: Seq[String], tDirs: Seq[String]): DataFrame =
-    if (tDirs.isEmpty) readGenerations(spark, dir, dirs)
-    else GenManifest.liveRows(
-      GenManifest.readWithGen(spark, dir, dirs), "doc_id",
-      GenManifest.tombMax(spark, dir, tDirs, "doc_id"))
+    GenManifest.foldedLive(spark, dir, dirs, tDirs, "doc_id")
 
   /** RETRACT payloads from the index — the doc-keyed takedown shape
     * shared with [[DedupIndex.retractFromDedupIndex]] (the GenManifest
@@ -365,8 +362,7 @@ object MediaIndex {
 
   private def readGenerations(spark: SparkSession, dir: String,
       dirs: Seq[String]): DataFrame =
-    dirs.map(d => spark.read.parquet(s"$dir/$d"))
-      .reduce(_.unionByName(_))
+    GenManifest.readGenerations(spark, dir, dirs)
 
   /** INGEST-TIME alert stream of (doc_id, base_id, shared) perceptual
     * near-dup pairs between arriving payloads and the persisted index —
@@ -491,14 +487,12 @@ object MediaIndex {
     * count distinct verified hash pairs per doc pair — the serve tail
     * both queries share. `cand` carries (keyA, keyB, va, vb).
     */
+  // The distinct/Hamming-verify/minShared serve tail lives ONCE in
+  // Multimodal.verifiedPairs — shared with the batch perceptualNearDups
+  // op (a verification-rule change lands in one place).
   private def verifiedPairs(cand: DataFrame, maxDist: Int, minShared: Int,
       keyA: String = "doc_a", keyB: String = "doc_b"): DataFrame =
-    cand.select(col(keyA), col(keyB), col("va"), col("vb"))
-      .distinct()
-      .where(expr(s"bit_count(va ^ vb) <= $maxDist"))
-      .groupBy(col(keyA), col(keyB))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= minShared)
+    Multimodal.verifiedPairs(cand, maxDist, minShared, keyA, keyB)
 
   /** The sided candidate legs every serve shares. `internal` =
     * within-batch candidates (both sides delta, doc_a < doc_b); `cross`
@@ -540,15 +534,13 @@ object MediaIndex {
       // (b, bk) restricts the pruned partitions to touched keys, and
       // the distinct key list broadcast keeps the base side a hash
       // probe, never a shuffle of the index.
-      // Retraction-aware pruned read: with tombstone generations live
-      // the base rows resolve membership (the tombstone-free plan — every
-      // registered query today — is unchanged).
-      val basePruned =
-        if (tDirs.isEmpty) readPruned(spark, dir, bDirs, bbkts)
-        else GenManifest.liveRows(
-          GenManifest.readWithGen(spark, dir, bDirs)
-            .filter(col("bbkt").isin(bbkts: _*)),
-          "doc_id", GenManifest.tombMax(spark, dir, tDirs, "doc_id"))
+      // Retraction-aware pruned read — the shared
+      // GenManifest.readPrunedLive kernel (pruning survives the __g
+      // projection + liveness join, plan-locked in PlanShapeSpec; the
+      // tombstone-free plan — every registered query today — is
+      // unchanged).
+      val basePruned = GenManifest.readPrunedLive(spark, dir, bDirs,
+        "bbkt", bbkts, tDirs, "doc_id")
       val baseTouch = basePruned
         .join(broadcast(dbl.select(col("b"), col("bk")).distinct()),
           Seq("b", "bk"))

@@ -44,6 +44,23 @@ object Multimodal {
       .select(col("doc_id"), col("payload")).as[Payload]
   }
 
+  /** Table-based byte→hex — ONE kernel for every hot hashing loop (the
+    * StreamingNearDup.md5Hex lesson: per-byte `"%02x".format` allocates
+    * a boxed java.util.Formatter per BYTE, pure overhead on corpus-wide
+    * per-row digests).
+    */
+  private[graft] val HexChars = "0123456789abcdef".toCharArray
+  private[graft] def bytesToHex(d: Array[Byte]): String = {
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(i * 2) = HexChars((d(i) >> 4) & 0xf)
+      out(i * 2 + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   /** STUB decode: derive fake-but-deterministic media dimensions from the
     * payload length. A real implementation calls the codec here; the
     * (byte_len, width, height, channels, checksum) contract is unchanged.
@@ -72,7 +89,7 @@ object Multimodal {
           val bytes = Option(p.payload).getOrElse(Array.emptyByteArray)
           val (w, h, c) = decodeStub(bytes)
           MediaMeta(p.doc_id, bytes.length.toLong, w, h, c,
-            md.digest(bytes).map("%02x".format(_)).mkString)
+            bytesToHex(md.digest(bytes)))
         }
       }
   }
@@ -468,6 +485,12 @@ object Multimodal {
       frameBytes: Int, everyNth: Int): DataFrame = {
     import spark.implicits._
     require(everyNth > 0, s"everyNth=$everyNth must be positive")
+    // Guard parity with perceptualFingerprints: frameBytes = 0 would
+    // otherwise surface as a bare executor-side ArithmeticException
+    // after task retries instead of this named construction-time
+    // failure (every current caller routes through blockGeom's 8..33
+    // require first — this is the defense for future direct callers).
+    require(frameBytes > 0, s"frameBytes=$frameBytes must be positive")
     payloadRows(payloads)
       .mapPartitions { it =>
         it.flatMap { p =>
@@ -548,17 +571,30 @@ object Multimodal {
       val cand = left.join(keep, Seq("b", "bk"))
         .join(right, Seq("b", "bk"))
         .where(col("doc_a") < col("doc_b"))
-        // A pair found through several blocks must verify and count ONCE.
-        .select(col("doc_a"), col("doc_b"), col("va"), col("vb"))
-        .distinct()
-      cand
-        .where(expr(s"bit_count(va ^ vb) <= $maxDist"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= minShared)
+      // The distinct (a pair found through several blocks verifies and
+      // counts ONCE) + Hamming verify + minShared tail is the shared
+      // [[verifiedPairs]] kernel — the index serves run the same one.
+      verifiedPairs(cand, maxDist, minShared)
         .barrier() // tiny; materialized so the finally can release bl
     } finally Barrier.release(bl)
   }
+
+  /** The verify tail every perceptual-pair consumer shares (this batch
+    * op + both MediaIndex serve legs): dedupe multi-block discoveries,
+    * verify the exact Hamming distance map-side, count distinct
+    * verified hash pairs per doc pair, keep pairs sharing at least
+    * `minShared`. ONE definition so the verification rule cannot drift
+    * between the batch op and the index serves.
+    */
+  private[graft] def verifiedPairs(cand: DataFrame, maxDist: Int,
+      minShared: Int, keyA: String = "doc_a",
+      keyB: String = "doc_b"): DataFrame =
+    cand.select(col(keyA), col(keyB), col("va"), col("vb"))
+      .distinct()
+      .where(expr(s"bit_count(va ^ vb) <= $maxDist"))
+      .groupBy(col(keyA), col(keyB))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
 
   /** Streaming twin of [[perceptualDups]]' cross leg: an INGEST-TIME
     * alert stream of (doc_id, base_id, shared) pairs between arriving

@@ -322,8 +322,7 @@ object Search {
     */
   private def readLexGenerations(spark: SparkSession, dir: String,
       pDirs: Seq[String]): DataFrame =
-    pDirs.map(d => spark.read.parquet(s"$dir/$d"))
-      .reduce(_.unionByName(_))
+    GenManifest.readGenerations(spark, dir, pDirs)
 
   /** The ONE liveness fold over the postings generations (GenManifest's
     * doc-keyed tombstone kernels, shared with DedupIndex/MediaIndex): a

@@ -503,11 +503,7 @@ object Similarity {
   private def readCells(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val (_, dirs, tDirs) = indexManifest(spark, dir)
-    if (tDirs.isEmpty)
-      dirs.map(d => spark.read.parquet(s"$dir/$d")).reduce(_.unionByName(_))
-    else
-      GenManifest.liveRows(GenManifest.readWithGen(spark, dir, dirs),
-        "vec_id", GenManifest.tombMax(spark, dir, tDirs, "vec_id"))
+    GenManifest.foldedLive(spark, dir, dirs, tDirs, "vec_id")
   }
 
   /** The centroid book of a persisted index, collected to the driver —

@@ -71,19 +71,12 @@ object StreamingNearDup {
     override def initialValue(): MessageDigest =
       MessageDigest.getInstance("MD5")
   }
-  private val HexChars = "0123456789abcdef".toCharArray
 
-  private def md5Hex(s: String): String = {
-    val d = md5Tl.get().digest(s.getBytes(StandardCharsets.UTF_8))
-    val out = new Array[Char](32)
-    var i = 0
-    while (i < d.length) {
-      out(i * 2) = HexChars((d(i) >> 4) & 0xf)
-      out(i * 2 + 1) = HexChars(d(i) & 0xf)
-      i += 1
-    }
-    new String(out)
-  }
+  private def md5Hex(s: String): String =
+    // The hex loop lives ONCE (Multimodal.bytesToHex) — this twin kept
+    // a verbatim copy of the table walk until the round-15 wave.
+    graft.operators.Multimodal.bytesToHex(
+      md5Tl.get().digest(s.getBytes(StandardCharsets.UTF_8)))
 
   // The former Scala signature/band-key twins are gone: band keys now
   // ride from the COLUMN stage into the bucket handler (BandHit.keys),

@@ -883,6 +883,24 @@ class PlanShapeSpec extends SparkSpec {
     assert("PartitionFilters: \\[bbkt".r.findAllIn(pc).length == 1,
       pc.take(3000))
     assert(!pc.contains("PartitionFilters: []"), pc.take(3000))
+    // TOMBSTONED serve (the shared GenManifest.readPrunedLive kernel,
+    // same lock as the dedup family's): pruning must survive the
+    // readWithGen projection + liveness join, and the takedown-sized
+    // tombMax join must broadcast.
+    graft.operators.MediaIndex.retractFromMediaIndex(
+      graft.operators.Multimodal.withPayload(
+        Seq((2L, "x")).toDF("doc_id", "text")), dir)
+    val (_, bDirsT, tDirsT, _) =
+      graft.operators.MediaIndex.mediaManifest(spark, dir)
+    assert(tDirsT.nonEmpty)
+    val pt = graft.operators.GenManifest
+      .readPrunedLive(spark, dir, bDirsT, "bbkt", Seq(0L, 3L), tDirsT,
+        "doc_id")
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[bbkt".r.findFirstIn(pt).isDefined,
+      pt.take(3000))
+    assert(!pt.contains("SortMergeJoin"), pt.take(3000))
+    assert(pt.contains("BroadcastHashJoin"), pt.take(3000))
   }
 
   test("fuzzyPairs verify tail: id hash joins only — no nested loop over candidates") {
