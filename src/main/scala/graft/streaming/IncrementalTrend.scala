@@ -88,23 +88,37 @@ object IncrementalTrend {
     // every collect is bounded by the limit-before-collect discipline —
     // a delete/protect flood past MaxLogOps must fail loudly, not OOM
     // the driver behind a warning.
-    val moveOps = gatedLog.filter(col("logAction") === "move")
+    // ONE collect for all three op kinds (was three separate driver
+    // jobs per micro-batch — per-action round-trip overhead dominates
+    // tiny-frame cost on the hot foreachBatch path): each branch keeps
+    // its OWN limit-before-collect bound, the union collects once, and
+    // the kinds partition driver-side.
+    val opRows = gatedLog.filter(col("logAction") === "move")
       .filter(col("title").isNotNull)
-      .select(col("wiki"), col("title"),
-        logParamsTarget(col("logParams")).as("target"), col("ts"))
-      .filter(col("target").isNotNull)
-      .limit(MaxLogOps + 1).collect()
-      .map(r => MoveOp(r.getString(0), r.getString(1), r.getString(2),
-        r.getTimestamp(3).getTime))
-    val delOps = deleteEvents(gatedLog).limit(MaxLogOps + 1).collect()
-      .map(r => DeleteOp(r.getString(0), r.getString(1),
-        r.getTimestamp(2).getTime))
-    val protOps = gatedLog.filter(col("logAction") === "protect")
-      .filter(col("title").isNotNull)
-      .select(col("wiki"), col("title"), col("ts"))
-      .limit(MaxLogOps + 1).collect()
-      .map(r => ProtectOp(r.getString(0), r.getString(1),
-        r.getTimestamp(2).getTime))
+      .select(lit("m").as("k"), col("wiki"), col("title"),
+        logParamsTarget(col("logParams")).as("x"), col("ts"))
+      .filter(col("x").isNotNull)
+      .limit(MaxLogOps + 1)
+      .unionByName(deleteEvents(gatedLog)
+        .select(lit("d").as("k"), col("wiki"),
+          col("del_title").as("title"),
+          lit(null).cast("string").as("x"), col("ts"))
+        .limit(MaxLogOps + 1))
+      .unionByName(gatedLog.filter(col("logAction") === "protect")
+        .filter(col("title").isNotNull)
+        .select(lit("p").as("k"), col("wiki"), col("title"),
+          lit(null).cast("string").as("x"), col("ts"))
+        .limit(MaxLogOps + 1))
+      .collect()
+    val moveOps = opRows.filter(_.getString(0) == "m")
+      .map(r => MoveOp(r.getString(1), r.getString(2), r.getString(3),
+        r.getTimestamp(4).getTime))
+    val delOps = opRows.filter(_.getString(0) == "d")
+      .map(r => DeleteOp(r.getString(1), r.getString(2),
+        r.getTimestamp(4).getTime))
+    val protOps = opRows.filter(_.getString(0) == "p")
+      .map(r => ProtectOp(r.getString(1), r.getString(2),
+        r.getTimestamp(4).getTime))
     val nOps = moveOps.length + delOps.length + protOps.length
     require(nOps <= MaxLogOps,
       s"batch carries > $MaxLogOps move/delete/protect log events — " +
@@ -188,8 +202,9 @@ object IncrementalTrend {
       if (plan.timeline.isEmpty) evs
       else {
         val tl = plan.timeline
-          .map(s => (s.key, s.fromTs, s.toTs, s.dead, s.finalTitle))
-          .toDF("t_key", "t_from", "t_to", "t_dead", "t_title")
+          .map(s => (s.key, s.fromTs, s.toTs, s.dead, s.finalTitle,
+            s.finalWiki))
+          .toDF("t_key", "t_from", "t_to", "t_dead", "t_title", "t_wiki")
         evs.withColumn("__k", pageId(col("wiki"), col("title")))
           .withColumn("__ms", unix_millis(col("ts")))
           .join(broadcast(tl),
@@ -197,9 +212,15 @@ object IncrementalTrend {
               col("t_from") < col("__ms") && col("__ms") <= col("t_to"),
             "left")
           .filter(col("t_key").isNull || !col("t_dead"))
+          // BOTH halves of the object's final key (see TlSeg: pageId is
+          // ambiguous across wikis, so a title-only rewrite could land a
+          // routed edit on a different id than the object's curKey).
           .withColumn("title", coalesce(col("t_title"), col("title")))
+          .withColumn("wiki",
+            when(col("t_key").isNotNull, col("t_wiki"))
+              .otherwise(col("wiki")))
           .drop("__k", "__ms", "t_key", "t_from", "t_to", "t_dead",
-            "t_title")
+            "t_title", "t_wiki")
       }
     val deltas = PageAggregates.pageAggregates(editsMapped, cfg)
 
@@ -360,11 +381,16 @@ object IncrementalTrend {
 
   /** Timeline segment: edits to `key` with `fromTs < ts ≤ toTs` belong to
     * the object that owned the key over that interval — they land at the
-    * object's final key via its FINAL title, or die with a dead object
-    * (finalTitle null).
+    * object's final key via its FINAL (wiki, title), or die with a dead
+    * object (finalTitle/finalWiki null). The wiki rides along because
+    * keys are pageId-AMBIGUOUS across wikis (a falsy-wiki edit whose
+    * title spells "w/T" collides with wiki w's "T"): rewriting only the
+    * title would recompute a DIFFERENT id downstream than the object's
+    * curKey, splitting the edit off the moved page — with both rewritten,
+    * the recomputed id equals curKey by the replay's own construction.
     */
   private[streaming] final case class TlSeg(key: String, fromTs: Long,
-      toTs: Long, dead: Boolean, finalTitle: String)
+      toTs: Long, dead: Boolean, finalTitle: String, finalWiki: String)
 
   /** The compiled effect of a batch's log ops. `kills` lists keys whose
     * pre-batch state drops (deleted, or overwritten by a move-in).
@@ -515,7 +541,8 @@ object IncrementalTrend {
       timeline = all.iterator.flatMap(o => o.segs.iterator
           .filter { case (_, f, t) => f < t } // same-ms ops leave empties
           .map { case (k, f, t) =>
-            TlSeg(k, f, t, !o.alive, if (o.alive) o.title else null) })
+            TlSeg(k, f, t, !o.alive, if (o.alive) o.title else null,
+              if (o.alive) o.wiki else null) })
         .toSeq)
   }
 
@@ -566,6 +593,21 @@ object IncrementalTrend {
     }
   }
 
+  /** The data-path eviction clock — TrendStream.updateFn's clamp,
+    * propagated to the foreachBatch twin: catching up a backlog after
+    * downtime with wall-clock asOf would read every replayed page's
+    * EVENT-time stamps as idle/ancient and mass-evict live pages
+    * mid-catch-up (later edits then recreate them with truncated
+    * history). min(wall, newest event ts) ≈ wall on a live stream (the
+    * reference's wall-clock cleaner) and tracks stream time during a
+    * replay; an EMPTY batch — the engine's no-data tick — has no event
+    * clock and keeps wall time, which is exactly the live-cleaner case
+    * the full sweep exists for.
+    */
+  private[graft] def dataAsOfMs(nowMs: Long,
+      maxEventTs: java.sql.Timestamp): Long =
+    if (maxEventTs == null) nowMs else math.min(nowMs, maxEventTs.getTime)
+
   /** Streaming run: fold micro-batches into a MANIFEST-COMMITTED bucketed
     * parquet state table — the reference's LevelDB persistence (S2/S3),
     * upgraded from its lossy 20-second snapshot to atomically-committed
@@ -608,21 +650,6 @@ object IncrementalTrend {
     * buckets at different stamps, and the entry-wise replay check resumes
     * each at its own position.
     */
-  /** The data-path eviction clock — TrendStream.updateFn's clamp,
-    * propagated to the foreachBatch twin: catching up a backlog after
-    * downtime with wall-clock asOf would read every replayed page's
-    * EVENT-time stamps as idle/ancient and mass-evict live pages
-    * mid-catch-up (later edits then recreate them with truncated
-    * history). min(wall, newest event ts) ≈ wall on a live stream (the
-    * reference's wall-clock cleaner) and tracks stream time during a
-    * replay; an EMPTY batch — the engine's no-data tick — has no event
-    * clock and keeps wall time, which is exactly the live-cleaner case
-    * the full sweep exists for.
-    */
-  private[graft] def dataAsOfMs(nowMs: Long,
-      maxEventTs: java.sql.Timestamp): Long =
-    if (maxEventTs == null) nowMs else math.min(nowMs, maxEventTs.getTime)
-
   def run(events: Dataset[RecentChange], stateDir: String,
       checkpointDir: String, cfg: TrendConfig = TrendConfig(),
       numBuckets: Int = 64, fullSweepEveryNBatches: Int = 10): StreamingQuery = {
@@ -677,6 +704,16 @@ object IncrementalTrend {
       try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
       finally in.close()
     val bk = root.get("buckets")
+    // Damage guard (the index families' tdirs rule): a MISSING buckets
+    // node used to NPE with no context, and a SCALAR node would read as
+    // EMPTY STATE — the fold would then rebuild from nothing and the
+    // next commit's sweep would delete every live data dir of the last
+    // healthy generation. An empty OBJECT stays legal: writeManifest
+    // commits one whenever eviction empties the state.
+    if (bk == null || !bk.isObject)
+      throw new IllegalStateException(
+        s"state manifest $p carries a missing/non-object buckets node — " +
+          "damaged manifest; refusing to read it as empty state")
     val entries = bk.properties().asScala.map { e =>
       e.getKey.toInt -> BucketEntry(e.getValue.get("path").asText(),
         e.getValue.get("lastBatchId").asLong())
@@ -758,19 +795,24 @@ object IncrementalTrend {
       stateDir: String): Option[StateManifest] = {
     val live = new org.apache.hadoop.fs.Path(stateDir)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    readManifest(fs, live).orElse {
-      val le = legacyEntries(spark, fs, live)
-      if (le.isEmpty) None else Some(StateManifest(0L, le))
-    }
+    resolvedManifest(spark, fs, live)._1
   }
 
-  /** Drop everything the just-committed manifest does not reference:
-    * older manifests, crashed staging files, replaced or emptied bucket
-    * data (legacy root dirs and per-bucket dirs inside data parents), and
-    * data parents from crashed write attempts. Single-writer (the
-    * streaming query serializes batches), so unreferenced = garbage; the
-    * sweep is idempotent and re-runs harmlessly after its own crash.
+  /** Manifest resolution WITH provenance: (manifest, onDisk) — onDisk is
+    * false only for a synthesized legacy-adoption view. Carrying the
+    * flag spares [[writerManifest]] a second listStatus + JSON parse per
+    * micro-batch just to re-discover where the manifest came from.
     */
+  private def resolvedManifest(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path): (Option[StateManifest], Boolean) =
+    readManifest(fs, live) match {
+      case some @ Some(_) => (some, true)
+      case None =>
+        val le = legacyEntries(spark, fs, live)
+        (if (le.isEmpty) None else Some(StateManifest(0L, le)), false)
+    }
+
   /** Manifest generations the sweep retains: the just-committed one plus
     * `RetainedGenerations − 1` predecessors, and every bucket file ANY of
     * them references. This closes the reader/commit overlap the
@@ -784,6 +826,13 @@ object IncrementalTrend {
     */
   private[graft] val RetainedGenerations = 2
 
+  /** Drop everything the retained manifests do not reference: older
+    * manifests, crashed staging files, replaced or emptied bucket data
+    * (legacy root dirs and per-bucket dirs inside data parents), and
+    * data parents from crashed write attempts. Single-writer (the
+    * streaming query serializes batches), so unreferenced = garbage; the
+    * sweep is idempotent and re-runs harmlessly after its own crash.
+    */
   private def sweepUnreferenced(fs: org.apache.hadoop.fs.FileSystem,
       live: org.apache.hadoop.fs.Path, seq: Long,
       entries: Map[Int, BucketEntry]): Unit = {
@@ -832,10 +881,9 @@ object IncrementalTrend {
       fs: org.apache.hadoop.fs.FileSystem,
       live: org.apache.hadoop.fs.Path,
       stateDir: String): Option[StateManifest] = {
-    val m = currentManifest(spark, stateDir)
+    val (m, onDisk) = resolvedManifest(spark, fs, live)
     m.foreach { mm =>
-      if (mm.entries.nonEmpty && readManifest(fs, live).isEmpty)
-        writeManifest(fs, live, mm)
+      if (mm.entries.nonEmpty && !onDisk) writeManifest(fs, live, mm)
     }
     m
   }
@@ -931,9 +979,8 @@ object IncrementalTrend {
   /** One micro-batch fold against the manifest-committed state (see
     * `run`). New bucket files land under `data/b<batchId>-<nonce>/`; the
     * manifest rename at the end is the only visible state change.
-    */
-  /** `clampToEventTime` applies [[dataAsOfMs]]' backlog clamp over the
-    * materialized batch (run()'s live path). Explicit-asOf callers —
+    * `clampToEventTime` applies [[dataAsOfMs]]' backlog clamp over the
+    * materialized batch (run()'s live path); explicit-asOf callers —
     * replay fixtures that deliberately pass a FUTURE asOf to exercise
     * eviction — keep the default and their semantics.
     */

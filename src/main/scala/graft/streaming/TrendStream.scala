@@ -110,7 +110,17 @@ object TrendStream {
             isNew = base.isNew || e.isNew,
             notabilityFlags = base.notabilityFlags + e.notab,
             volatileFlags = base.volatileFlags + e.volat,
-            updated = e.ts)
+            // MONOTONE stamps across micro-batches: within one
+            // invocation the ts sort already orders events, but a
+            // late-delivered older edit arriving in a LATER batch must
+            // not regress the idle clock (batch pageAggregates is
+            // max(ts)/min(ts) and IncrementalTrend merges
+            // greatest/least — a regressed `updated` here split
+            // stream ≡ batch and could evict a live page at the next
+            // survives() check). Timestamp.before/after compare
+            // through nanos, matching the µs-exact policy arithmetic.
+            updated = if (e.ts.after(base.updated)) e.ts else base.updated,
+            start = if (e.ts.before(base.start)) e.ts else base.start)
           if (!e.isBot && !e.isRevert) {
             val dist = n.distribution.updated(e.user, n.distribution.getOrElse(e.user, 0L) + 1L)
             n =

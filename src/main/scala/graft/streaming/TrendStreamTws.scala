@@ -60,14 +60,23 @@ object TrendStreamTws {
     override def handleInputRows(key: String, rows: Iterator[ClassifiedEvent],
         tv: TimerValues): Iterator[PageState] = {
       val prev = if (state.exists()) Some(state.get()) else None
-      TrendStream.applyEvents(prev, rows.toSeq) match {
+      val evs = rows.toSeq
+      // Data-path eviction clock clamps to the newest event ts — the
+      // round-14 backlog rule (TrendStream.updateFn's dataAsOfMs):
+      // catching up a multi-hour backlog with raw wall clock would read
+      // every replayed page's event-time stamps as ancient and
+      // mass-evict live pages mid-catch-up. The TIMER path stays pure
+      // processing time by design, like the fgws twin.
+      val dataAsOfMs = math.min(tv.getCurrentProcessingTimeInMs(),
+        evs.map(_.ts.getTime).max)
+      TrendStream.applyEvents(prev, evs) match {
         // Data path applies the cleaner policy too when the cleaner is on
         // (same rationale as TrendStream.updateFn): a continuously-active
         // page never leaves its timer idle, and must still age out at
         // maxLifespan. Gated on armTimers — processing-time checks only
         // mean something on a live stream.
         case Some(next) if !armTimers ||
-            TrendStream.survives(next, tv.getCurrentProcessingTimeInMs(), cfg) =>
+            TrendStream.survives(next, dataAsOfMs, cfg) =>
           state.update(next)
           if (armTimers) rearm(tv)
           Iterator.single(next)

@@ -129,6 +129,34 @@ class IncrementalTrendSpec extends SparkSpec {
     assert(dataAsOfMs(12345L, null) == 12345L, "empty batch: wall time")
   }
 
+  test("timeline routing rewrites BOTH halves of the final key — a falsy-wiki edit colliding with a moved key rides the object") {
+    // pageId is ambiguous across wikis: an edit with a FALSY wiki whose
+    // title spells "dewiki/T" lands on the same key as dewiki's "T".
+    // When that key's object moves, the routed edit must adopt the
+    // object's final (wiki, title) — a title-only rewrite used to
+    // recompute id = "T2" (bare) instead of "dewiki/T2", splitting the
+    // edit off the moved page (and the reference, sharing one titles
+    // map, applies it to the moved page).
+    def wikiEdit(wiki: String, title: String, min: Int,
+        user: String): RecentChange =
+      RecentChange(title, "yo", 0, user, bot = false, "edit", 1L, 2L,
+        wiki, "en.wikipedia.org", null, null, null, null, at(min))
+    def wikiMove(wiki: String, from: String, to: String,
+        min: Int): RecentChange =
+      RecentChange(from, "moved", 0, "Admin", bot = false, "log", 0L, 0L,
+        wiki, "en.wikipedia.org", "log", "move",
+        LogParams.ofMap(Map("target" -> to)), null, at(min))
+    val st = replay(Seq(
+      wikiEdit("dewiki", "T", 0, "A"),
+      wikiMove("dewiki", "T", "T2", 1),
+      // Falsy-wiki edit at the VACATED-then-owned key's history: ts=0.5
+      // min → rides the pre-move segment of the dewiki object.
+      wikiEdit(null, "dewiki/T", 0, "B")))
+    assert(st.keySet == Set("dewiki/T2"), st.keySet.toString)
+    assert(st("dewiki/T2").getAs[Long]("edits") == 2L,
+      "the colliding falsy-wiki edit merges into the moved page")
+  }
+
   test("reference move fixture: rename leaves exactly one page (tests.js:63-78)") {
     val st = replay(Seq(edit("Foo", min = 0), move("Foo", "FoO", 1)))
     assert(st.keySet == Set("FoO"))
@@ -450,6 +478,37 @@ class IncrementalTrendSpec extends SparkSpec {
     // RetainedGenerations manifests remain (current + grace predecessors).
     assert(root.listFiles().count(_.getName.startsWith("manifest-")) ==
       IncrementalTrend.RetainedGenerations)
+  }
+
+  test("bucketed state: a damaged manifest (missing/scalar buckets node) fails loudly instead of reading as empty state") {
+    // A scalar/missing buckets node used to read as EMPTY STATE: the
+    // next fold would rebuild from nothing and its commit's sweep would
+    // delete every live data dir of the last healthy generation. An
+    // empty OBJECT stays legal (eviction can empty the state).
+    val dir = java.nio.file.Files.createTempDirectory("graft_state").toString + "/st"
+    foldToDir(dir, 0, Seq(edit("Foo", min = 0)))
+    val root = new java.io.File(dir)
+    val live = root.listFiles().map(_.getName)
+      .filter(_.startsWith("manifest-")).max
+    def rewrite(content: String): Unit = {
+      java.nio.file.Files.writeString(root.toPath.resolve(live), content)
+      // Hadoop's ChecksumFileSystem keeps a .crc sidecar the writer
+      // created — a hand-edited file fails the checksum BEFORE the
+      // parser sees it; drop the sidecar so the damage guard is what
+      // gets exercised.
+      java.nio.file.Files.deleteIfExists(root.toPath.resolve(s".$live.crc"))
+    }
+    for (bad <- Seq("""{"numBuckets":64}""",
+        """{"numBuckets":64,"buckets":"trunc""" + "\"}")) {
+      rewrite(bad)
+      val e = intercept[IllegalStateException] {
+        IncrementalTrend.currentManifest(spark, dir)
+      }
+      assert(e.getMessage.contains("buckets node"), e.getMessage)
+    }
+    // Legal empty-object manifest: reads as empty state, no throw.
+    rewrite("""{"numBuckets":64,"buckets":{}}""")
+    assert(IncrementalTrend.currentManifest(spark, dir).get.entries.isEmpty)
   }
 
   test("bucketed state: compaction collapses generations, preserves rows and stamps") {

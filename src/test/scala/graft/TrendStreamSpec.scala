@@ -29,6 +29,26 @@ class TrendStreamSpec extends SparkSpec {
 
   private def empty(at: Timestamp = t0) = PageState.empty("Foo", "Foo", "", at)
 
+  test("stream update: a late-delivered older edit in a LATER batch cannot regress the stamps (monotone updated/start)") {
+    // Within one invocation the ts sort orders events; ACROSS
+    // micro-batches a late delivery used to set updated = e.ts
+    // unconditionally, regressing the idle clock below the batch twin's
+    // max(ts) (and IncrementalTrend's greatest merge) — a live page
+    // could then evict at the next survives() check while the batch
+    // twin kept it. Batch-split invariance is the contract:
+    // apply([a]) then apply([b]) ≡ apply([a, b]).
+    val t10 = ts("2024-01-01 00:10:00"); val t5 = ts("2024-01-01 00:05:00")
+    val twoBatches = TrendStream.applyEvents(
+      TrendStream.applyEvents(None, Seq(ce(at = t10))),
+      Seq(ce(user = "Ann", at = t5))).get
+    val oneBatch = TrendStream.applyEvents(None,
+      Seq(ce(at = t10), ce(user = "Ann", at = t5))).get
+    assert(twoBatches.updated == t10 && twoBatches.start == t5)
+    assert(twoBatches.updated == oneBatch.updated &&
+      twoBatches.start == oneBatch.start &&
+      twoBatches.edits == oneBatch.edits)
+  }
+
   // --- applyEvents fixture parity (reference test/tests.js) --------------
 
   test("stream update: edit accounting (tests.js:38-51)") {
