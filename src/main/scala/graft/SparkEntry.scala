@@ -107,6 +107,22 @@ object SparkEntry {
       docs.filter(col("doc_id") % 10 === 6), out)
   }
 
+  /** Build-then-retract preamble shared by the lex-index retraction
+    * serves (top-k + takedown census): full corpus indexed, the
+    * % 10 == 3 slice taken down. The slice intersects INGESTED
+    * membership (tokenized docs — the over-retraction guard is a
+    * caller contract; a regen minting a blank % 10 == 3 doc must not
+    * abort Verify from this builder).
+    */
+  private def buildRetractedLexIndex(s: SparkSession, dir: String,
+      out: String): Unit = {
+    val docs = t(s, dir, "documents")
+    Search.buildLexIndex(docs, out, buckets = 64)
+    Search.retractFromLexIndex(
+      docs.filter(col("doc_id") % 10 === 3 &&
+        size(TextAnalysis.wsTokens(col("text"))) > 0), out)
+  }
+
   /** Build-then-retract preamble shared by the exact-index retraction
     * serves (clean + takedown census): base = doc_id % 10 <> 7, the
     * % 20 == 9 slice's TEXTS taken down (hash-keyed tombstones; every
@@ -233,7 +249,7 @@ object SparkEntry {
     */
   val indexBacked: Set[String] = Set(
     "doc_bm25_index_topk", "doc_bm25_append_topk", "doc_bm25_compact_topk",
-    "doc_bm25_retract_topk",
+    "doc_bm25_retract_topk", "doc_bm25_retract_health",
     "doc_dedup_index_pairs", "doc_dedup_index_append_pairs",
     "doc_dedup_index_clean", "doc_dedup_index_health",
     "doc_dedup_index_compact_pairs", "doc_dedup_index_retract_pairs",
@@ -1262,15 +1278,20 @@ object SparkEntry {
     // a blank % 10 == 3 doc must not abort Verify from this builder).
     "doc_bm25_retract_topk" -> ((s, dir) => {
       val out = indexDir("graft_lex_rt", dir)
-      if (builtIndexes.add(s"lexrt:$out")) {
-        val docs = t(s, dir, "documents")
-        Search.buildLexIndex(docs, out, buckets = 64)
-        Search.retractFromLexIndex(
-          docs.filter(col("doc_id") % 10 === 3 &&
-            size(TextAnalysis.wsTokens(col("text"))) > 0), out)
-      }
+      if (builtIndexes.add(s"lexrt:$out"))
+        buildRetractedLexIndex(s, dir, out)
       Search.lexIndexTopK(s, out, lexProbeQueries(s, dir), k = 10,
         excludeSelf = true)
+    }),
+
+    // Takedown-pressure census over the SAME retracted index — the lex
+    // member of the family-wide census (one row: live/dead member docs
+    // + exact-ppm dead share; membership = tokenized docs).
+    "doc_bm25_retract_health" -> ((s, dir) => {
+      val out = indexDir("graft_lex_rt", dir)
+      if (builtIndexes.add(s"lexrt:$out"))
+        buildRetractedLexIndex(s, dir, out)
+      Search.takedownHealth(s, out)
     }),
 
     // PERSISTED DEDUP INDEX (the dedup member of the index family):
@@ -3933,6 +3954,28 @@ object SparkEntry {
     // postings; stats decremented at takedown) — the shared chain over
     // the retained corpus.
     "doc_bm25_retract_topk" -> bm25RetractTopKSql,
+
+    // Takedown census at the lex tier: members = tokenized docs of the
+    // full-corpus build; dead = the retracted % 10 == 3 slice.
+    "doc_bm25_retract_health" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS toks
+           FROM documents WHERE doc_id IS NOT NULL),
+         m AS (SELECT doc_id FROM t WHERE len(toks) >= 1),
+         agg AS (
+           SELECT
+             CAST(count(*) FILTER (WHERE doc_id % 10 <> 3) AS BIGINT)
+               AS live_docs,
+             CAST(count(*) FILTER (WHERE doc_id % 10 = 3) AS BIGINT)
+               AS dead_docs
+           FROM m)
+         SELECT live_docs, dead_docs,
+           CAST(CASE WHEN live_docs + dead_docs = 0 THEN 0
+                ELSE (dead_docs * 1000000) // (live_docs + dead_docs)
+                END AS BIGINT) AS dead_ppm
+         FROM agg""",
 
     // The planted v2 derivation is replayed verbatim; hashes compare the
     // same strings both engines built (null text hashes like empty — the

@@ -17,7 +17,12 @@ import graft.operators.Search
   *     additive stats, committed by one atomic manifest rename; append ≡
   *     rebuild exactly);
   *  4. `compactLexIndex` folds the generations back to one dir —
-  *     search-before ≡ search-after, bit-identical.
+  *     search-before ≡ search-after, bit-identical;
+  *  5. `retractFromLexIndex` takes a slice down (tombstone generation +
+  *     decremented stats — df/N/avgdl recompute from live postings, so
+  *     the takedown ≡ a rebuild over the retained corpus exactly);
+  *     `takedownHealth` reads the dead share, and a second compact
+  *     physically purges the tombstoned postings.
   *
   * Usage: `runMain graft.examples.SearchServing [sfDir] [indexDir]`
   * (defaults: /root/testdata/sf0.001, a temp dir).
@@ -61,6 +66,18 @@ object SearchServing {
     Search.compactLexIndex(spark, indexDir)
     println("[search] compacted generations back to one dir")
     serve("compacted — must match base+delta exactly")
+
+    // Takedown: remove a slice (tokenized membership — the caller's
+    // contract), watch the census, then compact the dead rows away.
+    val takedown = docs.filter(col("doc_id") % 20 === 6 &&
+      size(graft.operators.TextAnalysis.wsTokens(col("text"))) > 0)
+    Search.retractFromLexIndex(takedown, indexDir)
+    println(s"[search] retracted ${takedown.count()} docs (tombstone generation)")
+    Search.takedownHealth(spark, indexDir).show()
+    serve("after takedown — retracted docs can no longer be neighbors")
+    Search.compactLexIndex(spark, indexDir)
+    Search.takedownHealth(spark, indexDir).show()
+    serve("compacted after takedown — identical to the pre-compact serve")
     spark.stop()
   }
 }

@@ -572,6 +572,20 @@ object Search {
     } finally Barrier.release(h)
   }
 
+  /** Takedown-pressure census (ONE row: live_docs, dead_docs,
+    * dead_ppm) — the shared [[GenManifest.takedownCensus]] over the
+    * postings' doc keys (a doc spans many postings rows across term
+    * buckets; the per-key fold counts DOCS). The compact-now signal:
+    * tombstoned postings still occupy every term bucket they hashed to
+    * until [[compactLexIndex]] purges them, inflating each pruned
+    * serve read proportionally to dead_ppm.
+    */
+  def takedownHealth(spark: SparkSession, dir: String): DataFrame = {
+    val (_, pDirs, tDirs, _) = lexManifest(spark, dir)
+    GenManifest.takedownCensus(spark, dir, pDirs, tDirs, "doc_id",
+      "live_docs", "dead_docs")
+  }
+
   /** Sweep everything the retained generations (current and current-1 —
     * one-commit reader grace) do not reference: older manifests,
     * orphaned dot-temps, and unreferenced postings/stats dirs (appends

@@ -662,10 +662,19 @@ class PipelineOperatorsSpec extends SparkSpec {
       Search.retractFromLexIndex(docs(1L -> "aa bb"), solo)
     }
     assert(eAll.getMessage.contains("every indexed document"))
+    // Takedown census: 40 tokenized members, 8 tombstoned → 200000 ppm.
+    def census(dir: String) = {
+      val c = Search.takedownHealth(spark, dir).collect()(0)
+      (c.getAs[Long]("live_docs"), c.getAs[Long]("dead_docs"),
+        c.getAs[Long]("dead_ppm"))
+    }
+    assert(census(retracted) == ((32L, 8L, 200000L)))
+    assert(census(rebuilt) == ((32L, 0L, 0L)))
     // RE-INGEST of a vacant id restores membership and stats: results
     // equal the original (pre-retraction) index exactly.
     Search.appendToLexIndex(takedown, retracted)
     assert(run(retracted) == before)
+    assert(census(retracted) == ((40L, 0L, 0L)))
     // Retract again, then COMPACT: physically purges the tombstoned
     // postings, folds the tombstones away, serve unchanged.
     Search.retractFromLexIndex(takedown, retracted)
@@ -675,6 +684,7 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(run(retracted) == preCompact)
     val (_, dirsC, tDirsC, _) = Search.lexManifest(spark, retracted)
     assert(dirsC.length == 1 && tDirsC.isEmpty)
+    assert(census(retracted) == ((32L, 0L, 0L)), "compact purges the dead")
     // The folded postings hold no retracted rows at all.
     val folded = spark.read.parquet(s"$retracted/${dirsC.head}")
     assert(folded.filter(col("doc_id") % 5 === 2).isEmpty)
