@@ -55,6 +55,16 @@ object Bench {
     require(refDir == "none" || new java.io.File(refDir).isDirectory,
       s"SPARK_GRAFT_SCALE_REF=$refDir is not a directory (use 'none' to " +
         "skip the scaling pass)")
+    // Self-referential ref = the SAME silent-drop ambiguity as a typo'd
+    // dir (the late stderr-only skip left a scaling-less line a reader
+    // cannot tell from =none): fail here, before any suite runs.
+    def canonDir(d: String): String =
+      try new java.io.File(d).getCanonicalPath
+      catch { case scala.util.control.NonFatal(_) => d }
+    require(refDir == "none" || canonDir(refDir) != canonDir(sfDir),
+      s"SPARK_GRAFT_SCALE_REF=$refDir is the primary sf dir — a " +
+        "self-referential scaling pass measures factor 1.0 noise; use " +
+        "'none' to skip the scaling pass intentionally")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -232,18 +242,13 @@ object Bench {
     // factors are what "survives 100×" claims extrapolate from. Opt out
     // with SPARK_GRAFT_SCALE_REF=none (refDir validated at main entry,
     // BEFORE the primary suite spends its minutes).
-    // CANONICAL path equality, not string equality: a trailing slash or
-    // symlink spelling of the same dir would otherwise run a meaningless
-    // self-referential scaling pass (double wall time, factor_median
-    // ~1.00 masquerading as perfect-scaling evidence). The
-    // self-referential case skips with a loud line.
-    def canon(d: String): String =
-      try new java.io.File(d).getCanonicalPath catch { case NonFatal(_) => d }
-    if (refDir != "none" && canon(refDir) == canon(sfDir))
-      System.err.println(s"[bench] scaling skipped: ref dir $refDir is " +
-        "the primary SF dir")
+    // The self-referential case (canonical-path equality — a trailing
+    // slash or symlink spelling of the same dir) now FAILS at main
+    // entry with the other env validation: the late stderr-only skip
+    // left a scaling-less contract line a reader cannot tell from the
+    // intentional =none opt-out (the round-7 absent-not-err class).
     val scaling: (String, (String, String, String, String)) =
-      if (refDir == "none" || canon(refDir) == canon(sfDir))
+      if (refDir == "none")
         ("", ("{}", "", "{}", "{}"))
       else {
         // Warm the ref-SF tables too (cheap at sf0.01) — without it the

@@ -112,12 +112,17 @@ object OracleLint {
 
   private def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
 
-  /** Offsets of windowed `sum(...) OVER` occurrences in `sql` that have
-    * no enclosing `CAST(` anywhere on their open-paren stack.
+  /** Offsets of windowed `sum(...) OVER` occurrences in `sql` that are
+    * not cast at site: no enclosing `CAST(` anywhere on their open-paren
+    * stack AND no postfix `::` cast after the window spec (a postfix at
+    * the use site IS a cast-at-site, same convention rule 2 accepts —
+    * flagging `sum(x) OVER (...)::BIGINT` was a false positive that
+    * bricked the gate on a correctly typed form).
     */
   def uncastWindowedSums(sql: String): Seq[Int] =
     scanSums(sql, 0, sql.length).collect {
-      case h if h.windowed && !h.openers.contains("cast") => h.pos
+      case h if h.windowed && !h.postfixCast &&
+        !h.openers.contains("cast") => h.pos
     }
 
   /** Offsets of PLAIN (non-windowed) `sum(` occurrences inside the final
@@ -177,7 +182,18 @@ object OracleLint {
         if (i >= lo && i < hi && openers.isEmpty) {
           var p = i - 1
           while (p >= lo && s(p).isWhitespace) p -= 1
-          if (p < lo || s(p) == ',' || s(p) == '.') out += i
+          // A star after the DISTINCT/ALL set quantifier is a
+          // projection star too (`SELECT DISTINCT * FROM cte` — the
+          // word-token rule below read it as arithmetic and the hazard
+          // passthrough went unflagged, review-caught).
+          def prevWordIn(ws: Set[String]): Boolean = {
+            if (p < lo || !isWordChar(s(p))) return false
+            var b2 = p
+            while (b2 >= lo && isWordChar(s(b2))) b2 -= 1
+            ws.contains(s.substring(b2 + 1, p + 1).toLowerCase)
+          }
+          if (p < lo || s(p) == ',' || s(p) == '.' ||
+              prevWordIn(Set("distinct", "all"))) out += i
         }
         i += 1
       } else if (isWordChar(s(i))) {
@@ -260,19 +276,59 @@ object OracleLint {
     * projection list — from just past its `SELECT` keyword to its
     * depth-0 `FROM` (or end of string for a FROM-less select).
     * `(0, 0)` when the SQL has no top-level SELECT at all.
+    *
+    * Two silent-truncation holes closed (review-caught, both made
+    * rules 2/2b check NOTHING): a fully parenthesized statement
+    * `(SELECT ...)` has no depth-0 SELECT — matched outer paren layers
+    * are stripped first; and the `FROM` inside `IS [NOT] DISTINCT
+    * FROM` is an operator token, not the projection terminator — a
+    * FROM whose preceding word is `distinct` does not close the span.
     */
   private[graft] def finalSelectSpan(sql: String): (Int, Int) = {
     val s = sql
-    val n = s.length
     val inStr = stringMask(s)
+    // Strip matched WRAPPING paren layers so the interior scans at its
+    // own depth 0.
+    var lo0 = 0
+    var hi0 = s.length
+    var stripped = true
+    while (stripped) {
+      stripped = false
+      var a = lo0
+      while (a < hi0 && s(a).isWhitespace) a += 1
+      var b = hi0 - 1
+      while (b > a && s(b).isWhitespace) b -= 1
+      if (a < b && s(a) == '(' && !inStr(a) && s(b) == ')' && !inStr(b)) {
+        var d = 0
+        var i = a
+        var matchAt = -1
+        while (i <= b && matchAt < 0) {
+          if (!inStr(i)) {
+            if (s(i) == '(') d += 1
+            else if (s(i) == ')') { d -= 1; if (d == 0) matchAt = i }
+          }
+          i += 1
+        }
+        if (matchAt == b) { lo0 = a + 1; hi0 = b; stripped = true }
+      }
+    }
+    val n = hi0
     var depth = 0
-    var i = 0
+    var i = lo0
     var cur = -1
     var last = (0, 0)
     def kw(at: Int, w: String) =
       s.regionMatches(true, at, w, 0, w.length) &&
         (at == 0 || !isWordChar(s(at - 1))) &&
         (at + w.length >= n || !isWordChar(s(at + w.length)))
+    def prevWordIs(at: Int, w: String): Boolean = {
+      var p = at - 1
+      while (p >= lo0 && s(p).isWhitespace) p -= 1
+      val e = p
+      while (p >= lo0 && isWordChar(s(p))) p -= 1
+      e > p && s.regionMatches(true, p + 1, w, 0, w.length) &&
+        (e - p) == w.length
+    }
     while (i < n) {
       if (inStr(i)) i += 1
       else s(i) match {
@@ -280,7 +336,8 @@ object OracleLint {
         case ')' => depth -= 1; i += 1
         case _ if depth == 0 && kw(i, "select") =>
           cur = i + 6; i += 6
-        case _ if depth == 0 && cur >= 0 && kw(i, "from") =>
+        case _ if depth == 0 && cur >= 0 && kw(i, "from") &&
+            !prevWordIs(i, "distinct") =>
           last = (cur, i); cur = -1; i += 4
         case _ => i += 1
       }
@@ -366,6 +423,29 @@ object OracleLint {
           }
           val windowed = ok && s.regionMatches(true, m, "over", 0, 4) &&
             (m + 4 >= n || !isWordChar(s(m + 4)))
+          // For a windowed sum the use site ends AFTER the window spec
+          // (parenthesized or a named window) — a postfix `::` there is
+          // a cast-at-site exactly like the plain-sum form.
+          if (windowed) {
+            m += 4
+            while (m < n && s(m).isWhitespace) m += 1
+            if (m < n && s(m) == '(') {
+              var wd = 0
+              var k3 = m
+              var wok = false
+              while (k3 < n && !wok) {
+                if (!inStr(k3)) {
+                  if (s(k3) == '(') wd += 1
+                  else if (s(k3) == ')') { wd -= 1; if (wd == 0) wok = true }
+                }
+                k3 += 1
+              }
+              if (wok) m = k3
+            } else {
+              while (m < n && isWordChar(s(m))) m += 1 // named window
+            }
+            while (m < n && s(m).isWhitespace) m += 1
+          }
           val postfix = ok && m + 1 < n && s(m) == ':' && s(m + 1) == ':'
           // Direct `AS word` after the balanced call (the only aliasing
           // form the registry uses for sums).

@@ -124,7 +124,21 @@ object VacuitySweep {
     val staleDirs = allDirs.map(_.getName)
       .filterNot(n => SparkEntry.queries.contains(n))
     val missing = (expected -- queryDirs.map(_.getName).toSet).toSeq.sorted
-    require(queryDirs.nonEmpty, s"no query dumps under $dumpDir")
+    // An all-absent/all-stale dump must fail with the ACCURATE
+    // diagnosis — naming the missing queries and stale dirs — not a
+    // blanket "no query dumps" that points the operator away from the
+    // real cause (a filtered query whose failed dump Verify deleted,
+    // or a dump full of renamed-query leftovers).
+    require(queryDirs.nonEmpty,
+      s"no expected query dumps under $dumpDir" +
+        (if (missing.nonEmpty)
+          s" — ABSENT: ${missing.take(8).mkString(", ")}" +
+            (if (missing.size > 8) s" (+${missing.size - 8} more)" else "")
+        else "") +
+        (if (staleDirs.nonEmpty)
+          s"; stale (unregistered) dirs present: " +
+            staleDirs.take(5).mkString(", ")
+        else ""))
     val allow = loadAllowlist()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -228,6 +228,55 @@ class OracleLintSpec extends AnyFunSuite {
     assert(OracleLint.uncastSumAliasPassthrough(sql).isEmpty)
   }
 
+  test("IS [NOT] DISTINCT FROM does not terminate the final-select span (rules 2/2b keep scanning past it)") {
+    // The FROM inside the comparison operator used to close the span —
+    // an uncast sum sitting LATER in the projection got zero coverage
+    // (empirically: the span ended inside the operator).
+    val bad = "SELECT a IS DISTINCT FROM b AS flag, sum(x) AS s " +
+      "FROM t GROUP BY 1"
+    assert(OracleLint.uncastFinalSelectSums(bad).nonEmpty)
+    val bad2 = "SELECT a IS NOT DISTINCT FROM b AS flag, sum(x) AS s " +
+      "FROM t GROUP BY 1"
+    assert(OracleLint.uncastFinalSelectSums(bad2).nonEmpty)
+    val ok = "SELECT a IS DISTINCT FROM b AS flag, " +
+      "CAST(sum(x) AS BIGINT) AS s FROM t GROUP BY 1"
+    assert(OracleLint.uncastFinalSelectSums(ok).isEmpty)
+  }
+
+  test("SELECT DISTINCT * / SELECT ALL * are projection stars — the passthrough rule flags them with hazards live") {
+    val bad = "WITH a AS (SELECT sum(x) AS s FROM t) SELECT DISTINCT * FROM a"
+    assert(OracleLint.uncastSumAliasPassthrough(bad).nonEmpty)
+    val bad2 = "WITH a AS (SELECT sum(x) AS s FROM t) SELECT ALL * FROM a"
+    assert(OracleLint.uncastSumAliasPassthrough(bad2).nonEmpty)
+    // Arithmetic stars after an operand stay out of scope.
+    val ok = "WITH a AS (SELECT CAST(sum(x) AS BIGINT) AS s FROM t) " +
+      "SELECT s, s * 2 AS dbl FROM a"
+    assert(OracleLint.uncastSumAliasPassthrough(ok).isEmpty)
+  }
+
+  test("a fully parenthesized statement still gets final-select coverage (outer paren layers stripped)") {
+    // `(SELECT ...)` has no depth-0 SELECT — the span used to be (0,0)
+    // and rules 2/2b checked NOTHING.
+    val bad = "(SELECT sum(x) AS s FROM t)"
+    assert(OracleLint.uncastFinalSelectSums(bad).nonEmpty)
+    val bad2 = "((SELECT sum(x) AS s FROM t))"
+    assert(OracleLint.uncastFinalSelectSums(bad2).nonEmpty)
+    val ok = "(SELECT CAST(sum(x) AS BIGINT) AS s FROM t)"
+    assert(OracleLint.uncastFinalSelectSums(ok).isEmpty)
+  }
+
+  test("a postfix :: cast after the window spec is cast-at-site — rule 1 accepts it like rule 2's forms") {
+    val ok = "SELECT sum(x) OVER (PARTITION BY y)::BIGINT AS s FROM t"
+    assert(OracleLint.uncastWindowedSums(ok).isEmpty)
+    // Named-window form too.
+    val ok2 = "SELECT sum(x) OVER w ::BIGINT AS s FROM t WINDOW w AS " +
+      "(PARTITION BY y)"
+    assert(OracleLint.uncastWindowedSums(ok2).isEmpty)
+    // Still uncast without it.
+    val bad = "SELECT sum(x) OVER (PARTITION BY y) AS s FROM t"
+    assert(OracleLint.uncastWindowedSums(bad).nonEmpty)
+  }
+
   test("every index-backed query names a registered query") {
     // Bench's untimed prepare pass iterates this set; a renamed query
     // that silently fell out would put its index build back inside timed
