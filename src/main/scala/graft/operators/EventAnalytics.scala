@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -470,6 +470,15 @@ object EventAnalytics {
       }
   }
 
+  /** Integer UTC day — `unix_micros(ts) DIV 86400e6` floors identically
+    * in both engines (timestamps are non-negative here; `to_date` would
+    * re-open the DATE hash-representation gap cohortRetention dodged).
+    * ONE definition for the batch operator and the streaming twin: a
+    * day-boundary retune edited at one site would silently split the
+    * stream's day keys from the batch's.
+    */
+  private def utcDay: Column = expr("unix_micros(ts) DIV 86400000000")
+
   /** Daily event-rate spike detection: per (event_type, UTC day) counts
     * compared against the trailing `baselineDays`-day mean, flagged when
     * `cnt` exceeds `factorPct`% of that mean. The compare is the integer
@@ -490,11 +499,7 @@ object EventAnalytics {
     require(factorPct >= 1, s"factorPct=$factorPct must be >= 1")
     val daily = events
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
-      // Integer UTC day — unix_micros DIV 86400e6 floors identically in
-      // both engines (timestamps are non-negative here; to_date would
-      // re-open the DATE hash-representation gap cohortRetention dodged).
-      .select(col("event_type"),
-        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .select(col("event_type"), utcDay.as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
@@ -524,7 +529,12 @@ object EventAnalytics {
       counts: Map[Long, Long], baselineDays: Int, factorPct: Int): DayRate = {
     val base = counts.view
       .filterKeys(d => d >= day - baselineDays && d <= day - 1).toMap
-    val baseCnt = base.values.sum
+    // addExact, matching the batch twin's ANSI LongType windowed sum:
+    // a bare Long fold would WRAP silently (garbage base_cnt + verdict)
+    // at the same magnitude where the batch side fails loudly — the
+    // compute-don't-wrap twin rule the cross-multiplication below
+    // already follows.
+    val baseCnt = base.values.foldLeft(0L)(math.addExact)
     val baseDays = base.size.toLong
     DayRate(tpe, day, cnt, baseCnt, baseDays,
       // BigInt, matching the batch twin's decimal(38,0) cross-
@@ -556,8 +566,7 @@ object EventAnalytics {
     import spark.implicits._
     val rows = events
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
-      .select(col("event_type"), col("ts"),
-        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .select(col("event_type"), col("ts"), utcDay.as("day"))
       .withWatermark("ts", delay)
       .as[(String, java.sql.Timestamp, Long)]
     // State: (day -> count so far, days already emitted as a max-emitted

@@ -431,6 +431,11 @@ object Selection {
     */
   def sourceCaps(docs: DataFrame, cap: Int = 10,
       quality: Column => Column = TextAnalysis.qualityScore): DataFrame = {
+    // The sibling samplers' loud-guard discipline (uniformSample k,
+    // clusterBalancedSample cap, epochShuffle numShards): cap <= 0
+    // would make `src_rank <= cap` constant-false and silently empty
+    // the training set.
+    require(cap >= 1, s"cap=$cap must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy(col("source"))
       .orderBy(quality(col("text")).desc, col("doc_id"))
