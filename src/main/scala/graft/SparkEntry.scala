@@ -253,13 +253,14 @@ object SparkEntry {
     "doc_dedup_index_pairs", "doc_dedup_index_append_pairs",
     "doc_dedup_index_clean", "doc_dedup_index_health",
     "doc_dedup_index_compact_pairs", "doc_dedup_index_retract_pairs",
-    "doc_dedup_index_retract_health",
+    "doc_dedup_index_retract_health", "doc_dedup_index_sync_pairs",
     "emb_ivf_index_topk", "emb_ivf_append_topk", "emb_ivf_compact_topk",
     "emb_ivf_retract_topk", "emb_ivf_retract_health",
     "emb_index_health", "emb_ivfpq_topk", "emb_ivfpq_recall",
     "emb_ivfpq_retract_topk",
     "doc_exact_index_clean", "doc_exact_index_append_clean",
     "doc_exact_index_retract_clean", "doc_exact_index_retract_health",
+    "doc_exact_index_sync_clean",
     "doc_media_index_near", "doc_media_index_append_near",
     "doc_media_index_health", "doc_media_index_clean",
     "doc_media_index_retract_near", "doc_media_index_retract_health",
@@ -319,6 +320,56 @@ object SparkEntry {
     */
   private val BloomPlantItems = 200000L
   private val BloomPlantBits = 1600000L
+
+  /** The v1 → v2 snapshot transform shared by the two index-SYNC
+    * queries (and replayed verbatim in their oracles' v2/fsrc CTEs):
+    * v1 = the % 10 <> 7 base; v2 drops the % 31 == 10 slice (removed —
+    * includes 413 and 72, each half of a natural cross pair at sf0.01,
+    * so removal visibly deletes served pairs), rewrites % 17 == 11
+    * texts with a ' v2' suffix (changed — includes 45, whose natural
+    * pair with delta doc 267 shifts jaccard, so the
+    * retract-then-reingest path visibly changes a value), and ADDS
+    * +2^40-id copies of the % 20 == 7 delta docs (added — every such
+    * probe doc gains an exact twin in the index: new 1.0 pairs in the
+    * dedup serve, in_base flips in the exact serve). Offsets follow
+    * the fuzzy-pairs rule: beyond any real corpus id.
+    */
+  private def syncV2(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 31 =!= 10)
+      .select(col("doc_id"),
+        when(col("doc_id") % 17 === 11,
+          concat(coalesce(col("text"), lit("")), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 20 === 7)
+        .select((col("doc_id") + (1L << 40)).as("doc_id"), col("text")))
+
+  /** The exact-sync serve's probe batch: the organic % 10 == 7 batch
+    * plus re-identified copies exercising EVERY sync class against the
+    * synced membership — +2^41 copies of the REMOVED slice's texts
+    * (must read not-ingested), +2^42 copies of the changed docs' OLD
+    * texts (gone with the rewrite), +2^43 copies of their NEW texts
+    * (ingested via the changed re-ingest), and +2^44 twins of the
+    * % 40 == 17 delta docs (not in v2 — the within-batch keep-lowest
+    * rule fires). The % 20 == 7 organic rows read in_base = true
+    * through syncV2's added copies.
+    */
+  private def syncProbeDelta(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs
+        .filter(col("doc_id") % 31 === 10 && col("doc_id") % 10 =!= 7)
+        .select((col("doc_id") + (1L << 41)).as("doc_id"), col("text")))
+      .unionByName(docs
+        .filter(col("doc_id") % 17 === 11 && col("doc_id") % 10 =!= 7 &&
+          col("doc_id") % 31 =!= 10)
+        .select((col("doc_id") + (1L << 42)).as("doc_id"), col("text")))
+      .unionByName(docs
+        .filter(col("doc_id") % 17 === 11 && col("doc_id") % 10 =!= 7 &&
+          col("doc_id") % 31 =!= 10)
+        .select((col("doc_id") + (1L << 43)).as("doc_id"),
+          concat(coalesce(col("text"), lit("")), lit(" v2")).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 40 === 17)
+        .select((col("doc_id") + (1L << 44)).as("doc_id"), col("text")))
 
   /** 10-token chunk repeated in the gopher dup-chunk planting. */
   private val gopherPlantChunk = (1 to 10).map(i => s"r$i").mkString(" ")
@@ -1405,6 +1456,28 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") % 10 === 7))
     }),
 
+    // INCREMENTAL SYNC lifecycle — the daily-ingest composition the
+    // diff + lifecycle pieces exist for: build on v1 (% 10 <> 7), apply
+    // the v1 → v2 snapshot transition (corpusDiff classes → retract
+    // removed+changed / append added+changed), serve the % 10 == 7
+    // batch. Serve ≡ a rebuild over v2 EXACTLY (spec-pinned), so the
+    // oracle is the shared pair chain over (v2 ∪ delta) restricted to
+    // delta-touching pairs — removal deletes natural pairs (413, 72),
+    // the changed re-ingest shifts one jaccard (45↔267), and the added
+    // twins pair 1.0 with their % 20 == 7 probe originals.
+    "doc_dedup_index_sync_pairs" -> ((s, dir) => {
+      val out = indexDir("graft_ddx_sync", dir)
+      if (builtIndexes.add(s"ddxsync:$out")) {
+        val docs = t(s, dir, "documents")
+        DedupIndex.buildDedupIndex(docs.filter(col("doc_id") % 10 =!= 7),
+          out)
+        DedupIndex.syncDedupIndex(
+          docs.filter(col("doc_id") % 10 =!= 7), syncV2(docs), out)
+      }
+      DedupIndex.dedupIndexPairs(s, out,
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 7))
+    }),
+
     // EXACT delta-vs-base dedup behind a broadcast Bloom prefilter (the
     // one-shot, two-live-frames form): the base never shuffles — its
     // scan feeds a map-side distributed filter build, the delta is
@@ -1484,6 +1557,28 @@ object SparkEntry {
       if (builtIndexes.add(s"xdxrt:$out"))
         buildRetractedExactIndex(s, dir, out)
       ExactDedupIndex.takedownHealth(s, out)
+    }),
+
+    // INCREMENTAL SYNC at the exact tier — the content-hash refinement
+    // of the corpusDiff transition: membership moves from v1's hash set
+    // to v2's by set difference (dead hashes tombstoned, born hashes
+    // appended with an OR-merged bloom), so serve ≡ buildIndex over v2
+    // EXACTLY (spec-pinned). The probe delta exercises every class:
+    // removed texts and changed OLD texts read not-ingested, changed
+    // NEW texts and the % 20 == 7 organic rows (whose texts syncV2
+    // added) read in_base, and the % 40 == 17 twins drive keep-lowest.
+    "doc_exact_index_sync_clean" -> ((s, dir) => {
+      val out = indexDir("graft_xdx_sync", dir)
+      if (builtIndexes.add(s"xdxsync:$out")) {
+        val docs = t(s, dir, "documents")
+        ExactDedupIndex.buildIndex(
+          docs.filter(col("doc_id") % 10 =!= 7), out,
+          expectedItems = BloomPlantItems, numBits = BloomPlantBits)
+        ExactDedupIndex.syncIndex(
+          docs.filter(col("doc_id") % 10 =!= 7), syncV2(docs), out)
+      }
+      ExactDedupIndex.indexClean(s, out,
+        syncProbeDelta(t(s, dir, "documents")))
     }),
 
     // Persisted CORPUS-STATS index — incremental maintenance of the
@@ -5721,6 +5816,29 @@ object SparkEntry {
          SELECT doc_a, doc_b, jaccard FROM pairs
          WHERE doc_a % 10 = 7 OR doc_b % 10 = 7""",
 
+    // Sync replay: the SAME pair chain over (v2 ∪ delta) — v2 is the
+    // syncV2 transform (base minus the % 31 == 10 slice, % 17 == 11
+    // texts rewritten, +2^40 copies of the % 20 == 7 delta docs) —
+    // restricted to delta-touching pairs. The diff/tombstone/append
+    // mechanics are invisible in the semantics: sync ≡ rebuild-on-v2
+    // is the exactness claim. Added ids land on % 10 = 3 (2^40 ≡ 6
+    // mod 10, probe ids ≡ 7), so the % 10 = 7 restriction still names
+    // exactly the probe batch.
+    "doc_dedup_index_sync_pairs" ->
+      s"""WITH fsrc AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 17 = 11 THEN coalesce(text, '') || ' v2'
+                  ELSE text END AS text
+           FROM documents WHERE doc_id % 10 <> 7 AND doc_id % 31 <> 10
+           UNION ALL
+           SELECT doc_id + 1099511627776 AS doc_id, text FROM documents
+           WHERE doc_id % 20 = 7
+           UNION ALL
+           SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7),
+         ${minhashPairCtes("", src = "fsrc")}
+         SELECT doc_a, doc_b, jaccard FROM pairs
+         WHERE doc_a % 10 = 7 OR doc_b % 10 = 7""",
+
     // Keep verdicts from the pair chain: a % 10 == 7 doc is dropped iff
     // it pairs with a non-delta doc (either side) or is the HIGHER side
     // of a delta-delta pair (keep-lowest).
@@ -5818,6 +5936,50 @@ object SparkEntry {
                 ELSE (dead_hashes * 1000000) // (live_hashes + dead_hashes)
                 END AS BIGINT) AS dead_ppm
          FROM agg""",
+
+    // Sync replay at the exact tier: the SAME verdict chain with base
+    // membership = v2's distinct hashes (the syncV2 transform) and the
+    // probe delta carrying one re-identified copy class per sync
+    // status. Set-difference tombstones + the OR-merged append bloom
+    // are invisible in the semantics — sync ≡ rebuild-on-v2 is the
+    // exactness claim.
+    "doc_exact_index_sync_clean" ->
+      """WITH v2 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 17 = 11 THEN coalesce(text, '') || ' v2'
+                  ELSE text END AS text
+           FROM documents WHERE doc_id % 10 <> 7 AND doc_id % 31 <> 10
+           UNION ALL
+           SELECT doc_id + 1099511627776 AS doc_id, text FROM documents
+           WHERE doc_id % 20 = 7),
+         xdelta AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7
+           UNION ALL
+           SELECT doc_id + 2199023255552, text FROM documents
+           WHERE doc_id % 31 = 10 AND doc_id % 10 <> 7
+           UNION ALL
+           SELECT doc_id + 4398046511104, text FROM documents
+           WHERE doc_id % 17 = 11 AND doc_id % 10 <> 7 AND doc_id % 31 <> 10
+           UNION ALL
+           SELECT doc_id + 8796093022208, coalesce(text, '') || ' v2'
+           FROM documents
+           WHERE doc_id % 17 = 11 AND doc_id % 10 <> 7 AND doc_id % 31 <> 10
+           UNION ALL
+           SELECT doc_id + 17592186044416, text FROM documents
+           WHERE doc_id % 40 = 17),
+         dh AS (
+           SELECT doc_id, md5(coalesce(text, '')) AS h FROM xdelta
+           WHERE doc_id IS NOT NULL),
+         bh AS (
+           SELECT DISTINCT md5(coalesce(text, '')) AS h FROM v2),
+         v AS (
+           SELECT d.doc_id, d.h,
+             EXISTS (SELECT 1 FROM bh b WHERE b.h = d.h) AS in_base,
+             min(d.doc_id) OVER (PARTITION BY d.h) AS min_id
+           FROM dh d)
+         SELECT doc_id, in_base,
+           ((NOT in_base) AND doc_id = min_id) AS keep
+         FROM v""",
 
     "doc_ngram_jaccard" -> ngramJaccardOracleSql,
     // Prefix filtering is complete for J >= t: the scale twin's output

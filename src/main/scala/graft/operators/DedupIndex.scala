@@ -364,6 +364,50 @@ object DedupIndex {
     } finally Barrier.release(h)
   }
 
+  /** INCREMENTAL CORPUS SYNC — apply a v1 → v2 snapshot transition to an
+    * index currently holding v1's ingested membership, so serves
+    * afterwards equal a [[buildDedupIndex]] over v2 EXACTLY: the daily
+    * ingest loop, composed from [[Curation.corpusDiff]] and the
+    * lifecycle ops this family already proves piecewise. The diff's
+    * classes map onto the index's DOC-keyed unit directly —
+    * `removed` and `changed` ids are retracted (one tombstone
+    * generation), `added` and `changed` rows are appended from v2 (one
+    * insert generation); a changed doc's new rows outlive its tombstone
+    * (newest-op-wins) while its OLD generation's rows die with it, so
+    * re-ingest-under-the-same-id is exactly the update semantics.
+    * `unchanged` docs are never touched, re-hashed, or re-shuffled.
+    *
+    * Membership bookkeeping: the retraction leg is intersected with
+    * v1's INGESTED membership (≥ 1 token — token-less docs never had
+    * at-rest rows), and the append leg writes nothing for docs that
+    * shingle to nothing in v2, so both legs respect the family's
+    * membership contract on any input (the over-retraction guard stays
+    * a real guard: it still throws if the index does not actually hold
+    * v1 — wrong v1 frame, or a sync already applied).
+    *
+    * 100 TB shape: the diff is one hash-only co-partitioned full-outer
+    * join (text never shuffles there); each leg semi-joins its
+    * transition-sized id set against a snapshot scan, and only the
+    * append leg's (transition-sized) rows are ever tokenized. At most
+    * two atomic commits; an unchanged corpus is a complete no-op. Both
+    * snapshot frames must be deterministic under re-evaluation (source
+    * scans — the family's multi-scan rule). SINGLE-WRITER.
+    */
+  def syncDedupIndex(v1Docs: DataFrame, v2Docs: DataFrame,
+      dir: String): Unit = {
+    val diff = Curation.corpusDiff(v1Docs, v2Docs)
+    val retractIds = diff.filter(col("status").isin("removed", "changed"))
+      .select(col("doc_id"))
+    retractFromDedupIndex(
+      v1Docs.where(col("doc_id").isNotNull &&
+          size(TextAnalysis.wsTokens(col("text"))) > 0)
+        .join(retractIds, Seq("doc_id"), "left_semi"), dir)
+    val appendIds = diff.filter(col("status").isin("added", "changed"))
+      .select(col("doc_id"))
+    appendToDedupIndex(
+      v2Docs.join(appendIds, Seq("doc_id"), "left_semi"), dir)
+  }
+
   /** The ingest ACTION over [[dedupIndexPairs]]: every delta document
     * with its keep verdict. BASE WINS unconditionally — a delta doc
     * that near-dups anything already ingested is dropped regardless of

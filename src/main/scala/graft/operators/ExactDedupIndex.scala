@@ -255,6 +255,14 @@ object ExactDedupIndex {
       .select(col("doc_id"),
         md5(coalesce(col("text"), lit(""))).as("text_hash"))
 
+  /** DISTINCT content hashes of a corpus frame — the family identity
+    * (md5(coalesce(text, '')), null ≡ empty), shared by every entry
+    * point that feeds the hash-level internals.
+    */
+  private def hashesOf(docs: DataFrame): DataFrame =
+    docs.select(md5(coalesce(col("text"), lit(""))).as("text_hash"))
+      .distinct()
+
   /** Shared verdict tail: delta rows × (confirmed base-hash sliver) →
     * (doc_id, in_base, keep). `confirmed` must hold a `text_hash`
     * column whose rows are exactly the delta-probed hashes present in
@@ -584,8 +592,17 @@ object ExactDedupIndex {
     * generation, no commit — the lex empty-delta discipline).
     * SINGLE-WRITER, like every GenManifest family.
     */
-  def appendToIndex(newDocs: DataFrame, dir: String): Unit = {
-    val spark = newDocs.sparkSession
+  def appendToIndex(newDocs: DataFrame, dir: String): Unit =
+    appendHashes(newDocs.sparkSession, hashesOf(newDocs), dir)
+
+  /** Hash-level append internals — `hs` must be a deterministic frame of
+    * DISTINCT `text_hash` rows (it is evaluated more than once: the
+    * write, the count, and the delta filter all consume it through one
+    * cached materialization, but the caller's frame must still
+    * re-evaluate identically on executor loss — the bloomClean rule).
+    */
+  private def appendHashes(spark: SparkSession, hs: DataFrame,
+      dir: String): Unit = {
     val (seq, hDirs, tDirs, metaDir) = indexManifest(spark, dir)
     val meta = spark.read.parquet(s"$dir/$metaDir").head()
     val nHashes = meta.getAs[Long]("n_hashes")
@@ -598,9 +615,6 @@ object ExactDedupIndex {
     val baseBlooms = readBlooms(meta)
     val newH = s"hashes-${seq + 1}"
     val newM = s"meta-${seq + 1}"
-    val hs = newDocs
-      .select(md5(coalesce(col("text"), lit(""))).as("text_hash"))
-      .distinct()
     val (nNew, deltaBlooms) = Barrier.withCached(hs) { h =>
       h.withColumn("hbkt", hbktOf(col("text_hash"), buckets))
         .repartition(col("hbkt"))
@@ -709,8 +723,14 @@ object ExactDedupIndex {
     * the folded membership to restore the false-positive rate.
     * SINGLE-WRITER, like every GenManifest family.
     */
-  def retractFromIndex(docs: DataFrame, dir: String): Unit = {
-    val spark = docs.sparkSession
+  def retractFromIndex(docs: DataFrame, dir: String): Unit =
+    retractHashes(docs.sparkSession, hashesOf(docs), dir)
+
+  /** Hash-level retraction internals — `hs` must be a frame of DISTINCT
+    * `text_hash` rows; it is barriered here before anything reads it.
+    */
+  private def retractHashes(spark: SparkSession, hs: DataFrame,
+      dir: String): Unit = {
     val (seq, hDirs, tDirs, metaDir) = indexManifest(spark, dir)
     val meta = spark.read.parquet(s"$dir/$metaDir").head()
     val buckets = meta.getAs[Int]("buckets")
@@ -722,10 +742,7 @@ object ExactDedupIndex {
     // and a nondeterministic takedown frame could then commit a
     // tombstone that never passed the require (or silently omit a
     // checked one: a takedown the caller believes happened, un-done).
-    val h = docs
-      .select(md5(coalesce(col("text"), lit(""))).as("text_hash"))
-      .distinct()
-      .barrier()
+    val h = hs.barrier()
     try {
       if (h.isEmpty) {
         System.err.println(
@@ -760,6 +777,52 @@ object ExactDedupIndex {
         sweepGenerations(spark, dir, seq + 1)
       }
     } finally Barrier.release(h)
+  }
+
+  /** INCREMENTAL CORPUS SYNC — apply a v1 → v2 snapshot transition to an
+    * index currently holding exactly v1's content membership, so that
+    * serves afterwards equal a [[buildIndex]] over v2 EXACTLY (no
+    * rebuild, no base rewrite): the daily-ingest loop composed from the
+    * lifecycle this family already proves piecewise (retraction ≡
+    * tombstone resolution, append ≡ rebuild).
+    *
+    * This is [[Curation.corpusDiff]]'s transition refined to the
+    * index's own unit, the CONTENT HASH: a removed or changed document's
+    * old text leaves membership only if NO surviving v2 document still
+    * carries it, and an added or changed document's new text enters only
+    * if it wasn't already ingested through some other document — exactly
+    * the set difference of the two snapshots' hash sets, which a
+    * doc-keyed removed/changed → retract, added/changed → append replay
+    * would get WRONG on any corpus with repeated texts (retracting a
+    * text another live doc still carries). Membership after sync is
+    * v2's hash set by construction:
+    * (v1 ∩ v2 untouched-live) ∪ (v2 ∖ v1 appended) ∖ (v1 ∖ v2
+    * tombstoned).
+    *
+    * Mechanics: one tombstone generation for the dead hashes (absent =
+    * skipped), one append generation + OR-merged bloom for the born
+    * hashes (absent = skipped) — two commits at most, each atomic;
+    * an unchanged corpus is a complete no-op. The over-retraction guard
+    * inherits: if the index does NOT hold v1's membership (wrong v1
+    * frame, or a sync already applied), the dead-hash retraction throws
+    * before anything is written.
+    *
+    * 100 TB shape: each snapshot collapses to its 16-byte hash set IN
+    * ITS SCAN (text never shuffles); the two anti-joins ship hashes
+    * only, and the written generations are transition-sized. Both
+    * snapshot frames must be deterministic under re-evaluation (source
+    * scans — the family's two-scan rule). SINGLE-WRITER, like every
+    * lifecycle op.
+    */
+  def syncIndex(v1Docs: DataFrame, v2Docs: DataFrame, dir: String): Unit = {
+    val spark = v1Docs.sparkSession
+    val v1H = hashesOf(v1Docs)
+    val v2H = hashesOf(v2Docs)
+    // Retract-then-append is the family convention (newest-op-wins);
+    // here the two sets are disjoint by construction, so the order is
+    // documentation, not load-bearing.
+    retractHashes(spark, v1H.join(v2H, Seq("text_hash"), "left_anti"), dir)
+    appendHashes(spark, v2H.join(v1H, Seq("text_hash"), "left_anti"), dir)
   }
 
   /** Fold every live generation back into ONE bucketed dir holding the

@@ -4570,6 +4570,49 @@ class PipelineOperatorsSpec extends SparkSpec {
       s"only the live base doc alerts, got $alerts")
   }
 
+  test("syncDedupIndex: v1→v2 sync ≡ rebuild-on-v2 exactly; changed docs serve only their NEW content; v1-token-less changed docs append without retraction; unchanged corpus is a no-op") {
+    import graft.operators.DedupIndex
+    val v1 = docs(
+      1L -> "w1 w2 w3 w4 w5 w6 w7 w8", // unchanged
+      2L -> "x1 x2 x3 x4 x5 x6 x7 x8", // removed in v2
+      3L -> "y1 y2 y3 y4 y5 y6 y7 y8", // changed in v2
+      4L -> "") // token-less in v1: never ingested (append-only change)
+    val v2 = docs(
+      1L -> "w1 w2 w3 w4 w5 w6 w7 w8",
+      3L -> "z1 z2 z3 z4 z5 z6 z7 z8",
+      4L -> "q1 q2 q3 q4 q5 q6 q7 q8",
+      5L -> "u1 u2 u3 u4 u5 u6 u7 u8") // added
+    val probe = docs(
+      100L -> "w1 w2 w3 w4 w5 w6 w7 w8", // pairs with unchanged 1
+      101L -> "x1 x2 x3 x4 x5 x6 x7 x8", // removed content: no pair
+      102L -> "y1 y2 y3 y4 y5 y6 y7 y8", // changed OLD content: no pair
+      103L -> "z1 z2 z3 z4 z5 z6 z7 z8", // changed NEW content: pairs 3
+      104L -> "q1 q2 q3 q4 q5 q6 q7 q8", // append-leg-only change: pairs 4
+      105L -> "u1 u2 u3 u4 u5 u6 u7 u8") // added: pairs 5
+    val synced = ddxTmp(); val rebuilt = ddxTmp()
+    DedupIndex.buildDedupIndex(v1, synced, nBuckets = 8)
+    DedupIndex.syncDedupIndex(v1, v2, synced)
+    DedupIndex.buildDedupIndex(v2, rebuilt, nBuckets = 8)
+    def pairs(dir: String) = DedupIndex.dedupIndexPairs(spark, dir, probe)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val s1 = pairs(synced)
+    assert(s1 == pairs(rebuilt), "sync ≡ rebuild-on-v2")
+    assert(s1.exists(p => p._1 == 1L && p._2 == 100L), s1.toString)
+    assert(!s1.exists(p => p._2 == 101L), "removed doc pairs with nothing")
+    assert(!s1.exists(p => p._2 == 102L),
+      "the changed doc's OLD generation rows must be dead, not servable")
+    assert(s1.exists(p => p._1 == 3L && p._2 == 103L), s1.toString)
+    assert(s1.exists(p => p._1 == 4L && p._2 == 104L), s1.toString)
+    assert(s1.exists(p => p._1 == 5L && p._2 == 105L), s1.toString)
+    // An unchanged corpus syncs as a complete no-op: no retraction, no
+    // append, same manifest generation, same serve.
+    val seq0 = DedupIndex.dedupManifest(spark, synced)._1
+    DedupIndex.syncDedupIndex(v2, v2, synced)
+    assert(DedupIndex.dedupManifest(spark, synced)._1 == seq0)
+    assert(pairs(synced) == s1)
+  }
+
   test("streamingIndexDups: alert stream equals the batch serve's cross leg exactly") {
     import graft.operators.DedupIndex
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -5251,6 +5294,50 @@ class PipelineOperatorsSpec extends SparkSpec {
     try assert(q.awaitTermination(120000)) finally q.stop()
     assert(spark.table("xdx_rt_stream").collect()
       .map(_.getAs[Long]("doc_id")).toSet == Set(200L))
+  }
+
+  test("exactDedupIndex syncIndex: membership moves to v2's hash set exactly; shared texts never over-retract; a repeated sync trips the membership guard; unchanged corpus is a no-op") {
+    // Docs 2 and 20 SHARE a text and only doc 2 is removed in v2 — the
+    // doc-keyed removed→retract replay would take the shared text down;
+    // the hash-level set difference must keep it (doc 20 still carries
+    // it). That distinction is the reason syncIndex works on hashes.
+    val v1 = docs(1L -> "s alpha", 2L -> "s shared", 20L -> "s shared",
+      3L -> "s old-three")
+    val v2 = docs(1L -> "s alpha", 20L -> "s shared",
+      3L -> "s new-three", 5L -> "s brand-new")
+    val probe = docs(
+      100L -> "s alpha", // unchanged → ingested
+      101L -> "s shared", // removed doc's text, still carried → ingested
+      102L -> "s old-three", // changed OLD text → gone
+      103L -> "s new-three", // changed NEW text → ingested
+      104L -> "s brand-new", // added → ingested
+      105L -> "s fresh", 106L -> "s fresh") // keep-lowest within batch
+    val synced = xdxTmp(); val rebuilt = xdxTmp()
+    ExactDedupIndex.buildIndex(v1, synced, buckets = 8)
+    ExactDedupIndex.syncIndex(v1, v2, synced)
+    ExactDedupIndex.buildIndex(v2, rebuilt, buckets = 8)
+    def serve(dir: String) =
+      cleanRows(ExactDedupIndex.indexClean(spark, dir, probe))
+    val s1 = serve(synced)
+    assert(s1 == serve(rebuilt), "sync ≡ rebuild-on-v2")
+    assert(s1 == Set((100L, true, false), (101L, true, false),
+      (102L, false, true), (103L, true, false), (104L, true, false),
+      (105L, false, true), (106L, false, false)))
+    // Census: members at rest = v1's 3 hashes + 2 born; 1 dead.
+    val c = ExactDedupIndex.takedownHealth(spark, synced).collect()(0)
+    assert((c.getAs[Long]("live_hashes"), c.getAs[Long]("dead_hashes"),
+      c.getAs[Long]("dead_ppm")) == ((4L, 1L, 200000L)))
+    // Re-applying the SAME transition is a caller bug the family guard
+    // catches: the dead set ("s old-three") is already tombstoned.
+    intercept[IllegalArgumentException] {
+      ExactDedupIndex.syncIndex(v1, v2, synced)
+    }
+    assert(serve(synced) == s1, "failed syncs commit nothing")
+    // An unchanged corpus syncs as a complete no-op.
+    val (seq0, _, _, _) = ExactDedupIndex.indexManifest(spark, synced)
+    ExactDedupIndex.syncIndex(v2, v2, synced)
+    assert(ExactDedupIndex.indexManifest(spark, synced)._1 == seq0)
+    assert(serve(synced) == s1)
   }
 
   // ---- persisted corpus-stats index (StatsIndex) --------------------------
