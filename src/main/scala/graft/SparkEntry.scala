@@ -250,20 +250,25 @@ object SparkEntry {
   val indexBacked: Set[String] = Set(
     "doc_bm25_index_topk", "doc_bm25_append_topk", "doc_bm25_compact_topk",
     "doc_bm25_retract_topk", "doc_bm25_retract_health",
+    "doc_bm25_retract_compact_topk",
     "doc_dedup_index_pairs", "doc_dedup_index_append_pairs",
     "doc_dedup_index_clean", "doc_dedup_index_health",
     "doc_dedup_index_compact_pairs", "doc_dedup_index_retract_pairs",
     "doc_dedup_index_retract_health", "doc_dedup_index_sync_pairs",
+    "doc_dedup_index_retract_compact_pairs",
     "emb_ivf_index_topk", "emb_ivf_append_topk", "emb_ivf_compact_topk",
     "emb_ivf_retract_topk", "emb_ivf_retract_health",
+    "emb_ivf_retract_compact_topk",
     "emb_index_health", "emb_ivfpq_topk", "emb_ivfpq_recall",
     "emb_ivfpq_retract_topk",
     "doc_exact_index_clean", "doc_exact_index_append_clean",
     "doc_exact_index_retract_clean", "doc_exact_index_retract_health",
-    "doc_exact_index_sync_clean",
+    "doc_exact_index_sync_clean", "doc_exact_index_sharded_clean",
+    "doc_exact_index_retract_compact_clean",
     "doc_media_index_near", "doc_media_index_append_near",
     "doc_media_index_health", "doc_media_index_clean",
     "doc_media_index_retract_near", "doc_media_index_retract_health",
+    "doc_media_index_retract_compact_near",
     "doc_stats_cells", "doc_stats_append_cells", "doc_stats_quantiles",
     "doc_stats_health", "doc_stats_retract_cells",
     "doc_stats_retract_quantiles")
@@ -1187,6 +1192,21 @@ object SparkEntry {
       MediaIndex.takedownHealth(s, out)
     }),
 
+    // COMPACT-AFTER-RETRACT at the media tier: the fold keeps only live
+    // block rows (the taken-down % 4 == 2 slice physically purged) and
+    // the serve returns to one pruned scan — same set-minus oracle as
+    // the retract serve.
+    "doc_media_index_retract_compact_near" -> ((s, dir) => {
+      val payloads = Multimodal.withPayload(mediaNearPlanted(s, dir))
+      val out = indexDir("graft_mdx_rtc", dir)
+      if (builtIndexes.add(s"mdxrtc:$out")) {
+        buildRetractedMediaIndex(payloads, out)
+        MediaIndex.compactMediaIndex(s, out)
+      }
+      MediaIndex.mediaIndexPairs(s, out,
+        payloads.filter(col("doc_id") % 4 === 1))
+    }),
+
     // Per-block key census over the SAME persisted index the pairs
     // query serves (shared build key) — the hot-key drift signal an
     // operator reads before choosing maxBlockDf (emb_index_health's
@@ -1345,6 +1365,21 @@ object SparkEntry {
       Search.takedownHealth(s, out)
     }),
 
+    // COMPACT-AFTER-RETRACT at the lex tier — the takedown-pressure →
+    // compact → restored-plan loop the census drives: the fold keeps
+    // only live postings (tombstones purged), the serve returns to one
+    // pruned source per pass, and scoring is unchanged (stats were
+    // already decremented at takedown) — same retained-corpus oracle.
+    "doc_bm25_retract_compact_topk" -> ((s, dir) => {
+      val out = indexDir("graft_lex_rtc", dir)
+      if (builtIndexes.add(s"lexrtc:$out")) {
+        buildRetractedLexIndex(s, dir, out)
+        Search.compactLexIndex(s, out)
+      }
+      Search.lexIndexTopK(s, out, lexProbeQueries(s, dir), k = 10,
+        excludeSelf = true)
+    }),
+
     // PERSISTED DEDUP INDEX (the dedup member of the index family):
     // signature buckets + shingle sets of the base corpus (doc_id % 10
     // <> 7) at rest; serve asks the production ingest question — which
@@ -1434,6 +1469,20 @@ object SparkEntry {
       if (builtIndexes.add(s"ddxrt:$out"))
         buildRetractedDedupIndex(s, dir, out)
       DedupIndex.takedownHealth(s, out)
+    }),
+
+    // COMPACT-AFTER-RETRACT at the dedup tier: the fold keeps only live
+    // rows of both tables (the retracted slice physically purged, the
+    // tombstones folded away) and the serve returns to one pruned scan
+    // per table — same set-minus oracle as the retract serve.
+    "doc_dedup_index_retract_compact_pairs" -> ((s, dir) => {
+      val out = indexDir("graft_ddx_rtc", dir)
+      if (builtIndexes.add(s"ddxrtc:$out")) {
+        buildRetractedDedupIndex(s, dir, out)
+        DedupIndex.compactDedupIndex(s, out)
+      }
+      DedupIndex.dedupIndexPairs(s, out,
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 7))
     }),
 
     // COMPACT lifecycle: build base → append delta → fold both table
@@ -1579,6 +1628,39 @@ object SparkEntry {
       }
       ExactDedupIndex.indexClean(s, out,
         syncProbeDelta(t(s, dir, "documents")))
+    }),
+
+    // SHARDED-GEOMETRY build of the same index — the past-the-conf-cap
+    // path (N per-shard filters, bounded when-chain probe) exercised by
+    // the driver gate at a FORCED 2-shard geometry: output is identical
+    // at any shard count (the exact verify makes the filter invisible),
+    // so it shares the bloom-free oracle with the 1-shard serve.
+    "doc_exact_index_sharded_clean" -> ((s, dir) => {
+      val out = indexDir("graft_xdx_sh", dir)
+      if (builtIndexes.add(s"xdxsh:$out"))
+        ExactDedupIndex.buildIndex(
+          t(s, dir, "documents").filter(col("doc_id") % 10 =!= 7), out,
+          expectedItems = BloomPlantItems, numBits = BloomPlantBits,
+          shards = 2)
+      ExactDedupIndex.indexClean(s, out,
+        bloomCleanDelta(t(s, dir, "documents")))
+    }),
+
+    // COMPACT-AFTER-RETRACT — the one compaction that changes a DATA
+    // STRUCTURE, not just layout: the fold physically purges the
+    // retracted hashes AND rebuilds the bloom over the survivors (the
+    // carried filter guaranteed a false positive per dead hash), so the
+    // serve's map-side kill must re-derive every verdict the tombstone
+    // resolution used to produce. Shares the retract delta and oracle;
+    // plan-locked to ONE pruned scan post-compact.
+    "doc_exact_index_retract_compact_clean" -> ((s, dir) => {
+      val out = indexDir("graft_xdx_rtc", dir)
+      if (builtIndexes.add(s"xdxrtc:$out")) {
+        buildRetractedExactIndex(s, dir, out)
+        ExactDedupIndex.compactIndex(s, out)
+      }
+      ExactDedupIndex.indexClean(s, out,
+        bloomRetractDelta(t(s, dir, "documents")))
     }),
 
     // Persisted CORPUS-STATS index — incremental maintenance of the
@@ -2392,6 +2474,21 @@ object SparkEntry {
       Similarity.takedownHealth(s, out)
     }),
 
+    // COMPACT-AFTER-RETRACT at the ANN tier: the fold physically purges
+    // the tombstoned vectors (readCells resolves liveness inside the
+    // compaction) and the search returns to exactly one pruned cell
+    // scan — same retained-corpus oracle as the retract serve.
+    "emb_ivf_retract_compact_topk" -> ((s, dir) => {
+      val out = indexDir("graft_ivf_rtc", dir)
+      if (builtIndexes.add(s"ivfrtc:$out")) {
+        buildRetractedIvfIndex(s, dir, out)
+        Similarity.compactIndex(s, out)
+      }
+      Similarity.ivfIndexTopK(s, out,
+        t(s, dir, "embeddings").filter(col("vec_id") < 10),
+        k = 5, probes = 2)
+    }),
+
     // Index-quality drift report over the APPENDED index (the operator's
     // target lifecycle: frozen-book appends are what make cells drift):
     // per cell — member count, fill share in ppm, mean/max member-to-
@@ -3135,6 +3232,41 @@ object SparkEntry {
          bh AS (
            SELECT DISTINCT md5(coalesce(text, '')) AS h FROM documents
            WHERE doc_id % 10 <> 7),
+         v AS (
+           SELECT d.doc_id, d.h,
+             EXISTS (SELECT 1 FROM bh b WHERE b.h = d.h) AS in_base,
+             min(d.doc_id) OVER (PARTITION BY d.h) AS min_id
+           FROM dh d)
+         SELECT doc_id, in_base,
+           ((NOT in_base) AND doc_id = min_id) AS keep
+         FROM v"""
+
+  /** Retraction replay for the exact-dedup index — shared by the
+    * tombstone-resolving serve (`doc_exact_index_retract_clean`) and
+    * the compacted serve (`doc_exact_index_retract_compact_clean`,
+    * where the fold has purged the dead hashes and REBUILT the bloom):
+    * membership is identical either way, which is the exactness claim.
+    */
+  private val exactRetractCleanSql: String =
+    """WITH xdelta AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7
+           UNION ALL
+           SELECT doc_id + 1099511627776, text FROM documents
+           WHERE doc_id % 13 = 2 AND doc_id % 10 <> 7
+           UNION ALL
+           SELECT doc_id + 2199023255552, text FROM documents
+           WHERE doc_id % 20 = 7
+           UNION ALL
+           SELECT doc_id + 4398046511104, text FROM documents
+           WHERE doc_id % 20 = 9),
+         dh AS (
+           SELECT doc_id, md5(coalesce(text, '')) AS h FROM xdelta
+           WHERE doc_id IS NOT NULL),
+         bh AS (
+           SELECT DISTINCT md5(coalesce(b.text, '')) AS h FROM documents b
+           WHERE b.doc_id % 10 <> 7 AND NOT EXISTS (
+             SELECT 1 FROM documents r WHERE r.doc_id % 20 = 9
+               AND md5(coalesce(r.text, '')) = md5(coalesce(b.text, '')))),
          v AS (
            SELECT d.doc_id, d.h,
              EXISTS (SELECT 1 FROM bh b WHERE b.h = d.h) AS in_base,
@@ -4049,6 +4181,10 @@ object SparkEntry {
     // postings; stats decremented at takedown) — the shared chain over
     // the retained corpus.
     "doc_bm25_retract_topk" -> bm25RetractTopKSql,
+
+    // Compaction folds live postings verbatim (stats were decremented
+    // at takedown) — membership and scoring unchanged, same oracle.
+    "doc_bm25_retract_compact_topk" -> bm25RetractTopKSql,
 
     // Takedown census at the lex tier: members = tokenized docs of the
     // full-corpus build; dead = the retracted % 10 == 3 slice.
@@ -5784,6 +5920,13 @@ object SparkEntry {
          SELECT doc_a, doc_b, jaccard FROM pairs
          WHERE doc_a % 10 = 7 OR doc_b % 10 = 7""",
 
+    // Compaction physically purges the retracted slice — membership
+    // unchanged, same set-minus replay.
+    "doc_dedup_index_retract_compact_pairs" ->
+      s"""WITH ${minhashPairCtes("WHERE doc_id % 10 <> 3")}
+         SELECT doc_a, doc_b, jaccard FROM pairs
+         WHERE doc_a % 10 = 7 OR doc_b % 10 = 7""",
+
     // Takedown census: members = shingled docs (>= 1 token — a 1-2
     // token doc shingles to its WHOLE TEXT, only the token-less shingle
     // set is empty and has no at-rest rows) of the % 10 <> 7 base;
@@ -5884,34 +6027,18 @@ object SparkEntry {
     // a standing doc both carried is gone; NOT EXISTS per the house
     // q8 rule). in_base flips for exactly the delta copies whose text
     // survives only through a % 20 == 9 doc.
-    "doc_exact_index_retract_clean" ->
-      """WITH xdelta AS (
-           SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7
-           UNION ALL
-           SELECT doc_id + 1099511627776, text FROM documents
-           WHERE doc_id % 13 = 2 AND doc_id % 10 <> 7
-           UNION ALL
-           SELECT doc_id + 2199023255552, text FROM documents
-           WHERE doc_id % 20 = 7
-           UNION ALL
-           SELECT doc_id + 4398046511104, text FROM documents
-           WHERE doc_id % 20 = 9),
-         dh AS (
-           SELECT doc_id, md5(coalesce(text, '')) AS h FROM xdelta
-           WHERE doc_id IS NOT NULL),
-         bh AS (
-           SELECT DISTINCT md5(coalesce(b.text, '')) AS h FROM documents b
-           WHERE b.doc_id % 10 <> 7 AND NOT EXISTS (
-             SELECT 1 FROM documents r WHERE r.doc_id % 20 = 9
-               AND md5(coalesce(r.text, '')) = md5(coalesce(b.text, '')))),
-         v AS (
-           SELECT d.doc_id, d.h,
-             EXISTS (SELECT 1 FROM bh b WHERE b.h = d.h) AS in_base,
-             min(d.doc_id) OVER (PARTITION BY d.h) AS min_id
-           FROM dh d)
-         SELECT doc_id, in_base,
-           ((NOT in_base) AND doc_id = min_id) AS keep
-         FROM v""",
+    "doc_exact_index_retract_clean" -> exactRetractCleanSql,
+
+    // Compaction purges the retracted hashes AND rebuilds the bloom
+    // over the survivors — membership unchanged, so the compacted serve
+    // shares the retract oracle (the map-side kill now comes from the
+    // rebuilt filter instead of tombstone resolution).
+    "doc_exact_index_retract_compact_clean" -> exactRetractCleanSql,
+
+    // The forced-2-shard geometry shares the bloom-free oracle: the
+    // shard chain changes which filter literal kills a row, never the
+    // exact-verified output.
+    "doc_exact_index_sharded_clean" -> bloomCleanOracleSql,
 
     // Takedown census at the hash tier: members = distinct text hashes
     // of the % 10 <> 7 base; dead = hashes whose text the % 20 == 9
@@ -6195,6 +6322,9 @@ object SparkEntry {
     // Retraction ≡ frozen-book rebuild over the retained corpus —
     // the append chain with the dead slice excluded from the search.
     "emb_ivf_retract_topk" -> ivfRetractTopKSql,
+    // Compaction purges the tombstoned vectors (rows rewrite verbatim
+    // otherwise) — search unchanged, same retained-corpus oracle.
+    "emb_ivf_retract_compact_topk" -> ivfRetractTopKSql,
     // Takedown pressure per cell: stored rows split live/dead + exact
     // integer ppm dead share.
     "emb_ivf_retract_health" -> ivfRetractHealthSql,
@@ -6596,6 +6726,12 @@ object SparkEntry {
     // delta = doc_id % 4 <> 2), restricted to delta-touching pairs —
     // the tombstone mechanics are invisible in the semantics.
     "doc_media_index_retract_near" -> mediaNearPairsSql(
+      "WHERE doc_a % 4 = 1 OR doc_b % 4 = 1 ",
+      "WHERE doc_id % 4 <> 2"),
+
+    // Compaction physically purges the taken-down slice's block rows —
+    // membership unchanged, same set-minus replay.
+    "doc_media_index_retract_compact_near" -> mediaNearPairsSql(
       "WHERE doc_a % 4 = 1 OR doc_b % 4 = 1 ",
       "WHERE doc_id % 4 <> 2"),
 

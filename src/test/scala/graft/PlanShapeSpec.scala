@@ -949,6 +949,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("doc_exact_index_retract_compact_clean: the compacted serve returns to ONE pruned scan with no liveness scratch") {
+    val p = physical("doc_exact_index_retract_compact_clean")
+    assert(p.contains("might_contain"), p.take(3000))
+    // EXACTLY one pruned hash source: the fold purged the tombstones
+    // and collapsed the generations, so the plan must be byte-shaped
+    // like a fresh single-generation serve.
+    assert("PartitionFilters: \\[hbkt".r.findAllIn(p).size == 1,
+      p.take(3000))
+    assert(!p.contains("__tg"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("doc_exact_index_sharded_clean: the 2-shard probe stays a map-side might_contain chain over the same pruned serve") {
+    val p = physical("doc_exact_index_sharded_clean")
+    assert(p.contains("might_contain"), p.take(3000))
+    assert("PartitionFilters: \\[hbkt".r.findFirstIn(p).isDefined,
+      p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("doc_exact_index_sync_clean: the synced serve keeps the pruned, broadcast-only shape with live tombstones") {
+    val p = physical("doc_exact_index_sync_clean")
+    assert(p.contains("might_contain"), p.take(3000))
+    assert("PartitionFilters: \\[hbkt".r.findAllIn(p).size >= 2,
+      p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("dedup-index retract serve: tombstone-live pruned reads keep partition pruning; the liveness join broadcasts") {
     // The retraction branch reads generations through readWithGen's
     // lit(__g) projection — partition pruning must survive it, and the
