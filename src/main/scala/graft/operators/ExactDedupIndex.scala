@@ -182,15 +182,31 @@ private[graft] object Bloom {
     * each arm is [[mightContain]] with its shard's foldable BINARY
     * literal; the router picks exactly one arm per row. Collapses to
     * the plain probe for a 1-shard filter (byte-identical plan).
+    *
+    * COST NOTE: `shard` re-evaluates inside every when-arm CONDITION
+    * and Spark's subexpression elimination skips conditionally-evaluated
+    * branches — a probe through this convenience form costs up to N−1
+    * extra router hashes per row at N shards. Hot paths should
+    * MATERIALIZE the router once (a projected column) and call
+    * [[mightContainShardedOn]] — the pattern [[ExactDedupIndex]]'s
+    * serve/stream paths use.
     */
   def mightContainSharded(blooms: IndexedSeq[Array[Byte]],
-      key: Column): Column = {
+      key: Column): Column =
+    mightContainShardedOn(blooms, key, shardOf(key, blooms.length))
+
+  /** The sharded probe over a CALLER-SUPPLIED router column — project
+    * `shard` = [[shardOf]](key, N) as a materialized attribute first,
+    * so the router hash computes once per row and each when-arm
+    * condition is a plain attribute comparison.
+    */
+  def mightContainShardedOn(blooms: IndexedSeq[Array[Byte]], key: Column,
+      shard: Column): Column = {
     require(blooms.nonEmpty, "mightContainSharded needs >= 1 shard")
     if (blooms.length == 1) return mightContain(blooms.head, key)
-    val s = shardOf(key, blooms.length)
     blooms.zipWithIndex.tail.foldLeft(
-      when(s === 0L, mightContain(blooms(0), key))) {
-      case (acc, (b, i)) => acc.when(s === i.toLong, mightContain(b, key))
+      when(shard === 0L, mightContain(blooms(0), key))) {
+      case (acc, (b, i)) => acc.when(shard === i.toLong, mightContain(b, key))
     }
   }
 
@@ -263,6 +279,24 @@ object ExactDedupIndex {
     docs.select(md5(coalesce(col("text"), lit(""))).as("text_hash"))
       .distinct()
 
+  /** Bloom-positive rows of a frame carrying `text_hash` — the shared
+    * probe projection: with shards the router hash MATERIALIZES once
+    * per row (a projected column feeding [[Bloom.mightContainShardedOn]])
+    * instead of re-evaluating in every when-arm condition, which
+    * Spark's subexpression elimination does not collapse for
+    * conditionally-evaluated branches. Columns pass through unchanged.
+    */
+  private def bloomPositives(df: DataFrame,
+      blooms: IndexedSeq[Array[Byte]]): DataFrame =
+    if (blooms.length == 1)
+      df.filter(Bloom.mightContain(blooms.head, col("text_hash")))
+    else
+      df.withColumn("__bshard",
+          Bloom.shardOf(col("text_hash"), blooms.length))
+        .filter(Bloom.mightContainShardedOn(blooms, col("text_hash"),
+          col("__bshard")))
+        .drop("__bshard")
+
   /** Shared verdict tail: delta rows × (confirmed base-hash sliver) →
     * (doc_id, in_base, keep). `confirmed` must hold a `text_hash`
     * column whose rows are exactly the delta-probed hashes present in
@@ -312,8 +346,7 @@ object ExactDedupIndex {
     // failure, handed to the returned frame on success.
     val deltaH = deltaHashes(delta).barrier()
     try {
-      val cand = deltaH
-        .filter(Bloom.mightContainSharded(blooms, col("text_hash")))
+      val cand = bloomPositives(deltaH, blooms)
         .select(col("text_hash")).distinct()
       // Exact verify of the positives: base scan, map-side broadcast
       // semi — the distinct that follows shuffles only matched hashes
@@ -530,8 +563,7 @@ object ExactDedupIndex {
     // omits, silently reporting an ingested doc as keep=true.
     val deltaH = deltaHashes(delta).barrier()
     try {
-      val cand = deltaH
-        .filter(Bloom.mightContainSharded(blooms, col("text_hash")))
+      val cand = bloomPositives(deltaH, blooms)
         .select(col("text_hash")).distinct()
       // The positives' buckets fold to ≤ `buckets` literals — static
       // partition pruning on every generation scan (the readCells
@@ -685,15 +717,16 @@ object ExactDedupIndex {
           readWithGen(spark, dir, hDirs), "text_hash",
           GenManifest.tombMax(spark, dir, tDirs, "text_hash"))
         .select(col("text_hash"))
-    stream
-      // Null-id guard, mirroring the other streaming twins: a null-id
-      // ingest row colliding with the base would alert with NULL doc_id,
-      // and a sink deduping by doc_id would collapse every such row
-      // onto one key.
-      .where(col("doc_id").isNotNull)
-      .select(col("doc_id"),
-        md5(coalesce(col("text"), lit(""))).as("text_hash"))
-      .filter(Bloom.mightContainSharded(blooms, col("text_hash")))
+    bloomPositives(
+        stream
+          // Null-id guard, mirroring the other streaming twins: a
+          // null-id ingest row colliding with the base would alert with
+          // NULL doc_id, and a sink deduping by doc_id would collapse
+          // every such row onto one key.
+          .where(col("doc_id").isNotNull)
+          .select(col("doc_id"),
+            md5(coalesce(col("text"), lit(""))).as("text_hash")),
+        blooms)
       .join(hashes, Seq("text_hash"), "left_semi")
       .select(col("doc_id"), col("text_hash"))
   }

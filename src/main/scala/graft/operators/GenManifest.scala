@@ -328,6 +328,14 @@ private[graft] object GenManifest {
       tDirs: Seq[String], keyCol: String, liveName: String,
       deadName: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
+    // The output names never reach SQL text: the arithmetic runs over
+    // FIXED internal names and the caller's names attach by rename — a
+    // name needing quoting (or spelling an expression) can't silently
+    // change the census arithmetic. Scratch guard like every __-kernel.
+    require(!liveName.startsWith("__") && !deadName.startsWith("__") &&
+        liveName != deadName,
+      s"takedownCensus output names collide with kernel scratch: " +
+        s"($liveName, $deadName)")
     val perKey = readWithGen(spark, dir, dirs)
       .groupBy(col(keyCol)).agg(max(col("__g")).as("__mg"))
     val classified =
@@ -336,15 +344,17 @@ private[graft] object GenManifest {
         tombMax(spark, dir, tDirs, keyCol))
     classified.agg(
         coalesce(sum(when(col("__live"), lit(1L)).otherwise(lit(0L))),
-          lit(0L)).as(liveName),
+          lit(0L)).as("__lv"),
         coalesce(sum(when(col("__live"), lit(0L)).otherwise(lit(1L))),
-          lit(0L)).as(deadName))
-      .selectExpr(liveName, deadName,
+          lit(0L)).as("__dd"))
+      .selectExpr("__lv", "__dd",
         // Every family's build refuses an empty index, so the zero-total
         // arm is defensive (ANSI would otherwise raise DIVIDE_BY_ZERO
         // on a damaged dir instead of reporting).
-        s"CAST(CASE WHEN $liveName + $deadName = 0 THEN 0 " +
-          s"ELSE ($deadName * 1000000) DIV ($liveName + $deadName) " +
+        "CAST(CASE WHEN __lv + __dd = 0 THEN 0 " +
+          "ELSE (__dd * 1000000) DIV (__lv + __dd) " +
           "END AS BIGINT) AS dead_ppm")
+      .withColumnRenamed("__lv", liveName)
+      .withColumnRenamed("__dd", deadName)
   }
 }

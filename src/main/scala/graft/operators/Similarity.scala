@@ -1016,6 +1016,16 @@ object Similarity {
             "ids are not currently live (never ingested, or already " +
             "retracted) — a takedown of absent vectors is a caller " +
             "bug, not a no-op")
+        // The lex/exact family guard: a takedown covering EVERY live
+        // vector must fail loudly BEFORE committing — an all-empty
+        // index would serve silently-empty top-k rows from every query
+        // until a later compactIndex finally failed with the rebuild
+        // message. limit-1 early-exit probe (anti join, broadcast h).
+        require(!readCells(spark, dir)
+            .join(broadcast(h), Seq("vec_id"), "left_anti").isEmpty,
+          s"retractFromAnnIndex at $dir: the takedown covers every " +
+            "live vector — an all-empty index is unrepresentable; " +
+            "rebuild when content returns")
         h.write.mode("overwrite").parquet(s"$dir/$newT")
         commitIndexManifest(spark, dir, seq + 1, dirs, tDirs :+ newT)
         sweepIndexGenerations(spark, dir, seq + 1)

@@ -67,8 +67,12 @@ object TrendStreamTws {
       // every replayed page's event-time stamps as ancient and
       // mass-evict live pages mid-catch-up. The TIMER path stays pure
       // processing time by design, like the fgws twin.
-      val dataAsOfMs = math.min(tv.getCurrentProcessingTimeInMs(),
-        evs.map(_.ts.getTime).max)
+      // maxOption: the tws engine contract invokes the data path only
+      // with rows, but an engine-version shift there must degrade to
+      // wall clock, not kill the query on an empty-iterator max.
+      val dataAsOfMs = evs.iterator.map(_.ts.getTime).maxOption
+        .fold(tv.getCurrentProcessingTimeInMs())(
+          math.min(tv.getCurrentProcessingTimeInMs(), _))
       TrendStream.applyEvents(prev, evs) match {
         // Data path applies the cleaner policy too when the cleaner is on
         // (same rationale as TrendStream.updateFn): a continuously-active

@@ -988,6 +988,15 @@ class PipelineOperatorsSpec extends SparkSpec {
     // Empty takedown set is a no-op (no commit).
     Similarity.retractFromAnnIndex(d.filter(col("vec_id") < 0), dir)
     assert(Similarity.indexManifest(spark, dir)._1 == seqE)
+    // A takedown covering EVERY live vector throws BEFORE committing
+    // (the lex/exact family guard) — an all-empty index would serve
+    // silently-empty rows until a later compact finally failed.
+    val eAll = intercept[IllegalArgumentException] {
+      Similarity.retractFromAnnIndex(d.filter(col("vec_id") % 5 =!= 2), dir)
+    }
+    assert(eAll.getMessage.contains("every live vector"))
+    assert(Similarity.indexManifest(spark, dir)._1 == seqE,
+      "a refused full takedown commits nothing")
     // RE-INGEST of a vacant id restores membership exactly.
     Similarity.appendToIvfIndex(takedown, dir)
     assert(run() == before)
