@@ -363,6 +363,7 @@ object Bench {
         s""""factor_primary_over_ref":${scalingDetail._3},""" +
         s""""scale_path_factors_gt3":${scalingDetail._4},""" +
         s""""sf":${jq(sfDir)},"ref_sf":${jq(refDir)},""" +
+        s""""pfx":{"d":"doc","e":"emb","v":"events","t":"trend"},""" +
         s""""passes":$passes,"agg":"min_per_query"""" +
         s"""$vscaleJson$failedJson}"""
     val detailRef =
@@ -390,7 +391,18 @@ object Bench {
     // the line would exceed `lineBudget`; `queries_n`/`queries_top` mark
     // the truncation explicitly and BENCH_DETAIL.json (committed next to
     // this file each round) carries every query at full precision.
-    val lineBudget = 1750
+    // Budget derived from the measured window, not a bare constant: the
+    // driver tail is exactly 2000 chars, sbt's "[success] Total time…"
+    // trailer consumes ~80 of them AFTER this line, and 150 chars of
+    // margin absorb trailer drift (a longer completion timestamp, an
+    // extra [info] line) — the round-15 headroom ask made adaptive. The
+    // greedy fill below always packs to the budget, so the margin is a
+    // guarantee, not slack that erodes as the registry grows (more
+    // queries just means a shorter top-cost prefix).
+    val tailWindow = 2000
+    val trailerReserve = 80
+    val tailMargin = 150
+    val lineBudget = tailWindow - trailerReserve - tailMargin
     val failedCountsJson =
       if (failed.isEmpty) ""
       else s""","failed_n":${failed.size},"failed_all_n":${failedAll.size}"""
@@ -402,9 +414,12 @@ object Bench {
     // queries the family prefix is pure repetition (~3-5 chars × ~60
     // line entries), and the one-time "pfx" legend keeps the line
     // self-describing while BENCH_DETAIL.json carries full names.
+    // The pfx legend moved to BENCH_DETAIL.json (round 16): 48 chars of
+    // every line bought ~3 more top-cost entries, and the detail file —
+    // which carries the full names anyway — is where a reader decoding
+    // prefixes already looks.
     def mkLine(qsJson: String, top: Int): String =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
-        s""""pfx":{"d":"doc","e":"emb","v":"events","t":"trend"},""" +
         s""""queries":$qsJson,"q_n":${best.size},"q_top":$top,""" +
         s""""sf":${jq(sfDir)},"detail":$detailRef,""" +
         s""""scale_path":${f3(totalScalePath)}""" +
@@ -442,6 +457,13 @@ object Bench {
       else fits = false
     }
     val line = mkLine(chosen.mkString("{", ",", "}"), chosen.size)
+    // The greedy fill keeps the line under budget whenever ANY entries
+    // fit — the only way past it is the fixed fields alone overflowing
+    // (a pathological env path, a huge failed count). Loud marker so a
+    // beheaded line at the driver has an explanation in stderr.
+    if (line.length > lineBudget)
+      System.err.println(s"[bench] contract line ${line.length} chars " +
+        s"exceeds the $lineBudget budget — fixed fields alone overflow")
     println(line)
     spark.stop()
   }

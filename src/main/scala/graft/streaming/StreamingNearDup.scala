@@ -97,7 +97,7 @@ object StreamingNearDup {
     math.floor(j * 1e6 + 0.5) / 1e6
   }
 
-  private def delayToMs(delay: String): Long = {
+  private[streaming] def delayToMs(delay: String): Long = {
     val m = """(\d+)\s+(second|minute|hour|day)s?""".r
     delay.trim match {
       case m(n, unit) =>

@@ -3596,6 +3596,108 @@ class PipelineOperatorsSpec extends SparkSpec {
       .collect().map(_.getAs[Double]("jaccard")).toSeq
     assert(expect.length == 1 && rows.head._3 == expect.head,
       s"got ${rows.head._3}, batch(v1, y) = $expect")
+
+    // THE UPDATING TWIN on the SAME straddle triple — the contrast that
+    // defines it: mutate-in-place semantics retract v1's buckets and
+    // admit v2, so y pairs against the doc's CURRENT content — exactly
+    // once, carrying jaccard(v2, y) where the first-wins twin above
+    // emitted jaccard(v1, y).
+    val msU = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Timestamp)](spark)
+    val qU = graft.streaming.StreamingNearDupUpdating
+      .streamingMinhashNearDupsUpdating(
+        msU.toDF().toDF("doc_id", "text", "ts"),
+        delay = "10 minutes", threshold = 0.3)
+      .writeStream.format("memory").queryName("snear_updating_straddle")
+      .outputMode("append").start()
+    try {
+      msU.addData(Seq((100L, v1, t0)))
+      qU.processAllAvailable()
+      msU.addData(Seq((100L, v2, new Timestamp(t0.getTime + 1000L))))
+      qU.processAllAvailable()
+      msU.addData(Seq((200L, y, new Timestamp(t0.getTime + 2000L))))
+      qU.processAllAvailable()
+    } finally qU.stop()
+    val rowsU = spark.table("snear_updating_straddle").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSeq
+    val expectU = Dedup.minhashNearDups(
+        Seq((100L, v2), (200L, y)).toDF("doc_id", "text"),
+        threshold = 0.3)
+      .collect().map(_.getAs[Double]("jaccard")).toSeq
+    assert(expectU.length == 1 && rowsU == Seq((100L, 200L, expectU.head)),
+      s"updating twin must emit ONCE with jaccard(v2, y)=${expectU} — " +
+        s"got $rowsU (first-wins emitted ${rows.head._3})")
+  }
+
+  test("streamingMinhashNearDupsUpdating: mutate-in-place semantics — stream ≡ batch over the FINAL corpus; blank update retracts; identical redelivery no-op; emitted history stands") {
+    import java.sql.Timestamp
+    import graft.streaming.StreamingNearDupUpdating
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Long) = new Timestamp(t0.getTime + s * 1000L)
+    val aText = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val xText = "x1 x2 x3 x4 x5 x6 x7 x8"
+    val x9Text = "x1 x2 x3 x4 x5 x6 x7 x8 x9"
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Timestamp)](spark)
+    val q = StreamingNearDupUpdating.streamingMinhashNearDupsUpdating(
+        ms.toDF().toDF("doc_id", "text", "ts"), delay = "10 minutes")
+      .writeStream.format("memory").queryName("snear_updating")
+      .outputMode("append").start()
+    def emitted() = spark.table("snear_updating").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSeq
+    def batchPairs(corpus: Seq[(Long, String)]) =
+      Dedup.minhashNearDups(corpus.toDF("doc_id", "text")).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Double]("jaccard"))).toSet
+    try {
+      // Phase A: doc 1 updates BEFORE its audience arrives — the
+      // arrival-order mutate-in-place stream must equal the batch pairs
+      // over the FINAL corpus exactly (doc 3 is an exact copy of doc
+      // 1's SUPERSEDED content: any surviving v1 bucket entry would
+      // pair it at 1.0).
+      ms.addData(Seq((1L, aText, ts(1))))
+      q.processAllAvailable()
+      ms.addData(Seq((1L, xText, ts(2))))
+      q.processAllAvailable()
+      ms.addData(Seq((2L, x9Text, ts(3)), (3L, aText, ts(4))))
+      q.processAllAvailable()
+      val phaseA = emitted()
+      val finalA = batchPairs(Seq(1L -> xText, 2L -> x9Text, 3L -> aText))
+      assert(finalA.nonEmpty && phaseA.toSet == finalA,
+        s"stream=${phaseA.toSet} batch-on-final=$finalA")
+      assert(phaseA.distinct.length == phaseA.length, phaseA.toString)
+      // Phase B mechanics. Identical redelivery: a pure at-least-once
+      // repeat of doc 2 moves nothing (stage 1's content-hash check).
+      ms.addData(Seq((2L, x9Text, ts(5))))
+      q.processAllAvailable()
+      assert(emitted() == phaseA, "identical redelivery must be a no-op")
+      // Blank update: doc 2's new version is token-less — a real update
+      // that RETRACTS its buckets and admits nothing.
+      ms.addData(Seq((2L, "", ts(6))))
+      q.processAllAvailable()
+      assert(emitted() == phaseA, "a blank update emits nothing")
+      // Doc 4 copies doc 1's CURRENT content: pairs with doc 1 at 1.0
+      // and must NOT pair with retracted doc 2 (x9Text overlaps at
+      // 6/7 — a live doc 2 entry would emit (2, 4)).
+      ms.addData(Seq((4L, xText, ts(7))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = emitted()
+    assert(all.distinct.length == all.length, all.toString)
+    val phaseAset = batchPairs(Seq(1L -> xText, 2L -> x9Text, 3L -> aText))
+    // Append-mode history: the phase-A alert against doc 2's superseded
+    // content STANDS (an append sink cannot un-emit — the documented
+    // mutate-in-place caveat); everything else equals the batch pairs
+    // over the final corpus.
+    val finalB = batchPairs(
+      Seq(1L -> xText, 2L -> "", 3L -> aText, 4L -> xText))
+    assert(all.toSet == phaseAset ++ finalB,
+      s"stream=${all.toSet} expected=${phaseAset ++ finalB}")
+    assert(finalB.contains((1L, 4L, 1.0)), finalB.toString)
+    assert(!all.exists(r => r._1 == 2L && r._2 == 4L),
+      "retracted doc 2 must not pair with doc 4")
   }
 
   test("streamingSimhashNearDups: stream ≡ batch 60-bit pairs across batches") {
