@@ -5620,4 +5620,26 @@ class PipelineOperatorsSpec extends SparkSpec {
     }
     assert(ex2.getMessage.contains("not a stats-index manifest"))
   }
+
+  test("TakedownTour example: the retract → census → compact → census loop runs across all six families; post-compact membership is the set-minus exactly") {
+    val sfDir = "/root/testdata/sf0.001"
+    val live = graft.examples.TakedownTour.run(spark, sfDir)
+    assert(live.keySet == Set("exact", "dedup", "media", "lex", "ivf",
+      "stats"))
+    assert(live.values.forall(_ > 0L), live.toString)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // Exact tier is content-keyed: post-compact live hashes = all
+    // distinct hashes minus the slice's (retraction is by TEXT).
+    val allH = docs.select(md5(coalesce(col("text"), lit(""))))
+      .distinct().count()
+    val sliceH = docs.filter(col("doc_id") % 10 === 6)
+      .select(md5(coalesce(col("text"), lit("")))).distinct().count()
+    assert(live("exact") == allH - sliceH,
+      s"exact live ${live("exact")} vs $allH - $sliceH")
+    // Stats tier is arithmetic: retained doc count nets out exactly.
+    val retained = docs
+      .filter(col("doc_id").isNull || col("doc_id") % 10 =!= 6).count()
+    assert(live("stats") == retained,
+      s"stats docs ${live("stats")} vs $retained")
+  }
 }
