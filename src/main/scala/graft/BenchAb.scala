@@ -66,13 +66,25 @@ object BenchAb {
       "worktree and head are the same directory — nothing to A/B")
 
     val headDetail = new java.io.File(head, "BENCH_DETAIL.json")
-    // Preserve the committed round artifact BEFORE either child can
-    // touch it (the worktree bench writes into ITS cwd, but symlinked
-    // layouts and a headDir-first caller both exist).
-    val preserved: Option[Array[Byte]] =
-      if (headDetail.isFile)
-        Some(java.nio.file.Files.readAllBytes(headDetail.toPath))
+    val wtDetail = new java.io.File(wt, "BENCH_DETAIL.json")
+    // Preserve BOTH sides' committed round artifacts BEFORE either
+    // child can touch them — each child bench writes into ITS cwd, and
+    // an A/B-shaped (scaling-less) detail left behind in either tree
+    // would read as that round's measurement. A side with no
+    // pre-existing file gets its A/B output DELETED on restore instead.
+    def preserve(f: java.io.File): Option[Array[Byte]] =
+      if (f.isFile) Some(java.nio.file.Files.readAllBytes(f.toPath))
       else None
+    def restore(f: java.io.File, bytes: Option[Array[Byte]]): Unit =
+      try bytes match {
+        case Some(b) => java.nio.file.Files.write(f.toPath, b)
+        case None    => java.nio.file.Files.deleteIfExists(f.toPath)
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench-ab] restore of $f failed: " +
+          e.getMessage)
+      }
+    val preservedHead = preserve(headDetail)
+    val preservedWt = preserve(wtDetail)
     try {
       benchIn(wt, "worktree(old)")
       val old = readQueries(new java.io.File(wt, "BENCH_DETAIL.json"))
@@ -113,17 +125,11 @@ object BenchAb {
           onlyNew.mkString(", "))
       }
       println("[bench-ab] detail copies: BENCH_AB_old.json / " +
-        "BENCH_AB_new.json (committed BENCH_DETAIL.json restored)")
+        "BENCH_AB_new.json (both trees' BENCH_DETAIL.json restored)")
     } finally {
-      // Restore the committed artifact even when a child bench fails —
-      // otherwise the repo is left with an A/B-shaped detail file the
-      // next judge read would mistake for the round's measurement.
-      try preserved.foreach(b =>
-        java.nio.file.Files.write(headDetail.toPath, b))
-      catch { case NonFatal(e) =>
-        System.err.println(
-          s"[bench-ab] BENCH_DETAIL.json restore failed: ${e.getMessage}")
-      }
+      // Restore BOTH committed artifacts even when a child bench fails.
+      restore(headDetail, preservedHead)
+      restore(wtDetail, preservedWt)
     }
   }
 }

@@ -385,27 +385,54 @@ object DedupIndex {
     * a real guard: it still throws if the index does not actually hold
     * v1 — wrong v1 frame, or a sync already applied).
     *
-    * 100 TB shape: the diff is one hash-only co-partitioned full-outer
-    * join (text never shuffles there); each leg semi-joins its
-    * transition-sized id set against a snapshot scan, and only the
-    * append leg's (transition-sized) rows are ever tokenized. At most
-    * two atomic commits; an unchanged corpus is a complete no-op. Both
-    * snapshot frames must be deterministic under re-evaluation (source
-    * scans — the family's multi-scan rule). SINGLE-WRITER.
+    * 100 TB shape: the diff's hash-only co-partitioned full-outer join
+    * runs ONCE (the transition set barriers; text never shuffles
+    * there); each leg broadcast-semi-joins its transition-sized id set
+    * against a snapshot scan, and tokenization only ever touches
+    * transition-sized rows (the retract leg's membership filter runs on
+    * a barriered sliver — an unbarriered filter would be PUSHED below
+    * the join onto the full v1 scan). The transition sets are
+    * broadcast-sized by contract, like every takedown table in the
+    * family. At most two atomic commits; an unchanged corpus is a
+    * complete no-op. Both snapshot frames must be deterministic under
+    * re-evaluation (source scans — the family's multi-scan rule).
+    * SINGLE-WRITER.
     */
   def syncDedupIndex(v1Docs: DataFrame, v2Docs: DataFrame,
       dir: String): Unit = {
-    val diff = Curation.corpusDiff(v1Docs, v2Docs)
-    val retractIds = diff.filter(col("status").isin("removed", "changed"))
-      .select(col("doc_id"))
-    retractFromDedupIndex(
-      v1Docs.where(col("doc_id").isNotNull &&
-          size(TextAnalysis.wsTokens(col("text"))) > 0)
-        .join(retractIds, Seq("doc_id"), "left_semi"), dir)
-    val appendIds = diff.filter(col("status").isin("added", "changed"))
-      .select(col("doc_id"))
-    appendToDedupIndex(
-      v2Docs.join(appendIds, Seq("doc_id"), "left_semi"), dir)
+    // The diff's full-outer hash join runs ONCE: the transition rows
+    // (everything but `unchanged`) barrier as a transition-sized
+    // (doc_id, status) table both legs filter — two independent actions
+    // over the lazy diff would each re-pay the corpus-sized join.
+    val transitions = Curation.corpusDiff(v1Docs, v2Docs)
+      .where(col("status") =!= "unchanged")
+      .select(col("doc_id"), col("status"))
+      .barrier()
+    try {
+      val retractIds = transitions
+        .filter(col("status").isin("removed", "changed"))
+        .select(col("doc_id"))
+      // Intersect with v1's INGESTED membership (≥ 1 token) WITHOUT
+      // tokenizing the whole snapshot: the broadcast semi join reduces
+      // v1 to the transition-sized rows first, those rows barrier (a
+      // deterministic-predicate filter would otherwise be pushed below
+      // the join onto the v1 scan — Catalyst pushdown ignores operator
+      // order), and only the materialized sliver pays wsTokens.
+      val retractDocs = v1Docs.where(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("text"))
+        .join(broadcast(retractIds), Seq("doc_id"), "left_semi")
+        .barrier()
+      try {
+        retractFromDedupIndex(
+          retractDocs.where(
+            size(TextAnalysis.wsTokens(col("text"))) > 0), dir)
+      } finally Barrier.release(retractDocs)
+      val appendIds = transitions
+        .filter(col("status").isin("added", "changed"))
+        .select(col("doc_id"))
+      appendToDedupIndex(
+        v2Docs.join(broadcast(appendIds), Seq("doc_id"), "left_semi"), dir)
+    } finally Barrier.release(transitions)
   }
 
   /** The ingest ACTION over [[dedupIndexPairs]]: every delta document

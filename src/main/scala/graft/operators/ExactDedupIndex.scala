@@ -290,12 +290,15 @@ object ExactDedupIndex {
       blooms: IndexedSeq[Array[Byte]]): DataFrame =
     if (blooms.length == 1)
       df.filter(Bloom.mightContain(blooms.head, col("text_hash")))
-    else
+    else {
+      Skew.requireScratchFree(df, Seq("__bshard"),
+        "sharded bloom probe (router scratch)")
       df.withColumn("__bshard",
           Bloom.shardOf(col("text_hash"), blooms.length))
         .filter(Bloom.mightContainShardedOn(blooms, col("text_hash"),
           col("__bshard")))
         .drop("__bshard")
+    }
 
   /** Shared verdict tail: delta rows × (confirmed base-hash sliver) →
     * (doc_id, in_base, keep). `confirmed` must hold a `text_hash`

@@ -333,9 +333,10 @@ private[graft] object GenManifest {
     // name needing quoting (or spelling an expression) can't silently
     // change the census arithmetic. Scratch guard like every __-kernel.
     require(!liveName.startsWith("__") && !deadName.startsWith("__") &&
-        liveName != deadName,
-      s"takedownCensus output names collide with kernel scratch: " +
-        s"($liveName, $deadName)")
+        liveName != deadName &&
+        liveName != "dead_ppm" && deadName != "dead_ppm",
+      s"takedownCensus output names collide with kernel scratch or the " +
+        s"fixed dead_ppm column: ($liveName, $deadName)")
     val perKey = readWithGen(spark, dir, dirs)
       .groupBy(col(keyCol)).agg(max(col("__g")).as("__mg"))
     val classified =

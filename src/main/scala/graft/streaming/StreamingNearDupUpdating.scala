@@ -64,14 +64,21 @@ object StreamingNearDupUpdating {
 
   /** Admit (kind 1, keys = the new version's) or retract (kind 0,
     * keys = the SUPERSEDED version's — they route the delta to the
-    * buckets that must forget it; sset rides empty).
+    * buckets that must forget it; sset rides empty). `seq` is the
+    * per-doc EMISSION sequence within stage 1's invocation: the bucket
+    * stage replays one doc's deltas in exactly this order — a
+    * (ts, kind)-style sort instead would reorder a same-timestamp
+    * multi-version update into retract,admit,admit, skipping the second
+    * admit on the docId-presence check and stranding the superseded
+    * version's entries until horizon expiry.
     */
-  case class DocDelta(kind: Int, docId: Long, ts: Timestamp, tsMs: Long,
-      sset: Seq[String], keys: Seq[String])
+  case class DocDelta(kind: Int, seq: Int, docId: Long, ts: Timestamp,
+      tsMs: Long, sset: Seq[String], keys: Seq[String])
 
   /** A delta exploded onto one (band, key) bucket. */
-  case class DeltaHit(kind: Int, band: Int, key: String, docId: Long,
-      ts: Timestamp, tsMs: Long, sset: Seq[String], keys: Seq[String])
+  case class DeltaHit(kind: Int, seq: Int, band: Int, key: String,
+      docId: Long, ts: Timestamp, tsMs: Long, sset: Seq[String],
+      keys: Seq[String])
 
   /** Stage-1 state: the last admitted version of this doc. */
   case class DocSnapshot(hash: String, tsMs: Long, keys: Seq[String])
@@ -116,8 +123,10 @@ object StreamingNearDupUpdating {
             ()
           case other =>
             other.foreach(s =>
-              out += DocDelta(0, v.docId, v.ts, v.tsMs, Seq.empty, s.keys))
-            out += DocDelta(1, v.docId, v.ts, v.tsMs, v.sset, v.keys)
+              out += DocDelta(0, out.size, v.docId, v.ts, v.tsMs,
+                Seq.empty, s.keys))
+            out += DocDelta(1, out.size, v.docId, v.ts, v.tsMs,
+              v.sset, v.keys)
             cur = Some(DocSnapshot(v.hash, v.tsMs, v.keys))
         }
       }
@@ -164,9 +173,13 @@ object StreamingNearDupUpdating {
       var entries = (if (st.exists()) st.get().entries else Seq.empty)
         .filter(e => e.tsMs + delayMs > wm)
       val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
-      // (tsMs, kind, docId): retract precedes admit at one instant —
-      // the order stage 1 emitted an update's two deltas in.
-      for (r <- rows.toSeq.sortBy(h => (h.tsMs, h.kind, h.docId))) {
+      // (tsMs, docId, seq): one doc's deltas replay in stage 1's exact
+      // emission order (seq) — retract-before-admit per VERSION, so a
+      // same-timestamp multi-version update applies as
+      // admit(v1),retract(v1),admit(v2) and never strands v1; distinct
+      // docs at one instant order by id (deterministic; same-instant
+      // admits pair symmetrically either way).
+      for (r <- rows.toSeq.sortBy(h => (h.tsMs, h.docId, h.seq))) {
         if (r.kind == 0) {
           entries = entries.filterNot(_.docId == r.docId)
         } else if (!entries.exists(_.docId == r.docId) &&
@@ -254,14 +267,15 @@ object StreamingNearDupUpdating {
       .transformWithState(new VersionProcessor(delayMs), "ts",
         OutputMode.Append())
     val hits = deltas
-      .select(col("kind"), col("docId"), col("ts"), col("tsMs"),
-        col("sset"), col("keys"),
+      .select(col("kind"), col("seq"), col("docId"), col("ts"),
+        col("tsMs"), col("sset"), col("keys"),
         // OUTER, like every exploder over a derived array (the
         // InferFiltersFromGenerate rule); the null row an empty keys
         // array emits drops on the exploded attribute below.
         posexplode_outer(col("keys")).as(Seq("band", "key")))
       .where(col("key").isNotNull)
       .select(col("kind").cast("int").as("kind"),
+        col("seq").cast("int").as("seq"),
         col("band").cast("int").as("band"), col("key"), col("docId"),
         col("ts"), col("tsMs"), col("sset"), col("keys"))
       .as[DeltaHit]

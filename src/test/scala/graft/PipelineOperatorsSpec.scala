@@ -3700,6 +3700,48 @@ class PipelineOperatorsSpec extends SparkSpec {
       "retracted doc 2 must not pair with doc 4")
   }
 
+  test("streamingMinhashNearDupsUpdating: same-timestamp multi-version update applies in emission order — the superseded version never strands") {
+    // Two distinct versions of doc 1 arrive in ONE batch at the SAME
+    // event ts (second-resolution feed): stage 1's (ts, hash) tie-break
+    // admits the smaller-md5 version first and supersedes it with the
+    // larger-md5 one, and the bucket stage must replay the deltas in
+    // that exact per-doc emission order (seq) — a kind-grouped sort
+    // used to reorder them into retract,admit,admit, skip the second
+    // admit on the docId-presence check, and strand the superseded
+    // version's entries until horizon expiry.
+    import java.sql.Timestamp
+    import graft.streaming.StreamingNearDupUpdating
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Long) = new Timestamp(t0.getTime + s * 1000L)
+    val a = "sa1 sa2 sa3 sa4 sa5 sa6 sa7 sa8"
+    val b = "sb1 sb2 sb3 sb4 sb5 sb6 sb7 sb8"
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(x => f"$x%02x").mkString
+    val (superseded, fin) = if (h(a) < h(b)) (a, b) else (b, a)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Timestamp)](spark)
+    val q = StreamingNearDupUpdating.streamingMinhashNearDupsUpdating(
+        ms.toDF().toDF("doc_id", "text", "ts"), delay = "10 minutes")
+      .writeStream.format("memory").queryName("snear_updating_samets")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq((1L, a, ts(1)), (1L, b, ts(1))))
+      q.processAllAvailable()
+      // A copy of the SUPERSEDED version: a stranded v1 entry would
+      // pair it at 1.0.
+      ms.addData(Seq((2L, superseded, ts(2))))
+      q.processAllAvailable()
+      // A copy of the FINAL version pairs with doc 1 at 1.0.
+      ms.addData(Seq((3L, fin, ts(3))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("snear_updating_samets").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSeq
+    assert(rows == Seq((1L, 3L, 1.0)),
+      s"only the final version may pair — got $rows")
+  }
+
   test("streamingSimhashNearDups: stream ≡ batch 60-bit pairs across batches") {
     import java.sql.Timestamp
     import graft.streaming.StreamingNearDup
