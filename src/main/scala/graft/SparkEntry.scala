@@ -209,7 +209,10 @@ object SparkEntry {
     withAsOf(ev, trendPages(spark, sfDir))
       .withColumn("epm", epmCol)
       .select(col("id"), col("edits"), col("epm"))
-      .orderBy(desc("epm"), asc("id"))
+      // NULLS LAST, mirroring DuckDB's ORDER BY id default — the
+      // PageAggregates.topK tie-break rule (a null-id page must not win
+      // a k-boundary tie).
+      .orderBy(desc("epm"), asc_nulls_last("id"))
       .limit(10)
   }
 

@@ -101,13 +101,25 @@ final class TrendCollection(
   def getPage(title: String, wiki: String): Option[org.apache.spark.sql.Row] =
     getPages().filter(col("id") === idOf(title, wiki)).collect().headOption
 
-  /** Drop a page (reference `drop`, index.js:427-430). */
-  def drop(title: String, wiki: String): Unit =
+  /** Drop a page (reference `drop`, index.js:427-430). A null title is
+    * rejected loudly: `idOf` would yield a null id (the pageIdStr
+    * column-twin contract), the null would pollute every later `isin`
+    * literal list, and `isin(null, …)` can never match any row — not
+    * even the deliberately-retained null-id page — so the admin call
+    * would read as success while targeting nothing.
+    */
+  def drop(title: String, wiki: String): Unit = {
+    require(title != null, "drop(null, …): a null title targets nothing " +
+      "— the null-id malformed-feed page is not addressable by title")
     droppedIds.updateAndGet(_ + idOf(title, wiki))
+  }
 
   /** Eviction exemption toggle (reference `markSafe`, index.js:409-411). */
-  def markSafe(id: String, unsafe: Boolean = false): Unit =
+  def markSafe(id: String, unsafe: Boolean = false): Unit = {
+    require(id != null, "markSafe(null): a null id matches no page " +
+      "(isin(null, …) is never true) — the call would silently no-op")
     safeIds.updateAndGet(s => if (unsafe) s - id else s + id)
+  }
 
   /** Mark a page protected (reference `protectPage`, index.js:417-422).
     * Like the stream twin (TrendStream A5) this applies the INTENDED
@@ -115,8 +127,11 @@ final class TrendCollection(
     * unconditionally there, so its flag never lands for enwiki bare-title
     * keys; that quirk is documented, not replicated.
     */
-  def protectPage(title: String, wiki: String): Unit =
+  def protectPage(title: String, wiki: String): Unit = {
+    require(title != null, "protectPage(null, …): a null title targets " +
+      "nothing (the drop() rule)")
     protectedIds.updateAndGet(_ + idOf(title, wiki))
+  }
 
   /** Top-k boards (examples/index.js:20-48) — planned as
     * TakeOrderedAndProject, never a full sort.

@@ -129,6 +129,10 @@ object Bpe {
     */
   def trainMergesAndBook(docs: DataFrame, k: Int, maxVocab: Int = 4096)
       : (Seq[Merge], Map[String, Long]) = {
+    // Entry validation (bookFrom re-checks for its other callers): a
+    // deterministically-invalid maxVocab must fail BEFORE the corpus
+    // scan and k training rounds are paid.
+    require(maxVocab >= 1, s"maxVocab=$maxVocab must be >= 1")
     val words0 = vocab(docs).barrier()
     try {
       val merges = trainMergesFrom(words0, k)

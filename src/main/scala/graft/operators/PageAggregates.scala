@@ -228,7 +228,12 @@ object PageAggregates {
     * (no full sort, no full shuffle — each partition keeps k, driver merges).
     */
   def topK(pages: DataFrame, metric: String, k: Int): DataFrame =
-    pages.orderBy(desc(metric), asc("id")).limit(k)
+    // NULLS LAST on the tie-break: Spark's bare asc sorts NULL first,
+    // so the deliberately-retained null-id page would win a k-boundary
+    // metric tie and displace a real page — and diverge from the
+    // oracle's ORDER BY id (DuckDB ASC defaults NULLS LAST). The
+    // packAssignments/clusterPurity ordering class.
+    pages.orderBy(desc(metric), asc_nulls_last("id")).limit(k)
 
   /** A4 batch analog — resolve rename (move-log) chains so events
     * aggregate under the page's FINAL title. Builds the per-wiki
