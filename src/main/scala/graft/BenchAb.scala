@@ -4,13 +4,23 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import scala.util.control.NonFatal
 
 /** Same-machine bench A/B — the drift-attribution ritual as one command:
-  * `runMain graft.BenchAb <worktreeDir> [headDir=.]` benches the prior
-  * worktree and HEAD back-to-back (each in its own sbt subprocess, so
-  * each runs ITS OWN classes), then prints the movers table over the
-  * common query set: common-set totals, per-query deltas sorted by
-  * magnitude, and the added/removed query lists. This is how "machine
-  * drift" gets attributed with numbers instead of narrative — the
-  * manual worktree ritual the build notes record for rounds 14 and 15.
+  * benches the prior worktree and HEAD back-to-back (each in its own
+  * sbt subprocess, so each runs ITS OWN classes), then prints the
+  * movers table over the common query set: common-set totals, per-query
+  * deltas sorted by magnitude, and the added/removed query lists. This
+  * is how "machine drift" gets attributed with numbers instead of
+  * narrative — the manual worktree ritual the build notes record for
+  * rounds 14 and 15.
+  *
+  * LAUNCH OUTSIDE SBT (measured): an sbt parent in `headDir` holds the
+  * project lock its own HEAD child needs — `runMain graft.BenchAb`
+  * deadlocks the run against itself. Invoke the compiled class
+  * directly (NB the glob is spelled without a slash-star pair — Scala
+  * block comments nest):
+  * {{{
+  * java -cp target/scala-2.13/classes:/opt/spark/jars/ALL_JARS \
+  *   graft.BenchAb /tmp/graft_r15      # ALL_JARS = the star glob
+  * }}}
   *
   * Mechanics / hygiene:
   *  - order matches the manual ritual: worktree first, then HEAD
