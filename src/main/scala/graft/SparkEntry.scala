@@ -253,7 +253,7 @@ object SparkEntry {
   val indexBacked: Set[String] = Set(
     "doc_bm25_index_topk", "doc_bm25_append_topk", "doc_bm25_compact_topk",
     "doc_bm25_retract_topk", "doc_bm25_retract_health",
-    "doc_bm25_retract_compact_topk",
+    "doc_bm25_retract_compact_topk", "doc_bm25_sync_topk",
     "doc_dedup_index_pairs", "doc_dedup_index_append_pairs",
     "doc_dedup_index_clean", "doc_dedup_index_health",
     "doc_dedup_index_compact_pairs", "doc_dedup_index_retract_pairs",
@@ -344,6 +344,22 @@ object SparkEntry {
     */
   private def syncV2(docs: DataFrame): DataFrame =
     docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 31 =!= 10)
+      .select(col("doc_id"),
+        when(col("doc_id") % 17 === 11,
+          concat(coalesce(col("text"), lit("")), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 20 === 7)
+        .select((col("doc_id") + (1L << 40)).as("doc_id"), col("text")))
+
+  /** The lex sync's v1 → v2 transform — the syncV2 classes over the
+    * FULL corpus (the lex family serves probe queries, not a delta
+    * batch, so v1 needs no held-out slice): remove % 31 == 10, rewrite
+    * % 17 == 11, add +2^40 copies of the % 20 == 7 docs. The five probe
+    * docs (1, 101, 201, 301, 401) are in no class, so their texts — and
+    * the driver-side term extraction — are identical in both snapshots.
+    */
+  private def syncV2Lex(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 31 =!= 10)
       .select(col("doc_id"),
         when(col("doc_id") % 17 === 11,
           concat(coalesce(col("text"), lit("")), lit(" v2")))
@@ -1378,6 +1394,25 @@ object SparkEntry {
       if (builtIndexes.add(s"lexrtc:$out")) {
         buildRetractedLexIndex(s, dir, out)
         Search.compactLexIndex(s, out)
+      }
+      Search.lexIndexTopK(s, out, lexProbeQueries(s, dir), k = 10,
+        excludeSelf = true)
+    }),
+
+    // INCREMENTAL SYNC at the lex tier — build on v1 (the FULL corpus;
+    // the probe docs stay live and textually unchanged through the
+    // transition), sync to v2, serve the shared probes. Every sync
+    // class moves the scores through the global stats: removal shifts
+    // N/avgdl for every candidate, the changed re-ingest scores with
+    // its ' v2' tokens, and the +2^40 added twins double their terms'
+    // df — so the v2-corpus oracle discriminates a sync that ignored
+    // any class. Serve ≡ rebuild-on-v2 exactly (spec).
+    "doc_bm25_sync_topk" -> ((s, dir) => {
+      val out = indexDir("graft_lex_sync", dir)
+      if (builtIndexes.add(s"lexsync:$out")) {
+        val docs = t(s, dir, "documents")
+        Search.buildLexIndex(docs, out, buckets = 64)
+        Search.syncLexIndex(docs, syncV2Lex(docs), out)
       }
       Search.lexIndexTopK(s, out, lexProbeQueries(s, dir), k = 10,
         excludeSelf = true)
@@ -3066,12 +3101,13 @@ object SparkEntry {
     * len(t) > 0 dl CTE, matching the engine's tokenized-membership
     * retraction contract).
     */
-  private def bm25TopKSqlOver(srcWhere: String): String =
+  private def bm25TopKSqlOver(srcWhere: String,
+      src: String = "documents"): String =
     s"""WITH toks AS (
            SELECT doc_id,
              CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                   ELSE list_filter(string_split_regex(trim(text), '\\s+'), tk -> tk <> '') END AS t
-           FROM documents
+           FROM $src
            WHERE doc_id IS NOT NULL$srcWhere),
          et AS (
            SELECT doc_id, e.pos AS pos, e.term AS term FROM (
@@ -4188,6 +4224,20 @@ object SparkEntry {
     // Compaction folds live postings verbatim (stats were decremented
     // at takedown) — membership and scoring unchanged, same oracle.
     "doc_bm25_retract_compact_topk" -> bm25RetractTopKSql,
+
+    // Sync replay: the SAME scoring chain over the v2 corpus (the
+    // syncV2Lex transform) — diff/tombstone/append mechanics are
+    // invisible in the semantics; sync ≡ rebuild-on-v2 is the claim.
+    "doc_bm25_sync_topk" ->
+      ("WITH v2 AS (\n" +
+        """           SELECT doc_id,
+             CASE WHEN doc_id % 17 = 11 THEN coalesce(text, '') || ' v2'
+                  ELSE text END AS text
+           FROM documents WHERE doc_id % 31 <> 10
+           UNION ALL
+           SELECT doc_id + 1099511627776 AS doc_id, text FROM documents
+           WHERE doc_id % 20 = 7), """ +
+        bm25TopKSqlOver("", src = "v2").stripPrefix("WITH ")),
 
     // Takedown census at the lex tier: members = tokenized docs of the
     // full-corpus build; dead = the retracted % 10 == 3 slice.

@@ -572,6 +572,59 @@ object Search {
     } finally Barrier.release(h)
   }
 
+  /** INCREMENTAL CORPUS SYNC — apply a v1 → v2 snapshot transition to a
+    * lex index currently holding v1's tokenized membership, so serves
+    * afterwards equal a [[buildLexIndex]] over v2 EXACTLY: the
+    * [[DedupIndex.syncDedupIndex]] composition at the lexical tier.
+    * `removed` and `changed` ids retract (one tombstone generation + a
+    * decremented stats row in one commit), `added` and `changed` rows
+    * append from v2 (stats roll forward); df/N/avgdl recompute from
+    * live postings at serve, so the re-ingested changed doc scores with
+    * its NEW content and nothing else moves — the same unconditional
+    * equivalence argument as retraction ≡ rebuild.
+    *
+    * Membership bookkeeping mirrors the dedup sync: the retraction leg
+    * intersects v1's INGESTED membership (tokenized docs) on a
+    * BARRIERED transition-sized sliver (an unbarriered filter would be
+    * pushed below the semi join onto the full v1 scan), and the append
+    * leg writes nothing for docs that tokenize to nothing in v2. The
+    * diff's full-outer hash join runs once (transition rows barrier).
+    * Transition sets are broadcast-sized by contract. SINGLE-WRITER.
+    *
+    * BOUND (the family's all-retracted guard, inherited): a transition
+    * that removes or changes EVERY live doc retracts the index empty
+    * before the append leg can refill it, and [[retractFromLexIndex]]
+    * throws — a full corpus replacement is a [[buildLexIndex]] rebuild,
+    * not a sync.
+    */
+  def syncLexIndex(v1Docs: DataFrame, v2Docs: DataFrame,
+      dir: String): Unit = {
+    import Barrier.BarrierOps
+    val transitions = Curation.corpusDiff(v1Docs, v2Docs)
+      .where(col("status") =!= "unchanged")
+      .select(col("doc_id"), col("status"))
+      .barrier()
+    try {
+      val retractIds = transitions
+        .filter(col("status").isin("removed", "changed"))
+        .select(col("doc_id"))
+      val retractDocs = v1Docs.where(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("text"))
+        .join(broadcast(retractIds), Seq("doc_id"), "left_semi")
+        .barrier()
+      try {
+        retractFromLexIndex(
+          retractDocs.where(
+            size(TextAnalysis.wsTokens(col("text"))) > 0), dir)
+      } finally Barrier.release(retractDocs)
+      val appendIds = transitions
+        .filter(col("status").isin("added", "changed"))
+        .select(col("doc_id"))
+      appendToLexIndex(
+        v2Docs.join(broadcast(appendIds), Seq("doc_id"), "left_semi"), dir)
+    } finally Barrier.release(transitions)
+  }
+
   /** Takedown-pressure census (ONE row: live_docs, dead_docs,
     * dead_ppm) — the shared [[GenManifest.takedownCensus]] over the
     * postings' doc keys (a doc spans many postings rows across term

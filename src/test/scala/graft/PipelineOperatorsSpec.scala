@@ -605,6 +605,47 @@ class PipelineOperatorsSpec extends SparkSpec {
       ((seqB, dirsB, Nil, "stats")))
   }
 
+  test("syncLexIndex: v1→v2 sync ≡ rebuild-on-v2 exactly; changed docs score with NEW content; v1-token-less changed docs append without retraction; unchanged corpus is a no-op") {
+    val v1 = docs(
+      0L -> "aa bb cc dd", // query doc, unchanged through the transition
+      1L -> "aa bb cc dd ee", // unchanged candidate
+      2L -> "aa bb ff gg", // removed in v2
+      3L -> "aa cc ee gg", // changed in v2
+      4L -> "") // token-less in v1: never indexed (append-only change)
+    val v2 = docs(
+      0L -> "aa bb cc dd",
+      1L -> "aa bb cc dd ee",
+      3L -> "zz cc yy xx",
+      4L -> "aa dd ee",
+      5L -> "bb cc dd gg") // added
+    val synced = java.nio.file.Files
+      .createTempDirectory("graft_lex_sync").toString
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft_lex_sync_reb").toString
+    Search.buildLexIndex(v1, synced, buckets = 8)
+    Search.syncLexIndex(v1, v2, synced)
+    Search.buildLexIndex(v2, rebuilt, buckets = 8)
+    val queries = Seq(0L -> Search.queryByExampleTerms("aa bb cc dd", 4))
+    def run(dir: String) = Search
+      .lexIndexTopK(spark, dir, queries, k = 10, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    val s1 = run(synced)
+    assert(s1 == run(rebuilt), "sync ≡ rebuild-on-v2")
+    assert(s1.nonEmpty)
+    assert(!s1.exists(_._2 == 2L), "the removed doc cannot be a hit")
+    assert(s1.exists(_._2 == 4L),
+      "the v1-token-less changed doc scores with its NEW content " +
+        "(aa/dd hits)")
+    assert(s1.exists(_._2 == 5L), "the added doc scores (bb/cc/dd hits)")
+    // An unchanged corpus syncs as a complete no-op (no retraction, no
+    // append, no commit).
+    val seq0 = Search.lexManifest(spark, synced)._1
+    Search.syncLexIndex(v2, v2, synced)
+    assert(Search.lexManifest(spark, synced)._1 == seq0)
+    assert(run(synced) == s1)
+  }
+
   test("retractFromLexIndex: retraction ≡ rebuild exactly; re-ingest restores; compact purges; guards") {
     val rnd = new scala.util.Random(31)
     val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
