@@ -256,6 +256,11 @@ object Curation {
             // \n split) would keep the line here and drop it in the
             // oracle. substring(-1) has one cross-engine meaning.
             substring(t, -1, 1).isin(".", "!", "?", "\"") &&
+              // DELIBERATELY not tokenCountWs: `t` is the pre-trimmed
+              // line attribute (the round-13 HOF fix), and wsTokens
+              // would re-run trim per line inside this interpreted
+              // lambda; the inline form is value-identical on trimmed
+              // input (blank → 0 both ways).
               size(filter(split(t, "\\s+"), w => w =!= lit(""))) >=
                 C4MinLineWords &&
               !lower(t).contains("javascript")
@@ -370,7 +375,8 @@ object Curation {
         // CAST_INVALID_INPUT / CAST_OVERFLOW deep in a task — or, on a
         // non-ANSI session, silently drop the row as NULL. (0/0 on
         // doubles is IEEE NaN, not an error — the sourceMix hazard.)
-        when(isnan(weight) || weight === lit(Double.PositiveInfinity),
+        when(isnan(weight) || weight === lit(Double.PositiveInfinity) ||
+            weight === lit(Double.NegativeInfinity),
           raise_error(lit("weightedSample: non-finite weight (NaN or " +
             "Infinity) — clean the weight column upstream")))
           .when(weight > lit(0) && scaled <= lit(0L),
@@ -492,6 +498,17 @@ object Curation {
     */
   def mixRatePlan(docs: DataFrame, targets: Map[String, Double],
       defaultTarget: Double = 0.0): DataFrame = {
+    // Knob validation, driver-side and loud (the weightedSample /
+    // sourceCaps rule): a NaN or negative target share would otherwise
+    // propagate silently — NaN poisons max(__ratio) under Spark's
+    // NaN-greater-than-everything ordering and every sample_rate emits
+    // NaN with no error anywhere.
+    (targets.toSeq :+ ("defaultTarget" -> defaultTarget)).foreach {
+      case (l, t) =>
+        require(!t.isNaN && !t.isInfinite && t >= 0.0,
+          s"mixRatePlan: target share for '$l' is $t — shares must be " +
+            "finite and >= 0")
+    }
     // Shared cells kernel — feeds the total + max + output branches.
     val cells = langTokenCells(docs)
     val total = cells.agg(sum(col("tokens")).as("__total"))
@@ -595,7 +612,12 @@ object Curation {
       // Output is INVARIANT in rangeSize (ranges only bound per-window
       // task size); the default keeps the offsets table driver/broadcast-
       // tiny at corpus scale: 1e9 docs → 1e4 offset rows. Smaller values
-      // buy nothing but a bigger broadcast.
+      // buy nothing but a bigger broadcast. NB the range key is doc_id
+      // MAGNITUDE (doc_id DIV rangeSize), so the tiny-offsets argument
+      // assumes reasonably DENSE ids — snowflake/hash-style sparse
+      // 63-bit ids put ~one doc per range and grow the offsets table
+      // toward corpus size; re-key such a corpus (or raise rangeSize to
+      // the id spacing) before packing.
       rangeSize: Long = 100000L,
       // The budget's unit: whitespace tokens by default; pass
       // TextAnalysis.tokenCountBpe to budget in the subword-ish units a
@@ -686,12 +708,16 @@ object Curation {
   def shardManifest(docs: DataFrame, budgetTokens: Long = 2048L,
       // Same output-invariant default as packAssignments/writeShards —
       // the three siblings must agree (broadcast-size rationale there).
-      packsPerShard: Long = 4L, rangeSize: Long = 100000L): DataFrame = {
+      packsPerShard: Long = 4L, rangeSize: Long = 100000L,
+      // The budget unit knob, plumbed through to packAssignments — a
+      // BPE-budgeted pipeline shards in the same units it packed in.
+      tokenCount: Column => Column = TextAnalysis.tokenCountWs)
+      : DataFrame = {
     // Driver-side (the packAssignments rule): 0 dies executor-side in
     // the DIV; a negative value silently emits truncation-not-floor
     // negative shard ids.
     require(packsPerShard > 0, s"packsPerShard=$packsPerShard must be positive")
-    packAssignments(docs, budgetTokens, rangeSize)
+    packAssignments(docs, budgetTokens, rangeSize, tokenCount)
       .withColumn("shard_id",
         expr(s"pack_id DIV ${packsPerShard}L")) // pack_id >= 0: DIV == floor
       .groupBy(col("lang"), col("shard_id"))
@@ -707,9 +733,12 @@ object Curation {
     * join re-sorted the entire text column a second time.
     */
   private[graft] def shardRows(docs: DataFrame, budgetTokens: Long,
-      packsPerShard: Long, rangeSize: Long): DataFrame = {
+      packsPerShard: Long, rangeSize: Long,
+      tokenCount: Column => Column = TextAnalysis.tokenCountWs)
+      : DataFrame = {
     require(packsPerShard > 0, s"packsPerShard=$packsPerShard must be positive")
-    packAssignments(docs, budgetTokens, rangeSize, carryText = true)
+    packAssignments(docs, budgetTokens, rangeSize, tokenCount,
+      carryText = true)
       .withColumn("shard_id",
         expr(s"pack_id DIV ${packsPerShard}L")) // pack_id >= 0: DIV == floor
       .select(col("doc_id"), col("lang"), col("shard_id"), col("pack_id"),
@@ -731,8 +760,9 @@ object Curation {
     * invariant [[shardFilesReport]] audits.
     */
   def writeShards(docs: DataFrame, outDir: String, budgetTokens: Long = 2048L,
-      packsPerShard: Long = 4L, rangeSize: Long = 100000L): Unit = {
-    shardRows(docs, budgetTokens, packsPerShard, rangeSize)
+      packsPerShard: Long = 4L, rangeSize: Long = 100000L,
+      tokenCount: Column => Column = TextAnalysis.tokenCountWs): Unit = {
+    shardRows(docs, budgetTokens, packsPerShard, rangeSize, tokenCount)
       .repartition(col("lang"), col("shard_id"))
       // Leading partition columns matter: the file writer REQUIRES child
       // ordering by its partition columns and inserts its own sort if the
@@ -1354,9 +1384,13 @@ object Curation {
     */
   def streamingChunkDedup(docs: DataFrame, tsCol: String = "ts",
       delay: String = "10 minutes", chunkTokens: Int = 10): DataFrame = {
-    // Null event-time filter before the stateful stage (the streaming
-    // twins' convention — see streamingExactDedup).
-    val toks = docs.where(col(tsCol).isNotNull)
+    // Null event-time AND null doc_id filters before the stateful stage
+    // (the streaming twins' convention — see streamingExactDedup): a
+    // null-id doc's chunks would otherwise occupy first-seen chunk_hash
+    // slots (suppressing a real doc's identical chunks) and emit
+    // survivor rows under a key a sink cannot dedupe; batch
+    // paragraphDedup drops null-id docs up front, the family rule.
+    val toks = docs.where(col(tsCol).isNotNull && col("doc_id").isNotNull)
       .select(col("doc_id"), col(tsCol),
         TextAnalysis.wsTokens(col("text")).as("toks"))
     val chunks = toks.select(col("doc_id"), col(tsCol),
