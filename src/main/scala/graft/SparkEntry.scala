@@ -5152,16 +5152,18 @@ object SparkEntry {
            SELECT doc_id,
              CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                   ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
-           FROM documents),
+           FROM documents WHERE doc_id IS NOT NULL),
          tf AS (
            SELECT doc_id, token, count(*) AS tf
            FROM (SELECT doc_id, unnest(t) AS token FROM toks)
            GROUP BY doc_id, token),
          df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-         n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+         n AS (SELECT count(DISTINCT doc_id) AS n FROM documents
+               WHERE doc_id IS NOT NULL),
          scored AS (
            SELECT tf.doc_id, tf.token, tf.tf, df.df,
-             CAST(tf.tf * n.n AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+             CAST(tf.tf AS DOUBLE) * CAST(n.n AS DOUBLE)
+               / CAST(df.df AS DOUBLE) AS score
            FROM tf JOIN df USING (token) CROSS JOIN n),
          ranked AS (
            SELECT *, row_number() OVER (PARTITION BY doc_id

@@ -341,6 +341,15 @@ object TextAnalysis {
     */
   private[graft] def sharedFingerprintPairs(fp: DataFrame, minShared: Int,
       maxDf: Int): DataFrame = {
+    // Guard ONCE for every caller (winnow/dupSpans/media had hand-copied
+    // requires at some sites and none at others — the parity hole):
+    // maxDf <= 0 would silently prune EVERY fingerprint (this family's
+    // cap keeps df <= maxDf; it has no 0-means-uncapped sentinel, unlike
+    // the minhash/simhash caps), and minShared <= 0 keeps all-pairs.
+    require(minShared >= 1, s"minShared=$minShared must be >= 1")
+    require(maxDf >= 1,
+      s"maxDf=$maxDf must be >= 1 — this cap has no uncapped sentinel " +
+        "(df <= maxDf keeps nothing at 0); pass a large cap instead")
     val rare = fp.groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
@@ -383,6 +392,10 @@ object TextAnalysis {
     * (re-evaluation trap, see Dedup.shinglesFromTokens).
     */
   def dupNgramCoverage(docs: DataFrame, n: Int = 5): DataFrame = {
+    // The winnowingFingerprints k-guard rule: n <= 0 silently emits
+    // all-empty grams and coverage 0 for every doc after paying the
+    // full per-doc sort.
+    require(n >= 1, s"n=$n must be >= 1")
     val toks = docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
     val grams = toks.select(col("doc_id"), col("toks"),
       when(size(col("toks")) >= n, ngramArray(col("toks"), n))
@@ -844,8 +857,8 @@ object TextAnalysis {
     // and wraps a long past ~3-4M docs — the silent-wrap class
     // trainKeyedBooks/indexHealth already widened for. The display
     // column casts back to long (exact at any audit scale; a sum past
-    // 9.2e18 reads NULL rather than garbage), and rho is computed from
-    // the unwrapped decimal.
+    // 9.2e18 makes the ANSI cast THROW — loud, never garbage), and rho
+    // is computed from the unwrapped decimal.
     val sums = pairs.map { case (i, j) =>
       val d = col(s"__r_${cols(i)}") - col(s"__r_${cols(j)}")
       sum((d * d).cast("decimal(38,0)")).as(s"__s_${i}_$j")
@@ -1201,6 +1214,12 @@ object TextAnalysis {
     */
   private def substrIslands(docs: DataFrame, minLen: Int,
       maxGramDf: Int): DataFrame = {
+    // The winnowingFingerprints k-guard rule, applied to the gram
+    // width: minLen = 0 makes every position's gram the EMPTY string
+    // (one shared anchor key → an all-docs quadratic clique, and the
+    // clean half would cut real text), and a negative minLen dies in
+    // slice() mid-task with no operator context.
+    require(minLen >= 1, s"minLen=$minLen must be >= 1")
     val W = org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
     // (pos, gram-hash) structs; docs shorter than minLen contribute none.
@@ -1252,7 +1271,12 @@ object TextAnalysis {
         // (the simhash/lshNearDups capped-table rule): unbarriered, the
         // occurrence aggregation + anti-join execute once PER SIDE. g0
         // is superseded once this materializes.
-        val capped = g0.join(hot, Seq("gh"), "left_anti").barrier()
+        // Release g0 on the capped materialization's FAILURE path too —
+        // the corpus-sized gram checkpoint would otherwise strand for
+        // the session (Verify catches per-query failures and continues).
+        val capped =
+          try g0.join(hot, Seq("gh"), "left_anti").barrier()
+          catch { case t: Throwable => Barrier.release(g0); throw t }
         Barrier.release(g0)
         capped
       }
@@ -1350,17 +1374,28 @@ object TextAnalysis {
     // (two Generate+Scan subtrees in the static plan; exchange reuse is a
     // runtime maybe, not a guarantee). The persisted rows are (id, token,
     // count) — far smaller than the text they summarize.
-    Barrier.withCached(explodedTokens(docs)
+    // Null-id docs dropped up front, oracle-mirrored (the per-doc
+    // family rule — the Search.postings frankendoc class): grouping
+    // them under the NULL key would merge every null-id doc into one
+    // ranked pseudo-doc whose tokens inflate df while count_distinct
+    // counts them as ZERO docs — a corpus-wide score skew.
+    val idDocs = docs.where(col("doc_id").isNotNull)
+    Barrier.withCached(explodedTokens(idDocs)
         .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))) { tf =>
       val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      val n = docs.agg(count_distinct(col("doc_id")).as("n"))
+      val n = idDocs.agg(count_distinct(col("doc_id")).as("n"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("token").asc)
       tf.join(df, Seq("token"))
         .join(broadcast(n))
+        // Multiply in DOUBLE (value-identical below 2^53): the long
+        // product tf·N wraps — ANSI: throws — at the BM25 rank-sum
+        // scale (~1e11 docs × tf ~1e8), exactly the class Search
+        // widened to decimal.
         .withColumn("score",
-          (col("tf") * col("n")).cast("double") / col("df").cast("double"))
+          (col("tf").cast("double") * col("n").cast("double"))
+            / col("df").cast("double"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
         .select(col("doc_id"), col("token"), col("tf"), col("df"),
