@@ -274,7 +274,8 @@ object SparkEntry {
     "doc_media_index_retract_compact_near",
     "doc_stats_cells", "doc_stats_append_cells", "doc_stats_quantiles",
     "doc_stats_health", "doc_stats_retract_cells",
-    "doc_stats_retract_quantiles")
+    "doc_stats_retract_quantiles", "doc_stats_sync_cells",
+    "doc_stats_sync_quantiles")
 
   // ---------------------------------------------------------------------
   // Planted inputs for data-driven weakly-discriminative oracles (the
@@ -366,6 +367,28 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       .unionByName(docs.filter(col("doc_id") % 20 === 7)
         .select((col("doc_id") + (1L << 40)).as("doc_id"), col("text")))
+
+  /** The stats sync's v1 → v2 transform — the syncV2 classes over the
+    * full corpus PLUS the cell-identity class that motivates
+    * corpusDiffBy: % 23 == 5 docs keep their text but are reattributed
+    * to source 'resync' (must read `changed` — a text-only diff would
+    * miss the cell move). Removed wins over the rewrite classes where
+    * they overlap (the filter runs last), mirrored in the oracle's
+    * statsSyncSrcSql where the removed filter excludes the row before
+    * any CASE applies.
+    */
+  private def syncV2Stats(docs: DataFrame): DataFrame = {
+    val relabeled = docs.select(col("doc_id"), col("lang"),
+      when(col("doc_id") % 23 === 5, lit("resync"))
+        .otherwise(col("source")).as("source"),
+      when(col("doc_id") % 17 === 11,
+        concat(coalesce(col("text"), lit("")), lit(" v2")))
+        .otherwise(col("text")).as("text"))
+    relabeled.filter(col("doc_id") % 31 =!= 10)
+      .unionByName(relabeled.filter(col("doc_id") % 20 === 7)
+        .select((col("doc_id") + (1L << 40)).as("doc_id"), col("lang"),
+          col("source"), col("text")))
+  }
 
   /** The exact-sync serve's probe batch: the organic % 10 == 7 batch
     * plus re-identified copies exercising EVERY sync class against the
@@ -1770,6 +1793,40 @@ object SparkEntry {
       StatsIndex.statsQuantiles(s, out)
     }),
 
+    // INCREMENTAL SYNC lifecycle — the stats member of the sync family
+    // (arithmetic-exact: retract = negated v1 sums of removed/changed,
+    // append = v2 sums of added/changed; serve re-aggregation nets out
+    // the transition exactly). The v1 → v2 transform exercises every
+    // sync class INCLUDING the cell-identity motivation for
+    // corpusDiffBy: % 23 == 5 docs keep their text but move to source
+    // 'resync' (a text-hash diff would read them `unchanged` and the
+    // served cells would be wrong — this class is why the diff unit is
+    // (lang, source, text)). Serve ≡ rebuild-on-v2; oracle = the shared
+    // cells body over the v2 restatement.
+    "doc_stats_sync_cells" -> ((s, dir) => {
+      val out = indexDir("graft_stx_sync", dir)
+      if (builtIndexes.add(s"stxsync:$out")) {
+        val docs = t(s, dir, "documents")
+        StatsIndex.buildStatsIndex(docs, out)
+        StatsIndex.syncStatsIndex(docs, syncV2Stats(docs), out)
+      }
+      StatsIndex.statsCells(s, out)
+    }),
+
+    // Quantiles over the SAME synced index: the histogram at rest nets
+    // the transition's token-length moves (the ' v2' rewrite shifts 29
+    // docs one length bucket up; removals/additions move counts) —
+    // shared quantiles oracle body over the v2 restatement.
+    "doc_stats_sync_quantiles" -> ((s, dir) => {
+      val out = indexDir("graft_stx_sync", dir)
+      if (builtIndexes.add(s"stxsync:$out")) {
+        val docs = t(s, dir, "documents")
+        StatsIndex.buildStatsIndex(docs, out)
+        StatsIndex.syncStatsIndex(docs, syncV2Stats(docs), out)
+      }
+      StatsIndex.statsQuantiles(s, out)
+    }),
+
     // Corpus snapshot diff with PLANTED version deltas (the pii-scrub
     // de-vacuation pattern): v2 drops doc_id%31==5 (removed), rewrites
     // doc_id%17==3 (changed), and ingests doc_id%41==7 under shifted ids
@@ -2814,6 +2871,27 @@ object SparkEntry {
   private val statsRetainedSrcSql: String =
     """(SELECT lang, source, text FROM documents
         WHERE doc_id IS NULL OR doc_id % 10 <> 6) u"""
+
+  /** The SYNCED index's content — syncV2Stats restated: null-id rows
+    * keep their v1 contribution (outside the doc-keyed diff, the
+    * corpusDiff contract — the CASE arms are never true on NULL ids so
+    * they fall through unchanged), non-null rows are v2's (source
+    * reattribution + ' v2' rewrite, minus the removed slice, plus the
+    * +2^40 added copies which carry the rewrites like the Spark
+    * transform's relabeled base).
+    */
+  private val statsSyncSrcSql: String =
+    """(SELECT lang,
+          CASE WHEN doc_id % 23 = 5 THEN 'resync' ELSE source END AS source,
+          CASE WHEN doc_id % 17 = 11 THEN coalesce(text, '') || ' v2'
+               ELSE text END AS text
+        FROM documents WHERE doc_id IS NULL OR doc_id % 31 <> 10
+        UNION ALL
+        SELECT lang,
+          CASE WHEN doc_id % 23 = 5 THEN 'resync' ELSE source END AS source,
+          CASE WHEN doc_id % 17 = 11 THEN coalesce(text, '') || ' v2'
+               ELSE text END AS text
+        FROM documents WHERE doc_id % 20 = 7) u"""
 
   // The pair chain extended to connected components (symmetric edges ->
   // recursive reachability -> per-node min label) for the cluster
@@ -5924,6 +6002,8 @@ object SparkEntry {
     "doc_stats_retract_cells" -> statsCellsSql(statsRetainedSrcSql),
 
     "doc_stats_retract_quantiles" -> lengthQuantilesSql(statsRetainedSrcSql),
+    "doc_stats_sync_cells" -> statsCellsSql(statsSyncSrcSql),
+    "doc_stats_sync_quantiles" -> lengthQuantilesSql(statsSyncSrcSql),
 
     // Health: cells/hist rows are per-generation distinct group counts
     // summed across the build and append slices; n_rows is the row

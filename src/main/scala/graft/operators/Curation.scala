@@ -1422,7 +1422,23 @@ object Curation {
     * If both snapshots are stored bucketed by doc_id the exchange
     * disappears entirely.
     */
-  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame =
+    corpusDiffBy(oldDocs, newDocs, md5(coalesce(col("text"), lit(""))))
+
+  /** [[corpusDiff]] generalized over the CONTENT-IDENTITY column — the
+    * hook the non-text index families sync through: the media index
+    * diffs by payload bytes (`md5(payload)` — a re-encode that leaves
+    * text equal but bytes different must read `changed` there), and the
+    * stats index diffs by the full (lang, source, text) cell identity
+    * (a source reattribution with unchanged text MOVES a row between
+    * cells, so it must read `changed` too). `identity` is evaluated
+    * against each snapshot's row and must be non-null (coalesce inside
+    * it — a NULL identity would classify as added+removed phantom
+    * churn); everything else (null-id exclusion, the single hash-only
+    * full-outer join, the status algebra) is [[corpusDiff]] verbatim.
+    */
+  def corpusDiffBy(oldDocs: DataFrame, newDocs: DataFrame,
+      identity: Column): DataFrame = {
     // Null-id rows are EXCLUDED, documented (the uniformSample pattern):
     // a full-outer equi-join never matches NULL keys, so a null-id doc
     // present unchanged in both snapshots would read as one `removed`
@@ -1430,7 +1446,7 @@ object Curation {
     // <=> would instead cross-match every null-id row pair).
     def hashed(d: DataFrame, as: String) = d
       .where(col("doc_id").isNotNull)
-      .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as(as))
+      .select(col("doc_id"), identity.as(as))
     hashed(oldDocs, "old_hash")
       .join(hashed(newDocs, "new_hash"), Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("old_hash"), col("new_hash"),

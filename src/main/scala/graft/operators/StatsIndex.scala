@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Barrier.BarrierOps
 
 /** Persisted CORPUS-STATISTICS index — incremental maintenance of the
   * algebraic aggregates a curation/mixing stage reads on every run:
@@ -281,6 +282,76 @@ object StatsIndex {
         sweepGenerations(spark, dir, seq + 1)
       }
     }
+  }
+
+  /** INCREMENTAL CORPUS SYNC — apply a v1 → v2 snapshot transition so
+    * serves afterwards equal a [[buildStatsIndex]] over v2 EXACTLY: the
+    * cheapest sync in the index family because exactness is ARITHMETIC
+    * (commutative integer sums — retraction is a negated-sum generation,
+    * append a positive one; the serve's re-aggregation nets the v1
+    * contribution of every transitioned doc out and the v2 contribution
+    * in, no hash-family or liveness argument needed).
+    *
+    * The diff unit is the full CELL IDENTITY (lang, source, text), not
+    * text alone: a source reattribution or language relabel with
+    * unchanged text MOVES the doc between cells, so it must read
+    * `changed` (retract the v1 row, append the v2 row) — the
+    * [[Curation.corpusDiffBy]] hook exists for exactly this. Fields
+    * coalesce to '' under the null ≡ empty contract and join with a
+    * U+0001 unit separator (a field containing that control char could in
+    * principle alias — acceptable for control-character-free corpus
+    * metadata, documented).
+    *
+    * Null-id rows are outside the diff (corpusDiff's contract): their
+    * v1 contribution stays ingested, so sync ≡ rebuild-on-v2 holds
+    * exactly when null-id rows are identical across the snapshots —
+    * the same precondition every registered oracle states with its
+    * `doc_id IS NULL OR` arm.
+    *
+    * TORN-SYNC RECOVERY: the retract and append legs are two separate
+    * atomic commits. A crash between them leaves the index at
+    * v1 ∖ (removed ∪ changed) — and because this family stores
+    * aggregates, it CANNOT detect that a re-run's retract leg was
+    * already applied (re-running the whole sync double-retracts,
+    * visible only as [[indexHealth]] `neg_cells`). Recover by applying
+    * the append leg alone:
+    * `appendToStatsIndex(v2Docs ⋉ (added ∪ changed ids), dir)` — the
+    * transition ids are recomputable from the two snapshots — or
+    * rebuild. The membership-carrying families (exact/dedup/media/lex)
+    * resume automatically; this one trades that for zero per-doc state.
+    *
+    * 100 TB shape: ONE hash-only co-partitioned full-outer diff join
+    * (the transition set barriers — broadcast-sized by contract, like
+    * every takedown table); each leg broadcast-semi-joins its
+    * transition-sized id set against a snapshot scan, and the
+    * tokenizing micro aggregation only ever touches transition rows.
+    * Both snapshot frames must be deterministic under re-evaluation.
+    * SINGLE-WRITER, like every lifecycle op.
+    */
+  def syncStatsIndex(v1Docs: DataFrame, v2Docs: DataFrame,
+      dir: String): Unit = {
+    val cellIdentity = md5(concat_ws("\u0001",
+      coalesce(col("lang"), lit("")), coalesce(col("source"), lit("")),
+      coalesce(col("text"), lit(""))))
+    val transitions =
+      Curation.corpusDiffBy(v1Docs, v2Docs, cellIdentity)
+        .where(col("status") =!= "unchanged")
+        .select(col("doc_id"), col("status"))
+        .barrier()
+    try {
+      val retractIds = transitions
+        .filter(col("status").isin("removed", "changed"))
+        .select(col("doc_id"))
+      retractFromStatsIndex(
+        v1Docs.join(broadcast(retractIds), Seq("doc_id"), "left_semi"),
+        dir)
+      val appendIds = transitions
+        .filter(col("status").isin("added", "changed"))
+        .select(col("doc_id"))
+      appendToStatsIndex(
+        v2Docs.join(broadcast(appendIds), Seq("doc_id"), "left_semi"),
+        dir)
+    } finally Barrier.release(transitions)
   }
 
   /** Fold every live generation back into ONE pair of tables (the

@@ -5677,6 +5677,50 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(snap(appended) == a)
   }
 
+  test("statsIndex: v1→v2 sync ≡ rebuild-on-v2 exactly — incl. the source-reattribution class, a fully-removed language, and null-id rows held at v1; unchanged corpus is a complete no-op") {
+    def idDocs(rows: (java.lang.Long, String, String, String)*): DataFrame =
+      rows.toDF("doc_id", "lang", "source", "text")
+    val v1 = idDocs(
+      (1L, "en", "web", "one two three"), // unchanged
+      (2L, "en", "web", "four five"), // unchanged
+      (3L, "en", "book", "six"), // removed
+      (4L, "zh", "web", "a b c d"), // changed text
+      (5L, "en", "web", "keep me"), // source reattribution (text equal!)
+      (6L, "xx", "web", "solo xx doc"), // removed → the language empties
+      (null, "en", "web", "null id row")) // outside the diff
+    val v2 = idDocs(
+      (1L, "en", "web", "one two three"),
+      (2L, "en", "web", "four five"),
+      (4L, "zh", "web", "a b c d e f"),
+      (5L, "en", "mirror", "keep me"),
+      (7L, "fr", "web", "un deux"), // added
+      (null, "en", "web", "null id row")) // identical, stays at v1 mass
+    val synced = stxTmp()
+    val rebuilt = stxTmp()
+    StatsIndex.buildStatsIndex(v1, synced)
+    StatsIndex.syncStatsIndex(v1, v2, synced)
+    StatsIndex.buildStatsIndex(v2, rebuilt)
+    def snap(d: String) =
+      (cellRows(StatsIndex.statsCells(spark, d)),
+        quantRows(StatsIndex.statsQuantiles(spark, d)))
+    // Sync ≡ rebuild-on-v2: the reattributed doc 5 moved cells (a
+    // text-hash diff would have read it `unchanged` and left it in
+    // (en, web) — the corpusDiffBy identity is what this asserts), xx
+    // netted to zero and serves no quantile rows, fr appeared.
+    assert(snap(synced) == snap(rebuilt))
+    assert(!cellRows(StatsIndex.statsCells(spark, synced))
+      .exists(_._1 == "xx"))
+    assert(cellRows(StatsIndex.statsCells(spark, synced))
+      .contains(("en", "mirror", 1L, 2L, 7L)))
+    assert(StatsIndex.indexHealth(spark, synced).head()
+      .getAs[Long]("neg_cells") == 0L)
+    // Unchanged corpus: no transition, neither leg commits.
+    val seqB = StatsIndex.statsManifest(spark, synced)._1
+    StatsIndex.syncStatsIndex(v2, v2, synced)
+    assert(StatsIndex.statsManifest(spark, synced)._1 == seqB)
+    assert(snap(synced) == snap(rebuilt))
+  }
+
   test("statsIndex: empty-corpus build rejected before destroying the previous index; append requires a base; family guard") {
     val dir = stxTmp()
     StatsIndex.buildStatsIndex(statDocs(statBase: _*), dir)
