@@ -271,7 +271,7 @@ object SparkEntry {
     "doc_media_index_near", "doc_media_index_append_near",
     "doc_media_index_health", "doc_media_index_clean",
     "doc_media_index_retract_near", "doc_media_index_retract_health",
-    "doc_media_index_retract_compact_near",
+    "doc_media_index_retract_compact_near", "doc_media_index_sync_near",
     "doc_stats_cells", "doc_stats_append_cells", "doc_stats_quantiles",
     "doc_stats_health", "doc_stats_retract_cells",
     "doc_stats_retract_quantiles", "doc_stats_sync_cells",
@@ -547,6 +547,36 @@ object SparkEntry {
         concat(blocksOf(pMediaNearPatternNoisy),
           coalesce(col("text"), lit(""))))
       .otherwise(col("text")))
+  }
+
+  /** The media sync's v1 → v2 transform over the (doc_id, text)
+    * projection of the PLANTED corpus — mirrored in
+    * [[mediaNearSyncPdSql]]: remove the % 4 == 2 pattern-group slice,
+    * give the % 29 == 17 ∧ % 4 == 3 docs the pattern plant (changed —
+    * payload bytes move, so corpusDiffBy reads them `changed` and the
+    * re-ingest adds cross pairs), add +2^40 twins of the % 4 == 2
+    * noisy-group docs (2^40 ≡ 0 mod 4 keeps a twin out of the delta
+    * slice; the twin's text is the ALREADY-PLANTED noisy text, like the
+    * oracle's twin branch).
+    */
+  private def syncV2Media(planted: DataFrame): DataFrame = {
+    def prefixOf(p: String) =
+      when(col("doc_id") % 3 === 0, lit(p.take(128)))
+        .when(col("doc_id") % 3 === 1, lit(p.take(192)))
+        .otherwise(lit(p))
+    planted
+      .filter(!(col("doc_id") % 4 === 2 && col("doc_id") % 29 === 11))
+      .select(col("doc_id"),
+        when(col("doc_id") % 29 === 17 && col("doc_id") % 4 === 3 &&
+            col("doc_id") < 500,
+          concat(prefixOf(pMediaNearPattern),
+            coalesce(col("text"), lit(""))))
+          .otherwise(col("text")).as("text"))
+      .unionByName(planted
+        .filter(col("doc_id") % 4 === 2 && col("doc_id") % 29 === 23 &&
+          col("doc_id") < 500)
+        .select((col("doc_id") + lit(1099511627776L)).as("doc_id"),
+          col("text")))
   }
 
   /** Containment plant: 12 tokens → 10 trigrams (the min set). */
@@ -1247,6 +1277,31 @@ object SparkEntry {
       }
       MediaIndex.mediaIndexPairs(s, out,
         payloads.filter(col("doc_id") % 4 === 1))
+    }),
+
+    // INCREMENTAL SYNC lifecycle — the media member of the sync family
+    // (corpusDiffBy on PAYLOAD BYTES composed with the doc-keyed
+    // retract/append lifecycle): build on the v1 base (% 4 <> 1), apply
+    // the v1 → v2 transition (the % 4 == 2 pattern slice removed, the
+    // % 29 == 17 ∧ % 4 == 3 docs changed INTO the pattern group, noisy
+    // +2^40 twins added), serve the % 4 == 1 batch. Serve ≡ rebuild
+    // over v2 EXACTLY (spec-pinned) — removal deletes the pattern
+    // probes' cross pairs, the changed re-ingest adds new ones, and the
+    // added twins pair with the noisy probes.
+    "doc_media_index_sync_near" -> ((s, dir) => {
+      val planted = mediaNearPlanted(s, dir)
+        .select(col("doc_id"), col("text"))
+      val out = indexDir("graft_mdx_sync", dir)
+      if (builtIndexes.add(s"mdxsync:$out")) {
+        val v1 = Multimodal.withPayload(
+          planted.filter(col("doc_id") % 4 =!= 1))
+        MediaIndex.buildMediaIndex(v1, out)
+        MediaIndex.syncMediaIndex(v1,
+          Multimodal.withPayload(
+            syncV2Media(planted.filter(col("doc_id") % 4 =!= 1))), out)
+      }
+      MediaIndex.mediaIndexPairs(s, out,
+        Multimodal.withPayload(planted.filter(col("doc_id") % 4 === 1)))
     }),
 
     // Per-block key census over the SAME persisted index the pairs
@@ -3735,7 +3790,10 @@ object SparkEntry {
     * definition, so the planted corpus / hash layout / block split can
     * never drift between them.
     */
-  private def mediaNearCtes: String =
+  private def mediaNearCtes: String = mediaNearCtes(mediaNearPdSql)
+
+  /** The default planted corpus (v1 in the sync lifecycle). */
+  private def mediaNearPdSql: String =
     s"""pd AS (
            SELECT doc_id,
              CASE WHEN doc_id % 29 = 11 AND doc_id < 500
@@ -3747,7 +3805,10 @@ object SparkEntry {
                          CAST(64 * (2 + doc_id % 3) AS INTEGER))
                        || coalesce(text, '')
                   ELSE text END AS text
-           FROM documents WHERE doc_id IS NOT NULL),
+           FROM documents WHERE doc_id IS NOT NULL)"""
+
+  private def mediaNearCtes(pdSql: String): String =
+    s"""$pdSql,
          d AS (
            SELECT doc_id, coalesce(text, '') AS text,
              octet_length(encode(coalesce(text, ''))) AS n
@@ -3796,8 +3857,9 @@ object SparkEntry {
     * set-minus corpus); "" is the full batch replay every other media
     * oracle shares.
     */
-  private def mediaNearPairChainCtes(blWhere: String = ""): String =
-    s"""$mediaNearCtes,
+  private def mediaNearPairChainCtes(blWhere: String = "",
+      pdSql: String = mediaNearPdSql): String =
+    s"""${mediaNearCtes(pdSql)},
          blv AS (SELECT * FROM bl $blWhere),
                   keep AS (
            SELECT b, bk FROM blv GROUP BY 1, 2 HAVING COUNT(*) <= 100),
@@ -3813,10 +3875,48 @@ object SparkEntry {
            WHERE bit_count(xor(va, vb)) <= 2)"""
 
   private def mediaNearPairsSql(restrict: String,
-      blWhere: String = ""): String =
-    s"""WITH ${mediaNearPairChainCtes(blWhere)}
+      blWhere: String = "", pdSql: String = mediaNearPdSql): String =
+    s"""WITH ${mediaNearPairChainCtes(blWhere, pdSql)}
          SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS shared
          FROM ver ${restrict}GROUP BY 1, 2 HAVING COUNT(*) >= 2"""
+
+  /** The media sync lifecycle's corpus — (v2 base ∪ probe delta): the
+    * % 4 == 2 pattern-group base slice is REMOVED, the % 29 == 17 ∧
+    * % 4 == 3 base docs GAIN the pattern plant (changed — their
+    * re-ingest visibly adds cross pairs with the pattern delta probes),
+    * and +2^40 twins of the % 4 == 2 noisy-group base docs are ADDED
+    * (new cross pairs with the noisy delta probes; 2^40 ≡ 0 mod 4, so a
+    * twin can never read as delta). The % 4 == 1 delta keeps its
+    * original planting — the CASE's changed arm only hits % 4 == 3.
+    */
+  private def mediaNearSyncPdSql: String =
+    s"""pd AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 29 = 11 AND doc_id < 500
+                  THEN substr('$pMediaNearPattern', 1,
+                         CAST(64 * (2 + doc_id % 3) AS INTEGER))
+                       || coalesce(text, '')
+                  WHEN doc_id % 29 = 23 AND doc_id < 500
+                  THEN substr('$pMediaNearPatternNoisy', 1,
+                         CAST(64 * (2 + doc_id % 3) AS INTEGER))
+                       || coalesce(text, '')
+                  WHEN doc_id % 29 = 17 AND doc_id % 4 = 3
+                       AND doc_id < 500
+                  THEN substr('$pMediaNearPattern', 1,
+                         CAST(64 * (2 + doc_id % 3) AS INTEGER))
+                       || coalesce(text, '')
+                  ELSE text END AS text
+           FROM documents
+           WHERE doc_id IS NOT NULL
+             AND NOT (doc_id % 4 = 2 AND doc_id % 29 = 11)
+           UNION ALL
+           SELECT doc_id + 1099511627776,
+             substr('$pMediaNearPatternNoisy', 1,
+               CAST(64 * (2 + doc_id % 3) AS INTEGER))
+               || coalesce(text, '')
+           FROM documents
+           WHERE doc_id IS NOT NULL AND doc_id % 4 = 2
+             AND doc_id % 29 = 23 AND doc_id < 500)"""
 
   /** Health replay over the INDEXED slice (base = doc_id % 4 <> 1): the
     * per-block key census the Spark report computes from the index at
@@ -6869,6 +6969,12 @@ object SparkEntry {
     "doc_media_index_retract_compact_near" -> mediaNearPairsSql(
       "WHERE doc_a % 4 = 1 OR doc_b % 4 = 1 ",
       "WHERE doc_id % 4 <> 2"),
+
+    // Sync replay: the SAME pair chain over (v2 base ∪ delta) — the pd
+    // CTE swaps to the v2 restatement, the sync mechanics (tombstones +
+    // re-ingest generations) are invisible in the semantics.
+    "doc_media_index_sync_near" -> mediaNearPairsSql(
+      "WHERE doc_a % 4 = 1 OR doc_b % 4 = 1 ", "", mediaNearSyncPdSql),
 
     // Takedown census at the media tier: members = docs with at least
     // one frame hash (the fp table) in the % 4 <> 1 base; dead = the

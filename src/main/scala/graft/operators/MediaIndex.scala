@@ -317,6 +317,77 @@ object MediaIndex {
     } finally Barrier.release(h)
   }
 
+  /** INCREMENTAL CORPUS SYNC — apply a v1 → v2 snapshot transition to a
+    * media index currently holding v1's (ingested) payloads, so serves
+    * afterwards equal a [[buildMediaIndex]] over v2 EXACTLY — the
+    * [[DedupIndex.syncDedupIndex]] composition at the media tier, with
+    * the diff unit moved to PAYLOAD BYTES via
+    * [[Curation.corpusDiffBy]]: `md5(payload)` classifies a re-encode
+    * that leaves text equal but bytes different as `changed` (a
+    * text-hash diff would miss it — payloads are the index's content).
+    * Removed + changed payloads retract (doc-keyed tombstones), added +
+    * changed append from v2; a changed doc's old-generation block rows
+    * die with its tombstone while the re-ingest outlives it (per-ROW
+    * liveness), so sync ≡ rebuild-on-v2 exactly (spec-pinned).
+    *
+    * Membership bookkeeping: the retraction leg keeps only payloads
+    * with at least one sampled frame (length ≥ frame_bytes — sub-frame
+    * or null payloads never had at-rest rows), and the append leg
+    * writes nothing for frame-less v2 payloads, so both legs respect
+    * the family's membership contract on any input; the over-retraction
+    * guard stays a real guard (wrong v1 frame still throws).
+    *
+    * TORN-SYNC RECOVERY: two atomic commits (retract, then append). A
+    * crash between them leaves membership at v1 ∖ (removed ∪ changed);
+    * recover by applying the append leg alone —
+    * `appendToMediaIndex(v2 ⋉ (added ∪ changed ids), dir)` — or
+    * rebuild. Re-running the full sync after a crash trips the
+    * over-retraction guard on the already-tombstoned ids (by design:
+    * the guard cannot distinguish a torn sync from a wrong v1 frame).
+    *
+    * 100 TB shape: the diff join ships 16-byte hashes only and runs
+    * ONCE (the transition set barriers — broadcast-sized by contract);
+    * each leg broadcast-semi-joins its transition-sized id set against
+    * a snapshot scan, and frame hashing only ever touches transition
+    * payloads. Both snapshot frames must be deterministic under
+    * re-evaluation. SINGLE-WRITER, like every GenManifest family.
+    */
+  def syncMediaIndex(v1Payloads: DataFrame, v2Payloads: DataFrame,
+      dir: String): Unit = {
+    val spark = v1Payloads.sparkSession
+    val (_, _, _, metaDir) = mediaManifest(spark, dir)
+    val frameBytes =
+      spark.read.parquet(s"$dir/$metaDir").head().getAs[Int]("frame_bytes")
+    val transitions = Curation.corpusDiffBy(v1Payloads, v2Payloads,
+        md5(coalesce(col("payload"), lit(Array.empty[Byte]))))
+      .where(col("status") =!= "unchanged")
+      .select(col("doc_id"), col("status"))
+      .barrier()
+    try {
+      val retractIds = transitions
+        .filter(col("status").isin("removed", "changed"))
+        .select(col("doc_id"))
+      // The broadcast semi reduces v1 to transition-sized rows FIRST
+      // and the sliver barriers before the frame-count membership
+      // filter (a deterministic-predicate filter would be pushed below
+      // the join onto the full v1 scan — the syncDedupIndex rule).
+      val retractDocs = v1Payloads.where(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("payload"))
+        .join(broadcast(retractIds), Seq("doc_id"), "left_semi")
+        .barrier()
+      try {
+        retractFromMediaIndex(
+          retractDocs.where(length(col("payload")) >= frameBytes), dir)
+      } finally Barrier.release(retractDocs)
+      val appendIds = transitions
+        .filter(col("status").isin("added", "changed"))
+        .select(col("doc_id"))
+      appendToMediaIndex(
+        v2Payloads.join(broadcast(appendIds), Seq("doc_id"), "left_semi"),
+        dir)
+    } finally Barrier.release(transitions)
+  }
+
   /** Takedown-pressure census (ONE row: live_docs, dead_docs,
     * dead_ppm) — the shared [[GenManifest.takedownCensus]] over the
     * block table's doc keys. [[mediaIndexHealth]] deliberately reports

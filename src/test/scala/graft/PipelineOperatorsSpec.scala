@@ -3164,6 +3164,52 @@ class PipelineOperatorsSpec extends SparkSpec {
       s"only the live base payload alerts, got $alerts")
   }
 
+  test("syncMediaIndex: v1→v2 sync ≡ rebuild-on-v2 exactly; changed payloads serve only their NEW bytes; sub-frame v1 payloads append without retraction; unchanged corpus is a no-op") {
+    import spark.implicits._
+    def head(st: Int) =
+      (0 until 16).map(n => ('A' + ((n * st) % 26)).toChar).mkString
+    def pay(rows: (Long, String)*) =
+      Multimodal.withPayload(rows.toDF("doc_id", "text"))
+    val v1 = pay(
+      1L -> (head(2) + "q" * 48), // unchanged
+      2L -> (head(3) + "q" * 48), // removed in v2
+      3L -> (head(5) + "q" * 48), // changed in v2
+      4L -> "tiny") // sub-frame in v1: never ingested (append-only change)
+    val v2 = pay(
+      1L -> (head(2) + "q" * 48),
+      3L -> (head(7) + "q" * 48),
+      4L -> (head(11) + "q" * 48),
+      5L -> (head(9) + "q" * 48)) // added
+    val probe = pay(
+      100L -> (head(2) + "q" * 48), // pairs with unchanged 1
+      101L -> (head(3) + "q" * 48), // removed bytes: no pair
+      102L -> (head(5) + "q" * 48), // changed OLD bytes: no pair
+      103L -> (head(7) + "q" * 48), // changed NEW bytes: pairs 3
+      104L -> (head(11) + "q" * 48), // append-leg-only change: pairs 4
+      105L -> (head(9) + "q" * 48)) // added: pairs 5
+    val synced = mdxTmp(); val rebuilt = mdxTmp()
+    graft.operators.MediaIndex.buildMediaIndex(v1, synced, nBuckets = 8)
+    graft.operators.MediaIndex.syncMediaIndex(v1, v2, synced)
+    graft.operators.MediaIndex.buildMediaIndex(v2, rebuilt, nBuckets = 8)
+    def serve(dir: String) = mediaPairs(graft.operators.MediaIndex
+      .mediaIndexPairs(spark, dir, probe, minShared = 1))
+    val s1 = serve(synced)
+    assert(s1 == serve(rebuilt), "sync ≡ rebuild-on-v2")
+    assert(s1.exists(p => p._1 == 1L && p._2 == 100L), s1.toString)
+    assert(!s1.exists(p => p._2 == 101L), "removed payload pairs with nothing")
+    assert(!s1.exists(p => p._2 == 102L),
+      "the changed payload's OLD generation rows must be dead, not servable")
+    assert(s1.exists(p => p._1 == 3L && p._2 == 103L), s1.toString)
+    assert(s1.exists(p => p._1 == 4L && p._2 == 104L), s1.toString)
+    assert(s1.exists(p => p._1 == 5L && p._2 == 105L), s1.toString)
+    // An unchanged corpus syncs as a complete no-op: same manifest
+    // generation, same serve.
+    val seq0 = graft.operators.MediaIndex.mediaManifest(spark, synced)._1
+    graft.operators.MediaIndex.syncMediaIndex(v2, v2, synced)
+    assert(graft.operators.MediaIndex.mediaManifest(spark, synced)._1 == seq0)
+    assert(serve(synced) == s1)
+  }
+
   test("streamingMediaIndexDups: index-backed alerts equal the live-base twin, exactly once per delivery") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
