@@ -261,7 +261,7 @@ object SparkEntry {
     "doc_dedup_index_retract_compact_pairs",
     "emb_ivf_index_topk", "emb_ivf_append_topk", "emb_ivf_compact_topk",
     "emb_ivf_retract_topk", "emb_ivf_retract_health",
-    "emb_ivf_retract_compact_topk",
+    "emb_ivf_retract_compact_topk", "emb_ivf_sync_topk",
     "emb_index_health", "emb_ivfpq_topk", "emb_ivfpq_recall",
     "emb_ivfpq_retract_topk",
     "doc_exact_index_clean", "doc_exact_index_append_clean",
@@ -2633,6 +2633,30 @@ object SparkEntry {
       if (builtIndexes.add(s"ivfrtc:$out")) {
         buildRetractedIvfIndex(s, dir, out)
         Similarity.compactIndex(s, out)
+      }
+      Similarity.ivfIndexTopK(s, out,
+        t(s, dir, "embeddings").filter(col("vec_id") < 10),
+        k = 5, probes = 2)
+    }),
+
+    // INCREMENTAL SYNC lifecycle at the ANN tier — corpusDiffBy on the
+    // VECTOR VALUE composed with retract + frozen-book append: build on
+    // v1 (% 10 <> 7, the book's training corpus), apply the v1 → v2
+    // transition (the % 20 == 4 slice removed, the % 10 == 7 slice
+    // added — both oracle-replayable classes; a changed-vector class
+    // has no SQL-replayable plant and is covered by the sync ≡ rebuild
+    // spec instead), serve external query vectors. Final membership is
+    // % 20 <> 4 under the v1-trained book — exactly the retract
+    // lifecycle's corpus, so the oracle is SHARED with
+    // emb_ivf_retract_topk.
+    "emb_ivf_sync_topk" -> ((s, dir) => {
+      val out = indexDir("graft_ivf_sync", dir)
+      if (builtIndexes.add(s"ivfsync:$out")) {
+        val emb = t(s, dir, "embeddings")
+        val v1 = emb.filter(col("vec_id") % 10 =!= 7)
+        Similarity.buildIvfIndex(v1, out, clusters = 16, iters = 2)
+        Similarity.syncAnnIndex(v1, emb.filter(col("vec_id") % 20 =!= 4),
+          out)
       }
       Similarity.ivfIndexTopK(s, out,
         t(s, dir, "embeddings").filter(col("vec_id") < 10),
@@ -6557,6 +6581,9 @@ object SparkEntry {
     // Retraction ≡ frozen-book rebuild over the retained corpus —
     // the append chain with the dead slice excluded from the search.
     "emb_ivf_retract_topk" -> ivfRetractTopKSql,
+    // Sync lifecycle lands on the SAME membership (% 20 <> 4) under the
+    // same v1-trained book — shared oracle (see the query comment).
+    "emb_ivf_sync_topk" -> ivfRetractTopKSql,
     // Compaction purges the tombstoned vectors (rows rewrite verbatim
     // otherwise) — search unchanged, same retained-corpus oracle.
     "emb_ivf_retract_compact_topk" -> ivfRetractTopKSql,

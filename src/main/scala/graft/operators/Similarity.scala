@@ -1063,6 +1063,74 @@ object Similarity {
           "AS BIGINT) AS dead_ppm")
   }
 
+  /** INCREMENTAL CORPUS SYNC — apply a v1 → v2 snapshot transition to a
+    * persisted IVF or IVF-PQ index currently holding v1's vectors, so
+    * serves afterwards equal a FROZEN-BOOK rebuild over v2 EXACTLY (the
+    * index-family sync composition at the ANN tier; spec-pinned for
+    * both layouts): removed + changed vec_ids retract (one tombstone
+    * generation), added + changed vectors append ENCODED WITH THE
+    * FROZEN BOOKS — cell assignment and PQ codes are per-row
+    * deterministic, so the transition moves nothing else. The diff unit
+    * is the VECTOR VALUE via [[Curation.corpusDiffBy]] (the JSON
+    * rendering of the embedding array — engine-internal only, both
+    * snapshots hash through the same Spark codegen, so exactness needs
+    * no cross-engine argument); a re-embedded doc with the same vec_id
+    * reads `changed` and is retracted + re-encoded.
+    *
+    * NOTE the book is NOT retrained: like every append, sync encodes
+    * with the build-time centroids/codebooks. A transition that
+    * materially shifts the distribution shows up in [[indexHealth]]
+    * residual drift — the rebuild signal stays the operator's call.
+    *
+    * Membership precondition: the index holds exactly v1 (a built index
+    * contains every non-null-id v1 row — builds throw on bad vectors
+    * rather than dropping). Wrong v1, or a sync already applied, trips
+    * [[retractFromAnnIndex]]'s over-retraction guard before anything is
+    * written. Null-id rows are outside the diff (never ingested by
+    * builds — the same exclusion).
+    *
+    * TORN-SYNC RECOVERY: two atomic commits (retract, then append). A
+    * crash between them leaves membership at v1 ∖ (removed ∪ changed);
+    * recover by applying the append leg alone —
+    * `appendToIvf(Pq)Index(v2 ⋉ (added ∪ changed ids), dir)` — or
+    * rebuild. An unchanged corpus is a complete no-op; a transition
+    * retracting EVERY live vector is refused (all-empty guard).
+    *
+    * 100 TB shape: the diff join ships 16-byte hashes only and runs
+    * ONCE (the transition set barriers — broadcast-sized by contract);
+    * the append leg broadcast-semi-joins its id set against the v2
+    * scan, and encoding touches only transition vectors. Both snapshot
+    * frames must be deterministic under re-evaluation. SINGLE-WRITER.
+    */
+  def syncAnnIndex(v1Emb: DataFrame, v2Emb: DataFrame,
+      dir: String): Unit = {
+    val spark = v1Emb.sparkSession
+    def keyed(d: DataFrame) = d.select(col("vec_id").as("doc_id"),
+      coalesce(to_json(struct(col("embedding"))), lit("")).as("text"))
+    val transitions = Curation.corpusDiffBy(keyed(v1Emb), keyed(v2Emb),
+        md5(col("text")))
+      .where(col("status") =!= "unchanged")
+      .select(col("doc_id").as("vec_id"), col("status"))
+      .barrier()
+    try {
+      val retractIds = transitions
+        .filter(col("status").isin("removed", "changed"))
+        .select(col("vec_id"))
+      retractFromAnnIndex(retractIds, dir)
+      val appendIds = transitions
+        .filter(col("status").isin("added", "changed"))
+        .select(col("vec_id"))
+      val delta = v2Emb.join(broadcast(appendIds), Seq("vec_id"),
+        "left_semi")
+      // ONE composition serves both layouts — the at-rest unit is the
+      // same vec_id-keyed cell row; only the append encoding differs.
+      val (fs, root) = GenManifest.fsRoot(spark, dir)
+      val isPq = fs.exists(new org.apache.hadoop.fs.Path(root, "codebooks"))
+      if (isPq) appendToIvfPqIndex(delta, dir)
+      else appendToIvfIndex(delta, dir)
+    } finally Barrier.release(transitions)
+  }
+
   /** Index-quality drift report over a persisted IVF / IVF-PQ index: one
     * scan of the cells table → per cell (cell, n_vecs, share_ppm,
     * mean_res_us, max_res_us) — fill factor in parts-per-million and the

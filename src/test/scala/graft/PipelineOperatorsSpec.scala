@@ -907,6 +907,66 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("syncAnnIndex: v1→v2 sync ≡ frozen-book rebuild-on-v2 for BOTH layouts; changed vectors re-encode visibly; unchanged corpus is a no-op") {
+    val all = for (c <- 0 until 4; j <- 0 until 10) yield {
+      val v = Array.fill(8)(0f)
+      v(2 * c) = 1f
+      v(2 * c + 1) = 0.05f * j
+      (j * 4 + c).toLong -> v.toSeq
+    }
+    val v1 = vecs(all: _*)
+    // v2: %10==1 removed, %10==2 vectors REVERSED (changed — the vector
+    // moves to a different axis region, so the re-encode is visible in
+    // neighbor sets), two added ids near cluster 0.
+    val added = Seq(
+      100L -> Seq(1f, 0.01f, 0f, 0f, 0f, 0f, 0f, 0f),
+      300L -> Seq(0f, 0f, 1f, 0.01f, 0f, 0f, 0f, 0f))
+    val v2rows = all.filter(_._1 % 10 != 1).map { case (id, v) =>
+      if (id % 10 == 2) id -> v.reverse else id -> v
+    } ++ added
+    val v2 = vecs(v2rows: _*)
+    val q = v1.filter(col("vec_id") < 4)
+    // IVF layout.
+    val syncedI = java.nio.file.Files
+      .createTempDirectory("graft_ivf_sync_a").toString
+    Similarity.buildIvfIndex(v1, syncedI, clusters = 4, iters = 2)
+    Similarity.syncAnnIndex(v1, v2, syncedI)
+    val rebI = java.nio.file.Files
+      .createTempDirectory("graft_ivf_sync_b").toString
+    Similarity.writeIvfIndex(
+      v2.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("ev")),
+      rebI, Similarity.readBook(spark, syncedI))
+    val si = topkRows(Similarity.ivfIndexTopK(spark, syncedI, q, k = 3,
+      probes = 4))
+    assert(si.nonEmpty && si == topkRows(
+      Similarity.ivfIndexTopK(spark, rebI, q, k = 3, probes = 4)))
+    assert(!si.exists(_._2 % 10 == 1), "removed ids can't be neighbors")
+    // The added near-duplicate of cluster 0's axis IS retrievable.
+    assert(si.exists(_._2 == 100L), si.toString)
+    // No-op sync: same manifest generation, same serve.
+    val seq0 = Similarity.indexManifest(spark, syncedI)._1
+    Similarity.syncAnnIndex(v2, v2, syncedI)
+    assert(Similarity.indexManifest(spark, syncedI)._1 == seq0)
+    assert(topkRows(Similarity.ivfIndexTopK(spark, syncedI, q, k = 3,
+      probes = 4)) == si)
+    // IVF-PQ layout — ONE sync implementation, PQ-coded append leg.
+    val syncedP = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_sync_a").toString
+    Similarity.buildIvfPqIndex(v1, syncedP, clusters = 4, iters = 2,
+      m = 4, codes = 4)
+    Similarity.syncAnnIndex(v1, v2, syncedP)
+    val rebP = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_sync_b").toString
+    Similarity.writeIvfPqIndex(v2, rebP,
+      Similarity.readCodebooks(spark, syncedP),
+      Similarity.readBook(spark, syncedP), m = 4, sub = 2)
+    val sp = topkRows(Similarity.ivfPqTopK(spark, syncedP, q, k = 3,
+      probes = 4, candidates = 10))
+    assert(sp.nonEmpty && sp == topkRows(Similarity.ivfPqTopK(spark, rebP,
+      q, k = 3, probes = 4, candidates = 10)))
+  }
+
   test("compactIndex: search identical across compaction; superseded dirs get one commit of grace") {
     val d = clusteredVecs
     val base = d.filter(col("vec_id") % 10 < 7)
