@@ -44,8 +44,31 @@ object TakedownTour {
   /** The tour body, factored so the smoke spec can drive it on the test
     * session. Returns the six post-compact live counts (spec assertion
     * surface). `takedown` selects the doc slice to remove.
+    *
+    * The six temp index dirs are deleted in a finally — the smoke spec
+    * drives this in the suite, and without cleanup repeated test runs
+    * accumulate orphan index dirs under the system temp root.
     */
   def run(spark: SparkSession, sfDir: String): Map[String, Long] = {
+    val created = scala.collection.mutable.Buffer.empty[String]
+    def tracked(prefix: String): String = {
+      val d = tmp(prefix); created += d; d
+    }
+    def deleteQuiet(path: String): Unit =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[takedown-tour] temp index cleanup of $path failed: $e")
+      }
+    try runBody(spark, sfDir, tracked)
+    finally created.foreach(deleteQuiet)
+  }
+
+  private def runBody(spark: SparkSession, sfDir: String,
+      tmp: String => String): Map[String, Long] = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     // One slice for every doc-keyed family; each family intersects it

@@ -385,6 +385,16 @@ object DedupIndex {
     * a real guard: it still throws if the index does not actually hold
     * v1 — wrong v1 frame, or a sync already applied).
     *
+    * TORN-SYNC RECOVERY: two atomic commits (retract, then append). A
+    * crash between them leaves membership at v1 ∖ (removed ∪ changed);
+    * recover by applying the append leg alone —
+    * `appendToDedupIndex(v2 ⋉ (added ∪ changed ids), dir)` — or
+    * rebuild. Re-running the full sync after a crash trips the
+    * over-retraction guard on the already-tombstoned ids (the guard
+    * cannot distinguish a torn sync from a wrong v1 frame; the
+    * hash-keyed [[ExactDedupIndex.syncIndex]] IS resumable because its
+    * unit carries that evidence).
+    *
     * 100 TB shape: the diff's hash-only co-partitioned full-outer join
     * runs ONCE (the transition set barriers; text never shuffles
     * there); each leg broadcast-semi-joins its transition-sized id set

@@ -835,30 +835,86 @@ object ExactDedupIndex {
     * (v1 ∩ v2 untouched-live) ∪ (v2 ∖ v1 appended) ∖ (v1 ∖ v2
     * tombstoned).
     *
-    * Mechanics: one tombstone generation for the dead hashes (absent =
-    * skipped), one append generation + OR-merged bloom for the born
-    * hashes (absent = skipped) — two commits at most, each atomic;
-    * an unchanged corpus is a complete no-op. The over-retraction guard
-    * inherits: if the index does NOT hold v1's membership (wrong v1
-    * frame, or a sync already applied), the dead-hash retraction throws
-    * before anything is written.
+    * Mechanics: one tombstone generation for the dead hashes, one
+    * append generation + OR-merged bloom for the born hashes — two
+    * commits at most, each atomic; an unchanged corpus is a complete
+    * no-op.
+    *
+    * RESUMABLE: both legs are filtered against CURRENT membership
+    * before committing — already-tombstoned dead hashes and
+    * already-member born hashes skip. So a sync torn between its two
+    * commits (membership at v1 ∖ dead) RESUMES by re-running the same
+    * call (the retract leg no-ops, the append leg completes), a
+    * COMPLETED sync re-runs as a full no-op (no duplicate generations,
+    * `n_hashes` stays the exact member count), and a born text some
+    * OTHER live doc already carries never inflates the meta. The
+    * wrong-v1 guard survives resumability on the evidence that cannot
+    * be explained by a torn sync: a dead hash with NO insert rows at
+    * all was never ingested — that still throws before anything is
+    * written. (A dead hash retracted by an EARLIER takedown is
+    * indistinguishable from a torn sync and is skipped — the price of
+    * resumability, documented.)
     *
     * 100 TB shape: each snapshot collapses to its 16-byte hash set IN
     * ITS SCAN (text never shuffles); the two anti-joins ship hashes
-    * only, and the written generations are transition-sized. Both
-    * snapshot frames must be deterministic under re-evaluation (source
-    * scans — the family's two-scan rule). SINGLE-WRITER, like every
-    * lifecycle op.
+    * only, the membership classification reads bucket-pruned slivers
+    * bounded by the transition set, and the written generations are
+    * transition-sized. Both snapshot frames must be deterministic under
+    * re-evaluation (source scans — the family's two-scan rule).
+    * SINGLE-WRITER, like every lifecycle op.
     */
   def syncIndex(v1Docs: DataFrame, v2Docs: DataFrame, dir: String): Unit = {
     val spark = v1Docs.sparkSession
+    val (_, hDirs, tDirs, metaDir) = indexManifest(spark, dir)
+    val buckets =
+      spark.read.parquet(s"$dir/$metaDir").head().getAs[Int]("buckets")
     val v1H = hashesOf(v1Docs)
     val v2H = hashesOf(v2Docs)
+    // Bucket-pruned membership classification of a transition-sized
+    // hash set: (ever-ingested, currently-live) — the retractHashes
+    // read discipline, both reads bounded by the set. The manifest is
+    // read ONCE at entry: the retract commit between the two legs only
+    // adds a tombstone generation covering DEAD hashes, and born ∩ dead
+    // = ∅ by construction, so the born leg's liveness cannot be moved
+    // by it (and one-commit sweep grace keeps the listed dirs on disk).
+    def classify(h: DataFrame): (DataFrame, DataFrame) = {
+      val bkts = h.select(hbktOf(col("text_hash"), buckets)
+          .cast("long").as("b"))
+        .distinct().collect().map(_.getLong(0)).toIndexedSeq
+      if (bkts.isEmpty) (h.limit(0), h.limit(0))
+      else {
+        val ins = readWithGen(spark, dir, hDirs)
+          .filter(col("hbkt").isin(bkts: _*))
+          .join(broadcast(h), Seq("text_hash"), "left_semi")
+        val tmb =
+          if (tDirs.isEmpty) ins.limit(0)
+          else readWithGen(spark, dir, tDirs)
+            .filter(col("hbkt").isin(bkts: _*))
+            .join(broadcast(h), Seq("text_hash"), "left_semi")
+        (ins.select(col("text_hash")).distinct(), resolveMembers(ins, tmb))
+      }
+    }
     // Retract-then-append is the family convention (newest-op-wins);
     // here the two sets are disjoint by construction, so the order is
     // documentation, not load-bearing.
-    retractHashes(spark, v1H.join(v2H, Seq("text_hash"), "left_anti"), dir)
-    appendHashes(spark, v2H.join(v1H, Seq("text_hash"), "left_anti"), dir)
+    val dead = v1H.join(v2H, Seq("text_hash"), "left_anti").barrier()
+    try {
+      val (deadEver, deadLive) = classify(dead)
+      val neverIngested =
+        dead.join(deadEver, Seq("text_hash"), "left_anti").count()
+      require(neverIngested == 0L,
+        s"syncIndex at $dir: $neverIngested dead hashes were never " +
+          "ingested — the index does not hold v1 (wrong v1 frame); a " +
+          "torn sync would leave them tombstoned, not absent")
+      retractHashes(spark,
+        dead.join(deadLive, Seq("text_hash"), "left_semi"), dir)
+    } finally Barrier.release(dead)
+    val born = v2H.join(v1H, Seq("text_hash"), "left_anti").barrier()
+    try {
+      val (_, bornLive) = classify(born)
+      appendHashes(spark,
+        born.join(bornLive, Seq("text_hash"), "left_anti"), dir)
+    } finally Barrier.release(born)
   }
 
   /** Fold every live generation back into ONE bucketed dir holding the

@@ -596,6 +596,17 @@ object Search {
     * before the append leg can refill it, and [[retractFromLexIndex]]
     * throws — a full corpus replacement is a [[buildLexIndex]] rebuild,
     * not a sync.
+    *
+    * TORN-SYNC RECOVERY: two atomic commits (retract+stats, then
+    * append). A crash between them leaves membership at
+    * v1 ∖ (removed ∪ changed) with stats already decremented — a
+    * CONSISTENT index (serves stay exact over the remaining docs);
+    * recover by applying the append leg alone —
+    * `appendToLexIndex(v2 ⋉ (added ∪ changed ids), dir)` — or rebuild.
+    * Re-running the full sync trips the over-retraction guard on the
+    * already-tombstoned ids (the doc-keyed guard cannot distinguish a
+    * torn sync from a wrong v1 frame; the hash-keyed
+    * [[ExactDedupIndex.syncIndex]] is the resumable member).
     */
   def syncLexIndex(v1Docs: DataFrame, v2Docs: DataFrame,
       dir: String): Unit = {

@@ -1004,13 +1004,24 @@ object Similarity {
           s"[graft] ANN-index retraction of an EMPTY set at $dir " +
             "skipped (no commit)")
       } else {
-        // Live membership evidence: cell rows for the takedown ids,
-        // liveness-resolved (readCells), id-projected. Map-side scan +
-        // broadcast semi.
-        val live = readCells(spark, dir)
-          .join(broadcast(h), Seq("vec_id"), "left_semi")
-          .select(col("vec_id")).distinct()
-        val nonMembers = h.join(live, Seq("vec_id"), "left_anti").count()
+        // BOTH guards from ONE liveness-resolving pass (the membership
+        // check always needs the full scan, so the old separate
+        // all-retracted anti-join probe paid a second one for nothing):
+        // count the DISTINCT takedown ids found live, and whether any
+        // live row falls outside the takedown set.
+        val nTakedown = h.count()
+        Skew.requireScratchFree(readCells(spark, dir), Seq("__tk"),
+          "retractFromAnnIndex")
+        val probe = readCells(spark, dir)
+          .join(broadcast(h.withColumn("__tk", lit(true))),
+            Seq("vec_id"), "left")
+          .agg(
+            count_distinct(when(col("__tk"), col("vec_id")))
+              .as("live_tk"),
+            max(when(col("__tk").isNull, lit(1)).otherwise(lit(0)))
+              .as("has_survivor"))
+          .head()
+        val nonMembers = nTakedown - probe.getAs[Long]("live_tk")
         require(nonMembers == 0L,
           s"retractFromAnnIndex at $dir: $nonMembers of the takedown " +
             "ids are not currently live (never ingested, or already " +
@@ -1020,9 +1031,8 @@ object Similarity {
         // vector must fail loudly BEFORE committing — an all-empty
         // index would serve silently-empty top-k rows from every query
         // until a later compactIndex finally failed with the rebuild
-        // message. limit-1 early-exit probe (anti join, broadcast h).
-        require(!readCells(spark, dir)
-            .join(broadcast(h), Seq("vec_id"), "left_anti").isEmpty,
+        // message.
+        require(probe.getAs[Int]("has_survivor") == 1,
           s"retractFromAnnIndex at $dir: the takedown covers every " +
             "live vector — an all-empty index is unrepresentable; " +
             "rebuild when content returns")

@@ -5596,7 +5596,7 @@ class PipelineOperatorsSpec extends SparkSpec {
       .map(_.getAs[Long]("doc_id")).toSet == Set(200L))
   }
 
-  test("exactDedupIndex syncIndex: membership moves to v2's hash set exactly; shared texts never over-retract; a repeated sync trips the membership guard; unchanged corpus is a no-op") {
+  test("exactDedupIndex syncIndex: membership moves to v2's hash set exactly; shared texts never over-retract; repeated and torn syncs RESUME as no-ops; wrong v1 still throws; unchanged corpus is a no-op") {
     // Docs 2 and 20 SHARE a text and only doc 2 is removed in v2 — the
     // doc-keyed removed→retract replay would take the shared text down;
     // the hash-level set difference must keep it (doc 20 still carries
@@ -5627,10 +5627,33 @@ class PipelineOperatorsSpec extends SparkSpec {
     val c = ExactDedupIndex.takedownHealth(spark, synced).collect()(0)
     assert((c.getAs[Long]("live_hashes"), c.getAs[Long]("dead_hashes"),
       c.getAs[Long]("dead_ppm")) == ((4L, 1L, 200000L)))
-    // Re-applying the SAME transition is a caller bug the family guard
-    // catches: the dead set ("s old-three") is already tombstoned.
+    // RESUMABILITY: re-applying the SAME transition is a complete no-op
+    // (the dead hash is already tombstoned and skips; the born hashes
+    // are already members and skip — no duplicate generation, n_hashes
+    // stays exact).
+    val (seqR, _, _, _) = ExactDedupIndex.indexManifest(spark, synced)
+    ExactDedupIndex.syncIndex(v1, v2, synced)
+    assert(ExactDedupIndex.indexManifest(spark, synced)._1 == seqR,
+      "a repeated sync commits nothing")
+    assert(serve(synced) == s1)
+    val c2 = ExactDedupIndex.takedownHealth(spark, synced).collect()(0)
+    assert((c2.getAs[Long]("live_hashes"), c2.getAs[Long]("dead_hashes"))
+      == ((4L, 1L)))
+    // TORN-SYNC RESUME: an index crashed between the two commits sits
+    // at v1 ∖ dead (the retract landed, the append didn't) — re-running
+    // the same sync completes it: the retract leg skips the tombstoned
+    // hash, the append leg commits the born ones.
+    val torn = xdxTmp()
+    ExactDedupIndex.buildIndex(v1, torn, buckets = 8)
+    ExactDedupIndex.retractFromIndex(docs(3L -> "s old-three"), torn)
+    ExactDedupIndex.syncIndex(v1, v2, torn)
+    assert(serve(torn) == s1, "a torn sync resumes to v2 exactly")
+    // WRONG V1 still throws: a dead hash with no insert rows at all was
+    // never ingested — not explicable by a torn sync.
     intercept[IllegalArgumentException] {
-      ExactDedupIndex.syncIndex(v1, v2, synced)
+      ExactDedupIndex.syncIndex(
+        docs(1L -> "s alpha", 9L -> "s never-there"),
+        docs(1L -> "s alpha"), synced)
     }
     assert(serve(synced) == s1, "failed syncs commit nothing")
     // An unchanged corpus syncs as a complete no-op.
