@@ -4952,7 +4952,7 @@ object SparkEntry {
       """WITH toks AS (
            SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                 ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
-           FROM documents),
+           FROM documents WHERE doc_id IS NOT NULL),
          grams AS (
            SELECT doc_id, CASE WHEN len(t) >= 3
              THEN list_transform(generate_series(1, len(t) - 2),
@@ -4979,7 +4979,7 @@ object SparkEntry {
       """WITH toks AS (
            SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                 ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
-           FROM documents),
+           FROM documents WHERE doc_id IS NOT NULL),
          grams AS (
            SELECT doc_id, CASE WHEN len(t) >= 3
              THEN list_transform(generate_series(1, len(t) - 2),
@@ -5231,7 +5231,7 @@ object SparkEntry {
              CASE WHEN doc_id = 46 THEN '$substrPlantRunA mida $substrPlantRunB'
                   WHEN doc_id = 47 THEN '$substrPlantRunA midb $substrPlantRunB'
                   ELSE text END AS text
-           FROM documents),
+           FROM documents WHERE doc_id IS NOT NULL),
          toks AS (
            SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                 ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
@@ -5265,7 +5265,7 @@ object SparkEntry {
       """WITH toks AS (
            SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                 ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
-           FROM documents),
+           FROM documents WHERE doc_id IS NOT NULL),
          g AS (
            SELECT doc_id, u.i AS pos,
              md5(array_to_string(t[u.i:u.i+19], ' ')) AS gh
@@ -5305,7 +5305,7 @@ object SparkEntry {
       """WITH toks AS (
            SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                 ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
-           FROM documents),
+           FROM documents WHERE doc_id IS NOT NULL),
          grams AS (
            SELECT doc_id, CASE WHEN len(t) >= 3
              THEN list_transform(generate_series(1, len(t) - 2),

@@ -284,7 +284,13 @@ object TextAnalysis {
     // quadratic clique.
     require(k >= 1, s"gram width k=$k must be >= 1")
     require(w >= 1, s"window w=$w must be >= 1")
-    val toks = docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
+    // Per-doc null-id rule (the tfIdfTopTerms/paragraphDedup family
+    // filter, oracle-mirrored): a null-id doc's fingerprints can never
+    // pair (a < b rejects NULL) so hashing it is pure waste — and its
+    // rows DID count into the downstream df cap census, a latent
+    // cap-boundary divergence on a nullable regen.
+    val toks = docs.where(col("doc_id").isNotNull)
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
     val grams = toks.select(col("doc_id"),
       when(size(col("toks")) >= k, ngramArray(col("toks"), k))
         .when(size(col("toks")) === 0, array().cast("array<string>"))
@@ -1221,7 +1227,11 @@ object TextAnalysis {
     // slice() mid-task with no operator context.
     require(minLen >= 1, s"minLen=$minLen must be >= 1")
     val W = org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
+    // Per-doc null-id rule (oracle-mirrored, the winnowingFingerprints
+    // rationale): null-id grams can never anchor-join (doc_a < doc_b
+    // rejects NULL) but DID count into the maxGramDf occurrence census.
+    val toks = docs.where(col("doc_id").isNotNull)
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
     // (pos, gram-hash) structs; docs shorter than minLen contribute none.
     val grams = toks.select(col("doc_id"),
       when(size(col("toks")) >= minLen,
@@ -1320,7 +1330,12 @@ object TextAnalysis {
         (col("s_b") + col("span_len") - 1).as("e"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"))
-    val toks = docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
+    // Null-id docs drop from the cleaned report too (the family rule,
+    // oracle-mirrored): they are no longer hashed by the islands core,
+    // and a pass-through row under an un-joinable key is dead weight a
+    // sink cannot attribute.
+    val toks = docs.where(col("doc_id").isNotNull)
+      .select(col("doc_id"), wsTokens(col("text")).as("toks"))
     val joined = toks.join(ivs, Seq("doc_id"), "left")
       .select(col("doc_id"), col("toks"),
         coalesce(col("ivs"),

@@ -2128,6 +2128,39 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(o3 == Map(1L -> 50L, 2L -> 0L, 3L -> 0L))
   }
 
+  test("winnow/substr chains drop null-id docs: no fingerprints, no df-census weight, no clean row (the per-doc null-id rule)") {
+    import spark.implicits._
+    val span = (1 to 25).map(i => s"n$i").mkString(" ")
+    val withNull = Seq(
+      (Option(1L), span + " a b c"),
+      (Option(2L), span + " x y z"),
+      (Option.empty[Long], span + " j k l")) // null id: dead weight
+      .toDF("doc_id", "text")
+    val clean = withNull.where(col("doc_id").isNotNull)
+    // Fingerprints: the null-id doc contributes NOTHING — neither rows
+    // nor df-census weight (pairs identical with and without it).
+    assert(TextAnalysis.winnowingFingerprints(withNull)
+      .where(col("doc_id").isNull).isEmpty)
+    def pairSet(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.winnowNearDupCandidates(d, minShared = 1, maxDf = 2)
+        .collect().map(r => (r.getAs[Long]("doc_a"),
+          r.getAs[Long]("doc_b"))).toSet
+    // maxDf = 2 is BINDING at df 3: had the null-id doc counted, the
+    // shared fingerprints would be capped away and the (1,2) pair lost.
+    assert(pairSet(withNull) == pairSet(clean))
+    assert(pairSet(withNull).contains((1L, 2L)))
+    // Substr chain: same rule — spans unchanged, no clean row.
+    def spanSet(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.exactSubstrSpans(d, minLen = 25).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Long]("max_span"))).toSet
+    assert(spanSet(withNull) == spanSet(clean))
+    assert(spanSet(withNull).nonEmpty)
+    val cleaned = TextAnalysis.exactSubstrClean(withNull, minLen = 25)
+    assert(cleaned.where(col("doc_id").isNull).isEmpty)
+    assert(cleaned.count() == 2L)
+  }
+
   test("exactSubstrSpans property: equals the brute-force diagonal-walk reference") {
     // Ground truth by definition: for every doc pair and every diagonal
     // offset, walk token-by-token and collect maximal equal runs >= L.
