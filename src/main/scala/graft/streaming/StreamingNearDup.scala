@@ -72,7 +72,7 @@ object StreamingNearDup {
       MessageDigest.getInstance("MD5")
   }
 
-  private def md5Hex(s: String): String =
+  private[streaming] def md5Hex(s: String): String =
     // The hex loop lives ONCE (Multimodal.bytesToHex) — this twin kept
     // a verbatim copy of the table walk until the round-15 wave.
     graft.operators.Multimodal.bytesToHex(
@@ -211,7 +211,7 @@ object StreamingNearDup {
   private[graft] def simhash64Of(text: String): Long =
     simhash64OfTokens(wsTokensScala(text))
 
-  private def simhash64OfTokens(toks: Array[String]): Long = {
+  private[streaming] def simhash64OfTokens(toks: Array[String]): Long = {
     if (toks.isEmpty) return 0L
     val votes = new Array[Long](60)
     toks.foreach { t =>
@@ -226,7 +226,7 @@ object StreamingNearDup {
     }
   }
 
-  private def blockKeysOf(simhash: Long, blocks: Int, width: Int): IndexedSeq[Long] =
+  private[streaming] def blockKeysOf(simhash: Long, blocks: Int, width: Int): IndexedSeq[Long] =
     (0 until blocks).map(b => (simhash >> (b * width)) & ((1L << width) - 1))
 
   private def pairsFromBlockBucket(blkIdx: Int, blocks: Int, width: Int,

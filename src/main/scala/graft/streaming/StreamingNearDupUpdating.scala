@@ -8,7 +8,8 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
   StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.operators.{Dedup, TextAnalysis}
-import StreamingNearDup.{BandEntry, NearDupPair, jaccardOf}
+import StreamingNearDup.{BandEntry, BlockEntry, NearDupPair, SimhashPair,
+  blockKeysOf, jaccardOf, md5Hex, simhash64OfTokens, wsTokensScala}
 
 /** The MUTATE-IN-PLACE variant of the streaming MinHash near-dup twin —
   * the reference's own state discipline (every event updates the page's
@@ -282,5 +283,225 @@ object StreamingNearDupUpdating {
     hits.groupByKey(h => (h.band, h.key))
       .transformWithState(new BucketProcessor(delayMs, threshold,
         bucketCap), TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  // ---- SimHash updating twin ---------------------------------------------
+
+  /** One content version at the simhash tier: the 60-bit fingerprint +
+    * its pigeonhole block keys (EMPTY for token-less docs — signature 0
+    * is not similarity evidence, the batch votes-only rule; a blank v2
+    * still owns the doc snapshot so it retracts v1).
+    */
+  case class SimVersion(docId: Long, ts: Timestamp, tsMs: Long,
+      hash: String, simhash: Long, keys: Seq[Long])
+
+  /** Admit/retract delta (the [[DocDelta]] discipline — `seq` is stage
+    * 1's per-doc emission order; retracts route by the SUPERSEDED
+    * version's block keys).
+    */
+  case class SimDelta(kind: Int, seq: Int, docId: Long, ts: Timestamp,
+      tsMs: Long, simhash: Long, keys: Seq[Long])
+
+  case class SimDeltaHit(kind: Int, seq: Int, blk: Int, key: Long,
+      docId: Long, ts: Timestamp, tsMs: Long, simhash: Long)
+
+  case class SimSnapshot(hash: String, tsMs: Long, simhash: Long,
+      keys: Seq[Long])
+
+  case class SimBucketState(entries: Seq[BlockEntry])
+
+  /** Stage 1 at the simhash tier — [[VersionProcessor]]'s logic over
+    * the lighter per-doc state (fingerprint + block keys instead of a
+    * shingle set). Kept as a concrete twin rather than a generic
+    * processor: tws state/output encoders want concrete products, and
+    * the 30 shared lines don't buy an abstraction that would blur the
+    * two twins' state shapes.
+    */
+  final class SimVersionProcessor(delayMs: Long)
+      extends StatefulProcessor[Long, SimVersion, SimDelta] {
+
+    @transient private var snap: ValueState[SimSnapshot] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      snap = getHandle.getValueState[SimSnapshot]("doc",
+        Encoders.product[SimSnapshot], TTLConfig.NONE)
+
+    private def rearm(tsMs: Long): Unit = {
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(tsMs + delayMs)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[SimVersion],
+        tv: TimerValues): Iterator[SimDelta] = {
+      val wm = tv.getCurrentWatermarkInMs()
+      var cur = (if (snap.exists()) Option(snap.get()) else None)
+        .filter(_.tsMs + delayMs > wm)
+      val out = scala.collection.mutable.ArrayBuffer.empty[SimDelta]
+      for (v <- rows.toSeq.sortBy(r => (r.tsMs, r.hash))) {
+        cur match {
+          case Some(s) if s.hash == v.hash => ()
+          case other =>
+            other.foreach(s =>
+              out += SimDelta(0, out.size, v.docId, v.ts, v.tsMs,
+                s.simhash, s.keys))
+            out += SimDelta(1, out.size, v.docId, v.ts, v.tsMs,
+              v.simhash, v.keys)
+            cur = Some(SimSnapshot(v.hash, v.tsMs, v.simhash, v.keys))
+        }
+      }
+      cur match {
+        case Some(s) => snap.update(s); rearm(s.tsMs)
+        case None    => if (snap.exists()) snap.clear()
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SimDelta] = {
+      if (snap.exists() &&
+          snap.get().tsMs + delayMs <= tv.getCurrentWatermarkInMs())
+        snap.clear()
+      Iterator.empty
+    }
+  }
+
+  /** Stage 2 at the simhash tier: [[BucketProcessor]]'s delta replay
+    * over [[StreamingNearDup.pairsFromBlockBucket]]'s emission rule —
+    * smallest colliding BLOCK wins, Hamming verify map-side.
+    */
+  final class SimBucketProcessor(delayMs: Long, maxDist: Int,
+      blocks: Int, width: Int, blockCap: Int)
+      extends StatefulProcessor[(Int, Long), SimDeltaHit, SimhashPair] {
+
+    @transient private var st: ValueState[SimBucketState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SimBucketState]("bucket",
+        Encoders.product[SimBucketState], TTLConfig.NONE)
+
+    private def persist(entries: Seq[BlockEntry], wm: Long): Unit =
+      if (entries.isEmpty) {
+        if (st.exists()) st.clear()
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      } else {
+        st.update(SimBucketState(entries))
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+        getHandle.registerTimer(
+          math.max(entries.map(_.tsMs + delayMs).min, wm + 1))
+      }
+
+    override def handleInputRows(key: (Int, Long),
+        rows: Iterator[SimDeltaHit],
+        tv: TimerValues): Iterator[SimhashPair] = {
+      val wm = tv.getCurrentWatermarkInMs()
+      var entries = (if (st.exists()) st.get().entries else Seq.empty)
+        .filter(e => e.tsMs + delayMs > wm)
+      val out = scala.collection.mutable.ArrayBuffer.empty[SimhashPair]
+      // (tsMs, docId, seq): stage 1's exact per-doc emission order —
+      // see BucketProcessor for why a (ts, kind) sort strands a
+      // same-timestamp multi-version update.
+      for (r <- rows.toSeq.sortBy(h => (h.tsMs, h.docId, h.seq))) {
+        if (r.kind == 0) {
+          entries = entries.filterNot(_.docId == r.docId)
+        } else if (!entries.exists(_.docId == r.docId) &&
+            entries.size < blockCap) {
+          val kb = blockKeysOf(r.simhash, blocks, width)
+          for (e <- entries) {
+            val ka = blockKeysOf(e.simhash, blocks, width)
+            if ((0 until blocks).find(b => ka(b) == kb(b))
+                .contains(key._1)) {
+              val dist =
+                java.lang.Long.bitCount(e.simhash ^ r.simhash).toLong
+              if (dist <= maxDist)
+                out += SimhashPair(math.min(e.docId, r.docId),
+                  math.max(e.docId, r.docId), dist)
+            }
+          }
+          entries = entries :+ BlockEntry(r.docId, r.tsMs, r.simhash)
+        }
+      }
+      persist(entries, wm)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: (Int, Long), tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SimhashPair] = {
+      val wm = tv.getCurrentWatermarkInMs()
+      persist((if (st.exists()) st.get().entries else Seq.empty)
+        .filter(e => e.tsMs + delayMs > wm), wm)
+      Iterator.empty
+    }
+  }
+
+  /** The MUTATE-IN-PLACE simhash near-dup twin — the
+    * [[streamingMinhashNearDupsUpdating]] two-stage design ported to
+    * the pigeonhole block keys (the round-16 verdict's deferred
+    * sibling): a changed-content redelivery of a live doc_id retracts
+    * the old fingerprint's block entries and admits the new ones.
+    * Thresholds/blocking match
+    * [[graft.operators.Dedup.simhashNearDups64]]; the first-wins twin
+    * [[StreamingNearDup.streamingSimhashNearDups]] keeps its contract.
+    * Append-mode semantics and the arrival-order stream ≡
+    * batch-on-final-corpus claim are the minhash twin's, verbatim.
+    */
+  def streamingSimhashNearDupsUpdating(docs: DataFrame,
+      tsCol: String = "ts", delay: String = "10 minutes",
+      maxDist: Int = 3,
+      maxBlockDf: Int = Int.MaxValue): Dataset[SimhashPair] = {
+    // The batch pigeonhole guards (the fuzzyPairs rule — see the
+    // first-wins twin for both failure shapes).
+    require(maxDist >= 0, s"maxDist=$maxDist must be >= 0")
+    require(maxDist + 1 <= 60,
+      s"maxDist=$maxDist needs ${maxDist + 1} blocks over 60 bits — " +
+        "block width would be 0 (all keys collide)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    spark.conf.set(TrendStreamTws.rocksdbConf._1,
+      TrendStreamTws.rocksdbConf._2)
+    val delayMs = StreamingNearDup.delayToMs(delay)
+    val blocks = maxDist + 1
+    val width = 60 / blocks
+    val blockCap = if (maxBlockDf <= 0) Int.MaxValue else maxBlockDf
+    val versions = docs.select(col("doc_id"), col(tsCol).as("ts"),
+        col("text"))
+      // Null event time / doc_id: the non-nullable encoder kill (the
+      // family rule). Token-less docs are KEPT — a blank v2 is a real
+      // update that must retract v1; it admits nothing (empty keys).
+      .where(col("ts").isNotNull && col("doc_id").isNotNull)
+      .as[(Long, Timestamp, String)]
+      .map { case (docId, ts, text) =>
+        val toks = wsTokensScala(text)
+        // Content identity = the exact-dedup family hash (null ≡ empty),
+        // computed over the raw text like the minhash twin's column md5.
+        val hash = md5Hex(if (text == null) "" else text)
+        if (toks.isEmpty)
+          SimVersion(docId, ts, ts.getTime, hash, 0L, Seq.empty)
+        else {
+          val sig = simhash64OfTokens(toks)
+          SimVersion(docId, ts, ts.getTime, hash, sig,
+            blockKeysOf(sig, blocks, width))
+        }
+      }
+      // First watermark declaration — legal after a typed stage (the
+      // first-wins simhash twin's flatMap precedent).
+      .withWatermark("ts", delay)
+    val deltas = versions
+      .groupByKey(_.docId)
+      .transformWithState(new SimVersionProcessor(delayMs), "ts",
+        OutputMode.Append())
+    val hits = deltas
+      .select(col("kind"), col("seq"), col("docId"), col("ts"),
+        col("tsMs"), col("simhash"),
+        posexplode_outer(col("keys")).as(Seq("blk", "key")))
+      .where(col("key").isNotNull)
+      .select(col("kind").cast("int").as("kind"),
+        col("seq").cast("int").as("seq"),
+        col("blk").cast("int").as("blk"), col("key"), col("docId"),
+        col("ts"), col("tsMs"), col("simhash"))
+      .as[SimDeltaHit]
+    hits.groupByKey(h => (h.blk, h.key))
+      .transformWithState(new SimBucketProcessor(delayMs, maxDist,
+        blocks, width, blockCap), TimeMode.EventTime(),
+        OutputMode.Append())
   }
 }

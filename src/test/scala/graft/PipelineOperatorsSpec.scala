@@ -3922,6 +3922,83 @@ class PipelineOperatorsSpec extends SparkSpec {
       s"only the final version may pair — got $rows")
   }
 
+  test("streamingSimhashNearDupsUpdating: mutate-in-place at the simhash tier — stream ≡ batch over the FINAL corpus; superseded fingerprint retracts; blank update retracts; identical redelivery no-op; same-ts multi-version never strands") {
+    import java.sql.Timestamp
+    import graft.streaming.StreamingNearDupUpdating
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Long) = new Timestamp(t0.getTime + s * 1000L)
+    val aText = "the quick brown fox jumps over the lazy dog today"
+    val xText = "completely different words entirely here now friends"
+    def batchPairs(corpus: Seq[(Long, String)]) =
+      Dedup.simhashNearDups64(corpus.toDF("doc_id", "text"), maxDist = 3)
+        .collect().map(r => (r.getAs[Long]("doc_a"),
+          r.getAs[Long]("doc_b"), r.getAs[Long]("dist"))).toSet
+    // The fixture only discriminates if the two versions are far apart.
+    assert(batchPairs(Seq(1L -> aText, 2L -> xText)).isEmpty)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Timestamp)](spark)
+    val q = StreamingNearDupUpdating.streamingSimhashNearDupsUpdating(
+        ms.toDF().toDF("doc_id", "text", "ts"), delay = "10 minutes",
+        maxDist = 3)
+      .writeStream.format("memory").queryName("ssim_updating")
+      .outputMode("append").start()
+    def emitted() = spark.table("ssim_updating").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("dist"))).toSeq
+    try {
+      // Doc 1 updates a→x BEFORE its audience: a stranded v1 entry
+      // would pair doc 3's exact copy of a at distance 0.
+      ms.addData(Seq((1L, aText, ts(1))))
+      q.processAllAvailable()
+      ms.addData(Seq((1L, xText, ts(2))))
+      q.processAllAvailable()
+      ms.addData(Seq((3L, aText, ts(3)), (4L, xText, ts(4))))
+      q.processAllAvailable()
+      val phaseA = emitted()
+      val finalA = batchPairs(Seq(1L -> xText, 3L -> aText, 4L -> xText))
+      assert(finalA == Set((1L, 4L, 0L)), finalA.toString)
+      assert(phaseA.toSet == finalA && phaseA.length == finalA.size,
+        s"stream=$phaseA batch-on-final=$finalA")
+      // Identical redelivery: pure no-op.
+      ms.addData(Seq((4L, xText, ts(5))))
+      q.processAllAvailable()
+      assert(emitted() == phaseA, "identical redelivery must be a no-op")
+      // Blank update retracts doc 4; a fresh copy of x pairs with doc 1
+      // ONLY (a live doc 4 entry would emit (4, 5) at distance 0 too).
+      ms.addData(Seq((4L, "", ts(6))))
+      q.processAllAvailable()
+      ms.addData(Seq((5L, xText, ts(7))))
+      q.processAllAvailable()
+      val afterBlank = emitted()
+      assert(afterBlank.toSet == phaseA.toSet + ((1L, 5L, 0L)),
+        afterBlank.toString)
+      // Same-timestamp multi-version update (the emission-seq
+      // regression fixture): doc 9's two versions in ONE batch at one
+      // instant — only the FINAL version (by the (ts, hash) tie-break)
+      // may pair later.
+      def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(x => f"$x%02x").mkString
+      val (superseded, fin) =
+        if (h(aText) < h(xText)) (aText, xText) else (xText, aText)
+      ms.addData(Seq((9L, aText, ts(100)), (9L, xText, ts(100))))
+      q.processAllAvailable()
+      ms.addData(Seq((10L, superseded, ts(101))))
+      q.processAllAvailable()
+      ms.addData(Seq((11L, fin, ts(102))))
+      q.processAllAvailable()
+      val tail = emitted().drop(afterBlank.length)
+      // Doc 9's v1 pairs against the long-lived carriers of its text
+      // at admission (mutate-in-place history stands), then v2 pairs
+      // against the other text's carriers. The REGRESSION surface: the
+      // superseded version's entries must be gone — doc 10 (an exact
+      // copy of it) pairs with the long-lived carriers but NEVER with
+      // doc 9, while doc 11 (the final version) pairs doc 9 at 0.
+      assert(!tail.exists(r => r._1 == 9L && r._2 == 10L),
+        s"superseded same-ts version stranded: $tail")
+      assert(tail.contains((9L, 11L, 0L)), tail.toString)
+    } finally q.stop()
+  }
+
   test("streamingSimhashNearDups: stream ≡ batch 60-bit pairs across batches") {
     import java.sql.Timestamp
     import graft.streaming.StreamingNearDup
