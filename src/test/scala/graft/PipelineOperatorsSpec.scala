@@ -6008,4 +6008,40 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(live("stats") == retained,
       s"stats docs ${live("stats")} vs $retained")
   }
+
+  test("SyncTour example: the diff → sync → census → compact loop runs across all six sync families; post-compact membership is v2's exactly") {
+    val sfDir = "/root/testdata/sf0.001"
+    val live = graft.examples.SyncTour.run(spark, sfDir)
+    assert(live.keySet == Set("exact", "dedup", "lex", "media", "ivf",
+      "stats"))
+    assert(live.values.forall(_ > 0L), live.toString)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // Rebuild the tour's v1 → v2 transform and check each family's
+    // post-compact membership equals v2's, in that family's unit.
+    val v2 = docs.filter(col("doc_id") % 31 =!= 10)
+      .withColumn("text",
+        when(col("doc_id") % 17 === 11,
+          concat(coalesce(col("text"), lit("")), lit(" v2")))
+          .otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") % 20 === 7)
+        .withColumn("doc_id", col("doc_id") + lit(1L << 40)))
+    val v2Hashes = v2.select(md5(coalesce(col("text"), lit(""))))
+      .distinct().count()
+    assert(live("exact") == v2Hashes,
+      s"exact live ${live("exact")} vs $v2Hashes")
+    val v2Tokenized = v2.filter(col("doc_id").isNotNull &&
+      size(TextAnalysis.wsTokens(col("text"))) > 0).count()
+    assert(live("dedup") == v2Tokenized && live("lex") == v2Tokenized,
+      s"dedup ${live("dedup")} / lex ${live("lex")} vs $v2Tokenized")
+    val v2Framed = v2.filter(col("doc_id").isNotNull &&
+      length(encode(col("text"), "utf-8")) >= 16).count()
+    assert(live("media") == v2Framed,
+      s"media ${live("media")} vs $v2Framed")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val v2Vecs = emb.filter(col("vec_id").isNotNull &&
+      col("vec_id") % 20 =!= 4).count()
+    assert(live("ivf") == v2Vecs, s"ivf ${live("ivf")} vs $v2Vecs")
+    assert(live("stats") == v2.count(),
+      s"stats docs ${live("stats")} vs ${v2.count()}")
+  }
 }
