@@ -35,9 +35,6 @@ import graft.operators.{Curation, DedupIndex, ExactDedupIndex, MediaIndex,
   */
 object SyncTour {
 
-  private def tmp(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
-
   private def show(label: String, df: DataFrame, n: Int = 5): Unit = {
     println(s"--- $label")
     df.show(n, truncate = false)
@@ -61,23 +58,9 @@ object SyncTour {
     * the per-family post-compact live counts. Temp index dirs are
     * deleted in a finally (the TakedownTour discipline).
     */
-  def run(spark: SparkSession, sfDir: String): Map[String, Long] = {
-    val created = scala.collection.mutable.Buffer.empty[String]
-    def tracked(prefix: String): String = {
-      val d = tmp(prefix); created += d; d
-    }
-    def deleteQuiet(path: String): Unit =
-      try {
-        val p = new org.apache.hadoop.fs.Path(path)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(p, true)
-      } catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(
-          s"[sync-tour] temp index cleanup of $path failed: $e")
-      }
-    try runBody(spark, sfDir, tracked)
-    finally created.foreach(deleteQuiet)
-  }
+  def run(spark: SparkSession, sfDir: String): Map[String, Long] =
+    ExampleTmp.withTrackedTempDirs(spark, "sync-tour")(
+      runBody(spark, sfDir, _))
 
   private def runBody(spark: SparkSession, sfDir: String,
       tmp: String => String): Map[String, Long] = {

@@ -765,6 +765,38 @@ object ExactDedupIndex {
   /** Hash-level retraction internals — `hs` must be a frame of DISTINCT
     * `text_hash` rows; it is barriered here before anything reads it.
     */
+  /** Bucket-pruned membership slivers of a (BARRIERED) hash set:
+    * (insert rows, tombstone rows) among the generations, both bounded
+    * by the set — the one definition of the probe discipline
+    * [[retractHashes]]' guard and [[syncIndex]]'s resumability
+    * classification share (a near-verbatim copy here is exactly the
+    * drift class GenManifest was created to kill). Empty set → two
+    * empty frames (isin over an empty literal list never matches).
+    */
+  private def prunedSlivers(spark: SparkSession, dir: String,
+      hDirs: Seq[String], tDirs: Seq[String], buckets: Int,
+      h: DataFrame): (DataFrame, DataFrame) = {
+    val bkts = h.select(hbktOf(col("text_hash"), buckets)
+        .cast("long").as("b"))
+      .distinct().collect().map(_.getLong(0)).toIndexedSeq
+    if (bkts.isEmpty) {
+      // Shape parity with the real slivers: resolveMembers aggregates
+      // over `__g`, so the empty frames must still carry it.
+      val empty = h.limit(0).withColumn("__g", lit(0L))
+      (empty, empty)
+    } else {
+      val ins = readWithGen(spark, dir, hDirs)
+        .filter(col("hbkt").isin(bkts: _*))
+        .join(broadcast(h), Seq("text_hash"), "left_semi")
+      val tmb =
+        if (tDirs.isEmpty) ins.limit(0)
+        else readWithGen(spark, dir, tDirs)
+          .filter(col("hbkt").isin(bkts: _*))
+          .join(broadcast(h), Seq("text_hash"), "left_semi")
+      (ins, tmb)
+    }
+  }
+
   private def retractHashes(spark: SparkSession, hs: DataFrame,
       dir: String): Unit = {
     val (seq, hDirs, tDirs, metaDir) = indexManifest(spark, dir)
@@ -787,17 +819,8 @@ object ExactDedupIndex {
       } else {
         // Membership check over the SAME pruned-bucket discipline serves
         // use — the takedown set is bounded, so this reads slivers.
-        val bkts = h.select(hbktOf(col("text_hash"), buckets)
-            .cast("long").as("b"))
-          .distinct().collect().map(_.getLong(0)).toIndexedSeq
-        val ins = readWithGen(spark, dir, hDirs)
-          .filter(col("hbkt").isin(bkts: _*))
-          .join(broadcast(h), Seq("text_hash"), "left_semi")
-        val tmb =
-          if (tDirs.isEmpty) ins.limit(0)
-          else readWithGen(spark, dir, tDirs)
-            .filter(col("hbkt").isin(bkts: _*))
-            .join(broadcast(h), Seq("text_hash"), "left_semi")
+        val (ins, tmb) = prunedSlivers(spark, dir, hDirs, tDirs,
+          buckets, h)
         val nonMembers = h.join(resolveMembers(ins, tmb),
           Seq("text_hash"), "left_anti").count()
         require(nonMembers == 0L,
@@ -871,28 +894,18 @@ object ExactDedupIndex {
     val v1H = hashesOf(v1Docs)
     val v2H = hashesOf(v2Docs)
     // Bucket-pruned membership classification of a transition-sized
-    // hash set: (ever-ingested, currently-live) — the retractHashes
-    // read discipline, both reads bounded by the set. The manifest is
-    // read ONCE at entry: the retract commit between the two legs only
-    // adds a tombstone generation covering DEAD hashes, and born ∩ dead
-    // = ∅ by construction, so the born leg's liveness cannot be moved
-    // by it (and one-commit sweep grace keeps the listed dirs on disk).
+    // hash set: (ever-ingested, currently-live) via the SHARED
+    // prunedSlivers read. The manifest is read ONCE at entry: the
+    // retract commit between the two legs only adds a tombstone
+    // generation covering DEAD hashes, and born ∩ dead = ∅ by
+    // construction, so the born leg's liveness cannot be moved by it
+    // (and one-commit sweep grace keeps the listed dirs on disk).
+    // (retractHashes re-validates the dead leg against its own
+    // manifest read — deliberate defense in depth on the write path,
+    // two pruned sliver jobs per sync.)
     def classify(h: DataFrame): (DataFrame, DataFrame) = {
-      val bkts = h.select(hbktOf(col("text_hash"), buckets)
-          .cast("long").as("b"))
-        .distinct().collect().map(_.getLong(0)).toIndexedSeq
-      if (bkts.isEmpty) (h.limit(0), h.limit(0))
-      else {
-        val ins = readWithGen(spark, dir, hDirs)
-          .filter(col("hbkt").isin(bkts: _*))
-          .join(broadcast(h), Seq("text_hash"), "left_semi")
-        val tmb =
-          if (tDirs.isEmpty) ins.limit(0)
-          else readWithGen(spark, dir, tDirs)
-            .filter(col("hbkt").isin(bkts: _*))
-            .join(broadcast(h), Seq("text_hash"), "left_semi")
-        (ins.select(col("text_hash")).distinct(), resolveMembers(ins, tmb))
-      }
+      val (ins, tmb) = prunedSlivers(spark, dir, hDirs, tDirs, buckets, h)
+      (ins.select(col("text_hash")).distinct(), resolveMembers(ins, tmb))
     }
     // Retract-then-append is the family convention (newest-op-wins);
     // here the two sets are disjoint by construction, so the order is

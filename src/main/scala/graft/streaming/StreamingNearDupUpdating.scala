@@ -122,6 +122,16 @@ object StreamingNearDupUpdating {
             // Pure redelivery (at-least-once source): the admitted
             // version stands; no delta, no state movement.
             ()
+          case Some(s) if v.tsMs < s.tsMs ||
+              (v.tsMs == s.tsMs && v.hash < s.hash) =>
+            // A redelivered OLDER version (at-least-once sources replay
+            // history): the admitted newer version stands. Without this
+            // skip the fold REGRESSES — final state would depend on
+            // micro-batch boundaries ([v1,v2] in one batch ends at v2,
+            // [v2][v1] across batches would end at v1). The (tsMs,
+            // hash) order makes the fold's result the MAX delivered
+            // version, batch-split-invariant by construction.
+            ()
           case other =>
             other.foreach(s =>
               out += DocDelta(0, out.size, v.docId, v.ts, v.tsMs,
@@ -340,6 +350,12 @@ object StreamingNearDupUpdating {
       for (v <- rows.toSeq.sortBy(r => (r.tsMs, r.hash))) {
         cur match {
           case Some(s) if s.hash == v.hash => ()
+          case Some(s) if v.tsMs < s.tsMs ||
+              (v.tsMs == s.tsMs && v.hash < s.hash) =>
+            // Redelivered OLDER version — skip (the VersionProcessor
+            // batch-split-invariance rule: the fold's result is the
+            // MAX delivered version in (tsMs, hash) order).
+            ()
           case other =>
             other.foreach(s =>
               out += SimDelta(0, out.size, v.docId, v.ts, v.tsMs,
