@@ -2847,7 +2847,8 @@ object SparkEntry {
                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
                   WHEN len(t) = 0 THEN []::VARCHAR[]
                   ELSE [array_to_string(t, ' ')] END) AS ss
-           FROM toks),
+           -- Pair-chain null-id rule (mirrors the operator entry drop).
+           FROM toks WHERE doc_id IS NOT NULL),
          ex AS (SELECT doc_id, unnest(ss) AS shingle FROM sh),
          hx AS (SELECT doc_id, md5('a:' || shingle) AS ma,
                        md5('b:' || shingle) AS mb FROM ex),
@@ -3482,7 +3483,7 @@ object SparkEntry {
            SELECT doc_id,
              CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
                   ELSE list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') END AS t
-           FROM documents),
+           FROM documents WHERE doc_id IS NOT NULL),
          sh AS (
            SELECT doc_id, list_distinct(
              CASE WHEN len(t) >= 3
@@ -6419,7 +6420,7 @@ object SparkEntry {
              CASE WHEN doc_id = 48 THEN '$containPlantShort'
                   WHEN doc_id = 49 THEN '$containPlantLong'
                   ELSE text END AS text
-           FROM documents),
+           FROM documents WHERE doc_id IS NOT NULL),
          toks AS (
            SELECT doc_id,
              CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]

@@ -75,7 +75,14 @@ object Dedup {
     * element — inlining the regex tokenization here cost ~160 tokenizations
     * per document (9.4 s of the 11.5 s sf0.1 minhash bench entry).
     */
-  def shinglesFromTokens(toks: Column, n: Int = 3): Column =
+  def shinglesFromTokens(toks: Column, n: Int = 3): Column = {
+    // Loud width guard (the winnowingFingerprints k-rule): n = 0 makes
+    // `size(toks) >= n` true for the EMPTY array too, so every document
+    // — blank and null-text included — would shingle to the single
+    // zero-token gram "" and the pair paths would emit the jaccard-1.0
+    // all-docs quadratic clique the empty-set contract exists to
+    // prevent, with no error anywhere.
+    require(n >= 1, s"shingle width n=$n must be >= 1")
     // Token-less documents shingle to the EMPTY set — not to [""]: with
     // the [""] fallback every blank/null doc was a jaccard-1.0 "near
     // duplicate" of every other blank doc, a semantically-wrong
@@ -86,6 +93,7 @@ object Dedup {
       when(size(toks) >= n, TextAnalysis.ngramArray(toks, n))
         .when(size(toks) > 0, array(concat_ws(" ", toks)))
         .otherwise(array().cast("array<string>")))
+  }
 
   /** Distinct word-`n`-gram shingles per document; documents shorter than
     * `n` tokens contribute their whole text as one shingle. Convenience
@@ -325,10 +333,25 @@ object Dedup {
     * shingles parse once instead of per branch.
     */
   def minhashNearDups(docs: DataFrame, n: Int = 3,
-      threshold: Double = 0.5, maxBucketDf: Int = 0): DataFrame =
-    Barrier.withCached(shingleSets(docs, n)) { sets =>
+      threshold: Double = 0.5, maxBucketDf: Int = 0): DataFrame = {
+    // Guard parity with prefixJaccardPairs (the one member that already
+    // validated): threshold = 0 admits every bucket collision silently,
+    // > 1 returns empty with no error.
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold=$threshold outside (0, 1]")
+    // Per-doc null-id rule at the PAIR-chain entry (oracle-mirrored):
+    // a NULL-keyed frankendoc signature could never pair (doc_a < doc_b
+    // rejects NULL) but its band keys DID weigh into the maxBucketDf
+    // census — the latent cap-boundary divergence class — and the whole
+    // shingle+signature pipeline ran for it. The drop sits HERE, not in
+    // shingleSets: the decontamination chains deliberately keep null-id
+    // docs' grams (a null-id train doc leaks grams but counts as zero
+    // docs — spec-pinned in doc_leak_report).
+    Barrier.withCached(
+        shingleSets(docs.where(col("doc_id").isNotNull), n)) { sets =>
       minhashNearDupsFromSets(sets, threshold, maxBucketDf)
     }
+  }
 
   /** [[minhashNearDups]] from a pre-built (doc_id, sset) table. The caller
     * owns `sets`' lifecycle — it should be persisted (three plan branches
@@ -416,6 +439,11 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.3, maxDf: Int = 0): DataFrame = {
+    // Guard + null-id rules: see minhashNearDups (a zero threshold
+    // additionally flips the size-ratio prune multiplier negative here,
+    // admitting every size-incompatible pair into the self-join).
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold=$threshold outside (0, 1]")
     // Join on the shingle's 64-bit hash: 8-byte shuffle keys instead of
     // full n-gram strings (identical counts — a 64-bit collision among
     // a corpus's distinct shingles is negligible). The persisted set
@@ -429,7 +457,8 @@ object Dedup {
     // filter compares round(J, 6), which admits true J down to half a
     // 1e-6 grid step below the threshold, and an exact-bound prune would
     // drop such a pair before the filter ever saw it.
-    Barrier.withCached(shingleSets(docs, n)) { sets =>
+    Barrier.withCached(
+        shingleSets(docs.where(col("doc_id").isNotNull), n)) { sets =>
       val ex0 = sets.select(col("doc_id"), explode(col("sset")).as("shingle"),
           size(col("sset")).as("cnt"))
         .select(col("doc_id"), xxhash64(col("shingle")).as("sh"), col("cnt"))
@@ -555,7 +584,10 @@ object Dedup {
       threshold: Double = 0.3): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold=$threshold outside (0, 1]")
-    Barrier.withCached(shingleSets(docs, n)) { sets =>
+    // Null-id rule: see minhashNearDups (completeness is against the
+    // null-free pair space either way — a<b rejects NULL).
+    Barrier.withCached(
+        shingleSets(docs.where(col("doc_id").isNotNull), n)) { sets =>
       prefixJaccardOver(sets, threshold).barrier()
     }
   }
@@ -576,8 +608,12 @@ object Dedup {
     * pair join through the winnowing fingerprint table with its df cap.
     */
   def ngramContainmentPairs(docs: DataFrame, n: Int = 3,
-      threshold: Double = 0.6): DataFrame =
-    Barrier.withCached(shingleSets(docs, n)) { sets =>
+      threshold: Double = 0.6): DataFrame = {
+    // Guard + null-id rules: see minhashNearDups.
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold=$threshold outside (0, 1]")
+    Barrier.withCached(
+        shingleSets(docs.where(col("doc_id").isNotNull), n)) { sets =>
       val ex = sets.select(col("doc_id"), explode(col("sset")).as("shingle"))
         .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
       val counts = sets.select(col("doc_id"), size(col("sset")).as("cnt"))
@@ -596,6 +632,7 @@ object Dedup {
           col("containment"))
         .barrier() // release the shingle cache on exit
     }
+  }
 
   /** Duplicate clusters: connected components over the near-dup pair graph
     * via iterative min-label propagation (the standard distributed CC
@@ -885,7 +922,12 @@ object Dedup {
     * the minhash and winnowing paths already exclude).
     */
   private def withTokenlessZero(docs: DataFrame, sigs: DataFrame): DataFrame =
-    docs.select(col("doc_id"))
+    // Null-id docs drop from the doc-level table too: a LEFT join keeps
+    // unmatched null-KEY left rows, so without this filter every null-id
+    // doc emitted a (NULL, 0) signature row — contradicting the family's
+    // no-identity exclusion (and an N-rows-vs-one-GROUP-BY-row hash
+    // split against any future SQL restatement on a nullable regen).
+    docs.where(col("doc_id").isNotNull).select(col("doc_id"))
       .join(sigs, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("simhash"), lit(0L)).as("simhash"))
 
