@@ -148,19 +148,33 @@ object EventAdapter {
     // schema (object → map, array → array; measured on 4.1.2, incl.
     // `{}` / `[]` staying non-null and mixed-type array elements
     // raw-capturing as strings). The main parse's StringType field
-    // raw-captures every form, so the string arm is "neither structured
-    // form parsed" — never text sniffing (a STRING value `"[]"` has
-    // lpm = lpa = null and stays a string). Jackson skips unrequested
-    // fields, so the two single-field parses cost token-walks, not
-    // full decodes.
+    // raw-captures every form, so the string arm is "no OTHER form
+    // parsed" — never text sniffing (a STRING value `"[]"` has
+    // lpm = lpa = null and stays a string). Scalar NON-STRING forms
+    // (number/boolean) are detected the same way — a DoubleType /
+    // BooleanType single-field parse is non-null exactly for that
+    // token type and does NOT coerce a string "5"/"true" (measured on
+    // 4.1.2) — and normalize to the ABSENT variant (all arms null):
+    // the raw capture would otherwise read number 5 as the string '5',
+    // whose JS .length is 1 (gate CLOSED), where the reference's
+    // `!params.length` on a number is !undefined = true (gate OPEN) —
+    // exactly the one-row cmd-forgery parity class the A6 gate exists
+    // for. Jackson skips unrequested fields, so the four single-field
+    // parses cost token-walks, not full decodes.
     val mapOnly = StructType(Seq(
       StructField("log_params", MapType(StringType, StringType))))
     val arrOnly = StructType(Seq(
       StructField("log_params", ArrayType(StringType))))
+    val dblOnly = StructType(Seq(
+      StructField("log_params", org.apache.spark.sql.types.DoubleType)))
+    val boolOnly = StructType(Seq(
+      StructField("log_params", org.apache.spark.sql.types.BooleanType)))
     raw
       .select(from_json(col("value"), RecentChange.wireSchema).as("e"),
         from_json(col("value"), mapOnly).getField("log_params").as("lpm"),
-        from_json(col("value"), arrOnly).getField("log_params").as("lpa"))
+        from_json(col("value"), arrOnly).getField("log_params").as("lpa"),
+        from_json(col("value"), dblOnly).getField("log_params").as("lpd"),
+        from_json(col("value"), boolOnly).getField("log_params").as("lpb"))
       .select(
         col("e.title").as("title"),
         col("e.comment").as("comment"),
@@ -177,7 +191,9 @@ object EventAdapter {
         struct(
           col("lpm").as("map"),
           col("lpa").as("arr"),
-          when(col("lpm").isNull && col("lpa").isNull, col("e.log_params"))
+          when(col("lpm").isNull && col("lpa").isNull &&
+              col("lpd").isNull && col("lpb").isNull,
+            col("e.log_params"))
             .otherwise(lit(null).cast("string")).as("str")).as("logParams"),
         col("e.log_action_comment").as("logActionComment"),
         to_timestamp(col("e.meta.dt")).as("ts"))

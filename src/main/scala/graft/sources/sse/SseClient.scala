@@ -89,7 +89,17 @@ final class SseClient(
           if (stopped) { closeQuietly(); throw new java.io.IOException("stopped") }
           consume(in, maxMessages - written, counted)
         } catch {
-          case _: java.io.IOException => // severed (EOF-mid-event, watchdog kill)
+          case e: java.io.IOException =>
+            // Severed connections (EOF-mid-event, watchdog kill, stop())
+            // are the normal reconnect path — but a PERMANENT local
+            // failure (unwritable log, missing file: capture, DNS) used
+            // to spin through every reconnect with zero diagnostics
+            // anywhere. One stderr line per failed connection keeps the
+            // root cause visible without flooding a healthy feed (a
+            // clean EOF raises no exception and stays silent).
+            if (!stopped)
+              System.err.println(
+                s"[sse-client] connection ${connects} ended: $e")
         } finally {
           written += counted.get()
           closeQuietly()

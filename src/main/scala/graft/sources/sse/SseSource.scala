@@ -198,7 +198,13 @@ private[sse] object SseIo {
   * has already RETURNED therefore throws (the residual blind spot — a
   * same-size-or-larger replacement between two triggers — is
   * undetectable from length alone and stays the operator's contract:
-  * the capture log is append-only).
+  * the capture log is append-only). The ONE sanctioned shrink is the
+  * paired writer's restart recovery: [[SseClient]] truncates a torn
+  * un-terminated tail back to the last '\n' before appending — legal
+  * here because the scan cursor never advances past the last counted
+  * line boundary (torn-tail bytes are scanned but unaccounted, and
+  * re-scanned next trigger), so that truncation removes only bytes
+  * this counter never accounted for.
   */
 private[sse] final class LogTailCounter(path: String) {
   private var scannedBytes = 0L
@@ -236,7 +242,8 @@ private[sse] final class LogTailCounter(path: String) {
       try {
         SseIo.skipFully(in, scannedBytes, path)
         val buf = new Array[Byte](1 << 16)
-        var remaining = len - scannedBytes
+        var pos = scannedBytes
+        var remaining = len - pos
         while (remaining > 0) {
           val n = in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
           if (n <= 0) remaining = 0
@@ -245,15 +252,25 @@ private[sse] final class LogTailCounter(path: String) {
             while (i < n) {
               if (buf(i) == '\n') {
                 newlines += 1
-                lastLineEnd = scannedBytes + i + 1
+                lastLineEnd = pos + i + 1
               }
               i += 1
             }
-            scannedBytes += n
+            pos += n
             remaining -= n
           }
         }
       } finally in.close()
+      // Resume point = the last COUNTED line boundary, never the torn
+      // tail: bytes past the last '\n' were scanned but stay
+      // unaccounted, so the paired SseClient's restart truncation
+      // (which cuts exactly to the last '\n' — every byte it removes
+      // is un-terminated) can never read as shrinkage here, and a
+      // torn-tail rewrite can never desync the boundary map. The
+      // partial line re-scans next trigger (bounded by one message);
+      // the shrink guards below now fire precisely when a counted
+      // line was destroyed.
+      scannedBytes = lastLineEnd
     }
     if (newlines < maxReturned)
       throw new IllegalStateException(

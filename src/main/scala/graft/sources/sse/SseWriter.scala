@@ -68,7 +68,17 @@ object SseWriter {
     val transport = args(0)
     val logPath = args(1)
     val maxMessages = if (args.length > 2) args(2).toLong else Long.MaxValue
-    val maxConnects = if (args.length > 3) args(3).toInt else Int.MaxValue
+    // Transport-aware reconnect default: the finite transports replay
+    // from the START on every connection (file: re-opens the capture and
+    // ignores Last-Event-ID; '-' re-wraps an exhausted stdin), so the
+    // unbounded HTTP default would append the whole capture as
+    // duplicates forever (file:) or spin on empty reconnects without
+    // ever exiting ('-'). One pass is the meaningful default there; an
+    // explicit 4th arg still overrides.
+    val maxConnects =
+      if (args.length > 3) args(3).toInt
+      else if (transport == "-" || transport.startsWith("file:")) 1
+      else Int.MaxValue
     val client = new SseClient(transportFor(transport), logPath)
     val written = client.run(maxMessages, maxConnects)
     System.err.println(s"[sse-writer] appended $written messages to $logPath")

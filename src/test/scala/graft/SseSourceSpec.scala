@@ -202,6 +202,27 @@ class SseSourceSpec extends SparkSpec {
     assert(ex.getMessage.contains("shrank"))
   }
 
+  test("micro-batch counter: a paired-writer torn-tail truncation is NOT shrinkage — counting survives the client's restart recovery") {
+    import graft.sources.sse.{SseMicroBatchStream, SseOffset}
+    val path = java.nio.file.Files
+      .createTempFile("graft_sse_torn", ".log").toString
+    // Two committed lines + a torn un-terminated tail (writer died
+    // mid-append).
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      "{\"a\":1}\n{\"b\":2}\n{\"torn\":")
+    val stream = new SseMicroBatchStream(path)
+    assert(stream.latestOffset().asInstanceOf[SseOffset].count == 2L)
+    // The restarting SseClient truncates to the last '\n' — bytes the
+    // counter never accounted for, so this must NOT read as shrinkage.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      "{\"a\":1}\n{\"b\":2}\n")
+    assert(stream.latestOffset().asInstanceOf[SseOffset].count == 2L)
+    // The replayed event lands on a clean line and counts.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      "{\"a\":1}\n{\"b\":2}\n{\"c\":3}\n")
+    assert(stream.latestOffset().asInstanceOf[SseOffset].count == 3L)
+  }
+
   test("SSE client: server-directed retry delay paces the reconnect (WHATWG retry field)") {
     val log = tmpLog()
     val streams = Iterator(

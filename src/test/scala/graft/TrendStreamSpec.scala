@@ -533,7 +533,16 @@ class TrendStreamSpec extends SparkSpec {
       (Some("[]"), true),                            // [].length = 0
       (Some("""["0","1"]"""), false),                // legacy array: length 2
       (Some("\"\""), true),                          // "".length = 0
-      (Some("\"legacy text\""), false))              // string: length 11
+      (Some("\"legacy text\""), false),              // string: length 11
+      // Scalar NON-STRING forms: a number/boolean has no .length in JS
+      // (!undefined = OPEN). The decode detects the token type with a
+      // Double/Boolean single-field parse — the raw StringType capture
+      // reads 5 as '5' (length 1, closed), the parity hole this pins.
+      (Some("5"), true),
+      (Some("true"), true),
+      // The STRING "5" stays a string: JS "5".length = 1 → closed (the
+      // scalar detector must not coerce it).
+      (Some("\"5\""), false))
     for (((lp, open), i) <- cases.zipWithIndex) {
       val decoded = graft.sources.EventAdapter.decodeWire(
         Seq(wireDelete(lp)).toDF("value")).as[RecentChange]
