@@ -1,0 +1,308 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only optimization profiler (round-17): per-stage wall times for the
+  * top-cost bench queries, so optimization targets the measured stage
+  * rather than the guess (guide §1). Not part of the driver contract.
+  *
+  * Usage: runMain graft.ProbeOpt <sfDir> [family...]
+  * Families: minhash, cc, pq, ivf, q21, agree, recall
+  */
+object ProbeOpt {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val fams = if (args.length > 1) args.drop(1).toSet else Set.empty[String]
+    def want(f: String): Boolean = fams.isEmpty || fams(f)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def tm[A](tag: String)(f: => A): A = {
+      spark.sparkContext.setJobDescription(tag)
+      val t0 = System.nanoTime; val r = f
+      println(f"[$tag] ${(System.nanoTime - t0) / 1e9}%.2f s")
+      spark.sparkContext.setJobDescription(null); r
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // Warm the tables + codegen once so stage times aren't first-run JIT.
+    docs.count(); emb.count()
+
+    import graft.operators.{Barrier, Dedup, Similarity}
+    import graft.operators.Barrier.BarrierOps
+
+    if (want("minhash")) {
+      // Stage split of the minhashNearDups chain (shared by 6 queries).
+      tm("mh:whole-query-warm") { noop(Dedup.minhashNearDups(docs)) }
+      tm("mh:whole-query") { noop(Dedup.minhashNearDups(docs)) }
+      val f = docs.where(col("doc_id").isNotNull)
+      val sets = tm("mh:sets-barrier") { Dedup.shingleSets(f, 3).barrier() }
+      tm("mh:signatures") {
+        noop(Dedup.signaturesFromExploded(Dedup.explodedFromSets(sets)))
+      }
+      val bk = tm("mh:buckets-barrier") {
+        Dedup.bandBucketsFromSignatures(
+          Dedup.signaturesFromExploded(Dedup.explodedFromSets(sets)))
+          .barrier()
+      }
+      tm("mh:cand-join") {
+        val l = bk.as("l"); val r = bk.as("r")
+        noop(l.join(r,
+          col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+            col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+          .distinct())
+      }
+      tm("mh:verify") {
+        val p = Dedup.verifiedLshPairs(sets, bk, 0.5,
+          bucketsMaterialized = true)
+        Barrier.release(p)
+      }
+      Barrier.release(bk); Barrier.release(sets)
+    }
+
+    if (want("mh2")) {
+      // Candidate rewrite: per-row band keys via the spec-pinned
+      // bandKeyArray kernel (map-only — no signature exchange, no
+      // shingle-row explode) vs the batch explode+agg pipeline.
+      val f = docs.where(col("doc_id").isNotNull)
+      val sets = Dedup.shingleSets(f, 3).barrier()
+      tm("mh2:buckets-batch") {
+        noop(Dedup.bandBucketsFromSignatures(
+          Dedup.signaturesFromExploded(Dedup.explodedFromSets(sets))))
+      }
+      def perRowBuckets(ss: DataFrame): DataFrame = {
+        val arrs = ss.filter(size(col("sset")) >= 1)
+          .select(col("doc_id"),
+            transform(col("sset"),
+              x => md5(concat(lit("a:"), x))).as("ma"),
+            transform(col("sset"),
+              x => md5(concat(lit("b:"), x))).as("mb"))
+        arrs.select(col("doc_id"),
+          posexplode(Dedup.bandKeyArray(col("ma"), col("mb")))
+            .as(Seq("band", "key")))
+      }
+      tm("mh2:buckets-perrow-warm") { noop(perRowBuckets(sets)) }
+      tm("mh2:buckets-perrow") { noop(perRowBuckets(sets)) }
+      // Equality probe: same (doc_id, band, key) multiset?
+      val a = Dedup.bandBucketsFromSignatures(
+        Dedup.signaturesFromExploded(Dedup.explodedFromSets(sets)))
+      val b = perRowBuckets(sets)
+      println("batch-only rows: " + a.exceptAll(b).count() +
+        "  perrow-only rows: " + b.exceptAll(a).count())
+      Barrier.release(sets)
+    }
+
+    if (want("pq2")) {
+      // Candidate rewrite probe: interpreted zip_with+aggregate ADC sum
+      // vs a static sum of element_at lookups (m known at plan time).
+      val m = 4; val codes = 8
+      val v = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("ev"))
+      val dims = v.select(size(col("ev"))).head().getInt(0)
+      val sub = dims / m
+      // Fake books (first `codes` vectors' slices) — same expression
+      // SHAPE as the trained ones, probe-only.
+      val seed = v.filter(col("vec_id") < codes).collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Double](1).toArray)
+      def sliceArr(a: Array[Double], j: Int) =
+        a.slice(j * sub, (j + 1) * sub)
+      import graft.operators.Similarity.dot
+      def codeExpr(j: Int): Column = {
+        val xs = slice(col("ev"), j * sub + 1, sub)
+        val xx = dot(xs, xs)
+        array_min(array((0 until codes).map { c =>
+          val cl = typedlit(sliceArr(seed(c), j))
+          struct(((xx + dot(cl, cl)) - lit(2.0) * dot(xs, cl)).as("d2"),
+            lit(c).as("code"))
+        }: _*))("code")
+      }
+      def lutExpr(j: Int): Column = {
+        val qs = slice(col("ev"), j * sub + 1, sub)
+        val qq = dot(qs, qs)
+        array((0 until codes).map { c =>
+          val cl = typedlit(sliceArr(seed(c), j))
+          floor(((qq + dot(cl, cl)) - lit(2.0) * dot(qs, cl)) * lit(1e6))
+            .cast("long")
+        }: _*)
+      }
+      val encoded = v.select(col("vec_id"),
+        array((0 until m).map(codeExpr): _*).as("codes"))
+      val queries = v.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          array((0 until m).map(lutExpr): _*).as("luts"))
+      def scoredHof = encoded
+        .join(broadcast(queries), col("query_id") =!= col("vec_id"))
+        .withColumn("adist_us",
+          aggregate(zip_with(col("codes"), col("luts"),
+            (c, l) => element_at(l, c + 1)), lit(0L), (acc, x) => acc + x))
+        .select(col("query_id"), col("vec_id"), col("adist_us"))
+      def scoredStatic = encoded
+        .join(broadcast(queries), col("query_id") =!= col("vec_id"))
+        .withColumn("adist_us",
+          (0 until m).map(j =>
+            element_at(col("luts")(j), col("codes")(j) + 1))
+            .reduce(_ + _))
+        .select(col("query_id"), col("vec_id"), col("adist_us"))
+      tm("pq2:hof-warm") { noop(scoredHof) }
+      tm("pq2:hof") { noop(scoredHof) }
+      tm("pq2:static-warm") { noop(scoredStatic) }
+      tm("pq2:static") { noop(scoredStatic) }
+      println("diff rows: " + scoredHof.exceptAll(scoredStatic).count())
+      // Finer attribution of the scoring job.
+      tm("pq2:encode-only-warm") { noop(encoded) }
+      tm("pq2:encode-only") { noop(encoded) }
+      tm("pq2:queries-only") { noop(queries) }
+      tm("pq2:join-no-sum") {
+        noop(encoded.join(broadcast(queries),
+          col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("vec_id")))
+      }
+      val encB = encoded.barrier()
+      tm("pq2:join-static-from-barrier") {
+        noop(encB.join(broadcast(queries),
+          col("query_id") =!= col("vec_id"))
+          .withColumn("adist_us",
+            (0 until m).map(j =>
+              element_at(col("luts")(j), col("codes")(j) + 1))
+              .reduce(_ + _))
+          .select(col("query_id"), col("vec_id"), col("adist_us")))
+      }
+      Barrier.release(encB)
+      println("---- fused scoredStatic optimized plan ----")
+      println(scoredStatic.queryExecution.optimizedPlan.treeString.take(4000))
+    }
+
+    if (want("cc")) {
+      sys.props("graft.debug") = "1"
+      try {
+        tm("cc:clusters-total-warm") { noop(Dedup.minhashClusters(docs)) }
+        tm("cc:clusters-total") { noop(Dedup.minhashClusters(docs)) }
+        val pairs = Dedup.minhashNearDups(docs)
+        tm("cc:dupClusters-only") {
+          noop(Dedup.dupClusters(docs.select(col("doc_id")), pairs))
+        }
+        Barrier.release(pairs)
+        tm("cc:keep-best-total") { noop(Dedup.minhashKeepBest(docs)) }
+        tm("cc:soft-dedup-total") { noop(Dedup.minhashSoftDedup(docs)) }
+      } finally sys.props.remove("graft.debug")
+    }
+
+    if (want("pq")) {
+      tm("pq:topk-warm") { noop(Similarity.pqTopK(emb)) }
+      tm("pq:topk") { noop(Similarity.pqTopK(emb)) }
+      tm("pq:recall") { noop(Similarity.pqRecall(emb)) }
+      // Training-only cost: iters=0 vs default 2 isolates the Lloyd's
+      // loop from the encode/score tail (iters=0 skips iteration scans).
+      tm("pq:topk-iters0") { noop(Similarity.pqTopK(emb, iters = 0)) }
+      tm("pq:brute-force") { noop(Similarity.bruteForceTopK(emb, 5, 10)) }
+    }
+
+    if (want("ivf")) {
+      tm("ivf:kmeans-topk-warm") { noop(Similarity.ivfKmeansTopK(emb)) }
+      tm("ivf:kmeans-topk") { noop(Similarity.ivfKmeansTopK(emb)) }
+      tm("ivf:kmeans-iter") { noop(Similarity.kmeansIterate(emb)) }
+      tm("ivf:recall") { noop(Similarity.ivfRecall(emb)) }
+      tm("ivf:cluster-purity") { noop(Similarity.clusterPurity(emb)) }
+    }
+
+    if (fams.contains("bq")) {
+      // Bench-style min-of-2 for the named registered queries (args
+      // after "bq"): the per-query iteration loop without the full
+      // suite. Warm pass first (codegen), then two timed passes.
+      val names = args.drop(1).filterNot(_ == "bq")
+      for (nm <- names; fn <- SparkEntry.queries.get(nm)) {
+        try noop(fn(spark, sfDir))
+        catch { case e: Throwable =>
+          println(s"[$nm] FAILED: ${e.getMessage}") }
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime
+          noop(fn(spark, sfDir))
+          (System.nanoTime - t0) / 1e9
+        }
+        println(f"[$nm] min=${times.min}%.2f s  (${times.map(t => f"$t%.2f").mkString(", ")})")
+      }
+    }
+
+    if (fams.contains("plans17")) {
+      // Formatted plans of the r17-touched builders that eager result
+      // barriers hide from the registered queries' own plans (the
+      // kmeansSearchPlan discipline) — written to plans/r17/.
+      import org.apache.spark.sql.execution.FormattedMode
+      def dump(name: String, df: DataFrame): Unit = {
+        val p = df.queryExecution.explainString(FormattedMode)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"plans/r17/$name.txt"),
+          p.getBytes("UTF-8"))
+        println(s"wrote plans/r17/$name.txt")
+      }
+      val sets = Dedup.shingleSets(docs.where(col("doc_id").isNotNull), 3)
+      dump("bandbuckets_after", Dedup.bandBucketsFromSets(sets))
+      val encoded = emb.select(col("vec_id"),
+        array((col("vec_id") % 8).cast("int"),
+          (col("vec_id") % 5).cast("int")).as("codes"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          array(array((0 until 8).map(i => lit(i.toLong)): _*),
+            array((0 until 8).map(i => lit(i * 2L)): _*)).as("luts"))
+      dump("pq_serve_tail_after", Similarity.pqTopKTail(
+        Similarity.adcScoreJoin(encoded, queries), 5))
+    }
+
+    if (want("pqjobs")) {
+      // Per-job wall times for one pqTopK invocation: attributes the
+      // query's seconds to cache/head/collect/final jobs without touching
+      // the operator.
+      val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      val lines = new java.util.concurrent.CopyOnWriteArrayList[String]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.put(js.jobId, js.time)
+        override def onJobEnd(
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val t0 = jobs.getOrDefault(je.jobId, je.time)
+          lines.add(f"job ${je.jobId}%3d  ${(je.time - t0) / 1e3}%6.2f s")
+        }
+      }
+      noop(Similarity.pqTopK(emb)) // warm
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime
+      noop(Similarity.pqTopK(emb))
+      val total = (System.nanoTime - t0) / 1e9
+      spark.sparkContext.removeSparkListener(listener)
+      Thread.sleep(500)
+      lines.forEach(l => println(l))
+      println(f"[pqjobs total] $total%.2f s")
+    }
+
+    if (want("q21")) {
+      val q = SparkEntry.queries("q21_last_shipper")
+      tm("q21-warm") { noop(q(spark, sfDir)) }
+      tm("q21") { noop(q(spark, sfDir)) }
+    }
+
+    if (want("agree")) {
+      val q = SparkEntry.queries("doc_score_agreement")
+      tm("agree-warm") { noop(q(spark, sfDir)) }
+      tm("agree") { noop(q(spark, sfDir)) }
+    }
+
+    if (want("recall")) {
+      val q = SparkEntry.queries("doc_minhash_recall")
+      tm("mhrecall-warm") { noop(q(spark, sfDir)) }
+      tm("mhrecall") { noop(q(spark, sfDir)) }
+    }
+
+    spark.stop()
+  }
+}

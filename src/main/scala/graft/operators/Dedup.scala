@@ -196,7 +196,43 @@ object Dedup {
   }
 
   def bandBuckets(docs: DataFrame, n: Int = 3): DataFrame =
-    bandBucketsFromSignatures(signatures(docs, n))
+    bandBucketsFromSets(shingleSets(docs, n))
+
+  /** (doc_id, band, key) LSH bucket rows computed PER ROW with the shared
+    * [[bandKeyArray]] kernel (the streaming twins' signature path) —
+    * map-only: no shingle-row explode, no doc_id-keyed signature
+    * exchange. Identical output to the explode + groupBy-of-mins
+    * pipeline by the kernel's contract (array_min over the per-shingle
+    * md5 arrays ≡ the batch min aggregation; multiset-equality
+    * spec-pinned), measured 2.2× faster at sf0.1 AND one full corpus
+    * exchange cheaper at scale — the r17 guide-§2.4 rewrite.
+    *
+    * Discipline notes: `ma`/`mb` materialize as attributes in their own
+    * projection (bandKeyArray's contract; CollapseProject keeps the
+    * non-cheap multi-referenced `sset` out of the lambdas); the explode
+    * is the OUTER + isNotNull form (an inner posexplode would re-inline
+    * the whole band algebra into an inferred filter — the
+    * InferFiltersFromGenerate class). The batch pipeline's
+    * no-rows-for-shingle-less-docs contract rides the SAME isNotNull:
+    * an empty sset folds to all-NULL band keys (array_min([]) = NULL,
+    * concat/md5 null-propagate), so the key filter drops those rows —
+    * deliberately NOT a `size(sset) >= 1` pre-filter, which predicate
+    * pushdown would substitute below the set projection and re-run the
+    * whole shingle expression per row when `sets` is unmaterialized
+    * (measured 5× on doc_fuzzy_pairs; a filter on a GENERATED attribute
+    * cannot be pushed below its Generate, so this form is safe for
+    * barriered and lazy inputs alike).
+    */
+  private[graft] def bandBucketsFromSets(sets: DataFrame): DataFrame = {
+    val arrs = sets
+      .select(col("doc_id"),
+        transform(col("sset"), s => md5(concat(lit("a:"), s))).as("ma"),
+        transform(col("sset"), s => md5(concat(lit("b:"), s))).as("mb"))
+    arrs.select(col("doc_id"),
+      posexplode_outer(bandKeyArray(col("ma"), col("mb")))
+        .as(Seq("band", "key")))
+      .where(col("key").isNotNull)
+  }
 
   /** The PER-ROW (Column) form of the signature + banding algebra, for
     * consumers that cannot shuffle — the streaming index twin computes
@@ -360,16 +396,12 @@ object Dedup {
     */
   private[graft] def minhashNearDupsFromSets(sets: DataFrame,
       threshold: Double = 0.5, maxBucketDf: Int = 0): DataFrame = {
-    // The InferFiltersFromGenerate-safe explode lives ONCE in
-    // explodedFromSets — this used to be a verbatim inline copy, the
-    // exact drift class the helper exists to prevent.
-    val ex = explodedFromSets(sets)
     // With a cap, the bucket table feeds BOTH capHotKeys' hot-key
     // aggregation and the anti-join probe side — unbarriered, the whole
-    // shingle-explode + 2-md5 + k-min signature pipeline would run
-    // twice (the simhashNearDupsImpl discipline). Released below once
-    // the pair table is materialized.
-    val buckets0 = bandBucketsFromSignatures(signaturesFromExploded(ex))
+    // per-row signature pipeline would run twice (the
+    // simhashNearDupsImpl discipline). Released below once the pair
+    // table is materialized.
+    val buckets0 = bandBucketsFromSets(sets)
     val buckets = if (maxBucketDf > 0) buckets0.barrier() else buckets0
     // The bucket barrier is released in finally: Verify/Bench catch a
     // per-query failure and continue the suite, so a release only on the

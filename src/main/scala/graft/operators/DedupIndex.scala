@@ -143,16 +143,12 @@ object DedupIndex {
       nBuckets: Int, bName: String, sName: String): Long =
     // Null-id rows are EXCLUDED from the at-rest tables (the family
     // rule servePairLegs/streamingIndexDups already apply on the read
-    // side): signaturesFromExploded's groupBy(doc_id) would otherwise
-    // MERGE every null-id doc's shingles into one phantom signature in
-    // the bucket table — counted by indexHealth, producing spurious
-    // (delta, NULL) candidate rows per serve, and appearing as TWO
-    // phantoms after an append where a rebuild holds one.
+    // side): a null-id doc's per-row signature would otherwise land as
+    // phantom NULL-keyed bucket rows — counted by indexHealth and
+    // producing spurious (delta, NULL) candidate rows per serve.
     Barrier.withCached(
         Dedup.shingleSets(docs.where(col("doc_id").isNotNull), n)) { sets =>
-      val ex = Dedup.explodedFromSets(sets)
-      val buckets = Dedup.bandBucketsFromSignatures(
-          Dedup.signaturesFromExploded(ex))
+      val buckets = Dedup.bandBucketsFromSets(sets)
         .withColumn("bkt", bktCol(nBuckets))
         .barrier()
       try {
@@ -762,13 +758,12 @@ object DedupIndex {
     val deltaSets = Dedup.shingleSets(
       delta.where(col("doc_id").isNotNull), n).barrier()
     try {
-      val ex = Dedup.explodedFromSets(deltaSets)
       // ONE signature+banding pass over the delta serves BOTH the index
       // probe and the within-batch pair verify (the capHotKeys
-      // double-pipeline lesson — the first cut ran the explode + 2
-      // md5s/shingle + 8-min aggregation twice per serve).
-      val dBuckets = Dedup.bandBucketsFromSignatures(
-          Dedup.signaturesFromExploded(ex))
+      // double-pipeline lesson — the first cut ran the banding twice
+      // per serve). Per-row band keys (Dedup.bandBucketsFromSets): the
+      // delta never shuffles for its signatures.
+      val dBuckets = Dedup.bandBucketsFromSets(deltaSets)
         .withColumn("bkt", bktCol(nBuckets))
         .barrier()
       try {

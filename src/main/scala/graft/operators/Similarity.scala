@@ -1892,8 +1892,23 @@ object Similarity {
     aggregate(zip_with(codes, luts, (c, l) => element_at(l, c + 1)),
       lit(0L), (acc, x) => acc + x)
 
-  private def pqScored(emb: DataFrame, m: Int, codes: Int, iters: Int,
-      numQueries: Int): DataFrame = {
+  /** ADC-scored (query_id, vec_id, adist_us) rows. `use` receives the
+    * scored frame and must MATERIALIZE whatever it returns (barrier or
+    * collect) before returning: the encoded-corpus table is checkpointed
+    * for the scan's lifetime and released when `use` exits.
+    *
+    * The encode barrier is load-bearing for speed, not just reuse: left
+    * lazy, the per-vector argmin subtree (m × codes literal-book dots)
+    * rides the scoring join's stream side, and the fused stage measured
+    * ~8× the split one at sf0.1 (1.92 s vs 0.23 s + 0.29 s encode) —
+    * the encode projection's generated code is pathological inside the
+    * join stage. Materializing the (vec_id, m codes) table is also the
+    * honest 100 TB shape: the encoded corpus IS the at-rest PQ format
+    * (m·log2(codes) bits per vector), exactly what a deployed scan
+    * reads instead of re-encoding per query.
+    */
+  private def pqScored[A](emb: DataFrame, m: Int, codes: Int, iters: Int,
+      numQueries: Int)(use: DataFrame => A): A = {
     val (books, sub) = Barrier.withCached(
         emb.select(col("vec_id"), asDouble(col("embedding")).as("ev"))) { v =>
       val dims = v.select(size(col("ev"))).head().getInt(0)
@@ -1904,20 +1919,28 @@ object Similarity {
     val sliced = slicedVectors(emb, m, sub)
     val encoded = sliced.select(col("vec_id"),
       array((0 until m).map(j => pqCodeExpr(books, j)): _*).as("codes"))
-    val queries = sliced.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"),
-        array((0 until m).map(j => pqLutExpr(books, j)): _*).as("luts"))
+      .barrier()
+    try {
+      val queries = sliced.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"),
+          array((0 until m).map(j => pqLutExpr(books, j)): _*).as("luts"))
+      use(adcScoreJoin(encoded, queries))
+    } finally Barrier.release(encoded)
+  }
+
+  /** The ADC scoring join over an (vec_id, codes) encoded table and a
+    * (query_id, luts) query table — factored so the plan lock can
+    * inspect the serve shape the encode barrier otherwise hides (the
+    * kmeansSearchPlan / pqRerankTail discipline).
+    */
+  private[graft] def adcScoreJoin(encoded: DataFrame,
+      queries: DataFrame): DataFrame =
     encoded.join(broadcast(queries), col("query_id") =!= col("vec_id"))
       .withColumn("adist_us", adcSum(col("codes"), col("luts")))
       .select(col("query_id"), col("vec_id"), col("adist_us"))
-  }
 
-  /** Per-query PQ top-k over the ADC-scored table (see [[pqScored]] —
-    * that is where the codebook training / encoding / LUT design lives).
-    */
-  def pqTopK(emb: DataFrame, m: Int = 4, codes: Int = 8, iters: Int = 2,
-      k: Int = 5, numQueries: Int = 10): DataFrame = {
-    val scored = pqScored(emb, m, codes, iters, numQueries)
+  /** [[pqTopK]]'s per-query rank tail (lazy) — shared with the plan lock. */
+  private[graft] def pqTopKTail(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist_us").asc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -1925,6 +1948,18 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("adist_us"), col("rank"))
   }
+
+  /** Per-query PQ top-k over the ADC-scored table (see [[pqScored]] —
+    * that is where the codebook training / encoding / LUT design lives).
+    */
+  def pqTopK(emb: DataFrame, m: Int = 4, codes: Int = 8, iters: Int = 2,
+      k: Int = 5, numQueries: Int = 10): DataFrame =
+    pqScored(emb, m, codes, iters, numQueries) { scored =>
+      // Eager (numQueries × k rows — tiny): the encode barrier releases
+      // when this scope exits, so the result must already be
+      // materialized (pqScored's `use` contract).
+      pqTopKTail(scored, k).barrier()
+    }
 
   /** PQ recall@k vs the exact brute-force top-k — the accuracy evidence
     * the quantized tier ships with (the same pattern as [[ivfRecall]]:
@@ -1963,11 +1998,14 @@ object Similarity {
     // branch (pure tier uses rk <= k, rerank uses rk <= candidates), so
     // the filter sits BELOW the checkpoint — the window still ranks the
     // full scored stream, but what materializes is numQueries ×
-    // candidates rows, not numQueries × corpus.
-    val ranked = pqScored(emb, m, codes, iters, numQueries)
-      .withColumn("rk", row_number().over(wAdc))
-      .filter(col("rk") <= candidates)
-      .barrier()
+    // candidates rows, not numQueries × corpus. The ranked barrier
+    // materializes INSIDE pqScored's scope (its `use` contract — the
+    // encode barrier releases on exit).
+    val ranked = pqScored(emb, m, codes, iters, numQueries) { scored =>
+      scored.withColumn("rk", row_number().over(wAdc))
+        .filter(col("rk") <= candidates)
+        .barrier()
+    }
     val pq = ranked.filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
     val rerank = pqRerankTail(ranked, emb, numQueries, k, candidates)

@@ -103,6 +103,29 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("bandBucketsFromSets: per-row band keys ≡ the explode+agg signature pipeline (multiset)") {
+    // The r17 map-only banding rewrite must emit EXACTLY the reference
+    // pipeline's (doc_id, band, key) rows — incl. the no-rows contracts
+    // for token-less and null-text docs. Multiset equality (exceptAll
+    // both ways) over the real sf0.001 corpus plus degenerate rows.
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs(9001L -> "", 9002L -> null.asInstanceOf[String],
+        9003L -> "one two three four"))
+      .where(col("doc_id").isNotNull)
+    val sets = Dedup.shingleSets(base, 3)
+    val ref = Dedup.bandBucketsFromSignatures(
+      Dedup.signaturesFromExploded(Dedup.explodedFromSets(sets)))
+    val perRow = Dedup.bandBucketsFromSets(sets)
+    assert(ref.exceptAll(perRow).isEmpty && perRow.exceptAll(ref).isEmpty)
+    // The rewrite must also keep the per-doc row count contract: Bands
+    // rows per shingled doc, zero for shingle-less ones.
+    val cnt = perRow.groupBy(col("doc_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cnt(9003L) == Dedup.Bands && !cnt.contains(9001L) &&
+      !cnt.contains(9002L))
+  }
+
   test("ngramJaccard: partial overlap computes exact set jaccard") {
     // doc1 shingles: {a b c, b c d}; doc2: {a b c, b c x}; inter=1, union=3.
     val d = docs(1L -> "a b c d", 2L -> "a b c x")

@@ -147,6 +147,24 @@ class PlanShapeSpec extends SparkSpec {
       optVocab.take(2000))
   }
 
+  test("bandBucketsFromSets: banding is map-only (no exchange) and no inferred filter re-runs the band algebra") {
+    // The r17 rewrite: per-row band keys via bandKeyArray — the
+    // signature groupBy exchange is GONE (one corpus shuffle cheaper at
+    // scale), and the bucket explode is the outer + isNotNull form (an
+    // inner posexplode would re-inline the whole md5/array_min band
+    // algebra into an InferFiltersFromGenerate filter).
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sets = graft.operators.Dedup.shingleSets(
+      docs.where(col("doc_id").isNotNull), 3)
+    val opt = graft.operators.Dedup.bandBucketsFromSets(sets)
+      .queryExecution.optimizedPlan.toString
+    assert(!"(?s)Filter[^\\n]*md5\\(".r.findFirstIn(opt).isDefined,
+      opt.take(2000))
+    val phys = graft.operators.Dedup.bandBucketsFromSets(sets)
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"), phys.take(2000))
+  }
+
   test("doc_decontam: eval gram side broadcasts; train corpus not re-shuffled") {
     val p = physical("doc_decontam")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
@@ -360,8 +378,21 @@ class PlanShapeSpec extends SparkSpec {
   test("emb_pq_topk: LUT search broadcasts queries, top-k prunes with WindowGroupLimit") {
     // Codebooks are literals after training, so the search side must be
     // a broadcast of the query rows against the encoded corpus — never a
-    // shuffled join — with the per-query rank pruned map-side.
-    val p = physical("emb_pq_topk")
+    // shuffled join — with the per-query rank pruned map-side. The r17
+    // encode barrier hides the serve tail from the registered query's
+    // plan, so the factored builders are what the lock inspects (the
+    // kmeansSearchPlan / pqRerankTail discipline).
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val encoded = emb.select(col("vec_id"),
+      array((col("vec_id") % 8).cast("int"),
+        (col("vec_id") % 5).cast("int")).as("codes"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        array(array((0 until 8).map(i => lit(i.toLong)): _*),
+          array((0 until 8).map(i => lit(i * 2L)): _*)).as("luts"))
+    val p = graft.operators.Similarity.pqTopKTail(
+      graft.operators.Similarity.adcScoreJoin(encoded, queries), 5)
+      .queryExecution.executedPlan.toString
     assert(p.contains("WindowGroupLimit"), p.take(3000))
     assert(p.contains("BroadcastExchange"), p.take(3000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
