@@ -33,4 +33,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // HotSpot refuses to JIT-compile methods over 8000 bytecode
+  // (DontCompileHugeMethods), while Spark only falls back from
+  // whole-stage codegen above spark.sql.codegen.hugeMethodLimit=65535 —
+  // so a generated stage in the 8000..65535 window runs in the bytecode
+  // INTERPRETER forever. Several literal-book stages live exactly there
+  // (measured at sf0.1: emb_ivf_kmeans_topk 1.77 -> 0.98 s,
+  // doc_dup_spans 2.10 -> 1.60 s, with no regressions elsewhere —
+  // lowering hugeMethodLimit instead regressed HOF-heavy stages like
+  // doc_gopher_quality 8x by forcing interpreted-expression fallback).
+  // On a cluster the same flag belongs in
+  // spark.executor.extraJavaOptions; it changes no plan and no result.
+  "-XX:-DontCompileHugeMethods",
 )

@@ -178,8 +178,17 @@ object ProbeOpt {
           .select(col("query_id"), col("vec_id"), col("adist_us")))
       }
       Barrier.release(encB)
-      println("---- fused scoredStatic optimized plan ----")
-      println(scoredStatic.queryExecution.optimizedPlan.treeString.take(4000))
+      println("---- fused executed plan (WSCG spans) ----")
+      println(scoredStatic.queryExecution.executedPlan.treeString
+        .split("\n").filterNot(_.contains("vec_dot")).take(25).mkString("\n"))
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      tm("pq2:static-no-wscg-warm") { noop(scoredStatic) }
+      tm("pq2:static-no-wscg") { noop(scoredStatic) }
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
+      tm("pq2:static-hml8000-warm") { noop(scoredStatic) }
+      tm("pq2:static-hml8000") { noop(scoredStatic) }
+      spark.conf.unset("spark.sql.codegen.hugeMethodLimit")
     }
 
     if (want("cc")) {
@@ -283,6 +292,20 @@ object ProbeOpt {
       Thread.sleep(500)
       lines.forEach(l => println(l))
       println(f"[pqjobs total] $total%.2f s")
+    }
+
+    if (want("ivf2")) {
+      // Does the PQ fused-stage pathology hit the kmeans serve too?
+      val v = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("ev")).barrier()
+      val book = Similarity.iterateBooks(v, 16, 2)
+      tm("ivf2:fused-warm") {
+        noop(Similarity.kmeansSearchPlan(v, book, 5, 10, 2))
+      }
+      tm("ivf2:fused") {
+        noop(Similarity.kmeansSearchPlan(v, book, 5, 10, 2))
+      }
+      Barrier.release(v)
     }
 
     if (want("q21")) {

@@ -2460,20 +2460,26 @@ object SparkEntry {
     // the scalable form: per (order, supplier) max ship date, per order
     // the distinct-supplier count + the global max + how many suppliers
     // attain it; "last shipper of a multi-supplier order" = exists another
-    // supplier AND not exists a later-or-tied one.
+    // supplier AND not exists a later-or-tied one. The per-order rollup
+    // rides order-partitioned WINDOWS over the per-supplier table (r17):
+    // the old agg → join-back → agg → join-back chain re-read the table
+    // three times through two extra hash aggregations; the window form
+    // establishes the l_orderkey partitioning ONCE (guide §2.4) and the
+    // second window reuses it sort-free. n_last needs is_last, which
+    // needs omax — nested window functions are illegal, hence two
+    // stacked window operators, not one.
     "q21_last_shipper" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val l = t(s, dir, "lineitem")
+      val wOrd = Window.partitionBy(col("l_orderkey"))
       val perSupp = l.groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(max(col("l_shipdate")).as("smax"))
-        .barrier() // feeds the per-order rollup + the filter join
-      val perOrder = perSupp.groupBy(col("l_orderkey"))
-        .agg(count(lit(1)).as("nsupp"), max(col("smax")).as("omax"))
-      val attain = perSupp.as("a")
-        .join(perOrder.as("o"), Seq("l_orderkey"))
+      perSupp
+        .withColumn("nsupp", count(lit(1)).over(wOrd))
+        .withColumn("omax", max(col("smax")).over(wOrd))
         .withColumn("is_last", col("smax") === col("omax"))
-      val lastCounts = attain.groupBy(col("l_orderkey"))
-        .agg(sum(when(col("is_last"), 1L).otherwise(0L)).as("n_last"))
-      attain.join(lastCounts, Seq("l_orderkey"))
+        .withColumn("n_last",
+          sum(when(col("is_last"), 1L).otherwise(0L)).over(wOrd))
         .filter(col("nsupp") >= 2 && col("is_last") && col("n_last") === 1)
         .groupBy(col("l_suppkey"))
         .agg(count(lit(1)).as("waiting_orders"))

@@ -725,25 +725,38 @@ object Dedup {
       // generation's blocks can go — otherwise a d-round loop holds
       // O(d) node-table checkpoints until driver GC (the Bpe lesson).
       Barrier.release(labels)
-      // Pointer jump: follow the label one hop (cluster ← label(cluster)).
-      // Labels always point at edge-participating nodes (they start as node
-      // ids and min() only ever picks existing labels), so the lookup side
-      // is the same table; left join + coalesce is belt-and-braces. Labels
-      // are monotone non-increasing, so jumping never overshoots the
-      // component minimum.
-      val next = prop.as("x")
-        .join(prop.select(col("doc_id").as("p_id"), col("cluster").as("p_cl"))
-          .as("p"), col("x.cluster") === col("p.p_id"), "left")
-        .select(col("x.doc_id").as("doc_id"),
-          coalesce(col("p.p_cl"), col("x.cluster")).as("cluster"),
-          col("x.prev").as("prev"))
-        .barrier()
-      Barrier.release(prop) // superseded by the materialized jump
-      val changed = next
+      // Convergence reads the PROPAGATION fixpoint, BEFORE the jump
+      // (r17): with symmetric edges, a stable propagation forces equal
+      // labels across every edge (l(x) <= l(y) AND l(y) <= l(x)), so a
+      // stable prop is component-constant and the jump is provably a
+      // no-op — the converged round skips the jump join and its barrier
+      // outright (one blocking job + one checkpoint fewer per query;
+      // round counts and final labels are unchanged, since labels are
+      // monotone non-increasing and any propagation change keeps the
+      // old next-vs-prev test unconverged too).
+      val changed = prop
         .agg(count(when(col("cluster") =!= col("prev"), lit(1))).as("n"))
         .head().getLong(0)
-      labels = next.select(col("doc_id"), col("cluster"))
       converged = changed == 0L
+      if (converged) labels = prop.select(col("doc_id"), col("cluster"))
+      else {
+        // Pointer jump: follow the label one hop (cluster ←
+        // label(cluster)). Labels always point at edge-participating
+        // nodes (they start as node ids and min() only ever picks
+        // existing labels), so the lookup side is the same table; left
+        // join + coalesce is belt-and-braces. Labels are monotone
+        // non-increasing, so jumping never overshoots the component
+        // minimum.
+        val next = prop.as("x")
+          .join(prop
+            .select(col("doc_id").as("p_id"), col("cluster").as("p_cl"))
+            .as("p"), col("x.cluster") === col("p.p_id"), "left")
+          .select(col("x.doc_id").as("doc_id"),
+            coalesce(col("p.p_cl"), col("x.cluster")).as("cluster"))
+          .barrier()
+        Barrier.release(prop) // superseded by the materialized jump
+        labels = next
+      }
       rounds += 1
     }
     if (sys.props.contains("graft.debug"))
