@@ -697,25 +697,38 @@ object Dedup {
       .barrier()
     // Iterate only over nodes that have at least one edge — the vast
     // majority of a corpus is singleton and joins back at the end.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id"))
-      .barrier()
+    // `labels` is null until round 1 materializes: with identity labels,
+    // round 1's neighbor join is the identity map (a neighbor's label IS
+    // its id), so the first propagation aggregates the EDGE LIST
+    // directly — the separate init distinct + checkpoint and the round-1
+    // join are gone (r17; two blocking jobs and one join fewer per
+    // query). Duplicate self rows from the un-distinct edge source are
+    // harmless under min().
+    var labels: DataFrame = null
     var converged = false
     var rounds = 0
     var failed = true
     try {
     while (!converged && rounds < maxRounds) {
-      val viaNeighbors = edges
-        .join(labels, edges("src") === labels("doc_id"))
-        .select(col("dst").as("doc_id"), col("cluster"), lit(false).as("self"))
-      // Edges are symmetric, so every label-carrying node appears exactly
-      // once as a `self` row — min(when(self)) recovers its previous label
-      // in the SAME aggregation that computes the new one.
+      val viaNeighbors =
+        if (labels == null)
+          edges.select(col("dst").as("doc_id"), col("src").as("cluster"),
+            lit(false).as("self"))
+        else edges
+          .join(labels, edges("src") === labels("doc_id"))
+          .select(col("dst").as("doc_id"), col("cluster"), lit(false).as("self"))
+      val selfRows =
+        if (labels == null)
+          edges.select(col("src").as("doc_id"), col("src").as("cluster"),
+            lit(true).as("self"))
+        else labels.select(col("doc_id"), col("cluster"), lit(true).as("self"))
+      // Edges are symmetric, so every label-carrying node appears (at
+      // least) once as a `self` row — min(when(self)) recovers its
+      // previous label in the SAME aggregation that computes the new one.
       // Checkpointed: the jump self-join below reads this table twice, and
       // an un-materialized aggregation would re-plan (and re-shuffle) on
       // both sides — measured as 2-3× round-time variance under load.
-      val prop = labels
-        .select(col("doc_id"), col("cluster"), lit(true).as("self"))
+      val prop = selfRows
         .union(viaNeighbors)
         .groupBy(col("doc_id"))
         .agg(min(col("cluster")).as("cluster"),
@@ -724,7 +737,7 @@ object Dedup {
       // prop is materialized (eager barrier), so the previous label
       // generation's blocks can go — otherwise a d-round loop holds
       // O(d) node-table checkpoints until driver GC (the Bpe lesson).
-      Barrier.release(labels)
+      if (labels != null) Barrier.release(labels)
       // Convergence reads the PROPAGATION fixpoint, BEFORE the jump
       // (r17): with symmetric edges, a stable propagation forces equal
       // labels across every edge (l(x) <= l(y) AND l(y) <= l(x)), so a
@@ -780,7 +793,7 @@ object Dedup {
       // most one in-flight prop table can remain on a mid-round failure
       // — bounded, and collected by driver GC like any orphan.)
       Barrier.release(edges)
-      if (failed) Barrier.release(labels)
+      if (failed && labels != null) Barrier.release(labels)
     }
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("doc_id", "l_id"),
