@@ -267,6 +267,36 @@ object ProbeOpt {
         Similarity.adcScoreJoin(encoded, queries), 5))
     }
 
+    if (fams.contains("jobs")) {
+      // Per-job wall-time attribution for ONE invocation of each named
+      // registered query (args after "jobs").
+      for (nm <- args.drop(1).filterNot(_ == "jobs");
+           fn <- SparkEntry.queries.get(nm)) {
+        noop(fn(spark, sfDir)) // warm (and index build for serves)
+        val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        val lines = new java.util.concurrent.CopyOnWriteArrayList[String]()
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs.put(js.jobId, js.time)
+          override def onJobEnd(
+              je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val t0 = jobs.getOrDefault(je.jobId, je.time)
+            lines.add(f"  job ${je.jobId}%4d  ${(je.time - t0) / 1e3}%6.2f s")
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime
+        noop(fn(spark, sfDir))
+        val total = (System.nanoTime - t0) / 1e9
+        spark.sparkContext.removeSparkListener(listener)
+        Thread.sleep(300)
+        println(s"[$nm jobs]")
+        lines.forEach(l => println(l))
+        println(f"[$nm total] $total%.2f s")
+      }
+    }
+
     if (want("pqjobs")) {
       // Per-job wall times for one pqTopK invocation: attributes the
       // query's seconds to cache/head/collect/final jobs without touching
