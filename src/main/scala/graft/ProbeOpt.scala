@@ -31,6 +31,33 @@ object ProbeOpt {
     }
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    // Per-job wall-time attribution for one action — the ONE listener
+    // scaffold (the jobs/pqjobs families shared two hand-synced copies
+    // until the r17 review wave); the listener detaches in a finally so
+    // a failing action cannot leave it double-counting later families.
+    def jobTimes(tag: String)(action: => Unit): Unit = {
+      val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      val lines = new java.util.concurrent.CopyOnWriteArrayList[String]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.put(js.jobId, js.time)
+        override def onJobEnd(
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val t0 = jobs.getOrDefault(je.jobId, je.time)
+          lines.add(f"  job ${je.jobId}%4d  ${(je.time - t0) / 1e3}%6.2f s")
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime
+      try action
+      finally spark.sparkContext.removeSparkListener(listener)
+      val total = (System.nanoTime - t0) / 1e9
+      Thread.sleep(300) // let trailing JobEnd events drain
+      println(s"[$tag jobs]")
+      lines.forEach(l => println(l))
+      println(f"[$tag total] $total%.2f s")
+    }
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     // Warm the tables + codegen once so stage times aren't first-run JIT.
@@ -79,23 +106,19 @@ object ProbeOpt {
         noop(Dedup.bandBucketsFromSignatures(
           Dedup.signaturesFromExploded(Dedup.explodedFromSets(sets))))
       }
-      def perRowBuckets(ss: DataFrame): DataFrame = {
-        val arrs = ss.filter(size(col("sset")) >= 1)
-          .select(col("doc_id"),
-            transform(col("sset"),
-              x => md5(concat(lit("a:"), x))).as("ma"),
-            transform(col("sset"),
-              x => md5(concat(lit("b:"), x))).as("mb"))
-        arrs.select(col("doc_id"),
-          posexplode(Dedup.bandKeyArray(col("ma"), col("mb")))
-            .as(Seq("band", "key")))
+      // The per-row side measures the SHIPPED operator (the original
+      // exploration used an inner posexplode + a size(sset) pre-filter
+      // — exactly the two trap forms bandBucketsFromSets documents
+      // avoiding; re-deriving the r17 numbers must measure the real
+      // thing, review-wave finding).
+      tm("mh2:buckets-perrow-warm") {
+        noop(Dedup.bandBucketsFromSets(sets))
       }
-      tm("mh2:buckets-perrow-warm") { noop(perRowBuckets(sets)) }
-      tm("mh2:buckets-perrow") { noop(perRowBuckets(sets)) }
+      tm("mh2:buckets-perrow") { noop(Dedup.bandBucketsFromSets(sets)) }
       // Equality probe: same (doc_id, band, key) multiset?
       val a = Dedup.bandBucketsFromSignatures(
         Dedup.signaturesFromExploded(Dedup.explodedFromSets(sets)))
-      val b = perRowBuckets(sets)
+      val b = Dedup.bandBucketsFromSets(sets)
       println("batch-only rows: " + a.exceptAll(b).count() +
         "  perrow-only rows: " + b.exceptAll(a).count())
       Barrier.release(sets)
@@ -181,14 +204,19 @@ object ProbeOpt {
       println("---- fused executed plan (WSCG spans) ----")
       println(scoredStatic.queryExecution.executedPlan.treeString
         .split("\n").filterNot(_.contains("vec_dot")).take(25).mkString("\n"))
-      spark.conf.set("spark.sql.codegen.wholeStage", "false")
-      tm("pq2:static-no-wscg-warm") { noop(scoredStatic) }
-      tm("pq2:static-no-wscg") { noop(scoredStatic) }
-      spark.conf.set("spark.sql.codegen.wholeStage", "true")
-      spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
-      tm("pq2:static-hml8000-warm") { noop(scoredStatic) }
-      tm("pq2:static-hml8000") { noop(scoredStatic) }
-      spark.conf.unset("spark.sql.codegen.hugeMethodLimit")
+      // Conf experiments restore in a finally (the cc family's
+      // sys.props discipline): a failure here must not leave later
+      // families measuring under the wrong codegen regime.
+      try {
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        tm("pq2:static-no-wscg-warm") { noop(scoredStatic) }
+        tm("pq2:static-no-wscg") { noop(scoredStatic) }
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      try {
+        spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
+        tm("pq2:static-hml8000-warm") { noop(scoredStatic) }
+        tm("pq2:static-hml8000") { noop(scoredStatic) }
+      } finally spark.conf.unset("spark.sql.codegen.hugeMethodLimit")
     }
 
     if (want("cc")) {
@@ -230,15 +258,22 @@ object ProbeOpt {
       // suite. Warm pass first (codegen), then two timed passes.
       val names = args.drop(1).filterNot(_ == "bq")
       for (nm <- names; fn <- SparkEntry.queries.get(nm)) {
-        try noop(fn(spark, sfDir))
-        catch { case e: Throwable =>
-          println(s"[$nm] FAILED: ${e.getMessage}") }
-        val times = (1 to 2).map { _ =>
-          val t0 = System.nanoTime
-          noop(fn(spark, sfDir))
-          (System.nanoTime - t0) / 1e9
+        // Warm pass doubles as the failure gate: a deterministically
+        // failing query must not abort the rest of the run (the timed
+        // passes below only run when the warm pass survived).
+        val warmOk =
+          try { noop(fn(spark, sfDir)); true }
+          catch { case scala.util.control.NonFatal(e) =>
+            println(s"[$nm] FAILED: ${e.getMessage}"); false }
+        if (warmOk) {
+          val times = (1 to 2).map { _ =>
+            val t0 = System.nanoTime
+            noop(fn(spark, sfDir))
+            (System.nanoTime - t0) / 1e9
+          }
+          println(f"[$nm] min=${times.min}%.2f s  " +
+            s"(${times.map(t => f"$t%.2f").mkString(", ")})")
         }
-        println(f"[$nm] min=${times.min}%.2f s  (${times.map(t => f"$t%.2f").mkString(", ")})")
       }
     }
 
@@ -273,27 +308,7 @@ object ProbeOpt {
       for (nm <- args.drop(1).filterNot(_ == "jobs");
            fn <- SparkEntry.queries.get(nm)) {
         noop(fn(spark, sfDir)) // warm (and index build for serves)
-        val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
-        val lines = new java.util.concurrent.CopyOnWriteArrayList[String]()
-        val listener = new org.apache.spark.scheduler.SparkListener {
-          override def onJobStart(
-              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-            jobs.put(js.jobId, js.time)
-          override def onJobEnd(
-              je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-            val t0 = jobs.getOrDefault(je.jobId, je.time)
-            lines.add(f"  job ${je.jobId}%4d  ${(je.time - t0) / 1e3}%6.2f s")
-          }
-        }
-        spark.sparkContext.addSparkListener(listener)
-        val t0 = System.nanoTime
-        noop(fn(spark, sfDir))
-        val total = (System.nanoTime - t0) / 1e9
-        spark.sparkContext.removeSparkListener(listener)
-        Thread.sleep(300)
-        println(s"[$nm jobs]")
-        lines.forEach(l => println(l))
-        println(f"[$nm total] $total%.2f s")
+        jobTimes(nm) { noop(fn(spark, sfDir)) }
       }
     }
 
@@ -301,27 +316,8 @@ object ProbeOpt {
       // Per-job wall times for one pqTopK invocation: attributes the
       // query's seconds to cache/head/collect/final jobs without touching
       // the operator.
-      val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
-      val lines = new java.util.concurrent.CopyOnWriteArrayList[String]()
-      val listener = new org.apache.spark.scheduler.SparkListener {
-        override def onJobStart(
-            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          jobs.put(js.jobId, js.time)
-        override def onJobEnd(
-            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-          val t0 = jobs.getOrDefault(je.jobId, je.time)
-          lines.add(f"job ${je.jobId}%3d  ${(je.time - t0) / 1e3}%6.2f s")
-        }
-      }
       noop(Similarity.pqTopK(emb)) // warm
-      spark.sparkContext.addSparkListener(listener)
-      val t0 = System.nanoTime
-      noop(Similarity.pqTopK(emb))
-      val total = (System.nanoTime - t0) / 1e9
-      spark.sparkContext.removeSparkListener(listener)
-      Thread.sleep(500)
-      lines.forEach(l => println(l))
-      println(f"[pqjobs total] $total%.2f s")
+      jobTimes("pqTopK") { noop(Similarity.pqTopK(emb)) }
     }
 
     if (want("ivf2")) {
