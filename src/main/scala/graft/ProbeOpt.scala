@@ -302,6 +302,70 @@ object ProbeOpt {
         Similarity.adcScoreJoin(encoded, queries), 5))
     }
 
+    if (want("gq")) {
+      // Which expression family dominates doc_gopher_quality's single
+      // 1.48 s map job? Time the derived projection piecewise over a
+      // materialized (doc_id, chars, toks) table.
+      import graft.operators.Curation
+      val toksTab = docs.select(col("doc_id"),
+        length(col("text")).as("chars"),
+        graft.operators.TextAnalysis.wsTokens(col("text")).as("toks"))
+        .barrier()
+      def sortedGrams(n: Int): Column =
+        when(size(col("toks")) >= n,
+          sort_array(graft.operators.TextAnalysis.ngramArray(col("toks"), n)))
+          .otherwise(array().cast("array<string>"))
+      def topFold(grams: Column): Column = {
+        val zeroState = struct(lit("").as("prev"), lit(0L).as("run"),
+          lit(0L).as("best"), lit("").as("bestg"))
+        aggregate(grams, zeroState,
+          (st, g) => {
+            val nrun = when(g === st("prev"), st("run") + 1).otherwise(lit(1L))
+            struct(g.as("prev"), nrun.as("run"),
+              when(nrun > st("best"), nrun).otherwise(st("best")).as("best"),
+              when(nrun > st("best"), g).otherwise(st("bestg")).as("bestg"))
+          })
+      }
+      tm("gq:full-warm") { noop(Curation.gopherQuality(docs)) }
+      tm("gq:full") { noop(Curation.gopherQuality(docs)) }
+      tm("gq:tokenize-only") { noop(toksTab.sparkSession.emptyDataFrame) }
+      tm("gq:toks-barrier-scan") { noop(toksTab) }
+      for (n <- Seq(2, 3, 4)) {
+        val d = toksTab.select(col("doc_id"), sortedGrams(n).as("g"))
+        tm(s"gq:grams$n-sorted") { noop(d) }
+        tm(s"gq:grams$n-fold") {
+          noop(d.select(col("doc_id"), topFold(col("g")).as("t")))
+        }
+      }
+      tm("gq:stop-hits") {
+        val lt = toksTab.select(col("doc_id"),
+          transform(col("toks"), t => lower(t)).as("ltoks"))
+        noop(lt.select(col("doc_id"),
+          Curation.gopherStopwords
+            .map(s => when(array_contains(col("ltoks"), s), 1).otherwise(0))
+            .reduce(_ + _).as("sh")))
+      }
+      tm("gq:mwl-dr") {
+        noop(toksTab.select(col("doc_id"),
+          graft.operators.TextAnalysis.meanTokenLenFromToks(col("toks")).as("m"),
+          when(size(col("toks")) === 0, 0.0).otherwise(
+            size(array_distinct(col("toks"))).cast("double") /
+              size(col("toks")).cast("double")).as("dr")))
+      }
+      tm("gq:dlf-chunks") {
+        val ch = toksTab.select(col("doc_id"),
+          when(size(col("toks")) === 0, array().cast("array<string>"))
+            .otherwise(transform(
+              graft.operators.TextAnalysis.chunkStructs(col("toks"), 10),
+              s => s("chunk"))).as("chunks"))
+        noop(ch.select(col("doc_id"),
+          when(size(col("chunks")) === 0, 0.0).otherwise(
+            (size(col("chunks")) - size(array_distinct(col("chunks"))))
+              .cast("double") / size(col("chunks")).cast("double")).as("dlf")))
+      }
+      graft.operators.Barrier.release(toksTab)
+    }
+
     if (fams.contains("jobs")) {
       // Per-job wall-time attribution for ONE invocation of each named
       // registered query (args after "jobs").

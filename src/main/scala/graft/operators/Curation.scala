@@ -104,50 +104,26 @@ object Curation {
       maxTop3GramShare: Double = MaxTop3GramShare,
       maxTop4GramShare: Double = MaxTop4GramShare,
       chunkTokens: Int = ChunkTokens): DataFrame = {
-    // Sorted word-n-gram array (empty below n tokens) — an attribute in
-    // the projection below because it is itself a HOF input.
-    def sortedGrams(n: Int): Column =
-      when(size(col("toks")) >= n,
-        sort_array(TextAnalysis.ngramArray(col("toks"), n)))
-        .otherwise(array().cast("array<string>"))
-    // Second projection barrier: the n-gram arrays and the chunk array are
-    // themselves HOF inputs below, so they must be attributes too.
-    val derived = toks.select(col("doc_id"), col("chars"), col("toks"),
-      // Lower-cased copy as its OWN attribute (HOF input): the stopword
-      // test must be case-insensitive — an all-caps/title-cased document
-      // ("The", headers, OCR) would otherwise score stop_hits = 0 and
-      // fail `keep` regardless of quality. Rae et al. case-fold.
-      transform(col("toks"), t => lower(t)).as("ltoks"),
-      sortedGrams(2).as("grams2"), sortedGrams(3).as("grams3"),
-      sortedGrams(4).as("grams4"),
-      // Chunk strings from the SHARED chunk builder (TextAnalysis.
-      // chunkStructs) — dup_line_fraction's "lines" must be the same unit
-      // paragraphDedup dedups on, and two hand-synced copies could drift.
-      // The empty-doc guard is unchanged (chunkStructs' zero-length
-      // pseudo-chunk would make dlf 0/1 = the same 0.0 the guard yields).
-      when(size(col("toks")) === 0, array().cast("array<string>"))
-        .otherwise(transform(
-          TextAnalysis.chunkStructs(col("toks"), chunkTokens),
-          s => s("chunk"))).as("chunks"))
-    val stopHits = gopherStopwords
-      .map(s => when(array_contains(col("ltoks"), s), 1).otherwise(0))
-      .reduce(_ + _)
-    // Run-length fold over a SORTED gram array: equal grams are adjacent,
-    // so the longest run is the max occurrence count; strict > keeps the
-    // FIRST (= smallest) max gram, matching the oracle's
-    // `ORDER BY count DESC, gram ASC` tie-break.
-    def topFold(grams: Column): Column = {
-      val zeroState = struct(lit("").as("prev"), lit(0L).as("run"),
-        lit(0L).as("best"), lit("").as("bestg"))
-      aggregate(grams, zeroState,
-        (st, g) => {
-          val nrun = when(g === st("prev"), st("run") + 1).otherwise(lit(1L))
-          struct(g.as("prev"), nrun.as("run"),
-            when(nrun > st("best"), nrun).otherwise(st("best")).as("best"),
-            when(nrun > st("best"), g).otherwise(st("bestg")).as("bestg"))
-        })
-    }
-    val m = derived.select(
+    // The three top-n-gram pipelines and the stopword scan run as native
+    // codegen kernels (graft.functions.{TopNgram, StopwordHits}) — the
+    // former sort_array + aggregate-fold + transform(lower) +
+    // chunk-transform HOF chains evaluated interpreted per element and
+    // dominated this operator's single map job (equivalence spec-pinned
+    // expression-by-expression; the run-length semantics — strict >
+    // keeps the FIRST = smallest max gram, matching the oracle's ORDER
+    // BY count DESC, gram ASC tie-break — live in the kernel's contract
+    // now). The chunk unit stays chunkStructs' definition — the
+    // DupChunkStats kernel replicates it and the equivalence spec pins
+    // the two against each other, so a chunking change trips a test
+    // instead of silently diverging from paragraphDedup's unit.
+    // Case-insensitive distinct-stopword count (Rae et al. case-fold):
+    // an all-caps/title-cased document would otherwise score
+    // stop_hits = 0 and fail `keep` regardless of quality.
+    val stopHits =
+      graft.functions.TextFunctions.stopwordHits(col("toks"), gopherStopwords)
+    val chunkStats =
+      graft.functions.TextFunctions.dupChunkStats(col("toks"), chunkTokens)
+    val m = toks.select(
       col("doc_id"),
       size(col("toks")).cast("long").as("word_count"),
       // The SHARED mean-token-length kernel, not a hand-synced copy of
@@ -157,12 +133,15 @@ object Curation {
         size(array_distinct(col("toks"))).cast("double") /
           size(col("toks")).cast("double")).as("dr"),
       stopHits.cast("long").as("stop_hits"),
-      when(size(col("chunks")) === 0, 0.0).otherwise(
-        (size(col("chunks")) - size(array_distinct(col("chunks")))).cast("double") /
-          size(col("chunks")).cast("double")).as("dlf"),
-      topFold(col("grams2")).as("top2"),
-      topFold(col("grams3")).as("top3"),
-      topFold(col("grams4")).as("top4"),
+      // The empty-doc guard is unchanged (chunkStructs' zero-length
+      // pseudo-chunk would make dlf 0/1 = the same 0.0 the guard
+      // yields).
+      when(size(col("toks")) === 0, 0.0).otherwise(
+        (chunkStats("n_chunks") - chunkStats("n_distinct")).cast("double") /
+          chunkStats("n_chunks").cast("double")).as("dlf"),
+      graft.functions.TextFunctions.topNgram(col("toks"), 2).as("top2"),
+      graft.functions.TextFunctions.topNgram(col("toks"), 3).as("top3"),
+      graft.functions.TextFunctions.topNgram(col("toks"), 4).as("top4"),
       col("chars"))
     def share(top: String): Column =
       when(col("chars") === 0 || col(top)("best") === 0L, 0.0)

@@ -30,7 +30,15 @@ object TextAnalysis {
     // Spark's null-SKIPPING least/greatest silently fabricate values
     // (e.g. a 0.7 quality score for a content-free doc). Every oracle
     // tokenization CTE mirrors with `text IS NULL OR ...`.
-    coalesce(filter(split(trim(text), "\\s+"), t => t =!= ""),
+    // Tokenization itself is the codegen'd byte-scan kernel
+    // (graft.functions.WsTokens) — the former
+    // `filter(split(trim(text), "\\s+"), _ =!= "")` chain ran the filter
+    // HOF interpreted per element under ~40 query paths; semantics are
+    // identical by the ASCII-whitespace byte argument at the kernel
+    // (equivalence spec-pinned incl. control chars and multi-byte UTF-8;
+    // the streaming Scala twin wsTokensScala is pinned against the SAME
+    // Column, so stream ≡ batch parity carries over unchanged).
+    coalesce(graft.functions.TextFunctions.wsTokensRaw(text),
       array().cast("array<string>"))
 
   /** Whitespace token count. */
@@ -91,8 +99,12 @@ object TextAnalysis {
     * consumers.
     */
   private[graft] def meanTokenLenFromToks(toks: Column): Column =
+    // Codegen'd length-sum kernel (graft.functions.TokenLenSum) — the
+    // former aggregate HOF evaluated interpreted per element on the
+    // gopher/token-stats hot path; semantics identical (char counts,
+    // null element → null sum), spec-pinned.
     when(size(toks) === 0, 0.0).otherwise(
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      graft.functions.TextFunctions.tokenLenSum(toks).cast("double") /
         size(toks).cast("double"))
 
   /** Mean whitespace-token length. */

@@ -186,6 +186,112 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(genCode(containsNull = true).contains("isNullAt"))
   }
 
+  test("WsTokens kernel ≡ filter(split(trim(text))) — corpus + control chars + multi-byte UTF-8") {
+    // The byte-scan tokenizer must equal the former regex chain on EVERY
+    // input: Java \s is exactly {0x09..0x0D, 0x20} and none of those
+    // bytes occurs inside a multi-byte UTF-8 sequence, so maximal
+    // non-\s byte runs ≡ split-then-drop-empties. Adversarial rows: other
+    // control chars (NOT \s — 0x00, 0x1F must stay INSIDE tokens),
+    // vertical tab/form feed (ARE \s), NBSP and CJK (multi-byte,
+    // non-splitting), leading/trailing/runs of mixed whitespace, null.
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+      .unionByName(Seq(
+        "", "   ", "\t\n\r", "a", " a ", "a\tb\nc\rdef",
+        "x y z", "pq r", "café naïve",
+        "日本語 漢字\ttokens",
+        "nb sp stays one-token", "a  \t\r\n  b",
+        null.asInstanceOf[String]).toDF("text"))
+    val ref = coalesce(
+      filter(split(trim(col("text")), "\\s+"), t => t =!= ""),
+      array().cast("array<string>"))
+    val cmp = base.select(
+        TextAnalysis.wsTokens(col("text")).as("k"), ref.as("r"))
+      .where(not(col("k") <=> col("r")))
+    assert(cmp.isEmpty, cmp.collect().take(5).toSeq)
+  }
+
+  test("TopNgram/StopwordHits kernels ≡ the HOF reference chains (r18 gopher hot path)") {
+    // The codegen kernels replace sort_array + aggregate-fold and
+    // transform(lower) + array_contains in gopherQualityFromTokens —
+    // equivalence pinned against the EXACT former expression forms over
+    // the real sf0.001 corpus plus degenerate/tie rows.
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs(
+        9001L -> "", // token-less: (0, "")
+        9002L -> "solo", // below n for every n
+        9003L -> "a b a b a b", // overlapping-run ties
+        9004L -> "z z z z", // single repeated token
+        9005L -> "b a b a THE The the A", // case-folded stopwords
+        9006L -> "x y x y q q q")) // strict-> first-max tie-break
+    val toks = base.select(col("doc_id"),
+      TextAnalysis.wsTokens(col("text")).as("toks"))
+    def refSortedGrams(n: Int) =
+      when(size(col("toks")) >= n,
+        sort_array(TextAnalysis.ngramArray(col("toks"), n)))
+        .otherwise(array().cast("array<string>"))
+    def refTopFold(grams: org.apache.spark.sql.Column) = {
+      val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best"), lit("").as("bestg"))
+      aggregate(grams, zero, (st, g) => {
+        val nrun = when(g === st("prev"), st("run") + 1).otherwise(lit(1L))
+        struct(g.as("prev"), nrun.as("run"),
+          when(nrun > st("best"), nrun).otherwise(st("best")).as("best"),
+          when(nrun > st("best"), g).otherwise(st("bestg")).as("bestg"))
+      })
+    }
+    for (n <- Seq(2, 3, 4)) {
+      val cmp = toks.select(col("doc_id"),
+          graft.functions.TextFunctions.topNgram(col("toks"), n).as("k"),
+          refTopFold(refSortedGrams(n)).as("r"))
+        .where(col("k.best") =!= col("r.best") ||
+          col("k.bestg") =!= col("r.bestg"))
+      assert(cmp.isEmpty, s"n=$n: ${cmp.collect().take(5).toSeq}")
+    }
+    val refStop = Curation.gopherStopwords
+      .map(s => when(array_contains(
+        transform(col("toks"), t => lower(t)), s), 1).otherwise(0))
+      .reduce(_ + _)
+    val scmp = toks.select(col("doc_id"),
+        graft.functions.TextFunctions
+          .stopwordHits(col("toks"), Curation.gopherStopwords).as("k"),
+        refStop.as("r"))
+      .where(col("k") =!= col("r"))
+    assert(scmp.isEmpty, scmp.collect().take(5).toSeq)
+    // TokenLenSum ≡ the aggregate length fold (char counts).
+    val lcmp = toks.select(col("doc_id"),
+        graft.functions.TextFunctions.tokenLenSum(col("toks")).as("k"),
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).as("r"))
+      .where(col("k") =!= col("r"))
+    assert(lcmp.isEmpty, lcmp.collect().take(5).toSeq)
+    // DupChunkStats ≡ the chunkStructs+array_distinct census (chunk unit
+    // parity with paragraphDedup — a chunking change must trip here).
+    val refChunks = transform(
+      TextAnalysis.chunkStructs(col("toks"), 10), s => s("chunk"))
+    val ccmp = toks.where(size(col("toks")) > 0).select(col("doc_id"),
+        graft.functions.TextFunctions.dupChunkStats(col("toks"), 10).as("k"),
+        size(refChunks).as("rn"),
+        size(array_distinct(refChunks)).as("rd"))
+      .where(col("k.n_chunks") =!= col("rn") ||
+        col("k.n_distinct") =!= col("rd"))
+    assert(ccmp.isEmpty, ccmp.collect().take(5).toSeq)
+    // Spot-check hand-computed values (the fixtures above).
+    val got = toks.where(col("doc_id") >= 9001L).select(col("doc_id"),
+        graft.functions.TextFunctions.topNgram(col("toks"), 2).as("k"),
+        graft.functions.TextFunctions
+          .stopwordHits(col("toks"), Curation.gopherStopwords).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getStruct(1).getLong(0), r.getStruct(1).getString(1)),
+          r.getInt(2))).toMap
+    assert(got(9001L) == ((0L, ""), 0))
+    assert(got(9002L) == ((0L, ""), 0))
+    assert(got(9003L) == ((3L, "a b"), 1)) // "a b"×3 beats "b a"×2; "a"
+    assert(got(9004L) == ((3L, "z z"), 0))
+    assert(got(9006L) == ((2L, "q q"), 0)) // "q q"×2 ties "x y"×2 — strict > keeps the first (= smallest) gram
+    assert(got(9005L)._2 == 2) // "the" + "a", case-folded
+  }
+
   test("subwordCount book: identical with full, partial, and empty coverage") {
     val d = docs(1L -> "aa bb aa cc", 2L -> "bb bb zz", 3L -> "")
     val merges = graft.operators.Bpe.trainMerges(d, 2)

@@ -127,7 +127,7 @@ class PlanShapeSpec extends SparkSpec {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val opt = graft.operators.Dedup.explodedShingles(docs, 8)
       .queryExecution.optimizedPlan.toString
-    assert(!"(?s)Filter[^\\n]*split\\(".r.findFirstIn(opt).isDefined, opt.take(2000))
+    assert(!"(?s)Filter[^\\n]*(split|ws_tokens)\\(".r.findFirstIn(opt).isDefined, opt.take(2000))
   }
 
   test("explodedTokens and Bpe.vocab: no inferred filter re-running the tokenization") {
@@ -139,11 +139,11 @@ class PlanShapeSpec extends SparkSpec {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val optTok = graft.operators.TextAnalysis.explodedTokens(docs)
       .queryExecution.optimizedPlan.toString
-    assert(!"(?s)Filter[^\\n]*split\\(".r.findFirstIn(optTok).isDefined,
+    assert(!"(?s)Filter[^\\n]*(split|ws_tokens)\\(".r.findFirstIn(optTok).isDefined,
       optTok.take(2000))
     val optVocab = graft.operators.Bpe.vocab(docs)
       .queryExecution.optimizedPlan.toString
-    assert(!"(?s)Filter[^\\n]*split\\(".r.findFirstIn(optVocab).isDefined,
+    assert(!"(?s)Filter[^\\n]*(split|ws_tokens)\\(".r.findFirstIn(optVocab).isDefined,
       optVocab.take(2000))
   }
 
@@ -601,7 +601,7 @@ class PlanShapeSpec extends SparkSpec {
     // tokenization on every bm25/lex-index corpus scan until caught).
     val opt = graft.operators.Search.postings(docs)
       .queryExecution.optimizedPlan.toString
-    assert(!"(?s)Filter[^\\n]*split\\(".r.findFirstIn(opt).isDefined,
+    assert(!"(?s)Filter[^\\n]*(split|ws_tokens)\\(".r.findFirstIn(opt).isDefined,
       opt.take(2000))
   }
 
@@ -701,7 +701,7 @@ class PlanShapeSpec extends SparkSpec {
     val q = graft.operators.TextAnalysis.bigramLmTail(docs,
       graft.operators.TextAnalysis.docBigrams(docs))
     val opt = q.queryExecution.optimizedPlan.toString
-    assert(!"(?s)Filter[^\\n]*split\\(".r.findFirstIn(opt).isDefined,
+    assert(!"(?s)Filter[^\\n]*(split|ws_tokens)\\(".r.findFirstIn(opt).isDefined,
       opt.take(2000))
     // Scoring joins the reduced bigram table against the model on its
     // keys — hash-based; the only nested-loop is the 1-row V broadcast.
@@ -1056,7 +1056,7 @@ class PlanShapeSpec extends SparkSpec {
     // The InferFiltersFromGenerate hazard (round-9 lesson): a pushed
     // Filter containing split( means the whole tokenization re-runs per
     // row under the explode.
-    assert(!"Filter[^\\n]*split\\(".r.findFirstIn(p).isDefined, p.take(3000))
+    assert(!"Filter[^\\n]*(split|ws_tokens)\\(".r.findFirstIn(p).isDefined, p.take(3000))
     assert(p.contains("partial_count"), p.take(3000))
     // Exchanges: the token fold and the ≤64-row octave fold — nothing
     // else touches the corpus.
