@@ -1211,42 +1211,86 @@ object Curation {
     try {
     baseRaw.write.mode("overwrite").parquet(basePath)
     val base = spark.read.parquet(basePath)
-    val q = gopherQualityFromTokens(base)
-      .select(col("doc_id"), col("keep").as("q_keep"))
-    val eg = Dedup.exactGroupsFromHashes(
-      base.select(col("doc_id"), col("th").as("text_hash")))
-    val e = base.select(col("doc_id"), col("th"))
-      .join(eg, col("th") === col("text_hash"))
-      .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("e_keep"))
-    // Near-dup clustering: the shingle-set table feeds three branches
-    // (signatures + both verify join sides), so it must materialize. It
-    // is corpus-×-shingle sized — LARGER than the base table whose
-    // executor-disk cache the docstring above rejects at 100 TB — so it
-    // gets the same filesystem-scratch treatment as the base: written
-    // once, re-read per branch from storage (bounded by the filesystem,
-    // not executor disks), deleted in the finally. Unlike the base, the
-    // sets scratch is ALWAYS ours to delete, even when the caller keeps
-    // the base table.
-    Dedup.shingleSetsFromTokens(base, 3)
-      .write.mode("overwrite").parquet(setsPath)
-    val sets3 = spark.read.parquet(setsPath)
-    val pairs = Dedup.minhashNearDupsFromSets(sets3)
-    val c = Dedup.dupClusters(base.select(col("doc_id")), pairs)
-      .select(col("doc_id"), (col("cluster") === col("doc_id")).as("c_keep"))
-    val d = decontaminateFromSets(
-        Dedup.shingleSetsFromTokens(base, DecontamGramSize),
-        evalDocs, DecontamGramSize)
-      .select(col("doc_id"), (!col("contaminated")).as("d_keep"))
-    val s = base.select(col("doc_id"),
-      sampleKeep(rates, defaultRate).as("s_keep"))
-    val out = q.join(e, Seq("doc_id")).join(c, Seq("doc_id"))
-      .join(d, Seq("doc_id")).join(s, Seq("doc_id"))
-      .select(col("doc_id"), col("q_keep"), col("e_keep"), col("c_keep"),
-        col("d_keep"), col("s_keep"),
-        (col("q_keep") && col("e_keep") && col("c_keep") &&
-          col("d_keep") && col("s_keep")).as("kept"))
-      .barrier()
-    out
+    // Independent gates run CONCURRENTLY (guide §2.6 — overlap
+    // independent jobs): the scheduler happily runs jobs from several
+    // driver threads, so the gopher/exact-dup/decontam gate jobs
+    // back-fill executor slots while this thread drives the serial
+    // near-dup chain (sets write → LSH pairs → CC rounds). Each
+    // concurrent gate materializes its tiny (doc_id, flag) verdict
+    // table (released once the report rows exist); the final join
+    // consumes the same verdicts it used to compute inline, so the
+    // output is unchanged (spec-pinned). 3 threads: enough to fill the
+    // tail, not enough to fight the main chain for executors.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    val gateBarriers =
+      new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    def gate(name: String)(df: => DataFrame): Future[DataFrame] = Future {
+      // Job descriptions are thread-local — each gate labels its own jobs.
+      spark.sparkContext.setJobDescription(s"curation: $name gate")
+      try { val b = Barrier(df); gateBarriers.add(b); b }
+      finally spark.sparkContext.setJobDescription(null)
+    }
+    try {
+      val fq = gate("gopher") {
+        gopherQualityFromTokens(base)
+          .select(col("doc_id"), col("keep").as("q_keep"))
+      }
+      val fe = gate("exact-dup") {
+        val eg = Dedup.exactGroupsFromHashes(
+          base.select(col("doc_id"), col("th").as("text_hash")))
+        base.select(col("doc_id"), col("th"))
+          .join(eg, col("th") === col("text_hash"))
+          .select(col("doc_id"),
+            (col("doc_id") === col("keep_id")).as("e_keep"))
+      }
+      val fd = gate("decontam") {
+        decontaminateFromSets(
+            Dedup.shingleSetsFromTokens(base, DecontamGramSize),
+            evalDocs, DecontamGramSize)
+          .select(col("doc_id"), (!col("contaminated")).as("d_keep"))
+      }
+      // Near-dup clustering (this thread): the shingle-set table feeds
+      // three branches (signatures + both verify join sides), so it must
+      // materialize. It is corpus-×-shingle sized — LARGER than the base
+      // table whose executor-disk cache the docstring above rejects at
+      // 100 TB — so it gets the same filesystem-scratch treatment as the
+      // base: written once, re-read per branch from storage (bounded by
+      // the filesystem, not executor disks), deleted in the finally.
+      // Unlike the base, the sets scratch is ALWAYS ours to delete, even
+      // when the caller keeps the base table.
+      Dedup.shingleSetsFromTokens(base, 3)
+        .write.mode("overwrite").parquet(setsPath)
+      val sets3 = spark.read.parquet(setsPath)
+      val pairs = Dedup.minhashNearDupsFromSets(sets3)
+      val c = Dedup.dupClusters(base.select(col("doc_id")), pairs)
+        .select(col("doc_id"), (col("cluster") === col("doc_id")).as("c_keep"))
+      val s = base.select(col("doc_id"),
+        sampleKeep(rates, defaultRate).as("s_keep"))
+      val q = Await.result(fq, Duration.Inf)
+      val e = Await.result(fe, Duration.Inf)
+      val d = Await.result(fd, Duration.Inf)
+      q.join(e, Seq("doc_id")).join(c, Seq("doc_id"))
+        .join(d, Seq("doc_id")).join(s, Seq("doc_id"))
+        .select(col("doc_id"), col("q_keep"), col("e_keep"), col("c_keep"),
+          col("d_keep"), col("s_keep"),
+          (col("q_keep") && col("e_keep") && col("c_keep") &&
+            col("d_keep") && col("s_keep")).as("kept"))
+        .barrier()
+    } finally {
+      // Gate cleanup on EVERY exit: stop accepting work, wait (bounded)
+      // for in-flight gate materializations to finish registering their
+      // barriers, then release them — once the report rows are
+      // materialized the gate checkpoints are superseded, and on a
+      // failure path they must not strand for the session (Verify
+      // catches per-query failures and continues).
+      pool.shutdown()
+      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+      gateBarriers.forEach(b => Barrier.release(b))
+    }
     // Once the report rows are materialized (or the report FAILED — the
     // finally guarantees a crashed stage doesn't leak a corpus-sized
     // scratch dir under the warehouse), an auto-derived scratch base

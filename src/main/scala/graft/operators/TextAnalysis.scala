@@ -765,26 +765,25 @@ object TextAnalysis {
     // rule; the registered query's inner joins already did); uniqueness
     // of the non-null ids stays the caller's contract.
     val scores = scores0.where(col("doc_id").isNotNull)
+    // The ranked table feeds EXACTLY ONE consumer — agreementTail's
+    // single aggregation — so it is NOT materialized (the former cache
+    // cost one extra corpus-sized fill pass per invocation for zero
+    // reuse); only the INPUT is cached on the binned path, where the
+    // boundary estimation, the count pass, and the rank pass each read
+    // it (the registered query's input embeds the full bigram-LM chain).
     if (rankBuckets == 1) {
       val ranked = cols.foldLeft(scores) { (df, c) =>
         df.withColumn(s"__r_$c", row_number().over(
           Window.orderBy(col(c).asc_nulls_last, col("doc_id").asc))
           .cast("long"))
       }
-      Barrier.withCached(ranked.select(
-          col("doc_id") +: cols.map(c => col(s"__r_$c")): _*)) { r =>
-        agreementTail(r, cols)
-      }
+      agreementTail(ranked.select(
+        col("doc_id") +: cols.map(c => col(s"__r_$c")): _*), cols)
     } else
-      // The input is read by the boundary estimation, one count pass per
-      // column, and the rank pass — cache it for the span (the registered
-      // query's input embeds the full bigram-LM chain).
       Barrier.withCached(scores) { s =>
         val ranked = binnedRanks(s, cols, rankBuckets)
-        Barrier.withCached(ranked.select(
-            col("doc_id") +: cols.map(c => col(s"__r_$c")): _*)) { r =>
-          agreementTail(r, cols)
-        }
+        agreementTail(ranked.select(
+          col("doc_id") +: cols.map(c => col(s"__r_$c")): _*), cols)
       }
   }
 
