@@ -56,23 +56,46 @@ object DedupIndex {
       """buckets|sets|meta|(buckets|sets)-(delta|compact)-\d{10}""" +
         """|tombs-\d{10}""")
 
+  /** The live layout + manifest-carried meta. A pre-r18 index (or one
+    * written before manifests existed at all) adopts with
+    * `metaVals = None` — readers then fall back to the 1-row meta
+    * parquet ([[metaOf]]).
+    */
+  private[graft] final case class DedupLayout(seq: Long,
+      bDirs: Seq[String], sDirs: Seq[String], tDirs: Seq[String],
+      metaDir: String,
+      metaVals: Option[Map[String, Long]])
+
   /** The live (seq, bucket dirs, set dirs, meta dir). A freshly-built
-    * index has no manifest — it adopts as generation 0.
+    * pre-r18 index has no manifest — it adopts as generation 0 (builds
+    * now commit a gen-0 manifest carrying the meta fields).
     */
   private[graft] def dedupManifest(spark: SparkSession, dir: String)
-      : (Long, Seq[String], Seq[String], Seq[String], String) = {
+      : DedupLayout = {
     val (fs, root) = GenManifest.fsRoot(spark, dir)
     GenManifest.latestSeq(fs, root) match {
-      case None => (0L, Seq("buckets"), Seq("sets"), Nil, "meta")
+      case None =>
+        DedupLayout(0L, Seq("buckets"), Seq("sets"), Nil, "meta", None)
       case Some(seq) =>
-        val (b, s, t, m) = dedupManifestAt(fs, root, seq)
-        (seq, b, s, t, m)
+        val (b, s, t, m, mv) = dedupManifestAt(fs, root, seq)
+        DedupLayout(seq, b, s, t, m, mv)
     }
   }
 
+  /** The (n, nBuckets) geometry: manifest-carried when present (zero
+    * Spark jobs — the serve-path fusion), else the 1-row meta parquet.
+    */
+  private def metaOf(spark: SparkSession, dir: String,
+      lay: DedupLayout): (Int, Int) =
+    lay.metaVals match {
+      case Some(mv) => (mv("n").toInt, mv("buckets").toInt)
+      case None     => readMeta(spark, dir, lay.metaDir)
+    }
+
   private def dedupManifestAt(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, g: Long)
-      : (Seq[String], Seq[String], Seq[String], String) =
+      : (Seq[String], Seq[String], Seq[String], String,
+        Option[Map[String, Long]]) =
     GenManifest.readNode(fs, root, g) match {
       case Some(node) =>
         import scala.jdk.CollectionConverters._
@@ -101,8 +124,10 @@ object DedupIndex {
         // live ONCE in GenManifest.readTDirs.
         (b, s,
           GenManifest.readTDirs(node, s"manifest generation $g under $root"),
-          node.get("meta").asText())
-      case None if g == 0L => (Seq("buckets"), Seq("sets"), Nil, "meta")
+          node.get("meta").asText(),
+          GenManifest.metaVals(node))
+      case None if g == 0L =>
+        (Seq("buckets"), Seq("sets"), Nil, "meta", None)
       case None =>
         // Fail-loud on the READ path (the lexManifestAt contract): a
         // listed-then-vanished manifest is a damaged index or a
@@ -115,7 +140,7 @@ object DedupIndex {
 
   private def commitDedupManifest(spark: SparkSession, dir: String,
       seq: Long, bDirs: Seq[String], sDirs: Seq[String],
-      tDirs: Seq[String], metaDir: String): Unit = {
+      tDirs: Seq[String], metaDir: String, n: Int, nBuckets: Int): Unit = {
     val node = GenManifest.newNode()
     val ba = node.putArray("bdirs"); bDirs.foreach(ba.add)
     val sa = node.putArray("sdirs"); sDirs.foreach(sa.add)
@@ -123,6 +148,10 @@ object DedupIndex {
       val ta = node.putArray("tdirs"); tDirs.foreach(ta.add)
     }
     node.put("meta", metaDir)
+    // Geometry rides the manifest so serves never pay the meta parquet
+    // job; the meta table stays the at-rest record + adoption fallback.
+    GenManifest.putMetaVals(node, "n" -> n.toLong,
+      "buckets" -> nBuckets.toLong)
     GenManifest.commit(spark, dir, seq, node)
   }
 
@@ -130,7 +159,7 @@ object DedupIndex {
       current: Long): Unit =
     GenManifest.sweepOwned(spark, dir, current, isDedupDataDir) {
       (fs, root, g) =>
-        val (b, s, t, m) = dedupManifestAt(fs, root, g)
+        val (b, s, t, m, _) = dedupManifestAt(fs, root, g)
         b ++ s ++ t :+ m
     }
 
@@ -203,9 +232,15 @@ object DedupIndex {
     require(rows > 0L,
       s"buildDedupIndex at $dir: corpus has no shingled documents — " +
         "nothing to index")
-    // Meta LAST: a readable meta table marks the build complete.
+    // Meta table before the manifest: a readable COMMIT marks the build
+    // complete (r18 — builds now commit a gen-0 manifest carrying the
+    // geometry, so the very first serve already skips the meta job; a
+    // crash between the meta write and the commit leaves no manifest =
+    // the pre-r18 adoption layout, which reads fine).
     spark.range(1).select(lit(n).as("n"), lit(nBuckets).as("buckets"))
       .write.mode("overwrite").parquet(s"$dir/meta")
+    commitDedupManifest(spark, dir, 0L, Seq("buckets"), Seq("sets"), Nil,
+      "meta", n, nBuckets)
   }
 
   /** APPEND an ingest batch: its bucket/set rows become a new
@@ -217,8 +252,9 @@ object DedupIndex {
     */
   def appendToDedupIndex(newDocs: DataFrame, dir: String): Unit = {
     val spark = newDocs.sparkSession
-    val (seq, bDirs, sDirs, tDirs, metaDir) = dedupManifest(spark, dir)
-    val (n, nBuckets) = readMeta(spark, dir, metaDir)
+    val lay = dedupManifest(spark, dir)
+    import lay.{seq, bDirs, sDirs, tDirs, metaDir}
+    val (n, nBuckets) = metaOf(spark, dir, lay)
     val newB = f"buckets-delta-${seq + 1}%010d"
     val newS = f"sets-delta-${seq + 1}%010d"
     val rows = writeTables(newDocs, dir, n, nBuckets, newB, newS)
@@ -233,7 +269,7 @@ object DedupIndex {
       // outlives any older tombstone, so the append alone restores its
       // membership (the newest-op-wins rule).
       commitDedupManifest(spark, dir, seq + 1, bDirs :+ newB,
-        sDirs :+ newS, tDirs, metaDir)
+        sDirs :+ newS, tDirs, metaDir, n, nBuckets)
       sweepDedupGenerations(spark, dir, seq + 1)
     }
   }
@@ -250,7 +286,8 @@ object DedupIndex {
     * left). Single-writer, like append.
     */
   def compactDedupIndex(spark: SparkSession, dir: String): Unit = {
-    val (seq, bDirs, sDirs, tDirs, metaDir) = dedupManifest(spark, dir)
+    val lay = dedupManifest(spark, dir)
+    import lay.{seq, bDirs, sDirs, tDirs, metaDir}
     if (bDirs.length <= 1 && sDirs.length <= 1 && tDirs.isEmpty) {
       sweepDedupGenerations(spark, dir, seq)
       return
@@ -285,8 +322,9 @@ object DedupIndex {
     foldedLive(spark, dir, sDirs, tDirs)
       .repartition(col("sbkt"))
       .write.mode("overwrite").partitionBy("sbkt").parquet(s"$dir/$newS")
+    val (n, nBuckets) = metaOf(spark, dir, lay)
     commitDedupManifest(spark, dir, seq + 1, Seq(newB), Seq(newS), Nil,
-      metaDir)
+      metaDir, n, nBuckets)
     sweepDedupGenerations(spark, dir, seq + 1)
   }
 
@@ -313,8 +351,9 @@ object DedupIndex {
     */
   def retractFromDedupIndex(docs: DataFrame, dir: String): Unit = {
     val spark = docs.sparkSession
-    val (seq, bDirs, sDirs, tDirs, metaDir) = dedupManifest(spark, dir)
-    val (_, nBuckets) = readMeta(spark, dir, metaDir)
+    val lay = dedupManifest(spark, dir)
+    import lay.{seq, bDirs, sDirs, tDirs, metaDir}
+    val (n, nBuckets) = metaOf(spark, dir, lay)
     val newT = f"tombs-${seq + 1}%010d"
     // BARRIERED, not cached (the exact-index takedown discipline): the
     // membership check and the WRITTEN tombstone rows must derive from
@@ -354,7 +393,7 @@ object DedupIndex {
           .write.mode("overwrite").partitionBy("sbkt")
           .parquet(s"$dir/$newT")
         commitDedupManifest(spark, dir, seq + 1, bDirs, sDirs,
-          tDirs :+ newT, metaDir)
+          tDirs :+ newT, metaDir, n, nBuckets)
         sweepDedupGenerations(spark, dir, seq + 1)
       }
     } finally Barrier.release(h)
@@ -534,8 +573,9 @@ object DedupIndex {
     */
   def streamingIndexDups(spark: SparkSession, dir: String,
       stream: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val (_, bDirs, sDirs, tDirs, metaDir) = dedupManifest(spark, dir)
-    val (n, _) = readMeta(spark, dir, metaDir)
+    val lay = dedupManifest(spark, dir)
+    import lay.{bDirs, sDirs, tDirs}
+    val (n, _) = metaOf(spark, dir, lay)
     val bands = Dedup.Bands
     // Retraction-aware static sides: a taken-down doc must not alert
     // (the exact-index twin's rule) — with tombstone generations live
@@ -619,7 +659,8 @@ object DedupIndex {
     * tables until [[compactDedupIndex]] purges them).
     */
   def takedownHealth(spark: SparkSession, dir: String): DataFrame = {
-    val (_, _, sDirs, tDirs, _) = dedupManifest(spark, dir)
+    val lay = dedupManifest(spark, dir)
+    import lay.{sDirs, tDirs}
     GenManifest.takedownCensus(spark, dir, sDirs, tDirs, "doc_id",
       "live_docs", "dead_docs")
   }
@@ -636,7 +677,8 @@ object DedupIndex {
     */
   def indexHealth(spark: SparkSession, dir: String,
       hotDf: Int = 1): DataFrame = {
-    val (_, bDirs, _, tDirs, _) = dedupManifest(spark, dir)
+    val lay = dedupManifest(spark, dir)
+    import lay.{bDirs, tDirs}
     // Health reflects LIVE membership: a retracted hot doc must not
     // keep inflating the df census an operator tunes maxBucketDf by.
     val bk = foldedLive(spark, dir, bDirs, tDirs)
@@ -675,9 +717,9 @@ object DedupIndex {
     */
   private[graft] def readPrunedLive(spark: SparkSession, dir: String,
       dirs: Seq[String], partCol: String, keys: Seq[Long],
-      tDirs: Seq[String]): DataFrame =
+      tDirs: Seq[String], tm: Option[DataFrame] = None): DataFrame =
     GenManifest.readPrunedLive(spark, dir, dirs, partCol, keys, tDirs,
-      "doc_id")
+      "doc_id", tm)
 
   /** The generation union-read every consumer shares (serve, health,
     * compaction) — delegates to the ONE cross-family definition.
@@ -749,8 +791,9 @@ object DedupIndex {
     import spark.implicits._
     def emptyCross =
       Seq.empty[(Long, Long, Double)].toDF("delta_id", "base_id", "jaccard")
-    val (_, bDirs, sDirs, tDirs, metaDir) = dedupManifest(spark, dir)
-    val (n, nBuckets) = readMeta(spark, dir, metaDir)
+    val lay = dedupManifest(spark, dir)
+    import lay.{bDirs, sDirs, tDirs}
+    val (n, nBuckets) = metaOf(spark, dir, lay)
     // Null-id delta rows drop up front (the streamingIndexDups rule,
     // batch edition): every pair/verdict join is null-rejecting, so a
     // null-id ingest doc would form no pairs and silently surface as
@@ -770,21 +813,43 @@ object DedupIndex {
         // Within-batch pairs: the shared verify tail over the already
         // materialized buckets (bucketsMaterialized — re-barriering a
         // projection of the dBuckets barrier would checkpoint an
-        // unreleasable second copy per serve). Eagerly materialized;
-        // released on any FAILURE below (Verify catches per-query
-        // failures and continues — the dupClusters failed-flag rule),
-        // while success hands ownership to the caller.
-        val internal = Dedup.verifiedLshPairs(deltaSets,
-          dBuckets.drop("bkt"), threshold, bucketsMaterialized = true)
+        // unreleasable second copy per serve). Materialized on its OWN
+        // DRIVER THREAD (guide §2.6 — the r18 serve fusion): the
+        // within-batch leg and the cross-leg chain are independent
+        // after dBuckets, so their jobs overlap instead of serializing
+        // their per-job driver gaps. Released on any FAILURE below
+        // (Verify catches per-query failures and continues — the
+        // dupClusters failed-flag rule), while success hands ownership
+        // to the caller.
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutorService(pool)
+        val fInternal = Future {
+          spark.sparkContext.setJobDescription(
+            "dedup-index serve: within-batch verify")
+          try Dedup.verifiedLshPairs(deltaSets,
+            dBuckets.drop("bkt"), threshold, bucketsMaterialized = true)
+          finally spark.sparkContext.setJobDescription(null)
+        }
+        // The per-doc newest-tombstone table is computed ONCE per serve
+        // and materialized (takedown-sized): both pruned reads used to
+        // rebuild + re-broadcast it independently.
+        val tmOpt =
+          if (tDirs.isEmpty) None
+          else Some(GenManifest.tombMax(spark, dir, tDirs, "doc_id")
+            .barrier())
         var handedOver = false
         try {
         val bkts = dBuckets.select(col("bkt")).distinct()
           .collect().map(_.getLong(0)).toIndexedSeq
         val legs: (DataFrame, DataFrame) =
-        if (bkts.isEmpty) (internal, emptyCross) // token-less delta
+        if (bkts.isEmpty) // token-less delta
+          (Await.result(fInternal, Duration.Inf), emptyCross)
         else {
           val baseBuckets = readPrunedLive(spark, dir, bDirs, "bkt",
-              bkts, tDirs)
+              bkts, tDirs, tmOpt)
             .select(col("band"), col("key"), col("doc_id").as("base_id"))
           val cand = dBuckets.as("d")
             .join(baseBuckets, Seq("band", "key"))
@@ -795,10 +860,11 @@ object DedupIndex {
             val sbkts = cand
               .select(sbktOf(col("base_id"), nBuckets).as("s"))
               .distinct().collect().map(_.getLong(0)).toIndexedSeq
-            if (sbkts.isEmpty) (internal, emptyCross)
+            if (sbkts.isEmpty)
+              (Await.result(fInternal, Duration.Inf), emptyCross)
             else {
               val baseSets = readPrunedLive(spark, dir, sDirs, "sbkt",
-                  sbkts, tDirs)
+                  sbkts, tDirs, tmOpt)
                 .select(col("doc_id").as("base_id"),
                   col("sset").as("bset"))
               val cross = cand
@@ -812,13 +878,23 @@ object DedupIndex {
                 .filter(col("jaccard") >= threshold)
                 .select(col("delta_id"), col("base_id"), col("jaccard"))
                 .barrier() // materialize before cand's finally-release
-              (internal, cross)
+              (Await.result(fInternal, Duration.Inf), cross)
             }
           } finally Barrier.release(cand)
         }
         handedOver = true
         legs
-        } finally if (!handedOver) Barrier.release(internal)
+        } finally {
+          pool.shutdown()
+          if (!handedOver)
+            // The internal leg may have materialized (or failed) on its
+            // thread — release its checkpoint if it exists; its own
+            // failure either surfaced through an Await above or is
+            // superseded by the main chain's primary exception here.
+            try Barrier.release(Await.result(fInternal, Duration.Inf))
+            catch { case scala.util.control.NonFatal(_) => () }
+          tmOpt.foreach(Barrier.release)
+        }
       } finally Barrier.release(dBuckets)
     } finally Barrier.release(deltaSets)
   }

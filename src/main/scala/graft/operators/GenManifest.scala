@@ -94,6 +94,34 @@ private[graft] object GenManifest {
     t.getOrElse(Nil)
   }
 
+  /** Integer meta/config fields carried IN the manifest (r18 serve-path
+    * fusion): a serve already reads the manifest driver-side to resolve
+    * the layout, so carrying the index geometry/stats in the SAME node
+    * removes the 1-row meta/stats parquet read — one whole Spark job —
+    * from every serve. The parquet meta table stays the at-rest source
+    * of truth and the fallback for manifests written before these
+    * fields existed AND for adopted gen-0 indexes with no manifest at
+    * all (readers must treat [[metaVals]] = None as "read the parquet").
+    */
+  def putMetaVals(node: ObjectNode, fields: (String, Long)*): Unit = {
+    val m = node.putObject("metaVals")
+    fields.foreach { case (k, v) => m.put(k, v) }
+  }
+
+  /** The manifest-carried meta fields, None when the node predates them.
+    * A PRESENT-but-malformed node fails loudly (the readTDirs damage
+    * rule): silently falling back to a parquet meta that a later commit
+    * may have rolled past would serve a stale geometry.
+    */
+  def metaVals(node: JsonNode): Option[Map[String, Long]] =
+    Option(node.get("metaVals")).map { m =>
+      import scala.jdk.CollectionConverters._
+      if (!m.isObject)
+        throw new IllegalStateException(
+          "manifest metaVals node is not an object — damaged manifest")
+      m.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+    }
+
   /** Stage `node` to a dot-temp, then rename onto the numbered manifest —
     * the atomic commit point. Fails loudly if the destination already
     * exists (single-writer contract violated) or the rename is refused;
@@ -281,13 +309,18 @@ private[graft] object GenManifest {
     */
   def readPrunedLive(spark: SparkSession, dir: String, dirs: Seq[String],
       partCol: String, keys: Seq[Long], tDirs: Seq[String],
-      keyCol: String): org.apache.spark.sql.DataFrame = {
+      keyCol: String,
+      tm: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
     if (tDirs.isEmpty)
       readGenerations(spark, dir, dirs).filter(col(partCol).isin(keys: _*))
     else liveRows(
       readWithGen(spark, dir, dirs).filter(col(partCol).isin(keys: _*)),
-      keyCol, tombMax(spark, dir, tDirs, keyCol))
+      // A serve with SEVERAL pruned reads passes its one materialized
+      // tombMax (r18 fusion) instead of rebuilding + re-broadcasting
+      // the takedown table per read.
+      keyCol, tm.getOrElse(tombMax(spark, dir, tDirs, keyCol)))
   }
 
   /** Liveness CLASSIFICATION over rows carrying a generation column —

@@ -53,23 +53,45 @@ object MediaIndex {
     name.matches("""blocks|meta|blocks-(delta|compact)-\d{10}""" +
       """|tombs-\d{10}""")
 
-  /** The live (seq, block dirs, meta dir). A freshly-built index has no
-    * manifest — it adopts as generation 0.
+  /** The live layout + manifest-carried meta (r18 — builds now commit a
+    * gen-0 manifest carrying the hash geometry, so serves skip the meta
+    * parquet job; a pre-r18 index adopts with `metaVals = None` and
+    * readers fall back to the parquet via [[metaOf]]).
     */
+  private[graft] final case class MediaLayout(seq: Long,
+      bDirs: Seq[String], tDirs: Seq[String], metaDir: String,
+      metaVals: Option[Map[String, Long]])
+
   private[graft] def mediaManifest(spark: SparkSession, dir: String)
-      : (Long, Seq[String], Seq[String], String) = {
+      : MediaLayout = {
     val (fs, root) = GenManifest.fsRoot(spark, dir)
     GenManifest.latestSeq(fs, root) match {
-      case None => (0L, Seq("blocks"), Nil, "meta")
+      case None => MediaLayout(0L, Seq("blocks"), Nil, "meta", None)
       case Some(seq) =>
-        val (b, t, m) = mediaManifestAt(fs, root, seq)
-        (seq, b, t, m)
+        val (b, t, m, mv) = mediaManifestAt(fs, root, seq)
+        MediaLayout(seq, b, t, m, mv)
     }
   }
 
+  /** The (frame_bytes, every_nth, max_dist, buckets) geometry:
+    * manifest-carried when present (zero Spark jobs — the serve-path
+    * fusion), else the 1-row meta parquet.
+    */
+  private def metaOf(spark: SparkSession, dir: String,
+      lay: MediaLayout): (Int, Int, Int, Int) =
+    lay.metaVals match {
+      case Some(mv) =>
+        (mv("frame_bytes").toInt, mv("every_nth").toInt,
+          mv("max_dist").toInt, mv("buckets").toInt)
+      case None =>
+        val meta = spark.read.parquet(s"$dir/${lay.metaDir}").head()
+        (meta.getAs[Int]("frame_bytes"), meta.getAs[Int]("every_nth"),
+          meta.getAs[Int]("max_dist"), meta.getAs[Int]("buckets"))
+    }
+
   private def mediaManifestAt(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, g: Long)
-      : (Seq[String], Seq[String], String) =
+      : (Seq[String], Seq[String], String, Option[Map[String, Long]]) =
     GenManifest.readNode(fs, root, g) match {
       case Some(node) =>
         import scala.jdk.CollectionConverters._
@@ -100,8 +122,9 @@ object MediaIndex {
         // live ONCE in GenManifest.readTDirs.
         (b,
           GenManifest.readTDirs(node, s"manifest generation $g under $root"),
-          node.get("meta").asText())
-      case None if g == 0L => (Seq("blocks"), Nil, "meta")
+          node.get("meta").asText(),
+          GenManifest.metaVals(node))
+      case None if g == 0L => (Seq("blocks"), Nil, "meta", None)
       case None =>
         // Fail-loud on the READ path; the sweep tolerates this via its
         // own NonFatal catch.
@@ -112,13 +135,18 @@ object MediaIndex {
 
   private def commitMediaManifest(spark: SparkSession, dir: String,
       seq: Long, bDirs: Seq[String], tDirs: Seq[String],
-      metaDir: String): Unit = {
+      metaDir: String, geom: (Int, Int, Int, Int)): Unit = {
     val node = GenManifest.newNode()
     val ba = node.putArray("bdirs"); bDirs.foreach(ba.add)
     if (tDirs.nonEmpty) {
       val ta = node.putArray("tdirs"); tDirs.foreach(ta.add)
     }
     node.put("meta", metaDir)
+    // Geometry rides the manifest so serves never pay the meta parquet
+    // job; the meta table stays the at-rest record + adoption fallback.
+    GenManifest.putMetaVals(node,
+      "frame_bytes" -> geom._1.toLong, "every_nth" -> geom._2.toLong,
+      "max_dist" -> geom._3.toLong, "buckets" -> geom._4.toLong)
     GenManifest.commit(spark, dir, seq, node)
   }
 
@@ -126,7 +154,7 @@ object MediaIndex {
       current: Long): Unit =
     GenManifest.sweepOwned(spark, dir, current, isMediaDataDir) {
       (fs, root, g) =>
-        val (b, t, m) = mediaManifestAt(fs, root, g)
+        val (b, t, m, _) = mediaManifestAt(fs, root, g)
         b ++ t :+ m
     }
 
@@ -190,11 +218,17 @@ object MediaIndex {
           "(previous index left intact)")
       GenManifest.resetDir(spark, dir)
       writeBlockTable(bl, dir, "blocks")
-      // Meta LAST: a readable meta table marks the build complete.
+      // Meta table before the manifest: a readable COMMIT marks the
+      // build complete (r18 — the gen-0 manifest carries the geometry,
+      // so the first serve already skips the meta job; a crash between
+      // the meta write and the commit leaves the pre-r18 adoption
+      // layout, which reads fine).
       spark.range(1).select(
           lit(frameBytes).as("frame_bytes"), lit(everyNth).as("every_nth"),
           lit(maxDist).as("max_dist"), lit(nBuckets).as("buckets"))
         .write.mode("overwrite").parquet(s"$dir/meta")
+      commitMediaManifest(spark, dir, 0L, Seq("blocks"), Nil, "meta",
+        (frameBytes, everyNth, maxDist, nBuckets))
     } finally Barrier.release(bl)
   }
 
@@ -206,12 +240,12 @@ object MediaIndex {
     */
   def appendToMediaIndex(newPayloads: DataFrame, dir: String): Unit = {
     val spark = newPayloads.sparkSession
-    val (seq, bDirs, tDirs, metaDir) = mediaManifest(spark, dir)
-    val meta = spark.read.parquet(s"$dir/$metaDir").head()
+    val lay = mediaManifest(spark, dir)
+    import lay.{seq, bDirs, tDirs, metaDir}
+    val geom = metaOf(spark, dir, lay)
     val newB = f"blocks-delta-${seq + 1}%010d"
     val rows = writeBlocks(newPayloads, dir,
-      meta.getAs[Int]("frame_bytes"), meta.getAs[Int]("every_nth"),
-      meta.getAs[Int]("max_dist"), meta.getAs[Int]("buckets"), newB)
+      geom._1, geom._2, geom._3, geom._4, newB)
     if (rows == 0L) {
       System.err.println(
         s"[graft] media-index append of an EMPTY delta to $dir skipped " +
@@ -220,7 +254,7 @@ object MediaIndex {
       // Tombstones carry over: a re-ingested doc_id's NEW generation
       // outlives any older tombstone (the newest-op-wins rule).
       commitMediaManifest(spark, dir, seq + 1, bDirs :+ newB, tDirs,
-        metaDir)
+        metaDir, geom)
       sweepMediaGenerations(spark, dir, seq + 1)
     }
   }
@@ -233,7 +267,8 @@ object MediaIndex {
     * garbage a previously-failed best-effort sweep left).
     */
   def compactMediaIndex(spark: SparkSession, dir: String): Unit = {
-    val (seq, bDirs, tDirs, metaDir) = mediaManifest(spark, dir)
+    val lay = mediaManifest(spark, dir)
+    import lay.{seq, bDirs, tDirs, metaDir}
     if (bDirs.length <= 1 && tDirs.isEmpty) {
       sweepMediaGenerations(spark, dir, seq)
       return
@@ -260,7 +295,8 @@ object MediaIndex {
           .write.mode("overwrite").partitionBy("bbkt").parquet(s"$dir/$newB")
       } finally Barrier.release(fb)
     }
-    commitMediaManifest(spark, dir, seq + 1, Seq(newB), Nil, metaDir)
+    commitMediaManifest(spark, dir, seq + 1, Seq(newB), Nil, metaDir,
+      metaOf(spark, dir, lay))
     sweepMediaGenerations(spark, dir, seq + 1)
   }
 
@@ -281,7 +317,8 @@ object MediaIndex {
     */
   def retractFromMediaIndex(docs: DataFrame, dir: String): Unit = {
     val spark = docs.sparkSession
-    val (seq, bDirs, tDirs, metaDir) = mediaManifest(spark, dir)
+    val lay = mediaManifest(spark, dir)
+    import lay.{seq, bDirs, tDirs, metaDir}
     val newT = f"tombs-${seq + 1}%010d"
     // BARRIERED, not cached (the exact-index takedown discipline): the
     // membership check and the WRITTEN tombstone rows must derive from
@@ -311,7 +348,7 @@ object MediaIndex {
             "bug, not a no-op")
         h.write.mode("overwrite").parquet(s"$dir/$newT")
         commitMediaManifest(spark, dir, seq + 1, bDirs, tDirs :+ newT,
-          metaDir)
+          metaDir, metaOf(spark, dir, lay))
         sweepMediaGenerations(spark, dir, seq + 1)
       }
     } finally Barrier.release(h)
@@ -355,9 +392,7 @@ object MediaIndex {
   def syncMediaIndex(v1Payloads: DataFrame, v2Payloads: DataFrame,
       dir: String): Unit = {
     val spark = v1Payloads.sparkSession
-    val (_, _, _, metaDir) = mediaManifest(spark, dir)
-    val frameBytes =
-      spark.read.parquet(s"$dir/$metaDir").head().getAs[Int]("frame_bytes")
+    val frameBytes = metaOf(spark, dir, mediaManifest(spark, dir))._1
     val transitions = Curation.corpusDiffBy(v1Payloads, v2Payloads,
         md5(coalesce(col("payload"), lit(Array.empty[Byte]))))
       .where(col("status") =!= "unchanged")
@@ -396,7 +431,8 @@ object MediaIndex {
     * occupy block files until [[compactMediaIndex]] purges them).
     */
   def takedownHealth(spark: SparkSession, dir: String): DataFrame = {
-    val (_, bDirs, tDirs, _) = mediaManifest(spark, dir)
+    val lay = mediaManifest(spark, dir)
+    import lay.{bDirs, tDirs}
     GenManifest.takedownCensus(spark, dir, bDirs, tDirs, "doc_id",
       "live_docs", "dead_docs")
   }
@@ -409,7 +445,8 @@ object MediaIndex {
     */
   def mediaIndexHealth(spark: SparkSession, dir: String,
       hotDf: Int = 1): DataFrame = {
-    val (_, bDirs, tDirs, _) = mediaManifest(spark, dir)
+    val lay = mediaManifest(spark, dir)
+    import lay.{bDirs, tDirs}
     // Health reflects LIVE membership (the DedupIndex rule).
     val bk = foldedLive(spark, dir, bDirs, tDirs)
     bk.groupBy(col("b"), col("bk"))
@@ -454,14 +491,14 @@ object MediaIndex {
   def streamingMediaIndexDups(spark: SparkSession, dir: String,
       stream: DataFrame, minShared: Int = 2,
       maxBlockDf: Int = 100): DataFrame = {
-    val (_, bDirs, tDirs, metaDir) = mediaManifest(spark, dir)
-    val meta = spark.read.parquet(s"$dir/$metaDir").head()
+    val lay = mediaManifest(spark, dir)
+    import lay.{bDirs, tDirs}
+    val geom = metaOf(spark, dir, lay)
     // Retraction-aware: a taken-down payload must not alert.
     val bbl = foldedLive(spark, dir, bDirs, tDirs)
       .select(col("doc_id").as("base_id"), col("v"), col("b"), col("bk"))
     Multimodal.streamingNearCore(spark, bbl, stream,
-      meta.getAs[Int]("frame_bytes"), meta.getAs[Int]("every_nth"),
-      meta.getAs[Int]("max_dist"), minShared, maxBlockDf)
+      geom._1, geom._2, geom._3, minShared, maxBlockDf)
   }
 
   /** Hamming-tolerant perceptual near-dup pairs of an ingest batch
@@ -582,12 +619,9 @@ object MediaIndex {
       delta: DataFrame, maxBlockDf: Int)(
       body: Option[ServeLegs] => A): A = {
     require(maxBlockDf >= 1, s"maxBlockDf=$maxBlockDf must be >= 1")
-    val (_, bDirs, tDirs, metaDir) = mediaManifest(spark, dir)
-    val meta = spark.read.parquet(s"$dir/$metaDir").head()
-    val frameBytes = meta.getAs[Int]("frame_bytes")
-    val everyNth = meta.getAs[Int]("every_nth")
-    val maxDist = meta.getAs[Int]("max_dist")
-    val nBuckets = meta.getAs[Int]("buckets")
+    val lay = mediaManifest(spark, dir)
+    import lay.{bDirs, tDirs}
+    val (frameBytes, everyNth, maxDist, nBuckets) = metaOf(spark, dir, lay)
     // Null-id batch rows drop up front (the servePairLegs rule): every
     // join below is null-rejecting and a null-id payload would silently
     // form no pairs.

@@ -222,10 +222,16 @@ object Search {
         .repartition(col("bkt"))
         .write.mode("overwrite").partitionBy("bkt")
         .parquet(s"$dir/postings")
-      // Stats LAST: a readable stats table marks the build complete.
+      // Stats table before the manifest: a readable COMMIT marks the
+      // build complete (r18 — the gen-0 manifest carries the stats, so
+      // the very first serve skips the stats job; a crash between the
+      // stats write and the commit leaves the pre-r18 adoption layout,
+      // which reads fine).
       spark.range(1).select(lit(nDocs).as("n_docs"),
           lit(t.getLong(1)).as("total_tokens"), lit(buckets).as("buckets"))
         .write.mode("overwrite").parquet(s"$dir/stats")
+      commitLexManifest(spark, dir, 0L, Seq("postings"), Nil, "stats",
+        nDocs, t.getLong(1), buckets)
     }
   }
 
@@ -249,11 +255,9 @@ object Search {
     // silently double the affected per-term scores — fail instead.
     require(queries.map(_._1).distinct.size == queries.size,
       "lexIndexTopK query ids must be distinct")
-    val (_, pDirs, tDirs, statsDir) = lexManifest(spark, dir)
-    val st = spark.read.parquet(s"$dir/$statsDir").head()
-    val nDocs = st.getAs[Long]("n_docs")
-    val totalTokens = st.getAs[Long]("total_tokens")
-    val buckets = st.getAs[Int]("buckets")
+    val lay = lexManifest(spark, dir)
+    import lay.{pDirs, tDirs}
+    val (nDocs, totalTokens, buckets) = statsOf(spark, dir, lay)
     require(nDocs > 0, s"index at $dir is empty")
     val qt = {
       import spark.implicits._
@@ -261,10 +265,14 @@ object Search {
         .toDF("query_id", "term")
     }
     // Same hash expression the build used — engine-internal only (the
-    // oracle never sees buckets, it recomputes full BM25).
-    val bkts = qt
-      .select(pmod(hash(col("term")), lit(buckets)).cast("int").as("b"))
-      .distinct().collect().map(_.getInt(0)).toIndexedSeq
+    // oracle never sees buckets, it recomputes full BM25). Evaluated
+    // DRIVER-SIDE over the literal terms (r18 serve fusion: the query
+    // table is a local Seq, and the former distinct+collect launched a
+    // whole Spark job per serve): `functions.hash` IS Murmur3Hash at
+    // seed 42 and `pmod` resolves to the same Pmod node, so this
+    // evaluates the identical catalyst expressions the build's column
+    // route runs (route-equality spec-pinned incl. multi-byte terms).
+    val bkts = termBuckets(queries.flatMap(_._2).distinct, buckets)
     // Each generation dir is its own partitioned source; the bkt filter
     // pushes through the union, so EVERY generation scan prunes
     // independently (the readCells discipline). A never-appended index
@@ -286,6 +294,22 @@ object Search {
       lit(nDocs.toDouble), lit(totalTokens.toDouble / nDocs.toDouble))
   }
 
+  /** The build's `pmod(hash(term), buckets)` bucket expression evaluated
+    * driver-side per literal term — the EXACT catalyst nodes the column
+    * route resolves to (Murmur3Hash seed 42, Pmod), so the pruning
+    * literals can never diverge from the at-rest partitioning.
+    */
+  private[graft] def termBuckets(terms: Seq[String],
+      buckets: Int): IndexedSeq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit, Murmur3Hash, Pmod}
+    terms.distinct.map { t =>
+      Pmod(
+        Murmur3Hash(Seq(CatLit.create(t,
+          org.apache.spark.sql.types.StringType)), 42),
+        CatLit(buckets)).eval(null).asInstanceOf[Int]
+    }.distinct.toIndexedSeq
+  }
+
   // ---- append lifecycle (daily ingest without a rebuild) ---------------
   //
   // Unlike the ANN indexes (whose append freezes a trained book and is
@@ -304,16 +328,36 @@ object Search {
     * (0, ["postings"], Nil, "stats"), so indexes written before the
     * append lifecycle existed read unchanged.
     */
+  private[graft] final case class LexLayout(seq: Long,
+      pDirs: Seq[String], tDirs: Seq[String], statsDir: String,
+      metaVals: Option[Map[String, Long]])
+
   private[graft] def lexManifest(spark: SparkSession, dir: String)
-      : (Long, Seq[String], Seq[String], String) = {
+      : LexLayout = {
     val (fs, root) = GenManifest.fsRoot(spark, dir)
     // One definition of the adoption layout: the no-manifest case routes
     // through lexManifestAt's g == 0 branch instead of duplicating the
     // (Seq("postings"), "stats") constant here.
     val seq = GenManifest.latestSeq(fs, root).getOrElse(0L)
-    val (dirs, tdirs, stats) = lexManifestAt(fs, root, seq)
-    (seq, dirs, tdirs, stats)
+    val (dirs, tdirs, stats, mv) = lexManifestAt(fs, root, seq)
+    LexLayout(seq, dirs, tdirs, stats, mv)
   }
+
+  /** The (n_docs, total_tokens, buckets) stats: manifest-carried when
+    * present (zero Spark jobs — the r18 serve-path fusion; the values
+    * are committed in the SAME atomic rename as the stats dir they
+    * mirror, so they can never diverge), else the 1-row stats parquet.
+    */
+  private def statsOf(spark: SparkSession, dir: String,
+      lay: LexLayout): (Long, Long, Int) =
+    lay.metaVals match {
+      case Some(mv) =>
+        (mv("n_docs"), mv("total_tokens"), mv("buckets").toInt)
+      case None =>
+        val st = spark.read.parquet(s"$dir/${lay.statsDir}").head()
+        (st.getAs[Long]("n_docs"), st.getAs[Long]("total_tokens"),
+          st.getAs[Int]("buckets"))
+    }
 
   /** Cross-generation postings read — ONE definition for the serve and
     * compaction paths (the DedupIndex.readGenerations rule: two
@@ -347,7 +391,7 @@ object Search {
     */
   private def lexManifestAt(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, g: Long)
-      : (Seq[String], Seq[String], String) =
+      : (Seq[String], Seq[String], String, Option[Map[String, Long]]) =
     GenManifest.readNode(fs, root, g) match {
       case Some(node) =>
         import scala.jdk.CollectionConverters._
@@ -375,8 +419,9 @@ object Search {
         // live ONCE in GenManifest.readTDirs.
         (dirs,
           GenManifest.readTDirs(node, s"manifest generation $g under $root"),
-          node.get("stats").asText())
-      case None if g == 0L => (Seq("postings"), Nil, "stats")
+          node.get("stats").asText(),
+          GenManifest.metaVals(node))
+      case None if g == 0L => (Seq("postings"), Nil, "stats", None)
       case None =>
         // Fail-loud on the READ path: a listed-then-vanished manifest is
         // a damaged index (or a single-writer violation) — returning an
@@ -396,7 +441,8 @@ object Search {
       n == "stats" || n.startsWith("stats-") || n.startsWith("tombs-")
 
   private def commitLexManifest(spark: SparkSession, dir: String, seq: Long,
-      dirs: Seq[String], tDirs: Seq[String], statsDir: String): Unit = {
+      dirs: Seq[String], tDirs: Seq[String], statsDir: String,
+      nDocs: Long, totalTokens: Long, buckets: Int): Unit = {
     val node = GenManifest.newNode()
     val arr = node.putArray("dirs")
     dirs.foreach(arr.add)
@@ -404,6 +450,10 @@ object Search {
       val ta = node.putArray("tdirs"); tDirs.foreach(ta.add)
     }
     node.put("stats", statsDir)
+    // Stats ride the manifest (same atomic commit as the stats dir they
+    // mirror) so serves never pay the 1-row parquet job.
+    GenManifest.putMetaVals(node, "n_docs" -> nDocs,
+      "total_tokens" -> totalTokens, "buckets" -> buckets.toLong)
     GenManifest.commit(spark, dir, seq, node)
   }
 
@@ -421,9 +471,9 @@ object Search {
     */
   def appendToLexIndex(newDocs: DataFrame, dir: String): Unit = {
     val spark = newDocs.sparkSession
-    val (seq, pDirs, tDirs, statsDir) = lexManifest(spark, dir)
-    val st = spark.read.parquet(s"$dir/$statsDir").head()
-    val nDocs = st.getAs[Long]("n_docs")
+    val lay = lexManifest(spark, dir)
+    import lay.{seq, pDirs, tDirs}
+    val (nDocs, totalTokens, buckets) = statsOf(spark, dir, lay)
     // Fail-fast on an empty BASE (a build over a token-less corpus):
     // its postings dir holds no parquet files, and committing a manifest
     // that references it would poison every later read with "unable to
@@ -433,8 +483,6 @@ object Search {
     require(nDocs > 0,
       s"index at $dir has an empty base (token-less build) — rebuild " +
         "with buildLexIndex instead of appending")
-    val totalTokens = st.getAs[Long]("total_tokens")
-    val buckets = st.getAs[Int]("buckets")
     val newPDir = s"postings-${seq + 1}"
     val newSDir = s"stats-${seq + 1}"
     val (deltaDocs, deltaTokens) = Barrier.withCached(postings(newDocs)) { p =>
@@ -464,7 +512,7 @@ object Search {
       // membership AND its stats contribution (the stats were
       // decremented when it was taken down).
       commitLexManifest(spark, dir, seq + 1, pDirs :+ newPDir, tDirs,
-        newSDir)
+        newSDir, nDocs + deltaDocs, totalTokens + deltaTokens, buckets)
       sweepLexGenerations(spark, dir, seq + 1)
     }
   }
@@ -501,14 +549,12 @@ object Search {
     */
   def retractFromLexIndex(docs: DataFrame, dir: String): Unit = {
     val spark = docs.sparkSession
-    val (seq, pDirs, tDirs, statsDir) = lexManifest(spark, dir)
-    val st = spark.read.parquet(s"$dir/$statsDir").head()
-    val nDocs = st.getAs[Long]("n_docs")
+    val lay = lexManifest(spark, dir)
+    import lay.{seq, pDirs, tDirs}
+    val (nDocs, totalTokens, buckets) = statsOf(spark, dir, lay)
     require(nDocs > 0,
       s"index at $dir has an empty base (token-less build) — nothing " +
         "to retract")
-    val totalTokens = st.getAs[Long]("total_tokens")
-    val buckets = st.getAs[Int]("buckets")
     val newT = s"tombs-${seq + 1}"
     val newS = s"stats-${seq + 1}"
     import Barrier.BarrierOps
@@ -565,7 +611,7 @@ object Search {
               lit(buckets).as("buckets"))
             .write.mode("overwrite").parquet(s"$dir/$newS")
           commitLexManifest(spark, dir, seq + 1, pDirs, tDirs :+ newT,
-            newS)
+            newS, nDocs - mn, totalTokens - mtok, buckets)
           sweepLexGenerations(spark, dir, seq + 1)
         } finally Barrier.release(markers)
       }
@@ -645,7 +691,8 @@ object Search {
     * serve read proportionally to dead_ppm.
     */
   def takedownHealth(spark: SparkSession, dir: String): DataFrame = {
-    val (_, pDirs, tDirs, _) = lexManifest(spark, dir)
+    val lay = lexManifest(spark, dir)
+    import lay.{pDirs, tDirs}
     GenManifest.takedownCensus(spark, dir, pDirs, tDirs, "doc_id",
       "live_docs", "dead_docs")
   }
@@ -663,7 +710,7 @@ object Search {
       current: Long): Unit =
     GenManifest.sweepOwned(spark, dir, current, isLexDataDir) {
       (fs, root, g) =>
-        val (ds, ts, sd) = lexManifestAt(fs, root, g)
+        val (ds, ts, sd, _) = lexManifestAt(fs, root, g)
         ds ++ ts :+ sd
     }
 
@@ -679,7 +726,8 @@ object Search {
     * like append.
     */
   def compactLexIndex(spark: SparkSession, dir: String): Unit = {
-    val (seq, pDirs, tDirs, statsDir) = lexManifest(spark, dir)
+    val lay = lexManifest(spark, dir)
+    import lay.{seq, pDirs, tDirs, statsDir}
     if (pDirs.length <= 1 && tDirs.isEmpty) {
       // Nothing to fold, but compaction is the maintenance pass: still
       // collect garbage a previously-failed best-effort sweep left
@@ -715,7 +763,9 @@ object Search {
     }
     spark.read.parquet(s"$dir/$statsDir")
       .write.mode("overwrite").parquet(s"$dir/$newS")
-    commitLexManifest(spark, dir, seq + 1, Seq(newP), Nil, newS)
+    val (nDocs, totalTokens, buckets) = statsOf(spark, dir, lay)
+    commitLexManifest(spark, dir, seq + 1, Seq(newP), Nil, newS,
+      nDocs, totalTokens, buckets)
     sweepLexGenerations(spark, dir, seq + 1)
   }
 

@@ -186,6 +186,22 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(genCode(containsNull = true).contains("isNullAt"))
   }
 
+  test("termBuckets: driver-side bucket hash ≡ the DataFrame pmod(hash) route") {
+    // The r18 lex-serve fusion evaluates the build's bucket expression
+    // driver-side; the two routes must agree on every term or pruning
+    // would silently read the wrong partitions.
+    import spark.implicits._
+    val terms = Seq("the", "café", "日本語", "a", "zz9", "", " spaced ",
+      "token-with-ünïcode")
+    for (b <- Seq(8, 64)) {
+      val viaDf = terms.toDF("term")
+        .select(pmod(hash(col("term")), lit(b)).cast("int").as("x"))
+        .collect().map(_.getInt(0)).toSeq
+      val viaDriver = terms.map(t => Search.termBuckets(Seq(t), b).head)
+      assert(viaDf == viaDriver, s"b=$b: $viaDf vs $viaDriver")
+    }
+  }
+
   test("WsTokens kernel ≡ filter(split(trim(text))) — corpus + control chars + multi-byte UTF-8") {
     // The byte-scan tokenizer must equal the former regex chain on EVERY
     // input: Java \s is exactly {0x09..0x0D, 0x20} and none of those
@@ -708,14 +724,13 @@ class PipelineOperatorsSpec extends SparkSpec {
     // Empty delta (token-less docs) is a no-op: no new generation.
     Search.appendToLexIndex(
       docs(2000L -> "   ").select(col("doc_id"), col("text")), appended)
-    val (seq, _, _, _) = Search.lexManifest(spark, appended)
-    assert(seq == 2L)
+    assert(Search.lexManifest(spark, appended).seq == 2L)
     // COMPACT folds the generations to one dir; search is bit-identical
     // across the fold, and the folded-away dirs get one commit of grace.
     val before = run(appended)
     Search.compactLexIndex(spark, appended)
-    val (seqC, dirsC, _, _) = Search.lexManifest(spark, appended)
-    assert(seqC == 3L && dirsC == Seq("postings-3"))
+    val layLC = Search.lexManifest(spark, appended)
+    assert(layLC.seq == 3L && layLC.pDirs == Seq("postings-3"))
     assert(run(appended) == before)
     val postC = new java.io.File(appended).listFiles().map(_.getName).toSet
     assert(postC.contains("postings") && postC.contains("postings-2")) // grace
@@ -728,10 +743,10 @@ class PipelineOperatorsSpec extends SparkSpec {
       !postA.contains("postings-2"))
     assert(postA.contains("postings-3") && postA.contains("postings-4"))
     // No-op on a single-generation index.
-    val (seqB, dirsB, _, _) = Search.lexManifest(spark, rebuilt)
+    val layB = Search.lexManifest(spark, rebuilt)
     Search.compactLexIndex(spark, rebuilt)
-    assert(Search.lexManifest(spark, rebuilt) ==
-      ((seqB, dirsB, Nil, "stats")))
+    assert(Search.lexManifest(spark, rebuilt) == layB &&
+      layB.tDirs == Nil && layB.statsDir == "stats")
   }
 
   test("syncLexIndex: v1→v2 sync ≡ rebuild-on-v2 exactly; changed docs score with NEW content; v1-token-less changed docs append without retraction; unchanged corpus is a no-op") {
@@ -769,9 +784,9 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(s1.exists(_._2 == 5L), "the added doc scores (bb/cc/dd hits)")
     // An unchanged corpus syncs as a complete no-op (no retraction, no
     // append, no commit).
-    val seq0 = Search.lexManifest(spark, synced)._1
+    val seq0 = Search.lexManifest(spark, synced).seq
     Search.syncLexIndex(v2, v2, synced)
-    assert(Search.lexManifest(spark, synced)._1 == seq0)
+    assert(Search.lexManifest(spark, synced).seq == seq0)
     assert(run(synced) == s1)
   }
 
@@ -819,10 +834,10 @@ class PipelineOperatorsSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("not currently live"))
     // Empty takedown set is a no-op (no commit).
-    val (seq0, _, _, _) = Search.lexManifest(spark, retracted)
+    val seq0 = Search.lexManifest(spark, retracted).seq
     Search.retractFromLexIndex(
       docs(5000L -> "x").filter(col("doc_id") < 0), retracted)
-    val (seq1, _, _, _) = Search.lexManifest(spark, retracted)
+    val seq1 = Search.lexManifest(spark, retracted).seq
     assert(seq1 == seq0)
     // A takedown that would empty the index throws (unrepresentable).
     val solo = java.nio.file.Files
@@ -852,7 +867,8 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(preCompact == after)
     Search.compactLexIndex(spark, retracted)
     assert(run(retracted) == preCompact)
-    val (_, dirsC, tDirsC, _) = Search.lexManifest(spark, retracted)
+    val layRC = Search.lexManifest(spark, retracted)
+    val (dirsC, tDirsC) = (layRC.pDirs, layRC.tDirs)
     assert(dirsC.length == 1 && tDirsC.isEmpty)
     assert(census(retracted) == ((32L, 0L, 0L)), "compact purges the dead")
     // The folded postings hold no retracted rows at all.
@@ -3290,13 +3306,13 @@ class PipelineOperatorsSpec extends SparkSpec {
     // COMPACT: serve identical across the fold; ONE generation remains.
     graft.operators.MediaIndex.compactMediaIndex(spark, appended)
     assert(serve(appended) == a)
-    val (seqC, bDirsC, _, _) =
-      graft.operators.MediaIndex.mediaManifest(spark, appended)
+    val layMC = graft.operators.MediaIndex.mediaManifest(spark, appended)
+    val (seqC, bDirsC) = (layMC.seq, layMC.bDirs)
     assert(bDirsC.length == 1 && bDirsC.head.startsWith("blocks-compact-"),
       bDirsC)
     // No-op compaction on the single-generation index.
     graft.operators.MediaIndex.compactMediaIndex(spark, appended)
-    assert(graft.operators.MediaIndex.mediaManifest(spark, appended)._1 == seqC)
+    assert(graft.operators.MediaIndex.mediaManifest(spark, appended).seq == seqC)
     assert(serve(appended) == a)
     // Build validates BEFORE destroying: a hash-less corpus refuses and
     // the previous index still serves.
@@ -3362,8 +3378,8 @@ class PipelineOperatorsSpec extends SparkSpec {
     // identical; the clean verdict resolves liveness too.
     graft.operators.MediaIndex.compactMediaIndex(spark, retracted)
     assert(serve(retracted) == r2)
-    val (_, bD, tD, _) =
-      graft.operators.MediaIndex.mediaManifest(spark, retracted)
+    val layMR = graft.operators.MediaIndex.mediaManifest(spark, retracted)
+    val (bD, tD) = (layMR.bDirs, layMR.tDirs)
     assert(bD.length == 1 && tD.isEmpty, s"$bD $tD")
     // Streaming twin over LIVE tombstones: the retracted payload must
     // not alert (fresh index, retract doc 3, stream its near-copy).
@@ -3426,9 +3442,9 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(s1.exists(p => p._1 == 5L && p._2 == 105L), s1.toString)
     // An unchanged corpus syncs as a complete no-op: same manifest
     // generation, same serve.
-    val seq0 = graft.operators.MediaIndex.mediaManifest(spark, synced)._1
+    val seq0 = graft.operators.MediaIndex.mediaManifest(spark, synced).seq
     graft.operators.MediaIndex.syncMediaIndex(v2, v2, synced)
-    assert(graft.operators.MediaIndex.mediaManifest(spark, synced)._1 == seq0)
+    assert(graft.operators.MediaIndex.mediaManifest(spark, synced).seq == seq0)
     assert(serve(synced) == s1)
   }
 
@@ -5023,12 +5039,13 @@ class PipelineOperatorsSpec extends SparkSpec {
     // lists exactly one generation dir per table.
     DedupIndex.compactDedupIndex(spark, appended)
     assert(pairs(appended) == a)
-    val (seqC, bDirsC, sDirsC, _, _) = DedupIndex.dedupManifest(spark, appended)
+    val layC = DedupIndex.dedupManifest(spark, appended)
+    val (seqC, bDirsC, sDirsC) = (layC.seq, layC.bDirs, layC.sDirs)
     assert(bDirsC.length == 1 && sDirsC.length == 1, s"$bDirsC / $sDirsC")
     assert(bDirsC.head.startsWith("buckets-compact-"))
     // No-op compaction on the already-single-generation index.
     DedupIndex.compactDedupIndex(spark, appended)
-    assert(DedupIndex.dedupManifest(spark, appended)._1 == seqC)
+    assert(DedupIndex.dedupManifest(spark, appended).seq == seqC)
     assert(pairs(appended) == a)
   }
 
@@ -5100,7 +5117,8 @@ class PipelineOperatorsSpec extends SparkSpec {
     // serve identical.
     DedupIndex.compactDedupIndex(spark, retracted)
     assert(pairs(retracted) == r2)
-    val (_, bD, sD, tD, _) = DedupIndex.dedupManifest(spark, retracted)
+    val layR = DedupIndex.dedupManifest(spark, retracted)
+    val (bD, sD, tD) = (layR.bDirs, layR.sDirs, layR.tDirs)
     assert(bD.length == 1 && sD.length == 1 && tD.isEmpty, s"$bD $sD $tD")
     // Streaming twin over LIVE tombstones: retracted content must not
     // alert (fresh index, retract doc 3, stream a near-copy of it).
@@ -5160,9 +5178,9 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(s1.exists(p => p._1 == 5L && p._2 == 105L), s1.toString)
     // An unchanged corpus syncs as a complete no-op: no retraction, no
     // append, same manifest generation, same serve.
-    val seq0 = DedupIndex.dedupManifest(spark, synced)._1
+    val seq0 = DedupIndex.dedupManifest(spark, synced).seq
     DedupIndex.syncDedupIndex(v2, v2, synced)
-    assert(DedupIndex.dedupManifest(spark, synced)._1 == seq0)
+    assert(DedupIndex.dedupManifest(spark, synced).seq == seq0)
     assert(pairs(synced) == s1)
   }
 

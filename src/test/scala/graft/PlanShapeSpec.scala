@@ -839,8 +839,8 @@ class PlanShapeSpec extends SparkSpec {
     // dir list drives the serve read, so the lock reads it back rather
     // than hard-coding names.
     graft.operators.DedupIndex.compactDedupIndex(spark, dir)
-    val (_, bDirs, sDirs, _, _) =
-      graft.operators.DedupIndex.dedupManifest(spark, dir)
+    val layC = graft.operators.DedupIndex.dedupManifest(spark, dir)
+    val (bDirs, sDirs) = (layC.bDirs, layC.sDirs)
     for ((partCol, dirs) <- Seq("bkt" -> bDirs, "sbkt" -> sDirs)) {
       val p = graft.operators.DedupIndex
         .readPruned(spark, dir, dirs, partCol, Seq(0L, 3L))
@@ -907,7 +907,7 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(hp).length <= 2, hp.take(2000))
     // COMPACTION restores exactly ONE pruned scan (manifest-driven).
     graft.operators.MediaIndex.compactMediaIndex(spark, dir)
-    val (_, bDirs, _, _) = graft.operators.MediaIndex.mediaManifest(spark, dir)
+    val bDirs = graft.operators.MediaIndex.mediaManifest(spark, dir).bDirs
     val pc = graft.operators.MediaIndex
       .readPruned(spark, dir, bDirs, Seq(0L, 3L))
       .queryExecution.executedPlan.toString
@@ -921,8 +921,8 @@ class PlanShapeSpec extends SparkSpec {
     graft.operators.MediaIndex.retractFromMediaIndex(
       graft.operators.Multimodal.withPayload(
         Seq((2L, "x")).toDF("doc_id", "text")), dir)
-    val (_, bDirsT, tDirsT, _) =
-      graft.operators.MediaIndex.mediaManifest(spark, dir)
+    val layT = graft.operators.MediaIndex.mediaManifest(spark, dir)
+    val (bDirsT, tDirsT) = (layT.bDirs, layT.tDirs)
     assert(tDirsT.nonEmpty)
     val pt = graft.operators.GenManifest
       .readPrunedLive(spark, dir, bDirsT, "bbkt", Seq(0L, 3L), tDirsT,
@@ -1023,8 +1023,8 @@ class PlanShapeSpec extends SparkSpec {
     graft.operators.DedupIndex.buildDedupIndex(docs, dir, nBuckets = 8)
     graft.operators.DedupIndex.retractFromDedupIndex(
       Seq((3L, "")).toDF("doc_id", "text"), dir)
-    val (_, bDirs, _, tDirs, _) =
-      graft.operators.DedupIndex.dedupManifest(spark, dir)
+    val layR = graft.operators.DedupIndex.dedupManifest(spark, dir)
+    val (bDirs, tDirs) = (layR.bDirs, layR.tDirs)
     assert(tDirs.nonEmpty)
     val p = graft.operators.DedupIndex
       .readPrunedLive(spark, dir, bDirs, "bkt", Seq(0L, 3L), tDirs)
