@@ -980,21 +980,43 @@ object SparkEntry {
           .otherwise(col("text")))
       // ONE shared shingle-set table feeds both chains — each public
       // operator would otherwise re-tokenize + re-shingle the planted
-      // corpus (the capHotKeys double-pipeline lesson).
+      // corpus (the capHotKeys double-pipeline lesson). The minhash
+      // NUMERATOR materializes on its own driver thread (guide §2.6 —
+      // the r18 overlap discipline): both chains read only the cached
+      // sets, so the LSH candidate/verify jobs back-fill executors
+      // while this thread runs the prefix-join denominator.
       graft.operators.Barrier.withCached(Dedup.shingleSets(planted, 3)) {
         sets =>
-          val caught = Dedup.minhashNearDupsFromSets(sets, threshold = 0.5)
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutorService(pool)
+          val fCaught = Future {
+            s.sparkContext.setJobDescription("minhash_recall: LSH numerator")
+            try Dedup.minhashNearDupsFromSets(sets, threshold = 0.5)
+            finally s.sparkContext.setJobDescription(null)
+          }
           try {
-            Dedup.prefixJaccardOver(sets, threshold = 0.5)
-              .agg(count(lit(1)).as("n_exact"))
-              .crossJoin(broadcast(
-                caught.agg(count(lit(1)).as("n_caught"))))
-              .select(col("n_exact"), col("n_caught"),
-                when(col("n_exact") > 0L,
-                  graft.operators.Quant.q6(col("n_caught").cast("double") /
-                    col("n_exact").cast("double"))).as("recall"))
-              .barrier()
-          } finally graft.operators.Barrier.release(caught)
+            // The whole denominator (prefix join + verify + count)
+            // materializes HERE, concurrent with the numerator future.
+            val exactCnt = graft.operators.Barrier(
+              Dedup.prefixJaccardOver(sets, threshold = 0.5)
+                .agg(count(lit(1)).as("n_exact")))
+            try {
+              val caught = Await.result(fCaught, Duration.Inf)
+              try {
+                exactCnt
+                  .crossJoin(broadcast(
+                    caught.agg(count(lit(1)).as("n_caught"))))
+                  .select(col("n_exact"), col("n_caught"),
+                    when(col("n_exact") > 0L,
+                      graft.operators.Quant.q6(col("n_caught").cast("double") /
+                        col("n_exact").cast("double"))).as("recall"))
+                  .barrier()
+              } finally graft.operators.Barrier.release(caught)
+            } finally graft.operators.Barrier.release(exactCnt)
+          } finally pool.shutdown()
       }
     }),
 

@@ -30,19 +30,16 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextKernels {
   private val Space = UTF8String.fromString(" ")
 
-  /** Longest run (count, gram) over the ASCENDING-sorted word n-grams of
-    * `toks` — semantics of the former sort+fold chain exactly: grams are
-    * `concat_ws(" ", toks[i..i+n-1])` (null elements skipped, matching
-    * concat_ws), ties on the run length resolve to the FIRST = smallest
-    * gram (strict `>`), and a document with fewer than `n` tokens yields
-    * (0, "").
+  /** The word n-grams of a token array, in position order — the
+    * `transform(sequence(1, |toks|−n+1), i => concat_ws(" ", toks[i..]))`
+    * chain as one native loop (null elements skipped like concat_ws;
+    * fewer than n tokens → empty array, the guard every call site
+    * already applied via when()).
     */
-  def topNgram(toks: ArrayData, n: Int): InternalRow = {
+  private[functions] def gramsOf(toks: ArrayData, n: Int): Array[AnyRef] = {
     val sz = toks.numElements()
     val k = sz - n + 1
-    if (k <= 0)
-      return new GenericInternalRow(
-        Array[Any](0L, UTF8String.EMPTY_UTF8))
+    if (k <= 0) return Array.empty[AnyRef]
     val grams = new Array[AnyRef](k)
     val parts = new Array[UTF8String](n)
     var i = 0
@@ -56,12 +53,143 @@ object TextKernels {
       grams(i) = UTF8String.concatWs(Space, parts: _*)
       i += 1
     }
+    grams
+  }
+
+  def ngramArray(toks: ArrayData, n: Int): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(gramsOf(toks, n))
+
+  /** Distinct shingles — [[gramsOf]] + first-occurrence dedup +
+    * the short-document fallbacks, exactly `Dedup.shinglesFromTokens`'
+    * former expression: |toks| ≥ n → array_distinct(ngrams); 0 < |toks|
+    * < n → [concat_ws(" ", toks)]; empty → [].
+    */
+  def shingles(toks: ArrayData, n: Int): ArrayData = {
+    val sz = toks.numElements()
+    val out: Array[AnyRef] =
+      if (sz == 0) Array.empty[AnyRef]
+      else if (sz < n) {
+        val parts = new Array[UTF8String](sz)
+        var i = 0
+        while (i < sz) {
+          parts(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+          i += 1
+        }
+        Array[AnyRef](UTF8String.concatWs(Space, parts: _*))
+      } else {
+        val grams = gramsOf(toks, n)
+        // array_distinct keeps the FIRST occurrence of each value in
+        // order — a LinkedHashSet replicates that exactly.
+        val seen = new java.util.LinkedHashSet[AnyRef](grams.length * 2)
+        var i = 0
+        while (i < grams.length) { seen.add(grams(i)); i += 1 }
+        seen.toArray(new Array[AnyRef](seen.size()))
+      }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** Winnowing fingerprints as ONE native pass — the former three-stage
+    * HOF chain (gram build, per-gram
+    * `conv(substring(md5(g), 1, 15), 16, 10)` 60-bit hash, sliding
+    * window-`w` `array_distinct(array_min(slice))`) exactly: grams per
+    * the winnow fallback (≥ k tokens → k-grams; 1..k−1 → whole text as
+    * one gram; none → empty); hash = the md5 digest's first 15 hex
+    * chars as a long (= top 60 bits); fingerprints = first-occurrence
+    * distinct of each window's minimum (< w grams → the single global
+    * min).
+    */
+  def winnowFingerprints(toks: ArrayData, k: Int, w: Int): ArrayData = {
+    val grams: Array[AnyRef] = {
+      val sz = toks.numElements()
+      if (sz == 0) Array.empty[AnyRef]
+      else if (sz < k) {
+        val parts = new Array[UTF8String](sz)
+        var i = 0
+        while (i < sz) {
+          parts(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+          i += 1
+        }
+        Array[AnyRef](UTF8String.concatWs(Space, parts: _*))
+      } else gramsOf(toks, k)
+    }
+    val g = grams.length
+    if (g == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val md = md5Local.get()
+    val gh = new Array[Long](g)
+    var i = 0
+    while (i < g) {
+      md.reset()
+      val d = md.digest(grams(i).asInstanceOf[UTF8String].getBytes)
+      // First 15 hex chars = the first 60 bits: 7 full bytes + the high
+      // nibble of byte 7 (conv(substring(hex, 1, 15), 16, 10) exactly).
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      gh(i) = (v << 4) | ((d(7) & 0xf0L) >> 4)
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[AnyRef]()
+    if (g < w) {
+      var mn = gh(0); i = 1
+      while (i < g) { if (gh(i) < mn) mn = gh(i); i += 1 }
+      out.add(java.lang.Long.valueOf(mn))
+    } else {
+      var s = 0
+      while (s + w <= g) {
+        var mn = gh(s)
+        var j = s + 1
+        while (j < s + w) { if (gh(j) < mn) mn = gh(j); j += 1 }
+        out.add(java.lang.Long.valueOf(mn))
+        s += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size())))
+  }
+
+  /** (pos, gram) structs for every n-gram position — the substr-anchor
+    * builder's `transform(sequence(1, |toks|−n+1), i => struct(i,
+    * concat_ws(" ", slice(toks, i, n))))` exactly (1-based positions;
+    * fewer than n tokens → empty).
+    */
+  def posGrams(toks: ArrayData, n: Int): ArrayData = {
+    val grams = gramsOf(toks, n)
+    val out = new Array[Any](grams.length)
+    var i = 0
+    while (i < grams.length) {
+      out(i) = new GenericInternalRow(Array[Any](i + 1, grams(i)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Longest run (count, gram) over the ASCENDING-sorted word n-grams of
+    * `toks` — semantics of the former sort+fold chain exactly: grams are
+    * `concat_ws(" ", toks[i..i+n-1])` (null elements skipped, matching
+    * concat_ws), ties on the run length resolve to the FIRST = smallest
+    * gram (strict `>`), and a document with fewer than `n` tokens yields
+    * (0, "").
+    */
+  def topNgram(toks: ArrayData, n: Int): InternalRow = {
+    val grams = gramsOf(toks, n)
+    val k = grams.length
+    if (k == 0)
+      return new GenericInternalRow(
+        Array[Any](0L, UTF8String.EMPTY_UTF8))
     java.util.Arrays.sort(grams)
     var best = 0L
     var bestg: UTF8String = UTF8String.EMPTY_UTF8
     var run = 0L
     var prev: UTF8String = null
-    i = 0
+    var i = 0
     while (i < k) {
       val g = grams(i).asInstanceOf[UTF8String]
       run = if (prev != null && g.equals(prev)) run + 1 else 1L
@@ -343,6 +471,124 @@ case class StopwordHits(child: Expression, words: Seq[String])
     copy(child = newChild)
 }
 
+/** array<string> of position-ordered word n-grams (see
+  * [[TextKernels.ngramArray]]). NULL input → NULL.
+  */
+case class NgramArrayExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"NgramArrayExpr n=$n must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ngram_array requires array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "ngram_array"
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.ngramArray(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.ngramArray($c, $n)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NgramArrayExpr = copy(child = newChild)
+}
+
+/** array<string> of distinct shingles with the short-doc fallbacks (see
+  * [[TextKernels.shingles]]). NULL input → NULL.
+  */
+case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"ShinglesExpr n=$n must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingles requires array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "shingles"
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.shingles(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.shingles($c, $n)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ShinglesExpr = copy(child = newChild)
+}
+
+/** array<bigint> winnowing fingerprints (see
+  * [[TextKernels.winnowFingerprints]]). NULL input → NULL.
+  */
+case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"gram width k=$k must be >= 1")
+  require(w >= 1, s"window w=$w must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fps requires array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "winnow_fps"
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.winnowFingerprints(a.asInstanceOf[ArrayData], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.winnowFingerprints($c, $k, $w)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WinnowFingerprintsExpr = copy(child = newChild)
+}
+
+/** array<struct<pos:int,gram:string>> n-gram anchors (see
+  * [[TextKernels.posGrams]]). NULL input → NULL.
+  */
+case class PosGramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"PosGramsExpr n=$n must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pos_grams requires array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("gram", StringType, nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "pos_grams"
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.posGrams(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.posGrams($c, $n)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PosGramsExpr = copy(child = newChild)
+}
+
 object TextFunctions {
   /** Codegen'd longest-run n-gram: struct(best, bestg). */
   def topNgram(toks: Column, n: Int): Column =
@@ -370,4 +616,24 @@ object TextFunctions {
   def dupChunkStats(toks: Column, chunkTokens: Int): Column =
     GraftExpressionShim.column(DupChunkStats(
       GraftExpressionShim.expression(toks), chunkTokens))
+
+  /** Codegen'd position-ordered word n-grams. */
+  def ngramArray(toks: Column, n: Int): Column =
+    GraftExpressionShim.column(NgramArrayExpr(
+      GraftExpressionShim.expression(toks), n))
+
+  /** Codegen'd distinct shingles (short-doc fallbacks included). */
+  def shingles(toks: Column, n: Int): Column =
+    GraftExpressionShim.column(ShinglesExpr(
+      GraftExpressionShim.expression(toks), n))
+
+  /** Codegen'd winnowing fingerprint array. */
+  def winnowFingerprints(toks: Column, k: Int, w: Int): Column =
+    GraftExpressionShim.column(WinnowFingerprintsExpr(
+      GraftExpressionShim.expression(toks), k, w))
+
+  /** Codegen'd (pos, gram) n-gram anchors. */
+  def posGrams(toks: Column, n: Int): Column =
+    GraftExpressionShim.column(PosGramsExpr(
+      GraftExpressionShim.expression(toks), n))
 }

@@ -89,10 +89,13 @@ object Dedup {
     // quadratic clique on one hot LSH key at crawl scale (f blank docs
     // → O(bands·f²) bucket join rows). Empty sets simply exit the pair
     // pipelines (no shingles ⇒ no signature, no candidates, no counts).
-    array_distinct(
-      when(size(toks) >= n, TextAnalysis.ngramArray(toks, n))
-        .when(size(toks) > 0, array(concat_ws(" ", toks)))
-        .otherwise(array().cast("array<string>")))
+    // ONE codegen kernel (graft.functions.ShinglesExpr, r18) for the
+    // gram build + short-doc fallbacks + first-occurrence distinct —
+    // the former array_distinct(when(...ngramArray...)) chain evaluated
+    // the gram transform interpreted per element under every minhash /
+    // prefix-join / decontamination consumer (equivalence spec-pinned
+    // incl. the blank-doc empty-set and whole-text-fallback contracts).
+    graft.functions.TextFunctions.shingles(toks, n)
   }
 
   /** Distinct word-`n`-gram shingles per document; documents shorter than
@@ -339,9 +342,22 @@ object Dedup {
   def fuzzyPairs(docs: DataFrame, n: Int = 3, maxDist: Int = 8): DataFrame = {
     require(maxDist >= 0, s"maxDist=$maxDist must be >= 0")
     val cand = candidatePairs(docs, n)
-    try fuzzyVerify(cand, docs.select(col("doc_id"), col("text")), maxDist)
-      .barrier() // eager result; the candidate barrier releases below
-    finally Barrier.release(cand)
+    try {
+      // ONE corpus text scan (r18): both verify joins used to stream
+      // the corpus's text column independently (two full scans). The
+      // candidate ids — LSH-bounded, the same table the joins already
+      // consume broadcast — semi-filter a text SLIVER map-side, and
+      // both joins read the materialized sliver instead.
+      val ids = cand.select(col("doc_a").as("doc_id"))
+        .unionByName(cand.select(col("doc_b").as("doc_id")))
+        .distinct()
+      val sliver = docs.select(col("doc_id"), col("text"))
+        .join(broadcast(ids), Seq("doc_id"), "left_semi")
+        .barrier()
+      try fuzzyVerify(cand, sliver, maxDist)
+        .barrier() // eager result; the scratch barriers release below
+      finally Barrier.release(sliver)
+    } finally Barrier.release(cand)
   }
 
   /** [[fuzzyPairs]]' verify tail, factored for the plan lock (the result

@@ -54,8 +54,13 @@ object TextAnalysis {
     * so the four call sites cannot drift apart.
     */
   private[graft] def ngramArray(toks: Column, n: Int): Column =
-    transform(sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
+    // Codegen'd kernel (graft.functions.NgramArrayExpr) since r18 — the
+    // former transform(sequence(...), concat_ws(element_at...)) chain
+    // evaluated interpreted per gram under every shingle/gram consumer;
+    // semantics identical (null elements skip like concat_ws, < n
+    // tokens → empty — every call site guards that case anyway),
+    // equivalence spec-pinned.
+    graft.functions.TextFunctions.ngramArray(toks, n)
 
   /** BPE-ish sub-token count: alpha runs, digit runs, and single other
     * non-space chars — the standard pre-tokenizer shape.
@@ -303,19 +308,14 @@ object TextAnalysis {
     // cap-boundary divergence on a nullable regen.
     val toks = docs.where(col("doc_id").isNotNull)
       .select(col("doc_id"), wsTokens(col("text")).as("toks"))
-    val grams = toks.select(col("doc_id"),
-      when(size(col("toks")) >= k, ngramArray(col("toks"), k))
-        .when(size(col("toks")) === 0, array().cast("array<string>"))
-        .otherwise(array(concat_ws(" ", col("toks")))).as("grams"))
-    val hashes = grams.select(col("doc_id"),
-      transform(col("grams"),
-        g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")).as("gh"))
-    val fps = hashes.select(col("doc_id"),
-      when(size(col("gh")) >= w,
-        array_distinct(transform(sequence(lit(1), size(col("gh")) - (w - 1)),
-          i => array_min(slice(col("gh"), i, lit(w))))))
-        .when(size(col("gh")) === 0, array().cast("array<long>"))
-        .otherwise(array(array_min(col("gh")))).as("fps"))
+    // The gram build, per-gram 60-bit md5 hash, and sliding-window
+    // distinct-min run as ONE codegen kernel since r18
+    // (graft.functions.WinnowFingerprintsExpr — the former three HOF
+    // stages evaluated interpreted per element; semantics identical,
+    // equivalence spec-pinned against the old expression forms).
+    val fps = toks.select(col("doc_id"),
+      graft.functions.TextFunctions
+        .winnowFingerprints(col("toks"), k, w).as("fps"))
     // Token-less docs now carry an EMPTY fps array (no phantom
     // fingerprint-of-""), so every blank/null doc would otherwise join
     // every other through one shared hash — a quadratic clique on a
@@ -1244,14 +1244,12 @@ object TextAnalysis {
     val toks = docs.where(col("doc_id").isNotNull)
       .select(col("doc_id"), wsTokens(col("text")).as("toks"))
     // (pos, gram-hash) structs; docs shorter than minLen contribute none.
+    // (pos, gram) anchors via the codegen posGrams kernel (r18) — the
+    // former transform(sequence, struct(concat_ws(slice))) evaluated
+    // interpreted per position; < minLen tokens contribute none (the
+    // kernel's own empty case, same as the old when-guard).
     val grams = toks.select(col("doc_id"),
-      when(size(col("toks")) >= minLen,
-        transform(sequence(lit(1), size(col("toks")) - (minLen - 1)),
-          i => struct(i.as("pos"),
-            concat_ws(" ", slice(col("toks"), i, lit(minLen)))
-              .as("gram"))))
-        .otherwise(array().cast("array<struct<pos:int,gram:string>>"))
-        .as("gs"))
+      graft.functions.TextFunctions.posGrams(col("toks"), minLen).as("gs"))
     // Materialized before the self-join: the tokenize + minLen-gram
     // xxhash projection is the family's dominant map stage, and without
     // the checkpoint BOTH anchor-join sides (plus the df aggregation when

@@ -186,6 +186,78 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(genCode(containsNull = true).contains("isNullAt"))
   }
 
+  test("ngram/shingle/winnow/posGram kernels ≡ the HOF reference chains (r18)") {
+    // The codegen kernels replacing the interpreted gram machinery under
+    // the minhash/winnow/substr families — pinned against the EXACT
+    // former expression forms over the real corpus + degenerate rows
+    // (empty, below-width, repeated tokens for the distinct paths).
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs(9101L -> "", 9102L -> "solo",
+        9103L -> "a b", 9104L -> "a b a b a b a",
+        9105L -> "x x x x x x x x x x"))
+    val toks = base.select(col("doc_id"),
+      TextAnalysis.wsTokens(col("text")).as("toks"))
+    def refNgrams(n: Int) =
+      transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+        i => concat_ws(" ",
+          (0 until n).map(o => element_at(col("toks"), i + o)): _*))
+    for (n <- Seq(1, 3)) {
+      // ngramArray under its call sites' size >= n guard.
+      val g = toks.where(size(col("toks")) >= n).select(
+          graft.functions.TextFunctions.ngramArray(col("toks"), n).as("k"),
+          refNgrams(n).as("r"))
+        .where(not(col("k") <=> col("r")))
+      assert(g.isEmpty, s"ngram n=$n: ${g.collect().take(3).toSeq}")
+      // shingles across ALL branches (empty / short / distinct).
+      val refSh = array_distinct(
+        when(size(col("toks")) >= n, refNgrams(n))
+          .when(size(col("toks")) > 0, array(concat_ws(" ", col("toks"))))
+          .otherwise(array().cast("array<string>")))
+      val sh = toks.select(
+          graft.functions.TextFunctions.shingles(col("toks"), n).as("k"),
+          refSh.as("r"))
+        .where(not(col("k") <=> col("r")))
+      assert(sh.isEmpty, s"shingles n=$n: ${sh.collect().take(3).toSeq}")
+    }
+    // winnowFingerprints: the three-stage reference chain, all branches.
+    for ((k, w) <- Seq((3, 4), (1, 1), (2, 5))) {
+      val refGrams =
+        when(size(col("toks")) >= k, refNgrams(k))
+          .when(size(col("toks")) === 0, array().cast("array<string>"))
+          .otherwise(array(concat_ws(" ", col("toks"))))
+      val withG = toks.select(col("doc_id"), col("toks"),
+        refGrams.as("grams"))
+      val withH = withG.select(col("doc_id"), col("toks"),
+        transform(col("grams"),
+          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")).as("gh"))
+      val refFps =
+        when(size(col("gh")) >= w,
+          array_distinct(transform(
+            sequence(lit(1), size(col("gh")) - (w - 1)),
+            i => array_min(slice(col("gh"), i, lit(w))))))
+          .when(size(col("gh")) === 0, array().cast("array<long>"))
+          .otherwise(array(array_min(col("gh"))))
+      val cmp = withH.select(
+          graft.functions.TextFunctions
+            .winnowFingerprints(col("toks"), k, w).as("kk"),
+          refFps.as("r"))
+        .where(not(col("kk") <=> col("r")))
+      assert(cmp.isEmpty, s"winnow k=$k w=$w: ${cmp.collect().take(3).toSeq}")
+    }
+    // posGrams: (pos, gram) anchors under the >= n guard + empty below.
+    val refPos = when(size(col("toks")) >= 20,
+        transform(sequence(lit(1), size(col("toks")) - 19),
+          i => struct(i.as("pos"),
+            concat_ws(" ", slice(col("toks"), i, lit(20))).as("gram"))))
+      .otherwise(array().cast("array<struct<pos:int,gram:string>>"))
+    val pg = toks.select(
+        graft.functions.TextFunctions.posGrams(col("toks"), 20).as("k"),
+        refPos.as("r"))
+      .where(not(col("k") <=> col("r")))
+    assert(pg.isEmpty, pg.collect().take(3).toSeq)
+  }
+
   test("termBuckets: driver-side bucket hash ≡ the DataFrame pmod(hash) route") {
     // The r18 lex-serve fusion evaluates the build's bucket expression
     // driver-side; the two routes must agree on every term or pruning
