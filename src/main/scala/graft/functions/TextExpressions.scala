@@ -171,6 +171,104 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  private def hex32(d: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexDigits((d(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = HexDigits(d(i) & 0xf).toByte
+      i += 1
+    }
+    out
+  }
+
+  private val SeedA = "a:".getBytes("UTF-8")
+  private val SeedB = "b:".getBytes("UTF-8")
+
+  /** The 4 LSH band keys of a shingle set — `Dedup.bandKeyArray` over the
+    * per-shingle seeded md5 arrays, as ONE native pass. Exact semantics
+    * of the Column form (spec-pinned kernel ≡ column): per shingle two
+    * seeded md5 hex strings; h_i = the minimum over shingles of hex
+    * chars [8i, 8i+8) — minimising the fixed-width lowercase hex
+    * substring IS minimising the corresponding unsigned 32-bit digest
+    * word, so the mins track as integers; band key b =
+    * md5(h_{2b} ++ h_{2b+1}) in hex. Empty (or all-null) sets yield
+    * four NULL keys, exactly the column form's null-propagation — the
+    * consumers' isNotNull-on-generated-attribute filter drops them.
+    */
+  def bandKeys(sset: ArrayData): ArrayData = {
+    val sz = sset.numElements()
+    val md = md5Local.get()
+    val mins = Array.fill(8)(0xffffffffL + 1)
+    var any = false
+    var r = 0
+    while (r < sz) {
+      if (!sset.isNullAt(r)) {
+        any = true
+        val sb = sset.getUTF8String(r).getBytes
+        md.reset(); md.update(SeedA); md.update(sb)
+        val da = md.digest()
+        md.reset(); md.update(SeedB); md.update(sb)
+        val db = md.digest()
+        var i = 0
+        while (i < 4) {
+          val va = ((da(4 * i) & 0xffL) << 24) | ((da(4 * i + 1) & 0xffL) << 16) |
+            ((da(4 * i + 2) & 0xffL) << 8) | (da(4 * i + 3) & 0xffL)
+          if (va < mins(i)) mins(i) = va
+          val vb = ((db(4 * i) & 0xffL) << 24) | ((db(4 * i + 1) & 0xffL) << 16) |
+            ((db(4 * i + 2) & 0xffL) << 8) | (db(4 * i + 3) & 0xffL)
+          if (vb < mins(4 + i)) mins(4 + i) = vb
+          i += 1
+        }
+      }
+      r += 1
+    }
+    if (!any)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](null, null, null, null))
+    val hs = new Array[Array[Byte]](8)
+    var i = 0
+    while (i < 8) {
+      val h = new Array[Byte](8)
+      var j = 0
+      while (j < 8) {
+        h(j) = HexDigits(((mins(i) >> (28 - 4 * j)) & 0xfL).toInt).toByte
+        j += 1
+      }
+      hs(i) = h
+      i += 1
+    }
+    val keys = new Array[Any](4)
+    var b = 0
+    while (b < 4) {
+      md.reset(); md.update(hs(2 * b)); md.update(hs(2 * b + 1))
+      keys(b) = UTF8String.fromBytes(hex32(md.digest()))
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
+  }
+
+  /** Consecutive-token bigram structs — `zip_with(slice(tk,1,n−1),
+    * slice(tk,2,n−1), struct)` exactly; fewer than 2 tokens → NULL (the
+    * former when-without-otherwise). Null tokens pass through as null
+    * struct fields.
+    */
+  def bigrams(tk: ArrayData): ArrayData = {
+    val sz = tk.numElements()
+    if (sz < 2) return null
+    val out = new Array[Any](sz - 1)
+    var i = 0
+    while (i < sz - 1) {
+      out(i) = new GenericInternalRow(Array[Any](
+        if (tk.isNullAt(i)) null else tk.getUTF8String(i),
+        if (tk.isNullAt(i + 1)) null else tk.getUTF8String(i + 1)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Longest run (count, gram) over the ASCENDING-sorted word n-grams of
     * `toks` — semantics of the former sort+fold chain exactly: grams are
     * `concat_ws(" ", toks[i..i+n-1])` (null elements skipped, matching
@@ -589,6 +687,75 @@ case class PosGramsExpr(child: Expression, n: Int) extends UnaryExpression {
       newChild: Expression): PosGramsExpr = copy(child = newChild)
 }
 
+/** array<string> of the 4 LSH band keys of a shingle set (see
+  * [[TextKernels.bandKeys]]; containsNull = true — empty sets yield four
+  * NULL keys). NULL input → NULL.
+  */
+case class BandKeysExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"band_keys requires array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override def prettyName: String = "band_keys"
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.bandKeys(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.bandKeys($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BandKeysExpr = copy(child = newChild)
+}
+
+/** array<struct<w1:string,w2:string>> consecutive bigrams (see
+  * [[TextKernels.bigrams]]; < 2 tokens → NULL, matching the former
+  * guarded zip_with). NULL input → NULL.
+  */
+case class BigramsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bigrams requires array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w1", StringType, nullable = true),
+    StructField("w2", StringType, nullable = true))),
+    containsNull = false)
+
+  // NULL for < 2 tokens even on a non-null input (the former
+  // when-without-otherwise) — without the override nullSafeCodeGen
+  // would emit `false = true;` for non-nullable children (the
+  // SortedLongIntersectCount lesson).
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "bigrams"
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.bigrams(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("bigrams")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.functions.TextKernels.bigrams($c);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BigramsExpr = copy(child = newChild)
+}
+
 object TextFunctions {
   /** Codegen'd longest-run n-gram: struct(best, bestg). */
   def topNgram(toks: Column, n: Int): Column =
@@ -636,4 +803,14 @@ object TextFunctions {
   def posGrams(toks: Column, n: Int): Column =
     GraftExpressionShim.column(PosGramsExpr(
       GraftExpressionShim.expression(toks), n))
+
+  /** Codegen'd 4-element LSH band-key array. */
+  def bandKeys(sset: Column): Column =
+    GraftExpressionShim.column(BandKeysExpr(
+      GraftExpressionShim.expression(sset)))
+
+  /** Codegen'd consecutive-bigram struct array (NULL below 2 tokens). */
+  def bigrams(tk: Column): Column =
+    GraftExpressionShim.column(BigramsExpr(
+      GraftExpressionShim.expression(tk)))
 }

@@ -226,16 +226,18 @@ object Dedup {
     * cannot be pushed below its Generate, so this form is safe for
     * barriered and lazy inputs alike).
     */
-  private[graft] def bandBucketsFromSets(sets: DataFrame): DataFrame = {
-    val arrs = sets
-      .select(col("doc_id"),
-        transform(col("sset"), s => md5(concat(lit("a:"), s))).as("ma"),
-        transform(col("sset"), s => md5(concat(lit("b:"), s))).as("mb"))
-    arrs.select(col("doc_id"),
-      posexplode_outer(bandKeyArray(col("ma"), col("mb")))
-        .as(Seq("band", "key")))
+  private[graft] def bandBucketsFromSets(sets: DataFrame): DataFrame =
+    // The whole per-row signature+banding algebra is ONE codegen kernel
+    // since r18 (graft.functions.BandKeysExpr — two seeded digests per
+    // shingle, four band mins, four band-key digests, native): the
+    // former ma/mb md5 transforms evaluated interpreted per shingle.
+    // Kernel ≡ bandKeyArray(ma, mb) spec-pinned; the explode stays the
+    // OUTER + isNotNull form (the InferFiltersFromGenerate rule).
+    sets.select(col("doc_id"),
+        posexplode_outer(
+          graft.functions.TextFunctions.bandKeys(col("sset")))
+          .as(Seq("band", "key")))
       .where(col("key").isNotNull)
-  }
 
   /** The PER-ROW (Column) form of the signature + banding algebra, for
     * consumers that cannot shuffle — the streaming index twin computes

@@ -604,11 +604,10 @@ object DedupIndex {
     val baseSets = foldedLive(spark, dir, sDirs, tDirs)
       .select(col("doc_id").as("base_id"), col("sset").as("bset"))
     // Per-row signature: tokens and shingles materialized as their own
-    // attributes FIRST (the interpreted-HOF trap: the convenience
-    // shingles(text) form inlines the tokenization into the gram lambda
-    // and re-splits the text per gram), then one md5-per-seed attribute
-    // per shingle, then the SHARED band-key kernel — the slice/band
-    // layout lives once in Dedup.bandKeyArray.
+    // attributes FIRST (the interpreted-HOF trap), then the SHARED
+    // codegen band-key kernel (graft.functions.BandKeysExpr ≡
+    // Dedup.bandKeyArray, spec-pinned — the slice/band layout lives
+    // once).
     val sigged = stream
       // Null-id guard, mirroring the other streaming twins: a null-id
       // ingest row that collides with a base doc would emit alerts with
@@ -617,12 +616,8 @@ object DedupIndex {
       .where(col("doc_id").isNotNull)
       .withColumn("toks", TextAnalysis.wsTokens(col("text")))
       .withColumn("sset", Dedup.shinglesFromTokens(col("toks"), n))
-      .withColumn("ma",
-        transform(col("sset"), s => md5(concat(lit("a:"), s))))
-      .withColumn("mb",
-        transform(col("sset"), s => md5(concat(lit("b:"), s))))
     val withKeys = sigged.withColumn("skeys",
-      Dedup.bandKeyArray(col("ma"), col("mb")))
+      graft.functions.TextFunctions.bandKeys(col("sset")))
     val exploded = withKeys
       .select(col("doc_id"), col("sset"), col("skeys"),
         posexplode_outer(col("skeys")).as(Seq("band", "key")))

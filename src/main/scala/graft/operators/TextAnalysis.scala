@@ -567,10 +567,11 @@ object TextAnalysis {
     * into the Filter several times over (caught by the plan lock).
     */
   private def bigramArray(tk: Column): Column =
-    when(size(tk) >= 2,
-      zip_with(slice(tk, lit(1), size(tk) - 1),
-        slice(tk, lit(2), size(tk) - 1),
-        (l, r) => struct(l.as("w1"), r.as("w2"))))
+    // Codegen'd kernel (graft.functions.BigramsExpr) since r18 — the
+    // former guarded zip_with(slice, slice) evaluated interpreted per
+    // pair; semantics identical (< 2 tokens → NULL, the
+    // when-without-otherwise), equivalence spec-pinned.
+    graft.functions.TextFunctions.bigrams(tk)
 
   /** Bigram language-model quality scoring — the KenLM-perplexity-filter
     * stage of a web-corpus pipeline (CCNet / Gopher both gate on an

@@ -395,20 +395,17 @@ object StreamingNearDup {
       .dropDuplicatesWithinWatermark("doc_id")
     val sets = toks.select(col("doc_id"), col("ts"),
       Dedup.shinglesFromTokens(col("toks"), n).as("sset"))
-    // Per-row signature: md5 arrays materialized first (one md5 per seed
-    // per shingle — the HOF re-evaluation discipline), then the SHARED
-    // band-key kernel (Dedup.bandKeyArray — the slice/band layout lives
-    // once; a hand-written copy here desynchronized from a MinhashK /
-    // BandRows change silently). The keys MATERIALIZE as one array
-    // column that rides into the bucket handler (posexplode pairs each
-    // with its band index), so the smallest-colliding-band check never
-    // re-derives a signature in Scala.
+    // Per-row signature via the SHARED codegen band-key kernel
+    // (graft.functions.BandKeysExpr ≡ Dedup.bandKeyArray, spec-pinned —
+    // the slice/band layout lives once; a hand-written copy here
+    // desynchronized from a MinhashK / BandRows change silently). The
+    // keys MATERIALIZE as one array column that rides into the bucket
+    // handler (posexplode pairs each with its band index), so the
+    // smallest-colliding-band check never re-derives a signature in
+    // Scala.
     val hits = sets
-      .withColumn("ma", transform(col("sset"),
-        s => md5(concat(lit("a:"), s))))
-      .withColumn("mb", transform(col("sset"),
-        s => md5(concat(lit("b:"), s))))
-      .withColumn("keys", Dedup.bandKeyArray(col("ma"), col("mb")))
+      .withColumn("keys",
+        graft.functions.TextFunctions.bandKeys(col("sset")))
       .select(col("doc_id"), col("ts"), col("sset"), col("keys"),
         // OUTER, never inner (the Search.postings round-10 lesson —
         // posexplode is an exploder too): the inner form lets

@@ -256,15 +256,15 @@ object StreamingNearDupUpdating {
       .select(col("doc_id").as("docId"), col("ts"),
         unix_millis(col("ts")).as("tsMs"), col("hash"),
         Dedup.shinglesFromTokens(col("toks"), n).as("sset"))
-      .withColumn("ma", transform(col("sset"),
-        s => md5(concat(lit("a:"), s))))
-      .withColumn("mb", transform(col("sset"),
-        s => md5(concat(lit("b:"), s))))
       // Blank docs produce all-NULL band keys (empty sset minima) —
       // normalize to an EMPTY array so the admit explodes to nothing
-      // while the version row still reaches stage 1.
+      // while the version row still reaches stage 1. Band keys come
+      // from the SHARED codegen kernel (graft.functions.BandKeysExpr ≡
+      // Dedup.bandKeyArray, spec-pinned), so stream ≡ batch stays by
+      // construction.
       .withColumn("keys",
-        filter(Dedup.bandKeyArray(col("ma"), col("mb")), k => k.isNotNull))
+        filter(graft.functions.TextFunctions.bandKeys(col("sset")),
+          k => k.isNotNull))
       .select(col("docId"), col("ts"), col("tsMs"), col("hash"),
         col("sset"), col("keys"))
       .as[DocVersion]

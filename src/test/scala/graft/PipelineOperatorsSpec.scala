@@ -258,6 +258,38 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(pg.isEmpty, pg.collect().take(3).toSeq)
   }
 
+  test("bandKeys/bigrams kernels ≡ the Column reference forms (r18)") {
+    // bandKeys kernel ≡ bandKeyArray over the per-shingle md5 arrays —
+    // the band/slice layout's ONE definition is the kernel now; this
+    // pin keeps the Column algebra as the executable reference (a
+    // MinhashK/BandRows change must update both or trip here).
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs(9201L -> "", 9202L -> "one", 9203L -> "a b c d"))
+    val sets = Dedup.shingleSets(base.where(col("doc_id").isNotNull), 3)
+    val ref = sets
+      .select(col("doc_id"), col("sset"),
+        transform(col("sset"), s => md5(concat(lit("a:"), s))).as("ma"),
+        transform(col("sset"), s => md5(concat(lit("b:"), s))).as("mb"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.bandKeys(col("sset")).as("k"),
+        Dedup.bandKeyArray(col("ma"), col("mb")).as("r"))
+      .where(not(col("k") <=> col("r")))
+    assert(ref.isEmpty, ref.collect().take(3).toSeq)
+    // bigrams kernel ≡ the guarded zip_with (NULL below 2 tokens).
+    val toks = base.select(
+      TextAnalysis.wsTokens(col("text")).as("tk"))
+    val refBg = when(size(col("tk")) >= 2,
+      zip_with(slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (l, r) => struct(l.as("w1"), r.as("w2"))))
+    val bg = toks.select(
+        graft.functions.TextFunctions.bigrams(col("tk")).as("k"),
+        refBg.as("r"))
+      .where(not(col("k") <=> col("r")))
+    assert(bg.isEmpty, bg.collect().take(3).toSeq)
+  }
+
   test("termBuckets: driver-side bucket hash ≡ the DataFrame pmod(hash) route") {
     // The r18 lex-serve fusion evaluates the build's bucket expression
     // driver-side; the two routes must agree on every term or pruning
