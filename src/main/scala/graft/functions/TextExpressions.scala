@@ -269,6 +269,47 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** SimHash signature over a token array — the former
+    * explode → per-token `conv(substring(md5(tok), 1, hexChars), 16, 10)`
+    * → per-doc ±1 vote AGGREGATION (a corpus-wide doc_id exchange) as
+    * one per-row pass: every token OCCURRENCE votes each of the low
+    * `bits` bits of its leading-`hexChars`-nibble digest value, bit b
+    * of the signature sets iff its vote sum is positive. Matches the
+    * streaming Scala twin (StreamingNearDup.simhash64OfTokens)
+    * bit-for-bit at bits = 60 (spec-pinned).
+    */
+  def simhash(toks: ArrayData, bits: Int, hexChars: Int): Long = {
+    val md = md5Local.get()
+    val votes = new Array[Long](bits)
+    val sz = toks.numElements()
+    var i = 0
+    while (i < sz) {
+      if (!toks.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(toks.getUTF8String(i).getBytes)
+        // Leading hexChars nibbles of the digest, MSB-first — exactly
+        // conv(substring(hex, 1, hexChars), 16, 10).
+        var v = 0L
+        var nib = 0
+        while (nib < hexChars) {
+          val b = d(nib >> 1) & 0xff
+          v = (v << 4) | (if ((nib & 1) == 0) b >> 4 else b & 0xf)
+          nib += 1
+        }
+        var b = 0
+        while (b < bits) {
+          votes(b) += (if (((v >> b) & 1L) == 1L) 1L else -1L)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) { if (votes(b) > 0) sig |= 1L << b; b += 1 }
+    sig
+  }
+
   /** Longest run (count, gram) over the ASCENDING-sorted word n-grams of
     * `toks` — semantics of the former sort+fold chain exactly: grams are
     * `concat_ws(" ", toks[i..i+n-1])` (null elements skipped, matching
@@ -756,6 +797,37 @@ case class BigramsExpr(child: Expression) extends UnaryExpression {
       newChild: Expression): BigramsExpr = copy(child = newChild)
 }
 
+/** BIGINT SimHash signature of a token array (see
+  * [[TextKernels.simhash]]). NULL input → NULL.
+  */
+case class SimhashExpr(child: Expression, bits: Int, hexChars: Int)
+    extends UnaryExpression {
+  require(bits >= 1 && bits <= 63, s"bits=$bits outside [1, 63]")
+  require(hexChars >= 1 && hexChars <= 16,
+    s"hexChars=$hexChars outside [1, 16]")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash requires array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "simhash"
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.simhash(a.asInstanceOf[ArrayData], bits, hexChars)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.simhash($c, $bits, $hexChars)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimhashExpr = copy(child = newChild)
+}
+
 object TextFunctions {
   /** Codegen'd longest-run n-gram: struct(best, bestg). */
   def topNgram(toks: Column, n: Int): Column =
@@ -808,6 +880,11 @@ object TextFunctions {
   def bandKeys(sset: Column): Column =
     GraftExpressionShim.column(BandKeysExpr(
       GraftExpressionShim.expression(sset)))
+
+  /** Codegen'd per-row SimHash signature. */
+  def simhash(toks: Column, bits: Int, hexChars: Int): Column =
+    GraftExpressionShim.column(SimhashExpr(
+      GraftExpressionShim.expression(toks), bits, hexChars))
 
   /** Codegen'd consecutive-bigram struct array (NULL below 2 tokens). */
   def bigrams(tk: Column): Column =

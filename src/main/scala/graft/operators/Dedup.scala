@@ -1008,29 +1008,31 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("simhash"), lit(0L)).as("simhash"))
 
   private def simhashesImpl(docs: DataFrame, bits: Int,
-      hexChars: Int): DataFrame = {
+      hexChars: Int): DataFrame =
     // Null-id rows dropped up front (the family rule): their tokens
     // would otherwise vote into ONE NULL-keyed frankendoc signature —
     // never emitted anywhere (the doc-level left join and the pair
     // self-join are both null-rejecting), pure wasted vote work.
-    val toks = TextAnalysis.explodedTokens(
-      docs.where(col("doc_id").isNotNull), as = "tok")
-    // `bits`-bit value from the leading hex chars of the token's md5.
-    val withH = toks.select(col("doc_id"),
-      conv(substring(md5(col("tok")), 1, hexChars), 16, 10)
-        .cast("long").as("h"))
-    val voteCols = (0 until bits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L)
-        .otherwise(-1L)).as(s"v$b")
-    }
-    val votes = withH.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
-    val sig = (0 until bits).map { b =>
-      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    // Votes-only: one row per doc WITH tokens; [[withTokenlessZero]]
-    // re-adds blank docs for the doc-level signature contract.
-    votes.select(col("doc_id"), sig.as("simhash"))
-  }
+    //
+    // PER-ROW signature via the codegen kernel since r18
+    // (graft.functions.SimhashExpr ≡ the former explode → per-token
+    // hash → ±1-vote AGGREGATION, spec-pinned multiset-equal): the
+    // doc_id-keyed vote exchange — one corpus-wide shuffle at scale —
+    // is GONE, the same §2.4 rewrite the minhash banding got in r17.
+    // The votes-only one-row-per-tokenized-doc contract rides the
+    // explode_outer(when(size > 0, array(sig))) + isNotNull-on-the-
+    // GENERATED-attribute shape: a bare size(toks) > 0 filter would be
+    // pushed below the token projection and re-run the tokenizer per
+    // row (the bandBucketsFromSets trap), while a filter on the
+    // generated attribute cannot sink below its Generate.
+    docs.where(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        TextAnalysis.wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode_outer(when(size(col("toks")) > 0,
+          array(graft.functions.TextFunctions
+            .simhash(col("toks"), bits, hexChars)))).as("simhash"))
+      .where(col("simhash").isNotNull)
 
   /** SimHash near-dup pairs: Hamming distance <= maxDist, candidate-limited
     * by exact match on one of `blocks` fingerprint blocks (the standard

@@ -644,18 +644,18 @@ object Similarity {
     val book = readBook(spark, dir)
     val cents = centsDf(spark, book)
     val cells = readCells(spark, dir)
+    // Queries stay LAZY into the probe-table barrier (r18 serve fusion):
+    // probeTable is their ONLY consumer, so the former query-set barrier
+    // + release pair was one whole materialization job per serve for
+    // zero reuse — the probe barrier computes the checkedDims/norm
+    // projection inline and carries the query columns through.
     val queries = queryVecs
       .select(col("vec_id").as("query_id"),
         checkedDims(asDouble(col("embedding")), book.head._2.length,
           "IVF index").as("qv"))
       .withColumn("qn", norm(col("qv")))
-      .barrier() // query-set-sized
     val probeTbl = probeTable(queries, cents, probes)
       .barrier() // numQueries × probes rows
-    // probeTbl carries the query columns through — the queries barrier
-    // is superseded the moment probeTbl materializes; release it now
-    // instead of stranding one dead checkpoint per serve call.
-    Barrier.release(queries)
     // The partition column reads back as the inferred INT type; literal
     // ints keep the IN predicate cast-free so static pruning applies.
     val probedCells = probeTbl.select(col("probe")).distinct()
@@ -1238,15 +1238,16 @@ object Similarity {
     // Query rows carry everything the search needs: LUT arrays for the
     // ADC stage, the full vector + norm for the rerank stage (the dim
     // guard rides the projection — see checkedDims).
+    // Queries stay LAZY into the probe-table barrier (r18 — see
+    // ivfIndexTopK): probeTable is their only consumer, the LUT
+    // projection computes once inside the probe materialization.
     val queries = slicedVectors(queryVecs, m, sub)
       .select(col("vec_id").as("query_id"),
         array((0 until m).map(j => pqLutExpr(books, j)): _*).as("luts"),
         checkedDims(col("ev"), sub * m, "IVF-PQ index").as("qv"),
         norm(col("ev")).as("qn"))
-      .barrier() // query-set-sized
     val probeTbl = probeTable(queries, cents, probes)
       .barrier() // numQueries × probes rows
-    Barrier.release(queries) // superseded by probeTbl (see ivfIndexTopK)
     val probedCells = probeTbl.select(col("probe")).distinct()
       .collect().map(_.getLong(0).toInt).toIndexedSeq
     val scoped = cells.filter(col("cell").isin(probedCells: _*))

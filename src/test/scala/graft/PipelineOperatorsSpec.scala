@@ -290,6 +290,46 @@ class PipelineOperatorsSpec extends SparkSpec {
     assert(bg.isEmpty, bg.collect().take(3).toSeq)
   }
 
+  test("Simhash kernel ≡ the explode+vote aggregation AND the streaming Scala twin (r18)") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs(9301L -> "", 9302L -> "tie tie", 9303L -> "a b c"))
+      .where(col("doc_id").isNotNull)
+    for ((bits, hexChars) <- Seq((32, 8), (60, 15))) {
+      // The former pipeline, verbatim.
+      val toksEx = TextAnalysis.explodedTokens(base, as = "tok")
+      val withH = toksEx.select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, hexChars), 16, 10)
+          .cast("long").as("h"))
+      val voteCols = (0 until bits).map { b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L)).as(s"v$b")
+      }
+      val votes = withH.groupBy(col("doc_id"))
+        .agg(voteCols.head, voteCols.tail: _*)
+      val sig = (0 until bits).map { b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+      val ref = votes.select(col("doc_id"), sig.as("simhash"))
+      val kernel = base
+        .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("toks"))
+        .where(size(col("toks")) > 0)
+        .select(col("doc_id"), graft.functions.TextFunctions
+          .simhash(col("toks"), bits, hexChars).as("simhash"))
+      assert(ref.exceptAll(kernel).isEmpty && kernel.exceptAll(ref).isEmpty,
+        s"bits=$bits")
+    }
+    // Scala streaming twin parity at the 60-bit variant.
+    val twin = base.collect().map(r =>
+      Option(r.getAs[java.lang.Long]("doc_id")).map(_.toLong).get ->
+        graft.streaming.StreamingNearDup.simhash64Of(
+          Option(r.getAs[String]("text")).getOrElse("")))
+      .toMap
+    val batch = Dedup.simhashes64(base).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch == twin.map { case (k, v) => k -> v })
+  }
+
   test("termBuckets: driver-side bucket hash ≡ the DataFrame pmod(hash) route") {
     // The r18 lex-serve fusion evaluates the build's bucket expression
     // driver-side; the two routes must agree on every term or pruning
