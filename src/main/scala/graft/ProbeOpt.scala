@@ -366,6 +366,27 @@ object ProbeOpt {
       graft.operators.Barrier.release(toksTab)
     }
 
+    if (fams.contains("plans18")) {
+      // Formatted plans of the r18-touched builders that eager result
+      // barriers hide from the registered queries' own plans (the
+      // kmeansSearchPlan discipline) — written to plans/r18/.
+      import org.apache.spark.sql.execution.FormattedMode
+      def dump(name: String, df: DataFrame): Unit = {
+        val p = df.queryExecution.explainString(FormattedMode)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"plans/r18/$name.txt"),
+          p.getBytes("UTF-8"))
+        println(s"wrote plans/r18/$name.txt")
+      }
+      val sets = Dedup.shingleSets(docs.where(col("doc_id").isNotNull), 3)
+      dump("bandbuckets_kernel_after", Dedup.bandBucketsFromSets(sets))
+      dump("simhash64_signatures_after", Dedup.simhashes64(docs))
+      dump("gopher_quality_kernel_after",
+        graft.operators.Curation.gopherQuality(docs))
+      dump("winnow_fingerprints_kernel_after",
+        graft.operators.TextAnalysis.winnowingFingerprints(docs))
+    }
+
     if (fams.contains("jobs")) {
       // Per-job wall-time attribution for ONE invocation of each named
       // registered query (args after "jobs").

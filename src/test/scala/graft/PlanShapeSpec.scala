@@ -147,6 +147,22 @@ class PlanShapeSpec extends SparkSpec {
       optVocab.take(2000))
   }
 
+  test("simhashes64: the signature pipeline is map-only — no doc_id vote exchange (r18 kernel)") {
+    // The per-row SimhashExpr rewrite deletes the corpus-wide doc_id
+    // shuffle the explode+vote aggregation paid; only the doc-level
+    // re-attach's BROADCAST exchange may remain, and no inferred filter
+    // may re-run the tokenizer below the projection.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val opt = graft.operators.Dedup.simhashes64(docs)
+      .queryExecution.optimizedPlan.toString
+    assert(!"(?s)Filter[^\\n]*(split|ws_tokens)\\(".r.findFirstIn(opt).isDefined,
+      opt.take(2000))
+    val phys = graft.operators.Dedup.simhashes64(docs)
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange hashpartitioning"), phys.take(3000))
+    assert(!phys.contains("HashAggregate"), phys.take(3000))
+  }
+
   test("bandBucketsFromSets: banding is map-only (no exchange) and no inferred filter re-runs the band algebra") {
     // The r17 rewrite: per-row band keys via bandKeyArray — the
     // signature groupBy exchange is GONE (one corpus shuffle cheaper at
