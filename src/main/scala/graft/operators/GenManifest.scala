@@ -119,7 +119,7 @@ private[graft] object GenManifest {
       if (!m.isObject)
         throw new IllegalStateException(
           "manifest metaVals node is not an object — damaged manifest")
-      m.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+      m.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
     }
 
   /** Stage `node` to a dot-temp, then rename onto the numbered manifest —
