@@ -387,6 +387,133 @@ object ProbeOpt {
         graft.operators.TextAnalysis.winnowingFingerprints(docs))
     }
 
+    if (want("pmi")) {
+      // Is the corpus-sized docBigrams cache in pmiTopK load-bearing?
+      // pmiTail's ONLY direct consumer of d is c2 = groupBy(w1,w2); the
+      // margins/total all derive from c2, whose four exchanges are
+      // structurally identical — if ReuseExchange collapses them, a
+      // pair-vocab-sized c2 barrier beats caching the corpus-sized d.
+      import graft.operators.TextAnalysis
+      val q = SparkEntry.queries("doc_pmi_topk")
+      tm("pmi:reg-warm") { noop(q(spark, sfDir)) }
+      tm("pmi:reg") { noop(q(spark, sfDir)) }
+      val dRaw = TextAnalysis.docBigrams(docs)
+      val tailA = TextAnalysis.pmiTail(
+        TextAnalysis.pairCounts(dRaw, "c_xy"), 20, 5L)
+      val planA = tailA.queryExecution.executedPlan.toString
+      println("pmi:nocache Exchange count = " +
+        "Exchange".r.findAllIn(planA).length +
+        ", ReusedExchange count = " +
+        "ReusedExchange".r.findAllIn(planA).length)
+      tm("pmi:nocache-warm") { noop(tailA) }
+      tm("pmi:nocache") { noop(tailA) }
+      // Variant B: barrier the pair-vocab-sized c2 instead of caching d.
+      def tailFromC2(): DataFrame = {
+        val c2 = Barrier(dRaw.groupBy(col("w1"), col("w2"))
+          .agg(sum(col("cnt")).as("c_xy")))
+        try {
+          val cx = c2.groupBy(col("w1")).agg(sum(col("c_xy")).as("c_x"))
+          val cy = c2.groupBy(col("w2")).agg(sum(col("c_xy")).as("c_y"))
+          val mm = c2.agg(sum(col("c_xy")).as("m"))
+          c2.where(col("c_xy") >= 5L)
+            .join(cx, Seq("w1")).join(cy, Seq("w2"))
+            .crossJoin(broadcast(mm))
+            .withColumn("score_ppm",
+              expr("CAST(c_xy AS DECIMAL(38,0)) * m * 1000000 div " +
+                "(CAST(c_x AS DECIMAL(38,0)) * c_y)"))
+            .select(col("w1"), col("w2"), col("c_xy"), col("c_x"),
+              col("c_y"), col("score_ppm"))
+            .orderBy(col("score_ppm").desc, col("w1").asc, col("w2").asc)
+            .limit(20).barrier()
+        } finally Barrier.release(c2)
+      }
+      tm("pmi:c2barrier-warm") { noop(tailFromC2()) }
+      tm("pmi:c2barrier") { noop(tailFromC2()) }
+    }
+
+    if (want("lm")) {
+      // Same cache-vs-kernel-recompute rebalance probe for the LM chain:
+      // d feeds the model aggregation AND the scoring join (2 consumers).
+      // Variant: barrier the pair-vocab c2 (model side reads it; d's
+      // pipeline runs once into the barrier + once under the scoring
+      // join) instead of caching the corpus-sized d.
+      import graft.operators.TextAnalysis
+      val q = SparkEntry.queries("doc_bigram_lm")
+      tm("lm:reg-warm") { noop(q(spark, sfDir)) }
+      tm("lm:reg") { noop(q(spark, sfDir)) }
+      val fdocs = docs.where(col("doc_id").isNotNull)
+      def lmC2(): DataFrame = {
+        val dRaw = TextAnalysis.docBigrams(fdocs)
+        val c2 = Barrier(dRaw.groupBy(col("w1"), col("w2"))
+          .agg(sum(col("cnt")).as("c2")))
+        try {
+          val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+          val v = c1.agg(count(lit(1)).as("v"))
+          val model = c2.join(c1, Seq("w1")).crossJoin(broadcast(v))
+          val perDoc = dRaw.join(model, Seq("w1", "w2"))
+            .withColumn("micro",
+              expr("((c2 + 1L) * 1000000L) div (c1 + v)"))
+            .groupBy(col("doc_id"))
+            .agg(sum(col("cnt")).as("n_bigrams"),
+              expr("sum(micro * cnt) div sum(cnt)").as("lm_micro"))
+          fdocs.select(col("doc_id"))
+            .join(perDoc, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+              coalesce(col("lm_micro"), lit(0L)).as("lm_micro"))
+            .barrier()
+        } finally Barrier.release(c2)
+      }
+      tm("lm:c2barrier-warm") { noop(lmC2()) }
+      tm("lm:c2barrier") { noop(lmC2()) }
+      val qa = SparkEntry.queries("doc_score_agreement")
+      tm("lm:agree-warm") { noop(qa(spark, sfDir)) }
+      tm("lm:agree") { noop(qa(spark, sfDir)) }
+    }
+
+    if (want("pqr")) {
+      // pqRecall leg split: how much of the serve is the serial
+      // brute-force leg a side driver thread could absorb (§2.6)?
+      tm("pqr:recall-warm") { noop(Similarity.pqRecall(emb)) }
+      tm("pqr:recall") { noop(Similarity.pqRecall(emb)) }
+      jobTimes("pqr:recall-jobs") { noop(Similarity.pqRecall(emb)) }
+    }
+
+    if (fams.contains("plans18c")) {
+      // Continuation-session evidence: the bigram-chain cache-vs-barrier
+      // rebalance. BEFORE = the r18-snapshot shape (corpus-sized
+      // docBigrams persisted, tails re-aggregate the cached table);
+      // AFTER = the shipped shape (pair-vocab c2 barrier, corpus
+      // pipeline runs once per consumer).
+      import org.apache.spark.sql.execution.FormattedMode
+      import graft.operators.TextAnalysis
+      def dump(name: String, df: DataFrame): Unit = {
+        val p = df.queryExecution.explainString(FormattedMode)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"plans/r18/$name.txt"),
+          p.getBytes("UTF-8"))
+        println(s"wrote plans/r18/$name.txt")
+      }
+      val fdocs = docs.where(col("doc_id").isNotNull)
+      val dCached = TextAnalysis.docBigrams(fdocs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      dump("doc_pmi_topk_cache_before",
+        TextAnalysis.pmiTail(TextAnalysis.pairCounts(dCached, "c_xy"), 20, 5L))
+      dump("doc_bigram_lm_cache_before",
+        TextAnalysis.bigramLmTail(fdocs, dCached,
+          TextAnalysis.pairCounts(dCached, "c2")))
+      dCached.unpersist(blocking = false)
+      val dRaw2 = TextAnalysis.docBigrams(fdocs)
+      val c2b = Barrier(TextAnalysis.pairCounts(dRaw2, "c_xy"))
+      dump("doc_pmi_topk_c2barrier_after",
+        TextAnalysis.pmiTail(c2b, 20, 5L))
+      Barrier.release(c2b)
+      val c2lm = Barrier(TextAnalysis.pairCounts(dRaw2, "c2"))
+      dump("doc_bigram_lm_c2barrier_after",
+        TextAnalysis.bigramLmTail(fdocs, dRaw2, c2lm))
+      Barrier.release(c2lm)
+    }
+
     if (fams.contains("jobs")) {
       // Per-job wall-time attribution for ONE invocation of each named
       // registered query (args after "jobs").

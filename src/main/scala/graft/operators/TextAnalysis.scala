@@ -616,10 +616,26 @@ object TextAnalysis {
     // re-attach reported the doc itself as (0, 0) — and the STREAMING
     // twin already dropped them, a latent stream ≡ batch split.
     val docs = docs0.where(col("doc_id").isNotNull)
-    Barrier.withCached(docBigrams(docs)) { d =>
-      bigramLmTail(docs, d).barrier() // release the bigram cache on exit
-    }
+    // r18-cont rebalance (measured, sf0.1): caching the CORPUS-sized
+    // bigram table cost more than recomputing it under the text kernels
+    // (2.81 s cached vs 1.90 s with this shape). The pair-vocab-sized c2
+    // barrier is what the model chain actually multi-reads (c1, V, and
+    // the model join all derive from it); the scoring join re-runs the
+    // kernel bigram pipeline once — cheaper than the cache fill + cached
+    // re-reads it replaces, and the 100 TB shape stops pinning a
+    // corpus-sized table on executors.
+    val d = docBigrams(docs)
+    val c2 = Barrier(pairCounts(d, "c2"))
+    try bigramLmTail(docs, d, c2).barrier()
+    finally Barrier.release(c2)
   }
+
+  /** Corpus bigram pair counts over a [[docBigrams]] table — the
+    * pair-vocab-sized table the PMI tail and the LM model chain both
+    * fan out from (alias differs per consumer).
+    */
+  private[graft] def pairCounts(d: DataFrame, as: String): DataFrame =
+    d.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as(as))
 
   /** The per-(doc, w1, w2) reduced bigram table — the one corpus-sized
     * input both the model aggregation and the scoring join read.
@@ -667,17 +683,22 @@ object TextAnalysis {
       : DataFrame = {
     require(k >= 1 && k <= 10000, s"k=$k outside [1, 10000]")
     require(minCount >= 1L, s"minCount=$minCount must be >= 1")
-    Barrier.withCached(docBigrams(docs)) { d =>
-      pmiTail(d, k, minCount).barrier()
-    }
+    // r18-cont rebalance (measured, sf0.1): the bigram table has exactly
+    // ONE consumer here — the pair aggregation — so caching it was pure
+    // overhead once the text kernels made recompute cheap (registered
+    // form 2.27 s vs 0.85 s for this shape). Barrier the
+    // pair-vocab-sized c2 instead; the four margin/total branches read
+    // the checkpoint, and the corpus pipeline runs exactly once.
+    val c2 = Barrier(pairCounts(docBigrams(docs), "c_xy"))
+    try pmiTail(c2, k, minCount).barrier()
+    finally Barrier.release(c2)
   }
 
-  /** [[pmiTopK]] over a cached bigram table — factored for the plan lock
-    * (the eager barrier hides the tail behind Scan ExistingRDD).
+  /** [[pmiTopK]] over the (barriered) pair-count table — factored for the
+    * plan lock (the eager barrier hides the tail behind Scan ExistingRDD).
     */
-  private[graft] def pmiTail(d: DataFrame, k: Int, minCount: Long)
+  private[graft] def pmiTail(c2: DataFrame, k: Int, minCount: Long)
       : DataFrame = {
-    val c2 = d.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("c_xy"))
     val cx = c2.groupBy(col("w1")).agg(sum(col("c_xy")).as("c_x"))
     val cy = c2.groupBy(col("w2")).agg(sum(col("c_xy")).as("c_y"))
     val m = c2.agg(sum(col("c_xy")).as("m"))
@@ -701,14 +722,13 @@ object TextAnalysis {
       .limit(k)
   }
 
-  /** Model training + scoring over a (cached) [[docBigrams]] table —
-    * factored out so the plan lock asserts on the REAL plan (the eager
-    * barrier in [[bigramLmScores]] hides it behind Scan ExistingRDD —
-    * the kmeansSearchPlan pattern).
+  /** Model training + scoring over a [[docBigrams]] table and its
+    * (barriered) [[pairCounts]] — factored out so the plan lock asserts
+    * on the REAL plan (the eager barrier in [[bigramLmScores]] hides it
+    * behind Scan ExistingRDD — the kmeansSearchPlan pattern).
     */
-  private[graft] def bigramLmTail(docs: DataFrame, d: DataFrame)
-      : DataFrame = {
-    val c2 = d.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("c2"))
+  private[graft] def bigramLmTail(docs: DataFrame, d: DataFrame,
+      c2: DataFrame): DataFrame = {
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val v = c1.agg(count(lit(1)).as("v"))
     val model = c2.join(c1, Seq("w1")).crossJoin(broadcast(v))

@@ -523,7 +523,8 @@ class PlanShapeSpec extends SparkSpec {
   test("pmiTopK tail: TakeOrderedAndProject over the pair table — no full sort") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val p = graft.operators.TextAnalysis.pmiTail(
-      graft.operators.TextAnalysis.docBigrams(d), 20, 5L)
+      graft.operators.TextAnalysis.pairCounts(
+        graft.operators.TextAnalysis.docBigrams(d), "c_xy"), 20, 5L)
       .queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
@@ -714,8 +715,9 @@ class PlanShapeSpec extends SparkSpec {
     // InferFiltersFromGenerate's inferred filter is a cheap size check —
     // never the regex split itself (the explodedShingles discipline).
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val q = graft.operators.TextAnalysis.bigramLmTail(docs,
-      graft.operators.TextAnalysis.docBigrams(docs))
+    val db = graft.operators.TextAnalysis.docBigrams(docs)
+    val q = graft.operators.TextAnalysis.bigramLmTail(docs, db,
+      graft.operators.TextAnalysis.pairCounts(db, "c2"))
     val opt = q.queryExecution.optimizedPlan.toString
     assert(!"(?s)Filter[^\\n]*(split|ws_tokens)\\(".r.findFirstIn(opt).isDefined,
       opt.take(2000))
