@@ -1281,12 +1281,27 @@ object Similarity {
     require(numQueries <= 1000,
       s"ivfPqRecall scores numQueries x corpus rows; numQueries=" +
         s"$numQueries exceeds the 1000-query audit bound")
-    val got = ivfPqTopK(spark, dir, emb.filter(col("vec_id") < numQueries),
-        k, probes, candidates)
-      .select(col("query_id"), col("neighbor_id"))
-    val bf = bruteForceTopK(emb, k, numQueries)
-      .select(col("query_id"), col("neighbor_id"))
-      .barrier() // numQueries × k rows, feeds 2 branches
+    // The exact leg materializes on its own driver thread while this
+    // thread constructs the index serve (whose probe collect / pruned
+    // reads are eager driver work) — guide §2.6, the pqRecall shape.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    val fBf = Future {
+      spark.sparkContext.setJobDescription("ivfPqRecall: exact leg")
+      try bruteForceTopK(emb, k, numQueries)
+        .select(col("query_id"), col("neighbor_id"))
+        .barrier() // numQueries × k rows, feeds 2 branches
+      finally spark.sparkContext.setJobDescription(null)
+    }
+    val (got, bf) = try {
+      val g = ivfPqTopK(spark, dir, emb.filter(col("vec_id") < numQueries),
+          k, probes, candidates)
+        .select(col("query_id"), col("neighbor_id"))
+      (g, Await.result(fBf, Duration.Inf))
+    } finally pool.shutdown()
     val bfn = bf.groupBy(col("query_id")).agg(count(lit(1)).as("bf_n"))
     val h = bf.join(got, Seq("query_id", "neighbor_id"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("hits_ivfpq"))
@@ -1987,9 +2002,26 @@ object Similarity {
     require(candidates >= k,
       s"pqRecall reranks the top $candidates ADC candidates but k=$k " +
         "was requested — raise candidates (or lower k)")
-    val bf = bruteForceTopK(emb, k, numQueries)
-      .select(col("query_id"), col("neighbor_id"))
-      .barrier() // numQueries × k rows, feeds 3 branches
+    // The exact (brute-force) leg and the PQ train/encode/score leg are
+    // independent until the hit joins — materialize the exact leg on its
+    // own driver thread so its jobs back-fill executors while this
+    // thread drives the serial Lloyd's training chain (guide §2.6, the
+    // minhash_recall / curation-gate discipline). Job descriptions are
+    // thread-local; the pool always shuts down (a still-running leg
+    // finishes its one task and the thread exits).
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    val spark = emb.sparkSession
+    val fBf = Future {
+      spark.sparkContext.setJobDescription("pqRecall: exact leg")
+      try bruteForceTopK(emb, k, numQueries)
+        .select(col("query_id"), col("neighbor_id"))
+        .barrier() // numQueries × k rows, feeds 3 branches
+      finally spark.sparkContext.setJobDescription(null)
+    }
     // numQueries × corpus ADC rows, RANKED ONCE, feed the pure tier AND
     // the rerank candidate cut — the checkpoint sits above the window so
     // neither branch re-sorts the scored table.
@@ -2002,11 +2034,14 @@ object Similarity {
     // candidates rows, not numQueries × corpus. The ranked barrier
     // materializes INSIDE pqScored's scope (its `use` contract — the
     // encode barrier releases on exit).
-    val ranked = pqScored(emb, m, codes, iters, numQueries) { scored =>
-      scored.withColumn("rk", row_number().over(wAdc))
-        .filter(col("rk") <= candidates)
-        .barrier()
-    }
+    val (ranked, bf) = try {
+      val r = pqScored(emb, m, codes, iters, numQueries) { scored =>
+        scored.withColumn("rk", row_number().over(wAdc))
+          .filter(col("rk") <= candidates)
+          .barrier()
+      }
+      (r, Await.result(fBf, Duration.Inf))
+    } finally pool.shutdown()
     val pq = ranked.filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
     val rerank = pqRerankTail(ranked, emb, numQueries, k, candidates)
