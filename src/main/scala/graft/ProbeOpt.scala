@@ -479,6 +479,83 @@ object ProbeOpt {
       jobTimes("pqr:recall-jobs") { noop(Similarity.pqRecall(emb)) }
     }
 
+    if (want("rar")) {
+      // Cache-vs-kernel-recompute rebalance probe for the token-frequency
+      // pair (tokenRarity / tfIdfTopTerms): OLD = persist the corpus-
+      // sized toks/tf table for its 2 consumers; NEW = barrier only the
+      // vocab-sized freq/df table and recompute the kernel pipeline once
+      // per consumer.
+      import graft.operators.{TextAnalysis, Quant}
+      val idDocs = docs.where(col("doc_id").isNotNull)
+      def rarityTail(toks: DataFrame, freq: DataFrame): DataFrame = {
+        val perDoc = toks.join(freq, Seq("token"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("freq")).as("freq_sum"),
+            min(col("freq")).as("min_freq"),
+            count(when(col("freq") === 1L, lit(1))).as("hapax"))
+        idDocs.select(col("doc_id"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+            coalesce(Quant.q6(col("freq_sum").cast("double") /
+              col("n_tokens").cast("double")), lit(0.0)).as("mean_freq"),
+            coalesce(col("min_freq"), lit(0L)).as("min_freq"),
+            coalesce(Quant.q6(col("hapax").cast("double") /
+              col("n_tokens").cast("double")), lit(0.0)).as("hapax_share"))
+      }
+      def rarityOld(): DataFrame =
+        Barrier.withCached(TextAnalysis.explodedTokens(idDocs)) { toks =>
+          rarityTail(toks,
+            toks.groupBy(col("token")).agg(count(lit(1)).as("freq")))
+            .barrier()
+        }
+      def rarityNew(): DataFrame = {
+        val toks = TextAnalysis.explodedTokens(idDocs)
+        val freq = Barrier(
+          toks.groupBy(col("token")).agg(count(lit(1)).as("freq")))
+        try rarityTail(toks, freq).barrier()
+        finally Barrier.release(freq)
+      }
+      tm("rar:old-warm") { noop(rarityOld()) }
+      tm("rar:old") { noop(rarityOld()) }
+      tm("rar:new-warm") { noop(rarityNew()) }
+      tm("rar:new") { noop(rarityNew()) }
+      def tfidfTail(tf: DataFrame, df: DataFrame): DataFrame = {
+        val n = idDocs.agg(count_distinct(col("doc_id")).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("token").asc)
+        tf.join(df, Seq("token"))
+          .join(broadcast(n))
+          .withColumn("score",
+            (col("tf").cast("double") * col("n").cast("double"))
+              / col("df").cast("double"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("token"), col("tf"), col("df"),
+            col("score"), col("rank").cast("long").as("rank"))
+      }
+      def tfOf(): DataFrame = TextAnalysis.explodedTokens(idDocs)
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      def tfidfOld(): DataFrame =
+        Barrier.withCached(tfOf()) { tf =>
+          tfidfTail(tf,
+            tf.groupBy(col("token")).agg(count(lit(1)).as("df"))).barrier()
+        }
+      def tfidfNew(): DataFrame = {
+        val tf = tfOf()
+        val df = Barrier(
+          tf.groupBy(col("token")).agg(count(lit(1)).as("df")))
+        try tfidfTail(tf, df).barrier()
+        finally Barrier.release(df)
+      }
+      tm("tfidf:old-warm") { noop(tfidfOld()) }
+      tm("tfidf:old") { noop(tfidfOld()) }
+      tm("tfidf:new-warm") { noop(tfidfNew()) }
+      tm("tfidf:new") { noop(tfidfNew()) }
+    }
+
     if (fams.contains("plans18c")) {
       // Continuation-session evidence: the bigram-chain cache-vs-barrier
       // rebalance. BEFORE = the r18-snapshot shape (corpus-sized

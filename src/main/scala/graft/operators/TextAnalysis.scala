@@ -538,8 +538,17 @@ object TextAnalysis {
     // null-id doc reported n_tokens = 0 while its tokens still skewed
     // corpus frequencies.
     val docs = docs0.where(col("doc_id").isNotNull)
-    Barrier.withCached(explodedTokens(docs)) { toks =>
-      val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    // r18-cont rebalance (measured, sf0.1: 1.72 s cached vs 0.79 s this
+    // shape): persisting the exploded corpus×token table for its 2
+    // consumers cost more than recomputing the kernel tokenization once
+    // per consumer. Barrier only the VOCAB-sized frequency table; the
+    // map-only token pipeline runs once into its exchange and once under
+    // the scoring join — and no corpus-sized cache pins executors at
+    // 100 TB.
+    val toks = explodedTokens(docs)
+    val freq = Barrier(
+      toks.groupBy(col("token")).agg(count(lit(1)).as("freq")))
+    try {
       val perDoc = toks.join(freq, Seq("token"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),
@@ -555,8 +564,8 @@ object TextAnalysis {
           coalesce(col("min_freq"), lit(0L)).as("min_freq"),
           coalesce(q6(col("hapax").cast("double") /
             col("n_tokens").cast("double")), lit(0.0)).as("hapax_share"))
-        .barrier() // release the token cache on exit
-    }
+        .barrier() // materialize before releasing the freq barrier
+    } finally Barrier.release(freq)
   }
 
   /** Adjacent-bigram structs of a token array: the array zipped against
@@ -1414,20 +1423,23 @@ object TextAnalysis {
     * partition heaps, no full sort). Ties break lexicographically.
     */
   def tfIdfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
-    // Persisted: tf feeds the df aggregation AND the scoring join — the
-    // two branches otherwise each re-explode and re-shuffle the corpus
-    // (two Generate+Scan subtrees in the static plan; exchange reuse is a
-    // runtime maybe, not a guarantee). The persisted rows are (id, token,
-    // count) — far smaller than the text they summarize.
+    // r18-cont rebalance (measured, sf0.1: 1.52 s cached vs 1.10 s this
+    // shape): tf feeds the df aggregation AND the scoring join, but
+    // persisting the corpus-sized (id, token, count) table cost more
+    // than re-running the kernel tokenize+reduce once per consumer.
+    // Barrier only the VOCAB-sized df table instead — and nothing
+    // corpus-sized pins executors at 100 TB.
     // Null-id docs dropped up front, oracle-mirrored (the per-doc
     // family rule — the Search.postings frankendoc class): grouping
     // them under the NULL key would merge every null-id doc into one
     // ranked pseudo-doc whose tokens inflate df while count_distinct
     // counts them as ZERO docs — a corpus-wide score skew.
     val idDocs = docs.where(col("doc_id").isNotNull)
-    Barrier.withCached(explodedTokens(idDocs)
-        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))) { tf =>
-      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val tf = explodedTokens(idDocs)
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = Barrier(
+      tf.groupBy(col("token")).agg(count(lit(1)).as("df")))
+    try {
       val n = idDocs.agg(count_distinct(col("doc_id")).as("n"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"))
@@ -1445,7 +1457,7 @@ object TextAnalysis {
         .filter(col("rank") <= k)
         .select(col("doc_id"), col("token"), col("tf"), col("df"),
           col("score"), col("rank").cast("long").as("rank"))
-        .barrier() // release the tf cache on exit
-    }
+        .barrier() // materialize before releasing the df barrier
+    } finally Barrier.release(df)
   }
 }
