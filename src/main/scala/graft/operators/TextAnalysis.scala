@@ -1062,27 +1062,34 @@ object TextAnalysis {
     // aggregation (guarded by clen > 0 everywhere) instead of being
     // filtered and left-joined back — the re-attach base would re-scan and
     // re-tokenize the whole corpus as a second plan branch.
-    // Persisted: the chunk-hash table feeds BOTH the document-frequency
-    // aggregation and the re-join — unpersisted, each branch re-scans and
-    // re-chunks the whole corpus (verified: two parquet Scans + two
-    // Generates in the plan). The persisted rows carry (id, 32-char hash,
-    // two longs) — a small fraction of the text they summarize.
-    Barrier.withCached(chunks
-        .select(col("doc_id"), col("n_toks"), explode_outer(col("cs")).as("c"))
-        .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
-          md5(col("c.chunk")).as("ch"), col("c.clen").cast("long").as("clen"))) { ex =>
-      // Cross-doc document frequency per chunk hash. count_distinct handles
-      // a chunk repeated WITHIN one doc: that alone is not cross-doc dup.
-      val df = ex.filter(col("clen") > 0).groupBy(col("ch"))
-        .agg(count_distinct(col("doc_id")).as("cdf"))
-      ex.join(df, Seq("ch"), "left")
+    // r18-cont rebalance (measured, sf0.1): the chunk-hash table feeds
+    // BOTH the document-frequency aggregation and the re-join, but
+    // persisting the corpus-sized (id, hash, longs) table cost more than
+    // recomputing the kernel tokenize + chunk pipeline once per
+    // consumer. Barrier only the DUPLICATED-hash set (cdf > 1 —
+    // boilerplate-sized, orders of magnitude below the corpus); the dup
+    // verdict becomes join PRESENCE (left-join match ⇔ cdf > 1 — the
+    // bare `cdf <= 1` test would read NULL, not true, on unmatched
+    // rows), and AQE can broadcast the tiny set.
+    val ex = chunks
+      .select(col("doc_id"), col("n_toks"), explode_outer(col("cs")).as("c"))
+      .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
+        md5(col("c.chunk")).as("ch"), col("c.clen").cast("long").as("clen"))
+    // Cross-doc document frequency per chunk hash. count_distinct handles
+    // a chunk repeated WITHIN one doc: that alone is not cross-doc dup.
+    val dups = Barrier(ex.filter(col("clen") > 0).groupBy(col("ch"))
+      .agg(count_distinct(col("doc_id")).as("cdf"))
+      .filter(col("cdf") > 1)
+      .select(col("ch"), lit(true).as("__dup")))
+    try {
+      ex.join(dups, Seq("ch"), "left")
         .groupBy(col("doc_id"))
         .agg(
           max(col("n_toks")).as("n_tokens"),
           count(when(col("clen") > 0, lit(1))).as("n_chunks"),
-          sum(when(col("clen") > 0 && col("cdf") > 1, 1L).otherwise(0L))
-            .as("dup_chunks"),
-          sum(when(col("clen") > 0 && col("cdf") <= 1, col("clen"))
+          sum(when(col("clen") > 0 && col("__dup").isNotNull, 1L)
+            .otherwise(0L)).as("dup_chunks"),
+          sum(when(col("clen") > 0 && col("__dup").isNull, col("clen"))
             .otherwise(0L)).as("kept_tokens"))
         .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
           col("dup_chunks"),
@@ -1091,8 +1098,8 @@ object TextAnalysis {
               col("n_chunks").cast("double"))).otherwise(0.0)
             .as("dup_chunk_fraction"),
           col("kept_tokens"))
-        .barrier() // release the chunk cache on exit
-    }
+        .barrier() // materialize before releasing the dup-set barrier
+    } finally Barrier.release(dups)
   }
 
   /** The EMISSION half of chunk-level dedup: rebuild each document's text
@@ -1122,7 +1129,12 @@ object TextAnalysis {
     // The persisted rows carry the hash ALONGSIDE the chunk text: the dup
     // aggregation and the anti-join probe both consume it, and computing
     // md5 inside the join condition would re-hash every chunk of the
-    // corpus a second time.
+    // corpus a second time. The counting half (paragraphDedup) dropped
+    // its cache in the r18-cont rebalance, but HERE the cache stays —
+    // measured at sf0.1, recomputing this WIDE chunk-text pipeline
+    // (interpreted chunkStructs + per-chunk md5 + the text payload)
+    // twice reads 1.36 s vs 1.17 s cached: the recompute-beats-cache
+    // rule holds only for hash/count-narrow pipelines.
     Barrier.withCached(chunks
         .select(col("doc_id"), posexplode_outer(col("cs")).as(Seq("pos", "c")))
         .filter(col("c.clen") > 0)
