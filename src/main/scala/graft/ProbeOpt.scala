@@ -556,6 +556,25 @@ object ProbeOpt {
       tm("tfidf:new") { noop(tfidfNew()) }
     }
 
+    if (want("bm")) {
+      // bm25TopK postings-cache rebalance probe: the tail reads the
+      // postings 4 ways (qterms sliver, df sliver, totals fold, scoring
+      // join). OLD = persist the corpus-sized postings; NEW = no cache
+      // (each consumer re-runs kernel tokenize + the postings exchange).
+      import graft.operators.Search
+      val ids = Seq(3L, 5L, 9L, 11L, 17L)
+      def bmOld(): DataFrame = Search.bm25TopK(docs, ids)
+      def bmNew(): DataFrame = {
+        import graft.operators.Barrier.BarrierOps
+        Search.bm25Tail(Search.postings(docs), ids, 6, 10, 1.2, 0.75)
+          .barrier()
+      }
+      tm("bm:old-warm") { noop(bmOld()) }
+      tm("bm:old") { noop(bmOld()) }
+      tm("bm:new-warm") { noop(bmNew()) }
+      tm("bm:new") { noop(bmNew()) }
+    }
+
     if (fams.contains("plans18c")) {
       // Continuation-session evidence: the bigram-chain cache-vs-barrier
       // rebalance. BEFORE = the r18-snapshot shape (corpus-sized

@@ -29,8 +29,9 @@ import org.apache.spark.sql.functions._
   * ONE corpus tokenization + one (doc_id, term) hash aggregation — at
   * deployment scale it IS the inverted index and should be written out
   * bucketed by term (the build-once/serve-many lifecycle the persisted
-  * ANN indexes follow); here it is cached for the three passes the query
-  * makes. Everything downstream of the postings is bounded by the query
+  * ANN indexes follow); here each tail pass re-derives it from the text
+  * kernels (measured cheaper than caching it since round 18 — see
+  * bm25TopK). Everything downstream of the postings is bounded by the query
   * set: the query-term table (≤ queries × queryTerms rows) broadcasts,
   * per-term document frequencies are computed over a broadcast-semi-
   * filtered sliver of the postings, the corpus totals fold MAP-SIDE off
@@ -55,11 +56,16 @@ object Search {
     require(queryIds.size <= 1000,
       s"bm25TopK broadcasts the query-term table; ${queryIds.size} query " +
         "docs exceeds the 1000-query bound")
-    Barrier.withCached(postings(docs)) { p =>
-      import Barrier.BarrierOps
-      // queries × k rows — barrier releases the postings cache on exit
-      bm25Tail(p, queryIds, queryTerms, k, k1, b).barrier()
-    }
+    // r18-cont rebalance (measured, sf0.1: 2.40 s cached vs 1.42 s
+    // uncached): persisting the corpus-sized postings for the tail's
+    // four reads cost more than re-running the kernel tokenize +
+    // postings exchange per consumer — the text kernels flipped the
+    // trade (the pmi/tokenRarity pattern), and nothing corpus-sized
+    // pins executors. At deployment scale the postings are the
+    // PERSISTED lex index (buildLexIndex), not a recompute.
+    import Barrier.BarrierOps
+    // queries × k rows, eagerly materialized
+    bm25Tail(postings(docs), queryIds, queryTerms, k, k1, b).barrier()
   }
 
   /** The inverted index: one row per (doc, term) with the term count, the
