@@ -575,6 +575,49 @@ object ProbeOpt {
       tm("bm:new") { noop(bmNew()) }
     }
 
+    if (want("ng")) {
+      // Shingle-set cache rebalance probe: containment reads the cached
+      // sets 4 ways (self-join both sides + counts twice), minhash 3
+      // ways (banding + verify-join both sides). NEW = no cache, the
+      // kernel shingle pipeline re-runs per consumer.
+      import graft.operators.{Dedup, Quant}
+      val f = docs.where(col("doc_id").isNotNull)
+      def contOver(sets: DataFrame): DataFrame = {
+        val ex = sets.select(col("doc_id"), explode(col("sset")).as("shingle"))
+          .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+        val counts = sets.select(col("doc_id"), size(col("sset")).as("cnt"))
+        val inter = ex.as("a").join(ex.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+          .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+          .withColumn("containment",
+            Quant.r6(col("inter").cast("double") /
+              least(col("ca.cnt"), col("cb.cnt")).cast("double")))
+          .filter(col("containment") >= 0.6)
+          .select(col("doc_a"), col("doc_b"),
+            col("inter").cast("long").as("inter"), col("containment"))
+      }
+      def contOld(): DataFrame =
+        Barrier.withCached(Dedup.shingleSets(f, 3)) { sets =>
+          contOver(sets).barrier()
+        }
+      def contNew(): DataFrame = contOver(Dedup.shingleSets(f, 3)).barrier()
+      tm("ng:cont-old-warm") { noop(contOld()) }
+      tm("ng:cont-old") { noop(contOld()) }
+      tm("ng:cont-new-warm") { noop(contNew()) }
+      tm("ng:cont-new") { noop(contNew()) }
+      def mhOld(): DataFrame = Dedup.minhashNearDups(docs)
+      def mhNew(): DataFrame =
+        Dedup.minhashNearDupsFromSets(Dedup.shingleSets(f, 3))
+      tm("ng:mh-old-warm") { noop(mhOld()) }
+      tm("ng:mh-old") { noop(mhOld()) }
+      tm("ng:mh-new-warm") { noop(mhNew()) }
+      tm("ng:mh-new") { noop(mhNew()) }
+    }
+
     if (fams.contains("plans18c")) {
       // Continuation-session evidence: the bigram-chain cache-vs-barrier
       // rebalance. BEFORE = the r18-snapshot shape (corpus-sized

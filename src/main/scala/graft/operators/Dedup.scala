@@ -401,16 +401,21 @@ object Dedup {
     // shingleSets: the decontamination chains deliberately keep null-id
     // docs' grams (a null-id train doc leaks grams but counts as zero
     // docs — spec-pinned in doc_leak_report).
-    Barrier.withCached(
-        shingleSets(docs.where(col("doc_id").isNotNull), n)) { sets =>
-      minhashNearDupsFromSets(sets, threshold, maxBucketDf)
-    }
+    // r18-cont rebalance (measured, sf0.1: 1.15 s cached vs 0.99 s
+    // uncached): the kernel shingle pipeline re-runs once per consumer
+    // (banding + both verify-join sides) cheaper than the persist of
+    // the corpus-sized set table it replaced.
+    minhashNearDupsFromSets(
+      shingleSets(docs.where(col("doc_id").isNotNull), n),
+      threshold, maxBucketDf)
   }
 
   /** [[minhashNearDups]] from a pre-built (doc_id, sset) table. The caller
-    * owns `sets`' lifecycle — it should be persisted (three plan branches
-    * read it) and unpersisted after this returns; the pair table comes
-    * back eagerly materialized, so releasing the input is safe.
+    * owns `sets`' lifecycle: three plan branches read it, but a LAZY
+    * kernel-built set table is fine (recompute measured cheaper than a
+    * persist since r18 — see minhashNearDups); callers holding the sets
+    * at rest (curationReport's parquet scratch) read from storage. The
+    * pair table comes back eagerly materialized.
     */
   private[graft] def minhashNearDupsFromSets(sets: DataFrame,
       threshold: Double = 0.5, maxBucketDf: Int = 0): DataFrame = {
@@ -496,8 +501,10 @@ object Dedup {
       s"threshold=$threshold outside (0, 1]")
     // Join on the shingle's 64-bit hash: 8-byte shuffle keys instead of
     // full n-gram strings (identical counts — a 64-bit collision among
-    // a corpus's distinct shingles is negligible). The persisted set
-    // subtree feeds the exploded join input and both count branches.
+    // a corpus's distinct shingles is negligible). The LAZY set subtree
+    // feeds the exploded join input and both count branches — recompute
+    // per consumer measured cheaper than the persist it replaced (the
+    // r18-cont kernel rebalance; see minhashNearDups).
     // Each exploded row carries its doc's shingle count so the join can
     // prune size-incompatible pairs in place: J(A,B) <= min/max, so a
     // pair whose size ratio sits below the threshold can never pass the
@@ -507,8 +514,8 @@ object Dedup {
     // filter compares round(J, 6), which admits true J down to half a
     // 1e-6 grid step below the threshold, and an exact-bound prune would
     // drop such a pair before the filter ever saw it.
-    Barrier.withCached(
-        shingleSets(docs.where(col("doc_id").isNotNull), n)) { sets =>
+    locally {
+      val sets = shingleSets(docs.where(col("doc_id").isNotNull), n)
       val ex0 = sets.select(col("doc_id"), explode(col("sset")).as("shingle"),
           size(col("sset")).as("cnt"))
         .select(col("doc_id"), xxhash64(col("shingle")).as("sh"), col("cnt"))
@@ -530,7 +537,7 @@ object Dedup {
           jaccardCol(col("inter"), col("ca.cnt"), col("cb.cnt")))
         .filter(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
-        .barrier() // release the shingle cache on exit
+        .barrier() // pair-set-sized result, eagerly materialized
     }
   }
 
@@ -635,11 +642,13 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold=$threshold outside (0, 1]")
     // Null-id rule: see minhashNearDups (completeness is against the
-    // null-free pair space either way — a<b rejects NULL).
-    Barrier.withCached(
-        shingleSets(docs.where(col("doc_id").isNotNull), n)) { sets =>
-      prefixJaccardOver(sets, threshold).barrier()
-    }
+    // null-free pair space either way — a<b rejects NULL). The set table
+    // stays LAZY (the r18-cont kernel rebalance): prefixJaccardOver
+    // barriers its own prefix table, and the remaining set reads
+    // recompute cheaper than a persist.
+    prefixJaccardOver(
+      shingleSets(docs.where(col("doc_id").isNotNull), n), threshold)
+      .barrier()
   }
 
   /** One-sided n-gram CONTAINMENT pairs: `inter / min(|A|,|B|)` — the
@@ -659,11 +668,13 @@ object Dedup {
     */
   def ngramContainmentPairs(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.6): DataFrame = {
-    // Guard + null-id rules: see minhashNearDups.
+    // Guard + null-id rules: see minhashNearDups. Set table LAZY — the
+    // r18-cont kernel rebalance (measured, sf0.1: 3.38 s cached vs
+    // 2.80 s uncached on this exact shape).
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold=$threshold outside (0, 1]")
-    Barrier.withCached(
-        shingleSets(docs.where(col("doc_id").isNotNull), n)) { sets =>
+    locally {
+      val sets = shingleSets(docs.where(col("doc_id").isNotNull), n)
       val ex = sets.select(col("doc_id"), explode(col("sset")).as("shingle"))
         .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
       val counts = sets.select(col("doc_id"), size(col("sset")).as("cnt"))
@@ -680,7 +691,7 @@ object Dedup {
         .filter(col("containment") >= threshold)
         .select(col("doc_a"), col("doc_b"), col("inter").cast("long").as("inter"),
           col("containment"))
-        .barrier() // release the shingle cache on exit
+        .barrier() // pair-set-sized result, eagerly materialized
     }
   }
 
